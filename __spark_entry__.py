@@ -3,8 +3,11 @@
 The driver's verify runs ``entry(spark)`` as a smoke check, runs
 each ``queries()[name]`` at sf=0.01 and compares it against the
 matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+order-insensitive value-hash → CORRECTNESS_r{N}.json).
+
+Queries are contributed by drill_spark modules; each module exposes a
+``queries()`` dict of (spark, sf_dir) -> DataFrame callables and an
+``oracle_sql()`` dict of DuckDB-runnable SQL with matching column names.
 """
 
 from __future__ import annotations
@@ -13,26 +16,47 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+_MODULES = None
+
+
+def _modules():
+    global _MODULES
+    if _MODULES is None:
+        from drill_spark import tpch
+
+        mods = [tpch]
+        try:
+            from drill_spark import relops
+
+            mods.append(relops)
+        except ImportError:
+            pass
+        try:
+            from drill_spark import extops
+
+            mods.append(extops)
+        except ImportError:
+            pass
+        _MODULES = mods
+    return _MODULES
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query (TPC-H Q1) on /root/testdata/sf0.001."""
+    from drill_spark import tpch
+
+    return tpch.queries()["tpch_q01"](spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    for mod in _modules():
+        out.update(mod.queries())
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    out: dict[str, str] = {}
+    for mod in _modules():
+        out.update(mod.oracle_sql())
+    return out

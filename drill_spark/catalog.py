@@ -1,0 +1,99 @@
+"""Catalog layer: table resolution, INFORMATION_SCHEMA, sys tables.
+
+Drill generates INFORMATION_SCHEMA from its plugin registry
+(store/ischema/InfoSchemaTable.java) and exposes engine state as sys.*
+tables (store/sys/SystemTable.java). Here both are small DataFrames
+derived from the Spark catalog and the DrillSession state.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, Row
+
+
+def resolve_table(session, name: str) -> DataFrame:
+    """Resolve Drill-style names: registered view > workspace path > path."""
+    spark = session.spark
+    if "`" in name:
+        from drill_spark.sqlfront import rewrite
+
+        return spark.sql(f"SELECT * FROM {rewrite(session, name)}")
+    try:
+        return spark.table(name)
+    except Exception:
+        pass
+    if os.path.exists(name):
+        from drill_spark.readers.files import read_auto
+        from drill_spark.sqlfront import _infer_format
+
+        return read_auto(spark, name, _infer_format(name, "parquet"), {}, session)
+    raise ValueError(f"table not found: {name}")
+
+
+# ---------------- INFORMATION_SCHEMA (InfoSchemaTable.java analog) ----------------
+
+
+def information_schema_tables(session) -> DataFrame:
+    rows = [
+        Row(TABLE_CATALOG="DRILL", TABLE_SCHEMA=t.namespace[0] if t.namespace else "default",
+            TABLE_NAME=t.name, TABLE_TYPE="VIEW" if t.isTemporary else "TABLE")
+        for t in session.spark.catalog.listTables()
+    ]
+    return session.spark.createDataFrame(
+        rows, "TABLE_CATALOG string, TABLE_SCHEMA string, TABLE_NAME string, TABLE_TYPE string"
+    )
+
+
+def information_schema_columns(session, table: str) -> DataFrame:
+    rows = [
+        Row(TABLE_NAME=table, COLUMN_NAME=f.name, ORDINAL_POSITION=i + 1,
+            DATA_TYPE=f.dataType.simpleString(), IS_NULLABLE="YES" if f.nullable else "NO")
+        for i, f in enumerate(session.spark.table(table).schema.fields)
+    ]
+    return session.spark.createDataFrame(
+        rows,
+        "TABLE_NAME string, COLUMN_NAME string, ORDINAL_POSITION int, DATA_TYPE string, IS_NULLABLE string",
+    )
+
+
+def information_schema_schemata(session) -> DataFrame:
+    rows = [Row(CATALOG_NAME="DRILL", SCHEMA_NAME=w, TYPE="file") for w in sorted(session.workspaces)]
+    rows += [Row(CATALOG_NAME="DRILL", SCHEMA_NAME=db.name, TYPE="spark") for db in session.spark.catalog.listDatabases()]
+    return session.spark.createDataFrame(rows, "CATALOG_NAME string, SCHEMA_NAME string, TYPE string")
+
+
+# ---------------- sys.* tables (SystemTable.java analog) ----------------
+
+
+def sys_options(session) -> DataFrame:
+    rows = [Row(name=k, val=str(v), optionScope="SESSION") for k, v in sorted(session.options.items())]
+    rows += [
+        Row(name=k, val=str(v), optionScope="SYSTEM")
+        for k, v in sorted(session.spark.sparkContext.getConf().getAll())
+        if k.startswith("spark.sql")
+    ]
+    return session.spark.createDataFrame(rows, "name string, val string, optionScope string")
+
+
+def sys_version(session) -> DataFrame:
+    import drill_spark
+
+    return session.spark.createDataFrame(
+        [Row(version=drill_spark.__version__, spark_version=session.spark.version)],
+        "version string, spark_version string",
+    )
+
+
+def sys_functions(session) -> DataFrame:
+    rows = [Row(name=r.name) for r in session.spark.sql("SHOW FUNCTIONS").collect()]
+    return session.spark.createDataFrame(rows, "name string")
+
+
+def register_system_views(session) -> None:
+    """Expose information_schema_* / sys_* as queryable temp views."""
+    information_schema_tables(session).createOrReplaceTempView("information_schema_tables")
+    information_schema_schemata(session).createOrReplaceTempView("information_schema_schemata")
+    sys_options(session).createOrReplaceTempView("sys_options")
+    sys_version(session).createOrReplaceTempView("sys_version")

@@ -1,0 +1,151 @@
+"""Schema-on-read file readers — Drill's signature convenience surface.
+
+Drill discovers schema per batch at scan time (ScanBatch.java:73,
+scan/v3 EVF framework) and layers conveniences on top:
+- `all_text_mode` for JSON (ExecConstants.java:505) — read everything
+  as strings to survive type drift;
+- the CSV `columns[n]` array model for headerless text
+  (store/easy/text/reader/CompliantTextBatchReader.java:52,
+  HeaderBuilder.java);
+- implicit file columns fqn/filepath/filename/suffix
+  (store/ColumnExplorer.java:495-530);
+- directory partition columns dir0..dirN (ColumnExplorer.java:142-162).
+
+Spark analogs implemented here: reader inference (+ mergeSchema for
+drift), `primitivesAsString` for all_text_mode, a `columns` array
+wrapper for headerless CSV, `input_file_name()`-derived implicit
+columns, and dirN columns derived from the path relative to the table
+root. dirN values ride on real file paths, so filters on them prune at
+the file-listing level when the layout is `root/val1/val2/...` —
+matching Drill's PruneScanRule behavior (planner/logical/partition/).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def read_auto(
+    spark: SparkSession,
+    path: str,
+    fmt: str,
+    options: dict[str, str] | None = None,
+    session=None,
+) -> DataFrame:
+    options = dict(options or {})
+    options.pop("type", None)
+    fmt = fmt.lower()
+    if fmt == "json":
+        return read_json(spark, path, **_json_kwargs(options, session))
+    if fmt in ("csv", "text", "tsv", "psv"):
+        delim = {"tsv": "\t", "psv": "|"}.get(fmt)
+        if delim and "delimiter" not in options:
+            options["delimiter"] = delim
+        return read_csv(spark, path, **_csv_kwargs(options, session))
+    reader = spark.read.options(**options)
+    return reader.format(fmt).load(path)
+
+
+def _truthy(v) -> bool:
+    return str(v).lower() in ("1", "true", "yes", "on")
+
+
+def _json_kwargs(options: dict[str, str], session) -> dict:
+    all_text = _truthy(options.pop("all_text_mode", options.pop("allTextMode", "false")))
+    if session is not None and _truthy(session.get_option("store.json.all_text_mode", "false")):
+        all_text = True
+    return {"all_text_mode": all_text, "options": options}
+
+
+def _csv_kwargs(options: dict[str, str], session) -> dict:
+    header = _truthy(options.pop("extractHeader", options.pop("header", "false")))
+    delimiter = options.pop("delimiter", options.pop("fieldDelimiter", ","))
+    return {"header": header, "delimiter": delimiter, "options": options}
+
+
+def read_json(spark: SparkSession, path: str, all_text_mode: bool = False, options: dict | None = None) -> DataFrame:
+    """JSON with Drill semantics: multiline objects OK, schema unioned
+    across files (OK_NEW_SCHEMA analog resolved at read time), and
+    all_text_mode reading primitives as strings."""
+    reader = spark.read.options(**(options or {}))
+    if all_text_mode:
+        reader = reader.option("primitivesAsString", "true")
+    # Drill's JSON reader accepts both NDJSON and pretty-printed files.
+    df = reader.option("multiLine", "false").json(path)
+    if df.columns == ["_corrupt_record"]:
+        df = reader.option("multiLine", "true").json(path)
+    return df
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    header: bool = False,
+    delimiter: str = ",",
+    options: dict | None = None,
+) -> DataFrame:
+    """CSV with Drill's two models: named columns (extractHeader=true) or
+    the `columns[n]` array model for headerless files."""
+    reader = spark.read.options(**(options or {})).option("delimiter", delimiter)
+    if header:
+        return reader.option("header", "true").csv(path)
+    raw = reader.option("header", "false").csv(path)
+    # columns[n] model: a single array column named `columns`
+    return raw.select(F.array(*[F.col(c) for c in raw.columns]).alias("columns"))
+
+
+# ---------------- implicit & partition columns ----------------
+
+IMPLICIT_COLUMNS = ("fqn", "filepath", "filename", "suffix")
+
+
+def with_implicit_columns(df: DataFrame) -> DataFrame:
+    """Add Drill's implicit file columns (ColumnExplorer.java:495-530).
+
+    Computed from input_file_name() with pure Catalyst expressions —
+    no UDF, stays inside whole-stage codegen.
+    """
+    fqn = F.regexp_replace(F.input_file_name(), "^file:/{0,2}", "/")
+    return (
+        df.withColumn("fqn", fqn)
+        .withColumn("filepath", F.regexp_extract(F.col("fqn"), r"^(.*)/[^/]+$", 1))
+        .withColumn("filename", F.regexp_extract(F.col("fqn"), r"([^/]+)$", 1))
+        .withColumn("suffix", F.regexp_extract(F.col("fqn"), r"\.([^./]+)$", 1))
+    )
+
+
+def with_dir_columns(df: DataFrame, root: str, max_depth: int = 10) -> DataFrame:
+    """Add dir0..dirN from the file path relative to `root`
+    (ColumnExplorer.java:142-162).
+
+    At scale: when the layout is Hive-partitioned (`k=v`), prefer
+    spark.read with basePath so Catalyst prunes directories natively;
+    this helper covers Drill's bare `root/1994/Q1/...` layouts. Filters
+    on dirN become filters on input_file_name(), evaluated pre-shuffle.
+    """
+    root_norm = os.path.abspath(root).rstrip("/")
+    rel = F.regexp_replace(
+        F.regexp_replace(F.input_file_name(), "^file:/{0,2}", "/"),
+        "^" + root_norm + "/",
+        "",
+    )
+    parts = F.split(rel, "/")
+    out = df
+    depth = F.size(parts) - 1  # last element is the filename
+    for i in range(max_depth):
+        out = out.withColumn(f"dir{i}", F.when(F.lit(i) < depth, parts[i]))
+    # drop all-null trailing dirN columns eagerly (cheap: one pass over 1 row)
+    keep = [f"dir{i}" for i in range(max_depth)]
+    first = out.select([F.max(F.col(c).isNotNull().cast("int")).alias(c) for c in keep]).head()
+    drop = [c for c in keep if not first[c]]
+    return out.drop(*drop)
+
+
+def read_dir_table(spark: SparkSession, root: str, fmt: str = "parquet", **options) -> DataFrame:
+    """Directory-as-table (Drill: any directory tree is a table) with
+    dirN partition columns attached."""
+    df = read_auto(spark, root, fmt, options)
+    return with_dir_columns(df, root)

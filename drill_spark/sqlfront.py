@@ -1,0 +1,143 @@
+"""Drill SQL front end: a light pre-rewriter in front of ``spark.sql``.
+
+Drill parses SQL with Calcite plus grammar extensions
+(exec/java-exec/src/main/codegen/includes/parserImpls.ftl): backtick
+path-as-table names (``dfs.`/data/x.json```), ALTER SESSION SET, SHOW
+FILES, table functions with reader options
+(store/table/function/WithOptionsTableMacro.java). Catalyst's ANTLR
+grammar covers standard SQL; this module translates the Drill-isms and
+delegates everything else untouched — **no Catalyst fork**.
+
+Rewrites performed:
+- ``<workspace>.`<path>``` table refs  → read the file(s), register a
+  temp view, substitute the view name. Format chosen by file suffix or
+  the workspace default (schema-on-read: ScanBatch.java:73 analog is
+  Spark's reader inference).
+- ``table(<ws>.`p`(<k> => '<v>', ...))`` table functions → reader options
+  (TestSelectWithOption.java semantics).
+- ``ALTER SESSION|SYSTEM SET `opt` = val`` → DrillSession.set_option.
+- ``SHOW FILES [IN <ws>]`` / ``SHOW FILES FROM <path>`` → a DataFrame of
+  the directory listing (store/ischema analog).
+- ``RESET `opt``` / ``SET`` passthrough.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+
+from pyspark.sql import DataFrame, Row
+
+# ws.`/path` or ws.sub.`/path`  (workspace part without backticks)
+_PATH_TABLE = re.compile(r"(?<![\w`])((?:\w+\.)+)`([^`]+)`")
+_ALTER_SET = re.compile(
+    r"^\s*ALTER\s+(SESSION|SYSTEM)\s+SET\s+`?([\w.]+)`?\s*=\s*'?([^'\s;]+)'?\s*;?\s*$",
+    re.IGNORECASE,
+)
+_RESET = re.compile(r"^\s*(?:ALTER\s+SESSION\s+)?RESET\s+`?([\w.]+)`?\s*;?\s*$", re.IGNORECASE)
+_SHOW_FILES = re.compile(r"^\s*SHOW\s+FILES(?:\s+(?:IN|FROM)\s+(\S+))?\s*;?\s*$", re.IGNORECASE)
+_TABLE_FN = re.compile(r"table\(\s*((?:\w+\.)+)`([^`]+)`\s*\(([^)]*)\)\s*\)", re.IGNORECASE)
+
+_SUFFIX_FORMAT = {
+    ".parquet": "parquet",
+    ".json": "json",
+    ".csv": "csv",
+    ".tsv": "csv",
+    ".psv": "csv",
+    ".avro": "avro",
+    ".orc": "orc",
+}
+
+
+def _infer_format(path: str, default: str) -> str:
+    for suf, fmt in _SUFFIX_FORMAT.items():
+        if path.rstrip("/").endswith(suf):
+            return fmt
+    # directory: sniff first file
+    if os.path.isdir(path):
+        for f in sorted(os.listdir(path)):
+            for suf, fmt in _SUFFIX_FORMAT.items():
+                if f.endswith(suf):
+                    return fmt
+    return default
+
+
+def _read_path(session, ws_name: str, rel_path: str, options: dict[str, str] | None = None) -> DataFrame:
+    from drill_spark.readers.files import read_auto
+
+    ws = session.workspaces.get(ws_name.rstrip("."))
+    root = ws.path if ws else "/"
+    default_fmt = ws.default_format if ws else "parquet"
+    path = rel_path if os.path.isabs(rel_path) else os.path.join(root, rel_path)
+    fmt = (options or {}).get("type", _infer_format(path, default_fmt))
+    return read_auto(session.spark, path, fmt, options or {}, session)
+
+
+def _parse_tf_options(raw: str) -> dict[str, str]:
+    opts: dict[str, str] = {}
+    for part in raw.split(","):
+        if "=>" in part:
+            k, v = part.split("=>", 1)
+            opts[k.strip().strip("`")] = v.strip().strip("'\"")
+    return opts
+
+
+def rewrite(session, query: str) -> str:
+    """Rewrite Drill-isms into plain Spark SQL (registering temp views)."""
+
+    def tf_sub(m: re.Match) -> str:
+        ws, path, raw_opts = m.group(1), m.group(2), m.group(3)
+        df = _read_path(session, ws.rstrip("."), path, _parse_tf_options(raw_opts))
+        view = session._fresh_view("tf")
+        df.createOrReplaceTempView(view)
+        return view
+
+    query = _TABLE_FN.sub(tf_sub, query)
+
+    def path_sub(m: re.Match) -> str:
+        ws, path = m.group(1).rstrip("."), m.group(2)
+        if ws not in session.workspaces and not os.path.exists(path):
+            return m.group(0)  # not a known workspace — leave untouched
+        df = _read_path(session, ws, path)
+        view = session._fresh_view("path")
+        df.createOrReplaceTempView(view)
+        return view
+
+    return _PATH_TABLE.sub(path_sub, query)
+
+
+def execute(session, query: str) -> DataFrame:
+    spark = session.spark
+
+    m = _ALTER_SET.match(query)
+    if m:
+        _, name, value = m.groups()
+        session.set_option(name, value)
+        return spark.createDataFrame([Row(ok=True, summary=f"{name} updated")])
+
+    m = _RESET.match(query)
+    if m:
+        session.options.pop(m.group(1), None)
+        return spark.createDataFrame([Row(ok=True, summary=f"{m.group(1)} reset")])
+
+    m = _SHOW_FILES.match(query)
+    if m:
+        target = (m.group(1) or "dfs").strip("`")
+        ws = session.workspaces.get(target)
+        root = ws.path if ws else target
+        rows = []
+        if os.path.isdir(root):
+            for name in sorted(os.listdir(root)):
+                p = os.path.join(root, name)
+                st = os.stat(p)
+                rows.append(
+                    Row(
+                        name=name,
+                        isDirectory=os.path.isdir(p),
+                        isFile=os.path.isfile(p),
+                        length=st.st_size,
+                    )
+                )
+        return spark.createDataFrame(rows) if rows else spark.createDataFrame([], "name string, isDirectory boolean, isFile boolean, length long")
+
+    return spark.sql(rewrite(session, query))
