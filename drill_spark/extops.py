@@ -1,0 +1,316 @@
+"""Extension-operator queries: dedup, similarity search, text analysis,
+multimodal — the training-data-pipeline surface (SURVEY §7 step 6),
+wired into the driver contract with DuckDB oracles where the semantics
+are SQL-expressible (approximate/stubbed ops are rows-only by design:
+ext_dedup_minhash, ext_dedup_simhash, ext_ann_lsh, ext_multimodal_features).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from drill_spark.session import load_fixture
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_fixture(spark, sf_dir, "documents")
+
+
+def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_fixture(spark, sf_dir, "embeddings")
+
+
+# ---------------------------------------------------------------- dedup
+
+
+def q_dedup_exact(spark, sf_dir):
+    from drill_spark.ops.dedup import exact_dedup
+
+    return exact_dedup(_docs(spark, sf_dir), "doc_id", "text")
+
+
+ORACLE_DEDUP_EXACT = r"""
+select md5(regexp_replace(lower(text), '\s+', ' ', 'g')) as h,
+       min(doc_id) as keep_id, count(*) as n_dupes
+from documents
+group by 1
+"""
+
+
+def q_dedup_jaccard(spark, sf_dir):
+    from drill_spark.ops.dedup import jaccard_pairs
+
+    docs = _docs(spark, sf_dir).where(F.col("doc_id") < 100)
+    return jaccard_pairs(docs, "doc_id", "text", threshold=0.9)
+
+
+ORACLE_DEDUP_JACCARD = r"""
+with tok as (
+  select distinct doc_id, w
+  from (select doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) as w
+        from documents where doc_id < 100)
+  where w <> ''
+),
+sizes as (select doc_id, count(*) as sz from tok group by 1),
+inter as (
+  select a.doc_id as id_a, b.doc_id as id_b, count(*) as i
+  from tok a join tok b on a.w = b.w and a.doc_id < b.doc_id
+  group by 1, 2
+)
+select id_a, id_b, round(i * 1.0 / (sa.sz + sb.sz - i), 4) as jaccard
+from inter
+join sizes sa on sa.doc_id = id_a
+join sizes sb on sb.doc_id = id_b
+where round(i * 1.0 / (sa.sz + sb.sz - i), 4) >= 0.9
+"""
+
+
+def q_dedup_minhash(spark, sf_dir):
+    """Approximate (LSH recall < 1) — rows-only check by design."""
+    from drill_spark.ops.dedup import minhash_near_dupes
+
+    docs = _docs(spark, sf_dir).where(F.col("doc_id") < 100)
+    # shingle_k=1: signature granularity must match the verify metric
+    # (word-set jaccard); use k=3 shingles when order sensitivity matters.
+    return minhash_near_dupes(docs, "doc_id", "text", threshold=0.9, shingle_k=1)
+
+
+def q_dedup_simhash(spark, sf_dir):
+    """SimHash fingerprints (hash-design-specific — rows-only check)."""
+    from drill_spark.ops.dedup import simhash
+
+    return simhash(_docs(spark, sf_dir), "doc_id", "text", bits=48)
+
+
+# ------------------------------------------------------------ similarity
+
+
+def q_embed_topk(spark, sf_dir):
+    from drill_spark.ops.similarity import brute_force_topk
+
+    embs = _embs(spark, sf_dir)
+    return brute_force_topk(embs, embs.where(F.col("vec_id") < 5), k=3)
+
+
+ORACLE_EMBED_TOPK = """
+with q as (select vec_id as query_id, embedding as qv from embeddings where vec_id < 5),
+scored as (
+  select q.query_id, e.vec_id as neighbor_id,
+         round(list_cosine_similarity(cast(e.embedding as double[]), cast(q.qv as double[])), 4) as cosine
+  from embeddings e cross join q
+  where e.vec_id <> q.query_id
+)
+select query_id, neighbor_id, cosine,
+       cast(row_number() over (partition by query_id order by cosine desc, neighbor_id) as int) as rank
+from scored
+qualify rank <= 3
+"""
+
+
+def q_embed_dedup(spark, sf_dir):
+    from drill_spark.ops.similarity import cosine_dedup_pairs
+
+    return cosine_dedup_pairs(_embs(spark, sf_dir), threshold=0.35)
+
+
+ORACLE_EMBED_DEDUP = """
+select a.label, a.vec_id as id_a, b.vec_id as id_b,
+       round(list_cosine_similarity(cast(a.embedding as double[]), cast(b.embedding as double[])), 4) as cosine
+from embeddings a
+join embeddings b on a.label = b.label and a.vec_id < b.vec_id
+where round(list_cosine_similarity(cast(a.embedding as double[]), cast(b.embedding as double[])), 4) >= 0.35
+"""
+
+
+def q_ann_lsh(spark, sf_dir):
+    """LSH-bucketed ANN (approximate by construction — rows-only)."""
+    from drill_spark.ops.similarity import lsh_topk
+
+    return lsh_topk(_embs(spark, sf_dir), query_ids=[0, 1, 2, 3, 4], k=3)
+
+
+# ---------------------------------------------------------------- text
+
+
+def q_text_stats(spark, sf_dir):
+    from drill_spark.ops.text import subword_estimate, token_count
+
+    return (
+        _docs(spark, sf_dir)
+        .select("lang", token_count(F.col("text")).alias("tok"), subword_estimate(F.col("text")).alias("sub"))
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("tok").alias("total_tokens"),
+            F.sum("sub").alias("total_subwords"),
+            F.round(F.avg("tok"), 4).alias("avg_tokens"),
+        )
+    )
+
+
+ORACLE_TEXT_STATS = r"""
+with t as (
+  select lang,
+         len(string_split_regex(trim(lower(text)), '\s+')) as tok,
+         cast(ceil(length(trim(text)) / 4.0) as bigint) as sub
+  from documents
+)
+select lang, count(*) as n_docs,
+       cast(sum(tok) as bigint) as total_tokens,
+       cast(sum(sub) as bigint) as total_subwords,
+       round(avg(tok), 4) as avg_tokens
+from t
+group by lang
+"""
+
+
+def q_text_quality(spark, sf_dir):
+    from drill_spark.ops.text import quality_features
+
+    return (
+        quality_features(_docs(spark, sf_dir))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("n_words"), 4).alias("avg_words"),
+            F.round(F.avg("avg_word_len"), 4).alias("avg_wlen"),
+            F.round(F.avg("quality_score"), 4).alias("avg_quality"),
+        )
+    )
+
+
+ORACLE_TEXT_QUALITY = r"""
+with feats as (
+  select source,
+         len(string_split_regex(trim(lower(text)), '\s+')) as n_words,
+         round(length(text) * 1.0 / greatest(len(string_split_regex(trim(lower(text)), '\s+')), 1), 4) as avg_word_len,
+         len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+             t -> t in ('the','and','of','to','a','in','is','it'))) as stopword_hits
+  from documents
+),
+scored as (
+  select source, n_words, avg_word_len,
+         round(least(1.0, n_words / 50.0) * 0.5
+               + case when avg_word_len between 3 and 10 then 0.3 else 0.0 end
+               + least(0.2, stopword_hits / 10.0 * 0.2), 4) as quality_score
+  from feats
+)
+select source, count(*) as n_docs,
+       round(avg(n_words), 4) as avg_words,
+       round(avg(avg_word_len), 4) as avg_wlen,
+       round(avg(quality_score), 4) as avg_quality
+from scored
+group by source
+"""
+
+
+def q_text_langid(spark, sf_dir):
+    from drill_spark.ops.text import lang_id
+
+    return (
+        _docs(spark, sf_dir)
+        .select(lang_id(F.col("text")).alias("pred_lang"))
+        .groupBy("pred_lang")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+ORACLE_TEXT_LANGID = r"""
+with h as (
+  select
+    len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+        t -> t in ('the','and','of','to','a','in','is','it'))) as en,
+    len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+        t -> t in ('der','die','das','und','ist','nicht','ein'))) as de,
+    len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+        t -> t in ('le','la','les','et','est','une','dans'))) as fr,
+    len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+        t -> t in ('el','la','los','y','es','una','que'))) as es
+  from documents
+)
+select case
+         when greatest(en, de, fr, es) = 0 then 'und'
+         when en = greatest(en, de, fr, es) then 'en'
+         when de = greatest(en, de, fr, es) then 'de'
+         when fr = greatest(en, de, fr, es) then 'fr'
+         else 'es'
+       end as pred_lang,
+       count(*) as n
+from h
+group by 1
+"""
+
+
+def q_text_fingerprint(spark, sf_dir):
+    from drill_spark.ops.text import fingerprint
+
+    return fingerprint(_docs(spark, sf_dir).where(F.col("doc_id") < 50))
+
+
+ORACLE_TEXT_FINGERPRINT = r"""
+select doc_id, md5(regexp_replace(lower(text), '\s+', ' ', 'g')) as fp
+from documents
+where doc_id < 50
+"""
+
+
+# ------------------------------------------------------------ multimodal
+
+
+def q_multimodal_meta(spark, sf_dir):
+    from drill_spark.ops.multimodal import attach_payload
+
+    return attach_payload(_docs(spark, sf_dir)).select(
+        "doc_id", F.col("meta.kind").alias("kind"), F.col("meta.n_bytes").alias("n_bytes")
+    )
+
+
+ORACLE_MULTIMODAL_META = """
+select doc_id, 'text/plain' as kind, octet_length(encode(text)) as n_bytes
+from documents
+"""
+
+
+def q_multimodal_features(spark, sf_dir):
+    """mapInPandas stub-decode kernel (rows-only: fake decode)."""
+    from drill_spark.ops.multimodal import attach_payload, extract_features
+
+    return extract_features(attach_payload(_docs(spark, sf_dir).where(F.col("doc_id") < 100)))
+
+
+QUERIES = {
+    "ext_dedup_exact": q_dedup_exact,
+    "ext_dedup_jaccard": q_dedup_jaccard,
+    "ext_dedup_minhash": q_dedup_minhash,
+    "ext_dedup_simhash": q_dedup_simhash,
+    "ext_embed_topk": q_embed_topk,
+    "ext_embed_dedup": q_embed_dedup,
+    "ext_ann_lsh": q_ann_lsh,
+    "ext_text_stats": q_text_stats,
+    "ext_text_quality": q_text_quality,
+    "ext_text_langid": q_text_langid,
+    "ext_text_fingerprint": q_text_fingerprint,
+    "ext_multimodal_meta": q_multimodal_meta,
+    "ext_multimodal_features": q_multimodal_features,
+}
+
+ORACLES = {
+    "ext_dedup_exact": ORACLE_DEDUP_EXACT,
+    "ext_dedup_jaccard": ORACLE_DEDUP_JACCARD,
+    "ext_embed_topk": ORACLE_EMBED_TOPK,
+    "ext_embed_dedup": ORACLE_EMBED_DEDUP,
+    "ext_text_stats": ORACLE_TEXT_STATS,
+    "ext_text_quality": ORACLE_TEXT_QUALITY,
+    "ext_text_langid": ORACLE_TEXT_LANGID,
+    "ext_text_fingerprint": ORACLE_TEXT_FINGERPRINT,
+    "ext_multimodal_meta": ORACLE_MULTIMODAL_META,
+}
+
+
+def queries() -> dict:
+    return dict(QUERIES)
+
+
+def oracle_sql() -> dict[str, str]:
+    return dict(ORACLES)

@@ -1,0 +1,228 @@
+"""Deduplication operators (extension surface — not in the reference;
+Drill has only DISTINCT, physical/impl/aggregate/HashAggBatch.java).
+
+All operators are DataFrame -> DataFrame, built from JVM-side Catalyst
+expressions only (no Python UDFs in any hot path), so they inherit
+whole-stage codegen, AQE, and spill behavior.
+
+Scale design (100 TB corpus, 1000 executors):
+- exact_dedup: one hash-shuffle on the digest; map-side partial agg
+  collapses duplicates before the exchange.
+- minhash_lsh_*: per-doc signature is ONE pass (explode shingles ->
+  groupBy doc, n min-aggs); banding turns O(n^2) similarity into a
+  shuffle keyed by (band_idx, band_hash); bucket join only compares
+  docs sharing a band. Hot buckets (boilerplate shingles) are capped
+  via max_bucket_size to bound worst-case skew.
+- jaccard_pairs (exact): token-inverted-index join; quadratic in the
+  per-token posting list, so at scale it is the *verify* stage applied
+  to LSH candidates, not a standalone all-pairs scan. Provided
+  standalone for oracle-checkable correctness at test scale.
+- simhash: one explode + 64 conditional-sum aggregates (single
+  shuffle); near-dup candidates pair within fingerprint prefix bands.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def normalize_text(col):
+    """Lowercase + collapse whitespace (fingerprint normalization)."""
+    return F.regexp_replace(F.lower(col), r"\s+", " ")
+
+
+def tokens(col):
+    return F.split(F.trim(F.lower(col)), r"\s+")
+
+
+# ---------------------------------------------------------------- exact
+
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Keep the lowest-id row per exact (normalized) text digest.
+
+    Returns (h, keep_id, n_dupes). One shuffle on the md5 digest.
+    """
+    return (
+        df.select(F.md5(normalize_text(F.col(text_col))).alias("h"), F.col(id_col))
+        .groupBy("h")
+        .agg(F.min(id_col).alias("keep_id"), F.count("*").alias("n_dupes"))
+    )
+
+
+# ------------------------------------------------------------ minhash/LSH
+
+
+def shingles(col, k: int = 3):
+    """k-word shingles as an array column (JVM-side, no UDF)."""
+    t = tokens(col)
+    return F.expr(
+        f"transform(sequence(0, greatest(size({_sql(t)}) - {k}, 0)), "
+        f"i -> concat_ws(' ', slice({_sql(t)}, i + 1, {k})))"
+    )
+
+
+def _sql(c) -> str:
+    # Column -> SQL text for embedding inside F.expr lambdas.
+    return c._jc.toString()
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, num_hashes: int = 32, shingle_k: int = 3
+) -> DataFrame:
+    """Per-doc minhash signature: array<bigint> of length num_hashes.
+
+    h_i(doc) = min over shingles of xxhash64(shingle, i). One explode +
+    one groupBy(doc) with num_hashes min-aggregates = single shuffle.
+    """
+    sh = (
+        df.select(F.col(id_col), F.explode(shingles(F.col(text_col), shingle_k)).alias("sh"))
+        .where(F.col("sh") != "")
+        .distinct()
+    )
+    aggs = [F.min(F.xxhash64("sh", F.lit(i))).alias(f"h{i}") for i in range(num_hashes)]
+    sig = sh.groupBy(id_col).agg(*aggs)
+    return sig.select(
+        F.col(id_col), F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig")
+    )
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_k: int = 3,
+    max_bucket_size: int = 1000,
+) -> DataFrame:
+    """Candidate near-dup pairs via LSH banding: docs sharing any band
+    hash. Returns (id_a, id_b) distinct, id_a < id_b.
+
+    max_bucket_size drops degenerate buckets (boilerplate) — the skew
+    guard that keeps the bucket self-join bounded at scale.
+    """
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_k)
+    banded = sig.select(
+        F.col(id_col),
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, {bands - 1}), "
+                f"b -> xxhash64(concat_ws(',', slice(sig, b * {rows_per_band} + 1, {rows_per_band})), b))"
+            )
+        ).alias("band_idx", "band_hash"),
+    )
+    sized = banded.withColumn(
+        "bucket_n", F.count("*").over(Window.partitionBy("band_idx", "band_hash"))
+    ).where(F.col("bucket_n") <= max_bucket_size)
+    a = sized.select(F.col(id_col).alias("id_a"), "band_idx", "band_hash")
+    b = sized.select(F.col(id_col).alias("id_b"), "band_idx", "band_hash")
+    return (
+        a.join(b, ["band_idx", "band_hash"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+# ------------------------------------------------------- exact jaccard
+
+
+def jaccard_pairs(
+    df: DataFrame, id_col: str, text_col: str, threshold: float = 0.8
+) -> DataFrame:
+    """Exact word-set Jaccard similarity for all pairs sharing a token.
+
+    Inverted-index join: explode distinct tokens, self-join per token,
+    count intersections, join set sizes. Returns
+    (id_a, id_b, jaccard) with jaccard rounded to 4.
+
+    At 100 TB this runs on LSH candidates only (posting lists of common
+    tokens explode quadratically); standalone form is the oracle-
+    checkable verify kernel.
+    """
+    tok = (
+        df.select(F.col(id_col).alias("doc_id"), F.explode(tokens(F.col(text_col))).alias("w"))
+        .where(F.col("w") != "")
+        .distinct()
+    )
+    sizes = tok.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a = tok.select(F.col("doc_id").alias("id_a"), "w")
+    b = tok.select(F.col("doc_id").alias("id_b"), "w")
+    inter = (
+        a.join(b, "w")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("jaccard", F.round(F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 4))
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def minhash_near_dupes(
+    df: DataFrame, id_col: str, text_col: str, threshold: float = 0.8, **lsh_kwargs
+) -> DataFrame:
+    """Full near-dup pipeline: LSH candidates -> exact-jaccard verify.
+
+    The scale path: candidate generation is linear-ish (banding), the
+    quadratic verify only touches candidate pairs.
+    """
+    cands = minhash_lsh_candidates(df, id_col, text_col, **lsh_kwargs)
+    tok = (
+        df.select(F.col(id_col).alias("doc_id"), F.explode(tokens(F.col(text_col))).alias("w"))
+        .where(F.col("w") != "")
+        .distinct()
+    )
+    sizes = tok.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    inter = (
+        cands.join(tok.select(F.col("doc_id").alias("id_a"), "w"), "id_a")
+        .join(tok.select(F.col("doc_id").alias("id_b"), F.col("w").alias("w2")), "id_b")
+        .where(F.col("w") == F.col("w2"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("jaccard", F.round(F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 4))
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# ------------------------------------------------------------- simhash
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 48) -> DataFrame:
+    """Per-doc SimHash fingerprint (bits <= 62 to stay in a signed long).
+
+    One explode + `bits` conditional sums (single shuffle, all codegen):
+    bit_i(doc) = sign of sum over tokens of (+1 if bit i of xxhash64(token) else -1).
+    """
+    tok = df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("w")).where(
+        F.col("w") != ""
+    )
+    h = tok.withColumn("th", F.xxhash64("w"))
+    aggs = [
+        F.sum(F.when(F.shiftright(F.col("th"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)).alias(
+            f"b{i}"
+        )
+        for i in range(bits)
+    ]
+    agg = h.groupBy(id_col).agg(*aggs)
+    fp = None
+    for i in range(bits):
+        term = F.when(F.col(f"b{i}") > 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long"))
+        fp = term if fp is None else fp + term
+    return agg.select(F.col(id_col), fp.alias("fingerprint"))

@@ -1,0 +1,75 @@
+"""Multimodal column plumbing (extension surface).
+
+Pattern: media as opaque `binary` payload + typed metadata struct;
+decode / feature-extract / resize / frame-sample run as Arrow-batched
+pandas functions over mapInPandas. The image/audio codecs are NOT in
+this container, so the decode kernel is stubbed (deterministic fake
+clearly marked); everything Spark-side — schema, batch iteration,
+partitioning, UDF signatures — is real and tested.
+
+Scale design: payloads stay columnar (Arrow) end to end; mapInPandas
+streams record batches so a partition never fully materializes; feature
+extraction parallelism == partition count; metadata-only queries never
+touch the payload column (Parquet column pruning).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+FEATURE_SCHEMA = (
+    "doc_id bigint, kind string, n_bytes bigint, feat_mean double, feat_dim int"
+)
+
+
+def attach_payload(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Build a multimodal-shaped table from the documents fixture:
+    binary payload + metadata struct (kind, n_bytes, checksum)."""
+    payload = F.encode(F.col(text_col), "UTF-8")
+    return df.select(
+        F.col(id_col),
+        payload.alias("payload"),
+        F.struct(
+            F.lit("text/plain").alias("kind"),
+            F.octet_length(payload).alias("n_bytes"),
+            F.crc32(payload).alias("checksum"),
+        ).alias("meta"),
+    )
+
+
+def decode_stub(payload: bytes) -> list[float]:
+    """STUB decode kernel — stands in for image/audio decode (PIL /
+    torchaudio / ffmpeg are not in this container). Deterministic fake:
+    8 "features" from byte statistics. Swap this single function for a
+    real decoder; the Spark plumbing around it is unchanged."""
+    if payload is None:
+        raise NotImplementedError("real media decode requires codec libs")
+    b = payload[:1024]
+    n = max(len(b), 1)
+    return [sum(b) / n / 255.0 + i * 0.0 for i in range(8)]
+
+
+def extract_features(df: DataFrame) -> DataFrame:
+    """mapInPandas feature extraction over (id, payload, meta).
+
+    Arrow record batches in, pandas out — the canonical shape for any
+    per-row media kernel (decode, resize, embed)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = pdf["payload"].map(lambda p: decode_stub(bytes(p)))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "kind": [m["kind"] for m in pdf["meta"]],
+                    "n_bytes": [m["n_bytes"] for m in pdf["meta"]],
+                    "feat_mean": feats.map(lambda f: round(sum(f) / len(f), 6)),
+                    "feat_dim": feats.map(len),
+                }
+            )
+
+    return df.mapInPandas(run, schema=FEATURE_SCHEMA)

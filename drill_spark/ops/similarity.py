@@ -1,0 +1,152 @@
+"""Similarity search over embedding columns (extension surface).
+
+Brute-force cosine top-k is the exact baseline; LSH (random
+hyperplanes) is the scale path. Cosine math is pure Catalyst
+(zip_with + aggregate -> whole-stage codegen); the only Python is the
+deterministic hyperplane construction on the driver (tiny).
+
+Scale design (100 TB, billions of vectors):
+- brute_force_topk: query set is broadcast (small side); candidate scan
+  is a single pass, per-partition partial top-k via window over the
+  broadcast-joined product. No driver collect.
+- Norms are precomputed once per side (projection, not a shuffle).
+- lsh_bucketed_topk: bucket = sign bits of dot(v, plane_j); exact
+  search only within the query's bucket -> shuffle keyed by bucket id;
+  multiprobe (flipping low-margin bits) would raise recall at the same
+  cost profile (documented, not implemented in v1).
+- IVF analog: k-means coarse quantizer is expressible with Spark ML at
+  scale; LSH chosen for v1 because it needs no training pass.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a: str, b: str):
+    return F.expr(f"aggregate(zip_with({a}, {b}, (x, y) -> cast(x as double) * cast(y as double)), 0D, (acc, v) -> acc + v)")
+
+
+def _norm(a: str):
+    return F.expr(f"sqrt(aggregate(transform({a}, x -> cast(x as double) * cast(x as double)), 0D, (acc, v) -> acc + v))")
+
+
+def with_norm(df: DataFrame, vec_col: str, out: str = "nrm") -> DataFrame:
+    return df.withColumn(out, _norm(vec_col))
+
+
+def brute_force_topk(
+    candidates: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 3,
+) -> DataFrame:
+    """Exact cosine top-k neighbors for every query vector.
+
+    Returns (query_id, neighbor_id, cosine, rank). Ties broken by
+    neighbor id so results are deterministic across engines.
+    """
+    q = with_norm(
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")), "qv", "qn"
+    )
+    c = with_norm(
+        candidates.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")), "cv", "cn"
+    )
+    scored = (
+        c.join(F.broadcast(q))
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine", F.round(_dot("qv", "cv") / (F.col("qn") * F.col("cn")), 4))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def cosine_dedup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bucket_col: str = "label",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Embedding near-duplicate pairs: cosine >= threshold within a
+    blocking bucket (here `label`; at scale an LSH bucket).
+
+    Self-join keyed on the bucket column — the shuffle is on bucket id,
+    pair comparison stays bucket-local.
+    """
+    side = with_norm(
+        df.select(F.col(bucket_col).alias("bk"), F.col(id_col).alias("id"), F.col(vec_col).alias("v")),
+        "v",
+        "n",
+    )
+    a = side.select(F.col("bk"), F.col("id").alias("id_a"), F.col("v").alias("va"), F.col("n").alias("na"))
+    b = side.select(F.col("bk"), F.col("id").alias("id_b"), F.col("v").alias("vb"), F.col("n").alias("nb"))
+    return (
+        a.join(b, "bk")
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", F.round(_dot("va", "vb") / (F.col("na") * F.col("nb")), 4))
+        .where(F.col("cosine") >= threshold)
+        .select(F.col("bk").alias(bucket_col), "id_a", "id_b", "cosine")
+    )
+
+
+def hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes (driver-side, tiny)."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim)).tolist()
+
+
+def lsh_bucket(df: DataFrame, vec_col: str, planes: list[list[float]], out: str = "bucket") -> DataFrame:
+    """Random-hyperplane LSH bucket id: int of sign bits of dot(v, p_j).
+
+    The planes are inlined as array literals — constant-folded by
+    Catalyst, broadcast with the plan, evaluated in codegen.
+    """
+    terms = []
+    for j, p in enumerate(planes):
+        arr = "array(" + ",".join(f"{x}D" for x in p) + ")"
+        bit = F.when(_dot(vec_col, arr) > 0, F.lit(1 << j).cast("long")).otherwise(F.lit(0).cast("long"))
+        terms.append(bit)
+    bucket = terms[0]
+    for t in terms[1:]:
+        bucket = bucket + t
+    return df.withColumn(out, bucket)
+
+
+def lsh_topk(
+    df: DataFrame,
+    query_ids,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 3,
+    n_planes: int = 4,
+    dim: int = 64,
+) -> DataFrame:
+    """Approximate top-k: exact cosine within the query's LSH bucket."""
+    planes = hyperplanes(dim, n_planes)
+    bucketed = lsh_bucket(with_norm(df, vec_col, "n"), vec_col, planes)
+    q = bucketed.where(F.col(id_col).isin(list(query_ids))).select(
+        F.col("bucket"), F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"), F.col("n").alias("qn")
+    )
+    c = bucketed.select(
+        F.col("bucket"), F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"), F.col("n").alias("cn")
+    )
+    scored = (
+        c.join(F.broadcast(q), "bucket")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine", F.round(_dot("qv", "cv") / (F.col("qn") * F.col("cn")), 4))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )

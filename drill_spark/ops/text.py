@@ -1,0 +1,89 @@
+"""Text-analysis operators for corpus pipelines (extension surface).
+
+All pure Catalyst expressions (split/filter/size/regexp) — language ID,
+quality scoring, token counting, and fingerprinting run inside
+whole-stage codegen with zero Python in the row path, so a 100 TB
+documents table is one scan + one optional aggregate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from drill_spark.ops.dedup import normalize_text, tokens
+
+# Tiny per-language stopword lexicons for the n-gram/stopword-hit
+# heuristic language id. Real pipelines plug in fastText/cld3 via a
+# pandas_udf; the operator shape (per-row classify -> group) is the same.
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "it"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein"],
+    "fr": ["le", "la", "les", "et", "est", "une", "dans"],
+    "es": ["el", "la", "los", "y", "es", "una", "que"],
+}
+
+
+def token_count(col):
+    """Whitespace token count (BPE-ish subword estimate = chars/4 is
+    also exposed; real BPE runs as a pandas_udf at the edge)."""
+    return F.size(tokens(col))
+
+
+def subword_estimate(col):
+    return F.ceil(F.length(F.trim(col)) / 4).cast("bigint")
+
+
+def lang_hits(col, lang: str):
+    lex = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+    return F.size(F.expr(f"filter({tokens(col)._jc.toString()}, t -> t in ({lex}))"))
+
+
+def lang_id(col):
+    """Argmax of stopword hits; 'und' (undetermined) when no lexicon hits."""
+    hits = [(lang, lang_hits(col, lang)) for lang in STOPWORDS]
+    best = F.greatest(*[h for _, h in hits])
+    # build in reverse so earlier lexicon languages win ties
+    out = F.lit("und")
+    for lang, h in reversed(hits):
+        out = F.when((h == best) & (best > 0), F.lit(lang)).otherwise(out)
+    return out
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Length / punctuation / stopword-ratio quality features + a
+    composite score in [0, 1] (heuristics in the spirit of C4/Gopher
+    corpus filters, rebuilt as Catalyst expressions)."""
+    t = F.col(text_col)
+    n_chars = F.length(t)
+    n_words = token_count(t)
+    return (
+        df.withColumn("n_words", n_words)
+        .withColumn("avg_word_len", F.round(n_chars / F.greatest(n_words, F.lit(1)), 4))
+        .withColumn(
+            "punct_ratio",
+            F.round(
+                (n_chars - F.length(F.regexp_replace(t, r"[^\w\s]", ""))) / F.greatest(n_chars, F.lit(1)),
+                4,
+            ),
+        )
+        .withColumn("stopword_hits", lang_hits(t, "en"))
+        .withColumn(
+            "quality_score",
+            F.round(
+                F.least(F.lit(1.0), n_words / F.lit(50.0)) * 0.5
+                + F.when(F.col("avg_word_len").between(3, 10), 0.3).otherwise(0.0)
+                + F.least(F.lit(0.2), F.col("stopword_hits") / F.lit(10.0) * 0.2),
+                4,
+            ),
+        )
+    )
+
+
+def fingerprint(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Deterministic document fingerprint: md5 of normalized text.
+    (Rolling/winnowing fingerprints are a shingle-explode away — see
+    ops.dedup.shingles.)"""
+    return df.select(
+        F.col(id_col), F.md5(normalize_text(F.col(text_col))).alias("fp")
+    )

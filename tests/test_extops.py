@@ -1,0 +1,55 @@
+"""Extension operators (dedup / similarity / text / multimodal) vs
+DuckDB oracle; approximate ops get structural checks."""
+
+from __future__ import annotations
+
+import pytest
+
+from drill_spark import extops
+
+from .conftest import SF_DIR, assert_same_results
+
+
+@pytest.mark.parametrize("name", sorted(extops.ORACLES))
+def test_extop_oracle(name, spark, duck):
+    df = extops.QUERIES[name](spark, SF_DIR)
+    assert_same_results(df, duck, extops.ORACLES[name])
+
+
+def test_minhash_recall(spark):
+    """LSH near-dup recall vs exact jaccard ground truth (>= 70%)."""
+    from pyspark.sql import functions as F
+
+    from drill_spark.ops.dedup import jaccard_pairs, minhash_near_dupes
+
+    docs = extops._docs(spark, SF_DIR).where(F.col("doc_id") < 100)
+    exact = {(r.id_a, r.id_b) for r in jaccard_pairs(docs, "doc_id", "text", 0.9).collect()}
+    approx = {
+        (r.id_a, r.id_b)
+        for r in minhash_near_dupes(docs, "doc_id", "text", 0.9, shingle_k=1).collect()
+    }
+    assert approx <= exact or not exact, "minhash verify stage must not emit false positives"
+    if exact:
+        recall = len(approx & exact) / len(exact)
+        assert recall >= 0.7, f"LSH recall too low: {recall:.2f} ({len(approx)}/{len(exact)})"
+
+
+def test_simhash_shape(spark):
+    from drill_spark.ops.dedup import simhash
+
+    fp = simhash(extops._docs(spark, SF_DIR), "doc_id", "text", bits=48)
+    rows = fp.collect()
+    assert len(rows) == extops._docs(spark, SF_DIR).count()
+    assert all(r.fingerprint >= 0 for r in rows)
+
+
+def test_ann_lsh_shape(spark):
+    res = extops.q_ann_lsh(spark, SF_DIR).collect()
+    assert len(res) >= 1
+    assert all(r.rank <= 3 for r in res)
+
+
+def test_multimodal_features(spark):
+    rows = extops.q_multimodal_features(spark, SF_DIR).collect()
+    assert len(rows) > 0
+    assert all(r.feat_dim == 8 and r.kind == "text/plain" and r.n_bytes > 0 for r in rows)
