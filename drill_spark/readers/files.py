@@ -23,6 +23,7 @@ matching Drill's PruneScanRule behavior (planner/logical/partition/).
 from __future__ import annotations
 
 import os
+import re
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -108,7 +109,7 @@ def with_implicit_columns(df: DataFrame) -> DataFrame:
     Computed from input_file_name() with pure Catalyst expressions —
     no UDF, stays inside whole-stage codegen.
     """
-    fqn = F.regexp_replace(F.input_file_name(), "^file:/{0,2}", "/")
+    fqn = F.regexp_replace(F.input_file_name(), "^file:/+", "/")
     return (
         df.withColumn("fqn", fqn)
         .withColumn("filepath", F.regexp_extract(F.col("fqn"), r"^(.*)/[^/]+$", 1))
@@ -128,8 +129,8 @@ def with_dir_columns(df: DataFrame, root: str, max_depth: int = 10) -> DataFrame
     """
     root_norm = os.path.abspath(root).rstrip("/")
     rel = F.regexp_replace(
-        F.regexp_replace(F.input_file_name(), "^file:/{0,2}", "/"),
-        "^" + root_norm + "/",
+        F.regexp_replace(F.input_file_name(), "^file:/+", "/"),
+        "^" + re.escape(root_norm) + "/",
         "",
     )
     parts = F.split(rel, "/")
@@ -146,6 +147,17 @@ def with_dir_columns(df: DataFrame, root: str, max_depth: int = 10) -> DataFrame
 
 def read_dir_table(spark: SparkSession, root: str, fmt: str = "parquet", **options) -> DataFrame:
     """Directory-as-table (Drill: any directory tree is a table) with
-    dirN partition columns attached."""
+    dirN partition columns attached.
+
+    `root` may contain glob components (`sales/*/*`); dirN is computed
+    relative to the longest glob-free prefix, matching Drill's behavior
+    where the table root is the queried directory.
+    """
     df = read_auto(spark, root, fmt, options)
-    return with_dir_columns(df, root)
+    base_parts = []
+    for part in root.split(os.sep):
+        if any(ch in part for ch in "*?[{"):
+            break
+        base_parts.append(part)
+    base = os.sep.join(base_parts) or root
+    return with_dir_columns(df, base)

@@ -19,6 +19,18 @@ Rewrites performed:
 - ``SHOW FILES [IN <ws>]`` / ``SHOW FILES FROM <path>`` → a DataFrame of
   the directory listing (store/ischema analog).
 - ``RESET `opt``` / ``SET`` passthrough.
+- ``USE <ws>`` → session default workspace (parserImpls.ftl:135).
+- ``SHOW SCHEMAS`` / ``SHOW DATABASES`` → workspace + catalog listing
+  (parserImpls.ftl:42-110).
+- ``SHOW TABLES`` → Spark catalog passthrough.
+- ``DESCRIBE <table>`` → Spark passthrough (path tables rewritten first).
+- ``CREATE TABLE <ws>.`path` AS SELECT ...`` (CTAS,
+  CreateTableHandler.java) → ``df.write`` to the workspace path.
+- ``DROP TABLE [IF EXISTS] <ws>.`path``` → recursive delete within a
+  *writable* workspace only.
+- ``CREATE [OR REPLACE] VIEW name AS ...`` → Spark temp view
+  (ViewHandler.java; Drill stores views as .view.drill JSON — ours live
+  in the Spark temp catalog).
 """
 
 from __future__ import annotations
@@ -37,6 +49,22 @@ _ALTER_SET = re.compile(
 _RESET = re.compile(r"^\s*(?:ALTER\s+SESSION\s+)?RESET\s+`?([\w.]+)`?\s*;?\s*$", re.IGNORECASE)
 _SHOW_FILES = re.compile(r"^\s*SHOW\s+FILES(?:\s+(?:IN|FROM)\s+(\S+))?\s*;?\s*$", re.IGNORECASE)
 _TABLE_FN = re.compile(r"table\(\s*((?:\w+\.)+)`([^`]+)`\s*\(([^)]*)\)\s*\)", re.IGNORECASE)
+_USE = re.compile(r"^\s*USE\s+`?([\w.]+)`?\s*;?\s*$", re.IGNORECASE)
+_SHOW_SCHEMAS = re.compile(r"^\s*SHOW\s+(?:SCHEMAS|DATABASES)\s*;?\s*$", re.IGNORECASE)
+_CTAS = re.compile(
+    r"^\s*CREATE\s+(?:OR\s+REPLACE\s+)?(?:TEMPORARY\s+)?TABLE\s+((?:\w+\.)+)`([^`]+)`\s+AS\s+(.*)$",
+    re.IGNORECASE | re.DOTALL,
+)
+_DROP_TABLE = re.compile(
+    r"^\s*DROP\s+TABLE\s+(IF\s+EXISTS\s+)?((?:\w+\.)+)`([^`]+)`\s*;?\s*$", re.IGNORECASE
+)
+_CREATE_VIEW = re.compile(
+    r"^\s*CREATE\s+(OR\s+REPLACE\s+)?VIEW\s+(?:(?:\w+\.)+`?|`?)?([\w]+)`?\s+AS\s+(.*)$",
+    re.IGNORECASE | re.DOTALL,
+)
+_INSERT_PATH = re.compile(
+    r"^\s*INSERT\s+INTO\s+((?:\w+\.)+)`([^`]+)`\s+(.*)$", re.IGNORECASE | re.DOTALL
+)
 
 _SUFFIX_FORMAT = {
     ".parquet": "parquet",
@@ -106,8 +134,76 @@ def rewrite(session, query: str) -> str:
     return _PATH_TABLE.sub(path_sub, query)
 
 
+def _ok(spark, summary: str) -> DataFrame:
+    return spark.createDataFrame([Row(ok=True, summary=summary)])
+
+
+def _writable_path(session, ws_name: str, rel_path: str) -> tuple[str, str]:
+    """Resolve a CTAS/INSERT/DROP target inside a writable workspace."""
+    ws = session.workspaces.get(ws_name)
+    if ws is None:
+        raise ValueError(f"unknown workspace: {ws_name}")
+    if not ws.writable:
+        raise ValueError(f"workspace {ws_name} is not writable (CreateTableHandler analog)")
+    path = rel_path if os.path.isabs(rel_path) else os.path.join(ws.path, rel_path)
+    fmt = _infer_format(path, ws.default_format)
+    return path, fmt
+
+
 def execute(session, query: str) -> DataFrame:
     spark = session.spark
+
+    m = _USE.match(query)
+    if m:
+        name = m.group(1)
+        if name in session.workspaces:
+            session.options["drill.default_workspace"] = name
+            return _ok(spark, f"Default schema changed to [{name}]")
+        return spark.sql(query)  # a Spark database name
+
+    if _SHOW_SCHEMAS.match(query):
+        from drill_spark.catalog import information_schema_schemata
+
+        return information_schema_schemata(session)
+
+    m = _CTAS.match(query)
+    if m:
+        ws_name, rel_path, select = m.group(1).rstrip("."), m.group(2), m.group(3)
+        path, fmt = _writable_path(session, ws_name, rel_path)
+        df = spark.sql(rewrite(session, select))
+        mode = "overwrite" if re.match(r"\s*CREATE\s+OR\s+REPLACE", query, re.IGNORECASE) else "errorifexists"
+        df.write.format(fmt).mode(mode).save(path)
+        return _ok(spark, f"created table {ws_name}.`{rel_path}` ({fmt})")
+
+    m = _INSERT_PATH.match(query)
+    if m:
+        ws_name, rel_path, select = m.group(1).rstrip("."), m.group(2), m.group(3)
+        path, fmt = _writable_path(session, ws_name, rel_path)
+        spark.sql(rewrite(session, select)).write.format(fmt).mode("append").save(path)
+        return _ok(spark, f"appended to {ws_name}.`{rel_path}`")
+
+    m = _DROP_TABLE.match(query)
+    if m:
+        if_exists, ws_name, rel_path = m.group(1), m.group(2).rstrip("."), m.group(3)
+        path, _ = _writable_path(session, ws_name, rel_path)
+        if not os.path.exists(path):
+            if if_exists:
+                return _ok(spark, f"table {rel_path} did not exist")
+            raise ValueError(f"table not found: {ws_name}.`{rel_path}`")
+        import shutil
+
+        shutil.rmtree(path) if os.path.isdir(path) else os.remove(path)
+        return _ok(spark, f"dropped table {ws_name}.`{rel_path}`")
+
+    m = _CREATE_VIEW.match(query)
+    if m:
+        replace, name, select = m.group(1), m.group(2), m.group(3)
+        df = spark.sql(rewrite(session, select))
+        if replace:
+            df.createOrReplaceTempView(name)
+        else:
+            df.createTempView(name)
+        return _ok(spark, f"view {name} created")
 
     m = _ALTER_SET.match(query)
     if m:

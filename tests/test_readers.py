@@ -1,0 +1,126 @@
+"""Schema-on-read surface (SURVEY §7 step 3) — Drill's signature
+conveniences re-expressed on Spark readers.
+
+Reference behaviors modeled (citations relative to /root/reference):
+- JSON inference + all_text_mode  (ExecConstants.java:505,
+  store/easy/json/JSONFormatPlugin.java)
+- CSV header vs columns[n] array model
+  (store/easy/text/reader/CompliantTextBatchReader.java:52)
+- implicit columns fqn/filepath/filename/suffix
+  (store/ColumnExplorer.java:495-530)
+- dir0..dirN partition columns + pruning (ColumnExplorer.java:142-162,
+  planner/logical/partition/PruneScanRule.java)
+- schema evolution across files in one table (OK_NEW_SCHEMA analog,
+  record/RecordBatch.java:113-160) via unioned read-time inference
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from drill_spark.readers.files import (
+    read_csv,
+    read_dir_table,
+    read_json,
+    with_dir_columns,
+    with_implicit_columns,
+)
+
+
+@pytest.fixture(scope="module")
+def data_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("sor")
+    # --- JSON: two files with drifting schema (b appears later; a widens) ---
+    (root / "j").mkdir()
+    (root / "j" / "a.json").write_text(
+        "\n".join(json.dumps(r) for r in [{"id": 1, "v": 10}, {"id": 2, "v": 20}])
+    )
+    (root / "j" / "b.json").write_text(
+        "\n".join(json.dumps(r) for r in [{"id": 3, "v": 30.5, "tag": "x"}])
+    )
+    # pretty-printed (multiline) JSON
+    (root / "pretty.json").write_text(json.dumps([{"id": 1, "name": "n1"}, {"id": 2, "name": "n2"}], indent=2))
+    # --- CSV with and without headers ---
+    (root / "h.csv").write_text("id,name\n1,alpha\n2,beta\n")
+    (root / "noh.csv").write_text("1,alpha\n2,beta\n3,gamma\n")
+    # --- directory-partitioned table (Drill bare-dir layout, not k=v) ---
+    for year in ("1994", "1995"):
+        for q in ("Q1", "Q2"):
+            d = root / "sales" / year / q
+            d.mkdir(parents=True)
+            (d / "part.csv").write_text(f"id,amt\n1,{year}{q}\n")
+    return str(root)
+
+
+def test_json_schema_drift_union(spark, data_root):
+    df = read_json(spark, os.path.join(data_root, "j"))
+    # unioned inference: all three columns present; v widened to double
+    assert set(df.columns) == {"id", "v", "tag"}
+    rows = {r["id"]: r for r in df.collect()}
+    assert rows[1]["tag"] is None and rows[3]["tag"] == "x"
+    assert abs(rows[3]["v"] - 30.5) < 1e-9
+
+
+def test_json_all_text_mode(spark, data_root):
+    df = read_json(spark, os.path.join(data_root, "j"), all_text_mode=True)
+    assert dict(df.dtypes)["v"] == "string"
+    assert {r["v"] for r in df.collect()} == {"10", "20", "30.5"}
+
+
+def test_json_multiline_fallback(spark, data_root):
+    df = read_json(spark, os.path.join(data_root, "pretty.json"))
+    assert sorted(r["name"] for r in df.collect()) == ["n1", "n2"]
+
+
+def test_csv_header_model(spark, data_root):
+    df = read_csv(spark, os.path.join(data_root, "h.csv"), header=True)
+    assert df.columns == ["id", "name"]
+    assert df.count() == 2
+
+
+def test_csv_columns_array_model(spark, data_root):
+    df = read_csv(spark, os.path.join(data_root, "noh.csv"), header=False)
+    assert df.columns == ["columns"]
+    df.createOrReplaceTempView("noh")
+    rows = spark.sql("select columns[0] as id, columns[1] as name from noh order by id").collect()
+    assert [r["name"] for r in rows] == ["alpha", "beta", "gamma"]
+
+
+def test_implicit_columns(spark, data_root):
+    df = with_implicit_columns(read_csv(spark, os.path.join(data_root, "h.csv"), header=True))
+    r = df.select("fqn", "filepath", "filename", "suffix").head()
+    assert r["filename"] == "h.csv"
+    assert r["suffix"] == "csv"
+    assert r["filepath"].endswith(os.path.basename(data_root))
+    assert r["fqn"].endswith("h.csv") and r["fqn"].startswith("/")
+
+
+def test_dir_partition_columns(spark, data_root):
+    root = os.path.join(data_root, "sales")
+    df = read_dir_table(spark, os.path.join(root, "*", "*"), fmt="csv", header="true")
+    df = with_dir_columns(df.drop("dir0", "dir1"), root)  # recompute vs explicit root
+    assert {"dir0", "dir1"} <= set(df.columns)
+    got = {(r["dir0"], r["dir1"]) for r in df.collect()}
+    assert got == {("1994", "Q1"), ("1994", "Q2"), ("1995", "Q1"), ("1995", "Q2")}
+
+
+def test_dir_partition_filter(spark, data_root):
+    root = os.path.join(data_root, "sales")
+    df = read_dir_table(spark, os.path.join(root, "*", "*"), fmt="csv", header="true")
+    got = df.where("dir0 = '1994' and dir1 = 'Q1'").select("amt").collect()
+    assert [r["amt"] for r in got] == ["1994Q1"]
+
+
+def test_parquet_merge_schema(spark, tmp_path):
+    """Parquet schema evolution (mergeSchema ≈ resolving OK_NEW_SCHEMA
+    at read time)."""
+    p = str(tmp_path / "evolve")
+    spark.createDataFrame([(1, "a")], "id int, name string").write.parquet(p + "/f1")
+    spark.createDataFrame([(2, "b", 9.5)], "id int, name string, score double").write.parquet(p + "/f2")
+    df = spark.read.option("mergeSchema", "true").parquet(p + "/f1", p + "/f2")
+    assert set(df.columns) == {"id", "name", "score"}
+    rows = {r["id"]: r for r in df.collect()}
+    assert rows[1]["score"] is None and abs(rows[2]["score"] - 9.5) < 1e-9

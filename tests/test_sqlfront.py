@@ -1,0 +1,147 @@
+"""SQL front end: Drill-isms → Spark SQL (SURVEY §2.13, §7 steps 3+5).
+
+Reference behaviors (citations relative to /root/reference):
+- backtick path tables  (parserImpls.ftl; TestExampleQueries.java:106)
+- table functions w/ reader options
+  (store/table/function/WithOptionsTableMacro.java, TestSelectWithOption.java)
+- ALTER SESSION SET / RESET  (planner/sql/handlers/SetOptionHandler.java)
+- SHOW FILES / SHOW SCHEMAS / USE  (parserImpls.ftl:42-135)
+- CTAS / DROP TABLE / INSERT INTO  (CreateTableHandler.java,
+  InsertHandler.java) into writable workspaces
+- CREATE VIEW  (ViewHandler.java)
+- INFORMATION_SCHEMA & sys tables  (store/ischema/, store/sys/)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from drill_spark.session import DrillSession
+
+
+@pytest.fixture(scope="module")
+def dsession(spark, tmp_path_factory):
+    root = tmp_path_factory.mktemp("front")
+    (root / "people.json").write_text(
+        "\n".join(json.dumps(r) for r in [
+            {"id": 1, "name": "ada", "age": 36},
+            {"id": 2, "name": "bob", "age": 41},
+        ])
+    )
+    (root / "pipes.psv").write_text("a|b\n1|x\n2|y\n")
+    s = DrillSession(spark=spark)
+    s.register_workspace("dfs.data", str(root), "json")
+    s.workspaces["dfs.data"].writable = True
+    return s
+
+
+def test_backtick_path_table(dsession):
+    root = dsession.workspaces["dfs.data"].path
+    df = dsession.sql(f"select name from dfs.`{root}/people.json` where age > 40")
+    assert [r["name"] for r in df.collect()] == ["bob"]
+
+
+def test_workspace_relative_path(dsession):
+    df = dsession.sql("select count(*) as n from dfs.data.`people.json`")
+    assert df.head()["n"] == 2
+
+
+def test_table_function_options(dsession):
+    # TestSelectWithOption semantics: per-query reader options
+    df = dsession.sql(
+        "select * from table(dfs.data.`pipes.psv`(type => 'text', fieldDelimiter => '|', extractHeader => 'true'))"
+    )
+    assert df.columns == ["a", "b"]
+    assert df.count() == 2
+
+
+def test_alter_session_set_and_reset(dsession):
+    dsession.sql("ALTER SESSION SET `planner.broadcast_threshold` = 1048576")
+    assert dsession.spark.conf.get("spark.sql.autoBroadcastJoinThreshold") == "1048576"
+    assert dsession.get_option("planner.broadcast_threshold") == "1048576"
+    dsession.sql("RESET `planner.broadcast_threshold`")
+    assert dsession.get_option("planner.broadcast_threshold") is None
+    dsession.sql("ALTER SESSION SET `spark.sql.autoBroadcastJoinThreshold` = 67108864")
+
+
+def test_show_files(dsession):
+    rows = dsession.sql("SHOW FILES IN dfs.data").collect()
+    names = {r["name"] for r in rows}
+    assert {"people.json", "pipes.psv"} <= names
+
+
+def test_show_schemas(dsession):
+    rows = dsession.sql("SHOW SCHEMAS").collect()
+    schemas = {r["SCHEMA_NAME"] for r in rows}
+    assert {"dfs", "dfs.tmp", "dfs.data"} <= schemas
+
+
+def test_use_workspace(dsession):
+    out = dsession.sql("USE dfs.data").head()
+    assert out["ok"] is True
+    assert dsession.options["drill.default_workspace"] == "dfs.data"
+
+
+def test_ctas_drop_roundtrip(dsession):
+    dsession.sql(
+        "CREATE TABLE dfs.data.`out_people` AS select id, upper(name) as name from dfs.data.`people.json`"
+    )
+    path = os.path.join(dsession.workspaces["dfs.data"].path, "out_people")
+    assert os.path.isdir(path)
+    back = dsession.sql(f"select name from dfs.`{path}` order by name")
+    assert [r["name"] for r in back.collect()] == ["ADA", "BOB"]
+    # second CTAS without OR REPLACE errors (Drill: table exists)
+    with pytest.raises(Exception):
+        dsession.sql("CREATE TABLE dfs.data.`out_people` AS select 1 as x")
+    dsession.sql("CREATE OR REPLACE TABLE dfs.data.`out_people` AS select 1 as x")
+    dsession.sql("DROP TABLE dfs.data.`out_people`")
+    assert not os.path.exists(path)
+    out = dsession.sql("DROP TABLE IF EXISTS dfs.data.`out_people`").head()
+    assert out["ok"] is True
+
+
+def test_ctas_requires_writable_workspace(dsession):
+    with pytest.raises(ValueError, match="not writable"):
+        dsession.sql("CREATE TABLE dfs.`/tmp/nope_ws` AS select 1 as x")
+
+
+def test_insert_into_appends(dsession):
+    dsession.sql("CREATE OR REPLACE TABLE dfs.data.`ins_t` AS select 1 as x")
+    dsession.sql("INSERT INTO dfs.data.`ins_t` select 2 as x")
+    path = os.path.join(dsession.workspaces["dfs.data"].path, "ins_t")
+    vals = sorted(r["x"] for r in dsession.sql(f"select x from dfs.`{path}`").collect())
+    assert vals == [1, 2]
+    dsession.sql("DROP TABLE dfs.data.`ins_t`")
+
+
+def test_create_view(dsession):
+    dsession.sql("CREATE OR REPLACE VIEW adults AS select * from dfs.data.`people.json` where age >= 40")
+    assert dsession.sql("select count(*) as n from adults").head()["n"] == 1
+
+
+def test_describe_path_table(dsession):
+    root = dsession.workspaces["dfs.data"].path
+    rows = dsession.sql(f"DESCRIBE dfs.`{root}/people.json`").collect()
+    cols = {r["col_name"] for r in rows}
+    assert {"id", "name", "age"} <= cols
+
+
+def test_information_schema_and_sys(dsession):
+    from drill_spark.catalog import register_system_views
+
+    register_system_views(dsession)
+    tabs = dsession.sql(
+        "select TABLE_NAME from information_schema_tables"
+    ).collect()
+    assert len(tabs) > 0
+    dsession.set_option("my.option", "42")
+    from drill_spark.catalog import register_system_views as _r
+
+    _r(dsession)  # refresh snapshot
+    opts = {r["name"]: r["val"] for r in dsession.sql("select * from sys_options").collect()}
+    assert opts.get("my.option") == "42"
+    ver = dsession.sql("select * from sys_version").head()
+    assert ver["spark_version"].startswith("4.")
