@@ -34,9 +34,12 @@ _SQL_UDFS: dict[str, tuple[str, str]] = {
     "strpos": ("s STRING, sub STRING", "instr(s, sub)"),  # StringFunctions.java:640
     # --- date/time (DateTypeFunctions.java) ---
     "isdate": ("s STRING", "try_cast(s AS DATE) IS NOT NULL"),  # :61
+    # age -> rendered year-month interval string (interval types are
+    # not collectable to Python; keep the SQL-visible semantics)
     "age": (
         "a TIMESTAMP, b TIMESTAMP",
-        "make_interval(0, CAST(months_between(a, b) AS INT), 0, 0, 0, 0, 0)",
+        "concat(CAST(CAST(months_between(a, b) AS INT) div 12 AS STRING), ' years ',"
+        " CAST(CAST(months_between(a, b) AS INT) % 12 AS STRING), ' mons')",
     ),
     "statement_timestamp": ("", "current_timestamp()"),  # :338-383
     "timeofday": ("", "date_format(current_timestamp(), 'yyyy-MM-dd HH:mm:ss.SSS zzz')"),
@@ -46,15 +49,49 @@ _SQL_UDFS: dict[str, tuple[str, str]] = {
         "timestamp_millis(CAST(floor(unix_millis(ts) / width_ms) * width_ms AS BIGINT))",
     ),
     "time_bucket_ms": ("ms BIGINT, width_ms BIGINT", "CAST(floor(ms / width_ms) * width_ms AS BIGINT)"),
-    # --- math (MathFunctions.java:37-213) ---
-    "to_number": ("s STRING, fmt STRING", "CAST(regexp_replace(s, '[^0-9.+-]', '') AS DOUBLE)"),
     # --- union-type helpers (UnionFunctions.java; no union vector in Spark,
     # typeof() exists in Spark SQL already) ---
     "sqltypeof": ("x STRING", "typeof(x)"),
     "drilltypeof": ("x STRING", "typeof(x)"),
     # --- context (ContextFunctions.java) ---
     "session_id": ("", "uuid()"),
-    "current_schema": ("", "current_database()"),
+    # --- pattern matching (StringFunctions.java like/ilike/similar);
+    # ilike / to_number / current_schema are Spark 4 built-ins already ---
+    # Drill regexp_matches = full-string match (java Pattern.matches)
+    "regexp_matches": ("s STRING, pat STRING", "s RLIKE concat('^(?:', pat, ')$')"),
+    "similar_to": (
+        "s STRING, pat STRING",
+        "s RLIKE concat('^', regexp_replace(regexp_replace(pat, '%', '.*'), '_', '.'), '$')",
+    ),
+    # --- network (contrib/udfs NetworkFunctions.java) ---
+    "inet_aton": (
+        "ip STRING",
+        "CAST(split(ip, '\\\\.')[0] AS BIGINT) * 16777216 + CAST(split(ip, '\\\\.')[1] AS BIGINT) * 65536"
+        " + CAST(split(ip, '\\\\.')[2] AS BIGINT) * 256 + CAST(split(ip, '\\\\.')[3] AS BIGINT)",
+    ),
+    "inet_ntoa": (
+        "n BIGINT",
+        "concat(CAST(n div 16777216 % 256 AS STRING), '.', CAST(n div 65536 % 256 AS STRING), '.',"
+        " CAST(n div 256 % 256 AS STRING), '.', CAST(n % 256 AS STRING))",
+    ),
+    "is_valid_ip": (
+        "ip STRING",
+        r"ip RLIKE '^((25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])\\.){3}(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])$'",
+    ),
+    "is_private_ip": (
+        "ip STRING",
+        r"ip RLIKE '^(10\\.|192\\.168\\.|172\\.(1[6-9]|2[0-9]|3[01])\\.)'",
+    ),
+    # --- threat hunting (contrib/udfs ThreatHuntingFunctions.java) ---
+    "punycode_detect": ("s STRING", "s LIKE '%xn--%'"),
+    # shannon entropy of a string's characters (DGA-domain heuristic),
+    # pure higher-order-function expression — stays in Catalyst
+    "entropy": (
+        "s STRING",
+        "aggregate(array_distinct(split(s, '')), CAST(0 AS DOUBLE),"
+        " (acc, d) -> acc - (size(filter(split(s, ''), c -> c = d)) / CAST(length(s) AS DOUBLE))"
+        " * log2(size(filter(split(s, ''), c -> c = d)) / CAST(length(s) AS DOUBLE)))",
+    ),
 }
 
 
@@ -63,7 +100,7 @@ def _stmt(name: str, sig: str, body: str) -> str:
     return f"CREATE OR REPLACE TEMPORARY FUNCTION {name}({sig}) RETURN {body}"
 
 
-def register_all(spark: SparkSession) -> list[str]:
+def register_all(spark: SparkSession, strict: bool = False) -> list[str]:
     """Register the compat functions; returns the list registered.
 
     Uses SQL UDFs (Spark >= 4.0 `CREATE TEMPORARY FUNCTION ... RETURN
@@ -71,12 +108,15 @@ def register_all(spark: SparkSession) -> list[str]:
     whole-stage codegen — no Python round trip.
     """
     registered: list[str] = []
+    failed: list[tuple[str, Exception]] = []
     for name, (sig, body) in _SQL_UDFS.items():
         try:
             spark.sql(_stmt(name, sig, body))
             registered.append(name)
-        except Exception:
+        except Exception as e:
             # Older Spark without SQL UDFs: skip; python helpers in
             # drill_spark.ops still provide the functionality.
-            pass
+            failed.append((name, e))
+    if strict and failed:
+        raise RuntimeError(f"compat functions failed to register: {failed}")
     return registered

@@ -627,6 +627,120 @@ where user_id < 40
 order by user_id, event_type
 """)
 
+# ----------------------------------------- more scalar/agg families
+
+# string distance (contrib/udfs StringDistanceFunctions.java)
+_q("op_string_distance", """
+select c_custkey,
+       levenshtein(c_name, 'Customer#000000001') as lev,
+       levenshtein(substring(c_name, 10), cast(c_custkey as varchar(18))) as lev2
+from customer
+where c_custkey < 40
+""")
+
+# regexp family (StringFunctions.java:214-299)
+_q(
+    "op_regexp_fns",
+    """
+select c_custkey,
+       regexp_extract(c_name, '([0-9]+)', 1) as digits,
+       regexp_replace(c_name, '[0-9]', '#') as masked,
+       (c_name rlike '^Customer#0*[0-9]+$') as well_formed
+from customer
+where c_custkey < 30
+""",
+    oracle="""
+select c_custkey,
+       regexp_extract(c_name, '([0-9]+)', 1) as digits,
+       regexp_replace(c_name, '[0-9]', '#', 'g') as masked,
+       regexp_matches(c_name, '^Customer#0*[0-9]+$') as well_formed
+from customer
+where c_custkey < 30
+""",
+)
+
+# binary codecs (conv/ convert_from/convert_to analogs: base64/hex)
+_q(
+    "op_encode_fns",
+    """
+select c_custkey,
+       base64(cast(c_name as binary)) as b64,
+       hex(cast(c_name as binary)) as hx,
+       ascii(c_name) as first_code
+from customer
+where c_custkey < 25
+""",
+    oracle="""
+select c_custkey,
+       to_base64(encode(c_name)) as b64,
+       hex(c_name) as hx,
+       ascii(c_name) as first_code
+from customer
+where c_custkey < 25
+""",
+)
+
+# interval arithmetic (DateTypeFunctions.java:107-166 interval ctors,
+# :407-428 date_add/sub with intervals)
+_q(
+    "op_interval_arith",
+    """
+select o_orderkey,
+       cast(cast(o_orderdate as date) + interval '3' month as date) as plus_3m,
+       cast(cast(o_orderdate as date) - interval '90' day as date) as minus_90d,
+       cast(cast(o_orderdate as date) + interval '1' year as date) as plus_1y
+from orders
+where o_orderkey < 80
+""",
+    oracle="""
+select o_orderkey,
+       cast(cast(o_orderdate as date) + interval 3 month as date) as plus_3m,
+       cast(cast(o_orderdate as date) - interval 90 day as date) as minus_90d,
+       cast(cast(o_orderdate as date) + interval 1 year as date) as plus_1y
+from orders
+where o_orderkey < 80
+""",
+)
+
+# grouping_id composed from grouping() bits (GroupingFunctions.java:38-61)
+_q("op_grouping_id", """
+select o_orderstatus, o_orderpriority,
+       grouping(o_orderstatus) * 2 + grouping(o_orderpriority) as gid,
+       count(*) as n
+from orders
+group by rollup(o_orderstatus, o_orderpriority)
+order by gid, o_orderstatus nulls first, o_orderpriority nulls first
+""")
+
+
+# ------------------------------------------------- approximate aggregates
+# (hll / hll_merge, StatisticsAggrFunctions.java:148-230; tdigest
+# TDigestFunctions.java:57). Estimates are hash-design-specific, so these
+# are rows-only in the driver compare (no oracle by design); the pytest
+# suite bounds their error against exact values instead.
+
+ROWS_ONLY: dict[str, str] = {
+    "op_agg_approx_ndv": """
+select o_orderstatus,
+       approx_count_distinct(o_custkey) as approx_cust,
+       count(*) as n
+from orders
+group by o_orderstatus
+order by o_orderstatus
+""",
+    "op_agg_hll_sketch": """
+select hll_sketch_estimate(hll_sketch_agg(o_custkey)) as est_custkeys
+from orders
+""",
+    "op_agg_approx_percentile": """
+select l_returnflag,
+       approx_percentile(l_quantity, 0.5, 1000) as approx_med
+from lineitem
+group by l_returnflag
+order by l_returnflag
+""",
+}
+
 
 def make_query_fn(sql: str):
     def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -637,7 +751,9 @@ def make_query_fn(sql: str):
 
 
 def queries() -> dict:
-    return {name: make_query_fn(spec.spark_sql) for name, spec in SPECS.items()}
+    out = {name: make_query_fn(spec.spark_sql) for name, spec in SPECS.items()}
+    out.update({name: make_query_fn(sql) for name, sql in ROWS_ONLY.items()})
+    return out
 
 
 def oracle_sql() -> dict[str, str]:

@@ -1,0 +1,125 @@
+"""Drill function-compat layer (SURVEY §2.9, §2.12).
+
+Every registered compat function is a Spark SQL UDF (Catalyst
+expression, JVM-side). Reference implementations:
+- kvgen/mappify          expr/fn/impl/Mappify.java:53-66
+- repeated_count/contains SimpleRepeatedFunctions.java:45+
+- binary_string et al.    StringFunctions.java:1794+
+- isdate/age/timeofday    DateTypeFunctions.java
+- time_bucket             contrib/udfs TimeBucketFunctions.java
+- inet_aton/is_private_ip contrib/udfs NetworkFunctions.java
+- punycode_detect/entropy contrib/udfs ThreatHuntingFunctions.java
+- ilike/similar/regexp    StringFunctions.java:98-310
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from drill_spark import functions as dfn
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _registered(spark):
+    registered = dfn.register_all(spark, strict=True)
+    assert set(registered) == set(dfn._SQL_UDFS)
+    return registered
+
+
+def one(spark, expr: str):
+    return spark.sql(f"select {expr} as v").head()["v"]
+
+
+def test_kvgen(spark):
+    rows = spark.sql("select kvgen(map('a','1','b','2')) as kv").head()["kv"]
+    assert [(r["key"], r["value"]) for r in rows] == [("a", "1"), ("b", "2")]
+
+
+def test_repeated_fns(spark):
+    assert one(spark, "repeated_count(array('x','y','z'))") == 3
+    assert one(spark, "repeated_contains(array('x','y'), 'y')") is True
+    assert one(spark, "repeated_contains(array('x','y'), 'q')") is False
+
+
+def test_string_binary_roundtrip(spark):
+    assert one(spark, "string_binary(binary_string('drill'))") == "drill"
+
+
+def test_strpos(spark):
+    assert one(spark, "strpos('hello world', 'world')") == 7
+    assert one(spark, "strpos('hello', 'zzz')") == 0
+
+
+def test_isdate(spark):
+    assert one(spark, "isdate('2024-01-15')") is True
+    assert one(spark, "isdate('not a date')") is False
+
+
+def test_age_months(spark):
+    v = one(spark, "age(timestamp '2024-06-15 00:00:00', timestamp '2023-03-15 00:00:00')")
+    assert v == "1 years 3 mons"
+
+
+def test_time_bucket(spark):
+    v = one(spark, "time_bucket(timestamp '2024-01-15 10:47:33', 3600000)")
+    assert str(v) == "2024-01-15 10:00:00"
+    assert one(spark, "time_bucket_ms(7500, 5000)") == 5000
+
+
+def test_to_number_builtin(spark):
+    # Drill's to_number (MathFunctions.java) maps to the Spark built-in
+    v = one(spark, "to_number('$1,234.56', '$9,999.99')")
+    assert abs(float(v) - 1234.56) < 1e-9
+
+
+def test_ilike_similar_regexp(spark):
+    assert one(spark, "'HeLLo' ilike 'hello'") is True
+    assert one(spark, "similar_to('abcdef', 'abc%')") is True
+    assert one(spark, "similar_to('abcdef', 'abc_')") is False
+    assert one(spark, "regexp_matches('abc123', '[a-z]+[0-9]+')") is True
+    assert one(spark, "regexp_matches('abc123', '[a-z]+')") is False  # full match only
+
+
+def test_network_fns(spark):
+    assert one(spark, "inet_aton('192.168.1.1')") == 3232235777
+    assert one(spark, "inet_ntoa(3232235777)") == "192.168.1.1"
+    assert one(spark, "is_valid_ip('10.1.2.3')") is True
+    assert one(spark, "is_valid_ip('999.1.2.3')") is False
+    assert one(spark, "is_private_ip('10.0.0.1')") is True
+    assert one(spark, "is_private_ip('172.20.1.1')") is True
+    assert one(spark, "is_private_ip('8.8.8.8')") is False
+
+
+def test_threat_fns(spark):
+    assert one(spark, "punycode_detect('xn--e1awd7f.com')") is True
+    assert one(spark, "punycode_detect('example.com')") is False
+    # 'aaaa' has zero entropy; 'abcd' has 2 bits
+    assert abs(one(spark, "entropy('aaaa')")) < 1e-9
+    assert abs(one(spark, "entropy('abcd')") - 2.0) < 1e-9
+
+
+def test_compat_fns_stay_jvm_side(spark):
+    """The whole compat layer inlines to Catalyst — no Python eval."""
+    from drill_spark import plans
+
+    df = spark.sql(
+        "select inet_aton('10.0.0.1') a, entropy('xyz') b, time_bucket(current_timestamp(), 60000) c"
+    )
+    assert not plans.has_python_eval(df)
+
+
+def test_builtin_name_parity(spark):
+    """Drill names that Spark already provides 1:1 (SURVEY §2.9) — spot
+    check they resolve and agree with Drill semantics."""
+    for expr, expected in [
+        ("split_part('a:b:c', ':', 2)", "b"),
+        ("levenshtein('kitten', 'sitting')", 3),
+        ("soundex('Robert')", "R163"),
+        ("btrim('xxhixx', 'x')", "hi"),
+        ("typeof(1.5)", "decimal(2,1)"),
+        ("xxhash64('drill')", None),  # exists; value engine-specific
+        ("crc32('drill')", None),
+    ]:
+        v = one(spark, expr)
+        if expected is not None:
+            assert v == expected, (expr, v)

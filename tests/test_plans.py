@@ -1,0 +1,102 @@
+"""Plan-shape assertions (reference model: PlanTestBase.java regex
+checks over EXPLAIN — TestProjectPushDown.java, TestPartitionFilter.java).
+
+These are the 100 TB-scale invariants: if one regresses, the query
+still returns correct rows at sf0.001 but would melt on a cluster.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from drill_spark import plans, relops, tpch
+from drill_spark.session import load_fixture
+
+from .conftest import SF_DIR
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    """TPC-H Q6 predicates must appear as PushedFilters on the parquet
+    scan (Drill: FilePushDownFilter)."""
+    df = tpch.queries()["tpch_q06"](spark, SF_DIR)
+    pushed = " ".join(plans.pushed_filters(df))
+    assert "l_shipdate" in pushed.lower() or "l_discount" in pushed.lower(), pushed
+
+
+def test_column_pruning_reaches_scan(spark):
+    """Q6 touches 4 of lineitem's 16 columns; the scan must not read more."""
+    df = tpch.queries()["tpch_q06"](spark, SF_DIR)
+    schemas = plans.read_schema_columns(df)
+    assert schemas, "no scan found"
+    for cols in schemas:
+        assert len(cols) <= 5, f"scan reads too many columns: {cols}"
+
+
+def test_small_dim_join_broadcasts(spark):
+    """customer ⋈ nation ⋈ region: dims must broadcast, not shuffle
+    (Drill: BroadcastExchange chosen by cost)."""
+    df = relops.queries()["op_join_inner"](spark, SF_DIR)
+    assert plans.has_broadcast_hash_join(df), plans.explain_str(df)
+
+
+def test_two_phase_aggregation(spark):
+    """Q1 must plan partial (map-side) + final aggregation
+    (Drill: HashAggPrule 2-phase)."""
+    df = tpch.queries()["tpch_q01"](spark, SF_DIR)
+    assert plans.has_partial_aggregate(df), plans.explain_str(df)
+
+
+def test_topn_not_full_sort(spark):
+    """ORDER BY + LIMIT must plan TakeOrderedAndProject (Drill TopN),
+    not a global sort."""
+    df = relops.queries()["op_topn"](spark, SF_DIR)
+    assert plans.has_take_ordered(df), plans.explain_str(df)
+
+
+def test_relational_core_is_jvm_side(spark):
+    """No Python-eval nodes in the relational core: TPC-H + relops plans
+    stay inside Catalyst/codegen (UDFs are the slow path)."""
+    for name in ("tpch_q01", "tpch_q03", "tpch_q06"):
+        df = tpch.queries()[name](spark, SF_DIR)
+        assert not plans.has_python_eval(df), f"{name} fell out of the JVM"
+    for name in ("op_join_inner", "op_window_ranks", "op_agg_rollup"):
+        df = relops.queries()[name](spark, SF_DIR)
+        assert not plans.has_python_eval(df), f"{name} fell out of the JVM"
+
+
+def test_wholestage_codegen_covers_q1(spark):
+    df = tpch.queries()["tpch_q01"](spark, SF_DIR)
+    assert plans.wholestage_codegen_spans(df) >= 1
+
+
+def test_extension_ops_jvm_side(spark):
+    """Dedup/text ops are built from Catalyst expressions, not Python
+    UDFs (multimodal feature extraction is the documented exception)."""
+    from drill_spark import extops
+
+    for name in ("ext_dedup_exact", "ext_text_stats", "ext_text_fingerprint"):
+        df = extops.QUERIES[name](spark, SF_DIR)
+        assert not plans.has_python_eval(df), f"{name} fell out of the JVM"
+
+
+def test_partition_filter_on_real_partitions(spark, tmp_path):
+    """Hive-layout tables get real partition pruning (PartitionFilters),
+    the scale path for Drill's dir0 pruning (PruneScanRule analog)."""
+    p = str(tmp_path / "pt")
+    load_fixture(spark, SF_DIR, "orders").withColumn(
+        "o_year", F.year("o_orderdate")
+    ).write.partitionBy("o_year").parquet(p)
+    df = spark.read.parquet(p).where("o_year = 1995")
+    s = plans.explain_str(df)
+    # the filter lands in PartitionFilters (directory pruning), NOT as a
+    # row-level DataFilter — non-matching year directories are never read
+    assert "PartitionFilters" in s and "o_year" in s.split("PartitionFilters", 1)[1][:200]
+    pushed = " ".join(plans.pushed_filters(df))
+    assert "o_year" not in pushed  # not a row filter: pruned at listing
+    # multiple year partitions exist, so pruning is non-trivial
+    import glob
+
+    assert len(glob.glob(os.path.join(p, "o_year=*"))) > 1
+    assert df.select(F.countDistinct("o_year")).head()[0] == 1

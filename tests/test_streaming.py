@@ -48,6 +48,27 @@ def test_stream_dedup(spark):
     assert got.count() == n_distinct <= n_events
 
 
+def test_stateful_user_totals(spark):
+    """applyInPandasWithState operator: final per-user state must equal
+    the batch groupBy on the same finite data."""
+    stream = ev.read_event_stream(spark, SF_DIR)
+    got = ev.run_to_completion(ev.user_running_totals(stream), "t_state", "update")
+    # update mode emits one row per user per micro-batch; the final
+    # emission per user (max n) is the completed state
+    final = {}
+    for r in got.collect():
+        if r["user_id"] not in final or r["n"] > final[r["user_id"]][0]:
+            final[r["user_id"]] = (r["n"], r["total"])
+    expect = {
+        r["user_id"]: (r["n"], r["total"])
+        for r in _batch_events(spark)
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total"))
+        .collect()
+    }
+    assert final == expect
+
+
 def test_sliding(spark):
     stream = ev.read_event_stream(spark, SF_DIR)
     got = ev.run_to_completion(ev.sliding_rates(stream), "t_sliding", "complete")
