@@ -46,12 +46,22 @@ def information_schema_tables(session) -> DataFrame:
     )
 
 
-def information_schema_columns(session, table: str) -> DataFrame:
-    rows = [
-        Row(TABLE_NAME=table, COLUMN_NAME=f.name, ORDINAL_POSITION=i + 1,
-            DATA_TYPE=f.dataType.simpleString(), IS_NULLABLE="YES" if f.nullable else "NO")
-        for i, f in enumerate(session.spark.table(table).schema.fields)
+def information_schema_columns(session, table: str | None = None) -> DataFrame:
+    """COLUMNS for one table, or for every visible table when None."""
+    tables = [table] if table else [
+        t.name for t in session.spark.catalog.listTables() if not t.name.startswith(("information_schema_", "sys_", "_drill_"))
     ]
+    rows = []
+    for tname in tables:
+        try:
+            fields = session.spark.table(tname).schema.fields
+        except Exception:
+            continue
+        rows += [
+            Row(TABLE_NAME=tname, COLUMN_NAME=f.name, ORDINAL_POSITION=i + 1,
+                DATA_TYPE=f.dataType.simpleString(), IS_NULLABLE="YES" if f.nullable else "NO")
+            for i, f in enumerate(fields)
+        ]
     return session.spark.createDataFrame(
         rows,
         "TABLE_NAME string, COLUMN_NAME string, ORDINAL_POSITION int, DATA_TYPE string, IS_NULLABLE string",
@@ -87,13 +97,16 @@ def sys_version(session) -> DataFrame:
 
 
 def sys_functions(session) -> DataFrame:
-    rows = [Row(name=r.name) for r in session.spark.sql("SHOW FUNCTIONS").collect()]
+    rows = [Row(name=r[0]) for r in session.spark.sql("SHOW FUNCTIONS").collect()]
     return session.spark.createDataFrame(rows, "name string")
 
 
 def register_system_views(session) -> None:
-    """Expose information_schema_* / sys_* as queryable temp views."""
+    """Expose information_schema_* / sys_* as queryable temp views
+    (snapshots at call time; sqlfront refreshes on each dotted-name query)."""
     information_schema_tables(session).createOrReplaceTempView("information_schema_tables")
     information_schema_schemata(session).createOrReplaceTempView("information_schema_schemata")
+    information_schema_columns(session).createOrReplaceTempView("information_schema_columns")
     sys_options(session).createOrReplaceTempView("sys_options")
     sys_version(session).createOrReplaceTempView("sys_version")
+    sys_functions(session).createOrReplaceTempView("sys_functions")

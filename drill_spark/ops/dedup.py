@@ -183,10 +183,11 @@ def minhash_near_dupes(
         .distinct()
     )
     sizes = tok.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    # equi-join on (id_b, w): shared-token counting stays hash-join-able;
+    # never a per-pair token cross product
     inter = (
         cands.join(tok.select(F.col("doc_id").alias("id_a"), "w"), "id_a")
-        .join(tok.select(F.col("doc_id").alias("id_b"), F.col("w").alias("w2")), "id_b")
-        .where(F.col("w") == F.col("w2"))
+        .join(tok.select(F.col("doc_id").alias("id_b"), "w"), ["id_b", "w"])
         .groupBy("id_a", "id_b")
         .agg(F.count("*").alias("inter"))
     )

@@ -73,3 +73,58 @@ def extract_features(df: DataFrame) -> DataFrame:
             )
 
     return df.mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+RESIZE_SCHEMA = "doc_id bigint, payload binary, width int, height int"
+
+
+def resize_stub(payload: bytes, width: int, height: int) -> bytes:
+    """STUB resize kernel (real impl: PIL/opencv). Deterministic fake:
+    truncate/pad the payload to width*height bytes so output size is the
+    'resized' dimensions — preserves the real kernel's contract that
+    output payload size is a function of target dims."""
+    if payload is None:
+        raise NotImplementedError("real resize requires image codec libs")
+    target = width * height
+    return bytes(payload[:target]).ljust(target, b"\0")
+
+
+def resize(df: DataFrame, width: int = 16, height: int = 16) -> DataFrame:
+    """mapInPandas resize over (doc_id, payload): the per-row media
+    transform shape (decode -> transform -> re-encode)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": pdf["payload"].map(lambda p: resize_stub(bytes(p), width, height)),
+                    "width": width,
+                    "height": height,
+                }
+            )
+
+    return df.select("doc_id", "payload").mapInPandas(run, schema=RESIZE_SCHEMA)
+
+
+FRAME_SCHEMA = "doc_id bigint, frame_idx int, frame binary"
+
+
+def frame_sample(df: DataFrame, n_frames: int = 4) -> DataFrame:
+    """mapInPandas frame sampling: one input row (video payload) ->
+    n_frames output rows — the 1-to-N exploding UDTF shape (real impl:
+    ffmpeg keyframe extraction). STUB: equal-stride byte slices."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, frames = [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                stride = max(len(b) // n_frames, 1)
+                for i in range(n_frames):
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    frames.append(b[i * stride : (i + 1) * stride])
+            yield pd.DataFrame({"doc_id": ids, "frame_idx": idxs, "frame": frames})
+
+    return df.select("doc_id", "payload").mapInPandas(run, schema=FRAME_SCHEMA)

@@ -713,6 +713,43 @@ order by gid, o_orderstatus nulls first, o_orderpriority nulls first
 """)
 
 
+# count(*)-only query (Drill: ConvertCountToDirectScanRule — metadata-only
+# scan; Spark reads parquet footers via the aggregate pushdown path)
+_q("op_count_star", """
+select count(*) as n_rows from lineitem
+""")
+
+# array function family over split() arrays (RepeatedValueVectors surface:
+# repeated_count ≈ size/len, repeated_contains ≈ array_contains)
+_q(
+    "op_array_fns",
+    """
+select doc_id,
+       size(split(trim(text), ' ')) as n_tokens,
+       array_contains(split(trim(lower(text)), ' '), 'the') as has_the,
+       size(array_distinct(split(trim(lower(text)), ' '))) as n_unique
+from documents
+where doc_id < 40
+""",
+    oracle="""
+select doc_id,
+       len(string_split(trim(text), ' ')) as n_tokens,
+       list_contains(string_split(trim(lower(text)), ' '), 'the') as has_the,
+       len(list_distinct(string_split(trim(lower(text)), ' '))) as n_unique
+from documents
+where doc_id < 40
+""",
+)
+
+# lead/lag with offset + default (WindowFunction.java LEAD/LAG branch)
+_q("op_window_lead_default", """
+select o_orderkey,
+       lag(o_orderkey, 2, -1) over (partition by o_custkey order by o_orderkey) as prev2,
+       lead(o_orderkey, 2, -1) over (partition by o_custkey order by o_orderkey) as next2
+from orders
+where o_custkey < 40
+""")
+
 # ------------------------------------------------- approximate aggregates
 # (hll / hll_merge, StatisticsAggrFunctions.java:148-230; tdigest
 # TDigestFunctions.java:57). Estimates are hash-design-specific, so these

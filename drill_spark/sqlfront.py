@@ -236,4 +236,23 @@ def execute(session, query: str) -> DataFrame:
                 )
         return spark.createDataFrame(rows) if rows else spark.createDataFrame([], "name string, isDirectory boolean, isFile boolean, length long")
 
+    # INFORMATION_SCHEMA.x / sys.x tables (store/ischema/, store/sys/):
+    # materialize the snapshot views and rewrite the dotted names
+    if re.search(r"\binformation_schema\s*\.|\bsys\s*\.", query, re.IGNORECASE):
+        from drill_spark.catalog import register_system_views
+
+        register_system_views(session)
+        query = re.sub(
+            r"\binformation_schema\s*\.\s*`?(\w+)`?",
+            lambda m: f"information_schema_{m.group(1).lower()}",
+            query,
+            flags=re.IGNORECASE,
+        )
+        query = re.sub(
+            r"\bsys\s*\.\s*`?(\w+)`?",
+            lambda m: f"sys_{m.group(1).lower()}",
+            query,
+            flags=re.IGNORECASE,
+        )
+
     return spark.sql(rewrite(session, query))

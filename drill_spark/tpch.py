@@ -37,12 +37,21 @@ from drill_spark.session import FIXTURE_TABLES, load_fixture
 import os
 
 
+_CURRENT_SF: dict[int, str] = {}
+
+
 def ensure_views(spark: SparkSession, sf_dir: str) -> None:
-    """Register fixture parquet as temp views (idempotent, lazy)."""
+    """Register fixture parquet as temp views (idempotent; memoized on
+    the session's *current* sf_dir so repeated queries skip the
+    driver-side footer reads; switching sf_dir re-registers)."""
+    key = os.path.abspath(sf_dir)
+    if _CURRENT_SF.get(id(spark)) == key:
+        return
     for t in FIXTURE_TABLES:
         p = os.path.join(sf_dir, f"{t}.parquet")
         if os.path.exists(p):
             load_fixture(spark, sf_dir, t).createOrReplaceTempView(t)
+    _CURRENT_SF[id(spark)] = key
 
 
 TPCH: dict[str, str] = {}

@@ -53,3 +53,29 @@ def test_multimodal_features(spark):
     rows = extops.q_multimodal_features(spark, SF_DIR).collect()
     assert len(rows) > 0
     assert all(r.feat_dim == 8 and r.kind == "text/plain" and r.n_bytes > 0 for r in rows)
+
+
+def test_multimodal_resize(spark):
+    from pyspark.sql import functions as F
+
+    from drill_spark.ops.multimodal import attach_payload, resize
+
+    out = resize(attach_payload(extops._docs(spark, SF_DIR).where(F.col("doc_id") < 20)), 8, 8)
+    rows = out.collect()
+    assert len(rows) == 20
+    assert all(len(r.payload) == 64 and r.width == 8 and r.height == 8 for r in rows)
+
+
+def test_multimodal_frame_sample(spark):
+    from pyspark.sql import functions as F
+
+    from drill_spark.ops.multimodal import attach_payload, frame_sample
+
+    docs = attach_payload(extops._docs(spark, SF_DIR).where(F.col("doc_id") < 10))
+    out = frame_sample(docs, n_frames=4)
+    rows = out.collect()
+    assert len(rows) == 40  # 1 row in -> n_frames rows out
+    per_doc = {}
+    for r in rows:
+        per_doc.setdefault(r.doc_id, []).append(r.frame_idx)
+    assert all(sorted(v) == [0, 1, 2, 3] for v in per_doc.values())

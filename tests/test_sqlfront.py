@@ -129,6 +129,25 @@ def test_describe_path_table(dsession):
     assert {"id", "name", "age"} <= cols
 
 
+def test_dotted_information_schema_and_sys_queries(dsession):
+    """Drill-style dotted system tables: INFORMATION_SCHEMA.`TABLES`,
+    sys.options (store/ischema/InfoSchemaTable.java, store/sys/)."""
+    dsession.sql("CREATE OR REPLACE VIEW isq_probe AS select 1 as one")
+    rows = dsession.sql(
+        "select TABLE_NAME from INFORMATION_SCHEMA.`TABLES` where TABLE_NAME = 'isq_probe'"
+    ).collect()
+    assert len(rows) == 1
+    cols = dsession.sql(
+        "select COLUMN_NAME, DATA_TYPE from information_schema.columns where TABLE_NAME = 'isq_probe'"
+    ).collect()
+    assert [(r["COLUMN_NAME"], r["DATA_TYPE"]) for r in cols] == [("one", "int")]
+    dsession.set_option("probe.opt", "on")
+    opts = {r["name"]: r["val"] for r in dsession.sql("select * from sys.options").collect()}
+    assert opts.get("probe.opt") == "on"
+    fns = {r["name"] for r in dsession.sql("select name from sys.functions").collect()}
+    assert "kvgen" in fns  # compat layer visible in the registry
+
+
 def test_information_schema_and_sys(dsession):
     from drill_spark.catalog import register_system_views
 
