@@ -38,15 +38,34 @@ def read_auto(
 ) -> DataFrame:
     options = dict(options or {})
     options.pop("type", None)
+    # provided schema (Drill: CREATE SCHEMA / table-function schema
+    # property, planner/sql/handlers/SchemaHandler.java,
+    # TestSchemaWithTableFunction.java): skip inference, use the DDL
+    schema = options.pop("schema", None)
     fmt = fmt.lower()
+    if fmt in ("log", "httpd", "syslog"):
+        from drill_spark.readers import logs
+
+        if fmt == "httpd":
+            return logs.read_httpd_log(spark, path)
+        if fmt == "syslog":
+            return logs.read_syslog(spark, path)
+        regex = options.pop("regex")
+        fields = [
+            (n.strip(), t.strip())
+            for n, _, t in (f.strip().partition(" ") for f in (schema or "").split(","))
+        ]
+        return logs.read_log(spark, path, regex, fields)
     if fmt == "json":
-        return read_json(spark, path, **_json_kwargs(options, session))
+        return read_json(spark, path, schema=schema, **_json_kwargs(options, session))
     if fmt in ("csv", "text", "tsv", "psv"):
         delim = {"tsv": "\t", "psv": "|"}.get(fmt)
         if delim and "delimiter" not in options:
             options["delimiter"] = delim
-        return read_csv(spark, path, **_csv_kwargs(options, session))
+        return read_csv(spark, path, schema=schema, **_csv_kwargs(options, session))
     reader = spark.read.options(**options)
+    if schema:
+        reader = reader.schema(schema)
     return reader.format(fmt).load(path)
 
 
@@ -58,7 +77,10 @@ def _json_kwargs(options: dict[str, str], session) -> dict:
     all_text = _truthy(options.pop("all_text_mode", options.pop("allTextMode", "false")))
     if session is not None and _truthy(session.get_option("store.json.all_text_mode", "false")):
         all_text = True
-    return {"all_text_mode": all_text, "options": options}
+    union = _truthy(options.pop("union_type", options.pop("unionType", "false")))
+    if session is not None and _truthy(session.get_option("exec.enable_union_type", "false")):
+        union = True
+    return {"all_text_mode": all_text, "union_mode": union, "options": options}
 
 
 def _csv_kwargs(options: dict[str, str], session) -> dict:
@@ -67,12 +89,32 @@ def _csv_kwargs(options: dict[str, str], session) -> dict:
     return {"header": header, "delimiter": delimiter, "options": options}
 
 
-def read_json(spark: SparkSession, path: str, all_text_mode: bool = False, options: dict | None = None) -> DataFrame:
+def read_json(
+    spark: SparkSession,
+    path: str,
+    all_text_mode: bool = False,
+    union_mode: bool = False,
+    schema: str | None = None,
+    options: dict | None = None,
+) -> DataFrame:
     """JSON with Drill semantics: multiline objects OK, schema unioned
     across files (OK_NEW_SCHEMA analog resolved at read time), and
-    all_text_mode reading primitives as strings."""
+    all_text_mode reading primitives as strings.
+
+    union_mode is the analog of Drill's union vector
+    (exec.enable_union_type, UnionVector.java:61 — per-value
+    heterogeneous types): the whole record is read as ONE Spark 4
+    VARIANT column `v`, preserving per-value types; access via
+    variant_get(v, '$.field' [, type]), inspect via
+    schema_of_variant/typeof. This is strictly more faithful than
+    Drill's union (arbitrary nesting, no subtype enumeration).
+    """
     reader = spark.read.options(**(options or {}))
-    if all_text_mode:
+    if schema:
+        reader = reader.schema(schema)
+    if union_mode:
+        reader = reader.option("singleVariantColumn", "v")
+    elif all_text_mode:
         reader = reader.option("primitivesAsString", "true")
     # Drill's JSON reader accepts both NDJSON and pretty-printed files.
     df = reader.option("multiLine", "false").json(path)
@@ -86,11 +128,15 @@ def read_csv(
     path: str,
     header: bool = False,
     delimiter: str = ",",
+    schema: str | None = None,
     options: dict | None = None,
 ) -> DataFrame:
-    """CSV with Drill's two models: named columns (extractHeader=true) or
-    the `columns[n]` array model for headerless files."""
+    """CSV with Drill's two models: named columns (extractHeader=true or
+    a provided schema) or the `columns[n]` array model for headerless
+    files."""
     reader = spark.read.options(**(options or {})).option("delimiter", delimiter)
+    if schema:
+        return reader.schema(schema).option("header", "true" if header else "false").csv(path)
     if header:
         return reader.option("header", "true").csv(path)
     raw = reader.option("header", "false").csv(path)

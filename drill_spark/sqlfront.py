@@ -48,7 +48,12 @@ _ALTER_SET = re.compile(
 )
 _RESET = re.compile(r"^\s*(?:ALTER\s+SESSION\s+)?RESET\s+`?([\w.]+)`?\s*;?\s*$", re.IGNORECASE)
 _SHOW_FILES = re.compile(r"^\s*SHOW\s+FILES(?:\s+(?:IN|FROM)\s+(\S+))?\s*;?\s*$", re.IGNORECASE)
-_TABLE_FN = re.compile(r"table\(\s*((?:\w+\.)+)`([^`]+)`\s*\(([^)]*)\)\s*\)", re.IGNORECASE)
+# option values may be quoted strings containing ')' or ',' (e.g. a
+# regex or a schema DDL) — consume quoted segments atomically
+_TABLE_FN = re.compile(
+    r"table\(\s*((?:\w+\.)+)`([^`]+)`\s*\(((?:'[^']*'|\"[^\"]*\"|[^)])*)\)\s*\)",
+    re.IGNORECASE,
+)
 _USE = re.compile(r"^\s*USE\s+`?([\w.]+)`?\s*;?\s*$", re.IGNORECASE)
 _SHOW_SCHEMAS = re.compile(r"^\s*SHOW\s+(?:SCHEMAS|DATABASES)\s*;?\s*$", re.IGNORECASE)
 _CTAS = re.compile(
@@ -101,12 +106,17 @@ def _read_path(session, ws_name: str, rel_path: str, options: dict[str, str] | N
     return read_auto(session.spark, path, fmt, options or {}, session)
 
 
+_TF_OPT = re.compile(r"`?(\w+)`?\s*=>\s*(?:'([^']*)'|\"([^\"]*)\"|([^,)\s]+))")
+
+
 def _parse_tf_options(raw: str) -> dict[str, str]:
+    """k => 'v' pairs; quoted values may contain commas (e.g. a provided
+    schema DDL string)."""
     opts: dict[str, str] = {}
-    for part in raw.split(","):
-        if "=>" in part:
-            k, v = part.split("=>", 1)
-            opts[k.strip().strip("`")] = v.strip().strip("'\"")
+    for m in _TF_OPT.finditer(raw):
+        k = m.group(1)
+        v = next(g for g in m.groups()[1:] if g is not None)
+        opts[k] = v
     return opts
 
 

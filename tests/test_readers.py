@@ -114,6 +114,105 @@ def test_dir_partition_filter(spark, data_root):
     assert [r["amt"] for r in got] == ["1994Q1"]
 
 
+def test_json_union_mode_variant(spark, tmp_path):
+    """Drill's union type (UnionVector.java:61, exec.enable_union_type)
+    → Spark 4 VARIANT: per-value heterogeneous types survive the read."""
+    p = tmp_path / "het.json"
+    p.write_text('{"a": 1}\n{"a": "str"}\n{"a": [1, 2, 3]}\n{"a": {"x": true}}\n')
+    df = read_json(spark, str(p), union_mode=True)
+    assert dict(df.dtypes) == {"v": "variant"}
+    df.createOrReplaceTempView("het")
+    types = sorted(
+        r["t"] for r in spark.sql("select schema_of_variant(variant_get(v, '$.a')) as t from het").collect()
+    )
+    assert types == ["ARRAY<BIGINT>", "BIGINT", "OBJECT<x: BOOLEAN>", "STRING"]
+    # typed access with per-value fallback (Drill: castToUnion/typeof surface)
+    vals = spark.sql("select try_variant_get(v, '$.a', 'bigint') as x from het").collect()
+    assert sorted([r["x"] for r in vals if r["x"] is not None]) == [1]
+
+
+def test_provided_schema_table_function(spark, tmp_path):
+    """Provided schema skips inference (SchemaHandler.java /
+    TestSchemaWithTableFunction.java analog) — via the sqlfront table
+    function `schema =>` option."""
+    from drill_spark.session import DrillSession
+
+    (tmp_path / "typed.csv").write_text("1,ada,3.5\n2,bob,4.25\n")
+    s = DrillSession(spark=spark)
+    s.register_workspace("dfs.sor", str(tmp_path), "csv")
+    df = s.sql(
+        "select * from table(dfs.sor.`typed.csv`("
+        "type => 'text', schema => 'id int, name string, score double'))"
+    )
+    assert [f.dataType.simpleString() for f in df.schema.fields] == ["int", "string", "double"]
+    assert df.where("score > 4").head()["name"] == "bob"
+
+
+def test_generic_log_reader(spark, tmp_path):
+    """Drill contrib/format-log analog: regex → typed columns."""
+    from drill_spark.readers.logs import read_log
+
+    p = tmp_path / "app.log"
+    p.write_text(
+        "2024-01-15 10:00:01 INFO started ok\n"
+        "2024-01-15 10:00:02 ERROR boom failed\n"
+        "garbage line\n"
+    )
+    df = read_log(
+        spark,
+        str(p),
+        r"^(\d{4}-\d{2}-\d{2} \d{2}:\d{2}:\d{2}) (\w+) (\w+) (\w+)$",
+        [("ts_raw", "string"), ("level", "string"), ("event", "string"), ("outcome", "string")],
+        keep_unmatched=True,
+    )
+    rows = df.collect()
+    assert len(rows) == 3
+    levels = [r["level"] for r in rows if r["level"] is not None]
+    assert sorted(levels) == ["ERROR", "INFO"]
+    assert [r["_unmatched"] for r in rows if r["_unmatched"]] == ["garbage line"]
+
+
+def test_httpd_log_reader(spark, tmp_path):
+    from drill_spark.readers.logs import read_httpd_log
+
+    p = tmp_path / "access.log"
+    p.write_text(
+        '10.0.0.1 - frank [10/Oct/2024:13:55:36 -0700] "GET /index.html HTTP/1.0" 200 2326 '
+        '"http://ref.example" "Mozilla/5.0"\n'
+        '192.168.0.5 - - [10/Oct/2024:13:56:01 -0700] "POST /api/v1 HTTP/1.1" 503 - "-" "curl/8.0"\n'
+    )
+    df = read_httpd_log(spark, str(p))
+    rows = {r["client_ip"]: r for r in df.collect()}
+    assert rows["10.0.0.1"]["status"] == 200 and rows["10.0.0.1"]["bytes"] == 2326
+    assert rows["192.168.0.5"]["method"] == "POST" and rows["192.168.0.5"]["bytes"] is None
+    assert str(rows["10.0.0.1"]["ts"]).startswith("2024-10-10")
+
+
+def test_syslog_reader(spark, tmp_path):
+    from drill_spark.readers.logs import read_syslog
+
+    p = tmp_path / "sys.log"
+    p.write_text(
+        "<34>Oct 11 22:14:15 host1 sshd[4123]: Failed password for root\n"
+        "<13>Oct 11 22:14:16 host2 cron: job started\n"
+    )
+    df = read_syslog(spark, str(p))
+    rows = {r["host"]: r for r in df.collect()}
+    assert rows["host1"]["severity"] == 2 and rows["host1"]["facility"] == 4
+    assert rows["host1"]["pid"] == 4123 and rows["host2"]["pid"] is None
+    assert rows["host2"]["app"] == "cron"
+
+
+def test_log_reader_stays_jvm_side(spark, tmp_path):
+    from drill_spark import plans
+    from drill_spark.readers.logs import read_log
+
+    p = tmp_path / "x.log"
+    p.write_text("a 1\n")
+    df = read_log(spark, str(p), r"^(\w+) (\d+)$", [("k", "string"), ("v", "int")])
+    assert not plans.has_python_eval(df)
+
+
 def test_parquet_merge_schema(spark, tmp_path):
     """Parquet schema evolution (mergeSchema ≈ resolving OK_NEW_SCHEMA
     at read time)."""

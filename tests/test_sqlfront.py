@@ -58,6 +58,19 @@ def test_table_function_options(dsession):
     assert df.count() == 2
 
 
+def test_table_function_log_format(dsession, tmp_path_factory):
+    """Drill contrib/format-log via table function: regex + field DDL."""
+    root = tmp_path_factory.mktemp("logs")
+    (root / "app.log").write_text("alpha 1\nbeta 2\n")
+    dsession.register_workspace("dfs.logs", str(root), "log")
+    df = dsession.sql(
+        r"select * from table(dfs.logs.`app.log`(type => 'log',"
+        r" regex => '^(\w+) (\d+)$', schema => 'k string, v int'))"
+    )
+    assert dict(df.dtypes) == {"k": "string", "v": "int"}
+    assert {(r["k"], r["v"]) for r in df.collect()} == {("alpha", 1), ("beta", 2)}
+
+
 def test_alter_session_set_and_reset(dsession):
     dsession.sql("ALTER SESSION SET `planner.broadcast_threshold` = 1048576")
     assert dsession.spark.conf.get("spark.sql.autoBroadcastJoinThreshold") == "1048576"
