@@ -750,6 +750,90 @@ from orders
 where o_custkey < 40
 """)
 
+# ---------------------------------------------- null semantics (VALUES-built)
+# The fixtures carry no nulls; these build nullable rows inline —
+# reference model: TestJoinNullable.java (null keys never equi-match),
+# TestUnionAll null reconciliation, null-aware aggs/sorts.
+
+_q("op_join_nullable", """
+with l as (select * from (values (1, 'a'), (2, 'b'), (cast(null as int), 'c')) as t(k, v)),
+     r as (select * from (values (1, 'x'), (cast(null as int), 'y')) as t(k, w))
+select l.k as k, l.v as v, r.w as w
+from l left join r on l.k = r.k
+order by v
+""")
+
+_q("op_agg_nulls", """
+with t as (select * from (values (1, 10.0), (1, cast(null as double)), (2, 20.0),
+                                 (cast(null as int), 30.0)) as t(k, x))
+select k,
+       count(*) as n_rows,
+       count(x) as n_vals,
+       round(coalesce(sum(x), 0), 2) as sum_x,
+       round(coalesce(avg(x), 0), 2) as avg_x
+from t
+group by k
+order by k nulls first
+""")
+
+_q("op_sort_nulls", """
+with t as (select * from (values (1, 'a'), (cast(null as int), 'b'), (3, 'c'),
+                                 (cast(null as int), 'd')) as t(k, v))
+select k, v from t
+order by k desc nulls last, v
+""")
+
+_q("op_null_predicates", """
+with t as (select * from (values (1), (cast(null as int)), (3)) as t(k))
+select
+  count(*) as n,
+  cast(sum(case when k is null then 1 else 0 end) as bigint) as n_null,
+  cast(sum(case when k is not null then 1 else 0 end) as bigint) as n_notnull,
+  cast(sum(case when k is distinct from 1 then 1 else 0 end) as bigint) as n_distinct_from_1
+from t
+""")
+
+# null-safe equality: Spark <=>  vs  DuckDB IS NOT DISTINCT FROM
+_q(
+    "op_null_safe_join",
+    """
+with l as (select * from (values (1), (cast(null as int))) as t(k)),
+     r as (select * from (values (1), (cast(null as int))) as t(k))
+select count(*) as n_matches
+from l join r on l.k <=> r.k
+""",
+    oracle="""
+with l as (select * from (values (1), (cast(null as int))) as t(k)),
+     r as (select * from (values (1), (cast(null as int))) as t(k))
+select count(*) as n_matches
+from l join r on l.k is not distinct from r.k
+""",
+)
+
+# ------------------------------------------------- decimal arithmetic
+# (Drill DECIMAL9/18/28/38 + VARDECIMAL -> DecimalType; exact sums must
+# agree bit-for-bit across engines, unlike float aggregation)
+
+_q("op_decimal_agg", """
+select l_returnflag,
+       sum(cast(l_extendedprice as decimal(18, 2))) as sum_price,
+       sum(cast(l_quantity as decimal(12, 2)) * cast(l_discount as decimal(8, 4))) as sum_qd,
+       min(cast(l_extendedprice as decimal(18, 2))) as min_price,
+       max(cast(l_extendedprice as decimal(18, 2))) as max_price
+from lineitem
+group by l_returnflag
+order by l_returnflag
+""")
+
+_q("op_decimal_arith", """
+select o_orderkey,
+       cast(o_totalprice as decimal(18, 2)) + cast(1.05 as decimal(6, 2)) as plus_d,
+       cast(o_totalprice as decimal(18, 2)) * cast(2 as decimal(4, 0)) as times_2,
+       cast(round(cast(o_totalprice as decimal(18, 2)) / cast(3 as decimal(4, 0)), 4) as double) as div_3
+from orders
+where o_orderkey < 50
+""")
+
 # ------------------------------------------------- approximate aggregates
 # (hll / hll_merge, StatisticsAggrFunctions.java:148-230; tdigest
 # TDigestFunctions.java:57). Estimates are hash-design-specific, so these
