@@ -1,0 +1,73 @@
+"""Scale utilities: skew-salted joins and bucketed co-located joins.
+
+These are the knobs SURVEY §2.10 maps from Drill's exchange planning
+(HashToRandomExchange / DrillDistributionTrait) onto Spark's shuffle:
+
+- **salted_join** — when one join key is pathologically hot, AQE's skew
+  split (on by default in `session.get_spark`) handles most cases at
+  runtime; salting is the *static* fallback for known-degenerate keys
+  (e.g. null-ish sentinel ids in a 100 TB fact table). The hot side
+  gets a deterministic salt in [0, salt); the small side is replicated
+  salt times; the join key becomes (key, salt) so one hot key spreads
+  over `salt` reducers. Result-set equality with the plain join is
+  guaranteed (replication × salt partition covers every pair exactly
+  once).
+
+- **write_bucketed / bucketed co-located join** — Drill co-locates by
+  hash distribution trait; Spark persists the distribution as bucketed
+  tables: both sides bucketed on the join key with the same bucket
+  count join WITHOUT a shuffle (no Exchange above either scan). The
+  pre-shuffle is paid once at write time — the right trade for
+  fact tables joined repeatedly on the same key at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def salted_join(
+    hot: DataFrame,
+    small: DataFrame,
+    on: list[str],
+    how: str = "inner",
+    salt: int = 16,
+) -> DataFrame:
+    """Join a skew-prone large side against a smaller side with key
+    salting. Output columns = hot's columns + small's non-key columns
+    (like df.join(other, on))."""
+    salt_col = "_salt"
+    # deterministic pseudo-salt from the row content keeps re-runs stable
+    hot_salted = hot.withColumn(
+        salt_col, F.pmod(F.xxhash64(*[F.col(c) for c in hot.columns]), F.lit(salt))
+    )
+    replicas = small.withColumn(
+        salt_col, F.explode(F.sequence(F.lit(0), F.lit(salt - 1)).cast("array<long>"))
+    )
+    return hot_salted.join(replicas, on + [salt_col], how).drop(salt_col)
+
+
+def write_bucketed(
+    spark: SparkSession,
+    df: DataFrame,
+    name: str,
+    bucket_cols: list[str],
+    buckets: int = 8,
+    sort: bool = True,
+) -> None:
+    """Persist df as a bucketed (and sorted) table so future joins and
+    aggregations on bucket_cols need no shuffle."""
+    import os
+    import shutil
+
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    # a dropped managed table can leave its location behind after a
+    # crashed run; overwrite mode refuses to reuse it — clear it
+    loc = os.path.join(spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse").replace("file:", ""), name.lower())
+    if os.path.exists(loc):
+        shutil.rmtree(loc)
+    writer = df.write.mode("overwrite").bucketBy(buckets, *bucket_cols)
+    if sort:
+        writer = writer.sortBy(*bucket_cols)
+    writer.saveAsTable(name)

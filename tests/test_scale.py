@@ -1,0 +1,81 @@
+"""Scale utilities: salted joins (skew) and bucketed co-located joins.
+
+The assertions here are the 100 TB contracts: salting must not change
+the join result; bucketed joins must eliminate the shuffle (no Exchange
+above either scan in the final plan).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from drill_spark import plans
+from drill_spark.ops.scale import salted_join, write_bucketed
+from drill_spark.session import load_fixture
+
+from .conftest import SF_DIR
+
+
+def test_salted_join_equals_plain_join(spark):
+    orders = load_fixture(spark, SF_DIR, "orders")
+    customer = load_fixture(spark, SF_DIR, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_nationkey"
+    )
+    plain = orders.join(customer, ["o_custkey"]).groupBy("c_nationkey").count()
+    salted = (
+        salted_join(orders, customer, ["o_custkey"], salt=8)
+        .groupBy("c_nationkey")
+        .count()
+    )
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def test_salted_left_join_keeps_unmatched(spark):
+    orders = load_fixture(spark, SF_DIR, "orders").limit(500)
+    dim = spark.createDataFrame([(1, "x")], "o_custkey int, tag string")
+    plain = orders.join(dim, ["o_custkey"], "left").count()
+    salted = salted_join(orders, dim, ["o_custkey"], how="left", salt=4).count()
+    assert plain == salted == 500
+
+
+def test_bucketed_join_has_no_shuffle(spark):
+    """Both sides bucketed on the join key → SortMergeJoin directly over
+    the scans; the only Exchange allowed is for the final small agg."""
+    orders = load_fixture(spark, SF_DIR, "orders")
+    customer = load_fixture(spark, SF_DIR, "customer")
+    write_bucketed(spark, orders.select("o_orderkey", "o_custkey", "o_totalprice"),
+                   "b_orders", ["o_custkey"], buckets=8)
+    write_bucketed(spark, customer.select("c_custkey", "c_nationkey"),
+                   "b_customer", ["c_custkey"], buckets=8)
+    # disable broadcast so the shuffle-elimination witness is visible
+    # (at real scale both sides are too big to broadcast anyway)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.table("b_orders").join(
+            spark.table("b_customer"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        ).select("o_orderkey", "c_nationkey")
+        s = plans.explain_str(joined)
+        # co-located: SortMergeJoin with NO shuffle Exchange on either side
+        assert "SortMergeJoin" in s, s
+        assert "Exchange hashpartitioning" not in s, s
+        # and it still answers correctly
+        n = joined.count()
+        plain = orders.join(customer, orders.o_custkey == customer.c_custkey).count()
+        assert n == plain
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_customer")
+
+
+def test_bucketed_agg_has_no_shuffle(spark):
+    """Aggregation on the bucket key reuses the persisted distribution."""
+    orders = load_fixture(spark, SF_DIR, "orders")
+    write_bucketed(spark, orders.select("o_custkey", "o_totalprice"),
+                   "b_orders_agg", ["o_custkey"], buckets=8)
+    agg = spark.table("b_orders_agg").groupBy("o_custkey").agg(F.sum("o_totalprice"))
+    s = plans.explain_str(agg)
+    assert "Exchange" not in s, s
+    spark.sql("DROP TABLE IF EXISTS b_orders_agg")
