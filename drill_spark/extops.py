@@ -279,6 +279,65 @@ def q_multimodal_features(spark, sf_dir):
     return extract_features(attach_payload(_docs(spark, sf_dir).where(F.col("doc_id") < 100)))
 
 
+# ------------------------------------------------------- temporal joins
+
+
+def q_asof_join(spark, sf_dir):
+    """Most recent click value as of each purchase, per user (as-of
+    join; DuckDB oracle uses its native ASOF JOIN)."""
+    from drill_spark.ops.temporal import as_of_join
+
+    ev = load_fixture(spark, sf_dir, "events")
+    left = ev.where(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    right = (
+        ev.where(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("click_val"))
+    )
+    out = as_of_join(left, right, on=["user_id"], left_ts="ts", right_ts="ts", right_vals=["click_val"])
+    return out.select(
+        "event_id", "user_id", F.round("click_val_asof", 2).alias("click_val_asof")
+    )
+
+
+ORACLE_ASOF_JOIN = """
+with r as (
+  select user_id, ts, max(value) as click_val
+  from events where event_type = 'click' group by 1, 2
+)
+select l.event_id, l.user_id, round(r.click_val, 2) as click_val_asof
+from (select event_id, user_id, ts from events where event_type = 'purchase') l
+asof left join r on l.user_id = r.user_id and l.ts >= r.ts
+"""
+
+
+def q_range_join(spark, sf_dir):
+    """Point-in-interval join via bucketing (equi-join on bucket id, not
+    an inequality cross product)."""
+    from drill_spark.ops.temporal import point_in_interval_join
+
+    ev = load_fixture(spark, sf_dir, "events").where(F.col("user_id") < 50)
+    tiers = ev.sparkSession.createDataFrame(
+        [("t0", 0.0, 5.0), ("t1", 5.0, 25.0), ("t2", 25.0, 100.0), ("t3", 100.0, 100000.0)],
+        "tier string, lo double, hi double",
+    )
+    out = point_in_interval_join(
+        ev.select("event_id", "value"), tiers, on=[], point_col="value",
+        start_col="lo", end_col="hi", bucket_width=5.0,
+    )
+    return out.select("event_id", "tier")
+
+
+ORACLE_RANGE_JOIN = """
+with tiers(tier, lo, hi) as (
+  values ('t0', 0.0, 5.0), ('t1', 5.0, 25.0), ('t2', 25.0, 100.0), ('t3', 100.0, 100000.0)
+)
+select e.event_id, t.tier
+from (select * from events where user_id < 50) e
+join tiers t on e.value >= t.lo and e.value < t.hi
+"""
+
+
 QUERIES = {
     "ext_dedup_exact": q_dedup_exact,
     "ext_dedup_jaccard": q_dedup_jaccard,
@@ -293,6 +352,8 @@ QUERIES = {
     "ext_text_fingerprint": q_text_fingerprint,
     "ext_multimodal_meta": q_multimodal_meta,
     "ext_multimodal_features": q_multimodal_features,
+    "ext_asof_join": q_asof_join,
+    "ext_range_join": q_range_join,
 }
 
 ORACLES = {
@@ -305,6 +366,8 @@ ORACLES = {
     "ext_text_langid": ORACLE_TEXT_LANGID,
     "ext_text_fingerprint": ORACLE_TEXT_FINGERPRINT,
     "ext_multimodal_meta": ORACLE_MULTIMODAL_META,
+    "ext_asof_join": ORACLE_ASOF_JOIN,
+    "ext_range_join": ORACLE_RANGE_JOIN,
 }
 
 

@@ -1,0 +1,95 @@
+"""Temporal join operators: as-of join and point-in-interval (range)
+join (extension surface — SURVEY §2.3 notes the reference has neither;
+its only non-equi path is a broadcast nested-loop join).
+
+Scale design — both operators avoid the naive O(n·m) inequality join:
+
+- **as_of_join**: union both sides tagged, one sort per user key
+  (window: last right-row carried forward), then filter to left rows.
+  Cost = one shuffle on the partition key + one in-partition sort —
+  the same profile as a windowed aggregation, independent of how many
+  right rows precede each left row. (A join-then-rank formulation
+  explodes on hot keys; this one cannot.)
+
+- **point_in_interval_join**: bucketize. Intervals explode to the
+  fixed-width buckets they overlap, points land in exactly one bucket,
+  the join is EQUI on (key, bucket), exact containment is a post-
+  filter. Shuffle is hash(key, bucket) — bounded fan-out = interval
+  span / width, tunable; never a cross product.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def as_of_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    right_vals: list[str] | None = None,
+    suffix: str = "_asof",
+) -> DataFrame:
+    """For each left row, attach the most recent right row (right_ts <=
+    left_ts) within the same `on` group. Right value columns arrive as
+    <name><suffix>; rows with no prior right row get nulls.
+    """
+    right_vals = right_vals or [c for c in right.columns if c not in on and c != right_ts]
+    lt = left.withColumn("_side", F.lit(1)).withColumn("_ats", F.col(left_ts))
+    rt = right.select(
+        *on,
+        F.col(right_ts).alias("_ats"),
+        *[F.col(c).alias(f"{c}{suffix}") for c in right_vals],
+    ).withColumn("_side", F.lit(0))
+    merged = lt.unionByName(rt, allowMissingColumns=True)
+    # right rows sort before left rows at the same timestamp (ties are
+    # "as of now" inclusive), matching ASOF JOIN <= semantics
+    w = (
+        Window.partitionBy(*on)
+        .orderBy(F.col("_ats"), F.col("_side"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = merged.select(
+        "*",
+        *[
+            F.last(F.col(f"{c}{suffix}"), ignorenulls=True).over(w).alias(f"_c_{c}")
+            for c in right_vals
+        ],
+    )
+    out_cols = [F.col(c) for c in left.columns] + [
+        F.col(f"_c_{c}").alias(f"{c}{suffix}") for c in right_vals
+    ]
+    return carried.where(F.col("_side") == 1).select(*out_cols)
+
+
+def point_in_interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    on: list[str],
+    point_col: str,
+    start_col: str,
+    end_col: str,
+    bucket_width: float,
+) -> DataFrame:
+    """Equi-bucketed point-in-[start, end) join.
+
+    Output = points' columns + intervals' non-key columns, one row per
+    containing interval.
+    """
+    pb = points.withColumn("_bk", F.floor(F.col(point_col) / bucket_width).cast("long"))
+    iv = intervals.withColumn(
+        "_bk",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(start_col) / bucket_width).cast("long"),
+                F.floor((F.col(end_col) - 1e-9) / bucket_width).cast("long"),
+            )
+        ),
+    )
+    joined = pb.join(iv, on + ["_bk"]).where(
+        (F.col(point_col) >= F.col(start_col)) & (F.col(point_col) < F.col(end_col))
+    )
+    return joined.drop("_bk")

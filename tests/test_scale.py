@@ -70,6 +70,27 @@ def test_bucketed_join_has_no_shuffle(spark):
         spark.sql("DROP TABLE IF EXISTS b_customer")
 
 
+def test_asof_join_is_not_a_nested_loop(spark):
+    """The as-of union+window formulation must never plan a nested-loop
+    or cartesian join (the naive inequality-join formulation does)."""
+    from drill_spark import extops
+
+    df = extops.QUERIES["ext_asof_join"](spark, SF_DIR)
+    s = plans.explain_str(df)
+    assert "BroadcastNestedLoopJoin" not in s and "CartesianProduct" not in s, s
+    assert "Window" in s
+
+
+def test_range_join_is_equi_bucketed(spark):
+    """Point-in-interval join runs as an equi hash join on the bucket
+    id, with containment as a post-filter — not an inequality NLJ."""
+    from drill_spark import extops
+
+    df = extops.QUERIES["ext_range_join"](spark, SF_DIR)
+    s = plans.explain_str(df)
+    assert "BroadcastNestedLoopJoin" not in s and "CartesianProduct" not in s, s
+
+
 def test_bucketed_agg_has_no_shuffle(spark):
     """Aggregation on the bucket key reuses the persisted distribution."""
     orders = load_fixture(spark, SF_DIR, "orders")
