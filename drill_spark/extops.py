@@ -279,6 +279,38 @@ def q_multimodal_features(spark, sf_dir):
     return extract_features(attach_payload(_docs(spark, sf_dir).where(F.col("doc_id") < 100)))
 
 
+# --------------------------------------------------------- streaming
+
+_STREAM_RUN = {"n": 0}
+
+
+def q_stream_tumbling(spark, sf_dir):
+    """Structured-Streaming tumbling-window aggregation, run to
+    completion over the finite events fixture. Oracle = the batch
+    time_bucket SQL (backfill-equivalence: stream result == batch
+    result on the same data)."""
+    from drill_spark.streaming.events import read_event_stream, run_to_completion, tumbling_counts
+
+    _STREAM_RUN["n"] += 1
+    out = run_to_completion(
+        tumbling_counts(read_event_stream(spark, sf_dir)),
+        f"drv_stream_tumbling_{_STREAM_RUN['n']}",
+        "complete",
+    )
+    return out.where(F.col("n") > 5).select(
+        F.col("ws").cast("timestamp_ntz").alias("ws"), "event_type", "n", "sum_v"
+    )
+
+
+ORACLE_STREAM_TUMBLING = """
+select time_bucket(interval '6 hours', ts) as ws, event_type, count(*) as n,
+       round(sum(value), 2) as sum_v
+from events
+group by 1, 2
+having count(*) > 5
+"""
+
+
 # ------------------------------------------------------- temporal joins
 
 
@@ -354,6 +386,7 @@ QUERIES = {
     "ext_multimodal_features": q_multimodal_features,
     "ext_asof_join": q_asof_join,
     "ext_range_join": q_range_join,
+    "ext_stream_tumbling": q_stream_tumbling,
 }
 
 ORACLES = {
@@ -368,6 +401,7 @@ ORACLES = {
     "ext_multimodal_meta": ORACLE_MULTIMODAL_META,
     "ext_asof_join": ORACLE_ASOF_JOIN,
     "ext_range_join": ORACLE_RANGE_JOIN,
+    "ext_stream_tumbling": ORACLE_STREAM_TUMBLING,
 }
 
 

@@ -246,6 +246,9 @@ def execute(session, query: str) -> DataFrame:
                 )
         return spark.createDataFrame(rows) if rows else spark.createDataFrame([], "name string, isDirectory boolean, isFile boolean, length long")
 
+    # EXPLAIN PLAN FOR <q> (Drill grammar) -> Spark EXPLAIN <q>
+    query = re.sub(r"^\s*EXPLAIN\s+PLAN\s+(?:WITH\s+IMPLEMENTATION\s+)?FOR\s+", "EXPLAIN ", query, flags=re.IGNORECASE)
+
     # INFORMATION_SCHEMA.x / sys.x tables (store/ischema/, store/sys/):
     # materialize the snapshot views and rewrite the dotted names
     if re.search(r"\binformation_schema\s*\.|\bsys\s*\.", query, re.IGNORECASE):

@@ -135,6 +135,13 @@ def test_create_view(dsession):
     assert dsession.sql("select count(*) as n from adults").head()["n"] == 1
 
 
+def test_explain_plan_for(dsession):
+    """Drill grammar: EXPLAIN PLAN FOR <q> (parserImpls.ftl)."""
+    root = dsession.workspaces["dfs.data"].path
+    rows = dsession.sql(f"EXPLAIN PLAN FOR select * from dfs.`{root}/people.json`").collect()
+    assert any("Scan" in r[0] or "Relation" in r[0] for r in rows)
+
+
 def test_describe_path_table(dsession):
     root = dsession.workspaces["dfs.data"].path
     rows = dsession.sql(f"DESCRIBE dfs.`{root}/people.json`").collect()
