@@ -130,6 +130,13 @@ def q_ann_lsh(spark, sf_dir):
     return lsh_topk(_embs(spark, sf_dir), query_ids=[0, 1, 2, 3, 4], k=3)
 
 
+def q_ann_ivf(spark, sf_dir):
+    """IVF ANN: k-means coarse cells + nprobe search (rows-only)."""
+    from drill_spark.ops.similarity import ivf_topk
+
+    return ivf_topk(_embs(spark, sf_dir), query_ids=[0, 1, 2, 3, 4], k=3, n_cells=8, nprobe=3)
+
+
 # ---------------------------------------------------------------- text
 
 
@@ -380,6 +387,7 @@ QUERIES = {
     "ext_embed_topk": q_embed_topk,
     "ext_embed_dedup": q_embed_dedup,
     "ext_ann_lsh": q_ann_lsh,
+    "ext_ann_ivf": q_ann_ivf,
     "ext_text_stats": q_text_stats,
     "ext_text_quality": q_text_quality,
     "ext_text_langid": q_text_langid,

@@ -121,6 +121,104 @@ def lsh_bucket(df: DataFrame, vec_col: str, planes: list[list[float]], out: str 
     return df.withColumn(out, bucket)
 
 
+def ivf_assign(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 8,
+    seed: int = 42,
+) -> tuple[DataFrame, list[list[float]]]:
+    """IVF coarse quantizer: k-means centroids (Spark ML, one training
+    pass) + per-vector cell assignment. Returns (df + `cell`, centroids).
+
+    Scale: training samples the data (MLlib handles it); assignment is
+    one scan. The inverted file = the table hash-partitioned by cell —
+    exactly the layout a later `search only nprobe cells` query wants.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    train = df.select(array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"))
+    model = KMeans(k=n_cells, seed=seed, maxIter=10).fit(train)
+    centroids = [
+        (c.toArray() if hasattr(c, "toArray") else c).tolist() for c in model.clusterCenters()
+    ]
+    return _assign_cells(df, vec_col, centroids), centroids
+
+
+def _cents_sql(centroids: list[list[float]]) -> str:
+    """Centroid matrix as a SQL array<array<double>> literal."""
+    return "array(" + ",".join(
+        "array(" + ",".join(f"{x}D" for x in c) + ")" for c in centroids
+    ) + ")"
+
+
+def _dist2_array(vec_col: str, centroids: list[list[float]]):
+    """Squared L2 distance to every centroid as ONE transform() over the
+    literal centroid matrix — linear-size expression tree (a per-centroid
+    when-chain grows exponentially under Catalyst project collapse and
+    overflows the JVM stack), constant-folded, codegen'd."""
+    cents = _cents_sql(centroids)
+    return F.expr(
+        f"transform({cents}, c -> aggregate(zip_with({vec_col}, c, "
+        f"(x, y) -> (cast(x as double) - y) * (cast(x as double) - y)), 0D, (acc, v) -> acc + v))"
+    )
+
+
+def _assign_cells(df: DataFrame, vec_col: str, centroids: list[list[float]]) -> DataFrame:
+    """argmin over centroid distances as a pure Catalyst expression."""
+    return (
+        df.withColumn("_dists", _dist2_array(vec_col, centroids))
+        .withColumn("cell", (F.expr("array_position(_dists, array_min(_dists))") - 1).cast("int"))
+        .drop("_dists")
+    )
+
+
+def ivf_topk(
+    df: DataFrame,
+    query_ids,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 3,
+    n_cells: int = 8,
+    nprobe: int = 2,
+) -> DataFrame:
+    """IVF approximate top-k: exact cosine only within the query's
+    nprobe nearest cells. The candidate shuffle is keyed by cell id;
+    cost scales with corpus/nprobe÷n_cells, not corpus size."""
+    assigned, centroids = ivf_assign(df, id_col, vec_col, n_cells)
+    assigned = with_norm(assigned, vec_col, "n")
+    # per-query nprobe nearest centroids (tiny: |queries| × n_cells rows
+    # from one posexplode of the distance array — no per-centroid union)
+    q_rows = assigned.where(F.col(id_col).isin(list(query_ids)))
+    exploded = q_rows.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        F.col("n").alias("qn"),
+        F.posexplode(_dist2_array(vec_col, centroids)).alias("pcell", "d2"),
+    )
+    wq = Window.partitionBy("query_id").orderBy("d2", "pcell")
+    probes = (
+        exploded.withColumn("_r", F.row_number().over(wq))
+        .where(F.col("_r") <= nprobe)
+        .select("query_id", F.col("pcell").alias("cell"), "qv", "qn")
+    )
+    cand = assigned.select(
+        F.col("cell"), F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"), F.col("n").alias("cn")
+    )
+    scored = (
+        cand.join(F.broadcast(probes), "cell")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine", F.round(_dot("qv", "cv") / (F.col("qn") * F.col("cn")), 4))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
 def lsh_topk(
     df: DataFrame,
     query_ids,

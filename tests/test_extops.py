@@ -49,6 +49,27 @@ def test_ann_lsh_shape(spark):
     assert all(r.rank <= 3 for r in res)
 
 
+def test_ann_ivf_recall(spark):
+    """IVF nprobe search: valid shape + recall vs exact brute force.
+
+    With 8 cells and nprobe=3 on clustered fixtures, recall@3 should be
+    well above chance (>= 0.5) and every result must be a real vector."""
+    from drill_spark.ops.similarity import brute_force_topk
+
+    embs = extops._embs(spark, SF_DIR)
+    from pyspark.sql import functions as F
+
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in brute_force_topk(embs, embs.where(F.col("vec_id") < 5), k=3).collect()
+    }
+    approx_rows = extops.q_ann_ivf(spark, SF_DIR).collect()
+    approx = {(r.query_id, r.neighbor_id) for r in approx_rows}
+    assert all(r.rank <= 3 for r in approx_rows)
+    recall = len(approx & exact) / len(exact)
+    assert recall >= 0.5, f"IVF recall too low: {recall:.2f}"
+
+
 def test_multimodal_features(spark):
     rows = extops.q_multimodal_features(spark, SF_DIR).collect()
     assert len(rows) > 0
