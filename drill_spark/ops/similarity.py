@@ -127,19 +127,24 @@ def ivf_assign(
     vec_col: str = "embedding",
     n_cells: int = 8,
     seed: int = 42,
+    max_train: int = 100_000,
 ) -> tuple[DataFrame, list[list[float]]]:
-    """IVF coarse quantizer: k-means centroids (Spark ML, one training
-    pass) + per-vector cell assignment. Returns (df + `cell`, centroids).
+    """IVF coarse quantizer: k-means centroids (Spark ML) + per-vector
+    cell assignment. Returns (df + `cell`, centroids).
 
-    Scale: training samples the data (MLlib handles it); assignment is
-    one scan. The inverted file = the table hash-partitioned by cell —
-    exactly the layout a later `search only nprobe cells` query wants.
+    Scale: training runs on a bounded sample (coarse quantizers don't
+    need the full corpus — FAISS practice) with random init to avoid
+    k-means||'s extra passes; assignment is one scan. The inverted file
+    = the table hash-partitioned by cell — exactly the layout a later
+    `search only nprobe cells` query wants.
     """
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
-    train = df.select(array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"))
-    model = KMeans(k=n_cells, seed=seed, maxIter=10).fit(train)
+    train = df.select(
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features")
+    ).limit(max_train)
+    model = KMeans(k=n_cells, seed=seed, maxIter=8, initMode="random", tol=1e-3).fit(train)
     centroids = [
         (c.toArray() if hasattr(c, "toArray") else c).tolist() for c in model.clusterCenters()
     ]

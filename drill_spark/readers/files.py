@@ -63,6 +63,10 @@ def read_auto(
         if delim and "delimiter" not in options:
             options["delimiter"] = delim
         return read_csv(spark, path, schema=schema, **_csv_kwargs(options, session))
+    if fmt == "xml":
+        return read_xml(spark, path, schema=schema, options=options)
+    if fmt == "ltsv":
+        return read_ltsv(spark, path, schema=schema)
     reader = spark.read.options(**options)
     if schema:
         reader = reader.schema(schema)
@@ -142,6 +146,63 @@ def read_csv(
     raw = reader.option("header", "false").csv(path)
     # columns[n] model: a single array column named `columns`
     return raw.select(F.array(*[F.col(c) for c in raw.columns]).alias("columns"))
+
+
+def read_xml(
+    spark: SparkSession,
+    path: str,
+    row_tag: str = "row",
+    schema: str | None = None,
+    options: dict | None = None,
+) -> DataFrame:
+    """XML reader (contrib/format-xml XMLFormatPlugin analog).
+
+    Drill's XML reader flattens elements below a configured `dataLevel`
+    into columns with attributes in a sibling map. Spark 4 ships a
+    native distributed XML source (schema inference, nested structs,
+    attributes as `_attr` fields) — strictly more capable, so we use it
+    directly; `rowTag` plays dataLevel's role of naming the record
+    element.
+    """
+    opts = dict(options or {})
+    opts.setdefault("rowTag", opts.pop("dataLevel", row_tag))
+    reader = spark.read.options(**opts)
+    if schema:
+        reader = reader.schema(schema)
+    return reader.format("xml").load(path)
+
+
+def read_ltsv(
+    spark: SparkSession,
+    path: str,
+    schema: str | None = None,
+) -> DataFrame:
+    """LTSV reader (contrib/format-ltsv analog): each line is
+    tab-separated `label:value` pairs; labels may differ per line
+    (schema-on-read).
+
+    Pure Catalyst: read.text (splittable, parallel by block) →
+    str_to_map (splits each pair at the FIRST ':', so values containing
+    ':' survive) → one key-discovery aggregation (returns only the
+    label set, not data) → per-label projection. A provided `schema`
+    ("name type, ..." DDL) skips the discovery pass — the scale path
+    when labels are known.
+    """
+    m = F.expr("str_to_map(value, '\t', ':')")
+    mapped = spark.read.text(path).select(m.alias("m"))
+    if schema:
+        fields = [
+            (n.strip(), t.strip())
+            for n, _, t in (f.strip().partition(" ") for f in schema.split(","))
+        ]
+        return mapped.select(
+            *[F.col("m").getItem(n).cast(t).alias(n) for n, t in fields]
+        )
+    keys_row = mapped.select(
+        F.array_sort(F.array_distinct(F.flatten(F.collect_list(F.map_keys("m"))))).alias("ks")
+    ).head()
+    keys = list(keys_row["ks"] or [])
+    return mapped.select(*[F.col("m").getItem(k).alias(k) for k in keys])
 
 
 # ---------------- implicit & partition columns ----------------

@@ -79,6 +79,8 @@ _SUFFIX_FORMAT = {
     ".psv": "csv",
     ".avro": "avro",
     ".orc": "orc",
+    ".xml": "xml",
+    ".ltsv": "ltsv",
 }
 
 

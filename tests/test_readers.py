@@ -234,3 +234,48 @@ def test_parquet_merge_schema(spark, tmp_path):
     assert set(df.columns) == {"id", "name", "score"}
     rows = {r["id"]: r for r in df.collect()}
     assert rows[1]["score"] is None and abs(rows[2]["score"] - 9.5) < 1e-9
+
+
+def test_xml_reader(spark, tmp_path):
+    """Drill contrib/format-xml analog via Spark 4's native XML source:
+    rowTag record splitting, attribute capture, type inference."""
+    from drill_spark.readers.files import read_xml
+
+    p = tmp_path / "books.xml"
+    p.write_text(
+        "<catalog>"
+        '<book id="1"><title>Dune</title><price>9.99</price></book>'
+        '<book id="2"><title>Foundation</title><price>7.50</price></book>'
+        "</catalog>"
+    )
+    df = read_xml(spark, str(p), row_tag="book")
+    rows = {r["_id"]: r for r in df.collect()}
+    assert rows[1]["title"] == "Dune"
+    assert abs(float(rows[2]["price"]) - 7.50) < 1e-9
+
+
+def test_ltsv_reader(spark, tmp_path):
+    """Drill contrib/format-ltsv analog: label:value pairs, ragged
+    labels across lines, ':' inside values preserved."""
+    from drill_spark.readers.files import read_ltsv
+
+    p = tmp_path / "acc.ltsv"
+    p.write_text(
+        "host:127.0.0.1\treq:GET /\ttime:12:30:55\tstatus:200\n"
+        "host:10.0.0.2\tstatus:404\tua:curl/8\n"
+    )
+    df = read_ltsv(spark, str(p))
+    assert set(df.columns) == {"host", "req", "time", "status", "ua"}
+    rows = {r["host"]: r for r in df.collect()}
+    assert rows["127.0.0.1"]["time"] == "12:30:55"
+    assert rows["10.0.0.2"]["req"] is None and rows["10.0.0.2"]["ua"] == "curl/8"
+
+
+def test_ltsv_provided_schema_skips_discovery(spark, tmp_path):
+    from drill_spark.readers.files import read_ltsv
+
+    p = tmp_path / "t.ltsv"
+    p.write_text("k:1\tv:a\nk:2\tv:b\n")
+    df = read_ltsv(spark, str(p), schema="k int, v string")
+    assert [f.dataType.simpleString() for f in df.schema.fields] == ["int", "string"]
+    assert sorted((r["k"], r["v"]) for r in df.collect()) == [(1, "a"), (2, "b")]
