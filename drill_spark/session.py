@@ -145,6 +145,8 @@ class DrillSession:
     spark: SparkSession = field(default_factory=get_spark)
     workspaces: dict[str, Workspace] = field(default_factory=dict)
     options: dict[str, str] = field(default_factory=dict)
+    aliases: dict[str, str] = field(default_factory=dict)
+    materialized: dict[str, str] = field(default_factory=dict)
     _view_counter: int = 0
 
     def __post_init__(self) -> None:

@@ -31,6 +31,14 @@ Rewrites performed:
 - ``CREATE [OR REPLACE] VIEW name AS ...`` → Spark temp view
   (ViewHandler.java; Drill stores views as .view.drill JSON — ours live
   in the Spark temp catalog).
+- ``CREATE/DROP [PUBLIC] ALIAS`` / ``SHOW ALIASES`` → session alias
+  registry, resolved textually before table lookup
+  (CreateAliasHandler.java; docs/dev/Aliases.md).
+- ``REFRESH TABLE METADATA <t>`` → ``spark.catalog.refreshByPath``
+  (parserImpls.ftl:556-579 — parquet metadata cache invalidation).
+- ``CREATE/DROP MATERIALIZED VIEW`` → materialize to parquet + view
+  over it (MaterializedViewHandler.java; automatic query rewrite to
+  matching MVs is out of scope, as in Drill it is experimental).
 """
 
 from __future__ import annotations
@@ -69,6 +77,28 @@ _CREATE_VIEW = re.compile(
 )
 _INSERT_PATH = re.compile(
     r"^\s*INSERT\s+INTO\s+((?:\w+\.)+)`([^`]+)`\s+(.*)$", re.IGNORECASE | re.DOTALL
+)
+# Drill aliases (planner/sql/handlers/CreateAliasHandler.java; PUBLIC =
+# system-wide vs user scope — one session here, so scope is cosmetic)
+_CREATE_ALIAS = re.compile(
+    r"^\s*CREATE\s+(?:OR\s+REPLACE\s+)?(?:PUBLIC\s+)?ALIAS\s+`?(\w+)`?\s+FOR\s+(?:TABLE\s+)?(.+?)\s*;?\s*$",
+    re.IGNORECASE,
+)
+_DROP_ALIAS = re.compile(
+    r"^\s*DROP\s+(?:PUBLIC\s+)?ALIAS\s+(IF\s+EXISTS\s+)?`?(\w+)`?\s*;?\s*$", re.IGNORECASE
+)
+_SHOW_ALIASES = re.compile(r"^\s*SHOW\s+ALIASES\s*;?\s*$", re.IGNORECASE)
+# REFRESH TABLE METADATA (parserImpls.ftl:556-579 — rebuilds the parquet
+# metadata cache; Spark analog: invalidate cached listings/footers)
+_REFRESH_META = re.compile(
+    r"^\s*REFRESH\s+TABLE\s+METADATA\s+(?:((?:\w+\.)+)`([^`]+)`|`?([\w./-]+)`?)\s*;?\s*$",
+    re.IGNORECASE,
+)
+_CREATE_MV = re.compile(
+    r"^\s*CREATE\s+MATERIALIZED\s+VIEW\s+`?(\w+)`?\s+AS\s+(.*)$", re.IGNORECASE | re.DOTALL
+)
+_DROP_MV = re.compile(
+    r"^\s*DROP\s+MATERIALIZED\s+VIEW\s+(IF\s+EXISTS\s+)?`?(\w+)`?\s*;?\s*$", re.IGNORECASE
 )
 
 _SUFFIX_FORMAT = {
@@ -124,6 +154,11 @@ def _parse_tf_options(raw: str) -> dict[str, str]:
 
 def rewrite(session, query: str) -> str:
     """Rewrite Drill-isms into plain Spark SQL (registering temp views)."""
+
+    # alias resolution first (CreateAliasHandler: aliases resolve before
+    # table lookup) — standalone identifiers only, not `x.alias` parts
+    for alias, target in getattr(session, "aliases", {}).items():
+        query = re.sub(rf"(?<![\w.`']){re.escape(alias)}(?![\w`])", target, query)
 
     def tf_sub(m: re.Match) -> str:
         ws, path, raw_opts = m.group(1), m.group(2), m.group(3)
@@ -206,6 +241,66 @@ def execute(session, query: str) -> DataFrame:
 
         shutil.rmtree(path) if os.path.isdir(path) else os.remove(path)
         return _ok(spark, f"dropped table {ws_name}.`{rel_path}`")
+
+    m = _CREATE_ALIAS.match(query)
+    if m:
+        alias, target = m.group(1), m.group(2)
+        session.aliases[alias] = target
+        return _ok(spark, f"alias {alias} -> {target}")
+
+    m = _DROP_ALIAS.match(query)
+    if m:
+        if_exists, alias = m.group(1), m.group(2)
+        if alias not in session.aliases and not if_exists:
+            raise ValueError(f"alias not found: {alias}")
+        session.aliases.pop(alias, None)
+        return _ok(spark, f"alias {alias} dropped")
+
+    if _SHOW_ALIASES.match(query):
+        rows = [Row(alias=a, target=t) for a, t in sorted(session.aliases.items())]
+        return (
+            spark.createDataFrame(rows)
+            if rows
+            else spark.createDataFrame([], "alias string, target string")
+        )
+
+    m = _REFRESH_META.match(query)
+    if m:
+        if m.group(2):  # ws.`path` form
+            ws = session.workspaces.get(m.group(1).rstrip("."))
+            root = ws.path if ws else "/"
+            path = m.group(2) if os.path.isabs(m.group(2)) else os.path.join(root, m.group(2))
+        else:
+            path = m.group(3)
+        if os.path.exists(path):
+            spark.catalog.refreshByPath(path)
+            return _ok(spark, f"metadata refreshed for {path}")
+        spark.catalog.refreshTable(path)
+        return _ok(spark, f"metadata refreshed for table {path}")
+
+    m = _CREATE_MV.match(query)
+    if m:
+        name, select = m.group(1), m.group(2)
+        tmp_ws = session.workspaces.get("dfs.tmp")
+        path = os.path.join(tmp_ws.path if tmp_ws else "/tmp", "_materialized", name)
+        spark.sql(rewrite(session, select)).write.mode("overwrite").parquet(path)
+        spark.read.parquet(path).createOrReplaceTempView(name)
+        session.materialized[name] = path
+        return _ok(spark, f"materialized view {name} at {path}")
+
+    m = _DROP_MV.match(query)
+    if m:
+        if_exists, name = m.group(1), m.group(2)
+        path = session.materialized.pop(name, None)
+        if path is None:
+            if if_exists:
+                return _ok(spark, f"materialized view {name} did not exist")
+            raise ValueError(f"materialized view not found: {name}")
+        spark.catalog.dropTempView(name)
+        import shutil
+
+        shutil.rmtree(path, ignore_errors=True)
+        return _ok(spark, f"materialized view {name} dropped")
 
     m = _CREATE_VIEW.match(query)
     if m:

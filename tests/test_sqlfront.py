@@ -184,3 +184,52 @@ def test_information_schema_and_sys(dsession):
     assert opts.get("my.option") == "42"
     ver = dsession.sql("select * from sys_version").head()
     assert ver["spark_version"].startswith("4.")
+
+
+def test_table_aliases(dsession):
+    """CreateAliasHandler analog: alias → table reference, resolved
+    before table lookup; SHOW ALIASES; DROP ALIAS."""
+    root = dsession.workspaces["dfs.data"].path
+    dsession.sql(f"CREATE ALIAS folks FOR TABLE dfs.data.`people.json`")
+    df = dsession.sql("select name from folks where age > 40")
+    assert [r["name"] for r in df.collect()] == ["bob"]
+    shown = {(r["alias"]) for r in dsession.sql("SHOW ALIASES").collect()}
+    assert "folks" in shown
+    dsession.sql("DROP ALIAS folks")
+    assert dsession.sql("SHOW ALIASES").where("alias = 'folks'").count() == 0
+    out = dsession.sql("DROP ALIAS IF EXISTS folks").head()
+    assert out["ok"] is True
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        dsession.sql("DROP ALIAS folks")
+
+
+def test_refresh_table_metadata(dsession):
+    root = dsession.workspaces["dfs.data"].path
+    out = dsession.sql(f"REFRESH TABLE METADATA dfs.data.`people.json`").head()
+    assert out["ok"] is True
+    out = dsession.sql(f"REFRESH TABLE METADATA `{root}`").head()
+    assert out["ok"] is True
+
+
+def test_materialized_view_roundtrip(dsession, tmp_path):
+    """MaterializedViewHandler analog: materialize to parquet, serve
+    queries from the materialization, drop cleans up."""
+    dsession.workspaces["dfs.tmp"].path = str(tmp_path)
+    dsession.sql(
+        "CREATE MATERIALIZED VIEW mv_adults AS "
+        "select name, age from dfs.data.`people.json` where age > 30"
+    )
+    path = dsession.materialized["mv_adults"]
+    assert os.path.isdir(path)  # physically materialized as parquet
+    df = dsession.sql("select name from mv_adults order by name")
+    assert [r["name"] for r in df.collect()] == ["ada", "bob"]
+    # the query plan reads the parquet materialization, not people.json
+    assert "json" not in df._jdf.queryExecution().executedPlan().toString().lower()
+    dsession.sql("DROP MATERIALIZED VIEW mv_adults")
+    assert not os.path.exists(path)
+    with pytest.raises(Exception):
+        dsession.sql("DROP MATERIALIZED VIEW mv_adults")
+    out = dsession.sql("DROP MATERIALIZED VIEW IF EXISTS mv_adults").head()
+    assert out["ok"] is True
