@@ -127,7 +127,7 @@ def q_ann_lsh(spark, sf_dir):
     """LSH-bucketed ANN (approximate by construction — rows-only)."""
     from drill_spark.ops.similarity import lsh_topk
 
-    return lsh_topk(_embs(spark, sf_dir), query_ids=[0, 1, 2, 3, 4], k=3)
+    return lsh_topk(_embs(spark, sf_dir), query_ids=[0, 1, 2, 3, 4], k=3, nprobe=2)
 
 
 def q_ann_ivf(spark, sf_dir):

@@ -10,12 +10,13 @@ Scale design (100 TB, billions of vectors):
   is a single pass, per-partition partial top-k via window over the
   broadcast-joined product. No driver collect.
 - Norms are precomputed once per side (projection, not a shuffle).
-- lsh_bucketed_topk: bucket = sign bits of dot(v, plane_j); exact
-  search only within the query's bucket -> shuffle keyed by bucket id;
-  multiprobe (flipping low-margin bits) would raise recall at the same
-  cost profile (documented, not implemented in v1).
-- IVF analog: k-means coarse quantizer is expressible with Spark ML at
-  scale; LSH chosen for v1 because it needs no training pass.
+- lsh_topk: bucket = sign bits of dot(v, plane_j); exact search only
+  within the query's bucket(s) -> shuffle keyed by bucket id;
+  multiprobe (nprobe > 1) flips the lowest-margin bits to probe
+  adjacent buckets, raising recall at ~nprobe/2^n_planes of the
+  corpus per query.
+- ivf_topk: k-means coarse quantizer (sampled training) + nprobe
+  nearest cells — the trained-partition alternative to LSH.
 """
 
 from __future__ import annotations
@@ -104,21 +105,47 @@ def hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     return rng.standard_normal((n_planes, dim)).tolist()
 
 
+def _plane_dots(vec_col: str, planes: list[list[float]]):
+    """dot(v, p_j) for every hyperplane as ONE transform() over the
+    literal plane matrix (linear expression tree, codegen'd)."""
+    mat = _cents_sql(planes)
+    return F.expr(
+        f"transform({mat}, p -> aggregate(zip_with({vec_col}, p, "
+        f"(x, y) -> cast(x as double) * y), 0D, (acc, v) -> acc + v))"
+    )
+
+
+_BUCKET_FROM_DOTS = (
+    "aggregate(zip_with({dots}, sequence(0, size({dots}) - 1), "
+    "(d, i) -> IF(d > 0, shiftleft(1L, i), 0L)), 0L, (a, b) -> a + b)"
+)
+
+
 def lsh_bucket(df: DataFrame, vec_col: str, planes: list[list[float]], out: str = "bucket") -> DataFrame:
     """Random-hyperplane LSH bucket id: int of sign bits of dot(v, p_j).
 
     The planes are inlined as array literals — constant-folded by
     Catalyst, broadcast with the plan, evaluated in codegen.
     """
-    terms = []
-    for j, p in enumerate(planes):
-        arr = "array(" + ",".join(f"{x}D" for x in p) + ")"
-        bit = F.when(_dot(vec_col, arr) > 0, F.lit(1 << j).cast("long")).otherwise(F.lit(0).cast("long"))
-        terms.append(bit)
-    bucket = terms[0]
-    for t in terms[1:]:
-        bucket = bucket + t
-    return df.withColumn(out, bucket)
+    return (
+        df.withColumn("_dots", _plane_dots(vec_col, planes))
+        .withColumn(out, F.expr(_BUCKET_FROM_DOTS.format(dots="_dots")))
+        .drop("_dots")
+    )
+
+
+def lsh_probe_buckets(nprobe: int):
+    """Multiprobe bucket list for a query: its own bucket plus the
+    buckets reached by flipping the `nprobe - 1` lowest-margin sign
+    bits (|dot| smallest = most likely to be on the wrong side).
+    Expects `_dots` and `bucket` columns; pure Catalyst."""
+    flips = (
+        "slice(transform(array_sort(zip_with(_dots, sequence(0, size(_dots) - 1), "
+        "(d, i) -> struct(abs(d) as m, i as i))), s -> s.i), 1, {n})"
+    ).format(n=nprobe - 1)
+    return F.expr(
+        f"concat(array(bucket), transform({flips}, i -> bucket ^ shiftleft(1L, i)))"
+    )
 
 
 def ivf_assign(
@@ -232,12 +259,26 @@ def lsh_topk(
     k: int = 3,
     n_planes: int = 4,
     dim: int = 64,
+    nprobe: int = 1,
 ) -> DataFrame:
-    """Approximate top-k: exact cosine within the query's LSH bucket."""
+    """Approximate top-k: exact cosine within the query's LSH bucket(s).
+
+    nprobe > 1 = multiprobe: each query also searches the buckets
+    reached by flipping its lowest-margin hash bits — recall rises
+    toward exact while candidate cost stays ~nprobe/2^n_planes of the
+    corpus (the standard LSH recall/cost dial)."""
     planes = hyperplanes(dim, n_planes)
     bucketed = lsh_bucket(with_norm(df, vec_col, "n"), vec_col, planes)
-    q = bucketed.where(F.col(id_col).isin(list(query_ids))).select(
-        F.col("bucket"), F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"), F.col("n").alias("qn")
+    q = (
+        bucketed.where(F.col(id_col).isin(list(query_ids)))
+        .withColumn("_dots", _plane_dots(vec_col, planes))
+        .withColumn("_probes", lsh_probe_buckets(nprobe))
+        .select(
+            F.explode("_probes").alias("bucket"),
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("qv"),
+            F.col("n").alias("qn"),
+        )
     )
     c = bucketed.select(
         F.col("bucket"), F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"), F.col("n").alias("cn")

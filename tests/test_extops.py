@@ -100,3 +100,21 @@ def test_multimodal_frame_sample(spark):
     for r in rows:
         per_doc.setdefault(r.doc_id, []).append(r.frame_idx)
     assert all(sorted(v) == [0, 1, 2, 3] for v in per_doc.values())
+
+
+def test_lsh_multiprobe_recall_dominates(spark):
+    """Multiprobe LSH: probing flipped low-margin buckets must find a
+    superset-or-equal candidate pool vs single-probe, so per-query best
+    cosine can only improve; and it stays fully JVM-side."""
+    from drill_spark import plans
+    from drill_spark.ops.similarity import lsh_topk
+
+    embs = extops._embs(spark, SF_DIR)
+    one = lsh_topk(embs, query_ids=[0, 1, 2, 3, 4], k=3, nprobe=1)
+    multi = lsh_topk(embs, query_ids=[0, 1, 2, 3, 4], k=3, nprobe=3)
+    assert not plans.has_python_eval(multi)
+    best1 = {r["query_id"]: r["cosine"] for r in one.where("rank = 1").collect()}
+    best3 = {r["query_id"]: r["cosine"] for r in multi.where("rank = 1").collect()}
+    assert set(best1) <= set(best3)  # multiprobe never loses a query
+    for q, c in best1.items():
+        assert best3[q] >= c - 1e-9, f"multiprobe regressed query {q}"
