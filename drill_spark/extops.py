@@ -83,6 +83,15 @@ def q_dedup_simhash(spark, sf_dir):
     return simhash(_docs(spark, sf_dir), "doc_id", "text", bits=48)
 
 
+def q_dedup_simhash_pairs(spark, sf_dir):
+    """SimHash near-dup pairs via banded candidates (rows-only; banding
+    completeness vs brute force asserted in test_simhash_pairs_complete)."""
+    from drill_spark.ops.dedup import simhash_near_dupes
+
+    docs = _docs(spark, sf_dir).where(F.col("doc_id") < 200)
+    return simhash_near_dupes(docs, "doc_id", "text", bits=48, bands=4, max_hamming=3)
+
+
 # ------------------------------------------------------------ similarity
 
 
@@ -384,6 +393,7 @@ QUERIES = {
     "ext_dedup_jaccard": q_dedup_jaccard,
     "ext_dedup_minhash": q_dedup_minhash,
     "ext_dedup_simhash": q_dedup_simhash,
+    "ext_dedup_simhash_pairs": q_dedup_simhash_pairs,
     "ext_embed_topk": q_embed_topk,
     "ext_embed_dedup": q_embed_dedup,
     "ext_ann_lsh": q_ann_lsh,

@@ -227,3 +227,57 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 48) -> DataFr
         term = F.when(F.col(f"b{i}") > 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long"))
         fp = term if fp is None else fp + term
     return agg.select(F.col(id_col), fp.alias("fingerprint"))
+
+
+def simhash_near_dupes(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 48,
+    bands: int = 4,
+    max_hamming: int = 6,
+    max_bucket_size: int = 2000,
+) -> DataFrame:
+    """SimHash near-duplicate pairs: band the fingerprint into `bands`
+    contiguous bit slices; docs sharing ANY band's slice become
+    candidates (two fingerprints within `max_hamming` of each other
+    must agree exactly on >= 1 band when max_hamming < bands, pigeonhole);
+    verify with bit_count(xor) — all JVM-side.
+
+    Scale: candidate generation is a shuffle keyed by (band, slice
+    value) — never an all-pairs product; hot buckets (constant-ish
+    fingerprints over boilerplate) are capped at max_bucket_size like
+    minhash banding. Verification cost = candidate count, not n^2.
+    """
+    fp = simhash(df, id_col, text_col, bits)
+    width = bits // bands
+    mask = (1 << width) - 1
+    banded = fp.select(
+        F.col(id_col),
+        F.col("fingerprint"),
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned("fingerprint", b * width).bitwiseAND(F.lit(mask))
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band", "slice"),
+    )
+    cap = Window.partitionBy("band", "slice").orderBy(id_col)
+    banded = banded.withColumn("_r", F.row_number().over(cap)).where(
+        F.col("_r") <= max_bucket_size
+    )
+    a = banded.select("band", "slice", F.col(id_col).alias("id_a"), F.col("fingerprint").alias("fp_a"))
+    b = banded.select("band", "slice", F.col(id_col).alias("id_b"), F.col("fingerprint").alias("fp_b"))
+    return (
+        a.join(b, ["band", "slice"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b"))).alias("hamming"),
+        )
+        .distinct()  # a pair may agree on several bands
+        .where(F.col("hamming") <= max_hamming)
+    )

@@ -118,3 +118,29 @@ def test_lsh_multiprobe_recall_dominates(spark):
     assert set(best1) <= set(best3)  # multiprobe never loses a query
     for q, c in best1.items():
         assert best3[q] >= c - 1e-9, f"multiprobe regressed query {q}"
+
+
+def test_simhash_pairs_complete(spark):
+    """Banded SimHash candidates must be COMPLETE when max_hamming <
+    bands (pigeonhole: <=3 differing bits cannot touch all 4 bands), so
+    the result equals brute-force all-pairs hamming <= 3 — and must stay
+    JVM-side."""
+    from pyspark.sql import functions as F
+
+    from drill_spark import plans
+    from drill_spark.ops.dedup import simhash, simhash_near_dupes
+
+    docs = extops._docs(spark, SF_DIR).where(F.col("doc_id") < 200)
+    fp = simhash(docs, "doc_id", "text", bits=48)
+    a = fp.select(F.col("doc_id").alias("id_a"), F.col("fingerprint").alias("fa"))
+    b = fp.select(F.col("doc_id").alias("id_b"), F.col("fingerprint").alias("fb"))
+    brute = (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("hamming", F.bit_count(F.col("fa").bitwiseXOR(F.col("fb"))))
+        .where("hamming <= 3")
+    )
+    expect = {(r.id_a, r.id_b, r.hamming) for r in brute.collect()}
+    got_df = simhash_near_dupes(docs, "doc_id", "text", bits=48, bands=4, max_hamming=3)
+    assert not plans.has_python_eval(got_df)
+    got = {(r.id_a, r.id_b, r.hamming) for r in got_df.collect()}
+    assert got == expect, f"banded != brute: missing {expect - got}, extra {got - expect}"
