@@ -95,6 +95,97 @@ _SQL_UDFS: dict[str, tuple[str, str]] = {
 }
 
 
+# ---------------- convert_from / convert_to (conv/ package) ----------------
+#
+# Drill's convert_from(x, 'ENC') / convert_to(x, 'ENC')
+# (expr/fn/impl/conv/: JsonConvertFrom.java, UTF8, IntBE/IntConvertFrom,
+# BigIntBE..., ~40 codecs) return a DIFFERENT type per encoding, so they
+# cannot be one SQL UDF; the sql front end expands the literal-encoding
+# form into a typed Catalyst expression instead (Drill also resolves the
+# codec at plan time — the encoding must be a literal).
+#
+# {x} = first argument. INT/BIGINT are little-endian (hadoop order),
+# *_BE big-endian, matching the reference's codec names. Signed decode
+# uses conv(..., 16, -10) (two's-complement) for 8-byte values and an
+# explicit wrap for 4-byte.
+
+_LE_HEX = "array_join(reverse(regexp_extract_all(hex({x}), '(..)', 1)), '')"
+
+# 4-byte signed: conv -> unsigned bigint -> wrap via bigint->int cast
+# (string->int cast nulls on overflow; bigint->int truncates = two's
+# complement). 8-byte signed: conv(..., 16, -10) is signed directly.
+_INT4 = "CAST(CAST(conv({h}, 16, 10) AS BIGINT) AS INT)"
+
+_CONVERT_FROM = {
+    "JSON": "parse_json(cast({x} AS STRING))",
+    "UTF8": "cast({x} AS STRING)",
+    "INT_BE": _INT4.format(h="hex({x})"),
+    "INT": _INT4.format(h=_LE_HEX),
+    "BIGINT_BE": "CAST(conv(hex({x}), 16, -10) AS BIGINT)",
+    "BIGINT": "CAST(conv(" + _LE_HEX + ", 16, -10) AS BIGINT)",
+    "BOOLEAN_BYTE": "(conv(hex({x}), 16, 10) <> '0')",
+    "BASE64": "unbase64(cast({x} AS STRING))",
+    "HEX": "unhex(cast({x} AS STRING))",
+}
+
+_CONVERT_TO = {
+    "JSON": "to_json({x})",
+    "UTF8": "encode(cast({x} AS STRING), 'UTF-8')",
+    "INT_BE": "unhex(lpad(hex({x} & 4294967295), 8, '0'))",
+    "INT": "unhex(array_join(reverse(regexp_extract_all(lpad(hex({x} & 4294967295), 8, '0'), '(..)', 1)), ''))",
+    "BIGINT_BE": "unhex(lpad(hex({x}), 16, '0'))",
+    "BIGINT": "unhex(array_join(reverse(regexp_extract_all(lpad(hex({x}), 16, '0'), '(..)', 1)), ''))",
+    "BOOLEAN_BYTE": "unhex(if({x}, '01', '00'))",
+    "BASE64": "encode(base64({x}), 'UTF-8')",
+    "HEX": "encode(hex({x}), 'UTF-8')",
+}
+
+
+def rewrite_convert_calls(query: str) -> str:
+    """Expand convert_from/convert_to with a literal encoding into typed
+    expressions. Paren-balanced scan (the first argument may itself
+    contain calls); non-literal encodings are left untouched and fail
+    at analysis, matching Drill's plan-time codec resolution."""
+    import re as _re
+
+    out = []
+    i = 0
+    pat = _re.compile(r"convert_(from|to)\s*\(", _re.IGNORECASE)
+    while True:
+        m = pat.search(query, i)
+        if not m:
+            out.append(query[i:])
+            return "".join(out)
+        out.append(query[i : m.start()])
+        depth, j, args, start = 1, m.end(), [], m.end()
+        in_str = None
+        while j < len(query) and depth:
+            ch = query[j]
+            if in_str:
+                if ch == in_str:
+                    in_str = None
+            elif ch in "'\"":
+                in_str = ch
+            elif ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+                if depth == 0:
+                    args.append(query[start:j].strip())
+            elif ch == "," and depth == 1:
+                args.append(query[start:j].strip())
+                start = j + 1
+            j += 1
+        enc_m = _re.fullmatch(r"'(\w+)'", args[1]) if len(args) == 2 else None
+        table = _CONVERT_FROM if m.group(1).lower() == "from" else _CONVERT_TO
+        if enc_m and enc_m.group(1).upper() in table:
+            inner = rewrite_convert_calls(args[0])
+            out.append("(" + table[enc_m.group(1).upper()].format(x=inner) + ")")
+        else:
+            out.append(query[m.start() : j])  # untouched
+        i = j
+
+
 def _stmt(name: str, sig: str, body: str) -> str:
     # RETURNS type is inferred from the body expression (Spark >= 4.0).
     return f"CREATE OR REPLACE TEMPORARY FUNCTION {name}({sig}) RETURN {body}"

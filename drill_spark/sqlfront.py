@@ -160,6 +160,13 @@ def rewrite(session, query: str) -> str:
     for alias, target in getattr(session, "aliases", {}).items():
         query = re.sub(rf"(?<![\w.`']){re.escape(alias)}(?![\w`])", target, query)
 
+    # convert_from/convert_to with literal encodings -> typed expressions
+    # (conv/ package; codec resolved at rewrite time like Drill's planner)
+    if re.search(r"convert_(?:from|to)\s*\(", query, re.IGNORECASE):
+        from drill_spark.functions import rewrite_convert_calls
+
+        query = rewrite_convert_calls(query)
+
     def tf_sub(m: re.Match) -> str:
         ws, path, raw_opts = m.group(1), m.group(2), m.group(3)
         df = _read_path(session, ws.rstrip("."), path, _parse_tf_options(raw_opts))

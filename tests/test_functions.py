@@ -123,3 +123,33 @@ def test_builtin_name_parity(spark):
         v = one(spark, expr)
         if expected is not None:
             assert v == expected, (expr, v)
+
+
+def test_convert_from_to_codecs(spark):
+    """conv/ package parity: typed convert_from/convert_to expansion —
+    endianness, signed wrap, UTF8, BOOLEAN_BYTE, JSON->VARIANT."""
+    from drill_spark.session import DrillSession
+
+    r = DrillSession(spark=spark).sql(
+        "select "
+        "convert_from(convert_to(-12345, 'INT_BE'), 'INT_BE') as i_be, "
+        "convert_from(convert_to(-12345, 'INT'), 'INT') as i_le, "
+        "convert_from(convert_to(-987654321987, 'BIGINT'), 'BIGINT') as b_le, "
+        "hex(convert_to(258, 'INT_BE')) as h_be, "
+        "hex(convert_to(258, 'INT')) as h_le, "
+        "convert_from(convert_to('héllo', 'UTF8'), 'UTF8') as s, "
+        "convert_from(convert_to(true, 'BOOLEAN_BYTE'), 'BOOLEAN_BYTE') as bb, "
+        "cast(convert_from('{\"a\": [1, 2]}', 'JSON') as string) as j"
+    ).head()
+    assert r["i_be"] == -12345 and r["i_le"] == -12345 and r["b_le"] == -987654321987
+    assert r["h_be"] == "00000102" and r["h_le"] == "02010000"  # byte order differs
+    assert r["s"] == "héllo" and r["bb"] is True and r["j"] == '{"a":[1,2]}'
+
+
+def test_convert_rewrite_leaves_unknown_untouched():
+    from drill_spark.functions import rewrite_convert_calls
+
+    q = "select convert_from(x, enc) from t"  # non-literal encoding
+    assert rewrite_convert_calls(q) == q
+    q2 = "select convert_from(f(a, ','), 'UTF8') from t"  # commas inside call
+    assert "cast(f(a, ',') AS STRING)" in rewrite_convert_calls(q2)
