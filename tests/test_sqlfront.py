@@ -233,3 +233,50 @@ def test_materialized_view_roundtrip(dsession, tmp_path):
         dsession.sql("DROP MATERIALIZED VIEW mv_adults")
     out = dsession.sql("DROP MATERIALIZED VIEW IF EXISTS mv_adults").head()
     assert out["ok"] is True
+
+
+def test_nested_json_paths(dsession, tmp_path):
+    """Drill's signature schema-on-read surface (TestExampleQueries-style
+    nested access): deep struct paths, array subscripts, and lateral
+    flatten over a nested repeated field, straight through the SQL front
+    end with no DDL."""
+    p = tmp_path / "pastries.json"
+    p.write_text(
+        "\n".join(
+            json.dumps(r)
+            for r in [
+                {
+                    "id": "0001",
+                    "kind": "donut",
+                    "batters": {"batter": [{"bid": "1001", "flavor": "plain"},
+                                           {"bid": "1002", "flavor": "chocolate"}]},
+                    "topping": [{"tid": "5001", "t": "none"}, {"tid": "5002", "t": "glazed"}],
+                },
+                {
+                    "id": "0002",
+                    "kind": "raised",
+                    "batters": {"batter": [{"bid": "1001", "flavor": "plain"}]},
+                    "topping": [{"tid": "5002", "t": "glazed"}],
+                },
+            ]
+        )
+    )
+    # deep path + array subscript (0-based in Spark SQL)
+    r = dsession.sql(
+        f"select t.batters.batter[1].flavor as f, t.topping[0].t as top "
+        f"from dfs.`{p}` t where t.id = '0001'"
+    ).head()
+    assert r["f"] == "chocolate" and r["top"] == "none"
+    # lateral flatten of a nested repeated field (FLATTEN analog)
+    rows = dsession.sql(
+        f"select t.id, b.flavor from dfs.`{p}` t "
+        f"lateral view explode(t.batters.batter) x as b order by t.id, b.flavor"
+    ).collect()
+    assert [(r["id"], r["flavor"]) for r in rows] == [
+        ("0001", "chocolate"), ("0001", "plain"), ("0002", "plain"),
+    ]
+    # aggregate over unnested nested data
+    cnt = dsession.sql(
+        f"select t.id, size(t.topping) as n from dfs.`{p}` t order by t.id"
+    ).collect()
+    assert [(r["id"], r["n"]) for r in cnt] == [("0001", 2), ("0002", 1)]
