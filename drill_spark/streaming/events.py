@@ -143,3 +143,47 @@ def run_to_completion(stream_df: DataFrame, name: str, output_mode: str = "appen
     q.awaitTermination()
     spark = stream_df.sparkSession
     return spark.table(name)
+
+
+def stream_static_enrich(events: DataFrame, dim: DataFrame, on: str = "user_id") -> DataFrame:
+    """Stream-static join: enrich each event with a dimension row.
+
+    The static side is re-broadcast per micro-batch (no state store at
+    all), so this scales with the dim size only — the canonical pattern
+    for joining a 100 TB event stream to a small reference table.
+    """
+    return events.join(F.broadcast(dim), on, "left")
+
+
+def stream_stream_join(
+    events: DataFrame,
+    left_type: str = "view",
+    right_type: str = "purchase",
+    horizon: str = "12 hours",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream inner join with an event-time interval condition:
+    pair each `left_type` event with the same user's `right_type`
+    events that follow within `horizon`.
+
+    Both sides carry a watermark and the join condition bounds event
+    time on both sides, so Spark can expire join state — without the
+    time bound the state store would grow forever. This is the
+    attribution-join shape (view -> purchase within N hours).
+    """
+    a = (
+        events.where(F.col("event_type") == left_type)
+        .select(F.col("user_id"), F.col("event_id").alias("a_id"), F.col("ts").alias("a_ts"))
+        .withWatermark("a_ts", watermark)
+    )
+    b = (
+        events.where(F.col("event_type") == right_type)
+        .select(F.col("user_id").alias("b_user"), F.col("event_id").alias("b_id"), F.col("ts").alias("b_ts"))
+        .withWatermark("b_ts", watermark)
+    )
+    return a.join(
+        b,
+        F.expr(
+            f"user_id = b_user AND b_ts >= a_ts AND b_ts <= a_ts + interval {horizon}"
+        ),
+    ).select("user_id", "a_id", "a_ts", "b_id", "b_ts")

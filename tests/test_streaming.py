@@ -76,3 +76,47 @@ def test_sliding(spark):
     # every event lands in width/slide = 2 windows
     total = got.agg(F.sum("n")).head()[0]
     assert total == 2 * _batch_events(spark).count()
+
+
+def test_stream_static_enrich_matches_batch(spark):
+    from drill_spark.streaming.events import (
+        read_event_stream,
+        run_to_completion,
+        stream_static_enrich,
+    )
+
+    dim = spark.createDataFrame(
+        [(u, f"tier{u % 3}") for u in range(30)], "user_id bigint, tier string"
+    )
+    stream = stream_static_enrich(read_event_stream(spark, SF_DIR), dim)
+    got = run_to_completion(stream, "enriched")
+    batch = load_fixture(spark, SF_DIR, "events").join(F.broadcast(dim), "user_id", "left")
+    assert got.count() == batch.count()
+    g = {r["event_id"]: r["tier"] for r in got.collect()}
+    for r in batch.collect():
+        assert g[r["event_id"]] == r["tier"]
+
+
+def test_stream_stream_join_matches_batch(spark):
+    """Backfill equivalence: the watermarked stream-stream interval join
+    equals the same join run as a batch query."""
+    from drill_spark.streaming.events import (
+        read_event_stream,
+        run_to_completion,
+        stream_stream_join,
+    )
+
+    got = run_to_completion(
+        stream_stream_join(read_event_stream(spark, SF_DIR)), "attributed"
+    )
+    ev = load_fixture(spark, SF_DIR, "events")
+    a = ev.where("event_type = 'view'").selectExpr("user_id", "event_id as a_id", "ts as a_ts")
+    b = ev.where("event_type = 'purchase'").selectExpr(
+        "user_id as b_user", "event_id as b_id", "ts as b_ts"
+    )
+    batch = a.join(
+        b, F.expr("user_id = b_user AND b_ts >= a_ts AND b_ts <= a_ts + interval 12 hours")
+    )
+    expect = {(r["a_id"], r["b_id"]) for r in batch.collect()}
+    have = {(r["a_id"], r["b_id"]) for r in got.collect()}
+    assert have == expect and len(expect) > 0
