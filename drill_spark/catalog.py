@@ -101,6 +101,36 @@ def sys_functions(session) -> DataFrame:
     return session.spark.createDataFrame(rows, "name string")
 
 
+def sys_profiles(session) -> DataFrame:
+    """Query-history table (store/sys profiles + web UI profile analog):
+    one row per statement submitted through DrillSession.sql()."""
+    rows = [
+        Row(
+            query_id=i,
+            query=q["query"],
+            start_ts=q["start_ts"],
+            plan_ms=q["plan_ms"],
+            state=q["state"],
+        )
+        for i, q in enumerate(getattr(session, "profiles", []))
+    ]
+    schema = "query_id int, query string, start_ts timestamp, plan_ms double, state string"
+    return session.spark.createDataFrame(rows, schema)
+
+
+def sys_drillbits(session) -> DataFrame:
+    """Cluster-membership table (store/sys/DrillbitIterator analog):
+    Spark executors from the status tracker; in local mode, the driver."""
+    sc = session.spark.sparkContext
+    try:  # JVM status tracker (the Python wrapper lacks executor infos)
+        infos = sc._jsc.sc().statusTracker().getExecutorInfos()
+        rows = [Row(hostname=e.host(), user_port=int(e.port()), current=True) for e in infos]
+    except Exception:
+        rows = []
+    rows = rows or [Row(hostname="driver", user_port=0, current=True)]
+    return session.spark.createDataFrame(rows, "hostname string, user_port int, current boolean")
+
+
 def register_system_views(session) -> None:
     """Expose information_schema_* / sys_* as queryable temp views
     (snapshots at call time; sqlfront refreshes on each dotted-name query)."""
@@ -110,3 +140,5 @@ def register_system_views(session) -> None:
     sys_options(session).createOrReplaceTempView("sys_options")
     sys_version(session).createOrReplaceTempView("sys_version")
     sys_functions(session).createOrReplaceTempView("sys_functions")
+    sys_profiles(session).createOrReplaceTempView("sys_profiles")
+    sys_drillbits(session).createOrReplaceTempView("sys_drillbits")

@@ -147,6 +147,7 @@ class DrillSession:
     options: dict[str, str] = field(default_factory=dict)
     aliases: dict[str, str] = field(default_factory=dict)
     materialized: dict[str, str] = field(default_factory=dict)
+    profiles: list[dict] = field(default_factory=list)
     _view_counter: int = 0
 
     def __post_init__(self) -> None:
@@ -180,10 +181,30 @@ class DrillSession:
 
     def sql(self, query: str) -> DataFrame:
         """Run SQL. Drill-isms are rewritten first (sqlfront); the result
-        is always executed by Catalyst via ``spark.sql``."""
+        is always executed by Catalyst via ``spark.sql``.
+
+        Each statement is recorded in ``profiles`` (sys.profiles analog:
+        Drill's QueryManager keeps per-query profiles). plan_ms covers
+        rewrite+analysis; execution is lazy and runs on the action."""
+        import datetime
+        import time
+
         from drill_spark.sqlfront import execute
 
-        return execute(self, query)
+        entry = {
+            "query": query.strip(),
+            "start_ts": datetime.datetime.now(),
+            "plan_ms": 0.0,
+            "state": "FAILED",
+        }
+        t0 = time.perf_counter()
+        try:
+            df = execute(self, query)
+            entry["state"] = "COMPLETED"
+            return df
+        finally:
+            entry["plan_ms"] = round((time.perf_counter() - t0) * 1000, 3)
+            self.profiles.append(entry)
 
     # ---------------- session options ----------------
 

@@ -280,3 +280,21 @@ def test_nested_json_paths(dsession, tmp_path):
         f"select t.id, size(t.topping) as n from dfs.`{p}` t order by t.id"
     ).collect()
     assert [(r["id"], r["n"]) for r in cnt] == [("0001", 2), ("0002", 1)]
+
+
+def test_sys_profiles_and_drillbits(dsession):
+    """sys.profiles = query history (QueryManager analog); sys.drillbits
+    = cluster membership from the Spark status tracker."""
+    dsession.sql("select 1 as probe_marker")
+    prof = dsession.sql("select * from sys.profiles").collect()
+    assert any("probe_marker" in r["query"] for r in prof)
+    assert all(r["state"] in ("COMPLETED", "FAILED") for r in prof)
+    bits = dsession.sql("select * from sys.drillbits").collect()
+    assert len(bits) >= 1 and all(r["hostname"] for r in bits)
+    # failed statements are recorded too
+    try:
+        dsession.sql("select definitely_not_a_column from sys.version")
+    except Exception:
+        pass
+    prof2 = dsession.sql("select * from sys.profiles where state = 'FAILED'").collect()
+    assert any("definitely_not_a_column" in r["query"] for r in prof2)
