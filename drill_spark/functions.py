@@ -82,6 +82,24 @@ _SQL_UDFS: dict[str, tuple[str, str]] = {
         "ip STRING",
         r"ip RLIKE '^(10\\.|192\\.168\\.|172\\.(1[6-9]|2[0-9]|3[01])\\.)'",
     ),
+    # --- user agent (contrib/udfs UserAgentFunctions.java; yauaa-backed
+    # in the reference — here a regex classifier, order matters: Edge UAs
+    # contain Chrome, Chrome UAs contain Safari) ---
+    "parse_user_agent": (
+        "ua STRING",
+        "named_struct("
+        "'browser', CASE WHEN ua RLIKE 'Firefox/' THEN 'Firefox'"
+        " WHEN ua RLIKE 'Edg(e|A|iOS)?/' THEN 'Edge'"
+        " WHEN ua RLIKE 'Chrome/' THEN 'Chrome'"
+        " WHEN ua RLIKE 'Safari/' THEN 'Safari' ELSE 'Other' END, "
+        "'os', CASE WHEN ua RLIKE 'Windows' THEN 'Windows'"
+        " WHEN ua RLIKE 'Android' THEN 'Android'"
+        " WHEN ua RLIKE 'iPhone|iPad' THEN 'iOS'"
+        " WHEN ua RLIKE 'Mac OS X' THEN 'macOS'"
+        " WHEN ua RLIKE 'Linux' THEN 'Linux' ELSE 'Other' END, "
+        "'is_mobile', ua RLIKE 'Mobile|Android|iPhone', "
+        "'is_bot', lower(ua) RLIKE 'bot|crawler|spider|slurp')",
+    ),
     # --- threat hunting (contrib/udfs ThreatHuntingFunctions.java) ---
     "punycode_detect": ("s STRING", "s LIKE '%xn--%'"),
     # shannon entropy of a string's characters (DGA-domain heuristic),

@@ -67,6 +67,8 @@ def read_auto(
         return read_xml(spark, path, schema=schema, options=options)
     if fmt == "ltsv":
         return read_ltsv(spark, path, schema=schema)
+    if fmt in ("excel", "xlsx"):
+        return read_excel(spark, path, **options)
     reader = spark.read.options(**options)
     if schema:
         reader = reader.schema(schema)
@@ -203,6 +205,28 @@ def read_ltsv(
     ).head()
     keys = list(keys_row["ks"] or [])
     return mapped.select(*[F.col("m").getItem(k).alias(k) for k in keys])
+
+
+def read_excel(spark: SparkSession, path: str, sheet: str | int = 0, **_):
+    """Excel reader (contrib/format-excel analog).
+
+    Spreadsheets are driver-side artifacts (no splittable layout), so
+    this reads via pandas and distributes the rows — the same
+    single-fragment shape as the reference's POI-based reader. Requires
+    openpyxl, which is not bundled in every environment; without it the
+    error states the missing dependency instead of failing obscurely.
+    """
+    try:
+        import openpyxl  # noqa: F401
+    except ImportError as e:
+        raise NotImplementedError(
+            "excel format requires the openpyxl package (pip install openpyxl); "
+            "not bundled in this environment"
+        ) from e
+    import pandas as pd
+
+    pdf = pd.read_excel(path, sheet_name=sheet)
+    return spark.createDataFrame(pdf)
 
 
 # ---------------- implicit & partition columns ----------------

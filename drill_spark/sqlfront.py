@@ -130,6 +130,17 @@ def _infer_format(path: str, default: str) -> str:
 def _read_path(session, ws_name: str, rel_path: str, options: dict[str, str] | None = None) -> DataFrame:
     from drill_spark.readers.files import read_auto
 
+    if ws_name.rstrip(".") in ("http", "https") or rel_path.startswith(("http://", "https://")):
+        from drill_spark.readers.http import read_http
+
+        opts = options or {}
+        return read_http(
+            session.spark,
+            rel_path,
+            data_path=opts.get("dataPath", opts.get("data_path")),
+            page_param=opts.get("pageParam", opts.get("page_param")),
+            max_pages=int(opts.get("maxPages", opts.get("max_pages", 1))),
+        )
     ws = session.workspaces.get(ws_name.rstrip("."))
     root = ws.path if ws else "/"
     default_fmt = ws.default_format if ws else "parquet"
@@ -178,7 +189,8 @@ def rewrite(session, query: str) -> str:
 
     def path_sub(m: re.Match) -> str:
         ws, path = m.group(1).rstrip("."), m.group(2)
-        if ws not in session.workspaces and not os.path.exists(path):
+        is_url = ws in ("http", "https") and path.startswith(("http://", "https://"))
+        if ws not in session.workspaces and not os.path.exists(path) and not is_url:
             return m.group(0)  # not a known workspace — leave untouched
         df = _read_path(session, ws, path)
         view = session._fresh_view("path")

@@ -153,3 +153,21 @@ def test_convert_rewrite_leaves_unknown_untouched():
     assert rewrite_convert_calls(q) == q
     q2 = "select convert_from(f(a, ','), 'UTF8') from t"  # commas inside call
     assert "cast(f(a, ',') AS STRING)" in rewrite_convert_calls(q2)
+
+
+def test_parse_user_agent(spark):
+    ua_chrome = (
+        "Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36 "
+        "(KHTML, like Gecko) Chrome/120.0.0.0 Safari/537.36"
+    )
+    ua_edge = ua_chrome + " Edg/120.0.100.0"
+    ua_bot = "Mozilla/5.0 (compatible; Googlebot/2.1)"
+    ua_iphone = "Mozilla/5.0 (iPhone; CPU iPhone OS 17_0 like Mac OS X) Version/17.0 Mobile/15E148 Safari/604.1"
+    r = spark.sql(
+        f"select parse_user_agent('{ua_chrome}') as c, parse_user_agent('{ua_edge}') as e, "
+        f"parse_user_agent('{ua_bot}') as b, parse_user_agent('{ua_iphone}') as i"
+    ).head()
+    assert r["c"]["browser"] == "Chrome" and r["c"]["os"] == "Windows" and not r["c"]["is_mobile"]
+    assert r["e"]["browser"] == "Edge"
+    assert r["b"]["is_bot"] is True
+    assert r["i"]["os"] == "iOS" and r["i"]["is_mobile"] is True and r["i"]["browser"] == "Safari"

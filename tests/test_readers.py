@@ -279,3 +279,73 @@ def test_ltsv_provided_schema_skips_discovery(spark, tmp_path):
     df = read_ltsv(spark, str(p), schema="k int, v string")
     assert [f.dataType.simpleString() for f in df.schema.fields] == ["int", "string"]
     assert sorted((r["k"], r["v"]) for r in df.collect()) == [(1, "a"), (2, "b")]
+
+
+def test_http_storage_plugin(spark):
+    """contrib/storage-http analog: REST endpoint as a table — dataPath
+    descent, pagination, and the SQL-front `http.` pseudo-workspace —
+    served by a real local HTTP server."""
+    import http.server
+    import json as _json
+    import threading
+
+    from drill_spark.session import DrillSession
+
+    pages = {
+        1: {"result": {"items": [{"id": 1, "name": "ada"}, {"id": 2, "name": "bob"}]}},
+        2: {"result": {"items": [{"id": 3, "name": "cyd"}]}},
+        3: {"result": {"items": []}},
+    }
+
+    class H(http.server.BaseHTTPRequestHandler):
+        def do_GET(self):
+            page = 1
+            if "page=" in self.path:
+                page = int(self.path.split("page=")[1].split("&")[0])
+            body = _json.dumps(pages.get(page, pages[3])).encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *a):
+            pass
+
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), H)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        url = f"http://127.0.0.1:{srv.server_address[1]}/api/users"
+        s = DrillSession(spark=spark)
+        # table function with dataPath + pagination
+        df = s.sql(
+            f"select * from table(http.`{url}`(dataPath => 'result.items', "
+            f"pageParam => 'page', maxPages => 10)) order by id"
+        )
+        assert [(r["id"], r["name"]) for r in df.collect()] == [
+            (1, "ada"), (2, "bob"), (3, "cyd"),
+        ]
+        # bare URL table (single fetch, whole payload)
+        one = s.sql(f"select result.items[0].name as n from http.`{url}`").head()
+        assert one["n"] == "ada"
+    finally:
+        srv.shutdown()
+
+
+def test_excel_reader_gated(spark, tmp_path):
+    """Excel needs openpyxl; without it the reader must say so clearly
+    (if openpyxl is present, exercise a real roundtrip instead)."""
+    import pytest as _pytest
+
+    from drill_spark.readers.files import read_excel
+
+    try:
+        import openpyxl  # noqa: F401
+    except ImportError:
+        with _pytest.raises(NotImplementedError, match="openpyxl"):
+            read_excel(spark, str(tmp_path / "x.xlsx"))
+        return
+    import pandas as pd
+
+    p = str(tmp_path / "x.xlsx")
+    pd.DataFrame({"a": [1, 2], "b": ["x", "y"]}).to_excel(p, index=False)
+    assert read_excel(spark, p).count() == 2
