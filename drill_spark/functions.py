@@ -82,6 +82,53 @@ _SQL_UDFS: dict[str, tuple[str, str]] = {
         "ip STRING",
         r"ip RLIKE '^(10\\.|192\\.168\\.|172\\.(1[6-9]|2[0-9]|3[01])\\.)'",
     ),
+    # --- GIS core (contrib/udfs gis/ ST_* suite; ESRI-geometry-backed in
+    # the reference). Points as struct<x,y> keeps everything in Catalyst;
+    # full geometry (polygons, WKB) would be a Sedona integration. ---
+    "st_point": ("x DOUBLE, y DOUBLE", "named_struct('x', x, 'y', y)"),
+    "st_x": ("p STRUCT<x: DOUBLE, y: DOUBLE>", "p.x"),
+    "st_y": ("p STRUCT<x: DOUBLE, y: DOUBLE>", "p.y"),
+    "st_astext": (
+        "p STRUCT<x: DOUBLE, y: DOUBLE>",
+        "concat('POINT (', format_number(p.x, '0.######'), ' ', format_number(p.y, '0.######'), ')')",
+    ),
+    "st_pointfromtext": (
+        "wkt STRING",
+        "named_struct('x', CAST(regexp_extract(wkt, 'POINT \\\\(([-0-9.]+) ([-0-9.]+)\\\\)', 1) AS DOUBLE),"
+        " 'y', CAST(regexp_extract(wkt, 'POINT \\\\(([-0-9.]+) ([-0-9.]+)\\\\)', 2) AS DOUBLE))",
+    ),
+    # planar distance (reference ST_Distance is planar for projected data)
+    "st_distance": (
+        "a STRUCT<x: DOUBLE, y: DOUBLE>, b STRUCT<x: DOUBLE, y: DOUBLE>",
+        "sqrt((a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y))",
+    ),
+    # great-circle meters for lon/lat points (STDistanceFrom's haversine path)
+    "st_distance_sphere": (
+        "a STRUCT<x: DOUBLE, y: DOUBLE>, b STRUCT<x: DOUBLE, y: DOUBLE>",
+        "2 * 6371008.8 * asin(sqrt(pow(sin(radians(b.y - a.y) / 2), 2)"
+        " + cos(radians(a.y)) * cos(radians(b.y)) * pow(sin(radians(b.x - a.x) / 2), 2)))",
+    ),
+    "st_dwithin": (
+        "a STRUCT<x: DOUBLE, y: DOUBLE>, b STRUCT<x: DOUBLE, y: DOUBLE>, d DOUBLE",
+        "sqrt((a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)) <= d",
+    ),
+    # point-in-envelope (ST_Within against an ST_MakeBox2D-style bbox)
+    "st_within_box": (
+        "p STRUCT<x: DOUBLE, y: DOUBLE>, xmin DOUBLE, ymin DOUBLE, xmax DOUBLE, ymax DOUBLE",
+        "p.x >= xmin AND p.x <= xmax AND p.y >= ymin AND p.y <= ymax",
+    ),
+    # --- string distance extras (contrib/udfs StringDistanceFunctions.java,
+    # commons-text-backed; levenshtein/soundex are Spark built-ins) ---
+    # jaccard distance on character bigrams, pure higher-order functions
+    "jaccard_distance": (
+        "a STRING, b STRING",
+        "1.0D - size(array_intersect("
+        " transform(sequence(1, greatest(length(a) - 1, 1)), i -> substring(a, i, 2)),"
+        " transform(sequence(1, greatest(length(b) - 1, 1)), i -> substring(b, i, 2))))"
+        " / CAST(size(array_union("
+        " transform(sequence(1, greatest(length(a) - 1, 1)), i -> substring(a, i, 2)),"
+        " transform(sequence(1, greatest(length(b) - 1, 1)), i -> substring(b, i, 2)))) AS DOUBLE)",
+    ),
     # --- user agent (contrib/udfs UserAgentFunctions.java; yauaa-backed
     # in the reference — here a regex classifier, order matters: Edge UAs
     # contain Chrome, Chrome UAs contain Safari) ---

@@ -171,3 +171,30 @@ def test_parse_user_agent(spark):
     assert r["e"]["browser"] == "Edge"
     assert r["b"]["is_bot"] is True
     assert r["i"]["os"] == "iOS" and r["i"]["is_mobile"] is True and r["i"]["browser"] == "Safari"
+
+
+def test_gis_core(spark):
+    """ST_* core over struct<x,y> points: constructors, WKT roundtrip,
+    planar + spherical distance, bbox containment."""
+    r = spark.sql(
+        "select st_x(st_point(2.0, 3.0)) as x, "
+        "st_astext(st_point(2.0, 3.0)) as wkt, "
+        "st_x(st_pointfromtext('POINT (-71.064544 42.28787)')) as px, "
+        "st_distance(st_point(0.0, 0.0), st_point(3.0, 4.0)) as d, "
+        "st_distance_sphere(st_point(2.3522, 48.8566), st_point(-0.1276, 51.5072)) as paris_london_m, "
+        "st_dwithin(st_point(0.0, 0.0), st_point(3.0, 4.0), 5.0) as within5, "
+        "st_within_box(st_point(1.0, 1.0), 0.0, 0.0, 2.0, 2.0) as inbox"
+    ).head()
+    assert r["x"] == 2.0 and r["wkt"] == "POINT (2 3)"
+    assert abs(r["px"] - (-71.064544)) < 1e-9
+    assert abs(r["d"] - 5.0) < 1e-12
+    assert abs(r["paris_london_m"] - 343_900) < 3000  # ~344 km great-circle
+    assert r["within5"] is True and r["inbox"] is True
+
+
+def test_jaccard_distance(spark):
+    r = spark.sql(
+        "select jaccard_distance('night', 'nacht') as d1, "
+        "jaccard_distance('same', 'same') as d0"
+    ).head()
+    assert r["d0"] == 0.0 and 0.0 < r["d1"] < 1.0
