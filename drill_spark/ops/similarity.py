@@ -154,27 +154,54 @@ def ivf_assign(
     vec_col: str = "embedding",
     n_cells: int = 8,
     seed: int = 42,
-    max_train: int = 100_000,
+    max_train: int = 50_000,
 ) -> tuple[DataFrame, list[list[float]]]:
-    """IVF coarse quantizer: k-means centroids (Spark ML) + per-vector
-    cell assignment. Returns (df + `cell`, centroids).
+    """IVF coarse quantizer: k-means centroids + per-vector cell
+    assignment. Returns (df + `cell`, centroids).
 
-    Scale: training runs on a bounded sample (coarse quantizers don't
-    need the full corpus — FAISS practice) with random init to avoid
-    k-means||'s extra passes; assignment is one scan. The inverted file
-    = the table hash-partitioned by cell — exactly the layout a later
-    `search only nprobe cells` query wants.
+    Scale: training runs driver-side in numpy on a bounded sample —
+    coarse quantizers don't need the full corpus (FAISS practice), and
+    one collect beats a Spark job per Lloyd iteration (MLlib KMeans
+    schedules ~10 jobs even on tiny data). Assignment stays a single
+    distributed Catalyst scan. The inverted file = the table
+    hash-partitioned by cell — exactly the layout a later `search only
+    nprobe cells` query wants.
     """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
+    import numpy as np
 
-    train = df.select(
-        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features")
-    ).limit(max_train)
-    model = KMeans(k=n_cells, seed=seed, maxIter=8, initMode="random", tol=1e-3).fit(train)
-    centroids = [
-        (c.toArray() if hasattr(c, "toArray") else c).tolist() for c in model.clusterCenters()
-    ]
+    sample = np.asarray(
+        [r[0] for r in df.select(F.col(vec_col).cast("array<double>")).head(max_train)]
+    )
+    rng = np.random.default_rng(seed)
+    s2 = (sample**2).sum(axis=1)
+    # k-means++ seeding: each next centroid drawn proportional to the
+    # squared distance from the nearest chosen one (better-balanced
+    # cells than uniform choice, matching k-means|| quality)
+    k = min(n_cells, len(sample))
+    idx = [int(rng.integers(len(sample)))]
+    best = s2 + (sample[idx[0]] ** 2).sum() - 2.0 * (sample @ sample[idx[0]])
+    for _ in range(1, k):
+        p = np.clip(best, 0, None)
+        p = p / p.sum() if p.sum() > 0 else None
+        nxt = int(rng.choice(len(sample), p=p))
+        idx.append(nxt)
+        d_new = s2 + (sample[nxt] ** 2).sum() - 2.0 * (sample @ sample[nxt])
+        best = np.minimum(best, d_new)
+    cents = sample[idx]
+    for _ in range(20):  # Lloyd's; instant at sample scale
+        # |s|^2 + |c|^2 - 2 s.c  (n x k, never materializes n x k x dim)
+        d2 = s2[:, None] + (cents**2).sum(axis=1)[None, :] - 2.0 * (sample @ cents.T)
+        assign = d2.argmin(axis=1)
+        new = np.stack(
+            [
+                sample[assign == c].mean(axis=0) if (assign == c).any() else cents[c]
+                for c in range(len(cents))
+            ]
+        )
+        if np.allclose(new, cents, atol=1e-6):
+            break
+        cents = new
+    centroids = cents.tolist()
     return _assign_cells(df, vec_col, centroids), centroids
 
 

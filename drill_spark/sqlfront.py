@@ -65,7 +65,8 @@ _TABLE_FN = re.compile(
 _USE = re.compile(r"^\s*USE\s+`?([\w.]+)`?\s*;?\s*$", re.IGNORECASE)
 _SHOW_SCHEMAS = re.compile(r"^\s*SHOW\s+(?:SCHEMAS|DATABASES)\s*;?\s*$", re.IGNORECASE)
 _CTAS = re.compile(
-    r"^\s*CREATE\s+(?:OR\s+REPLACE\s+)?(?:TEMPORARY\s+)?TABLE\s+((?:\w+\.)+)`([^`]+)`\s+AS\s+(.*)$",
+    r"^\s*CREATE\s+(?:OR\s+REPLACE\s+)?(?:TEMPORARY\s+)?TABLE\s+((?:\w+\.)+)`([^`]+)`"
+    r"(?:\s+PARTITION\s+BY\s*\(([^)]*)\))?\s+AS\s+(.*)$",
     re.IGNORECASE | re.DOTALL,
 )
 _DROP_TABLE = re.compile(
@@ -114,16 +115,24 @@ _SUFFIX_FORMAT = {
 }
 
 
-def _infer_format(path: str, default: str) -> str:
+def _infer_format(path: str, default: str, _depth: int = 3) -> str:
     for suf, fmt in _SUFFIX_FORMAT.items():
         if path.rstrip("/").endswith(suf):
             return fmt
-    # directory: sniff first file
-    if os.path.isdir(path):
-        for f in sorted(os.listdir(path)):
+    # directory: sniff for a recognizable file, descending into
+    # partition subdirectories (Hive `k=v` layouts put data 1+ level down)
+    if _depth and os.path.isdir(path):
+        entries = sorted(os.listdir(path))
+        for f in entries:
             for suf, fmt in _SUFFIX_FORMAT.items():
                 if f.endswith(suf):
                     return fmt
+        for f in entries:
+            sub = os.path.join(path, f)
+            if os.path.isdir(sub):
+                found = _infer_format(sub, "", _depth - 1)
+                if found:
+                    return found
     return default
 
 
@@ -234,12 +243,25 @@ def execute(session, query: str) -> DataFrame:
 
     m = _CTAS.match(query)
     if m:
-        ws_name, rel_path, select = m.group(1).rstrip("."), m.group(2), m.group(3)
+        ws_name, rel_path, part_cols, select = (
+            m.group(1).rstrip("."),
+            m.group(2),
+            m.group(3),
+            m.group(4),
+        )
         path, fmt = _writable_path(session, ws_name, rel_path)
         df = spark.sql(rewrite(session, select))
         mode = "overwrite" if re.match(r"\s*CREATE\s+OR\s+REPLACE", query, re.IGNORECASE) else "errorifexists"
-        df.write.format(fmt).mode(mode).save(path)
-        return _ok(spark, f"created table {ws_name}.`{rel_path}` ({fmt})")
+        writer = df.write.format(fmt).mode(mode)
+        if part_cols:
+            # CTAS PARTITION BY (CreateTableHandler.java) -> Hive-layout
+            # directories; filters on partition columns prune at listing
+            # time on readback (Drill's dir-pruning, natively)
+            cols = [c.strip().strip("`") for c in part_cols.split(",") if c.strip()]
+            writer = writer.partitionBy(*cols)
+        writer.save(path)
+        suffix = f" partitioned by ({part_cols})" if part_cols else ""
+        return _ok(spark, f"created table {ws_name}.`{rel_path}` ({fmt}){suffix}")
 
     m = _INSERT_PATH.match(query)
     if m:

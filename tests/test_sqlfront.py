@@ -298,3 +298,21 @@ def test_sys_profiles_and_drillbits(dsession):
         pass
     prof2 = dsession.sql("select * from sys.profiles where state = 'FAILED'").collect()
     assert any("definitely_not_a_column" in r["query"] for r in prof2)
+
+
+def test_ctas_partition_by(dsession):
+    """CTAS PARTITION BY (CreateTableHandler analog): Hive-layout dirs,
+    partition pruning active on readback."""
+    dsession.sql(
+        "CREATE OR REPLACE TABLE dfs.data.`by_age` PARTITION BY (age) AS "
+        "select id, name, age from dfs.data.`people.json`"
+    )
+    root = os.path.join(dsession.workspaces["dfs.data"].path, "by_age")
+    assert any(d.startswith("age=") for d in os.listdir(root))
+    df = dsession.sql(f"select name from dfs.`{root}` where age = 36")
+    assert [r["name"] for r in df.collect()] == ["ada"]
+    # partition filter must prune at scan time (PartitionFilters, not a
+    # post-scan Filter over all files)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "age" in plan.split("PartitionFilters: [")[1][:80]
+    dsession.sql("DROP TABLE dfs.data.`by_age`")
