@@ -92,6 +92,17 @@ def q_dedup_simhash_pairs(spark, sf_dir):
     return simhash_near_dupes(docs, "doc_id", "text", bits=48, bands=4, max_hamming=3)
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Near-dup pairs resolved to clusters + canonical keep flag via
+    distributed connected components (iterative — rows-only; equality
+    with union-find asserted in test_dedup_clusters_match_union_find)."""
+    from drill_spark.ops.dedup import dedup_clusters, simhash_near_dupes
+
+    docs = _docs(spark, sf_dir).where(F.col("doc_id") < 200)
+    pairs = simhash_near_dupes(docs, "doc_id", "text", bits=48, bands=4, max_hamming=3)
+    return dedup_clusters(docs, pairs, "doc_id")
+
+
 # ------------------------------------------------------------ similarity
 
 
@@ -439,6 +450,7 @@ QUERIES = {
     "ext_dedup_minhash": q_dedup_minhash,
     "ext_dedup_simhash": q_dedup_simhash,
     "ext_dedup_simhash_pairs": q_dedup_simhash_pairs,
+    "ext_dedup_clusters": q_dedup_clusters,
     "ext_embed_topk": q_embed_topk,
     "ext_embed_dedup": q_embed_dedup,
     "ext_ann_lsh": q_ann_lsh,

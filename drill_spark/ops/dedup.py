@@ -281,3 +281,73 @@ def simhash_near_dupes(
         .distinct()  # a pair may agree on several bands
         .where(F.col("hamming") <= max_hamming)
     )
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components by min-label propagation: every node
+    repeatedly takes the smallest label among itself and its neighbors
+    until no label changes. Returns (node, component).
+
+    Scale: each iteration is one shuffle (join + min-agg), the standard
+    distributed-CC shape; dup clusters are shallow so few iterations
+    run in practice. localCheckpoint() truncates plan lineage each
+    round — without it the plan tree doubles per iteration and
+    planning, not execution, becomes the bottleneck.
+    """
+    sym = edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+    sym = sym.union(sym.select(F.col("d").alias("s"), F.col("s").alias("d"))).distinct()
+    sym = sym.localCheckpoint(eager=True)
+    labels = sym.select(F.col("s").alias("node")).distinct().withColumn("label", F.col("node"))
+    for _ in range(max_iter):
+        nmin = (
+            sym.join(labels, sym["d"] == labels["node"])
+            .groupBy("s")
+            .agg(F.min("label").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(nmin, labels["node"] == nmin["s"], "left")
+            .select(
+                F.col("node"),
+                F.least(F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("node"), F.col("label").alias("component"))
+
+
+def dedup_clusters(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Resolve near-dup pairs into clusters: every document gets a
+    cluster_id (the smallest doc id in its duplicate component;
+    singletons keep their own id) and a keep flag for the canonical
+    representative — the decision a dedup pipeline actually needs.
+    """
+    comp = connected_components(pairs, id_a, id_b)
+    return (
+        df.select(F.col(id_col))
+        .join(comp, df[id_col] == comp["node"], "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("component"), F.col(id_col)).alias("cluster_id"),
+        )
+        .withColumn("keep", F.col(id_col) == F.col("cluster_id"))
+    )

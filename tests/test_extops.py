@@ -158,3 +158,39 @@ def test_topk_sketch_matches_exact(spark):
     top10_exact = set(sorted(exact, key=lambda t: (-t[1], t[0]))[:10])
     assert top10_exact <= approx | top10_exact  # approx may order ties differently
     assert len(approx & exact) >= 8
+
+
+def test_dedup_clusters_match_union_find(spark):
+    """Distributed connected components must equal driver-side
+    union-find on the same pair set, and every cluster keeps exactly
+    one canonical doc."""
+    rows = extops.q_dedup_clusters(spark, SF_DIR).collect()
+    from pyspark.sql import functions as F
+
+    from drill_spark.ops.dedup import simhash_near_dupes
+
+    docs = extops._docs(spark, SF_DIR).where(F.col("doc_id") < 200)
+    pairs = [
+        (r.id_a, r.id_b)
+        for r in simhash_near_dupes(docs, "doc_id", "text", bits=48, bands=4, max_hamming=3).collect()
+    ]
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    got = {r["doc_id"]: r["cluster_id"] for r in rows}
+    for doc in got:
+        expect = find(doc) if doc in parent else doc
+        assert got[doc] == expect, f"doc {doc}: {got[doc]} != {expect}"
+    keeps = [r for r in rows if r["keep"]]
+    assert len({r["cluster_id"] for r in rows}) == len(keeps)
+    assert all(r["doc_id"] == r["cluster_id"] for r in keeps)
