@@ -64,6 +64,7 @@ _TABLE_FN = re.compile(
 )
 _USE = re.compile(r"^\s*USE\s+`?([\w.]+)`?\s*;?\s*$", re.IGNORECASE)
 _SHOW_SCHEMAS = re.compile(r"^\s*SHOW\s+(?:SCHEMAS|DATABASES)\s*;?\s*$", re.IGNORECASE)
+_DESCRIBE_SCHEMA = re.compile(r"^\s*DESCRIBE\s+SCHEMA\s+`?([\w.]+)`?\s*;?\s*$", re.IGNORECASE)
 _CTAS = re.compile(
     r"^\s*CREATE\s+(?:OR\s+REPLACE\s+)?(?:TEMPORARY\s+)?TABLE\s+((?:\w+\.)+)`([^`]+)`"
     r"(?:\s+PARTITION\s+BY\s*\(([^)]*)\))?\s+AS\s+(.*)$",
@@ -241,6 +242,24 @@ def execute(session, query: str) -> DataFrame:
 
         return information_schema_schemata(session)
 
+    m = _DESCRIBE_SCHEMA.match(query)
+    if m:
+        # DescribeSchemaHandler analog: workspace properties as one row
+        ws = session.workspaces.get(m.group(1))
+        if ws is None:
+            raise ValueError(f"unknown schema: {m.group(1)}")
+        return spark.createDataFrame(
+            [
+                Row(
+                    schema_name=ws.name,
+                    location=ws.path,
+                    default_format=ws.default_format,
+                    writable=ws.writable,
+                )
+            ],
+            "schema_name string, location string, default_format string, writable boolean",
+        )
+
     m = _CTAS.match(query)
     if m:
         ws_name, rel_path, part_cols, select = (
@@ -371,6 +390,8 @@ def execute(session, query: str) -> DataFrame:
         root = ws.path if ws else target
         rows = []
         if os.path.isdir(root):
+            import datetime
+
             for name in sorted(os.listdir(root)):
                 p = os.path.join(root, name)
                 st = os.stat(p)
@@ -380,9 +401,16 @@ def execute(session, query: str) -> DataFrame:
                         isDirectory=os.path.isdir(p),
                         isFile=os.path.isfile(p),
                         length=st.st_size,
+                        modificationTime=datetime.datetime.fromtimestamp(st.st_mtime),
+                        accessTime=datetime.datetime.fromtimestamp(st.st_atime),
+                        permissions=oct(st.st_mode & 0o777)[2:],
                     )
                 )
-        return spark.createDataFrame(rows) if rows else spark.createDataFrame([], "name string, isDirectory boolean, isFile boolean, length long")
+        schema = (
+            "name string, isDirectory boolean, isFile boolean, length long, "
+            "modificationTime timestamp, accessTime timestamp, permissions string"
+        )
+        return spark.createDataFrame(rows, schema) if rows else spark.createDataFrame([], schema)
 
     # EXPLAIN PLAN FOR <q> (Drill grammar) -> Spark EXPLAIN <q>
     query = re.sub(r"^\s*EXPLAIN\s+PLAN\s+(?:WITH\s+IMPLEMENTATION\s+)?FOR\s+", "EXPLAIN ", query, flags=re.IGNORECASE)

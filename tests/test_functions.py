@@ -198,3 +198,35 @@ def test_jaccard_distance(spark):
         "jaccard_distance('same', 'same') as d0"
     ).head()
     assert r["d0"] == 0.0 and 0.0 < r["d1"] < 1.0
+
+
+def test_convert_roundtrip_property(spark):
+    """convert_to/convert_from must roundtrip int32/int64 across the
+    full range, both endiannesses (hypothesis-driven; one SQL evaluation
+    batch keeps it fast)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from drill_spark.functions import rewrite_convert_calls
+
+    cases: list[tuple[int, str]] = []
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        st.integers(min_value=-(2**31), max_value=2**31 - 1),
+        st.integers(min_value=-(2**63), max_value=2**63 - 1),
+    )
+    def collect(i32, i64):
+        cases.append((i32, "INT_BE"))
+        cases.append((i32, "INT"))
+        cases.append((i64, "BIGINT_BE"))
+        cases.append((i64, "BIGINT"))
+
+    collect()
+    exprs = ", ".join(
+        f"convert_from(convert_to({n}, '{enc}'), '{enc}') as c{i}"
+        for i, (n, enc) in enumerate(cases)
+    )
+    row = spark.sql(rewrite_convert_calls(f"select {exprs}")).head()
+    for i, (n, enc) in enumerate(cases):
+        assert row[f"c{i}"] == n, f"{enc} roundtrip failed for {n}: {row[f'c{i}']}"

@@ -316,3 +316,15 @@ def test_ctas_partition_by(dsession):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [" in plan and "age" in plan.split("PartitionFilters: [")[1][:80]
     dsession.sql("DROP TABLE dfs.data.`by_age`")
+
+
+def test_show_files_detail_and_describe_schema(dsession):
+    files = {r["name"]: r for r in dsession.sql("SHOW FILES IN dfs.data").collect()}
+    f = files["people.json"]
+    assert f["isFile"] and f["length"] > 0
+    assert f["modificationTime"] is not None and f["permissions"]
+    d = dsession.sql("DESCRIBE SCHEMA dfs.data").head()
+    assert d["schema_name"] == "dfs.data" and d["writable"] is True
+    assert d["default_format"] == "json"
+    with pytest.raises(ValueError):
+        dsession.sql("DESCRIBE SCHEMA nope.nothere")
