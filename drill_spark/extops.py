@@ -1,8 +1,11 @@
 """Extension-operator queries: dedup, similarity search, text analysis,
 multimodal — the training-data-pipeline surface (SURVEY §7 step 6),
 wired into the driver contract with DuckDB oracles where the semantics
-are SQL-expressible (approximate/stubbed ops are rows-only by design:
-ext_dedup_minhash, ext_dedup_simhash, ext_ann_lsh, ext_multimodal_features).
+are SQL-expressible. Approximate / iterative / stubbed ops are
+rows-only by design — each carries a stronger pytest instead (recall
+bounds, brute-force equality, union-find equality): ext_dedup_minhash,
+ext_dedup_simhash(_pairs), ext_dedup_clusters, ext_ann_lsh,
+ext_ann_ivf, ext_text_topk_approx, ext_multimodal_features.
 """
 
 from __future__ import annotations

@@ -303,13 +303,14 @@ def connected_components(
     sym = sym.union(sym.select(F.col("d").alias("s"), F.col("s").alias("d"))).distinct()
     sym = sym.localCheckpoint(eager=True)
     labels = sym.select(F.col("s").alias("node")).distinct().withColumn("label", F.col("node"))
+    prev_sum = None
     for _ in range(max_iter):
         nmin = (
             sym.join(labels, sym["d"] == labels["node"])
             .groupBy("s")
             .agg(F.min("label").alias("nmin"))
         )
-        new_labels = (
+        labels = (
             labels.join(nmin, labels["node"] == nmin["s"], "left")
             .select(
                 F.col("node"),
@@ -317,15 +318,12 @@ def connected_components(
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .where(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        # labels only decrease, so sum(label) strictly decreases until
+        # convergence — one scalar agg replaces a join+count per round
+        cur = labels.agg(F.sum("label")).head()[0]
+        if cur == prev_sum:
             break
+        prev_sum = cur
     return labels.select(F.col("node"), F.col("label").alias("component"))
 
 

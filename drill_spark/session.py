@@ -205,6 +205,8 @@ class DrillSession:
         finally:
             entry["plan_ms"] = round((time.perf_counter() - t0) * 1000, 3)
             self.profiles.append(entry)
+            if len(self.profiles) > 1000:  # bounded history, like the web UI
+                del self.profiles[:-1000]
 
     # ---------------- session options ----------------
 

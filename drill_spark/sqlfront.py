@@ -222,7 +222,10 @@ def _writable_path(session, ws_name: str, rel_path: str) -> tuple[str, str]:
     if not ws.writable:
         raise ValueError(f"workspace {ws_name} is not writable (CreateTableHandler analog)")
     path = rel_path if os.path.isabs(rel_path) else os.path.join(ws.path, rel_path)
-    fmt = _infer_format(path, ws.default_format)
+    # `store.format` session option overrides the workspace default
+    # (ExecConstants OUTPUT_FORMAT_OPTION — Drill's CTAS output format)
+    default_fmt = session.get_option("store.format", ws.default_format)
+    fmt = _infer_format(path, default_fmt)
     return path, fmt
 
 

@@ -328,3 +328,18 @@ def test_show_files_detail_and_describe_schema(dsession):
     assert d["default_format"] == "json"
     with pytest.raises(ValueError):
         dsession.sql("DESCRIBE SCHEMA nope.nothere")
+
+
+def test_store_format_option_overrides_ctas(dsession):
+    """ALTER SESSION SET store.format (OUTPUT_FORMAT_OPTION analog)
+    switches the CTAS output format away from the workspace default."""
+    dsession.sql("ALTER SESSION SET `store.format` = 'parquet'")
+    try:
+        dsession.sql(
+            "CREATE OR REPLACE TABLE dfs.data.`fmt_probe` AS select 1 as x"
+        )
+        root = os.path.join(dsession.workspaces["dfs.data"].path, "fmt_probe")
+        assert any(f.endswith(".parquet") for f in os.listdir(root))
+    finally:
+        dsession.sql("RESET `store.format`")
+        dsession.sql("DROP TABLE IF EXISTS dfs.data.`fmt_probe`")
