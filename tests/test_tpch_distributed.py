@@ -57,3 +57,23 @@ def test_count_star_aggregate_pushdown(spark):
     df = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").groupBy().count()
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "PushedAggregation: [COUNT(*)]" in plan or "ReadSchema: struct<>" in plan
+
+
+def test_tpch_plan_shapes(spark):
+    """TestTpchExplain/TestTpchPlanning analog: no TPC-H plan may
+    contain a cartesian product, a broadcast nested-loop join, or a
+    Python evaluator — every join must be hash- or merge-based and the
+    whole corpus stays JVM-side."""
+    from .conftest import SF_DIR
+
+    offenders = {}
+    for name, q in sorted(tpch.queries().items()):
+        plan = q(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+        bad = [
+            p
+            for p in ("CartesianProduct", "BroadcastNestedLoopJoin", "PythonEval", "BatchEvalPython")
+            if p in plan
+        ]
+        if bad:
+            offenders[name] = bad
+    assert not offenders, f"anti-patterns in plans: {offenders}"
