@@ -487,15 +487,15 @@ where o_orderkey < 100
 _q("op_math_fns", """
 select l_orderkey, l_linenumber,
        abs(l_quantity - 25) as a,
-       ceil(l_discount * 100) as c,
-       floor(l_tax * 100) as f,
+       cast(ceil(l_discount * 100) as bigint) as c,
+       cast(floor(l_tax * 100) as bigint) as f,
        round(sqrt(l_quantity), 4) as sq,
        round(exp(l_discount), 6) as e,
        round(ln(l_quantity + 1), 6) as lg,
        round(log10(l_extendedprice), 6) as l10,
        round(power(l_quantity, 2), 2) as pw,
        mod(cast(l_quantity as int), 7) as md,
-       sign(l_quantity - 25) as sg
+       cast(sign(l_quantity - 25) as int) as sg
 from lineitem
 where l_orderkey < 40
 """)
