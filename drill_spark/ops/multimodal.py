@@ -128,3 +128,46 @@ def frame_sample(df: DataFrame, n_frames: int = 4) -> DataFrame:
             yield pd.DataFrame({"doc_id": ids, "frame_idx": idxs, "frame": frames})
 
     return df.select("doc_id", "payload").mapInPandas(run, schema=FRAME_SCHEMA)
+
+
+CHUNK_SCHEMA = "doc_id bigint, chunk_idx int, start_s double, end_s double, chunk binary"
+
+
+def audio_chunk(
+    df: DataFrame,
+    sample_rate: int = 16_000,
+    bytes_per_sample: int = 2,
+    chunk_s: float = 2.0,
+    overlap_s: float = 0.5,
+) -> DataFrame:
+    """mapInPandas audio segmentation: one input row (audio payload) ->
+    overlapping fixed-length windows with time bounds — the shape an
+    ASR/embedding pipeline feeds to its model (real impl: torchaudio /
+    soundfile decode first). STUB: the payload is treated as raw PCM
+    (sample_rate * bytes_per_sample bytes per second); windowing math,
+    schema, and batch iteration are the real plumbing.
+    """
+    bps = sample_rate * bytes_per_sample
+    step = max(int((chunk_s - overlap_s) * bps), 1)
+    width = max(int(chunk_s * bps), 1)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, starts, ends, chunks = [], [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                pos, i = 0, 0
+                while pos < len(b):
+                    piece = b[pos : pos + width]
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    starts.append(round(pos / bps, 6))
+                    ends.append(round((pos + len(piece)) / bps, 6))
+                    chunks.append(piece)
+                    pos += step
+                    i += 1
+            yield pd.DataFrame(
+                {"doc_id": ids, "chunk_idx": idxs, "start_s": starts, "end_s": ends, "chunk": chunks}
+            )
+
+    return df.select("doc_id", "payload").mapInPandas(run, schema=CHUNK_SCHEMA)

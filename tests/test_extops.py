@@ -194,3 +194,27 @@ def test_dedup_clusters_match_union_find(spark):
     keeps = [r for r in rows if r["keep"]]
     assert len({r["cluster_id"] for r in rows}) == len(keeps)
     assert all(r["doc_id"] == r["cluster_id"] for r in keeps)
+
+
+def test_multimodal_audio_chunking(spark):
+    """Audio windowing stub: overlapping chunks tile the payload with
+    the configured stride; time bounds consistent with byte offsets."""
+    from drill_spark.ops.multimodal import attach_payload, audio_chunk
+
+    docs = extops._docs(spark, SF_DIR).where("doc_id < 5")
+    media = attach_payload(docs)
+    rows = audio_chunk(media, sample_rate=100, bytes_per_sample=1, chunk_s=2.0, overlap_s=0.5).collect()
+    assert rows
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for doc_id, chunks in by_doc.items():
+        chunks.sort(key=lambda r: r["chunk_idx"])
+        for i, c in enumerate(chunks):
+            assert c["chunk_idx"] == i
+            assert abs((c["end_s"] - c["start_s"]) - len(c["chunk"]) / 100) < 1e-6
+            if i:  # stride = chunk - overlap = 1.5s
+                assert abs(c["start_s"] - chunks[i - 1]["start_s"] - 1.5) < 1e-6
+        total = bytes(media.where(f"doc_id = {doc_id}").head()["payload"])
+        # chunks cover the payload end
+        assert abs(chunks[-1]["end_s"] - len(total) / 100) < 1e-6
