@@ -148,6 +148,7 @@ class DrillSession:
     aliases: dict[str, str] = field(default_factory=dict)
     materialized: dict[str, str] = field(default_factory=dict)
     profiles: list[dict] = field(default_factory=list)
+    temp_tables: list[str] = field(default_factory=list)
     _view_counter: int = 0
 
     def __post_init__(self) -> None:
@@ -225,3 +226,22 @@ class DrillSession:
     def _fresh_view(self, hint: str = "t") -> str:
         self._view_counter += 1
         return f"_drill_{hint}_{self._view_counter}"
+
+    def close(self) -> None:
+        """End the session: drop session-scoped temp tables and
+        materialized views (Drill drops temporary tables on session
+        close — UserSession teardown). The shared SparkSession is NOT
+        stopped; it may serve other sessions."""
+        import shutil
+
+        for path in self.temp_tables:
+            shutil.rmtree(path, ignore_errors=True)
+        self.temp_tables.clear()
+        for name, path in list(self.materialized.items()):
+            try:
+                self.spark.catalog.dropTempView(name)
+            except Exception:
+                pass
+            shutil.rmtree(path, ignore_errors=True)
+        self.materialized.clear()
+        self.aliases.clear()

@@ -66,7 +66,7 @@ _USE = re.compile(r"^\s*USE\s+`?([\w.]+)`?\s*;?\s*$", re.IGNORECASE)
 _SHOW_SCHEMAS = re.compile(r"^\s*SHOW\s+(?:SCHEMAS|DATABASES)\s*;?\s*$", re.IGNORECASE)
 _DESCRIBE_SCHEMA = re.compile(r"^\s*DESCRIBE\s+SCHEMA\s+`?([\w.]+)`?\s*;?\s*$", re.IGNORECASE)
 _CTAS = re.compile(
-    r"^\s*CREATE\s+(?:OR\s+REPLACE\s+)?(?:TEMPORARY\s+)?TABLE\s+((?:\w+\.)+)`([^`]+)`"
+    r"^\s*CREATE\s+(?:OR\s+REPLACE\s+)?(TEMPORARY\s+)?TABLE\s+((?:\w+\.)+)`([^`]+)`"
     r"(?:\s+PARTITION\s+BY\s*\(([^)]*)\))?\s+AS\s+(.*)$",
     re.IGNORECASE | re.DOTALL,
 )
@@ -265,11 +265,12 @@ def execute(session, query: str) -> DataFrame:
 
     m = _CTAS.match(query)
     if m:
-        ws_name, rel_path, part_cols, select = (
-            m.group(1).rstrip("."),
-            m.group(2),
+        temporary, ws_name, rel_path, part_cols, select = (
+            m.group(1),
+            m.group(2).rstrip("."),
             m.group(3),
             m.group(4),
+            m.group(5),
         )
         path, fmt = _writable_path(session, ws_name, rel_path)
         df = spark.sql(rewrite(session, select))
@@ -282,6 +283,10 @@ def execute(session, query: str) -> DataFrame:
             cols = [c.strip().strip("`") for c in part_cols.split(",") if c.strip()]
             writer = writer.partitionBy(*cols)
         writer.save(path)
+        if temporary:
+            # session-scoped table (CreateTableHandler temporary path):
+            # dropped by DrillSession.close()
+            session.temp_tables.append(path)
         suffix = f" partitioned by ({part_cols})" if part_cols else ""
         return _ok(spark, f"created table {ws_name}.`{rel_path}` ({fmt}){suffix}")
 

@@ -343,3 +343,17 @@ def test_store_format_option_overrides_ctas(dsession):
     finally:
         dsession.sql("RESET `store.format`")
         dsession.sql("DROP TABLE IF EXISTS dfs.data.`fmt_probe`")
+
+
+def test_temporary_table_dropped_on_close(spark, tmp_path):
+    """CREATE TEMPORARY TABLE is session-scoped: close() removes the
+    data (UserSession teardown analog); regular tables survive."""
+    s = DrillSession(spark=spark)
+    s.register_workspace("dfs.t", str(tmp_path), "parquet")
+    s.workspaces["dfs.t"].writable = True
+    s.sql("CREATE TEMPORARY TABLE dfs.t.`scratch` AS select 1 as x")
+    s.sql("CREATE TABLE dfs.t.`durable` AS select 2 as x")
+    assert os.path.isdir(tmp_path / "scratch") and os.path.isdir(tmp_path / "durable")
+    s.close()
+    assert not os.path.exists(tmp_path / "scratch")
+    assert os.path.isdir(tmp_path / "durable")
