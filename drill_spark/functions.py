@@ -51,8 +51,9 @@ _SQL_UDFS: dict[str, tuple[str, str]] = {
     "time_bucket_ms": ("ms BIGINT, width_ms BIGINT", "CAST(floor(ms / width_ms) * width_ms AS BIGINT)"),
     # --- union-type helpers (UnionFunctions.java; no union vector in Spark,
     # typeof() exists in Spark SQL already) ---
-    "sqltypeof": ("x STRING", "typeof(x)"),
-    "drilltypeof": ("x STRING", "typeof(x)"),
+    # sqltypeof/drilltypeof are expanded textually by the sql front end
+    # (a SQL UDF would cast the argument to its declared type first,
+    # destroying the type being inspected) — see _SQLTYPEOF below.
     # --- context (ContextFunctions.java) ---
     "session_id": ("", "uuid()"),
     # --- pattern matching (StringFunctions.java like/ilike/similar);
@@ -206,46 +207,76 @@ _CONVERT_TO = {
 }
 
 
+# Drill-style SQL type names (UnionFunctions.sqlTypeOf returns
+# CHARACTER VARYING/INTEGER/... where Spark's typeof returns string/int/...)
+_SQLTYPEOF = (
+    "CASE typeof({x}) WHEN 'string' THEN 'CHARACTER VARYING'"
+    " WHEN 'int' THEN 'INTEGER' WHEN 'bigint' THEN 'BIGINT'"
+    " WHEN 'smallint' THEN 'SMALLINT' WHEN 'tinyint' THEN 'TINYINT'"
+    " WHEN 'double' THEN 'DOUBLE' WHEN 'float' THEN 'FLOAT'"
+    " WHEN 'boolean' THEN 'BOOLEAN' WHEN 'date' THEN 'DATE'"
+    " WHEN 'binary' THEN 'BINARY VARYING'"
+    " WHEN 'timestamp' THEN 'TIMESTAMP' ELSE upper(typeof({x})) END"
+)
+
+
+def _scan_call(query: str, start: int):
+    """Scan a balanced call argument list starting just after '(';
+    returns (args, end_index). Quote-aware."""
+    depth, j, args, a0 = 1, start, [], start
+    in_str = None
+    while j < len(query) and depth:
+        ch = query[j]
+        if in_str:
+            if ch == in_str:
+                in_str = None
+        elif ch in "'\"":
+            in_str = ch
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+            if depth == 0:
+                args.append(query[a0:j].strip())
+        elif ch == "," and depth == 1:
+            args.append(query[a0:j].strip())
+            a0 = j + 1
+        j += 1
+    return args, j
+
+
 def rewrite_convert_calls(query: str) -> str:
-    """Expand convert_from/convert_to with a literal encoding into typed
-    expressions. Paren-balanced scan (the first argument may itself
-    contain calls); non-literal encodings are left untouched and fail
-    at analysis, matching Drill's plan-time codec resolution."""
+    """Expand rewrite-time functions into typed expressions:
+    convert_from/convert_to with a literal encoding (non-literal
+    encodings are left untouched and fail at analysis, matching Drill's
+    plan-time codec resolution) and sqltypeof/drilltypeof (must see the
+    raw argument type, so they cannot be SQL UDFs). Paren-balanced,
+    quote-aware scan; arguments may themselves contain calls."""
     import re as _re
 
     out = []
     i = 0
-    pat = _re.compile(r"convert_(from|to)\s*\(", _re.IGNORECASE)
+    pat = _re.compile(r"(convert_(?:from|to)|sqltypeof|drilltypeof)\s*\(", _re.IGNORECASE)
     while True:
         m = pat.search(query, i)
         if not m:
             out.append(query[i:])
             return "".join(out)
         out.append(query[i : m.start()])
-        depth, j, args, start = 1, m.end(), [], m.end()
-        in_str = None
-        while j < len(query) and depth:
-            ch = query[j]
-            if in_str:
-                if ch == in_str:
-                    in_str = None
-            elif ch in "'\"":
-                in_str = ch
-            elif ch == "(":
-                depth += 1
-            elif ch == ")":
-                depth -= 1
-                if depth == 0:
-                    args.append(query[start:j].strip())
-            elif ch == "," and depth == 1:
-                args.append(query[start:j].strip())
-                start = j + 1
-            j += 1
-        enc_m = _re.fullmatch(r"'(\w+)'", args[1]) if len(args) == 2 else None
-        table = _CONVERT_FROM if m.group(1).lower() == "from" else _CONVERT_TO
-        if enc_m and enc_m.group(1).upper() in table:
+        fname = m.group(1).lower()
+        args, j = _scan_call(query, m.end())
+        if fname in ("sqltypeof", "drilltypeof") and len(args) == 1:
             inner = rewrite_convert_calls(args[0])
-            out.append("(" + table[enc_m.group(1).upper()].format(x=inner) + ")")
+            tmpl = _SQLTYPEOF if fname == "sqltypeof" else "typeof({x})"
+            out.append("(" + tmpl.format(x=inner) + ")")
+        elif fname.startswith("convert_") and len(args) == 2:
+            enc_m = _re.fullmatch(r"'(\w+)'", args[1])
+            table = _CONVERT_FROM if fname == "convert_from" else _CONVERT_TO
+            if enc_m and enc_m.group(1).upper() in table:
+                inner = rewrite_convert_calls(args[0])
+                out.append("(" + table[enc_m.group(1).upper()].format(x=inner) + ")")
+            else:
+                out.append(query[m.start() : j])  # untouched
         else:
             out.append(query[m.start() : j])  # untouched
         i = j

@@ -69,6 +69,8 @@ def read_auto(
         return read_ltsv(spark, path, schema=schema)
     if fmt in ("excel", "xlsx"):
         return read_excel(spark, path, **options)
+    if fmt == "sequencefile":
+        return read_sequencefile(spark, path)
     reader = spark.read.options(**options)
     if schema:
         reader = reader.schema(schema)
@@ -205,6 +207,19 @@ def read_ltsv(
     ).head()
     keys = list(keys_row["ks"] or [])
     return mapped.select(*[F.col("m").getItem(k).alias(k) for k in keys])
+
+
+def read_sequencefile(spark: SparkSession, path: str) -> DataFrame:
+    """SequenceFile reader (store/easy/sequencefile/ analog: Drill
+    exposes binary_key / binary_value columns).
+
+    Hadoop input format via the RDD API (splittable, distributed),
+    lifted to a DataFrame with the reference's two-column schema.
+    """
+    rdd = spark.sparkContext.sequenceFile(path)
+    return spark.createDataFrame(
+        rdd.map(lambda kv: (kv[0], kv[1])), "binary_key string, binary_value string"
+    )
 
 
 def read_excel(spark: SparkSession, path: str, sheet: str | int = 0, **_):

@@ -181,9 +181,10 @@ def rewrite(session, query: str) -> str:
     for alias, target in getattr(session, "aliases", {}).items():
         query = re.sub(rf"(?<![\w.`']){re.escape(alias)}(?![\w`])", target, query)
 
-    # convert_from/convert_to with literal encodings -> typed expressions
-    # (conv/ package; codec resolved at rewrite time like Drill's planner)
-    if re.search(r"convert_(?:from|to)\s*\(", query, re.IGNORECASE):
+    # convert_from/convert_to with literal encodings + sqltypeof ->
+    # typed expressions (codec/type resolved at rewrite time like
+    # Drill's planner)
+    if re.search(r"convert_(?:from|to)\s*\(|sqltypeof\s*\(|drilltypeof\s*\(", query, re.IGNORECASE):
         from drill_spark.functions import rewrite_convert_calls
 
         query = rewrite_convert_calls(query)

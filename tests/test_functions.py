@@ -230,3 +230,14 @@ def test_convert_roundtrip_property(spark):
     row = spark.sql(rewrite_convert_calls(f"select {exprs}")).head()
     for i, (n, enc) in enumerate(cases):
         assert row[f"c{i}"] == n, f"{enc} roundtrip failed for {n}: {row[f'c{i}']}"
+
+
+def test_sqltypeof_drill_names(spark):
+    from drill_spark.session import DrillSession
+
+    r = DrillSession(spark=spark).sql(
+        "select sqltypeof('x') as s, sqltypeof(1) as i, sqltypeof(1.5D) as d, "
+        "sqltypeof(cast(1 as bigint)) as b"
+    ).head()
+    assert r["s"] == "CHARACTER VARYING" and r["i"] == "INTEGER"
+    assert r["d"] == "DOUBLE" and r["b"] == "BIGINT"

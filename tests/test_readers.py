@@ -349,3 +349,17 @@ def test_excel_reader_gated(spark, tmp_path):
     p = str(tmp_path / "x.xlsx")
     pd.DataFrame({"a": [1, 2], "b": ["x", "y"]}).to_excel(p, index=False)
     assert read_excel(spark, p).count() == 2
+
+
+def test_sequencefile_roundtrip(spark, tmp_path):
+    """store/easy/sequencefile analog: Hadoop SequenceFile read as
+    (binary_key, binary_value) rows, via a real write/read roundtrip."""
+    from drill_spark.readers.files import read_sequencefile
+
+    p = str(tmp_path / "seq")
+    spark.sparkContext.parallelize([("k1", "v1"), ("k2", "v2")], 2).saveAsSequenceFile(p)
+    df = read_sequencefile(spark, p)
+    assert df.columns == ["binary_key", "binary_value"]
+    assert sorted((r["binary_key"], r["binary_value"]) for r in df.collect()) == [
+        ("k1", "v1"), ("k2", "v2"),
+    ]
