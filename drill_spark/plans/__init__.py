@@ -1,4 +1,5 @@
 from drill_spark.plans.checks import (
+    explain_report,
     explain_str,
     has_broadcast_hash_join,
     has_partial_aggregate,
@@ -10,6 +11,7 @@ from drill_spark.plans.checks import (
 )
 
 __all__ = [
+    "explain_report",
     "explain_str",
     "pushed_filters",
     "read_schema_columns",

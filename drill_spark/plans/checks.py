@@ -83,3 +83,35 @@ def wholestage_codegen_spans(df: DataFrame) -> int:
     if "== Initial Plan ==" in final:
         final = final.split("== Initial Plan ==", 1)[0]
     return len(set(re.findall(r"\*\((\d+)\)", final)))
+
+
+def explain_report(df: DataFrame) -> dict:
+    """One-call plan diagnostic: the scale-relevant facts of a plan as
+    a dict (the programmatic face of `.explain("formatted")` — what a
+    reviewer checks before declaring an operator 100 TB-ready).
+
+    Keys: join strategies with counts, shuffle count, scan read
+    schemas, pushed filters, partition filters, python evaluators,
+    codegen span count, AQE on/off.
+    """
+    import re
+    from collections import Counter
+
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    joins = Counter(
+        re.findall(
+            r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin|"
+            r"BroadcastNestedLoopJoin|CartesianProduct)",
+            plan,
+        )
+    )
+    return {
+        "joins": dict(joins),
+        "shuffles": len(re.findall(r"Exchange (?:hash|range|Single)", plan)),
+        "read_schemas": re.findall(r"ReadSchema: (struct<[^>]*>?)", plan),
+        "pushed_filters": re.findall(r"PushedFilters: \[([^\]]*)\]", plan),
+        "partition_filters": re.findall(r"PartitionFilters: \[([^\]]*)\]", plan),
+        "python_eval": has_python_eval(df),
+        "codegen_spans": wholestage_codegen_spans(df),
+        "adaptive": plan.startswith("AdaptiveSparkPlan"),
+    }

@@ -111,3 +111,24 @@ def test_partition_filter_on_real_partitions(spark, tmp_path):
 
     assert len(glob.glob(os.path.join(p, "o_year=*"))) > 1
     assert df.select(F.countDistinct("o_year")).head()[0] == 1
+
+
+def test_explain_report_shape(spark):
+    from drill_spark import plans
+    from drill_spark.session import load_fixture
+
+    from .conftest import SF_DIR
+
+    li = load_fixture(spark, SF_DIR, "lineitem")
+    ord_ = load_fixture(spark, SF_DIR, "orders")
+    df = (
+        li.where("l_quantity > 10")
+        .join(ord_, li["l_orderkey"] == ord_["o_orderkey"])
+        .groupBy("o_orderpriority")
+        .count()
+    )
+    rep = plans.explain_report(df)
+    assert rep["adaptive"] is True and rep["python_eval"] is False
+    assert sum(rep["joins"].values()) == 1
+    assert rep["shuffles"] >= 1  # the aggregation exchange
+    assert any("l_quantity" in f for f in rep["pushed_filters"])
