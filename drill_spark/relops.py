@@ -302,6 +302,42 @@ from orders
 where o_custkey < 50
 """)
 
+_q(
+    "op_window_ignore_nulls",
+    # IGNORE NULLS placement differs: Spark trails the call,
+    # DuckDB puts it inside the argument list
+    """
+select l_orderkey, l_linenumber,
+       lead(cmt) over w as next_c,
+       lag(cmt, 1, 'none') over w as prev_c,
+       first_value(cmt) ignore nulls over (partition by l_orderkey order by l_linenumber
+             rows between unbounded preceding and unbounded following) as first_nn,
+       last_value(cmt) ignore nulls over (partition by l_orderkey order by l_linenumber
+             rows between unbounded preceding and unbounded following) as last_nn,
+       nth_value(cmt, 2) over (partition by l_orderkey order by l_linenumber
+             rows between unbounded preceding and unbounded following) as second_c
+from (select l_orderkey, l_linenumber,
+             case when l_linenumber % 2 = 0 then null else l_returnflag end as cmt
+      from lineitem where l_orderkey < 60)
+window w as (partition by l_orderkey order by l_linenumber)
+""",
+    oracle="""
+select l_orderkey, l_linenumber,
+       lead(cmt) over w as next_c,
+       lag(cmt, 1, 'none') over w as prev_c,
+       first_value(cmt ignore nulls) over (partition by l_orderkey order by l_linenumber
+             rows between unbounded preceding and unbounded following) as first_nn,
+       last_value(cmt ignore nulls) over (partition by l_orderkey order by l_linenumber
+             rows between unbounded preceding and unbounded following) as last_nn,
+       nth_value(cmt, 2) over (partition by l_orderkey order by l_linenumber
+             rows between unbounded preceding and unbounded following) as second_c
+from (select l_orderkey, l_linenumber,
+             case when l_linenumber % 2 = 0 then null else l_returnflag end as cmt
+      from lineitem where l_orderkey < 60)
+window w as (partition by l_orderkey order by l_linenumber)
+""",
+)
+
 _q("op_window_range_frame", """
 select p_partkey,
        count(*) over (order by p_size range between 2 preceding and current row) as n_close
