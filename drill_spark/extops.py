@@ -208,6 +208,47 @@ def q_text_topk_approx(spark, sf_dir):
     )
 
 
+def q_sample_hash(spark, sf_dir):
+    """Deterministic ~1/16 corpus sample by content-addressed hash
+    (md5 of the id) — the reproducible-pipeline sampling idiom: no RNG
+    state, stable across engines/runs/partitionings, pushes down as an
+    ordinary filter."""
+    return (
+        _docs(spark, sf_dir)
+        .where(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) == "0")
+        .select("doc_id", "lang", "n_chars")
+    )
+
+
+ORACLE_SAMPLE_HASH = """
+select doc_id, lang, n_chars
+from documents
+where substring(md5(cast(doc_id as varchar)), 1, 1) = '0'
+"""
+
+
+def q_text_histogram(spark, sf_dir):
+    """Document-length histogram via width_bucket (feature-distribution
+    profiling; one scan + one tiny agg)."""
+    return (
+        _docs(spark, sf_dir)
+        .select(F.expr("width_bucket(n_chars, 0, 2000, 10)").alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+ORACLE_TEXT_HISTOGRAM = """
+-- width_bucket emulated arithmetically (DuckDB has no width_bucket)
+select cast(case when n_chars < 0 then 0
+                 when n_chars >= 2000 then 11
+                 else floor(n_chars / 200) + 1 end as bigint) as bucket,
+       count(*) as n_docs
+from documents
+group by 1
+"""
+
+
 def q_text_stats(spark, sf_dir):
     from drill_spark.ops.text import subword_estimate, token_count
 
@@ -461,6 +502,8 @@ QUERIES = {
     "ext_text_stats": q_text_stats,
     "ext_text_token_freq": q_text_token_freq,
     "ext_text_topk_approx": q_text_topk_approx,
+    "ext_sample_hash": q_sample_hash,
+    "ext_text_histogram": q_text_histogram,
     "ext_text_quality": q_text_quality,
     "ext_text_langid": q_text_langid,
     "ext_text_fingerprint": q_text_fingerprint,
@@ -478,6 +521,8 @@ ORACLES = {
     "ext_embed_dedup": ORACLE_EMBED_DEDUP,
     "ext_text_stats": ORACLE_TEXT_STATS,
     "ext_text_token_freq": ORACLE_TOKEN_FREQ,
+    "ext_sample_hash": ORACLE_SAMPLE_HASH,
+    "ext_text_histogram": ORACLE_TEXT_HISTOGRAM,
     "ext_text_quality": ORACLE_TEXT_QUALITY,
     "ext_text_langid": ORACLE_TEXT_LANGID,
     "ext_text_fingerprint": ORACLE_TEXT_FINGERPRINT,
