@@ -69,6 +69,31 @@ where round(i * 1.0 / (sa.sz + sb.sz - i), 4) >= 0.9
 """
 
 
+def q_dedup_apply(spark, sf_dir):
+    """The apply stage: corpus filtered to canonical survivors (one doc
+    per normalized-content digest). Broadcast-joinable keep set at test
+    scale; at 100 TB the same plan is a shuffle semi-join on doc_id."""
+    from drill_spark.ops.dedup import exact_dedup
+
+    docs = _docs(spark, sf_dir)
+    keep = exact_dedup(docs, "doc_id", "text").select("keep_id")
+    return docs.join(
+        keep, docs["doc_id"] == keep["keep_id"], "left_semi"
+    ).select("doc_id", "lang", "source")
+
+
+ORACLE_DEDUP_APPLY = r"""
+with keep as (
+  select min(doc_id) as keep_id
+  from documents
+  group by md5(regexp_replace(lower(text), '\s+', ' ', 'g'))
+)
+select d.doc_id, d.lang, d.source
+from documents d
+where d.doc_id in (select keep_id from keep)
+"""
+
+
 def q_dedup_minhash(spark, sf_dir):
     """Approximate (LSH recall < 1) — rows-only check by design."""
     from drill_spark.ops.dedup import minhash_near_dupes
@@ -490,6 +515,7 @@ join tiers t on e.value >= t.lo and e.value < t.hi
 
 QUERIES = {
     "ext_dedup_exact": q_dedup_exact,
+    "ext_dedup_apply": q_dedup_apply,
     "ext_dedup_jaccard": q_dedup_jaccard,
     "ext_dedup_minhash": q_dedup_minhash,
     "ext_dedup_simhash": q_dedup_simhash,
@@ -516,6 +542,7 @@ QUERIES = {
 
 ORACLES = {
     "ext_dedup_exact": ORACLE_DEDUP_EXACT,
+    "ext_dedup_apply": ORACLE_DEDUP_APPLY,
     "ext_dedup_jaccard": ORACLE_DEDUP_JACCARD,
     "ext_embed_topk": ORACLE_EMBED_TOPK,
     "ext_embed_dedup": ORACLE_EMBED_DEDUP,
