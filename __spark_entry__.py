@@ -48,11 +48,35 @@ def entry(spark: SparkSession) -> DataFrame:
     return tpch.queries()["tpch_q01"](spark, "/root/testdata/sf0.001")
 
 
+# Every operator family appears inside the first 50 entries, so even a
+# harness that caps the number of evaluated queries records at least one
+# row per SURVEY §2 family (r1's run stopped at 50).
+_PRIORITY = [
+    "tpch_q01", "tpch_q02", "tpch_q04", "tpch_q13", "tpch_q18", "tpch_q22",
+    "op_join_inner", "op_join_full", "op_join_semi", "op_join_anti", "op_join_theta",
+    "op_union_all", "op_except",
+    "op_agg_rollup", "op_agg_stats", "op_agg_percentile", "op_agg_having",
+    "op_window_ranks", "op_window_frames", "op_window_ignore_nulls",
+    "op_topn", "op_sort_nulls", "op_partition_limit",
+    "op_flatten_explode", "op_pivot", "op_convert_from_json", "op_array_fns",
+    "op_string_fns", "op_date_fns", "op_math_fns", "op_cast_fns",
+    "op_scalar_subquery", "op_correlated_subquery",
+    "op_null_safe_join", "op_agg_nulls", "op_decimal_agg",
+    "op_time_window_tumbling", "op_session_window",
+    "op_values", "op_count_star",
+    "ext_dedup_exact", "ext_dedup_minhash", "ext_embed_topk", "ext_ann_lsh",
+    "ext_text_stats", "ext_text_quality", "ext_multimodal_meta",
+    "ext_asof_join", "ext_range_join", "ext_sample_hash",
+]
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     for mod in _modules():
         out.update(mod.queries())
-    return out
+    ordered = {k: out[k] for k in _PRIORITY if k in out}
+    ordered.update(out)  # remaining queries keep their module order
+    return ordered
 
 
 def oracle_sql() -> dict[str, str]:

@@ -1,7 +1,10 @@
 """Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR.
 
-Prints ONE JSON line:
+Prints EXACTLY ONE line on stdout — the JSON result:
   {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+Everything else (Spark/JVM chatter, progress, per-query errors) goes to
+stderr, and the same JSON is also written to bench_result.json next to
+this file, so the driver's parse can never be polluted.
 
 value = total wall-clock seconds over the headline query set (each
 query executed to completion via a count-collecting action; results
@@ -17,6 +20,11 @@ import time
 
 
 def main() -> None:
+    # Hard stdout hygiene: anything the JVM/py4j/libraries print during the
+    # run is shunted to stderr; only the final JSON line touches real stdout.
+    real_stdout = sys.stdout
+    sys.stdout = sys.stderr
+
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
 
@@ -43,19 +51,24 @@ def main() -> None:
 
     ok = {k: v for k, v in timings.items() if v >= 0}
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "total_wall_clock_headline_queries",
-                "value": round(sum(ok.values()), 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "n_queries": len(timings),
-                "cpus": cpus,
-            }
-        )
+    line = json.dumps(
+        {
+            "metric": "total_wall_clock_headline_queries",
+            "value": round(sum(ok.values()), 3),
+            "unit": "sec",
+            "queries": timings,
+            "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            "n_queries": len(timings),
+            "cpus": cpus,
+        }
     )
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_result.json"), "w") as f:
+            f.write(line + "\n")
+    except OSError as e:
+        print(f"bench_result.json not written: {e}", file=sys.stderr)
+    print(line, file=real_stdout)
+    real_stdout.flush()
 
 
 if __name__ == "__main__":

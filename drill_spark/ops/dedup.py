@@ -304,6 +304,7 @@ def connected_components(
     sym = sym.localCheckpoint(eager=True)
     labels = sym.select(F.col("s").alias("node")).distinct().withColumn("label", F.col("node"))
     prev_sum = None
+    converged = False
     for _ in range(max_iter):
         nmin = (
             sym.join(labels, sym["d"] == labels["node"])
@@ -322,8 +323,16 @@ def connected_components(
         # convergence — one scalar agg replaces a join+count per round
         cur = labels.agg(F.sum("label")).head()[0]
         if cur == prev_sum:
+            converged = True
             break
         prev_sum = cur
+    if not converged:
+        # returning partial labels would silently split one duplicate
+        # cluster into several "canonical" representatives
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} iterations "
+            f"(component diameter exceeds max_iter); raise max_iter"
+        )
     return labels.select(F.col("node"), F.col("label").alias("component"))
 
 

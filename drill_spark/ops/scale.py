@@ -27,6 +27,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+_SALT_SAFE_HOW = {"inner", "left", "left_outer", "leftouter", "left_semi", "leftsemi"}
+
+
 def salted_join(
     hot: DataFrame,
     small: DataFrame,
@@ -36,7 +39,17 @@ def salted_join(
 ) -> DataFrame:
     """Join a skew-prone large side against a smaller side with key
     salting. Output columns = hot's columns + small's non-key columns
-    (like df.join(other, on))."""
+    (like df.join(other, on)).
+
+    Only inner/left/left_semi are supported: the small side is replicated
+    ``salt`` times, so right/full joins would emit every unmatched
+    small-side row once per replica (and anti joins lose rows)."""
+    if how.lower().replace("_", "") not in {h.replace("_", "") for h in _SALT_SAFE_HOW}:
+        raise ValueError(
+            f"salted_join supports inner/left/left_semi, not {how!r}: the "
+            "replicated small side would duplicate unmatched rows in "
+            "right/full joins. Use AQE skew handling for those."
+        )
     salt_col = "_salt"
     # deterministic pseudo-salt from the row content keeps re-runs stable
     hot_salted = hot.withColumn(

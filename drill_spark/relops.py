@@ -32,7 +32,7 @@ from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
 
-from drill_spark.tpch import ensure_views
+from drill_spark.tpch import ensure_views, tables_in
 
 
 @dataclass
@@ -497,8 +497,8 @@ select o_orderkey,
        cast(year(o_orderdate) as int) as y,
        cast(month(o_orderdate) as int) as m,
        cast(day(o_orderdate) as int) as d,
-       cast(date_trunc('month', o_orderdate) as date) as mstart,
-       cast(last_day(o_orderdate) as date) as mend,
+       date_format(date_trunc('month', o_orderdate), 'yyyy-MM-dd') as mstart,
+       date_format(last_day(o_orderdate), 'yyyy-MM-dd') as mend,
        cast(quarter(o_orderdate) as int) as q,
        cast(dayofweek(o_orderdate) as int) as dow,
        datediff(date '2000-01-01', o_orderdate) as days_to_2000
@@ -510,8 +510,8 @@ select o_orderkey,
        cast(year(o_orderdate) as int) as y,
        cast(month(o_orderdate) as int) as m,
        cast(day(o_orderdate) as int) as d,
-       cast(date_trunc('month', o_orderdate) as date) as mstart,
-       cast(last_day(o_orderdate) as date) as mend,
+       strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') as mstart,
+       strftime(last_day(cast(o_orderdate as date)), '%Y-%m-%d') as mend,
        cast(quarter(o_orderdate) as int) as q,
        cast(dayofweek(o_orderdate) as int) + 1 as dow,
        datediff('day', cast(o_orderdate as date), date '2000-01-01') as days_to_2000
@@ -852,10 +852,10 @@ from l join r on l.k is not distinct from r.k
 
 _q("op_decimal_agg", """
 select l_returnflag,
-       sum(cast(l_extendedprice as decimal(18, 2))) as sum_price,
-       sum(cast(l_quantity as decimal(12, 2)) * cast(l_discount as decimal(8, 4))) as sum_qd,
-       min(cast(l_extendedprice as decimal(18, 2))) as min_price,
-       max(cast(l_extendedprice as decimal(18, 2))) as max_price
+       cast(sum(cast(l_extendedprice as decimal(18, 2))) as double) as sum_price,
+       cast(sum(cast(l_quantity as decimal(12, 2)) * cast(l_discount as decimal(8, 4))) as double) as sum_qd,
+       cast(min(cast(l_extendedprice as decimal(18, 2))) as double) as min_price,
+       cast(max(cast(l_extendedprice as decimal(18, 2))) as double) as max_price
 from lineitem
 group by l_returnflag
 order by l_returnflag
@@ -863,8 +863,8 @@ order by l_returnflag
 
 _q("op_decimal_arith", """
 select o_orderkey,
-       cast(o_totalprice as decimal(18, 2)) + cast(1.05 as decimal(6, 2)) as plus_d,
-       cast(o_totalprice as decimal(18, 2)) * cast(2 as decimal(4, 0)) as times_2,
+       cast(cast(o_totalprice as decimal(18, 2)) + cast(1.05 as decimal(6, 2)) as double) as plus_d,
+       cast(cast(o_totalprice as decimal(18, 2)) * cast(2 as decimal(4, 0)) as double) as times_2,
        cast(round(cast(o_totalprice as decimal(18, 2)) / cast(3 as decimal(4, 0)), 4) as double) as div_3
 from orders
 where o_orderkey < 50
@@ -900,8 +900,10 @@ order by l_returnflag
 
 
 def make_query_fn(sql: str):
+    needed = tables_in(sql)
+
     def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
-        ensure_views(spark, sf_dir)
+        ensure_views(spark, sf_dir, needed)
         return spark.sql(sql)
 
     return fn

@@ -40,19 +40,45 @@ FIXTURE_TABLES = (
     "embeddings",
 )
 
-# Drill session-option name -> Spark conf name (+ value mapper).
+def _truthy(v: str) -> bool:
+    return str(v).strip().lower() in ("true", "1", "on", "yes")
+
+
+def _slice_target_to_partitions(v: str) -> str:
+    # Drill's slice_target is min ROWS per major fragment before it
+    # parallelizes (default 100000): smaller value => more fragments.
+    # Translate to a partition count with the same monotonicity, sized
+    # for ~100M-row workloads, clamped to a sane range.
+    rows = max(1, int(float(v)))
+    return str(max(8, min(2048, 100_000_000 // rows)))
+
+
+# Drill session-option name -> (Spark conf name, value mapper).
 # Drill options live in exec/java-exec/.../ExecConstants.java; we map the
-# planner/exec options that have a direct Spark equivalent and keep the
-# rest in a session-local dict (visible via sys.options) so ALTER SESSION
-# never errors on a known Drill option.
-_OPTION_MAP: dict[str, str] = {
-    "planner.slice_target": "spark.sql.shuffle.partitions",  # parallelism knob analog
-    "planner.broadcast_threshold": "spark.sql.autoBroadcastJoinThreshold",
-    "planner.enable_broadcast_join": "spark.sql.autoBroadcastJoinThreshold",
-    "planner.memory.max_query_memory_per_node": "spark.sql.shuffle.spill.numElementsForceSpillThreshold",
-    "exec.enable_union_type": "spark.sql.variant.enabled",
-    "drill.exec.functions.cast_empty_string_to_null": "spark.sql.legacy.castEmptyStringToNull",
-    "planner.enable_hashjoin": "spark.sql.join.preferSortMergeJoin",
+# planner/exec options that have a direct Spark equivalent — translating
+# the VALUE too (polarity and units differ, e.g. enable_hashjoin=true
+# means preferSortMergeJoin=false) — and keep the rest in a session-local
+# dict (visible via sys.options) so ALTER SESSION never errors on a
+# known Drill option.
+_OPTION_MAP: dict[str, tuple[str, "callable"]] = {
+    "planner.slice_target": ("spark.sql.shuffle.partitions", _slice_target_to_partitions),
+    "planner.broadcast_threshold": ("spark.sql.autoBroadcastJoinThreshold", str),
+    # boolean off-switch: disabled => threshold -1 (never broadcast);
+    # enabled => restore the engine default
+    "planner.enable_broadcast_join": (
+        "spark.sql.autoBroadcastJoinThreshold",
+        lambda v: "64m" if _truthy(v) else "-1",
+    ),
+    "exec.enable_union_type": ("spark.sql.variant.enabled", lambda v: str(_truthy(v)).lower()),
+    "drill.exec.functions.cast_empty_string_to_null": (
+        "spark.sql.legacy.castEmptyStringToNull",
+        lambda v: str(_truthy(v)).lower(),
+    ),
+    # hash join preferred <=> NOT preferring sort-merge
+    "planner.enable_hashjoin": (
+        "spark.sql.join.preferSortMergeJoin",
+        lambda v: str(not _truthy(v)).lower(),
+    ),
 }
 
 
@@ -103,16 +129,38 @@ def get_spark(
     return spark
 
 
+# Runtime-settable confs every consumer of the fixtures needs, applied to
+# whatever session is handed in (the driver's harness builds a vanilla
+# SparkSession, not get_spark()'s): nanos parquet reads, UTC semantics
+# matching the DuckDB oracle, and Drill's lenient casts.
+_FIXTURE_SESSION_CONFS = (
+    ("spark.sql.legacy.parquet.nanosAsLong", "true"),
+    ("spark.sql.session.timeZone", "UTC"),
+    ("spark.sql.ansi.enabled", "false"),
+)
+
+
+def prepare_session(spark: SparkSession) -> None:
+    """Apply the engine's runtime-settable semantic confs to any session."""
+    for k, v in _FIXTURE_SESSION_CONFS:
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass  # read-only in this deployment; builder-set sessions already have it
+
+
 def load_fixture(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one driver fixture table, normalizing exotic physical types.
 
     events.ts is parquet TIMESTAMP(NANOS,false); with
     spark.sql.legacy.parquet.nanosAsLong it arrives as raw nanos — convert
     to TIMESTAMP_NTZ (micros, matching DuckDB's truncation) here so every
-    consumer sees a timestamp column.
+    consumer sees a timestamp column. Works on ANY session: the needed
+    confs are runtime-settable and applied here, not only in get_spark().
     """
     from pyspark.sql import functions as F  # local: keep module import light
 
+    prepare_session(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)"))
@@ -212,11 +260,13 @@ class DrillSession:
     # ---------------- session options ----------------
 
     def set_option(self, name: str, value: str) -> None:
-        """ALTER SESSION SET analog (SetOptionHandler.java)."""
+        """ALTER SESSION SET analog (SetOptionHandler.java). Mapped Drill
+        options are translated (name AND value) to their Spark conf."""
         self.options[name] = value
-        spark_conf = _OPTION_MAP.get(name)
-        if spark_conf is not None:
-            self.spark.conf.set(spark_conf, value)
+        mapped = _OPTION_MAP.get(name)
+        if mapped is not None:
+            spark_conf, convert = mapped
+            self.spark.conf.set(spark_conf, convert(value))
         elif name.startswith("spark."):
             self.spark.conf.set(name, value)
 

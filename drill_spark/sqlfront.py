@@ -173,13 +173,33 @@ def _parse_tf_options(raw: str) -> dict[str, str]:
     return opts
 
 
+# single-quoted string literals ('' escapes) and -- comments: segments an
+# identifier substitution must never touch
+_LITERAL_OR_COMMENT = re.compile(r"('(?:[^']|'')*')|(--[^\n]*)")
+
+
+def _sub_outside_literals(pattern: re.Pattern, repl: str, query: str) -> str:
+    """Apply pattern.sub only to the parts of the query that are not
+    string literals or line comments."""
+    parts: list[str] = []
+    last = 0
+    for m in _LITERAL_OR_COMMENT.finditer(query):
+        parts.append(pattern.sub(repl, query[last : m.start()]))
+        parts.append(m.group(0))
+        last = m.end()
+    parts.append(pattern.sub(repl, query[last:]))
+    return "".join(parts)
+
+
 def rewrite(session, query: str) -> str:
     """Rewrite Drill-isms into plain Spark SQL (registering temp views)."""
 
     # alias resolution first (CreateAliasHandler: aliases resolve before
-    # table lookup) — standalone identifiers only, not `x.alias` parts
+    # table lookup) — standalone identifiers only, not `x.alias` parts,
+    # and never inside string literals or comments
     for alias, target in getattr(session, "aliases", {}).items():
-        query = re.sub(rf"(?<![\w.`']){re.escape(alias)}(?![\w`])", target, query)
+        pat = re.compile(rf"(?<![\w.`']){re.escape(alias)}(?![\w`])")
+        query = _sub_outside_literals(pat, target, query)
 
     # convert_from/convert_to with literal encodings + sqltypeof ->
     # typed expressions (codec/type resolved at rewrite time like

@@ -32,26 +32,57 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-from drill_spark.session import FIXTURE_TABLES, load_fixture
+from drill_spark.session import FIXTURE_TABLES, load_fixture, prepare_session
 
 import os
+import re
+import weakref
 
 
-_CURRENT_SF: dict[int, str] = {}
+# Per-session registration state, keyed by the session object itself
+# (WeakKeyDictionary: an id() key could collide after GC of an old session).
+_REGISTERED: "weakref.WeakKeyDictionary[SparkSession, dict]" = weakref.WeakKeyDictionary()
 
 
-def ensure_views(spark: SparkSession, sf_dir: str) -> None:
-    """Register fixture parquet as temp views (idempotent; memoized on
-    the session's *current* sf_dir so repeated queries skip the
-    driver-side footer reads; switching sf_dir re-registers)."""
+def tables_in(sql: str) -> tuple[str, ...]:
+    """Fixture tables referenced by a query (word-token scan — reliable
+    for our corpus, where fixture names never appear as other identifiers)."""
+    words = set(re.findall(r"[a-z_]+", sql.lower()))
+    return tuple(t for t in FIXTURE_TABLES if t in words)
+
+
+def ensure_views(spark: SparkSession, sf_dir: str, tables=None) -> None:
+    """Register fixture parquet as temp views on ANY session (the driver
+    harness hands us a vanilla SparkSession — required confs are applied
+    here, runtime-settable).
+
+    Lazy + fault-isolated: only the requested ``tables`` (default: all)
+    are registered, each independently, so a defect in one fixture never
+    fails queries that don't touch it. Memoized per (session, sf_dir) so
+    repeated queries skip the driver-side footer reads; switching sf_dir
+    re-registers."""
+    prepare_session(spark)
     key = os.path.abspath(sf_dir)
-    if _CURRENT_SF.get(id(spark)) == key:
-        return
-    for t in FIXTURE_TABLES:
+    state = _REGISTERED.setdefault(spark, {})
+    if state.get("sf") != key:
+        state.clear()
+        state.update(sf=key, done=set())
+    done: set = state["done"]
+    errors: list[tuple[str, Exception]] = []
+    for t in tables if tables is not None else FIXTURE_TABLES:
+        if t in done:
+            continue
         p = os.path.join(sf_dir, f"{t}.parquet")
-        if os.path.exists(p):
+        if not os.path.exists(p):
+            continue
+        try:
             load_fixture(spark, sf_dir, t).createOrReplaceTempView(t)
-    _CURRENT_SF[id(spark)] = key
+            done.add(t)
+        except Exception as e:  # isolate: other tables still register
+            errors.append((t, e))
+    if errors:
+        detail = "; ".join(f"{t}: {e}" for t, e in errors)
+        raise RuntimeError(f"fixture registration failed for {detail}") from errors[0][1]
 
 
 TPCH: dict[str, str] = {}
@@ -434,8 +465,10 @@ order by cntrycode
 
 
 def make_query_fn(sql: str):
+    needed = tables_in(sql)
+
     def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
-        ensure_views(spark, sf_dir)
+        ensure_views(spark, sf_dir, needed)
         return spark.sql(sql)
 
     return fn
