@@ -513,7 +513,32 @@ join tiers t on e.value >= t.lo and e.value < t.hi
 """
 
 
+def q_avro_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Avro format scan (store/avro/AvroBatchReader.java parity): the
+    supplier fixture is written to Avro OCF with the distributed writer
+    once per sf_dir, then read back with the distributed per-file
+    decoder — so the correctness row checks the full write+read format
+    path against the parquet-derived oracle."""
+    import hashlib
+    import os
+    import tempfile
+
+    from drill_spark.readers.avro import read_avro, write_avro
+
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    out_dir = os.path.join(tempfile.gettempdir(), f"drill_spark_avro_{tag}")
+    if not os.path.isdir(out_dir) or not os.listdir(out_dir):
+        write_avro(load_fixture(spark, sf_dir, "supplier"), out_dir)
+    return read_avro(spark, out_dir).select("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+
+
+ORACLE_AVRO_SCAN = """
+select s_suppkey, s_name, s_nationkey, s_acctbal from supplier
+"""
+
+
 QUERIES = {
+    "op_avro_scan": q_avro_scan,
     "ext_dedup_exact": q_dedup_exact,
     "ext_dedup_apply": q_dedup_apply,
     "ext_dedup_jaccard": q_dedup_jaccard,
@@ -541,6 +566,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "op_avro_scan": ORACLE_AVRO_SCAN,
     "ext_dedup_exact": ORACLE_DEDUP_EXACT,
     "ext_dedup_apply": ORACLE_DEDUP_APPLY,
     "ext_dedup_jaccard": ORACLE_DEDUP_JACCARD,

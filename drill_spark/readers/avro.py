@@ -1,0 +1,452 @@
+"""Avro Object Container File reader/writer — no external dependency.
+
+Drill reads Avro through its EVF scan framework (reference:
+exec/java-exec/src/main/java/org/apache/drill/exec/store/avro/
+AvroBatchReader.java, AvroFormatPlugin.java); Spark's own avro
+datasource lives in a separate spark-avro jar that is not bundled in
+this environment. Rather than erroring at use (round-1 state), this
+module implements the public Avro 1.x Object Container File format
+(https://avro.apache.org/docs/current/specification/) directly:
+
+- **decoder**: header (magic ``Obj\\x01``, metadata map, sync marker),
+  blocks (count, size, payload, sync), codecs ``null``/``deflate``,
+  zigzag-varint primitives, record/enum/array/map/union/fixed, and the
+  date / timestamp-millis / timestamp-micros logical types.
+- **encoder**: same format, ``null`` codec — used by the avro write
+  path and by round-trip tests (cross-validated in tests against the
+  JVM's genuine avro-1.12 library via py4j, so this is not a
+  self-consistent-only implementation).
+
+Scale: ``read_avro`` distributes by FILE — the driver reads ONE header
+for the schema, then a ``mapInPandas`` over the file list decodes each
+file inside executors (Arrow-batched out). That matches the
+reference's scan granularity (one AvroBatchReader per file split).
+Avro blocks are sync-marker-splittable, so sub-file splits are a
+possible refinement, but file granularity is the correct v1 for the
+many-files layout Avro data lakes actually have. Nothing is collected
+on the driver.
+
+Limitations (documented, erroring clearly): general unions beyond
+[null, T], recursive named-type references, and the snappy codec
+(not in the container) are unsupported.
+"""
+
+from __future__ import annotations
+
+import datetime
+import io
+import json
+import os
+import struct
+import zlib
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+MAGIC = b"Obj\x01"
+
+_PRIMITIVES = {"null", "boolean", "int", "long", "float", "double", "bytes", "string"}
+
+
+# ---------------------------------------------------------------- schema
+
+def _avro_to_spark_type(sch) -> T.DataType:
+    """Avro schema (parsed JSON) -> Spark DataType."""
+    if isinstance(sch, str):
+        return {
+            "null": T.NullType(),
+            "boolean": T.BooleanType(),
+            "int": T.IntegerType(),
+            "long": T.LongType(),
+            "float": T.FloatType(),
+            "double": T.DoubleType(),
+            "bytes": T.BinaryType(),
+            "string": T.StringType(),
+        }[sch]
+    if isinstance(sch, list):  # union
+        non_null = [s for s in sch if s != "null"]
+        if len(non_null) != 1:
+            raise NotImplementedError(f"general avro unions unsupported: {sch}")
+        return _avro_to_spark_type(non_null[0])
+    t = sch["type"]
+    logical = sch.get("logicalType")
+    if logical == "date":
+        return T.DateType()
+    if logical in ("timestamp-millis", "timestamp-micros"):
+        return T.TimestampType()
+    if t == "record":
+        return T.StructType(
+            [T.StructField(f["name"], _avro_to_spark_type(f["type"]), True) for f in sch["fields"]]
+        )
+    if t == "enum":
+        return T.StringType()
+    if t == "array":
+        return T.ArrayType(_avro_to_spark_type(sch["items"]))
+    if t == "map":
+        return T.MapType(T.StringType(), _avro_to_spark_type(sch["values"]))
+    if t == "fixed":
+        return T.BinaryType()
+    return _avro_to_spark_type(t)  # {"type": "long", ...} wrapper
+
+
+# ---------------------------------------------------------------- decode
+
+class _Reader:
+    def __init__(self, buf: bytes):
+        self.b = buf
+        self.pos = 0
+
+    def read(self, n: int) -> bytes:
+        out = self.b[self.pos : self.pos + n]
+        if len(out) != n:
+            raise EOFError("truncated avro data")
+        self.pos += n
+        return out
+
+    def at_end(self) -> bool:
+        return self.pos >= len(self.b)
+
+    def zigzag(self) -> int:
+        shift, acc = 0, 0
+        while True:
+            byte = self.b[self.pos]
+            self.pos += 1
+            acc |= (byte & 0x7F) << shift
+            if not byte & 0x80:
+                break
+            shift += 7
+        return (acc >> 1) ^ -(acc & 1)
+
+
+def _decode_value(r: _Reader, sch):
+    if isinstance(sch, str):
+        if sch == "null":
+            return None
+        if sch == "boolean":
+            return r.read(1) == b"\x01"
+        if sch in ("int", "long"):
+            return r.zigzag()
+        if sch == "float":
+            return struct.unpack("<f", r.read(4))[0]
+        if sch == "double":
+            return struct.unpack("<d", r.read(8))[0]
+        if sch in ("bytes", "string"):
+            raw = r.read(r.zigzag())
+            return raw.decode("utf-8") if sch == "string" else raw
+        raise NotImplementedError(f"avro named-type reference unsupported: {sch}")
+    if isinstance(sch, list):  # union: long index selects the branch
+        return _decode_value(r, sch[r.zigzag()])
+    t = sch["type"]
+    logical = sch.get("logicalType")
+    if logical == "date":
+        return datetime.date(1970, 1, 1) + datetime.timedelta(days=r.zigzag())
+    if logical in ("timestamp-millis", "timestamp-micros"):
+        v = r.zigzag()
+        us = v * 1000 if logical == "timestamp-millis" else v
+        return datetime.datetime(1970, 1, 1) + datetime.timedelta(microseconds=us)
+    if t == "record":
+        return {f["name"]: _decode_value(r, f["type"]) for f in sch["fields"]}
+    if t == "enum":
+        return sch["symbols"][r.zigzag()]
+    if t in ("array", "map"):
+        item_sch = sch["items"] if t == "array" else sch["values"]
+        out = [] if t == "array" else {}
+        while True:
+            count = r.zigzag()
+            if count == 0:
+                break
+            if count < 0:  # negative count: block byte-size follows
+                count = -count
+                r.zigzag()
+            for _ in range(count):
+                if t == "array":
+                    out.append(_decode_value(r, item_sch))
+                else:
+                    k = r.read(r.zigzag()).decode("utf-8")
+                    out[k] = _decode_value(r, item_sch)
+        return out
+    if t == "fixed":
+        return r.read(sch["size"])
+    return _decode_value(r, t)
+
+
+def _read_header(r: _Reader) -> tuple[dict, str, bytes]:
+    if r.read(4) != MAGIC:
+        raise ValueError("not an avro object container file (bad magic)")
+    meta: dict[str, bytes] = {}
+    while True:
+        count = r.zigzag()
+        if count == 0:
+            break
+        if count < 0:
+            count = -count
+            r.zigzag()
+        for _ in range(count):
+            k = r.read(r.zigzag()).decode("utf-8")
+            meta[k] = r.read(r.zigzag())
+    sync = r.read(16)
+    schema = json.loads(meta["avro.schema"])
+    codec = meta.get("avro.codec", b"null").decode("utf-8")
+    if codec not in ("null", "deflate"):
+        raise NotImplementedError(f"avro codec {codec!r} unsupported (null/deflate only)")
+    return schema, codec, sync
+
+
+def decode_file(data: bytes) -> tuple[dict, list]:
+    """Decode one OCF byte string -> (avro schema, list of records)."""
+    r = _Reader(data)
+    schema, codec, sync = _read_header(r)
+    records = []
+    while not r.at_end():
+        n = r.zigzag()
+        size = r.zigzag()
+        payload = r.read(size)
+        if codec == "deflate":  # raw deflate, no zlib header (per spec)
+            payload = zlib.decompress(payload, -15)
+        if r.read(16) != sync:
+            raise ValueError("avro block sync marker mismatch (corrupt file)")
+        br = _Reader(payload)
+        for _ in range(n):
+            records.append(_decode_value(br, schema))
+    return schema, records
+
+
+def read_avro_schema(path: str) -> tuple[dict, T.StructType]:
+    """Read only the header of one file -> (avro schema, Spark schema)."""
+    with open(path, "rb") as f:
+        head = f.read(65536)  # header is metadata-only; 64K covers any real schema
+    schema, _, _ = _read_header(_Reader(head))
+    spark_type = _avro_to_spark_type(schema)
+    if not isinstance(spark_type, T.StructType):
+        spark_type = T.StructType([T.StructField("value", spark_type, True)])
+    return schema, spark_type
+
+
+# ---------------------------------------------------------------- encode
+
+def _zigzag_bytes(v: int) -> bytes:
+    v = (v << 1) ^ (v >> 63) if v >= 0 else (((-v) << 1) - 1)
+    out = bytearray()
+    while True:
+        b = v & 0x7F
+        v >>= 7
+        if v:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _encode_value(out: io.BytesIO, sch, v) -> None:
+    if isinstance(sch, str):
+        if sch == "null":
+            return
+        if sch == "boolean":
+            out.write(b"\x01" if v else b"\x00")
+        elif sch in ("int", "long"):
+            out.write(_zigzag_bytes(int(v)))
+        elif sch == "float":
+            out.write(struct.pack("<f", float(v)))
+        elif sch == "double":
+            out.write(struct.pack("<d", float(v)))
+        elif sch in ("bytes", "string"):
+            raw = v.encode("utf-8") if isinstance(v, str) else bytes(v)
+            out.write(_zigzag_bytes(len(raw)))
+            out.write(raw)
+        else:
+            raise NotImplementedError(f"avro named-type reference unsupported: {sch}")
+        return
+    if isinstance(sch, list):  # union: [null, T] — pick branch by value
+        idx = sch.index("null") if v is None else next(i for i, s in enumerate(sch) if s != "null")
+        out.write(_zigzag_bytes(idx))
+        _encode_value(out, sch[idx], v)
+        return
+    t = sch["type"]
+    logical = sch.get("logicalType")
+    if logical == "date":
+        out.write(_zigzag_bytes((v - datetime.date(1970, 1, 1)).days))
+        return
+    if logical in ("timestamp-millis", "timestamp-micros"):
+        delta = v.replace(tzinfo=None) - datetime.datetime(1970, 1, 1)
+        us = round(delta.total_seconds() * 1_000_000)
+        out.write(_zigzag_bytes(us // 1000 if logical == "timestamp-millis" else us))
+        return
+    if t == "record":
+        get = v.get if isinstance(v, dict) else lambda k: getattr(v, k)
+        for f in sch["fields"]:
+            _encode_value(out, f["type"], get(f["name"]))
+    elif t == "enum":
+        out.write(_zigzag_bytes(sch["symbols"].index(v)))
+    elif t == "array":
+        if v:
+            out.write(_zigzag_bytes(len(v)))
+            for item in v:
+                _encode_value(out, sch["items"], item)
+        out.write(_zigzag_bytes(0))
+    elif t == "map":
+        if v is not None and not isinstance(v, dict):
+            v = dict(v)  # Arrow hands map columns to pandas as [(k, v), ...]
+        if v:
+            out.write(_zigzag_bytes(len(v)))
+            for k, item in v.items():
+                raw = k.encode("utf-8")
+                out.write(_zigzag_bytes(len(raw)))
+                out.write(raw)
+                _encode_value(out, sch["values"], item)
+        out.write(_zigzag_bytes(0))
+    elif t == "fixed":
+        out.write(bytes(v))
+    else:
+        _encode_value(out, t, v)
+
+
+def encode_file(schema: dict, records, sync: bytes = b"\x00" * 15 + b"\x01") -> bytes:
+    """Encode records as one OCF byte string (null codec, one block)."""
+    out = io.BytesIO()
+    out.write(MAGIC)
+    meta = {"avro.schema": json.dumps(schema).encode(), "avro.codec": b"null"}
+    out.write(_zigzag_bytes(len(meta)))
+    for k, v in meta.items():
+        kraw = k.encode()
+        out.write(_zigzag_bytes(len(kraw)))
+        out.write(kraw)
+        out.write(_zigzag_bytes(len(v)))
+        out.write(v)
+    out.write(_zigzag_bytes(0))
+    out.write(sync)
+    records = list(records)
+    if records:
+        block = io.BytesIO()
+        for rec in records:
+            _encode_value(block, schema, rec)
+        payload = block.getvalue()
+        out.write(_zigzag_bytes(len(records)))
+        out.write(_zigzag_bytes(len(payload)))
+        out.write(payload)
+        out.write(sync)
+    return out.getvalue()
+
+
+def spark_to_avro_schema(st: T.StructType, name: str = "topLevelRecord") -> dict:
+    """Spark StructType -> Avro record schema (nullable => [null, T])."""
+
+    def conv(dt: T.DataType, field_name: str):
+        if isinstance(dt, T.BooleanType):
+            return "boolean"
+        if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType)):
+            return "int"
+        if isinstance(dt, T.LongType):
+            return "long"
+        if isinstance(dt, T.FloatType):
+            return "float"
+        if isinstance(dt, T.DoubleType):
+            return "double"
+        if isinstance(dt, T.StringType):
+            return "string"
+        if isinstance(dt, T.BinaryType):
+            return "bytes"
+        if isinstance(dt, T.DateType):
+            return {"type": "int", "logicalType": "date"}
+        if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+            return {"type": "long", "logicalType": "timestamp-micros"}
+        if isinstance(dt, T.ArrayType):
+            return {"type": "array", "items": conv(dt.elementType, field_name)}
+        if isinstance(dt, T.MapType):
+            return {"type": "map", "values": conv(dt.valueType, field_name)}
+        if isinstance(dt, T.StructType):
+            return {
+                "type": "record",
+                "name": f"{field_name}_rec",
+                "fields": [
+                    {"name": f.name, "type": ["null", conv(f.dataType, f.name)]}
+                    for f in dt.fields
+                ],
+            }
+        raise NotImplementedError(f"no avro mapping for Spark type {dt}")
+
+    return {
+        "type": "record",
+        "name": name,
+        "fields": [
+            {"name": f.name, "type": ["null", conv(f.dataType, f.name)]} for f in st.fields
+        ],
+    }
+
+
+# ---------------------------------------------------------------- spark IO
+
+def _list_avro_files(path: str) -> list[str]:
+    import glob as _glob
+
+    if os.path.isdir(path):
+        found = sorted(_glob.glob(os.path.join(path, "**", "*.avro"), recursive=True))
+    else:
+        found = sorted(_glob.glob(path)) if any(c in path for c in "*?[") else [path]
+    if not found:
+        raise FileNotFoundError(f"no avro files at {path}")
+    return found
+
+
+def read_avro(spark: SparkSession, path: str) -> DataFrame:
+    """Distributed Avro read: one header read on the driver for the
+    schema, then per-file decode inside executors via mapInPandas
+    (Arrow-batched). Parallelism = number of files, the reference's
+    split granularity (AvroBatchReader.java)."""
+    import pandas as pd
+
+    files = _list_avro_files(path)
+    avro_schema, spark_schema = read_avro_schema(files[0])
+    names = [f.name for f in spark_schema.fields]
+
+    def decode_partition(batches):
+        for pdf in batches:
+            for fpath in pdf["path"]:
+                with open(fpath, "rb") as f:
+                    _, records = decode_file(f.read())
+                if not isinstance(_avro_to_spark_type(avro_schema), T.StructType):
+                    records = [{"value": rec} for rec in records]
+                yield pd.DataFrame.from_records(records, columns=names)
+
+    paths = spark.createDataFrame([(f,) for f in files], "path string").repartition(
+        min(len(files), spark.sparkContext.defaultParallelism)
+    )
+    return paths.mapInPandas(decode_partition, spark_schema)
+
+
+def write_avro(df: DataFrame, out_dir: str) -> list[str]:
+    """Distributed Avro write: each partition encodes one OCF part file
+    (mirrors how every Spark file sink lays out output). Returns the
+    written file paths."""
+    os.makedirs(out_dir, exist_ok=True)
+    avro_schema = spark_to_avro_schema(df.schema)
+    names = df.columns
+
+    def write_partition(batches):
+        import numpy as np
+        import pandas as pd
+
+        def clean(v):
+            if isinstance(v, np.ndarray):
+                return [clean(x) for x in v]
+            if isinstance(v, (list, dict, bytes)):
+                return v
+            if pd.isna(v):
+                return None
+            if isinstance(v, np.generic):
+                return v.item()
+            return v
+
+        rows = []
+        for pdf in batches:
+            for rec in pdf.to_dict("records"):
+                rows.append({k: clean(v) for k, v in rec.items()})
+        if rows:
+            import uuid
+
+            fname = os.path.join(out_dir, f"part-{uuid.uuid4().hex}.avro")
+            with open(fname, "wb") as f:
+                f.write(encode_file(avro_schema, rows))
+            yield pd.DataFrame({"file": [fname], "rows": [len(rows)]})
+
+    manifest = df.mapInPandas(write_partition, "file string, rows long").collect()
+    return [r["file"] for r in manifest]

@@ -71,6 +71,12 @@ def read_auto(
         return read_excel(spark, path, **options)
     if fmt == "sequencefile":
         return read_sequencefile(spark, path)
+    if fmt == "avro":
+        # self-contained OCF decoder (spark-avro jar not bundled); see
+        # drill_spark/readers/avro.py for the scale story
+        from drill_spark.readers.avro import read_avro
+
+        return read_avro(spark, path)
     reader = spark.read.options(**options)
     if schema:
         reader = reader.schema(schema)
