@@ -1,0 +1,100 @@
+"""External storage plugins: JDBC databases and Kafka topics as tables.
+
+Drill references:
+- contrib/storage-jdbc/src/main/java/org/apache/drill/exec/store/jdbc/
+  JdbcStoragePlugin.java — an external RDBMS as a schema; Drill pushes
+  filters/projects/joins down via Calcite's JDBC adapter.
+- contrib/storage-kafka/src/main/java/org/apache/drill/exec/store/kafka/
+  KafkaStoragePlugin.java — a topic scanned as a batch table with
+  kafkaMsgOffset/partition metadata columns.
+
+Spark-first mapping:
+- JDBC: ``spark.read.format("jdbc")`` — Catalyst's JDBCRelation prunes
+  columns and pushes predicates into the database (visible as
+  PushedFilters in the scan node), the same division of labor as
+  Drill's JdbcPushDownFilter. Scale: a single-partition JDBC read is a
+  driver-side bottleneck at 100 TB, so ``partition_column`` /
+  ``num_partitions`` options map straight onto Spark's partitioned
+  JDBC scan (parallel range queries against the DB).
+- Kafka: ``spark.read.format("kafka")`` with earliest→latest offsets is
+  exactly the reference's batch-topic semantics; partitions map 1:1 to
+  Kafka partitions (one task per partition-range). The connector jar
+  (spark-sql-kafka) is not bundled in every deployment — the error
+  names the gap, like the excel reader's openpyxl gate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def read_jdbc_table(
+    spark: SparkSession,
+    url: str,
+    table: str,
+    ws_options: dict | None = None,
+    query_options: dict | None = None,
+) -> DataFrame:
+    """Read one table (or a ``(select ...) t`` pushdown subquery) from a
+    JDBC workspace. Options recognized (Drill's plugin config analogs):
+    driver, user, password, partition_column/lower_bound/upper_bound/
+    num_partitions (parallel scan), fetchsize."""
+    opts = {**(ws_options or {}), **(query_options or {})}
+    opts.pop("type", None)
+    reader = spark.read.format("jdbc").option("url", url).option("dbtable", table)
+    # normalize Drill-ish snake_case names onto Spark's JDBC option names
+    renames = {
+        "partition_column": "partitionColumn",
+        "lower_bound": "lowerBound",
+        "upper_bound": "upperBound",
+        "num_partitions": "numPartitions",
+    }
+    for k, v in opts.items():
+        reader = reader.option(renames.get(k, k), v)
+    try:
+        return reader.load()
+    except Exception as e:
+        if "No suitable driver" in str(e) or "ClassNotFoundException" in str(e):
+            raise NotImplementedError(
+                f"JDBC driver for {url!r} is not on the Spark classpath; "
+                "pass driver=<class> and add the jar via spark.jars"
+            ) from e
+        raise
+
+
+KAFKA_COLUMNS = ("key", "value", "topic", "partition", "offset", "timestamp", "timestampType")
+
+
+def read_kafka_topic(
+    spark: SparkSession,
+    bootstrap_servers: str,
+    topic: str,
+    ws_options: dict | None = None,
+    query_options: dict | None = None,
+) -> DataFrame:
+    """Read a Kafka topic as a batch table (earliest..latest), the
+    reference's KafkaGroupScan semantics. Returns the connector's
+    metadata schema (KAFKA_COLUMNS); decode ``value`` downstream with
+    convert_from / from_json / our avro decode_file."""
+    opts = {**(ws_options or {}), **(query_options or {})}
+    opts.pop("type", None)
+    reader = (
+        spark.read.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("subscribe", topic)
+        .option("startingOffsets", opts.pop("startingOffsets", "earliest"))
+        .option("endingOffsets", opts.pop("endingOffsets", "latest"))
+    )
+    for k, v in opts.items():
+        reader = reader.option(k, v)
+    try:
+        return reader.load()
+    except Exception as e:
+        msg = str(e)
+        if "Failed to find data source: kafka" in msg or "ClassNotFoundException" in msg:
+            raise NotImplementedError(
+                "the spark-sql-kafka connector jar is not bundled in this "
+                "deployment; add org.apache.spark:spark-sql-kafka-0-10 to "
+                "spark.jars.packages to enable kafka workspaces"
+            ) from e
+        raise

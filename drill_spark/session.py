@@ -169,16 +169,23 @@ def load_fixture(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 @dataclass
 class Workspace:
-    """Drill workspace: a named root directory with a default format.
+    """Drill workspace: a named root (directory, JDBC url, or Kafka
+    cluster) tables resolve against.
 
     Reference: storage plugin config workspaces
-    (exec/java-exec/.../store/dfs/WorkspaceConfig.java).
+    (exec/java-exec/.../store/dfs/WorkspaceConfig.java); kind='jdbc'
+    mirrors contrib/storage-jdbc JdbcStoragePlugin.java (tables resolve
+    through the external DB, predicates/projections pushed into it);
+    kind='kafka' mirrors contrib/storage-kafka KafkaStoragePlugin.java
+    (a topic read as a batch table).
     """
 
     name: str
     path: str
     default_format: str = "parquet"
     writable: bool = False
+    kind: str = "file"  # file | jdbc | kafka
+    options: dict = field(default_factory=dict)
 
 
 @dataclass
@@ -211,6 +218,40 @@ class DrillSession:
 
     def register_workspace(self, name: str, path: str, default_format: str = "parquet") -> None:
         self.workspaces[name] = Workspace(name, path, default_format)
+
+    def register_jdbc_workspace(
+        self,
+        name: str,
+        url: str,
+        driver: str | None = None,
+        properties: dict[str, str] | None = None,
+    ) -> None:
+        """JDBC storage plugin analog (contrib/storage-jdbc
+        JdbcStoragePlugin.java): ``select * from name.`TABLE``` reads
+        TABLE through spark.read.jdbc. Catalyst's JDBC relation pushes
+        filters and column pruning INTO the external database, matching
+        Drill's JdbcPushDownFilter rules — verified by plan test."""
+        opts = dict(properties or {})
+        if driver:
+            opts["driver"] = driver
+        self.workspaces[name] = Workspace(name, url, kind="jdbc", options=opts)
+
+    def register_kafka_workspace(
+        self,
+        name: str,
+        bootstrap_servers: str,
+        options: dict[str, str] | None = None,
+    ) -> None:
+        """Kafka storage plugin analog (contrib/storage-kafka
+        KafkaStoragePlugin.java): ``select * from name.`topic``` reads
+        the topic as a BATCH table (earliest..latest) through Spark's
+        kafka source, exposing the reference's metadata columns
+        (key/value/topic/partition/offset/timestamp). Requires the
+        spark-sql-kafka connector jar; without it the error names the
+        missing piece instead of failing obscurely."""
+        self.workspaces[name] = Workspace(
+            name, bootstrap_servers, kind="kafka", options=dict(options or {})
+        )
 
     def register_fixture_tables(self, sf_dir: str) -> None:
         """Register the driver parquet fixtures as temp views (TESTDATA.md)."""

@@ -152,6 +152,14 @@ def _read_path(session, ws_name: str, rel_path: str, options: dict[str, str] | N
             max_pages=int(opts.get("maxPages", opts.get("max_pages", 1))),
         )
     ws = session.workspaces.get(ws_name.rstrip("."))
+    if ws is not None and ws.kind == "jdbc":
+        from drill_spark.readers.external import read_jdbc_table
+
+        return read_jdbc_table(session.spark, ws.path, rel_path, ws.options, options)
+    if ws is not None and ws.kind == "kafka":
+        from drill_spark.readers.external import read_kafka_topic
+
+        return read_kafka_topic(session.spark, ws.path, rel_path, ws.options, options)
     root = ws.path if ws else "/"
     default_fmt = ws.default_format if ws else "parquet"
     path = rel_path if os.path.isabs(rel_path) else os.path.join(root, rel_path)

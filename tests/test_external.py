@@ -1,0 +1,76 @@
+"""JDBC and Kafka workspaces (contrib/storage-jdbc JdbcStoragePlugin.java,
+contrib/storage-kafka KafkaStoragePlugin.java analogs).
+
+The JDBC path runs against a REAL embedded Derby database (the derby
+jars ship on Spark's classpath), exercising registration, SQL-front
+resolution, and pushdown; Kafka asserts the documented gate when the
+connector jar is absent (no broker can run in this container).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+
+@pytest.fixture(scope="module")
+def derby_url(spark, tmp_path_factory):
+    """Create an embedded Derby DB with one populated table via py4j."""
+    db = str(tmp_path_factory.mktemp("derby") / "testdb")
+    url = f"jdbc:derby:{db};create=true"
+    jvm = spark._jvm
+    conn = jvm.java.sql.DriverManager.getConnection(url)
+    st = conn.createStatement()
+    st.executeUpdate("CREATE TABLE ITEMS (ID INT, NAME VARCHAR(20), PRICE DOUBLE)")
+    for i, (n, p) in enumerate([("alpha", 1.5), ("beta", 2.5), ("gamma", 9.0), ("delta", 0.25)]):
+        st.executeUpdate(f"INSERT INTO ITEMS VALUES ({i}, '{n}', {p})")
+    st.close()
+    conn.close()
+    return f"jdbc:derby:{db}"
+
+
+def test_jdbc_workspace_roundtrip(session, derby_url):
+    session.register_jdbc_workspace(
+        "extdb", derby_url, driver="org.apache.derby.iapi.jdbc.AutoloadedDriver"
+    )
+    rows = session.sql("select NAME, PRICE from extdb.`ITEMS` where PRICE > 1.0").collect()
+    assert sorted(r["NAME"] for r in rows) == ["alpha", "beta", "gamma"]
+
+
+def test_jdbc_filter_pushdown(session, derby_url):
+    """Catalyst pushes the predicate INTO the database (Drill's
+    JdbcPushDownFilter analog) — the scan node lists PushedFilters."""
+    session.register_jdbc_workspace(
+        "extdb", derby_url, driver="org.apache.derby.iapi.jdbc.AutoloadedDriver"
+    )
+    df = session.sql("select ID from extdb.`ITEMS` where PRICE > 1.0")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "PRICE" in plan
+
+
+def test_jdbc_partitioned_scan(session, derby_url):
+    """partition_column options map to Spark's parallel JDBC ranges."""
+    from drill_spark.readers.external import read_jdbc_table
+
+    df = read_jdbc_table(
+        session.spark,
+        derby_url,
+        "ITEMS",
+        {"driver": "org.apache.derby.iapi.jdbc.AutoloadedDriver"},
+        {"partition_column": "ID", "lower_bound": "0", "upper_bound": "4", "num_partitions": "2"},
+    )
+    assert df.rdd.getNumPartitions() == 2
+    assert df.count() == 4
+
+
+def test_kafka_workspace_gate(session):
+    """Without the spark-sql-kafka jar the error names the missing
+    piece (documented NONGOALS.md entry covers the broker-less env)."""
+    session.register_kafka_workspace("kf", "localhost:9092")
+    try:
+        session.sql("select * from kf.`events_topic`")
+        has_connector = True
+    except NotImplementedError as e:
+        has_connector = False
+        assert "spark-sql-kafka" in str(e)
+    if has_connector:  # connector bundled: resolution path worked
+        pytest.skip("kafka connector present; no broker to scan in-container")
