@@ -202,6 +202,7 @@ class DrillSession:
     options: dict[str, str] = field(default_factory=dict)
     aliases: dict[str, str] = field(default_factory=dict)
     materialized: dict[str, str] = field(default_factory=dict)
+    mv_defs: dict[str, tuple] = field(default_factory=dict)  # name -> (norm sql, canonical plan)
     profiles: list[dict] = field(default_factory=list)
     temp_tables: list[str] = field(default_factory=list)
     _view_counter: int = 0
@@ -335,4 +336,5 @@ class DrillSession:
                 pass
             shutil.rmtree(path, ignore_errors=True)
         self.materialized.clear()
+        self.mv_defs.clear()
         self.aliases.clear()

@@ -380,15 +380,21 @@ def execute(session, query: str) -> DataFrame:
         name, select = m.group(1), m.group(2)
         tmp_ws = session.workspaces.get("dfs.tmp")
         path = os.path.join(tmp_ws.path if tmp_ws else "/tmp", "_materialized", name)
-        spark.sql(rewrite(session, select)).write.mode("overwrite").parquet(path)
+        df = spark.sql(rewrite(session, select))
+        df.write.mode("overwrite").parquet(path)
         spark.read.parquet(path).createOrReplaceTempView(name)
         session.materialized[name] = path
+        # memoize the definition for automatic rewrite (DefaultSqlHandler
+        # .java:209 / docs/dev/MaterializedViews.md): normalized text for
+        # the fast path, canonicalized analyzed plan for semantic match
+        session.mv_defs[name] = (_normalize_sql(select), _canonical_plan(df))
         return _ok(spark, f"materialized view {name} at {path}")
 
     m = _DROP_MV.match(query)
     if m:
         if_exists, name = m.group(1), m.group(2)
         path = session.materialized.pop(name, None)
+        session.mv_defs.pop(name, None)
         if path is None:
             if if_exists:
                 return _ok(spark, f"materialized view {name} did not exist")
@@ -471,4 +477,46 @@ def execute(session, query: str) -> DataFrame:
             flags=re.IGNORECASE,
         )
 
-    return spark.sql(rewrite(session, query))
+    df = spark.sql(rewrite(session, query))
+    mv = _match_materialized(session, query, df)
+    return mv if mv is not None else df
+
+
+def _normalize_sql(sql: str) -> str:
+    return re.sub(r"\s+", " ", sql.strip().rstrip(";")).lower()
+
+
+def _canonical_plan(df) -> str | None:
+    """Canonicalized analyzed plan string: stable across formatting,
+    case, and expression-id differences — the v1 fingerprint for MV
+    equivalence."""
+    try:
+        return df._jdf.queryExecution().analyzed().canonicalized().toString()
+    except Exception:
+        return None
+
+
+def _match_materialized(session, query: str, df):
+    """Automatic materialized-view rewrite (reference:
+    planner/sql/handlers/DefaultSqlHandler.java:209 +
+    docs/dev/MaterializedViews.md): a SELECT over base tables whose
+    semantics equal a registered MV definition is answered from the
+    materialization instead of recomputing. v1 scope = whole-query
+    equivalence (normalized text or canonicalized-plan match);
+    aggregate-subsumption rewriting is documented out of scope."""
+    mv_defs = getattr(session, "mv_defs", None)
+    if not mv_defs:
+        return None
+    norm = _normalize_sql(query)
+    canon = None
+    for name, (def_norm, def_canon) in mv_defs.items():
+        if name.lower() in norm.split():  # query already names the MV
+            continue
+        if norm == def_norm:
+            return session.spark.table(name)
+        if def_canon is not None:
+            if canon is None:
+                canon = _canonical_plan(df)
+            if canon == def_canon:
+                return session.spark.table(name)
+    return None

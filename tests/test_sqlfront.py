@@ -235,6 +235,30 @@ def test_materialized_view_roundtrip(dsession, tmp_path):
     assert out["ok"] is True
 
 
+def test_materialized_view_automatic_rewrite(dsession, tmp_path):
+    """DefaultSqlHandler.java:209 analog: a query phrased over the BASE
+    tables — never naming the MV — is answered from the materialization
+    when its semantics equal the MV definition (normalized-text fast
+    path and canonicalized-plan match for formatting/case drift)."""
+    dsession.workspaces["dfs.tmp"].path = str(tmp_path)
+    dsession.sql(
+        "CREATE MATERIALIZED VIEW mv_rw AS "
+        "select name, age from dfs.data.`people.json` where age > 30"
+    )
+    # same query, different whitespace/case, never mentions mv_rw
+    df = dsession.sql(
+        "SELECT   name,\n  age FROM dfs.data.`people.json`\nWHERE age > 30"
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "_materialized" in plan and "json" not in plan.lower().replace("people.json", "")
+    assert sorted(r["name"] for r in df.collect()) == ["ada", "bob"]
+    # a DIFFERENT query is not hijacked by the rewrite
+    other = dsession.sql("select name from dfs.data.`people.json` where age > 100")
+    assert "_materialized" not in other._jdf.queryExecution().executedPlan().toString()
+    assert other.count() == 0
+    dsession.sql("DROP MATERIALIZED VIEW mv_rw")
+
+
 def test_nested_json_paths(dsession, tmp_path):
     """Drill's signature schema-on-read surface (TestExampleQueries-style
     nested access): deep struct paths, array subscripts, and lateral
