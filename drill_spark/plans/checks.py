@@ -98,6 +98,10 @@ def explain_report(df: DataFrame) -> dict:
     from collections import Counter
 
     plan = df._jdf.queryExecution().executedPlan().toString()
+    # after execution AQE appends "== Initial Plan ==" below the final
+    # plan — count only the final plan or every node doubles
+    if "== Initial Plan ==" in plan:
+        plan = plan.split("== Initial Plan ==", 1)[0]
     joins = Counter(
         re.findall(
             r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin|"

