@@ -20,6 +20,27 @@ from pyspark.sql import SparkSession
 
 # name -> (arg signature, return expression). All pure Catalyst expressions.
 _SQL_UDFS: dict[str, tuple[str, str]] = {
+    # --- union type (UnionVector.java:61, UnionFunctions typeOf) ---
+    # Drill's typeof over a union column returns the per-VALUE minor
+    # type; the Spark analog of a union column is VARIANT, whose
+    # runtime type is schema_of_variant. Mapped to Drill minor-type
+    # names (VARCHAR/BIGINT/FLOAT8/BIT/LIST/MAP/NULL...). Stays a SQL
+    # UDF (inlines into codegen, no Python).
+    "union_typeof": (
+        "x VARIANT",
+        "CASE WHEN schema_of_variant(x) = 'STRING' THEN 'VARCHAR'"
+        " WHEN schema_of_variant(x) = 'BIGINT' THEN 'BIGINT'"
+        " WHEN schema_of_variant(x) IN ('DOUBLE', 'FLOAT')"
+        "   OR schema_of_variant(x) LIKE 'DECIMAL%' THEN 'FLOAT8'"
+        " WHEN schema_of_variant(x) = 'BOOLEAN' THEN 'BIT'"
+        " WHEN schema_of_variant(x) LIKE 'ARRAY%' THEN 'LIST'"
+        " WHEN schema_of_variant(x) LIKE 'OBJECT%' THEN 'MAP'"
+        " WHEN schema_of_variant(x) = 'VOID' THEN 'NULL'"
+        " WHEN schema_of_variant(x) = 'DATE' THEN 'DATE'"
+        " WHEN schema_of_variant(x) LIKE 'TIMESTAMP%' THEN 'TIMESTAMP'"
+        " WHEN schema_of_variant(x) = 'BINARY' THEN 'VARBINARY'"
+        " ELSE schema_of_variant(x) END",
+    ),
     # --- complex / repeated (Drill signature surface, SURVEY §2.8) ---
     # kvgen: struct/map -> array<struct<key,value>> (Mappify.java:53-66)
     "kvgen": ("m MAP<STRING, STRING>", "map_entries(m)"),

@@ -250,6 +250,110 @@ def read_excel(spark: SparkSession, path: str, sheet: str | int = 0, **_):
     return spark.createDataFrame(pdf)
 
 
+# ---------------- schema drift (OK_NEW_SCHEMA analog) ----------------
+
+
+def _widen_types(a, b):
+    """Common type for two drifted field types, or None if incompatible.
+
+    Numeric widening only (byte<short<int<long<float<double<decimal→
+    double), matching what Drill's schema-change tolerance accepts
+    between batches; everything else must match exactly."""
+    from pyspark.sql import types as T
+
+    if a == b:
+        return a
+    rank = {
+        T.ByteType(): 0, T.ShortType(): 1, T.IntegerType(): 2,
+        T.LongType(): 3, T.FloatType(): 4, T.DoubleType(): 5,
+    }
+    if isinstance(a, T.DecimalType) or isinstance(b, T.DecimalType):
+        other = b if isinstance(a, T.DecimalType) else a
+        if isinstance(other, T.DecimalType) or other in rank:
+            return T.DoubleType()
+        return None
+    if a in rank and b in rank:
+        wide = a if rank[a] >= rank[b] else b
+        # int-family + float-family promotes to double (no precision trap)
+        if rank[wide] >= 4 and min(rank[a], rank[b]) <= 3:
+            return T.DoubleType()
+        return wide
+    return None
+
+
+def merge_drifted_schemas(schemas) -> "object":
+    """Union a list of StructTypes with numeric widening; fields missing
+    from some files become nullable. Field order = first appearance."""
+    from pyspark.sql import types as T
+
+    merged: dict[str, T.DataType] = {}
+    for st in schemas:
+        for f in st.fields:
+            if f.name not in merged:
+                merged[f.name] = f.dataType
+            else:
+                wide = _widen_types(merged[f.name], f.dataType)
+                if wide is None:
+                    raise ValueError(
+                        f"schema drift on column {f.name!r} is not widenable: "
+                        f"{merged[f.name].simpleString()} vs {f.dataType.simpleString()}"
+                    )
+                merged[f.name] = wide
+    return T.StructType([T.StructField(n, t, True) for n, t in merged.items()])
+
+
+def read_parquet_drift(spark: SparkSession, root: str) -> DataFrame:
+    """Read a parquet directory whose files DISAGREE on schema —
+    Drill's between-batch OK_NEW_SCHEMA tolerance
+    (record/RecordBatch.java:113-160), which Spark's mergeSchema
+    rejects outright for e.g. int→long drift.
+
+    Plan shape: footers are read driver-side via pyarrow (cheap,
+    metadata-only — the same planning-time footer pass Drill's parquet
+    metadata cache does), files are GROUPED BY schema fingerprint, each
+    group is one distributed spark.read over many files, and the few
+    groups are aligned to the widened schema with casts and unioned.
+    Scale: the union has one branch per DISTINCT schema (typically
+    2-3 for drifted tables), never per file.
+    """
+    import glob as _glob
+
+    import pyarrow.parquet as pq
+
+    from pyspark.sql import functions as F
+
+    matches = [root] if os.path.isdir(root) else sorted(_glob.glob(root))
+    files: list[str] = []
+    for m in matches:
+        if os.path.isdir(m):
+            files += _glob.glob(os.path.join(m, "**", "*.parquet"), recursive=True)
+        elif m.endswith(".parquet"):
+            files.append(m)
+    files = sorted(set(files))
+    if not files:
+        raise FileNotFoundError(f"no parquet files under {root}")
+    groups: dict[str, list[str]] = {}
+    for f in files:
+        groups.setdefault(str(pq.read_schema(f)), []).append(f)
+    dfs = [spark.read.parquet(*fs) for fs in groups.values()]
+    merged = merge_drifted_schemas([d.schema for d in dfs])
+    aligned = []
+    for d in dfs:
+        have = {f.name for f in d.schema.fields}
+        aligned.append(
+            d.select(
+                *[
+                    (F.col(f.name).cast(f.dataType) if f.name in have else F.lit(None).cast(f.dataType)).alias(f.name)
+                    for f in merged.fields
+                ]
+            )
+        )
+    out = aligned[0]
+    for d in aligned[1:]:
+        out = out.unionByName(d)
+    return out
+
+
 # ---------------- implicit & partition columns ----------------
 
 IMPLICIT_COLUMNS = ("fqn", "filepath", "filename", "suffix")
@@ -330,5 +434,17 @@ def read_dir_table(
         levels = max(dir_filters) + 1
         segs = [dir_filters.get(i, "*") for i in range(levels)]
         path = os.path.join(base, *segs, "*")
-    df = read_auto(spark, path, fmt, options)
+    if fmt == "parquet":
+        # schema-on-read union across files (Drill reads every footer;
+        # OK_NEW_SCHEMA between batches) — mergeSchema for compatible
+        # drift, widening-union fallback where Spark refuses (int→long)
+        options = {"mergeSchema": "true", **options}
+        try:
+            df = read_auto(spark, path, fmt, options)
+        except Exception as e:
+            if "CANNOT_MERGE_SCHEMAS" not in str(e):
+                raise
+            df = read_parquet_drift(spark, path)
+    else:
+        df = read_auto(spark, path, fmt, options)
     return with_dir_columns(df, base)

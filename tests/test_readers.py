@@ -142,6 +142,74 @@ def test_json_union_mode_variant(spark, tmp_path):
     assert sorted([r["x"] for r in vals if r["x"] is not None]) == [1]
 
 
+def test_union_typeof_drill_minor_types(spark, tmp_path):
+    """UnionFunctions.typeOf analog over VARIANT columns: per-value
+    runtime types reported with Drill minor-type names (typeof() alone
+    says only 'variant' — the static type)."""
+    from drill_spark import functions as fns
+
+    fns.register_all(spark)
+    p = tmp_path / "u.json"
+    p.write_text(
+        '{"a": 1}\n{"a": "str"}\n{"a": 1.5}\n{"a": [1]}\n'
+        '{"a": {"k": 1}}\n{"a": true}\n{"a": null}\n'
+    )
+    read_json(spark, str(p), union_mode=True).createOrReplaceTempView("ut")
+    got = sorted(
+        r["t"]
+        for r in spark.sql(
+            "select union_typeof(variant_get(v, '$.a')) as t from ut"
+        ).collect()
+    )
+    assert got == ["BIGINT", "BIT", "FLOAT8", "LIST", "MAP", "NULL", "VARCHAR"]
+
+
+def test_schema_drift_widening_union(spark, tmp_path):
+    """OK_NEW_SCHEMA analog (record/RecordBatch.java:113-160): parquet
+    files that disagree (int→long widening + a column missing from one
+    file) still read as ONE table through read_dir_table, where Spark's
+    own mergeSchema refuses."""
+    import shutil
+
+    root = tmp_path / "drifted"
+    root.mkdir()
+    spark.createDataFrame([(1, "x"), (2, "y")], "a int, b string").coalesce(1).write.parquet(
+        str(tmp_path / "w1")
+    )
+    spark.createDataFrame([(2**40, 9.5)], "a long, c double").coalesce(1).write.parquet(
+        str(tmp_path / "w2")
+    )
+    for i, src in enumerate(["w1", "w2"]):
+        f = next((tmp_path / src).glob("*.parquet"))
+        shutil.copy(f, root / f"part-{i}.parquet")
+    df = read_dir_table(spark, str(root), fmt="parquet")
+    schema = {f.name: f.dataType.simpleString() for f in df.schema.fields if not f.name.startswith("dir")}
+    assert schema == {"a": "bigint", "b": "string", "c": "double"}
+    rows = {r["a"]: r for r in df.collect()}
+    assert rows[1]["b"] == "x" and rows[1]["c"] is None
+    assert rows[2**40]["b"] is None and rows[2**40]["c"] == 9.5
+
+
+def test_schema_drift_incompatible_raises(spark, tmp_path):
+    """Non-widenable drift (string vs int on the same column) errors
+    with the offending column named, not a silent wrong answer."""
+    import shutil
+
+    import pytest as _pytest
+
+    root = tmp_path / "bad"
+    root.mkdir()
+    spark.createDataFrame([(1,)], "a int").coalesce(1).write.parquet(str(tmp_path / "b1"))
+    spark.createDataFrame([("s",)], "a string").coalesce(1).write.parquet(str(tmp_path / "b2"))
+    for i, src in enumerate(["b1", "b2"]):
+        f = next((tmp_path / src).glob("*.parquet"))
+        shutil.copy(f, root / f"part-{i}.parquet")
+    from drill_spark.readers.files import read_parquet_drift
+
+    with _pytest.raises(ValueError, match="'a'"):
+        read_parquet_drift(spark, str(root)).collect()
+
+
 def test_provided_schema_table_function(spark, tmp_path):
     """Provided schema skips inference (SchemaHandler.java /
     TestSchemaWithTableFunction.java analog) — via the sqlfront table
