@@ -77,10 +77,33 @@ def read_auto(
         from drill_spark.readers.avro import read_avro
 
         return read_avro(spark, path)
+    if fmt == "pcap":
+        from drill_spark.readers.pcap import read_pcap
+
+        return read_pcap(spark, path)
     reader = spark.read.options(**options)
     if schema:
         reader = reader.schema(schema)
-    return reader.format(fmt).load(path)
+    try:
+        return reader.format(fmt).load(path)
+    except Exception as e:
+        # table formats needing an external connector (reference
+        # contrib/format-iceberg, contrib/format-deltalake): name the
+        # missing package instead of failing obscurely (excel-style gate)
+        connector = {
+            "iceberg": "org.apache.iceberg:iceberg-spark-runtime",
+            "delta": "io.delta:delta-spark",
+            "deltalake": "io.delta:delta-spark",
+            "paimon": "org.apache.paimon:paimon-spark",
+        }.get(fmt)
+        msg = str(e)
+        if connector and ("Failed to find data source" in msg or "ClassNotFoundException" in msg):
+            raise NotImplementedError(
+                f"the {fmt} table format requires the external connector "
+                f"{connector} on the classpath (spark.jars.packages); "
+                "not bundled in this deployment"
+            ) from e
+        raise
 
 
 def _truthy(v) -> bool:

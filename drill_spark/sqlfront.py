@@ -110,6 +110,7 @@ _SUFFIX_FORMAT = {
     ".tsv": "csv",
     ".psv": "csv",
     ".avro": "avro",
+    ".pcap": "pcap",
     ".orc": "orc",
     ".xml": "xml",
     ".ltsv": "ltsv",
