@@ -74,8 +74,16 @@ _DROP_TABLE = re.compile(
     r"^\s*DROP\s+TABLE\s+(IF\s+EXISTS\s+)?((?:\w+\.)+)`([^`]+)`\s*;?\s*$", re.IGNORECASE
 )
 _CREATE_VIEW = re.compile(
-    r"^\s*CREATE\s+(OR\s+REPLACE\s+)?VIEW\s+(?:(?:\w+\.)+`?|`?)?([\w]+)`?\s+AS\s+(.*)$",
+    r"^\s*CREATE\s+(OR\s+REPLACE\s+)?VIEW\s+((?:\w+\.)+)?`?([\w]+)`?\s+AS\s+(.*)$",
     re.IGNORECASE | re.DOTALL,
+)
+_DROP_VIEW = re.compile(
+    r"^\s*DROP\s+VIEW\s+(IF\s+EXISTS\s+)?((?:\w+\.)+)?`?([\w]+)`?\s*;?\s*$", re.IGNORECASE
+)
+# Drill dynamic UDFs: CREATE FUNCTION USING JAR 'x.jar'
+# (planner/sql/handlers/CreateFunctionHandler.java)
+_CREATE_FN_JAR = re.compile(
+    r"^\s*(CREATE|DROP)\s+FUNCTION\s+USING\s+JAR\s+'([^']+)'\s*;?\s*$", re.IGNORECASE
 )
 _INSERT_PATH = re.compile(
     r"^\s*INSERT\s+INTO\s+((?:\w+\.)+)`([^`]+)`\s+(.*)$", re.IGNORECASE | re.DOTALL
@@ -164,6 +172,15 @@ def _read_path(session, ws_name: str, rel_path: str, options: dict[str, str] | N
     root = ws.path if ws else "/"
     default_fmt = ws.default_format if ws else "parquet"
     path = rel_path if os.path.isabs(rel_path) else os.path.join(root, rel_path)
+    if path.endswith(".view.drill") or os.path.exists(path + ".view.drill"):
+        # persisted view file (ViewHandler.java / dotdrill/): stored SQL
+        # re-planned against the current session
+        import json as _json
+
+        vp = path if path.endswith(".view.drill") else path + ".view.drill"
+        with open(vp) as f:
+            view = _json.load(f)
+        return session.spark.sql(rewrite(session, view["sql"]))
     fmt = (options or {}).get("type", _infer_format(path, default_fmt))
     return read_auto(session.spark, path, fmt, options or {}, session)
 
@@ -406,15 +423,54 @@ def execute(session, query: str) -> DataFrame:
         shutil.rmtree(path, ignore_errors=True)
         return _ok(spark, f"materialized view {name} dropped")
 
+    m = _CREATE_FN_JAR.match(query)
+    if m:
+        # CreateFunctionHandler.java registers jar-packaged
+        # DrillSimpleFuncs; the Spark-first equivalents are SQL UDFs
+        # (CREATE TEMPORARY FUNCTION f(...) RETURN <expr> — JVM-inlined)
+        # and spark.udf.register — a Drill UDF jar has no Spark entry
+        # points, so loading one cannot work by construction
+        raise NotImplementedError(
+            "CREATE FUNCTION USING JAR loads Drill-interface UDFs, which "
+            "have no Spark entry points. Use CREATE TEMPORARY FUNCTION "
+            "name(args) RETURN <expr> (inlined into codegen) or "
+            "spark.udf.register for Python/pandas UDFs."
+        )
+
     m = _CREATE_VIEW.match(query)
     if m:
-        replace, name, select = m.group(1), m.group(2), m.group(3)
+        replace, ws_prefix, name, select = m.groups()
         df = spark.sql(rewrite(session, select))
         if replace:
             df.createOrReplaceTempView(name)
         else:
             df.createTempView(name)
+        # workspace-qualified views persist as <name>.view.drill JSON in
+        # the workspace root (ViewHandler.java / dotdrill/ — Drill views
+        # are files, visible to SHOW FILES and future sessions)
+        if ws_prefix:
+            ws = session.workspaces.get(ws_prefix.rstrip("."))
+            if ws is not None and ws.kind == "file" and ws.writable:
+                import json as _json
+
+                with open(os.path.join(ws.path, f"{name}.view.drill"), "w") as f:
+                    _json.dump({"name": name, "sql": select.strip()}, f)
+                return _ok(spark, f"view {name} persisted in {ws.name}")
         return _ok(spark, f"view {name} created")
+
+    m = _DROP_VIEW.match(query)
+    if m:
+        if_exists, ws_prefix, name = m.groups()
+        dropped = spark.catalog.dropTempView(name)
+        if ws_prefix:
+            ws = session.workspaces.get(ws_prefix.rstrip("."))
+            p = os.path.join(ws.path, f"{name}.view.drill") if ws else None
+            if p and os.path.exists(p):
+                os.remove(p)
+                dropped = True
+        if not dropped and not if_exists:
+            raise ValueError(f"view not found: {name}")
+        return _ok(spark, f"view {name} dropped")
 
     m = _ALTER_SET.match(query)
     if m:

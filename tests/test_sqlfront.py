@@ -235,6 +235,39 @@ def test_materialized_view_roundtrip(dsession, tmp_path):
     assert out["ok"] is True
 
 
+def test_persisted_view_file(dsession):
+    """ViewHandler.java / dotdrill analog: a workspace-qualified view
+    persists as <name>.view.drill JSON in the workspace, resolves by
+    file name, survives into a NEW session over the same workspace,
+    and DROP VIEW removes the file."""
+    root = dsession.workspaces["dfs.data"].path
+    dsession.sql(
+        "CREATE VIEW dfs.data.seniors AS "
+        "select name, age from dfs.data.`people.json` where age > 40"
+    )
+    vfile = os.path.join(root, "seniors.view.drill")
+    assert os.path.exists(vfile)
+    assert json.load(open(vfile))["name"] == "seniors"
+    # resolves via the file path, with further predicates applied
+    df = dsession.sql(f"select name from dfs.data.`seniors.view.drill` where age < 100")
+    assert [r["name"] for r in df.collect()] == ["bob"]
+    # a FRESH session over the same workspace sees the persisted view
+    s2 = DrillSession(spark=dsession.spark)
+    s2.register_workspace("dfs.data", root, "json")
+    assert [r["name"] for r in s2.sql(
+        "select name from dfs.data.`seniors.view.drill`"
+    ).collect()] == ["bob"]
+    dsession.sql("DROP VIEW dfs.data.seniors")
+    assert not os.path.exists(vfile)
+
+
+def test_create_function_using_jar_explains(dsession):
+    """CreateFunctionHandler.java analog: Drill UDF jars have no Spark
+    entry points — the error says what to use instead."""
+    with pytest.raises(NotImplementedError, match="CREATE TEMPORARY FUNCTION"):
+        dsession.sql("CREATE FUNCTION USING JAR 'myudfs.jar'")
+
+
 def test_materialized_view_automatic_rewrite(dsession, tmp_path):
     """DefaultSqlHandler.java:209 analog: a query phrased over the BASE
     tables — never naming the MV — is answered from the materialization
