@@ -139,6 +139,39 @@ _SQL_UDFS: dict[str, tuple[str, str]] = {
         "p STRUCT<x: DOUBLE, y: DOUBLE>, xmin DOUBLE, ymin DOUBLE, xmax DOUBLE, ymax DOUBLE",
         "p.x >= xmin AND p.x <= xmax AND p.y >= ymin AND p.y <= ymax",
     ),
+    # --- polygons as ARRAY<STRUCT<x,y>> rings, pure higher-order
+    # Catalyst (reference ST_Contains/ST_Area are ESRI-geometry-backed;
+    # multi-ring/WKB geometry remains a Sedona integration) ---
+    "st_polygonfromtext": (
+        "wkt STRING",
+        "transform(split(regexp_extract(wkt, 'POLYGON\\\\s*\\\\(\\\\(([^)]*)\\\\)\\\\)', 1), ','),"
+        " s -> named_struct("
+        "'x', CAST(split(trim(s), ' ')[0] AS DOUBLE),"
+        " 'y', CAST(split(trim(s), ' ')[1] AS DOUBLE)))",
+    ),
+    # even-odd ray casting; horizontal edges contribute nothing (the
+    # crossing test is false and the div-by-zero arm yields NULL under
+    # the engine's non-ANSI mode, which filter() drops)
+    "st_contains": (
+        "poly ARRAY<STRUCT<x: DOUBLE, y: DOUBLE>>, p STRUCT<x: DOUBLE, y: DOUBLE>",
+        "size(filter(sequence(0, size(poly) - 1), i ->"
+        " (poly[i].y > p.y) != (poly[pmod(i + 1, size(poly))].y > p.y)"
+        " AND p.x < (poly[pmod(i + 1, size(poly))].x - poly[i].x)"
+        "  * (p.y - poly[i].y)"
+        "  / (poly[pmod(i + 1, size(poly))].y - poly[i].y) + poly[i].x"
+        ")) % 2 = 1",
+    ),
+    # shoelace formula over the ring
+    "st_area": (
+        "poly ARRAY<STRUCT<x: DOUBLE, y: DOUBLE>>",
+        "abs(aggregate(sequence(0, size(poly) - 1), 0.0D, (acc, i) ->"
+        " acc + poly[i].x * poly[pmod(i + 1, size(poly))].y"
+        "     - poly[pmod(i + 1, size(poly))].x * poly[i].y)) / 2",
+    ),
+    "st_npoints": (
+        "poly ARRAY<STRUCT<x: DOUBLE, y: DOUBLE>>",
+        "size(poly) - if(poly[0] = poly[size(poly) - 1], 1, 0)",
+    ),
     # --- string distance extras (contrib/udfs StringDistanceFunctions.java,
     # commons-text-backed; levenshtein/soundex are Spark built-ins) ---
     # jaccard distance on character bigrams, pure higher-order functions

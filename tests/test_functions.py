@@ -192,6 +192,30 @@ def test_gis_core(spark):
     assert r["within5"] is True and r["inbox"] is True
 
 
+def test_gis_polygons(spark):
+    """Polygon ST_* over array<struct<x,y>> rings: WKT parse,
+    ray-casting containment (convex + concave, boundary-adjacent
+    outside points), shoelace area, vertex count."""
+    poly = "st_polygonfromtext('POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))')"
+    r = spark.sql(
+        f"select st_npoints({poly}) as n, st_area({poly}) as a, "
+        f"st_contains({poly}, st_point(5.0, 5.0)) as inside, "
+        f"st_contains({poly}, st_point(15.0, 5.0)) as outside, "
+        f"st_contains({poly}, st_point(-0.5, 5.0)) as left_out"
+    ).head()
+    assert r["n"] == 4 and r["a"] == 100.0
+    assert r["inside"] is True and r["outside"] is False and r["left_out"] is False
+    # concave L-shape: the notch is OUTSIDE even though its bbox covers it
+    ell = "st_polygonfromtext('POLYGON ((0 0, 4 0, 4 2, 2 2, 2 4, 0 4, 0 0))')"
+    r2 = spark.sql(
+        f"select st_contains({ell}, st_point(3.0, 3.0)) as notch, "
+        f"st_contains({ell}, st_point(1.0, 3.0)) as arm, "
+        f"st_area({ell}) as a"
+    ).head()
+    assert r2["notch"] is False and r2["arm"] is True
+    assert r2["a"] == 12.0
+
+
 def test_jaccard_distance(spark):
     r = spark.sql(
         "select jaccard_distance('night', 'nacht') as d1, "
