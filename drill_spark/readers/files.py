@@ -251,26 +251,15 @@ def read_sequencefile(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
-def read_excel(spark: SparkSession, path: str, sheet: str | int = 0, **_):
-    """Excel reader (contrib/format-excel analog).
+def read_excel(spark: SparkSession, path: str, sheet: str | int = 0, **opts):
+    """Excel reader (contrib/format-excel analog) — self-contained xlsx
+    parser (zip + XML, standard library only); see readers/excel.py."""
+    from drill_spark.readers.excel import read_excel as _read
 
-    Spreadsheets are driver-side artifacts (no splittable layout), so
-    this reads via pandas and distributes the rows — the same
-    single-fragment shape as the reference's POI-based reader. Requires
-    openpyxl, which is not bundled in every environment; without it the
-    error states the missing dependency instead of failing obscurely.
-    """
-    try:
-        import openpyxl  # noqa: F401
-    except ImportError as e:
-        raise NotImplementedError(
-            "excel format requires the openpyxl package (pip install openpyxl); "
-            "not bundled in this environment"
-        ) from e
-    import pandas as pd
-
-    pdf = pd.read_excel(path, sheet_name=sheet)
-    return spark.createDataFrame(pdf)
+    if isinstance(sheet, str) and sheet.isdigit():
+        sheet = int(sheet)
+    header = str(opts.get("extractHeader", opts.get("header", "true"))).lower() != "false"
+    return _read(spark, path, sheet=sheet, header=header)
 
 
 # ---------------- schema drift (OK_NEW_SCHEMA analog) ----------------

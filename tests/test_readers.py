@@ -399,24 +399,77 @@ def test_http_storage_plugin(spark):
         srv.shutdown()
 
 
-def test_excel_reader_gated(spark, tmp_path):
-    """Excel needs openpyxl; without it the reader must say so clearly
-    (if openpyxl is present, exercise a real roundtrip instead)."""
-    import pytest as _pytest
+def _write_min_xlsx(path, sheets: dict[str, str], shared: list[str]) -> None:
+    """Build an xlsx from the OOXML spec with raw zip+XML — independent
+    of the reader implementation."""
+    import zipfile
 
+    m = "http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+    rns = "http://schemas.openxmlformats.org/officeDocument/2006/relationships"
+    with zipfile.ZipFile(path, "w") as z:
+        names = list(sheets)
+        z.writestr(
+            "xl/workbook.xml",
+            f'<workbook xmlns="{m}" xmlns:r="{rns}"><sheets>'
+            + "".join(
+                f'<sheet name="{n}" sheetId="{i+1}" r:id="rId{i+1}"/>' for i, n in enumerate(names)
+            )
+            + "</sheets></workbook>",
+        )
+        z.writestr(
+            "xl/_rels/workbook.xml.rels",
+            '<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">'
+            + "".join(
+                f'<Relationship Id="rId{i+1}" Type="x" Target="worksheets/sheet{i+1}.xml"/>'
+                for i in range(len(names))
+            )
+            + "</Relationships>",
+        )
+        z.writestr(
+            "xl/sharedStrings.xml",
+            f'<sst xmlns="{m}">' + "".join(f"<si><t>{s}</t></si>" for s in shared) + "</sst>",
+        )
+        for i, body in enumerate(sheets.values()):
+            z.writestr(f"xl/worksheets/sheet{i+1}.xml", f'<worksheet xmlns="{m}">{body}</worksheet>')
+
+
+def test_excel_reader(spark, tmp_path):
+    """contrib/format-excel analog without POI/openpyxl: header row,
+    shared + inline strings, numeric vs string column typing, named
+    sheet selection."""
     from drill_spark.readers.files import read_excel
 
-    try:
-        import openpyxl  # noqa: F401
-    except ImportError:
-        with _pytest.raises(NotImplementedError, match="openpyxl"):
-            read_excel(spark, str(tmp_path / "x.xlsx"))
-        return
-    import pandas as pd
-
     p = str(tmp_path / "x.xlsx")
-    pd.DataFrame({"a": [1, 2], "b": ["x", "y"]}).to_excel(p, index=False)
-    assert read_excel(spark, p).count() == 2
+    sheet1 = (
+        "<sheetData>"
+        '<row r="1"><c r="A1" t="s"><v>0</v></c><c r="B1" t="s"><v>1</v></c></row>'
+        '<row r="2"><c r="A2"><v>1.5</v></c><c r="B2" t="s"><v>2</v></c></row>'
+        '<row r="3"><c r="A3"><v>2</v></c><c r="B3" t="inlineStr"><is><t>why</t></is></c></row>'
+        "</sheetData>"
+    )
+    sheet2 = '<sheetData><row r="1"><c r="A1"><v>7</v></c></row></sheetData>'
+    _write_min_xlsx(p, {"data": sheet1, "extra": sheet2}, ["amount", "note", "ex"])
+    df = read_excel(spark, p)
+    assert dict(df.dtypes) == {"amount": "double", "note": "string"}
+    rows = {r["amount"]: r["note"] for r in df.collect()}
+    assert rows == {1.5: "ex", 2.0: "why"}
+    # named sheet + headerless mode
+    df2 = read_excel(spark, p, sheet="extra", header="false")
+    assert df2.columns == ["col0"] and df2.head()["col0"] == 7.0
+
+
+def test_excel_sqlfront_path(session, tmp_path):
+    p = str(tmp_path / "t.xlsx")
+    body = (
+        "<sheetData>"
+        '<row r="1"><c r="A1" t="s"><v>0</v></c></row>'
+        '<row r="2"><c r="A2"><v>41</v></c></row>'
+        '<row r="3"><c r="A3"><v>3</v></c></row>'
+        "</sheetData>"
+    )
+    _write_min_xlsx(p, {"s": body}, ["v"])
+    rows = session.sql(f"select v from table(dfs.`{p}`(type => 'excel')) where v > 10").collect()
+    assert [r["v"] for r in rows] == [41.0]
 
 
 def test_sequencefile_roundtrip(spark, tmp_path):
