@@ -420,6 +420,54 @@ def q_multimodal_features(spark, sf_dir):
     return extract_features(attach_payload(_docs(spark, sf_dir).where(F.col("doc_id") < 100)))
 
 
+def q_multimodal_probe(spark, sf_dir):
+    """Image header probe over real binary payloads, oracle-checked.
+
+    Payload synthesis is pure Catalyst (no Python): even doc_ids get a
+    genuine PNG signature+IHDR whose width/height derive from doc_id
+    (big-endian ints via hex/lpad/unhex), odd doc_ids get text bytes
+    prefixed with a space (which can match no image magic). The probe
+    kernel (mapInPandas header parse, reference contrib/format-image
+    metadata tier) must then recover exactly the closed-form answer the
+    DuckDB oracle computes without parsing anything."""
+    from drill_spark.ops.multimodal import probe_images
+
+    def be4(c):
+        return F.unhex(F.lpad(F.hex(c), 8, "0"))
+
+    docs = (
+        _docs(spark, sf_dir)
+        .where(F.col("doc_id") < 200)
+        .withColumn("w", (F.lit(16) + F.col("doc_id") % 64).cast("int"))
+        .withColumn("h", (F.lit(16) + F.col("doc_id") % 48).cast("int"))
+    )
+    png = F.concat(
+        F.lit(b"\x89PNG\r\n\x1a\n"),
+        F.lit(b"\x00\x00\x00\x0dIHDR"),
+        be4(F.col("w")),
+        be4(F.col("h")),
+    )
+    payloads = docs.withColumn(
+        "payload",
+        F.when(F.col("doc_id") % 2 == 0, png).otherwise(
+            F.concat(F.lit(b" "), F.encode(F.col("text"), "UTF-8"))
+        ),
+    )
+    return probe_images(payloads)
+
+
+ORACLE_MULTIMODAL_PROBE = """
+select doc_id,
+  case when doc_id % 2 = 0 then 'png' else 'unknown' end as format,
+  cast(case when doc_id % 2 = 0 then 16 + doc_id % 64 end as int) as width,
+  cast(case when doc_id % 2 = 0 then 16 + doc_id % 48 end as int) as height,
+  cast(case when doc_id % 2 = 0 then 24
+       else 1 + octet_length(encode(text)) end as bigint) as n_bytes
+from documents
+where doc_id < 200
+"""
+
+
 # --------------------------------------------------------- streaming
 
 _STREAM_RUN = {"n": 0}
@@ -560,6 +608,7 @@ QUERIES = {
     "ext_text_fingerprint": q_text_fingerprint,
     "ext_multimodal_meta": q_multimodal_meta,
     "ext_multimodal_features": q_multimodal_features,
+    "ext_multimodal_probe": q_multimodal_probe,
     "ext_asof_join": q_asof_join,
     "ext_range_join": q_range_join,
     "ext_stream_tumbling": q_stream_tumbling,
@@ -580,6 +629,7 @@ ORACLES = {
     "ext_text_langid": ORACLE_TEXT_LANGID,
     "ext_text_fingerprint": ORACLE_TEXT_FINGERPRINT,
     "ext_multimodal_meta": ORACLE_MULTIMODAL_META,
+    "ext_multimodal_probe": ORACLE_MULTIMODAL_PROBE,
     "ext_asof_join": ORACLE_ASOF_JOIN,
     "ext_range_join": ORACLE_RANGE_JOIN,
     "ext_stream_tumbling": ORACLE_STREAM_TUMBLING,

