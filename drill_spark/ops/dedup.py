@@ -317,10 +317,13 @@ def connected_components(
                 F.col("node"),
                 F.least(F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))).alias("label"),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         # labels only decrease, so sum(label) strictly decreases until
-        # convergence — one scalar agg replaces a join+count per round
+        # convergence — one scalar agg replaces a join+count per round;
+        # the lazy checkpoint means this same action materializes AND
+        # persists the new labels, so each round costs ONE job (the
+        # eager variant pays a materialization job plus the agg job).
         cur = labels.agg(F.sum("label")).head()[0]
         if cur == prev_sum:
             converged = True

@@ -169,9 +169,10 @@ def ivf_assign(
     """
     import numpy as np
 
-    sample = np.asarray(
-        [r[0] for r in df.select(F.col(vec_col).cast("array<double>")).head(max_train)]
-    )
+    # Arrow-batched collect of the bounded training sample (toPandas with
+    # arrow enabled moves columnar batches, ~10x the row-at-a-time head()).
+    sample_pdf = df.select(F.col(vec_col).cast("array<double>").alias("v")).limit(max_train).toPandas()
+    sample = np.asarray(sample_pdf["v"].tolist())
     rng = np.random.default_rng(seed)
     s2 = (sample**2).sum(axis=1)
     # k-means++ seeding: each next centroid drawn proportional to the
