@@ -585,8 +585,69 @@ select s_suppkey, s_name, s_nationkey, s_acctbal from supplier
 """
 
 
+def q_delta_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta format scan (contrib/format-deltalake/ DeltaFormatPlugin
+    parity): the supplier fixture is written once per sf_dir as a
+    partitioned Delta table (data parquet + transaction log), then read
+    back through the log-replay reader — partition values re-attached
+    from add.partitionValues, so the row checks the full protocol path
+    against the parquet-derived oracle."""
+    import hashlib
+    import os
+    import tempfile
+
+    from drill_spark.readers.delta import read_delta, write_delta
+
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    out_dir = os.path.join(tempfile.gettempdir(), f"drill_spark_delta_{tag}")
+    if not os.path.isdir(os.path.join(out_dir, "_delta_log")):
+        write_delta(
+            load_fixture(spark, sf_dir, "supplier").select(
+                "s_suppkey", "s_name", "s_nationkey", "s_acctbal"
+            ),
+            out_dir,
+            partition_by=["s_nationkey"],
+        )
+    return read_delta(spark, out_dir).select("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+
+
+ORACLE_DELTA_SCAN = """
+select s_suppkey, s_name, s_nationkey, s_acctbal from supplier
+"""
+
+
+def q_iceberg_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg format scan (contrib/format-iceberg/ IcebergFormatPlugin
+    parity): the part fixture is written once per sf_dir as an Iceberg
+    table (parquet data + avro manifests + metadata json), then read
+    back through the snapshot walker."""
+    import hashlib
+    import os
+    import tempfile
+
+    from drill_spark.readers.iceberg import read_iceberg, write_iceberg
+
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    out_dir = os.path.join(tempfile.gettempdir(), f"drill_spark_iceberg_{tag}")
+    if not os.path.isdir(os.path.join(out_dir, "metadata")):
+        write_iceberg(
+            load_fixture(spark, sf_dir, "part").select(
+                "p_partkey", "p_name", "p_brand", "p_retailprice"
+            ),
+            out_dir,
+        )
+    return read_iceberg(spark, out_dir)
+
+
+ORACLE_ICEBERG_SCAN = """
+select p_partkey, p_name, p_brand, p_retailprice from part
+"""
+
+
 QUERIES = {
     "op_avro_scan": q_avro_scan,
+    "op_delta_scan": q_delta_scan,
+    "op_iceberg_scan": q_iceberg_scan,
     "ext_dedup_exact": q_dedup_exact,
     "ext_dedup_apply": q_dedup_apply,
     "ext_dedup_jaccard": q_dedup_jaccard,
@@ -616,6 +677,8 @@ QUERIES = {
 
 ORACLES = {
     "op_avro_scan": ORACLE_AVRO_SCAN,
+    "op_delta_scan": ORACLE_DELTA_SCAN,
+    "op_iceberg_scan": ORACLE_ICEBERG_SCAN,
     "ext_dedup_exact": ORACLE_DEDUP_EXACT,
     "ext_dedup_apply": ORACLE_DEDUP_APPLY,
     "ext_dedup_jaccard": ORACLE_DEDUP_JACCARD,

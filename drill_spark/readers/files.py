@@ -81,6 +81,16 @@ def read_auto(
         from drill_spark.readers.pcap import read_pcap
 
         return read_pcap(spark, path)
+    if fmt in ("delta", "deltalake"):
+        # self-contained transaction-log reader (delta-spark jar not
+        # bundled); see drill_spark/readers/delta.py for the scale story
+        from drill_spark.readers.delta import read_delta
+
+        return read_delta(spark, path, options)
+    if fmt == "iceberg":
+        from drill_spark.readers.iceberg import read_iceberg
+
+        return read_iceberg(spark, path, options)
     reader = spark.read.options(**options)
     if schema:
         reader = reader.schema(schema)
@@ -91,9 +101,6 @@ def read_auto(
         # contrib/format-iceberg, contrib/format-deltalake): name the
         # missing package instead of failing obscurely (excel-style gate)
         connector = {
-            "iceberg": "org.apache.iceberg:iceberg-spark-runtime",
-            "delta": "io.delta:delta-spark",
-            "deltalake": "io.delta:delta-spark",
             "paimon": "org.apache.paimon:paimon-spark",
         }.get(fmt)
         msg = str(e)

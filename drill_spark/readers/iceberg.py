@@ -1,0 +1,390 @@
+"""Apache Iceberg table reader/writer — no external connector jar.
+
+Drill reads Iceberg through a format plugin that resolves the current
+snapshot from the table metadata and plans parquet sub-scans
+(reference: contrib/format-iceberg/src/main/java/org/apache/drill/
+exec/store/iceberg/format/IcebergFormatPlugin.java, snapshot handling
+in IcebergGroupScan.java / FormatMatcher). The iceberg-spark-runtime
+jar is not bundled here, so this module implements the public Iceberg
+table spec (https://iceberg.apache.org/spec/) directly:
+
+- **metadata resolution**: ``metadata/version-hint.text`` names the
+  current ``v{N}.metadata.json`` (falling back to the
+  highest-numbered ``*.metadata.json``); the JSON carries schemas,
+  partition specs, and the snapshot list.
+- **snapshot walk**: the current snapshot's ``manifest-list`` is an
+  Avro file (one row per manifest); each manifest is itself an Avro
+  file of ``manifest_entry`` records wrapping ``data_file`` structs.
+  Both decode through :mod:`drill_spark.readers.avro` — the same
+  dependency-free OCF decoder the avro format plugin uses.
+- **schema**: Iceberg types map to Spark types field-by-field;
+  Iceberg data files store ALL columns (identity-partitioned values
+  included), so the scan is a plain distributed parquet read of the
+  live file list with the metadata schema pinned.
+- **gates**: positional/equality delete files (``content`` 1/2,
+  format-version 2 row-level deletes) and non-parquet data files
+  raise ``NotImplementedError`` naming the feature — never
+  silently-wrong rows. ``snapshot-id``/``snapshotId`` in options time
+  travels to a named snapshot.
+
+Scale: manifest decoding is metadata work. The manifest list (one
+row per manifest) is tiny and read on the driver; manifests can
+number in the thousands on a 100 TB table, so they are decoded IN
+EXECUTORS via the distributed avro reader and only the file paths —
+a few hundred MB of strings at 1M files, the same order every
+Iceberg engine's planner holds — are collected to build the scan.
+The data read itself is one ``spark.read.parquet`` over the live
+files, so pushdown/pruning/AQE apply unchanged.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from drill_spark.readers.avro import decode_file
+
+
+def _table_metadata(path: str) -> dict:
+    mdir = os.path.join(path, "metadata")
+    if not os.path.isdir(mdir):
+        raise FileNotFoundError(f"not an Iceberg table (no metadata dir): {path}")
+    hint = os.path.join(mdir, "version-hint.text")
+    if os.path.exists(hint):
+        with open(hint) as f:
+            v = f.read().strip()
+        cand = os.path.join(mdir, f"v{v}.metadata.json")
+        if os.path.exists(cand):
+            with open(cand) as f:
+                return json.load(f)
+    metas = sorted(f for f in os.listdir(mdir) if f.endswith(".metadata.json"))
+    if not metas:
+        raise FileNotFoundError(f"no *.metadata.json under {mdir}")
+    with open(os.path.join(mdir, metas[-1])) as f:
+        return json.load(f)
+
+
+_PRIM = {
+    "boolean": T.BooleanType(),
+    "int": T.IntegerType(),
+    "long": T.LongType(),
+    "float": T.FloatType(),
+    "double": T.DoubleType(),
+    "date": T.DateType(),
+    "time": T.LongType(),
+    "timestamp": T.TimestampNTZType(),
+    "timestamptz": T.TimestampType(),
+    "string": T.StringType(),
+    "uuid": T.StringType(),
+    "binary": T.BinaryType(),
+}
+
+
+def _ice_type(t) -> T.DataType:
+    if isinstance(t, str):
+        if t in _PRIM:
+            return _PRIM[t]
+        if t.startswith("decimal"):
+            p, s = t[t.index("(") + 1 : t.index(")")].split(",")
+            return T.DecimalType(int(p), int(s))
+        if t.startswith("fixed"):
+            return T.BinaryType()
+        raise NotImplementedError(f"iceberg type {t!r}")
+    kind = t["type"]
+    if kind == "struct":
+        return T.StructType(
+            [
+                T.StructField(f["name"], _ice_type(f["type"]), not f.get("required", False))
+                for f in t["fields"]
+            ]
+        )
+    if kind == "list":
+        return T.ArrayType(_ice_type(t["element"]), not t.get("element-required", False))
+    if kind == "map":
+        return T.MapType(
+            _ice_type(t["key"]), _ice_type(t["value"]), not t.get("value-required", False)
+        )
+    raise NotImplementedError(f"iceberg type {kind!r}")
+
+
+def _current_schema(meta: dict) -> T.StructType:
+    schemas = meta.get("schemas")
+    if schemas:
+        sid = meta.get("current-schema-id", 0)
+        sch = next((s for s in schemas if s.get("schema-id") == sid), schemas[-1])
+    else:
+        sch = meta["schema"]  # format-version 1 single-schema layout
+    st = _ice_type(sch)
+    assert isinstance(st, T.StructType)
+    return st
+
+
+def _rebase(p: str, table_path: str, meta_location: str | None) -> str:
+    """Manifest/data paths are absolute write-time URIs; strip the
+    scheme and, if the table moved, rebase onto the local table dir."""
+    if p.startswith("file:"):
+        p = p[len("file:"):]
+        while p.startswith("//"):
+            p = p[1:]
+    if os.path.exists(p):
+        return p
+    base = (meta_location or "").rstrip("/")
+    if base and p.startswith(base + "/"):
+        return os.path.join(table_path, p[len(base) + 1 :])
+    # fall back: locate the table-name segment
+    marker = "/" + os.path.basename(table_path.rstrip("/")) + "/"
+    if marker in p:
+        return os.path.join(table_path, p.split(marker, 1)[1])
+    return p
+
+
+def read_iceberg(spark: SparkSession, path: str,
+                 options: dict | None = None) -> DataFrame:
+    """Read an Iceberg table at its current (or named) snapshot."""
+    opts = options or {}
+    meta = _table_metadata(path)
+    loc = meta.get("location")
+    schema = _current_schema(meta)
+
+    snap_id = opts.get("snapshot-id", opts.get("snapshotId"))
+    snaps = meta.get("snapshots") or []
+    if snap_id is not None:
+        snap = next((s for s in snaps if s["snapshot-id"] == int(snap_id)), None)
+        if snap is None:
+            raise ValueError(f"snapshot {snap_id} not in table metadata")
+    else:
+        cur = meta.get("current-snapshot-id")
+        snap = next((s for s in snaps if s["snapshot-id"] == cur), None)
+    if snap is None:
+        return spark.createDataFrame([], schema)
+
+    ml_path = _rebase(snap["manifest-list"], path, loc)
+    with open(ml_path, "rb") as f:
+        _, manifest_rows = decode_file(f.read())
+    manifest_paths = [_rebase(m["manifest_path"], path, loc) for m in manifest_rows]
+    delete_manifests = [m for m in manifest_rows if m.get("content", 0) == 1]
+    if delete_manifests:
+        raise NotImplementedError(
+            "Iceberg row-level deletes (delete manifests) are not supported here"
+        )
+
+    # decode manifests in executors: thousands of manifests on a big
+    # table, each independent — classic embarrassing parallelism
+    def _entries(paths):
+        out = []
+        for mp in paths:
+            with open(mp, "rb") as f:
+                _, rows = decode_file(f.read())
+            for e in rows:
+                if e.get("status", 1) == 2:  # DELETED entry
+                    continue
+                d = e.get("data_file") or {}
+                out.append(
+                    (d.get("content", 0), d.get("file_path"), d.get("file_format"))
+                )
+        return out
+
+    if len(manifest_paths) > 4:
+        rdd = spark.sparkContext.parallelize(manifest_paths, min(len(manifest_paths), 64))
+        entries = rdd.mapPartitions(lambda it: _entries(list(it))).collect()
+    else:
+        entries = _entries(manifest_paths)
+
+    files = []
+    for content, fp, fmt in entries:
+        if content in (1, 2):
+            raise NotImplementedError("Iceberg delete files are not supported here")
+        if fmt and str(fmt).upper() != "PARQUET":
+            raise NotImplementedError(f"Iceberg {fmt} data files (parquet only here)")
+        files.append(_rebase(fp, path, loc))
+    if not files:
+        return spark.createDataFrame([], schema)
+    return spark.read.schema(schema).parquet(*files)
+
+
+# ---------------------------------------------------------------- writer
+
+# Avro schemas for the manifest-list and manifest files, per the spec's
+# required field IDs (https://iceberg.apache.org/spec/#manifests). Only
+# the fields a reader of unpartitioned parquet tables needs.
+_MANIFEST_LIST_SCHEMA = {
+    "type": "record",
+    "name": "manifest_file",
+    "fields": [
+        {"name": "manifest_path", "type": "string", "field-id": 500},
+        {"name": "manifest_length", "type": "long", "field-id": 501},
+        {"name": "partition_spec_id", "type": "int", "field-id": 502},
+        {"name": "content", "type": "int", "field-id": 517},
+        {"name": "sequence_number", "type": "long", "field-id": 515},
+        {"name": "min_sequence_number", "type": "long", "field-id": 516},
+        {"name": "added_snapshot_id", "type": "long", "field-id": 503},
+        {"name": "added_files_count", "type": "int", "field-id": 504},
+        {"name": "existing_files_count", "type": "int", "field-id": 505},
+        {"name": "deleted_files_count", "type": "int", "field-id": 506},
+        {"name": "added_rows_count", "type": "long", "field-id": 512},
+        {"name": "existing_rows_count", "type": "long", "field-id": 513},
+        {"name": "deleted_rows_count", "type": "long", "field-id": 514},
+    ],
+}
+
+_MANIFEST_ENTRY_SCHEMA = {
+    "type": "record",
+    "name": "manifest_entry",
+    "fields": [
+        {"name": "status", "type": "int", "field-id": 0},
+        {"name": "snapshot_id", "type": ["null", "long"], "field-id": 1},
+        {"name": "sequence_number", "type": ["null", "long"], "field-id": 3},
+        {"name": "file_sequence_number", "type": ["null", "long"], "field-id": 4},
+        {
+            "name": "data_file",
+            "field-id": 2,
+            "type": {
+                "type": "record",
+                "name": "r2",
+                "fields": [
+                    {"name": "content", "type": "int", "field-id": 134},
+                    {"name": "file_path", "type": "string", "field-id": 100},
+                    {"name": "file_format", "type": "string", "field-id": 101},
+                    {
+                        "name": "partition",
+                        "field-id": 102,
+                        "type": {"type": "record", "name": "r102", "fields": []},
+                    },
+                    {"name": "record_count", "type": "long", "field-id": 103},
+                    {"name": "file_size_in_bytes", "type": "long", "field-id": 104},
+                ],
+            },
+        },
+    ],
+}
+
+
+def _spark_to_ice(dt: T.DataType):
+    for name, t in _PRIM.items():
+        if dt == t and name != "time":
+            return name
+    if isinstance(dt, T.DecimalType):
+        return f"decimal({dt.precision}, {dt.scale})"
+    if isinstance(dt, T.StructType):
+        return {
+            "type": "struct",
+            "fields": [
+                {
+                    "id": 0,
+                    "name": f.name,
+                    "required": not f.nullable,
+                    "type": _spark_to_ice(f.dataType),
+                }
+                for f in dt.fields
+            ],
+        }
+    if isinstance(dt, T.ArrayType):
+        return {"type": "list", "element-id": 0,
+                "element-required": not dt.containsNull,
+                "element": _spark_to_ice(dt.elementType)}
+    raise NotImplementedError(f"spark->iceberg type {dt}")
+
+
+def write_iceberg(df: DataFrame, path: str) -> None:
+    """Write a DataFrame as a new (unpartitioned, format-version 2)
+    Iceberg table: parquet data via Spark's distributed writer, then
+    one manifest + manifest list + v1 metadata JSON + version hint.
+    Single snapshot, single writer — what CTAS needs; commit races and
+    schema evolution stay with real catalogs."""
+    import time
+    import uuid
+
+    from drill_spark.readers.avro import encode_file
+
+    if os.path.isdir(os.path.join(path, "metadata")):
+        raise ValueError(f"Iceberg table already exists at {path}")
+    data_dir = os.path.join(path, "data")
+    df.write.mode("error").parquet(data_dir)
+    data_files = [
+        os.path.join(data_dir, f)
+        for f in sorted(os.listdir(data_dir))
+        if f.endswith(".parquet")
+    ]
+    mdir = os.path.join(path, "metadata")
+    os.makedirs(mdir)
+    snap_id = 1
+    now_ms = int(time.time() * 1000)
+
+    entries = [
+        {
+            "status": 1,  # ADDED
+            "snapshot_id": snap_id,
+            "sequence_number": 1,
+            "file_sequence_number": 1,
+            "data_file": {
+                "content": 0,
+                "file_path": fp,
+                "file_format": "PARQUET",
+                "partition": {},
+                "record_count": 0,
+                "file_size_in_bytes": os.path.getsize(fp),
+            },
+        }
+        for fp in data_files
+    ]
+    manifest_path = os.path.join(mdir, f"{uuid.uuid4()}-m0.avro")
+    with open(manifest_path, "wb") as f:
+        f.write(encode_file(_MANIFEST_ENTRY_SCHEMA, entries))
+
+    ml_path = os.path.join(mdir, f"snap-{snap_id}-1-{uuid.uuid4()}.avro")
+    ml_row = {
+        "manifest_path": manifest_path,
+        "manifest_length": os.path.getsize(manifest_path),
+        "partition_spec_id": 0,
+        "content": 0,
+        "sequence_number": 1,
+        "min_sequence_number": 1,
+        "added_snapshot_id": snap_id,
+        "added_files_count": len(data_files),
+        "existing_files_count": 0,
+        "deleted_files_count": 0,
+        "added_rows_count": 0,
+        "existing_rows_count": 0,
+        "deleted_rows_count": 0,
+    }
+    with open(ml_path, "wb") as f:
+        f.write(encode_file(_MANIFEST_LIST_SCHEMA, [ml_row]))
+
+    fields = [
+        {"id": i + 1, "name": fld.name, "required": not fld.nullable,
+         "type": _spark_to_ice(fld.dataType)}
+        for i, fld in enumerate(df.schema.fields)
+    ]
+    meta = {
+        "format-version": 2,
+        "table-uuid": str(uuid.uuid4()),
+        "location": path,
+        "last-sequence-number": 1,
+        "last-updated-ms": now_ms,
+        "last-column-id": len(fields),
+        "current-schema-id": 0,
+        "schemas": [{"type": "struct", "schema-id": 0, "fields": fields}],
+        "default-spec-id": 0,
+        "partition-specs": [{"spec-id": 0, "fields": []}],
+        "last-partition-id": 999,
+        "default-sort-order-id": 0,
+        "sort-orders": [{"order-id": 0, "fields": []}],
+        "current-snapshot-id": snap_id,
+        "snapshots": [
+            {
+                "snapshot-id": snap_id,
+                "sequence-number": 1,
+                "timestamp-ms": now_ms,
+                "manifest-list": ml_path,
+                "summary": {"operation": "append"},
+                "schema-id": 0,
+            }
+        ],
+    }
+    with open(os.path.join(mdir, "v1.metadata.json"), "w") as f:
+        json.dump(meta, f)
+    with open(os.path.join(mdir, "version-hint.text"), "w") as f:
+        f.write("1")

@@ -134,6 +134,15 @@ def _infer_format(path: str, default: str, _depth: int = 3) -> str:
     # partition subdirectories (Hive `k=v` layouts put data 1+ level down)
     if _depth and os.path.isdir(path):
         entries = sorted(os.listdir(path))
+        # table-format markers first (DeltaFormatMatcher.java /
+        # IcebergFormatMatcher.java detect directories, not suffixes)
+        if "_delta_log" in entries:
+            return "delta"
+        if "metadata" in entries and any(
+            f.endswith(".metadata.json")
+            for f in os.listdir(os.path.join(path, "metadata"))
+        ):
+            return "iceberg"
         for f in entries:
             for suf, fmt in _SUFFIX_FORMAT.items():
                 if f.endswith(suf):
@@ -262,6 +271,33 @@ def _ok(spark, summary: str) -> DataFrame:
     return spark.createDataFrame([Row(ok=True, summary=summary)])
 
 
+def _write_custom(df: DataFrame, path: str, fmt: str, part_cols: list[str], mode: str) -> None:
+    """CTAS into a format backed by our native writers (avro OCF,
+    delta transaction log, iceberg metadata tree)."""
+    import shutil
+
+    if os.path.exists(path):
+        if mode != "overwrite":
+            raise ValueError(f"table already exists: {path}")
+        shutil.rmtree(path) if os.path.isdir(path) else os.remove(path)
+    if fmt == "avro":
+        from drill_spark.readers.avro import write_avro
+
+        if part_cols:
+            raise NotImplementedError("PARTITION BY is not supported for avro CTAS")
+        write_avro(df, path)
+    elif fmt in ("delta", "deltalake"):
+        from drill_spark.readers.delta import write_delta
+
+        write_delta(df, path, partition_by=part_cols or None)
+    else:
+        from drill_spark.readers.iceberg import write_iceberg
+
+        if part_cols:
+            raise NotImplementedError("PARTITION BY is not supported for iceberg CTAS")
+        write_iceberg(df, path)
+
+
 def _writable_path(session, ws_name: str, rel_path: str) -> tuple[str, str]:
     """Resolve a CTAS/INSERT/DROP target inside a writable workspace."""
     ws = session.workspaces.get(ws_name)
@@ -323,14 +359,18 @@ def execute(session, query: str) -> DataFrame:
         path, fmt = _writable_path(session, ws_name, rel_path)
         df = spark.sql(rewrite(session, select))
         mode = "overwrite" if re.match(r"\s*CREATE\s+OR\s+REPLACE", query, re.IGNORECASE) else "errorifexists"
-        writer = df.write.format(fmt).mode(mode)
-        if part_cols:
-            # CTAS PARTITION BY (CreateTableHandler.java) -> Hive-layout
-            # directories; filters on partition columns prune at listing
-            # time on readback (Drill's dir-pruning, natively)
-            cols = [c.strip().strip("`") for c in part_cols.split(",") if c.strip()]
-            writer = writer.partitionBy(*cols)
-        writer.save(path)
+        cols = [c.strip().strip("`") for c in (part_cols or "").split(",") if c.strip()]
+        if fmt in ("avro", "delta", "deltalake", "iceberg"):
+            # formats written by our native writers, not a JVM datasource
+            _write_custom(df, path, fmt, cols, mode)
+        else:
+            writer = df.write.format(fmt).mode(mode)
+            if cols:
+                # CTAS PARTITION BY (CreateTableHandler.java) -> Hive-layout
+                # directories; filters on partition columns prune at listing
+                # time on readback (Drill's dir-pruning, natively)
+                writer = writer.partitionBy(*cols)
+            writer.save(path)
         if temporary:
             # session-scoped table (CreateTableHandler temporary path):
             # dropped by DrillSession.close()
@@ -342,7 +382,13 @@ def execute(session, query: str) -> DataFrame:
     if m:
         ws_name, rel_path, select = m.group(1).rstrip("."), m.group(2), m.group(3)
         path, fmt = _writable_path(session, ws_name, rel_path)
-        spark.sql(rewrite(session, select)).write.format(fmt).mode("append").save(path)
+        df = spark.sql(rewrite(session, select))
+        if fmt in ("delta", "deltalake"):
+            from drill_spark.readers.delta import write_delta
+
+            write_delta(df, path, mode="append")
+        else:
+            df.write.format(fmt).mode("append").save(path)
         return _ok(spark, f"appended to {ws_name}.`{rel_path}`")
 
     m = _DROP_TABLE.match(query)
