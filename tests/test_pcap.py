@@ -93,15 +93,19 @@ def test_bad_magic_raises():
 
 
 def test_table_format_gates(spark, tmp_path):
-    """iceberg/delta (contrib/format-iceberg, contrib/format-deltalake
-    analogs) gate with the connector package named when the jar is
-    absent; with a jar present the read proceeds natively."""
+    """paimon (no native reader here) gates with the connector package
+    named when the jar is absent; iceberg/delta now read natively
+    (readers/delta.py, readers/iceberg.py) and identify a non-table
+    directory crisply."""
     from drill_spark.readers.files import read_auto
 
+    try:
+        read_auto(spark, str(tmp_path), "paimon")
+    except NotImplementedError as e:
+        assert "paimon" in str(e) and "spark.jars.packages" in str(e)
+    except Exception:
+        pytest.fail("paimon gate raised the wrong error type")
+
     for fmt in ("iceberg", "delta"):
-        try:
+        with pytest.raises(FileNotFoundError, match="not a"):
             read_auto(spark, str(tmp_path), fmt)
-        except NotImplementedError as e:
-            assert fmt in str(e) and "spark.jars.packages" in str(e)
-        except Exception:
-            pytest.fail(f"{fmt} gate raised the wrong error type")

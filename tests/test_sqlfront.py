@@ -414,3 +414,20 @@ def test_temporary_table_dropped_on_close(spark, tmp_path):
     s.close()
     assert not os.path.exists(tmp_path / "scratch")
     assert os.path.isdir(tmp_path / "durable")
+
+
+def test_sql_udf_registration(dsession):
+    """Dynamic UDF surface (CreateFunctionHandler.java analog): SQL-
+    bodied scalar and table functions register in-session, inline into
+    codegen, and appear in sys.functions."""
+    dsession.sql(
+        "CREATE TEMPORARY FUNCTION add_tax_t(p DOUBLE) RETURNS DOUBLE RETURN p * 1.08"
+    )
+    assert dsession.sql("SELECT add_tax_t(100.0) AS v").collect()[0][0] == 108.0
+    dsession.sql(
+        "CREATE TEMPORARY FUNCTION till_t(n INT) RETURNS TABLE(x INT) "
+        "RETURN SELECT explode(sequence(1, n))"
+    )
+    assert [r[0] for r in dsession.sql("SELECT * FROM till_t(3)").collect()] == [1, 2, 3]
+    names = {r[0] for r in dsession.sql("select name from sys.functions").collect()}
+    assert {"add_tax_t", "till_t"} <= names
