@@ -644,10 +644,58 @@ select p_partkey, p_name, p_brand, p_retailprice from part
 """
 
 
+def q_shp_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ESRI shapefile scan (contrib/format-esri ShpBatchReader.java
+    parity): the nation fixture becomes a point shapefile (one point
+    per nation, deterministic order) once per sf_dir; the read-back
+    checks gid assignment, .prj SRID extraction, shape typing and dbf
+    attribute decoding against the parquet-derived oracle. geom (WKB
+    bytes) is covered structurally in tests/test_esri.py — DuckDB has
+    no WKB constructor to oracle it here."""
+    import hashlib
+    import os
+    import tempfile
+
+    from drill_spark.readers.esri import read_shp, write_shp
+
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    base = os.path.join(tempfile.gettempdir(), f"drill_spark_shp_{tag}", "nations")
+    if not os.path.exists(base + ".shp"):
+        os.makedirs(os.path.dirname(base), exist_ok=True)
+        nat = (
+            load_fixture(spark, sf_dir, "nation")
+            .select("n_nationkey", "n_name")
+            .orderBy("n_nationkey")
+            .collect()
+        )
+        rows = [
+            {"x": float(r.n_nationkey) * 1.5, "y": -float(r.n_nationkey),
+             "nkey": int(r.n_nationkey), "nname": r.n_name}
+            for r in nat
+        ]
+        write_shp(rows, base, srid=4326)
+    return (
+        read_shp(spark, base + ".shp")
+        .select("gid", "srid", F.col("shapeType").alias("shape_type"), "nkey", "nname")
+    )
+
+
+ORACLE_SHP_SCAN = """
+select
+  cast(row_number() over (order by n_nationkey) as int) as gid,
+  cast(4326 as int) as srid,
+  'Point' as shape_type,
+  cast(n_nationkey as bigint) as nkey,
+  n_name as nname
+from nation
+"""
+
+
 QUERIES = {
     "op_avro_scan": q_avro_scan,
     "op_delta_scan": q_delta_scan,
     "op_iceberg_scan": q_iceberg_scan,
+    "op_shp_scan": q_shp_scan,
     "ext_dedup_exact": q_dedup_exact,
     "ext_dedup_apply": q_dedup_apply,
     "ext_dedup_jaccard": q_dedup_jaccard,
@@ -679,6 +727,7 @@ ORACLES = {
     "op_avro_scan": ORACLE_AVRO_SCAN,
     "op_delta_scan": ORACLE_DELTA_SCAN,
     "op_iceberg_scan": ORACLE_ICEBERG_SCAN,
+    "op_shp_scan": ORACLE_SHP_SCAN,
     "ext_dedup_exact": ORACLE_DEDUP_EXACT,
     "ext_dedup_apply": ORACLE_DEDUP_APPLY,
     "ext_dedup_jaccard": ORACLE_DEDUP_JACCARD,

@@ -91,6 +91,10 @@ def read_auto(
         from drill_spark.readers.iceberg import read_iceberg
 
         return read_iceberg(spark, path, options)
+    if fmt in ("shp", "esri", "shapefile"):
+        from drill_spark.readers.esri import read_shp
+
+        return read_shp(spark, path)
     reader = spark.read.options(**options)
     if schema:
         reader = reader.schema(schema)

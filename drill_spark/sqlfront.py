@@ -123,6 +123,7 @@ _SUFFIX_FORMAT = {
     ".orc": "orc",
     ".xml": "xml",
     ".ltsv": "ltsv",
+    ".shp": "shp",
 }
 
 
