@@ -644,6 +644,56 @@ select p_partkey, p_name, p_brand, p_retailprice from part
 """
 
 
+def q_image_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image format scan (contrib/format-image ImageBatchReader.java
+    parity): one deterministic PNG per nation (width = nationkey+1,
+    height = 2*(nationkey+1), RGBA) written once per sf_dir, then read
+    as a metadata table — format/dimensions/color typing against the
+    closed-form oracle. EXIF decoding is byte-checked in
+    tests/test_image.py."""
+    import hashlib
+    import os
+    import struct
+    import tempfile
+
+    from drill_spark.readers.image import read_images
+
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    out_dir = os.path.join(tempfile.gettempdir(), f"drill_spark_images_{tag}")
+    if not os.path.isdir(out_dir) or not os.listdir(out_dir):
+        os.makedirs(out_dir, exist_ok=True)
+        keys = [
+            int(r.n_nationkey)
+            for r in load_fixture(spark, sf_dir, "nation").select("n_nationkey").collect()
+        ]
+        for k in keys:
+            ihdr = struct.pack(">IIBBBBB", k + 1, 2 * (k + 1), 8, 6, 0, 0, 0)
+            png = (
+                b"\x89PNG\r\n\x1a\n"
+                + struct.pack(">I", len(ihdr)) + b"IHDR" + ihdr + b"\x00" * 4
+                + struct.pack(">I", 0) + b"IEND" + b"\x00" * 4
+            )
+            with open(os.path.join(out_dir, f"n{k:03d}.png"), "wb") as f:
+                f.write(png)
+    return read_images(spark, out_dir).select(
+        "file_name", "format", "pixel_width", "pixel_height",
+        "color_mode", "bits_per_pixel", "has_alpha",
+    )
+
+
+ORACLE_IMAGE_SCAN = """
+select
+  'n' || lpad(cast(n_nationkey as varchar), 3, '0') || '.png' as file_name,
+  'png' as format,
+  cast(n_nationkey + 1 as int) as pixel_width,
+  cast(2 * (n_nationkey + 1) as int) as pixel_height,
+  'RGBA' as color_mode,
+  cast(32 as int) as bits_per_pixel,
+  true as has_alpha
+from nation
+"""
+
+
 def q_shp_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ESRI shapefile scan (contrib/format-esri ShpBatchReader.java
     parity): the nation fixture becomes a point shapefile (one point
@@ -696,6 +746,7 @@ QUERIES = {
     "op_delta_scan": q_delta_scan,
     "op_iceberg_scan": q_iceberg_scan,
     "op_shp_scan": q_shp_scan,
+    "op_image_scan": q_image_scan,
     "ext_dedup_exact": q_dedup_exact,
     "ext_dedup_apply": q_dedup_apply,
     "ext_dedup_jaccard": q_dedup_jaccard,
@@ -728,6 +779,7 @@ ORACLES = {
     "op_delta_scan": ORACLE_DELTA_SCAN,
     "op_iceberg_scan": ORACLE_ICEBERG_SCAN,
     "op_shp_scan": ORACLE_SHP_SCAN,
+    "op_image_scan": ORACLE_IMAGE_SCAN,
     "ext_dedup_exact": ORACLE_DEDUP_EXACT,
     "ext_dedup_apply": ORACLE_DEDUP_APPLY,
     "ext_dedup_jaccard": ORACLE_DEDUP_JACCARD,

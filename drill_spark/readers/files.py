@@ -95,6 +95,10 @@ def read_auto(
         from drill_spark.readers.esri import read_shp
 
         return read_shp(spark, path)
+    if fmt == "image":
+        from drill_spark.readers.image import read_images
+
+        return read_images(spark, path)
     reader = spark.read.options(**options)
     if schema:
         reader = reader.schema(schema)

@@ -124,6 +124,11 @@ _SUFFIX_FORMAT = {
     ".xml": "xml",
     ".ltsv": "ltsv",
     ".shp": "shp",
+    ".png": "image",
+    ".jpg": "image",
+    ".jpeg": "image",
+    ".gif": "image",
+    ".bmp": "image",
 }
 
 
