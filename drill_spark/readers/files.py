@@ -99,6 +99,10 @@ def read_auto(
         from drill_spark.readers.image import read_images
 
         return read_images(spark, path)
+    if fmt in ("spss", "sav"):
+        from drill_spark.readers.spss import read_sav
+
+        return read_sav(spark, path)
     reader = spark.read.options(**options)
     if schema:
         reader = reader.schema(schema)

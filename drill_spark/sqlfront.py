@@ -129,6 +129,7 @@ _SUFFIX_FORMAT = {
     ".jpeg": "image",
     ".gif": "image",
     ".bmp": "image",
+    ".sav": "spss",
 }
 
 
