@@ -103,6 +103,10 @@ def read_auto(
         from drill_spark.readers.spss import read_sav
 
         return read_sav(spark, path)
+    if fmt in ("sas", "sas7bdat"):
+        from drill_spark.readers.sas import read_sas
+
+        return read_sas(spark, path)
     reader = spark.read.options(**options)
     if schema:
         reader = reader.schema(schema)

@@ -130,6 +130,7 @@ _SUFFIX_FORMAT = {
     ".gif": "image",
     ".bmp": "image",
     ".sav": "spss",
+    ".sas7bdat": "sas",
 }
 
 
