@@ -81,6 +81,10 @@ def read_auto(
         from drill_spark.readers.pcap import read_pcap
 
         return read_pcap(spark, path)
+    if fmt == "pcapng":
+        from drill_spark.readers.pcapng import read_pcapng
+
+        return read_pcapng(spark, path, stat=_truthy(options.get("stat", "false")))
     if fmt in ("delta", "deltalake"):
         # self-contained transaction-log reader (delta-spark jar not
         # bundled); see drill_spark/readers/delta.py for the scale story

@@ -48,6 +48,51 @@ def _ip6(b: bytes) -> str:
     return ":".join(f"{int.from_bytes(b[i:i+2], 'big'):x}" for i in range(0, 16, 2))
 
 
+def parse_ethernet(frame: bytes) -> dict:
+    """Ethernet II -> IPv4/IPv6 -> TCP/UDP fixed-offset parse; shared by
+    the pcap and pcapng readers. Returns the L2-L4 column dict."""
+    row: dict = {
+        "type": "UNKNOWN",
+        "src_ip": None, "dst_ip": None, "src_port": None, "dst_port": None,
+        "src_mac_address": None, "dst_mac_address": None,
+        "tcp_flags": None, "tcp_ack": None,
+    }
+    if len(frame) < 14:
+        return row
+    row["dst_mac_address"] = _mac(frame[0:6])
+    row["src_mac_address"] = _mac(frame[6:12])
+    ethertype = int.from_bytes(frame[12:14], "big")
+    payload = frame[14:]
+    if ethertype == 0x0800 and len(payload) >= 20:  # IPv4
+        ihl = (payload[0] & 0x0F) * 4
+        proto = payload[9]
+        row["type"] = _PROTO.get(proto, str(proto))
+        row["src_ip"] = _ip4(payload[12:16])
+        row["dst_ip"] = _ip4(payload[16:20])
+        l4 = payload[ihl:]
+        if proto in (6, 17) and len(l4) >= 4:
+            row["src_port"] = int.from_bytes(l4[0:2], "big")
+            row["dst_port"] = int.from_bytes(l4[2:4], "big")
+        if proto == 6 and len(l4) >= 14:
+            row["tcp_flags"] = l4[13]
+            row["tcp_ack"] = int.from_bytes(l4[8:12], "big")
+    elif ethertype == 0x86DD and len(payload) >= 40:  # IPv6
+        nxt = payload[6]
+        row["type"] = _PROTO.get(nxt, str(nxt))
+        row["src_ip"] = _ip6(payload[8:24])
+        row["dst_ip"] = _ip6(payload[24:40])
+        l4 = payload[40:]
+        if nxt in (6, 17) and len(l4) >= 4:
+            row["src_port"] = int.from_bytes(l4[0:2], "big")
+            row["dst_port"] = int.from_bytes(l4[2:4], "big")
+        if nxt == 6 and len(l4) >= 14:
+            row["tcp_flags"] = l4[13]
+            row["tcp_ack"] = int.from_bytes(l4[8:12], "big")
+    elif ethertype == 0x0806:
+        row["type"] = "ARP"
+    return row
+
+
 def decode_pcap(data: bytes) -> list[dict]:
     """Decode one pcap file -> list of packet-row dicts."""
     if len(data) < 24:
@@ -73,44 +118,14 @@ def decode_pcap(data: bytes) -> list[dict]:
         pos += incl
         us = ts_frac * 1_000_000 // ts_div
         row = {
-            "type": "UNKNOWN",
             "timestamp": datetime.datetime(1970, 1, 1)
             + datetime.timedelta(seconds=ts_sec, microseconds=us),
             "network": network,
-            "src_ip": None, "dst_ip": None, "src_port": None, "dst_port": None,
-            "src_mac_address": None, "dst_mac_address": None,
-            "tcp_flags": None, "packet_length": orig, "data": frame,
+            "packet_length": orig, "data": frame,
         }
-        if network == 1 and len(frame) >= 14:  # Ethernet II
-            row["dst_mac_address"] = _mac(frame[0:6])
-            row["src_mac_address"] = _mac(frame[6:12])
-            ethertype = int.from_bytes(frame[12:14], "big")
-            payload = frame[14:]
-            if ethertype == 0x0800 and len(payload) >= 20:  # IPv4
-                ihl = (payload[0] & 0x0F) * 4
-                proto = payload[9]
-                row["type"] = _PROTO.get(proto, str(proto))
-                row["src_ip"] = _ip4(payload[12:16])
-                row["dst_ip"] = _ip4(payload[16:20])
-                l4 = payload[ihl:]
-                if proto in (6, 17) and len(l4) >= 4:
-                    row["src_port"] = int.from_bytes(l4[0:2], "big")
-                    row["dst_port"] = int.from_bytes(l4[2:4], "big")
-                if proto == 6 and len(l4) >= 14:
-                    row["tcp_flags"] = l4[13]
-            elif ethertype == 0x86DD and len(payload) >= 40:  # IPv6
-                nxt = payload[6]
-                row["type"] = _PROTO.get(nxt, str(nxt))
-                row["src_ip"] = _ip6(payload[8:24])
-                row["dst_ip"] = _ip6(payload[24:40])
-                l4 = payload[40:]
-                if nxt in (6, 17) and len(l4) >= 4:
-                    row["src_port"] = int.from_bytes(l4[0:2], "big")
-                    row["dst_port"] = int.from_bytes(l4[2:4], "big")
-                if nxt == 6 and len(l4) >= 14:
-                    row["tcp_flags"] = l4[13]
-            elif ethertype == 0x0806:
-                row["type"] = "ARP"
+        l234 = parse_ethernet(frame) if network == 1 else parse_ethernet(b"")
+        l234.pop("tcp_ack")  # not part of the legacy-pcap column set
+        row.update(l234)
         # unparseable frames keep type=UNKNOWN with the raw data — the
         # reference likewise never drops packets it cannot decode
         rows.append(row)

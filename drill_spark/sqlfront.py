@@ -119,6 +119,7 @@ _SUFFIX_FORMAT = {
     ".psv": "csv",
     ".avro": "avro",
     ".pcap": "pcap",
+    ".pcapng": "pcapng",
     ".xlsx": "excel",
     ".orc": "orc",
     ".xml": "xml",
