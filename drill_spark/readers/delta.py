@@ -166,22 +166,55 @@ def load_snapshot(spark: SparkSession, path: str,
     return DeltaSnapshot(schema, meta.get("partitionColumns") or [], active, replayed)
 
 
+_MAX_PARTITION_BRANCHES = 256
+
+
 def read_delta(spark: SparkSession, path: str,
                options: dict | None = None) -> DataFrame:
-    """Read a Delta table at its latest (or ``versionAsOf``) snapshot."""
+    """Read a Delta table at its latest (or ``versionAsOf``) snapshot.
+
+    Partitioned tables: when the snapshot has at most
+    ``_MAX_PARTITION_BRANCHES`` distinct partition-value combinations,
+    the scan is a UNION of one parquet read per combination with the
+    partition values attached as typed literals — so a filter on a
+    partition column constant-folds inside each branch and Catalyst
+    prunes non-matching branches (and their file listings) at plan
+    time, exactly what Delta's own data-skipping does with the log.
+    Beyond the cap, a broadcast ``input_file_name``→values map joins
+    the values back instead (one flat scan, no pruning)."""
     opts = options or {}
     version = opts.get("versionAsOf", opts.get("version_as_of"))
     snap = load_snapshot(spark, path, int(version) if version is not None else None)
     if not snap.files:
         return spark.createDataFrame([], snap.schema)
 
-    abs_paths = [p if os.path.isabs(p) else os.path.join(path, p) for p in snap.files]
+    col_order = [f.name for f in snap.schema.fields]
     data_schema = T.StructType(
         [f for f in snap.schema.fields if f.name not in snap.partition_columns]
     )
-    df = spark.read.schema(data_schema).parquet(*abs_paths)
     if not snap.partition_columns:
-        return df.select(*[f.name for f in snap.schema.fields])
+        abs_paths = [p if os.path.isabs(p) else os.path.join(path, p) for p in snap.files]
+        return spark.read.schema(data_schema).parquet(*abs_paths).select(*col_order)
+
+    by_type = {f.name: f.dataType for f in snap.schema.fields}
+    groups: dict[tuple, list[str]] = {}
+    for p, pv in snap.files.items():
+        key = tuple((pv or {}).get(c) for c in snap.partition_columns)
+        groups.setdefault(key, []).append(
+            p if os.path.isabs(p) else os.path.join(path, p)
+        )
+
+    if len(groups) <= _MAX_PARTITION_BRANCHES:
+        branches = []
+        for key, paths in groups.items():
+            b = spark.read.schema(data_schema).parquet(*paths)
+            for c, v in zip(snap.partition_columns, key):
+                b = b.withColumn(c, F.lit(v).cast(by_type[c]))
+            branches.append(b.select(*col_order))
+        out = branches[0]
+        for b in branches[1:]:
+            out = out.unionAll(b)
+        return out
 
     # one broadcast map file-uri -> partition value strings, typed casts
     pv_rows = [
@@ -194,7 +227,9 @@ def read_delta(spark: SparkSession, path: str,
         + [T.StructField(f"__pv_{c}", T.StringType()) for c in snap.partition_columns]
     )
     pv = spark.createDataFrame(pv_rows, pv_schema)
-    by_type = {f.name: f.dataType for f in snap.schema.fields}
+    df = spark.read.schema(data_schema).parquet(
+        *[p for paths in groups.values() for p in paths]
+    )
     out = (
         df.withColumn("__file", F.input_file_name())
         .join(F.broadcast(pv), "__file")
@@ -202,7 +237,7 @@ def read_delta(spark: SparkSession, path: str,
     )
     for c in snap.partition_columns:
         out = out.withColumn(c, F.col(f"__pv_{c}").cast(by_type[c])).drop(f"__pv_{c}")
-    return out.select(*[f.name for f in snap.schema.fields])
+    return out.select(*col_order)
 
 
 def write_delta(df: DataFrame, path: str, partition_by: list[str] | None = None,

@@ -205,3 +205,20 @@ def test_iceberg_snapshot_option(spark, tmp_path):
     assert got.count() == 4
     with pytest.raises(ValueError, match="not in table metadata"):
         read_iceberg(spark, tbl, {"snapshot-id": 99})
+
+
+def test_delta_partition_filter_prunes_branches(spark, tmp_path):
+    """A filter on a Delta partition column constant-folds per branch:
+    the executed plan scans only the matching partition's files."""
+    src = spark.createDataFrame(
+        [(i, i % 4) for i in range(100)], "v long, bucket int"
+    )
+    tbl = str(tmp_path / "part_prune")
+    write_delta(src, tbl, partition_by=["bucket"])
+    df = read_delta(spark, tbl).filter(F.col("bucket") == 2)
+    assert df.count() == 25
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    if "== Initial Plan ==" in plan:
+        plan = plan.split("== Initial Plan ==", 1)[0]
+    # 4 partitions -> only 1 surviving parquet scan after pruning
+    assert plan.count("Scan parquet") == 1, plan
