@@ -131,6 +131,47 @@ def sys_drillbits(session) -> DataFrame:
     return session.spark.createDataFrame(rows, "hostname string, user_port int, current boolean")
 
 
+def sys_memory(session) -> DataFrame:
+    """Memory table (store/sys/MemoryIterator analog): per-node heap/
+    direct usage. Local mode = the driver JVM, read through py4j's
+    Runtime — the same numbers a Spark executor reports to its UI."""
+    jvm_rt = session.spark.sparkContext._jvm.java.lang.Runtime.getRuntime()
+    heap_max = int(jvm_rt.maxMemory())
+    heap_used = int(jvm_rt.totalMemory()) - int(jvm_rt.freeMemory())
+    row = Row(
+        hostname="driver",
+        user_port=0,
+        heap_current=heap_used,
+        heap_max=heap_max,
+        direct_current=None,
+        jvm_direct_current=None,
+        direct_max=None,
+    )
+    schema = (
+        "hostname string, user_port int, heap_current bigint, heap_max bigint, "
+        "direct_current bigint, jvm_direct_current bigint, direct_max bigint"
+    )
+    return session.spark.createDataFrame([row], schema)
+
+
+def sys_threads(session) -> DataFrame:
+    """Threads table (store/sys/ThreadsIterator analog): JVM thread
+    counts per node."""
+    tmx = (
+        session.spark.sparkContext._jvm.java.lang.management.ManagementFactory
+        .getThreadMXBean()
+    )
+    row = Row(
+        hostname="driver",
+        user_port=0,
+        total_threads=int(tmx.getThreadCount()),
+        busy_threads=int(tmx.getThreadCount()) - int(tmx.getDaemonThreadCount()),
+    )
+    return session.spark.createDataFrame(
+        [row], "hostname string, user_port int, total_threads int, busy_threads int"
+    )
+
+
 def register_system_views(session) -> None:
     """Expose information_schema_* / sys_* as queryable temp views
     (snapshots at call time; sqlfront refreshes on each dotted-name query)."""
@@ -142,3 +183,5 @@ def register_system_views(session) -> None:
     sys_functions(session).createOrReplaceTempView("sys_functions")
     sys_profiles(session).createOrReplaceTempView("sys_profiles")
     sys_drillbits(session).createOrReplaceTempView("sys_drillbits")
+    sys_memory(session).createOrReplaceTempView("sys_memory")
+    sys_threads(session).createOrReplaceTempView("sys_threads")

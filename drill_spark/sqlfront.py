@@ -98,6 +98,18 @@ _DROP_ALIAS = re.compile(
     r"^\s*DROP\s+(?:PUBLIC\s+)?ALIAS\s+(IF\s+EXISTS\s+)?`?(\w+)`?\s*;?\s*$", re.IGNORECASE
 )
 _SHOW_ALIASES = re.compile(r"^\s*SHOW\s+ALIASES\s*;?\s*$", re.IGNORECASE)
+# provided schema DDL (planner/sql/handlers/SchemaHandler.java): persist
+# a column list for a (usually schema-less text) table directory
+_CREATE_SCHEMA_FT = re.compile(
+    r"^\s*CREATE\s+(OR\s+REPLACE\s+)?SCHEMA\s*\(([^)]*)\)\s*FOR\s+TABLE\s+"
+    r"((?:\w+\.)+)`([^`]+)`\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_DROP_SCHEMA_FT = re.compile(
+    r"^\s*DROP\s+SCHEMA\s+(IF\s+EXISTS\s+)?FOR\s+TABLE\s+((?:\w+\.)+)`([^`]+)`\s*;?\s*$",
+    re.IGNORECASE,
+)
+SCHEMA_FILE = ".drill.schema"
 # REFRESH TABLE METADATA (parserImpls.ftl:556-579 — rebuilds the parquet
 # metadata cache; Spark analog: invalidate cached listings/footers)
 _REFRESH_META = re.compile(
@@ -201,7 +213,16 @@ def _read_path(session, ws_name: str, rel_path: str, options: dict[str, str] | N
             view = _json.load(f)
         return session.spark.sql(rewrite(session, view["sql"]))
     fmt = (options or {}).get("type", _infer_format(path, default_fmt))
-    return read_auto(session.spark, path, fmt, options or {}, session)
+    opts = dict(options or {})
+    sf = os.path.join(path, SCHEMA_FILE)
+    if "schema" not in opts and os.path.isdir(path) and os.path.exists(sf):
+        # provided schema persisted by CREATE SCHEMA ... FOR TABLE
+        # (SchemaHandler.java .drill.schema analog): skip inference
+        import json as _json
+
+        with open(sf) as f:
+            opts["schema"] = _json.load(f)["ddl"]
+    return read_auto(session.spark, path, fmt, opts, session)
 
 
 _TF_OPT = re.compile(r"`?(\w+)`?\s*=>\s*(?:'([^']*)'|\"([^\"]*)\"|([^,)\s]+))")
@@ -278,6 +299,52 @@ def rewrite(session, query: str) -> str:
 
 def _ok(spark, summary: str) -> DataFrame:
     return spark.createDataFrame([Row(ok=True, summary=summary)])
+
+
+_DRILL_TO_SPARK_TYPE = {
+    "INT": "int", "INTEGER": "int", "BIGINT": "bigint", "SMALLINT": "smallint",
+    "TINYINT": "tinyint", "VARCHAR": "string", "CHAR": "string",
+    "CHARACTER": "string", "DOUBLE": "double", "FLOAT": "float",
+    "BOOLEAN": "boolean", "DATE": "date", "TIME": "string",
+    "TIMESTAMP": "timestamp", "VARBINARY": "binary", "BINARY": "binary",
+    "INTERVAL": "string",
+}
+
+
+def _drill_cols_to_spark_ddl(cols: str) -> str:
+    """Drill column-list DDL (SchemaHandler.java) -> Spark schema DDL.
+    Splits on top-level commas (DECIMAL(p,s) nests one) and maps the
+    Drill type names; NOT NULL / format clauses are dropped — Spark's
+    reader treats the schema as all-nullable."""
+    out = []
+    depth, cur, parts = 0, "", []
+    for ch in cols:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if ch == "," and depth == 0:
+            parts.append(cur)
+            cur = ""
+        else:
+            cur += ch
+    if cur.strip():
+        parts.append(cur)
+    for part in parts:
+        toks = part.strip().split()
+        if len(toks) < 2:
+            raise ValueError(f"bad schema column: {part!r}")
+        name = toks[0].strip("`")
+        typ = toks[1].upper()
+        if typ.startswith("DECIMAL") or typ.startswith("NUMERIC"):
+            spark_t = typ.lower().replace("numeric", "decimal")
+        else:
+            base = typ.split("(", 1)[0]
+            spark_t = _DRILL_TO_SPARK_TYPE.get(base)
+            if spark_t is None:
+                raise ValueError(f"unsupported schema type {typ!r}")
+        out.append(f"`{name}` {spark_t}")
+    return ", ".join(out)
 
 
 def _write_custom(df: DataFrame, path: str, fmt: str, part_cols: list[str], mode: str) -> None:
@@ -478,6 +545,32 @@ def execute(session, query: str) -> DataFrame:
 
         shutil.rmtree(path, ignore_errors=True)
         return _ok(spark, f"materialized view {name} dropped")
+
+    m = _CREATE_SCHEMA_FT.match(query)
+    if m:
+        replace, cols, ws_name, rel_path = m.groups()
+        path, _ = _writable_path(session, ws_name.rstrip("."), rel_path)
+        sf = os.path.join(path, SCHEMA_FILE)
+        if os.path.exists(sf) and not replace:
+            raise ValueError(f"schema already exists for table {rel_path}")
+        import json as _json
+
+        os.makedirs(path, exist_ok=True)
+        with open(sf, "w") as f:
+            _json.dump({"ddl": _drill_cols_to_spark_ddl(cols)}, f)
+        return _ok(spark, f"created schema for table {ws_name}`{rel_path}`")
+
+    m = _DROP_SCHEMA_FT.match(query)
+    if m:
+        if_exists, ws_name, rel_path = m.groups()
+        path, _ = _writable_path(session, ws_name.rstrip("."), rel_path)
+        sf = os.path.join(path, SCHEMA_FILE)
+        if not os.path.exists(sf):
+            if if_exists:
+                return _ok(spark, "schema did not exist")
+            raise ValueError(f"no schema for table {rel_path}")
+        os.remove(sf)
+        return _ok(spark, f"dropped schema for table {ws_name}`{rel_path}`")
 
     m = _CREATE_FN_JAR.match(query)
     if m:

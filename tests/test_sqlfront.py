@@ -431,3 +431,33 @@ def test_sql_udf_registration(dsession):
     assert [r[0] for r in dsession.sql("SELECT * FROM till_t(3)").collect()] == [1, 2, 3]
     names = {r[0] for r in dsession.sql("select name from sys.functions").collect()}
     assert {"add_tax_t", "till_t"} <= names
+
+
+def test_provided_schema_ddl(dsession, tmp_path):
+    """CREATE SCHEMA ... FOR TABLE (SchemaHandler.java): persists a
+    .drill.schema that later reads of the directory apply instead of
+    inference; DROP SCHEMA removes it."""
+    d = tmp_path / "csvdir"
+    d.mkdir()
+    (d / "a.csvh").write_text("1,alpha,2024-01-31\n2,beta,2024-02-29\n")
+    dsession.register_workspace("dfs.sch", str(tmp_path), "csv")
+    dsession.workspaces["dfs.sch"].writable = True
+    dsession.sql(
+        "CREATE SCHEMA (`id` INT, `name` VARCHAR, `seen` DATE) "
+        "FOR TABLE dfs.sch.`csvdir`"
+    )
+    df = dsession.sql("select * from dfs.sch.`csvdir` where id = 2")
+    assert [f.name for f in df.schema.fields] == ["id", "name", "seen"]
+    row = df.collect()[0]
+    assert row.name == "beta" and str(row.seen) == "2024-02-29"
+    dsession.sql("DROP SCHEMA FOR TABLE dfs.sch.`csvdir`")
+    import os as _os
+
+    assert not _os.path.exists(d / ".drill.schema")
+
+
+def test_sys_memory_and_threads(dsession):
+    mem = dsession.sql("select * from sys.memory").collect()
+    assert len(mem) == 1 and mem[0].heap_max > 0 and mem[0].heap_current > 0
+    thr = dsession.sql("select * from sys.threads").collect()
+    assert thr[0].total_threads > 0 and thr[0].busy_threads >= 0
