@@ -53,6 +53,19 @@ _SQL_UDFS: dict[str, tuple[str, str]] = {
     "string_binary": ("b BINARY", "cast(b AS STRING)"),  # StringFunctions.java:1815
     "charsubstring": ("s STRING, p INT, l INT", "substring(s, p, l)"),
     "strpos": ("s STRING, sub STRING", "instr(s, sub)"),  # StringFunctions.java:640
+    # --- crypto (contrib/udfs CryptoFunctions.java) — Drill's unary
+    # hex-digest names over Spark's builtins (md5/aes_* exist natively;
+    # md2 has no JVM-side implementation and is obsolete — omitted) ---
+    # (sha/sha1/md5 are Spark builtins with the same semantics)
+    "sha256": ("s STRING", "sha2(s, 256)"),  # :147
+    "sha384": ("s STRING", "sha2(s, 384)"),  # :186
+    "sha512": ("s STRING", "sha2(s, 512)"),  # :224
+    # --- distribution (contrib/udfs DistributionFunctions.java);
+    # regr_slope/regr_intercept/width_bucket are Spark builtins ---
+    "percent_change": (
+        "old DOUBLE, new DOUBLE",
+        "CASE WHEN old = 0 THEN NULL ELSE (new - old) / abs(old) * 100.0 END",
+    ),
     # --- date/time (DateTypeFunctions.java) ---
     "isdate": ("s STRING", "try_cast(s AS DATE) IS NOT NULL"),  # :61
     # age -> rendered year-month interval string (interval types are

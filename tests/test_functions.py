@@ -265,3 +265,19 @@ def test_sqltypeof_drill_names(spark):
     ).head()
     assert r["s"] == "CHARACTER VARYING" and r["i"] == "INTEGER"
     assert r["d"] == "DOUBLE" and r["b"] == "BIGINT"
+
+
+def test_crypto_and_distribution_fns(session):
+    """CryptoFunctions.java / DistributionFunctions.java parity: Drill's
+    unary digest names resolve JVM-side; percent_change matches the
+    reference's (new-old)/|old|*100 semantics."""
+    r = session.sql(
+        "select sha('abc') as s1, sha256('abc') as s2, sha512('abc') as s5, "
+        "percent_change(8.0, 10.0) as pc, percent_change(0.0, 5.0) as pz, "
+        "regr_slope(y, x) as sl from (select 1.0 x, 2.0 y union all select 2.0, 4.0)"
+    ).collect()[0]
+    assert r.s1 == "a9993e364706816aba3e25717850c26c9cd0d89d"
+    assert r.s2 == "ba7816bf8f01cfea414140de5dae2223b00361a396177a9cb410ff61f20015ad"
+    assert len(r.s5) == 128
+    assert r.pc == 25.0 and r.pz is None
+    assert r.sl == 2.0
