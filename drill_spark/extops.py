@@ -10,6 +10,8 @@ ext_ann_ivf, ext_text_topk_approx, ext_multimodal_features.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -561,22 +563,43 @@ join tiers t on e.value >= t.lo and e.value < t.hi
 """
 
 
+def _materialize_once(sf_dir: str, kind: str, build) -> str:
+    """Build a per-sf_dir format fixture under /tmp exactly once,
+    ATOMICALLY: ``build(staging_dir)`` writes into a fresh staging
+    directory which is then renamed into place, so a killed run can
+    never leave a half-written table that a later exists-check trusts.
+    A concurrent winner's rename is tolerated."""
+    import hashlib
+    import shutil
+    import tempfile
+
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    final = os.path.join(tempfile.gettempdir(), f"drill_spark_{kind}_{tag}")
+    if os.path.isdir(final):
+        return final
+    staging = f"{final}.staging.{os.getpid()}"
+    shutil.rmtree(staging, ignore_errors=True)
+    build(staging)
+    try:
+        os.rename(staging, final)
+    except OSError:
+        if not os.path.isdir(final):  # lost a race is fine; else re-raise
+            raise
+        shutil.rmtree(staging, ignore_errors=True)
+    return final
+
+
 def q_avro_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Avro format scan (store/avro/AvroBatchReader.java parity): the
     supplier fixture is written to Avro OCF with the distributed writer
-    once per sf_dir, then read back with the distributed per-file
+    once per sf_dir, then read back with the distributed range-split
     decoder — so the correctness row checks the full write+read format
     path against the parquet-derived oracle."""
-    import hashlib
-    import os
-    import tempfile
-
     from drill_spark.readers.avro import read_avro, write_avro
 
-    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
-    out_dir = os.path.join(tempfile.gettempdir(), f"drill_spark_avro_{tag}")
-    if not os.path.isdir(out_dir) or not os.listdir(out_dir):
-        write_avro(load_fixture(spark, sf_dir, "supplier"), out_dir)
+    out_dir = _materialize_once(
+        sf_dir, "avro", lambda d: write_avro(load_fixture(spark, sf_dir, "supplier"), d)
+    )
     return read_avro(spark, out_dir).select("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
 
 
@@ -592,22 +615,19 @@ def q_delta_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     back through the log-replay reader — partition values re-attached
     from add.partitionValues, so the row checks the full protocol path
     against the parquet-derived oracle."""
-    import hashlib
-    import os
-    import tempfile
-
     from drill_spark.readers.delta import read_delta, write_delta
 
-    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
-    out_dir = os.path.join(tempfile.gettempdir(), f"drill_spark_delta_{tag}")
-    if not os.path.isdir(os.path.join(out_dir, "_delta_log")):
-        write_delta(
+    out_dir = _materialize_once(
+        sf_dir,
+        "delta",
+        lambda d: write_delta(
             load_fixture(spark, sf_dir, "supplier").select(
                 "s_suppkey", "s_name", "s_nationkey", "s_acctbal"
             ),
-            out_dir,
+            d,
             partition_by=["s_nationkey"],
-        )
+        ),
+    )
     return read_delta(spark, out_dir).select("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
 
 
@@ -621,21 +641,18 @@ def q_iceberg_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     parity): the part fixture is written once per sf_dir as an Iceberg
     table (parquet data + avro manifests + metadata json), then read
     back through the snapshot walker."""
-    import hashlib
-    import os
-    import tempfile
-
     from drill_spark.readers.iceberg import read_iceberg, write_iceberg
 
-    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
-    out_dir = os.path.join(tempfile.gettempdir(), f"drill_spark_iceberg_{tag}")
-    if not os.path.isdir(os.path.join(out_dir, "metadata")):
-        write_iceberg(
+    out_dir = _materialize_once(
+        sf_dir,
+        "iceberg",
+        lambda d: write_iceberg(
             load_fixture(spark, sf_dir, "part").select(
                 "p_partkey", "p_name", "p_brand", "p_retailprice"
             ),
-            out_dir,
-        )
+            d,
+        ),
+    )
     return read_iceberg(spark, out_dir)
 
 
@@ -651,16 +668,11 @@ def q_image_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     as a metadata table — format/dimensions/color typing against the
     closed-form oracle. EXIF decoding is byte-checked in
     tests/test_image.py."""
-    import hashlib
-    import os
     import struct
-    import tempfile
 
     from drill_spark.readers.image import read_images
 
-    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
-    out_dir = os.path.join(tempfile.gettempdir(), f"drill_spark_images_{tag}")
-    if not os.path.isdir(out_dir) or not os.listdir(out_dir):
+    def build(out_dir: str) -> None:
         os.makedirs(out_dir, exist_ok=True)
         keys = [
             int(r.n_nationkey)
@@ -675,6 +687,8 @@ def q_image_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             with open(os.path.join(out_dir, f"n{k:03d}.png"), "wb") as f:
                 f.write(png)
+
+    out_dir = _materialize_once(sf_dir, "images", build)
     return read_images(spark, out_dir).select(
         "file_name", "format", "pixel_width", "pixel_height",
         "color_mode", "bits_per_pixel", "has_alpha",
@@ -702,16 +716,10 @@ def q_shp_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     attribute decoding against the parquet-derived oracle. geom (WKB
     bytes) is covered structurally in tests/test_esri.py — DuckDB has
     no WKB constructor to oracle it here."""
-    import hashlib
-    import os
-    import tempfile
-
     from drill_spark.readers.esri import read_shp, write_shp
 
-    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
-    base = os.path.join(tempfile.gettempdir(), f"drill_spark_shp_{tag}", "nations")
-    if not os.path.exists(base + ".shp"):
-        os.makedirs(os.path.dirname(base), exist_ok=True)
+    def build(out_dir: str) -> None:
+        os.makedirs(out_dir, exist_ok=True)
         nat = (
             load_fixture(spark, sf_dir, "nation")
             .select("n_nationkey", "n_name")
@@ -723,9 +731,11 @@ def q_shp_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
              "nkey": int(r.n_nationkey), "nname": r.n_name}
             for r in nat
         ]
-        write_shp(rows, base, srid=4326)
+        write_shp(rows, os.path.join(out_dir, "nations"), srid=4326)
+
+    out_dir = _materialize_once(sf_dir, "shp", build)
     return (
-        read_shp(spark, base + ".shp")
+        read_shp(spark, os.path.join(out_dir, "nations.shp"))
         .select("gid", "srid", F.col("shapeType").alias("shape_type"), "nkey", "nname")
     )
 
