@@ -751,11 +751,75 @@ from nation
 """
 
 
+def q_pcapng_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pcapng format scan (contrib/format-pcapng PcapngBatchReader
+    parity): one TCP packet per nation — SYN for even keys, ACK for
+    odd, src_port = 1000+key — encoded as spec-conformant EPB blocks
+    once per sf_dir, then read back through the block walker. Checks
+    timestamp resolution, L2-L4 parsing and the flag columns against
+    the closed-form oracle."""
+    import struct
+
+    def build(out_dir: str) -> None:
+        os.makedirs(out_dir, exist_ok=True)
+        keys = sorted(
+            int(r.n_nationkey)
+            for r in load_fixture(spark, sf_dir, "nation").select("n_nationkey").collect()
+        )
+
+        def block(btype, body):
+            total = 12 + len(body) + (-len(body)) % 4
+            return (
+                struct.pack("<II", btype, total)
+                + body + b"\x00" * ((-len(body)) % 4)
+                + struct.pack("<I", total)
+            )
+
+        out = block(0x0A0D0D0A, struct.pack("<IHHq", 0x1A2B3C4D, 1, 0, -1))
+        out += block(0x00000001, struct.pack("<HHI", 1, 0, 0) + struct.pack("<HH", 0, 0))
+        for k in keys:
+            flags = 0x02 if k % 2 == 0 else 0x10
+            eth = bytes(6) + bytes(range(6)) + b"\x08\x00"
+            tcp = struct.pack(">HHIIBB", 1000 + k, 443, 1, k, 0x50, flags) + b"\x00" * 8
+            ip = bytes([0x45, 0]) + struct.pack(">H", 20 + len(tcp)) + b"\x00" * 4
+            ip += bytes([64, 6]) + b"\x00\x00" + bytes([10, 0, 0, 1]) + bytes([10, 0, 0, 2])
+            frame = eth + ip + tcp
+            ts = (1_700_000_000 + k) * 10**6
+            body = struct.pack("<IIIII", 0, ts >> 32, ts & 0xFFFFFFFF, len(frame), len(frame))
+            out += block(0x00000006, body + frame)
+        with open(os.path.join(out_dir, "nations.pcapng"), "wb") as f:
+            f.write(out)
+
+    from drill_spark.readers.pcapng import read_pcapng
+
+    out_dir = _materialize_once(sf_dir, "pcapng", build)
+    return read_pcapng(spark, os.path.join(out_dir, "nations.pcapng")).select(
+        F.col("src_port"), F.col("dst_port"), F.col("type"),
+        F.col("tcp_ack"), F.col("tcp_flags_syn"), F.col("tcp_flags_ack"),
+        F.col("tcp_parsed_flags"), F.col("timestamp").cast("string").alias("ts"),
+    )
+
+
+ORACLE_PCAPNG_SCAN = """
+select
+  cast(1000 + n_nationkey as int) as src_port,
+  cast(443 as int) as dst_port,
+  'TCP' as type,
+  cast(n_nationkey as bigint) as tcp_ack,
+  cast(case when n_nationkey % 2 = 0 then 1 else 0 end as int) as tcp_flags_syn,
+  cast(case when n_nationkey % 2 = 0 then 0 else 1 end as int) as tcp_flags_ack,
+  case when n_nationkey % 2 = 0 then 'SYN' else 'ACK' end as tcp_parsed_flags,
+  strftime(to_timestamp(1700000000 + n_nationkey), '%Y-%m-%d %H:%M:%S') as ts
+from nation
+"""
+
+
 QUERIES = {
     "op_avro_scan": q_avro_scan,
     "op_delta_scan": q_delta_scan,
     "op_iceberg_scan": q_iceberg_scan,
     "op_shp_scan": q_shp_scan,
+    "op_pcapng_scan": q_pcapng_scan,
     "op_image_scan": q_image_scan,
     "ext_dedup_exact": q_dedup_exact,
     "ext_dedup_apply": q_dedup_apply,
@@ -789,6 +853,7 @@ ORACLES = {
     "op_delta_scan": ORACLE_DELTA_SCAN,
     "op_iceberg_scan": ORACLE_ICEBERG_SCAN,
     "op_shp_scan": ORACLE_SHP_SCAN,
+    "op_pcapng_scan": ORACLE_PCAPNG_SCAN,
     "op_image_scan": ORACLE_IMAGE_SCAN,
     "ext_dedup_exact": ORACLE_DEDUP_EXACT,
     "ext_dedup_apply": ORACLE_DEDUP_APPLY,
