@@ -79,8 +79,19 @@ def main() -> None:
     ok = {k: v for k, v in timings.items() if v >= 0}
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
 
+    # format scans build a /tmp fixture on first touch and grow as new
+    # formats land — their own group keeps "op" comparable across rounds
+    fmt_queries = {
+        k for k in ok if k.startswith("op_") and k.endswith("_scan")
+    }
+
     def _group(prefix: str) -> float:
-        return round(sum(v for k, v in ok.items() if k.startswith(prefix)), 3)
+        members = (
+            fmt_queries
+            if prefix == "fmt"
+            else {k for k in ok if k.startswith(prefix)} - fmt_queries
+        )
+        return round(sum(ok[k] for k in members), 3)
 
     line = json.dumps(
         {
@@ -91,7 +102,12 @@ def main() -> None:
             # family subtotals for round-over-round comparison (r1's
             # recorded total covered only op_/tpch_ — every ext_ entry
             # errored to -1 that round and contributed 0s)
-            "groups": {"tpch": _group("tpch_"), "op": _group("op_"), "ext": _group("ext_")},
+            "groups": {
+                "tpch": _group("tpch_"),
+                "op": _group("op_"),
+                "fmt": _group("fmt"),
+                "ext": _group("ext_"),
+            },
             "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             "n_queries": len(timings),
             "n_errored": len(timings) - len(ok),

@@ -800,6 +800,45 @@ def q_pcapng_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_spss_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPSS format scan (contrib/format-spss SpssBatchReader parity):
+    the region fixture becomes a .sav file (numeric key with value
+    labels + string name) once per sf_dir; the read-back checks
+    dictionary decode, value-label binding (the <name>_value column)
+    and string trimming against the parquet-derived oracle."""
+    from drill_spark.readers.spss import read_sav, write_sav
+
+    def build(out_dir: str) -> None:
+        os.makedirs(out_dir, exist_ok=True)
+        regs = sorted(
+            ((int(r.r_regionkey), r.r_name)
+             for r in load_fixture(spark, sf_dir, "region")
+             .select("r_regionkey", "r_name").collect()),
+        )
+        rows = [{"RKEY": float(k), "RNAME": n} for k, n in regs]
+        write_sav(
+            rows,
+            os.path.join(out_dir, "regions.sav"),
+            value_labels={"RKEY": {0.0: "zero", 1.0: "one", 2.0: "two"}},
+        )
+
+    out_dir = _materialize_once(sf_dir, "spss", build)
+    return read_sav(spark, os.path.join(out_dir, "regions.sav")).select(
+        F.col("RKEY").alias("rkey"), F.col("RKEY_value").alias("rkey_value"),
+        F.col("RNAME").alias("rname"),
+    )
+
+
+ORACLE_SPSS_SCAN = """
+select
+  cast(r_regionkey as double) as rkey,
+  case r_regionkey when 0 then 'zero' when 1 then 'one' when 2 then 'two'
+       else null end as rkey_value,
+  r_name as rname
+from region
+"""
+
+
 ORACLE_PCAPNG_SCAN = """
 select
   cast(1000 + n_nationkey as int) as src_port,
@@ -820,6 +859,7 @@ QUERIES = {
     "op_iceberg_scan": q_iceberg_scan,
     "op_shp_scan": q_shp_scan,
     "op_pcapng_scan": q_pcapng_scan,
+    "op_spss_scan": q_spss_scan,
     "op_image_scan": q_image_scan,
     "ext_dedup_exact": q_dedup_exact,
     "ext_dedup_apply": q_dedup_apply,
@@ -854,6 +894,7 @@ ORACLES = {
     "op_iceberg_scan": ORACLE_ICEBERG_SCAN,
     "op_shp_scan": ORACLE_SHP_SCAN,
     "op_pcapng_scan": ORACLE_PCAPNG_SCAN,
+    "op_spss_scan": ORACLE_SPSS_SCAN,
     "op_image_scan": ORACLE_IMAGE_SCAN,
     "ext_dedup_exact": ORACLE_DEDUP_EXACT,
     "ext_dedup_apply": ORACLE_DEDUP_APPLY,

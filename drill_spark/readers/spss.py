@@ -207,6 +207,62 @@ def sav_schema(d: SavDictionary) -> str:
     return ", ".join(cols)
 
 
+def write_sav(rows: list[dict], path: str,
+              value_labels: dict[str, dict[float, str]] | None = None) -> None:
+    """Minimal uncompressed .sav writer for tests/fixtures: numeric
+    doubles and fixed-width strings per the same public layout the
+    reader decodes. (The reference plugin is read-only; this exists so
+    the oracle query can build spec-conformant inputs.)"""
+    if not rows:
+        raise ValueError("write_sav needs at least one row")
+    cols = list(rows[0])
+    widths: dict[str, int] = {}
+    for c in cols:
+        if any(isinstance(r[c], str) for r in rows):
+            w = max(len(str(r[c] or "")) for r in rows)
+            widths[c] = (max(w, 1) + 7) // 8 * 8
+        else:
+            widths[c] = 0
+
+    out = bytearray()
+    out += b"$FL2" + b"@(#) drill_spark write_sav".ljust(60)
+    nominal = sum(1 if widths[c] == 0 else widths[c] // 8 for c in cols)
+    out += struct.pack("<iiiii", 2, nominal, 0, 0, len(rows))
+    out += struct.pack("<d", 100.0)
+    out += b"01 Jan 70" + b"00:00:00" + b" " * 64 + b"\x00" * 3
+
+    labels = value_labels or {}
+    elem_index = 0
+    label_binding: list[tuple[dict[float, str], int]] = []
+    for c in cols:
+        w = widths[c]
+        out += struct.pack("<iiiiii", 2, w, 0, 0, 0, 0) + c[:8].ljust(8).encode()
+        elem_index += 1
+        if c in labels:
+            label_binding.append((labels[c], elem_index))
+        for _ in range(w // 8 - 1 if w else 0):
+            out += struct.pack("<iiiiii", 2, -1, 0, 0, 0, 0) + b" " * 8
+            elem_index += 1
+    for lab, idx in label_binding:
+        out += struct.pack("<ii", 3, len(lab))
+        for val, text in lab.items():
+            rec = struct.pack("<d", val) + bytes([len(text)]) + text.encode()
+            out += rec + b" " * (-len(rec) % 8)
+        out += struct.pack("<iii", 4, 1, idx)
+    out += struct.pack("<ii", 999, 0)
+
+    for r in rows:
+        for c in cols:
+            w = widths[c]
+            if w == 0:
+                v = r[c]
+                out += struct.pack("<d", _SYSMIS if v is None else float(v))
+            else:
+                out += str(r[c] or "").encode("latin-1")[:w].ljust(w, b" ")
+    with open(path, "wb") as f:
+        f.write(bytes(out))
+
+
 def read_sav(spark: SparkSession, path: str) -> DataFrame:
     """Distributed .sav read: mapInPandas over the file list; column
     surface = SpssBatchReader.java (numeric double + <name>_value label

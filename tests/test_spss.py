@@ -105,3 +105,22 @@ def test_read_sav_via_sqlfront(session):
     assert [(r[0], r[1], r[2]) for r in got] == [
         (47.0, 1.0, "Urban"), (53.0, 1.0, "Urban"), (66.0, 1.0, "Urban")
     ]
+
+
+def test_write_sav_roundtrip(spark, tmp_path):
+    """The minimal writer emits files the reader (and so the oracle
+    query) decodes exactly: numerics, sysmiss, value labels, strings."""
+    from drill_spark.readers.spss import write_sav
+
+    rows = [
+        {"K": 1.0, "NAME": "alpha"},
+        {"K": 2.0, "NAME": "a-much-longer-name"},
+        {"K": None, "NAME": ""},
+    ]
+    p = tmp_path / "t.sav"
+    write_sav(rows, str(p), value_labels={"K": {1.0: "one", 2.0: "two"}})
+    d, got = decode_sav(p.read_bytes())
+    assert [v.name for v in d.variables] == ["K", "NAME"]
+    assert got[0] == {"K": 1.0, "K_value": "one", "NAME": "alpha"}
+    assert got[1]["NAME"] == "a-much-longer-name"
+    assert got[2]["K"] is None and got[2]["K_value"] is None
