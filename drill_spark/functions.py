@@ -323,7 +323,9 @@ def rewrite_convert_calls(query: str) -> str:
 
     out = []
     i = 0
-    pat = _re.compile(r"(convert_(?:from|to)|sqltypeof|drilltypeof)\s*\(", _re.IGNORECASE)
+    pat = _re.compile(
+        r"(convert_(?:from|to)|sqltypeof|drilltypeof|modeof)\s*\(", _re.IGNORECASE
+    )
     while True:
         m = pat.search(query, i)
         if not m:
@@ -332,9 +334,19 @@ def rewrite_convert_calls(query: str) -> str:
         out.append(query[i : m.start()])
         fname = m.group(1).lower()
         args, j = _scan_call(query, m.end())
-        if fname in ("sqltypeof", "drilltypeof") and len(args) == 1:
+        if fname in ("sqltypeof", "drilltypeof", "modeof") and len(args) == 1:
             inner = rewrite_convert_calls(args[0])
-            tmpl = _SQLTYPEOF if fname == "sqltypeof" else "typeof({x})"
+            # modeOf (UnionFunctions.java): data mode of the value —
+            # ARRAY for repeated; Spark SQL expression slots are
+            # nullable, so scalars report NULLABLE (Drill answers
+            # NOT NULL only for required vectors, which parquet-read
+            # Spark data never is)
+            tmpl = {
+                "sqltypeof": _SQLTYPEOF,
+                "drilltypeof": "typeof({x})",
+                "modeof": "CASE WHEN typeof({x}) LIKE 'array%' THEN 'ARRAY'"
+                          " ELSE 'NULLABLE' END",
+            }[fname]
             out.append("(" + tmpl.format(x=inner) + ")")
         elif fname.startswith("convert_") and len(args) == 2:
             enc_m = _re.fullmatch(r"'(\w+)'", args[1])

@@ -270,7 +270,11 @@ def rewrite(session, query: str) -> str:
     # convert_from/convert_to with literal encodings + sqltypeof ->
     # typed expressions (codec/type resolved at rewrite time like
     # Drill's planner)
-    if re.search(r"convert_(?:from|to)\s*\(|sqltypeof\s*\(|drilltypeof\s*\(", query, re.IGNORECASE):
+    if re.search(
+        r"convert_(?:from|to)\s*\(|sqltypeof\s*\(|drilltypeof\s*\(|modeof\s*\(",
+        query,
+        re.IGNORECASE,
+    ):
         from drill_spark.functions import rewrite_convert_calls
 
         query = rewrite_convert_calls(query)

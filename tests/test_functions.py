@@ -281,3 +281,12 @@ def test_crypto_and_distribution_fns(session):
     assert len(r.s5) == 128
     assert r.pc == 25.0 and r.pz is None
     assert r.sl == 2.0
+
+
+def test_modeof(session):
+    """UnionFunctions.java modeOf: ARRAY for repeated values, NULLABLE
+    for scalars (Spark expression slots are nullable by construction)."""
+    r = session.sql(
+        "select modeOf(array(1,2)) as m1, modeOf('x') as m2, modeOf(1 + 1) as m3"
+    ).collect()[0]
+    assert (r.m1, r.m2, r.m3) == ("ARRAY", "NULLABLE", "NULLABLE")
