@@ -800,6 +800,26 @@ def q_pcapng_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_orc_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC format scan (Spark-native columnar source, registered in the
+    suffix map like Drill's format registry): customer fixture written
+    once per sf_dir, read back with pushdown intact."""
+
+    def build(out_dir: str) -> None:
+        load_fixture(spark, sf_dir, "customer").select(
+            "c_custkey", "c_name", "c_nationkey", "c_acctbal"
+        ).write.orc(out_dir)
+
+    out_dir = _materialize_once(sf_dir, "orc", build)
+    return spark.read.orc(out_dir).where(F.col("c_acctbal") > 0)
+
+
+ORACLE_ORC_SCAN = """
+select c_custkey, c_name, c_nationkey, c_acctbal
+from customer where c_acctbal > 0
+"""
+
+
 def q_spss_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SPSS format scan (contrib/format-spss SpssBatchReader parity):
     the region fixture becomes a .sav file (numeric key with value
@@ -860,6 +880,7 @@ QUERIES = {
     "op_shp_scan": q_shp_scan,
     "op_pcapng_scan": q_pcapng_scan,
     "op_spss_scan": q_spss_scan,
+    "op_orc_scan": q_orc_scan,
     "op_image_scan": q_image_scan,
     "ext_dedup_exact": q_dedup_exact,
     "ext_dedup_apply": q_dedup_apply,
@@ -895,6 +916,7 @@ ORACLES = {
     "op_shp_scan": ORACLE_SHP_SCAN,
     "op_pcapng_scan": ORACLE_PCAPNG_SCAN,
     "op_spss_scan": ORACLE_SPSS_SCAN,
+    "op_orc_scan": ORACLE_ORC_SCAN,
     "op_image_scan": ORACLE_IMAGE_SCAN,
     "ext_dedup_exact": ORACLE_DEDUP_EXACT,
     "ext_dedup_apply": ORACLE_DEDUP_APPLY,
