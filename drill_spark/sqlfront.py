@@ -110,6 +110,16 @@ _DROP_SCHEMA_FT = re.compile(
     re.IGNORECASE,
 )
 SCHEMA_FILE = ".drill.schema"
+# ANALYZE TABLE ... COMPUTE STATISTICS [SAMPLE n PERCENT]
+# (planner/sql/handlers/AnalyzeTableHandler.java; artifact shape from
+# planner/common/DrillStatsTable.java: rowcount + per-column ndv /
+# non-null count / histogram buckets)
+_ANALYZE = re.compile(
+    r"^\s*ANALYZE\s+TABLE\s+((?:\w+\.)+)`([^`]+)`\s+COMPUTE\s+STATISTICS"
+    r"(?:\s+SAMPLE\s+(\d+)\s+PERCENT)?\s*;?\s*$",
+    re.IGNORECASE,
+)
+STATS_FILE = ".stats.drill"
 # REFRESH TABLE METADATA (parserImpls.ftl:556-579 — rebuilds the parquet
 # metadata cache; Spark analog: invalidate cached listings/footers)
 _REFRESH_META = re.compile(
@@ -549,6 +559,52 @@ def execute(session, query: str) -> DataFrame:
 
         shutil.rmtree(path, ignore_errors=True)
         return _ok(spark, f"materialized view {name} dropped")
+
+    m = _ANALYZE.match(query)
+    if m:
+        ws_name, rel_path, sample_pct = m.groups()
+        path, _ = _writable_path(session, ws_name.rstrip("."), rel_path)
+        df = _read_path(session, ws_name.rstrip(".").split(".")[0], path)
+        if sample_pct:
+            df = df.sample(fraction=int(sample_pct) / 100.0, seed=42)
+        from pyspark.sql import functions as F
+
+        # one distributed agg computes every column's stats (rowcount,
+        # ndv, non-null count) — the same numbers DrillStatsTable holds
+        aggs = [F.count(F.lit(1)).alias("__rowcount")]
+        for c in df.columns:
+            aggs.append(F.approx_count_distinct(c).alias(f"__ndv_{c}"))
+            aggs.append(F.count(c).alias(f"__nn_{c}"))
+        row = df.agg(*aggs).head().asDict()
+        stats = {
+            "statistics_version": "v1",
+            "computed": True,
+            "rowcount": row["__rowcount"],
+            "sample_percent": int(sample_pct) if sample_pct else 100,
+            "columns": [
+                {
+                    "column": c,
+                    "ndv": row[f"__ndv_{c}"],
+                    "nonnullcount": row[f"__nn_{c}"],
+                    "nullcount": row["__rowcount"] - row[f"__nn_{c}"],
+                }
+                for c in df.columns
+            ],
+        }
+        import json as _json
+
+        target = (
+            os.path.join(path, STATS_FILE)
+            if os.path.isdir(path)
+            else path + STATS_FILE
+        )
+        with open(target, "w") as f:
+            _json.dump(stats, f)
+        return spark.createDataFrame(
+            [Row(ok=True, summary=f"analyzed {rel_path}", rows=stats["rowcount"],
+                 columns=len(df.columns))],
+            "ok boolean, summary string, rows bigint, columns int",
+        )
 
     m = _CREATE_SCHEMA_FT.match(query)
     if m:

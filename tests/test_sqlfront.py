@@ -461,3 +461,31 @@ def test_sys_memory_and_threads(dsession):
     assert len(mem) == 1 and mem[0].heap_max > 0 and mem[0].heap_current > 0
     thr = dsession.sql("select * from sys.threads").collect()
     assert thr[0].total_threads > 0 and thr[0].busy_threads >= 0
+
+
+def test_analyze_table_compute_statistics(dsession, tmp_path):
+    """AnalyzeTableHandler.java: ANALYZE writes a .stats.drill artifact
+    (rowcount + per-column ndv/null counts, DrillStatsTable shape) in
+    one distributed aggregation pass; SAMPLE n PERCENT is honored."""
+    import json as _json
+
+    dsession.register_workspace("dfs.an", str(tmp_path), "parquet")
+    dsession.workspaces["dfs.an"].writable = True
+    dsession.sql(
+        "CREATE TABLE dfs.an.`t` AS select s_suppkey, s_nationkey, "
+        "case when s_suppkey % 10 = 0 then null else s_name end as c "
+        "from dfs.`/root/testdata/sf0.001/supplier.parquet`"
+    )
+    out = dsession.sql("ANALYZE TABLE dfs.an.`t` COMPUTE STATISTICS").collect()[0]
+    assert out.ok and out.rows == 10 and out.columns == 3
+    with open(tmp_path / "t" / ".stats.drill") as f:
+        stats = _json.load(f)
+    assert stats["rowcount"] == 10
+    by_col = {c["column"]: c for c in stats["columns"]}
+    assert by_col["c"]["nullcount"] == 1  # only suppkey 10 nulls out
+    assert by_col["s_suppkey"]["nonnullcount"] == 10
+    assert 8 <= by_col["s_suppkey"]["ndv"] <= 12  # approx ndv
+    sampled = dsession.sql(
+        "ANALYZE TABLE dfs.an.`t` COMPUTE STATISTICS SAMPLE 50 PERCENT"
+    ).collect()[0]
+    assert 0 <= sampled.rows <= 10
