@@ -111,6 +111,10 @@ def read_auto(
         from drill_spark.readers.sas import read_sas
 
         return read_sas(spark, path)
+    if fmt in ("hdf5", "h5"):
+        from drill_spark.readers.hdf5 import read_hdf5
+
+        return read_hdf5(spark, path, options)
     reader = spark.read.options(**options)
     if schema:
         reader = reader.schema(schema)

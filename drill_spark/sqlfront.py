@@ -154,6 +154,8 @@ _SUFFIX_FORMAT = {
     ".bmp": "image",
     ".sav": "spss",
     ".sas7bdat": "sas",
+    ".h5": "hdf5",
+    ".hdf5": "hdf5",
 }
 
 
