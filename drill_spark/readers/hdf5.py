@@ -109,8 +109,16 @@ class _H5:
         self._seen.add(addr)
         msgs = self._messages(addr)
         types = {t for t, _ in msgs}
+        attrs = {}
+        for t, b in msgs:
+            if t == 0x000C:
+                try:
+                    k, v = self._attribute(b)
+                    attrs[k] = v
+                except (NotImplementedError, ValueError, struct.error):
+                    pass  # attribute metadata is best-effort, never fatal
         if 0x0011 in types:  # symbol table -> group
-            self.objects.append({"path": path, "kind": "GROUP"})
+            self.objects.append({"path": path, "kind": "GROUP", "attrs": attrs})
             (body,) = (b for t, b in msgs if t == 0x0011)
             btree, heap = struct.unpack_from("<QQ", body, 0)
             hd = self.d
@@ -124,7 +132,9 @@ class _H5:
         elif {0x0002, 0x0006} & types:
             raise NotImplementedError("HDF5 new-style (link-message) groups")
         else:
-            self.objects.append(self._dataset(path, msgs))
+            obj = self._dataset(path, msgs)
+            obj["attrs"] = attrs
+            self.objects.append(obj)
 
     def _group_entries(self, btree_addr: int):
         d = self.d
@@ -217,9 +227,27 @@ class _H5:
             kind = bits0 & 0x0F  # 0 = sequence, 1 = string
             base = self._datatype(b[8:])
             return {"class": "vlen", "size": size, "kind": kind, "base": base}
-        if cls == 8:  # enum: base datatype then names/values; values decode
+        if cls == 8:  # enum: base datatype, then member names and values
             base = self._datatype(b[8:])
-            return {**base, "enum": True}
+            n = bits0 | (bits1 << 8)
+            pos = 8 + 8 + _dtype_prop_len(b[8], base["size"])
+            names = []
+            for _ in range(n):
+                end = b.index(b"\x00", pos)
+                names.append(b[pos:end].decode("ascii"))
+                pos = (end - 8) // 8 * 8 + 16 if ver in (1, 2) else end + 1
+                # v1/2 pad names to 8 bytes relative to the name start
+                if ver in (1, 2):
+                    pos = 8 + 8 + _dtype_prop_len(b[8], base["size"]) + sum(
+                        ((len(x) + 1 + 7) // 8) * 8 for x in names
+                    )
+            bo = ">" if base.get("be") else "<"
+            kind = "i" if base.get("signed") else "u"
+            fmt = {1: "b", 2: "h", 4: "i", 8: "q"}[base["size"]]
+            fmt = fmt.upper() if kind == "u" else fmt
+            vals = struct.unpack_from(bo + fmt * n, b, pos)
+            return {"class": "enum", "size": base["size"], "base": base,
+                    "names": dict(zip(vals, names))}
         if cls == 6:  # compound
             n = bits0 | (bits1 << 8)
             members = []
@@ -249,6 +277,41 @@ class _H5:
                 members.append({"name": name, "offset": moff, "type": mtype})
             return {"class": "compound", "size": size, "members": members}
         raise NotImplementedError(f"HDF5 datatype class {cls}")
+
+    def _attribute(self, b: bytes) -> tuple[str, str]:
+        """Attribute message (0x000C) v1-v3 -> (name, rendered value).
+        Values render as strings (one map value type per column); 1-byte
+        enums render true/false (the shape libhdf5 writes booleans in)."""
+        ver = b[0]
+        flags = b[1] if ver >= 2 else 0
+        name_size, dt_size, ds_size = struct.unpack_from("<HHH", b, 2)
+        pos = 8 + (1 if ver == 3 else 0)
+        name = b[pos : pos + name_size].split(b"\x00", 1)[0].decode("utf-8")
+        pad = (lambda n: (n + 7) // 8 * 8) if ver == 1 else (lambda n: n)
+        pos += pad(name_size)
+        dt_raw = b[pos : pos + dt_size]
+        if flags & 1:  # shared datatype: reference to a committed datatype
+            (addr,) = struct.unpack_from("<Q", dt_raw, 2)
+            (dt_msg,) = (mb for mt, mb in self._messages(addr) if mt == 0x0003)
+            dtype = self._datatype(dt_msg)
+        else:
+            dtype = self._datatype(dt_raw)
+        pos += pad(dt_size)
+        ds = b[pos : pos + ds_size]
+        rank = ds[1]
+        off = 8 if ds[0] == 1 else 4
+        dims = list(struct.unpack_from(f"<{rank}Q", ds, off)) if rank else []
+        pos += pad(ds_size)
+        import math
+
+        n = math.prod(dims) if dims else 1
+        raw = b[pos : pos + n * dtype["size"]]
+        if dtype["class"] == "vlen":
+            vals = self.decode_vlen(raw, dtype)
+            v = vals if dims else vals[0]
+        else:
+            v = _decode_array(raw, dims, dtype)
+        return name, str(v)
 
     # ----------------------------------------------------- variable-length
     def decode_vlen(self, raw: bytes, dtype: dict) -> list:
@@ -440,6 +503,17 @@ def _decode_compound(raw: bytes, dims: list[int], dtype: dict) -> dict:
 def _decode_array(raw: bytes, dims: list[int], dtype: dict):
     import numpy as np
 
+    if dtype["class"] == "enum":
+        base_vals = _decode_array(raw, dims, dtype["base"])
+        names = dtype["names"]
+
+        def rename(v):
+            if isinstance(v, list):
+                return [rename(x) for x in v]
+            n = names.get(v, str(v))
+            return {"TRUE": "true", "FALSE": "false"}.get(n, n)
+
+        return rename(base_vals)
     bo = ">" if dtype.get("be") else "<"
     if dtype["class"] == "string":
         n = dtype["size"]
@@ -471,7 +545,7 @@ HDF5_SCHEMA = (
     "path string, data_type string, file_name string, data_size bigint, "
     "element_count bigint, dataset_data_type string, dimensions string, "
     "int_data array<array<bigint>>, float_data array<array<double>>, "
-    "string_data array<string>, is_link boolean"
+    "string_data array<string>, attributes map<string,string>, is_link boolean"
 )
 
 
@@ -488,6 +562,7 @@ def _rows_for_file(fpath: str) -> list[dict]:
             "data_size": None, "element_count": None,
             "dataset_data_type": None, "dimensions": None,
             "int_data": None, "float_data": None, "string_data": None,
+            "attributes": o.get("attrs") or None,
             "is_link": o["kind"] == "LINK",
         }
         if o["kind"] == "DATASET":
@@ -617,7 +692,11 @@ def read_hdf5(spark: SparkSession, path: str,
             min(len(files), spark.sparkContext.defaultParallelism)
         ).mapInPandas(project, schema)
 
-    meta_cols = [s.strip().split()[0].strip("`") for s in HDF5_SCHEMA.split(",")]
+    meta_cols = [
+        "path", "data_type", "file_name", "data_size", "element_count",
+        "dataset_data_type", "dimensions", "int_data", "float_data",
+        "string_data", "attributes", "is_link",
+    ]
 
     def listing(batches):
         for pdf in batches:

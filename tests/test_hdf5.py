@@ -120,3 +120,18 @@ def test_via_sqlfront_table_function(session):
         "(`type` => 'hdf5', defaultPath => '/dset')) where int_col_0 > 6"
     ).collect()
     assert len(proj) == 3
+
+
+def test_attributes(session):
+    """testAttributes parity: /groupB carries important=false (a shared
+    committed bool-enum datatype) resolvable in SQL through the
+    attributes map."""
+    got = session.sql(
+        f"select path from dfs.`{REF_DIR}/browsing.h5` "
+        "where attributes['important'] = 'false'"
+    ).collect()
+    assert [r[0] for r in got] == ["/groupB"]
+    objs = {o["path"]: o for o in _scan("browsing.h5")}
+    assert objs["/groupA/date"]["attrs"]["__TYPE_VARIANT__"].startswith(
+        "TIMESTAMP_MILLISECONDS"
+    )
