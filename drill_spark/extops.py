@@ -820,6 +820,36 @@ from customer where c_acctbal > 0
 """
 
 
+def q_hdf5_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HDF5 format scan (contrib/format-hdf5 HDF5BatchReader parity):
+    a classic-layout .h5 with one int64 dataset derived from nation,
+    read back via the defaultPath projection (TestHDF5Format's
+    dataset-as-rows mode). The decoder itself is validated against the
+    reference plugin's own binary fixtures in tests/test_hdf5.py."""
+    from drill_spark.readers.hdf5 import read_hdf5, write_h5_simple
+
+    def build(out_dir: str) -> None:
+        os.makedirs(out_dir, exist_ok=True)
+        keys = sorted(
+            int(r.n_nationkey)
+            for r in load_fixture(spark, sf_dir, "nation").select("n_nationkey").collect()
+        )
+        write_h5_simple(
+            {"nkeys": [k * 7 + 1 for k in keys]},
+            os.path.join(out_dir, "nations.h5"),
+        )
+
+    out_dir = _materialize_once(sf_dir, "hdf5", build)
+    return read_hdf5(
+        spark, os.path.join(out_dir, "nations.h5"), {"defaultPath": "/nkeys"}
+    )
+
+
+ORACLE_HDF5_SCAN = """
+select cast(n_nationkey * 7 + 1 as bigint) as nkeys from nation
+"""
+
+
 def q_spss_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SPSS format scan (contrib/format-spss SpssBatchReader parity):
     the region fixture becomes a .sav file (numeric key with value
@@ -881,6 +911,7 @@ QUERIES = {
     "op_pcapng_scan": q_pcapng_scan,
     "op_spss_scan": q_spss_scan,
     "op_orc_scan": q_orc_scan,
+    "op_hdf5_scan": q_hdf5_scan,
     "op_image_scan": q_image_scan,
     "ext_dedup_exact": q_dedup_exact,
     "ext_dedup_apply": q_dedup_apply,
@@ -917,6 +948,7 @@ ORACLES = {
     "op_pcapng_scan": ORACLE_PCAPNG_SCAN,
     "op_spss_scan": ORACLE_SPSS_SCAN,
     "op_orc_scan": ORACLE_ORC_SCAN,
+    "op_hdf5_scan": ORACLE_HDF5_SCAN,
     "op_image_scan": ORACLE_IMAGE_SCAN,
     "ext_dedup_exact": ORACLE_DEDUP_EXACT,
     "ext_dedup_apply": ORACLE_DEDUP_APPLY,

@@ -602,6 +602,93 @@ def _rows_for_file(fpath: str) -> list[dict]:
     return rows
 
 
+def write_h5_simple(datasets: dict[str, list], path: str) -> None:
+    """Minimal classic-layout HDF5 writer for tests/fixtures: a root
+    group of 1-D contiguous datasets (int64 or float64), written to the
+    same public layout the reader decodes. (The reference plugin is
+    read-only; this exists so the oracle query can build inputs.)"""
+    UNDEF = 0xFFFFFFFFFFFFFFFF
+    names = list(datasets)
+
+    def objhdr_dataset(vals: list, data_addr: int) -> bytes:
+        is_f = any(isinstance(v, float) for v in vals)
+        n = len(vals)
+        ds = struct.pack("<BB6x", 1, 1) + struct.pack("<Q", n)  # dataspace v1
+        if is_f:  # IEEE f8 LE: class 1, LE, size 8; props per spec
+            dt = struct.pack("<BBBBI", 0x11, 0x20, 0x3F, 0x00, 8)
+            dt += struct.pack("<HHBBBBI", 0, 64, 52, 11, 0, 52, 1023)
+        else:  # fixed-point i8 LE signed
+            dt = struct.pack("<BBBBI", 0x10, 0x08, 0x00, 0x00, 8)
+            dt += struct.pack("<HH", 0, 64)
+        dt += b"\x00" * ((-len(dt)) % 8)
+        lay = struct.pack("<BBQQ", 3, 1, data_addr, 8 * n)
+        lay += b"\x00" * ((-len(lay)) % 8)
+
+        def msg(t, body):
+            return struct.pack("<HHB3x", t, len(body), 0) + body
+
+        msgs = msg(0x0001, ds) + msg(0x0003, dt) + msg(0x0008, lay)
+        return struct.pack("<BBHII4x", 1, 0, 3, 1, len(msgs)) + msgs
+
+    # layout: superblock(96) | heap hdr(32)+data | TREE | SNOD | per-ds
+    # object headers | data blocks
+    heap_data = bytearray(b"\x00")  # offset 0 = empty name (root entry)
+    name_offs = []
+    for nm in names:
+        name_offs.append(len(heap_data))
+        heap_data += nm.encode() + b"\x00"
+    heap_data += b"\x00" * ((-len(heap_data)) % 8)
+
+    pos = 96
+    root_hdr = pos
+    pos += 16 + 24  # v1 header (12+4 pad) + symbol-table msg (8 hdr + 16 body)
+    heap_addr = pos
+    heap_data_addr = heap_addr + 32
+    pos = heap_data_addr + len(heap_data)
+    btree_addr = pos
+    pos += 48  # hdr(8) + siblings(16) + key0(8) + child(8) + key1(8): one SNOD
+    snod_addr = pos
+    pos += 8 + 40 * len(names)
+    ds_hdrs = []
+    for nm in names:
+        ds_hdrs.append(pos)
+        pos += len(objhdr_dataset(datasets[nm], 0))
+    data_addrs = []
+    for nm in names:
+        data_addrs.append(pos)
+        pos += 8 * len(datasets[nm])
+    eof = pos
+
+    out = bytearray()
+    out += SIGNATURE
+    out += struct.pack("<BBBBBBBBHHI", 0, 0, 0, 0, 0, 8, 8, 0, 4, 16, 0)
+    out += struct.pack("<QQQQ", 0, UNDEF, eof, UNDEF)
+    out += struct.pack("<QQII16x", 0, root_hdr, 0, 0)  # root symbol entry
+    assert len(out) == 96
+    st_msg = struct.pack("<HHB3x", 0x0011, 16, 0) + struct.pack("<QQ", btree_addr, heap_addr)
+    out += struct.pack("<BBHII4x", 1, 0, 1, 1, len(st_msg)) + st_msg
+    out += b"HEAP" + struct.pack("<B3x", 0)
+    out += struct.pack("<QQQ", len(heap_data), len(heap_data), heap_data_addr)
+    out += heap_data
+    out += b"TREE" + struct.pack("<BBH", 0, 0, 1) + struct.pack("<QQ", UNDEF, UNDEF)
+    out += struct.pack("<QQQ", 0, snod_addr, 0)  # key0, child, key1
+    assert len(out) == snod_addr
+    out += b"SNOD" + struct.pack("<BBH", 1, 0, len(names))
+    for i, nm in enumerate(names):
+        out += struct.pack("<QQII16x", name_offs[i], ds_hdrs[i], 0, 0)
+    for i, nm in enumerate(names):
+        out += objhdr_dataset(datasets[nm], data_addrs[i])
+    for nm in names:
+        vals = datasets[nm]
+        is_f = any(isinstance(v, float) for v in vals)
+        fmt = "<d" if is_f else "<q"
+        for v in vals:
+            out += struct.pack(fmt, float(v) if is_f else int(v))
+    assert len(out) == eof
+    with open(path, "wb") as f:
+        f.write(bytes(out))
+
+
 def read_hdf5(spark: SparkSession, path: str,
               options: dict | None = None) -> DataFrame:
     """Distributed HDF5 read. Default: the metadata/data listing (one

@@ -135,3 +135,15 @@ def test_attributes(session):
     assert objs["/groupA/date"]["attrs"]["__TYPE_VARIANT__"].startswith(
         "TIMESTAMP_MILLISECONDS"
     )
+
+
+def test_write_h5_simple_roundtrip(tmp_path):
+    """The minimal writer emits files the reader (and so the oracle
+    query) decodes exactly — int64 and float64 1-D datasets."""
+    from drill_spark.readers.hdf5 import write_h5_simple
+
+    p = tmp_path / "t.h5"
+    write_h5_simple({"a": [7, 14, 21], "b": [0.5, 1.25, -3.75]}, str(p))
+    objs = {o["path"]: o for o in scan_hdf5(p.read_bytes())}
+    assert objs["/a"]["value"] == [7, 14, 21]
+    assert objs["/b"]["value"] == [0.5, 1.25, -3.75]
