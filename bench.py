@@ -50,7 +50,7 @@ def main() -> None:
         return round(time.time() - t0, 3)
 
     probe_before = probe()
-    print(f"[bench] constant-work probe (pre): {probe_before}s", file=sys.stderr)
+    print(f"\n[bench] constant-work probe (pre): {probe_before}s", file=sys.stderr)
 
     # Warm the JVM on the SMALLEST fixture dir (never the benched one):
     # whole-stage codegen, the Python/Arrow worker pool, and the
@@ -74,7 +74,7 @@ def main() -> None:
                 qs[wname](spark, warm_dir).count()
             except Exception as e:
                 print(f"warmup {wname}: {e}", file=sys.stderr)
-    print(f"[bench] warmup: {round(time.time() - t_warm, 3)}s", file=sys.stderr)
+    print(f"\n[bench] warmup: {round(time.time() - t_warm, 3)}s", file=sys.stderr)
 
     # Pre-build every on-first-touch format fixture at the BENCHED sf_dir
     # before any timed pass (constructing the DataFrame triggers
@@ -91,7 +91,7 @@ def main() -> None:
         if dt >= 0.05:
             setup[name] = dt
     setup_total = round(sum(setup.values()), 3)
-    print(f"[bench] fixture/plan setup total: {setup_total}s "
+    print(f"\n[bench] fixture/plan setup total: {setup_total}s "
           f"(per-query >=0.05s: {json.dumps(setup)})", file=sys.stderr)
 
     # Two passes, best-of per query: single-shot timings on a shared
@@ -113,11 +113,11 @@ def main() -> None:
             prev = timings.get(name)
             if prev is None or (0 <= elapsed < prev) or prev < 0:
                 timings[name] = elapsed
-        print(f"[bench] pass {_pass + 1} wall: {round(time.time() - t_pass, 3)}s",
+        print(f"\n[bench] pass {_pass + 1} wall: {round(time.time() - t_pass, 3)}s",
               file=sys.stderr)
 
     probe_after = probe()
-    print(f"[bench] constant-work probe (post): {probe_after}s", file=sys.stderr)
+    print(f"\n[bench] constant-work probe (post): {probe_after}s", file=sys.stderr)
 
     ok = {k: v for k, v in timings.items() if v >= 0}
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]

@@ -661,6 +661,59 @@ select p_partkey, p_name, p_brand, p_retailprice from part
 """
 
 
+def q_iceberg_v2_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg format-version-2 row-level deletes (IcebergGroupScan.java
+    reads through the Iceberg lib, which applies delete files; here the
+    spec's delete rules run as Spark anti-joins): the part fixture is
+    written as an Iceberg table, then a second snapshot commits BOTH a
+    position-delete file (every p_partkey % 7 == 0 row, addressed by
+    physical file/pos) and an equality-delete file (p_brand =
+    'Brand#23'), so the scan must merge-on-read both kinds."""
+    from drill_spark.readers.iceberg import (
+        append_delete_files,
+        read_iceberg,
+        write_iceberg,
+    )
+
+    def build(d: str) -> None:
+        from pyspark.sql import functions as F
+
+        write_iceberg(
+            load_fixture(spark, sf_dir, "part").select(
+                "p_partkey", "p_name", "p_brand", "p_retailprice"
+            ),
+            d,
+        )
+        targets = (
+            read_iceberg(spark, d)
+            .where(F.col("p_partkey") % 7 == 0)
+            .select(
+                F.regexp_replace(
+                    F.col("_metadata.file_path"), "^file:/*", "/"
+                ).alias("fp"),
+                F.col("_metadata.row_index").alias("pos"),
+            )
+            .collect()
+        )
+        append_delete_files(
+            d,
+            position_deletes=[(r.fp, r.pos) for r in targets],
+            equality_deletes=spark.createDataFrame(
+                [("Brand#23",)], "p_brand string"
+            ),
+            equality_cols=["p_brand"],
+        )
+
+    out_dir = _materialize_once(sf_dir, "iceberg_v2", build)
+    return read_iceberg(spark, out_dir)
+
+
+ORACLE_ICEBERG_V2_SCAN = """
+select p_partkey, p_name, p_brand, p_retailprice from part
+where p_partkey % 7 <> 0 and p_brand <> 'Brand#23'
+"""
+
+
 def q_image_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image format scan (contrib/format-image ImageBatchReader.java
     parity): one deterministic PNG per nation (width = nationkey+1,
@@ -907,6 +960,7 @@ QUERIES = {
     "op_avro_scan": q_avro_scan,
     "op_delta_scan": q_delta_scan,
     "op_iceberg_scan": q_iceberg_scan,
+    "op_iceberg_v2_scan": q_iceberg_v2_scan,
     "op_shp_scan": q_shp_scan,
     "op_pcapng_scan": q_pcapng_scan,
     "op_spss_scan": q_spss_scan,
@@ -944,6 +998,7 @@ ORACLES = {
     "op_avro_scan": ORACLE_AVRO_SCAN,
     "op_delta_scan": ORACLE_DELTA_SCAN,
     "op_iceberg_scan": ORACLE_ICEBERG_SCAN,
+    "op_iceberg_v2_scan": ORACLE_ICEBERG_V2_SCAN,
     "op_shp_scan": ORACLE_SHP_SCAN,
     "op_pcapng_scan": ORACLE_PCAPNG_SCAN,
     "op_spss_scan": ORACLE_SPSS_SCAN,

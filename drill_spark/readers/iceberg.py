@@ -21,11 +21,22 @@ table spec (https://iceberg.apache.org/spec/) directly:
   Iceberg data files store ALL columns (identity-partitioned values
   included), so the scan is a plain distributed parquet read of the
   live file list with the metadata schema pinned.
-- **gates**: positional/equality delete files (``content`` 1/2,
-  format-version 2 row-level deletes) and non-parquet data files
-  raise ``NotImplementedError`` naming the feature — never
-  silently-wrong rows. ``snapshot-id``/``snapshotId`` in options time
-  travels to a named snapshot.
+- **row-level deletes (format-version 2)**: positional delete files
+  (``content`` 1: parquet of ``file_path``/``pos``, spec field ids
+  2147483546/2147483545) and equality delete files (``content`` 2:
+  parquet of the ``equality_ids`` columns) are applied per the spec's
+  sequence-number scoping — a position delete hits data files with
+  ``data_seq <= delete_seq``, an equality delete hits strictly older
+  files (``data_seq < delete_seq``). The application is a pair of
+  Spark anti-joins: data rows carry ``_metadata.file_path`` +
+  ``_metadata.row_index`` (exactly Iceberg's ``pos``), position
+  deletes anti-join on (file, pos), equality deletes anti-join
+  null-safely (``<=>``) on the equality columns. Both are equi-joins
+  with a residual sequence filter, so they hash-partition — no
+  nested-loop, and delete files far smaller than data broadcast.
+  Non-parquet data files raise ``NotImplementedError`` naming the
+  feature — never silently-wrong rows. ``snapshot-id``/``snapshotId``
+  in options time travels to a named snapshot.
 
 Scale: manifest decoding is metadata work. The manifest list (one
 row per manifest) is tiny and read on the driver; manifests can
@@ -110,16 +121,27 @@ def _ice_type(t) -> T.DataType:
     raise NotImplementedError(f"iceberg type {kind!r}")
 
 
-def _current_schema(meta: dict) -> T.StructType:
+def _current_schema_dict(meta: dict) -> dict:
     schemas = meta.get("schemas")
     if schemas:
         sid = meta.get("current-schema-id", 0)
-        sch = next((s for s in schemas if s.get("schema-id") == sid), schemas[-1])
-    else:
-        sch = meta["schema"]  # format-version 1 single-schema layout
-    st = _ice_type(sch)
+        return next((s for s in schemas if s.get("schema-id") == sid), schemas[-1])
+    return meta["schema"]  # format-version 1 single-schema layout
+
+
+def _current_schema(meta: dict) -> T.StructType:
+    st = _ice_type(_current_schema_dict(meta))
     assert isinstance(st, T.StructType)
     return st
+
+
+def _field_id_names(meta: dict) -> dict[int, str]:
+    """Top-level field-id -> column name (equality_ids resolution)."""
+    return {
+        f["id"]: f["name"]
+        for f in _current_schema_dict(meta).get("fields", [])
+        if "id" in f
+    }
 
 
 def _rebase(p: str, table_path: str, meta_location: str | None) -> str:
@@ -164,45 +186,130 @@ def read_iceberg(spark: SparkSession, path: str,
     ml_path = _rebase(snap["manifest-list"], path, loc)
     with open(ml_path, "rb") as f:
         _, manifest_rows = decode_file(f.read())
-    manifest_paths = [_rebase(m["manifest_path"], path, loc) for m in manifest_rows]
-    delete_manifests = [m for m in manifest_rows if m.get("content", 0) == 1]
-    if delete_manifests:
-        raise NotImplementedError(
-            "Iceberg row-level deletes (delete manifests) are not supported here"
-        )
+    # (manifest_path, manifest_sequence_number) — entry-level nulls
+    # inherit the manifest's sequence number per the spec
+    manifests = [
+        (_rebase(m["manifest_path"], path, loc), m.get("sequence_number") or 0)
+        for m in manifest_rows
+    ]
 
     # decode manifests in executors: thousands of manifests on a big
     # table, each independent — classic embarrassing parallelism
-    def _entries(paths):
+    def _entries(pairs):
         out = []
-        for mp in paths:
+        for mp, mseq in pairs:
             with open(mp, "rb") as f:
                 _, rows = decode_file(f.read())
             for e in rows:
                 if e.get("status", 1) == 2:  # DELETED entry
                     continue
                 d = e.get("data_file") or {}
+                seq = e.get("sequence_number")
                 out.append(
-                    (d.get("content", 0), d.get("file_path"), d.get("file_format"))
+                    (
+                        d.get("content", 0),
+                        d.get("file_path"),
+                        d.get("file_format"),
+                        mseq if seq is None else seq,
+                        tuple(d.get("equality_ids") or ()),
+                    )
                 )
         return out
 
-    if len(manifest_paths) > 4:
-        rdd = spark.sparkContext.parallelize(manifest_paths, min(len(manifest_paths), 64))
+    if len(manifests) > 4:
+        rdd = spark.sparkContext.parallelize(manifests, min(len(manifests), 64))
         entries = rdd.mapPartitions(lambda it: _entries(list(it))).collect()
     else:
-        entries = _entries(manifest_paths)
+        entries = _entries(manifests)
 
-    files = []
-    for content, fp, fmt in entries:
-        if content in (1, 2):
-            raise NotImplementedError("Iceberg delete files are not supported here")
+    data_files: list[tuple[str, str, int]] = []  # (local, manifest URI, seq)
+    pos_deletes: list[tuple[str, int]] = []      # (local path, delete seq)
+    eq_deletes: list[tuple[str, int, tuple]] = []  # (+equality_ids)
+    for content, fp, fmt, seq, eq_ids in entries:
         if fmt and str(fmt).upper() != "PARQUET":
-            raise NotImplementedError(f"Iceberg {fmt} data files (parquet only here)")
-        files.append(_rebase(fp, path, loc))
-    if not files:
+            raise NotImplementedError(f"Iceberg {fmt} files (parquet only here)")
+        local = _rebase(fp, path, loc)
+        if content == 0:
+            data_files.append((local, fp, seq))
+        elif content == 1:
+            pos_deletes.append((local, seq))
+        elif content == 2:
+            eq_deletes.append((local, seq, eq_ids))
+        else:
+            raise NotImplementedError(f"Iceberg manifest content {content}")
+    if not data_files:
         return spark.createDataFrame([], schema)
-    return spark.read.schema(schema).parquet(*files)
+
+    df = spark.read.schema(schema).parquet(*[p for p, _, _ in data_files])
+    if not pos_deletes and not eq_deletes:
+        return df
+    return _apply_deletes(spark, df, schema, meta, data_files, pos_deletes, eq_deletes)
+
+
+def _apply_deletes(spark, df, schema, meta, data_files, pos_deletes, eq_deletes):
+    """Anti-join row-level delete files onto the data scan.
+
+    The data side is annotated with its Iceberg identity — the
+    manifest entry's file URI (position-delete ``file_path`` values
+    must equal it per the spec, so the join key is the MANIFEST URI,
+    not the possibly-rebased local path), the row's position in the
+    file (``_metadata.row_index``), and the file's data sequence
+    number; all three come from a broadcast local-path lookup, one row
+    per data file — planner-sized, same as every Iceberg engine holds.
+    """
+    from pyspark.sql import functions as F
+
+    strip = lambda c: F.regexp_replace(c, "^file:/*", "/")
+    seq_map = spark.createDataFrame(
+        [(os.path.abspath(p), u, s) for p, u, s in data_files],
+        "_df_path string, _df_uri string, _df_seq long",
+    )
+    annotated = (
+        df.withColumn("_df_path", strip(F.col("_metadata.file_path")))
+        .withColumn("_df_pos", F.col("_metadata.row_index"))
+        .join(F.broadcast(seq_map), "_df_path", "left")
+    )
+
+    if pos_deletes:
+        # columns per spec: file_path (2147483546), pos (2147483545);
+        # per-file literal delete-seq, then ONE anti-join for all files
+        dels = None
+        for p, dseq in pos_deletes:
+            one = (
+                spark.read.parquet(p)
+                .select(
+                    F.col("file_path").alias("_del_uri"),
+                    F.col("pos").cast("long").alias("_del_pos"),
+                    F.lit(dseq).cast("long").alias("_del_seq"),
+                )
+            )
+            dels = one if dels is None else dels.unionByName(one)
+        # no forced broadcast: delete sets can reach GBs on a big table;
+        # AQE broadcasts them when they are in fact small
+        annotated = annotated.join(
+            dels,
+            on=[
+                annotated["_df_uri"] == dels["_del_uri"],
+                annotated["_df_pos"] == dels["_del_pos"],
+                annotated["_df_seq"] <= dels["_del_seq"],
+            ],
+            how="left_anti",
+        )
+
+    if eq_deletes:
+        id_names = _field_id_names(meta)
+        for p, dseq, eq_ids in eq_deletes:
+            cols = [id_names[i] for i in eq_ids]
+            if not cols:
+                raise NotImplementedError("equality delete file without equality_ids")
+            dd = spark.read.parquet(p).select(
+                *[F.col(c).alias(f"_del_{c}") for c in cols]
+            ).dropDuplicates()
+            cond = [annotated[c].eqNullSafe(dd[f"_del_{c}"]) for c in cols]
+            cond.append(annotated["_df_seq"] < F.lit(dseq))
+            annotated = annotated.join(dd, on=cond, how="left_anti")
+
+    return annotated.select(*[F.col(f.name) for f in schema.fields])
 
 
 # ---------------------------------------------------------------- writer
@@ -388,3 +495,161 @@ def write_iceberg(df: DataFrame, path: str) -> None:
         json.dump(meta, f)
     with open(os.path.join(mdir, "version-hint.text"), "w") as f:
         f.write("1")
+
+
+_DELETE_ENTRY_SCHEMA = {
+    "type": "record",
+    "name": "manifest_entry",
+    "fields": _MANIFEST_ENTRY_SCHEMA["fields"][:-1]
+    + [
+        {
+            "name": "data_file",
+            "field-id": 2,
+            "type": {
+                "type": "record",
+                "name": "r2",
+                "fields": [
+                    {"name": "content", "type": "int", "field-id": 134},
+                    {"name": "file_path", "type": "string", "field-id": 100},
+                    {"name": "file_format", "type": "string", "field-id": 101},
+                    {
+                        "name": "partition",
+                        "field-id": 102,
+                        "type": {"type": "record", "name": "r102", "fields": []},
+                    },
+                    {"name": "record_count", "type": "long", "field-id": 103},
+                    {"name": "file_size_in_bytes", "type": "long", "field-id": 104},
+                    {
+                        "name": "equality_ids",
+                        "type": ["null", {"type": "array", "items": "int"}],
+                        "field-id": 135,
+                    },
+                ],
+            },
+        }
+    ],
+}
+
+
+def append_delete_files(
+    path: str,
+    position_deletes: list[tuple[str, int]] | None = None,
+    equality_deletes: "DataFrame | None" = None,
+    equality_cols: list[str] | None = None,
+) -> None:
+    """Commit a format-version-2 delete snapshot to a table written by
+    :func:`write_iceberg`: position deletes as (data_file_path, pos)
+    pairs and/or one equality-delete set over ``equality_cols``.
+
+    Spec shapes (https://iceberg.apache.org/spec/#delete-formats):
+    position delete parquet columns are ``file_path``/``pos`` with
+    field ids 2147483546/2147483545; equality deletes store the
+    equality columns and list their field ids in the manifest entry's
+    ``equality_ids``. The new snapshot takes sequence number N+1, so
+    the deletes scope over all previously-committed data files.
+    """
+    import time
+    import uuid
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from drill_spark.readers.avro import encode_file
+
+    meta = _table_metadata(path)
+    mdir = os.path.join(path, "metadata")
+    seq = int(meta.get("last-sequence-number", 0)) + 1
+    snap_id = int(meta["current-snapshot-id"]) + 1
+    now_ms = int(time.time() * 1000)
+    data_dir = os.path.join(path, "data")
+
+    del_entries = []
+
+    def _mk_entry(fp: str, content: int, nrec: int, eq_ids=None) -> dict:
+        return {
+            "status": 1,
+            "snapshot_id": snap_id,
+            "sequence_number": seq,
+            "file_sequence_number": seq,
+            "data_file": {
+                "content": content,
+                "file_path": fp,
+                "file_format": "PARQUET",
+                "partition": {},
+                "record_count": nrec,
+                "file_size_in_bytes": os.path.getsize(fp),
+                "equality_ids": eq_ids,
+            },
+        }
+
+    if position_deletes:
+        rows = sorted(position_deletes)
+        fp = os.path.join(data_dir, f"{uuid.uuid4()}-pos-deletes.parquet")
+        pq.write_table(
+            pa.table(
+                {
+                    "file_path": pa.array([r[0] for r in rows], pa.string()),
+                    "pos": pa.array([r[1] for r in rows], pa.int64()),
+                }
+            ),
+            fp,
+        )
+        del_entries.append(_mk_entry(fp, 1, len(rows)))
+
+    if equality_deletes is not None:
+        if not equality_cols:
+            raise ValueError("equality_cols required with equality_deletes")
+        id_by_name = {v: k for k, v in _field_id_names(meta).items()}
+        eq_ids = [id_by_name[c] for c in equality_cols]
+        fp = os.path.join(data_dir, f"{uuid.uuid4()}-eq-deletes.parquet")
+        pdf = equality_deletes.select(*equality_cols).toPandas()
+        pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False), fp)
+        del_entries.append(_mk_entry(fp, 2, len(pdf), eq_ids))
+
+    manifest_path = os.path.join(mdir, f"{uuid.uuid4()}-d0.avro")
+    with open(manifest_path, "wb") as f:
+        f.write(encode_file(_DELETE_ENTRY_SCHEMA, del_entries))
+
+    # new manifest list = prior snapshot's rows + the delete manifest
+    cur = next(
+        s for s in meta["snapshots"] if s["snapshot-id"] == meta["current-snapshot-id"]
+    )
+    with open(_rebase(cur["manifest-list"], path, meta.get("location")), "rb") as f:
+        _, prior_rows = decode_file(f.read())
+    ml_row = {
+        "manifest_path": manifest_path,
+        "manifest_length": os.path.getsize(manifest_path),
+        "partition_spec_id": 0,
+        "content": 1,
+        "sequence_number": seq,
+        "min_sequence_number": seq,
+        "added_snapshot_id": snap_id,
+        "added_files_count": len(del_entries),
+        "existing_files_count": 0,
+        "deleted_files_count": 0,
+        "added_rows_count": sum(e["data_file"]["record_count"] for e in del_entries),
+        "existing_rows_count": 0,
+        "deleted_rows_count": 0,
+    }
+    ml_path = os.path.join(mdir, f"snap-{snap_id}-1-{uuid.uuid4()}.avro")
+    with open(ml_path, "wb") as f:
+        f.write(encode_file(_MANIFEST_LIST_SCHEMA, list(prior_rows) + [ml_row]))
+
+    meta["last-sequence-number"] = seq
+    meta["last-updated-ms"] = now_ms
+    meta["current-snapshot-id"] = snap_id
+    meta["snapshots"].append(
+        {
+            "snapshot-id": snap_id,
+            "sequence-number": seq,
+            "timestamp-ms": now_ms,
+            "manifest-list": ml_path,
+            "summary": {"operation": "delete"},
+            "schema-id": 0,
+        }
+    )
+    v = len([f for f in os.listdir(mdir) if f.endswith(".metadata.json")]) + 1
+    with open(os.path.join(mdir, f"v{v}.metadata.json"), "w") as f:
+        json.dump(meta, f)
+    with open(os.path.join(mdir, "version-hint.text"), "w") as f:
+        f.write(str(v))

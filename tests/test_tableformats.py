@@ -178,23 +178,129 @@ def test_iceberg_autodetect_and_relocation(session, tmp_path):
     assert got.collect()[0][0] == 9
 
 
-def test_iceberg_delete_files_raise(spark, tmp_path):
-    src = spark.range(3).select(F.col("id").alias("k"))
-    tbl = str(tmp_path / "icedel")
+def _data_file_rows(spark, tbl):
+    """(file_path, pos, k) for every live row — to pick delete targets."""
+    from drill_spark.readers.iceberg import read_iceberg
+
+    rows = (
+        read_iceberg(spark, tbl)
+        .select(
+            F.regexp_replace(F.col("_metadata.file_path"), "^file:/*", "/").alias("fp"),
+            F.col("_metadata.row_index").alias("pos"),
+            "k",
+        )
+        .collect()
+    )
+    return [(r.fp, r.pos, r.k) for r in rows]
+
+
+def test_iceberg_positional_deletes(spark, tmp_path):
+    """Format-v2 position delete files (spec 'Position Delete Files':
+    file_path + pos columns) drop exactly the named rows; the
+    pre-delete snapshot still time-travels to the full set."""
+    from drill_spark.readers.iceberg import append_delete_files
+
+    src = spark.range(20).select(F.col("id").alias("k"))
+    tbl = str(tmp_path / "icepos")
     write_iceberg(src, tbl)
-    # flip the manifest-list row to content=1 (delete manifest)
+    targets = [(fp, pos) for fp, pos, k in _data_file_rows(spark, tbl) if k % 3 == 0]
+    append_delete_files(tbl, position_deletes=targets)
+    got = sorted(r.k for r in read_iceberg(spark, tbl).collect())
+    assert got == [k for k in range(20) if k % 3 != 0]
+    assert read_iceberg(spark, tbl, {"snapshot-id": 1}).count() == 20
+
+
+def test_iceberg_equality_deletes(spark, tmp_path):
+    """Format-v2 equality delete files (spec 'Equality Delete Files':
+    equality_ids in the manifest entry) drop every row matching the
+    delete rows on the named columns, null-safely."""
+    from drill_spark.readers.iceberg import append_delete_files
+
+    src = spark.createDataFrame(
+        [(i, None if i % 5 == 0 else f"g{i % 3}") for i in range(15)],
+        "k long, grp string",
+    )
+    tbl = str(tmp_path / "iceeq")
+    write_iceberg(src, tbl)
+    dels = spark.createDataFrame([("g1",), (None,)], "grp string")
+    append_delete_files(tbl, equality_deletes=dels, equality_cols=["grp"])
+    got = read_iceberg(spark, tbl).collect()
+    assert all(r.grp not in (None, "g1") for r in got)
+    assert len(got) == sum(
+        1 for i in range(15) if i % 5 != 0 and i % 3 != 1
+    )
+
+
+def test_iceberg_delete_sequence_scoping(spark, tmp_path):
+    """An equality delete applies only to data files with a STRICTLY
+    OLDER sequence number — rows re-added after the delete survive
+    (the merge-on-read upsert pattern)."""
     from drill_spark.readers.avro import decode_file, encode_file
-    from drill_spark.readers.iceberg import _MANIFEST_LIST_SCHEMA, _table_metadata
+    from drill_spark.readers.iceberg import (
+        _MANIFEST_ENTRY_SCHEMA,
+        _table_metadata,
+        append_delete_files,
+    )
+
+    src = spark.createDataFrame([(1, "old"), (2, "keep")], "k long, v string")
+    tbl = str(tmp_path / "iceup")
+    write_iceberg(src, tbl)
+    append_delete_files(
+        tbl,
+        equality_deletes=spark.createDataFrame([(1,)], "k long"),
+        equality_cols=["k"],
+    )
+    # append a third snapshot re-adding k=1 at sequence number 3
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import uuid
 
     meta = _table_metadata(tbl)
-    ml = meta["snapshots"][0]["manifest-list"]
-    with open(ml, "rb") as f:
+    newf = os.path.join(tbl, "data", f"{uuid.uuid4()}-readd.parquet")
+    pq.write_table(pa.table({"k": pa.array([1], pa.int64()),
+                             "v": pa.array(["new"], pa.string())}), newf)
+    seq, snap_id = 3, 3
+    entry = {
+        "status": 1, "snapshot_id": snap_id, "sequence_number": seq,
+        "file_sequence_number": seq,
+        "data_file": {"content": 0, "file_path": newf, "file_format": "PARQUET",
+                      "partition": {}, "record_count": 1,
+                      "file_size_in_bytes": os.path.getsize(newf)},
+    }
+    mdir = os.path.join(tbl, "metadata")
+    mpath = os.path.join(mdir, f"{uuid.uuid4()}-m1.avro")
+    with open(mpath, "wb") as f:
+        f.write(encode_file(_MANIFEST_ENTRY_SCHEMA, [entry]))
+    cur = next(s for s in meta["snapshots"] if s["snapshot-id"] == meta["current-snapshot-id"])
+    with open(cur["manifest-list"], "rb") as f:
         _, rows = decode_file(f.read())
-    rows[0]["content"] = 1
-    with open(ml, "wb") as f:
+    from drill_spark.readers.iceberg import _MANIFEST_LIST_SCHEMA
+
+    rows = list(rows) + [{
+        "manifest_path": mpath, "manifest_length": os.path.getsize(mpath),
+        "partition_spec_id": 0, "content": 0, "sequence_number": seq,
+        "min_sequence_number": seq, "added_snapshot_id": snap_id,
+        "added_files_count": 1, "existing_files_count": 0,
+        "deleted_files_count": 0, "added_rows_count": 1,
+        "existing_rows_count": 0, "deleted_rows_count": 0,
+    }]
+    mlpath = os.path.join(mdir, f"snap-{snap_id}-1-{uuid.uuid4()}.avro")
+    with open(mlpath, "wb") as f:
         f.write(encode_file(_MANIFEST_LIST_SCHEMA, rows))
-    with pytest.raises(NotImplementedError, match="delete"):
-        read_iceberg(spark, tbl)
+    meta["last-sequence-number"] = seq
+    meta["current-snapshot-id"] = snap_id
+    meta["snapshots"].append({"snapshot-id": snap_id, "sequence-number": seq,
+                              "timestamp-ms": 0, "manifest-list": mlpath,
+                              "summary": {"operation": "append"}, "schema-id": 0})
+    import json as _json
+
+    with open(os.path.join(mdir, "v3.metadata.json"), "w") as f:
+        _json.dump(meta, f)
+    with open(os.path.join(mdir, "version-hint.text"), "w") as f:
+        f.write("3")
+
+    got = sorted((r.k, r.v) for r in read_iceberg(spark, tbl).collect())
+    assert got == [(1, "new"), (2, "keep")]
 
 
 def test_iceberg_snapshot_option(spark, tmp_path):
