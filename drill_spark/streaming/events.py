@@ -20,33 +20,35 @@ through foreachBatch for exactly-once parquet appends.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
-
-EVENT_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # raw nanos (see session.load_fixture)
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
 
 
 def read_event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.parquet as a stream (files source = replayable log)."""
+    """events.parquet as a stream (files source = replayable log).
+
+    The fixture's ts physical type varies across driver versions
+    (INT64 TIMESTAMP(NANOS) read as raw nanos under nanosAsLong, vs
+    plain TIMESTAMP(MICROS)); peek at the batch-read schema and
+    normalize to TimestampType either way.
+    """
+    from drill_spark.session import prepare_session
+
+    prepare_session(spark)
+    raw_schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
     # the file stream source requires a directory; select the single
     # fixture file with a glob filter
     raw = (
-        spark.readStream.schema(EVENT_SCHEMA)
+        spark.readStream.schema(raw_schema)
         .format("parquet")
         .option("pathGlobFilter", "events.parquet")
         .load(sf_dir)
     )
-    return raw.withColumn("ts", F.expr("cast(timestamp_micros(ts div 1000) as timestamp)"))
+    if dict(raw.dtypes).get("ts") == "bigint":
+        return raw.withColumn("ts", F.expr("cast(timestamp_micros(ts div 1000) as timestamp)"))
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def tumbling_counts(events: DataFrame, width: str = "6 hours", watermark: str = "1 hour") -> DataFrame:
