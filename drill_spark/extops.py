@@ -636,6 +636,36 @@ select s_suppkey, s_name, s_nationkey, s_acctbal from supplier
 """
 
 
+def q_delta_dv_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta deletion vectors, merge-on-read (delta-standalone applies
+    DVs for the reference inside contrib/format-deltalake/; here the
+    PROTOCOL.md RoaringBitmapArray format is decoded directly): the
+    customer fixture is written as a partitioned Delta table, then
+    ``delete_where`` commits deletion vectors for every
+    c_custkey % 5 == 0 row — no data file rewritten — so the scan must
+    anti-join the DV row indexes to match the oracle."""
+    from drill_spark.readers.delta import delete_where, read_delta, write_delta
+
+    def build(d: str) -> None:
+        write_delta(
+            load_fixture(spark, sf_dir, "customer").select(
+                "c_custkey", "c_name", "c_nationkey", "c_acctbal"
+            ),
+            d,
+            partition_by=["c_nationkey"],
+        )
+        delete_where(spark, d, "c_custkey % 5 = 0")
+
+    out_dir = _materialize_once(sf_dir, "delta_dv", build)
+    return read_delta(spark, out_dir).select("c_custkey", "c_name", "c_nationkey", "c_acctbal")
+
+
+ORACLE_DELTA_DV_SCAN = """
+select c_custkey, c_name, c_nationkey, c_acctbal from customer
+where c_custkey % 5 <> 0
+"""
+
+
 def q_iceberg_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Iceberg format scan (contrib/format-iceberg/ IcebergFormatPlugin
     parity): the part fixture is written once per sf_dir as an Iceberg
@@ -959,6 +989,7 @@ from nation
 QUERIES = {
     "op_avro_scan": q_avro_scan,
     "op_delta_scan": q_delta_scan,
+    "op_delta_dv_scan": q_delta_dv_scan,
     "op_iceberg_scan": q_iceberg_scan,
     "op_iceberg_v2_scan": q_iceberg_v2_scan,
     "op_shp_scan": q_shp_scan,
@@ -997,6 +1028,7 @@ QUERIES = {
 ORACLES = {
     "op_avro_scan": ORACLE_AVRO_SCAN,
     "op_delta_scan": ORACLE_DELTA_SCAN,
+    "op_delta_dv_scan": ORACLE_DELTA_DV_SCAN,
     "op_iceberg_scan": ORACLE_ICEBERG_SCAN,
     "op_iceberg_v2_scan": ORACLE_ICEBERG_V2_SCAN,
     "op_shp_scan": ORACLE_SHP_SCAN,

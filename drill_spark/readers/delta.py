@@ -21,10 +21,20 @@ Delta Lake transaction-log protocol
   scan reads the data files once and re-attaches partition values via
   a broadcast path→values map joined on ``input_file_name()``, cast to
   the declared types — one distributed read, no per-partition unions.
+- **deletion vectors**: ``add.deletionVector`` descriptors are decoded
+  driver-side (readers/delta_dv.py implements the spec's
+  RoaringBitmapArray + Z85 + DV-file framing) and applied as a
+  broadcast anti-join on ``(_metadata.file_path, _metadata.row_index)``
+  — merge-on-read, the same semantics delta-standalone gives the
+  reference. ``delete_where`` writes them (row-level DELETE without
+  rewriting data files).
+- **column mapping** (``delta.columnMapping.mode`` name/id): data files
+  are read under each column's ``delta.columnMapping.physicalName``
+  (recursively for nested structs) and restored to logical names.
 - **protocol gate**: tables whose ``protocol`` action demands reader
-  features this module does not implement (deletion vectors, column
-  mapping, v2 checkpoints) raise ``NotImplementedError`` naming the
-  feature, never silently-wrong rows.
+  features beyond these (e.g. type widening, v2 checkpoint variants we
+  don't parse) raise ``NotImplementedError`` naming the feature, never
+  silently-wrong rows.
 - **time travel**: ``versionAsOf`` stops the log replay at a version,
   matching ``SELECT ... VERSION AS OF`` semantics.
 
@@ -49,7 +59,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-_SUPPORTED_READER_FEATURES = {"timestampNtz", "vacuumProtocolCheck", "v2Checkpoint"}
+_SUPPORTED_READER_FEATURES = {
+    "timestampNtz",
+    "vacuumProtocolCheck",
+    "v2Checkpoint",
+    "deletionVectors",
+    "columnMapping",
+}
 
 
 def _log_dir(path: str) -> str:
@@ -75,34 +91,54 @@ def _check_protocol(proto: dict) -> None:
     unsupported = features - _SUPPORTED_READER_FEATURES
     if reader_version >= 3 and unsupported:
         raise NotImplementedError(
-            f"Delta reader features not supported here: {sorted(unsupported)} "
-            "(deletion vectors / column mapping need the delta-spark connector)"
+            f"Delta reader features not supported here: {sorted(unsupported)}"
         )
-    if reader_version == 2:
-        raise NotImplementedError(
-            "Delta minReaderVersion=2 (column mapping) is not supported here"
-        )
+    # minReaderVersion 2 = column mapping, which is supported
 
 
 class DeltaSnapshot:
     """State of a Delta table at a version: schema, partition columns,
-    and the active data files with their partition values."""
+    the active data files with their partition values and deletion
+    vectors, and the column-mapping mode."""
 
     def __init__(self, schema: T.StructType, partition_columns: list[str],
-                 files: dict[str, dict], version: int):
+                 files: dict[str, dict], version: int,
+                 column_mapping_mode: str = "none"):
         self.schema = schema
         self.partition_columns = partition_columns
-        self.files = files  # path -> partitionValues dict
+        self.files = files  # path -> {"pv": partitionValues, "dv": descriptor|None}
         self.version = version
+        self.column_mapping_mode = column_mapping_mode
 
 
 def load_snapshot(spark: SparkSession, path: str,
                   version_as_of: int | None = None) -> DeltaSnapshot:
+    from drill_spark.readers.delta_dv import descriptor_unique_id
+
     log_dir = _log_dir(path)
-    active: dict[str, dict] = {}
+    # Reconciliation key is (path, DV unique id) per the protocol's
+    # "Action Reconciliation" — a DV update commits remove(path, oldDV)
+    # + add(path, newDV) in unspecified order, so keying by path alone
+    # would drop the file when the remove happens to follow the add.
+    active: dict[tuple, dict] = {}
     meta: dict = {}
     proto: dict = {}
     start_version = 0
+
+    def apply_add(a: dict) -> None:
+        dv = a.get("deletionVector") or None
+        active[(a["path"], descriptor_unique_id(dv))] = {
+            "pv": a.get("partitionValues") or {},
+            "dv": dv,
+        }
+
+    def apply_remove(r: dict) -> None:
+        dv = r.get("deletionVector") or None
+        if dv is not None:
+            active.pop((r["path"], descriptor_unique_id(dv)), None)
+        else:  # legacy remove without DV id: drop every entry for the path
+            for k in [k for k in active if k[0] == r["path"]]:
+                del active[k]
 
     ckpt_file = os.path.join(log_dir, "_last_checkpoint")
     if os.path.exists(ckpt_file) and version_as_of is None:
@@ -124,9 +160,9 @@ def load_snapshot(spark: SparkSession, path: str,
         for row in ck.select(*cols).toLocalIterator():
             d = row.asDict(recursive=True)
             if d.get("add"):
-                active[d["add"]["path"]] = d["add"].get("partitionValues") or {}
+                apply_add(d["add"])
             elif d.get("remove"):
-                active.pop(d["remove"]["path"], None)
+                apply_remove(d["remove"])
             elif d.get("metaData") and d["metaData"].get("schemaString"):
                 meta = d["metaData"]
             elif d.get("protocol") and d["protocol"].get("minReaderVersion") is not None:
@@ -145,13 +181,9 @@ def load_snapshot(spark: SparkSession, path: str,
                     continue
                 action = json.loads(line)
                 if "add" in action:
-                    active[action["add"]["path"]] = action["add"].get("partitionValues") or {}
-                    if action["add"].get("deletionVector"):
-                        raise NotImplementedError(
-                            "Delta deletion vectors are not supported here"
-                        )
+                    apply_add(action["add"])
                 elif "remove" in action:
-                    active.pop(action["remove"]["path"], None)
+                    apply_remove(action["remove"])
                 elif "metaData" in action:
                     meta = action["metaData"]
                 elif "protocol" in action:
@@ -163,10 +195,53 @@ def load_snapshot(spark: SparkSession, path: str,
     if not meta:
         raise ValueError(f"Delta log at {path} has no metaData action")
     schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
-    return DeltaSnapshot(schema, meta.get("partitionColumns") or [], active, replayed)
+    files = {p: entry for (p, _uid), entry in active.items()}
+    mode = (meta.get("configuration") or {}).get("delta.columnMapping.mode", "none")
+    return DeltaSnapshot(schema, meta.get("partitionColumns") or [], files, replayed, mode)
 
 
 _MAX_PARTITION_BRANCHES = 256
+
+
+def _physical_name(f: T.StructField) -> str:
+    return (f.metadata or {}).get("delta.columnMapping.physicalName", f.name)
+
+
+def _physical_type(dt: T.DataType) -> T.DataType:
+    """Recursively rename struct fields to their column-mapping physical
+    names (what the parquet data files actually store)."""
+    if isinstance(dt, T.StructType):
+        return T.StructType(
+            [T.StructField(_physical_name(f), _physical_type(f.dataType), f.nullable)
+             for f in dt.fields]
+        )
+    if isinstance(dt, T.ArrayType):
+        return T.ArrayType(_physical_type(dt.elementType), dt.containsNull)
+    if isinstance(dt, T.MapType):
+        return T.MapType(
+            _physical_type(dt.keyType), _physical_type(dt.valueType), dt.valueContainsNull
+        )
+    return dt
+
+
+def _clean_type(dt: T.DataType) -> T.DataType:
+    """The logical type with column-mapping metadata stripped (cast
+    target when restoring logical nested-field names)."""
+    if isinstance(dt, T.StructType):
+        return T.StructType(
+            [T.StructField(f.name, _clean_type(f.dataType), f.nullable) for f in dt.fields]
+        )
+    if isinstance(dt, T.ArrayType):
+        return T.ArrayType(_clean_type(dt.elementType), dt.containsNull)
+    if isinstance(dt, T.MapType):
+        return T.MapType(_clean_type(dt.keyType), _clean_type(dt.valueType), dt.valueContainsNull)
+    return dt
+
+
+def _norm_uri(col):
+    """Normalize Spark's file:///-style _metadata.file_path to a plain
+    absolute path for comparison with log-derived paths."""
+    return F.regexp_replace(col, "^file:/*", "/")
 
 
 def read_delta(spark: SparkSession, path: str,
@@ -181,63 +256,121 @@ def read_delta(spark: SparkSession, path: str,
     prunes non-matching branches (and their file listings) at plan
     time, exactly what Delta's own data-skipping does with the log.
     Beyond the cap, a broadcast ``input_file_name``→values map joins
-    the values back instead (one flat scan, no pruning)."""
+    the values back instead (one flat scan, no pruning).
+
+    Files carrying deletion vectors are read with parquet row indexes
+    (``_metadata.row_index``) and anti-joined against the broadcast
+    deleted-(file,row) set — merge-on-read. DV cardinality bounds the
+    broadcast; a table whose DVs hold billions of rows should be
+    compacted (OPTIMIZE) by its writer, as with every Delta engine.
+    """
+    from drill_spark.readers.delta_dv import read_descriptor
+
     opts = options or {}
     version = opts.get("versionAsOf", opts.get("version_as_of"))
     snap = load_snapshot(spark, path, int(version) if version is not None else None)
     if not snap.files:
-        return spark.createDataFrame([], snap.schema)
+        return spark.createDataFrame([], _clean_type(snap.schema))
 
-    col_order = [f.name for f in snap.schema.fields]
-    data_schema = T.StructType(
-        [f for f in snap.schema.fields if f.name not in snap.partition_columns]
+    mapped = snap.column_mapping_mode in ("name", "id")
+    data_fields = [f for f in snap.schema.fields if f.name not in snap.partition_columns]
+    phys_schema = T.StructType(
+        [T.StructField(_physical_name(f), _physical_type(f.dataType), f.nullable)
+         for f in data_fields]
+        if mapped
+        else [T.StructField(f.name, _clean_type(f.dataType), f.nullable) for f in data_fields]
     )
+    by_type = {f.name: _clean_type(f.dataType) for f in snap.schema.fields}
+    # under column mapping, add.partitionValues is keyed by PHYSICAL name
+    pv_key = {
+        f.name: (_physical_name(f) if mapped else f.name)
+        for f in snap.schema.fields
+        if f.name in snap.partition_columns
+    }
+
+    def abs_path(p: str) -> str:
+        return p if os.path.isabs(p) else os.path.join(path, p)
+
+    def pv_of(entry: dict, c: str):
+        pv = entry.get("pv") or {}
+        return pv.get(pv_key[c], pv.get(c))
+
+    has_dv = any(e.get("dv") for e in snap.files.values())
+
+    def scan(paths: list[str]) -> DataFrame:
+        b = spark.read.schema(phys_schema).parquet(*paths)
+        if has_dv:
+            b = b.select(
+                "*",
+                _norm_uri(F.col("_metadata.file_path")).alias("__fp"),
+                F.col("_metadata.row_index").alias("__ri"),
+            )
+        return b
+
+    extra = ["__fp", "__ri"] if has_dv else []
+
+    # ---- read data files, attaching partition values ----
     if not snap.partition_columns:
-        abs_paths = [p if os.path.isabs(p) else os.path.join(path, p) for p in snap.files]
-        return spark.read.schema(data_schema).parquet(*abs_paths).select(*col_order)
+        out = scan([abs_path(p) for p in snap.files])
+    else:
+        groups: dict[tuple, list[str]] = {}
+        for p, entry in snap.files.items():
+            key = tuple(pv_of(entry, c) for c in snap.partition_columns)
+            groups.setdefault(key, []).append(abs_path(p))
+        phys_cols = [f.name for f in phys_schema.fields]
+        if len(groups) <= _MAX_PARTITION_BRANCHES:
+            branches = []
+            for key, paths in groups.items():
+                b = scan(paths)
+                for c, v in zip(snap.partition_columns, key):
+                    b = b.withColumn(c, F.lit(v).cast(by_type[c]))
+                branches.append(b.select(*phys_cols, *snap.partition_columns, *extra))
+            out = branches[0]
+            for b in branches[1:]:
+                out = out.unionAll(b)
+        else:
+            # one broadcast map file-path -> partition value strings
+            pv_rows = [
+                {"__file": abs_path(p),
+                 **{f"__pv_{c}": pv_of(e, c) for c in snap.partition_columns}}
+                for p, e in snap.files.items()
+            ]
+            pv_schema = T.StructType(
+                [T.StructField("__file", T.StringType())]
+                + [T.StructField(f"__pv_{c}", T.StringType()) for c in snap.partition_columns]
+            )
+            pv = spark.createDataFrame(pv_rows, pv_schema)
+            df = scan([p for paths in groups.values() for p in paths])
+            file_col = F.col("__fp") if has_dv else _norm_uri(F.input_file_name())
+            out = (
+                df.withColumn("__file", file_col)
+                .join(F.broadcast(pv), "__file")
+                .drop("__file")
+            )
+            for c in snap.partition_columns:
+                out = out.withColumn(c, F.col(f"__pv_{c}").cast(by_type[c])).drop(f"__pv_{c}")
 
-    by_type = {f.name: f.dataType for f in snap.schema.fields}
-    groups: dict[tuple, list[str]] = {}
-    for p, pv in snap.files.items():
-        key = tuple((pv or {}).get(c) for c in snap.partition_columns)
-        groups.setdefault(key, []).append(
-            p if os.path.isabs(p) else os.path.join(path, p)
-        )
+    # ---- apply deletion vectors (merge-on-read) ----
+    if has_dv:
+        deleted = [
+            (abs_path(p), int(ri))
+            for p, e in snap.files.items()
+            if e.get("dv")
+            for ri in read_descriptor(path, e["dv"])
+        ]
+        del_df = spark.createDataFrame(deleted, "__fp string, __ri bigint")
+        out = out.join(F.broadcast(del_df), ["__fp", "__ri"], "left_anti").drop("__fp", "__ri")
 
-    if len(groups) <= _MAX_PARTITION_BRANCHES:
-        branches = []
-        for key, paths in groups.items():
-            b = spark.read.schema(data_schema).parquet(*paths)
-            for c, v in zip(snap.partition_columns, key):
-                b = b.withColumn(c, F.lit(v).cast(by_type[c]))
-            branches.append(b.select(*col_order))
-        out = branches[0]
-        for b in branches[1:]:
-            out = out.unionAll(b)
-        return out
-
-    # one broadcast map file-uri -> partition value strings, typed casts
-    pv_rows = [
-        {"__file": "file://" + (p if os.path.isabs(p) else os.path.join(path, p)),
-         **{f"__pv_{c}": (snap.files[p] or {}).get(c) for c in snap.partition_columns}}
-        for p in snap.files
-    ]
-    pv_schema = T.StructType(
-        [T.StructField("__file", T.StringType())]
-        + [T.StructField(f"__pv_{c}", T.StringType()) for c in snap.partition_columns]
-    )
-    pv = spark.createDataFrame(pv_rows, pv_schema)
-    df = spark.read.schema(data_schema).parquet(
-        *[p for paths in groups.values() for p in paths]
-    )
-    out = (
-        df.withColumn("__file", F.input_file_name())
-        .join(F.broadcast(pv), "__file")
-        .drop("__file")
-    )
-    for c in snap.partition_columns:
-        out = out.withColumn(c, F.col(f"__pv_{c}").cast(by_type[c])).drop(f"__pv_{c}")
-    return out.select(*col_order)
+    # ---- restore logical column names ----
+    if mapped:
+        sel = [
+            F.col(f.name)
+            if f.name in snap.partition_columns
+            else F.col(_physical_name(f)).cast(_clean_type(f.dataType)).alias(f.name)
+            for f in snap.schema.fields
+        ]
+        return out.select(*sel)
+    return out.select(*[f.name for f in snap.schema.fields])
 
 
 def write_delta(df: DataFrame, path: str, partition_by: list[str] | None = None,
@@ -309,6 +442,88 @@ def write_delta(df: DataFrame, path: str, partition_by: list[str] | None = None,
     with open(os.path.join(log_dir, f"{version:020d}.json"), "w") as f:
         for a in actions:
             f.write(json.dumps(a) + "\n")
+
+
+def delete_where(spark: SparkSession, path: str, condition: str) -> int:
+    """Row-level DELETE via deletion vectors — no data file rewritten.
+
+    The merge-on-read half of Delta's DELETE (PROTOCOL.md "Deletion
+    Vectors"): for each data file with matching rows, serialize the
+    matched parquet row indexes as a RoaringBitmapArray DV file and
+    commit remove(old add) + add(same path, deletionVector=desc),
+    upgrading the protocol to readerFeatures=[deletionVectors]. An
+    existing DV on a file is unioned in (the new DV supersedes it).
+
+    The matched (file, row-index) set is collected to the driver to
+    build the per-file bitmaps — DVs are per-file *metadata*, sized by
+    deleted-row count, and every engine's DELETE funnels them through
+    the committing writer; a DELETE large enough to strain the driver
+    should rewrite files instead (copy-on-write). Returns the number of
+    newly deleted rows. Single writer per table, like write_delta.
+    Conditions may reference data columns (not partition columns)."""
+    import time
+
+    from drill_spark.readers.delta_dv import read_descriptor, write_dv_file
+
+    snap = load_snapshot(spark, path)
+    if snap.column_mapping_mode in ("name", "id"):
+        raise NotImplementedError("delete_where on column-mapped tables is not supported")
+    data_schema = T.StructType(
+        [T.StructField(f.name, _clean_type(f.dataType), f.nullable)
+         for f in snap.schema.fields if f.name not in snap.partition_columns]
+    )
+
+    def abs_path(p: str) -> str:
+        return p if os.path.isabs(p) else os.path.join(path, p)
+
+    rel_of = {abs_path(p): p for p in snap.files}
+    hits = (
+        spark.read.schema(data_schema)
+        .parquet(*rel_of)
+        .select(
+            "*",
+            _norm_uri(F.col("_metadata.file_path")).alias("__fp"),
+            F.col("_metadata.row_index").alias("__ri"),
+        )
+        .where(condition)
+        .groupBy("__fp")
+        .agg(F.collect_list("__ri").alias("rows"))
+        .collect()
+    )
+    if not hits:
+        return 0
+
+    now_ms = int(time.time() * 1000)
+    log_dir = _log_dir(path)
+    version = max(v for v, _ in _commit_files(log_dir)) + 1
+    actions = [{
+        "protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                     "readerFeatures": ["deletionVectors"],
+                     "writerFeatures": ["deletionVectors"]}
+    }]
+    n_deleted = 0
+    for row in hits:
+        rel = rel_of[row["__fp"]]
+        entry = snap.files[rel]
+        idx = set(int(r) for r in row.rows)
+        n_new = len(idx)
+        if entry.get("dv"):
+            old = set(read_descriptor(path, entry["dv"]))
+            n_new = len(idx - old)
+            idx |= old
+        n_deleted += n_new
+        desc = write_dv_file(path, sorted(idx))
+        base = {"path": rel, "partitionValues": entry.get("pv") or {},
+                "size": os.path.getsize(row["__fp"]), "dataChange": True}
+        actions.append({"remove": {**base, "deletionTimestamp": now_ms,
+                                   "deletionVector": entry.get("dv")}})
+        actions.append({"add": {**base, "modificationTime": now_ms,
+                                "deletionVector": desc}})
+    actions.append({"commitInfo": {"timestamp": now_ms, "operation": "DELETE"}})
+    with open(os.path.join(log_dir, f"{version:020d}.json"), "w") as f:
+        for a in actions:
+            f.write(json.dumps(a) + "\n")
+    return n_deleted
 
 
 def _existing_parquet(path: str) -> set[str]:

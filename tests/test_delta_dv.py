@@ -1,0 +1,246 @@
+"""Delta deletion vectors + column mapping (reference reads these via
+delta-standalone inside contrib/format-deltalake/; here the published
+PROTOCOL.md formats are decoded directly — readers/delta_dv.py).
+
+Codec tests exercise the spec's RoaringBitmapArray framing (Z85, array
+/ bitset / run containers, 64-bit bitmap groups); reader tests use
+hand-written logs where reader semantics are under test, so the reader
+is validated against the spec, not against our own writer."""
+
+from __future__ import annotations
+
+import json
+import os
+import struct
+
+import pytest
+from pyspark.sql import functions as F
+
+from drill_spark.readers.delta import delete_where, read_delta, write_delta
+from drill_spark.readers.delta_dv import (
+    deserialize_bitmap_array,
+    read_descriptor,
+    serialize_bitmap_array,
+    write_dv_file,
+    z85_decode,
+    z85_encode,
+)
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+# ------------------------------------------------------------- codec
+
+
+def test_z85_roundtrip():
+    for data in (b"", b"\x00\x00\x00\x00", os.urandom(16), bytes(range(32, 52))):
+        assert z85_decode(z85_encode(data)) == data
+    # the ZeroMQ RFC's own test vector
+    assert z85_encode(bytes([0x86, 0x4F, 0xD2, 0x6F, 0xB5, 0x59, 0xF7, 0x5B])) == "HelloWorld"
+
+
+@pytest.mark.parametrize(
+    "values",
+    [
+        [],
+        [0],
+        [0, 1, 2, 65535, 65536, 1 << 20],
+        list(range(5000)),  # > 4096 cardinality -> bitset container
+        [7, (3 << 32) | 9, (3 << 32) | 10],  # 64-bit groups with gaps
+    ],
+)
+def test_bitmap_array_roundtrip(values):
+    assert deserialize_bitmap_array(serialize_bitmap_array(values)) == sorted(set(values))
+
+
+def test_run_container_decode():
+    """Hand-build a cookie-12346 run-container bitmap (our serializer
+    never emits runs, but real writers do) and decode it."""
+    n = 1
+    cookie = struct.pack("<I", 12346 | ((n - 1) << 16))
+    run_flags = b"\x01"  # container 0 is a run container
+    desc = struct.pack("<HH", 5, 11 - 1)  # key=5, cardinality 11
+    body = struct.pack("<H", 2) + struct.pack("<HH", 10, 4) + struct.pack("<HH", 100, 5)
+    buf = struct.pack("<iq", 1681511377, 1) + cookie + run_flags + desc + body
+    got = deserialize_bitmap_array(buf)
+    hi = 5 << 16
+    assert got == [hi | v for v in list(range(10, 15)) + list(range(100, 106))]
+
+
+def test_dv_file_roundtrip(tmp_path):
+    idx = [0, 3, 7, 100_000, (2 << 32) | 5]
+    desc = write_dv_file(str(tmp_path), idx)
+    assert desc["storageType"] == "u" and desc["cardinality"] == 5
+    assert read_descriptor(str(tmp_path), desc) == sorted(idx)
+
+
+def test_dv_checksum_guard(tmp_path):
+    desc = write_dv_file(str(tmp_path), [1, 2, 3])
+    # corrupt the payload byte after the size header
+    fname = next(f for f in os.listdir(tmp_path) if f.startswith("deletion_vector_"))
+    p = os.path.join(tmp_path, fname)
+    blob = bytearray(open(p, "rb").read())
+    blob[6] ^= 0xFF
+    open(p, "wb").write(bytes(blob))
+    with pytest.raises(ValueError, match="checksum"):
+        read_descriptor(str(tmp_path), desc)
+
+
+# ------------------------------------------------------------- reader
+
+
+def test_delete_where_merge_on_read(spark, tmp_path):
+    tbl = str(tmp_path / "t")
+    write_delta(spark.range(100).select("id", (F.col("id") % 10).alias("k")), tbl)
+    assert delete_where(spark, tbl, "k = 3") == 10
+    got = read_delta(spark, tbl)
+    assert got.count() == 90 and got.where("k = 3").count() == 0
+    # second delete unions into the existing DVs (10 new rows only)
+    assert delete_where(spark, tbl, "k in (3, 7)") == 10
+    assert read_delta(spark, tbl).count() == 80
+    # pre-delete version still sees everything
+    assert read_delta(spark, tbl, {"versionAsOf": 0}).count() == 100
+
+
+def test_delete_where_partitioned(spark, tmp_path):
+    tbl = str(tmp_path / "p")
+    write_delta(
+        spark.range(60).select("id", (F.col("id") % 3).alias("part")),
+        tbl,
+        partition_by=["part"],
+    )
+    assert delete_where(spark, tbl, "id % 2 = 0") == 30
+    got = read_delta(spark, tbl)
+    assert got.count() == 30 and got.where("id % 2 = 0").count() == 0
+    # partition values still attach on the DV branch
+    assert _rows(got.groupBy("part").count()) == [(0, 10), (1, 10), (2, 10)]
+
+
+def test_dv_inline_descriptor(spark, tmp_path):
+    """storageType "i": the bitmap Z85-inlined in the descriptor itself
+    (hand-written log — reader vs spec)."""
+    tbl = tmp_path / "inline"
+    log = tbl / "_delta_log"
+    log.mkdir(parents=True)
+    spark.range(10).coalesce(1).write.parquet(str(tbl / "d"))
+    f1 = next("d/" + f for f in os.listdir(tbl / "d") if f.endswith(".parquet"))
+    data = serialize_bitmap_array([0, 2, 4])
+    pad = (-len(data)) % 4
+    desc = {
+        "storageType": "i",
+        "pathOrInlineDv": z85_encode(data + b"\x00" * pad),
+        "offset": None,
+        "sizeInBytes": len(data),
+        "cardinality": 3,
+    }
+    schema = spark.range(1).schema.json()
+    with open(log / f"{0:020d}.json", "w") as f:
+        f.write(json.dumps({"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                                         "readerFeatures": ["deletionVectors"],
+                                         "writerFeatures": ["deletionVectors"]}}) + "\n")
+        f.write(json.dumps({"metaData": {"id": "x", "format": {"provider": "parquet", "options": {}},
+                                         "schemaString": schema, "partitionColumns": []}}) + "\n")
+        f.write(json.dumps({"add": {"path": f1, "partitionValues": {}, "size": 1,
+                                    "modificationTime": 0, "dataChange": True,
+                                    "deletionVector": desc}}) + "\n")
+    got = read_delta(spark, str(tbl))
+    # rows 0,2,4 of the single sorted-by-write-order file are deleted
+    assert got.count() == 7
+
+
+def test_dv_update_reconciliation_order(spark, tmp_path):
+    """A DV update commit carries add(path,newDV) BEFORE remove(path,
+    oldDV); keying by (path, dvId) must keep the new entry."""
+    tbl = tmp_path / "recon"
+    log = tbl / "_delta_log"
+    log.mkdir(parents=True)
+    spark.range(10).coalesce(1).write.parquet(str(tbl / "d"))
+    f1 = next("d/" + f for f in os.listdir(tbl / "d") if f.endswith(".parquet"))
+    old_desc = write_dv_file(str(tbl), [0])
+    new_desc = write_dv_file(str(tbl), [0, 1, 2])
+    schema = spark.range(1).schema.json()
+    base = {"path": f1, "partitionValues": {}, "size": 1, "modificationTime": 0,
+            "dataChange": True}
+    with open(log / f"{0:020d}.json", "w") as f:
+        f.write(json.dumps({"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                                         "readerFeatures": ["deletionVectors"],
+                                         "writerFeatures": ["deletionVectors"]}}) + "\n")
+        f.write(json.dumps({"metaData": {"id": "x", "format": {"provider": "parquet", "options": {}},
+                                         "schemaString": schema, "partitionColumns": []}}) + "\n")
+        f.write(json.dumps({"add": {**base, "deletionVector": old_desc}}) + "\n")
+    with open(log / f"{1:020d}.json", "w") as f:
+        f.write(json.dumps({"add": {**base, "deletionVector": new_desc}}) + "\n")
+        f.write(json.dumps({"remove": {**base, "deletionVector": old_desc}}) + "\n")
+    assert read_delta(spark, str(tbl)).count() == 7
+
+
+def test_column_mapping_name_mode(spark, tmp_path):
+    """delta.columnMapping.mode=name: parquet stores physical col-UUID
+    names; the reader must restore logical names (hand-written log)."""
+    tbl = tmp_path / "cm"
+    log = tbl / "_delta_log"
+    log.mkdir(parents=True)
+    phys = spark.createDataFrame(
+        [(1, "a"), (2, "b")], "`col-9cafda1&` int, `col-77b2df1%` string"
+    )
+    phys.coalesce(1).write.parquet(str(tbl / "d"))
+    f1 = next("d/" + f for f in os.listdir(tbl / "d") if f.endswith(".parquet"))
+    schema = {
+        "type": "struct",
+        "fields": [
+            {"name": "id", "type": "integer", "nullable": True,
+             "metadata": {"delta.columnMapping.id": 1,
+                          "delta.columnMapping.physicalName": "col-9cafda1&"}},
+            {"name": "name", "type": "string", "nullable": True,
+             "metadata": {"delta.columnMapping.id": 2,
+                          "delta.columnMapping.physicalName": "col-77b2df1%"}},
+        ],
+    }
+    with open(log / f"{0:020d}.json", "w") as f:
+        f.write(json.dumps({"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}}) + "\n")
+        f.write(json.dumps({"metaData": {
+            "id": "x", "format": {"provider": "parquet", "options": {}},
+            "schemaString": json.dumps(schema), "partitionColumns": [],
+            "configuration": {"delta.columnMapping.mode": "name",
+                              "delta.columnMapping.maxColumnId": "2"}}}) + "\n")
+        f.write(json.dumps({"add": {"path": f1, "partitionValues": {}, "size": 1,
+                                    "modificationTime": 0, "dataChange": True}}) + "\n")
+    got = read_delta(spark, str(tbl))
+    assert got.columns == ["id", "name"]
+    assert _rows(got) == [(1, "a"), (2, "b")]
+
+
+def test_column_mapping_partitioned(spark, tmp_path):
+    """Column mapping + partition columns: add.partitionValues is keyed
+    by the PHYSICAL name; values must land under the logical column."""
+    tbl = tmp_path / "cmp"
+    log = tbl / "_delta_log"
+    log.mkdir(parents=True)
+    phys = spark.createDataFrame([(1,), (2,)], "`col-aa` int")
+    phys.coalesce(1).write.parquet(str(tbl / "d"))
+    f1 = next("d/" + f for f in os.listdir(tbl / "d") if f.endswith(".parquet"))
+    schema = {
+        "type": "struct",
+        "fields": [
+            {"name": "v", "type": "integer", "nullable": True,
+             "metadata": {"delta.columnMapping.id": 1,
+                          "delta.columnMapping.physicalName": "col-aa"}},
+            {"name": "region", "type": "string", "nullable": True,
+             "metadata": {"delta.columnMapping.id": 2,
+                          "delta.columnMapping.physicalName": "col-bb"}},
+        ],
+    }
+    with open(log / f"{0:020d}.json", "w") as f:
+        f.write(json.dumps({"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}}) + "\n")
+        f.write(json.dumps({"metaData": {
+            "id": "x", "format": {"provider": "parquet", "options": {}},
+            "schemaString": json.dumps(schema), "partitionColumns": ["region"],
+            "configuration": {"delta.columnMapping.mode": "name"}}}) + "\n")
+        f.write(json.dumps({"add": {"path": f1, "partitionValues": {"col-bb": "emea"},
+                                    "size": 1, "modificationTime": 0,
+                                    "dataChange": True}}) + "\n")
+    got = read_delta(spark, str(tbl))
+    assert got.columns == ["v", "region"]
+    assert _rows(got) == [(1, "emea"), (2, "emea")]

@@ -132,10 +132,10 @@ def test_delta_unsupported_features_raise(spark, tmp_path):
     schema = spark.range(1).schema.json()
     with open(log / f"{0:020d}.json", "w") as f:
         f.write(json.dumps({"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
-                                         "readerFeatures": ["deletionVectors"]}}) + "\n")
+                                         "readerFeatures": ["typeWidening"]}}) + "\n")
         f.write(json.dumps({"metaData": {"id": "x", "format": {"provider": "parquet", "options": {}},
                                          "schemaString": schema, "partitionColumns": []}}) + "\n")
-    with pytest.raises(NotImplementedError, match="deletionVectors"):
+    with pytest.raises(NotImplementedError, match="typeWidening"):
         read_delta(spark, str(tbl))
 
 
