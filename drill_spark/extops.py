@@ -666,6 +666,48 @@ where c_custkey % 5 <> 0
 """
 
 
+def q_pdf_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PDF table extraction (contrib/format-pdf PdfBatchReader.java via
+    tabula; here the ISO 32000-1 text model + the published detection/
+    extraction methods run natively, readers/pdf*.py): the nation
+    fixture is laid out as a spec-built multi-page tabular PDF once per
+    sf_dir, then scanned back with combinePages — text-position
+    clustering must reconstruct every row and column to match the
+    parquet-derived oracle."""
+    from pyspark.sql import functions as F
+
+    from drill_spark.readers.pdf import read_pdf, write_pdf_table
+
+    def build(d: str) -> None:
+        os.makedirs(d, exist_ok=True)
+        rows = [
+            [r["n_name"], str(r["n_nationkey"]), str(r["n_regionkey"])]
+            for r in sorted(
+                load_fixture(spark, sf_dir, "nation").collect(),
+                key=lambda r: r["n_nationkey"],
+            )
+        ]
+        write_pdf_table(
+            os.path.join(d, "nation.pdf"),
+            ["Nation", "Key", "Region Key"],
+            rows,
+            title="Nations of the TPC-H world",
+        )
+
+    out_dir = _materialize_once(sf_dir, "pdf", build)
+    df = read_pdf(spark, os.path.join(out_dir, "nation.pdf"), combine_pages=True)
+    return df.select(
+        F.col("Nation").alias("n_name"),
+        F.col("Key").cast("bigint").alias("n_nationkey"),
+        F.col("Region Key").cast("bigint").alias("n_regionkey"),
+    )
+
+
+ORACLE_PDF_SCAN = """
+select n_name, n_nationkey, n_regionkey from nation
+"""
+
+
 def q_iceberg_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Iceberg format scan (contrib/format-iceberg/ IcebergFormatPlugin
     parity): the part fixture is written once per sf_dir as an Iceberg
@@ -990,6 +1032,7 @@ QUERIES = {
     "op_avro_scan": q_avro_scan,
     "op_delta_scan": q_delta_scan,
     "op_delta_dv_scan": q_delta_dv_scan,
+    "op_pdf_scan": q_pdf_scan,
     "op_iceberg_scan": q_iceberg_scan,
     "op_iceberg_v2_scan": q_iceberg_v2_scan,
     "op_shp_scan": q_shp_scan,
@@ -1029,6 +1072,7 @@ ORACLES = {
     "op_avro_scan": ORACLE_AVRO_SCAN,
     "op_delta_scan": ORACLE_DELTA_SCAN,
     "op_delta_dv_scan": ORACLE_DELTA_DV_SCAN,
+    "op_pdf_scan": ORACLE_PDF_SCAN,
     "op_iceberg_scan": ORACLE_ICEBERG_SCAN,
     "op_iceberg_v2_scan": ORACLE_ICEBERG_V2_SCAN,
     "op_shp_scan": ORACLE_SHP_SCAN,

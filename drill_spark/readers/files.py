@@ -111,6 +111,18 @@ def read_auto(
         from drill_spark.readers.sas import read_sas
 
         return read_sas(spark, path)
+    if fmt == "pdf":
+        from drill_spark.readers.pdf import read_pdf
+
+        return read_pdf(
+            spark,
+            path,
+            combine_pages=_truthy(options.get("combinePages", "false")),
+            extract_headers=_truthy(options.get("extractHeaders", "true")),
+            default_table_index=int(options.get("defaultTableIndex", 0) or 0),
+            algorithm=options.get("extractionAlgorithm", "basic"),
+            password=options.get("password", ""),
+        )
     if fmt in ("hdf5", "h5"):
         from drill_spark.readers.hdf5 import read_hdf5
 

@@ -21,9 +21,10 @@ subset those semantics need:
   per-chunk deflate, assembled with numpy and clipped to the
   dataspace bounds.
 
-Anything outside the subset (new-style v2 object headers / fractal
-heap groups, vlen data, compound beyond inspection) raises
-``NotImplementedError`` naming the structure — never silent rows.
+Vlen and compound datatypes ARE decoded (global-heap indirection and
+member-wise struct unpack). Anything outside the subset (new-style v2
+object headers, fractal-heap groups) raises ``NotImplementedError``
+naming the structure — never silent rows.
 
 Schema deviation from the reference, on purpose: Spark columns are
 one type per column, so ``int_data``/``float_data``/... are always

@@ -156,6 +156,7 @@ _SUFFIX_FORMAT = {
     ".sas7bdat": "sas",
     ".h5": "hdf5",
     ".hdf5": "hdf5",
+    ".pdf": "pdf",
 }
 
 
@@ -212,6 +213,14 @@ def _read_path(session, ws_name: str, rel_path: str, options: dict[str, str] | N
         from drill_spark.readers.external import read_kafka_topic
 
         return read_kafka_topic(session.spark, ws.path, rel_path, ws.options, options)
+    if ws is not None and ws.kind == "mongo":
+        from drill_spark.readers.external import read_mongo_collection
+
+        return read_mongo_collection(session.spark, ws.path, rel_path, ws.options, options)
+    if ws is not None and ws.kind == "elasticsearch":
+        from drill_spark.readers.external import read_elasticsearch_index
+
+        return read_elasticsearch_index(session.spark, ws.path, rel_path, ws.options, options)
     root = ws.path if ws else "/"
     default_fmt = ws.default_format if ws else "parquet"
     path = rel_path if os.path.isabs(rel_path) else os.path.join(root, rel_path)
