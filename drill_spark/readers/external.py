@@ -98,3 +98,80 @@ def read_kafka_topic(
                 "spark.jars.packages to enable kafka workspaces"
             ) from e
         raise
+
+
+def read_mongo_collection(
+    spark: SparkSession,
+    connection_uri: str,
+    table: str,
+    ws_options: dict | None = None,
+    query_options: dict | None = None,
+) -> DataFrame:
+    """Read ``db.collection`` through the MongoDB Spark connector —
+    the reference's mongo storage plugin semantics (contrib/
+    storage-mongo MongoStoragePlugin.java: a database as a schema,
+    collections as tables, filter/project pushdown via the plugin's
+    scan spec; the Spark connector's aggregation-pipeline pushdown is
+    the same division of labor). ``table`` is ``<db>.<collection>``
+    (Drill's mongo.`db`.`coll` path). Connector jar
+    (org.mongodb.spark:mongo-spark-connector) gated like kafka."""
+    opts = {**(ws_options or {}), **(query_options or {})}
+    opts.pop("type", None)
+    db, _, coll = table.partition(".")
+    if not coll:
+        raise ValueError(f"mongo table must be db.collection, got {table!r}")
+    reader = (
+        spark.read.format("mongodb")
+        .option("connection.uri", connection_uri)
+        .option("database", db)
+        .option("collection", coll)
+    )
+    for k, v in opts.items():
+        reader = reader.option(k, v)
+    try:
+        return reader.load()
+    except Exception as e:
+        msg = str(e)
+        if "Failed to find data source: mongodb" in msg or "ClassNotFoundException" in msg:
+            raise NotImplementedError(
+                "the mongo-spark connector jar is not bundled in this "
+                "deployment; add org.mongodb.spark:mongo-spark-connector "
+                "to spark.jars.packages to enable mongo workspaces"
+            ) from e
+        raise
+
+
+def read_elasticsearch_index(
+    spark: SparkSession,
+    nodes: str,
+    index: str,
+    ws_options: dict | None = None,
+    query_options: dict | None = None,
+) -> DataFrame:
+    """Read an index through elasticsearch-hadoop ("es" data source) —
+    the reference's elasticsearch plugin semantics (contrib/
+    storage-elasticsearch ElasticsearchDrillSchemaFactory.java via
+    Calcite's ES adapter: indexes as tables, filters compiled into ES
+    queries; es-hadoop's pushdown option is the same). One Spark task
+    per index shard. Jar gated like kafka."""
+    opts = {**(ws_options or {}), **(query_options or {})}
+    opts.pop("type", None)
+    reader = (
+        spark.read.format("org.elasticsearch.spark.sql")
+        .option("es.nodes", nodes)
+        .option("es.resource", index)
+        .option("pushdown", opts.pop("pushdown", "true"))
+    )
+    for k, v in opts.items():
+        reader = reader.option(k, v)
+    try:
+        return reader.load()
+    except Exception as e:
+        msg = str(e)
+        if "Failed to find data source" in msg or "ClassNotFoundException" in msg:
+            raise NotImplementedError(
+                "the elasticsearch-hadoop jar is not bundled in this "
+                "deployment; add org.elasticsearch:elasticsearch-spark-30 "
+                "to spark.jars.packages to enable elasticsearch workspaces"
+            ) from e
+        raise

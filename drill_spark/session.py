@@ -254,6 +254,28 @@ class DrillSession:
             name, bootstrap_servers, kind="kafka", options=dict(options or {})
         )
 
+    def register_mongo_workspace(
+        self, name: str, connection_uri: str, options: dict[str, str] | None = None
+    ) -> None:
+        """Mongo storage plugin analog (contrib/storage-mongo
+        MongoStoragePlugin.java): ``select * from name.`db.coll``` reads
+        the collection through the mongo-spark connector (aggregation
+        pushdown); without the jar the error names the missing piece."""
+        self.workspaces[name] = Workspace(
+            name, connection_uri, kind="mongo", options=dict(options or {})
+        )
+
+    def register_elasticsearch_workspace(
+        self, name: str, nodes: str, options: dict[str, str] | None = None
+    ) -> None:
+        """Elasticsearch plugin analog (contrib/storage-elasticsearch):
+        ``select * from name.`index``` reads the index through
+        elasticsearch-hadoop (filter pushdown, task per shard); jar
+        gated with a naming error like kafka."""
+        self.workspaces[name] = Workspace(
+            name, nodes, kind="elasticsearch", options=dict(options or {})
+        )
+
     def register_fixture_tables(self, sf_dir: str) -> None:
         """Register the driver parquet fixtures as temp views (TESTDATA.md)."""
         for t in FIXTURE_TABLES:

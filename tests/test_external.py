@@ -74,3 +74,31 @@ def test_kafka_workspace_gate(session):
         assert "spark-sql-kafka" in str(e)
     if has_connector:  # connector bundled: resolution path worked
         pytest.skip("kafka connector present; no broker to scan in-container")
+
+
+def test_mongo_workspace_gate(session):
+    """Without the mongo-spark connector jar the error names the
+    missing piece (contrib/storage-mongo parity is connector-gated)."""
+    session.register_mongo_workspace("mg", "mongodb://localhost:27017")
+    try:
+        session.sql("select * from mg.`testdb.coll`")
+        pytest.skip("mongo connector present; no server to scan in-container")
+    except NotImplementedError as e:
+        assert "mongo-spark-connector" in str(e)
+
+
+def test_mongo_bad_table_name(session):
+    session.register_mongo_workspace("mg2", "mongodb://localhost:27017")
+    with pytest.raises(ValueError, match="db.collection"):
+        session.sql("select * from mg2.`collonly`")
+
+
+def test_elasticsearch_workspace_gate(session):
+    """Without elasticsearch-hadoop the error names the missing jar
+    (contrib/storage-elasticsearch parity is connector-gated)."""
+    session.register_elasticsearch_workspace("es", "localhost:9200")
+    try:
+        session.sql("select * from es.`myindex`")
+        pytest.skip("es-hadoop present; no server to scan in-container")
+    except NotImplementedError as e:
+        assert "elasticsearch-spark" in str(e)
