@@ -708,6 +708,59 @@ select n_name, n_nationkey, n_regionkey from nation
 """
 
 
+def q_multimodal_decode(spark, sf_dir):
+    """REAL media decode, oracle-checked end to end: each nation row
+    becomes a genuine 24-bit BMP (even keys; constant pixel value
+    (key*9)%256, width key%5+2, height 3) or a 16-bit PCM WAV (odd
+    keys; square wave of amplitude (key%50)/100, 80+key samples at
+    8 kHz) built with the codecs in ops/multimodal.py, and the decode
+    kernel must recover dimensions / sample counts / mean pixel / RMS
+    exactly as the closed-form oracle computes them — no stub
+    anywhere in this path."""
+    import pandas as pd
+
+    from drill_spark.ops.multimodal import DECODE_SCHEMA, encode_bmp, encode_wav, media_decode
+
+    nat = load_fixture(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("bigint").alias("doc_id")
+    )
+
+    def build(batches):
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for k in pdf["doc_id"]:
+                k = int(k)
+                if k % 2 == 0:
+                    w = k % 5 + 2
+                    v = (k * 9) % 256
+                    img = np.full((3, w, 3), v, dtype="uint8")
+                    rows.append({"doc_id": k, "payload": encode_bmp(img)})
+                else:
+                    a = (k % 50) / 100.0
+                    n = 80 + k
+                    x = np.where(np.arange(n) % 2 == 0, a, -a)
+                    rows.append({"doc_id": k, "payload": encode_wav(x, 8000)})
+            yield pd.DataFrame.from_records(rows, columns=["doc_id", "payload"])
+
+    payloads = nat.mapInPandas(build, schema="doc_id bigint, payload binary")
+    return media_decode(payloads)
+
+
+ORACLE_MULTIMODAL_DECODE = """
+select n_nationkey as doc_id,
+  case when n_nationkey % 2 = 0 then 'image/bmp' else 'audio/wav' end as kind,
+  cast(case when n_nationkey % 2 = 0 then n_nationkey % 5 + 2 end as int) as width,
+  cast(case when n_nationkey % 2 = 0 then 3 end as int) as height,
+  cast(case when n_nationkey % 2 = 1 then 80 + n_nationkey end as int) as n_samples,
+  cast(case when n_nationkey % 2 = 1 then 8000 end as int) as sample_rate,
+  round(case when n_nationkey % 2 = 0 then cast((n_nationkey * 9) % 256 as double)
+        else (n_nationkey % 50) / 100.0 end, 4) as mean_val
+from nation
+"""
+
+
 def q_iceberg_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Iceberg format scan (contrib/format-iceberg/ IcebergFormatPlugin
     parity): the part fixture is written once per sf_dir as an Iceberg
@@ -1063,6 +1116,7 @@ QUERIES = {
     "ext_multimodal_meta": q_multimodal_meta,
     "ext_multimodal_features": q_multimodal_features,
     "ext_multimodal_probe": q_multimodal_probe,
+    "ext_multimodal_decode": q_multimodal_decode,
     "ext_asof_join": q_asof_join,
     "ext_range_join": q_range_join,
     "ext_stream_tumbling": q_stream_tumbling,
@@ -1095,6 +1149,7 @@ ORACLES = {
     "ext_text_fingerprint": ORACLE_TEXT_FINGERPRINT,
     "ext_multimodal_meta": ORACLE_MULTIMODAL_META,
     "ext_multimodal_probe": ORACLE_MULTIMODAL_PROBE,
+    "ext_multimodal_decode": ORACLE_MULTIMODAL_DECODE,
     "ext_asof_join": ORACLE_ASOF_JOIN,
     "ext_range_join": ORACLE_RANGE_JOIN,
     "ext_stream_tumbling": ORACLE_STREAM_TUMBLING,

@@ -130,6 +130,214 @@ def probe_images(df: DataFrame) -> DataFrame:
     return df.select("doc_id", "payload").mapInPandas(run, schema=PROBE_SCHEMA)
 
 
+# ----------------------------------------------------- real codecs
+#
+# The container ships no media libraries, but BMP, PNG and WAV are
+# fully decodable with stdlib struct/zlib + numpy — so one REAL codec
+# path exercises the mapInPandas plumbing end to end (the other
+# formats keep the labeled stubs below).
+
+
+def encode_bmp(arr) -> bytes:
+    """numpy (H, W, 3) uint8 -> 24-bit BI_RGB BMP."""
+    import struct
+
+    import numpy as np
+
+    arr = np.asarray(arr, dtype="uint8")
+    h, w, _ = arr.shape
+    row = w * 3
+    pad = (-row) % 4
+    body = bytearray()
+    for y in range(h - 1, -1, -1):  # bottom-up
+        body += arr[y, :, ::-1].tobytes()  # RGB -> BGR
+        body += b"\x00" * pad
+    off = 14 + 40
+    size = off + len(body)
+    head = struct.pack("<2sIHHI", b"BM", size, 0, 0, off)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 2835, 2835, 0, 0)
+    return head + info + bytes(body)
+
+
+def decode_bmp(payload: bytes):
+    """24/32-bit BI_RGB BMP -> numpy (H, W, 3) uint8."""
+    import struct
+
+    import numpy as np
+
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP")
+    off = struct.unpack_from("<I", payload, 10)[0]
+    hdr_size = struct.unpack_from("<I", payload, 14)[0]
+    w, h = struct.unpack_from("<ii", payload, 18)
+    bpp = struct.unpack_from("<H", payload, 28)[0]
+    comp = struct.unpack_from("<I", payload, 30)[0] if hdr_size >= 40 else 0
+    if comp != 0 or bpp not in (24, 32):
+        raise NotImplementedError(f"BMP bpp={bpp} compression={comp}")
+    flip = h > 0
+    h = abs(h)
+    nb = bpp // 8
+    stride = (w * nb + 3) // 4 * 4
+    rows = []
+    for y in range(h):
+        rowb = payload[off + y * stride: off + y * stride + w * nb]
+        px = np.frombuffer(rowb, dtype="uint8").reshape(w, nb)[:, :3][:, ::-1]  # BGR->RGB
+        rows.append(px)
+    img = np.stack(rows)
+    return img[::-1] if flip else img
+
+
+def decode_png(payload: bytes):
+    """Non-interlaced 8-bit gray/RGB/RGBA PNG -> numpy (H, W, 3) uint8
+    (pure zlib + the PNG filter spec)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from drill_spark.readers.pdf_core import _png_predictor
+
+    if payload[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG")
+    pos = 8
+    idat = bytearray()
+    w = h = bitd = ctype = None
+    while pos + 8 <= len(payload):
+        ln, typ = struct.unpack_from(">I4s", payload, pos)
+        data = payload[pos + 8: pos + 8 + ln]
+        if typ == b"IHDR":
+            w, h, bitd, ctype, _comp, _filt, interlace = struct.unpack(">IIBBBBB", data)
+            if bitd != 8 or interlace:
+                raise NotImplementedError("PNG bitdepth!=8 or interlaced")
+        elif typ == b"IDAT":
+            idat += data
+        elif typ == b"IEND":
+            break
+        pos += 12 + ln
+    channels = {0: 1, 2: 3, 4: 2, 6: 4}[ctype]
+    raw = zlib.decompress(bytes(idat))
+    unfiltered = _png_predictor(raw, channels, 8, w)
+    img = np.frombuffer(unfiltered, dtype="uint8").reshape(h, w, channels)
+    if channels == 1:
+        return np.repeat(img, 3, axis=2)
+    if channels == 2:  # gray+alpha
+        return np.repeat(img[:, :, :1], 3, axis=2)
+    return img[:, :, :3]
+
+
+def encode_wav(samples, sample_rate: int = 8000) -> bytes:
+    """numpy float [-1, 1] mono -> 16-bit PCM WAV."""
+    import io
+    import wave
+
+    import numpy as np
+
+    pcm = (np.clip(np.asarray(samples), -1, 1) * 32767).astype("<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wv:
+        wv.setnchannels(1)
+        wv.setsampwidth(2)
+        wv.setframerate(sample_rate)
+        wv.writeframes(pcm.tobytes())
+    return buf.getvalue()
+
+
+def decode_wav(payload: bytes):
+    """PCM WAV -> (numpy float32 mono in [-1, 1], sample_rate)."""
+    import io
+    import wave
+
+    import numpy as np
+
+    with wave.open(io.BytesIO(payload), "rb") as wv:
+        n = wv.getnframes()
+        rate = wv.getframerate()
+        width = wv.getsampwidth()
+        nch = wv.getnchannels()
+        raw = wv.readframes(n)
+    if width == 2:
+        x = np.frombuffer(raw, dtype="<i2").astype("float32") / 32767.0
+    elif width == 1:
+        x = (np.frombuffer(raw, dtype="uint8").astype("float32") - 128.0) / 127.0
+    else:
+        raise NotImplementedError(f"WAV sample width {width}")
+    if nch > 1:
+        x = x.reshape(-1, nch).mean(axis=1)
+    return x, rate
+
+
+def decode_media(payload: bytes) -> dict:
+    """REAL decode dispatch by magic bytes: BMP/PNG -> dims + mean
+    pixel value; WAV -> sample count, rate, RMS amplitude. Raises
+    NotImplementedError for formats whose codecs aren't in-container
+    (JPEG entropy decode, MP3, video) — the stub boundary, made
+    explicit."""
+    import numpy as np
+
+    b = bytes(payload or b"")
+    if b[:2] == b"BM" or b[:8] == b"\x89PNG\r\n\x1a\n":
+        img = decode_bmp(b) if b[:2] == b"BM" else decode_png(b)
+        return {
+            "kind": "image/bmp" if b[:2] == b"BM" else "image/png",
+            "width": int(img.shape[1]),
+            "height": int(img.shape[0]),
+            "n_samples": None,
+            "sample_rate": None,
+            "mean_val": round(float(img.mean()), 4),
+        }
+    if b[:4] == b"RIFF" and b[8:12] == b"WAVE":
+        x, rate = decode_wav(b)
+        return {
+            "kind": "audio/wav",
+            "width": None,
+            "height": None,
+            "n_samples": int(len(x)),
+            "sample_rate": int(rate),
+            "mean_val": round(float((x * x).mean() ** 0.5), 4),
+        }
+    raise NotImplementedError(
+        "real decode for this format needs codec libs not in this container"
+    )
+
+
+DECODE_SCHEMA = (
+    "doc_id bigint, kind string, width int, height int, "
+    "n_samples int, sample_rate int, mean_val double"
+)
+
+
+def media_decode(df: DataFrame) -> DataFrame:
+    """mapInPandas REAL decode over (doc_id, payload): BMP/PNG pixels
+    and WAV samples are actually decoded on executors (numpy, Arrow
+    batches) — the stub-free path proving the multimodal plumbing."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                rows.append({"doc_id": doc_id, **decode_media(bytes(payload))})
+            yield pd.DataFrame.from_records(
+                rows,
+                columns=["doc_id", "kind", "width", "height",
+                         "n_samples", "sample_rate", "mean_val"],
+            )
+
+    return df.select("doc_id", "payload").mapInPandas(run, schema=DECODE_SCHEMA)
+
+
+def resize_image(payload: bytes, width: int, height: int) -> bytes:
+    """REAL resize for BMP/PNG payloads: numpy nearest-neighbor
+    sampling, re-encoded as BMP. Falls back to NotImplementedError for
+    other formats (the stub boundary)."""
+    import numpy as np
+
+    b = bytes(payload)
+    img = decode_bmp(b) if b[:2] == b"BM" else decode_png(b)
+    ys = (np.arange(height) * img.shape[0] // height).clip(0, img.shape[0] - 1)
+    xs = (np.arange(width) * img.shape[1] // width).clip(0, img.shape[1] - 1)
+    return encode_bmp(img[np.ix_(ys, xs)])
+
+
 RESIZE_SCHEMA = "doc_id bigint, payload binary, width int, height int"
 
 

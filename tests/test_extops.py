@@ -257,3 +257,52 @@ def test_multimodal_audio_chunking(spark):
         total = bytes(media.where(f"doc_id = {doc_id}").head()["payload"])
         # chunks cover the payload end
         assert abs(chunks[-1]["end_s"] - len(total) / 100) < 1e-6
+
+
+def test_media_codecs_roundtrip():
+    """REAL codec paths: BMP and WAV roundtrip bit-exactly; PNG decode
+    agrees with the BMP decode of the same pixels."""
+    import numpy as np
+
+    from drill_spark.ops.multimodal import (
+        decode_bmp,
+        decode_png,
+        decode_wav,
+        encode_bmp,
+        encode_wav,
+        resize_image,
+    )
+
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, size=(5, 7, 3), dtype=np.uint8)
+    assert (decode_bmp(encode_bmp(img)) == img).all()
+
+    # PNG via zlib: build a minimal non-interlaced RGB PNG for the same pixels
+    import struct
+    import zlib
+
+    def chunk(typ, data):
+        c = typ + data
+        return struct.pack(">I", len(data)) + c + struct.pack(">I", zlib.crc32(c))
+
+    raw = b"".join(b"\x00" + img[y].tobytes() for y in range(img.shape[0]))
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 7, 5, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+    assert (decode_png(png) == img).all()
+
+    x = np.sin(np.linspace(0, 20, 400)) * 0.5
+    y, rate = decode_wav(encode_wav(x, 16000))
+    assert rate == 16000 and len(y) == 400
+    assert np.abs(y - x).max() < 1e-3
+
+    small = decode_bmp(resize_image(encode_bmp(img), 3, 2))
+    assert small.shape == (2, 3, 3)
+    # nearest-neighbor: sampled pixels come from the source image
+    assert all(
+        any((small[r, c] == img[y, x]).all() for y in range(5) for x in range(7))
+        for r in range(2) for c in range(3)
+    )
