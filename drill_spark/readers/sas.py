@@ -21,8 +21,10 @@ parso / sas7bdat.py projects; this module implements that layout:
   values are doubles truncated to 3..8 bytes (left-padded on
   little-endian); SAS date/time/datetime formats map to
   date/timestamp types like the reference's DateTimeConstants sets;
-- compression: bytewise RLE ("SASYZCRL") decompression of row
-  subheaders; RDC ("SASYZCR2") raises NotImplementedError.
+- compression: bytewise RLE ("SASYZCRL") and RDC ("SASYZCR2",
+  Ross Data Compression: 16-bit control words selecting literal /
+  RLE / back-reference pattern commands) decompression of row
+  subheaders, per the publicly documented layout.
 
 Validated against the reference plugin's own binary fixtures (32-bit
 and 64-bit, SAS 9.1-9.4) reproducing TestSasReader's asserted rows.
@@ -236,9 +238,7 @@ class SasFile:
     # -------------------------------------------------------------- rows
     def _decompress(self, raw: bytes) -> bytes:
         if self.compression == "RDC":
-            raise NotImplementedError(
-                "SAS RDC (SASYZCR2) compression is not supported here"
-            )
+            return self._decompress_rdc(raw)
         out = bytearray()
         i, n = 0, len(raw)
         want = self.row_length
@@ -276,6 +276,59 @@ class SasFile:
                 out += b"\x20" * (low + 2)
             elif ctrl == 0xF0:
                 out += b"\x00" * (low + 2)
+        return bytes(out)
+
+    def _decompress_rdc(self, raw: bytes) -> bytes:
+        """RDC (Ross Data Compression, "SASYZCR2"): a 16-bit big-endian
+        control word gates each token MSB-first — control bit clear is
+        a literal byte; set selects by the next byte's high nibble:
+        0 = short RLE (count = low+3, fill byte follows), 1 = long RLE
+        (count = low + next<<4 + 19, fill byte follows), 2 = long
+        back-reference (offset = low+3 + next<<4, count = next+16),
+        3..15 = short back-reference of cmd bytes (offset = low+3 +
+        next<<4). Documented publicly in the sas7bdat format writeups
+        the parso library (the reference's reader) implements."""
+        out = bytearray()
+        i, n = 0, len(raw)
+        want = self.row_length
+        ctrl_bits = 0
+        ctrl_mask = 0
+        while i < n and len(out) < want:
+            ctrl_mask >>= 1
+            if ctrl_mask == 0:
+                if i + 1 >= n:
+                    break
+                ctrl_bits = (raw[i] << 8) | raw[i + 1]
+                i += 2
+                ctrl_mask = 0x8000
+            if not (ctrl_bits & ctrl_mask):
+                out.append(raw[i])
+                i += 1
+                continue
+            cmd = (raw[i] >> 4) & 0x0F
+            cnt = raw[i] & 0x0F
+            i += 1
+            if cmd == 0:  # short RLE
+                cnt += 3
+                out += bytes([raw[i]]) * cnt
+                i += 1
+            elif cmd == 1:  # long RLE
+                cnt += (raw[i] << 4) + 19
+                i += 1
+                out += bytes([raw[i]]) * cnt
+                i += 1
+            elif cmd == 2:  # long pattern
+                ofs = cnt + 3 + (raw[i] << 4)
+                i += 1
+                cnt = raw[i] + 16
+                i += 1
+                for _ in range(cnt):  # may self-overlap
+                    out.append(out[-ofs])
+            else:  # short pattern: cmd bytes
+                ofs = cnt + 3 + (raw[i] << 4)
+                i += 1
+                for _ in range(cmd):
+                    out.append(out[-ofs])
         return bytes(out)
 
     def iter_rows(self):

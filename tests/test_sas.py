@@ -90,3 +90,41 @@ def test_read_sas_via_sqlfront(session):
         f"select E8601TM, TIMEAMPM from dfs.`{REF_DIR}/time_formats.sas7bdat`"
     ).collect()
     assert (t[0][0], t[0][1]) == ("10:10:10", "10:10:10")
+
+
+def test_rdc_decompress_all_commands():
+    """RDC decode vs hand-built streams covering every command: the
+    published algorithm's literal, short/long RLE, and short/long
+    back-reference paths (no reference fixture is RDC-compressed, so
+    the algorithm is exercised directly at its integration point)."""
+    from drill_spark.readers.sas import SasFile
+
+    rd = SasFile.__new__(SasFile)
+    rd.compression = "RDC"
+
+    def dec(raw, want):
+        rd.row_length = want
+        return rd._decompress(raw)
+
+    # 16 literals under one all-zero control word
+    lits = bytes(range(65, 81))
+    assert dec(b"\x00\x00" + lits, 16) == lits
+
+    # short RLE: ctrl bit set; cmd=0 cnt=2 -> 5 bytes of 'Z'
+    assert dec(b"\x80\x00" + bytes([0x02, 0x5A]), 5) == b"ZZZZZ"
+
+    # long RLE: cmd=1 cnt=1, next=2 -> 1 + 32 + 19 = 52 bytes of 'Q'
+    assert dec(b"\x80\x00" + bytes([0x11, 0x02, 0x51]), 52) == b"Q" * 52
+
+    # short pattern: 3 literals "ABC", then cmd=3 ofs=0+3+0 -> copy "ABC"
+    raw = b"\x10\x00" + b"ABC" + bytes([0x30, 0x00])
+    assert dec(raw, 6) == b"ABCABC"
+
+    # long pattern: 3 literals then cmd=2 low=0 next=0 (ofs 3), cnt=next+16=19
+    raw = b"\x10\x00" + b"XYZ" + bytes([0x20, 0x00, 0x03])
+    assert dec(raw, 22) == b"XYZ" + (b"XYZ" * 7)[:19]
+
+    # self-overlapping RLE-via-pattern: 1 literal then ofs... copy from distance 3
+    # mixed: literal, short RLE, literal under one control word (bits 0,1,0)
+    raw = b"\x40\x00" + b"A" + bytes([0x00, 0x42]) + b"C"
+    assert dec(raw, 5) == b"ABBBC"
