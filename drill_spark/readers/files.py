@@ -111,6 +111,12 @@ def read_auto(
         from drill_spark.readers.sas import read_sas
 
         return read_sas(spark, path)
+    if fmt in ("msaccess", "access", "mdb", "accdb"):
+        from drill_spark.readers.msaccess import read_access
+
+        return read_access(
+            spark, path, table_name=options.get("tableName", options.get("table_name"))
+        )
     if fmt == "pdf":
         from drill_spark.readers.pdf import read_pdf
 

@@ -157,6 +157,8 @@ _SUFFIX_FORMAT = {
     ".h5": "hdf5",
     ".hdf5": "hdf5",
     ".pdf": "pdf",
+    ".mdb": "msaccess",
+    ".accdb": "msaccess",
 }
 
 
