@@ -144,6 +144,7 @@ def read_auto(
         # missing package instead of failing obscurely (excel-style gate)
         connector = {
             "paimon": "org.apache.paimon:paimon-spark",
+            "daffodil": "org.apache.daffodil:daffodil-runtime (DFDL schema-driven parsing)",
         }.get(fmt)
         msg = str(e)
         if connector and ("Failed to find data source" in msg or "ClassNotFoundException" in msg):

@@ -166,3 +166,29 @@ def test_writer_roundtrip_multipage(spark, tmp_path):
     assert got == [[f"name{i}", str(i), f"cat{i % 3}"] for i in range(80)]
     df = read_pdf(spark, p, combine_pages=True)
     assert df.count() == 80
+
+
+@pytest.mark.parametrize("name,algo,min_tables", [
+    ("us-017", "basic", 2),
+    ("us-020", "basic", 5),
+    ("campaign_donors", "basic", 1),
+    ("twotables", "basic", 2),          # both tables on the page found
+    ("twotables", "spreadsheet", 2),    # ruled grids (CJK text)
+    ("spreadsheet_no_bounding_frame", "basic", 1),
+    ("jpeg2000", "basic", 0),           # image-only page: no tables
+])
+def test_remaining_fixtures_extract(name, algo, min_tables):
+    """Every reference fixture parses and detection stays stable (no
+    exact tabula parity asserted for these — regression guards)."""
+    tables, meta = extract_pdf(_load(f"{name}.pdf"), algorithm=algo)
+    assert len(tables) >= min_tables
+    for t in tables:
+        assert all(len(r) == len(t[0]) for r in t)
+
+
+def test_sqlfront_pdf_table_function(session):
+    p = os.path.join(REF, "schools.pdf")
+    df = session.sql(
+        f"select count(*) as n from table(dfs.`{p}`(type => 'pdf', combinePages => 'true'))"
+    )
+    assert df.collect()[0]["n"] == 221
