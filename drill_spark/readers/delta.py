@@ -318,7 +318,9 @@ def read_delta(spark: SparkSession, path: str,
             key = tuple(pv_of(entry, c) for c in snap.partition_columns)
             groups.setdefault(key, []).append(abs_path(p))
         phys_cols = [f.name for f in phys_schema.fields]
-        if len(groups) <= _MAX_PARTITION_BRANCHES:
+        # with DVs the per-partition union would replicate the anti-join
+        # broadcast into every branch; one flat scan + one anti-join wins
+        if not has_dv and len(groups) <= _MAX_PARTITION_BRANCHES:
             branches = []
             for key, paths in groups.items():
                 b = scan(paths)
