@@ -59,15 +59,17 @@ _PRIORITY = [
     "op_window_ranks", "op_window_frames", "op_window_ignore_nulls",
     "op_topn", "op_sort_nulls", "op_partition_limit",
     "op_flatten_explode", "op_pivot", "op_convert_from_json", "op_array_fns",
-    "op_string_fns", "op_date_fns", "op_math_fns", "op_cast_fns",
+    "op_string_fns", "op_date_fns",
     "op_scalar_subquery", "op_correlated_subquery",
-    "op_null_safe_join", "op_agg_nulls", "op_decimal_agg",
+    "op_null_safe_join", "op_agg_nulls",
     "op_time_window_tumbling", "op_session_window",
-    "op_values", "op_count_star",
-    "op_avro_scan", "op_delta_scan", "op_iceberg_scan", "op_shp_scan", "op_image_scan", "op_pcapng_scan", "op_spss_scan", "op_orc_scan", "op_hdf5_scan",
-    "ext_dedup_exact", "ext_dedup_minhash", "ext_embed_topk", "ext_ann_lsh",
-    "ext_text_stats", "ext_text_quality", "ext_multimodal_meta",
+    "op_avro_scan", "op_delta_scan", "op_delta_dv_scan", "op_iceberg_scan",
+    "op_iceberg_v2_scan", "op_pdf_scan", "op_shp_scan", "op_image_scan",
+    "op_pcapng_scan", "op_spss_scan", "op_orc_scan", "op_hdf5_scan",
+    "ext_dedup_exact", "ext_embed_topk", "ext_multimodal_decode", "ext_text_stats",
+    "ext_dedup_minhash", "ext_ann_lsh", "ext_text_quality", "ext_multimodal_meta",
     "ext_asof_join", "ext_range_join", "ext_sample_hash",
+    "op_math_fns", "op_cast_fns", "op_decimal_agg", "op_values", "op_count_star",
 ]
 
 
