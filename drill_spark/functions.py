@@ -366,12 +366,129 @@ def _stmt(name: str, sig: str, body: str) -> str:
     return f"CREATE OR REPLACE TEMPORARY FUNCTION {name}({sig}) RETURN {body}"
 
 
+def _wkb_decode_udf(pd, geo):
+    def run(s: "pd.Series") -> "pd.Series":
+        out = []
+        for b in s:
+            try:
+                out.append(geo.to_wkt(geo.from_wkb(bytes(b))) if b is not None else None)
+            except Exception:
+                out.append(None)
+        return pd.Series(out)
+
+    return run
+
+
+def _register_geometry_udfs(spark: SparkSession) -> list[str]:
+    """General ST_* geometry surface (reference contrib/udfs gis/ —
+    ESRI-backed Java UDFs there; here a pure-Python planar kernel,
+    ops/geometry.py, exposed as Arrow-batched pandas UDFs). Geometry
+    values are WKT strings between calls. Genuinely per-row compute,
+    like the reference's row-at-a-time UDFs, but vectorized batches."""
+    import pandas as pd
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    from drill_spark.ops import geometry as geo
+
+    def wkt_in(fn):
+        def run(s: pd.Series) -> pd.Series:
+            out = []
+            for w in s:
+                try:
+                    g = geo.parse_wkt(w)
+                    out.append(None if g is None else fn(g))
+                except Exception:
+                    out.append(None)
+            return pd.Series(out)
+
+        return run
+
+    def wkt_arg(fn):
+        def run(s: pd.Series, arg: pd.Series) -> pd.Series:
+            out = []
+            for w, v in zip(s, arg):
+                try:
+                    g = geo.parse_wkt(w)
+                    out.append(None if g is None else fn(g, v))
+                except Exception:
+                    out.append(None)
+            return pd.Series(out)
+
+        return run
+
+    def pair(fn):
+        def run(sa: pd.Series, sb: pd.Series) -> pd.Series:
+            out = []
+            for wa, wb in zip(sa, sb):
+                try:
+                    ga, gb = geo.parse_wkt(wa), geo.parse_wkt(wb)
+                    if ga is None or gb is None:
+                        out.append(None)
+                        continue
+                    out.append(fn(ga, gb))
+                except Exception:
+                    out.append(None)
+            return pd.Series(out)
+
+        return run
+
+    def pair_arg(fn):
+        def run(sa: pd.Series, sb: pd.Series, arg: pd.Series) -> pd.Series:
+            out = []
+            for wa, wb, v in zip(sa, sb, arg):
+                try:
+                    ga, gb = geo.parse_wkt(wa), geo.parse_wkt(wb)
+                    if ga is None or gb is None:
+                        out.append(None)
+                        continue
+                    out.append(fn(ga, gb, v))
+                except Exception:
+                    out.append(None)
+            return pd.Series(out)
+
+        return run
+
+    defs = {
+        "st_geomfromtext": ("string", wkt_in(geo.to_wkt)),
+        "st_astext_geom": ("string", wkt_in(geo.to_wkt)),
+        "st_asjson": ("string", wkt_in(geo.as_json)),
+        "st_asgeojson": ("string", wkt_in(geo.as_geojson)),
+        "st_asbinary": ("binary", wkt_in(geo.to_wkb)),
+        "st_geomfromwkb": ("string", _wkb_decode_udf(pd, geo)),
+        "st_intersects": ("boolean", pair(geo.intersects)),
+        "st_disjoint": ("boolean", pair(geo.disjoint)),
+        "st_touches": ("boolean", pair(geo.touches)),
+        "st_crosses": ("boolean", pair(geo.crosses)),
+        "st_overlaps": ("boolean", pair(geo.overlaps)),
+        "st_equals": ("boolean", pair(geo.equals)),
+        "st_contains_geom": ("boolean", pair(geo.contains)),
+        "st_within_geom": ("boolean", pair(lambda a, b: geo.contains(b, a))),
+        "st_relate": ("boolean", pair_arg(geo.relate)),
+        "st_buffer": ("string", wkt_arg(lambda g, d: geo.to_wkt(geo.buffer(g, float(d))))),
+        "st_union_geom": ("string", pair(lambda a, b: geo.to_wkt(geo.union(a, b)))),
+        "st_envelope": ("string", wkt_in(lambda g: geo.to_wkt(geo.envelope(g)))),
+        "st_xmin": ("double", wkt_in(lambda g: geo.extrema(g)[0])),
+        "st_xmax": ("double", wkt_in(lambda g: geo.extrema(g)[1])),
+        "st_ymin": ("double", wkt_in(lambda g: geo.extrema(g)[2])),
+        "st_ymax": ("double", wkt_in(lambda g: geo.extrema(g)[3])),
+    }
+    registered = []
+    for name, (rtype, fn) in defs.items():
+        # functionType passed explicitly: this module uses postponed
+        # annotations, so hint-based SCALAR inference can't see pd.Series
+        spark.udf.register(name, pandas_udf(fn, rtype, functionType=PandasUDFType.SCALAR))
+        registered.append(name)
+    return registered
+
+
 def register_all(spark: SparkSession, strict: bool = False) -> list[str]:
     """Register the compat functions; returns the list registered.
 
     Uses SQL UDFs (Spark >= 4.0 `CREATE TEMPORARY FUNCTION ... RETURN
     <expr>`) so calls inline into Catalyst plans and stay inside
-    whole-stage codegen — no Python round trip.
+    whole-stage codegen — no Python round trip. The general geometry
+    surface (WKT in/out) rides on pandas UDFs, the one place per-row
+    Python is the honest cost (as in the reference's Java UDFs).
     """
     registered: list[str] = []
     failed: list[tuple[str, Exception]] = []
@@ -383,6 +500,10 @@ def register_all(spark: SparkSession, strict: bool = False) -> list[str]:
             # Older Spark without SQL UDFs: skip; python helpers in
             # drill_spark.ops still provide the functionality.
             failed.append((name, e))
+    try:
+        registered.extend(_register_geometry_udfs(spark))
+    except Exception as e:
+        failed.append(("geometry", e))
     if strict and failed:
         raise RuntimeError(f"compat functions failed to register: {failed}")
     return registered

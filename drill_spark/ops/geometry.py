@@ -1,0 +1,612 @@
+"""Planar geometry kernel for the general ST_* surface.
+
+The reference's GIS UDFs (contrib/udfs src .../udfs/gis/ST*.java) run
+on the ESRI geometry library; the subset here reimplements the
+standard planar semantics (OGC Simple Features / DE-9IM) for POINT,
+MULTIPOINT, LINESTRING and POLYGON (with holes), which covers every
+case the reference's TestGeometryFunctions exercises: WKT/WKB codecs,
+JSON/GeoJSON output, intersects / disjoint / touches / crosses /
+overlaps / equals / contains / within, DE-9IM ``relate`` with
+wildcard patterns, point buffers (n-gon circles), envelopes and
+coordinate extrema. General polygon boolean ops (union/difference of
+crossing polygons) and CRS transforms are documented out — they need
+a full clipping/projection engine (Sedona/ESRI territory); ``union``
+handles the containment/disjoint cases the tests use.
+
+Geometries travel between SQL calls as WKT strings (the reference
+passes opaque ESRI VARBINARY; text keeps it debuggable and engine-
+neutral). Functions are registered as vectorized pandas UDFs in
+functions.py — geometry predicates are genuinely per-row compute,
+the same shape as the reference's row-at-a-time Java UDFs, but
+Arrow-batched.
+"""
+
+from __future__ import annotations
+
+import math
+import struct
+
+_EPS = 1e-9
+
+
+# ------------------------------------------------------------- WKT
+
+
+def parse_wkt(wkt: str):
+    """WKT -> (type, coords). POINT (x, y); LINESTRING [pts];
+    POLYGON [rings]; MULTIPOINT [pts]; MULTIPOLYGON [[rings]]."""
+    if wkt is None:
+        return None
+    s = wkt.strip()
+    if not s or s.upper() in ("NULL", "EMPTY"):
+        return None
+    head = s.split("(", 1)[0].strip().upper()
+    body = s[s.find("("):] if "(" in s else ""
+
+    def nums(seg: str):
+        pts = []
+        for pair in seg.split(","):
+            parts = pair.split()
+            pts.append((float(parts[0]), float(parts[1])))
+        return pts
+
+    if head == "POINT":
+        return ("POINT", nums(body.strip("() "))[0])
+    if head == "MULTIPOINT":
+        seg = body.strip("() ").replace("(", "").replace(")", "")
+        return ("MULTIPOINT", nums(seg))
+    if head == "LINESTRING":
+        return ("LINESTRING", nums(body.strip("() ")))
+    if head in ("POLYGON", "MULTIPOLYGON"):
+        # ring splitting by parens depth
+        rings, depth, cur, polys = [], 0, "", []
+        for ch in body:
+            if ch == "(":
+                depth += 1
+                if depth == (2 if head == "POLYGON" else 3):
+                    cur = ""
+                continue
+            if ch == ")":
+                if depth == (2 if head == "POLYGON" else 3):
+                    rings.append(nums(cur))
+                if head == "MULTIPOLYGON" and depth == 2:
+                    polys.append(rings)
+                    rings = []
+                depth -= 1
+                continue
+            cur += ch
+        if head == "POLYGON":
+            return ("POLYGON", rings)
+        return ("MULTIPOLYGON", polys)
+    raise ValueError(f"unsupported WKT type {head!r}")
+
+
+def _fmt(v: float) -> str:
+    if v == int(v):
+        return str(int(v))
+    return repr(round(v, 10))
+
+
+def to_wkt(g) -> str:
+    t, c = g
+    if t == "POINT":
+        return f"POINT ({_fmt(c[0])} {_fmt(c[1])})"
+    if t == "MULTIPOINT":
+        return "MULTIPOINT (" + ", ".join(f"{_fmt(x)} {_fmt(y)}" for x, y in c) + ")"
+    if t == "LINESTRING":
+        return "LINESTRING (" + ", ".join(f"{_fmt(x)} {_fmt(y)}" for x, y in c) + ")"
+    if t == "POLYGON":
+        return "POLYGON (" + ", ".join(
+            "(" + ", ".join(f"{_fmt(x)} {_fmt(y)}" for x, y in ring) + ")" for ring in c
+        ) + ")"
+    if t == "MULTIPOLYGON":
+        return "MULTIPOLYGON (" + ", ".join(
+            "(" + ", ".join(
+                "(" + ", ".join(f"{_fmt(x)} {_fmt(y)}" for x, y in ring) + ")"
+                for ring in rings) + ")"
+            for rings in c) + ")"
+    raise ValueError(t)
+
+
+# ------------------------------------------------------------- WKB
+
+
+_WKB_TYPES = {"POINT": 1, "LINESTRING": 2, "POLYGON": 3,
+              "MULTIPOINT": 4, "MULTIPOLYGON": 6}
+_WKB_NAMES = {v: k for k, v in _WKB_TYPES.items()}
+
+
+def to_wkb(g) -> bytes:
+    t, c = g
+    out = b"\x01" + struct.pack("<I", _WKB_TYPES[t])
+    if t == "POINT":
+        return out + struct.pack("<dd", *c)
+    if t in ("LINESTRING", "MULTIPOINT"):
+        body = struct.pack("<I", len(c))
+        if t == "MULTIPOINT":
+            for p in c:
+                body += b"\x01" + struct.pack("<I", 1) + struct.pack("<dd", *p)
+        else:
+            for p in c:
+                body += struct.pack("<dd", *p)
+        return out + body
+    if t == "POLYGON":
+        body = struct.pack("<I", len(c))
+        for ring in c:
+            body += struct.pack("<I", len(ring))
+            for p in ring:
+                body += struct.pack("<dd", *p)
+        return out + body
+    if t == "MULTIPOLYGON":
+        body = struct.pack("<I", len(c))
+        for rings in c:
+            body += to_wkb(("POLYGON", rings))
+        return out + body
+    raise ValueError(t)
+
+
+def from_wkb(b: bytes):
+    def rd(pos):
+        little = b[pos] == 1
+        e = "<" if little else ">"
+        typ = struct.unpack_from(e + "I", b, pos + 1)[0] & 0xFF
+        pos += 5
+        name = _WKB_NAMES[typ]
+        if name == "POINT":
+            x, y = struct.unpack_from(e + "dd", b, pos)
+            return ("POINT", (x, y)), pos + 16
+        if name == "LINESTRING":
+            n = struct.unpack_from(e + "I", b, pos)[0]
+            pos += 4
+            pts = [struct.unpack_from(e + "dd", b, pos + 16 * i) for i in range(n)]
+            return ("LINESTRING", pts), pos + 16 * n
+        if name == "POLYGON":
+            n = struct.unpack_from(e + "I", b, pos)[0]
+            pos += 4
+            rings = []
+            for _ in range(n):
+                m = struct.unpack_from(e + "I", b, pos)[0]
+                pos += 4
+                rings.append([struct.unpack_from(e + "dd", b, pos + 16 * i) for i in range(m)])
+                pos += 16 * m
+            return ("POLYGON", rings), pos
+        if name in ("MULTIPOINT", "MULTIPOLYGON"):
+            n = struct.unpack_from(e + "I", b, pos)[0]
+            pos += 4
+            parts = []
+            for _ in range(n):
+                sub, pos = rd(pos)
+                parts.append(sub[1])
+            return (name, parts), pos
+        raise ValueError(name)
+
+    g, _ = rd(0)
+    return g
+
+
+# -------------------------------------------------------- primitives
+
+
+def _close(a, b) -> bool:
+    return abs(a[0] - b[0]) <= _EPS and abs(a[1] - b[1]) <= _EPS
+
+
+def _cross(o, a, b) -> float:
+    return (a[0] - o[0]) * (b[1] - o[1]) - (a[1] - o[1]) * (b[0] - o[0])
+
+
+def _on_segment(p, a, b) -> bool:
+    if abs(_cross(a, b, p)) > _EPS * (1 + abs(p[0]) + abs(p[1])):
+        return False
+    return (min(a[0], b[0]) - _EPS <= p[0] <= max(a[0], b[0]) + _EPS
+            and min(a[1], b[1]) - _EPS <= p[1] <= max(a[1], b[1]) + _EPS)
+
+
+def _seg_intersection(a, b, c, d):
+    """-> (dim, pts): dim -1 none, 0 point(s), 1 collinear overlap."""
+    d1 = _cross(c, d, a)
+    d2 = _cross(c, d, b)
+    d3 = _cross(a, b, c)
+    d4 = _cross(a, b, d)
+    if ((d1 > _EPS and d2 < -_EPS) or (d1 < -_EPS and d2 > _EPS)) and \
+       ((d3 > _EPS and d4 < -_EPS) or (d3 < -_EPS and d4 > _EPS)):
+        t = d1 / (d1 - d2)
+        return 0, [(a[0] + t * (b[0] - a[0]), a[1] + t * (b[1] - a[1]))]
+    pts = []
+    if abs(d1) <= _EPS and abs(d2) <= _EPS and abs(d3) <= _EPS and abs(d4) <= _EPS:
+        # collinear: project onto the major axis
+        axis = 0 if abs(b[0] - a[0]) >= abs(b[1] - a[1]) else 1
+        lo1, hi1 = sorted((a[axis], b[axis]))
+        lo2, hi2 = sorted((c[axis], d[axis]))
+        lo, hi = max(lo1, lo2), min(hi1, hi2)
+        if hi - lo > _EPS:
+            return 1, []
+        if abs(hi - lo) <= _EPS:
+            for p in (a, b):
+                if _on_segment(p, c, d):
+                    return 0, [p]
+            return -1, []
+        return -1, []
+    for p, (s1, s2) in ((a, (c, d)), (b, (c, d)), (c, (a, b)), (d, (a, b))):
+        if _on_segment(p, s1, s2):
+            pts.append(p)
+    if pts:
+        return 0, pts[:1]
+    return -1, []
+
+
+def _point_in_ring(p, ring) -> int:
+    """1 inside, 0 on boundary, -1 outside (even-odd)."""
+    inside = False
+    n = len(ring)
+    for i in range(n):
+        a, b = ring[i], ring[(i + 1) % n]
+        if _close(a, b):
+            continue
+        if _on_segment(p, a, b):
+            return 0
+        if (a[1] > p[1]) != (b[1] > p[1]):
+            xint = a[0] + (p[1] - a[1]) * (b[0] - a[0]) / (b[1] - a[1])
+            if xint > p[0]:
+                inside = not inside
+    return 1 if inside else -1
+
+
+def point_in_polygon(p, rings) -> int:
+    """1 interior, 0 boundary, -1 exterior — holes honored."""
+    loc = _point_in_ring(p, rings[0])
+    if loc <= 0:
+        return loc
+    for hole in rings[1:]:
+        h = _point_in_ring(p, hole)
+        if h == 0:
+            return 0
+        if h == 1:
+            return -1
+    return 1
+
+
+def _line_segments(pts):
+    return [(pts[i], pts[i + 1]) for i in range(len(pts) - 1)
+            if not _close(pts[i], pts[i + 1])]
+
+
+def _point_on_line(p, pts) -> int:
+    """1 interior, 0 boundary (endpoint), -1 off."""
+    closed = _close(pts[0], pts[-1])
+    if not closed and (_close(p, pts[0]) or _close(p, pts[-1])):
+        return 0
+    for a, b in _line_segments(pts):
+        if _on_segment(p, a, b):
+            return 1
+    return -1
+
+
+# ----------------------------------------------------------- DE-9IM
+
+
+def _matrix_point_point(a, b):
+    pa = [a[1]] if a[0] == "POINT" else list(a[1])
+    pb = [b[1]] if b[0] == "POINT" else list(b[1])
+    shared = any(_close(p, q) for p in pa for q in pb)
+    a_only = any(not any(_close(p, q) for q in pb) for p in pa)
+    b_only = any(not any(_close(p, q) for q in pa) for p in pb)
+    return [["0" if shared else "F", "F", "0" if a_only else "F"],
+            ["F", "F", "F"],
+            ["0" if b_only else "F", "F", "2"]]
+
+
+def _matrix_point_line(a, b):
+    locs = [_point_on_line(p, b[1]) for p in ([a[1]] if a[0] == "POINT" else a[1])]
+    ii = "0" if any(v == 1 for v in locs) else "F"
+    ib = "0" if any(v == 0 for v in locs) else "F"
+    ie = "0" if any(v == -1 for v in locs) else "F"
+    closed = _close(b[1][0], b[1][-1])
+    return [[ii, ib, ie], ["F", "F", "F"],
+            ["1", "F" if closed else "0", "2"]]
+
+
+def _matrix_point_polygon(a, b):
+    rings = b[1] if b[0] == "POLYGON" else None
+    pts = [a[1]] if a[0] == "POINT" else a[1]
+    if b[0] == "MULTIPOLYGON":
+        locs = []
+        for p in pts:
+            best = -1
+            for rr in b[1]:
+                v = point_in_polygon(p, rr)
+                best = max(best, v)
+            locs.append(best)
+    else:
+        locs = [point_in_polygon(p, rings) for p in pts]
+    ii = "0" if any(v == 1 for v in locs) else "F"
+    ib = "0" if any(v == 0 for v in locs) else "F"
+    ie = "0" if any(v == -1 for v in locs) else "F"
+    return [[ii, ib, ie], ["F", "F", "F"], ["2", "1", "2"]]
+
+
+def _line_points_sample(pts, n=8):
+    """Interior sample points along a linestring."""
+    out = []
+    for a, b in _line_segments(pts):
+        for k in range(1, n):
+            t = k / n
+            out.append((a[0] + t * (b[0] - a[0]), a[1] + t * (b[1] - a[1])))
+    return out
+
+
+def _matrix_line_line(a, b):
+    pa, pb = a[1], b[1]
+    ca, cb = _close(pa[0], pa[-1]), _close(pb[0], pb[-1])
+    bnd_a = [] if ca else [pa[0], pa[-1]]
+    bnd_b = [] if cb else [pb[0], pb[-1]]
+    ii_dim = -1
+    for s1 in _line_segments(pa):
+        for s2 in _line_segments(pb):
+            dim, _pts = _seg_intersection(s1[0], s1[1], s2[0], s2[1])
+            ii_dim = max(ii_dim, dim)
+    # refine: a 0-dim hit only at boundaries is not interior-interior
+    def cell(points_a, on_b_fn):
+        return any(on_b_fn(p) for p in points_a)
+
+    interior_hit = False
+    if ii_dim >= 0:
+        # check a genuine interior-interior contact
+        for p in _line_points_sample(pa) + [q for s in _line_segments(pa) for q in s]:
+            if any(_close(p, e) for e in bnd_a):
+                continue
+            if _point_on_line(p, pb) == 1:
+                interior_hit = True
+                break
+    ii = ("1" if ii_dim == 1 else "0") if interior_hit else "F"
+    ib = "0" if any(_point_on_line(e, pa) == 1 for e in bnd_b) else "F"
+    bi = "0" if any(_point_on_line(e, pb) == 1 for e in bnd_a) else "F"
+    bb = "0" if any(_close(e1, e2) for e1 in bnd_a for e2 in bnd_b) else "F"
+    # does a have interior outside b (and vice versa)?
+    ie = "1" if any(_point_on_line(p, pb) == -1 for p in _line_points_sample(pa)) else "F"
+    ei = "1" if any(_point_on_line(p, pa) == -1 for p in _line_points_sample(pb)) else "F"
+    be = "0" if any(_point_on_line(e, pb) == -1 for e in bnd_a) else "F"
+    eb = "0" if any(_point_on_line(e, pa) == -1 for e in bnd_b) else "F"
+    return [[ii, ib, ie], [bi, bb, be], [ei, eb, "2"]]
+
+
+def _poly_sample_interior(rings, n=12):
+    """A few interior points of a polygon (centroid + ring shrink)."""
+    outer = rings[0]
+    cx = sum(p[0] for p in outer) / len(outer)
+    cy = sum(p[1] for p in outer) / len(outer)
+    cands = [(cx, cy)]
+    for t in (0.9, 0.5, 0.1):
+        for p in outer[:n]:
+            cands.append((cx + t * (p[0] - cx), cy + t * (p[1] - cy)))
+    return [p for p in cands if point_in_polygon(p, rings) == 1]
+
+
+def _matrix_polygon_polygon(a, b):
+    ra = a[1] if a[0] == "POLYGON" else a[1][0]
+    rb = b[1] if b[0] == "POLYGON" else b[1][0]
+    locs_ab = [point_in_polygon(p, rb) for ring in ra for p in ring]
+    locs_ba = [point_in_polygon(p, ra) for ring in rb for p in ring]
+    edges_cross = False
+    touch = False
+    for ring_a in ra:
+        for s1 in _line_segments(ring_a + ring_a[:1]):
+            for ring_b in rb:
+                for s2 in _line_segments(ring_b + ring_b[:1]):
+                    dim, pts = _seg_intersection(s1[0], s1[1], s2[0], s2[1])
+                    if dim == 0 and pts:
+                        p = pts[0]
+                        # crossing (proper) vs touching
+                        if not (_on_segment(p, s1[0], s1[1]) and
+                                (_close(p, s1[0]) or _close(p, s1[1]) or
+                                 _close(p, s2[0]) or _close(p, s2[1]))):
+                            edges_cross = True
+                        else:
+                            touch = True
+                    elif dim == 1:
+                        touch = True
+    a_in_b = all(v >= 0 for v in locs_ab) and not edges_cross
+    b_in_a = all(v >= 0 for v in locs_ba) and not edges_cross
+    inter_nonempty = (edges_cross or any(v == 1 for v in locs_ab)
+                      or any(v == 1 for v in locs_ba) or a_in_b or b_in_a)
+    same = a_in_b and b_in_a
+    ii = "2" if inter_nonempty else "F"
+    ie = "F" if a_in_b else "2"
+    ei = "F" if b_in_a else "2"
+    ib = "1" if (edges_cross or (inter_nonempty and any(v == 0 for v in locs_ba))) and not a_in_b else (
+        "1" if same and touch else ("F" if a_in_b and not touch else ("1" if edges_cross else "F")))
+    bi = "1" if (edges_cross or (inter_nonempty and any(v == 0 for v in locs_ab))) and not b_in_a else (
+        "1" if same and touch else "F")
+    bb = "1" if (same or touch or edges_cross or any(v == 0 for v in locs_ab)
+                 or any(v == 0 for v in locs_ba)) else "F"
+    be = "F" if a_in_b else "1"
+    eb = "F" if b_in_a else "1"
+    return [[ii, ib, ie], [bi, bb, be], [ei, eb, "2"]]
+
+
+def _transpose(m):
+    return [[m[c][r] for c in range(3)] for r in range(3)]
+
+
+_DIMS = {"POINT": 0, "MULTIPOINT": 0, "LINESTRING": 1,
+         "POLYGON": 2, "MULTIPOLYGON": 2}
+
+
+def de9im(a, b):
+    """DE-9IM matrix (rows = parts of a, cols = parts of b)."""
+    ta, tb = _DIMS[a[0]], _DIMS[b[0]]
+    if ta == 0 and tb == 0:
+        return _matrix_point_point(a, b)
+    if ta == 0 and tb == 1:
+        return _matrix_point_line(a, b)
+    if ta == 1 and tb == 0:
+        return _transpose(_matrix_point_line(b, a))
+    if ta == 0 and tb == 2:
+        return _matrix_point_polygon(a, b)
+    if ta == 2 and tb == 0:
+        return _transpose(_matrix_point_polygon(b, a))
+    if ta == 1 and tb == 1:
+        return _matrix_line_line(a, b)
+    if ta == 2 and tb == 2:
+        return _matrix_polygon_polygon(a, b)
+    raise NotImplementedError(f"DE-9IM for {a[0]} vs {b[0]}")
+
+
+def relate(a, b, pattern: str) -> bool:
+    m = de9im(a, b)
+    flat = "".join("".join(row) for row in m)
+    for got, want in zip(flat, pattern.upper()):
+        if want == "*":
+            continue
+        if want == "T":
+            if got == "F":
+                return False
+        elif got != want:
+            return False
+    return True
+
+
+def intersects(a, b) -> bool:
+    m = de9im(a, b)
+    return any(m[r][c] != "F" for r in (0, 1) for c in (0, 1))
+
+
+def disjoint(a, b) -> bool:
+    return not intersects(a, b)
+
+
+def touches(a, b) -> bool:
+    m = de9im(a, b)
+    if m[0][0] != "F":
+        return False
+    return any(m[r][c] != "F" for r, c in ((0, 1), (1, 0), (1, 1)))
+
+
+def contains(a, b) -> bool:
+    m = de9im(a, b)
+    return m[0][0] != "F" and m[2][0] == "F" and m[2][1] == "F"
+
+
+def within(a, b) -> bool:
+    return contains(b, a)
+
+
+def equals(a, b) -> bool:
+    if _DIMS[a[0]] != _DIMS[b[0]]:
+        return False
+    if _DIMS[a[0]] == 1:
+        # topological equality for lines: same point set — every
+        # interior sample of each lies on the other and endpoints match
+        ea = [a[1][0], a[1][-1]]
+        eb = [b[1][0], b[1][-1]]
+        ends_match = all(any(_close(p, q) for q in eb) for p in ea)
+        return (ends_match
+                and all(_point_on_line(p, b[1]) >= 0 for p in _line_points_sample(a[1]))
+                and all(_point_on_line(p, a[1]) >= 0 for p in _line_points_sample(b[1])))
+    return contains(a, b) and contains(b, a)
+
+
+def crosses(a, b) -> bool:
+    m = de9im(a, b)
+    da, db = _DIMS[a[0]], _DIMS[b[0]]
+    if da == db == 1:
+        return m[0][0] == "0"
+    if da < db:
+        return m[0][0] != "F" and m[0][2] != "F"
+    if da > db:
+        return m[0][0] != "F" and m[2][0] != "F"
+    return False
+
+
+def overlaps(a, b) -> bool:
+    m = de9im(a, b)
+    da, db = _DIMS[a[0]], _DIMS[b[0]]
+    if da != db:
+        return False
+    if da == 1:
+        return m[0][0] == "1" and m[0][2] != "F" and m[2][0] != "F"
+    return m[0][0] != "F" and m[0][2] != "F" and m[2][0] != "F"
+
+
+# ----------------------------------------------------------- ops
+
+
+def buffer(g, dist: float, segments: int = 32):
+    """Point buffer -> n-gon circle (the reference's ESRI buffer is an
+    arc-refined circle; a 32-gon matches all boolean semantics)."""
+    if g[0] != "POINT":
+        raise NotImplementedError("buffer of non-point geometry")
+    x, y = g[1]
+    ring = [
+        (x + dist * math.cos(2 * math.pi * i / segments),
+         y + dist * math.sin(2 * math.pi * i / segments))
+        for i in range(segments)
+    ]
+    ring.append(ring[0])
+    return ("POLYGON", [ring])
+
+
+def union(a, b):
+    """Containment / disjoint union cases (general polygon clipping is
+    documented out)."""
+    if contains(a, b):
+        return a
+    if contains(b, a):
+        return b
+    if disjoint(a, b):
+        if a[0] == "POLYGON" and b[0] == "POLYGON":
+            return ("MULTIPOLYGON", [a[1], b[1]])
+        if a[0] == "POINT" and b[0] == "POINT":
+            return ("MULTIPOINT", [a[1], b[1]])
+    raise NotImplementedError("union of overlapping geometries needs a clipping engine")
+
+
+def envelope(g):
+    xs, ys = zip(*_all_points(g))
+    x0, x1, y0, y1 = min(xs), max(xs), min(ys), max(ys)
+    return ("POLYGON", [[(x0, y0), (x1, y0), (x1, y1), (x0, y1), (x0, y0)]])
+
+
+def _all_points(g):
+    t, c = g
+    if t == "POINT":
+        return [c]
+    if t in ("MULTIPOINT", "LINESTRING"):
+        return list(c)
+    if t == "POLYGON":
+        return [p for ring in c for p in ring]
+    if t == "MULTIPOLYGON":
+        return [p for rings in c for ring in rings for p in ring]
+    raise ValueError(t)
+
+
+def extrema(g):
+    xs, ys = zip(*_all_points(g))
+    return min(xs), max(xs), min(ys), max(ys)
+
+
+def as_json(g, wkid: int = 4326) -> str:
+    """ESRI JSON, the reference's ST_AsJson output shape."""
+    if g[0] != "POINT":
+        raise NotImplementedError("ST_AsJson beyond points")
+    x, y = g[1]
+    return (f'{{"x":{_fmt(x)},"y":{_fmt(y)},'
+            f'"spatialReference":{{"wkid":{wkid}}}}}')
+
+
+def as_geojson(g, srid: int = 4326) -> str:
+    """GeoJSON with the legacy crs member, the reference's output."""
+    t, c = g
+    crs = (f',"crs":{{"type":"name","properties":{{"name":"EPSG:{srid}"}}}}')
+    if t == "POINT":
+        coords = f"[{_fmt(c[0])},{_fmt(c[1])}]"
+    elif t == "LINESTRING":
+        coords = "[" + ",".join(f"[{_fmt(x)},{_fmt(y)}]" for x, y in c) + "]"
+    elif t == "POLYGON":
+        coords = "[" + ",".join(
+            "[" + ",".join(f"[{_fmt(x)},{_fmt(y)}]" for x, y in ring) + "]"
+            for ring in c) + "]"
+    else:
+        raise NotImplementedError(f"GeoJSON for {t}")
+    name = {"POINT": "Point", "LINESTRING": "LineString", "POLYGON": "Polygon"}[t]
+    return f'{{"type":"{name}","coordinates":{coords}{crs}}}'

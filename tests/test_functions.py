@@ -22,7 +22,7 @@ from drill_spark import functions as dfn
 @pytest.fixture(scope="module", autouse=True)
 def _registered(spark):
     registered = dfn.register_all(spark, strict=True)
-    assert set(registered) == set(dfn._SQL_UDFS)
+    assert set(registered) >= set(dfn._SQL_UDFS)  # + pandas-UDF geometry surface
     return registered
 
 
