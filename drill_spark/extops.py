@@ -292,6 +292,106 @@ def q_text_stats(spark, sf_dir):
     )
 
 
+def q_text_tokens_bpe(spark, sf_dir):
+    """BPE-style pretokenization count (the token-budget accounting a
+    training pipeline runs before the actual tokenizer): runs of
+    letters / digits / non-alphanumeric symbols, whitespace dropped —
+    pure Catalyst regexp_extract_all, identical semantics in the
+    DuckDB oracle."""
+    pat = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+"
+    return (
+        _docs(spark, sf_dir)
+        .select(
+            "doc_id",
+            F.size(F.regexp_extract_all(F.col("text"), F.lit(pat), F.lit(0))).alias("n_pretokens"),
+            F.octet_length(F.col("text")).alias("n_bytes"),
+        )
+        .withColumn(
+            "bytes_per_token",
+            F.round(F.col("n_bytes") / F.greatest(F.col("n_pretokens"), F.lit(1)), 4),
+        )
+    )
+
+
+ORACLE_TEXT_TOKENS_BPE = r"""
+select doc_id,
+       cast(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+')) as int) as n_pretokens,
+       cast(strlen(text) as bigint) as n_bytes,
+       round(strlen(text) / greatest(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+')), 1), 4) as bytes_per_token
+from documents
+"""
+
+
+def q_dedup_ngram(spark, sf_dir):
+    """Character-3-gram Jaccard near-dup pairs (order-sensitive where
+    word-set Jaccard is not — catches shuffled-word near-dupes): the
+    shingle sets build via a sequence/transform HOF (no Python), the
+    pair scores via a shingle-key equi-join — never an all-pairs cross
+    product, the same scale shape as the word-level kernel."""
+    docs = (
+        _docs(spark, sf_dir)
+        .where(F.col("doc_id") < 60)
+        .select("doc_id", F.trim(F.lower(F.col("text"))).alias("t"))
+    )
+    grams = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(
+                    F.transform(
+                        F.sequence(F.lit(1), F.greatest(F.length("t") - 2, F.lit(0))),
+                        lambda i: F.col("t").substr(i, F.lit(3)),
+                    )
+                )
+            ).alias("g"),
+        )
+        .where(F.length("g") == 3)
+    )
+    sizes = grams.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a = grams.alias("a")
+    b = grams.alias("b")
+    inter = (
+        a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .agg(F.count("*").alias("i"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    return (
+        inter.join(sa, F.col("id_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("id_b") == F.col("sb.doc_id"))
+        .select(
+            "id_a", "id_b",
+            F.round(F.col("i") / (F.col("sa.sz") + F.col("sb.sz") - F.col("i")), 4).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= 0.6)
+    )
+
+
+ORACLE_DEDUP_NGRAM = r"""
+with g as (
+  select distinct doc_id, g
+  from (
+    select doc_id,
+           unnest(list_transform(range(1, greatest(len(t) - 2, 0) + 1), i -> substr(t, i, 3))) as g
+    from (select doc_id, trim(lower(text)) as t from documents where doc_id < 60)
+  )
+  where len(g) = 3
+),
+sizes as (select doc_id, count(*) as sz from g group by 1),
+inter as (
+  select a.doc_id id_a, b.doc_id id_b, count(*) i
+  from g a join g b on a.g = b.g and a.doc_id < b.doc_id
+  group by 1, 2
+)
+select id_a, id_b, round(i * 1.0 / (sa.sz + sb.sz - i), 4) as jaccard
+from inter
+join sizes sa on sa.doc_id = id_a
+join sizes sb on sb.doc_id = id_b
+where round(i * 1.0 / (sa.sz + sb.sz - i), 4) >= 0.6
+"""
+
+
 ORACLE_TEXT_STATS = r"""
 with t as (
   select lang,
@@ -1106,6 +1206,8 @@ QUERIES = {
     "ext_ann_lsh": q_ann_lsh,
     "ext_ann_ivf": q_ann_ivf,
     "ext_text_stats": q_text_stats,
+    "ext_text_tokens_bpe": q_text_tokens_bpe,
+    "ext_dedup_ngram": q_dedup_ngram,
     "ext_text_token_freq": q_text_token_freq,
     "ext_text_topk_approx": q_text_topk_approx,
     "ext_sample_hash": q_sample_hash,
@@ -1141,6 +1243,8 @@ ORACLES = {
     "ext_embed_topk": ORACLE_EMBED_TOPK,
     "ext_embed_dedup": ORACLE_EMBED_DEDUP,
     "ext_text_stats": ORACLE_TEXT_STATS,
+    "ext_text_tokens_bpe": ORACLE_TEXT_TOKENS_BPE,
+    "ext_dedup_ngram": ORACLE_DEDUP_NGRAM,
     "ext_text_token_freq": ORACLE_TOKEN_FREQ,
     "ext_sample_hash": ORACLE_SAMPLE_HASH,
     "ext_text_histogram": ORACLE_TEXT_HISTOGRAM,
