@@ -808,6 +808,30 @@ select n_name, n_nationkey, n_regionkey from nation
 """
 
 
+def q_paimon_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paimon table-format scan (contrib/format-paimon reads through
+    paimon-java; here the published snapshot/manifest layout is walked
+    natively, readers/paimon.py): the region+nation join fixture is
+    written once per sf_dir as a two-snapshot append table (initial
+    write + append), then read back through snapshot/manifest replay."""
+    from drill_spark.readers.paimon import read_paimon, write_paimon
+
+    def build(d: str) -> None:
+        nat = load_fixture(spark, sf_dir, "nation").select(
+            "n_nationkey", "n_name", "n_regionkey"
+        )
+        write_paimon(nat.where(F.col("n_nationkey") < 12), d)
+        write_paimon(nat.where(F.col("n_nationkey") >= 12), d, mode="append")
+
+    out_dir = _materialize_once(sf_dir, "paimon", build)
+    return read_paimon(spark, out_dir)
+
+
+ORACLE_PAIMON_SCAN = """
+select n_nationkey, n_name, n_regionkey from nation
+"""
+
+
 def q_multimodal_decode(spark, sf_dir):
     """REAL media decode, oracle-checked end to end: each nation row
     becomes a genuine 24-bit BMP (even keys; constant pixel value
@@ -1186,6 +1210,7 @@ QUERIES = {
     "op_delta_scan": q_delta_scan,
     "op_delta_dv_scan": q_delta_dv_scan,
     "op_pdf_scan": q_pdf_scan,
+    "op_paimon_scan": q_paimon_scan,
     "op_iceberg_scan": q_iceberg_scan,
     "op_iceberg_v2_scan": q_iceberg_v2_scan,
     "op_shp_scan": q_shp_scan,
@@ -1229,6 +1254,7 @@ ORACLES = {
     "op_delta_scan": ORACLE_DELTA_SCAN,
     "op_delta_dv_scan": ORACLE_DELTA_DV_SCAN,
     "op_pdf_scan": ORACLE_PDF_SCAN,
+    "op_paimon_scan": ORACLE_PAIMON_SCAN,
     "op_iceberg_scan": ORACLE_ICEBERG_SCAN,
     "op_iceberg_v2_scan": ORACLE_ICEBERG_V2_SCAN,
     "op_shp_scan": ORACLE_SHP_SCAN,

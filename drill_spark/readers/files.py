@@ -95,6 +95,10 @@ def read_auto(
         from drill_spark.readers.iceberg import read_iceberg
 
         return read_iceberg(spark, path, options)
+    if fmt == "paimon":
+        from drill_spark.readers.paimon import read_paimon
+
+        return read_paimon(spark, path, options)
     if fmt in ("shp", "esri", "shapefile"):
         from drill_spark.readers.esri import read_shp
 
@@ -143,7 +147,6 @@ def read_auto(
         # contrib/format-iceberg, contrib/format-deltalake): name the
         # missing package instead of failing obscurely (excel-style gate)
         connector = {
-            "paimon": "org.apache.paimon:paimon-spark",
             "daffodil": "org.apache.daffodil:daffodil-runtime (DFDL schema-driven parsing)",
         }.get(fmt)
         msg = str(e)

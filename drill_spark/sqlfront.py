@@ -174,6 +174,11 @@ def _infer_format(path: str, default: str, _depth: int = 3) -> str:
         # IcebergFormatMatcher.java detect directories, not suffixes)
         if "_delta_log" in entries:
             return "delta"
+        if "snapshot" in entries and any(
+            f.startswith("snapshot-") or f == "LATEST"
+            for f in os.listdir(os.path.join(path, "snapshot"))
+        ):
+            return "paimon"
         if "metadata" in entries and any(
             f.endswith(".metadata.json")
             for f in os.listdir(os.path.join(path, "metadata"))

@@ -93,19 +93,18 @@ def test_bad_magic_raises():
 
 
 def test_table_format_gates(spark, tmp_path):
-    """paimon (no native reader here) gates with the connector package
-    named when the jar is absent; iceberg/delta now read natively
-    (readers/delta.py, readers/iceberg.py) and identify a non-table
-    directory crisply."""
+    """daffodil (DFDL runtime) gates with the connector named when the
+    jar is absent; delta/iceberg/paimon read natively and identify a
+    non-table directory crisply."""
     from drill_spark.readers.files import read_auto
 
     try:
-        read_auto(spark, str(tmp_path), "paimon")
+        read_auto(spark, str(tmp_path), "daffodil")
     except NotImplementedError as e:
-        assert "paimon" in str(e) and "spark.jars.packages" in str(e)
+        assert "daffodil" in str(e)
     except Exception:
-        pytest.fail("paimon gate raised the wrong error type")
+        pytest.fail("daffodil gate raised the wrong error type")
 
-    for fmt in ("iceberg", "delta"):
-        with pytest.raises(FileNotFoundError, match="not a"):
+    for fmt, msg in (("iceberg", "not a"), ("delta", "not a"), ("paimon", "not a")):
+        with pytest.raises(FileNotFoundError, match=msg):
             read_auto(spark, str(tmp_path), fmt)
