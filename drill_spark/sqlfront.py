@@ -381,7 +381,7 @@ def _drill_cols_to_spark_ddl(cols: str) -> str:
 
 def _write_custom(df: DataFrame, path: str, fmt: str, part_cols: list[str], mode: str) -> None:
     """CTAS into a format backed by our native writers (avro OCF,
-    delta transaction log, iceberg metadata tree)."""
+    delta transaction log, iceberg metadata tree, paimon snapshots)."""
     import shutil
 
     if os.path.exists(path):
@@ -398,6 +398,12 @@ def _write_custom(df: DataFrame, path: str, fmt: str, part_cols: list[str], mode
         from drill_spark.readers.delta import write_delta
 
         write_delta(df, path, partition_by=part_cols or None)
+    elif fmt == "paimon":
+        from drill_spark.readers.paimon import write_paimon
+
+        if part_cols:
+            raise NotImplementedError("PARTITION BY is not supported for paimon CTAS")
+        write_paimon(df, path)
     else:
         from drill_spark.readers.iceberg import write_iceberg
 
@@ -468,7 +474,7 @@ def execute(session, query: str) -> DataFrame:
         df = spark.sql(rewrite(session, select))
         mode = "overwrite" if re.match(r"\s*CREATE\s+OR\s+REPLACE", query, re.IGNORECASE) else "errorifexists"
         cols = [c.strip().strip("`") for c in (part_cols or "").split(",") if c.strip()]
-        if fmt in ("avro", "delta", "deltalake", "iceberg"):
+        if fmt in ("avro", "delta", "deltalake", "iceberg", "paimon"):
             # formats written by our native writers, not a JVM datasource
             _write_custom(df, path, fmt, cols, mode)
         else:
