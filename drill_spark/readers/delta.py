@@ -142,31 +142,52 @@ def load_snapshot(spark: SparkSession, path: str,
 
     ckpt_file = os.path.join(log_dir, "_last_checkpoint")
     if os.path.exists(ckpt_file) and version_as_of is None:
+        import glob as _glob
+
         with open(ckpt_file) as f:
             last = json.load(f)
         v = last["version"]
         parts = last.get("parts")
         if parts:
             names = [
-                f"{v:020d}.checkpoint.{i + 1:010d}.{parts:010d}.parquet"
+                os.path.join(log_dir, f"{v:020d}.checkpoint.{i + 1:010d}.{parts:010d}.parquet")
                 for i in range(parts)
             ]
         else:
-            names = [f"{v:020d}.checkpoint.parquet"]
+            classic = os.path.join(log_dir, f"{v:020d}.checkpoint.parquet")
+            if os.path.exists(classic):
+                names = [classic]
+            else:
+                # v2 checkpoint: UUID-named (<v>.checkpoint.<uuid>.parquet)
+                names = sorted(_glob.glob(
+                    os.path.join(_glob.escape(log_dir), f"{v:020d}.checkpoint.*.parquet")
+                ))
+                if not names:
+                    raise FileNotFoundError(f"checkpoint for version {v} missing")
         # checkpoint can be wide/large — read it through Spark, collect
-        # only the add/remove/meta columns we reconcile
-        ck = spark.read.parquet(*[os.path.join(log_dir, n) for n in names])
-        cols = [c for c in ("add", "remove", "metaData", "protocol") if c in ck.columns]
-        for row in ck.select(*cols).toLocalIterator():
-            d = row.asDict(recursive=True)
-            if d.get("add"):
-                apply_add(d["add"])
-            elif d.get("remove"):
-                apply_remove(d["remove"])
-            elif d.get("metaData") and d["metaData"].get("schemaString"):
-                meta = d["metaData"]
-            elif d.get("protocol") and d["protocol"].get("minReaderVersion") is not None:
-                proto = d["protocol"]
+        # only the action columns we reconcile; v2 checkpoints push the
+        # add/remove actions into sidecar files referenced by `sidecar`
+        # actions, read the same way
+        queue = list(names)
+        while queue:
+            batch, queue = queue, []
+            ck = spark.read.parquet(*batch)
+            cols = [c for c in ("add", "remove", "metaData", "protocol", "sidecar")
+                    if c in ck.columns]
+            for row in ck.select(*cols).toLocalIterator():
+                d = row.asDict(recursive=True)
+                if d.get("add"):
+                    apply_add(d["add"])
+                elif d.get("remove"):
+                    apply_remove(d["remove"])
+                elif d.get("metaData") and d["metaData"].get("schemaString"):
+                    meta = d["metaData"]
+                elif d.get("protocol") and d["protocol"].get("minReaderVersion") is not None:
+                    proto = d["protocol"]
+                elif d.get("sidecar") and d["sidecar"].get("path"):
+                    sp = d["sidecar"]["path"]
+                    queue.append(sp if os.path.isabs(sp)
+                                 else os.path.join(log_dir, "_sidecars", sp))
         start_version = v + 1
 
     replayed = start_version - 1

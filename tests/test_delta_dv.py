@@ -244,3 +244,54 @@ def test_column_mapping_partitioned(spark, tmp_path):
     got = read_delta(spark, str(tbl))
     assert got.columns == ["v", "region"]
     assert _rows(got) == [(1, "emea"), (2, "emea")]
+
+
+def test_v2_checkpoint_with_sidecars(spark, tmp_path):
+    """V2 checkpoint layout: a UUID-named checkpoint parquet whose
+    add actions live in _sidecars files referenced by sidecar actions
+    (hand-written per the protocol's V2 Checkpoint spec)."""
+    import uuid as _uuid
+
+    tbl = tmp_path / "v2ck"
+    log = tbl / "_delta_log"
+    side = log / "_sidecars"
+    side.mkdir(parents=True)
+    spark.range(4).coalesce(1).write.parquet(str(tbl / "d1"))
+    spark.range(4, 9).coalesce(1).write.parquet(str(tbl / "d2"))
+    f1 = next("d1/" + f for f in os.listdir(tbl / "d1") if f.endswith(".parquet"))
+    f2 = next("d2/" + f for f in os.listdir(tbl / "d2") if f.endswith(".parquet"))
+    schema = spark.range(1).schema.json()
+
+    add_schema = ("add struct<path:string,partitionValues:map<string,string>,"
+                  "size:long,modificationTime:long,dataChange:boolean>")
+    sc_name = f"{_uuid.uuid4()}.parquet"
+    rows = [{"add": {"path": p, "partitionValues": {}, "size": 1,
+                     "modificationTime": 0, "dataChange": True}} for p in (f1, f2)]
+    spark.createDataFrame(rows, add_schema).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "scraw"))
+    part = next(f for f in os.listdir(tmp_path / "scraw") if f.endswith(".parquet"))
+    os.rename(tmp_path / "scraw" / part, side / sc_name)
+
+    ck_schema = ("metaData struct<id:string,format:struct<provider:string,"
+                 "options:map<string,string>>,schemaString:string,"
+                 "partitionColumns:array<string>>,"
+                 "protocol struct<minReaderVersion:int,minWriterVersion:int,"
+                 "readerFeatures:array<string>,writerFeatures:array<string>>,"
+                 "sidecar struct<path:string,sizeInBytes:long>")
+    ck_rows = [
+        {"metaData": {"id": "x", "format": {"provider": "parquet", "options": {}},
+                      "schemaString": schema, "partitionColumns": []}},
+        {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                      "readerFeatures": ["v2Checkpoint"],
+                      "writerFeatures": ["v2Checkpoint"]}},
+        {"sidecar": {"path": sc_name, "sizeInBytes": 1}},
+    ]
+    spark.createDataFrame(ck_rows, ck_schema).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "ckraw"))
+    part = next(f for f in os.listdir(tmp_path / "ckraw") if f.endswith(".parquet"))
+    os.rename(tmp_path / "ckraw" / part, log / f"{1:020d}.checkpoint.{_uuid.uuid4()}.parquet")
+    with open(log / "_last_checkpoint", "w") as f:
+        json.dump({"version": 1, "size": 3}, f)
+
+    got = read_delta(spark, str(tbl))
+    assert sorted(r[0] for r in got.collect()) == list(range(9))
