@@ -483,7 +483,8 @@ def delete_where(spark: SparkSession, path: str, condition: str) -> int:
     the committing writer; a DELETE large enough to strain the driver
     should rewrite files instead (copy-on-write). Returns the number of
     newly deleted rows. Single writer per table, like write_delta.
-    Conditions may reference data columns (not partition columns)."""
+    Conditions may reference data AND partition columns (partition
+    values re-attach via a broadcast path map before the filter)."""
     import time
 
     from drill_spark.readers.delta_dv import read_descriptor, write_dv_file
@@ -495,12 +496,13 @@ def delete_where(spark: SparkSession, path: str, condition: str) -> int:
         [T.StructField(f.name, _clean_type(f.dataType), f.nullable)
          for f in snap.schema.fields if f.name not in snap.partition_columns]
     )
+    by_type = {f.name: _clean_type(f.dataType) for f in snap.schema.fields}
 
     def abs_path(p: str) -> str:
         return p if os.path.isabs(p) else os.path.join(path, p)
 
     rel_of = {abs_path(p): p for p in snap.files}
-    hits = (
+    df = (
         spark.read.schema(data_schema)
         .parquet(*rel_of)
         .select(
@@ -508,7 +510,22 @@ def delete_where(spark: SparkSession, path: str, condition: str) -> int:
             _norm_uri(F.col("_metadata.file_path")).alias("__fp"),
             F.col("_metadata.row_index").alias("__ri"),
         )
-        .where(condition)
+    )
+    if snap.partition_columns:
+        pv_rows = [
+            {"__fp": abs_path(p),
+             **{f"__pv_{c}": (e.get("pv") or {}).get(c) for c in snap.partition_columns}}
+            for p, e in snap.files.items()
+        ]
+        pv_schema = T.StructType(
+            [T.StructField("__fp", T.StringType())]
+            + [T.StructField(f"__pv_{c}", T.StringType()) for c in snap.partition_columns]
+        )
+        df = df.join(F.broadcast(spark.createDataFrame(pv_rows, pv_schema)), "__fp")
+        for c in snap.partition_columns:
+            df = df.withColumn(c, F.col(f"__pv_{c}").cast(by_type[c])).drop(f"__pv_{c}")
+    hits = (
+        df.where(condition)
         .groupBy("__fp")
         .agg(F.collect_list("__ri").alias("rows"))
         .collect()

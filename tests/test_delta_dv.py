@@ -295,3 +295,18 @@ def test_v2_checkpoint_with_sidecars(spark, tmp_path):
 
     got = read_delta(spark, str(tbl))
     assert sorted(r[0] for r in got.collect()) == list(range(9))
+
+
+def test_delete_where_partition_predicate(spark, tmp_path):
+    """DELETE conditions may reference partition columns (values
+    re-attached via the broadcast path map before the filter)."""
+    tbl = str(tmp_path / "pp")
+    write_delta(
+        spark.range(30).select("id", (F.col("id") % 3).alias("part")),
+        tbl,
+        partition_by=["part"],
+    )
+    assert delete_where(spark, tbl, "part = 1 and id < 20") == 7
+    got = read_delta(spark, tbl)
+    assert got.count() == 23
+    assert got.where("part = 1").count() == 3  # ids 22, 25, 28
