@@ -310,3 +310,31 @@ def test_delete_where_partition_predicate(spark, tmp_path):
     got = read_delta(spark, tbl)
     assert got.count() == 23
     assert got.where("part = 1").count() == 3  # ids 22, 25, 28
+
+
+def test_bitmap_array_roundtrip_property():
+    """Property: any 64-bit index set survives the RoaringBitmapArray
+    codec (array, bitset and multi-group paths hit by construction)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    idx = st.sets(st.integers(min_value=0, max_value=(1 << 40) - 1), max_size=300)
+
+    @settings(max_examples=60, deadline=None)
+    @given(idx)
+    def check(values):
+        assert deserialize_bitmap_array(serialize_bitmap_array(values)) == sorted(values)
+
+    check()
+
+
+def test_z85_roundtrip_property():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.binary(max_size=64).filter(lambda b: len(b) % 4 == 0))
+    def check(data):
+        assert z85_decode(z85_encode(data)) == data
+
+    check()

@@ -121,3 +121,25 @@ def test_sql_geometry_functions(session):
     assert q("select st_xmax('LINESTRING (0 0, 5 7)') t").collect()[0].t == 5.0
     wkb = q("select st_geomfromwkb(st_asbinary('POLYGON ((0 0, 4 0, 4 4, 0 0))')) t").collect()[0].t
     assert wkb == "POLYGON ((0 0, 4 0, 4 4, 0 0))"
+
+
+def test_wkb_roundtrip_property():
+    """Property: WKB encode/decode is lossless for arbitrary polygons
+    and linestrings (finite coordinates)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    coord = st.floats(min_value=-1e6, max_value=1e6, allow_nan=False).map(
+        lambda v: round(v, 6))
+    pts = st.lists(st.tuples(coord, coord), min_size=2, max_size=12)
+
+    @settings(max_examples=60, deadline=None)
+    @given(pts)
+    def check(p):
+        line = ("LINESTRING", p)
+        assert geo.from_wkb(geo.to_wkb(line)) == line
+        ring = p + [p[0]]
+        poly = ("POLYGON", [ring])
+        assert geo.from_wkb(geo.to_wkb(poly)) == poly
+
+    check()
