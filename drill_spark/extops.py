@@ -832,6 +832,46 @@ select n_nationkey, n_name, n_regionkey from nation
 """
 
 
+def q_msaccess_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MS Access format scan (contrib/format-access reads Jet through
+    Jackcess; here the publicly documented Jet layout is decoded
+    natively, readers/msaccess.py — independently validated against
+    the reference's six fixture vintages): the supplier fixture is
+    written once per sf_dir as a Jet4 database by the spec-built
+    fixture writer, then read back through the catalog walk + row
+    cracker to match the parquet-derived oracle."""
+    from drill_spark.readers.msaccess import read_access, write_access_table
+
+    def build(d: str) -> None:
+        os.makedirs(d, exist_ok=True)
+        rows = [
+            [int(r["s_suppkey"]), r["s_name"], float(r["s_acctbal"])]
+            for r in sorted(
+                load_fixture(spark, sf_dir, "supplier").collect(),
+                key=lambda r: r["s_suppkey"],
+            )
+        ]
+        write_access_table(
+            os.path.join(d, "supplier.mdb"),
+            "supplier",
+            [("s_suppkey", "int"), ("s_name", "text"), ("s_acctbal", "double")],
+            rows,
+        )
+
+    out_dir = _materialize_once(sf_dir, "msaccess", build)
+    df = read_access(spark, os.path.join(out_dir, "supplier.mdb"), table_name="supplier")
+    return df.select(
+        F.col("s_suppkey").cast("bigint"),
+        "s_name",
+        F.round(F.col("s_acctbal"), 2).alias("s_acctbal"),
+    )
+
+
+ORACLE_MSACCESS_SCAN = """
+select s_suppkey, s_name, round(s_acctbal, 2) as s_acctbal from supplier
+"""
+
+
 def q_multimodal_decode(spark, sf_dir):
     """REAL media decode, oracle-checked end to end: each nation row
     becomes a genuine 24-bit BMP (even keys; constant pixel value
@@ -1211,6 +1251,7 @@ QUERIES = {
     "op_delta_dv_scan": q_delta_dv_scan,
     "op_pdf_scan": q_pdf_scan,
     "op_paimon_scan": q_paimon_scan,
+    "op_msaccess_scan": q_msaccess_scan,
     "op_iceberg_scan": q_iceberg_scan,
     "op_iceberg_v2_scan": q_iceberg_v2_scan,
     "op_shp_scan": q_shp_scan,
@@ -1255,6 +1296,7 @@ ORACLES = {
     "op_delta_dv_scan": ORACLE_DELTA_DV_SCAN,
     "op_pdf_scan": ORACLE_PDF_SCAN,
     "op_paimon_scan": ORACLE_PAIMON_SCAN,
+    "op_msaccess_scan": ORACLE_MSACCESS_SCAN,
     "op_iceberg_scan": ORACLE_ICEBERG_SCAN,
     "op_iceberg_v2_scan": ORACLE_ICEBERG_V2_SCAN,
     "op_shp_scan": ORACLE_SHP_SCAN,

@@ -542,3 +542,165 @@ def list_access_tables(data: bytes) -> list[dict]:
             "columns": [c["name"] for c in td["cols"]],
         })
     return out
+
+
+def write_access_table(path: str, table_name: str,
+                       columns: "list[tuple[str, str]]",
+                       rows: "list[list]") -> None:
+    """Minimal Jet4 writer for tests/fixtures (the scan-path oracle
+    pattern of the avro/delta/pdf writers): one user table of INT32
+    ("int"), DOUBLE ("double") and TEXT ("text") columns. Emits the
+    structures OUR reader walks — page-0 magic/version, the
+    MSysObjects catalog TDEF at page 2 with one catalog data page, the
+    user TDEF and packed data pages; allocation maps and the RC4-ed
+    page-0 parameter block are zeroed (reader-irrelevant), so this is
+    a fixture writer, not a general Jet producer. The READ path is
+    independently validated against the reference's six real fixture
+    databases."""
+    PS = 4096
+    JTYPES = {"int": (0x04, 4), "double": (0x07, 8), "text": (0x0A, 0)}
+
+    def tdef_page(next_pg, num_rows, cols):
+        # cols: list of dicts {name, type, fixed, off_f, off_v, len}
+        b = bytearray()
+        b += bytes([0x02, 0x01]) + b"\x00\x00"
+        b += struct.pack("<I", next_pg)
+        raw = bytearray(b"\x00" * 55)
+        struct.pack_into("<I", raw, 8, num_rows)
+        n_var = sum(1 for c in cols if not c["fixed"])
+        struct.pack_into("<H", raw, 35, n_var)
+        struct.pack_into("<H", raw, 37, len(cols))
+        struct.pack_into("<I", raw, 39, 0)
+        struct.pack_into("<I", raw, 43, 0)
+        for i, c in enumerate(cols):
+            cd = bytearray(25)
+            cd[0] = c["jtype"]
+            struct.pack_into("<H", cd, 5, i)
+            struct.pack_into("<H", cd, 7, c.get("off_v", 0))
+            cd[15] = 0x01 if c["fixed"] else 0x00
+            struct.pack_into("<H", cd, 21, c.get("off_f", 0))
+            struct.pack_into("<H", cd, 23, c["len"])
+            raw += cd
+        for c in cols:
+            nb = c["name"].encode("utf-16-le")
+            raw += struct.pack("<H", len(nb)) + nb
+        b += raw
+        b += b"\x00" * (PS - len(b))
+        return bytes(b[:PS])
+
+    def make_cols(spec):
+        cols = []
+        off_f = 0
+        off_v = 0
+        for name, t in spec:
+            jt, width = JTYPES[t]
+            fixed = t != "text"
+            c = {"name": name, "jtype": jt, "fixed": fixed,
+                 "len": width if fixed else 510}
+            if fixed:
+                c["off_f"] = off_f
+                off_f += width
+            else:
+                c["off_v"] = off_v
+                off_v += 1
+            cols.append(c)
+        return cols
+
+    def encode_row(cols, values):
+        ncols = len(cols)
+        fixed_w = sum(c["len"] for c in cols if c["fixed"])
+        n_var = sum(1 for c in cols if not c["fixed"])
+        body = bytearray(struct.pack("<H", ncols))
+        fixed = bytearray(fixed_w)
+        null_bits = 0
+        for i, (c, v) in enumerate(zip(cols, values)):
+            if v is not None:
+                null_bits |= 1 << i
+            if c["fixed"]:
+                if v is None:
+                    continue
+                if c["jtype"] == 0x04:
+                    struct.pack_into("<i", fixed, c["off_f"], int(v))
+                elif c["jtype"] == 0x07:
+                    struct.pack_into("<d", fixed, c["off_f"], float(v))
+                elif c["jtype"] == 0x08:
+                    days = (v - _EPOCH).total_seconds() / 86400.0
+                    struct.pack_into("<d", fixed, c["off_f"], days)
+                elif c["jtype"] == 0x03:
+                    struct.pack_into("<h", fixed, c["off_f"], int(v))
+        body += fixed
+        var_offs = []
+        for c, v in zip(cols, values):
+            if c["fixed"]:
+                continue
+            var_offs.append(len(body))
+            if v is not None:
+                body += str(v).encode("utf-16-le")
+        var_offs.append(len(body))
+        # trailing tables, written back-to-front per the reader's walk
+        for off in var_offs:           # var_offs[0] ends nearest tab_end
+            pass
+        tail = bytearray()
+        for off in reversed(var_offs):
+            tail += struct.pack("<H", off)
+        tail += struct.pack("<H", n_var)
+        tail += bytes([null_bits & 0xFF] * ((ncols + 7) // 8))
+        return bytes(body) + bytes(tail)
+
+    def data_pages(tdef_pg, cols, rows_):
+        pages = []
+        cur_rows: list[bytes] = []
+        used = 14  # header + will add 2/row for offsets
+
+        def flush():
+            nonlocal cur_rows, used
+            if not cur_rows:
+                return
+            pg = bytearray(PS)
+            pg[0] = 0x01
+            pg[1] = 0x01
+            struct.pack_into("<I", pg, 4, tdef_pg)
+            struct.pack_into("<H", pg, 12, len(cur_rows))
+            end = PS
+            for i, rb in enumerate(cur_rows):
+                start = end - len(rb)
+                pg[start:end] = rb
+                struct.pack_into("<H", pg, 14 + 2 * i, start)
+                end = start
+            pages.append(bytes(pg))
+            cur_rows = []
+            used = 14
+
+        for r in rows_:
+            rb = encode_row(cols, r)
+            if used + 2 + len(rb) + sum(len(x) for x in cur_rows) > PS - 64:
+                flush()
+            cur_rows.append(rb)
+            used += 2
+        flush()
+        return pages
+
+    user_cols = make_cols(columns)
+    # catalog columns in the layout user_tables() expects
+    cat_cols = make_cols([
+        ("Id", "int"), ("Type", "int"), ("Flags", "int"), ("Name", "text"),
+    ])
+    user_tdef_pg = 4
+    n_user_pages = len(data_pages(user_tdef_pg, user_cols, rows))
+    cat_rows = [[user_tdef_pg, 1, 0, table_name]]
+
+    pages: dict[int, bytes] = {}
+    p0 = bytearray(PS)
+    p0[0:4] = b"\x00\x01\x00\x00"
+    p0[4:20] = b"Standard Jet DB\x00"
+    p0[0x14] = 1
+    pages[0] = bytes(p0)
+    pages[1] = b"\x00" * PS
+    pages[2] = tdef_page(0, len(cat_rows), cat_cols)
+    pages[3] = data_pages(2, cat_cols, cat_rows)[0]
+    pages[4] = tdef_page(0, len(rows), user_cols)
+    for i, pg in enumerate(data_pages(user_tdef_pg, user_cols, rows)):
+        pages[5 + i] = pg
+    out = b"".join(pages[i] for i in range(max(pages) + 1))
+    with open(path, "wb") as f:
+        f.write(out)

@@ -120,3 +120,24 @@ def test_sqlfront_access_table(session):
         f"select E from table(dfs.`{p}`(type => 'msaccess', tableName => 'Table1')) where I = true"
     )
     assert [r["E"] for r in df.collect()] == [333333333]
+
+
+def test_fixture_writer_roundtrip():
+    """The spec-built Jet4 fixture writer roundtrips through the
+    independently fixture-validated reader, nulls included."""
+    import tempfile
+
+    from drill_spark.readers.msaccess import write_access_table
+
+    rows = [[i, float(i) * 1.5, f"name{i}"] for i in range(300)] + [[999, None, None]]
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, "t.mdb")
+        write_access_table(p, "things", [("k", "int"), ("v", "double"), ("s", "text")], rows)
+        data = open(p, "rb").read()
+        tabs = list_access_tables(data)
+        assert tabs[0]["table"] == "things" and tabs[0]["row_count"] == 301
+        _, got = read_access_table(data, "things")
+        assert sorted(r["k"] for r in got) == sorted(r[0] for r in rows)
+        by_k = {r["k"]: r for r in got}
+        assert by_k[7] == {"k": 7, "v": 10.5, "s": "name7"}
+        assert by_k[999] == {"k": 999, "v": None, "s": None}
