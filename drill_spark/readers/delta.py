@@ -103,12 +103,13 @@ class DeltaSnapshot:
 
     def __init__(self, schema: T.StructType, partition_columns: list[str],
                  files: dict[str, dict], version: int,
-                 column_mapping_mode: str = "none"):
+                 column_mapping_mode: str = "none", protocol: dict | None = None):
         self.schema = schema
         self.partition_columns = partition_columns
         self.files = files  # path -> {"pv": partitionValues, "dv": descriptor|None}
         self.version = version
         self.column_mapping_mode = column_mapping_mode
+        self.protocol = protocol or {}
 
 
 def load_snapshot(spark: SparkSession, path: str,
@@ -133,12 +134,14 @@ def load_snapshot(spark: SparkSession, path: str,
         }
 
     def apply_remove(r: dict) -> None:
+        # Reconciliation key is (path, dvId) even when the remove has no
+        # DV: remove(path, null) cancels only add(path, null). A commit
+        # that attaches a DV to a plain file carries add(path, newDV) +
+        # remove(path, null) in unspecified order — popping every
+        # (path, *) entry here would drop the freshly-added DV entry and
+        # silently lose the whole file.
         dv = r.get("deletionVector") or None
-        if dv is not None:
-            active.pop((r["path"], descriptor_unique_id(dv)), None)
-        else:  # legacy remove without DV id: drop every entry for the path
-            for k in [k for k in active if k[0] == r["path"]]:
-                del active[k]
+        active.pop((r["path"], descriptor_unique_id(dv)), None)
 
     ckpt_file = os.path.join(log_dir, "_last_checkpoint")
     if os.path.exists(ckpt_file) and version_as_of is None:
@@ -218,10 +221,47 @@ def load_snapshot(spark: SparkSession, path: str,
     schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
     files = {p: entry for (p, _uid), entry in active.items()}
     mode = (meta.get("configuration") or {}).get("delta.columnMapping.mode", "none")
-    return DeltaSnapshot(schema, meta.get("partitionColumns") or [], files, replayed, mode)
+    return DeltaSnapshot(schema, meta.get("partitionColumns") or [], files, replayed,
+                         mode, proto)
 
 
 _MAX_PARTITION_BRANCHES = 256
+
+# Features implied by the legacy (pre-table-features) protocol versions,
+# materialized into the explicit lists when an upgrade crosses to
+# minReaderVersion 3 / minWriterVersion 7 (PROTOCOL.md "Table Features").
+_LEGACY_READER_FEATURES = {2: ["columnMapping"]}
+_LEGACY_WRITER_FEATURES = {
+    2: ["appendOnly", "invariants"],
+    3: ["checkConstraints"],
+    4: ["generatedColumns", "changeDataFeed"],
+    5: ["columnMapping"],
+    6: ["identityColumns"],
+}
+
+
+def _upgrade_protocol(proto: dict, feature: str) -> dict:
+    """The table's existing protocol upgraded to the table-features form
+    with one more reader-writer ``feature`` unioned in — never a
+    replacement, so declarations like timestampNtz/v2Checkpoint that the
+    data still depends on survive the upgrade."""
+    proto = proto or {}
+    r_old = proto.get("minReaderVersion", 1)
+    w_old = proto.get("minWriterVersion", 2)
+    reader = set(proto.get("readerFeatures") or [])
+    writer = set(proto.get("writerFeatures") or [])
+    if r_old < 3:
+        for v, feats in _LEGACY_READER_FEATURES.items():
+            if r_old >= v:
+                reader.update(feats)
+    if w_old < 7:
+        for v, feats in _LEGACY_WRITER_FEATURES.items():
+            if w_old >= v:
+                writer.update(feats)
+    reader.add(feature)
+    writer |= reader  # reader-writer features are listed in both
+    return {"minReaderVersion": 3, "minWriterVersion": 7,
+            "readerFeatures": sorted(reader), "writerFeatures": sorted(writer)}
 
 
 def _physical_name(f: T.StructField) -> str:
@@ -260,9 +300,15 @@ def _clean_type(dt: T.DataType) -> T.DataType:
 
 
 def _norm_uri(col):
-    """Normalize Spark's file:///-style _metadata.file_path to a plain
-    absolute path for comparison with log-derived paths."""
-    return F.regexp_replace(col, "^file:/*", "/")
+    """Normalize Spark's file:///-style _metadata.file_path /
+    input_file_name() to a plain absolute filesystem path for comparison
+    with log-derived paths. Spark emits these as URIs, so special
+    characters are percent-encoded (space -> %20) and must be decoded or
+    the DV anti-join keys silently mismatch. A literal ``+`` is
+    protected first because url_decode's form semantics would turn it
+    into a space (a real ``+`` is never percent-encoded in a URI path)."""
+    stripped = F.regexp_replace(col, "^file:/*", "/")
+    return F.url_decode(F.regexp_replace(stripped, r"\+", "%2B"))
 
 
 def read_delta(spark: SparkSession, path: str,
@@ -536,11 +582,7 @@ def delete_where(spark: SparkSession, path: str, condition: str) -> int:
     now_ms = int(time.time() * 1000)
     log_dir = _log_dir(path)
     version = max(v for v, _ in _commit_files(log_dir)) + 1
-    actions = [{
-        "protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
-                     "readerFeatures": ["deletionVectors"],
-                     "writerFeatures": ["deletionVectors"]}
-    }]
+    actions = [{"protocol": _upgrade_protocol(snap.protocol, "deletionVectors")}]
     n_deleted = 0
     for row in hits:
         rel = rel_of[row["__fp"]]

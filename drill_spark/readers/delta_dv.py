@@ -88,9 +88,11 @@ def z85_decode(text: str) -> bytes:
 
 
 def _serialize_roaring32(values: list[int]) -> bytes:
-    """Serialize sorted distinct u32 values; array containers only
-    below 4096 cardinality, bitset containers above (we never emit run
-    containers — cookie 12347 says so, any reader must accept it)."""
+    """Serialize sorted distinct u32 values; array containers up to and
+    including 4096 cardinality (the spec's array/bitset boundary — the
+    reader side uses ``card <= 4096``), bitset containers above (we
+    never emit run containers — cookie 12347 says so, any reader must
+    accept it)."""
     containers: dict[int, list[int]] = {}
     for v in values:
         containers.setdefault(v >> 16, []).append(v & 0xFFFF)
@@ -103,7 +105,7 @@ def _serialize_roaring32(values: list[int]) -> bytes:
     bodies = []
     for k in keys:
         vals = containers[k]
-        if len(vals) < 4096:
+        if len(vals) <= 4096:
             bodies.append(struct.pack(f"<{len(vals)}H", *vals))
         else:
             bits = bytearray(8192)

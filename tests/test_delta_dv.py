@@ -312,6 +312,95 @@ def test_delete_where_partition_predicate(spark, tmp_path):
     assert got.where("part = 1").count() == 3  # ids 22, 25, 28
 
 
+def test_bitmap_exact_4096_boundary():
+    """Cardinality exactly 4096 sits on the array/bitset container
+    boundary; the spec (and our reader) treat <=4096 as an array
+    container, so the writer must too — a delete matching every 16th
+    row of a 65536-row file produces exactly this shape."""
+    vals = list(range(4096))
+    assert deserialize_bitmap_array(serialize_bitmap_array(vals)) == vals
+    mixed = list(range(4096)) + [(1 << 32) | 7]  # boundary group + next bitmap
+    assert deserialize_bitmap_array(serialize_bitmap_array(mixed)) == sorted(mixed)
+
+
+def test_remove_without_dv_cancels_only_plain_add(spark, tmp_path):
+    """remove(path, dv=null) must cancel only add(path, dv=null): a
+    commit attaching a DV to a plain file may order add(path, newDV)
+    before remove(path, null) — the file must survive with the DV."""
+    tbl = tmp_path / "plainrm"
+    log = tbl / "_delta_log"
+    log.mkdir(parents=True)
+    spark.range(10).coalesce(1).write.parquet(str(tbl / "d"))
+    f1 = next("d/" + f for f in os.listdir(tbl / "d") if f.endswith(".parquet"))
+    dv = write_dv_file(str(tbl), [0, 1, 2])
+    schema = spark.range(1).schema.json()
+    base = {"path": f1, "partitionValues": {}, "size": 1, "modificationTime": 0,
+            "dataChange": True}
+    with open(log / f"{0:020d}.json", "w") as f:
+        f.write(json.dumps({"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                                         "readerFeatures": ["deletionVectors"],
+                                         "writerFeatures": ["deletionVectors"]}}) + "\n")
+        f.write(json.dumps({"metaData": {"id": "x", "format": {"provider": "parquet", "options": {}},
+                                         "schemaString": schema, "partitionColumns": []}}) + "\n")
+        f.write(json.dumps({"add": base}) + "\n")
+    with open(log / f"{1:020d}.json", "w") as f:
+        # spec-legal ordering hazard: the add precedes the remove
+        f.write(json.dumps({"add": {**base, "deletionVector": dv}}) + "\n")
+        f.write(json.dumps({"remove": {**base, "deletionTimestamp": 0}}) + "\n")
+    assert read_delta(spark, str(tbl)).count() == 7
+
+
+def test_delete_where_merges_existing_protocol(spark, tmp_path):
+    """delete_where must union deletionVectors into the table's existing
+    protocol, not replace it — prior feature declarations (timestampNtz
+    here) and legacy implied writer features must survive."""
+    from drill_spark.readers.delta import load_snapshot
+
+    tbl = str(tmp_path / "proto")
+    write_delta(spark.range(20).select("id", (F.col("id") % 2).alias("k")), tbl)
+    commit0 = os.path.join(tbl, "_delta_log", f"{0:020d}.json")
+    lines = open(commit0).read().splitlines()
+    out = []
+    for ln in lines:
+        a = json.loads(ln)
+        if "protocol" in a:
+            a["protocol"] = {"minReaderVersion": 3, "minWriterVersion": 7,
+                             "readerFeatures": ["timestampNtz"],
+                             "writerFeatures": ["timestampNtz", "appendOnly"]}
+        out.append(json.dumps(a))
+    open(commit0, "w").write("\n".join(out) + "\n")
+    assert delete_where(spark, tbl, "k = 1") == 10
+    proto = load_snapshot(spark, tbl).protocol
+    assert set(proto["readerFeatures"]) == {"timestampNtz", "deletionVectors"}
+    assert {"timestampNtz", "appendOnly", "deletionVectors"} <= set(proto["writerFeatures"])
+
+
+def test_delete_where_upgrades_legacy_protocol(spark, tmp_path):
+    """Upgrading a legacy (1,2) protocol to table features materializes
+    the implied writer features (appendOnly, invariants)."""
+    from drill_spark.readers.delta import load_snapshot
+
+    tbl = str(tmp_path / "legacy")
+    write_delta(spark.range(10).select("id", (F.col("id") % 2).alias("k")), tbl)
+    assert delete_where(spark, tbl, "k = 0") == 5
+    proto = load_snapshot(spark, tbl).protocol
+    assert proto["minReaderVersion"] == 3 and proto["minWriterVersion"] == 7
+    assert "deletionVectors" in proto["readerFeatures"]
+    assert {"appendOnly", "invariants", "deletionVectors"} <= set(proto["writerFeatures"])
+
+
+@pytest.mark.parametrize("dirname", ["sp ace", "plu+s", "pct%20"])
+def test_dv_on_table_path_with_special_chars(spark, tmp_path, dirname):
+    """Spark URI-encodes _metadata.file_path (space -> %20); the DV
+    anti-join keys must still match log-derived raw paths — and a
+    literal `+` or `%` in the path must not be mangled by the decode."""
+    tbl = str(tmp_path / dirname)
+    write_delta(spark.range(40).select("id", (F.col("id") % 4).alias("k")), tbl)
+    assert delete_where(spark, tbl, "k = 2") == 10
+    got = read_delta(spark, tbl)
+    assert got.count() == 30 and got.where("k = 2").count() == 0
+
+
 def test_bitmap_array_roundtrip_property():
     """Property: any 64-bit index set survives the RoaringBitmapArray
     codec (array, bitset and multi-group paths hit by construction)."""
