@@ -141,6 +141,36 @@ def read_mongo_collection(
         raise
 
 
+def read_hive_table(
+    spark: SparkSession,
+    database: str,
+    table: str,
+    ws_options: dict | None = None,
+    query_options: dict | None = None,
+) -> DataFrame:
+    """Resolve a table through the session's Hive catalog — the
+    reference's hive storage plugin semantics (contrib/storage-hive/core
+    HiveStoragePlugin.java: metastore databases as schemas, tables
+    planned through HiveMetadataProvider; Spark's HiveExternalCatalog
+    reads the same metastore, and parquet/orc-backed Hive tables get
+    Spark's native vectorized scan via convertMetastoreParquet/Orc).
+    ``table`` is ``tbl`` (resolved in ``database``) or ``db.tbl``.
+    Requires a hive-enabled session — gated with a naming error like
+    the connector workspaces, because catalogImplementation is a
+    static conf fixed at the first session build."""
+    impl = spark.conf.get("spark.sql.catalogImplementation", "in-memory")
+    if impl != "hive":
+        raise NotImplementedError(
+            "this SparkSession was built without the Hive catalog "
+            "(spark.sql.catalogImplementation="
+            f"{impl!r}); construct the engine session with "
+            "drill_spark.session.get_spark(hive=True) or SPARK_GRAFT_HIVE=1 "
+            "to enable hive.<db>.<table> resolution"
+        )
+    qual = table if "." in table else (f"{database}.{table}" if database else table)
+    return spark.table(".".join(f"`{p}`" for p in qual.split(".")))
+
+
 def read_elasticsearch_index(
     spark: SparkSession,
     nodes: str,

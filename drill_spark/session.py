@@ -90,8 +90,19 @@ def get_spark(
     app_name: str = "drill_spark",
     cores: int | None = None,
     extra_conf: dict[str, str] | None = None,
+    hive: bool | None = None,
 ) -> SparkSession:
-    """Build (or return) the engine SparkSession with scale-ready defaults."""
+    """Build (or return) the engine SparkSession with scale-ready defaults.
+
+    ``hive=True`` (or env ``SPARK_GRAFT_HIVE=1``) enables the Hive
+    catalog — Spark's HiveExternalCatalog over a metastore, the layer
+    Drill's hive storage plugin reads through HiveMetadataProvider
+    (reference: contrib/storage-hive/core/src/main/java/org/apache/
+    drill/exec/store/hive/HiveStoragePlugin.java). Catalog placement is
+    a static conf, so the flag only takes effect on the FIRST session
+    in the JVM; ``SPARK_GRAFT_HIVE_WAREHOUSE`` / ``SPARK_GRAFT_HIVE_METASTORE``
+    point the warehouse dir and the embedded Derby metastore somewhere
+    durable (defaults: ./spark-warehouse, ./metastore_db)."""
     cores = cores or _default_parallelism()
     shuffle_parts = max(2 * cores, 64)
     builder = (
@@ -122,6 +133,19 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )
+    if hive is None:
+        hive = _truthy(os.environ.get("SPARK_GRAFT_HIVE", ""))
+    if hive:
+        wh = os.environ.get("SPARK_GRAFT_HIVE_WAREHOUSE")
+        ms = os.environ.get("SPARK_GRAFT_HIVE_METASTORE")
+        if wh:
+            builder = builder.config("spark.sql.warehouse.dir", wh)
+        if ms:
+            builder = builder.config(
+                "spark.hadoop.javax.jdo.option.ConnectionURL",
+                f"jdbc:derby:;databaseName={ms};create=true",
+            )
+        builder = builder.enableHiveSupport()
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
@@ -263,6 +287,23 @@ class DrillSession:
         pushdown); without the jar the error names the missing piece."""
         self.workspaces[name] = Workspace(
             name, connection_uri, kind="mongo", options=dict(options or {})
+        )
+
+    def register_hive_workspace(
+        self, name: str = "hive", database: str = "default",
+        options: dict[str, str] | None = None,
+    ) -> None:
+        """Hive storage plugin analog (contrib/storage-hive/core
+        HiveStoragePlugin.java): metastore databases as schemas, tables
+        resolved through the session's Hive catalog — Spark's
+        HiveExternalCatalog speaks to the same metastore Drill's plugin
+        reads via HiveMetadataProvider. ``select * from name.`tbl```
+        resolves ``database.tbl``; ``name.`db.tbl``` overrides the
+        database. Requires a session built with ``get_spark(hive=True)``
+        (catalogImplementation=hive); gated with a naming error
+        otherwise. Read-only, like the reference's plugin."""
+        self.workspaces[name] = Workspace(
+            name, database, kind="hive", options=dict(options or {})
         )
 
     def register_elasticsearch_workspace(

@@ -93,6 +93,67 @@ def test_mongo_bad_table_name(session):
         session.sql("select * from mg2.`collonly`")
 
 
+def test_hive_workspace_gate(session):
+    """On a session built without the Hive catalog the error names the
+    hive=True flag (catalogImplementation is a static conf, fixed at
+    the first session build in the JVM)."""
+    session.register_hive_workspace("hv")
+    with pytest.raises(NotImplementedError, match="hive=True"):
+        session.sql("select * from hv.`sometable`")
+
+
+def test_hive_catalog_roundtrip(tmp_path):
+    """Hive catalog round-trip in a fresh JVM (the in-process test
+    session pins catalogImplementation=in-memory): create a metastore
+    table, resolve it through hive.<db>.<table> workspace naming AND
+    plain SQL, then restart the session on the same Derby metastore and
+    confirm the table persists — the catalog behavior temp views don't
+    have, and the reason the hive hook exists (contrib/storage-hive/core
+    HiveStoragePlugin.java analog)."""
+    import subprocess
+    import sys
+    import textwrap
+
+    script = textwrap.dedent(
+        f"""
+        import os
+        os.environ["SPARK_GRAFT_HIVE_WAREHOUSE"] = {str(tmp_path / "wh")!r}
+        os.environ["SPARK_GRAFT_HIVE_METASTORE"] = {str(tmp_path / "ms")!r}
+        from drill_spark.session import DrillSession, get_spark
+        spark = get_spark(cores=2, hive=True)
+        assert spark.conf.get("spark.sql.catalogImplementation") == "hive"
+        spark.sql("CREATE DATABASE hdb")
+        spark.sql("CREATE TABLE hdb.t (id INT, name STRING) USING parquet")
+        spark.sql("INSERT INTO hdb.t VALUES (1, 'a'), (2, 'b'), (3, 'c')")
+        s = DrillSession(spark=spark)
+        s.register_hive_workspace("hive", database="hdb")
+        assert sorted(r.id for r in s.sql("select id from hive.`t`").collect()) == [1, 2, 3]
+        assert sorted(r.id for r in s.sql("select id from hive.`hdb.t`").collect()) == [1, 2, 3]
+        # the session catalog IS the hive catalog: plain SQL resolves it too
+        assert s.sql("select count(*) as n from hdb.t").collect()[0]["n"] == 3
+        spark.stop()
+        # fresh session over the same metastore: the table persists
+        spark2 = get_spark(app_name="hive2", cores=2, hive=True)
+        assert spark2.sql("select count(*) as n from hdb.t").collect()[0]["n"] == 3
+        print("HIVE_OK")
+        """
+    )
+    import os
+
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = {**os.environ,
+           "PYTHONPATH": repo_root + os.pathsep + os.environ.get("PYTHONPATH", "")}
+    proc = subprocess.run(
+        [sys.executable, "-c", script],
+        capture_output=True,
+        text=True,
+        timeout=300,
+        cwd=str(tmp_path),
+        env=env,
+    )
+    assert "HIVE_OK" in proc.stdout, proc.stderr[-3000:]
+
+
 def test_elasticsearch_workspace_gate(session):
     """Without elasticsearch-hadoop the error names the missing jar
     (contrib/storage-elasticsearch parity is connector-gated)."""
