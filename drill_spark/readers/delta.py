@@ -523,17 +523,22 @@ def delete_where(spark: SparkSession, path: str, condition: str) -> int:
     upgrading the protocol to readerFeatures=[deletionVectors]. An
     existing DV on a file is unioned in (the new DV supersedes it).
 
-    The matched (file, row-index) set is collected to the driver to
-    build the per-file bitmaps — DVs are per-file *metadata*, sized by
-    deleted-row count, and every engine's DELETE funnels them through
-    the committing writer; a DELETE large enough to strain the driver
-    should rewrite files instead (copy-on-write). Returns the number of
-    newly deleted rows. Single writer per table, like write_delta.
-    Conditions may reference data AND partition columns (partition
-    values re-attach via a broadcast path map before the filter)."""
+    The per-file bitmaps are built ON THE EXECUTORS: the matched row
+    indexes shuffle once grouped by file, each group task serializes the
+    RoaringBitmapArray (unioning the file's existing DV, read
+    executor-side) and writes the DV file straight into the table
+    directory — shared storage on a real cluster, the same premise the
+    parquet writer rests on. Only the per-file descriptors return to
+    the driver, bounded by touched-FILE count (what the commit must
+    hold anyway), never by deleted-ROW count, so an arbitrarily broad
+    DELETE cannot OOM the driver. A retried/speculative task can leave
+    an orphan (never-referenced) DV file behind, exactly like orphan
+    parquet parts from failed write tasks — VACUUM territory, not a
+    correctness issue. Returns the number of newly deleted rows.
+    Single writer per table, like write_delta. Conditions may reference
+    data AND partition columns (partition values re-attach via a
+    broadcast path map before the filter)."""
     import time
-
-    from drill_spark.readers.delta_dv import read_descriptor, write_dv_file
 
     snap = load_snapshot(spark, path)
     if snap.column_mapping_mode in ("name", "id"):
@@ -570,13 +575,35 @@ def delete_where(spark: SparkSession, path: str, condition: str) -> int:
         df = df.join(F.broadcast(spark.createDataFrame(pv_rows, pv_schema)), "__fp")
         for c in snap.partition_columns:
             df = df.withColumn(c, F.col(f"__pv_{c}").cast(by_type[c])).drop(f"__pv_{c}")
-    hits = (
+    # closure state shipped to the group tasks: metadata only (the DV
+    # descriptors of files that already carry one, keyed by abs path)
+    table_path = path
+    old_dv = {abs_path(p): e["dv"] for p, e in snap.files.items() if e.get("dv")}
+
+    def _build_dv(pdf):
+        import pandas as pd
+
+        from drill_spark.readers.delta_dv import read_descriptor, write_dv_file
+
+        fp = pdf["__fp"].iloc[0]
+        idx = set(int(v) for v in pdf["__ri"])
+        n_new = len(idx)
+        old = old_dv.get(fp)
+        if old is not None:
+            prev = set(read_descriptor(table_path, old))
+            n_new = len(idx - prev)
+            idx |= prev
+        desc = write_dv_file(table_path, sorted(idx))
+        return pd.DataFrame([{"fp": fp, "desc_json": json.dumps(desc), "n_new": n_new}])
+
+    built = (
         df.where(condition)
+        .select("__fp", "__ri")
         .groupBy("__fp")
-        .agg(F.collect_list("__ri").alias("rows"))
+        .applyInPandas(_build_dv, "fp string, desc_json string, n_new long")
         .collect()
     )
-    if not hits:
+    if not built:
         return 0
 
     now_ms = int(time.time() * 1000)
@@ -584,23 +611,16 @@ def delete_where(spark: SparkSession, path: str, condition: str) -> int:
     version = max(v for v, _ in _commit_files(log_dir)) + 1
     actions = [{"protocol": _upgrade_protocol(snap.protocol, "deletionVectors")}]
     n_deleted = 0
-    for row in hits:
-        rel = rel_of[row["__fp"]]
+    for row in built:
+        rel = rel_of[row["fp"]]
         entry = snap.files[rel]
-        idx = set(int(r) for r in row.rows)
-        n_new = len(idx)
-        if entry.get("dv"):
-            old = set(read_descriptor(path, entry["dv"]))
-            n_new = len(idx - old)
-            idx |= old
-        n_deleted += n_new
-        desc = write_dv_file(path, sorted(idx))
+        n_deleted += int(row["n_new"])
         base = {"path": rel, "partitionValues": entry.get("pv") or {},
-                "size": os.path.getsize(row["__fp"]), "dataChange": True}
+                "size": os.path.getsize(row["fp"]), "dataChange": True}
         actions.append({"remove": {**base, "deletionTimestamp": now_ms,
                                    "deletionVector": entry.get("dv")}})
         actions.append({"add": {**base, "modificationTime": now_ms,
-                                "deletionVector": desc}})
+                                "deletionVector": json.loads(row["desc_json"])}})
     actions.append({"commitInfo": {"timestamp": now_ms, "operation": "DELETE"}})
     with open(os.path.join(log_dir, f"{version:020d}.json"), "w") as f:
         for a in actions:

@@ -599,12 +599,27 @@ def append_delete_files(
     if equality_deletes is not None:
         if not equality_cols:
             raise ValueError("equality_cols required with equality_deletes")
+        import shutil
+
         id_by_name = {v: k for k, v in _field_id_names(meta).items()}
         eq_ids = [id_by_name[c] for c in equality_cols]
-        fp = os.path.join(data_dir, f"{uuid.uuid4()}-eq-deletes.parquet")
-        pdf = equality_deletes.select(*equality_cols).toPandas()
-        pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False), fp)
-        del_entries.append(_mk_entry(fp, 2, len(pdf), eq_ids))
+        # write the delete set through Spark's DISTRIBUTED parquet writer
+        # (never toPandas — the spec doesn't bound equality-delete size);
+        # each non-empty part file becomes its own delete-file manifest
+        # entry, which the spec allows (any number of delete files per
+        # snapshot). record_count comes from the parquet footer, no read.
+        tmp = os.path.join(data_dir, f"_eqdel_{uuid.uuid4()}")
+        equality_deletes.select(*equality_cols).write.parquet(tmp)
+        for name in sorted(os.listdir(tmp)):
+            if not name.endswith(".parquet"):
+                continue
+            nrec = pq.read_metadata(os.path.join(tmp, name)).num_rows
+            if nrec == 0:
+                continue
+            fp = os.path.join(data_dir, f"{uuid.uuid4()}-eq-deletes.parquet")
+            os.rename(os.path.join(tmp, name), fp)
+            del_entries.append(_mk_entry(fp, 2, nrec, eq_ids))
+        shutil.rmtree(tmp)
 
     manifest_path = os.path.join(mdir, f"{uuid.uuid4()}-d0.avro")
     with open(manifest_path, "wb") as f:

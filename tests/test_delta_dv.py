@@ -312,6 +312,27 @@ def test_delete_where_partition_predicate(spark, tmp_path):
     assert got.where("part = 1").count() == 3  # ids 22, 25, 28
 
 
+def test_delete_where_many_files_executor_side(spark, tmp_path):
+    """DELETE over a many-file table: the DV bitmaps are built by the
+    groupBy-file applyInPandas stage on the executors (the driver sees
+    only per-file descriptors), and a second DELETE unions into the
+    executor-written DVs correctly."""
+    tbl = str(tmp_path / "many")
+    write_delta(
+        spark.range(2000).repartition(20).select("id", (F.col("id") % 10).alias("k")),
+        tbl,
+    )
+    import glob
+
+    assert len(glob.glob(os.path.join(tbl, "*.parquet"))) >= 20
+    assert delete_where(spark, tbl, "k in (1, 2, 3)") == 600
+    got = read_delta(spark, tbl)
+    assert got.count() == 1400 and got.where("k in (1,2,3)").count() == 0
+    # union path: k=3 already deleted, only k=4 rows are new
+    assert delete_where(spark, tbl, "k in (3, 4)") == 200
+    assert read_delta(spark, tbl).count() == 1200
+
+
 def test_bitmap_exact_4096_boundary():
     """Cardinality exactly 4096 sits on the array/bitset container
     boundary; the spec (and our reader) treat <=4096 as an array

@@ -231,6 +231,26 @@ def test_iceberg_equality_deletes(spark, tmp_path):
     )
 
 
+def test_iceberg_equality_deletes_distributed_write(spark, tmp_path):
+    """The equality-delete set is written through Spark's distributed
+    parquet writer (never toPandas): a multi-partition delete DataFrame
+    lands as multiple spec-legal delete files, each its own manifest
+    entry, and the read applies them all."""
+    import glob
+
+    from drill_spark.readers.iceberg import append_delete_files
+
+    src = spark.range(200).select(F.col("id").alias("k"))
+    tbl = str(tmp_path / "icemulti")
+    write_iceberg(src, tbl)
+    dels = spark.range(0, 100).select(F.col("id").alias("k")).repartition(4)
+    append_delete_files(tbl, equality_deletes=dels, equality_cols=["k"])
+    eq_files = glob.glob(os.path.join(tbl, "data", "*-eq-deletes.parquet"))
+    assert len(eq_files) > 1  # one per non-empty writer partition
+    got = sorted(r.k for r in read_iceberg(spark, tbl).collect())
+    assert got == list(range(100, 200))
+
+
 def test_iceberg_delete_sequence_scoping(spark, tmp_path):
     """An equality delete applies only to data files with a STRICTLY
     OLDER sequence number — rows re-added after the delete survive
