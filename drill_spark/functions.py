@@ -366,8 +366,24 @@ def _stmt(name: str, sig: str, body: str) -> str:
     return f"CREATE OR REPLACE TEMPORARY FUNCTION {name}({sig}) RETURN {body}"
 
 
+def _hint_series(run):
+    """Stamp real ``pd.Series`` type objects onto every parameter and the
+    return of ``run``: this module uses postponed annotations, so inline
+    hints are strings pandas_udf's inference can't resolve against
+    function-local imports — real objects sidestep that (and the
+    deprecated PandasUDFType enum)."""
+    import inspect
+
+    import pandas as pd
+
+    run.__annotations__ = {p: pd.Series for p in inspect.signature(run).parameters}
+    run.__annotations__["return"] = pd.Series
+    return run
+
+
 def _wkb_decode_udf(pd, geo):
-    def run(s: "pd.Series") -> "pd.Series":
+    @_hint_series
+    def run(s):
         out = []
         for b in s:
             try:
@@ -386,12 +402,13 @@ def _register_geometry_udfs(spark: SparkSession) -> list[str]:
     values are WKT strings between calls. Genuinely per-row compute,
     like the reference's row-at-a-time UDFs, but vectorized batches."""
     import pandas as pd
-    from pyspark.sql.functions import PandasUDFType, pandas_udf
+    from pyspark.sql.functions import pandas_udf
 
     from drill_spark.ops import geometry as geo
 
     def wkt_in(fn):
-        def run(s: pd.Series) -> pd.Series:
+        @_hint_series
+        def run(s):
             out = []
             for w in s:
                 try:
@@ -404,7 +421,8 @@ def _register_geometry_udfs(spark: SparkSession) -> list[str]:
         return run
 
     def wkt_arg(fn):
-        def run(s: pd.Series, arg: pd.Series) -> pd.Series:
+        @_hint_series
+        def run(s, arg):
             out = []
             for w, v in zip(s, arg):
                 try:
@@ -417,7 +435,8 @@ def _register_geometry_udfs(spark: SparkSession) -> list[str]:
         return run
 
     def pair(fn):
-        def run(sa: pd.Series, sb: pd.Series) -> pd.Series:
+        @_hint_series
+        def run(sa, sb):
             out = []
             for wa, wb in zip(sa, sb):
                 try:
@@ -433,7 +452,8 @@ def _register_geometry_udfs(spark: SparkSession) -> list[str]:
         return run
 
     def pair_arg(fn):
-        def run(sa: pd.Series, sb: pd.Series, arg: pd.Series) -> pd.Series:
+        @_hint_series
+        def run(sa, sb, arg):
             out = []
             for wa, wb, v in zip(sa, sb, arg):
                 try:
@@ -474,9 +494,7 @@ def _register_geometry_udfs(spark: SparkSession) -> list[str]:
     }
     registered = []
     for name, (rtype, fn) in defs.items():
-        # functionType passed explicitly: this module uses postponed
-        # annotations, so hint-based SCALAR inference can't see pd.Series
-        spark.udf.register(name, pandas_udf(fn, rtype, functionType=PandasUDFType.SCALAR))
+        spark.udf.register(name, pandas_udf(fn, rtype))
         registered.append(name)
     return registered
 
