@@ -485,7 +485,9 @@ def _register_geometry_udfs(spark: SparkSession) -> list[str]:
         "st_within_geom": ("boolean", pair(lambda a, b: geo.contains(b, a))),
         "st_relate": ("boolean", pair_arg(geo.relate)),
         "st_buffer": ("string", wkt_arg(lambda g, d: geo.to_wkt(geo.buffer(g, float(d))))),
-        "st_union_geom": ("string", pair(lambda a, b: geo.to_wkt(geo.union(a, b)))),
+        "st_union_geom": ("string", pair(lambda a, b: _wkt_or_none(geo, geo.union(a, b)))),
+        "st_difference": ("string", pair(lambda a, b: _wkt_or_none(geo, geo.difference(a, b)))),
+        "st_intersection_geom": ("string", pair(lambda a, b: _wkt_or_none(geo, geo.intersection(a, b)))),
         "st_envelope": ("string", wkt_in(lambda g: geo.to_wkt(geo.envelope(g)))),
         "st_xmin": ("double", wkt_in(lambda g: geo.extrema(g)[0])),
         "st_xmax": ("double", wkt_in(lambda g: geo.extrema(g)[1])),
@@ -496,7 +498,41 @@ def _register_geometry_udfs(spark: SparkSession) -> list[str]:
     for name, (rtype, fn) in defs.items():
         spark.udf.register(name, pandas_udf(fn, rtype))
         registered.append(name)
+
+    # st_transform(wkt, srid_src, srid_tgt) — STTransform.java:37; the
+    # projection math is ops/crs.py (closed-form proj4j-parity kernels)
+    @_hint_series
+    def _transform(s, src, tgt):
+        out = []
+        for w, a, b in zip(s, src, tgt):
+            try:
+                g = geo.parse_wkt(w)
+                out.append(None if g is None
+                           else geo.to_wkt(geo.transform_geom(g, int(a), int(b))))
+            except Exception:
+                out.append(None)
+        return pd.Series(out)
+
+    spark.udf.register("st_transform", pandas_udf(_transform, "string"))
+    registered.append("st_transform")
+
+    # ST_UnionAggregate (STUnionAggregate.java:38): a grouped aggregate
+    # over WKT geometries. Scale note: like Drill's (streaming-aggregate)
+    # UDAF this folds all of a group's geometries through one reducer —
+    # no partial aggregation — which is inherent to a non-commutative
+    # clipping fold; groups are geometry collections, not fact tables.
+    def _union_agg(s):
+        out = geo.union_all(geo.parse_wkt(w) for w in s if w is not None)
+        return None if out is None else geo.to_wkt(out)
+
+    _union_agg.__annotations__ = {"s": pd.Series, "return": str}
+    spark.udf.register("st_unionaggregate", pandas_udf(_union_agg, "string"))
+    registered.append("st_unionaggregate")
     return registered
+
+
+def _wkt_or_none(geo, g):
+    return None if g is None else geo.to_wkt(g)
 
 
 def register_all(spark: SparkSession, strict: bool = False) -> list[str]:

@@ -100,11 +100,13 @@ def test_envelope_extrema():
     assert env[0] == "POLYGON" and geo.contains(env, P("POINT(3 3)"))
 
 
-def test_union_unsupported_overlap_raises():
+def test_union_mixed_dimension_gate():
+    """Unsupported mixed-dimension unions still name the gap (polygon
+    unions themselves are handled by the clipping kernel now)."""
     a = P("POLYGON((0 0,2 0,2 2,0 2,0 0))")
-    b = P("POLYGON((1 1,3 1,3 3,1 3,1 1))")
+    line = P("LINESTRING(5 5, 6 6)")
     with pytest.raises(NotImplementedError):
-        geo.union(a, b)
+        geo.union(a, line)
 
 
 # ----------------------------------------------------- SQL surface
@@ -121,6 +123,122 @@ def test_sql_geometry_functions(session):
     assert q("select st_xmax('LINESTRING (0 0, 5 7)') t").collect()[0].t == 5.0
     wkb = q("select st_geomfromwkb(st_asbinary('POLYGON ((0 0, 4 0, 4 4, 0 0))')) t").collect()[0].t
     assert wkb == "POLYGON ((0 0, 4 0, 4 4, 0 0))"
+
+
+def test_union_overlapping_squares():
+    """Clipping-kernel union of crossing polygons (STUnion.java:34 —
+    previously gated): areas must be inclusion-exclusion exact."""
+    a = geo.parse_wkt("POLYGON((0 0, 2 0, 2 2, 0 2, 0 0))")
+    b = geo.parse_wkt("POLYGON((1 1, 3 1, 3 3, 1 3, 1 1))")
+    u = geo.union(a, b)
+    assert u[0] == "POLYGON"
+    assert abs(abs(geo._ring_area(u[1][0])) - 7.0) < 1e-9
+    i = geo.intersection(a, b)
+    assert abs(abs(geo._ring_area(i[1][0])) - 1.0) < 1e-9
+    d = geo.difference(a, b)
+    assert abs(abs(geo._ring_area(d[1][0])) - 3.0) < 1e-9
+    # union contains both operands; difference is disjoint from b's interior
+    assert geo.contains(u, a) and geo.contains(u, b)
+    assert geo.point_in_polygon((1.5, 1.5), d[1]) == -1
+
+
+def test_union_shared_edge_reference_fixture():
+    """The reference's own UnionAggregate fixture (sample-data/
+    polygons.tsv, TestGeometryFunctions.testUnionAggregateQuery):
+    squares sharing an edge merge into one polygon, two groups stay a
+    MULTIPOLYGON; semantics checked by area + membership (ESRI's exact
+    vertex ordering is a rendering choice, not a semantic one)."""
+    rows = [
+        "POLYGON((0 0, 0 1, 1 1, 1 0, 0 0))",
+        "POLYGON((0 0, 0 -1, 1 -1, 1 0, 0 0))",
+        "POLYGON((10 10, 10 11, 11 11, 11 10, 10 10))",
+        "POLYGON((10 10, 10 9, 11 9, 11 10, 10 10))",
+    ]
+    g1 = geo.union_all([geo.parse_wkt(r) for r in rows[:2]])
+    assert g1[0] == "POLYGON"
+    assert abs(abs(geo._ring_area(g1[1][0])) - 2.0) < 1e-9
+    assert geo.point_in_polygon((0.5, 0.0), g1[1]) == 1  # the shared edge is interior now
+    ga = geo.union_all([geo.parse_wkt(r) for r in rows])
+    assert ga[0] == "MULTIPOLYGON" and len(ga[1]) == 2
+
+
+def test_difference_produces_hole():
+    a = geo.parse_wkt("POLYGON((0 0, 4 0, 4 4, 0 4, 0 0))")
+    b = geo.parse_wkt("POLYGON((1 1, 2 1, 2 2, 1 2, 1 1))")
+    d = geo.difference(a, b)
+    assert d[0] == "POLYGON" and len(d[1]) == 2  # outer + hole
+    assert geo.point_in_polygon((1.5, 1.5), d[1]) == -1
+    assert geo.point_in_polygon((0.5, 0.5), d[1]) == 1
+    # fully-covered difference is empty
+    assert geo.difference(b, a) is None
+
+
+def test_union_idempotent_and_contained():
+    a = geo.parse_wkt("POLYGON((0 0, 1 0, 1 1, 0 1, 0 0))")
+    u = geo.union(a, a)
+    assert abs(abs(geo._ring_area(u[1][0])) - 1.0) < 1e-9
+    big = geo.parse_wkt("POLYGON((-1 -1, 2 -1, 2 2, -1 2, -1 -1))")
+    u2 = geo.union(a, big)
+    assert abs(abs(geo._ring_area(u2[1][0])) - 9.0) < 1e-9
+
+
+def test_buffer_linestring_and_polygon():
+    """Non-point buffers (STBuffer.java:36 — previously point-only):
+    capsule unions through the clipping kernel."""
+    lb = geo.buffer(geo.parse_wkt("LINESTRING(0 0, 10 0)"), 1.0)
+    ring = lb[1] if lb[0] == "POLYGON" else lb[1][0]
+    assert geo.point_in_polygon((5, 0.5), ring) == 1
+    assert geo.point_in_polygon((-0.5, 0), ring) == 1  # round cap
+    assert geo.point_in_polygon((5, 1.5), ring) == -1
+    pb = geo.buffer(geo.parse_wkt("POLYGON((0 0, 4 0, 4 4, 0 4, 0 0))"), 1.0)
+    ring = pb[1] if pb[0] == "POLYGON" else pb[1][0]
+    assert geo.point_in_polygon((2, 2), ring) == 1      # body kept
+    assert geo.point_in_polygon((-0.5, 2), ring) == 1   # dilated edge
+    assert geo.point_in_polygon((-1.5, 2), ring) == -1  # beyond distance
+    with pytest.raises(NotImplementedError):
+        geo.buffer(geo.parse_wkt("POLYGON((0 0, 4 0, 4 4, 0 4, 0 0))"), -1.0)
+
+
+def test_transform_reference_vector():
+    """STTransform.java:37 parity: the reference test's proj4j vector
+    (EPSG:2249 state-plane ftUS -> 4326) reproduced closed-form."""
+    g = geo.transform_geom(geo.parse_wkt("POINT (743238 2967416)"), 2249, 4326)
+    assert abs(g[1][0] - -71.1776848522251) < 1e-12
+    assert abs(g[1][1] - 42.3902896512902) < 1e-12
+
+
+def test_transform_roundtrips_and_gate():
+    from drill_spark.ops.crs import CrsTransform
+
+    for code in (3857, 32619, 26919, 2249, 2263):
+        t = CrsTransform(4326, code)
+        ti = CrsTransform(code, 4326)
+        x, y = ti(*t(-71.0, 42.0))
+        assert abs(x - -71.0) < 1e-8 and abs(y - 42.0) < 1e-8, code
+    with pytest.raises(NotImplementedError, match="EPSG:99999"):
+        CrsTransform(4326, 99999)
+
+
+def test_sql_union_difference_transform(session):
+    q = session.sql
+    # union of crossing polygons via SQL (area via the aggregate path)
+    r = q("select st_unionaggregate(g) u from (select explode(array("
+          "'POLYGON((0 0, 0 1, 1 1, 1 0, 0 0))',"
+          "'POLYGON((0 0, 0 -1, 1 -1, 1 0, 0 0))')) g) t").collect()[0]
+    assert r.u.startswith("POLYGON")
+    r2 = q("select st_difference('POLYGON((0 0, 4 0, 4 4, 0 4, 0 0))',"
+           "'POLYGON((1 1, 2 1, 2 2, 1 2, 1 1))') d").collect()[0]
+    assert r2.d.count("(") == 3  # POLYGON ((outer), (hole))
+    r3 = q("select st_xmin(st_transform('POINT (743238 2967416)', 2249, 4326)) x,"
+           " st_ymin(st_transform('POINT (743238 2967416)', 2249, 4326)) y").collect()[0]
+    assert abs(r3.x - -71.1776848522251) < 1e-9 and abs(r3.y - 42.3902896512902) < 1e-9
+    # grouped aggregate matches the reference's per-group fixture shape
+    r4 = q("select k, st_unionaggregate(g) u from (select 1 k,"
+           " 'POLYGON((0 0, 0 1, 1 1, 1 0, 0 0))' g union all select 1,"
+           " 'POLYGON((0 0, 0 -1, 1 -1, 1 0, 0 0))' union all select 2,"
+           " 'POLYGON((10 10, 10 11, 11 11, 11 10, 10 10))') t group by k"
+           " order by k").collect()
+    assert r4[0].u.startswith("POLYGON") and r4[1].u.startswith("POLYGON")
 
 
 def test_wkb_roundtrip_property():
