@@ -1,0 +1,482 @@
+"""Baseline JPEG (SOF0) codec — stdlib struct + numpy, no codec libs.
+
+Implements the public ITU-T T.81 baseline process: DQT/DHT/SOF0/SOS
+segment parsing, canonical Huffman decode of DC-difference and AC
+run-length coefficients with byte-unstuffing and RSTn restart
+handling, dequantization + inverse zigzag, the separable 8x8 type-III
+DCT, chroma upsampling for 4:4:4 / 4:2:2 / 4:2:0 samplings, and the
+JFIF YCbCr<->RGB color transform. Progressive (SOF2), arithmetic and
+lossless processes raise NotImplementedError naming the process.
+
+The encoder exists for fixtures and roundtrip oracles: 4:4:4 baseline
+with the T.81 Annex K quantization/Huffman tables at libjpeg-style
+quality scaling. At the default quality 75 the luminance DC step is
+exactly 8 — the 8x8 DCT's DC gain — so a constant-gray image survives
+encode->decode bit-exactly, which is what lets ext_multimodal_decode
+keep a closed-form SQL oracle over real JPEG payloads.
+
+Reference boundary this replaces: ops/multimodal.py previously listed
+JPEG entropy decode as a labeled stub (the reference's image format
+plugin reads only metadata; decode parity is an extension surface).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+ZIGZAG = np.array([
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+])
+
+# T.81 Annex K.1 quantization tables (zigzag order applied at use)
+_QT_LUMA = np.array([
+    [16, 11, 10, 16, 24, 40, 51, 61],
+    [12, 12, 14, 19, 26, 58, 60, 55],
+    [14, 13, 16, 24, 40, 57, 69, 56],
+    [14, 17, 22, 29, 51, 87, 80, 62],
+    [18, 22, 37, 56, 68, 109, 103, 77],
+    [24, 35, 55, 64, 81, 104, 113, 92],
+    [49, 64, 78, 87, 103, 121, 120, 101],
+    [72, 92, 95, 98, 112, 100, 103, 99],
+])
+_QT_CHROMA = np.array([
+    [17, 18, 24, 47, 99, 99, 99, 99],
+    [18, 21, 26, 66, 99, 99, 99, 99],
+    [24, 26, 56, 99, 99, 99, 99, 99],
+    [47, 66, 99, 99, 99, 99, 99, 99],
+    [99, 99, 99, 99, 99, 99, 99, 99],
+    [99, 99, 99, 99, 99, 99, 99, 99],
+    [99, 99, 99, 99, 99, 99, 99, 99],
+    [99, 99, 99, 99, 99, 99, 99, 99],
+])
+
+# T.81 Annex K.3 typical Huffman tables: (bits[16], values)
+_DC_LUMA = ([0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0], list(range(12)))
+_DC_CHROMA = ([0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0], list(range(12)))
+_AC_LUMA = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D],
+    [0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41, 0x06,
+     0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+     0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24, 0x33, 0x62, 0x72,
+     0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+     0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44, 0x45,
+     0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+     0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75,
+     0x76, 0x77, 0x78, 0x79, 0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+     0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+     0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+     0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+     0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+     0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2, 0xF3, 0xF4,
+     0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA],
+)
+_AC_CHROMA = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77],
+    [0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12, 0x41,
+     0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+     0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15, 0x62, 0x72, 0xD1,
+     0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+     0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44,
+     0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+     0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74,
+     0x75, 0x76, 0x77, 0x78, 0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+     0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A,
+     0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+     0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+     0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+     0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2, 0xF3, 0xF4,
+     0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA],
+)
+
+
+def _dct_matrix():
+    T = np.zeros((8, 8))
+    for i in range(8):
+        c = math_sqrt_half if i == 0 else 1.0
+        for j in range(8):
+            T[i, j] = c * np.cos((2 * j + 1) * i * np.pi / 16) / 2
+    return T
+
+
+math_sqrt_half = 1 / np.sqrt(2)
+_T = _dct_matrix()
+
+
+def _scale_table(base, quality):
+    """libjpeg quality scaling (quality 50 = Annex K as-is)."""
+    q = max(1, min(100, int(quality)))
+    scale = 5000 // q if q < 50 else 200 - 2 * q
+    t = np.floor((base.astype(np.int64) * scale + 50) / 100).astype(np.int64)
+    return np.clip(t, 1, 255)
+
+
+# ------------------------------------------------------------- decode
+
+
+class _Bits:
+    def __init__(self, data: bytes):
+        self.d = data
+        self.pos = 0
+        self.acc = 0
+        self.n = 0
+
+    def _fill(self):
+        while self.n <= 24:
+            if self.pos >= len(self.d):
+                self.acc = (self.acc << 8) | 0
+                self.n += 8
+                continue
+            b = self.d[self.pos]
+            self.pos += 1
+            if b == 0xFF:
+                nxt = self.d[self.pos] if self.pos < len(self.d) else 0
+                if nxt == 0x00:
+                    self.pos += 1  # stuffed literal 0xFF
+                else:
+                    # marker: behave as if padded (caller handles RST)
+                    self.pos -= 1
+                    self.acc = (self.acc << 8) | 0
+                    self.n += 8
+                    continue
+            self.acc = (self.acc << 8) | b
+            self.n += 8
+
+    def read(self, k: int) -> int:
+        if k == 0:
+            return 0
+        self._fill()
+        v = (self.acc >> (self.n - k)) & ((1 << k) - 1)
+        self.n -= k
+        self.acc &= (1 << self.n) - 1
+        return v
+
+    def align_restart(self):
+        """Skip to just past the next RSTn marker; drop partial bits."""
+        self.acc = 0
+        self.n = 0
+        while self.pos + 1 < len(self.d):
+            if self.d[self.pos] == 0xFF and 0xD0 <= self.d[self.pos + 1] <= 0xD7:
+                self.pos += 2
+                return
+            self.pos += 1
+        self.pos = len(self.d)
+
+
+def _build_decode_table(bits, vals):
+    """(length, code) -> symbol for a canonical JPEG Huffman table."""
+    lut = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            lut[(length, code)] = vals[k]
+            k += 1
+            code += 1
+        code <<= 1
+    return lut
+
+
+def _decode_symbol(br: _Bits, lut) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | br.read(1)
+        sym = lut.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid Huffman code in entropy stream")
+
+
+def _extend(v: int, s: int) -> int:
+    return v - (1 << s) + 1 if s and v < (1 << (s - 1)) else v
+
+
+def decode_jpeg(payload: bytes) -> np.ndarray:
+    """Baseline JPEG bytes -> (H, W, 3) uint8 RGB."""
+    b = bytes(payload)
+    if b[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (no SOI)")
+    pos = 2
+    qt = {}
+    huff = {}
+    comps = None
+    W = H = None
+    restart_interval = 0
+    while pos + 4 <= len(b):
+        if b[pos] != 0xFF:
+            pos += 1
+            continue
+        marker = b[pos + 1]
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            pos += 2
+            continue
+        seglen = struct.unpack_from(">H", b, pos + 2)[0]
+        seg = b[pos + 4: pos + 2 + seglen]
+        if marker == 0xDB:  # DQT
+            s = 0
+            while s < len(seg):
+                pq, tq = seg[s] >> 4, seg[s] & 15
+                s += 1
+                if pq:
+                    vals = np.frombuffer(seg[s: s + 128], dtype=">u2").astype(np.int64)
+                    s += 128
+                else:
+                    vals = np.frombuffer(seg[s: s + 64], dtype=np.uint8).astype(np.int64)
+                    s += 64
+                tab = np.zeros(64, dtype=np.int64)
+                tab[ZIGZAG] = vals
+                qt[tq] = tab.reshape(8, 8)
+        elif marker == 0xC4:  # DHT
+            s = 0
+            while s < len(seg):
+                tc, th = seg[s] >> 4, seg[s] & 15
+                bits = list(seg[s + 1: s + 17])
+                n = sum(bits)
+                vals = list(seg[s + 17: s + 17 + n])
+                huff[(tc, th)] = _build_decode_table(bits, vals)
+                s += 17 + n
+        elif marker == 0xC0:  # SOF0 baseline
+            _prec, H, W, nc = struct.unpack_from(">BHHB", seg, 0)
+            comps = []
+            for i in range(nc):
+                cid, hv, tq = struct.unpack_from("BBB", seg, 6 + 3 * i)
+                comps.append({"id": cid, "h": hv >> 4, "v": hv & 15, "tq": tq})
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                        0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                f"JPEG process SOF{marker - 0xC0} (only baseline SOF0 supported)"
+            )
+        elif marker == 0xDD:  # DRI
+            restart_interval = struct.unpack_from(">H", seg, 0)[0]
+        elif marker == 0xDA:  # SOS
+            ns = seg[0]
+            scan = []
+            for i in range(ns):
+                cs, tt = seg[1 + 2 * i], seg[2 + 2 * i]
+                scan.append((cs, tt >> 4, tt & 15))
+            data_start = pos + 2 + seglen
+            return _decode_scan(
+                b[data_start:], comps, scan, qt, huff, W, H, restart_interval
+            )
+        elif marker == 0xD9:  # EOI
+            break
+        pos += 2 + seglen
+    raise ValueError("no SOS segment found")
+
+
+def _decode_scan(data, comps, scan, qt, huff, W, H, restart_interval):
+    maxh = max(c["h"] for c in comps)
+    maxv = max(c["v"] for c in comps)
+    mcux = (W + 8 * maxh - 1) // (8 * maxh)
+    mcuy = (H + 8 * maxv - 1) // (8 * maxv)
+    by_id = {c["id"]: c for c in comps}
+    order = []
+    for cs, td, ta in scan:
+        c = by_id[cs]
+        c["td"], c["ta"] = td, ta
+        order.append(c)
+        c["plane"] = np.zeros((mcuy * c["v"] * 8, mcux * c["h"] * 8))
+        c["dc"] = 0
+
+    br = _Bits(bytes(data))
+    Tt = _T.T
+    mcu_count = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                br.align_restart()
+                for c in order:
+                    c["dc"] = 0
+            mcu_count += 1
+            for c in order:
+                q = qt[c["tq"]]
+                for vy in range(c["v"]):
+                    for vx in range(c["h"]):
+                        coef = np.zeros(64)
+                        s = _decode_symbol(br, huff[(0, c["td"])])
+                        diff = _extend(br.read(s), s)
+                        c["dc"] += diff
+                        coef[0] = c["dc"]
+                        k = 1
+                        while k < 64:
+                            rs = _decode_symbol(br, huff[(1, c["ta"])])
+                            r, s = rs >> 4, rs & 15
+                            if s == 0:
+                                if r == 15:
+                                    k += 16
+                                    continue
+                                break  # EOB
+                            k += r
+                            if k > 63:
+                                break
+                            coef[ZIGZAG[k]] = _extend(br.read(s), s)
+                            k += 1
+                        block = coef.reshape(8, 8) * q
+                        px = Tt @ block @ _T + 128.0
+                        y0 = (my * c["v"] + vy) * 8
+                        x0 = (mx * c["h"] + vx) * 8
+                        c["plane"][y0: y0 + 8, x0: x0 + 8] = px
+
+    planes = []
+    for c in comps:
+        p = c["plane"]
+        if c["h"] != maxh or c["v"] != maxv:
+            p = np.repeat(np.repeat(p, maxv // c["v"], axis=0), maxh // c["h"], axis=1)
+        planes.append(p[:H, :W])
+    if len(planes) == 1:
+        y = np.clip(planes[0], 0, 255)
+        return np.repeat(y[:, :, None], 3, axis=2).astype("uint8")
+    y, cb, cr = planes[0], planes[1] - 128.0, planes[2] - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    bl = y + 1.772 * cb
+    return np.clip(np.stack([r, g, bl], axis=2), 0, 255).round().astype("uint8")
+
+
+# ------------------------------------------------------------- encode
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, code: int, length: int):
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.n += length
+        while self.n >= 8:
+            byte = (self.acc >> (self.n - 8)) & 0xFF
+            self.out.append(byte)
+            if byte == 0xFF:
+                self.out.append(0x00)
+            self.n -= 8
+            self.acc &= (1 << self.n) - 1
+
+    def flush(self):
+        if self.n:
+            self.write(0x7F, 8 - self.n)  # pad with 1s
+
+
+def _build_encode_table(bits, vals):
+    lut = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            lut[vals[k]] = (code, length)
+            k += 1
+            code += 1
+        code <<= 1
+    return lut
+
+
+def _category(v: int) -> int:
+    return int(abs(v)).bit_length()
+
+
+def _encode_block(bw, block, q, dct, act, pred, ci):
+    coef = _T @ block @ _T.T
+    quant = np.round(coef / q).astype(np.int64)
+    zz = quant.reshape(64)[ZIGZAG]
+    diff = int(zz[0]) - pred[ci]
+    pred[ci] = int(zz[0])
+    s = _category(diff)
+    code, ln = dct[s]
+    bw.write(code, ln)
+    if s:
+        bw.write(diff if diff >= 0 else diff + (1 << s) - 1, s)
+    run = 0
+    last_nz = max((k for k in range(1, 64) if zz[k]), default=0)
+    for k in range(1, last_nz + 1):
+        v = int(zz[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, ln = act[0xF0]
+            bw.write(code, ln)
+            run -= 16
+        s = _category(v)
+        code, ln = act[(run << 4) | s]
+        bw.write(code, ln)
+        bw.write(v if v >= 0 else v + (1 << s) - 1, s)
+        run = 0
+    if last_nz < 63:
+        code, ln = act[0x00]
+        bw.write(code, ln)
+
+
+def encode_jpeg(img, quality: int = 75, subsampling: str = "4:4:4") -> bytes:
+    """numpy (H, W, 3) uint8 RGB -> baseline JFIF bytes.
+
+    subsampling "4:4:4" (default, exact-DC fixture path) or "4:2:0"
+    (2x2 chroma decimation, the common camera layout — exercises the
+    decoder's upsampling path)."""
+    img = np.asarray(img, dtype=np.float64)
+    H, W = img.shape[:2]
+    r, g, bch = img[:, :, 0], img[:, :, 1], img[:, :, 2]
+    y = 0.299 * r + 0.587 * g + 0.114 * bch
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * bch + 128.0
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * bch + 128.0
+
+    hv = {"4:4:4": (1, 1), "4:2:0": (2, 2)}[subsampling]
+    sh, sv = hv
+    ql = _scale_table(_QT_LUMA, quality)
+    qc = _scale_table(_QT_CHROMA, quality)
+    dc_l = _build_encode_table(*_DC_LUMA)
+    dc_c = _build_encode_table(*_DC_CHROMA)
+    ac_l = _build_encode_table(*_AC_LUMA)
+    ac_c = _build_encode_table(*_AC_CHROMA)
+
+    mw, mh = 8 * sh, 8 * sv  # MCU pixel size
+    mcux, mcuy = (W + mw - 1) // mw, (H + mh - 1) // mh
+
+    def pad_to(p, th, tw):
+        return np.pad(p, ((0, th - p.shape[0]), (0, tw - p.shape[1])), mode="edge")
+
+    yp = pad_to(y, mcuy * mh, mcux * mw)
+    if (sh, sv) == (1, 1):
+        cbp, crp = pad_to(cb, mcuy * 8, mcux * 8), pad_to(cr, mcuy * 8, mcux * 8)
+    else:
+        full_cb = pad_to(cb, mcuy * mh, mcux * mw)
+        full_cr = pad_to(cr, mcuy * mh, mcux * mw)
+        cbp = full_cb.reshape(mcuy * 8, sv, mcux * 8, sh).mean(axis=(1, 3))
+        crp = full_cr.reshape(mcuy * 8, sv, mcux * 8, sh).mean(axis=(1, 3))
+
+    bw = _BitWriter()
+    pred = [0, 0, 0]
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for vy in range(sv):
+                for vx in range(sh):
+                    y0, x0 = (my * sv + vy) * 8, (mx * sh + vx) * 8
+                    _encode_block(bw, yp[y0:y0 + 8, x0:x0 + 8] - 128.0,
+                                  ql, dc_l, ac_l, pred, 0)
+            for ci, plane in ((1, cbp), (2, crp)):
+                y0, x0 = my * 8, mx * 8
+                _encode_block(bw, plane[y0:y0 + 8, x0:x0 + 8] - 128.0,
+                              qc, dc_c, ac_c, pred, ci)
+    bw.flush()
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    def dqt(tq, tab):
+        return seg(0xDB, bytes([tq]) + bytes(tab.reshape(64)[ZIGZAG].astype(np.uint8)))
+
+    def dht(tc, th, bits, vals):
+        return seg(0xC4, bytes([(tc << 4) | th]) + bytes(bits) + bytes(vals))
+
+    sof = seg(0xC0, struct.pack(">BHHB", 8, H, W, 3)
+              + bytes([1, (sh << 4) | sv, 0]) + bytes([2, 0x11, 1]) + bytes([3, 0x11, 1]))
+    sos = seg(0xDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
+    app0 = seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    return (b"\xff\xd8" + app0 + dqt(0, ql) + dqt(1, qc)
+            + dht(0, 0, *_DC_LUMA) + dht(0, 1, *_DC_CHROMA)
+            + dht(1, 0, *_AC_LUMA) + dht(1, 1, *_AC_CHROMA)
+            + sof + sos + bytes(bw.out) + b"\xff\xd9")

@@ -267,18 +267,25 @@ def decode_wav(payload: bytes):
 
 
 def decode_media(payload: bytes) -> dict:
-    """REAL decode dispatch by magic bytes: BMP/PNG -> dims + mean
-    pixel value; WAV -> sample count, rate, RMS amplitude. Raises
-    NotImplementedError for formats whose codecs aren't in-container
-    (JPEG entropy decode, MP3, video) — the stub boundary, made
-    explicit."""
+    """REAL decode dispatch by magic bytes: BMP/PNG/baseline-JPEG ->
+    dims + mean pixel value; WAV -> sample count, rate, RMS amplitude.
+    Raises NotImplementedError for formats whose codecs aren't
+    in-container (progressive JPEG, MP3, video) — the stub boundary,
+    made explicit."""
     import numpy as np
 
     b = bytes(payload or b"")
-    if b[:2] == b"BM" or b[:8] == b"\x89PNG\r\n\x1a\n":
-        img = decode_bmp(b) if b[:2] == b"BM" else decode_png(b)
+    if b[:2] == b"BM" or b[:8] == b"\x89PNG\r\n\x1a\n" or b[:2] == b"\xff\xd8":
+        if b[:2] == b"BM":
+            kind, img = "image/bmp", decode_bmp(b)
+        elif b[:2] == b"\xff\xd8":
+            from drill_spark.ops.jpeg import decode_jpeg
+
+            kind, img = "image/jpeg", decode_jpeg(b)
+        else:
+            kind, img = "image/png", decode_png(b)
         return {
-            "kind": "image/bmp" if b[:2] == b"BM" else "image/png",
+            "kind": kind,
             "width": int(img.shape[1]),
             "height": int(img.shape[0]),
             "n_samples": None,
@@ -326,13 +333,20 @@ def media_decode(df: DataFrame) -> DataFrame:
 
 
 def resize_image(payload: bytes, width: int, height: int) -> bytes:
-    """REAL resize for BMP/PNG payloads: numpy nearest-neighbor
-    sampling, re-encoded as BMP. Falls back to NotImplementedError for
-    other formats (the stub boundary)."""
+    """REAL resize for BMP/PNG/baseline-JPEG payloads: numpy
+    nearest-neighbor sampling, re-encoded as BMP. Falls back to
+    NotImplementedError for other formats (the stub boundary)."""
     import numpy as np
 
     b = bytes(payload)
-    img = decode_bmp(b) if b[:2] == b"BM" else decode_png(b)
+    if b[:2] == b"BM":
+        img = decode_bmp(b)
+    elif b[:2] == b"\xff\xd8":
+        from drill_spark.ops.jpeg import decode_jpeg
+
+        img = decode_jpeg(b)
+    else:
+        img = decode_png(b)
     ys = (np.arange(height) * img.shape[0] // height).clip(0, img.shape[0] - 1)
     xs = (np.arange(width) * img.shape[1] // width).clip(0, img.shape[1] - 1)
     return encode_bmp(img[np.ix_(ys, xs)])
