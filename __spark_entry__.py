@@ -66,7 +66,7 @@ _PRIORITY = [
     "op_avro_scan", "op_delta_scan", "op_delta_dv_scan", "op_iceberg_scan",
     "op_iceberg_v2_scan", "op_pdf_scan", "op_paimon_scan", "op_msaccess_scan", "op_shp_scan", "op_image_scan",
     "op_pcapng_scan", "op_spss_scan", "op_orc_scan", "op_hdf5_scan",
-    "ext_dedup_exact", "ext_embed_topk", "ext_multimodal_decode", "ext_text_stats",
+    "ext_dedup_exact", "op_dfdl_scan", "ext_embed_topk", "ext_multimodal_decode", "ext_text_stats",
     "ext_dedup_minhash", "ext_ann_lsh", "ext_text_quality", "ext_multimodal_meta",
     "ext_asof_join", "ext_range_join", "ext_sample_hash",
     "op_math_fns", "op_cast_fns", "op_decimal_agg", "op_values", "op_count_star",

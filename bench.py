@@ -158,6 +158,16 @@ def main() -> None:
     detail["setup"] = setup
     detail["probe_pre"] = probe_before
     detail["probe_post"] = probe_after
+    # fold in the latest sf1 scale soak (scripts/scale_soak.py) so the
+    # driver's bench record carries the measured-scaling evidence too
+    soak_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "soak_sf1.json")
+    if os.path.exists(soak_path):
+        try:
+            with open(soak_path) as f:
+                detail["sf1_soak"] = json.load(f)
+        except (OSError, ValueError) as e:
+            print(f"soak_sf1.json not embedded: {e}", file=sys.stderr)
     try:
         with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_result.json"), "w") as f:
             f.write(json.dumps(detail) + "\n")

@@ -1062,6 +1062,45 @@ from nation
 """
 
 
+def q_dfdl_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DFDL format scan (contrib/format-daffodil DaffodilBatchReader
+    parity): nation keys packed as big-endian xs:int pairs in a .dat
+    file (the reference's data0NInt.dat shape) with a two-column DFDL
+    schema, read back through the subset interpreter. Full reference-
+    fixture parity (binary/text/arrays/types) is in tests/test_dfdl.py."""
+    from drill_spark.readers.dfdl import DFDL_TWO_INT_XSD, read_dfdl, write_dfdl_ints
+
+    def build(out_dir: str) -> None:
+        os.makedirs(out_dir, exist_ok=True)
+        rows = sorted(
+            (int(r.n_nationkey), int(r.n_regionkey))
+            for r in load_fixture(spark, sf_dir, "nation")
+            .select("n_nationkey", "n_regionkey").collect()
+        )
+        write_dfdl_ints(
+            [(k, rk * 1000 + k) for k, rk in rows],
+            os.path.join(out_dir, "nations.dat"),
+        )
+        with open(os.path.join(out_dir, "nations.dfdl.xsd"), "w") as f:
+            f.write(DFDL_TWO_INT_XSD)
+
+    out_dir = _materialize_once(sf_dir, "dfdl", build)
+    return read_dfdl(
+        spark,
+        os.path.join(out_dir, "nations.dat"),
+        schema_uri=os.path.join(out_dir, "nations.dfdl.xsd"),
+        root_name="row",
+    )
+
+
+ORACLE_DFDL_SCAN = """
+select
+  cast(n_nationkey as int) as a1,
+  cast(n_regionkey * 1000 + n_nationkey as int) as a2
+from nation
+"""
+
+
 def q_shp_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ESRI shapefile scan (contrib/format-esri ShpBatchReader.java
     parity): the nation fixture becomes a point shapefile (one point
@@ -1272,6 +1311,7 @@ QUERIES = {
     "op_orc_scan": q_orc_scan,
     "op_hdf5_scan": q_hdf5_scan,
     "op_image_scan": q_image_scan,
+    "op_dfdl_scan": q_dfdl_scan,
     "ext_dedup_exact": q_dedup_exact,
     "ext_dedup_apply": q_dedup_apply,
     "ext_dedup_jaccard": q_dedup_jaccard,
@@ -1317,6 +1357,7 @@ ORACLES = {
     "op_orc_scan": ORACLE_ORC_SCAN,
     "op_hdf5_scan": ORACLE_HDF5_SCAN,
     "op_image_scan": ORACLE_IMAGE_SCAN,
+    "op_dfdl_scan": ORACLE_DFDL_SCAN,
     "ext_dedup_exact": ORACLE_DEDUP_EXACT,
     "ext_dedup_apply": ORACLE_DEDUP_APPLY,
     "ext_dedup_jaccard": ORACLE_DEDUP_JACCARD,

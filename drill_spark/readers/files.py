@@ -137,26 +137,27 @@ def read_auto(
         from drill_spark.readers.hdf5 import read_hdf5
 
         return read_hdf5(spark, path, options)
+    if fmt in ("daffodil", "dfdl"):
+        from drill_spark.readers.dfdl import read_dfdl
+
+        uri = options.get("schemaURI", options.get("schema_uri"))
+        if not uri:
+            raise ValueError(
+                "the daffodil format requires a schemaURI table-function "
+                "option pointing at the .dfdl.xsd (DaffodilFormatConfig)"
+            )
+        return read_dfdl(
+            spark,
+            path,
+            uri,
+            root_name=options.get("rootName", options.get("root_name")),
+            root_namespace=options.get("rootNamespace"),
+            validation_mode=_truthy(options.get("validationMode", "false")),
+        )
     reader = spark.read.options(**options)
     if schema:
         reader = reader.schema(schema)
-    try:
-        return reader.format(fmt).load(path)
-    except Exception as e:
-        # table formats needing an external connector (reference
-        # contrib/format-iceberg, contrib/format-deltalake): name the
-        # missing package instead of failing obscurely (excel-style gate)
-        connector = {
-            "daffodil": "org.apache.daffodil:daffodil-runtime (DFDL schema-driven parsing)",
-        }.get(fmt)
-        msg = str(e)
-        if connector and ("Failed to find data source" in msg or "ClassNotFoundException" in msg):
-            raise NotImplementedError(
-                f"the {fmt} table format requires the external connector "
-                f"{connector} on the classpath (spark.jars.packages); "
-                "not bundled in this deployment"
-            ) from e
-        raise
+    return reader.format(fmt).load(path)
 
 
 def _truthy(v) -> bool:

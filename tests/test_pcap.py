@@ -93,17 +93,13 @@ def test_bad_magic_raises():
 
 
 def test_table_format_gates(spark, tmp_path):
-    """daffodil (DFDL runtime) gates with the connector named when the
-    jar is absent; delta/iceberg/paimon read natively and identify a
-    non-table directory crisply."""
+    """daffodil without a schemaURI names the missing option (it is now
+    a native reader, tests/test_dfdl.py); delta/iceberg/paimon read
+    natively and identify a non-table directory crisply."""
     from drill_spark.readers.files import read_auto
 
-    try:
+    with pytest.raises(ValueError, match="schemaURI"):
         read_auto(spark, str(tmp_path), "daffodil")
-    except NotImplementedError as e:
-        assert "daffodil" in str(e)
-    except Exception:
-        pytest.fail("daffodil gate raised the wrong error type")
 
     for fmt, msg in (("iceberg", "not a"), ("delta", "not a"), ("paimon", "not a")):
         with pytest.raises(FileNotFoundError, match=msg):
