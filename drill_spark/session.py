@@ -317,6 +317,20 @@ class DrillSession:
             name, nodes, kind="elasticsearch", options=dict(options or {})
         )
 
+    def serve_jdbc(self, host: str = "127.0.0.1", port: int = 0,
+                   sf_dir: str | None = None):
+        """Start the HiveServer2-compatible Thrift JDBC/ODBC endpoint
+        over this session (Drill analog: the bundled JDBC driver in
+        ``exec/jdbc/`` + ODBC client). Returns ``(server, port)``;
+        ``server.stop()`` shuts it down. Fixture tables from ``sf_dir``
+        (if given) are published as ``global_temp.<name>`` so every
+        JDBC connection sees them."""
+        from drill_spark.thriftserver import (
+            publish_fixture_tables, start_thrift_server)
+
+        publish = publish_fixture_tables(self, sf_dir) if sf_dir else {}
+        return start_thrift_server(self.spark, host, port, publish)
+
     def register_fixture_tables(self, sf_dir: str) -> None:
         """Register the driver parquet fixtures as temp views (TESTDATA.md)."""
         for t in FIXTURE_TABLES:
