@@ -874,16 +874,19 @@ select s_suppkey, s_name, round(s_acctbal, 2) as s_acctbal from supplier
 
 def q_multimodal_decode(spark, sf_dir):
     """REAL media decode, oracle-checked end to end: each nation row
-    becomes a genuine 24-bit BMP (key%3==0; constant pixel value
-    (key*9)%256, width key%5+2, height 3), a 16-bit PCM WAV (key%3==1;
+    becomes a genuine 24-bit BMP (key%4==0; constant pixel value
+    (key*9)%256, width key%5+2, height 3), a 16-bit PCM WAV (key%4==1;
     square wave of amplitude (key%50)/100, 80+key samples at 8 kHz),
-    or a REAL baseline JPEG (key%3==2; constant gray (key*9)%256 —
-    exact through the codec because the q75 luminance DC step equals
-    the 8x8 DCT's DC gain, see ops/jpeg.py) built with the codecs in
-    ops/multimodal.py + ops/jpeg.py, and the decode kernel must
-    recover dimensions / sample counts / mean pixel / RMS exactly as
-    the closed-form oracle computes them — no stub anywhere in this
-    path."""
+    a REAL baseline JPEG (key%4==2; constant gray (key*9)%256 — exact
+    through the codec because the q75 luminance DC step equals the 8x8
+    DCT's DC gain, see ops/jpeg.py), or a REAL AVI video (key%4==3;
+    key%3+2 uncompressed BI_RGB frames at 5 fps, frame i constant value
+    (key*9)%200 + 10*i, so the all-frame pixel mean is the closed form
+    (key*9)%200 + 5*(key%3+1)) built with the codecs in
+    ops/multimodal.py + ops/jpeg.py + ops/video.py, and the decode
+    kernel must recover dimensions / sample counts / frame counts /
+    fps / mean pixel / RMS exactly as the closed-form oracle computes
+    them — no stub anywhere in this path."""
     import pandas as pd
 
     from drill_spark.ops.multimodal import DECODE_SCHEMA, encode_bmp, encode_wav, media_decode
@@ -896,26 +899,31 @@ def q_multimodal_decode(spark, sf_dir):
         import numpy as np
 
         from drill_spark.ops.jpeg import encode_jpeg
+        from drill_spark.ops.video import encode_avi
 
         for pdf in batches:
             rows = []
             for k in pdf["doc_id"]:
                 k = int(k)
-                if k % 3 == 0:
-                    w = k % 5 + 2
-                    v = (k * 9) % 256
+                w = k % 5 + 2
+                v = (k * 9) % 256
+                if k % 4 == 0:
                     img = np.full((3, w, 3), v, dtype="uint8")
                     rows.append({"doc_id": k, "payload": encode_bmp(img)})
-                elif k % 3 == 1:
+                elif k % 4 == 1:
                     a = (k % 50) / 100.0
                     n = 80 + k
                     x = np.where(np.arange(n) % 2 == 0, a, -a)
                     rows.append({"doc_id": k, "payload": encode_wav(x, 8000)})
-                else:
-                    w = k % 5 + 2
-                    v = (k * 9) % 256
+                elif k % 4 == 2:
                     img = np.full((3, w, 3), v, dtype="uint8")
                     rows.append({"doc_id": k, "payload": encode_jpeg(img)})
+                else:
+                    frames = [
+                        np.full((3, w, 3), (k * 9) % 200 + 10 * i, dtype="uint8")
+                        for i in range(k % 3 + 2)
+                    ]
+                    rows.append({"doc_id": k, "payload": encode_avi(frames, fps=5)})
             yield pd.DataFrame.from_records(rows, columns=["doc_id", "payload"])
 
     payloads = nat.mapInPandas(build, schema="doc_id bigint, payload binary")
@@ -924,15 +932,20 @@ def q_multimodal_decode(spark, sf_dir):
 
 ORACLE_MULTIMODAL_DECODE = """
 select n_nationkey as doc_id,
-  case when n_nationkey % 3 = 0 then 'image/bmp'
-       when n_nationkey % 3 = 1 then 'audio/wav'
-       else 'image/jpeg' end as kind,
-  cast(case when n_nationkey % 3 <> 1 then n_nationkey % 5 + 2 end as int) as width,
-  cast(case when n_nationkey % 3 <> 1 then 3 end as int) as height,
-  cast(case when n_nationkey % 3 = 1 then 80 + n_nationkey end as int) as n_samples,
-  cast(case when n_nationkey % 3 = 1 then 8000 end as int) as sample_rate,
-  round(case when n_nationkey % 3 <> 1 then cast((n_nationkey * 9) % 256 as double)
-        else (n_nationkey % 50) / 100.0 end, 4) as mean_val
+  case when n_nationkey % 4 = 0 then 'image/bmp'
+       when n_nationkey % 4 = 1 then 'audio/wav'
+       when n_nationkey % 4 = 2 then 'image/jpeg'
+       else 'video/avi' end as kind,
+  cast(case when n_nationkey % 4 <> 1 then n_nationkey % 5 + 2 end as int) as width,
+  cast(case when n_nationkey % 4 <> 1 then 3 end as int) as height,
+  cast(case when n_nationkey % 4 = 1 then 80 + n_nationkey
+            when n_nationkey % 4 = 3 then n_nationkey % 3 + 2 end as int) as n_samples,
+  cast(case when n_nationkey % 4 = 1 then 8000
+            when n_nationkey % 4 = 3 then 5 end as int) as sample_rate,
+  round(case when n_nationkey % 4 = 1 then (n_nationkey % 50) / 100.0
+             when n_nationkey % 4 = 3
+               then (n_nationkey * 9) % 200 + 5.0 * (n_nationkey % 3 + 1)
+             else cast((n_nationkey * 9) % 256 as double) end, 4) as mean_val
 from nation
 """
 

@@ -302,6 +302,22 @@ def decode_media(payload: bytes) -> dict:
             "sample_rate": int(rate),
             "mean_val": round(float((x * x).mean() ** 0.5), 4),
         }
+    if b[:4] == b"RIFF" and b[8:12] == b"AVI ":
+        # REAL video decode (ops/video.py): BI_RGB byte-exact, MJPG via
+        # the from-scratch JPEG codec. n_samples = frame count,
+        # sample_rate = fps, mean over every decoded frame.
+        from drill_spark.ops.video import decode_avi
+
+        meta, frames = decode_avi(b)
+        mean = float(np.mean([f.mean() for f in frames])) if frames else 0.0
+        return {
+            "kind": "video/avi",
+            "width": int(meta["width"]),
+            "height": int(meta["height"]),
+            "n_samples": int(meta["n_frames"]),
+            "sample_rate": int(meta["fps"]) if meta["fps"] else None,
+            "mean_val": round(mean, 4),
+        }
     raise NotImplementedError(
         "real decode for this format needs codec libs not in this container"
     )
@@ -389,14 +405,24 @@ FRAME_SCHEMA = "doc_id bigint, frame_idx int, frame binary"
 
 def frame_sample(df: DataFrame, n_frames: int = 4) -> DataFrame:
     """mapInPandas frame sampling: one input row (video payload) ->
-    n_frames output rows — the 1-to-N exploding UDTF shape (real impl:
-    ffmpeg keyframe extraction). STUB: equal-stride byte slices."""
+    up to n_frames output rows — the 1-to-N exploding UDTF shape. AVI
+    payloads get REAL evenly-strided container frames (ops/video.py;
+    frame_idx = source frame index, MJPG frames directly decodable);
+    other payloads keep the labeled equal-stride byte-slice stand-in."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from drill_spark.ops.video import sample_frames
+
         for pdf in batches:
             ids, idxs, frames = [], [], []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 b = bytes(payload)
+                if b[:4] == b"RIFF" and b[8:12] == b"AVI ":
+                    for i, fr in sample_frames(b, n_frames):
+                        ids.append(doc_id)
+                        idxs.append(i)
+                        frames.append(fr)
+                    continue
                 stride = max(len(b) // n_frames, 1)
                 for i in range(n_frames):
                     ids.append(doc_id)

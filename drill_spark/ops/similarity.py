@@ -74,26 +74,58 @@ def cosine_dedup_pairs(
     vec_col: str = "embedding",
     bucket_col: str = "label",
     threshold: float = 0.95,
+    n_salt: int = 8,
 ) -> DataFrame:
     """Embedding near-duplicate pairs: cosine >= threshold within a
-    blocking bucket (here `label`; at scale an LSH bucket).
+    blocking bucket (here `label`; at scale an LSH bucket). EXACT
+    within the bucket — every qualifying pair is emitted once, with
+    id_a < id_b.
 
-    Self-join keyed on the bucket column — the shuffle is on bucket id,
-    pair comparison stays bucket-local.
+    Scale shape: a plain self-join keyed on the bucket column puts each
+    bucket's entire m^2 comparison on ONE task, so parallelism collapses
+    as buckets grow (measured 18x wall at 10x rows in the sf1 soak).
+    The triangle-join decomposition fixes that without changing results:
+    each row gets a deterministic salt s in [0, n_salt); the unordered
+    pair space splits into salt blocks (i, j), i <= j; side A explodes
+    to its blocks with j >= s, side B to blocks with i <= s; the join
+    key (bk, i, j) spreads one bucket over n_salt*(n_salt+1)/2 tasks.
+    Same total comparisons, ~n_salt/2 row replication, full cluster
+    parallelism. n_salt=1 degrades to the single-block join.
     """
     side = with_norm(
         df.select(F.col(bucket_col).alias("bk"), F.col(id_col).alias("id"), F.col(vec_col).alias("v")),
         "v",
         "n",
     )
-    a = side.select(F.col("bk"), F.col("id").alias("id_a"), F.col("v").alias("va"), F.col("n").alias("na"))
-    b = side.select(F.col("bk"), F.col("id").alias("id_b"), F.col("v").alias("vb"), F.col("n").alias("nb"))
+    S = max(int(n_salt), 1)
+    salted = side.withColumn("s", F.pmod(F.xxhash64("id"), F.lit(S)).cast("int"))
+    a = (
+        salted.select(
+            "bk", F.col("s").alias("i"),
+            F.col("id").alias("id_a"), F.col("v").alias("va"), F.col("n").alias("na"),
+        )
+        .withColumn("j", F.explode(F.expr(f"sequence(i, {S - 1})")))
+    )
+    b = (
+        salted.select(
+            "bk", F.col("s").alias("j"),
+            F.col("id").alias("id_b"), F.col("v").alias("vb"), F.col("n").alias("nb"),
+        )
+        .withColumn("i", F.explode(F.expr("sequence(0, j)")))
+    )
     return (
-        a.join(b, "bk")
-        .where(F.col("id_a") < F.col("id_b"))
+        a.join(b, ["bk", "i", "j"])
+        # i < j blocks hold cross-salt pairs once by construction; the
+        # diagonal i == j needs the id order to not double-count
+        .where((F.col("i") < F.col("j")) | (F.col("id_a") < F.col("id_b")))
         .withColumn("cosine", F.round(_dot("va", "vb") / (F.col("na") * F.col("nb")), 4))
         .where(F.col("cosine") >= threshold)
-        .select(F.col("bk").alias(bucket_col), "id_a", "id_b", "cosine")
+        .select(
+            F.col("bk").alias(bucket_col),
+            F.least("id_a", "id_b").alias("id_a"),
+            F.greatest("id_a", "id_b").alias("id_b"),
+            "cosine",
+        )
     )
 
 

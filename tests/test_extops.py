@@ -306,3 +306,68 @@ def test_media_codecs_roundtrip():
         any((small[r, c] == img[y, x]).all() for y in range(5) for x in range(7))
         for r in range(2) for c in range(3)
     )
+
+
+def test_avi_video_codec_roundtrip():
+    """AVI container (ops/video.py): raw BI_RGB frames are byte-exact
+    through encode/decode; MJPG frames route through the from-scratch
+    JPEG codec; header metadata (dims/fps/frame count) round-trips."""
+    import numpy as np
+
+    from drill_spark.ops.video import decode_avi, encode_avi, parse_avi, sample_frames
+
+    rng = np.random.default_rng(11)
+    frames = [rng.integers(0, 256, size=(6, 5, 3), dtype=np.uint8) for _ in range(7)]
+    avi = encode_avi(frames, fps=12)
+    meta, out = decode_avi(avi)
+    assert (meta["width"], meta["height"], meta["fps"], meta["n_frames"]) == (5, 6, 12, 7)
+    for a, b in zip(frames, out):
+        assert (a == b).all()
+
+    # evenly-strided REAL frame selection with source indexes
+    picked = sample_frames(avi, 3)
+    assert [i for i, _ in picked] == [0, 3, 6]
+    assert picked[1][1] == parse_avi(avi)["frames"][3]
+
+    # MJPG: constant-gray frames are exact through the JPEG DC path
+    grays = [np.full((8, 8, 3), v, dtype=np.uint8) for v in (40, 90, 200)]
+    m2, o2 = decode_avi(encode_avi(grays, fps=3, codec="mjpg"))
+    assert m2["n_frames"] == 3
+    assert [float(f.mean()) for f in o2] == [40.0, 90.0, 200.0]
+
+
+def test_frame_sample_real_avi(spark):
+    """frame_sample over AVI payloads returns genuine container frames
+    (frame_idx = source index), not byte slices."""
+    import numpy as np
+
+    from drill_spark.ops.multimodal import frame_sample
+    from drill_spark.ops.video import encode_avi
+
+    frames = [np.full((4, 4, 3), 20 * i, dtype=np.uint8) for i in range(6)]
+    avi = encode_avi(frames, fps=10)
+    df = spark.createDataFrame([(1, bytearray(avi))], "doc_id bigint, payload binary")
+    rows = sorted(frame_sample(df, n_frames=3).collect(), key=lambda r: r.frame_idx)
+    assert [r.frame_idx for r in rows] == [0, 2, 5]
+    from drill_spark.ops.video import decode_frame, parse_avi
+
+    meta = parse_avi(avi)
+    for r in rows:
+        img = decode_frame(bytes(r.frame), meta)
+        assert float(img.mean()) == 20.0 * r.frame_idx
+
+
+def test_cosine_dedup_triangle_join_exact(spark):
+    """The salted triangle join returns EXACTLY the single-block join's
+    pairs (same ids, same cosines) — the salt only redistributes work."""
+    from drill_spark.ops.similarity import cosine_dedup_pairs
+    from drill_spark.session import load_fixture
+
+    embs = load_fixture(spark, "/root/testdata/sf0.001", "embeddings")
+    base = sorted(
+        map(tuple, cosine_dedup_pairs(embs, threshold=0.3, n_salt=1).collect()))
+    for s in (3, 8):
+        salted = sorted(
+            map(tuple, cosine_dedup_pairs(embs, threshold=0.3, n_salt=s).collect()))
+        assert salted == base
+    assert len(base) > 0
