@@ -930,6 +930,61 @@ def q_multimodal_decode(spark, sf_dir):
     return media_decode(payloads)
 
 
+def q_audio_probe(spark, sf_dir):
+    """REAL MPEG audio (MP3) metadata, oracle-checked: each nation row
+    becomes a spec-built Layer III stream (key%4+2 frames at 44.1 kHz,
+    bitrate from a small table, mono/stereo by key parity) and the
+    frame-header walker must recover layer/rate/channels/frame count/
+    duration/bitrate exactly as the closed-form oracle computes them.
+    Full psychoacoustic sample decode stays behind the labeled gate."""
+    import pandas as pd
+
+    from drill_spark.ops.multimodal import build_mpeg_frames, probe_mpeg_audio
+
+    nat = load_fixture(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("bigint").alias("doc_id")
+    )
+
+    def build_and_probe(batches):
+        rates = (32, 64, 128, 192)
+        for pdf in batches:
+            rows = []
+            for k in pdf["doc_id"]:
+                k = int(k)
+                payload = build_mpeg_frames(
+                    n_frames=k % 4 + 2,
+                    bitrate_kbps=rates[k % 4],
+                    channels=k % 2 + 1,
+                )
+                rows.append({"doc_id": k, **probe_mpeg_audio(payload)})
+            yield pd.DataFrame.from_records(
+                rows,
+                columns=["doc_id", "kind", "mpeg_version", "sample_rate",
+                         "channels", "n_frames", "duration_s", "bitrate_kbps"],
+            )
+
+    return nat.mapInPandas(
+        build_and_probe,
+        schema="doc_id bigint, kind string, mpeg_version string, "
+        "sample_rate int, channels int, n_frames int, "
+        "duration_s double, bitrate_kbps double",
+    )
+
+
+ORACLE_AUDIO_PROBE = """
+select n_nationkey as doc_id,
+  'audio/mpeg-layer3' as kind,
+  '1' as mpeg_version,
+  cast(44100 as int) as sample_rate,
+  cast(n_nationkey % 2 + 1 as int) as channels,
+  cast(n_nationkey % 4 + 2 as int) as n_frames,
+  round((n_nationkey % 4 + 2) * 1152.0 / 44100, 4) as duration_s,
+  cast(case n_nationkey % 4 when 0 then 32 when 1 then 64
+       when 2 then 128 else 192 end as double) as bitrate_kbps
+from nation
+"""
+
+
 ORACLE_MULTIMODAL_DECODE = """
 select n_nationkey as doc_id,
   case when n_nationkey % 4 = 0 then 'image/bmp'
@@ -1350,6 +1405,7 @@ QUERIES = {
     "ext_multimodal_features": q_multimodal_features,
     "ext_multimodal_probe": q_multimodal_probe,
     "ext_multimodal_decode": q_multimodal_decode,
+    "ext_audio_probe": q_audio_probe,
     "ext_asof_join": q_asof_join,
     "ext_range_join": q_range_join,
     "ext_stream_tumbling": q_stream_tumbling,
@@ -1388,6 +1444,7 @@ ORACLES = {
     "ext_multimodal_meta": ORACLE_MULTIMODAL_META,
     "ext_multimodal_probe": ORACLE_MULTIMODAL_PROBE,
     "ext_multimodal_decode": ORACLE_MULTIMODAL_DECODE,
+    "ext_audio_probe": ORACLE_AUDIO_PROBE,
     "ext_asof_join": ORACLE_ASOF_JOIN,
     "ext_range_join": ORACLE_RANGE_JOIN,
     "ext_stream_tumbling": ORACLE_STREAM_TUMBLING,

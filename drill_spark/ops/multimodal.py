@@ -130,6 +130,121 @@ def probe_images(df: DataFrame) -> DataFrame:
     return df.select("doc_id", "payload").mapInPandas(run, schema=PROBE_SCHEMA)
 
 
+# -------------------------------------------------- mpeg audio probe
+
+# public ISO 11172-3 / 13818-3 header tables (kbps / Hz)
+_MPEG_BITRATES = {
+    # (version_group, layer) -> 14 bitrates; version_group: 1=MPEG1, 2=MPEG2/2.5
+    (1, 1): (32, 64, 96, 128, 160, 192, 224, 256, 288, 320, 352, 384, 416, 448),
+    (1, 2): (32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 384),
+    (1, 3): (32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320),
+    (2, 1): (32, 48, 56, 64, 80, 96, 112, 128, 144, 160, 176, 192, 224, 256),
+    (2, 2): (8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160),
+    (2, 3): (8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160),
+}
+_MPEG_RATES = {3: (44100, 48000, 32000), 2: (22050, 24000, 16000), 0: (11025, 12000, 8000)}
+
+
+def _mpeg_frame_header(b: bytes, pos: int):
+    """Parse one MPEG audio frame header at pos; returns (frame_size,
+    samples_per_frame, sample_rate, bitrate_kbps, channels, layer,
+    version) or None if pos doesn't hold a valid header."""
+    if pos + 4 > len(b):
+        return None
+    h = int.from_bytes(b[pos : pos + 4], "big")
+    if (h >> 21) & 0x7FF != 0x7FF:
+        return None
+    ver_bits = (h >> 19) & 3        # 3=MPEG1, 2=MPEG2, 0=MPEG2.5
+    layer_bits = (h >> 17) & 3      # 3=Layer I, 2=Layer II, 1=Layer III
+    br_idx = (h >> 12) & 0xF
+    sr_idx = (h >> 10) & 3
+    padding = (h >> 9) & 1
+    mode = (h >> 6) & 3
+    if ver_bits == 1 or layer_bits == 0 or br_idx in (0, 15) or sr_idx == 3:
+        return None
+    layer = 4 - layer_bits
+    vgroup = 1 if ver_bits == 3 else 2
+    bitrate = _MPEG_BITRATES[(vgroup, layer)][br_idx - 1] * 1000
+    rate = _MPEG_RATES[ver_bits][sr_idx]
+    if layer == 1:
+        frame_size = (12 * bitrate // rate + padding) * 4
+        samples = 384
+    else:
+        samples = 1152 if (layer == 2 or vgroup == 1) else 576
+        frame_size = samples // 8 * bitrate // rate + padding
+    channels = 1 if mode == 3 else 2
+    version = {3: "1", 2: "2", 0: "2.5"}[ver_bits]
+    return frame_size, samples, rate, bitrate // 1000, channels, layer, version
+
+
+def probe_mpeg_audio(payload: bytes) -> dict:
+    """REAL MPEG audio (MP3/MP2/MP1) metadata from the public frame
+    header layout (ISO 11172-3 §2.4.1.3): walks every frame (ID3v2 tag
+    skipped via its syncsafe size), so VBR streams report the true
+    per-frame bitrate mix. Returns layer/version/sample_rate/channels/
+    n_frames/duration_s/bitrate_kbps (average). Full psychoacoustic
+    sample decode stays behind the labeled stub boundary."""
+    b = bytes(payload or b"")
+    pos = 0
+    if b[:3] == b"ID3" and len(b) >= 10:
+        pos = 10 + (
+            (b[6] << 21) | (b[7] << 14) | (b[8] << 7) | b[9]
+        )
+    n_frames = 0
+    total_samples = 0
+    bitrate_sum = 0
+    first = None
+    while pos < len(b):
+        hdr = _mpeg_frame_header(b, pos)
+        if hdr is None:
+            if n_frames == 0:
+                pos += 1  # resync scan before the first frame only
+                continue
+            break
+        frame_size, samples, rate, kbps, channels, layer, version = hdr
+        if first is None:
+            first = (rate, channels, layer, version)
+        n_frames += 1
+        total_samples += samples
+        bitrate_sum += kbps
+        pos += max(frame_size, 4)
+    if first is None:
+        raise NotImplementedError("no MPEG audio frames in payload")
+    rate, channels, layer, version = first
+    return {
+        "kind": f"audio/mpeg-layer{layer}",
+        "mpeg_version": version,
+        "sample_rate": rate,
+        "channels": channels,
+        "n_frames": n_frames,
+        "duration_s": round(total_samples / rate, 4),
+        "bitrate_kbps": round(bitrate_sum / n_frames, 1),
+    }
+
+
+def build_mpeg_frames(
+    n_frames: int, layer: int = 3, bitrate_kbps: int = 128,
+    sample_rate: int = 44100, channels: int = 2,
+) -> bytes:
+    """Spec-built MPEG audio stream: valid frame headers + silent
+    payload bytes (fixture generator — built from the header tables, so
+    tests of the walker don't depend on the walker)."""
+    sr_idx = _MPEG_RATES[3].index(sample_rate)
+    br_idx = _MPEG_BITRATES[(1, layer)].index(bitrate_kbps) + 1
+    layer_bits = 4 - layer
+    mode = 3 if channels == 1 else 0
+    h = (
+        (0x7FF << 21) | (3 << 19) | (layer_bits << 17) | (1 << 16)
+        | (br_idx << 12) | (sr_idx << 10) | (0 << 9) | (mode << 6)
+    )
+    if layer == 1:
+        frame_size = (12 * bitrate_kbps * 1000 // sample_rate) * 4
+    else:
+        frame_size = 144 * bitrate_kbps * 1000 // sample_rate
+    frame = h.to_bytes(4, "big") + b"\x00" * (frame_size - 4)
+    return frame * n_frames
+
+
 # ----------------------------------------------------- real codecs
 #
 # The container ships no media libraries, but BMP, PNG and WAV are

@@ -371,3 +371,34 @@ def test_cosine_dedup_triangle_join_exact(spark):
             map(tuple, cosine_dedup_pairs(embs, threshold=0.3, n_salt=s).collect()))
         assert salted == base
     assert len(base) > 0
+
+
+def test_mpeg_audio_probe():
+    """Frame-header walker vs spec-built streams: layers, bitrates,
+    VBR averaging, ID3v2 skip, mono/stereo, resync before first frame."""
+    import pytest as _pytest
+
+    from drill_spark.ops.multimodal import build_mpeg_frames, probe_mpeg_audio
+
+    m = probe_mpeg_audio(build_mpeg_frames(5, bitrate_kbps=128))
+    assert m["kind"] == "audio/mpeg-layer3" and m["mpeg_version"] == "1"
+    assert (m["sample_rate"], m["channels"], m["n_frames"]) == (44100, 2, 5)
+    assert m["duration_s"] == round(5 * 1152 / 44100, 4)
+    assert m["bitrate_kbps"] == 128.0
+
+    # layer I: 384 samples/frame, (12*br/sr)*4 frame size
+    l1 = probe_mpeg_audio(build_mpeg_frames(3, layer=1, bitrate_kbps=224, channels=1))
+    assert l1["kind"] == "audio/mpeg-layer1" and l1["channels"] == 1
+    assert l1["duration_s"] == round(3 * 384 / 44100, 4)
+
+    # VBR: mixed 64/192 frames -> true average
+    vbr = build_mpeg_frames(2, bitrate_kbps=64) + build_mpeg_frames(2, bitrate_kbps=192)
+    assert probe_mpeg_audio(vbr)["bitrate_kbps"] == 128.0
+
+    # ID3v2 tag skipped via syncsafe size; junk before first frame resyncs
+    tag = b"ID3\x04\x00\x00\x00\x00\x00\x0a" + b"J" * 10
+    assert probe_mpeg_audio(tag + build_mpeg_frames(2))["n_frames"] == 2
+    assert probe_mpeg_audio(b"\x00" * 7 + build_mpeg_frames(2))["n_frames"] == 2
+
+    with _pytest.raises(NotImplementedError, match="MPEG"):
+        probe_mpeg_audio(b"not audio at all")
