@@ -171,3 +171,24 @@ def test_sqlfront_table_function(session, tmp_path):
         f"schemaURI => '{xsd}', rootName => 'row')) ORDER BY a1"
     ).collect()
     assert [tuple(r) for r in out] == [(257, 258), (259, 260)]
+
+
+def test_dfdl_binary_property_roundtrip():
+    """Property: any int-pair table round-trips through the spec-built
+    writer and the subset parser (no Spark needed — kernel level)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    schema = DfdlSchema(DFDL_TWO_INT_XSD)
+    root = schema.root_element("row")
+
+    @settings(max_examples=50, deadline=None)
+    @given(st.lists(st.tuples(
+        st.integers(-2**31, 2**31 - 1), st.integers(-2**31, 2**31 - 1)),
+        max_size=40))
+    def check(rows):
+        buf = b"".join(struct.pack(">ii", a, b) for a, b in rows)
+        parsed = parse_dfdl_file(buf, schema, root)
+        assert [(r["a1"], r["a2"]) for r in parsed] == rows
+
+    check()
