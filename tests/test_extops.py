@@ -402,3 +402,57 @@ def test_mpeg_audio_probe():
 
     with _pytest.raises(NotImplementedError, match="MPEG"):
         probe_mpeg_audio(b"not audio at all")
+
+
+def test_avi_property_roundtrip():
+    """Property: any stack of random RGB frames round-trips byte-exact
+    through the raw-DIB AVI writer/reader at any fps/shape."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from drill_spark.ops.video import decode_avi, encode_avi
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        st.integers(1, 6), st.integers(1, 9), st.integers(1, 7),
+        st.integers(1, 60), st.integers(0, 2**32 - 1),
+    )
+    def check(n, w, h, fps, seed):
+        rng = np.random.default_rng(seed)
+        frames = [rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+                  for _ in range(n)]
+        meta, out = decode_avi(encode_avi(frames, fps=fps))
+        assert (meta["width"], meta["height"], meta["n_frames"]) == (w, h, n)
+        for a, b in zip(frames, out):
+            assert (a == b).all()
+
+    check()
+
+
+def test_mpeg_probe_property():
+    """Property: the header walker recovers exactly what the spec-built
+    generator encoded, for every MPEG1 layer/bitrate/rate/channel
+    combination."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from drill_spark.ops.multimodal import (
+        _MPEG_BITRATES, _MPEG_RATES, build_mpeg_frames, probe_mpeg_audio)
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.integers(1, 12), st.sampled_from([1, 2, 3]),
+           st.integers(0, 13), st.sampled_from([44100, 48000, 32000]),
+           st.sampled_from([1, 2]))
+    def check(n, layer, br_i, rate, channels):
+        kbps = _MPEG_BITRATES[(1, layer)][br_i]
+        m = probe_mpeg_audio(build_mpeg_frames(
+            n, layer=layer, bitrate_kbps=kbps,
+            sample_rate=rate, channels=channels))
+        samples = 384 if layer == 1 else 1152
+        assert m["kind"] == f"audio/mpeg-layer{layer}"
+        assert (m["sample_rate"], m["channels"], m["n_frames"]) == (rate, channels, n)
+        assert m["duration_s"] == round(n * samples / rate, 4)
+        assert m["bitrate_kbps"] == float(kbps)
+
+    check()
