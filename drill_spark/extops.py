@@ -1364,6 +1364,173 @@ from nation
 """
 
 
+# --------------------------------------------- training-data pipeline ops
+
+
+_PII_ENRICH_SPARK = """
+concat(text,
+  case when doc_id % 3 = 0
+       then concat(' contact user', cast(doc_id as string), '@example.com')
+       else '' end,
+  case when doc_id % 5 = 0
+       then concat(' call 555-', lpad(cast(doc_id * 7 % 1000 as string), 3, '0'),
+                   '-', lpad(cast(doc_id * 13 % 10000 as string), 4, '0'))
+       else '' end,
+  case when doc_id % 7 = 0
+       then concat(' from 10.', cast(doc_id % 256 as string), '.0.',
+                   cast(doc_id * 3 % 256 as string))
+       else '' end,
+  case when doc_id % 11 = 0
+       then concat(' ssn 123-45-', lpad(cast(doc_id % 10000 as string), 4, '0'))
+       else '' end)
+"""
+
+_PII_ENRICH_DUCK = _PII_ENRICH_SPARK.replace("as string", "as varchar")
+
+
+def q_pii_redact(spark, sf_dir):
+    """PII scan + redaction (one codegen pass; the fixture text is
+    deterministically enriched with synthetic emails/phones/IPs/SSNs so
+    the detector has real matches to find)."""
+    from drill_spark.ops.pipeline import pii_scan
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", F.expr(_PII_ENRICH_SPARK).alias("text")
+    )
+    return pii_scan(docs, "doc_id", "text")
+
+
+ORACLE_PII_REDACT = r"""
+with enriched as (
+  select doc_id, {enrich} as text from documents
+)
+select doc_id,
+  cast(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{{2,}}')) as bigint) as n_email,
+  cast(len(regexp_extract_all(text, '\b\d{{3}}-\d{{2}}-\d{{4}}\b')) as bigint) as n_ssn,
+  cast(len(regexp_extract_all(text, '\b\d{{3}}-\d{{3}}-\d{{4}}\b')) as bigint) as n_phone,
+  cast(len(regexp_extract_all(text, '\b\d{{1,3}}\.\d{{1,3}}\.\d{{1,3}}\.\d{{1,3}}\b')) as bigint) as n_ip,
+  regexp_replace(
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, '\b\d{{3}}-\d{{2}}-\d{{4}}\b', '[SSN]', 'g'),
+        '\b\d{{3}}-\d{{3}}-\d{{4}}\b', '[PHONE]', 'g'),
+      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{{2,}}', '[EMAIL]', 'g'),
+    '\b\d{{1,3}}\.\d{{1,3}}\.\d{{1,3}}\.\d{{1,3}}\b', '[IP]', 'g') as redacted
+from enriched
+""".format(enrich=_PII_ENRICH_DUCK)
+
+
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: every 20th document plays the held-out
+    benchmark; corpus documents sharing any word 8-gram with it are
+    reported (GPT-3/PaLM n-gram overlap convention)."""
+    from drill_spark.ops.pipeline import decontaminate
+
+    docs = _docs(spark, sf_dir)
+    bench = docs.where(F.col("doc_id") % 20 == 0)
+    corpus = docs.where(F.col("doc_id") % 20 != 0)
+    return decontaminate(corpus, bench, "doc_id", "text", n=8)
+
+
+ORACLE_DECONTAMINATE = r"""
+with w as (
+  select doc_id, string_split_regex(trim(lower(text)), '\s+') as w from documents
+),
+g as (
+  select doc_id, unnest(list_distinct(list_transform(
+      generate_series(1, greatest(len(w) - 7, 0)),
+      i -> substring(md5(array_to_string(w[i:i+7], ' ')), 1, 16)))) as ng
+  from w
+  where len(w) >= 8
+),
+b as (select distinct ng from g where doc_id % 20 = 0),
+c as (select * from g where doc_id % 20 <> 0)
+select c.doc_id, count(distinct c.ng) as n_shared
+from c join b on c.ng = b.ng
+group by 1
+"""
+
+
+def q_chunk_pack(spark, sf_dir):
+    """Sequence packing: 32-token windows per document (chunk inventory
+    for a tokenize-and-pack trainer)."""
+    from drill_spark.ops.pipeline import chunk_tokens
+
+    return chunk_tokens(_docs(spark, sf_dir), "doc_id", "text", max_tokens=32)
+
+
+ORACLE_CHUNK_PACK = r"""
+with w as (
+  select doc_id, string_split_regex(trim(lower(text)), '\s+') as w from documents
+),
+c as (
+  select doc_id, unnest(list_transform(
+      generate_series(0, cast(ceil(len(w) / 32.0) as int) - 1),
+      i -> struct_pack(
+        chunk_id := cast(i as bigint),
+        n_tokens := cast(len(w[i*32+1 : i*32+32]) as bigint),
+        chunk_hash := md5(array_to_string(w[i*32+1 : i*32+32], ' '))))) as c
+  from w
+)
+select doc_id, c.chunk_id as chunk_id, c.n_tokens as n_tokens,
+       c.chunk_hash as chunk_hash
+from c
+"""
+
+
+def q_repetition(spark, sf_dir):
+    """Gopher-style repetition filter signals (per-row HOFs, no
+    shuffle)."""
+    from drill_spark.ops.pipeline import repetition_stats
+
+    return repetition_stats(_docs(spark, sf_dir), "doc_id", "text")
+
+
+ORACLE_REPETITION = r"""
+with w as (
+  select doc_id, string_split_regex(trim(lower(text)), '\s+') as w from documents
+),
+t as (
+  select doc_id,
+    round(1 - len(list_distinct(w)) * 1.0 / len(w), 4) as dup_word_frac,
+    case when len(w) < 2 then 0.0 else
+      round(list_max(list_transform(
+          list_distinct(list_transform(generate_series(1, len(w) - 1),
+                                       i -> w[i] || ' ' || w[i+1])),
+          b -> len(list_filter(
+              list_transform(generate_series(1, len(w) - 1),
+                             i -> w[i] || ' ' || w[i+1]),
+              x -> x = b)))) * 1.0
+        / (len(w) - 1), 4)
+    end as top_bigram_frac
+  from w
+)
+select doc_id, dup_word_frac, top_bigram_frac,
+       (dup_word_frac > 0.6 or top_bigram_frac > 0.18) as flagged
+from t
+"""
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic per-language stratified sample: en 50%, zh 25%,
+    es 12.5%, everything else ~6%."""
+    from drill_spark.ops.pipeline import stratified_sample
+
+    return stratified_sample(
+        _docs(spark, sf_dir), "lang", {"en": "80", "zh": "40", "es": "20"},
+        "doc_id",
+    ).select("doc_id", "lang", "n_chars")
+
+
+ORACLE_STRATIFIED_SAMPLE = """
+select doc_id, lang, n_chars
+from documents
+where substring(md5(cast(doc_id as varchar)), 1, 2) <
+      case lang when 'en' then '80' when 'zh' then '40' when 'es' then '20'
+           else '10' end
+"""
+
+
 QUERIES = {
     "op_avro_scan": q_avro_scan,
     "op_delta_scan": q_delta_scan,
@@ -1409,6 +1576,11 @@ QUERIES = {
     "ext_asof_join": q_asof_join,
     "ext_range_join": q_range_join,
     "ext_stream_tumbling": q_stream_tumbling,
+    "ext_pii_redact": q_pii_redact,
+    "ext_decontaminate": q_decontaminate,
+    "ext_chunk_pack": q_chunk_pack,
+    "ext_repetition": q_repetition,
+    "ext_stratified_sample": q_stratified_sample,
 }
 
 ORACLES = {
@@ -1448,6 +1620,11 @@ ORACLES = {
     "ext_asof_join": ORACLE_ASOF_JOIN,
     "ext_range_join": ORACLE_RANGE_JOIN,
     "ext_stream_tumbling": ORACLE_STREAM_TUMBLING,
+    "ext_pii_redact": ORACLE_PII_REDACT,
+    "ext_decontaminate": ORACLE_DECONTAMINATE,
+    "ext_chunk_pack": ORACLE_CHUNK_PACK,
+    "ext_repetition": ORACLE_REPETITION,
+    "ext_stratified_sample": ORACLE_STRATIFIED_SAMPLE,
 }
 
 

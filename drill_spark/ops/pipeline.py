@@ -1,0 +1,213 @@
+"""Training-data pipeline operators: PII redaction, benchmark
+decontamination, sequence chunking/packing, repetition filtering
+(Gopher-style), and stratified sampling.
+
+These are the curation stages a 100 TB pretraining pipeline runs after
+dedup/quality (ops/dedup.py, ops/text.py): scrub identifiers, drop
+benchmark-contaminated documents, cut documents into model-sized token
+windows, kill degenerate repetition, and sample per-stratum.
+
+Every operator here is pure Catalyst — string/array higher-order
+functions only, no Python UDFs — so each stays inside whole-stage
+codegen and scales as one scan (+ one shuffle where a join/agg is
+inherent). Per-row HOF work is bounded by document length, not corpus
+size, which is the scale-safe direction: no explode→groupBy shuffle for
+per-document metrics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Column
+from pyspark.sql import functions as F
+
+# Engine-portable PII patterns (valid in both Java regex and RE2, so the
+# DuckDB oracles run the identical expressions).
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+SSN_RE = r"\b\d{3}-\d{2}-\d{4}\b"
+PHONE_RE = r"\b\d{3}-\d{3}-\d{4}\b"
+IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+
+def pii_scan(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Detect + redact PII in one pass: per-document match counts for
+    emails / SSNs / phone numbers / IPv4 addresses, plus the redacted
+    text with typed placeholders.
+
+    SSN before phone: the two patterns share the leading ``\\d{3}-`` so
+    redaction order is part of the operator contract (an SSN must never
+    be half-eaten by the phone rule). One scan, zero shuffles, all
+    codegen — the 100 TB cost is exactly one pass over the text column.
+    """
+    t = F.col(text_col)
+    redacted = t
+    for pat, tag in (
+        (SSN_RE, "[SSN]"),
+        (PHONE_RE, "[PHONE]"),
+        (EMAIL_RE, "[EMAIL]"),
+        (IPV4_RE, "[IP]"),
+    ):
+        redacted = F.regexp_replace(redacted, pat, tag)
+    return df.select(
+        F.col(id_col),
+        F.size(F.regexp_extract_all(t, F.lit(EMAIL_RE), F.lit(0))).cast("long").alias("n_email"),
+        F.size(F.regexp_extract_all(t, F.lit(SSN_RE), F.lit(0))).cast("long").alias("n_ssn"),
+        F.size(F.regexp_extract_all(t, F.lit(PHONE_RE), F.lit(0))).cast("long").alias("n_phone"),
+        F.size(F.regexp_extract_all(t, F.lit(IPV4_RE), F.lit(0))).cast("long").alias("n_ip"),
+        redacted.alias("redacted"),
+    )
+
+
+def _words(text_col: str) -> Column:
+    return F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+
+
+def _ngram_keys(text_col: str, n: int) -> Column:
+    """Distinct n-gram join keys per document: 16 hex chars of md5 over
+    each whitespace n-gram. Hashing before the join keeps the shuffle
+    key fixed-width regardless of n-gram text length (and md5 is
+    engine-portable, so oracles can reproduce the exact keys)."""
+    w = _words(text_col)
+    # Spark's sequence(1, 0) is DESCENDING [1, 0], not empty — documents
+    # shorter than n tokens must short-circuit to an empty gram list.
+    grams = F.when(
+        F.size(w) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(w) - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(w, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return F.array_distinct(F.transform(grams, lambda g: F.substring(F.md5(g), 1, 16)))
+
+
+def _spread(df: DataFrame) -> DataFrame:
+    """Round-robin repartition ONLY when the input has fewer partitions
+    than the cluster has slots (a single small parquet file scans as one
+    partition, collapsing per-row HOF work onto one core). At real scale
+    the scan already has >= slots partitions and this is a no-op — no
+    shuffle is added to the 100 TB plan."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 8,
+) -> DataFrame:
+    """Benchmark decontamination: find corpus documents sharing any
+    word n-gram (default 8-gram, the published GPT-3/PaLM convention)
+    with a held-out benchmark set. Returns (id, n_shared) for
+    contaminated documents — anti-join the result to scrub.
+
+    Scale shape: each side explodes to distinct n-gram hashes (per-row
+    HOF, no shuffle), then ONE equi-join on the 16-hex-char hash and one
+    partial-aggregated count per document. The benchmark side is tiny in
+    practice → broadcast; the corpus side never self-joins.
+    """
+    c = _spread(corpus).select(
+        F.col(id_col), F.explode(_ngram_keys(text_col, n)).alias("__ng")
+    )
+    b = _spread(benchmark).select(
+        F.explode(_ngram_keys(text_col, n)).alias("__ng")
+    ).distinct()
+    return (
+        c.join(F.broadcast(b), "__ng")
+        .groupBy(id_col)
+        .agg(F.count_distinct("__ng").alias("n_shared"))
+    )
+
+
+def chunk_tokens(
+    df: DataFrame, id_col: str, text_col: str, max_tokens: int = 32
+) -> DataFrame:
+    """Sequence packing: cut each document into consecutive windows of
+    at most ``max_tokens`` whitespace tokens. Emits (id, chunk_id,
+    n_tokens, chunk_hash) — the deterministic chunk inventory a
+    tokenize-and-pack trainer consumes.
+
+    The chunk loop is a per-row array transform (sequence → slice), so
+    the plan is one scan + one generator — no shuffle, and output size
+    is input size, not input×chunks."""
+    w = _words(text_col)
+    chunks = F.transform(
+        F.sequence(
+            F.lit(0), F.ceil(F.size(w) / F.lit(max_tokens)).cast("int") - 1
+        ),
+        lambda i: F.struct(
+            i.cast("long").alias("chunk_id"),
+            F.size(F.slice(w, i * max_tokens + 1, max_tokens)).cast("long").alias("n_tokens"),
+            F.md5(F.concat_ws(" ", F.slice(w, i * max_tokens + 1, max_tokens))).alias(
+                "chunk_hash"
+            ),
+        ),
+    )
+    return df.select(F.col(id_col), F.explode(chunks).alias("c")).select(
+        id_col, "c.chunk_id", "c.n_tokens", "c.chunk_hash"
+    )
+
+
+def repetition_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Gopher-style repetition signals per document: duplicate-word
+    fraction (1 − distinct/total) and most-frequent-bigram fraction,
+    plus the composite ``flagged`` verdict (Rae et al. 2021 thresholds:
+    top-2-gram fraction > 0.18, duplicate-word fraction > 0.6).
+
+    All per-row HOFs: the bigram mode is computed inside the row
+    (distinct × filter), bounded by document length squared — for
+    capped-length web documents this beats the explode→groupBy→join
+    alternative, which costs two corpus-wide shuffles."""
+    w = _words(text_col)
+    bg = F.transform(
+        F.sequence(F.lit(1), F.size(w) - 1),
+        lambda i: F.concat(F.element_at(w, i), F.lit(" "), F.element_at(w, i + 1)),
+    )
+    dup_frac = F.round(
+        1 - F.size(F.array_distinct(w)) / F.size(w), 4
+    ).alias("dup_word_frac")
+    top_bigram = F.when(F.size(w) < 2, F.lit(0.0)).otherwise(
+        F.round(
+            F.array_max(
+                F.transform(
+                    F.array_distinct(bg),
+                    lambda b: F.size(F.filter(bg, lambda x: x == b)),
+                )
+            )
+            / F.size(bg),
+            4,
+        )
+    ).alias("top_bigram_frac")
+    out = df.select(F.col(id_col), dup_frac, top_bigram)
+    return out.withColumn(
+        "flagged",
+        (F.col("dup_word_frac") > 0.6) | (F.col("top_bigram_frac") > 0.18),
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    rates: dict[str, str],
+    id_col: str,
+    default_threshold: str = "10",
+) -> DataFrame:
+    """Deterministic stratified sampling: per-stratum rates expressed as
+    2-hex-digit md5-prefix thresholds ('80' = 50%, '40' = 25%, '20' =
+    12.5%...). Content-addressed like ops hash sampling — no RNG state,
+    reproducible across engines/partitionings, and the gate is an
+    ordinary filter (pushes down, no shuffle).
+
+    Up-weighting high-quality strata (and down-weighting boilerplate
+    sources) this way is the standard pretraining-mixture move; the
+    hex-prefix comparison works because lowercase hex ordering is
+    numeric ordering."""
+    gate = F.substring(F.md5(F.col(id_col).cast("string")), 1, 2)
+    thr = None
+    for stratum, threshold in rates.items():
+        cond = F.col(strata_col) == stratum
+        thr = F.when(cond, threshold) if thr is None else thr.when(cond, threshold)
+    thr = thr.otherwise(default_threshold) if thr is not None else F.lit(default_threshold)
+    return df.where(gate < thr)

@@ -1,0 +1,126 @@
+"""Training-data pipeline operators (ops/pipeline.py): semantics on
+constructed inputs + the scale contracts (no shuffle / no Python eval
+for the per-document ops). The corpus-scale oracle compare runs in
+test_extops.py via the ORACLES parametrization."""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from drill_spark.ops.pipeline import (
+    chunk_tokens,
+    decontaminate,
+    pii_scan,
+    repetition_stats,
+    stratified_sample,
+)
+from drill_spark.plans.checks import explain_report
+
+
+def _df(spark, rows, schema="id bigint, text string"):
+    return spark.createDataFrame(rows, schema)
+
+
+def test_pii_scan_counts_and_redacts(spark):
+    rows = [
+        (1, "mail me at jo.doe+x@corp.example.org or 10.0.0.7 works"),
+        (2, "ssn 123-45-6789 phone 555-867-5309"),
+        (3, "clean document, nothing to scrub"),
+    ]
+    got = {r["id"]: r for r in pii_scan(_df(spark, rows), "id", "text").collect()}
+    assert (got[1]["n_email"], got[1]["n_ip"]) == (1, 1)
+    assert got[1]["redacted"] == "mail me at [EMAIL] or [IP] works"
+    assert (got[2]["n_ssn"], got[2]["n_phone"]) == (1, 1)
+    assert got[2]["redacted"] == "ssn [SSN] phone [PHONE]"
+    assert got[3]["redacted"] == rows[2][1]
+    assert all(got[3][c] == 0 for c in ("n_email", "n_ssn", "n_phone", "n_ip"))
+
+
+def test_pii_ssn_precedence_over_phone(spark):
+    # 3-2-4 digits is an SSN, never half-redacted by the 3-3-4 phone rule
+    out = pii_scan(_df(spark, [(1, "id 078-05-1120 end")]), "id", "text").head()
+    assert out["redacted"] == "id [SSN] end"
+    assert out["n_ssn"] == 1 and out["n_phone"] == 0
+
+
+def test_decontaminate_shared_8gram(spark):
+    shared = "one two three four five six seven eight"
+    corpus = _df(spark, [(1, "prefix " + shared + " suffix"), (2, "totally different words here " * 3)])
+    bench = _df(spark, [(100, shared + " and a benchmark tail")])
+    got = decontaminate(corpus, bench, "id", "text", n=8).collect()
+    assert [(r["id"], r["n_shared"]) for r in got] == [(1, 1)]
+
+
+def test_decontaminate_short_docs_are_safe(spark):
+    # < n tokens: Spark's sequence(1, 0) is descending, so the guard in
+    # _ngram_keys must yield ZERO grams, not one malformed gram
+    corpus = _df(spark, [(1, "only three words")])
+    bench = _df(spark, [(2, "only three words")])
+    assert decontaminate(corpus, bench, "id", "text", n=8).count() == 0
+
+
+def test_chunk_tokens_windows(spark):
+    words = [f"w{i}" for i in range(70)]
+    out = chunk_tokens(_df(spark, [(1, " ".join(words))]), "id", "text", max_tokens=32)
+    rows = sorted(out.collect(), key=lambda r: r["chunk_id"])
+    assert [(r["chunk_id"], r["n_tokens"]) for r in rows] == [(0, 32), (1, 32), (2, 6)]
+    expect = hashlib.md5(" ".join(words[64:70]).encode()).hexdigest()
+    assert rows[2]["chunk_hash"] == expect
+
+
+def test_repetition_stats_flags_degenerate(spark):
+    rows = [
+        (1, "spam spam spam spam spam"),          # one word repeated
+        (2, " ".join(f"unique{i}" for i in range(20))),  # no repetition
+    ]
+    got = {r["id"]: r for r in repetition_stats(_df(spark, rows), "id", "text").collect()}
+    assert got[1]["dup_word_frac"] == 0.8          # 1 - 1/5
+    assert got[1]["top_bigram_frac"] == 1.0        # 'spam spam' is every bigram
+    assert got[1]["flagged"] is True
+    assert got[2]["dup_word_frac"] == 0.0
+    assert got[2]["flagged"] is False
+
+
+def test_repetition_single_word_doc(spark):
+    got = repetition_stats(_df(spark, [(1, "lonely")]), "id", "text").head()
+    assert got["top_bigram_frac"] == 0.0 and got["flagged"] is False
+
+
+def test_stratified_sample_is_md5_deterministic(spark):
+    df = _df(spark, [(i, "en" if i % 2 == 0 else "de") for i in range(200)],
+             "id bigint, lang string")
+    got = {r["id"] for r in stratified_sample(df, "lang", {"en": "80"}, "id",
+                                              default_threshold="20").collect()}
+    expect = set()
+    for i in range(200):
+        thr = "80" if i % 2 == 0 else "20"
+        if hashlib.md5(str(i).encode()).hexdigest()[:2] < thr:
+            expect.add(i)
+    assert got == expect
+
+
+def test_per_document_ops_have_no_shuffle(spark):
+    """The scale contract: PII, chunking and repetition are single-pass
+    codegen — zero exchanges, zero Python evaluators."""
+    df = _df(spark, [(i, f"word{i} common text body {i}") for i in range(50)])
+    for op in (
+        lambda d: pii_scan(d, "id", "text"),
+        lambda d: chunk_tokens(d, "id", "text", 8),
+        lambda d: repetition_stats(d, "id", "text"),
+        lambda d: stratified_sample(d, "text", {"x": "80"}, "id"),
+    ):
+        rep = explain_report(op(df))
+        assert rep["shuffles"] == 0, rep
+        assert not rep["python_eval"], rep
+
+
+def test_decontaminate_is_broadcast_join(spark):
+    """Benchmark side broadcasts; the corpus is never shuffled for the
+    join itself (one shuffle remains for the per-doc count aggregate)."""
+    corpus = _df(spark, [(i, f"a b c d e f g h doc{i}") for i in range(50)])
+    bench = _df(spark, [(0, "a b c d e f g h")])
+    rep = explain_report(decontaminate(corpus, bench, "id", "text"))
+    assert rep["joins"].get("BroadcastHashJoin", 0) >= 1, rep
+    assert rep["joins"].get("SortMergeJoin", 0) == 0, rep
