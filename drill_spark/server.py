@@ -18,16 +18,64 @@ Endpoints:
 - GET  /profiles.json  recent statements (sys.profiles view)
 - GET  /storage.json   workspaces (storage plugin configs analog)
 - GET  /options.json   session options
+
+Plus the embedded web UI the reference renders from FreeMarker templates
+(exec/java-exec/src/main/resources/rest/index.ftl, query/query.ftl,
+profile/list.ftl, storage/list.ftl, options.ftl — served by DrillRoot /
+QueryResources / ProfileResources / StorageResources): stdlib-rendered
+HTML at GET / (cluster summary), GET+POST /query (editor + result
+table), GET /profiles (statement browser), /storage, /options. The UI
+is a thin skin over the same session calls as the JSON API.
 """
 
 from __future__ import annotations
 
 import datetime
+import html as _html
 import json
 import threading
+import urllib.parse
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 DEFAULT_AUTO_LIMIT = 10_000
+
+_PAGE = """<!DOCTYPE html>
+<html><head><title>{title} - drill_spark</title>
+<style>
+ body {{ font-family: sans-serif; margin: 2em; color: #222; }}
+ nav a {{ margin-right: 1.2em; }}
+ table {{ border-collapse: collapse; margin-top: 1em; }}
+ th, td {{ border: 1px solid #bbb; padding: 4px 10px; text-align: left; }}
+ th {{ background: #eee; }}
+ textarea {{ width: 100%; font-family: monospace; }}
+ .err {{ color: #a00; white-space: pre-wrap; }}
+</style></head>
+<body>
+<nav><a href="/">Home</a><a href="/query">Query</a>
+<a href="/profiles">Profiles</a><a href="/storage">Storage</a>
+<a href="/options">Options</a></nav>
+<h2>{title}</h2>
+{body}
+</body></html>"""
+
+
+def _esc(v) -> str:
+    return _html.escape("" if v is None else str(v))
+
+
+def _table(cols, rows) -> str:
+    head = "".join(f"<th>{_esc(c)}</th>" for c in cols)
+    body = "".join(
+        "<tr>" + "".join(f"<td>{_esc(v)}</td>" for v in r) + "</tr>" for r in rows
+    )
+    return f"<table><tr>{head}</tr>{body}</table>"
+
+
+_QUERY_FORM = """<form method="post" action="/query">
+<textarea name="query" rows="6" placeholder="select ...">{q}</textarea><br>
+<label>Row limit <input name="autoLimit" value="{limit}" size="8"></label>
+<button type="submit">Submit</button>
+</form>"""
 
 
 def _json_safe(v):
@@ -58,8 +106,82 @@ class _Handler(BaseHTTPRequestHandler):
     def log_message(self, *a):  # quiet test output
         pass
 
+    def _reply_html(self, code: int, title: str, body: str) -> None:
+        out = _PAGE.format(title=_esc(title), body=body).encode()
+        self.send_response(code)
+        self.send_header("Content-Type", "text/html; charset=utf-8")
+        self.send_header("Content-Length", str(len(out)))
+        self.end_headers()
+        self.wfile.write(out)
+
+    def _ui_index(self, s) -> None:
+        import pyspark
+
+        rows = [
+            ("engine", "drill_spark on Apache Spark " + pyspark.__version__),
+            ("workspaces", len(s.workspaces)),
+            ("session options", len(s.options)),
+            ("statements run", len(s.profiles)),
+        ]
+        self._reply_html(200, "drill_spark", _table(["property", "value"], rows))
+
+    def _ui_profiles(self, s) -> None:
+        cols = ["query", "state", "plan_ms", "start_ts"]
+        rows = [
+            (p["query"][:120], p["state"], p["plan_ms"], p["start_ts"].isoformat())
+            for p in reversed(s.profiles[-100:])
+        ]
+        self._reply_html(200, "Profiles", _table(cols, rows))
+
+    def _ui_storage(self, s) -> None:
+        rows = [
+            (w.name, w.kind, w.path, w.default_format, w.writable)
+            for w in s.workspaces.values()
+        ]
+        self._reply_html(
+            200, "Storage", _table(["name", "kind", "path", "defaultFormat", "writable"], rows)
+        )
+
+    def _ui_options(self, s) -> None:
+        self._reply_html(
+            200, "Options", _table(["option", "value"], sorted(s.options.items()))
+        )
+
+    def _ui_query(self, s, form=None) -> None:
+        if not form:
+            self._reply_html(200, "Query", _QUERY_FORM.format(q="", limit=1000))
+            return
+        sql = (form.get("query") or [""])[0]
+        limit = int((form.get("autoLimit") or ["1000"])[0])
+        page = _QUERY_FORM.format(q=_esc(sql), limit=limit)
+        try:
+            df = s.sql(sql)
+            rows = df.limit(limit).collect()
+            page += f"<p>{len(rows)} row(s)</p>" + _table(
+                df.columns, [tuple(_json_safe(v) for v in r) for r in rows]
+            )
+            self._reply_html(200, "Query", page)
+        except Exception as e:
+            self._reply_html(400, "Query", page + f'<p class="err">{_esc(e)}</p>')
+
     def do_GET(self):
         s = type(self).session
+        route = self.path.split("?", 1)[0]
+        if route in ("/", "/index.html"):
+            self._ui_index(s)
+            return
+        if route == "/query":
+            self._ui_query(s)
+            return
+        if route == "/profiles":
+            self._ui_profiles(s)
+            return
+        if route == "/storage":
+            self._ui_storage(s)
+            return
+        if route == "/options":
+            self._ui_options(s)
+            return
         if self.path.startswith("/profiles"):
             self._reply(200, {"profiles": _json_safe(
                 [{**p, "start_ts": p["start_ts"].isoformat()} for p in s.profiles[-100:]]
@@ -80,6 +202,12 @@ class _Handler(BaseHTTPRequestHandler):
             self._reply(404, {"errorMessage": f"no such resource {self.path}"})
             return
         s = type(self).session
+        ctype = (self.headers.get("Content-Type") or "").split(";")[0].strip()
+        if self.path.split("?", 1)[0] == "/query" and ctype == "application/x-www-form-urlencoded":
+            n = int(self.headers.get("Content-Length", 0))
+            form = urllib.parse.parse_qs(self.rfile.read(n).decode())
+            self._ui_query(s, form)
+            return
         try:
             n = int(self.headers.get("Content-Length", 0))
             req = json.loads(self.rfile.read(n) or b"{}")

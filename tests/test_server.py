@@ -4,6 +4,7 @@ POST /query.json over a real HTTP socket against a live session."""
 from __future__ import annotations
 
 import json
+import urllib.parse
 import urllib.request
 
 import pytest
@@ -64,3 +65,68 @@ def test_metadata_endpoints(rest):
     with urllib.request.urlopen(f"{rest}/profiles.json") as r:
         profs = json.loads(r.read())["profiles"]
     assert any("people.json" in p["query"] or "range(100)" in p["query"] for p in profs)
+
+
+def _get(url):
+    try:
+        with urllib.request.urlopen(url) as r:
+            return r.status, r.headers.get("Content-Type", ""), r.read().decode()
+    except urllib.error.HTTPError as e:
+        return e.code, e.headers.get("Content-Type", ""), e.read().decode()
+
+
+def _post_form(url, data):
+    body = urllib.parse.urlencode(data).encode()
+    req = urllib.request.Request(
+        url, body, {"Content-Type": "application/x-www-form-urlencoded"}
+    )
+    try:
+        with urllib.request.urlopen(req) as r:
+            return r.status, r.read().decode()
+    except urllib.error.HTTPError as e:
+        return e.code, e.read().decode()
+
+
+def test_web_ui_index_and_nav(rest):
+    code, ctype, page = _get(f"{rest}/")
+    assert code == 200 and ctype.startswith("text/html")
+    assert "drill_spark" in page and 'href="/query"' in page
+
+
+def test_web_ui_query_editor_roundtrip(rest):
+    code, _, page = _get(f"{rest}/query")
+    assert code == 200 and "<textarea" in page
+
+    code, page = _post_form(
+        f"{rest}/query",
+        {"query": "select name, age from dfs.web.`people.json` order by age",
+         "autoLimit": "10"},
+    )
+    assert code == 200
+    assert "2 row(s)" in page
+    assert "<td>ada</td>" in page and "<td>41</td>" in page
+
+    # the statement lands in the profiles browser
+    code, _, profs = _get(f"{rest}/profiles")
+    assert code == 200 and "people.json" in profs and "COMPLETED" in profs
+
+
+def test_web_ui_query_error_page(rest):
+    code, page = _post_form(f"{rest}/query", {"query": "select * from nope_xyz"})
+    assert code == 400 and "nope_xyz" in page and 'class="err"' in page
+
+
+def test_web_ui_query_escapes_html(rest):
+    # result cells and the echoed SQL must be escaped, not injected
+    code, page = _post_form(
+        f"{rest}/query", {"query": "select '<script>x</script>' as col1"}
+    )
+    assert code == 200 and "<script>x</script>" not in page
+    assert "&lt;script&gt;" in page
+
+
+def test_web_ui_storage_and_options_pages(rest):
+    code, _, page = _get(f"{rest}/storage")
+    assert code == 200 and "dfs.web" in page
+    code, _, page = _get(f"{rest}/options")
+    assert code == 200 and "<table>" in page
