@@ -1,0 +1,505 @@
+"""From-scratch FLAC codec (public format spec: xiph.org / RFC 9639).
+
+REAL lossless audio decode for the multimodal surface — no codec
+library exists in this container, and none is needed: FLAC is fully
+specified (bit-level) and integer-exact, so a spec implementation
+round-trips bit-for-bit and every decode is verifiable against CRC-8
+(frame headers), CRC-16 (frames) and the STREAMINFO MD5 of the raw
+samples.
+
+Decoder coverage: all subframe types (CONSTANT / VERBATIM / FIXED 0-4 /
+LPC 1-32), both residual methods (RICE 4-bit, RICE2 5-bit) including
+escaped verbatim partitions, all four channel assignments (independent,
+left/side, right/side, mid/side), wasted bits, both explicit block-size
+forms and STREAMINFO-coded sample rates, UTF-8-style frame numbers.
+
+Encoder (fixture generator + writer path): fixed blocking, per-channel
+best-of CONSTANT / FIXED order 0-2 with single-partition Rice residuals
+— a genuine compressing encoder whose output any compliant decoder
+reads.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+
+__all__ = ["encode_flac", "decode_flac", "probe_flac"]
+
+
+# ------------------------------------------------------------- bit I/O
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.buf = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, val: int, bits: int) -> None:
+        self.acc = (self.acc << bits) | (val & ((1 << bits) - 1))
+        self.n += bits
+        while self.n >= 8:
+            self.n -= 8
+            self.buf.append((self.acc >> self.n) & 0xFF)
+        self.acc &= (1 << self.n) - 1
+
+    def write_unary(self, q: int) -> None:
+        while q >= 32:
+            self.write(0, 32)
+            q -= 32
+        self.write(1, q + 1)  # q zeros then the terminating 1
+
+    def align(self) -> None:
+        if self.n:
+            self.write(0, 8 - self.n)
+
+
+class _BitReader:
+    def __init__(self, data: bytes, pos: int = 0) -> None:
+        self.data = data
+        self.byte = pos
+        self.bit = 0
+
+    def read(self, bits: int) -> int:
+        out = 0
+        while bits > 0:
+            if self.byte >= len(self.data):
+                raise ValueError("FLAC bitstream truncated")
+            avail = 8 - self.bit
+            take = min(bits, avail)
+            cur = self.data[self.byte]
+            out = (out << take) | ((cur >> (avail - take)) & ((1 << take) - 1))
+            self.bit += take
+            if self.bit == 8:
+                self.bit = 0
+                self.byte += 1
+            bits -= take
+        return out
+
+    def read_signed(self, bits: int) -> int:
+        v = self.read(bits)
+        return v - (1 << bits) if v >> (bits - 1) else v
+
+    def read_unary(self) -> int:
+        q = 0
+        while self.read(1) == 0:
+            q += 1
+        return q
+
+    def align(self) -> None:
+        if self.bit:
+            self.bit = 0
+            self.byte += 1
+
+
+# ----------------------------------------------------------------- CRC
+
+
+def _crc8(data: bytes) -> int:
+    crc = 0
+    for b in data:
+        crc ^= b
+        for _ in range(8):
+            crc = ((crc << 1) ^ 0x07) & 0xFF if crc & 0x80 else (crc << 1) & 0xFF
+    return crc
+
+
+def _crc16(data: bytes) -> int:
+    crc = 0
+    for b in data:
+        crc ^= b << 8
+        for _ in range(8):
+            crc = ((crc << 1) ^ 0x8005) & 0xFFFF if crc & 0x8000 else (crc << 1) & 0xFFFF
+    return crc
+
+
+# --------------------------------------------------- coded frame number
+
+
+def _utf8_encode(n: int) -> bytes:
+    if n < 0x80:
+        return bytes([n])
+    out = []
+    nbytes = 2
+    while n >= (1 << (nbytes * 5 + 1)) and nbytes < 7:
+        nbytes += 1
+    for i in range(nbytes - 1):
+        out.append(0x80 | (n & 0x3F))
+        n >>= 6
+    lead_mask = (0xFF00 >> nbytes) & 0xFF
+    out.append(lead_mask | n)
+    return bytes(reversed(out))
+
+
+def _utf8_decode(r: _BitReader) -> int:
+    b0 = r.read(8)
+    if b0 < 0x80:
+        return b0
+    nbytes = 0
+    mask = 0x80
+    while b0 & mask:
+        nbytes += 1
+        mask >>= 1
+    val = b0 & (mask - 1)
+    for _ in range(nbytes - 1):
+        c = r.read(8)
+        if c & 0xC0 != 0x80:
+            raise ValueError("bad FLAC coded frame number")
+        val = (val << 6) | (c & 0x3F)
+    return val
+
+
+_FIXED_COEFS = {
+    0: [],
+    1: [1],
+    2: [2, -1],
+    3: [3, -3, 1],
+    4: [4, -6, 4, -1],
+}
+
+_SAMPLE_SIZE_BITS = {1: 8, 2: 12, 4: 16, 5: 20, 6: 24, 7: 32}
+_SAMPLE_SIZE_CODE = {v: k for k, v in _SAMPLE_SIZE_BITS.items()}
+_SAMPLE_RATES = {
+    1: 88200, 2: 176400, 3: 192000, 4: 8000, 5: 16000, 6: 22050,
+    7: 24000, 8: 32000, 9: 44100, 10: 48000, 11: 96000,
+}
+
+
+# ------------------------------------------------------------- encoder
+
+
+def _zigzag(r: int) -> int:
+    return (r << 1) if r >= 0 else (-(r << 1) - 1)
+
+
+def _best_rice_param(zig: list[int]) -> int:
+    best_p, best_cost = 0, None
+    for p in range(15):
+        cost = sum((z >> p) + 1 + p for z in zig)
+        if best_cost is None or cost < best_cost:
+            best_p, best_cost = p, cost
+        if cost > (best_cost or 0) * 4:
+            break
+    return best_p
+
+
+def _encode_subframe(w: _BitWriter, x: list[int], bps: int) -> None:
+    n = len(x)
+    if all(v == x[0] for v in x):
+        w.write(0, 1)          # zero pad
+        w.write(0, 6)          # CONSTANT
+        w.write(0, 1)          # no wasted bits
+        w.write(x[0] & ((1 << bps) - 1), bps)
+        return
+    # pick the fixed order (0..2) with the smallest residual magnitude
+    best = None
+    for order in range(0, 3):
+        if n <= order:
+            continue
+        coefs = _FIXED_COEFS[order]
+        res = [
+            x[i] - sum(c * x[i - 1 - j] for j, c in enumerate(coefs))
+            for i in range(order, n)
+        ]
+        cost = sum(_zigzag(r).bit_length() for r in res)
+        if best is None or cost < best[0]:
+            best = (cost, order, res)
+    _, order, res = best
+    w.write(0, 1)
+    w.write(0b001000 | order, 6)   # FIXED, order
+    w.write(0, 1)                  # no wasted bits
+    for v in x[:order]:            # warmup
+        w.write(v & ((1 << bps) - 1), bps)
+    zig = [_zigzag(r) for r in res]
+    p = _best_rice_param(zig)
+    w.write(0, 2)                  # residual method: RICE (4-bit params)
+    w.write(0, 4)                  # partition order 0
+    w.write(p, 4)
+    for z in zig:
+        w.write_unary(z >> p)
+        if p:
+            w.write(z & ((1 << p) - 1), p)
+
+
+def encode_flac(samples, sample_rate: int = 16000, bits: int = 16,
+                block_size: int = 4096) -> bytes:
+    """PCM integers -> FLAC stream. ``samples``: array-like of shape
+    (n,) mono or (n, channels); values must fit ``bits`` signed."""
+    import numpy as np
+
+    x = np.asarray(samples, dtype="int64")
+    if x.ndim == 1:
+        x = x[:, None]
+    n, nch = x.shape
+    if not (1 <= nch <= 8):
+        raise ValueError("FLAC supports 1..8 channels")
+    bps = bits
+    if bps % 8 or bps not in _SAMPLE_SIZE_CODE:
+        raise ValueError("encode_flac supports 8/16/24/32-bit samples")
+    lim = 1 << (bps - 1)
+    if x.size and (x.min() < -lim or x.max() >= lim):
+        raise ValueError(f"samples exceed {bps}-bit signed range")
+
+    # raw-sample MD5 (interleaved little-endian, bps/8 bytes each)
+    width = bps // 8
+    inter = x.astype("<i8").reshape(-1)
+    md5 = hashlib.md5()
+    md5.update(b"".join(int(v).to_bytes(width, "little", signed=True) for v in inter))
+
+    frames = []
+    frame_sizes = []
+    blocksizes = []
+    for fi, start in enumerate(range(0, max(n, 1), block_size)):
+        blk = x[start:start + block_size]
+        bs = len(blk)
+        if bs == 0:
+            break
+        blocksizes.append(bs)
+        hw = _BitWriter()
+        hw.write(0b11111111111110, 14)  # sync
+        hw.write(0, 1)                  # reserved
+        hw.write(0, 1)                  # fixed blocking
+        hw.write(0b0111, 4)             # block size: 16-bit at header end
+        hw.write(0b0000, 4)             # sample rate: from STREAMINFO
+        hw.write(nch - 1, 4)            # independent channels
+        hw.write(_SAMPLE_SIZE_CODE[bps], 3)
+        hw.write(0, 1)                  # reserved
+        hw.align()
+        head = bytes(hw.buf) + _utf8_encode(fi) + struct.pack(">H", bs - 1)
+        head += bytes([_crc8(head)])
+        fw = _BitWriter()
+        for ch in range(nch):
+            _encode_subframe(fw, [int(v) for v in blk[:, ch]], bps)
+        fw.align()
+        frame = head + bytes(fw.buf)
+        frame += struct.pack(">H", _crc16(frame))
+        frames.append(frame)
+        frame_sizes.append(len(frame))
+
+    info = _BitWriter()
+    info.write(min(blocksizes) if blocksizes else block_size, 16)
+    info.write(max(blocksizes) if blocksizes else block_size, 16)
+    info.write(min(frame_sizes) if frame_sizes else 0, 24)
+    info.write(max(frame_sizes) if frame_sizes else 0, 24)
+    info.write(sample_rate, 20)
+    info.write(nch - 1, 3)
+    info.write(bps - 1, 5)
+    info.write(n, 36)
+    info.align()
+    streaminfo = bytes(info.buf) + md5.digest()
+    header = b"fLaC" + bytes([0x80]) + len(streaminfo).to_bytes(3, "big") + streaminfo
+    return header + b"".join(frames)
+
+
+# ------------------------------------------------------------- decoder
+
+
+def _decode_residual(r: _BitReader, bs: int, order: int) -> list[int]:
+    method = r.read(2)
+    if method > 1:
+        raise ValueError("reserved FLAC residual coding method")
+    pbits = 4 if method == 0 else 5
+    escape = (1 << pbits) - 1
+    partorder = r.read(4)
+    nparts = 1 << partorder
+    if bs % nparts:
+        raise ValueError("FLAC block size not divisible by partition count")
+    if partorder > 0 and (bs >> partorder) <= order:
+        raise ValueError("bad FLAC partition order")
+    out = []
+    for part in range(nparts):
+        cnt = (bs >> partorder) - (order if part == 0 else 0)
+        param = r.read(pbits)
+        if param == escape:
+            raw = r.read(5)
+            for _ in range(cnt):
+                out.append(r.read_signed(raw) if raw else 0)
+        else:
+            for _ in range(cnt):
+                q = r.read_unary()
+                u = (q << param) | (r.read(param) if param else 0)
+                out.append((u >> 1) ^ -(u & 1))
+    return out
+
+
+def _decode_subframe(r: _BitReader, bs: int, bps: int) -> list[int]:
+    if r.read(1):
+        raise ValueError("bad FLAC subframe padding bit")
+    stype = r.read(6)
+    wasted = 0
+    if r.read(1):
+        wasted = r.read_unary() + 1
+        bps -= wasted
+    if stype == 0:  # CONSTANT
+        v = r.read_signed(bps)
+        x = [v] * bs
+    elif stype == 1:  # VERBATIM
+        x = [r.read_signed(bps) for _ in range(bs)]
+    elif 8 <= stype <= 12:  # FIXED
+        order = stype - 8
+        x = [r.read_signed(bps) for _ in range(order)]
+        res = _decode_residual(r, bs, order)
+        coefs = _FIXED_COEFS[order]
+        for i, e in enumerate(res):
+            pred = sum(c * x[order + i - 1 - j] for j, c in enumerate(coefs))
+            x.append(pred + e)
+    elif stype >= 32:  # LPC
+        order = (stype & 0x1F) + 1
+        x = [r.read_signed(bps) for _ in range(order)]
+        prec = r.read(4) + 1
+        if prec == 16:
+            raise ValueError("invalid FLAC LPC precision")
+        shift = r.read_signed(5)
+        coefs = [r.read_signed(prec) for _ in range(order)]
+        res = _decode_residual(r, bs, order)
+        for i, e in enumerate(res):
+            acc = sum(c * x[order + i - 1 - j] for j, c in enumerate(coefs))
+            x.append((acc >> shift) + e)
+    else:
+        raise ValueError(f"reserved FLAC subframe type {stype}")
+    if wasted:
+        x = [v << wasted for v in x]
+    return x
+
+
+_BLOCKSIZE_FIXED = {1: 192, 2: 576, 3: 1152, 4: 2304, 5: 4608,
+                    8: 256, 9: 512, 10: 1024, 11: 2048, 12: 4096,
+                    13: 8192, 14: 16384, 15: 32768}
+
+
+def decode_flac(payload: bytes):
+    """FLAC stream -> (numpy int32 array (n, channels), sample_rate,
+    bits_per_sample). Verifies frame CRC-8/CRC-16 and the STREAMINFO
+    sample MD5 when present; raises ValueError on corruption."""
+    import numpy as np
+
+    b = bytes(payload)
+    if b[:4] != b"fLaC":
+        raise ValueError("not a FLAC stream")
+    pos = 4
+    streaminfo = None
+    while True:
+        hdr = b[pos]
+        btype = hdr & 0x7F
+        blen = int.from_bytes(b[pos + 1: pos + 4], "big")
+        body = b[pos + 4: pos + 4 + blen]
+        if btype == 0:
+            streaminfo = body
+        pos += 4 + blen
+        if hdr & 0x80:
+            break
+    if streaminfo is None:
+        raise ValueError("FLAC stream has no STREAMINFO")
+    si = _BitReader(streaminfo)
+    si.read(16), si.read(16), si.read(24), si.read(24)
+    si_rate = si.read(20)
+    si_nch = si.read(3) + 1
+    si_bps = si.read(5) + 1
+    total = si.read(36)
+    si_md5 = streaminfo[18:34]
+
+    chans = [[] for _ in range(si_nch)]
+    got = 0
+    while got < total and pos < len(b):
+        fstart = pos
+        r = _BitReader(b, pos)
+        if r.read(14) != 0b11111111111110:
+            raise ValueError("lost FLAC frame sync")
+        r.read(1)
+        r.read(1)  # blocking strategy (coded number read the same way here)
+        bs_code = r.read(4)
+        sr_code = r.read(4)
+        chan_code = r.read(4)
+        ss_code = r.read(3)
+        r.read(1)
+        _utf8_decode(r)
+        if bs_code == 6:
+            bs = r.read(8) + 1
+        elif bs_code == 7:
+            bs = r.read(16) + 1
+        elif bs_code in _BLOCKSIZE_FIXED:
+            bs = _BLOCKSIZE_FIXED[bs_code]
+        else:
+            raise ValueError("reserved FLAC block size code")
+        if sr_code == 0:
+            rate = si_rate
+        elif sr_code in _SAMPLE_RATES:
+            rate = _SAMPLE_RATES[sr_code]
+        elif sr_code == 12:
+            rate = r.read(8) * 1000
+        elif sr_code == 13:
+            rate = r.read(16)
+        elif sr_code == 14:
+            rate = r.read(16) * 10
+        else:
+            raise ValueError("invalid FLAC sample rate code")
+        bps = si_bps if ss_code == 0 else _SAMPLE_SIZE_BITS[ss_code]
+        r.align()
+        if _crc8(b[fstart:r.byte]) != b[r.byte]:
+            raise ValueError("FLAC frame header CRC-8 mismatch")
+        r.read(8)  # consume the CRC-8 byte
+
+        if chan_code < 8:
+            nch = chan_code + 1
+            subs = [_decode_subframe(r, bs, bps) for _ in range(nch)]
+        elif chan_code in (8, 9, 10):
+            nch = 2
+            extra0 = 1 if chan_code == 9 else 0
+            extra1 = 1 if chan_code in (8, 10) else 0
+            s0 = _decode_subframe(r, bs, bps + extra0)
+            s1 = _decode_subframe(r, bs, bps + extra1)
+            if chan_code == 8:    # left/side
+                subs = [s0, [l - s for l, s in zip(s0, s1)]]
+            elif chan_code == 9:  # side/right
+                subs = [[s + rt for s, rt in zip(s0, s1)], s1]
+            else:                 # mid/side
+                left, right = [], []
+                for m, s in zip(s0, s1):
+                    m = (m << 1) | (s & 1)
+                    left.append((m + s) >> 1)
+                    right.append((m - s) >> 1)
+                subs = [left, right]
+        else:
+            raise ValueError("reserved FLAC channel assignment")
+        if nch != si_nch:
+            raise ValueError("FLAC frame channel count != STREAMINFO")
+        r.align()
+        crc16 = (b[r.byte] << 8) | b[r.byte + 1]
+        if _crc16(b[fstart:r.byte]) != crc16:
+            raise ValueError("FLAC frame CRC-16 mismatch")
+        pos = r.byte + 2
+        for c in range(si_nch):
+            chans[c].extend(subs[c])
+        got += bs
+
+    out = np.array(chans, dtype="int64").T[:total]
+    if si_md5 != b"\x00" * 16 and si_bps % 8 == 0:
+        width = si_bps // 8
+        md5 = hashlib.md5()
+        md5.update(b"".join(
+            int(v).to_bytes(width, "little", signed=True) for v in out.reshape(-1)
+        ))
+        if md5.digest() != si_md5:
+            raise ValueError("FLAC decoded-sample MD5 mismatch")
+    return out.astype("int32"), si_rate, si_bps
+
+
+def probe_flac(payload: bytes) -> dict:
+    """STREAMINFO-only metadata (no frame decode)."""
+    b = bytes(payload)
+    if b[:4] != b"fLaC":
+        raise ValueError("not a FLAC stream")
+    si = _BitReader(b, 8)
+    min_bs, max_bs = si.read(16), si.read(16)
+    si.read(24), si.read(24)
+    rate = si.read(20)
+    nch = si.read(3) + 1
+    bps = si.read(5) + 1
+    total = si.read(36)
+    return {
+        "kind": "audio/flac", "sample_rate": rate, "channels": nch,
+        "bits_per_sample": bps, "n_samples": total,
+        "min_block_size": min_bs, "max_block_size": max_bs,
+        "duration_s": round(total / rate, 4) if rate else None,
+    }

@@ -417,6 +417,22 @@ def decode_media(payload: bytes) -> dict:
             "sample_rate": int(rate),
             "mean_val": round(float((x * x).mean() ** 0.5), 4),
         }
+    if b[:4] == b"fLaC":
+        # REAL lossless audio decode (ops/flac.py): integer-exact
+        # samples, CRC + MD5 verified, normalized like the WAV path.
+        from drill_spark.ops.flac import decode_flac
+
+        pcm, rate, bps = decode_flac(b)
+        xf = pcm.astype("float64") / ((1 << (bps - 1)) - 1)
+        mono = xf.mean(axis=1) if xf.shape[1] > 1 else xf[:, 0]
+        return {
+            "kind": "audio/flac",
+            "width": None,
+            "height": None,
+            "n_samples": int(len(pcm)),
+            "sample_rate": int(rate),
+            "mean_val": round(float((mono * mono).mean() ** 0.5), 4),
+        }
     if b[:4] == b"RIFF" and b[8:12] == b"AVI ":
         # REAL video decode (ops/video.py): BI_RGB byte-exact, MJPG via
         # the from-scratch JPEG codec. n_samples = frame count,
