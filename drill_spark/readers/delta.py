@@ -103,13 +103,15 @@ class DeltaSnapshot:
 
     def __init__(self, schema: T.StructType, partition_columns: list[str],
                  files: dict[str, dict], version: int,
-                 column_mapping_mode: str = "none", protocol: dict | None = None):
+                 column_mapping_mode: str = "none", protocol: dict | None = None,
+                 meta: dict | None = None):
         self.schema = schema
         self.partition_columns = partition_columns
         self.files = files  # path -> {"pv": partitionValues, "dv": descriptor|None}
         self.version = version
         self.column_mapping_mode = column_mapping_mode
         self.protocol = protocol or {}
+        self.meta = meta or {}  # raw metaData action (checkpoint writing)
 
 
 def load_snapshot(spark: SparkSession, path: str,
@@ -222,7 +224,7 @@ def load_snapshot(spark: SparkSession, path: str,
     files = {p: entry for (p, _uid), entry in active.items()}
     mode = (meta.get("configuration") or {}).get("delta.columnMapping.mode", "none")
     return DeltaSnapshot(schema, meta.get("partitionColumns") or [], files, replayed,
-                         mode, proto)
+                         mode, proto, meta)
 
 
 _MAX_PARTITION_BRANCHES = 256
@@ -511,6 +513,123 @@ def write_delta(df: DataFrame, path: str, partition_by: list[str] | None = None,
     with open(os.path.join(log_dir, f"{version:020d}.json"), "w") as f:
         for a in actions:
             f.write(json.dumps(a) + "\n")
+    _maybe_checkpoint(df.sparkSession, path, version)
+
+
+CHECKPOINT_INTERVAL = 10
+
+
+def write_checkpoint(spark: SparkSession, path: str) -> str:
+    """Write a classic checkpoint for the table's latest version
+    (PROTOCOL.md "Checkpoints"): one ``%020d.checkpoint.parquet`` in
+    ``_delta_log`` holding the reconciled protocol + metaData + add
+    actions (DV descriptors included), plus ``_last_checkpoint``.
+    Readers then replay only commits after the checkpoint — on a
+    long-lived table this is what keeps snapshot construction O(live
+    files), not O(total history). Our writer is single-writer with no
+    VACUUM retention window, so no unexpired remove tombstones need to
+    be carried. Returns the checkpoint file path."""
+    import glob as _glob
+    import shutil
+
+    snap = load_snapshot(spark, path)
+    log_dir = _log_dir(path)
+    dv_t = T.StructType([
+        T.StructField("storageType", T.StringType()),
+        T.StructField("pathOrInlineDv", T.StringType()),
+        T.StructField("offset", T.IntegerType()),
+        T.StructField("sizeInBytes", T.IntegerType()),
+        T.StructField("cardinality", T.LongType()),
+    ])
+    schema = T.StructType([
+        T.StructField("protocol", T.StructType([
+            T.StructField("minReaderVersion", T.IntegerType()),
+            T.StructField("minWriterVersion", T.IntegerType()),
+            T.StructField("readerFeatures", T.ArrayType(T.StringType())),
+            T.StructField("writerFeatures", T.ArrayType(T.StringType())),
+        ])),
+        T.StructField("metaData", T.StructType([
+            T.StructField("id", T.StringType()),
+            T.StructField("name", T.StringType()),
+            T.StructField("description", T.StringType()),
+            T.StructField("format", T.StructType([
+                T.StructField("provider", T.StringType()),
+                T.StructField("options", T.MapType(T.StringType(), T.StringType())),
+            ])),
+            T.StructField("schemaString", T.StringType()),
+            T.StructField("partitionColumns", T.ArrayType(T.StringType())),
+            T.StructField("configuration", T.MapType(T.StringType(), T.StringType())),
+            T.StructField("createdTime", T.LongType()),
+        ])),
+        T.StructField("add", T.StructType([
+            T.StructField("path", T.StringType()),
+            T.StructField("partitionValues", T.MapType(T.StringType(), T.StringType())),
+            T.StructField("size", T.LongType()),
+            T.StructField("modificationTime", T.LongType()),
+            T.StructField("dataChange", T.BooleanType()),
+            T.StructField("deletionVector", dv_t),
+        ])),
+    ])
+    meta, proto = snap.meta, snap.protocol
+    rows: list[dict] = [
+        {"protocol": {
+            "minReaderVersion": proto.get("minReaderVersion"),
+            "minWriterVersion": proto.get("minWriterVersion"),
+            "readerFeatures": proto.get("readerFeatures"),
+            "writerFeatures": proto.get("writerFeatures"),
+        }, "metaData": None, "add": None},
+        {"protocol": None, "metaData": {
+            "id": meta.get("id"),
+            "name": meta.get("name"),
+            "description": meta.get("description"),
+            "format": {
+                "provider": (meta.get("format") or {}).get("provider", "parquet"),
+                "options": (meta.get("format") or {}).get("options") or {},
+            },
+            "schemaString": meta["schemaString"],
+            "partitionColumns": meta.get("partitionColumns") or [],
+            "configuration": meta.get("configuration") or {},
+            "createdTime": meta.get("createdTime"),
+        }, "add": None},
+    ]
+    for rel, entry in sorted(snap.files.items()):
+        f_abs = rel if os.path.isabs(rel) else os.path.join(path, rel)
+        try:
+            size = os.path.getsize(f_abs)
+        except OSError:
+            size = 0
+        dv = entry.get("dv")
+        rows.append({"protocol": None, "metaData": None, "add": {
+            "path": rel,
+            "partitionValues": entry.get("pv") or {},
+            "size": size,
+            "modificationTime": 0,
+            "dataChange": False,
+            "deletionVector": {
+                "storageType": dv.get("storageType"),
+                "pathOrInlineDv": dv.get("pathOrInlineDv"),
+                "offset": dv.get("offset"),
+                "sizeInBytes": dv.get("sizeInBytes"),
+                "cardinality": dv.get("cardinality"),
+            } if dv else None,
+        }})
+    df = spark.createDataFrame(rows, schema)
+    tmp = os.path.join(log_dir, ".ckpt_tmp")
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    part = _glob.glob(os.path.join(_glob.escape(tmp), "part-*.parquet"))[0]
+    target = os.path.join(log_dir, f"{snap.version:020d}.checkpoint.parquet")
+    os.replace(part, target)
+    shutil.rmtree(tmp, ignore_errors=True)
+    with open(os.path.join(log_dir, "_last_checkpoint"), "w") as f:
+        json.dump({"version": snap.version, "size": len(rows)}, f)
+    return target
+
+
+def _maybe_checkpoint(spark: SparkSession, path: str, version: int) -> None:
+    """Auto-checkpoint on the reference cadence (every
+    CHECKPOINT_INTERVAL commits, like delta's checkpointInterval=10)."""
+    if version > 0 and version % CHECKPOINT_INTERVAL == 0:
+        write_checkpoint(spark, path)
 
 
 def delete_where(spark: SparkSession, path: str, condition: str) -> int:
@@ -625,6 +744,7 @@ def delete_where(spark: SparkSession, path: str, condition: str) -> int:
     with open(os.path.join(log_dir, f"{version:020d}.json"), "w") as f:
         for a in actions:
             f.write(json.dumps(a) + "\n")
+    _maybe_checkpoint(spark, path, version)
     return n_deleted
 
 

@@ -348,3 +348,52 @@ def test_delta_partition_filter_prunes_branches(spark, tmp_path):
         plan = plan.split("== Initial Plan ==", 1)[0]
     # 4 partitions -> only 1 surviving parquet scan after pruning
     assert plan.count("Scan parquet") == 1, plan
+
+
+def test_delta_auto_checkpoint_write_and_replay(spark, tmp_path):
+    """11 appends cross the checkpoint cadence: version 10 must produce
+    a classic checkpoint + _last_checkpoint, and the snapshot must
+    survive cleanup of every pre-checkpoint JSON commit (the reader is
+    then provably reading the checkpoint, not the log)."""
+    import glob
+    import os
+
+    from drill_spark.readers.delta import CHECKPOINT_INTERVAL
+
+    tbl = str(tmp_path / "ckpt_tbl")
+    for i in range(CHECKPOINT_INTERVAL + 1):
+        df = spark.range(i * 10, i * 10 + 10).withColumnRenamed("id", "v")
+        write_delta(df, tbl, mode="append" if i else "error")
+    log = os.path.join(tbl, "_delta_log")
+    ckpt = os.path.join(log, f"{CHECKPOINT_INTERVAL:020d}.checkpoint.parquet")
+    assert os.path.exists(ckpt), "auto-checkpoint at version 10 missing"
+    assert os.path.exists(os.path.join(log, "_last_checkpoint"))
+
+    before = {r.v for r in read_delta(spark, tbl).collect()}
+    assert before == set(range(110))
+    # delete all JSON commits covered by the checkpoint (log cleanup)
+    for f in glob.glob(os.path.join(glob.escape(log), "*.json")):
+        v = int(os.path.basename(f).split(".")[0])
+        if v <= CHECKPOINT_INTERVAL:
+            os.remove(f)
+    after = {r.v for r in read_delta(spark, tbl).collect()}
+    assert after == before
+
+
+def test_delta_checkpoint_carries_deletion_vectors(spark, tmp_path):
+    """An explicit checkpoint after DELETE must persist the DV
+    descriptors: with every JSON commit removed, the deleted rows stay
+    deleted when reading through the checkpoint alone."""
+    import glob
+    import os
+
+    from drill_spark.readers.delta import delete_where, write_checkpoint
+
+    tbl = str(tmp_path / "ckpt_dv_tbl")
+    write_delta(spark.range(0, 100).withColumnRenamed("id", "v"), tbl)
+    assert delete_where(spark, tbl, "v % 10 = 3") == 10
+    write_checkpoint(spark, tbl)
+    for f in glob.glob(os.path.join(glob.escape(tbl), "_delta_log", "*.json")):
+        os.remove(f)
+    got = {r.v for r in read_delta(spark, tbl).collect()}
+    assert got == {v for v in range(100) if v % 10 != 3}
