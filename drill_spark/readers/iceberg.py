@@ -183,6 +183,20 @@ def read_iceberg(spark: SparkSession, path: str,
     if snap is None:
         return spark.createDataFrame([], schema)
 
+    data_files, pos_deletes, eq_deletes = _snapshot_files(spark, path, meta, snap)
+    if not data_files:
+        return spark.createDataFrame([], schema)
+
+    df = spark.read.schema(schema).parquet(*[p for p, _, _ in data_files])
+    if not pos_deletes and not eq_deletes:
+        return df
+    return _apply_deletes(spark, df, schema, meta, data_files, pos_deletes, eq_deletes)
+
+
+def _snapshot_files(spark, path: str, meta: dict, snap: dict):
+    """Walk one snapshot's manifest list into (data_files, pos_deletes,
+    eq_deletes): data_files = (local path, manifest URI, seq)."""
+    loc = meta.get("location")
     ml_path = _rebase(snap["manifest-list"], path, loc)
     with open(ml_path, "rb") as f:
         _, manifest_rows = decode_file(f.read())
@@ -237,13 +251,7 @@ def read_iceberg(spark: SparkSession, path: str,
             eq_deletes.append((local, seq, eq_ids))
         else:
             raise NotImplementedError(f"Iceberg manifest content {content}")
-    if not data_files:
-        return spark.createDataFrame([], schema)
-
-    df = spark.read.schema(schema).parquet(*[p for p, _, _ in data_files])
-    if not pos_deletes and not eq_deletes:
-        return df
-    return _apply_deletes(spark, df, schema, meta, data_files, pos_deletes, eq_deletes)
+    return data_files, pos_deletes, eq_deletes
 
 
 def _apply_deletes(spark, df, schema, meta, data_files, pos_deletes, eq_deletes):
@@ -257,6 +265,17 @@ def _apply_deletes(spark, df, schema, meta, data_files, pos_deletes, eq_deletes)
     number; all three come from a broadcast local-path lookup, one row
     per data file — planner-sized, same as every Iceberg engine holds.
     """
+    annotated = _annotate_scan(spark, df, data_files)
+    annotated = _anti_join_deletes(spark, annotated, meta, pos_deletes, eq_deletes)
+    from pyspark.sql import functions as F
+
+    return annotated.select(*[F.col(f.name) for f in schema.fields])
+
+
+def _annotate_scan(spark, df, data_files):
+    """Attach the Iceberg row identity (_df_uri manifest URI, _df_pos
+    file position, _df_seq data sequence number) via a broadcast
+    local-path lookup — one row per data file, planner-sized."""
     from pyspark.sql import functions as F
 
     strip = lambda c: F.regexp_replace(c, "^file:/*", "/")
@@ -264,11 +283,15 @@ def _apply_deletes(spark, df, schema, meta, data_files, pos_deletes, eq_deletes)
         [(os.path.abspath(p), u, s) for p, u, s in data_files],
         "_df_path string, _df_uri string, _df_seq long",
     )
-    annotated = (
+    return (
         df.withColumn("_df_path", strip(F.col("_metadata.file_path")))
         .withColumn("_df_pos", F.col("_metadata.row_index"))
         .join(F.broadcast(seq_map), "_df_path", "left")
     )
+
+
+def _anti_join_deletes(spark, annotated, meta, pos_deletes, eq_deletes):
+    from pyspark.sql import functions as F
 
     if pos_deletes:
         # columns per spec: file_path (2147483546), pos (2147483545);
@@ -309,7 +332,7 @@ def _apply_deletes(spark, df, schema, meta, data_files, pos_deletes, eq_deletes)
             cond.append(annotated["_df_seq"] < F.lit(dseq))
             annotated = annotated.join(dd, on=cond, how="left_anti")
 
-    return annotated.select(*[F.col(f.name) for f in schema.fields])
+    return annotated
 
 
 # ---------------------------------------------------------------- writer
@@ -621,11 +644,22 @@ def append_delete_files(
             del_entries.append(_mk_entry(fp, 2, nrec, eq_ids))
         shutil.rmtree(tmp)
 
+    _commit_delete_entries(path, meta, del_entries, seq, snap_id, now_ms)
+
+
+def _commit_delete_entries(path: str, meta: dict, del_entries: list[dict],
+                           seq: int, snap_id: int, now_ms: int) -> None:
+    """Append one delete snapshot: delete manifest + new manifest list
+    (prior rows + the delete manifest) + next vN.metadata.json."""
+    import uuid
+
+    from drill_spark.readers.avro import encode_file
+
+    mdir = os.path.join(path, "metadata")
     manifest_path = os.path.join(mdir, f"{uuid.uuid4()}-d0.avro")
     with open(manifest_path, "wb") as f:
         f.write(encode_file(_DELETE_ENTRY_SCHEMA, del_entries))
 
-    # new manifest list = prior snapshot's rows + the delete manifest
     cur = next(
         s for s in meta["snapshots"] if s["snapshot-id"] == meta["current-snapshot-id"]
     )
@@ -668,3 +702,86 @@ def append_delete_files(
         json.dump(meta, f)
     with open(os.path.join(mdir, "version-hint.text"), "w") as f:
         f.write(str(v))
+
+
+def delete_where(spark: SparkSession, path: str, condition: str) -> int:
+    """Row-level DELETE on an Iceberg v2 table — the merge-on-read DELETE
+    every Iceberg engine implements (spec "Position Delete Files"): rows
+    matching ``condition`` among the CURRENT live rows (existing
+    position/equality deletes applied first) are written as position
+    delete files and committed as a new delete snapshot.
+
+    Scale shape mirrors the Delta delete_where: the matched (file_path,
+    pos) pairs never touch the driver — Spark's distributed parquet
+    writer emits them repartitioned by file and sorted by (file_path,
+    pos) within each output file, as the spec requires; only per-file
+    record counts (from parquet footers) reach the commit. Returns the
+    number of newly deleted rows. Single writer per table."""
+    import shutil
+    import time
+    import uuid
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    meta = _table_metadata(path)
+    schema = _current_schema(meta)
+    snaps = meta.get("snapshots") or []
+    snap = next(
+        (s for s in snaps if s["snapshot-id"] == meta.get("current-snapshot-id")), None
+    )
+    if snap is None:
+        return 0
+    data_files, pos_dels, eq_dels = _snapshot_files(spark, path, meta, snap)
+    if not data_files:
+        return 0
+
+    df = spark.read.schema(schema).parquet(*[p for p, _, _ in data_files])
+    live = _anti_join_deletes(
+        spark, _annotate_scan(spark, df, data_files), meta, pos_dels, eq_dels
+    )
+    matched = live.where(condition).select(
+        F.col("_df_uri").alias("file_path"), F.col("_df_pos").cast("long").alias("pos")
+    )
+
+    data_dir = os.path.join(path, "data")
+    tmp = os.path.join(data_dir, f"_posdel_{uuid.uuid4()}")
+    (
+        matched.repartition("file_path")
+        .sortWithinPartitions("file_path", "pos")
+        .write.parquet(tmp)
+    )
+    seq = int(meta.get("last-sequence-number", 0)) + 1
+    snap_id = int(meta["current-snapshot-id"]) + 1
+    del_entries = []
+    n_deleted = 0
+    for name in sorted(os.listdir(tmp)):
+        if not name.endswith(".parquet"):
+            continue
+        nrec = pq.read_metadata(os.path.join(tmp, name)).num_rows
+        if nrec == 0:
+            continue
+        fp = os.path.join(data_dir, f"{uuid.uuid4()}-pos-deletes.parquet")
+        os.rename(os.path.join(tmp, name), fp)
+        n_deleted += nrec
+        del_entries.append({
+            "status": 1,
+            "snapshot_id": snap_id,
+            "sequence_number": seq,
+            "file_sequence_number": seq,
+            "data_file": {
+                "content": 1,
+                "file_path": fp,
+                "file_format": "PARQUET",
+                "partition": {},
+                "record_count": nrec,
+                "file_size_in_bytes": os.path.getsize(fp),
+                "equality_ids": None,
+            },
+        })
+    shutil.rmtree(tmp, ignore_errors=True)
+    if not del_entries:
+        return 0
+    _commit_delete_entries(path, meta, del_entries, seq, snap_id,
+                           int(time.time() * 1000))
+    return n_deleted

@@ -397,3 +397,38 @@ def test_delta_checkpoint_carries_deletion_vectors(spark, tmp_path):
         os.remove(f)
     got = {r.v for r in read_delta(spark, tbl).collect()}
     assert got == {v for v in range(100) if v % 10 != 3}
+
+
+def test_iceberg_delete_where(spark, tmp_path):
+    """Row-level DELETE on an Iceberg v2 table: matched rows become
+    position-delete files committed as a new snapshot; the pre-delete
+    snapshot still time-travels to the full set."""
+    from drill_spark.readers.iceberg import delete_where
+
+    src = spark.range(50).select(F.col("id").alias("k"))
+    tbl = str(tmp_path / "ice_delwhere")
+    write_iceberg(src, tbl)
+    n = delete_where(spark, tbl, "k % 5 = 2")
+    assert n == 10
+    got = sorted(r.k for r in read_iceberg(spark, tbl).collect())
+    assert got == [k for k in range(50) if k % 5 != 2]
+    assert read_iceberg(spark, tbl, {"snapshot-id": 1}).count() == 50
+
+
+def test_iceberg_delete_where_is_incremental(spark, tmp_path):
+    """A second DELETE counts only newly-deleted rows (already-deleted
+    rows are excluded by applying existing deletes first), and both
+    delete snapshots compose on read."""
+    from drill_spark.readers.iceberg import delete_where
+
+    src = spark.range(40).select(F.col("id").alias("k"))
+    tbl = str(tmp_path / "ice_delwhere2")
+    write_iceberg(src, tbl)
+    assert delete_where(spark, tbl, "k < 10") == 10
+    # overlaps [0, 10): only [10, 15) is newly deleted
+    assert delete_where(spark, tbl, "k < 15") == 5
+    got = sorted(r.k for r in read_iceberg(spark, tbl).collect())
+    assert got == list(range(15, 40))
+    # no matches -> no commit, count stays
+    assert delete_where(spark, tbl, "k < 0") == 0
+    assert read_iceberg(spark, tbl).count() == 25
