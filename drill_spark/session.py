@@ -241,8 +241,9 @@ class DrillSession:
 
     # ---------------- workspace / table resolution ----------------
 
-    def register_workspace(self, name: str, path: str, default_format: str = "parquet") -> None:
-        self.workspaces[name] = Workspace(name, path, default_format)
+    def register_workspace(self, name: str, path: str, default_format: str = "parquet",
+                           writable: bool = False) -> None:
+        self.workspaces[name] = Workspace(name, path, default_format, writable=writable)
 
     def register_jdbc_workspace(
         self,

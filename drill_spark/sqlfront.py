@@ -88,6 +88,14 @@ _CREATE_FN_JAR = re.compile(
 _INSERT_PATH = re.compile(
     r"^\s*INSERT\s+INTO\s+((?:\w+\.)+)`([^`]+)`\s+(.*)$", re.IGNORECASE | re.DOTALL
 )
+# DELETE FROM ws.`path` WHERE ... — row-level delete, routed to the
+# table-format delete (delta deletion vectors / iceberg position
+# deletes). The reference has no DELETE (read-mostly engine); lakehouse
+# tables make it expressible without rewriting data files.
+_DELETE_PATH = re.compile(
+    r"^\s*DELETE\s+FROM\s+((?:\w+\.)+)`([^`]+)`\s+WHERE\s+(.*?)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
 # Drill aliases (planner/sql/handlers/CreateAliasHandler.java; PUBLIC =
 # system-wide vs user scope — one session here, so scope is cosmetic)
 _CREATE_ALIAS = re.compile(
@@ -508,6 +516,31 @@ def execute(session, query: str) -> DataFrame:
         else:
             df.write.format(fmt).mode("append").save(path)
         return _ok(spark, f"appended to {ws_name}.`{rel_path}`")
+
+    m = _DELETE_PATH.match(query)
+    if m:
+        import glob as _glob
+
+        ws_name, rel_path, cond = m.group(1).rstrip("."), m.group(2), m.group(3)
+        path, _ = _writable_path(session, ws_name, rel_path)
+        if os.path.isdir(os.path.join(path, "_delta_log")):
+            from drill_spark.readers.delta import delete_where
+
+            n = delete_where(spark, path, cond)
+        elif _glob.glob(os.path.join(_glob.escape(path), "metadata", "*.metadata.json")):
+            from drill_spark.readers.iceberg import delete_where
+
+            n = delete_where(spark, path, cond)
+        else:
+            raise NotImplementedError(
+                "DELETE needs a delta or iceberg table (plain parquet files are "
+                "immutable — rewrite via CTAS instead)"
+            )
+        spark.catalog.refreshByPath(path)
+        return spark.createDataFrame(
+            [Row(ok=True, summary=f"deleted {n} rows from {ws_name}.`{rel_path}`",
+                 rows_deleted=n)]
+        )
 
     m = _DROP_TABLE.match(query)
     if m:

@@ -489,3 +489,32 @@ def test_analyze_table_compute_statistics(dsession, tmp_path):
         "ANALYZE TABLE dfs.an.`t` COMPUTE STATISTICS SAMPLE 50 PERCENT"
     ).collect()[0]
     assert 0 <= sampled.rows <= 10
+
+
+def test_sql_delete_from_delta_and_iceberg(session, tmp_path):
+    """DELETE FROM ws.`path` WHERE ... routes to the table-format
+    row-level delete (delta DVs / iceberg position deletes); plain
+    parquet raises with the CTAS guidance."""
+    import pytest as _pytest
+
+    from drill_spark.readers.delta import write_delta
+    from drill_spark.readers.iceberg import write_iceberg
+
+    spark = session.spark
+    session.register_workspace("dfs.del", str(tmp_path), "parquet", writable=True)
+
+    d_tbl = str(tmp_path / "d")
+    write_delta(spark.range(20).withColumnRenamed("id", "v"), d_tbl)
+    out = session.sql("DELETE FROM dfs.del.`d` WHERE v >= 15").collect()[0]
+    assert out.ok and out.rows_deleted == 5
+    assert session.sql("select count(*) as n from dfs.del.`d`").collect()[0].n == 15
+
+    i_tbl = str(tmp_path / "i")
+    write_iceberg(spark.range(12).withColumnRenamed("id", "k"), i_tbl)
+    out = session.sql("DELETE FROM dfs.del.`i` WHERE k % 2 = 0").collect()[0]
+    assert out.rows_deleted == 6
+    assert session.sql("select count(*) as n from dfs.del.`i`").collect()[0].n == 6
+
+    spark.range(3).write.parquet(str(tmp_path / "plain"))
+    with _pytest.raises(NotImplementedError, match="CTAS"):
+        session.sql("DELETE FROM dfs.del.`plain` WHERE id = 1")
