@@ -104,7 +104,7 @@ class DeltaSnapshot:
     def __init__(self, schema: T.StructType, partition_columns: list[str],
                  files: dict[str, dict], version: int,
                  column_mapping_mode: str = "none", protocol: dict | None = None,
-                 meta: dict | None = None):
+                 meta: dict | None = None, txns: dict[str, int] | None = None):
         self.schema = schema
         self.partition_columns = partition_columns
         self.files = files  # path -> {"pv": partitionValues, "dv": descriptor|None}
@@ -112,6 +112,7 @@ class DeltaSnapshot:
         self.column_mapping_mode = column_mapping_mode
         self.protocol = protocol or {}
         self.meta = meta or {}  # raw metaData action (checkpoint writing)
+        self.txns = txns or {}  # appId -> latest txn version (idempotent sinks)
 
 
 def load_snapshot(spark: SparkSession, path: str,
@@ -126,6 +127,7 @@ def load_snapshot(spark: SparkSession, path: str,
     active: dict[tuple, dict] = {}
     meta: dict = {}
     proto: dict = {}
+    txns: dict[str, int] = {}
     start_version = 0
 
     def apply_add(a: dict) -> None:
@@ -177,7 +179,7 @@ def load_snapshot(spark: SparkSession, path: str,
         while queue:
             batch, queue = queue, []
             ck = spark.read.parquet(*batch)
-            cols = [c for c in ("add", "remove", "metaData", "protocol", "sidecar")
+            cols = [c for c in ("add", "remove", "metaData", "protocol", "sidecar", "txn")
                     if c in ck.columns]
             for row in ck.select(*cols).toLocalIterator():
                 d = row.asDict(recursive=True)
@@ -189,6 +191,8 @@ def load_snapshot(spark: SparkSession, path: str,
                     meta = d["metaData"]
                 elif d.get("protocol") and d["protocol"].get("minReaderVersion") is not None:
                     proto = d["protocol"]
+                elif d.get("txn") and d["txn"].get("appId"):
+                    txns[d["txn"]["appId"]] = int(d["txn"]["version"])
                 elif d.get("sidecar") and d["sidecar"].get("path"):
                     sp = d["sidecar"]["path"]
                     queue.append(sp if os.path.isabs(sp)
@@ -214,6 +218,8 @@ def load_snapshot(spark: SparkSession, path: str,
                     meta = action["metaData"]
                 elif "protocol" in action:
                     proto = action["protocol"]
+                elif "txn" in action:
+                    txns[action["txn"]["appId"]] = int(action["txn"]["version"])
         replayed = v
     if version_as_of is not None and replayed < version_as_of:
         raise ValueError(f"versionAsOf={version_as_of} > latest version {replayed}")
@@ -224,7 +230,7 @@ def load_snapshot(spark: SparkSession, path: str,
     files = {p: entry for (p, _uid), entry in active.items()}
     mode = (meta.get("configuration") or {}).get("delta.columnMapping.mode", "none")
     return DeltaSnapshot(schema, meta.get("partitionColumns") or [], files, replayed,
-                         mode, proto, meta)
+                         mode, proto, meta, txns)
 
 
 _MAX_PARTITION_BRANCHES = 256
@@ -445,7 +451,7 @@ def read_delta(spark: SparkSession, path: str,
 
 
 def write_delta(df: DataFrame, path: str, partition_by: list[str] | None = None,
-                mode: str = "error") -> None:
+                mode: str = "error", txn: tuple[str, int] | None = None) -> None:
     """Write a DataFrame as a new Delta table (single commit).
 
     A minimal but protocol-conformant writer: data files go out through
@@ -454,6 +460,11 @@ def write_delta(df: DataFrame, path: str, partition_by: list[str] | None = None,
     commit on top of the existing log. (Concurrent-writer arbitration —
     optimistic re-check of the log tail — is out of scope; single
     writer per table, which is all CTAS needs.)
+
+    ``txn=(appId, version)`` stamps the commit with a ``txn`` action
+    (PROTOCOL.md "Transaction Identifiers") — the idempotence handle a
+    streaming sink uses to make micro-batch replays exactly-once:
+    before re-writing batch N it checks ``load_snapshot(...).txns``.
     """
     import time
     import uuid
@@ -506,6 +517,9 @@ def write_delta(df: DataFrame, path: str, partition_by: list[str] | None = None,
                 "dataChange": True,
             }
         })
+    if txn is not None:
+        actions.append({"txn": {"appId": txn[0], "version": int(txn[1]),
+                                "lastUpdated": now_ms}})
     actions.append({
         "commitInfo": {"timestamp": now_ms,
                        "operation": "WRITE" if version else "CREATE TABLE AS SELECT"}
@@ -569,6 +583,12 @@ def write_checkpoint(spark: SparkSession, path: str) -> str:
             T.StructField("dataChange", T.BooleanType()),
             T.StructField("deletionVector", dv_t),
         ])),
+        # latest txn per appId must survive checkpointing (PROTOCOL.md
+        # "Checkpoints" requires transaction identifiers be carried)
+        T.StructField("txn", T.StructType([
+            T.StructField("appId", T.StringType()),
+            T.StructField("version", T.LongType()),
+        ])),
     ])
     meta, proto = snap.meta, snap.protocol
     rows: list[dict] = [
@@ -577,8 +597,8 @@ def write_checkpoint(spark: SparkSession, path: str) -> str:
             "minWriterVersion": proto.get("minWriterVersion"),
             "readerFeatures": proto.get("readerFeatures"),
             "writerFeatures": proto.get("writerFeatures"),
-        }, "metaData": None, "add": None},
-        {"protocol": None, "metaData": {
+        }, "metaData": None, "add": None, "txn": None},
+        {"protocol": None, "txn": None, "metaData": {
             "id": meta.get("id"),
             "name": meta.get("name"),
             "description": meta.get("description"),
@@ -599,7 +619,7 @@ def write_checkpoint(spark: SparkSession, path: str) -> str:
         except OSError:
             size = 0
         dv = entry.get("dv")
-        rows.append({"protocol": None, "metaData": None, "add": {
+        rows.append({"protocol": None, "metaData": None, "txn": None, "add": {
             "path": rel,
             "partitionValues": entry.get("pv") or {},
             "size": size,
@@ -613,6 +633,9 @@ def write_checkpoint(spark: SparkSession, path: str) -> str:
                 "cardinality": dv.get("cardinality"),
             } if dv else None,
         }})
+    for app_id, ver in sorted(snap.txns.items()):
+        rows.append({"protocol": None, "metaData": None, "add": None,
+                     "txn": {"appId": app_id, "version": int(ver)}})
     df = spark.createDataFrame(rows, schema)
     tmp = os.path.join(log_dir, ".ckpt_tmp")
     df.coalesce(1).write.mode("overwrite").parquet(tmp)

@@ -189,3 +189,61 @@ def stream_stream_join(
             f"user_id = b_user AND b_ts >= a_ts AND b_ts <= a_ts + interval {horizon}"
         ),
     ).select("user_id", "a_id", "a_ts", "b_id", "b_ts")
+
+
+def stream_to_delta(
+    stream_df: DataFrame,
+    table_path: str,
+    checkpoint_dir: str,
+    app_id: str = "drill_spark_stream",
+    partition_by: list[str] | None = None,
+):
+    """Exactly-once streaming sink into a Delta table.
+
+    The canonical lakehouse landing pattern: ``foreachBatch`` + Delta
+    transaction identifiers (PROTOCOL.md "Transaction Identifiers").
+    Each micro-batch commits an append stamped ``txn(appId, batchId)``;
+    on restart/replay the sink first consults the snapshot's latest txn
+    version for ``app_id`` and SKIPS any batch already committed — the
+    write is idempotent even though Spark's checkpoint only guarantees
+    at-least-once delivery to foreachBatch. State lives in two places
+    that agree by construction: Spark's streaming checkpoint (source
+    offsets) and the Delta log (committed batch ids).
+
+    Returns the StreamingQuery; callers drive it with availableNow for
+    finite backfills or leave it running for continuous ingestion.
+    """
+    def _commit(batch_df: DataFrame, batch_id: int) -> None:
+        commit_batch_idempotent(batch_df, table_path, app_id, batch_id, partition_by)
+
+    return (
+        stream_df.writeStream.foreachBatch(_commit)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def commit_batch_idempotent(
+    batch_df: DataFrame,
+    table_path: str,
+    app_id: str,
+    batch_id: int,
+    partition_by: list[str] | None = None,
+) -> bool:
+    """One idempotent micro-batch commit: append stamped with
+    txn(app_id, batch_id); a batch id at or below the table's last
+    committed version for app_id is a no-op. Returns True when data was
+    written, False when the replay guard skipped it."""
+    import os as _os
+
+    from drill_spark.readers.delta import load_snapshot, write_delta
+
+    mode = "append" if _os.path.isdir(_os.path.join(table_path, "_delta_log")) else "error"
+    if mode == "append":
+        last = load_snapshot(batch_df.sparkSession, table_path).txns.get(app_id, -1)
+        if batch_id <= last:
+            return False  # replayed micro-batch: already in the table
+    write_delta(batch_df, table_path, partition_by=partition_by,
+                mode=mode, txn=(app_id, batch_id))
+    return True

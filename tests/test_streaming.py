@@ -120,3 +120,70 @@ def test_stream_stream_join_matches_batch(spark):
     expect = {(r["a_id"], r["b_id"]) for r in batch.collect()}
     have = {(r["a_id"], r["b_id"]) for r in got.collect()}
     assert have == expect and len(expect) > 0
+
+
+def test_stream_to_delta_exactly_once(spark, tmp_path):
+    """Streamed events land in a Delta table equal to the batch read;
+    a replayed micro-batch (same txn appId+version) is skipped and a
+    new batch id advances the txn — the exactly-once contract of the
+    foreachBatch + txn sink."""
+    import os
+
+    from drill_spark.readers.delta import load_snapshot, read_delta
+    from drill_spark.streaming.events import (
+        commit_batch_idempotent,
+        read_event_stream,
+        stream_to_delta,
+    )
+
+    tbl = str(tmp_path / "delta_sink")
+    ckpt = str(tmp_path / "ckpt")
+    events = read_event_stream(spark, SF_DIR)
+    q = stream_to_delta(events.select("event_id", "event_type", "value"),
+                        tbl, ckpt, app_id="t_sink")
+    q.awaitTermination()
+
+    batch = spark.read.parquet(os.path.join(SF_DIR, "events.parquet"))
+    got = read_delta(spark, tbl)
+    assert got.count() == batch.count()
+    assert abs(got.agg({"value": "sum"}).first()[0]
+               - batch.agg({"value": "sum"}).first()[0]) < 1e-6
+
+    committed = load_snapshot(spark, tbl).txns["t_sink"]
+    replay = spark.range(3).selectExpr(
+        "id as event_id", "'dup' as event_type", "cast(id as double) as value"
+    )
+    # at-least-once replay: an already-committed batch id is a no-op
+    before = read_delta(spark, tbl).count()
+    assert commit_batch_idempotent(replay, tbl, "t_sink", committed) is False
+    assert read_delta(spark, tbl).count() == before
+    # a genuinely new batch id goes through and advances the txn
+    assert commit_batch_idempotent(replay, tbl, "t_sink", committed + 1) is True
+    assert read_delta(spark, tbl).count() == before + 3
+    assert load_snapshot(spark, tbl).txns["t_sink"] == committed + 1
+
+
+def test_delta_txn_survives_checkpoint(spark, tmp_path):
+    """PROTOCOL.md requires checkpoints to carry transaction
+    identifiers: after checkpointing and deleting all JSON commits, the
+    txn version must still be visible (otherwise a restarted sink would
+    double-write)."""
+    import glob
+    import os
+
+    from drill_spark.readers.delta import (
+        load_snapshot,
+        write_checkpoint,
+        write_delta,
+    )
+
+    tbl = str(tmp_path / "txn_ckpt")
+    write_delta(spark.range(5).withColumnRenamed("id", "v"), tbl, txn=("app_a", 0))
+    write_delta(spark.range(5, 9).withColumnRenamed("id", "v"), tbl,
+                mode="append", txn=("app_a", 1))
+    write_checkpoint(spark, tbl)
+    for f in glob.glob(os.path.join(glob.escape(tbl), "_delta_log", "*.json")):
+        os.remove(f)
+    snap = load_snapshot(spark, tbl)
+    assert snap.txns == {"app_a": 1}
+    assert len(snap.files) >= 1
