@@ -320,7 +320,8 @@ def _norm_uri(col):
 
 
 def read_delta(spark: SparkSession, path: str,
-               options: dict | None = None) -> DataFrame:
+               options: dict | None = None,
+               _snapshot_override: "DeltaSnapshot | None" = None) -> DataFrame:
     """Read a Delta table at its latest (or ``versionAsOf``) snapshot.
 
     Partitioned tables: when the snapshot has at most
@@ -343,7 +344,10 @@ def read_delta(spark: SparkSession, path: str,
 
     opts = options or {}
     version = opts.get("versionAsOf", opts.get("version_as_of"))
-    snap = load_snapshot(spark, path, int(version) if version is not None else None)
+    if _snapshot_override is not None:
+        snap = _snapshot_override
+    else:
+        snap = load_snapshot(spark, path, int(version) if version is not None else None)
     if not snap.files:
         return spark.createDataFrame([], _clean_type(snap.schema))
 
@@ -769,6 +773,140 @@ def delete_where(spark: SparkSession, path: str, condition: str) -> int:
             f.write(json.dumps(a) + "\n")
     _maybe_checkpoint(spark, path, version)
     return n_deleted
+
+
+def optimize(spark: SparkSession, path: str,
+             small_file_bytes: int = 64 * 1024 * 1024) -> dict:
+    """OPTIMIZE (bin-packing compaction): rewrite the table's small
+    files — and every file carrying a deletion vector, purging the
+    deleted rows — into full-size files, committed as remove(old) +
+    add(new, dataChange=false).
+
+    The read+rewrite is Spark's distributed parquet path end to end;
+    the driver holds only the file list (planner-sized). Partitioned
+    tables compact within partitions (the rewrite preserves the hive
+    layout, so partition pruning is untouched). Files already at target
+    size with no DV are left alone — compaction cost is proportional to
+    the small-file backlog, not the table. Returns
+    {"rewritten": n_old, "added": n_new, "skipped": n_untouched}.
+    """
+    import time
+
+    snap = load_snapshot(spark, path)
+    if snap.column_mapping_mode in ("name", "id"):
+        raise NotImplementedError("optimize on column-mapped tables is not supported")
+
+    def abs_path(p: str) -> str:
+        return p if os.path.isabs(p) else os.path.join(path, p)
+
+    victims = {}
+    for rel, entry in snap.files.items():
+        f_abs = abs_path(rel)
+        try:
+            size = os.path.getsize(f_abs)
+        except OSError:
+            size = 0
+        if entry.get("dv") or size < small_file_bytes:
+            victims[rel] = entry
+    if len(victims) <= 1 and not any(e.get("dv") for e in victims.values()):
+        return {"rewritten": 0, "added": 0, "skipped": len(snap.files)}
+
+    # read ONLY the victims, with their DVs applied (read_delta semantics
+    # on a restricted file set): reuse the reader by snapshot surgery
+    sub = DeltaSnapshot(snap.schema, snap.partition_columns, victims,
+                        snap.version, snap.column_mapping_mode, snap.protocol,
+                        snap.meta, snap.txns)
+    df = _read_snapshot_files(spark, path, sub)
+
+    before = _existing_parquet(path)
+    writer = df.write.mode("append").format("parquet")
+    if snap.partition_columns:
+        writer = writer.partitionBy(*snap.partition_columns)
+    writer.save(path)
+    new_files = [p for p in _existing_parquet(path) if p not in before]
+
+    now_ms = int(time.time() * 1000)
+    log_dir = _log_dir(path)
+    version = max(v for v, _ in _commit_files(log_dir)) + 1
+    actions = []
+    for rel, entry in sorted(victims.items()):
+        actions.append({"remove": {
+            "path": rel, "partitionValues": entry.get("pv") or {},
+            "deletionTimestamp": now_ms, "dataChange": False,
+            "deletionVector": entry.get("dv"),
+        }})
+    for rel in sorted(new_files):
+        pv = {}
+        for seg in rel.split(os.sep)[:-1]:
+            if "=" in seg:
+                k, _, v = seg.partition("=")
+                if k in snap.partition_columns:
+                    pv[k] = None if v == "__HIVE_DEFAULT_PARTITION__" else v
+        actions.append({"add": {
+            "path": rel, "partitionValues": pv,
+            "size": os.path.getsize(abs_path(rel)),
+            "modificationTime": now_ms, "dataChange": False,
+        }})
+    actions.append({"commitInfo": {"timestamp": now_ms, "operation": "OPTIMIZE"}})
+    with open(os.path.join(log_dir, f"{version:020d}.json"), "w") as f:
+        for a in actions:
+            f.write(json.dumps(a) + "\n")
+    _maybe_checkpoint(spark, path, version)
+    return {"rewritten": len(victims), "added": len(new_files),
+            "skipped": len(snap.files) - len(victims)}
+
+
+def _read_snapshot_files(spark: SparkSession, path: str,
+                         snap: "DeltaSnapshot") -> DataFrame:
+    """Logical rows of the given snapshot's file set (partition values
+    re-attached, DVs applied) — the shared kernel of read_delta and
+    optimize. Delegates to read_delta's machinery via a pinned
+    snapshot."""
+    return read_delta(spark, path, _snapshot_override=snap)
+
+
+def vacuum(spark: SparkSession, path: str, retention_hours: float = 168,
+           dry_run: bool = False) -> list[str]:
+    """VACUUM: delete data/DV files no longer referenced by the CURRENT
+    snapshot and older than the retention window (default 7 days, like
+    delta's deletedFileRetentionDuration). Candidates are orphaned
+    parquet parts from failed/compacted writes and superseded
+    deletion-vector files. Driver-side listing — bounded by file count,
+    the same budget the transaction log itself costs. Returns the
+    deleted (or would-delete, with dry_run) relative paths."""
+    import time
+
+    from drill_spark.readers.delta_dv import descriptor_relative_path
+
+    snap = load_snapshot(spark, path)
+    live = set(snap.files)
+    for entry in snap.files.values():
+        dv = entry.get("dv")
+        if dv:
+            rel = descriptor_relative_path(dv)
+            if rel:
+                live.add(rel)
+    cutoff = time.time() - retention_hours * 3600
+    doomed = []
+    for root, dirs, files in os.walk(path):
+        dirs[:] = [d for d in dirs if d != "_delta_log"]
+        for name in files:
+            if not (name.endswith(".parquet") or name.startswith("deletion_vector_")):
+                continue
+            full = os.path.join(root, name)
+            rel = os.path.relpath(full, path)
+            if rel in live:
+                continue
+            if os.path.getmtime(full) > cutoff:
+                continue
+            doomed.append(rel)
+    if not dry_run:
+        for rel in doomed:
+            try:
+                os.remove(os.path.join(path, rel))
+            except OSError:
+                pass
+    return sorted(doomed)
 
 
 def _existing_parquet(path: str) -> set[str]:

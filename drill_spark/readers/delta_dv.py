@@ -263,3 +263,16 @@ def descriptor_unique_id(desc: dict | None) -> str | None:
     if desc.get("offset") is not None:
         uid += f"@{desc['offset']}"
     return uid
+
+
+def descriptor_relative_path(desc: dict) -> str | None:
+    """Table-relative file path of a DV descriptor, or None when the DV
+    is inline (storageType "i") or absolute ("p") — used by VACUUM to
+    keep live DV files."""
+    if not desc or desc.get("storageType") != "u":
+        return None
+    enc = desc["pathOrInlineDv"]
+    prefix, uid_part = enc[:-20], enc[-20:]
+    uid = _uuid.UUID(bytes=z85_decode(uid_part))
+    rel = f"deletion_vector_{uid}.bin"
+    return os.path.join(prefix, rel) if prefix else rel

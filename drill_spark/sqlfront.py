@@ -88,6 +88,16 @@ _CREATE_FN_JAR = re.compile(
 _INSERT_PATH = re.compile(
     r"^\s*INSERT\s+INTO\s+((?:\w+\.)+)`([^`]+)`\s+(.*)$", re.IGNORECASE | re.DOTALL
 )
+# OPTIMIZE / VACUUM — Delta table maintenance (compaction + orphan
+# cleanup), the operational pair every lakehouse writer needs
+_OPTIMIZE_PATH = re.compile(
+    r"^\s*OPTIMIZE\s+((?:\w+\.)+)`([^`]+)`\s*;?\s*$", re.IGNORECASE
+)
+_VACUUM_PATH = re.compile(
+    r"^\s*VACUUM\s+((?:\w+\.)+)`([^`]+)`(?:\s+RETAIN\s+(\d+)\s+HOURS)?"
+    r"(\s+DRY\s+RUN)?\s*;?\s*$",
+    re.IGNORECASE,
+)
 # DELETE FROM ws.`path` WHERE ... — row-level delete, routed to the
 # table-format delete (delta deletion vectors / iceberg position
 # deletes). The reference has no DELETE (read-mostly engine); lakehouse
@@ -516,6 +526,30 @@ def execute(session, query: str) -> DataFrame:
         else:
             df.write.format(fmt).mode("append").save(path)
         return _ok(spark, f"appended to {ws_name}.`{rel_path}`")
+
+    m = _OPTIMIZE_PATH.match(query)
+    if m:
+        from drill_spark.readers.delta import optimize
+
+        ws_name, rel_path = m.group(1).rstrip("."), m.group(2)
+        path, _ = _writable_path(session, ws_name, rel_path)
+        stats = optimize(spark, path)
+        spark.catalog.refreshByPath(path)
+        return spark.createDataFrame([Row(ok=True, **stats)])
+
+    m = _VACUUM_PATH.match(query)
+    if m:
+        from drill_spark.readers.delta import vacuum
+
+        ws_name, rel_path, hours, dry = (
+            m.group(1).rstrip("."), m.group(2), m.group(3), m.group(4))
+        path, _ = _writable_path(session, ws_name, rel_path)
+        gone = vacuum(spark, path,
+                      retention_hours=float(hours) if hours else 168,
+                      dry_run=bool(dry))
+        return spark.createDataFrame(
+            [Row(ok=True, n_removed=len(gone), dry_run=bool(dry))]
+        )
 
     m = _DELETE_PATH.match(query)
     if m:

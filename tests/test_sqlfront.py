@@ -518,3 +518,26 @@ def test_sql_delete_from_delta_and_iceberg(session, tmp_path):
     spark.range(3).write.parquet(str(tmp_path / "plain"))
     with _pytest.raises(NotImplementedError, match="CTAS"):
         session.sql("DELETE FROM dfs.del.`plain` WHERE id = 1")
+
+
+def test_sql_optimize_and_vacuum(session, tmp_path):
+    """OPTIMIZE compacts + purges DVs; VACUUM [RETAIN n HOURS] [DRY RUN]
+    reports/removes orphans — the SQL face of the maintenance pair."""
+    from drill_spark.readers.delta import write_delta
+
+    spark = session.spark
+    session.register_workspace("dfs.maint", str(tmp_path), "parquet", writable=True)
+    tbl = str(tmp_path / "m")
+    for i in range(2):
+        write_delta(spark.range(i * 5, i * 5 + 5).withColumnRenamed("id", "v"),
+                    tbl, mode="append" if i else "error")
+    session.sql("DELETE FROM dfs.maint.`m` WHERE v = 2")
+
+    out = session.sql("OPTIMIZE dfs.maint.`m`").collect()[0]
+    assert out.ok and out.rewritten >= 2 and out.added >= 1
+
+    dry = session.sql("VACUUM dfs.maint.`m` RETAIN 0 HOURS DRY RUN").collect()[0]
+    assert dry.dry_run and dry.n_removed > 0
+    real = session.sql("VACUUM dfs.maint.`m` RETAIN 0 HOURS").collect()[0]
+    assert not real.dry_run and real.n_removed == dry.n_removed
+    assert session.sql("select count(*) as n from dfs.maint.`m`").collect()[0].n == 9

@@ -432,3 +432,62 @@ def test_iceberg_delete_where_is_incremental(spark, tmp_path):
     # no matches -> no commit, count stays
     assert delete_where(spark, tbl, "k < 0") == 0
     assert read_iceberg(spark, tbl).count() == 25
+
+
+def test_delta_optimize_compacts_and_purges_dvs(spark, tmp_path):
+    """OPTIMIZE rewrites small files and DV-carrying files: rows stay
+    identical, deleted rows are physically purged (no DV remains), and
+    the pre-optimize version still time-travels."""
+    from drill_spark.readers.delta import delete_where, load_snapshot, optimize
+
+    tbl = str(tmp_path / "opt")
+    # 3 commits of small files
+    for i in range(3):
+        write_delta(spark.range(i * 10, i * 10 + 10).withColumnRenamed("id", "v"),
+                    tbl, mode="append" if i else "error")
+    assert delete_where(spark, tbl, "v % 7 = 0") == 5
+    expect = sorted(v for v in range(30) if v % 7 != 0)
+
+    pre_files = len(load_snapshot(spark, tbl).files)
+    stats = optimize(spark, tbl)
+    assert stats["rewritten"] == pre_files and stats["added"] >= 1
+
+    snap = load_snapshot(spark, tbl)
+    assert not any(e.get("dv") for e in snap.files.values()), "DVs must be purged"
+    assert sorted(r.v for r in read_delta(spark, tbl).collect()) == expect
+    # dataChange=false commit: logical content unchanged at prior version
+    assert sorted(
+        r.v for r in read_delta(spark, tbl, {"versionAsOf": 3}).collect()
+    ) == expect
+
+
+def test_delta_vacuum_removes_orphans(spark, tmp_path):
+    """VACUUM deletes unreferenced files past retention and keeps every
+    live file (incl. live DV files); dry_run only reports."""
+    import os
+
+    from drill_spark.readers.delta import delete_where, optimize, vacuum
+
+    tbl = str(tmp_path / "vac")
+    for i in range(2):
+        write_delta(spark.range(i * 10, i * 10 + 10).withColumnRenamed("id", "v"),
+                    tbl, mode="append" if i else "error")
+    delete_where(spark, tbl, "v = 3")        # creates one DV file
+    delete_where(spark, tbl, "v = 4")        # supersedes it -> old DV orphaned
+    optimize(spark, tbl)                     # orphans all old parquet + DVs
+
+    listed = vacuum(spark, tbl, retention_hours=0, dry_run=True)
+    assert listed, "expected orphaned files"
+    for rel in listed:
+        assert os.path.exists(os.path.join(tbl, rel))
+
+    gone = vacuum(spark, tbl, retention_hours=0)
+    assert gone == listed
+    for rel in gone:
+        assert not os.path.exists(os.path.join(tbl, rel))
+    # table still reads correctly after vacuum
+    assert sorted(r.v for r in read_delta(spark, tbl).collect()) == [
+        v for v in range(20) if v not in (3, 4)
+    ]
+    # retention respected: fresh orphans survive a 7-day window
+    assert vacuum(spark, tbl, retention_hours=168, dry_run=True) == []
