@@ -659,6 +659,89 @@ def _maybe_checkpoint(spark: SparkSession, path: str, version: int) -> None:
         write_checkpoint(spark, path)
 
 
+def _annotated_table_scan(spark: SparkSession, path: str,
+                          snap: "DeltaSnapshot") -> DataFrame:
+    """Raw-file scan of a snapshot annotated with row identity (__fp
+    normalized file path, __ri parquet row index) and typed partition
+    columns re-attached via a broadcast path map. NOTE: includes rows
+    already masked by existing DVs — callers that need LIVE rows only
+    must apply the DVs (read_delta does)."""
+    data_schema = T.StructType(
+        [T.StructField(f.name, _clean_type(f.dataType), f.nullable)
+         for f in snap.schema.fields if f.name not in snap.partition_columns]
+    )
+    by_type = {f.name: _clean_type(f.dataType) for f in snap.schema.fields}
+
+    def abs_path(p: str) -> str:
+        return p if os.path.isabs(p) else os.path.join(path, p)
+
+    df = (
+        spark.read.schema(data_schema)
+        .parquet(*[abs_path(p) for p in snap.files])
+        .select(
+            "*",
+            _norm_uri(F.col("_metadata.file_path")).alias("__fp"),
+            F.col("_metadata.row_index").alias("__ri"),
+        )
+    )
+    if snap.partition_columns:
+        pv_rows = [
+            {"__fp": abs_path(p),
+             **{f"__pv_{c}": (e.get("pv") or {}).get(c) for c in snap.partition_columns}}
+            for p, e in snap.files.items()
+        ]
+        pv_schema = T.StructType(
+            [T.StructField("__fp", T.StringType())]
+            + [T.StructField(f"__pv_{c}", T.StringType()) for c in snap.partition_columns]
+        )
+        df = df.join(F.broadcast(spark.createDataFrame(pv_rows, pv_schema)), "__fp")
+        for c in snap.partition_columns:
+            df = df.withColumn(c, F.col(f"__pv_{c}").cast(by_type[c])).drop(f"__pv_{c}")
+    return df
+
+
+def _build_condition_dvs(spark: SparkSession, path: str, snap: "DeltaSnapshot",
+                         condition: str) -> list:
+    """Executor-side DV construction for every file with rows matching
+    ``condition``: one task per touched file serializes the (unioned)
+    RoaringBitmapArray and writes the DV file; only per-file
+    descriptors return to the driver. Returns collected rows
+    (fp, desc_json, n_new)."""
+    df = _annotated_table_scan(spark, path, snap)
+
+    def abs_path(p: str) -> str:
+        return p if os.path.isabs(p) else os.path.join(path, p)
+
+    # closure state shipped to the group tasks: metadata only (the DV
+    # descriptors of files that already carry one, keyed by abs path)
+    table_path = path
+    old_dv = {abs_path(p): e["dv"] for p, e in snap.files.items() if e.get("dv")}
+
+    def _build_dv(pdf):
+        import pandas as pd
+
+        from drill_spark.readers.delta_dv import read_descriptor, write_dv_file
+
+        fp = pdf["__fp"].iloc[0]
+        idx = set(int(v) for v in pdf["__ri"])
+        n_new = len(idx)
+        old = old_dv.get(fp)
+        if old is not None:
+            prev = set(read_descriptor(table_path, old))
+            n_new = len(idx - prev)
+            idx |= prev
+        desc = write_dv_file(table_path, sorted(idx))
+        return pd.DataFrame([{"fp": fp, "desc_json": json.dumps(desc), "n_new": n_new}])
+
+    return (
+        df.where(condition)
+        .select("__fp", "__ri")
+        .groupBy("__fp")
+        .applyInPandas(_build_dv, "fp string, desc_json string, n_new long")
+        .collect()
+    )
+
+
 def delete_where(spark: SparkSession, path: str, condition: str) -> int:
     """Row-level DELETE via deletion vectors — no data file rewritten.
 
@@ -689,66 +772,12 @@ def delete_where(spark: SparkSession, path: str, condition: str) -> int:
     snap = load_snapshot(spark, path)
     if snap.column_mapping_mode in ("name", "id"):
         raise NotImplementedError("delete_where on column-mapped tables is not supported")
-    data_schema = T.StructType(
-        [T.StructField(f.name, _clean_type(f.dataType), f.nullable)
-         for f in snap.schema.fields if f.name not in snap.partition_columns]
-    )
-    by_type = {f.name: _clean_type(f.dataType) for f in snap.schema.fields}
 
     def abs_path(p: str) -> str:
         return p if os.path.isabs(p) else os.path.join(path, p)
 
     rel_of = {abs_path(p): p for p in snap.files}
-    df = (
-        spark.read.schema(data_schema)
-        .parquet(*rel_of)
-        .select(
-            "*",
-            _norm_uri(F.col("_metadata.file_path")).alias("__fp"),
-            F.col("_metadata.row_index").alias("__ri"),
-        )
-    )
-    if snap.partition_columns:
-        pv_rows = [
-            {"__fp": abs_path(p),
-             **{f"__pv_{c}": (e.get("pv") or {}).get(c) for c in snap.partition_columns}}
-            for p, e in snap.files.items()
-        ]
-        pv_schema = T.StructType(
-            [T.StructField("__fp", T.StringType())]
-            + [T.StructField(f"__pv_{c}", T.StringType()) for c in snap.partition_columns]
-        )
-        df = df.join(F.broadcast(spark.createDataFrame(pv_rows, pv_schema)), "__fp")
-        for c in snap.partition_columns:
-            df = df.withColumn(c, F.col(f"__pv_{c}").cast(by_type[c])).drop(f"__pv_{c}")
-    # closure state shipped to the group tasks: metadata only (the DV
-    # descriptors of files that already carry one, keyed by abs path)
-    table_path = path
-    old_dv = {abs_path(p): e["dv"] for p, e in snap.files.items() if e.get("dv")}
-
-    def _build_dv(pdf):
-        import pandas as pd
-
-        from drill_spark.readers.delta_dv import read_descriptor, write_dv_file
-
-        fp = pdf["__fp"].iloc[0]
-        idx = set(int(v) for v in pdf["__ri"])
-        n_new = len(idx)
-        old = old_dv.get(fp)
-        if old is not None:
-            prev = set(read_descriptor(table_path, old))
-            n_new = len(idx - prev)
-            idx |= prev
-        desc = write_dv_file(table_path, sorted(idx))
-        return pd.DataFrame([{"fp": fp, "desc_json": json.dumps(desc), "n_new": n_new}])
-
-    built = (
-        df.where(condition)
-        .select("__fp", "__ri")
-        .groupBy("__fp")
-        .applyInPandas(_build_dv, "fp string, desc_json string, n_new long")
-        .collect()
-    )
+    built = _build_condition_dvs(spark, path, snap, condition)
     if not built:
         return 0
 
@@ -773,6 +802,89 @@ def delete_where(spark: SparkSession, path: str, condition: str) -> int:
             f.write(json.dumps(a) + "\n")
     _maybe_checkpoint(spark, path, version)
     return n_deleted
+
+
+def update_where(spark: SparkSession, path: str, condition: str,
+                 assignments: dict[str, str]) -> int:
+    """Row-level UPDATE in ONE atomic commit: matched rows are masked
+    via deletion vectors (exactly delete_where's executor-side build)
+    and their updated copies are appended as new data files — the
+    copy-on-write half is limited to the touched rows, not the touched
+    files, which is Delta's DV-based UPDATE shape.
+
+    ``assignments`` maps column name -> SQL expression (evaluated
+    against the pre-update row; expressions may reference any column).
+    The updated-copy source is the LIVE table (existing DVs applied),
+    so rows deleted earlier are never resurrected. New files are
+    written before the commit; a crash in between leaves orphan
+    parquet/DV files for VACUUM, never a half-applied table. Returns
+    the number of updated rows. Single writer per table."""
+    import time
+
+    snap = load_snapshot(spark, path)
+    if snap.column_mapping_mode in ("name", "id"):
+        raise NotImplementedError("update_where on column-mapped tables is not supported")
+    unknown = [c for c in assignments if c not in {f.name for f in snap.schema.fields}]
+    if unknown:
+        raise ValueError(f"UPDATE of unknown column(s): {unknown}")
+
+    def abs_path(p: str) -> str:
+        return p if os.path.isabs(p) else os.path.join(path, p)
+
+    rel_of = {abs_path(p): p for p in snap.files}
+    by_type = {f.name: _clean_type(f.dataType) for f in snap.schema.fields}
+
+    # 1. executor-side DV build over the raw scan (counts live matches)
+    built = _build_condition_dvs(spark, path, snap, condition)
+    if not built:
+        return 0
+
+    # 2. updated copies from the LIVE rows (DVs applied by read_delta)
+    updated = read_delta(spark, path).where(condition)
+    for col, expr in assignments.items():
+        updated = updated.withColumn(col, F.expr(expr).cast(by_type[col]))
+    updated = updated.select(*[f.name for f in snap.schema.fields])
+    before = _existing_parquet(path)
+    writer = updated.write.mode("append").format("parquet")
+    if snap.partition_columns:
+        writer = writer.partitionBy(*snap.partition_columns)
+    writer.save(path)
+    new_files = [p for p in _existing_parquet(path) if p not in before]
+
+    # 3. ONE commit: DV remove/add pairs + the new data files
+    now_ms = int(time.time() * 1000)
+    log_dir = _log_dir(path)
+    version = max(v for v, _ in _commit_files(log_dir)) + 1
+    actions = [{"protocol": _upgrade_protocol(snap.protocol, "deletionVectors")}]
+    n_updated = 0
+    for row in built:
+        rel = rel_of[row["fp"]]
+        entry = snap.files[rel]
+        n_updated += int(row["n_new"])
+        base = {"path": rel, "partitionValues": entry.get("pv") or {},
+                "size": os.path.getsize(row["fp"]), "dataChange": True}
+        actions.append({"remove": {**base, "deletionTimestamp": now_ms,
+                                   "deletionVector": entry.get("dv")}})
+        actions.append({"add": {**base, "modificationTime": now_ms,
+                                "deletionVector": json.loads(row["desc_json"])}})
+    for rel in sorted(new_files):
+        pv = {}
+        for seg in rel.split(os.sep)[:-1]:
+            if "=" in seg:
+                k, _, v = seg.partition("=")
+                if k in snap.partition_columns:
+                    pv[k] = None if v == "__HIVE_DEFAULT_PARTITION__" else v
+        actions.append({"add": {
+            "path": rel, "partitionValues": pv,
+            "size": os.path.getsize(abs_path(rel)),
+            "modificationTime": now_ms, "dataChange": True,
+        }})
+    actions.append({"commitInfo": {"timestamp": now_ms, "operation": "UPDATE"}})
+    with open(os.path.join(log_dir, f"{version:020d}.json"), "w") as f:
+        for a in actions:
+            f.write(json.dumps(a) + "\n")
+    _maybe_checkpoint(spark, path, version)
+    return n_updated
 
 
 def optimize(spark: SparkSession, path: str,

@@ -106,6 +106,39 @@ _DELETE_PATH = re.compile(
     r"^\s*DELETE\s+FROM\s+((?:\w+\.)+)`([^`]+)`\s+WHERE\s+(.*?)\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
+_UPDATE_PATH = re.compile(
+    r"^\s*UPDATE\s+((?:\w+\.)+)`([^`]+)`\s+SET\s+(.*?)\s+WHERE\s+(.*?)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def _split_set_clause(clause: str) -> dict[str, str]:
+    """SET a = expr, b = expr — split on top-level commas (parens and
+    quotes respected), then each item on its first '='."""
+    parts, depth, buf, q = [], 0, [], None
+    for ch in clause:
+        if q:
+            if ch == q:
+                q = None
+        elif ch in "'\"":
+            q = ch
+        elif ch in "([":
+            depth += 1
+        elif ch in ")]":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            parts.append("".join(buf))
+            buf = []
+            continue
+        buf.append(ch)
+    parts.append("".join(buf))
+    out = {}
+    for p in parts:
+        if "=" not in p:
+            raise ValueError(f"bad SET item: {p!r}")
+        col, _, expr = p.partition("=")
+        out[col.strip().strip("`")] = expr.strip()
+    return out
 # Drill aliases (planner/sql/handlers/CreateAliasHandler.java; PUBLIC =
 # system-wide vs user scope — one session here, so scope is cosmetic)
 _CREATE_ALIAS = re.compile(
@@ -549,6 +582,24 @@ def execute(session, query: str) -> DataFrame:
                       dry_run=bool(dry))
         return spark.createDataFrame(
             [Row(ok=True, n_removed=len(gone), dry_run=bool(dry))]
+        )
+
+    m = _UPDATE_PATH.match(query)
+    if m:
+        ws_name, rel_path, set_clause, cond = (
+            m.group(1).rstrip("."), m.group(2), m.group(3), m.group(4))
+        path, _ = _writable_path(session, ws_name, rel_path)
+        if not os.path.isdir(os.path.join(path, "_delta_log")):
+            raise NotImplementedError(
+                "UPDATE needs a delta table (iceberg/plain parquet: rewrite via CTAS)"
+            )
+        from drill_spark.readers.delta import update_where
+
+        n = update_where(spark, path, cond, _split_set_clause(set_clause))
+        spark.catalog.refreshByPath(path)
+        return spark.createDataFrame(
+            [Row(ok=True, summary=f"updated {n} rows in {ws_name}.`{rel_path}`",
+                 rows_updated=n)]
         )
 
     m = _DELETE_PATH.match(query)

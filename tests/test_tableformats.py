@@ -491,3 +491,37 @@ def test_delta_vacuum_removes_orphans(spark, tmp_path):
     ]
     # retention respected: fresh orphans survive a 7-day window
     assert vacuum(spark, tbl, retention_hours=168, dry_run=True) == []
+
+
+def test_delta_update_where(spark, tmp_path):
+    """Row-level UPDATE: matched rows masked by DVs + updated copies
+    appended in ONE commit; expressions see pre-update values; earlier
+    deletes are never resurrected; time travel sees the old values."""
+    from drill_spark.readers.delta import delete_where, update_where
+
+    tbl = str(tmp_path / "upd")
+    write_delta(
+        spark.range(10).selectExpr("id as k", "cast(id * 10 as double) as amt"), tbl
+    )
+    assert delete_where(spark, tbl, "k = 9") == 1           # version 1
+    n = update_where(spark, tbl, "k >= 5", {"amt": "amt + 0.5"})
+    assert n == 4                                           # 5..8 (9 is deleted)
+    got = {r.k: r.amt for r in read_delta(spark, tbl).collect()}
+    assert got == {k: k * 10 + (0.5 if k >= 5 else 0.0) for k in range(9)}
+    old = {r.k: r.amt for r in read_delta(spark, tbl, {"versionAsOf": 1}).collect()}
+    assert old == {k: float(k * 10) for k in range(9)}
+
+
+def test_sql_update_statement(session, tmp_path):
+    from drill_spark.readers.delta import write_delta
+
+    spark = session.spark
+    session.register_workspace("dfs.upd", str(tmp_path), "parquet", writable=True)
+    tbl = str(tmp_path / "u")
+    write_delta(spark.range(6).selectExpr("id as k", "'a' as tag"), tbl)
+    out = session.sql(
+        "UPDATE dfs.upd.`u` SET tag = concat(tag, '-', cast(k as string)) WHERE k % 2 = 0"
+    ).collect()[0]
+    assert out.rows_updated == 3
+    got = {r.k: r.tag for r in session.sql("select * from dfs.upd.`u`").collect()}
+    assert got == {k: (f"a-{k}" if k % 2 == 0 else "a") for k in range(6)}
