@@ -702,13 +702,23 @@ def _annotated_table_scan(spark: SparkSession, path: str,
 
 def _build_condition_dvs(spark: SparkSession, path: str, snap: "DeltaSnapshot",
                          condition: str) -> list:
-    """Executor-side DV construction for every file with rows matching
-    ``condition``: one task per touched file serializes the (unioned)
-    RoaringBitmapArray and writes the DV file; only per-file
-    descriptors return to the driver. Returns collected rows
-    (fp, desc_json, n_new)."""
-    df = _annotated_table_scan(spark, path, snap)
+    """DVs for every file with rows matching ``condition`` (see
+    _build_pair_dvs)."""
+    pairs = (
+        _annotated_table_scan(spark, path, snap)
+        .where(condition)
+        .select("__fp", "__ri")
+    )
+    return _build_pair_dvs(spark, path, snap, pairs)
 
+
+def _build_pair_dvs(spark: SparkSession, path: str, snap: "DeltaSnapshot",
+                    pairs: DataFrame) -> list:
+    """Executor-side DV construction from a DataFrame of matched
+    (__fp, __ri) row identities: one task per touched file serializes
+    the (unioned) RoaringBitmapArray and writes the DV file; only
+    per-file descriptors return to the driver. Returns collected rows
+    (fp, desc_json, n_new)."""
     def abs_path(p: str) -> str:
         return p if os.path.isabs(p) else os.path.join(path, p)
 
@@ -734,12 +744,31 @@ def _build_condition_dvs(spark: SparkSession, path: str, snap: "DeltaSnapshot",
         return pd.DataFrame([{"fp": fp, "desc_json": json.dumps(desc), "n_new": n_new}])
 
     return (
-        df.where(condition)
-        .select("__fp", "__ri")
+        pairs.select("__fp", "__ri")
         .groupBy("__fp")
         .applyInPandas(_build_dv, "fp string, desc_json string, n_new long")
         .collect()
     )
+
+
+def _live_annotated_scan(spark: SparkSession, path: str,
+                         snap: "DeltaSnapshot") -> DataFrame:
+    """Annotated scan restricted to LIVE rows: existing DV positions
+    are anti-joined out (broadcast — DV cardinality bounds it, same
+    budget read_delta spends)."""
+    from drill_spark.readers.delta_dv import read_descriptor
+
+    df = _annotated_table_scan(spark, path, snap)
+    dead = []
+    for rel, entry in snap.files.items():
+        dv = entry.get("dv")
+        if dv:
+            fp = rel if os.path.isabs(rel) else os.path.join(path, rel)
+            dead.extend((fp, ri) for ri in read_descriptor(path, dv))
+    if not dead:
+        return df
+    dead_df = spark.createDataFrame(dead, "__fp string, __ri long")
+    return df.join(F.broadcast(dead_df), ["__fp", "__ri"], "left_anti")
 
 
 def delete_where(spark: SparkSession, path: str, condition: str) -> int:
@@ -885,6 +914,148 @@ def update_where(spark: SparkSession, path: str, condition: str,
             f.write(json.dumps(a) + "\n")
     _maybe_checkpoint(spark, path, version)
     return n_updated
+
+
+def merge_into(
+    spark: SparkSession,
+    path: str,
+    source: DataFrame,
+    on: str,
+    when_matched_update: dict[str, str] | None = None,
+    when_matched_delete: bool = False,
+    when_not_matched_insert: dict[str, str] | None = None,
+) -> dict:
+    """MERGE INTO — the CDC upsert primitive, in ONE atomic commit.
+
+    ``source`` is joined to the live target on ``on`` (reference the
+    sides as ``t.<col>`` and ``src.<col>``). Matched target rows are
+    masked via deletion vectors; WHEN MATCHED UPDATE appends rewritten
+    copies (``assignments`` map target column -> SQL expression over
+    ``t.*``/``src.*``); WHEN MATCHED DELETE just masks; WHEN NOT
+    MATCHED INSERT appends source rows shaped by its assignment map.
+    A target row matched by MULTIPLE source rows is ambiguous and
+    raises, matching the Delta/SQL-standard MERGE cardinality rule.
+
+    Scale shape: one equi-or-theta join target×source (Catalyst picks
+    broadcast for small CDC batches), executor-side DV build, and
+    Spark's distributed writer for the new files — the driver holds
+    per-file descriptors only. Returns {"updated": n, "deleted": n,
+    "inserted": n}.
+    """
+    import time
+
+    if when_matched_update and when_matched_delete:
+        raise ValueError("choose ONE of when_matched_update / when_matched_delete")
+
+    snap = load_snapshot(spark, path)
+    if snap.column_mapping_mode in ("name", "id"):
+        raise NotImplementedError("merge_into on column-mapped tables is not supported")
+    by_type = {f.name: _clean_type(f.dataType) for f in snap.schema.fields}
+    target_cols = [f.name for f in snap.schema.fields]
+
+    def abs_path(p: str) -> str:
+        return p if os.path.isabs(p) else os.path.join(path, p)
+
+    rel_of = {abs_path(p): p for p in snap.files}
+    t = _live_annotated_scan(spark, path, snap).alias("t")
+    s = source.alias("src")
+    joined = t.join(s, F.expr(on), "inner")
+
+    # SQL MERGE cardinality rule: a target row hit twice is ambiguous
+    dup = (
+        joined.groupBy("t.__fp", "t.__ri").count().where(F.col("count") > 1).limit(1)
+    )
+    if dup.take(1):
+        raise ValueError(
+            "MERGE: a target row matches multiple source rows (ambiguous update)"
+        )
+
+    built = []
+    if when_matched_update or when_matched_delete:
+        built = _build_pair_dvs(
+            spark, path, snap, joined.select(F.col("t.__fp"), F.col("t.__ri"))
+        )
+
+    new_dfs = []
+    n_updated = n_inserted = 0
+    if when_matched_update and built:
+        upd = joined.select(*[
+            F.expr(when_matched_update.get(c, f"t.`{c}`")).cast(by_type[c]).alias(c)
+            for c in target_cols
+        ])
+        new_dfs.append(upd)
+    if when_not_matched_insert is not None:
+        missing = [c for c in target_cols if c not in when_not_matched_insert]
+        ins = s.join(t, F.expr(on), "left_anti").select(*[
+            (F.expr(when_not_matched_insert[c]).cast(by_type[c])
+             if c in when_not_matched_insert
+             else F.lit(None).cast(by_type[c])).alias(c)
+            for c in target_cols
+        ])
+        del missing
+        new_dfs.append(ins)
+
+    before = _existing_parquet(path)
+    for df_new in new_dfs:
+        writer = df_new.write.mode("append").format("parquet")
+        if snap.partition_columns:
+            writer = writer.partitionBy(*snap.partition_columns)
+        writer.save(path)
+    import pyarrow.parquet as pq
+
+    new_files, appended = [], 0
+    for rel in sorted(_existing_parquet(path) - before):
+        nrec = pq.read_metadata(abs_path(rel)).num_rows
+        if nrec == 0:
+            os.remove(abs_path(rel))  # empty part from an empty branch
+            continue
+        appended += nrec
+        new_files.append(rel)
+
+    if not built and not new_files:
+        return {"updated": 0, "deleted": 0, "inserted": 0}
+
+    now_ms = int(time.time() * 1000)
+    log_dir = _log_dir(path)
+    version = max(v for v, _ in _commit_files(log_dir)) + 1
+    actions = [{"protocol": _upgrade_protocol(snap.protocol, "deletionVectors")}]
+    n_masked = 0
+    for row in built:
+        rel = rel_of[row["fp"]]
+        entry = snap.files[rel]
+        n_masked += int(row["n_new"])
+        base = {"path": rel, "partitionValues": entry.get("pv") or {},
+                "size": os.path.getsize(row["fp"]), "dataChange": True}
+        actions.append({"remove": {**base, "deletionTimestamp": now_ms,
+                                   "deletionVector": entry.get("dv")}})
+        actions.append({"add": {**base, "modificationTime": now_ms,
+                                "deletionVector": json.loads(row["desc_json"])}})
+    for rel in sorted(new_files):
+        pv = {}
+        for seg in rel.split(os.sep)[:-1]:
+            if "=" in seg:
+                k, _, v = seg.partition("=")
+                if k in snap.partition_columns:
+                    pv[k] = None if v == "__HIVE_DEFAULT_PARTITION__" else v
+        actions.append({"add": {
+            "path": rel, "partitionValues": pv,
+            "size": os.path.getsize(abs_path(rel)),
+            "modificationTime": now_ms, "dataChange": True,
+        }})
+    actions.append({"commitInfo": {"timestamp": now_ms, "operation": "MERGE"}})
+    with open(os.path.join(log_dir, f"{version:020d}.json"), "w") as f:
+        for a in actions:
+            f.write(json.dumps(a) + "\n")
+    _maybe_checkpoint(spark, path, version)
+
+    if when_matched_update:
+        n_updated = n_masked
+        n_deleted = 0
+    else:
+        n_deleted = n_masked
+    if when_not_matched_insert is not None:
+        n_inserted = appended - n_updated  # footer rows minus updated copies
+    return {"updated": n_updated, "deleted": n_deleted, "inserted": n_inserted}
 
 
 def optimize(spark: SparkSession, path: str,

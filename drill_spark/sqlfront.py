@@ -112,9 +112,8 @@ _UPDATE_PATH = re.compile(
 )
 
 
-def _split_set_clause(clause: str) -> dict[str, str]:
-    """SET a = expr, b = expr — split on top-level commas (parens and
-    quotes respected), then each item on its first '='."""
+def _split_top_level(clause: str) -> list[str]:
+    """Split on top-level commas (parens and quotes respected)."""
     parts, depth, buf, q = [], 0, [], None
     for ch in clause:
         if q:
@@ -132,13 +131,32 @@ def _split_set_clause(clause: str) -> dict[str, str]:
             continue
         buf.append(ch)
     parts.append("".join(buf))
+    return parts
+
+
+def _split_set_clause(clause: str) -> dict[str, str]:
+    """SET a = expr, b = expr — top-level comma split, then each item
+    on its first '='."""
     out = {}
-    for p in parts:
+    for p in _split_top_level(clause):
         if "=" not in p:
             raise ValueError(f"bad SET item: {p!r}")
         col, _, expr = p.partition("=")
         out[col.strip().strip("`")] = expr.strip()
     return out
+
+
+# MERGE INTO ws.`path` USING (<subquery>)|<table> [AS] src ON cond
+#   [WHEN MATCHED THEN UPDATE SET ... | WHEN MATCHED THEN DELETE]
+#   [WHEN NOT MATCHED THEN INSERT (cols) VALUES (exprs)]
+_MERGE_PATH = re.compile(
+    r"^\s*MERGE\s+INTO\s+((?:\w+\.)+)`([^`]+)`(?:\s+AS\s+t)?\s+USING\s+(.+?)\s+"
+    r"(?:AS\s+)?src\s+ON\s+(.+?)"
+    r"(?:\s+WHEN\s+MATCHED\s+THEN\s+(?:UPDATE\s+SET\s+(.+?)|(DELETE)))?"
+    r"(?:\s+WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s*\(([^)]*)\)\s*"
+    r"VALUES\s*\((.+?)\))?\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
 # Drill aliases (planner/sql/handlers/CreateAliasHandler.java; PUBLIC =
 # system-wide vs user scope — one session here, so scope is cosmetic)
 _CREATE_ALIAS = re.compile(
@@ -583,6 +601,36 @@ def execute(session, query: str) -> DataFrame:
         return spark.createDataFrame(
             [Row(ok=True, n_removed=len(gone), dry_run=bool(dry))]
         )
+
+    m = _MERGE_PATH.match(query)
+    if m:
+        ws_name, rel_path, src_text, on_cond, set_clause, del_kw, ins_cols, ins_vals = (
+            m.group(1).rstrip("."), m.group(2), m.group(3).strip(), m.group(4),
+            m.group(5), m.group(6), m.group(7), m.group(8))
+        path, _ = _writable_path(session, ws_name, rel_path)
+        if not os.path.isdir(os.path.join(path, "_delta_log")):
+            raise NotImplementedError("MERGE needs a delta table")
+        from drill_spark.readers.delta import merge_into
+
+        if src_text.startswith("(") and src_text.endswith(")"):
+            source = spark.sql(rewrite(session, src_text[1:-1]))
+        else:
+            source = spark.sql(rewrite(session, f"select * from {src_text}"))
+        insert_map = None
+        if ins_cols is not None:
+            cols = [c.strip().strip("`") for c in ins_cols.split(",")]
+            vals = [v.strip() for v in _split_top_level(ins_vals)]
+            if len(cols) != len(vals):
+                raise ValueError("INSERT column/value count mismatch")
+            insert_map = dict(zip(cols, vals))
+        stats = merge_into(
+            spark, path, source, on_cond.strip(),
+            when_matched_update=_split_set_clause(set_clause) if set_clause else None,
+            when_matched_delete=bool(del_kw),
+            when_not_matched_insert=insert_map,
+        )
+        spark.catalog.refreshByPath(path)
+        return spark.createDataFrame([Row(ok=True, **stats)])
 
     m = _UPDATE_PATH.match(query)
     if m:

@@ -541,3 +541,24 @@ def test_sql_optimize_and_vacuum(session, tmp_path):
     real = session.sql("VACUUM dfs.maint.`m` RETAIN 0 HOURS").collect()[0]
     assert not real.dry_run and real.n_removed == dry.n_removed
     assert session.sql("select count(*) as n from dfs.maint.`m`").collect()[0].n == 9
+
+
+def test_sql_merge_into(session, tmp_path):
+    """MERGE INTO with subquery source: upsert semantics end to end."""
+    from drill_spark.readers.delta import write_delta
+
+    spark = session.spark
+    session.register_workspace("dfs.mrg", str(tmp_path), "parquet", writable=True)
+    tbl = str(tmp_path / "t")
+    write_delta(spark.range(4).selectExpr("id as k", "cast(id as double) as amt"), tbl)
+    spark.createDataFrame([(2, 20.0), (9, 90.0)], "k long, amt double") \
+        .createOrReplaceTempView("cdc_batch")
+    out = session.sql(
+        "MERGE INTO dfs.mrg.`t` USING (select * from cdc_batch) AS src "
+        "ON t.k = src.k "
+        "WHEN MATCHED THEN UPDATE SET amt = src.amt "
+        "WHEN NOT MATCHED THEN INSERT (k, amt) VALUES (src.k, src.amt)"
+    ).collect()[0]
+    assert (out.updated, out.inserted) == (1, 1)
+    got = {r.k: r.amt for r in session.sql("select * from dfs.mrg.`t`").collect()}
+    assert got == {0: 0.0, 1: 1.0, 2: 20.0, 3: 3.0, 9: 90.0}

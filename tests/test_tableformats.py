@@ -525,3 +525,43 @@ def test_sql_update_statement(session, tmp_path):
     assert out.rows_updated == 3
     got = {r.k: r.tag for r in session.sql("select * from dfs.upd.`u`").collect()}
     assert got == {k: (f"a-{k}" if k % 2 == 0 else "a") for k in range(6)}
+
+
+def test_delta_merge_into_upsert(spark, tmp_path):
+    """MERGE INTO: matched rows updated (DV mask + rewritten copies),
+    unmatched source rows inserted — one commit, counts exact."""
+    from drill_spark.readers.delta import merge_into
+
+    tbl = str(tmp_path / "merge")
+    write_delta(spark.range(5).selectExpr("id as k", "cast(id as double) as amt"), tbl)
+    src = spark.createDataFrame(
+        [(3, 300.0), (4, 400.0), (7, 700.0), (8, 800.0)], "k long, amt double"
+    )
+    stats = merge_into(
+        spark, tbl, src, on="t.k = src.k",
+        when_matched_update={"amt": "src.amt"},
+        when_not_matched_insert={"k": "src.k", "amt": "src.amt"},
+    )
+    assert stats == {"updated": 2, "deleted": 0, "inserted": 2}
+    got = {r.k: r.amt for r in read_delta(spark, tbl).collect()}
+    assert got == {0: 0.0, 1: 1.0, 2: 2.0, 3: 300.0, 4: 400.0, 7: 700.0, 8: 800.0}
+
+
+def test_delta_merge_matched_delete_and_ambiguity(spark, tmp_path):
+    """WHEN MATCHED DELETE masks without copies; duplicate source
+    matches raise the SQL-standard cardinality error."""
+    import pytest as _pytest
+
+    from drill_spark.readers.delta import merge_into
+
+    tbl = str(tmp_path / "merge_del")
+    write_delta(spark.range(6).selectExpr("id as k", "cast(id as double) as amt"), tbl)
+    src = spark.createDataFrame([(1,), (4,)], "k long")
+    stats = merge_into(spark, tbl, src, on="t.k = src.k", when_matched_delete=True)
+    assert stats["deleted"] == 2
+    assert sorted(r.k for r in read_delta(spark, tbl).collect()) == [0, 2, 3, 5]
+
+    dup_src = spark.createDataFrame([(2, 1.0), (2, 2.0)], "k long, amt double")
+    with _pytest.raises(ValueError, match="multiple source rows"):
+        merge_into(spark, tbl, dup_src, on="t.k = src.k",
+                   when_matched_update={"amt": "src.amt"})
