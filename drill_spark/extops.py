@@ -954,6 +954,8 @@ def q_audio_probe(spark, sf_dir):
     )
 
     def build_and_probe(batches):
+        from drill_spark.ops.multimodal import build_id3v2
+
         rates = (32, 64, 128, 192)
         for pdf in batches:
             rows = []
@@ -964,18 +966,25 @@ def q_audio_probe(spark, sf_dir):
                     bitrate_kbps=rates[k % 4],
                     channels=k % 2 + 1,
                 )
+                # even keys carry a REAL ID3v2.4 tag ahead of the frames
+                if k % 2 == 0:
+                    payload = build_id3v2(
+                        {"TIT2": f"track {k}", "TPE1": f"artist {k % 5}"}
+                    ) + payload
                 rows.append({"doc_id": k, **probe_mpeg_audio(payload)})
             yield pd.DataFrame.from_records(
                 rows,
                 columns=["doc_id", "kind", "mpeg_version", "sample_rate",
-                         "channels", "n_frames", "duration_s", "bitrate_kbps"],
+                         "channels", "n_frames", "duration_s", "bitrate_kbps",
+                         "title", "artist"],
             )
 
     return nat.mapInPandas(
         build_and_probe,
         schema="doc_id bigint, kind string, mpeg_version string, "
         "sample_rate int, channels int, n_frames int, "
-        "duration_s double, bitrate_kbps double",
+        "duration_s double, bitrate_kbps double, "
+        "title string, artist string",
     )
 
 
@@ -988,7 +997,11 @@ select n_nationkey as doc_id,
   cast(n_nationkey % 4 + 2 as int) as n_frames,
   round((n_nationkey % 4 + 2) * 1152.0 / 44100, 4) as duration_s,
   cast(case n_nationkey % 4 when 0 then 32 when 1 then 64
-       when 2 then 128 else 192 end as double) as bitrate_kbps
+       when 2 then 128 else 192 end as double) as bitrate_kbps,
+  case when n_nationkey % 2 = 0
+       then 'track ' || cast(n_nationkey as varchar) end as title,
+  case when n_nationkey % 2 = 0
+       then 'artist ' || cast(n_nationkey % 5 as varchar) end as artist
 from nation
 """
 

@@ -177,6 +177,60 @@ def _mpeg_frame_header(b: bytes, pos: int):
     return frame_size, samples, rate, bitrate // 1000, channels, layer, version
 
 
+def _syncsafe(n: int) -> bytes:
+    return bytes([(n >> 21) & 0x7F, (n >> 14) & 0x7F, (n >> 7) & 0x7F, n & 0x7F])
+
+
+def build_id3v2(tags: dict[str, str]) -> bytes:
+    """Spec-built ID3v2.4 tag (id3.org structure): text frames with
+    UTF-8 encoding, syncsafe sizes — fixture generator, independent of
+    the parser."""
+    frames = b""
+    for fid, text in tags.items():
+        payload = b"\x03" + text.encode("utf-8")
+        frames += fid.encode("latin1") + _syncsafe(len(payload)) + b"\x00\x00" + payload
+    return b"ID3\x04\x00\x00" + _syncsafe(len(frames)) + frames
+
+
+def parse_id3v2(payload: bytes) -> dict[str, str]:
+    """REAL ID3v2 text-frame parser (v2.3 + v2.4 from the public spec):
+    syncsafe tag size, per-frame size form by version, text encodings
+    0/1/2/3 (latin-1 / UTF-16 BOM / UTF-16BE / UTF-8). Returns
+    {frame_id: text} for T*** frames; {} when no tag."""
+    b = bytes(payload or b"")
+    if b[:3] != b"ID3" or len(b) < 10:
+        return {}
+    ver = b[3]
+    size = (b[6] << 21) | (b[7] << 14) | (b[8] << 7) | b[9]
+    pos, end = 10, min(10 + size, len(b))
+    out: dict[str, str] = {}
+    while pos + 10 <= end:
+        fid = b[pos:pos + 4]
+        if fid == b"\x00\x00\x00\x00":
+            break
+        if ver >= 4:  # v2.4 frame sizes are syncsafe
+            fsz = (b[pos + 4] << 21) | (b[pos + 5] << 14) | (b[pos + 6] << 7) | b[pos + 7]
+        else:
+            fsz = int.from_bytes(b[pos + 4:pos + 8], "big")
+        data = b[pos + 10:pos + 10 + fsz]
+        if fid[:1] == b"T" and data:
+            enc, body = data[0], data[1:]
+            try:
+                if enc == 0:
+                    txt = body.decode("latin-1")
+                elif enc == 1:
+                    txt = body.decode("utf-16")
+                elif enc == 2:
+                    txt = body.decode("utf-16-be")
+                else:
+                    txt = body.decode("utf-8")
+                out[fid.decode("latin1")] = txt.rstrip("\x00")
+            except (UnicodeDecodeError, LookupError):
+                pass
+        pos += 10 + fsz
+    return out
+
+
 def probe_mpeg_audio(payload: bytes) -> dict:
     """REAL MPEG audio (MP3/MP2/MP1) metadata from the public frame
     header layout (ISO 11172-3 §2.4.1.3): walks every frame (ID3v2 tag
@@ -211,6 +265,7 @@ def probe_mpeg_audio(payload: bytes) -> dict:
     if first is None:
         raise NotImplementedError("no MPEG audio frames in payload")
     rate, channels, layer, version = first
+    tags = parse_id3v2(b)
     return {
         "kind": f"audio/mpeg-layer{layer}",
         "mpeg_version": version,
@@ -219,6 +274,8 @@ def probe_mpeg_audio(payload: bytes) -> dict:
         "n_frames": n_frames,
         "duration_s": round(total_samples / rate, 4),
         "bitrate_kbps": round(bitrate_sum / n_frames, 1),
+        "title": tags.get("TIT2"),
+        "artist": tags.get("TPE1"),
     }
 
 

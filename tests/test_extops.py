@@ -456,3 +456,29 @@ def test_mpeg_probe_property():
         assert m["bitrate_kbps"] == float(kbps)
 
     check()
+
+
+def test_id3v2_parser_both_versions():
+    """ID3v2.4 roundtrip via the spec-built writer, plus a hand-built
+    v2.3 tag (non-syncsafe frame sizes, latin-1 + UTF-16 encodings)."""
+    import struct
+
+    from drill_spark.ops.multimodal import build_id3v2, parse_id3v2
+
+    tag = build_id3v2({"TIT2": "héllo wörld", "TPE1": "artist 3"})
+    got = parse_id3v2(tag + b"\xff\xfb\x90\x00" + b"\x00" * 100)
+    assert got == {"TIT2": "héllo wörld", "TPE1": "artist 3"}
+
+    def v23_frame(fid, enc, body):
+        data = bytes([enc]) + body
+        return fid + struct.pack(">I", len(data)) + b"\x00\x00" + data
+
+    frames = v23_frame(b"TIT2", 0, "plain".encode("latin1")) + v23_frame(
+        b"TALB", 1, "album".encode("utf-16")
+    )
+    sz = len(frames)
+    hdr = b"ID3\x03\x00\x00" + bytes(
+        [(sz >> 21) & 0x7F, (sz >> 14) & 0x7F, (sz >> 7) & 0x7F, sz & 0x7F]
+    )
+    assert parse_id3v2(hdr + frames) == {"TIT2": "plain", "TALB": "album"}
+    assert parse_id3v2(b"\xff\xfb\x90\x00") == {}  # no tag
