@@ -263,10 +263,20 @@ _MANIFEST_META_SCHEMA = {
 }
 
 
-def write_paimon(df: DataFrame, path: str, mode: str = "error") -> None:
-    """Write an unpartitioned single-bucket append table (parquet data)
-    in the published layout — enough to round-trip the read path and
-    serve CTAS; LSM/PK writes stay with the real writer ecosystem."""
+def write_paimon(df: DataFrame, path: str, mode: str = "error",
+                 primary_keys: list[str] | None = None,
+                 row_kind_col: str | None = None) -> None:
+    """Write an unpartitioned single-bucket table (parquet data) in the
+    published layout. Without ``primary_keys``: an append table (CTAS
+    path). With ``primary_keys``: a PRIMARY-KEY table — every commit
+    carries the LSM system columns (``_KEY_<col>``,
+    ``_SEQUENCE_NUMBER`` = the commit's snapshot id, ``_VALUE_KIND``),
+    so later commits upsert: the reader's deduplicate merge keeps the
+    max-sequence row per key and drops DELETE kinds. ``row_kind_col``
+    names an input column whose 'D'/'-D' values mark deletions (its
+    column is excluded from the value schema). Each batch must be
+    key-unique — sequence numbers are per-commit, so duplicate keys in
+    one batch would merge nondeterministically (raises instead)."""
     from drill_spark.readers.avro import encode_file
 
     exists = os.path.isdir(os.path.join(path, "snapshot"))
@@ -274,25 +284,56 @@ def write_paimon(df: DataFrame, path: str, mode: str = "error") -> None:
         raise ValueError(f"Paimon table already exists at {path}")
     prev_id = _latest_snapshot_id(path) if exists else 0
     new_id = prev_id + 1
+    value_cols = [c for c in df.columns if c != row_kind_col]
     if exists:
         schema = _load_schema(path, load_snapshot(path).get("schemaId", 0))
         schema_id = schema["id"]
+        pk = schema.get("primaryKeys") or []
+        if primary_keys is not None and list(primary_keys) != pk:
+            raise ValueError(f"table primary keys are {pk}, got {primary_keys}")
     else:
+        pk = list(primary_keys or [])
+        unknown = [c for c in pk if c not in value_cols]
+        if unknown:
+            raise ValueError(f"primary key column(s) not in data: {unknown}")
         schema_id = 0
         schema = {
             "version": 3, "id": 0,
             "fields": [
                 {"id": i, "name": f.name, "type": _spark_type_to_sql(f.dataType)}
-                for i, f in enumerate(df.schema.fields)
+                for i, f in enumerate(df.schema.fields) if f.name in value_cols
             ],
-            "highestFieldId": len(df.schema.fields) - 1,
-            "partitionKeys": [], "primaryKeys": [],
+            "highestFieldId": len(value_cols) - 1,
+            "partitionKeys": [], "primaryKeys": pk,
             "options": {"file.format": "parquet", "bucket": "1"},
             "timeMillis": int(time.time() * 1000),
         }
         os.makedirs(os.path.join(path, "schema"), exist_ok=True)
         with open(os.path.join(path, "schema", f"schema-{schema_id}"), "w") as f:
             json.dump(schema, f)
+
+    seq = new_id  # per-commit sequence: later commits win the merge
+    if pk:
+        if df.groupBy(*pk).count().where(F.col("count") > 1).take(1):
+            raise ValueError("paimon PK write: batch has duplicate primary keys")
+        out = df
+        if row_kind_col:
+            out = out.withColumn(
+                "_VALUE_KIND",
+                F.when(F.upper(F.col(row_kind_col)).isin("D", "-D", "DELETE"),
+                       F.lit(3)).otherwise(F.lit(0)).cast("int"),
+            ).drop(row_kind_col)
+        else:
+            out = out.withColumn("_VALUE_KIND", F.lit(0).cast("int"))
+        out = out.withColumn("_SEQUENCE_NUMBER", F.lit(seq).cast("long"))
+        for c in pk:
+            out = out.withColumn(f"_KEY_{c}", F.col(c))
+        df = out.select(
+            *[f"_KEY_{c}" for c in pk], "_SEQUENCE_NUMBER", "_VALUE_KIND",
+            *value_cols,
+        )
+    elif row_kind_col:
+        raise ValueError("row_kind_col requires primary_keys")
 
     bucket_dir = os.path.join(path, "bucket-0")
     os.makedirs(bucket_dir, exist_ok=True)
@@ -313,7 +354,7 @@ def write_paimon(df: DataFrame, path: str, mode: str = "error") -> None:
     entries = [
         {"_KIND": 0, "_PARTITION": b"", "_BUCKET": 0, "_TOTAL_BUCKETS": 1,
          "_FILE": {"_FILE_NAME": name, "_FILE_SIZE": size, "_ROW_COUNT": -1,
-                   "_MIN_SEQUENCE_NUMBER": 0, "_MAX_SEQUENCE_NUMBER": 0,
+                   "_MIN_SEQUENCE_NUMBER": seq, "_MAX_SEQUENCE_NUMBER": seq,
                    "_SCHEMA_ID": schema_id, "_LEVEL": 0, "_EXTRA_FILES": [],
                    "_CREATION_TIME": now}}
         for name, size in new_files

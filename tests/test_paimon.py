@@ -157,3 +157,41 @@ def test_autodetect_via_sqlfront(session, tmp_path):
 def test_not_a_table_raises(spark, tmp_path):
     with pytest.raises(FileNotFoundError, match="not a"):
         read_paimon(spark, str(tmp_path))
+
+
+def test_paimon_pk_writer_upsert_roundtrip(spark, tmp_path):
+    """Primary-key writes: later commits upsert via the LSM system
+    columns; delete markers drop keys; time travel sees pre-merge."""
+    from drill_spark.readers.paimon import read_paimon, write_paimon
+
+    tbl = str(tmp_path / "pk_tbl")
+    write_paimon(
+        spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], "k int, v string"),
+        tbl, primary_keys=["k"],
+    )
+    # upsert: update k=2, insert k=4, delete k=3
+    write_paimon(
+        spark.createDataFrame(
+            [(2, "B", "I"), (4, "d", "I"), (3, "c", "D")],
+            "k int, v string, op string",
+        ),
+        tbl, mode="append", primary_keys=["k"], row_kind_col="op",
+    )
+    got = {(r.k, r.v) for r in read_paimon(spark, tbl).collect()}
+    assert got == {(1, "a"), (2, "B"), (4, "d")}
+    # snapshot 1 = pre-merge state
+    old = {(r.k, r.v) for r in read_paimon(spark, tbl, {"snapshot-id": 1}).collect()}
+    assert old == {(1, "a"), (2, "b"), (3, "c")}
+
+
+def test_paimon_pk_writer_guards(spark, tmp_path):
+    import pytest as _pytest
+
+    from drill_spark.readers.paimon import write_paimon
+
+    tbl = str(tmp_path / "pk_guard")
+    dup = spark.createDataFrame([(1, "a"), (1, "b")], "k int, v string")
+    with _pytest.raises(ValueError, match="duplicate primary keys"):
+        write_paimon(dup, tbl, primary_keys=["k"])
+    with _pytest.raises(ValueError, match="not in data"):
+        write_paimon(dup, str(tmp_path / "pk2"), primary_keys=["nope"])
