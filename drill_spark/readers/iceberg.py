@@ -418,18 +418,21 @@ def _spark_to_ice(dt: T.DataType):
     raise NotImplementedError(f"spark->iceberg type {dt}")
 
 
-def write_iceberg(df: DataFrame, path: str) -> None:
+def write_iceberg(df: DataFrame, path: str, mode: str = "error") -> None:
     """Write a DataFrame as a new (unpartitioned, format-version 2)
     Iceberg table: parquet data via Spark's distributed writer, then
     one manifest + manifest list + v1 metadata JSON + version hint.
-    Single snapshot, single writer — what CTAS needs; commit races and
-    schema evolution stay with real catalogs."""
+    ``mode="append"`` on an existing table commits an append snapshot
+    instead (append_iceberg). Single writer — what CTAS/INSERT need;
+    commit races and schema evolution stay with real catalogs."""
     import time
     import uuid
 
     from drill_spark.readers.avro import encode_file
 
     if os.path.isdir(os.path.join(path, "metadata")):
+        if mode == "append":
+            return append_iceberg(df, path)
         raise ValueError(f"Iceberg table already exists at {path}")
     data_dir = os.path.join(path, "data")
     df.write.mode("error").parquet(data_dir)
@@ -518,6 +521,99 @@ def write_iceberg(df: DataFrame, path: str) -> None:
         json.dump(meta, f)
     with open(os.path.join(mdir, "version-hint.text"), "w") as f:
         f.write("1")
+
+
+def append_iceberg(df: DataFrame, path: str) -> None:
+    """Commit an APPEND snapshot to an existing table: new parquet
+    files via Spark's distributed writer, one data manifest at the next
+    sequence number, and a manifest list extending the prior
+    snapshot's."""
+    import time
+    import uuid
+
+    import pyarrow.parquet as pq
+
+    from drill_spark.readers.avro import encode_file
+
+    meta = _table_metadata(path)
+    want = [f["name"] for f in _current_schema_dict(meta)["fields"]]
+    if [c for c in df.columns] != want:
+        raise ValueError(f"append schema mismatch: table has {want}, got {df.columns}")
+
+    data_dir = os.path.join(path, "data")
+    before = set(os.listdir(data_dir)) if os.path.isdir(data_dir) else set()
+    df.write.mode("append").parquet(data_dir)
+    new_files = [
+        os.path.join(data_dir, f)
+        for f in sorted(set(os.listdir(data_dir)) - before)
+        if f.endswith(".parquet")
+    ]
+
+    mdir = os.path.join(path, "metadata")
+    seq = int(meta.get("last-sequence-number", 0)) + 1
+    snap_id = int(meta["current-snapshot-id"]) + 1
+    now_ms = int(time.time() * 1000)
+    entries = [
+        {
+            "status": 1,
+            "snapshot_id": snap_id,
+            "sequence_number": seq,
+            "file_sequence_number": seq,
+            "data_file": {
+                "content": 0,
+                "file_path": fp,
+                "file_format": "PARQUET",
+                "partition": {},
+                "record_count": pq.read_metadata(fp).num_rows,
+                "file_size_in_bytes": os.path.getsize(fp),
+            },
+        }
+        for fp in new_files
+    ]
+    manifest_path = os.path.join(mdir, f"{uuid.uuid4()}-m0.avro")
+    with open(manifest_path, "wb") as f:
+        f.write(encode_file(_MANIFEST_ENTRY_SCHEMA, entries))
+
+    cur = next(
+        s for s in meta["snapshots"] if s["snapshot-id"] == meta["current-snapshot-id"]
+    )
+    with open(_rebase(cur["manifest-list"], path, meta.get("location")), "rb") as f:
+        _, prior_rows = decode_file(f.read())
+    ml_row = {
+        "manifest_path": manifest_path,
+        "manifest_length": os.path.getsize(manifest_path),
+        "partition_spec_id": 0,
+        "content": 0,
+        "sequence_number": seq,
+        "min_sequence_number": seq,
+        "added_snapshot_id": snap_id,
+        "added_files_count": len(entries),
+        "existing_files_count": 0,
+        "deleted_files_count": 0,
+        "added_rows_count": sum(e["data_file"]["record_count"] for e in entries),
+        "existing_rows_count": 0,
+        "deleted_rows_count": 0,
+    }
+    ml_path = os.path.join(mdir, f"snap-{snap_id}-1-{uuid.uuid4()}.avro")
+    with open(ml_path, "wb") as f:
+        f.write(encode_file(_MANIFEST_LIST_SCHEMA, list(prior_rows) + [ml_row]))
+
+    meta["last-sequence-number"] = seq
+    meta["last-updated-ms"] = now_ms
+    meta["current-snapshot-id"] = snap_id
+    meta["snapshots"].append({
+        "snapshot-id": snap_id,
+        "sequence-number": seq,
+        "timestamp-ms": now_ms,
+        "manifest-list": ml_path,
+        "summary": {"operation": "append"},
+        "schema-id": 0,
+    })
+    v = len([f for f in os.listdir(mdir) if f.endswith(".metadata.json")]) + 1
+    with open(os.path.join(mdir, f"v{v}.metadata.json"), "w") as f:
+        json.dump(meta, f)
+    with open(os.path.join(mdir, "version-hint.text"), "w") as f:
+        f.write(str(v))
 
 
 _DELETE_ENTRY_SCHEMA = {
@@ -702,6 +798,66 @@ def _commit_delete_entries(path: str, meta: dict, del_entries: list[dict],
         json.dump(meta, f)
     with open(os.path.join(mdir, "version-hint.text"), "w") as f:
         f.write(str(v))
+
+
+def expire_snapshots(spark: SparkSession, path: str, keep_last: int = 1) -> dict:
+    """Expire old snapshots (the Iceberg maintenance op every engine
+    ships): drop all but the last ``keep_last`` snapshots (the current
+    one is always kept) from table metadata and delete the manifest
+    lists / manifests / data+delete files referenced ONLY by expired
+    snapshots. A file shared with any retained snapshot survives.
+    Driver-side metadata walking — planner-sized, the same budget every
+    snapshot read already spends. Returns {"expired": n,
+    "removed_files": n}."""
+    import time
+
+    meta = _table_metadata(path)
+    loc = meta.get("location")
+    snaps = sorted(meta.get("snapshots") or [], key=lambda s: s["snapshot-id"])
+    cur = meta.get("current-snapshot-id")
+    keep_ids = {s["snapshot-id"] for s in snaps[-max(keep_last, 1):]} | {cur}
+    expired = [s for s in snaps if s["snapshot-id"] not in keep_ids]
+    if not expired:
+        return {"expired": 0, "removed_files": 0}
+
+    def refs(snap: dict) -> set[str]:
+        ml = _rebase(snap["manifest-list"], path, loc)
+        out = {ml}
+        with open(ml, "rb") as f:
+            _, rows = decode_file(f.read())
+        for m in rows:
+            mp = _rebase(m["manifest_path"], path, loc)
+            out.add(mp)
+            with open(mp, "rb") as f:
+                _, es = decode_file(f.read())
+            for e in es:
+                d = e.get("data_file") or {}
+                if d.get("file_path"):
+                    out.add(_rebase(d["file_path"], path, loc))
+        return out
+
+    keep_files: set[str] = set()
+    for s in snaps:
+        if s["snapshot-id"] in keep_ids:
+            keep_files |= refs(s)
+    removed = 0
+    for s in expired:
+        for fp in refs(s) - keep_files:
+            try:
+                os.remove(fp)
+                removed += 1
+            except OSError:
+                pass
+
+    meta["snapshots"] = [s for s in snaps if s["snapshot-id"] in keep_ids]
+    meta["last-updated-ms"] = int(time.time() * 1000)
+    mdir = os.path.join(path, "metadata")
+    v = len([f for f in os.listdir(mdir) if f.endswith(".metadata.json")]) + 1
+    with open(os.path.join(mdir, f"v{v}.metadata.json"), "w") as f:
+        json.dump(meta, f)
+    with open(os.path.join(mdir, "version-hint.text"), "w") as f:
+        f.write(str(v))
+    return {"expired": len(expired), "removed_files": removed}
 
 
 def delete_where(spark: SparkSession, path: str, condition: str) -> int:

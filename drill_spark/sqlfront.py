@@ -567,15 +567,22 @@ def execute(session, query: str) -> DataFrame:
 
     m = _INSERT_PATH.match(query)
     if m:
+        import glob as _glob
+
         ws_name, rel_path, select = m.group(1).rstrip("."), m.group(2), m.group(3)
         path, fmt = _writable_path(session, ws_name, rel_path)
         df = spark.sql(rewrite(session, select))
-        if fmt in ("delta", "deltalake"):
+        if fmt in ("delta", "deltalake") or os.path.isdir(os.path.join(path, "_delta_log")):
             from drill_spark.readers.delta import write_delta
 
             write_delta(df, path, mode="append")
+        elif _glob.glob(os.path.join(_glob.escape(path), "metadata", "*.metadata.json")):
+            from drill_spark.readers.iceberg import append_iceberg
+
+            append_iceberg(df, path)
         else:
             df.write.format(fmt).mode("append").save(path)
+        spark.catalog.refreshByPath(path)
         return _ok(spark, f"appended to {ws_name}.`{rel_path}`")
 
     m = _OPTIMIZE_PATH.match(query)

@@ -565,3 +565,51 @@ def test_delta_merge_matched_delete_and_ambiguity(spark, tmp_path):
     with _pytest.raises(ValueError, match="multiple source rows"):
         merge_into(spark, tbl, dup_src, on="t.k = src.k",
                    when_matched_update={"amt": "src.amt"})
+
+
+def test_iceberg_expire_snapshots(spark, tmp_path):
+    """expire_snapshots drops old snapshots + exclusively-referenced
+    files; shared data files survive and the current snapshot still
+    reads; expired ids no longer time-travel."""
+    import os
+
+    from drill_spark.readers.iceberg import delete_where, expire_snapshots
+
+    tbl = str(tmp_path / "ice_expire")
+    write_iceberg(spark.range(30).select(F.col("id").alias("k")), tbl)
+    delete_where(spark, tbl, "k < 5")     # snapshot 2
+    delete_where(spark, tbl, "k < 10")    # snapshot 3
+
+    stats = expire_snapshots(spark, tbl, keep_last=1)
+    assert stats["expired"] == 2 and stats["removed_files"] >= 2
+
+    got = sorted(r.k for r in read_iceberg(spark, tbl).collect())
+    assert got == list(range(10, 30))
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="not in table metadata"):
+        read_iceberg(spark, tbl, {"snapshot-id": 1})
+    # idempotent: nothing further to expire
+    assert expire_snapshots(spark, tbl) == {"expired": 0, "removed_files": 0}
+
+
+def test_iceberg_append_snapshot(session, tmp_path):
+    """write_iceberg(mode='append') commits an APPEND snapshot; INSERT
+    INTO auto-detects iceberg tables; time travel sees each snapshot;
+    deletes committed before an append still apply."""
+    from drill_spark.readers.iceberg import delete_where, write_iceberg
+
+    spark = session.spark
+    tbl = str(tmp_path / "ice_append")
+    write_iceberg(spark.range(5).select(F.col("id").alias("k")), tbl)
+    delete_where(spark, tbl, "k = 0")
+    write_iceberg(spark.range(5, 8).select(F.col("id").alias("k")), tbl, mode="append")
+    got = sorted(r.k for r in read_iceberg(spark, tbl).collect())
+    assert got == [1, 2, 3, 4, 5, 6, 7]
+    assert read_iceberg(spark, tbl, {"snapshot-id": 1}).count() == 5
+
+    session.register_workspace("dfs.ice", str(tmp_path), "parquet", writable=True)
+    session.sql("INSERT INTO dfs.ice.`ice_append` select cast(99 as long) as k")
+    assert session.sql(
+        "select count(*) as n from dfs.ice.`ice_append`"
+    ).collect()[0].n == 8
