@@ -1557,6 +1557,43 @@ where substring(md5(cast(doc_id as varchar)), 1, 2) <
 """
 
 
+def q_quality_mixture(spark, sf_dir):
+    """Quality-weighted mixture sampling: per-quality-band keep rates
+    (6%/25%/50%/75%) over the composite quality score."""
+    from drill_spark.ops.pipeline import quality_mixture_sample
+
+    return quality_mixture_sample(_docs(spark, sf_dir), "doc_id", "text")
+
+
+ORACLE_QUALITY_MIXTURE = r"""
+with feats as (
+  select doc_id,
+         len(string_split_regex(trim(lower(text)), '\s+')) as n_words,
+         round(length(text) * 1.0 / greatest(len(string_split_regex(trim(lower(text)), '\s+')), 1), 4) as avg_word_len,
+         len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+             t -> t in ('the','and','of','to','a','in','is','it'))) as stopword_hits
+  from documents
+),
+scored as (
+  select doc_id,
+         round(least(1.0, n_words / 50.0) * 0.5
+               + case when avg_word_len between 3 and 10 then 0.3 else 0.0 end
+               + least(0.2, stopword_hits / 10.0 * 0.2), 4) as quality_score
+  from feats
+),
+bucketed as (
+  select doc_id, quality_score,
+         cast(least(4, floor(quality_score * 4) + 1) as int) as bucket
+  from scored
+)
+select doc_id, quality_score, bucket
+from bucketed
+where substring(md5(cast(doc_id as varchar)), 1, 2) <
+      case bucket when 1 then '10' when 2 then '40' when 3 then '80'
+           else 'c0' end
+"""
+
+
 QUERIES = {
     "op_avro_scan": q_avro_scan,
     "op_delta_scan": q_delta_scan,
@@ -1607,6 +1644,7 @@ QUERIES = {
     "ext_chunk_pack": q_chunk_pack,
     "ext_repetition": q_repetition,
     "ext_stratified_sample": q_stratified_sample,
+    "ext_quality_mixture": q_quality_mixture,
 }
 
 ORACLES = {
@@ -1651,6 +1689,7 @@ ORACLES = {
     "ext_chunk_pack": ORACLE_CHUNK_PACK,
     "ext_repetition": ORACLE_REPETITION,
     "ext_stratified_sample": ORACLE_STRATIFIED_SAMPLE,
+    "ext_quality_mixture": ORACLE_QUALITY_MIXTURE,
 }
 
 

@@ -187,6 +187,33 @@ def repetition_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def quality_mixture_sample(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    thresholds: tuple[str, ...] = ("10", "40", "80", "c0"),
+) -> DataFrame:
+    """Quality-weighted mixture sampling — the data-mixing primitive:
+    score each document (ops.text.quality_features), bucket the score
+    into ``len(thresholds)`` equal bands, and keep each document with
+    the band's md5-prefix rate (defaults: worst band ~6%, then 25%,
+    50%, 75%). Up-weights clean text and down-weights junk in one
+    deterministic scan-and-filter pass — no shuffle, reproducible
+    across engines and re-runs."""
+    from drill_spark.ops.text import quality_features
+
+    n = len(thresholds)
+    q = quality_features(df, text_col)
+    bucket = F.least(
+        F.lit(n), (F.floor(F.col("quality_score") * n) + 1).cast("int")
+    ).alias("bucket")
+    thr = F.element_at(F.array(*[F.lit(t) for t in thresholds]), F.col("bucket"))
+    return (
+        q.select(F.col(id_col), F.col("quality_score"), bucket)
+        .where(F.substring(F.md5(F.col(id_col).cast("string")), 1, 2) < thr)
+    )
+
+
 def stratified_sample(
     df: DataFrame,
     strata_col: str,

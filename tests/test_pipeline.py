@@ -124,3 +124,23 @@ def test_decontaminate_is_broadcast_join(spark):
     rep = explain_report(decontaminate(corpus, bench, "id", "text"))
     assert rep["joins"].get("BroadcastHashJoin", 0) >= 1, rep
     assert rep["joins"].get("SortMergeJoin", 0) == 0, rep
+
+
+def test_quality_mixture_rates_favor_quality(spark):
+    """The mixture keeps high-quality bands at a higher rate than the
+    junk band, and the gate stays a deterministic no-shuffle filter."""
+    from drill_spark.ops.pipeline import quality_mixture_sample
+
+    rows = []
+    for i in range(400):
+        if i % 2 == 0:  # junky: few words
+            rows.append((i, "x y"))
+        else:  # clean english-ish, 60 words
+            rows.append((i, "the quick brown fox jumps over the lazy dog and " * 6))
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    kept = quality_mixture_sample(df, "doc_id", "text").collect()
+    junk_rate = sum(1 for r in kept if r.doc_id % 2 == 0) / 200
+    clean_rate = sum(1 for r in kept if r.doc_id % 2 == 1) / 200
+    assert clean_rate > junk_rate * 2, (junk_rate, clean_rate)
+    rep = explain_report(quality_mixture_sample(df, "doc_id", "text"))
+    assert rep["shuffles"] == 0 and not rep["python_eval"], rep
