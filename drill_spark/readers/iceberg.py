@@ -800,6 +800,101 @@ def _commit_delete_entries(path: str, meta: dict, del_entries: list[dict],
         f.write(str(v))
 
 
+def rewrite_data_files(spark: SparkSession, path: str) -> dict:
+    """Compaction (Iceberg's rewrite_data_files action): materialize the
+    CURRENT live rows (all position/equality deletes applied) into fresh
+    parquet files and commit a REPLACE snapshot whose manifest list
+    contains only the new data manifest — merge-on-read debt is paid
+    down and subsequent scans touch no delete files. Old files stay
+    until expire_snapshots reclaims them (time travel keeps working).
+    The read+write is Spark-distributed end to end. Returns
+    {"added_files": n, "rows": n}."""
+    import time
+    import uuid
+
+    import pyarrow.parquet as pq
+
+    from drill_spark.readers.avro import encode_file
+
+    meta = _table_metadata(path)
+    schema = _current_schema(meta)
+    live = read_iceberg(spark, path)
+
+    data_dir = os.path.join(path, "data")
+    before = set(os.listdir(data_dir)) if os.path.isdir(data_dir) else set()
+    live.write.mode("append").parquet(data_dir)
+    new_files = [
+        os.path.join(data_dir, f)
+        for f in sorted(set(os.listdir(data_dir)) - before)
+        if f.endswith(".parquet")
+    ]
+
+    mdir = os.path.join(path, "metadata")
+    seq = int(meta.get("last-sequence-number", 0)) + 1
+    snap_id = int(meta["current-snapshot-id"]) + 1
+    now_ms = int(time.time() * 1000)
+    entries, rows = [], 0
+    for fp in new_files:
+        nrec = pq.read_metadata(fp).num_rows
+        if nrec == 0:
+            os.remove(fp)
+            continue
+        rows += nrec
+        entries.append({
+            "status": 1,
+            "snapshot_id": snap_id,
+            "sequence_number": seq,
+            "file_sequence_number": seq,
+            "data_file": {
+                "content": 0,
+                "file_path": fp,
+                "file_format": "PARQUET",
+                "partition": {},
+                "record_count": nrec,
+                "file_size_in_bytes": os.path.getsize(fp),
+            },
+        })
+    manifest_path = os.path.join(mdir, f"{uuid.uuid4()}-m0.avro")
+    with open(manifest_path, "wb") as f:
+        f.write(encode_file(_MANIFEST_ENTRY_SCHEMA, entries))
+    ml_row = {
+        "manifest_path": manifest_path,
+        "manifest_length": os.path.getsize(manifest_path),
+        "partition_spec_id": 0,
+        "content": 0,
+        "sequence_number": seq,
+        "min_sequence_number": seq,
+        "added_snapshot_id": snap_id,
+        "added_files_count": len(entries),
+        "existing_files_count": 0,
+        "deleted_files_count": 0,
+        "added_rows_count": rows,
+        "existing_rows_count": 0,
+        "deleted_rows_count": 0,
+    }
+    ml_path = os.path.join(mdir, f"snap-{snap_id}-1-{uuid.uuid4()}.avro")
+    with open(ml_path, "wb") as f:
+        f.write(encode_file(_MANIFEST_LIST_SCHEMA, [ml_row]))  # REPLACE: new manifest only
+
+    meta["last-sequence-number"] = seq
+    meta["last-updated-ms"] = now_ms
+    meta["current-snapshot-id"] = snap_id
+    meta["snapshots"].append({
+        "snapshot-id": snap_id,
+        "sequence-number": seq,
+        "timestamp-ms": now_ms,
+        "manifest-list": ml_path,
+        "summary": {"operation": "replace"},
+        "schema-id": 0,
+    })
+    v = len([f for f in os.listdir(mdir) if f.endswith(".metadata.json")]) + 1
+    with open(os.path.join(mdir, f"v{v}.metadata.json"), "w") as f:
+        json.dump(meta, f)
+    with open(os.path.join(mdir, "version-hint.text"), "w") as f:
+        f.write(str(v))
+    return {"added_files": len(entries), "rows": rows}
+
+
 def expire_snapshots(spark: SparkSession, path: str, keep_last: int = 1) -> dict:
     """Expire old snapshots (the Iceberg maintenance op every engine
     ships): drop all but the last ``keep_last`` snapshots (the current
@@ -840,14 +935,18 @@ def expire_snapshots(spark: SparkSession, path: str, keep_last: int = 1) -> dict
     for s in snaps:
         if s["snapshot-id"] in keep_ids:
             keep_files |= refs(s)
-    removed = 0
+    # resolve EVERY expired snapshot's references before deleting any
+    # file — expired snapshots share manifests with each other
+    expired_files: set[str] = set()
     for s in expired:
-        for fp in refs(s) - keep_files:
-            try:
-                os.remove(fp)
-                removed += 1
-            except OSError:
-                pass
+        expired_files |= refs(s)
+    removed = 0
+    for fp in expired_files - keep_files:
+        try:
+            os.remove(fp)
+            removed += 1
+        except OSError:
+            pass
 
     meta["snapshots"] = [s for s in snaps if s["snapshot-id"] in keep_ids]
     meta["last-updated-ms"] = int(time.time() * 1000)

@@ -613,3 +613,35 @@ def test_iceberg_append_snapshot(session, tmp_path):
     assert session.sql(
         "select count(*) as n from dfs.ice.`ice_append`"
     ).collect()[0].n == 8
+
+
+def test_iceberg_rewrite_data_files(spark, tmp_path):
+    """Compaction: live rows rewritten into fresh files, REPLACE
+    snapshot scans no delete files, pre-rewrite snapshot still
+    time-travels, and expire_snapshots then reclaims the old files."""
+    import glob
+    import os
+
+    from drill_spark.readers.iceberg import (
+        delete_where,
+        expire_snapshots,
+        rewrite_data_files,
+    )
+
+    tbl = str(tmp_path / "ice_rw")
+    write_iceberg(spark.range(40).select(F.col("id").alias("k")), tbl)
+    delete_where(spark, tbl, "k % 4 = 1")
+    stats = rewrite_data_files(spark, tbl)
+    assert stats["rows"] == 30 and stats["added_files"] >= 1
+
+    expect = sorted(k for k in range(40) if k % 4 != 1)
+    assert sorted(r.k for r in read_iceberg(spark, tbl).collect()) == expect
+    # the delete snapshot still time-travels with merge-on-read
+    assert read_iceberg(spark, tbl, {"snapshot-id": 2}).count() == 30
+    assert read_iceberg(spark, tbl, {"snapshot-id": 1}).count() == 40
+
+    n_before = len(glob.glob(os.path.join(glob.escape(tbl), "data", "*.parquet")))
+    expire_snapshots(spark, tbl, keep_last=1)
+    n_after = len(glob.glob(os.path.join(glob.escape(tbl), "data", "*.parquet")))
+    assert n_after < n_before
+    assert sorted(r.k for r in read_iceberg(spark, tbl).collect()) == expect
