@@ -414,13 +414,109 @@ def encode_wav(samples, sample_rate: int = 8000) -> bytes:
     return buf.getvalue()
 
 
+def mulaw_decode_byte(c: int) -> int:
+    """ITU-T G.711 mu-law expansion (closed-form segment/mantissa
+    decode — no lookup table needed; the published table IS this
+    formula evaluated over 0..255)."""
+    u = ~c & 0xFF
+    exp = (u >> 4) & 7
+    mant = u & 0x0F
+    mag = (((mant << 3) + 0x84) << exp) - 0x84
+    return -mag if u & 0x80 else mag
+
+
+def mulaw_encode(val: int) -> int:
+    """G.711 mu-law compression of a 16-bit sample."""
+    sign = 0x80 if val < 0 else 0
+    mag = min((-val if val < 0 else val) + 0x84, 0x7FFF)
+    exp = mag.bit_length() - 8  # segment: top bit position above bit 7
+    mant = (mag >> (exp + 3)) & 0x0F
+    return ~(sign | (exp << 4) | mant) & 0xFF
+
+
+def alaw_decode_byte(c: int) -> int:
+    """ITU-T G.711 A-law expansion (closed form)."""
+    a = c ^ 0x55
+    seg = (a >> 4) & 7
+    t = (a & 0x0F) << 4
+    if seg == 0:
+        t += 8
+    elif seg == 1:
+        t += 0x108
+    else:
+        t = (t + 0x108) << (seg - 1)
+    return t if a & 0x80 else -t
+
+
+def alaw_encode(val: int) -> int:
+    """G.711 A-law compression of a 16-bit sample (13-bit precision)."""
+    sign = 0x80 if val >= 0 else 0
+    mag = min(val if val >= 0 else -val - 1, 0x7FFF) >> 3  # 13-bit domain
+    if mag < 32:
+        seg, mant = 0, mag >> 1
+    else:
+        seg = mag.bit_length() - 5
+        mant = (mag >> seg) & 0x0F
+    return (sign | (seg << 4) | mant) ^ 0x55
+
+
+def _wav_chunks(b: bytes):
+    if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        raise ValueError("not a WAV")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(b):
+        cid = b[pos:pos + 4]
+        sz = int.from_bytes(b[pos + 4:pos + 8], "little")
+        body = b[pos + 8:pos + 8 + sz]
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        pos += 8 + sz + (sz & 1)
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    return fmt, data
+
+
+def encode_wav_g711(samples, sample_rate: int = 8000, law: str = "mulaw") -> bytes:
+    """numpy float [-1, 1] mono -> G.711-companded WAV (format tag 7
+    mu-law / 6 A-law, one byte per sample)."""
+    import struct
+
+    import numpy as np
+
+    enc = mulaw_encode if law == "mulaw" else alaw_encode
+    tag = 7 if law == "mulaw" else 6
+    pcm = (np.clip(np.asarray(samples), -1, 1) * 32767).astype("int64")
+    body = bytes(enc(int(v)) for v in pcm)
+    fmt = struct.pack("<HHIIHH", tag, 1, sample_rate, sample_rate, 1, 8)
+    out = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    out += b"data" + struct.pack("<I", len(body)) + body + (b"\x00" if len(body) & 1 else b"")
+    return b"RIFF" + struct.pack("<I", len(out)) + out
+
+
 def decode_wav(payload: bytes):
-    """PCM WAV -> (numpy float32 mono in [-1, 1], sample_rate)."""
+    """WAV -> (numpy float32 mono in [-1, 1], sample_rate). PCM 8/16
+    bit plus REAL G.711 mu-law/A-law expansion (format tags 7/6, the
+    telephony companding codecs — closed-form, no tables)."""
     import io
+    import struct
     import wave
 
     import numpy as np
 
+    fmt, data = _wav_chunks(bytes(payload))
+    tag, nch, rate = struct.unpack_from("<HHI", fmt, 0)
+    if tag in (6, 7):
+        table = np.array(
+            [(mulaw_decode_byte if tag == 7 else alaw_decode_byte)(c)
+             for c in range(256)],
+            dtype="float32",
+        ) / 32767.0
+        x = table[np.frombuffer(data, dtype="uint8")]
+        if nch > 1:
+            x = x.reshape(-1, nch).mean(axis=1)
+        return x, rate
     with wave.open(io.BytesIO(payload), "rb") as wv:
         n = wv.getnframes()
         rate = wv.getframerate()

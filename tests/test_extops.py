@@ -482,3 +482,38 @@ def test_id3v2_parser_both_versions():
     )
     assert parse_id3v2(hdr + frames) == {"TIT2": "plain", "TALB": "album"}
     assert parse_id3v2(b"\xff\xfb\x90\x00") == {}  # no tag
+
+
+def test_g711_companding_codecs():
+    """G.711 mu-law/A-law closed-form codecs: table anchors, full-range
+    encode(decode(c)) idempotence (minus the mu-law -0/+0 alias), the
+    4-bit-mantissa error bound, and WAV format-tag 6/7 decode."""
+    import numpy as np
+
+    from drill_spark.ops.multimodal import (
+        alaw_decode_byte,
+        alaw_encode,
+        decode_wav,
+        encode_wav_g711,
+        mulaw_decode_byte,
+        mulaw_encode,
+    )
+
+    assert mulaw_decode_byte(0xFF) == 0 and mulaw_decode_byte(0x80) == 32124
+    assert mulaw_decode_byte(0x00) == -32124
+    assert alaw_decode_byte(0xD5) == 8 and alaw_decode_byte(0x55) == -8
+
+    bad_mu = [c for c in range(256) if mulaw_encode(mulaw_decode_byte(c)) != c]
+    assert bad_mu == [0x7F]  # -0 re-encodes as +0, same magnitude
+    assert not [c for c in range(256) if alaw_encode(alaw_decode_byte(c)) != c]
+
+    for enc, dec in ((mulaw_encode, mulaw_decode_byte), (alaw_encode, alaw_decode_byte)):
+        for v in range(-32768, 32768, 371):
+            d = dec(enc(v))
+            assert abs(d - v) <= max(abs(v) / 16, 256), (v, d)
+
+    x = np.where(np.arange(1000) % 2 == 0, 0.25, -0.25)
+    for law in ("mulaw", "alaw"):
+        y, rate = decode_wav(encode_wav_g711(x, 8000, law))
+        assert rate == 8000 and len(y) == 1000
+        assert abs(float(np.sqrt((y * y).mean())) - 0.25) < 0.01
