@@ -745,40 +745,56 @@ def append_delete_files(
 
 def _commit_delete_entries(path: str, meta: dict, del_entries: list[dict],
                            seq: int, snap_id: int, now_ms: int) -> None:
-    """Append one delete snapshot: delete manifest + new manifest list
-    (prior rows + the delete manifest) + next vN.metadata.json."""
+    _commit_mixed_snapshot(path, meta, del_entries, [], seq, snap_id, now_ms,
+                           operation="delete")
+
+
+def _commit_mixed_snapshot(path: str, meta: dict, del_entries: list[dict],
+                           data_entries: list[dict], seq: int, snap_id: int,
+                           now_ms: int, operation: str = "overwrite") -> None:
+    """Append ONE snapshot carrying a delete manifest and/or a data
+    manifest (the atomic commit shape UPDATE/MERGE need): new manifest
+    list = prior snapshot's rows + the new manifests + next
+    vN.metadata.json."""
     import uuid
 
     from drill_spark.readers.avro import encode_file
 
     mdir = os.path.join(path, "metadata")
-    manifest_path = os.path.join(mdir, f"{uuid.uuid4()}-d0.avro")
-    with open(manifest_path, "wb") as f:
-        f.write(encode_file(_DELETE_ENTRY_SCHEMA, del_entries))
+    new_rows = []
+    for entries, schema_, content, tag in (
+        (del_entries, _DELETE_ENTRY_SCHEMA, 1, "d0"),
+        (data_entries, _MANIFEST_ENTRY_SCHEMA, 0, "m0"),
+    ):
+        if not entries:
+            continue
+        manifest_path = os.path.join(mdir, f"{uuid.uuid4()}-{tag}.avro")
+        with open(manifest_path, "wb") as f:
+            f.write(encode_file(schema_, entries))
+        new_rows.append({
+            "manifest_path": manifest_path,
+            "manifest_length": os.path.getsize(manifest_path),
+            "partition_spec_id": 0,
+            "content": content,
+            "sequence_number": seq,
+            "min_sequence_number": seq,
+            "added_snapshot_id": snap_id,
+            "added_files_count": len(entries),
+            "existing_files_count": 0,
+            "deleted_files_count": 0,
+            "added_rows_count": sum(e["data_file"]["record_count"] for e in entries),
+            "existing_rows_count": 0,
+            "deleted_rows_count": 0,
+        })
 
     cur = next(
         s for s in meta["snapshots"] if s["snapshot-id"] == meta["current-snapshot-id"]
     )
     with open(_rebase(cur["manifest-list"], path, meta.get("location")), "rb") as f:
         _, prior_rows = decode_file(f.read())
-    ml_row = {
-        "manifest_path": manifest_path,
-        "manifest_length": os.path.getsize(manifest_path),
-        "partition_spec_id": 0,
-        "content": 1,
-        "sequence_number": seq,
-        "min_sequence_number": seq,
-        "added_snapshot_id": snap_id,
-        "added_files_count": len(del_entries),
-        "existing_files_count": 0,
-        "deleted_files_count": 0,
-        "added_rows_count": sum(e["data_file"]["record_count"] for e in del_entries),
-        "existing_rows_count": 0,
-        "deleted_rows_count": 0,
-    }
     ml_path = os.path.join(mdir, f"snap-{snap_id}-1-{uuid.uuid4()}.avro")
     with open(ml_path, "wb") as f:
-        f.write(encode_file(_MANIFEST_LIST_SCHEMA, list(prior_rows) + [ml_row]))
+        f.write(encode_file(_MANIFEST_LIST_SCHEMA, list(prior_rows) + new_rows))
 
     meta["last-sequence-number"] = seq
     meta["last-updated-ms"] = now_ms
@@ -789,7 +805,7 @@ def _commit_delete_entries(path: str, meta: dict, del_entries: list[dict],
             "sequence-number": seq,
             "timestamp-ms": now_ms,
             "manifest-list": ml_path,
-            "summary": {"operation": "delete"},
+            "summary": {"operation": operation},
             "schema-id": 0,
         }
     )
@@ -972,44 +988,65 @@ def delete_where(spark: SparkSession, path: str, condition: str) -> int:
     pos) within each output file, as the spec requires; only per-file
     record counts (from parquet footers) reach the commit. Returns the
     number of newly deleted rows. Single writer per table."""
-    import shutil
     import time
+
+    meta = _table_metadata(path)
+    live = _current_live_scan(spark, path, meta)
+    if live is None:
+        return 0
+    seq = int(meta.get("last-sequence-number", 0)) + 1
+    snap_id = int(meta["current-snapshot-id"]) + 1
+    del_entries, n_deleted = _write_pos_delete_files(
+        spark, path, live.where(condition), seq, snap_id)
+    if not del_entries:
+        return 0
+    _commit_delete_entries(path, meta, del_entries, seq, snap_id,
+                           int(time.time() * 1000))
+    return n_deleted
+
+
+def _current_live_scan(spark: SparkSession, path: str, meta: dict):
+    """Annotated scan of the CURRENT live rows (existing deletes
+    applied), or None for an empty table."""
+    schema = _current_schema(meta)
+    snap = next(
+        (s for s in (meta.get("snapshots") or [])
+         if s["snapshot-id"] == meta.get("current-snapshot-id")), None
+    )
+    if snap is None:
+        return None
+    data_files, pos_dels, eq_dels = _snapshot_files(spark, path, meta, snap)
+    if not data_files:
+        return None
+    df = spark.read.schema(schema).parquet(*[p for p, _, _ in data_files])
+    return _anti_join_deletes(
+        spark, _annotate_scan(spark, df, data_files), meta, pos_dels, eq_dels
+    )
+
+
+def _write_pos_delete_files(spark, path: str, matched, seq: int,
+                            snap_id: int) -> tuple[list[dict], int]:
+    """Distributed position-delete write: the matched annotated rows'
+    (file URI, pos) pairs go out through Spark's parquet writer,
+    repartitioned by data file and spec-sorted within each output
+    file; per-file footer counts build the manifest entries."""
+    import shutil
     import uuid
 
     import pyarrow.parquet as pq
     from pyspark.sql import functions as F
 
-    meta = _table_metadata(path)
-    schema = _current_schema(meta)
-    snaps = meta.get("snapshots") or []
-    snap = next(
-        (s for s in snaps if s["snapshot-id"] == meta.get("current-snapshot-id")), None
-    )
-    if snap is None:
-        return 0
-    data_files, pos_dels, eq_dels = _snapshot_files(spark, path, meta, snap)
-    if not data_files:
-        return 0
-
-    df = spark.read.schema(schema).parquet(*[p for p, _, _ in data_files])
-    live = _anti_join_deletes(
-        spark, _annotate_scan(spark, df, data_files), meta, pos_dels, eq_dels
-    )
-    matched = live.where(condition).select(
+    pairs = matched.select(
         F.col("_df_uri").alias("file_path"), F.col("_df_pos").cast("long").alias("pos")
     )
-
     data_dir = os.path.join(path, "data")
     tmp = os.path.join(data_dir, f"_posdel_{uuid.uuid4()}")
     (
-        matched.repartition("file_path")
+        pairs.repartition("file_path")
         .sortWithinPartitions("file_path", "pos")
         .write.parquet(tmp)
     )
-    seq = int(meta.get("last-sequence-number", 0)) + 1
-    snap_id = int(meta["current-snapshot-id"]) + 1
-    del_entries = []
-    n_deleted = 0
+    del_entries, n_deleted = [], 0
     for name in sorted(os.listdir(tmp)):
         if not name.endswith(".parquet"):
             continue
@@ -1035,8 +1072,149 @@ def delete_where(spark: SparkSession, path: str, condition: str) -> int:
             },
         })
     shutil.rmtree(tmp, ignore_errors=True)
+    return del_entries, n_deleted
+
+
+def _write_data_entries(spark, path: str, df, seq: int,
+                        snap_id: int) -> tuple[list[dict], int]:
+    """Distributed data-file write returning manifest entries with
+    footer record counts (zero-row parts dropped)."""
+    import pyarrow.parquet as pq
+
+    data_dir = os.path.join(path, "data")
+    before = set(os.listdir(data_dir)) if os.path.isdir(data_dir) else set()
+    df.write.mode("append").parquet(data_dir)
+    entries, rows = [], 0
+    for name in sorted(set(os.listdir(data_dir)) - before):
+        if not name.endswith(".parquet"):
+            continue
+        fp = os.path.join(data_dir, name)
+        nrec = pq.read_metadata(fp).num_rows
+        if nrec == 0:
+            os.remove(fp)
+            continue
+        rows += nrec
+        entries.append({
+            "status": 1,
+            "snapshot_id": snap_id,
+            "sequence_number": seq,
+            "file_sequence_number": seq,
+            "data_file": {
+                "content": 0,
+                "file_path": fp,
+                "file_format": "PARQUET",
+                "partition": {},
+                "record_count": nrec,
+                "file_size_in_bytes": os.path.getsize(fp),
+            },
+        })
+    return entries, rows
+
+
+def update_where(spark: SparkSession, path: str, condition: str,
+                 assignments: dict[str, str]) -> int:
+    """Row-level UPDATE on an Iceberg v2 table in ONE snapshot:
+    matched live rows become position deletes AND their updated copies
+    land as new data files, both manifests committed atomically (the
+    copy-on-write is per-ROW, like the Delta UPDATE). Expressions see
+    pre-update values. Returns the updated-row count."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    meta = _table_metadata(path)
+    schema = _current_schema(meta)
+    names = [f.name for f in schema.fields]
+    unknown = [c for c in assignments if c not in names]
+    if unknown:
+        raise ValueError(f"UPDATE of unknown column(s): {unknown}")
+    live = _current_live_scan(spark, path, meta)
+    if live is None:
+        return 0
+    matched = live.where(condition)
+    seq = int(meta.get("last-sequence-number", 0)) + 1
+    snap_id = int(meta["current-snapshot-id"]) + 1
+    del_entries, n = _write_pos_delete_files(spark, path, matched, seq, snap_id)
     if not del_entries:
         return 0
-    _commit_delete_entries(path, meta, del_entries, seq, snap_id,
-                           int(time.time() * 1000))
-    return n_deleted
+    updated = matched
+    for col, expr in assignments.items():
+        typ = next(f.dataType for f in schema.fields if f.name == col)
+        updated = updated.withColumn(col, F.expr(expr).cast(typ))
+    data_entries, _ = _write_data_entries(
+        spark, path, updated.select(*names), seq, snap_id)
+    _commit_mixed_snapshot(path, meta, del_entries, data_entries, seq, snap_id,
+                           int(time.time() * 1000), operation="overwrite")
+    return n
+
+
+def merge_into(
+    spark: SparkSession,
+    path: str,
+    source,
+    on: str,
+    when_matched_update: dict[str, str] | None = None,
+    when_matched_delete: bool = False,
+    when_not_matched_insert: dict[str, str] | None = None,
+) -> dict:
+    """MERGE INTO for Iceberg v2 tables — one snapshot commits the
+    position deletes for matched rows plus the updated-copy/inserted
+    data files (reference the sides as ``t.<col>`` / ``src.<col>``).
+    A target row matched by multiple source rows raises, per the SQL
+    MERGE cardinality rule. Returns {"updated", "deleted",
+    "inserted"} counts."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    if when_matched_update and when_matched_delete:
+        raise ValueError("choose ONE of when_matched_update / when_matched_delete")
+    meta = _table_metadata(path)
+    schema = _current_schema(meta)
+    names = [f.name for f in schema.fields]
+    live = _current_live_scan(spark, path, meta)
+    if live is None:
+        return {"updated": 0, "deleted": 0, "inserted": 0}
+    t = live.alias("t")
+    s = source.alias("src")
+    joined = t.join(s, F.expr(on), "inner")
+    if joined.groupBy("t._df_uri", "t._df_pos").count() \
+             .where(F.col("count") > 1).take(1):
+        raise ValueError(
+            "MERGE: a target row matches multiple source rows (ambiguous update)")
+
+    seq = int(meta.get("last-sequence-number", 0)) + 1
+    snap_id = int(meta["current-snapshot-id"]) + 1
+    del_entries, n_masked = ([], 0)
+    if when_matched_update or when_matched_delete:
+        del_entries, n_masked = _write_pos_delete_files(
+            spark, path, joined.select("t.*"), seq, snap_id)
+
+    data_entries, appended = [], 0
+    by_type = {f.name: f.dataType for f in schema.fields}
+    if when_matched_update and del_entries:
+        upd = joined.select(*[
+            F.expr(when_matched_update.get(c, f"t.`{c}`")).cast(by_type[c]).alias(c)
+            for c in names
+        ])
+        e, r = _write_data_entries(spark, path, upd, seq, snap_id)
+        data_entries += e
+        appended += r
+    if when_not_matched_insert is not None:
+        ins = s.join(t, F.expr(on), "left_anti").select(*[
+            (F.expr(when_not_matched_insert[c]).cast(by_type[c])
+             if c in when_not_matched_insert else F.lit(None).cast(by_type[c])).alias(c)
+            for c in names
+        ])
+        e, r = _write_data_entries(spark, path, ins, seq, snap_id)
+        data_entries += e
+        appended += r
+
+    if not del_entries and not data_entries:
+        return {"updated": 0, "deleted": 0, "inserted": 0}
+    _commit_mixed_snapshot(path, meta, del_entries, data_entries, seq, snap_id,
+                           int(time.time() * 1000), operation="overwrite")
+    n_updated = n_masked if when_matched_update else 0
+    n_deleted = n_masked if when_matched_delete else 0
+    return {"updated": n_updated, "deleted": n_deleted,
+            "inserted": appended - n_updated}

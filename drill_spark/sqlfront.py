@@ -611,13 +611,18 @@ def execute(session, query: str) -> DataFrame:
 
     m = _MERGE_PATH.match(query)
     if m:
+        import glob as _glob
+
         ws_name, rel_path, src_text, on_cond, set_clause, del_kw, ins_cols, ins_vals = (
             m.group(1).rstrip("."), m.group(2), m.group(3).strip(), m.group(4),
             m.group(5), m.group(6), m.group(7), m.group(8))
         path, _ = _writable_path(session, ws_name, rel_path)
-        if not os.path.isdir(os.path.join(path, "_delta_log")):
-            raise NotImplementedError("MERGE needs a delta table")
-        from drill_spark.readers.delta import merge_into
+        if os.path.isdir(os.path.join(path, "_delta_log")):
+            from drill_spark.readers.delta import merge_into
+        elif _glob.glob(os.path.join(_glob.escape(path), "metadata", "*.metadata.json")):
+            from drill_spark.readers.iceberg import merge_into
+        else:
+            raise NotImplementedError("MERGE needs a delta or iceberg table")
 
         if src_text.startswith("(") and src_text.endswith(")"):
             source = spark.sql(rewrite(session, src_text[1:-1]))
@@ -641,14 +646,19 @@ def execute(session, query: str) -> DataFrame:
 
     m = _UPDATE_PATH.match(query)
     if m:
+        import glob as _glob
+
         ws_name, rel_path, set_clause, cond = (
             m.group(1).rstrip("."), m.group(2), m.group(3), m.group(4))
         path, _ = _writable_path(session, ws_name, rel_path)
-        if not os.path.isdir(os.path.join(path, "_delta_log")):
+        if os.path.isdir(os.path.join(path, "_delta_log")):
+            from drill_spark.readers.delta import update_where
+        elif _glob.glob(os.path.join(_glob.escape(path), "metadata", "*.metadata.json")):
+            from drill_spark.readers.iceberg import update_where
+        else:
             raise NotImplementedError(
-                "UPDATE needs a delta table (iceberg/plain parquet: rewrite via CTAS)"
+                "UPDATE needs a delta or iceberg table (plain parquet: rewrite via CTAS)"
             )
-        from drill_spark.readers.delta import update_where
 
         n = update_where(spark, path, cond, _split_set_clause(set_clause))
         spark.catalog.refreshByPath(path)

@@ -645,3 +645,59 @@ def test_iceberg_rewrite_data_files(spark, tmp_path):
     n_after = len(glob.glob(os.path.join(glob.escape(tbl), "data", "*.parquet")))
     assert n_after < n_before
     assert sorted(r.k for r in read_iceberg(spark, tbl).collect()) == expect
+
+
+def test_iceberg_update_where(spark, tmp_path):
+    """Iceberg row-level UPDATE: one snapshot commits both the position
+    deletes and the updated copies; prior snapshot time-travels."""
+    from drill_spark.readers.iceberg import delete_where, update_where
+
+    tbl = str(tmp_path / "ice_upd")
+    write_iceberg(
+        spark.range(10).selectExpr("id as k", "cast(id * 10 as double) as amt"), tbl
+    )
+    assert delete_where(spark, tbl, "k = 9") == 1
+    assert update_where(spark, tbl, "k >= 5", {"amt": "amt + 0.5"}) == 4
+    got = {r.k: r.amt for r in read_iceberg(spark, tbl).collect()}
+    assert got == {k: k * 10 + (0.5 if k >= 5 else 0.0) for k in range(9)}
+    assert read_iceberg(spark, tbl, {"snapshot-id": 1}).count() == 10
+
+
+def test_iceberg_merge_into(session, tmp_path):
+    """Iceberg MERGE: upsert + ambiguity guard, and the SQL face routes
+    by table format."""
+    import pytest as _pytest
+
+    from drill_spark.readers.iceberg import merge_into
+
+    spark = session.spark
+    tbl = str(tmp_path / "ice_mrg")
+    write_iceberg(
+        spark.range(5).selectExpr("id as k", "cast(id as double) as amt"), tbl
+    )
+    src = spark.createDataFrame([(3, 300.0), (7, 700.0)], "k long, amt double")
+    stats = merge_into(
+        spark, tbl, src, on="t.k = src.k",
+        when_matched_update={"amt": "src.amt"},
+        when_not_matched_insert={"k": "src.k", "amt": "src.amt"},
+    )
+    assert stats == {"updated": 1, "deleted": 0, "inserted": 1}
+    got = {r.k: r.amt for r in read_iceberg(spark, tbl).collect()}
+    assert got == {0: 0.0, 1: 1.0, 2: 2.0, 3: 300.0, 4: 4.0, 7: 700.0}
+
+    dup = spark.createDataFrame([(2, 1.0), (2, 2.0)], "k long, amt double")
+    with _pytest.raises(ValueError, match="multiple source rows"):
+        merge_into(spark, tbl, dup, on="t.k = src.k",
+                   when_matched_update={"amt": "src.amt"})
+
+    session.register_workspace("dfs.imrg", str(tmp_path), "parquet", writable=True)
+    spark.createDataFrame([(0, 0.5)], "k long, amt double") \
+        .createOrReplaceTempView("ice_cdc")
+    out = session.sql(
+        "MERGE INTO dfs.imrg.`ice_mrg` USING (select * from ice_cdc) AS src "
+        "ON t.k = src.k WHEN MATCHED THEN UPDATE SET amt = src.amt"
+    ).collect()[0]
+    assert out.updated == 1
+    assert session.sql(
+        "select amt from dfs.imrg.`ice_mrg` where k = 0"
+    ).collect()[0].amt == 0.5
