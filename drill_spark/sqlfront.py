@@ -112,6 +112,40 @@ _UPDATE_PATH = re.compile(
 )
 
 
+def _paimon_pk_dml(spark, path: str, condition: str,
+                   assignments: dict[str, str] | None) -> int:
+    """DELETE / UPDATE on a Paimon primary-key table, expressed the
+    LSM-native way: matched rows become a new commit of delete markers
+    (row kind D) or updated copies (row kind I), and the reader's
+    max-sequence merge applies them — no file is rewritten, which is
+    exactly how PK tables absorb churn at scale."""
+    from pyspark.sql import functions as F
+
+    from drill_spark.readers.paimon import _load_schema, load_snapshot, read_paimon, write_paimon
+
+    schema = _load_schema(path, load_snapshot(path).get("schemaId", 0))
+    pk = schema.get("primaryKeys") or []
+    if not pk:
+        raise NotImplementedError(
+            "DELETE/UPDATE on paimon needs a primary-key table "
+            "(append tables are immutable — rewrite via CTAS)"
+        )
+    matched = read_paimon(spark, path).where(condition)
+    if assignments:
+        bad = [c for c in assignments if c in pk]
+        if bad:
+            raise ValueError(f"cannot UPDATE primary key column(s): {bad}")
+        for col, expr in assignments.items():
+            matched = matched.withColumn(col, F.expr(expr))
+        out = matched.withColumn("__op", F.lit("I"))
+    else:
+        out = matched.withColumn("__op", F.lit("D"))
+    n = out.count()
+    if n:
+        write_paimon(out, path, mode="append", primary_keys=pk, row_kind_col="__op")
+    return n
+
+
 def _split_top_level(clause: str) -> list[str]:
     """Split on top-level commas (parens and quotes respected)."""
     parts, depth, buf, q = [], 0, [], None
@@ -653,14 +687,19 @@ def execute(session, query: str) -> DataFrame:
         path, _ = _writable_path(session, ws_name, rel_path)
         if os.path.isdir(os.path.join(path, "_delta_log")):
             from drill_spark.readers.delta import update_where
+
+            n = update_where(spark, path, cond, _split_set_clause(set_clause))
         elif _glob.glob(os.path.join(_glob.escape(path), "metadata", "*.metadata.json")):
             from drill_spark.readers.iceberg import update_where
+
+            n = update_where(spark, path, cond, _split_set_clause(set_clause))
+        elif os.path.isdir(os.path.join(path, "snapshot")):
+            n = _paimon_pk_dml(spark, path, cond, _split_set_clause(set_clause))
         else:
             raise NotImplementedError(
-                "UPDATE needs a delta or iceberg table (plain parquet: rewrite via CTAS)"
+                "UPDATE needs a delta, iceberg or paimon-PK table "
+                "(plain parquet: rewrite via CTAS)"
             )
-
-        n = update_where(spark, path, cond, _split_set_clause(set_clause))
         spark.catalog.refreshByPath(path)
         return spark.createDataFrame(
             [Row(ok=True, summary=f"updated {n} rows in {ws_name}.`{rel_path}`",
@@ -681,10 +720,12 @@ def execute(session, query: str) -> DataFrame:
             from drill_spark.readers.iceberg import delete_where
 
             n = delete_where(spark, path, cond)
+        elif os.path.isdir(os.path.join(path, "snapshot")):
+            n = _paimon_pk_dml(spark, path, cond, None)
         else:
             raise NotImplementedError(
-                "DELETE needs a delta or iceberg table (plain parquet files are "
-                "immutable — rewrite via CTAS instead)"
+                "DELETE needs a delta, iceberg or paimon-PK table (plain parquet "
+                "files are immutable — rewrite via CTAS instead)"
             )
         spark.catalog.refreshByPath(path)
         return spark.createDataFrame(

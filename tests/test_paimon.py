@@ -195,3 +195,32 @@ def test_paimon_pk_writer_guards(spark, tmp_path):
         write_paimon(dup, tbl, primary_keys=["k"])
     with _pytest.raises(ValueError, match="not in data"):
         write_paimon(dup, str(tmp_path / "pk2"), primary_keys=["nope"])
+
+
+def test_paimon_sql_delete_and_update(session, tmp_path):
+    """SQL DELETE/UPDATE on paimon PK tables commit LSM delete markers
+    / upsert copies; append tables refuse with CTAS guidance."""
+    import pytest as _pytest
+
+    from drill_spark.readers.paimon import write_paimon
+
+    spark = session.spark
+    session.register_workspace("dfs.pm", str(tmp_path), "parquet", writable=True)
+    tbl = str(tmp_path / "t")
+    write_paimon(
+        spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], "k int, v string"),
+        tbl, primary_keys=["k"],
+    )
+    out = session.sql("DELETE FROM dfs.pm.`t` WHERE k = 2").collect()[0]
+    assert out.rows_deleted == 1
+    out = session.sql("UPDATE dfs.pm.`t` SET v = concat(v, '!') WHERE k = 3").collect()[0]
+    assert out.rows_updated == 1
+    got = {(r.k, r.v) for r in session.sql("select * from dfs.pm.`t`").collect()}
+    assert got == {(1, "a"), (3, "c!")}
+    with _pytest.raises(ValueError, match="primary key column"):
+        session.sql("UPDATE dfs.pm.`t` SET k = 9 WHERE k = 1")
+
+    ap = str(tmp_path / "append_t")
+    write_paimon(spark.createDataFrame([(1, "x")], "k int, v string"), ap)
+    with _pytest.raises(NotImplementedError, match="primary-key"):
+        session.sql("DELETE FROM dfs.pm.`append_t` WHERE k = 1")
