@@ -701,3 +701,26 @@ def test_iceberg_merge_into(session, tmp_path):
     assert session.sql(
         "select amt from dfs.imrg.`ice_mrg` where k = 0"
     ).collect()[0].amt == 0.5
+
+
+def test_delta_update_partitioned_table(spark, tmp_path):
+    """UPDATE on a partitioned Delta table: conditions may reference
+    partition columns, updated copies land in the right hive dirs, and
+    partition values survive in the commit."""
+    from drill_spark.readers.delta import load_snapshot, update_where
+
+    tbl = str(tmp_path / "upd_part")
+    src = spark.range(20).selectExpr(
+        "id as k", "cast(id % 4 as int) as bucket", "cast(0 as double) as v"
+    )
+    write_delta(src, tbl, partition_by=["bucket"])
+    n = update_where(spark, tbl, "bucket = 2 and k >= 10", {"v": "k * 1.0"})
+    assert n == 3  # k in {10, 14, 18} have bucket 2... k%4==2 -> 10, 14, 18
+    got = {r.k: (r.bucket, r.v) for r in read_delta(spark, tbl).collect()}
+    assert len(got) == 20
+    for k, (b, v) in got.items():
+        expect = float(k) if (k % 4 == 2 and k >= 10) else 0.0
+        assert (b, v) == (k % 4, expect), (k, b, v)
+    snap = load_snapshot(spark, tbl)
+    # every add entry still carries its partition value
+    assert all(e["pv"].get("bucket") is not None for e in snap.files.values())
