@@ -534,6 +534,113 @@ def write_delta(df: DataFrame, path: str, partition_by: list[str] | None = None,
     _maybe_checkpoint(df.sparkSession, path, version)
 
 
+def table_changes(spark: SparkSession, path: str, from_version: int,
+                  to_version: int | None = None) -> DataFrame:
+    """Row-level change feed reconstructed from the transaction log
+    (the consumer side of Delta CDF, without requiring _change_data
+    files): for each commit in (from_version, to_version], emit the
+    data columns + ``_change_type`` ('insert'/'delete') +
+    ``_commit_version``.
+
+    - add(dataChange=true) of a new file → its rows as inserts.
+    - remove(dataChange=true) with no replacing DV → its still-live
+      rows (prior DV applied) as deletes.
+    - a DV update (remove(path, oldDV) + add(path, newDV)) → rows in
+      newDV \\ oldDV as deletes — positions resolved from the
+      descriptors (bounded by DV cardinality) and fetched via the
+      parquet row index.
+
+    UPDATE/MERGE commits therefore surface as delete+insert pairs —
+    the standard CDF shape when preimage tracking is off. Compaction
+    commits (dataChange=false) emit nothing, as in Delta CDF."""
+    from drill_spark.readers.delta_dv import descriptor_unique_id, read_descriptor
+
+    log_dir = _log_dir(path)
+    out: DataFrame | None = None
+
+    def abs_path(p: str) -> str:
+        return p if os.path.isabs(p) else os.path.join(path, p)
+
+    prior = load_snapshot(spark, path, from_version)
+    prior_dv = {p: e.get("dv") for p, e in prior.files.items()}
+    data_schema = T.StructType(
+        [T.StructField(f.name, _clean_type(f.dataType), f.nullable)
+         for f in prior.schema.fields if f.name not in prior.partition_columns]
+    )
+
+    def scan_rows(rel: str, positions: list[int] | None, skip_dv: dict | None):
+        """Rows of one file: all (minus skip_dv positions), or exactly
+        `positions`."""
+        df = (
+            spark.read.schema(data_schema).parquet(abs_path(rel))
+            .select("*", F.col("_metadata.row_index").alias("__ri"))
+        )
+        if positions is not None:
+            pos_df = spark.createDataFrame([(int(p),) for p in positions], "__ri long")
+            df = df.join(F.broadcast(pos_df), "__ri")
+        elif skip_dv:
+            dead = spark.createDataFrame(
+                [(int(p),) for p in read_descriptor(path, skip_dv)], "__ri long")
+            df = df.join(F.broadcast(dead), "__ri", "left_anti")
+        return df.drop("__ri")
+
+    pieces: list[tuple[DataFrame, str, int]] = []
+    for v, fpath in _commit_files(log_dir):
+        if v <= from_version:
+            continue
+        if to_version is not None and v > to_version:
+            break
+        adds: dict[tuple, dict] = {}
+        removes: dict[tuple, dict] = {}
+        with open(fpath) as f:
+            for line in f:
+                if not line.strip():
+                    continue
+                action = json.loads(line)
+                if "add" in action:
+                    a = action["add"]
+                    adds[(a["path"], descriptor_unique_id(a.get("deletionVector")))] = a
+                elif "remove" in action:
+                    r = action["remove"]
+                    removes[(r["path"], descriptor_unique_id(r.get("deletionVector")))] = r
+        removed_paths = {p for p, _uid in removes}
+        for (rel, _uid), a in adds.items():
+            if not a.get("dataChange", True):
+                continue
+            new_dv = a.get("deletionVector")
+            if rel in removed_paths:
+                # DV update: newly-masked positions are deletes
+                old_dv = prior_dv.get(rel)
+                old = set(read_descriptor(path, old_dv)) if old_dv else set()
+                new = set(read_descriptor(path, new_dv)) if new_dv else set()
+                fresh = sorted(new - old)
+                if fresh:
+                    pieces.append((scan_rows(rel, fresh, None), "delete", v))
+            else:
+                pieces.append((scan_rows(rel, None, new_dv), "insert", v))
+            prior_dv[rel] = new_dv
+        for (rel, _uid), r in removes.items():
+            if not r.get("dataChange", True):
+                continue
+            if any(p == rel for p, _u in adds):
+                continue  # handled as a DV update above
+            pieces.append((scan_rows(rel, None, prior_dv.get(rel)), "delete", v))
+            prior_dv.pop(rel, None)
+
+    for df, kind, v in pieces:
+        piece = df.withColumn("_change_type", F.lit(kind)) \
+                  .withColumn("_commit_version", F.lit(v).cast("long"))
+        out = piece if out is None else out.unionByName(piece)
+    if out is None:
+        empty = T.StructType(
+            list(data_schema.fields)
+            + [T.StructField("_change_type", T.StringType()),
+               T.StructField("_commit_version", T.LongType())]
+        )
+        return spark.createDataFrame([], empty)
+    return out
+
+
 CHECKPOINT_INTERVAL = 10
 
 

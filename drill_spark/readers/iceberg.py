@@ -54,6 +54,7 @@ import json
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from drill_spark.readers.avro import decode_file
@@ -814,6 +815,51 @@ def _commit_mixed_snapshot(path: str, meta: dict, del_entries: list[dict],
         json.dump(meta, f)
     with open(os.path.join(mdir, "version-hint.text"), "w") as f:
         f.write(str(v))
+
+
+def read_incremental(spark: SparkSession, path: str, from_snapshot: int,
+                     to_snapshot: int | None = None) -> DataFrame:
+    """Incremental append scan (Iceberg's incremental read): rows in
+    data files ADDED by snapshots in (from_snapshot, to_snapshot],
+    tagged with ``_snapshot_id``. Replace/delete snapshots contribute
+    nothing (same contract as Iceberg's append-only incremental scan —
+    consumers needing row-level deletes diff snapshots instead)."""
+    loc_meta = _table_metadata(path)
+    loc = loc_meta.get("location")
+    schema = _current_schema(loc_meta)
+    out = None
+    for snap in sorted(loc_meta.get("snapshots") or [],
+                       key=lambda s: s["snapshot-id"]):
+        sid = snap["snapshot-id"]
+        if sid <= from_snapshot or (to_snapshot is not None and sid > to_snapshot):
+            continue
+        if (snap.get("summary") or {}).get("operation") not in (None, "append"):
+            continue
+        ml = _rebase(snap["manifest-list"], path, loc)
+        with open(ml, "rb") as f:
+            _, rows = decode_file(f.read())
+        added = []
+        for m in rows:
+            if m.get("added_snapshot_id") != sid or m.get("content", 0) != 0:
+                continue
+            with open(_rebase(m["manifest_path"], path, loc), "rb") as f:
+                _, es = decode_file(f.read())
+            for e in es:
+                d = e.get("data_file") or {}
+                if (e.get("status", 1) == 1 and d.get("content", 0) == 0
+                        and e.get("snapshot_id") in (None, sid)):
+                    added.append(_rebase(d["file_path"], path, loc))
+        if not added:
+            continue
+        piece = spark.read.schema(schema).parquet(*added).withColumn(
+            "_snapshot_id", F.lit(sid).cast("long"))
+        out = piece if out is None else out.unionByName(piece)
+    if out is None:
+        empty = T.StructType(
+            list(schema.fields) + [T.StructField("_snapshot_id", T.LongType())]
+        )
+        return spark.createDataFrame([], empty)
+    return out
 
 
 def rewrite_data_files(spark: SparkSession, path: str) -> dict:

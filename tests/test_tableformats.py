@@ -724,3 +724,62 @@ def test_delta_update_partitioned_table(spark, tmp_path):
     snap = load_snapshot(spark, tbl)
     # every add entry still carries its partition value
     assert all(e["pv"].get("bucket") is not None for e in snap.files.values())
+
+
+def test_delta_table_changes_feed(spark, tmp_path):
+    """CDF-style change feed from the log: appends -> inserts, DV
+    deletes -> deletes, UPDATE -> delete+insert pair, compaction ->
+    nothing."""
+    from drill_spark.readers.delta import (
+        delete_where,
+        optimize,
+        table_changes,
+        update_where,
+    )
+
+    tbl = str(tmp_path / "cdf")
+    write_delta(spark.range(5).selectExpr("id as k", "cast(0 as double) as v"), tbl)  # v0
+    write_delta(spark.range(5, 8).selectExpr("id as k", "cast(0 as double) as v"),
+                tbl, mode="append")                                                   # v1
+    assert delete_where(spark, tbl, "k = 6") == 1                                     # v2
+    assert update_where(spark, tbl, "k = 7", {"v": "9.5"}) == 1                       # v3
+    optimize(spark, tbl)                                                              # v4
+
+    ch = table_changes(spark, tbl, from_version=0).collect()
+    by = {}
+    for r in ch:
+        by.setdefault((r._commit_version, r._change_type), set()).add(r.k)
+    assert by[(1, "insert")] == {5, 6, 7}
+    assert by[(2, "delete")] == {6}
+    assert by[(3, "delete")] == {7}
+    assert by[(3, "insert")] == {7}
+    assert not any(v == 4 for v, _ in by), "compaction must emit no changes"
+    # the updated insert carries the new value
+    upd = [r for r in ch if r._commit_version == 3 and r._change_type == "insert"]
+    assert upd[0].v == 9.5
+    # windowed read
+    assert {r.k for r in table_changes(spark, tbl, 1, 2).collect()} == {6}
+
+
+def test_iceberg_read_incremental(spark, tmp_path):
+    """Incremental append scan: only rows added in the requested
+    snapshot window, tagged with _snapshot_id; delete/replace
+    snapshots contribute nothing."""
+    from drill_spark.readers.iceberg import delete_where, read_incremental
+
+    tbl = str(tmp_path / "ice_inc")
+    write_iceberg(spark.range(3).select(F.col("id").alias("k")), tbl)       # snap 1
+    write_iceberg(spark.range(3, 6).select(F.col("id").alias("k")), tbl,
+                  mode="append")                                            # snap 2
+    delete_where(spark, tbl, "k = 0")                                       # snap 3
+    write_iceberg(spark.range(6, 8).select(F.col("id").alias("k")), tbl,
+                  mode="append")                                            # snap 4
+
+    inc = read_incremental(spark, tbl, from_snapshot=1).collect()
+    got = {}
+    for r in inc:
+        got.setdefault(r._snapshot_id, set()).add(r.k)
+    assert got == {2: {3, 4, 5}, 4: {6, 7}}
+    # window ending before the last append
+    assert {r.k for r in read_incremental(spark, tbl, 1, 3).collect()} == {3, 4, 5}
+    assert read_incremental(spark, tbl, 4).count() == 0
