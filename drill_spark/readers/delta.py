@@ -344,6 +344,11 @@ def read_delta(spark: SparkSession, path: str,
 
     opts = options or {}
     version = opts.get("versionAsOf", opts.get("version_as_of"))
+    ts = opts.get("timestampAsOf", opts.get("timestamp_as_of"))
+    if ts is not None:
+        if version is not None:
+            raise ValueError("give versionAsOf OR timestampAsOf, not both")
+        version = version_at_timestamp(path, ts)
     if _snapshot_override is not None:
         snap = _snapshot_override
     else:
@@ -532,6 +537,67 @@ def write_delta(df: DataFrame, path: str, partition_by: list[str] | None = None,
         for a in actions:
             f.write(json.dumps(a) + "\n")
     _maybe_checkpoint(df.sparkSession, path, version)
+
+
+def _commit_timestamps(path: str) -> list[tuple[int, int]]:
+    """(version, commit timestamp ms) per commit — from the commitInfo
+    action, falling back to the file mtime."""
+    out = []
+    for v, fpath in _commit_files(_log_dir(path)):
+        ts = None
+        with open(fpath) as f:
+            for line in f:
+                if not line.strip():
+                    continue
+                action = json.loads(line)
+                if "commitInfo" in action and action["commitInfo"].get("timestamp"):
+                    ts = int(action["commitInfo"]["timestamp"])
+                    break
+        if ts is None:
+            ts = int(os.path.getmtime(fpath) * 1000)
+        out.append((v, ts))
+    return out
+
+
+def version_at_timestamp(path: str, ts) -> int:
+    """Latest version committed at or before ``ts`` (ms epoch int, or
+    an ISO 'YYYY-MM-DD[ HH:MM:SS]' string) — Delta's timestampAsOf
+    resolution rule."""
+    if isinstance(ts, str):
+        import datetime
+
+        txt = ts.strip().replace("T", " ")
+        fmt = "%Y-%m-%d %H:%M:%S" if " " in txt else "%Y-%m-%d"
+        dt = datetime.datetime.strptime(txt, fmt)
+        ts = int(dt.timestamp() * 1000)
+    commits = _commit_timestamps(path)
+    eligible = [v for v, t in commits if t <= int(ts)]
+    if not eligible:
+        raise ValueError(
+            f"timestampAsOf {ts} precedes the table's first commit"
+        )
+    return max(eligible)
+
+
+def describe_history(spark: SparkSession, path: str) -> DataFrame:
+    """DESCRIBE HISTORY: one row per commit (version, timestamp,
+    operation) from the log's commitInfo actions — the audit surface
+    every Delta client exposes."""
+    rows = []
+    for v, fpath in _commit_files(_log_dir(path)):
+        op, ts = None, None
+        with open(fpath) as f:
+            for line in f:
+                if not line.strip():
+                    continue
+                action = json.loads(line)
+                if "commitInfo" in action:
+                    op = action["commitInfo"].get("operation")
+                    ts = action["commitInfo"].get("timestamp")
+        rows.append((v, ts, op))
+    return spark.createDataFrame(
+        rows, "version long, timestamp_ms long, operation string"
+    )
 
 
 def table_changes(spark: SparkSession, path: str, from_version: int,

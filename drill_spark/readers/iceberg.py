@@ -174,6 +174,15 @@ def read_iceberg(spark: SparkSession, path: str,
 
     snap_id = opts.get("snapshot-id", opts.get("snapshotId"))
     snaps = meta.get("snapshots") or []
+    as_of_ts = opts.get("as-of-timestamp", opts.get("asOfTimestamp"))
+    if as_of_ts is not None:
+        if snap_id is not None:
+            raise ValueError("give snapshot-id OR as-of-timestamp, not both")
+        eligible = [s for s in snaps if s.get("timestamp-ms", 0) <= int(as_of_ts)]
+        if not eligible:
+            raise ValueError(
+                f"as-of-timestamp {as_of_ts} precedes the first snapshot")
+        snap_id = max(eligible, key=lambda s: s["timestamp-ms"])["snapshot-id"]
     if snap_id is not None:
         snap = next((s for s in snaps if s["snapshot-id"] == int(snap_id)), None)
         if snap is None:

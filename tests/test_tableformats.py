@@ -783,3 +783,40 @@ def test_iceberg_read_incremental(spark, tmp_path):
     # window ending before the last append
     assert {r.k for r in read_incremental(spark, tbl, 1, 3).collect()} == {3, 4, 5}
     assert read_incremental(spark, tbl, 4).count() == 0
+
+
+def test_time_travel_by_timestamp_and_history(spark, tmp_path):
+    """timestampAsOf resolves to the latest commit at-or-before the
+    timestamp (both formats); DESCRIBE HISTORY lists every commit."""
+    import time
+
+    from drill_spark.readers.delta import describe_history
+    from drill_spark.readers.iceberg import write_iceberg as _wi
+
+    d_tbl = str(tmp_path / "ts_delta")
+    write_delta(spark.range(3).withColumnRenamed("id", "v"), d_tbl)
+    time.sleep(1.2)
+    t_mid = int(time.time() * 1000)
+    time.sleep(1.2)
+    write_delta(spark.range(3, 9).withColumnRenamed("id", "v"), d_tbl, mode="append")
+
+    assert read_delta(spark, d_tbl, {"timestampAsOf": t_mid}).count() == 3
+    assert read_delta(spark, d_tbl, {"timestampAsOf": int(time.time() * 1000)}).count() == 9
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="precedes"):
+        read_delta(spark, d_tbl, {"timestampAsOf": 1000})
+
+    hist = {r.version: r.operation for r in describe_history(spark, d_tbl).collect()}
+    assert hist == {0: "CREATE TABLE AS SELECT", 1: "WRITE"}
+
+    i_tbl = str(tmp_path / "ts_ice")
+    _wi(spark.range(4).select(F.col("id").alias("k")), i_tbl)
+    time.sleep(1.2)
+    t_mid = int(time.time() * 1000)
+    time.sleep(1.2)
+    _wi(spark.range(4, 6).select(F.col("id").alias("k")), i_tbl, mode="append")
+    assert read_iceberg(spark, i_tbl, {"as-of-timestamp": t_mid}).count() == 4
+    assert read_iceberg(
+        spark, i_tbl, {"as-of-timestamp": int(time.time() * 1000)}
+    ).count() == 6
