@@ -35,8 +35,18 @@ Delta Lake transaction-log protocol
   features beyond these (e.g. type widening, v2 checkpoint variants we
   don't parse) raise ``NotImplementedError`` naming the feature, never
   silently-wrong rows.
-- **time travel**: ``versionAsOf`` stops the log replay at a version,
-  matching ``SELECT ... VERSION AS OF`` semantics.
+- **time travel**: ``versionAsOf`` stops the log replay at a version;
+  ``timestampAsOf`` resolves the latest commit at-or-before a
+  timestamp from commitInfo times; ``describe_history`` lists every
+  commit (version/timestamp/operation).
+- **DML + maintenance**: ``delete_where`` (DV-only), ``update_where``
+  and ``merge_into`` (one atomic commit: executor-built DVs + new data
+  files), ``optimize`` (bin-packing compaction + DV purge), ``vacuum``
+  (retention-windowed orphan cleanup), ``write_checkpoint`` (classic
+  checkpoint + _last_checkpoint, auto every CHECKPOINT_INTERVAL
+  commits), ``table_changes`` (CDF-style feed reconstructed from the
+  log incl. DV diffs), and txn transaction identifiers for idempotent
+  streaming sinks (streaming/events.stream_to_delta).
 
 Scale: the transaction log is metadata — KB-scale JSON per commit plus
 one parquet checkpoint — and is processed on the driver exactly like
