@@ -78,6 +78,18 @@ _SUPPORTED_READER_FEATURES = {
 }
 
 
+def _pv_from_rel(rel: str, partition_columns: list[str]) -> dict:
+    """Partition values parsed from a hive-layout relative path (the
+    single source of truth for every commit writer)."""
+    pv = {}
+    for seg in rel.split(os.sep)[:-1]:
+        if "=" in seg:
+            k, _, v = seg.partition("=")
+            if k in partition_columns:
+                pv[k] = None if v == "__HIVE_DEFAULT_PARTITION__" else v
+    return pv
+
+
 def _log_dir(path: str) -> str:
     d = os.path.join(path, "_delta_log")
     if not os.path.isdir(d):
@@ -521,12 +533,7 @@ def write_delta(df: DataFrame, path: str, partition_by: list[str] | None = None,
             }
         })
     for rel in new_files:
-        pv = {}
-        for seg in rel.split(os.sep)[:-1]:
-            if "=" in seg:
-                k, _, v = seg.partition("=")
-                if k in partition_by:
-                    pv[k] = None if v == "__HIVE_DEFAULT_PARTITION__" else v
+        pv = _pv_from_rel(rel, partition_by)
         actions.append({
             "add": {
                 "path": rel,
@@ -614,9 +621,10 @@ def table_changes(spark: SparkSession, path: str, from_version: int,
                   to_version: int | None = None) -> DataFrame:
     """Row-level change feed reconstructed from the transaction log
     (the consumer side of Delta CDF, without requiring _change_data
-    files): for each commit in (from_version, to_version], emit the
-    data columns + ``_change_type`` ('insert'/'delete') +
-    ``_commit_version``.
+    files): for each commit in [from_version, to_version] (inclusive
+    start, CDF's startingVersion convention), emit ALL table columns —
+    partition columns re-attached — plus ``_change_type``
+    ('insert'/'delete') and ``_commit_version``.
 
     - add(dataChange=true) of a new file → its rows as inserts.
     - remove(dataChange=true) with no replacing DV → its still-live
@@ -637,16 +645,25 @@ def table_changes(spark: SparkSession, path: str, from_version: int,
     def abs_path(p: str) -> str:
         return p if os.path.isabs(p) else os.path.join(path, p)
 
-    prior = load_snapshot(spark, path, from_version)
-    prior_dv = {p: e.get("dv") for p, e in prior.files.items()}
+    latest = load_snapshot(spark, path)
+    if from_version > 0:
+        prior = load_snapshot(spark, path, from_version - 1)
+        prior_dv = {p: e.get("dv") for p, e in prior.files.items()}
+        prior_pv = {p: e.get("pv") or {} for p, e in prior.files.items()}
+    else:
+        prior_dv, prior_pv = {}, {}
+    part_cols = latest.partition_columns
+    by_type = {f.name: _clean_type(f.dataType) for f in latest.schema.fields}
     data_schema = T.StructType(
         [T.StructField(f.name, _clean_type(f.dataType), f.nullable)
-         for f in prior.schema.fields if f.name not in prior.partition_columns]
+         for f in latest.schema.fields if f.name not in part_cols]
     )
+    out_cols = [f.name for f in latest.schema.fields]
 
-    def scan_rows(rel: str, positions: list[int] | None, skip_dv: dict | None):
+    def scan_rows(rel: str, positions: list[int] | None, skip_dv: dict | None,
+                  pv: dict):
         """Rows of one file: all (minus skip_dv positions), or exactly
-        `positions`."""
+        `positions`; partition values attached as typed literals."""
         df = (
             spark.read.schema(data_schema).parquet(abs_path(rel))
             .select("*", F.col("_metadata.row_index").alias("__ri"))
@@ -658,11 +675,13 @@ def table_changes(spark: SparkSession, path: str, from_version: int,
             dead = spark.createDataFrame(
                 [(int(p),) for p in read_descriptor(path, skip_dv)], "__ri long")
             df = df.join(F.broadcast(dead), "__ri", "left_anti")
-        return df.drop("__ri")
+        for c in part_cols:
+            df = df.withColumn(c, F.lit(pv.get(c)).cast(by_type[c]))
+        return df.select(*out_cols)
 
     pieces: list[tuple[DataFrame, str, int]] = []
     for v, fpath in _commit_files(log_dir):
-        if v <= from_version:
+        if v < from_version:
             continue
         if to_version is not None and v > to_version:
             break
@@ -684,6 +703,7 @@ def table_changes(spark: SparkSession, path: str, from_version: int,
             if not a.get("dataChange", True):
                 continue
             new_dv = a.get("deletionVector")
+            pv = a.get("partitionValues") or prior_pv.get(rel) or {}
             if rel in removed_paths:
                 # DV update: newly-masked positions are deletes
                 old_dv = prior_dv.get(rel)
@@ -691,17 +711,21 @@ def table_changes(spark: SparkSession, path: str, from_version: int,
                 new = set(read_descriptor(path, new_dv)) if new_dv else set()
                 fresh = sorted(new - old)
                 if fresh:
-                    pieces.append((scan_rows(rel, fresh, None), "delete", v))
+                    pieces.append((scan_rows(rel, fresh, None, pv), "delete", v))
             else:
-                pieces.append((scan_rows(rel, None, new_dv), "insert", v))
+                pieces.append((scan_rows(rel, None, new_dv, pv), "insert", v))
             prior_dv[rel] = new_dv
+            prior_pv[rel] = pv
         for (rel, _uid), r in removes.items():
             if not r.get("dataChange", True):
                 continue
             if any(p == rel for p, _u in adds):
                 continue  # handled as a DV update above
-            pieces.append((scan_rows(rel, None, prior_dv.get(rel)), "delete", v))
+            pv = r.get("partitionValues") or prior_pv.get(rel) or {}
+            pieces.append(
+                (scan_rows(rel, None, prior_dv.get(rel), pv), "delete", v))
             prior_dv.pop(rel, None)
+            prior_pv.pop(rel, None)
 
     for df, kind, v in pieces:
         piece = df.withColumn("_change_type", F.lit(kind)) \
@@ -709,7 +733,7 @@ def table_changes(spark: SparkSession, path: str, from_version: int,
         out = piece if out is None else out.unionByName(piece)
     if out is None:
         empty = T.StructType(
-            list(data_schema.fields)
+            [T.StructField(c, by_type[c]) for c in out_cols]
             + [T.StructField("_change_type", T.StringType()),
                T.StructField("_commit_version", T.LongType())]
         )
@@ -1080,12 +1104,7 @@ def update_where(spark: SparkSession, path: str, condition: str,
         actions.append({"add": {**base, "modificationTime": now_ms,
                                 "deletionVector": json.loads(row["desc_json"])}})
     for rel in sorted(new_files):
-        pv = {}
-        for seg in rel.split(os.sep)[:-1]:
-            if "=" in seg:
-                k, _, v = seg.partition("=")
-                if k in snap.partition_columns:
-                    pv[k] = None if v == "__HIVE_DEFAULT_PARTITION__" else v
+        pv = _pv_from_rel(rel, snap.partition_columns)
         actions.append({"add": {
             "path": rel, "partitionValues": pv,
             "size": os.path.getsize(abs_path(rel)),
@@ -1142,13 +1161,16 @@ def merge_into(
     rel_of = {abs_path(p): p for p in snap.files}
     t = _live_annotated_scan(spark, path, snap).alias("t")
     s = source.alias("src")
-    joined = t.join(s, F.expr(on), "inner")
+    # persist: the joined set feeds the cardinality check, the DV build
+    # and the update-copy write — one join execution, not three
+    joined = t.join(s, F.expr(on), "inner").persist()
 
     # SQL MERGE cardinality rule: a target row hit twice is ambiguous
     dup = (
         joined.groupBy("t.__fp", "t.__ri").count().where(F.col("count") > 1).limit(1)
     )
     if dup.take(1):
+        joined.unpersist()
         raise ValueError(
             "MERGE: a target row matches multiple source rows (ambiguous update)"
         )
@@ -1196,6 +1218,7 @@ def merge_into(
         new_files.append(rel)
 
     if not built and not new_files:
+        joined.unpersist()
         return {"updated": 0, "deleted": 0, "inserted": 0}
 
     now_ms = int(time.time() * 1000)
@@ -1214,12 +1237,7 @@ def merge_into(
         actions.append({"add": {**base, "modificationTime": now_ms,
                                 "deletionVector": json.loads(row["desc_json"])}})
     for rel in sorted(new_files):
-        pv = {}
-        for seg in rel.split(os.sep)[:-1]:
-            if "=" in seg:
-                k, _, v = seg.partition("=")
-                if k in snap.partition_columns:
-                    pv[k] = None if v == "__HIVE_DEFAULT_PARTITION__" else v
+        pv = _pv_from_rel(rel, snap.partition_columns)
         actions.append({"add": {
             "path": rel, "partitionValues": pv,
             "size": os.path.getsize(abs_path(rel)),
@@ -1238,6 +1256,7 @@ def merge_into(
         n_deleted = n_masked
     if when_not_matched_insert is not None:
         n_inserted = appended - n_updated  # footer rows minus updated copies
+    joined.unpersist()
     return {"updated": n_updated, "deleted": n_deleted, "inserted": n_inserted}
 
 
@@ -1302,12 +1321,7 @@ def optimize(spark: SparkSession, path: str,
             "deletionVector": entry.get("dv"),
         }})
     for rel in sorted(new_files):
-        pv = {}
-        for seg in rel.split(os.sep)[:-1]:
-            if "=" in seg:
-                k, _, v = seg.partition("=")
-                if k in snap.partition_columns:
-                    pv[k] = None if v == "__HIVE_DEFAULT_PARTITION__" else v
+        pv = _pv_from_rel(rel, snap.partition_columns)
         actions.append({"add": {
             "path": rel, "partitionValues": pv,
             "size": os.path.getsize(abs_path(rel)),
@@ -1334,10 +1348,12 @@ def _read_snapshot_files(spark: SparkSession, path: str,
 def vacuum(spark: SparkSession, path: str, retention_hours: float = 168,
            dry_run: bool = False) -> list[str]:
     """VACUUM: delete data/DV files no longer referenced by the CURRENT
-    snapshot and older than the retention window (default 7 days, like
-    delta's deletedFileRetentionDuration). Candidates are orphaned
-    parquet parts from failed/compacted writes and superseded
-    deletion-vector files. Driver-side listing — bounded by file count,
+    snapshot and whose REMOVAL is older than the retention window
+    (default 7 days, like delta's deletedFileRetentionDuration — the
+    clock starts at the remove action's deletionTimestamp, so time
+    travel within the window keeps working regardless of how old the
+    file itself is; never-logged orphans from failed writes fall back
+    to the file mtime). Driver-side listing — bounded by file count,
     the same budget the transaction log itself costs. Returns the
     deleted (or would-delete, with dry_run) relative paths."""
     import time
@@ -1352,7 +1368,24 @@ def vacuum(spark: SparkSession, path: str, retention_hours: float = 168,
             rel = descriptor_relative_path(dv)
             if rel:
                 live.add(rel)
-    cutoff = time.time() - retention_hours * 3600
+    # removal times from the log: remove actions cover both the data
+    # file and (via the carried descriptor) its superseded DV file
+    removed_at: dict[str, int] = {}
+    for _v, fpath in _commit_files(_log_dir(path)):
+        with open(fpath) as f:
+            for line in f:
+                if not line.strip():
+                    continue
+                action = json.loads(line)
+                if "remove" not in action:
+                    continue
+                r = action["remove"]
+                ts = int(r.get("deletionTimestamp") or 0)
+                removed_at[r["path"]] = max(removed_at.get(r["path"], 0), ts)
+                dv_rel = descriptor_relative_path(r.get("deletionVector") or {})
+                if dv_rel:
+                    removed_at[dv_rel] = max(removed_at.get(dv_rel, 0), ts)
+    cutoff_ms = (time.time() - retention_hours * 3600) * 1000
     doomed = []
     for root, dirs, files in os.walk(path):
         dirs[:] = [d for d in dirs if d != "_delta_log"]
@@ -1363,7 +1396,8 @@ def vacuum(spark: SparkSession, path: str, retention_hours: float = 168,
             rel = os.path.relpath(full, path)
             if rel in live:
                 continue
-            if os.path.getmtime(full) > cutoff:
+            when_ms = removed_at.get(rel, os.path.getmtime(full) * 1000)
+            if when_ms > cutoff_ms:
                 continue
             doomed.append(rel)
     if not dry_run:

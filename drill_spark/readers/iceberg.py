@@ -1232,9 +1232,12 @@ def merge_into(
         return {"updated": 0, "deleted": 0, "inserted": 0}
     t = live.alias("t")
     s = source.alias("src")
-    joined = t.join(s, F.expr(on), "inner")
+    # persist: the joined set feeds the cardinality check, the
+    # position-delete write and the update-copy write — one execution
+    joined = t.join(s, F.expr(on), "inner").persist()
     if joined.groupBy("t._df_uri", "t._df_pos").count() \
              .where(F.col("count") > 1).take(1):
+        joined.unpersist()
         raise ValueError(
             "MERGE: a target row matches multiple source rows (ambiguous update)")
 
@@ -1265,6 +1268,7 @@ def merge_into(
         data_entries += e
         appended += r
 
+    joined.unpersist()
     if not del_entries and not data_entries:
         return {"updated": 0, "deleted": 0, "inserted": 0}
     _commit_mixed_snapshot(path, meta, del_entries, data_entries, seq, snap_id,

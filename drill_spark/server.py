@@ -152,7 +152,10 @@ class _Handler(BaseHTTPRequestHandler):
             self._reply_html(200, "Query", _QUERY_FORM.format(q="", limit=1000))
             return
         sql = (form.get("query") or [""])[0]
-        limit = int((form.get("autoLimit") or ["1000"])[0])
+        try:
+            limit = int((form.get("autoLimit") or ["1000"])[0])
+        except ValueError:
+            limit = 1000
         page = _QUERY_FORM.format(q=_esc(sql), limit=limit)
         try:
             df = s.sql(sql)

@@ -107,9 +107,34 @@ _DELETE_PATH = re.compile(
     re.IGNORECASE | re.DOTALL,
 )
 _UPDATE_PATH = re.compile(
-    r"^\s*UPDATE\s+((?:\w+\.)+)`([^`]+)`\s+SET\s+(.*?)\s+WHERE\s+(.*?)\s*;?\s*$",
+    r"^\s*UPDATE\s+((?:\w+\.)+)`([^`]+)`\s+SET\s+(.*?)\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
+
+
+def _split_where(tail: str) -> tuple[str, str]:
+    """Split 'SET-items WHERE condition' at the first TOP-LEVEL WHERE
+    keyword (quotes and parens respected — a WHERE inside a string
+    literal or subexpression never splits)."""
+    depth, q, i, n = 0, None, 0, len(tail)
+    while i < n:
+        ch = tail[i]
+        if q:
+            if ch == q:
+                q = None
+        elif ch in "'\"":
+            q = ch
+        elif ch in "([":
+            depth += 1
+        elif ch in ")]":
+            depth -= 1
+        elif depth == 0 and tail[i:i + 5].upper() == "WHERE":
+            before_ok = i == 0 or tail[i - 1].isspace()
+            after_ok = i + 5 >= n or tail[i + 5].isspace()
+            if before_ok and after_ok:
+                return tail[:i].rstrip(), tail[i + 5:].strip()
+        i += 1
+    raise ValueError("UPDATE requires a WHERE clause")
 
 
 def _paimon_pk_dml(spark, path: str, condition: str,
@@ -682,8 +707,8 @@ def execute(session, query: str) -> DataFrame:
     if m:
         import glob as _glob
 
-        ws_name, rel_path, set_clause, cond = (
-            m.group(1).rstrip("."), m.group(2), m.group(3), m.group(4))
+        ws_name, rel_path = m.group(1).rstrip("."), m.group(2)
+        set_clause, cond = _split_where(m.group(3))
         path, _ = _writable_path(session, ws_name, rel_path)
         if os.path.isdir(os.path.join(path, "_delta_log")):
             from drill_spark.readers.delta import update_where

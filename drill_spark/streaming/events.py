@@ -197,6 +197,7 @@ def stream_to_delta(
     checkpoint_dir: str,
     app_id: str = "drill_spark_stream",
     partition_by: list[str] | None = None,
+    trigger: dict | None = None,
 ):
     """Exactly-once streaming sink into a Delta table.
 
@@ -210,8 +211,10 @@ def stream_to_delta(
     that agree by construction: Spark's streaming checkpoint (source
     offsets) and the Delta log (committed batch ids).
 
-    Returns the StreamingQuery; callers drive it with availableNow for
-    finite backfills or leave it running for continuous ingestion.
+    Returns the StreamingQuery. The default trigger is
+    ``{"availableNow": True}`` (finite backfill); pass e.g.
+    ``trigger={"processingTime": "10 seconds"}`` for continuous
+    ingestion.
     """
     def _commit(batch_df: DataFrame, batch_id: int) -> None:
         commit_batch_idempotent(batch_df, table_path, app_id, batch_id, partition_by)
@@ -219,7 +222,7 @@ def stream_to_delta(
     return (
         stream_df.writeStream.foreachBatch(_commit)
         .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
+        .trigger(**(trigger if trigger is not None else {"availableNow": True}))
         .start()
     )
 

@@ -562,3 +562,20 @@ def test_sql_merge_into(session, tmp_path):
     assert (out.updated, out.inserted) == (1, 1)
     got = {r.k: r.amt for r in session.sql("select * from dfs.mrg.`t`").collect()}
     assert got == {0: 0.0, 1: 1.0, 2: 20.0, 3: 3.0, 9: 90.0}
+
+
+def test_sql_update_where_inside_string_literal(session, tmp_path):
+    """The SET/WHERE split is quote-aware: a WHERE inside a string
+    literal must not terminate the SET clause."""
+    from drill_spark.readers.delta import write_delta
+
+    spark = session.spark
+    session.register_workspace("dfs.updq", str(tmp_path), "parquet", writable=True)
+    tbl = str(tmp_path / "q")
+    write_delta(spark.range(4).selectExpr("id as k", "'x' as note"), tbl)
+    out = session.sql(
+        "UPDATE dfs.updq.`q` SET note = 'keep WHERE clause' WHERE k = 2"
+    ).collect()[0]
+    assert out.rows_updated == 1
+    notes = {r.k: r.note for r in session.sql("select * from dfs.updq.`q`").collect()}
+    assert notes[2] == "keep WHERE clause" and notes[1] == "x"

@@ -749,6 +749,7 @@ def test_delta_table_changes_feed(spark, tmp_path):
     by = {}
     for r in ch:
         by.setdefault((r._commit_version, r._change_type), set()).add(r.k)
+    assert by[(0, "insert")] == {0, 1, 2, 3, 4}  # inclusive startingVersion
     assert by[(1, "insert")] == {5, 6, 7}
     assert by[(2, "delete")] == {6}
     assert by[(3, "delete")] == {7}
@@ -757,8 +758,23 @@ def test_delta_table_changes_feed(spark, tmp_path):
     # the updated insert carries the new value
     upd = [r for r in ch if r._commit_version == 3 and r._change_type == "insert"]
     assert upd[0].v == 9.5
-    # windowed read
-    assert {r.k for r in table_changes(spark, tbl, 1, 2).collect()} == {6}
+    # windowed read: [2, 2] captures only the delete commit
+    assert {r.k for r in table_changes(spark, tbl, 2, 2).collect()} == {6}
+
+
+def test_delta_table_changes_partitioned(spark, tmp_path):
+    """The change feed carries partition columns (CDF returns every
+    table column)."""
+    from drill_spark.readers.delta import delete_where, table_changes
+
+    tbl = str(tmp_path / "cdf_part")
+    src = spark.range(8).selectExpr("id as k", "cast(id % 2 as int) as b")
+    write_delta(src, tbl, partition_by=["b"])
+    delete_where(spark, tbl, "k = 3")
+    ch = table_changes(spark, tbl, 0).collect()
+    assert all(r.b == r.k % 2 for r in ch), sorted((r.k, r.b) for r in ch)
+    dels = [r for r in ch if r._change_type == "delete"]
+    assert [(r.k, r.b) for r in dels] == [(3, 1)]
 
 
 def test_iceberg_read_incremental(spark, tmp_path):
@@ -820,3 +836,31 @@ def test_time_travel_by_timestamp_and_history(spark, tmp_path):
     assert read_iceberg(
         spark, i_tbl, {"as-of-timestamp": int(time.time() * 1000)}
     ).count() == 6
+
+
+def test_delta_vacuum_retention_from_deletion_time(spark, tmp_path):
+    """Retention is measured from the REMOVE action's deletionTimestamp,
+    not file age: a file written long ago but removed just now must
+    survive the window (time travel within retention keeps working)."""
+    import os
+    import time
+
+    from drill_spark.readers.delta import optimize, vacuum
+
+    tbl = str(tmp_path / "vac_ret")
+    write_delta(spark.range(10).withColumnRenamed("id", "v"), tbl)
+    write_delta(spark.range(10, 20).withColumnRenamed("id", "v"), tbl, mode="append")
+    # age every data file far past the 7-day window
+    old = time.time() - 30 * 86400
+    for root, dirs, files in os.walk(tbl):
+        dirs[:] = [d for d in dirs if d != "_delta_log"]
+        for f in files:
+            os.utime(os.path.join(root, f), (old, old))
+    optimize(spark, tbl)  # removes the aged files NOW
+
+    # default retention: removal is recent -> nothing eligible
+    assert vacuum(spark, tbl, dry_run=True) == []
+    # pre-optimize version still time-travels
+    assert read_delta(spark, tbl, {"versionAsOf": 1}).count() == 20
+    # zero retention: the removed files go
+    assert len(vacuum(spark, tbl, retention_hours=0)) > 0
