@@ -126,7 +126,8 @@ class DeltaSnapshot:
     def __init__(self, schema: T.StructType, partition_columns: list[str],
                  files: dict[str, dict], version: int,
                  column_mapping_mode: str = "none", protocol: dict | None = None,
-                 meta: dict | None = None, txns: dict[str, int] | None = None):
+                 meta: dict | None = None, txns: dict[str, int] | None = None,
+                 tombstones: dict[tuple, dict] | None = None):
         self.schema = schema
         self.partition_columns = partition_columns
         self.files = files  # path -> {"pv": partitionValues, "dv": descriptor|None}
@@ -135,6 +136,11 @@ class DeltaSnapshot:
         self.protocol = protocol or {}
         self.meta = meta or {}  # raw metaData action (checkpoint writing)
         self.txns = txns or {}  # appId -> latest txn version (idempotent sinks)
+        # (path, dvUniqueId) -> raw remove action, for removes NOT superseded
+        # by a later add of the same key: the unexpired tombstones a
+        # checkpoint must carry so VACUUM keeps honoring the retention
+        # window after JSON log cleanup (PROTOCOL.md "Checkpoints")
+        self.tombstones = tombstones or {}
 
 
 def load_snapshot(spark: SparkSession, path: str,
@@ -147,6 +153,7 @@ def load_snapshot(spark: SparkSession, path: str,
     # + add(path, newDV) in unspecified order, so keying by path alone
     # would drop the file when the remove happens to follow the add.
     active: dict[tuple, dict] = {}
+    tombstones: dict[tuple, dict] = {}
     meta: dict = {}
     proto: dict = {}
     txns: dict[str, int] = {}
@@ -154,10 +161,12 @@ def load_snapshot(spark: SparkSession, path: str,
 
     def apply_add(a: dict) -> None:
         dv = a.get("deletionVector") or None
-        active[(a["path"], descriptor_unique_id(dv))] = {
+        key = (a["path"], descriptor_unique_id(dv))
+        active[key] = {
             "pv": a.get("partitionValues") or {},
             "dv": dv,
         }
+        tombstones.pop(key, None)  # re-add supersedes the tombstone
 
     def apply_remove(r: dict) -> None:
         # Reconciliation key is (path, dvId) even when the remove has no
@@ -167,7 +176,9 @@ def load_snapshot(spark: SparkSession, path: str,
         # (path, *) entry here would drop the freshly-added DV entry and
         # silently lose the whole file.
         dv = r.get("deletionVector") or None
-        active.pop((r["path"], descriptor_unique_id(dv)), None)
+        key = (r["path"], descriptor_unique_id(dv))
+        active.pop(key, None)
+        tombstones[key] = r
 
     ckpt_file = os.path.join(log_dir, "_last_checkpoint")
     if os.path.exists(ckpt_file) and version_as_of is None:
@@ -251,8 +262,12 @@ def load_snapshot(spark: SparkSession, path: str,
     schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
     files = {p: entry for (p, _uid), entry in active.items()}
     mode = (meta.get("configuration") or {}).get("delta.columnMapping.mode", "none")
+    # tombstone keys are disjoint from active (apply_add pops the same
+    # key), so a remove(path, oldDV) survives here even while the path
+    # stays live under a newer DV — exactly the record VACUUM needs for
+    # the superseded DV file's removal time
     return DeltaSnapshot(schema, meta.get("partitionColumns") or [], files, replayed,
-                         mode, proto, meta, txns)
+                         mode, proto, meta, txns, tombstones)
 
 
 _MAX_PARTITION_BRANCHES = 256
@@ -341,6 +356,72 @@ def _norm_uri(col):
     return F.url_decode(F.regexp_replace(stripped, r"\+", "%2B"))
 
 
+# Total DV cardinality up to which deleted-row identities are decoded on
+# the driver (one createDataFrame, no extra jobs). Beyond it — or when a
+# descriptor carries no cardinality — descriptors ship to executors and
+# each DV explodes to (file, row_index) rows inside mapInPandas, so the
+# driver never materializes per-row tuples no matter how many billions
+# of rows the table's DVs mask.
+_DV_DRIVER_DECODE_MAX = 1 << 17
+
+
+def _dv_pairs_df(spark: SparkSession, table_path: str,
+                 entries: list[tuple[str, dict]]) -> tuple[DataFrame, bool]:
+    """(__fp, __ri) deleted-row identities for ``entries`` =
+    [(abs file path, DV descriptor), ...]. Returns (df, small) where
+    ``small`` says the driver decoded it (caller may broadcast the
+    anti-join); otherwise the decode runs in executors and the join
+    strategy is left to AQE."""
+    from drill_spark.readers.delta_dv import read_descriptor
+
+    total = 0
+    small = True
+    for _fp, desc in entries:
+        card = desc.get("cardinality")
+        if card is None:
+            small = False
+            break
+        total += int(card)
+        if total > _DV_DRIVER_DECODE_MAX:
+            small = False
+            break
+    if small:
+        deleted = [(fp, int(ri))
+                   for fp, desc in entries
+                   for ri in read_descriptor(table_path, desc)]
+        return spark.createDataFrame(deleted, "__fp string, __ri bigint"), True
+
+    rows = [(fp, json.dumps(desc)) for fp, desc in entries]
+    n_slices = min(len(rows), spark.sparkContext.defaultParallelism)
+    desc_df = (
+        spark.createDataFrame(rows, "__fp string, __desc string")
+        .repartition(n_slices)
+    )
+    tp = table_path
+
+    def _explode(batches):
+        import pandas as pd
+
+        from drill_spark.readers.delta_dv import read_descriptor as _rd
+
+        for pdf in batches:
+            for fp, dj in zip(pdf["__fp"], pdf["__desc"]):
+                ris = _rd(tp, json.loads(dj))
+                yield pd.DataFrame(
+                    {"__fp": fp, "__ri": pd.Series(ris, dtype="int64")}
+                )
+
+    return desc_df.mapInPandas(_explode, "__fp string, __ri bigint"), False
+
+
+def _dv_positions_df(spark: SparkSession, table_path: str,
+                     desc: dict) -> tuple[DataFrame, bool]:
+    """Single-file variant of _dv_pairs_df: just the row indexes
+    (``__ri``) of one descriptor, executor-decoded past the threshold."""
+    pairs, small = _dv_pairs_df(spark, table_path, [("", desc)])
+    return pairs.select("__ri"), small
+
+
 def read_delta(spark: SparkSession, path: str,
                options: dict | None = None,
                _snapshot_override: "DeltaSnapshot | None" = None) -> DataFrame:
@@ -357,13 +438,13 @@ def read_delta(spark: SparkSession, path: str,
     the values back instead (one flat scan, no pruning).
 
     Files carrying deletion vectors are read with parquet row indexes
-    (``_metadata.row_index``) and anti-joined against the broadcast
-    deleted-(file,row) set — merge-on-read. DV cardinality bounds the
-    broadcast; a table whose DVs hold billions of rows should be
-    compacted (OPTIMIZE) by its writer, as with every Delta engine.
+    (``_metadata.row_index``) and anti-joined against the deleted-
+    (file,row) set — merge-on-read. Small DV totals (by descriptor
+    cardinality) decode on the driver and broadcast; past
+    ``_DV_DRIVER_DECODE_MAX`` the descriptors ship to executors and
+    explode to rows there (_dv_pairs_df), with AQE choosing the join
+    strategy — the driver never holds per-row tuples.
     """
-    from drill_spark.readers.delta_dv import read_descriptor
-
     opts = options or {}
     version = opts.get("versionAsOf", opts.get("version_as_of"))
     ts = opts.get("timestampAsOf", opts.get("timestamp_as_of"))
@@ -460,14 +541,12 @@ def read_delta(spark: SparkSession, path: str,
 
     # ---- apply deletion vectors (merge-on-read) ----
     if has_dv:
-        deleted = [
-            (abs_path(p), int(ri))
-            for p, e in snap.files.items()
-            if e.get("dv")
-            for ri in read_descriptor(path, e["dv"])
-        ]
-        del_df = spark.createDataFrame(deleted, "__fp string, __ri bigint")
-        out = out.join(F.broadcast(del_df), ["__fp", "__ri"], "left_anti").drop("__fp", "__ri")
+        entries = [(abs_path(p), e["dv"]) for p, e in snap.files.items()
+                   if e.get("dv")]
+        del_df, small = _dv_pairs_df(spark, path, entries)
+        if small:
+            del_df = F.broadcast(del_df)
+        out = out.join(del_df, ["__fp", "__ri"], "left_anti").drop("__fp", "__ri")
 
     # ---- restore logical column names ----
     if mapped:
@@ -501,7 +580,14 @@ def write_delta(df: DataFrame, path: str, partition_by: list[str] | None = None,
     import uuid
 
     log_dir = os.path.join(path, "_delta_log")
-    exists = os.path.isdir(log_dir) and _commit_files(log_dir)
+    # A table whose JSON commits were cleaned up after checkpointing
+    # still EXISTS (its state lives in the checkpoint) — keying
+    # existence on JSON files alone would silently restart the log at
+    # version 0 and make the append invisible to snapshot replay.
+    exists = os.path.isdir(log_dir) and bool(
+        _commit_files(log_dir)
+        or os.path.exists(os.path.join(log_dir, "_last_checkpoint"))
+    )
     if exists and mode == "error":
         raise ValueError(f"Delta table already exists at {path}")
     if exists and mode == "overwrite":
@@ -517,7 +603,9 @@ def write_delta(df: DataFrame, path: str, partition_by: list[str] | None = None,
     new_files = [p for p in _existing_parquet(path) if p not in before]
 
     os.makedirs(log_dir, exist_ok=True)
-    version = (max(v for v, _ in _commit_files(log_dir)) + 1) if exists else 0
+    # next version via snapshot replay, which reconciles _last_checkpoint
+    # — max(JSON commits) alone breaks after checkpoint-based log cleanup
+    version = (load_snapshot(df.sparkSession, path).version + 1) if exists else 0
     now_ms = int(time.time() * 1000)
     actions = []
     if version == 0:
@@ -636,7 +724,12 @@ def table_changes(spark: SparkSession, path: str, from_version: int,
 
     UPDATE/MERGE commits therefore surface as delete+insert pairs —
     the standard CDF shape when preimage tracking is off. Compaction
-    commits (dataChange=false) emit nothing, as in Delta CDF."""
+    commits (dataChange=false) emit nothing, as in Delta CDF.
+
+    DV position sets resolve through _dv_positions_df: small
+    descriptors decode on the driver (broadcast join), large ones
+    explode executor-side — the driver never holds per-row position
+    lists for big DVs."""
     from drill_spark.readers.delta_dv import descriptor_unique_id, read_descriptor
 
     log_dir = _log_dir(path)
@@ -660,21 +753,21 @@ def table_changes(spark: SparkSession, path: str, from_version: int,
     )
     out_cols = [f.name for f in latest.schema.fields]
 
-    def scan_rows(rel: str, positions: list[int] | None, skip_dv: dict | None,
-                  pv: dict):
+    def scan_rows(rel: str, positions: "DataFrame | None",
+                  positions_small: bool, skip_dv: dict | None, pv: dict):
         """Rows of one file: all (minus skip_dv positions), or exactly
-        `positions`; partition values attached as typed literals."""
+        the ``positions`` (__ri) set; partition values attached as
+        typed literals."""
         df = (
             spark.read.schema(data_schema).parquet(abs_path(rel))
             .select("*", F.col("_metadata.row_index").alias("__ri"))
         )
         if positions is not None:
-            pos_df = spark.createDataFrame([(int(p),) for p in positions], "__ri long")
-            df = df.join(F.broadcast(pos_df), "__ri")
+            df = df.join(F.broadcast(positions) if positions_small else positions,
+                         "__ri")
         elif skip_dv:
-            dead = spark.createDataFrame(
-                [(int(p),) for p in read_descriptor(path, skip_dv)], "__ri long")
-            df = df.join(F.broadcast(dead), "__ri", "left_anti")
+            dead, small = _dv_positions_df(spark, path, skip_dv)
+            df = df.join(F.broadcast(dead) if small else dead, "__ri", "left_anti")
         for c in part_cols:
             df = df.withColumn(c, F.lit(pv.get(c)).cast(by_type[c]))
         return df.select(*out_cols)
@@ -705,15 +798,32 @@ def table_changes(spark: SparkSession, path: str, from_version: int,
             new_dv = a.get("deletionVector")
             pv = a.get("partitionValues") or prior_pv.get(rel) or {}
             if rel in removed_paths:
-                # DV update: newly-masked positions are deletes
+                # DV update: newly-masked positions (newDV \ oldDV) are
+                # deletes
                 old_dv = prior_dv.get(rel)
-                old = set(read_descriptor(path, old_dv)) if old_dv else set()
-                new = set(read_descriptor(path, new_dv)) if new_dv else set()
-                fresh = sorted(new - old)
-                if fresh:
-                    pieces.append((scan_rows(rel, fresh, None, pv), "delete", v))
+                cards = [d.get("cardinality") for d in (old_dv, new_dv) if d]
+                small_pair = (None not in cards
+                              and sum(cards) <= _DV_DRIVER_DECODE_MAX)
+                if small_pair:
+                    old = set(read_descriptor(path, old_dv)) if old_dv else set()
+                    new = set(read_descriptor(path, new_dv)) if new_dv else set()
+                    fresh = sorted(new - old)
+                    if fresh:
+                        pos = spark.createDataFrame(
+                            [(int(p),) for p in fresh], "__ri long")
+                        pieces.append(
+                            (scan_rows(rel, pos, True, None, pv), "delete", v))
+                elif new_dv:
+                    new_pos, _ = _dv_positions_df(spark, path, new_dv)
+                    if old_dv:
+                        old_pos, o_small = _dv_positions_df(spark, path, old_dv)
+                        new_pos = new_pos.join(
+                            F.broadcast(old_pos) if o_small else old_pos,
+                            "__ri", "left_anti")
+                    pieces.append(
+                        (scan_rows(rel, new_pos, False, None, pv), "delete", v))
             else:
-                pieces.append((scan_rows(rel, None, new_dv, pv), "insert", v))
+                pieces.append((scan_rows(rel, None, False, new_dv, pv), "insert", v))
             prior_dv[rel] = new_dv
             prior_pv[rel] = pv
         for (rel, _uid), r in removes.items():
@@ -723,7 +833,7 @@ def table_changes(spark: SparkSession, path: str, from_version: int,
                 continue  # handled as a DV update above
             pv = r.get("partitionValues") or prior_pv.get(rel) or {}
             pieces.append(
-                (scan_rows(rel, None, prior_dv.get(rel), pv), "delete", v))
+                (scan_rows(rel, None, False, prior_dv.get(rel), pv), "delete", v))
             prior_dv.pop(rel, None)
             prior_pv.pop(rel, None)
 
@@ -743,19 +853,28 @@ def table_changes(spark: SparkSession, path: str, from_version: int,
 
 CHECKPOINT_INTERVAL = 10
 
+# How long remove tombstones are carried in checkpoints before expiring
+# (mirrors delta.deletedFileRetentionDuration's 1-week default — and
+# vacuum()'s default retention_hours). A vacuum with a LONGER retention
+# than this may fall back to file mtimes for removes that aged out of
+# the checkpoint after JSON log cleanup.
+TOMBSTONE_RETENTION_HOURS = 168
+
 
 def write_checkpoint(spark: SparkSession, path: str) -> str:
     """Write a classic checkpoint for the table's latest version
     (PROTOCOL.md "Checkpoints"): one ``%020d.checkpoint.parquet`` in
     ``_delta_log`` holding the reconciled protocol + metaData + add
-    actions (DV descriptors included), plus ``_last_checkpoint``.
-    Readers then replay only commits after the checkpoint — on a
-    long-lived table this is what keeps snapshot construction O(live
-    files), not O(total history). Our writer is single-writer with no
-    VACUUM retention window, so no unexpired remove tombstones need to
-    be carried. Returns the checkpoint file path."""
+    actions (DV descriptors included) — plus the remove TOMBSTONES
+    younger than TOMBSTONE_RETENTION_HOURS, so vacuum() keeps seeing
+    accurate removal times (not file mtimes) after the JSON log is
+    cleaned — and ``_last_checkpoint``. Readers then replay only
+    commits after the checkpoint — on a long-lived table this is what
+    keeps snapshot construction O(live files), not O(total history).
+    Returns the checkpoint file path."""
     import glob as _glob
     import shutil
+    import time as _time
 
     snap = load_snapshot(spark, path)
     log_dir = _log_dir(path)
@@ -791,6 +910,14 @@ def write_checkpoint(spark: SparkSession, path: str) -> str:
             T.StructField("partitionValues", T.MapType(T.StringType(), T.StringType())),
             T.StructField("size", T.LongType()),
             T.StructField("modificationTime", T.LongType()),
+            T.StructField("dataChange", T.BooleanType()),
+            T.StructField("deletionVector", dv_t),
+        ])),
+        # unexpired remove tombstones (deletionTimestamp + superseded DV)
+        # must survive checkpointing for vacuum's retention window
+        T.StructField("remove", T.StructType([
+            T.StructField("path", T.StringType()),
+            T.StructField("deletionTimestamp", T.LongType()),
             T.StructField("dataChange", T.BooleanType()),
             T.StructField("deletionVector", dv_t),
         ])),
@@ -844,6 +971,26 @@ def write_checkpoint(spark: SparkSession, path: str) -> str:
                 "cardinality": dv.get("cardinality"),
             } if dv else None,
         }})
+    cutoff_ms = (_time.time() - TOMBSTONE_RETENTION_HOURS * 3600) * 1000
+    for (rel, _uid), r in sorted(snap.tombstones.items(),
+                                 key=lambda kv: (kv[0][0], kv[0][1] or "")):
+        ts = int(r.get("deletionTimestamp") or 0)
+        if ts <= cutoff_ms:
+            continue  # aged out — vacuum's window has passed
+        dv = r.get("deletionVector") or None
+        rows.append({"protocol": None, "metaData": None, "add": None,
+                     "txn": None, "remove": {
+                         "path": rel,
+                         "deletionTimestamp": ts,
+                         "dataChange": bool(r.get("dataChange", True)),
+                         "deletionVector": {
+                             "storageType": dv.get("storageType"),
+                             "pathOrInlineDv": dv.get("pathOrInlineDv"),
+                             "offset": dv.get("offset"),
+                             "sizeInBytes": dv.get("sizeInBytes"),
+                             "cardinality": dv.get("cardinality"),
+                         } if dv else None,
+                     }})
     for app_id, ver in sorted(snap.txns.items()):
         rows.append({"protocol": None, "metaData": None, "add": None,
                      "txn": {"appId": app_id, "version": int(ver)}})
@@ -961,21 +1108,22 @@ def _build_pair_dvs(spark: SparkSession, path: str, snap: "DeltaSnapshot",
 def _live_annotated_scan(spark: SparkSession, path: str,
                          snap: "DeltaSnapshot") -> DataFrame:
     """Annotated scan restricted to LIVE rows: existing DV positions
-    are anti-joined out (broadcast — DV cardinality bounds it, same
-    budget read_delta spends)."""
-    from drill_spark.readers.delta_dv import read_descriptor
-
+    are anti-joined out — driver-decoded + broadcast when small,
+    executor-exploded past _DV_DRIVER_DECODE_MAX (same budget
+    read_delta spends)."""
     df = _annotated_table_scan(spark, path, snap)
-    dead = []
+    entries = []
     for rel, entry in snap.files.items():
         dv = entry.get("dv")
         if dv:
             fp = rel if os.path.isabs(rel) else os.path.join(path, rel)
-            dead.extend((fp, ri) for ri in read_descriptor(path, dv))
-    if not dead:
+            entries.append((fp, dv))
+    if not entries:
         return df
-    dead_df = spark.createDataFrame(dead, "__fp string, __ri long")
-    return df.join(F.broadcast(dead_df), ["__fp", "__ri"], "left_anti")
+    dead_df, small = _dv_pairs_df(spark, path, entries)
+    if small:
+        dead_df = F.broadcast(dead_df)
+    return df.join(dead_df, ["__fp", "__ri"], "left_anti")
 
 
 def delete_where(spark: SparkSession, path: str, condition: str) -> int:
@@ -1019,7 +1167,7 @@ def delete_where(spark: SparkSession, path: str, condition: str) -> int:
 
     now_ms = int(time.time() * 1000)
     log_dir = _log_dir(path)
-    version = max(v for v, _ in _commit_files(log_dir)) + 1
+    version = snap.version + 1  # snapshot replay reconciles _last_checkpoint
     actions = [{"protocol": _upgrade_protocol(snap.protocol, "deletionVectors")}]
     n_deleted = 0
     for row in built:
@@ -1090,7 +1238,7 @@ def update_where(spark: SparkSession, path: str, condition: str,
     # 3. ONE commit: DV remove/add pairs + the new data files
     now_ms = int(time.time() * 1000)
     log_dir = _log_dir(path)
-    version = max(v for v, _ in _commit_files(log_dir)) + 1
+    version = snap.version + 1  # snapshot replay reconciles _last_checkpoint
     actions = [{"protocol": _upgrade_protocol(snap.protocol, "deletionVectors")}]
     n_updated = 0
     for row in built:
@@ -1223,7 +1371,7 @@ def merge_into(
 
     now_ms = int(time.time() * 1000)
     log_dir = _log_dir(path)
-    version = max(v for v, _ in _commit_files(log_dir)) + 1
+    version = snap.version + 1  # snapshot replay reconciles _last_checkpoint
     actions = [{"protocol": _upgrade_protocol(snap.protocol, "deletionVectors")}]
     n_masked = 0
     for row in built:
@@ -1312,7 +1460,7 @@ def optimize(spark: SparkSession, path: str,
 
     now_ms = int(time.time() * 1000)
     log_dir = _log_dir(path)
-    version = max(v for v, _ in _commit_files(log_dir)) + 1
+    version = snap.version + 1  # snapshot replay reconciles _last_checkpoint
     actions = []
     for rel, entry in sorted(victims.items()):
         actions.append({"remove": {
@@ -1368,23 +1516,29 @@ def vacuum(spark: SparkSession, path: str, retention_hours: float = 168,
             rel = descriptor_relative_path(dv)
             if rel:
                 live.add(rel)
-    # removal times from the log: remove actions cover both the data
-    # file and (via the carried descriptor) its superseded DV file
+    # removal times from the snapshot's tombstones (which include the
+    # checkpoint-carried removes surviving JSON log cleanup) plus a
+    # rescan of whatever JSON commits remain: remove actions cover both
+    # the data file and (via the carried descriptor) its superseded DV
     removed_at: dict[str, int] = {}
+
+    def _note_remove(r: dict) -> None:
+        ts = int(r.get("deletionTimestamp") or 0)
+        removed_at[r["path"]] = max(removed_at.get(r["path"], 0), ts)
+        dv_rel = descriptor_relative_path(r.get("deletionVector") or {})
+        if dv_rel:
+            removed_at[dv_rel] = max(removed_at.get(dv_rel, 0), ts)
+
+    for _key, r in snap.tombstones.items():
+        _note_remove(r)
     for _v, fpath in _commit_files(_log_dir(path)):
         with open(fpath) as f:
             for line in f:
                 if not line.strip():
                     continue
                 action = json.loads(line)
-                if "remove" not in action:
-                    continue
-                r = action["remove"]
-                ts = int(r.get("deletionTimestamp") or 0)
-                removed_at[r["path"]] = max(removed_at.get(r["path"], 0), ts)
-                dv_rel = descriptor_relative_path(r.get("deletionVector") or {})
-                if dv_rel:
-                    removed_at[dv_rel] = max(removed_at.get(dv_rel, 0), ts)
+                if "remove" in action:
+                    _note_remove(action["remove"])
     cutoff_ms = (time.time() - retention_hours * 3600) * 1000
     doomed = []
     for root, dirs, files in os.walk(path):

@@ -864,3 +864,127 @@ def test_delta_vacuum_retention_from_deletion_time(spark, tmp_path):
     assert read_delta(spark, tbl, {"versionAsOf": 1}).count() == 20
     # zero retention: the removed files go
     assert len(vacuum(spark, tbl, retention_hours=0)) > 0
+
+
+# ------------------------------------------- delta scale + log-cleanup paths
+
+
+def test_delta_large_dv_never_decodes_on_driver(spark, tmp_path, monkeypatch):
+    """A DV past _DV_DRIVER_DECODE_MAX must decode on EXECUTORS only:
+    the driver-side read_descriptor is patched to raise, so any driver
+    materialization of the (file, row) tuples fails the test. Covers
+    read_delta, the annotated scan feeding UPDATE/MERGE, and the CDF
+    diff, on a multi-file table with a >10^5-position DV."""
+    import drill_spark.readers.delta_dv as delta_dv
+    from drill_spark.readers.delta import (
+        _DV_DRIVER_DECODE_MAX,
+        delete_where,
+        load_snapshot,
+        table_changes,
+        update_where,
+    )
+
+    tbl = str(tmp_path / "bigdv")
+    n = 300_000
+    write_delta(
+        spark.range(n).repartition(2).withColumnRenamed("id", "v"), tbl
+    )
+    assert delete_where(spark, tbl, "v % 2 = 0") == n // 2
+    snap = load_snapshot(spark, tbl)
+    total_card = sum(
+        e["dv"]["cardinality"] for e in snap.files.values() if e.get("dv")
+    )
+    assert total_card == n // 2 > _DV_DRIVER_DECODE_MAX
+
+    def boom(*a, **k):
+        raise AssertionError("driver-side DV decode on the read path")
+
+    monkeypatch.setattr(delta_dv, "read_descriptor", boom)
+    # force even the per-file CDF diffs (75k positions each) through the
+    # executor path — the per-call driver threshold is a size heuristic,
+    # the contract under test is that past it NOTHING decodes driver-side
+    import drill_spark.readers.delta as delta_mod
+
+    monkeypatch.setattr(delta_mod, "_DV_DRIVER_DECODE_MAX", 1000)
+
+    # plain read: deleted rows masked, no driver decode
+    assert read_delta(spark, tbl).count() == n // 2
+    got = read_delta(spark, tbl).agg(F.sum("v")).collect()[0][0]
+    assert got == sum(v for v in range(n) if v % 2)
+
+    # CDF over the delete commit: executor-side diff path
+    cdf = table_changes(spark, tbl, 1, 1)
+    assert cdf.where("_change_type = 'delete'").count() == n // 2
+
+    # UPDATE goes through _live_annotated_scan + executor DV build
+    assert update_where(spark, tbl, "v = 1", {"v": "v + 1000000"}) == 1
+    assert read_delta(spark, tbl).where("v = 1000001").count() == 1
+
+
+def test_delta_append_and_dml_after_log_cleanup(spark, tmp_path):
+    """After checkpoint-based JSON log cleanup, the table still EXISTS:
+    append derives the next version from the snapshot (not the JSON
+    files), mode='error' still refuses, and DML commits land at the
+    right version — nothing silently restarts the log at 0."""
+    import glob
+
+    from drill_spark.readers.delta import CHECKPOINT_INTERVAL, delete_where
+
+    tbl = str(tmp_path / "cleanup_append")
+    for i in range(CHECKPOINT_INTERVAL + 1):
+        df = spark.range(i * 10, i * 10 + 10).withColumnRenamed("id", "v")
+        write_delta(df, tbl, mode="append" if i else "error")
+    log = os.path.join(tbl, "_delta_log")
+    for f in glob.glob(os.path.join(glob.escape(log), "*.json")):
+        os.remove(f)
+
+    with pytest.raises(ValueError, match="already exists"):
+        write_delta(spark.range(1).withColumnRenamed("id", "v"), tbl)
+
+    write_delta(
+        spark.range(110, 120).withColumnRenamed("id", "v"), tbl, mode="append"
+    )
+    assert os.path.exists(os.path.join(log, f"{CHECKPOINT_INTERVAL + 1:020d}.json")), \
+        "append after log cleanup must continue the version sequence"
+    assert {r.v for r in read_delta(spark, tbl).collect()} == set(range(120))
+
+    assert delete_where(spark, tbl, "v >= 115") == 5
+    assert os.path.exists(os.path.join(log, f"{CHECKPOINT_INTERVAL + 2:020d}.json"))
+    assert read_delta(spark, tbl).count() == 115
+
+
+def test_delta_vacuum_honors_checkpointed_tombstones(spark, tmp_path):
+    """A file REMOVED recently but WRITTEN long ago must survive a
+    vacuum inside the retention window even after JSON log cleanup:
+    the checkpoint carries the remove tombstones (deletionTimestamp),
+    so vacuum must not fall back to the ancient file mtime."""
+    import glob
+    import time
+
+    from drill_spark.readers.delta import optimize, vacuum, write_checkpoint
+
+    tbl = str(tmp_path / "tomb")
+    for i in range(2):
+        write_delta(spark.range(i * 10, i * 10 + 10).withColumnRenamed("id", "v"),
+                    tbl, mode="append" if i else "error")
+    old_files = {
+        rel for rel in os.listdir(tbl) if rel.endswith(".parquet")
+    }
+    stats = optimize(spark, tbl)  # removes the small files "now"
+    assert stats["rewritten"] >= 2
+    write_checkpoint(spark, tbl)
+    log = os.path.join(tbl, "_delta_log")
+    for f in glob.glob(os.path.join(glob.escape(log), "*.json")):
+        os.remove(f)
+
+    # pretend the replaced files were written 10 days ago
+    ancient = time.time() - 10 * 24 * 3600
+    for rel in old_files:
+        os.utime(os.path.join(tbl, rel), (ancient, ancient))
+
+    # removal is recent -> inside the 24h window nothing may be listed
+    assert vacuum(spark, tbl, retention_hours=24, dry_run=True) == []
+    # zero retention: now they are fair game, and the table still reads
+    doomed = vacuum(spark, tbl, retention_hours=0)
+    assert set(doomed) >= old_files
+    assert read_delta(spark, tbl).count() == 20
