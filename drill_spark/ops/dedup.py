@@ -303,7 +303,6 @@ def connected_components(
     sym = sym.union(sym.select(F.col("d").alias("s"), F.col("s").alias("d"))).distinct()
     sym = sym.localCheckpoint(eager=True)
     labels = sym.select(F.col("s").alias("node")).distinct().withColumn("label", F.col("node"))
-    prev_sum = None
     converged = False
     for _ in range(max_iter):
         nmin = (
@@ -311,24 +310,28 @@ def connected_components(
             .groupBy("s")
             .agg(F.min("label").alias("nmin"))
         )
-        labels = (
+        stepped = (
             labels.join(nmin, labels["node"] == nmin["s"], "left")
             .select(
                 F.col("node"),
+                F.col("label").alias("__prev"),
                 F.least(F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))).alias("label"),
             )
             .localCheckpoint(eager=False)
         )
-        # labels only decrease, so sum(label) strictly decreases until
-        # convergence — one scalar agg replaces a join+count per round;
-        # the lazy checkpoint means this same action materializes AND
-        # persists the new labels, so each round costs ONE job (the
-        # eager variant pays a materialization job plus the agg job).
-        cur = labels.agg(F.sum("label")).head()[0]
-        if cur == prev_sum:
+        # exact changed-label count — immune to the long-sum wraparound
+        # a sum(label) fingerprint risks at extreme id ranges (ANSI off
+        # wraps silently); the lazy checkpoint means this same action
+        # materializes AND persists the new labels, so each round costs
+        # ONE job (the eager variant pays a materialization job plus
+        # the agg job).
+        changed = stepped.agg(
+            F.count(F.when(F.col("label") != F.col("__prev"), True)).alias("n")
+        ).head()[0]
+        labels = stepped.drop("__prev")
+        if changed == 0:
             converged = True
             break
-        prev_sum = cur
     if not converged:
         # returning partial labels would silently split one duplicate
         # cluster into several "canonical" representatives

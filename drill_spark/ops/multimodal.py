@@ -201,8 +201,20 @@ def parse_id3v2(payload: bytes) -> dict[str, str]:
     if b[:3] != b"ID3" or len(b) < 10:
         return {}
     ver = b[3]
+    if ver < 3:
+        return {}  # ID3v2.2 uses 3-byte frame ids/sizes — different layout
+    flags = b[5]
     size = (b[6] << 21) | (b[7] << 14) | (b[8] << 7) | b[9]
     pos, end = 10, min(10 + size, len(b))
+    if flags & 0x40 and pos + 4 <= end:
+        # extended header precedes the frames: v2.4 stores its total
+        # size syncsafe (self-inclusive), v2.3 big-endian EXCLUDING the
+        # 4 size bytes themselves
+        if ver >= 4:
+            ext = (b[pos] << 21) | (b[pos + 1] << 14) | (b[pos + 2] << 7) | b[pos + 3]
+        else:
+            ext = int.from_bytes(b[pos:pos + 4], "big") + 4
+        pos += ext
     out: dict[str, str] = {}
     while pos + 10 <= end:
         fid = b[pos:pos + 4]

@@ -827,12 +827,18 @@ def _commit_mixed_snapshot(path: str, meta: dict, del_entries: list[dict],
 
 
 def read_incremental(spark: SparkSession, path: str, from_snapshot: int,
-                     to_snapshot: int | None = None) -> DataFrame:
+                     to_snapshot: int | None = None,
+                     skip_overwrites: bool = False) -> DataFrame:
     """Incremental append scan (Iceberg's incremental read): rows in
     data files ADDED by snapshots in (from_snapshot, to_snapshot],
-    tagged with ``_snapshot_id``. Replace/delete snapshots contribute
-    nothing (same contract as Iceberg's append-only incremental scan —
-    consumers needing row-level deletes diff snapshots instead)."""
+    tagged with ``_snapshot_id``. Delete/replace snapshots contribute
+    nothing (they add no rows — same contract as Iceberg's append-only
+    incremental scan; consumers needing row-level deletes diff
+    snapshots instead). An OVERWRITE snapshot in the window (UPDATE/
+    MERGE rewrote rows) RAISES, matching Iceberg's incremental-scan
+    contract — silently dropping it would let consumers miss data with
+    no signal; pass ``skip_overwrites=True`` to opt into the lossy
+    feed (Flink's streaming-skip-overwrite-snapshots switch)."""
     loc_meta = _table_metadata(path)
     loc = loc_meta.get("location")
     schema = _current_schema(loc_meta)
@@ -842,7 +848,15 @@ def read_incremental(spark: SparkSession, path: str, from_snapshot: int,
         sid = snap["snapshot-id"]
         if sid <= from_snapshot or (to_snapshot is not None and sid > to_snapshot):
             continue
-        if (snap.get("summary") or {}).get("operation") not in (None, "append"):
+        op = (snap.get("summary") or {}).get("operation")
+        if op == "overwrite" and not skip_overwrites:
+            raise ValueError(
+                f"incremental scan window contains overwrite snapshot {sid} "
+                "(UPDATE/MERGE rewrote rows); rows it inserted or rewrote "
+                "cannot be represented in an append-only feed — pass "
+                "skip_overwrites=True to skip it explicitly"
+            )
+        if op not in (None, "append"):
             continue
         ml = _rebase(snap["manifest-list"], path, loc)
         with open(ml, "rb") as f:

@@ -200,9 +200,30 @@ class _Handler(BaseHTTPRequestHandler):
         else:
             self._reply(404, {"errorMessage": f"no such resource {self.path}"})
 
+    def _cross_site(self) -> bool:
+        """CSRF guard: any browser page can auto-submit a form (or a
+        text/plain fetch) to this port, and /query executes
+        side-effecting SQL (DML/VACUUM). Browsers label such requests
+        with Sec-Fetch-Site / Origin; reject them unless same-origin.
+        Non-browser clients (curl, python-requests, JDBC bridges) send
+        neither header and pass untouched."""
+        sfs = self.headers.get("Sec-Fetch-Site")
+        if sfs and sfs not in ("same-origin", "none"):
+            return True
+        origin = self.headers.get("Origin")
+        if origin and origin != "null":
+            host = self.headers.get("Host")
+            if host and urllib.parse.urlsplit(origin).netloc != host:
+                return True
+        return origin == "null"
+
     def do_POST(self):
         if not self.path.startswith("/query"):
             self._reply(404, {"errorMessage": f"no such resource {self.path}"})
+            return
+        if self._cross_site():
+            self._reply(403, {"queryState": "FAILED",
+                              "errorMessage": "cross-site request rejected"})
             return
         s = type(self).session
         ctype = (self.headers.get("Content-Type") or "").split(";")[0].strip()

@@ -484,6 +484,41 @@ def test_id3v2_parser_both_versions():
     assert parse_id3v2(b"\xff\xfb\x90\x00") == {}  # no tag
 
 
+def test_id3v2_extended_header_and_v22():
+    """Tags with the extended-header flag (0x40) must skip it before
+    the frame loop — v2.3 stores its size big-endian excluding the
+    size field, v2.4 syncsafe self-inclusive; ID3v2.2 (3-byte layout)
+    returns {} instead of being mis-parsed."""
+    import struct
+
+    from drill_spark.ops.multimodal import parse_id3v2
+
+    def v23_frame(fid, body):
+        data = b"\x00" + body
+        return fid + struct.pack(">I", len(data)) + b"\x00\x00" + data
+
+    def syncsafe(n):
+        return bytes([(n >> 21) & 0x7F, (n >> 14) & 0x7F, (n >> 7) & 0x7F, n & 0x7F])
+
+    # v2.3: ext header = size(4, excl.) + flags(2) + padding size(4)
+    ext23 = struct.pack(">I", 6) + b"\x00\x00" + struct.pack(">I", 0)
+    frames = v23_frame(b"TIT2", b"ext ok")
+    body = ext23 + frames
+    tag23 = b"ID3\x03\x00\x40" + syncsafe(len(body)) + body
+    assert parse_id3v2(tag23) == {"TIT2": "ext ok"}
+
+    # v2.4: ext header = syncsafe size(4, incl.) + nflags(1) + flags(1)
+    ext24 = syncsafe(6) + b"\x01\x00"
+    f24 = b"TALB" + syncsafe(6) + b"\x00\x00" + b"\x03album"
+    body = ext24 + f24
+    tag24 = b"ID3\x04\x00\x40" + syncsafe(len(body)) + body
+    assert parse_id3v2(tag24) == {"TALB": "album"}
+
+    # ID3v2.2: gracefully empty, never v2.3-layout garbage
+    tag22 = b"ID3\x02\x00\x00" + syncsafe(12) + b"TT2\x00\x00\x06\x00hello"
+    assert parse_id3v2(tag22) == {}
+
+
 def test_g711_companding_codecs():
     """G.711 mu-law/A-law closed-form codecs: table anchors, full-range
     encode(decode(c)) idempotence (minus the mu-law -0/+0 alias), the

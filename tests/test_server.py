@@ -130,3 +130,45 @@ def test_web_ui_storage_and_options_pages(rest):
     assert code == 200 and "dfs.web" in page
     code, _, page = _get(f"{rest}/options")
     assert code == 200 and "<table>" in page
+
+
+def test_web_ui_rejects_cross_site_posts(rest):
+    """A browser-labeled cross-site POST (Sec-Fetch-Site / foreign
+    Origin — what a hostile page's auto-submitted form carries) is
+    refused with 403 before any SQL runs; same-origin browser posts
+    and header-less CLI clients keep working."""
+    import urllib.error
+    import urllib.parse
+    import urllib.request
+
+    def post(headers):
+        data = urllib.parse.urlencode({"query": "select 1 as x"}).encode()
+        req = urllib.request.Request(
+            f"{rest}/query", data=data,
+            headers={"Content-Type": "application/x-www-form-urlencoded",
+                     **headers},
+        )
+        try:
+            with urllib.request.urlopen(req) as r:
+                return r.status
+        except urllib.error.HTTPError as e:
+            return e.code
+
+    assert post({"Sec-Fetch-Site": "cross-site"}) == 403
+    assert post({"Origin": "http://evil.example"}) == 403
+    assert post({"Origin": "null"}) == 403
+    host = rest.split("//", 1)[1]
+    assert post({"Sec-Fetch-Site": "same-origin", "Origin": f"http://{host}"}) == 200
+    assert post({}) == 200  # curl-style client, no browser headers
+
+    # the JSON API route is guarded too (text/plain CSRF vector)
+    req = urllib.request.Request(
+        f"{rest}/query.json", data=b'{"query": "select 1 as x"}',
+        headers={"Content-Type": "text/plain", "Sec-Fetch-Site": "cross-site"},
+    )
+    try:
+        with urllib.request.urlopen(req) as r:
+            code = r.status
+    except urllib.error.HTTPError as e:
+        code = e.code
+    assert code == 403

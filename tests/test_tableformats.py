@@ -988,3 +988,25 @@ def test_delta_vacuum_honors_checkpointed_tombstones(spark, tmp_path):
     doomed = vacuum(spark, tbl, retention_hours=0)
     assert set(doomed) >= old_files
     assert read_delta(spark, tbl).count() == 20
+
+
+def test_iceberg_read_incremental_raises_on_overwrite(spark, tmp_path):
+    """An overwrite snapshot (UPDATE/MERGE) inside the incremental
+    window must raise — an append-only feed cannot represent rewritten
+    rows — unless the caller opts into skipping explicitly."""
+    from drill_spark.readers.iceberg import read_incremental, update_where
+
+    tbl = str(tmp_path / "ice_inc_ow")
+    write_iceberg(spark.range(3).select(F.col("id").alias("k")), tbl)       # snap 1
+    update_where(spark, tbl, "k = 1", {"k": "k + 100"})                     # snap 2
+    write_iceberg(spark.range(10, 12).select(F.col("id").alias("k")), tbl,
+                  mode="append")                                            # snap 3
+
+    with pytest.raises(ValueError, match="overwrite snapshot"):
+        read_incremental(spark, tbl, from_snapshot=1)
+    # window before the overwrite is unaffected
+    assert read_incremental(spark, tbl, 2).count() == 2
+    # explicit opt-in skips it
+    got = {r.k for r in read_incremental(
+        spark, tbl, 1, skip_overwrites=True).collect()}
+    assert got == {10, 11}
