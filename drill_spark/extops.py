@@ -877,9 +877,10 @@ def q_multimodal_decode(spark, sf_dir):
     becomes a genuine 24-bit BMP (key%5==0; constant pixel value
     (key*9)%256, width key%5+2, height 3), a 16-bit PCM WAV (key%5==1;
     square wave of amplitude (key%50)/100, 80+key samples at 8 kHz),
-    a REAL baseline JPEG (key%5==2; constant gray (key*9)%256 — exact
-    through the codec because the q75 luminance DC step equals the 8x8
-    DCT's DC gain, see ops/jpeg.py), a REAL AVI video (key%5==3;
+    a REAL JPEG — alternating baseline SOF0 and progressive SOF2
+    (key%5==2; constant gray (key*9)%256 — exact through the codec
+    because the q75 luminance DC step equals the 8x8 DCT's DC gain,
+    see ops/jpeg.py), a REAL AVI video (key%5==3;
     key%3+2 uncompressed BI_RGB frames at 5 fps, frame i constant value
     (key*9)%200 + 10*i, so the all-frame pixel mean is the closed form
     (key*9)%200 + 5*(key%3+1)), or a REAL FLAC (key%5==4; 16-bit square
@@ -901,7 +902,7 @@ def q_multimodal_decode(spark, sf_dir):
         import numpy as np
 
         from drill_spark.ops.flac import encode_flac
-        from drill_spark.ops.jpeg import encode_jpeg
+        from drill_spark.ops.jpeg import encode_jpeg, encode_jpeg_progressive
         from drill_spark.ops.video import encode_avi
 
         for pdf in batches:
@@ -920,7 +921,11 @@ def q_multimodal_decode(spark, sf_dir):
                     rows.append({"doc_id": k, "payload": encode_wav(x, 8000)})
                 elif k % 5 == 2:
                     img = np.full((3, w, 3), v, dtype="uint8")
-                    rows.append({"doc_id": k, "payload": encode_jpeg(img)})
+                    # alternate baseline SOF0 / progressive SOF2 payloads
+                    # — same quantized coefficients, identical decode,
+                    # so the closed-form oracle covers both processes
+                    enc = encode_jpeg if k % 10 == 2 else encode_jpeg_progressive
+                    rows.append({"doc_id": k, "payload": enc(img)})
                 elif k % 5 == 3:
                     frames = [
                         np.full((3, w, 3), (k * 9) % 200 + 10 * i, dtype="uint8")

@@ -1,12 +1,24 @@
-"""Baseline JPEG (SOF0) codec — stdlib struct + numpy, no codec libs.
+"""Baseline (SOF0) + progressive (SOF2) JPEG codec — stdlib struct +
+numpy, no codec libs.
 
 Implements the public ITU-T T.81 baseline process: DQT/DHT/SOF0/SOS
 segment parsing, canonical Huffman decode of DC-difference and AC
 run-length coefficients with byte-unstuffing and RSTn restart
 handling, dequantization + inverse zigzag, the separable 8x8 type-III
 DCT, chroma upsampling for 4:4:4 / 4:2:2 / 4:2:0 samplings, and the
-JFIF YCbCr<->RGB color transform. Progressive (SOF2), arithmetic and
-lossless processes raise NotImplementedError naming the process.
+JFIF YCbCr<->RGB color transform.
+
+Progressive (SOF2) decode implements T.81 G.1.2 in full: spectral
+selection (per-scan Ss..Se coefficient bands, interleaved DC scans,
+non-interleaved AC scans with EOB-run codes) and successive
+approximation (DC arithmetic point transform + bit refinement, AC
+magnitude point transform with newly-nonzero insertion and
+correction-bit refinement). Coefficients accumulate across scans and
+reconstruct once at EOI through the same IDCT/upsample/color path as
+baseline — so for identical quantized coefficients, baseline and
+progressive decodes are bit-identical, which is the test oracle.
+Arithmetic-coded and lossless processes raise NotImplementedError
+naming the process.
 
 The encoder exists for fixtures and roundtrip oracles: 4:4:4 baseline
 with the T.81 Annex K quantization/Huffman tables at libjpeg-style
@@ -196,7 +208,8 @@ def _extend(v: int, s: int) -> int:
 
 
 def decode_jpeg(payload: bytes) -> np.ndarray:
-    """Baseline JPEG bytes -> (H, W, 3) uint8 RGB."""
+    """Baseline (SOF0/SOF1) or progressive (SOF2) JPEG bytes ->
+    (H, W, 3) uint8 RGB."""
     b = bytes(payload)
     if b[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (no SOI)")
@@ -206,6 +219,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     comps = None
     W = H = None
     restart_interval = 0
+    progressive = False
     while pos + 4 <= len(b):
         if b[pos] != 0xFF:
             pos += 1
@@ -239,16 +253,20 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 vals = list(seg[s + 17: s + 17 + n])
                 huff[(tc, th)] = _build_decode_table(bits, vals)
                 s += 17 + n
-        elif marker == 0xC0:  # SOF0 baseline
-            _prec, H, W, nc = struct.unpack_from(">BHHB", seg, 0)
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0 / ext. sequential / progressive
+            progressive = marker == 0xC2
+            prec, H, W, nc = struct.unpack_from(">BHHB", seg, 0)
+            if prec != 8:
+                raise NotImplementedError(f"JPEG sample precision {prec} (only 8)")
             comps = []
             for i in range(nc):
                 cid, hv, tq = struct.unpack_from("BBB", seg, 6 + 3 * i)
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 15, "tq": tq})
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                f"JPEG process SOF{marker - 0xC0} (only baseline SOF0 supported)"
+                f"JPEG process SOF{marker - 0xC0} "
+                "(baseline SOF0/SOF1 and progressive SOF2 supported)"
             )
         elif marker == 0xDD:  # DRI
             restart_interval = struct.unpack_from(">H", seg, 0)[0]
@@ -259,13 +277,38 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 cs, tt = seg[1 + 2 * i], seg[2 + 2 * i]
                 scan.append((cs, tt >> 4, tt & 15))
             data_start = pos + 2 + seglen
-            return _decode_scan(
-                b[data_start:], comps, scan, qt, huff, W, H, restart_interval
+            if not progressive:
+                return _decode_scan(
+                    b[data_start:], comps, scan, qt, huff, W, H, restart_interval
+                )
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            ahal = seg[3 + 2 * ns]
+            end = _entropy_end(b, data_start)
+            _decode_progressive_scan(
+                b[data_start:end], comps, scan, huff, W, H,
+                ss, se, ahal >> 4, ahal & 15, restart_interval,
             )
+            pos = end
+            continue
         elif marker == 0xD9:  # EOI
+            if progressive and comps and any("coef" in c for c in comps):
+                return _reconstruct_progressive(comps, qt, W, H)
             break
         pos += 2 + seglen
+    if progressive and comps and any("coef" in c for c in comps):
+        return _reconstruct_progressive(comps, qt, W, H)  # truncated: no EOI
     raise ValueError("no SOS segment found")
+
+
+def _entropy_end(b: bytes, start: int) -> int:
+    """Index of the first real marker after entropy-coded data
+    (0xFF followed by anything but a stuffed 0x00 or RSTn)."""
+    i = start
+    while i + 1 < len(b):
+        if b[i] == 0xFF and b[i + 1] != 0x00 and not (0xD0 <= b[i + 1] <= 0xD7):
+            return i
+        i += 1
+    return len(b)
 
 
 def _decode_scan(data, comps, scan, qt, huff, W, H, restart_interval):
@@ -321,6 +364,13 @@ def _decode_scan(data, comps, scan, qt, huff, W, H, restart_interval):
                         x0 = (mx * c["h"] + vx) * 8
                         c["plane"][y0: y0 + 8, x0: x0 + 8] = px
 
+    return _planes_to_rgb(comps, W, H, maxh, maxv)
+
+
+def _planes_to_rgb(comps, W, H, maxh, maxv) -> np.ndarray:
+    """Upsample each component's sample plane to full resolution and
+    apply the JFIF YCbCr->RGB transform (shared baseline/progressive
+    tail)."""
     planes = []
     for c in comps:
         p = c["plane"]
@@ -329,12 +379,190 @@ def _decode_scan(data, comps, scan, qt, huff, W, H, restart_interval):
         planes.append(p[:H, :W])
     if len(planes) == 1:
         y = np.clip(planes[0], 0, 255)
-        return np.repeat(y[:, :, None], 3, axis=2).astype("uint8")
+        return np.repeat(y[:, :, None], 3, axis=2).round().astype("uint8")
     y, cb, cr = planes[0], planes[1] - 128.0, planes[2] - 128.0
     r = y + 1.402 * cr
     g = y - 0.344136 * cb - 0.714136 * cr
     bl = y + 1.772 * cb
     return np.clip(np.stack([r, g, bl], axis=2), 0, 255).round().astype("uint8")
+
+
+# ------------------------------------------- progressive decode (T.81 G.1.2)
+
+
+def _ac_first(br: _Bits, lut, cf, Ss, Se, Al, state) -> None:
+    """First AC scan of a band: run-length/size symbols with EOB-run
+    codes; decoded magnitudes enter at precision Al (G.1.2.2)."""
+    if state["eobrun"] > 0:
+        state["eobrun"] -= 1
+        return
+    k = Ss
+    while k <= Se:
+        rs = _decode_symbol(br, lut)
+        r, s = rs >> 4, rs & 15
+        if s == 0:
+            if r == 15:  # ZRL: sixteen zeros
+                k += 16
+                continue
+            eobrun = (1 << r) - 1  # current block completes the run
+            if r:
+                eobrun += br.read(r)
+            state["eobrun"] = eobrun
+            break
+        k += r
+        if k > Se:
+            raise ValueError("progressive AC scan ran past Se")
+        cf[ZIGZAG[k]] = _extend(br.read(s), s) << Al
+        k += 1
+
+
+def _ac_refine(br: _Bits, lut, cf, Ss, Se, Al, state) -> None:
+    """AC refinement scan (G.1.2.3): newly-nonzero coefficients enter
+    at +-2^Al; already-nonzero coefficients receive one correction bit
+    each as the scan walks over them; EOB runs count whole blocks whose
+    remainder carries correction bits only."""
+    p1 = 1 << Al
+    k = Ss
+    if state["eobrun"] == 0:
+        while k <= Se:
+            rs = _decode_symbol(br, lut)
+            r, s = rs >> 4, rs & 15
+            newval = 0
+            if s == 0:
+                if r != 15:
+                    eobrun = 1 << r  # includes the current block's tail
+                    if r:
+                        eobrun += br.read(r)
+                    state["eobrun"] = eobrun
+                    break
+                # ZRL: skip 16 zero-history coefficients
+            else:
+                newval = p1 if br.read(1) else -p1
+            while k <= Se:
+                z = ZIGZAG[k]
+                if cf[z] != 0:
+                    if br.read(1) and (abs(int(cf[z])) & p1) == 0:
+                        cf[z] += p1 if cf[z] > 0 else -p1
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if s and k <= Se:
+                cf[ZIGZAG[k]] = newval
+            k += 1
+    if state["eobrun"] > 0:
+        while k <= Se:  # remainder of the block: correction bits only
+            z = ZIGZAG[k]
+            if cf[z] != 0:
+                if br.read(1) and (abs(int(cf[z])) & p1) == 0:
+                    cf[z] += p1 if cf[z] > 0 else -p1
+            k += 1
+        state["eobrun"] -= 1
+
+
+def _decode_progressive_scan(data, comps, scan, huff, W, H,
+                             Ss, Se, Ah, Al, restart_interval) -> None:
+    """Decode one progressive scan into the per-component coefficient
+    accumulators (created on first use). DC scans may be interleaved;
+    AC scans are single-component over the component's own block grid
+    (T.81 G.1.1)."""
+    maxh = max(c["h"] for c in comps)
+    maxv = max(c["v"] for c in comps)
+    mcux = (W + 8 * maxh - 1) // (8 * maxh)
+    mcuy = (H + 8 * maxv - 1) // (8 * maxv)
+    by_id = {c["id"]: c for c in comps}
+    for c in comps:
+        if "coef" not in c:
+            c["coef"] = np.zeros((mcuy * c["v"], mcux * c["h"], 64), dtype=np.int64)
+    order = []
+    for cs, td, ta in scan:
+        c = by_id[cs]
+        c["td"], c["ta"] = td, ta
+        order.append(c)
+
+    br = _Bits(bytes(data))
+    state = {"eobrun": 0}
+
+    def comp_blocks(c):
+        comp_w = (W * c["h"] + maxh - 1) // maxh
+        comp_h = (H * c["v"] + maxv - 1) // maxv
+        return (comp_h + 7) // 8, (comp_w + 7) // 8
+
+    if Ss == 0:
+        # ---- DC scan ----
+        if Se != 0:
+            raise ValueError("progressive DC scan must have Se=0 (T.81 G.1.1.1)")
+        for c in order:
+            c["dc"] = 0
+
+        def dc_block(c, byy, bxx):
+            cf = c["coef"][byy, bxx]
+            if Ah == 0:
+                s = _decode_symbol(br, huff[(0, c["td"])])
+                c["dc"] += _extend(br.read(s), s)
+                cf[0] = c["dc"] << Al
+            elif br.read(1):
+                cf[0] |= 1 << Al
+
+        if len(order) > 1:
+            unit = 0
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    if restart_interval and unit and unit % restart_interval == 0:
+                        br.align_restart()
+                        for c in order:
+                            c["dc"] = 0
+                    unit += 1
+                    for c in order:
+                        for vy in range(c["v"]):
+                            for vx in range(c["h"]):
+                                dc_block(c, my * c["v"] + vy, mx * c["h"] + vx)
+        else:
+            c = order[0]
+            bh_, bw_ = comp_blocks(c)
+            unit = 0
+            for byy in range(bh_):
+                for bxx in range(bw_):
+                    if restart_interval and unit and unit % restart_interval == 0:
+                        br.align_restart()
+                        c["dc"] = 0
+                    unit += 1
+                    dc_block(c, byy, bxx)
+        return
+
+    # ---- AC scan: single component, own block grid ----
+    if len(order) != 1:
+        raise ValueError("progressive AC scan must be non-interleaved (ns=1)")
+    c = order[0]
+    lut = huff[(1, c["ta"])]
+    bh_, bw_ = comp_blocks(c)
+    unit = 0
+    for byy in range(bh_):
+        for bxx in range(bw_):
+            if restart_interval and unit and unit % restart_interval == 0:
+                br.align_restart()
+                state["eobrun"] = 0
+            unit += 1
+            cf = c["coef"][byy, bxx]
+            if Ah == 0:
+                _ac_first(br, lut, cf, Ss, Se, Al, state)
+            else:
+                _ac_refine(br, lut, cf, Ss, Se, Al, state)
+
+
+def _reconstruct_progressive(comps, qt, W, H) -> np.ndarray:
+    """Dequantize the accumulated coefficient planes, IDCT every block
+    (vectorized einsum), and reuse the baseline upsample/color tail."""
+    maxh = max(c["h"] for c in comps)
+    maxv = max(c["v"] for c in comps)
+    for c in comps:
+        q = qt[c["tq"]].reshape(64).astype(np.float64)  # natural order
+        by, bx = c["coef"].shape[:2]
+        blocks = (c["coef"] * q).reshape(by, bx, 8, 8)
+        px = np.einsum("ij,abjk,kl->abil", _T.T, blocks, _T) + 128.0
+        c["plane"] = px.transpose(0, 2, 1, 3).reshape(by * 8, bx * 8)
+    return _planes_to_rgb(comps, W, H, maxh, maxv)
 
 
 # ------------------------------------------------------------- encode
@@ -411,12 +639,10 @@ def _encode_block(bw, block, q, dct, act, pred, ci):
         bw.write(code, ln)
 
 
-def encode_jpeg(img, quality: int = 75, subsampling: str = "4:4:4") -> bytes:
-    """numpy (H, W, 3) uint8 RGB -> baseline JFIF bytes.
-
-    subsampling "4:4:4" (default, exact-DC fixture path) or "4:2:0"
-    (2x2 chroma decimation, the common camera layout — exercises the
-    decoder's upsampling path)."""
+def _encoder_planes(img, quality: int, subsampling: str):
+    """Shared front half of both encoders: RGB->YCbCr, padding to the
+    MCU grid, chroma decimation, scaled quant tables. Returns
+    (H, W, sh, sv, mcux, mcuy, ql, qc, yp, cbp, crp)."""
     img = np.asarray(img, dtype=np.float64)
     H, W = img.shape[:2]
     r, g, bch = img[:, :, 0], img[:, :, 1], img[:, :, 2]
@@ -424,14 +650,9 @@ def encode_jpeg(img, quality: int = 75, subsampling: str = "4:4:4") -> bytes:
     cb = -0.168736 * r - 0.331264 * g + 0.5 * bch + 128.0
     cr = 0.5 * r - 0.418688 * g - 0.081312 * bch + 128.0
 
-    hv = {"4:4:4": (1, 1), "4:2:0": (2, 2)}[subsampling]
-    sh, sv = hv
+    sh, sv = {"4:4:4": (1, 1), "4:2:0": (2, 2)}[subsampling]
     ql = _scale_table(_QT_LUMA, quality)
     qc = _scale_table(_QT_CHROMA, quality)
-    dc_l = _build_encode_table(*_DC_LUMA)
-    dc_c = _build_encode_table(*_DC_CHROMA)
-    ac_l = _build_encode_table(*_AC_LUMA)
-    ac_c = _build_encode_table(*_AC_CHROMA)
 
     mw, mh = 8 * sh, 8 * sv  # MCU pixel size
     mcux, mcuy = (W + mw - 1) // mw, (H + mh - 1) // mh
@@ -447,6 +668,37 @@ def encode_jpeg(img, quality: int = 75, subsampling: str = "4:4:4") -> bytes:
         full_cr = pad_to(cr, mcuy * mh, mcux * mw)
         cbp = full_cb.reshape(mcuy * 8, sv, mcux * 8, sh).mean(axis=(1, 3))
         crp = full_cr.reshape(mcuy * 8, sv, mcux * 8, sh).mean(axis=(1, 3))
+    return H, W, sh, sv, mcux, mcuy, ql, qc, yp, cbp, crp
+
+
+def _seg(marker, body):
+    return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+
+def _dqt_seg(tq, tab):
+    return _seg(0xDB, bytes([tq]) + bytes(tab.reshape(64)[ZIGZAG].astype(np.uint8)))
+
+
+def _dht_seg(tc, th, bits, vals):
+    return _seg(0xC4, bytes([(tc << 4) | th]) + bytes(bits) + bytes(vals))
+
+
+_APP0_JFIF = _seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+
+
+def encode_jpeg(img, quality: int = 75, subsampling: str = "4:4:4") -> bytes:
+    """numpy (H, W, 3) uint8 RGB -> baseline JFIF bytes.
+
+    subsampling "4:4:4" (default, exact-DC fixture path) or "4:2:0"
+    (2x2 chroma decimation, the common camera layout — exercises the
+    decoder's upsampling path)."""
+    H, W, sh, sv, mcux, mcuy, ql, qc, yp, cbp, crp = _encoder_planes(
+        img, quality, subsampling
+    )
+    dc_l = _build_encode_table(*_DC_LUMA)
+    dc_c = _build_encode_table(*_DC_CHROMA)
+    ac_l = _build_encode_table(*_AC_LUMA)
+    ac_c = _build_encode_table(*_AC_CHROMA)
 
     bw = _BitWriter()
     pred = [0, 0, 0]
@@ -463,20 +715,216 @@ def encode_jpeg(img, quality: int = 75, subsampling: str = "4:4:4") -> bytes:
                               qc, dc_c, ac_c, pred, ci)
     bw.flush()
 
-    def seg(marker, body):
-        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
-
-    def dqt(tq, tab):
-        return seg(0xDB, bytes([tq]) + bytes(tab.reshape(64)[ZIGZAG].astype(np.uint8)))
-
-    def dht(tc, th, bits, vals):
-        return seg(0xC4, bytes([(tc << 4) | th]) + bytes(bits) + bytes(vals))
-
-    sof = seg(0xC0, struct.pack(">BHHB", 8, H, W, 3)
-              + bytes([1, (sh << 4) | sv, 0]) + bytes([2, 0x11, 1]) + bytes([3, 0x11, 1]))
-    sos = seg(0xDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
-    app0 = seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
-    return (b"\xff\xd8" + app0 + dqt(0, ql) + dqt(1, qc)
-            + dht(0, 0, *_DC_LUMA) + dht(0, 1, *_DC_CHROMA)
-            + dht(1, 0, *_AC_LUMA) + dht(1, 1, *_AC_CHROMA)
+    sof = _seg(0xC0, struct.pack(">BHHB", 8, H, W, 3)
+               + bytes([1, (sh << 4) | sv, 0]) + bytes([2, 0x11, 1]) + bytes([3, 0x11, 1]))
+    sos = _seg(0xDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
+    return (b"\xff\xd8" + _APP0_JFIF + _dqt_seg(0, ql) + _dqt_seg(1, qc)
+            + _dht_seg(0, 0, *_DC_LUMA) + _dht_seg(0, 1, *_DC_CHROMA)
+            + _dht_seg(1, 0, *_AC_LUMA) + _dht_seg(1, 1, *_AC_CHROMA)
             + sof + sos + bytes(bw.out) + b"\xff\xd9")
+
+
+# --------------------------------------------------- progressive encode
+
+
+# libjpeg's standard scan script for 3-component YCbCr (jcparam.c —
+# public layout): DC of all components at Al=1, AC bands per component
+# at coarse precision, then DC + AC refinements down to full precision.
+_STD_PROGRESSIVE_SCANS = [
+    # (component indexes, Ss, Se, Ah, Al)
+    ([0, 1, 2], 0, 0, 0, 1),
+    ([0], 1, 5, 0, 2),
+    ([2], 1, 63, 0, 1),
+    ([1], 1, 63, 0, 1),
+    ([0], 6, 63, 0, 2),
+    ([0], 1, 63, 2, 1),
+    ([0, 1, 2], 0, 0, 1, 0),
+    ([2], 1, 63, 1, 0),
+    ([1], 1, 63, 1, 0),
+    ([0], 1, 63, 1, 0),
+]
+
+
+def _block_coefs(plane, q):
+    """(BY*8, BX*8) sample plane -> (BY, BX, 64) quantized DCT
+    coefficients in natural order (q is the 8x8 natural-order table)."""
+    by, bx = plane.shape[0] // 8, plane.shape[1] // 8
+    blocks = (plane - 128.0).reshape(by, 8, bx, 8).transpose(0, 2, 1, 3)
+    coef = np.einsum("ij,abjk,kl->abil", _T, blocks, _T.T)
+    return np.round(coef / q.astype(np.float64)).astype(np.int64).reshape(by, bx, 64)
+
+
+def _emit_ac_first(bw, act, zz, Ss, Se, Al):
+    """One block of a first AC scan: magnitude point transform
+    (abs >> Al, sign kept), run/size coding, per-block EOB0 (valid —
+    EOB-run accumulation is an optimization, not a requirement)."""
+    vals = []
+    for k in range(Ss, Se + 1):
+        v = int(zz[ZIGZAG[k]])
+        m = abs(v) >> Al
+        vals.append(m if v >= 0 else -m)
+    last_nz = max((i for i, v in enumerate(vals) if v), default=-1)
+    run = 0
+    for i in range(last_nz + 1):
+        v = vals[i]
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, ln = act[0xF0]
+            bw.write(code, ln)
+            run -= 16
+        s = _category(v)
+        code, ln = act[(run << 4) | s]
+        bw.write(code, ln)
+        bw.write(v if v >= 0 else v + (1 << s) - 1, s)
+        run = 0
+    if last_nz < Se - Ss:
+        code, ln = act[0x00]  # EOB0
+        bw.write(code, ln)
+
+
+def _emit_ac_refine(bw, act, zz, Ss, Se, Al):
+    """One block of an AC refinement scan: newly-nonzero coefficients
+    (magnitude 1 at this precision) emit run/1 symbols + sign bit;
+    already-nonzero ones contribute buffered correction bits; the tail
+    past the last newly-nonzero coefficient rides on EOB0."""
+    p1 = 1 << Al
+    mags = []
+    for k in range(Ss, Se + 1):
+        v = int(zz[ZIGZAG[k]])
+        mags.append((abs(v) >> Al, v >= 0))
+    eob_i = max((i for i, (m, _pos) in enumerate(mags) if m == 1), default=-1)
+    run = 0
+    corr: list[int] = []
+    for i in range(eob_i + 1):
+        m, positive = mags[i]
+        if m == 0:
+            run += 1
+            continue
+        # a pending ZRL must go out at the FIRST nonzero coefficient
+        # after its 16-zero span — correction-bit positions included —
+        # or bits buffered later would wrongly ride with it
+        while run > 15:
+            code, ln = act[0xF0]
+            bw.write(code, ln)
+            for bit in corr:
+                bw.write(bit, 1)
+            corr = []
+            run -= 16
+        if m > 1:  # nonzero history: correction bit, rides with next symbol
+            corr.append(m & 1)
+            continue
+        code, ln = act[(run << 4) | 1]
+        bw.write(code, ln)
+        bw.write(1 if positive else 0, 1)
+        for bit in corr:
+            bw.write(bit, 1)
+        corr = []
+        run = 0
+    tail = [m & 1 for m, _pos in mags[eob_i + 1:] if m > 1]
+    if eob_i < Se - Ss:
+        code, ln = act[0x00]  # EOB0: decoder refines the remainder
+        bw.write(code, ln)
+        for bit in corr + tail:
+            bw.write(bit, 1)
+
+
+def encode_jpeg_progressive(img, quality: int = 75,
+                            subsampling: str = "4:4:4",
+                            scans=None) -> bytes:
+    """numpy (H, W, 3) uint8 RGB -> progressive (SOF2) JFIF bytes.
+
+    Entropy-codes the SAME quantized coefficients as encode_jpeg, just
+    ordered by the scan script (default: libjpeg's standard 10-scan
+    spectral-selection + successive-approximation script), so
+    decode_jpeg(progressive) must equal decode_jpeg(baseline) exactly
+    — the oracle the tests assert. Annex K Huffman tables suffice
+    because EOB runs are emitted per block (EOB0)."""
+    H, W, sh, sv, mcux, mcuy, ql, qc, yp, cbp, crp = _encoder_planes(
+        img, quality, subsampling
+    )
+    dc_tabs = [_build_encode_table(*_DC_LUMA), _build_encode_table(*_DC_CHROMA),
+               _build_encode_table(*_DC_CHROMA)]
+    ac_tabs = [_build_encode_table(*_AC_LUMA), _build_encode_table(*_AC_CHROMA),
+               _build_encode_table(*_AC_CHROMA)]
+    comps = [
+        {"h": sh, "v": sv, "coef": _block_coefs(yp, ql)},
+        {"h": 1, "v": 1, "coef": _block_coefs(cbp, qc)},
+        {"h": 1, "v": 1, "coef": _block_coefs(crp, qc)},
+    ]
+
+    def comp_blocks(c):
+        comp_w = (W * c["h"] + sh - 1) // sh
+        comp_h = (H * c["v"] + sv - 1) // sv
+        return (comp_h + 7) // 8, (comp_w + 7) // 8
+
+    out = bytearray()
+    for cidx, Ss, Se, Ah, Al in (scans or _STD_PROGRESSIVE_SCANS):
+        ns = len(cidx)
+        body = bytes([ns])
+        for ci in cidx:
+            td = ci if ci < 2 else 1  # luma tables 0, chroma tables 1
+            body += bytes([ci + 1, (td << 4) | td])
+        body += bytes([Ss, Se, (Ah << 4) | Al])
+        out += _seg(0xDA, body)
+
+        bw = _BitWriter()
+        if Ss == 0:
+            preds = {ci: 0 for ci in cidx}
+            if ns > 1:
+                for my in range(mcuy):
+                    for mx in range(mcux):
+                        for ci in cidx:
+                            c = comps[ci]
+                            for vy in range(c["v"]):
+                                for vx in range(c["h"]):
+                                    zz = c["coef"][my * c["v"] + vy,
+                                                   mx * c["h"] + vx]
+                                    _emit_dc_progressive(
+                                        bw, dc_tabs[min(ci, 1)], zz, Ah, Al,
+                                        preds, ci)
+            else:
+                c = comps[cidx[0]]
+                bh_, bw_ = comp_blocks(c)
+                for byy in range(bh_):
+                    for bxx in range(bw_):
+                        _emit_dc_progressive(
+                            bw, dc_tabs[min(cidx[0], 1)], c["coef"][byy, bxx],
+                            Ah, Al, preds, cidx[0])
+        else:
+            c = comps[cidx[0]]
+            act = ac_tabs[min(cidx[0], 1)]
+            bh_, bw_ = comp_blocks(c)
+            for byy in range(bh_):
+                for bxx in range(bw_):
+                    zz = c["coef"][byy, bxx]
+                    if Ah == 0:
+                        _emit_ac_first(bw, act, zz, Ss, Se, Al)
+                    else:
+                        _emit_ac_refine(bw, act, zz, Ss, Se, Al)
+        bw.flush()
+        out += bytes(bw.out)
+
+    sof = _seg(0xC2, struct.pack(">BHHB", 8, H, W, 3)
+               + bytes([1, (sh << 4) | sv, 0]) + bytes([2, 0x11, 1]) + bytes([3, 0x11, 1]))
+    return (b"\xff\xd8" + _APP0_JFIF + _dqt_seg(0, ql) + _dqt_seg(1, qc)
+            + _dht_seg(0, 0, *_DC_LUMA) + _dht_seg(0, 1, *_DC_CHROMA)
+            + _dht_seg(1, 0, *_AC_LUMA) + _dht_seg(1, 1, *_AC_CHROMA)
+            + sof + bytes(out) + b"\xff\xd9")
+
+
+def _emit_dc_progressive(bw, dct, zz, Ah, Al, preds, ci):
+    """One block of a DC scan: first pass codes the Al-shifted
+    prediction difference; refinement passes emit one bit."""
+    if Ah == 0:
+        v = int(zz[0]) >> Al  # DC uses the arithmetic point transform
+        diff = v - preds[ci]
+        preds[ci] = v
+        s = _category(diff)
+        code, ln = dct[s]
+        bw.write(code, ln)
+        if s:
+            bw.write(diff if diff >= 0 else diff + (1 << s) - 1, s)
+    else:
+        bw.write((int(zz[0]) >> Al) & 1, 1)

@@ -51,15 +51,62 @@ def test_420_subsampling_roundtrip():
     assert e420 < e444 + 3.0
 
 
-def test_progressive_gate():
-    """A SOF2 (progressive) frame header names the unsupported process
-    instead of decoding garbage."""
+def test_progressive_exactly_matches_baseline():
+    """The progressive encoder entropy-codes the SAME quantized
+    coefficients as the baseline encoder, so decoding both must give
+    bit-identical RGB — an exact oracle covering interleaved DC scans
+    with successive approximation, spectral-selection AC bands, and
+    AC refinement (the full T.81 G.1.2 surface)."""
+    from drill_spark.ops.jpeg import encode_jpeg_progressive
+
+    rng = np.random.default_rng(11)
+    for sub in ("4:4:4", "4:2:0"):
+        for shape in ((24, 17), (8, 8), (3, 5), (16, 32)):
+            img = rng.integers(0, 256, size=(*shape, 3), dtype=np.uint8)
+            base = decode_jpeg(encode_jpeg(img, 85, sub))
+            prog = decode_jpeg(encode_jpeg_progressive(img, 85, sub))
+            assert (base == prog).all(), (sub, shape)
+
+
+def test_progressive_spectral_only_script():
+    """A custom spectral-selection-only script (no successive
+    approximation) — the other common progressive layout."""
+    from drill_spark.ops.jpeg import encode_jpeg_progressive
+
+    scans = [
+        ([0, 1, 2], 0, 0, 0, 0),
+        ([0], 1, 9, 0, 0),
+        ([0], 10, 63, 0, 0),
+        ([1], 1, 63, 0, 0),
+        ([2], 1, 63, 0, 0),
+    ]
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 256, size=(19, 23, 3), dtype=np.uint8)
+    base = decode_jpeg(encode_jpeg(img, 90))
+    prog = decode_jpeg(encode_jpeg_progressive(img, 90, scans=scans))
+    assert (base == prog).all()
+
+
+def test_progressive_malformed_dc_scan_rejected():
+    """A baseline-shaped SOS (Ss=0, Se=63) inside a SOF2 frame is
+    invalid per T.81 G.1.1.1 and must raise, not decode garbage."""
     img = np.zeros((8, 8, 3), dtype="uint8")
     data = bytearray(encode_jpeg(img))
     idx = bytes(data).find(b"\xff\xc0")
     data[idx + 1] = 0xC2
-    with pytest.raises(NotImplementedError, match="SOF2"):
+    with pytest.raises(ValueError, match="Se=0"):
         decode_jpeg(bytes(data))
+
+
+def test_unsupported_processes_still_gated():
+    """Lossless (SOF3) and arithmetic (SOF9) still raise by name."""
+    img = np.zeros((8, 8, 3), dtype="uint8")
+    for sof, name in ((0xC3, "SOF3"), (0xC9, "SOF9")):
+        data = bytearray(encode_jpeg(img))
+        idx = bytes(data).find(b"\xff\xc0")
+        data[idx + 1] = sof
+        with pytest.raises(NotImplementedError, match=name):
+            decode_jpeg(bytes(data))
 
 
 def test_header_probe_and_media_decode_dispatch():
@@ -97,5 +144,26 @@ def test_roundtrip_property():
         assert out.shape == img.shape
         luma = lambda a: 0.299 * a[:, :, 0] + 0.587 * a[:, :, 1] + 0.114 * a[:, :, 2]
         assert np.abs(luma(out.astype(float)) - luma(img.astype(float))).mean() < 16
+
+    check()
+
+
+def test_progressive_equality_property():
+    """Property: for ANY image, progressive and baseline decodes are
+    bit-identical (they entropy-code the same coefficients)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from drill_spark.ops.jpeg import encode_jpeg_progressive
+
+    @settings(max_examples=12, deadline=None)
+    @given(st.integers(1, 20), st.integers(1, 20), st.integers(0, 2**31 - 1),
+           st.sampled_from(["4:4:4", "4:2:0"]), st.sampled_from([70, 85, 95]))
+    def check(h, w, seed, sub, q):
+        rng = np.random.default_rng(seed)
+        img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        base = decode_jpeg(encode_jpeg(img, q, sub))
+        prog = decode_jpeg(encode_jpeg_progressive(img, q, sub))
+        assert (base == prog).all()
 
     check()
