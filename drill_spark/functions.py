@@ -484,7 +484,8 @@ def _register_geometry_udfs(spark: SparkSession) -> list[str]:
         "st_contains_geom": ("boolean", pair(geo.contains)),
         "st_within_geom": ("boolean", pair(lambda a, b: geo.contains(b, a))),
         "st_relate": ("boolean", pair_arg(geo.relate)),
-        "st_buffer": ("string", wkt_arg(lambda g, d: geo.to_wkt(geo.buffer(g, float(d))))),
+        "st_buffer": ("string", wkt_arg(
+            lambda g, d: _wkt_or_none(geo, geo.buffer(g, float(d))))),
         "st_union_geom": ("string", pair(lambda a, b: _wkt_or_none(geo, geo.union(a, b)))),
         "st_difference": ("string", pair(lambda a, b: _wkt_or_none(geo, geo.difference(a, b)))),
         "st_intersection_geom": ("string", pair(lambda a, b: _wkt_or_none(geo, geo.intersection(a, b)))),

@@ -58,6 +58,22 @@ def parse_wkt(wkt: str):
         return ("MULTIPOINT", nums(seg))
     if head == "LINESTRING":
         return ("LINESTRING", nums(body.strip("() ")))
+    if head == "GEOMETRYCOLLECTION":
+        inner = body.strip()[1:-1]  # strip outer parens
+        parts, depth, cur = [], 0, ""
+        for ch in inner:
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            if ch == "," and depth == 0:
+                parts.append(cur)
+                cur = ""
+            else:
+                cur += ch
+        if cur.strip():
+            parts.append(cur)
+        return ("GEOMETRYCOLLECTION", [parse_wkt(p) for p in parts])
     if head in ("POLYGON", "MULTIPOLYGON"):
         # ring splitting by parens depth
         rings, depth, cur, polys = [], 0, "", []
@@ -106,6 +122,8 @@ def to_wkt(g) -> str:
                 "(" + ", ".join(f"{_fmt(x)} {_fmt(y)}" for x, y in ring) + ")"
                 for ring in rings) + ")"
             for rings in c) + ")"
+    if t == "GEOMETRYCOLLECTION":
+        return "GEOMETRYCOLLECTION (" + ", ".join(to_wkt(m) for m in c) + ")"
     raise ValueError(t)
 
 
@@ -113,7 +131,7 @@ def to_wkt(g) -> str:
 
 
 _WKB_TYPES = {"POINT": 1, "LINESTRING": 2, "POLYGON": 3,
-              "MULTIPOINT": 4, "MULTIPOLYGON": 6}
+              "MULTIPOINT": 4, "MULTIPOLYGON": 6, "GEOMETRYCOLLECTION": 7}
 _WKB_NAMES = {v: k for k, v in _WKB_TYPES.items()}
 
 
@@ -142,6 +160,11 @@ def to_wkb(g) -> bytes:
         body = struct.pack("<I", len(c))
         for rings in c:
             body += to_wkb(("POLYGON", rings))
+        return out + body
+    if t == "GEOMETRYCOLLECTION":
+        body = struct.pack("<I", len(c))
+        for m in c:
+            body += to_wkb(m)
         return out + body
     raise ValueError(t)
 
@@ -178,6 +201,14 @@ def from_wkb(b: bytes):
             for _ in range(n):
                 sub, pos = rd(pos)
                 parts.append(sub[1])
+            return (name, parts), pos
+        if name == "GEOMETRYCOLLECTION":
+            n = struct.unpack_from(e + "I", b, pos)[0]
+            pos += 4
+            parts = []
+            for _ in range(n):
+                sub, pos = rd(pos)
+                parts.append(sub)
             return (name, parts), pos
         raise ValueError(name)
 
@@ -425,6 +456,47 @@ def _matrix_polygon_polygon(a, b):
     return [[ii, ib, ie], [bi, bb, be], [ei, eb, "2"]]
 
 
+def _loc_in_polys(p, polys) -> int:
+    """1 interior, 0 boundary, -1 exterior of a set of polygons."""
+    best = -1
+    for rings in polys:
+        best = max(best, point_in_polygon(p, rings))
+    return best
+
+
+def _matrix_line_polygon(a, b):
+    """DE-9IM for LINESTRING vs POLYGON/MULTIPOLYGON via exact segment
+    splitting: every line fragment between boundary contacts lies
+    wholly in one polygon part, so midpoint classification is exact."""
+    polys = b[1] if b[0] == "MULTIPOLYGON" else [b[1]]
+    pts = a[1]
+    closed = _close(pts[0], pts[-1])
+    bnd = [] if closed else [pts[0], pts[-1]]
+    outside, inside = _line_split_by_polys(pts, polys)
+    on_bnd = [
+        s for s in inside
+        if _loc_in_polys(((s[0][0] + s[1][0]) / 2, (s[0][1] + s[1][1]) / 2), polys) == 0
+    ]
+    strictly_in = len(inside) > len(on_bnd)
+    # isolated interior∩boundary contacts: fragment endpoints on the
+    # polygon boundary that are not the line's own endpoints
+    touch_pts = [
+        e for s in inside + outside for e in s
+        if _loc_in_polys(e, polys) == 0 and not any(_close(e, q) for q in bnd)
+    ]
+    ii = "1" if strictly_in else "F"
+    ib = "1" if on_bnd else ("0" if touch_pts else "F")
+    ie = "1" if outside else "F"
+    if closed:
+        bi = bb = be = "F"
+    else:
+        locs = [_loc_in_polys(e, polys) for e in bnd]
+        bi = "0" if any(v == 1 for v in locs) else "F"
+        bb = "0" if any(v == 0 for v in locs) else "F"
+        be = "0" if any(v == -1 for v in locs) else "F"
+    return [[ii, ib, ie], [bi, bb, be], ["2", "1", "2"]]
+
+
 def _transpose(m):
     return [[m[c][r] for c in range(3)] for r in range(3)]
 
@@ -435,6 +507,8 @@ _DIMS = {"POINT": 0, "MULTIPOINT": 0, "LINESTRING": 1,
 
 def de9im(a, b):
     """DE-9IM matrix (rows = parts of a, cols = parts of b)."""
+    if a[0] == "GEOMETRYCOLLECTION" or b[0] == "GEOMETRYCOLLECTION":
+        raise NotImplementedError("DE-9IM over GEOMETRYCOLLECTION")
     ta, tb = _DIMS[a[0]], _DIMS[b[0]]
     if ta == 0 and tb == 0:
         return _matrix_point_point(a, b)
@@ -448,6 +522,10 @@ def de9im(a, b):
         return _transpose(_matrix_point_polygon(b, a))
     if ta == 1 and tb == 1:
         return _matrix_line_line(a, b)
+    if ta == 1 and tb == 2:
+        return _matrix_line_polygon(a, b)
+    if ta == 2 and tb == 1:
+        return _transpose(_matrix_line_polygon(b, a))
     if ta == 2 and tb == 2:
         return _matrix_polygon_polygon(a, b)
     raise NotImplementedError(f"DE-9IM for {a[0]} vs {b[0]}")
@@ -706,19 +784,77 @@ def _overlay(a_polys, b_polys, keep):
 # ----------------------------------------------------------- ops
 
 
+def _line_split_by_polys(pts, polys):
+    """Split a linestring's segments at polygon boundaries and bucket
+    them by position: returns (outside_segs, inside_segs); boundary-
+    riding segments count as inside (closed polygons)."""
+    edges = _poly_edges(polys)
+    outside, inside = [], []
+    for p, q in _line_segments(pts):
+        for a, b in _split_edge(p, q, edges):
+            m = ((a[0] + b[0]) / 2, (a[1] + b[1]) / 2)
+            if any(point_in_polygon(m, rings) >= 0 for rings in polys):
+                inside.append((a, b))
+            else:
+                outside.append((a, b))
+    return outside, inside
+
+
+def _stitch_segments(segs):
+    """Chain consecutive segments (end == next start) back into
+    linestrings; returns a list of point lists."""
+    lines = []
+    cur = []
+    for a, b in segs:
+        if cur and _close(cur[-1], a):
+            cur.append(b)
+        else:
+            if len(cur) >= 2:
+                lines.append(cur)
+            cur = [a, b]
+    if len(cur) >= 2:
+        lines.append(cur)
+    return lines
+
+
+def _collection_or_single(members):
+    flat = []
+    for m in members:
+        if m is None:
+            continue
+        if m[0] == "GEOMETRYCOLLECTION":
+            flat.extend(m[1])  # no nested collections in results
+        else:
+            flat.append(m)
+    if not flat:
+        return None
+    if len(flat) == 1:
+        return flat[0]
+    return ("GEOMETRYCOLLECTION", flat)
+
+
 def buffer(g, dist: float, segments: int = 32):
     """Buffer via n-gon circles (the reference's ESRI buffer is an
     arc-refined circle; a 32-gon matches all boolean semantics).
     Points buffer to a circle; linestrings and polygons buffer as the
     union of per-segment capsules (+ the polygon body) through the
-    clipping kernel. Negative distances (polygon erosion) stay gated."""
-    if dist < 0:
-        raise NotImplementedError("negative (erosion) buffer distances")
+    clipping kernel.
+
+    Negative distances erode polygons: the result is the polygon MINUS
+    the union of radius-|d| capsules along its boundary — the set of
+    interior points at distance >= |d| from the boundary (exact for
+    convex corners, n-gon-approximate on concave arcs), matching the
+    ESRI/GEOS negative-buffer semantics the reference exposes through
+    STBuffer.java:36. Over-erosion returns None (empty); points and
+    lines erode to empty."""
+    r = abs(dist)
+    if dist < 0 and g[0] not in ("POLYGON", "MULTIPOLYGON"):
+        return None  # zero-width geometries have no interior to erode
 
     def circle(x, y):
         ring = [
-            (x + dist * math.cos(2 * math.pi * i / segments),
-             y + dist * math.sin(2 * math.pi * i / segments))
+            (x + r * math.cos(2 * math.pi * i / segments),
+             y + r * math.sin(2 * math.pi * i / segments))
             for i in range(segments)
         ]
         ring.append(ring[0])
@@ -740,10 +876,10 @@ def buffer(g, dist: float, segments: int = 32):
         half = segments // 2
         for i in range(half + 1):  # cap around b: th-90 .. th+90
             ang = th - math.pi / 2 + math.pi * i / half
-            ring.append((b[0] + dist * math.cos(ang), b[1] + dist * math.sin(ang)))
+            ring.append((b[0] + r * math.cos(ang), b[1] + r * math.sin(ang)))
         for i in range(half + 1):  # cap around a: th+90 .. th+270
             ang = th + math.pi / 2 + math.pi * i / half
-            ring.append((a[0] + dist * math.cos(ang), a[1] + dist * math.sin(ang)))
+            ring.append((a[0] + r * math.cos(ang), a[1] + r * math.sin(ang)))
         ring.append(ring[0])
         return ("POLYGON", [ring])
 
@@ -754,6 +890,11 @@ def buffer(g, dist: float, segments: int = 32):
             out = union(out, capsule(*s))
         return out
     if g[0] in ("POLYGON", "MULTIPOLYGON"):
+        if dist < 0:
+            ribbon = None
+            for p, q in _poly_edges(_rings_of(g)):
+                ribbon = capsule(p, q) if ribbon is None else union(ribbon, capsule(p, q))
+            return difference(g, ribbon)
         out = (g[0], g[1])
         for p, q in _poly_edges(_rings_of(g)):
             out = union(out, capsule(p, q))
@@ -764,38 +905,96 @@ def buffer(g, dist: float, segments: int = 32):
 def union(a, b):
     """Geometry union. Polygon/multipolygon pairs go through the
     clipping kernel (STUnion.java:34 semantics); point unions stay
-    direct; mixed-dimension unions keep the higher-dimension operand
-    when it contains the other."""
+    direct. Mixed-dimension unions follow the GEOS shape: the
+    lower-dimension operand is clipped to its part OUTSIDE the
+    polygon(s) and the result is a GEOMETRYCOLLECTION (or just the
+    polygon when the other operand lies within it)."""
     if a is None:
         return b
     if b is None:
         return a
-    if _DIMS[a[0]] == 2 and _DIMS[b[0]] == 2:
+    if "GEOMETRYCOLLECTION" in (a[0], b[0]):
+        # fold: union the 2D parts through the kernel, clip the rest
+        # against them (lower-dim parts are kept as-is relative to each
+        # other — collections stay non-normalized across members)
+        parts = (list(a[1]) if a[0] == "GEOMETRYCOLLECTION" else [a]) + \
+                (list(b[1]) if b[0] == "GEOMETRYCOLLECTION" else [b])
+        poly = None
+        rest = []
+        for p in parts:
+            if _DIMS.get(p[0]) == 2:
+                poly = p if poly is None else union(poly, p)
+            else:
+                rest.append(p)
+        if poly is not None:
+            rest = [difference(r, poly) for r in rest]
+        return _collection_or_single(rest + ([poly] if poly else []))
+    if _DIMS.get(a[0]) == 2 and _DIMS.get(b[0]) == 2:
         return _overlay(_rings_of(a), _rings_of(b), lambda x, y: x or y)
-    if contains(a, b):
-        return a
-    if contains(b, a):
-        return b
-    if disjoint(a, b):
-        if a[0] == "POINT" and b[0] == "POINT":
-            return ("MULTIPOINT", [a[1], b[1]])
-        if a[0] == "MULTIPOINT" and b[0] == "POINT":
-            return ("MULTIPOINT", list(a[1]) + [b[1]])
+    if a[0] != "GEOMETRYCOLLECTION" and b[0] != "GEOMETRYCOLLECTION":
+        if contains(a, b):
+            return a
+        if contains(b, a):
+            return b
+        if disjoint(a, b):
+            if a[0] == "POINT" and b[0] == "POINT":
+                return ("MULTIPOINT", [a[1], b[1]])
+            if a[0] == "MULTIPOINT" and b[0] == "POINT":
+                return ("MULTIPOINT", list(a[1]) + [b[1]])
+        # mixed dimension, overlapping, neither contains the other
+        lo, hi = (a, b) if _DIMS[a[0]] < _DIMS[b[0]] else (b, a)
+        if _DIMS[hi[0]] == 2:
+            rest = difference(lo, hi)  # part of the low-dim operand outside
+            return _collection_or_single([rest, hi])
     raise NotImplementedError(f"union of {a[0]} and {b[0]}")
 
 
 def intersection(a, b):
-    """Polygon intersection through the clipping kernel; None = empty."""
-    if _DIMS[a[0]] == 2 and _DIMS[b[0]] == 2:
+    """Intersection through the clipping kernel for polygon pairs;
+    point/line vs polygon clip directly. None = empty."""
+    da, db = _DIMS.get(a[0]), _DIMS.get(b[0])
+    if da == 2 and db == 2:
         return _overlay(_rings_of(a), _rings_of(b), lambda x, y: x and y)
+    if da is not None and db is not None and da != db and 2 in (da, db):
+        lo, poly = (a, b) if da < db else (b, a)
+        polys = _rings_of(poly)
+        if lo[0] == "POINT":
+            return lo if any(point_in_polygon(lo[1], r) >= 0 for r in polys) else None
+        if lo[0] == "MULTIPOINT":
+            kept = [p for p in lo[1]
+                    if any(point_in_polygon(p, r) >= 0 for r in polys)]
+            if not kept:
+                return None
+            return ("POINT", kept[0]) if len(kept) == 1 else ("MULTIPOINT", kept)
+        if lo[0] == "LINESTRING":
+            _, inside = _line_split_by_polys(lo[1], polys)
+            return _collection_or_single(
+                [("LINESTRING", pts) for pts in _stitch_segments(inside)])
     raise NotImplementedError(f"intersection of {a[0]} and {b[0]}")
 
 
 def difference(a, b):
-    """a minus b (STDifference.java semantics); None = empty result."""
-    if _DIMS[a[0]] == 2 and _DIMS[b[0]] == 2:
+    """a minus b (STDifference.java semantics); None = empty result.
+    Point/line minus polygon keeps the part strictly outside."""
+    da, db = _DIMS.get(a[0]), _DIMS.get(b[0])
+    if da == 2 and db == 2:
         return _overlay(_rings_of(a), _rings_of(b), lambda x, y: x and not y)
-    if disjoint(a, b):
+    if da is not None and da < 2 and db == 2:
+        polys = _rings_of(b)
+        if a[0] == "POINT":
+            return None if any(point_in_polygon(a[1], r) >= 0 for r in polys) else a
+        if a[0] == "MULTIPOINT":
+            kept = [p for p in a[1]
+                    if not any(point_in_polygon(p, r) >= 0 for r in polys)]
+            if not kept:
+                return None
+            return ("POINT", kept[0]) if len(kept) == 1 else ("MULTIPOINT", kept)
+        if a[0] == "LINESTRING":
+            outside, _ = _line_split_by_polys(a[1], polys)
+            return _collection_or_single(
+                [("LINESTRING", pts) for pts in _stitch_segments(outside)])
+    if a[0] != "GEOMETRYCOLLECTION" and b[0] != "GEOMETRYCOLLECTION" \
+            and disjoint(a, b):
         return a
     raise NotImplementedError(f"difference of {a[0]} and {b[0]}")
 

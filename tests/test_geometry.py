@@ -100,13 +100,29 @@ def test_envelope_extrema():
     assert env[0] == "POLYGON" and geo.contains(env, P("POINT(3 3)"))
 
 
-def test_union_mixed_dimension_gate():
-    """Unsupported mixed-dimension unions still name the gap (polygon
-    unions themselves are handled by the clipping kernel now)."""
+def test_union_mixed_dimension_disjoint():
+    """Disjoint mixed-dimension union (formerly a gate): both operands
+    survive as a GEOMETRYCOLLECTION."""
     a = P("POLYGON((0 0,2 0,2 2,0 2,0 0))")
     line = P("LINESTRING(5 5, 6 6)")
-    with pytest.raises(NotImplementedError):
-        geo.union(a, line)
+    u = geo.union(a, line)
+    assert u[0] == "GEOMETRYCOLLECTION"
+    assert sorted(m[0] for m in u[1]) == ["LINESTRING", "POLYGON"]
+
+
+def test_line_polygon_predicates():
+    """DE-9IM line-vs-polygon (new matrix): crosses / within /
+    contains / touches across the boundary cases."""
+    poly = P("POLYGON((0 0, 4 0, 4 4, 0 4, 0 0))")
+    assert geo.crosses(P("LINESTRING(2 2, 8 2)"), poly)
+    assert not geo.crosses(P("LINESTRING(1 1, 3 3)"), poly)
+    assert geo.within(P("LINESTRING(1 1, 3 3)"), poly)
+    assert geo.contains(poly, P("LINESTRING(1 1, 3 3)"))
+    # riding the boundary only: touches, does not cross
+    assert geo.touches(P("LINESTRING(0 -1, 0 5)"), poly)
+    assert not geo.crosses(P("LINESTRING(0 -1, 0 5)"), poly)
+    assert geo.disjoint(P("LINESTRING(9 9, 10 10)"), poly)
+    assert geo.intersects(P("LINESTRING(2 2, 8 2)"), poly)
 
 
 # ----------------------------------------------------- SQL surface
@@ -195,8 +211,70 @@ def test_buffer_linestring_and_polygon():
     assert geo.point_in_polygon((2, 2), ring) == 1      # body kept
     assert geo.point_in_polygon((-0.5, 2), ring) == 1   # dilated edge
     assert geo.point_in_polygon((-1.5, 2), ring) == -1  # beyond distance
-    with pytest.raises(NotImplementedError):
-        geo.buffer(geo.parse_wkt("POLYGON((0 0, 4 0, 4 4, 0 4, 0 0))"), -1.0)
+
+
+def test_negative_buffer_erodes_polygon():
+    """Erosion (STBuffer.java:36 negative distance): for a rectangle
+    the result is EXACTLY the inset rectangle (the corner arcs are
+    dominated by the straight-edge offsets), over-erosion is empty,
+    and zero-width geometries erode to empty."""
+    sq = geo.parse_wkt("POLYGON((0 0, 10 0, 10 10, 0 10, 0 0))")
+    er = geo.buffer(sq, -2.0)
+    assert er is not None and er[0] == "POLYGON"
+    assert abs(abs(geo._ring_area(er[1][0])) - 36.0) < 1e-6
+    assert geo.equals(er, geo.parse_wkt("POLYGON((2 2, 8 2, 8 8, 2 8, 2 2))"))
+    # erosion then dilation stays inside the original (opening)
+    back = geo.buffer(er, 2.0)
+    assert geo.contains(geo.buffer(sq, 1e-6), back)
+    # past the inradius: empty
+    assert geo.buffer(sq, -5.5) is None
+    assert geo.buffer(geo.parse_wkt("POINT(1 1)"), -1.0) is None
+    assert geo.buffer(geo.parse_wkt("LINESTRING(0 0, 5 0)"), -1.0) is None
+
+
+def test_mixed_dimension_union_and_clipping():
+    """GEOS-shaped mixed-dimension overlays: point/line vs polygon
+    unions produce GEOMETRYCOLLECTION with the low-dim part clipped to
+    OUTSIDE the polygon; intersection/difference clip directly."""
+    poly = geo.parse_wkt("POLYGON((0 0, 4 0, 4 4, 0 4, 0 0))")
+    pt_out = geo.parse_wkt("POINT(9 9)")
+    pt_in = geo.parse_wkt("POINT(2 2)")
+    line = geo.parse_wkt("LINESTRING(2 2, 8 2)")
+
+    u = geo.union(poly, pt_out)
+    assert u[0] == "GEOMETRYCOLLECTION" and len(u[1]) == 2
+    assert geo.union(poly, pt_in) == poly  # contained: polygon wins
+
+    # line crosses the boundary at x=4: outside part is (4 2)->(8 2)
+    u2 = geo.union(line, poly)
+    assert u2[0] == "GEOMETRYCOLLECTION"
+    ls = [m for m in u2[1] if m[0] == "LINESTRING"]
+    assert len(ls) == 1
+    (x1, y1), (x2, y2) = ls[0][1][0], ls[0][1][-1]
+    assert abs(x1 - 4) < 1e-9 and abs(x2 - 8) < 1e-9
+
+    inter = geo.intersection(line, poly)
+    assert inter[0] == "LINESTRING"
+    assert abs(inter[1][0][0] - 2) < 1e-9 and abs(inter[1][-1][0] - 4) < 1e-9
+    assert geo.intersection(pt_in, poly) == pt_in
+    assert geo.intersection(pt_out, poly) is None
+
+    diff = geo.difference(line, poly)
+    assert diff[0] == "LINESTRING" and abs(diff[1][0][0] - 4) < 1e-9
+    assert geo.difference(pt_in, poly) is None
+    assert geo.difference(pt_out, poly) == pt_out
+
+    # WKT/WKB roundtrip of the collection result
+    wkt = geo.to_wkt(u2)
+    assert wkt.startswith("GEOMETRYCOLLECTION (")
+    assert geo.to_wkt(geo.parse_wkt(wkt)) == wkt
+    assert geo.to_wkt(geo.from_wkb(geo.to_wkb(u2))) == wkt
+
+    # union_all over mixed dims folds through collections
+    ua = geo.union_all([pt_out, poly, line])
+    assert ua[0] == "GEOMETRYCOLLECTION"
+    kinds = sorted(m[0] for m in ua[1])
+    assert kinds == ["LINESTRING", "POINT", "POLYGON"]
 
 
 def test_transform_reference_vector():
