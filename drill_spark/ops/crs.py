@@ -17,9 +17,23 @@ implements:
 - Lambert conformal conic 2SP state-plane zones (the reference's own
   test uses EPSG:2249, NAD83 / Massachusetts Mainland in US survey
   feet) — a small parameter table, easy to extend.
-- UTM: EPSG 32601-32660 / 32701-32760 (WGS84 north/south) and
-  26901-26923 (NAD83 north), via the ellipsoidal transverse-mercator
-  series (Snyder eq. 8-9..8-17 / 3-21), sub-mm inside a zone.
+- UTM: EPSG 32601-32660 / 32701-32760 (WGS84 north/south),
+  26901-26923 (NAD83) and 25828-25838 (ETRS89), via the ellipsoidal
+  transverse-mercator series (Snyder eq. 8-9..8-17 / 3-21), sub-mm
+  inside a zone.
+- Ellipsoidal Mercator 1SP (EPSG:3395 World Mercator) and Albers
+  equal-area conic (EPSG:5070 CONUS, 3578 Yukon), Snyder 7-7/7-10 and
+  14-1..14-21.
+
+Any OTHER code is reachable without touching this file:
+``register_epsg(code, params)`` installs parameters taken from the
+public EPSG registry — given as a dict or a PROJ.4 string (e.g.
+``"+proj=lcc +lat_1=49 +lat_2=44 ..."``), the format every EPSG
+lookup site publishes — after which ST_Transform accepts the code.
+The projection FAMILIES here (longlat, lcc, tmerc, merc, aea,
+webmerc) cover the overwhelming majority of the registry; an
+unregistered code or unsupported family raises NotImplementedError
+naming itself, never a silently wrong transform.
 
 Transforms run source->geographic(radians)->target, matching proj4j's
 pipeline: ``inverse(src) . forward(tgt)`` with false eastings/northings
@@ -34,6 +48,8 @@ import math
 _ELLPS = {
     "WGS84": (6378137.0, 1 / 298.257223563),
     "GRS80": (6378137.0, 1 / 298.257222101),
+    "clrk66": (6378206.4, 1 / 294.9786982138982),
+    "intl": (6378388.0, 1 / 297.0),
 }
 
 _US_FT = 0.3048006096012192  # US survey foot, metres
@@ -52,32 +68,114 @@ def _utm(zone, south, ellps):
             "to_meter": 1.0}
 
 
+def _aea(lat_1, lat_2, lat_0, lon_0, x_0, y_0, ellps):
+    return {"proj": "aea", "lat_1": lat_1, "lat_2": lat_2, "lat_0": lat_0,
+            "lon_0": lon_0, "x_0": x_0, "y_0": y_0, "ellps": ellps,
+            "to_meter": 1.0}
+
+
+# user-registered codes (register_epsg) — consulted before the builtins
+_EPSG_REGISTRY: dict[int, dict] = {}
+
+_UNIT_TO_METER = {"m": 1.0, "us-ft": _US_FT, "ft": 0.3048, "us-in": _US_FT / 12}
+
+
+def parse_proj4(s: str) -> dict:
+    """A PROJ.4 definition string -> the parameter dict this module
+    projects with. Supports the parameters of the implemented families
+    (lcc, tmerc/utm, merc, aea, webmerc, longlat)."""
+    kv: dict[str, str] = {}
+    for tok in s.split():
+        tok = tok.lstrip("+")
+        if "=" in tok:
+            k, v = tok.split("=", 1)
+            kv[k] = v
+        elif tok:
+            kv[tok] = ""
+    proj = kv.get("proj")
+    if proj in ("longlat", "latlong"):
+        return {"proj": "longlat", "ellps": kv.get("ellps", "WGS84")}
+    if proj == "utm":
+        return _utm(int(kv["zone"]), "south" in kv, kv.get("ellps", "WGS84"))
+    if proj not in ("lcc", "tmerc", "merc", "aea", "webmerc"):
+        raise NotImplementedError(f"proj4 projection {proj!r} not supported "
+                                  "(lcc/tmerc/utm/merc/aea/webmerc/longlat)")
+    p = {"proj": proj, "ellps": kv.get("ellps", "WGS84")}
+    for name in ("lat_1", "lat_2", "lat_0", "lon_0", "x_0", "y_0", "lat_ts"):
+        if name in kv:
+            p[name] = float(kv[name])
+    p.setdefault("lat_0", 0.0)
+    p.setdefault("lon_0", 0.0)
+    p.setdefault("x_0", 0.0)
+    p.setdefault("y_0", 0.0)
+    if "k_0" in kv or "k" in kv:
+        p["k_0"] = float(kv.get("k_0", kv.get("k")))
+    if "to_meter" in kv:
+        p["to_meter"] = float(kv["to_meter"])
+    else:
+        p["to_meter"] = _UNIT_TO_METER.get(kv.get("units", "m"), 1.0)
+    if p["ellps"] not in _ELLPS and ("a" in kv):
+        a = float(kv["a"])
+        if "rf" in kv:
+            f = 1.0 / float(kv["rf"])
+        elif "b" in kv:
+            f = (a - float(kv["b"])) / a
+        else:
+            f = 0.0
+        _ELLPS[p["ellps"]] = (a, f)
+    return p
+
+
+def register_epsg(code: int, params) -> None:
+    """Install projection parameters for an EPSG code from the public
+    registry: a parameter dict, or the PROJ.4 string published for the
+    code (epsg.io/spatialreference.org). Subsequent ST_Transform calls
+    accept the code."""
+    _EPSG_REGISTRY[int(code)] = (
+        parse_proj4(params) if isinstance(params, str) else dict(params)
+    )
+
+
 def epsg_params(code: int) -> dict:
-    """PROJ-style parameters for one EPSG code (the subset the engine
-    projects closed-form). Unknown codes raise NotImplementedError
+    """PROJ-style parameters for one EPSG code (builtin table +
+    register_epsg extensions). Unknown codes raise NotImplementedError
     naming the code — never a silently wrong transform."""
-    if code in (4326, 4269):
+    if code in _EPSG_REGISTRY:
+        return _EPSG_REGISTRY[code]
+    if code in (4326, 4269, 4258):  # WGS84 / NAD83 / ETRS89 geographic
         return {"proj": "longlat", "ellps": "WGS84" if code == 4326 else "GRS80"}
     if code == 3857:
         return {"proj": "webmerc", "ellps": "WGS84"}
+    if code == 3395:  # WGS 84 / World Mercator (ellipsoidal, 1SP)
+        return {"proj": "merc", "lat_0": 0.0, "lon_0": 0.0, "k_0": 1.0,
+                "x_0": 0.0, "y_0": 0.0, "ellps": "WGS84", "to_meter": 1.0}
     if code == 2249:  # NAD83 / Massachusetts Mainland (ftUS) — the reference's test CRS
         return _lcc(42.68333333333333, 41.71666666666667, 41.0, -71.5,
                     200000.0001016002, 750000.0000000001, "GRS80", _US_FT)
     if code == 2263:  # NAD83 / New York Long Island (ftUS)
         return _lcc(41.03333333333333, 40.66666666666666, 40.16666666666666,
                     -74.0, 300000.0000000001, 0.0, "GRS80", _US_FT)
-    if code == 3578:  # NAD83 / Yukon Albers — placeholder example of an unlisted code
-        raise NotImplementedError("EPSG:3578 not in the closed-form table")
+    if code == 2154:  # RGF93 / Lambert-93 (France)
+        return _lcc(49.0, 44.0, 46.5, 3.0, 700000.0, 6600000.0, "GRS80")
+    if code == 5070:  # NAD83 / Conus Albers
+        return _aea(29.5, 45.5, 23.0, -96.0, 0.0, 0.0, "GRS80")
+    if code == 3578:  # NAD83 / Yukon Albers (formerly the named gate)
+        return _aea(61.66666666666666, 68.0, 59.0, -132.5,
+                    500000.0, 500000.0, "GRS80")
     if 32601 <= code <= 32660:
         return _utm(code - 32600, False, "WGS84")
     if 32701 <= code <= 32760:
         return _utm(code - 32700, True, "WGS84")
     if 26901 <= code <= 26923:
         return _utm(code - 26900, False, "GRS80")
+    if 25828 <= code <= 25838:  # ETRS89 / UTM
+        return _utm(code - 25800, False, "GRS80")
     raise NotImplementedError(
-        f"EPSG:{code} is not in the engine's closed-form projection table "
-        "(supported: 4326/4269 geographic, 3857 web mercator, state-plane "
-        "LCC 2249/2263, UTM 326xx/327xx/269xx)"
+        f"EPSG:{code} is not in the engine's projection table "
+        "(builtin: 4326/4269/4258 geographic, 3857/3395 mercator, LCC "
+        "2249/2263/2154, Albers 5070/3578, UTM 326xx/327xx/269xx/258xx); "
+        "install any other code from the public registry with "
+        "drill_spark.ops.crs.register_epsg(code, '+proj=...')"
     )
 
 
@@ -210,8 +308,91 @@ class _WebMerc:
         return x / self.a, 2 * math.atan(math.exp(y / self.a)) - math.pi / 2
 
 
+class _Merc:
+    """Ellipsoidal Mercator 1SP (Snyder 7-7 / 7-10); k_0 from lat_ts
+    when given (Snyder 7-8: k_0 = m(lat_ts))."""
+
+    def __init__(self, p):
+        self.a, f = _ELLPS[p["ellps"]]
+        self.es = 2 * f - f * f
+        self.e = math.sqrt(self.es)
+        self.lam0 = math.radians(p.get("lon_0", 0.0))
+        if "lat_ts" in p:
+            ts = math.radians(p["lat_ts"])
+            self.k0 = _msfn(math.sin(ts), math.cos(ts), self.es)
+        else:
+            self.k0 = p.get("k_0", 1.0)
+
+    def forward(self, lam, phi):
+        x = self.a * self.k0 * (lam - self.lam0)
+        y = -self.a * self.k0 * math.log(_tsfn(phi, math.sin(phi), self.e))
+        return x, y
+
+    def inverse(self, x, y):
+        lam = self.lam0 + x / (self.a * self.k0)
+        phi = _phi2(math.exp(-y / (self.a * self.k0)), self.e)
+        return lam, phi
+
+
+def _qsfn(sinphi, e, es):
+    """Snyder 3-12: authalic q."""
+    if e < 1e-12:
+        return 2.0 * sinphi
+    con = e * sinphi
+    return (1 - es) * (sinphi / (1 - con * con)
+                       - (0.5 / e) * math.log((1 - con) / (1 + con)))
+
+
+class _Aea:
+    """Albers equal-area conic, 2 standard parallels (Snyder
+    14-1..14-21, iterative inverse 3-16)."""
+
+    def __init__(self, p):
+        self.a, f = _ELLPS[p["ellps"]]
+        self.es = 2 * f - f * f
+        self.e = math.sqrt(self.es)
+        phi1, phi2 = math.radians(p["lat_1"]), math.radians(p["lat_2"])
+        phi0 = math.radians(p["lat_0"])
+        self.lam0 = math.radians(p["lon_0"])
+        m1 = _msfn(math.sin(phi1), math.cos(phi1), self.es)
+        m2 = _msfn(math.sin(phi2), math.cos(phi2), self.es)
+        q1 = _qsfn(math.sin(phi1), self.e, self.es)
+        q2 = _qsfn(math.sin(phi2), self.e, self.es)
+        self.n = (m1 * m1 - m2 * m2) / (q2 - q1)
+        self.C = m1 * m1 + self.n * q1
+        q0 = _qsfn(math.sin(phi0), self.e, self.es)
+        self.rho0 = self.a * math.sqrt(self.C - self.n * q0) / self.n
+
+    def forward(self, lam, phi):
+        q = _qsfn(math.sin(phi), self.e, self.es)
+        rho = self.a * math.sqrt(self.C - self.n * q) / self.n
+        th = self.n * (lam - self.lam0)
+        return rho * math.sin(th), self.rho0 - rho * math.cos(th)
+
+    def inverse(self, x, y):
+        y = self.rho0 - y
+        rho = math.hypot(x, y)
+        if self.n < 0:
+            rho, x, y = -rho, -x, -y
+        th = math.atan2(x, y)
+        q = (self.C - (rho * self.n / self.a) ** 2) / self.n
+        phi = math.asin(max(-1.0, min(1.0, q / 2)))
+        for _ in range(30):  # Snyder 3-16
+            sinp = math.sin(phi)
+            con = self.e * sinp
+            dphi = ((1 - con * con) ** 2 / (2 * math.cos(phi))) * (
+                q / (1 - self.es) - sinp / (1 - con * con)
+                + (0.5 / self.e) * math.log((1 - con) / (1 + con))
+            )
+            phi += dphi
+            if abs(dphi) < 1e-13:
+                break
+        return th / self.n + self.lam0, phi
+
+
 def _projection(p):
-    return {"lcc": _Lcc, "tmerc": _Tmerc, "webmerc": _WebMerc}[p["proj"]](p)
+    return {"lcc": _Lcc, "tmerc": _Tmerc, "webmerc": _WebMerc,
+            "merc": _Merc, "aea": _Aea}[p["proj"]](p)
 
 
 class CrsTransform:

@@ -288,13 +288,59 @@ def test_transform_reference_vector():
 def test_transform_roundtrips_and_gate():
     from drill_spark.ops.crs import CrsTransform
 
-    for code in (3857, 32619, 26919, 2249, 2263):
+    cases = {
+        3857: [(-71.0, 42.0), (3.1, 46.2), (-132.0, 62.0)],
+        3395: [(-71.0, 42.0), (3.1, 46.2), (-132.0, 62.0)],
+        2154: [(3.1, 46.2), (2.35, 48.85), (-1.5, 43.5)],   # France
+        5070: [(-96.0, 38.0), (-71.0, 42.0), (-120.0, 45.0)],  # CONUS
+        3578: [(-132.5, 62.0), (-138.0, 64.0)],             # Yukon
+        32619: [(-71.0, 42.0)], 26919: [(-71.0, 42.0)],     # UTM 19N
+        25832: [(9.5, 50.0), (11.9, 48.1)],                 # UTM 32N (ETRS89)
+        2249: [(-71.0, 42.0)], 2263: [(-74.0, 40.7)],
+    }
+    for code, pts in cases.items():
         t = CrsTransform(4326, code)
         ti = CrsTransform(code, 4326)
-        x, y = ti(*t(-71.0, 42.0))
-        assert abs(x - -71.0) < 1e-8 and abs(y - 42.0) < 1e-8, code
+        for lon, lat in pts:
+            x, y = ti(*t(lon, lat))
+            assert abs(x - lon) < 1e-8 and abs(y - lat) < 1e-8, code
     with pytest.raises(NotImplementedError, match="EPSG:99999"):
         CrsTransform(4326, 99999)
+
+
+def test_transform_projection_anchors():
+    """Closed-form anchors: the projection origin maps to the false
+    easting/northing exactly, and World Mercator's equator scale is
+    a * lambda (Snyder 7-7 with e-terms vanishing at phi=0)."""
+    import math
+
+    from drill_spark.ops.crs import CrsTransform, epsg_params
+
+    for code in (2154, 5070, 3578):
+        p = epsg_params(code)
+        x, y = CrsTransform(4326, code)(p["lon_0"], p["lat_0"])
+        assert abs(x - p["x_0"]) < 1e-6 and abs(y - p["y_0"]) < 1e-6, code
+    x, y = CrsTransform(4326, 3395)(45.0, 0.0)
+    assert abs(x - 6378137.0 * math.radians(45)) < 1e-6 and abs(y) < 1e-6
+
+
+def test_register_epsg_proj4_string():
+    """Any registry code becomes usable via its published PROJ.4
+    string: a re-registration of Lambert-93 under a private code must
+    match the builtin EPSG:2154 to the millimetre."""
+    from drill_spark.ops.crs import CrsTransform, register_epsg
+
+    register_epsg(990154, "+proj=lcc +lat_1=49 +lat_2=44 +lat_0=46.5 "
+                          "+lon_0=3 +x_0=700000 +y_0=6600000 +ellps=GRS80 "
+                          "+units=m +no_defs")
+    a = CrsTransform(4326, 2154)(2.3522, 48.8566)
+    b = CrsTransform(4326, 990154)(2.3522, 48.8566)
+    assert abs(a[0] - b[0]) < 1e-3 and abs(a[1] - b[1]) < 1e-3
+    # utm form with zone/south keywords
+    register_epsg(990001, "+proj=utm +zone=19 +ellps=WGS84")
+    c = CrsTransform(4326, 32619)(-71.0, 42.0)
+    d = CrsTransform(4326, 990001)(-71.0, 42.0)
+    assert abs(c[0] - d[0]) < 1e-6 and abs(c[1] - d[1]) < 1e-6
 
 
 def test_sql_union_difference_transform(session):
