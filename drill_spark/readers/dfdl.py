@@ -18,7 +18,13 @@ exactly the subset the reference's own test schemas exercise:
 - complexType sequences → struct columns; ``maxOccurs`` > 1 or
   ``unbounded`` → array columns with the implicit occursCountKind
   semantics (greedy speculative parse up to maxOccurs, stop cleanly at
-  EOF or parse failure);
+  EOF or parse failure); ``occursCountKind="parsed"`` (count discovered
+  purely by parsing, min/maxOccurs validation-only, spec §16.1) in both
+  representations, text occurrences sharing the sequence separator;
+- ``xs:choice`` with the default ``choiceLengthKind="implicit"``
+  (spec §15): branches tried in schema order by speculative parsing,
+  first success wins; every branch is a nullable column and only the
+  chosen one is set (the XML-infoset flattening);
 - the root element is parsed repeatedly until EOF — one parse = one row,
   matching the reference's control pattern;
 - ``.gz`` payloads are transparently decompressed (the reference test
@@ -82,9 +88,18 @@ class Prim:
 
 @dataclass
 class Seq:
-    children: list = field(default_factory=list)  # list[Elem]
+    children: list = field(default_factory=list)  # list[Elem | Choice]
     separator: str | None = None
     terminator: str | None = None
+
+
+@dataclass
+class Choice:
+    """xs:choice with dfdl:choiceLengthKind='implicit' (the default):
+    branches are tried in schema order by speculative parsing, first
+    success wins (spec §15). In the infoset each branch contributes a
+    nullable column; only the chosen one is set."""
+    branches: list = field(default_factory=list)  # list[Elem]
 
 
 @dataclass
@@ -174,7 +189,11 @@ class DfdlSchema:
     def _build_seq(self, ct: ET.Element) -> Seq:
         seq_el = ct.find(f"{_XS}sequence")
         if seq_el is None:
-            raise ValueError("complexType without a sequence is out of subset")
+            ch_el = ct.find(f"{_XS}choice")
+            if ch_el is not None:  # bare choice content model
+                return Seq(children=[self._build_choice(ch_el)])
+            raise ValueError(
+                "complexType without a sequence or choice is out of subset")
         props = self._dfdl_props(seq_el)
         seq = Seq(
             separator=_expand_entities(props["separator"]) if "separator" in props else None,
@@ -183,7 +202,21 @@ class DfdlSchema:
         for child in seq_el:
             if child.tag == f"{_XS}element":
                 seq.children.append(self._build_elem(child))
+            elif child.tag == f"{_XS}choice":
+                seq.children.append(self._build_choice(child))
         return seq
+
+    def _build_choice(self, ch_el: ET.Element) -> Choice:
+        props = self._dfdl_props(ch_el)
+        clk = props.get("choiceLengthKind", "implicit")
+        if clk != "implicit":
+            raise NotImplementedError(
+                f"dfdl:choiceLengthKind={clk!r} (only 'implicit' in subset)")
+        branches = [self._build_elem(c) for c in ch_el
+                    if c.tag == f"{_XS}element"]
+        if not branches:
+            raise ValueError("xs:choice with no element branches")
+        return Choice(branches)
 
 
 # ------------------------------------------------------- spark schema
@@ -211,6 +244,21 @@ _PRIM_SPARK = {
 }
 
 
+def _seq_fields(seq: Seq):
+    """Flatten Choice nodes: every branch is a (nullable) field of the
+    enclosing struct, mirroring the XML-infoset flattening."""
+    for c in seq.children:
+        if isinstance(c, Choice):
+            yield from c.branches
+        else:
+            yield c
+
+
+def _is_array(elem: Elem) -> bool:
+    return (elem.max_occurs is None or elem.max_occurs > 1
+            or elem.props.get("occursCountKind") == "parsed")
+
+
 def _elem_type(elem: Elem) -> T.DataType:
     if isinstance(elem.body, Prim):
         base = _PRIM_SPARK.get(elem.body.kind)
@@ -219,8 +267,9 @@ def _elem_type(elem: Elem) -> T.DataType:
                 f"xs:{elem.body.kind} is outside the implemented DFDL subset")
     else:
         base = T.StructType(
-            [T.StructField(c.name, _elem_type(c), True) for c in elem.body.children])
-    if elem.max_occurs is None or elem.max_occurs > 1:
+            [T.StructField(c.name, _elem_type(c), True)
+             for c in _seq_fields(elem.body)])
+    if _is_array(elem):
         return T.ArrayType(base, False)
     return base
 
@@ -231,7 +280,8 @@ def spark_schema(root: Elem) -> T.StructType:
     if isinstance(root.body, Prim):
         return T.StructType([T.StructField(root.name, _elem_type(root), True)])
     return T.StructType(
-        [T.StructField(c.name, _elem_type(c), True) for c in root.body.children])
+        [T.StructField(c.name, _elem_type(c), True)
+         for c in _seq_fields(root.body)])
 
 
 # ------------------------------------------------------------ parsing
@@ -259,9 +309,12 @@ class _BinCursor:
 
 
 def _parse_bin_elem(cur: _BinCursor, elem: Elem, byte_order: str):
-    if elem.max_occurs is None or elem.max_occurs > 1:
+    if _is_array(elem):
+        parsed_kind = elem.props.get("occursCountKind") == "parsed"
         out = []
-        limit = elem.max_occurs or float("inf")
+        # occursCountKind='parsed' discovers the count purely by
+        # parsing (spec §16.1); min/maxOccurs are validation-only there
+        limit = float("inf") if parsed_kind else (elem.max_occurs or float("inf"))
         while len(out) < limit:
             mark = cur.pos
             try:
@@ -269,10 +322,24 @@ def _parse_bin_elem(cur: _BinCursor, elem: Elem, byte_order: str):
             except _ParseError:
                 cur.pos = mark
                 break
-        if len(out) < elem.min_occurs:
+        if not parsed_kind and len(out) < elem.min_occurs:
             raise _ParseError(f"{elem.name}: fewer than minOccurs")
         return out
     return _parse_bin_one(cur, elem, byte_order)
+
+
+def _parse_choice(cur, choice: Choice, parse_one) -> dict:
+    """Speculative first-match-wins branch selection; the chosen branch
+    fills its field, the others are null."""
+    for br in choice.branches:
+        mark = cur.pos
+        try:
+            val = parse_one(br)
+        except _ParseError:
+            cur.pos = mark
+            continue
+        return {b.name: (val if b is br else None) for b in choice.branches}
+    raise _ParseError("no xs:choice branch parsed")
 
 
 def _parse_bin_one(cur: _BinCursor, elem: Elem, byte_order: str):
@@ -288,9 +355,14 @@ def _parse_bin_one(cur: _BinCursor, elem: Elem, byte_order: str):
         if kind == "boolean":
             val = bool(val)
         return val
-    return {
-        c.name: _parse_bin_elem(cur, c, byte_order) for c in elem.body.children
-    }
+    out = {}
+    for c in elem.body.children:
+        if isinstance(c, Choice):
+            out.update(_parse_choice(
+                cur, c, lambda br: _parse_bin_elem(cur, br, byte_order)))
+        else:
+            out[c.name] = _parse_bin_elem(cur, c, byte_order)
+    return out
 
 
 class _TextCursor:
@@ -328,10 +400,7 @@ class _TextCursor:
         return out
 
 
-def _parse_text_elem(cur: _TextCursor, elem: Elem, outer_delims: list[str]):
-    if elem.max_occurs is None or elem.max_occurs > 1:
-        raise NotImplementedError(
-            "text-representation arrays are outside the implemented subset")
+def _parse_text_one(cur: _TextCursor, elem: Elem, outer_delims: list[str]):
     props = elem.props
     if isinstance(elem.body, Seq):
         return _parse_text_seq(cur, elem.body, outer_delims)
@@ -343,7 +412,38 @@ def _parse_text_elem(cur: _TextCursor, elem: Elem, outer_delims: list[str]):
         cur.expect(term)
     else:
         raw = cur.scan_until(outer_delims)
-    return _text_value(raw, elem.body, props)
+    try:
+        return _text_value(raw, elem.body, props)
+    except (ValueError, ArithmeticError) as e:
+        # lexical mismatch must be a recoverable parse failure so
+        # choice/array speculation can backtrack past it
+        raise _ParseError(str(e))
+
+
+def _parse_text_elem(cur: _TextCursor, elem: Elem, outer_delims: list[str],
+                     separator: str | None = None,
+                     lead_sep: str | None = None):
+    if _is_array(elem):
+        parsed_kind = elem.props.get("occursCountKind") == "parsed"
+        limit = float("inf") if parsed_kind else (elem.max_occurs or float("inf"))
+        out = []
+        while len(out) < limit:
+            mark = cur.pos
+            try:
+                # a zero-occurrence array consumes NO separator, so the
+                # sequence separator preceding the array (lead_sep) is
+                # part of the first occurrence's speculative parse
+                sep = separator if out else lead_sep
+                if sep:
+                    cur.expect(sep)
+                out.append(_parse_text_one(cur, elem, outer_delims))
+            except _ParseError:
+                cur.pos = mark
+                break
+        if not parsed_kind and len(out) < elem.min_occurs:
+            raise _ParseError(f"{elem.name}: fewer than minOccurs")
+        return out
+    return _parse_text_one(cur, elem, outer_delims)
 
 
 def _parse_text_seq(cur: _TextCursor, seq: Seq, outer_delims: list[str]):
@@ -353,10 +453,23 @@ def _parse_text_seq(cur: _TextCursor, seq: Seq, outer_delims: list[str]):
     if seq.terminator:
         in_scope.insert(0, seq.terminator)
     out = {}
-    for i, child in enumerate(seq.children):
-        if i > 0 and seq.separator:
-            cur.expect(seq.separator)
-        out[child.name] = _parse_text_elem(cur, child, in_scope)
+    first = True
+    for child in seq.children:
+        need_sep = (not first) and seq.separator
+        if not isinstance(child, Choice) and _is_array(child):
+            out[child.name] = _parse_text_elem(
+                cur, child, in_scope, seq.separator,
+                lead_sep=seq.separator if need_sep else None)
+        else:
+            if need_sep:
+                cur.expect(seq.separator)
+            if isinstance(child, Choice):
+                out.update(_parse_choice(
+                    cur, child,
+                    lambda br: _parse_text_elem(cur, br, in_scope, seq.separator)))
+            else:
+                out[child.name] = _parse_text_elem(cur, child, in_scope, seq.separator)
+        first = False
     if seq.terminator:
         cur.expect(seq.terminator)
     return out

@@ -192,3 +192,130 @@ def test_dfdl_binary_property_roundtrip():
         assert [(r["a1"], r["a2"]) for r in parsed] == rows
 
     check()
+
+
+_CHOICE_TEXT_XSD = """<?xml version="1.0"?>
+<xs:schema xmlns:xs="http://www.w3.org/2001/XMLSchema"
+           xmlns:dfdl="http://www.ogf.org/dfdl/dfdl-1.0/">
+  <xs:annotation><xs:appinfo source="http://www.ogf.org/dfdl/">
+    <dfdl:format representation="text" encoding="utf-8"/>
+  </xs:appinfo></xs:annotation>
+  <xs:element name="row">
+    <xs:complexType>
+      <xs:sequence dfdl:separator="," dfdl:terminator="%NL;">
+        <xs:element name="id" type="xs:int"/>
+        <xs:choice>
+          <xs:element name="tag" type="xs:string" dfdl:initiator="#"/>
+          <xs:element name="num" type="xs:int"/>
+        </xs:choice>
+      </xs:sequence>
+    </xs:complexType>
+  </xs:element>
+</xs:schema>"""
+
+
+def test_choice_text(spark, tmp_path):
+    """xs:choice (implicit length): branch by speculative parse — an
+    initiator-marked string vs a bare int; unchosen branch is null."""
+    from drill_spark.readers.dfdl import DfdlSchema, parse_dfdl_file
+
+    schema = DfdlSchema(_CHOICE_TEXT_XSD)
+    root = schema.root_element("row")
+    rows = parse_dfdl_file(b"1,#alpha\n2,42\n3,#beta\n", schema, root)
+    assert rows == [
+        {"id": 1, "tag": "alpha", "num": None},
+        {"id": 2, "tag": None, "num": 42},
+        {"id": 3, "tag": "beta", "num": None},
+    ]
+    # end-to-end through the reader with the flattened nullable columns
+    sp = str(tmp_path / "choice.dfdl.xsd")
+    dp = str(tmp_path / "choice.dat")
+    with open(sp, "w") as f:
+        f.write(_CHOICE_TEXT_XSD)
+    with open(dp, "wb") as f:
+        f.write(b"1,#alpha\n2,42\n")
+    df = read_dfdl(spark, dp, schema_uri=f"file://{sp}", root_name="row")
+    assert df.schema.simpleString() == "struct<id:int,tag:string,num:int>"
+    assert sorted(map(tuple, df.collect())) == [(1, "alpha", None), (2, None, 42)]
+
+
+_PARSED_TEXT_XSD = """<?xml version="1.0"?>
+<xs:schema xmlns:xs="http://www.w3.org/2001/XMLSchema"
+           xmlns:dfdl="http://www.ogf.org/dfdl/dfdl-1.0/">
+  <xs:annotation><xs:appinfo source="http://www.ogf.org/dfdl/">
+    <dfdl:format representation="text" encoding="utf-8"/>
+  </xs:appinfo></xs:annotation>
+  <xs:element name="row">
+    <xs:complexType>
+      <xs:sequence dfdl:separator=";" dfdl:terminator="|">
+        <xs:element name="name" type="xs:string"/>
+        <xs:element name="vals" type="xs:int" maxOccurs="unbounded"
+                    dfdl:occursCountKind="parsed"/>
+      </xs:sequence>
+    </xs:complexType>
+  </xs:element>
+</xs:schema>"""
+
+
+def test_occurs_count_kind_parsed_text(spark):
+    """occursCountKind='parsed': occurrence count discovered purely by
+    parsing — separator-joined ints until the record terminator, zero
+    occurrences allowed (minOccurs is validation-only)."""
+    from drill_spark.readers.dfdl import DfdlSchema, parse_dfdl_file
+
+    schema = DfdlSchema(_PARSED_TEXT_XSD)
+    root = schema.root_element("row")
+    rows = parse_dfdl_file(b"a;1;2;3|b;7|c|", schema, root)
+    assert rows == [
+        {"name": "a", "vals": [1, 2, 3]},
+        {"name": "b", "vals": [7]},
+        {"name": "c", "vals": []},
+    ]
+
+
+_CHOICE_BIN_XSD = """<?xml version="1.0"?>
+<xs:schema xmlns:xs="http://www.w3.org/2001/XMLSchema"
+           xmlns:dfdl="http://www.ogf.org/dfdl/dfdl-1.0/">
+  <xs:annotation><xs:appinfo source="http://www.ogf.org/dfdl/">
+    <dfdl:format representation="binary"/>
+  </xs:appinfo></xs:annotation>
+  <xs:element name="row">
+    <xs:complexType>
+      <xs:choice>
+        <xs:element name="wide" type="xs:int"/>
+        <xs:element name="narrow" type="xs:short"/>
+      </xs:choice>
+    </xs:complexType>
+  </xs:element>
+</xs:schema>"""
+
+
+def test_choice_binary_first_match_wins(spark):
+    """Binary choice resolves by speculative parse in schema order:
+    4 remaining bytes take the int branch; a trailing 2-byte record
+    falls through to the short branch (DFDL's documented
+    first-success-wins rule for implicit choices)."""
+    from drill_spark.readers.dfdl import DfdlSchema, parse_dfdl_file
+
+    schema = DfdlSchema(_CHOICE_BIN_XSD)
+    root = schema.root_element("row")
+    rows = parse_dfdl_file(struct.pack(">ih", 70000, 33), schema, root)
+    assert rows == [
+        {"wide": 70000, "narrow": None},
+        {"wide": None, "narrow": 33},
+    ]
+
+
+def test_occurs_count_kind_parsed_binary(spark):
+    """Binary parsed-count array: ints to EOF even with maxOccurs=2
+    in the schema (count is a parse outcome, bounds are validation)."""
+    from drill_spark.readers.dfdl import DfdlSchema, parse_dfdl_file
+
+    xsd = _CHOICE_BIN_XSD.replace(
+        '<xs:choice>\n        <xs:element name="wide" type="xs:int"/>\n        <xs:element name="narrow" type="xs:short"/>\n      </xs:choice>',
+        '<xs:sequence><xs:element name="v" type="xs:int" maxOccurs="2" '
+        'dfdl:occursCountKind="parsed"/></xs:sequence>')
+    schema = DfdlSchema(xsd)
+    root = schema.root_element("row")
+    rows = parse_dfdl_file(struct.pack(">iiii", 1, 2, 3, 4), schema, root)
+    assert rows == [{"v": [1, 2, 3, 4]}]
