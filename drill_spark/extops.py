@@ -1599,6 +1599,48 @@ where substring(md5(cast(doc_id as varchar)), 1, 2) <
 """
 
 
+def q_semantic_dedup(spark, sf_dir):
+    """SemDeDup-style semantic dedup (Abbas et al. 2023): k-means
+    clusters + within-cluster cosine groups + canonical-keep flags.
+    Iterative k-means training is not SQL-expressible -> rows-only
+    driver check; exactness vs a brute-force union-find oracle is
+    pytest-verified (test_semantic_dedup_matches_bruteforce)."""
+    from drill_spark.ops.similarity import semantic_dedup
+
+    return semantic_dedup(_embs(spark, sf_dir), n_cells=8, threshold=0.9)
+
+
+def q_trigram_lm(spark, sf_dir):
+    """Corpus-trained char-trigram LM quality score (the KenLM-style
+    perplexity filter of public curation pipelines), oracle-backed."""
+    from drill_spark.ops.text import trigram_lm_score
+
+    docs = load_fixture(spark, sf_dir, "documents").where("doc_id < 200")
+    return trigram_lm_score(docs)
+
+
+ORACLE_TRIGRAM_LM = """
+with docs as (
+  select doc_id, text from documents where doc_id < 200 and length(text) >= 3
+),
+idx as (
+  select doc_id, text, unnest(generate_series(1, length(text) - 2)) as i from docs
+),
+grams as (
+  select doc_id, substr(text, cast(i as int), 3) as g,
+         substr(text, cast(i as int), 2) as b
+  from idx
+),
+c3 as (select g, count(*) as c3 from grams group by g),
+c2 as (select b, count(*) as c2 from grams group by b),
+v as (select count(*) as v from c3)
+select doc_id, round(avg(ln((c3 + 1.0) / (c2 + v))), 3) as lm_score,
+       cast(count(*) as bigint) as n_grams
+from grams join c3 using (g) join c2 using (b) cross join v
+group by doc_id
+"""
+
+
 QUERIES = {
     "op_avro_scan": q_avro_scan,
     "op_delta_scan": q_delta_scan,
@@ -1650,6 +1692,8 @@ QUERIES = {
     "ext_repetition": q_repetition,
     "ext_stratified_sample": q_stratified_sample,
     "ext_quality_mixture": q_quality_mixture,
+    "ext_semantic_dedup": q_semantic_dedup,
+    "ext_trigram_lm": q_trigram_lm,
 }
 
 ORACLES = {
@@ -1674,6 +1718,7 @@ ORACLES = {
     "ext_embed_topk": ORACLE_EMBED_TOPK,
     "ext_embed_dedup": ORACLE_EMBED_DEDUP,
     "ext_text_stats": ORACLE_TEXT_STATS,
+    "ext_trigram_lm": ORACLE_TRIGRAM_LM,
     "ext_text_tokens_bpe": ORACLE_TEXT_TOKENS_BPE,
     "ext_dedup_ngram": ORACLE_DEDUP_NGRAM,
     "ext_text_token_freq": ORACLE_TOKEN_FREQ,

@@ -87,3 +87,45 @@ def fingerprint(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
     return df.select(
         F.col(id_col), F.md5(normalize_text(F.col(text_col))).alias("fp")
     )
+
+
+def trigram_lm_score(df: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """Corpus-trained character-trigram LM quality score — the
+    KenLM-style perplexity filter of public data-curation pipelines
+    (CCNet et al.), with the LM trained on the corpus itself so the
+    operator is self-contained and SQL-expressible: each document's
+    score is the mean ln((count3(g) + 1) / (count2(prefix2(g)) + V))
+    over its character trigrams g, where the counts come from the whole
+    corpus and V is the distinct-trigram vocabulary size (add-one
+    smoothing). Lower = more surprising under the corpus LM.
+
+    Scale shape: one explode to trigram rows (~n_chars per doc), two
+    partial-aggregated counts whose results are VOCABULARY-sized (not
+    corpus-sized) so Catalyst broadcasts them back, and one final
+    per-doc aggregate — no Python anywhere.
+    """
+    # sequence(1, 0) runs DESCENDING in Spark, so docs shorter than 3
+    # chars must produce an empty array, not a backwards range
+    grams = df.select(
+        F.col(id_col),
+        F.explode(F.expr(
+            f"CASE WHEN length({text_col}) >= 3 THEN "
+            f"transform(sequence(1, length({text_col}) - 2), "
+            f"i -> substring({text_col}, i, 3)) ELSE array() END"
+        )).alias("g"),
+    ).withColumn("b", F.expr("substring(g, 1, 2)"))
+    c3 = grams.groupBy("g").agg(F.count("*").alias("c3"))
+    c2 = grams.groupBy("b").agg(F.count("*").alias("c2"))
+    vocab = c3.agg(F.count("*").alias("v"))
+    return (
+        grams.join(F.broadcast(c3), "g")
+        .join(F.broadcast(c2), "b")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy(id_col)
+        .agg(
+            F.round(F.avg(F.log((F.col("c3") + 1.0) / (F.col("c2") + F.col("v")))), 3)
+            .alias("lm_score"),
+            F.count("*").alias("n_grams"),
+        )
+    )

@@ -256,7 +256,27 @@ def _seq_fields(seq: Seq):
 
 def _is_array(elem: Elem) -> bool:
     return (elem.max_occurs is None or elem.max_occurs > 1
-            or elem.props.get("occursCountKind") == "parsed")
+            or elem.props.get("occursCountKind") in ("parsed", "expression"))
+
+
+_OCCURS_EXPR = re.compile(r"\{\s*(?:\.\./)?(\w+)\s*\}")
+
+
+def _occurs_count(elem: Elem, ctx: dict | None) -> int:
+    """occursCountKind='expression': evaluate dfdl:occursCount. The
+    expression subset is a sibling reference ({ ../n } or { n }) — the
+    count-prefixed-array idiom; anything else names itself."""
+    expr = elem.props.get("occursCount", "")
+    m = _OCCURS_EXPR.fullmatch(expr.strip())
+    if not m:
+        raise NotImplementedError(
+            f"dfdl:occursCount expression {expr!r} is outside the subset "
+            "(sibling references like '{ ../n }' only)")
+    name = m.group(1)
+    if ctx is None or name not in ctx or ctx[name] is None:
+        raise _ParseError(
+            f"occursCount references {name!r} which is not parsed yet")
+    return int(ctx[name])
 
 
 def _elem_type(elem: Elem) -> T.DataType:
@@ -308,13 +328,18 @@ class _BinCursor:
         return self.pos >= len(self.data)
 
 
-def _parse_bin_elem(cur: _BinCursor, elem: Elem, byte_order: str):
+def _parse_bin_elem(cur: _BinCursor, elem: Elem, byte_order: str,
+                    ctx: dict | None = None):
     if _is_array(elem):
-        parsed_kind = elem.props.get("occursCountKind") == "parsed"
+        ock = elem.props.get("occursCountKind")
+        if ock == "expression":
+            # exact count from a previously-parsed sibling; no speculation
+            return [_parse_bin_one(cur, elem, byte_order)
+                    for _ in range(_occurs_count(elem, ctx))]
         out = []
         # occursCountKind='parsed' discovers the count purely by
         # parsing (spec §16.1); min/maxOccurs are validation-only there
-        limit = float("inf") if parsed_kind else (elem.max_occurs or float("inf"))
+        limit = float("inf") if ock == "parsed" else (elem.max_occurs or float("inf"))
         while len(out) < limit:
             mark = cur.pos
             try:
@@ -322,7 +347,7 @@ def _parse_bin_elem(cur: _BinCursor, elem: Elem, byte_order: str):
             except _ParseError:
                 cur.pos = mark
                 break
-        if not parsed_kind and len(out) < elem.min_occurs:
+        if ock != "parsed" and len(out) < elem.min_occurs:
             raise _ParseError(f"{elem.name}: fewer than minOccurs")
         return out
     return _parse_bin_one(cur, elem, byte_order)
@@ -359,9 +384,9 @@ def _parse_bin_one(cur: _BinCursor, elem: Elem, byte_order: str):
     for c in elem.body.children:
         if isinstance(c, Choice):
             out.update(_parse_choice(
-                cur, c, lambda br: _parse_bin_elem(cur, br, byte_order)))
+                cur, c, lambda br: _parse_bin_elem(cur, br, byte_order, out)))
         else:
-            out[c.name] = _parse_bin_elem(cur, c, byte_order)
+            out[c.name] = _parse_bin_elem(cur, c, byte_order, out)
     return out
 
 
@@ -422,10 +447,19 @@ def _parse_text_one(cur: _TextCursor, elem: Elem, outer_delims: list[str]):
 
 def _parse_text_elem(cur: _TextCursor, elem: Elem, outer_delims: list[str],
                      separator: str | None = None,
-                     lead_sep: str | None = None):
+                     lead_sep: str | None = None,
+                     ctx: dict | None = None):
     if _is_array(elem):
-        parsed_kind = elem.props.get("occursCountKind") == "parsed"
-        limit = float("inf") if parsed_kind else (elem.max_occurs or float("inf"))
+        ock = elem.props.get("occursCountKind")
+        if ock == "expression":
+            out = []
+            for _ in range(_occurs_count(elem, ctx)):
+                sep = separator if out else lead_sep
+                if sep:
+                    cur.expect(sep)
+                out.append(_parse_text_one(cur, elem, outer_delims))
+            return out
+        limit = float("inf") if ock == "parsed" else (elem.max_occurs or float("inf"))
         out = []
         while len(out) < limit:
             mark = cur.pos
@@ -440,7 +474,7 @@ def _parse_text_elem(cur: _TextCursor, elem: Elem, outer_delims: list[str],
             except _ParseError:
                 cur.pos = mark
                 break
-        if not parsed_kind and len(out) < elem.min_occurs:
+        if ock != "parsed" and len(out) < elem.min_occurs:
             raise _ParseError(f"{elem.name}: fewer than minOccurs")
         return out
     return _parse_text_one(cur, elem, outer_delims)
@@ -459,16 +493,18 @@ def _parse_text_seq(cur: _TextCursor, seq: Seq, outer_delims: list[str]):
         if not isinstance(child, Choice) and _is_array(child):
             out[child.name] = _parse_text_elem(
                 cur, child, in_scope, seq.separator,
-                lead_sep=seq.separator if need_sep else None)
+                lead_sep=seq.separator if need_sep else None, ctx=out)
         else:
             if need_sep:
                 cur.expect(seq.separator)
             if isinstance(child, Choice):
                 out.update(_parse_choice(
                     cur, child,
-                    lambda br: _parse_text_elem(cur, br, in_scope, seq.separator)))
+                    lambda br: _parse_text_elem(cur, br, in_scope,
+                                                seq.separator, ctx=out)))
             else:
-                out[child.name] = _parse_text_elem(cur, child, in_scope, seq.separator)
+                out[child.name] = _parse_text_elem(cur, child, in_scope,
+                                                   seq.separator, ctx=out)
         first = False
     if seq.terminator:
         cur.expect(seq.terminator)

@@ -319,3 +319,43 @@ def test_occurs_count_kind_parsed_binary(spark):
     root = schema.root_element("row")
     rows = parse_dfdl_file(struct.pack(">iiii", 1, 2, 3, 4), schema, root)
     assert rows == [{"v": [1, 2, 3, 4]}]
+
+
+def test_occurs_count_expression(spark):
+    """occursCountKind='expression' with a sibling reference — the
+    count-prefixed-array idiom — in binary and text representations."""
+    from drill_spark.readers.dfdl import DfdlSchema, parse_dfdl_file
+
+    bin_xsd = _CHOICE_BIN_XSD.replace(
+        "<xs:choice>", "<xs:sequence>").replace(
+        '<xs:element name="wide" type="xs:int"/>',
+        '<xs:element name="n" type="xs:int"/>').replace(
+        '<xs:element name="narrow" type="xs:short"/>',
+        '<xs:element name="vals" type="xs:short" maxOccurs="unbounded" '
+        'dfdl:occursCountKind="expression" dfdl:occursCount="{ ../n }"/>').replace(
+        "</xs:choice>", "</xs:sequence>")
+    schema = DfdlSchema(bin_xsd)
+    root = schema.root_element("row")
+    data = (struct.pack(">i", 2) + struct.pack(">hh", 7, 8)
+            + struct.pack(">i", 0)
+            + struct.pack(">i", 1) + struct.pack(">h", 5))
+    rows = parse_dfdl_file(data, schema, root)
+    assert rows == [
+        {"n": 2, "vals": [7, 8]},
+        {"n": 0, "vals": []},
+        {"n": 1, "vals": [5]},
+    ]
+
+    text_xsd = _PARSED_TEXT_XSD.replace(
+        '<xs:element name="name" type="xs:string"/>',
+        '<xs:element name="n" type="xs:int"/>').replace(
+        'dfdl:occursCountKind="parsed"',
+        'dfdl:occursCountKind="expression" dfdl:occursCount="{ ../n }"')
+    schema = DfdlSchema(text_xsd)
+    root = schema.root_element("row")
+    rows = parse_dfdl_file(b"2;10;11|0|1;9|", schema, root)
+    assert rows == [
+        {"n": 2, "vals": [10, 11]},
+        {"n": 0, "vals": []},
+        {"n": 1, "vals": [9]},
+    ]

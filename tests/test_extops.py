@@ -552,3 +552,55 @@ def test_g711_companding_codecs():
         y, rate = decode_wav(encode_wav_g711(x, 8000, law))
         assert rate == 8000 and len(y) == 1000
         assert abs(float(np.sqrt((y * y).mean())) - 0.25) < 0.01
+
+
+def test_semantic_dedup_matches_bruteforce(spark):
+    """SemDeDup equivalence oracle: with well-separated anchor
+    directions (so clustering cannot split a duplicate group), the
+    operator's groups and keep flags must equal a brute-force
+    all-pairs union-find at the same cosine threshold."""
+    import numpy as np
+
+    from drill_spark.ops.similarity import semantic_dedup
+
+    rng = np.random.default_rng(7)
+    dim, rows = 8, []
+    for k in range(4):                      # 4 orthogonal anchors
+        anchor = np.zeros(dim)
+        anchor[k] = 1.0
+        for j in range(5):                  # 5 near-dup copies each
+            v = anchor + rng.normal(0, 0.02, dim)
+            rows.append((k * 100 + j, (v / np.linalg.norm(v)).tolist()))
+    for s in range(3):                      # singletons: far from all
+        v = np.ones(dim) * (1 if s % 2 else -1) + rng.normal(0, 0.05, dim)
+        rows.append((900 + s, (v / np.linalg.norm(v)).tolist()))
+
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {r.vec_id: (r.group_id, r.keep)
+           for r in semantic_dedup(df, n_cells=4, threshold=0.95).collect()}
+
+    # brute force: all-pairs cosine >= threshold -> union-find
+    vecs = {i: np.array(v) for i, v in rows}
+    parent = {i: i for i in vecs}
+
+    def find(i):
+        while parent[i] != i:
+            parent[i] = parent[parent[i]]
+            i = parent[i]
+        return i
+
+    ids = sorted(vecs)
+    for a in ids:
+        for b in ids:
+            if a < b:
+                c = float(vecs[a] @ vecs[b])
+                if c >= 0.95:
+                    ra, rb = find(a), find(b)
+                    if ra != rb:
+                        parent[max(ra, rb)] = min(ra, rb)
+    expect = {i: (find(i), find(i) == i) for i in ids}
+    assert got == expect
+    # sanity: 4 anchor groups of 5, the two -ones vectors pair up
+    # (cosine ~1), one true singleton -> 6 canonical keepers
+    assert sum(1 for _g, k in got.values() if k) == 6
+    assert got[902] == (900, False) and got[901][1]
