@@ -192,17 +192,50 @@ def build_id3v2(tags: dict[str, str]) -> bytes:
     return b"ID3\x04\x00\x00" + _syncsafe(len(frames)) + frames
 
 
+# v2.2 3-char frame ids -> the v2.3/2.4 4-char ids callers key on
+_ID3V22_IDS = {"TT2": "TIT2", "TP1": "TPE1", "TAL": "TALB", "TYE": "TYER",
+               "TRK": "TRCK", "TCO": "TCON"}
+
+
+def _parse_id3v22(b: bytes) -> dict[str, str]:
+    """ID3v2.2 layout (the old iTunes tag): 3-byte frame ids, 3-byte
+    big-endian sizes, no frame flags; text encodings 0 (latin-1) and
+    1 (UTF-16 with BOM). Ids are mapped to their v2.3 successors."""
+    size = (b[6] << 21) | (b[7] << 14) | (b[8] << 7) | b[9]
+    pos, end = 10, min(10 + size, len(b))
+    out: dict[str, str] = {}
+    while pos + 6 <= end:
+        fid = b[pos:pos + 3]
+        if fid == b"\x00\x00\x00":
+            break
+        fsz = int.from_bytes(b[pos + 3:pos + 6], "big")
+        data = b[pos + 6:pos + 6 + fsz]
+        if fid[:1] == b"T" and data:
+            enc, body = data[0], data[1:]
+            try:
+                txt = body.decode("utf-16" if enc == 1 else "latin-1")
+                out[_ID3V22_IDS.get(fid.decode("latin1"),
+                                    fid.decode("latin1"))] = txt.rstrip("\x00")
+            except (UnicodeDecodeError, LookupError):
+                pass
+        pos += 6 + fsz
+    return out
+
+
 def parse_id3v2(payload: bytes) -> dict[str, str]:
-    """REAL ID3v2 text-frame parser (v2.3 + v2.4 from the public spec):
-    syncsafe tag size, per-frame size form by version, text encodings
+    """REAL ID3v2 text-frame parser (v2.2 + v2.3 + v2.4 from the public
+    spec): syncsafe tag size, per-frame size form by version, extended
+    headers skipped, text encodings
     0/1/2/3 (latin-1 / UTF-16 BOM / UTF-16BE / UTF-8). Returns
     {frame_id: text} for T*** frames; {} when no tag."""
     b = bytes(payload or b"")
     if b[:3] != b"ID3" or len(b) < 10:
         return {}
     ver = b[3]
-    if ver < 3:
-        return {}  # ID3v2.2 uses 3-byte frame ids/sizes — different layout
+    if ver == 2:
+        return _parse_id3v22(b)
+    if ver < 2:
+        return {}
     flags = b[5]
     size = (b[6] << 21) | (b[7] << 14) | (b[8] << 7) | b[9]
     pos, end = 10, min(10 + size, len(b))

@@ -514,9 +514,9 @@ def test_id3v2_extended_header_and_v22():
     tag24 = b"ID3\x04\x00\x40" + syncsafe(len(body)) + body
     assert parse_id3v2(tag24) == {"TALB": "album"}
 
-    # ID3v2.2: gracefully empty, never v2.3-layout garbage
+    # ID3v2.2: real 3-byte-layout parse, ids mapped to v2.3 names
     tag22 = b"ID3\x02\x00\x00" + syncsafe(12) + b"TT2\x00\x00\x06\x00hello"
-    assert parse_id3v2(tag22) == {}
+    assert parse_id3v2(tag22) == {"TIT2": "hello"}
 
 
 def test_g711_companding_codecs():
