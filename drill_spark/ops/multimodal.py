@@ -404,9 +404,16 @@ def decode_bmp(payload: bytes):
     return img[::-1] if flip else img
 
 
+# Adam7 pass layout (PNG spec 8.2): (x_start, y_start, x_step, y_step)
+_ADAM7 = [(0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+          (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2)]
+
+
 def decode_png(payload: bytes):
-    """Non-interlaced 8-bit gray/RGB/RGBA PNG -> numpy (H, W, 3) uint8
-    (pure zlib + the PNG filter spec)."""
+    """PNG -> numpy (H, W, 3) uint8: gray / RGB / gray+alpha / RGBA /
+    palette color types, bit depths 1/2/4/8/16 (16-bit keeps the high
+    byte, the spec's 8-bit reduction), Adam7 interlacing — pure zlib +
+    the PNG filter/serialization spec."""
     import struct
     import zlib
 
@@ -418,28 +425,66 @@ def decode_png(payload: bytes):
         raise ValueError("not a PNG")
     pos = 8
     idat = bytearray()
-    w = h = bitd = ctype = None
+    plte = None
+    w = h = bitd = ctype = interlace = None
     while pos + 8 <= len(payload):
         ln, typ = struct.unpack_from(">I4s", payload, pos)
         data = payload[pos + 8: pos + 8 + ln]
         if typ == b"IHDR":
             w, h, bitd, ctype, _comp, _filt, interlace = struct.unpack(">IIBBBBB", data)
-            if bitd != 8 or interlace:
-                raise NotImplementedError("PNG bitdepth!=8 or interlaced")
+        elif typ == b"PLTE":
+            plte = np.frombuffer(data, dtype="uint8").reshape(-1, 3)
         elif typ == b"IDAT":
             idat += data
         elif typ == b"IEND":
             break
         pos += 12 + ln
-    channels = {0: 1, 2: 3, 4: 2, 6: 4}[ctype]
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[ctype]
+    if ctype == 3 and plte is None:
+        raise ValueError("palette PNG without PLTE chunk")
     raw = zlib.decompress(bytes(idat))
-    unfiltered = _png_predictor(raw, channels, 8, w)
-    img = np.frombuffer(unfiltered, dtype="uint8").reshape(h, w, channels)
+
+    def depass(buf: bytes, pw: int, ph: int) -> np.ndarray:
+        """One (sub-)image's filtered scanlines -> (ph, pw, channels)
+        uint8 samples with the bit depth expanded."""
+        unflt = _png_predictor(buf, channels, bitd, pw)
+        if bitd == 8:
+            arr = np.frombuffer(unflt, dtype="uint8")
+            return arr.reshape(ph, pw, channels)
+        if bitd == 16:
+            arr = np.frombuffer(unflt, dtype=">u2").reshape(ph, pw, channels)
+            return (arr >> 8).astype("uint8")
+        # 1/2/4-bit: unpack MSB-first per scanline (channels is 1 here)
+        stride = (pw * bitd + 7) // 8
+        rows = np.frombuffer(unflt, dtype="uint8").reshape(ph, stride)
+        bits = np.unpackbits(rows, axis=1)[:, : pw * bitd].reshape(ph, pw, bitd)
+        vals = (bits * (1 << np.arange(bitd - 1, -1, -1))).sum(axis=2)
+        return vals.astype("uint8")[:, :, None]
+
+    if interlace:
+        img = np.zeros((h, w, channels), dtype="uint8")
+        pos = 0
+        for xs, ys, xst, yst in _ADAM7:
+            pw = (w - xs + xst - 1) // xst
+            ph = (h - ys + yst - 1) // yst
+            if pw <= 0 or ph <= 0:
+                continue
+            stride = (pw * channels * bitd + 7) // 8
+            nbytes = ph * (1 + stride)
+            img[ys::yst, xs::xst] = depass(raw[pos: pos + nbytes], pw, ph)
+            pos += nbytes
+    else:
+        img = depass(raw, w, h)
+
+    if ctype == 3:
+        return plte[img[:, :, 0]]
+    if ctype == 0 and bitd < 8:  # scale sub-8-bit gray to full range
+        img = (img.astype("uint16") * 255 // ((1 << bitd) - 1)).astype("uint8")
     if channels == 1:
         return np.repeat(img, 3, axis=2)
     if channels == 2:  # gray+alpha
         return np.repeat(img[:, :, :1], 3, axis=2)
-    return img[:, :, :3]
+    return np.ascontiguousarray(img[:, :, :3])
 
 
 def encode_wav(samples, sample_rate: int = 8000) -> bytes:

@@ -604,3 +604,76 @@ def test_semantic_dedup_matches_bruteforce(spark):
     # (cosine ~1), one true singleton -> 6 canonical keepers
     assert sum(1 for _g, k in got.values() if k) == 6
     assert got[902] == (900, False) and got[901][1]
+
+
+def test_png_palette_interlace_and_depths():
+    """PNG beyond the 8-bit truecolor basics: palette color (PLTE),
+    Adam7 interlacing (spec 8.2 pass layout, per-pass filtering),
+    16-bit high-byte reduction, and sub-8-bit gray expansion — all
+    built chunk-by-chunk from the spec and compared to closed forms."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from drill_spark.ops.multimodal import _ADAM7, decode_png
+
+    def chunk(typ, data):
+        c = typ + data
+        return struct.pack(">I", len(data)) + c + struct.pack(">I", zlib.crc32(c))
+
+    def png(w, h, bitd, ctype, idat, interlace=0, plte=None):
+        out = (b"\x89PNG\r\n\x1a\n"
+               + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, bitd, ctype, 0, 0, interlace)))
+        if plte is not None:
+            out += chunk(b"PLTE", plte.tobytes())
+        return out + chunk(b"IDAT", zlib.compress(idat)) + chunk(b"IEND", b"")
+
+    rng = np.random.default_rng(3)
+
+    # 8-bit palette
+    pal = rng.integers(0, 256, size=(5, 3), dtype=np.uint8)
+    idx = rng.integers(0, 5, size=(3, 4), dtype=np.uint8)
+    raw = b"".join(b"\x00" + idx[y].tobytes() for y in range(3))
+    assert (decode_png(png(4, 3, 8, 3, raw, plte=pal)) == pal[idx]).all()
+
+    # 4-bit palette (two indices per byte, MSB first)
+    idx4 = rng.integers(0, 5, size=(2, 5), dtype=np.uint8)
+    rows = []
+    for y in range(2):
+        packed = bytearray()
+        for i in range(0, 5, 2):
+            hi = idx4[y, i] << 4
+            lo = idx4[y, i + 1] if i + 1 < 5 else 0
+            packed.append(hi | lo)
+        rows.append(b"\x00" + bytes(packed))
+    assert (decode_png(png(5, 2, 4, 3, b"".join(rows), plte=pal)) == pal[idx4]).all()
+
+    # 16-bit gray: high byte kept
+    g16 = rng.integers(0, 256, size=(2, 3), dtype=np.uint16)
+    raw = b"".join(
+        b"\x00" + ((g16[y] << 8) | 0x7F).astype(">u2").tobytes() for y in range(2))
+    out = decode_png(png(3, 2, 16, 0, raw))
+    assert (out == np.repeat(g16.astype("uint8")[:, :, None], 3, axis=2)).all()
+
+    # 2-bit gray: 0..3 scaled to 0/85/170/255
+    g2 = np.array([[0, 1, 2, 3, 3]], dtype=np.uint8)
+    packed = bytearray()
+    bitstr = "".join(f"{v:02b}" for v in g2[0]) + "0" * 6
+    for i in range(0, 16, 8):
+        packed.append(int(bitstr[i:i + 8], 2))
+    out = decode_png(png(5, 1, 2, 0, b"\x00" + bytes(packed)))
+    assert (out[:, :, 0] == g2 * 85).all()
+
+    # Adam7 interlaced RGB equals its non-interlaced twin
+    img = rng.integers(0, 256, size=(9, 10, 3), dtype=np.uint8)
+    plain = b"".join(b"\x00" + img[y].tobytes() for y in range(9))
+    parts = []
+    for xs, ys, xst, yst in _ADAM7:
+        sub = img[ys::yst, xs::xst]
+        if sub.size == 0:
+            continue
+        parts += [b"\x00" + sub[y].tobytes() for y in range(sub.shape[0])]
+    inter = png(10, 9, 8, 2, b"".join(parts), interlace=1)
+    assert (decode_png(inter) == img).all()
+    assert (decode_png(png(10, 9, 8, 2, plain)) == img).all()
