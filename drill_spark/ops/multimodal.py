@@ -487,6 +487,128 @@ def decode_png(payload: bytes):
     return np.ascontiguousarray(img[:, :, :3])
 
 
+def _gif_lzw_decode(data: bytes, min_code: int, npix: int) -> bytes:
+    """GIF-variant LZW (spec Appendix F): little-endian bit packing,
+    variable code width min_code+1..12, CLEAR resets the table, KwKwK
+    case handled. Returns exactly npix index bytes."""
+    clear = 1 << min_code
+    eoi = clear + 1
+    table = {i: bytes([i]) for i in range(clear)}
+    width = min_code + 1
+    next_code = eoi + 1
+    out = bytearray()
+    prev = None
+    acc = nbits = 0
+    for byte in data:
+        acc |= byte << nbits
+        nbits += 8
+        while nbits >= width:
+            code = acc & ((1 << width) - 1)
+            acc >>= width
+            nbits -= width
+            if code == clear:
+                table = {i: bytes([i]) for i in range(clear)}
+                width = min_code + 1
+                next_code = eoi + 1
+                prev = None
+                continue
+            if code == eoi:
+                return bytes(out[:npix])
+            if prev is None:
+                entry = table[code]
+            elif code in table:
+                entry = table[code]
+                table[next_code] = prev + entry[:1]
+                next_code += 1
+            elif code == next_code:  # KwKwK
+                entry = prev + prev[:1]
+                table[next_code] = entry
+                next_code += 1
+            else:
+                raise ValueError("corrupt GIF LZW stream")
+            # the decoder's table is one entry behind the encoder's, so
+            # the width grows one step early (the classic LZW off-by-one)
+            if next_code == (1 << width) - 1 and width < 12:
+                width += 1
+            out += entry
+            prev = entry
+            if len(out) >= npix:
+                return bytes(out[:npix])
+    return bytes(out[:npix])
+
+
+# GIF interlace passes (spec section 20): (row_start, row_step)
+_GIF_INTERLACE = [(0, 8), (4, 8), (2, 4), (1, 2)]
+
+
+def decode_gif(payload: bytes):
+    """First frame of a GIF87a/89a -> numpy (H, W, 3) uint8: logical
+    screen + global/local color tables, extension-block skipping, the
+    GIF LZW variant, four-pass row interlacing; transparency is
+    flattened (the canvas starts at the background color)."""
+    import struct
+
+    import numpy as np
+
+    b = bytes(payload)
+    if b[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF")
+    w, h, flags, bg, _ar = struct.unpack_from("<HHBBB", b, 6)
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        n = 2 << (flags & 7)
+        gct = np.frombuffer(b[pos: pos + 3 * n], dtype="uint8").reshape(n, 3)
+        pos += 3 * n
+    canvas = np.zeros((h, w, 3), dtype="uint8")
+    if gct is not None and bg < len(gct):
+        canvas[:] = gct[bg]
+    while pos < len(b):
+        block = b[pos]
+        pos += 1
+        if block == 0x3B:  # trailer
+            break
+        if block == 0x21:  # extension: label + sub-blocks
+            pos += 1
+            while pos < len(b) and b[pos]:
+                pos += 1 + b[pos]
+            pos += 1
+            continue
+        if block != 0x2C:
+            raise ValueError(f"unexpected GIF block 0x{block:02x}")
+        left, top, iw, ih, iflags = struct.unpack_from("<HHHHB", b, pos)
+        pos += 9
+        pal = gct
+        if iflags & 0x80:  # local color table
+            n = 2 << (iflags & 7)
+            pal = np.frombuffer(b[pos: pos + 3 * n], dtype="uint8").reshape(n, 3)
+            pos += 3 * n
+        if pal is None:
+            raise ValueError("GIF image with no color table")
+        min_code = b[pos]
+        pos += 1
+        data = bytearray()
+        while pos < len(b) and b[pos]:
+            ln = b[pos]
+            data += b[pos + 1: pos + 1 + ln]
+            pos += 1 + ln
+        pos += 1  # block terminator
+        idx = np.frombuffer(
+            _gif_lzw_decode(bytes(data), min_code, iw * ih), dtype="uint8"
+        ).reshape(ih, iw)
+        if iflags & 0x40:  # interlaced: rows arrive in 4 passes
+            ordered = np.empty_like(idx)
+            src = 0
+            for start, step in _GIF_INTERLACE:
+                rows = range(start, ih, step)
+                ordered[list(rows)] = idx[src: src + len(rows)]
+                src += len(rows)
+            idx = ordered
+        canvas[top: top + ih, left: left + iw] = pal[np.minimum(idx, len(pal) - 1)]
+        return canvas  # first frame only
+    return canvas
+
+
 def encode_wav(samples, sample_rate: int = 8000) -> bytes:
     """numpy float [-1, 1] mono -> 16-bit PCM WAV."""
     import io
@@ -633,13 +755,16 @@ def decode_media(payload: bytes) -> dict:
     import numpy as np
 
     b = bytes(payload or b"")
-    if b[:2] == b"BM" or b[:8] == b"\x89PNG\r\n\x1a\n" or b[:2] == b"\xff\xd8":
+    if (b[:2] == b"BM" or b[:8] == b"\x89PNG\r\n\x1a\n"
+            or b[:2] == b"\xff\xd8" or b[:3] == b"GIF"):
         if b[:2] == b"BM":
             kind, img = "image/bmp", decode_bmp(b)
         elif b[:2] == b"\xff\xd8":
             from drill_spark.ops.jpeg import decode_jpeg
 
             kind, img = "image/jpeg", decode_jpeg(b)
+        elif b[:3] == b"GIF":
+            kind, img = "image/gif", decode_gif(b)
         else:
             kind, img = "image/png", decode_png(b)
         return {

@@ -677,3 +677,99 @@ def test_png_palette_interlace_and_depths():
     inter = png(10, 9, 8, 2, b"".join(parts), interlace=1)
     assert (decode_png(inter) == img).all()
     assert (decode_png(png(10, 9, 8, 2, plain)) == img).all()
+
+
+def test_gif_decode_lzw_palette_interlace():
+    """REAL GIF decode: spec-built fixtures through a minimal greedy
+    LZW encoder — global palette, dictionary-growth + KwKwK streams,
+    four-pass interlacing, extension skipping, background fill."""
+    import struct
+
+    import numpy as np
+
+    from drill_spark.ops.multimodal import decode_gif, decode_media
+
+    def lzw_encode(indices, min_code):
+        clear, eoi = 1 << min_code, (1 << min_code) + 1
+        table = {bytes([i]): i for i in range(clear)}
+        next_code, width = eoi + 1, min_code + 1
+        codes = [(clear, width)]
+        wbuf = b""
+        for ix in bytes(indices):
+            k = wbuf + bytes([ix])
+            if k in table:
+                wbuf = k
+                continue
+            codes.append((table[wbuf], width))
+            table[k] = next_code
+            next_code += 1
+            if next_code - 1 == (1 << width) - 1 and width < 12:
+                width += 1
+            wbuf = bytes([ix])
+        if wbuf:
+            codes.append((table[wbuf], width))
+        codes.append((eoi, width))
+        acc = n = 0
+        out = bytearray()
+        for code, wd in codes:
+            acc |= code << n
+            n += wd
+            while n >= 8:
+                out.append(acc & 0xFF)
+                acc >>= 8
+                n -= 8
+        if n:
+            out.append(acc & 0xFF)
+        return bytes(out)
+
+    def subblocks(data):
+        out = bytearray()
+        for i in range(0, len(data), 255):
+            part = data[i:i + 255]
+            out.append(len(part))
+            out += part
+        out.append(0)
+        return bytes(out)
+
+    def build(w, h, pal, indices, interlace=False, ext=False):
+        n = len(pal)
+        bits = max(2, (n - 1).bit_length())
+        gct = np.zeros((1 << bits, 3), dtype=np.uint8)
+        gct[:n] = pal
+        out = bytearray(b"GIF89a")
+        out += struct.pack("<HHBBB", w, h, 0x80 | (bits - 1), 0, 0)
+        out += gct.tobytes()
+        if ext:  # graphic-control extension must be skipped cleanly
+            out += b"\x21\xf9\x04\x00\x00\x00\x00\x00"
+        min_code = max(2, bits)
+        out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h,
+                                     0x40 if interlace else 0)
+        out += bytes([min_code])
+        if interlace:
+            order = []
+            for start, step in ((0, 8), (4, 8), (2, 4), (1, 2)):
+                order += list(range(start, h, step))
+            indices = indices.reshape(h, w)[order].reshape(-1)
+        out += subblocks(lzw_encode(indices.astype(np.uint8).tobytes(), min_code))
+        out += b"\x3b"
+        return bytes(out)
+
+    rng = np.random.default_rng(5)
+    pal = rng.integers(0, 256, size=(6, 3), dtype=np.uint8)
+    idx = rng.integers(0, 6, size=(11, 13), dtype=np.uint8)
+
+    img = decode_gif(build(13, 11, pal, idx.reshape(-1), ext=True))
+    assert (img == pal[idx]).all()
+
+    inter = decode_gif(build(13, 11, pal, idx.reshape(-1), interlace=True))
+    assert (inter == pal[idx]).all()
+
+    # KwKwK stress: long runs of one index force the cScSc case
+    runs = np.zeros(400, dtype=np.uint8)
+    runs[::7] = 1
+    img2 = decode_gif(build(20, 20, pal[:4], runs))
+    assert (img2 == pal[runs.reshape(20, 20)]).all()
+
+    got = decode_media(build(13, 11, pal, idx.reshape(-1)))
+    assert got["kind"] == "image/gif" and (got["width"], got["height"]) == (13, 11)
+    assert got["mean_val"] == round(float(pal[idx].mean()), 4)
