@@ -96,6 +96,11 @@ def probe_image_header(payload: bytes):
     if b[:2] == b"BM" and len(b) >= 26:
         w, h = struct.unpack("<ii", b[18:26])
         return "bmp", w, abs(h)
+    if b[:4] in (b"II*\x00", b"MM\x00*"):
+        from drill_spark.ops.tiff import probe_tiff_header
+
+        dims = probe_tiff_header(b)
+        return ("tiff", *dims) if dims else ("tiff", None, None)
     if b[:2] == b"\xff\xd8":  # JPEG: walk segments to a SOF marker
         pos = 2
         while pos + 9 < len(b) and b[pos] == 0xFF:
@@ -756,7 +761,8 @@ def decode_media(payload: bytes) -> dict:
 
     b = bytes(payload or b"")
     if (b[:2] == b"BM" or b[:8] == b"\x89PNG\r\n\x1a\n"
-            or b[:2] == b"\xff\xd8" or b[:3] == b"GIF"):
+            or b[:2] == b"\xff\xd8" or b[:3] == b"GIF"
+            or b[:4] in (b"II*\x00", b"MM\x00*")):
         if b[:2] == b"BM":
             kind, img = "image/bmp", decode_bmp(b)
         elif b[:2] == b"\xff\xd8":
@@ -765,6 +771,10 @@ def decode_media(payload: bytes) -> dict:
             kind, img = "image/jpeg", decode_jpeg(b)
         elif b[:3] == b"GIF":
             kind, img = "image/gif", decode_gif(b)
+        elif b[:4] in (b"II*\x00", b"MM\x00*"):
+            from drill_spark.ops.tiff import decode_tiff
+
+            kind, img = "image/tiff", decode_tiff(b)
         else:
             kind, img = "image/png", decode_png(b)
         return {
