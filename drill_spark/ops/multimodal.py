@@ -78,6 +78,38 @@ def extract_features(df: DataFrame) -> DataFrame:
 PROBE_SCHEMA = "doc_id bigint, format string, width int, height int, n_bytes bigint"
 
 
+def _isobmff_ispe(b: bytes):
+    """(width, height) from the first ispe (ImageSpatialExtents)
+    property box of an ISOBMFF (AVIF/HEIC) payload: walk
+    meta -> iprp -> ipco -> ispe, skipping fullbox headers."""
+    import struct
+
+    def walk(start: int, end: int, depth: int = 0):
+        pos = start
+        while pos + 8 <= end:
+            size, typ = struct.unpack_from(">I4s", b, pos)
+            hdr = 8
+            if size == 1 and pos + 16 <= end:  # 64-bit largesize
+                size = struct.unpack_from(">Q", b, pos + 8)[0]
+                hdr = 16
+            if size == 0:
+                size = end - pos
+            if size < hdr or pos + size > end:
+                return None
+            if typ == b"ispe" and pos + hdr + 12 <= end:
+                w, h = struct.unpack_from(">II", b, pos + hdr + 4)
+                return w, h
+            if typ in (b"meta", b"iprp", b"ipco") and depth < 6:
+                body = pos + hdr + (4 if typ == b"meta" else 0)  # fullbox
+                found = walk(body, pos + size, depth + 1)
+                if found:
+                    return found
+            pos += size
+        return None
+
+    return walk(0, len(b))
+
+
 def probe_image_header(payload: bytes):
     """REAL (not stubbed) image metadata: container headers carry
     dimensions without any codec — PNG IHDR, JPEG SOFn scan, GIF
@@ -101,6 +133,25 @@ def probe_image_header(payload: bytes):
 
         dims = probe_tiff_header(b)
         return ("tiff", *dims) if dims else ("tiff", None, None)
+    if b[:4] == b"RIFF" and b[8:12] == b"WEBP" and len(b) >= 16:
+        kind = b[12:16]
+        if kind == b"VP8X" and len(b) >= 30:  # extended: 24-bit canvas minus one
+            w = int.from_bytes(b[24:27], "little") + 1
+            h = int.from_bytes(b[27:30], "little") + 1
+            return "webp", w, h
+        if kind == b"VP8L" and len(b) >= 25 and b[20] == 0x2F:  # lossless
+            bits = int.from_bytes(b[21:25], "little")
+            return "webp", (bits & 0x3FFF) + 1, ((bits >> 14) & 0x3FFF) + 1
+        if kind == b"VP8 " and len(b) >= 30 and b[23:26] == b"\x9d\x01\x2a":
+            w = int.from_bytes(b[26:28], "little") & 0x3FFF
+            h = int.from_bytes(b[28:30], "little") & 0x3FFF
+            return "webp", w, h
+        return "webp", None, None
+    if len(b) >= 12 and b[4:8] == b"ftyp" and b[8:12] in (
+            b"avif", b"avis", b"heic", b"heix", b"mif1"):
+        kind = "avif" if b[8:12] in (b"avif", b"avis") else "heic"
+        dims = _isobmff_ispe(b)
+        return (kind, *dims) if dims else (kind, None, None)
     if b[:2] == b"\xff\xd8":  # JPEG: walk segments to a SOF marker
         pos = 2
         while pos + 9 < len(b) and b[pos] == 0xFF:

@@ -773,3 +773,43 @@ def test_gif_decode_lzw_palette_interlace():
     got = decode_media(build(13, 11, pal, idx.reshape(-1)))
     assert got["kind"] == "image/gif" and (got["width"], got["height"]) == (13, 11)
     assert got["mean_val"] == round(float(pal[idx].mean()), 4)
+
+
+def test_probe_webp_avif_headers():
+    """WebP (VP8/VP8L/VP8X) and AVIF/HEIC (ISOBMFF ispe walk)
+    dimension probes, built byte-by-byte from the container specs."""
+    import struct
+
+    from drill_spark.ops.multimodal import probe_image_header
+
+    def riff(kind, chunk):
+        body = kind + chunk
+        return b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk if False else \
+               b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
+
+    # VP8X extended header: canvas 801 x 601
+    vp8x = (b"VP8X" + struct.pack("<I", 10) + b"\x00\x00\x00\x00"
+            + (800).to_bytes(3, "little") + (600).to_bytes(3, "little"))
+    assert probe_image_header(riff(b"WEBP", vp8x)) == ("webp", 801, 601)
+
+    # VP8L lossless: 14-bit fields, w-1 / h-1
+    bits = (333 - 1) | ((222 - 1) << 14)
+    vp8l = b"VP8L" + struct.pack("<I", 5) + b"\x2f" + struct.pack("<I", bits)
+    assert probe_image_header(riff(b"WEBP", vp8l)) == ("webp", 333, 222)
+
+    # VP8 lossy keyframe: 3-byte frame tag, start code, 14-bit dims
+    vp8 = (b"VP8 " + struct.pack("<I", 10) + b"\x00\x00\x00"
+           + b"\x9d\x01\x2a" + struct.pack("<HH", 640, 480))
+    assert probe_image_header(riff(b"WEBP", vp8)) == ("webp", 640, 480)
+
+    # AVIF: ftyp + meta{iprp{ipco{ispe}}}
+    def box(typ, body):
+        return struct.pack(">I", 8 + len(body)) + typ + body
+
+    ispe = box(b"ispe", b"\x00\x00\x00\x00" + struct.pack(">II", 1024, 768))
+    meta = box(b"meta", b"\x00\x00\x00\x00" + box(b"iprp", box(b"ipco", ispe)))
+    ftyp = box(b"ftyp", b"avif\x00\x00\x00\x00avifmif1")
+    assert probe_image_header(ftyp + meta) == ("avif", 1024, 768)
+    heic = box(b"ftyp", b"heic\x00\x00\x00\x00heicmif1")
+    assert probe_image_header(heic + meta) == ("heic", 1024, 768)
+    assert probe_image_header(box(b"ftyp", b"avif")) == ("avif", None, None)
