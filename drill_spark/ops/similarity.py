@@ -379,7 +379,12 @@ def semantic_dedup(
     already fixed and soak-measured); group resolution is min-label
     connected components (1 shuffle/iteration, lineage-truncated).
     Cross-cluster duplicates are missed by construction — the recall
-    trade SemDeDup itself makes."""
+    trade SemDeDup itself makes.
+
+    Within-cluster cost is quadratic in cluster size, so n_cells must
+    grow with the corpus: size it as ~corpus_size / target_cluster_size
+    (the paper uses clusters of 10^4-10^5 embeddings at web scale) —
+    the k-means sample cap handles any n_cells the driver can hold."""
     from drill_spark.ops.dedup import connected_components
 
     assigned, _cents = ivf_assign(df, id_col, vec_col, n_cells=n_cells, seed=seed)

@@ -370,6 +370,15 @@ def _parse_choice(cur, choice: Choice, parse_one) -> dict:
 def _parse_bin_one(cur: _BinCursor, elem: Elem, byte_order: str):
     if isinstance(elem.body, Prim):
         kind = elem.body.kind
+        props = elem.props
+        if props.get("lengthKind") == "explicit" and kind in ("string", "hexBinary"):
+            raw = cur.take(_explicit_length(props))  # N BYTES in binary rep
+            if kind == "hexBinary":
+                return bytes(raw)
+            txt = raw.decode(props.get("encoding", "utf-8"))
+            if props.get("textPadKind") == "padChar":
+                txt = txt.rstrip(props.get("textStringPadCharacter", " "))
+            return txt
         spec = _BIN_WIDTHS.get(kind)
         if spec is None:
             raise NotImplementedError(
@@ -399,6 +408,13 @@ class _TextCursor:
     def eof(self) -> bool:
         return self.pos >= len(self.text)
 
+    def take(self, n: int) -> str:
+        if self.pos + n > len(self.text):
+            raise _ParseError("EOF in explicit-length field")
+        out = self.text[self.pos: self.pos + n]
+        self.pos += n
+        return out
+
     def expect(self, lit: str) -> None:
         if lit == "\n":  # %NL; matches any newline on parse
             for cand in ("\r\n", "\n", "\r"):
@@ -425,13 +441,32 @@ class _TextCursor:
         return out
 
 
+def _explicit_length(props: dict) -> int:
+    expr = props.get("length", "")
+    if expr.startswith("{"):
+        raise NotImplementedError(
+            "dfdl:length expressions are outside the subset (constants only)")
+    return int(expr)
+
+
 def _parse_text_one(cur: _TextCursor, elem: Elem, outer_delims: list[str]):
     props = elem.props
     if isinstance(elem.body, Seq):
         return _parse_text_seq(cur, elem.body, outer_delims)
     if "initiator" in props:
         cur.expect(_expand_entities(props["initiator"]))
-    if "terminator" in props:
+    if props.get("lengthKind") == "explicit":
+        # fixed-width field: exactly N characters, optional pad strip
+        raw = cur.take(_explicit_length(props))
+        if props.get("textPadKind") == "padChar":
+            pad = props.get("textStringPadCharacter", " ")
+            just = props.get("textStringJustification", "left")
+            raw = (raw.rstrip(pad) if just == "left"
+                   else raw.lstrip(pad) if just == "right"
+                   else raw.strip(pad))
+        if "terminator" in props:
+            cur.expect(_expand_entities(props["terminator"]))
+    elif "terminator" in props:
         term = _expand_entities(props["terminator"])
         raw = cur.scan_until([term])
         cur.expect(term)

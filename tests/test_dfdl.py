@@ -359,3 +359,70 @@ def test_occurs_count_expression(spark):
         {"n": 0, "vals": []},
         {"n": 1, "vals": [9]},
     ]
+
+
+def test_explicit_length_fixed_width(spark):
+    """lengthKind='explicit': fixed-width text records (padded name +
+    zoned int) and binary records with length-prefixed-by-schema
+    string/hexBinary fields."""
+    from drill_spark.readers.dfdl import DfdlSchema, parse_dfdl_file
+
+    text_xsd = """<?xml version="1.0"?>
+<xs:schema xmlns:xs="http://www.w3.org/2001/XMLSchema"
+           xmlns:dfdl="http://www.ogf.org/dfdl/dfdl-1.0/">
+  <xs:annotation><xs:appinfo source="http://www.ogf.org/dfdl/">
+    <dfdl:format representation="text" encoding="utf-8"/>
+  </xs:appinfo></xs:annotation>
+  <xs:element name="row">
+    <xs:complexType>
+      <xs:sequence dfdl:terminator="%NL;">
+        <xs:element name="name" type="xs:string" dfdl:lengthKind="explicit"
+                    dfdl:length="6" dfdl:textPadKind="padChar"
+                    dfdl:textStringPadCharacter="_"/>
+        <xs:element name="qty" type="xs:int" dfdl:lengthKind="explicit"
+                    dfdl:length="4"/>
+      </xs:sequence>
+    </xs:complexType>
+  </xs:element>
+</xs:schema>"""
+    schema = DfdlSchema(text_xsd)
+    root = schema.root_element("row")
+    rows = parse_dfdl_file(b"apple_0042\nfig___0007\n", schema, root)
+    assert rows == [{"name": "apple", "qty": 42}, {"name": "fig", "qty": 7}]
+
+    bin_xsd = """<?xml version="1.0"?>
+<xs:schema xmlns:xs="http://www.w3.org/2001/XMLSchema"
+           xmlns:dfdl="http://www.ogf.org/dfdl/dfdl-1.0/">
+  <xs:annotation><xs:appinfo source="http://www.ogf.org/dfdl/">
+    <dfdl:format representation="binary"/>
+  </xs:appinfo></xs:annotation>
+  <xs:element name="row">
+    <xs:complexType>
+      <xs:sequence>
+        <xs:element name="tag" type="xs:string" dfdl:lengthKind="explicit"
+                    dfdl:length="4" dfdl:textPadKind="padChar"/>
+        <xs:element name="n" type="xs:int"/>
+        <xs:element name="blob" type="xs:hexBinary"
+                    dfdl:lengthKind="explicit" dfdl:length="3"/>
+      </xs:sequence>
+    </xs:complexType>
+  </xs:element>
+</xs:schema>"""
+    schema = DfdlSchema(bin_xsd)
+    root = schema.root_element("row")
+    data = b"ab  " + struct.pack(">i", 9) + b"\x01\x02\x03" \
+         + b"cdef" + struct.pack(">i", -1) + b"\xff\x00\x7f"
+    rows = parse_dfdl_file(data, schema, root)
+    assert rows == [
+        {"tag": "ab", "n": 9, "blob": b"\x01\x02\x03"},
+        {"tag": "cdef", "n": -1, "blob": b"\xff\x00\x7f"},
+    ]
+
+    # dfdl:length expressions stay a named gate
+    import pytest as _pytest
+
+    expr_xsd = bin_xsd.replace('dfdl:length="3"', 'dfdl:length="{ ../n }"')
+    schema = DfdlSchema(expr_xsd)
+    root = schema.root_element("row")
+    with _pytest.raises(NotImplementedError, match="length expressions"):
+        parse_dfdl_file(data, schema, root)
