@@ -1641,6 +1641,18 @@ group by doc_id
 """
 
 
+def q_bpe_tokens(spark, sf_dir):
+    """REAL trained-BPE token accounting (Sennrich et al. merge loop,
+    trained on the corpus word counts): per-doc subword token counts.
+    The iterative merge training is not SQL-expressible -> rows-only
+    driver check; distributed-vs-reference exactness is pytest-verified
+    (test_bpe_stats_match_reference_impl)."""
+    from drill_spark.ops.bpe import corpus_bpe_stats
+
+    docs = _docs(spark, sf_dir).where("doc_id < 500")
+    return corpus_bpe_stats(spark, docs, n_merges=100)
+
+
 QUERIES = {
     "op_avro_scan": q_avro_scan,
     "op_delta_scan": q_delta_scan,
@@ -1694,6 +1706,7 @@ QUERIES = {
     "ext_quality_mixture": q_quality_mixture,
     "ext_semantic_dedup": q_semantic_dedup,
     "ext_trigram_lm": q_trigram_lm,
+    "ext_bpe_tokens": q_bpe_tokens,
 }
 
 ORACLES = {

@@ -1,0 +1,142 @@
+"""Byte-pair-encoding tokenizer trained on the corpus itself.
+
+The public BPE algorithm (Sennrich et al. 2016; the GPT-2 tokenizer's
+merge loop): start from characters, repeatedly merge the most frequent
+adjacent symbol pair over the word-frequency table, apply merges to
+text by rank. This replaces the repo's earlier chars/4 "BPE-ish"
+estimate with real learned-subword token counts while staying
+self-contained (no external vocab files).
+
+Scale shape: the WORD-FREQUENCY table is the only training input —
+computed distributed (split + explode + groupBy, map-side combined),
+then capped to the top ``max_words`` distinct words for the driver-side
+merge loop (exactly how BPE is trained in practice: vocab learners
+consume word counts, not raw text; the cap bounds driver memory by
+distinct-word count, not corpus size). Application broadcasts the merge
+ranks into an Arrow-batched pandas iterator — one pass over the corpus,
+no shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_END = "</w>"  # word-final marker, as in the published algorithm
+
+
+def word_frequencies(df: DataFrame, text_col: str = "text",
+                     max_words: int = 50_000) -> list[tuple[str, int]]:
+    """Distributed word-frequency table, capped to the most frequent
+    ``max_words`` (ties broken by word for determinism)."""
+    rows = (
+        df.select(F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("w"))
+        .where(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("w"))
+        .limit(max_words)
+        .collect()
+    )
+    return [(r.w, r.n) for r in rows]
+
+
+def train_bpe(word_freqs: list[tuple[str, int]],
+              n_merges: int = 200) -> list[tuple[str, str]]:
+    """Learn ``n_merges`` merges from a word-frequency table.
+
+    Deterministic: the most frequent pair wins, ties broken
+    lexicographically. Pure driver-side compute over the (bounded)
+    vocabulary, independent of corpus size."""
+    words: dict[tuple, int] = {}
+    for w, n in word_freqs:
+        words[tuple(w) + (_END,)] = words.get(tuple(w) + (_END,), 0) + n
+
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        pairs: dict[tuple, int] = {}
+        for sym, n in words.items():
+            for i in range(len(sym) - 1):
+                p = (sym[i], sym[i + 1])
+                pairs[p] = pairs.get(p, 0) + n
+        if not pairs:
+            break
+        # max frequency; lexicographically SMALLEST pair on ties
+        top_n = max(pairs.values())
+        a, b = min(p for p, n in pairs.items() if n == top_n)
+        if top_n < 2:
+            break  # nothing left that repeats
+        merges.append((a, b))
+        merged = a + b
+        new_words: dict[tuple, int] = {}
+        for sym, n in words.items():
+            out = []
+            i = 0
+            while i < len(sym):
+                if i + 1 < len(sym) and sym[i] == a and sym[i + 1] == b:
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(sym[i])
+                    i += 1
+            key = tuple(out)
+            new_words[key] = new_words.get(key, 0) + n
+        words = new_words
+    return merges
+
+
+def encode_word(word: str, ranks: dict[tuple, int]) -> list[str]:
+    """Apply merges to one word by rank (the GPT-2 bpe() loop)."""
+    sym = list(word) + [_END]
+    while len(sym) > 1:
+        best_rank = None
+        best_i = -1
+        for i in range(len(sym) - 1):
+            r = ranks.get((sym[i], sym[i + 1]))
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank, best_i = r, i
+        if best_rank is None:
+            break
+        sym[best_i: best_i + 2] = [sym[best_i] + sym[best_i + 1]]
+    return sym
+
+
+def bpe_token_stats(df: DataFrame, merges: list[tuple[str, str]],
+                    id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """(id, n_tokens, n_words) per document under the trained merges —
+    the real token-budget accounting a training pipeline runs. The
+    ranks dict is a plan constant shipped with the closure; the apply
+    is one Arrow-batched pass, no shuffle."""
+    ranks = {pair: i for i, pair in enumerate(merges)}
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            toks, nwords = [], []
+            for text in pdf[text_col]:
+                words = [w for w in (text or "").lower().split() if w]
+                total = 0
+                for w in words:
+                    total += len(encode_word(w, ranks))
+                toks.append(total)
+                nwords.append(len(words))
+            yield pd.DataFrame({
+                id_col: pdf[id_col],
+                "n_tokens": pd.Series(toks, dtype="int64"),
+                "n_words": pd.Series(nwords, dtype="int64"),
+            })
+
+    return df.select(id_col, text_col).mapInPandas(
+        run, schema=f"{id_col} bigint, n_tokens bigint, n_words bigint")
+
+
+def corpus_bpe_stats(spark: SparkSession, df: DataFrame,
+                     id_col: str = "doc_id", text_col: str = "text",
+                     n_merges: int = 200,
+                     max_words: int = 50_000) -> DataFrame:
+    """Train-on-corpus convenience: word counts (distributed) ->
+    merges (driver, bounded) -> per-doc token stats (distributed)."""
+    merges = train_bpe(word_frequencies(df, text_col, max_words), n_merges)
+    return bpe_token_stats(df, merges, id_col, text_col)

@@ -813,3 +813,54 @@ def test_probe_webp_avif_headers():
     heic = box(b"ftyp", b"heic\x00\x00\x00\x00heicmif1")
     assert probe_image_header(heic + meta) == ("heic", 1024, 768)
     assert probe_image_header(box(b"ftyp", b"avif")) == ("avif", None, None)
+
+
+def test_bpe_train_and_encode():
+    """BPE merge loop vs hand-derivable corpus: 'low lower lowest' x
+    freqs gives the classic 'lo' -> 'low' merge order; encode_word
+    applies by rank; detokenization (concat minus </w>) restores the
+    word exactly for every vocab word."""
+    from drill_spark.ops.bpe import _END, encode_word, train_bpe
+
+    freqs = [("low", 5), ("lower", 2), ("lowest", 2)]
+    merges = train_bpe(freqs, n_merges=3)
+    assert merges[0] == ("l", "o")      # 9 occurrences of (l,o)
+    assert merges[1] == ("lo", "w")     # then (lo,w) 9 times
+    ranks = {p: i for i, p in enumerate(merges)}
+    toks = encode_word("low", ranks)
+    assert "".join(toks).replace(_END, "") == "low"
+    assert toks[0] == "low" or toks[0] == "low" + _END
+    # unseen word still encodes (falls back to chars + any merges)
+    out = encode_word("slow", ranks)
+    assert "".join(out).replace(_END, "") == "slow"
+
+
+def test_bpe_stats_match_reference_impl(spark):
+    """Distributed bpe_token_stats equals an independent driver-side
+    re-implementation (straightforward nested loops) on real docs."""
+    from pyspark.sql import functions as F
+
+    from drill_spark.ops.bpe import (
+        bpe_token_stats,
+        encode_word,
+        train_bpe,
+        word_frequencies,
+    )
+
+    docs = extops._docs(spark, SF_DIR).where(F.col("doc_id") < 60)
+    wf = word_frequencies(docs, "text")
+    merges = train_bpe(wf, n_merges=50)
+    assert len(merges) > 10
+
+    got = {r.doc_id: (r.n_tokens, r.n_words)
+           for r in bpe_token_stats(docs, merges).collect()}
+
+    ranks = {p: i for i, p in enumerate(merges)}
+    for r in docs.select("doc_id", "text").collect():
+        words = [w for w in (r.text or "").lower().split() if w]
+        n_tok = sum(len(encode_word(w, ranks)) for w in words)
+        assert got[r.doc_id] == (n_tok, len(words)), r.doc_id
+    # merged subwords compress: strictly fewer tokens than characters
+    chars = {r.doc_id: len((r.text or "").replace(" ", ""))
+             for r in docs.select("doc_id", "text").collect()}
+    assert all(got[d][0] < chars[d] + got[d][1] for d in got)
