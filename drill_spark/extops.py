@@ -874,25 +874,29 @@ select s_suppkey, s_name, round(s_acctbal, 2) as s_acctbal from supplier
 
 def q_multimodal_decode(spark, sf_dir):
     """REAL media decode, oracle-checked end to end: each nation row
-    becomes a genuine 24-bit BMP (key%5==0; constant pixel value
-    (key*9)%256, width key%5+2, height 3), a 16-bit PCM WAV (key%5==1;
+    becomes a genuine 24-bit BMP (key%7==0; constant pixel value
+    (key*9)%256, width key%5+2, height 3), a 16-bit PCM WAV (key%7==1;
     square wave of amplitude (key%50)/100, 80+key samples at 8 kHz),
     a REAL JPEG — alternating baseline SOF0 and progressive SOF2
-    (key%5==2; constant gray (key*9)%256 — exact through the codec
+    (key%7==2; constant gray (key*9)%256 — exact through the codec
     because the q75 luminance DC step equals the 8x8 DCT's DC gain,
-    see ops/jpeg.py), a REAL AVI video (key%5==3;
+    see ops/jpeg.py), a REAL AVI video (key%7==3;
     key%3+2 uncompressed BI_RGB frames at 5 fps, frame i constant value
     (key*9)%200 + 10*i, so the all-frame pixel mean is the closed form
-    (key*9)%200 + 5*(key%3+1)), or a REAL FLAC (key%5==4; 16-bit square
+    (key*9)%200 + 5*(key%3+1)), or a REAL FLAC (key%7==4; 16-bit square
     wave of integer amplitude (key%40+1)*500, 100+key samples at
-    16 kHz — lossless, so the decoded RMS is exactly amp/32767) built
-    with the codecs in ops/multimodal.py + ops/jpeg.py + ops/video.py +
-    ops/flac.py, and the decode kernel must recover dimensions / sample
+    16 kHz — lossless, so the decoded RMS is exactly amp/32767), a
+    REAL TIFF through the LZW strip path (key%7==5) or a REAL GIF
+    through palette + LZW (key%7==6) — both lossless constant-gray,
+    exact mean — built with the codecs in ops/multimodal.py +
+    ops/jpeg.py + ops/tiff.py + ops/video.py + ops/flac.py, and the decode kernel must recover dimensions / sample
     counts / frame counts / fps / mean pixel / RMS exactly as the
     closed-form oracle computes them — no stub anywhere in this path."""
     import pandas as pd
 
-    from drill_spark.ops.multimodal import DECODE_SCHEMA, encode_bmp, encode_wav, media_decode
+    from drill_spark.ops.multimodal import (
+        DECODE_SCHEMA, encode_bmp, encode_gif, encode_wav, media_decode,
+    )
 
     nat = load_fixture(spark, sf_dir, "nation").select(
         F.col("n_nationkey").cast("bigint").alias("doc_id")
@@ -903,6 +907,7 @@ def q_multimodal_decode(spark, sf_dir):
 
         from drill_spark.ops.flac import encode_flac
         from drill_spark.ops.jpeg import encode_jpeg, encode_jpeg_progressive
+        from drill_spark.ops.tiff import encode_tiff
         from drill_spark.ops.video import encode_avi
 
         for pdf in batches:
@@ -911,32 +916,40 @@ def q_multimodal_decode(spark, sf_dir):
                 k = int(k)
                 w = k % 5 + 2
                 v = (k * 9) % 256
-                if k % 5 == 0:
+                if k % 7 == 0:
                     img = np.full((3, w, 3), v, dtype="uint8")
                     rows.append({"doc_id": k, "payload": encode_bmp(img)})
-                elif k % 5 == 1:
+                elif k % 7 == 1:
                     a = (k % 50) / 100.0
                     n = 80 + k
                     x = np.where(np.arange(n) % 2 == 0, a, -a)
                     rows.append({"doc_id": k, "payload": encode_wav(x, 8000)})
-                elif k % 5 == 2:
+                elif k % 7 == 2:
                     img = np.full((3, w, 3), v, dtype="uint8")
                     # alternate baseline SOF0 / progressive SOF2 payloads
                     # — same quantized coefficients, identical decode,
                     # so the closed-form oracle covers both processes
-                    enc = encode_jpeg if k % 10 == 2 else encode_jpeg_progressive
+                    enc = encode_jpeg if (k // 7) % 2 == 0 else encode_jpeg_progressive
                     rows.append({"doc_id": k, "payload": enc(img)})
-                elif k % 5 == 3:
+                elif k % 7 == 3:
                     frames = [
                         np.full((3, w, 3), (k * 9) % 200 + 10 * i, dtype="uint8")
                         for i in range(k % 3 + 2)
                     ]
                     rows.append({"doc_id": k, "payload": encode_avi(frames, fps=5)})
-                else:
+                elif k % 7 == 4:
                     amp = (k % 40 + 1) * 500
                     n = 100 + k
                     x = np.where(np.arange(n) % 2 == 0, amp, -amp)
                     rows.append({"doc_id": k, "payload": encode_flac(x, 16000)})
+                elif k % 7 == 5:
+                    # TIFF through the LZW strip path — lossless, exact mean
+                    img = np.full((3, w, 3), v, dtype="uint8")
+                    rows.append({"doc_id": k, "payload": encode_tiff(img, compression=5)})
+                else:
+                    # GIF: constant gray through palette + LZW — exact mean
+                    img = np.full((3, w, 3), v, dtype="uint8")
+                    rows.append({"doc_id": k, "payload": encode_gif(img)})
             yield pd.DataFrame.from_records(rows, columns=["doc_id", "payload"])
 
     payloads = nat.mapInPandas(build, schema="doc_id bigint, payload binary")
@@ -1013,23 +1026,25 @@ from nation
 
 ORACLE_MULTIMODAL_DECODE = """
 select n_nationkey as doc_id,
-  case when n_nationkey % 5 = 0 then 'image/bmp'
-       when n_nationkey % 5 = 1 then 'audio/wav'
-       when n_nationkey % 5 = 2 then 'image/jpeg'
-       when n_nationkey % 5 = 3 then 'video/avi'
-       else 'audio/flac' end as kind,
-  cast(case when n_nationkey % 5 in (0, 2, 3) then n_nationkey % 5 + 2 end as int) as width,
-  cast(case when n_nationkey % 5 in (0, 2, 3) then 3 end as int) as height,
-  cast(case when n_nationkey % 5 = 1 then 80 + n_nationkey
-            when n_nationkey % 5 = 3 then n_nationkey % 3 + 2
-            when n_nationkey % 5 = 4 then 100 + n_nationkey end as int) as n_samples,
-  cast(case when n_nationkey % 5 = 1 then 8000
-            when n_nationkey % 5 = 3 then 5
-            when n_nationkey % 5 = 4 then 16000 end as int) as sample_rate,
-  round(case when n_nationkey % 5 = 1 then (n_nationkey % 50) / 100.0
-             when n_nationkey % 5 = 3
+  case when n_nationkey % 7 = 0 then 'image/bmp'
+       when n_nationkey % 7 = 1 then 'audio/wav'
+       when n_nationkey % 7 = 2 then 'image/jpeg'
+       when n_nationkey % 7 = 3 then 'video/avi'
+       when n_nationkey % 7 = 4 then 'audio/flac'
+       when n_nationkey % 7 = 5 then 'image/tiff'
+       else 'image/gif' end as kind,
+  cast(case when n_nationkey % 7 in (0, 2, 3, 5, 6) then n_nationkey % 5 + 2 end as int) as width,
+  cast(case when n_nationkey % 7 in (0, 2, 3, 5, 6) then 3 end as int) as height,
+  cast(case when n_nationkey % 7 = 1 then 80 + n_nationkey
+            when n_nationkey % 7 = 3 then n_nationkey % 3 + 2
+            when n_nationkey % 7 = 4 then 100 + n_nationkey end as int) as n_samples,
+  cast(case when n_nationkey % 7 = 1 then 8000
+            when n_nationkey % 7 = 3 then 5
+            when n_nationkey % 7 = 4 then 16000 end as int) as sample_rate,
+  round(case when n_nationkey % 7 = 1 then (n_nationkey % 50) / 100.0
+             when n_nationkey % 7 = 3
                then (n_nationkey * 9) % 200 + 5.0 * (n_nationkey % 3 + 1)
-             when n_nationkey % 5 = 4
+             when n_nationkey % 7 = 4
                then (n_nationkey % 40 + 1) * 500 / 32767.0
              else cast((n_nationkey * 9) % 256 as double) end, 4) as mean_val
 from nation

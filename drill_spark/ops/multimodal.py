@@ -665,6 +665,72 @@ def decode_gif(payload: bytes):
     return canvas
 
 
+def encode_gif(img) -> bytes:
+    """numpy (H, W, 3) uint8 -> single-frame GIF89a (global palette
+    built from the image's distinct colors — must be <= 256; greedy
+    LZW per the spec's Appendix F)."""
+    import struct
+
+    import numpy as np
+
+    img = np.asarray(img, dtype="uint8")
+    h, w = img.shape[:2]
+    flat = img.reshape(-1, 3)
+    pal, idx = np.unique(flat, axis=0, return_inverse=True)
+    if len(pal) > 256:
+        raise ValueError("encode_gif needs <= 256 distinct colors")
+    bits = max(2, (len(pal) - 1).bit_length())
+    gct = np.zeros((1 << bits, 3), dtype="uint8")
+    gct[: len(pal)] = pal
+    min_code = max(2, bits)
+    clear, eoi = 1 << min_code, (1 << min_code) + 1
+
+    # greedy LZW (mirrors the decoder's growth rule, one entry ahead)
+    table = {bytes([i]): i for i in range(clear)}
+    next_code, width = eoi + 1, min_code + 1
+    codes = [(clear, width)]
+    wbuf = b""
+    for v in idx.astype("uint8").tobytes():
+        k = wbuf + bytes([v])
+        if k in table:
+            wbuf = k
+            continue
+        codes.append((table[wbuf], width))
+        table[k] = next_code
+        next_code += 1
+        if next_code - 1 == (1 << width) - 1 and width < 12:
+            width += 1
+        if next_code >= 4095:
+            codes.append((clear, width))
+            table = {bytes([i]): i for i in range(clear)}
+            next_code, width = eoi + 1, min_code + 1
+        wbuf = bytes([v])
+    if wbuf:
+        codes.append((table[wbuf], width))
+    codes.append((eoi, width))
+    acc = n = 0
+    lzw = bytearray()
+    for code, wd in codes:
+        acc |= code << n
+        n += wd
+        while n >= 8:
+            lzw.append(acc & 0xFF)
+            acc >>= 8
+            n -= 8
+    if n:
+        lzw.append(acc & 0xFF)
+
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | (bits - 1), 0, 0)
+    out += gct.tobytes()
+    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0) + bytes([min_code])
+    for i in range(0, len(lzw), 255):
+        part = lzw[i: i + 255]
+        out += bytes([len(part)]) + part
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
 def encode_wav(samples, sample_rate: int = 8000) -> bytes:
     """numpy float [-1, 1] mono -> 16-bit PCM WAV."""
     import io
