@@ -132,3 +132,26 @@ def test_explain_report_shape(spark):
     assert sum(rep["joins"].values()) == 1
     assert rep["shuffles"] >= 1  # the aggregation exchange
     assert any("l_quantity" in f for f in rep["pushed_filters"])
+
+
+def test_trigram_lm_plan_shape(spark):
+    """Corpus-trained trigram LM scoring: zero Python in the plan and
+    the vocabulary-sized count tables join back as BROADCASTS — the
+    shape that keeps a 100 TB corpus at one scan + bounded aggs."""
+    from drill_spark import extops
+
+    df = extops.QUERIES["ext_trigram_lm"](spark, SF_DIR)
+    assert not plans.has_python_eval(df)
+    phys = df._jdf.queryExecution().executedPlan().toString()
+    assert phys.count("BroadcastHashJoin") >= 2, phys[:2000]
+
+
+def test_semantic_dedup_no_cartesian(spark):
+    """SemDeDup's pair stage must stay a bucketed equi-join — never a
+    cartesian/broadcast-nested-loop across the corpus."""
+    from drill_spark import extops
+
+    df = extops.QUERIES["ext_semantic_dedup"](spark, SF_DIR)
+    phys = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in phys
+    assert "BroadcastNestedLoopJoin" not in phys
