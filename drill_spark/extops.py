@@ -1668,6 +1668,18 @@ def q_bpe_tokens(spark, sf_dir):
     return corpus_bpe_stats(spark, docs, n_merges=100)
 
 
+def q_ann_pq(spark, sf_dir):
+    """Product-quantization ANN (Jegou et al. 2011 / FAISS IndexPQ +
+    refine): per-subspace codebooks trained on a bounded sample, ADC
+    scan over m-byte codes, exact re-rank of the top candidates.
+    K-means training is not SQL-expressible -> rows-only; recall vs
+    brute force is pytest-bounded (test_ann_pq_recall)."""
+    from drill_spark.ops.similarity import pq_topk
+
+    return pq_topk(_embs(spark, sf_dir), query_ids=[0, 1, 2, 3, 4],
+                   k=3, m=8, n_codes=16)
+
+
 QUERIES = {
     "op_avro_scan": q_avro_scan,
     "op_delta_scan": q_delta_scan,
@@ -1722,6 +1734,7 @@ QUERIES = {
     "ext_semantic_dedup": q_semantic_dedup,
     "ext_trigram_lm": q_trigram_lm,
     "ext_bpe_tokens": q_bpe_tokens,
+    "ext_ann_pq": q_ann_pq,
 }
 
 ORACLES = {

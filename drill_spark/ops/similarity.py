@@ -403,3 +403,143 @@ def semantic_dedup(
             (F.coalesce(F.col("component"), F.col(id_col)) == F.col(id_col)).alias("keep"),
         )
     )
+
+
+# ------------------------------------------------------- product quantization
+
+
+def pq_train(df: DataFrame, vec_col: str = "embedding", m: int = 8,
+             k: int = 16, seed: int = 42,
+             max_train: int = 50_000) -> list[list[list[float]]]:
+    """Product-quantization codebooks (Jégou et al. 2011, the FAISS
+    standard): split the vector into ``m`` subvectors and k-means each
+    subspace independently on a bounded driver sample. Returns
+    codebooks[m][k][sub_dim]. Compression: dim floats -> m codes."""
+    import numpy as np
+
+    sample_pdf = (df.select(F.col(vec_col).cast("array<double>").alias("v"))
+                  .limit(max_train).toPandas())
+    sample = np.asarray(sample_pdf["v"].tolist())
+    dim = sample.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub = dim // m
+    rng = np.random.default_rng(seed)
+    books = []
+    for j in range(m):
+        x = sample[:, j * sub: (j + 1) * sub]
+        kk = min(k, len(x))
+        cents = x[rng.choice(len(x), kk, replace=False)]
+        for _ in range(15):  # Lloyd's on the subspace sample
+            d2 = ((x[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            a = d2.argmin(axis=1)
+            new = np.stack([x[a == c].mean(axis=0) if (a == c).any() else cents[c]
+                            for c in range(kk)])
+            if np.allclose(new, cents, atol=1e-7):
+                break
+            cents = new
+        books.append(cents.tolist())
+    return books
+
+
+def pq_encode(df: DataFrame, codebooks, id_col: str = "vec_id",
+              vec_col: str = "embedding") -> DataFrame:
+    """(id, codes array<int>) — per-subspace argmin against the literal
+    codebooks, pure Catalyst (one transform per subspace, constant-
+    folded). The codes column is what a 100 TB corpus persists: m bytes
+    per vector instead of dim floats."""
+    sub = len(codebooks[0][0])
+    out = df.select(F.col(id_col), F.col(vec_col))
+    code_cols = []
+    for j, book in enumerate(codebooks):
+        cents = _cents_sql(book)
+        d = (f"transform({cents}, c -> aggregate(zip_with("
+             f"slice({vec_col}, {j * sub + 1}, {sub}), c, "
+             f"(x, y) -> (cast(x as double) - y) * (cast(x as double) - y)), "
+             f"0D, (acc, v) -> acc + v))")
+        code_cols.append(
+            (F.expr(f"array_position({d}, array_min({d}))") - 1)
+            .cast("int").alias(f"_c{j}"))
+    out = out.select(id_col, vec_col, *code_cols)
+    return out.select(
+        id_col,
+        F.array(*[F.col(f"_c{j}") for j in range(len(codebooks))]).alias("codes"),
+    )
+
+
+def pq_topk(df: DataFrame, query_ids, codebooks=None,
+            id_col: str = "vec_id", vec_col: str = "embedding",
+            k: int = 3, m: int = 8, n_codes: int = 16,
+            rerank: int | None = None) -> DataFrame:
+    """PQ approximate top-k by asymmetric distance computation (ADC)
+    with exact re-ranking — the FAISS IndexPQ + refine pattern:
+
+    1. each query precomputes an m x k lookup table of exact subvector
+       distances to the codebook entries; every corpus vector's
+       approximate distance is m table lookups summed over its CODES —
+       no float vectors touched in the scan, which is the whole point
+       at 100 TB (the corpus side reads m small ints per row);
+    2. the top ``rerank`` (default 10*k) ADC candidates per query —
+       a tiny set — fetch their float vectors and re-rank by exact
+       cosine, recovering the recall that quantization noise costs on
+       near-tied neighbors.
+
+    The per-query LUTs are plan literals (queries are a small set);
+    stage 1 is one codegen'd scan + a top-R window; stage 2 joins only
+    R rows per query back to the corpus."""
+    import numpy as np
+
+    if codebooks is None:
+        codebooks = pq_train(df, vec_col, m=m, k=n_codes)
+    encoded = pq_encode(df, codebooks, id_col, vec_col)
+    rerank = rerank or 10 * k
+
+    q_rows = (df.where(F.col(id_col).isin(list(query_ids)))
+              .select(F.col(id_col), F.col(vec_col).cast("array<double>"))
+              .collect())  # bounded: the query set
+    sub = len(codebooks[0][0])
+    books = np.asarray(codebooks)  # (m, k, sub)
+    pieces = []
+    for r in q_rows:
+        qv = np.asarray(r[1])
+        luts = []
+        for j in range(len(codebooks)):
+            qs = qv[j * sub: (j + 1) * sub]
+            luts.append(((books[j] - qs[None, :]) ** 2).sum(axis=1).tolist())
+        lut_sql = "array(" + ",".join(
+            "array(" + ",".join(f"{x}D" for x in row) + ")" for row in luts
+        ) + ")"
+        dist = (f"aggregate(zip_with({lut_sql}, codes, "
+                f"(lut, c) -> element_at(lut, c + 1)), 0D, (acc, v) -> acc + v)")
+        pieces.append(
+            encoded.where(F.col(id_col) != r[0]).select(
+                F.lit(r[0]).alias("query_id"),
+                F.col(id_col).alias("neighbor_id"),
+                F.expr(dist).alias("adc_dist"),
+            ))
+    out = pieces[0]
+    for p in pieces[1:]:
+        out = out.unionByName(p)
+    wa = Window.partitionBy("query_id").orderBy(F.asc("adc_dist"), F.asc("neighbor_id"))
+    cands = (out.withColumn("_r", F.row_number().over(wa))
+             .where(F.col("_r") <= rerank)
+             .select("query_id", "neighbor_id"))
+
+    # exact refine: R rows per query fetch their float vectors
+    side = with_norm(
+        df.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")),
+        "cv", "cn")
+    qdf = with_norm(
+        df.sparkSession.createDataFrame(
+            [(int(r[0]), list(map(float, r[1]))) for r in q_rows],
+            "query_id bigint, qv array<double>"),
+        "qv", "qn")
+    scored = (
+        cands.join(side, "neighbor_id")
+        .join(F.broadcast(qdf), "query_id")
+        .withColumn("cosine", F.round(_dot("qv", "cv") / (F.col("qn") * F.col("cn")), 4))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "cosine", "rank"))

