@@ -499,27 +499,32 @@ def pq_topk(df: DataFrame, query_ids, codebooks=None,
               .collect())  # bounded: the query set
     sub = len(codebooks[0][0])
     books = np.asarray(codebooks)  # (m, k, sub)
-    pieces = []
+    # ONE corpus scan scores every query: the per-query LUTs stack into
+    # a 3-D literal and a transform+posexplode emits (query_idx, dist)
+    all_luts = []
     for r in q_rows:
         qv = np.asarray(r[1])
-        luts = []
-        for j in range(len(codebooks)):
-            qs = qv[j * sub: (j + 1) * sub]
-            luts.append(((books[j] - qs[None, :]) ** 2).sum(axis=1).tolist())
-        lut_sql = "array(" + ",".join(
+        all_luts.append([
+            ((books[j] - qv[j * sub: (j + 1) * sub][None, :]) ** 2).sum(axis=1).tolist()
+            for j in range(len(codebooks))
+        ])
+    qluts_sql = "array(" + ",".join(
+        "array(" + ",".join(
             "array(" + ",".join(f"{x}D" for x in row) + ")" for row in luts
-        ) + ")"
-        dist = (f"aggregate(zip_with({lut_sql}, codes, "
-                f"(lut, c) -> element_at(lut, c + 1)), 0D, (acc, v) -> acc + v)")
-        pieces.append(
-            encoded.where(F.col(id_col) != r[0]).select(
-                F.lit(r[0]).alias("query_id"),
-                F.col(id_col).alias("neighbor_id"),
-                F.expr(dist).alias("adc_dist"),
-            ))
-    out = pieces[0]
-    for p in pieces[1:]:
-        out = out.unionByName(p)
+        ) + ")" for luts in all_luts
+    ) + ")"
+    qid_sql = "array(" + ",".join(str(int(r[0])) + "L" for r in q_rows) + ")"
+    dists = (f"transform({qluts_sql}, lq -> aggregate(zip_with(lq, codes, "
+             f"(lut, c) -> element_at(lut, c + 1)), 0D, (acc, v) -> acc + v))")
+    out = (
+        encoded.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.posexplode(F.expr(dists)).alias("_qi", "adc_dist"),
+        )
+        .withColumn("query_id", F.expr(f"element_at({qid_sql}, _qi + 1)"))
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .drop("_qi")
+    )
     wa = Window.partitionBy("query_id").orderBy(F.asc("adc_dist"), F.asc("neighbor_id"))
     cands = (out.withColumn("_r", F.row_number().over(wa))
              .where(F.col("_r") <= rerank)
