@@ -1680,6 +1680,45 @@ def q_ann_pq(spark, sf_dir):
                    k=3, m=8, n_codes=16)
 
 
+def q_gis_points(spark, sf_dir):
+    """GIS point fast path (Catalyst HOFs, no pandas UDF): st_point /
+    st_x / st_y / st_distance / st_dwithin / st_within_box over
+    supplier-derived coordinates — oracle = the plain closed-form
+    geometry math in SQL, so the whole ST_* fast tier is hash-checked
+    by the driver, not just pytest."""
+    from drill_spark import functions as dfn
+
+    dfn.register_all(spark)
+    sup = load_fixture(spark, sf_dir, "supplier")
+    sup.createOrReplaceTempView("supplier")
+    return spark.sql("""
+        select s_suppkey,
+               round(st_x(pt), 4) as x, round(st_y(pt), 4) as y,
+               round(st_distance(pt, st_point(0.0, 0.0)), 4) as dist_origin,
+               st_dwithin(pt, st_point(10.0, 10.0), 15.0) as near_corner,
+               st_within_box(pt, -50.0, -10.0, 50.0, 30.0) as in_box
+        from (
+          select s_suppkey,
+                 st_point(s_acctbal / 100.0, cast(s_nationkey as double)) as pt
+          from supplier
+        )
+    """)
+
+
+ORACLE_GIS_POINTS = """
+select s_suppkey,
+       round(s_acctbal / 100.0, 4) as x,
+       round(cast(s_nationkey as double), 4) as y,
+       round(sqrt((s_acctbal / 100.0) * (s_acctbal / 100.0)
+                  + s_nationkey * s_nationkey), 4) as dist_origin,
+       (sqrt((s_acctbal / 100.0 - 10.0) * (s_acctbal / 100.0 - 10.0)
+             + (s_nationkey - 10.0) * (s_nationkey - 10.0)) <= 15.0) as near_corner,
+       (s_acctbal / 100.0 between -50.0 and 50.0
+        and s_nationkey between -10.0 and 30.0) as in_box
+from supplier
+"""
+
+
 QUERIES = {
     "op_avro_scan": q_avro_scan,
     "op_delta_scan": q_delta_scan,
@@ -1735,6 +1774,7 @@ QUERIES = {
     "ext_trigram_lm": q_trigram_lm,
     "ext_bpe_tokens": q_bpe_tokens,
     "ext_ann_pq": q_ann_pq,
+    "op_gis_points": q_gis_points,
 }
 
 ORACLES = {
@@ -1760,6 +1800,7 @@ ORACLES = {
     "ext_embed_dedup": ORACLE_EMBED_DEDUP,
     "ext_text_stats": ORACLE_TEXT_STATS,
     "ext_trigram_lm": ORACLE_TRIGRAM_LM,
+    "op_gis_points": ORACLE_GIS_POINTS,
     "ext_text_tokens_bpe": ORACLE_TEXT_TOKENS_BPE,
     "ext_dedup_ngram": ORACLE_DEDUP_NGRAM,
     "ext_text_token_freq": ORACLE_TOKEN_FREQ,
