@@ -205,3 +205,134 @@ def read_elasticsearch_index(
                 "to spark.jars.packages to enable elasticsearch workspaces"
             ) from e
         raise
+
+
+def _gate(e: Exception, source: str, package: str, plugin: str):
+    msg = str(e)
+    if (f"Failed to find data source: {source}" in msg
+            or "ClassNotFoundException" in msg
+            or "Could not load" in msg):
+        raise NotImplementedError(
+            f"the {plugin} connector jar is not bundled in this deployment; "
+            f"add {package} to spark.jars.packages to enable {plugin} "
+            "workspaces"
+        ) from e
+    raise e
+
+
+def read_cassandra_table(
+    spark: SparkSession,
+    contact_points: str,
+    table: str,
+    ws_options: dict | None = None,
+    query_options: dict | None = None,
+) -> DataFrame:
+    """Cassandra storage plugin analog (contrib/storage-cassandra
+    CassandraStoragePlugin.java: keyspaces as schemas, tables via the
+    Calcite-Cassandra adapter with filter pushdown). ``table`` is
+    ``<keyspace>.<table>`` (Drill's cassandra.`ks`.`tbl`); reads go
+    through the DataStax Spark connector, which does the same
+    predicate/projection pushdown division of labor. Connector-jar
+    gated like kafka/mongo."""
+    opts = {**(ws_options or {}), **(query_options or {})}
+    opts.pop("type", None)
+    ks, _, tbl = table.partition(".")
+    if not tbl:
+        raise ValueError(f"cassandra table must be keyspace.table, got {table!r}")
+    reader = (
+        spark.read.format("org.apache.spark.sql.cassandra")
+        .option("spark.cassandra.connection.host", contact_points)
+        .option("keyspace", ks)
+        .option("table", tbl)
+    )
+    for k, v in opts.items():
+        reader = reader.option(k, v)
+    try:
+        return reader.load()
+    except Exception as e:
+        _gate(e, "org.apache.spark.sql.cassandra",
+              "com.datastax.spark:spark-cassandra-connector", "cassandra")
+
+
+def read_hbase_table(
+    spark: SparkSession,
+    zookeeper_quorum: str,
+    table: str,
+    ws_options: dict | None = None,
+    query_options: dict | None = None,
+) -> DataFrame:
+    """HBase storage plugin analog (contrib/storage-hbase
+    HBaseStoragePlugin.java: row-key pushdown scans over column
+    families). Reads go through the hbase-spark connector; the column
+    mapping (the connector's ``hbase.columns.mapping``) comes from
+    workspace/query options, mirroring how the reference's plugin maps
+    families to Drill maps. Connector-jar gated."""
+    opts = {**(ws_options or {}), **(query_options or {})}
+    opts.pop("type", None)
+    reader = (
+        spark.read.format("org.apache.hadoop.hbase.spark")
+        .option("hbase.zookeeper.quorum", zookeeper_quorum)
+        .option("hbase.table", table)
+    )
+    for k, v in opts.items():
+        reader = reader.option(k, v)
+    try:
+        return reader.load()
+    except Exception as e:
+        _gate(e, "org.apache.hadoop.hbase.spark",
+              "org.apache.hbase.connectors.spark:hbase-spark", "hbase")
+
+
+def read_druid_datasource(
+    spark: SparkSession,
+    broker_url: str,
+    table: str,
+    ws_options: dict | None = None,
+    query_options: dict | None = None,
+) -> DataFrame:
+    """Druid storage plugin analog (contrib/storage-druid: datasources
+    as tables with filter pushdown into native Druid queries). Reads
+    route through Druid's Avatica JDBC endpoint
+    (``<broker>/druid/v2/sql/avatica/``) via Spark's parallel JDBC
+    source — the same SQL-pushdown division the reference gets from
+    its REST scan spec. Avatica-driver-jar gated."""
+    opts = {**(ws_options or {}), **(query_options or {})}
+    opts.pop("type", None)
+    url = f"jdbc:avatica:remote:url={broker_url.rstrip('/')}/druid/v2/sql/avatica/"
+    reader = (
+        spark.read.format("jdbc")
+        .option("url", url)
+        .option("dbtable", table)
+        .option("driver", "org.apache.calcite.avatica.remote.Driver")
+    )
+    for k, v in opts.items():
+        reader = reader.option(k, v)
+    try:
+        return reader.load()
+    except Exception as e:
+        _gate(e, "jdbc", "org.apache.calcite.avatica:avatica-core", "druid")
+
+
+def read_splunk_index(
+    spark: SparkSession,
+    connection_url: str,
+    table: str,
+    ws_options: dict | None = None,
+    query_options: dict | None = None,
+) -> DataFrame:
+    """Splunk storage plugin analog (contrib/storage-splunk: indexes as
+    tables, SPL pushdown). Reads go through the splunk-spark connector
+    data source; connector-jar gated with the naming error pattern."""
+    opts = {**(ws_options or {}), **(query_options or {})}
+    opts.pop("type", None)
+    reader = (
+        spark.read.format("splunk")
+        .option("url", connection_url)
+        .option("index", table)
+    )
+    for k, v in opts.items():
+        reader = reader.option(k, v)
+    try:
+        return reader.load()
+    except Exception as e:
+        _gate(e, "splunk", "com.splunk.spark:splunk-spark", "splunk")

@@ -318,6 +318,49 @@ class DrillSession:
             name, nodes, kind="elasticsearch", options=dict(options or {})
         )
 
+    def register_cassandra_workspace(
+        self, name: str, contact_points: str,
+        options: dict[str, str] | None = None,
+    ) -> None:
+        """Cassandra plugin analog (contrib/storage-cassandra):
+        ``select * from name.`ks.tbl``` through the DataStax Spark
+        connector (predicate/projection pushdown); jar gated."""
+        self.workspaces[name] = Workspace(
+            name, contact_points, kind="cassandra", options=dict(options or {})
+        )
+
+    def register_hbase_workspace(
+        self, name: str, zookeeper_quorum: str,
+        options: dict[str, str] | None = None,
+    ) -> None:
+        """HBase plugin analog (contrib/storage-hbase): tables through
+        the hbase-spark connector with a columns mapping option; jar
+        gated."""
+        self.workspaces[name] = Workspace(
+            name, zookeeper_quorum, kind="hbase", options=dict(options or {})
+        )
+
+    def register_druid_workspace(
+        self, name: str, broker_url: str,
+        options: dict[str, str] | None = None,
+    ) -> None:
+        """Druid plugin analog (contrib/storage-druid): datasources via
+        the broker's Avatica JDBC endpoint through Spark's JDBC source;
+        Avatica-driver gated."""
+        self.workspaces[name] = Workspace(
+            name, broker_url, kind="druid", options=dict(options or {})
+        )
+
+    def register_splunk_workspace(
+        self, name: str, connection_url: str,
+        options: dict[str, str] | None = None,
+    ) -> None:
+        """Splunk plugin analog (contrib/storage-splunk): indexes via
+        the splunk-spark data source; jar gated."""
+        self.workspaces[name] = Workspace(
+            name, connection_url, kind="splunk", options=dict(options or {})
+        )
+
     def serve_jdbc(self, host: str = "127.0.0.1", port: int = 0,
                    sf_dir: str | None = None):
         """Start the HiveServer2-compatible Thrift JDBC/ODBC endpoint

@@ -360,6 +360,14 @@ def _read_path(session, ws_name: str, rel_path: str, options: dict[str, str] | N
         from drill_spark.readers.external import read_hive_table
 
         return read_hive_table(session.spark, ws.path, rel_path, ws.options, options)
+    if ws is not None and ws.kind in ("cassandra", "hbase", "druid", "splunk"):
+        from drill_spark.readers import external as _ext
+
+        fn = {"cassandra": _ext.read_cassandra_table,
+              "hbase": _ext.read_hbase_table,
+              "druid": _ext.read_druid_datasource,
+              "splunk": _ext.read_splunk_index}[ws.kind]
+        return fn(session.spark, ws.path, rel_path, ws.options, options)
     root = ws.path if ws else "/"
     default_fmt = ws.default_format if ws else "parquet"
     path = rel_path if os.path.isabs(rel_path) else os.path.join(root, rel_path)

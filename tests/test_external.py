@@ -163,3 +163,29 @@ def test_elasticsearch_workspace_gate(session):
         pytest.skip("es-hadoop present; no server to scan in-container")
     except NotImplementedError as e:
         assert "elasticsearch-spark" in str(e)
+
+
+@pytest.mark.parametrize("kind,register,table,jar", [
+    ("cassandra", "register_cassandra_workspace", "ks.tbl",
+     "spark-cassandra-connector"),
+    ("hbase", "register_hbase_workspace", "t1", "hbase-spark"),
+    ("druid", "register_druid_workspace", "wikipedia", "avatica"),
+    ("splunk", "register_splunk_workspace", "main", "splunk-spark"),
+])
+def test_remaining_storage_plugin_gates(session, kind, register, table, jar):
+    """contrib/storage-{cassandra,hbase,druid,splunk} analogs: each
+    workspace kind resolves through the matching Spark connector and,
+    with no jar in-container, raises a NotImplementedError naming the
+    exact package to add — the kafka/mongo/ES gate contract."""
+    getattr(session, register)(f"gate_{kind}", "localhost")
+    try:
+        session.sql(f"select * from gate_{kind}.`{table}`")
+        pytest.skip(f"{kind} connector present; no server in-container")
+    except NotImplementedError as e:
+        assert jar in str(e), str(e)
+
+
+def test_cassandra_bad_table_name(session):
+    session.register_cassandra_workspace("cs2", "localhost")
+    with pytest.raises(ValueError, match="keyspace.table"):
+        session.sql("select * from cs2.`justatable`")
