@@ -336,3 +336,100 @@ def read_splunk_index(
         return reader.load()
     except Exception as e:
         _gate(e, "splunk", "com.splunk.spark:splunk-spark", "splunk")
+
+
+def read_kudu_table(
+    spark: SparkSession,
+    masters: str,
+    table: str,
+    ws_options: dict | None = None,
+    query_options: dict | None = None,
+) -> DataFrame:
+    """Kudu storage plugin analog (contrib/storage-kudu: tablets as
+    scan ranges, predicate pushdown). Reads go through the kudu-spark
+    connector; jar gated."""
+    opts = {**(ws_options or {}), **(query_options or {})}
+    opts.pop("type", None)
+    reader = (
+        spark.read.format("kudu")
+        .option("kudu.master", masters)
+        .option("kudu.table", table)
+    )
+    for k, v in opts.items():
+        reader = reader.option(k, v)
+    try:
+        return reader.load()
+    except Exception as e:
+        _gate(e, "kudu", "org.apache.kudu:kudu-spark3", "kudu")
+
+
+def read_phoenix_table(
+    spark: SparkSession,
+    zookeeper_url: str,
+    table: str,
+    ws_options: dict | None = None,
+    query_options: dict | None = None,
+) -> DataFrame:
+    """Phoenix storage plugin analog (contrib/storage-phoenix: SQL over
+    HBase with pushdown). Reads go through the phoenix-spark
+    connector; jar gated."""
+    opts = {**(ws_options or {}), **(query_options or {})}
+    opts.pop("type", None)
+    reader = (
+        spark.read.format("phoenix")
+        .option("zkUrl", zookeeper_url)
+        .option("table", table)
+    )
+    for k, v in opts.items():
+        reader = reader.option(k, v)
+    try:
+        return reader.load()
+    except Exception as e:
+        _gate(e, "phoenix", "org.apache.phoenix:phoenix-spark", "phoenix")
+
+
+def read_opentsdb_metric(
+    spark: SparkSession,
+    base_url: str,
+    table: str,
+    ws_options: dict | None = None,
+    query_options: dict | None = None,
+) -> DataFrame:
+    """OpenTSDB storage plugin — REAL implementation (contrib/
+    storage-opentsdb Schema.java / OpenTSDBGroupScan: metrics as
+    tables, time-range + aggregator pushed into /api/query). OpenTSDB
+    speaks plain JSON REST, so no connector jar is needed: the driver
+    POSTs the query (endpoints have no splits, exactly like the
+    reference's and our http plugin), and the per-timestamp datapoints
+    distribute as (metric, tags map, ts, value) rows.
+
+    ``table`` is the metric name; options: ``start`` (default
+    ``1h-ago``), ``end``, ``aggregator`` (default ``sum``), ``downsample``."""
+    import json as _json
+    import urllib.request
+
+    opts = {**(ws_options or {}), **(query_options or {})}
+    sub = {"aggregator": opts.get("aggregator", "sum"), "metric": table}
+    if opts.get("downsample"):
+        sub["downsample"] = opts["downsample"]
+    body = {"start": opts.get("start", "1h-ago"), "queries": [sub]}
+    if opts.get("end"):
+        body["end"] = opts["end"]
+    req = urllib.request.Request(
+        base_url.rstrip("/") + "/api/query",
+        data=_json.dumps(body).encode(),
+        headers={"Content-Type": "application/json"},
+    )
+    with urllib.request.urlopen(req, timeout=30) as resp:
+        results = _json.loads(resp.read())
+    rows = []
+    for series in results:
+        metric = series.get("metric", table)
+        tags = series.get("tags") or {}
+        for ts, val in sorted((series.get("dps") or {}).items()):
+            rows.append({"metric": metric, "tags": tags,
+                         "ts": int(ts), "val": float(val)})
+    lines = [_json.dumps(r) for r in rows]
+    return spark.read.json(
+        spark.sparkContext.parallelize(lines or ["{}"],
+                                       max(1, len(lines) // 5000 + 1)))

@@ -361,6 +361,38 @@ class DrillSession:
             name, connection_url, kind="splunk", options=dict(options or {})
         )
 
+    def register_kudu_workspace(
+        self, name: str, masters: str,
+        options: dict[str, str] | None = None,
+    ) -> None:
+        """Kudu plugin analog (contrib/storage-kudu): tables via the
+        kudu-spark connector; jar gated."""
+        self.workspaces[name] = Workspace(
+            name, masters, kind="kudu", options=dict(options or {})
+        )
+
+    def register_phoenix_workspace(
+        self, name: str, zookeeper_url: str,
+        options: dict[str, str] | None = None,
+    ) -> None:
+        """Phoenix plugin analog (contrib/storage-phoenix): tables via
+        the phoenix-spark connector; jar gated."""
+        self.workspaces[name] = Workspace(
+            name, zookeeper_url, kind="phoenix", options=dict(options or {})
+        )
+
+    def register_opentsdb_workspace(
+        self, name: str, base_url: str,
+        options: dict[str, str] | None = None,
+    ) -> None:
+        """OpenTSDB plugin — REAL (contrib/storage-opentsdb): metrics
+        as tables over the /api/query JSON REST endpoint, no connector
+        jar needed; time range / aggregator / downsample come from
+        workspace or query options."""
+        self.workspaces[name] = Workspace(
+            name, base_url, kind="opentsdb", options=dict(options or {})
+        )
+
     def serve_jdbc(self, host: str = "127.0.0.1", port: int = 0,
                    sf_dir: str | None = None):
         """Start the HiveServer2-compatible Thrift JDBC/ODBC endpoint

@@ -360,13 +360,17 @@ def _read_path(session, ws_name: str, rel_path: str, options: dict[str, str] | N
         from drill_spark.readers.external import read_hive_table
 
         return read_hive_table(session.spark, ws.path, rel_path, ws.options, options)
-    if ws is not None and ws.kind in ("cassandra", "hbase", "druid", "splunk"):
+    if ws is not None and ws.kind in ("cassandra", "hbase", "druid", "splunk",
+                                      "kudu", "phoenix", "opentsdb"):
         from drill_spark.readers import external as _ext
 
         fn = {"cassandra": _ext.read_cassandra_table,
               "hbase": _ext.read_hbase_table,
               "druid": _ext.read_druid_datasource,
-              "splunk": _ext.read_splunk_index}[ws.kind]
+              "splunk": _ext.read_splunk_index,
+              "kudu": _ext.read_kudu_table,
+              "phoenix": _ext.read_phoenix_table,
+              "opentsdb": _ext.read_opentsdb_metric}[ws.kind]
         return fn(session.spark, ws.path, rel_path, ws.options, options)
     root = ws.path if ws else "/"
     default_fmt = ws.default_format if ws else "parquet"
@@ -1010,23 +1014,48 @@ def execute(session, query: str) -> DataFrame:
     query = re.sub(r"^\s*EXPLAIN\s+PLAN\s+(?:WITH\s+IMPLEMENTATION\s+)?FOR\s+", "EXPLAIN ", query, flags=re.IGNORECASE)
 
     # INFORMATION_SCHEMA.x / sys.x tables (store/ischema/, store/sys/):
-    # materialize the snapshot views and rewrite the dotted names
+    # materialize the snapshot views and rewrite the dotted names.
+    # The bare-name form must never fire INSIDE a backtick-quoted path
+    # (`tsdb.`sys.cpu.user`` is a workspace table whose name merely
+    # contains "sys."), so it substitutes only outside backtick spans;
+    # the sys.`name` form is handled first and is unambiguous.
     if re.search(r"\binformation_schema\s*\.|\bsys\s*\.", query, re.IGNORECASE):
         from drill_spark.catalog import register_system_views
 
         register_system_views(session)
         query = re.sub(
-            r"\binformation_schema\s*\.\s*`?(\w+)`?",
+            r"\binformation_schema\s*\.\s*`(\w+)`",
             lambda m: f"information_schema_{m.group(1).lower()}",
             query,
             flags=re.IGNORECASE,
         )
         query = re.sub(
-            r"\bsys\s*\.\s*`?(\w+)`?",
+            r"\bsys\s*\.\s*`(\w+)`",
             lambda m: f"sys_{m.group(1).lower()}",
             query,
             flags=re.IGNORECASE,
         )
+        backtick = re.compile(r"`[^`]*`")
+        parts, last = [], 0
+        for m in backtick.finditer(query):
+            seg = query[last: m.start()]
+            seg = re.sub(r"\binformation_schema\s*\.\s*(\w+)",
+                         lambda mm: f"information_schema_{mm.group(1).lower()}",
+                         seg, flags=re.IGNORECASE)
+            seg = re.sub(r"\bsys\s*\.\s*(\w+)",
+                         lambda mm: f"sys_{mm.group(1).lower()}",
+                         seg, flags=re.IGNORECASE)
+            parts += [seg, m.group(0)]
+            last = m.end()
+        seg = query[last:]
+        seg = re.sub(r"\binformation_schema\s*\.\s*(\w+)",
+                     lambda mm: f"information_schema_{mm.group(1).lower()}",
+                     seg, flags=re.IGNORECASE)
+        seg = re.sub(r"\bsys\s*\.\s*(\w+)",
+                     lambda mm: f"sys_{mm.group(1).lower()}",
+                     seg, flags=re.IGNORECASE)
+        parts.append(seg)
+        query = "".join(parts)
 
     df = spark.sql(rewrite(session, query))
     mv = _match_materialized(session, query, df)

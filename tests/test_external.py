@@ -189,3 +189,70 @@ def test_cassandra_bad_table_name(session):
     session.register_cassandra_workspace("cs2", "localhost")
     with pytest.raises(ValueError, match="keyspace.table"):
         session.sql("select * from cs2.`justatable`")
+
+
+def test_kudu_phoenix_gates(session):
+    for kind, reg, jar in (("kudu", "register_kudu_workspace", "kudu-spark"),
+                           ("phoenix", "register_phoenix_workspace",
+                            "phoenix-spark")):
+        getattr(session, reg)(f"gate2_{kind}", "localhost")
+        try:
+            session.sql(f"select * from gate2_{kind}.`t1`")
+            pytest.skip(f"{kind} connector present")
+        except NotImplementedError as e:
+            assert jar in str(e), str(e)
+
+
+def test_opentsdb_real_rest_scan(session):
+    """REAL OpenTSDB parity (contrib/storage-opentsdb): a local stub
+    serving the documented /api/query response shape; the workspace
+    resolves metric tables to (metric, tags, ts, val) rows with the
+    aggregator/time options posted in the query body."""
+    import json
+    import threading
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    seen = {}
+
+    class Handler(BaseHTTPRequestHandler):
+        def do_POST(self):
+            n = int(self.headers.get("Content-Length", 0))
+            seen["body"] = json.loads(self.rfile.read(n))
+            resp = [{
+                "metric": "sys.cpu.user",
+                "tags": {"host": "web01"},
+                "dps": {"1420000000": 42.5, "1420000060": 43.0},
+            }, {
+                "metric": "sys.cpu.user",
+                "tags": {"host": "web02"},
+                "dps": {"1420000000": 40.0},
+            }]
+            body = json.dumps(resp).encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *a):
+            pass
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        session.register_opentsdb_workspace(
+            "tsdb", f"http://127.0.0.1:{srv.server_port}",
+            options={"start": "2h-ago", "aggregator": "avg"})
+        rows = session.sql(
+            "select metric, tags.host as host, ts, val from tsdb.`sys.cpu.user` "
+            "order by host, ts").collect()
+        assert [(r.metric, r.host, r.ts, r.val) for r in rows] == [
+            ("sys.cpu.user", "web01", 1420000000, 42.5),
+            ("sys.cpu.user", "web01", 1420000060, 43.0),
+            ("sys.cpu.user", "web02", 1420000000, 40.0),
+        ]
+        assert seen["body"]["start"] == "2h-ago"
+        assert seen["body"]["queries"][0] == {
+            "aggregator": "avg", "metric": "sys.cpu.user"}
+    finally:
+        srv.shutdown()
