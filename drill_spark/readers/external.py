@@ -433,3 +433,59 @@ def read_opentsdb_metric(
     return spark.read.json(
         spark.sparkContext.parallelize(lines or ["{}"],
                                        max(1, len(lines) // 5000 + 1)))
+
+
+def read_googlesheets_tab(
+    spark: SparkSession,
+    spreadsheet_id: str,
+    table: str,
+    ws_options: dict | None = None,
+    query_options: dict | None = None,
+) -> DataFrame:
+    """Google Sheets storage plugin analog (contrib/storage-googlesheets:
+    tabs as tables via the Sheets API v4 with OAuth). Reads go through
+    the spark-google-spreadsheets data source; gated on BOTH the
+    connector jar and the OAuth credential files the reference's plugin
+    config carries (clientID/clientSecret/refresh token)."""
+    opts = {**(ws_options or {}), **(query_options or {})}
+    opts.pop("type", None)
+    if not opts.get("credentialsPath"):
+        raise NotImplementedError(
+            "googlesheets workspaces need OAuth credentials "
+            "(credentialsPath option -> a Google service-account json), "
+            "matching the reference plugin's clientID/clientSecret config"
+        )
+    reader = (
+        spark.read.format("com.github.potix2.spark.google.spreadsheets")
+        .option("serviceAccountId", opts.get("serviceAccountId", ""))
+        .option("credentialPath", opts["credentialsPath"])
+    )
+    for k, v in opts.items():
+        reader = reader.option(k, v)
+    try:
+        return reader.load(f"{spreadsheet_id}/{table}")
+    except Exception as e:
+        _gate(e, "com.github.potix2.spark.google.spreadsheets",
+              "com.github.potix2:spark-google-spreadsheets", "googlesheets")
+
+
+def read_maprdb_table(
+    spark: SparkSession,
+    _path: str,
+    table: str,
+    ws_options: dict | None = None,
+    query_options: dict | None = None,
+) -> DataFrame:
+    """MapR-DB storage plugin analog (contrib/format-maprdb): JSON
+    tables through the proprietary MapR Spark connector; gated — the
+    connector ships only with the MapR (HPE Ezmeral) platform."""
+    opts = {**(ws_options or {}), **(query_options or {})}
+    opts.pop("type", None)
+    reader = spark.read.format("com.mapr.db.spark.sql").option("tableName", table)
+    for k, v in opts.items():
+        reader = reader.option(k, v)
+    try:
+        return reader.load()
+    except Exception as e:
+        _gate(e, "com.mapr.db.spark.sql",
+              "com.mapr.db:maprdb-spark (MapR/Ezmeral platform only)", "maprdb")

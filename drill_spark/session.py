@@ -393,6 +393,26 @@ class DrillSession:
             name, base_url, kind="opentsdb", options=dict(options or {})
         )
 
+    def register_googlesheets_workspace(
+        self, name: str, spreadsheet_id: str,
+        options: dict[str, str] | None = None,
+    ) -> None:
+        """Google Sheets plugin analog (contrib/storage-googlesheets):
+        tabs as tables; gated on OAuth credentials + connector jar."""
+        self.workspaces[name] = Workspace(
+            name, spreadsheet_id, kind="googlesheets", options=dict(options or {})
+        )
+
+    def register_maprdb_workspace(
+        self, name: str, cluster_path: str = "/",
+        options: dict[str, str] | None = None,
+    ) -> None:
+        """MapR-DB plugin analog (contrib/format-maprdb): JSON tables
+        via the proprietary MapR connector; platform gated."""
+        self.workspaces[name] = Workspace(
+            name, cluster_path, kind="maprdb", options=dict(options or {})
+        )
+
     def serve_jdbc(self, host: str = "127.0.0.1", port: int = 0,
                    sf_dir: str | None = None):
         """Start the HiveServer2-compatible Thrift JDBC/ODBC endpoint

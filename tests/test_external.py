@@ -256,3 +256,18 @@ def test_opentsdb_real_rest_scan(session):
             "aggregator": "avg", "metric": "sys.cpu.user"}
     finally:
         srv.shutdown()
+
+
+def test_googlesheets_and_maprdb_gates(session):
+    """The last two reference plugins: googlesheets gates on OAuth
+    credentials before anything else; maprdb gates on the proprietary
+    MapR connector."""
+    session.register_googlesheets_workspace("gs", "1abcSHEETID")
+    with pytest.raises(NotImplementedError, match="OAuth credentials"):
+        session.sql("select * from gs.`Sheet1`")
+    session.register_maprdb_workspace("mdb")
+    try:
+        session.sql("select * from mdb.`/tables/users`")
+        pytest.skip("mapr connector present")
+    except NotImplementedError as e:
+        assert "maprdb-spark" in str(e) or "MapR" in str(e)
