@@ -385,3 +385,40 @@ def test_wkb_roundtrip_property():
         assert geo.from_wkb(geo.to_wkb(poly)) == poly
 
     check()
+
+
+def test_overlay_inclusion_exclusion_property():
+    """Property: for random axis-aligned rectangles the overlay kernel
+    must satisfy area(A) + area(B) = area(A u B) + area(A n B) and
+    area(A \\ B) = area(A) - area(A n B) exactly (up to float eps) —
+    a global correctness invariant no single fixture can fake."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    def rect(x0, y0, w, h):
+        return ("POLYGON", [[(x0, y0), (x0 + w, y0), (x0 + w, y0 + h),
+                             (x0, y0 + h), (x0, y0)]])
+
+    def area(g):
+        """Signed-ring sum: holes subtract, multipolygons add."""
+        if g is None:
+            return 0.0
+        polys = [g[1]] if g[0] == "POLYGON" else g[1]
+        return sum(geo._ring_area(r) for poly in polys for r in poly)
+
+    coords = st.integers(-8, 8)
+    side = st.integers(1, 9)
+
+    @settings(max_examples=40, deadline=None)
+    @given(coords, coords, side, side, coords, coords, side, side)
+    def check(ax, ay, aw, ah, bx, by, bw, bh):
+        A, B = rect(ax, ay, aw, ah), rect(bx, by, bw, bh)
+        aA, aB = float(aw * ah), float(bw * bh)
+        inter = geo.intersection(A, B)
+        uni = geo.union(A, B)
+        diff = geo.difference(A, B)
+        ai, au, ad = area(inter), area(uni), area(diff)
+        assert abs((aA + aB) - (au + ai)) < 1e-6, (aA, aB, au, ai)
+        assert abs(ad - (aA - ai)) < 1e-6, (ad, aA, ai)
+
+    check()
