@@ -1719,6 +1719,17 @@ from supplier
 """
 
 
+def q_ann_ivfpq(spark, sf_dir):
+    """IVF+PQ ANN (the FAISS IVFPQ layout, by_residual=False): coarse
+    cells bound the search, ADC over m-byte codes scores it, exact
+    re-rank finishes. rows-only (k-means); recall + probe-restriction
+    pytest-verified (test_ivfpq_recall_and_probe_restriction)."""
+    from drill_spark.ops.similarity import ivfpq_topk
+
+    return ivfpq_topk(_embs(spark, sf_dir), query_ids=[0, 1, 2, 3, 4],
+                      k=3, n_cells=8, nprobe=3)
+
+
 QUERIES = {
     "op_avro_scan": q_avro_scan,
     "op_delta_scan": q_delta_scan,
@@ -1775,6 +1786,7 @@ QUERIES = {
     "ext_bpe_tokens": q_bpe_tokens,
     "ext_ann_pq": q_ann_pq,
     "op_gis_points": q_gis_points,
+    "ext_ann_ivfpq": q_ann_ivfpq,
 }
 
 ORACLES = {

@@ -548,3 +548,81 @@ def pq_topk(df: DataFrame, query_ids, codebooks=None,
     return (scored.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= k)
             .select("query_id", "neighbor_id", "cosine", "rank"))
+
+
+def ivfpq_topk(df: DataFrame, query_ids,
+               id_col: str = "vec_id", vec_col: str = "embedding",
+               k: int = 3, n_cells: int = 8, nprobe: int = 3,
+               m: int = 8, n_codes: int = 16,
+               rerank: int | None = None) -> DataFrame:
+    """IVF + PQ — the standard billion-scale ANN layout (FAISS
+    IVFPQ, here with by_residual=False): the coarse quantizer limits
+    the search to the query's ``nprobe`` cells, PQ codes make the
+    scanned rows m small ints, ADC scores them via per-query literal
+    LUTs, and the top candidates re-rank by exact cosine. Cost per
+    query: nprobe/n_cells of the corpus read as CODES, plus ``rerank``
+    float-vector fetches."""
+    import numpy as np
+
+    assigned, centroids = ivf_assign(df, id_col, vec_col, n_cells)
+    codebooks = pq_train(df, vec_col, m=m, k=n_codes)
+    encoded = pq_encode(assigned, codebooks, id_col, vec_col).join(
+        assigned.select(F.col(id_col), F.col("cell")), id_col)
+    rerank = rerank or 10 * k
+
+    q_rows = (df.where(F.col(id_col).isin(list(query_ids)))
+              .select(F.col(id_col), F.col(vec_col).cast("array<double>"))
+              .collect())
+    sub = len(codebooks[0][0])
+    books = np.asarray(codebooks)
+    cents = np.asarray(centroids)
+
+    # per-query probe cells (driver math — centroids are tiny) + LUTs
+    probe_rows = []
+    all_luts = []
+    for qi, r in enumerate(q_rows):
+        qv = np.asarray(r[1])
+        d2 = ((cents - qv[None, :]) ** 2).sum(axis=1)
+        for cell in np.argsort(d2)[:nprobe]:
+            probe_rows.append((int(r[0]), qi, int(cell)))
+        all_luts.append([
+            ((books[j] - qv[j * sub: (j + 1) * sub][None, :]) ** 2).sum(axis=1).tolist()
+            for j in range(len(codebooks))
+        ])
+    probes = df.sparkSession.createDataFrame(
+        probe_rows, "query_id bigint, _qi int, cell int")
+    qluts_sql = "array(" + ",".join(
+        "array(" + ",".join(
+            "array(" + ",".join(f"{x}D" for x in row) + ")" for row in luts
+        ) + ")" for luts in all_luts
+    ) + ")"
+    dist = (f"aggregate(zip_with(element_at({qluts_sql}, _qi + 1), codes, "
+            f"(lut, c) -> element_at(lut, c + 1)), 0D, (acc, v) -> acc + v)")
+    cand = (
+        encoded.join(F.broadcast(probes), "cell")
+        .where(F.col(id_col) != F.col("query_id"))
+        .select("query_id",
+                F.col(id_col).alias("neighbor_id"),
+                F.expr(dist).alias("adc_dist"))
+    )
+    wa = Window.partitionBy("query_id").orderBy(F.asc("adc_dist"), F.asc("neighbor_id"))
+    shortlist = (cand.withColumn("_r", F.row_number().over(wa))
+                 .where(F.col("_r") <= rerank)
+                 .select("query_id", "neighbor_id"))
+    side = with_norm(
+        df.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")),
+        "cv", "cn")
+    qdf = with_norm(
+        df.sparkSession.createDataFrame(
+            [(int(r[0]), list(map(float, r[1]))) for r in q_rows],
+            "query_id bigint, qv array<double>"),
+        "qv", "qn")
+    scored = (
+        shortlist.join(side, "neighbor_id")
+        .join(F.broadcast(qdf), "query_id")
+        .withColumn("cosine", F.round(_dot("qv", "cv") / (F.col("qn") * F.col("cn")), 4))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "cosine", "rank"))

@@ -892,3 +892,37 @@ def test_ann_pq_recall(spark):
     sample = enc.limit(20).collect()
     assert all(len(r.codes) == 8 and all(0 <= c < 16 for c in r.codes)
                for r in sample)
+
+
+def test_ivfpq_recall_and_probe_restriction(spark):
+    """IVFPQ (coarse cells + PQ codes + ADC + refine): recall holds vs
+    brute force, and every returned neighbor genuinely lives in one of
+    the query's nprobe cells (the search never touched other cells)."""
+    from pyspark.sql import functions as F
+
+    from drill_spark.ops.similarity import (
+        brute_force_topk,
+        ivf_assign,
+        ivfpq_topk,
+    )
+
+    embs = extops._embs(spark, SF_DIR)
+    exact = {(r.query_id, r.neighbor_id)
+             for r in brute_force_topk(embs, embs.where(F.col("vec_id") < 5), k=3).collect()}
+    rows = ivfpq_topk(embs, [0, 1, 2, 3, 4], k=3, n_cells=8, nprobe=3).collect()
+    approx = {(r.query_id, r.neighbor_id) for r in rows}
+    recall = len(approx & exact) / len(exact)
+    assert recall >= 0.5, f"IVFPQ recall too low: {recall:.2f}"
+
+    # probe restriction: neighbors come from the query's nearest cells
+    assigned, cents = ivf_assign(embs, n_cells=8)
+    cell_of = {r.vec_id: r.cell for r in assigned.select("vec_id", "cell").collect()}
+    import numpy as np
+
+    vecs = {r.vec_id: np.array(r.embedding)
+            for r in embs.where(F.col("vec_id") < 5).collect()}
+    C = np.asarray(cents)
+    for q, n in approx:
+        d2 = ((C - vecs[q][None, :]) ** 2).sum(axis=1)
+        probe_cells = set(np.argsort(d2)[:3].tolist())
+        assert cell_of[n] in probe_cells, (q, n, cell_of[n], probe_cells)
