@@ -533,11 +533,14 @@ def write_iceberg(df: DataFrame, path: str, mode: str = "error") -> None:
         f.write("1")
 
 
-def append_iceberg(df: DataFrame, path: str) -> None:
+def append_iceberg(df: DataFrame, path: str,
+                   summary_extra: dict | None = None) -> None:
     """Commit an APPEND snapshot to an existing table: new parquet
     files via Spark's distributed writer, one data manifest at the next
     sequence number, and a manifest list extending the prior
-    snapshot's."""
+    snapshot's. ``summary_extra`` adds properties to the snapshot
+    summary (how Iceberg's own streaming sink records the query id +
+    epoch for exactly-once replay skipping)."""
     import time
     import uuid
 
@@ -616,7 +619,7 @@ def append_iceberg(df: DataFrame, path: str) -> None:
         "sequence-number": seq,
         "timestamp-ms": now_ms,
         "manifest-list": ml_path,
-        "summary": {"operation": "append"},
+        "summary": {"operation": "append", **(summary_extra or {})},
         "schema-id": 0,
     })
     v = len([f for f in os.listdir(mdir) if f.endswith(".metadata.json")]) + 1

@@ -250,3 +250,66 @@ def commit_batch_idempotent(
     write_delta(batch_df, table_path, partition_by=partition_by,
                 mode=mode, txn=(app_id, batch_id))
     return True
+
+
+def stream_to_iceberg(
+    stream_df: DataFrame,
+    table_path: str,
+    checkpoint_dir: str,
+    app_id: str = "drill_spark_stream",
+    trigger: dict | None = None,
+):
+    """Exactly-once streaming sink into an Iceberg table — the
+    counterpart of stream_to_delta, using Iceberg's own idempotence
+    convention: each micro-batch appends a snapshot whose SUMMARY
+    carries (streaming-app-id, streaming-batch-id), and on replay the
+    sink skips any batch id at or below the latest committed one for
+    this app (what Iceberg's Spark streaming writer does with the
+    query id + epoch id in the snapshot summary)."""
+    def _commit(batch_df: DataFrame, batch_id: int) -> None:
+        commit_iceberg_batch_idempotent(batch_df, table_path, app_id, batch_id)
+
+    return (
+        stream_df.writeStream.foreachBatch(_commit)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(**(trigger if trigger is not None else {"availableNow": True}))
+        .start()
+    )
+
+
+def commit_iceberg_batch_idempotent(
+    batch_df: DataFrame,
+    table_path: str,
+    app_id: str,
+    batch_id: int,
+) -> bool:
+    """One idempotent Iceberg micro-batch commit. Returns True when
+    data was written, False when the replay guard skipped it."""
+    import os as _os
+
+    from drill_spark.readers.iceberg import (
+        _table_metadata,
+        append_iceberg,
+        write_iceberg,
+    )
+
+    stamp = {"streaming-app-id": app_id, "streaming-batch-id": str(batch_id)}
+    if not _os.path.isdir(_os.path.join(table_path, "metadata")):
+        write_iceberg(batch_df, table_path)
+        # first commit carries no stamp (write_iceberg creates the
+        # table); append the stamp by rewriting would be overkill, so
+        # batch 0 relies on table existence itself as the guard:
+        # a replay of batch 0 sees the table and falls through to the
+        # summary check below, which treats "no stamp" as batch 0 done.
+        return True
+    last = -1
+    for snap in _table_metadata(table_path).get("snapshots") or []:
+        summ = snap.get("summary") or {}
+        if summ.get("streaming-app-id") == app_id:
+            last = max(last, int(summ.get("streaming-batch-id", -1)))
+    if last == -1 and batch_id == 0:
+        return False  # table exists, created by batch 0: replay skip
+    if batch_id <= last:
+        return False
+    append_iceberg(batch_df, table_path, summary_extra=stamp)
+    return True

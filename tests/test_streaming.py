@@ -187,3 +187,28 @@ def test_delta_txn_survives_checkpoint(spark, tmp_path):
     snap = load_snapshot(spark, tbl)
     assert snap.txns == {"app_a": 1}
     assert len(snap.files) >= 1
+
+
+def test_stream_to_iceberg_exactly_once(spark, tmp_path):
+    """Iceberg exactly-once sink: replayed micro-batches are skipped by
+    the snapshot-summary stamp, matching the Delta sink's guarantee."""
+    from pyspark.sql import functions as F
+
+    from drill_spark.readers.iceberg import read_iceberg
+    from drill_spark.streaming.events import commit_iceberg_batch_idempotent
+
+    tbl = str(tmp_path / "ice_sink")
+    b0 = spark.range(5).select(F.col("id").alias("v"))
+    b1 = spark.range(5, 9).select(F.col("id").alias("v"))
+
+    assert commit_iceberg_batch_idempotent(b0, tbl, "app", 0) is True
+    assert commit_iceberg_batch_idempotent(b1, tbl, "app", 1) is True
+    # replays: both must be no-ops
+    assert commit_iceberg_batch_idempotent(b0, tbl, "app", 0) is False
+    assert commit_iceberg_batch_idempotent(b1, tbl, "app", 1) is False
+    got = sorted(r.v for r in read_iceberg(spark, tbl).collect())
+    assert got == list(range(9))
+    # a later batch still lands
+    b2 = spark.range(9, 10).select(F.col("id").alias("v"))
+    assert commit_iceberg_batch_idempotent(b2, tbl, "app", 2) is True
+    assert read_iceberg(spark, tbl).count() == 10
