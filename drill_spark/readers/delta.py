@@ -1571,3 +1571,69 @@ def _existing_parquet(path: str) -> set[str]:
             if name.endswith(".parquet"):
                 found.add(os.path.relpath(os.path.join(root, name), path))
     return found
+
+
+def restore_table(spark: SparkSession, path: str,
+                  version: int | None = None, timestamp=None) -> dict:
+    """RESTORE TABLE ... TO VERSION AS OF / TIMESTAMP AS OF — Delta's
+    time-travel WRITE: one commit whose add/remove actions turn the
+    CURRENT file set back into the target snapshot's (files are never
+    copied — the log is the state). Time travel to versions after the
+    restore still works; VACUUM eventually reclaims files the restore
+    orphaned once they age out. Returns
+    {"restored_version": v, "added": n, "removed": n}."""
+    import time
+
+    if (version is None) == (timestamp is None):
+        raise ValueError("give exactly one of version / timestamp")
+    if timestamp is not None:
+        version = version_at_timestamp(path, timestamp)
+    target = load_snapshot(spark, path, int(version))
+    current = load_snapshot(spark, path)
+    if target.column_mapping_mode in ("name", "id"):
+        raise NotImplementedError("restore of column-mapped tables is not supported")
+
+    def key(entry):
+        from drill_spark.readers.delta_dv import descriptor_unique_id
+
+        return descriptor_unique_id(entry.get("dv"))
+
+    adds = [(p, e) for p, e in target.files.items()
+            if p not in current.files or key(current.files[p]) != key(e)]
+    removes = [(p, e) for p, e in current.files.items()
+               if p not in target.files or key(target.files[p]) != key(e)]
+    now_ms = int(time.time() * 1000)
+    actions = []
+    if any(e.get("dv") for _p, e in adds):
+        actions.append({"protocol": _upgrade_protocol(current.protocol,
+                                                      "deletionVectors")})
+    for rel, e in sorted(removes):
+        actions.append({"remove": {
+            "path": rel, "partitionValues": e.get("pv") or {},
+            "deletionTimestamp": now_ms, "dataChange": True,
+            "deletionVector": e.get("dv"),
+        }})
+    for rel, e in sorted(adds):
+        f_abs = rel if os.path.isabs(rel) else os.path.join(path, rel)
+        try:
+            size = os.path.getsize(f_abs)
+        except OSError as err:
+            raise FileNotFoundError(
+                f"cannot RESTORE to version {version}: data file {rel} was "
+                "vacuumed away") from err
+        actions.append({"add": {
+            "path": rel, "partitionValues": e.get("pv") or {},
+            "size": size, "modificationTime": now_ms, "dataChange": True,
+            "deletionVector": e.get("dv"),
+        }})
+    actions.append({"commitInfo": {
+        "timestamp": now_ms, "operation": "RESTORE",
+        "operationParameters": {"version": str(version)},
+    }})
+    new_version = current.version + 1
+    with open(os.path.join(_log_dir(path), f"{new_version:020d}.json"), "w") as f:
+        for a in actions:
+            f.write(json.dumps(a) + "\n")
+    _maybe_checkpoint(spark, path, new_version)
+    return {"restored_version": int(version),
+            "added": len(adds), "removed": len(removes)}

@@ -1294,3 +1294,25 @@ def merge_into(
     n_deleted = n_masked if when_matched_delete else 0
     return {"updated": n_updated, "deleted": n_deleted,
             "inserted": appended - n_updated}
+
+
+def rollback_to_snapshot(path: str, snapshot_id: int) -> None:
+    """Iceberg's rollback_to_snapshot action: point
+    current-snapshot-id back at an existing snapshot in a new metadata
+    version. Later snapshots stay in the log (cherry-pick/expire decide
+    their fate), exactly the spec's snapshot-reference semantics."""
+    meta = _table_metadata(path)
+    snaps = {s["snapshot-id"] for s in meta.get("snapshots") or []}
+    if snapshot_id not in snaps:
+        raise ValueError(
+            f"snapshot {snapshot_id} not in table history {sorted(snaps)}")
+    import time
+
+    meta["current-snapshot-id"] = snapshot_id
+    meta["last-updated-ms"] = int(time.time() * 1000)
+    mdir = os.path.join(path, "metadata")
+    v = len([f for f in os.listdir(mdir) if f.endswith(".metadata.json")]) + 1
+    with open(os.path.join(mdir, f"v{v}.metadata.json"), "w") as f:
+        json.dump(meta, f)
+    with open(os.path.join(mdir, "version-hint.text"), "w") as f:
+        f.write(str(v))

@@ -98,6 +98,13 @@ _VACUUM_PATH = re.compile(
     r"(\s+DRY\s+RUN)?\s*;?\s*$",
     re.IGNORECASE,
 )
+# RESTORE TABLE ws.`t` TO VERSION AS OF n | TO TIMESTAMP AS OF 'ts'
+# (Delta's time-travel write; no Drill analog — read-mostly engine)
+_RESTORE_PATH = re.compile(
+    r"^\s*RESTORE\s+TABLE\s+((?:\w+\.)+)`([^`]+)`\s+TO\s+"
+    r"(?:VERSION\s+AS\s+OF\s+(\d+)|TIMESTAMP\s+AS\s+OF\s+'([^']+)')\s*;?\s*$",
+    re.IGNORECASE,
+)
 # DELETE FROM ws.`path` WHERE ... — row-level delete, routed to the
 # table-format delete (delta deletion vectors / iceberg position
 # deletes). The reference has no DELETE (read-mostly engine); lakehouse
@@ -682,6 +689,19 @@ def execute(session, query: str) -> DataFrame:
         return spark.createDataFrame(
             [Row(ok=True, n_removed=len(gone), dry_run=bool(dry))]
         )
+
+    m = _RESTORE_PATH.match(query)
+    if m:
+        from drill_spark.readers.delta import restore_table
+
+        ws_name, rel_path, ver, ts = (
+            m.group(1).rstrip("."), m.group(2), m.group(3), m.group(4))
+        path, _ = _writable_path(session, ws_name, rel_path)
+        stats = restore_table(spark, path,
+                              version=int(ver) if ver else None,
+                              timestamp=ts)
+        spark.catalog.refreshByPath(path)
+        return spark.createDataFrame([Row(ok=True, **stats)])
 
     m = _MERGE_PATH.match(query)
     if m:

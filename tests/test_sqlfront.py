@@ -579,3 +579,19 @@ def test_sql_update_where_inside_string_literal(session, tmp_path):
     assert out.rows_updated == 1
     notes = {r.k: r.note for r in session.sql("select * from dfs.updq.`q`").collect()}
     assert notes[2] == "keep WHERE clause" and notes[1] == "x"
+
+
+def test_sql_restore_table(session, tmp_path):
+    """RESTORE TABLE ... TO VERSION AS OF through the SQL face."""
+    from pyspark.sql import functions as F
+
+    from drill_spark.readers.delta import write_delta
+
+    tbl = str(tmp_path / "restore_sql")
+    write_delta(session.spark.range(6).select(F.col("id").alias("v")), tbl)
+    write_delta(session.spark.range(6, 9).select(F.col("id").alias("v")),
+                tbl, mode="append")
+    session.register_workspace("rs", str(tmp_path), writable=True)
+    out = session.sql("RESTORE TABLE rs.`restore_sql` TO VERSION AS OF 0").collect()
+    assert out[0].restored_version == 0
+    assert session.sql("select count(*) n from rs.`restore_sql`").collect()[0].n == 6

@@ -1010,3 +1010,44 @@ def test_iceberg_read_incremental_raises_on_overwrite(spark, tmp_path):
     got = {r.k for r in read_incremental(
         spark, tbl, 1, skip_overwrites=True).collect()}
     assert got == {10, 11}
+
+
+def test_delta_restore_table(spark, tmp_path):
+    """RESTORE TABLE to an earlier version: the log-only commit brings
+    the file set back, later versions remain time-travelable, and a
+    restore across a DELETE resurrects the rows."""
+    from drill_spark.readers.delta import delete_where, restore_table
+
+    tbl = str(tmp_path / "restore")
+    write_delta(spark.range(10).withColumnRenamed("id", "v"), tbl)        # v0
+    write_delta(spark.range(10, 15).withColumnRenamed("id", "v"), tbl,
+                mode="append")                                            # v1
+    assert delete_where(spark, tbl, "v < 3") == 3                         # v2
+    assert read_delta(spark, tbl).count() == 12
+
+    stats = restore_table(spark, tbl, version=1)                          # v3
+    assert stats["restored_version"] == 1
+    assert sorted(r.v for r in read_delta(spark, tbl).collect()) == list(range(15))
+    # pre-restore state still reachable
+    assert read_delta(spark, tbl, {"versionAsOf": 2}).count() == 12
+    # restore to v0 drops the appended files too
+    restore_table(spark, tbl, version=0)
+    assert read_delta(spark, tbl).count() == 10
+    with pytest.raises(ValueError, match="exactly one"):
+        restore_table(spark, tbl)
+
+
+def test_iceberg_rollback_to_snapshot(spark, tmp_path):
+    from drill_spark.readers.iceberg import rollback_to_snapshot
+
+    tbl = str(tmp_path / "ice_rb")
+    write_iceberg(spark.range(4).select(F.col("id").alias("k")), tbl)       # snap 1
+    write_iceberg(spark.range(4, 9).select(F.col("id").alias("k")), tbl,
+                  mode="append")                                            # snap 2
+    assert read_iceberg(spark, tbl).count() == 9
+    rollback_to_snapshot(tbl, 1)
+    assert read_iceberg(spark, tbl).count() == 4
+    # the later snapshot is still addressable
+    assert read_iceberg(spark, tbl, {"snapshot-id": 2}).count() == 9
+    with pytest.raises(ValueError, match="not in table history"):
+        rollback_to_snapshot(tbl, 99)
