@@ -21,13 +21,16 @@ Delta Lake transaction-log protocol
   scan reads the data files once and re-attaches partition values via
   a broadcast path→values map joined on ``input_file_name()``, cast to
   the declared types — one distributed read, no per-partition unions.
-- **deletion vectors**: ``add.deletionVector`` descriptors are decoded
-  driver-side (readers/delta_dv.py implements the spec's
-  RoaringBitmapArray + Z85 + DV-file framing) and applied as a
-  broadcast anti-join on ``(_metadata.file_path, _metadata.row_index)``
-  — merge-on-read, the same semantics delta-standalone gives the
-  reference. ``delete_where`` writes them (row-level DELETE without
-  rewriting data files).
+- **deletion vectors**: ``add.deletionVector`` descriptors
+  (readers/delta_dv.py implements the spec's RoaringBitmapArray +
+  Z85 + DV-file framing) are applied as an anti-join on
+  ``(_metadata.file_path, _metadata.row_index)`` — merge-on-read,
+  the same semantics delta-standalone gives the reference. Small DV
+  totals decode on the driver and broadcast; past
+  ``_DV_DRIVER_DECODE_MAX`` the descriptors explode to rows in
+  EXECUTORS via mapInPandas with AQE picking the join — the driver
+  never materializes per-row tuples. ``delete_where`` writes them
+  (row-level DELETE without rewriting data files).
 - **column mapping** (``delta.columnMapping.mode`` name/id): data files
   are read under each column's ``delta.columnMapping.physicalName``
   (recursively for nested structs) and restored to logical names.
@@ -42,7 +45,9 @@ Delta Lake transaction-log protocol
 - **DML + maintenance**: ``delete_where`` (DV-only), ``update_where``
   and ``merge_into`` (one atomic commit: executor-built DVs + new data
   files), ``optimize`` (bin-packing compaction + DV purge), ``vacuum``
-  (retention-windowed orphan cleanup), ``write_checkpoint`` (classic
+  (retention-windowed orphan cleanup), ``restore_table`` (time-travel
+  write: one log-only commit re-establishes an earlier snapshot's
+  file set), ``write_checkpoint`` (classic
   checkpoint + _last_checkpoint, auto every CHECKPOINT_INTERVAL
   commits), ``table_changes`` (CDF-style feed reconstructed from the
   log incl. DV diffs), and txn transaction identifiers for idempotent
