@@ -1022,13 +1022,21 @@ def _annotated_table_scan(spark: SparkSession, path: str,
                           snap: "DeltaSnapshot") -> DataFrame:
     """Raw-file scan of a snapshot annotated with row identity (__fp
     normalized file path, __ri parquet row index) and typed partition
-    columns re-attached via a broadcast path map. NOTE: includes rows
-    already masked by existing DVs — callers that need LIVE rows only
-    must apply the DVs (read_delta does)."""
-    data_schema = T.StructType(
-        [T.StructField(f.name, _clean_type(f.dataType), f.nullable)
-         for f in snap.schema.fields if f.name not in snap.partition_columns]
-    )
+    columns re-attached via a broadcast path map. Column-mapped tables
+    ('name' mode) read under physical names and come back LOGICAL.
+    NOTE: includes rows already masked by existing DVs — callers that
+    need LIVE rows only must apply the DVs (read_delta does)."""
+    mapped = snap.column_mapping_mode in ("name", "id")
+    data_fields = [f for f in snap.schema.fields
+                   if f.name not in snap.partition_columns]
+    if mapped:
+        data_schema = T.StructType(
+            [T.StructField(_physical_name(f), _physical_type(f.dataType), f.nullable)
+             for f in data_fields])
+    else:
+        data_schema = T.StructType(
+            [T.StructField(f.name, _clean_type(f.dataType), f.nullable)
+             for f in data_fields])
     by_type = {f.name: _clean_type(f.dataType) for f in snap.schema.fields}
 
     def abs_path(p: str) -> str:
@@ -1043,10 +1051,23 @@ def _annotated_table_scan(spark: SparkSession, path: str,
             F.col("_metadata.row_index").alias("__ri"),
         )
     )
+    if mapped:  # physical -> logical immediately after the scan
+        df = df.select(
+            *[F.col(_physical_name(f)).cast(_clean_type(f.dataType)).alias(f.name)
+              for f in data_fields],
+            "__fp", "__ri",
+        )
     if snap.partition_columns:
+        # under column mapping, add.partitionValues is keyed by the
+        # partition column's PHYSICAL name
+        pv_key = {
+            f.name: (_physical_name(f) if mapped else f.name)
+            for f in snap.schema.fields if f.name in snap.partition_columns
+        }
         pv_rows = [
             {"__fp": abs_path(p),
-             **{f"__pv_{c}": (e.get("pv") or {}).get(c) for c in snap.partition_columns}}
+             **{f"__pv_{c}": (e.get("pv") or {}).get(pv_key[c], (e.get("pv") or {}).get(c))
+                for c in snap.partition_columns}}
             for p, e in snap.files.items()
         ]
         pv_schema = T.StructType(
@@ -1159,8 +1180,8 @@ def delete_where(spark: SparkSession, path: str, condition: str) -> int:
     import time
 
     snap = load_snapshot(spark, path)
-    if snap.column_mapping_mode in ("name", "id"):
-        raise NotImplementedError("delete_where on column-mapped tables is not supported")
+    # column-mapped tables work here: the scan aliases physical ->
+    # logical and a DELETE writes no data files, only DVs + log actions
 
     def abs_path(p: str) -> str:
         return p if os.path.isabs(p) else os.path.join(path, p)
@@ -1211,8 +1232,10 @@ def update_where(spark: SparkSession, path: str, condition: str,
     import time
 
     snap = load_snapshot(spark, path)
-    if snap.column_mapping_mode in ("name", "id"):
-        raise NotImplementedError("update_where on column-mapped tables is not supported")
+    if snap.column_mapping_mode == "id":
+        raise NotImplementedError(
+            "update_where on id-mapped tables needs parquet field-id "
+            "writing; 'name' mode is supported")
     unknown = [c for c in assignments if c not in {f.name for f in snap.schema.fields}]
     if unknown:
         raise ValueError(f"UPDATE of unknown column(s): {unknown}")
@@ -1233,10 +1256,11 @@ def update_where(spark: SparkSession, path: str, condition: str,
     for col, expr in assignments.items():
         updated = updated.withColumn(col, F.expr(expr).cast(by_type[col]))
     updated = updated.select(*[f.name for f in snap.schema.fields])
+    updated, part_cols_w = _writer_shape(updated, snap)
     before = _existing_parquet(path)
     writer = updated.write.mode("append").format("parquet")
-    if snap.partition_columns:
-        writer = writer.partitionBy(*snap.partition_columns)
+    if part_cols_w:
+        writer = writer.partitionBy(*part_cols_w)
     writer.save(path)
     new_files = [p for p in _existing_parquet(path) if p not in before]
 
@@ -1257,7 +1281,7 @@ def update_where(spark: SparkSession, path: str, condition: str,
         actions.append({"add": {**base, "modificationTime": now_ms,
                                 "deletionVector": json.loads(row["desc_json"])}})
     for rel in sorted(new_files):
-        pv = _pv_from_rel(rel, snap.partition_columns)
+        pv = _pv_from_rel(rel, part_cols_w)
         actions.append({"add": {
             "path": rel, "partitionValues": pv,
             "size": os.path.getsize(abs_path(rel)),
@@ -1303,8 +1327,10 @@ def merge_into(
         raise ValueError("choose ONE of when_matched_update / when_matched_delete")
 
     snap = load_snapshot(spark, path)
-    if snap.column_mapping_mode in ("name", "id"):
-        raise NotImplementedError("merge_into on column-mapped tables is not supported")
+    if snap.column_mapping_mode == "id":
+        raise NotImplementedError(
+            "merge_into on id-mapped tables needs parquet field-id "
+            "writing; 'name' mode is supported")
     by_type = {f.name: _clean_type(f.dataType) for f in snap.schema.fields}
     target_cols = [f.name for f in snap.schema.fields]
 
@@ -1354,10 +1380,12 @@ def merge_into(
         new_dfs.append(ins)
 
     before = _existing_parquet(path)
+    part_cols_w = snap.partition_columns
     for df_new in new_dfs:
+        df_new, part_cols_w = _writer_shape(df_new, snap)
         writer = df_new.write.mode("append").format("parquet")
-        if snap.partition_columns:
-            writer = writer.partitionBy(*snap.partition_columns)
+        if part_cols_w:
+            writer = writer.partitionBy(*part_cols_w)
         writer.save(path)
     import pyarrow.parquet as pq
 
@@ -1390,7 +1418,7 @@ def merge_into(
         actions.append({"add": {**base, "modificationTime": now_ms,
                                 "deletionVector": json.loads(row["desc_json"])}})
     for rel in sorted(new_files):
-        pv = _pv_from_rel(rel, snap.partition_columns)
+        pv = _pv_from_rel(rel, part_cols_w)
         actions.append({"add": {
             "path": rel, "partitionValues": pv,
             "size": os.path.getsize(abs_path(rel)),
@@ -1431,8 +1459,10 @@ def optimize(spark: SparkSession, path: str,
     import time
 
     snap = load_snapshot(spark, path)
-    if snap.column_mapping_mode in ("name", "id"):
-        raise NotImplementedError("optimize on column-mapped tables is not supported")
+    if snap.column_mapping_mode == "id":
+        raise NotImplementedError(
+            "optimize on id-mapped tables needs parquet field-id "
+            "writing; 'name' mode is supported")
 
     def abs_path(p: str) -> str:
         return p if os.path.isabs(p) else os.path.join(path, p)
@@ -1455,11 +1485,12 @@ def optimize(spark: SparkSession, path: str,
                         snap.version, snap.column_mapping_mode, snap.protocol,
                         snap.meta, snap.txns)
     df = _read_snapshot_files(spark, path, sub)
+    df, part_cols_w = _writer_shape(df, snap)
 
     before = _existing_parquet(path)
     writer = df.write.mode("append").format("parquet")
-    if snap.partition_columns:
-        writer = writer.partitionBy(*snap.partition_columns)
+    if part_cols_w:
+        writer = writer.partitionBy(*part_cols_w)
     writer.save(path)
     new_files = [p for p in _existing_parquet(path) if p not in before]
 
@@ -1474,7 +1505,7 @@ def optimize(spark: SparkSession, path: str,
             "deletionVector": entry.get("dv"),
         }})
     for rel in sorted(new_files):
-        pv = _pv_from_rel(rel, snap.partition_columns)
+        pv = _pv_from_rel(rel, part_cols_w)
         actions.append({"add": {
             "path": rel, "partitionValues": pv,
             "size": os.path.getsize(abs_path(rel)),
@@ -1487,6 +1518,20 @@ def optimize(spark: SparkSession, path: str,
     _maybe_checkpoint(spark, path, version)
     return {"rewritten": len(victims), "added": len(new_files),
             "skipped": len(snap.files) - len(victims)}
+
+
+def _writer_shape(df: DataFrame, snap: "DeltaSnapshot"):
+    """Shape a LOGICAL-named DataFrame for writing into the table:
+    under column mapping ('name' mode) data files carry PHYSICAL
+    column names, and the hive partition dirs (hence
+    add.partitionValues keys) use the partition columns' physical
+    names too. Returns (df_to_write, partition_cols_for_writer)."""
+    if snap.column_mapping_mode not in ("name", "id"):
+        return df, snap.partition_columns
+    phys = {f.name: _physical_name(f) for f in snap.schema.fields}
+    out = df.select(*[F.col(f.name).alias(phys[f.name])
+                      for f in snap.schema.fields])
+    return out, [phys[c] for c in snap.partition_columns]
 
 
 def _read_snapshot_files(spark: SparkSession, path: str,

@@ -448,3 +448,109 @@ def test_z85_roundtrip_property():
         assert z85_decode(z85_encode(data)) == data
 
     check()
+
+
+def _make_cm_table(spark, tbl):
+    """Hand-written name-mode column-mapped table: logical (id, name),
+    physical col-UUID names, 6 rows."""
+    import json
+    import os
+
+    log = tbl / "_delta_log"
+    log.mkdir(parents=True)
+    phys = spark.createDataFrame(
+        [(i, chr(97 + i)) for i in range(6)],
+        "`col-9cafda1&` int, `col-77b2df1%` string",
+    )
+    phys.coalesce(1).write.parquet(str(tbl / "d"))
+    f1 = next("d/" + f for f in os.listdir(tbl / "d") if f.endswith(".parquet"))
+    schema = {
+        "type": "struct",
+        "fields": [
+            {"name": "id", "type": "integer", "nullable": True,
+             "metadata": {"delta.columnMapping.id": 1,
+                          "delta.columnMapping.physicalName": "col-9cafda1&"}},
+            {"name": "name", "type": "string", "nullable": True,
+             "metadata": {"delta.columnMapping.id": 2,
+                          "delta.columnMapping.physicalName": "col-77b2df1%"}},
+        ],
+    }
+    with open(log / f"{0:020d}.json", "w") as f:
+        f.write(json.dumps({"protocol": {"minReaderVersion": 2,
+                                         "minWriterVersion": 5}}) + "\n")
+        f.write(json.dumps({"metaData": {
+            "id": "x", "format": {"provider": "parquet", "options": {}},
+            "schemaString": json.dumps(schema), "partitionColumns": [],
+            "configuration": {"delta.columnMapping.mode": "name",
+                              "delta.columnMapping.maxColumnId": "2"}}}) + "\n")
+        f.write(json.dumps({"add": {"path": f1, "partitionValues": {}, "size": 1,
+                                    "modificationTime": 0,
+                                    "dataChange": True}}) + "\n")
+
+
+def test_column_mapped_dml_name_mode(spark, tmp_path):
+    """DELETE / UPDATE / MERGE on a name-mode column-mapped table
+    (formerly gated): conditions use LOGICAL names, new data files are
+    written under PHYSICAL names, and the reader keeps restoring the
+    logical view after every commit."""
+    from drill_spark.readers.delta import delete_where, merge_into, update_where
+
+    tbl = tmp_path / "cm_dml"
+    _make_cm_table(spark, tbl)
+    path = str(tbl)
+
+    assert delete_where(spark, path, "id = 5") == 1
+    assert sorted(r.id for r in read_delta(spark, path).collect()) == [0, 1, 2, 3, 4]
+
+    assert update_where(spark, path, "id >= 3", {"name": "upper(name)"}) == 2
+    got = {r.id: r.name for r in read_delta(spark, path).collect()}
+    assert got == {0: "a", 1: "b", 2: "c", 3: "D", 4: "E"}
+
+    src = spark.createDataFrame([(4, "zz"), (100, "new")], "id int, name string")
+    stats = merge_into(
+        spark, path, src, "t.id = src.id",
+        when_matched_update={"name": "src.name"},
+        when_not_matched_insert={"id": "src.id", "name": "src.name"},
+    )
+    assert stats == {"updated": 1, "deleted": 0, "inserted": 1}
+    got = {r.id: r.name for r in read_delta(spark, path).collect()}
+    assert got == {0: "a", 1: "b", 2: "c", 3: "D", 4: "zz", 100: "new"}
+    # the new data files really carry physical names
+    import pyarrow.parquet as pq
+
+    new_parts = [f for f in os.listdir(tbl) if f.endswith(".parquet")]
+    assert new_parts, "expected appended physical-named files at table root"
+    cols = pq.read_schema(str(tbl / new_parts[0])).names
+    assert "col-9cafda1&" in cols and "id" not in cols
+
+
+def test_column_mapped_optimize_and_id_mode_gate(spark, tmp_path):
+    from drill_spark.readers.delta import delete_where, load_snapshot, optimize, update_where
+
+    tbl = tmp_path / "cm_opt"
+    _make_cm_table(spark, tbl)
+    path = str(tbl)
+    assert delete_where(spark, path, "id % 2 = 0") == 3
+    stats = optimize(spark, path, small_file_bytes=1024 * 1024)
+    assert stats["rewritten"] >= 1
+    snap = load_snapshot(spark, path)
+    assert not any(e.get("dv") for e in snap.files.values())
+    assert sorted(r.id for r in read_delta(spark, path).collect()) == [1, 3, 5]
+
+    # id mode keeps a precise gate on the writing paths
+    import json
+
+    log = tbl / "_delta_log"
+    commits = sorted(log.glob("*.json"))
+    text = commits[0].read_text().replace('"name"', '"id"', 1)  # mode: name -> id
+    # rewrite mode in the metaData line only
+    lines = []
+    for line in commits[0].read_text().splitlines():
+        a = json.loads(line)
+        if "metaData" in a:
+            a["metaData"]["configuration"]["delta.columnMapping.mode"] = "id"
+        lines.append(json.dumps(a))
+    commits[0].write_text("\n".join(lines) + "\n")
+    del text
+    with pytest.raises(NotImplementedError, match="id-mapped"):
+        update_where(spark, path, "id = 1", {"name": "'x'"})
