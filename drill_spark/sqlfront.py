@@ -105,6 +105,10 @@ _RESTORE_PATH = re.compile(
     r"(?:VERSION\s+AS\s+OF\s+(\d+)|TIMESTAMP\s+AS\s+OF\s+'([^']+)')\s*;?\s*$",
     re.IGNORECASE,
 )
+# DESCRIBE HISTORY ws.`t` — the commit/snapshot audit listing
+_DESCRIBE_HISTORY = re.compile(
+    r"^\s*DESCRIBE\s+HISTORY\s+((?:\w+\.)+)`([^`]+)`\s*;?\s*$", re.IGNORECASE
+)
 # DELETE FROM ws.`path` WHERE ... — row-level delete, routed to the
 # table-format delete (delta deletion vectors / iceberg position
 # deletes). The reference has no DELETE (read-mostly engine); lakehouse
@@ -689,6 +693,28 @@ def execute(session, query: str) -> DataFrame:
         return spark.createDataFrame(
             [Row(ok=True, n_removed=len(gone), dry_run=bool(dry))]
         )
+
+    m = _DESCRIBE_HISTORY.match(query)
+    if m:
+        ws_name, rel_path = m.group(1).rstrip("."), m.group(2)
+        ws = session.workspaces.get(ws_name)
+        root = ws.path if ws else "/"
+        path = rel_path if os.path.isabs(rel_path) else os.path.join(root, rel_path)
+        if os.path.isdir(os.path.join(path, "_delta_log")):
+            from drill_spark.readers.delta import describe_history
+
+            return describe_history(spark, path)
+        if os.path.isdir(os.path.join(path, "metadata")):
+            from drill_spark.readers.iceberg import _table_metadata
+
+            snaps = _table_metadata(path).get("snapshots") or []
+            return spark.createDataFrame(
+                [(int(s["snapshot-id"]), int(s.get("timestamp-ms", 0)),
+                  (s.get("summary") or {}).get("operation"))
+                 for s in snaps],
+                "version long, timestamp_ms long, operation string",
+            )
+        raise ValueError(f"DESCRIBE HISTORY needs a delta or iceberg table: {path}")
 
     m = _RESTORE_PATH.match(query)
     if m:

@@ -595,3 +595,28 @@ def test_sql_restore_table(session, tmp_path):
     out = session.sql("RESTORE TABLE rs.`restore_sql` TO VERSION AS OF 0").collect()
     assert out[0].restored_version == 0
     assert session.sql("select count(*) n from rs.`restore_sql`").collect()[0].n == 6
+
+
+def test_sql_describe_history(session, tmp_path):
+    """DESCRIBE HISTORY over both lakehouse formats: delta commits and
+    iceberg snapshots as (version, timestamp_ms, operation) rows."""
+    from pyspark.sql import functions as F
+
+    from drill_spark.readers.delta import delete_where, write_delta
+    from drill_spark.readers.iceberg import write_iceberg
+
+    d = str(tmp_path / "hist_delta")
+    write_delta(session.spark.range(5).select(F.col("id").alias("v")), d)
+    delete_where(session.spark, d, "v = 0")
+    i = str(tmp_path / "hist_ice")
+    write_iceberg(session.spark.range(3).select(F.col("id").alias("k")), i)
+    write_iceberg(session.spark.range(3, 5).select(F.col("id").alias("k")),
+                  i, mode="append")
+    session.register_workspace("hist", str(tmp_path), writable=True)
+
+    dh = session.sql("DESCRIBE HISTORY hist.`hist_delta`").collect()
+    assert [(r.version, r.operation) for r in dh] == [
+        (0, "CREATE TABLE AS SELECT"), (1, "DELETE")]
+    ih = session.sql("DESCRIBE HISTORY hist.`hist_ice`").collect()
+    assert [(r.version, r.operation) for r in ih] == [
+        (1, "append"), (2, "append")]
