@@ -428,13 +428,120 @@ def _spark_to_ice(dt: T.DataType):
     raise NotImplementedError(f"spark->iceberg type {dt}")
 
 
-def write_iceberg(df: DataFrame, path: str, mode: str = "error") -> None:
-    """Write a DataFrame as a new (unpartitioned, format-version 2)
-    Iceberg table: parquet data via Spark's distributed writer, then
-    one manifest + manifest list + v1 metadata JSON + version hint.
-    ``mode="append"`` on an existing table commits an append snapshot
-    instead (append_iceberg). Single writer — what CTAS/INSERT need;
-    commit races and schema evolution stay with real catalogs."""
+# avro primitive names usable as identity-partition value types
+_ICE_AVRO_PART = {"int": "int", "long": "long", "string": "string",
+                  "double": "double", "float": "float", "boolean": "boolean"}
+
+
+def _walk_parquet(root: str) -> set:
+    found = set()
+    if not os.path.isdir(root):
+        return found
+    for r, _d, files in os.walk(root):
+        for n in files:
+            if n.endswith(".parquet"):
+                found.add(os.path.relpath(os.path.join(r, n), root))
+    return found
+
+
+def _partition_write(df: DataFrame, data_dir: str, part_cols: list) -> list:
+    """Distributed write under ``data_dir`` with hive-layout dirs for
+    the identity partition columns while KEEPING the columns in the
+    data files (the Iceberg convention — identity values live in both
+    the files and the manifests): the dir columns are duplicates named
+    ``_p_<col>``; manifests carry the real column names. Returns the
+    new parquet files as data_dir-relative paths."""
+    from pyspark.sql import functions as _F
+
+    before = _walk_parquet(data_dir)
+    out = df
+    dir_cols = []
+    for c in part_cols:
+        out = out.withColumn(f"_p_{c}", _F.col(c))
+        dir_cols.append(f"_p_{c}")
+    writer = out.write.mode("append").format("parquet")
+    if dir_cols:
+        writer = writer.partitionBy(*dir_cols)
+    writer.save(data_dir)
+    return sorted(_walk_parquet(data_dir) - before)
+
+
+def _partition_values_from_rel(rel: str, part_types: dict) -> dict:
+    """{col: typed value} parsed from the ``_p_<col>=<v>`` dir segments
+    of a data-file path."""
+    from urllib.parse import unquote
+
+    vals = {}
+    for seg in rel.split(os.sep)[:-1]:
+        if "=" not in seg or not seg.startswith("_p_"):
+            continue
+        k, v = seg.split("=", 1)
+        c = k[3:]
+        if c not in part_types:
+            continue
+        v = unquote(v)
+        if v == "__HIVE_DEFAULT_PARTITION__":
+            vals[c] = None
+            continue
+        t = part_types[c]
+        if t in ("int", "long"):
+            vals[c] = int(v)
+        elif t in ("double", "float"):
+            vals[c] = float(v)
+        elif t == "boolean":
+            vals[c] = v == "true"
+        else:
+            vals[c] = v
+    return vals
+
+
+def _entry_schema(part_fields: list) -> dict:
+    """Manifest-entry schema with typed identity-partition fields
+    (spec partition-field-ids start at 1000)."""
+    if not part_fields:
+        return _MANIFEST_ENTRY_SCHEMA
+    import copy
+
+    sch = copy.deepcopy(_MANIFEST_ENTRY_SCHEMA)
+    df_rec = next(f for f in sch["fields"] if f["name"] == "data_file")["type"]
+    prec = next(f for f in df_rec["fields"] if f["name"] == "partition")
+    prec["type"] = {"type": "record", "name": "r102", "fields": [
+        {"name": c, "type": ["null", _ICE_AVRO_PART[t]], "field-id": 1000 + i}
+        for i, (c, t) in enumerate(part_fields)
+    ]}
+    return sch
+
+
+def _spec_part_fields(meta: dict) -> list:
+    """[(name, iceberg-type-name)] of the default partition spec's
+    identity fields; raises for non-identity transforms."""
+    specs = meta.get("partition-specs") or []
+    sid = meta.get("default-spec-id", 0)
+    spec = next((sp for sp in specs if sp.get("spec-id") == sid),
+                specs[0] if specs else {"fields": []})
+    names = {f["id"]: f for f in _current_schema_dict(meta).get("fields", [])}
+    out = []
+    for f in spec.get("fields") or []:
+        if f.get("transform") != "identity":
+            raise NotImplementedError(
+                f"partition transform {f.get('transform')!r} (identity only)")
+        src = names.get(f.get("source-id"))
+        out.append((f["name"], src["type"] if src else "string"))
+    return out
+
+
+def write_iceberg(df: DataFrame, path: str, mode: str = "error",
+                  partition_by: list | None = None) -> None:
+    """Write a DataFrame as a new format-version-2 Iceberg table:
+    parquet data via Spark's distributed writer, then one manifest +
+    manifest list + v1 metadata JSON + version hint. ``partition_by``
+    creates an IDENTITY-partitioned spec: hive-layout data dirs, the
+    partition columns kept in the files (the Iceberg convention), and
+    typed partition values in every manifest entry — what real engines
+    prune on. ``mode="append"`` on an existing table commits an append
+    snapshot instead (append_iceberg, which honors the table's spec).
+    Single writer — what CTAS/INSERT need; commit races and schema
+    evolution stay with real catalogs."""
     import time
     import uuid
 
@@ -444,17 +551,27 @@ def write_iceberg(df: DataFrame, path: str, mode: str = "error") -> None:
         if mode == "append":
             return append_iceberg(df, path)
         raise ValueError(f"Iceberg table already exists at {path}")
+    partition_by = list(partition_by or [])
+    unknown = [c for c in partition_by if c not in df.columns]
+    if unknown:
+        raise ValueError(f"partition_by columns not in schema: {unknown}")
     data_dir = os.path.join(path, "data")
-    df.write.mode("error").parquet(data_dir)
-    data_files = [
-        os.path.join(data_dir, f)
-        for f in sorted(os.listdir(data_dir))
-        if f.endswith(".parquet")
-    ]
+    rel_files = _partition_write(df, data_dir, partition_by)
+    data_files = [os.path.join(data_dir, rel) for rel in rel_files]
     mdir = os.path.join(path, "metadata")
     os.makedirs(mdir)
     snap_id = 1
     now_ms = int(time.time() * 1000)
+
+    part_types = {
+        f.name: _spark_to_ice(f.dataType)
+        for f in df.schema.fields if f.name in partition_by
+    }
+    for c, t in part_types.items():
+        if not isinstance(t, str) or t not in _ICE_AVRO_PART:
+            raise NotImplementedError(
+                f"identity partition on type {t!r} (column {c})")
+    part_fields = [(c, part_types[c]) for c in partition_by]
 
     entries = [
         {
@@ -464,18 +581,18 @@ def write_iceberg(df: DataFrame, path: str, mode: str = "error") -> None:
             "file_sequence_number": 1,
             "data_file": {
                 "content": 0,
-                "file_path": fp,
+                "file_path": os.path.join(data_dir, rel),
                 "file_format": "PARQUET",
-                "partition": {},
+                "partition": _partition_values_from_rel(rel, part_types),
                 "record_count": 0,
-                "file_size_in_bytes": os.path.getsize(fp),
+                "file_size_in_bytes": os.path.getsize(os.path.join(data_dir, rel)),
             },
         }
-        for fp in data_files
+        for rel in rel_files
     ]
     manifest_path = os.path.join(mdir, f"{uuid.uuid4()}-m0.avro")
     with open(manifest_path, "wb") as f:
-        f.write(encode_file(_MANIFEST_ENTRY_SCHEMA, entries))
+        f.write(encode_file(_entry_schema(part_fields), entries))
 
     ml_path = os.path.join(mdir, f"snap-{snap_id}-1-{uuid.uuid4()}.avro")
     ml_row = {
@@ -511,8 +628,14 @@ def write_iceberg(df: DataFrame, path: str, mode: str = "error") -> None:
         "current-schema-id": 0,
         "schemas": [{"type": "struct", "schema-id": 0, "fields": fields}],
         "default-spec-id": 0,
-        "partition-specs": [{"spec-id": 0, "fields": []}],
-        "last-partition-id": 999,
+        "partition-specs": [{"spec-id": 0, "fields": [
+            {"name": c, "transform": "identity",
+             "source-id": next(i + 1 for i, fld in enumerate(df.schema.fields)
+                               if fld.name == c),
+             "field-id": 1000 + j}
+            for j, c in enumerate(partition_by)
+        ]}],
+        "last-partition-id": 999 + len(partition_by),
         "default-sort-order-id": 0,
         "sort-orders": [{"order-id": 0, "fields": []}],
         "current-snapshot-id": snap_id,
@@ -553,14 +676,10 @@ def append_iceberg(df: DataFrame, path: str,
     if [c for c in df.columns] != want:
         raise ValueError(f"append schema mismatch: table has {want}, got {df.columns}")
 
+    part_fields = _spec_part_fields(meta)
+    part_types = dict(part_fields)
     data_dir = os.path.join(path, "data")
-    before = set(os.listdir(data_dir)) if os.path.isdir(data_dir) else set()
-    df.write.mode("append").parquet(data_dir)
-    new_files = [
-        os.path.join(data_dir, f)
-        for f in sorted(set(os.listdir(data_dir)) - before)
-        if f.endswith(".parquet")
-    ]
+    rel_files = _partition_write(df, data_dir, [c for c, _t in part_fields])
 
     mdir = os.path.join(path, "metadata")
     seq = int(meta.get("last-sequence-number", 0)) + 1
@@ -574,18 +693,19 @@ def append_iceberg(df: DataFrame, path: str,
             "file_sequence_number": seq,
             "data_file": {
                 "content": 0,
-                "file_path": fp,
+                "file_path": os.path.join(data_dir, rel),
                 "file_format": "PARQUET",
-                "partition": {},
-                "record_count": pq.read_metadata(fp).num_rows,
-                "file_size_in_bytes": os.path.getsize(fp),
+                "partition": _partition_values_from_rel(rel, part_types),
+                "record_count": pq.read_metadata(
+                    os.path.join(data_dir, rel)).num_rows,
+                "file_size_in_bytes": os.path.getsize(os.path.join(data_dir, rel)),
             },
         }
-        for fp in new_files
+        for rel in rel_files
     ]
     manifest_path = os.path.join(mdir, f"{uuid.uuid4()}-m0.avro")
     with open(manifest_path, "wb") as f:
-        f.write(encode_file(_MANIFEST_ENTRY_SCHEMA, entries))
+        f.write(encode_file(_entry_schema(part_fields), entries))
 
     cur = next(
         s for s in meta["snapshots"] if s["snapshot-id"] == meta["current-snapshot-id"]

@@ -1051,3 +1051,50 @@ def test_iceberg_rollback_to_snapshot(spark, tmp_path):
     assert read_iceberg(spark, tbl, {"snapshot-id": 2}).count() == 9
     with pytest.raises(ValueError, match="not in table history"):
         rollback_to_snapshot(tbl, 99)
+
+
+def test_iceberg_identity_partitioned_write(spark, tmp_path):
+    """Identity-partitioned Iceberg writes: hive-layout data dirs, the
+    partition columns kept IN the data files (the Iceberg convention),
+    and typed partition values in every manifest entry — the metadata
+    real engines prune on. Appends honor the table's spec; DML still
+    works on the partitioned table."""
+    from drill_spark.readers.avro import decode_file
+    from drill_spark.readers.iceberg import _table_metadata, delete_where
+
+    tbl = str(tmp_path / "ice_part")
+    df = spark.range(12).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 3).cast("int").alias("cell"),
+    )
+    write_iceberg(df, tbl, partition_by=["cell"])
+    got = read_iceberg(spark, tbl)
+    assert sorted(got.columns) == ["cell", "k"]
+    assert sorted((r.k, r.cell) for r in got.collect()) == [
+        (i, i % 3) for i in range(12)]
+
+    # manifests carry TYPED partition values
+    meta = _table_metadata(tbl)
+    spec = meta["partition-specs"][0]
+    assert spec["fields"][0]["name"] == "cell"
+    assert spec["fields"][0]["transform"] == "identity"
+    snap = next(s for s in meta["snapshots"]
+                if s["snapshot-id"] == meta["current-snapshot-id"])
+    with open(snap["manifest-list"], "rb") as f:
+        _, ml = decode_file(f.read())
+    with open(ml[0]["manifest_path"], "rb") as f:
+        _, entries = decode_file(f.read())
+    parts = {e["data_file"]["partition"]["cell"] for e in entries}
+    assert parts == {0, 1, 2}
+    assert all(isinstance(p, int) for p in parts)
+
+    # append honors the spec; earlier snapshot still time-travels
+    write_iceberg(spark.range(12, 15).select(
+        F.col("id").alias("k"), (F.col("id") % 3).cast("int").alias("cell")),
+        tbl, mode="append")
+    assert read_iceberg(spark, tbl).count() == 15
+    assert read_iceberg(spark, tbl, {"snapshot-id": 1}).count() == 12
+
+    # row-level DML on the partitioned table
+    assert delete_where(spark, tbl, "k >= 13") == 2
+    assert read_iceberg(spark, tbl).count() == 13
