@@ -1026,6 +1026,11 @@ def rewrite_data_files(spark: SparkSession, path: str) -> dict:
 
     meta = _table_metadata(path)
     schema = _current_schema(meta)
+    if _spec_part_fields(meta):
+        raise NotImplementedError(
+            "rewrite_data_files on identity-partitioned Iceberg tables is "
+            "not supported yet (rewritten files would need partition values "
+            "in their manifest entries)")
     live = read_iceberg(spark, path)
 
     data_dir = os.path.join(path, "data")
@@ -1320,6 +1325,11 @@ def update_where(spark: SparkSession, path: str, condition: str,
     unknown = [c for c in assignments if c not in names]
     if unknown:
         raise ValueError(f"UPDATE of unknown column(s): {unknown}")
+    if _spec_part_fields(meta):
+        raise NotImplementedError(
+            "UPDATE on identity-partitioned Iceberg tables is not supported "
+            "yet (rewritten rows would need partition values in their "
+            "manifest entries); DELETE works")
     live = _current_live_scan(spark, path, meta)
     if live is None:
         return 0
@@ -1364,6 +1374,11 @@ def merge_into(
     meta = _table_metadata(path)
     schema = _current_schema(meta)
     names = [f.name for f in schema.fields]
+    if _spec_part_fields(meta):
+        raise NotImplementedError(
+            "MERGE on identity-partitioned Iceberg tables is not supported "
+            "yet (new data files would need partition values in their "
+            "manifest entries); DELETE works")
     live = _current_live_scan(spark, path, meta)
     if live is None:
         return {"updated": 0, "deleted": 0, "inserted": 0}
