@@ -1076,6 +1076,33 @@ select p_partkey, p_name, p_brand, p_retailprice from part
 """
 
 
+def q_iceberg_part_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Identity-PARTITIONED Iceberg table scan (r5 writer): the
+    supplier fixture written partitioned by s_nationkey — hive-layout
+    dirs, typed partition values in the manifests — and read back
+    through the snapshot walker; oracle = the plain table."""
+    from drill_spark.readers.iceberg import read_iceberg, write_iceberg
+
+    out_dir = _materialize_once(
+        sf_dir,
+        "iceberg_part",
+        lambda d: write_iceberg(
+            load_fixture(spark, sf_dir, "supplier").select(
+                "s_suppkey", "s_name", "s_nationkey", "s_acctbal"
+            ),
+            d,
+            partition_by=["s_nationkey"],
+        ),
+    )
+    return read_iceberg(spark, out_dir).select(
+        "s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+
+
+ORACLE_ICEBERG_PART_SCAN = """
+select s_suppkey, s_name, s_nationkey, s_acctbal from supplier
+"""
+
+
 def q_iceberg_v2_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Iceberg format-version-2 row-level deletes (IcebergGroupScan.java
     reads through the Iceberg lib, which applies delete files; here the
@@ -1738,6 +1765,7 @@ QUERIES = {
     "op_paimon_scan": q_paimon_scan,
     "op_msaccess_scan": q_msaccess_scan,
     "op_iceberg_scan": q_iceberg_scan,
+    "op_iceberg_part_scan": q_iceberg_part_scan,
     "op_iceberg_v2_scan": q_iceberg_v2_scan,
     "op_shp_scan": q_shp_scan,
     "op_pcapng_scan": q_pcapng_scan,
@@ -1797,6 +1825,7 @@ ORACLES = {
     "op_paimon_scan": ORACLE_PAIMON_SCAN,
     "op_msaccess_scan": ORACLE_MSACCESS_SCAN,
     "op_iceberg_scan": ORACLE_ICEBERG_SCAN,
+    "op_iceberg_part_scan": ORACLE_ICEBERG_PART_SCAN,
     "op_iceberg_v2_scan": ORACLE_ICEBERG_V2_SCAN,
     "op_shp_scan": ORACLE_SHP_SCAN,
     "op_pcapng_scan": ORACLE_PCAPNG_SCAN,
