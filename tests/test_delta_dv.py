@@ -537,13 +537,9 @@ def test_column_mapped_optimize_and_id_mode_gate(spark, tmp_path):
     assert not any(e.get("dv") for e in snap.files.values())
     assert sorted(r.id for r in read_delta(spark, path).collect()) == [1, 3, 5]
 
-    # id mode keeps a precise gate on the writing paths
-    import json
-
-    log = tbl / "_delta_log"
-    commits = sorted(log.glob("*.json"))
-    text = commits[0].read_text().replace('"name"', '"id"', 1)  # mode: name -> id
-    # rewrite mode in the metaData line only
+    # id mode keeps a precise gate on the writing paths: rewrite the
+    # mode in the metaData line only
+    commits = sorted((tbl / "_delta_log").glob("*.json"))
     lines = []
     for line in commits[0].read_text().splitlines():
         a = json.loads(line)
@@ -551,6 +547,5 @@ def test_column_mapped_optimize_and_id_mode_gate(spark, tmp_path):
             a["metaData"]["configuration"]["delta.columnMapping.mode"] = "id"
         lines.append(json.dumps(a))
     commits[0].write_text("\n".join(lines) + "\n")
-    del text
     with pytest.raises(NotImplementedError, match="id-mapped"):
         update_where(spark, path, "id = 1", {"name": "'x'"})

@@ -926,3 +926,25 @@ def test_ivfpq_recall_and_probe_restriction(spark):
         d2 = ((C - vecs[q][None, :]) ** 2).sum(axis=1)
         probe_cells = set(np.argsort(d2)[:3].tolist())
         assert cell_of[n] in probe_cells, (q, n, cell_of[n], probe_cells)
+
+
+def test_gif_roundtrip_property():
+    """Property: any small palette image round-trips through
+    encode_gif -> decode_gif exactly (greedy LZW + palette + layout)."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from drill_spark.ops.multimodal import decode_gif, encode_gif
+
+    @settings(max_examples=20, deadline=None)
+    @given(st.integers(1, 24), st.integers(1, 24), st.integers(2, 16),
+           st.integers(0, 2**31 - 1))
+    def check(h, w, n_colors, seed):
+        rng = np.random.default_rng(seed)
+        pal = rng.integers(0, 256, size=(n_colors, 3), dtype=np.uint8)
+        idx = rng.integers(0, n_colors, size=(h, w))
+        img = pal[idx]
+        assert (decode_gif(encode_gif(img)) == img).all()
+
+    check()
