@@ -155,3 +155,24 @@ def test_semantic_dedup_no_cartesian(spark):
     phys = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in phys
     assert "BroadcastNestedLoopJoin" not in phys
+
+
+def test_iceberg_scan_filter_pushdown(spark, tmp_path):
+    """Filters on iceberg-read tables reach the parquet scan as
+    PushedFilters — including on identity partition columns, whose
+    values live IN the data files (one value per file, so row-group
+    min/max stats skip whole files: the mechanics behind partition
+    pruning without a custom Catalyst rule)."""
+    from pyspark.sql import functions as F
+
+    from drill_spark.readers.iceberg import read_iceberg, write_iceberg
+
+    tbl = str(tmp_path / "ice_push")
+    write_iceberg(
+        spark.range(40).select(
+            F.col("id").alias("k"), (F.col("id") % 4).cast("int").alias("cell")),
+        tbl, partition_by=["cell"])
+    df = read_iceberg(spark, tbl).where("cell = 2 and k > 5")
+    pushed = " ".join(plans.pushed_filters(df)).lower()
+    assert "cell" in pushed and "k" in pushed, pushed
+    assert df.count() == 9  # k in {6,10,...,38}
