@@ -128,6 +128,9 @@ def probe_image_header(payload: bytes):
     if b[:2] == b"BM" and len(b) >= 26:
         w, h = struct.unpack("<ii", b[18:26])
         return "bmp", w, abs(h)
+    if len(b) >= 128 and b[0] == 0x0A and b[1] in (0, 2, 3, 5) and b[2] in (0, 1):
+        x0, y0, x1, y1 = struct.unpack("<HHHH", b[4:12])
+        return "pcx", x1 - x0 + 1, y1 - y0 + 1
     if b[:4] in (b"II*\x00", b"MM\x00*"):
         from drill_spark.ops.tiff import probe_tiff_header
 
@@ -665,6 +668,104 @@ def decode_gif(payload: bytes):
     return canvas
 
 
+def decode_tga(payload: bytes):
+    """Truevision TGA (spec types 1/2/9/10): color-mapped and
+    truecolor images, uncompressed and RLE-packed, 16/24/32-bit
+    pixels, origin-bit vertical flip -> (H, W, 3) uint8 RGB."""
+    import struct
+
+    import numpy as np
+
+    b = bytes(payload)
+    (idlen, cmap_type, img_type, cm_first, cm_len, cm_bits,
+     _x0, _y0, w, h, bpp, desc) = struct.unpack_from("<BBBHHBHHHHBB", b, 0)
+    pos = 18 + idlen
+    cmap = None
+    if cmap_type == 1:
+        entry = cm_bits // 8
+        raw = b[pos: pos + cm_len * entry]
+        pos += cm_len * entry
+        cm = np.frombuffer(raw, dtype="uint8").reshape(cm_len, entry)
+        cmap = np.zeros((cm_first + cm_len, 3), dtype="uint8")
+        cmap[cm_first:] = cm[:, [2, 1, 0]] if entry >= 3 else \
+            np.repeat(cm[:, :1], 3, axis=1)
+    px_bytes = bpp // 8
+    n_px = w * h
+    if img_type in (9, 10, 11):  # RLE
+        out = bytearray()
+        i = pos
+        while len(out) < n_px * px_bytes and i < len(b):
+            hdr = b[i]
+            i += 1
+            count = (hdr & 0x7F) + 1
+            if hdr & 0x80:  # run packet: one pixel repeated
+                out += b[i: i + px_bytes] * count
+                i += px_bytes
+            else:  # raw packet
+                out += b[i: i + px_bytes * count]
+                i += px_bytes * count
+        raw = bytes(out[: n_px * px_bytes])
+    else:
+        raw = b[pos: pos + n_px * px_bytes]
+    arr = np.frombuffer(raw, dtype="uint8").reshape(h, w, px_bytes)
+    if img_type in (1, 9):  # color-mapped: indices through the palette
+        img = cmap[np.minimum(arr[:, :, 0], len(cmap) - 1)]
+    elif bpp == 16:
+        v = arr[:, :, 0].astype("uint16") | (arr[:, :, 1].astype("uint16") << 8)
+        img = np.stack([((v >> 10) & 31) * 255 // 31,
+                        ((v >> 5) & 31) * 255 // 31,
+                        (v & 31) * 255 // 31], axis=2).astype("uint8")
+    elif img_type == 3:  # grayscale
+        img = np.repeat(arr[:, :, :1], 3, axis=2)
+    else:  # BGR[A]
+        img = arr[:, :, [2, 1, 0]]
+    if not (desc & 0x20):  # origin bottom-left: flip vertical
+        img = img[::-1]
+    return np.ascontiguousarray(img)
+
+
+def decode_pcx(payload: bytes):
+    """ZSoft PCX: version-5 8-bit paletted (VGA palette trailer) and
+    24-bit (3-plane) images with the byte-RLE of the spec ->
+    (H, W, 3) uint8 RGB."""
+    import struct
+
+    import numpy as np
+
+    b = bytes(payload)
+    (magic, _ver, enc, bits, x0, y0, x1, y1) = struct.unpack_from("<BBBBHHHH", b, 0)
+    if magic != 0x0A:
+        raise ValueError("not a PCX")
+    planes = b[65]
+    stride = struct.unpack_from("<H", b, 66)[0]
+    w, h = x1 - x0 + 1, y1 - y0 + 1
+    need = stride * planes * h
+    if enc == 1:
+        out = bytearray()
+        i = 128
+        while len(out) < need and i < len(b):
+            v = b[i]
+            i += 1
+            if (v & 0xC0) == 0xC0:
+                out += bytes([b[i]]) * (v & 0x3F)
+                i += 1
+            else:
+                out.append(v)
+        raw = bytes(out[:need])
+    else:
+        raw = b[128: 128 + need]
+    rows = np.frombuffer(raw, dtype="uint8").reshape(h, planes, stride)
+    if bits == 8 and planes == 3:
+        return np.ascontiguousarray(rows[:, [0, 1, 2], :w].transpose(0, 2, 1))
+    if bits == 8 and planes == 1:
+        idx = rows[:, 0, :w]
+        if len(b) >= 769 and b[-769] == 0x0C:  # VGA palette trailer
+            pal = np.frombuffer(b[-768:], dtype="uint8").reshape(256, 3)
+            return pal[idx]
+        return np.repeat(idx[:, :, None], 3, axis=2)
+    raise NotImplementedError(f"PCX bits={bits} planes={planes}")
+
+
 def encode_gif(img) -> bytes:
     """numpy (H, W, 3) uint8 -> single-frame GIF89a (global palette
     built from the image's distinct colors — must be <= 256; greedy
@@ -879,7 +980,8 @@ def decode_media(payload: bytes) -> dict:
     b = bytes(payload or b"")
     if (b[:2] == b"BM" or b[:8] == b"\x89PNG\r\n\x1a\n"
             or b[:2] == b"\xff\xd8" or b[:3] == b"GIF"
-            or b[:4] in (b"II*\x00", b"MM\x00*")):
+            or b[:4] in (b"II*\x00", b"MM\x00*")
+            or (len(b) >= 128 and b[:1] == b"\x0a" and b[2:3] in (b"\x00", b"\x01"))):
         if b[:2] == b"BM":
             kind, img = "image/bmp", decode_bmp(b)
         elif b[:2] == b"\xff\xd8":
@@ -892,6 +994,8 @@ def decode_media(payload: bytes) -> dict:
             from drill_spark.ops.tiff import decode_tiff
 
             kind, img = "image/tiff", decode_tiff(b)
+        elif b[:1] == b"\x0a":
+            kind, img = "image/pcx", decode_pcx(b)
         else:
             kind, img = "image/png", decode_png(b)
         return {

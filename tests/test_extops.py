@@ -948,3 +948,124 @@ def test_gif_roundtrip_property():
         assert (decode_gif(encode_gif(img)) == img).all()
 
     check()
+
+
+def test_tga_decode_variants():
+    """TGA spec fixtures: truecolor 24/32-bit, RLE, 16-bit 5-5-5,
+    color-mapped, grayscale, both vertical origins."""
+    import struct
+
+    import numpy as np
+
+    from drill_spark.ops.multimodal import decode_tga
+
+    rng = np.random.default_rng(4)
+    img = rng.integers(0, 256, size=(5, 7, 3), dtype=np.uint8)
+
+    def hdr(img_type, w, h, bpp, desc=0x20, cmap=(0, 0, 0, 0)):
+        ct, cf, cl, cb = cmap
+        return struct.pack("<BBBHHBHHHHBB", 0, ct, img_type, cf, cl, cb,
+                           0, 0, w, h, bpp, desc)
+
+    # type 2 uncompressed BGR, top-left origin
+    bgr = img[:, :, ::-1].tobytes()
+    assert (decode_tga(hdr(2, 7, 5, 24) + bgr) == img).all()
+    # bottom-left origin flips
+    flipped = img[::-1].tobytes()[:0] or img[::-1, :, ::-1].tobytes()
+    assert (decode_tga(hdr(2, 7, 5, 24, desc=0) + flipped) == img).all()
+    # type 10 RLE: constant image compresses to run packets
+    const = np.full((4, 6, 3), 200, dtype=np.uint8)
+    rle = b""
+    for _row in range(4):
+        rle += bytes([0x80 | 5]) + bytes([200, 200, 200])  # 6-px run
+    assert (decode_tga(hdr(10, 6, 4, 24) + rle) == const).all()
+    # 16-bit 5-5-5: pure red
+    red = struct.pack("<H", 31 << 10) * 12
+    out = decode_tga(hdr(2, 4, 3, 16) + red)
+    assert (out[:, :, 0] == 255).all() and (out[:, :, 1:] == 0).all()
+    # color-mapped type 1
+    pal = bytes([255, 0, 0]) + bytes([0, 0, 255])  # BGR entries: blue, red
+    idx = bytes([0, 1, 1, 0])
+    out = decode_tga(hdr(1, 2, 2, 8, cmap=(1, 0, 2, 24)) + pal + idx)
+    assert tuple(out[0, 0]) == (0, 0, 255) and tuple(out[0, 1]) == (255, 0, 0)
+    # grayscale type 3
+    g = bytes([0, 128, 255])
+    out = decode_tga(hdr(3, 3, 1, 8) + g)
+    assert [tuple(p) for p in out[0]] == [(0, 0, 0), (128, 128, 128),
+                                          (255, 255, 255)]
+
+
+def test_pcx_decode_variants():
+    """PCX spec fixtures: 8-bit paletted with the VGA trailer and
+    24-bit 3-plane, both RLE-packed per the spec."""
+    import struct
+
+    import numpy as np
+
+    from drill_spark.ops.multimodal import decode_pcx
+
+    def header(w, h, bits, planes, stride):
+        hd = bytearray(128)
+        hd[0] = 0x0A
+        hd[1] = 5
+        hd[2] = 1  # RLE
+        hd[3] = bits
+        struct.pack_into("<HHHH", hd, 4, 0, 0, w - 1, h - 1)
+        hd[65] = planes
+        struct.pack_into("<H", hd, 66, stride)
+        return bytes(hd)
+
+    def rle(row: bytes) -> bytes:
+        out = bytearray()
+        i = 0
+        while i < len(row):
+            run = 1
+            while i + run < len(row) and run < 63 and row[i + run] == row[i]:
+                run += 1
+            if run > 1 or (row[i] & 0xC0) == 0xC0:
+                out += bytes([0xC0 | run, row[i]])
+            else:
+                out.append(row[i])
+            i += run
+        return bytes(out)
+
+    # 8-bit paletted
+    pal = np.arange(768, dtype=np.uint16) % 256
+    pal = pal.astype(np.uint8).reshape(256, 3)
+    idx = np.array([[0, 1, 2, 2], [3, 3, 3, 0]], dtype=np.uint8)
+    body = b"".join(rle(idx[y].tobytes()) for y in range(2))
+    payload = header(4, 2, 8, 1, 4) + body + b"\x0c" + pal.tobytes()
+    assert (decode_pcx(payload) == pal[idx]).all()
+
+    # 24-bit: per-row planes R,G,B
+    rng = np.random.default_rng(8)
+    img = rng.integers(0, 256, size=(3, 5, 3), dtype=np.uint8)
+    body = b""
+    for y in range(3):
+        for p in range(3):
+            body += rle(img[y, :, p].tobytes())
+    assert (decode_pcx(header(5, 3, 8, 3, 5) + body) == img).all()
+
+
+def test_pcx_media_dispatch():
+    import struct
+
+    import numpy as np
+
+    from drill_spark.ops.multimodal import decode_media, probe_image_header
+
+    hd = bytearray(128)
+    hd[0] = 0x0A
+    hd[1] = 5
+    hd[2] = 0  # uncompressed
+    hd[3] = 8
+    struct.pack_into("<HHHH", hd, 4, 0, 0, 3, 1)
+    hd[65] = 3
+    struct.pack_into("<H", hd, 66, 4)
+    img = np.full((2, 4, 3), 90, dtype=np.uint8)
+    body = b"".join(img[y, :, p].tobytes() for y in range(2) for p in range(3))
+    payload = bytes(hd) + body
+    assert probe_image_header(payload) == ("pcx", 4, 2)
+    got = decode_media(payload)
+    assert got["kind"] == "image/pcx"
+    assert (got["width"], got["height"], got["mean_val"]) == (4, 2, 90.0)
