@@ -131,6 +131,36 @@ def probe_image_header(payload: bytes):
     if len(b) >= 128 and b[0] == 0x0A and b[1] in (0, 2, 3, 5) and b[2] in (0, 1):
         x0, y0, x1, y1 = struct.unpack("<HHHH", b[4:12])
         return "pcx", x1 - x0 + 1, y1 - y0 + 1
+    if b[:1] == b"P" and b[1:2] in b"123456" and b[2:3].isspace():
+        toks = []
+        i = 2
+        while len(toks) < 2 and i < min(len(b), 256):
+            if b[i:i + 1] == b"#":
+                while i < len(b) and b[i] not in (10, 13):
+                    i += 1
+            elif b[i:i + 1].isspace():
+                i += 1
+            else:
+                j = i
+                while j < len(b) and not b[j:j + 1].isspace():
+                    j += 1
+                try:
+                    toks.append(int(b[i:j]))
+                except ValueError:
+                    return "pnm", None, None
+                i = j
+        return ("pnm", toks[0], toks[1]) if len(toks) == 2 else ("pnm", None, None)
+    if b[:4] == b"\x00\x00\x01\x00" and len(b) >= 22:
+        count = struct.unpack("<H", b[4:6])[0]
+        best = (0, 0)
+        for i in range(count):
+            if 6 + 16 * i + 2 > len(b):
+                break
+            w = b[6 + 16 * i] or 256
+            h = b[7 + 16 * i] or 256
+            if w * h > best[0] * best[1]:
+                best = (w, h)
+        return "ico", best[0] or None, best[1] or None
     if b[:4] in (b"II*\x00", b"MM\x00*"):
         from drill_spark.ops.tiff import probe_tiff_header
 
@@ -668,6 +698,129 @@ def decode_gif(payload: bytes):
     return canvas
 
 
+def decode_pnm(payload: bytes):
+    """NetPBM P1-P6 (the interchange staple of image pipelines):
+    ASCII and binary bitmap/graymap/pixmap, comment-tolerant headers,
+    maxval scaling incl. 16-bit -> (H, W, 3) uint8 RGB."""
+    import numpy as np
+
+    b = bytes(payload)
+    if b[:1] != b"P" or b[1:2] not in b"123456":
+        raise ValueError("not a PNM")
+    kind = int(b[1:2])
+
+    # header tokens with '#' comments; returns (tokens, data offset)
+    toks, i, n = [], 2, len(b)
+    need = 2 if kind in (1, 4) else 3
+    while len(toks) < need and i < n:
+        c = b[i:i + 1]
+        if c == b"#":
+            while i < n and b[i] not in (10, 13):
+                i += 1
+        elif c.isspace():
+            i += 1
+        else:
+            j = i
+            while j < n and not b[j:j + 1].isspace() and b[j:j + 1] != b"#":
+                j += 1
+            toks.append(int(b[i:j]))
+            i = j
+    i += 1  # single whitespace after the header
+    w, h = toks[0], toks[1]
+    maxval = toks[2] if need == 3 else 1
+
+    if kind in (1, 2, 3):  # ASCII
+        vals = np.array(b[i - 1:].split(), dtype="int64")
+        if kind == 1:  # bitmap: 1 = black
+            img = (1 - vals[: w * h]).reshape(h, w) * 255
+            return np.repeat(img[:, :, None], 3, axis=2).astype("uint8")
+        if kind == 2:
+            g = (vals[: w * h].reshape(h, w) * 255 // maxval).astype("uint8")
+            return np.repeat(g[:, :, None], 3, axis=2)
+        px = (vals[: w * h * 3].reshape(h, w, 3) * 255 // maxval)
+        return px.astype("uint8")
+
+    data = b[i:]
+    if kind == 4:  # packed bits, MSB first, row-padded
+        stride = (w + 7) // 8
+        rows = np.frombuffer(data[: h * stride], dtype="uint8").reshape(h, stride)
+        bits = np.unpackbits(rows, axis=1)[:, :w]
+        img = (1 - bits) * 255
+        return np.repeat(img[:, :, None], 3, axis=2).astype("uint8")
+    ch = 1 if kind == 5 else 3
+    if maxval > 255:  # 16-bit big-endian samples
+        arr = np.frombuffer(data[: h * w * ch * 2], dtype=">u2").astype("int64")
+    else:
+        arr = np.frombuffer(data[: h * w * ch], dtype="uint8").astype("int64")
+    arr = (arr * 255 // maxval).astype("uint8").reshape(h, w, ch)
+    return np.repeat(arr, 3, axis=2) if ch == 1 else arr
+
+
+def decode_ico(payload: bytes):
+    """Windows ICO: pick the largest directory entry; PNG-compressed
+    entries dispatch to decode_png, classic DIB entries decode the
+    doubled-height BITMAPINFOHEADER (XOR image; the AND mask is
+    flattened away) -> (H, W, 3) uint8 RGB."""
+    import struct
+
+    import numpy as np
+
+    b = bytes(payload)
+    _z, typ, count = struct.unpack_from("<HHH", b, 0)
+    if typ not in (1, 2) or count == 0:
+        raise ValueError("not an ICO")
+    best = None
+    for i in range(count):
+        w8, h8, _pal, _z2, _planes, _bpp, size, off = struct.unpack_from(
+            "<BBBBHHII", b, 6 + 16 * i)
+        w = w8 or 256
+        h = h8 or 256
+        if best is None or w * h > best[0] * best[1]:
+            best = (w, h, size, off)
+    w, h, size, off = best
+    sub = b[off: off + size]
+    if sub[:8] == b"\x89PNG\r\n\x1a\n":
+        return decode_png(sub)
+    # classic DIB: BITMAPINFOHEADER with DOUBLED height (XOR + AND)
+    hsz, bw, bh2, _pl, bpp = struct.unpack_from("<IiiHH", sub, 0)
+    bh = bh2 // 2
+    pos = hsz
+    pal = None
+    if bpp <= 8:
+        n = 1 << bpp
+        pal = np.frombuffer(sub[pos: pos + 4 * n], dtype="uint8").reshape(n, 4)
+        pos += 4 * n
+    if bpp == 32:
+        stride = bw * 4
+        rows = np.frombuffer(sub[pos: pos + stride * bh], dtype="uint8")
+        img = rows.reshape(bh, bw, 4)[::-1, :, [2, 1, 0]]
+        return np.ascontiguousarray(img)
+    if bpp == 24:
+        stride = (bw * 3 + 3) & ~3
+        img = np.zeros((bh, bw, 3), dtype="uint8")
+        for y in range(bh):
+            row = np.frombuffer(sub[pos + y * stride: pos + y * stride + bw * 3],
+                                dtype="uint8").reshape(bw, 3)
+            img[bh - 1 - y] = row[:, [2, 1, 0]]
+        return img
+    if bpp in (4, 8):
+        per = 8 // bpp
+        stride = ((bw + per - 1) // per + 3) & ~3
+        img = np.zeros((bh, bw, 3), dtype="uint8")
+        for y in range(bh):
+            row = np.frombuffer(sub[pos + y * stride: pos + (y + 1) * stride],
+                                dtype="uint8")
+            if bpp == 8:
+                idx = row[:bw]
+            else:
+                hi = row >> 4
+                lo = row & 0x0F
+                idx = np.stack([hi, lo], axis=1).reshape(-1)[:bw]
+            img[bh - 1 - y] = pal[idx][:, [2, 1, 0]]
+        return img
+    raise NotImplementedError(f"ICO DIB bpp {bpp}")
+
+
 def decode_tga(payload: bytes):
     """Truevision TGA (spec types 1/2/9/10): color-mapped and
     truecolor images, uncompressed and RLE-packed, 16/24/32-bit
@@ -931,9 +1084,10 @@ def encode_wav_g711(samples, sample_rate: int = 8000, law: str = "mulaw") -> byt
 
 
 def decode_wav(payload: bytes):
-    """WAV -> (numpy float32 mono in [-1, 1], sample_rate). PCM 8/16
-    bit plus REAL G.711 mu-law/A-law expansion (format tags 7/6, the
-    telephony companding codecs — closed-form, no tables)."""
+    """WAV -> (numpy float32 mono in [-1, 1], sample_rate). PCM
+    8/16/24/32-bit, IEEE float 32/64 (format tag 3), plus REAL G.711
+    mu-law/A-law expansion (format tags 7/6, the telephony companding
+    codecs — closed-form, no tables)."""
     import io
     import struct
     import wave
@@ -949,6 +1103,23 @@ def decode_wav(payload: bytes):
             dtype="float32",
         ) / 32767.0
         x = table[np.frombuffer(data, dtype="uint8")]
+        if nch > 1:
+            x = x.reshape(-1, nch).mean(axis=1)
+        return x, rate
+    bits = struct.unpack_from("<H", fmt, 14)[0] if len(fmt) >= 16 else 16
+    if tag == 3:  # IEEE float
+        x = np.frombuffer(data, dtype="<f4" if bits == 32 else "<f8").astype("float32")
+        if nch > 1:
+            x = x.reshape(-1, nch).mean(axis=1)
+        return x, rate
+    if tag == 1 and bits in (24, 32):
+        if bits == 24:
+            u = np.frombuffer(data, dtype="uint8").reshape(-1, 3).astype("int32")
+            v = u[:, 0] | (u[:, 1] << 8) | (u[:, 2] << 16)
+            v = (v ^ 0x800000) - 0x800000  # sign-extend 24 -> 32
+            x = v.astype("float32") / 8388607.0
+        else:
+            x = np.frombuffer(data, dtype="<i4").astype("float32") / 2147483647.0
         if nch > 1:
             x = x.reshape(-1, nch).mean(axis=1)
         return x, rate
@@ -981,7 +1152,9 @@ def decode_media(payload: bytes) -> dict:
     if (b[:2] == b"BM" or b[:8] == b"\x89PNG\r\n\x1a\n"
             or b[:2] == b"\xff\xd8" or b[:3] == b"GIF"
             or b[:4] in (b"II*\x00", b"MM\x00*")
-            or (len(b) >= 128 and b[:1] == b"\x0a" and b[2:3] in (b"\x00", b"\x01"))):
+            or (len(b) >= 128 and b[:1] == b"\x0a" and b[2:3] in (b"\x00", b"\x01"))
+            or (b[:1] == b"P" and b[1:2] in b"123456" and b[2:3].isspace())
+            or b[:4] == b"\x00\x00\x01\x00"):
         if b[:2] == b"BM":
             kind, img = "image/bmp", decode_bmp(b)
         elif b[:2] == b"\xff\xd8":
@@ -996,6 +1169,10 @@ def decode_media(payload: bytes) -> dict:
             kind, img = "image/tiff", decode_tiff(b)
         elif b[:1] == b"\x0a":
             kind, img = "image/pcx", decode_pcx(b)
+        elif b[:1] == b"P" and b[1:2] in b"123456":
+            kind, img = "image/pnm", decode_pnm(b)
+        elif b[:4] == b"\x00\x00\x01\x00":
+            kind, img = "image/ico", decode_ico(b)
         else:
             kind, img = "image/png", decode_png(b)
         return {

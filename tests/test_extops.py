@@ -1069,3 +1069,143 @@ def test_pcx_media_dispatch():
     got = decode_media(payload)
     assert got["kind"] == "image/pcx"
     assert (got["width"], got["height"], got["mean_val"]) == (4, 2, 90.0)
+
+
+def test_pnm_decode_all_kinds():
+    """NetPBM P1-P6 from the spec: ASCII + binary, comments, maxval
+    scaling incl. 16-bit, packed-bit P4 rows."""
+    import numpy as np
+
+    from drill_spark.ops.multimodal import decode_pnm
+
+    # P1 ASCII bitmap (1 = black)
+    p1 = b"P1\n# comment\n3 2\n0 1 0\n1 0 1\n"
+    out = decode_pnm(p1)
+    assert out[0, 0, 0] == 255 and out[0, 1, 0] == 0
+
+    # P2 ASCII graymap, maxval 15
+    p2 = b"P2 2 2 15\n0 15\n7 15\n"
+    out = decode_pnm(p2)
+    assert out[0, 1, 0] == 255 and out[1, 0, 0] == 7 * 255 // 15
+
+    # P3 ASCII pixmap
+    p3 = b"P3 1 1 255 10 20 30\n"
+    assert tuple(decode_pnm(p3)[0, 0]) == (10, 20, 30)
+
+    # P4 packed bits: width 10 -> 2 bytes/row
+    p4 = b"P4\n10 1\n" + bytes([0b10100000, 0b01000000])
+    out = decode_pnm(p4)
+    assert [out[0, x, 0] for x in (0, 1, 2, 8, 9)] == [0, 255, 0, 255, 0]
+
+    # P5 binary graymap 16-bit big-endian
+    import struct
+    p5 = b"P5 2 1 65535\n" + struct.pack(">HH", 0, 65535)
+    out = decode_pnm(p5)
+    assert out[0, 0, 0] == 0 and out[0, 1, 0] == 255
+
+    # P6 binary pixmap roundtrip
+    rng = np.random.default_rng(2)
+    img = rng.integers(0, 256, size=(4, 5, 3), dtype=np.uint8)
+    p6 = b"P6\n5 4\n255\n" + img.tobytes()
+    assert (decode_pnm(p6) == img).all()
+
+
+def test_ico_decode_png_and_dib():
+    """ICO: PNG-compressed entry and classic 32-bit DIB entry (doubled
+    height, bottom-up, BGRA), largest-entry selection."""
+    import struct
+
+    import numpy as np
+
+    from drill_spark.ops.multimodal import decode_ico, encode_bmp, decode_png
+
+    # PNG entry via the test chunk builder from the PNG test
+    import zlib
+
+    def chunk(typ, data):
+        c = typ + data
+        return struct.pack(">I", len(data)) + c + struct.pack(">I", zlib.crc32(c))
+
+    img = np.full((8, 8, 3), 123, dtype=np.uint8)
+    raw = b"".join(b"\x00" + img[y].tobytes() for y in range(8))
+    png = (b"\x89PNG\r\n\x1a\n"
+           + chunk(b"IHDR", struct.pack(">IIBBBBB", 8, 8, 8, 2, 0, 0, 0))
+           + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
+    ico = (struct.pack("<HHH", 0, 1, 1)
+           + struct.pack("<BBBBHHII", 8, 8, 0, 0, 1, 32, len(png), 22) + png)
+    assert (decode_ico(ico) == img).all()
+
+    # classic DIB 32-bit: 2x2, bottom-up BGRA + AND mask
+    px = np.array([[[255, 0, 0], [0, 255, 0]],
+                   [[0, 0, 255], [9, 8, 7]]], dtype=np.uint8)
+    rows = b""
+    for y in (1, 0):  # bottom-up
+        for x in range(2):
+            r, g, b_ = px[y, x]
+            rows += bytes([b_, g, r, 255])
+    mask = b"\x00\x00\x00\x00" * 2
+    dib = struct.pack("<IiiHHIIiiII", 40, 2, 4, 1, 32, 0, 0, 0, 0, 0, 0) + rows + mask
+    ico2 = (struct.pack("<HHH", 0, 1, 1)
+            + struct.pack("<BBBBHHII", 2, 2, 0, 0, 1, 32, len(dib), 22) + dib)
+    assert (decode_ico(ico2) == px).all()
+
+
+def test_wav_float_and_deep_pcm():
+    """IEEE-float (tag 3) and 24/32-bit PCM WAVs decode; values match
+    the source signal."""
+    import struct
+
+    import numpy as np
+
+    from drill_spark.ops.multimodal import decode_wav
+
+    x = np.sin(np.linspace(0, 6.28, 50)).astype("float32") * 0.5
+
+    def wav(tag, bits, data, nch=1, rate=8000):
+        fmt = struct.pack("<HHIIHH", tag, nch, rate,
+                          rate * nch * bits // 8, nch * bits // 8, bits)
+        out = (b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+               + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+               + b"data" + struct.pack("<I", len(data)) + data)
+        return out
+
+    y, rate = decode_wav(wav(3, 32, x.astype("<f4").tobytes()))
+    assert rate == 8000 and np.abs(y - x).max() < 1e-6
+
+    v24 = (x * 8388607).astype("int32")
+    data24 = b"".join(struct.pack("<i", int(v))[:3] for v in v24)
+    y, _ = decode_wav(wav(1, 24, data24))
+    assert np.abs(y - x).max() < 1e-5
+
+    v32 = (x * 2147483647).astype("<i4")
+    y, _ = decode_wav(wav(1, 32, v32.tobytes()))
+    assert np.abs(y - x).max() < 1e-6
+
+
+def test_pnm_ico_dispatch_and_probe():
+    from drill_spark.ops.multimodal import decode_media, probe_image_header
+
+    p6 = b"P6\n# c\n5 4\n255\n" + bytes(60)
+    assert probe_image_header(p6) == ("pnm", 5, 4)
+    got = decode_media(p6)
+    assert got["kind"] == "image/pnm" and (got["width"], got["height"]) == (5, 4)
+
+    import struct
+    import zlib
+
+    import numpy as np
+
+    def chunk(typ, data):
+        c = typ + data
+        return struct.pack(">I", len(data)) + c + struct.pack(">I", zlib.crc32(c))
+
+    img = np.full((8, 8, 3), 50, dtype=np.uint8)
+    raw = b"".join(b"\x00" + img[y].tobytes() for y in range(8))
+    png = (b"\x89PNG\r\n\x1a\n"
+           + chunk(b"IHDR", struct.pack(">IIBBBBB", 8, 8, 8, 2, 0, 0, 0))
+           + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
+    ico = (struct.pack("<HHH", 0, 1, 1)
+           + struct.pack("<BBBBHHII", 8, 8, 0, 0, 1, 32, len(png), 22) + png)
+    assert probe_image_header(ico) == ("ico", 8, 8)
+    got = decode_media(ico)
+    assert got["kind"] == "image/ico" and got["mean_val"] == 50.0
