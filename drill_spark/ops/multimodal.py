@@ -150,6 +150,9 @@ def probe_image_header(payload: bytes):
                     return "pnm", None, None
                 i = j
         return ("pnm", toks[0], toks[1]) if len(toks) == 2 else ("pnm", None, None)
+    if b[:4] == b"qoif" and len(b) >= 12:
+        w, h = struct.unpack(">II", b[4:12])
+        return "qoi", w, h
     if b[:4] == b"\x00\x00\x01\x00" and len(b) >= 22:
         count = struct.unpack("<H", b[4:6])[0]
         best = (0, 0)
@@ -698,6 +701,108 @@ def decode_gif(payload: bytes):
     return canvas
 
 
+def decode_qoi(payload: bytes):
+    """QOI ("Quite OK Image", qoiformat.org spec): the run/diff/luma/
+    index/literal chunk stream with the 64-slot color hash ->
+    (H, W, 3) uint8 RGB (alpha dropped)."""
+    import struct
+
+    import numpy as np
+
+    b = bytes(payload)
+    if b[:4] != b"qoif":
+        raise ValueError("not a QOI")
+    w, h = struct.unpack_from(">II", b, 4)
+    n_px = w * h
+    out = np.zeros((n_px, 4), dtype="uint8")
+    index = [(0, 0, 0, 0)] * 64
+    r, g, bl, a = 0, 0, 0, 255
+    i, px = 14, 0
+    while px < n_px and i < len(b):
+        c = b[i]
+        i += 1
+        if c == 0xFE:  # RGB
+            r, g, bl = b[i], b[i + 1], b[i + 2]
+            i += 3
+        elif c == 0xFF:  # RGBA
+            r, g, bl, a = b[i], b[i + 1], b[i + 2], b[i + 3]
+            i += 4
+        else:
+            tag = c >> 6
+            if tag == 0:  # INDEX
+                r, g, bl, a = index[c & 0x3F]
+            elif tag == 1:  # DIFF, bias 2
+                r = (r + ((c >> 4) & 3) - 2) & 0xFF
+                g = (g + ((c >> 2) & 3) - 2) & 0xFF
+                bl = (bl + (c & 3) - 2) & 0xFF
+            elif tag == 2:  # LUMA
+                dg = (c & 0x3F) - 32
+                d2 = b[i]
+                i += 1
+                r = (r + dg + ((d2 >> 4) & 0x0F) - 8) & 0xFF
+                g = (g + dg) & 0xFF
+                bl = (bl + dg + (d2 & 0x0F) - 8) & 0xFF
+            else:  # RUN, bias -1
+                run = (c & 0x3F) + 1
+                out[px: px + run] = (r, g, bl, a)
+                px += run
+                index[(r * 3 + g * 5 + bl * 7 + a * 11) % 64] = (r, g, bl, a)
+                continue
+        out[px] = (r, g, bl, a)
+        px += 1
+        index[(r * 3 + g * 5 + bl * 7 + a * 11) % 64] = (r, g, bl, a)
+    return np.ascontiguousarray(out[:, :3].reshape(h, w, 3))
+
+
+def encode_qoi(img) -> bytes:
+    """numpy (H, W, 3) uint8 RGB -> QOI bytes (all five chunk ops)."""
+    import struct
+
+    import numpy as np
+
+    img = np.asarray(img, dtype="uint8")
+    h, w = img.shape[:2]
+    flat = img.reshape(-1, 3)
+    out = bytearray(b"qoif" + struct.pack(">IIBB", w, h, 3, 0))
+    index = [(0, 0, 0, 0)] * 64
+    pr, pg, pb, pa = 0, 0, 0, 255
+    run = 0
+    for r, g, b_ in flat:
+        r, g, b_ = int(r), int(g), int(b_)
+        if (r, g, b_) == (pr, pg, pb):
+            run += 1
+            if run == 62:
+                out.append(0xC0 | (run - 1))
+                run = 0
+            continue
+        if run:
+            out.append(0xC0 | (run - 1))
+            run = 0
+        key = (r * 3 + g * 5 + b_ * 7 + 255 * 11) % 64
+        if index[key] == (r, g, b_, 255):
+            out.append(key)
+        else:
+            dr = (r - pr) & 0xFF
+            dg = (g - pg) & 0xFF
+            db = (b_ - pb) & 0xFF
+            sdr = dr - 256 if dr > 127 else dr
+            sdg = dg - 256 if dg > 127 else dg
+            sdb = db - 256 if db > 127 else db
+            if -2 <= sdr <= 1 and -2 <= sdg <= 1 and -2 <= sdb <= 1:
+                out.append(0x40 | ((sdr + 2) << 4) | ((sdg + 2) << 2) | (sdb + 2))
+            elif -32 <= sdg <= 31 and -8 <= sdr - sdg <= 7 and -8 <= sdb - sdg <= 7:
+                out.append(0x80 | (sdg + 32))
+                out.append(((sdr - sdg + 8) << 4) | (sdb - sdg + 8))
+            else:
+                out += bytes([0xFE, r, g, b_])
+        index[key] = (r, g, b_, 255)
+        pr, pg, pb = r, g, b_
+    if run:
+        out.append(0xC0 | (run - 1))
+    out += b"\x00" * 7 + b"\x01"
+    return bytes(out)
+
+
 def decode_pnm(payload: bytes):
     """NetPBM P1-P6 (the interchange staple of image pipelines):
     ASCII and binary bitmap/graymap/pixmap, comment-tolerant headers,
@@ -1154,6 +1259,7 @@ def decode_media(payload: bytes) -> dict:
             or b[:4] in (b"II*\x00", b"MM\x00*")
             or (len(b) >= 128 and b[:1] == b"\x0a" and b[2:3] in (b"\x00", b"\x01"))
             or (b[:1] == b"P" and b[1:2] in b"123456" and b[2:3].isspace())
+            or b[:4] == b"qoif"
             or b[:4] == b"\x00\x00\x01\x00"):
         if b[:2] == b"BM":
             kind, img = "image/bmp", decode_bmp(b)
@@ -1171,6 +1277,8 @@ def decode_media(payload: bytes) -> dict:
             kind, img = "image/pcx", decode_pcx(b)
         elif b[:1] == b"P" and b[1:2] in b"123456":
             kind, img = "image/pnm", decode_pnm(b)
+        elif b[:4] == b"qoif":
+            kind, img = "image/qoi", decode_qoi(b)
         elif b[:4] == b"\x00\x00\x01\x00":
             kind, img = "image/ico", decode_ico(b)
         else:

@@ -1209,3 +1209,43 @@ def test_pnm_ico_dispatch_and_probe():
     assert probe_image_header(ico) == ("ico", 8, 8)
     got = decode_media(ico)
     assert got["kind"] == "image/ico" and got["mean_val"] == 50.0
+
+
+def test_qoi_roundtrip_and_dispatch():
+    """QOI codec: hypothesis roundtrip forcing every chunk op (runs,
+    small diffs, luma diffs, index hits, literals), plus dispatch."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from drill_spark.ops.multimodal import (
+        decode_media,
+        decode_qoi,
+        encode_qoi,
+        probe_image_header,
+    )
+
+    # crafted image exercising runs + diffs + index reuse
+    img = np.zeros((4, 8, 3), dtype=np.uint8)
+    img[0] = [10, 20, 30]                  # run
+    img[1] = [11, 21, 31]                  # small diff
+    img[2] = [40, 50, 60]                  # literal
+    img[3, ::2] = [10, 20, 30]             # index hits
+    img[3, 1::2] = [40, 50, 60]
+    assert (decode_qoi(encode_qoi(img)) == img).all()
+
+    @settings(max_examples=25, deadline=None)
+    @given(st.integers(1, 16), st.integers(1, 16), st.integers(0, 2**31 - 1),
+           st.sampled_from([2, 8, 256]))
+    def check(h, w, seed, levels):
+        rng = np.random.default_rng(seed)
+        im = (rng.integers(0, levels, size=(h, w, 3)) * (255 // (levels - 1) if levels > 1 else 0)).astype(np.uint8)
+        assert (decode_qoi(encode_qoi(im)) == im).all()
+
+    check()
+
+    payload = encode_qoi(np.full((3, 5, 3), 77, dtype=np.uint8))
+    assert probe_image_header(payload) == ("qoi", 5, 3)
+    got = decode_media(payload)
+    assert got["kind"] == "image/qoi"
+    assert (got["width"], got["height"], got["mean_val"]) == (5, 3, 77.0)
