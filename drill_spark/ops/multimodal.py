@@ -1294,6 +1294,104 @@ def decode_wav(payload: bytes):
     return x, rate
 
 
+def decode_aiff(payload: bytes):
+    """AIFF/AIFF-C -> (numpy float32 mono in [-1, 1], sample_rate):
+    IFF chunk walk, the COMM chunk's 80-bit extended-float sample rate
+    decoded manually, big-endian PCM 8/16/24/32 from SSND (AIFF-C
+    'NONE'/'sowt' compression only; codecs raise by name)."""
+    import struct
+
+    import numpy as np
+
+    b = bytes(payload)
+    if b[:4] != b"FORM" or b[8:12] not in (b"AIFF", b"AIFC"):
+        raise ValueError("not an AIFF")
+    pos = 12
+    comm = ssnd = None
+    while pos + 8 <= len(b):
+        cid, ln = struct.unpack_from(">4sI", b, pos)
+        body = b[pos + 8: pos + 8 + ln]
+        if cid == b"COMM":
+            comm = body
+        elif cid == b"SSND":
+            ssnd = body
+        pos += 8 + ln + (ln & 1)  # chunks are word-aligned
+    if comm is None or ssnd is None:
+        raise ValueError("AIFF missing COMM/SSND")
+    nch, _nframes, bits = struct.unpack_from(">HIH", comm, 0)
+    # 80-bit IEEE 754 extended: 1 sign, 15 exponent (bias 16383),
+    # 64-bit explicit-integer-bit mantissa
+    se, mant = struct.unpack_from(">HQ", comm, 8)
+    exp = se & 0x7FFF
+    rate = int(mant * (2.0 ** (exp - 16383 - 63))) if mant else 0
+    little = False
+    if len(comm) >= 22:  # AIFF-C compression id
+        ctype = comm[18:22]
+        if ctype == b"sowt":
+            little = True
+        elif ctype not in (b"NONE", b""):
+            raise NotImplementedError(f"AIFF-C compression {ctype!r}")
+    off, _blk = struct.unpack_from(">II", ssnd, 0)
+    data = ssnd[8 + off:]
+    e = "<" if little else ">"
+    if bits == 16:
+        x = np.frombuffer(data[: len(data) // 2 * 2], dtype=e + "i2").astype("float32") / 32767.0
+    elif bits == 8:
+        x = np.frombuffer(data, dtype="int8").astype("float32") / 127.0
+    elif bits == 24:
+        u = np.frombuffer(data[: len(data) // 3 * 3], dtype="uint8").reshape(-1, 3).astype("int32")
+        v = ((u[:, 0] << 16) | (u[:, 1] << 8) | u[:, 2]) if not little else \
+            ((u[:, 2] << 16) | (u[:, 1] << 8) | u[:, 0])
+        v = (v ^ 0x800000) - 0x800000
+        x = v.astype("float32") / 8388607.0
+    elif bits == 32:
+        x = np.frombuffer(data[: len(data) // 4 * 4], dtype=e + "i4").astype("float32") / 2147483647.0
+    else:
+        raise NotImplementedError(f"AIFF bits {bits}")
+    if nch > 1:
+        x = x[: len(x) // nch * nch].reshape(-1, nch).mean(axis=1)
+    return x, rate
+
+
+def decode_au(payload: bytes):
+    """Sun AU/SND (the classic speech-corpus container) -> (numpy
+    float32 mono, sample_rate): big-endian header, encodings 1 (G.711
+    mu-law), 2/3/4/5 (linear PCM 8/16/24/32), 27 (A-law)."""
+    import struct
+
+    import numpy as np
+
+    b = bytes(payload)
+    if b[:4] != b".snd":
+        raise ValueError("not an AU")
+    off, _size, enc, rate, nch = struct.unpack_from(">IIIII", b, 4)
+    data = b[off:]
+    if enc == 1:
+        table = np.array([mulaw_decode_byte(c) for c in range(256)],
+                         dtype="float32") / 32767.0
+        x = table[np.frombuffer(data, dtype="uint8")]
+    elif enc == 27:
+        table = np.array([alaw_decode_byte(c) for c in range(256)],
+                         dtype="float32") / 32767.0
+        x = table[np.frombuffer(data, dtype="uint8")]
+    elif enc == 2:
+        x = np.frombuffer(data, dtype="int8").astype("float32") / 127.0
+    elif enc == 3:
+        x = np.frombuffer(data[: len(data) // 2 * 2], dtype=">i2").astype("float32") / 32767.0
+    elif enc == 4:
+        u = np.frombuffer(data[: len(data) // 3 * 3], dtype="uint8").reshape(-1, 3).astype("int32")
+        v = (u[:, 0] << 16) | (u[:, 1] << 8) | u[:, 2]
+        v = (v ^ 0x800000) - 0x800000
+        x = v.astype("float32") / 8388607.0
+    elif enc == 5:
+        x = np.frombuffer(data[: len(data) // 4 * 4], dtype=">i4").astype("float32") / 2147483647.0
+    else:
+        raise NotImplementedError(f"AU encoding {enc}")
+    if nch > 1:
+        x = x[: len(x) // nch * nch].reshape(-1, nch).mean(axis=1)
+    return x, rate
+
+
 def decode_media(payload: bytes) -> dict:
     """REAL decode dispatch by magic bytes: BMP/PNG/baseline-JPEG ->
     dims + mean pixel value; WAV -> sample count, rate, RMS amplitude.
@@ -1340,10 +1438,16 @@ def decode_media(payload: bytes) -> dict:
             "sample_rate": None,
             "mean_val": round(float(img.mean()), 4),
         }
+    audio_kind = None
     if b[:4] == b"RIFF" and b[8:12] == b"WAVE":
-        x, rate = decode_wav(b)
+        audio_kind, (x, rate) = "audio/wav", decode_wav(b)
+    elif b[:4] == b"FORM" and b[8:12] in (b"AIFF", b"AIFC"):
+        audio_kind, (x, rate) = "audio/aiff", decode_aiff(b)
+    elif b[:4] == b".snd":
+        audio_kind, (x, rate) = "audio/basic", decode_au(b)
+    if audio_kind:
         return {
-            "kind": "audio/wav",
+            "kind": audio_kind,
             "width": None,
             "height": None,
             "n_samples": int(len(x)),

@@ -1285,3 +1285,62 @@ def test_bmp_rle_decode():
     img = decode_bmp(bmp(4, 1, 4, 2, pal, body4))
     assert [tuple(p) for p in img[0]] == [
         (0, 255, 0), (0, 0, 255), (0, 255, 0), (0, 0, 255)]
+
+
+def test_aiff_and_au_decode():
+    """AIFF (80-bit extended-float rate, BE PCM, sowt little-endian
+    variant) and Sun AU (mu-law + linear encodings) against spec-built
+    fixtures; dispatch through decode_media."""
+    import struct
+
+    import numpy as np
+
+    from drill_spark.ops.multimodal import (
+        decode_aiff,
+        decode_au,
+        decode_media,
+        mulaw_encode,
+    )
+
+    x = (np.sin(np.linspace(0, 12.5, 80)) * 0.4).astype("float32")
+    pcm = (x * 32767).astype(">i2")
+
+    def ext80(rate):
+        # 80-bit extended float for an integer rate
+        e = rate.bit_length() - 1
+        mant = rate << (63 - e)
+        return struct.pack(">HQ", 16383 + e, mant)
+
+    def aiff(rate, data, form=b"AIFF", comm_extra=b""):
+        comm = struct.pack(">HIH", 1, len(data) // 2, 16) + ext80(rate) + comm_extra
+        ssnd = struct.pack(">II", 0, 0) + data
+
+        def chunk(cid, payload):  # IFF chunks pad to even length
+            return (cid + struct.pack(">I", len(payload)) + payload
+                    + (b"\x00" if len(payload) & 1 else b""))
+
+        body = chunk(b"COMM", comm) + chunk(b"SSND", ssnd)
+        return b"FORM" + struct.pack(">I", 4 + len(body)) + form + body
+
+    y, rate = decode_aiff(aiff(16000, pcm.tobytes()))
+    assert rate == 16000 and np.abs(y - x).max() < 1e-3
+
+    # AIFF-C sowt: little-endian samples
+    y, rate = decode_aiff(aiff(8000, (x * 32767).astype("<i2").tobytes(),
+                               form=b"AIFC", comm_extra=b"sowt\x04sowt"))
+    assert rate == 8000 and np.abs(y - x).max() < 1e-3
+
+    got = decode_media(aiff(16000, pcm.tobytes()))
+    assert got["kind"] == "audio/aiff" and got["sample_rate"] == 16000
+
+    # AU: mu-law and 16-bit linear
+    mu = bytes(mulaw_encode(int(v * 32767)) for v in x)
+    au = b".snd" + struct.pack(">IIIII", 24, len(mu), 1, 8000, 1)
+    y, rate = decode_au(au + mu)
+    assert rate == 8000 and np.abs(y - x).max() < 0.02  # mu-law quantization
+
+    au16 = b".snd" + struct.pack(">IIIII", 24, len(pcm) * 2, 3, 16000, 1)
+    y, rate = decode_au(au16 + pcm.tobytes())
+    assert rate == 16000 and np.abs(y - x).max() < 1e-3
+    got = decode_media(au16 + pcm.tobytes())
+    assert got["kind"] == "audio/basic" and got["n_samples"] == 80
