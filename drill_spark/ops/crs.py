@@ -80,6 +80,34 @@ _EPSG_REGISTRY: dict[int, dict] = {}
 _UNIT_TO_METER = {"m": 1.0, "us-ft": _US_FT, "ft": 0.3048, "us-in": _US_FT / 12}
 
 
+def _ellps_from_kv(kv: dict) -> str:
+    """Resolve the ellipsoid of one parsed PROJ.4 string. Numeric axes
+    (+a with +b or +rf, or a +R sphere) ALWAYS define the figure — even
+    when no +ellps name is given (common for sphere-based registry
+    CRSs) — registered under a synthetic key so the default never
+    silently substitutes WGS84. A named but unknown +ellps without
+    numeric axes raises by name, keeping the module's "never a silently
+    wrong transform" contract."""
+    a = kv.get("a", kv.get("R"))
+    if a is not None:
+        a = float(a)
+        if "rf" in kv and float(kv["rf"]) != 0.0:
+            f = 1.0 / float(kv["rf"])
+        elif "b" in kv:
+            f = (a - float(kv["b"])) / a
+        else:
+            f = 0.0  # +a alone or +R: sphere
+        key = f"custom:a={a:.6f},f={f:.12g}"
+        _ELLPS[key] = (a, f)
+        return key
+    name = kv.get("ellps", "WGS84")
+    if name not in _ELLPS:
+        raise NotImplementedError(
+            f"proj4 ellipsoid {name!r} unknown to this module "
+            f"({'/'.join(sorted(_ELLPS))}); give +a with +b or +rf instead")
+    return name
+
+
 def parse_proj4(s: str) -> dict:
     """A PROJ.4 definition string -> the parameter dict this module
     projects with. Supports the parameters of the implemented families
@@ -94,13 +122,13 @@ def parse_proj4(s: str) -> dict:
             kv[tok] = ""
     proj = kv.get("proj")
     if proj in ("longlat", "latlong"):
-        return {"proj": "longlat", "ellps": kv.get("ellps", "WGS84")}
+        return {"proj": "longlat", "ellps": _ellps_from_kv(kv)}
     if proj == "utm":
-        return _utm(int(kv["zone"]), "south" in kv, kv.get("ellps", "WGS84"))
+        return _utm(int(kv["zone"]), "south" in kv, _ellps_from_kv(kv))
     if proj not in ("lcc", "tmerc", "merc", "aea", "webmerc"):
         raise NotImplementedError(f"proj4 projection {proj!r} not supported "
                                   "(lcc/tmerc/utm/merc/aea/webmerc/longlat)")
-    p = {"proj": proj, "ellps": kv.get("ellps", "WGS84")}
+    p = {"proj": proj, "ellps": _ellps_from_kv(kv)}
     for name in ("lat_1", "lat_2", "lat_0", "lon_0", "x_0", "y_0", "lat_ts"):
         if name in kv:
             p[name] = float(kv[name])
@@ -114,15 +142,6 @@ def parse_proj4(s: str) -> dict:
         p["to_meter"] = float(kv["to_meter"])
     else:
         p["to_meter"] = _UNIT_TO_METER.get(kv.get("units", "m"), 1.0)
-    if p["ellps"] not in _ELLPS and ("a" in kv):
-        a = float(kv["a"])
-        if "rf" in kv:
-            f = 1.0 / float(kv["rf"])
-        elif "b" in kv:
-            f = (a - float(kv["b"])) / a
-        else:
-            f = 0.0
-        _ELLPS[p["ellps"]] = (a, f)
     return p
 
 

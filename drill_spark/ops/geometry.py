@@ -494,7 +494,20 @@ def _matrix_line_polygon(a, b):
         bi = "0" if any(v == 1 for v in locs) else "F"
         bb = "0" if any(v == 0 for v in locs) else "F"
         be = "0" if any(v == -1 for v in locs) else "F"
-    return [[ii, ib, ie], [bi, bb, be], ["2", "1", "2"]]
+    # exterior(a) ∩ boundary(b): "F" only when the line covers the
+    # WHOLE polygon boundary (e.g. a closed linestring that rides the
+    # ring exactly) — split each boundary edge at line contacts and
+    # look for any fragment midpoint off the line.
+    line_edges = _line_segments(pts)
+    eb = "F"
+    for p0, q0 in _poly_edges(polys):
+        frags = _split_edge(p0, q0, line_edges) or [(p0, q0)]
+        if any(not any(_on_segment(((fa[0] + fb[0]) / 2, (fa[1] + fb[1]) / 2),
+                                   la, lb) for la, lb in line_edges)
+               for fa, fb in frags):
+            eb = "1"
+            break
+    return [[ii, ib, ie], [bi, bb, be], ["2", eb, "2"]]
 
 
 def _transpose(m):

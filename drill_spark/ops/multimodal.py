@@ -989,13 +989,21 @@ def decode_tga(payload: bytes):
     pos = 18 + idlen
     cmap = None
     if cmap_type == 1:
-        entry = cm_bits // 8
+        entry = (cm_bits + 7) // 8  # spec entry sizes: 15/16 -> 2 bytes, 24 -> 3, 32 -> 4
         raw = b[pos: pos + cm_len * entry]
         pos += cm_len * entry
         cm = np.frombuffer(raw, dtype="uint8").reshape(cm_len, entry)
         cmap = np.zeros((cm_first + cm_len, 3), dtype="uint8")
-        cmap[cm_first:] = cm[:, [2, 1, 0]] if entry >= 3 else \
-            np.repeat(cm[:, :1], 3, axis=1)
+        if entry >= 3:
+            cmap[cm_first:] = cm[:, [2, 1, 0]]
+        elif entry == 2:  # 15/16-bit 5-5-5 entries, same expansion as pixels
+            v = cm[:, 0].astype("uint16") | (cm[:, 1].astype("uint16") << 8)
+            cmap[cm_first:] = np.stack(
+                [((v >> 10) & 31) * 255 // 31,
+                 ((v >> 5) & 31) * 255 // 31,
+                 (v & 31) * 255 // 31], axis=1).astype("uint8")
+        else:
+            raise NotImplementedError(f"TGA colormap entry size {cm_bits} bits")
     px_bytes = bpp // 8
     n_px = w * h
     if img_type in (9, 10, 11):  # RLE

@@ -26,6 +26,7 @@ Spark-first mapping:
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
 
 
 def read_jdbc_table(
@@ -429,10 +430,22 @@ def read_opentsdb_metric(
         for ts, val in sorted((series.get("dps") or {}).items()):
             rows.append({"metric": metric, "tags": tags,
                          "ts": int(ts), "val": float(val)})
+    # Explicit schema: tags is always map<string,string> (not an
+    # inferred struct of whichever keys this response happened to
+    # carry), and zero datapoints yields an EMPTY TYPED result — a
+    # schemaless json read of no rows would produce zero columns and
+    # break every downstream select.
+    schema = T.StructType([
+        T.StructField("metric", T.StringType()),
+        T.StructField("tags", T.MapType(T.StringType(), T.StringType())),
+        T.StructField("ts", T.LongType()),
+        T.StructField("val", T.DoubleType()),
+    ])
     lines = [_json.dumps(r) for r in rows]
-    return spark.read.json(
-        spark.sparkContext.parallelize(lines or ["{}"],
-                                       max(1, len(lines) // 5000 + 1)))
+    if not lines:
+        return spark.createDataFrame([], schema)
+    return spark.read.schema(schema).json(
+        spark.sparkContext.parallelize(lines, max(1, len(lines) // 5000 + 1)))
 
 
 def read_googlesheets_tab(

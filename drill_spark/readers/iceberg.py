@@ -531,7 +531,8 @@ def _spec_part_fields(meta: dict) -> list:
 
 
 def write_iceberg(df: DataFrame, path: str, mode: str = "error",
-                  partition_by: list | None = None) -> None:
+                  partition_by: list | None = None,
+                  summary_extra: dict | None = None) -> None:
     """Write a DataFrame as a new format-version-2 Iceberg table:
     parquet data via Spark's distributed writer, then one manifest +
     manifest list + v1 metadata JSON + version hint. ``partition_by``
@@ -549,7 +550,7 @@ def write_iceberg(df: DataFrame, path: str, mode: str = "error",
 
     if os.path.isdir(os.path.join(path, "metadata")):
         if mode == "append":
-            return append_iceberg(df, path)
+            return append_iceberg(df, path, summary_extra=summary_extra)
         raise ValueError(f"Iceberg table already exists at {path}")
     partition_by = list(partition_by or [])
     unknown = [c for c in partition_by if c not in df.columns]
@@ -645,7 +646,7 @@ def write_iceberg(df: DataFrame, path: str, mode: str = "error",
                 "sequence-number": 1,
                 "timestamp-ms": now_ms,
                 "manifest-list": ml_path,
-                "summary": {"operation": "append"},
+                "summary": {"operation": "append", **(summary_extra or {})},
                 "schema-id": 0,
             }
         ],

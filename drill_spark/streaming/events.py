@@ -295,20 +295,16 @@ def commit_iceberg_batch_idempotent(
 
     stamp = {"streaming-app-id": app_id, "streaming-batch-id": str(batch_id)}
     if not _os.path.isdir(_os.path.join(table_path, "metadata")):
-        write_iceberg(batch_df, table_path)
-        # first commit carries no stamp (write_iceberg creates the
-        # table); append the stamp by rewriting would be overkill, so
-        # batch 0 relies on table existence itself as the guard:
-        # a replay of batch 0 sees the table and falls through to the
-        # summary check below, which treats "no stamp" as batch 0 done.
+        write_iceberg(batch_df, table_path, summary_extra=stamp)
         return True
+    # Replays are detected ONLY by this app's stamp in a snapshot
+    # summary — a table that pre-exists from CTAS/write_iceberg has no
+    # stamp and must still receive batch 0 (as an append).
     last = -1
     for snap in _table_metadata(table_path).get("snapshots") or []:
         summ = snap.get("summary") or {}
         if summ.get("streaming-app-id") == app_id:
             last = max(last, int(summ.get("streaming-batch-id", -1)))
-    if last == -1 and batch_id == 0:
-        return False  # table exists, created by batch 0: replay skip
     if batch_id <= last:
         return False
     append_iceberg(batch_df, table_path, summary_extra=stamp)

@@ -258,6 +258,39 @@ def test_opentsdb_real_rest_scan(session):
         srv.shutdown()
 
 
+def test_opentsdb_empty_result_keeps_schema(session):
+    """Zero datapoints must still yield the typed (metric, tags, ts,
+    val) schema so downstream selects work — not a zero-column frame."""
+    import json
+    import threading
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    class Handler(BaseHTTPRequestHandler):
+        def do_POST(self):
+            body = json.dumps([]).encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *a):
+            pass
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        session.register_opentsdb_workspace(
+            "tsdb_empty", f"http://127.0.0.1:{srv.server_port}")
+        df = session.sql(
+            "select metric, tags['host'] as host, ts, val "
+            "from tsdb_empty.`no.such.metric`")
+        assert df.count() == 0
+        assert [f.name for f in df.schema.fields] == ["metric", "host", "ts", "val"]
+    finally:
+        srv.shutdown()
+
+
 def test_googlesheets_and_maprdb_gates(session):
     """The last two reference plugins: googlesheets gates on OAuth
     credentials before anything else; maprdb gates on the proprietary

@@ -993,6 +993,18 @@ def test_tga_decode_variants():
     out = decode_tga(hdr(3, 3, 1, 8) + g)
     assert [tuple(p) for p in out[0]] == [(0, 0, 0), (128, 128, 128),
                                           (255, 255, 255)]
+    # 16-bit (5-5-5) color map: spec-valid entries expand like pixels
+    pal16 = struct.pack("<HH", 31 << 10, 31)  # red, blue
+    idx = bytes([0, 1, 1, 0])
+    out = decode_tga(hdr(1, 2, 2, 8, cmap=(1, 0, 2, 16)) + pal16 + idx)
+    assert tuple(out[0, 0]) == (255, 0, 0) and tuple(out[0, 1]) == (0, 0, 255)
+    # 15-bit declared maps still occupy 2 bytes per entry
+    out = decode_tga(hdr(1, 2, 2, 8, cmap=(1, 0, 2, 15)) + pal16 + idx)
+    assert tuple(out[0, 0]) == (255, 0, 0) and tuple(out[0, 1]) == (0, 0, 255)
+    # unsupported entry width raises by name
+    import pytest as _pytest
+    with _pytest.raises(NotImplementedError, match="colormap entry size 8"):
+        decode_tga(hdr(1, 2, 2, 8, cmap=(1, 0, 2, 8)) + b"\xff\x00" + idx)
 
 
 def test_pcx_decode_variants():

@@ -343,6 +343,59 @@ def test_register_epsg_proj4_string():
     assert abs(c[0] - d[0]) < 1e-6 and abs(c[1] - d[1]) < 1e-6
 
 
+def test_proj4_numeric_ellipsoid_and_unknown_gate():
+    """Numeric +a/+b/+rf always define the figure, even without +ellps
+    (sphere-based registry CRSs must NOT silently project on WGS84);
+    an unknown named ellipsoid raises by name instead of KeyError."""
+    import math
+
+    import pytest
+
+    from drill_spark.ops.crs import CrsTransform, parse_proj4, register_epsg
+
+    # +a/+rf identical to GRS80 must match the named form exactly
+    register_epsg(990201, "+proj=lcc +lat_1=49 +lat_2=44 +lat_0=46.5 "
+                          "+lon_0=3 +x_0=700000 +y_0=6600000 "
+                          "+a=6378137 +rf=298.257222101 +units=m")
+    a = CrsTransform(4326, 2154)(2.3522, 48.8566)
+    b = CrsTransform(4326, 990201)(2.3522, 48.8566)
+    assert abs(a[0] - b[0]) < 1e-6 and abs(a[1] - b[1]) < 1e-6
+
+    # a sphere radius (+a only, no +ellps) must be honored: spherical
+    # mercator on a=R has x = R * lambda, NOT the WGS84 6378137 value
+    R = 6370997.0  # the classic authalic sphere of the registry
+    register_epsg(990202, f"+proj=merc +a={R} +b={R} +units=m")
+    x, _ = CrsTransform(4326, 990202)(45.0, 0.0)
+    assert abs(x - R * math.radians(45)) < 1e-6
+    assert abs(x - 6378137.0 * math.radians(45)) > 1000
+
+    with pytest.raises(NotImplementedError, match="airy"):
+        parse_proj4("+proj=merc +ellps=airy")
+    with pytest.raises(NotImplementedError, match="bessel"):
+        parse_proj4("+proj=longlat +ellps=bessel")
+
+
+def test_closed_line_covering_polygon_boundary():
+    """A closed linestring that rides the polygon boundary exactly:
+    exterior(line) ∩ boundary(polygon) must be F (the line covers the
+    whole ring), while a partial ride leaves it 1."""
+    sq = geo.parse_wkt("POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))")
+    ring = geo.parse_wkt("LINESTRING (0 0, 0 1, 1 1, 1 0, 0 0)")
+    m = geo.de9im(ring, sq)
+    assert m[0] == ["F", "1", "F"]       # line interior rides the boundary
+    assert m[1] == ["F", "F", "F"]       # closed line: no boundary
+    assert m[2] == ["2", "F", "2"]       # exterior covers no boundary part
+    assert geo.touches(ring, sq)
+    # partial ride: one edge only -> uncovered boundary remains
+    edge = geo.parse_wkt("LINESTRING (0 0, 1 0)")
+    m2 = geo.de9im(edge, sq)
+    assert m2[2] == ["2", "1", "2"]
+    # a crossing line leaves the boundary uncovered too
+    cross = geo.parse_wkt("LINESTRING (-1 0.5, 2 0.5)")
+    m3 = geo.de9im(cross, sq)
+    assert m3[0][0] == "1" and m3[2][1] == "1"
+
+
 def test_sql_union_difference_transform(session):
     q = session.sql
     # union of crossing polygons via SQL (area via the aggregate path)

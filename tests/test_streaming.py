@@ -212,3 +212,28 @@ def test_stream_to_iceberg_exactly_once(spark, tmp_path):
     b2 = spark.range(9, 10).select(F.col("id").alias("v"))
     assert commit_iceberg_batch_idempotent(b2, tbl, "app", 2) is True
     assert read_iceberg(spark, tbl).count() == 10
+
+
+def test_stream_to_iceberg_preexisting_table(spark, tmp_path):
+    """Streaming into an Iceberg table that pre-exists from
+    CTAS/write_iceberg must NOT drop batch 0: only a snapshot carrying
+    this app's stamp counts as a replay."""
+    from pyspark.sql import functions as F
+
+    from drill_spark.readers.iceberg import read_iceberg, write_iceberg
+    from drill_spark.streaming.events import commit_iceberg_batch_idempotent
+
+    tbl = str(tmp_path / "ice_pre")
+    write_iceberg(spark.range(3).select(F.col("id").alias("v")), tbl)
+    b0 = spark.range(100, 105).select(F.col("id").alias("v"))
+    assert commit_iceberg_batch_idempotent(b0, tbl, "app", 0) is True
+    got = sorted(r.v for r in read_iceberg(spark, tbl).collect())
+    assert got == [0, 1, 2, 100, 101, 102, 103, 104]
+    # replay of batch 0 is now stamp-guarded
+    assert commit_iceberg_batch_idempotent(b0, tbl, "app", 0) is False
+    assert read_iceberg(spark, tbl).count() == 8
+    # a second app's batch 0 still lands (independent stamp namespace)
+    assert commit_iceberg_batch_idempotent(
+        spark.range(200, 201).select(F.col("id").alias("v")), tbl, "app2", 0
+    ) is True
+    assert read_iceberg(spark, tbl).count() == 9
