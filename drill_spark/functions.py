@@ -18,6 +18,49 @@ from __future__ import annotations
 
 from pyspark.sql import SparkSession
 
+# ---- CIDR building blocks (NetworkFunctions.java parity; pure SQL so
+# the arithmetic stays in codegen). {ip} is substituted with a column
+# reference; `cidr` is the literal parameter name used by the entries.
+_IPV4_RE = (r"'^((25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])\\.){3}"
+            r"(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])$'")
+_CIDR_RE = (r"'^((25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])\\.){3}"
+            r"(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])/(3[0-2]|[12]?[0-9])$'")
+_ATON = ("(CAST(split({ip}, '\\\\.')[0] AS BIGINT) * 16777216"
+         " + CAST(split({ip}, '\\\\.')[1] AS BIGINT) * 65536"
+         " + CAST(split({ip}, '\\\\.')[2] AS BIGINT) * 256"
+         " + CAST(split({ip}, '\\\\.')[3] AS BIGINT))")
+_NTOA = ("concat(CAST({n} div 16777216 % 256 AS STRING), '.',"
+         " CAST({n} div 65536 % 256 AS STRING), '.',"
+         " CAST({n} div 256 % 256 AS STRING), '.', CAST({n} % 256 AS STRING))")
+_CIDR_BITS = "CAST(split(cidr, '/')[1] AS INT)"
+# network base = address part masked down to the prefix
+_CIDR_NET = ("(" + _ATON.format(ip="split(cidr, '/')[0]")
+             + " div shiftleft(1L, 32 - " + _CIDR_BITS + ")"
+             + " * shiftleft(1L, 32 - " + _CIDR_BITS + "))")
+_CIDR_GUARD = "CASE WHEN cidr RLIKE " + _CIDR_RE + " THEN "
+
+# nearestDate (DateFunctions.java / DateConversionUtils.java): floor the
+# timestamp to the named interval — the reference's "nearest" is a
+# truncation, verified against TestDateFunctions baselines.
+_NEAREST_DATE_BODY = (
+    "CASE upper(iv)"
+    " WHEN 'YEAR' THEN date_trunc('year', ts)"
+    " WHEN 'QUARTER' THEN date_trunc('quarter', ts)"
+    " WHEN 'MONTH' THEN date_trunc('month', ts)"
+    " WHEN 'WEEK_SUNDAY' THEN date_trunc('day', ts)"
+    "  - make_interval(0, 0, 0, dayofweek(ts) - 1)"
+    " WHEN 'WEEK_MONDAY' THEN date_trunc('week', ts)"
+    " WHEN 'DAY' THEN date_trunc('day', ts)"
+    " WHEN 'HOUR' THEN date_trunc('hour', ts)"
+    " WHEN 'HALF_HOUR' THEN timestamp_seconds(floor(unix_seconds(ts) / 1800) * 1800)"
+    " WHEN 'QUARTER_HOUR' THEN timestamp_seconds(floor(unix_seconds(ts) / 900) * 900)"
+    " WHEN 'MINUTE' THEN date_trunc('minute', ts)"
+    " WHEN 'HALF_MINUTE' THEN timestamp_seconds(floor(unix_seconds(ts) / 30) * 30)"
+    " WHEN 'QUARTER_MINUTE' THEN timestamp_seconds(floor(unix_seconds(ts) / 15) * 15)"
+    " WHEN 'SECOND' THEN date_trunc('second', ts)"
+    " ELSE raise_error(concat('nearestDate: unknown interval ', iv)) END"
+)
+
 # name -> (arg signature, return expression). All pure Catalyst expressions.
 _SQL_UDFS: dict[str, tuple[str, str]] = {
     # --- union type (UnionVector.java:61, UnionFunctions typeOf) ---
@@ -187,15 +230,14 @@ _SQL_UDFS: dict[str, tuple[str, str]] = {
     ),
     # --- string distance extras (contrib/udfs StringDistanceFunctions.java,
     # commons-text-backed; levenshtein/soundex are Spark built-ins) ---
-    # jaccard distance on character bigrams, pure higher-order functions
+    # jaccard distance over DISTINCT CHARACTERS — the commons-text
+    # JaccardSimilarity semantics the reference wraps
+    # (TestStringDistanceFunctions: 'Big car' vs 'red car' = 0.5556)
     "jaccard_distance": (
         "a STRING, b STRING",
-        "1.0D - size(array_intersect("
-        " transform(sequence(1, greatest(length(a) - 1, 1)), i -> substring(a, i, 2)),"
-        " transform(sequence(1, greatest(length(b) - 1, 1)), i -> substring(b, i, 2))))"
-        " / CAST(size(array_union("
-        " transform(sequence(1, greatest(length(a) - 1, 1)), i -> substring(a, i, 2)),"
-        " transform(sequence(1, greatest(length(b) - 1, 1)), i -> substring(b, i, 2)))) AS DOUBLE)",
+        "1.0D - size(array_intersect(array_distinct(split(a, '')),"
+        " array_distinct(split(b, ''))))"
+        " / CAST(size(array_union(split(a, ''), split(b, ''))) AS DOUBLE)",
     ),
     # --- user agent (contrib/udfs UserAgentFunctions.java; yauaa-backed
     # in the reference — here a regex classifier, order matters: Edge UAs
@@ -221,11 +263,127 @@ _SQL_UDFS: dict[str, tuple[str, str]] = {
     # pure higher-order-function expression — stays in Catalyst
     "entropy": (
         "s STRING",
-        "aggregate(array_distinct(split(s, '')), CAST(0 AS DOUBLE),"
+        "CASE WHEN length(s) = 0 THEN 0.0D ELSE"
+        " aggregate(array_distinct(split(s, '')), CAST(0 AS DOUBLE),"
         " (acc, d) -> acc - (size(filter(split(s, ''), c -> c = d)) / CAST(length(s) AS DOUBLE))"
-        " * log2(size(filter(split(s, ''), c -> c = d)) / CAST(length(s) AS DOUBLE)))",
+        " * log2(size(filter(split(s, ''), c -> c = d)) / CAST(length(s) AS DOUBLE))) END",
     ),
+    "punctuation_pattern": (
+        "s STRING",
+        "replace(regexp_replace(s, '[a-zA-Z0-9]', ''), ' ', '_')",
+    ),
+    # --- string distance, SQL tier (contrib/udfs
+    # StringDistanceFunctions.java; commons-text semantics, all return
+    # DOUBLE like the reference's Float8 outputs) ---
+    "levenshtein_distance": ("a STRING, b STRING",
+                             "CAST(levenshtein(a, b) AS DOUBLE)"),
+    "hamming_distance": (
+        "a STRING, b STRING",
+        "CASE WHEN length(a) <> length(b) THEN"
+        " raise_error('hamming_distance: strings must have the same length')"
+        " ELSE CAST(size(filter(zip_with(split(a, ''), split(b, ''),"
+        " (x, y) -> x <> y), v -> v)) AS DOUBLE) END",
+    ),
+    # cosine distance over \w+ word-count vectors (commons-text
+    # CosineDistance with its default RegexTokenizer)
+    "cosine_distance": (
+        "a STRING, b STRING",
+        "1.0D - aggregate(array_union(array_distinct(regexp_extract_all(a, '\\\\w+', 0)),"
+        " array_distinct(regexp_extract_all(b, '\\\\w+', 0))), 0.0D,"
+        " (acc, w) -> acc + size(filter(regexp_extract_all(a, '\\\\w+', 0), t -> t = w))"
+        " * size(filter(regexp_extract_all(b, '\\\\w+', 0), t -> t = w)))"
+        " / (sqrt(aggregate(array_distinct(regexp_extract_all(a, '\\\\w+', 0)), 0.0D,"
+        " (acc, w) -> acc + pow(size(filter(regexp_extract_all(a, '\\\\w+', 0), t -> t = w)), 2)))"
+        " * sqrt(aggregate(array_distinct(regexp_extract_all(b, '\\\\w+', 0)), 0.0D,"
+        " (acc, w) -> acc + pow(size(filter(regexp_extract_all(b, '\\\\w+', 0), t -> t = w)), 2))))",
+    ),
+    # --- CIDR arithmetic (contrib/udfs NetworkFunctions.java;
+    # commons-net SubnetUtils semantics: low/high are the usable host
+    # range, in_network excludes network + broadcast addresses) ---
+    "is_valid_ipv4": (
+        "ip STRING",
+        r"ip RLIKE '^((25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])\\.){3}(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])$'",
+    ),
+    "netmask": (
+        "cidr STRING",
+        _CIDR_GUARD + _NTOA.format(
+            n="(4294967295L - (shiftleft(1L, 32 - " + _CIDR_BITS + ") - 1))")
+        + " END",
+    ),
+    "broadcast_address": (
+        "cidr STRING",
+        _CIDR_GUARD + _NTOA.format(
+            n="(" + _CIDR_NET + " + shiftleft(1L, 32 - " + _CIDR_BITS + ") - 1)")
+        + " END",
+    ),
+    "low_address": (
+        "cidr STRING",
+        _CIDR_GUARD + _NTOA.format(n="(" + _CIDR_NET + " + 1)") + " END",
+    ),
+    "high_address": (
+        "cidr STRING",
+        _CIDR_GUARD + _NTOA.format(
+            n="(" + _CIDR_NET + " + shiftleft(1L, 32 - " + _CIDR_BITS + ") - 2)")
+        + " END",
+    ),
+    "address_count": (
+        "cidr STRING",
+        _CIDR_GUARD
+        + "greatest(shiftleft(1L, 32 - " + _CIDR_BITS + ") - 2, 0L) END",
+    ),
+    "in_network": (
+        "ip STRING, cidr STRING",
+        _CIDR_GUARD.replace("WHEN cidr", "WHEN ip RLIKE " + _IPV4_RE
+                            + " AND cidr")
+        + "(" + _ATON.format(ip="ip") + " > " + _CIDR_NET + " AND "
+        + _ATON.format(ip="ip") + " < " + _CIDR_NET
+        + " + shiftleft(1L, 32 - " + _CIDR_BITS + ") - 1) END",
+    ),
+    # --- crypto name parity (contrib/udfs CryptoFunctions.java;
+    # 2-arg aes_encrypt/aes_decrypt expand at rewrite time). The hash32/
+    # hash64 family is for distribution, not a cross-engine contract:
+    # Catalyst's murmur3/xxhash64 stand in for Drill's murmur variants. ---
+    "hash32": ("x STRING", "hash(x)"),
+    "hash64": ("x STRING", "xxhash64(x)"),
+    "hash32asdouble": ("x DOUBLE", "hash(x)"),
+    "hash64asdouble": ("x DOUBLE", "xxhash64(x)"),
+    # --- date utilities (contrib/udfs DateFunctions.java nearestDate —
+    # a floor to the named interval — TimeBucketFunctions.java ns form,
+    # DateUtilFunctions yearweek) ---
+    "nearest_date": ("ts TIMESTAMP, iv STRING", _NEAREST_DATE_BODY),
+    "nearestdate": ("ts TIMESTAMP, iv STRING", _NEAREST_DATE_BODY),
+    "yearweek": ("d STRING",
+                 "year(to_timestamp(d)) * 100 + weekofyear(to_timestamp(d))"),
+    "year_week": ("d STRING",
+                  "year(to_timestamp(d)) * 100 + weekofyear(to_timestamp(d))"),
+    "time_bucket_ns": (
+        "ns BIGINT, ms BIGINT",
+        "CAST(floor(ns / (ms * 1000000)) * (ms * 1000000) AS BIGINT)",
+    ),
+    # --- misc scalar parity (java-exec expr/fn/impl) ---
+    "parse_query": (
+        "q STRING",
+        "str_to_map(regexp_replace(CASE WHEN instr(q, '?') > 0"
+        " THEN substring(q, instr(q, '?') + 1) ELSE q END, '^&', ''), '&', '=')",
+    ),
+    "parentpath": ("p STRING", "regexp_replace(p, '/[^/]*$', '')"),
+    "byte_substr": ("b BINARY, s INT, l INT", "substring(b, s, l)"),
+    "bytesubstring": ("b BINARY, s INT, l INT", "substring(b, s, l)"),
+    "repeatstr": ("s STRING, n INT", "repeat(s, n)"),
+    "toascii": ("s STRING, enc STRING", "decode(CAST(s AS BINARY), enc)"),
+    "is_empty": ("s STRING", "s IS NULL OR s = ''"),
+    "isempty": ("s STRING", "s IS NULL OR s = ''"),
+    "widthbucket": ("x DOUBLE, lo DOUBLE, hi DOUBLE, n INT",
+                    "width_bucket(x, lo, hi, n)"),
 }
+
+_SQL_UDFS["punctuationpattern"] = _SQL_UDFS["punctuation_pattern"]
+_SQL_UDFS["entropy_per_byte"] = (
+    "s STRING",
+    f"CASE WHEN length(s) = 0 THEN 0.0D ELSE ({_SQL_UDFS['entropy'][1]})"
+    " / length(s) END",
+)
+_SQL_UDFS["entropyperbyte"] = _SQL_UDFS["entropy_per_byte"]
 
 
 # ---------------- convert_from / convert_to (conv/ package) ----------------
@@ -324,7 +482,9 @@ def rewrite_convert_calls(query: str) -> str:
     out = []
     i = 0
     pat = _re.compile(
-        r"(convert_(?:from|to)|sqltypeof|drilltypeof|modeof)\s*\(", _re.IGNORECASE
+        r"(convert_(?:from|to)|sqltypeof|drilltypeof|modeof"
+        r"|aes_encrypt|aes_decrypt|nearest_date|nearestdate)\s*\(",
+        _re.IGNORECASE,
     )
     while True:
         m = pat.search(query, i)
@@ -348,6 +508,28 @@ def rewrite_convert_calls(query: str) -> str:
                           " ELSE 'NULLABLE' END",
             }[fname]
             out.append("(" + tmpl.format(x=inner) + ")")
+        elif fname in ("aes_encrypt", "aes_decrypt") and len(args) == 2:
+            # Drill's 2-arg AES (CryptoFunctions.java): key = first 16
+            # bytes of SHA-1(key), AES/ECB/PKCS5, base64 text in/out.
+            # Cannot be a SQL UDF (would shadow Spark's builtin of the
+            # same name), so it expands inline; 3/4-arg Spark-native
+            # calls pass through untouched.
+            x = rewrite_convert_calls(args[0])
+            k = rewrite_convert_calls(args[1])
+            key = f"substring(unhex(sha1(encode({k}, 'UTF-8'))), 1, 16)"
+            if fname == "aes_encrypt":
+                out.append(f"(base64(aes_encrypt(encode({x}, 'UTF-8'), {key},"
+                           " 'ECB', 'PKCS')))")
+            else:
+                out.append(f"(decode(aes_decrypt(unbase64({x}), {key},"
+                           " 'ECB', 'PKCS'), 'UTF-8'))")
+        elif fname in ("nearest_date", "nearestdate") and len(args) == 3:
+            # the reference's 3-arg overload: (string, java format,
+            # interval) — SQL UDFs cannot overload by arity, so the
+            # string form folds into the 2-arg one here
+            a = rewrite_convert_calls(args[0])
+            b = rewrite_convert_calls(args[1])
+            out.append(f"(nearest_date(to_timestamp({a}, {b}), {args[2]}))")
         elif fname.startswith("convert_") and len(args) == 2:
             enc_m = _re.fullmatch(r"'(\w+)'", args[1])
             table = _CONVERT_FROM if fname == "convert_from" else _CONVERT_TO
@@ -536,6 +718,188 @@ def _wkt_or_none(geo, g):
     return None if g is None else geo.to_wkt(g)
 
 
+def _register_contrib_udfs(spark: SparkSession) -> list[str]:
+    """The reference's remaining contrib-UDF surface that genuinely
+    needs per-row Python: phonetic encoders (PhoneticFunctions.java —
+    commons-codec algorithms reimplemented in ops/phonetics.py), the
+    non-SQL string distances (StringDistanceFunctions.java), MD2
+    (CryptoFunctions.java), IPv6 validation, DNS lookups
+    (DNSFunctions.java — the same blocking resolver calls the
+    reference's Java UDFs make, vectorized per Arrow batch), struct
+    schema introspection (ComplexSchemaFunctions.java) and Kendall's
+    tau (DistributionFunctions.java). All are scalar string work — the
+    identical cost profile to the reference's row-at-a-time Java UDFs."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    from drill_spark.ops import phonetics as ph
+    from drill_spark.ops import strdist
+    from drill_spark.ops.crypto import md2_hex
+
+    registered = []
+
+    def str_fn(fn):
+        @_hint_series
+        def run(s):
+            return pd.Series([None if v is None else fn(str(v)) for v in s])
+        return run
+
+    def pair_fn(fn, cast=float):
+        @_hint_series
+        def run(a, b):
+            return pd.Series([
+                None if (x is None or y is None) else cast(fn(str(x), str(y)))
+                for x, y in zip(a, b)
+            ])
+        return run
+
+    for name, fn in [
+        ("caverphone1", ph.caverphone1), ("caverphone2", ph.caverphone2),
+        ("cologne_phonetic", ph.cologne_phonetic),
+        ("dm_soundex", ph.dm_soundex),
+        ("match_rating_encoder", ph.match_rating_encoder),
+        ("nysiis", ph.nysiis), ("refined_soundex", ph.refined_soundex),
+        ("metaphone", ph.metaphone), ("double_metaphone", ph.double_metaphone),
+        ("md2", lambda s: md2_hex(s.encode("utf-8"))),
+    ]:
+        spark.udf.register(name, pandas_udf(str_fn(fn), "string"))
+        registered.append(name)
+
+    for name, fn in [
+        ("jaro_distance", strdist.jaro_distance),
+        ("fuzzy_score", strdist.fuzzy_score),
+        ("longest_common_substring_distance", strdist.lcs_distance),
+    ]:
+        spark.udf.register(name, pandas_udf(pair_fn(fn), "double"))
+        registered.append(name)
+
+    def _ipv6_ok(s):
+        import ipaddress
+        try:
+            ipaddress.IPv6Address(s)
+            return True
+        except ValueError:
+            return False
+
+    @_hint_series
+    def _ipv6(s):
+        return pd.Series([None if v is None else _ipv6_ok(str(v)) for v in s])
+
+    spark.udf.register("is_valid_ipv6", pandas_udf(_ipv6, "boolean"))
+    registered.append("is_valid_ipv6")
+
+    # DNS (DNSFunctions.java): the reference's InetAddress calls and
+    # fallback strings; resolver I/O runs in executors, like its UDFs.
+    def _host_address(name):
+        import socket
+        try:
+            return socket.gethostbyname(name)
+        except OSError:
+            return "Unknown host"
+
+    def _host_name(ip):
+        import socket
+        try:
+            return socket.gethostbyaddr(ip)[0]
+        except OSError:
+            # InetAddress.getByName(ip).getHostName() falls back to the
+            # literal address when no PTR record resolves
+            return ip
+
+    def _dns_lookup(name):
+        import socket
+        try:
+            return sorted({r[4][0] for r in socket.getaddrinfo(name, None)})
+        except OSError:
+            return []
+
+    def _whois(domain):
+        import socket
+        try:
+            with socket.create_connection(("whois.iana.org", 43), timeout=10) as c:
+                c.sendall(domain.encode() + b"\r\n")
+                chunks = []
+                while True:
+                    b = c.recv(4096)
+                    if not b:
+                        break
+                    chunks.append(b)
+            return b"".join(chunks).decode("utf-8", "replace")
+        except OSError as e:
+            return f"Error retrieving WHOIS data: {e}"
+
+    # camelCase aliases register squashed (Spark resolves names
+    # case-insensitively, so getHostName -> gethostname)
+    for names, fn, rtype in [
+        (("get_host_address", "gethostaddress", "host_lookup", "hostlookup"),
+         _host_address, "string"),
+        (("get_host_name", "gethostname", "reverse_ip_lookup"),
+         _host_name, "string"),
+        (("dns_lookup", "dnslookup", "dns"), _dns_lookup, "array<string>"),
+        (("whois",), _whois, "string"),
+    ]:
+        @_hint_series
+        def run(s, _fn=fn):
+            return pd.Series([None if v is None else _fn(str(v)) for v in s])
+        for name in names:
+            spark.udf.register(name, pandas_udf(run, rtype))
+            registered.append(name)
+
+    # get_map_schema (ComplexSchemaFunctions.java): field -> Drill type
+    # name for a struct/map value. Row-at-a-time python UDF on purpose —
+    # it needs the live field values to name types, and is a metadata
+    # probe, never a hot path.
+    def _schema_of(row):
+        if row is None:
+            return None
+        import datetime
+        d = row.asDict() if hasattr(row, "asDict") else dict(row)
+        names = {str: "VARCHAR", int: "BIGINT", float: "FLOAT8",
+                 bool: "BIT", bytes: "VARBINARY", bytearray: "VARBINARY",
+                 datetime.datetime: "TIMESTAMP", datetime.date: "DATE",
+                 list: "LIST", dict: "MAP"}
+        out = {}
+        for k, v in d.items():
+            if hasattr(v, "asDict"):
+                out[k] = "MAP"
+            else:
+                out[k] = names.get(type(v), "VARCHAR" if v is None else type(v).__name__.upper())
+        return out
+
+    for name in ("get_map_schema", "getmapschema"):
+        spark.udf.register(name, _schema_of, "map<string,string>")
+        registered.append(name)
+
+    # kendall_correlation (DistributionFunctions.java): grouped
+    # aggregate. The reference streams a consecutive-pair approximation
+    # (single-pass vector UDAF); this computes the EXACT Kendall tau-a
+    # over the group — (concordant - discordant) / (n(n-1)/2) — as an
+    # Arrow grouped-agg. O(n^2) per GROUP (quadratic in group size, not
+    # table size): meant for grouped statistics, not a full-table scan
+    # of billions of rows, same as the reference's single-node UDAF.
+    def _kendall(x, y):
+        import numpy as np
+        xv = np.asarray(x, dtype=float)
+        yv = np.asarray(y, dtype=float)
+        n = len(xv)
+        if n < 2:
+            return float("nan")
+        dx = np.sign(xv[:, None] - xv[None, :])
+        dy = np.sign(yv[:, None] - yv[None, :])
+        prod = dx * dy
+        conc = int((prod > 0).sum() // 2)
+        disc = int((prod < 0).sum() // 2)
+        return (conc - disc) / (0.5 * n * (n - 1))
+
+    _kendall.__annotations__ = {"x": pd.Series, "y": pd.Series, "return": float}
+    kfn = pandas_udf(_kendall, "double")
+    for name in ("kendall_correlation", "kendallcorrelation",
+                 "kendall_tau", "kendalltau"):
+        spark.udf.register(name, kfn)
+        registered.append(name)
+    return registered
+
+
 def register_all(spark: SparkSession, strict: bool = False) -> list[str]:
     """Register the compat functions; returns the list registered.
 
@@ -559,6 +923,10 @@ def register_all(spark: SparkSession, strict: bool = False) -> list[str]:
         registered.extend(_register_geometry_udfs(spark))
     except Exception as e:
         failed.append(("geometry", e))
+    try:
+        registered.extend(_register_contrib_udfs(spark))
+    except Exception as e:
+        failed.append(("contrib", e))
     if strict and failed:
         raise RuntimeError(f"compat functions failed to register: {failed}")
     return registered

@@ -1,0 +1,256 @@
+"""Contrib-UDF parity: the reference's phonetic / string-distance /
+crypto / network / DNS / date-util / distribution / threat-hunting
+function surfaces, validated against the reference's OWN test baselines
+(contrib/udfs/src/test/java/org/apache/drill/exec/udfs/Test*.java) plus
+published algorithm vectors (RFC 1319 MD2, commons-text javadoc
+examples)."""
+
+from __future__ import annotations
+
+import pytest
+
+
+def one(session, sql):
+    return session.sql(sql).collect()[0][0]
+
+
+# --------------------------------------------------------------- phonetic
+# TestPhoneticFunctions.java baselines, verbatim
+
+@pytest.mark.parametrize("sql,want", [
+    ("select soundex('jaime')", "J500"),
+    ("SELECT caverphone1('jaime')", "YM1111"),
+    ("SELECT caverphone2('steve')", "STF1111111"),
+    ("SELECT cologne_phonetic('steve')", "823"),
+    ("SELECT match_rating_encoder('Boston')", "BSTN"),
+    ("SELECT nysiis('Boston')", "BASTAN"),
+    ("SELECT refined_soundex('Boston')", "B103608"),
+    ("SELECT metaphone('Phoenix')", "FNKS"),
+    ("SELECT double_metaphone('Phoenix')", "FNKS"),
+    ("SELECT double_metaphone('')", ""),
+])
+def test_phonetic_reference_baselines(session, sql, want):
+    assert one(session, sql) == want
+
+
+def test_phonetic_algorithm_vectors(session):
+    """Published-algorithm spot checks beyond the reference fixtures:
+    Caverphone 2.0 paper examples, Daitch-Mokotoff canonical codes."""
+    assert one(session, "select caverphone2('Peter')") == "PTA1111111"
+    assert one(session, "select caverphone2('Stevenson')") == "STFNSN1111"
+    assert one(session, "select dm_soundex('Peters')") == "739400"
+    assert one(session, "select dm_soundex('GOLDEN')") == "583600"
+    assert one(session, "select dm_soundex('Moskowitz')") == "645740"
+    # grouping behavior: similar names share codes
+    assert one(session, "select nysiis('Knight')") == one(
+        session, "select nysiis('Night')")
+
+
+# --------------------------------------------------------- string distance
+# TestStringDistanceFunctions.java baselines, verbatim
+
+@pytest.mark.parametrize("sql,want", [
+    ("select cosine_distance('Big car', 'red car')", 0.5000000000000001),
+    ("select hamming_distance('Big car', 'red car')", 3.0),
+    ("select jaccard_distance('Big car', 'red car')", 0.5555555555555556),
+    ("select jaro_distance('Big car', 'red car')", 0.2857142857142857),
+    ("select levenshtein_distance('Big car', 'red car')", 3.0),
+])
+def test_string_distance_reference_baselines(session, sql, want):
+    assert abs(one(session, sql) - want) < 1e-12
+
+
+def test_fuzzy_and_lcs_commons_vectors(session):
+    """commons-text javadoc examples for FuzzyScore and the
+    subsequence-distance semantics of LongestCommonSubsequenceDistance."""
+    assert one(session, "select fuzzy_score('Workshop', 'w')") == 1.0
+    assert one(session, "select fuzzy_score('Workshop', 'ws')") == 2.0
+    assert one(session, "select fuzzy_score('Workshop', 'wo')") == 4.0
+    assert one(session, "select fuzzy_score('Apache Software Foundation', 'asf')") == 3.0
+    assert one(session, "select longest_common_substring_distance('left', 'right')") == 7.0
+    assert one(session, "select longest_common_substring_distance('frog', 'fog')") == 1.0
+
+
+def test_hamming_requires_equal_length(session):
+    with pytest.raises(Exception, match="same length"):
+        one(session, "select hamming_distance('ab', 'abc')")
+
+
+# ------------------------------------------------------------------ crypto
+# TestCryptoFunctions.java baselines
+
+def test_crypto_reference_baselines(session):
+    assert one(session, "select md2('testing')") == "fc134df10d6ecafceb5c75861d01b41f"
+    assert one(session, "select md5('testing')") == "ae2b1fca515949e5d54fb22b8ed95575"
+    assert one(session, "select aes_encrypt('testing', 'secret_key')") == \
+        "ICf+zdOrLitogB8HUDru0w=="
+    assert one(session,
+               "select aes_decrypt('ICf+zdOrLitogB8HUDru0w==', 'secret_key')") == "testing"
+    # roundtrip with a different key; 4-arg Spark-native form untouched
+    assert one(session, "select aes_decrypt(aes_encrypt('abc', 'k'), 'k')") == "abc"
+
+
+def test_md2_rfc_vectors(session):
+    """RFC 1319 appendix A.5 test suite."""
+    assert one(session, "select md2('')") == "8350e5a3e24c153df2275c9f80692773"
+    assert one(session, "select md2('abc')") == "da853b0d3f88d99b30283a69e6ded6bb"
+    assert one(session, "select md2('message digest')") == \
+        "ab4f496bfb2a530b219ff33031fe06b0"
+
+
+def test_hash_family_names(session):
+    """hash32/hash64 (+asdouble): name parity; values are Catalyst's
+    murmur3/xxhash64 (distribution hashes, not a cross-engine contract)."""
+    for fn in ("hash32('x')", "hash64('x')",
+               "hash32asdouble(1.5)", "hash64asdouble(1.5)"):
+        assert one(session, f"select {fn}") is not None
+    assert one(session, "select hash64('x') = hash64('x')")
+
+
+# ----------------------------------------------------------------- network
+# TestNetworkFunctions.java baselines, verbatim
+
+@pytest.mark.parametrize("sql,want", [
+    ("select in_network('192.168.0.1', '192.168.0.0/28')", True),
+    ("select in_network('10.10.10.10', '192.168.0.0/28')", False),
+    ("select broadcast_address('192.168.0.0/28')", "192.168.0.15"),
+    ("select netmask('192.168.0.0/28')", "255.255.255.240"),
+    ("select low_address('192.168.0.0/28')", "192.168.0.1"),
+    ("select high_address('192.168.0.0/28')", "192.168.0.14"),
+    ("select url_encode('http://www.test.com/login.php?username=Charles&password=12345')",
+     "http%3A%2F%2Fwww.test.com%2Flogin.php%3Fusername%3DCharles%26password%3D12345"),
+    ("select url_decode('http%3A%2F%2Fwww.test.com%2Flogin.php%3Fusername%3DCharles%26password%3D12345')",
+     "http://www.test.com/login.php?username=Charles&password=12345"),
+    ("select is_valid_IP('258.257.234.23')", False),
+    ("select is_valid_IP('10.10.10.10')", True),
+    ("select is_valid_ipv4('192.168.0.1')", True),
+    ("select is_valid_ipv4('192.168.0.256')", False),
+    ("select is_valid_ipv6('1050:0:0:0:5:600:300c:326b')", True),
+    ("select is_valid_ipv6('not-an-ip')", False),
+    ("select address_count('192.168.0.0/24')", 254),
+    # invalid CIDR -> null, the reference's null-handling contract
+    ("select netmask('not/a/cidr')", None),
+    ("select in_network('192.168.0.1', 'bogus')", None),
+    # network + broadcast addresses are NOT in range (SubnetUtils)
+    ("select in_network('192.168.0.0', '192.168.0.0/28')", False),
+    ("select in_network('192.168.0.15', '192.168.0.0/28')", False),
+])
+def test_network_reference_baselines(session, sql, want):
+    assert one(session, sql) == want
+
+
+# --------------------------------------------------------------------- dns
+# TestDNSFunctions semantics on /etc/hosts entries — no external network
+
+def test_dns_functions_local(session):
+    assert one(session, "select get_host_address('localhost')") == "127.0.0.1"
+    assert one(session, "select dns_lookup('localhost')[0]") == "127.0.0.1"
+    # reverse lookup: resolves to a name, or echoes the literal address
+    # when no PTR exists (InetAddress.getHostName fallback)
+    assert one(session, "select get_host_name('127.0.0.1')") is not None
+    # failure strings, not exceptions (DNSFunctions.java catch blocks)
+    assert one(session,
+               "select get_host_address('no.such.host.invalid')") == "Unknown host"
+    assert one(session, "select dns_lookup('no.such.host.invalid')") == []
+    # aliases
+    assert one(session, "select getHostAddress('localhost')") == "127.0.0.1"
+    assert one(session, "select host_lookup('localhost')") == "127.0.0.1"
+
+
+# ----------------------------------------------------- threat hunting et al
+# TestThreatHuntingFunctions.java baselines, verbatim
+
+def test_threat_hunting_reference_baselines(session):
+    pp = ('select punctuation_pattern(\'192.168.1.1 - - '
+          '[10/Oct/2020:12:32:27 +0000] "GET /some/web/app?param=test'
+          '&param2=another_test" 200 9987\')')
+    assert one(session, pp) == '..._-_-_[//:::_+]_"_///?=&=_"__'
+    assert one(session, "select punctuation_pattern('')") == ""
+    assert abs(one(session, "select entropy('asdkjflkdsjlefjdc')")
+               - 3.057476076289932) < 1e-12
+    assert one(session, "select entropy('')") == 0.0
+    assert abs(one(session, "select entropy_per_byte('asdkjflkdsjlefjdc')")
+               - 0.17985153389940778) < 1e-12
+    assert one(session, "select entropy_per_byte('')") == 0.0
+
+
+# ------------------------------------------------------------------- dates
+# TestDateFunctions.java nearestDate baselines (floor semantics)
+
+@pytest.mark.parametrize("ts,iv,want", [
+    ("2019-02-01 07:22:00", "YEAR", "2019-01-01 00:00:00"),
+    ("2019-02-01 07:22:00", "QUARTER", "2019-01-01 00:00:00"),
+    ("2019-02-15 07:22:00", "MONTH", "2019-02-01 00:00:00"),
+    ("2019-02-15 07:22:00", "DAY", "2019-02-15 00:00:00"),
+    ("2019-02-15 07:22:00", "WEEK_SUNDAY", "2019-02-10 00:00:00"),
+    ("2019-02-15 07:22:00", "WEEK_MONDAY", "2019-02-11 00:00:00"),
+    ("2019-02-15 07:22:00", "HOUR", "2019-02-15 07:00:00"),
+    ("2019-02-15 07:42:00", "HALF_HOUR", "2019-02-15 07:30:00"),
+    ("2019-02-15 07:48:00", "QUARTER_HOUR", "2019-02-15 07:45:00"),
+    ("2019-02-15 07:22:00", "MINUTE", "2019-02-15 07:22:00"),
+    ("2019-02-15 07:22:22", "HALF_MINUTE", "2019-02-15 07:22:00"),
+    ("2019-02-15 07:22:22", "QUARTER_MINUTE", "2019-02-15 07:22:15"),
+    ("2019-02-15 07:22:31", "SECOND", "2019-02-15 07:22:31"),
+])
+def test_nearest_date_reference_baselines(session, ts, iv, want):
+    got = one(session, f"select cast(nearestDate(timestamp '{ts}', '{iv}') as string)")
+    assert got == want
+    # the 3-arg string overload folds through the rewrite
+    got3 = one(session, "select cast(nearestDate("
+                        f"'{ts}', 'yyyy-MM-dd HH:mm:ss', '{iv}') as string)")
+    assert got3 == want
+
+
+def test_date_util_functions(session):
+    assert one(session, "select yearweek('2012-04-19')") == 201216
+    assert one(session, "select year_week('2012-04-19')") == 201216
+    # TestTimeBucketFunction.java: ns timestamp, ms interval
+    assert one(session,
+               "select time_bucket_ns(1451606760000000000, 300000)") == \
+        1451606700000000000
+
+
+# ---------------------------------------------------------------- misc fns
+
+def test_misc_scalar_parity(session):
+    assert one(session, "select parse_query('a=1&b=2')['b']") == "2"
+    assert one(session,
+               "select parse_query('http://x.com/p?user=u&pass=p')['user']") == "u"
+    assert one(session, "select parentpath('/a/b/c')") == "/a/b"
+    assert one(session, "select repeatstr('ab', 3)") == "ababab"
+    assert one(session, "select toascii('abc', 'US-ASCII')") == "abc"
+    assert bytes(one(session,
+                 "select byte_substr(cast('abcd' as binary), 2, 2)")) == b"bc"
+    assert one(session, "select is_empty('')") is True
+    assert one(session, "select is_empty('x')") is False
+    assert one(session, "select isEmpty(cast(null as string))") is True
+    assert one(session,
+               "select get_map_schema(named_struct('a', 1, 'b', 'x'))") == \
+        {"a": "BIGINT", "b": "VARCHAR"}
+
+
+# ------------------------------------------------------------- distribution
+# TestDistributionFunctions.java: width_bucket baseline + kendall as a
+# grouped aggregate (exact tau-a here; the reference streams an
+# approximation, so only closed-form values are asserted)
+
+def test_distribution_functions(session):
+    assert one(session, "select width_bucket(5.35, 0, 10, 5)") == 3
+    assert one(session, "select widthbucket(5.35, 0, 10, 5)") == 3
+    # perfectly concordant / discordant series
+    assert one(session, "select kendall_correlation(x, y) from values"
+                        " (1.0, 10.0), (2.0, 20.0), (3.0, 30.0) t(x, y)") == 1.0
+    assert one(session, "select kendall_tau(x, y) from values"
+                        " (1.0, 30.0), (2.0, 20.0), (3.0, 10.0) t(x, y)") == -1.0
+    # grouped: one tau per group
+    rows = session.sql(
+        "select g, kendall_correlation(x, y) as tau from values"
+        " (1, 1.0, 1.0), (1, 2.0, 2.0), (1, 3.0, 3.0),"
+        " (2, 1.0, 3.0), (2, 2.0, 2.0), (2, 3.0, 1.0) t(g, x, y)"
+        " group by g order by g").collect()
+    assert [r.tau for r in rows] == [1.0, -1.0]
+    # regr_slope/regr_intercept ride on Spark builtins
+    assert abs(one(session, "select regr_slope(y, x) from values"
+                            " (1.0, 3.0), (2.0, 5.0), (3.0, 7.0) t(x, y)") - 2.0) < 1e-12
+    assert abs(one(session, "select regr_intercept(y, x) from values"
+                            " (1.0, 3.0), (2.0, 5.0), (3.0, 7.0) t(x, y)") - 1.0) < 1e-12
