@@ -70,7 +70,7 @@ _PRIORITY = [
     "ext_dedup_exact", "ext_pii_redact",
     # ---- driver-cap boundary (~50): everything below is covered by the
     # judge's full sweep (scripts/check_correctness.py) every round.
-    "tpch_q04", "op_agg_having",
+    "op_contrib_fns", "tpch_q04", "op_agg_having",
     "ext_embed_topk", "ext_multimodal_decode", "ext_text_stats",
     "ext_decontaminate", "ext_chunk_pack", "ext_repetition", "ext_stratified_sample",
     "ext_dedup_minhash", "ext_ann_lsh", "ext_text_quality", "ext_multimodal_meta",

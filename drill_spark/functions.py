@@ -900,6 +900,17 @@ def _register_contrib_udfs(spark: SparkSession) -> list[str]:
     return registered
 
 
+_SESSIONS_REGISTERED: set = set()
+
+
+def ensure_registered(spark: SparkSession) -> None:
+    """Idempotent register_all — memoized per session so query factories
+    (relops/extops) can call it on every invocation for free."""
+    if spark not in _SESSIONS_REGISTERED:
+        register_all(spark)
+        _SESSIONS_REGISTERED.add(spark)
+
+
 def register_all(spark: SparkSession, strict: bool = False) -> list[str]:
     """Register the compat functions; returns the list registered.
 

@@ -536,6 +536,48 @@ from lineitem
 where l_orderkey < 40
 """)
 
+# contrib UDF families (string distance, CIDR, AES roundtrip, query
+# parsing — ops/phonetics, ops/strdist, functions.py parity layer);
+# DuckDB oracles via its native levenshtein/jaccard + closed-form CIDR
+_q(
+    "op_contrib_fns",
+    """
+select c_custkey,
+       cast(levenshtein_distance(c_name, c_mktsegment) as double) as lev,
+       round(jaccard_distance(c_name, c_mktsegment), 6) as jac,
+       aes_decrypt(aes_encrypt(c_name, 'key1'), 'key1') as aes_rt,
+       in_network(concat('10.', cast(c_custkey % 256 as string), '.7.9'),
+                  '10.0.0.0/9') as innet,
+       netmask(concat('10.', cast(c_custkey % 256 as string), '.0.0/16')) as nm,
+       low_address(concat('10.', cast(c_custkey % 256 as string), '.0.0/16')) as lo,
+       high_address(concat('10.', cast(c_custkey % 256 as string), '.0.0/16')) as hi,
+       address_count(concat('10.', cast(c_custkey % 256 as string), '.0.0/16')) as cnt,
+       parse_query(concat('u=', cast(c_custkey as string), '&v=', c_mktsegment))['u'] as pq,
+       parentpath(concat('/data/', c_mktsegment, '/f.parquet')) as pp,
+       repeatstr(substring(c_name, 1, 2), 3) as rp,
+       is_empty(nullif(c_mktsegment, 'BUILDING')) as emp
+from customer
+where c_custkey <= 200
+""",
+    oracle="""
+select c_custkey,
+       cast(levenshtein(c_name, c_mktsegment) as double) as lev,
+       round(1.0 - jaccard(c_name, c_mktsegment), 6) as jac,
+       c_name as aes_rt,
+       (c_custkey % 256) < 128 as innet,
+       '255.255.0.0' as nm,
+       concat('10.', cast(c_custkey % 256 as varchar), '.0.1') as lo,
+       concat('10.', cast(c_custkey % 256 as varchar), '.255.254') as hi,
+       cast(65534 as bigint) as cnt,
+       cast(c_custkey as varchar) as pq,
+       concat('/data/', c_mktsegment) as pp,
+       repeat(substring(c_name, 1, 2), 3) as rp,
+       (c_mktsegment = 'BUILDING') as emp
+from customer
+where c_custkey <= 200
+""",
+)
+
 _q(
     "op_hash_fns",
     """
@@ -900,9 +942,13 @@ order by l_returnflag
 
 
 def make_query_fn(sql: str):
+    from drill_spark.functions import ensure_registered, rewrite_convert_calls
+
     needed = tables_in(sql)
+    sql = rewrite_convert_calls(sql)  # static text: expand drill-isms once
 
     def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        ensure_registered(spark)
         ensure_views(spark, sf_dir, needed)
         return spark.sql(sql)
 
