@@ -419,6 +419,80 @@ _CONVERT_FROM = {
     "HEX": "unhex(cast({x} AS STRING))",
 }
 
+# -- the rest of the reference's conv/ codec matrix (one class pair per
+# file under expr/fn/impl/conv/). Integer widths are two's-complement
+# via conv(); IEEE float/double decode EXACTLY in SQL arithmetic (the
+# (2^52 + mantissa) product is <= 2^53, so no double rounding); the
+# HadoopWritables vint/vlong pair and float/double ENCODE need byte
+# surgery and ride on tiny Arrow UDFs registered in
+# _register_contrib_udfs (drill_vlong_decode / drill_fbits_encode).
+
+_TINY = ("CAST(IF(conv(hex({x}), 16, 10) > '127',"
+         " CAST(conv(hex({x}), 16, 10) AS BIGINT) - 256,"
+         " CAST(conv(hex({x}), 16, 10) AS BIGINT)) AS TINYINT)")
+_SMALL = ("CAST(IF(CAST(conv({h}, 16, 10) AS BIGINT) > 32767,"
+          " CAST(conv({h}, 16, 10) AS BIGINT) - 65536,"
+          " CAST(conv({h}, 16, 10) AS BIGINT)) AS SMALLINT)")
+_DBL_BITS = (
+    "CASE WHEN (shiftright({b}, 52) & 2047) = 2047 THEN"
+    "  IF(({b} & 4503599627370495) = 0,"
+    "     IF({b} < 0, -1.0D, 1.0D) * double('Infinity'), double('NaN'))"
+    " WHEN (shiftright({b}, 52) & 2047) = 0 THEN"
+    "  IF({b} < 0, -1.0D, 1.0D) * ({b} & 4503599627370495) * pow(2.0D, -1074)"
+    " ELSE IF({b} < 0, -1.0D, 1.0D)"
+    "  * (4503599627370496 + ({b} & 4503599627370495))"
+    "  * pow(2.0D, CAST(shiftright({b}, 52) & 2047 AS INT) - 1075) END"
+)
+_FLT_BITS = (
+    "CAST(CASE WHEN (shiftright({b}, 23) & 255) = 255 THEN"
+    "  IF(({b} & 8388607) = 0,"
+    "     IF({b} >= 2147483648, -1.0D, 1.0D) * double('Infinity'), double('NaN'))"
+    " WHEN (shiftright({b}, 23) & 255) = 0 THEN"
+    "  IF({b} >= 2147483648, -1.0D, 1.0D) * ({b} & 8388607) * pow(2.0D, -149)"
+    " ELSE IF({b} >= 2147483648, -1.0D, 1.0D)"
+    "  * (8388608 + ({b} & 8388607))"
+    "  * pow(2.0D, CAST(shiftright({b}, 23) & 255 AS INT) - 150) END AS FLOAT)"
+)
+_B8_LE = "CAST(conv(" + _LE_HEX + ", 16, -10) AS BIGINT)"
+_B8_BE = "CAST(conv(hex({x}), 16, -10) AS BIGINT)"
+_B4_LE = "CAST(conv(" + _LE_HEX + ", 16, 10) AS BIGINT)"
+_B4_BE = "CAST(conv(hex({x}), 16, 10) AS BIGINT)"
+
+_CONVERT_FROM.update({
+    "TINYINT": _TINY, "TINYINT_BE": _TINY,  # one byte: no byte order
+    "SMALLINT": _SMALL.format(h=_LE_HEX),
+    "SMALLINT_BE": _SMALL.format(h="hex({x})"),
+    "DOUBLE": "(" + _DBL_BITS.format(b=_B8_LE) + ")",
+    "DOUBLE_BE": "(" + _DBL_BITS.format(b=_B8_BE) + ")",
+    "FLOAT": _FLT_BITS.format(b=_B4_LE),
+    "FLOAT_BE": _FLT_BITS.format(b=_B4_BE),
+    "DATE_EPOCH": "CAST(timestamp_millis(" + _B8_LE + ") AS DATE)",
+    "DATE_EPOCH_BE": "CAST(timestamp_millis(" + _B8_BE + ") AS DATE)",
+    # Drill TIME has no Spark analog: millis-of-day surfaces as a
+    # timestamp on the epoch day (the value Drill renders as TIME)
+    "TIME_EPOCH": "timestamp_millis(" + _B8_LE + ")",
+    "TIME_EPOCH_BE": "timestamp_millis(" + _B8_BE + ")",
+    "TIMESTAMP_EPOCH": "timestamp_millis(" + _B8_LE + ")",
+    "TIMESTAMP_EPOCH_BE": "timestamp_millis(" + _B8_BE + ")",
+    # parquet INT96: 8-byte nanos-of-day LE + 4-byte julian day LE
+    # (ConvertFromImpalaTimestamp.java; UTC, no legacy local-zone shift)
+    "TIMESTAMP_IMPALA":
+        "timestamp_micros((CAST(conv("
+        + _LE_HEX.format(x="substring({x}, 9, 4)")
+        + ", 16, 10) AS BIGINT) - 2440588) * 86400000000 + CAST(conv("
+        + _LE_HEX.format(x="substring({x}, 1, 8)") + ", 16, -10) AS BIGINT)"
+        " div 1000)",
+    "UINT4": _B4_LE, "UINT4_BE": _B4_BE,
+    # 8-byte unsigned reinterpreted signed (Drill's UInt8 vector shares
+    # the 64-bit lane; values >= 2^63 wrap, as in the reference)
+    "UINT8": _B8_LE, "UINT8_BE": _B8_BE,
+    "UTF16": "decode({x}, 'UTF-16')",
+    # Hadoop WritableUtils vint/vlong (IntVIntConvertFrom.java,
+    # BigIntVLongConvertFrom.java): variable length -> Arrow UDF
+    "INT_HADOOPV": "CAST(drill_vlong_decode({x}) AS INT)",
+    "BIGINT_HADOOPV": "drill_vlong_decode({x})",
+})
+
 _CONVERT_TO = {
     "JSON": "to_json({x})",
     "UTF8": "encode(cast({x} AS STRING), 'UTF-8')",
@@ -430,6 +504,42 @@ _CONVERT_TO = {
     "BASE64": "encode(base64({x}), 'UTF-8')",
     "HEX": "encode(hex({x}), 'UTF-8')",
 }
+
+_REV_PAIRS = "array_join(reverse(regexp_extract_all({h}, '(..)', 1)), '')"
+_HEX8 = "lpad(hex({x}), 16, '0')"
+_HEX4 = "lpad(hex({x} & 4294967295), 8, '0')"
+_HEX2 = "lpad(hex({x} & 65535), 4, '0')"
+
+_CONVERT_TO.update({
+    "TINYINT": "unhex(lpad(hex({x} & 255), 2, '0'))",
+    "TINYINT_BE": "unhex(lpad(hex({x} & 255), 2, '0'))",
+    "SMALLINT_BE": "unhex(" + _HEX2 + ")",
+    "SMALLINT": "unhex(" + _REV_PAIRS.format(h=_HEX2) + ")",
+    "DATE_EPOCH_BE": "unhex(" + _HEX8.format(x="(CAST(unix_date({x}) AS BIGINT) * 86400000)") + ")",
+    "DATE_EPOCH": "unhex(" + _REV_PAIRS.format(
+        h=_HEX8.format(x="(CAST(unix_date({x}) AS BIGINT) * 86400000)")) + ")",
+    "TIME_EPOCH_BE": "unhex(" + _HEX8.format(
+        x="(unix_millis({x}) % 86400000)") + ")",
+    "TIME_EPOCH": "unhex(" + _REV_PAIRS.format(
+        h=_HEX8.format(x="(unix_millis({x}) % 86400000)")) + ")",
+    "TIMESTAMP_EPOCH_BE": "unhex(" + _HEX8.format(x="unix_millis({x})") + ")",
+    "TIMESTAMP_EPOCH": "unhex(" + _REV_PAIRS.format(
+        h=_HEX8.format(x="unix_millis({x})")) + ")",
+    "UINT4_BE": "unhex(" + _HEX4 + ")",
+    "UINT4": "unhex(" + _REV_PAIRS.format(h=_HEX4) + ")",
+    "UINT8_BE": "unhex(" + _HEX8 + ")",
+    "UINT8": "unhex(" + _REV_PAIRS.format(h=_HEX8) + ")",
+    "UTF16": "encode(cast({x} AS STRING), 'UTF-16')",
+    # IEEE bit extraction from a float needs frexp-style surgery ->
+    # Arrow UDFs (drill_fbits_encode / drill_dbits_encode return the
+    # big-endian bytes; LE reverses)
+    "FLOAT_BE": "drill_fbits_encode({x}, true)",
+    "FLOAT": "drill_fbits_encode({x}, false)",
+    "DOUBLE_BE": "drill_dbits_encode({x}, true)",
+    "DOUBLE": "drill_dbits_encode({x}, false)",
+    "INT_HADOOPV": "drill_vlong_encode(CAST({x} AS BIGINT))",
+    "BIGINT_HADOOPV": "drill_vlong_encode(CAST({x} AS BIGINT))",
+})
 
 
 # Drill-style SQL type names (UnionFunctions.sqlTypeOf returns
@@ -897,6 +1007,65 @@ def _register_contrib_udfs(spark: SparkSession) -> list[str]:
                  "kendall_tau", "kendalltau"):
         spark.udf.register(name, kfn)
         registered.append(name)
+
+    # conv/ codec helpers the SQL templates call: Hadoop WritableUtils
+    # vint/vlong (variable length) and IEEE bit extraction on ENCODE
+    # (decode is pure SQL arithmetic in _CONVERT_FROM)
+    def _vlong_decode_one(b):
+        b = bytes(b)
+        fb = b[0] - 256 if b[0] >= 128 else b[0]
+        if fb >= -112:
+            return fb
+        neg = fb < -120
+        ln = (-119 - fb) if neg else (-111 - fb)
+        i = 0
+        for c in b[1:ln]:
+            i = (i << 8) | c
+        return ~i if neg else i
+
+    def _vlong_encode_one(i):
+        if -112 <= i <= 127:
+            return bytes([i & 0xFF])
+        ln = -112
+        if i < 0:
+            i = ~i
+            ln = -120
+        tmp = i
+        while tmp:
+            tmp >>= 8
+            ln -= 1
+        n = -(ln + 120) if ln < -120 else -(ln + 112)
+        out = bytearray([ln & 0xFF])
+        for idx in range(n, 0, -1):
+            out.append((i >> (8 * (idx - 1))) & 0xFF)
+        return bytes(out)
+
+    @_hint_series
+    def _vlong_decode(s):
+        return pd.Series([None if v is None else _vlong_decode_one(v) for v in s])
+
+    @_hint_series
+    def _vlong_encode(s):
+        return pd.Series([None if v is None else _vlong_encode_one(int(v)) for v in s])
+
+    import struct as _struct
+
+    def _bits_enc(fmt):
+        @_hint_series
+        def run(s, be):
+            return pd.Series([
+                None if v is None else
+                _struct.pack((">" if b else "<") + fmt, v)
+                for v, b in zip(s, be)
+            ])
+        return run
+
+    spark.udf.register("drill_vlong_decode", pandas_udf(_vlong_decode, "bigint"))
+    spark.udf.register("drill_vlong_encode", pandas_udf(_vlong_encode, "binary"))
+    spark.udf.register("drill_fbits_encode", pandas_udf(_bits_enc("f"), "binary"))
+    spark.udf.register("drill_dbits_encode", pandas_udf(_bits_enc("d"), "binary"))
+    registered += ["drill_vlong_decode", "drill_vlong_encode",
+                   "drill_fbits_encode", "drill_dbits_encode"]
     return registered
 
 

@@ -229,6 +229,90 @@ def test_misc_scalar_parity(session):
         {"a": "BIGINT", "b": "VARCHAR"}
 
 
+# ----------------------------------------------------------- conv/ codecs
+# the rest of the reference's convert_from/convert_to matrix
+# (exec/java-exec/.../expr/fn/impl/conv/*.java)
+
+def test_convert_codec_roundtrips(session):
+    cases = [
+        ("cast(-7 as int)", "TINYINT", -7),
+        ("cast(-12345 as int)", "SMALLINT", -12345),
+        ("cast(31000 as int)", "SMALLINT_BE", 31000),
+        ("cast(2.5 as double)", "DOUBLE", 2.5),
+        ("cast(-0.125 as double)", "DOUBLE_BE", -0.125),
+        ("cast(1.5 as float)", "FLOAT", 1.5),
+        ("cast(-648.25 as float)", "FLOAT_BE", -648.25),
+        ("cast(4294967295 as bigint)", "UINT4_BE", 4294967295),
+        ("cast(123456789012 as bigint)", "UINT8", 123456789012),
+        ("42", "INT_HADOOPV", 42),
+        ("-113", "INT_HADOOPV", -113),
+        ("123456789", "INT_HADOOPV", 123456789),
+        ("cast(-98765432109876 as bigint)", "BIGINT_HADOOPV", -98765432109876),
+        ("'héllo wörld'", "UTF16", "héllo wörld"),
+    ]
+    for expr, codec, want in cases:
+        got = one(session, f"select convert_from(convert_to({expr}, "
+                           f"'{codec}'), '{codec}')")
+        assert got == want, (codec, got, want)
+    assert one(session, "select cast(convert_from(convert_to("
+               "timestamp '2020-03-01 10:11:12', 'TIMESTAMP_EPOCH'),"
+               " 'TIMESTAMP_EPOCH') as string)") == "2020-03-01 10:11:12"
+    assert one(session, "select cast(convert_from(convert_to("
+               "date '2020-03-01', 'DATE_EPOCH_BE'), 'DATE_EPOCH_BE')"
+               " as string)") == "2020-03-01"
+    assert one(session, "select cast(convert_from(convert_to("
+               "date '1960-05-05', 'DATE_EPOCH'), 'DATE_EPOCH')"
+               " as string)") == "1960-05-05"
+    assert one(session, "select cast(convert_from(convert_to("
+               "timestamp '1970-01-01 13:14:15', 'TIME_EPOCH'),"
+               " 'TIME_EPOCH') as string)") == "1970-01-01 13:14:15"
+
+
+def test_convert_codec_known_vectors(session):
+    """IEEE-754 decode is exact SQL arithmetic: spot-check canonical
+    bit patterns including subnormal and infinity, plus the parquet
+    INT96 impala layout."""
+    import struct
+
+    assert one(session, "select convert_from(unhex('3FF0000000000000'),"
+                        " 'DOUBLE_BE')") == 1.0
+    assert one(session, "select convert_from(unhex('3F800000'),"
+                        " 'FLOAT_BE')") == 1.0
+    assert abs(one(session, "select convert_from(unhex('C0490FDB'),"
+                            " 'FLOAT_BE')") - (-3.1415927410125732)) < 1e-12
+    assert one(session, "select convert_from(unhex('0000000000000001'),"
+                        " 'DOUBLE_BE')") == 5e-324  # smallest subnormal
+    assert one(session, "select convert_from(unhex('7FF0000000000000'),"
+                        " 'DOUBLE_BE')") == float("inf")
+    got = one(session, "select convert_from(unhex('FFF8000000000000'),"
+                       " 'DOUBLE_BE')")
+    assert got != got  # NaN
+    # round-trip a full float64 mantissa bit-exactly
+    import math
+    v = math.pi * 1e100
+    assert one(session, f"select convert_from(convert_to(cast({v!r} as"
+                        " double), 'DOUBLE'), 'DOUBLE')") == v
+    # INT96 impala: 8-byte nanos-of-day LE + 4-byte julian day LE
+    b = struct.pack("<q", 43200 * 10**9) + struct.pack("<i", 2458910)
+    assert one(session, f"select cast(convert_from(unhex('{b.hex()}'),"
+                        " 'TIMESTAMP_IMPALA') as string)") == "2020-03-01 12:00:00"
+    b0 = struct.pack("<q", 0) + struct.pack("<i", 2440588)
+    assert one(session, f"select cast(convert_from(unhex('{b0.hex()}'),"
+                        " 'TIMESTAMP_IMPALA') as string)") == "1970-01-01 00:00:00"
+
+
+def test_hadoop_vlong_wire_format(session):
+    """The vlong bytes must match Hadoop WritableUtils exactly:
+    single-byte range [-112, 127], multi-byte with the -112/-120
+    length markers."""
+    assert bytes(one(session, "select convert_to(100, 'INT_HADOOPV')")) == b"\x64"
+    assert bytes(one(session, "select convert_to(-112, 'INT_HADOOPV')")) == b"\x90"
+    assert bytes(one(session, "select convert_to(128, 'INT_HADOOPV')")) == \
+        bytes([0x8F, 0x80])  # -113 marker + one payload byte
+    assert bytes(one(session, "select convert_to(-113, 'INT_HADOOPV')")) == \
+        bytes([0x87, 0x70])  # -121 marker + ~(-113) = 112
+
+
 # ------------------------------------------------------------- distribution
 # TestDistributionFunctions.java: width_bucket baseline + kendall as a
 # grouped aggregate (exact tau-a here; the reference streams an
