@@ -87,6 +87,8 @@ _SQL_UDFS: dict[str, tuple[str, str]] = {
     # --- complex / repeated (Drill signature surface, SURVEY §2.8) ---
     # kvgen: struct/map -> array<struct<key,value>> (Mappify.java:53-66)
     "kvgen": ("m MAP<STRING, STRING>", "map_entries(m)"),
+    # mappify is kvgen's alias in the reference (Mappify.java names both)
+    "mappify": ("m MAP<STRING, STRING>", "map_entries(m)"),
     # repeated_count: array length (RepeatedCountFunctions.java)
     "repeated_count": ("a ARRAY<STRING>", "size(a)"),
     # repeated_contains (SimpleRepeatedFunctions.java:45+)
@@ -95,6 +97,9 @@ _SQL_UDFS: dict[str, tuple[str, str]] = {
     "binary_string": ("s STRING", "cast(s AS BINARY)"),  # StringFunctions.java:1794
     "string_binary": ("b BINARY", "cast(b AS STRING)"),  # StringFunctions.java:1815
     "charsubstring": ("s STRING, p INT, l INT", "substring(s, p, l)"),
+    # CharSubstring.java also registers substring2/substr2
+    "substring2": ("s STRING, p INT, l INT", "substring(s, p, l)"),
+    "substr2": ("s STRING, p INT, l INT", "substring(s, p, l)"),
     "strpos": ("s STRING, sub STRING", "instr(s, sub)"),  # StringFunctions.java:640
     # --- crypto (contrib/udfs CryptoFunctions.java) — Drill's unary
     # hex-digest names over Spark's builtins (md5/aes_* exist natively;
@@ -109,6 +114,10 @@ _SQL_UDFS: dict[str, tuple[str, str]] = {
         "old DOUBLE, new DOUBLE",
         "CASE WHEN old = 0 THEN NULL ELSE (new - old) / abs(old) * 100.0 END",
     ),
+    "percentchange": (
+        "old DOUBLE, new DOUBLE",
+        "CASE WHEN old = 0 THEN NULL ELSE (new - old) / abs(old) * 100.0 END",
+    ),
     # --- date/time (DateTypeFunctions.java) ---
     "isdate": ("s STRING", "try_cast(s AS DATE) IS NOT NULL"),  # :61
     # age -> rendered year-month interval string (interval types are
@@ -119,6 +128,9 @@ _SQL_UDFS: dict[str, tuple[str, str]] = {
         " CAST(CAST(months_between(a, b) AS INT) % 12 AS STRING), ' mons')",
     ),
     "statement_timestamp": ("", "current_timestamp()"),  # :338-383
+    "transaction_timestamp": ("", "current_timestamp()"),
+    "localtime": ("", "date_format(localtimestamp(), 'HH:mm:ss')"),
+    "system_user": ("", "current_user()"),
     "timeofday": ("", "date_format(current_timestamp(), 'yyyy-MM-dd HH:mm:ss.SSS zzz')"),
     # time_bucket over epoch millis (contrib/udfs TimeBucketFunctions.java)
     "time_bucket": (
@@ -373,6 +385,22 @@ _SQL_UDFS: dict[str, tuple[str, str]] = {
     "toascii": ("s STRING, enc STRING", "decode(CAST(s AS BINARY), enc)"),
     "is_empty": ("s STRING", "s IS NULL OR s = ''"),
     "isempty": ("s STRING", "s IS NULL OR s = ''"),
+    # IsTrue/IsFalse.java function forms (the IS TRUE syntax also works)
+    "istrue": ("b BOOLEAN", "b IS TRUE"),
+    "isnottrue": ("b BOOLEAN", "b IS NOT TRUE"),
+    "isfalse": ("b BOOLEAN", "b IS FALSE"),
+    "isnotfalse": ("b BOOLEAN", "b IS NOT FALSE"),
+    # StringFunctions.java lengthUtf8: byte length of the encoded string
+    "lengthutf8": ("s STRING", "octet_length(s)"),
+    # ByteArrayFunctions to_string / CastVarCharVar16Char to_var16char
+    "to_string": ("b BINARY, enc STRING", "decode(b, enc)"),
+    "to_var16char": ("b BINARY", "decode(b, 'UTF-16')"),
+    # UnionFunctions is_list/is_map on the VARIANT analog of union type
+    "is_list": ("v VARIANT", "schema_of_variant(v) LIKE 'ARRAY%'"),
+    "is_map": ("v VARIANT", "schema_of_variant(v) LIKE 'OBJECT%'"
+               " OR schema_of_variant(v) LIKE 'MAP%'"),
+    "is_struct": ("v VARIANT", "schema_of_variant(v) LIKE 'OBJECT%'"
+                  " OR schema_of_variant(v) LIKE 'STRUCT%'"),
     "widthbucket": ("x DOUBLE, lo DOUBLE, hi DOUBLE, n INT",
                     "width_bucket(x, lo, hi, n)"),
 }
@@ -592,10 +620,18 @@ def rewrite_convert_calls(query: str) -> str:
     out = []
     i = 0
     pat = _re.compile(
-        r"(convert_(?:from|to)|sqltypeof|drilltypeof|modeof"
-        r"|aes_encrypt|aes_decrypt|nearest_date|nearestdate)\s*\(",
+        r"(convert_(?:from|to)\w*|sqltypeof|drilltypeof|modeof"
+        r"|aes_encrypt|aes_decrypt|nearest_date|nearestdate"
+        r"|hll_decode|hll_merge|hll|regrslope|regrintercept)\s*\(",
         _re.IGNORECASE,
     )
+    # aggregate-name aliases: SQL UDFs cannot wrap aggregates, so these
+    # drill names substitute textually (sketch formats are Spark's
+    # DataSketches HLL, not Drill's ClearSpring — same role, not
+    # byte-compatible)
+    aliases = {"hll": "hll_sketch_agg", "hll_decode": "hll_sketch_estimate",
+               "hll_merge": "hll_union_agg",
+               "regrslope": "regr_slope", "regrintercept": "regr_intercept"}
     while True:
         m = pat.search(query, i)
         if not m:
@@ -618,6 +654,22 @@ def rewrite_convert_calls(query: str) -> str:
                           " ELSE 'NULLABLE' END",
             }[fname]
             out.append("(" + tmpl.format(x=inner) + ")")
+        elif fname in aliases:
+            inner = rewrite_convert_calls(query[m.end():j - 1])
+            out.append(aliases[fname] + "(" + inner + ")")
+        elif (fname.startswith(("convert_from", "convert_to"))
+              and fname not in ("convert_from", "convert_to")
+              and len(args) == 1):
+            # the reference's fused single-name forms:
+            # convert_fromBIGINT_BE(x) == convert_from(x, 'BIGINT_BE')
+            is_from = fname.startswith("convert_from")
+            codec = fname[len("convert_from" if is_from else "convert_to"):].upper()
+            table = _CONVERT_FROM if is_from else _CONVERT_TO
+            if codec in table:
+                inner = rewrite_convert_calls(args[0])
+                out.append("(" + table[codec].format(x=inner) + ")")
+            else:
+                out.append(query[m.start():j])  # unknown codec: untouched
         elif fname in ("aes_encrypt", "aes_decrypt") and len(args) == 2:
             # Drill's 2-arg AES (CryptoFunctions.java): key = first 16
             # bytes of SHA-1(key), AES/ECB/PKCS5, base64 text in/out.
@@ -779,6 +831,9 @@ def _register_geometry_udfs(spark: SparkSession) -> list[str]:
         "st_buffer": ("string", wkt_arg(
             lambda g, d: _wkt_or_none(geo, geo.buffer(g, float(d))))),
         "st_union_geom": ("string", pair(lambda a, b: _wkt_or_none(geo, geo.union(a, b)))),
+        # the reference's bare names (STUnion.java / STWithin.java)
+        "st_union": ("string", pair(lambda a, b: _wkt_or_none(geo, geo.union(a, b)))),
+        "st_within": ("boolean", pair(lambda a, b: geo.contains(b, a))),
         "st_difference": ("string", pair(lambda a, b: _wkt_or_none(geo, geo.difference(a, b)))),
         "st_intersection_geom": ("string", pair(lambda a, b: _wkt_or_none(geo, geo.intersection(a, b)))),
         "st_envelope": ("string", wkt_in(lambda g: geo.to_wkt(geo.envelope(g)))),

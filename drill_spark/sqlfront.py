@@ -457,8 +457,9 @@ def rewrite(session, query: str) -> str:
     # typed expressions (codec/type resolved at rewrite time like
     # Drill's planner)
     if re.search(
-        r"convert_(?:from|to)\s*\(|sqltypeof\s*\(|drilltypeof\s*\(|modeof\s*\("
-        r"|aes_(?:en|de)crypt\s*\(|nearest_?date\s*\(",
+        r"convert_(?:from|to)\w*\s*\(|sqltypeof\s*\(|drilltypeof\s*\(|modeof\s*\("
+        r"|aes_(?:en|de)crypt\s*\(|nearest_?date\s*\("
+        r"|hll(?:_decode|_merge)?\s*\(|regr(?:slope|intercept)\s*\(",
         query,
         re.IGNORECASE,
     ):

@@ -301,6 +301,36 @@ def test_convert_codec_known_vectors(session):
                         " 'TIMESTAMP_IMPALA') as string)") == "1970-01-01 00:00:00"
 
 
+def test_fused_convert_names_and_aliases(session):
+    """The reference's fused single-name codec forms
+    (convert_fromBIGINT_BE(x) etc.) and its aggregate-name aliases
+    (hll/hll_decode/regrSlope) resolve through the rewrite."""
+    assert one(session, "select convert_fromBIGINT_BE("
+                        "convert_toBIGINT_BE(123456789012))") == 123456789012
+    assert one(session, "select convert_fromDOUBLE("
+                        "convert_toDOUBLE(cast(2.5 as double)))") == 2.5
+    assert one(session, "select convert_fromUTF8(convert_toUTF8('hi'))") == "hi"
+    assert one(session, "select cast(variant_get(convert_fromJSON("
+                        "'{\"a\":5}'), '$.a') as int)") == 5
+    assert one(session, "select regrslope(y, x) from values"
+                        " (1.0, 2.0), (2.0, 4.0) t(x, y)") == 2.0
+    n = one(session, "select hll_decode(hll(x)) from values"
+                     " (1), (2), (3), (2) t(x)")
+    assert 2.5 < n < 3.5  # DataSketches HLL estimate of 3 distinct
+    assert one(session, "select istrue(1 = 1)") is True
+    assert one(session, "select isnottrue(cast(null as boolean))") is True
+    assert one(session, "select lengthutf8('héllo')") == 6
+    assert one(session, "select to_string(encode('abc', 'UTF-8'), 'UTF-8')") == "abc"
+    assert one(session, "select substring2('abcdef', 2, 3)") == "bcd"
+    assert one(session, "select mappify(map('a', '1'))[0].key") == "a"
+    assert one(session, "select percentchange(100.0, 150.0)") == 50.0
+    assert one(session, "select is_list(parse_json('[1,2]'))") is True
+    assert one(session, "select is_map(parse_json('{\"a\":1}'))") is True
+    assert one(session, "select is_list(parse_json('{\"a\":1}'))") is False
+    assert one(session, "select st_within('POINT (1 1)',"
+                        " 'POLYGON((0 0, 2 0, 2 2, 0 2, 0 0))')") is True
+
+
 def test_hadoop_vlong_wire_format(session):
     """The vlong bytes must match Hadoop WritableUtils exactly:
     single-byte range [-112, 127], multi-byte with the -112/-120
