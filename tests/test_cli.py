@@ -1,0 +1,84 @@
+"""The sqlline-analog shell (drill_spark/cli.py; reference entry point
+distribution/src/main/resources/drill-embedded:25)."""
+
+from __future__ import annotations
+
+import io
+
+from drill_spark.cli import Shell, format_csv, format_json, format_table
+
+from .conftest import SF_DIR
+
+
+def make_shell(session):
+    out = io.StringIO()
+    return Shell(session=session, out=out), out
+
+
+def test_format_table_grid():
+    got = format_table(["a", "bb"], [(1, "x"), (None, "long")])
+    lines = got.splitlines()
+    assert lines[0] == "+------+------+"
+    assert lines[1] == "| a    | bb   |"
+    assert "| null | long |" in lines
+    assert lines[-1] == lines[0]
+
+
+def test_formats_csv_json():
+    assert format_csv(["a", "b"], [(1, "x,y")]) == 'a,b\r\n1,"x,y"'
+    assert format_json(["a"], [(1,), (None,)]) == '{"a": 1}\n{"a": null}'
+
+
+def test_shell_runs_sql_and_bang_commands(session):
+    sh, out = make_shell(session)
+    assert sh.feed("select 1 as one;") is True
+    text = out.getvalue()
+    assert "| one |" in text and "| 1   |" in text
+    assert "1 row selected" in text
+
+    sh, out = make_shell(session)
+    sh.run_bang("!set outputformat csv")
+    sh.feed("select 2 as two, 'a' as s;")
+    assert "two,s\r\n2,a" in out.getvalue()
+
+    sh, out = make_shell(session)
+    assert sh.run_bang("!quit") is False
+    assert sh.run_bang("!help") is True
+    assert "!tables" in out.getvalue()
+
+
+def test_shell_workspace_query_and_errors(session):
+    sh, out = make_shell(session)
+    sh.feed(f"select count(*) as n from dfs.`{SF_DIR}/region.parquet`;")
+    assert "| 5" in out.getvalue()
+    # errors don't kill the shell
+    sh.feed("select definitely_not_a_function(1);")
+    assert "Error:" in out.getvalue()
+    sh.feed("select 3 as still_alive;")
+    assert "still_alive" in out.getvalue()
+
+
+def test_shell_multiline_and_script(session):
+    sh, out = make_shell(session)
+    sh.feed("select\n  10 as a\n;\nselect 20 as b;")
+    text = out.getvalue()
+    assert "| 10" in text and "| 20" in text
+
+
+def test_shell_tables_and_describe(session):
+    session.register_fixture_tables(SF_DIR)
+    sh, out = make_shell(session)
+    sh.run_bang("!tables")
+    assert "region" in out.getvalue().lower()
+    sh, out = make_shell(session)
+    sh.run_bang("!describe region")
+    assert "r_name" in out.getvalue()
+
+
+def test_cli_execute_mode(session, capsys):
+    """-e mode through main(), reusing the session via a seeded Shell is
+    not possible (main builds its own), so just check the arg wiring on
+    a trivial statement against the shared session object."""
+    sh, out = make_shell(session)
+    sh.feed("!set outputformat json\nselect 5 as v;")
+    assert '{"v": 5}' in out.getvalue()
