@@ -518,10 +518,104 @@ _DIMS = {"POINT": 0, "MULTIPOINT": 0, "LINESTRING": 1,
          "POLYGON": 2, "MULTIPOLYGON": 2}
 
 
+def _gc_components(g):
+    if g[0] == "GEOMETRYCOLLECTION":
+        out = []
+        for m in g[1]:
+            out.extend(_gc_components(m))
+        return out
+    return [g]
+
+
+def _dim_interior(g) -> int:
+    return _DIMS[g[0]]
+
+
+_RANK = {"F": -1, "0": 0, "1": 1, "2": 2}
+_CELL = {v: k for k, v in _RANK.items()}
+
+
+def _dim_boundary(g) -> int:
+    """Dimension of the boundary set; -1 = empty (F)."""
+    t = g[0]
+    if t in ("POINT", "MULTIPOINT"):
+        return -1
+    if t == "LINESTRING":
+        return -1 if _close(g[1][0], g[1][-1]) else 0
+    return 1  # polygon rings
+
+
+def _pair_disjoint(m) -> bool:
+    """True when the geometries behind matrix m have empty intersection
+    (all interior/boundary cells F)."""
+    return all(m[r][c] == "F" for r in (0, 1) for c in (0, 1))
+
+
+def _gc_de9im(a, b):
+    """DE-9IM when either operand is a GEOMETRYCOLLECTION, by
+    decomposition. Exact under two conditions this checks (and gates by
+    name otherwise): a collection's own components are pairwise
+    disjoint (the shape our mixed-dimension overlay ops emit), and each
+    component intersects at most ONE component of the other operand —
+    then every exterior cell reduces to a per-partner cell because the
+    rest of the other side cannot reach it."""
+    A = _gc_components(a)
+    B = _gc_components(b)
+    for parts in (A, B):
+        for i in range(len(parts)):
+            for j in range(i + 1, len(parts)):
+                if not _pair_disjoint(de9im(parts[i], parts[j])):
+                    raise NotImplementedError(
+                        "DE-9IM over GEOMETRYCOLLECTION with overlapping"
+                        " components")
+    M = [[de9im(ai, bj) for bj in B] for ai in A]
+    for i, ai in enumerate(A):
+        if sum(0 if _pair_disjoint(M[i][j]) else 1 for j in range(len(B))) > 1:
+            raise NotImplementedError(
+                "DE-9IM: a GEOMETRYCOLLECTION component intersecting"
+                " multiple components of the other operand")
+    for j in range(len(B)):
+        if sum(0 if _pair_disjoint(M[i][j]) else 1 for i in range(len(A))) > 1:
+            raise NotImplementedError(
+                "DE-9IM: a GEOMETRYCOLLECTION component intersecting"
+                " multiple components of the other operand")
+
+    out = [[-1] * 3 for _ in range(3)]
+    # interior/boundary-vs-interior/boundary: max over all pairs
+    for r in (0, 1):
+        for c in (0, 1):
+            out[r][c] = max(_RANK[M[i][j][r][c]]
+                            for i in range(len(A)) for j in range(len(B)))
+    # X(A) ∩ E(B): per component, either untouched (full dimension) or
+    # the part outside its single partner
+    for r, dim_of in ((0, _dim_interior), (1, _dim_boundary)):
+        best = -1
+        for i in range(len(A)):
+            partners = [j for j in range(len(B))
+                        if not _pair_disjoint(M[i][j])]
+            if not partners:
+                best = max(best, dim_of(A[i]))
+            else:
+                best = max(best, _RANK[M[i][partners[0]][r][2]])
+        out[r][2] = best
+    for c, dim_of in ((0, _dim_interior), (1, _dim_boundary)):
+        best = -1
+        for j in range(len(B)):
+            partners = [i for i in range(len(A))
+                        if not _pair_disjoint(M[i][j])]
+            if not partners:
+                best = max(best, dim_of(B[j]))
+            else:
+                best = max(best, _RANK[M[partners[0]][j][2][c]])
+        out[2][c] = best
+    out[2][2] = 2
+    return [[_CELL[v] for v in row] for row in out]
+
+
 def de9im(a, b):
     """DE-9IM matrix (rows = parts of a, cols = parts of b)."""
     if a[0] == "GEOMETRYCOLLECTION" or b[0] == "GEOMETRYCOLLECTION":
-        raise NotImplementedError("DE-9IM over GEOMETRYCOLLECTION")
+        return _gc_de9im(a, b)
     ta, tb = _DIMS[a[0]], _DIMS[b[0]]
     if ta == 0 and tb == 0:
         return _matrix_point_point(a, b)

@@ -396,6 +396,36 @@ def test_closed_line_covering_polygon_boundary():
     assert m3[0][0] == "1" and m3[2][1] == "1"
 
 
+def test_geometrycollection_de9im():
+    """DE-9IM over GEOMETRYCOLLECTION operands (closes the documented
+    gate): exact by decomposition when components are pairwise disjoint
+    and each touches at most one component of the other operand; the
+    two violated preconditions still gate by name."""
+    gc = P("GEOMETRYCOLLECTION (POINT (1 1), LINESTRING (5 5, 6 6))")
+    sq = P("POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))")
+    assert geo.de9im(gc, sq) == [["0", "F", "1"],
+                                 ["F", "F", "0"],
+                                 ["2", "1", "2"]]
+    assert geo.intersects(gc, sq) and not geo.disjoint(gc, sq)
+
+    gc2 = P("GEOMETRYCOLLECTION (POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0)),"
+            " POLYGON ((10 10, 11 10, 11 11, 10 11, 10 10)))")
+    ln = P("LINESTRING (-1 0.5, 2 0.5)")
+    assert geo.de9im(gc2, ln) == [["1", "F", "2"],
+                                  ["0", "F", "1"],
+                                  ["1", "0", "2"]]
+    # a far-away collection is disjoint
+    assert geo.disjoint(gc2, P("POINT (50 50)"))
+
+    with pytest.raises(NotImplementedError, match="overlapping"):
+        geo.de9im(P("GEOMETRYCOLLECTION (POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0)),"
+                    " POLYGON ((1 1, 3 1, 3 3, 1 3, 1 1)))"), sq)
+    with pytest.raises(NotImplementedError, match="multiple components"):
+        geo.de9im(P("GEOMETRYCOLLECTION (POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0)),"
+                    " POLYGON ((3 0, 4 0, 4 1, 3 1, 3 0)))"),
+                  P("LINESTRING (-1 0.5, 5 0.5)"))
+
+
 def test_sql_union_difference_transform(session):
     q = session.sql
     # union of crossing polygons via SQL (area via the aggregate path)
