@@ -567,6 +567,10 @@ _CONVERT_TO.update({
     "DOUBLE": "drill_dbits_encode({x}, false)",
     "INT_HADOOPV": "drill_vlong_encode(CAST({x} AS BIGINT))",
     "BIGINT_HADOOPV": "drill_vlong_encode(CAST({x} AS BIGINT))",
+    # JsonConvertTo.java registers both; SIMPLEJSON drops type wrappers,
+    # EXTENDEDJSON writes the mongo-flavored $-typed form
+    "SIMPLEJSON": "to_json({x})",
+    "EXTENDEDJSON": "drill_extended_json({x})",
 })
 
 
@@ -1121,6 +1125,36 @@ def _register_contrib_udfs(spark: SparkSession) -> list[str]:
     spark.udf.register("drill_dbits_encode", pandas_udf(_bits_enc("d"), "binary"))
     registered += ["drill_vlong_decode", "drill_vlong_encode",
                    "drill_fbits_encode", "drill_dbits_encode"]
+
+    # convert_toEXTENDEDJSON (JsonConvertTo.java extended output): the
+    # mongo-flavored typed form — {"$date": ...} timestamps,
+    # {"$dateDay": ...} dates, {"$binary": base64}. Row-at-a-time on
+    # purpose: needs live python types per field.
+    def _ext_json(v):
+        import base64
+        import datetime
+        import json
+
+        def conv(x):
+            if hasattr(x, "asDict"):
+                return {k: conv(w) for k, w in x.asDict().items()}
+            if isinstance(x, dict):
+                return {k: conv(w) for k, w in x.items()}
+            if isinstance(x, (list, tuple)):
+                return [conv(w) for w in x]
+            if isinstance(x, datetime.datetime):
+                return {"$date": x.strftime("%Y-%m-%dT%H:%M:%S.") +
+                        f"{x.microsecond // 1000:03d}Z"}
+            if isinstance(x, datetime.date):
+                return {"$dateDay": x.isoformat()}
+            if isinstance(x, (bytes, bytearray)):
+                return {"$binary": base64.b64encode(bytes(x)).decode()}
+            return x
+
+        return None if v is None else json.dumps(conv(v), separators=(",", ":"))
+
+    spark.udf.register("drill_extended_json", _ext_json, "string")
+    registered.append("drill_extended_json")
     return registered
 
 

@@ -331,6 +331,24 @@ def test_fused_convert_names_and_aliases(session):
                         " 'POLYGON((0 0, 2 0, 2 2, 0 2, 0 0))')") is True
 
 
+def test_extended_and_simple_json(session):
+    """convert_toEXTENDEDJSON / convert_toSIMPLEJSON
+    (JsonConvertTo.java): $-typed mongo form vs plain to_json."""
+    got = one(session, "select convert_to(named_struct("
+              "'ts', timestamp '2020-03-01 10:11:12',"
+              "'d', date '2020-03-01', 'n', 5,"
+              "'b', encode('hi', 'UTF-8')), 'EXTENDEDJSON')")
+    import json
+    doc = json.loads(got)
+    assert doc["ts"] == {"$date": "2020-03-01T10:11:12.000Z"}
+    assert doc["d"] == {"$dateDay": "2020-03-01"}
+    assert doc["n"] == 5
+    assert doc["b"] == {"$binary": "aGk="}
+    simple = one(session, "select convert_to(named_struct('n', 5),"
+                          " 'SIMPLEJSON')")
+    assert json.loads(simple) == {"n": 5}
+
+
 def test_hadoop_vlong_wire_format(session):
     """The vlong bytes must match Hadoop WritableUtils exactly:
     single-byte range [-112, 127], multi-byte with the -112/-120
