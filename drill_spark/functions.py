@@ -1068,44 +1068,17 @@ def _register_contrib_udfs(spark: SparkSession) -> list[str]:
         registered.append(name)
 
     # conv/ codec helpers the SQL templates call: Hadoop WritableUtils
-    # vint/vlong (variable length) and IEEE bit extraction on ENCODE
-    # (decode is pure SQL arithmetic in _CONVERT_FROM)
-    def _vlong_decode_one(b):
-        b = bytes(b)
-        fb = b[0] - 256 if b[0] >= 128 else b[0]
-        if fb >= -112:
-            return fb
-        neg = fb < -120
-        ln = (-119 - fb) if neg else (-111 - fb)
-        i = 0
-        for c in b[1:ln]:
-            i = (i << 8) | c
-        return ~i if neg else i
-
-    def _vlong_encode_one(i):
-        if -112 <= i <= 127:
-            return bytes([i & 0xFF])
-        ln = -112
-        if i < 0:
-            i = ~i
-            ln = -120
-        tmp = i
-        while tmp:
-            tmp >>= 8
-            ln -= 1
-        n = -(ln + 120) if ln < -120 else -(ln + 112)
-        out = bytearray([ln & 0xFF])
-        for idx in range(n, 0, -1):
-            out.append((i >> (8 * (idx - 1))) & 0xFF)
-        return bytes(out)
+    # vint/vlong (variable length, ops/crypto.py) and IEEE bit
+    # extraction on ENCODE (decode is pure SQL arithmetic)
+    from drill_spark.ops.crypto import hadoop_vlong_decode, hadoop_vlong_encode
 
     @_hint_series
     def _vlong_decode(s):
-        return pd.Series([None if v is None else _vlong_decode_one(v) for v in s])
+        return pd.Series([None if v is None else hadoop_vlong_decode(v) for v in s])
 
     @_hint_series
     def _vlong_encode(s):
-        return pd.Series([None if v is None else _vlong_encode_one(int(v)) for v in s])
+        return pd.Series([None if v is None else hadoop_vlong_encode(int(v)) for v in s])
 
     import struct as _struct
 

@@ -28,6 +28,39 @@ _S = bytes([
 ])
 
 
+def hadoop_vlong_decode(b: bytes) -> int:
+    """Hadoop WritableUtils.readVLong wire format."""
+    b = bytes(b)
+    fb = b[0] - 256 if b[0] >= 128 else b[0]
+    if fb >= -112:
+        return fb
+    neg = fb < -120
+    ln = (-119 - fb) if neg else (-111 - fb)
+    i = 0
+    for c in b[1:ln]:
+        i = (i << 8) | c
+    return ~i if neg else i
+
+
+def hadoop_vlong_encode(i: int) -> bytes:
+    """Hadoop WritableUtils.writeVLong wire format."""
+    if -112 <= i <= 127:
+        return bytes([i & 0xFF])
+    ln = -112
+    if i < 0:
+        i = ~i
+        ln = -120
+    tmp = i
+    while tmp:
+        tmp >>= 8
+        ln -= 1
+    n = -(ln + 120) if ln < -120 else -(ln + 112)
+    out = bytearray([ln & 0xFF])
+    for idx in range(n, 0, -1):
+        out.append((i >> (8 * (idx - 1))) & 0xFF)
+    return bytes(out)
+
+
 def md2_hex(data: bytes) -> str:
     pad = 16 - (len(data) % 16)
     data = data + bytes([pad]) * pad

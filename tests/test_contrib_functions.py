@@ -361,6 +361,79 @@ def test_hadoop_vlong_wire_format(session):
         bytes([0x87, 0x70])  # -121 marker + ~(-113) = 112
 
 
+# ---------------------------------------------------- kernel properties
+# pure-python invariants over arbitrary input (no Spark session)
+
+def test_phonetics_properties():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from drill_spark.ops import phonetics as ph
+
+    encoders = [ph.caverphone1, ph.caverphone2, ph.cologne_phonetic,
+                ph.dm_soundex, ph.match_rating_encoder, ph.nysiis,
+                ph.refined_soundex, ph.metaphone, ph.double_metaphone]
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.text(max_size=40))
+    def check(s):
+        for enc in encoders:
+            out = enc(s)  # never raises, deterministic
+            assert out == enc(s)
+            assert isinstance(out, str)
+        if s:
+            assert len(ph.caverphone1(s)) in (0, 6)
+            assert len(ph.caverphone2(s)) in (0, 10)
+            assert len(ph.dm_soundex(s)) in (0, 6)
+
+    check()
+
+
+def test_strdist_properties():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from drill_spark.ops import strdist
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.text(max_size=30), st.text(max_size=30))
+    def check(a, b):
+        d = strdist.jaro_distance(a, b)
+        assert 0.0 <= d <= 1.0
+        assert strdist.jaro_distance(a, a) == 0.0
+        # LCS distance is a metric: symmetric, identity, bounded
+        lab = strdist.lcs_distance(a, b)
+        assert lab == strdist.lcs_distance(b, a)
+        assert strdist.lcs_distance(a, a) == 0
+        assert 0 <= lab <= len(a) + len(b)
+        assert strdist.fuzzy_score(a, b) >= 0
+
+    check()
+
+
+def test_vlong_md2_properties():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from drill_spark.ops.crypto import (hadoop_vlong_decode,
+                                        hadoop_vlong_encode, md2_hex)
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.integers(min_value=-(2**63), max_value=2**63 - 1))
+    def check(i):
+        assert hadoop_vlong_decode(hadoop_vlong_encode(i)) == i
+
+    check()
+
+    @settings(max_examples=100, deadline=None)
+    @given(st.binary(max_size=64))
+    def check_md2(b):
+        h = md2_hex(b)
+        assert len(h) == 32 and h == md2_hex(b)
+
+    check_md2()
+
+
 # ------------------------------------------------------------- distribution
 # TestDistributionFunctions.java: width_bucket baseline + kendall as a
 # grouped aggregate (exact tau-a here; the reference streams an
