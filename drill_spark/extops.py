@@ -1757,6 +1757,73 @@ def q_ann_ivfpq(spark, sf_dir):
                       k=3, n_cells=8, nprobe=3)
 
 
+def q_image_phash_dedup(spark, sf_dir):
+    """Perceptual-hash image dedup (ops/phash.py: DCT pHash + banded
+    hamming bucket join), oracle-checked with closed-form ground truth:
+    every nation key k belongs to base-image group g = k div 3; the
+    three group members are the SAME structured image as (k%3==0) a
+    BMP original, (k%3==1) a REAL JPEG q85 re-encode, (k%3==2) a
+    brightness-shifted BMP. Re-encodes and brightness shifts land
+    within a couple of pHash bits; different groups (different gradient
+    phase + blob position) differ by ~30 — so the exact duplicate-pair
+    set is the within-group pairs, which the DuckDB oracle computes as
+    plain integer arithmetic. No stub: payloads go through the real
+    BMP/JPEG codecs on both sides of the hash."""
+    import pandas as pd
+
+    from drill_spark.ops.phash import phash_near_dupes
+
+    nat = load_fixture(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("bigint").alias("doc_id")
+    )
+
+    def build(batches):
+        import numpy as np
+
+        from drill_spark.ops.jpeg import encode_jpeg
+        from drill_spark.ops.multimodal import encode_bmp
+
+        for pdf in batches:
+            rows = []
+            for k in pdf["doc_id"]:
+                k = int(k)
+                g = k // 3
+                y, x = np.mgrid[0:64, 0:64]
+                img = np.stack([
+                    (x * 4 + g * 37) % 256,
+                    (y * 4 + g * 59) % 256,
+                    ((x + y) * 2 + g * 23) % 256,
+                ], axis=2).astype(np.uint8)
+                bx = 8 + (g * 11) % 30
+                by = 8 + (g * 17) % 30
+                img[by:by + 18, bx:bx + 18] = [(g * 71) % 256, 30, 220]
+                if k % 3 == 1:
+                    payload = encode_jpeg(img, quality=85)
+                elif k % 3 == 2:
+                    payload = encode_bmp(
+                        np.clip(img.astype(int) + 15, 0, 255).astype(np.uint8))
+                else:
+                    payload = encode_bmp(img)
+                rows.append({"doc_id": k, "payload": payload})
+            yield pd.DataFrame.from_records(rows, columns=["doc_id", "payload"])
+
+    docs = nat.mapInPandas(build, schema="doc_id bigint, payload binary")
+    return (phash_near_dupes(docs, "doc_id", "payload",
+                             bands=4, max_hamming=10)
+            .select("id_a", "id_b")
+            .orderBy("id_a", "id_b"))
+
+
+ORACLE_IMAGE_PHASH_DEDUP = """
+select a.n_nationkey as id_a, b.n_nationkey as id_b
+from nation a
+join nation b
+  on a.n_nationkey // 3 = b.n_nationkey // 3
+ and a.n_nationkey < b.n_nationkey
+order by id_a, id_b
+"""
+
+
 QUERIES = {
     "op_avro_scan": q_avro_scan,
     "op_delta_scan": q_delta_scan,
@@ -1815,6 +1882,7 @@ QUERIES = {
     "ext_ann_pq": q_ann_pq,
     "op_gis_points": q_gis_points,
     "ext_ann_ivfpq": q_ann_ivfpq,
+    "ext_image_phash_dedup": q_image_phash_dedup,
 }
 
 ORACLES = {
@@ -1863,6 +1931,7 @@ ORACLES = {
     "ext_repetition": ORACLE_REPETITION,
     "ext_stratified_sample": ORACLE_STRATIFIED_SAMPLE,
     "ext_quality_mixture": ORACLE_QUALITY_MIXTURE,
+    "ext_image_phash_dedup": ORACLE_IMAGE_PHASH_DEDUP,
 }
 
 

@@ -1400,6 +1400,49 @@ def decode_au(payload: bytes):
     return x, rate
 
 
+def _is_image_magic(b: bytes) -> bool:
+    return (b[:2] == b"BM" or b[:8] == b"\x89PNG\r\n\x1a\n"
+            or b[:2] == b"\xff\xd8" or b[:3] == b"GIF"
+            or b[:4] in (b"II*\x00", b"MM\x00*")
+            or (len(b) >= 128 and b[:1] == b"\x0a" and b[2:3] in (b"\x00", b"\x01"))
+            or (b[:1] == b"P" and b[1:2] in b"123456" and b[2:3].isspace())
+            or b[:4] == b"qoif"
+            or b[:4] == b"\x00\x00\x01\x00")
+
+
+def decode_media_image(b: bytes):
+    """Image decode dispatch by magic bytes -> ((H, W, 3) uint8, kind).
+    Raises ValueError on non-image payloads, NotImplementedError for
+    gated sub-formats (by name)."""
+    b = bytes(b or b"")
+    if not _is_image_magic(b):
+        raise ValueError("payload is not a supported image format")
+    if b[:2] == b"BM":
+        return decode_bmp(b)
+    if b[:2] == b"\xff\xd8":
+        from drill_spark.ops.jpeg import decode_jpeg
+
+        return decode_jpeg(b)
+    if b[:3] == b"GIF":
+        return decode_gif(b)
+    if b[:4] in (b"II*\x00", b"MM\x00*"):
+        from drill_spark.ops.tiff import decode_tiff
+
+        return decode_tiff(b)
+    if b[:1] == b"\x0a":
+        return decode_pcx(b)
+    if b[:1] == b"P" and b[1:2] in b"123456":
+        return decode_pnm(b)
+    if b[:4] == b"qoif":
+        return decode_qoi(b)
+    if b[:4] == b"\x00\x00\x01\x00":
+        return decode_ico(b)
+    return decode_png(b)
+
+
+_IMG_KINDS = {b"BM": "image/bmp", b"\xff\xd8": "image/jpeg"}
+
+
 def decode_media(payload: bytes) -> dict:
     """REAL decode dispatch by magic bytes: BMP/PNG/baseline-JPEG ->
     dims + mean pixel value; WAV -> sample count, rate, RMS amplitude.
@@ -1409,35 +1452,26 @@ def decode_media(payload: bytes) -> dict:
     import numpy as np
 
     b = bytes(payload or b"")
-    if (b[:2] == b"BM" or b[:8] == b"\x89PNG\r\n\x1a\n"
-            or b[:2] == b"\xff\xd8" or b[:3] == b"GIF"
-            or b[:4] in (b"II*\x00", b"MM\x00*")
-            or (len(b) >= 128 and b[:1] == b"\x0a" and b[2:3] in (b"\x00", b"\x01"))
-            or (b[:1] == b"P" and b[1:2] in b"123456" and b[2:3].isspace())
-            or b[:4] == b"qoif"
-            or b[:4] == b"\x00\x00\x01\x00"):
+    if _is_image_magic(b):
         if b[:2] == b"BM":
-            kind, img = "image/bmp", decode_bmp(b)
+            kind = "image/bmp"
         elif b[:2] == b"\xff\xd8":
-            from drill_spark.ops.jpeg import decode_jpeg
-
-            kind, img = "image/jpeg", decode_jpeg(b)
+            kind = "image/jpeg"
         elif b[:3] == b"GIF":
-            kind, img = "image/gif", decode_gif(b)
+            kind = "image/gif"
         elif b[:4] in (b"II*\x00", b"MM\x00*"):
-            from drill_spark.ops.tiff import decode_tiff
-
-            kind, img = "image/tiff", decode_tiff(b)
+            kind = "image/tiff"
         elif b[:1] == b"\x0a":
-            kind, img = "image/pcx", decode_pcx(b)
+            kind = "image/pcx"
         elif b[:1] == b"P" and b[1:2] in b"123456":
-            kind, img = "image/pnm", decode_pnm(b)
+            kind = "image/pnm"
         elif b[:4] == b"qoif":
-            kind, img = "image/qoi", decode_qoi(b)
+            kind = "image/qoi"
         elif b[:4] == b"\x00\x00\x01\x00":
-            kind, img = "image/ico", decode_ico(b)
+            kind = "image/ico"
         else:
-            kind, img = "image/png", decode_png(b)
+            kind = "image/png"
+        img = decode_media_image(b)
         return {
             "kind": kind,
             "width": int(img.shape[1]),

@@ -1356,3 +1356,56 @@ def test_aiff_and_au_decode():
     assert rate == 16000 and np.abs(y - x).max() < 1e-3
     got = decode_media(au16 + pcm.tobytes())
     assert got["kind"] == "audio/basic" and got["n_samples"] == 80
+
+
+def test_phash_invariance_and_discrimination():
+    """DCT pHash kernel (ops/phash.py): stable across a real JPEG
+    re-encode and a brightness shift, far from an unrelated image."""
+    import numpy as np
+
+    from drill_spark.ops.jpeg import encode_jpeg
+    from drill_spark.ops.multimodal import encode_bmp
+    from drill_spark.ops.phash import phash64
+
+    y, x = np.mgrid[0:64, 0:64]
+    img = np.stack([(x * 4) % 256, (y * 4) % 256, ((x + y) * 2) % 256],
+                   axis=2).astype(np.uint8)
+    img[10:30, 10:30] = [200, 30, 30]
+
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    h = phash64(encode_bmp(img))
+    assert ham(h, phash64(encode_jpeg(img, quality=85))) <= 4
+    bright = np.clip(img.astype(int) + 18, 0, 255).astype(np.uint8)
+    assert ham(h, phash64(encode_bmp(bright))) <= 4
+    rng = np.random.default_rng(3)
+    other = rng.integers(0, 256, size=(64, 64, 3), dtype=np.uint8)
+    other[:32] = [255, 255, 0]
+    assert ham(h, phash64(encode_bmp(other))) >= 16
+
+
+def test_phash_near_dupes_banding(spark):
+    """phash_near_dupes finds exactly the planted duplicate groups via
+    the banded bucket join (no all-pairs), and skips corrupt payloads
+    instead of failing the job."""
+    import numpy as np
+    import pandas as pd
+
+    from drill_spark.ops.multimodal import encode_bmp
+    from drill_spark.ops.phash import phash_near_dupes
+
+    rows = []
+    for g in range(3):
+        y, x = np.mgrid[0:48, 0:48]
+        img = np.stack([(x * 5 + g * 61) % 256, (y * 5 + g * 43) % 256,
+                        ((x + y) * 3 + g * 29) % 256], axis=2).astype(np.uint8)
+        img[5 + g * 9:20 + g * 9, 8:30] = [(g * 83) % 256, 200, 40]
+        rows.append((g * 10, encode_bmp(img)))
+        shifted = np.clip(img.astype(int) + 12, 0, 255).astype(np.uint8)
+        rows.append((g * 10 + 1, encode_bmp(shifted)))
+    rows.append((99, b"not an image at all"))
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "payload"]))
+    got = {(r.id_a, r.id_b)
+           for r in phash_near_dupes(df, max_hamming=8).collect()}
+    assert got == {(0, 1), (10, 11), (20, 21)}
