@@ -63,10 +63,11 @@ def _esc(v) -> str:
     return _html.escape("" if v is None else str(v))
 
 
-def _table(cols, rows) -> str:
+def _table(cols, rows, raw: bool = False) -> str:
     head = "".join(f"<th>{_esc(c)}</th>" for c in cols)
+    cell = (lambda v: "" if v is None else str(v)) if raw else _esc
     body = "".join(
-        "<tr>" + "".join(f"<td>{_esc(v)}</td>" for v in r) + "</tr>" for r in rows
+        "<tr>" + "".join(f"<td>{cell(v)}</td>" for v in r) + "</tr>" for r in rows
     )
     return f"<table><tr>{head}</tr>{body}</table>"
 
@@ -126,12 +127,33 @@ class _Handler(BaseHTTPRequestHandler):
         self._reply_html(200, "drill_spark", _table(["property", "value"], rows))
 
     def _ui_profiles(self, s) -> None:
-        cols = ["query", "state", "plan_ms", "start_ts"]
+        cols = ["queryId", "query", "state", "plan_ms", "start_ts"]
         rows = [
-            (p["query"][:120], p["state"], p["plan_ms"], p["start_ts"].isoformat())
+            (f'<a href="/profiles/{_esc(p.get("queryId", ""))}">'
+             f'{_esc(p.get("queryId", "")[:8])}</a>',
+             _esc(p["query"][:120]), _esc(p["state"]), p["plan_ms"],
+             p["start_ts"].isoformat())
             for p in reversed(s.profiles[-100:])
         ]
-        self._reply_html(200, "Profiles", _table(cols, rows))
+        self._reply_html(200, "Profiles", _table(cols, rows, raw=True))
+
+    def _ui_profile_detail(self, s, qid: str) -> None:
+        """Per-query profile page (the reference's /profiles/{queryid}:
+        full statement + the captured physical plan)."""
+        p = next((x for x in s.profiles if x.get("queryId") == qid), None)
+        if p is None:
+            self._reply_html(404, "Profile", f"<p>no profile {_esc(qid)}</p>")
+            return
+        body = (
+            _table(["field", "value"],
+                   [("queryId", p.get("queryId", "")), ("state", p["state"]),
+                    ("plan_ms", p["plan_ms"]),
+                    ("start_ts", p["start_ts"].isoformat())])
+            + f"<h2>Statement</h2><pre>{_esc(p['query'])}</pre>"
+            + "<h2>Physical plan</h2><pre>"
+            + _esc(p.get("plan") or "(not captured)") + "</pre>"
+        )
+        self._reply_html(200, f"Profile {qid[:8]}", body)
 
     def _ui_storage(self, s) -> None:
         rows = [
@@ -179,6 +201,18 @@ class _Handler(BaseHTTPRequestHandler):
         if route == "/profiles":
             self._ui_profiles(s)
             return
+        if route.startswith("/profiles/") and route.endswith(".json"):
+            qid = route[len("/profiles/"):-len(".json")]
+            p = next((x for x in s.profiles if x.get("queryId") == qid), None)
+            if p is None:
+                self._reply(404, {"errorMessage": f"no profile {qid}"})
+            else:
+                self._reply(200, _json_safe(
+                    {**p, "start_ts": p["start_ts"].isoformat()}))
+            return
+        if route.startswith("/profiles/"):
+            self._ui_profile_detail(s, route[len("/profiles/"):])
+            return
         if route == "/storage":
             self._ui_storage(s)
             return
@@ -187,7 +221,9 @@ class _Handler(BaseHTTPRequestHandler):
             return
         if self.path.startswith("/profiles"):
             self._reply(200, {"profiles": _json_safe(
-                [{**p, "start_ts": p["start_ts"].isoformat()} for p in s.profiles[-100:]]
+                [{k: v for k, v in p.items() if k != "plan"}
+                 | {"start_ts": p["start_ts"].isoformat()}
+                 for p in s.profiles[-100:]]
             )})
         elif self.path.startswith("/storage"):
             self._reply(200, {"workspaces": [

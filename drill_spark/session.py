@@ -452,19 +452,31 @@ class DrillSession:
         rewrite+analysis; execution is lazy and runs on the action."""
         import datetime
         import time
+        import uuid
 
         from drill_spark.sqlfront import execute
 
         entry = {
+            "queryId": str(uuid.uuid4()),
             "query": query.strip(),
             "start_ts": datetime.datetime.now(),
             "plan_ms": 0.0,
             "state": "FAILED",
+            "plan": "",
         }
         t0 = time.perf_counter()
         try:
             df = execute(self, query)
             entry["state"] = "COMPLETED"
+            try:
+                # the formatted physical plan, captured like Drill's
+                # profile page; the Dataset caches its QueryExecution so
+                # the action reuses this planning work
+                entry["plan"] = df._jdf.queryExecution().explainString(
+                    self.spark.sparkContext._jvm.org.apache.spark.sql.execution
+                    .ExplainMode.fromString("formatted"))[:20_000]
+            except Exception:
+                pass  # streaming frames / non-plannable results
             return df
         finally:
             entry["plan_ms"] = round((time.perf_counter() - t0) * 1000, 3)

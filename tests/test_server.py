@@ -172,3 +172,27 @@ def test_web_ui_rejects_cross_site_posts(rest):
     except urllib.error.HTTPError as e:
         code = e.code
     assert code == 403
+
+
+def test_web_ui_profile_detail_page(rest):
+    """Per-query profile pages (the reference's /profiles/{queryId}):
+    the list links to a detail page carrying the statement and the
+    captured physical plan; a JSON twin serves the same record."""
+    # run a statement so a fresh profile exists
+    _post_form(f"{rest}/query", {"query": "select 41 + 1 as answer",
+                                 "autoLimit": "10"})
+    code, _, page = _get(f"{rest}/profiles")
+    assert code == 200 and 'href="/profiles/' in page
+    import re as _re
+
+    qid = _re.search(r'href="/profiles/([0-9a-f-]{36})"', page).group(1)
+    code, _, detail = _get(f"{rest}/profiles/{qid}")
+    assert code == 200
+    assert "Physical plan" in detail and "Statement" in detail
+    code, _, body = _get(f"{rest}/profiles/{qid}.json")
+    assert code == 200
+    prof = json.loads(body)
+    assert prof["queryId"] == qid and prof["state"] == "COMPLETED"
+    assert "Project" in prof["plan"] or "Scan" in prof["plan"]
+    code, _, _body = _get(f"{rest}/profiles/{'0' * 36}")
+    assert code == 404
