@@ -95,11 +95,16 @@ class Seq:
 
 @dataclass
 class Choice:
-    """xs:choice with dfdl:choiceLengthKind='implicit' (the default):
-    branches are tried in schema order by speculative parsing, first
-    success wins (spec §15). In the infoset each branch contributes a
-    nullable column; only the chosen one is set."""
+    """xs:choice: branches are tried in schema order by speculative
+    parsing, first success wins (spec §15). In the infoset each branch
+    contributes a nullable column; only the chosen one is set.
+    choiceLengthKind='implicit' (the default) leaves the cursor where
+    the winning branch ends; ='explicit' pins the choice region to
+    dfdl:choiceLength units (bytes in binary representation, characters
+    in text — exact for the subset's single-byte encodings): a branch
+    overrunning the region fails, a shorter one skips the fill."""
     branches: list = field(default_factory=list)  # list[Elem]
+    length: int | None = None  # choiceLengthKind='explicit' region size
 
 
 @dataclass
@@ -209,14 +214,17 @@ class DfdlSchema:
     def _build_choice(self, ch_el: ET.Element) -> Choice:
         props = self._dfdl_props(ch_el)
         clk = props.get("choiceLengthKind", "implicit")
-        if clk != "implicit":
+        length = None
+        if clk == "explicit":
+            length = int(props["choiceLength"])
+        elif clk != "implicit":
             raise NotImplementedError(
-                f"dfdl:choiceLengthKind={clk!r} (only 'implicit' in subset)")
+                f"dfdl:choiceLengthKind={clk!r} ('implicit'/'explicit' in subset)")
         branches = [self._build_elem(c) for c in ch_el
                     if c.tag == f"{_XS}element"]
         if not branches:
             raise ValueError("xs:choice with no element branches")
-        return Choice(branches)
+        return Choice(branches, length)
 
 
 # ------------------------------------------------------- spark schema
@@ -334,7 +342,7 @@ def _parse_bin_elem(cur: _BinCursor, elem: Elem, byte_order: str,
         ock = elem.props.get("occursCountKind")
         if ock == "expression":
             # exact count from a previously-parsed sibling; no speculation
-            return [_parse_bin_one(cur, elem, byte_order)
+            return [_parse_bin_one(cur, elem, byte_order, ctx)
                     for _ in range(_occurs_count(elem, ctx))]
         out = []
         # occursCountKind='parsed' discovers the count purely by
@@ -343,23 +351,30 @@ def _parse_bin_elem(cur: _BinCursor, elem: Elem, byte_order: str,
         while len(out) < limit:
             mark = cur.pos
             try:
-                out.append(_parse_bin_one(cur, elem, byte_order))
+                out.append(_parse_bin_one(cur, elem, byte_order, ctx))
             except _ParseError:
                 cur.pos = mark
                 break
         if ock != "parsed" and len(out) < elem.min_occurs:
             raise _ParseError(f"{elem.name}: fewer than minOccurs")
         return out
-    return _parse_bin_one(cur, elem, byte_order)
+    return _parse_bin_one(cur, elem, byte_order, ctx)
 
 
 def _parse_choice(cur, choice: Choice, parse_one) -> dict:
     """Speculative first-match-wins branch selection; the chosen branch
-    fills its field, the others are null."""
+    fills its field, the others are null. An explicit choiceLength pins
+    the region: overruns fail the branch, shortfalls skip the fill."""
     for br in choice.branches:
         mark = cur.pos
         try:
             val = parse_one(br)
+            if choice.length is not None:
+                end = mark + choice.length
+                if cur.pos > end:
+                    raise _ParseError(
+                        f"branch {br.name} overran the choiceLength region")
+                cur.take(end - cur.pos)  # fill region; EOF fails branch
         except _ParseError:
             cur.pos = mark
             continue
@@ -367,12 +382,13 @@ def _parse_choice(cur, choice: Choice, parse_one) -> dict:
     raise _ParseError("no xs:choice branch parsed")
 
 
-def _parse_bin_one(cur: _BinCursor, elem: Elem, byte_order: str):
+def _parse_bin_one(cur: _BinCursor, elem: Elem, byte_order: str,
+                   ctx: dict | None = None):
     if isinstance(elem.body, Prim):
         kind = elem.body.kind
         props = elem.props
         if props.get("lengthKind") == "explicit" and kind in ("string", "hexBinary"):
-            raw = cur.take(_explicit_length(props))  # N BYTES in binary rep
+            raw = cur.take(_explicit_length(props, ctx))  # N BYTES in binary rep
             if kind == "hexBinary":
                 return bytes(raw)
             txt = raw.decode(props.get("encoding", "utf-8"))
@@ -441,15 +457,27 @@ class _TextCursor:
         return out
 
 
-def _explicit_length(props: dict) -> int:
+def _explicit_length(props: dict, ctx: dict | None = None) -> int:
+    """Constant dfdl:length, or a sibling-reference expression
+    ({ ../n } / { n }) — the length-prefixed-field idiom, mirroring
+    _occurs_count; other expressions name themselves."""
     expr = props.get("length", "")
     if expr.startswith("{"):
-        raise NotImplementedError(
-            "dfdl:length expressions are outside the subset (constants only)")
+        m = _OCCURS_EXPR.fullmatch(expr.strip())
+        if not m:
+            raise NotImplementedError(
+                f"dfdl:length expression {expr!r} is outside the subset "
+                "(sibling references like '{ ../n }' only)")
+        name = m.group(1)
+        if ctx is None or ctx.get(name) is None:
+            raise _ParseError(
+                f"length references {name!r} which is not parsed yet")
+        return int(ctx[name])
     return int(expr)
 
 
-def _parse_text_one(cur: _TextCursor, elem: Elem, outer_delims: list[str]):
+def _parse_text_one(cur: _TextCursor, elem: Elem, outer_delims: list[str],
+                    ctx: dict | None = None):
     props = elem.props
     if isinstance(elem.body, Seq):
         return _parse_text_seq(cur, elem.body, outer_delims)
@@ -457,7 +485,7 @@ def _parse_text_one(cur: _TextCursor, elem: Elem, outer_delims: list[str]):
         cur.expect(_expand_entities(props["initiator"]))
     if props.get("lengthKind") == "explicit":
         # fixed-width field: exactly N characters, optional pad strip
-        raw = cur.take(_explicit_length(props))
+        raw = cur.take(_explicit_length(props, ctx))
         if props.get("textPadKind") == "padChar":
             pad = props.get("textStringPadCharacter", " ")
             just = props.get("textStringJustification", "left")
@@ -492,7 +520,7 @@ def _parse_text_elem(cur: _TextCursor, elem: Elem, outer_delims: list[str],
                 sep = separator if out else lead_sep
                 if sep:
                     cur.expect(sep)
-                out.append(_parse_text_one(cur, elem, outer_delims))
+                out.append(_parse_text_one(cur, elem, outer_delims, ctx))
             return out
         limit = float("inf") if ock == "parsed" else (elem.max_occurs or float("inf"))
         out = []
@@ -505,14 +533,14 @@ def _parse_text_elem(cur: _TextCursor, elem: Elem, outer_delims: list[str],
                 sep = separator if out else lead_sep
                 if sep:
                     cur.expect(sep)
-                out.append(_parse_text_one(cur, elem, outer_delims))
+                out.append(_parse_text_one(cur, elem, outer_delims, ctx))
             except _ParseError:
                 cur.pos = mark
                 break
         if ock != "parsed" and len(out) < elem.min_occurs:
             raise _ParseError(f"{elem.name}: fewer than minOccurs")
         return out
-    return _parse_text_one(cur, elem, outer_delims)
+    return _parse_text_one(cur, elem, outer_delims, ctx)
 
 
 def _parse_text_seq(cur: _TextCursor, seq: Seq, outer_delims: list[str]):

@@ -418,11 +418,104 @@ def test_explicit_length_fixed_width(spark):
         {"tag": "cdef", "n": -1, "blob": b"\xff\x00\x7f"},
     ]
 
-    # dfdl:length expressions stay a named gate
+    # sibling-reference length expressions are implemented (r6,
+    # test_length_expression_sibling_reference); richer expressions
+    # stay a named gate
     import pytest as _pytest
 
-    expr_xsd = bin_xsd.replace('dfdl:length="3"', 'dfdl:length="{ ../n }"')
+    expr_xsd = bin_xsd.replace('dfdl:length="3"',
+                               'dfdl:length="{ ../n * 2 }"')
     schema = DfdlSchema(expr_xsd)
     root = schema.root_element("row")
-    with _pytest.raises(NotImplementedError, match="length expressions"):
+    with _pytest.raises(NotImplementedError, match="outside the subset"):
         parse_dfdl_file(data, schema, root)
+
+
+def test_choice_length_kind_explicit(spark):
+    """choiceLengthKind='explicit' (spec §15.1): the choice occupies
+    exactly dfdl:choiceLength bytes — a short winning branch skips the
+    fill so the next field aligns; a branch that would overrun fails."""
+    from drill_spark.readers.dfdl import DfdlSchema, parse_dfdl_file
+
+    xsd = """<?xml version="1.0"?>
+<xs:schema xmlns:xs="http://www.w3.org/2001/XMLSchema"
+           xmlns:dfdl="http://www.ogf.org/dfdl/dfdl-1.0/">
+  <xs:annotation><xs:appinfo source="http://www.ogf.org/dfdl/">
+    <dfdl:format representation="binary"/>
+  </xs:appinfo></xs:annotation>
+  <xs:element name="row">
+    <xs:complexType>
+      <xs:sequence>
+        <xs:element name="kind" type="xs:byte"/>
+        <xs:choice dfdl:choiceLengthKind="explicit" dfdl:choiceLength="4">
+          <xs:element name="tag" type="xs:string" dfdl:lengthKind="explicit"
+                      dfdl:length="{ ../kind }" dfdl:textPadKind="padChar"/>
+          <xs:element name="num" type="xs:int"/>
+        </xs:choice>
+        <xs:element name="after" type="xs:short"/>
+      </xs:sequence>
+    </xs:complexType>
+  </xs:element>
+</xs:schema>"""
+    schema = DfdlSchema(xsd)
+    root = schema.root_element("row")
+    # record 1: kind=2 -> 2-char string branch inside the 4-byte
+    # region (2 fill bytes skipped); record 2: kind=9 -> string branch
+    # overruns the region and fails, int branch wins
+    data = (struct.pack(">b", 2) + b"hi\x00\x00" + struct.pack(">h", 7)
+            + struct.pack(">b", 9) + struct.pack(">i", 1234)
+            + struct.pack(">h", 8))
+    rows = parse_dfdl_file(data, schema, root)
+    assert rows == [
+        {"kind": 2, "tag": "hi", "num": None, "after": 7},
+        {"kind": 9, "tag": None, "num": 1234, "after": 8},
+    ]
+
+
+def test_length_expression_sibling_reference(spark):
+    """dfdl:length='{ ../n }' — the length-prefixed-field idiom — in
+    binary and text representations."""
+    from drill_spark.readers.dfdl import DfdlSchema, parse_dfdl_file
+
+    bin_xsd = """<?xml version="1.0"?>
+<xs:schema xmlns:xs="http://www.w3.org/2001/XMLSchema"
+           xmlns:dfdl="http://www.ogf.org/dfdl/dfdl-1.0/">
+  <xs:annotation><xs:appinfo source="http://www.ogf.org/dfdl/">
+    <dfdl:format representation="binary"/>
+  </xs:appinfo></xs:annotation>
+  <xs:element name="row">
+    <xs:complexType>
+      <xs:sequence>
+        <xs:element name="n" type="xs:short"/>
+        <xs:element name="body" type="xs:string" dfdl:lengthKind="explicit"
+                    dfdl:length="{ ../n }"/>
+      </xs:sequence>
+    </xs:complexType>
+  </xs:element>
+</xs:schema>"""
+    schema = DfdlSchema(bin_xsd)
+    root = schema.root_element("row")
+    data = struct.pack(">h", 5) + b"hello" + struct.pack(">h", 2) + b"ok"
+    assert parse_dfdl_file(data, schema, root) == [
+        {"n": 5, "body": "hello"}, {"n": 2, "body": "ok"}]
+
+    text_xsd = """<?xml version="1.0"?>
+<xs:schema xmlns:xs="http://www.w3.org/2001/XMLSchema"
+           xmlns:dfdl="http://www.ogf.org/dfdl/dfdl-1.0/">
+  <xs:annotation><xs:appinfo source="http://www.ogf.org/dfdl/">
+    <dfdl:format representation="text" encoding="utf-8"/>
+  </xs:appinfo></xs:annotation>
+  <xs:element name="row">
+    <xs:complexType>
+      <xs:sequence dfdl:separator="," dfdl:terminator="%NL;">
+        <xs:element name="n" type="xs:int"/>
+        <xs:element name="body" type="xs:string" dfdl:lengthKind="explicit"
+                    dfdl:length="{ ../n }"/>
+      </xs:sequence>
+    </xs:complexType>
+  </xs:element>
+</xs:schema>"""
+    schema = DfdlSchema(text_xsd)
+    root = schema.root_element("row")
+    rows = parse_dfdl_file(b"3,abc\n5,wx,yz\n", schema, root)
+    assert rows == [{"n": 3, "body": "abc"}, {"n": 5, "body": "wx,yz"}]
