@@ -885,20 +885,23 @@ def _commit_delete_entries(path: str, meta: dict, del_entries: list[dict],
 
 def _commit_mixed_snapshot(path: str, meta: dict, del_entries: list[dict],
                            data_entries: list[dict], seq: int, snap_id: int,
-                           now_ms: int, operation: str = "overwrite") -> None:
+                           now_ms: int, operation: str = "overwrite",
+                           part_fields: list | None = None) -> None:
     """Append ONE snapshot carrying a delete manifest and/or a data
     manifest (the atomic commit shape UPDATE/MERGE need): new manifest
     list = prior snapshot's rows + the new manifests + next
-    vN.metadata.json."""
+    vN.metadata.json. ``part_fields`` types the data manifest's
+    partition record on identity-partitioned tables."""
     import uuid
 
     from drill_spark.readers.avro import encode_file
 
     mdir = os.path.join(path, "metadata")
+    data_schema = _entry_schema(list(part_fields or []))
     new_rows = []
     for entries, schema_, content, tag in (
         (del_entries, _DELETE_ENTRY_SCHEMA, 1, "d0"),
-        (data_entries, _MANIFEST_ENTRY_SCHEMA, 0, "m0"),
+        (data_entries, data_schema, 0, "m0"),
     ):
         if not entries:
             continue
@@ -1027,28 +1030,20 @@ def rewrite_data_files(spark: SparkSession, path: str) -> dict:
 
     meta = _table_metadata(path)
     schema = _current_schema(meta)
-    if _spec_part_fields(meta):
-        raise NotImplementedError(
-            "rewrite_data_files on identity-partitioned Iceberg tables is "
-            "not supported yet (rewritten files would need partition values "
-            "in their manifest entries)")
+    part_fields = _spec_part_fields(meta)
+    part_types = dict(part_fields)
     live = read_iceberg(spark, path)
 
     data_dir = os.path.join(path, "data")
-    before = set(os.listdir(data_dir)) if os.path.isdir(data_dir) else set()
-    live.write.mode("append").parquet(data_dir)
-    new_files = [
-        os.path.join(data_dir, f)
-        for f in sorted(set(os.listdir(data_dir)) - before)
-        if f.endswith(".parquet")
-    ]
+    rel_files = _partition_write(live, data_dir, [c for c, _t in part_fields])
 
     mdir = os.path.join(path, "metadata")
     seq = int(meta.get("last-sequence-number", 0)) + 1
     snap_id = int(meta["current-snapshot-id"]) + 1
     now_ms = int(time.time() * 1000)
     entries, rows = [], 0
-    for fp in new_files:
+    for rel in rel_files:
+        fp = os.path.join(data_dir, rel)
         nrec = pq.read_metadata(fp).num_rows
         if nrec == 0:
             os.remove(fp)
@@ -1063,14 +1058,14 @@ def rewrite_data_files(spark: SparkSession, path: str) -> dict:
                 "content": 0,
                 "file_path": fp,
                 "file_format": "PARQUET",
-                "partition": {},
+                "partition": _partition_values_from_rel(rel, part_types),
                 "record_count": nrec,
                 "file_size_in_bytes": os.path.getsize(fp),
             },
         })
     manifest_path = os.path.join(mdir, f"{uuid.uuid4()}-m0.avro")
     with open(manifest_path, "wb") as f:
-        f.write(encode_file(_MANIFEST_ENTRY_SCHEMA, entries))
+        f.write(encode_file(_entry_schema(part_fields), entries))
     ml_row = {
         "manifest_path": manifest_path,
         "manifest_length": os.path.getsize(manifest_path),
@@ -1273,20 +1268,22 @@ def _write_pos_delete_files(spark, path: str, matched, seq: int,
     return del_entries, n_deleted
 
 
-def _write_data_entries(spark, path: str, df, seq: int,
-                        snap_id: int) -> tuple[list[dict], int]:
+def _write_data_entries(spark, path: str, df, seq: int, snap_id: int,
+                        part_fields: list | None = None) -> tuple[list[dict], int]:
     """Distributed data-file write returning manifest entries with
-    footer record counts (zero-row parts dropped)."""
+    footer record counts (zero-row parts dropped). With a partition
+    spec the files land in hive-layout dirs and every entry carries
+    its typed identity partition values — the same convention
+    write_iceberg/append_iceberg use."""
     import pyarrow.parquet as pq
 
+    part_fields = part_fields or []
+    part_types = dict(part_fields)
     data_dir = os.path.join(path, "data")
-    before = set(os.listdir(data_dir)) if os.path.isdir(data_dir) else set()
-    df.write.mode("append").parquet(data_dir)
+    rel_files = _partition_write(df, data_dir, [c for c, _t in part_fields])
     entries, rows = [], 0
-    for name in sorted(set(os.listdir(data_dir)) - before):
-        if not name.endswith(".parquet"):
-            continue
-        fp = os.path.join(data_dir, name)
+    for rel in rel_files:
+        fp = os.path.join(data_dir, rel)
         nrec = pq.read_metadata(fp).num_rows
         if nrec == 0:
             os.remove(fp)
@@ -1301,7 +1298,7 @@ def _write_data_entries(spark, path: str, df, seq: int,
                 "content": 0,
                 "file_path": fp,
                 "file_format": "PARQUET",
-                "partition": {},
+                "partition": _partition_values_from_rel(rel, part_types),
                 "record_count": nrec,
                 "file_size_in_bytes": os.path.getsize(fp),
             },
@@ -1326,11 +1323,7 @@ def update_where(spark: SparkSession, path: str, condition: str,
     unknown = [c for c in assignments if c not in names]
     if unknown:
         raise ValueError(f"UPDATE of unknown column(s): {unknown}")
-    if _spec_part_fields(meta):
-        raise NotImplementedError(
-            "UPDATE on identity-partitioned Iceberg tables is not supported "
-            "yet (rewritten rows would need partition values in their "
-            "manifest entries); DELETE works")
+    part_fields = _spec_part_fields(meta)
     live = _current_live_scan(spark, path, meta)
     if live is None:
         return 0
@@ -1345,9 +1338,10 @@ def update_where(spark: SparkSession, path: str, condition: str,
         typ = next(f.dataType for f in schema.fields if f.name == col)
         updated = updated.withColumn(col, F.expr(expr).cast(typ))
     data_entries, _ = _write_data_entries(
-        spark, path, updated.select(*names), seq, snap_id)
+        spark, path, updated.select(*names), seq, snap_id, part_fields)
     _commit_mixed_snapshot(path, meta, del_entries, data_entries, seq, snap_id,
-                           int(time.time() * 1000), operation="overwrite")
+                           int(time.time() * 1000), operation="overwrite",
+                           part_fields=part_fields)
     return n
 
 
@@ -1375,11 +1369,7 @@ def merge_into(
     meta = _table_metadata(path)
     schema = _current_schema(meta)
     names = [f.name for f in schema.fields]
-    if _spec_part_fields(meta):
-        raise NotImplementedError(
-            "MERGE on identity-partitioned Iceberg tables is not supported "
-            "yet (new data files would need partition values in their "
-            "manifest entries); DELETE works")
+    part_fields = _spec_part_fields(meta)
     live = _current_live_scan(spark, path, meta)
     if live is None:
         return {"updated": 0, "deleted": 0, "inserted": 0}
@@ -1408,7 +1398,7 @@ def merge_into(
             F.expr(when_matched_update.get(c, f"t.`{c}`")).cast(by_type[c]).alias(c)
             for c in names
         ])
-        e, r = _write_data_entries(spark, path, upd, seq, snap_id)
+        e, r = _write_data_entries(spark, path, upd, seq, snap_id, part_fields)
         data_entries += e
         appended += r
     if when_not_matched_insert is not None:
@@ -1417,7 +1407,7 @@ def merge_into(
              if c in when_not_matched_insert else F.lit(None).cast(by_type[c])).alias(c)
             for c in names
         ])
-        e, r = _write_data_entries(spark, path, ins, seq, snap_id)
+        e, r = _write_data_entries(spark, path, ins, seq, snap_id, part_fields)
         data_entries += e
         appended += r
 
@@ -1425,7 +1415,8 @@ def merge_into(
     if not del_entries and not data_entries:
         return {"updated": 0, "deleted": 0, "inserted": 0}
     _commit_mixed_snapshot(path, meta, del_entries, data_entries, seq, snap_id,
-                           int(time.time() * 1000), operation="overwrite")
+                           int(time.time() * 1000), operation="overwrite",
+                           part_fields=part_fields)
     n_updated = n_masked if when_matched_update else 0
     n_deleted = n_masked if when_matched_delete else 0
     return {"updated": n_updated, "deleted": n_deleted,

@@ -1098,3 +1098,77 @@ def test_iceberg_identity_partitioned_write(spark, tmp_path):
     # row-level DML on the partitioned table
     assert delete_where(spark, tbl, "k >= 13") == 2
     assert read_iceberg(spark, tbl).count() == 13
+
+
+def test_iceberg_partitioned_update_merge_compaction(spark, tmp_path):
+    """UPDATE / MERGE / rewrite_data_files on identity-partitioned
+    Iceberg tables (r6, closing the r5 gate): rewritten and inserted
+    files land in hive-layout partition dirs with typed partition
+    values in their manifest entries; an UPDATE that changes the
+    partition column moves the row to its new partition."""
+    from drill_spark.readers.avro import decode_file
+    from drill_spark.readers.iceberg import (
+        _table_metadata, merge_into, rewrite_data_files, update_where,
+    )
+
+    tbl = str(tmp_path / "ice_part_dml")
+    df = spark.range(10).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 2).cast("int").alias("cell"),
+        (F.col("id") * 10).alias("v"),
+    )
+    write_iceberg(df, tbl, partition_by=["cell"])
+
+    # UPDATE leaving the partition untouched
+    assert update_where(spark, tbl, "k < 3", {"v": "v + 1"}) == 3
+    got = {r.k: (r.cell, r.v) for r in read_iceberg(spark, tbl).collect()}
+    assert got[0] == (0, 1) and got[1] == (1, 11) and got[2] == (0, 21)
+    assert got[5] == (1, 50)
+
+    # UPDATE that MOVES rows across partitions
+    assert update_where(spark, tbl, "k = 4", {"cell": "1"}) == 1
+    got = {r.k: r.cell for r in read_iceberg(spark, tbl).collect()}
+    assert got[4] == 1
+
+    # manifest entries for the new files carry typed partition values
+    meta = _table_metadata(tbl)
+    snap = next(s for s in meta["snapshots"]
+                if s["snapshot-id"] == meta["current-snapshot-id"])
+    with open(snap["manifest-list"], "rb") as f:
+        _, ml = decode_file(f.read())
+    data_manifests = [m for m in ml if m["content"] == 0]
+    parts = set()
+    for m in data_manifests:
+        with open(m["manifest_path"], "rb") as f:
+            _, entries = decode_file(f.read())
+        parts |= {e["data_file"]["partition"].get("cell") for e in entries}
+    assert parts <= {0, 1} and 1 in parts
+
+    # MERGE: update one row, insert one new row (new partition value ok)
+    src = spark.createDataFrame([(1, 99), (100, 7)], "k bigint, nv bigint")
+    out = merge_into(
+        spark, tbl, src, "t.k = src.k",
+        when_matched_update={"v": "src.nv"},
+        when_not_matched_insert={"k": "src.k", "cell": "cast(0 as int)",
+                                 "v": "src.nv"},
+    )
+    assert out == {"updated": 1, "deleted": 0, "inserted": 1}
+    got = {r.k: r.v for r in read_iceberg(spark, tbl).collect()}
+    assert got[1] == 99 and got[100] == 7 and len(got) == 11
+
+    # compaction keeps every row, pays down the delete debt, and the
+    # replacement files sit in partition dirs
+    res = rewrite_data_files(spark, tbl)
+    assert res["rows"] == 11
+    got2 = {r.k: (r.cell, r.v) for r in read_iceberg(spark, tbl).collect()}
+    assert {k: v for k, (c, v) in got2.items()} == got
+    meta2 = _table_metadata(tbl)
+    snap2 = next(s for s in meta2["snapshots"]
+                 if s["snapshot-id"] == meta2["current-snapshot-id"])
+    with open(snap2["manifest-list"], "rb") as f:
+        _, ml2 = decode_file(f.read())
+    assert all(m["content"] == 0 for m in ml2)  # REPLACE: no delete debt
+    with open(ml2[0]["manifest_path"], "rb") as f:
+        _, entries2 = decode_file(f.read())
+    assert {e["data_file"]["partition"]["cell"] for e in entries2} == {0, 1}
+    assert all("_p_cell=" in e["data_file"]["file_path"] for e in entries2)
