@@ -1232,10 +1232,6 @@ def update_where(spark: SparkSession, path: str, condition: str,
     import time
 
     snap = load_snapshot(spark, path)
-    if snap.column_mapping_mode == "id":
-        raise NotImplementedError(
-            "update_where on id-mapped tables needs parquet field-id "
-            "writing; 'name' mode is supported")
     unknown = [c for c in assignments if c not in {f.name for f in snap.schema.fields}]
     if unknown:
         raise ValueError(f"UPDATE of unknown column(s): {unknown}")
@@ -1327,10 +1323,6 @@ def merge_into(
         raise ValueError("choose ONE of when_matched_update / when_matched_delete")
 
     snap = load_snapshot(spark, path)
-    if snap.column_mapping_mode == "id":
-        raise NotImplementedError(
-            "merge_into on id-mapped tables needs parquet field-id "
-            "writing; 'name' mode is supported")
     by_type = {f.name: _clean_type(f.dataType) for f in snap.schema.fields}
     target_cols = [f.name for f in snap.schema.fields]
 
@@ -1459,10 +1451,6 @@ def optimize(spark: SparkSession, path: str,
     import time
 
     snap = load_snapshot(spark, path)
-    if snap.column_mapping_mode == "id":
-        raise NotImplementedError(
-            "optimize on id-mapped tables needs parquet field-id "
-            "writing; 'name' mode is supported")
 
     def abs_path(p: str) -> str:
         return p if os.path.isabs(p) else os.path.join(path, p)
@@ -1522,15 +1510,25 @@ def optimize(spark: SparkSession, path: str,
 
 def _writer_shape(df: DataFrame, snap: "DeltaSnapshot"):
     """Shape a LOGICAL-named DataFrame for writing into the table:
-    under column mapping ('name' mode) data files carry PHYSICAL
-    column names, and the hive partition dirs (hence
-    add.partitionValues keys) use the partition columns' physical
-    names too. Returns (df_to_write, partition_cols_for_writer)."""
+    under column mapping data files carry PHYSICAL column names, and
+    the hive partition dirs (hence add.partitionValues keys) use the
+    partition columns' physical names too. In 'id' mode each top-level
+    column additionally carries ``parquet.field.id`` metadata (from
+    delta.columnMapping.id), which Spark's parquet writer emits as the
+    field_id an id-mode reader matches on
+    (spark.sql.parquet.fieldId.write.enabled, on by default).
+    Returns (df_to_write, partition_cols_for_writer)."""
     if snap.column_mapping_mode not in ("name", "id"):
         return df, snap.partition_columns
     phys = {f.name: _physical_name(f) for f in snap.schema.fields}
-    out = df.select(*[F.col(f.name).alias(phys[f.name])
-                      for f in snap.schema.fields])
+    cols = []
+    for f in snap.schema.fields:
+        fid = (f.metadata or {}).get("delta.columnMapping.id")
+        md = {"parquet.field.id": int(fid)} \
+            if snap.column_mapping_mode == "id" and fid is not None else None
+        cols.append(F.col(f.name).alias(phys[f.name], metadata=md)
+                    if md else F.col(f.name).alias(phys[f.name]))
+    out = df.select(*cols)
     return out, [phys[c] for c in snap.partition_columns]
 
 

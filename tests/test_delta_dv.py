@@ -524,7 +524,7 @@ def test_column_mapped_dml_name_mode(spark, tmp_path):
     assert "col-9cafda1&" in cols and "id" not in cols
 
 
-def test_column_mapped_optimize_and_id_mode_gate(spark, tmp_path):
+def test_column_mapped_optimize_and_id_mode_dml(spark, tmp_path):
     from drill_spark.readers.delta import delete_where, load_snapshot, optimize, update_where
 
     tbl = tmp_path / "cm_opt"
@@ -537,8 +537,9 @@ def test_column_mapped_optimize_and_id_mode_gate(spark, tmp_path):
     assert not any(e.get("dv") for e in snap.files.values())
     assert sorted(r.id for r in read_delta(spark, path).collect()) == [1, 3, 5]
 
-    # id mode keeps a precise gate on the writing paths: rewrite the
-    # mode in the metaData line only
+    # id mode (r6, formerly gated): writes attach parquet field ids
+    # from delta.columnMapping.id, so an id-matching reader resolves
+    # the rewritten files; conditions still use logical names
     commits = sorted((tbl / "_delta_log").glob("*.json"))
     lines = []
     for line in commits[0].read_text().splitlines():
@@ -547,5 +548,16 @@ def test_column_mapped_optimize_and_id_mode_gate(spark, tmp_path):
             a["metaData"]["configuration"]["delta.columnMapping.mode"] = "id"
         lines.append(json.dumps(a))
     commits[0].write_text("\n".join(lines) + "\n")
-    with pytest.raises(NotImplementedError, match="id-mapped"):
-        update_where(spark, path, "id = 1", {"name": "'x'"})
+    before = {f for f in os.listdir(tbl) if f.endswith(".parquet")}
+    assert update_where(spark, path, "id = 1", {"name": "'x'"}) == 1
+    got = {r.id: r.name for r in read_delta(spark, path).collect()}
+    assert got[1] == "x" and sorted(got) == [1, 3, 5]
+    import pyarrow.parquet as pq
+
+    new_files = [f for f in os.listdir(tbl)
+                 if f.endswith(".parquet") and f not in before]
+    assert new_files
+    sch = pq.read_schema(str(tbl / new_files[0]))
+    fids = {f.name: (f.metadata or {}).get(b"PARQUET:field_id")
+            for f in sch}
+    assert fids.get("col-9cafda1&") == b"1"  # physical name + field id
