@@ -172,6 +172,31 @@ def sys_threads(session) -> DataFrame:
     )
 
 
+def sys_aliases(session) -> DataFrame:
+    """Aliases table (store/sys/AliasesIterator analog): the session's
+    registered table aliases (CREATE ALIAS surface)."""
+    rows = [Row(alias=a, name=t, user="anonymous", isPublic=False)
+            for a, t in sorted(getattr(session, "aliases", {}).items())]
+    return session.spark.createDataFrame(
+        rows, "alias string, name string, user string, isPublic boolean")
+
+
+def sys_connections(session) -> DataFrame:
+    """Connections table (store/sys/BitToUserConnectionIterator analog):
+    embedded mode has the one in-process session; the JDBC/web servers
+    add theirs when running."""
+    import datetime
+
+    started = getattr(session, "_started_at", None)
+    if started is None:
+        started = datetime.datetime.now()
+        session._started_at = started
+    rows = [Row(user="anonymous", client="embedded",
+                established=started, queries=len(getattr(session, "profiles", [])))]
+    return session.spark.createDataFrame(
+        rows, "user string, client string, established timestamp, queries int")
+
+
 def register_system_views(session) -> None:
     """Expose information_schema_* / sys_* as queryable temp views
     (snapshots at call time; sqlfront refreshes on each dotted-name query)."""
@@ -185,3 +210,5 @@ def register_system_views(session) -> None:
     sys_drillbits(session).createOrReplaceTempView("sys_drillbits")
     sys_memory(session).createOrReplaceTempView("sys_memory")
     sys_threads(session).createOrReplaceTempView("sys_threads")
+    sys_aliases(session).createOrReplaceTempView("sys_aliases")
+    sys_connections(session).createOrReplaceTempView("sys_connections")

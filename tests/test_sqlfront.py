@@ -184,6 +184,15 @@ def test_information_schema_and_sys(dsession):
     assert opts.get("my.option") == "42"
     ver = dsession.sql("select * from sys_version").head()
     assert ver["spark_version"].startswith("4.")
+    # sys.aliases / sys.connections (AliasesIterator /
+    # BitToUserConnectionIterator analogs)
+    dsession.sql("CREATE ALIAS sysalias FOR TABLE sys.version")
+    _r(dsession)
+    al = {r.alias: r.name for r in dsession.sql("select * from sys.aliases").collect()}
+    assert al.get("sysalias") == "sys.version"
+    conn = dsession.sql("select * from sys.connections").head()
+    assert conn.client == "embedded" and conn.queries >= 1
+    dsession.sql("DROP ALIAS sysalias")
 
 
 def test_table_aliases(dsession):
