@@ -1757,6 +1757,57 @@ def q_ann_ivfpq(spark, sf_dir):
                       k=3, n_cells=8, nprobe=3)
 
 
+def q_substring_dedup(spark, sf_dir):
+    """Exact-substring dedup via winnowing fingerprints (ops/winnow.py;
+    the Lee et al. 2022 duplication mode, MOSS-style candidate
+    generation). Oracle-checkable ground truth: documents.text rows
+    share long verbatim passages only where the fixture generator
+    reused sentences — instead of depending on that, the query plants
+    its own passages: doc text = fixture text + a passage selected by
+    doc_id % 5, so docs with equal doc_id % 5 (within the id<60 slice)
+    share a >=40-char verbatim span and others don't. The oracle is the
+    closed-form pair set in SQL. Spans found by the real
+    fingerprint->join->extend pipeline, pairs compared."""
+    from drill_spark.ops.winnow import substring_dup_spans
+
+    # passages interleave the class digit every few characters so no
+    # two classes share a 40-char run; fillers are doc-unique tokens
+    passages = [
+        f"b{i}oilerplate p{i}assage re{i}peated ve{i}rbatim "
+        f"acr{i}oss doc{i}uments edi{i}tion cl{i}ass fin{i}al"
+        for i in range(5)
+    ]
+    docs = (
+        load_fixture(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < 60)
+        .select(
+            "doc_id",
+            F.concat(
+                F.lit("document "), F.col("doc_id").cast("string"),
+                F.lit(" filler "),
+                F.repeat(F.concat(F.lit("tok"), F.col("doc_id").cast("string"),
+                                  F.lit(" ")), 20),
+                F.lit("<<"),
+                F.element_at(F.array(*[F.lit(p) for p in passages]),
+                             (F.col("doc_id") % 5 + 1).cast("int")),
+                F.lit(">>"),
+            ).alias("text"),
+        )
+    )
+    return (substring_dup_spans(docs, min_len=40, max_bucket=16)
+            .select("id_a", "id_b").distinct().orderBy("id_a", "id_b"))
+
+
+ORACLE_SUBSTRING_DEDUP = """
+select a.doc_id as id_a, b.doc_id as id_b
+from documents a
+join documents b
+  on a.doc_id % 5 = b.doc_id % 5 and a.doc_id < b.doc_id
+where a.doc_id < 60 and b.doc_id < 60
+order by id_a, id_b
+"""
+
+
 def q_image_phash_dedup(spark, sf_dir):
     """Perceptual-hash image dedup (ops/phash.py: DCT pHash + banded
     hamming bucket join), oracle-checked with closed-form ground truth:
@@ -1883,6 +1934,7 @@ QUERIES = {
     "op_gis_points": q_gis_points,
     "ext_ann_ivfpq": q_ann_ivfpq,
     "ext_image_phash_dedup": q_image_phash_dedup,
+    "ext_substring_dedup": q_substring_dedup,
 }
 
 ORACLES = {
@@ -1932,6 +1984,7 @@ ORACLES = {
     "ext_stratified_sample": ORACLE_STRATIFIED_SAMPLE,
     "ext_quality_mixture": ORACLE_QUALITY_MIXTURE,
     "ext_image_phash_dedup": ORACLE_IMAGE_PHASH_DEDUP,
+    "ext_substring_dedup": ORACLE_SUBSTRING_DEDUP,
 }
 
 

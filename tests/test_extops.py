@@ -1409,3 +1409,75 @@ def test_phash_near_dupes_banding(spark):
     got = {(r.id_a, r.id_b)
            for r in phash_near_dupes(df, max_hamming=8).collect()}
     assert got == {(0, 1), (10, 11), (20, 21)}
+
+
+def test_winnow_guarantee_property():
+    """Winnowing guarantee (Schleimer et al. 2003): any common
+    substring of length >= k + window - 1 shares at least one selected
+    fingerprint — fingerprint equality is a COMPLETE candidate
+    generator at the guarantee length."""
+    import random
+
+    from drill_spark.ops.winnow import winnow_fingerprints
+
+    rng = random.Random(7)
+    k, w = 8, 4
+    for _ in range(100):
+        common = "".join(rng.choice("abcdefgh ")
+                         for _ in range(k + w - 1 + rng.randrange(40)))
+        a = ("".join(rng.choice("xyzuvw") for _ in range(rng.randrange(60)))
+             + common
+             + "".join(rng.choice("qrstu") for _ in range(rng.randrange(60))))
+        b = ("".join(rng.choice("mnopq") for _ in range(rng.randrange(60)))
+             + common
+             + "".join(rng.choice("jklmn") for _ in range(rng.randrange(60))))
+        fa = {h for h, _ in winnow_fingerprints(a, k, w)}
+        fb = {h for h, _ in winnow_fingerprints(b, k, w)}
+        assert fa & fb
+
+
+def test_substring_dup_spans(spark):
+    """Exact-substring dedup: planted verbatim passages are found with
+    their exact maximal spans; unrelated docs produce nothing."""
+    from drill_spark.ops.winnow import substring_dup_spans
+
+    passage = ("All happy training corpora are alike; every duplicated "
+               "passage is duplicated in its own way.")
+    rows = [
+        (1, "intro text AAA. " + passage + " outro one."),
+        (2, "totally different lead. " + passage + " and a different tail."),
+        (3, "no shared content here at all, just original words only."),
+        (4, "another fully original document about unrelated topics."),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = substring_dup_spans(df, min_len=40).collect()
+    pairs = {(r.id_a, r.id_b) for r in got}
+    assert pairs == {(1, 2)}
+    r = max(got, key=lambda r: r.span_len)
+    a_text, b_text = rows[0][1], rows[1][1]
+    assert a_text[r.pos_a:r.pos_a + r.span_len] == \
+        b_text[r.pos_b:r.pos_b + r.span_len]
+    # the maximal span contains the planted passage (plus the shared
+    # ' ' boundary chars that extend it)
+    assert passage in a_text[r.pos_a:r.pos_a + r.span_len]
+
+
+def test_substring_dup_spans_hot_bucket_cap(spark):
+    """A fingerprint shared by every document is capped per bucket —
+    candidate pairs stay bounded instead of going quadratic."""
+    from drill_spark.ops.winnow import fingerprint_docs, substring_dup_spans
+
+    boiler = "this exact same boilerplate license header text appears everywhere"
+    rows = [(i, f"doc {i} unique part {'x' * (i % 5)} " + boiler)
+            for i in range(12)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = substring_dup_spans(df, min_len=40, max_bucket=4).collect()
+    # capped: strictly fewer than the 66 all-pairs (each fingerprint
+    # bucket admits at most C(4,2) pairs), but the passage is found
+    pairs = {(r.id_a, r.id_b) for r in got}
+    assert 0 < len(pairs) < 66
+    # uncapped finds every pair
+    full = {(r.id_a, r.id_b)
+            for r in substring_dup_spans(df, min_len=40,
+                                         max_bucket=1000).collect()}
+    assert len(full) == 66
