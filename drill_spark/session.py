@@ -122,6 +122,9 @@ def get_spark(
         # --- semantics ---
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.ansi.enabled", "false")  # Drill's lenient casts (TypeCastRules.java:40)
+        # last-wins map keys (Drill's map writes overwrite; also what
+        # parse_query needs for repeated URL params)
+        .config("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
         .config("spark.sql.parquet.enableVectorizedReader", "true")
         # events.parquet carries TIMESTAMP(NANOS) which Spark's reader
         # rejects; read as long and convert (see load_fixture)
@@ -161,6 +164,7 @@ _FIXTURE_SESSION_CONFS = (
     ("spark.sql.legacy.parquet.nanosAsLong", "true"),
     ("spark.sql.session.timeZone", "UTC"),
     ("spark.sql.ansi.enabled", "false"),
+    ("spark.sql.mapKeyDedupPolicy", "LAST_WIN"),
 )
 
 

@@ -459,3 +459,11 @@ def test_distribution_functions(session):
                             " (1.0, 3.0), (2.0, 5.0), (3.0, 7.0) t(x, y)") - 2.0) < 1e-12
     assert abs(one(session, "select regr_intercept(y, x) from values"
                             " (1.0, 3.0), (2.0, 5.0), (3.0, 7.0) t(x, y)") - 1.0) < 1e-12
+
+
+def test_parse_query_duplicate_keys_last_win(session):
+    """Repeated URL params must not error: last occurrence wins (the
+    session pins spark.sql.mapKeyDedupPolicy=LAST_WIN, matching Drill's
+    overwriting map writes)."""
+    assert one(session, "select parse_query('a=1&a=2')['a']") == "2"
+    assert one(session, "select parse_query('u?x=old&y=2&x=new')['x']") == "new"
