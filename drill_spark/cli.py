@@ -95,7 +95,15 @@ class Shell:
                     f"({time.time() - t0:.3f} seconds){note}")
 
     def run_bang(self, line: str) -> bool:
-        """Execute one !command; returns False when the shell should exit."""
+        """Execute one !command; returns False when the shell should
+        exit. Errors print and the shell survives."""
+        try:
+            return self._run_bang(line)
+        except Exception as e:
+            self._print(f"Error: {_first_line(e)}")
+            return True
+
+    def _run_bang(self, line: str) -> bool:
         parts = line[1:].strip().split(None, 1)
         cmd = parts[0].lower() if parts else ""
         arg = parts[1].strip() if len(parts) > 1 else ""

@@ -61,9 +61,12 @@ def _area_resample(a, out_h: int, out_w: int):
     csum = np.zeros((h + 1, w + 1))
     csum[1:, 1:] = a.cumsum(axis=0).cumsum(axis=1)
     for i in range(out_h):
-        y0, y1 = ys[i], max(ys[i + 1], ys[i] + 1)
+        # inputs SMALLER than the target repeat pixels (clamped bins)
+        y0 = min(ys[i], h - 1)
+        y1 = min(max(ys[i + 1], y0 + 1), h)
         for j in range(out_w):
-            x0, x1 = xs[j], max(xs[j + 1], xs[j] + 1)
+            x0 = min(xs[j], w - 1)
+            x1 = min(max(xs[j + 1], x0 + 1), w)
             s = (csum[y1, x1] - csum[y0, x1] - csum[y1, x0] + csum[y0, x0])
             out[i, j] = s / ((y1 - y0) * (x1 - x0))
     return out

@@ -82,3 +82,12 @@ def test_cli_execute_mode(session, capsys):
     sh, out = make_shell(session)
     sh.feed("!set outputformat json\nselect 5 as v;")
     assert '{"v": 5}' in out.getvalue()
+
+
+def test_shell_bang_error_survival(session):
+    """A failing !command prints an error and the shell keeps going."""
+    sh, out = make_shell(session)
+    assert sh.run_bang("!describe definitely_no_such_table") is True
+    assert "Error:" in out.getvalue()
+    sh.feed("select 7 as ok;")
+    assert "| 7" in out.getvalue()

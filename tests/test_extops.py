@@ -1481,3 +1481,16 @@ def test_substring_dup_spans_hot_bucket_cap(spark):
             for r in substring_dup_spans(df, min_len=40,
                                          max_bucket=1000).collect()}
     assert len(full) == 66
+
+
+def test_phash_tiny_images():
+    """Images smaller than the 32x32 resample target hash without
+    error (clamped bins repeat pixels)."""
+    import numpy as np
+
+    from drill_spark.ops.multimodal import encode_bmp
+    from drill_spark.ops.phash import phash64
+
+    for shape in [(1, 1, 3), (3, 4, 3), (2, 40, 3), (40, 2, 3)]:
+        assert isinstance(phash64(encode_bmp(
+            np.full(shape, 128, dtype=np.uint8))), int)
