@@ -120,6 +120,8 @@ def substring_dup_spans(df: DataFrame, id_col: str = "doc_id",
     )
     a = capped.alias("a")
     b = capped.alias("b")
+    # ONE anchor list per candidate pair, so each document's text joins
+    # once per PAIR, not once per shared fingerprint
     cands = (
         a.join(b, (F.col("a.fp") == F.col("b.fp"))
                & (F.col("a.doc_id") < F.col("b.doc_id")))
@@ -128,6 +130,8 @@ def substring_dup_spans(df: DataFrame, id_col: str = "doc_id",
                 F.col("a.pos").alias("pos_a"),
                 F.col("b.pos").alias("pos_b"))
         .distinct()
+        .groupBy("id_a", "id_b")
+        .agg(F.collect_list(F.struct("pos_a", "pos_b")).alias("_anchors"))
     )
     texts = df.select(F.col(id_col).alias("_tid"), F.col(text_col).alias("_txt"))
     joined = (
@@ -139,24 +143,24 @@ def substring_dup_spans(df: DataFrame, id_col: str = "doc_id",
 
     def verify(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            best: dict[tuple, tuple] = {}
-            for ia, ib, pa, pb, ta, tb in zip(
-                pdf["id_a"], pdf["id_b"], pdf["pos_a"], pdf["pos_b"],
+            rows: list[tuple] = []
+            for ia, ib, anchors, ta, tb in zip(
+                pdf["id_a"], pdf["id_b"], pdf["_anchors"],
                 pdf["_txt_a"], pdf["_txt_b"],
             ):
-                sa, sb, ln = _extend_span(str(ta), str(tb), int(pa), int(pb), k)
-                if ln < min_len:
-                    continue
-                key = (int(ia), int(ib), sa, sb)  # maximal span dedups anchors
-                if key not in best or best[key][4] < ln:
-                    best[key] = (int(ia), int(ib), sa, sb, ln)
+                ta, tb = str(ta), str(tb)
+                best: dict[tuple, int] = {}
+                for anc in anchors:
+                    pa, pb = int(anc["pos_a"]), int(anc["pos_b"])
+                    sa, sb, ln = _extend_span(ta, tb, pa, pb, k)
+                    if ln >= min_len:
+                        key = (sa, sb)  # anchors in one span collapse
+                        best[key] = max(best.get(key, 0), ln)
+                rows.extend((int(ia), int(ib), sa, sb, ln)
+                            for (sa, sb), ln in best.items())
             yield pd.DataFrame(
-                list(best.values()) or None,
+                rows or None,
                 columns=["id_a", "id_b", "pos_a", "pos_b", "span_len"],
             )
 
-    out = joined.mapInPandas(verify, schema=SPAN_SCHEMA)
-    # anchors inside the same maximal span all extend to identical
-    # (pos_a, pos_b, len) triples; the groupBy collapses batch borders
-    return (out.groupBy("id_a", "id_b", "pos_a", "pos_b")
-            .agg(F.max("span_len").alias("span_len")))
+    return joined.mapInPandas(verify, schema=SPAN_SCHEMA)
