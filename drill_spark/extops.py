@@ -1808,6 +1808,67 @@ order by id_a, id_b
 """
 
 
+def q_audio_dedup(spark, sf_dir):
+    """Audio fingerprint dedup (ops/audiofp.py: Haitsma-Kalker frame
+    hashes + offset-aligned anchor join), oracle-checked with
+    closed-form ground truth: nation key k belongs to waveform group
+    g = k div 3; the three members are the SAME two-tone signal as
+    (k%3==0) the original FLAC, (k%3==1) an EXACT x2 gain (integer
+    doubling — sign-of-difference hashes are scale-invariant), and
+    (k%3==2) a 2-hop leading trim (the offset histogram aligns it).
+    All payloads go through the real FLAC codec; different groups use
+    different tone pairs and share no aligned frames, so the duplicate
+    pair set is the within-group pairs — plain integer SQL for the
+    oracle."""
+    import pandas as pd
+
+    from drill_spark.ops.audiofp import audio_near_dupes
+
+    nat = load_fixture(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("bigint").alias("doc_id")
+    )
+
+    def build(batches):
+        import numpy as np
+
+        from drill_spark.ops.flac import encode_flac
+
+        rate = 8000
+        t = np.arange(rate * 3) / rate
+        for pdf in batches:
+            rows = []
+            for k in pdf["doc_id"]:
+                k = int(k)
+                g = k // 3
+                sig = (0.30 * np.sin(2 * np.pi * (500 + 70 * g) * t)
+                       + 0.18 * np.sin(2 * np.pi * (900 + 110 * g)
+                                       * t * (1 + 0.05 * np.sin(2 * np.pi * 0.5 * t))))
+                base = (sig * 8000).astype("int32")
+                if k % 3 == 1:
+                    pcm = base * 2  # exact gain: integer doubling
+                elif k % 3 == 2:
+                    pcm = base[2048:]  # 2-hop leading trim
+                else:
+                    pcm = base
+                rows.append({"doc_id": k,
+                             "payload": encode_flac(pcm, rate, bits=16)})
+            yield pd.DataFrame.from_records(rows, columns=["doc_id", "payload"])
+
+    docs = nat.mapInPandas(build, schema="doc_id bigint, payload binary")
+    return (audio_near_dupes(docs, "doc_id", "payload", min_matches=8)
+            .select("id_a", "id_b").orderBy("id_a", "id_b"))
+
+
+ORACLE_AUDIO_DEDUP = """
+select a.n_nationkey as id_a, b.n_nationkey as id_b
+from nation a
+join nation b
+  on a.n_nationkey // 3 = b.n_nationkey // 3
+ and a.n_nationkey < b.n_nationkey
+order by id_a, id_b
+"""
+
+
 def q_image_phash_dedup(spark, sf_dir):
     """Perceptual-hash image dedup (ops/phash.py: DCT pHash + banded
     hamming bucket join), oracle-checked with closed-form ground truth:
@@ -1935,6 +1996,7 @@ QUERIES = {
     "ext_ann_ivfpq": q_ann_ivfpq,
     "ext_image_phash_dedup": q_image_phash_dedup,
     "ext_substring_dedup": q_substring_dedup,
+    "ext_audio_dedup": q_audio_dedup,
 }
 
 ORACLES = {
@@ -1985,6 +2047,7 @@ ORACLES = {
     "ext_quality_mixture": ORACLE_QUALITY_MIXTURE,
     "ext_image_phash_dedup": ORACLE_IMAGE_PHASH_DEDUP,
     "ext_substring_dedup": ORACLE_SUBSTRING_DEDUP,
+    "ext_audio_dedup": ORACLE_AUDIO_DEDUP,
 }
 
 

@@ -1494,3 +1494,57 @@ def test_phash_tiny_images():
     for shape in [(1, 1, 3), (3, 4, 3), (2, 40, 3), (40, 2, 3)]:
         assert isinstance(phash64(encode_bmp(
             np.full(shape, 128, dtype=np.uint8))), int)
+
+
+def test_audio_fingerprint_kernel():
+    """Haitsma-Kalker frame hashes: exact gain invariance, hop-exact
+    trim alignment, near-zero cross-signal collisions."""
+    import numpy as np
+
+    from drill_spark.ops.audiofp import frame_hashes
+
+    rate = 8000
+    t = np.arange(rate * 3) / rate
+    sig = (0.4 * np.sin(2 * np.pi * (400 + 80 * np.sin(2 * np.pi * 0.7 * t)) * t)
+           + 0.2 * np.sin(2 * np.pi * 900 * t))
+    h = frame_hashes(sig, rate)
+    assert frame_hashes(0.5 * sig, rate) == h  # gain invariance
+    h_trim = frame_hashes(sig[1024 * 3:], rate)
+    assert sum(a == b for a, b in zip(h[3:], h_trim)) >= len(h_trim) - 1
+    other = 0.4 * np.sin(2 * np.pi * (1500 + 300 * np.sin(2 * np.pi * 1.3 * t)) * t)
+    assert sum(a == b for a, b in zip(h, frame_hashes(other, rate))) < len(h) * 0.2
+
+
+def test_audio_near_dupes_cross_container(spark):
+    """audio_near_dupes finds copies across CONTAINERS (WAV vs FLAC of
+    the same signal, through the real codecs) and reports the trim
+    offset; unrelated audio yields no pair."""
+    import numpy as np
+    import pandas as pd
+
+    from drill_spark.ops.audiofp import audio_near_dupes
+    from drill_spark.ops.flac import encode_flac
+    from drill_spark.ops.multimodal import encode_wav
+
+    rate = 8000
+    t = np.arange(rate * 3) / rate
+    sig = (0.3 * np.sin(2 * np.pi * 520 * t)
+           + 0.18 * np.sin(2 * np.pi * 930 * t * (1 + 0.05 * np.sin(2 * np.pi * 0.5 * t))))
+    pcm = (sig * 8000).astype("int32")
+    other = 0.3 * np.sin(2 * np.pi * (1700 + 200 * np.sin(2 * np.pi * 1.1 * t)) * t)
+    rows = [
+        # WAV whose int16 samples are EXACTLY 4x the FLAC's (gain
+        # invariance covers the factor; proportional samples keep the
+        # hashes identical across the two containers)
+        (1, encode_wav(pcm * 4 / 32767.0, rate)),
+        (2, encode_flac(pcm, rate, bits=16)),     # FLAC, same signal
+        (3, encode_flac(pcm[2048:], rate, bits=16)),  # trimmed copy
+        (4, encode_wav(other, rate)),             # unrelated
+        (5, b"not audio"),                        # skipped, not fatal
+    ]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "payload"]))
+    got = {(r.id_a, r.id_b): (r.offset, r.n_matches)
+           for r in audio_near_dupes(df, min_matches=8).collect()}
+    assert set(got) == {(1, 2), (1, 3), (2, 3)}
+    assert got[(2, 3)][0] == -2  # the trim shows up as the modal offset
+    assert got[(1, 2)][0] == 0
