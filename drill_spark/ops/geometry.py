@@ -58,6 +58,21 @@ def parse_wkt(wkt: str):
         return ("MULTIPOINT", nums(seg))
     if head == "LINESTRING":
         return ("LINESTRING", nums(body.strip("() ")))
+    if head == "MULTILINESTRING":
+        lines, depth, cur = [], 0, ""
+        for ch in body:
+            if ch == "(":
+                depth += 1
+                if depth == 2:
+                    cur = ""
+                continue
+            if ch == ")":
+                if depth == 2:
+                    lines.append(nums(cur))
+                depth -= 1
+                continue
+            cur += ch
+        return ("MULTILINESTRING", lines)
     if head == "GEOMETRYCOLLECTION":
         inner = body.strip()[1:-1]  # strip outer parens
         parts, depth, cur = [], 0, ""
@@ -112,6 +127,10 @@ def to_wkt(g) -> str:
         return "MULTIPOINT (" + ", ".join(f"{_fmt(x)} {_fmt(y)}" for x, y in c) + ")"
     if t == "LINESTRING":
         return "LINESTRING (" + ", ".join(f"{_fmt(x)} {_fmt(y)}" for x, y in c) + ")"
+    if t == "MULTILINESTRING":
+        return "MULTILINESTRING (" + ", ".join(
+            "(" + ", ".join(f"{_fmt(x)} {_fmt(y)}" for x, y in pts) + ")"
+            for pts in c) + ")"
     if t == "POLYGON":
         return "POLYGON (" + ", ".join(
             "(" + ", ".join(f"{_fmt(x)} {_fmt(y)}" for x, y in ring) + ")" for ring in c
@@ -131,7 +150,8 @@ def to_wkt(g) -> str:
 
 
 _WKB_TYPES = {"POINT": 1, "LINESTRING": 2, "POLYGON": 3,
-              "MULTIPOINT": 4, "MULTIPOLYGON": 6, "GEOMETRYCOLLECTION": 7}
+              "MULTIPOINT": 4, "MULTILINESTRING": 5, "MULTIPOLYGON": 6,
+              "GEOMETRYCOLLECTION": 7}
 _WKB_NAMES = {v: k for k, v in _WKB_TYPES.items()}
 
 
@@ -155,6 +175,11 @@ def to_wkb(g) -> bytes:
             body += struct.pack("<I", len(ring))
             for p in ring:
                 body += struct.pack("<dd", *p)
+        return out + body
+    if t == "MULTILINESTRING":
+        body = struct.pack("<I", len(c))
+        for pts in c:
+            body += to_wkb(("LINESTRING", pts))
         return out + body
     if t == "MULTIPOLYGON":
         body = struct.pack("<I", len(c))
@@ -194,7 +219,7 @@ def from_wkb(b: bytes):
                 rings.append([struct.unpack_from(e + "dd", b, pos + 16 * i) for i in range(m)])
                 pos += 16 * m
             return ("POLYGON", rings), pos
-        if name in ("MULTIPOINT", "MULTIPOLYGON"):
+        if name in ("MULTIPOINT", "MULTILINESTRING", "MULTIPOLYGON"):
             n = struct.unpack_from(e + "I", b, pos)[0]
             pos += 4
             parts = []
@@ -515,7 +540,7 @@ def _transpose(m):
 
 
 _DIMS = {"POINT": 0, "MULTIPOINT": 0, "LINESTRING": 1,
-         "POLYGON": 2, "MULTIPOLYGON": 2}
+         "MULTILINESTRING": 1, "POLYGON": 2, "MULTIPOLYGON": 2}
 
 
 def _gc_components(g):
@@ -524,6 +549,8 @@ def _gc_components(g):
         for m in g[1]:
             out.extend(_gc_components(m))
         return out
+    if g[0] == "MULTILINESTRING":
+        return [("LINESTRING", pts) for pts in g[1]]
     return [g]
 
 
@@ -614,7 +641,8 @@ def _gc_de9im(a, b):
 
 def de9im(a, b):
     """DE-9IM matrix (rows = parts of a, cols = parts of b)."""
-    if a[0] == "GEOMETRYCOLLECTION" or b[0] == "GEOMETRYCOLLECTION":
+    if a[0] in ("GEOMETRYCOLLECTION", "MULTILINESTRING") \
+            or b[0] in ("GEOMETRYCOLLECTION", "MULTILINESTRING"):
         return _gc_de9im(a, b)
     ta, tb = _DIMS[a[0]], _DIMS[b[0]]
     if ta == 0 and tb == 0:
@@ -990,11 +1018,13 @@ def buffer(g, dist: float, segments: int = 32):
         ring.append(ring[0])
         return ("POLYGON", [ring])
 
-    if g[0] == "LINESTRING":
-        segs = _line_segments(g[1])
-        out = capsule(*segs[0])
-        for s in segs[1:]:
-            out = union(out, capsule(*s))
+    if g[0] in ("LINESTRING", "MULTILINESTRING"):
+        lines = [g[1]] if g[0] == "LINESTRING" else g[1]
+        out = None
+        for pts in lines:
+            for s in _line_segments(pts):
+                cap = capsule(*s)
+                out = cap if out is None else union(out, cap)
         return out
     if g[0] in ("POLYGON", "MULTIPOLYGON"):
         if dist < 0:
@@ -1147,6 +1177,10 @@ def _all_points(g):
         return [c]
     if t in ("MULTIPOINT", "LINESTRING"):
         return list(c)
+    if t == "MULTILINESTRING":
+        return [p for pts in c for p in pts]
+    if t == "GEOMETRYCOLLECTION":
+        return [p for m in c for p in _all_points(m)]
     if t == "POLYGON":
         return [p for ring in c for p in ring]
     if t == "MULTIPOLYGON":

@@ -505,3 +505,21 @@ def test_overlay_inclusion_exclusion_property():
         assert abs(ad - (aA - ai)) < 1e-6, (ad, aA, ai)
 
     check()
+
+
+def test_multilinestring_surface():
+    """MULTILINESTRING across the surface (the reference's ESRI types
+    include it): WKT/WKB roundtrip, DE-9IM by decomposition, extrema,
+    and buffering as the capsule union of all member segments."""
+    ml = P("MULTILINESTRING ((0 0, 1 1), (2 0, 3 1))")
+    assert geo.to_wkt(ml) == "MULTILINESTRING ((0 0, 1 1), (2 0, 3 1))"
+    assert geo.from_wkb(geo.to_wkb(ml)) == ml
+    sq = P("POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))")
+    assert geo.intersects(ml, sq)
+    assert geo.crosses(ml, sq)
+    assert geo.disjoint(P("MULTILINESTRING ((5 5, 6 6))"), sq)
+    assert geo.extrema(ml) == (0.0, 3.0, 0.0, 1.0)
+    buf = geo.buffer(ml, 0.1)
+    assert buf is not None
+    assert geo.intersects(buf, P("POINT (0.5 0.5)"))
+    assert geo.disjoint(buf, P("POINT (1.5 0.5)"))
