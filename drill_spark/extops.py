@@ -1834,7 +1834,7 @@ def q_audio_dedup(spark, sf_dir):
         from drill_spark.ops.flac import encode_flac
 
         rate = 8000
-        t = np.arange(rate * 3) / rate
+        t = np.arange(rate * 2) / rate  # 2 s = 14 frames: enough anchors, half the encode cost
         for pdf in batches:
             rows = []
             for k in pdf["doc_id"]:
@@ -1855,7 +1855,7 @@ def q_audio_dedup(spark, sf_dir):
             yield pd.DataFrame.from_records(rows, columns=["doc_id", "payload"])
 
     docs = nat.mapInPandas(build, schema="doc_id bigint, payload binary")
-    return (audio_near_dupes(docs, "doc_id", "payload", min_matches=8)
+    return (audio_near_dupes(docs, "doc_id", "payload", min_matches=6)
             .select("id_a", "id_b").orderBy("id_a", "id_b"))
 
 
