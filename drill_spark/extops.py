@@ -1869,6 +1869,60 @@ order by id_a, id_b
 """
 
 
+def q_video_dedup(spark, sf_dir):
+    """Video dedup (ops/videofp.py: per-frame DCT pHash + offset-aligned
+    banded join), oracle-checked: nation key k belongs to clip group
+    g = k div 3; members are the SAME structured 6-frame clip as
+    (k%3==0) raw BI_RGB AVI, (k%3==1) a REAL MJPG re-encode through the
+    from-scratch JPEG codec, (k%3==2) a 2-frame-trimmed raw copy.
+    Different groups use different gradients/blob tracks and never
+    align; the duplicate pair set is the within-group pairs — plain
+    integer SQL for the oracle."""
+    import pandas as pd
+
+    from drill_spark.ops.videofp import video_near_dupes
+
+    nat = load_fixture(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("bigint").alias("doc_id")
+    )
+
+    def build(batches):
+        import numpy as np
+
+        from drill_spark.ops.video import encode_avi
+
+        for pdf in batches:
+            rows = []
+            for k in pdf["doc_id"]:
+                k = int(k)
+                g = k // 3
+                frames = []
+                y, x = np.mgrid[0:40, 0:40]
+                for t in range(6):
+                    img = np.stack([
+                        (x * 6 + g * 61 + t * 11) % 256,
+                        (y * 6 + g * 43) % 256,
+                        ((x + y) * 3 + g * 29) % 256,
+                    ], axis=2).astype(np.uint8)
+                    img[4 + t * 3: 16 + t * 3, 6:26] = [(g * 83) % 256, 200, 40]
+                    frames.append(img)
+                if k % 3 == 1:
+                    payload = encode_avi(frames, fps=5, codec="mjpg")
+                elif k % 3 == 2:
+                    payload = encode_avi(frames[2:], fps=5, codec="raw")
+                else:
+                    payload = encode_avi(frames, fps=5, codec="raw")
+                rows.append({"doc_id": k, "payload": payload})
+            yield pd.DataFrame.from_records(rows, columns=["doc_id", "payload"])
+
+    docs = nat.mapInPandas(build, schema="doc_id bigint, payload binary")
+    return (video_near_dupes(docs, "doc_id", "payload", min_matches=3)
+            .select("id_a", "id_b").orderBy("id_a", "id_b"))
+
+
+ORACLE_VIDEO_DEDUP = ORACLE_AUDIO_DEDUP  # same closed-form group pairs
+
+
 def q_image_phash_dedup(spark, sf_dir):
     """Perceptual-hash image dedup (ops/phash.py: DCT pHash + banded
     hamming bucket join), oracle-checked with closed-form ground truth:
@@ -1997,6 +2051,7 @@ QUERIES = {
     "ext_image_phash_dedup": q_image_phash_dedup,
     "ext_substring_dedup": q_substring_dedup,
     "ext_audio_dedup": q_audio_dedup,
+    "ext_video_dedup": q_video_dedup,
 }
 
 ORACLES = {
@@ -2048,6 +2103,7 @@ ORACLES = {
     "ext_image_phash_dedup": ORACLE_IMAGE_PHASH_DEDUP,
     "ext_substring_dedup": ORACLE_SUBSTRING_DEDUP,
     "ext_audio_dedup": ORACLE_AUDIO_DEDUP,
+    "ext_video_dedup": ORACLE_VIDEO_DEDUP,
 }
 
 

@@ -30,11 +30,16 @@ from pyspark.sql import functions as F
 
 def phash64(payload: bytes) -> int:
     """64-bit DCT perceptual hash of one encoded image payload."""
-    import numpy as np
-
     from drill_spark.ops.multimodal import decode_media_image
 
-    img = decode_media_image(bytes(payload))
+    return phash64_array(decode_media_image(bytes(payload)))
+
+
+def phash64_array(img) -> int:
+    """64-bit DCT perceptual hash of a decoded (H, W, 3) uint8 array
+    (shared by the image payload path and the video frame path)."""
+    import numpy as np
+
     gray = (0.299 * img[:, :, 0] + 0.587 * img[:, :, 1]
             + 0.114 * img[:, :, 2]).astype(np.float64)
     small = _area_resample(gray, 32, 32)

@@ -1548,3 +1548,44 @@ def test_audio_near_dupes_cross_container(spark):
     assert set(got) == {(1, 2), (1, 3), (2, 3)}
     assert got[(2, 3)][0] == -2  # the trim shows up as the modal offset
     assert got[(1, 2)][0] == 0
+
+
+def test_video_near_dupes(spark):
+    """Video dedup (ops/videofp.py): a raw AVI, its MJPG re-encode and
+    a 2-frame-trimmed copy all pair with the right offsets; an
+    unrelated clip does not."""
+    import numpy as np
+    import pandas as pd
+
+    from drill_spark.ops.video import encode_avi
+    from drill_spark.ops.videofp import video_near_dupes
+
+    rng = np.random.default_rng(11)
+
+    def clip(seed, n=8):
+        frames = []
+        y, x = np.mgrid[0:48, 0:48]
+        for t in range(n):
+            img = np.stack([
+                (x * 5 + seed * 61 + t * 9) % 256,
+                (y * 5 + seed * 43) % 256,
+                ((x + y) * 3 + seed * 29) % 256,
+            ], axis=2).astype(np.uint8)
+            img[6 + t * 3: 20 + t * 3, 8:30] = [(seed * 83) % 256, 200, 40]
+            frames.append(img)
+        return frames
+
+    base = clip(1)
+    rows = [
+        (1, encode_avi(base, fps=5, codec="raw")),
+        (2, encode_avi(base, fps=5, codec="mjpg")),     # lossy re-encode
+        (3, encode_avi(base[2:], fps=5, codec="raw")),  # trimmed copy
+        (4, encode_avi(clip(7), fps=5, codec="raw")),   # unrelated
+        (5, b"not a video"),
+    ]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "payload"]))
+    got = {(r.id_a, r.id_b): (r.offset, r.n_matches)
+           for r in video_near_dupes(df, min_matches=3).collect()}
+    assert set(got) == {(1, 2), (1, 3), (2, 3)}
+    assert got[(1, 2)][0] == 0
+    assert got[(1, 3)][0] == -2  # the trim
