@@ -1869,6 +1869,39 @@ order by id_a, id_b
 """
 
 
+def q_quality_classifier(spark, sf_dir):
+    """Trainable quality classifier (ops/classifier.py — the
+    fastText-shaped hashed-ngram logistic regression the published
+    corpus pipelines gate on). Deterministic ground truth: documents
+    with even doc_id get a planted 'reference' vocabulary suffix, odd
+    ones a 'crawl' suffix; the pipeline trains on doc_id < 300 and
+    scores the rest. Rows-only for the driver (LBFGS weights are not a
+    cross-engine contract); the pytest bounds holdout accuracy."""
+    from drill_spark.ops.classifier import score_text, train_text_classifier
+
+    docs = (
+        load_fixture(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < 500)
+        .select(
+            "doc_id",
+            (F.col("doc_id") % 2 == 0).cast("double").alias("label"),
+            F.concat(
+                F.col("text"), F.lit(" "),
+                F.when(F.col("doc_id") % 2 == 0,
+                       F.lit("theorem manifold integral lemma polynomial"))
+                .otherwise(F.lit("click cheap winner casino offer")),
+            ).alias("text"),
+        )
+    )
+    train = docs.where("doc_id < 300")
+    rest = docs.where("doc_id >= 300")
+    model = train_text_classifier(train, n_features=1 << 12, max_iter=8)
+    return (score_text(rest, model)
+            .select("doc_id", "label",
+                    (F.col("quality_score") >= 0.5).alias("keep"))
+            .orderBy("doc_id"))
+
+
 def q_video_dedup(spark, sf_dir):
     """Video dedup (ops/videofp.py: per-frame DCT pHash + offset-aligned
     banded join), oracle-checked: nation key k belongs to clip group
@@ -2052,6 +2085,7 @@ QUERIES = {
     "ext_substring_dedup": q_substring_dedup,
     "ext_audio_dedup": q_audio_dedup,
     "ext_video_dedup": q_video_dedup,
+    "ext_quality_classifier": q_quality_classifier,
 }
 
 ORACLES = {

@@ -1589,3 +1589,34 @@ def test_video_near_dupes(spark):
     assert set(got) == {(1, 2), (1, 3), (2, 3)}
     assert got[(1, 2)][0] == 0
     assert got[(1, 3)][0] == -2  # the trim
+
+
+def test_quality_classifier_accuracy(spark):
+    """ops/classifier.py: the hashed-ngram logistic pipeline separates
+    planted vocabularies with >= 95% holdout accuracy, and the filter
+    keeps the reference class."""
+    import random
+
+    from drill_spark.ops.classifier import (
+        classifier_filter, score_text, train_text_classifier,
+    )
+
+    rng = random.Random(3)
+    good = "theorem lemma manifold integral polynomial derivative".split()
+    bad = "click buy cheap winner casino offer".split()
+    rows = []
+    for _ in range(300):
+        rows.append((" ".join(rng.choice(good) for _ in range(20)), 1.0))
+        rows.append((" ".join(rng.choice(bad) for _ in range(20)), 0.0))
+    df = spark.createDataFrame(rows, "text string, label double")
+    train, test = df.randomSplit([0.8, 0.2], seed=7)
+    model = train_text_classifier(train, n_features=1 << 12, max_iter=10)
+    scored = score_text(test, model)
+    acc = scored.selectExpr(
+        "avg(cast((quality_score >= 0.5) = (label = 1.0) as double)) a"
+    ).collect()[0].a
+    assert acc >= 0.95
+    kept = classifier_filter(test, model)
+    n_good = test.where("label = 1.0").count()
+    assert kept.where("label = 1.0").count() >= 0.9 * n_good
+    assert "quality_score" in kept.columns and "_features" not in kept.columns
