@@ -87,8 +87,6 @@ _SQL_UDFS: dict[str, tuple[str, str]] = {
     # --- complex / repeated (Drill signature surface, SURVEY §2.8) ---
     # kvgen: struct/map -> array<struct<key,value>> (Mappify.java:53-66)
     "kvgen": ("m MAP<STRING, STRING>", "map_entries(m)"),
-    # mappify is kvgen's alias in the reference (Mappify.java names both)
-    "mappify": ("m MAP<STRING, STRING>", "map_entries(m)"),
     # repeated_count: array length (RepeatedCountFunctions.java)
     "repeated_count": ("a ARRAY<STRING>", "size(a)"),
     # repeated_contains (SimpleRepeatedFunctions.java:45+)
@@ -97,9 +95,6 @@ _SQL_UDFS: dict[str, tuple[str, str]] = {
     "binary_string": ("s STRING", "cast(s AS BINARY)"),  # StringFunctions.java:1794
     "string_binary": ("b BINARY", "cast(b AS STRING)"),  # StringFunctions.java:1815
     "charsubstring": ("s STRING, p INT, l INT", "substring(s, p, l)"),
-    # CharSubstring.java also registers substring2/substr2
-    "substring2": ("s STRING, p INT, l INT", "substring(s, p, l)"),
-    "substr2": ("s STRING, p INT, l INT", "substring(s, p, l)"),
     "strpos": ("s STRING, sub STRING", "instr(s, sub)"),  # StringFunctions.java:640
     # --- crypto (contrib/udfs CryptoFunctions.java) — Drill's unary
     # hex-digest names over Spark's builtins (md5/aes_* exist natively;
@@ -111,10 +106,6 @@ _SQL_UDFS: dict[str, tuple[str, str]] = {
     # --- distribution (contrib/udfs DistributionFunctions.java);
     # regr_slope/regr_intercept/width_bucket are Spark builtins ---
     "percent_change": (
-        "old DOUBLE, new DOUBLE",
-        "CASE WHEN old = 0 THEN NULL ELSE (new - old) / abs(old) * 100.0 END",
-    ),
-    "percentchange": (
         "old DOUBLE, new DOUBLE",
         "CASE WHEN old = 0 THEN NULL ELSE (new - old) / abs(old) * 100.0 END",
     ),
@@ -363,11 +354,8 @@ _SQL_UDFS: dict[str, tuple[str, str]] = {
     # a floor to the named interval — TimeBucketFunctions.java ns form,
     # DateUtilFunctions yearweek) ---
     "nearest_date": ("ts TIMESTAMP, iv STRING", _NEAREST_DATE_BODY),
-    "nearestdate": ("ts TIMESTAMP, iv STRING", _NEAREST_DATE_BODY),
     "yearweek": ("d STRING",
                  "year(to_timestamp(d)) * 100 + weekofyear(to_timestamp(d))"),
-    "year_week": ("d STRING",
-                  "year(to_timestamp(d)) * 100 + weekofyear(to_timestamp(d))"),
     "time_bucket_ns": (
         "ns BIGINT, ms BIGINT",
         "CAST(floor(ns / (ms * 1000000)) * (ms * 1000000) AS BIGINT)",
@@ -380,11 +368,9 @@ _SQL_UDFS: dict[str, tuple[str, str]] = {
     ),
     "parentpath": ("p STRING", "regexp_replace(p, '/[^/]*$', '')"),
     "byte_substr": ("b BINARY, s INT, l INT", "substring(b, s, l)"),
-    "bytesubstring": ("b BINARY, s INT, l INT", "substring(b, s, l)"),
     "repeatstr": ("s STRING, n INT", "repeat(s, n)"),
     "toascii": ("s STRING, enc STRING", "decode(CAST(s AS BINARY), enc)"),
     "is_empty": ("s STRING", "s IS NULL OR s = ''"),
-    "isempty": ("s STRING", "s IS NULL OR s = ''"),
     # IsTrue/IsFalse.java function forms (the IS TRUE syntax also works)
     "istrue": ("b BOOLEAN", "b IS TRUE"),
     "isnottrue": ("b BOOLEAN", "b IS NOT TRUE"),
@@ -405,13 +391,28 @@ _SQL_UDFS: dict[str, tuple[str, str]] = {
                     "width_bucket(x, lo, hi, n)"),
 }
 
-_SQL_UDFS["punctuationpattern"] = _SQL_UDFS["punctuation_pattern"]
 _SQL_UDFS["entropy_per_byte"] = (
     "s STRING",
     f"CASE WHEN length(s) = 0 THEN 0.0D ELSE ({_SQL_UDFS['entropy'][1]})"
     " / length(s) END",
 )
-_SQL_UDFS["entropyperbyte"] = _SQL_UDFS["entropy_per_byte"]
+
+# the reference's alternate names (camelCase forms register squashed —
+# Spark resolves function names case-insensitively)
+_SQL_ALIASES = {
+    "punctuationpattern": "punctuation_pattern",
+    "entropyperbyte": "entropy_per_byte",
+    "percentchange": "percent_change",
+    "year_week": "yearweek",
+    "bytesubstring": "byte_substr",
+    "isempty": "is_empty",
+    "substring2": "charsubstring",  # CharSubstring.java registers all three
+    "substr2": "charsubstring",
+    "mappify": "kvgen",  # Mappify.java names both
+    "nearestdate": "nearest_date",
+}
+for _alias, _target in _SQL_ALIASES.items():
+    _SQL_UDFS[_alias] = _SQL_UDFS[_target]
 
 
 # ---------------- convert_from / convert_to (conv/ package) ----------------
