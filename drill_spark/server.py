@@ -95,6 +95,31 @@ def _json_safe(v):
 
 class _Handler(BaseHTTPRequestHandler):
     session = None  # set by serve()
+    auth = None  # (user, password) when serve(..., auth=...) enabled
+
+    def _unauthorized(self) -> bool:
+        """HTTP Basic auth gate (the reference's drill.exec.http auth
+        analog): active only when serve() got credentials."""
+        if type(self).auth is None:
+            return False
+        import base64
+
+        hdr = self.headers.get("Authorization", "")
+        if hdr.startswith("Basic "):
+            try:
+                got = base64.b64decode(hdr[6:]).decode().split(":", 1)
+            except Exception:
+                got = []
+            if tuple(got) == type(self).auth:
+                return False
+        body = b'{"errorMessage": "authentication required"}'
+        self.send_response(401)
+        self.send_header("WWW-Authenticate", 'Basic realm="drill_spark"')
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+        return True
 
     def _reply(self, code: int, payload: dict) -> None:
         body = json.dumps(payload).encode()
@@ -190,6 +215,8 @@ class _Handler(BaseHTTPRequestHandler):
             self._reply_html(400, "Query", page + f'<p class="err">{_esc(e)}</p>')
 
     def do_GET(self):
+        if self._unauthorized():
+            return
         s = type(self).session
         route = self.path.split("?", 1)[0]
         if route in ("/", "/index.html"):
@@ -254,6 +281,8 @@ class _Handler(BaseHTTPRequestHandler):
         return origin == "null"
 
     def do_POST(self):
+        if self._unauthorized():
+            return
         if not self.path.startswith("/query"):
             self._reply(404, {"errorMessage": f"no such resource {self.path}"})
             return
@@ -284,10 +313,14 @@ class _Handler(BaseHTTPRequestHandler):
             self._reply(400, {"queryState": "FAILED", "errorMessage": str(e)})
 
 
-def serve(session, host: str = "127.0.0.1", port: int = 0):
+def serve(session, host: str = "127.0.0.1", port: int = 0,
+          auth: tuple | None = None):
     """Start the REST server on a daemon thread; returns (server, port).
-    Stop with server.shutdown()."""
-    handler = type("BoundHandler", (_Handler,), {"session": session})
+    ``auth=(user, password)`` enables HTTP Basic authentication on every
+    route (the reference's web/REST auth). Stop with server.shutdown()."""
+    handler = type("BoundHandler", (_Handler,),
+                   {"session": session,
+                    "auth": tuple(auth) if auth else None})
     srv = ThreadingHTTPServer((host, port), handler)
     t = threading.Thread(target=srv.serve_forever, daemon=True)
     t.start()

@@ -196,3 +196,34 @@ def test_web_ui_profile_detail_page(rest):
     assert "Project" in prof["plan"] or "Scan" in prof["plan"]
     code, _, _body = _get(f"{rest}/profiles/{'0' * 36}")
     assert code == 404
+
+
+def test_rest_basic_auth():
+    """serve(auth=(user, pass)): every route 401s without credentials
+    and works with them; the default server stays open."""
+    import base64
+
+    from drill_spark import DrillSession
+    from drill_spark.server import serve
+
+    s = DrillSession()
+    srv, port = serve(s, auth=("alice", "s3cret"))
+    try:
+        base = f"http://127.0.0.1:{port}"
+        code, _, body = _get(f"{base}/options.json")
+        assert code == 401 and "authentication" in body
+        tok = base64.b64encode(b"alice:s3cret").decode()
+        req = urllib.request.Request(f"{base}/options.json",
+                                     headers={"Authorization": f"Basic {tok}"})
+        with urllib.request.urlopen(req) as r:
+            assert r.status == 200 and "options" in r.read().decode()
+        bad = base64.b64encode(b"alice:wrong").decode()
+        req = urllib.request.Request(f"{base}/options.json",
+                                     headers={"Authorization": f"Basic {bad}"})
+        try:
+            urllib.request.urlopen(req)
+            raise AssertionError("expected 401")
+        except urllib.error.HTTPError as e:
+            assert e.code == 401
+    finally:
+        srv.shutdown()
