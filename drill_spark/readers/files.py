@@ -157,7 +157,89 @@ def read_auto(
     reader = spark.read.options(**options)
     if schema:
         reader = reader.schema(schema)
+    if fmt == "parquet" and os.path.isdir(path):
+        cached = load_parquet_metadata_cache(path)
+        if cached is not None:
+            # REFRESH TABLE METADATA cache hit: scan exactly the cached
+            # file list — no recursive directory listing (the planning
+            # cost Drill's .drill.parquet_metadata exists to kill on
+            # million-file tables)
+            return reader.parquet(*(os.path.join(path, f)
+                                    for f in cached["files"]))
     return reader.format(fmt).load(path)
+
+
+METADATA_CACHE_FILE = ".drill.parquet_metadata"
+
+
+def write_parquet_metadata_cache(path: str) -> dict:
+    """REFRESH TABLE METADATA for a parquet directory
+    (MetadataHandler / Drill's .drill.parquet_metadata): walk the tree
+    once, record every data file with its footer row count plus the
+    mtime of every directory, and persist the summary next to the
+    data. Reads consult the cache instead of re-listing; any directory
+    mtime change invalidates it (Drill's staleness rule). The refresh
+    itself is the paid metadata pass, exactly like the reference's
+    REFRESH job."""
+    import json as _json
+    import time
+
+    import pyarrow.parquet as pq
+
+    # create the cache file FIRST: the new dirent bumps the root dir's
+    # mtime, which must happen before mtimes are recorded (overwriting
+    # the existing file later does not touch the dir again)
+    cp = os.path.join(path, METADATA_CACHE_FILE)
+    open(cp, "a").close()
+    files, dirs = [], {}
+    for root, _subdirs, names in os.walk(path):
+        dirs[os.path.relpath(root, path)] = os.path.getmtime(root)
+        for n in names:
+            if n.endswith(".parquet") and not n.startswith((".", "_")):
+                files.append(os.path.relpath(os.path.join(root, n), path))
+    files.sort()
+    rows = {}
+    for rel in files:
+        try:
+            rows[rel] = pq.read_metadata(os.path.join(path, rel)).num_rows
+        except Exception:
+            rows[rel] = None
+    cache = {
+        "generated_ms": int(time.time() * 1000),
+        "dirs": dirs,
+        "files": files,
+        "row_counts": rows,
+        "total_rows": sum(v for v in rows.values() if v is not None),
+    }
+    with open(cp, "w") as f:
+        _json.dump(cache, f)
+    return cache
+
+
+def load_parquet_metadata_cache(path: str):
+    """The persisted cache when present AND fresh (every recorded
+    directory mtime unchanged and no new directories); None otherwise —
+    never a stale file list."""
+    import json as _json
+
+    cp = os.path.join(path, METADATA_CACHE_FILE)
+    if not os.path.exists(cp):
+        return None
+    try:
+        with open(cp) as f:
+            cache = _json.load(f)
+        recorded = cache["dirs"]
+        seen = {}
+        for root, _subdirs, _names in os.walk(path):
+            seen[os.path.relpath(root, path)] = os.path.getmtime(root)
+        if set(seen) != set(recorded):
+            return None
+        for d, m in recorded.items():
+            if abs(seen[d] - m) > 1e-6:
+                return None
+        return cache if cache.get("files") else None
+    except Exception:
+        return None
 
 
 def _truthy(v) -> bool:

@@ -864,6 +864,22 @@ def execute(session, query: str) -> DataFrame:
             path = m.group(2) if os.path.isabs(m.group(2)) else os.path.join(root, m.group(2))
         else:
             path = m.group(3)
+        import glob as _glob
+
+        if os.path.isdir(path) and _glob.glob(
+                os.path.join(_glob.escape(path), "**", "*.parquet"),
+                recursive=True) and not os.path.isdir(
+                os.path.join(path, "_delta_log")) and not os.path.isdir(
+                os.path.join(path, "metadata")):
+            # plain parquet dir: write the .drill.parquet_metadata cache
+            # (MetadataHandler.java; reads consult it to skip listing)
+            from drill_spark.readers.files import write_parquet_metadata_cache
+
+            cache = write_parquet_metadata_cache(path)
+            spark.catalog.refreshByPath(path)
+            return _ok(spark, f"metadata cache updated for {path}: "
+                              f"{len(cache['files'])} files, "
+                              f"{cache['total_rows']} rows")
         if os.path.exists(path):
             spark.catalog.refreshByPath(path)
             return _ok(spark, f"metadata refreshed for {path}")

@@ -629,3 +629,43 @@ def test_sql_describe_history(session, tmp_path):
     ih = session.sql("DESCRIBE HISTORY hist.`hist_ice`").collect()
     assert [(r.version, r.operation) for r in ih] == [
         (1, "append"), (2, "append")]
+
+
+def test_refresh_table_metadata_cache(dsession, tmp_path):
+    """REFRESH TABLE METADATA on a plain parquet dir writes the
+    .drill.parquet_metadata cache (MetadataHandler analog); reads use
+    the cached file list while fresh and fall back the moment any
+    directory changes — never a stale list."""
+    import os
+    import time
+
+    from drill_spark.readers.files import (
+        METADATA_CACHE_FILE, load_parquet_metadata_cache,
+    )
+
+    root = str(tmp_path / "cached_tbl")
+    spark = dsession.spark
+    spark.range(100).selectExpr("id", "id % 3 as k").coalesce(2) \
+         .write.parquet(root)
+    dsession.register_workspace("dfs.cache", str(tmp_path))
+    out = dsession.sql("REFRESH TABLE METADATA dfs.cache.`cached_tbl`").head()
+    assert "metadata cache updated" in out["summary"]
+    cache = load_parquet_metadata_cache(root)
+    assert cache is not None and cache["total_rows"] == 100
+    assert os.path.exists(os.path.join(root, METADATA_CACHE_FILE))
+
+    # cached read returns the same data
+    assert dsession.sql("select count(*) n from dfs.cache.`cached_tbl`") \
+                   .head().n == 100
+
+    # adding a file invalidates (dir mtime changes) — fresh data visible
+    time.sleep(0.01)
+    spark.range(100, 110).selectExpr("id", "id % 3 as k").coalesce(1) \
+         .write.mode("append").parquet(root)
+    assert load_parquet_metadata_cache(root) is None
+    assert dsession.sql("select count(*) n from dfs.cache.`cached_tbl`") \
+                   .head().n == 110
+    # re-refresh re-validates
+    dsession.sql("REFRESH TABLE METADATA dfs.cache.`cached_tbl`")
+    c2 = load_parquet_metadata_cache(root)
+    assert c2 is not None and c2["total_rows"] == 110
