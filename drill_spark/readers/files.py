@@ -163,9 +163,10 @@ def read_auto(
             # REFRESH TABLE METADATA cache hit: scan exactly the cached
             # file list — no recursive directory listing (the planning
             # cost Drill's .drill.parquet_metadata exists to kill on
-            # million-file tables)
-            return reader.parquet(*(os.path.join(path, f)
-                                    for f in cached["files"]))
+            # million-file tables). basePath keeps hive-style key=value
+            # partition columns deriving exactly as a directory read.
+            return reader.option("basePath", path).parquet(
+                *(os.path.join(path, f) for f in cached["files"]))
     return reader.format(fmt).load(path)
 
 

@@ -669,3 +669,19 @@ def test_refresh_table_metadata_cache(dsession, tmp_path):
     dsession.sql("REFRESH TABLE METADATA dfs.cache.`cached_tbl`")
     c2 = load_parquet_metadata_cache(root)
     assert c2 is not None and c2["total_rows"] == 110
+
+
+def test_metadata_cache_keeps_partition_columns(dsession, tmp_path):
+    """A cached read of a hive-partitioned dir must still derive the
+    partition columns (basePath on the explicit file list)."""
+    root = str(tmp_path / "part_tbl")
+    dsession.spark.range(60).selectExpr("id", "id % 3 as part") \
+        .write.partitionBy("part").parquet(root)
+    dsession.register_workspace("dfs.pcache", str(tmp_path))
+    dsession.sql("REFRESH TABLE METADATA dfs.pcache.`part_tbl`")
+    from drill_spark.readers.files import load_parquet_metadata_cache
+
+    assert load_parquet_metadata_cache(root) is not None
+    df = dsession.sql("select part, count(*) n from dfs.pcache.`part_tbl`"
+                      " group by part order by part")
+    assert [(r.part, r.n) for r in df.collect()] == [(0, 20), (1, 20), (2, 20)]
