@@ -627,7 +627,8 @@ def rewrite_convert_calls(query: str) -> str:
     pat = _re.compile(
         r"(convert_(?:from|to)\w*|sqltypeof|drilltypeof|modeof"
         r"|aes_encrypt|aes_decrypt|nearest_date|nearestdate"
-        r"|hll_decode|hll_merge|hll|regrslope|regrintercept)\s*\(",
+        r"|hll_decode|hll_merge|hll|regrslope|regrintercept"
+        r"|parse_user_agent)\s*\(",
         _re.IGNORECASE,
     )
     # aggregate-name aliases: SQL UDFs cannot wrap aggregates, so these
@@ -675,6 +676,35 @@ def rewrite_convert_calls(query: str) -> str:
                 out.append("(" + table[codec].format(x=inner) + ")")
             else:
                 out.append(query[m.start():j])  # unknown codec: untouched
+        elif fname == "parse_user_agent" and len(args) == 2:
+            # the reference's per-field overload (UserAgentFieldFunction:
+            # yauaa field name -> string; unknown/empty -> 'Unknown').
+            # SQL UDFs cannot overload by arity, so the literal-field
+            # form expands here; 1-arg calls resolve the SQL UDF struct.
+            ua = rewrite_convert_calls(args[0])
+            fm = _re.fullmatch(r"'([^']*)'", args[1].strip())
+            if fm is None:
+                out.append(query[m.start():j])  # non-literal field: untouched
+            else:
+                fld = fm.group(1).lower()
+                exprs = {
+                    "agentname": f"(parse_user_agent({ua}).browser)",
+                    "operatingsystemname": f"(parse_user_agent({ua}).os)",
+                    "deviceclass": f"(IF(parse_user_agent({ua}).is_mobile,"
+                                   " 'Phone', 'Desktop'))",
+                    "agentclass": f"(IF(parse_user_agent({ua}).is_bot,"
+                                  " 'Robot', 'Browser'))",
+                    "agentsecurity": f"(CASE WHEN {ua} LIKE '%; U;%' THEN"
+                                     " 'Strong security'"
+                                     f" WHEN {ua} LIKE '%; I;%' THEN"
+                                     " 'Weak security'"
+                                     f" WHEN {ua} LIKE '%; N;%' THEN"
+                                     " 'No security' ELSE 'Unknown' END)",
+                }
+                # NULL_IF_NULL on the ua argument, 'Unknown' for fields
+                # yauaa doesn't resolve — the reference's test contract
+                body = exprs.get(fld, "'Unknown'")
+                out.append(f"(IF({ua} IS NULL, NULL, {body}))")
         elif fname in ("aes_encrypt", "aes_decrypt") and len(args) == 2:
             # Drill's 2-arg AES (CryptoFunctions.java): key = first 16
             # bytes of SHA-1(key), AES/ECB/PKCS5, base64 text in/out.

@@ -459,7 +459,8 @@ def rewrite(session, query: str) -> str:
     if re.search(
         r"convert_(?:from|to)\w*\s*\(|sqltypeof\s*\(|drilltypeof\s*\(|modeof\s*\("
         r"|aes_(?:en|de)crypt\s*\(|nearest_?date\s*\("
-        r"|hll(?:_decode|_merge)?\s*\(|regr(?:slope|intercept)\s*\(",
+        r"|hll(?:_decode|_merge)?\s*\(|regr(?:slope|intercept)\s*\("
+        r"|parse_user_agent\s*\(",
         query,
         re.IGNORECASE,
     ):

@@ -467,3 +467,24 @@ def test_parse_query_duplicate_keys_last_win(session):
     overwriting map writes)."""
     assert one(session, "select parse_query('a=1&a=2')['a']") == "2"
     assert one(session, "select parse_query('u?x=old&y=2&x=new')['x']") == "new"
+
+
+def test_parse_user_agent_field_form(session):
+    """The reference's 2-arg parse_user_agent(ua, field) overload
+    (UserAgentFieldFunction): yauaa field names resolve to strings,
+    empty/unknown fields give 'Unknown', null ua gives null — the
+    TestUserAgentFunctions contract."""
+    ff = ("'Mozilla/5.0 (Windows; U; Windows NT 5.1; en-US; rv:1.8.1.11)"
+          " Gecko/20071127 Firefox/2.0.0.11'")
+    assert one(session, f"select parse_user_agent({ff}, 'AgentName')") == "Firefox"
+    assert one(session, f"select parse_user_agent({ff},"
+                        " 'OperatingSystemName')") == "Windows"
+    assert one(session, f"select parse_user_agent({ff},"
+                        " 'AgentSecurity')") == "Strong security"
+    assert one(session, f"select parse_user_agent({ff}, '')") == "Unknown"
+    assert one(session, f"select parse_user_agent({ff},"
+                        " 'NoSuchField')") == "Unknown"
+    assert one(session, "select parse_user_agent(cast(null as string),"
+                        " 'NoSuchField')") is None
+    # the 1-arg struct form keeps working
+    assert one(session, f"select parse_user_agent({ff}).browser") == "Firefox"
