@@ -125,6 +125,10 @@ def get_spark(
         # last-wins map keys (Drill's map writes overwrite; also what
         # parse_query needs for repeated URL params)
         .config("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
+        # JDBC/ODBC connections share this session's state (static
+        # conf, read at thrift-server session setup): the drill compat
+        # functions and temp views resolve over the wire
+        .config("spark.sql.hive.thriftServer.singleSession", "true")
         .config("spark.sql.parquet.enableVectorizedReader", "true")
         # events.parquet carries TIMESTAMP(NANOS) which Spark's reader
         # rejects; read as long and convert (see load_fixture)

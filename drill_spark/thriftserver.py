@@ -61,6 +61,13 @@ def start_thrift_server(
             "classpath (bundled with the pyspark distribution)") from e
     spark.conf.set("hive.server2.thrift.port", str(port))
     spark.conf.set("hive.server2.thrift.bind.host", host)
+    # every JDBC connection shares THIS session's state, so the
+    # engine's registered functions (drill compat layer) and temp views
+    # resolve over the wire — the embedded-drillbit behavior
+    try:
+        spark.conf.set("spark.sql.hive.thriftServer.singleSession", "true")
+    except Exception:
+        pass  # older/locked conf: connections still see global views
     for name, df in (publish or {}).items():
         df.createOrReplaceGlobalTempView(name)
     server = hts.startWithContext(spark._jsparkSession.sqlContext())

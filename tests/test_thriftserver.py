@@ -35,5 +35,13 @@ def test_jdbc_wire_roundtrip(session):
         # scalar expression path (no FROM): planner + type marshalling
         one = jdbc_query(session.spark, port, "SELECT 1 + 1 AS two")
         assert [tuple(map(int, r)) for r in one] == [(2,)]
+
+        # the compat function registry is visible across the wire
+        # (session-scoped UDFs ride the shared session state)
+        fx = jdbc_query(session.spark, port,
+                        "SELECT soundex('jaime') AS sx,"
+                        " levenshtein_distance('abc', 'abd') AS lev,"
+                        " netmask('10.0.0.0/16') AS nm")
+        assert [(str(a), float(b), str(c)) for a, b, c in fx] == [("J500", 1.0, "255.255.0.0")]
     finally:
         server.stop()
