@@ -176,3 +176,19 @@ def test_iceberg_scan_filter_pushdown(spark, tmp_path):
     pushed = " ".join(plans.pushed_filters(df)).lower()
     assert "cell" in pushed and "k" in pushed, pushed
     assert df.count() == 9  # k in {6,10,...,38}
+
+
+def test_multimodal_dedup_plans_no_cartesian(spark):
+    """The r6 dedup operators (substring winnowing, image pHash, audio
+    fingerprints, video frames) must pair through equi-joins on
+    hash/band keys — never a cartesian or nested-loop across the
+    corpus — and their verify math stays JVM-side after the Arrow
+    fingerprinting pass."""
+    from drill_spark import extops
+
+    for name in ("ext_substring_dedup", "ext_image_phash_dedup",
+                 "ext_audio_dedup", "ext_video_dedup"):
+        df = extops.QUERIES[name](spark, SF_DIR)
+        phys = df._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in phys, name
+        assert "BroadcastNestedLoopJoin" not in phys, name
