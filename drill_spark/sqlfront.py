@@ -56,6 +56,9 @@ _ALTER_SET = re.compile(
 )
 _RESET = re.compile(r"^\s*(?:ALTER\s+SESSION\s+)?RESET\s+`?([\w.]+)`?\s*;?\s*$", re.IGNORECASE)
 _SHOW_FILES = re.compile(r"^\s*SHOW\s+FILES(?:\s+(?:IN|FROM)\s+(\S+))?\s*;?\s*$", re.IGNORECASE)
+_SHOW_TABLES_WS = re.compile(
+    r"^\s*SHOW\s+TABLES\s+(?:IN|FROM)\s+((?:dfs|s3|cp)(?:\.\w+)*)\s*;?\s*$",
+    re.IGNORECASE)
 # option values may be quoted strings containing ')' or ',' (e.g. a
 # regex or a schema DDL) — consume quoted segments atomically
 _TABLE_FN = re.compile(
@@ -1048,6 +1051,26 @@ def execute(session, query: str) -> DataFrame:
     if m:
         session.options.pop(m.group(1), None)
         return spark.createDataFrame([Row(ok=True, summary=f"{m.group(1)} reset")])
+
+    m = _SHOW_TABLES_WS.match(query)
+    if m:
+        # Drill's SHOW TABLES in a file workspace lists its tables
+        # (files/dirs, minus dot/underscore metadata entries) as
+        # (TABLE_SCHEMA, TABLE_NAME) — ShowTablesHandler.java
+        target = m.group(1)
+        ws = session.workspaces.get(target)
+        if ws is None:
+            raise ValueError(f"unknown workspace {target!r}")
+        rows = []
+        if os.path.isdir(ws.path):
+            for name in sorted(os.listdir(ws.path)):
+                if name.startswith((".", "_")):
+                    continue
+                rows.append(Row(TABLE_SCHEMA=target, TABLE_NAME=name))
+        if not rows:
+            return spark.createDataFrame(
+                [], "TABLE_SCHEMA string, TABLE_NAME string")
+        return spark.createDataFrame(rows)
 
     m = _SHOW_FILES.match(query)
     if m:

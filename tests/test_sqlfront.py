@@ -685,3 +685,13 @@ def test_metadata_cache_keeps_partition_columns(dsession, tmp_path):
     df = dsession.sql("select part, count(*) n from dfs.pcache.`part_tbl`"
                       " group by part order by part")
     assert [(r.part, r.n) for r in df.collect()] == [(0, 20), (1, 20), (2, 20)]
+
+
+def test_show_tables_in_workspace(dsession):
+    """SHOW TABLES FROM a file workspace (ShowTablesHandler): files
+    and directories list as (TABLE_SCHEMA, TABLE_NAME), metadata
+    entries hidden."""
+    rows = dsession.sql("SHOW TABLES FROM dfs.data").collect()
+    names = {r.TABLE_NAME for r in rows}
+    assert {"people.json", "pipes.psv"} <= names
+    assert all(r.TABLE_SCHEMA == "dfs.data" for r in rows)
