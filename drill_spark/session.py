@@ -79,6 +79,10 @@ _OPTION_MAP: dict[str, tuple[str, "callable"]] = {
         "spark.sql.join.preferSortMergeJoin",
         lambda v: str(not _truthy(v)).lower(),
     ),
+    # writer codec (ExecConstants.PARQUET_WRITER_COMPRESSION_TYPE)
+    "store.parquet.compression": (
+        "spark.sql.parquet.compression.codec", lambda v: str(v).lower(),
+    ),
 }
 
 

@@ -695,3 +695,22 @@ def test_show_tables_in_workspace(dsession):
     names = {r.TABLE_NAME for r in rows}
     assert {"people.json", "pipes.psv"} <= names
     assert all(r.TABLE_SCHEMA == "dfs.data" for r in rows)
+
+
+def test_parquet_compression_option(dsession, tmp_path):
+    """ALTER SESSION SET store.parquet.compression routes to Spark's
+    writer codec; CTAS honors it."""
+    import glob
+    import os
+
+    dsession.register_workspace("dfs.gzw", str(tmp_path), "parquet")
+    dsession.workspaces["dfs.gzw"].writable = True
+    dsession.sql("ALTER SESSION SET `store.parquet.compression` = 'gzip'")
+    try:
+        assert dsession.spark.conf.get(
+            "spark.sql.parquet.compression.codec") == "gzip"
+        dsession.sql("CREATE TABLE dfs.gzw.`gz_t` AS select 1 as x")
+        assert glob.glob(os.path.join(str(tmp_path), "gz_t", "*.gz.parquet"))
+    finally:
+        dsession.sql("ALTER SESSION SET `store.parquet.compression` = 'snappy'")
+        dsession.sql("DROP TABLE IF EXISTS dfs.gzw.`gz_t`")
