@@ -488,3 +488,39 @@ def test_parse_user_agent_field_form(session):
                         " 'NoSuchField')") is None
     # the 1-arg struct form keeps working
     assert one(session, f"select parse_user_agent({ff}).browser") == "Firefox"
+
+
+def test_ieee_decode_random_bit_patterns(session):
+    """200 random float64/float32 bit patterns decode EXACTLY through
+    the pure-SQL IEEE arithmetic (one vectorized comparison job; NaNs
+    compared as NaN-ness)."""
+    import math
+    import random
+    import struct
+
+    rng = random.Random(11)
+    rows = []
+    for _ in range(200):
+        bits8 = rng.getrandbits(64)
+        b8 = struct.pack(">Q", bits8)
+        want8 = struct.unpack(">d", b8)[0]
+        bits4 = rng.getrandbits(32)
+        b4 = struct.pack(">I", bits4)
+        want4 = struct.unpack(">f", b4)[0]
+        rows.append((b8.hex(), want8, b4.hex(), want4))
+    df = session.spark.createDataFrame(
+        rows, "h8 string, want8 double, h4 string, want4 float")
+    df.createOrReplaceTempView("ieee_cases")
+    got = session.sql(
+        "select want8, convert_from(unhex(h8), 'DOUBLE_BE') as got8,"
+        " want4, convert_from(unhex(h4), 'FLOAT_BE') as got4"
+        " from ieee_cases").collect()
+    for r in got:
+        if math.isnan(r.want8):
+            assert math.isnan(r.got8)
+        else:
+            assert r.got8 == r.want8, (r.want8, r.got8)
+        if math.isnan(r.want4):
+            assert math.isnan(r.got4)
+        else:
+            assert r.got4 == r.want4, (r.want4, r.got4)
