@@ -238,3 +238,45 @@ def stratified_sample(
         thr = F.when(cond, threshold) if thr is None else thr.when(cond, threshold)
     thr = thr.otherwise(default_threshold) if thr is not None else F.lit(default_threshold)
     return df.where(gate < thr)
+
+
+def cluster_balanced_sample(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_clusters: int = 8,
+    per_cluster_rate: dict[int, str] | None = None,
+    default_threshold: str = "80",
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding-space mixture balancing: k-means-cluster the corpus
+    (the bounded-sample coarse quantizer from ops/similarity.ivf_assign)
+    and hash-sample each cluster at its own rate — the
+    cluster-proportional curation move (DoReMi / DSIR-style domain
+    balancing when no domain labels exist: clusters stand in for
+    domains). Rates are the same 2-hex md5 thresholds stratified_sample
+    uses ('80' = 50%), keyed by cluster id; unlisted clusters get
+    ``default_threshold``.
+
+    Scale shape: k-means trains on a bounded driver sample; assignment
+    is one codegen'd scan; the gate is a plain filter — ZERO shuffles
+    beyond the assignment scan itself. Returns the surviving rows with
+    their ``cell`` (cluster id) attached."""
+    from drill_spark.ops.similarity import ivf_assign
+
+    assigned, _cents = ivf_assign(df, id_col, vec_col,
+                                  n_cells=n_clusters, seed=seed)
+    rates = {str(k): v for k, v in (per_cluster_rate or {}).items()}
+    return _cluster_gate(assigned, rates, id_col, default_threshold)
+
+
+def _cluster_gate(assigned: DataFrame, rates: dict[str, str],
+                  id_col: str, default_threshold: str) -> DataFrame:
+    gate = F.substring(F.md5(F.col(id_col).cast("string")), 1, 2)
+    thr = None
+    for cell, threshold in rates.items():
+        cond = F.col("cell") == int(cell)
+        thr = F.when(cond, threshold) if thr is None else thr.when(cond, threshold)
+    thr = thr.otherwise(default_threshold) if thr is not None \
+        else F.lit(default_threshold)
+    return assigned.where(gate < thr)

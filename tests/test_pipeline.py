@@ -144,3 +144,42 @@ def test_quality_mixture_rates_favor_quality(spark):
     assert clean_rate > junk_rate * 2, (junk_rate, clean_rate)
     rep = explain_report(quality_mixture_sample(df, "doc_id", "text"))
     assert rep["shuffles"] == 0 and not rep["python_eval"], rep
+
+
+def test_cluster_balanced_sample(spark):
+    """Embedding-space mixture balancing: per-cluster hash-gate rates
+    hold (~rate per cluster, deterministic), unlisted clusters take the
+    default, and the gate stays a plain filter over one assignment
+    scan."""
+    import numpy as np
+    import pandas as pd
+
+    from drill_spark.ops.pipeline import cluster_balanced_sample
+
+    rng = np.random.default_rng(5)
+    centers = np.eye(4)
+    rows = []
+    for i in range(2000):
+        c = i % 4
+        v = centers[c] * 10 + rng.normal(0, 0.2, 4)
+        rows.append((i, [float(x) for x in v]))
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["vec_id", "embedding"]))
+    out = cluster_balanced_sample(
+        df, n_clusters=4,
+        per_cluster_rate={0: "40", 1: "ff"},  # 25% and ~100%
+        default_threshold="80",               # 50% elsewhere
+    ).cache()
+    total = out.count()
+    assert 0 < total < 2000
+    by_cell = {r.cell: r.cnt for r in
+               out.groupBy("cell").count().withColumnRenamed("count", "cnt").collect()}
+    # each k-means cell holds ~500 rows; rates within generous bounds
+    per_rates = sorted(c / 500 for c in by_cell.values())
+    assert per_rates[0] < 0.40          # the 25% cell
+    assert per_rates[-1] > 0.90         # the ~100% cell
+    # deterministic: same call, same survivors
+    out2 = cluster_balanced_sample(
+        df, n_clusters=4, per_cluster_rate={0: "40", 1: "ff"},
+        default_threshold="80")
+    assert {r.vec_id for r in out2.collect()} == \
+        {r.vec_id for r in out.collect()}
