@@ -187,6 +187,19 @@ def q_ann_ivf(spark, sf_dir):
     return ivf_topk(_embs(spark, sf_dir), query_ids=[0, 1, 2, 3, 4], k=3, n_cells=8, nprobe=3)
 
 
+def q_cluster_sample(spark, sf_dir):
+    """Cluster-balanced mixture sampling (ops/pipeline.py): k-means
+    cells as stand-in domains, per-cell md5 gates (rows-only: the
+    k-means sample is a bounded driver read, rate bounds pytest-held
+    in test_cluster_balanced_sample)."""
+    from drill_spark.ops.pipeline import cluster_balanced_sample
+
+    return (cluster_balanced_sample(
+                _embs(spark, sf_dir), n_clusters=4,
+                per_cluster_rate={0: "40"}, default_threshold="80")
+            .select("vec_id", "cell").orderBy("vec_id"))
+
+
 # ---------------------------------------------------------------- text
 
 
@@ -2086,6 +2099,7 @@ QUERIES = {
     "ext_audio_dedup": q_audio_dedup,
     "ext_video_dedup": q_video_dedup,
     "ext_quality_classifier": q_quality_classifier,
+    "ext_cluster_sample": q_cluster_sample,
 }
 
 ORACLES = {
