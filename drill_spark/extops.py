@@ -1728,7 +1728,7 @@ def q_gis_points(spark, sf_dir):
     by the driver, not just pytest."""
     from drill_spark import functions as dfn
 
-    dfn.register_all(spark)
+    dfn.ensure_registered(spark)
     sup = load_fixture(spark, sf_dir, "supplier")
     sup.createOrReplaceTempView("supplier")
     return spark.sql("""

@@ -625,9 +625,10 @@ def rewrite_convert_calls(query: str) -> str:
     out = []
     i = 0
     pat = _re.compile(
-        r"(convert_(?:from|to)\w*|sqltypeof|drilltypeof|modeof"
+        r"(?<![\w.])(convert_(?:from|to)\w*|sqltypeof|drilltypeof|modeof"
         r"|aes_encrypt|aes_decrypt|nearest_date|nearestdate"
         r"|hll_decode|hll_merge|hll|regrslope|regrintercept"
+        r"|hash32asdouble|hash64asdouble|hash32|hash64"
         r"|parse_user_agent)\s*\(",
         _re.IGNORECASE,
     )
@@ -720,6 +721,28 @@ def rewrite_convert_calls(query: str) -> str:
             else:
                 out.append(f"(decode(aes_decrypt(unbase64({x}), {key},"
                            " 'ECB', 'PKCS'), 'UTF-8'))")
+        elif (fname in ("hash32", "hash64", "hash32asdouble",
+                        "hash64asdouble") and len(args) == 2):
+            # Seeded overloads (Hash32FunctionsWithSeed.java /
+            # Hash64FunctionsWithSeed.java / Hash32WithSeedAsDouble.java /
+            # Hash64WithSeedAsDouble.java): SQL UDFs cannot overload by
+            # arity, so the 2-arg form expands at rewrite time — the
+            # parse_user_agent(ua, field) mechanism. Drill contract kept
+            # exactly: NULL input hashes to the seed itself; otherwise a
+            # seed-dependent distribution hash (Catalyst murmur3/xxhash64
+            # folding the seed in as a hash child — same "distribution,
+            # not cross-engine bytes" stand-in as the 1-arg family). The
+            # asdouble forms hash the DOUBLE-widened value so equal
+            # numerics of different types collide, as the reference's do.
+            x = rewrite_convert_calls(args[0])
+            s = rewrite_convert_calls(args[1])
+            v = f"CAST(({x}) AS DOUBLE)" if fname.endswith("asdouble") else f"({x})"
+            if fname.startswith("hash32"):
+                out.append(f"(IF(({x}) IS NULL, CAST(({s}) AS INT),"
+                           f" hash({v}, ({s}))))")
+            else:
+                out.append(f"(IF(({x}) IS NULL, CAST(({s}) AS BIGINT),"
+                           f" xxhash64({v}, ({s}))))")
         elif fname in ("nearest_date", "nearestdate") and len(args) == 3:
             # the reference's 3-arg overload: (string, java format,
             # interval) — SQL UDFs cannot overload by arity, so the

@@ -52,21 +52,26 @@ def frame_hashes(samples, sample_rate: int, frame: int = 2048,
     edges = np.geomspace(f_lo, f_hi, n_bands + 1)
     bins = np.clip((edges * frame / sample_rate).astype(int), 1, frame // 2 - 1)
     n_frames = 1 + (len(x) - frame) // hop
+    # One strided frame matrix -> ONE rfft over the 2-D batch (pocketfft
+    # runs the identical per-row transform, so band energies and hence
+    # hash bits are bit-identical to a per-frame loop — asserted in
+    # tests/test_extops.py::test_audio_frame_hashes_bit_identical_to_loop)
+    # instead of n_frames Python-loop FFT calls.
+    frames_mat = np.lib.stride_tricks.sliding_window_view(x, frame)[::hop]
+    spec = np.abs(np.fft.rfft(frames_mat * win, axis=1)) ** 2
     energies = np.empty((n_frames, n_bands))
-    for t in range(n_frames):
-        spec = np.abs(np.fft.rfft(x[t * hop: t * hop + frame] * win)) ** 2
-        for b in range(n_bands):
-            lo, hi = bins[b], max(bins[b + 1], bins[b] + 1)
-            energies[t, b] = spec[lo:hi].sum()
-    out = []
-    for t in range(1, n_frames):
-        bits = 0
-        for b in range(n_bands - 1):
-            d = (energies[t, b] - energies[t, b + 1]
-                 - (energies[t - 1, b] - energies[t - 1, b + 1]))
-            bits = (bits << 1) | (1 if d > 0 else 0)
-        out.append(bits)
-    return out
+    for b in range(n_bands):
+        lo, hi = bins[b], max(bins[b + 1], bins[b] + 1)
+        # .sum(axis=1) over the contiguous slice keeps numpy's pairwise
+        # summation order, matching the scalar spec[lo:hi].sum()
+        energies[:, b] = spec[:, lo:hi].sum(axis=1)
+    # sign of the time-difference of the frequency-difference, packed
+    # MSB-first exactly like the scalar (bits << 1 | sign) loop
+    d = ((energies[1:, :-1] - energies[1:, 1:])
+         - (energies[:-1, :-1] - energies[:-1, 1:]))
+    shifts = np.arange(n_bands - 2, -1, -1, dtype=np.int64)
+    packed = ((d > 0).astype(np.int64) << shifts).sum(axis=1)
+    return [int(v) for v in packed]
 
 
 def _decode_audio(payload: bytes):

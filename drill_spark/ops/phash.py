@@ -14,9 +14,13 @@ ops/dedup.py:208): hashing is one Arrow mapInPandas over the payload
 column; candidate generation explodes each 64-bit hash into
 ``bands`` fixed-width band keys and equi-joins on (band, value) — NO
 all-pairs product; verification is one xor+bit_count per candidate
-pair, in codegen. A hot bucket (constant-color corpus) is capped the
-same way simhash caps: by the band join's natural key spread plus the
-max_hamming filter.
+pair, in codegen. A hot bucket (constant-color corpus — blank
+thumbnails, logo boilerplate are common in crawl data) is capped with
+a row_number <= max_bucket per (band, band_bits), the same cap the
+audio (ops/audiofp.py) and video (ops/videofp.py) siblings use;
+past the cap recall degrades gracefully (a pair is still found if it
+co-survives in ANY of its ``bands`` buckets) instead of the join
+going quadratic.
 """
 
 from __future__ import annotations
@@ -26,6 +30,7 @@ from collections.abc import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 
 def phash64(payload: bytes) -> int:
@@ -116,7 +121,8 @@ def image_phash(df: DataFrame, id_col: str = "doc_id",
 
 def phash_near_dupes(df: DataFrame, id_col: str = "doc_id",
                      payload_col: str = "payload",
-                     bands: int = 4, max_hamming: int = 6) -> DataFrame:
+                     bands: int = 4, max_hamming: int = 6,
+                     max_bucket: int = 1024) -> DataFrame:
     """Near-duplicate image pairs (id_a < id_b, hamming <= max_hamming).
 
     Banding guarantee: two hashes within ``max_hamming`` bits share at
@@ -126,7 +132,17 @@ def phash_near_dupes(df: DataFrame, id_col: str = "doc_id",
     spread across all 4 bands, i.e. recall is probabilistic above
     bands-1 bits, exactly like the reference-free simhash banding in
     ops/dedup.py. One shuffle keyed (band, band_bits); candidates
-    verified by xor bit_count in codegen."""
+    verified by xor bit_count in codegen.
+
+    Hot-bucket cap: each (band, band_bits) bucket is truncated to
+    ``max_bucket`` rows (deterministic row_number over doc_id) before
+    the self-join, bounding a bucket's pair output at max_bucket^2/2 —
+    without it a corpus of m near-constant images (all-black
+    thumbnails) produces m^2/2 candidates in one bucket. Recall
+    trade-off, same as videofp/audiofp: a capped-out pair survives if
+    BOTH rows stay under the cap in at least one of its ``bands``
+    buckets; truly identical images past the cap are better handled by
+    exact dedup (ops/dedup.py) first."""
     hashed = image_phash(df, id_col, payload_col)
     width = 64 // bands
     mask = (1 << width) - 1
@@ -138,8 +154,16 @@ def phash_near_dupes(df: DataFrame, id_col: str = "doc_id",
             for i in range(bands)
         ])).alias("band", "band_bits"),
     )
-    a = banded.alias("a")
-    b = banded.alias("b")
+    capped = (
+        banded.withColumn(
+            "_r", F.row_number().over(
+                Window.partitionBy("band", "band_bits")
+                .orderBy("doc_id")))
+        .where(F.col("_r") <= max_bucket)
+        .drop("_r")
+    )
+    a = capped.alias("a")
+    b = capped.alias("b")
     pairs = (
         a.join(b, (F.col("a.band") == F.col("b.band"))
                & (F.col("a.band_bits") == F.col("b.band_bits"))

@@ -103,13 +103,20 @@ def _extend_span(a: str, b: str, pa: int, pb: int, k: int):
 def substring_dup_spans(df: DataFrame, id_col: str = "doc_id",
                         text_col: str = "text", min_len: int = 40,
                         k: int = 8, window: int = 4,
-                        max_bucket: int = 64) -> DataFrame:
+                        max_bucket: int = 64,
+                        max_anchors: int = 256) -> DataFrame:
     """(id_a < id_b, pos_a, pos_b, span_len) — maximal verbatim common
     substrings of at least ``min_len`` chars between document pairs.
     Complete for spans >= max(min_len, k + window - 1) by the winnowing
     guarantee. ``max_bucket`` caps a fingerprint's doc list (stopword
     boilerplate shared by everything would otherwise quadratically
-    explode one bucket — same hot-bucket cap as the LSH dedup)."""
+    explode one bucket — same hot-bucket cap as the LSH dedup).
+    ``max_anchors`` caps the per-pair anchor list (two long
+    near-identical documents otherwise contribute ~len/window anchors
+    to ONE collect_list row); spans stay recoverable because ANY
+    surviving anchor inside a span re-derives the whole span via
+    _extend_span — only pairs whose shared material spans more than
+    max_anchors DISTINCT spans can lose the tail ones."""
     fps = fingerprint_docs(df, id_col, text_col, k, window)
     capped = (
         fps.withColumn(
@@ -130,6 +137,11 @@ def substring_dup_spans(df: DataFrame, id_col: str = "doc_id",
                 F.col("a.pos").alias("pos_a"),
                 F.col("b.pos").alias("pos_b"))
         .distinct()
+        .withColumn(
+            "_r", F.row_number().over(
+                Window.partitionBy("id_a", "id_b")
+                .orderBy("pos_a", "pos_b")))
+        .where(F.col("_r") <= max_anchors)
         .groupBy("id_a", "id_b")
         .agg(F.collect_list(F.struct("pos_a", "pos_b")).alias("_anchors"))
     )

@@ -463,7 +463,7 @@ def rewrite(session, query: str) -> str:
         r"convert_(?:from|to)\w*\s*\(|sqltypeof\s*\(|drilltypeof\s*\(|modeof\s*\("
         r"|aes_(?:en|de)crypt\s*\(|nearest_?date\s*\("
         r"|hll(?:_decode|_merge)?\s*\(|regr(?:slope|intercept)\s*\("
-        r"|parse_user_agent\s*\(",
+        r"|hash(?:32|64)(?:asdouble)?\s*\(|parse_user_agent\s*\(",
         query,
         re.IGNORECASE,
     ):

@@ -107,6 +107,39 @@ def test_hash_family_names(session):
     assert one(session, "select hash64('x') = hash64('x')")
 
 
+def test_seeded_hash_overloads(session):
+    """2-arg seeded overloads (Hash32FunctionsWithSeed.java /
+    Hash64FunctionsWithSeed.java / Hash*WithSeedAsDouble.java) resolve
+    under the SAME names via rewrite-time arity dispatch. Contract kept
+    from the reference: deterministic, seed-dependent, NULL input
+    hashes to the seed itself; asdouble forms collide equal numerics of
+    different types. Values are Catalyst's murmur3/xxhash64 folding the
+    seed in (distribution hashes, not cross-engine bytes — same
+    documented stand-in as the 1-arg family)."""
+    # deterministic per (value, seed)
+    assert one(session, "select hash32('x', 7) = hash32('x', 7)")
+    assert one(session, "select hash64('x', 7) = hash64('x', 7)")
+    # seed-dependent: different seeds give different hashes
+    assert one(session, "select hash32('x', 1) <> hash32('x', 2)")
+    assert one(session, "select hash64('x', 1) <> hash64('x', 2)")
+    assert one(session,
+               "select hash32asdouble(1.5, 1) <> hash32asdouble(1.5, 2)")
+    assert one(session,
+               "select hash64asdouble(1.5, 1) <> hash64asdouble(1.5, 2)")
+    # NULL input hashes to the seed itself (NullHandling.INTERNAL eval:
+    # out.value = seed.value when isSet == 0)
+    assert one(session, "select hash32(CAST(NULL AS STRING), 13)") == 13
+    assert one(session, "select hash64(CAST(NULL AS STRING), 13)") == 13
+    assert one(session, "select hash32asdouble(CAST(NULL AS DOUBLE), 5)") == 5
+    # asdouble: equal numerics of different widths hash alike
+    assert one(session, "select hash64asdouble(CAST(2 AS INT), 9)"
+                        " = hash64asdouble(CAST(2 AS BIGINT), 9)")
+    # 1-arg forms still resolve through the SQL UDFs (arity dispatch
+    # leaves them untouched), and nested calls rewrite recursively
+    assert one(session, "select hash32(concat('a', 'b'), hash32('s'))"
+                        " is not null")
+
+
 # ----------------------------------------------------------------- network
 # TestNetworkFunctions.java baselines, verbatim
 

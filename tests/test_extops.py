@@ -1411,6 +1411,80 @@ def test_phash_near_dupes_banding(spark):
     assert got == {(0, 1), (10, 11), (20, 21)}
 
 
+def test_phash_hot_bucket_cap(spark):
+    """A constant-color corpus (every image hashes identically, so all
+    rows land in ONE (band, band_bits) bucket per band) is capped at
+    max_bucket before the self-join — candidate pairs stay <=
+    C(max_bucket, 2) per band instead of going quadratic in corpus
+    size (ops/phash.py hot-bucket cap, ported from videofp/audiofp)."""
+    import numpy as np
+    import pandas as pd
+
+    from drill_spark.ops.multimodal import encode_bmp
+    from drill_spark.ops.phash import phash_near_dupes
+
+    blank = encode_bmp(np.zeros((32, 32, 3), dtype=np.uint8))
+    df = spark.createDataFrame(
+        pd.DataFrame([(i, blank) for i in range(12)],
+                     columns=["doc_id", "payload"]))
+    capped = {(r.id_a, r.id_b)
+              for r in phash_near_dupes(df, max_bucket=4).collect()}
+    # identical hashes -> identical per-band bucket order, so the same
+    # 4 docs survive every band: exactly C(4,2) pairs, not C(12,2)
+    assert capped == {(a, b) for a in range(4) for b in range(4) if a < b}
+    full = {(r.id_a, r.id_b)
+            for r in phash_near_dupes(df, max_bucket=1024).collect()}
+    assert len(full) == 66
+
+
+def test_audio_frame_hashes_bit_identical_to_loop():
+    """The vectorized fingerprint kernel (strided frame matrix -> one
+    batched rfft -> per-band pairwise sums) is BIT-identical to the
+    per-frame scalar loop it replaced — same FFT per row, same
+    summation order, same subtraction order, same bit packing."""
+    import numpy as np
+
+    from drill_spark.ops.audiofp import frame_hashes
+
+    def loop_reference(samples, sample_rate, frame=2048, hop=1024,
+                       n_bands=17):
+        x = np.asarray(samples, dtype=np.float64)
+        if len(x) < frame:
+            return []
+        win = np.hanning(frame)
+        f_lo, f_hi = 300.0, min(3000.0, 0.9 * sample_rate / 2)
+        edges = np.geomspace(f_lo, f_hi, n_bands + 1)
+        bins = np.clip((edges * frame / sample_rate).astype(int),
+                       1, frame // 2 - 1)
+        n_frames = 1 + (len(x) - frame) // hop
+        energies = np.empty((n_frames, n_bands))
+        for t in range(n_frames):
+            spec = np.abs(np.fft.rfft(x[t * hop: t * hop + frame] * win)) ** 2
+            for b in range(n_bands):
+                lo, hi = bins[b], max(bins[b + 1], bins[b] + 1)
+                energies[t, b] = spec[lo:hi].sum()
+        out = []
+        for t in range(1, n_frames):
+            bits = 0
+            for b in range(n_bands - 1):
+                d = (energies[t, b] - energies[t, b + 1]
+                     - (energies[t - 1, b] - energies[t - 1, b + 1]))
+                bits = (bits << 1) | (1 if d > 0 else 0)
+            out.append(bits)
+        return out
+
+    rng = np.random.default_rng(11)
+    rate = 8000
+    t = np.arange(rate * 2) / rate
+    for sig in [
+        0.4 * np.sin(2 * np.pi * (400 + 80 * np.sin(2 * np.pi * 0.7 * t)) * t)
+        + 0.2 * np.sin(2 * np.pi * 900 * t),
+        rng.standard_normal(rate * 2) * 0.1,
+        np.zeros(rate),  # silence: near-zero band diffs, sign-critical
+    ]:
+        assert frame_hashes(sig, rate) == loop_reference(sig, rate)
+
+
 def test_winnow_guarantee_property():
     """Winnowing guarantee (Schleimer et al. 2003): any common
     substring of length >= k + window - 1 shares at least one selected
@@ -1481,6 +1555,30 @@ def test_substring_dup_spans_hot_bucket_cap(spark):
             for r in substring_dup_spans(df, min_len=40,
                                          max_bucket=1000).collect()}
     assert len(full) == 66
+
+
+def test_winnow_anchor_cap_long_identical_docs(spark):
+    """Worst case for the per-pair anchor list: two long IDENTICAL
+    documents share ~len/window anchors in one span. The max_anchors
+    cap bounds the collect_list row, and the full maximal span is
+    still recovered (any surviving anchor re-derives it via
+    _extend_span)."""
+    import random
+
+    from drill_spark.ops.winnow import substring_dup_spans
+
+    rng = random.Random(13)
+    long_text = " ".join(
+        "".join(rng.choice("abcdefghij") for _ in range(rng.randrange(3, 9)))
+        for _ in range(600))
+    rows = [(1, long_text), (2, long_text)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = substring_dup_spans(df, min_len=40, max_anchors=8).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r.id_a, r.id_b) == (1, 2)
+    assert (r.pos_a, r.pos_b) == (0, 0)
+    assert r.span_len == len(long_text)
 
 
 def test_phash_tiny_images():
