@@ -1528,6 +1528,27 @@ def decode_media(payload: bytes) -> dict:
             "sample_rate": int(meta["fps"]) if meta["fps"] else None,
             "mean_val": round(mean, 4),
         }
+    is_mpeg_audio = b[:3] == b"ID3" or (
+        len(b) >= 2 and b[0] == 0xFF and (b[1] & 0xE0) == 0xE0
+    )
+    if is_mpeg_audio:
+        # PERMANENT BOUNDARY (decided round 7, see COVERAGE.md): MPEG
+        # audio SAMPLE decode. Metadata (layer/rate/channels/frames/
+        # duration/VBR bitrate/ID3 tags) is fully real via
+        # probe_mpeg_audio. Layer III sample decode is built on pure
+        # table data — ~900 Huffman codewords (ISO 11172-3 Table B.7)
+        # and the 512-coefficient synthesis window (Table B.3) — that
+        # cannot be derived from first principles, and this container
+        # has no spec text, no decoder library, and no network to
+        # retrieve them; a mistranscribed codeword yields
+        # plausible-but-wrong PCM, which is worse than this named gate.
+        # Layers I/II share the synthesis-window table, so they gate
+        # with it.
+        raise NotImplementedError(
+            "MPEG audio sample decode gates: the ISO Huffman/synthesis-"
+            "window tables are unavailable in this container (metadata "
+            "via probe_mpeg_audio is real; see COVERAGE.md boundary)"
+        )
     raise NotImplementedError(
         "real decode for this format needs codec libs not in this container"
     )

@@ -404,6 +404,24 @@ def test_mpeg_audio_probe():
         probe_mpeg_audio(b"not audio at all")
 
 
+def test_mpeg_sample_decode_permanent_boundary():
+    """The MP3 sample-decode gate is NAMED (COVERAGE.md permanent
+    boundary, r7): decode_media on an MPEG-audio payload raises with
+    the boundary explanation instead of the generic codec message,
+    while probe_mpeg_audio on the same payload stays fully real."""
+    import pytest as _pytest
+
+    from drill_spark.ops.multimodal import (
+        build_id3v2, build_mpeg_frames, decode_media, probe_mpeg_audio)
+
+    stream = build_mpeg_frames(3, bitrate_kbps=128)
+    for payload in (stream, build_id3v2({"TIT2": "t"}) + stream):
+        assert probe_mpeg_audio(payload)["n_frames"] == 3
+        with _pytest.raises(NotImplementedError,
+                            match="MPEG audio sample decode"):
+            decode_media(payload)
+
+
 def test_avi_property_roundtrip():
     """Property: any stack of random RGB frames round-trips byte-exact
     through the raw-DIB AVI writer/reader at any fps/shape."""
