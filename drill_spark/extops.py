@@ -1537,6 +1537,22 @@ group by 1
 """
 
 
+def q_bloom_decontaminate(spark, sf_dir):
+    """Same decontamination contract as q_decontaminate, shaped for a
+    banned set too large to broadcast-join: a Catalyst-native Bloom
+    sketch (ops/bloom.py) prefilters the corpus gram stream map-side,
+    then survivors exact-verify — identical results (the shared
+    ORACLE_DECONTAMINATE proves it), shuffle sized by contamination
+    rate instead of corpus size."""
+    from drill_spark.ops.bloom import bloom_decontaminate
+
+    docs = _docs(spark, sf_dir)
+    bench = docs.where(F.col("doc_id") % 20 == 0)
+    corpus = docs.where(F.col("doc_id") % 20 != 0)
+    return bloom_decontaminate(corpus, bench, "doc_id", "text", n=8,
+                               fpp=0.001)
+
+
 def q_chunk_pack(spark, sf_dir):
     """Sequence packing: 32-token windows per document (chunk inventory
     for a tokenize-and-pack trainer)."""
@@ -2084,6 +2100,7 @@ QUERIES = {
     "ext_stream_tumbling": q_stream_tumbling,
     "ext_pii_redact": q_pii_redact,
     "ext_decontaminate": q_decontaminate,
+    "ext_bloom_decontaminate": q_bloom_decontaminate,
     "ext_chunk_pack": q_chunk_pack,
     "ext_repetition": q_repetition,
     "ext_stratified_sample": q_stratified_sample,
@@ -2144,6 +2161,7 @@ ORACLES = {
     "ext_stream_tumbling": ORACLE_STREAM_TUMBLING,
     "ext_pii_redact": ORACLE_PII_REDACT,
     "ext_decontaminate": ORACLE_DECONTAMINATE,
+    "ext_bloom_decontaminate": ORACLE_DECONTAMINATE,
     "ext_chunk_pack": ORACLE_CHUNK_PACK,
     "ext_repetition": ORACLE_REPETITION,
     "ext_stratified_sample": ORACLE_STRATIFIED_SAMPLE,

@@ -1,0 +1,196 @@
+"""Catalyst-native Bloom filter: broadcast a compact bit-set sketch
+instead of a hash relation for membership tests against very large key
+sets, then exact-verify the survivors — the 100 TB decontamination /
+blocklist pattern.
+
+Why not a semi join: decontaminating a corpus against a banned set of
+~1e9 n-grams with a plain semi join either broadcasts a ~50 GB hash
+relation (impossible) or shuffles the ENTIRE corpus gram stream on the
+join key. A Bloom filter at 1% fpp is ~1.2 GB for 1e9 keys — small
+enough to broadcast — and kills ~99% of clean grams map-side in
+codegen; only the contaminated + false-positive residue reaches the
+exact verify join, so the shuffle is sized by the contamination rate,
+not the corpus. Results are EXACT: Bloom filters have no false
+negatives (a key that was inserted always tests positive — asserted as
+a hypothesis property in tests), and false positives are removed by the
+verify join.
+
+Why from scratch: Spark's own BloomFilterAggregate/BloomFilterMightContain
+expressions (the runtime-filter machinery) are not SQL-registered in
+4.1, and DataFrameStatFunctions.bloomFilter returns a driver-side JVM
+object unusable inside a Column. The sketch here is a sparse
+``map<bigint, bigint>`` of nonzero 64-bit words built with one
+explode + bit_or aggregation, and membership is k codegen bit tests —
+every step is a built-in JVM expression, no Python in the data path.
+
+Hashing: Kirsch-Mitzenmacher double hashing — position_i =
+(h1 + i*h2) mod m with h1 = xxhash64(key) and h2 = xxhash64(key, salt)
+(the salt folds in as a second hash child), which gives k independent
+probes from two hash evaluations. Both sides (build and probe) share
+``_positions``, so there is no drift between insert and test.
+
+No reference-parity citation: Drill has no Bloom surface; this is part
+of the training-data-pipeline extension (SURVEY.md §6 scope) like
+ops/dedup.py.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def bloom_params(expected_items: int, fpp: float = 0.01) -> tuple[int, int]:
+    """Standard sizing: m = -n*ln(p)/ln(2)^2 bits, k = (m/n)*ln(2)
+    probes. Returned m is rounded up to a multiple of 64 (whole words).
+    """
+    n = max(1, int(expected_items))
+    if not 0.0 < fpp < 1.0:
+        raise ValueError(f"fpp must be in (0, 1), got {fpp}")
+    m = int(math.ceil(-n * math.log(fpp) / (math.log(2) ** 2)))
+    m = ((m + 63) // 64) * 64
+    k = max(1, round(m / n * math.log(2)))
+    return m, k
+
+
+def _positions(key: Column, m_bits: int, k: int) -> list[Column]:
+    """k bit positions in [0, m_bits). Each hash is pmod-reduced BEFORE
+    the double-hash combination so h1 + i*h2 stays < (k+1)*m — no
+    bigint overflow even under ANSI mode (m is at most ~2^40 for any
+    realistic filter)."""
+    h1 = F.pmod(F.xxhash64(key), F.lit(m_bits))
+    h2 = F.pmod(F.xxhash64(key, F.lit(0x9E3779B9)), F.lit(m_bits))
+    # double hashing degenerates when h2 == 0 (all k probes identical);
+    # the classic fix is forcing h2 odd — bounded above by m so no overflow
+    h2 = h2 + F.lit(1) - F.pmod(h2, F.lit(2))
+    return [F.pmod(h1 + F.lit(i) * h2, F.lit(m_bits)) for i in range(k)]
+
+
+def _bit_mask(bit: Column) -> Column:
+    """1L << bit as a Column: PySpark's shiftleft only takes a Python
+    int shift amount, so the 64 single-bit masks are a literal array
+    indexed by bit (bit 63 is the sign bit — stored as its signed
+    two's-complement value)."""
+    masks = [(1 << i) if i < 63 else (1 << 63) - (1 << 64) for i in range(64)]
+    return F.element_at(
+        F.array(*[F.lit(v).cast("bigint") for v in masks]),
+        bit.cast("int") + 1)
+
+
+def bloom_build(keys: DataFrame, key_col: str, m_bits: int, k: int) -> DataFrame:
+    """One-row DataFrame ``(bloom map<bigint,bigint>)``: the sparse
+    nonzero words of the m-bit filter over every value of ``key_col``.
+
+    Plan: per-key explode of k (word, mask) pairs (no shuffle) → ONE
+    bit_or aggregation keyed by word index (shuffle bounded by m/64
+    distinct words, not by key count) → single-group map_from_entries.
+    The final row is at most m/8 bytes — the thing small enough to
+    broadcast when the key set itself is not."""
+    pos = F.array(*_positions(F.col(key_col), m_bits, k))
+    words = keys.select(F.explode(pos).alias("__p")).select(
+        (F.col("__p") / 64).cast("bigint").alias("__w"),
+        _bit_mask(F.pmod(F.col("__p"), F.lit(64))).alias("__m"),
+    )
+    packed = words.groupBy("__w").agg(F.bit_or("__m").alias("__bits"))
+    return packed.agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("__w", "__bits"))).alias("bloom")
+    )
+
+
+def bloom_might_contain(bloom: Column, key: Column, m_bits: int, k: int) -> Column:
+    """k codegen bit tests against the sparse word map: true iff every
+    probed bit is set. Words absent from the map are all-zero words."""
+    checks = []
+    for p in _positions(key, m_bits, k):
+        word = F.coalesce(
+            F.element_at(bloom, (p / 64).cast("bigint")),
+            F.lit(0).cast("bigint"))
+        mask = _bit_mask(F.pmod(p, F.lit(64)))
+        checks.append(word.bitwiseAND(mask) != 0)
+    return reduce(lambda a, b: a & b, checks)
+
+
+def bloom_prefilter(df: DataFrame, keys: DataFrame, key_col: str,
+                    m_bits: int, k: int, negate: bool = False) -> DataFrame:
+    """Rows of ``df`` whose ``key_col`` MIGHT be in ``keys`` (or, with
+    ``negate``, rows that DEFINITELY are not — no false negatives means
+    the negated filter is already exact). The one-row sketch joins in
+    via a broadcast nested-loop of a single row; the membership test
+    itself runs in whole-stage codegen with no shuffle of ``df``."""
+    sketch = bloom_build(keys, key_col, m_bits, k)
+    test = bloom_might_contain(F.col("bloom"), F.col(key_col), m_bits, k)
+    return (
+        df.crossJoin(F.broadcast(sketch))
+        .where(~test if negate else test)
+        .drop("bloom")
+    )
+
+
+def bloom_semi_join(left: DataFrame, right: DataFrame, key_col: str,
+                    fpp: float = 0.01,
+                    expected_items: int | None = None) -> DataFrame:
+    """EXACT left-semi join on ``key_col`` with a Bloom prefilter:
+    only rows surviving the broadcast sketch reach the exact semi join,
+    so the shuffled volume is (true matches + fpp·clean), not |left|.
+    ``expected_items`` sizes the filter; when omitted one count job
+    runs over the distinct right keys (cheap: it is the small side)."""
+    rk = right.select(key_col).distinct()
+    n = expected_items if expected_items is not None else rk.count()
+    m_bits, k = bloom_params(n, fpp)
+    survivors = bloom_prefilter(left, rk, key_col, m_bits, k)
+    return survivors.join(rk, key_col, "left_semi")
+
+
+def bloom_anti_join(left: DataFrame, right: DataFrame, key_col: str,
+                    fpp: float = 0.01,
+                    expected_items: int | None = None) -> DataFrame:
+    """EXACT left-anti join on ``key_col``: rows rejected by the sketch
+    are definite non-members and pass through with NO shuffle at all
+    (the dominant fraction when scrubbing a corpus against a
+    blocklist); only sketch hits go through the exact anti join to
+    strip false positives back in."""
+    rk = right.select(key_col).distinct()
+    n = expected_items if expected_items is not None else rk.count()
+    m_bits, k = bloom_params(n, fpp)
+    sketch = bloom_build(rk, key_col, m_bits, k)
+    test = bloom_might_contain(F.col("bloom"), F.col(key_col), m_bits, k)
+    tagged = left.crossJoin(F.broadcast(sketch))
+    definite_out = tagged.where(~test).drop("bloom")
+    maybe = tagged.where(test).drop("bloom")
+    return definite_out.unionByName(maybe.join(rk, key_col, "left_anti"))
+
+
+def bloom_decontaminate(corpus: DataFrame, benchmark: DataFrame,
+                        id_col: str, text_col: str, n: int = 8,
+                        fpp: float = 0.001,
+                        expected_items: int | None = None) -> DataFrame:
+    """Benchmark decontamination (same contract and EXACT same results
+    as ops/pipeline.decontaminate: (id, n_shared) over shared word
+    n-grams) shaped for a banned set too large to broadcast-join.
+
+    Three phases: (1) one pass over the benchmark's distinct n-gram
+    hashes builds the sketch; (2) the corpus gram stream is prefiltered
+    map-side against the broadcast sketch — at fpp=1e-3 that removes
+    ~99.9% of clean grams before any shuffle; (3) survivors exact-join
+    the benchmark grams (false positives die here) and aggregate per
+    document. The benchmark explode runs twice (build + verify) rather
+    than being persisted — it is the small side by assumption, and
+    caching it would pin executor memory at scale."""
+    from drill_spark.ops.pipeline import _ngram_keys, _spread
+
+    c = _spread(corpus).select(
+        F.col(id_col), F.explode(_ngram_keys(text_col, n)).alias("__ng"))
+    b = _spread(benchmark).select(
+        F.explode(_ngram_keys(text_col, n)).alias("__ng")).distinct()
+    n_keys = expected_items if expected_items is not None else b.count()
+    m_bits, k = bloom_params(n_keys, fpp)
+    survivors = bloom_prefilter(c, b, "__ng", m_bits, k)
+    return (
+        survivors.join(b, "__ng")
+        .groupBy(id_col)
+        .agg(F.count_distinct("__ng").alias("n_shared"))
+    )
