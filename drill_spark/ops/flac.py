@@ -92,25 +92,88 @@ class _BitReader:
             self.bit = 0
             self.byte += 1
 
+    # ---- vectorized access (decoder hot path) --------------------
+    # The per-sample Rice/fixed-width reads dominate decode time in
+    # pure Python, so the residual decoders below work on a lazily
+    # unpacked 0/1 bit array for the WHOLE stream. All caches are
+    # per-reader; decode_flac reuses ONE reader across frames so the
+    # unpack cost amortizes over the file.
+
+    @property
+    def bitpos(self) -> int:
+        return self.byte * 8 + self.bit
+
+    def seek_bit(self, absbit: int) -> None:
+        self.byte, self.bit = divmod(absbit, 8)
+
+    def bits_arr(self):
+        import numpy as np
+
+        if getattr(self, "_bits", None) is None:
+            self._bits = np.unpackbits(
+                np.frombuffer(self.data, dtype=np.uint8))
+            self._ones = np.flatnonzero(self._bits).astype(np.int64)
+            self._jumps = {}
+        return self._bits
+
+    def ones_pos(self):
+        self.bits_arr()
+        return self._ones
+
+    def rice_jumps(self, param: int, need: int):
+        """Doubling jump tables for Rice stop-bit chasing: jumps[k][j]
+        is the index (into ones_pos) of the stop bit 2^k samples after
+        stop bit j, where one sample consumes its stop bit plus
+        ``param`` payload bits. Index len(ones) is a self-looping
+        sentinel meaning 'ran off the stream'. Cached per param and
+        grown lazily to cover ``need`` samples."""
+        import numpy as np
+
+        ones = self.ones_pos()
+        tabs = self._jumps.setdefault(param, [])
+        if not tabs:
+            n = len(ones)
+            j1 = np.searchsorted(ones, ones + 1 + param).astype(np.int64)
+            tabs.append(np.append(j1, n))
+        while (1 << len(tabs)) < need:
+            p = tabs[-1]
+            tabs.append(p[p])
+        return tabs
+
 
 # ----------------------------------------------------------------- CRC
 
 
-def _crc8(data: bytes) -> int:
-    crc = 0
-    for b in data:
-        crc ^= b
+def _make_crc_tables():
+    t8, t16 = [], []
+    for b in range(256):
+        crc = b
         for _ in range(8):
             crc = ((crc << 1) ^ 0x07) & 0xFF if crc & 0x80 else (crc << 1) & 0xFF
+        t8.append(crc)
+        crc = b << 8
+        for _ in range(8):
+            crc = ((crc << 1) ^ 0x8005) & 0xFFFF if crc & 0x8000 else (crc << 1) & 0xFFFF
+        t16.append(crc)
+    return t8, t16
+
+
+_CRC8_TABLE, _CRC16_TABLE = _make_crc_tables()
+
+
+def _crc8(data: bytes) -> int:
+    crc = 0
+    t = _CRC8_TABLE
+    for b in data:
+        crc = t[crc ^ b]
     return crc
 
 
 def _crc16(data: bytes) -> int:
     crc = 0
+    t = _CRC16_TABLE
     for b in data:
-        crc ^= b << 8
-        for _ in range(8):
-            crc = ((crc << 1) ^ 0x8005) & 0xFFFF if crc & 0x8000 else (crc << 1) & 0xFFFF
+        crc = ((crc << 8) & 0xFF00) ^ t[(crc >> 8) ^ b]
     return crc
 
 
@@ -173,10 +236,29 @@ def _zigzag(r: int) -> int:
     return (r << 1) if r >= 0 else (-(r << 1) - 1)
 
 
-def _best_rice_param(zig: list[int]) -> int:
+def _interleave_le_bytes(vals, width: int) -> bytes:
+    """int64 array -> each value's ``width`` little-endian
+    two's-complement bytes, concatenated (the STREAMINFO MD5 layout) —
+    the low bytes of the 8-byte LE representation ARE the truncated
+    signed form, so this is one reshape, no per-sample to_bytes."""
+    import numpy as np
+
+    v = np.ascontiguousarray(np.asarray(vals, dtype="<i8"))
+    if width == 8:
+        return v.tobytes()
+    return v.view(np.uint8).reshape(-1, 8)[:, :width].tobytes()
+
+
+def _best_rice_param(zig) -> int:
+    """Same selection (ascending p, strict improvement, 4x early stop)
+    as the scalar loop, with the per-p cost as one vector sum."""
+    import numpy as np
+
+    zig = np.asarray(zig, dtype=np.int64)
+    n = len(zig)
     best_p, best_cost = 0, None
     for p in range(15):
-        cost = sum((z >> p) + 1 + p for z in zig)
+        cost = int((zig >> p).sum()) + n * (1 + p)
         if best_cost is None or cost < best_cost:
             best_p, best_cost = p, cost
         if cost > (best_cost or 0) * 4:
@@ -184,42 +266,77 @@ def _best_rice_param(zig: list[int]) -> int:
     return best_p
 
 
-def _encode_subframe(w: _BitWriter, x: list[int], bps: int) -> None:
+def _write_bits_vec(w: _BitWriter, bitarr) -> None:
+    """Append a 0/1 uint8 bit array to the writer MSB-first, 64 bits
+    per write call instead of one call per unary/payload field."""
+    import numpy as np
+
+    total = len(bitarr)
+    if not total:
+        return
+    pad = (-total) % 8
+    packed = np.packbits(bitarr).tobytes()
+    full_words, rem_bits = divmod(total, 64)
+    off = 0
+    for _ in range(full_words):
+        w.write(int.from_bytes(packed[off:off + 8], "big"), 64)
+        off += 8
+    if rem_bits:
+        tail = int.from_bytes(packed[off:].ljust(8, b"\0"), "big")
+        w.write(tail >> (64 - rem_bits), rem_bits)
+    del pad
+
+
+def _encode_subframe(w: _BitWriter, x, bps: int) -> None:
+    """x: int64 numpy array. Emits the same bitstream as the original
+    per-sample implementation (same order choice, same Rice param
+    selection, same partition-order-0 layout); the residuals, costs and
+    Rice bit packing are vectorized."""
+    import numpy as np
+
+    x = np.asarray(x, dtype=np.int64)
     n = len(x)
-    if all(v == x[0] for v in x):
+    if n and (x == x[0]).all():
         w.write(0, 1)          # zero pad
         w.write(0, 6)          # CONSTANT
         w.write(0, 1)          # no wasted bits
-        w.write(x[0] & ((1 << bps) - 1), bps)
+        w.write(int(x[0]) & ((1 << bps) - 1), bps)
         return
-    # pick the fixed order (0..2) with the smallest residual magnitude
+    # pick the fixed order (0..2) with the smallest residual magnitude;
+    # the order-k fixed predictor's residual is exactly the k-th finite
+    # difference, so candidates are np.diff chains
     best = None
     for order in range(0, 3):
         if n <= order:
             continue
-        coefs = _FIXED_COEFS[order]
-        res = [
-            x[i] - sum(c * x[i - 1 - j] for j, c in enumerate(coefs))
-            for i in range(order, n)
-        ]
-        cost = sum(_zigzag(r).bit_length() for r in res)
+        res = np.diff(x, order) if order else x
+        zig = (res << 1) ^ (res >> 63)
+        # bit_length via log2: exact because zig+1 < 2^53 (bps <= 32,
+        # order <= 2 -> |res| < 2^35)
+        cost = int(np.ceil(np.log2(zig.astype(np.float64) + 1.0)).sum())
         if best is None or cost < best[0]:
-            best = (cost, order, res)
-    _, order, res = best
+            best = (cost, order, zig)
+    _, order, zig = best
     w.write(0, 1)
     w.write(0b001000 | order, 6)   # FIXED, order
     w.write(0, 1)                  # no wasted bits
     for v in x[:order]:            # warmup
-        w.write(v & ((1 << bps) - 1), bps)
-    zig = [_zigzag(r) for r in res]
+        w.write(int(v) & ((1 << bps) - 1), bps)
     p = _best_rice_param(zig)
     w.write(0, 2)                  # residual method: RICE (4-bit params)
     w.write(0, 4)                  # partition order 0
     w.write(p, 4)
-    for z in zig:
-        w.write_unary(z >> p)
-        if p:
-            w.write(z & ((1 << p) - 1), p)
+    # vectorized Rice pack: per sample q = z >> p zeros, a stop 1, then
+    # p payload bits; scatter stops and payload into one bit array
+    q = zig >> p
+    lens = q + 1 + p
+    ends = np.cumsum(lens)
+    bitarr = np.zeros(int(ends[-1]), dtype=np.uint8)
+    stops = ends - 1 - p
+    bitarr[stops] = 1
+    for j in range(p):
+        bitarr[stops + 1 + j] = (zig >> (p - 1 - j)) & 1
+    _write_bits_vec(w, bitarr)
 
 
 def encode_flac(samples, sample_rate: int = 16000, bits: int = 16,
@@ -243,9 +360,8 @@ def encode_flac(samples, sample_rate: int = 16000, bits: int = 16,
 
     # raw-sample MD5 (interleaved little-endian, bps/8 bytes each)
     width = bps // 8
-    inter = x.astype("<i8").reshape(-1)
     md5 = hashlib.md5()
-    md5.update(b"".join(int(v).to_bytes(width, "little", signed=True) for v in inter))
+    md5.update(_interleave_le_bytes(x.reshape(-1), width))
 
     frames = []
     frame_sizes = []
@@ -270,7 +386,7 @@ def encode_flac(samples, sample_rate: int = 16000, bits: int = 16,
         head += bytes([_crc8(head)])
         fw = _BitWriter()
         for ch in range(nch):
-            _encode_subframe(fw, [int(v) for v in blk[:, ch]], bps)
+            _encode_subframe(fw, blk[:, ch], bps)
         fw.align()
         frame = head + bytes(fw.buf)
         frame += struct.pack(">H", _crc16(frame))
@@ -295,7 +411,81 @@ def encode_flac(samples, sample_rate: int = 16000, bits: int = 16,
 # ------------------------------------------------------------- decoder
 
 
-def _decode_residual(r: _BitReader, bs: int, order: int) -> list[int]:
+def _read_uint_vec(r: _BitReader, cnt: int, width: int):
+    """cnt consecutive width-bit unsigned reads as one int64 gather."""
+    import numpy as np
+
+    if cnt == 0 or width == 0:
+        r.seek_bit(r.bitpos)  # no-op, keeps the contract symmetric
+        return np.zeros(cnt, dtype=np.int64)
+    bits = r.bits_arr()
+    start = r.bitpos
+    end = start + cnt * width
+    if end > len(bits):
+        raise ValueError("FLAC bitstream truncated")
+    mat = bits[start:end].reshape(cnt, width).astype(np.int64)
+    pw = np.left_shift(np.int64(1), np.arange(width - 1, -1, -1))
+    r.seek_bit(end)
+    return mat @ pw
+
+
+def _read_signed_vec(r: _BitReader, cnt: int, width: int):
+    import numpy as np
+
+    v = _read_uint_vec(r, cnt, width)
+    if width:
+        sign = np.int64(1) << (width - 1)
+        v = np.where(v & sign, v - (sign << 1), v)
+    return v
+
+
+def _rice_decode_vec(r: _BitReader, cnt: int, param: int):
+    """cnt Rice(param) codes starting at the reader's bit position:
+    stop-bit positions are found by chasing the per-param doubling jump
+    tables over the sorted 1-bit index (O(cnt) gathers instead of a
+    per-sample Python unary loop); payload bits come from one (cnt x
+    param) gather. Bit-identical to the scalar loop it replaced —
+    asserted by the hand-built-frame tests in tests/test_flac.py."""
+    import numpy as np
+
+    if cnt <= 0:
+        return np.zeros(0, dtype=np.int64)
+    ones = r.ones_pos()
+    n = len(ones)
+    start = r.bitpos
+    j0 = int(np.searchsorted(ones, start))
+    tabs = r.rice_jumps(param, cnt)
+    orbit = np.array([j0], dtype=np.int64)
+    k = 0
+    while len(orbit) < cnt:
+        # orbit values stay in [0, n]; index n is the self-looping
+        # sentinel row of every jump table, so gathers never go OOB
+        orbit = np.concatenate([orbit, tabs[k][orbit]])
+        k += 1
+    orbit = orbit[:cnt]
+    if j0 >= n or orbit[-1] >= n:
+        raise ValueError("FLAC bitstream truncated")
+    stops = ones[orbit]
+    starts = np.empty(cnt, dtype=np.int64)
+    starts[0] = start
+    starts[1:] = stops[:-1] + 1 + param
+    q = stops - starts
+    end = int(stops[-1]) + 1 + param
+    if end > len(r.bits_arr()):
+        raise ValueError("FLAC bitstream truncated")
+    if param:
+        pay = r.bits_arr()[stops[:, None] + 1 + np.arange(param)].astype(np.int64)
+        pw = np.left_shift(np.int64(1), np.arange(param - 1, -1, -1))
+        u = (q << param) | (pay @ pw)
+    else:
+        u = q
+    r.seek_bit(end)
+    return (u >> 1) ^ -(u & 1)
+
+
+def _decode_residual(r: _BitReader, bs: int, order: int):
+    import numpy as np
+
     method = r.read(2)
     if method > 1:
         raise ValueError("reserved FLAC residual coding method")
@@ -309,21 +499,27 @@ def _decode_residual(r: _BitReader, bs: int, order: int) -> list[int]:
         raise ValueError("bad FLAC partition order")
     out = []
     for part in range(nparts):
-        cnt = (bs >> partorder) - (order if part == 0 else 0)
+        cnt = max(0, (bs >> partorder) - (order if part == 0 else 0))
         param = r.read(pbits)
         if param == escape:
             raw = r.read(5)
-            for _ in range(cnt):
-                out.append(r.read_signed(raw) if raw else 0)
+            out.append(_read_signed_vec(r, cnt, raw))
         else:
-            for _ in range(cnt):
-                q = r.read_unary()
-                u = (q << param) | (r.read(param) if param else 0)
-                out.append((u >> 1) ^ -(u & 1))
-    return out
+            out.append(_rice_decode_vec(r, cnt, param))
+    return np.concatenate(out) if out else np.zeros(0, dtype=np.int64)
 
 
-def _decode_subframe(r: _BitReader, bs: int, bps: int) -> list[int]:
+def _decode_subframe(r: _BitReader, bs: int, bps: int):
+    """Returns the bs decoded samples as an int64 numpy array.
+
+    FIXED reconstruction exploits that the order-k fixed predictor is
+    exactly the k-th finite difference (residual = Δ^k x), so the
+    inverse is k cumulative sums seeded from the warmup samples —
+    integer-exact in int64 (|x| < 2^33 even at 32 bps + wasted bits).
+    LPC stays a scalar loop: the mid-stream arithmetic shift makes it a
+    nonlinear recurrence with no vector form."""
+    import numpy as np
+
     if r.read(1):
         raise ValueError("bad FLAC subframe padding bit")
     stype = r.read(6)
@@ -332,34 +528,39 @@ def _decode_subframe(r: _BitReader, bs: int, bps: int) -> list[int]:
         wasted = r.read_unary() + 1
         bps -= wasted
     if stype == 0:  # CONSTANT
-        v = r.read_signed(bps)
-        x = [v] * bs
+        x = np.full(bs, r.read_signed(bps), dtype=np.int64)
     elif stype == 1:  # VERBATIM
-        x = [r.read_signed(bps) for _ in range(bs)]
+        x = _read_signed_vec(r, bs, bps)
     elif 8 <= stype <= 12:  # FIXED
         order = stype - 8
-        x = [r.read_signed(bps) for _ in range(order)]
+        warm = _read_signed_vec(r, order, bps)
         res = _decode_residual(r, bs, order)
-        coefs = _FIXED_COEFS[order]
-        for i, e in enumerate(res):
-            pred = sum(c * x[order + i - 1 - j] for j, c in enumerate(coefs))
-            x.append(pred + e)
+        # invariant: cur = Δ^j x over indices [j .. bs-1]; prepending
+        # the warmup-derived seed Δ^{j-1}x[j-1] and integrating lowers
+        # j by one, so after j=1 cur is x itself over [0 .. bs-1]
+        cur = res
+        for j in range(order, 0, -1):
+            seed = np.diff(warm, j - 1)[0]
+            cur = np.concatenate([[seed], cur]).cumsum()
+        x = cur if order else res
     elif stype >= 32:  # LPC
         order = (stype & 0x1F) + 1
-        x = [r.read_signed(bps) for _ in range(order)]
+        warm = _read_signed_vec(r, order, bps)
         prec = r.read(4) + 1
         if prec == 16:
             raise ValueError("invalid FLAC LPC precision")
         shift = r.read_signed(5)
         coefs = [r.read_signed(prec) for _ in range(order)]
         res = _decode_residual(r, bs, order)
-        for i, e in enumerate(res):
+        x = [int(v) for v in warm]
+        for i, e in enumerate(res.tolist()):
             acc = sum(c * x[order + i - 1 - j] for j, c in enumerate(coefs))
             x.append((acc >> shift) + e)
+        x = np.asarray(x, dtype=np.int64)
     else:
         raise ValueError(f"reserved FLAC subframe type {stype}")
     if wasted:
-        x = [v << wasted for v in x]
+        x = x << wasted
     return x
 
 
@@ -401,9 +602,12 @@ def decode_flac(payload: bytes):
 
     chans = [[] for _ in range(si_nch)]
     got = 0
+    # ONE reader for the whole payload: its unpacked bit array and
+    # per-param Rice jump tables amortize across every frame
+    r = _BitReader(b, pos)
     while got < total and pos < len(b):
         fstart = pos
-        r = _BitReader(b, pos)
+        r.byte, r.bit = pos, 0
         if r.read(14) != 0b11111111111110:
             raise ValueError("lost FLAC frame sync")
         r.read(1)
@@ -450,16 +654,12 @@ def decode_flac(payload: bytes):
             s0 = _decode_subframe(r, bs, bps + extra0)
             s1 = _decode_subframe(r, bs, bps + extra1)
             if chan_code == 8:    # left/side
-                subs = [s0, [l - s for l, s in zip(s0, s1)]]
+                subs = [s0, s0 - s1]
             elif chan_code == 9:  # side/right
-                subs = [[s + rt for s, rt in zip(s0, s1)], s1]
+                subs = [s0 + s1, s1]
             else:                 # mid/side
-                left, right = [], []
-                for m, s in zip(s0, s1):
-                    m = (m << 1) | (s & 1)
-                    left.append((m + s) >> 1)
-                    right.append((m - s) >> 1)
-                subs = [left, right]
+                m = (s0 << 1) | (s1 & 1)
+                subs = [(m + s1) >> 1, (m - s1) >> 1]
         else:
             raise ValueError("reserved FLAC channel assignment")
         if nch != si_nch:
@@ -470,16 +670,16 @@ def decode_flac(payload: bytes):
             raise ValueError("FLAC frame CRC-16 mismatch")
         pos = r.byte + 2
         for c in range(si_nch):
-            chans[c].extend(subs[c])
+            chans[c].append(subs[c])
         got += bs
 
-    out = np.array(chans, dtype="int64").T[:total]
+    out = np.stack(
+        [np.concatenate(c) if c else np.zeros(0, dtype=np.int64) for c in chans]
+    ).T[:total] if chans else np.zeros((0, 0), dtype=np.int64)
     if si_md5 != b"\x00" * 16 and si_bps % 8 == 0:
         width = si_bps // 8
         md5 = hashlib.md5()
-        md5.update(b"".join(
-            int(v).to_bytes(width, "little", signed=True) for v in out.reshape(-1)
-        ))
+        md5.update(_interleave_le_bytes(out.reshape(-1), width))
         if md5.digest() != si_md5:
             raise ValueError("FLAC decoded-sample MD5 mismatch")
     return out.astype("int32"), si_rate, si_bps
