@@ -178,10 +178,79 @@ class _Bits:
             self.pos += 1
         self.pos = len(self.d)
 
+    def read_code(self, sym, ln):
+        """One Huffman symbol via the 16-bit peek LUT (sym/ln lists
+        from _HuffTable.lut16) — replaces up to 16 single-bit reads."""
+        if self.n < 16:
+            self._fill()
+        peek = (self.acc >> (self.n - 16)) & 0xFFFF
+        length = ln[peek]
+        if not length:
+            raise ValueError("invalid Huffman code in entropy stream")
+        self.n -= length
+        self.acc &= (1 << self.n) - 1
+        return sym[peek]
+
+    def read_rs_val(self, sym, ln):
+        """Huffman symbol + its (sym & 15)-bit EXTENDed value in one
+        call — the baseline hot path (one method call per coefficient
+        instead of symbol + read + extend)."""
+        n = self.n
+        if n < 16:
+            self._fill()
+            n = self.n
+        acc = self.acc
+        peek = (acc >> (n - 16)) & 0xFFFF
+        length = ln[peek]
+        if not length:
+            raise ValueError("invalid Huffman code in entropy stream")
+        rs = sym[peek]
+        n -= length
+        s = rs & 15
+        if s:
+            if n < s:
+                self.n = n
+                self.acc = acc & ((1 << n) - 1)
+                self._fill()
+                acc, n = self.acc, self.n
+            v = (acc >> (n - s)) & ((1 << s) - 1)
+            n -= s
+            if v < (1 << (s - 1)):
+                v += 1 - (1 << s)
+        else:
+            v = 0
+        self.acc = acc & ((1 << n) - 1)
+        self.n = n
+        return rs, v
+
+
+class _HuffTable(dict):
+    """(length, code) -> symbol dict for a canonical JPEG Huffman
+    table, plus a lazily built 16-bit-peek LUT for the fast decode
+    path: every 16-bit window whose prefix is a valid code maps to
+    (symbol, code length), so one peek replaces up to 16 single-bit
+    reads. Subclassing dict keeps every existing (length, code) lookup
+    working unchanged."""
+
+    def lut16(self):
+        lut = getattr(self, "_lut16", None)
+        if lut is None:
+            sym = np.full(65536, -1, dtype=np.int32)
+            ln = np.zeros(65536, dtype=np.int32)
+            for (length, code), s in self.items():
+                base = code << (16 - length)
+                span = 1 << (16 - length)
+                sym[base: base + span] = s
+                ln[base: base + span] = length
+            # plain lists: scalar indexing in the hot loop is ~3x
+            # faster on lists than on numpy arrays
+            lut = self._lut16 = (sym.tolist(), ln.tolist())
+        return lut
+
 
 def _build_decode_table(bits, vals):
     """(length, code) -> symbol for a canonical JPEG Huffman table."""
-    lut = {}
+    lut = _HuffTable()
     code = 0
     k = 0
     for length in range(1, 17):
@@ -194,6 +263,9 @@ def _build_decode_table(bits, vals):
 
 
 def _decode_symbol(br: _Bits, lut) -> int:
+    if isinstance(lut, _HuffTable):
+        sym, ln = lut.lut16()
+        return br.read_code(sym, ln)
     code = 0
     for length in range(1, 17):
         code = (code << 1) | br.read(1)
@@ -326,43 +398,57 @@ def _decode_scan(data, comps, scan, qt, huff, W, H, restart_interval):
         c["dc"] = 0
 
     br = _Bits(bytes(data))
-    Tt = _T.T
+    # entropy pass: coefficients per block into (nblocks, 64) natural
+    # order; dequant + IDCT run batched afterwards (one einsum per
+    # component instead of two 8x8 matmuls per block)
+    for c in order:
+        c["rows"] = []
+        c["luts"] = (huff[(0, c["td"])].lut16(), huff[(1, c["ta"])].lut16())
     mcu_count = 0
-    for my in range(mcuy):
-        for mx in range(mcux):
+    zz = ZIGZAG
+    read_rs_val = br.read_rs_val
+    for _my in range(mcuy):
+        for _mx in range(mcux):
             if restart_interval and mcu_count and mcu_count % restart_interval == 0:
                 br.align_restart()
                 for c in order:
                     c["dc"] = 0
             mcu_count += 1
             for c in order:
-                q = qt[c["tq"]]
-                for vy in range(c["v"]):
-                    for vx in range(c["h"]):
-                        coef = np.zeros(64)
-                        s = _decode_symbol(br, huff[(0, c["td"])])
-                        diff = _extend(br.read(s), s)
-                        c["dc"] += diff
-                        coef[0] = c["dc"]
-                        k = 1
-                        while k < 64:
-                            rs = _decode_symbol(br, huff[(1, c["ta"])])
-                            r, s = rs >> 4, rs & 15
-                            if s == 0:
-                                if r == 15:
-                                    k += 16
-                                    continue
-                                break  # EOB
-                            k += r
-                            if k > 63:
-                                break
-                            coef[ZIGZAG[k]] = _extend(br.read(s), s)
-                            k += 1
-                        block = coef.reshape(8, 8) * q
-                        px = Tt @ block @ _T + 128.0
-                        y0 = (my * c["v"] + vy) * 8
-                        x0 = (mx * c["h"] + vx) * 8
-                        c["plane"][y0: y0 + 8, x0: x0 + 8] = px
+                (dsym, dln), (asym, aln) = c["luts"]
+                rows = c["rows"]
+                for _sub in range(c["v"] * c["h"]):
+                    row = [0.0] * 64
+                    rows.append(row)
+                    _, diff = read_rs_val(dsym, dln)
+                    c["dc"] += diff
+                    row[0] = c["dc"]
+                    k = 1
+                    while k < 64:
+                        rs, val = read_rs_val(asym, aln)
+                        s = rs & 15
+                        if s == 0:
+                            if rs == 0xF0:  # ZRL
+                                k += 16
+                                continue
+                            break  # EOB
+                        k += rs >> 4
+                        if k > 63:
+                            break
+                        row[zz[k]] = val
+                        k += 1
+
+    Tt = _T.T
+    for c in order:
+        v, h = c["v"], c["h"]
+        blocks = np.asarray(c["rows"]).reshape(-1, 8, 8) * qt[c["tq"]][None]
+        px = np.einsum("ij,bjk,kl->bil", Tt, blocks, _T) + 128.0
+        c["plane"] = (
+            px.reshape(mcuy, mcux, v, h, 8, 8)
+            .transpose(0, 2, 4, 1, 3, 5)
+            .reshape(mcuy * v * 8, mcux * h * 8)
+        )
+        del c["rows"], c["luts"]
 
     return _planes_to_rgb(comps, W, H, maxh, maxv)
 
@@ -607,36 +693,68 @@ def _category(v: int) -> int:
     return int(abs(v)).bit_length()
 
 
-def _encode_block(bw, block, q, dct, act, pred, ci):
-    coef = _T @ block @ _T.T
-    quant = np.round(coef / q).astype(np.int64)
-    zz = quant.reshape(64)[ZIGZAG]
-    diff = int(zz[0]) - pred[ci]
-    pred[ci] = int(zz[0])
+def _block_syms(zz, diff, dct, act, vput, lput):
+    """Append one block's (value, bitlength) symbol stream (DC diff +
+    AC run/size coding) to the vput/lput lists. zz: 64 Python ints in
+    zigzag order; diff: DC difference for this block."""
     s = _category(diff)
     code, ln = dct[s]
-    bw.write(code, ln)
+    vput(code)
+    lput(ln)
     if s:
-        bw.write(diff if diff >= 0 else diff + (1 << s) - 1, s)
+        vput(diff if diff >= 0 else diff + (1 << s) - 1)
+        lput(s)
     run = 0
-    last_nz = max((k for k in range(1, 64) if zz[k]), default=0)
+    last_nz = 0
+    for k in range(63, 0, -1):
+        if zz[k]:
+            last_nz = k
+            break
     for k in range(1, last_nz + 1):
-        v = int(zz[k])
+        v = zz[k]
         if v == 0:
             run += 1
             continue
         while run > 15:
             code, ln = act[0xF0]
-            bw.write(code, ln)
+            vput(code)
+            lput(ln)
             run -= 16
         s = _category(v)
         code, ln = act[(run << 4) | s]
-        bw.write(code, ln)
-        bw.write(v if v >= 0 else v + (1 << s) - 1, s)
+        vput(code)
+        lput(ln)
+        vput(v if v >= 0 else v + (1 << s) - 1)
+        lput(s)
         run = 0
     if last_nz < 63:
         code, ln = act[0x00]
-        bw.write(code, ln)
+        vput(code)
+        lput(ln)
+
+
+def _pack_entropy(vals, lens) -> bytes:
+    """(value, bitlength) stream -> packed entropy bytes, MSB-first,
+    1-padded to a byte boundary, 0x00-stuffed after every 0xFF —
+    byte-identical to feeding each pair through _BitWriter.write +
+    flush, but as ~16 vector scatters instead of a call per symbol."""
+    if not lens:
+        return b""
+    v = np.asarray(vals, dtype=np.int64)
+    ln = np.asarray(lens, dtype=np.int64)
+    ends = np.cumsum(ln)
+    total = int(ends[-1])
+    starts = ends - ln
+    bitarr = np.zeros((total + 7) & ~7, dtype=np.uint8)
+    for j in range(int(ln.max())):
+        m = ln > j
+        bitarr[starts[m] + j] = (v[m] >> (ln[m] - 1 - j)) & 1
+    bitarr[total:] = 1  # flush pads with 1s
+    packed = np.packbits(bitarr)
+    stuff = np.flatnonzero(packed == 0xFF)
+    if len(stuff):
+        packed = np.insert(packed, stuff + 1, 0)
+    return packed.tobytes()
 
 
 def _encoder_planes(img, quality: int, subsampling: str):
@@ -700,20 +818,32 @@ def encode_jpeg(img, quality: int = 75, subsampling: str = "4:4:4") -> bytes:
     ac_l = _build_encode_table(*_AC_LUMA)
     ac_c = _build_encode_table(*_AC_CHROMA)
 
-    bw = _BitWriter()
+    # batched DCT + quantization (one einsum per plane), zigzag rows as
+    # Python int lists for the symbol loop, then one vectorized bit pack
+    yzz = _block_coefs(yp, ql)[:, :, ZIGZAG]
+    yzz = (
+        yzz.reshape(mcuy, sv, mcux, sh, 64)
+        .transpose(0, 2, 1, 3, 4)
+        .reshape(-1, 64)
+        .tolist()
+    )
+    cbzz = _block_coefs(cbp, qc)[:, :, ZIGZAG].reshape(-1, 64).tolist()
+    crzz = _block_coefs(crp, qc)[:, :, ZIGZAG].reshape(-1, 64).tolist()
+    vals: list[int] = []
+    lens: list[int] = []
+    vput, lput = vals.append, lens.append
     pred = [0, 0, 0]
-    for my in range(mcuy):
-        for mx in range(mcux):
-            for vy in range(sv):
-                for vx in range(sh):
-                    y0, x0 = (my * sv + vy) * 8, (mx * sh + vx) * 8
-                    _encode_block(bw, yp[y0:y0 + 8, x0:x0 + 8] - 128.0,
-                                  ql, dc_l, ac_l, pred, 0)
-            for ci, plane in ((1, cbp), (2, crp)):
-                y0, x0 = my * 8, mx * 8
-                _encode_block(bw, plane[y0:y0 + 8, x0:x0 + 8] - 128.0,
-                              qc, dc_c, ac_c, pred, ci)
-    bw.flush()
+    subs = sv * sh
+    for m in range(mcuy * mcux):
+        for j in range(subs):
+            zz = yzz[m * subs + j]
+            _block_syms(zz, zz[0] - pred[0], dc_l, ac_l, vput, lput)
+            pred[0] = zz[0]
+        for ci, rows, dct, act in ((1, cbzz, dc_c, ac_c), (2, crzz, dc_c, ac_c)):
+            zz = rows[m]
+            _block_syms(zz, zz[0] - pred[ci], dct, act, vput, lput)
+            pred[ci] = zz[0]
+    entropy = _pack_entropy(vals, lens)
 
     sof = _seg(0xC0, struct.pack(">BHHB", 8, H, W, 3)
                + bytes([1, (sh << 4) | sv, 0]) + bytes([2, 0x11, 1]) + bytes([3, 0x11, 1]))
@@ -721,7 +851,7 @@ def encode_jpeg(img, quality: int = 75, subsampling: str = "4:4:4") -> bytes:
     return (b"\xff\xd8" + _APP0_JFIF + _dqt_seg(0, ql) + _dqt_seg(1, qc)
             + _dht_seg(0, 0, *_DC_LUMA) + _dht_seg(0, 1, *_DC_CHROMA)
             + _dht_seg(1, 0, *_AC_LUMA) + _dht_seg(1, 1, *_AC_CHROMA)
-            + sof + sos + bytes(bw.out) + b"\xff\xd9")
+            + sof + sos + entropy + b"\xff\xd9")
 
 
 # --------------------------------------------------- progressive encode
