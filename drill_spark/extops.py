@@ -35,6 +35,40 @@ def q_dedup_exact(spark, sf_dir):
     return exact_dedup(_docs(spark, sf_dir), "doc_id", "text")
 
 
+def q_incremental_dedup(spark, sf_dir):
+    """Cross-run dedup against a persistent Delta digest store
+    (ops/dedup.py::incremental_dedup): even-id documents commit as
+    batch 0, then odd-id documents dedup against the store as batch 1 —
+    the returned rows are batch 1's survivors (new digest, lowest id in
+    batch). A fresh store directory per invocation keeps the query a
+    pure function of the fixtures (the driver runs it twice)."""
+    import tempfile
+
+    from drill_spark.ops.dedup import incremental_dedup
+
+    docs = _docs(spark, sf_dir)
+    store = tempfile.mkdtemp(prefix="incdedup_") + "/store"
+    incremental_dedup(
+        docs.where(F.col("doc_id") % 2 == 0), store, "doc_id", "text"
+    ).count()  # materialize batch 0's store commit
+    return incremental_dedup(
+        docs.where(F.col("doc_id") % 2 == 1), store, "doc_id", "text"
+    ).select("doc_id")
+
+
+ORACLE_INCREMENTAL_DEDUP = r"""
+with d as (
+  select doc_id, md5(regexp_replace(lower(text), '\s+', ' ', 'g')) as h
+  from documents
+),
+b2 as (select * from d where doc_id % 2 = 1),
+keep as (select h, min(doc_id) as doc_id from b2 group by 1)
+select k.doc_id
+from keep k
+where not exists (select 1 from d where doc_id % 2 = 0 and d.h = k.h)
+"""
+
+
 ORACLE_DEDUP_EXACT = r"""
 select md5(regexp_replace(lower(text), '\s+', ' ', 'g')) as h,
        min(doc_id) as keep_id, count(*) as n_dupes
@@ -2070,6 +2104,7 @@ QUERIES = {
     "op_image_scan": q_image_scan,
     "op_dfdl_scan": q_dfdl_scan,
     "ext_dedup_exact": q_dedup_exact,
+    "ext_incremental_dedup": q_incremental_dedup,
     "ext_dedup_apply": q_dedup_apply,
     "ext_dedup_jaccard": q_dedup_jaccard,
     "ext_dedup_minhash": q_dedup_minhash,
@@ -2137,6 +2172,7 @@ ORACLES = {
     "op_image_scan": ORACLE_IMAGE_SCAN,
     "op_dfdl_scan": ORACLE_DFDL_SCAN,
     "ext_dedup_exact": ORACLE_DEDUP_EXACT,
+    "ext_incremental_dedup": ORACLE_INCREMENTAL_DEDUP,
     "ext_dedup_apply": ORACLE_DEDUP_APPLY,
     "ext_dedup_jaccard": ORACLE_DEDUP_JACCARD,
     "ext_embed_topk": ORACLE_EMBED_TOPK,

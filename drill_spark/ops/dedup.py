@@ -364,3 +364,107 @@ def dedup_clusters(
         )
         .withColumn("keep", F.col(id_col) == F.col("cluster_id"))
     )
+
+
+# ------------------------------------------------------- incremental
+
+
+_INCR_APP_ID = "drill_spark.incremental_dedup"
+
+
+def incremental_dedup(
+    df: DataFrame,
+    store_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    batch_id: int | None = None,
+    fpp: float = 0.001,
+) -> DataFrame:
+    """Cross-run exact dedup against a persistent digest store: return
+    the rows of ``df`` whose (normalized-text md5) digest has never
+    been committed by ANY previous batch, keeping the lowest id within
+    the batch, and append the survivors' digests to the store.
+
+    The pattern a continuously-ingesting 100 TB pipeline needs: batch
+    N+1 dedups against every prior batch WITHOUT rescanning their
+    text — only the digest store (16 bytes/doc) is read. The store is
+    a Delta table written by this repo's own protocol-conformant
+    writer (readers/delta.py), so any engine can audit it.
+
+    Scale shape:
+    - within-batch: the exact_dedup shuffle (one digest hash-shuffle,
+      map-side combine).
+    - cross-batch: bloom-prefiltered EXACT anti join (ops/bloom.py) —
+      digests the sketch rejects are DEFINITE non-members and bypass
+      the shuffle entirely; at fpp=1e-3 only ~0.1% of genuinely-new
+      digests (plus true dupes) reach the exact anti join against the
+      store scan.
+    - replay safety: the store commit carries a Delta ``txn`` action
+      (appId drill_spark.incremental_dedup, version=batch_id); re-running
+      an already-committed batch_id returns its survivors WITHOUT
+      appending again (exactly-once store growth, PROTOCOL.md
+      "Transaction Identifiers" — same mechanism as the streaming
+      sinks in streaming/events.py).
+
+    ``batch_id`` defaults to (last committed txn version + 1). The
+    store rows are (h, batch_id) — recording which batch INTRODUCED a
+    digest is what makes replay return the batch's original survivors
+    (a semi join on store.batch_id == this batch) instead of an empty
+    set after its digests already landed.
+    """
+    import os
+
+    from drill_spark.readers.delta import load_snapshot, read_delta, write_delta
+
+    spark = df.sparkSession
+    digested = df.withColumn(
+        "__h", F.md5(normalize_text(F.col(text_col)))
+    )
+    within = digested.withColumn(
+        "__rn",
+        F.row_number().over(
+            Window.partitionBy("__h").orderBy(F.col(id_col))),
+    ).where(F.col("__rn") == 1).drop("__rn")
+
+    exists = os.path.isdir(os.path.join(store_path, "_delta_log"))
+    last_txn = -1
+    store = None
+    if exists:
+        snap = load_snapshot(spark, store_path)
+        last_txn = snap.txns.get(_INCR_APP_ID, -1)
+        store = read_delta(spark, store_path)
+    if batch_id is None:
+        batch_id = last_txn + 1
+
+    if exists and batch_id <= last_txn:
+        # replayed batch: its digests are already committed; the rows
+        # the original run returned are exactly those whose digest this
+        # batch introduced
+        mine = store.where(F.col("batch_id") == int(batch_id)).select("h")
+        return (
+            within.join(mine, within["__h"] == mine["h"], "left_semi")
+            .drop("__h")
+        )
+
+    if exists:
+        from drill_spark.ops.bloom import bloom_anti_join
+
+        survivors = bloom_anti_join(
+            within.withColumnRenamed("__h", "h"),
+            store.select("h"), "h", fpp=fpp,
+        ).withColumnRenamed("h", "__h")
+    else:
+        survivors = within
+    # materialize once (executor-local) so the store append and the
+    # returned DataFrame don't each recompute the anti join
+    survivors = survivors.localCheckpoint(eager=False)
+
+    new_digests = survivors.select(
+        F.col("__h").alias("h"), F.lit(int(batch_id)).alias("batch_id"))
+    write_delta(
+        new_digests,
+        store_path,
+        mode="append" if exists else "error",
+        txn=(_INCR_APP_ID, int(batch_id)),
+    )
+    return survivors.drop("__h")

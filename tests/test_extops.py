@@ -1736,3 +1736,41 @@ def test_quality_classifier_accuracy(spark):
     n_good = test.where("label = 1.0").count()
     assert kept.where("label = 1.0").count() >= 0.9 * n_good
     assert "quality_score" in kept.columns and "_features" not in kept.columns
+
+
+def test_incremental_dedup_batches_and_replay(spark, tmp_path):
+    """Cross-run dedup against the Delta digest store: three batches
+    with overlaps — each batch's survivors are exactly the docs whose
+    digest no prior batch committed (lowest id within batch); replaying
+    a committed batch_id returns its ORIGINAL survivors via the
+    (h, batch_id) store rows and does NOT grow the store (the Delta txn
+    action makes the append exactly-once)."""
+    from drill_spark.ops.dedup import incremental_dedup
+    from drill_spark.readers.delta import read_delta
+
+    store = str(tmp_path / "digests")
+
+    def batch(rows):
+        return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+    b1 = batch([(1, "alpha text"), (2, "beta text")])
+    b2 = batch([(3, "beta  TEXT"), (4, "gamma text"), (5, "gamma text")])
+    b3 = batch([(6, "alpha text"), (7, "gamma text"), (8, "delta text")])
+
+    s1 = sorted(r.doc_id for r in incremental_dedup(b1, store).collect())
+    assert s1 == [1, 2]
+    # b2: doc 3 normalizes to b1's "beta text"; 4/5 share a digest
+    s2 = sorted(r.doc_id for r in incremental_dedup(b2, store).collect())
+    assert s2 == [4]
+    s3 = sorted(r.doc_id for r in incremental_dedup(b3, store).collect())
+    assert s3 == [8]
+    stored = read_delta(spark, store)
+    assert stored.count() == 4  # alpha, beta, gamma, delta — once each
+    assert sorted(set(r.batch_id for r in stored.collect())) == [0, 1, 2]
+
+    # replay batch 1 (same data, same batch_id): original survivors
+    # return, store unchanged
+    r2 = sorted(r.doc_id for r in
+                incremental_dedup(b2, store, batch_id=1).collect())
+    assert r2 == [4]
+    assert read_delta(spark, store).count() == 4
