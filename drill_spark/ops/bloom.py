@@ -18,10 +18,11 @@ verify join.
 Why from scratch: Spark's own BloomFilterAggregate/BloomFilterMightContain
 expressions (the runtime-filter machinery) are not SQL-registered in
 4.1, and DataFrameStatFunctions.bloomFilter returns a driver-side JVM
-object unusable inside a Column. The sketch here is a sparse
-``map<bigint, bigint>`` of nonzero 64-bit words built with one
-explode + bit_or aggregation, and membership is k codegen bit tests —
-every step is a built-in JVM expression, no Python in the data path.
+object unusable inside a Column. The sketch here is a dense
+``array<bigint>`` of the filter's 64-bit words built with one
+explode + bit_or aggregation, and membership is k O(1) codegen bit
+tests — every step is a built-in JVM expression, no Python in the
+data path.
 
 Hashing: Kirsch-Mitzenmacher double hashing — position_i =
 (h1 + i*h2) mod m with h1 = xxhash64(key) and h2 = xxhash64(key, salt)
@@ -56,17 +57,28 @@ def bloom_params(expected_items: int, fpp: float = 0.01) -> tuple[int, int]:
     return m, k
 
 
-def _positions(key: Column, m_bits: int, k: int) -> list[Column]:
-    """k bit positions in [0, m_bits). Each hash is pmod-reduced BEFORE
-    the double-hash combination so h1 + i*h2 stays < (k+1)*m — no
-    bigint overflow even under ANSI mode (m is at most ~2^40 for any
-    realistic filter)."""
+def _hash_pair(key: Column, m_bits: int) -> tuple[Column, Column]:
+    """(h1, h2) for Kirsch-Mitzenmacher double hashing, pmod-reduced so
+    h1 + i*h2 stays < (k+1)*m — no bigint overflow even under ANSI mode
+    (m is at most ~2^40 for any realistic filter). h2 is forced odd:
+    double hashing degenerates when h2 == 0 (all k probes identical)."""
     h1 = F.pmod(F.xxhash64(key), F.lit(m_bits))
     h2 = F.pmod(F.xxhash64(key, F.lit(0x9E3779B9)), F.lit(m_bits))
-    # double hashing degenerates when h2 == 0 (all k probes identical);
-    # the classic fix is forcing h2 odd — bounded above by m so no overflow
     h2 = h2 + F.lit(1) - F.pmod(h2, F.lit(2))
+    return h1, h2
+
+
+def _positions_from(h1: Column, h2: Column, m_bits: int, k: int) -> list[Column]:
     return [F.pmod(h1 + F.lit(i) * h2, F.lit(m_bits)) for i in range(k)]
+
+
+def _positions(key: Column, m_bits: int, k: int) -> list[Column]:
+    """k bit positions in [0, m_bits). Used where the hash pair cannot
+    be hoisted into its own projection (bloom_build's explode); probe
+    paths hoist via _hash_pair so xxhash64 runs once per row, not per
+    probe."""
+    h1, h2 = _hash_pair(key, m_bits)
+    return _positions_from(h1, h2, m_bits, k)
 
 
 def _bit_mask(bit: Column) -> Column:
@@ -81,37 +93,54 @@ def _bit_mask(bit: Column) -> Column:
 
 
 def bloom_build(keys: DataFrame, key_col: str, m_bits: int, k: int) -> DataFrame:
-    """One-row DataFrame ``(bloom map<bigint,bigint>)``: the sparse
-    nonzero words of the m-bit filter over every value of ``key_col``.
+    """One-row DataFrame ``(bloom array<bigint>)``: the DENSE m-bit
+    filter over every value of ``key_col``, as m/64 words.
 
     Plan: per-key explode of k (word, mask) pairs (no shuffle) → ONE
-    bit_or aggregation keyed by word index (shuffle bounded by m/64
-    distinct words, not by key count) → single-group map_from_entries.
-    The final row is at most m/8 bytes — the thing small enough to
-    broadcast when the key set itself is not."""
+    bit_or aggregation keyed by word index, unioned with a zero row per
+    word so every index is present (shuffle bounded by m/64 words, not
+    by key count) → single-group sorted collect into the array. The
+    final row is exactly m/8 bytes — the thing small enough to
+    broadcast when the key set itself is not.
+
+    Dense array, NOT map_from_entries: Catalyst's element_at on a map
+    value LINEAR-SCANS the key array (ArrayBasedMapData has no hash
+    index), which turned every probe into O(words) — a measured ~30x
+    slowdown on the sf0.1 soak. Array element_at is O(1)."""
+    n_words = m_bits // 64
     pos = F.array(*_positions(F.col(key_col), m_bits, k))
     words = keys.select(F.explode(pos).alias("__p")).select(
         (F.col("__p") / 64).cast("bigint").alias("__w"),
         _bit_mask(F.pmod(F.col("__p"), F.lit(64))).alias("__m"),
     )
-    packed = words.groupBy("__w").agg(F.bit_or("__m").alias("__bits"))
+    zeros = keys.sparkSession.range(n_words).select(
+        F.col("id").alias("__w"), F.lit(0).cast("bigint").alias("__m"))
+    packed = words.unionByName(zeros).groupBy("__w").agg(
+        F.bit_or("__m").alias("__bits"))
     return packed.agg(
-        F.map_from_entries(
-            F.collect_list(F.struct("__w", "__bits"))).alias("bloom")
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("__w", "__bits"))),
+            lambda x: x["__bits"],
+        ).alias("bloom")
     )
 
 
-def bloom_might_contain(bloom: Column, key: Column, m_bits: int, k: int) -> Column:
-    """k codegen bit tests against the sparse word map: true iff every
-    probed bit is set. Words absent from the map are all-zero words."""
+def _might_contain_from(bloom: Column, h1: Column, h2: Column,
+                        m_bits: int, k: int) -> Column:
+    """k O(1) bit tests against the dense word array: true iff every
+    probed bit is set. h1/h2 are expected to be materialized columns so
+    the hashes compute once per row, not once per probe."""
     checks = []
-    for p in _positions(key, m_bits, k):
-        word = F.coalesce(
-            F.element_at(bloom, (p / 64).cast("bigint")),
-            F.lit(0).cast("bigint"))
+    for p in _positions_from(h1, h2, m_bits, k):
+        word = F.element_at(bloom, (p / 64).cast("int") + 1)
         mask = _bit_mask(F.pmod(p, F.lit(64)))
         checks.append(word.bitwiseAND(mask) != 0)
     return reduce(lambda a, b: a & b, checks)
+
+
+def bloom_might_contain(bloom: Column, key: Column, m_bits: int, k: int) -> Column:
+    h1, h2 = _hash_pair(key, m_bits)
+    return _might_contain_from(bloom, h1, h2, m_bits, k)
 
 
 def bloom_prefilter(df: DataFrame, keys: DataFrame, key_col: str,
@@ -120,13 +149,18 @@ def bloom_prefilter(df: DataFrame, keys: DataFrame, key_col: str,
     ``negate``, rows that DEFINITELY are not — no false negatives means
     the negated filter is already exact). The one-row sketch joins in
     via a broadcast nested-loop of a single row; the membership test
-    itself runs in whole-stage codegen with no shuffle of ``df``."""
+    itself runs in whole-stage codegen with no shuffle of ``df`` — the
+    two xxhash64 evaluations are projected once per row, then the k
+    probes are O(1) array bit tests."""
     sketch = bloom_build(keys, key_col, m_bits, k)
-    test = bloom_might_contain(F.col("bloom"), F.col(key_col), m_bits, k)
+    h1, h2 = _hash_pair(F.col(key_col), m_bits)
+    test = _might_contain_from(F.col("bloom"), F.col("__h1"), F.col("__h2"),
+                               m_bits, k)
     return (
-        df.crossJoin(F.broadcast(sketch))
+        df.withColumn("__h1", h1).withColumn("__h2", h2)
+        .crossJoin(F.broadcast(sketch))
         .where(~test if negate else test)
-        .drop("bloom")
+        .drop("bloom", "__h1", "__h2")
     )
 
 
@@ -157,10 +191,15 @@ def bloom_anti_join(left: DataFrame, right: DataFrame, key_col: str,
     n = expected_items if expected_items is not None else rk.count()
     m_bits, k = bloom_params(n, fpp)
     sketch = bloom_build(rk, key_col, m_bits, k)
-    test = bloom_might_contain(F.col("bloom"), F.col(key_col), m_bits, k)
-    tagged = left.crossJoin(F.broadcast(sketch))
-    definite_out = tagged.where(~test).drop("bloom")
-    maybe = tagged.where(test).drop("bloom")
+    h1, h2 = _hash_pair(F.col(key_col), m_bits)
+    test = _might_contain_from(F.col("bloom"), F.col("__h1"), F.col("__h2"),
+                               m_bits, k)
+    tagged = (
+        left.withColumn("__h1", h1).withColumn("__h2", h2)
+        .crossJoin(F.broadcast(sketch))
+    )
+    definite_out = tagged.where(~test).drop("bloom", "__h1", "__h2")
+    maybe = tagged.where(test).drop("bloom", "__h1", "__h2")
     return definite_out.unionByName(maybe.join(rk, key_col, "left_anti"))
 
 

@@ -112,33 +112,15 @@ class _BitReader:
         if getattr(self, "_bits", None) is None:
             self._bits = np.unpackbits(
                 np.frombuffer(self.data, dtype=np.uint8))
-            self._ones = np.flatnonzero(self._bits).astype(np.int64)
-            self._jumps = {}
+            # int32 is enough for any payload under 256 MB (bit index
+            # < 2^31) and halves the index memory; memory profile of
+            # the vectorized decoder is ~8-12 bytes per stream byte
+            self._ones = np.flatnonzero(self._bits).astype(np.int32)
         return self._bits
 
     def ones_pos(self):
         self.bits_arr()
         return self._ones
-
-    def rice_jumps(self, param: int, need: int):
-        """Doubling jump tables for Rice stop-bit chasing: jumps[k][j]
-        is the index (into ones_pos) of the stop bit 2^k samples after
-        stop bit j, where one sample consumes its stop bit plus
-        ``param`` payload bits. Index len(ones) is a self-looping
-        sentinel meaning 'ran off the stream'. Cached per param and
-        grown lazily to cover ``need`` samples."""
-        import numpy as np
-
-        ones = self.ones_pos()
-        tabs = self._jumps.setdefault(param, [])
-        if not tabs:
-            n = len(ones)
-            j1 = np.searchsorted(ones, ones + 1 + param).astype(np.int64)
-            tabs.append(np.append(j1, n))
-        while (1 << len(tabs)) < need:
-            p = tabs[-1]
-            tabs.append(p[p])
-        return tabs
 
 
 # ----------------------------------------------------------------- CRC
@@ -441,31 +423,43 @@ def _read_signed_vec(r: _BitReader, cnt: int, width: int):
 
 def _rice_decode_vec(r: _BitReader, cnt: int, param: int):
     """cnt Rice(param) codes starting at the reader's bit position:
-    stop-bit positions are found by chasing the per-param doubling jump
-    tables over the sorted 1-bit index (O(cnt) gathers instead of a
-    per-sample Python unary loop); payload bits come from one (cnt x
-    param) gather. Bit-identical to the scalar loop it replaced —
-    asserted by the hand-built-frame tests in tests/test_flac.py."""
+    stop-bit positions are found by chasing doubling jump tables over
+    the partition's slice of the sorted 1-bit index (O(cnt log cnt)
+    gathers instead of a per-sample Python unary loop); payload bits
+    come from one (cnt x param) gather. The slice bound is exact: a
+    partition's cnt codes contain exactly cnt stop bits and at most
+    cnt*param payload 1-bits, so ones[j0 : j0 + cnt*(param+1)] covers
+    every bit the orbit can touch — jump-table memory is bounded by the
+    partition, never the stream. Bit-identical to the scalar loop it
+    replaced — asserted by the hand-built-frame tests in
+    tests/test_flac.py."""
     import numpy as np
 
     if cnt <= 0:
         return np.zeros(0, dtype=np.int64)
     ones = r.ones_pos()
-    n = len(ones)
     start = r.bitpos
     j0 = int(np.searchsorted(ones, start))
-    tabs = r.rice_jumps(param, cnt)
-    orbit = np.array([j0], dtype=np.int64)
-    k = 0
-    while len(orbit) < cnt:
-        # orbit values stay in [0, n]; index n is the self-looping
-        # sentinel row of every jump table, so gathers never go OOB
-        orbit = np.concatenate([orbit, tabs[k][orbit]])
-        k += 1
-    orbit = orbit[:cnt]
-    if j0 >= n or orbit[-1] >= n:
+    local = ones[j0: j0 + cnt * (param + 1) + 1].astype(np.int64)
+    n = len(local)
+    if n == 0:
         raise ValueError("FLAC bitstream truncated")
-    stops = ones[orbit]
+    # jump: index of the stop bit one sample after stop bit j (skip the
+    # stop itself + param payload bits); index n = self-looping sentinel
+    nxt = np.append(
+        np.searchsorted(local, local + 1 + param).astype(np.int64), n)
+    orbit = np.zeros(1, dtype=np.int64)  # first stop is local[0]... if valid
+    if local[0] < start:
+        raise ValueError("FLAC bitstream truncated")
+    tab = nxt
+    while len(orbit) < cnt:
+        # orbit values stay in [0, n]; index n is the sentinel row
+        orbit = np.concatenate([orbit, tab[orbit]])
+        tab = tab[tab]
+    orbit = orbit[:cnt]
+    if orbit[-1] >= n:
+        raise ValueError("FLAC bitstream truncated")
+    stops = local[orbit]
     starts = np.empty(cnt, dtype=np.int64)
     starts[0] = start
     starts[1:] = stops[:-1] + 1 + param
