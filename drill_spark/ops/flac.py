@@ -256,7 +256,6 @@ def _write_bits_vec(w: _BitWriter, bitarr) -> None:
     total = len(bitarr)
     if not total:
         return
-    pad = (-total) % 8
     packed = np.packbits(bitarr).tobytes()
     full_words, rem_bits = divmod(total, 64)
     off = 0
@@ -266,7 +265,6 @@ def _write_bits_vec(w: _BitWriter, bitarr) -> None:
     if rem_bits:
         tail = int.from_bytes(packed[off:].ljust(8, b"\0"), "big")
         w.write(tail >> (64 - rem_bits), rem_bits)
-    del pad
 
 
 def _encode_subframe(w: _BitWriter, x, bps: int) -> None:
