@@ -251,3 +251,47 @@ def test_probe_reads_streaminfo_only():
     assert p["sample_rate"] == 48000 and p["n_samples"] == 4800
     assert p["channels"] == 1 and p["bits_per_sample"] == 16
     assert abs(p["duration_s"] - 0.1) < 1e-9
+
+
+def test_decode_fixed_order4_many_partitions():
+    """FIXED order 4 (residual = 4th finite difference; reconstruction
+    is a depth-4 seeded cumsum chain in the vectorized decoder) with
+    partition order 2 -> 4 Rice partitions with DIFFERENT params,
+    exercising back-to-back partition slices of the 1-bit index."""
+    import random
+
+    rng = random.Random(99)
+    bs = 64
+    # build x from known residuals so expected output is closed-form
+    warm = [10, 13, 9, 14]
+    res = [rng.randrange(-6, 7) for _ in range(bs - 4)]
+    x = list(warm)
+    for e in res:
+        pred = 4 * x[-1] - 6 * x[-2] + 4 * x[-3] - 1 * x[-4]
+        x.append(pred + e)
+
+    def sub(w):
+        w.write(0, 1)
+        w.write(0b001000 | 4, 6)  # FIXED, order 4
+        w.write(0, 1)
+        for v in warm:
+            w.write(v & 0xFFFF, 16)
+        w.write(0, 2)              # RICE (4-bit params)
+        w.write(2, 4)              # partition order 2 -> 4 partitions
+        # partition 0: bs/4 - order = 12 samples; partitions 1-3: 16
+        params = [1, 3, 0, 2]
+        idx = 0
+        for part, p in enumerate(params):
+            cnt = (bs >> 2) - (4 if part == 0 else 0)
+            w.write(p, 4)
+            for r in res[idx: idx + cnt]:
+                z = (r << 1) if r >= 0 else (-(r << 1) - 1)
+                w.write(1, (z >> p) + 1)     # unary quotient + stop
+                if p:
+                    w.write(z & ((1 << p) - 1), p)
+            idx += cnt
+        assert idx == len(res)
+
+    blob = _streaminfo(bs, bs) + _frame(6, bs, 0, sub)
+    y, _, _ = decode_flac(blob)
+    assert list(y[:, 0]) == x
