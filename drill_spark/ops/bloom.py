@@ -143,17 +143,34 @@ def bloom_might_contain(bloom: Column, key: Column, m_bits: int, k: int) -> Colu
     return _might_contain_from(bloom, h1, h2, m_bits, k)
 
 
+# Sketches at or below this many bits (1 MB of words) collect to the
+# driver and embed as an array LITERAL in the probe filter — one fewer
+# join stage and a plain codegen Filter over the scan. Larger sketches
+# stay a single-row broadcast so the driver/plan never holds gigabytes.
+_LITERAL_SKETCH_MAX_BITS = 1 << 23
+
+
 def bloom_prefilter(df: DataFrame, keys: DataFrame, key_col: str,
                     m_bits: int, k: int, negate: bool = False) -> DataFrame:
     """Rows of ``df`` whose ``key_col`` MIGHT be in ``keys`` (or, with
     ``negate``, rows that DEFINITELY are not — no false negatives means
-    the negated filter is already exact). The one-row sketch joins in
-    via a broadcast nested-loop of a single row; the membership test
-    itself runs in whole-stage codegen with no shuffle of ``df`` — the
-    two xxhash64 evaluations are projected once per row, then the k
-    probes are O(1) array bit tests."""
+    the negated filter is already exact). Small sketches embed as an
+    array literal (bounded <= 1 MB driver materialization); large ones
+    join in via a broadcast nested-loop of a single row. Either way the
+    membership test runs in whole-stage codegen with no shuffle of
+    ``df`` — the two xxhash64 evaluations are projected once per row,
+    then the k probes are O(1) array bit tests."""
     sketch = bloom_build(keys, key_col, m_bits, k)
     h1, h2 = _hash_pair(F.col(key_col), m_bits)
+    if m_bits <= _LITERAL_SKETCH_MAX_BITS:
+        words = sketch.collect()[0][0]
+        test = _might_contain_from(F.lit(words), F.col("__h1"),
+                                   F.col("__h2"), m_bits, k)
+        return (
+            df.withColumn("__h1", h1).withColumn("__h2", h2)
+            .where(~test if negate else test)
+            .drop("__h1", "__h2")
+        )
     test = _might_contain_from(F.col("bloom"), F.col("__h1"), F.col("__h2"),
                                m_bits, k)
     return (
@@ -172,7 +189,7 @@ def bloom_semi_join(left: DataFrame, right: DataFrame, key_col: str,
     so the shuffled volume is (true matches + fpp·clean), not |left|.
     ``expected_items`` sizes the filter; when omitted one count job
     runs over the distinct right keys (cheap: it is the small side)."""
-    rk = right.select(key_col).distinct()
+    rk = right.select(key_col).distinct().persist()
     n = expected_items if expected_items is not None else rk.count()
     m_bits, k = bloom_params(n, fpp)
     survivors = bloom_prefilter(left, rk, key_col, m_bits, k)
@@ -187,19 +204,26 @@ def bloom_anti_join(left: DataFrame, right: DataFrame, key_col: str,
     (the dominant fraction when scrubbing a corpus against a
     blocklist); only sketch hits go through the exact anti join to
     strip false positives back in."""
-    rk = right.select(key_col).distinct()
+    rk = right.select(key_col).distinct().persist()
     n = expected_items if expected_items is not None else rk.count()
     m_bits, k = bloom_params(n, fpp)
     sketch = bloom_build(rk, key_col, m_bits, k)
     h1, h2 = _hash_pair(F.col(key_col), m_bits)
-    test = _might_contain_from(F.col("bloom"), F.col("__h1"), F.col("__h2"),
+    if m_bits <= _LITERAL_SKETCH_MAX_BITS:
+        bloom_col = F.lit(sketch.collect()[0][0])
+        tagged = left.withColumn("__h1", h1).withColumn("__h2", h2)
+        drop = ["__h1", "__h2"]
+    else:
+        bloom_col = F.col("bloom")
+        tagged = (
+            left.withColumn("__h1", h1).withColumn("__h2", h2)
+            .crossJoin(F.broadcast(sketch))
+        )
+        drop = ["bloom", "__h1", "__h2"]
+    test = _might_contain_from(bloom_col, F.col("__h1"), F.col("__h2"),
                                m_bits, k)
-    tagged = (
-        left.withColumn("__h1", h1).withColumn("__h2", h2)
-        .crossJoin(F.broadcast(sketch))
-    )
-    definite_out = tagged.where(~test).drop("bloom", "__h1", "__h2")
-    maybe = tagged.where(test).drop("bloom", "__h1", "__h2")
+    definite_out = tagged.where(~test).drop(*drop)
+    maybe = tagged.where(test).drop(*drop)
     return definite_out.unionByName(maybe.join(rk, key_col, "left_anti"))
 
 
@@ -223,8 +247,11 @@ def bloom_decontaminate(corpus: DataFrame, benchmark: DataFrame,
 
     c = _spread(corpus).select(
         F.col(id_col), F.explode(_ngram_keys(text_col, n)).alias("__ng"))
+    # the benchmark gram set is consumed three times (sizing count,
+    # sketch build, exact verify) — persist it; it is the small side by
+    # assumption (MEMORY_AND_DISK, evictable, so nothing is pinned hard)
     b = _spread(benchmark).select(
-        F.explode(_ngram_keys(text_col, n)).alias("__ng")).distinct()
+        F.explode(_ngram_keys(text_col, n)).alias("__ng")).distinct().persist()
     n_keys = expected_items if expected_items is not None else b.count()
     m_bits, k = bloom_params(n_keys, fpp)
     survivors = bloom_prefilter(c, b, "__ng", m_bits, k)

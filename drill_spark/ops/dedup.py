@@ -449,9 +449,13 @@ def incremental_dedup(
     if exists:
         from drill_spark.ops.bloom import bloom_anti_join
 
+        # store digests are unique by construction, so the filter sizes
+        # from the plain parquet count (footer metadata, no distinct
+        # shuffle) instead of bloom_anti_join's distinct+count job
         survivors = bloom_anti_join(
             within.withColumnRenamed("__h", "h"),
             store.select("h"), "h", fpp=fpp,
+            expected_items=store.count(),
         ).withColumnRenamed("h", "__h")
     else:
         survivors = within

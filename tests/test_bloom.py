@@ -124,18 +124,23 @@ def test_bloom_decontaminate_matches_exact(spark):
 
 
 def test_bloom_prefilter_plan_shape(spark):
-    """Scale claims, plan-asserted: the probed side reaches the sketch
-    test with NO Exchange (membership is map-side codegen after a
-    single-row broadcast), and the sketch arrives via a broadcast
-    exchange."""
+    """Scale claims, plan-asserted. Small sketch: the filter embeds as
+    an array LITERAL, so the probed side's plan is scan+filter with NO
+    Exchange of any kind. Large sketch (past the 1 MB literal bound):
+    the sketch arrives via a single-row broadcast and the only hash
+    shuffle anywhere is the sketch's own word aggregation — the probed
+    side itself never shuffles."""
+    import re
+
     ldf = _keys_df(spark, [f"a{i}" for i in range(50)])
     rdf = _keys_df(spark, [f"a{i}" for i in range(0, 50, 5)])
     m, k = bloom_params(10, 0.01)
-    pre = bloom_prefilter(ldf, rdf, "key", m, k)
-    s = plans.explain_str(pre)
+    s = plans.explain_str(bloom_prefilter(ldf, rdf, "key", m, k))
+    assert "Exchange" not in s and "Join" not in s, s
+
+    from drill_spark.ops.bloom import _LITERAL_SKETCH_MAX_BITS
+    m_big = _LITERAL_SKETCH_MAX_BITS * 2
+    s = plans.explain_str(bloom_prefilter(ldf, rdf, "key", m_big, k))
     assert "BroadcastExchange" in s, s
-    # the only shuffle in the whole prefilter plan is the sketch's own
-    # word aggregation (keyed __w); the probed side itself never shuffles
-    import re
     hash_exchanges = re.findall(r"Exchange hashpartitioning\(([^,]+)", s)
     assert all(key.startswith("__w") for key in hash_exchanges), s
