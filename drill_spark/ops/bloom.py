@@ -143,11 +143,22 @@ def bloom_might_contain(bloom: Column, key: Column, m_bits: int, k: int) -> Colu
     return _might_contain_from(bloom, h1, h2, m_bits, k)
 
 
-# Sketches at or below this many bits (1 MB of words) collect to the
+# Sketches at or below this many bits (32 KB of words) collect to the
 # driver and embed as an array LITERAL in the probe filter — one fewer
 # join stage and a plain codegen Filter over the scan. Larger sketches
-# stay a single-row broadcast so the driver/plan never holds gigabytes.
-_LITERAL_SKETCH_MAX_BITS = 1 << 23
+# stay a single-row broadcast: a big literal is wrong twice over (the
+# plan ships it to every task, and PySpark's F.lit converts python
+# lists element-by-element through py4j — measured 14.5s for 28k
+# longs, which is why _sketch_literal builds SQL text parsed JVM-side
+# instead).
+_LITERAL_SKETCH_MAX_BITS = 1 << 18
+
+
+def _sketch_literal(words) -> Column:
+    """array<bigint> literal from ONE py4j string round-trip: the
+    words render as SQL text and Spark's parser materializes the
+    array JVM-side. F.lit(list) would marshal element-by-element."""
+    return F.expr("array(" + ",".join(f"{int(v)}L" for v in words) + ")")
 
 
 def bloom_prefilter(df: DataFrame, keys: DataFrame, key_col: str,
@@ -164,7 +175,7 @@ def bloom_prefilter(df: DataFrame, keys: DataFrame, key_col: str,
     h1, h2 = _hash_pair(F.col(key_col), m_bits)
     if m_bits <= _LITERAL_SKETCH_MAX_BITS:
         words = sketch.collect()[0][0]
-        test = _might_contain_from(F.lit(words), F.col("__h1"),
+        test = _might_contain_from(_sketch_literal(words), F.col("__h1"),
                                    F.col("__h2"), m_bits, k)
         return (
             df.withColumn("__h1", h1).withColumn("__h2", h2)
@@ -210,7 +221,7 @@ def bloom_anti_join(left: DataFrame, right: DataFrame, key_col: str,
     sketch = bloom_build(rk, key_col, m_bits, k)
     h1, h2 = _hash_pair(F.col(key_col), m_bits)
     if m_bits <= _LITERAL_SKETCH_MAX_BITS:
-        bloom_col = F.lit(sketch.collect()[0][0])
+        bloom_col = _sketch_literal(sketch.collect()[0][0])
         tagged = left.withColumn("__h1", h1).withColumn("__h2", h2)
         drop = ["__h1", "__h2"]
     else:
