@@ -108,6 +108,16 @@ def bloom_build(keys: DataFrame, key_col: str, m_bits: int, k: int) -> DataFrame
     index), which turned every probe into O(words) — a measured ~30x
     slowdown on the sf0.1 soak. Array element_at is O(1)."""
     n_words = m_bits // 64
+    # the sketch is ONE array value: Spark caps single values at 2 GB,
+    # so ~2^34 bits (~1.2e9 keys at 1% fpp) is the hard ceiling for one
+    # filter. Past it, shard: S independent filters keyed by
+    # pmod(xxhash64(key), S), probed by the matching shard — same
+    # math, S rows. The guard raises rather than failing mid-job.
+    if n_words * 8 > (1 << 31) - 64:
+        raise ValueError(
+            f"bloom sketch of {m_bits} bits exceeds Spark's 2 GB "
+            "single-value limit; shard the key set (build one filter "
+            "per pmod(xxhash64(key), S) shard) or raise fpp")
     pos = F.array(*_positions(F.col(key_col), m_bits, k))
     words = keys.select(F.explode(pos).alias("__p")).select(
         (F.col("__p") / 64).cast("bigint").alias("__w"),
