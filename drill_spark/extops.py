@@ -1871,6 +1871,76 @@ order by id_a, id_b
 """
 
 
+# Shared by q_substring_dedup_apply and its oracle: the planted
+# passages interleave the class digit so no two classes share a
+# 40-char run.
+_APPLY_PASSAGES = [
+    f"b{i}oilerplate p{i}assage re{i}peated ve{i}rbatim "
+    f"acr{i}oss doc{i}uments edi{i}tion cl{i}ass fin{i}al"
+    for i in range(5)
+]
+
+
+def q_substring_dedup_apply(spark, sf_dir):
+    """APPLY exact-substring dedup end to end: detect duplicated
+    passages with the real winnowing pipeline (ops/winnow.py), then cut
+    them from the lower-priority documents (remove_dup_spans). The
+    fixture pins the span boundaries closed-form: each doc's planted
+    passage is wrapped in chr(161+doc_id) sentinels, unique per doc, so
+    the maximal verbatim span between same-class docs is EXACTLY the
+    passage — never extended into neighbors — and the oracle can
+    rebuild both the dirty and the cleaned text in plain SQL."""
+    from drill_spark.ops.winnow import remove_dup_spans, substring_dup_spans
+
+    base = (
+        load_fixture(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < 60)
+        .select("doc_id")
+    )
+    did = F.col("doc_id").cast("string")
+    sentinel = F.expr("char(161 + doc_id)")
+    passage = F.element_at(
+        F.array(*[F.lit(p) for p in _APPLY_PASSAGES]),
+        (F.col("doc_id") % 5).cast("int") + 1)
+    docs = base.select(
+        "doc_id",
+        F.concat(
+            F.lit("doc "), did, F.lit(" start "), sentinel, passage,
+            sentinel, F.lit(" tail "),
+            F.repeat(F.concat(F.lit("u"), did, F.lit(" ")), 10),
+        ).alias("text"),
+    )
+    spans = substring_dup_spans(docs, "doc_id", "text", min_len=40)
+    return remove_dup_spans(docs, spans, "doc_id", "text").select(
+        "doc_id", "text", "removed_chars")
+
+
+_APPLY_PASSAGE_SQL = "case doc_id % 5 " + " ".join(
+    f"when {i} then '{p}'" for i, p in enumerate(_APPLY_PASSAGES)
+) + " end"
+
+ORACLE_SUBSTRING_DEDUP_APPLY = f"""
+with d as (
+  select doc_id,
+         {_APPLY_PASSAGE_SQL} as p,
+         'doc ' || doc_id || ' start ' || chr(cast(161 + doc_id as int)) as pre,
+         chr(cast(161 + doc_id as int)) || ' tail ' || repeat('u' || doc_id || ' ', 10) as post
+  from documents
+  where doc_id < 60
+),
+dup as (
+  select distinct b.doc_id
+  from d a join d b on a.doc_id % 5 = b.doc_id % 5 and a.doc_id < b.doc_id
+)
+select d.doc_id,
+       case when dup.doc_id is null then d.pre || d.p || d.post
+            else d.pre || d.post end as text,
+       cast(case when dup.doc_id is null then 0 else length(d.p) end as bigint)
+         as removed_chars
+from d left join dup on d.doc_id = dup.doc_id
+"""
+
+
 def q_audio_dedup(spark, sf_dir):
     """Audio fingerprint dedup (ops/audiofp.py: Haitsma-Kalker frame
     hashes + offset-aligned anchor join), oracle-checked with
@@ -2148,6 +2218,7 @@ QUERIES = {
     "ext_ann_ivfpq": q_ann_ivfpq,
     "ext_image_phash_dedup": q_image_phash_dedup,
     "ext_substring_dedup": q_substring_dedup,
+    "ext_substring_dedup_apply": q_substring_dedup_apply,
     "ext_audio_dedup": q_audio_dedup,
     "ext_video_dedup": q_video_dedup,
     "ext_quality_classifier": q_quality_classifier,
@@ -2204,6 +2275,7 @@ ORACLES = {
     "ext_quality_mixture": ORACLE_QUALITY_MIXTURE,
     "ext_image_phash_dedup": ORACLE_IMAGE_PHASH_DEDUP,
     "ext_substring_dedup": ORACLE_SUBSTRING_DEDUP,
+    "ext_substring_dedup_apply": ORACLE_SUBSTRING_DEDUP_APPLY,
     "ext_audio_dedup": ORACLE_AUDIO_DEDUP,
     "ext_video_dedup": ORACLE_VIDEO_DEDUP,
 }

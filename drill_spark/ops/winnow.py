@@ -176,3 +176,59 @@ def substring_dup_spans(df: DataFrame, id_col: str = "doc_id",
             )
 
     return joined.mapInPandas(verify, schema=SPAN_SCHEMA)
+
+
+def remove_dup_spans(df: DataFrame, spans: DataFrame,
+                     id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """APPLY exact-substring dedup: cut every detected duplicate span
+    out of the lower-priority (id_b) document, keeping id_a's copy —
+    the Lee et al. 2022 "deduplicating training data" removal step over
+    substring_dup_spans output.
+
+    Returns the rows of ``df`` with ``text_col`` replaced by the
+    cleaned text plus ``removed_chars``. Overlapping spans (one doc
+    duplicated against several partners) merge via cursor clamping, so
+    each character is removed at most once.
+
+    Scale shape: ONE groupBy(id_b) collects each document's cut list
+    (bounded: spans per doc <= partners x spans-per-pair, both capped
+    upstream by max_bucket / max_anchors), one left join back to the
+    corpus, and the cutting itself is a Catalyst ``aggregate`` HOF over
+    the sorted cut list — substring concatenation in whole-stage
+    codegen, no Python in the apply path."""
+    cuts = spans.groupBy(F.col("id_b").alias(id_col)).agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(F.col("pos_b").cast("bigint").alias("p"),
+                         F.col("span_len").cast("bigint").alias("l")))
+        ).alias("__cuts"))
+    joined = df.join(cuts, id_col, "left")
+    txt = F.col(text_col)
+    init = F.struct(F.lit("").alias("out"), F.lit(0).cast("bigint").alias("cur"))
+
+    def step(acc, c):
+        # emit [cur, p) then jump the cursor past the span; clamps make
+        # overlapping/contained spans merge instead of double-cutting
+        keep = F.substring(
+            txt, (acc["cur"] + 1).cast("int"),
+            F.greatest(c["p"] - acc["cur"], F.lit(0).cast("bigint")).cast("int"))
+        return F.struct(
+            F.concat(acc["out"], keep).alias("out"),
+            F.greatest(acc["cur"], c["p"] + c["l"]).alias("cur"))
+
+    def fin(acc):
+        return F.concat(
+            acc["out"],
+            F.substring(txt, (acc["cur"] + 1).cast("int"),
+                        (F.length(txt).cast("bigint") - acc["cur"]).cast("int")))
+
+    clean = F.when(F.col("__cuts").isNull(), txt).otherwise(
+        F.aggregate("__cuts", init, step, fin))
+    return (
+        joined.withColumn("__clean", clean)
+        .withColumn("removed_chars",
+                    (F.length(txt) - F.length("__clean")).cast("bigint"))
+        .drop("__cuts", text_col)
+        .withColumnRenamed("__clean", text_col)
+    )

@@ -1774,3 +1774,36 @@ def test_incremental_dedup_batches_and_replay(spark, tmp_path):
                 incremental_dedup(b2, store, batch_id=1).collect())
     assert r2 == [4]
     assert read_delta(spark, store).count() == 4
+
+
+def test_remove_dup_spans_merging_and_passthrough(spark):
+    """Apply-side of exact-substring dedup: overlapping spans on one
+    doc merge via cursor clamping (each char removed once), docs with
+    several partners cut each duplicated region once, and span-free
+    docs pass through byte-identical with removed_chars = 0."""
+    from pyspark.sql import functions as F
+
+    from drill_spark.ops.winnow import remove_dup_spans
+
+    df = spark.createDataFrame(
+        [(1, "AAA shared passage here BBB"),
+         (2, "xxx shared passage here yyy"),
+         (3, "untouched document three")],
+        "doc_id bigint, text string")
+    spans = spark.createDataFrame(
+        # doc 2 duplicated against TWO partners with overlapping spans
+        [(1, 2, 4, 4, 10), (0, 2, 8, 8, 15)],
+        "id_a bigint, id_b bigint, pos_a bigint, pos_b bigint, span_len bigint")
+    got = {r.doc_id: (r.text, r.removed_chars)
+           for r in remove_dup_spans(df, spans).collect()}
+    assert got[2] == ("xxx  yyy", 19)          # merged cut [4, 23)
+    assert got[1] == ("AAA shared passage here BBB", 0)
+    assert got[3] == ("untouched document three", 0)
+
+    # spans at text boundaries: cut at 0 and cut to the end
+    df2 = spark.createDataFrame([(7, "abcdefgh")], "doc_id bigint, text string")
+    spans2 = spark.createDataFrame(
+        [(1, 7, 0, 0, 3), (1, 7, 6, 6, 2)],
+        "id_a bigint, id_b bigint, pos_a bigint, pos_b bigint, span_len bigint")
+    r = remove_dup_spans(df2, spans2).collect()[0]
+    assert (r.text, r.removed_chars) == ("def", 5)
