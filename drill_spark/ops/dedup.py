@@ -288,6 +288,7 @@ def connected_components(
     src: str = "id_a",
     dst: str = "id_b",
     max_iter: int = 20,
+    driver_max_edges: int = 200_000,
 ) -> DataFrame:
     """Connected components by min-label propagation: every node
     repeatedly takes the smallest label among itself and its neighbors
@@ -298,10 +299,55 @@ def connected_components(
     run in practice. localCheckpoint() truncates plan lineage each
     round — without it the plan tree doubles per iteration and
     planning, not execution, becomes the bottleneck.
+
+    Small graphs skip the iteration entirely: at or under
+    ``driver_max_edges`` distinct edges the (bounded) edge list
+    collects and a path-compressing union-find labels components in one
+    pass — the same threshold-gated driver/executor split as the Delta
+    DV decoder (readers/delta.py). A 26-pair dedup graph should not pay
+    four Spark rounds; a billion-pair one never touches the driver.
+    The fast path is also immune to the max_iter diameter bound — a
+    200-node chain converges instantly under union-find where min-label
+    propagation would need 200 rounds. Both paths produce the identical
+    labeling (component = min node id), asserted against each other in
+    tests.
     """
     sym = edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
     sym = sym.union(sym.select(F.col("d").alias("s"), F.col("s").alias("d"))).distinct()
     sym = sym.localCheckpoint(eager=True)
+    if sym.count() <= 2 * driver_max_edges:
+        node_type = sym.schema["s"].dataType
+        parent: dict = {}
+
+        def find(x):
+            root = x
+            while parent[root] != root:
+                root = parent[root]
+            while parent[x] != root:  # path compression
+                parent[x], x = root, parent[x]
+            return root
+
+        for row in sym.collect():
+            a, b = row["s"], row["d"]
+            parent.setdefault(a, a)
+            parent.setdefault(b, b)
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[rb] = ra
+        comp_min: dict = {}
+        for n in parent:
+            r = find(n)
+            m = comp_min.get(r)
+            if m is None or n < m:
+                comp_min[r] = n
+        from pyspark.sql.types import StructField, StructType
+
+        schema = StructType([
+            StructField("node", node_type, False),
+            StructField("component", node_type, False),
+        ])
+        rows = [(n, comp_min[find(n)]) for n in parent]
+        return edges.sparkSession.createDataFrame(rows, schema)
     labels = sym.select(F.col("s").alias("node")).distinct().withColumn("label", F.col("node"))
     converged = False
     for _ in range(max_iter):

@@ -1807,3 +1807,25 @@ def test_remove_dup_spans_merging_and_passthrough(spark):
         "id_a bigint, id_b bigint, pos_a bigint, pos_b bigint, span_len bigint")
     r = remove_dup_spans(df2, spans2).collect()[0]
     assert (r.text, r.removed_chars) == ("def", 5)
+
+
+def test_connected_components_driver_and_distributed_agree(spark):
+    """The threshold-gated union-find fast path and the distributed
+    min-label iteration produce the IDENTICAL (node, component)
+    labeling (component = min node id) on random graphs, including
+    chains deeper than one propagation round."""
+    import random
+
+    from drill_spark.ops.dedup import connected_components
+
+    rng = random.Random(31)
+    edges = [(rng.randrange(60), rng.randrange(60)) for _ in range(150)]
+    edges += [(i, i + 1) for i in range(300, 312)]  # a 13-node chain
+    df = spark.createDataFrame(edges, "id_a bigint, id_b bigint")
+    fast = sorted(
+        (r.node, r.component)
+        for r in connected_components(df).collect())
+    slow = sorted(
+        (r.node, r.component)
+        for r in connected_components(df, driver_max_edges=0).collect())
+    assert fast == slow and len(fast) > 0
