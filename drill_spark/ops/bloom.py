@@ -135,6 +135,84 @@ def bloom_build(keys: DataFrame, key_col: str, m_bits: int, k: int) -> DataFrame
     )
 
 
+# one filter row must stay under Spark's 2 GB single-value cap
+_MAX_SHARD_BITS = ((1 << 31) - 64) * 8
+
+_SHARD_SALT = 0x51ED270B
+
+
+def _shard_of(key: Column, shards: int) -> Column:
+    """Shard id in [0, shards) — a THIRD independent hash (its own
+    salt), so shard choice is uncorrelated with the probe positions."""
+    return F.pmod(F.xxhash64(key, F.lit(_SHARD_SALT)), F.lit(shards))
+
+
+def bloom_shards_for(m_bits: int,
+                     max_bits_per_shard: int = _MAX_SHARD_BITS) -> int:
+    """Smallest shard count keeping every filter row under the 2 GB
+    single-value cap: 1 up to ~1.7e10 bits (~1.2e9 keys at 1% fpp)."""
+    return max(1, -(-m_bits // max_bits_per_shard))
+
+
+def bloom_build_sharded(keys: DataFrame, key_col: str, m_bits: int,
+                        k: int, shards: int) -> DataFrame:
+    """``shards`` independent filters as rows (shard bigint, bloom
+    array<bigint>) — the scale form past the single-row 2 GB cap
+    (~1.2e9 keys): keys split by an independent hash, each shard gets
+    m_bits/shards bits (per-shard load matches because the split is
+    ~uniform), and the probe joins its shard row by equi-key. Same
+    plan shape as bloom_build with the word aggregation keyed
+    (shard, word); the S-row result broadcasts like the single row."""
+    m_shard = ((m_bits // shards + 63) // 64) * 64
+    n_words = m_shard // 64
+    if n_words * 8 > (1 << 31) - 64:
+        raise ValueError(
+            f"bloom shard of {m_shard} bits exceeds Spark's 2 GB "
+            "single-value limit; raise shards")
+    pos = F.array(*_positions(F.col(key_col), m_shard, k))
+    words = keys.select(
+        _shard_of(F.col(key_col), shards).alias("__s"),
+        F.explode(pos).alias("__p"),
+    ).select(
+        "__s",
+        (F.col("__p") / 64).cast("bigint").alias("__w"),
+        _bit_mask(F.pmod(F.col("__p"), F.lit(64))).alias("__m"),
+    )
+    zeros = keys.sparkSession.range(shards * n_words).select(
+        (F.col("id") / n_words).cast("bigint").alias("__s"),
+        F.pmod(F.col("id"), F.lit(n_words)).alias("__w"),
+        F.lit(0).cast("bigint").alias("__m"))
+    packed = words.unionByName(zeros).groupBy("__s", "__w").agg(
+        F.bit_or("__m").alias("__bits"))
+    return packed.groupBy(F.col("__s").alias("shard")).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("__w", "__bits"))),
+            lambda x: x["__bits"],
+        ).alias("bloom")
+    )
+
+
+def bloom_prefilter_sharded(df: DataFrame, keys: DataFrame, key_col: str,
+                            m_bits: int, k: int, shards: int,
+                            negate: bool = False) -> DataFrame:
+    """Sharded variant of bloom_prefilter: the probe computes its shard
+    id and equi-joins the broadcast S-row sketch table, then runs the
+    same k O(1) bit tests against that shard's words. The probed side
+    still never shuffles (broadcast hash join)."""
+    m_shard = ((m_bits // shards + 63) // 64) * 64
+    sketch = bloom_build_sharded(keys, key_col, m_bits, k, shards)
+    h1, h2 = _hash_pair(F.col(key_col), m_shard)
+    test = _might_contain_from(F.col("bloom"), F.col("__h1"), F.col("__h2"),
+                               m_shard, k)
+    return (
+        df.withColumn("__s", _shard_of(F.col(key_col), shards))
+        .withColumn("__h1", h1).withColumn("__h2", h2)
+        .join(F.broadcast(sketch), F.col("__s") == sketch["shard"])
+        .where(~test if negate else test)
+        .drop("shard", "bloom", "__s", "__h1", "__h2")
+    )
+
+
 def _might_contain_from(bloom: Column, h1: Column, h2: Column,
                         m_bits: int, k: int) -> Column:
     """k O(1) bit tests against the dense word array: true iff every
@@ -181,6 +259,10 @@ def bloom_prefilter(df: DataFrame, keys: DataFrame, key_col: str,
     membership test runs in whole-stage codegen with no shuffle of
     ``df`` — the two xxhash64 evaluations are projected once per row,
     then the k probes are O(1) array bit tests."""
+    shards = bloom_shards_for(m_bits)
+    if shards > 1:
+        return bloom_prefilter_sharded(df, keys, key_col, m_bits, k,
+                                       shards, negate)
     sketch = bloom_build(keys, key_col, m_bits, k)
     h1, h2 = _hash_pair(F.col(key_col), m_bits)
     if m_bits <= _LITERAL_SKETCH_MAX_BITS:
@@ -228,6 +310,13 @@ def bloom_anti_join(left: DataFrame, right: DataFrame, key_col: str,
     rk = right.select(key_col).distinct().persist()
     n = expected_items if expected_items is not None else rk.count()
     m_bits, k = bloom_params(n, fpp)
+    if bloom_shards_for(m_bits) > 1:
+        shards = bloom_shards_for(m_bits)
+        definite_out = bloom_prefilter_sharded(
+            left, rk, key_col, m_bits, k, shards, negate=True)
+        maybe = bloom_prefilter_sharded(
+            left, rk, key_col, m_bits, k, shards)
+        return definite_out.unionByName(maybe.join(rk, key_col, "left_anti"))
     sketch = bloom_build(rk, key_col, m_bits, k)
     h1, h2 = _hash_pair(F.col(key_col), m_bits)
     if m_bits <= _LITERAL_SKETCH_MAX_BITS:

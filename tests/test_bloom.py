@@ -144,3 +144,38 @@ def test_bloom_prefilter_plan_shape(spark):
     assert "BroadcastExchange" in s, s
     hash_exchanges = re.findall(r"Exchange hashpartitioning\(([^,]+)", s)
     assert all(key.startswith("__w") for key in hash_exchanges), s
+
+
+def test_bloom_sharded_matches_single(spark):
+    """Sharded filters (the past-2GB scale form) behave identically to
+    the single-row filter: no false negatives, and the sharded
+    semi/anti prefilter + verify pipeline returns exactly the plain
+    join results."""
+    from drill_spark.ops.bloom import bloom_prefilter_sharded
+
+    rng = random.Random(41)
+    left = [f"v{rng.randrange(400)}" for _ in range(500)]
+    right = sorted({f"v{rng.randrange(400)}" for _ in range(120)})
+    ldf, rdf = _keys_df(spark, left), _keys_df(spark, right)
+    m, k = bloom_params(len(right), 0.05)
+    # no false negatives through the sharded probe
+    hits = bloom_prefilter_sharded(
+        _keys_df(spark, right), rdf, "key", m, k, shards=4)
+    assert hits.count() == len(right)
+    # exact semi/anti via shard prefilter + verify
+    pre = bloom_prefilter_sharded(ldf, rdf, "key", m, k, shards=4)
+    got_semi = sorted(r.key for r in pre.join(rdf, "key", "left_semi").collect())
+    assert got_semi == sorted(v for v in left if v in set(right))
+    out = bloom_prefilter_sharded(ldf, rdf, "key", m, k, shards=4, negate=True)
+    maybe = pre.join(rdf, "key", "left_anti")
+    got_anti = sorted(r.key for r in out.unionByName(maybe).collect())
+    assert got_anti == sorted(v for v in left if v not in set(right))
+
+
+def test_bloom_shards_for_sizing():
+    from drill_spark.ops.bloom import _MAX_SHARD_BITS, bloom_shards_for
+
+    assert bloom_shards_for(1 << 20) == 1
+    assert bloom_shards_for(_MAX_SHARD_BITS) == 1
+    assert bloom_shards_for(_MAX_SHARD_BITS + 1) == 2
+    assert bloom_shards_for(10 * _MAX_SHARD_BITS) == 10
