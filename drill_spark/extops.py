@@ -783,6 +783,39 @@ select s_suppkey, s_name, s_nationkey, s_acctbal from supplier
 """
 
 
+def q_delta_zorder_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIMIZE ZORDER BY + stats-based file skipping end to end
+    (readers/delta_stats.py): orders written as a multi-file Delta
+    table, Z-ordered on (o_custkey, o_totalprice), then read through
+    the `predicate` option — the driver prunes the file list with the
+    footer-derived add.stats BEFORE any scan I/O and re-applies the
+    predicate as a Catalyst filter, so the result is exact and must
+    match the plain SQL filter oracle."""
+    from drill_spark.readers.delta import optimize, read_delta, write_delta
+
+    def build(d: str) -> None:
+        write_delta(
+            load_fixture(spark, sf_dir, "orders").select(
+                "o_orderkey", "o_custkey", "o_totalprice"
+            ).repartition(16),
+            d,
+        )
+        optimize(spark, d, zorder_by=["o_custkey", "o_totalprice"],
+                 target_file_bytes=64 * 1024)
+
+    out_dir = _materialize_once(sf_dir, "delta_zorder", build)
+    return read_delta(
+        spark, out_dir,
+        {"predicate": "o_custkey < 500 and o_totalprice > 100000"},
+    ).select("o_orderkey", "o_custkey", "o_totalprice")
+
+
+ORACLE_DELTA_ZORDER_SCAN = """
+select o_orderkey, o_custkey, o_totalprice from orders
+where o_custkey < 500 and o_totalprice > 100000
+"""
+
+
 def q_delta_dv_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Delta deletion vectors, merge-on-read (delta-standalone applies
     DVs for the reference inside contrib/format-deltalake/; here the
@@ -2160,6 +2193,7 @@ QUERIES = {
     "op_avro_scan": q_avro_scan,
     "op_delta_scan": q_delta_scan,
     "op_delta_dv_scan": q_delta_dv_scan,
+    "op_delta_zorder_scan": q_delta_zorder_scan,
     "op_pdf_scan": q_pdf_scan,
     "op_paimon_scan": q_paimon_scan,
     "op_msaccess_scan": q_msaccess_scan,
@@ -2229,6 +2263,7 @@ ORACLES = {
     "op_avro_scan": ORACLE_AVRO_SCAN,
     "op_delta_scan": ORACLE_DELTA_SCAN,
     "op_delta_dv_scan": ORACLE_DELTA_DV_SCAN,
+    "op_delta_zorder_scan": ORACLE_DELTA_ZORDER_SCAN,
     "op_pdf_scan": ORACLE_PDF_SCAN,
     "op_paimon_scan": ORACLE_PAIMON_SCAN,
     "op_msaccess_scan": ORACLE_MSACCESS_SCAN,

@@ -194,13 +194,18 @@ def bloom_build_sharded(keys: DataFrame, key_col: str, m_bits: int,
 
 def bloom_prefilter_sharded(df: DataFrame, keys: DataFrame, key_col: str,
                             m_bits: int, k: int, shards: int,
-                            negate: bool = False) -> DataFrame:
+                            negate: bool = False,
+                            _sketch: DataFrame | None = None) -> DataFrame:
     """Sharded variant of bloom_prefilter: the probe computes its shard
     id and equi-joins the broadcast S-row sketch table, then runs the
     same k O(1) bit tests against that shard's words. The probed side
-    still never shuffles (broadcast hash join)."""
+    still never shuffles (broadcast hash join). ``_sketch`` lets a
+    caller probing twice (bloom_anti_join's definite-out + maybe split)
+    share ONE build aggregation over the key set — the build is the
+    expensive stage in the sharded (billion-key) regime."""
     m_shard = ((m_bits // shards + 63) // 64) * 64
-    sketch = bloom_build_sharded(keys, key_col, m_bits, k, shards)
+    sketch = _sketch if _sketch is not None else bloom_build_sharded(
+        keys, key_col, m_bits, k, shards)
     h1, h2 = _hash_pair(F.col(key_col), m_shard)
     test = _might_contain_from(F.col("bloom"), F.col("__h1"), F.col("__h2"),
                                m_shard, k)
@@ -312,10 +317,15 @@ def bloom_anti_join(left: DataFrame, right: DataFrame, key_col: str,
     m_bits, k = bloom_params(n, fpp)
     if bloom_shards_for(m_bits) > 1:
         shards = bloom_shards_for(m_bits)
+        # ONE sketch build shared by both probes: the two branches of
+        # the union carry the same broadcast subtree, so Spark's
+        # ReuseExchange runs the key-set aggregation once, not twice
+        sketch = bloom_build_sharded(rk, key_col, m_bits, k, shards)
         definite_out = bloom_prefilter_sharded(
-            left, rk, key_col, m_bits, k, shards, negate=True)
+            left, rk, key_col, m_bits, k, shards, negate=True,
+            _sketch=sketch)
         maybe = bloom_prefilter_sharded(
-            left, rk, key_col, m_bits, k, shards)
+            left, rk, key_col, m_bits, k, shards, _sketch=sketch)
         return definite_out.unionByName(maybe.join(rk, key_col, "left_anti"))
     sketch = bloom_build(rk, key_col, m_bits, k)
     h1, h2 = _hash_pair(F.col(key_col), m_bits)

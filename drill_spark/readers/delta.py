@@ -74,6 +74,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from drill_spark.readers.delta_stats import (
+    file_stats_json,
+    prune_snapshot_files,
+    zorder_expression,
+)
+
 _SUPPORTED_READER_FEATURES = {
     "timestampNtz",
     "vacuumProtocolCheck",
@@ -170,6 +176,7 @@ def load_snapshot(spark: SparkSession, path: str,
         active[key] = {
             "pv": a.get("partitionValues") or {},
             "dv": dv,
+            "stats": a.get("stats") or None,  # per-file skipping stats
         }
         tombstones.pop(key, None)  # re-add supersedes the tombstone
 
@@ -461,8 +468,27 @@ def read_delta(spark: SparkSession, path: str,
         snap = _snapshot_override
     else:
         snap = load_snapshot(spark, path, int(version) if version is not None else None)
+
+    # ---- stats-based file skipping (driver-side, before any I/O) ----
+    # `predicate =>` prunes the file list with per-file add.stats and
+    # partition values, then re-applies as a REAL filter below — files
+    # without stats are kept and unparseable predicates prune nothing,
+    # so results are exact regardless of stats coverage.
+    predicate = opts.get("predicate")
+    if predicate:
+        name_map = (
+            {f.name: _physical_name(f) for f in snap.schema.fields}
+            if snap.column_mapping_mode in ("name", "id") else None
+        )
+        kept, _ = prune_snapshot_files(snap, predicate, name_map)
+        snap = DeltaSnapshot(snap.schema, snap.partition_columns, kept,
+                             snap.version, snap.column_mapping_mode,
+                             snap.protocol, snap.meta, snap.txns,
+                             snap.tombstones)
+
     if not snap.files:
-        return spark.createDataFrame([], _clean_type(snap.schema))
+        out = spark.createDataFrame([], _clean_type(snap.schema))
+        return out.where(F.expr(predicate)) if predicate else out
 
     mapped = snap.column_mapping_mode in ("name", "id")
     data_fields = [f for f in snap.schema.fields if f.name not in snap.partition_columns]
@@ -561,8 +587,12 @@ def read_delta(spark: SparkSession, path: str,
             else F.col(_physical_name(f)).cast(_clean_type(f.dataType)).alias(f.name)
             for f in snap.schema.fields
         ]
-        return out.select(*sel)
-    return out.select(*[f.name for f in snap.schema.fields])
+        out = out.select(*sel)
+    else:
+        out = out.select(*[f.name for f in snap.schema.fields])
+    # exactness backstop for file skipping: the predicate runs as a
+    # normal Catalyst filter over the surviving files
+    return out.where(F.expr(predicate)) if predicate else out
 
 
 def write_delta(df: DataFrame, path: str, partition_by: list[str] | None = None,
@@ -627,13 +657,17 @@ def write_delta(df: DataFrame, path: str, partition_by: list[str] | None = None,
         })
     for rel in new_files:
         pv = _pv_from_rel(rel, partition_by)
+        f_abs = os.path.join(path, rel)
         actions.append({
             "add": {
                 "path": rel,
                 "partitionValues": pv,
-                "size": os.path.getsize(os.path.join(path, rel)),
+                "size": os.path.getsize(f_abs),
                 "modificationTime": now_ms,
                 "dataChange": True,
+                # footer-derived per-file stats: the reader's file
+                # skipping (read_delta predicate option) prunes on these
+                "stats": file_stats_json(f_abs),
             }
         })
     if txn is not None:
@@ -917,6 +951,9 @@ def write_checkpoint(spark: SparkSession, path: str) -> str:
             T.StructField("modificationTime", T.LongType()),
             T.StructField("dataChange", T.BooleanType()),
             T.StructField("deletionVector", dv_t),
+            # file-skipping stats must survive JSON log cleanup — a
+            # checkpointed table would otherwise silently lose pruning
+            T.StructField("stats", T.StringType()),
         ])),
         # unexpired remove tombstones (deletionTimestamp + superseded DV)
         # must survive checkpointing for vacuum's retention window
@@ -968,6 +1005,7 @@ def write_checkpoint(spark: SparkSession, path: str) -> str:
             "size": size,
             "modificationTime": 0,
             "dataChange": False,
+            "stats": entry.get("stats"),
             "deletionVector": {
                 "storageType": dv.get("storageType"),
                 "pathOrInlineDv": dv.get("pathOrInlineDv"),
@@ -1434,7 +1472,9 @@ def merge_into(
 
 
 def optimize(spark: SparkSession, path: str,
-             small_file_bytes: int = 64 * 1024 * 1024) -> dict:
+             small_file_bytes: int = 64 * 1024 * 1024,
+             zorder_by: list[str] | None = None,
+             target_file_bytes: int = 128 * 1024 * 1024) -> dict:
     """OPTIMIZE (bin-packing compaction): rewrite the table's small
     files — and every file carrying a deletion vector, purging the
     deleted rows — into full-size files, committed as remove(old) +
@@ -1447,6 +1487,16 @@ def optimize(spark: SparkSession, path: str,
     size with no DV are left alone — compaction cost is proportional to
     the small-file backlog, not the table. Returns
     {"rewritten": n_old, "added": n_new, "skipped": n_untouched}.
+
+    ``zorder_by``: OPTIMIZE ... ZORDER BY — a GLOBAL re-layout
+    (every active file is rewritten, like Delta's) that range-
+    partitions and sorts rows by the interleaved-bit Z-value of the
+    given columns (delta_stats.zorder_expression), so each output file
+    covers a small hyper-rectangle of the key space and the per-file
+    min/max stats written with the new add actions become selective on
+    every Z column at once — multi-column file skipping, the thing a
+    single sort column cannot give. One range shuffle over the table;
+    output file count sized by total bytes / ``target_file_bytes``.
     """
     import time
 
@@ -1455,16 +1505,26 @@ def optimize(spark: SparkSession, path: str,
     def abs_path(p: str) -> str:
         return p if os.path.isabs(p) else os.path.join(path, p)
 
+    zorder_by = list(zorder_by or [])
+    for c in zorder_by:
+        if c in snap.partition_columns:
+            raise ValueError(
+                f"ZORDER BY column {c} is a partition column — it is "
+                "already constant per file; zorder the non-partition keys")
+
     victims = {}
+    total_bytes = 0
     for rel, entry in snap.files.items():
         f_abs = abs_path(rel)
         try:
             size = os.path.getsize(f_abs)
         except OSError:
             size = 0
-        if entry.get("dv") or size < small_file_bytes:
+        if zorder_by or entry.get("dv") or size < small_file_bytes:
             victims[rel] = entry
-    if len(victims) <= 1 and not any(e.get("dv") for e in victims.values()):
+            total_bytes += size
+    if not zorder_by and len(victims) <= 1 \
+            and not any(e.get("dv") for e in victims.values()):
         return {"rewritten": 0, "added": 0, "skipped": len(snap.files)}
 
     # read ONLY the victims, with their DVs applied (read_delta semantics
@@ -1473,6 +1533,17 @@ def optimize(spark: SparkSession, path: str,
                         snap.version, snap.column_mapping_mode, snap.protocol,
                         snap.meta, snap.txns)
     df = _read_snapshot_files(spark, path, sub)
+    if zorder_by:
+        # cluster BEFORE physical-name shaping (logical column names);
+        # the later projections are narrow, so the range-partitioned
+        # sort order survives into the written files
+        n_out = max(1, -(-total_bytes // target_file_bytes))
+        df = (
+            df.withColumn("__z", zorder_expression(df, zorder_by))
+            .repartitionByRange(n_out, *snap.partition_columns, "__z")
+            .sortWithinPartitions(*snap.partition_columns, "__z")
+            .drop("__z")
+        )
     df, part_cols_w = _writer_shape(df, snap)
 
     before = _existing_parquet(path)
@@ -1498,14 +1569,32 @@ def optimize(spark: SparkSession, path: str,
             "path": rel, "partitionValues": pv,
             "size": os.path.getsize(abs_path(rel)),
             "modificationTime": now_ms, "dataChange": False,
+            "stats": file_stats_json(abs_path(rel)),
         }})
-    actions.append({"commitInfo": {"timestamp": now_ms, "operation": "OPTIMIZE"}})
+    commit_info: dict = {"timestamp": now_ms, "operation": "OPTIMIZE"}
+    if zorder_by:
+        commit_info["operationParameters"] = {
+            "zOrderBy": json.dumps(zorder_by)}
+    actions.append({"commitInfo": commit_info})
     with open(os.path.join(log_dir, f"{version:020d}.json"), "w") as f:
         for a in actions:
             f.write(json.dumps(a) + "\n")
     _maybe_checkpoint(spark, path, version)
     return {"rewritten": len(victims), "added": len(new_files),
             "skipped": len(snap.files) - len(victims)}
+
+
+def skipping_report(spark: SparkSession, path: str, predicate: str) -> dict:
+    """{"total": n_files, "candidates": n_after_pruning} — how many
+    data files the stats pruner keeps for ``predicate``; the
+    observable data-skipping contract (tests and the Web UI use it)."""
+    snap = load_snapshot(spark, path)
+    name_map = (
+        {f.name: _physical_name(f) for f in snap.schema.fields}
+        if snap.column_mapping_mode in ("name", "id") else None
+    )
+    kept, _ = prune_snapshot_files(snap, predicate, name_map)
+    return {"total": len(snap.files), "candidates": len(kept)}
 
 
 def _writer_shape(df: DataFrame, snap: "DeltaSnapshot"):

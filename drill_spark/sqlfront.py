@@ -94,7 +94,8 @@ _INSERT_PATH = re.compile(
 # OPTIMIZE / VACUUM — Delta table maintenance (compaction + orphan
 # cleanup), the operational pair every lakehouse writer needs
 _OPTIMIZE_PATH = re.compile(
-    r"^\s*OPTIMIZE\s+((?:\w+\.)+)`([^`]+)`\s*;?\s*$", re.IGNORECASE
+    r"^\s*OPTIMIZE\s+((?:\w+\.)+)`([^`]+)`"
+    r"(?:\s+ZORDER\s+BY\s*\(([^)]+)\))?\s*;?\s*$", re.IGNORECASE
 )
 _VACUUM_PATH = re.compile(
     r"^\s*VACUUM\s+((?:\w+\.)+)`([^`]+)`(?:\s+RETAIN\s+(\d+)\s+HOURS)?"
@@ -681,8 +682,10 @@ def execute(session, query: str) -> DataFrame:
         from drill_spark.readers.delta import optimize
 
         ws_name, rel_path = m.group(1).rstrip("."), m.group(2)
+        zcols = [c.strip().strip("`") for c in m.group(3).split(",")] \
+            if m.group(3) else None
         path, _ = _writable_path(session, ws_name, rel_path)
-        stats = optimize(spark, path)
+        stats = optimize(spark, path, zorder_by=zcols)
         spark.catalog.refreshByPath(path)
         return spark.createDataFrame([Row(ok=True, **stats)])
 

@@ -1,0 +1,204 @@
+"""Delta per-file stats, stats-based file skipping, and OPTIMIZE
+ZORDER BY (readers/delta_stats.py + delta.py wiring).
+
+The contract under test: (1) every file written by this repo's Delta
+writer carries footer-derived add.stats; (2) a `predicate` read option
+prunes the file list BEFORE any scan I/O, with bit-exact results
+(files without stats kept, unparseable predicates prune nothing);
+(3) ZORDER BY re-clusters rows so multi-column box predicates prune
+most files — the property is ASSERTED, not assumed, by comparing
+candidate counts before and after.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from drill_spark.readers.delta import (
+    optimize,
+    read_delta,
+    skipping_report,
+    write_delta,
+)
+
+
+def _log_adds(path):
+    """Every add action in the table's JSON log, in commit order."""
+    log = os.path.join(path, "_delta_log")
+    adds = []
+    for f in sorted(os.listdir(log)):
+        if not f.endswith(".json") or f.startswith("_"):
+            continue
+        with open(os.path.join(log, f)) as fh:
+            for line in fh:
+                if line.strip():
+                    a = json.loads(line)
+                    if "add" in a:
+                        adds.append(a["add"])
+    return adds
+
+
+def test_write_delta_stats_in_log(spark, tmp_path):
+    """add.stats carries footer-exact numRecords/min/max/nullCount."""
+    tbl = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(1, 10.5, "alpha"), (2, -3.25, None), (3, 99.0, "zeta")],
+        "id bigint, v double, s string",
+    ).coalesce(1)
+    write_delta(df, tbl)
+    adds = _log_adds(tbl)
+    assert len(adds) == 1 and adds[0]["stats"]
+    st = json.loads(adds[0]["stats"])
+    assert st["numRecords"] == 3
+    assert st["minValues"]["id"] == 1 and st["maxValues"]["id"] == 3
+    assert st["minValues"]["v"] == -3.25 and st["maxValues"]["v"] == 99.0
+    assert st["minValues"]["s"] == "alpha" and st["maxValues"]["s"] == "zeta"
+    assert st["nullCount"]["s"] == 1 and st["nullCount"]["id"] == 0
+
+
+def test_predicate_prunes_files_and_stays_exact(spark, tmp_path):
+    """Range-sorted files: a point predicate scans 1 of 8 files and
+    returns exactly the rows a full-scan filter returns."""
+    tbl = str(tmp_path / "t")
+    df = spark.range(800).select(
+        F.col("id"), (F.col("id") * 2).alias("v"))
+    # repartitionByRange gives each of the 8 files a disjoint id range
+    write_delta(df.repartitionByRange(8, "id").sortWithinPartitions("id"),
+                tbl)
+    rep = skipping_report(spark, tbl, "id >= 100 and id < 200")
+    assert rep["total"] == 8
+    assert rep["candidates"] <= 2  # range boundaries may split once
+    got = read_delta(spark, tbl, {"predicate": "id >= 100 and id < 200"})
+    want = read_delta(spark, tbl).where("id >= 100 and id < 200")
+    assert sorted(r.id for r in got.collect()) == \
+        sorted(r.id for r in want.collect())
+    # unparseable predicate: prunes nothing, still exact
+    rep2 = skipping_report(spark, tbl, "id = 5 or id = 700")
+    assert rep2["candidates"] == rep2["total"]
+    got2 = read_delta(spark, tbl, {"predicate": "id = 5 or id = 700"})
+    assert sorted(r.id for r in got2.collect()) == [5, 700]
+
+
+def test_files_without_stats_are_kept(spark, tmp_path):
+    """A foreign add action with no stats never gets pruned."""
+    tbl = str(tmp_path / "t")
+    write_delta(spark.range(10).coalesce(1), tbl)
+    # strip stats from the log, as a writer predating stats would have
+    log = os.path.join(tbl, "_delta_log", f"{0:020d}.json")
+    lines = []
+    with open(log) as fh:
+        for line in fh:
+            a = json.loads(line)
+            if "add" in a:
+                a["add"].pop("stats", None)
+            lines.append(json.dumps(a))
+    with open(log, "w") as fh:
+        fh.write("\n".join(lines) + "\n")
+    rep = skipping_report(spark, tbl, "id > 10000")
+    assert rep["candidates"] == rep["total"] == 1
+    assert read_delta(spark, tbl, {"predicate": "id > 10000"}).count() == 0
+
+
+def test_zorder_optimize_enables_multicolumn_skipping(spark, tmp_path):
+    """The headline property: before ZORDER a box predicate on (x, y)
+    touches every file; after, it touches a small fraction — and the
+    table's rows are untouched."""
+    tbl = str(tmp_path / "t")
+    # x and y independent: row-order layout gives NO xy clustering
+    df = spark.range(4000).select(
+        F.col("id"),
+        F.pmod(F.xxhash64("id"), F.lit(100)).alias("x"),
+        F.pmod(F.xxhash64("id", F.lit(7)), F.lit(100)).alias("y"),
+    )
+    write_delta(df.repartition(16), tbl)
+    box = "x >= 10 and x < 30 and y >= 10 and y < 30"
+    before = skipping_report(spark, tbl, box)
+    assert before["total"] == 16
+    assert before["candidates"] == 16  # random layout: nothing prunes
+    pre_rows = sorted((r.id, r.x, r.y) for r in
+                      read_delta(spark, tbl).collect())
+
+    res = optimize(spark, tbl, zorder_by=["x", "y"],
+                   target_file_bytes=4096)
+    assert res["rewritten"] == 16 and res["added"] >= 8
+
+    after = skipping_report(spark, tbl, box)
+    # a 20x20 box of a 100x100 z-curved space: ~4% of rows; with
+    # z-clustered files the candidate set collapses
+    assert after["candidates"] <= after["total"] // 2
+    post_rows = sorted((r.id, r.x, r.y) for r in
+                       read_delta(spark, tbl).collect())
+    assert post_rows == pre_rows
+    got = read_delta(spark, tbl, {"predicate": box})
+    want = [t for t in pre_rows if 10 <= t[1] < 30 and 10 <= t[2] < 30]
+    assert sorted((r.id, r.x, r.y) for r in got.collect()) == want
+
+
+def test_zorder_sql_face(session, spark, tmp_path):
+    """OPTIMIZE ws.`t` ZORDER BY (x, y) parses and runs; the table
+    function predicate option prunes through the SQL path too."""
+    root = str(tmp_path)
+    session.register_workspace("dfs.zws", root, "parquet", writable=True)
+    df = spark.range(1000).select(
+        F.col("id"),
+        F.pmod(F.xxhash64("id"), F.lit(50)).alias("x"),
+        F.pmod(F.xxhash64("id", F.lit(3)), F.lit(50)).alias("y"),
+    )
+    write_delta(df.repartition(8), str(tmp_path / "zt"))
+    out = session.sql("OPTIMIZE dfs.zws.`zt` ZORDER BY (x, y)").collect()
+    assert out[0]["rewritten"] == 8
+    got = session.sql(
+        "select count(*) as n from table(dfs.zws.`zt`("
+        "type => 'delta', predicate => 'x < 5 and y < 5'))"
+    ).collect()
+    want = df.where("x < 5 and y < 5").count()
+    assert got[0]["n"] == want
+
+
+def test_zorder_rejects_bad_columns(spark, tmp_path):
+    tbl = str(tmp_path / "t")
+    df = spark.range(10).select(
+        F.col("id"), F.lit("a").alias("s"),
+        (F.col("id") % 2).cast("string").alias("p"))
+    write_delta(df, tbl, partition_by=["p"])
+    with pytest.raises(ValueError, match="partition column"):
+        optimize(spark, tbl, zorder_by=["p"])
+    with pytest.raises(NotImplementedError, match="string"):
+        optimize(spark, tbl, zorder_by=["s"])
+
+
+def test_stats_survive_checkpoint(spark, tmp_path):
+    """After checkpointing + JSON log cleanup the snapshot still
+    prunes: the checkpoint's add struct carries stats."""
+    from drill_spark.readers.delta import write_checkpoint
+
+    tbl = str(tmp_path / "t")
+    write_delta(
+        spark.range(100).repartitionByRange(4, "id")
+        .sortWithinPartitions("id"), tbl)
+    write_checkpoint(spark, tbl)
+    for f in os.listdir(os.path.join(tbl, "_delta_log")):
+        if f.endswith(".json") and not f.startswith("_"):
+            os.remove(os.path.join(tbl, "_delta_log", f))
+    rep = skipping_report(spark, tbl, "id < 25")
+    assert rep["total"] == 4 and rep["candidates"] == 1
+    got = read_delta(spark, tbl, {"predicate": "id < 25"})
+    assert got.count() == 25
+
+
+def test_partition_value_pruning_without_stats(spark, tmp_path):
+    """Partition values prune even for files with no stats (the column
+    is constant per file: min = max = pv)."""
+    tbl = str(tmp_path / "t")
+    df = spark.range(100).select(
+        F.col("id"), (F.col("id") % 4).cast("string").alias("p"))
+    write_delta(df, tbl, partition_by=["p"])
+    rep = skipping_report(spark, tbl, "p = 2")
+    assert rep["candidates"] < rep["total"]
+    got = read_delta(spark, tbl, {"predicate": "p = 2"})
+    assert got.count() == 25
+    assert all(r.p == "2" for r in got.collect())
