@@ -1156,6 +1156,40 @@ select p_partkey, p_name, p_brand, p_retailprice from part
 """
 
 
+def q_iceberg_skip_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manifest-stats file skipping end to end (readers/
+    iceberg_stats.py): customer written as a multi-file range-
+    clustered Iceberg table whose manifest entries carry footer-
+    derived lower/upper bounds, then read through the `predicate`
+    option — scan planning prunes the data-file list from the
+    MANIFESTS alone (the InclusiveMetricsEvaluator step iceberg-core
+    does for the reference's contrib/storage-iceberg) and re-applies
+    the predicate as a Catalyst filter, so the result is exact and
+    must match the plain SQL filter oracle."""
+    from drill_spark.readers.iceberg import read_iceberg, write_iceberg
+
+    def build(d: str) -> None:
+        write_iceberg(
+            load_fixture(spark, sf_dir, "customer").select(
+                "c_custkey", "c_name", "c_acctbal", "c_mktsegment"
+            ).repartitionByRange(8, "c_custkey")
+            .sortWithinPartitions("c_custkey"),
+            d,
+        )
+
+    out_dir = _materialize_once(sf_dir, "iceberg_skip", build)
+    return read_iceberg(
+        spark, out_dir,
+        {"predicate": "c_custkey between 20 and 120 and c_acctbal > 0"},
+    ).select("c_custkey", "c_name", "c_acctbal", "c_mktsegment")
+
+
+ORACLE_ICEBERG_SKIP_SCAN = """
+select c_custkey, c_name, c_acctbal, c_mktsegment from customer
+where c_custkey between 20 and 120 and c_acctbal > 0
+"""
+
+
 def q_iceberg_part_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Identity-PARTITIONED Iceberg table scan (r5 writer): the
     supplier fixture written partitioned by s_nationkey — hive-layout
@@ -2194,6 +2228,7 @@ QUERIES = {
     "op_delta_scan": q_delta_scan,
     "op_delta_dv_scan": q_delta_dv_scan,
     "op_delta_zorder_scan": q_delta_zorder_scan,
+    "op_iceberg_skip_scan": q_iceberg_skip_scan,
     "op_pdf_scan": q_pdf_scan,
     "op_paimon_scan": q_paimon_scan,
     "op_msaccess_scan": q_msaccess_scan,
@@ -2264,6 +2299,7 @@ ORACLES = {
     "op_delta_scan": ORACLE_DELTA_SCAN,
     "op_delta_dv_scan": ORACLE_DELTA_DV_SCAN,
     "op_delta_zorder_scan": ORACLE_DELTA_ZORDER_SCAN,
+    "op_iceberg_skip_scan": ORACLE_ICEBERG_SKIP_SCAN,
     "op_pdf_scan": ORACLE_PDF_SCAN,
     "op_paimon_scan": ORACLE_PAIMON_SCAN,
     "op_msaccess_scan": ORACLE_MSACCESS_SCAN,

@@ -58,6 +58,11 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from drill_spark.readers.avro import decode_file
+from drill_spark.readers.iceberg_stats import (
+    ICE_STATS_FIELDS,
+    data_file_stats,
+    stats_to_delta_shape,
+)
 
 
 def _table_metadata(path: str) -> dict:
@@ -194,13 +199,75 @@ def read_iceberg(spark: SparkSession, path: str,
         return spark.createDataFrame([], schema)
 
     data_files, pos_deletes, eq_deletes = _snapshot_files(spark, path, meta, snap)
-    if not data_files:
-        return spark.createDataFrame([], schema)
 
-    df = spark.read.schema(schema).parquet(*[p for p, _, _ in data_files])
-    if not pos_deletes and not eq_deletes:
-        return df
-    return _apply_deletes(spark, df, schema, meta, data_files, pos_deletes, eq_deletes)
+    # ---- stats-based file skipping (metadata-only, before any I/O) ----
+    # `predicate` prunes the data-file list with the manifest entries'
+    # lower/upper bounds, null counts and identity partition values,
+    # then re-applies as a REAL Catalyst filter below — entries without
+    # usable bounds are kept and unparseable predicates prune nothing,
+    # so results are exact regardless of stats coverage. This is the
+    # metadata scan-planning step every Iceberg engine does
+    # (InclusiveMetricsEvaluator); the reference gets it from
+    # iceberg-core's planFiles() inside contrib/storage-iceberg.
+    predicate = opts.get("predicate")
+    if predicate and data_files:
+        data_files = _prune_data_files(meta, data_files, predicate)
+    pred_col = F.expr(predicate) if predicate else None
+
+    if not data_files:
+        out = spark.createDataFrame([], schema)
+        return out.where(pred_col) if pred_col is not None else out
+
+    df = spark.read.schema(schema).parquet(*[p for p, _, _, _ in data_files])
+    if pos_deletes or eq_deletes:
+        df = _apply_deletes(spark, df, schema, meta, data_files,
+                            pos_deletes, eq_deletes)
+    return df.where(pred_col) if pred_col is not None else df
+
+
+def skipping_report(spark: SparkSession, path: str, predicate: str) -> dict:
+    """{"total": n_data_files, "candidates": n_after_pruning} — how
+    many data files the manifest-stats pruner keeps for ``predicate``;
+    the observable data-skipping contract (mirrors the Delta
+    sibling delta.skipping_report)."""
+    meta = _table_metadata(path)
+    snap = next(
+        (s for s in (meta.get("snapshots") or [])
+         if s["snapshot-id"] == meta.get("current-snapshot-id")), None)
+    if snap is None:
+        return {"total": 0, "candidates": 0}
+    data_files, _pos, _eq = _snapshot_files(spark, path, meta, snap)
+    kept = _prune_data_files(meta, data_files, predicate)
+    return {"total": len(data_files), "candidates": len(kept)}
+
+
+def _prune_data_files(meta: dict, data_files: list, predicate: str) -> list:
+    """Subset of ``data_files`` whose stats/partition values admit the
+    predicate; the shared conjunct parser + satisfiability engine from
+    delta_stats does the evaluation (one pruning oracle, two table
+    formats). Files without stats are always kept."""
+    from drill_spark.readers.delta_stats import (
+        file_may_match,
+        parse_skipping_conjuncts,
+    )
+
+    conjuncts = parse_skipping_conjuncts(predicate)
+    if not conjuncts:
+        return data_files
+    fields = _current_schema_dict(meta).get("fields", [])
+    id_to_name = {f["id"]: f["name"] for f in fields if "id" in f}
+    id_to_type = {f["id"]: f["type"] for f in fields
+                  if "id" in f and isinstance(f.get("type"), str)}
+    kept = []
+    for local, fp, seq, dmeta in data_files:
+        if dmeta is None:
+            kept.append((local, fp, seq, dmeta))
+            continue
+        stats = stats_to_delta_shape(dmeta, id_to_name, id_to_type)
+        pv = dmeta.get("partition") or None
+        if file_may_match(stats, conjuncts, pv):
+            kept.append((local, fp, seq, dmeta))
+    return kept
 
 
 def _snapshot_files(spark, path: str, meta: dict, snap: dict):
@@ -229,6 +296,15 @@ def _snapshot_files(spark, path: str, meta: dict, snap: dict):
                     continue
                 d = e.get("data_file") or {}
                 seq = e.get("sequence_number")
+                # per-file skipping inputs (None-safe on old manifests):
+                # partition values + stats maps, planner-sized
+                dmeta = {
+                    "partition": d.get("partition") or {},
+                    "record_count": d.get("record_count"),
+                    "lower_bounds": d.get("lower_bounds"),
+                    "upper_bounds": d.get("upper_bounds"),
+                    "null_value_counts": d.get("null_value_counts"),
+                } if d.get("content", 0) == 0 else None
                 out.append(
                     (
                         d.get("content", 0),
@@ -236,6 +312,7 @@ def _snapshot_files(spark, path: str, meta: dict, snap: dict):
                         d.get("file_format"),
                         mseq if seq is None else seq,
                         tuple(d.get("equality_ids") or ()),
+                        dmeta,
                     )
                 )
         return out
@@ -246,15 +323,16 @@ def _snapshot_files(spark, path: str, meta: dict, snap: dict):
     else:
         entries = _entries(manifests)
 
-    data_files: list[tuple[str, str, int]] = []  # (local, manifest URI, seq)
+    # data_files: (local path, manifest URI, seq, stats/partition dict)
+    data_files: list[tuple[str, str, int, dict | None]] = []
     pos_deletes: list[tuple[str, int]] = []      # (local path, delete seq)
     eq_deletes: list[tuple[str, int, tuple]] = []  # (+equality_ids)
-    for content, fp, fmt, seq, eq_ids in entries:
+    for content, fp, fmt, seq, eq_ids, dmeta in entries:
         if fmt and str(fmt).upper() != "PARQUET":
             raise NotImplementedError(f"Iceberg {fmt} files (parquet only here)")
         local = _rebase(fp, path, loc)
         if content == 0:
-            data_files.append((local, fp, seq))
+            data_files.append((local, fp, seq, dmeta))
         elif content == 1:
             pos_deletes.append((local, seq))
         elif content == 2:
@@ -290,7 +368,7 @@ def _annotate_scan(spark, df, data_files):
 
     strip = lambda c: F.regexp_replace(c, "^file:/*", "/")
     seq_map = spark.createDataFrame(
-        [(os.path.abspath(p), u, s) for p, u, s in data_files],
+        [(os.path.abspath(p), u, s) for p, u, s, _m in data_files],
         "_df_path string, _df_uri string, _df_seq long",
     )
     return (
@@ -395,6 +473,9 @@ _MANIFEST_ENTRY_SCHEMA = {
                     },
                     {"name": "record_count", "type": "long", "field-id": 103},
                     {"name": "file_size_in_bytes", "type": "long", "field-id": 104},
+                    # per-file column stats (spec field-ids) — what
+                    # scan planning prunes on (iceberg_stats.py)
+                    *ICE_STATS_FIELDS,
                 ],
             },
         },
@@ -530,6 +611,25 @@ def _spec_part_fields(meta: dict) -> list:
     return out
 
 
+def _stats_name_maps(meta: dict) -> tuple[dict, dict]:
+    """(column name -> field id, column name -> primitive iceberg type)
+    for the current schema — the inputs data_file_stats needs to key
+    its maps by field id and serialize bounds per type. Nested columns
+    have non-string types and are left out (no bounds written)."""
+    fields = _current_schema_dict(meta).get("fields", [])
+    name_to_id = {f["name"]: f["id"] for f in fields if "id" in f}
+    name_to_type = {f["name"]: f["type"] for f in fields
+                    if isinstance(f.get("type"), str)}
+    return name_to_id, name_to_type
+
+
+def _entry_stats(fp: str, name_to_id: dict, name_to_type: dict) -> dict:
+    """The four stats-map fields for one data_file manifest entry."""
+    st = data_file_stats(fp, name_to_id, name_to_type)
+    return {k: st[k] for k in ("value_counts", "null_value_counts",
+                               "lower_bounds", "upper_bounds")}
+
+
 def write_iceberg(df: DataFrame, path: str, mode: str = "error",
                   partition_by: list | None = None,
                   summary_extra: dict | None = None) -> None:
@@ -574,23 +674,34 @@ def write_iceberg(df: DataFrame, path: str, mode: str = "error",
                 f"identity partition on type {t!r} (column {c})")
     part_fields = [(c, part_types[c]) for c in partition_by]
 
-    entries = [
-        {
+    name_to_id = {fld.name: i + 1 for i, fld in enumerate(df.schema.fields)}
+    name_to_type = {}
+    for fld in df.schema.fields:
+        t = _spark_to_ice(fld.dataType)
+        if isinstance(t, str):
+            name_to_type[fld.name] = t
+    entries = []
+    for rel in rel_files:
+        fp = os.path.join(data_dir, rel)
+        st = data_file_stats(fp, name_to_id, name_to_type)
+        entries.append({
             "status": 1,  # ADDED
             "snapshot_id": snap_id,
             "sequence_number": 1,
             "file_sequence_number": 1,
             "data_file": {
                 "content": 0,
-                "file_path": os.path.join(data_dir, rel),
+                "file_path": fp,
                 "file_format": "PARQUET",
                 "partition": _partition_values_from_rel(rel, part_types),
-                "record_count": 0,
-                "file_size_in_bytes": os.path.getsize(os.path.join(data_dir, rel)),
+                "record_count": st["record_count"],
+                "file_size_in_bytes": os.path.getsize(fp),
+                "value_counts": st["value_counts"],
+                "null_value_counts": st["null_value_counts"],
+                "lower_bounds": st["lower_bounds"],
+                "upper_bounds": st["upper_bounds"],
             },
-        }
-        for rel in rel_files
-    ]
+        })
     manifest_path = os.path.join(mdir, f"{uuid.uuid4()}-m0.avro")
     with open(manifest_path, "wb") as f:
         f.write(encode_file(_entry_schema(part_fields), entries))
@@ -607,7 +718,8 @@ def write_iceberg(df: DataFrame, path: str, mode: str = "error",
         "added_files_count": len(data_files),
         "existing_files_count": 0,
         "deleted_files_count": 0,
-        "added_rows_count": 0,
+        "added_rows_count": sum(
+            e["data_file"]["record_count"] for e in entries),
         "existing_rows_count": 0,
         "deleted_rows_count": 0,
     }
@@ -686,6 +798,7 @@ def append_iceberg(df: DataFrame, path: str,
     seq = int(meta.get("last-sequence-number", 0)) + 1
     snap_id = int(meta["current-snapshot-id"]) + 1
     now_ms = int(time.time() * 1000)
+    name_to_id, name_to_type = _stats_name_maps(meta)
     entries = [
         {
             "status": 1,
@@ -700,6 +813,8 @@ def append_iceberg(df: DataFrame, path: str,
                 "record_count": pq.read_metadata(
                     os.path.join(data_dir, rel)).num_rows,
                 "file_size_in_bytes": os.path.getsize(os.path.join(data_dir, rel)),
+                **_entry_stats(os.path.join(data_dir, rel),
+                               name_to_id, name_to_type),
             },
         }
         for rel in rel_files
@@ -1041,6 +1156,7 @@ def rewrite_data_files(spark: SparkSession, path: str) -> dict:
     seq = int(meta.get("last-sequence-number", 0)) + 1
     snap_id = int(meta["current-snapshot-id"]) + 1
     now_ms = int(time.time() * 1000)
+    name_to_id, name_to_type = _stats_name_maps(meta)
     entries, rows = [], 0
     for rel in rel_files:
         fp = os.path.join(data_dir, rel)
@@ -1061,6 +1177,7 @@ def rewrite_data_files(spark: SparkSession, path: str) -> dict:
                 "partition": _partition_values_from_rel(rel, part_types),
                 "record_count": nrec,
                 "file_size_in_bytes": os.path.getsize(fp),
+                **_entry_stats(fp, name_to_id, name_to_type),
             },
         })
     manifest_path = os.path.join(mdir, f"{uuid.uuid4()}-m0.avro")
@@ -1211,7 +1328,7 @@ def _current_live_scan(spark: SparkSession, path: str, meta: dict):
     data_files, pos_dels, eq_dels = _snapshot_files(spark, path, meta, snap)
     if not data_files:
         return None
-    df = spark.read.schema(schema).parquet(*[p for p, _, _ in data_files])
+    df = spark.read.schema(schema).parquet(*[p for p, _, _, _ in data_files])
     return _anti_join_deletes(
         spark, _annotate_scan(spark, df, data_files), meta, pos_dels, eq_dels
     )
@@ -1281,6 +1398,7 @@ def _write_data_entries(spark, path: str, df, seq: int, snap_id: int,
     part_types = dict(part_fields)
     data_dir = os.path.join(path, "data")
     rel_files = _partition_write(df, data_dir, [c for c, _t in part_fields])
+    name_to_id, name_to_type = _stats_name_maps(_table_metadata(path))
     entries, rows = [], 0
     for rel in rel_files:
         fp = os.path.join(data_dir, rel)
@@ -1301,6 +1419,7 @@ def _write_data_entries(spark, path: str, df, seq: int, snap_id: int,
                 "partition": _partition_values_from_rel(rel, part_types),
                 "record_count": nrec,
                 "file_size_in_bytes": os.path.getsize(fp),
+                **_entry_stats(fp, name_to_id, name_to_type),
             },
         })
     return entries, rows
