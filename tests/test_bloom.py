@@ -75,13 +75,22 @@ def test_bloom_semi_anti_join_exact(spark):
     left = [f"v{rng.randrange(300)}" for _ in range(400)]
     right = {f"v{rng.randrange(300)}" for _ in range(100)}
     ldf, rdf = _keys_df(spark, left), _keys_df(spark, sorted(right))
-    # generous fpp so false positives actually occur and must be scrubbed
-    got_semi = sorted(r.key for r in bloom_semi_join(ldf, rdf, "key", fpp=0.2).collect())
+    # generous fpp so false positives actually occur and must be
+    # scrubbed; min_keys=0 forces the SKETCH path at toy size (the
+    # default routes small key sets to a plain broadcast join)
+    got_semi = sorted(r.key for r in bloom_semi_join(
+        ldf, rdf, "key", fpp=0.2, min_keys=0).collect())
     want_semi = sorted(k for k in left if k in right)
     assert got_semi == want_semi
-    got_anti = sorted(r.key for r in bloom_anti_join(ldf, rdf, "key", fpp=0.2).collect())
+    got_anti = sorted(r.key for r in bloom_anti_join(
+        ldf, rdf, "key", fpp=0.2, min_keys=0).collect())
     want_anti = sorted(k for k in left if k not in right)
     assert got_anti == want_anti
+    # the adaptive default (broadcast regime) returns the same rows
+    assert sorted(r.key for r in bloom_semi_join(
+        ldf, rdf, "key").collect()) == want_semi
+    assert sorted(r.key for r in bloom_anti_join(
+        ldf, rdf, "key").collect()) == want_anti
 
 
 def test_bloom_empty_right_side(spark):
@@ -89,8 +98,10 @@ def test_bloom_empty_right_side(spark):
     join is empty, anti join passes everything through."""
     ldf = _keys_df(spark, ["a", "b"])
     rdf = _keys_df(spark, []).where(F.lit(False))
-    assert bloom_semi_join(ldf, rdf, "key", expected_items=1).count() == 0
-    assert bloom_anti_join(ldf, rdf, "key", expected_items=1).count() == 2
+    assert bloom_semi_join(ldf, rdf, "key", expected_items=1,
+                           min_keys=0).count() == 0
+    assert bloom_anti_join(ldf, rdf, "key", expected_items=1,
+                           min_keys=0).count() == 2
 
 
 def test_bloom_decontaminate_matches_exact(spark):
@@ -119,8 +130,14 @@ def test_bloom_decontaminate_matches_exact(spark):
     got = sorted(
         (r.doc_id, r.n_shared)
         for r in bloom_decontaminate(corpus, bench, "doc_id", "text",
-                                     n=8, fpp=0.1).collect())
+                                     n=8, fpp=0.1, min_keys=0).collect())
     assert got == want and len(got) >= 3
+    # adaptive default (broadcast regime at this size): same rows
+    got_bc = sorted(
+        (r.doc_id, r.n_shared)
+        for r in bloom_decontaminate(corpus, bench, "doc_id",
+                                     "text", n=8).collect())
+    assert got_bc == want
 
 
 def test_bloom_prefilter_plan_shape(spark):
