@@ -190,127 +190,180 @@ def _tokenize(pred: str):
     return out
 
 
-def parse_skipping_conjuncts(pred: str):
-    """Parse ``pred`` into a list of simple conjuncts usable for
-    min/max pruning, or None when the shape is beyond the pruner
-    (OR / NOT / parenthesized logic / expressions) — the caller then
-    keeps every file and relies on the ordinary Catalyst filter.
+def parse_skipping_predicate(pred: str):
+    """Parse ``pred`` into a boolean tree usable for min/max pruning,
+    or None when the shape is beyond the pruner (expressions, function
+    calls, unknown operators) — the caller then keeps every file and
+    relies on the ordinary Catalyst filter.
 
-    Grammar (top-level AND chain only)::
+    Grammar (full boolean structure, skipping-leaf conditions)::
 
-        cond := col (=|!=|<>|<|<=|>|>=) literal
-              | literal (...) col              -- flipped
-              | col BETWEEN literal AND literal
-              | col IN ( literal [, literal]* )
-              | col IS [NOT] NULL
+        expr   := term (OR term)*
+        term   := factor (AND factor)*
+        factor := NOT factor | '(' expr ')' | cond
+        cond   := col (=|!=|<>|<|<=|>|>=) literal
+                | literal (...) col              -- flipped
+                | col [NOT] BETWEEN literal AND literal
+                | col [NOT] IN ( literal [, literal]* )
+                | col IS [NOT] NULL
         literal := number | 'string' | DATE 'x' | TIMESTAMP 'x'
                  | TRUE | FALSE
 
-    Returns conjuncts as tuples ("cmp", col, op, value) /
-    ("in", col, [values]) / ("null", col, bool_is_null).
+    Nodes: ("and", [nodes]) / ("or", [nodes]) / ("not", node) /
+    ("cmp", col, op, value) / ("in", col, [values]) /
+    ("null", col, bool_is_null). Evaluation is the classic
+    may-match / must-match dual (NOT flips between them), so OR and
+    NOT prune soundly instead of disabling skipping.
     """
     toks = _tokenize(pred)
     if toks is None:
         return None
-    i, n = 0, len(toks)
-    out = []
-
-    def lit_at(j):
-        """(value, next_index) or None; folds DATE/TIMESTAMP 'x' and
-        TRUE/FALSE into plain comparables."""
-        if j < n and toks[j] == ("kw", "date") and j + 1 < n \
-                and toks[j + 1][0] == "lit":
-            return str(toks[j + 1][1]), j + 2
-        if j < n and toks[j] == ("kw", "timestamp") and j + 1 < n \
-                and toks[j + 1][0] == "lit":
-            return _norm_ts(str(toks[j + 1][1])), j + 2
-        if j < n and toks[j][0] == "kw" and toks[j][1] in ("true", "false"):
-            return toks[j][1] == "true", j + 1
-        if j < n and toks[j][0] == "lit":
-            return toks[j][1], j + 1
+    got = _parse_or(toks, 0)
+    if got is None or got[1] != len(toks):
         return None
+    return got[0]
 
-    while i < n:
-        # one condition
-        if toks[i][0] == "col":
-            col = toks[i][1]
-            if i + 1 < n and toks[i + 1][0] == "op" \
-                    and toks[i + 1][1] not in ("(", ")", ","):
-                op = toks[i + 1][1]
-                got = lit_at(i + 2)
-                if got is None:
-                    return None
-                v, i = got
-                out.append(("cmp", col, op, v))
-            elif i + 1 < n and toks[i + 1] == ("kw", "between"):
-                got = lit_at(i + 2)
-                if got is None:
-                    return None
-                lo, j = got
-                if j >= n or toks[j] != ("kw", "and"):
-                    return None
-                got = lit_at(j + 1)
-                if got is None:
-                    return None
-                hi, i = got
-                out.append(("cmp", col, ">=", lo))
-                out.append(("cmp", col, "<=", hi))
-            elif i + 1 < n and toks[i + 1] == ("kw", "in"):
-                if i + 2 >= n or toks[i + 2] != ("op", "("):
-                    return None
-                vals, j = [], i + 3
-                while True:
-                    got = lit_at(j)
-                    if got is None:
-                        return None
-                    v, j = got
-                    vals.append(v)
-                    if j < n and toks[j] == ("op", ","):
-                        j += 1
-                        continue
-                    if j < n and toks[j] == ("op", ")"):
-                        j += 1
-                        break
-                    return None
-                i = j
-                out.append(("in", col, vals))
-            elif i + 1 < n and toks[i + 1] == ("kw", "is"):
-                if i + 2 < n and toks[i + 2] == ("kw", "null"):
-                    out.append(("null", col, True))
-                    i += 3
-                elif i + 3 < n and toks[i + 2] == ("kw", "not") \
-                        and toks[i + 3] == ("kw", "null"):
-                    out.append(("null", col, False))
-                    i += 4
-                else:
-                    return None
-            else:
-                return None
-        elif toks[i][0] in ("lit", "kw") :
-            # flipped comparison: literal op col
-            got = lit_at(i)
+
+def _lit_at(toks, j):
+    """(value, next_index) or None; folds DATE/TIMESTAMP 'x' and
+    TRUE/FALSE into plain comparables."""
+    n = len(toks)
+    if j < n and toks[j] == ("kw", "date") and j + 1 < n \
+            and toks[j + 1][0] == "lit":
+        return str(toks[j + 1][1]), j + 2
+    if j < n and toks[j] == ("kw", "timestamp") and j + 1 < n \
+            and toks[j + 1][0] == "lit":
+        return _norm_ts(str(toks[j + 1][1])), j + 2
+    if j < n and toks[j][0] == "kw" and toks[j][1] in ("true", "false"):
+        return toks[j][1] == "true", j + 1
+    if j < n and toks[j][0] == "lit":
+        return toks[j][1], j + 1
+    return None
+
+
+def _parse_or(toks, i):
+    got = _parse_and(toks, i)
+    if got is None:
+        return None
+    node, i = got
+    branches = [node]
+    while i < len(toks) and toks[i] == ("kw", "or"):
+        got = _parse_and(toks, i + 1)
+        if got is None:
+            return None
+        nxt, i = got
+        branches.append(nxt)
+    return (branches[0] if len(branches) == 1 else ("or", branches)), i
+
+
+def _parse_and(toks, i):
+    got = _parse_factor(toks, i)
+    if got is None:
+        return None
+    node, i = got
+    branches = [node]
+    while i < len(toks) and toks[i] == ("kw", "and"):
+        got = _parse_factor(toks, i + 1)
+        if got is None:
+            return None
+        nxt, i = got
+        branches.append(nxt)
+    return (branches[0] if len(branches) == 1 else ("and", branches)), i
+
+
+def _parse_factor(toks, i):
+    n = len(toks)
+    if i < n and toks[i] == ("kw", "not"):
+        got = _parse_factor(toks, i + 1)
+        if got is None:
+            return None
+        node, i = got
+        return ("not", node), i
+    if i < n and toks[i] == ("op", "("):
+        got = _parse_or(toks, i + 1)
+        if got is None:
+            return None
+        node, i = got
+        if i >= n or toks[i] != ("op", ")"):
+            return None
+        return node, i + 1
+    return _parse_leaf(toks, i)
+
+
+def _parse_leaf(toks, i):
+    """One skipping condition, or None if the shape is unsupported."""
+    n = len(toks)
+    if i < n and toks[i][0] == "col":
+        col = toks[i][1]
+        negated = False
+        j = i + 1
+        if j < n and toks[j] == ("kw", "not") and j + 1 < n \
+                and toks[j + 1] in (("kw", "between"), ("kw", "in")):
+            negated = True
+            j += 1
+        if j < n and toks[j][0] == "op" and not negated \
+                and toks[j][1] not in ("(", ")", ","):
+            op = toks[j][1]
+            got = _lit_at(toks, j + 1)
             if got is None:
                 return None
             v, j = got
-            if j + 1 < n and toks[j][0] == "op" and toks[j + 1][0] == "col":
-                op = toks[j][1]
-                flip = {"<": ">", "<=": ">=", ">": "<", ">=": "<=",
-                        "=": "=", "!=": "!=", "<>": "<>"}
-                if op not in flip:
-                    return None
-                out.append(("cmp", toks[j + 1][1], flip[op], v))
-                i = j + 2
-            else:
+            return ("cmp", col, op, v), j
+        if j < n and toks[j] == ("kw", "between"):
+            got = _lit_at(toks, j + 1)
+            if got is None:
                 return None
-        else:
+            lo, j = got
+            if j >= n or toks[j] != ("kw", "and"):
+                return None
+            got = _lit_at(toks, j + 1)
+            if got is None:
+                return None
+            hi, j = got
+            node = ("and", [("cmp", col, ">=", lo), ("cmp", col, "<=", hi)])
+            return (("not", node) if negated else node), j
+        if j < n and toks[j] == ("kw", "in"):
+            if j + 1 >= n or toks[j + 1] != ("op", "("):
+                return None
+            vals, j = [], j + 2
+            while True:
+                got = _lit_at(toks, j)
+                if got is None:
+                    return None
+                v, j = got
+                vals.append(v)
+                if j < n and toks[j] == ("op", ","):
+                    j += 1
+                    continue
+                if j < n and toks[j] == ("op", ")"):
+                    j += 1
+                    break
+                return None
+            node = ("in", col, vals)
+            return (("not", node) if negated else node), j
+        if j < n and toks[j] == ("kw", "is") and not negated:
+            if j + 1 < n and toks[j + 1] == ("kw", "null"):
+                return ("null", col, True), j + 2
+            if j + 2 < n and toks[j + 1] == ("kw", "not") \
+                    and toks[j + 2] == ("kw", "null"):
+                return ("null", col, False), j + 3
             return None
-        # chain
-        if i < n:
-            if toks[i] == ("kw", "and"):
-                i += 1
-                continue
+        return None
+    if i < n and toks[i][0] in ("lit", "kw"):
+        # flipped comparison: literal op col
+        got = _lit_at(toks, i)
+        if got is None:
             return None
-    return out
+        v, j = got
+        if j + 1 < n and toks[j][0] == "op" and toks[j + 1][0] == "col":
+            op = toks[j][1]
+            flip = {"<": ">", "<=": ">=", ">": "<", ">=": "<=",
+                    "=": "=", "!=": "!=", "<>": "<>"}
+            if op not in flip:
+                return None
+            return ("cmp", toks[j + 1][1], flip[op], v), j + 2
+        return None
+    return None
 
 
 def _norm_ts(s: str) -> str:
@@ -377,14 +430,50 @@ def _cmp_satisfiable(lo, hi, op: str, v) -> bool:
     return True
 
 
-def file_may_match(stats: dict | None, conjuncts, pv: dict | None = None,
+def _cmp_always(lo, hi, op: str, v) -> bool:
+    """Does EVERY value in [lo, hi] satisfy ``x op v``? Requires both
+    bounds known and comparable — anything unknown is not provable."""
+    if lo is None or hi is None:
+        return False
+    pair_lo = _comparable(lo, v)
+    pair_hi = _comparable(hi, v)
+    if pair_lo is None or pair_hi is None:
+        return False
+    slo, vlo = pair_lo
+    shi, vhi = pair_hi
+    if op == "=":
+        return slo == vlo and shi == vhi and slo == shi
+    if op == "<":
+        return shi < vhi
+    if op == "<=":
+        return shi <= vhi
+    if op == ">":
+        return slo > vlo
+    if op == ">=":
+        return slo >= vlo
+    if op in ("!=", "<>"):
+        return shi < vhi or slo > vlo  # whole range excludes v
+    return False
+
+
+def file_may_match(stats: dict | None, node, pv: dict | None = None,
                    name_map: dict | None = None) -> bool:
-    """Can this file possibly contain a row satisfying ALL conjuncts?
+    """Can this file possibly contain a row satisfying ``node`` (a
+    parse_skipping_predicate tree, or a legacy list of conjuncts)?
     ``stats`` is the parsed add.stats dict (or None — then only
     partition values can prune). ``pv`` gives partition values (the
     column IS constant in the file: min = max = value). ``name_map``
     translates predicate (logical) column names to stats keys
-    (physical names under column mapping)."""
+    (physical names under column mapping).
+
+    Evaluation is the may/must dual: ``may(x)`` over-approximates "some
+    row satisfies x", ``must(x)`` under-approximates "every row
+    satisfies x", and NOT swaps them (may(NOT x) = not must(x)) — the
+    same structure as Delta's DataSkippingReader / Iceberg's
+    InclusiveMetricsEvaluator, so OR and NOT prune soundly instead of
+    disabling skipping."""
+    if isinstance(node, list):
+        node = ("and", node)
     stats = stats or {}
     mins = stats.get("minValues") or {}
     maxs = stats.get("maxValues") or {}
@@ -415,35 +504,65 @@ def file_may_match(stats: dict | None, conjuncts, pv: dict | None = None,
             return pv[k] is None
         return num is not None and nulls.get(k) == num and num > 0
 
-    for c in conjuncts:
+    def none_null(col):
+        k = key(col)
+        if k in pv:
+            return pv[k] is not None
+        return nulls.get(k) == 0
+
+    def may(c) -> bool:
         kind = c[0]
+        if kind == "and":
+            return all(may(x) for x in c[1])
+        if kind == "or":
+            return any(may(x) for x in c[1])
+        if kind == "not":
+            return not must(c[1])
         if kind == "cmp":
             _, col, op, v = c
             if all_null(col):
                 return False  # comparisons with null never hold
-            lo, hi = bounds(col)
-            if not _cmp_satisfiable(lo, hi, op, v):
-                return False
-        elif kind == "in":
+            return _cmp_satisfiable(*bounds(col), op, v)
+        if kind == "in":
             _, col, vals = c
             if all_null(col):
                 return False
             lo, hi = bounds(col)
-            if not any(_cmp_satisfiable(lo, hi, "=", v) for v in vals):
-                return False
-        elif kind == "null":
+            return any(_cmp_satisfiable(lo, hi, "=", v) for v in vals)
+        if kind == "null":
             _, col, want_null = c
-            k = key(col)
             if want_null:
-                if k in pv:
-                    if pv[k] is not None:
-                        return False
-                elif num is not None and nulls.get(k) == 0:
-                    return False
-            else:
-                if all_null(col):
-                    return False
-    return True
+                return not none_null(col)
+            return not all_null(col)
+        return True  # unknown shape: never prune
+
+    def must(c) -> bool:
+        kind = c[0]
+        if kind == "and":
+            return all(must(x) for x in c[1])
+        if kind == "or":
+            # sound under-approximation: one branch covering every row
+            return any(must(x) for x in c[1])
+        if kind == "not":
+            return not may(c[1])
+        if kind == "cmp":
+            _, col, op, v = c
+            # a single null row fails any comparison
+            return none_null(col) and _cmp_always(*bounds(col), op, v)
+        if kind == "in":
+            _, col, vals = c
+            if not none_null(col):
+                return False
+            lo, hi = bounds(col)
+            return any(_cmp_always(lo, hi, "=", v) for v in vals)
+        if kind == "null":
+            _, col, want_null = c
+            if want_null:
+                return all_null(col)
+            return none_null(col)
+        return False  # unknown shape: never provable
+
+    return may(node)
 
 
 def prune_snapshot_files(snap, predicate: str,
@@ -451,8 +570,8 @@ def prune_snapshot_files(snap, predicate: str,
     """(kept_files, n_skipped): the subset of ``snap.files`` whose
     stats/partition values admit the predicate. Files without stats
     are always kept; an un-parseable predicate keeps everything."""
-    conjuncts = parse_skipping_conjuncts(predicate)
-    if not conjuncts:
+    node = parse_skipping_predicate(predicate)
+    if node is None:
         return snap.files, 0
     kept = {}
     for rel, entry in snap.files.items():
@@ -463,7 +582,7 @@ def prune_snapshot_files(snap, predicate: str,
                 stats = json.loads(raw) if isinstance(raw, str) else raw
             except (TypeError, ValueError):
                 stats = None
-        if file_may_match(stats, conjuncts, entry.get("pv"), name_map):
+        if file_may_match(stats, node, entry.get("pv"), name_map):
             kept[rel] = entry
     return kept, len(snap.files) - len(kept)
 

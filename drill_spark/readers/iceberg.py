@@ -248,11 +248,11 @@ def _prune_data_files(meta: dict, data_files: list, predicate: str) -> list:
     formats). Files without stats are always kept."""
     from drill_spark.readers.delta_stats import (
         file_may_match,
-        parse_skipping_conjuncts,
+        parse_skipping_predicate,
     )
 
-    conjuncts = parse_skipping_conjuncts(predicate)
-    if not conjuncts:
+    node = parse_skipping_predicate(predicate)
+    if node is None:
         return data_files
     fields = _current_schema_dict(meta).get("fields", [])
     id_to_name = {f["id"]: f["name"] for f in fields if "id" in f}
@@ -265,7 +265,7 @@ def _prune_data_files(meta: dict, data_files: list, predicate: str) -> list:
             continue
         stats = stats_to_delta_shape(dmeta, id_to_name, id_to_type)
         pv = dmeta.get("partition") or None
-        if file_may_match(stats, conjuncts, pv):
+        if file_may_match(stats, node, pv):
             kept.append((local, fp, seq, dmeta))
     return kept
 

@@ -76,11 +76,23 @@ def test_predicate_prunes_files_and_stays_exact(spark, tmp_path):
     want = read_delta(spark, tbl).where("id >= 100 and id < 200")
     assert sorted(r.id for r in got.collect()) == \
         sorted(r.id for r in want.collect())
-    # unparseable predicate: prunes nothing, still exact
+    # OR of two point predicates: prunes to the two covering files
     rep2 = skipping_report(spark, tbl, "id = 5 or id = 700")
-    assert rep2["candidates"] == rep2["total"]
+    assert rep2["candidates"] <= 2
     got2 = read_delta(spark, tbl, {"predicate": "id = 5 or id = 700"})
     assert sorted(r.id for r in got2.collect()) == [5, 700]
+    # NOT inverts through the must-match dual: files entirely inside
+    # the negated range are pruned, result still exact
+    rep3 = skipping_report(spark, tbl, "not (id < 700)")
+    assert rep3["candidates"] <= 2
+    got3 = read_delta(spark, tbl, {"predicate": "not (id < 700)"})
+    assert got3.count() == 100
+    # genuinely unparseable predicate (expression): prunes nothing,
+    # still exact through the Catalyst backstop
+    rep4 = skipping_report(spark, tbl, "id + 1 = 6")
+    assert rep4["candidates"] == rep4["total"]
+    got4 = read_delta(spark, tbl, {"predicate": "id + 1 = 6"})
+    assert [r.id for r in got4.collect()] == [5]
 
 
 def test_files_without_stats_are_kept(spark, tmp_path):
@@ -202,3 +214,36 @@ def test_partition_value_pruning_without_stats(spark, tmp_path):
     got = read_delta(spark, tbl, {"predicate": "p = 2"})
     assert got.count() == 25
     assert all(r.p == "2" for r in got.collect())
+
+
+def test_predicate_tree_evaluation_unit():
+    """Parser + may/must dual directly: OR, NOT, NOT IN, NOT BETWEEN,
+    nested parens, and null-safety of the must side."""
+    from drill_spark.readers.delta_stats import (
+        file_may_match,
+        parse_skipping_predicate,
+    )
+
+    def st(lo, hi, nulls=0, num=10):
+        return {"numRecords": num, "minValues": {"x": lo},
+                "maxValues": {"x": hi}, "nullCount": {"x": nulls}}
+
+    def may(pred, stats):
+        node = parse_skipping_predicate(pred)
+        assert node is not None, pred
+        return file_may_match(stats, node)
+
+    assert may("x = 5 or x = 50", st(0, 10))
+    assert not may("x = 20 or x = 50", st(0, 10))
+    assert not may("not (x < 100)", st(0, 10))       # all rows < 100
+    assert may("not (x < 100)", st(0, 10, nulls=1))  # nulls block must
+    assert may("not (x < 5)", st(0, 10))
+    assert not may("x not in (7)", st(7, 7))         # constant file
+    assert may("x not in (7)", st(7, 8))
+    assert not may("x not between 0 and 100", st(1, 99))
+    assert may("(x < 2 or x > 8) and x >= 0", st(9, 10))
+    assert not may("(x < 2 or x > 8) and x >= 0", st(3, 4))
+    # unparseable shapes return None, not a wrong tree
+    assert parse_skipping_predicate("x + 1 = 2") is None
+    assert parse_skipping_predicate("f(x) = 2") is None
+    assert parse_skipping_predicate("x = 2 or") is None

@@ -173,13 +173,24 @@ def test_predicate_string_and_in(spark, tmp_path):
     assert len(set(pruned.inputFiles())) <= 2
 
 
-def test_unparseable_predicate_keeps_everything_exactly(spark, tmp_path):
+def test_or_not_and_unparseable_predicates(spark, tmp_path):
     tbl = _ranged_table(spark, tmp_path, "t3")
-    pred = "id < 100 or id >= 7900"  # OR — beyond the pruner
+    # OR prunes to the two edge files via the may-match dual
+    pred = "id < 100 or id >= 7900"
     rep = skipping_report(spark, tbl, pred)
-    assert rep["candidates"] == rep["total"]
+    assert rep["candidates"] <= 2
     got = read_iceberg(spark, tbl, {"predicate": pred})
-    assert got.count() == 200  # the Catalyst backstop still filters
+    assert got.count() == 200
+    # NOT inverts through must-match
+    rep2 = skipping_report(spark, tbl, "not (id < 7000)")
+    assert rep2["candidates"] <= 2
+    assert read_iceberg(
+        spark, tbl, {"predicate": "not (id < 7000)"}).count() == 1000
+    # genuinely unparseable (expression): keeps everything, still exact
+    rep3 = skipping_report(spark, tbl, "id % 2 = 0")
+    assert rep3["candidates"] == rep3["total"]
+    assert read_iceberg(
+        spark, tbl, {"predicate": "id % 2 = 0"}).count() == 4000
 
 
 def test_partition_value_pruning(spark, tmp_path):
