@@ -60,7 +60,10 @@ from pyspark.sql import types as T
 from drill_spark.readers.avro import decode_file
 from drill_spark.readers.iceberg_stats import (
     ICE_STATS_FIELDS,
+    ML_PARTITIONS_FIELD,
     data_file_stats,
+    manifest_pseudo_stats,
+    partition_field_summaries,
     stats_to_delta_shape,
 )
 
@@ -198,7 +201,9 @@ def read_iceberg(spark: SparkSession, path: str,
     if snap is None:
         return spark.createDataFrame([], schema)
 
-    data_files, pos_deletes, eq_deletes = _snapshot_files(spark, path, meta, snap)
+    predicate_opt = opts.get("predicate")
+    data_files, pos_deletes, eq_deletes = _snapshot_files(
+        spark, path, meta, snap, predicate=predicate_opt)
 
     # ---- stats-based file skipping (metadata-only, before any I/O) ----
     # `predicate` prunes the data-file list with the manifest entries'
@@ -225,20 +230,59 @@ def read_iceberg(spark: SparkSession, path: str,
     return df.where(pred_col) if pred_col is not None else df
 
 
+def _kept_manifest_rows(meta: dict, manifest_rows: list,
+                        predicate: str) -> list:
+    """Manifest-list rows surviving partition-summary pruning for
+    ``predicate``; rows without summaries, delete manifests, and
+    non-identity specs are always kept."""
+    from drill_spark.readers.delta_stats import (
+        file_may_match,
+        parse_skipping_predicate,
+    )
+
+    node = parse_skipping_predicate(predicate)
+    if node is None:
+        return manifest_rows
+    try:
+        part_fields = _spec_part_fields(meta)
+    except NotImplementedError:
+        return manifest_rows
+    if not part_fields:
+        return manifest_rows
+    kept = []
+    for m in manifest_rows:
+        if m.get("content", 0) != 0:
+            kept.append(m)
+            continue
+        pseudo = manifest_pseudo_stats(m, part_fields)
+        if pseudo is None or file_may_match(pseudo, node):
+            kept.append(m)
+    return kept
+
+
 def skipping_report(spark: SparkSession, path: str, predicate: str) -> dict:
-    """{"total": n_data_files, "candidates": n_after_pruning} — how
-    many data files the manifest-stats pruner keeps for ``predicate``;
-    the observable data-skipping contract (mirrors the Delta
-    sibling delta.skipping_report)."""
+    """{"total": n_data_files, "candidates": n_after_pruning,
+    "manifests_total": n, "manifests_kept": n} — how many data files
+    (and, level above, data manifests) the stats pruner keeps for
+    ``predicate``; the observable data-skipping contract (mirrors the
+    Delta sibling delta.skipping_report)."""
     meta = _table_metadata(path)
     snap = next(
         (s for s in (meta.get("snapshots") or [])
          if s["snapshot-id"] == meta.get("current-snapshot-id")), None)
     if snap is None:
-        return {"total": 0, "candidates": 0}
+        return {"total": 0, "candidates": 0,
+                "manifests_total": 0, "manifests_kept": 0}
+    with open(_rebase(snap["manifest-list"], path,
+                      meta.get("location")), "rb") as f:
+        _, ml_rows = decode_file(f.read())
+    data_ml = [m for m in ml_rows if m.get("content", 0) == 0]
+    kept_ml = [m for m in _kept_manifest_rows(meta, ml_rows, predicate)
+               if m.get("content", 0) == 0]
     data_files, _pos, _eq = _snapshot_files(spark, path, meta, snap)
     kept = _prune_data_files(meta, data_files, predicate)
-    return {"total": len(data_files), "candidates": len(kept)}
+    return {"total": len(data_files), "candidates": len(kept),
+            "manifests_total": len(data_ml), "manifests_kept": len(kept_ml)}
 
 
 def _prune_data_files(meta: dict, data_files: list, predicate: str) -> list:
@@ -270,13 +314,23 @@ def _prune_data_files(meta: dict, data_files: list, predicate: str) -> list:
     return kept
 
 
-def _snapshot_files(spark, path: str, meta: dict, snap: dict):
+def _snapshot_files(spark, path: str, meta: dict, snap: dict,
+                    predicate: str | None = None):
     """Walk one snapshot's manifest list into (data_files, pos_deletes,
-    eq_deletes): data_files = (local path, manifest URI, seq)."""
+    eq_deletes): data_files = (local path, manifest URI, seq).
+
+    ``predicate`` enables MANIFEST-level pruning: data manifests whose
+    manifest-list partition summaries refute the predicate are dropped
+    before their entries are ever decoded — at thousands of manifests
+    this is the planning level above per-file skipping (the spec's
+    ManifestEvaluator step). Delete manifests are never pruned (their
+    entries only remove rows)."""
     loc = meta.get("location")
     ml_path = _rebase(snap["manifest-list"], path, loc)
     with open(ml_path, "rb") as f:
         _, manifest_rows = decode_file(f.read())
+    if predicate:
+        manifest_rows = _kept_manifest_rows(meta, manifest_rows, predicate)
     # (manifest_path, manifest_sequence_number) — entry-level nulls
     # inherit the manifest's sequence number per the spec
     manifests = [
@@ -445,6 +499,8 @@ _MANIFEST_LIST_SCHEMA = {
         {"name": "added_rows_count", "type": "long", "field-id": 512},
         {"name": "existing_rows_count", "type": "long", "field-id": 513},
         {"name": "deleted_rows_count", "type": "long", "field-id": 514},
+        # per-manifest partition value ranges — manifest-LEVEL pruning
+        ML_PARTITIONS_FIELD,
     ],
 }
 
@@ -722,6 +778,7 @@ def write_iceberg(df: DataFrame, path: str, mode: str = "error",
             e["data_file"]["record_count"] for e in entries),
         "existing_rows_count": 0,
         "deleted_rows_count": 0,
+        "partitions": partition_field_summaries(entries, part_fields),
     }
     with open(ml_path, "wb") as f:
         f.write(encode_file(_MANIFEST_LIST_SCHEMA, [ml_row]))
@@ -842,6 +899,7 @@ def append_iceberg(df: DataFrame, path: str,
         "added_rows_count": sum(e["data_file"]["record_count"] for e in entries),
         "existing_rows_count": 0,
         "deleted_rows_count": 0,
+        "partitions": partition_field_summaries(entries, part_fields),
     }
     ml_path = os.path.join(mdir, f"snap-{snap_id}-1-{uuid.uuid4()}.avro")
     with open(ml_path, "wb") as f:
@@ -1037,6 +1095,8 @@ def _commit_mixed_snapshot(path: str, meta: dict, del_entries: list[dict],
             "added_rows_count": sum(e["data_file"]["record_count"] for e in entries),
             "existing_rows_count": 0,
             "deleted_rows_count": 0,
+            "partitions": partition_field_summaries(
+                entries, list(part_fields or [])) if content == 0 else None,
         })
 
     cur = next(
@@ -1197,6 +1257,7 @@ def rewrite_data_files(spark: SparkSession, path: str) -> dict:
         "added_rows_count": rows,
         "existing_rows_count": 0,
         "deleted_rows_count": 0,
+        "partitions": partition_field_summaries(entries, part_fields),
     }
     ml_path = os.path.join(mdir, f"snap-{snap_id}-1-{uuid.uuid4()}.avro")
     with open(ml_path, "wb") as f:

@@ -67,6 +67,32 @@ ICE_STATS_FIELDS = [
      "type": ["null", _kv_array("k129_v130", 129, 130, "bytes")]},
 ]
 
+# manifest-list partition field summaries (spec field-ids 507-511,
+# 518): one row per partition-spec field, letting the planner skip
+# WHOLE manifests — at 100 TB (thousands of manifests) the level above
+# per-file skipping.
+ML_PARTITIONS_FIELD = {
+    "name": "partitions", "field-id": 507,
+    "type": ["null", {
+        "type": "array",
+        "element-id": 508,
+        "items": {
+            "type": "record",
+            "name": "r508",
+            "fields": [
+                {"name": "contains_null", "type": "boolean",
+                 "field-id": 509},
+                {"name": "contains_nan", "type": ["null", "boolean"],
+                 "field-id": 518},
+                {"name": "lower_bound", "type": ["null", "bytes"],
+                 "field-id": 510},
+                {"name": "upper_bound", "type": ["null", "bytes"],
+                 "field-id": 511},
+            ],
+        },
+    }],
+}
+
 _EPOCH_ORD = 719163  # datetime.date(1970, 1, 1).toordinal()
 
 # String bounds above this length are omitted, like the Delta sibling
@@ -237,6 +263,63 @@ def _lt(a, b) -> bool:
         return a < b
     except TypeError:
         return False
+
+
+def partition_field_summaries(entries: list[dict],
+                              part_fields: list) -> list | None:
+    """field_summary rows (spec order) over one data manifest's
+    entries' identity partition values, for the manifest-list
+    ``partitions`` field. None when the spec has no partition fields
+    or no entry carries partition values."""
+    if not part_fields or not entries:
+        return None
+    out = []
+    for name, t in part_fields:
+        vals = [(e.get("data_file") or {}).get("partition", {}).get(name)
+                for e in entries]
+        nn = [v for v in vals if v is not None]
+        lo = encode_single(t, min(nn)) if nn else None
+        hi = encode_single(t, max(nn)) if nn else None
+        out.append({
+            "contains_null": len(nn) < len(vals),
+            "contains_nan": None,
+            # if a bound fails to serialize, leave BOTH open — a
+            # one-sided range would still prune correctly, but keeping
+            # the pair symmetric makes the summary easier to audit
+            "lower_bound": lo if lo is not None and hi is not None else None,
+            "upper_bound": hi if lo is not None and hi is not None else None,
+        })
+    return out
+
+
+def manifest_pseudo_stats(m_row: dict, part_fields: list) -> dict | None:
+    """One manifest-list row's ``partitions`` summaries re-expressed in
+    the {minValues, maxValues, nullCount} shape, so the SAME
+    satisfiability engine that prunes files prunes manifests. None when
+    the row carries no summaries (old writers — the manifest is kept).
+    """
+    sums = m_row.get("partitions")
+    if not sums or not part_fields:
+        return None
+    mins: dict = {}
+    maxs: dict = {}
+    nulls: dict = {}
+    for (name, t), s in zip(part_fields, sums):
+        if not isinstance(s, dict):
+            continue
+        lo = decode_single(t, s.get("lower_bound")) \
+            if s.get("lower_bound") is not None else None
+        hi = decode_single(t, s.get("upper_bound")) \
+            if s.get("upper_bound") is not None else None
+        if lo is not None:
+            mins[name] = lo
+        if hi is not None:
+            maxs[name] = hi
+        if s.get("contains_null") is False:
+            nulls[name] = 0
+    if not mins and not maxs and not nulls:
+        return None
+    return {"minValues": mins, "maxValues": maxs, "nullCount": nulls}
 
 
 def stats_to_delta_shape(data_file: dict, id_to_name: dict[int, str],

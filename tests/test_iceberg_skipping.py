@@ -248,3 +248,29 @@ def test_sql_table_function_predicate(session):
             f"select count(*) n from table(dfs.`{tbl}`"
             "(type => 'iceberg', predicate => 'id < 1000'))").collect()
         assert rows[0].n == 1000
+
+
+def test_manifest_level_pruning(spark, tmp_path):
+    """Each append commits one manifest with partition field
+    summaries; a partition predicate drops whole MANIFESTS before
+    their entries are decoded (the ManifestEvaluator level)."""
+    tbl = str(tmp_path / "ml")
+    for b in range(4):
+        df = spark.createDataFrame(
+            [(b * 100 + i, b) for i in range(100)],
+            "id bigint, bucket int").coalesce(1)
+        if b == 0:
+            write_iceberg(df, tbl, partition_by=["bucket"])
+        else:
+            append_iceberg(df, tbl)
+    rep = skipping_report(spark, tbl, "bucket = 2")
+    assert rep["manifests_total"] == 4
+    assert rep["manifests_kept"] == 1
+    got = read_iceberg(spark, tbl, {"predicate": "bucket = 2"})
+    assert got.count() == 100 and all(r.bucket == 2 for r in got.collect())
+    # non-partition predicate: summaries cannot prune manifests, the
+    # per-file bounds still prune files, results exact
+    rep2 = skipping_report(spark, tbl, "id < 150")
+    assert rep2["manifests_kept"] == 4
+    assert rep2["candidates"] < rep2["total"]
+    assert read_iceberg(spark, tbl, {"predicate": "id < 150"}).count() == 150
