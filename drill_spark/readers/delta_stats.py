@@ -628,11 +628,22 @@ def zorder_expression(df: DataFrame, cols: list[str],
         elif t in ("tinyint", "smallint", "int", "bigint", "float",
                    "double") or t.startswith("decimal"):
             casts[c] = F.col(c).cast("double")
+        elif t == "string":
+            # order-preserving prefix encoding: the first 6 UTF-8
+            # bytes, zero-padded, as a 48-bit unsigned value (exact in
+            # a double). UTF-8 byte order == code-point order ==
+            # Spark's binary-collation string order, so equi-depth
+            # buckets of the prefix cluster the strings correctly;
+            # strings sharing a 6-byte prefix share a bucket, which
+            # only costs selectivity, never correctness.
+            casts[c] = F.conv(
+                F.rpad(F.hex(F.substring(F.encode(F.col(c), "UTF-8"),
+                                         1, 6)), 12, "0"),
+                16, 10).cast("double")
         else:
             raise NotImplementedError(
-                f"zorder on {t} column {c}: only numeric/date/timestamp "
-                "columns are supported (strings would need order-"
-                "preserving prefix encoding)")
+                f"zorder on {t} column {c}: numeric/date/timestamp/"
+                "string columns are supported")
     probe = df.select(*[casts[c].alias(f"__zq_{i}")
                         for i, c in enumerate(cols)])
     n_b = (1 << bits) - 1
@@ -649,6 +660,14 @@ def zorder_expression(df: DataFrame, cols: list[str],
             "cast(%r as double)" % b for b in bounds) + ")")
         x = casts[c]
         bucket = F.size(F.filter(arr, lambda b: x >= b))
+        if len(bounds) < n_b:
+            # low-cardinality column: its bucket ids only reach
+            # len(bounds), leaving the HIGH interleave bits dead zeros
+            # — the z-sort would then order almost entirely by the
+            # other columns and this one would never prune. Rescale
+            # onto the full 2^bits range (order-preserving).
+            bucket = F.floor(
+                bucket.cast("double") * (n_b / len(bounds))).cast("int")
         bucket_cols.append(F.when(x.isNull(), F.lit(0)).otherwise(bucket))
     terms = []
     for j, b in enumerate(bucket_cols):

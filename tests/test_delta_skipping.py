@@ -174,13 +174,42 @@ def test_zorder_sql_face(session, spark, tmp_path):
 def test_zorder_rejects_bad_columns(spark, tmp_path):
     tbl = str(tmp_path / "t")
     df = spark.range(10).select(
-        F.col("id"), F.lit("a").alias("s"),
+        F.col("id"), F.array(F.lit(1)).alias("a"),
         (F.col("id") % 2).cast("string").alias("p"))
     write_delta(df, tbl, partition_by=["p"])
     with pytest.raises(ValueError, match="partition column"):
         optimize(spark, tbl, zorder_by=["p"])
-    with pytest.raises(NotImplementedError, match="string"):
-        optimize(spark, tbl, zorder_by=["s"])
+    with pytest.raises(NotImplementedError, match="zorder"):
+        optimize(spark, tbl, zorder_by=["a"])
+
+
+def test_zorder_string_column(spark, tmp_path):
+    """ZORDER on (string, numeric): the string's order-preserving
+    6-byte-prefix encoding clusters files so string equality prunes."""
+    tbl = str(tmp_path / "t")
+    df = spark.range(4000).select(
+        F.col("id"),
+        F.concat(F.lit("cat_"),
+                 F.pmod(F.xxhash64("id"), F.lit(20)).cast("string")
+                 ).alias("cat"),
+        F.pmod(F.xxhash64("id", F.lit(5)), F.lit(100)).alias("y"),
+    )
+    write_delta(df.repartition(16), tbl)
+    pre_rows = sorted((r.id, r.cat, r.y) for r in
+                      read_delta(spark, tbl).collect())
+    before = skipping_report(spark, tbl, "cat = 'cat_7'")
+    assert before["candidates"] == 16  # random layout: nothing prunes
+    optimize(spark, tbl, zorder_by=["cat", "y"], target_file_bytes=8192)
+    after = skipping_report(spark, tbl, "cat = 'cat_7'")
+    # a 1-of-20 cat value on a 2-D z-curve: each file spans ~sqrt of
+    # each dimension, so expect a solid minority of files, not half
+    assert after["candidates"] <= (after["total"] * 7) // 10
+    got = read_delta(spark, tbl, {"predicate": "cat = 'cat_7'"})
+    want = [t for t in pre_rows if t[1] == "cat_7"]
+    assert sorted((r.id, r.cat, r.y) for r in got.collect()) == want
+    post_rows = sorted((r.id, r.cat, r.y) for r in
+                       read_delta(spark, tbl).collect())
+    assert post_rows == pre_rows
 
 
 def test_stats_survive_checkpoint(spark, tmp_path):
