@@ -154,6 +154,7 @@ def read_auto(
             root_namespace=options.get("rootNamespace"),
             validation_mode=_truthy(options.get("validationMode", "false")),
         )
+    predicate = options.pop("predicate", None) if fmt == "parquet" else None
     reader = spark.read.options(**options)
     if schema:
         reader = reader.schema(schema)
@@ -165,9 +166,24 @@ def read_auto(
             # cost Drill's .drill.parquet_metadata exists to kill on
             # million-file tables). basePath keeps hive-style key=value
             # partition columns deriving exactly as a directory read.
-            return reader.option("basePath", path).parquet(
-                *(os.path.join(path, f) for f in cached["files"]))
-    return reader.format(fmt).load(path)
+            files = cached["files"]
+            if predicate:
+                # the cache's footer stats + hive partition values
+                # prune the file list with the same satisfiability
+                # engine as the Delta/Iceberg readers; the predicate
+                # re-runs as a Catalyst filter below, so results stay
+                # exact whatever the stats coverage
+                files = prune_cached_files(cached, predicate)
+                if not files:
+                    # Spark needs >= 1 path to derive the schema; one
+                    # file + the backstop filter yields the typed
+                    # empty result
+                    files = cached["files"][:1]
+            out = reader.option("basePath", path).parquet(
+                *(os.path.join(path, f) for f in files))
+            return out.where(F.expr(predicate)) if predicate else out
+    out = reader.format(fmt).load(path)
+    return out.where(F.expr(predicate)) if predicate else out
 
 
 METADATA_CACHE_FILE = ".drill.parquet_metadata"
@@ -200,21 +216,62 @@ def write_parquet_metadata_cache(path: str) -> dict:
                 files.append(os.path.relpath(os.path.join(root, n), path))
     files.sort()
     rows = {}
+    stats = {}
     for rel in files:
         try:
             rows[rel] = pq.read_metadata(os.path.join(path, rel)).num_rows
         except Exception:
             rows[rel] = None
+        # footer min/max/nullCount in the shared skipping shape — the
+        # refresh job is the ONE paid metadata pass, so reads with a
+        # predicate can plan from the cache alone (Drill keeps column
+        # stats in .drill.parquet_metadata for the same reason)
+        from drill_spark.readers.delta_stats import file_stats_json
+
+        raw = file_stats_json(os.path.join(path, rel))
+        if raw:
+            stats[rel] = _json.loads(raw)
     cache = {
         "generated_ms": int(time.time() * 1000),
         "dirs": dirs,
         "files": files,
         "row_counts": rows,
+        "stats": stats,
         "total_rows": sum(v for v in rows.values() if v is not None),
     }
     with open(cp, "w") as f:
         _json.dump(cache, f)
     return cache
+
+
+def prune_cached_files(cache: dict, predicate: str) -> list[str]:
+    """Subset of the cache's files whose footer stats + hive key=value
+    directory partition values admit ``predicate`` — the same
+    satisfiability engine the Delta and Iceberg readers prune with.
+    Files without stats (older caches) are kept; an unparseable
+    predicate keeps everything."""
+    from urllib.parse import unquote
+
+    from drill_spark.readers.delta_stats import (
+        file_may_match,
+        parse_skipping_predicate,
+    )
+
+    node = parse_skipping_predicate(predicate)
+    if node is None:
+        return cache["files"]
+    stats = cache.get("stats") or {}
+    kept = []
+    for rel in cache["files"]:
+        pv = {}
+        for seg in rel.split(os.sep)[:-1]:
+            if "=" in seg:
+                k, v = seg.split("=", 1)
+                pv[k] = None if v == "__HIVE_DEFAULT_PARTITION__" \
+                    else unquote(v)
+        if file_may_match(stats.get(rel), node, pv or None):
+            kept.append(rel)
+    return kept
 
 
 def load_parquet_metadata_cache(path: str):

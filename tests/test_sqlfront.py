@@ -687,6 +687,49 @@ def test_metadata_cache_keeps_partition_columns(dsession, tmp_path):
     assert [(r.part, r.n) for r in df.collect()] == [(0, 20), (1, 20), (2, 20)]
 
 
+def test_metadata_cache_predicate_skipping(dsession, tmp_path):
+    """With a fresh cache, `predicate =>` on a plain parquet dir prunes
+    the file list from the cache's footer stats (no scan I/O on
+    skipped files) and stays exact via the Catalyst backstop — the
+    planning use Drill's .drill.parquet_metadata exists for."""
+    from drill_spark.readers.files import (
+        load_parquet_metadata_cache, prune_cached_files,
+    )
+
+    root = str(tmp_path / "skip_tbl")
+    spark = dsession.spark
+    spark.range(800).selectExpr("id", "id * 2 as v") \
+        .repartitionByRange(8, "id").sortWithinPartitions("id") \
+        .write.parquet(root)
+    dsession.register_workspace("dfs.skip", str(tmp_path))
+    dsession.sql("REFRESH TABLE METADATA dfs.skip.`skip_tbl`")
+    cache = load_parquet_metadata_cache(root)
+    assert cache is not None and len(cache["stats"]) == 8
+    kept = prune_cached_files(cache, "id >= 100 and id < 200")
+    assert 1 <= len(kept) <= 2
+    got = dsession.sql(
+        "select id from table(dfs.skip.`skip_tbl`("
+        "type => 'parquet', predicate => 'id >= 100 and id < 200'))")
+    assert sorted(r.id for r in got.collect()) == list(range(100, 200))
+    assert len(set(got.inputFiles())) <= 2
+    # everything pruned: typed empty result, no error
+    got0 = dsession.sql(
+        "select id from table(dfs.skip.`skip_tbl`("
+        "type => 'parquet', predicate => 'id > 100000'))")
+    assert got0.count() == 0
+    # hive partition dirs prune from the path values alone
+    proot = str(tmp_path / "skip_part")
+    spark.range(60).selectExpr("id", "id % 3 as part") \
+        .write.partitionBy("part").parquet(proot)
+    dsession.sql("REFRESH TABLE METADATA dfs.skip.`skip_part`")
+    gp = dsession.sql(
+        "select id, part from table(dfs.skip.`skip_part`("
+        "type => 'parquet', predicate => 'part = 1'))")
+    rows = gp.collect()
+    assert len(rows) == 20 and all(r.part == 1 for r in rows)
+    assert all("part=1" in f for f in gp.inputFiles())
+
+
 def test_show_tables_in_workspace(dsession):
     """SHOW TABLES FROM a file workspace (ShowTablesHandler): files
     and directories list as (TABLE_SCHEMA, TABLE_NAME), metadata
