@@ -2225,6 +2225,261 @@ order by id_a, id_b
 """
 
 
+def q_bm25_topk(spark, sf_dir):
+    """BM25 top-10 retrieval over documents (ops/search.py): inline
+    postings restricted to the query terms before any shuffle, dl from
+    size(split()) with no explode, df + corpus stats broadcast, top-k
+    via TakeOrderedAndProject. Oracle recomputes Lucene-idf BM25
+    closed-form in SQL; ranking compares 6-decimal-rounded scores with
+    doc_id tiebreak so last-ulp ln() differences can't flip ranks."""
+    from drill_spark.ops.search import bm25_topk
+
+    return bm25_topk(_docs(spark, sf_dir),
+                     ["merge", "spark", "vector", "window"], k=10)
+
+
+ORACLE_BM25_TOPK = r"""
+with tok as (
+  select doc_id, term from (
+    select doc_id,
+           unnest(regexp_split_to_array(trim(lower(text)), '\s+')) as term
+    from documents)
+  where term <> ''
+),
+dl as (select doc_id, count(*) as dl from tok group by 1),
+corpus as (select count(*) as n_docs, avg(dl) as avgdl from dl),
+post as (
+  select term, doc_id, count(*) as tf from tok
+  where term in ('merge', 'spark', 'vector', 'window') group by 1, 2
+),
+dfreq as (select term, count(*) as df from post group by 1),
+scored as (
+  select p.doc_id,
+         round(sum(ln(1.0 + (c.n_docs - f.df + 0.5) / (f.df + 0.5))
+                   * (p.tf * 2.2
+                      / (p.tf + 1.2 * (1 - 0.75 + 0.75 * d.dl / c.avgdl)))),
+               6) as score
+  from post p
+  join dfreq f using (term)
+  join dl d using (doc_id)
+  cross join corpus c
+  group by p.doc_id
+)
+select doc_id, score from scored order by score desc, doc_id limit 10
+"""
+
+
+def q_tfidf_keywords(spark, sf_dir):
+    """Per-document top-3 keywords by smooth tf-idf (ops/search.py):
+    vocabulary-sized df aggregate broadcast back, one window per doc.
+    Oracle is the same math in SQL; rank compares rounded tf-idf with
+    term tiebreak."""
+    from drill_spark.ops.search import tfidf_keywords
+
+    return tfidf_keywords(_docs(spark, sf_dir), top_n=3)
+
+
+ORACLE_TFIDF_KEYWORDS = r"""
+with tok as (
+  select doc_id, term from (
+    select doc_id,
+           unnest(regexp_split_to_array(trim(lower(text)), '\s+')) as term
+    from documents)
+  where term <> ''
+),
+post as (select term, doc_id, count(*) as tf from tok group by 1, 2),
+dfreq as (select term, count(*) as df from post group by 1),
+n as (select count(*) as n_docs from documents),
+scored as (
+  select p.doc_id, p.term,
+         round(p.tf * (ln((1.0 + n.n_docs) / (f.df + 1.0)) + 1.0), 6)
+           as tfidf
+  from post p join dfreq f using (term) cross join n
+),
+ranked as (
+  select doc_id, term, tfidf,
+         cast(row_number() over (partition by doc_id
+                                 order by tfidf desc, term) as int)
+           as kw_rank
+  from scored
+)
+select doc_id, term, tfidf, kw_rank from ranked where kw_rank <= 3
+"""
+
+
+def q_fuzzy_join(spark, sf_dir):
+    """Fuzzy join / entity resolution (ops/fuzzy.py): part names vs a
+    deterministically-perturbed name list (last char -> 'x'), token
+    blocking + length-band prefilter + codegen levenshtein verify at
+    distance <= 2. Oracle replays the same blocking + verify in SQL
+    (integer distances — no float thresholds to disagree on)."""
+    from drill_spark.ops.fuzzy import fuzzy_join
+
+    part = load_fixture(spark, sf_dir, "part")
+    left = part.select("p_partkey", "p_name")
+    right = (
+        part.select(F.expr(
+            "concat(substring(p_name, 1, length(p_name) - 1), 'x')"
+        ).alias("rname"))
+        .distinct()
+        .select(F.col("rname").alias("rid"), "rname")
+    )
+    return (
+        fuzzy_join(left, right, "p_partkey", "p_name", "rid", "rname",
+                   max_dist=2)
+        .select("p_partkey", "rname", F.col("dist").cast("int").alias("dist"))
+    )
+
+
+ORACLE_FUZZY_JOIN = r"""
+with l as (select p_partkey, p_name from part),
+r0 as (
+  select distinct
+         concat(substring(p_name, 1, length(p_name) - 1), 'x') as rname
+  from part
+),
+lt as (
+  select distinct p_partkey, tok from (
+    select p_partkey,
+           unnest(regexp_split_to_array(trim(lower(p_name)), '\s+')) as tok
+    from l)
+  where tok <> ''
+),
+rt as (
+  select distinct rname, tok from (
+    select rname,
+           unnest(regexp_split_to_array(trim(lower(rname)), '\s+')) as tok
+    from r0)
+  where tok <> ''
+),
+cand as (select distinct p_partkey, rname from lt join rt using (tok)),
+verified as (
+  select c.p_partkey, c.rname,
+         cast(levenshtein(l.p_name, c.rname) as int) as dist
+  from cand c join l using (p_partkey)
+  where abs(length(l.p_name) - length(c.rname)) <= 2
+)
+select p_partkey, rname, dist from verified where dist <= 2
+"""
+
+
+def q_leakage_split(spark, sf_dir):
+    """Leakage-safe train/val/test split (ops/pipeline.py::group_split):
+    exact-dup groups (md5 of normalized text) each land wholly in one
+    split, keyed by the md5 2-hex prefix of the group's min doc_id.
+    Oracle reproduces groups + gate closed-form."""
+    from drill_spark.ops.dedup import normalize_text
+    from drill_spark.ops.pipeline import group_split
+
+    docs = _docs(spark, sf_dir)
+    return group_split(
+        docs, F.md5(normalize_text(F.col("text"))), "doc_id"
+    ).select("doc_id", "split")
+
+
+ORACLE_LEAKAGE_SPLIT = r"""
+with g as (
+  select doc_id,
+         md5(regexp_replace(lower(text), '\s+', ' ', 'g')) as grp
+  from documents
+),
+reps as (select grp, min(doc_id) as rep from g group by 1)
+select g.doc_id,
+       case when substring(md5(cast(r.rep as varchar)), 1, 2) < 'e6'
+              then 'train'
+            when substring(md5(cast(r.rep as varchar)), 1, 2) < 'f3'
+              then 'val'
+            else 'test' end as split
+from g join reps r using (grp)
+"""
+
+
+def q_url_canon(spark, sf_dir):
+    """Crawl URL canonicalization (ops/text.py::canonicalize_url):
+    URLs synthesized deterministically from the documents table (mixed
+    case, www + default port, tracking param, unsorted params,
+    trailing slash, fragment) and normalized by the operator; the
+    oracle constructs the expected canonical form independently."""
+    from drill_spark.ops.text import canonicalize_url
+
+    docs = _docs(spark, sf_dir)
+    url = F.concat(
+        F.lit("HTTPS://WWW.Example-"), F.col("source"),
+        F.lit(".COM:443/Docs/"), F.col("doc_id").cast("string"),
+        F.lit("/?utm_source=feed&b="), F.col("lang"), F.lit("&a=1#sec"),
+    )
+    return docs.select("doc_id", canonicalize_url(url).alias("canon_url"))
+
+
+ORACLE_URL_CANON = """
+select doc_id,
+       concat('https://example-', source, '.com/Docs/',
+              cast(doc_id as varchar), '?a=1&b=', lang) as canon_url
+from documents
+"""
+
+
+def q_line_dedup(spark, sf_dir):
+    """Corpus-level duplicated-line removal (RefinedWeb line dedup —
+    ops/text.py::line_dedup): docs get a planted unique head line, a
+    boilerplate line shared by their doc_id%3 class (removed: >1 copy,
+    >=8 chars), a short '--' separator (duplicated but exempt under
+    min_chars), then the fixture body (exact-dup bodies also vanish).
+    Oracle rebuilds the same lines + counts + ordered reassembly in
+    SQL; the hash compare covers the full cleaned strings."""
+    from drill_spark.ops.text import line_dedup
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.lit("unique head "), F.col("doc_id").cast("string"),
+            F.lit("\n"),
+            F.element_at(
+                F.array(F.lit("shared boilerplate alpha"),
+                        F.lit("shared boilerplate beta"),
+                        F.lit("shared boilerplate gamma")),
+                (F.col("doc_id") % 3 + 1).cast("int")),
+            F.lit("\n--\n"),
+            F.col("text"),
+        ).alias("text"),
+    )
+    return line_dedup(docs, max_copies=1, min_chars=8)
+
+
+ORACLE_LINE_DEDUP = """
+with docs2 as (
+  select doc_id,
+         concat('unique head ', cast(doc_id as varchar), chr(10),
+                case cast(doc_id % 3 as int)
+                  when 0 then 'shared boilerplate alpha'
+                  when 1 then 'shared boilerplate beta'
+                  else 'shared boilerplate gamma' end,
+                chr(10), '--', chr(10), text) as text
+  from documents
+),
+lines as (
+  select doc_id,
+         unnest(range(1, len(string_split(text, chr(10))) + 1)) as pos,
+         unnest(string_split(text, chr(10))) as line
+  from docs2
+),
+counts as (select md5(trim(line)) as h, count(*) as n from lines group by 1),
+kept as (
+  select l.doc_id, l.pos, l.line from lines l
+  left join counts c
+    on md5(trim(l.line)) = c.h
+   and length(trim(l.line)) >= 8 and c.n > 1
+  where c.h is null
+)
+select d.doc_id, coalesce(k.clean_text, '') as clean_text
+from docs2 d
+left join (
+  select doc_id, string_agg(line, chr(10) order by pos) as clean_text
+  from kept group by 1
+) k using (doc_id)
+"""
+
+
 QUERIES = {
     "op_avro_scan": q_avro_scan,
     "op_delta_scan": q_delta_scan,
@@ -2294,6 +2549,12 @@ QUERIES = {
     "ext_video_dedup": q_video_dedup,
     "ext_quality_classifier": q_quality_classifier,
     "ext_cluster_sample": q_cluster_sample,
+    "ext_bm25_topk": q_bm25_topk,
+    "ext_tfidf_keywords": q_tfidf_keywords,
+    "ext_fuzzy_join": q_fuzzy_join,
+    "ext_leakage_split": q_leakage_split,
+    "ext_url_canon": q_url_canon,
+    "ext_line_dedup": q_line_dedup,
 }
 
 ORACLES = {
@@ -2351,6 +2612,12 @@ ORACLES = {
     "ext_substring_dedup_apply": ORACLE_SUBSTRING_DEDUP_APPLY,
     "ext_audio_dedup": ORACLE_AUDIO_DEDUP,
     "ext_video_dedup": ORACLE_VIDEO_DEDUP,
+    "ext_bm25_topk": ORACLE_BM25_TOPK,
+    "ext_tfidf_keywords": ORACLE_TFIDF_KEYWORDS,
+    "ext_fuzzy_join": ORACLE_FUZZY_JOIN,
+    "ext_leakage_split": ORACLE_LEAKAGE_SPLIT,
+    "ext_url_canon": ORACLE_URL_CANON,
+    "ext_line_dedup": ORACLE_LINE_DEDUP,
 }
 
 

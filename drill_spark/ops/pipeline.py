@@ -280,3 +280,43 @@ def _cluster_gate(assigned: DataFrame, rates: dict[str, str],
     thr = thr.otherwise(default_threshold) if thr is not None \
         else F.lit(default_threshold)
     return assigned.where(gate < thr)
+
+
+def group_split(
+    df: DataFrame,
+    group_expr: Column,
+    id_col: str,
+    bounds: tuple[str, str] = ("e6", "f3"),
+) -> DataFrame:
+    """Leakage-safe train/val/test assignment: every row in the same
+    group gets the same split, so duplicates (or near-duplicate
+    clusters, URL domains, repo names...) can never straddle the
+    train/eval boundary — the standard contamination guard when
+    carving held-out sets from a deduplicated corpus (Lee et al. 2022
+    §6; The Pile's holdout protocol).
+
+    ``group_expr`` is any Catalyst expression identifying the group
+    (e.g. ``F.md5(normalize_text(F.col("text")))`` for exact-dup
+    groups, or a cluster id from the dedup ops). The group's
+    representative is its MINIMUM id (deterministic), and the split is
+    the representative's md5 2-hex prefix against ``bounds``: below
+    bounds[0] → train, below bounds[1] → val, else test. Defaults
+    ('e6', 'f3') ≈ 90/5/5. Hex-prefix comparison = numeric comparison
+    (lowercase fixed-width hex), the same gate stratified_sample uses —
+    content-addressed, no RNG, reproducible across engines.
+
+    Scale shape: ONE aggregation on the group key (map-side combined
+    min) + one shuffle join back on the group key; the gate itself is
+    a codegen expression. Returns the input rows + (split) column.
+    """
+    lo, hi = bounds
+    grouped = df.withColumn("_grp", group_expr)
+    reps = grouped.groupBy("_grp").agg(F.min(id_col).alias("_rep"))
+    gate = F.substring(F.md5(F.col("_rep").cast("string")), 1, 2)
+    split = (
+        F.when(gate < lo, "train").when(gate < hi, "val").otherwise("test")
+    ).alias("split")
+    return (
+        grouped.join(reps, "_grp")
+        .select(*df.columns, split)
+    )

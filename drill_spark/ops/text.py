@@ -129,3 +129,96 @@ def trigram_lm_score(df: DataFrame, id_col: str = "doc_id",
             F.count("*").alias("n_grams"),
         )
     )
+
+
+def canonicalize_url(col):
+    """Crawl-pipeline URL canonicalization, all codegen string ops —
+    the dedup key a 100 TB web corpus groups by before any content
+    hashing (one scan, no shuffle; a groupBy on the result is the
+    usual exact URL dedup).
+
+    Rules (the common-crawl normalization core): scheme and host
+    lowercase; leading ``www.`` stripped; scheme-default port (:80
+    http, :443 https) stripped; fragment dropped; query params split
+    on '&', tracking params (utm_*, fbclid=, gclid=) and empties
+    removed, the rest sorted; trailing slashes stripped from the path.
+    Case in path/params is preserved (paths are case-sensitive).
+    """
+    scheme = F.lower(F.regexp_extract(col, r"^([^:/?#]+)://", 1))
+    hostport = F.lower(F.regexp_extract(col, r"^[^:/?#]+://([^/?#]*)", 1))
+    host = F.regexp_replace(hostport, r"^www\.", "")
+    host = (
+        F.when(scheme == "http", F.regexp_replace(host, ":80$", ""))
+        .when(scheme == "https", F.regexp_replace(host, ":443$", ""))
+        .otherwise(host)
+    )
+    path = F.regexp_replace(
+        F.regexp_extract(col, r"^[^:/?#]+://[^/?#]*([^?#]*)", 1), "/+$", "")
+    qs = F.regexp_extract(col, r"\?([^#]*)", 1)
+    params = F.filter(
+        F.split(qs, "&"),
+        lambda p: (p != "")
+        & (F.substring(p, 1, 4) != "utm_")
+        & (F.substring(p, 1, 7) != "fbclid=")
+        & (F.substring(p, 1, 6) != "gclid="),
+    )
+    sorted_qs = F.array_join(F.array_sort(params), "&")
+    return F.concat(
+        scheme, F.lit("://"), host, path,
+        F.when(sorted_qs != "", F.concat(F.lit("?"), sorted_qs)).otherwise(""),
+    )
+
+
+def line_dedup(df: DataFrame, id_col: str = "doc_id",
+               text_col: str = "text", max_copies: int = 1,
+               min_chars: int = 8) -> DataFrame:
+    """Corpus-level duplicated-line removal — the RefinedWeb line-dedup
+    / C4 boilerplate cut (Penedo et al. 2023 §3.3): split every
+    document into lines, count exact (trimmed) line occurrences across
+    the WHOLE corpus, drop every line that appears more than
+    ``max_copies`` times, and reassemble the survivors in order.
+    Lines shorter than ``min_chars`` after trimming (blank separators,
+    bullets) are exempt from removal.
+
+    Scale shape: one posexplode scan; the global line count is one
+    aggregation on a 16-byte md5 key (map-side combined); the hot-line
+    set (distinct lines over the cap — boilerplate, nav bars, cookie
+    banners) anti-joins back on the same key (AQE picks broadcast when
+    it fits); reassembly is one groupBy per document whose state is
+    that document's own lines (collect_list + array_sort + array_join,
+    all codegen). No Python anywhere.
+
+    Returns (id_col, clean_text).
+    """
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    ).withColumn("h", F.md5(F.trim(F.col("line"))))
+    hot = (
+        lines.groupBy("h").agg(F.count("*").alias("n"))
+        .where(F.col("n") > max_copies)
+        .select("h")
+    )
+    kept = lines.join(
+        hot.withColumnRenamed("h", "hot_h"),
+        (F.col("h") == F.col("hot_h"))
+        & (F.length(F.trim(F.col("line"))) >= min_chars),
+        "left_anti",
+    )
+    assembled = (
+        kept.groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                    lambda s: s.line,
+                ),
+                "\n",
+            ).alias("clean_text")
+        )
+    )
+    # documents whose every line was removed still come back (empty)
+    return (
+        df.select(id_col).join(assembled, id_col, "left")
+        .select(id_col, F.coalesce("clean_text", F.lit("")).alias("clean_text"))
+    )

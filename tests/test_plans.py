@@ -192,3 +192,36 @@ def test_multimodal_dedup_plans_no_cartesian(spark):
         phys = df._jdf.queryExecution().executedPlan().toString()
         assert "CartesianProduct" not in phys, name
         assert "BroadcastNestedLoopJoin" not in phys, name
+
+
+def test_search_and_fuzzy_plan_invariants(spark):
+    """r8 retrieval/resolution operators: BM25 top-k must be a
+    TakeOrderedAndProject (never a global sort), its df/corpus sides
+    broadcast; the fuzzy join must pair through token equi-joins (no
+    cartesian / nested loop); every one stays JVM-side."""
+    from drill_spark import extops
+
+    bm25 = extops.QUERIES["ext_bm25_topk"](spark, SF_DIR)
+    assert plans.has_take_ordered(bm25)
+    assert not plans.has_python_eval(bm25)
+    phys = bm25._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in phys
+    assert "BroadcastExchange" in phys  # df + corpus one-row sides
+
+    # tfidf's single BroadcastNestedLoopJoin is the one-row corpus-stats
+    # cross join (BuildRight) — a constant-size broadcast, not a pair
+    # explosion; everything else must have none at all
+    tfidf = extops.QUERIES["ext_tfidf_keywords"](spark, SF_DIR)
+    phys = tfidf._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in phys
+    assert phys.count("BroadcastNestedLoopJoin") <= 1
+    assert "BroadcastNestedLoopJoin BuildLeft" not in phys
+    assert not plans.has_python_eval(tfidf)
+
+    for name in ("ext_fuzzy_join", "ext_leakage_split", "ext_url_canon",
+                 "ext_line_dedup"):
+        df = extops.QUERIES[name](spark, SF_DIR)
+        phys = df._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in phys, name
+        assert "BroadcastNestedLoopJoin" not in phys, name
+        assert not plans.has_python_eval(df), name
