@@ -2480,6 +2480,92 @@ left join (
 """
 
 
+def q_gap_fill(spark, sf_dir):
+    """Time-bucket gap fill + LOCF (ops/temporal.py::gap_fill_locf —
+    the TimescaleDB time_bucket_gapfill/locf idiom): hourly avg(value)
+    per user over the first 3 fixture days, every user's own hour grid
+    generated via sequence(), gaps carried forward. Oracle rebuilds the
+    grid with generate_series + last_value(ignore nulls)."""
+    from drill_spark.ops.temporal import gap_fill_locf
+
+    ev = (
+        load_fixture(spark, sf_dir, "events")
+        .where((F.col("user_id") < 10)
+               & (F.col("ts") < F.lit("2024-01-04").cast("timestamp")))
+        .select("user_id", "ts", "value")
+    )
+    return gap_fill_locf(ev, "ts", "user_id", "value", unit="hour")
+
+
+ORACLE_GAP_FILL = """
+with ev as (
+  select user_id, ts, value from events
+  where user_id < 10 and ts < timestamp '2024-01-04'
+),
+obs as (
+  select user_id, date_trunc('hour', ts) as bucket,
+         round(avg(value), 4) as v, count(*) as n_obs
+  from ev group by 1, 2
+),
+span as (select user_id, min(bucket) as b0, max(bucket) as b1
+         from obs group by 1),
+grid as (
+  select user_id,
+         unnest(generate_series(b0, b1, interval 1 hour)) as bucket
+  from span
+),
+joined as (
+  select g.user_id, g.bucket, o.v,
+         coalesce(o.n_obs, 0) as n_events
+  from grid g left join obs o using (user_id, bucket)
+)
+select user_id, bucket,
+       last_value(v ignore nulls) over (
+         partition by user_id order by bucket
+         rows between unbounded preceding and current row) as value,
+       n_events
+from joined
+"""
+
+
+def q_triplet_mine(spark, sf_dir):
+    """Contrastive triplet mining (ops/similarity.py::triplet_mine):
+    nearest same-label positive + nearest different-label hard negative
+    per anchor, broadcast anchor batch x one corpus scan. Oracle is the
+    same ranking over list_cosine_similarity; cosine rounded to 4
+    before ranking with cand-id tiebreak on both engines."""
+    from drill_spark.ops.similarity import triplet_mine
+
+    return triplet_mine(_embs(spark, sf_dir), query_ids=list(range(8)))
+
+
+ORACLE_TRIPLET_MINE = """
+with q as (
+  select vec_id as anchor_id, label as anchor_label, embedding as qv
+  from embeddings where vec_id < 8
+),
+scored as (
+  select q.anchor_id, e.vec_id as cand_id,
+         round(list_cosine_similarity(cast(e.embedding as double[]),
+                                      cast(q.qv as double[])), 4) as cosine,
+         (e.label = q.anchor_label) as is_pos
+  from embeddings e cross join q
+  where e.vec_id <> q.anchor_id
+),
+best as (
+  select anchor_id, cand_id, cosine, is_pos,
+         row_number() over (partition by anchor_id, is_pos
+                            order by cosine desc, cand_id) as rn
+  from scored
+)
+select p.anchor_id, p.cand_id as pos_id, p.cosine as pos_sim,
+       n.cand_id as neg_id, n.cosine as neg_sim
+from best p
+join best n on p.anchor_id = n.anchor_id
+where p.rn = 1 and p.is_pos and n.rn = 1 and not n.is_pos
+"""
+
+
 QUERIES = {
     "op_avro_scan": q_avro_scan,
     "op_delta_scan": q_delta_scan,
@@ -2555,6 +2641,8 @@ QUERIES = {
     "ext_leakage_split": q_leakage_split,
     "ext_url_canon": q_url_canon,
     "ext_line_dedup": q_line_dedup,
+    "ext_gap_fill": q_gap_fill,
+    "ext_triplet_mine": q_triplet_mine,
 }
 
 ORACLES = {
@@ -2618,6 +2706,8 @@ ORACLES = {
     "ext_leakage_split": ORACLE_LEAKAGE_SPLIT,
     "ext_url_canon": ORACLE_URL_CANON,
     "ext_line_dedup": ORACLE_LINE_DEDUP,
+    "ext_gap_fill": ORACLE_GAP_FILL,
+    "ext_triplet_mine": ORACLE_TRIPLET_MINE,
 }
 
 

@@ -626,3 +626,62 @@ def ivfpq_topk(df: DataFrame, query_ids,
     return (scored.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= k)
             .select("query_id", "neighbor_id", "cosine", "rank"))
+
+
+def triplet_mine(
+    df: DataFrame,
+    query_ids,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Contrastive training-pair mining: for every anchor, the nearest
+    SAME-label vector (positive) and the nearest DIFFERENT-label vector
+    (hard negative) by cosine — the batch-hard mining recipe
+    (Hermans et al. 2017) embedding models train on.
+
+    One broadcast of the anchor batch against one corpus scan; the
+    per-anchor ranking is a window split by (anchor, same-label) so
+    positives and negatives rank independently. At 100 TB compose with
+    the ANN shortlist (ivf_topk / pq_topk) instead of the full scan —
+    this operator's join/rank shape is identical either way.
+
+    Returns (anchor_id, pos_id, pos_sim, neg_id, neg_sim); cosine
+    rounded to 4 before ranking (cand-id tiebreak) so results are
+    deterministic and engine-portable.
+    """
+    q = with_norm(
+        df.where(F.col(id_col).isin(list(query_ids))).select(
+            F.col(id_col).alias("anchor_id"),
+            F.col(label_col).alias("anchor_label"),
+            F.col(vec_col).alias("qv"),
+        ),
+        "qv", "qn",
+    )
+    c = with_norm(
+        df.select(
+            F.col(id_col).alias("cand_id"),
+            F.col(label_col).alias("cand_label"),
+            F.col(vec_col).alias("cv"),
+        ),
+        "cv", "cn",
+    )
+    scored = (
+        c.join(F.broadcast(q))
+        .where(F.col("anchor_id") != F.col("cand_id"))
+        .withColumn(
+            "cosine",
+            F.round(_dot("qv", "cv") / (F.col("qn") * F.col("cn")), 4),
+        )
+        .withColumn("is_pos", F.col("anchor_label") == F.col("cand_label"))
+    )
+    w = Window.partitionBy("anchor_id", "is_pos").orderBy(
+        F.desc("cosine"), F.asc("cand_id"))
+    best = scored.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1)
+    pos = best.where(F.col("is_pos")).select(
+        "anchor_id", F.col("cand_id").alias("pos_id"),
+        F.col("cosine").alias("pos_sim"))
+    neg = best.where(~F.col("is_pos")).select(
+        "anchor_id", F.col("cand_id").alias("neg_id"),
+        F.col("cosine").alias("neg_sim"))
+    return pos.join(neg, "anchor_id")

@@ -93,3 +93,56 @@ def point_in_interval_join(
         (F.col(point_col) >= F.col(start_col)) & (F.col(point_col) < F.col(end_col))
     )
     return joined.drop("_bk")
+
+
+def gap_fill_locf(
+    df: DataFrame,
+    ts_col: str,
+    key_col: str,
+    val_col: str,
+    unit: str = "hour",
+) -> DataFrame:
+    """Time-bucket gap filling with last-observation-carried-forward —
+    the TimescaleDB ``time_bucket_gapfill`` + ``locf(avg(...))`` idiom
+    (the reference's nearestDate/time_bucket family has no gapfill).
+
+    Buckets each row to ``unit``, aggregates the value per (key,
+    bucket), generates each key's FULL bucket grid from its own min to
+    max bucket (``sequence`` + explode — no driver loop, no cross
+    join against a global calendar), left-joins the observations and
+    carries the last non-null aggregate forward per key.
+
+    Scale shape: one groupBy shuffle on (key, bucket); the grid
+    explode is bounded by each key's own span / unit; LOCF is one
+    window sorted within the key partition. Returns (key, bucket,
+    value, n_events) where n_events = 0 marks filled gaps.
+    """
+    bucket = F.date_trunc(unit, F.col(ts_col)).alias("bucket")
+    obs = (
+        df.groupBy(F.col(key_col), bucket)
+        .agg(F.round(F.avg(val_col), 4).alias("v"),
+             F.count("*").alias("n_obs"))
+    )
+    grid = (
+        obs.groupBy(key_col)
+        .agg(F.min("bucket").alias("b0"), F.max("bucket").alias("b1"))
+        .select(
+            key_col,
+            F.explode(
+                F.expr(f"sequence(b0, b1, interval 1 {unit})")
+            ).alias("bucket"),
+        )
+    )
+    w = (
+        Window.partitionBy(key_col).orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(obs, [key_col, "bucket"], "left")
+        .select(
+            key_col,
+            "bucket",
+            F.last("v", ignorenulls=True).over(w).alias("value"),
+            F.coalesce("n_obs", F.lit(0)).alias("n_events"),
+        )
+    )

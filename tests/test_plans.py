@@ -218,8 +218,16 @@ def test_search_and_fuzzy_plan_invariants(spark):
     assert "BroadcastNestedLoopJoin BuildLeft" not in phys
     assert not plans.has_python_eval(tfidf)
 
+    # triplet mining: the anchor-batch cross is the one allowed
+    # broadcast NLJ; the corpus side must never build
+    trip = extops.QUERIES["ext_triplet_mine"](spark, SF_DIR)
+    phys = trip._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in phys
+    assert "BroadcastNestedLoopJoin BuildLeft" not in phys
+    assert not plans.has_python_eval(trip)
+
     for name in ("ext_fuzzy_join", "ext_leakage_split", "ext_url_canon",
-                 "ext_line_dedup"):
+                 "ext_line_dedup", "ext_gap_fill"):
         df = extops.QUERIES[name](spark, SF_DIR)
         phys = df._jdf.queryExecution().executedPlan().toString()
         assert "CartesianProduct" not in phys, name

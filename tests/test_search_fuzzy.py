@@ -319,3 +319,57 @@ def test_line_dedup_max_copies_threshold(spark):
     assert got[0] == "twice is fine line"
     assert got[1] == "twice is fine line"
     assert got[2] == "unique tail two"
+
+
+# ------------------------------------------------------- gapfill/triplets
+
+
+def test_gap_fill_locf_semantics(spark):
+    from datetime import datetime
+
+    from drill_spark.ops.temporal import gap_fill_locf
+
+    rows = [
+        (1, datetime(2024, 1, 1, 0, 15), 10.0),
+        (1, datetime(2024, 1, 1, 0, 45), 20.0),   # hour 0: avg 15
+        (1, datetime(2024, 1, 1, 3, 10), 40.0),   # hours 1-2: gaps
+        (2, datetime(2024, 1, 1, 5, 0), 7.0),     # single bucket key
+    ]
+    df = spark.createDataFrame(rows, "user_id bigint, ts timestamp, value double")
+    out = {(r.user_id, r.bucket.hour): (r.value, r.n_events)
+           for r in gap_fill_locf(df, "ts", "user_id", "value").collect()}
+    assert out[(1, 0)] == (15.0, 2)
+    assert out[(1, 1)] == (15.0, 0)   # gap: carried forward
+    assert out[(1, 2)] == (15.0, 0)
+    assert out[(1, 3)] == (40.0, 1)
+    assert out[(2, 5)] == (7.0, 1)
+    # grids are per-key: key 2 has exactly one bucket, key 1 four
+    assert len([k for k in out if k[0] == 1]) == 4
+    assert len([k for k in out if k[0] == 2]) == 1
+
+
+def test_triplet_mine_matches_bruteforce(spark):
+    import numpy as np
+
+    from drill_spark.ops.similarity import triplet_mine
+
+    rng = np.random.RandomState(7)
+    vecs = rng.randn(30, 8).astype("float32")
+    labels = [i % 3 for i in range(30)]
+    rows = [(i, [float(x) for x in vecs[i]], labels[i]) for i in range(30)]
+    df = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>, label int")
+    got = {r.anchor_id: (r.pos_id, r.neg_id)
+           for r in triplet_mine(df, query_ids=[0, 1, 2]).collect()}
+
+    def cos(a, b):
+        return round(float(np.dot(a, b) / (np.linalg.norm(a) * np.linalg.norm(b))), 4)
+
+    for a in (0, 1, 2):
+        same = [(cos(vecs[a], vecs[j]), -j) for j in range(30)
+                if j != a and labels[j] == labels[a]]
+        diff = [(cos(vecs[a], vecs[j]), -j) for j in range(30)
+                if j != a and labels[j] != labels[a]]
+        want_pos = -max(same)[1]
+        want_neg = -max(diff)[1]
+        assert got[a] == (want_pos, want_neg), a
