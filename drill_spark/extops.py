@@ -2566,6 +2566,78 @@ where p.rn = 1 and p.is_pos and n.rn = 1 and not n.is_pos
 """
 
 
+def q_hybrid_search(spark, sf_dir):
+    """Hybrid sparse+dense retrieval (ops/search.py::hybrid_topk):
+    BM25 and cosine top-30 pools fused by reciprocal-rank fusion
+    (1/(60+rank) sums). Fusion is rank-based — integers in, identical
+    doubles out — so the oracle reproduces BOTH towers' rankings
+    (rounded-score tiebreaks already proven by ext_bm25_topk /
+    ext_embed_topk) and the exact RRF arithmetic in SQL."""
+    from drill_spark.ops.search import hybrid_topk
+
+    return hybrid_topk(
+        _docs(spark, sf_dir), _embs(spark, sf_dir),
+        ["merge", "spark", "vector"], query_vec_id=0, k=10, pool=30)
+
+
+ORACLE_HYBRID_SEARCH = r"""
+with tok as (
+  select doc_id, term from (
+    select doc_id,
+           unnest(regexp_split_to_array(trim(lower(text)), '\s+')) as term
+    from documents)
+  where term <> ''
+),
+dl as (select doc_id, count(*) as dl from tok group by 1),
+corpus as (select count(*) as n_docs, avg(dl) as avgdl from dl),
+post as (
+  select term, doc_id, count(*) as tf from tok
+  where term in ('merge', 'spark', 'vector') group by 1, 2
+),
+dfreq as (select term, count(*) as df from post group by 1),
+bm_scored as (
+  select p.doc_id,
+         round(sum(ln(1.0 + (c.n_docs - f.df + 0.5) / (f.df + 0.5))
+                   * (p.tf * 2.2
+                      / (p.tf + 1.2 * (1 - 0.75 + 0.75 * d.dl / c.avgdl)))),
+               6) as score
+  from post p
+  join dfreq f using (term)
+  join dl d using (doc_id)
+  cross join corpus c
+  group by p.doc_id
+),
+bm_ranked as (
+  select doc_id,
+         row_number() over (order by score desc, doc_id) as rank_a
+  from bm_scored
+  qualify rank_a <= 30
+),
+q as (select embedding as qv from embeddings where vec_id = 0),
+cos_scored as (
+  select e.vec_id as doc_id,
+         round(list_cosine_similarity(cast(e.embedding as double[]),
+                                      cast(q.qv as double[])), 4) as cosine
+  from embeddings e cross join q
+  where e.vec_id <> 0
+),
+cos_ranked as (
+  select doc_id,
+         row_number() over (order by cosine desc, doc_id) as rank_b
+  from cos_scored
+  qualify rank_b <= 30
+),
+fused as (
+  select coalesce(a.doc_id, b.doc_id) as doc_id,
+         coalesce(1.0 / (60 + a.rank_a), 0.0)
+           + coalesce(1.0 / (60 + b.rank_b), 0.0) as rrf_score
+  from bm_ranked a full outer join cos_ranked b on a.doc_id = b.doc_id
+)
+select doc_id, rrf_score from fused
+order by rrf_score desc, doc_id limit 10
+"""
+
+
 QUERIES = {
     "op_avro_scan": q_avro_scan,
     "op_delta_scan": q_delta_scan,
@@ -2643,6 +2715,7 @@ QUERIES = {
     "ext_line_dedup": q_line_dedup,
     "ext_gap_fill": q_gap_fill,
     "ext_triplet_mine": q_triplet_mine,
+    "ext_hybrid_search": q_hybrid_search,
 }
 
 ORACLES = {
@@ -2708,6 +2781,7 @@ ORACLES = {
     "ext_line_dedup": ORACLE_LINE_DEDUP,
     "ext_gap_fill": ORACLE_GAP_FILL,
     "ext_triplet_mine": ORACLE_TRIPLET_MINE,
+    "ext_hybrid_search": ORACLE_HYBRID_SEARCH,
 }
 
 

@@ -142,3 +142,50 @@ def tfidf_keywords(df: DataFrame, top_n: int = 3, id_col: str = "doc_id",
         .where(F.col("kw_rank") <= top_n)
         .select(id_col, "term", "tfidf", "kw_rank")
     )
+
+
+def rrf_fuse(ranked_a: DataFrame, ranked_b: DataFrame, id_col: str,
+             k: int = 10, rrf_k: int = 60) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al. 2009) of two ranked
+    lists: score = Σ 1/(rrf_k + rank), a list contributing 0 where the
+    id is absent. Rank-based, so the fusion is exact and
+    engine-portable regardless of how the underlying scores were
+    computed. Inputs are (id, rank) DataFrames; both are
+    top-k-bounded, so the fusion is a tiny full-outer join."""
+    a = ranked_a.select(id_col, F.col("rank").alias("rank_a"))
+    b = ranked_b.select(id_col, F.col("rank").alias("rank_b"))
+    fused = (
+        a.join(b, id_col, "full_outer")
+        .select(
+            id_col,
+            (F.coalesce(1.0 / (rrf_k + F.col("rank_a")), F.lit(0.0))
+             + F.coalesce(1.0 / (rrf_k + F.col("rank_b")), F.lit(0.0))
+             ).alias("rrf_score"),
+        )
+    )
+    return fused.orderBy(F.col("rrf_score").desc(), F.col(id_col)).limit(k)
+
+
+def hybrid_topk(docs: DataFrame, vecs: DataFrame, query_terms: list[str],
+                query_vec_id: int, k: int = 10, pool: int = 50,
+                rrf_k: int = 60, id_col: str = "doc_id",
+                text_col: str = "text", vec_id_col: str = "vec_id",
+                vec_col: str = "embedding") -> DataFrame:
+    """Hybrid sparse+dense retrieval: BM25 over the text and cosine
+    over the embeddings each produce a ``pool``-sized candidate list;
+    reciprocal-rank fusion merges them — the standard two-tower
+    retrieval stack (lexical recall + semantic recall), with both
+    towers' scale shapes unchanged (query-term postings / broadcast
+    query vector). Returns (id, rrf_score) of the fused top-k."""
+    from drill_spark.ops.similarity import brute_force_topk
+
+    bm = bm25_topk(docs, query_terms, k=pool, id_col=id_col,
+                   text_col=text_col)
+    w = Window.orderBy(F.col("score").desc(), F.col(id_col))
+    bm_ranked = bm.select(id_col, F.row_number().over(w).alias("rank"))
+
+    cos = brute_force_topk(
+        vecs, vecs.where(F.col(vec_id_col) == query_vec_id),
+        id_col=vec_id_col, vec_col=vec_col, k=pool,
+    ).select(F.col("neighbor_id").alias(id_col), "rank")
+    return rrf_fuse(bm_ranked, cos, id_col, k=k, rrf_k=rrf_k)

@@ -340,6 +340,106 @@ def _infer_format(path: str, default: str, _depth: int = 3) -> str:
     return default
 
 
+def _resolve_input(session, ref: str) -> DataFrame:
+    """Resolve a pipeline table-function input: a registered table/view
+    name, a Drill-style `ws.relpath`, or a bare filesystem path."""
+    if os.path.exists(ref):
+        from drill_spark.readers.files import read_auto
+
+        return read_auto(session.spark, ref, _infer_format(ref, "parquet"),
+                         {}, session)
+    if "." in ref:
+        ws, _, rest = ref.partition(".")
+        if ws in session.workspaces:
+            return _read_path(session, ws, rest.strip("`"))
+    return session.spark.table(ref)
+
+
+def _pipeline_table(session, op: str, opts: dict[str, str]) -> DataFrame:
+    """SQL face for the training-data-pipeline operators:
+    ``TABLE(pipeline.`<op>`(input => 'documents', ...))`` runs the
+    corresponding ops/ builder and substitutes its result, the same
+    rewrite-time mechanism format table functions use. Every option
+    arrives as a string (Drill table-fn convention); numerics are cast
+    here. Inputs name a registered view, a `ws.path`, or a plain path.
+    """
+    from pyspark.sql import functions as F
+
+    o = dict(opts)
+    name = op.strip("`").lower()
+
+    def inp(key="input"):
+        ref = o.get(key)
+        if not ref:
+            raise ValueError(f"pipeline.{name}: missing option `{key}`")
+        return _resolve_input(session, ref)
+
+    if name == "bm25":
+        from drill_spark.ops.search import bm25_topk
+
+        return bm25_topk(inp(), o["query"].split(), k=int(o.get("k", "10")),
+                         id_col=o.get("id", "doc_id"),
+                         text_col=o.get("text", "text"))
+    if name == "tfidf_keywords":
+        from drill_spark.ops.search import tfidf_keywords
+
+        return tfidf_keywords(inp(), top_n=int(o.get("top_n", "3")),
+                              id_col=o.get("id", "doc_id"),
+                              text_col=o.get("text", "text"))
+    if name == "hybrid_search":
+        from drill_spark.ops.search import hybrid_topk
+
+        return hybrid_topk(inp("docs"), inp("vecs"), o["query"].split(),
+                           query_vec_id=int(o["vec_id"]),
+                           k=int(o.get("k", "10")),
+                           pool=int(o.get("pool", "50")))
+    if name == "fuzzy_join":
+        from drill_spark.ops.fuzzy import fuzzy_join
+
+        max_df = o.get("max_df")
+        return fuzzy_join(inp("left"), inp("right"),
+                          o["left_id"], o["left_col"],
+                          o["right_id"], o["right_col"],
+                          max_dist=int(o.get("max_dist", "2")),
+                          max_df=int(max_df) if max_df else None)
+    if name == "dedup_exact":
+        from drill_spark.ops.dedup import exact_dedup
+
+        return exact_dedup(inp(), o.get("id", "doc_id"),
+                           o.get("text", "text"))
+    if name == "line_dedup":
+        from drill_spark.ops.text import line_dedup
+
+        return line_dedup(inp(), id_col=o.get("id", "doc_id"),
+                          text_col=o.get("text", "text"),
+                          max_copies=int(o.get("max_copies", "1")),
+                          min_chars=int(o.get("min_chars", "8")))
+    if name == "group_split":
+        from drill_spark.ops.pipeline import group_split
+
+        return group_split(inp(), F.expr(o["group"]),
+                           o.get("id", "doc_id"))
+    if name == "gap_fill":
+        from drill_spark.ops.temporal import gap_fill_locf
+
+        return gap_fill_locf(inp(), o.get("ts", "ts"),
+                             o.get("key", "user_id"),
+                             o.get("val", "value"),
+                             unit=o.get("unit", "hour"))
+    if name == "triplet_mine":
+        from drill_spark.ops.similarity import triplet_mine
+
+        ids = [int(x) for x in o.get("ids", "0").split(",")]
+        return triplet_mine(inp(), query_ids=ids,
+                            id_col=o.get("id", "vec_id"),
+                            vec_col=o.get("vec", "embedding"),
+                            label_col=o.get("label", "label"))
+    raise ValueError(
+        f"unknown pipeline table function `{name}` — available: bm25, "
+        "tfidf_keywords, hybrid_search, fuzzy_join, dedup_exact, "
+        "line_dedup, group_split, gap_fill, triplet_mine")
+
+
 def _read_path(session, ws_name: str, rel_path: str, options: dict[str, str] | None = None) -> DataFrame:
     from drill_spark.readers.files import read_auto
 
@@ -474,7 +574,11 @@ def rewrite(session, query: str) -> str:
 
     def tf_sub(m: re.Match) -> str:
         ws, path, raw_opts = m.group(1), m.group(2), m.group(3)
-        df = _read_path(session, ws.rstrip("."), path, _parse_tf_options(raw_opts))
+        opts = _parse_tf_options(raw_opts)
+        if ws.rstrip(".") == "pipeline":
+            df = _pipeline_table(session, path, opts)
+        else:
+            df = _read_path(session, ws.rstrip("."), path, opts)
         view = session._fresh_view("tf")
         df.createOrReplaceTempView(view)
         return view

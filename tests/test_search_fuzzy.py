@@ -373,3 +373,61 @@ def test_triplet_mine_matches_bruteforce(spark):
         want_pos = -max(same)[1]
         want_neg = -max(diff)[1]
         assert got[a] == (want_pos, want_neg), a
+
+
+def test_line_dedup_identity_when_nothing_hot(spark):
+    """With max_copies high enough nothing is removed: reassembly must
+    reproduce every document byte-for-byte (order + separators) — the
+    invariant that makes the cutting side trustworthy."""
+    import random
+
+    rng = random.Random(11)
+    words = ["alpha", "beta", "gamma", "delta", "x", ""]
+    rows = []
+    for i in range(40):
+        n = rng.randint(1, 6)
+        text = "\n".join(" ".join(rng.choices(words, k=rng.randint(0, 4)))
+                         for _ in range(n))
+        rows.append((i, text))
+    from drill_spark.ops.text import line_dedup
+
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {r.doc_id: r.clean_text
+           for r in line_dedup(df, max_copies=10**6).collect()}
+    assert got == dict(rows)
+
+
+# ----------------------------------------------------------------- hybrid
+
+
+def test_rrf_fuse_math_and_missing_ids(spark):
+    from drill_spark.ops.search import rrf_fuse
+
+    a = spark.createDataFrame([(1, 1), (2, 2), (3, 3)], "doc_id bigint, rank int")
+    b = spark.createDataFrame([(3, 1), (4, 2)], "doc_id bigint, rank int")
+    got = {r.doc_id: r.rrf_score
+           for r in rrf_fuse(a, b, "doc_id", k=10, rrf_k=60).collect()}
+    assert got[1] == pytest.approx(1 / 61)
+    assert got[3] == pytest.approx(1 / 63 + 1 / 61)   # in both lists
+    assert got[4] == pytest.approx(1 / 62)            # only in b
+    assert set(got) == {1, 2, 3, 4}
+    # the doubly-ranked id wins
+    assert max(got, key=got.get) == 3
+
+
+def test_hybrid_topk_contains_both_towers(spark, corpus):
+    import numpy as np
+
+    from drill_spark.ops.search import hybrid_topk
+
+    rng = np.random.RandomState(3)
+    vecs = [(i, [float(x) for x in rng.randn(4)], 0) for i in range(5)]
+    vdf = spark.createDataFrame(
+        vecs, "vec_id bigint, embedding array<float>, label int")
+    out = hybrid_topk(corpus, vdf, ["spark"], query_vec_id=0,
+                      k=5, pool=5).collect()
+    ids = [r.doc_id for r in out]
+    # doc 2 ("spark" x5) must rank from the lexical tower
+    assert 2 in ids
+    scores = [r.rrf_score for r in out]
+    assert scores == sorted(scores, reverse=True)

@@ -757,3 +757,34 @@ def test_parquet_compression_option(dsession, tmp_path):
     finally:
         dsession.sql("ALTER SESSION SET `store.parquet.compression` = 'snappy'")
         dsession.sql("DROP TABLE IF EXISTS dfs.gzw.`gz_t`")
+
+
+def test_pipeline_table_functions(dsession):
+    """SQL face for the pipeline operators: TABLE(pipeline.`op`(...))
+    runs the ops/ builder at rewrite time (same mechanism as format
+    table functions) and composes with plain SQL around it."""
+    dsession.register_fixture_tables("/root/testdata/sf0.001")
+    top = dsession.sql(
+        "select * from table(pipeline.`bm25`("
+        "input => 'documents', query => 'spark vector', k => '5'))"
+    ).collect()
+    assert len(top) == 5
+    assert top[0].score >= top[-1].score
+
+    splits = dsession.sql(
+        "select split, count(*) n from table(pipeline.`group_split`("
+        "input => 'documents', group => 'md5(text)')) group by 1"
+    ).collect()
+    assert {r.split for r in splits} <= {"train", "val", "test"}
+    assert sum(r.n for r in splits) == 500
+
+    fused = dsession.sql(
+        "select * from table(pipeline.`hybrid_search`(docs => 'documents',"
+        " vecs => 'embeddings', query => 'spark vector', vec_id => '0',"
+        " k => '5', pool => '20'))"
+    ).collect()
+    assert len(fused) == 5
+
+    import pytest as _pytest
+    with _pytest.raises(Exception, match="unknown pipeline"):
+        dsession.sql("select * from table(pipeline.`nope`(input => 'documents'))")
