@@ -588,6 +588,32 @@ _SQLTYPEOF = (
 )
 
 
+def _canon_url_sql(x: str) -> str:
+    """The SQL-expression twin of ops/text.canonicalize_url — same
+    rules, generated for the rewrite-time `canonicalize_url(expr)`
+    scalar (a Column-builder cannot be a SQL UDF without dropping to
+    Python eval; this stays codegen). Equality with the Column face is
+    pinned by test_canonicalize_url_sql_matches_column."""
+    scheme = f"lower(regexp_extract({x}, '^([^:/?#]+)://', 1))"
+    hostp = f"lower(regexp_extract({x}, '^[^:/?#]+://([^/?#]*)', 1))"
+    host0 = f"regexp_replace({hostp}, '^www\\\\.', '')"
+    host = (f"CASE WHEN {scheme} = 'http' THEN"
+            f" regexp_replace({host0}, ':80$', '')"
+            f" WHEN {scheme} = 'https' THEN"
+            f" regexp_replace({host0}, ':443$', '')"
+            f" ELSE {host0} END")
+    path = (f"regexp_replace(regexp_extract({x},"
+            f" '^[^:/?#]+://[^/?#]*([^?#]*)', 1), '/+$', '')")
+    qs = f"regexp_extract({x}, '\\\\?([^#]*)', 1)"
+    params = (f"filter(split({qs}, '&'), p -> p != ''"
+              " AND substring(p, 1, 4) != 'utm_'"
+              " AND substring(p, 1, 7) != 'fbclid='"
+              " AND substring(p, 1, 6) != 'gclid=')")
+    srt = f"array_join(array_sort({params}), '&')"
+    return (f"concat({scheme}, '://', {host}, {path},"
+            f" CASE WHEN {srt} != '' THEN concat('?', {srt}) ELSE '' END)")
+
+
 def _scan_call(query: str, start: int):
     """Scan a balanced call argument list starting just after '(';
     returns (args, end_index). Quote-aware."""
@@ -629,7 +655,7 @@ def rewrite_convert_calls(query: str) -> str:
         r"|aes_encrypt|aes_decrypt|nearest_date|nearestdate"
         r"|hll_decode|hll_merge|hll|regrslope|regrintercept"
         r"|hash32asdouble|hash64asdouble|hash32|hash64"
-        r"|parse_user_agent)\s*\(",
+        r"|parse_user_agent|canonicalize_url)\s*\(",
         _re.IGNORECASE,
     )
     # aggregate-name aliases: SQL UDFs cannot wrap aggregates, so these
@@ -677,6 +703,9 @@ def rewrite_convert_calls(query: str) -> str:
                 out.append("(" + table[codec].format(x=inner) + ")")
             else:
                 out.append(query[m.start():j])  # unknown codec: untouched
+        elif fname == "canonicalize_url" and len(args) == 1:
+            inner = rewrite_convert_calls(args[0])
+            out.append("(" + _canon_url_sql(inner) + ")")
         elif fname == "parse_user_agent" and len(args) == 2:
             # the reference's per-field overload (UserAgentFieldFunction:
             # yauaa field name -> string; unknown/empty -> 'Unknown').

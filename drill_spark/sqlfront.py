@@ -564,7 +564,8 @@ def rewrite(session, query: str) -> str:
         r"convert_(?:from|to)\w*\s*\(|sqltypeof\s*\(|drilltypeof\s*\(|modeof\s*\("
         r"|aes_(?:en|de)crypt\s*\(|nearest_?date\s*\("
         r"|hll(?:_decode|_merge)?\s*\(|regr(?:slope|intercept)\s*\("
-        r"|hash(?:32|64)(?:asdouble)?\s*\(|parse_user_agent\s*\(",
+        r"|hash(?:32|64)(?:asdouble)?\s*\(|parse_user_agent\s*\("
+        r"|canonicalize_url\s*\(",
         query,
         re.IGNORECASE,
     ):

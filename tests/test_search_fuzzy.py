@@ -431,3 +431,29 @@ def test_hybrid_topk_contains_both_towers(spark, corpus):
     assert 2 in ids
     scores = [r.rrf_score for r in out]
     assert scores == sorted(scores, reverse=True)
+
+
+def test_canonicalize_url_sql_matches_column(spark):
+    """The rewrite-time SQL scalar (functions._canon_url_sql) must be
+    byte-equal to the Column builder on every edge case — the drift
+    guard between the two faces."""
+    from drill_spark.functions import rewrite_convert_calls
+
+    urls = [
+        "HTTPS://WWW.Example.COM:443/A/B/?utm_source=x&b=2&a=1#frag",
+        "http://Example.com:80/",
+        "http://example.com:8080/x",
+        "https://example.com/path?gclid=1&fbclid=2&utm_medium=m",
+        "https://www.example.com/p?z=1&a=2",
+        "https://example.com/keep:443/x",
+        "ftp://Host.org/file",
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    df.createOrReplaceTempView("urls_t")
+    via_col = [r.c for r in
+               df.select(canonicalize_url(F.col("url")).alias("c")).collect()]
+    sql = rewrite_convert_calls(
+        "select canonicalize_url(url) as c from urls_t")
+    assert "canonicalize_url" not in sql  # fully expanded
+    via_sql = [r.c for r in spark.sql(sql).collect()]
+    assert via_sql == via_col
