@@ -2638,6 +2638,36 @@ order by rrf_score desc, doc_id limit 10
 """
 
 
+def q_corpus_report(spark, sf_dir):
+    """Per-source dataset-card profile (ops/text.py::corpus_report):
+    docs, tokens, avg length, language spread, exact-dup rate — one
+    scan + one stratum-keyed aggregation. Oracle recomputes every
+    measure closed-form."""
+    from drill_spark.ops.text import corpus_report
+
+    return corpus_report(_docs(spark, sf_dir))
+
+
+ORACLE_CORPUS_REPORT = r"""
+with d as (
+  select source, lang, text,
+         length(text) as n_chars_real,
+         len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                         t -> t <> '')) as n_toks,
+         md5(regexp_replace(lower(text), '\s+', ' ', 'g')) as h
+  from documents
+)
+select source,
+       count(*) as n_docs,
+       cast(sum(n_toks) as bigint) as n_tokens,
+       round(avg(n_chars_real), 2) as avg_chars,
+       count(distinct lang) as n_langs,
+       round(1.0 - cast(count(distinct h) as double) / count(*), 4)
+         as dup_rate
+from d group by source
+"""
+
+
 QUERIES = {
     "op_avro_scan": q_avro_scan,
     "op_delta_scan": q_delta_scan,
@@ -2716,6 +2746,7 @@ QUERIES = {
     "ext_gap_fill": q_gap_fill,
     "ext_triplet_mine": q_triplet_mine,
     "ext_hybrid_search": q_hybrid_search,
+    "ext_corpus_report": q_corpus_report,
 }
 
 ORACLES = {
@@ -2782,6 +2813,7 @@ ORACLES = {
     "ext_gap_fill": ORACLE_GAP_FILL,
     "ext_triplet_mine": ORACLE_TRIPLET_MINE,
     "ext_hybrid_search": ORACLE_HYBRID_SEARCH,
+    "ext_corpus_report": ORACLE_CORPUS_REPORT,
 }
 
 

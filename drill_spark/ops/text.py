@@ -222,3 +222,34 @@ def line_dedup(df: DataFrame, id_col: str = "doc_id",
         df.select(id_col).join(assembled, id_col, "left")
         .select(id_col, F.coalesce("clean_text", F.lit("")).alias("clean_text"))
     )
+
+
+def corpus_report(df: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text", strata_col: str = "source",
+                  lang_col: str = "lang") -> DataFrame:
+    """Per-source corpus profile — the dataset-card numbers every
+    curation run reports: document/token counts, average length,
+    language spread, and the exact-duplicate rate (1 - distinct
+    normalized texts / docs). ONE scan + one aggregation keyed by the
+    stratum (every measure is an algebraic or sketchless distinct agg;
+    the md5-distinct is per-stratum, map-side combined), so profiling
+    100 TB costs the same shape as a groupBy count."""
+    from drill_spark.ops.dedup import normalize_text, tokens
+
+    return (
+        df.groupBy(strata_col)
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.size(F.filter(tokens(F.col(text_col)),
+                                  lambda t: t != ""))).alias("n_tokens"),
+            F.round(F.avg(F.length(text_col)), 2).alias("avg_chars"),
+            F.countDistinct(lang_col).alias("n_langs"),
+            F.countDistinct(F.md5(normalize_text(F.col(text_col))))
+            .alias("n_distinct"),
+        )
+        .select(
+            strata_col, "n_docs", "n_tokens", "avg_chars", "n_langs",
+            F.round(F.lit(1.0) - F.col("n_distinct").cast("double")
+                    / F.col("n_docs"), 4).alias("dup_rate"),
+        )
+    )

@@ -426,6 +426,13 @@ def _pipeline_table(session, op: str, opts: dict[str, str]) -> DataFrame:
                              o.get("key", "user_id"),
                              o.get("val", "value"),
                              unit=o.get("unit", "hour"))
+    if name == "corpus_report":
+        from drill_spark.ops.text import corpus_report
+
+        return corpus_report(inp(), id_col=o.get("id", "doc_id"),
+                             text_col=o.get("text", "text"),
+                             strata_col=o.get("strata", "source"),
+                             lang_col=o.get("lang", "lang"))
     if name == "triplet_mine":
         from drill_spark.ops.similarity import triplet_mine
 
@@ -437,7 +444,7 @@ def _pipeline_table(session, op: str, opts: dict[str, str]) -> DataFrame:
     raise ValueError(
         f"unknown pipeline table function `{name}` — available: bm25, "
         "tfidf_keywords, hybrid_search, fuzzy_join, dedup_exact, "
-        "line_dedup, group_split, gap_fill, triplet_mine")
+        "line_dedup, group_split, gap_fill, triplet_mine, corpus_report")
 
 
 def _read_path(session, ws_name: str, rel_path: str, options: dict[str, str] | None = None) -> DataFrame:

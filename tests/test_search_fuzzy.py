@@ -457,3 +457,22 @@ def test_canonicalize_url_sql_matches_column(spark):
     assert "canonicalize_url" not in sql  # fully expanded
     via_sql = [r.c for r in spark.sql(sql).collect()]
     assert via_sql == via_col
+
+
+def test_corpus_report_closed_form(spark):
+    from drill_spark.ops.text import corpus_report
+
+    rows = [
+        (1, "a b c", "en", "s1"),
+        (2, "a b c", "en", "s1"),     # exact dup of 1
+        (3, "d e", "fr", "s1"),
+        (4, "x", "en", "s2"),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string")
+    got = {r.source: r for r in corpus_report(df).collect()}
+    s1 = got["s1"]
+    assert (s1.n_docs, s1.n_tokens, s1.n_langs) == (3, 8, 2)
+    assert s1.dup_rate == pytest.approx(round(1 - 2 / 3, 4))
+    s2 = got["s2"]
+    assert (s2.n_docs, s2.n_tokens, s2.dup_rate) == (1, 1, 0.0)
