@@ -2668,6 +2668,115 @@ from d group by source
 """
 
 
+def q_c4_filters(spark, sf_dir):
+    """The C4 cleaning recipe (Raffel et al. 2020 — ops/text.py::
+    c4_clean) over planted multi-line pages: a kept lead sentence, a
+    short unpunctuated stub (dropped), a javascript line (dropped),
+    two extra sentences on even docs (so only they clear the
+    3-sentence page rule), plus lorem-ipsum (doc_id%7), curly-brace
+    (doc_id%11) and blocklist (doc_id%13) page poisons. The oracle
+    rebuilds every signal and the cleaned text closed-form."""
+    from drill_spark.ops.text import c4_clean
+
+    docs = _docs(spark, sf_dir)
+    even = F.col("doc_id") % 2 == 0
+    text = F.concat_ws(
+        "\n",
+        F.concat(F.lit("This is a good sentence about "),
+                 F.col("source"), F.lit(" today.")),
+        F.lit("short stub"),
+        F.lit("Please enable javascript to continue viewing now."),
+        F.when(even, "Another valid sentence appears right here."),
+        F.when(even, "And a third one lands here!"),
+        F.when(F.col("doc_id") % 7 == 0,
+               "Lorem ipsum filler content sits here."),
+        F.when(F.col("doc_id") % 11 == 0,
+               "code { block sample without end"),
+        F.when(F.col("doc_id") % 13 == 0,
+               "This parcel holds contraband goods inside."),
+    )
+    return c4_clean(docs.select("doc_id", text.alias("text")),
+                    badwords=("contraband",))
+
+
+ORACLE_C4_FILTERS = """
+with f as (
+  select doc_id,
+         doc_id % 2 = 0 as even,
+         doc_id % 7 = 0 as lorem,
+         doc_id % 11 = 0 as brace,
+         doc_id % 13 = 0 as bad,
+         'This is a good sentence about ' || source || ' today.' as lead
+  from documents
+)
+select doc_id,
+       cast(3 + 2 * cast(even as int) + cast(lorem as int)
+              + cast(brace as int) + cast(bad as int) as bigint) as n_lines,
+       cast(1 + 2 * cast(even as int) + cast(lorem as int)
+              + cast(bad as int) as bigint) as n_kept_lines,
+       cast(1 + 2 * cast(even as int) + cast(lorem as int)
+              + cast(bad as int) as bigint) as n_sentences,
+       lorem as has_lorem,
+       brace as has_brace,
+       bad as has_badword,
+       concat_ws(chr(10), lead,
+                 case when even then 'Another valid sentence appears right here.' end,
+                 case when even then 'And a third one lands here!' end,
+                 case when lorem then 'Lorem ipsum filler content sits here.' end,
+                 case when bad then 'This parcel holds contraband goods inside.' end)
+         as cleaned,
+       (1 + 2 * cast(even as int) + cast(lorem as int) + cast(bad as int)) >= 3
+         and not lorem and not brace and not bad as keep
+from f
+"""
+
+
+def q_gopher_quality(spark, sf_dir):
+    """The Gopher quality rule set (Rae et al. 2021 A1.1 — ops/text.py
+    ::gopher_quality) over the raw fixture text; the oracle replays
+    every signal generically in DuckDB list HOFs."""
+    from drill_spark.ops.text import gopher_quality
+
+    return gopher_quality(_docs(spark, sf_dir))
+
+
+ORACLE_GOPHER_QUALITY = r"""
+with w as (
+  select doc_id, text,
+         string_split_regex(trim(lower(text)), '\s+') as w,
+         list_transform(string_split(text, chr(10)), x -> trim(x)) as lines
+  from documents
+),
+s as (
+  select doc_id,
+    cast(len(w) as bigint) as n_words,
+    round(list_sum(list_transform(w, x -> len(x))) * 1.0
+          / greatest(len(w), 1), 4) as mean_word_len,
+    round((len(regexp_extract_all(text, '#'))
+           + len(regexp_extract_all(text, '\.\.\.'))) * 1.0
+          / greatest(len(w), 1), 4) as symbol_ratio,
+    round(len(list_filter(lines, l -> regexp_matches(l, '^[-*•]'))) * 1.0
+          / greatest(len(lines), 1), 4) as bullet_frac,
+    round(len(list_filter(lines, l -> regexp_matches(l, '\.\.\.$'))) * 1.0
+          / greatest(len(lines), 1), 4) as ellipsis_frac,
+    round(len(list_filter(w, x -> regexp_matches(x, '[a-z]'))) * 1.0
+          / greatest(len(w), 1), 4) as alpha_frac,
+    cast(len(list_filter(['the','be','to','of','and','that','have','with'],
+                         s -> list_contains(w, s))) as bigint) as stop_hits
+  from w
+)
+select *,
+       n_words between 50 and 100000
+       and mean_word_len between 3 and 10
+       and symbol_ratio < 0.1
+       and bullet_frac < 0.9
+       and ellipsis_frac < 0.3
+       and alpha_frac > 0.8
+       and stop_hits >= 2 as keep
+from s
+"""
+
+
 QUERIES = {
     "op_avro_scan": q_avro_scan,
     "op_delta_scan": q_delta_scan,
@@ -2747,6 +2856,8 @@ QUERIES = {
     "ext_triplet_mine": q_triplet_mine,
     "ext_hybrid_search": q_hybrid_search,
     "ext_corpus_report": q_corpus_report,
+    "ext_c4_filters": q_c4_filters,
+    "ext_gopher_quality": q_gopher_quality,
 }
 
 ORACLES = {
@@ -2814,6 +2925,8 @@ ORACLES = {
     "ext_triplet_mine": ORACLE_TRIPLET_MINE,
     "ext_hybrid_search": ORACLE_HYBRID_SEARCH,
     "ext_corpus_report": ORACLE_CORPUS_REPORT,
+    "ext_c4_filters": ORACLE_C4_FILTERS,
+    "ext_gopher_quality": ORACLE_GOPHER_QUALITY,
 }
 
 

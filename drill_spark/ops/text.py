@@ -253,3 +253,136 @@ def corpus_report(df: DataFrame, id_col: str = "doc_id",
                     / F.col("n_docs"), 4).alias("dup_rate"),
         )
     )
+
+
+# Terminal punctuation accepted by the C4 line rule (Raffel et al. 2020
+# §2.2: period, exclamation mark, question mark, end quotation mark).
+_C4_TERMINAL_RE = r'[.!?"]$'
+
+
+def c4_clean(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words_per_line: int = 5,
+    min_sentences: int = 3,
+    badwords: tuple[str, ...] = (),
+) -> DataFrame:
+    """The C4 heuristic cleaning recipe (Raffel et al. 2020 §2.2) as one
+    codegen pass — the published rule set behind the C4 corpus:
+
+    * keep only lines that end in terminal punctuation, have at least
+      ``min_words_per_line`` whitespace words, and do not mention
+      ``javascript`` (case-insensitive);
+    * drop whole pages with fewer than ``min_sentences`` sentences (we
+      count terminal punctuation marks in the retained lines), pages
+      containing ``lorem ipsum``, a curly brace ``{``, or any word from
+      ``badwords`` (the paper's blocklist; parameterized here).
+
+    Emits the per-page signals and the cleaned text so downstream
+    stages can filter on ``keep`` or re-score. Scale shape: lines and
+    words are per-row array HOFs bounded by document length — ZERO
+    shuffles; at 100 TB this is exactly one scan of the text column.
+    """
+    t = F.col(text_col)
+    lines = F.transform(F.split(t, "\n"), F.trim)
+    kept = F.filter(
+        lines,
+        lambda l: l.rlike(_C4_TERMINAL_RE)
+        & (F.size(F.split(l, r"\s+")) >= min_words_per_line)
+        & ~F.lower(l).contains("javascript"),
+    )
+    cleaned = F.array_join(kept, "\n")
+    low_words = F.split(F.trim(F.lower(t)), r"\s+")
+    has_bad = (
+        F.arrays_overlap(low_words, F.array(*[F.lit(b) for b in badwords]))
+        if badwords
+        else F.lit(False)
+    )
+    out = df.select(
+        F.col(id_col),
+        F.size(lines).cast("long").alias("n_lines"),
+        F.size(kept).cast("long").alias("n_kept_lines"),
+        F.regexp_count(cleaned, F.lit(r"[.!?]")).cast("long").alias("n_sentences"),
+        F.lower(t).contains("lorem ipsum").alias("has_lorem"),
+        t.contains("{").alias("has_brace"),
+        has_bad.alias("has_badword"),
+        cleaned.alias("cleaned"),
+    )
+    return out.withColumn(
+        "keep",
+        (F.col("n_sentences") >= min_sentences)
+        & ~F.col("has_lorem") & ~F.col("has_brace") & ~F.col("has_badword"),
+    )
+
+
+# The Gopher "required stop words" (Rae et al. 2021 appendix A1.1).
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_quality(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """The Gopher document-quality rule set (Rae et al. 2021 appendix
+    A1.1) as per-row Catalyst HOFs — the other canonical published
+    pretraining filter next to C4:
+
+    * 50 ≤ word count ≤ 100,000;  3 ≤ mean word length ≤ 10;
+    * symbol-to-word ratio (``#`` or ``...``) < 0.1;
+    * < 90% of lines start with a bullet; < 30% end with an ellipsis;
+    * ≥ 80% of words contain at least one alphabetic character;
+    * at least 2 distinct required stop words present.
+
+    Emits each signal (rounded to 4dp so the keep verdict is computed
+    from engine-portable values) plus the composite ``keep``. All
+    per-row work is bounded by document length: one scan, no shuffle.
+    """
+    t = F.col(text_col)
+    w = F.split(F.trim(F.lower(t)), r"\s+")
+    n_words = F.size(w).cast("long")
+    mean_wl = F.round(
+        F.aggregate(w, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x))
+        / F.greatest(n_words, F.lit(1)),
+        4,
+    )
+    symbol_ratio = F.round(
+        (F.regexp_count(t, F.lit("#")) + F.regexp_count(t, F.lit(r"\.\.\.")))
+        / F.greatest(n_words, F.lit(1)),
+        4,
+    )
+    lines = F.transform(F.split(t, "\n"), F.trim)
+    n_lines = F.greatest(F.size(lines), F.lit(1))
+    bullet_frac = F.round(
+        F.size(F.filter(lines, lambda l: l.rlike(r"^[-*•]"))) / n_lines, 4
+    )
+    ellipsis_frac = F.round(
+        F.size(F.filter(lines, lambda l: l.endswith("..."))) / n_lines, 4
+    )
+    alpha_frac = F.round(
+        F.size(F.filter(w, lambda x: x.rlike("[a-z]")))
+        / F.greatest(n_words, F.lit(1)),
+        4,
+    )
+    stop_hits = F.size(
+        F.array_intersect(w, F.array(*[F.lit(s) for s in GOPHER_STOPWORDS]))
+    ).cast("long")
+    out = df.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        mean_wl.alias("mean_word_len"),
+        symbol_ratio.alias("symbol_ratio"),
+        bullet_frac.alias("bullet_frac"),
+        ellipsis_frac.alias("ellipsis_frac"),
+        alpha_frac.alias("alpha_frac"),
+        stop_hits.alias("stop_hits"),
+    )
+    return out.withColumn(
+        "keep",
+        F.col("n_words").between(50, 100000)
+        & F.col("mean_word_len").between(3, 10)
+        & (F.col("symbol_ratio") < 0.1)
+        & (F.col("bullet_frac") < 0.9)
+        & (F.col("ellipsis_frac") < 0.3)
+        & (F.col("alpha_frac") > 0.8)
+        & (F.col("stop_hits") >= 2),
+    )

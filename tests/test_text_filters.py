@@ -1,0 +1,107 @@
+"""Published pretraining quality filters (ops/text.py): the C4
+cleaning recipe (Raffel et al. 2020 §2.2) and the Gopher rule set
+(Rae et al. 2021 A1.1) — semantics on constructed pages + the
+zero-shuffle scale contract. The corpus-scale oracle compare runs in
+test_extops.py via the ORACLES parametrization."""
+
+from __future__ import annotations
+
+from drill_spark.ops.text import c4_clean, gopher_quality
+from drill_spark.plans.checks import explain_report
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "id bigint, text string")
+
+
+def test_c4_line_rules(spark):
+    page = "\n".join(
+        [
+            "This page has five good words here.",  # kept
+            "Too short.",  # < 5 words -> dropped
+            "no terminal punctuation on this line at all",  # dropped
+            "Please enable JavaScript to continue viewing now.",  # dropped
+            'He said "stop right there and wait!"',  # ends with quote -> kept
+            "A third full sentence closes the page?",  # kept
+        ]
+    )
+    row = c4_clean(_df(spark, [(1, page)]), "id").collect()[0]
+    assert row["n_lines"] == 6
+    assert row["n_kept_lines"] == 3
+    assert row["cleaned"].splitlines() == [
+        "This page has five good words here.",
+        'He said "stop right there and wait!"',
+        "A third full sentence closes the page?",
+    ]
+    # sentences counted in the retained text: . ! ? (one each)
+    assert row["n_sentences"] == 3
+    assert row["keep"] is True
+
+
+def test_c4_page_poisons(spark):
+    good = "\n".join(
+        f"Sentence number {i} fills the page body." for i in range(4)
+    )
+    rows = {
+        r["id"]: r
+        for r in c4_clean(
+            _df(
+                spark,
+                [
+                    (1, good),
+                    (2, good + "\nSome Lorem Ipsum boilerplate text here."),
+                    (3, good + "\nfunction f() { return 1; }"),
+                    (4, good + "\nThis line carries contraband cargo now."),
+                    (5, "Only one sentence lives here today."),
+                ],
+            ),
+            "id",
+            badwords=("contraband",),
+        ).collect()
+    }
+    assert rows[1]["keep"] is True
+    assert rows[2]["has_lorem"] is True and rows[2]["keep"] is False
+    assert rows[3]["has_brace"] is True and rows[3]["keep"] is False
+    assert rows[4]["has_badword"] is True and rows[4]["keep"] is False
+    # fewer than 3 sentences after line filtering -> page dropped
+    assert rows[5]["n_sentences"] == 1 and rows[5]["keep"] is False
+
+
+def test_gopher_rules(spark):
+    passing = (
+        "the data and the model have to be of good size and that "
+        "holds with margin " + "word " * 40
+    ).strip()
+    rows = {
+        r["id"]: r
+        for r in gopher_quality(
+            _df(
+                spark,
+                [
+                    (1, passing),
+                    (2, "tiny doc with the and of that"),  # < 50 words
+                    (3, " ".join(["#tag"] * 60)),  # symbols + no stopwords
+                    (4, "\n".join(["- bullet item one two"] * 10)),
+                    (5, " ".join(["12345"] * 60)),  # non-alphabetic words
+                ],
+            ),
+            "id",
+        ).collect()
+    }
+    r1 = rows[1]
+    assert r1["keep"] is True
+    assert r1["n_words"] >= 50 and r1["stop_hits"] >= 2
+    assert 3 <= r1["mean_word_len"] <= 10
+    assert rows[2]["keep"] is False  # word count
+    assert rows[3]["symbol_ratio"] >= 0.1 and rows[3]["keep"] is False
+    assert rows[4]["bullet_frac"] == 1.0 and rows[4]["keep"] is False
+    assert rows[5]["alpha_frac"] == 0.0 and rows[5]["keep"] is False
+
+
+def test_filters_are_single_pass(spark):
+    """Both filters are per-row codegen: zero shuffles, zero Python."""
+    df = _df(spark, [(i, f"Body text number {i} ends well.") for i in range(20)])
+    for op in (lambda d: c4_clean(d, "id"), lambda d: gopher_quality(d, "id")):
+        rep = explain_report(op(df))
+        assert rep["shuffles"] == 0, rep
+        assert not rep["python_eval"], rep
