@@ -2777,6 +2777,111 @@ from s
 """
 
 
+def q_script_profile(spark, sf_dir):
+    """Unicode script histogram (ops/text.py::script_profile) over
+    mixed-script pages: each doc keeps a Latin prefix + two digits and
+    appends 0-5 copies of a Cyrillic/Han/Arabic/Greek snippet keyed by
+    doc_id, so dominance flips between scripts. The oracle recounts
+    every script class in RE2 and replays the argmax/tie rule."""
+    from drill_spark.ops.text import script_profile
+
+    docs = _docs(spark, sf_dir)
+    snippet = F.element_at(
+        F.array(F.lit("привет мир "), F.lit("你好世界 "),
+                F.lit("مرحبا بالعالم "), F.lit("γεια σου ")),
+        (F.col("doc_id") % 4 + 1).cast("int"),
+    )
+    text = F.concat(
+        F.substring(F.col("text"), 1, 24), F.lit(" 42 "),
+        F.repeat(snippet, (F.col("doc_id") % 6).cast("int")),
+    )
+    return script_profile(docs.select("doc_id", text.alias("text")))
+
+
+ORACLE_SCRIPT_PROFILE = r"""
+with t as (
+  select doc_id,
+         concat(substring(text, 1, 24), ' 42 ',
+                repeat(case cast(doc_id % 4 as int)
+                         when 0 then 'привет мир '
+                         when 1 then '你好世界 '
+                         when 2 then 'مرحبا بالعالم '
+                         else 'γεια σου ' end,
+                       cast(doc_id % 6 as int))) as text2
+  from documents
+),
+c as (
+  select doc_id,
+    cast(length(text2) as bigint) as n_chars,
+    cast(len(regexp_extract_all(text2, '\p{Latin}')) as bigint) as n_latin,
+    cast(len(regexp_extract_all(text2, '\p{Cyrillic}')) as bigint) as n_cyrillic,
+    cast(len(regexp_extract_all(text2, '\p{Han}')) as bigint) as n_han,
+    cast(len(regexp_extract_all(text2, '\p{Arabic}')) as bigint) as n_arabic,
+    cast(len(regexp_extract_all(text2, '\p{Greek}')) as bigint) as n_greek,
+    cast(len(regexp_extract_all(text2, '\p{Hangul}')) as bigint) as n_hangul,
+    cast(len(regexp_extract_all(text2, '[0-9]')) as bigint) as n_digit
+  from t
+)
+select *,
+  case when greatest(n_latin, n_cyrillic, n_han, n_arabic, n_greek, n_hangul) = 0
+         then 'none'
+       when n_latin = greatest(n_latin, n_cyrillic, n_han, n_arabic, n_greek, n_hangul) then 'latin'
+       when n_cyrillic = greatest(n_latin, n_cyrillic, n_han, n_arabic, n_greek, n_hangul) then 'cyrillic'
+       when n_han = greatest(n_latin, n_cyrillic, n_han, n_arabic, n_greek, n_hangul) then 'han'
+       when n_arabic = greatest(n_latin, n_cyrillic, n_han, n_arabic, n_greek, n_hangul) then 'arabic'
+       when n_greek = greatest(n_latin, n_cyrillic, n_han, n_arabic, n_greek, n_hangul) then 'greek'
+       else 'hangul' end as dominant
+from c
+"""
+
+
+def q_domain_stats(spark, sf_dir):
+    """Per-domain crawl rollup (ops/text.py::domain_stats): four
+    synthetic hosts (two under one registered domain) with tracking
+    params; the operator canonicalizes, reduces to registered domains
+    and aggregates docs/tokens/hosts, flagging the blocklisted ad
+    domain. The oracle replays the whole rollup in SQL."""
+    from drill_spark.ops.text import domain_stats
+
+    docs = _docs(spark, sf_dir)
+    host = F.element_at(
+        F.array(F.lit("www.alpha.example.com"), F.lit("beta.example.com"),
+                F.lit("cdn.images-host.net"), F.lit("TRACKER.adsite.io")),
+        (F.col("doc_id") % 4 + 1).cast("int"),
+    )
+    url = F.concat(F.lit("https://"), host, F.lit("/p/"),
+                   F.col("doc_id").cast("string"),
+                   F.lit("?utm_campaign=x&z=1"))
+    return domain_stats(docs.select("text", url.alias("url")),
+                        blocklist=("adsite.io",))
+
+
+ORACLE_DOMAIN_STATS = r"""
+with u as (
+  select doc_id, text,
+         lower(case cast(doc_id % 4 as int)
+                 when 0 then 'www.alpha.example.com'
+                 when 1 then 'beta.example.com'
+                 when 2 then 'cdn.images-host.net'
+                 else 'tracker.adsite.io' end) as rawhost
+  from documents
+),
+h as (
+  select regexp_replace(rawhost, '^www\.', '') as host,
+         len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                         t -> t <> '')) as toks
+  from u
+),
+d as (
+  select regexp_extract(host, '([^.]+\.[^.]+)$', 1) as domain, host, toks
+  from h
+)
+select domain, count(*) as n_docs, cast(sum(toks) as bigint) as n_tokens,
+       count(distinct host) as n_hosts, domain in ('adsite.io') as blocked
+from d group by domain
+"""
+
+
 QUERIES = {
     "op_avro_scan": q_avro_scan,
     "op_delta_scan": q_delta_scan,
@@ -2858,6 +2963,8 @@ QUERIES = {
     "ext_corpus_report": q_corpus_report,
     "ext_c4_filters": q_c4_filters,
     "ext_gopher_quality": q_gopher_quality,
+    "ext_script_profile": q_script_profile,
+    "ext_domain_stats": q_domain_stats,
 }
 
 ORACLES = {
@@ -2927,6 +3034,8 @@ ORACLES = {
     "ext_corpus_report": ORACLE_CORPUS_REPORT,
     "ext_c4_filters": ORACLE_C4_FILTERS,
     "ext_gopher_quality": ORACLE_GOPHER_QUALITY,
+    "ext_script_profile": ORACLE_SCRIPT_PROFILE,
+    "ext_domain_stats": ORACLE_DOMAIN_STATS,
 }
 
 

@@ -386,3 +386,82 @@ def gopher_quality(
         & (F.col("alpha_frac") > 0.8)
         & (F.col("stop_hits") >= 2),
     )
+
+
+# Unicode scripts profiled by script_profile. Java regex (Spark) takes
+# \p{IsLatin}; RE2 (the DuckDB oracle) spells the same class \p{Latin}.
+_SCRIPTS = ("latin", "cyrillic", "han", "arabic", "greek", "hangul")
+
+
+def script_profile(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document Unicode script histogram + dominant script — the
+    language-coverage profile a multilingual corpus card reports (and
+    the cheap pre-filter before any trained language ID): counts of
+    Latin / Cyrillic / Han / Arabic / Greek / Hangul code points plus
+    digits, and the argmax script ('none' when no scripted letters).
+
+    Pure codegen regexp_count per row — one scan, zero shuffles; a
+    corpus-level rollup is one algebraic groupBy away.
+    """
+    t = F.col(text_col)
+    counts = {
+        s: F.regexp_count(t, F.lit(rf"\p{{Is{s.capitalize()}}}")).cast("long")
+        for s in _SCRIPTS
+    }
+    cols = [counts[s].alias(f"n_{s}") for s in _SCRIPTS]
+    cols.append(F.regexp_count(t, F.lit("[0-9]")).cast("long").alias("n_digit"))
+    out = df.select(F.col(id_col), F.length(t).cast("long").alias("n_chars"), *cols)
+    best = F.greatest(*[F.col(f"n_{s}") for s in _SCRIPTS])
+    dom = F.lit("none")
+    for s in reversed(_SCRIPTS):  # earlier scripts win ties
+        dom = F.when((F.col(f"n_{s}") == best) & (best > 0), s).otherwise(dom)
+    return out.withColumn("dominant", dom)
+
+
+def url_domain(col):
+    """Registered domain from a canonical URL: the last two host labels
+    (naive eTLD — a real pipeline swaps in the Public Suffix List; the
+    operator shape is identical). Codegen string ops only."""
+    host = F.regexp_extract(col, r"^[a-z]+://([^/:?#]*)", 1)
+    labels = F.split(host, r"\.")
+    return F.when(
+        F.size(labels) >= 2,
+        F.concat_ws(".", F.element_at(labels, -2), F.element_at(labels, -1)),
+    ).otherwise(host)
+
+
+def domain_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    url_col: str = "url",
+    blocklist: tuple[str, ...] = (),
+) -> DataFrame:
+    """Per-domain crawl rollup — the curation view a web corpus is
+    steered by (domain mixing, spam-domain cuts): canonicalize each
+    URL, reduce to the registered domain, and aggregate docs, tokens
+    and distinct hosts per domain, flagging ``blocklist`` members.
+
+    Scale shape: one scan + ONE algebraic aggregation keyed by domain
+    (map-side combined, so a hot spam domain costs one combiner row per
+    task, not a skewed shuffle of raw pages); the blocklist gate is a
+    codegen literal-set test. Blocked-domain *filtering* of the corpus
+    itself is then a pushdown-friendly semi-join or the same literal
+    ``isin`` filter."""
+    canon = canonicalize_url(F.col(url_col))
+    host = F.regexp_extract(canon, r"^[a-z]+://([^/:?#]*)", 1)
+    d = df.select(
+        url_domain(canon).alias("domain"),
+        host.alias("__host"),
+        token_count(F.col(text_col)).alias("__toks"),
+    )
+    agg = d.groupBy("domain").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("__toks").alias("n_tokens"),
+        F.count_distinct("__host").alias("n_hosts"),
+    )
+    blocked = (
+        F.col("domain").isin(*blocklist) if blocklist else F.lit(False)
+    )
+    return agg.withColumn("blocked", blocked)

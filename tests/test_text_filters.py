@@ -105,3 +105,60 @@ def test_filters_are_single_pass(spark):
         rep = explain_report(op(df))
         assert rep["shuffles"] == 0, rep
         assert not rep["python_eval"], rep
+
+
+def test_script_profile_counts_and_dominant(spark):
+    from drill_spark.ops.text import script_profile
+
+    rows = {
+        r["id"]: r
+        for r in script_profile(
+            _df(
+                spark,
+                [
+                    (1, "hello world 42"),
+                    (2, "привет мир"),
+                    (3, "你好世界 hello"),  # 5 latin > 4 han
+                    (4, "42 -- !!"),  # digits only, no script
+                ],
+            ),
+            "id",
+        ).collect()
+    }
+    assert rows[1]["n_latin"] == 10 and rows[1]["n_digit"] == 2
+    assert rows[1]["dominant"] == "latin"
+    assert rows[2]["n_cyrillic"] == 9 and rows[2]["dominant"] == "cyrillic"
+    assert rows[3]["n_han"] == 4 and rows[3]["n_latin"] == 5
+    assert rows[3]["dominant"] == "latin"
+    assert rows[4]["dominant"] == "none"
+
+
+def test_script_profile_tie_prefers_earlier_script(spark):
+    from drill_spark.ops.text import script_profile
+
+    row = script_profile(_df(spark, [(1, "ab мп")]), "id").collect()[0]
+    assert row["n_latin"] == row["n_cyrillic"] == 2
+    assert row["dominant"] == "latin"
+
+
+def test_domain_stats_rollup_and_blocklist(spark):
+    from drill_spark.ops.text import domain_stats
+
+    df = spark.createDataFrame(
+        [
+            ("one two three", "HTTPS://WWW.A.Example.COM/x?utm_source=f"),
+            ("four five", "https://b.example.com/y/"),
+            ("six", "https://ads.tracker.io:443/z#frag"),
+        ],
+        "text string, url string",
+    )
+    got = {
+        r["domain"]: r
+        for r in domain_stats(df, blocklist=("tracker.io",)).collect()
+    }
+    ex = got["example.com"]
+    assert (ex["n_docs"], ex["n_tokens"], ex["n_hosts"]) == (2, 5, 2)
+    assert ex["blocked"] is False
+    tr = got["tracker.io"]
+    assert (tr["n_docs"], tr["n_tokens"], tr["n_hosts"]) == (1, 1, 1)
+    assert tr["blocked"] is True
