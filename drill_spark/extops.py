@@ -2882,6 +2882,56 @@ from d group by domain
 """
 
 
+def q_dsir_sample(spark, sf_dir):
+    """DSIR importance resampling (Xie et al. 2023 — ops/pipeline.py::
+    dsir_weights): every 10th doc plays the target distribution, the
+    rest are scored by hashed-ngram log-likelihood ratio and the top
+    100 selected (TakeOrdered, rounded-weight + id tiebreak). The
+    oracle replays the two bucket models, the smoothing and the
+    ranking in SQL."""
+    from drill_spark.ops.pipeline import dsir_weights
+
+    docs = _docs(spark, sf_dir)
+    target = docs.where(F.col("doc_id") % 10 == 0)
+    corpus = docs.where(F.col("doc_id") % 10 != 0)
+    w = dsir_weights(corpus, target, "doc_id", "text")
+    return w.orderBy(F.desc("dsir_weight"), "doc_id").limit(100)
+
+
+ORACLE_DSIR_SAMPLE = r"""
+with w0 as (
+  select doc_id, string_split_regex(trim(lower(text)), '\s+') as w
+  from documents
+),
+g as (
+  select doc_id, unnest(list_concat(
+    w,
+    case when len(w) >= 2
+         then list_transform(generate_series(1, len(w) - 1),
+                             i -> w[i] || ' ' || w[i+1])
+         else [] end)) as gram
+  from w0
+),
+gb as (select doc_id, substring(md5(gram), 1, 4) as b from g),
+rc as (select b, count(*) as cr from gb where doc_id % 10 <> 0 group by b),
+tc as (select b, count(*) as ct from gb where doc_id % 10 = 0 group by b),
+bk as (select coalesce(rc.b, tc.b) as b, coalesce(cr, 0) as cr,
+              coalesce(ct, 0) as ct
+       from rc full outer join tc on rc.b = tc.b),
+tot as (select sum(cr) as tot_r, sum(ct) as tot_t from bk),
+tbl as (select b, ln((ct + 1) * 1.0 / (tot_t + 65536))
+                  - ln((cr + 1) * 1.0 / (tot_r + 65536)) as lr
+        from bk, tot)
+select gb.doc_id, round(avg(lr), 4) as dsir_weight,
+       count(*) as n_grams
+from gb join tbl using (b)
+where gb.doc_id % 10 <> 0
+group by gb.doc_id
+order by dsir_weight desc, doc_id
+limit 100
+"""
+
+
 QUERIES = {
     "op_avro_scan": q_avro_scan,
     "op_delta_scan": q_delta_scan,
@@ -2965,6 +3015,7 @@ QUERIES = {
     "ext_gopher_quality": q_gopher_quality,
     "ext_script_profile": q_script_profile,
     "ext_domain_stats": q_domain_stats,
+    "ext_dsir_sample": q_dsir_sample,
 }
 
 ORACLES = {
@@ -3036,6 +3087,7 @@ ORACLES = {
     "ext_gopher_quality": ORACLE_GOPHER_QUALITY,
     "ext_script_profile": ORACLE_SCRIPT_PROFILE,
     "ext_domain_stats": ORACLE_DOMAIN_STATS,
+    "ext_dsir_sample": ORACLE_DSIR_SAMPLE,
 }
 
 

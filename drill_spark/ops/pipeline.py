@@ -320,3 +320,79 @@ def group_split(
         grouped.join(reps, "_grp")
         .select(*df.columns, split)
     )
+
+
+def _hashed_gram_buckets(text_col: str) -> Column:
+    """Hashed n-gram feature stream for DSIR: word unigram + bigram
+    OCCURRENCES (not distinct — the importance weight is a product over
+    occurrences), each hashed to a 4-hex md5 prefix = 65,536 buckets.
+    Fixed-width, engine-portable bucket ids keep the model tables
+    bounded regardless of vocabulary size."""
+    w = _words(text_col)
+    bi = F.when(
+        F.size(w) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(w) - 1),
+            lambda i: F.concat(
+                F.element_at(w, i), F.lit(" "), F.element_at(w, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return F.transform(
+        F.concat(w, bi), lambda g: F.substring(F.md5(g), 1, 4)
+    )
+
+
+def dsir_weights(
+    corpus: DataFrame,
+    target: DataFrame,
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """Data Selection via Importance Resampling (Xie et al. 2023): score
+    each raw-corpus document by how much more likely its hashed n-gram
+    features are under a small TARGET corpus (the distribution you want
+    more of — e.g. Wikipedia/books) than under the raw corpus itself.
+
+    Both distributions are bag-of-hashed-ngrams unigram models with
+    add-one smoothing over the B=65,536 buckets; a document's weight is
+    the MEAN per-occurrence log-likelihood ratio (length-normalized so
+    long documents aren't favored), rounded to 4dp for engine-portable
+    ranking. Select with ``orderBy(desc(dsir_weight), id).limit(k)`` —
+    TakeOrdered, never a global sort.
+
+    Scale shape: two algebraic count aggregations keyed by the 4-hex
+    bucket (≤65,536 groups, map-side combined), the per-bucket model
+    table broadcasts (≤65,536 rows however big the corpus is), and one
+    per-document aggregation — no self-joins, no driver collect.
+    """
+    n_buckets = 65536
+    c = corpus.select(
+        F.col(id_col), F.explode(_hashed_gram_buckets(text_col)).alias("b")
+    )
+    t = target.select(F.explode(_hashed_gram_buckets(text_col)).alias("b"))
+    rc = c.groupBy("b").agg(F.count(F.lit(1)).alias("cr"))
+    tc = t.groupBy("b").agg(F.count(F.lit(1)).alias("ct"))
+    buckets = rc.join(tc, "b", "full_outer").select(
+        "b",
+        F.coalesce("cr", F.lit(0)).alias("cr"),
+        F.coalesce("ct", F.lit(0)).alias("ct"),
+    )
+    totals = buckets.agg(
+        F.sum("cr").alias("tot_r"), F.sum("ct").alias("tot_t")
+    )
+    table = buckets.crossJoin(F.broadcast(totals)).select(
+        "b",
+        (
+            F.log((F.col("ct") + 1) / (F.col("tot_t") + n_buckets))
+            - F.log((F.col("cr") + 1) / (F.col("tot_r") + n_buckets))
+        ).alias("lr"),
+    )
+    return (
+        c.join(F.broadcast(table), "b", "left")
+        .groupBy(id_col)
+        .agg(
+            F.round(F.avg("lr"), 4).alias("dsir_weight"),
+            F.count(F.lit(1)).alias("n_grams"),
+        )
+    )

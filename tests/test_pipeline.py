@@ -183,3 +183,39 @@ def test_cluster_balanced_sample(spark):
         default_threshold="80")
     assert {r.vec_id for r in out2.collect()} == \
         {r.vec_id for r in out.collect()}
+
+
+def test_dsir_prefers_target_like_documents(spark):
+    """DSIR (Xie et al. 2023): a corpus doc sharing the target's
+    vocabulary must outweigh one from a disjoint vocabulary."""
+    from drill_spark.ops.pipeline import dsir_weights
+
+    target = _df(
+        spark,
+        [(100 + i, "alpha beta gamma delta epsilon zeta") for i in range(4)],
+    )
+    corpus = _df(
+        spark,
+        [
+            (1, "alpha beta gamma delta"),  # target-like
+            (2, "xray yankee zulu quebec"),  # off-distribution
+            (3, "alpha beta xray yankee"),  # mixed
+        ],
+    )
+    w = {
+        r["id"]: r["dsir_weight"]
+        for r in dsir_weights(corpus, target, "id", "text").collect()
+    }
+    assert w[1] > w[3] > w[2]
+
+
+def test_dsir_model_table_is_broadcast(spark):
+    """The per-bucket model table joins broadcast-side (bounded at
+    65,536 rows regardless of corpus size)."""
+    from drill_spark.ops.pipeline import dsir_weights
+
+    corpus = _df(spark, [(i, f"word{i} alpha beta") for i in range(1, 40)])
+    target = _df(spark, [(0, "alpha beta alpha beta")])
+    rep = explain_report(dsir_weights(corpus, target, "id", "text"))
+    assert rep["joins"].get("BroadcastHashJoin", 0) >= 1, rep
+    assert not rep["python_eval"], rep
