@@ -2932,6 +2932,19 @@ limit 100
 """
 
 
+def q_pack_bins(spark, sf_dir):
+    """Sequence packing (ops/pipeline.py::pack_bins): 32-token chunks
+    from chunk_tokens packed FFD into 128-token bins across 8 hash
+    shards. Rows-only by design (bin packing is not SQL-expressible);
+    the invariants — exactly-once assignment, capacity, the FFD bound,
+    determinism — are pytest-proven in test_pipeline.py."""
+    from drill_spark.ops.pipeline import chunk_tokens, pack_bins
+
+    chunks = chunk_tokens(_docs(spark, sf_dir), "doc_id", "text",
+                          max_tokens=32)
+    return pack_bins(chunks, capacity=128, n_shards=8)
+
+
 QUERIES = {
     "op_avro_scan": q_avro_scan,
     "op_delta_scan": q_delta_scan,
@@ -3016,6 +3029,7 @@ QUERIES = {
     "ext_script_profile": q_script_profile,
     "ext_domain_stats": q_domain_stats,
     "ext_dsir_sample": q_dsir_sample,
+    "ext_pack_bins": q_pack_bins,
 }
 
 ORACLES = {

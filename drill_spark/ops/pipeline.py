@@ -396,3 +396,71 @@ def dsir_weights(
             F.count(F.lit(1)).alias("n_grams"),
         )
     )
+
+
+def pack_bins(
+    chunks: DataFrame,
+    id_cols: tuple[str, ...] = ("doc_id", "chunk_id"),
+    tokens_col: str = "n_tokens",
+    capacity: int = 2048,
+    n_shards: int = 64,
+) -> DataFrame:
+    """Sequence packing: assign token chunks (e.g. chunk_tokens output)
+    to fixed-capacity context-window bins by first-fit-decreasing — the
+    trainer-side packing step that turns a chunk inventory into dense
+    batches with minimal padding.
+
+    Global bin packing is inherently sequential, so the distributed
+    shape is the standard one: chunks hash-shard into ``n_shards``
+    independent groups (deterministic xxhash64 — reproducible across
+    runs and partitionings) and FFD runs per shard in one Arrow batch;
+    ``bin_id = shard * 2^32 + local``. FFD's quality bound (≤ 11/9·OPT
+    + 1 bins) holds per shard, so the padding overhead stays bounded
+    while every shard packs in parallel; per-task state is one shard's
+    chunk list, bounded by n_shards sizing, never the corpus.
+
+    Chunks larger than ``capacity`` get a bin of their own and are
+    flagged ``oversize`` (the caller's chunker normally prevents this).
+    Adds: shard, bin_id, bin_fill (the bin's final token fill, the
+    padding-efficiency signal), oversize.
+    """
+    shard = (
+        F.abs(F.xxhash64(*[F.col(c) for c in id_cols])) % n_shards
+    ).cast("int")
+    df = chunks.withColumn("shard", shard)
+    out_schema = df.schema.simpleString()[7:-1].replace(":", " ") + \
+        ", bin_id bigint, bin_fill bigint, oversize boolean"
+
+    id_list = list(id_cols)
+
+    def _ffd(pdf):
+        import numpy as np
+
+        pdf = pdf.sort_values(
+            [tokens_col, *id_list],
+            ascending=[False] + [True] * len(id_list),
+            kind="mergesort",
+        )
+        fills: list[int] = []
+        assign: list[int] = []
+        for tok in pdf[tokens_col].tolist():
+            placed = -1
+            if tok <= capacity:
+                for j, f in enumerate(fills):
+                    if f + tok <= capacity:
+                        placed = j
+                        break
+            if placed < 0:
+                placed = len(fills)
+                fills.append(0)
+            fills[placed] += tok
+            assign.append(placed)
+        shard_id = int(pdf["shard"].iloc[0]) if len(pdf) else 0
+        arr = np.asarray(assign, dtype="int64")
+        pdf = pdf.copy()
+        pdf["bin_id"] = shard_id * (1 << 32) + arr
+        pdf["bin_fill"] = np.asarray(fills, dtype="int64")[arr]
+        pdf["oversize"] = pdf[tokens_col].to_numpy() > capacity
+        return pdf
+
+    return df.groupBy("shard").applyInPandas(_ffd, out_schema)

@@ -219,3 +219,56 @@ def test_dsir_model_table_is_broadcast(spark):
     rep = explain_report(dsir_weights(corpus, target, "id", "text"))
     assert rep["joins"].get("BroadcastHashJoin", 0) >= 1, rep
     assert not rep["python_eval"], rep
+
+
+def test_pack_bins_invariants(spark):
+    """FFD packing: every chunk assigned exactly once, no bin over
+    capacity (absent oversize chunks), per-shard bin count within the
+    FFD guarantee vs the token lower bound, and bin_fill is the true
+    final fill of each bin."""
+    from drill_spark.ops.pipeline import chunk_tokens, pack_bins
+
+    docs = _df(
+        spark,
+        [(i, " ".join(f"w{i}x{j}" for j in range(5 + (i * 7) % 40)))
+         for i in range(60)],
+    )
+    chunks = chunk_tokens(docs, "id", "text", max_tokens=16)
+    packed = pack_bins(chunks, id_cols=("id", "chunk_id"),
+                       capacity=32, n_shards=4).collect()
+    n_chunks = chunks.count()
+    assert len(packed) == n_chunks
+    assert len({(r["id"], r["chunk_id"]) for r in packed}) == n_chunks
+    import collections
+    fills = collections.defaultdict(int)
+    for r in packed:
+        fills[r["bin_id"]] += r["n_tokens"]
+        assert not r["oversize"]
+    for r in packed:
+        assert fills[r["bin_id"]] == r["bin_fill"]
+        assert r["bin_fill"] <= 32
+    shard_tokens = collections.defaultdict(int)
+    shard_bins = collections.defaultdict(set)
+    for r in packed:
+        shard_tokens[r["shard"]] += r["n_tokens"]
+        shard_bins[r["shard"]].add(r["bin_id"])
+    import math
+    for s, bins in shard_bins.items():
+        lower = math.ceil(shard_tokens[s] / 32)
+        assert len(bins) <= math.ceil(lower * 11 / 9) + 1, (s, len(bins), lower)
+
+
+def test_pack_bins_oversize_and_determinism(spark):
+    from drill_spark.ops.pipeline import pack_bins
+
+    chunks = spark.createDataFrame(
+        [(1, 0, 50), (1, 1, 10), (2, 0, 20), (3, 0, 25)],
+        "doc_id bigint, chunk_id bigint, n_tokens bigint",
+    )
+    a = pack_bins(chunks, capacity=32, n_shards=2).collect()
+    big = next(r for r in a if r["n_tokens"] == 50)
+    assert big["oversize"] and big["bin_fill"] == 50
+    # oversize chunk sits alone in its bin
+    assert sum(1 for r in a if r["bin_id"] == big["bin_id"]) == 1
+    b = pack_bins(chunks.repartition(3), capacity=32, n_shards=2).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
