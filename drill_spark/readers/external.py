@@ -502,3 +502,129 @@ def read_maprdb_table(
     except Exception as e:
         _gate(e, "com.mapr.db.spark.sql",
               "com.mapr.db:maprdb-spark (MapR/Ezmeral platform only)", "maprdb")
+
+
+# Drill type name (REST metadata) → Spark type for the remote-drill
+# client. Complex types (ARRAY/MAP) fall back to JSON schema inference.
+_DRILL_TO_SPARK = {
+    "VARCHAR": T.StringType(), "BIGINT": T.LongType(), "INT": T.IntegerType(),
+    "SMALLINT": T.ShortType(), "TINYINT": T.ByteType(),
+    "FLOAT8": T.DoubleType(), "FLOAT4": T.FloatType(),
+    "BIT": T.BooleanType(), "DATE": T.DateType(),
+    "TIMESTAMP": T.TimestampType(), "TIME": T.StringType(),
+    "VARBINARY": T.BinaryType(),
+}
+
+
+def _drill_rest_schema(columns, metadata):
+    """Typed schema from the reference's QueryResult.metadata strings;
+    None when any column is complex (→ JSON inference)."""
+    import re
+
+    if not metadata or len(metadata) != len(columns):
+        return None
+    fields = []
+    for name, m in zip(columns, metadata):
+        m = m.strip().upper()
+        dec = re.match(r"VARDECIMAL\((\d+),\s*(\d+)\)", m)
+        if dec:
+            dt = T.DecimalType(int(dec.group(1)), int(dec.group(2)))
+        else:
+            dt = _DRILL_TO_SPARK.get(m.split("(")[0])
+        if dt is None:
+            return None
+        fields.append(T.StructField(name, dt))
+    return T.StructType(fields)
+
+
+def read_drill_query(
+    spark: SparkSession,
+    base_url: str,
+    sql: str,
+    auth: tuple | None = None,
+    auto_limit: int | None = None,
+) -> DataFrame:
+    """Drill storage plugin — REAL implementation of the reference's
+    drill-on-drill connector (contrib/storage-drill/.../
+    DrillStoragePlugin.java, DrillScanSpec.java: a query delegated
+    verbatim to a REMOTE Drill cluster), speaking the REST protocol
+    (server/rest/RestQueryRunner.java) instead of the native RPC —
+    which our own server.py serves, so the two ends interoperate.
+
+    The ENTIRE SQL ships to the remote engine — complete pushdown by
+    construction, exactly the reference's model (the remote plans and
+    executes; we read its Screen output). The result set is the
+    remote's to bound (``auto_limit`` mirrors the REST autoLimit); at
+    100 TB the remote does the heavy lifting and this reader only
+    transports the final rows, the same shape as the reference's
+    DrillRecordReader draining result batches.
+
+    The typed schema is rebuilt from the reply's ``metadata`` type
+    names (so ZERO-row results stay fully typed); complex columns fall
+    back to JSON inference over the returned rows.
+    """
+    import base64
+    import json as _json
+    import urllib.request
+
+    body = {"queryType": "SQL", "query": sql}
+    if auto_limit:
+        body["autoLimit"] = int(auto_limit)
+    headers = {"Content-Type": "application/json"}
+    if auth:
+        tok = base64.b64encode(f"{auth[0]}:{auth[1]}".encode()).decode()
+        headers["Authorization"] = f"Basic {tok}"
+    req = urllib.request.Request(
+        base_url.rstrip("/") + "/query.json",
+        data=_json.dumps(body).encode(), headers=headers,
+    )
+    try:
+        with urllib.request.urlopen(req, timeout=60) as resp:
+            payload = _json.loads(resp.read())
+    except urllib.error.HTTPError as e:
+        try:
+            payload = _json.loads(e.read())
+        except Exception:
+            raise RuntimeError(f"remote drill at {base_url}: HTTP {e.code}")
+    if payload.get("queryState") != "COMPLETED":
+        raise RuntimeError(
+            "remote drill query FAILED: "
+            + str(payload.get("errorMessage", payload))
+        )
+    cols = list(payload.get("columns") or [])
+    rows = payload.get("rows") or []
+    schema = _drill_rest_schema(cols, payload.get("metadata"))
+    lines = [_json.dumps(r) for r in rows]
+    if schema is not None:
+        if not lines:
+            return spark.createDataFrame([], schema)
+        return spark.read.schema(schema).json(
+            spark.sparkContext.parallelize(
+                lines, max(1, len(lines) // 5000 + 1)))
+    if not lines:
+        # complex metadata + zero rows: all we know are the names
+        return spark.createDataFrame(
+            [], T.StructType([T.StructField(c, T.StringType()) for c in cols]))
+    return spark.read.json(
+        spark.sparkContext.parallelize(lines, max(1, len(lines) // 5000 + 1)))
+
+
+def read_drill_table(
+    spark: SparkSession,
+    base_url: str,
+    table: str,
+    ws_options: dict | None = None,
+    query_options: dict | None = None,
+) -> DataFrame:
+    """Workspace face of the drill plugin: ``drill_ws.`table``` scans a
+    remote table (``select * from <table>`` on the remote — its own
+    planner prunes/pushes from there), or pass ``query => '...'`` to
+    delegate arbitrary SQL (the reference's DrillScanSpec carries
+    exactly such a serialized query)."""
+    opts = {**(ws_options or {}), **(query_options or {})}
+    sql = opts.get("query") or f"select * from {table}"
+    auth = None
+    if opts.get("user") is not None:
+        auth = (opts.get("user"), opts.get("password", ""))
+    return read_drill_query(spark, base_url, sql, auth=auth,
+                            auto_limit=opts.get("autoLimit"))

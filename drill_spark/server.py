@@ -79,6 +79,27 @@ _QUERY_FORM = """<form method="post" action="/query">
 </form>"""
 
 
+def _drill_type(dt) -> str:
+    """Spark type → the Drill SQL type name the reference's REST
+    QueryResult.metadata carries (RestQueryRunner.java:114 — the
+    remote-drill client rebuilds a typed schema from these)."""
+    from pyspark.sql import types as T
+
+    if isinstance(dt, T.DecimalType):
+        return f"VARDECIMAL({dt.precision}, {dt.scale})"
+    if isinstance(dt, T.ArrayType):
+        return "ARRAY"
+    if isinstance(dt, (T.StructType, T.MapType)):
+        return "MAP"
+    return {
+        "string": "VARCHAR", "bigint": "BIGINT", "int": "INT",
+        "smallint": "SMALLINT", "tinyint": "TINYINT", "double": "FLOAT8",
+        "float": "FLOAT4", "boolean": "BIT", "date": "DATE",
+        "timestamp": "TIMESTAMP", "timestamp_ntz": "TIMESTAMP",
+        "binary": "VARBINARY", "time": "TIME",
+    }.get(dt.simpleString(), dt.simpleString().upper())
+
+
 def _json_safe(v):
     if isinstance(v, (datetime.datetime, datetime.date)):
         return v.isoformat()
@@ -306,8 +327,10 @@ class _Handler(BaseHTTPRequestHandler):
             self._reply(200, {
                 "queryState": "COMPLETED",
                 "columns": df.columns,
+                "metadata": [_drill_type(f.dataType) for f in df.schema.fields],
                 "rows": [_json_safe(r.asDict(recursive=True)) for r in rows],
                 "rowCount": len(rows),
+                "attemptedAutoLimit": limit,
             })
         except Exception as e:
             self._reply(400, {"queryState": "FAILED", "errorMessage": str(e)})

@@ -421,6 +421,18 @@ class DrillSession:
             name, base_url, kind="opentsdb", options=dict(options or {})
         )
 
+    def register_drill_workspace(
+        self, name: str, base_url: str,
+        options: dict[str, str] | None = None,
+    ) -> None:
+        """Drill plugin — REAL (contrib/storage-drill): tables on a
+        REMOTE Drill(-spark) cluster over its REST query API, no jar
+        needed; ``user``/``password`` options enable Basic auth and a
+        ``query`` option delegates arbitrary SQL to the remote."""
+        self.workspaces[name] = Workspace(
+            name, base_url, kind="drill", options=dict(options or {})
+        )
+
     def register_googlesheets_workspace(
         self, name: str, spreadsheet_id: str,
         options: dict[str, str] | None = None,

@@ -484,7 +484,7 @@ def _read_path(session, ws_name: str, rel_path: str, options: dict[str, str] | N
         return read_hive_table(session.spark, ws.path, rel_path, ws.options, options)
     if ws is not None and ws.kind in ("cassandra", "hbase", "druid", "splunk",
                                       "kudu", "phoenix", "opentsdb",
-                                      "googlesheets", "maprdb"):
+                                      "googlesheets", "maprdb", "drill"):
         from drill_spark.readers import external as _ext
 
         fn = {"cassandra": _ext.read_cassandra_table,
@@ -495,7 +495,8 @@ def _read_path(session, ws_name: str, rel_path: str, options: dict[str, str] | N
               "phoenix": _ext.read_phoenix_table,
               "opentsdb": _ext.read_opentsdb_metric,
               "googlesheets": _ext.read_googlesheets_tab,
-              "maprdb": _ext.read_maprdb_table}[ws.kind]
+              "maprdb": _ext.read_maprdb_table,
+              "drill": _ext.read_drill_table}[ws.kind]
         return fn(session.spark, ws.path, rel_path, ws.options, options)
     root = ws.path if ws else "/"
     default_fmt = ws.default_format if ws else "parquet"

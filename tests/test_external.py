@@ -304,3 +304,76 @@ def test_googlesheets_and_maprdb_gates(session):
         pytest.skip("mapr connector present")
     except NotImplementedError as e:
         assert "maprdb-spark" in str(e) or "MapR" in str(e)
+
+
+def test_drill_remote_query_roundtrip(session):
+    """The drill-on-drill plugin (contrib/storage-drill) end-to-end
+    against a REAL remote: our own REST server plays the remote Drill
+    cluster, the client delegates SQL verbatim and rebuilds a typed
+    frame from the reply's metadata type names."""
+    from drill_spark.readers.external import read_drill_query
+    from drill_spark.server import serve
+
+    srv, port = serve(session)
+    try:
+        sql = ("select n_nationkey, n_name from "
+               "dfs.`/root/testdata/sf0.001/nation.parquet` "
+               "where n_regionkey = 1 order by n_nationkey")
+        df = read_drill_query(session.spark, f"http://127.0.0.1:{port}", sql)
+        assert [f.dataType.simpleString() for f in df.schema.fields] == [
+            "int", "string"]
+        local = session.sql(sql).collect()
+        assert [tuple(r) for r in df.collect()] == [tuple(r) for r in local]
+    finally:
+        srv.shutdown()
+
+
+def test_drill_remote_empty_result_is_typed(session):
+    """Zero remote rows must still produce the typed schema (rebuilt
+    from QueryResult.metadata), not a zero-column frame."""
+    from drill_spark.readers.external import read_drill_query
+    from drill_spark.server import serve
+
+    srv, port = serve(session)
+    try:
+        df = read_drill_query(
+            session.spark, f"http://127.0.0.1:{port}",
+            "select r_regionkey, r_name from "
+            "dfs.`/root/testdata/sf0.001/region.parquet` where 1 = 0")
+        assert df.count() == 0
+        assert [f.dataType.simpleString() for f in df.schema.fields] == [
+            "int", "string"]
+    finally:
+        srv.shutdown()
+
+
+def test_drill_workspace_sql_face_and_auth(session):
+    """drill_ws.`table` resolves through SQL, Basic auth flows from
+    workspace options, and a remote failure surfaces its message."""
+    import pytest
+
+    from drill_spark.server import serve
+
+    srv, port = serve(session, auth=("alice", "s3cret"))
+    try:
+        session.register_drill_workspace(
+            "remote", f"http://127.0.0.1:{port}",
+            options={"user": "alice", "password": "s3cret"})
+        session.workspaces["remote"].options["query"] = (
+            "select r_name from dfs.`/root/testdata/sf0.001/region.parquet` "
+            "order by r_name limit 2")
+        got = session.sql("select * from remote.`ignored`").collect()
+        assert [r.r_name for r in got] == ["AFRICA", "AMERICA"]
+        # wrong credentials -> the remote rejects
+        from drill_spark.readers.external import read_drill_query
+        with pytest.raises(RuntimeError):
+            read_drill_query(
+                session.spark, f"http://127.0.0.1:{port}",
+                "select 1", auth=("alice", "wrong"))
+        # remote planner error propagates its message
+        with pytest.raises(RuntimeError, match="FAILED|HTTP"):
+            read_drill_query(
+                session.spark, f"http://127.0.0.1:{port}",
+                "select * from no.such.table", auth=("alice", "s3cret"))
+    finally:
+        srv.shutdown()
