@@ -2945,6 +2945,56 @@ def q_pack_bins(spark, sf_dir):
     return pack_bins(chunks, capacity=128, n_shards=8)
 
 
+def q_skew_profile(spark, sf_dir):
+    """Key-skew diagnostic (ops/scale.py::skew_profile) on the orders
+    table's customer key — the measurement run before choosing
+    salting/broadcast for a shuffle keyed on the column. The oracle
+    replays counts, shares and the skew ratio with the same tiebreak."""
+    from drill_spark.ops.scale import skew_profile
+
+    orders = load_fixture(spark, sf_dir, "orders")
+    return skew_profile(orders, "o_custkey", top=10)
+
+
+ORACLE_SKEW_PROFILE = """
+with c as (
+  select cast(o_custkey as varchar) as key, count(*) as cnt
+  from orders group by 1
+),
+t as (select sum(cnt) as total_rows, count(*) as n_keys from c)
+select key, cnt,
+       round(cnt * 1.0 / total_rows, 6) as share,
+       round(cnt * 1.0 * n_keys / total_rows, 4) as skew
+from c, t
+order by cnt desc, key
+limit 10
+"""
+
+
+def q_stratified_topk(spark, sf_dir):
+    """Exactly-k-per-stratum deterministic sample (ops/pipeline.py::
+    fixed_k_sample): 20 documents per language, ranked by md5(id) so
+    the carve is content-addressed. The oracle replays the ranking."""
+    from drill_spark.ops.pipeline import fixed_k_sample
+
+    return fixed_k_sample(
+        _docs(spark, sf_dir), "lang", "doc_id", 20
+    ).select("doc_id", "lang", "source")
+
+
+ORACLE_STRATIFIED_TOPK = """
+select doc_id, lang, source
+from (
+  select doc_id, lang, source,
+         row_number() over (
+           partition by lang
+           order by md5(cast(doc_id as varchar)), doc_id) as rk
+  from documents
+)
+where rk <= 20
+"""
+
+
 QUERIES = {
     "op_avro_scan": q_avro_scan,
     "op_delta_scan": q_delta_scan,
@@ -3030,6 +3080,8 @@ QUERIES = {
     "ext_domain_stats": q_domain_stats,
     "ext_dsir_sample": q_dsir_sample,
     "ext_pack_bins": q_pack_bins,
+    "ext_skew_profile": q_skew_profile,
+    "ext_stratified_topk": q_stratified_topk,
 }
 
 ORACLES = {
@@ -3102,6 +3154,8 @@ ORACLES = {
     "ext_script_profile": ORACLE_SCRIPT_PROFILE,
     "ext_domain_stats": ORACLE_DOMAIN_STATS,
     "ext_dsir_sample": ORACLE_DSIR_SAMPLE,
+    "ext_skew_profile": ORACLE_SKEW_PROFILE,
+    "ext_stratified_topk": ORACLE_STRATIFIED_TOPK,
 }
 
 

@@ -464,3 +464,27 @@ def pack_bins(
         return pdf
 
     return df.groupBy("shard").applyInPandas(_ffd, out_schema)
+
+
+def fixed_k_sample(
+    df: DataFrame, strata_col: str, id_col: str, k: int
+) -> DataFrame:
+    """Exactly-k-per-stratum sampling (min(k, stratum size)) — the
+    balanced eval-set / few-shot-pool carve: deterministic reservoir by
+    ranking each stratum on md5(id) (content-addressed, so the same
+    corpus always yields the same sample regardless of partitioning or
+    engine) and keeping the first k.
+
+    Shape: one shuffle keyed by the stratum + a per-stratum TOP-K
+    window — state per task is one stratum's heap, never the corpus.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(strata_col).orderBy(
+        F.md5(F.col(id_col).cast("string")), id_col
+    )
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .where(F.col("__rk") <= k)
+        .drop("__rk")
+    )

@@ -84,3 +84,36 @@ def write_bucketed(
     if sort:
         writer = writer.sortBy(*bucket_cols)
     writer.saveAsTable(name)
+
+
+def skew_profile(df, key_col: str, top: int = 5):
+    """Key-skew diagnostic — the measurement you run BEFORE choosing a
+    join/agg strategy at scale: per-key counts for the ``top`` heaviest
+    keys plus each key's share of all rows and the ratio of its count
+    to the mean per-key count (``skew``; >> 1 means salting or AQE
+    skew-join territory for any shuffle keyed on this column).
+
+    Shape: ONE map-side-combined count aggregation + TakeOrdered for
+    the top slice (never a global sort); the totals join is a
+    single-row broadcast. Deterministic ties: count desc, then key.
+    """
+    from pyspark.sql import functions as F
+
+    counts = df.groupBy(F.col(key_col).cast("string").alias("key")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    totals = counts.agg(
+        F.sum("cnt").alias("total_rows"),
+        F.count(F.lit(1)).alias("n_keys"),
+    )
+    return (
+        counts.crossJoin(F.broadcast(totals))
+        .select(
+            "key", "cnt",
+            F.round(F.col("cnt") / F.col("total_rows"), 6).alias("share"),
+            F.round(F.col("cnt") * F.col("n_keys") / F.col("total_rows"), 4)
+            .alias("skew"),
+        )
+        .orderBy(F.desc("cnt"), "key")
+        .limit(top)
+    )

@@ -272,3 +272,35 @@ def test_pack_bins_oversize_and_determinism(spark):
     assert sum(1 for r in a if r["bin_id"] == big["bin_id"]) == 1
     b = pack_bins(chunks.repartition(3), capacity=32, n_shards=2).collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_fixed_k_sample_exact_counts_and_determinism(spark):
+    from drill_spark.ops.pipeline import fixed_k_sample
+
+    df = spark.createDataFrame(
+        [(i, "en" if i % 3 else "zh") for i in range(40)],
+        "id bigint, lang string",
+    )
+    got = fixed_k_sample(df, "lang", "id", 5).collect()
+    import collections
+    by = collections.Counter(r["lang"] for r in got)
+    assert by == {"en": 5, "zh": 5}
+    again = fixed_k_sample(df.repartition(7), "lang", "id", 5).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, again))
+    # stratum smaller than k: all rows kept
+    small = fixed_k_sample(df.where("lang = 'zh'"), "lang", "id", 99).count()
+    assert small == 14
+
+
+def test_skew_profile_orders_and_ratios(spark):
+    from drill_spark.ops.scale import skew_profile
+
+    df = spark.createDataFrame(
+        [(k,) for k in ["hot"] * 60 + ["warm"] * 30 + ["c1", "c2", "c3"]],
+        "k string",
+    )
+    rows = skew_profile(df, "k", top=2).collect()
+    assert [(r["key"], r["cnt"]) for r in rows] == [("hot", 60), ("warm", 30)]
+    # 5 keys, 93 rows -> mean 18.6; hot skew = 60/18.6
+    assert abs(rows[0]["skew"] - round(60 * 5 / 93, 4)) < 1e-9
+    assert abs(rows[0]["share"] - round(60 / 93, 6)) < 1e-9
