@@ -2995,6 +2995,127 @@ where rk <= 20
 """
 
 
+def _chat_fixture(spark, sf_dir):
+    """Synthesized SFT conversations over the documents table: optional
+    system turn (doc_id%3), doubled user turn (%9 → bad alternation),
+    dropped final assistant (%5 → bad end), blank assistant (%7 →
+    empty content)."""
+    docs = _docs(spark, sf_dir)
+    st = "array<struct<role:string,content:string>>"
+    empty = F.array().cast(st)
+
+    def turn(role, content):
+        return F.struct(F.lit(role).alias("role"),
+                        (content if not isinstance(content, str)
+                         else F.lit(content)).alias("content"))
+
+    conv = F.concat(
+        F.when(F.col("doc_id") % 3 == 0,
+               F.array(turn("system", "Be helpful."))).otherwise(empty),
+        F.array(turn("user", F.substring(F.col("text"), 1, 30)),
+                turn("assistant", F.substring(F.col("text"), 31, 30)),
+                turn("user", "More?")),
+        F.when(F.col("doc_id") % 9 == 0,
+               F.array(turn("user", "More?"))).otherwise(empty),
+        F.when(F.col("doc_id") % 5 == 0, empty).otherwise(
+            F.array(turn("assistant",
+                         F.when(F.col("doc_id") % 7 == 0, "  ")
+                         .otherwise(F.lit("Sure thing."))))),
+    )
+    return docs.select(F.col("doc_id").alias("conv_id"),
+                       conv.alias("turns"))
+
+
+_CHAT_FIXTURE_DUCK = r"""
+conv as (
+  select doc_id as conv_id,
+    case when doc_id % 3 = 0
+         then [struct_pack(role := 'system', content := 'Be helpful.')]
+         else [] end
+    || [struct_pack(role := 'user', content := substring(text, 1, 30)),
+        struct_pack(role := 'assistant', content := substring(text, 31, 30)),
+        struct_pack(role := 'user', content := 'More?')]
+    || case when doc_id % 9 = 0
+            then [struct_pack(role := 'user', content := 'More?')]
+            else [] end
+    || case when doc_id % 5 = 0 then []
+            else [struct_pack(role := 'assistant',
+                              content := case when doc_id % 7 = 0 then '  '
+                                              else 'Sure thing.' end)] end
+      as turns
+  from documents
+)
+"""
+
+
+def q_chat_validate(spark, sf_dir):
+    """Conversation-structure validation (ops/chat.py::
+    validate_conversations) over synthesized SFT conversations with
+    planted structural defects; the oracle replays the role/alternation
+    /content rules over the same construction in DuckDB struct HOFs."""
+    from drill_spark.ops.chat import validate_conversations
+
+    return validate_conversations(_chat_fixture(spark, sf_dir))
+
+
+ORACLE_CHAT_VALIDATE = r"""
+with {conv},
+v as (
+  select conv_id, turns,
+         list_transform(turns, x -> x.role) as roles
+  from conv
+),
+b as (
+  select conv_id, turns,
+         case when roles[1] = 'system' then roles[2:] else roles end as body
+  from v
+)
+select conv_id,
+       cast(len(turns) as bigint) as n_turns,
+       case
+         when len(body) < 2 then 'too_short'
+         when body[1] <> 'user' then 'bad_start'
+         when len(list_filter(generate_series(1, len(body)),
+                  i -> body[i] <> case when i % 2 = 1 then 'user'
+                                       else 'assistant' end)) > 0
+           then 'bad_alternation'
+         when body[-1] <> 'assistant' then 'bad_end'
+         when len(list_filter(turns, x -> length(trim(x.content)) = 0)) > 0
+           then 'empty_content'
+         else 'ok' end as reason,
+       case
+         when len(body) < 2 then 'too_short'
+         when body[1] <> 'user' then 'bad_start'
+         when len(list_filter(generate_series(1, len(body)),
+                  i -> body[i] <> case when i % 2 = 1 then 'user'
+                                       else 'assistant' end)) > 0
+           then 'bad_alternation'
+         when body[-1] <> 'assistant' then 'bad_end'
+         when len(list_filter(turns, x -> length(trim(x.content)) = 0)) > 0
+           then 'empty_content'
+         else 'ok' end = 'ok' as valid
+from b
+""".format(conv=_CHAT_FIXTURE_DUCK.strip())
+
+
+def q_chat_render(spark, sf_dir):
+    """ChatML template rendering (ops/chat.py::render_chat) of the same
+    conversations; the oracle rebuilds the exact template string."""
+    from drill_spark.ops.chat import render_chat
+
+    return render_chat(_chat_fixture(spark, sf_dir))
+
+
+ORACLE_CHAT_RENDER = r"""
+with {conv}
+select conv_id,
+       array_to_string(list_transform(turns,
+         x -> '<|im_start|>' || x.role || chr(10) || x.content
+              || '<|im_end|>' || chr(10)), '') as rendered
+from conv
+""".format(conv=_CHAT_FIXTURE_DUCK.strip())
+
+
 QUERIES = {
     "op_avro_scan": q_avro_scan,
     "op_delta_scan": q_delta_scan,
@@ -3082,6 +3203,8 @@ QUERIES = {
     "ext_pack_bins": q_pack_bins,
     "ext_skew_profile": q_skew_profile,
     "ext_stratified_topk": q_stratified_topk,
+    "ext_chat_validate": q_chat_validate,
+    "ext_chat_render": q_chat_render,
 }
 
 ORACLES = {
@@ -3156,6 +3279,8 @@ ORACLES = {
     "ext_dsir_sample": ORACLE_DSIR_SAMPLE,
     "ext_skew_profile": ORACLE_SKEW_PROFILE,
     "ext_stratified_topk": ORACLE_STRATIFIED_TOPK,
+    "ext_chat_validate": ORACLE_CHAT_VALIDATE,
+    "ext_chat_render": ORACLE_CHAT_RENDER,
 }
 
 

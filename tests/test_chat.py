@@ -1,0 +1,65 @@
+"""Chat/instruction-data operators (ops/chat.py): structural
+validation failure modes and exact ChatML rendering, plus the
+zero-shuffle scale contract. Corpus-scale oracle compare runs in
+test_extops.py via the ORACLES parametrization."""
+
+from __future__ import annotations
+
+from drill_spark.ops.chat import render_chat, validate_conversations
+from drill_spark.plans.checks import explain_report
+
+_SCHEMA = (
+    "conv_id bigint, "
+    "turns array<struct<role:string,content:string>>"
+)
+
+
+def _conv(spark, rows):
+    return spark.createDataFrame(rows, _SCHEMA)
+
+
+def _t(role, content):
+    return {"role": role, "content": content}
+
+
+def test_validate_failure_modes(spark):
+    rows = [
+        (1, [_t("user", "hi"), _t("assistant", "hello")]),  # ok
+        (2, [_t("system", "be nice"), _t("user", "hi"),
+             _t("assistant", "hello")]),  # ok with system
+        (3, [_t("user", "hi")]),  # too_short
+        (4, [_t("assistant", "hi"), _t("user", "x")]),  # bad_start
+        (5, [_t("user", "a"), _t("user", "b"),
+             _t("assistant", "c")]),  # bad_alternation
+        (6, [_t("user", "a"), _t("assistant", "b"),
+             _t("user", "c")]),  # bad_end
+        (7, [_t("user", "a"), _t("assistant", "   ")]),  # empty_content
+    ]
+    got = {r["conv_id"]: r for r in
+           validate_conversations(_conv(spark, rows)).collect()}
+    assert got[1]["reason"] == "ok" and got[1]["valid"] is True
+    assert got[2]["reason"] == "ok" and got[2]["n_turns"] == 3
+    assert got[3]["reason"] == "too_short"
+    assert got[4]["reason"] == "bad_start"
+    assert got[5]["reason"] == "bad_alternation"
+    assert got[6]["reason"] == "bad_end"
+    assert got[7]["reason"] == "empty_content"
+    assert all(not got[i]["valid"] for i in range(3, 8))
+
+
+def test_render_chatml_exact(spark):
+    rows = [(1, [_t("user", "hi"), _t("assistant", "hello there")])]
+    out = render_chat(_conv(spark, rows)).collect()[0]["rendered"]
+    assert out == (
+        "<|im_start|>user\nhi<|im_end|>\n"
+        "<|im_start|>assistant\nhello there<|im_end|>\n"
+    )
+
+
+def test_chat_ops_are_single_pass(spark):
+    df = _conv(spark, [(i, [_t("user", "q"), _t("assistant", "a")])
+                       for i in range(10)])
+    for op in (validate_conversations, render_chat):
+        rep = explain_report(op(df))
+        assert rep["shuffles"] == 0, rep
+        assert not rep["python_eval"], rep
