@@ -3116,6 +3116,60 @@ from conv
 """.format(conv=_CHAT_FIXTURE_DUCK.strip())
 
 
+def q_preference_pairs(spark, sf_dir):
+    """DPO preference-pair construction (ops/chat.py::
+    preference_pairs): three deterministic scored responses per
+    document-prompt; chosen/rejected by score with response-string
+    tiebreaks, zero-margin prompts dropped. The oracle replays the
+    extremes via ranked windows."""
+    from drill_spark.ops.chat import preference_pairs
+
+    docs = _docs(spark, sf_dir)
+    cand = docs.select(
+        F.concat(F.lit("P"), F.col("doc_id").cast("string")).alias("prompt_id"),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(2)),
+                lambda i: F.struct(
+                    F.concat(F.substring(F.col("text"), i * 10 + 1, 20),
+                             F.lit(" #"), i.cast("string")).alias("response"),
+                    ((F.col("doc_id") * 31 + i * 17) % 97).alias("score"),
+                ),
+            )
+        ).alias("c"),
+    ).select("prompt_id", "c.response", "c.score")
+    return preference_pairs(cand)
+
+
+ORACLE_PREFERENCE_PAIRS = """
+with cand as (
+  select 'P' || cast(doc_id as varchar) as prompt_id,
+         substring(text, i * 10 + 1, 20) || ' #' || cast(i as varchar)
+           as response,
+         (doc_id * 31 + i * 17) % 97 as score
+  from documents, unnest(generate_series(0, 2)) as t(i)
+),
+r as (
+  select prompt_id, response, score,
+         row_number() over (partition by prompt_id
+                            order by score desc, response desc) as rb,
+         row_number() over (partition by prompt_id
+                            order by score asc, response asc) as rw,
+         count(*) over (partition by prompt_id) as n_candidates
+  from cand
+),
+b as (select prompt_id, response as chosen, score as chosen_score,
+             n_candidates from r where rb = 1),
+w as (select prompt_id, response as rejected, score as rejected_score
+      from r where rw = 1)
+select b.prompt_id, chosen, rejected, chosen_score, rejected_score,
+       chosen_score - rejected_score as margin,
+       n_candidates
+from b join w using (prompt_id)
+where chosen_score - rejected_score > 0
+"""
+
+
 QUERIES = {
     "op_avro_scan": q_avro_scan,
     "op_delta_scan": q_delta_scan,
@@ -3205,6 +3259,7 @@ QUERIES = {
     "ext_stratified_topk": q_stratified_topk,
     "ext_chat_validate": q_chat_validate,
     "ext_chat_render": q_chat_render,
+    "ext_preference_pairs": q_preference_pairs,
 }
 
 ORACLES = {
@@ -3281,6 +3336,7 @@ ORACLES = {
     "ext_stratified_topk": ORACLE_STRATIFIED_TOPK,
     "ext_chat_validate": ORACLE_CHAT_VALIDATE,
     "ext_chat_render": ORACLE_CHAT_RENDER,
+    "ext_preference_pairs": ORACLE_PREFERENCE_PAIRS,
 }
 
 

@@ -81,3 +81,42 @@ def render_chat(
         "",
     )
     return df.select(F.col(id_col), rendered.alias("rendered"))
+
+
+def preference_pairs(
+    df: DataFrame,
+    prompt_col: str = "prompt_id",
+    response_col: str = "response",
+    score_col: str = "score",
+) -> DataFrame:
+    """Preference-pair construction for DPO/RLHF from scored candidate
+    responses: per prompt, chosen = the highest-scored response and
+    rejected = the lowest-scored (deterministic ties: the response
+    string itself breaks them, so re-runs and engines agree); prompts
+    whose candidates all tie (margin 0) carry no preference signal and
+    are dropped.
+
+    Shape: ONE map-side-combined aggregation — chosen/rejected are
+    ``max``/``min`` over a (score, response) struct, so no window, no
+    self-join, and a million-candidate prompt costs one combiner row
+    per task. Emits (prompt, chosen, rejected, chosen_score,
+    rejected_score, margin)."""
+    pair = F.struct(F.col(score_col).alias("s"),
+                    F.col(response_col).alias("r"))
+    agg = df.groupBy(prompt_col).agg(
+        F.max(pair).alias("best"),
+        F.min(pair).alias("worst"),
+        F.count(F.lit(1)).alias("n_candidates"),
+    )
+    return (
+        agg.select(
+            prompt_col,
+            F.col("best.r").alias("chosen"),
+            F.col("worst.r").alias("rejected"),
+            F.col("best.s").alias("chosen_score"),
+            F.col("worst.s").alias("rejected_score"),
+            (F.col("best.s") - F.col("worst.s")).alias("margin"),
+            "n_candidates",
+        )
+        .where(F.col("margin") > 0)
+    )

@@ -63,3 +63,37 @@ def test_chat_ops_are_single_pass(spark):
         rep = explain_report(op(df))
         assert rep["shuffles"] == 0, rep
         assert not rep["python_eval"], rep
+
+
+def test_preference_pairs_extremes_and_margin_filter(spark):
+    from drill_spark.ops.chat import preference_pairs
+
+    df = spark.createDataFrame(
+        [
+            ("p1", "meh", 2), ("p1", "great", 9), ("p1", "bad", 0),
+            ("p2", "tie-a", 5), ("p2", "tie-b", 5),  # margin 0 -> dropped
+            ("p3", "only", 7),  # single candidate -> margin 0 -> dropped
+        ],
+        "prompt_id string, response string, score bigint",
+    )
+    got = {r["prompt_id"]: r for r in preference_pairs(df).collect()}
+    assert list(got) == ["p1"]
+    r = got["p1"]
+    assert (r["chosen"], r["rejected"]) == ("great", "bad")
+    assert (r["chosen_score"], r["rejected_score"], r["margin"]) == (9, 0, 9)
+    assert r["n_candidates"] == 3
+
+
+def test_preference_pairs_single_aggregation(spark):
+    """No window, no self-join: one hash aggregate computes both
+    extremes (max/min over a (score, response) struct)."""
+    from drill_spark.ops.chat import preference_pairs
+
+    df = spark.createDataFrame(
+        [(f"p{i%4}", f"r{i}", i % 7) for i in range(40)],
+        "prompt_id string, response string, score bigint",
+    )
+    rep = explain_report(preference_pairs(df))
+    assert rep["shuffles"] <= 1, rep
+    assert rep["joins"] == {} or not any(rep["joins"].values()), rep
+    assert not rep["python_eval"], rep
