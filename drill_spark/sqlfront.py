@@ -441,10 +441,77 @@ def _pipeline_table(session, op: str, opts: dict[str, str]) -> DataFrame:
                             id_col=o.get("id", "vec_id"),
                             vec_col=o.get("vec", "embedding"),
                             label_col=o.get("label", "label"))
+    if name == "c4_clean":
+        from drill_spark.ops.text import c4_clean
+
+        bad = tuple(x for x in o.get("badwords", "").split(",") if x)
+        return c4_clean(inp(), id_col=o.get("id", "doc_id"),
+                        text_col=o.get("text", "text"),
+                        min_words_per_line=int(o.get("min_words", "5")),
+                        min_sentences=int(o.get("min_sentences", "3")),
+                        badwords=bad)
+    if name == "gopher_quality":
+        from drill_spark.ops.text import gopher_quality
+
+        return gopher_quality(inp(), id_col=o.get("id", "doc_id"),
+                              text_col=o.get("text", "text"))
+    if name == "script_profile":
+        from drill_spark.ops.text import script_profile
+
+        return script_profile(inp(), id_col=o.get("id", "doc_id"),
+                              text_col=o.get("text", "text"))
+    if name == "domain_stats":
+        from drill_spark.ops.text import domain_stats
+
+        block = tuple(x for x in o.get("blocklist", "").split(",") if x)
+        return domain_stats(inp(), text_col=o.get("text", "text"),
+                            url_col=o.get("url", "url"),
+                            blocklist=block)
+    if name == "dsir":
+        from drill_spark.ops.pipeline import dsir_weights
+
+        return dsir_weights(inp("raw"), inp("target"),
+                            o.get("id", "doc_id"), o.get("text", "text"))
+    if name == "pack_bins":
+        from drill_spark.ops.pipeline import pack_bins
+
+        ids = tuple(o.get("ids", "doc_id,chunk_id").split(","))
+        return pack_bins(inp(), id_cols=ids,
+                         tokens_col=o.get("tokens", "n_tokens"),
+                         capacity=int(o.get("capacity", "2048")),
+                         n_shards=int(o.get("shards", "64")))
+    if name == "fixed_k_sample":
+        from drill_spark.ops.pipeline import fixed_k_sample
+
+        return fixed_k_sample(inp(), o.get("strata", "lang"),
+                              o.get("id", "doc_id"), int(o.get("k", "10")))
+    if name == "skew_profile":
+        from drill_spark.ops.scale import skew_profile
+
+        return skew_profile(inp(), o["key"], top=int(o.get("top", "5")))
+    if name == "chat_validate":
+        from drill_spark.ops.chat import validate_conversations
+
+        return validate_conversations(inp(), id_col=o.get("id", "conv_id"),
+                                      conv_col=o.get("turns", "turns"))
+    if name == "chat_render":
+        from drill_spark.ops.chat import render_chat
+
+        return render_chat(inp(), id_col=o.get("id", "conv_id"),
+                           conv_col=o.get("turns", "turns"))
+    if name == "preference_pairs":
+        from drill_spark.ops.chat import preference_pairs
+
+        return preference_pairs(inp(), prompt_col=o.get("prompt", "prompt_id"),
+                                response_col=o.get("response", "response"),
+                                score_col=o.get("score", "score"))
     raise ValueError(
         f"unknown pipeline table function `{name}` — available: bm25, "
         "tfidf_keywords, hybrid_search, fuzzy_join, dedup_exact, "
-        "line_dedup, group_split, gap_fill, triplet_mine, corpus_report")
+        "line_dedup, group_split, gap_fill, triplet_mine, corpus_report, "
+        "c4_clean, gopher_quality, script_profile, domain_stats, dsir, "
+        "pack_bins, fixed_k_sample, skew_profile, chat_validate, "
+        "chat_render, preference_pairs")
 
 
 def _read_path(session, ws_name: str, rel_path: str, options: dict[str, str] | None = None) -> DataFrame:

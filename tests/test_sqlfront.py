@@ -788,3 +788,38 @@ def test_pipeline_table_functions(dsession):
     import pytest as _pytest
     with _pytest.raises(Exception, match="unknown pipeline"):
         dsession.sql("select * from table(pipeline.`nope`(input => 'documents'))")
+
+
+def test_pipeline_table_functions_round8(dsession):
+    """SQL faces for the round-8 operators compose with plain SQL."""
+    dsession.register_fixture_tables("/root/testdata/sf0.001")
+    kept = dsession.sql(
+        "select count(*) n, sum(cast(keep as int)) kept from "
+        "table(pipeline.`gopher_quality`(input => 'documents'))"
+    ).collect()[0]
+    assert kept.n == 500
+
+    dom = dsession.sql(
+        "select dominant, count(*) n from "
+        "table(pipeline.`script_profile`(input => 'documents')) group by 1"
+    ).collect()
+    assert {r.dominant for r in dom} == {"latin"}
+
+    skew = dsession.sql(
+        "select * from table(pipeline.`skew_profile`("
+        "input => 'documents', key => 'source', top => '3'))"
+    ).collect()
+    assert len(skew) == 3 and skew[0].cnt >= skew[-1].cnt
+
+    fk = dsession.sql(
+        "select lang, count(*) n from table(pipeline.`fixed_k_sample`("
+        "input => 'documents', strata => 'lang', id => 'doc_id',"
+        " k => '7')) group by 1"
+    ).collect()
+    assert all(r.n <= 7 for r in fk)
+
+    c4 = dsession.sql(
+        "select count(*) n from table(pipeline.`c4_clean`("
+        "input => 'documents'))"
+    ).collect()[0]
+    assert c4.n == 500
