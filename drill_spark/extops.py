@@ -3170,6 +3170,65 @@ where chosen_score - rejected_score > 0
 """
 
 
+def q_bm25_batch(spark, sf_dir):
+    """Batch BM25 (ops/search.py::bm25_topk_batch): three queries
+    scored against the corpus in ONE pass, per-query top-5. The oracle
+    replays postings, document frequencies and the Lucene-idf formula
+    for all three queries."""
+    from drill_spark.ops.search import bm25_topk_batch
+
+    queries = spark.createDataFrame(
+        [("q1", ["spark", "vector"]), ("q2", ["merge", "window"]),
+         ("q3", ["customer", "order", "join"])],
+        "query_id string, terms array<string>",
+    )
+    return bm25_topk_batch(_docs(spark, sf_dir), queries, k=5)
+
+
+ORACLE_BM25_BATCH = r"""
+with q as (
+  select * from (values ('q1', ['spark', 'vector']),
+                        ('q2', ['merge', 'window']),
+                        ('q3', ['customer', 'order', 'join']))
+    as t(query_id, terms)
+),
+qt as (select query_id, unnest(list_distinct(terms)) as term from q),
+tok as (
+  select doc_id, term from (
+    select doc_id,
+           unnest(regexp_split_to_array(trim(lower(text)), '\s+')) as term
+    from documents)
+  where term <> ''
+),
+dl as (select doc_id, count(*) as dl from tok group by 1),
+corpus as (select count(*) as n_docs, avg(dl) as avgdl from dl),
+post as (
+  select term, doc_id, count(*) as tf from tok
+  where term in (select term from qt) group by 1, 2
+),
+dfreq as (select term, count(*) as df from post group by 1),
+scored as (
+  select qt.query_id, p.doc_id,
+         round(sum(ln(1.0 + (c.n_docs - f.df + 0.5) / (f.df + 0.5))
+                   * (p.tf * 2.2
+                      / (p.tf + 1.2 * (1 - 0.75 + 0.75 * d.dl / c.avgdl)))),
+               6) as score
+  from post p
+  join dfreq f using (term)
+  join dl d using (doc_id)
+  cross join corpus c
+  join qt on qt.term = p.term
+  group by qt.query_id, p.doc_id
+)
+select query_id, doc_id, score, rank from (
+  select query_id, doc_id, score,
+         cast(row_number() over (partition by query_id
+                                 order by score desc, doc_id) as int) as rank
+  from scored)
+where rank <= 5
+"""
+
+
 QUERIES = {
     "op_avro_scan": q_avro_scan,
     "op_delta_scan": q_delta_scan,
@@ -3260,6 +3319,7 @@ QUERIES = {
     "ext_chat_validate": q_chat_validate,
     "ext_chat_render": q_chat_render,
     "ext_preference_pairs": q_preference_pairs,
+    "ext_bm25_batch": q_bm25_batch,
 }
 
 ORACLES = {
@@ -3337,6 +3397,7 @@ ORACLES = {
     "ext_chat_validate": ORACLE_CHAT_VALIDATE,
     "ext_chat_render": ORACLE_CHAT_RENDER,
     "ext_preference_pairs": ORACLE_PREFERENCE_PAIRS,
+    "ext_bm25_batch": ORACLE_BM25_BATCH,
 }
 
 

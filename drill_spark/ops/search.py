@@ -189,3 +189,74 @@ def hybrid_topk(docs: DataFrame, vecs: DataFrame, query_terms: list[str],
         id_col=vec_id_col, vec_col=vec_col, k=pool,
     ).select(F.col("neighbor_id").alias(id_col), "rank")
     return rrf_fuse(bm_ranked, cos, id_col, k=k, rrf_k=rrf_k)
+
+
+def bm25_topk_batch(df: DataFrame, queries: DataFrame, k: int = 10,
+                    k1: float = _K1, b: float = _B, id_col: str = "doc_id",
+                    text_col: str = "text", query_id_col: str = "query_id",
+                    terms_col: str = "terms",
+                    postings: DataFrame | None = None) -> DataFrame:
+    """Batch BM25: top-k documents for EVERY query in ``queries``
+    ((query_id, terms array<string>)) in ONE corpus pass — the
+    realistic retrieval shape (an eval-set decontamination sweep or a
+    RAG build scores thousands of queries; running bm25_topk per query
+    would rescan the corpus per query).
+
+    Scale shape: the query-term table is broadcast twice (once to
+    filter the token stream — only postings for SOME query's terms
+    shuffle — and once to fan each (term, doc) posting out to the
+    queries containing the term); document frequencies and corpus
+    stats stay broadcast aggregates; per-query top-k is a window
+    partitioned by query_id — per-task state is one query's heap, and
+    the global sort never happens. Pass a materialized ``postings``
+    table (build_postings) to make repeated sweeps scan-only.
+
+    Returns (query_id, id, score, rank), score rounded to 6 decimals,
+    rank by (rounded score desc, id asc) within each query.
+    """
+    qt = (
+        queries.select(
+            query_id_col,
+            F.explode(
+                F.array_distinct(
+                    F.transform(F.col(terms_col),
+                                lambda t: F.lower(F.trim(t))))
+            ).alias("term"),
+        )
+        .where(F.col("term") != "")
+    )
+    all_terms = qt.select("term").distinct()
+    if postings is None:
+        stream = _term_stream(df, id_col, text_col).join(
+            F.broadcast(all_terms), "term")
+        post = stream.groupBy("term", id_col).agg(F.count("*").alias("tf"))
+    else:
+        post = postings.join(F.broadcast(all_terms), "term")
+
+    dl = doc_lengths(df, id_col, text_col)
+    corpus = dl.agg(
+        F.count("*").alias("n_docs"),
+        (F.sum("dl") / F.count("*")).alias("avgdl"),
+    )
+    dfreq = post.groupBy("term").agg(F.count("*").alias("df"))
+
+    idf = F.log(F.lit(1.0) + (F.col("n_docs") - F.col("df") + 0.5)
+                / (F.col("df") + 0.5))
+    norm = F.col("tf") * (k1 + 1) / (
+        F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl")))
+
+    scored = (
+        post.join(F.broadcast(dfreq), "term")
+        .join(dl, id_col)
+        .crossJoin(F.broadcast(corpus))
+        .join(F.broadcast(qt), "term")
+        .select(query_id_col, id_col, (idf * norm).alias("part"))
+        .groupBy(query_id_col, id_col)
+        .agg(F.round(F.sum("part"), 6).alias("score"))
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("score").desc(), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )

@@ -380,6 +380,13 @@ def _pipeline_table(session, op: str, opts: dict[str, str]) -> DataFrame:
         return bm25_topk(inp(), o["query"].split(), k=int(o.get("k", "10")),
                          id_col=o.get("id", "doc_id"),
                          text_col=o.get("text", "text"))
+    if name == "bm25_batch":
+        from drill_spark.ops.search import bm25_topk_batch
+
+        return bm25_topk_batch(inp(), inp("queries"),
+                               k=int(o.get("k", "10")),
+                               id_col=o.get("id", "doc_id"),
+                               text_col=o.get("text", "text"))
     if name == "tfidf_keywords":
         from drill_spark.ops.search import tfidf_keywords
 
@@ -506,7 +513,7 @@ def _pipeline_table(session, op: str, opts: dict[str, str]) -> DataFrame:
                                 response_col=o.get("response", "response"),
                                 score_col=o.get("score", "score"))
     raise ValueError(
-        f"unknown pipeline table function `{name}` — available: bm25, "
+        f"unknown pipeline table function `{name}` — available: bm25, bm25_batch, "
         "tfidf_keywords, hybrid_search, fuzzy_join, dedup_exact, "
         "line_dedup, group_split, gap_fill, triplet_mine, corpus_report, "
         "c4_clean, gopher_quality, script_profile, domain_stats, dsir, "

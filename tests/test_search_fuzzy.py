@@ -476,3 +476,42 @@ def test_corpus_report_closed_form(spark):
     assert s1.dup_rate == pytest.approx(round(1 - 2 / 3, 4))
     s2 = got["s2"]
     assert (s2.n_docs, s2.n_tokens, s2.dup_rate) == (1, 1, 0.0)
+
+
+def test_bm25_batch_matches_per_query(spark):
+    """Batch BM25 must equal running bm25_topk per query."""
+    from drill_spark.ops.search import bm25_topk, bm25_topk_batch
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta w{i} " + ("spark " * (i % 4)) + ("join " * (i % 3)))
+         for i in range(30)],
+        "doc_id bigint, text string",
+    )
+    queries = spark.createDataFrame(
+        [("qa", ["spark", "alpha"]), ("qb", ["join"])],
+        "query_id string, terms array<string>",
+    )
+    batch = bm25_topk_batch(docs, queries, k=5).collect()
+    for qid, terms in [("qa", ["spark", "alpha"]), ("qb", ["join"])]:
+        single = [(r["doc_id"], r["score"])
+                  for r in bm25_topk(docs, terms, k=5).collect()]
+        got = sorted(
+            ((r["doc_id"], r["score"]) for r in batch
+             if r["query_id"] == qid),
+            key=lambda t: (-t[1], t[0]))
+        assert got == single, qid
+
+
+def test_bm25_batch_reuses_postings(spark):
+    from drill_spark.ops.search import build_postings, bm25_topk_batch
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha w{i} spark") for i in range(10)],
+        "doc_id bigint, text string",
+    )
+    post = build_postings(docs)
+    queries = spark.createDataFrame([("q", ["spark"])],
+                                    "query_id string, terms array<string>")
+    inline = bm25_topk_batch(docs, queries, k=3).collect()
+    reused = bm25_topk_batch(docs, queries, k=3, postings=post).collect()
+    assert sorted(map(tuple, inline)) == sorted(map(tuple, reused))
