@@ -3229,6 +3229,43 @@ where rank <= 5
 """
 
 
+def q_novelty(spark, sf_dir):
+    """N-gram novelty vs a reference corpus (ops/pipeline.py::
+    novelty_score): every 4th doc plays the reference; the rest report
+    the fraction of their distinct 8-grams unseen in it. The oracle
+    replays grams, membership and the fraction."""
+    from drill_spark.ops.pipeline import novelty_score
+
+    docs = _docs(spark, sf_dir)
+    ref = docs.where(F.col("doc_id") % 4 == 0)
+    corpus = docs.where(F.col("doc_id") % 4 != 0)
+    return novelty_score(corpus, ref, "doc_id", "text", n=8)
+
+
+ORACLE_NOVELTY = r"""
+with w as (
+  select doc_id, string_split_regex(trim(lower(text)), '\s+') as w
+  from documents
+),
+g as (
+  select doc_id, unnest(list_distinct(list_transform(
+      generate_series(1, greatest(len(w) - 7, 0)),
+      i -> substring(md5(array_to_string(w[i:i+7], ' ')), 1, 16)))) as ng
+  from w
+  where len(w) >= 8
+),
+r as (select distinct ng from g where doc_id % 4 = 0),
+c as (select * from g where doc_id % 4 <> 0),
+t as (select doc_id, count(*) as n_grams from c group by 1),
+s as (select c.doc_id, count(*) as n_seen from c join r using (ng)
+      group by 1)
+select t.doc_id, n_grams,
+       coalesce(n_seen, 0) as n_seen,
+       round(1 - coalesce(n_seen, 0) * 1.0 / n_grams, 4) as novelty
+from t left join s on t.doc_id = s.doc_id
+"""
+
+
 QUERIES = {
     "op_avro_scan": q_avro_scan,
     "op_delta_scan": q_delta_scan,
@@ -3320,6 +3357,7 @@ QUERIES = {
     "ext_chat_render": q_chat_render,
     "ext_preference_pairs": q_preference_pairs,
     "ext_bm25_batch": q_bm25_batch,
+    "ext_novelty": q_novelty,
 }
 
 ORACLES = {
@@ -3398,6 +3436,7 @@ ORACLES = {
     "ext_chat_render": ORACLE_CHAT_RENDER,
     "ext_preference_pairs": ORACLE_PREFERENCE_PAIRS,
     "ext_bm25_batch": ORACLE_BM25_BATCH,
+    "ext_novelty": ORACLE_NOVELTY,
 }
 
 

@@ -367,12 +367,18 @@ def dsir_weights(
     per-document aggregation — no self-joins, no driver collect.
     """
     n_buckets = 65536
-    c = corpus.select(
+    c = _spread(corpus).select(
         F.col(id_col), F.explode(_hashed_gram_buckets(text_col)).alias("b")
     )
-    t = target.select(F.explode(_hashed_gram_buckets(text_col)).alias("b"))
-    rc = c.groupBy("b").agg(F.count(F.lit(1)).alias("cr"))
-    tc = t.groupBy("b").agg(F.count(F.lit(1)).alias("ct"))
+    t = _spread(target).select(
+        F.explode(_hashed_gram_buckets(text_col)).alias("b"))
+    # The two bucket-count tables are BOUNDED (≤ 65,536 rows each) and
+    # re-read three times (full-outer merge, totals, the scoring join's
+    # broadcast) — persisting them caps the corpus text at exactly two
+    # passes (one to count, one to score) instead of re-exploding the
+    # gram stream per consumer. A bounded persist, never the stream.
+    rc = c.groupBy("b").agg(F.count(F.lit(1)).alias("cr")).persist()
+    tc = t.groupBy("b").agg(F.count(F.lit(1)).alias("ct")).persist()
     buckets = rc.join(tc, "b", "full_outer").select(
         "b",
         F.coalesce("cr", F.lit(0)).alias("cr"),
@@ -487,4 +493,50 @@ def fixed_k_sample(
         df.withColumn("__rk", F.row_number().over(w))
         .where(F.col("__rk") <= k)
         .drop("__rk")
+    )
+
+
+def novelty_score(
+    corpus: DataFrame,
+    reference: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 8,
+) -> DataFrame:
+    """Per-document n-gram novelty vs a reference corpus — the
+    memorization / freshness measure (the complement of benchmark-
+    overlap decontamination; Lee et al. 2022's duplication analysis
+    reads this distribution): for each document, the fraction of its
+    DISTINCT word n-grams that do NOT occur in ``reference``.
+
+    Returns (id, n_grams, n_seen, novelty) for every document with at
+    least one n-gram; novelty = 1 − n_seen/n_grams, rounded 4dp.
+
+    Scale shape: both sides reduce to fixed-width gram hashes per row
+    (no shuffle), the reference gram set aggregates once, and the
+    membership check is ONE left-semi-style broadcast join counted per
+    document — same plan family as decontaminate, so the shuffle is
+    sized by the corpus gram stream, never a self-join.
+    """
+    c = _spread(corpus).select(
+        F.col(id_col), F.explode(_ngram_keys(text_col, n)).alias("__ng")
+    )
+    r = _spread(reference).select(
+        F.explode(_ngram_keys(text_col, n)).alias("__ng")
+    ).distinct()
+    seen = (
+        c.join(F.broadcast(r), "__ng", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_seen"))
+    )
+    totals = c.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_grams"))
+    return (
+        totals.join(seen, id_col, "left")
+        .select(
+            id_col, "n_grams",
+            F.coalesce("n_seen", F.lit(0)).alias("n_seen"),
+            F.round(
+                1 - F.coalesce("n_seen", F.lit(0)) / F.col("n_grams"), 4
+            ).alias("novelty"),
+        )
     )

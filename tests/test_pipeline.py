@@ -304,3 +304,20 @@ def test_skew_profile_orders_and_ratios(spark):
     # 5 keys, 93 rows -> mean 18.6; hot skew = 60/18.6
     assert abs(rows[0]["skew"] - round(60 * 5 / 93, 4)) < 1e-9
     assert abs(rows[0]["share"] - round(60 / 93, 6)) < 1e-9
+
+
+def test_novelty_score_fractions(spark):
+    from drill_spark.ops.pipeline import novelty_score
+
+    ref = _df(spark, [(100, "a b c d e f g h i j")])
+    corpus = _df(spark, [
+        (1, "a b c d e f g h i j"),        # fully seen
+        (2, "x y z q r s t u v w"),        # fully novel
+        (3, "a b c d e f g h zz"),         # 2 grams: 1 seen, 1 novel
+    ])
+    got = {r["id"]: r for r in
+           novelty_score(corpus, ref, "id", "text").collect()}
+    assert got[1]["novelty"] == 0.0
+    assert got[2]["novelty"] == 1.0
+    assert (got[3]["n_grams"], got[3]["n_seen"]) == (2, 1)
+    assert got[3]["novelty"] == 0.5
