@@ -3266,6 +3266,66 @@ from t left join s on t.doc_id = s.doc_id
 """
 
 
+def q_stream_incr_dedup(spark, sf_dir):
+    """Streaming ingest dedup (streaming/events.py::
+    stream_incremental_dedup): even-id docs arrive as micro-batch 0,
+    odd-id as micro-batch 1 (file source, maxFilesPerTrigger=1, mtimes
+    pinned so batch order is deterministic); each batch dedups within
+    itself and against the Delta digest store, survivors land in an
+    output Delta exactly-once. The oracle is the batch semantics
+    replayed in SQL — streaming and batch share ONE dedup contract."""
+    import os
+    import tempfile
+
+    from drill_spark.readers.delta import read_delta
+    from drill_spark.streaming.events import stream_incremental_dedup
+
+    docs = _docs(spark, sf_dir)
+    base = tempfile.mkdtemp(prefix="sincdedup_")
+    src = os.path.join(base, "src")
+    docs.where(F.col("doc_id") % 2 == 0).coalesce(1).write.parquet(src)
+    docs.where(F.col("doc_id") % 2 == 1).coalesce(1).write.mode(
+        "append").parquet(src)
+    parts = sorted(
+        (os.path.join(src, f) for f in os.listdir(src)
+         if f.endswith(".parquet")),
+        key=lambda p: os.path.getmtime(p),
+    )
+    # pin modification times so the file source's batch order (mtime)
+    # is even-first regardless of filesystem timestamp granularity
+    for i, p in enumerate(parts):
+        os.utime(p, (1_600_000_000 + i * 60, 1_600_000_000 + i * 60))
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    q = stream_incremental_dedup(
+        stream, os.path.join(base, "store"), os.path.join(base, "out"),
+        os.path.join(base, "ckpt"),
+    )
+    q.awaitTermination()
+    return read_delta(spark, os.path.join(base, "out")).select("doc_id")
+
+
+ORACLE_STREAM_INCR_DEDUP = r"""
+with d as (
+  select doc_id, md5(regexp_replace(lower(text), '\s+', ' ', 'g')) as h
+  from documents
+),
+b0 as (select h, min(doc_id) as doc_id from d where doc_id % 2 = 0
+       group by 1),
+b1 as (select h, min(doc_id) as doc_id from d where doc_id % 2 = 1
+       group by 1),
+b1k as (
+  select b1.doc_id from b1
+  where not exists (select 1 from b0 where b0.h = b1.h)
+)
+select doc_id from b0
+union all
+select doc_id from b1k
+"""
+
+
 QUERIES = {
     "op_avro_scan": q_avro_scan,
     "op_delta_scan": q_delta_scan,
@@ -3358,6 +3418,7 @@ QUERIES = {
     "ext_preference_pairs": q_preference_pairs,
     "ext_bm25_batch": q_bm25_batch,
     "ext_novelty": q_novelty,
+    "ext_stream_incr_dedup": q_stream_incr_dedup,
 }
 
 ORACLES = {
@@ -3437,6 +3498,7 @@ ORACLES = {
     "ext_preference_pairs": ORACLE_PREFERENCE_PAIRS,
     "ext_bm25_batch": ORACLE_BM25_BATCH,
     "ext_novelty": ORACLE_NOVELTY,
+    "ext_stream_incr_dedup": ORACLE_STREAM_INCR_DEDUP,
 }
 
 

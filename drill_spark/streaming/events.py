@@ -309,3 +309,51 @@ def commit_iceberg_batch_idempotent(
         return False
     append_iceberg(batch_df, table_path, summary_extra=stamp)
     return True
+
+
+def stream_incremental_dedup(
+    docs_stream: DataFrame,
+    store_path: str,
+    out_path: str,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    app_id: str = "drill_spark_stream_dedup",
+    trigger: dict | None = None,
+):
+    """Streaming ingest dedup — the continuously-arriving twin of
+    ops/dedup.incremental_dedup: every micro-batch dedups within
+    itself AND against every previously ingested batch via the
+    persistent Delta digest store (16 bytes/doc — prior text is never
+    rescanned), and the surviving documents land in ``out_path``
+    exactly-once.
+
+    Exactly-once end to end with the streaming epoch as the single
+    batch identity, stamped into BOTH Delta logs: incremental_dedup's
+    store commit carries txn(drill_spark.incremental_dedup, epoch) —
+    a replayed epoch returns its ORIGINAL survivors without growing
+    the store — and the output append carries txn(app_id, epoch) via
+    commit_batch_idempotent, so at-least-once foreachBatch delivery
+    still writes each survivor set once.
+
+    Scale shape per micro-batch: one digest shuffle within the batch +
+    the adaptive bloom/broadcast anti join against the store (sized by
+    the DIGEST count, not corpus text) — identical to the batch
+    operator, which is the point: backfill (batch) and ingest
+    (streaming) share one dedup semantics and one store.
+    """
+    from drill_spark.ops.dedup import incremental_dedup
+
+    def _commit(batch_df: DataFrame, epoch_id: int) -> None:
+        survivors = incremental_dedup(
+            batch_df, store_path, id_col=id_col, text_col=text_col,
+            batch_id=epoch_id,
+        )
+        commit_batch_idempotent(survivors, out_path, app_id, epoch_id)
+
+    return (
+        docs_stream.writeStream.foreachBatch(_commit)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(**(trigger if trigger is not None else {"availableNow": True}))
+        .start()
+    )

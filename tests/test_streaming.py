@@ -237,3 +237,51 @@ def test_stream_to_iceberg_preexisting_table(spark, tmp_path):
         spark.range(200, 201).select(F.col("id").alias("v")), tbl, "app2", 0
     ) is True
     assert read_iceberg(spark, tbl).count() == 9
+
+
+def test_stream_incremental_dedup_and_replay(spark, tmp_path):
+    """Streaming ingest dedup: batch 1 drops digests batch 0 already
+    introduced; replaying the whole stream with a FRESH checkpoint
+    (at-least-once delivery) neither grows the store nor duplicates
+    the output — both Delta txn guards hold."""
+    import os
+
+    from drill_spark.readers.delta import read_delta
+    from drill_spark.streaming.events import stream_incremental_dedup
+
+    src = str(tmp_path / "src")
+    rows0 = [(1, "alpha beta"), (2, "alpha  BETA"), (3, "gamma")]
+    rows1 = [(10, "gamma"), (11, "delta"), (12, "delta")]
+    spark.createDataFrame(rows0, "doc_id bigint, text string").coalesce(
+        1).write.parquet(src)
+    spark.createDataFrame(rows1, "doc_id bigint, text string").coalesce(
+        1).write.mode("append").parquet(src)
+    parts = sorted(
+        (os.path.join(src, f) for f in os.listdir(src)
+         if f.endswith(".parquet")),
+        key=os.path.getmtime,
+    )
+    for i, p in enumerate(parts):
+        os.utime(p, (1_600_000_000 + i * 60,) * 2)
+
+    def run(ckpt):
+        stream = (
+            spark.readStream.schema("doc_id bigint, text string")
+            .option("maxFilesPerTrigger", 1).parquet(src)
+        )
+        q = stream_incremental_dedup(
+            stream, str(tmp_path / "store"), str(tmp_path / "out"), ckpt)
+        q.awaitTermination()
+
+    run(str(tmp_path / "ckpt1"))
+    got = sorted(r.doc_id for r in
+                 read_delta(spark, str(tmp_path / "out")).collect())
+    # 1 beats 2 (same normalized digest), 3 in batch 0; 10 collides
+    # with 3's digest, 11 beats 12 within batch 1
+    assert got == [1, 3, 11]
+    store_rows = read_delta(spark, str(tmp_path / "store")).count()
+    run(str(tmp_path / "ckpt2"))  # full replay, fresh checkpoint
+    again = sorted(r.doc_id for r in
+                   read_delta(spark, str(tmp_path / "out")).collect())
+    assert again == [1, 3, 11]
+    assert read_delta(spark, str(tmp_path / "store")).count() == store_rows
