@@ -3326,6 +3326,37 @@ select doc_id from b1k
 """
 
 
+def q_temperature_sample(spark, sf_dir):
+    """Temperature-scaled mixture sampling (ops/pipeline.py::
+    temperature_sample): per-language keep rates proportional to
+    p_lang^0.5 under a 50% row budget, gated by an integer-exact
+    md5-prefix threshold. The oracle replays the rate algebra and the
+    24-bit gate closed-form."""
+    from drill_spark.ops.pipeline import temperature_sample
+
+    return temperature_sample(
+        _docs(spark, sf_dir), "lang", "doc_id", alpha=0.5, budget_frac=0.5
+    )
+
+
+ORACLE_TEMPERATURE_SAMPLE = """
+with counts as (
+  select lang, cast(count(*) as double) as c from documents group by lang
+),
+tot as (select sum(pow(c, 0.5)) as z, sum(c) as n from counts),
+rates as (
+  select lang,
+         cast(floor(least(1.0, 0.5 * n * (pow(c, 0.5) / z) / c)
+              * 16777216.0) as bigint) as gate
+  from counts, tot
+)
+select d.doc_id, d.lang, r.gate
+from documents d join rates r using (lang)
+where cast('0x' || substring(md5(cast(d.doc_id as varchar)), 1, 6)
+      as bigint) < r.gate
+"""
+
+
 QUERIES = {
     "op_avro_scan": q_avro_scan,
     "op_delta_scan": q_delta_scan,
@@ -3419,6 +3450,7 @@ QUERIES = {
     "ext_bm25_batch": q_bm25_batch,
     "ext_novelty": q_novelty,
     "ext_stream_incr_dedup": q_stream_incr_dedup,
+    "ext_temperature_sample": q_temperature_sample,
 }
 
 ORACLES = {
@@ -3499,6 +3531,7 @@ ORACLES = {
     "ext_bm25_batch": ORACLE_BM25_BATCH,
     "ext_novelty": ORACLE_NOVELTY,
     "ext_stream_incr_dedup": ORACLE_STREAM_INCR_DEDUP,
+    "ext_temperature_sample": ORACLE_TEMPERATURE_SAMPLE,
 }
 
 

@@ -540,3 +540,62 @@ def novelty_score(
             ).alias("novelty"),
         )
     )
+
+
+def temperature_sample(
+    df: DataFrame,
+    strata_col: str,
+    id_col: str,
+    alpha: float = 0.5,
+    budget_frac: float = 0.5,
+) -> DataFrame:
+    """Temperature-scaled mixture sampling — the multilingual /
+    multi-source balancing move from mT5 and XLM-R: sample stratum s
+    with probability proportional to p_s^alpha (alpha < 1 flattens the
+    mixture, up-weighting rare languages/sources without starving the
+    head), subject to an overall row budget of ``budget_frac * N``.
+
+    Per-stratum keep rate: ``min(1, N*budget_frac * w_s / c_s)`` with
+    ``w_s = c_s^alpha / sum(c^alpha)``. The keep decision is
+    content-addressed like every sampler here — the first 6 hex digits
+    of md5(id) as a 24-bit integer compared against
+    ``floor(rate * 2^24)`` — so it is reproducible across engines,
+    re-runs, and partitionings, and the comparison is integer-exact
+    (no float-rounding drift between engines).
+
+    Scale shape: ONE map-combined count aggregation over strata (tiny:
+    one row per language/source), rates derived on that bounded table
+    (single-row totals cross-joined — both sides broadcast), then a
+    broadcast join back and an ordinary filter on the scan. No shuffle
+    of the corpus itself.
+
+    Returns (id, strata, gate) where ``gate`` is the integer threshold
+    applied to the stratum (exposes the realized mixture for audit).
+    """
+    counts = df.groupBy(strata_col).agg(
+        F.count(F.lit(1)).cast("double").alias("__c")
+    )
+    totals = counts.agg(
+        F.sum(F.pow("__c", F.lit(alpha))).alias("__z"),
+        F.sum("__c").alias("__n"),
+    )
+    rates = counts.crossJoin(F.broadcast(totals)).select(
+        strata_col,
+        F.floor(
+            F.least(
+                F.lit(1.0),
+                F.lit(budget_frac) * F.col("__n")
+                * (F.pow("__c", F.lit(alpha)) / F.col("__z"))
+                / F.col("__c"),
+            )
+            * F.lit(float(1 << 24))
+        ).cast("long").alias("gate"),
+    )
+    h24 = F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 6), 16, 10
+    ).cast("long")
+    return (
+        df.join(F.broadcast(rates), strata_col)
+        .where(h24 < F.col("gate"))
+        .select(id_col, strata_col, "gate")
+    )

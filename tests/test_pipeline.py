@@ -321,3 +321,40 @@ def test_novelty_score_fractions(spark):
     assert got[2]["novelty"] == 1.0
     assert (got[3]["n_grams"], got[3]["n_seen"]) == (2, 1)
     assert got[3]["novelty"] == 0.5
+
+
+def test_temperature_sample_flattens_mixture(spark):
+    from drill_spark.ops.pipeline import temperature_sample
+
+    # 900 'en' docs vs 100 'rare' docs; alpha=0.5 up-weights the rare
+    # stratum relative to proportional sampling.
+    rows = [(i, "en" if i < 900 else "rare") for i in range(1000)]
+    df = spark.createDataFrame(rows, "id bigint, lang string")
+    out = temperature_sample(df, "lang", "id", alpha=0.5, budget_frac=0.5)
+    got = out.groupBy("lang").count().collect()
+    by = {r["lang"]: r["count"] for r in got}
+    # expected rates: w_en = 30/40, w_rare = 10/40 of a 500-row budget
+    # -> rate_en = 500*0.75/900 ~= 0.4167, rate_rare = min(1, 500*0.25/100)=1.0
+    assert by["rare"] == 100                      # rare stratum fully kept
+    assert 290 <= by["en"] <= 460                 # ~0.4167 * 900, md5 noise
+    # deterministic: same input -> identical sample
+    a = {r["id"] for r in out.collect()}
+    b = {r["id"] for r in temperature_sample(
+        df, "lang", "id", alpha=0.5, budget_frac=0.5).collect()}
+    assert a == b
+    # alpha=1 is proportional sampling: every stratum gets the budget rate
+    prop = temperature_sample(df, "lang", "id", alpha=1.0, budget_frac=0.5)
+    gates = {r["lang"]: r["gate"] for r in prop.select("lang", "gate").distinct().collect()}
+    assert gates["en"] == gates["rare"] == (1 << 23)
+
+
+def test_temperature_sample_no_corpus_shuffle(spark):
+    from drill_spark.ops.pipeline import temperature_sample
+
+    rows = [(i, "s%d" % (i % 3)) for i in range(300)]
+    df = spark.createDataFrame(rows, "id bigint, lang string")
+    out = temperature_sample(df, "lang", "id")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the corpus side reaches the join via broadcast, not an exchange:
+    # the only shuffles allowed are the tiny stratum-count aggregations
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
