@@ -5,7 +5,8 @@ are SQL-expressible. Approximate / iterative / stubbed ops are
 rows-only by design — each carries a stronger pytest instead (recall
 bounds, brute-force equality, union-find equality): ext_dedup_minhash,
 ext_dedup_simhash(_pairs), ext_dedup_clusters, ext_ann_lsh,
-ext_ann_ivf, ext_text_topk_approx, ext_multimodal_features.
+ext_ann_ivf, ext_text_topk_approx, ext_multimodal_features,
+ext_crossmodal_topk.
 """
 
 from __future__ import annotations
@@ -3326,6 +3327,48 @@ select doc_id from b1k
 """
 
 
+def q_crossmodal_topk(spark, sf_dir):
+    """CLIP-style cross-modal retrieval (ops/crossmodal.py): solid-color
+    BMPs built from doc_id through the repo's real codec, captions with
+    literal rgb() spans, both embedded into one joint space (real Arrow
+    decode plumbing, stub encoder weights) and joined by cosine top-3.
+    Rows-only by design (the projection matrix is not SQL-expressible);
+    retrieval identity is pytest-bound in test_crossmodal.py."""
+    import numpy as np
+    import pandas as pd
+
+    from drill_spark.ops.crossmodal import (
+        crossmodal_topk, embed_captions, embed_images)
+    from drill_spark.ops.multimodal import encode_bmp
+
+    docs = _docs(spark, sf_dir).where(F.col("doc_id") < 96)
+
+    def mk_payload(batches):
+        for pdf in batches:
+            payloads = [
+                encode_bmp(np.full(
+                    (8, 8, 3),
+                    (int(i) * 37 % 256, int(i) * 59 % 256, int(i) * 83 % 256),
+                    dtype=np.uint8))
+                for i in pdf["doc_id"]
+            ]
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    images = docs.select("doc_id").mapInPandas(
+        mk_payload, schema="doc_id long, payload binary")
+    captions = docs.select(
+        "doc_id",
+        F.format_string(
+            "photo colored rgb(%d, %d, %d)",
+            F.col("doc_id") * 37 % 256,
+            F.col("doc_id") * 59 % 256,
+            F.col("doc_id") * 83 % 256,
+        ).alias("text"),
+    )
+    return crossmodal_topk(
+        embed_images(images), embed_captions(captions), k=3)
+
+
 def q_temperature_sample(spark, sf_dir):
     """Temperature-scaled mixture sampling (ops/pipeline.py::
     temperature_sample): per-language keep rates proportional to
@@ -3451,6 +3494,7 @@ QUERIES = {
     "ext_novelty": q_novelty,
     "ext_stream_incr_dedup": q_stream_incr_dedup,
     "ext_temperature_sample": q_temperature_sample,
+    "ext_crossmodal_topk": q_crossmodal_topk,
 }
 
 ORACLES = {
