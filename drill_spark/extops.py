@@ -1608,6 +1608,62 @@ from enriched
 """.format(enrich=_PII_ENRICH_DUCK)
 
 
+_LUHN_GOOD = "4208631975319752086420864197531975308642086429753197531864208642075319753196420864208531975319742086"
+_LUHN_BAD = "9753186420864207531975319642086420853197531974208642086319753197520864208641975319753086420864297531"
+
+_LUHN_ENRICH_SPARK = f"""
+concat(text, ' pay ',
+  concat('4111111111111', lpad(cast(doc_id % 100 as string), 2, '0'),
+    case when doc_id % 2 = 0
+         then substring('{_LUHN_GOOD}', cast(doc_id % 100 as int) + 1, 1)
+         else substring('{_LUHN_BAD}', cast(doc_id % 100 as int) + 1, 1)
+    end))
+"""
+
+_LUHN_ENRICH_DUCK = _LUHN_ENRICH_SPARK.replace("as string", "as varchar")
+
+
+def q_pii_luhn(spark, sf_dir):
+    """Checksum-validated card-number PII (ops/pipeline.py::luhn_scan):
+    every document gets a synthetic 16-digit PAN appended — even
+    doc_ids a Luhn-VALID one (check digit from a precomputed table),
+    odd doc_ids the same number with a corrupted check digit. The
+    validator must redact exactly the valid half; the oracle replays
+    the full Luhn fold in DuckDB HOFs (1-based lambda index there)."""
+    from drill_spark.ops.pipeline import luhn_scan
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", F.expr(_LUHN_ENRICH_SPARK).alias("text"))
+    return luhn_scan(docs, "doc_id", "text")
+
+
+ORACLE_PII_LUHN = r"""
+with enriched as (
+  select doc_id, {enrich} as text from documents
+),
+c as (
+  select doc_id, text,
+    list_filter(regexp_extract_all(text, '\b(?:\d[ -]?){{12,18}}\d\b'), x ->
+      len(regexp_replace(x, '[ -]', '', 'g')) between 13 and 19
+      and list_sum(list_transform(
+            generate_series(1, len(regexp_replace(x, '[ -]', '', 'g'))),
+            i -> case when i % 2 = 0 then
+                   case when cast(substring(reverse(regexp_replace(x, '[ -]', '', 'g')), i, 1) as int) * 2 > 9
+                        then cast(substring(reverse(regexp_replace(x, '[ -]', '', 'g')), i, 1) as int) * 2 - 9
+                        else cast(substring(reverse(regexp_replace(x, '[ -]', '', 'g')), i, 1) as int) * 2
+                   end
+                 else cast(substring(reverse(regexp_replace(x, '[ -]', '', 'g')), i, 1) as int)
+            end)) % 10 = 0
+    ) as cards
+  from enriched
+)
+select doc_id, cast(len(cards) as bigint) as n_card,
+  list_reduce(list_prepend(text, cards),
+              (acc, x) -> replace(acc, x, '[CARD]')) as redacted
+from c
+""".format(enrich=_LUHN_ENRICH_DUCK)
+
+
 def q_decontaminate(spark, sf_dir):
     """Benchmark decontamination: every 20th document plays the held-out
     benchmark; corpus documents sharing any word 8-gram with it are
@@ -3369,6 +3425,64 @@ def q_crossmodal_topk(spark, sf_dir):
         embed_images(images), embed_captions(captions), k=3)
 
 
+def q_text_nfc(spark, sf_dir):
+    """Unicode NFC normalization (ops/text.py::normalize_unicode):
+    fixture text enriched with decomposed combining sequences (e +
+    U+0301, A + U+030A...) that NFC must collapse to precomposed
+    codepoints; DuckDB's nfc_normalize is the oracle. The kernel is an
+    Arrow pandas pass over one scan. Spark's chr() is byte-only, so
+    the Spark side appends unicode literals; the oracle builds the
+    identical tail with DuckDB's codepoint chr()."""
+    from drill_spark.ops.text import normalize_unicode
+
+    tail = (
+        F.when(F.col("doc_id") % 3 == 0,
+               F.lit(" cafe\u0301 resume\u0301"))
+        .when(F.col("doc_id") % 3 == 1,
+              F.lit(" A\u030angstro\u0308m"))
+        .otherwise(F.lit(" plain ascii tail"))
+    )
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", F.concat(F.col("text"), tail).alias("text"))
+    return normalize_unicode(docs, "doc_id", "text", form="NFC")
+
+
+ORACLE_TEXT_NFC = """
+with enriched as (
+  select doc_id,
+         text || case when doc_id % 3 = 0
+                      then ' cafe' || chr(769) || ' resume' || chr(769)
+                      when doc_id % 3 = 1
+                      then ' A' || chr(778) || 'ngstro' || chr(776) || 'm'
+                      else ' plain ascii tail' end as text
+  from documents
+)
+select doc_id, nfc_normalize(text) as normalized,
+       nfc_normalize(text) <> text as changed
+from enriched
+"""
+
+
+def q_weighted_sample(spark, sf_dir):
+    """Efraimidis-Spirakis weighted sampling without replacement
+    (ops/pipeline.py::weighted_sample): 100 documents drawn with
+    probability proportional to n_chars via content-addressed
+    exponential keys; the oracle replays the -ln(u)/w ranking."""
+    from drill_spark.ops.pipeline import weighted_sample
+
+    return weighted_sample(_docs(spark, sf_dir), "doc_id", "n_chars", 100)
+
+
+ORACLE_WEIGHTED_SAMPLE = """
+select doc_id, cast(n_chars as double) as weight,
+       round(-ln((cast('0x' || substring(md5(cast(doc_id as varchar)), 1, 6)
+                  as bigint) + 1.0) / 16777216.0) / n_chars, 6) as key
+from documents
+order by key, doc_id
+limit 100
+"""
+
+
 def q_temperature_sample(spark, sf_dir):
     """Temperature-scaled mixture sampling (ops/pipeline.py::
     temperature_sample): per-language keep rates proportional to
@@ -3495,6 +3609,9 @@ QUERIES = {
     "ext_stream_incr_dedup": q_stream_incr_dedup,
     "ext_temperature_sample": q_temperature_sample,
     "ext_crossmodal_topk": q_crossmodal_topk,
+    "ext_pii_luhn": q_pii_luhn,
+    "ext_weighted_sample": q_weighted_sample,
+    "ext_text_nfc": q_text_nfc,
 }
 
 ORACLES = {
@@ -3576,6 +3693,9 @@ ORACLES = {
     "ext_novelty": ORACLE_NOVELTY,
     "ext_stream_incr_dedup": ORACLE_STREAM_INCR_DEDUP,
     "ext_temperature_sample": ORACLE_TEMPERATURE_SAMPLE,
+    "ext_pii_luhn": ORACLE_PII_LUHN,
+    "ext_weighted_sample": ORACLE_WEIGHTED_SAMPLE,
+    "ext_text_nfc": ORACLE_TEXT_NFC,
 }
 
 

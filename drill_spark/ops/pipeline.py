@@ -599,3 +599,81 @@ def temperature_sample(
         .where(h24 < F.col("gate"))
         .select(id_col, strata_col, "gate")
     )
+
+
+CARD_RE = r"\b(?:\d[ -]?){12,18}\d\b"
+
+
+def luhn_scan(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Checksum-validated payment-card PII — the detector regexes alone
+    can't provide: a 13-19-digit run (spaces/dashes allowed) is only
+    PII if its Luhn checksum verifies, so plain number soup (order ids,
+    timestamps) survives while real PANs are counted and redacted.
+
+    Entirely Catalyst HOFs — candidates from ``regexp_extract_all``,
+    the Luhn sum as ``transform`` (indexed lambda) + ``aggregate`` over
+    the reversed digit array, and redaction as an ``aggregate`` fold
+    replacing each VALID candidate. One codegen pass over the text,
+    zero shuffles, per-row work bounded by document length; the same
+    algebra runs in the DuckDB oracle (1-based lambda index there).
+
+    Returns (id, n_card, redacted).
+    """
+    t = F.col(text_col)
+
+    def luhn_ok(c):
+        s = F.regexp_replace(c, "[ -]", "")
+        rev = F.split(F.reverse(s), "")
+        vals = F.transform(
+            rev,
+            lambda x, i: F.when(
+                i % 2 == F.lit(1),
+                F.when(x.cast("int") * 2 > 9, x.cast("int") * 2 - 9)
+                .otherwise(x.cast("int") * 2),
+            ).otherwise(x.cast("int")),
+        )
+        total = F.aggregate(vals, F.lit(0), lambda acc, x: acc + x)
+        return F.length(s).between(13, 19) & (total % 10 == F.lit(0))
+
+    cards = F.filter(
+        F.regexp_extract_all(t, F.lit(CARD_RE), F.lit(0)), luhn_ok)
+    redacted = F.aggregate(
+        cards, t, lambda acc, c: F.replace(acc, c, F.lit("[CARD]")))
+    return df.select(
+        F.col(id_col),
+        F.size(cards).cast("long").alias("n_card"),
+        redacted.alias("redacted"),
+    )
+
+
+def weighted_sample(df: DataFrame, id_col: str, weight_col: str,
+                    k: int) -> DataFrame:
+    """Weighted sampling WITHOUT replacement (Efraimidis–Spirakis
+    A-ES): each row draws a content-addressed uniform u from its id's
+    md5 and ranks by exponential key ``-ln(u)/w`` — the k smallest keys
+    are a true weight-proportional sample, the distributed-systems
+    standard for quality-weighted corpus carving (weights = quality
+    scores, token counts, dataset-mixture multipliers...).
+
+    Content-addressed u (24-bit md5 prefix, +1 so u > 0) keeps the
+    draw reproducible across engines/partitionings; keys round to 6dp
+    with id tiebreak so last-ulp ln() differences can't flip ranks.
+    Selection is ``orderBy(key, id).limit(k)`` — TakeOrdered per-
+    partition heaps + driver merge of k rows, never a global sort.
+
+    Returns (id, weight, key) for the k sampled rows.
+    """
+    u = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 6),
+               16, 10).cast("double") + F.lit(1.0)
+    ) / F.lit(float(1 << 24))
+    key = F.round(-F.log(u) / F.col(weight_col), 6)
+    return (
+        df.select(
+            F.col(id_col),
+            F.col(weight_col).cast("double").alias("weight"),
+            key.alias("key"),
+        )
+        .orderBy("key", id_col)
+        .limit(k)
+    )

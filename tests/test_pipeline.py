@@ -358,3 +358,48 @@ def test_temperature_sample_no_corpus_shuffle(spark):
     # the corpus side reaches the join via broadcast, not an exchange:
     # the only shuffles allowed are the tiny stratum-count aggregations
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_luhn_scan_validates_and_redacts(spark):
+    from drill_spark.ops.pipeline import luhn_scan
+
+    rows = [
+        (1, "pay with 4111 1111 1111 1111 today"),       # valid, spaced
+        (2, "card 4111-1111-1111-1111 works"),           # valid, dashed
+        (3, "order 4111111111111112 is not a card"),     # bad checksum
+        (4, "ts 20260815 and id 123456 are short"),      # too short
+        (5, "amex 378282246310005 ok"),                  # valid 15-digit
+    ]
+    got = {r["id"]: r for r in luhn_scan(
+        spark.createDataFrame(rows, "id bigint, text string"),
+        "id", "text").collect()}
+    assert got[1]["n_card"] == 1 and "[CARD]" in got[1]["redacted"]
+    assert "4111" not in got[1]["redacted"]
+    assert got[2]["n_card"] == 1 and "[CARD]" in got[2]["redacted"]
+    assert got[3]["n_card"] == 0 and got[3]["redacted"] == rows[2][1]
+    assert got[4]["n_card"] == 0 and got[4]["redacted"] == rows[3][1]
+    assert got[5]["n_card"] == 1 and "[CARD]" in got[5]["redacted"]
+    plan = luhn_scan(
+        spark.createDataFrame(rows, "id bigint, text string"),
+        "id", "text")._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # one codegen pass, no shuffle
+
+
+def test_weighted_sample_proportional_and_takeordered(spark):
+    from drill_spark.ops.pipeline import weighted_sample
+
+    # 500 light rows (w=1) vs 500 heavy rows (w=20): heavy rows should
+    # dominate a k=100 sample (expected ~95 heavy)
+    rows = [(i, 1.0 if i < 500 else 20.0) for i in range(1000)]
+    df = spark.createDataFrame(rows, "id bigint, w double")
+    got = weighted_sample(df, "id", "w", 100).collect()
+    assert len(got) == 100
+    heavy = sum(1 for r in got if r["id"] >= 500)
+    assert heavy >= 80
+    # deterministic
+    again = weighted_sample(df, "id", "w", 100).collect()
+    assert [r["id"] for r in got] == [r["id"] for r in again]
+    # TakeOrdered, not a global sort
+    plan = weighted_sample(df, "id", "w", 100)._jdf.queryExecution(
+        ).executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan

@@ -162,3 +162,29 @@ def test_domain_stats_rollup_and_blocklist(spark):
     tr = got["tracker.io"]
     assert (tr["n_docs"], tr["n_tokens"], tr["n_hosts"]) == (1, 1, 1)
     assert tr["blocked"] is True
+
+
+def test_normalize_unicode_forms(spark):
+    from drill_spark.ops.text import normalize_unicode
+
+    rows = [
+        (1, "café"),          # NFC -> café (precomposed)
+        (2, "café"),           # already NFC
+        (3, "ﬁle"),            # fi ligature: NFKC folds, NFC keeps
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    nfc = {r["doc_id"]: r for r in
+           normalize_unicode(df, "doc_id", "text", "NFC").collect()}
+    assert nfc[1]["normalized"] == "café" and nfc[1]["changed"]
+    assert nfc[2]["normalized"] == "café" and not nfc[2]["changed"]
+    assert nfc[3]["normalized"] == "ﬁle" and not nfc[3]["changed"]
+    assert nfc[4]["normalized"] is None
+    nfkc = {r["doc_id"]: r for r in
+            normalize_unicode(df, "doc_id", "text", "NFKC").collect()}
+    assert nfkc[3]["normalized"] == "file" and nfkc[3]["changed"]
+    try:
+        normalize_unicode(df, "doc_id", "text", "BOGUS")
+        assert False, "expected ValueError"
+    except ValueError:
+        pass
