@@ -3425,6 +3425,98 @@ def q_crossmodal_topk(spark, sf_dir):
         embed_images(images), embed_captions(captions), k=3)
 
 
+def q_maxsim_topk(spark, sf_dir):
+    """ColBERT-style late-interaction retrieval (ops/search.py::
+    maxsim_topk): top-10 documents for a 3-token query under the
+    sum-of-max-dot-products score over per-token hash embeddings; the
+    oracle replays tokenization, the deterministic token vectors, the
+    q x d interaction max and the ranking entirely in DuckDB HOFs."""
+    from drill_spark.ops.search import maxsim_topk
+
+    return maxsim_topk(
+        _docs(spark, sf_dir), ["query", "join", "fast"], k=10)
+
+
+ORACLE_MAXSIM_TOPK = r"""
+with d as (
+  select doc_id,
+         list_transform(
+           list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                       x -> x <> '')[1:32],
+           w -> list_transform(
+             list_transform(generate_series(0, 3), j ->
+               cast(concat('0x', substring(md5(w || '_' || cast(j as varchar)), 1, 4)) as int) / 65536.0 - 0.5),
+             x -> x / sqrt(list_sum(list_transform(
+               list_transform(generate_series(0, 3), j ->
+                 cast(concat('0x', substring(md5(w || '_' || cast(j as varchar)), 1, 4)) as int) / 65536.0 - 0.5),
+               y -> y * y)))))
+         as dv
+  from documents
+),
+q as (
+  select list_transform(['query', 'join', 'fast'],
+           w -> list_transform(
+             list_transform(generate_series(0, 3), j ->
+               cast(concat('0x', substring(md5(w || '_' || cast(j as varchar)), 1, 4)) as int) / 65536.0 - 0.5),
+             x -> x / sqrt(list_sum(list_transform(
+               list_transform(generate_series(0, 3), j ->
+                 cast(concat('0x', substring(md5(w || '_' || cast(j as varchar)), 1, 4)) as int) / 65536.0 - 0.5),
+               y -> y * y)))))
+         as qv
+),
+scored as (
+  select doc_id,
+         round(list_sum(list_transform(qv, qt ->
+           list_max(list_transform(dv, dt ->
+             list_sum(list_transform(generate_series(1, 4),
+                                     i -> qt[i] * dt[i])))))), 6) as score
+  from d, q
+  where len(dv) > 0
+)
+select doc_id, score,
+       cast(row_number() over (order by score desc, doc_id) as int) as rank
+from scored
+order by score desc, doc_id
+limit 10
+"""
+
+
+def q_sessionize(spark, sf_dir):
+    """Gap-based sessionization (ops/temporal.py::sessionize): 60-min
+    gap sessions per user over the events stream; the oracle replays
+    the lag/flag/running-sum/rollup window algebra in DuckDB (epoch
+    doubles are exact at microsecond precision on both engines)."""
+    from drill_spark.ops.temporal import sessionize
+
+    ev = load_fixture(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id")
+    return sessionize(ev, "ts", "user_id", gap_seconds=3600.0,
+                      order_col="event_id")
+
+
+ORACLE_SESSIONIZE = """
+with flagged as (
+  select user_id, ts, event_id,
+         case when lag(epoch(ts)) over w is null
+                   or epoch(ts) - lag(epoch(ts)) over w > 3600.0
+              then 1 else 0 end as new_sess
+  from events
+  window w as (partition by user_id order by ts, event_id)
+),
+runs as (
+  select user_id, ts,
+         sum(new_sess) over (partition by user_id order by ts, event_id
+                             rows unbounded preceding) as session_idx
+  from flagged
+)
+select user_id, session_idx, min(ts) as session_start,
+       max(ts) as session_end, count(*) as n_events,
+       round(max(epoch(ts)) - min(epoch(ts)), 6) as duration_s
+from runs
+group by user_id, session_idx
+"""
+
+
 def q_text_nfc(spark, sf_dir):
     """Unicode NFC normalization (ops/text.py::normalize_unicode):
     fixture text enriched with decomposed combining sequences (e +
@@ -3612,6 +3704,8 @@ QUERIES = {
     "ext_pii_luhn": q_pii_luhn,
     "ext_weighted_sample": q_weighted_sample,
     "ext_text_nfc": q_text_nfc,
+    "ext_sessionize": q_sessionize,
+    "ext_maxsim_topk": q_maxsim_topk,
 }
 
 ORACLES = {
@@ -3696,6 +3790,8 @@ ORACLES = {
     "ext_pii_luhn": ORACLE_PII_LUHN,
     "ext_weighted_sample": ORACLE_WEIGHTED_SAMPLE,
     "ext_text_nfc": ORACLE_TEXT_NFC,
+    "ext_sessionize": ORACLE_SESSIONIZE,
+    "ext_maxsim_topk": ORACLE_MAXSIM_TOPK,
 }
 
 

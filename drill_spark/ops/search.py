@@ -260,3 +260,70 @@ def bm25_topk_batch(df: DataFrame, queries: DataFrame, k: int = 10,
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
     )
+
+
+def _hash_token_vec(word_col, dim: int = 4):
+    """Deterministic pseudo-embedding for a token: dim components from
+    md5(word_j) scaled to (-0.5, 0.5), L2-normalized. SQL-expressible
+    on both engines (the oracle replays it), so multi-vector retrieval
+    is hash-checkable end-to-end; a real deployment swaps this for
+    model token embeddings read from a column."""
+    raw = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda j: F.conv(
+            F.substring(
+                F.md5(F.concat(word_col, F.lit("_"), j.cast("string"))),
+                1, 4),
+            16, 10).cast("double") / 65536.0 - 0.5,
+    )
+    nrm = F.sqrt(
+        F.aggregate(raw, F.lit(0.0), lambda a, x: a + x * x))
+    return F.transform(raw, lambda x: x / nrm)
+
+
+def maxsim_topk(df: DataFrame, query_terms: list[str], k: int = 10,
+                dim: int = 4, max_tokens: int = 32,
+                id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """ColBERT-style late-interaction retrieval: score(q, d) =
+    sum over query tokens of the MAX dot product against any document
+    token vector (Khattab & Zaharia 2020) — the multi-vector ranking
+    that beats single-vector cosine on phrase queries.
+
+    The whole scoring is Catalyst HOFs over nested arrays: document
+    token vectors are ``transform`` over the first ``max_tokens``
+    tokens, the q×d interaction matrix is ``transform``+``zip_with``
+    +``array_max`` inside codegen — per-row cost |q|·max_tokens·dim,
+    bounded regardless of corpus size. No explode, no shuffle for
+    scoring; top-k is TakeOrdered. Returns (id, score, rank), score
+    rounded 6dp with id tiebreak.
+    """
+    words = F.slice(
+        F.filter(tokens(F.col(text_col)), lambda t: t != ""),
+        1, max_tokens)
+    dvecs = F.transform(words, lambda w: _hash_token_vec(w, dim))
+    qvecs = F.transform(
+        F.array(*[F.lit(t) for t in query_terms]),
+        lambda w: _hash_token_vec(w, dim))
+    dot = lambda qt, dt: F.aggregate(  # noqa: E731
+        F.zip_with(qt, dt, lambda a, b: a * b),
+        F.lit(0.0), lambda s, x: s + x)
+    score = F.round(
+        F.aggregate(
+            qvecs, F.lit(0.0),
+            lambda acc, qt: acc + F.array_max(
+                F.transform(dvecs, lambda dt: dot(qt, dt))),
+        ), 6)
+    scored = (
+        df.select(F.col(id_col), dvecs.alias("__dv"), score.alias("score"))
+        .where(F.size("__dv") > 0)
+        .select(id_col, "score")
+    )
+    return (
+        scored.orderBy(F.desc("score"), F.asc(id_col)).limit(k)
+        .select(
+            id_col, "score",
+            F.row_number().over(
+                Window.orderBy(F.desc("score"), F.asc(id_col))
+            ).alias("rank"),
+        )
+    )

@@ -146,3 +146,60 @@ def gap_fill_locf(
             F.coalesce("n_obs", F.lit(0)).alias("n_events"),
         )
     )
+
+
+def sessionize(
+    df: DataFrame,
+    ts_col: str,
+    key_col: str,
+    gap_seconds: float = 1800.0,
+    order_col: str | None = None,
+) -> DataFrame:
+    """Gap-based sessionization — the classic clickstream/telemetry
+    rollup (and the batch twin of Spark's streaming session windows): a
+    new session opens when the gap from the key's previous event
+    exceeds ``gap_seconds``.
+
+    Returns one row per session: (key, session_idx, session_start,
+    session_end, n_events, duration_s). ``session_idx`` is the 1-based
+    session ordinal within the key — deterministic given the
+    (ts, order_col) sort.
+
+    Scale shape: ONE shuffle on the key; the session-start flag, its
+    running sum, and the final rollup all run inside that partition
+    (two windows over the same sort — Catalyst reuses the exchange and
+    sort), so state per task is one key's event stream, and session
+    assignment never materializes a cross join or a driver loop.
+    Timestamps compare as epoch doubles (exact for microsecond
+    precision), matching the DuckDB oracle bit-for-bit.
+    """
+    order = [F.col(ts_col)] + ([F.col(order_col)] if order_col else [])
+    w = Window.partitionBy(key_col).orderBy(*order)
+    # NTZ timestamps don't cast straight to double; epoch-seconds diffs
+    # are tz-invariant either way
+    sec = F.col(ts_col).cast("timestamp").cast("double")
+    new_sess = F.when(
+        F.lag(sec).over(w).isNull()
+        | ((sec - F.lag(sec).over(w)) > gap_seconds),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    run = (
+        df.withColumn("__new", new_sess)
+        .withColumn(
+            "session_idx",
+            F.sum("__new").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+    )
+    return (
+        run.groupBy(key_col, "session_idx")
+        .agg(
+            F.min(ts_col).alias("session_start"),
+            F.max(ts_col).alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(
+                F.max(sec) - F.min(sec), 6
+            ).alias("duration_s"),
+        )
+    )

@@ -515,3 +515,58 @@ def test_bm25_batch_reuses_postings(spark):
     inline = bm25_topk_batch(docs, queries, k=3).collect()
     reused = bm25_topk_batch(docs, queries, k=3, postings=post).collect()
     assert sorted(map(tuple, inline)) == sorted(map(tuple, reused))
+
+
+def test_sessionize_gap_semantics_and_single_shuffle(spark):
+    from drill_spark.ops.temporal import sessionize
+
+    rows = [
+        # user 1: three events 10 min apart, then a 2-hour jump
+        (1, "2024-01-01 10:00:00", 1),
+        (2, "2024-01-01 10:10:00", 1),
+        (3, "2024-01-01 10:20:00", 1),
+        (4, "2024-01-01 12:20:00", 1),
+        # user 2: single event
+        (5, "2024-01-01 09:00:00", 2),
+    ]
+    df = spark.createDataFrame(rows, "event_id bigint, ts string, user_id bigint") \
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    got = sessionize(df, "ts", "user_id", gap_seconds=1800.0,
+                     order_col="event_id")
+    s = {(r["user_id"], r["session_idx"]): r for r in got.collect()}
+    assert len(s) == 3
+    assert s[(1, 1)]["n_events"] == 3
+    assert s[(1, 1)]["duration_s"] == 1200.0
+    assert s[(1, 2)]["n_events"] == 1 and s[(1, 2)]["duration_s"] == 0.0
+    assert s[(2, 1)]["n_events"] == 1
+    # exactly one exchange: flag, running sum, and rollup share the
+    # user_id partitioning
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    import re
+    n_exchanges = len(re.findall(r"Exchange hashpartitioning", final))
+    assert n_exchanges == 1, final
+
+
+def test_maxsim_prefers_docs_containing_query_tokens(spark):
+    from drill_spark.ops.search import maxsim_topk
+
+    rows = [
+        (1, "neural retrieval with late interaction"),
+        (2, "neural retrieval"),
+        (3, "cooking pasta with tomatoes"),
+        (4, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = maxsim_topk(df, ["neural", "retrieval", "interaction"], k=3)
+    out = {r["rank"]: r for r in got.collect()}
+    # doc 1 has an exact match for every query token (each max-dot = 1)
+    assert out[1]["doc_id"] == 1
+    assert abs(out[1]["score"] - 3.0) < 1e-6
+    # doc 2 matches 2 of 3 tokens -> second
+    assert out[2]["doc_id"] == 2
+    # empty doc is dropped entirely
+    assert all(r["doc_id"] != 4 for r in out.values())
+    # scoring is scan-side: no exchange before the TakeOrdered
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
