@@ -3425,6 +3425,73 @@ def q_crossmodal_topk(spark, sf_dir):
         embed_images(images), embed_captions(captions), k=3)
 
 
+def q_funnel(spark, sf_dir):
+    """Ordered funnel (ops/temporal.py::funnel): view -> click ->
+    purchase per user, later steps strictly after the user's earliest
+    prior-step time and within 1 day of step 1; the oracle replays the
+    per-step conditional-min CTE chain."""
+    from drill_spark.ops.temporal import funnel
+
+    ev = load_fixture(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_type")
+    return funnel(ev, "ts", "user_id", "event_type",
+                  ["view", "click", "purchase"], within_seconds=86400.0)
+
+
+ORACLE_FUNNEL = """
+with ev as (
+  select user_id, event_type, epoch(ts) as s from events
+),
+s1 as (
+  select user_id, min(s) as t1 from ev where event_type = 'view'
+  group by 1
+),
+s2 as (
+  select e.user_id, min(e.s) as t2, min(s1.t1) as t1
+  from ev e join s1 using (user_id)
+  where e.event_type = 'click' and e.s > s1.t1 and e.s - s1.t1 <= 86400.0
+  group by 1
+),
+s3 as (
+  select e.user_id, min(e.s) as t3
+  from ev e join s2 using (user_id)
+  where e.event_type = 'purchase' and e.s > s2.t2 and e.s - s2.t1 <= 86400.0
+  group by 1
+)
+select cast(1 as int) as step_idx, 'view' as step,
+       (select count(*) from s1) as n_keys
+union all
+select cast(2 as int), 'click', (select count(*) from s2)
+union all
+select cast(3 as int), 'purchase', (select count(*) from s3)
+"""
+
+
+def q_retention(spark, sf_dir):
+    """Weekly cohort retention (ops/temporal.py::retention): users
+    cohort by first-event week; the oracle replays the distinct-
+    activity/min-cohort/offset rollup."""
+    from drill_spark.ops.temporal import retention
+
+    ev = load_fixture(spark, sf_dir, "events").select("user_id", "ts")
+    return retention(ev, "ts", "user_id", unit="week")
+
+
+ORACLE_RETENTION = """
+with active as (
+  select distinct user_id, cast(date_trunc('week', ts) as timestamp) as p
+  from events
+),
+cohort as (
+  select user_id, min(p) as cohort from active group by 1
+)
+select c.cohort, cast(date_diff('day', c.cohort, a.p) / 7 as int) as offset,
+       count(*) as n_keys
+from active a join cohort c using (user_id)
+group by 1, 2
+"""
+
+
 def q_maxsim_topk(spark, sf_dir):
     """ColBERT-style late-interaction retrieval (ops/search.py::
     maxsim_topk): top-10 documents for a 3-token query under the
@@ -3706,6 +3773,8 @@ QUERIES = {
     "ext_text_nfc": q_text_nfc,
     "ext_sessionize": q_sessionize,
     "ext_maxsim_topk": q_maxsim_topk,
+    "ext_funnel": q_funnel,
+    "ext_retention": q_retention,
 }
 
 ORACLES = {
@@ -3792,6 +3861,8 @@ ORACLES = {
     "ext_text_nfc": ORACLE_TEXT_NFC,
     "ext_sessionize": ORACLE_SESSIONIZE,
     "ext_maxsim_topk": ORACLE_MAXSIM_TOPK,
+    "ext_funnel": ORACLE_FUNNEL,
+    "ext_retention": ORACLE_RETENTION,
 }
 
 

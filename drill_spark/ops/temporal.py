@@ -203,3 +203,112 @@ def sessionize(
             ).alias("duration_s"),
         )
     )
+
+
+def funnel(
+    df: DataFrame,
+    ts_col: str,
+    key_col: str,
+    type_col: str,
+    steps: list[str],
+    within_seconds: float | None = None,
+) -> DataFrame:
+    """Ordered funnel analysis — the product-analytics staple: how many
+    keys (users) reached step 1, then step 2 AFTER their step-1 time,
+    ... optionally all within ``within_seconds`` of step 1.
+
+    Semantics: t1 = the key's earliest step-1 event; t_k = earliest
+    step-k event strictly after t_{k-1} (and within the window when
+    given). A key counts toward step k only if it completed every
+    earlier step in order.
+
+    Returns (step_idx, step, n_keys) — one row per step, funnel-
+    monotone.
+
+    Scale shape: one filtered aggregation per step, ALL keyed by the
+    same column, with broadcast-size carry tables only when the key
+    cardinality is bounded by the prior step's survivors; each round is
+    agg + equi-join on the key, no window over the whole stream, no
+    collect_list of a key's events (hot keys never materialize their
+    history). Steps are few and fixed; shuffles stay proportional to
+    the matching event subsets, shrinking monotonically down the
+    funnel.
+    """
+    if not steps:
+        raise ValueError("funnel needs at least one step")
+    sec = F.col(ts_col).cast("timestamp").cast("double")
+    ev = df.select(
+        F.col(key_col), F.col(type_col).alias("__t"), sec.alias("__s"))
+    # step 1: earliest matching event per key
+    cur = (
+        ev.where(F.col("__t") == steps[0])
+        .groupBy(key_col)
+        .agg(F.min("__s").alias("__ts1"))
+        .withColumn("__prev", F.col("__ts1"))
+    )
+    counts = [(1, steps[0], cur)]
+    for i, step in enumerate(steps[1:], start=2):
+        nxt = (
+            ev.where(F.col("__t") == step)
+            .join(cur.select(key_col, "__ts1", "__prev"), key_col)
+            .where(
+                (F.col("__s") > F.col("__prev"))
+                & (
+                    F.lit(within_seconds is None)
+                    | (F.col("__s") - F.col("__ts1")
+                       <= F.lit(within_seconds or 0.0))
+                )
+            )
+            .groupBy(key_col)
+            .agg(F.min("__s").alias("__next"),
+                 F.first("__ts1").alias("__ts1"))
+            .select(key_col, "__ts1", F.col("__next").alias("__prev"))
+        )
+        counts.append((i, step, nxt))
+        cur = nxt
+    out = None
+    for i, step, frame in counts:
+        row = frame.agg(
+            F.lit(i).alias("step_idx"),
+            F.lit(step).alias("step"),
+            F.count(F.lit(1)).alias("n_keys"),
+        )
+        out = row if out is None else out.unionAll(row)
+    return out
+
+
+def retention(
+    df: DataFrame,
+    ts_col: str,
+    key_col: str,
+    unit: str = "week",
+) -> DataFrame:
+    """Cohort retention — the second product-analytics staple: keys
+    cohort by the period of their FIRST event; each later active
+    period counts them at offset = periods since the cohort period.
+
+    Returns (cohort, offset, n_keys): n_keys at offset 0 is the cohort
+    size; the offset-k row counts cohort members active k periods on.
+
+    Scale shape: one distinct-(key, period) aggregation, one min-period
+    aggregation, one equi-join on the key, one final rollup — every
+    shuffle keyed by the key or the bounded (cohort, offset) pair; the
+    cohort table is keys-sized, never events-sized.
+    """
+    days = {"day": 1, "week": 7}
+    if unit not in days:
+        raise ValueError(f"unsupported retention unit: {unit}")
+    period = F.date_trunc(unit, F.col(ts_col))
+    active = df.select(
+        F.col(key_col), period.alias("__p")).distinct()
+    cohort = active.groupBy(key_col).agg(F.min("__p").alias("cohort"))
+    return (
+        active.join(cohort, key_col)
+        .select(
+            key_col, "cohort",
+            (F.datediff(F.col("__p"), F.col("cohort"))
+             / days[unit]).cast("int").alias("offset"),
+        )
+        .groupBy("cohort", "offset")
+        .agg(F.count(F.lit(1)).alias("n_keys"))
+    )

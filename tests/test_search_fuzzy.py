@@ -570,3 +570,57 @@ def test_maxsim_prefers_docs_containing_query_tokens(spark):
     # scoring is scan-side: no exchange before the TakeOrdered
     plan = got._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+def test_funnel_order_and_window_semantics(spark):
+    from drill_spark.ops.temporal import funnel
+
+    rows = [
+        # user 1 completes view -> click -> buy in order
+        (1, "2024-01-01 10:00:00", "view"),
+        (1, "2024-01-01 10:05:00", "click"),
+        (1, "2024-01-01 10:10:00", "buy"),
+        # user 2 clicks BEFORE viewing: click must not count
+        (2, "2024-01-01 09:00:00", "click"),
+        (2, "2024-01-01 09:30:00", "view"),
+        # user 3 views then clicks outside the 1h window
+        (3, "2024-01-01 08:00:00", "view"),
+        (3, "2024-01-01 09:30:00", "click"),
+        # user 4 never views
+        (4, "2024-01-01 11:00:00", "click"),
+    ]
+    df = spark.createDataFrame(rows, "user_id bigint, ts string, et string") \
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    got = {r["step_idx"]: r for r in funnel(
+        df, "ts", "user_id", "et", ["view", "click", "buy"],
+        within_seconds=3600.0).collect()}
+    assert got[1]["n_keys"] == 3      # users 1, 2, 3 viewed
+    assert got[2]["n_keys"] == 1      # only user 1 clicked after viewing in-window
+    assert got[3]["n_keys"] == 1      # and bought
+    # no window: user 3's late click now counts
+    got2 = {r["step_idx"]: r["n_keys"] for r in funnel(
+        df, "ts", "user_id", "et", ["view", "click", "buy"]).collect()}
+    assert got2[2] == 2
+
+
+def test_retention_cohorts_and_offsets(spark):
+    from drill_spark.ops.temporal import retention
+
+    rows = [
+        (1, "2024-01-01 10:00:00"),  # cohort week of Jan 1 (Monday)
+        (1, "2024-01-09 10:00:00"),  # active week +1
+        (1, "2024-01-16 10:00:00"),  # active week +2
+        (2, "2024-01-02 10:00:00"),  # same cohort, only week 0
+        (3, "2024-01-10 10:00:00"),  # cohort week of Jan 8
+    ]
+    df = spark.createDataFrame(rows, "user_id bigint, ts string") \
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    got = {(str(r["cohort"])[:10], r["offset"]): r["n_keys"]
+           for r in retention(df, "ts", "user_id", "week").collect()}
+    assert got[("2024-01-01", 0)] == 2
+    assert got[("2024-01-01", 1)] == 1
+    assert got[("2024-01-01", 2)] == 1
+    assert got[("2024-01-08", 0)] == 1
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        retention(df, "ts", "user_id", "month")
