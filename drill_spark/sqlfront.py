@@ -512,13 +512,64 @@ def _pipeline_table(session, op: str, opts: dict[str, str]) -> DataFrame:
         return preference_pairs(inp(), prompt_col=o.get("prompt", "prompt_id"),
                                 response_col=o.get("response", "response"),
                                 score_col=o.get("score", "score"))
+    if name == "sessionize":
+        from drill_spark.ops.temporal import sessionize
+
+        return sessionize(inp(), o.get("ts", "ts"), o.get("key", "user_id"),
+                          gap_seconds=float(o.get("gap_seconds", "1800")),
+                          order_col=o.get("order"))
+    if name == "funnel":
+        from drill_spark.ops.temporal import funnel
+
+        within = o.get("within_seconds")
+        return funnel(inp(), o.get("ts", "ts"), o.get("key", "user_id"),
+                      o.get("type", "event_type"), o["steps"].split(","),
+                      within_seconds=float(within) if within else None)
+    if name == "retention":
+        from drill_spark.ops.temporal import retention
+
+        return retention(inp(), o.get("ts", "ts"), o.get("key", "user_id"),
+                         unit=o.get("unit", "week"))
+    if name == "temperature_sample":
+        from drill_spark.ops.pipeline import temperature_sample
+
+        return temperature_sample(inp(), o.get("strata", "lang"),
+                                  o.get("id", "doc_id"),
+                                  alpha=float(o.get("alpha", "0.5")),
+                                  budget_frac=float(o.get("budget", "0.5")))
+    if name == "weighted_sample":
+        from drill_spark.ops.pipeline import weighted_sample
+
+        return weighted_sample(inp(), o.get("id", "doc_id"),
+                               o.get("weight", "n_chars"),
+                               int(o.get("k", "100")))
+    if name == "luhn_scan":
+        from drill_spark.ops.pipeline import luhn_scan
+
+        return luhn_scan(inp(), o.get("id", "doc_id"),
+                         o.get("text", "text"))
+    if name == "normalize_unicode":
+        from drill_spark.ops.text import normalize_unicode
+
+        return normalize_unicode(inp(), id_col=o.get("id", "doc_id"),
+                                 text_col=o.get("text", "text"),
+                                 form=o.get("form", "NFC"))
+    if name == "maxsim":
+        from drill_spark.ops.search import maxsim_topk
+
+        return maxsim_topk(inp(), o["query"].split(),
+                           k=int(o.get("k", "10")),
+                           id_col=o.get("id", "doc_id"),
+                           text_col=o.get("text", "text"))
     raise ValueError(
         f"unknown pipeline table function `{name}` — available: bm25, bm25_batch, "
         "tfidf_keywords, hybrid_search, fuzzy_join, dedup_exact, "
         "line_dedup, group_split, gap_fill, triplet_mine, corpus_report, "
         "c4_clean, gopher_quality, script_profile, domain_stats, dsir, "
         "pack_bins, fixed_k_sample, skew_profile, chat_validate, "
-        "chat_render, preference_pairs")
+        "chat_render, preference_pairs, sessionize, funnel, retention, "
+        "temperature_sample, weighted_sample, luhn_scan, "
+        "normalize_unicode, maxsim")
 
 
 def _read_path(session, ws_name: str, rel_path: str, options: dict[str, str] | None = None) -> DataFrame:

@@ -823,3 +823,58 @@ def test_pipeline_table_functions_round8(dsession):
         "input => 'documents'))"
     ).collect()[0]
     assert c4.n == 500
+
+
+def test_pipeline_table_functions_round8b(dsession):
+    """SQL faces for the second round-8 operator batch."""
+    dsession.register_fixture_tables("/root/testdata/sf0.001")
+
+    sess = dsession.sql(
+        "select count(*) n from table(pipeline.`sessionize`("
+        "input => 'events', gap_seconds => '3600', order => 'event_id'))"
+    ).collect()[0]
+    assert sess.n > 0
+
+    fun = dsession.sql(
+        "select * from table(pipeline.`funnel`(input => 'events', "
+        "steps => 'view,click,purchase', within_seconds => '86400')) "
+        "order by step_idx"
+    ).collect()
+    assert [r.step for r in fun] == ["view", "click", "purchase"]
+    assert fun[0].n_keys >= fun[1].n_keys >= fun[2].n_keys
+
+    ret = dsession.sql(
+        "select sum(n_keys) total from table(pipeline.`retention`("
+        "input => 'events')) where offset = 0"
+    ).collect()[0]
+    assert ret.total > 0
+
+    ts = dsession.sql(
+        "select count(*) n from table(pipeline.`temperature_sample`("
+        "input => 'documents', strata => 'lang', alpha => '0.5'))"
+    ).collect()[0]
+    assert 0 < ts.n < 500
+
+    ws = dsession.sql(
+        "select count(*) n from table(pipeline.`weighted_sample`("
+        "input => 'documents', weight => 'n_chars', k => '50'))"
+    ).collect()[0]
+    assert ws.n == 50
+
+    luhn = dsession.sql(
+        "select sum(n_card) c from table(pipeline.`luhn_scan`("
+        "input => 'documents'))"
+    ).collect()[0]
+    assert luhn.c == 0  # fixture text has no valid PANs
+
+    nfc = dsession.sql(
+        "select count(*) n from table(pipeline.`normalize_unicode`("
+        "input => 'documents')) where changed"
+    ).collect()[0]
+    assert nfc.n == 0  # fixture text is ASCII
+
+    ms = dsession.sql(
+        "select * from table(pipeline.`maxsim`("
+        "input => 'documents', query => 'query join fast', k => '5'))"
+    ).collect()
+    assert len(ms) == 5 and ms[0].rank == 1
