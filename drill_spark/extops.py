@@ -3425,6 +3425,51 @@ def q_crossmodal_topk(spark, sf_dir):
         embed_images(images), embed_captions(captions), k=3)
 
 
+def q_incremental_near_dedup(spark, sf_dir):
+    """Cross-run NEAR-dup dedup against a persistent MinHash store
+    (ops/dedup.py::incremental_near_dedup): even-id docs commit as
+    batch 0, odd-id docs then dedup against the store by signature
+    agreement. Rows-only by design (xxhash64 signatures are not
+    DuckDB-expressible); batch/replay semantics are pytest-bound."""
+    import tempfile
+
+    from drill_spark.ops.dedup import incremental_near_dedup
+
+    docs = _docs(spark, sf_dir).where(F.col("doc_id") < 200)
+    store = tempfile.mkdtemp(prefix="neardedup_") + "/store"
+    incremental_near_dedup(
+        docs.where(F.col("doc_id") % 2 == 0), store).count()
+    out = incremental_near_dedup(
+        docs.where(F.col("doc_id") % 2 == 1), store)
+    return out.select("doc_id")
+
+
+def q_training_shards(spark, sf_dir):
+    """Deterministic global shuffle addressing (ops/pipeline.py::
+    training_shards): every document gets a content-addressed (shard,
+    pos); the oracle replays the hash bucketing and the in-shard md5
+    permutation rank."""
+    from drill_spark.ops.pipeline import training_shards
+
+    return training_shards(_docs(spark, sf_dir), "doc_id", n_shards=8)
+
+
+ORACLE_TRAINING_SHARDS = """
+with s as (
+  select doc_id,
+         cast(cast('0x' || substring(md5(cast(doc_id as varchar)), 1, 6)
+              as bigint) % 8 as int) as shard
+  from documents
+)
+select doc_id, shard,
+       cast(row_number() over (
+         partition by shard
+         order by md5('pos_' || cast(doc_id as varchar)), doc_id
+       ) as int) as pos
+from s
+"""
+
+
 def q_funnel(spark, sf_dir):
     """Ordered funnel (ops/temporal.py::funnel): view -> click ->
     purchase per user, later steps strictly after the user's earliest
@@ -3775,6 +3820,8 @@ QUERIES = {
     "ext_maxsim_topk": q_maxsim_topk,
     "ext_funnel": q_funnel,
     "ext_retention": q_retention,
+    "ext_training_shards": q_training_shards,
+    "ext_incremental_near_dedup": q_incremental_near_dedup,
 }
 
 ORACLES = {
@@ -3863,6 +3910,7 @@ ORACLES = {
     "ext_maxsim_topk": ORACLE_MAXSIM_TOPK,
     "ext_funnel": ORACLE_FUNNEL,
     "ext_retention": ORACLE_RETENTION,
+    "ext_training_shards": ORACLE_TRAINING_SHARDS,
 }
 
 

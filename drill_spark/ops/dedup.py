@@ -520,3 +520,145 @@ def incremental_dedup(
         txn=(_INCR_APP_ID, int(batch_id)),
     )
     return survivors.drop("__h")
+
+
+_INCR_NEAR_APP_ID = "drill_spark.incremental_near_dedup"
+
+
+def incremental_near_dedup(
+    df: DataFrame,
+    store_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_k: int = 3,
+    sim_threshold: float = 0.7,
+    batch_id: int | None = None,
+    max_bucket_size: int = 1000,
+    max_candidates_per_doc: int = 50,
+) -> DataFrame:
+    """Cross-run NEAR-dup dedup against a persistent MinHash store —
+    the fuzzy sibling of ``incremental_dedup``: batch N+1 drops
+    documents whose MinHash signature agrees with any previously
+    committed document at >= ``sim_threshold`` (the standard unbiased
+    Jaccard estimator: fraction of equal signature components),
+    WITHOUT rescanning prior batches' text. Only signatures and LSH
+    band keys persist (a Delta table this repo's own writer commits).
+
+    Store rows: (band_idx, band_hash, doc_id, sig, batch_id) — one row
+    per band so the cross-batch candidate step is an EQUI-join on
+    (band_idx, band_hash); ``sig`` rides along (comma-joined int64s)
+    so the verify never needs a second lookup.
+
+    Scale shape:
+    - within-batch: LSH candidates (hot buckets capped at
+      ``max_bucket_size``) verified by signature agreement; the
+      drop set is id_b of verified pairs — greedy chain collapse,
+      same convention as the pair-based dedups here.
+    - cross-batch: band equi-join against the store; per-new-doc
+      candidate fan-out capped at ``max_candidates_per_doc`` (the
+      boilerplate guard — a band bucket that grows across batches
+      can't explode the verify; compact/OPTIMIZE the store when
+      buckets age past usefulness). Verify = one zip_with equality
+      count in codegen.
+    - replay: the store commit carries a Delta txn (appId
+      ``drill_spark.incremental_near_dedup``); re-running a committed
+      batch_id returns its original survivors without re-appending.
+
+    Returns the surviving rows of ``df`` (original columns).
+    """
+    import os
+
+    from drill_spark.readers.delta import load_snapshot, read_delta, write_delta
+
+    spark = df.sparkSession
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_k)
+    banded = sig.select(
+        F.col(id_col), F.col("sig"),
+        F.posexplode(F.expr(
+            f"transform(sequence(0, {bands - 1}), "
+            f"b -> xxhash64(concat_ws(',', slice(sig, b * {rows_per_band} + 1, "
+            f"{rows_per_band})), b))"
+        )).alias("band_idx", "band_hash"),
+    )
+
+    def agree(a, b):
+        eq = F.zip_with(a, b, lambda x, y: F.when(x == y, 1).otherwise(0))
+        return F.aggregate(eq, F.lit(0), lambda s, x: s + x) / F.lit(num_hashes)
+
+    # within-batch: capped LSH candidates, signature-agreement verify,
+    # drop the larger id of each verified pair
+    sized = banded.withColumn(
+        "__n", F.count("*").over(Window.partitionBy("band_idx", "band_hash"))
+    ).where(F.col("__n") <= max_bucket_size)
+    a = sized.select(F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"),
+                     "band_idx", "band_hash")
+    b = sized.select(F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"),
+                     "band_idx", "band_hash")
+    within_pairs = (
+        a.join(b, ["band_idx", "band_hash"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sig_a", "sig_b").distinct()
+        .where(agree(F.col("sig_a"), F.col("sig_b")) >= sim_threshold)
+    )
+    dropped_within = within_pairs.select(
+        F.col("id_b").alias(id_col)).distinct()
+    batch_kept = df.join(dropped_within, id_col, "left_anti")
+
+    exists = os.path.isdir(os.path.join(store_path, "_delta_log"))
+    last_txn = -1
+    store = None
+    if exists:
+        snap = load_snapshot(spark, store_path)
+        last_txn = snap.txns.get(_INCR_NEAR_APP_ID, -1)
+        store = read_delta(spark, store_path)
+    if batch_id is None:
+        batch_id = last_txn + 1
+
+    if exists and batch_id <= last_txn:
+        mine = store.where(
+            F.col("batch_id") == int(batch_id)).select(id_col).distinct()
+        return df.join(mine, id_col, "left_semi")
+
+    survivors = batch_kept
+    if exists:
+        cand = (
+            banded.join(batch_kept.select(id_col), id_col, "left_semi")
+            .select(F.col(id_col), F.col("sig").alias("sig_new"),
+                    "band_idx", "band_hash")
+            .join(store.select("band_idx", "band_hash",
+                               F.col("sig").alias("sig_old")),
+                  ["band_idx", "band_hash"])
+            .select(id_col, "sig_new", "sig_old").distinct()
+            .withColumn(
+                "__rk",
+                F.row_number().over(
+                    Window.partitionBy(id_col).orderBy("sig_old")),
+            ).where(F.col("__rk") <= max_candidates_per_doc)
+        )
+        old_arr = F.transform(
+            F.split(F.col("sig_old"), ","), lambda x: x.cast("long"))
+        dup_ids = (
+            cand.where(agree(F.col("sig_new"), old_arr) >= sim_threshold)
+            .select(id_col).distinct()
+        )
+        survivors = batch_kept.join(dup_ids, id_col, "left_anti")
+    survivors = survivors.localCheckpoint(eager=False)
+
+    new_rows = (
+        banded.join(survivors.select(id_col), id_col, "left_semi")
+        .select(
+            "band_idx", "band_hash", F.col(id_col),
+            F.concat_ws(",", F.col("sig")).alias("sig"),
+            F.lit(int(batch_id)).alias("batch_id"),
+        )
+    )
+    write_delta(
+        new_rows,
+        store_path,
+        mode="append" if exists else "error",
+        txn=(_INCR_NEAR_APP_ID, int(batch_id)),
+    )
+    return survivors

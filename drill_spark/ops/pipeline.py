@@ -677,3 +677,36 @@ def weighted_sample(df: DataFrame, id_col: str, weight_col: str,
         .orderBy("key", id_col)
         .limit(k)
     )
+
+
+def training_shards(df: DataFrame, id_col: str,
+                    n_shards: int = 1024) -> DataFrame:
+    """Deterministic global shuffle for training-data writing: every
+    row gets a (shard, pos) address where the shard is a
+    content-addressed hash bucket and ``pos`` is the row's rank under
+    an md5 permutation within the shard — together a reproducible
+    whole-corpus shuffle (the examples a data loader reads in
+    (shard, pos) order are de-correlated from source order, the
+    Fisher-Yates-quality property pretraining loaders need) with no
+    RNG state and no driver involvement.
+
+    Scale shape: one shuffle keyed by the shard id + one in-shard
+    sort; pick ``n_shards`` so a shard fits an executor's sort buffer
+    (at 100 TB: tens of thousands). Write with
+    ``.repartition("shard").sortWithinPartitions("pos")`` and the
+    files ARE the shuffled dataset.
+
+    Returns (id, shard, pos).
+    """
+    from pyspark.sql import Window
+
+    h = F.md5(F.col(id_col).cast("string"))
+    shard = (
+        F.conv(F.substring(h, 1, 6), 16, 10).cast("long") % n_shards
+    ).cast("int")
+    w = Window.partitionBy("shard").orderBy(F.md5(
+        F.concat(F.lit("pos_"), F.col(id_col).cast("string"))), id_col)
+    return (
+        df.select(F.col(id_col), shard.alias("shard"))
+        .withColumn("pos", F.row_number().over(w))
+    )

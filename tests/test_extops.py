@@ -1829,3 +1829,47 @@ def test_connected_components_driver_and_distributed_agree(spark):
         (r.node, r.component)
         for r in connected_components(df, driver_max_edges=0).collect())
     assert fast == slow and len(fast) > 0
+
+
+def test_incremental_near_dedup_batches_and_replay(spark, tmp_path):
+    """Cross-run NEAR-dup dedup against the persistent MinHash store:
+    batch 0 commits originals; batch 1's light edit of a committed doc
+    drops (signature agreement over threshold), its novel doc survives,
+    and a within-batch near-pair keeps only the lower id. Replaying a
+    committed batch returns its original survivors without growing the
+    store (Delta txn idempotence)."""
+    from drill_spark.ops.dedup import incremental_near_dedup
+    from drill_spark.readers.delta import read_delta
+
+    store = str(tmp_path / "nearstore")
+    base = ("the quick brown fox jumps over the lazy dog while seventy "
+            "bright students read long books about distributed systems "
+            "and query engines every single evening")
+    other = ("completely different content about marine biology coral "
+             "reefs ocean currents and the migration patterns of large "
+             "whales across hemispheres during warm seasons")
+
+    def batch(rows):
+        return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+    b0 = batch([(1, base), (2, other)])
+    s0 = sorted(r.doc_id for r in incremental_near_dedup(b0, store, sim_threshold=0.6).collect())
+    assert s0 == [1, 2]
+
+    edited = base.replace("lazy", "sleepy")         # near-copy of doc 1
+    novel = ("a fresh unrelated essay on medieval architecture featuring "
+             "cathedrals buttresses stained glass and the masons who cut "
+             "stone for generations in small guild towns")
+    novel_edit = novel.replace("glass", "windows")  # near-copy of doc 5
+    b1 = batch([(3, edited), (5, novel), (6, novel_edit)])
+    s1 = sorted(r.doc_id for r in incremental_near_dedup(b1, store, sim_threshold=0.6).collect())
+    assert s1 == [5]  # 3 matches store, 6 loses to 5 within the batch
+
+    # replay: original survivors, no store growth
+    n_rows = read_delta(spark, store).count()
+    r1 = sorted(r.doc_id for r in
+                incremental_near_dedup(b1, store, batch_id=1, sim_threshold=0.6).collect())
+    assert r1 == [5]
+    assert read_delta(spark, store).count() == n_rows
+    # store carries one row per band per surviving doc
+    assert n_rows == 3 * 8
