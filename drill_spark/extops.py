@@ -6,7 +6,7 @@ rows-only by design — each carries a stronger pytest instead (recall
 bounds, brute-force equality, union-find equality): ext_dedup_minhash,
 ext_dedup_simhash(_pairs), ext_dedup_clusters, ext_ann_lsh,
 ext_ann_ivf, ext_text_topk_approx, ext_multimodal_features,
-ext_crossmodal_topk.
+ext_crossmodal_topk, ext_incremental_near_dedup.
 """
 
 from __future__ import annotations

@@ -610,6 +610,12 @@ def luhn_scan(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     PII if its Luhn checksum verifies, so plain number soup (order ids,
     timestamps) survives while real PANs are counted and redacted.
 
+    Candidate extraction is leftmost non-overlapping with word
+    boundaries, so a digit run longer than 19 can still yield a
+    boundary-aligned sub-match (e.g. the first four groups of a
+    five-group separated run) — RE2 and Java regex agree on this,
+    randomized-parity-tested against Python re.
+
     Entirely Catalyst HOFs — candidates from ``regexp_extract_all``,
     the Luhn sum as ``transform`` (indexed lambda) + ``aggregate`` over
     the reversed digit array, and redaction as an ``aggregate`` fold

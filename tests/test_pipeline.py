@@ -403,3 +403,50 @@ def test_weighted_sample_proportional_and_takeordered(spark):
     plan = weighted_sample(df, "id", "w", 100)._jdf.queryExecution(
         ).executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+def test_luhn_scan_randomized_parity(spark):
+    """200 seeded random digit-runs vs a reference Python Luhn: the
+    operator's per-row card count must match exactly (single Spark
+    job for all cases)."""
+    import random
+
+    from drill_spark.ops.pipeline import luhn_scan
+
+    rng = random.Random(42)
+
+    def luhn_ok(num: str) -> bool:
+        t = 0
+        for i, ch in enumerate(reversed(num)):
+            d = int(ch)
+            if i % 2 == 1:
+                d *= 2
+                if d > 9:
+                    d -= 9
+            t += d
+        return t % 10 == 0
+
+    import re as _re
+
+    from drill_spark.ops.pipeline import CARD_RE
+
+    pat = _re.compile(CARD_RE)
+    rows, expected = [], {}
+    for i in range(200):
+        n_digits = rng.randint(12, 21)
+        num = "".join(rng.choice("0123456789") for _ in range(n_digits))
+        sep = rng.choice(["", " ", "-"])
+        shown = sep.join(num[j:j + 4] for j in range(0, len(num), 4)) \
+            if sep else num
+        text = f"ref {shown} end"
+        rows.append((i, text))
+        # reference model = the operator's contract: regex candidates
+        # (same pattern, same non-overlapping semantics), Luhn-checked
+        expected[i] = sum(
+            1 for m in pat.findall(text)
+            if 13 <= len(m.replace(" ", "").replace("-", "")) <= 19
+            and luhn_ok(m.replace(" ", "").replace("-", "")))
+    got = {r["id"]: r["n_card"] for r in luhn_scan(
+        spark.createDataFrame(rows, "id bigint, text string"),
+        "id", "text").collect()}
+    assert got == expected
