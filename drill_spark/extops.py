@@ -3557,10 +3557,10 @@ with d as (
                        x -> x <> '')[1:32],
            w -> list_transform(
              list_transform(generate_series(0, 3), j ->
-               cast(concat('0x', substring(md5(w || '_' || cast(j as varchar)), 1, 4)) as int) / 65536.0 - 0.5),
+               cast(concat('0x', substring(md5(w), j * 4 + 1, 4)) as int) / 65536.0 - 0.5),
              x -> x / sqrt(list_sum(list_transform(
                list_transform(generate_series(0, 3), j ->
-                 cast(concat('0x', substring(md5(w || '_' || cast(j as varchar)), 1, 4)) as int) / 65536.0 - 0.5),
+                 cast(concat('0x', substring(md5(w), j * 4 + 1, 4)) as int) / 65536.0 - 0.5),
                y -> y * y)))))
          as dv
   from documents
@@ -3569,10 +3569,10 @@ q as (
   select list_transform(['query', 'join', 'fast'],
            w -> list_transform(
              list_transform(generate_series(0, 3), j ->
-               cast(concat('0x', substring(md5(w || '_' || cast(j as varchar)), 1, 4)) as int) / 65536.0 - 0.5),
+               cast(concat('0x', substring(md5(w), j * 4 + 1, 4)) as int) / 65536.0 - 0.5),
              x -> x / sqrt(list_sum(list_transform(
                list_transform(generate_series(0, 3), j ->
-                 cast(concat('0x', substring(md5(w || '_' || cast(j as varchar)), 1, 4)) as int) / 65536.0 - 0.5),
+                 cast(concat('0x', substring(md5(w), j * 4 + 1, 4)) as int) / 65536.0 - 0.5),
                y -> y * y)))))
          as qv
 ),

@@ -267,18 +267,37 @@ def _hash_token_vec(word_col, dim: int = 4):
     md5(word_j) scaled to (-0.5, 0.5), L2-normalized. SQL-expressible
     on both engines (the oracle replays it), so multi-vector retrieval
     is hash-checkable end-to-end; a real deployment swaps this for
-    model token embeddings read from a column."""
+    model token embeddings read from a column.
+
+    The raw (pre-norm) vector is bound to a lambda variable via a
+    single-element array wrapper so the md5 components are evaluated
+    ONCE per token — Catalyst does not common-subexpression-eliminate
+    across HOF lambda bodies, and inlining the raw transform into the
+    norm AND the scaled output multiplies the hash work."""
+    if dim > 8:
+        raise ValueError("hash token vectors support dim <= 8 "
+                         "(one md5 yields 8 16-bit components)")
+    # ONE md5 per token; components are disjoint 16-bit slices of it
     raw = F.transform(
-        F.sequence(F.lit(0), F.lit(dim - 1)),
-        lambda j: F.conv(
-            F.substring(
-                F.md5(F.concat(word_col, F.lit("_"), j.cast("string"))),
-                1, 4),
-            16, 10).cast("double") / 65536.0 - 0.5,
+        F.array(F.md5(word_col)),
+        lambda h: F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda j: F.conv(
+                F.substring(h, j * 4 + 1, 4),
+                16, 10).cast("double") / 65536.0 - 0.5,
+        ),
+    )[0]
+    return F.element_at(
+        F.transform(
+            F.array(raw),
+            lambda r: F.transform(
+                r,
+                lambda x: x / F.sqrt(
+                    F.aggregate(r, F.lit(0.0), lambda a, y: a + y * y)),
+            ),
+        ),
+        1,
     )
-    nrm = F.sqrt(
-        F.aggregate(raw, F.lit(0.0), lambda a, x: a + x * x))
-    return F.transform(raw, lambda x: x / nrm)
 
 
 def maxsim_topk(df: DataFrame, query_terms: list[str], k: int = 10,
@@ -291,32 +310,41 @@ def maxsim_topk(df: DataFrame, query_terms: list[str], k: int = 10,
 
     The whole scoring is Catalyst HOFs over nested arrays: document
     token vectors are ``transform`` over the first ``max_tokens``
-    tokens, the q×d interaction matrix is ``transform``+``zip_with``
-    +``array_max`` inside codegen — per-row cost |q|·max_tokens·dim,
-    bounded regardless of corpus size. No explode, no shuffle for
-    scoring; top-k is TakeOrdered. Returns (id, score, rank), score
-    rounded 6dp with id tiebreak.
+    tokens, the q×d interaction is a single fold over the DOC tokens
+    carrying one running max per query token — so the (large) document
+    vector expression appears exactly ONCE in the plan and each token's
+    md5 components are hashed once (Catalyst inlines rather than CSEs
+    repeated HOF subtrees; the naive sum-over-query-tokens shape
+    re-evaluated the doc vectors |q|+1 times and benched ~10x slower).
+    Per-row cost |q|·max_tokens·dim, bounded regardless of corpus
+    size. No explode, no shuffle for scoring; top-k is TakeOrdered.
+    Returns (id, score, rank), score rounded 6dp with id tiebreak.
     """
     words = F.slice(
         F.filter(tokens(F.col(text_col)), lambda t: t != ""),
         1, max_tokens)
     dvecs = F.transform(words, lambda w: _hash_token_vec(w, dim))
+    # query vectors are literal expressions — constant-folded at plan
+    # time, so referencing qvecs repeatedly is free
     qvecs = F.transform(
         F.array(*[F.lit(t) for t in query_terms]),
         lambda w: _hash_token_vec(w, dim))
     dot = lambda qt, dt: F.aggregate(  # noqa: E731
         F.zip_with(qt, dt, lambda a, b: a * b),
         F.lit(0.0), lambda s, x: s + x)
+    # fold over doc tokens: state = running max per query token
+    maxes = F.aggregate(
+        dvecs,
+        F.transform(qvecs, lambda _: F.lit(float("-inf"))),
+        lambda acc, dt: F.zip_with(
+            acc, qvecs, lambda m, qt: F.greatest(m, dot(qt, dt))),
+    )
     score = F.round(
-        F.aggregate(
-            qvecs, F.lit(0.0),
-            lambda acc, qt: acc + F.array_max(
-                F.transform(dvecs, lambda dt: dot(qt, dt))),
-        ), 6)
+        F.aggregate(maxes, F.lit(0.0), lambda s, m: s + m), 6)
     scored = (
-        df.select(F.col(id_col), dvecs.alias("__dv"), score.alias("score"))
-        .where(F.size("__dv") > 0)
-        .select(id_col, "score")
+        df.where(F.size(F.filter(tokens(F.col(text_col)),
+                                 lambda t: t != "")) > 0)
+        .select(F.col(id_col), score.alias("score"))
     )
     return (
         scored.orderBy(F.desc("score"), F.asc(id_col)).limit(k)
