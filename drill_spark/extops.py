@@ -3425,6 +3425,33 @@ def q_crossmodal_topk(spark, sf_dir):
         embed_images(images), embed_captions(captions), k=3)
 
 
+def q_mad_outliers(spark, sf_dir):
+    """Robust per-user outlier detection (ops/scale.py::mad_outliers):
+    events whose value deviates from the user's median by more than
+    3 MADs; the oracle replays the two-pass median algebra."""
+    from drill_spark.ops.scale import mad_outliers
+
+    ev = load_fixture(spark, sf_dir, "events").select("user_id", "value")
+    return mad_outliers(ev, "user_id", "value", k=3.0)
+
+
+ORACLE_MAD_OUTLIERS = """
+with med as (
+  select user_id, median(value) as med from events group by 1
+),
+dev as (
+  select e.user_id, median(abs(e.value - m.med)) as mad, min(m.med) as med
+  from events e join med m using (user_id)
+  group by 1
+)
+select e.user_id, e.value,
+       round(d.med, 4) as med, round(d.mad, 4) as mad,
+       round(abs(e.value - d.med) / d.mad, 4) as score
+from events e join dev d using (user_id)
+where d.mad > 0 and abs(e.value - d.med) > 3.0 * d.mad
+"""
+
+
 def q_incremental_near_dedup(spark, sf_dir):
     """Cross-run NEAR-dup dedup against a persistent MinHash store
     (ops/dedup.py::incremental_near_dedup): even-id docs commit as
@@ -3822,6 +3849,7 @@ QUERIES = {
     "ext_retention": q_retention,
     "ext_training_shards": q_training_shards,
     "ext_incremental_near_dedup": q_incremental_near_dedup,
+    "ext_mad_outliers": q_mad_outliers,
 }
 
 ORACLES = {
@@ -3911,6 +3939,7 @@ ORACLES = {
     "ext_funnel": ORACLE_FUNNEL,
     "ext_retention": ORACLE_RETENTION,
     "ext_training_shards": ORACLE_TRAINING_SHARDS,
+    "ext_mad_outliers": ORACLE_MAD_OUTLIERS,
 }
 
 

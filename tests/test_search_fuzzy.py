@@ -624,3 +624,20 @@ def test_retention_cohorts_and_offsets(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         retention(df, "ts", "user_id", "month")
+
+
+def test_mad_outliers_robust_to_the_outlier(spark):
+    from drill_spark.ops.scale import mad_outliers
+
+    # key 1: tight cluster around 10 plus one wild point; the wild
+    # point must flag and the cluster must not
+    rows = [(1, v) for v in [9.0, 10.0, 10.0, 10.0, 11.0, 100.0]]
+    # key 2: constant values -> mad 0 -> nothing flags
+    rows += [(2, 5.0)] * 4
+    df = spark.createDataFrame(rows, "user_id bigint, value double")
+    got = mad_outliers(df, "user_id", "value", k=3.0).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert r["user_id"] == 1 and r["value"] == 100.0
+    assert r["med"] == 10.0 and r["mad"] > 0
+    assert r["score"] > 3.0
