@@ -561,6 +561,17 @@ def _pipeline_table(session, op: str, opts: dict[str, str]) -> DataFrame:
                            k=int(o.get("k", "10")),
                            id_col=o.get("id", "doc_id"),
                            text_col=o.get("text", "text"))
+    if name == "mad_outliers":
+        from drill_spark.ops.scale import mad_outliers
+
+        return mad_outliers(inp(), o.get("key", "user_id"),
+                            o.get("val", "value"),
+                            k=float(o.get("k", "3.0")))
+    if name == "training_shards":
+        from drill_spark.ops.pipeline import training_shards
+
+        return training_shards(inp(), o.get("id", "doc_id"),
+                               n_shards=int(o.get("shards", "1024")))
     raise ValueError(
         f"unknown pipeline table function `{name}` — available: bm25, bm25_batch, "
         "tfidf_keywords, hybrid_search, fuzzy_join, dedup_exact, "
@@ -569,7 +580,7 @@ def _pipeline_table(session, op: str, opts: dict[str, str]) -> DataFrame:
         "pack_bins, fixed_k_sample, skew_profile, chat_validate, "
         "chat_render, preference_pairs, sessionize, funnel, retention, "
         "temperature_sample, weighted_sample, luhn_scan, "
-        "normalize_unicode, maxsim")
+        "normalize_unicode, maxsim, mad_outliers, training_shards")
 
 
 def _read_path(session, ws_name: str, rel_path: str, options: dict[str, str] | None = None) -> DataFrame:

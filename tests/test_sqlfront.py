@@ -878,3 +878,18 @@ def test_pipeline_table_functions_round8b(dsession):
         "input => 'documents', query => 'query join fast', k => '5'))"
     ).collect()
     assert len(ms) == 5 and ms[0].rank == 1
+
+
+def test_pipeline_table_functions_monitoring(dsession):
+    dsession.register_fixture_tables("/root/testdata/sf0.001")
+    mad = dsession.sql(
+        "select count(*) n from table(pipeline.`mad_outliers`("
+        "input => 'events', key => 'user_id', val => 'value', k => '3'))"
+    ).collect()[0]
+    assert mad.n >= 0
+    sh = dsession.sql(
+        "select count(distinct shard) s, count(*) n from "
+        "table(pipeline.`training_shards`(input => 'documents', "
+        "shards => '4'))"
+    ).collect()[0]
+    assert sh.s == 4 and sh.n == 500
