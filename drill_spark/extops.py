@@ -3714,6 +3714,49 @@ limit 100
 """
 
 
+def q_crossmodal_align(spark, sf_dir):
+    """CLIP-score alignment filtering (ops/crossmodal.py::
+    alignment_filter): even doc_ids carry captions matching their
+    image's color, odd doc_ids a shifted (wrong) caption. The filter
+    keeps ALL aligned pairs (cosine 1.0) and drops misaligned ones,
+    except near-achromatic collisions — the stub feature space is
+    brightness-invariant for grays, so two near-gray colors embed
+    near-parallel (a documented stub property, not a filter bug).
+    Rows-only by design; separation is also pytest-bound."""
+    import numpy as np
+    import pandas as pd
+
+    from drill_spark.ops.crossmodal import alignment_filter
+    from drill_spark.ops.multimodal import encode_bmp
+
+    docs = _docs(spark, sf_dir).where(F.col("doc_id") < 96)
+
+    def mk_payload(batches):
+        for pdf in batches:
+            payloads = [
+                encode_bmp(np.full(
+                    (8, 8, 3),
+                    (int(i) * 37 % 256, int(i) * 59 % 256, int(i) * 83 % 256),
+                    dtype=np.uint8))
+                for i in pdf["doc_id"]
+            ]
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    images = docs.select("doc_id").mapInPandas(
+        mk_payload, schema="doc_id long, payload binary")
+    # even ids: caption colors match the image; odd ids: shifted by 1
+    cap_src = F.when(F.col("doc_id") % 2 == 0, F.col("doc_id")) \
+        .otherwise(F.col("doc_id") + 1)
+    captions = docs.select(
+        "doc_id",
+        F.format_string(
+            "photo colored rgb(%d, %d, %d)",
+            cap_src * 37 % 256, cap_src * 59 % 256, cap_src * 83 % 256,
+        ).alias("text"),
+    )
+    return alignment_filter(images, captions, threshold=0.999)
+
+
 def q_temperature_sample(spark, sf_dir):
     """Temperature-scaled mixture sampling (ops/pipeline.py::
     temperature_sample): per-language keep rates proportional to
@@ -3840,6 +3883,7 @@ QUERIES = {
     "ext_stream_incr_dedup": q_stream_incr_dedup,
     "ext_temperature_sample": q_temperature_sample,
     "ext_crossmodal_topk": q_crossmodal_topk,
+    "ext_crossmodal_align": q_crossmodal_align,
     "ext_pii_luhn": q_pii_luhn,
     "ext_weighted_sample": q_weighted_sample,
     "ext_text_nfc": q_text_nfc,
