@@ -255,6 +255,7 @@ class DrillSession:
     aliases: dict[str, str] = field(default_factory=dict)
     materialized: dict[str, str] = field(default_factory=dict)
     mv_defs: dict[str, tuple] = field(default_factory=dict)  # name -> (norm sql, canonical plan)
+    mv_incr: dict[str, dict] = field(default_factory=dict)  # name -> incremental-refresh state
     profiles: list[dict] = field(default_factory=list)
     temp_tables: list[str] = field(default_factory=list)
     _view_counter: int = 0

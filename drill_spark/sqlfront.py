@@ -275,6 +275,72 @@ _CREATE_MV = re.compile(
 _DROP_MV = re.compile(
     r"^\s*DROP\s+MATERIALIZED\s+VIEW\s+(IF\s+EXISTS\s+)?`?(\w+)`?\s*;?\s*$", re.IGNORECASE
 )
+_REFRESH_MV = re.compile(
+    r"^\s*REFRESH\s+MATERIALIZED\s+VIEW\s+`?(\w+)`?(\s+FULL)?\s*;?\s*$",
+    re.IGNORECASE,
+)
+# the incrementally-maintainable MV shape: single source, optional
+# WHERE, GROUP BY, and a select list of group columns + decomposable
+# aggregates (COUNT/SUM/MIN/MAX)
+_MV_SHAPE = re.compile(
+    r"^\s*select\s+(?P<sel>.+?)\s+from\s+(?P<src>.+?)"
+    r"(?:\s+where\s+(?P<where>.+?))?\s+group\s+by\s+(?P<grp>.+?)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_MV_AGG_ITEM = re.compile(
+    r"^(count|sum|min|max)\s*\(\s*(distinct\b)?\s*([^)]*?)\s*\)\s+as\s+`?(\w+)`?$",
+    re.IGNORECASE,
+)
+
+
+def _parse_incr_mv(select: str):
+    """Parse an MV definition into its incremental-merge recipe, or
+    None when the shape isn't incrementally maintainable (the caller
+    then keeps full-recompute-only semantics)."""
+    m = _MV_SHAPE.match(select.strip())
+    if not m:
+        return None
+    groups = [g.strip().strip("`") for g in m.group("grp").split(",")]
+    items = [s.strip() for s in _split_top_level(m.group("sel"))]
+    merge: list[tuple[str, str]] = []  # (alias, merge agg kind)
+    for it in items:
+        am = _MV_AGG_ITEM.match(it)
+        if am:
+            kind, distinct, _, alias = am.groups()
+            if distinct:
+                return None  # COUNT(DISTINCT) isn't decomposable
+            merge.append(
+                (alias, "sum" if kind.lower() in ("count", "sum")
+                 else kind.lower()))
+        elif it.strip("`") in groups:
+            merge.append((it.strip("`"), "group"))
+        else:
+            return None
+    return {
+        "source": m.group("src").strip(),
+        "sel": m.group("sel").strip(),
+        "where": m.group("where"),
+        "groups": groups,
+        "merge": merge,
+        "select": select,
+    }
+
+
+def _split_top_level(s: str) -> list[str]:
+    out, depth, cur = [], 0, []
+    for ch in s:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if ch == "," and depth == 0:
+            out.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    if cur:
+        out.append("".join(cur))
+    return out
 
 _SUFFIX_FORMAT = {
     ".parquet": "parquet",
@@ -1155,13 +1221,26 @@ def execute(session, query: str) -> DataFrame:
         # .java:209 / docs/dev/MaterializedViews.md): normalized text for
         # the fast path, canonicalized analyzed plan for semantic match
         session.mv_defs[name] = (_normalize_sql(select), _canonical_plan(df))
+        recipe = _parse_incr_mv(select) or {"select": select}
+        if "merge" in recipe:
+            recipe["files"] = sorted(set(df.inputFiles()))
+        session.mv_incr[name] = recipe
         return _ok(spark, f"materialized view {name} at {path}")
+
+    m = _REFRESH_MV.match(query)
+    if m:
+        name, force_full = m.group(1), bool(m.group(2))
+        path = session.materialized.get(name)
+        if path is None:
+            raise ValueError(f"materialized view not found: {name}")
+        return _refresh_matview(session, name, path, force_full)
 
     m = _DROP_MV.match(query)
     if m:
         if_exists, name = m.group(1), m.group(2)
         path = session.materialized.pop(name, None)
         session.mv_defs.pop(name, None)
+        session.mv_incr.pop(name, None)
         if path is None:
             if if_exists:
                 return _ok(spark, f"materialized view {name} did not exist")
@@ -1403,6 +1482,100 @@ def execute(session, query: str) -> DataFrame:
     df = spark.sql(rewrite(session, query))
     mv = _match_materialized(session, query, df)
     return mv if mv is not None else df
+
+
+def _refresh_matview(session, name: str, path: str, force_full: bool):
+    """REFRESH MATERIALIZED VIEW — incremental when possible.
+
+    The incremental path (the IVM move real warehouses ship for
+    append-only sources) applies when the definition parsed as a
+    single-source GROUP BY with decomposable aggregates
+    (COUNT/SUM/MIN/MAX — COUNT merges by SUM), every file seen at the
+    last (re)build is still present, and the only change is NEW parquet
+    files. Then only the new files are scanned: the delta aggregates
+    union with the stored state and re-aggregate with the merge
+    functions — cost proportional to the appended data, not the
+    source. Any other situation (FULL requested, files rewritten or
+    deleted, non-decomposable shape) falls back to a full recompute
+    and the status message says which path ran.
+    """
+    import os
+
+    from pyspark.sql import functions as F
+
+    spark = session.spark
+    state = session.mv_incr.get(name, {})
+    select = state.get("select")
+    if select is None:
+        raise ValueError(f"materialized view definition lost: {name}")
+
+    def full():
+        df = spark.sql(rewrite(session, select))
+        df.write.mode("overwrite").parquet(path)
+        spark.catalog.refreshByPath(path)
+        spark.read.parquet(path).createOrReplaceTempView(name)
+        if "merge" in state:
+            state["files"] = sorted(set(df.inputFiles()))
+        return df
+
+    if force_full or "merge" not in state:
+        full()
+        return _ok(spark, f"materialized view {name} refreshed (full)")
+
+    current = spark.sql(rewrite(session, select))
+    new_files = set(current.inputFiles())
+    old_files = set(state["files"])
+    if not old_files <= new_files:
+        full()
+        return _ok(
+            spark,
+            f"materialized view {name} refreshed (full: source files "
+            "rewritten or removed)")
+    added = sorted(new_files - old_files)
+    if not added:
+        return _ok(spark, f"materialized view {name} is up to date "
+                          "(0 new files)")
+    if not all(f.endswith(".parquet") for f in added):
+        full()
+        return _ok(spark, f"materialized view {name} refreshed (full: "
+                          "non-parquet appends)")
+
+    delta_view = f"__mv_delta_{name}"
+    spark.read.parquet(*[f.replace("file:", "") for f in added]) \
+        .createOrReplaceTempView(delta_view)
+    where = f" where {state['where']}" if state.get("where") else ""
+    delta_sql = (
+        f"select {state['sel']} from {delta_view}{where} "
+        f"group by {', '.join(state['groups'])}")
+    delta = spark.sql(rewrite(session, delta_sql))
+    stored = spark.read.parquet(path)
+    merge_aggs = [
+        (F.sum(a) if kind == "sum" else getattr(F, kind)(a)).alias(a)
+        for a, kind in state["merge"] if kind != "group"
+    ]
+    out_cols = [a for a, _ in state["merge"]]
+    merged = (
+        stored.select(*out_cols).unionByName(delta.select(*out_cols))
+        .groupBy(*state["groups"])
+        .agg(*merge_aggs)
+        .select(*out_cols)
+    )
+    # stored types: count() re-merged via sum() widens bigint->bigint,
+    # but sum(double) of a bigint column would widen — realign to the
+    # stored schema so refresh never drifts the MV's types
+    for f_old in stored.schema.fields:
+        merged = merged.withColumn(
+            f_old.name, F.col(f_old.name).cast(f_old.dataType))
+    merged = merged.select(*out_cols).localCheckpoint(eager=True)
+    merged.write.mode("overwrite").parquet(path)
+    spark.catalog.refreshByPath(path)
+    spark.read.parquet(path).createOrReplaceTempView(name)
+    spark.catalog.dropTempView(delta_view)
+    state["files"] = sorted(new_files)
+    return _ok(
+        spark,
+        f"materialized view {name} refreshed incrementally "
+        f"({len(added)} new file(s) scanned, {len(old_files)} skipped)")
 
 
 def _normalize_sql(sql: str) -> str:

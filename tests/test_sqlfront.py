@@ -893,3 +893,72 @@ def test_pipeline_table_functions_monitoring(dsession):
         "shards => '4'))"
     ).collect()[0]
     assert sh.s == 4 and sh.n == 500
+
+
+def test_incremental_matview_refresh(dsession, tmp_path):
+    """REFRESH MATERIALIZED VIEW maintains an aggregate MV from only
+    the APPENDED parquet files (delta scan + decomposable-agg merge);
+    results equal a full recompute, the status says which path ran,
+    and file deletion falls back to full."""
+    import shutil
+
+    spark = dsession.spark
+    dsession.workspaces["dfs.tmp"].path = str(tmp_path)
+    src = tmp_path / "sales"
+    rows1 = [(i, "a" if i % 2 == 0 else "b", float(i)) for i in range(100)]
+    spark.createDataFrame(rows1, "id bigint, grp string, amt double") \
+        .coalesce(1).write.parquet(str(src))
+
+    dsession.sql(
+        "CREATE MATERIALIZED VIEW mv_sales AS "
+        f"select grp, count(*) as n, sum(amt) as total, min(amt) as lo, "
+        f"max(amt) as hi from dfs.tmp.`sales` group by grp")
+
+    # append a second file with new and existing groups
+    rows2 = [(i, "b" if i % 2 == 0 else "c", float(i)) for i in range(100, 160)]
+    spark.createDataFrame(rows2, "id bigint, grp string, amt double") \
+        .coalesce(1).write.mode("append").parquet(str(src))
+
+    out = dsession.sql("REFRESH MATERIALIZED VIEW mv_sales").head()
+    assert "incrementally" in out["summary"], out["summary"]
+    assert "1 new file(s)" in out["summary"]
+
+    got = {r["grp"]: r for r in dsession.sql(
+        "select * from mv_sales").collect()}
+    allrows = rows1 + rows2
+    for g in ("a", "b", "c"):
+        sub = [a for _, gg, a in allrows if gg == g]
+        assert got[g]["n"] == len(sub)
+        assert abs(got[g]["total"] - sum(sub)) < 1e-6
+        assert got[g]["lo"] == min(sub) and got[g]["hi"] == max(sub)
+
+    # idempotent when nothing changed
+    out = dsession.sql("REFRESH MATERIALIZED VIEW mv_sales").head()
+    assert "up to date" in out["summary"]
+
+    # FULL forces recompute
+    out = dsession.sql("REFRESH MATERIALIZED VIEW mv_sales FULL").head()
+    assert "(full)" in out["summary"]
+
+    # deleting a source file breaks append-only -> full fallback
+    a_file = next(p for p in src.iterdir() if p.name.endswith(".parquet"))
+    a_file.unlink()
+    spark.catalog.refreshByPath(str(src))
+    out = dsession.sql("REFRESH MATERIALIZED VIEW mv_sales").head()
+    assert "full: source files" in out["summary"]
+    dsession.sql("DROP MATERIALIZED VIEW mv_sales")
+
+
+def test_incremental_matview_gates_non_decomposable(dsession, tmp_path):
+    """AVG / COUNT(DISTINCT) definitions stay full-recompute-only."""
+    spark = dsession.spark
+    dsession.workspaces["dfs.tmp"].path = str(tmp_path)
+    src = tmp_path / "m"
+    spark.createDataFrame(
+        [(1, 2.0)], "id bigint, v double").write.parquet(str(src))
+    dsession.sql(
+        "CREATE MATERIALIZED VIEW mv_avg AS "
+        "select id, avg(v) as m from dfs.tmp.`m` group by id")
+    out = dsession.sql("REFRESH MATERIALIZED VIEW mv_avg").head()
+    assert "(full)" in out["summary"]
+    dsession.sql("DROP MATERIALIZED VIEW mv_avg")
