@@ -54,9 +54,16 @@ _RGB_RE = re.compile(r"rgb\((\d+),\s*(\d+),\s*(\d+)\)")
 
 def _projection(dim: int) -> np.ndarray:
     """Fixed-seed Gaussian projection (RAW_DIM -> dim), regenerated from
-    the seed wherever it's needed — nothing to broadcast."""
-    rng = np.random.default_rng(_SEED)
-    return rng.standard_normal((_RAW_DIM, dim))
+    the seed wherever it's needed — nothing to broadcast. Cached per
+    process so per-row encoding doesn't re-run the generator."""
+    m = _projection_cache.get(dim)
+    if m is None:
+        rng = np.random.default_rng(_SEED)
+        m = _projection_cache[dim] = rng.standard_normal((_RAW_DIM, dim))
+    return m
+
+
+_projection_cache: dict[int, np.ndarray] = {}
 
 
 def _embed_raw(raw: np.ndarray, dim: int) -> list[float]:
