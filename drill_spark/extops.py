@@ -3383,21 +3383,13 @@ select doc_id from b1k
 """
 
 
-def q_crossmodal_topk(spark, sf_dir):
-    """CLIP-style cross-modal retrieval (ops/crossmodal.py): solid-color
-    BMPs built from doc_id through the repo's real codec, captions with
-    literal rgb() spans, both embedded into one joint space (real Arrow
-    decode plumbing, stub encoder weights) and joined by cosine top-3.
-    Rows-only by design (the projection matrix is not SQL-expressible);
-    retrieval identity is pytest-bound in test_crossmodal.py."""
+def _crossmodal_images(docs):
+    """Solid-color BMPs derived from doc_id through the repo's real
+    codec — the shared image side of the crossmodal fixture queries."""
     import numpy as np
     import pandas as pd
 
-    from drill_spark.ops.crossmodal import (
-        crossmodal_topk, embed_captions, embed_images)
     from drill_spark.ops.multimodal import encode_bmp
-
-    docs = _docs(spark, sf_dir).where(F.col("doc_id") < 96)
 
     def mk_payload(batches):
         for pdf in batches:
@@ -3410,17 +3402,36 @@ def q_crossmodal_topk(spark, sf_dir):
             ]
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
-    images = docs.select("doc_id").mapInPandas(
+    return docs.select("doc_id").mapInPandas(
         mk_payload, schema="doc_id long, payload binary")
-    captions = docs.select(
+
+
+def _crossmodal_captions(docs, id_expr):
+    """rgb() captions for the color scheme of ``_crossmodal_images``,
+    colored by ``id_expr`` (the doc's own id for aligned pairs, a
+    shifted id for misaligned ones)."""
+    return docs.select(
         "doc_id",
         F.format_string(
             "photo colored rgb(%d, %d, %d)",
-            F.col("doc_id") * 37 % 256,
-            F.col("doc_id") * 59 % 256,
-            F.col("doc_id") * 83 % 256,
+            id_expr * 37 % 256, id_expr * 59 % 256, id_expr * 83 % 256,
         ).alias("text"),
     )
+
+
+def q_crossmodal_topk(spark, sf_dir):
+    """CLIP-style cross-modal retrieval (ops/crossmodal.py): solid-color
+    BMPs built from doc_id through the repo's real codec, captions with
+    literal rgb() spans, both embedded into one joint space (real Arrow
+    decode plumbing, stub encoder weights) and joined by cosine top-3.
+    Rows-only by design (the projection matrix is not SQL-expressible);
+    retrieval identity is pytest-bound in test_crossmodal.py."""
+    from drill_spark.ops.crossmodal import (
+        crossmodal_topk, embed_captions, embed_images)
+
+    docs = _docs(spark, sf_dir).where(F.col("doc_id") < 96)
+    images = _crossmodal_images(docs)
+    captions = _crossmodal_captions(docs, F.col("doc_id"))
     return crossmodal_topk(
         embed_images(images), embed_captions(captions), k=3)
 
@@ -3706,9 +3717,11 @@ def q_weighted_sample(spark, sf_dir):
 
 ORACLE_WEIGHTED_SAMPLE = """
 select doc_id, cast(n_chars as double) as weight,
+       -- w > 0 gate mirrors the operator's A-ES precondition
        round(-ln((cast('0x' || substring(md5(cast(doc_id as varchar)), 1, 6)
                   as bigint) + 1.0) / 16777216.0) / n_chars, 6) as key
 from documents
+where n_chars > 0
 order by key, doc_id
 limit 100
 """
@@ -3723,37 +3736,14 @@ def q_crossmodal_align(spark, sf_dir):
     brightness-invariant for grays, so two near-gray colors embed
     near-parallel (a documented stub property, not a filter bug).
     Rows-only by design; separation is also pytest-bound."""
-    import numpy as np
-    import pandas as pd
-
     from drill_spark.ops.crossmodal import alignment_filter
-    from drill_spark.ops.multimodal import encode_bmp
 
     docs = _docs(spark, sf_dir).where(F.col("doc_id") < 96)
-
-    def mk_payload(batches):
-        for pdf in batches:
-            payloads = [
-                encode_bmp(np.full(
-                    (8, 8, 3),
-                    (int(i) * 37 % 256, int(i) * 59 % 256, int(i) * 83 % 256),
-                    dtype=np.uint8))
-                for i in pdf["doc_id"]
-            ]
-            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
-
-    images = docs.select("doc_id").mapInPandas(
-        mk_payload, schema="doc_id long, payload binary")
+    images = _crossmodal_images(docs)
     # even ids: caption colors match the image; odd ids: shifted by 1
     cap_src = F.when(F.col("doc_id") % 2 == 0, F.col("doc_id")) \
         .otherwise(F.col("doc_id") + 1)
-    captions = docs.select(
-        "doc_id",
-        F.format_string(
-            "photo colored rgb(%d, %d, %d)",
-            cap_src * 37 % 256, cap_src * 59 % 256, cap_src * 83 % 256,
-        ).alias("text"),
-    )
+    captions = _crossmodal_captions(docs, cap_src)
     return alignment_filter(images, captions, threshold=0.999)
 
 

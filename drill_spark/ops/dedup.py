@@ -582,7 +582,10 @@ def incremental_near_dedup(
             f"b -> xxhash64(concat_ws(',', slice(sig, b * {rows_per_band} + 1, "
             f"{rows_per_band})), b))"
         )).alias("band_idx", "band_hash"),
-    )
+    # the band table feeds the within-batch self-join (twice), the
+    # cross-batch candidate join, and the store append — checkpoint it
+    # so the shingle+signature pass runs ONCE per batch
+    ).localCheckpoint(eager=False)
 
     def agree(a, b):
         eq = F.zip_with(a, b, lambda x, y: F.when(x == y, 1).otherwise(0))

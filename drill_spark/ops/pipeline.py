@@ -667,8 +667,13 @@ def weighted_sample(df: DataFrame, id_col: str, weight_col: str,
     Selection is ``orderBy(key, id).limit(k)`` — TakeOrdered per-
     partition heaps + driver merge of k rows, never a global sort.
 
+    A-ES requires strictly positive weights: rows with w <= 0 (or null)
+    are excluded from the draw — a negative weight would otherwise sort
+    AHEAD of every positive one and deterministically enter the sample.
+
     Returns (id, weight, key) for the k sampled rows.
     """
+    df = df.where(F.col(weight_col) > 0)
     u = (
         F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 6),
                16, 10).cast("double") + F.lit(1.0)

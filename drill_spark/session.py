@@ -563,4 +563,5 @@ class DrillSession:
             shutil.rmtree(path, ignore_errors=True)
         self.materialized.clear()
         self.mv_defs.clear()
+        self.mv_incr.clear()
         self.aliases.clear()

@@ -300,6 +300,14 @@ def _parse_incr_mv(select: str):
     m = _MV_SHAPE.match(select.strip())
     if not m:
         return None
+    src = m.group("src").strip()
+    # the source must be ONE bare table/path reference — a join,
+    # subquery, table function, or aliased source means the appended
+    # raw files are NOT the rows the select aggregates, and merging
+    # them would silently corrupt the MV
+    if (re.search(r"\s", src) or "(" in src
+            or not re.match(r"^(?:[\w.]+|(?:[\w.]+\.)?`[^`]+`)$", src)):
+        return None
     groups = [g.strip().strip("`") for g in m.group("grp").split(",")]
     items = [s.strip() for s in _split_top_level(m.group("sel"))]
     merge: list[tuple[str, str]] = []  # (alias, merge agg kind)
@@ -316,6 +324,14 @@ def _parse_incr_mv(select: str):
             merge.append((it.strip("`"), "group"))
         else:
             return None
+    # every GROUP BY column must ride in the select list and at least
+    # one mergeable aggregate must exist, or the merge can't rebuild
+    # the stored state
+    sel_groups = {a for a, k in merge if k == "group"}
+    if not set(groups) <= sel_groups:
+        return None
+    if not any(k != "group" for _, k in merge):
+        return None
     return {
         "source": m.group("src").strip(),
         "sel": m.group("sel").strip(),
@@ -1522,60 +1538,67 @@ def _refresh_matview(session, name: str, path: str, force_full: bool):
         full()
         return _ok(spark, f"materialized view {name} refreshed (full)")
 
-    current = spark.sql(rewrite(session, select))
-    new_files = set(current.inputFiles())
-    old_files = set(state["files"])
-    if not old_files <= new_files:
+    try:
+        current = spark.sql(rewrite(session, select))
+        new_files = set(current.inputFiles())
+        old_files = set(state["files"])
+        if not old_files <= new_files:
+            full()
+            return _ok(
+                spark,
+                f"materialized view {name} refreshed (full: source files "
+                "rewritten or removed)")
+        added = sorted(new_files - old_files)
+        if not added:
+            return _ok(spark, f"materialized view {name} is up to date "
+                              "(0 new files)")
+        if not all(f.endswith(".parquet") for f in added):
+            full()
+            return _ok(spark, f"materialized view {name} refreshed (full: "
+                              "non-parquet appends)")
+
+        delta_view = f"__mv_delta_{name}"
+        spark.read.parquet(*[f.replace("file:", "") for f in added]) \
+            .createOrReplaceTempView(delta_view)
+        where = f" where {state['where']}" if state.get("where") else ""
+        delta_sql = (
+            f"select {state['sel']} from {delta_view}{where} "
+            f"group by {', '.join(state['groups'])}")
+        delta = spark.sql(rewrite(session, delta_sql))
+        stored = spark.read.parquet(path)
+        merge_aggs = [
+            (F.sum(a) if kind == "sum" else getattr(F, kind)(a)).alias(a)
+            for a, kind in state["merge"] if kind != "group"
+        ]
+        out_cols = [a for a, _ in state["merge"]]
+        merged = (
+            stored.select(*out_cols).unionByName(delta.select(*out_cols))
+            .groupBy(*state["groups"])
+            .agg(*merge_aggs)
+            .select(*out_cols)
+        )
+        # stored types: count() re-merged via sum() widens bigint->bigint,
+        # but sum(double) of a bigint column would widen — realign to the
+        # stored schema so refresh never drifts the MV's types
+        for f_old in stored.schema.fields:
+            merged = merged.withColumn(
+                f_old.name, F.col(f_old.name).cast(f_old.dataType))
+        merged = merged.select(*out_cols).localCheckpoint(eager=True)
+        merged.write.mode("overwrite").parquet(path)
+        spark.catalog.refreshByPath(path)
+        spark.read.parquet(path).createOrReplaceTempView(name)
+        spark.catalog.dropTempView(delta_view)
+        state["files"] = sorted(new_files)
+        return _ok(
+            spark,
+            f"materialized view {name} refreshed incrementally "
+            f"({len(added)} new file(s) scanned, {len(old_files)} skipped)")
+    except Exception as exc:  # safety net: never corrupt, never strand
         full()
         return _ok(
             spark,
-            f"materialized view {name} refreshed (full: source files "
-            "rewritten or removed)")
-    added = sorted(new_files - old_files)
-    if not added:
-        return _ok(spark, f"materialized view {name} is up to date "
-                          "(0 new files)")
-    if not all(f.endswith(".parquet") for f in added):
-        full()
-        return _ok(spark, f"materialized view {name} refreshed (full: "
-                          "non-parquet appends)")
-
-    delta_view = f"__mv_delta_{name}"
-    spark.read.parquet(*[f.replace("file:", "") for f in added]) \
-        .createOrReplaceTempView(delta_view)
-    where = f" where {state['where']}" if state.get("where") else ""
-    delta_sql = (
-        f"select {state['sel']} from {delta_view}{where} "
-        f"group by {', '.join(state['groups'])}")
-    delta = spark.sql(rewrite(session, delta_sql))
-    stored = spark.read.parquet(path)
-    merge_aggs = [
-        (F.sum(a) if kind == "sum" else getattr(F, kind)(a)).alias(a)
-        for a, kind in state["merge"] if kind != "group"
-    ]
-    out_cols = [a for a, _ in state["merge"]]
-    merged = (
-        stored.select(*out_cols).unionByName(delta.select(*out_cols))
-        .groupBy(*state["groups"])
-        .agg(*merge_aggs)
-        .select(*out_cols)
-    )
-    # stored types: count() re-merged via sum() widens bigint->bigint,
-    # but sum(double) of a bigint column would widen — realign to the
-    # stored schema so refresh never drifts the MV's types
-    for f_old in stored.schema.fields:
-        merged = merged.withColumn(
-            f_old.name, F.col(f_old.name).cast(f_old.dataType))
-    merged = merged.select(*out_cols).localCheckpoint(eager=True)
-    merged.write.mode("overwrite").parquet(path)
-    spark.catalog.refreshByPath(path)
-    spark.read.parquet(path).createOrReplaceTempView(name)
-    spark.catalog.dropTempView(delta_view)
-    state["files"] = sorted(new_files)
-    return _ok(
-        spark,
-        f"materialized view {name} refreshed incrementally "
-        f"({len(added)} new file(s) scanned, {len(old_files)} skipped)")
+            f"materialized view {name} refreshed (full: incremental "
+            f"path failed: {type(exc).__name__})")
 
 
 def _normalize_sql(sql: str) -> str:

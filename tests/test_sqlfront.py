@@ -962,3 +962,30 @@ def test_incremental_matview_gates_non_decomposable(dsession, tmp_path):
     out = dsession.sql("REFRESH MATERIALIZED VIEW mv_avg").head()
     assert "(full)" in out["summary"]
     dsession.sql("DROP MATERIALIZED VIEW mv_avg")
+
+
+def test_incremental_matview_rejects_join_sources(dsession, tmp_path):
+    """A join-source MV must NOT take the incremental path: merging raw
+    appended fact rows without replaying the join would corrupt the MV
+    (an appended row with no dim match must stay invisible)."""
+    spark = dsession.spark
+    dsession.workspaces["dfs.tmp"].path = str(tmp_path)
+    spark.createDataFrame(
+        [(1, "a", 2.0), (2, "b", 3.0)], "id bigint, grp string, amt double"
+    ).coalesce(1).write.parquet(str(tmp_path / "facts"))
+    spark.createDataFrame(
+        [("a",), ("b",)], "g string"
+    ).coalesce(1).write.parquet(str(tmp_path / "dims"))
+    dsession.sql(
+        "CREATE MATERIALIZED VIEW mv_j AS "
+        "select grp, count(*) as n from dfs.tmp.`facts` t "
+        "join dfs.tmp.`dims` d on t.grp = d.g group by grp")
+    # append a fact with NO dim match
+    spark.createDataFrame(
+        [(3, "c", 4.0)], "id bigint, grp string, amt double"
+    ).coalesce(1).write.mode("append").parquet(str(tmp_path / "facts"))
+    out = dsession.sql("REFRESH MATERIALIZED VIEW mv_j").head()
+    assert "(full)" in out["summary"], out["summary"]
+    got = {r["grp"] for r in dsession.sql("select * from mv_j").collect()}
+    assert got == {"a", "b"}  # 'c' must not leak in
+    dsession.sql("DROP MATERIALIZED VIEW mv_j")
