@@ -654,6 +654,23 @@ def _pipeline_table(session, op: str, opts: dict[str, str]) -> DataFrame:
 
         return training_shards(inp(), o.get("id", "doc_id"),
                                n_shards=int(o.get("shards", "1024")))
+    if name == "crossmodal_topk":
+        from drill_spark.ops.crossmodal import (
+            crossmodal_topk, embed_captions, embed_images)
+
+        return crossmodal_topk(
+            embed_images(inp("images"), id_col=o.get("id", "doc_id"),
+                         payload_col=o.get("payload", "payload")),
+            embed_captions(inp("captions"), id_col=o.get("id", "doc_id"),
+                           text_col=o.get("text", "text")),
+            id_col=o.get("id", "doc_id"), k=int(o.get("k", "3")))
+    if name == "crossmodal_align":
+        from drill_spark.ops.crossmodal import alignment_filter
+
+        return alignment_filter(
+            inp("images"), inp("captions"),
+            id_col=o.get("id", "doc_id"),
+            threshold=float(o.get("threshold", "0.28")))
     raise ValueError(
         f"unknown pipeline table function `{name}` — available: bm25, bm25_batch, "
         "tfidf_keywords, hybrid_search, fuzzy_join, dedup_exact, "
@@ -662,7 +679,8 @@ def _pipeline_table(session, op: str, opts: dict[str, str]) -> DataFrame:
         "pack_bins, fixed_k_sample, skew_profile, chat_validate, "
         "chat_render, preference_pairs, sessionize, funnel, retention, "
         "temperature_sample, weighted_sample, luhn_scan, "
-        "normalize_unicode, maxsim, mad_outliers, training_shards")
+        "normalize_unicode, maxsim, mad_outliers, training_shards, "
+        "crossmodal_topk, crossmodal_align")
 
 
 def _read_path(session, ws_name: str, rel_path: str, options: dict[str, str] | None = None) -> DataFrame:

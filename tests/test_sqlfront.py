@@ -989,3 +989,28 @@ def test_incremental_matview_rejects_join_sources(dsession, tmp_path):
     got = {r["grp"] for r in dsession.sql("select * from mv_j").collect()}
     assert got == {"a", "b"}  # 'c' must not leak in
     dsession.sql("DROP MATERIALIZED VIEW mv_j")
+
+
+def test_pipeline_table_functions_crossmodal(dsession):
+    import numpy as np
+
+    from drill_spark.ops.multimodal import encode_bmp
+
+    spark = dsession.spark
+    colors = [(0, (255, 0, 0)), (1, (0, 255, 0)), (2, (0, 0, 255))]
+    spark.createDataFrame(
+        [(i, bytearray(encode_bmp(np.full((8, 8, 3), c, np.uint8))))
+         for i, c in colors],
+        "doc_id long, payload binary").createOrReplaceTempView("imgs")
+    spark.createDataFrame(
+        [(i, "tile colored rgb(%d, %d, %d)" % c) for i, c in colors],
+        "doc_id long, text string").createOrReplaceTempView("caps")
+    top = dsession.sql(
+        "select * from table(pipeline.`crossmodal_topk`("
+        "images => 'imgs', captions => 'caps', k => '1'))").collect()
+    assert all(r.neighbor_id == r.query_id for r in top)
+    kept = dsession.sql(
+        "select count(*) n from table(pipeline.`crossmodal_align`("
+        "images => 'imgs', captions => 'caps', threshold => '0.99'))"
+    ).collect()[0]
+    assert kept.n == 3
