@@ -357,3 +357,44 @@ def stream_incremental_dedup(
         .trigger(**(trigger if trigger is not None else {"availableNow": True}))
         .start()
     )
+
+
+def stream_incremental_near_dedup(
+    docs_stream: DataFrame,
+    store_path: str,
+    out_path: str,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sim_threshold: float = 0.7,
+    app_id: str = "drill_spark_stream_near_dedup",
+    trigger: dict | None = None,
+):
+    """Streaming NEAR-dup ingest dedup — the continuously-arriving twin
+    of ops/dedup.incremental_near_dedup: every micro-batch drops
+    documents whose MinHash signature agrees with anything previously
+    ingested (>= ``sim_threshold`` component agreement, the unbiased
+    Jaccard estimator) via the persistent band/signature store; prior
+    batches' text is never rescanned. Survivors land in ``out_path``
+    exactly-once: the streaming epoch stamps both the store commit
+    (txn drill_spark.incremental_near_dedup) and the output append
+    (txn ``app_id``), so at-least-once foreachBatch delivery still
+    writes each survivor set once — the same two-log contract as the
+    exact-dup twin, making backfill and ingest share ONE near-dedup
+    semantics and one store.
+    """
+    from drill_spark.ops.dedup import incremental_near_dedup
+
+    def _commit(batch_df: DataFrame, epoch_id: int) -> None:
+        survivors = incremental_near_dedup(
+            batch_df, store_path, id_col=id_col, text_col=text_col,
+            sim_threshold=sim_threshold, batch_id=epoch_id,
+        )
+        commit_batch_idempotent(survivors, out_path, app_id, epoch_id)
+
+    return (
+        docs_stream.writeStream.foreachBatch(_commit)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(**(trigger if trigger is not None else {"availableNow": True}))
+        .start()
+    )
