@@ -42,7 +42,13 @@ def validate_conversations(
         lambda i: F.element_at(body, i)
         == F.when(i % 2 == 1, "user").otherwise("assistant"),
     )
-    empty_ok = F.forall(conv, lambda x: F.length(F.trim(x["content"])) > 0)
+    # coalesce: a NULL content must read as a FAILED predicate — forall
+    # over a null lambda result is null, and the reason CASE would skip
+    # it, marking a missing-content conversation 'ok'
+    empty_ok = F.forall(
+        conv,
+        lambda x: F.coalesce(F.length(F.trim(x["content"])) > 0, F.lit(False)),
+    )
     too_short = n_body < 2
     bad_start = F.element_at(body, 1) != "user"
     bad_end = F.element_at(body, -1) != "assistant"
@@ -75,7 +81,10 @@ def render_chat(
             conv,
             lambda x: F.concat(
                 F.lit("<|im_start|>"), x["role"], F.lit("\n"),
-                x["content"], F.lit("<|im_end|>\n"),
+                # null content renders as empty rather than silently
+                # nulling the whole turn out of the array_join
+                F.coalesce(x["content"], F.lit("")),
+                F.lit("<|im_end|>\n"),
             ),
         ),
         "",
@@ -103,6 +112,10 @@ def preference_pairs(
     rejected_score, margin)."""
     pair = F.struct(F.col(score_col).alias("s"),
                     F.col(response_col).alias("r"))
+    # an unscored candidate must not poison the prompt: min(struct)
+    # would pick the NULL score as 'worst' and the NULL margin would
+    # drop the whole pair
+    df = df.where(F.col(score_col).isNotNull())
     agg = df.groupBy(prompt_col).agg(
         F.max(pair).alias("best"),
         F.min(pair).alias("worst"),

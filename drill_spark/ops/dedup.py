@@ -425,6 +425,7 @@ def incremental_dedup(
     text_col: str = "text",
     batch_id: int | None = None,
     fpp: float = 0.001,
+    txn_app_id: str = _INCR_APP_ID,
 ) -> DataFrame:
     """Cross-run exact dedup against a persistent digest store: return
     the rows of ``df`` whose (normalized-text md5) digest has never
@@ -479,7 +480,7 @@ def incremental_dedup(
     store = None
     if exists:
         snap = load_snapshot(spark, store_path)
-        last_txn = snap.txns.get(_INCR_APP_ID, -1)
+        last_txn = snap.txns.get(txn_app_id, -1)
         store = read_delta(spark, store_path)
     if batch_id is None:
         batch_id = last_txn + 1
@@ -517,7 +518,7 @@ def incremental_dedup(
         new_digests,
         store_path,
         mode="append" if exists else "error",
-        txn=(_INCR_APP_ID, int(batch_id)),
+        txn=(txn_app_id, int(batch_id)),
     )
     return survivors.drop("__h")
 
@@ -537,6 +538,7 @@ def incremental_near_dedup(
     batch_id: int | None = None,
     max_bucket_size: int = 1000,
     max_candidates_per_doc: int = 50,
+    txn_app_id: str = _INCR_NEAR_APP_ID,
 ) -> DataFrame:
     """Cross-run NEAR-dup dedup against a persistent MinHash store —
     the fuzzy sibling of ``incremental_dedup``: batch N+1 drops
@@ -615,7 +617,7 @@ def incremental_near_dedup(
     store = None
     if exists:
         snap = load_snapshot(spark, store_path)
-        last_txn = snap.txns.get(_INCR_NEAR_APP_ID, -1)
+        last_txn = snap.txns.get(txn_app_id, -1)
         store = read_delta(spark, store_path)
     if batch_id is None:
         batch_id = last_txn + 1
@@ -662,6 +664,6 @@ def incremental_near_dedup(
         new_rows,
         store_path,
         mode="append" if exists else "error",
-        txn=(_INCR_NEAR_APP_ID, int(batch_id)),
+        txn=(txn_app_id, int(batch_id)),
     )
     return survivors

@@ -543,6 +543,7 @@ def read_drill_query(
     sql: str,
     auth: tuple | None = None,
     auto_limit: int | None = None,
+    timeout: float = 600.0,
 ) -> DataFrame:
     """Drill storage plugin — REAL implementation of the reference's
     drill-on-drill connector (contrib/storage-drill/.../
@@ -568,7 +569,7 @@ def read_drill_query(
     import urllib.request
 
     body = {"queryType": "SQL", "query": sql}
-    if auto_limit:
+    if auto_limit is not None:
         body["autoLimit"] = int(auto_limit)
     headers = {"Content-Type": "application/json"}
     if auth:
@@ -579,7 +580,7 @@ def read_drill_query(
         data=_json.dumps(body).encode(), headers=headers,
     )
     try:
-        with urllib.request.urlopen(req, timeout=60) as resp:
+        with urllib.request.urlopen(req, timeout=timeout) as resp:
             payload = _json.loads(resp.read())
     except urllib.error.HTTPError as e:
         try:
@@ -591,6 +592,18 @@ def read_drill_query(
             "remote drill query FAILED: "
             + str(payload.get("errorMessage", payload))
         )
+    # a silently capped reply must never pass for the full result: the
+    # server caps at its default autoLimit when the client sends none
+    attempted = payload.get("attemptedAutoLimit")
+    capped = payload.get("truncated")
+    if capped is None and attempted:  # older servers: heuristic
+        capped = payload.get("rowCount") == attempted
+    if capped and auto_limit is None:
+        raise RuntimeError(
+            f"remote drill truncated the result at {attempted} rows "
+            f"(its default autoLimit); pass autoLimit => '0' to fetch "
+            f"everything, a positive cap to accept truncation, or push "
+            f"the aggregation to the remote via query => '...'")
     cols = list(payload.get("columns") or [])
     rows = payload.get("rows") or []
     schema = _drill_rest_schema(cols, payload.get("metadata"))
@@ -626,5 +639,8 @@ def read_drill_table(
     auth = None
     if opts.get("user") is not None:
         auth = (opts.get("user"), opts.get("password", ""))
-    return read_drill_query(spark, base_url, sql, auth=auth,
-                            auto_limit=opts.get("autoLimit"))
+    raw_limit = opts.get("autoLimit")
+    return read_drill_query(
+        spark, base_url, sql, auth=auth,
+        auto_limit=int(raw_limit) if raw_limit is not None else None,
+        timeout=float(opts.get("timeout", 600.0)))

@@ -321,9 +321,18 @@ class _Handler(BaseHTTPRequestHandler):
         try:
             n = int(self.headers.get("Content-Length", 0))
             req = json.loads(self.rfile.read(n) or b"{}")
-            limit = int(req.get("autoLimit") or DEFAULT_AUTO_LIMIT)
+            raw_limit = req.get("autoLimit")
+            limit = DEFAULT_AUTO_LIMIT if raw_limit is None else int(raw_limit)
             df = s.sql(req["query"])
-            rows = df.limit(limit).collect()
+            if limit <= 0:  # explicit 0 disables the cap
+                rows = df.collect()
+                truncated = False
+            else:
+                # fetch one extra row so truncation is DETECTABLE —
+                # a capped reply must never look like a complete table
+                rows = df.limit(limit + 1).collect()
+                truncated = len(rows) > limit
+                rows = rows[:limit]
             self._reply(200, {
                 "queryState": "COMPLETED",
                 "columns": df.columns,
@@ -331,6 +340,7 @@ class _Handler(BaseHTTPRequestHandler):
                 "rows": [_json_safe(r.asDict(recursive=True)) for r in rows],
                 "rowCount": len(rows),
                 "attemptedAutoLimit": limit,
+                "truncated": truncated,
             })
         except Exception as e:
             self._reply(400, {"queryState": "FAILED", "errorMessage": str(e)})

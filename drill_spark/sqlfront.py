@@ -424,16 +424,23 @@ def _infer_format(path: str, default: str, _depth: int = 3) -> str:
 
 def _resolve_input(session, ref: str) -> DataFrame:
     """Resolve a pipeline table-function input: a registered table/view
-    name, a Drill-style `ws.relpath`, or a bare filesystem path."""
+    name first, then a Drill-style `ws.relpath`, then a bare
+    filesystem path — registered relations win so a same-named file in
+    the server's CWD can never silently shadow the caller's view."""
+    try:
+        if session.spark.catalog.tableExists(ref):
+            return session.spark.table(ref)
+    except Exception:
+        pass
+    if "." in ref:
+        ws, _, rest = ref.partition(".")
+        if ws in session.workspaces:
+            return _read_path(session, ws, rest.strip("`"))
     if os.path.exists(ref):
         from drill_spark.readers.files import read_auto
 
         return read_auto(session.spark, ref, _infer_format(ref, "parquet"),
                          {}, session)
-    if "." in ref:
-        ws, _, rest = ref.partition(".")
-        if ws in session.workspaces:
-            return _read_path(session, ws, rest.strip("`"))
     return session.spark.table(ref)
 
 
@@ -451,15 +458,18 @@ def _pipeline_table(session, op: str, opts: dict[str, str]) -> DataFrame:
     name = op.strip("`").lower()
 
     def inp(key="input"):
-        ref = o.get(key)
-        if not ref:
+        return _resolve_input(session, req(key))
+
+    def req(key):
+        v = o.get(key)
+        if not v:
             raise ValueError(f"pipeline.{name}: missing option `{key}`")
-        return _resolve_input(session, ref)
+        return v
 
     if name == "bm25":
         from drill_spark.ops.search import bm25_topk
 
-        return bm25_topk(inp(), o["query"].split(), k=int(o.get("k", "10")),
+        return bm25_topk(inp(), req("query").split(), k=int(o.get("k", "10")),
                          id_col=o.get("id", "doc_id"),
                          text_col=o.get("text", "text"))
     if name == "bm25_batch":
@@ -478,8 +488,8 @@ def _pipeline_table(session, op: str, opts: dict[str, str]) -> DataFrame:
     if name == "hybrid_search":
         from drill_spark.ops.search import hybrid_topk
 
-        return hybrid_topk(inp("docs"), inp("vecs"), o["query"].split(),
-                           query_vec_id=int(o["vec_id"]),
+        return hybrid_topk(inp("docs"), inp("vecs"), req("query").split(),
+                           query_vec_id=int(req("vec_id")),
                            k=int(o.get("k", "10")),
                            pool=int(o.get("pool", "50")))
     if name == "fuzzy_join":
@@ -487,8 +497,8 @@ def _pipeline_table(session, op: str, opts: dict[str, str]) -> DataFrame:
 
         max_df = o.get("max_df")
         return fuzzy_join(inp("left"), inp("right"),
-                          o["left_id"], o["left_col"],
-                          o["right_id"], o["right_col"],
+                          req("left_id"), req("left_col"),
+                          req("right_id"), req("right_col"),
                           max_dist=int(o.get("max_dist", "2")),
                           max_df=int(max_df) if max_df else None)
     if name == "dedup_exact":
@@ -506,7 +516,7 @@ def _pipeline_table(session, op: str, opts: dict[str, str]) -> DataFrame:
     if name == "group_split":
         from drill_spark.ops.pipeline import group_split
 
-        return group_split(inp(), F.expr(o["group"]),
+        return group_split(inp(), F.expr(req("group")),
                            o.get("id", "doc_id"))
     if name == "gap_fill":
         from drill_spark.ops.temporal import gap_fill_locf
@@ -577,7 +587,7 @@ def _pipeline_table(session, op: str, opts: dict[str, str]) -> DataFrame:
     if name == "skew_profile":
         from drill_spark.ops.scale import skew_profile
 
-        return skew_profile(inp(), o["key"], top=int(o.get("top", "5")))
+        return skew_profile(inp(), req("key"), top=int(o.get("top", "5")))
     if name == "chat_validate":
         from drill_spark.ops.chat import validate_conversations
 
@@ -605,7 +615,7 @@ def _pipeline_table(session, op: str, opts: dict[str, str]) -> DataFrame:
 
         within = o.get("within_seconds")
         return funnel(inp(), o.get("ts", "ts"), o.get("key", "user_id"),
-                      o.get("type", "event_type"), o["steps"].split(","),
+                      o.get("type", "event_type"), req("steps").split(","),
                       within_seconds=float(within) if within else None)
     if name == "retention":
         from drill_spark.ops.temporal import retention
@@ -639,7 +649,7 @@ def _pipeline_table(session, op: str, opts: dict[str, str]) -> DataFrame:
     if name == "maxsim":
         from drill_spark.ops.search import maxsim_topk
 
-        return maxsim_topk(inp(), o["query"].split(),
+        return maxsim_topk(inp(), req("query").split(),
                            k=int(o.get("k", "10")),
                            id_col=o.get("id", "doc_id"),
                            text_col=o.get("text", "text"))

@@ -26,6 +26,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+_STREAM_EPOCH_BASE = 1_000_000_000  # streaming batch-id namespace
+
+
 def read_event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events.parquet as a stream (files source = replayable log).
 
@@ -345,9 +348,14 @@ def stream_incremental_dedup(
     from drill_spark.ops.dedup import incremental_dedup
 
     def _commit(batch_df: DataFrame, epoch_id: int) -> None:
+        # the stream's OWN txn appId + a high epoch namespace for the
+        # store rows: a backfill-built store has batch txns 0..N under
+        # the batch appId, and sharing them would make a fresh stream's
+        # epoch 0 read as a replay and silently drop new documents
         survivors = incremental_dedup(
             batch_df, store_path, id_col=id_col, text_col=text_col,
-            batch_id=epoch_id,
+            batch_id=_STREAM_EPOCH_BASE + epoch_id,
+            txn_app_id=f"{app_id}.store",
         )
         commit_batch_idempotent(survivors, out_path, app_id, epoch_id)
 
@@ -386,9 +394,12 @@ def stream_incremental_near_dedup(
     from drill_spark.ops.dedup import incremental_near_dedup
 
     def _commit(batch_df: DataFrame, epoch_id: int) -> None:
+        # own txn appId + high epoch namespace — see the exact twin
         survivors = incremental_near_dedup(
             batch_df, store_path, id_col=id_col, text_col=text_col,
-            sim_threshold=sim_threshold, batch_id=epoch_id,
+            sim_threshold=sim_threshold,
+            batch_id=_STREAM_EPOCH_BASE + epoch_id,
+            txn_app_id=f"{app_id}.store",
         )
         commit_batch_idempotent(survivors, out_path, app_id, epoch_id)
 

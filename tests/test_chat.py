@@ -97,3 +97,33 @@ def test_preference_pairs_single_aggregation(spark):
     assert rep["shuffles"] <= 1, rep
     assert rep["joins"] == {} or not any(rep["joins"].values()), rep
     assert not rep["python_eval"], rep
+
+
+def test_null_content_fails_validation_and_renders_empty(spark):
+    """NULL turn content: validation must flag it (forall over a null
+    predicate must not read as 'ok'), and rendering must keep the turn
+    with empty content instead of silently dropping it."""
+    from drill_spark.ops.chat import render_chat, validate_conversations
+
+    rows = [(1, [("user", "hi"), ("assistant", None)])]
+    df = spark.createDataFrame(
+        rows, "conv_id bigint, turns array<struct<role string, content string>>")
+    v = validate_conversations(df).head()
+    assert not v["valid"] and v["reason"] == "empty_content"
+    r = render_chat(df).head()["rendered"]
+    assert r.count("<|im_start|>") == 2  # both turns present
+    assert "<|im_start|>assistant\n<|im_end|>" in r
+
+
+def test_preference_pairs_ignore_null_scores(spark):
+    """One unscored candidate must not destroy the prompt's pair."""
+    from drill_spark.ops.chat import preference_pairs
+
+    rows = [("p1", "a", 1.0), ("p1", "b", 5.0), ("p1", "c", None)]
+    df = spark.createDataFrame(
+        rows, "prompt_id string, response string, score double")
+    got = preference_pairs(df).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert r["chosen"] == "b" and r["rejected"] == "a"
+    assert r["margin"] == 4.0

@@ -377,3 +377,30 @@ def test_drill_workspace_sql_face_and_auth(session):
                 "select * from no.such.table", auth=("alice", "s3cret"))
     finally:
         srv.shutdown()
+
+
+def test_drill_remote_truncation_raises_unless_opted_in(session):
+    """A remote reply capped at the server's default autoLimit must
+    NEVER pass for the full table: the client raises unless the caller
+    opts in (positive cap) or disables the cap (autoLimit 0)."""
+    import pytest as _pytest
+
+    from drill_spark.readers.external import read_drill_query
+    from drill_spark.server import serve
+
+    session.spark.range(0, 12_000).createOrReplaceTempView("big12k")
+    srv, port = serve(session)
+    url = f"http://127.0.0.1:{port}"
+    try:
+        with _pytest.raises(RuntimeError, match="truncated the result"):
+            read_drill_query(session.spark, url, "select * from big12k")
+        # explicit cap: accepted truncation
+        df = read_drill_query(session.spark, url, "select * from big12k",
+                              auto_limit=100)
+        assert df.count() == 100
+        # autoLimit 0 disables the cap entirely
+        df = read_drill_query(session.spark, url, "select * from big12k",
+                              auto_limit=0)
+        assert df.count() == 12_000
+    finally:
+        srv.shutdown()

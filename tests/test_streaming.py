@@ -339,3 +339,42 @@ def test_stream_incremental_near_dedup_and_replay(spark, tmp_path):
                    read_delta(spark, str(tmp_path / "out")).collect())
     assert again == [1, 11]
     assert read_delta(spark, str(tmp_path / "store")).count() == store_rows
+
+
+def test_stream_dedup_after_batch_backfill(spark, tmp_path):
+    """The review scenario: a store built by BATCH backfill (txn
+    versions 0..N under the batch appId) then a FRESH streaming query
+    against the same store — the stream's epoch 0 must NOT read as a
+    replay of backfill batch 0: new documents survive and their
+    digests append; backfilled duplicates still drop."""
+    import os
+
+    from drill_spark.ops.dedup import incremental_dedup
+    from drill_spark.readers.delta import read_delta
+    from drill_spark.streaming.events import stream_incremental_dedup
+
+    store = str(tmp_path / "store")
+    backfill = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta")], "doc_id bigint, text string")
+    assert sorted(r.doc_id for r in
+                  incremental_dedup(backfill, store).collect()) == [1, 2]
+
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        [(10, "beta"), (11, "gamma")],  # 10 dups the backfill, 11 is new
+        "doc_id bigint, text string").coalesce(1).write.parquet(src)
+    for f in os.listdir(src):
+        if f.endswith(".parquet"):
+            os.utime(os.path.join(src, f), (1_600_000_000,) * 2)
+    stream = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    q = stream_incremental_dedup(
+        stream, store, str(tmp_path / "out"), str(tmp_path / "ckpt"))
+    q.awaitTermination()
+    got = sorted(r.doc_id for r in
+                 read_delta(spark, str(tmp_path / "out")).collect())
+    assert got == [11]
+    # 11's digest joined the store (alpha, beta, gamma)
+    assert read_delta(spark, store).count() == 3
