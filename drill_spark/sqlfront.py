@@ -1305,26 +1305,52 @@ def execute(session, query: str) -> DataFrame:
         from pyspark.sql import functions as F
 
         # one distributed agg computes every column's stats (rowcount,
-        # ndv, non-null count) — the same numbers DrillStatsTable holds
+        # ndv, non-null count, and equi-depth histogram boundaries for
+        # numeric/date columns via approx percentiles — DrillStatsTable
+        # holds the same shape: its t-digest serializes to equi-depth
+        # bucket boundaries, HistogramUtils.java)
+        _HIST_BUCKETS = 10
+        grid = [i / _HIST_BUCKETS for i in range(_HIST_BUCKETS + 1)]
+        numeric = {
+            f.name for f in df.schema.fields
+            if f.dataType.simpleString() in (
+                "tinyint", "smallint", "int", "bigint", "float", "double",
+                "date", "timestamp", "timestamp_ntz")
+            or f.dataType.simpleString().startswith("decimal")
+        }
         aggs = [F.count(F.lit(1)).alias("__rowcount")]
         for c in df.columns:
             aggs.append(F.approx_count_distinct(c).alias(f"__ndv_{c}"))
             aggs.append(F.count(c).alias(f"__nn_{c}"))
+            if c in numeric:
+                aggs.append(
+                    F.percentile_approx(
+                        F.col(c).cast("double"), grid
+                    ).alias(f"__hist_{c}"))
         row = df.agg(*aggs).head().asDict()
+
+        def _col_stats(c):
+            out = {
+                "column": c,
+                "ndv": row[f"__ndv_{c}"],
+                "nonnullcount": row[f"__nn_{c}"],
+                "nullcount": row["__rowcount"] - row[f"__nn_{c}"],
+            }
+            bounds = row.get(f"__hist_{c}")
+            if bounds is not None:
+                out["histogram"] = {
+                    "category": "numeric-histogram",
+                    "numRowsPerBucket": row[f"__nn_{c}"] // _HIST_BUCKETS,
+                    "buckets": bounds,
+                }
+            return out
+
         stats = {
             "statistics_version": "v1",
             "computed": True,
             "rowcount": row["__rowcount"],
             "sample_percent": int(sample_pct) if sample_pct else 100,
-            "columns": [
-                {
-                    "column": c,
-                    "ndv": row[f"__ndv_{c}"],
-                    "nonnullcount": row[f"__nn_{c}"],
-                    "nullcount": row["__rowcount"] - row[f"__nn_{c}"],
-                }
-                for c in df.columns
-            ],
+            "columns": [_col_stats(c) for c in df.columns],
         }
         import json as _json
 

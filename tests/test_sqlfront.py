@@ -494,6 +494,13 @@ def test_analyze_table_compute_statistics(dsession, tmp_path):
     assert by_col["c"]["nullcount"] == 1  # only suppkey 10 nulls out
     assert by_col["s_suppkey"]["nonnullcount"] == 10
     assert 8 <= by_col["s_suppkey"]["ndv"] <= 12  # approx ndv
+    # numeric columns carry equi-depth histogram boundaries
+    # (DrillStatsTable/HistogramUtils shape); strings don't
+    hist = by_col["s_suppkey"]["histogram"]
+    assert hist["buckets"] == sorted(hist["buckets"])
+    assert len(hist["buckets"]) == 11
+    assert hist["buckets"][0] == 0.0 and hist["buckets"][-1] == 9.0
+    assert "histogram" not in by_col["c"]
     sampled = dsession.sql(
         "ANALYZE TABLE dfs.an.`t` COMPUTE STATISTICS SAMPLE 50 PERCENT"
     ).collect()[0]
