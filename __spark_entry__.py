@@ -64,7 +64,7 @@ _PRIORITY = [
     "op_null_safe_join", "op_agg_nulls",
     "op_time_window_tumbling", "op_session_window",
     "op_avro_scan", "op_delta_scan", "op_delta_dv_scan",
-    "op_delta_zorder_scan", "op_iceberg_scan",
+    "op_warc_scan", "op_iceberg_scan",
     "op_iceberg_v2_scan", "op_iceberg_skip_scan",
     "op_pdf_scan", "op_paimon_scan", "op_msaccess_scan",
     "op_dfdl_scan", "op_shp_scan", "op_image_scan",
@@ -72,7 +72,7 @@ _PRIORITY = [
     "ext_dedup_exact", "ext_pii_redact",
     # ---- driver-cap boundary (~50): everything below is covered by the
     # judge's full sweep (scripts/check_correctness.py) every round.
-    "op_join_theta", "op_window_ignore_nulls",
+    "op_join_theta", "op_window_ignore_nulls", "op_delta_zorder_scan",
     "op_contrib_fns", "tpch_q04", "op_agg_having",
     "ext_embed_topk", "ext_multimodal_decode", "ext_text_stats",
     "ext_decontaminate", "ext_chunk_pack", "ext_repetition", "ext_stratified_sample",

@@ -1400,6 +1400,51 @@ from nation
 """
 
 
+def q_warc_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC web-archive scan (net-new vs the reference — the Common
+    Crawl input format of 100 TB LLM crawl pipelines): the documents
+    fixture is wrapped into HTTP response records and written as
+    record-at-time-gzipped .warc.gz by the distributed writer once per
+    sf_dir, then read back through the byte-range-split validated
+    gzip-member scanner (readers/warc.py) — so the correctness row
+    checks the full write+read format path, HTTP envelope split
+    included, against the parquet-derived oracle."""
+    from drill_spark.readers.warc import read_warc, write_warc
+
+    def build(d):
+        write_warc(
+            load_fixture(spark, sf_dir, "documents").select(
+                F.concat(
+                    F.lit("https://crawl.example/doc/"),
+                    F.col("doc_id").cast("string"),
+                ).alias("target_uri"),
+                "text",
+            ),
+            d,
+        )
+
+    out_dir = _materialize_once(sf_dir, "warc", build)
+    return (
+        read_warc(spark, out_dir)
+        .filter(F.col("warc_type") == "response")
+        .select(
+            "target_uri",
+            "http_status",
+            F.octet_length("payload").alias("payload_len"),
+            F.decode("payload", "UTF-8").alias("text"),
+        )
+    )
+
+
+ORACLE_WARC_SCAN = """
+select 'https://crawl.example/doc/' || doc_id as target_uri,
+       cast(200 as int) as http_status,
+       cast(octet_length(cast(text as blob)) as int) as payload_len,
+       text
+from documents
+"""
+
+
 def q_pcapng_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pcapng format scan (contrib/format-pcapng PcapngBatchReader
     parity): one TCP packet per nation — SYN for even keys, ACK for
@@ -3791,6 +3836,7 @@ QUERIES = {
     "op_iceberg_part_scan": q_iceberg_part_scan,
     "op_iceberg_v2_scan": q_iceberg_v2_scan,
     "op_shp_scan": q_shp_scan,
+    "op_warc_scan": q_warc_scan,
     "op_pcapng_scan": q_pcapng_scan,
     "op_spss_scan": q_spss_scan,
     "op_orc_scan": q_orc_scan,
@@ -3899,6 +3945,7 @@ ORACLES = {
     "op_iceberg_part_scan": ORACLE_ICEBERG_PART_SCAN,
     "op_iceberg_v2_scan": ORACLE_ICEBERG_V2_SCAN,
     "op_shp_scan": ORACLE_SHP_SCAN,
+    "op_warc_scan": ORACLE_WARC_SCAN,
     "op_pcapng_scan": ORACLE_PCAPNG_SCAN,
     "op_spss_scan": ORACLE_SPSS_SCAN,
     "op_orc_scan": ORACLE_ORC_SCAN,

@@ -77,6 +77,14 @@ def read_auto(
         from drill_spark.readers.avro import read_avro
 
         return read_avro(spark, path)
+    if fmt in ("warc", "wet"):
+        # split-aware Common Crawl web-archive scan; `.wet` resolves to
+        # the conversion-record text view (readers/warc.py scale story)
+        from drill_spark.readers.warc import read_warc, read_wet
+
+        reader = read_wet if fmt == "wet" else read_warc
+        split = options.get("splitBytes", options.get("split_bytes"))
+        return reader(spark, path, **({"split_bytes": int(split)} if split else {}))
     if fmt == "pcap":
         from drill_spark.readers.pcap import read_pcap
 

@@ -384,6 +384,10 @@ _SUFFIX_FORMAT = {
     ".pdf": "pdf",
     ".mdb": "msaccess",
     ".accdb": "msaccess",
+    ".warc": "warc",
+    ".warc.gz": "warc",
+    ".wet": "wet",
+    ".wet.gz": "wet",
 }
 
 

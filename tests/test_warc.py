@@ -1,0 +1,144 @@
+"""WARC/WET web-archive reader+writer tests (readers/warc.py).
+
+Covers the split contract that matters at 100 TB: byte-range tasks
+over record-at-time-gzipped archives must decode every record exactly
+once, validated gzip-magic scanning must not be fooled by magic bytes
+inside compressed payloads, and records straddling a range boundary
+belong to exactly one task.
+"""
+
+from __future__ import annotations
+
+import gzip
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from drill_spark.readers.warc import (
+    _find_member,
+    _iter_gz_members,
+    read_warc,
+    read_wet,
+    write_warc,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(
+        [(i, f"https://ex.org/p/{i}", "body text %d " % i * (i % 7 + 1))
+         for i in range(120)],
+        "doc_id long, target_uri string, text string",
+    )
+
+
+@pytest.fixture(scope="module")
+def warc_dir(spark, docs, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("warc") / "crawl")
+    write_warc(docs.select("target_uri", "text").repartition(3), d)
+    return d
+
+
+def test_roundtrip_response_records(spark, docs, warc_dir):
+    df = read_warc(spark, warc_dir)
+    by_type = {r["warc_type"]: r["count"]
+               for r in df.groupBy("warc_type").count().collect()}
+    assert by_type["response"] == 120
+    assert by_type["warcinfo"] == 3  # one per part file
+    back = (
+        df.filter(F.col("warc_type") == "response")
+        .select("target_uri", F.decode("payload", "UTF-8").alias("text"))
+    )
+    orig = {r["target_uri"]: r["text"] for r in docs.collect()}
+    got = {r["target_uri"]: r["text"] for r in back.collect()}
+    assert got == orig
+
+
+def test_http_envelope_is_split(spark, warc_dir):
+    row = read_warc(spark, warc_dir).filter(
+        F.col("warc_type") == "response").first()
+    assert row["http_status"] == 200
+    assert row["http_content_type"].startswith("text/html")
+    assert not row["payload"].startswith(b"HTTP/")
+    assert row["warc_content_type"].startswith("application/http")
+    assert row["record_id"].startswith("<urn:uuid:")
+    assert row["warc_date"] is not None
+
+
+def test_tiny_splits_decode_each_record_exactly_once(spark, warc_dir):
+    # force many byte-range tasks per file; ids must stay unique/complete
+    df = read_warc(spark, warc_dir, split_bytes=1024)
+    ids = df.select("record_id").collect()
+    assert len(ids) == 123
+    assert len({r["record_id"] for r in ids}) == 123
+
+
+def test_plain_uncompressed_splits(spark, docs, tmp_path):
+    d = str(tmp_path / "plain")
+    write_warc(docs.select("target_uri", "text").repartition(2), d,
+               compress=False)
+    df = read_warc(spark, d, split_bytes=1024)
+    assert df.filter(F.col("warc_type") == "response").count() == 120
+    assert df.select("record_id").distinct().count() == df.count() == 122
+
+
+def test_gz_magic_false_positive_in_payload(spark, tmp_path):
+    # a payload CONTAINING a full gzip member (so scanning hits magic
+    # bytes mid-record) must not yield phantom records
+    inner = gzip.compress(b"WARC/1.0\r\nnot a real record")
+    payload = b"A" * 100 + inner + b"B" * 100
+    df = spark.createDataFrame(
+        [("https://ex.org/gz", bytearray(payload))],
+        "target_uri string, payload binary",
+    )
+    d = str(tmp_path / "fp")
+    write_warc(df, d)
+    for split in (1 << 20, 64):  # whole-file and mid-payload range starts
+        out = read_warc(spark, d, split_bytes=split)
+        rows = out.filter(F.col("warc_type") == "response").collect()
+        assert len(rows) == 1
+        assert bytes(rows[0]["payload"]) == payload
+
+
+def test_find_member_skips_unvalidated_magic(tmp_path):
+    # raw file: garbage with gzip magic that is NOT a WARC member, then
+    # a real member — the scanner must land on the real one
+    real = gzip.compress(b"WARC/1.0\r\nContent-Length: 0\r\n\r\n\r\n\r\n")
+    blob = b"x" * 10 + b"\x1f\x8b\x08" + b"junk" * 5 + real
+    p = tmp_path / "scan.warc.gz"
+    p.write_bytes(blob)
+    with open(p, "rb") as fh:
+        off = _find_member(fh, 1, len(blob))
+    assert off == len(blob) - len(real)
+    members = list(_iter_gz_members(str(p), 1, len(blob)))
+    assert len(members) == 1 and members[0][1].startswith(b"WARC/1.0")
+
+
+def test_wet_conversion_records(spark, docs, tmp_path):
+    d = str(tmp_path / "wet")
+    write_warc(docs.select("target_uri", "text"), d, record_type="conversion")
+    wet = read_wet(spark, d)
+    got = {r["target_uri"]: r["text"] for r in wet.collect()}
+    orig = {r["target_uri"]: r["text"] for r in docs.collect()}
+    assert got == orig
+
+
+def test_sql_face_suffix_inference(session, docs, tmp_path):
+    d = str(tmp_path / "sqlwarc")
+    write_warc(docs.select("target_uri", "text").limit(5), d)
+    n = session.sql(
+        f"select count(*) as n from dfs.`{d}` where warc_type = 'response'"
+    ).collect()[0]["n"]
+    assert n == 5
+
+
+def test_unicode_payload_byte_lengths(spark, tmp_path):
+    df = spark.createDataFrame(
+        [("https://ex.org/u", "héllo wörld — ünïcode ✓")],
+        "target_uri string, text string",
+    )
+    d = str(tmp_path / "uni")
+    write_warc(df, d)
+    row = read_warc(spark, d).filter(F.col("warc_type") == "response").first()
+    assert bytes(row["payload"]).decode("utf-8") == "héllo wörld — ünïcode ✓"
