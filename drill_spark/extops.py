@@ -2770,6 +2770,79 @@ from d group by source
 """
 
 
+_HTML_FIXTURE_PRE = (
+    '<html><head><title>Doc ', ' &amp; Co.</title><style>p{color:red}'
+    '</style><script type="text/javascript">var s="<p>not text</p>";'
+    '</script></head><body><!-- boilerplate -->'
+    '<nav><ul><li>Home</li><li>About</li></ul></nav><h1>Doc ',
+    '</h1><p>', '</p><div class="foot">&copy; 2020 Example &ndash; '
+    'rights</div></body></html>',
+)
+
+
+def q_html_extract(spark, sf_dir):
+    """HTML -> text extraction (ops/text.py::html_to_text — the step
+    between a WARC response scan and the documents table in C4/CCNet/
+    RefinedWeb curation): each document is wrapped in a realistic page
+    (title with entities, style/script/nav/comment boilerplate, block
+    structure), then title + text are extracted by the pure-Catalyst
+    regexp chain. The oracle replays the IDENTICAL chain in DuckDB —
+    generated from the same pattern tables (_html_oracle_sql), so the
+    two sides cannot drift."""
+    from drill_spark.ops.text import html_title, html_to_text
+
+    docs = load_fixture(spark, sf_dir, "documents")
+    sid = F.col("doc_id").cast("string")
+    p0, p1, p2, p3 = _HTML_FIXTURE_PRE
+    html = F.concat(F.lit(p0), sid, F.lit(p1), sid, F.lit(p2),
+                    F.col("text"), F.lit(p3))
+    return docs.select(
+        "doc_id",
+        html_title(html).alias("title"),
+        html_to_text(html).alias("text_clean"),
+    )
+
+
+def _html_oracle_sql() -> str:
+    """Render the html_to_text/html_title chain as DuckDB SQL from the
+    SAME pattern tables ops/text.py compiles to Catalyst — every
+    pattern is RE2-safe by construction (no backreferences)."""
+    from drill_spark.ops.text import (
+        _HTML_BLOCK_RE, _HTML_DROP_TAGS, _HTML_ENTITIES)
+
+    def q(s: str) -> str:
+        return s.replace("'", "''")
+
+    def entities(t: str) -> str:
+        for ent, rep in _HTML_ENTITIES:
+            t = f"replace({t}, '{q(ent)}', '{q(rep)}')"
+        return t
+
+    p0, p1, p2, p3 = _HTML_FIXTURE_PRE
+    src = (f"'{q(p0)}' || doc_id || '{q(p1)}' || doc_id || "
+           f"'{q(p2)}' || text || '{q(p3)}'")
+    title_extract = (
+        "regexp_extract(" + src + ", '(?is)<title[^>]*>(.*?)</title', 1)")
+    title = "trim(" + entities(title_extract) + ")"
+    t = src
+    for tag in _HTML_DROP_TAGS:
+        t = (f"regexp_replace({t}, '(?is)<{tag}\\b[^>]*>.*?"
+             f"</{tag}\\s*>', ' ', 'g')")
+    t = f"regexp_replace({t}, '(?s)<!--.*?-->', ' ', 'g')"
+    t = f"regexp_replace({t}, '{_HTML_BLOCK_RE}', e'\\n', 'g')"
+    t = f"regexp_replace({t}, '(?s)<[^>]*>', ' ', 'g')"
+    t = entities(t)
+    t = f"regexp_replace({t}, '[ \\t\\r\\f]+', ' ', 'g')"
+    t = f"regexp_replace({t}, ' ?\\n ?', e'\\n', 'g')"
+    t = f"regexp_replace({t}, '\\n\\n+', e'\\n\\n', 'g')"
+    t = f"regexp_replace({t}, '^\\s+|\\s+$', '', 'g')"
+    return (f"select doc_id, {title} as title, {t} as text_clean "
+            "from documents")
+
+
+ORACLE_HTML_EXTRACT = _html_oracle_sql()
+
+
 def q_c4_filters(spark, sf_dir):
     """The C4 cleaning recipe (Raffel et al. 2020 — ops/text.py::
     c4_clean) over planted multi-line pages: a kept lead sentence, a
@@ -3904,6 +3977,7 @@ QUERIES = {
     "ext_hybrid_search": q_hybrid_search,
     "ext_corpus_report": q_corpus_report,
     "ext_c4_filters": q_c4_filters,
+    "ext_html_extract": q_html_extract,
     "ext_gopher_quality": q_gopher_quality,
     "ext_script_profile": q_script_profile,
     "ext_domain_stats": q_domain_stats,
@@ -3999,6 +4073,7 @@ ORACLES = {
     "ext_hybrid_search": ORACLE_HYBRID_SEARCH,
     "ext_corpus_report": ORACLE_CORPUS_REPORT,
     "ext_c4_filters": ORACLE_C4_FILTERS,
+    "ext_html_extract": ORACLE_HTML_EXTRACT,
     "ext_gopher_quality": ORACLE_GOPHER_QUALITY,
     "ext_script_profile": ORACLE_SCRIPT_PROFILE,
     "ext_domain_stats": ORACLE_DOMAIN_STATS,

@@ -170,6 +170,76 @@ def canonicalize_url(col):
     )
 
 
+# HTML -> text extraction (the step between a WARC response scan and
+# the `documents` table in C4/CCNet/RefinedWeb-style crawl curation).
+# Pure Catalyst regexp/replace chain: one codegen pass, zero shuffles,
+# zero Python — and every pattern is RE2-compatible (no backreferences,
+# inline (?is) flags only) so the exact chain replays in the DuckDB
+# oracle. Numeric character references (&#160; / &#x2019;) are a
+# documented boundary: decoding them needs a per-match chr() transform
+# (pandas-UDF tier), and real crawl text carries them rarely since the
+# named core below covers the HTML-author vocabulary.
+
+_HTML_DROP_TAGS = ("script", "style", "nav", "aside", "noscript",
+                   "iframe", "svg", "select", "title")
+_HTML_BLOCK_RE = (
+    r"(?i)</?(p|div|br|hr|h[1-6]|li|ul|ol|dl|dt|dd|tr|table|th|td|"
+    r"thead|tbody|caption|section|article|header|footer|main|figure|"
+    r"figcaption|blockquote|pre|form|fieldset|title|head|body|html)\b[^>]*>"
+)
+_HTML_ENTITIES = [  # &amp; LAST so "&amp;lt;" decodes to "&lt;" not "<"
+    ("&nbsp;", " "), ("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+    ("&#39;", "'"), ("&apos;", "'"), ("&ndash;", "–"),
+    ("&mdash;", "—"), ("&hellip;", "…"), ("&copy;", "©"),
+    ("&amp;", "&"),
+]
+
+
+def _decode_entities(t):
+    for ent, rep in _HTML_ENTITIES:
+        t = F.replace(t, F.lit(ent), F.lit(rep))
+    return t
+
+
+def html_title(col):
+    """``<title>`` text, entity-decoded and trimmed ('' when absent)."""
+    return F.trim(_decode_entities(
+        F.regexp_extract(col, r"(?is)<title[^>]*>(.*?)</title", 1)))
+
+
+def html_to_text(col):
+    """HTML document -> extracted plain text, as one codegen expression.
+
+    Pipeline (each step a regexp_replace/replace on the previous):
+    drop content-free subtrees (script/style/nav/aside/noscript/iframe/
+    svg/select) and comments entirely; turn block-level tags into
+    newlines (paragraph structure survives for downstream line
+    filters); strip remaining inline tags to spaces; decode the named
+    core entities (&amp; last); collapse horizontal whitespace, trim
+    around newlines, collapse blank-line runs; trim."""
+    t = col
+    for tag in _HTML_DROP_TAGS:
+        t = F.regexp_replace(
+            t, rf"(?is)<{tag}\b[^>]*>.*?</{tag}\s*>", " ")
+    t = F.regexp_replace(t, r"(?s)<!--.*?-->", " ")
+    t = F.regexp_replace(t, _HTML_BLOCK_RE, "\n")
+    t = F.regexp_replace(t, r"(?s)<[^>]*>", " ")
+    t = _decode_entities(t)
+    t = F.regexp_replace(t, r"[ \t\r\f]+", " ")
+    t = F.regexp_replace(t, r" ?\n ?", "\n")
+    t = F.regexp_replace(t, r"\n\n+", "\n\n")
+    # trim() strips only spaces; strip leading/trailing WS incl. newlines
+    return F.regexp_replace(t, r"^\s+|\s+$", "")
+
+
+def html_extract(df: DataFrame, html_col: str = "html") -> DataFrame:
+    """Add ``title`` and ``text`` columns extracted from raw HTML —
+    composes directly with a WARC response scan:
+    ``html_extract(read_warc(...).select(decode(payload,'utf-8')))``."""
+    return df.withColumn("title", html_title(F.col(html_col))).withColumn(
+        "text", html_to_text(F.col(html_col)))
+
+
 def line_dedup(df: DataFrame, id_col: str = "doc_id",
                text_col: str = "text", max_copies: int = 1,
                min_chars: int = 8) -> DataFrame:

@@ -553,6 +553,10 @@ def _pipeline_table(session, op: str, opts: dict[str, str]) -> DataFrame:
                         min_words_per_line=int(o.get("min_words", "5")),
                         min_sentences=int(o.get("min_sentences", "3")),
                         badwords=bad)
+    if name == "html_extract":
+        from drill_spark.ops.text import html_extract
+
+        return html_extract(inp(), html_col=o.get("html", "html"))
     if name == "gopher_quality":
         from drill_spark.ops.text import gopher_quality
 

@@ -1021,3 +1021,17 @@ def test_pipeline_table_functions_crossmodal(dsession):
         "images => 'imgs', captions => 'caps', threshold => '0.99'))"
     ).collect()[0]
     assert kept.n == 3
+
+
+def test_pipeline_html_extract_sql_face(dsession):
+    dsession.register_fixture_tables("/root/testdata/sf0.001")
+    dsession.sql(
+        "create or replace temporary view _pages as "
+        "select doc_id, '<html><title>t' || doc_id || '</title><body><p>' "
+        "|| text || '</p></body></html>' as html from documents"
+    )
+    rows = dsession.sql(
+        "select count(*) n, count(distinct title) t from "
+        "table(pipeline.`html_extract`(input => '_pages'))"
+    ).collect()[0]
+    assert rows.n == 500 and rows.t == 500

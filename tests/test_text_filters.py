@@ -188,3 +188,70 @@ def test_normalize_unicode_forms(spark):
         assert False, "expected ValueError"
     except ValueError:
         pass
+
+
+def test_html_to_text_extraction(spark):
+    from pyspark.sql import functions as F
+
+    from drill_spark.ops.text import html_extract
+
+    html = (
+        '<html><head><title>T &amp; U</title>'
+        "<style>body{font:12px}</style>"
+        '<script>var s = "<p>fake</p>";</script></head>'
+        "<body><!-- comment --><nav><li>Home</li></nav>"
+        "<h1>Head</h1><p>First  para.</p>\n<p>Second &lt;p&gt; para.</p>"
+        "<span>inline</span> tail</body></html>"
+    )
+    df = spark.createDataFrame([(1, html)], "doc_id long, html string")
+    row = html_extract(df).first()
+    assert row["title"] == "T & U"
+    # script/style/nav/comment gone; block boundaries become line (or
+    # blank-line) breaks; entities decode; inline tags melt into spaces
+    assert row["text"] == ("Head\n\nFirst para.\n\n"
+                           "Second <p> para.\ninline tail")
+
+
+def test_html_entity_decode_order(spark):
+    from pyspark.sql import functions as F
+
+    from drill_spark.ops.text import html_to_text
+
+    # "&amp;lt;" must decode to the literal text "&lt;", never to "<"
+    df = spark.createDataFrame([("x &amp;lt; y",)], "html string")
+    assert df.select(html_to_text(F.col("html")).alias("t")
+                     ).first()["t"] == "x &lt; y"
+
+
+def test_html_no_title_and_plain_text(spark):
+    from pyspark.sql import functions as F
+
+    from drill_spark.ops.text import html_title, html_to_text
+
+    df = spark.createDataFrame([("no markup at all",)], "html string")
+    r = df.select(html_title(F.col("html")).alias("ti"),
+                  html_to_text(F.col("html")).alias("tx")).first()
+    assert r["ti"] == "" and r["tx"] == "no markup at all"
+
+
+def test_html_extract_composes_with_warc(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from drill_spark.ops.text import html_extract
+    from drill_spark.readers.warc import read_warc, write_warc
+
+    pages = spark.createDataFrame(
+        [(f"https://ex.org/{i}",
+          f"<html><title>p{i}</title><body><p>body {i}</p></body></html>")
+         for i in range(5)],
+        "target_uri string, text string",
+    )
+    d = str(tmp_path / "crawl")
+    write_warc(pages, d)
+    docs = html_extract(
+        read_warc(spark, d)
+        .filter(F.col("warc_type") == "response")
+        .select("target_uri", F.decode("payload", "utf-8").alias("html")))
+    got = {r["target_uri"]: (r["title"], r["text"]) for r in docs.collect()}
+    assert got == {f"https://ex.org/{i}": (f"p{i}", f"body {i}")
+                   for i in range(5)}
