@@ -2803,10 +2803,12 @@ def q_html_extract(spark, sf_dir):
     )
 
 
-def _html_oracle_sql() -> str:
-    """Render the html_to_text/html_title chain as DuckDB SQL from the
-    SAME pattern tables ops/text.py compiles to Catalyst — every
-    pattern is RE2-safe by construction (no backreferences)."""
+def _html_chain_sql(src: str) -> tuple[str, str]:
+    """Render the html_title / html_to_text chains as DuckDB SQL over
+    an arbitrary source expression, generated from the SAME pattern
+    tables ops/text.py compiles to Catalyst — every pattern is
+    RE2-safe by construction (no backreferences), so the two chains
+    cannot drift. Returns (title_sql, text_sql)."""
     from drill_spark.ops.text import (
         _HTML_BLOCK_RE, _HTML_DROP_TAGS, _HTML_ENTITIES)
 
@@ -2818,9 +2820,6 @@ def _html_oracle_sql() -> str:
             t = f"replace({t}, '{q(ent)}', '{q(rep)}')"
         return t
 
-    p0, p1, p2, p3 = _HTML_FIXTURE_PRE
-    src = (f"'{q(p0)}' || doc_id || '{q(p1)}' || doc_id || "
-           f"'{q(p2)}' || text || '{q(p3)}'")
     title_extract = (
         "regexp_extract(" + src + ", '(?is)<title[^>]*>(.*?)</title', 1)")
     title = "trim(" + entities(title_extract) + ")"
@@ -2836,6 +2835,18 @@ def _html_oracle_sql() -> str:
     t = f"regexp_replace({t}, ' ?\\n ?', e'\\n', 'g')"
     t = f"regexp_replace({t}, '\\n\\n+', e'\\n\\n', 'g')"
     t = f"regexp_replace({t}, '^\\s+|\\s+$', '', 'g')"
+    return title, t
+
+
+def _html_fixture_src_sql() -> str:
+    p0, p1, p2, p3 = _HTML_FIXTURE_PRE
+    esc = [p.replace("'", "''") for p in (p0, p1, p2, p3)]
+    return (f"'{esc[0]}' || doc_id || '{esc[1]}' || doc_id || "
+            f"'{esc[2]}' || text || '{esc[3]}'")
+
+
+def _html_oracle_sql() -> str:
+    title, t = _html_chain_sql(_html_fixture_src_sql())
     return (f"select doc_id, {title} as title, {t} as text_clean "
             "from documents")
 
@@ -3501,6 +3512,59 @@ select doc_id from b1k
 """
 
 
+def q_stream_crawl(spark, sf_dir):
+    """Streaming crawl ingest (streaming/crawl.py): two .warc.gz
+    archives (even-id docs, then odd-id) arrive as separate
+    micro-batches (binaryFile arrival source, maxFilesPerTrigger=1);
+    each epoch hands its file list to the BATCH WARC reader + HTML
+    extraction and appends exactly-once to a Delta documents table.
+    The oracle replays the batch semantics closed-form: every document
+    once, with title/text produced by the same generated HTML chain as
+    ext_html_extract — streaming and batch share ONE extraction path,
+    which is the point."""
+    import os
+    import tempfile
+
+    from drill_spark.readers.delta import read_delta
+    from drill_spark.readers.warc import write_warc
+    from drill_spark.streaming.crawl import stream_crawl_ingest
+
+    docs = load_fixture(spark, sf_dir, "documents")
+    sid = F.col("doc_id").cast("string")
+    p0, p1, p2, p3 = _HTML_FIXTURE_PRE
+    pages = docs.select(
+        F.concat(F.lit("https://crawl.example/doc/"), sid).alias("target_uri"),
+        F.concat(F.lit(p0), sid, F.lit(p1), sid, F.lit(p2),
+                 F.col("text"), F.lit(p3)).alias("text"),
+    )
+    base = tempfile.mkdtemp(prefix="scrawl_")
+    src = os.path.join(base, "src")
+    write_warc(pages.where(F.col("target_uri").substr(-1, 1).cast("int")
+                           % 2 == 0).coalesce(1), src)
+    write_warc(pages.where(F.col("target_uri").substr(-1, 1).cast("int")
+                           % 2 == 1).coalesce(1), src)
+    q = stream_crawl_ingest(
+        spark, src, os.path.join(base, "out"), os.path.join(base, "ckpt"),
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination()
+    return (
+        read_delta(spark, os.path.join(base, "out"))
+        .select("url", "title", F.col("text").alias("text_clean"))
+    )
+
+
+def _stream_crawl_oracle() -> str:
+    title, t = _html_chain_sql(_html_fixture_src_sql())
+    return (
+        "select 'https://crawl.example/doc/' || doc_id as url, "
+        f"{title} as title, {t} as text_clean from documents"
+    )
+
+
+ORACLE_STREAM_CRAWL = _stream_crawl_oracle()
+
+
 def _crossmodal_images(docs):
     """Solid-color BMPs derived from doc_id through the repo's real
     codec — the shared image side of the crossmodal fixture queries."""
@@ -3991,6 +4055,7 @@ QUERIES = {
     "ext_bm25_batch": q_bm25_batch,
     "ext_novelty": q_novelty,
     "ext_stream_incr_dedup": q_stream_incr_dedup,
+    "ext_stream_crawl": q_stream_crawl,
     "ext_temperature_sample": q_temperature_sample,
     "ext_crossmodal_topk": q_crossmodal_topk,
     "ext_crossmodal_align": q_crossmodal_align,
@@ -4086,6 +4151,7 @@ ORACLES = {
     "ext_bm25_batch": ORACLE_BM25_BATCH,
     "ext_novelty": ORACLE_NOVELTY,
     "ext_stream_incr_dedup": ORACLE_STREAM_INCR_DEDUP,
+    "ext_stream_crawl": ORACLE_STREAM_CRAWL,
     "ext_temperature_sample": ORACLE_TEMPERATURE_SAMPLE,
     "ext_pii_luhn": ORACLE_PII_LUHN,
     "ext_weighted_sample": ORACLE_WEIGHTED_SAMPLE,

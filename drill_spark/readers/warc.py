@@ -279,7 +279,9 @@ def _iter_plain_records(path: str, start: int, end: int):
 
 # ---------------------------------------------------------------- read
 
-def _list_warc_files(path: str) -> list[str]:
+def _list_warc_files(path) -> list[str]:
+    if isinstance(path, (list, tuple)):  # explicit file list (streaming
+        return list(path)                # ingest hands over new arrivals)
     if os.path.isfile(path):
         return [path]
     out = []

@@ -378,3 +378,46 @@ def test_stream_dedup_after_batch_backfill(spark, tmp_path):
     assert got == [11]
     # 11's digest joined the store (alpha, beta, gamma)
     assert read_delta(spark, store).count() == 3
+
+
+def test_stream_crawl_ingest_two_waves_and_replay(spark, tmp_path):
+    """Streaming crawl ingest (streaming/crawl.py): wave 1 of .warc.gz
+    archives is extracted into the Delta documents table; wave 2
+    appends only its own documents; re-running with a fresh checkpoint
+    (at-least-once replay of every epoch) does not duplicate rows —
+    the txn(app_id, epoch) guard holds."""
+    from drill_spark.readers.delta import read_delta
+    from drill_spark.readers.warc import write_warc
+    from drill_spark.streaming.crawl import stream_crawl_ingest
+
+    src = str(tmp_path / "crawl")
+
+    def wave(lo, hi):
+        pages = spark.createDataFrame(
+            [(f"https://ex.org/{i}",
+              f"<html><title>p{i}</title><body><p>text {i}</p></body></html>")
+             for i in range(lo, hi)],
+            "target_uri string, text string",
+        )
+        write_warc(pages.coalesce(1), src)
+
+    out = str(tmp_path / "docs")
+
+    def run(ckpt):
+        q = stream_crawl_ingest(spark, src, out, ckpt)
+        q.awaitTermination()
+
+    wave(0, 6)
+    run(str(tmp_path / "ck1"))
+    assert read_delta(spark, out).count() == 6
+    wave(6, 10)
+    run(str(tmp_path / "ck1"))  # same checkpoint: only the new archive
+    got = {r["url"]: (r["title"], r["text"])
+           for r in read_delta(spark, out).collect()}
+    assert got == {f"https://ex.org/{i}": (f"p{i}", f"text {i}")
+                   for i in range(10)}
+    run(str(tmp_path / "ck2"))  # fresh checkpoint: full replay, no dups
+    assert read_delta(spark, out).count() == 10
+    cols = set(read_delta(spark, out).columns)
+    assert {"url", "fetched_at", "title", "text",
+            "src_file", "record_offset"} <= cols
