@@ -1445,6 +1445,48 @@ from documents
 """
 
 
+def q_arc_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ARC legacy web-archive scan (pre-2013 Common Crawl snapshots;
+    readers/arc.py): the documents fixture written as record-at-time
+    gzipped .arc.gz v1 records with HTTP envelopes, read back through
+    the shared validated-member byte-range scanner — full write+read
+    path vs the parquet-derived oracle."""
+    from drill_spark.readers.arc import read_arc, write_arc
+
+    def build(d):
+        write_arc(
+            load_fixture(spark, sf_dir, "documents").select(
+                F.concat(
+                    F.lit("http://crawl.example/arc/"),
+                    F.col("doc_id").cast("string"),
+                ).alias("url"),
+                "text",
+            ),
+            d,
+        )
+
+    out_dir = _materialize_once(sf_dir, "arc", build)
+    return (
+        read_arc(spark, out_dir)
+        .filter(~F.col("url").startswith("filedesc://"))
+        .select(
+            "url",
+            "http_status",
+            F.octet_length("payload").alias("payload_len"),
+            F.decode("payload", "UTF-8").alias("text"),
+        )
+    )
+
+
+ORACLE_ARC_SCAN = """
+select 'http://crawl.example/arc/' || doc_id as url,
+       cast(200 as int) as http_status,
+       cast(octet_length(cast(text as blob)) as int) as payload_len,
+       text
+from documents
+"""
+
+
 def q_pcapng_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pcapng format scan (contrib/format-pcapng PcapngBatchReader
     parity): one TCP packet per nation — SYN for even keys, ACK for
@@ -3974,6 +4016,7 @@ QUERIES = {
     "op_iceberg_v2_scan": q_iceberg_v2_scan,
     "op_shp_scan": q_shp_scan,
     "op_warc_scan": q_warc_scan,
+    "op_arc_scan": q_arc_scan,
     "op_pcapng_scan": q_pcapng_scan,
     "op_spss_scan": q_spss_scan,
     "op_orc_scan": q_orc_scan,
@@ -4085,6 +4128,7 @@ ORACLES = {
     "op_iceberg_v2_scan": ORACLE_ICEBERG_V2_SCAN,
     "op_shp_scan": ORACLE_SHP_SCAN,
     "op_warc_scan": ORACLE_WARC_SCAN,
+    "op_arc_scan": ORACLE_ARC_SCAN,
     "op_pcapng_scan": ORACLE_PCAPNG_SCAN,
     "op_spss_scan": ORACLE_SPSS_SCAN,
     "op_orc_scan": ORACLE_ORC_SCAN,

@@ -85,6 +85,12 @@ def read_auto(
         reader = read_wet if fmt == "wet" else read_warc
         split = options.get("splitBytes", options.get("split_bytes"))
         return reader(spark, path, **({"split_bytes": int(split)} if split else {}))
+    if fmt == "arc":
+        from drill_spark.readers.arc import read_arc
+
+        split = options.get("splitBytes", options.get("split_bytes"))
+        return read_arc(spark, path,
+                        **({"split_bytes": int(split)} if split else {}))
     if fmt == "pcap":
         from drill_spark.readers.pcap import read_pcap
 

@@ -150,7 +150,23 @@ def _parse_buffer_records(buf: bytes, offset: int, path: str) -> list[dict]:
 
 # ------------------------------------------------------- gzip splitting
 
-def _is_member_at(fh, pos: int, probe: int = 65536) -> bool:
+def _warc_prefix_ok(out: bytes) -> bool:
+    """Decompressed member prefix looks like a real WARC record: magic,
+    terminated header block, numeric Content-Length (spec-mandatory)."""
+    if not out.startswith(b"WARC/"):
+        return False
+    hdr_end = out.find(_CRLF2)
+    if hdr_end < 0:
+        return False  # no real record header is >8K decompressed
+    try:
+        _, headers = _parse_headers(out[:hdr_end])
+    except Exception:
+        return False
+    return headers.get("content-length", "").isdigit()
+
+
+def _is_member_at(fh, pos: int, probe: int = 65536,
+                  check=_warc_prefix_ok) -> bool:
     """Validated gzip-member check: the 3-byte magic appears by chance
     roughly every 16 MB inside compressed payloads, and a payload can
     even EMBED a gzip member whose content starts with ``WARC/`` (an
@@ -169,19 +185,10 @@ def _is_member_at(fh, pos: int, probe: int = 65536) -> bool:
         out = d.decompress(head, 8192)
     except zlib.error:
         return False
-    if not out.startswith(b"WARC/"):
-        return False
-    hdr_end = out.find(_CRLF2)
-    if hdr_end < 0:
-        return False  # no real record header is >8K decompressed
-    try:
-        _, headers = _parse_headers(out[:hdr_end])
-    except Exception:
-        return False
-    return headers.get("content-length", "").isdigit()
+    return check(out)
 
 
-def _find_member(fh, start: int, end: int) -> int | None:
+def _find_member(fh, start: int, end: int, check=_warc_prefix_ok) -> int | None:
     """First validated member offset in [start, end), scanning windowed
     chunks (2-byte overlap so a magic split across reads is found)."""
     pos = start
@@ -190,7 +197,7 @@ def _find_member(fh, start: int, end: int) -> int | None:
         win = fh.read(min(1 << 20, end - pos) + 2)
         j = win.find(_GZ_MAGIC)
         while j >= 0 and pos + j < end:
-            if _is_member_at(fh, pos + j):
+            if _is_member_at(fh, pos + j, check=check):
                 return pos + j
             j = win.find(_GZ_MAGIC, j + 1)
         if len(win) <= 2:
@@ -199,13 +206,14 @@ def _find_member(fh, start: int, end: int) -> int | None:
     return None
 
 
-def _iter_gz_members(path: str, start: int, end: int):
+def _iter_gz_members(path: str, start: int, end: int,
+                     check=_warc_prefix_ok):
     """Yield ``(member_offset, decompressed_bytes)`` for every gzip
     member whose FIRST byte lies in [start, end); the last owned member
     is decoded to completion even when it extends past ``end``."""
     size = os.path.getsize(path)
     with open(path, "rb") as fh:
-        pos = 0 if start == 0 else _find_member(fh, start, end)
+        pos = 0 if start == 0 else _find_member(fh, start, end, check)
         while pos is not None and pos < min(end, size):
             fh.seek(pos)
             d = zlib.decompressobj(16 + zlib.MAX_WBITS)
@@ -225,7 +233,7 @@ def _iter_gz_members(path: str, start: int, end: int):
             if fh.read(3) == _GZ_MAGIC:
                 pos = nxt  # contiguous members: no re-scan needed
             else:
-                pos = _find_member(fh, nxt, end)
+                pos = _find_member(fh, nxt, end, check)
 
 
 def _iter_plain_records(path: str, start: int, end: int):
@@ -287,7 +295,7 @@ def _list_warc_files(path) -> list[str]:
     out = []
     for root, _, names in os.walk(path):
         for n in sorted(names):
-            if n.endswith((".warc", ".warc.gz", ".wet", ".wet.gz", ".arc.gz")):
+            if n.endswith((".warc", ".warc.gz", ".wet", ".wet.gz")):
                 out.append(os.path.join(root, n))
     if not out:
         raise FileNotFoundError(f"no .warc/.wet files under {path}")

@@ -388,6 +388,8 @@ _SUFFIX_FORMAT = {
     ".warc.gz": "warc",
     ".wet": "wet",
     ".wet.gz": "wet",
+    ".arc": "arc",
+    ".arc.gz": "arc",
 }
 
 
