@@ -3579,12 +3579,13 @@ def q_stream_crawl(spark, sf_dir):
         F.concat(F.lit(p0), sid, F.lit(p1), sid, F.lit(p2),
                  F.col("text"), F.lit(p3)).alias("text"),
     )
+    def build(d):
+        parity = F.col("target_uri").substr(-1, 1).cast("int") % 2
+        write_warc(pages.where(parity == 0).coalesce(1), d)
+        write_warc(pages.where(parity == 1).coalesce(1), d)
+
+    src = _materialize_once(sf_dir, "scrawl_src", build)
     base = tempfile.mkdtemp(prefix="scrawl_")
-    src = os.path.join(base, "src")
-    write_warc(pages.where(F.col("target_uri").substr(-1, 1).cast("int")
-                           % 2 == 0).coalesce(1), src)
-    write_warc(pages.where(F.col("target_uri").substr(-1, 1).cast("int")
-                           % 2 == 1).coalesce(1), src)
     q = stream_crawl_ingest(
         spark, src, os.path.join(base, "out"), os.path.join(base, "ckpt"),
         max_files_per_trigger=1,
