@@ -77,12 +77,13 @@ def read_auto(
         from drill_spark.readers.avro import read_avro
 
         return read_avro(spark, path)
-    if fmt in ("warc", "wet"):
+    if fmt in ("warc", "wet", "wat"):
         # split-aware Common Crawl web-archive scan; `.wet` resolves to
-        # the conversion-record text view (readers/warc.py scale story)
-        from drill_spark.readers.warc import read_warc, read_wet
+        # the conversion-record text view, `.wat` to the metadata-JSON
+        # view (readers/warc.py scale story)
+        from drill_spark.readers.warc import read_warc, read_wat, read_wet
 
-        reader = read_wet if fmt == "wet" else read_warc
+        reader = {"wet": read_wet, "wat": read_wat}.get(fmt, read_warc)
         split = options.get("splitBytes", options.get("split_bytes"))
         return reader(spark, path, **({"split_bytes": int(split)} if split else {}))
     if fmt == "arc":

@@ -13,7 +13,8 @@ is implemented here directly from the public spec:
 - ``response``/``request`` records carry an HTTP message as the block
   (``Content-Type: application/http``); the reader splits status line
   / headers / body so the payload column is the HTTP BODY;
-- ``conversion`` records (WET) carry extracted text directly.
+- ``conversion`` records (WET) carry extracted text directly;
+- ``metadata`` records (WAT) carry the link/header JSON sidecar.
 
 Scale story (the part that matters at 100 TB): the Common Crawl
 convention compresses each record as an INDEPENDENT gzip member
@@ -295,7 +296,8 @@ def _list_warc_files(path) -> list[str]:
     out = []
     for root, _, names in os.walk(path):
         for n in sorted(names):
-            if n.endswith((".warc", ".warc.gz", ".wet", ".wet.gz")):
+            if n.endswith((".warc", ".warc.gz", ".wet", ".wet.gz",
+                           ".wat", ".wat.gz")):
                 out.append(os.path.join(root, n))
     if not out:
         raise FileNotFoundError(f"no .warc/.wet files under {path}")
@@ -339,6 +341,22 @@ def read_warc(
         splits, "path string, start long, end long"
     ).repartition(min(len(splits), spark.sparkContext.defaultParallelism))
     return sdf.mapInPandas(decode_partition, WARC_SCHEMA)
+
+
+def read_wat(spark: SparkSession, path: str, **kw) -> DataFrame:
+    """WAT metadata view: ``metadata`` records with the JSON envelope
+    decoded to a string column (parse further with from_json or the
+    JSON->VARIANT conversion) — Common Crawl's link/header metadata
+    sidecar format."""
+    return (
+        read_warc(spark, path, **kw)
+        .filter(F.col("warc_type") == "metadata")
+        .select(
+            "target_uri", "warc_date",
+            F.decode(F.col("payload"), "UTF-8").alias("json"),
+            "file", "record_offset",
+        )
+    )
 
 
 def read_wet(spark: SparkSession, path: str, **kw) -> DataFrame:
@@ -400,7 +418,11 @@ def write_warc(
     ``warc_date`` timestamp (fixed epoch-2020 default keeps fixture
     bytes deterministic). Record IDs are content-addressed UUIDs."""
     os.makedirs(out_dir, exist_ok=True)
-    suffix = ".warc.gz" if compress else ".warc"
+    # Common Crawl naming: text extracts are *.warc.wet.gz, metadata
+    # sidecars *.warc.wat.gz — keeps suffix-based format inference right
+    stem = {"conversion": ".warc.wet", "metadata": ".warc.wat"}.get(
+        record_type, ".warc")
+    suffix = stem + (".gz" if compress else "")
     cols = df.columns
 
     def write_partition(batches):
@@ -435,8 +457,11 @@ def write_warc(
                                  "application/http; msgtype=response"))
                     raw = _record_bytes("response", hdrs, http)
                 else:
-                    hdrs.append(("Content-Type", "text/plain"))
-                    raw = _record_bytes("conversion", hdrs, body)
+                    ctype = {"conversion": "text/plain",
+                             "metadata": "application/json"}.get(
+                        record_type, "application/octet-stream")
+                    hdrs.append(("Content-Type", ctype))
+                    raw = _record_bytes(record_type, hdrs, body)
                 recs.append(_gz_member(raw) if compress else raw)
         if recs:
             tag = hashlib.md5(b"".join(recs[:1])).hexdigest()[:16]

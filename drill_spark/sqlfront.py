@@ -270,7 +270,9 @@ _REFRESH_META = re.compile(
     re.IGNORECASE,
 )
 _CREATE_MV = re.compile(
-    r"^\s*CREATE\s+MATERIALIZED\s+VIEW\s+`?(\w+)`?\s+AS\s+(.*)$", re.IGNORECASE | re.DOTALL
+    r"^\s*CREATE\s+(OR\s+REPLACE\s+)?MATERIALIZED\s+VIEW\s+"
+    r"(IF\s+NOT\s+EXISTS\s+)?`?(\w+)`?\s+AS\s+(.*)$",
+    re.IGNORECASE | re.DOTALL,
 )
 _DROP_MV = re.compile(
     r"^\s*DROP\s+MATERIALIZED\s+VIEW\s+(IF\s+EXISTS\s+)?`?(\w+)`?\s*;?\s*$", re.IGNORECASE
@@ -310,27 +312,31 @@ def _parse_incr_mv(select: str):
         return None
     groups = [g.strip().strip("`") for g in m.group("grp").split(",")]
     items = [s.strip() for s in _split_top_level(m.group("sel"))]
-    merge: list[tuple[str, str]] = []  # (alias, merge agg kind)
+    # (alias, merge agg kind, original agg kind, normalized arg) — the
+    # last two feed the aggregate-rollup rewrite (_rollup_rewrite)
+    merge: list[tuple[str, str, str, str]] = []
     for it in items:
         am = _MV_AGG_ITEM.match(it)
         if am:
-            kind, distinct, _, alias = am.groups()
+            kind, distinct, arg, alias = am.groups()
             if distinct:
                 return None  # COUNT(DISTINCT) isn't decomposable
+            kind = kind.lower()
             merge.append(
-                (alias, "sum" if kind.lower() in ("count", "sum")
-                 else kind.lower()))
+                (alias, "sum" if kind in ("count", "sum") else kind,
+                 kind, _norm_expr(arg, count_arg=kind == "count")))
         elif it.strip("`") in groups:
-            merge.append((it.strip("`"), "group"))
+            col = it.strip("`")
+            merge.append((col, "group", "group", _norm_expr(col)))
         else:
             return None
     # every GROUP BY column must ride in the select list and at least
     # one mergeable aggregate must exist, or the merge can't rebuild
     # the stored state
-    sel_groups = {a for a, k in merge if k == "group"}
+    sel_groups = {a for a, k, *_ in merge if k == "group"}
     if not set(groups) <= sel_groups:
         return None
-    if not any(k != "group" for _, k in merge):
+    if not any(k != "group" for _, k, *_ in merge):
         return None
     return {
         "source": m.group("src").strip(),
@@ -388,6 +394,8 @@ _SUFFIX_FORMAT = {
     ".warc.gz": "warc",
     ".wet": "wet",
     ".wet.gz": "wet",
+    ".wat": "wat",
+    ".wat.gz": "wat",
     ".arc": "arc",
     ".arc.gz": "arc",
 }
@@ -1264,7 +1272,19 @@ def execute(session, query: str) -> DataFrame:
 
     m = _CREATE_MV.match(query)
     if m:
-        name, select = m.group(1), m.group(2)
+        or_replace, if_not_exists = m.group(1), m.group(2)
+        name, select = m.group(3), m.group(4)
+        if name in session.materialized:
+            # reference syntax (docs/dev/MaterializedViews.md): plain
+            # CREATE errors on an existing MV, IF NOT EXISTS no-ops,
+            # OR REPLACE rebuilds
+            if if_not_exists:
+                return _ok(spark,
+                           f"materialized view {name} already exists")
+            if not or_replace:
+                raise ValueError(
+                    f"materialized view already exists: {name} "
+                    "(use CREATE OR REPLACE MATERIALIZED VIEW)")
         tmp_ws = session.workspaces.get("dfs.tmp")
         path = os.path.join(tmp_ws.path if tmp_ws else "/tmp", "_materialized", name)
         df = spark.sql(rewrite(session, select))
@@ -1632,9 +1652,9 @@ def _refresh_matview(session, name: str, path: str, force_full: bool):
         stored = spark.read.parquet(path)
         merge_aggs = [
             (F.sum(a) if kind == "sum" else getattr(F, kind)(a)).alias(a)
-            for a, kind in state["merge"] if kind != "group"
+            for a, kind, *_ in state["merge"] if kind != "group"
         ]
-        out_cols = [a for a, _ in state["merge"]]
+        out_cols = [a for a, *_ in state["merge"]]
         merged = (
             stored.select(*out_cols).unionByName(delta.select(*out_cols))
             .groupBy(*state["groups"])
@@ -1669,6 +1689,117 @@ def _normalize_sql(sql: str) -> str:
     return re.sub(r"\s+", " ", sql.strip().rstrip(";")).lower()
 
 
+def _norm_expr(s: str, count_arg: bool = False) -> str:
+    """Whitespace/backtick/case-insensitive expression fingerprint;
+    COUNT's argument normalizes `1` to `*` (they count the same)."""
+    n = re.sub(r"[\s`]+", "", (s or "").lower())
+    return "*" if count_arg and n in ("*", "1") else n
+
+
+# identifiers a rollup-eligible WHERE clause may contain BESIDES the
+# MV's group columns (operators/literals only — any other identifier
+# means the predicate touches a column the MV no longer carries)
+_WHERE_NEUTRAL = {
+    "and", "or", "not", "in", "between", "like", "is", "null",
+    "true", "false",
+}
+
+
+def _rollup_rewrite(session, query: str, df):
+    """Aggregate-rollup MV rewrite (docs/dev/MaterializedViews.md
+    'Rewriting Scenarios: Aggregate Rollup'): a single-source GROUP BY
+    query whose group keys are a SUBSET of a materialized view's and
+    whose aggregates are derivable from the MV's stored partials is
+    answered by re-aggregating the (far smaller) materialization —
+    COUNT/SUM roll up via SUM, MIN/MAX via MIN/MAX, AVG via
+    SUM(sum)/SUM(count) when the MV stores both. An optional WHERE may
+    reference MV group columns only (it filters the materialization
+    directly). The rewritten result is renamed and cast positionally
+    to the original plan's schema, so a type or arity mismatch
+    disqualifies the rewrite instead of changing the answer."""
+    from pyspark.sql import functions as F
+
+    qm = _MV_SHAPE.match(query.strip())
+    if not qm:
+        return None
+    qsrc = _norm_expr(qm.group("src"))
+    qwhere = qm.group("where")
+    qgroups = [_norm_expr(g) for g in qm.group("grp").split(",")]
+    items = [s.strip() for s in _split_top_level(qm.group("sel"))]
+    norm_q = _normalize_sql(query).split()
+
+    for name, recipe in getattr(session, "mv_incr", {}).items():
+        if "merge" not in recipe or name.lower() in norm_q:
+            continue
+        if recipe.get("where"):
+            continue  # MV pre-filters rows: only the exact-match path
+        if _norm_expr(recipe["source"]) != qsrc:
+            continue
+        mv_groups = {_norm_expr(a): a for a, k, *_ in recipe["merge"]
+                     if k == "group"}
+        if not set(qgroups) <= set(mv_groups):
+            continue
+        if qwhere:
+            # string literals out first, else 'ASIA' reads as a column
+            bare = re.sub(r"'[^']*'", " ", qwhere.lower())
+            idents = set(re.findall(r"[a-z_][a-z0-9_]*", bare))
+            idents -= _WHERE_NEUTRAL
+            if not idents <= set(mv_groups):
+                continue
+        stored = {(ok, arg): (a, mk)
+                  for a, mk, ok, arg in recipe["merge"] if mk != "group"}
+        sel = []
+        ok = True
+        for it in items:
+            am = re.match(
+                r"^(count|sum|min|max|avg)\s*\(\s*(distinct\b)?\s*(.*?)\s*\)"
+                r"(?:\s+as\s+`?\w+`?)?$", it, re.IGNORECASE)
+            gm = re.match(r"^`?(\w+)`?(?:\s+as\s+`?\w+`?)?$", it)
+            if am:
+                kind, distinct, arg = am.groups()
+                if distinct:
+                    ok = False
+                    break
+                kind = kind.lower()
+                narg = _norm_expr(arg, count_arg=kind == "count")
+                if kind == "avg":
+                    s_hit = stored.get(("sum", narg))
+                    c_hit = stored.get(("count", narg))
+                    if not (s_hit and c_hit):
+                        ok = False
+                        break
+                    sel.append(F.sum(s_hit[0]) / F.sum(c_hit[0]))
+                else:
+                    hit = stored.get((kind, narg))
+                    if hit is None:
+                        ok = False
+                        break
+                    a, mk = hit
+                    sel.append(F.sum(a) if mk == "sum" else getattr(F, mk)(a))
+            elif gm and _norm_expr(gm.group(1)) in set(qgroups):
+                sel.append(F.first(F.col(mv_groups[_norm_expr(gm.group(1))])))
+            else:
+                ok = False
+                break
+        if not ok or len(sel) != len(df.columns):
+            continue
+        t = session.spark.table(name)
+        if qwhere:
+            t = t.where(qwhere)
+        gcols = [mv_groups[g] for g in qgroups]
+        out = t.groupBy(*gcols).agg(*[c.alias(f"_c{i}")
+                                      for i, c in enumerate(sel)])
+        out = out.select(*[f"_c{i}" for i in range(len(sel))]).toDF(*df.columns)
+        try:
+            for fld in df.schema.fields:
+                out = out.withColumn(fld.name,
+                                     F.col(fld.name).cast(fld.dataType))
+        except Exception:
+            continue
+        return out.select(*df.columns)
+    return None
+
+
 def _canonical_plan(df) -> str | None:
     """Canonicalized analyzed plan string: stable across formatting,
     case, and expression-id differences — the v1 fingerprint for MV
@@ -1684,11 +1815,18 @@ def _match_materialized(session, query: str, df):
     planner/sql/handlers/DefaultSqlHandler.java:209 +
     docs/dev/MaterializedViews.md): a SELECT over base tables whose
     semantics equal a registered MV definition is answered from the
-    materialization instead of recomputing. v1 scope = whole-query
-    equivalence (normalized text or canonicalized-plan match);
-    aggregate-subsumption rewriting is documented out of scope."""
+    materialization instead of recomputing.
+
+    Scenarios (docs/dev/MaterializedViews.md): exact match (normalized
+    text or canonicalized-plan equality) and aggregate rollup
+    (_rollup_rewrite). Gated by the reference's session option
+    `planner.enable_materialized_view_rewrite` (default true)."""
     mv_defs = getattr(session, "mv_defs", None)
     if not mv_defs:
+        return None
+    if str(session.get_option(
+            "planner.enable_materialized_view_rewrite", "true")
+           ).lower() in ("false", "0"):
         return None
     norm = _normalize_sql(query)
     canon = None
@@ -1702,4 +1840,4 @@ def _match_materialized(session, query: str, df):
                 canon = _canonical_plan(df)
             if canon == def_canon:
                 return session.spark.table(name)
-    return None
+    return _rollup_rewrite(session, query, df)

@@ -1035,3 +1035,99 @@ def test_pipeline_html_extract_sql_face(dsession):
         "table(pipeline.`html_extract`(input => '_pages'))"
     ).collect()[0]
     assert rows.n == 500 and rows.t == 500
+
+
+def test_matview_aggregate_rollup_rewrite(dsession):
+    """MV aggregate-rollup rewrite (docs/dev/MaterializedViews.md
+    'Aggregate Rollup'): a coarser GROUP BY over the same source is
+    answered by re-aggregating the materialization; plan scans the MV
+    parquet, answers match recompute exactly, and the session option
+    disables the rewrite."""
+    dsession.register_fixture_tables("/root/testdata/sf0.001")
+    dsession.sql(
+        "create or replace materialized view mv_cust as "
+        "select c_nationkey, c_mktsegment, count(*) as cnt, "
+        "sum(c_acctbal) as bal, min(c_acctbal) as lo, "
+        "max(c_acctbal) as hi from customer "
+        "group by c_nationkey, c_mktsegment"
+    )
+    q = ("select c_nationkey, count(*) as cnt, sum(c_acctbal) as bal, "
+         "min(c_acctbal) as lo, max(c_acctbal) as hi "
+         "from customer group by c_nationkey")
+    got = dsession.sql(q)
+    # the rewrite scans the materialization, not the base table
+    assert all("_materialized" in f for f in got.inputFiles())
+    # double sums re-associate in the rollup (partials per mktsegment
+    # summed again) -> last-ulp drift; compare at 6 decimals
+    rows = {r.c_nationkey: (r.cnt, round(r.bal, 6), float(r.lo),
+                            float(r.hi)) for r in got.collect()}
+    dsession.set_option("planner.enable_materialized_view_rewrite", "false")
+    try:
+        base = dsession.sql(q)
+        assert not any("_materialized" in f for f in base.inputFiles())
+        want = {r.c_nationkey: (r.cnt, round(r.bal, 6), float(r.lo),
+                                float(r.hi)) for r in base.collect()}
+    finally:
+        dsession.set_option("planner.enable_materialized_view_rewrite",
+                            "true")
+    assert rows == want
+    # same names and types; nullability may differ (count(*) is
+    # non-nullable, the rollup's SUM-of-counts is nullable)
+    assert [(f.name, f.dataType) for f in got.schema.fields] == \
+        [(f.name, f.dataType) for f in base.schema.fields]
+
+
+def test_matview_rollup_avg_and_where(dsession):
+    """AVG rolls up via SUM(sum)/SUM(count); a WHERE on MV group
+    columns filters the materialization; a WHERE on a non-group column
+    disqualifies the rewrite."""
+    dsession.register_fixture_tables("/root/testdata/sf0.001")
+    dsession.sql(
+        "create or replace materialized view mv_ord as "
+        "select o_orderstatus, o_orderpriority, count(o_totalprice) as c, "
+        "sum(o_totalprice) as s from orders "
+        "group by o_orderstatus, o_orderpriority"
+    )
+    q = ("select o_orderstatus, avg(o_totalprice) as avg_price "
+         "from orders where o_orderpriority = '1-URGENT' "
+         "group by o_orderstatus")
+    got = dsession.sql(q)
+    assert all("_materialized" in f for f in got.inputFiles())
+    dsession.set_option("planner.enable_materialized_view_rewrite", "false")
+    try:
+        want = {r.o_orderstatus: round(r.avg_price, 6)
+                for r in dsession.sql(q).collect()}
+    finally:
+        dsession.set_option("planner.enable_materialized_view_rewrite",
+                            "true")
+    assert {r.o_orderstatus: round(r.avg_price, 6)
+            for r in got.collect()} == want
+    # non-group-column predicate: no rewrite (MV lost that column)
+    q2 = ("select o_orderstatus, count(o_totalprice) as c from orders "
+          "where o_totalprice > 1000 group by o_orderstatus")
+    assert not any("_materialized" in f
+                   for f in dsession.sql(q2).inputFiles())
+
+
+def test_matview_rollup_disqualifiers(dsession):
+    """No rewrite when aggregates aren't derivable (different arg, agg
+    kind the MV lacks) or the group set isn't a subset."""
+    dsession.register_fixture_tables("/root/testdata/sf0.001")
+    dsession.sql(
+        "create or replace materialized view mv_sup as "
+        "select s_nationkey, count(*) as c from supplier "
+        "group by s_nationkey"
+    )
+
+    def uses_mv(q):
+        return any("_materialized" in f for f in dsession.sql(q).inputFiles())
+
+    assert not uses_mv(
+        "select s_nationkey, sum(s_acctbal) as s from supplier "
+        "group by s_nationkey")  # MV has no sum(s_acctbal)
+    assert not uses_mv(
+        "select s_suppkey, count(*) as c from supplier "
+        "group by s_suppkey")  # finer group than the MV
+    # global aggregate (no GROUP BY): the shape regex requires a
+    # GROUP BY, so the rewrite conservatively stands down
+    assert not uses_mv("select count(*) as c from supplier")

@@ -142,3 +142,22 @@ def test_unicode_payload_byte_lengths(spark, tmp_path):
     write_warc(df, d)
     row = read_warc(spark, d).filter(F.col("warc_type") == "response").first()
     assert bytes(row["payload"]).decode("utf-8") == "héllo wörld — ünïcode ✓"
+
+
+def test_wat_metadata_records(spark, docs, tmp_path):
+    import json as _json
+
+    from drill_spark.readers.warc import read_wat
+
+    meta = docs.select(
+        "target_uri",
+        F.to_json(F.struct("doc_id", "target_uri")).alias("text"))
+    d = str(tmp_path / "wat")
+    write_warc(meta, d, record_type="metadata")
+    fname = os.listdir(d)[0]
+    assert fname.endswith(".warc.wat.gz")
+    wat = read_wat(spark, d)
+    rows = wat.collect()
+    assert len(rows) == 120
+    parsed = _json.loads(rows[0]["json"])
+    assert parsed["target_uri"] == rows[0]["target_uri"]
