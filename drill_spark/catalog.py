@@ -197,6 +197,54 @@ def sys_connections(session) -> DataFrame:
         rows, "user string, client string, established timestamp, queries int")
 
 
+def sys_internal_options(session) -> DataFrame:
+    """Internal-options table (SystemTable.INTERNAL_OPTIONS /
+    ExtendedOptionIterator with internal scope): engine-internal knobs
+    outside the user option surface — here, the Spark conf keys that
+    are not spark.sql.* session options."""
+    rows = [
+        Row(name=k, kind="STRING", accessibleScopes="ALL",
+            val=str(v), optionScope="SYSTEM")
+        for k, v in sorted(session.spark.sparkContext.getConf().getAll())
+        if not k.startswith("spark.sql")
+    ]
+    return session.spark.createDataFrame(
+        rows, "name string, kind string, accessibleScopes string, "
+              "val string, optionScope string")
+
+
+def sys_boot(session) -> DataFrame:
+    """Boot table (SystemTable.BOOT analog): immutable boot-time
+    facts of this engine process."""
+    import sys as _sys
+
+    sc = session.spark.sparkContext
+    jsys = sc._jvm.java.lang.System
+    rows = [
+        Row(name="spark.master", val=str(sc.master)),
+        Row(name="spark.app.name", val=str(sc.appName)),
+        Row(name="spark.app.id", val=str(sc.applicationId)),
+        Row(name="java.version",
+            val=str(jsys.getProperty("java.version"))),
+        Row(name="python.version", val=_sys.version.split()[0]),
+        Row(name="default.parallelism", val=str(sc.defaultParallelism)),
+    ]
+    return session.spark.createDataFrame(rows, "name string, val string")
+
+
+def sys_profiles_json(session) -> DataFrame:
+    """Profiles-as-JSON table (SystemTable.PROFILES_JSON /
+    ProfileJsonIterator analog): the full profile document per query,
+    one JSON string per row."""
+    import json as _json
+
+    rows = [
+        Row(queryId=str(i), json=_json.dumps(q, default=str, sort_keys=True))
+        for i, q in enumerate(getattr(session, "profiles", []))
+    ]
+    return session.spark.createDataFrame(rows, "queryId string, json string")
+
+
 def register_system_views(session) -> None:
     """Expose information_schema_* / sys_* as queryable temp views
     (snapshots at call time; sqlfront refreshes on each dotted-name query)."""
@@ -211,4 +259,14 @@ def register_system_views(session) -> None:
     sys_memory(session).createOrReplaceTempView("sys_memory")
     sys_threads(session).createOrReplaceTempView("sys_threads")
     sys_aliases(session).createOrReplaceTempView("sys_aliases")
+    # reference names (SystemTable.java): table_aliases is the CREATE
+    # ALIAS surface; storage_aliases aliases storage configs, which the
+    # session API does not create — an empty, correctly-typed table
+    sys_aliases(session).createOrReplaceTempView("sys_table_aliases")
+    sys_aliases(session).limit(0).createOrReplaceTempView(
+        "sys_storage_aliases")
     sys_connections(session).createOrReplaceTempView("sys_connections")
+    sys_internal_options(session).createOrReplaceTempView(
+        "sys_internal_options")
+    sys_boot(session).createOrReplaceTempView("sys_boot")
+    sys_profiles_json(session).createOrReplaceTempView("sys_profiles_json")

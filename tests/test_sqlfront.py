@@ -1131,3 +1131,35 @@ def test_matview_rollup_disqualifiers(dsession):
     # global aggregate (no GROUP BY): the shape regex requires a
     # GROUP BY, so the rewrite conservatively stands down
     assert not uses_mv("select count(*) as c from supplier")
+
+
+def test_sys_boot_internal_options_profiles_json(dsession):
+    """The remaining SystemTable.java tables: boot, internal_options,
+    profiles_json, and the reference's alias table names."""
+    import json as _json
+
+    boot = {r.name: r.val for r in
+            dsession.sql("select * from sys.boot").collect()}
+    assert boot["spark.master"].startswith("local")
+    assert "java.version" in boot and "python.version" in boot
+
+    io_rows = dsession.sql(
+        "select * from sys.internal_options").collect()
+    assert io_rows and all(not r.name.startswith("spark.sql")
+                           for r in io_rows)
+    assert {"name", "kind", "accessibleScopes", "val", "optionScope"} <= \
+        set(io_rows[0].asDict())
+
+    dsession.sql("select 1 as probe_q")
+    pj = dsession.sql(
+        "select * from sys.profiles_json order by cast(queryId as int)"
+    ).collect()
+    assert pj
+    doc = _json.loads(pj[-1].json)
+    assert "query" in doc
+
+    assert dsession.sql(
+        "select count(*) as n from sys.storage_aliases").collect()[0].n == 0
+    cols = set(dsession.sql(
+        "select * from sys.table_aliases").columns)
+    assert {"alias", "name", "user", "isPublic"} <= cols
