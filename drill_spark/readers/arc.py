@@ -155,16 +155,26 @@ def read_arc(
     cols = [c.strip().split(" ")[0] for c in ARC_SCHEMA.split(",")]
 
     def decode_partition(batches):
+        # bounded-chunk yield, same rationale as readers/warc.py
+        chunk = 512
+
+        def row_iter(fpath, s, e):
+            if fpath.endswith(".gz"):
+                for off, buf in _iter_gz_members(
+                        fpath, int(s), int(e), check=_arc_prefix_ok):
+                    yield from _arc_records(buf, off, fpath)
+            else:
+                with open(fpath, "rb") as fh:
+                    yield from _arc_records(fh.read(), 0, fpath)
+
         for pdf in batches:
             for fpath, s, e in zip(pdf["path"], pdf["start"], pdf["end"]):
                 rows: list[dict] = []
-                if fpath.endswith(".gz"):
-                    for off, buf in _iter_gz_members(
-                            fpath, int(s), int(e), check=_arc_prefix_ok):
-                        rows.extend(_arc_records(buf, off, fpath))
-                else:
-                    with open(fpath, "rb") as fh:
-                        rows.extend(_arc_records(fh.read(), 0, fpath))
+                for r in row_iter(fpath, s, e):
+                    rows.append(r)
+                    if len(rows) >= chunk:
+                        yield pd.DataFrame.from_records(rows, columns=cols)
+                        rows = []
                 yield pd.DataFrame.from_records(rows, columns=cols)
 
     sdf = spark.createDataFrame(

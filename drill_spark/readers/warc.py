@@ -323,18 +323,27 @@ def read_warc(
     cols = [f.strip().split(" ")[0] for f in WARC_SCHEMA.split(",")]
 
     def decode_partition(batches):
+        # yield in bounded chunks: a 32 MB compressed split can inflate
+        # ~5-10x, so never hold a whole split's rows in one frame
+        chunk = 512
+
+        def row_iter(fpath, s, e):
+            if fpath.endswith(".gz"):
+                for off, buf in _iter_gz_members(fpath, int(s), int(e)):
+                    yield from _parse_buffer_records(buf, off, fpath)
+            else:
+                for off, hdrs, blk in _iter_plain_records(
+                        fpath, int(s), int(e)):
+                    yield _record_to_row(off, fpath, hdrs, blk)
+
         for pdf in batches:
             for fpath, s, e in zip(pdf["path"], pdf["start"], pdf["end"]):
                 rows: list[dict] = []
-                if fpath.endswith(".gz"):
-                    for off, buf in _iter_gz_members(fpath, int(s), int(e)):
-                        rows.extend(_parse_buffer_records(buf, off, fpath))
-                else:
-                    rows.extend(
-                        _record_to_row(off, fpath, hdrs, blk)
-                        for off, hdrs, blk in _iter_plain_records(
-                            fpath, int(s), int(e))
-                    )
+                for r in row_iter(fpath, s, e):
+                    rows.append(r)
+                    if len(rows) >= chunk:
+                        yield pd.DataFrame.from_records(rows, columns=cols)
+                        rows = []
                 yield pd.DataFrame.from_records(rows, columns=cols)
 
     sdf = spark.createDataFrame(

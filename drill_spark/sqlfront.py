@@ -1532,7 +1532,24 @@ def execute(session, query: str) -> DataFrame:
         )
         return spark.createDataFrame(rows, schema) if rows else spark.createDataFrame([], schema)
 
-    # EXPLAIN PLAN FOR <q> (Drill grammar) -> Spark EXPLAIN <q>
+    # EXPLAIN PLAN FOR <q> (Drill grammar) -> Spark EXPLAIN <q>.
+    # When the inner query is answered by a materialized view
+    # (docs/dev/MaterializedViews.md: "Use EXPLAIN to see if a
+    # materialized view is being used"), explain the REWRITTEN plan —
+    # its FileScan points at the materialization.
+    em = re.match(
+        r"^\s*EXPLAIN\s+PLAN\s+(?:WITH\s+IMPLEMENTATION\s+)?FOR\s+(.*)$",
+        query, re.IGNORECASE | re.DOTALL)
+    if em and getattr(session, "mv_defs", None):
+        inner = em.group(1)
+        try:
+            inner_df = spark.sql(rewrite(session, inner))
+            mv = _match_materialized(session, inner, inner_df)
+        except Exception:
+            mv = None
+        if mv is not None:
+            return spark.createDataFrame(
+                [(mv._jdf.queryExecution().toString(),)], "plan string")
     query = re.sub(r"^\s*EXPLAIN\s+PLAN\s+(?:WITH\s+IMPLEMENTATION\s+)?FOR\s+", "EXPLAIN ", query, flags=re.IGNORECASE)
 
     # INFORMATION_SCHEMA.x / sys.x tables (store/ischema/, store/sys/):

@@ -1163,3 +1163,18 @@ def test_sys_boot_internal_options_profiles_json(dsession):
     cols = set(dsession.sql(
         "select * from sys.table_aliases").columns)
     assert {"alias", "name", "user", "isPublic"} <= cols
+
+
+def test_explain_shows_matview_rewrite(dsession):
+    dsession.register_fixture_tables("/root/testdata/sf0.001")
+    dsession.sql(
+        "create or replace materialized view mv_reg as "
+        "select r_regionkey, count(*) as c from region group by r_regionkey"
+    )
+    plan = dsession.sql(
+        "explain plan for select r_regionkey, count(*) as c "
+        "from region group by r_regionkey"
+    ).collect()[0].plan
+    # the explained tree scans the MV relation (Spark may truncate the
+    # FileScan path string, so assert on the relation name)
+    assert "[mv_reg]" in plan
