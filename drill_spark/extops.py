@@ -3608,6 +3608,88 @@ def _stream_crawl_oracle() -> str:
 ORACLE_STREAM_CRAWL = _stream_crawl_oracle()
 
 
+def q_crawl_pipeline(spark, sf_dir):
+    """End-to-end crawl curation in ONE declarative plan (the composed
+    form of op_warc_scan + ext_html_extract + exact-dup signaling): the
+    WARC archives are scanned with byte-range member splits, pages are
+    HTML-extracted by the Catalyst regexp chain, the body (text after
+    the first blank line, i.e. past the per-page heading) is hashed,
+    and a window marks body-duplicate pages — scan -> extract -> dedup
+    signal with no materialization barrier; the only shuffle is the
+    dup-hash window. Oracle replays every step closed-form, including
+    the generated HTML chain."""
+    from pyspark.sql import Window
+
+    from drill_spark.ops.text import html_title, html_to_text
+    from drill_spark.readers.warc import read_warc, write_warc
+
+    docs = load_fixture(spark, sf_dir, "documents")
+    sid = F.col("doc_id").cast("string")
+    p0, p1, p2, p3 = _HTML_FIXTURE_PRE
+    # every 7th page is crawl boilerplate (same body, distinct URL and
+    # heading) so the dup signal has real positives to find
+    body_text = F.when(
+        F.col("doc_id") % 7 == 3,
+        F.lit("Construction notice. Check back soon."),
+    ).otherwise(F.col("text"))
+    pages = docs.select(
+        F.concat(F.lit("https://crawl.example/doc/"), sid).alias("target_uri"),
+        F.concat(F.lit(p0), sid, F.lit(p1), sid, F.lit(p2),
+                 body_text, F.lit(p3)).alias("text"),
+    )
+
+    def build(d):
+        parity = F.col("target_uri").substr(-1, 1).cast("int") % 2
+        write_warc(pages.where(parity == 0).coalesce(1), d)
+        write_warc(pages.where(parity == 1).coalesce(1), d)
+
+    src = _materialize_once(sf_dir, "crawlpipe_src", build)
+    html = F.decode(F.col("payload"), "UTF-8")
+    ext = (
+        read_warc(spark, src)
+        .filter(F.col("warc_type") == "response")
+        .select(
+            F.col("target_uri").alias("url"),
+            html_title(html).alias("title"),
+            html_to_text(html).alias("txt"),
+        )
+    )
+    body = F.col("txt").substr(
+        F.locate("\n\n", F.col("txt")) + F.lit(2), F.length("txt"))
+    w = Window.partitionBy(F.md5(body))
+    return ext.select(
+        "url", "title",
+        F.length("txt").alias("n_chars"),
+        (F.count("*").over(w) > 1).alias("is_dup"),
+    )
+
+
+def _crawl_pipeline_oracle() -> str:
+    p0, p1, p2, p3 = _HTML_FIXTURE_PRE
+    esc = [p.replace("'", "''") for p in (p0, p1, p2, p3)]
+    body = ("case when doc_id % 7 = 3 "
+            "then 'Construction notice. Check back soon.' "
+            "else text end")
+    src = (f"'{esc[0]}' || doc_id || '{esc[1]}' || doc_id || "
+           f"'{esc[2]}' || ({body}) || '{esc[3]}'")
+    title, t = _html_chain_sql(src)
+    return f"""
+with x as (
+  select 'https://crawl.example/doc/' || doc_id as url,
+         {title} as title, {t} as txt
+  from documents
+)
+select url, title, cast(length(txt) as int) as n_chars,
+       count(*) over (partition by
+                      md5(substr(txt, strpos(txt, e'\\n\\n') + 2))) > 1
+         as is_dup
+from x
+"""
+
+
+ORACLE_CRAWL_PIPELINE = _crawl_pipeline_oracle()
+
+
 def _crossmodal_images(docs):
     """Solid-color BMPs derived from doc_id through the repo's real
     codec — the shared image side of the crossmodal fixture queries."""
@@ -4100,6 +4182,7 @@ QUERIES = {
     "ext_novelty": q_novelty,
     "ext_stream_incr_dedup": q_stream_incr_dedup,
     "ext_stream_crawl": q_stream_crawl,
+    "ext_crawl_pipeline": q_crawl_pipeline,
     "ext_temperature_sample": q_temperature_sample,
     "ext_crossmodal_topk": q_crossmodal_topk,
     "ext_crossmodal_align": q_crossmodal_align,
@@ -4197,6 +4280,7 @@ ORACLES = {
     "ext_novelty": ORACLE_NOVELTY,
     "ext_stream_incr_dedup": ORACLE_STREAM_INCR_DEDUP,
     "ext_stream_crawl": ORACLE_STREAM_CRAWL,
+    "ext_crawl_pipeline": ORACLE_CRAWL_PIPELINE,
     "ext_temperature_sample": ORACLE_TEMPERATURE_SAMPLE,
     "ext_pii_luhn": ORACLE_PII_LUHN,
     "ext_weighted_sample": ORACLE_WEIGHTED_SAMPLE,
