@@ -3690,6 +3690,41 @@ from x
 ORACLE_CRAWL_PIPELINE = _crawl_pipeline_oracle()
 
 
+def q_heavy_hitters(spark, sf_dir):
+    """Exact heavy hitters at bounded memory (ops/sketch.py:
+    Misra-Gries candidates + exact verify — state k*n_tasks instead of
+    key cardinality): a skewed value column ('mega' ~33%, 'minor' ~10%
+    of non-mega, singleton tail) with k=5, so the n/6 threshold admits
+    ONLY 'mega' — the oracle replays the threshold closed-form, and
+    'minor' sitting just below it proves the cutoff is exact."""
+    from drill_spark.ops.sketch import heavy_hitters
+
+    docs = load_fixture(spark, sf_dir, "documents")
+    val = (
+        F.when(F.col("doc_id") % 3 == 0, F.lit("mega"))
+        .when(F.col("doc_id") % 7 == 1, F.lit("minor"))
+        .otherwise(F.concat(F.lit("tail-"), F.col("doc_id").cast("string")))
+    )
+    return heavy_hitters(
+        docs.select(val.alias("value")).repartition(8), "value", k=5
+    ).select("value", "cnt")
+
+
+ORACLE_HEAVY_HITTERS = """
+with v as (
+  select case when doc_id % 3 = 0 then 'mega'
+              when doc_id % 7 = 1 then 'minor'
+              else 'tail-' || doc_id end as value
+  from documents
+),
+tot as (select count(*) as n from v)
+select value, cast(count(*) as bigint) as cnt
+from v, tot
+group by value, n
+having count(*) * 6 > n
+"""
+
+
 def _crossmodal_images(docs):
     """Solid-color BMPs derived from doc_id through the repo's real
     codec — the shared image side of the crossmodal fixture queries."""
@@ -4183,6 +4218,7 @@ QUERIES = {
     "ext_stream_incr_dedup": q_stream_incr_dedup,
     "ext_stream_crawl": q_stream_crawl,
     "ext_crawl_pipeline": q_crawl_pipeline,
+    "ext_heavy_hitters": q_heavy_hitters,
     "ext_temperature_sample": q_temperature_sample,
     "ext_crossmodal_topk": q_crossmodal_topk,
     "ext_crossmodal_align": q_crossmodal_align,
@@ -4281,6 +4317,7 @@ ORACLES = {
     "ext_stream_incr_dedup": ORACLE_STREAM_INCR_DEDUP,
     "ext_stream_crawl": ORACLE_STREAM_CRAWL,
     "ext_crawl_pipeline": ORACLE_CRAWL_PIPELINE,
+    "ext_heavy_hitters": ORACLE_HEAVY_HITTERS,
     "ext_temperature_sample": ORACLE_TEMPERATURE_SAMPLE,
     "ext_pii_luhn": ORACLE_PII_LUHN,
     "ext_weighted_sample": ORACLE_WEIGHTED_SAMPLE,

@@ -567,6 +567,11 @@ def _pipeline_table(session, op: str, opts: dict[str, str]) -> DataFrame:
         from drill_spark.ops.text import html_extract
 
         return html_extract(inp(), html_col=o.get("html", "html"))
+    if name == "heavy_hitters":
+        from drill_spark.ops.sketch import heavy_hitters
+
+        return heavy_hitters(inp(), o.get("col", "value"),
+                             k=int(o.get("k", "50")))
     if name == "gopher_quality":
         from drill_spark.ops.text import gopher_quality
 
@@ -1298,6 +1303,9 @@ def execute(session, query: str) -> DataFrame:
         recipe = _parse_incr_mv(select) or {"select": select}
         if "merge" in recipe:
             recipe["files"] = sorted(set(df.inputFiles()))
+            # rollup-candidate ranking: when several MVs can answer a
+            # query, prefer the smallest materialization
+            recipe["rows"] = spark.read.parquet(path).count()
         session.mv_incr[name] = recipe
         return _ok(spark, f"materialized view {name} at {path}")
 
@@ -1744,6 +1752,7 @@ def _rollup_rewrite(session, query: str, df):
     qgroups = [_norm_expr(g) for g in qm.group("grp").split(",")]
     items = [s.strip() for s in _split_top_level(qm.group("sel"))]
     norm_q = _normalize_sql(query).split()
+    candidates: list = []
 
     for name, recipe in getattr(session, "mv_incr", {}).items():
         if "merge" not in recipe or name.lower() in norm_q:
@@ -1800,6 +1809,10 @@ def _rollup_rewrite(session, query: str, df):
                 break
         if not ok or len(sel) != len(df.columns):
             continue
+        candidates.append((recipe.get("rows", 1 << 62), name,
+                           list(sel), dict(mv_groups)))
+    # several MVs can answer: re-aggregate the SMALLEST materialization
+    for _, name, sel, mv_groups in sorted(candidates, key=lambda c: c[0]):
         t = session.spark.table(name)
         if qwhere:
             t = t.where(qwhere)

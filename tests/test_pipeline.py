@@ -450,3 +450,33 @@ def test_luhn_scan_randomized_parity(spark):
         spark.createDataFrame(rows, "id bigint, text string"),
         "id", "text").collect()}
     assert got == expected
+
+
+def test_heavy_hitters_exact_vs_bruteforce(spark):
+    import random
+
+    from drill_spark.ops.sketch import heavy_hitters
+
+    rng = random.Random(7)
+    rows = (["alpha"] * 400 + ["beta"] * 250 + ["gamma"] * 90
+            + [f"t{rng.randrange(10_000)}" for _ in range(260)])
+    rng.shuffle(rows)
+    df = spark.createDataFrame([(v,) for v in rows], "value string") \
+        .repartition(8)
+    for k in (2, 5, 20):
+        got = {(r.value, r.cnt)
+               for r in heavy_hitters(df, "value", k=k).collect()}
+        from collections import Counter
+        c = Counter(rows)
+        want = {(v, n) for v, n in c.items() if n * (k + 1) > len(rows)}
+        assert got == want, (k, got ^ want)
+
+
+def test_heavy_hitters_majority_and_nulls(spark):
+    from drill_spark.ops.sketch import heavy_hitters
+
+    rows = [("m",)] * 60 + [(None,)] * 30 + [("x",)] * 25 + [("y",)] * 15
+    df = spark.createDataFrame(rows, "value string").repartition(4)
+    # k=1: strictly-majority element among NON-NULL rows (100 of them)
+    got = heavy_hitters(df, "value", k=1).collect()
+    assert [(r.value, r.cnt) for r in got] == [("m", 60)]

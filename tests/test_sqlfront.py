@@ -1178,3 +1178,17 @@ def test_explain_shows_matview_rewrite(dsession):
     # the explained tree scans the MV relation (Spark may truncate the
     # FileScan path string, so assert on the relation name)
     assert "[mv_reg]" in plan
+
+
+def test_pipeline_heavy_hitters_sql_face(dsession):
+    dsession.register_fixture_tables("/root/testdata/sf0.001")
+    dsession.sql(
+        "create or replace temporary view _vals as "
+        "select case when doc_id % 2 = 0 then 'big' "
+        "else 'tail-' || doc_id end as value from documents"
+    )
+    rows = dsession.sql(
+        "select * from table(pipeline.`heavy_hitters`("
+        "input => '_vals', col => 'value', k => '3'))"
+    ).collect()
+    assert [(r.value, r.cnt) for r in rows] == [("big", 250)]
