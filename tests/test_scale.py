@@ -100,3 +100,30 @@ def test_bucketed_agg_has_no_shuffle(spark):
     s = plans.explain_str(agg)
     assert "Exchange" not in s, s
     spark.sql("DROP TABLE IF EXISTS b_orders_agg")
+
+
+def test_crawl_pipeline_single_shuffle(spark):
+    """WARC scan -> HTML extract -> dup-signal window: the extraction
+    chain must pipeline onto the scan (no exchange between them); the
+    ONLY exchange in the plan is the dup-hash window's."""
+    from drill_spark import extops
+
+    df = extops.QUERIES["ext_crawl_pipeline"](spark, SF_DIR)
+    rep = plans.explain_report(df)
+    assert rep["shuffles"] <= 1, rep
+    s = plans.explain_str(df)
+    assert "CartesianProduct" not in s and "BroadcastNestedLoopJoin" not in s
+
+
+def test_heavy_hitters_broadcasts_candidates(spark):
+    """The verify join must broadcast the (tiny) candidate set — the
+    source side never shuffles on the key; the only key-wide exchange
+    is the final exact count over CANDIDATE keys only."""
+    from drill_spark.ops.sketch import heavy_hitters
+
+    df = spark.createDataFrame(
+        [(i % 7,) for i in range(1000)], "value long").repartition(4)
+    hh = heavy_hitters(df, "value", k=3)
+    s = plans.explain_str(hh)
+    assert "BroadcastHashJoin" in s, s
+    assert "SortMergeJoin" not in s and "ShuffledHashJoin" not in s, s
