@@ -3690,6 +3690,44 @@ from x
 ORACLE_CRAWL_PIPELINE = _crawl_pipeline_oracle()
 
 
+def q_vector_index(spark, sf_dir):
+    """Persistent vector index (ops/vecindex.py — CREATE VECTOR INDEX
+    semantics: ONE build persisted as centroids+codebooks+cell-
+    partitioned codes, then cheap partition-pruned ADC probes): the
+    index over embeddings is built once per sf_dir, and the driver
+    probe runs with nprobe = n_cells and unbounded rerank so the
+    result is provably the EXACT cosine top-k — the correctness gate
+    for the full build/persist/load/probe/rerank path (the
+    approximate nprobe path is recall-bounded in pytest)."""
+    from drill_spark.ops.vecindex import build_vector_index, index_topk
+
+    embs = _embs(spark, sf_dir)
+
+    def build(d):
+        build_vector_index(embs, d, n_cells=8, m=8, n_codes=16)
+
+    path = _materialize_once(sf_dir, "vecidx", build)
+    queries = embs.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"))
+    return index_topk(spark, path, queries, k=3, nprobe=8,
+                      rerank=10**6, base=embs)
+
+
+ORACLE_VECTOR_INDEX = """
+with q as (select vec_id as query_id, embedding as qv from embeddings where vec_id < 5),
+scored as (
+  select q.query_id, e.vec_id as neighbor_id,
+         round(list_cosine_similarity(cast(e.embedding as double[]), cast(q.qv as double[])), 4) as cosine
+  from embeddings e cross join q
+  where e.vec_id <> q.query_id
+)
+select query_id, neighbor_id, cosine,
+       cast(row_number() over (partition by query_id order by cosine desc, neighbor_id) as int) as rank
+from scored
+qualify rank <= 3
+"""
+
+
 def q_heavy_hitters(spark, sf_dir):
     """Exact heavy hitters at bounded memory (ops/sketch.py:
     Misra-Gries candidates + exact verify — state k*n_tasks instead of
@@ -4219,6 +4257,7 @@ QUERIES = {
     "ext_stream_crawl": q_stream_crawl,
     "ext_crawl_pipeline": q_crawl_pipeline,
     "ext_heavy_hitters": q_heavy_hitters,
+    "ext_vector_index": q_vector_index,
     "ext_temperature_sample": q_temperature_sample,
     "ext_crossmodal_topk": q_crossmodal_topk,
     "ext_crossmodal_align": q_crossmodal_align,
@@ -4318,6 +4357,7 @@ ORACLES = {
     "ext_stream_crawl": ORACLE_STREAM_CRAWL,
     "ext_crawl_pipeline": ORACLE_CRAWL_PIPELINE,
     "ext_heavy_hitters": ORACLE_HEAVY_HITTERS,
+    "ext_vector_index": ORACLE_VECTOR_INDEX,
     "ext_temperature_sample": ORACLE_TEMPERATURE_SAMPLE,
     "ext_pii_luhn": ORACLE_PII_LUHN,
     "ext_weighted_sample": ORACLE_WEIGHTED_SAMPLE,

@@ -1,0 +1,205 @@
+"""Persistent vector index — build once, probe many (CREATE VECTOR
+INDEX semantics for the similarity stack in ops/similarity.py).
+
+The existing IVF/PQ query operators train their quantizers inside the
+query — right for one-shot analytics, wrong for the serving pattern a
+100 TB embedding corpus actually has: ONE expensive build (train
+coarse centroids + PQ codebooks, encode every vector, lay the codes
+out by cell), then thousands of cheap probes. This module persists
+that build as a self-describing directory:
+
+    <path>/meta.json          centroids, codebooks, params, row count
+    <path>/codes/cell=N/...   (id, codes) parquet, PARTITIONED BY cell
+
+and probes it with FAISS-IVFPQ mechanics (ADC over literal per-query
+LUTs): a probe filters `cell IN (nprobe nearest)` — a STATIC partition
+filter, so Spark prunes the untouched cell directories at planning
+time and the scan reads nprobe/n_cells of the codes (m small ints per
+vector, not dim floats). Exact re-rank joins the shortlist back to the
+base vectors when provided.
+
+Incremental maintenance (`index_append`): new vectors are assigned to
+the EXISTING centroids and encoded with the EXISTING codebooks — an
+append-only parquet write into the cell layout, no retrain, no
+rewrite. The documented drift boundary: appends sharing the training
+distribution keep recall; a distribution shift needs a rebuild (same
+trade FAISS's add() makes).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from drill_spark.ops.similarity import (
+    _dot,
+    ivf_assign,
+    pq_encode,
+    pq_train,
+    with_norm,
+)
+
+_META = "meta.json"
+
+
+def build_vector_index(
+    df: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 8,
+    m: int = 8,
+    n_codes: int = 16,
+    seed: int = 42,
+    max_train: int = 50_000,
+) -> dict:
+    """One-time index build: train quantizers on a bounded sample,
+    encode EVERY vector distributedly, persist codes partitioned by
+    cell. Returns the meta dict."""
+    assigned, centroids = ivf_assign(
+        df, id_col, vec_col, n_cells, seed=seed, max_train=max_train)
+    codebooks = pq_train(df, vec_col, m=m, k=n_codes, seed=seed,
+                         max_train=max_train)
+    encoded = pq_encode(assigned, codebooks, id_col, vec_col).join(
+        assigned.select(F.col(id_col), F.col("cell")), id_col)
+    codes_dir = os.path.join(path, "codes")
+    encoded.select(id_col, "codes", "cell").write.mode(
+        "overwrite").partitionBy("cell").parquet(codes_dir)
+    n = df.sparkSession.read.parquet(codes_dir).count()
+    meta = {
+        "version": 1,
+        "id_col": id_col,
+        "vec_col": vec_col,
+        "n_cells": len(centroids),
+        "m": m,
+        "n_codes": n_codes,
+        "dim": len(centroids[0]),
+        "rows": n,
+        "centroids": centroids,
+        "codebooks": codebooks,
+    }
+    os.makedirs(path, exist_ok=True)
+    tmp = os.path.join(path, f"{_META}.tmp.{os.getpid()}")
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, os.path.join(path, _META))
+    return meta
+
+
+def load_vector_index(spark: SparkSession, path: str) -> tuple[dict, DataFrame]:
+    """(meta, codes DataFrame). The codes scan carries the cell
+    partition column for pruning."""
+    with open(os.path.join(path, _META)) as f:
+        meta = json.load(f)
+    return meta, spark.read.parquet(os.path.join(path, "codes"))
+
+
+def index_append(
+    spark: SparkSession, path: str, new_df: DataFrame
+) -> int:
+    """Incremental maintenance: assign new vectors to the EXISTING
+    centroids, encode with the EXISTING codebooks, append into the
+    cell layout. Returns the number of appended rows."""
+    from drill_spark.ops.similarity import _assign_cells
+
+    meta, _ = load_vector_index(spark, path)
+    id_col, vec_col = meta["id_col"], meta["vec_col"]
+    assigned = _assign_cells(new_df, vec_col, meta["centroids"])
+    encoded = pq_encode(assigned, meta["codebooks"], id_col, vec_col).join(
+        assigned.select(F.col(id_col), F.col("cell")), id_col)
+    n = encoded.count()
+    encoded.select(id_col, "codes", "cell").write.mode(
+        "append").partitionBy("cell").parquet(os.path.join(path, "codes"))
+    meta["rows"] = meta.get("rows", 0) + n
+    tmp = os.path.join(path, f"{_META}.tmp.{os.getpid()}")
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, os.path.join(path, _META))
+    return n
+
+
+def index_topk(
+    spark: SparkSession,
+    path: str,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 3,
+    rerank: int | None = None,
+    base: DataFrame | None = None,
+) -> DataFrame:
+    """Probe the persisted index: ``queries`` is (query_id, qv). Per
+    query the nprobe nearest cells are found driver-side (centroids
+    are tiny), the codes scan is filtered with a STATIC `cell IN`
+    partition filter (directory pruning), ADC scores candidates via
+    literal LUTs, and when ``base`` (id, vector) is given the top
+    ``rerank`` candidates re-rank by exact cosine. Returns
+    (query_id, neighbor_id, cosine|adc_dist, rank)."""
+    import numpy as np
+
+    meta, codes = load_vector_index(spark, path)
+    id_col = meta["id_col"]
+    m, sub = meta["m"], meta["dim"] // meta["m"]
+    books = np.asarray(meta["codebooks"])
+    cents = np.asarray(meta["centroids"])
+    rerank = rerank or 10 * k
+
+    q_rows = queries.select("query_id", "qv").collect()
+    probe_rows, all_luts = [], []
+    probe_cells: set[int] = set()
+    for qi, r in enumerate(q_rows):
+        qv = np.asarray([float(x) for x in r["qv"]])
+        d2 = ((cents - qv[None, :]) ** 2).sum(axis=1)
+        for cell in np.argsort(d2)[:nprobe]:
+            probe_rows.append((int(r["query_id"]), qi, int(cell)))
+            probe_cells.add(int(cell))
+        all_luts.append([
+            ((books[j] - qv[j * sub:(j + 1) * sub][None, :]) ** 2)
+            .sum(axis=1).tolist() for j in range(m)
+        ])
+    probes = spark.createDataFrame(
+        probe_rows, "query_id bigint, _qi int, cell int")
+    qluts_sql = "array(" + ",".join(
+        "array(" + ",".join(
+            "array(" + ",".join(f"{x}D" for x in row) + ")" for row in luts
+        ) + ")" for luts in all_luts
+    ) + ")"
+    dist = (f"aggregate(zip_with(element_at({qluts_sql}, _qi + 1), codes, "
+            f"(lut, c) -> element_at(lut, c + 1)), 0D, (acc, v) -> acc + v)")
+    cand = (
+        codes.where(F.col("cell").isin(sorted(probe_cells)))  # prunes dirs
+        .join(F.broadcast(probes), "cell")
+        .where(F.col(id_col) != F.col("query_id"))
+        .select("query_id", F.col(id_col).alias("neighbor_id"),
+                F.expr(dist).alias("adc_dist"))
+    )
+    wa = Window.partitionBy("query_id").orderBy(
+        F.asc("adc_dist"), F.asc("neighbor_id"))
+    if base is None:
+        return (cand.withColumn(
+            "rank", F.row_number().over(wa)).where(F.col("rank") <= k))
+    shortlist = (cand.withColumn("_r", F.row_number().over(wa))
+                 .where(F.col("_r") <= rerank)
+                 .select("query_id", "neighbor_id"))
+    side = with_norm(
+        base.select(F.col(meta["id_col"]).alias("neighbor_id"),
+                    F.col(meta["vec_col"]).alias("cv")), "cv", "cn")
+    qdf = with_norm(
+        spark.createDataFrame(
+            [(int(r["query_id"]), [float(x) for x in r["qv"]])
+             for r in q_rows],
+            "query_id bigint, qv array<double>"),
+        "qv", "qn")
+    scored = (
+        shortlist.join(side, "neighbor_id")
+        .join(F.broadcast(qdf), "query_id")
+        .withColumn("cosine", F.round(
+            _dot("qv", "cv") / (F.col("qn") * F.col("cn")), 4))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "cosine", "rank"))
