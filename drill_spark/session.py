@@ -256,6 +256,7 @@ class DrillSession:
     materialized: dict[str, str] = field(default_factory=dict)
     mv_defs: dict[str, tuple] = field(default_factory=dict)  # name -> (norm sql, canonical plan)
     mv_incr: dict[str, dict] = field(default_factory=dict)  # name -> incremental-refresh state
+    vector_indexes: dict[str, str] = field(default_factory=dict)  # name -> index dir
     profiles: list[dict] = field(default_factory=list)
     temp_tables: list[str] = field(default_factory=list)
     _view_counter: int = 0
@@ -562,6 +563,9 @@ class DrillSession:
                 pass
             shutil.rmtree(path, ignore_errors=True)
         self.materialized.clear()
+        for path in self.vector_indexes.values():
+            shutil.rmtree(path, ignore_errors=True)
+        self.vector_indexes.clear()
         self.mv_defs.clear()
         self.mv_incr.clear()
         self.aliases.clear()

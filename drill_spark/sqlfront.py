@@ -274,6 +274,17 @@ _CREATE_MV = re.compile(
     r"(IF\s+NOT\s+EXISTS\s+)?`?(\w+)`?\s+AS\s+(.*)$",
     re.IGNORECASE | re.DOTALL,
 )
+# CREATE VECTOR INDEX (net-new DDL over ops/vecindex.py — the
+# similarity stack's build-once/probe-many surface)
+_CREATE_VIDX = re.compile(
+    r"^\s*CREATE\s+(OR\s+REPLACE\s+)?VECTOR\s+INDEX\s+`?(\w+)`?\s+ON\s+"
+    r"(.+?)\s*\(\s*`?(\w+)`?\s*\)\s*(?:WITH\s*\((.*?)\)\s*)?;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_DROP_VIDX = re.compile(
+    r"^\s*DROP\s+VECTOR\s+INDEX\s+(IF\s+EXISTS\s+)?`?(\w+)`?\s*;?\s*$",
+    re.IGNORECASE,
+)
 _DROP_MV = re.compile(
     r"^\s*DROP\s+MATERIALIZED\s+VIEW\s+(IF\s+EXISTS\s+)?`?(\w+)`?\s*;?\s*$", re.IGNORECASE
 )
@@ -572,6 +583,18 @@ def _pipeline_table(session, op: str, opts: dict[str, str]) -> DataFrame:
 
         return heavy_hitters(inp(), o.get("col", "value"),
                              k=int(o.get("k", "50")))
+    if name == "vector_topk":
+        from drill_spark.ops.vecindex import index_topk
+
+        idx = req("index")
+        path = session.vector_indexes.get(idx, idx)
+        base = (_resolve_input(session, o["base"])
+                if o.get("base") else None)
+        return index_topk(
+            session.spark, path, inp(), k=int(o.get("k", "10")),
+            nprobe=int(o.get("nprobe", "3")),
+            rerank=int(o["rerank"]) if o.get("rerank") else None,
+            base=base)
     if name == "gopher_quality":
         from drill_spark.ops.text import gopher_quality
 
@@ -1274,6 +1297,47 @@ def execute(session, query: str) -> DataFrame:
             return _ok(spark, f"metadata refreshed for {path}")
         spark.catalog.refreshTable(path)
         return _ok(spark, f"metadata refreshed for table {path}")
+
+    m = _CREATE_VIDX.match(query)
+    if m:
+        import shutil
+
+        from drill_spark.ops.vecindex import build_vector_index
+
+        or_replace, name, src, col, opts_raw = m.groups()
+        if name in session.vector_indexes and not or_replace:
+            raise ValueError(
+                f"vector index already exists: {name} "
+                "(use CREATE OR REPLACE VECTOR INDEX)")
+        opts = dict(re.findall(r"(\w+)\s*=>?\s*'?([\w./-]+)'?",
+                               opts_raw or ""))
+        df = _resolve_input(session, src.strip().strip("`"))
+        tmp_ws = session.workspaces.get("dfs.tmp")
+        path = os.path.join(tmp_ws.path if tmp_ws else "/tmp",
+                            "_vector_indexes", name)
+        shutil.rmtree(path, ignore_errors=True)
+        meta = build_vector_index(
+            df, path, id_col=opts.get("id", "vec_id"), vec_col=col,
+            n_cells=int(opts.get("cells", 8)),
+            m=int(opts.get("m", 8)),
+            n_codes=int(opts.get("codes", 16)))
+        session.vector_indexes[name] = path
+        return _ok(spark, f"vector index {name} at {path} "
+                          f"({meta['rows']} vectors, "
+                          f"{meta['n_cells']} cells)")
+
+    m = _DROP_VIDX.match(query)
+    if m:
+        import shutil
+
+        if_exists, name = m.groups()
+        path = session.vector_indexes.pop(name, None)
+        if path is None:
+            if if_exists:
+                return _ok(spark, f"vector index {name} did not exist")
+            raise ValueError(f"vector index not found: {name}")
+        shutil.rmtree(path, ignore_errors=True)
+        return _ok(spark, f"vector index {name} dropped")
 
     m = _CREATE_MV.match(query)
     if m:

@@ -102,3 +102,39 @@ def test_index_append_and_probe_finds_new(index, spark):
                      base=base.unionByName(new))
     neigh = {r.neighbor_id for r in got.collect()}
     assert neigh <= {1001, 1002, 1003, 1004}  # its appended cluster
+
+
+def test_vector_index_sql_ddl(spark, session):
+    """CREATE/DROP VECTOR INDEX DDL + the vector_topk table function."""
+    import os
+
+    base = _vecs(spark, n=120, seed=11)
+    base.createOrReplaceTempView("_vec_base")
+    out = session.sql(
+        "create vector index vix on _vec_base (embedding) "
+        "with (cells => 4, m => 4, codes => 8)"
+    ).head()
+    assert out["ok"] is True
+    path = session.vector_indexes["vix"]
+    assert os.path.exists(os.path.join(path, "meta.json"))
+    with pytest.raises(ValueError, match="already exists"):
+        session.sql("create vector index vix on _vec_base (embedding)")
+    session.sql("create or replace vector index vix on _vec_base "
+                "(embedding) with (cells => 4, m => 4, codes => 8)")
+
+    base.where(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+    ).createOrReplaceTempView("_vec_q")
+    rows = session.sql(
+        "select * from table(pipeline.`vector_topk`("
+        "index => 'vix', input => '_vec_q', k => '3', nprobe => '4', "
+        "base => '_vec_base'))"
+    ).collect()
+    assert {r.query_id for r in rows} == {0, 1}
+    assert all(r.rank <= 3 for r in rows)
+
+    assert session.sql("drop vector index vix").head()["ok"] is True
+    assert not os.path.exists(path)
+    assert session.sql(
+        "drop vector index if exists vix").head()["ok"] is True
