@@ -974,6 +974,14 @@ def _write_custom(df: DataFrame, path: str, fmt: str, part_cols: list[str], mode
         if part_cols:
             raise NotImplementedError("PARTITION BY is not supported for paimon CTAS")
         write_paimon(df, path)
+    elif fmt in ("warc", "wet", "wat"):
+        from drill_spark.readers.warc import write_warc
+
+        if part_cols:
+            raise NotImplementedError(
+                "PARTITION BY is not supported for warc CTAS")
+        write_warc(df, path, record_type={
+            "wet": "conversion", "wat": "metadata"}.get(fmt, "response"))
     else:
         from drill_spark.readers.iceberg import write_iceberg
 
@@ -1044,7 +1052,8 @@ def execute(session, query: str) -> DataFrame:
         df = spark.sql(rewrite(session, select))
         mode = "overwrite" if re.match(r"\s*CREATE\s+OR\s+REPLACE", query, re.IGNORECASE) else "errorifexists"
         cols = [c.strip().strip("`") for c in (part_cols or "").split(",") if c.strip()]
-        if fmt in ("avro", "delta", "deltalake", "iceberg", "paimon"):
+        if fmt in ("avro", "delta", "deltalake", "iceberg", "paimon",
+                   "warc", "wet", "wat"):
             # formats written by our native writers, not a JVM datasource
             _write_custom(df, path, fmt, cols, mode)
         else:

@@ -161,3 +161,31 @@ def test_wat_metadata_records(spark, docs, tmp_path):
     assert len(rows) == 120
     parsed = _json.loads(rows[0]["json"])
     assert parsed["target_uri"] == rows[0]["target_uri"]
+
+
+def test_ctas_to_warc_and_back(session, spark, tmp_path):
+    import os as _os
+
+    root = str(tmp_path / "ws")
+    _os.makedirs(root)
+    session.register_workspace("dfs.wtest", root, "parquet")
+    session.workspaces["dfs.wtest"].writable = True
+    spark.createDataFrame(
+        [(f"https://ex.org/c/{i}", f"ctas text {i}") for i in range(6)],
+        "target_uri string, text string",
+    ).createOrReplaceTempView("_ctas_pages")
+    session.sql(
+        "create table dfs.wtest.`crawl_out` as "
+        "select target_uri, text from _ctas_pages"
+    )
+    # the workspace default format is parquet; write explicitly as warc
+    session.sql(
+        "alter session set `store.format` = 'wet'")
+    session.sql(
+        "create table dfs.wtest.`crawl_wet` as "
+        "select target_uri, text from _ctas_pages")
+    session.sql("reset `store.format`")
+    n = session.sql(
+        f"select count(*) as n from dfs.`{root}/crawl_wet`"
+    ).collect()[0]["n"]
+    assert n == 6
