@@ -3728,6 +3728,54 @@ qualify rank <= 3
 """
 
 
+_PR_ITERS = 3
+
+
+def q_pagerank(spark, sf_dir):
+    """Distributed PageRank over a planted link graph (ops/graph.py —
+    the crawl-centrality signal quality filters consume; one shuffle
+    per iteration, dangling mass folded back in-plan): every doc links
+    to (id+1)%n and (2*id+3)%n, 3 synchronous iterations at d=0.85.
+    The update is pure arithmetic, so the oracle UNROLLS the same
+    iterations as SQL CTEs and hash-matches to 6 decimals."""
+    from drill_spark.ops.graph import pagerank
+
+    docs = load_fixture(spark, sf_dir, "documents")
+    n = docs.count()
+    e1 = docs.select(F.col("doc_id").alias("src"),
+                     ((F.col("doc_id") + 1) % n).alias("dst"))
+    e2 = docs.select(F.col("doc_id").alias("src"),
+                     ((F.col("doc_id") * 2 + 3) % n).alias("dst"))
+    pr = pagerank(e1.unionByName(e2), iterations=_PR_ITERS)
+    return pr.select("node", F.round("rank", 6).alias("rank"))
+
+
+def _pagerank_oracle() -> str:
+    ctes = [
+        "n as (select count(*) as c from documents)",
+        ("e as (select doc_id as src, (doc_id + 1) % c as dst "
+         "from documents, n union all "
+         "select doc_id, (doc_id * 2 + 3) % c from documents, n)"),
+        "deg as (select src, count(*) as outdeg from e group by src)",
+        "r0 as (select doc_id as node, 1.0 / c as rank from documents, n)",
+    ]
+    for it in range(1, _PR_ITERS + 1):
+        ctes.append(
+            f"r{it} as (select d.doc_id as node, "
+            f"0.15 / n.c + 0.85 * coalesce(cs.s, 0) as rank "
+            f"from documents d cross join n left join ("
+            f"select e.dst as node, sum(r.rank / deg.outdeg) as s "
+            f"from e join r{it - 1} r on r.node = e.src "
+            f"join deg on deg.src = e.src group by e.dst) cs "
+            f"on cs.node = d.doc_id)"
+        )
+    return ("with " + ", ".join(ctes)
+            + f" select node, round(rank, 6) as rank from r{_PR_ITERS}")
+
+
+ORACLE_PAGERANK = _pagerank_oracle()
+
+
 def q_heavy_hitters(spark, sf_dir):
     """Exact heavy hitters at bounded memory (ops/sketch.py:
     Misra-Gries candidates + exact verify — state k*n_tasks instead of
@@ -4258,6 +4306,7 @@ QUERIES = {
     "ext_crawl_pipeline": q_crawl_pipeline,
     "ext_heavy_hitters": q_heavy_hitters,
     "ext_vector_index": q_vector_index,
+    "ext_pagerank": q_pagerank,
     "ext_temperature_sample": q_temperature_sample,
     "ext_crossmodal_topk": q_crossmodal_topk,
     "ext_crossmodal_align": q_crossmodal_align,
@@ -4358,6 +4407,7 @@ ORACLES = {
     "ext_crawl_pipeline": ORACLE_CRAWL_PIPELINE,
     "ext_heavy_hitters": ORACLE_HEAVY_HITTERS,
     "ext_vector_index": ORACLE_VECTOR_INDEX,
+    "ext_pagerank": ORACLE_PAGERANK,
     "ext_temperature_sample": ORACLE_TEMPERATURE_SAMPLE,
     "ext_pii_luhn": ORACLE_PII_LUHN,
     "ext_weighted_sample": ORACLE_WEIGHTED_SAMPLE,

@@ -232,6 +232,14 @@ def html_to_text(col):
     return F.regexp_replace(t, r"^\s+|\s+$", "")
 
 
+def html_links(col):
+    """Outbound link targets (href attribute values) as an array — the
+    edge source for link-graph operators (ops/graph.py). One
+    regexp_extract_all, RE2-safe, codegen."""
+    return F.regexp_extract_all(
+        col, F.lit("(?i)href\\s*=\\s*[\"']([^\"']+)[\"']"), 1)
+
+
 def html_extract(df: DataFrame, html_col: str = "html") -> DataFrame:
     """Add ``title`` and ``text`` columns extracted from raw HTML —
     composes directly with a WARC response scan:

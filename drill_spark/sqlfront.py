@@ -583,6 +583,13 @@ def _pipeline_table(session, op: str, opts: dict[str, str]) -> DataFrame:
 
         return heavy_hitters(inp(), o.get("col", "value"),
                              k=int(o.get("k", "50")))
+    if name == "pagerank":
+        from drill_spark.ops.graph import pagerank
+
+        return pagerank(inp(), src=o.get("src", "src"),
+                        dst=o.get("dst", "dst"),
+                        damping=float(o.get("damping", "0.85")),
+                        iterations=int(o.get("iterations", "10")))
     if name == "vector_topk":
         from drill_spark.ops.vecindex import index_topk
 

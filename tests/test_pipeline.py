@@ -480,3 +480,38 @@ def test_heavy_hitters_majority_and_nulls(spark):
     # k=1: strictly-majority element among NON-NULL rows (100 of them)
     got = heavy_hitters(df, "value", k=1).collect()
     assert [(r.value, r.cnt) for r in got] == [("m", 60)]
+
+
+def test_pagerank_sums_to_one_and_ranks_hub(spark):
+    from drill_spark.ops.graph import pagerank
+
+    # star + chain: everyone links to 0; 0 links to 1
+    edges = [(i, 0) for i in range(1, 8)] + [(0, 1)]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    pr = {r.node: r.rank for r in pagerank(e, iterations=20).collect()}
+    assert abs(sum(pr.values()) - 1.0) < 1e-6
+    assert pr[0] == max(pr.values())        # the hub dominates
+    assert pr[1] > pr[2]                    # fed by the hub
+
+
+def test_pagerank_dangling_mass_redistributes(spark):
+    from drill_spark.ops.graph import pagerank
+
+    # 0 -> 1 -> 2, 2 has NO out-edges (dangling)
+    e = spark.createDataFrame([(0, 1), (1, 2)], "src long, dst long")
+    pr = {r.node: r.rank for r in pagerank(e, iterations=30).collect()}
+    assert abs(sum(pr.values()) - 1.0) < 1e-6  # mass conserved
+    assert pr[2] > pr[1] > pr[0]
+
+
+def test_html_links_extraction(spark):
+    from pyspark.sql import functions as F
+
+    from drill_spark.ops.text import html_links
+
+    html = ('<a href="https://a.example/x">A</a> '
+            "<A HREF='https://b.example/y'>B</A> "
+            '<img src="z.png"> <a name="no-href">C</a>')
+    df = spark.createDataFrame([(html,)], "html string")
+    links = df.select(html_links(F.col("html")).alias("l")).first()["l"]
+    assert links == ["https://a.example/x", "https://b.example/y"]

@@ -1192,3 +1192,17 @@ def test_pipeline_heavy_hitters_sql_face(dsession):
         "input => '_vals', col => 'value', k => '3'))"
     ).collect()
     assert [(r.value, r.cnt) for r in rows] == [("big", 250)]
+
+
+def test_pipeline_pagerank_sql_face(dsession):
+    dsession.register_fixture_tables("/root/testdata/sf0.001")
+    dsession.sql(
+        "create or replace temporary view _edges as "
+        "select doc_id as src, (doc_id + 1) % 500 as dst from documents"
+    )
+    rows = dsession.sql(
+        "select count(*) n, round(sum(rank), 4) s from "
+        "table(pipeline.`pagerank`(input => '_edges', "
+        "iterations => '5'))"
+    ).collect()[0]
+    assert rows.n == 500 and abs(rows.s - 1.0) < 1e-3
