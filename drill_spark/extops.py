@@ -3728,6 +3728,68 @@ qualify rank <= 3
 """
 
 
+def q_link_graph(spark, sf_dir):
+    """Domain-level link graph from raw HTML (ops/text.py::html_links
+    + url_domain): pages with planted <a href> outlinks are reduced to
+    a (src_domain, dst_domain, links) edge aggregation — the input of
+    the PageRank/centrality stage of a crawl pipeline, and all
+    codegen: one regexp_extract_all, one explode, one aggregate."""
+    from drill_spark.ops.text import html_links, url_domain
+
+    docs = load_fixture(spark, sf_dir, "documents")
+    sid = F.col("doc_id").cast("string")
+    page = F.concat(
+        F.lit('<html><body><a href="https://site'), (F.col("doc_id") % 5).cast("string"),
+        F.lit('.example/p/'), sid,
+        F.lit('">x</a> <a href="https://site'), (F.col("doc_id") % 3).cast("string"),
+        F.lit('.example/q">y</a></body></html>'),
+    )
+    src_url = F.concat(F.lit("https://host"), (F.col("doc_id") % 4).cast("string"),
+                       F.lit(".example/doc/"), sid)
+    pages = docs.select(src_url.alias("url"), page.alias("html"))
+    edges = pages.select(
+        url_domain(F.col("url")).alias("src_domain"),
+        F.explode(html_links(F.col("html"))).alias("href"),
+    )
+    return (
+        edges.select("src_domain",
+                     url_domain(F.col("href")).alias("dst_domain"))
+        .groupBy("src_domain", "dst_domain")
+        .agg(F.count("*").alias("links"))
+    )
+
+
+ORACLE_LINK_GRAPH = r"""
+with pages as (
+  select 'https://host' || (doc_id % 4) || '.example/doc/' || doc_id as url,
+         '<html><body><a href="https://site' || (doc_id % 5)
+         || '.example/p/' || doc_id
+         || '">x</a> <a href="https://site' || (doc_id % 3)
+         || '.example/q">y</a></body></html>' as html
+  from documents
+),
+links as (
+  select url, unnest(regexp_extract_all(html,
+           '(?i)href\s*=\s*["'']([^"'']+)["'']', 1)) as href
+  from pages
+),
+hosts as (
+  select regexp_extract(url, '^[a-z]+://([^/:?#]*)', 1) as sh,
+         regexp_extract(href, '^[a-z]+://([^/:?#]*)', 1) as dh
+  from links
+)
+select case when len(string_split(sh, '.')) >= 2
+            then string_split(sh, '.')[-2] || '.' || string_split(sh, '.')[-1]
+            else sh end as src_domain,
+       case when len(string_split(dh, '.')) >= 2
+            then string_split(dh, '.')[-2] || '.' || string_split(dh, '.')[-1]
+            else dh end as dst_domain,
+       count(*) as links
+from hosts
+group by 1, 2
+"""
+
+
 _PR_ITERS = 3
 
 
@@ -4307,6 +4369,7 @@ QUERIES = {
     "ext_heavy_hitters": q_heavy_hitters,
     "ext_vector_index": q_vector_index,
     "ext_pagerank": q_pagerank,
+    "ext_link_graph": q_link_graph,
     "ext_temperature_sample": q_temperature_sample,
     "ext_crossmodal_topk": q_crossmodal_topk,
     "ext_crossmodal_align": q_crossmodal_align,
@@ -4408,6 +4471,7 @@ ORACLES = {
     "ext_heavy_hitters": ORACLE_HEAVY_HITTERS,
     "ext_vector_index": ORACLE_VECTOR_INDEX,
     "ext_pagerank": ORACLE_PAGERANK,
+    "ext_link_graph": ORACLE_LINK_GRAPH,
     "ext_temperature_sample": ORACLE_TEMPERATURE_SAMPLE,
     "ext_pii_luhn": ORACLE_PII_LUHN,
     "ext_weighted_sample": ORACLE_WEIGHTED_SAMPLE,
