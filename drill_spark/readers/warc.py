@@ -35,6 +35,7 @@ the driver; records stream out through Arrow batches.
 
 from __future__ import annotations
 
+import base64
 import datetime
 import gzip
 import hashlib
@@ -52,8 +53,8 @@ _CRLF2 = b"\r\n\r\n"
 WARC_SCHEMA = (
     "warc_type string, record_id string, target_uri string, "
     "warc_date timestamp, warc_content_type string, content_length long, "
-    "http_status int, http_content_type string, payload binary, "
-    "file string, record_offset long"
+    "http_status int, http_content_type string, payload_digest string, "
+    "payload binary, file string, record_offset long"
 )
 
 
@@ -121,6 +122,9 @@ def _record_to_row(offset: int, path: str, headers: dict, block: bytes) -> dict:
         "content_length": int(headers.get("content-length", 0)),
         "http_status": http_status,
         "http_content_type": http_ctype,
+        # Common Crawl's dedup key: exact-duplicate detection straight
+        # from the scan, no payload decode (sha1:BASE32 per ISO 28500)
+        "payload_digest": headers.get("warc-payload-digest"),
         "payload": bytes(payload),
         "file": path,
         "record_offset": offset,
@@ -305,11 +309,15 @@ def _list_warc_files(path) -> list[str]:
 
 
 def read_warc(
-    spark: SparkSession, path: str, split_bytes: int = 32 << 20
+    spark: SparkSession, path: str, split_bytes: int = 32 << 20,
+    with_payload: bool = True,
 ) -> DataFrame:
     """Distributed WARC scan: the driver only lists files and computes
     byte ranges; tasks decode their range via the validated-member /
-    record-boundary split contract above (mapInPandas, Arrow out)."""
+    record-boundary split contract above (mapInPandas, Arrow out).
+    ``with_payload=False`` is the metadata-only projection: payload
+    bytes are dropped INSIDE the decode task, so a digest-dedup or
+    inventory scan never moves body bytes through Arrow."""
     import pandas as pd
 
     files = _list_warc_files(path)
@@ -320,7 +328,9 @@ def read_warc(
         bounds = [size * i // n for i in range(n + 1)]
         splits.extend((f, bounds[i], bounds[i + 1]) for i in range(n))
 
-    cols = [f.strip().split(" ")[0] for f in WARC_SCHEMA.split(",")]
+    schema_str = (WARC_SCHEMA if with_payload
+                  else WARC_SCHEMA.replace("payload binary, ", ""))
+    cols = [f.strip().split(" ")[0] for f in schema_str.split(",")]
 
     def decode_partition(batches):
         # yield in bounded chunks: a 32 MB compressed split can inflate
@@ -340,6 +350,8 @@ def read_warc(
             for fpath, s, e in zip(pdf["path"], pdf["start"], pdf["end"]):
                 rows: list[dict] = []
                 for r in row_iter(fpath, s, e):
+                    if not with_payload:
+                        r.pop("payload", None)
                     rows.append(r)
                     if len(rows) >= chunk:
                         yield pd.DataFrame.from_records(rows, columns=cols)
@@ -349,7 +361,7 @@ def read_warc(
     sdf = spark.createDataFrame(
         splits, "path string, start long, end long"
     ).repartition(min(len(splits), spark.sparkContext.defaultParallelism))
-    return sdf.mapInPandas(decode_partition, WARC_SCHEMA)
+    return sdf.mapInPandas(decode_partition, schema_str)
 
 
 def read_wat(spark: SparkSession, path: str, **kw) -> DataFrame:
@@ -450,10 +462,13 @@ def write_warc(
                     date = "2020-01-01T00:00:00Z"
                 else:
                     date = pd.Timestamp(d).strftime("%Y-%m-%dT%H:%M:%SZ")
+                digest = "sha1:" + base64.b32encode(
+                    hashlib.sha1(body).digest()).decode("ascii")
                 hdrs = [
                     ("WARC-Record-ID", _det_record_id(uri, date, str(len(body)))),
                     ("WARC-Date", date),
                     ("WARC-Target-URI", uri),
+                    ("WARC-Payload-Digest", digest),
                 ]
                 if record_type == "response":
                     http = (

@@ -189,3 +189,20 @@ def test_ctas_to_warc_and_back(session, spark, tmp_path):
         f"select count(*) as n from dfs.`{root}/crawl_wet`"
     ).collect()[0]["n"]
     assert n == 6
+
+
+def test_payload_digest_and_metadata_only_scan(spark, docs, warc_dir):
+    import base64 as _b64
+    import hashlib as _hl
+
+    df = read_warc(spark, warc_dir).filter(F.col("warc_type") == "response")
+    row = df.orderBy("target_uri").first()
+    want = "sha1:" + _b64.b32encode(
+        _hl.sha1(bytes(row["payload"])).digest()).decode()
+    assert row["payload_digest"] == want
+    # digest-keyed exact dedup without decoding payloads
+    meta = read_warc(spark, warc_dir, with_payload=False)
+    assert "payload" not in meta.columns
+    resp = meta.filter(F.col("warc_type") == "response")
+    assert resp.select("payload_digest").distinct().count() == \
+        df.select("payload_digest").distinct().count()
