@@ -3790,6 +3790,128 @@ group by 1, 2
 """
 
 
+def q_warc_digest_dedup(spark, sf_dir):
+    """Decode-free exact crawl dedup: a metadata-only WARC scan
+    (payload bytes dropped INSIDE the decode task, never moved through
+    Arrow) grouped by the spec's WARC-Payload-Digest — the Common
+    Crawl dedup recipe, where a 100 TB archive set dedups on 32-byte
+    digests without inflating a single body. Fixture plants identical
+    boilerplate bodies on every 5th page; the oracle groups the same
+    closed-form body text (sha1 is injective on the fixture)."""
+    from drill_spark.readers.warc import read_warc, write_warc
+
+    docs = load_fixture(spark, sf_dir, "documents")
+    sid = F.col("doc_id").cast("string")
+    body = F.when(F.col("doc_id") % 5 == 0,
+                  F.lit("duplicate boilerplate page")).otherwise(
+        F.concat(F.lit("page "), sid))
+
+    def build(d):
+        write_warc(
+            docs.select(
+                F.concat(F.lit("https://crawl.example/wd/"),
+                         sid).alias("target_uri"),
+                body.alias("text")),
+            d)
+
+    src = _materialize_once(sf_dir, "warcdigest", build)
+    meta = read_warc(spark, src, with_payload=False)
+    return (
+        meta.filter(F.col("warc_type") == "response")
+        .groupBy("payload_digest")
+        .agg(F.count("*").alias("n_pages"),
+             F.min("target_uri").alias("canonical_url"))
+        # the digest itself is engine-specific (sha1:BASE32 — DuckDB
+        # has no base32); the dedup RESULT is the comparable part
+        .select("n_pages", "canonical_url")
+    )
+
+
+ORACLE_WARC_DIGEST_DEDUP = """
+with pages as (
+  select 'https://crawl.example/wd/' || doc_id as url,
+         case when doc_id % 5 = 0 then 'duplicate boilerplate page'
+              else 'page ' || doc_id end as body
+  from documents
+)
+select cast(count(*) as bigint) as n_pages,
+       min(url) as canonical_url
+from pages
+group by body
+"""
+
+
+def q_robots_filter(spark, sf_dir):
+    """RFC 9309 robots.txt filtering (ops/crawlpolicy.py): URLs judged
+    against a per-domain rule table by longest-match with Allow
+    precedence, `*` wildcards and `$` anchors — pure Catalyst
+    (broadcast rules + one window); the oracle replays the LIKE
+    translation and precedence window closed-form. Fixture plants
+    private paths, pdf files (caught by the anchored wildcard), a
+    fully-disallowed domain, and rule-free domains (default allow)."""
+    from drill_spark.ops.crawlpolicy import robots_filter
+
+    docs = load_fixture(spark, sf_dir, "documents")
+    sid = F.col("doc_id").cast("string")
+    path = (
+        F.when(F.col("doc_id") % 5 == 0, F.concat(F.lit("/private/doc"), sid))
+        .when(F.col("doc_id") % 7 == 1, F.concat(F.lit("/files/d"), sid,
+                                                 F.lit(".pdf")))
+        .otherwise(F.concat(F.lit("/pages/"), sid))
+    )
+    urls = docs.select(F.concat(
+        F.lit("https://site"), (F.col("doc_id") % 4).cast("string"),
+        F.lit(".example"), path).alias("url"))
+    rules = spark.createDataFrame(
+        [("site0.example", "/private/", False),
+         ("site0.example", "/private/doc10", True),
+         ("site0.example", "/*.pdf$", False),
+         ("site1.example", "/", False)],
+        "domain string, prefix string, allow boolean")
+    return robots_filter(urls, rules).select("url", "allowed",
+                                             "matched_rule")
+
+
+ORACLE_ROBOTS_FILTER = r"""
+with urls as (
+  select 'https://site' || (doc_id % 4) || '.example' ||
+         case when doc_id % 5 = 0 then '/private/doc' || doc_id
+              when doc_id % 7 = 1 then '/files/d' || doc_id || '.pdf'
+              else '/pages/' || doc_id end as url,
+         'site' || (doc_id % 4) || '.example' as dom,
+         case when doc_id % 5 = 0 then '/private/doc' || doc_id
+              when doc_id % 7 = 1 then '/files/d' || doc_id || '.pdf'
+              else '/pages/' || doc_id end as path
+  from documents
+),
+rules(domain, prefix, allow, pat) as (
+  values ('site0.example', '/private/', false, '/private/%'),
+         ('site0.example', '/private/doc10', true, '/private/doc10%'),
+         ('site0.example', '/*.pdf$', false, '/%.pdf'),
+         ('site1.example', '/', false, '/%')
+),
+joined as (
+  select u.url, r.prefix, r.allow,
+         (r.prefix is not null and u.path like r.pat escape '\') as hit,
+         length(r.prefix) as plen
+  from urls u left join rules r on r.domain = u.dom
+),
+ranked as (
+  select url, prefix, allow, hit,
+         row_number() over (
+           partition by url
+           order by case when hit then plen end desc nulls last,
+                    case when hit then allow end desc nulls last,
+                    prefix asc nulls last) as rn
+  from joined
+)
+select url,
+       coalesce(case when hit then allow end, true) as allowed,
+       case when hit then prefix end as matched_rule
+from ranked where rn = 1
+"""
+
+
 _PR_ITERS = 3
 
 
@@ -4370,6 +4492,8 @@ QUERIES = {
     "ext_vector_index": q_vector_index,
     "ext_pagerank": q_pagerank,
     "ext_link_graph": q_link_graph,
+    "ext_warc_digest_dedup": q_warc_digest_dedup,
+    "ext_robots_filter": q_robots_filter,
     "ext_temperature_sample": q_temperature_sample,
     "ext_crossmodal_topk": q_crossmodal_topk,
     "ext_crossmodal_align": q_crossmodal_align,
@@ -4472,6 +4596,8 @@ ORACLES = {
     "ext_vector_index": ORACLE_VECTOR_INDEX,
     "ext_pagerank": ORACLE_PAGERANK,
     "ext_link_graph": ORACLE_LINK_GRAPH,
+    "ext_warc_digest_dedup": ORACLE_WARC_DIGEST_DEDUP,
+    "ext_robots_filter": ORACLE_ROBOTS_FILTER,
     "ext_temperature_sample": ORACLE_TEMPERATURE_SAMPLE,
     "ext_pii_luhn": ORACLE_PII_LUHN,
     "ext_weighted_sample": ORACLE_WEIGHTED_SAMPLE,

@@ -583,6 +583,15 @@ def _pipeline_table(session, op: str, opts: dict[str, str]) -> DataFrame:
 
         return heavy_hitters(inp(), o.get("col", "value"),
                              k=int(o.get("k", "50")))
+    if name == "robots_filter":
+        from drill_spark.ops.crawlpolicy import parse_robots, robots_filter
+
+        rules_in = _resolve_input(session, req("rules"))
+        if o.get("rules_are_text", "").lower() in ("1", "true", "yes"):
+            rules_in = parse_robots(
+                rules_in, o.get("robots", "robots"),
+                o.get("domain", "domain"), agent=o.get("agent", "*"))
+        return robots_filter(inp(), rules_in, url_col=o.get("url", "url"))
     if name == "pagerank":
         from drill_spark.ops.graph import pagerank
 

@@ -1206,3 +1206,21 @@ def test_pipeline_pagerank_sql_face(dsession):
         "iterations => '5'))"
     ).collect()[0]
     assert rows.n == 500 and abs(rows.s - 1.0) < 1e-3
+
+
+def test_pipeline_robots_filter_sql_face(dsession, spark):
+    spark.createDataFrame(
+        [("a.example", "User-agent: *\nDisallow: /no/")],
+        "domain string, robots string",
+    ).createOrReplaceTempView("_robots_txt")
+    spark.createDataFrame(
+        [("https://a.example/no/x",), ("https://a.example/yes/y",)],
+        "url string",
+    ).createOrReplaceTempView("_crawl_urls")
+    got = {r.url: r.allowed for r in dsession.sql(
+        "select url, allowed from table(pipeline.`robots_filter`("
+        "input => '_crawl_urls', rules => '_robots_txt', "
+        "rules_are_text => 'true'))"
+    ).collect()}
+    assert got == {"https://a.example/no/x": False,
+                   "https://a.example/yes/y": True}

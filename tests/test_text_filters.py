@@ -255,3 +255,65 @@ def test_html_extract_composes_with_warc(spark, tmp_path):
     got = {r["target_uri"]: (r["title"], r["text"]) for r in docs.collect()}
     assert got == {f"https://ex.org/{i}": (f"p{i}", f"body {i}")
                    for i in range(5)}
+
+
+def test_parse_robots_group_selection_and_rules(spark):
+    from drill_spark.ops.crawlpolicy import parse_robots
+
+    text = (
+        "# comment\n"
+        "User-agent: smartbot\n"
+        "Disallow: /smart-only/\n"
+        "\n"
+        "User-agent: a\n"
+        "User-agent: b\n"
+        "Disallow: /ab/\n"
+        "Allow: /ab/ok\n"
+        "\n"
+        "User-agent: *\n"
+        "Disallow: /everyone/\n"
+        "Disallow:\n"          # empty Disallow = allow-all, no rule
+        "Crawl-delay: 10\n"    # not a path rule
+    )
+    df = spark.createDataFrame([("x.example", text)],
+                               "domain string, robots string")
+    star = {(r.prefix, r.allow)
+            for r in parse_robots(df, "robots", "domain").collect()}
+    assert star == {("/everyone/", False)}
+    b = {(r.prefix, r.allow)
+         for r in parse_robots(df, "robots", "domain", agent="B").collect()}
+    assert b == {("/ab/", False), ("/ab/ok", True)}
+    smart = {(r.prefix, r.allow) for r in parse_robots(
+        df, "robots", "domain", agent="smartbot").collect()}
+    assert smart == {("/smart-only/", False)}
+
+
+def test_robots_filter_precedence_wildcards_and_defaults(spark):
+    from drill_spark.ops.crawlpolicy import robots_filter
+
+    rules = spark.createDataFrame(
+        [("a.example", "/private/", False),
+         ("a.example", "/private/ok", True),
+         ("a.example", "/*.pdf$", False),
+         ("a.example", "/a_b/", False)],
+        "domain string, prefix string, allow boolean")
+    urls = spark.createDataFrame(
+        [("https://a.example/private/x",),
+         ("https://a.example/private/ok/y",),
+         ("https://a.example/d/f.pdf",),
+         ("https://a.example/d/f.pdfz",),   # $ anchor must NOT match
+         ("https://a.example/a_b/z",),
+         ("https://a.example/aXb/z",),      # _ must be LITERAL
+         ("https://a.example/",),
+         ("https://nobody.example/q",)],
+        "url string")
+    got = {r.url: (r.allowed, r.matched_rule)
+           for r in robots_filter(urls, rules).collect()}
+    assert got["https://a.example/private/x"] == (False, "/private/")
+    assert got["https://a.example/private/ok/y"] == (True, "/private/ok")
+    assert got["https://a.example/d/f.pdf"] == (False, "/*.pdf$")
+    assert got["https://a.example/d/f.pdfz"] == (True, None)
+    assert got["https://a.example/a_b/z"] == (False, "/a_b/")
+    assert got["https://a.example/aXb/z"] == (True, None)
+    assert got["https://a.example/"] == (True, None)
+    assert got["https://nobody.example/q"] == (True, None)
