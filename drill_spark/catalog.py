@@ -245,6 +245,42 @@ def sys_profiles_json(session) -> DataFrame:
     return session.spark.createDataFrame(rows, "queryId string, json string")
 
 
+def sys_materialized_views(session) -> DataFrame:
+    """Registered materialized views with their storage, row counts
+    (captured at CREATE for rollup ranking), and whether the
+    incremental-refresh recipe applies."""
+    rows = [
+        Row(name=n, path=p,
+            rows=(session.mv_incr.get(n, {}) or {}).get("rows"),
+            incremental="merge" in session.mv_incr.get(n, {}))
+        for n, p in sorted(getattr(session, "materialized", {}).items())
+    ]
+    return session.spark.createDataFrame(
+        rows, "name string, path string, rows bigint, incremental boolean")
+
+
+def sys_vector_indexes(session) -> DataFrame:
+    """Registered persistent vector indexes (CREATE VECTOR INDEX) with
+    their meta facts."""
+    import json as _json
+    import os as _os
+
+    rows = []
+    for n, p in sorted(getattr(session, "vector_indexes", {}).items()):
+        meta = {}
+        try:
+            with open(_os.path.join(p, "meta.json")) as f:
+                meta = _json.load(f)
+        except Exception:
+            pass
+        rows.append(Row(name=n, path=p, rows=meta.get("rows"),
+                        n_cells=meta.get("n_cells"), m=meta.get("m"),
+                        dim=meta.get("dim")))
+    return session.spark.createDataFrame(
+        rows, "name string, path string, rows bigint, n_cells int, "
+              "m int, dim int")
+
+
 def register_system_views(session) -> None:
     """Expose information_schema_* / sys_* as queryable temp views
     (snapshots at call time; sqlfront refreshes on each dotted-name query)."""
@@ -270,3 +306,7 @@ def register_system_views(session) -> None:
         "sys_internal_options")
     sys_boot(session).createOrReplaceTempView("sys_boot")
     sys_profiles_json(session).createOrReplaceTempView("sys_profiles_json")
+    sys_materialized_views(session).createOrReplaceTempView(
+        "sys_materialized_views")
+    sys_vector_indexes(session).createOrReplaceTempView(
+        "sys_vector_indexes")

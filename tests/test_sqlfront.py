@@ -1224,3 +1224,23 @@ def test_pipeline_robots_filter_sql_face(dsession, spark):
     ).collect()}
     assert got == {"https://a.example/no/x": False,
                    "https://a.example/yes/y": True}
+
+
+def test_sys_materialized_views_and_vector_indexes(dsession):
+    dsession.register_fixture_tables("/root/testdata/sf0.001")
+    dsession.sql(
+        "create or replace materialized view mv_sysv as "
+        "select r_regionkey, count(*) as c from region group by r_regionkey")
+    mv = {r.name: r for r in dsession.sql(
+        "select * from sys.materialized_views").collect()}
+    assert "mv_sysv" in mv and mv["mv_sysv"].incremental
+    assert mv["mv_sysv"].rows == 5
+    dsession.sql(
+        "create or replace temporary view _vsrc as "
+        "select vec_id, embedding from embeddings where vec_id < 64")
+    dsession.sql("create or replace vector index vsys on _vsrc (embedding) "
+                 "with (cells => 2, m => 2, codes => 4)")
+    vi = {r.name: r for r in dsession.sql(
+        "select * from sys.vector_indexes").collect()}
+    assert "vsys" in vi and vi["vsys"].n_cells == 2 and vi["vsys"].rows == 64
+    dsession.sql("drop vector index vsys")
