@@ -508,3 +508,41 @@ def write_warc(
     _ = cols  # schema captured for closure clarity
     manifest = df.mapInPandas(write_partition, "file string, rows long").collect()
     return [r["file"] for r in manifest]
+
+
+def generate_wat(
+    spark: SparkSession, warc_path, out_dir: str,
+    split_bytes: int = 32 << 20,
+) -> list[str]:
+    """Derive the WAT metadata sidecar from a response archive — the
+    Common Crawl derivation job, as ONE distributed pass: response
+    records -> an Envelope JSON per page (WARC header facts, HTTP
+    facts, HTML title + outlinks via the Catalyst extraction chain) ->
+    ``metadata`` records written in Common Crawl ``*.warc.wat.gz``
+    layout. Everything between the two archive layers is codegen; the
+    only Python is the archive codec at each edge."""
+    from drill_spark.ops.text import html_links, html_title
+
+    recs = read_warc(spark, warc_path, split_bytes=split_bytes).filter(
+        F.col("warc_type") == "response")
+    html = F.decode(F.col("payload"), "UTF-8")
+    envelope = F.to_json(F.struct(F.struct(
+        F.struct(
+            F.col("target_uri").alias("WARC-Target-URI"),
+            F.date_format("warc_date",
+                          "yyyy-MM-dd'T'HH:mm:ss'Z'").alias("WARC-Date"),
+            F.col("record_id").alias("WARC-Record-ID"),
+        ).alias("WARC-Header-Metadata"),
+        F.struct(
+            F.col("http_status").alias("Response-Status"),
+            F.col("http_content_type").alias("Content-Type"),
+            F.octet_length("payload").alias("Entity-Length"),
+            F.struct(
+                html_title(html).alias("Title"),
+                html_links(html).alias("Links"),
+            ).alias("HTML-Metadata"),
+        ).alias("Payload-Metadata"),
+    ).alias("Envelope")))
+    meta = recs.select(
+        "target_uri", "warc_date", envelope.alias("text"))
+    return write_warc(meta, out_dir, record_type="metadata")

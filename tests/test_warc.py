@@ -206,3 +206,33 @@ def test_payload_digest_and_metadata_only_scan(spark, docs, warc_dir):
     resp = meta.filter(F.col("warc_type") == "response")
     assert resp.select("payload_digest").distinct().count() == \
         df.select("payload_digest").distinct().count()
+
+
+def test_generate_wat_sidecar(spark, tmp_path):
+    import json as _json
+
+    from drill_spark.readers.warc import generate_wat, read_wat
+
+    pages = spark.createDataFrame(
+        [(f"https://ex.org/w/{i}",
+          f'<html><title>t{i}</title><body>'
+          f'<a href="https://out.example/{i}">o</a>'
+          f'<a href="https://two.example/{i}">p</a></body></html>')
+         for i in range(8)],
+        "target_uri string, text string")
+    src = str(tmp_path / "crawl")
+    write_warc(pages, src)
+    dst = str(tmp_path / "wat")
+    files = generate_wat(spark, src, dst)
+    assert files and all(f.endswith(".warc.wat.gz") for f in files)
+    wat = {r["target_uri"]: _json.loads(r["json"])
+           for r in read_wat(spark, dst).collect()}
+    assert len(wat) == 8
+    env = wat["https://ex.org/w/3"]["Envelope"]
+    assert env["WARC-Header-Metadata"]["WARC-Target-URI"] == \
+        "https://ex.org/w/3"
+    pm = env["Payload-Metadata"]
+    assert pm["Response-Status"] == 200
+    assert pm["HTML-Metadata"]["Title"] == "t3"
+    assert pm["HTML-Metadata"]["Links"] == [
+        "https://out.example/3", "https://two.example/3"]
