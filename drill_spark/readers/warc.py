@@ -546,3 +546,21 @@ def generate_wat(
     meta = recs.select(
         "target_uri", "warc_date", envelope.alias("text"))
     return write_warc(meta, out_dir, record_type="metadata")
+
+
+def generate_wet(
+    spark: SparkSession, warc_path, out_dir: str,
+    split_bytes: int = 32 << 20,
+) -> list[str]:
+    """Derive the WET text-extract sidecar from a response archive —
+    responses -> Catalyst HTML->text extraction -> ``conversion``
+    records in Common Crawl ``*.warc.wet.gz`` layout; one distributed
+    pass, codegen between the archive codecs."""
+    from drill_spark.ops.text import html_to_text
+
+    recs = read_warc(spark, warc_path, split_bytes=split_bytes).filter(
+        F.col("warc_type") == "response")
+    text = html_to_text(F.decode(F.col("payload"), "UTF-8"))
+    return write_warc(
+        recs.select("target_uri", "warc_date", text.alias("text")),
+        out_dir, record_type="conversion")

@@ -236,3 +236,22 @@ def test_generate_wat_sidecar(spark, tmp_path):
     assert pm["HTML-Metadata"]["Title"] == "t3"
     assert pm["HTML-Metadata"]["Links"] == [
         "https://out.example/3", "https://two.example/3"]
+
+
+def test_generate_wet_sidecar(spark, tmp_path):
+    from drill_spark.readers.warc import generate_wet, read_wet
+
+    pages = spark.createDataFrame(
+        [(f"https://ex.org/e/{i}",
+          f"<html><title>skip</title><body><p>real text {i}</p></body></html>")
+         for i in range(5)],
+        "target_uri string, text string")
+    src = str(tmp_path / "crawl")
+    write_warc(pages, src)
+    dst = str(tmp_path / "wet")
+    files = generate_wet(spark, src, dst)
+    assert files and all(f.endswith(".warc.wet.gz") for f in files)
+    got = {r["target_uri"]: r["text"]
+           for r in read_wet(spark, dst).collect()}
+    assert got == {f"https://ex.org/e/{i}": f"real text {i}"
+                   for i in range(5)}
