@@ -3912,6 +3912,49 @@ from ranked where rn = 1
 """
 
 
+def q_cdx_index(spark, sf_dir):
+    """CDXJ capture index over a crawl archive (readers/cdx.py — the
+    random-access layer: sorted SURT-keyed shards + cluster.idx built
+    in one metadata-only distributed pass; consumers then fetch ONE
+    page via (filename, offset) without scanning archives): the oracle
+    replays the SURT transform and capture facts closed-form; the
+    byte coordinates and point-lookup path are pytest-verified
+    (tests/test_cdx.py)."""
+    from drill_spark.readers.cdx import generate_cdx, read_cdx
+    from drill_spark.readers.warc import write_warc
+
+    docs = load_fixture(spark, sf_dir, "documents")
+    sid = F.col("doc_id").cast("string")
+    body = F.when(F.col("doc_id") % 5 == 0,
+                  F.lit("duplicate boilerplate page")).otherwise(
+        F.concat(F.lit("page "), sid))
+
+    def build_warc(d):
+        write_warc(
+            docs.select(
+                F.concat(F.lit("https://crawl.example/wd/"),
+                         sid).alias("target_uri"),
+                body.alias("text")),
+            d)
+
+    warc_dir = _materialize_once(sf_dir, "warcdigest", build_warc)
+
+    def build_cdx(d):
+        generate_cdx(spark, warc_dir, d, shards=4)
+
+    cdx_dir = _materialize_once(sf_dir, "cdxidx", build_cdx)
+    return read_cdx(spark, cdx_dir).select("urlkey", "ts", "url", "status")
+
+
+ORACLE_CDX_INDEX = """
+select 'example,crawl)/wd/' || doc_id as urlkey,
+       '20200101000000' as ts,
+       'https://crawl.example/wd/' || doc_id as url,
+       cast(200 as int) as status
+from documents
+"""
+
+
 _PR_ITERS = 3
 
 
@@ -4494,6 +4537,7 @@ QUERIES = {
     "ext_link_graph": q_link_graph,
     "ext_warc_digest_dedup": q_warc_digest_dedup,
     "ext_robots_filter": q_robots_filter,
+    "ext_cdx_index": q_cdx_index,
     "ext_temperature_sample": q_temperature_sample,
     "ext_crossmodal_topk": q_crossmodal_topk,
     "ext_crossmodal_align": q_crossmodal_align,
@@ -4598,6 +4642,7 @@ ORACLES = {
     "ext_link_graph": ORACLE_LINK_GRAPH,
     "ext_warc_digest_dedup": ORACLE_WARC_DIGEST_DEDUP,
     "ext_robots_filter": ORACLE_ROBOTS_FILTER,
+    "ext_cdx_index": ORACLE_CDX_INDEX,
     "ext_temperature_sample": ORACLE_TEMPERATURE_SAMPLE,
     "ext_pii_luhn": ORACLE_PII_LUHN,
     "ext_weighted_sample": ORACLE_WEIGHTED_SAMPLE,

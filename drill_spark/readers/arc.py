@@ -160,7 +160,7 @@ def read_arc(
 
         def row_iter(fpath, s, e):
             if fpath.endswith(".gz"):
-                for off, buf in _iter_gz_members(
+                for off, _ln, buf in _iter_gz_members(
                         fpath, int(s), int(e), check=_arc_prefix_ok):
                     yield from _arc_records(buf, off, fpath)
             else:

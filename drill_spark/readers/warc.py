@@ -54,7 +54,7 @@ WARC_SCHEMA = (
     "warc_type string, record_id string, target_uri string, "
     "warc_date timestamp, warc_content_type string, content_length long, "
     "http_status int, http_content_type string, payload_digest string, "
-    "payload binary, file string, record_offset long"
+    "payload binary, file string, record_offset long, record_length long"
 )
 
 
@@ -94,7 +94,8 @@ def _parse_warc_date(s: str | None):
     return d
 
 
-def _record_to_row(offset: int, path: str, headers: dict, block: bytes) -> dict:
+def _record_to_row(offset: int, path: str, headers: dict, block: bytes,
+                   length: int = 0) -> dict:
     """One parsed record -> one output row. For HTTP message blocks the
     payload is the HTTP BODY and status/content-type are lifted out."""
     wtype = headers.get("warc-type", "")
@@ -128,10 +129,12 @@ def _record_to_row(offset: int, path: str, headers: dict, block: bytes) -> dict:
         "payload": bytes(payload),
         "file": path,
         "record_offset": offset,
+        "record_length": length,
     }
 
 
-def _parse_buffer_records(buf: bytes, offset: int, path: str) -> list[dict]:
+def _parse_buffer_records(buf: bytes, offset: int, path: str,
+                          length: int = 0) -> list[dict]:
     """Parse every record in a decompressed buffer (a gzip member holds
     one record by convention but the spec allows several)."""
     rows = []
@@ -148,7 +151,7 @@ def _parse_buffer_records(buf: bytes, offset: int, path: str) -> list[dict]:
         block = buf[hdr_end + 4:hdr_end + 4 + clen]
         if len(block) != clen:
             raise ValueError(f"{path}: truncated WARC block at member+{pos}")
-        rows.append(_record_to_row(offset, path, headers, block))
+        rows.append(_record_to_row(offset, path, headers, block, length))
         pos = hdr_end + 4 + clen + 4  # skip the two trailing CRLFs
     return rows
 
@@ -213,9 +216,10 @@ def _find_member(fh, start: int, end: int, check=_warc_prefix_ok) -> int | None:
 
 def _iter_gz_members(path: str, start: int, end: int,
                      check=_warc_prefix_ok):
-    """Yield ``(member_offset, decompressed_bytes)`` for every gzip
-    member whose FIRST byte lies in [start, end); the last owned member
-    is decoded to completion even when it extends past ``end``."""
+    """Yield ``(member_offset, member_length, decompressed_bytes)`` for
+    every gzip member whose FIRST byte lies in [start, end); the last
+    owned member is decoded to completion even when it extends past
+    ``end``. (offset, length) is the CDX random-access coordinate."""
     size = os.path.getsize(path)
     with open(path, "rb") as fh:
         pos = 0 if start == 0 else _find_member(fh, start, end, check)
@@ -231,7 +235,7 @@ def _iter_gz_members(path: str, start: int, end: int,
                 fed += len(chunk)
                 out += d.decompress(chunk)
             nxt = pos + fed - len(d.unused_data)
-            yield pos, bytes(out)
+            yield pos, nxt - pos, bytes(out)
             if nxt >= size or nxt <= pos:
                 break
             fh.seek(nxt)
@@ -242,8 +246,8 @@ def _iter_gz_members(path: str, start: int, end: int,
 
 
 def _iter_plain_records(path: str, start: int, end: int):
-    """Yield ``(offset, headers, block)`` for records whose ``WARC/``
-    byte lies in [start, end) of an uncompressed file."""
+    """Yield ``(offset, length, headers, block)`` for records whose
+    ``WARC/`` byte lies in [start, end) of an uncompressed file."""
     size = os.path.getsize(path)
     with open(path, "rb") as fh:
         pos = start
@@ -286,8 +290,9 @@ def _iter_plain_records(path: str, start: int, end: int):
             block = fh.read(clen)
             if len(block) != clen:
                 raise ValueError(f"{path}: truncated WARC block at {pos}")
-            yield pos, headers, block
-            pos = block_start + clen + 4
+            nxt = block_start + clen + 4
+            yield pos, nxt - pos, headers, block
+            pos = nxt
 
 
 # ---------------------------------------------------------------- read
@@ -339,12 +344,12 @@ def read_warc(
 
         def row_iter(fpath, s, e):
             if fpath.endswith(".gz"):
-                for off, buf in _iter_gz_members(fpath, int(s), int(e)):
-                    yield from _parse_buffer_records(buf, off, fpath)
+                for off, ln, buf in _iter_gz_members(fpath, int(s), int(e)):
+                    yield from _parse_buffer_records(buf, off, fpath, ln)
             else:
-                for off, hdrs, blk in _iter_plain_records(
+                for off, ln, hdrs, blk in _iter_plain_records(
                         fpath, int(s), int(e)):
-                    yield _record_to_row(off, fpath, hdrs, blk)
+                    yield _record_to_row(off, fpath, hdrs, blk, ln)
 
         for pdf in batches:
             for fpath, s, e in zip(pdf["path"], pdf["start"], pdf["end"]):

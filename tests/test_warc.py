@@ -112,7 +112,8 @@ def test_find_member_skips_unvalidated_magic(tmp_path):
         off = _find_member(fh, 1, len(blob))
     assert off == len(blob) - len(real)
     members = list(_iter_gz_members(str(p), 1, len(blob)))
-    assert len(members) == 1 and members[0][1].startswith(b"WARC/1.0")
+    assert len(members) == 1 and members[0][2].startswith(b"WARC/1.0")
+    assert members[0][1] == len(real)  # (offset, length, bytes)
 
 
 def test_wet_conversion_records(spark, docs, tmp_path):
