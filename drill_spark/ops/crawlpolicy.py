@@ -89,7 +89,10 @@ def robots_filter(urls: DataFrame, rules: DataFrame,
     Pure Catalyst: broadcast rules join + longest-match window."""
     from pyspark.sql import Window
 
-    u = urls.withColumn("_dom", url_domain(F.col(url_col))).withColumn(
+    # Unique per-row key so duplicate URLs (normal in multi-capture crawl
+    # data) each keep their own row — output cardinality == input.
+    u = urls.withColumn("_rid", F.monotonically_increasing_id()).withColumn(
+        "_dom", url_domain(F.col(url_col))).withColumn(
         "_path",
         F.coalesce(
             F.nullif(F.regexp_extract(F.col(url_col),
@@ -112,7 +115,7 @@ def robots_filter(urls: DataFrame, rules: DataFrame,
     joined = u.join(F.broadcast(r), "_dom", "left").withColumn(
         "_hit",
         F.expr("_path LIKE _pat ESCAPE '\\\\'"))
-    w = Window.partitionBy(url_col).orderBy(
+    w = Window.partitionBy("_rid").orderBy(
         F.desc_nulls_last(F.when(F.col("_hit"), F.col("_plen"))),
         F.desc_nulls_last(F.when(F.col("_hit"), F.col("allow"))),
         F.asc_nulls_last("prefix"))
@@ -120,7 +123,7 @@ def robots_filter(urls: DataFrame, rules: DataFrame,
         joined.withColumn("_rn", F.row_number().over(w))
         .where(F.col("_rn") == 1)
         .select(
-            urls["*"],
+            *[F.col(c) for c in urls.columns],
             F.coalesce(F.when(F.col("_hit"), F.col("allow")),
                        F.lit(True)).alias("allowed"),
             F.when(F.col("_hit"), F.col("prefix")).alias("matched_rule"),

@@ -80,15 +80,20 @@ def _ngram_keys(text_col: str, n: int) -> Column:
 
 
 def _spread(df: DataFrame) -> DataFrame:
-    """Round-robin repartition ONLY when the input has fewer partitions
-    than the cluster has slots (a single small parquet file scans as one
-    partition, collapsing per-row HOF work onto one core). At real scale
-    the scan already has >= slots partitions and this is a no-op — no
-    shuffle is added to the 100 TB plan."""
+    """Round-robin repartition ONLY when the scan can't already fan out
+    across the cluster's slots (a single small parquet file scans as one
+    partition, collapsing per-row HOF work onto one core). Uses the
+    public ``inputFiles()`` leaf-file census — never the RDD API (engine
+    rule: plans stay DataFrame-only). At real scale the scan has >= slots
+    input files and this is a no-op — no shuffle in the 100 TB plan."""
     target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
+    try:
+        files = df.inputFiles()
+    except Exception:
+        files = []
+    if files and len(files) >= target:
+        return df
+    return df.repartition(target)
 
 
 def decontaminate(

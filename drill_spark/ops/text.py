@@ -36,8 +36,9 @@ def subword_estimate(col):
 
 
 def lang_hits(col, lang: str):
-    lex = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
-    return F.size(F.expr(f"filter({tokens(col)._jc.toString()}, t -> t in ({lex}))"))
+    # Public higher-order-function API (Connect-safe) — no _jc splicing.
+    lex = STOPWORDS[lang]
+    return F.size(F.filter(tokens(col), lambda t: t.isin(*lex)))
 
 
 def lang_id(col):

@@ -204,9 +204,14 @@ def write_arc(
         return buf.getvalue()
 
     def write_partition(batches):
+        # Stream records to a spool file (never the whole partition in
+        # RAM); prefix the filedesc block and rename once drained.
         import pandas as pd
+        import tempfile
 
-        recs: list[bytes] = []
+        spool = None
+        first_tag = None
+        n_recs = 0
         for pdf in batches:
             for row in pdf.to_dict("records"):
                 url = str(row.get("url"))
@@ -225,19 +230,31 @@ def write_arc(
                 )
                 hdr = (f"{url} 127.0.0.1 {date} text/html "
                        f"{len(http)}\n").encode("utf-8")
-                recs.append(_gz(hdr + http + b"\n") if compress
-                            else hdr + http + b"\n")
-        if recs:
-            tag = hashlib.md5(recs[0]).hexdigest()[:16]
-            fname = os.path.join(out_dir, f"part-{tag}-{len(recs)}{suffix}")
+                enc = (_gz(hdr + http + b"\n") if compress
+                       else hdr + http + b"\n")
+                if spool is None:
+                    first_tag = hashlib.md5(enc).hexdigest()[:16]
+                    spool = tempfile.NamedTemporaryFile(
+                        dir=out_dir, suffix=".spool", delete=False)
+                spool.write(enc)
+                n_recs += 1
+        if spool is not None:
+            spool.close()
+            fname = os.path.join(
+                out_dir, f"part-{first_tag}-{n_recs}{suffix}")
             vb = b"1 0 drill-spark\nURL IP-address Archive-date Content-type Archive-length\n"
             fd = (f"filedesc://{os.path.basename(fname)} 127.0.0.1 "
                   f"20200101000000 text/plain {len(vb)}\n").encode() + vb + b"\n"
             with open(fname, "wb") as f:
                 f.write(_gz(fd) if compress else fd)
-                for r in recs:
-                    f.write(r)
-            yield pd.DataFrame({"file": [fname], "rows": [len(recs)]})
+                with open(spool.name, "rb") as src:
+                    while True:
+                        chunk = src.read(1 << 20)
+                        if not chunk:
+                            break
+                        f.write(chunk)
+            os.unlink(spool.name)
+            yield pd.DataFrame({"file": [fname], "rows": [n_recs]})
 
     manifest = df.mapInPandas(write_partition, "file string, rows long").collect()
     return [r["file"] for r in manifest]

@@ -75,7 +75,11 @@ def generate_cdx(
         )),
     )
     keyed = recs.withColumn("urlkey", surt_key(F.col("target_uri")))
-    n_shards = max(1, min(shards, keyed.count() or 1))
+    # Use the requested shard count directly — range partitions with no
+    # rows simply emit no shard file, so no counting pass is needed to
+    # clamp (a count() here would force a full extra decode of every
+    # archive before the real indexing pass).
+    n_shards = max(1, shards)
     lines = (
         keyed.select("urlkey", line.alias("line"))
         .repartitionByRange(n_shards, "urlkey")
@@ -86,23 +90,30 @@ def generate_cdx(
     import pandas as pd
 
     def write_shard(batches):
-        rows = []
+        # Stream lines to the shard file as they arrive — never hold a
+        # partition's full index in executor RAM. First key names the
+        # file; spool to a temp name until it's known.
+        import hashlib
+
+        f = None
         first = None
+        tmp = None
+        n = 0
         for pdf in batches:
             for k, ln in zip(pdf["urlkey"], pdf["line"]):
-                if first is None:
+                if f is None:
                     first = k
-                rows.append(ln)
-        if rows:
-            import hashlib
-
-            tag = hashlib.md5(first.encode()).hexdigest()[:8]
-            fname = os.path.join(out_dir, f"cdx-{tag}.cdxj")
-            with open(fname, "w") as f:
-                f.write("\n".join(rows) + "\n")
+                    tag = hashlib.md5(first.encode()).hexdigest()[:8]
+                    tmp = os.path.join(out_dir, f"cdx-{tag}.cdxj")
+                    f = open(tmp, "w")
+                f.write(ln)
+                f.write("\n")
+                n += 1
+        if f is not None:
+            f.close()
             yield pd.DataFrame({"first_key": [first],
-                                "file": [os.path.basename(fname)],
-                                "n": [len(rows)]})
+                                "file": [os.path.basename(tmp)],
+                                "n": [n]})
 
     manifest = sorted(
         lines.mapInPandas(write_shard,
@@ -135,6 +146,22 @@ def read_cdx(spark: SparkSession, cdx_dir: str) -> DataFrame:
     )
 
 
+def surt_key_py(url: str) -> str:
+    """Driver-side twin of :func:`surt_key`. MUST mirror the Catalyst
+    expressions exactly: the host group stops at ``:`` (port excluded
+    from the reversed labels) while the path regex's host part
+    ``[^/?#]*`` consumes ``host:port`` so the port never leaks into
+    the path — keys for ported URLs match on both sides."""
+    import re
+
+    m = re.match(r"^[a-zA-Z]+://([^/:?#]*)", url)
+    host = (m.group(1) if m else "").lower()
+    host = re.sub(r"^www\.", "", host)
+    pm = re.match(r"^[a-zA-Z]+://[^/?#]*([^?#]*)", url)
+    path = (pm.group(1) if pm else "") or "/"
+    return ",".join(reversed(host.split("."))) + ")" + path
+
+
 def cdx_lookup(cdx_dir: str, url: str) -> list[dict]:
     """Driver-side point lookup: binary-search cluster.idx for the
     shard, scan that ONE shard for the key. Returns capture dicts."""
@@ -144,14 +171,7 @@ def cdx_lookup(cdx_dir: str, url: str) -> list[dict]:
         entries = [ln.rstrip("\n").split("\t") for ln in f if ln.strip()]
     if not entries:
         return []
-    # compute the key with the same transform, driver-side
-    import re
-
-    m = re.match(r"^[a-zA-Z]+://([^/:?#]*)([^?#]*)", url)
-    host = (m.group(1) if m else "").lower()
-    host = re.sub(r"^www\.", "", host)
-    path = (m.group(2) if m else "") or "/"
-    key = ",".join(reversed(host.split("."))) + ")" + path
+    key = surt_key_py(url)
     firsts = [e[0] for e in entries]
     i = bisect.bisect_right(firsts, key) - 1
     out = []

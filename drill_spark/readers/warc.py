@@ -452,9 +452,17 @@ def write_warc(
     cols = df.columns
 
     def write_partition(batches):
+        # Stream each encoded record straight to a spool file — the
+        # partition's compressed output never sits in executor RAM.
+        # The final name needs the first-record tag + count and the
+        # warcinfo header must lead, so records spool to a temp file
+        # that is prefixed and renamed once the partition is drained.
         import pandas as pd
+        import tempfile
 
-        recs: list[bytes] = []
+        spool = None
+        first_tag = None
+        n_recs = 0
         for pdf in batches:
             for row in pdf.to_dict("records"):
                 uri = str(row.get("target_uri"))
@@ -491,24 +499,36 @@ def write_warc(
                         record_type, "application/octet-stream")
                     hdrs.append(("Content-Type", ctype))
                     raw = _record_bytes(record_type, hdrs, body)
-                recs.append(_gz_member(raw) if compress else raw)
-        if recs:
-            tag = hashlib.md5(b"".join(recs[:1])).hexdigest()[:16]
+                enc = _gz_member(raw) if compress else raw
+                if spool is None:
+                    first_tag = hashlib.md5(enc).hexdigest()[:16]
+                    spool = tempfile.NamedTemporaryFile(
+                        dir=out_dir, suffix=".spool", delete=False)
+                spool.write(enc)
+                n_recs += 1
+        if spool is not None:
+            spool.close()
             info_block = b"software: drill-spark warc writer\r\n"
             info = _record_bytes(
                 "warcinfo",
                 [("WARC-Record-ID",
-                  _det_record_id("warcinfo", tag, str(len(recs)))),
+                  _det_record_id("warcinfo", first_tag, str(n_recs))),
                  ("WARC-Date", "2020-01-01T00:00:00Z"),
                  ("Content-Type", "application/warc-fields")],
                 info_block,
             )
-            fname = os.path.join(out_dir, f"part-{tag}-{len(recs)}{suffix}")
+            fname = os.path.join(
+                out_dir, f"part-{first_tag}-{n_recs}{suffix}")
             with open(fname, "wb") as f:
                 f.write(_gz_member(info) if compress else info)
-                for r in recs:
-                    f.write(r)
-            yield pd.DataFrame({"file": [fname], "rows": [len(recs)]})
+                with open(spool.name, "rb") as src:
+                    while True:
+                        chunk = src.read(1 << 20)
+                        if not chunk:
+                            break
+                        f.write(chunk)
+            os.unlink(spool.name)
+            yield pd.DataFrame({"file": [fname], "rows": [n_recs]})
 
     _ = cols  # schema captured for closure clarity
     manifest = df.mapInPandas(write_partition, "file string, rows long").collect()

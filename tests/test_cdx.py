@@ -69,3 +69,37 @@ def test_lookup_and_fetch_roundtrip(crawl):
 def test_lookup_misses_cleanly(crawl):
     _, out, _ = crawl
     assert cdx_lookup(out, "https://nowhere.example/x") == []
+
+
+def test_surt_key_py_matches_catalyst_for_ported_urls(spark):
+    """Driver-side lookup key must equal the Catalyst surt_key for
+    every URL shape — explicit ports were the historical divergence
+    (the port must vanish from BOTH host labels and path)."""
+    from drill_spark.readers.cdx import surt_key_py
+
+    urls = [
+        "https://www.Sub.Example.COM/a/b?q=1",
+        "http://example.com",
+        "http://example.com:8080/with/port?x=1",
+        "https://www.example.com:443/",
+        "http://h1.example:8000",
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    catalyst = [r.k for r in
+                df.select(surt_key(F.col("url")).alias("k")).collect()]
+    assert [surt_key_py(u) for u in urls] == catalyst
+
+
+def test_lookup_finds_ported_url(spark, tmp_path):
+    pages = spark.createDataFrame(
+        [("http://ported.example:8080/x/y", "ported body")],
+        "target_uri string, text string")
+    src = str(tmp_path / "crawl")
+    write_warc(pages, src)
+    out = src + "_cdx"
+    generate_cdx(spark, src, out, shards=2)
+    hits = cdx_lookup(out, "http://ported.example:8080/x/y")
+    assert len(hits) == 1
+    rec = fetch_record(os.path.join(src, hits[0]["filename"]),
+                       int(hits[0]["offset"]))
+    assert bytes(rec["payload"]) == b"ported body"

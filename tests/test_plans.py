@@ -233,3 +233,29 @@ def test_search_and_fuzzy_plan_invariants(spark):
         assert "CartesianProduct" not in phys, name
         assert "BroadcastNestedLoopJoin" not in phys, name
         assert not plans.has_python_eval(df), name
+
+
+def test_no_rdd_api_in_package():
+    """Engine rule (SCALE.md): plans are DataFrame-only — the
+    DataFrame→RDD conversion path (`df.rdd`) must never be touched in
+    an operator body. Self-enforcing grep over the package source, same
+    pattern as the collect() discipline. `sparkContext.parallelize` is
+    permitted ONLY under readers/ where it distributes driver-fetched
+    REST payloads or table-format manifest lists (bounded by
+    construction: an HTTP response / a metadata file already sits on
+    the driver)."""
+    import glob
+    import re
+
+    pkg = os.path.join(os.path.dirname(__file__), "..", "drill_spark")
+    offenders = []
+    for path in glob.glob(os.path.join(pkg, "**", "*.py"), recursive=True):
+        in_readers = os.sep + "readers" + os.sep in path
+        src = open(path).read()
+        for i, line in enumerate(src.splitlines(), 1):
+            code = line.split("#", 1)[0]
+            if re.search(r"\.rdd\b", code):
+                offenders.append(f"{os.path.basename(path)}:{i}")
+            if re.search(r"sparkContext\.parallelize", code) and not in_readers:
+                offenders.append(f"{os.path.basename(path)}:{i}")
+    assert offenders == [], offenders

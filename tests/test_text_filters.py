@@ -317,3 +317,24 @@ def test_robots_filter_precedence_wildcards_and_defaults(spark):
     assert got["https://a.example/aXb/z"] == (True, None)
     assert got["https://a.example/"] == (True, None)
     assert got["https://nobody.example/q"] == (True, None)
+
+
+def test_robots_filter_keeps_duplicate_urls(spark):
+    """Duplicate input URLs (normal in multi-capture crawl data) must
+    each keep their own row — output cardinality == input cardinality,
+    distinct non-URL columns preserved."""
+    from drill_spark.ops.crawlpolicy import robots_filter
+
+    rules = spark.createDataFrame(
+        [("a.example", "/private/", False)],
+        "domain string, prefix string, allow boolean")
+    urls = spark.createDataFrame(
+        [("https://a.example/private/x", "cap1"),
+         ("https://a.example/private/x", "cap2"),
+         ("https://a.example/ok", "cap3")],
+        "url string, capture string")
+    rows = robots_filter(urls, rules).collect()
+    assert len(rows) == 3
+    assert sorted(r.capture for r in rows) == ["cap1", "cap2", "cap3"]
+    by_cap = {r.capture: r.allowed for r in rows}
+    assert by_cap == {"cap1": False, "cap2": False, "cap3": True}
