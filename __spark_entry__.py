@@ -37,6 +37,18 @@ def _modules():
             mods.append(extops)
         except ImportError:
             pass
+        try:
+            from drill_spark import scanops
+
+            mods.append(scanops)
+        except ImportError:
+            pass
+        try:
+            from drill_spark import tpcds
+
+            mods.append(tpcds)
+        except ImportError:
+            pass
         _MODULES = mods
     return _MODULES
 
@@ -53,25 +65,34 @@ def entry(spark: SparkSession) -> DataFrame:
 # row per SURVEY §2 family (r1's run stopped at 50).
 _PRIORITY = [
     "tpch_q01", "tpch_q02", "tpch_q13", "tpch_q18", "tpch_q22",
-    "op_join_inner", "op_join_full", "op_join_semi", "op_join_anti",
-    "op_union_all", "op_except",
-    "op_agg_rollup", "op_agg_stats", "op_agg_percentile",
-    "op_window_ranks", "op_window_frames",
+    "tpcds_q73",
+    "op_join_inner", "op_join_semi",
+    "op_union_all",
+    "op_agg_rollup", "op_agg_stats",
+    "op_window_ranks",
     "op_topn", "op_sort_nulls", "op_partition_limit",
     "op_flatten_explode", "op_pivot", "op_convert_from_json", "op_array_fns",
     "op_string_fns", "op_date_fns",
     "op_scalar_subquery", "op_correlated_subquery",
     "op_null_safe_join", "op_agg_nulls",
     "op_time_window_tumbling", "op_session_window",
-    "op_avro_scan", "op_delta_scan", "op_delta_dv_scan",
+    "op_csv_scan", "op_json_scan",
+    "op_avro_scan", "op_delta_scan",
     "op_warc_scan", "op_iceberg_scan",
-    "op_iceberg_v2_scan", "op_iceberg_skip_scan",
     "op_pdf_scan", "op_paimon_scan", "op_msaccess_scan",
     "op_dfdl_scan", "op_shp_scan", "op_image_scan",
     "op_pcapng_scan", "op_spss_scan", "op_orc_scan", "op_hdf5_scan",
     "ext_dedup_exact", "ext_pii_redact",
+    "ext_pagerank", "ext_line_dedup", "ext_heavy_hitters",
+    "ext_vector_index", "ext_html_extract",
     # ---- driver-cap boundary (~50): everything below is covered by the
     # judge's full sweep (scripts/check_correctness.py) every round.
+    "op_join_full", "op_join_anti", "op_except",
+    "op_agg_percentile", "op_window_frames",
+    "op_delta_dv_scan", "op_iceberg_v2_scan", "op_iceberg_skip_scan",
+    "op_csv_columns", "op_json_text_mode", "op_xml_scan", "op_ltsv_scan",
+    "op_log_scan", "op_httpd_scan", "op_syslog_scan",
+    "op_sequencefile_scan", "op_excel_scan", "op_sas_scan", "op_http_scan",
     "op_join_theta", "op_window_ignore_nulls", "op_delta_zorder_scan",
     "op_contrib_fns", "tpch_q04", "op_agg_having",
     "ext_embed_topk", "ext_multimodal_decode", "ext_text_stats",

@@ -134,3 +134,75 @@ def read_excel(spark: SparkSession, path: str, sheet: str | int = 0, header: boo
     safe = [re.sub(r"\W", "_", n) for n in names]
     schema = ", ".join(f"`{n}` {'double' if numeric[i] else 'string'}" for i, n in enumerate(safe))
     return spark.createDataFrame(typed, schema)
+
+
+def _cell_ref(row: int, col: int) -> str:
+    """1-based (row, col) -> A1-style reference."""
+    name = ""
+    c = col
+    while True:
+        name = chr(ord("A") + (c % 26)) + name
+        c = c // 26 - 1
+        if c < 0:
+            break
+    return f"{name}{row}"
+
+
+def write_xlsx(path: str, columns: list[str], rows, sheet: str = "Sheet1") -> None:
+    """Minimal standards-complete .xlsx writer (driver-side artifact —
+    spreadsheets are small by nature, mirroring the POI writer's
+    single-fragment shape). Numbers become native numeric cells,
+    everything else inline strings; first row is the header. Includes
+    [Content_Types].xml and package rels so any OOXML consumer (Excel,
+    POI, pandas) opens the file, not just this package's reader."""
+    m = "http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+    rns = "http://schemas.openxmlformats.org/officeDocument/2006/relationships"
+
+    def esc(s: str) -> str:
+        return (str(s).replace("&", "&amp;").replace("<", "&lt;")
+                .replace(">", "&gt;"))
+
+    def cell(r: int, c: int, v) -> str:
+        ref = _cell_ref(r, c)
+        if v is None:
+            return ""
+        if isinstance(v, bool):
+            return f'<c r="{ref}" t="b"><v>{int(v)}</v></c>'
+        if isinstance(v, (int, float)):
+            return f'<c r="{ref}"><v>{v!r}</v></c>'
+        return f'<c r="{ref}" t="inlineStr"><is><t>{esc(v)}</t></is></c>'
+
+    body = ['<row r="1">' + "".join(
+        cell(1, i, n) for i, n in enumerate(columns)) + "</row>"]
+    for j, row in enumerate(rows, start=2):
+        vals = [row.get(c) for c in columns] if isinstance(row, dict) else list(row)
+        body.append(f'<row r="{j}">' + "".join(
+            cell(j, i, v) for i, v in enumerate(vals)) + "</row>")
+    with zipfile.ZipFile(path, "w", zipfile.ZIP_DEFLATED) as z:
+        z.writestr(
+            "[Content_Types].xml",
+            '<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">'
+            '<Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/>'
+            '<Default Extension="xml" ContentType="application/xml"/>'
+            '<Override PartName="/xl/workbook.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>'
+            '<Override PartName="/xl/worksheets/sheet1.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.worksheet+xml"/>'
+            "</Types>")
+        z.writestr(
+            "_rels/.rels",
+            '<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">'
+            f'<Relationship Id="rId1" Type="{rns}/officeDocument" Target="xl/workbook.xml"/>'
+            "</Relationships>")
+        z.writestr(
+            "xl/workbook.xml",
+            f'<workbook xmlns="{m}" xmlns:r="{rns}"><sheets>'
+            f'<sheet name="{esc(sheet)}" sheetId="1" r:id="rId1"/>'
+            "</sheets></workbook>")
+        z.writestr(
+            "xl/_rels/workbook.xml.rels",
+            '<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">'
+            f'<Relationship Id="rId1" Type="{rns}/worksheet" Target="worksheets/sheet1.xml"/>'
+            "</Relationships>")
+        z.writestr(
+            "xl/worksheets/sheet1.xml",
+            f'<worksheet xmlns="{m}"><sheetData>' + "".join(body)
+            + "</sheetData></worksheet>")

@@ -460,6 +460,78 @@ def read_sequencefile(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
+def _hadoop_vint(n: int) -> bytes:
+    """Hadoop WritableUtils.writeVInt encoding (Text length prefix)."""
+    if -112 <= n <= 127:
+        return bytes([n & 0xFF])
+    neg = n < 0
+    if neg:
+        n = ~n
+    size = max(1, (n.bit_length() + 7) // 8)
+    first = (-120 - size) if neg else (-112 - size)
+    return bytes([first & 0xFF]) + n.to_bytes(size, "big")
+
+
+def write_sequencefile(df: DataFrame, out_dir: str,
+                       key_col: str = "binary_key",
+                       value_col: str = "binary_value") -> list[str]:
+    """SequenceFile writer (Text/Text pairs): the inverse of
+    :func:`read_sequencefile`, one uncompressed SequenceFile v6 per
+    partition, encoded directly from the public format spec
+    (SequenceFile.java header + record layout) with a sync marker
+    every ~2 KB so Hadoop readers can split the file. DataFrame-only:
+    the encode runs as an Arrow-batched mapInPandas, streaming records
+    to the part file as they arrive."""
+    import hashlib as _hl
+
+    os.makedirs(out_dir, exist_ok=True)
+    pairs = df.select(F.col(key_col).cast("string").alias("k"),
+                      F.col(value_col).cast("string").alias("v"))
+
+    def _text(b: bytes) -> bytes:
+        return _hadoop_vint(len(b)) + b
+
+    def write_partition(batches):
+        import pandas as pd
+        import struct
+
+        f = None
+        fname = None
+        sync = None
+        since_sync = 0
+        n = 0
+        for pdf in batches:
+            for k, v in zip(pdf["k"], pdf["v"]):
+                kb = _text(("" if k is None else str(k)).encode("utf-8"))
+                vb = _text(("" if v is None else str(v)).encode("utf-8"))
+                if f is None:
+                    tag = _hl.md5(kb + vb).hexdigest()[:16]
+                    sync = _hl.md5(tag.encode()).digest()
+                    fname = os.path.join(out_dir, f"part-{tag}.seq")
+                    f = open(fname, "wb")
+                    f.write(b"SEQ\x06")
+                    f.write(_text(b"org.apache.hadoop.io.Text"))
+                    f.write(_text(b"org.apache.hadoop.io.Text"))
+                    f.write(b"\x00\x00")          # no compression, no block
+                    f.write(struct.pack(">i", 0))  # empty metadata
+                    f.write(sync)
+                if since_sync > 2000:
+                    f.write(struct.pack(">i", -1))
+                    f.write(sync)
+                    since_sync = 0
+                rec = struct.pack(">ii", len(kb) + len(vb), len(kb)) + kb + vb
+                f.write(rec)
+                since_sync += len(rec)
+                n += 1
+        if f is not None:
+            f.close()
+            yield pd.DataFrame({"file": [fname], "rows": [n]})
+
+    manifest = pairs.mapInPandas(
+        write_partition, "file string, rows long").collect()
+    return [r["file"] for r in manifest]
+
+
 def read_excel(spark: SparkSession, path: str, sheet: str | int = 0, **opts):
     """Excel reader (contrib/format-excel analog) — self-contained xlsx
     parser (zip + XML, standard library only); see readers/excel.py."""

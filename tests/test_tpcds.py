@@ -1,0 +1,55 @@
+"""TPC-DS q73 on fixture-derived star schema (reference:
+exec/java-exec/src/test/resources/tpcds-sf1/q73.sql, run by
+TestTpcdsSf1Queries.java; the repeated-run stability test mirrors
+TestTpcdsSf1Leaks.java's rerun-the-query leak canary)."""
+
+from __future__ import annotations
+
+from drill_spark import tpcds
+from drill_spark.plans import explain_str
+
+from .conftest import SF_DIR
+
+
+def _run(spark):
+    df = tpcds.QUERIES["tpcds_q73"](spark, SF_DIR)
+    return sorted(map(tuple, df.collect()))
+
+
+def test_q73_shape_and_filters(spark):
+    rows = _run(spark)
+    assert rows, "q73 must match rows on the fixture-derived schema"
+    assert len(rows) <= 1000
+    for r in rows:
+        assert 1 <= r[5] <= 5           # cnt between 1 and 5
+        assert r[2] in ("Mr.", "Ms.")   # salutation domain
+        assert r[3] in ("Y", "N")
+
+
+def test_q73_plan_is_broadcast_star(spark):
+    """The three constant-size dimensions and the date spine must
+    broadcast; the top-1000 must be TakeOrdered, not a global sort."""
+    df = tpcds.QUERIES["tpcds_q73"](spark, SF_DIR)
+    phys = explain_str(df)
+    assert phys.count("BroadcastHashJoin") >= 3
+    assert "CartesianProduct" not in phys
+    assert "TakeOrderedAndProject" in phys
+
+
+def test_q73_repeated_runs_stable(spark):
+    """TestTpcdsSf1Leaks analog: rerun the query and require (a)
+    identical results and (b) post-GC JVM heap growth bounded — a
+    leaking plan (accumulated broadcasts / un-freed pages) trips the
+    bound after a few reruns."""
+    jvm_rt = spark._jvm.java.lang.Runtime.getRuntime()
+
+    def used_heap():
+        jvm_rt.gc()
+        return jvm_rt.totalMemory() - jvm_rt.freeMemory()
+
+    first = _run(spark)
+    base = used_heap()
+    for _ in range(3):
+        assert _run(spark) == first
+    growth = used_heap() - base
+    assert growth < 512 * 1024 * 1024, f"heap grew {growth >> 20} MiB"
