@@ -3713,6 +3713,28 @@ def q_vector_index(spark, sf_dir):
                       rerank=10**6, base=embs)
 
 
+def q_vector_index_probe(spark, sf_dir):
+    """Serve-path probe against the SAME prebuilt index as
+    ext_vector_index: nprobe=2 of 8 cells (the realistic
+    build-once/probe-many pattern), so the codes scan reads ~1/4 of
+    the cell directories via the STATIC `cell IN` partition filter and
+    reranks a bounded shortlist. Approximate by design → rows-only
+    driver check; recall and the partition-prune plan are bounded in
+    tests/test_vecindex.py."""
+    from drill_spark.ops.vecindex import build_vector_index, index_topk
+
+    embs = _embs(spark, sf_dir)
+
+    def build(d):
+        build_vector_index(embs, d, n_cells=8, m=8, n_codes=16)
+
+    path = _materialize_once(sf_dir, "vecidx", build)
+    queries = embs.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"))
+    return index_topk(spark, path, queries, k=3, nprobe=2,
+                      rerank=50, base=embs)
+
+
 ORACLE_VECTOR_INDEX = """
 with q as (select vec_id as query_id, embedding as qv from embeddings where vec_id < 5),
 scored as (
@@ -4533,6 +4555,7 @@ QUERIES = {
     "ext_crawl_pipeline": q_crawl_pipeline,
     "ext_heavy_hitters": q_heavy_hitters,
     "ext_vector_index": q_vector_index,
+    "ext_vector_index_probe": q_vector_index_probe,
     "ext_pagerank": q_pagerank,
     "ext_link_graph": q_link_graph,
     "ext_warc_digest_dedup": q_warc_digest_dedup,

@@ -113,16 +113,28 @@ def _caption_raw(text: str) -> np.ndarray:
 
 
 def embed_images(df: DataFrame, id_col: str = "doc_id",
-                 payload_col: str = "payload", dim: int = 32) -> DataFrame:
-    """(id, embedding) from image bytes: real codec decode + stub
-    encoder, one Arrow pass, no shuffle."""
+                 payload_col: str = "payload", dim: int = 32,
+                 encoder=None) -> DataFrame:
+    """(id, embedding) from image bytes.
+
+    ``encoder`` is the pluggable-model seam: a callable
+    ``(iterable of bytes) -> list[list[float]]`` (e.g. an ONNX/torch
+    CLIP forward pass loaded per executor) that replaces the stub
+    feature+projection encoder INSIDE the same Arrow-batched kernel —
+    schema, batching, and everything downstream are unchanged. Default
+    None keeps the deterministic fixture encoder (real image decode
+    through the repo codecs, documented stub projection)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            embs = [
-                _embed_raw(_image_raw(bytes(p)), dim)
-                for p in pdf[payload_col]
-            ]
+            if encoder is not None:
+                embs = [list(map(float, v))
+                        for v in encoder([bytes(p) for p in pdf[payload_col]])]
+            else:
+                embs = [
+                    _embed_raw(_image_raw(bytes(p)), dim)
+                    for p in pdf[payload_col]
+                ]
             yield pd.DataFrame({id_col: pdf[id_col], "embedding": embs})
 
     return df.select(id_col, payload_col).mapInPandas(
@@ -131,14 +143,21 @@ def embed_images(df: DataFrame, id_col: str = "doc_id",
 
 
 def embed_captions(df: DataFrame, id_col: str = "doc_id",
-                   text_col: str = "text", dim: int = 32) -> DataFrame:
-    """(id, embedding) from caption text via the same joint space."""
+                   text_col: str = "text", dim: int = 32,
+                   encoder=None) -> DataFrame:
+    """(id, embedding) from caption text via the same joint space.
+    ``encoder``: pluggable-model seam — ``(iterable of str) ->
+    list[list[float]]``, same contract as :func:`embed_images`."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            embs = [
-                _embed_raw(_caption_raw(t), dim) for t in pdf[text_col]
-            ]
+            if encoder is not None:
+                embs = [list(map(float, v))
+                        for v in encoder([str(t) for t in pdf[text_col]])]
+            else:
+                embs = [
+                    _embed_raw(_caption_raw(t), dim) for t in pdf[text_col]
+                ]
             yield pd.DataFrame({id_col: pdf[id_col], "embedding": embs})
 
     return df.select(id_col, text_col).mapInPandas(
@@ -175,14 +194,24 @@ def crossmodal_topk(candidates: DataFrame, queries: DataFrame,
 
 def alignment_filter(images: DataFrame, captions: DataFrame,
                      id_col: str = "doc_id", threshold: float = 0.28,
-                     dim: int = 32) -> DataFrame:
+                     dim: int = 32,
+                     image_embeddings: DataFrame | None = None,
+                     caption_embeddings: DataFrame | None = None) -> DataFrame:
     """CLIP-score pair filtering (the LAION recipe): embed both sides,
     join image i with caption i, keep pairs whose joint-space cosine
     clears ``threshold``. Returns (id, cosine). One equi-join on id —
-    shuffle keyed by id, no cross join anywhere."""
-    iv = embed_images(images, id_col=id_col, dim=dim).select(
+    shuffle keyed by id, no cross join anywhere.
+
+    Pluggable-model seam: pass precomputed ``image_embeddings`` /
+    ``caption_embeddings`` tables ((id, embedding array<double>),
+    L2-normalized — e.g. a real CLIP batch-inference output) and the
+    corresponding encode pass is skipped entirely; the stub encoders
+    remain the fixture default."""
+    iv = (image_embeddings if image_embeddings is not None
+          else embed_images(images, id_col=id_col, dim=dim)).select(
         F.col(id_col), F.col("embedding").alias("iv"))
-    cv = embed_captions(captions, id_col=id_col, dim=dim).select(
+    cv = (caption_embeddings if caption_embeddings is not None
+          else embed_captions(captions, id_col=id_col, dim=dim)).select(
         F.col(id_col), F.col("embedding").alias("cv"))
     dot = F.aggregate(
         F.zip_with("iv", "cv", lambda a, b: a * b),

@@ -53,15 +53,23 @@ def decode_stub(payload: bytes) -> list[float]:
     return [sum(b) / n / 255.0 + i * 0.0 for i in range(8)]
 
 
-def extract_features(df: DataFrame) -> DataFrame:
+def extract_features(df: DataFrame, decoder=None) -> DataFrame:
     """mapInPandas feature extraction over (id, payload, meta).
 
     Arrow record batches in, pandas out — the canonical shape for any
-    per-row media kernel (decode, resize, embed)."""
+    per-row media kernel (decode, resize, embed).
+
+    ``decoder`` is the pluggable-model seam: a callable
+    ``(bytes) -> list[float]`` (a real PIL/torchaudio/ffmpeg feature
+    extractor loaded per executor) that replaces :func:`decode_stub`
+    inside the same kernel — schema and plumbing unchanged. Default
+    None keeps the documented deterministic stub as the fixture
+    default."""
+    decode = decoder or decode_stub
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats = pdf["payload"].map(lambda p: decode_stub(bytes(p)))
+            feats = pdf["payload"].map(lambda p: decode(bytes(p)))
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],

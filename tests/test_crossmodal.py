@@ -77,3 +77,51 @@ def test_crossmodal_topk_plan_broadcasts_queries(spark):
         embed_images(_images(spark)), embed_captions(_captions(spark)), k=1
     )._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_pluggable_encoder_seam(spark):
+    """The model seam: a user-supplied encoder callable replaces the
+    stub inside the same kernel. A trivial 'real model' stand-in (unit
+    vector picked by payload length / text length parity) must flow
+    through both sides and drive retrieval."""
+
+    def image_encoder(payloads):
+        return [[1.0, 0.0] if len(p) % 2 == 0 else [0.0, 1.0]
+                for p in payloads]
+
+    def caption_encoder(texts):
+        return [[1.0, 0.0] if len(t) % 2 == 0 else [0.0, 1.0]
+                for t in texts]
+
+    iv = embed_images(_images(spark), encoder=image_encoder)
+    cv = embed_captions(_captions(spark), encoder=caption_encoder)
+    assert {tuple(r.embedding) for r in iv.collect()} <= {(1.0, 0.0), (0.0, 1.0)}
+    got = crossmodal_topk(iv, cv, k=1).collect()
+    assert all(r.cosine in (0.0, 1.0) for r in got)
+
+
+def test_alignment_filter_accepts_embedding_tables(spark):
+    """User-supplied embedding tables skip the encode pass entirely —
+    the CLIP-batch-inference integration path."""
+    from drill_spark.ops.crossmodal import alignment_filter
+
+    iv = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])], "doc_id long, embedding array<double>")
+    cv = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [1.0, 0.0])], "doc_id long, embedding array<double>")
+    got = {r.doc_id: r.cosine for r in alignment_filter(
+        None, None, image_embeddings=iv, caption_embeddings=cv,
+        threshold=0.5).collect()}
+    assert got == {0: 1.0}
+
+
+def test_extract_features_pluggable_decoder(spark):
+    """Same seam on the generic media-feature kernel."""
+    from drill_spark.ops.multimodal import attach_payload, extract_features
+
+    docs = spark.createDataFrame(
+        [(1, "abcd"), (2, "xyz")], "doc_id long, text string")
+    got = {r.doc_id: (r.feat_mean, r.feat_dim) for r in extract_features(
+        attach_payload(docs), decoder=lambda b: [float(len(b)), 0.0]
+    ).collect()}
+    assert got == {1: (2.0, 2), 2: (1.5, 2)}
