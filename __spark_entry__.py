@@ -90,7 +90,7 @@ _PRIORITY = [
     "op_join_full", "op_join_anti", "op_except",
     "op_agg_percentile", "op_window_frames",
     "op_delta_dv_scan", "op_iceberg_v2_scan", "op_iceberg_skip_scan",
-    "op_csv_columns", "op_json_text_mode", "op_xml_scan", "op_ltsv_scan",
+    "op_csv_columns", "op_json_text_mode", "op_json_extended", "op_xml_scan", "op_ltsv_scan",
     "op_log_scan", "op_httpd_scan", "op_syslog_scan",
     "op_sequencefile_scan", "op_excel_scan", "op_sas_scan", "op_http_scan",
     "op_join_theta", "op_window_ignore_nulls", "op_delta_zorder_scan",

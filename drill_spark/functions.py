@@ -438,6 +438,12 @@ _INT4 = "CAST(CAST(conv({h}, 16, 10) AS BIGINT) AS INT)"
 
 _CONVERT_FROM = {
     "JSON": "parse_json(cast({x} AS STRING))",
+    # Extended (mongo $-typed) JSON arrives losslessly as VARIANT; the
+    # TYPED decode of $-literals ($numberLong -> long, $date ->
+    # timestamp, ...) is the JSON reader's job, as in the reference
+    # (store/easy/json/extended/) — readers/files.py::read_json(
+    # extended=True) / decode_extended_json.
+    "EXTENDEDJSON": "parse_json(cast({x} AS STRING))",
     "UTF8": "cast({x} AS STRING)",
     "INT_BE": _INT4.format(h="hex({x})"),
     "INT": _INT4.format(h=_LE_HEX),

@@ -342,6 +342,7 @@ def read_json(
     union_mode: bool = False,
     schema: str | None = None,
     options: dict | None = None,
+    extended: bool = False,
 ) -> DataFrame:
     """JSON with Drill semantics: multiline objects OK, schema unioned
     across files (OK_NEW_SCHEMA analog resolved at read time), and
@@ -366,7 +367,98 @@ def read_json(
     df = reader.option("multiLine", "false").json(path)
     if df.columns == ["_corrupt_record"]:
         df = reader.option("multiLine", "true").json(path)
+    if extended:
+        df = decode_extended_json(df)
     return df
+
+
+# Mongo extended JSON (store/easy/json/extended/ExtendedTypeNames.java:
+# V1 + V2 names; BaseExtendedValueParser semantics — relaxed scalars
+# accepted wherever the canonical form nests an object).
+_XJSON_LONG = "$numberLong"
+_XJSON_KEYS = {
+    "$numberLong", "$numberDecimal", "$numberDouble", "$numberInt",
+    "$date", "$binary", "$oid", "$dateDay", "$time", "$interval", "$type",
+}
+
+
+def _xjson_rewrite(col, dtype):
+    """Recursive Catalyst rewrite of one column: single-``$``-key structs
+    become their typed scalar; arrays/structs rewrite element-wise.
+    Pure JVM expressions — no Python in the row path."""
+    from pyspark.sql import types as T
+
+    if isinstance(dtype, T.ArrayType):
+        inner = dtype.elementType
+        return F.transform(col, lambda x: _xjson_rewrite(x, inner))
+    if not isinstance(dtype, T.StructType):
+        return col
+    names = [f.name for f in dtype.fields]
+    tagged = [n for n in names if n in _XJSON_KEYS]
+    if tagged and all(n in _XJSON_KEYS for n in names):
+        by = {f.name: f for f in dtype.fields}
+
+        def scalar(name):
+            f = by[name]
+            v = col.getField(name)
+            # canonical V2 nests {"$numberLong": "millis"} under $date
+            if isinstance(f.dataType, T.StructType):
+                sub = {g.name: g for g in f.dataType.fields}
+                if _XJSON_LONG in sub:
+                    return v.getField(_XJSON_LONG).cast("long"), "long"
+                if "base64" in sub:  # V2 $binary: {base64, subType}
+                    return v.getField("base64"), "string"
+                return v.cast("string"), "string"
+            return v, f.dataType.simpleString()
+
+        if _XJSON_LONG in by and len(tagged) == 1:
+            return scalar(_XJSON_LONG)[0].cast("long")
+        if "$numberInt" in by and len(tagged) == 1:
+            return scalar("$numberInt")[0].cast("int")
+        if "$numberDouble" in by and len(tagged) == 1:
+            return scalar("$numberDouble")[0].cast("double")
+        if "$numberDecimal" in by and len(tagged) == 1:
+            return scalar("$numberDecimal")[0].cast("decimal(38,9)")
+        if "$oid" in by and len(tagged) == 1:
+            return scalar("$oid")[0].cast("string")
+        if "$dateDay" in by and len(tagged) == 1:
+            return scalar("$dateDay")[0].cast("date")
+        if "$time" in by and len(tagged) == 1:
+            return scalar("$time")[0].cast("string")
+        if "$interval" in by and len(tagged) == 1:
+            return scalar("$interval")[0].cast("string")
+        if "$date" in by and len(tagged) == 1:
+            v, kind = scalar("$date")
+            if kind == "long":
+                return F.timestamp_millis(v)
+            if kind in ("bigint", "int"):
+                return F.timestamp_millis(v.cast("long"))
+            if kind == "double":
+                return F.timestamp_millis(v.cast("long"))
+            return F.to_timestamp(v)
+        if "$binary" in by:  # V1 allows a sibling "$type" tag
+            return F.unbase64(scalar("$binary")[0])
+    # plain struct: rewrite fields, preserving null-ness of the struct
+    rebuilt = F.struct(*[
+        _xjson_rewrite(col.getField(f.name), f.dataType).alias(f.name)
+        for f in dtype.fields
+    ])
+    return F.when(col.isNull(), F.lit(None)).otherwise(rebuilt)
+
+
+def decode_extended_json(df: DataFrame) -> DataFrame:
+    """Decode Mongo extended JSON V1/V2 $-literals anywhere in the
+    schema into native Spark types ($numberLong→long, $numberInt→int,
+    $numberDouble→double, $numberDecimal→decimal(38,9), $date→timestamp
+    (millis or ISO string), $dateDay→date, $binary→binary (V1 sibling
+    $type and V2 {base64,subType} both handled), $oid/$time/$interval→
+    string — Spark has no TIME/INTERVAL storage type; the reference's
+    V1 parsers note the same relaxed-scalar acceptance). One projection
+    of nested Catalyst expressions; no Python row path."""
+    return df.select(*[
+        _xjson_rewrite(F.col(f.name), f.dataType).alias(f.name)
+        for f in df.schema.fields
+    ])
 
 
 def read_csv(

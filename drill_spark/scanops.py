@@ -131,6 +131,53 @@ from nation
 """
 
 
+def q_json_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mongo extended JSON V1/V2 decode
+    (store/easy/json/extended/ExtendedTypeNames.java parity): nation
+    serialized with $-typed literals ($oid, $numberLong, canonical
+    $date, $dateDay, $binary) once per sf_dir, read back typed."""
+    import base64
+    import json as _json
+
+    from drill_spark.readers.files import read_json
+
+    def build(d: str) -> None:
+        os.makedirs(d, exist_ok=True)
+        rows = sorted(
+            (int(r.n_nationkey), r.n_name)
+            for r in load_fixture(spark, sf_dir, "nation")
+            .select("n_nationkey", "n_name").collect())
+        with open(os.path.join(d, "nations.json"), "w") as f:
+            for k, n in rows:
+                f.write(_json.dumps({
+                    "oid": {"$oid": f"{k:024x}"},
+                    "nkey": {"$numberLong": str(k * 10_000_000_000)},
+                    "ts": {"$date": {"$numberLong": str(1577836800000 + k * 1000)}},
+                    "day": {"$dateDay": f"2020-01-{(k % 28) + 1:02d}"},
+                    "name_b64": {"$binary": base64.b64encode(
+                        n.encode()).decode(), "$type": "0"},
+                }) + "\n")
+
+    out = _materialize_once(sf_dir, "xjson", build)
+    df = read_json(spark, out, extended=True)
+    return df.select(
+        "oid", "nkey",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+        "day",
+        F.decode("name_b64", "UTF-8").alias("n_name"))
+
+
+ORACLE_JSON_EXTENDED = """
+select
+  lower(lpad(to_hex(n_nationkey), 24, '0')) as oid,
+  cast(n_nationkey * 10000000000 as bigint) as nkey,
+  strftime(to_timestamp(1577836800 + n_nationkey), '%Y-%m-%d %H:%M:%S') as ts_s,
+  date '2020-01-01' + cast(n_nationkey % 28 as int) as day,
+  n_name
+from nation
+"""
+
+
 # --------------------------------------------------------------- XML
 
 
@@ -444,6 +491,7 @@ QUERIES = {
     "op_csv_columns": q_csv_columns,
     "op_json_scan": q_json_scan,
     "op_json_text_mode": q_json_text_mode,
+    "op_json_extended": q_json_extended,
     "op_xml_scan": q_xml_scan,
     "op_ltsv_scan": q_ltsv_scan,
     "op_log_scan": q_log_scan,
@@ -460,6 +508,7 @@ ORACLES = {
     "op_csv_columns": ORACLE_CSV_COLUMNS,
     "op_json_scan": ORACLE_JSON_SCAN,
     "op_json_text_mode": ORACLE_JSON_TEXT_MODE,
+    "op_json_extended": ORACLE_JSON_EXTENDED,
     "op_xml_scan": ORACLE_XML_SCAN,
     "op_ltsv_scan": ORACLE_LTSV_SCAN,
     "op_log_scan": ORACLE_LOG_SCAN,

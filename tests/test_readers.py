@@ -484,3 +484,46 @@ def test_sequencefile_roundtrip(spark, tmp_path):
     assert sorted((r["binary_key"], r["binary_value"]) for r in df.collect()) == [
         ("k1", "v1"), ("k2", "v2"),
     ]
+
+
+def test_extended_json_roundtrip_through_writer(spark, tmp_path):
+    """convert_toEXTENDEDJSON output (JsonConvertTo.java extended form)
+    must read back TYPED through read_json(extended=True) — timestamps,
+    dates, binary survive the $-literal roundtrip."""
+    import datetime
+
+    from drill_spark.readers.files import read_json
+    from drill_spark.session import DrillSession
+
+    s = DrillSession(spark=spark)
+    df = spark.createDataFrame(
+        [(1, datetime.datetime(2020, 1, 2, 3, 4, 5),
+          datetime.date(2021, 6, 7), bytearray(b"\x00\xffhi"))],
+        "id long, ts timestamp, day date, payload binary")
+    df.createOrReplaceTempView("xj_src")
+    out = s.sql(
+        "select convert_to(struct(id, ts, day, payload), 'EXTENDEDJSON') j "
+        "from xj_src").collect()[0]["j"]
+    p = tmp_path / "x.json"
+    p.write_text(out if isinstance(out, str) else bytes(out).decode())
+    back = read_json(spark, str(p), extended=True).collect()[0]
+    assert back.id == 1
+    assert back.ts == datetime.datetime(2020, 1, 2, 3, 4, 5)
+    assert back.day == datetime.date(2021, 6, 7)
+    assert bytes(back.payload) == b"\x00\xffhi"
+
+
+def test_extended_json_relaxed_scalars(spark, tmp_path):
+    """BaseExtendedValueParser accepts relaxed scalar forms: $date as an
+    ISO string and as bare millis."""
+    from drill_spark.readers.files import read_json
+
+    p = tmp_path / "r.json"
+    p.write_text(
+        '{"a": {"$date": "2020-01-01T00:00:10"}, "k": 1}\n')
+    p2 = tmp_path / "m.json"
+    p2.write_text('{"a": {"$date": 1577836810000}, "k": 2}\n')
+    one = read_json(spark, str(p), extended=True).collect()[0]
+    two = read_json(spark, str(p2), extended=True).collect()[0]
+    assert str(one.a) == "2020-01-01 00:00:10"
+    assert str(two.a) == "2020-01-01 00:00:10"
