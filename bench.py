@@ -143,6 +143,7 @@ def main() -> None:
         # family subtotals for round-over-round comparison
         "groups": {
             "tpch": _group("tpch_"),
+            "tpcds": _group("tpcds_"),
             "op": _group("op_"),
             "fmt": _group("fmt"),
             "ext": _group("ext_"),

@@ -34,7 +34,8 @@ def _store_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
     lineitem multiplicity per orderkey gives count(*) the spread q73's
     `cnt between 1 and 5` filter needs."""
     li = load_fixture(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_linenumber", "l_suppkey")
+        "l_orderkey", "l_linenumber", "l_suppkey", "l_partkey",
+        "l_extendedprice")
     orders = load_fixture(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey")
     return (
@@ -45,13 +46,27 @@ def _store_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.lit(2451180) + F.col("l_orderkey") % 120).alias("ss_sold_date_sk"),
             (F.col("l_suppkey") % 10).alias("ss_store_sk"),
             ((F.col("l_orderkey") + F.col("l_linenumber")) % 50).alias("ss_hdemo_sk"),
+            (F.col("l_partkey") % 200).alias("ss_item_sk"),
+            F.col("l_extendedprice").alias("ss_ext_sales_price"),
         )
     )
 
 
 def _date_dim(spark: SparkSession) -> DataFrame:
     return spark.sql(
-        "select explode(sequence(2451000, 2451499)) as d_date_sk")
+        "select d_date_sk, 1998 + cast(d_date_sk % 5 as int) as d_year, "
+        "1 + cast(d_date_sk % 12 as int) as d_moy "
+        "from (select explode(sequence(2451000, 2451499)) as d_date_sk)")
+
+
+def _item(spark: SparkSession) -> DataFrame:
+    return spark.sql(
+        "select id as i_item_sk, "
+        "cast(id % 37 as int) + 1 as i_brand_id, "
+        "'Brand#' || cast(cast(id % 37 as int) + 1 as string) as i_brand, "
+        "cast(id % 50 as int) + 1 as i_manufact_id, "
+        "cast(id % 100 as int) + 1 as i_manager_id "
+        "from (select explode(sequence(0, 199)) as id)")
 
 
 def _store(spark: SparkSession) -> DataFrame:
@@ -127,17 +142,31 @@ def q_tpcds_q73(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _COUNTY_SQL = ", ".join(f"'{c}'" for c in _COUNTIES)
 
-ORACLE_TPCDS_Q73 = f"""
+# Shared DuckDB CTE block — must stay the exact twin of the DataFrame
+# derivations above.
+_DIMS_SQL = f"""
 with store_sales as (
   select l.l_orderkey as ss_ticket_number,
          o.o_custkey as ss_customer_sk,
          2451180 + l.l_orderkey % 120 as ss_sold_date_sk,
          l.l_suppkey % 10 as ss_store_sk,
-         (l.l_orderkey + l.l_linenumber) % 50 as ss_hdemo_sk
+         (l.l_orderkey + l.l_linenumber) % 50 as ss_hdemo_sk,
+         l.l_partkey % 200 as ss_item_sk,
+         l.l_extendedprice as ss_ext_sales_price
   from lineitem l join orders o on l.l_orderkey = o.o_orderkey
 ),
 date_dim as (
-  select unnest(generate_series(2451000, 2451499)) as d_date_sk
+  select d_date_sk, 1998 + cast(d_date_sk % 5 as int) as d_year,
+         1 + cast(d_date_sk % 12 as int) as d_moy
+  from (select unnest(generate_series(2451000, 2451499)) as d_date_sk)
+),
+item as (
+  select id as i_item_sk,
+         cast(id % 37 as int) + 1 as i_brand_id,
+         'Brand#' || cast(cast(id % 37 as int) + 1 as varchar) as i_brand,
+         cast(id % 50 as int) + 1 as i_manufact_id,
+         cast(id % 100 as int) + 1 as i_manager_id
+  from (select unnest(generate_series(0, 199)) as id)
 ),
 store as (
   select id as s_store_sk,
@@ -159,7 +188,10 @@ cust as (
          case when c_custkey % 2 = 0 then 'Mr.' else 'Ms.' end as c_salutation,
          case when c_custkey % 3 = 0 then 'Y' else 'N' end as c_preferred_cust_flag
   from customer
-),
+)
+"""
+
+ORACLE_TPCDS_Q73 = _DIMS_SQL + f""",
 dj as (
   select ss.ss_ticket_number as sstn, ss.ss_customer_sk as sscsk,
          cast(count(*) as bigint) as cnt
@@ -186,8 +218,81 @@ limit 1000
 """
 
 
-QUERIES = {"tpcds_q73": q_tpcds_q73}
-ORACLES = {"tpcds_q73": ORACLE_TPCDS_Q73}
+def q_tpcds_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q3 (TPC-DS spec shape): brand-level November sales for one
+    manufacturer across years — date/item broadcast, one partial-
+    aggregated groupBy on the fact, TakeOrdered top-100."""
+    ss = _store_sales(spark, sf_dir)
+    d = _date_dim(spark)
+    i = _item(spark)
+    out = (
+        ss.join(F.broadcast(d), ss.ss_sold_date_sk == d.d_date_sk)
+        .join(F.broadcast(i), ss.ss_item_sk == i.i_item_sk)
+        .where((F.col("i_manufact_id") == 25) & (F.col("d_moy") == 11))
+        .groupBy("d_year", "i_brand_id", "i_brand")
+        .agg(F.round(F.sum("ss_ext_sales_price"), 2).alias("sum_agg"))
+        .orderBy("d_year", F.desc("sum_agg"), "i_brand_id")
+        .limit(100)
+        .select("d_year", F.col("i_brand_id").alias("brand_id"),
+                F.col("i_brand").alias("brand"), "sum_agg")
+    )
+    return out
+
+
+ORACLE_TPCDS_Q3 = _DIMS_SQL + """
+select d_year, i_brand_id as brand_id, i_brand as brand,
+       round(sum(ss_ext_sales_price), 2) as sum_agg
+from date_dim, store_sales, item
+where d_date_sk = ss_sold_date_sk and ss_item_sk = i_item_sk
+  and i_manufact_id = 25 and d_moy = 11
+group by d_year, i_brand_id, i_brand
+order by d_year, sum_agg desc, brand_id
+limit 100
+"""
+
+
+def q_tpcds_q55(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q55: one manager's brand revenue for one (year, month) — same
+    broadcast-star shape, single-group filter."""
+    ss = _store_sales(spark, sf_dir)
+    d = _date_dim(spark)
+    i = _item(spark)
+    return (
+        ss.join(F.broadcast(d), ss.ss_sold_date_sk == d.d_date_sk)
+        .join(F.broadcast(i), ss.ss_item_sk == i.i_item_sk)
+        .where((F.col("i_manager_id") == 13) & (F.col("d_moy") == 11)
+               & (F.col("d_year") == 1999))
+        .groupBy("i_brand_id", "i_brand")
+        .agg(F.round(F.sum("ss_ext_sales_price"), 2).alias("ext_price"))
+        .orderBy(F.desc("ext_price"), "i_brand_id")
+        .limit(100)
+        .select(F.col("i_brand_id").alias("brand_id"),
+                F.col("i_brand").alias("brand"), "ext_price")
+    )
+
+
+ORACLE_TPCDS_Q55 = _DIMS_SQL + """
+select i_brand_id as brand_id, i_brand as brand,
+       round(sum(ss_ext_sales_price), 2) as ext_price
+from date_dim, store_sales, item
+where d_date_sk = ss_sold_date_sk and ss_item_sk = i_item_sk
+  and i_manager_id = 13 and d_moy = 11 and d_year = 1999
+group by i_brand_id, i_brand
+order by ext_price desc, brand_id
+limit 100
+"""
+
+
+QUERIES = {
+    "tpcds_q73": q_tpcds_q73,
+    "tpcds_q03": q_tpcds_q3,
+    "tpcds_q55": q_tpcds_q55,
+}
+ORACLES = {
+    "tpcds_q73": ORACLE_TPCDS_Q73,
+    "tpcds_q03": ORACLE_TPCDS_Q3,
+    "tpcds_q55": ORACLE_TPCDS_Q55,
+}
 
 
 def queries():
