@@ -4455,6 +4455,222 @@ where cast('0x' || substring(md5(cast(d.doc_id as varchar)), 1, 6)
 """
 
 
+def q_mixture_build(spark, sf_dir):
+    """Token-budget mixture composition (ops/pipeline.py::
+    build_mixture): four sources get Pile/LLaMA-style token-share
+    targets; under-sized sources repeat for multiple epochs plus a
+    content-addressed fractional epoch. The oracle replays the
+    token-sum, rate, and md5 gate arithmetic exactly (same IEEE double
+    expressions), so the repeat fan-out hash-matches."""
+    from drill_spark.ops.pipeline import build_mixture
+
+    return build_mixture(
+        _docs(spark, sf_dir), "source", "doc_id", "text",
+        {"src0": 0.4, "src1": 0.3, "src2": 0.2, "src3": 0.1},
+        token_budget=200_000,
+    )
+
+
+ORACLE_MIXTURE_BUILD = r"""
+with toks as (
+  select doc_id, source,
+         cast(len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                              w -> w <> '')) as bigint) as n_tokens
+  from documents
+),
+w(source, __w) as (values ('src0', 0.4), ('src1', 0.3),
+                          ('src2', 0.2), ('src3', 0.1)),
+avail as (select source, cast(sum(n_tokens) as double) as __avail
+          from toks group by 1),
+rates as (
+  select a.source,
+         cast(floor(__w * 200000.0 / __avail) as bigint) as __epochs,
+         cast(floor(((__w * 200000.0 / __avail)
+                     - floor(__w * 200000.0 / __avail))
+              * 16777216.0) as bigint) as __gate
+  from avail a join w using (source)
+),
+gated as (
+  select t.doc_id, t.source, t.n_tokens,
+         r.__epochs + case when cast('0x' ||
+             substring(md5(cast(t.doc_id as varchar)), 1, 6) as bigint)
+             < r.__gate then 1 else 0 end as total
+  from toks t join rates r using (source)
+)
+select doc_id, source,
+       cast(unnest(range(1, cast(total as int) + 1)) as int) as epoch,
+       n_tokens
+from gated where total >= 1
+"""
+
+
+def q_epoch_shuffle(spark, sf_dir):
+    """Epoch-salted deterministic global shuffle (ops/pipeline.py::
+    epoch_shuffle) over the mixture's repeated copies: each epoch's
+    copy of a document lands at a different (shard, pos) address. The
+    oracle recomputes the salted md5 bucketing + in-shard rank."""
+    from drill_spark.ops.pipeline import build_mixture, epoch_shuffle
+
+    mix = build_mixture(
+        _docs(spark, sf_dir), "source", "doc_id", "text",
+        {"src0": 0.4, "src1": 0.3, "src2": 0.2, "src3": 0.1},
+        token_budget=200_000,
+    )
+    return epoch_shuffle(mix, "doc_id", epoch=None, n_shards=8)
+
+
+ORACLE_EPOCH_SHUFFLE = r"""
+with toks as (
+  select doc_id, source,
+         cast(len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                              w -> w <> '')) as bigint) as n_tokens
+  from documents
+),
+w(source, __w) as (values ('src0', 0.4), ('src1', 0.3),
+                          ('src2', 0.2), ('src3', 0.1)),
+avail as (select source, cast(sum(n_tokens) as double) as __avail
+          from toks group by 1),
+rates as (
+  select a.source,
+         cast(floor(__w * 200000.0 / __avail) as bigint) as __epochs,
+         cast(floor(((__w * 200000.0 / __avail)
+                     - floor(__w * 200000.0 / __avail))
+              * 16777216.0) as bigint) as __gate
+  from avail a join w using (source)
+),
+gated as (
+  select t.doc_id,
+         r.__epochs + case when cast('0x' ||
+             substring(md5(cast(t.doc_id as varchar)), 1, 6) as bigint)
+             < r.__gate then 1 else 0 end as total
+  from toks t join rates r using (source)
+),
+m as (
+  select doc_id, cast(unnest(range(1, cast(total as int) + 1)) as int) as epoch
+  from gated where total >= 1
+),
+s as (
+  select doc_id, epoch,
+         md5('pos_e' || cast(epoch as varchar) || '_'
+             || cast(doc_id as varchar)) as hh,
+         cast(cast('0x' || substring(md5('pos_e' || cast(epoch as varchar)
+             || '_' || cast(doc_id as varchar)), 1, 6) as bigint) % 8
+             as int) as shard
+  from m
+)
+select doc_id, epoch, shard,
+       cast(row_number() over (partition by epoch, shard
+                               order by hh, doc_id) as int) as pos
+from s
+"""
+
+
+def q_kmv_distinct(spark, sf_dir):
+    """KMV distinct-count sketch per language (ops/sketch.py::
+    kmv_distinct, k=16 so the estimator path — not the exact small-set
+    path — is exercised). Deterministic given the md5 hash, so the
+    oracle reproduces the identical sketch with a row_number window
+    and the identical (k-1)/theta estimate."""
+    from drill_spark.ops.sketch import kmv_distinct
+
+    return kmv_distinct(_docs(spark, sf_dir), "lang", "text", k=16)
+
+
+ORACLE_KMV_DISTINCT = """
+with h as (
+  select distinct lang,
+         cast('0x' || substring(md5(text), 1, 15) as bigint) as hv
+  from documents where lang is not null and text is not null
+),
+rk as (select lang, hv,
+              row_number() over (partition by lang order by hv) as r
+       from h),
+sk as (select lang, cast(count(*) as bigint) as n_hashes,
+              max(hv) as theta_hash
+       from rk where r <= 16 group by 1)
+select lang, n_hashes, theta_hash,
+       case when n_hashes < 16 then cast(n_hashes as double)
+            else round(15.0 * 1152921504606846976.0
+                       / cast(theta_hash as double), 4)
+       end as est_distinct
+from sk
+"""
+
+
+def q_kmv_overlap(spark, sf_dir):
+    """Theta-sketch set overlap (ops/sketch.py::kmv_overlap): how much
+    distinct trigram vocabulary two sources share, estimated from two
+    k=128 KMV sketches (union ~2.7K trigrams at sf0.01, well past k,
+    so this is the true estimation regime). The oracle replays the
+    sketch build and the theta intersection/union estimators."""
+    from drill_spark.ops.sketch import kmv_overlap
+
+    docs = _docs(spark, sf_dir).where(F.col("source").isin("src0", "src1"))
+    w = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    grams = F.when(
+        F.size(w) >= 3,
+        F.transform(
+            F.sequence(F.lit(1), F.size(w) - 2),
+            lambda i: F.concat_ws(
+                " ", F.element_at(w, i), F.element_at(w, i + 1),
+                F.element_at(w, i + 2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    tri = docs.select("source", F.explode(grams).alias("g"))
+    return kmv_overlap(tri, "source", "g", "src0", "src1", k=128)
+
+
+ORACLE_KMV_OVERLAP = r"""
+with w as (
+  select source, string_split_regex(trim(lower(text)), '\s+') as ws
+  from documents where source in ('src0', 'src1')
+),
+g as (
+  select source,
+         unnest(list_transform(range(1, len(ws) - 1),
+                i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) as g
+  from w where len(ws) >= 3
+),
+h as (
+  select distinct source,
+         cast('0x' || substring(md5(g), 1, 15) as bigint) as hv
+  from g
+),
+rk as (select source, hv,
+              row_number() over (partition by source order by hv) as r
+       from h),
+sk as (select source, hv from rk where r <= 128),
+th as (
+  select source,
+         case when count(*) < 128 then 1152921504606846976
+              else max(hv) end as t
+  from sk group by 1
+),
+theta as (select least(max(case when source='src0' then t end),
+                       max(case when source='src1' then t end)) as th
+          from th),
+ua as (select hv from sk, theta where source='src0' and hv < th),
+ub as (select hv from sk, theta where source='src1' and hv < th),
+cnt as (
+  select (select count(*) from ua) as ca,
+         (select count(*) from ub) as cb,
+         (select count(*) from (select hv from ua
+                                intersect select hv from ub)) as ci,
+         (select count(*) from (select hv from ua
+                                union select hv from ub)) as cu,
+         (select th from theta) as th
+)
+select 'src0' as seg_a, 'src1' as seg_b,
+       round(ca * 1152921504606846976.0 / cast(th as double), 4) as est_a,
+       round(cb * 1152921504606846976.0 / cast(th as double), 4) as est_b,
+       round(cu * 1152921504606846976.0 / cast(th as double), 4) as est_union,
+       round(ci * 1152921504606846976.0 / cast(th as double), 4)
+         as est_intersect,
+       round(case when cu > 0 then ci * 1.0 / cu else 0.0 end, 4) as jaccard
+from cnt
+"""
+
+
 QUERIES = {
     "op_avro_scan": q_avro_scan,
     "op_delta_scan": q_delta_scan,
@@ -4528,6 +4744,10 @@ QUERIES = {
     "ext_cluster_sample": q_cluster_sample,
     "ext_bm25_topk": q_bm25_topk,
     "ext_tfidf_keywords": q_tfidf_keywords,
+    "ext_mixture_build": q_mixture_build,
+    "ext_epoch_shuffle": q_epoch_shuffle,
+    "ext_kmv_distinct": q_kmv_distinct,
+    "ext_kmv_overlap": q_kmv_overlap,
     "ext_fuzzy_join": q_fuzzy_join,
     "ext_leakage_split": q_leakage_split,
     "ext_url_canon": q_url_canon,
@@ -4676,6 +4896,10 @@ ORACLES = {
     "ext_retention": ORACLE_RETENTION,
     "ext_training_shards": ORACLE_TRAINING_SHARDS,
     "ext_mad_outliers": ORACLE_MAD_OUTLIERS,
+    "ext_mixture_build": ORACLE_MIXTURE_BUILD,
+    "ext_epoch_shuffle": ORACLE_EPOCH_SHUFFLE,
+    "ext_kmv_distinct": ORACLE_KMV_DISTINCT,
+    "ext_kmv_overlap": ORACLE_KMV_OVERLAP,
 }
 
 

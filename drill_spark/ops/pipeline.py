@@ -726,3 +726,121 @@ def training_shards(df: DataFrame, id_col: str,
         df.select(F.col(id_col), shard.alias("shard"))
         .withColumn("pos", F.row_number().over(w))
     )
+
+
+def build_mixture(
+    df: DataFrame,
+    source_col: str,
+    id_col: str,
+    text_col: str,
+    weights: dict[str, float],
+    token_budget: int,
+) -> DataFrame:
+    """Token-budget mixture builder — compose the final training mix
+    from heterogeneous sources with target weights measured in TOKENS,
+    the way published pretraining mixes are specified (The Pile's
+    per-component epochs, Gao et al. 2021 table 1; LLaMA's sampling
+    proportions, Touvron et al. 2023 table 1): source s should
+    contribute ``weights[s] * token_budget`` tokens to the mix.
+
+    Per-source rate = target_tokens / available_tokens. Rates above 1
+    mean the source is smaller than its target share, so its documents
+    REPEAT floor(rate) times (multiple epochs — exactly how small
+    high-quality sources like Wikipedia are over-sampled in practice)
+    plus a fractional extra epoch gated content-addressed: the first 6
+    hex digits of md5(id) as a 24-bit integer against
+    ``floor(frac * 2^24)`` — integer-exact, reproducible across
+    engines, re-runs, and partitionings (the same gate every sampler
+    in this module uses). Sources absent from ``weights`` are dropped.
+
+    Scale shape: ONE map-combined token-sum aggregation over sources
+    (output = one row per source), rates derived on that bounded table,
+    broadcast back, then a per-row epoch fan-out
+    (``explode(sequence(...))`` — output size is the answer size) on
+    the scan. The corpus itself never shuffles.
+
+    Returns (id, source, epoch, n_tokens) — epoch is 1-based; feed
+    (id, epoch) to :func:`epoch_shuffle` so each epoch's copies land
+    in a different global order.
+    """
+    if not weights:
+        raise ValueError("build_mixture: weights must be non-empty")
+    toks = F.size(F.filter(_words(text_col), lambda w: w != ""))
+    spark = df.sparkSession
+    wdf = spark.createDataFrame(
+        [(s, float(w)) for s, w in sorted(weights.items())],
+        f"{source_col} string, __w double",
+    )
+    avail = df.groupBy(source_col).agg(
+        F.sum(toks).cast("double").alias("__avail")
+    )
+    rates = (
+        avail.join(wdf, source_col)
+        .select(
+            source_col,
+            (F.col("__w") * F.lit(float(token_budget)) / F.col("__avail")
+             ).alias("__rate"),
+        )
+        .select(
+            source_col,
+            F.floor("__rate").cast("long").alias("__epochs"),
+            F.floor(
+                (F.col("__rate") - F.floor("__rate")) * F.lit(float(1 << 24))
+            ).cast("long").alias("__gate"),
+        )
+    )
+    h24 = F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 6), 16, 10
+    ).cast("long")
+    total = (
+        F.col("__epochs")
+        + F.when(h24 < F.col("__gate"), F.lit(1)).otherwise(F.lit(0))
+    )
+    # Spark's sequence(1, 0) is DESCENDING [1, 0], not empty — rows
+    # whose epoch count is zero must short-circuit to an empty list.
+    epochs = F.when(
+        total >= 1, F.sequence(F.lit(1), total.cast("int"))
+    ).otherwise(F.array().cast("array<int>"))
+    return (
+        df.join(F.broadcast(rates), source_col)
+        .select(
+            F.col(id_col),
+            F.col(source_col),
+            F.explode(epochs).alias("epoch"),
+            toks.cast("long").alias("n_tokens"),
+        )
+    )
+
+
+def epoch_shuffle(df: DataFrame, id_col: str, epoch: int | None = None,
+                  n_shards: int = 1024) -> DataFrame:
+    """Epoch-aware deterministic global shuffle: the same corpus gets a
+    DIFFERENT reproducible permutation every epoch (pretraining loaders
+    reshuffle between epochs; doing it content-addressed means any
+    worker can recompute example k of epoch e without coordination).
+
+    Identical to :func:`training_shards` but the permutation hash is
+    salted with the epoch number — pass ``epoch=None`` to read the
+    per-row ``epoch`` column produced by :func:`build_mixture`, so each
+    repeated copy of an over-sampled document lands in a different
+    place in the global order.
+
+    Scale shape: one shuffle keyed by the shard id + one in-shard sort
+    (see training_shards). Returns (id, epoch, shard, pos).
+    """
+    from pyspark.sql import Window
+
+    e = F.lit(int(epoch)) if epoch is not None else F.col("epoch")
+    salt = F.concat(F.lit("pos_e"), e.cast("string"), F.lit("_"),
+                    F.col(id_col).cast("string"))
+    shard = (
+        F.conv(F.substring(F.md5(salt), 1, 6), 16, 10).cast("long")
+        % n_shards
+    ).cast("int")
+    w = Window.partitionBy("epoch", "shard").orderBy(
+        F.md5(salt), id_col)
+    return (
+        df.select(F.col(id_col), e.cast("int").alias("epoch"),
+                  shard.alias("shard"))
+        .withColumn("pos", F.row_number().over(w))
+    )

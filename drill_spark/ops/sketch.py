@@ -86,3 +86,162 @@ def heavy_hitters(df: DataFrame, col: str, k: int = 50) -> DataFrame:
         .agg(F.count("*").alias("cnt"))
         .where(F.col("cnt") * (k + 1) > F.lit(total))
     )
+
+
+# ---------------- KMV / theta distinct-count sketches ----------------
+#
+# The companion problem to heavy hitters: "how many DISTINCT users /
+# urls / tokens per segment, and how much do two segments overlap"
+# over columns with billions of distinct values. Exact count_distinct
+# shuffles one row per distinct key (cardinality-sized); the KMV
+# (k-minimum-values) sketch (Bar-Yossef et al. 2002; the theta sketch
+# of the Apache DataSketches library, Dasgupta et al. 2016) keeps only
+# the k smallest hash values per segment — bounded state, mergeable,
+# and DETERMINISTIC given the hash, which is why these queries are
+# DuckDB-oracle-backed (the oracle reproduces the exact same sketch
+# with a row_number window; reference analog: Drill's approx NDV
+# aggregates in exec/java-exec HLL functions, same role).
+#
+# Scale shape mirrors heavy_hitters: pass 1 is a mapInPandas kernel
+# with one k-slot summary per segment per task (state k * segments *
+# tasks, independent of cardinality); the only shuffle carries <= k
+# hashes per (segment, task). The merge is associative: the global k
+# smallest distinct hashes = k smallest of the union of partial
+# sketches, so the distributed result is bit-identical to a
+# single-pass computation.
+
+_KMV_DENOM = float(1 << 60)  # hash domain: 60-bit ints (15 hex chars)
+
+
+def _kmv_partition(seg_col: str, item_col: str, k: int):
+    """mapInPandas pass-1 kernel: per segment, the k smallest distinct
+    60-bit md5 hash values seen in this task."""
+
+    def run(batches):
+        import hashlib
+        import heapq
+        import pandas as pd
+
+        state: dict = {}  # seg -> [max-heap of -hash, membership set]
+        for pdf in batches:
+            for seg, item in zip(pdf[seg_col], pdf[item_col]):
+                if seg is None or item is None:
+                    continue
+                hv = int(
+                    hashlib.md5(str(item).encode("utf-8")).hexdigest()[:15],
+                    16,
+                )
+                ent = state.get(seg)
+                if ent is None:
+                    ent = state[seg] = [[], set()]
+                heap, seen = ent
+                if hv in seen:
+                    continue
+                if len(heap) < k:
+                    heapq.heappush(heap, -hv)
+                    seen.add(hv)
+                elif hv < -heap[0]:
+                    seen.discard(-heapq.heappushpop(heap, -hv))
+                    seen.add(hv)
+        yield pd.DataFrame(
+            {seg_col: list(state.keys()),
+             "hashes": [sorted(-h for h in ent[0])
+                        for ent in state.values()]})
+
+    return run
+
+
+def _kmv_sketches(df: DataFrame, seg_col: str, item_col: str,
+                  k: int) -> DataFrame:
+    """(segment, hashes) with the global k smallest distinct hash
+    values per segment."""
+    if k < 2:
+        raise ValueError("kmv: k must be >= 2")
+    # Cast JVM-side so the kernel hashes the exact string rendering the
+    # SQL oracle's CAST(x AS VARCHAR) produces (pandas would render an
+    # int64 column with nulls as floats).
+    src = df.select(seg_col, F.col(item_col).cast("string").alias(item_col))
+    schema = T.StructType([
+        src.schema[seg_col],
+        T.StructField("hashes", T.ArrayType(T.LongType()), True),
+    ])
+    partials = src.mapInPandas(_kmv_partition(seg_col, item_col, k), schema)
+    return partials.groupBy(seg_col).agg(
+        F.slice(
+            F.array_sort(F.array_distinct(F.flatten(F.collect_list("hashes")))),
+            1, k,
+        ).alias("hashes")
+    )
+
+
+def kmv_distinct(df: DataFrame, seg_col: str, item_col: str,
+                 k: int = 64) -> DataFrame:
+    """Approximate distinct ``item_col`` count per ``seg_col`` with a
+    k-minimum-values sketch. Exact below k distinct values; above, the
+    unbiased KMV estimator (k-1)/theta with theta = the k-th smallest
+    normalized hash (relative standard error ~ 1/sqrt(k-2)).
+
+    Returns (segment, n_hashes, theta_hash, est_distinct) — est
+    rounded to 4 decimals so the oracle comparison is float-stable.
+    """
+    sk = _kmv_sketches(df, seg_col, item_col, k)
+    n = F.size("hashes")
+    theta = F.element_at("hashes", n).cast("double")
+    est = F.when(n < k, n.cast("double")).otherwise(
+        F.round(F.lit(float(k - 1)) * F.lit(_KMV_DENOM) / theta, 4)
+    )
+    return sk.select(
+        F.col(seg_col),
+        n.cast("long").alias("n_hashes"),
+        F.element_at("hashes", n).alias("theta_hash"),
+        est.alias("est_distinct"),
+    )
+
+
+def kmv_overlap(df: DataFrame, seg_col: str, item_col: str,
+                seg_a: str, seg_b: str, k: int = 64) -> DataFrame:
+    """Set-overlap estimates between two segments from their KMV
+    sketches — the theta-sketch intersection/union estimators
+    (Dasgupta et al. 2016): theta = min(theta_a, theta_b); every
+    retained hash below theta is a uniform sample of the segment, so
+    |sample ∩| / theta estimates the distinct intersection.
+
+    Returns one row (seg_a, seg_b, est_a, est_b, est_union,
+    est_intersect, jaccard). Deterministic given the hash → oracle-
+    backed. The two sketch rows are tiny; the overlap math is array
+    HOFs on <= k elements.
+    """
+    sk = _kmv_sketches(
+        df.where(F.col(seg_col).isin(seg_a, seg_b)), seg_col, item_col, k
+    )
+    full = F.lit(int(_KMV_DENOM))
+    a = sk.where(F.col(seg_col) == seg_a).select(
+        F.col("hashes").alias("ha"),
+        F.when(F.size("hashes") < k, full)
+        .otherwise(F.element_at("hashes", F.size("hashes"))).alias("ta"),
+    )
+    b = sk.where(F.col(seg_col) == seg_b).select(
+        F.col("hashes").alias("hb"),
+        F.when(F.size("hashes") < k, full)
+        .otherwise(F.element_at("hashes", F.size("hashes"))).alias("tb"),
+    )
+    j = a.crossJoin(F.broadcast(b))  # 1 row x 1 row
+    theta = F.least("ta", "tb")
+    under = lambda c: F.filter(c, lambda h: h < theta)  # noqa: E731
+    inter = F.size(F.array_intersect(under(F.col("ha")), under(F.col("hb"))))
+    union = F.size(F.array_distinct(F.concat(under(F.col("ha")),
+                                             under(F.col("hb")))))
+    scale = F.lit(_KMV_DENOM) / theta.cast("double")
+    est = lambda c: F.round(c.cast("double") * scale, 4)  # noqa: E731
+    return j.select(
+        F.lit(seg_a).alias("seg_a"),
+        F.lit(seg_b).alias("seg_b"),
+        est(F.size(under(F.col("ha")))).alias("est_a"),
+        est(F.size(under(F.col("hb")))).alias("est_b"),
+        est(union).alias("est_union"),
+        est(inter).alias("est_intersect"),
+        F.round(
+            F.when(union > 0, inter.cast("double") / union.cast("double"))
+            .otherwise(F.lit(0.0)), 4
+        ).alias("jaccard"),
+    )

@@ -18,6 +18,8 @@ from drill_spark.ops.pipeline import (
 )
 from drill_spark.plans.checks import explain_report
 
+SF_MED = "/root/testdata/sf0.01"
+
 
 def _df(spark, rows, schema="id bigint, text string"):
     return spark.createDataFrame(rows, schema)
@@ -515,3 +517,114 @@ def test_html_links_extraction(spark):
     df = spark.createDataFrame([(html,)], "html string")
     links = df.select(html_links(F.col("html")).alias("l")).first()["l"]
     assert links == ["https://a.example/x", "https://b.example/y"]
+
+
+def test_build_mixture_hits_token_targets(spark):
+    """Realized per-source token totals track weight * budget within
+    one document's granularity + the fractional md5 gate's variance."""
+    from drill_spark.ops.pipeline import build_mixture
+
+    docs = spark.read.parquet(f"{SF_MED}/documents.parquet")
+    weights = {"src0": 0.4, "src1": 0.3, "src2": 0.2, "src3": 0.1}
+    budget = 200_000
+    mix = build_mixture(docs, "source", "doc_id", "text", weights, budget)
+    got = {r["source"]: r["tok"]
+           for r in mix.groupBy("source")
+           .agg(F.sum("n_tokens").alias("tok")).collect()}
+    assert set(got) == set(weights)  # unlisted sources dropped
+    for s, w in weights.items():
+        target = w * budget
+        assert abs(got[s] - target) / target < 0.25, (s, got[s], target)
+    # over-sampled sources repeat: every source here is smaller than its
+    # target, so at least one must have epoch >= 2
+    assert mix.agg(F.max("epoch")).first()[0] >= 2
+    # deterministic across re-runs
+    again = build_mixture(docs, "source", "doc_id", "text", weights, budget)
+    assert mix.exceptAll(again).count() == 0
+    assert again.exceptAll(mix).count() == 0
+
+
+def test_build_mixture_corpus_never_shuffles(spark):
+    """The corpus side reaches the epoch fan-out through a broadcast
+    join only — the only exchanges are on the tiny rates table."""
+    from drill_spark.ops.pipeline import build_mixture
+
+    docs = spark.read.parquet(f"{SF_MED}/documents.parquet")
+    mix = build_mixture(docs, "source", "doc_id", "text",
+                        {"src0": 1.0}, 1000)
+    rep = explain_report(mix)
+    assert rep["joins"].get("BroadcastHashJoin", 0) >= 1
+    assert not rep["python_eval"]
+
+
+def test_epoch_shuffle_decorrelates_epochs(spark):
+    from drill_spark.ops.pipeline import epoch_shuffle
+
+    docs = spark.read.parquet(f"{SF_MED}/documents.parquet")
+    e1 = epoch_shuffle(docs.select("doc_id"), "doc_id", epoch=1, n_shards=4)
+    e2 = epoch_shuffle(docs.select("doc_id"), "doc_id", epoch=2, n_shards=4)
+    # same address space, different permutation
+    n = docs.count()
+    assert e1.count() == n and e2.count() == n
+    j = e1.alias("a").join(e2.alias("b"), "doc_id").where(
+        (F.col("a.shard") == F.col("b.shard"))
+        & (F.col("a.pos") == F.col("b.pos")))
+    assert j.count() < n * 0.05
+    # pos is contiguous 1..n_shard within each shard
+    per = e1.groupBy("shard").agg(
+        F.count("*").alias("n"), F.max("pos").alias("mx"),
+        F.min("pos").alias("mn")).collect()
+    for r in per:
+        assert r["mn"] == 1 and r["mx"] == r["n"]
+
+
+def test_kmv_distinct_exact_below_k_and_bounded_above(spark):
+    from drill_spark.ops.sketch import kmv_distinct
+
+    rows = [(f"s{i % 3}", f"item{i % 200}") for i in range(2000)]
+    df = spark.createDataFrame(rows, "seg string, item string")
+    # k above cardinality: exact
+    exact = kmv_distinct(df, "seg", "item", k=512).collect()
+    for r in exact:
+        assert r["est_distinct"] == float(r["n_hashes"])
+    truth = {r["seg"]: r["d"]
+             for r in df.groupBy("seg")
+             .agg(F.count_distinct("item").alias("d")).collect()}
+    for r in exact:
+        assert r["est_distinct"] == truth[r["seg"]]
+    # k below cardinality: unbiased estimator within 4 relative
+    # standard errors (rse ~ 1/sqrt(k-2))
+    est = kmv_distinct(df, "seg", "item", k=32).collect()
+    for r in est:
+        rse = 1.0 / (32 - 2) ** 0.5
+        assert abs(r["est_distinct"] - truth[r["seg"]]) \
+            <= 4 * rse * truth[r["seg"]], (r, truth[r["seg"]])
+
+
+def test_kmv_sketch_is_partitioning_invariant(spark):
+    """The merge is associative: the distributed sketch equals the
+    single-partition sketch bit-for-bit (the property that makes the
+    DuckDB oracle reproducible)."""
+    from drill_spark.ops.sketch import kmv_distinct
+
+    rows = [(f"s{i % 2}", f"v{i % 97}") for i in range(1500)]
+    df = spark.createDataFrame(rows, "seg string, item string")
+    one = sorted(map(tuple, kmv_distinct(
+        df.coalesce(1), "seg", "item", k=16).collect()))
+    many = sorted(map(tuple, kmv_distinct(
+        df.repartition(13), "seg", "item", k=16).collect()))
+    assert one == many
+
+
+def test_kmv_overlap_tracks_exact_jaccard(spark):
+    from drill_spark.ops.sketch import kmv_overlap
+
+    # A = 0..299, B = 200..499  ->  |A|=|B|=300, inter=100, union=500
+    rows = [("a", f"x{i}") for i in range(300)] + \
+           [("b", f"x{i}") for i in range(200, 500)]
+    df = spark.createDataFrame(rows, "seg string, item string")
+    r = kmv_overlap(df, "seg", "item", "a", "b", k=128).first()
+    assert abs(r["est_a"] - 300) < 90
+    assert abs(r["est_union"] - 500) < 150
+    assert abs(r["est_intersect"] - 100) < 60
+    assert abs(r["jaccard"] - 0.2) < 0.12
