@@ -35,7 +35,7 @@ def _store_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
     `cnt between 1 and 5` filter needs."""
     li = load_fixture(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_linenumber", "l_suppkey", "l_partkey",
-        "l_extendedprice")
+        "l_extendedprice", "l_quantity", "l_discount")
     orders = load_fixture(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey")
     return (
@@ -48,6 +48,17 @@ def _store_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
             ((F.col("l_orderkey") + F.col("l_linenumber")) % 50).alias("ss_hdemo_sk"),
             (F.col("l_partkey") % 200).alias("ss_item_sk"),
             F.col("l_extendedprice").alias("ss_ext_sales_price"),
+            F.col("l_quantity").cast("int").alias("ss_quantity"),
+            F.round(F.col("l_extendedprice") / F.col("l_quantity"), 2)
+            .alias("ss_list_price"),
+            F.round(F.col("l_extendedprice") / F.col("l_quantity")
+                    * (1 - F.col("l_discount")), 2).alias("ss_sales_price"),
+            F.round(F.col("l_extendedprice") * F.col("l_discount"), 2)
+            .alias("ss_coupon_amt"),
+            ((F.col("l_orderkey") * 7 + F.col("l_partkey")) % 100)
+            .alias("ss_cdemo_sk"),
+            ((F.col("l_partkey") + F.col("l_suppkey")) % 30)
+            .alias("ss_promo_sk"),
         )
     )
 
@@ -65,8 +76,33 @@ def _item(spark: SparkSession) -> DataFrame:
         "cast(id % 37 as int) + 1 as i_brand_id, "
         "'Brand#' || cast(cast(id % 37 as int) + 1 as string) as i_brand, "
         "cast(id % 50 as int) + 1 as i_manufact_id, "
-        "cast(id % 100 as int) + 1 as i_manager_id "
+        "cast(id % 100 as int) + 1 as i_manager_id, "
+        "cast(id % 10 as int) + 1 as i_category_id, "
+        "'Category#' || cast(cast(id % 10 as int) + 1 as string) as i_category, "
+        "'Item#' || lpad(cast(id as string), 6, '0') as i_item_id "
         "from (select explode(sequence(0, 199)) as id)")
+
+
+def _customer_demographics(spark: SparkSession) -> DataFrame:
+    return spark.sql(
+        "select id as cd_demo_sk, "
+        "case cast(id % 2 as int) when 0 then 'M' else 'F' end as cd_gender, "
+        "case cast(id % 3 as int) when 0 then 'S' when 1 then 'M' "
+        "     else 'D' end as cd_marital_status, "
+        "case cast(id % 4 as int) when 0 then 'College' "
+        "     when 1 then '4 yr Degree' when 2 then 'Primary' "
+        "     else 'Secondary' end as cd_education_status "
+        "from (select explode(sequence(0, 99)) as id)")
+
+
+def _promotion(spark: SparkSession) -> DataFrame:
+    return spark.sql(
+        "select id as p_promo_sk, "
+        "case cast(id % 3 as int) when 0 then 'Y' else 'N' end "
+        "  as p_channel_email, "
+        "case cast(id % 5 as int) when 0 then 'Y' else 'N' end "
+        "  as p_channel_event "
+        "from (select explode(sequence(0, 29)) as id)")
 
 
 def _store(spark: SparkSession) -> DataFrame:
@@ -152,7 +188,14 @@ with store_sales as (
          l.l_suppkey % 10 as ss_store_sk,
          (l.l_orderkey + l.l_linenumber) % 50 as ss_hdemo_sk,
          l.l_partkey % 200 as ss_item_sk,
-         l.l_extendedprice as ss_ext_sales_price
+         l.l_extendedprice as ss_ext_sales_price,
+         cast(l.l_quantity as int) as ss_quantity,
+         round(l.l_extendedprice / l.l_quantity, 2) as ss_list_price,
+         round(l.l_extendedprice / l.l_quantity * (1 - l.l_discount), 2)
+           as ss_sales_price,
+         round(l.l_extendedprice * l.l_discount, 2) as ss_coupon_amt,
+         (l.l_orderkey * 7 + l.l_partkey) % 100 as ss_cdemo_sk,
+         (l.l_partkey + l.l_suppkey) % 30 as ss_promo_sk
   from lineitem l join orders o on l.l_orderkey = o.o_orderkey
 ),
 date_dim as (
@@ -165,8 +208,30 @@ item as (
          cast(id % 37 as int) + 1 as i_brand_id,
          'Brand#' || cast(cast(id % 37 as int) + 1 as varchar) as i_brand,
          cast(id % 50 as int) + 1 as i_manufact_id,
-         cast(id % 100 as int) + 1 as i_manager_id
+         cast(id % 100 as int) + 1 as i_manager_id,
+         cast(id % 10 as int) + 1 as i_category_id,
+         'Category#' || cast(cast(id % 10 as int) + 1 as varchar)
+           as i_category,
+         'Item#' || lpad(cast(id as varchar), 6, '0') as i_item_id
   from (select unnest(generate_series(0, 199)) as id)
+),
+customer_demographics as (
+  select id as cd_demo_sk,
+         case cast(id % 2 as int) when 0 then 'M' else 'F' end as cd_gender,
+         case cast(id % 3 as int) when 0 then 'S' when 1 then 'M'
+              else 'D' end as cd_marital_status,
+         case cast(id % 4 as int) when 0 then 'College'
+              when 1 then '4 yr Degree' when 2 then 'Primary'
+              else 'Secondary' end as cd_education_status
+  from (select unnest(generate_series(0, 99)) as id)
+),
+promotion as (
+  select id as p_promo_sk,
+         case cast(id % 3 as int) when 0 then 'Y' else 'N' end
+           as p_channel_email,
+         case cast(id % 5 as int) when 0 then 'Y' else 'N' end
+           as p_channel_event
+  from (select unnest(generate_series(0, 29)) as id)
 ),
 store as (
   select id as s_store_sk,
@@ -283,14 +348,145 @@ limit 100
 """
 
 
+def q_tpcds_q42(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q42: category-level November revenue for one manager-year —
+    the same broadcast-star shape as q3 grouped on the category
+    rollup columns."""
+    ss = _store_sales(spark, sf_dir)
+    d = _date_dim(spark)
+    i = _item(spark)
+    return (
+        ss.join(F.broadcast(d), ss.ss_sold_date_sk == d.d_date_sk)
+        .join(F.broadcast(i), ss.ss_item_sk == i.i_item_sk)
+        .where((F.col("i_manager_id") == 1) & (F.col("d_moy") == 11)
+               & (F.col("d_year") == 2000))
+        .groupBy("d_year", "i_category_id", "i_category")
+        .agg(F.round(F.sum("ss_ext_sales_price"), 2).alias("sum_ss"))
+        .orderBy(F.desc("sum_ss"), "d_year", "i_category_id", "i_category")
+        .limit(100)
+        .select("d_year", "i_category_id", "i_category", "sum_ss")
+    )
+
+
+ORACLE_TPCDS_Q42 = _DIMS_SQL + """
+select d_year, i_category_id, i_category,
+       round(sum(ss_ext_sales_price), 2) as sum_ss
+from date_dim, store_sales, item
+where d_date_sk = ss_sold_date_sk and ss_item_sk = i_item_sk
+  and i_manager_id = 1 and d_moy = 11 and d_year = 2000
+group by d_year, i_category_id, i_category
+order by sum_ss desc, d_year, i_category_id, i_category
+limit 100
+"""
+
+
+def q_tpcds_q52(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q52: brand-level November revenue for one manager-year —
+    q55's filter with q3's output shape."""
+    ss = _store_sales(spark, sf_dir)
+    d = _date_dim(spark)
+    i = _item(spark)
+    return (
+        ss.join(F.broadcast(d), ss.ss_sold_date_sk == d.d_date_sk)
+        .join(F.broadcast(i), ss.ss_item_sk == i.i_item_sk)
+        .where((F.col("i_manager_id") == 1) & (F.col("d_moy") == 11)
+               & (F.col("d_year") == 2000))
+        .groupBy("d_year", "i_brand_id", "i_brand")
+        .agg(F.round(F.sum("ss_ext_sales_price"), 2).alias("ext_price"))
+        .orderBy("d_year", F.desc("ext_price"), "i_brand_id")
+        .limit(100)
+        .select("d_year", F.col("i_brand_id").alias("brand_id"),
+                F.col("i_brand").alias("brand"), "ext_price")
+    )
+
+
+ORACLE_TPCDS_Q52 = _DIMS_SQL + """
+select d_year, i_brand_id as brand_id, i_brand as brand,
+       round(sum(ss_ext_sales_price), 2) as ext_price
+from date_dim, store_sales, item
+where d_date_sk = ss_sold_date_sk and ss_item_sk = i_item_sk
+  and i_manager_id = 1 and d_moy = 11 and d_year = 2000
+group by d_year, i_brand_id, i_brand
+order by d_year, ext_price desc, brand_id
+limit 100
+"""
+
+
+def q_tpcds_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q7: per-item average quantity / list price / coupon / sales
+    price for one demographic slice, promotions excluded-by-channel —
+    a four-dimension broadcast star with four AVG aggregates."""
+    ss = _store_sales(spark, sf_dir)
+    d = _date_dim(spark)
+    i = _item(spark)
+    cd = _customer_demographics(spark)
+    p = _promotion(spark)
+    return (
+        ss.join(F.broadcast(d), ss.ss_sold_date_sk == d.d_date_sk)
+        .join(F.broadcast(i), ss.ss_item_sk == i.i_item_sk)
+        .join(F.broadcast(cd), ss.ss_cdemo_sk == cd.cd_demo_sk)
+        .join(F.broadcast(p), ss.ss_promo_sk == p.p_promo_sk)
+        .where((F.col("cd_gender") == "M")
+               & (F.col("cd_marital_status") == "S")
+               & (F.col("cd_education_status") == "College")
+               & ((F.col("p_channel_email") == "N")
+                  | (F.col("p_channel_event") == "N"))
+               & (F.col("d_year") == 2000))
+        .groupBy("i_item_id")
+        .agg(F.round(F.avg("ss_quantity"), 4).alias("agg1"),
+             _avg_money("ss_list_price").alias("agg2"),
+             _avg_money("ss_coupon_amt").alias("agg3"),
+             _avg_money("ss_sales_price").alias("agg4"))
+        .orderBy("i_item_id")
+        .limit(100)
+    )
+
+
+def _avg_money(col: str):
+    """Cross-engine-exact money average: the 2-decimal fact columns sum
+    as integer CENTS (exact in both engines regardless of accumulation
+    order — a double float sum is not), divided once at the end.
+    avg(ss_quantity) needs no such guard: integer sums are exact."""
+    cents = F.sum(F.round(F.col(col) * 100, 0).cast("bigint")).cast("double")
+    return F.round(cents / F.count(F.lit(1)) / 100.0, 4)
+
+
+ORACLE_TPCDS_Q7 = _DIMS_SQL + """
+select i_item_id,
+       round(avg(ss_quantity), 4) as agg1,
+       round(cast(sum(cast(round(ss_list_price * 100, 0) as bigint))
+             as double) / count(*) / 100.0, 4) as agg2,
+       round(cast(sum(cast(round(ss_coupon_amt * 100, 0) as bigint))
+             as double) / count(*) / 100.0, 4) as agg3,
+       round(cast(sum(cast(round(ss_sales_price * 100, 0) as bigint))
+             as double) / count(*) / 100.0, 4) as agg4
+from store_sales, customer_demographics, date_dim, item, promotion
+where ss_sold_date_sk = d_date_sk and ss_item_sk = i_item_sk
+  and ss_cdemo_sk = cd_demo_sk and ss_promo_sk = p_promo_sk
+  and cd_gender = 'M' and cd_marital_status = 'S'
+  and cd_education_status = 'College'
+  and (p_channel_email = 'N' or p_channel_event = 'N')
+  and d_year = 2000
+group by i_item_id
+order by i_item_id
+limit 100
+"""
+
+
 QUERIES = {
     "tpcds_q73": q_tpcds_q73,
     "tpcds_q03": q_tpcds_q3,
+    "tpcds_q07": q_tpcds_q7,
+    "tpcds_q42": q_tpcds_q42,
+    "tpcds_q52": q_tpcds_q52,
     "tpcds_q55": q_tpcds_q55,
 }
 ORACLES = {
     "tpcds_q73": ORACLE_TPCDS_Q73,
     "tpcds_q03": ORACLE_TPCDS_Q3,
+    "tpcds_q07": ORACLE_TPCDS_Q7,
+    "tpcds_q42": ORACLE_TPCDS_Q42,
+    "tpcds_q52": ORACLE_TPCDS_Q52,
     "tpcds_q55": ORACLE_TPCDS_Q55,
 }
 

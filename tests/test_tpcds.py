@@ -53,3 +53,23 @@ def test_q73_repeated_runs_stable(spark):
         assert _run(spark) == first
     growth = used_heap() - base
     assert growth < 512 * 1024 * 1024, f"heap grew {growth >> 20} MiB"
+
+
+def test_q7_plan_is_four_dim_broadcast_star(spark):
+    """q7 joins four constant-size dimensions: every one must
+    broadcast, the aggregate must be partial+final on the fact, and
+    top-100 must be TakeOrdered."""
+    df = tpcds.QUERIES["tpcds_q07"](spark, SF_DIR)
+    phys = explain_str(df)
+    assert phys.count("BroadcastHashJoin") >= 4
+    assert "CartesianProduct" not in phys
+    assert "TakeOrderedAndProject" in phys
+
+
+def test_q42_q52_agree_on_brand_totals(spark):
+    """q42 (category) and q52 (brand) share the manager-1/Nov/2000
+    slice, so their revenue totals over the slice must agree."""
+    q42 = tpcds.QUERIES["tpcds_q42"](spark, SF_DIR).collect()
+    q52 = tpcds.QUERIES["tpcds_q52"](spark, SF_DIR).collect()
+    assert abs(sum(r["sum_ss"] for r in q42)
+               - sum(r["ext_price"] for r in q52)) < 0.02 * max(len(q42), len(q52))
