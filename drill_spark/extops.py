@@ -4671,6 +4671,104 @@ from cnt
 """
 
 
+def q_curation_pipeline(spark, sf_dir):
+    """End-to-end curation flagship (ops/pipeline.py::
+    curation_pipeline): quality gate -> exact dedup -> 8-gram
+    decontamination against the held-out slice -> token-budget mixture
+    -> epoch-salted shard addresses, composed as ONE plan. The oracle
+    replays the full CTE chain."""
+    from drill_spark.ops.pipeline import curation_pipeline
+
+    docs = _docs(spark, sf_dir)
+    return curation_pipeline(
+        docs.where(F.col("doc_id") % 20 != 0),
+        docs.where(F.col("doc_id") % 20 == 0),
+        "doc_id", "text", "source",
+        {"src0": 0.4, "src1": 0.3, "src2": 0.2, "src3": 0.1},
+        token_budget=150_000, n_shards=16,
+    )
+
+
+ORACLE_CURATION_PIPELINE = r"""
+with base as (
+  select doc_id, source, text,
+         string_split_regex(trim(lower(text)), '\s+') as ws
+  from documents
+),
+corpus as (select * from base where doc_id % 20 <> 0),
+bench as (select * from base where doc_id % 20 = 0),
+passed as (
+  select * from corpus
+  where len(ws) >= 5
+    and length(text) * 1.0 / greatest(len(ws), 1) <= 20.0
+),
+keep as (
+  select min(doc_id) as doc_id
+  from (select doc_id,
+               md5(regexp_replace(lower(text), '\s+', ' ', 'g')) as h
+        from passed)
+  group by h
+),
+grams as (
+  select doc_id, unnest(list_distinct(list_transform(
+      generate_series(1, greatest(len(ws) - 7, 0)),
+      i -> substring(md5(array_to_string(ws[i:i+7], ' ')), 1, 16)))) as ng
+  from passed where len(ws) >= 8
+),
+bgrams as (
+  select distinct unnest(list_distinct(list_transform(
+      generate_series(1, greatest(len(ws) - 7, 0)),
+      i -> substring(md5(array_to_string(ws[i:i+7], ' ')), 1, 16)))) as ng
+  from bench where len(ws) >= 8
+),
+dirty as (select distinct g.doc_id from grams g join bgrams b using (ng)),
+clean as (
+  select p.doc_id, p.source,
+         cast(len(list_filter(p.ws, x -> x <> '')) as bigint) as n_tokens
+  from passed p
+  join keep k using (doc_id)
+  where p.doc_id not in (select doc_id from dirty)
+),
+w(source, __w) as (values ('src0', 0.4), ('src1', 0.3),
+                          ('src2', 0.2), ('src3', 0.1)),
+avail as (select source, cast(sum(n_tokens) as double) as __avail
+          from clean group by 1),
+rates as (
+  select a.source,
+         cast(floor(__w * 150000.0 / __avail) as bigint) as __epochs,
+         cast(floor(((__w * 150000.0 / __avail)
+                     - floor(__w * 150000.0 / __avail))
+              * 16777216.0) as bigint) as __gate
+  from avail a join w using (source)
+),
+gated as (
+  select c.doc_id, c.source, c.n_tokens,
+         r.__epochs + case when cast('0x' ||
+             substring(md5(cast(c.doc_id as varchar)), 1, 6) as bigint)
+             < r.__gate then 1 else 0 end as total
+  from clean c join rates r using (source)
+),
+m as (
+  select doc_id, source, n_tokens,
+         cast(unnest(range(1, cast(total as int) + 1)) as int) as epoch
+  from gated where total >= 1
+),
+s as (
+  select doc_id, source, n_tokens, epoch,
+         md5('pos_e' || cast(epoch as varchar) || '_'
+             || cast(doc_id as varchar)) as hh,
+         cast(cast('0x' || substring(md5('pos_e' || cast(epoch as varchar)
+             || '_' || cast(doc_id as varchar)), 1, 6) as bigint) % 16
+             as int) as shard
+  from m
+)
+select doc_id, source, epoch, n_tokens, shard,
+       cast(row_number() over (partition by epoch, shard
+                               order by hh, doc_id) as int) as pos
+from s
+"""
+
+
 QUERIES = {
     "op_avro_scan": q_avro_scan,
     "op_delta_scan": q_delta_scan,
@@ -4748,6 +4846,7 @@ QUERIES = {
     "ext_epoch_shuffle": q_epoch_shuffle,
     "ext_kmv_distinct": q_kmv_distinct,
     "ext_kmv_overlap": q_kmv_overlap,
+    "ext_curation_pipeline": q_curation_pipeline,
     "ext_fuzzy_join": q_fuzzy_join,
     "ext_leakage_split": q_leakage_split,
     "ext_url_canon": q_url_canon,
@@ -4900,6 +4999,7 @@ ORACLES = {
     "ext_epoch_shuffle": ORACLE_EPOCH_SHUFFLE,
     "ext_kmv_distinct": ORACLE_KMV_DISTINCT,
     "ext_kmv_overlap": ORACLE_KMV_OVERLAP,
+    "ext_curation_pipeline": ORACLE_CURATION_PIPELINE,
 }
 
 

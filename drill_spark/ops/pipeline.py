@@ -844,3 +844,82 @@ def epoch_shuffle(df: DataFrame, id_col: str, epoch: int | None = None,
                   shard.alias("shard"))
         .withColumn("pos", F.row_number().over(w))
     )
+
+
+def curation_pipeline(
+    df: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str,
+    source_col: str,
+    weights: dict[str, float],
+    token_budget: int,
+    n_shards: int = 16,
+    min_words: int = 5,
+    max_word_len: float = 20.0,
+) -> DataFrame:
+    """The end-to-end curation path from raw documents to addressed
+    training examples, composed as ONE Catalyst plan:
+
+    1. quality gate — length + mean-word-length predicates (C4-style,
+       Raffel et al. 2020), pure codegen on the scan;
+    2. exact dedup — keep the minimum-id document per normalized-text
+       md5 (one map-combined aggregation on the digest);
+    3. decontamination — drop survivors sharing any word 8-gram with
+       the held-out benchmark (GPT-3 appendix C convention; benchmark
+       grams broadcast);
+    4. token-budget mixture — per-source epoch fan-out against
+       ``weights``/``token_budget`` (:func:`build_mixture` inline);
+    5. shard addressing — the epoch-salted md5 permutation of
+       :func:`epoch_shuffle`, windowed in-plan.
+
+    Shuffle budget for the corpus: the dedup digest aggregation, the
+    per-document gram counts' partial agg (both map-combined), and the
+    final (epoch, shard) window — everything else is broadcast gates
+    on tiny derived tables. Returns (id, source, epoch, n_tokens,
+    shard, pos), fully deterministic → DuckDB-oracle-backed.
+    """
+    words = _words(text_col)
+    n_words = F.size(words)
+    gate = (
+        (n_words >= min_words)
+        & (F.length(F.col(text_col)) / F.greatest(n_words, F.lit(1))
+           <= max_word_len)
+    )
+    passed = df.where(gate)
+
+    digest = F.md5(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+    keep = (
+        passed.select(F.col(id_col), digest.alias("__h"))
+        .groupBy("__h").agg(F.min(id_col).alias(id_col))
+        .select(id_col)
+    )
+    survivors = passed.join(keep, id_col)
+
+    grams = passed.select(F.col(id_col),
+                          F.explode(_ngram_keys(text_col, 8)).alias("__ng"))
+    bench_grams = benchmark.select(
+        F.explode(_ngram_keys(text_col, 8)).alias("__ng")).distinct()
+    dirty = (
+        grams.join(F.broadcast(bench_grams), "__ng")
+        .select(id_col).distinct()
+    )
+    clean = survivors.join(dirty, id_col, "left_anti")
+
+    mix = build_mixture(clean, source_col, id_col, text_col,
+                        weights, token_budget)
+
+    from pyspark.sql import Window
+
+    salt = F.concat(F.lit("pos_e"), F.col("epoch").cast("string"),
+                    F.lit("_"), F.col(id_col).cast("string"))
+    shard = (
+        F.conv(F.substring(F.md5(salt), 1, 6), 16, 10).cast("long")
+        % n_shards
+    ).cast("int")
+    w = Window.partitionBy("epoch", "shard").orderBy(F.md5(salt), id_col)
+    return (
+        mix.withColumn("shard", shard)
+        .withColumn("pos", F.row_number().over(w))
+        .select(id_col, source_col, "epoch", "n_tokens", "shard", "pos")
+    )

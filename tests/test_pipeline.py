@@ -628,3 +628,28 @@ def test_kmv_overlap_tracks_exact_jaccard(spark):
     assert abs(r["est_union"] - 500) < 150
     assert abs(r["est_intersect"] - 100) < 60
     assert abs(r["jaccard"] - 0.2) < 0.12
+
+
+def test_curation_pipeline_plan_shape(spark):
+    """The composed raw-docs->shards plan: benchmark grams and mixture
+    rates reach the corpus as broadcast joins, no cartesian product,
+    no Python evaluator, and the corpus-scale exchanges stay bounded
+    (digest agg + gram agg + dedup/anti joins + the final epoch/shard
+    window)."""
+    from drill_spark.ops.pipeline import curation_pipeline
+
+    docs = spark.read.parquet(f"{SF_MED}/documents.parquet")
+    out = curation_pipeline(
+        docs.where(F.col("doc_id") % 20 != 0),
+        docs.where(F.col("doc_id") % 20 == 0),
+        "doc_id", "text", "source",
+        {"src0": 0.5, "src1": 0.5}, token_budget=50_000, n_shards=8)
+    rep = explain_report(out)
+    assert rep["joins"].get("BroadcastHashJoin", 0) >= 2
+    assert "CartesianProduct" not in rep["joins"]
+    assert not rep["python_eval"]
+    assert rep["shuffles"] <= 10
+    # output invariants: pos contiguous per (epoch, shard)
+    per = out.groupBy("epoch", "shard").agg(
+        F.count("*").alias("n"), F.max("pos").alias("mx")).collect()
+    assert per and all(r["mx"] == r["n"] for r in per)
