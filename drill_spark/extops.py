@@ -4769,6 +4769,37 @@ from s
 """
 
 
+def q_stream_heavy_hitters(spark, sf_dir):
+    """Streaming Misra-Gries heavy hitters (streaming/events.py::
+    stream_heavy_hitters) run to completion over the events fixture,
+    then exact-verified: candidates are order/batching-dependent but
+    the verified output is not (the MG superset guarantee), so the
+    oracle is the closed-form HAVING over the batch table."""
+    from drill_spark.streaming.events import (
+        read_event_stream, run_to_completion, stream_heavy_hitters,
+        verified_stream_heavy_hitters)
+
+    _STREAM_RUN["n"] += 1
+    ev = read_event_stream(spark, sf_dir)
+    tbl = run_to_completion(
+        stream_heavy_hitters(ev, "event_type", k=16, n_buckets=4),
+        f"drv_stream_hh_{_STREAM_RUN['n']}", "update")
+    batch = load_fixture(spark, sf_dir, "events")
+    return verified_stream_heavy_hitters(
+        spark, tbl, batch, "event_type", k=16)
+
+
+ORACLE_STREAM_HEAVY_HITTERS = """
+select cast(event_type as varchar) as event_type,
+       cast(count(*) as bigint) as cnt
+from events
+where event_type is not null
+group by 1
+having cast(count(*) as bigint) * 17 >
+       (select count(*) from events where event_type is not null)
+"""
+
+
 QUERIES = {
     "op_avro_scan": q_avro_scan,
     "op_delta_scan": q_delta_scan,
@@ -4847,6 +4878,7 @@ QUERIES = {
     "ext_kmv_distinct": q_kmv_distinct,
     "ext_kmv_overlap": q_kmv_overlap,
     "ext_curation_pipeline": q_curation_pipeline,
+    "ext_stream_heavy_hitters": q_stream_heavy_hitters,
     "ext_fuzzy_join": q_fuzzy_join,
     "ext_leakage_split": q_leakage_split,
     "ext_url_canon": q_url_canon,
@@ -5000,6 +5032,7 @@ ORACLES = {
     "ext_kmv_distinct": ORACLE_KMV_DISTINCT,
     "ext_kmv_overlap": ORACLE_KMV_OVERLAP,
     "ext_curation_pipeline": ORACLE_CURATION_PIPELINE,
+    "ext_stream_heavy_hitters": ORACLE_STREAM_HEAVY_HITTERS,
 }
 
 

@@ -409,3 +409,98 @@ def stream_incremental_near_dedup(
         .trigger(**(trigger if trigger is not None else {"availableNow": True}))
         .start()
     )
+
+
+def stream_heavy_hitters(events: DataFrame, col: str, k: int = 16,
+                         n_buckets: int = 8) -> DataFrame:
+    """Streaming Misra-Gries candidate tracking — the stateful twin of
+    ops/sketch.py::heavy_hitters pass 1. Keys hash into ``n_buckets``
+    state groups; each group's state is one k-counter MG summary of
+    its sub-stream (MG is an arrival-order-proof streaming algorithm,
+    so carrying the counters across micro-batches IS a valid MG run
+    over the concatenated stream). Any item with global count >
+    n/(k+1) survives in its bucket's summary regardless of order or
+    batching — the candidate superset guarantee the exact verify pass
+    relies on.
+
+    State per bucket: <= k (key, count) pairs + the bucket row count —
+    bounded by k * n_buckets, independent of key cardinality. Emits
+    (bucket, keys, counts, n_seen) in update mode; the latest row per
+    bucket is the current summary.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = ("bucket int, keys array<string>, counts array<bigint>, "
+                  "n_seen bigint")
+    state_schema = "keys array<string>, counts array<bigint>, n bigint"
+
+    def update(key, pdf_iter, state: GroupState):
+        if state.exists:
+            keys, counts, n = state.get
+            counters = dict(zip(keys, counts))
+        else:
+            counters, n = {}, 0
+        for pdf in pdf_iter:
+            for v in pdf[col]:
+                if v is None:
+                    continue
+                n += 1
+                if v in counters:
+                    counters[v] += 1
+                elif len(counters) < k:
+                    counters[v] = 1
+                else:
+                    dead = []
+                    for c in counters:  # decrement-all (the MG step)
+                        counters[c] -= 1
+                        if counters[c] == 0:
+                            dead.append(c)
+                    for c in dead:
+                        del counters[c]
+        ks, cs = list(counters.keys()), [counters[c] for c in counters]
+        state.update((ks, cs, n))
+        yield pd.DataFrame({"bucket": [key[0]], "keys": [ks],
+                            "counts": [cs], "n_seen": [n]})
+
+    src = events.select(
+        F.col(col).cast("string").alias(col),
+        F.pmod(
+            F.conv(F.substring(F.md5(F.col(col).cast("string")), 1, 6),
+                   16, 10).cast("long"),
+            F.lit(n_buckets),
+        ).cast("int").alias("bucket"),
+    )
+    return src.groupBy("bucket").applyInPandasWithState(
+        update, out_schema, state_schema, "update",
+        GroupStateTimeout.NoTimeout)
+
+
+def verified_stream_heavy_hitters(spark, stream_table: DataFrame,
+                                  batch: DataFrame, col: str,
+                                  k: int = 16) -> DataFrame:
+    """Exact verify over the stream's final candidate summaries: join
+    the candidate keys (tiny, broadcast) back to the batch table for
+    exact counts and keep count * (k+1) > n — identical output to the
+    batch heavy_hitters regardless of stream arrival order, which is
+    what makes the streaming query oracle-backed."""
+    from pyspark.sql import Window
+
+    latest = (
+        stream_table.withColumn(
+            "__rn", F.row_number().over(
+                Window.partitionBy("bucket").orderBy(F.desc("n_seen"))))
+        .where(F.col("__rn") == 1)
+    )
+    candidates = (
+        latest.select(F.explode("keys").alias(col)).distinct()
+    )
+    src = batch.select(F.col(col).cast("string").alias(col)).where(
+        F.col(col).isNotNull())
+    total = src.count()
+    return (
+        src.join(F.broadcast(candidates), col)
+        .groupBy(col)
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .where(F.col("cnt") * (k + 1) > F.lit(total))
+    )

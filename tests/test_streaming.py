@@ -421,3 +421,26 @@ def test_stream_crawl_ingest_two_waves_and_replay(spark, tmp_path):
     cols = set(read_delta(spark, out).columns)
     assert {"url", "fetched_at", "title", "text",
             "src_file", "record_offset"} <= cols
+
+
+def test_stream_heavy_hitters_matches_batch(spark):
+    """The verified streaming heavy hitters equal the batch operator's
+    output exactly — the MG candidate superset guarantee holds across
+    micro-batch boundaries, so arrival order/batching can't change the
+    verified answer."""
+    from drill_spark.ops.sketch import heavy_hitters
+
+    stream = ev.read_event_stream(spark, SF_DIR)
+    tbl = ev.run_to_completion(
+        ev.stream_heavy_hitters(stream, "event_type", k=8, n_buckets=4),
+        "t_stream_hh", "update")
+    # bounded state: at most k candidates per bucket in every summary
+    for r in tbl.collect():
+        assert len(r["keys"]) <= 8 and len(r["keys"]) == len(r["counts"])
+    batch = _batch_events(spark).select(
+        F.col("event_type").cast("string").alias("event_type"))
+    got = ev.verified_stream_heavy_hitters(
+        spark, tbl, batch, "event_type", k=8)
+    want = heavy_hitters(batch, "event_type", k=8)
+    assert sorted(map(tuple, got.collect())) == \
+        sorted(map(tuple, want.collect()))
