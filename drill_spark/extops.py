@@ -4800,6 +4800,52 @@ having cast(count(*) as bigint) * 17 >
 """
 
 
+def q_rolling_distinct(spark, sf_dir):
+    """Rolling 7-day distinct users per day from mergeable per-day KMV
+    sketches (ops/sketch.py::kmv_rolling_distinct): each day's raw rows
+    are summarized once; rolling windows merge <= 7 tiny sketch arrays
+    instead of re-scanning raw rows. Deterministic -> oracle replays
+    the per-day sketch + window merge."""
+    from drill_spark.ops.sketch import kmv_rolling_distinct
+
+    ev = load_fixture(spark, sf_dir, "events")
+    return kmv_rolling_distinct(ev, "ts", "user_id", k=16, n_days=7)
+
+
+ORACLE_ROLLING_DISTINCT = """
+with h as (
+  select distinct cast(date_trunc('day', ts) as date) as day,
+         cast('0x' || substring(md5(cast(user_id as varchar)), 1, 15)
+              as bigint) as hv
+  from events where user_id is not null
+),
+rk as (select day, hv,
+              row_number() over (partition by day order by hv) as r
+       from h),
+sk as (select day, hv from rk where r <= 16),
+pairs as (
+  select d1.day, d2.hv
+  from (select distinct day from sk) d1
+  join sk d2 on d2.day between d1.day - 6 and d1.day
+),
+rr as (select day, hv,
+              row_number() over (partition by day order by hv) as r
+       from (select distinct day, hv from pairs)),
+roll as (select day, count(*) as n, max(hv) as theta
+         from rr where r <= 16 group by 1),
+dayest as (select day, count(*) as n, max(hv) as theta
+           from sk group by 1)
+select d.day,
+       case when d.n < 16 then cast(d.n as double)
+            else round(15.0 * 1152921504606846976.0
+                       / cast(d.theta as double), 4) end as est_day,
+       case when r.n < 16 then cast(r.n as double)
+            else round(15.0 * 1152921504606846976.0
+                       / cast(r.theta as double), 4) end as est_rolling
+from dayest d join roll r using (day)
+"""
+
+
 QUERIES = {
     "op_avro_scan": q_avro_scan,
     "op_delta_scan": q_delta_scan,
@@ -4879,6 +4925,7 @@ QUERIES = {
     "ext_kmv_overlap": q_kmv_overlap,
     "ext_curation_pipeline": q_curation_pipeline,
     "ext_stream_heavy_hitters": q_stream_heavy_hitters,
+    "ext_rolling_distinct": q_rolling_distinct,
     "ext_fuzzy_join": q_fuzzy_join,
     "ext_leakage_split": q_leakage_split,
     "ext_url_canon": q_url_canon,
@@ -5033,6 +5080,7 @@ ORACLES = {
     "ext_kmv_overlap": ORACLE_KMV_OVERLAP,
     "ext_curation_pipeline": ORACLE_CURATION_PIPELINE,
     "ext_stream_heavy_hitters": ORACLE_STREAM_HEAVY_HITTERS,
+    "ext_rolling_distinct": ORACLE_ROLLING_DISTINCT,
 }
 
 

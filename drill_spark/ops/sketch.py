@@ -245,3 +245,47 @@ def kmv_overlap(df: DataFrame, seg_col: str, item_col: str,
             .otherwise(F.lit(0.0)), 4
         ).alias("jaccard"),
     )
+
+
+def kmv_rolling_distinct(df: DataFrame, time_col: str, item_col: str,
+                         k: int = 64, n_days: int = 7) -> DataFrame:
+    """Rolling n-day distinct counts from per-day KMV sketches — the
+    mergeability payoff: distinct counts are not additive, so a naive
+    rolling distinct re-scans n days of raw rows per day, but sketch
+    MERGE (k smallest of the union) is associative, so each day's raw
+    data is summarized ONCE and every rolling window is an array merge
+    of <= n_days tiny sketches (the DataSketches segment-rollup
+    pattern; at 100 TB the window stage touches one k-length array per
+    day, never raw rows).
+
+    Returns (day, est_day, est_rolling) — both estimates deterministic
+    given the hash, so the query is oracle-backed.
+    """
+    from pyspark.sql import Window
+
+    daily = _kmv_sketches(
+        df.select(F.date_trunc("day", F.col(time_col)).alias("__day"),
+                  item_col),
+        "__day", item_col, k)
+    dnum = F.datediff(F.col("__day"), F.lit("1970-01-01")).cast("long")
+    w = (Window.orderBy(dnum.asc())
+         .rangeBetween(-(n_days - 1), Window.currentRow))
+    merged = F.slice(
+        F.array_sort(F.array_distinct(
+            F.flatten(F.collect_list("hashes").over(w)))),
+        1, k)
+
+    def _est(h):
+        n = F.size(h)
+        theta = F.element_at(h, n).cast("double")
+        return F.when(n < k, n.cast("double")).otherwise(
+            F.round(F.lit(float(k - 1)) * F.lit(_KMV_DENOM) / theta, 4))
+
+    return (
+        daily.withColumn("__roll", merged)
+        .select(
+            F.col("__day").cast("date").alias("day"),
+            _est(F.col("hashes")).alias("est_day"),
+            _est(F.col("__roll")).alias("est_rolling"),
+        )
+    )

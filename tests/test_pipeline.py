@@ -653,3 +653,31 @@ def test_curation_pipeline_plan_shape(spark):
     per = out.groupBy("epoch", "shard").agg(
         F.count("*").alias("n"), F.max("pos").alias("mx")).collect()
     assert per and all(r["mx"] == r["n"] for r in per)
+
+
+def test_kmv_rolling_distinct_tracks_exact(spark):
+    """Sketch-merged rolling distinct tracks the exact re-scan answer
+    within KMV error bounds, and the merge never exceeds k hashes."""
+    from drill_spark.ops.sketch import kmv_rolling_distinct
+
+    ev = spark.read.parquet(f"{SF_MED}/events.parquet")
+    got = {r["day"]: r for r in
+           kmv_rolling_distinct(ev, "ts", "user_id", k=32, n_days=7)
+           .collect()}
+    exact = {r["day"]: (r["d1"], r["d7"]) for r in spark.sql(f"""
+        with e as (select cast(date_trunc('day', ts) as date) as day,
+                          user_id
+                   from parquet.`{SF_MED}/events.parquet`),
+        days as (select distinct day from e)
+        select d.day,
+               (select count(distinct user_id) from e
+                where e.day = d.day) as d1,
+               (select count(distinct user_id) from e
+                where e.day between d.day - interval 6 days
+                      and d.day) as d7
+        from days d""").collect()}
+    assert set(got) == set(exact)
+    rse = 1.0 / (32 - 2) ** 0.5
+    for day, (d1, d7) in exact.items():
+        assert abs(got[day]["est_day"] - d1) <= 4 * rse * d1
+        assert abs(got[day]["est_rolling"] - d7) <= 4 * rse * d7
