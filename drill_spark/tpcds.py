@@ -49,12 +49,16 @@ def _store_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("l_partkey") % 200).alias("ss_item_sk"),
             F.col("l_extendedprice").alias("ss_ext_sales_price"),
             F.col("l_quantity").cast("int").alias("ss_quantity"),
-            F.round(F.col("l_extendedprice") / F.col("l_quantity"), 2)
-            .alias("ss_list_price"),
-            F.round(F.col("l_extendedprice") / F.col("l_quantity")
-                    * (1 - F.col("l_discount")), 2).alias("ss_sales_price"),
-            F.round(F.col("l_extendedprice") * F.col("l_discount"), 2)
-            .alias("ss_coupon_amt"),
+            # floor-to-cents, not round: round()'s half-way tie-breaking
+            # on doubles differs between engines; floor of the same IEEE
+            # double is bit-deterministic.
+            (F.floor(F.col("l_extendedprice") / F.col("l_quantity") * 100)
+             / 100.0).alias("ss_list_price"),
+            (F.floor(F.col("l_extendedprice") / F.col("l_quantity")
+                     * (1 - F.col("l_discount")) * 100) / 100.0)
+            .alias("ss_sales_price"),
+            (F.floor(F.col("l_extendedprice") * F.col("l_discount") * 100)
+             / 100.0).alias("ss_coupon_amt"),
             ((F.col("l_orderkey") * 7 + F.col("l_partkey")) % 100)
             .alias("ss_cdemo_sk"),
             ((F.col("l_partkey") + F.col("l_suppkey")) % 30)
@@ -66,7 +70,9 @@ def _store_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _date_dim(spark: SparkSession) -> DataFrame:
     return spark.sql(
         "select d_date_sk, 1998 + cast(d_date_sk % 5 as int) as d_year, "
-        "1 + cast(d_date_sk % 12 as int) as d_moy "
+        "1 + cast(d_date_sk % 12 as int) as d_moy, "
+        "1 + cast(floor((d_date_sk % 12) / 3) as int) as d_qoy, "
+        "cast(d_date_sk % 200 as int) as d_month_seq "
         "from (select explode(sequence(2451000, 2451499)) as d_date_sk)")
 
 
@@ -79,7 +85,9 @@ def _item(spark: SparkSession) -> DataFrame:
         "cast(id % 100 as int) + 1 as i_manager_id, "
         "cast(id % 10 as int) + 1 as i_category_id, "
         "'Category#' || cast(cast(id % 10 as int) + 1 as string) as i_category, "
-        "'Item#' || lpad(cast(id as string), 6, '0') as i_item_id "
+        "'Item#' || lpad(cast(id as string), 6, '0') as i_item_id, "
+        "'Class#' || cast(cast(id % 5 as int) + 1 as string) as i_class, "
+        "'Prod#' || lpad(cast(id as string), 6, '0') as i_product_name "
         "from (select explode(sequence(0, 199)) as id)")
 
 
@@ -109,7 +117,8 @@ def _store(spark: SparkSession) -> DataFrame:
     counties = ", ".join(f"'{c}'" for c in _COUNTIES)
     return spark.sql(
         f"select id as s_store_sk, "
-        f"element_at(array({counties}), cast(id % 8 as int) + 1) as s_county "
+        f"element_at(array({counties}), cast(id % 8 as int) + 1) as s_county, "
+        f"'S' || lpad(cast(id as string), 3, '0') as s_store_id "
         f"from (select explode(sequence(0, 9)) as id)")
 
 
@@ -190,17 +199,21 @@ with store_sales as (
          l.l_partkey % 200 as ss_item_sk,
          l.l_extendedprice as ss_ext_sales_price,
          cast(l.l_quantity as int) as ss_quantity,
-         round(l.l_extendedprice / l.l_quantity, 2) as ss_list_price,
-         round(l.l_extendedprice / l.l_quantity * (1 - l.l_discount), 2)
-           as ss_sales_price,
-         round(l.l_extendedprice * l.l_discount, 2) as ss_coupon_amt,
+         floor(l.l_extendedprice / l.l_quantity * 100) / 100.0
+           as ss_list_price,
+         floor(l.l_extendedprice / l.l_quantity * (1 - l.l_discount) * 100)
+           / 100.0 as ss_sales_price,
+         floor(l.l_extendedprice * l.l_discount * 100) / 100.0
+           as ss_coupon_amt,
          (l.l_orderkey * 7 + l.l_partkey) % 100 as ss_cdemo_sk,
          (l.l_partkey + l.l_suppkey) % 30 as ss_promo_sk
   from lineitem l join orders o on l.l_orderkey = o.o_orderkey
 ),
 date_dim as (
   select d_date_sk, 1998 + cast(d_date_sk % 5 as int) as d_year,
-         1 + cast(d_date_sk % 12 as int) as d_moy
+         1 + cast(d_date_sk % 12 as int) as d_moy,
+         1 + cast(floor((d_date_sk % 12) / 3) as int) as d_qoy,
+         cast(d_date_sk % 200 as int) as d_month_seq
   from (select unnest(generate_series(2451000, 2451499)) as d_date_sk)
 ),
 item as (
@@ -212,7 +225,9 @@ item as (
          cast(id % 10 as int) + 1 as i_category_id,
          'Category#' || cast(cast(id % 10 as int) + 1 as varchar)
            as i_category,
-         'Item#' || lpad(cast(id as varchar), 6, '0') as i_item_id
+         'Item#' || lpad(cast(id as varchar), 6, '0') as i_item_id,
+         'Class#' || cast(cast(id % 5 as int) + 1 as varchar) as i_class,
+         'Prod#' || lpad(cast(id as varchar), 6, '0') as i_product_name
   from (select unnest(generate_series(0, 199)) as id)
 ),
 customer_demographics as (
@@ -235,7 +250,8 @@ promotion as (
 ),
 store as (
   select id as s_store_sk,
-         ([{_COUNTY_SQL}])[cast(id % 8 as int) + 1] as s_county
+         ([{_COUNTY_SQL}])[cast(id % 8 as int) + 1] as s_county,
+         'S' || lpad(cast(id as varchar), 3, '0') as s_store_id
   from (select unnest(generate_series(0, 9)) as id)
 ),
 household_demographics as (
@@ -473,6 +489,67 @@ limit 100
 """
 
 
+def q_tpcds_q67(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q67 (the rollup monster): revenue ROLLUP over the full
+    (category, class, brand, product, year, quarter, month, store)
+    hierarchy for a 12-month window, then rank() within category and
+    keep the top 10 rollup rows per category. Revenue sums as integer
+    CENTS (ss_sales_price is 2-decimal) times quantity so the rank
+    ordering is exact in both engines — a float sum could flip
+    near-tied ranks."""
+    from pyspark.sql import Window
+
+    ss = _store_sales(spark, sf_dir)
+    d = _date_dim(spark)
+    s = _store(spark)
+    i = _item(spark)
+    cents = (F.round(F.col("ss_sales_price") * 100, 0).cast("bigint")
+             * F.col("ss_quantity"))
+    agg = (
+        ss.join(F.broadcast(d), ss.ss_sold_date_sk == d.d_date_sk)
+        .join(F.broadcast(s), ss.ss_store_sk == s.s_store_sk)
+        .join(F.broadcast(i), ss.ss_item_sk == i.i_item_sk)
+        .where(F.col("d_month_seq").between(60, 71))
+        .rollup("i_category", "i_class", "i_brand", "i_product_name",
+                "d_year", "d_qoy", "d_moy", "s_store_id")
+        .agg((F.sum(F.coalesce(cents, F.lit(0))) / 100.0).alias("sumsales"))
+    )
+    rk = F.rank().over(
+        Window.partitionBy("i_category").orderBy(F.desc("sumsales")))
+    return (
+        agg.withColumn("rk", rk)
+        .where(F.col("rk") <= 10)
+        .select("i_category", "i_class", "i_brand", "i_product_name",
+                "d_year", "d_qoy", "d_moy", "s_store_id",
+                F.round("sumsales", 2).alias("sumsales"), "rk")
+    )
+
+
+ORACLE_TPCDS_Q67 = _DIMS_SQL + """,
+agg as (
+  select i_category, i_class, i_brand, i_product_name,
+         d_year, d_qoy, d_moy, s_store_id,
+         sum(coalesce(cast(round(ss_sales_price * 100, 0) as bigint)
+                      * ss_quantity, 0)) / 100.0 as sumsales
+  from store_sales, date_dim, store, item
+  where ss_sold_date_sk = d_date_sk and ss_store_sk = s_store_sk
+    and ss_item_sk = i_item_sk
+    and d_month_seq between 60 and 71
+  group by rollup(i_category, i_class, i_brand, i_product_name,
+                  d_year, d_qoy, d_moy, s_store_id)
+),
+ranked as (
+  select *, rank() over (partition by i_category
+                         order by sumsales desc) as rk
+  from agg
+)
+select i_category, i_class, i_brand, i_product_name,
+       d_year, d_qoy, d_moy, s_store_id,
+       round(sumsales, 2) as sumsales, rk
+from ranked where rk <= 10
+"""
+
+
 QUERIES = {
     "tpcds_q73": q_tpcds_q73,
     "tpcds_q03": q_tpcds_q3,
@@ -480,6 +557,7 @@ QUERIES = {
     "tpcds_q42": q_tpcds_q42,
     "tpcds_q52": q_tpcds_q52,
     "tpcds_q55": q_tpcds_q55,
+    "tpcds_q67": q_tpcds_q67,
 }
 ORACLES = {
     "tpcds_q73": ORACLE_TPCDS_Q73,
@@ -488,6 +566,7 @@ ORACLES = {
     "tpcds_q42": ORACLE_TPCDS_Q42,
     "tpcds_q52": ORACLE_TPCDS_Q52,
     "tpcds_q55": ORACLE_TPCDS_Q55,
+    "tpcds_q67": ORACLE_TPCDS_Q67,
 }
 
 

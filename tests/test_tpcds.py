@@ -73,3 +73,20 @@ def test_q42_q52_agree_on_brand_totals(spark):
     q52 = tpcds.QUERIES["tpcds_q52"](spark, SF_DIR).collect()
     assert abs(sum(r["sum_ss"] for r in q42)
                - sum(r["ext_price"] for r in q52)) < 0.02 * max(len(q42), len(q52))
+
+
+def test_q67_rollup_and_rank_shape(spark):
+    """The rollup monster: every category's rows are rank<=10, the
+    all-null grand-total row ranks 1 in the null category partition,
+    and each category's rank-1 sumsales dominates its partition."""
+    rows = tpcds.QUERIES["tpcds_q67"](spark, SF_DIR).collect()
+    assert rows
+    by_cat = {}
+    for r in rows:
+        assert r["rk"] <= 10
+        by_cat.setdefault(r["i_category"], []).append(r)
+    assert None in by_cat  # rollup grand-total level present
+    for cat, rs in by_cat.items():
+        top = max(x["sumsales"] for x in rs)
+        assert all(x["sumsales"] <= top for x in rs)
+        assert any(x["rk"] == 1 and x["sumsales"] == top for x in rs)
