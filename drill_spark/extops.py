@@ -4846,6 +4846,57 @@ from dayest d join roll r using (day)
 """
 
 
+def q_snapshot_diff(spark, sf_dir):
+    """Corpus snapshot diff (ops/dedup.py::snapshot_diff): old = ids
+    < 450, new = ids >= 50 with every 10th doc's text edited — the
+    diff reports added/removed/changed by normalized digest; one
+    full-outer join on the id, digests only."""
+    from drill_spark.ops.dedup import snapshot_diff
+
+    docs = _docs(spark, sf_dir)
+    old = docs.where(F.col("doc_id") < 450)
+    new = (
+        docs.where(F.col("doc_id") >= 50)
+        .withColumn(
+            "text",
+            F.when(F.col("doc_id") % 10 == 0,
+                   F.concat(F.col("text"), F.lit(" [rev2]")))
+            .otherwise(F.col("text")))
+    )
+    return snapshot_diff(old, new, "doc_id", "text")
+
+
+ORACLE_SNAPSHOT_DIFF = r"""
+with o as (
+  select doc_id,
+         md5(regexp_replace(lower(text), '\s+', ' ', 'g')) as old_h
+  from documents where doc_id < 450
+),
+n as (
+  select doc_id,
+         md5(regexp_replace(lower(case when doc_id % 10 = 0
+             then text || ' [rev2]' else text end), '\s+', ' ', 'g'))
+           as new_h
+  from documents where doc_id >= 50
+),
+j as (
+  select coalesce(o.doc_id, n.doc_id) as doc_id, o.old_h, n.new_h
+  from o full outer join n on o.doc_id = n.doc_id
+)
+select doc_id,
+       case when old_h is null then 'added'
+            when new_h is null then 'removed'
+            when old_h <> new_h then 'changed'
+            else 'unchanged' end as status,
+       old_h, new_h
+from j
+where case when old_h is null then 'added'
+           when new_h is null then 'removed'
+           when old_h <> new_h then 'changed'
+           else 'unchanged' end <> 'unchanged'
+"""
+
+
 QUERIES = {
     "op_avro_scan": q_avro_scan,
     "op_delta_scan": q_delta_scan,
@@ -4926,6 +4977,7 @@ QUERIES = {
     "ext_curation_pipeline": q_curation_pipeline,
     "ext_stream_heavy_hitters": q_stream_heavy_hitters,
     "ext_rolling_distinct": q_rolling_distinct,
+    "ext_snapshot_diff": q_snapshot_diff,
     "ext_fuzzy_join": q_fuzzy_join,
     "ext_leakage_split": q_leakage_split,
     "ext_url_canon": q_url_canon,
@@ -5081,6 +5133,7 @@ ORACLES = {
     "ext_curation_pipeline": ORACLE_CURATION_PIPELINE,
     "ext_stream_heavy_hitters": ORACLE_STREAM_HEAVY_HITTERS,
     "ext_rolling_distinct": ORACLE_ROLLING_DISTINCT,
+    "ext_snapshot_diff": ORACLE_SNAPSHOT_DIFF,
 }
 
 

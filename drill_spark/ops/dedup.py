@@ -667,3 +667,35 @@ def incremental_near_dedup(
         txn=(txn_app_id, int(batch_id)),
     )
     return survivors
+
+
+def snapshot_diff(old: DataFrame, new: DataFrame, id_col: str,
+                  text_col: str) -> DataFrame:
+    """Dataset-versioning diff between two corpus snapshots: classify
+    every document id as added / removed / changed / unchanged by
+    comparing normalized-content digests (the same 16-byte fingerprint
+    exact_dedup keys on, so a diff between 100 TB snapshots moves
+    digests, never text).
+
+    Scale shape: each side reduces to (id, digest) at scan time, then
+    ONE full-outer equi-join on the id — the join carries two 32-hex
+    digests per id. Returns (id, status, old_h, new_h) for every id
+    whose status is not 'unchanged', plus the unchanged COUNT can be
+    derived by the caller; emitting changed rows only keeps output
+    proportional to the delta, which is the point of a snapshot diff.
+    """
+    o = old.select(F.col(id_col),
+                   F.md5(normalize_text(F.col(text_col))).alias("old_h"))
+    n = new.select(F.col(id_col),
+                   F.md5(normalize_text(F.col(text_col))).alias("new_h"))
+    j = o.join(n, id_col, "full_outer")
+    status = (
+        F.when(F.col("old_h").isNull(), "added")
+        .when(F.col("new_h").isNull(), "removed")
+        .when(F.col("old_h") != F.col("new_h"), "changed")
+        .otherwise("unchanged")
+    )
+    return (
+        j.select(F.col(id_col), status.alias("status"), "old_h", "new_h")
+        .where(F.col("status") != "unchanged")
+    )

@@ -681,3 +681,15 @@ def test_kmv_rolling_distinct_tracks_exact(spark):
     for day, (d1, d7) in exact.items():
         assert abs(got[day]["est_day"] - d1) <= 4 * rse * d1
         assert abs(got[day]["est_rolling"] - d7) <= 4 * rse * d7
+
+
+def test_snapshot_diff_statuses(spark):
+    from drill_spark.ops.dedup import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "id bigint, text string")
+    new = spark.createDataFrame(
+        [(2, "b"), (3, "C2"), (4, "d")], "id bigint, text string")
+    got = {r["id"]: r["status"]
+           for r in snapshot_diff(old, new, "id", "text").collect()}
+    assert got == {1: "removed", 3: "changed", 4: "added"}  # 2 unchanged
