@@ -743,6 +743,45 @@ def _pipeline_table(session, op: str, opts: dict[str, str]) -> DataFrame:
             inp("images"), inp("captions"),
             id_col=o.get("id", "doc_id"),
             threshold=float(o.get("threshold", "0.28")))
+    if name == "mixture_build":
+        from drill_spark.ops.pipeline import build_mixture
+
+        weights = {
+            kv.split(":")[0]: float(kv.split(":")[1])
+            for kv in req("weights").split(",")
+        }
+        return build_mixture(inp(), o.get("source", "source"),
+                             o.get("id", "doc_id"), o.get("text", "text"),
+                             weights,
+                             token_budget=int(o.get("budget", "1000000")))
+    if name == "epoch_shuffle":
+        from drill_spark.ops.pipeline import epoch_shuffle
+
+        ep = o.get("epoch")
+        return epoch_shuffle(inp(), o.get("id", "doc_id"),
+                             epoch=int(ep) if ep else None,
+                             n_shards=int(o.get("shards", "1024")))
+    if name == "kmv_distinct":
+        from drill_spark.ops.sketch import kmv_distinct
+
+        return kmv_distinct(inp(), req("seg"), req("item"),
+                            k=int(o.get("k", "64")))
+    if name == "kmv_overlap":
+        from drill_spark.ops.sketch import kmv_overlap
+
+        return kmv_overlap(inp(), req("seg"), req("item"),
+                           req("a"), req("b"), k=int(o.get("k", "64")))
+    if name == "rolling_distinct":
+        from drill_spark.ops.sketch import kmv_rolling_distinct
+
+        return kmv_rolling_distinct(inp(), o.get("ts", "ts"), req("item"),
+                                    k=int(o.get("k", "64")),
+                                    n_days=int(o.get("days", "7")))
+    if name == "snapshot_diff":
+        from drill_spark.ops.dedup import snapshot_diff
+
+        return snapshot_diff(inp("old"), inp("new"),
+                             o.get("id", "doc_id"), o.get("text", "text"))
     raise ValueError(
         f"unknown pipeline table function `{name}` — available: bm25, bm25_batch, "
         "tfidf_keywords, hybrid_search, fuzzy_join, dedup_exact, "
@@ -752,7 +791,8 @@ def _pipeline_table(session, op: str, opts: dict[str, str]) -> DataFrame:
         "chat_render, preference_pairs, sessionize, funnel, retention, "
         "temperature_sample, weighted_sample, luhn_scan, "
         "normalize_unicode, maxsim, mad_outliers, training_shards, "
-        "crossmodal_topk, crossmodal_align")
+        "crossmodal_topk, crossmodal_align, mixture_build, epoch_shuffle, "
+        "kmv_distinct, kmv_overlap, rolling_distinct, snapshot_diff")
 
 
 def _read_path(session, ws_name: str, rel_path: str, options: dict[str, str] | None = None) -> DataFrame:

@@ -1244,3 +1244,39 @@ def test_sys_materialized_views_and_vector_indexes(dsession):
         "select * from sys.vector_indexes").collect()}
     assert "vsys" in vi and vi["vsys"].n_cells == 2 and vi["vsys"].rows == 64
     dsession.sql("drop vector index vsys")
+
+
+def test_pipeline_table_functions_round9(dsession):
+    """SQL faces for the round-9 operators compose with plain SQL."""
+    dsession.register_fixture_tables("/root/testdata/sf0.001")
+    mix = dsession.sql(
+        "select source, count(*) n, max(epoch) me from "
+        "table(pipeline.`mixture_build`(input => 'documents', "
+        "weights => 'src0:0.6,src1:0.4', budget => '50000')) group by 1"
+    ).collect()
+    assert {r.source for r in mix} == {"src0", "src1"}
+
+    shuf = dsession.sql(
+        "select count(*) n, count(distinct shard) s from "
+        "table(pipeline.`epoch_shuffle`(input => 'documents', "
+        "epoch => '3', shards => '8'))"
+    ).collect()[0]
+    assert shuf.n == 500 and shuf.s == 8
+
+    kd = dsession.sql(
+        "select * from table(pipeline.`kmv_distinct`("
+        "input => 'documents', seg => 'lang', item => 'text', k => '8'))"
+    ).collect()
+    assert kd and all(r.est_distinct > 0 for r in kd)
+
+    roll = dsession.sql(
+        "select * from table(pipeline.`rolling_distinct`("
+        "input => 'events', item => 'user_id', k => '16', days => '3'))"
+    ).collect()
+    assert roll and all(r.est_rolling >= r.est_day - 1e-9 for r in roll)
+
+    diff = dsession.sql(
+        "select status, count(*) n from table(pipeline.`snapshot_diff`("
+        "old => 'documents', new => 'documents')) group by 1"
+    ).collect()
+    assert diff == []  # identical snapshots -> empty diff
