@@ -4897,6 +4897,46 @@ where case when old_h is null then 'added'
 """
 
 
+def q_stream_kmv_distinct(spark, sf_dir):
+    """Streaming KMV distinct users per event type (streaming/
+    events.py::stream_kmv_distinct): the sketch merge is associative
+    and commutative, so the streamed sketch is bit-identical to the
+    batch one regardless of batching — the oracle is the same
+    closed-form sketch replay kmv_distinct uses."""
+    from drill_spark.streaming.events import (
+        latest_kmv_sketches, read_event_stream, run_to_completion,
+        stream_kmv_distinct)
+
+    _STREAM_RUN["n"] += 1
+    ev = read_event_stream(spark, sf_dir)
+    tbl = run_to_completion(
+        stream_kmv_distinct(ev, "event_type", "user_id", k=16),
+        f"drv_stream_kmv_{_STREAM_RUN['n']}", "update")
+    return latest_kmv_sketches(tbl, "event_type")
+
+
+ORACLE_STREAM_KMV_DISTINCT = """
+with h as (
+  select distinct cast(event_type as varchar) as event_type,
+         cast('0x' || substring(md5(cast(user_id as varchar)), 1, 15)
+              as bigint) as hv
+  from events where event_type is not null and user_id is not null
+),
+rk as (select event_type, hv,
+              row_number() over (partition by event_type order by hv) as r
+       from h),
+sk as (select event_type, cast(count(*) as bigint) as n_hashes,
+              max(hv) as theta_hash
+       from rk where r <= 16 group by 1)
+select event_type, n_hashes, theta_hash,
+       case when n_hashes < 16 then cast(n_hashes as double)
+            else round(15.0 * 1152921504606846976.0
+                       / cast(theta_hash as double), 4)
+       end as est_distinct
+from sk
+"""
+
+
 QUERIES = {
     "op_avro_scan": q_avro_scan,
     "op_delta_scan": q_delta_scan,
@@ -4978,6 +5018,7 @@ QUERIES = {
     "ext_stream_heavy_hitters": q_stream_heavy_hitters,
     "ext_rolling_distinct": q_rolling_distinct,
     "ext_snapshot_diff": q_snapshot_diff,
+    "ext_stream_kmv_distinct": q_stream_kmv_distinct,
     "ext_fuzzy_join": q_fuzzy_join,
     "ext_leakage_split": q_leakage_split,
     "ext_url_canon": q_url_canon,
@@ -5134,6 +5175,7 @@ ORACLES = {
     "ext_stream_heavy_hitters": ORACLE_STREAM_HEAVY_HITTERS,
     "ext_rolling_distinct": ORACLE_ROLLING_DISTINCT,
     "ext_snapshot_diff": ORACLE_SNAPSHOT_DIFF,
+    "ext_stream_kmv_distinct": ORACLE_STREAM_KMV_DISTINCT,
 }
 
 

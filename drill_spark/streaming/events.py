@@ -504,3 +504,75 @@ def verified_stream_heavy_hitters(spark, stream_table: DataFrame,
         .agg(F.count(F.lit(1)).alias("cnt"))
         .where(F.col("cnt") * (k + 1) > F.lit(total))
     )
+
+
+def stream_kmv_distinct(stream: DataFrame, seg_col: str, item_col: str,
+                        k: int = 64) -> DataFrame:
+    """Streaming KMV distinct-count sketches — the stateful twin of
+    ops/sketch.py::kmv_distinct. Per-segment state is the k smallest
+    distinct 60-bit md5 hashes seen so far; the KMV merge is
+    associative AND commutative, so the final sketch is bit-identical
+    to the batch sketch no matter how the stream is batched or ordered
+    — which lets the streaming query share the batch oracle verbatim.
+
+    Emits (segment, n_hashes, theta_hash, est_distinct, n_seen) every
+    update; the row with the highest n_seen per segment is the current
+    answer. State: <= k longs + a counter per segment.
+    """
+    import hashlib
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    denom = float(1 << 60)
+    out_schema = (f"{seg_col} string, n_hashes bigint, theta_hash bigint, "
+                  "est_distinct double, n_seen bigint")
+    state_schema = "hashes array<bigint>, n bigint"
+
+    def update(key, pdf_iter, state: GroupState):
+        if state.exists:
+            hashes, n = state.get
+            seen = set(hashes)
+        else:
+            seen, n = set(), 0
+        for pdf in pdf_iter:
+            for v in pdf[item_col]:
+                if v is None:
+                    continue
+                n += 1
+                hv = int(
+                    hashlib.md5(str(v).encode("utf-8")).hexdigest()[:15],
+                    16)
+                if hv not in seen:
+                    seen.add(hv)
+                    if len(seen) > k:
+                        seen.discard(max(seen))
+        hashes = sorted(seen)
+        state.update((hashes, n))
+        nh = len(hashes)
+        theta = hashes[-1] if hashes else None
+        est = (float(nh) if nh < k
+               else round((k - 1) * denom / float(theta), 4))
+        yield pd.DataFrame(
+            {seg_col: [key[0]], "n_hashes": [nh], "theta_hash": [theta],
+             "est_distinct": [est], "n_seen": [n]})
+
+    src = stream.select(
+        F.col(seg_col).cast("string").alias(seg_col),
+        F.col(item_col).cast("string").alias(item_col))
+    return src.groupBy(seg_col).applyInPandasWithState(
+        update, out_schema, state_schema, "update",
+        GroupStateTimeout.NoTimeout)
+
+
+def latest_kmv_sketches(stream_table: DataFrame, seg_col: str) -> DataFrame:
+    """The current sketch per segment from a stream_kmv_distinct update
+    table (highest n_seen wins)."""
+    from pyspark.sql import Window
+
+    return (
+        stream_table.withColumn(
+            "__rn", F.row_number().over(
+                Window.partitionBy(seg_col).orderBy(F.desc("n_seen"))))
+        .where(F.col("__rn") == 1)
+        .select(seg_col, "n_hashes", "theta_hash", "est_distinct")
+    )

@@ -444,3 +444,23 @@ def test_stream_heavy_hitters_matches_batch(spark):
     want = heavy_hitters(batch, "event_type", k=8)
     assert sorted(map(tuple, got.collect())) == \
         sorted(map(tuple, want.collect()))
+
+
+def test_stream_kmv_distinct_equals_batch(spark):
+    """The streamed KMV sketch is bit-identical to the batch sketch —
+    merge associativity/commutativity makes the result independent of
+    micro-batch boundaries and arrival order."""
+    from drill_spark.ops.sketch import kmv_distinct
+
+    stream = ev.read_event_stream(spark, SF_DIR)
+    tbl = ev.run_to_completion(
+        ev.stream_kmv_distinct(stream, "event_type", "user_id", k=8),
+        "t_stream_kmv", "update")
+    got = ev.latest_kmv_sketches(tbl, "event_type")
+    want = kmv_distinct(
+        _batch_events(spark).select(
+            F.col("event_type").cast("string").alias("event_type"),
+            "user_id"),
+        "event_type", "user_id", k=8)
+    assert sorted(map(tuple, got.collect())) == \
+        sorted(map(tuple, want.collect()))
