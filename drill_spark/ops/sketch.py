@@ -113,40 +113,30 @@ def heavy_hitters(df: DataFrame, col: str, k: int = 50) -> DataFrame:
 _KMV_DENOM = float(1 << 60)  # hash domain: 60-bit ints (15 hex chars)
 
 
-def _kmv_partition(seg_col: str, item_col: str, k: int):
+def _kmv_partition(seg_col: str, k: int):
     """mapInPandas pass-1 kernel: per segment, the k smallest distinct
-    60-bit md5 hash values seen in this task."""
+    hash values seen in this task. Hashes arrive precomputed from the
+    JVM (codegen md5), so the Python side is pure numpy — per batch,
+    np.unique per segment (sorted ascending) sliced to k, merged into
+    the carried state (the merge is associative, so batch-wise folding
+    preserves exactly 'k smallest distinct of everything seen')."""
 
     def run(batches):
-        import hashlib
-        import heapq
+        import numpy as np
         import pandas as pd
 
-        state: dict = {}  # seg -> [max-heap of -hash, membership set]
+        state: dict = {}  # seg -> ascending np.ndarray of <= k hashes
         for pdf in batches:
-            for seg, item in zip(pdf[seg_col], pdf[item_col]):
-                if seg is None or item is None:
-                    continue
-                hv = int(
-                    hashlib.md5(str(item).encode("utf-8")).hexdigest()[:15],
-                    16,
-                )
-                ent = state.get(seg)
-                if ent is None:
-                    ent = state[seg] = [[], set()]
-                heap, seen = ent
-                if hv in seen:
-                    continue
-                if len(heap) < k:
-                    heapq.heappush(heap, -hv)
-                    seen.add(hv)
-                elif hv < -heap[0]:
-                    seen.discard(-heapq.heappushpop(heap, -hv))
-                    seen.add(hv)
+            for seg, grp in pdf.groupby(seg_col, sort=False,
+                                        dropna=True)["__hv"]:
+                top = np.unique(grp.to_numpy())[:k]
+                prev = state.get(seg)
+                if prev is not None:
+                    top = np.unique(np.concatenate([prev, top]))[:k]
+                state[seg] = top
         yield pd.DataFrame(
             {seg_col: list(state.keys()),
-             "hashes": [sorted(-h for h in ent[0])
-                        for ent in state.values()]})
+             "hashes": [v.tolist() for v in state.values()]})
 
     return run
 
@@ -157,15 +147,22 @@ def _kmv_sketches(df: DataFrame, seg_col: str, item_col: str,
     values per segment."""
     if k < 2:
         raise ValueError("kmv: k must be >= 2")
-    # Cast JVM-side so the kernel hashes the exact string rendering the
-    # SQL oracle's CAST(x AS VARCHAR) produces (pandas would render an
-    # int64 column with nulls as floats).
-    src = df.select(seg_col, F.col(item_col).cast("string").alias(item_col))
+    # 60-bit hash computed JVM-side (whole-stage codegen over the scan;
+    # the cast to string pins the exact rendering the SQL oracle's
+    # CAST(x AS VARCHAR) produces) — the Python kernel only selects
+    # k-minima, vectorized.
+    hv = F.conv(
+        F.substring(F.md5(F.col(item_col).cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    src = (
+        df.where(F.col(seg_col).isNotNull() & F.col(item_col).isNotNull())
+        .select(seg_col, hv.alias("__hv"))
+    )
     schema = T.StructType([
         src.schema[seg_col],
         T.StructField("hashes", T.ArrayType(T.LongType()), True),
     ])
-    partials = src.mapInPandas(_kmv_partition(seg_col, item_col, k), schema)
+    partials = src.mapInPandas(_kmv_partition(seg_col, k), schema)
     return partials.groupBy(seg_col).agg(
         F.slice(
             F.array_sort(F.array_distinct(F.flatten(F.collect_list("hashes")))),
