@@ -519,7 +519,7 @@ def stream_kmv_distinct(stream: DataFrame, seg_col: str, item_col: str,
     update; the row with the highest n_seen per segment is the current
     answer. State: <= k longs + a counter per segment.
     """
-    import hashlib
+    import numpy as np
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
@@ -530,35 +530,31 @@ def stream_kmv_distinct(stream: DataFrame, seg_col: str, item_col: str,
 
     def update(key, pdf_iter, state: GroupState):
         if state.exists:
-            hashes, n = state.get
-            seen = set(hashes)
+            prev, n = state.get
+            hashes = np.asarray(prev, dtype=np.int64)
         else:
-            seen, n = set(), 0
+            hashes, n = np.empty(0, dtype=np.int64), 0
         for pdf in pdf_iter:
-            for v in pdf[item_col]:
-                if v is None:
-                    continue
-                n += 1
-                hv = int(
-                    hashlib.md5(str(v).encode("utf-8")).hexdigest()[:15],
-                    16)
-                if hv not in seen:
-                    seen.add(hv)
-                    if len(seen) > k:
-                        seen.discard(max(seen))
-        hashes = sorted(seen)
-        state.update((hashes, n))
+            hv = pdf["__hv"].dropna().to_numpy(dtype=np.int64)
+            n += len(hv)
+            hashes = np.unique(np.concatenate([hashes, hv]))[:k]
+        state.update((hashes.tolist(), n))
         nh = len(hashes)
-        theta = hashes[-1] if hashes else None
+        theta = int(hashes[-1]) if nh else None
         est = (float(nh) if nh < k
                else round((k - 1) * denom / float(theta), 4))
         yield pd.DataFrame(
             {seg_col: [key[0]], "n_hashes": [nh], "theta_hash": [theta],
              "est_distinct": [est], "n_seen": [n]})
 
-    src = stream.select(
+    # 60-bit hash computed JVM-side (same rendering as the batch twin
+    # and the SQL oracle); the stateful kernel folds numpy k-minima.
+    hv = F.conv(
+        F.substring(F.md5(F.col(item_col).cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    src = stream.where(F.col(item_col).isNotNull()).select(
         F.col(seg_col).cast("string").alias(seg_col),
-        F.col(item_col).cast("string").alias(item_col))
+        hv.alias("__hv"))
     return src.groupBy(seg_col).applyInPandasWithState(
         update, out_schema, state_schema, "update",
         GroupStateTimeout.NoTimeout)
