@@ -4912,7 +4912,7 @@ def q_stream_kmv_distinct(spark, sf_dir):
     tbl = run_to_completion(
         stream_kmv_distinct(ev, "event_type", "user_id", k=16),
         f"drv_stream_kmv_{_STREAM_RUN['n']}", "update")
-    return latest_kmv_sketches(tbl, "event_type")
+    return latest_kmv_sketches(tbl, "event_type", k=16)
 
 
 ORACLE_STREAM_KMV_DISTINCT = """

@@ -84,15 +84,34 @@ def _spread(df: DataFrame) -> DataFrame:
     across the cluster's slots (a single small parquet file scans as one
     partition, collapsing per-row HOF work onto one core). Uses the
     public ``inputFiles()`` leaf-file census — never the RDD API (engine
-    rule: plans stay DataFrame-only). At real scale the scan has >= slots
-    input files and this is a no-op — no shuffle in the 100 TB plan."""
+    rule: plans stay DataFrame-only) — counting one split per
+    ``maxPartitionBytes`` for local files, so a single BIG splittable
+    file (which Spark already fans out) is not re-shuffled. Frames with
+    no leaf files (in-memory, post-shuffle) are left alone: their
+    partitioning came from a shuffle or the driver and re-shuffling a
+    derived 100 TB frame here would add a full-corpus exchange."""
     target = df.sparkSession.sparkContext.defaultParallelism
     try:
         files = df.inputFiles()
     except Exception:
-        files = []
-    if files and len(files) >= target:
         return df
+    if not files:
+        return df
+    import os
+    from urllib.parse import unquote, urlparse
+
+    split_bytes = 128 * 1024 * 1024
+    splits = 0
+    for f in files:
+        u = urlparse(f)
+        path = unquote(u.path) if u.scheme in ("file", "") else None
+        try:
+            size = os.path.getsize(path) if path else 0
+        except OSError:
+            size = 0
+        splits += max(1, -(-size // split_bytes))
+        if splits >= target:
+            return df
     return df.repartition(target)
 
 
@@ -813,7 +832,8 @@ def build_mixture(
 
 
 def epoch_shuffle(df: DataFrame, id_col: str, epoch: int | None = None,
-                  n_shards: int = 1024) -> DataFrame:
+                  n_shards: int = 1024,
+                  keep_columns: bool = False) -> DataFrame:
     """Epoch-aware deterministic global shuffle: the same corpus gets a
     DIFFERENT reproducible permutation every epoch (pretraining loaders
     reshuffle between epochs; doing it content-addressed means any
@@ -826,7 +846,11 @@ def epoch_shuffle(df: DataFrame, id_col: str, epoch: int | None = None,
     place in the global order.
 
     Scale shape: one shuffle keyed by the shard id + one in-shard sort
-    (see training_shards). Returns (id, epoch, shard, pos).
+    (see training_shards). Returns (id, epoch, shard, pos); with
+    ``keep_columns=True`` the input columns pass through instead
+    (``epoch`` must then already be a column) — the mode
+    :func:`curation_pipeline` composes on, so the salt/addressing
+    logic exists exactly once.
     """
     from pyspark.sql import Window
 
@@ -837,13 +861,13 @@ def epoch_shuffle(df: DataFrame, id_col: str, epoch: int | None = None,
         F.conv(F.substring(F.md5(salt), 1, 6), 16, 10).cast("long")
         % n_shards
     ).cast("int")
-    w = Window.partitionBy("epoch", "shard").orderBy(
-        F.md5(salt), id_col)
-    return (
-        df.select(F.col(id_col), e.cast("int").alias("epoch"),
-                  shard.alias("shard"))
-        .withColumn("pos", F.row_number().over(w))
-    )
+    w = Window.partitionBy(e, shard).orderBy(F.md5(salt), id_col)
+    addressed = df.withColumn("shard", shard).withColumn(
+        "pos", F.row_number().over(w))
+    if keep_columns:
+        return addressed
+    return addressed.select(F.col(id_col), e.cast("int").alias("epoch"),
+                            "shard", "pos")
 
 
 def curation_pipeline(
@@ -908,18 +932,6 @@ def curation_pipeline(
 
     mix = build_mixture(clean, source_col, id_col, text_col,
                         weights, token_budget)
-
-    from pyspark.sql import Window
-
-    salt = F.concat(F.lit("pos_e"), F.col("epoch").cast("string"),
-                    F.lit("_"), F.col(id_col).cast("string"))
-    shard = (
-        F.conv(F.substring(F.md5(salt), 1, 6), 16, 10).cast("long")
-        % n_shards
-    ).cast("int")
-    w = Window.partitionBy("epoch", "shard").orderBy(F.md5(salt), id_col)
-    return (
-        mix.withColumn("shard", shard)
-        .withColumn("pos", F.row_number().over(w))
-        .select(id_col, source_col, "epoch", "n_tokens", "shard", "pos")
-    )
+    return epoch_shuffle(
+        mix, id_col, epoch=None, n_shards=n_shards, keep_columns=True
+    ).select(id_col, source_col, "epoch", "n_tokens", "shard", "pos")

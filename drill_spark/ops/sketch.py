@@ -212,16 +212,23 @@ def kmv_overlap(df: DataFrame, seg_col: str, item_col: str,
         df.where(F.col(seg_col).isin(seg_a, seg_b)), seg_col, item_col, k
     )
     full = F.lit(int(_KMV_DENOM))
-    a = sk.where(F.col(seg_col) == seg_a).select(
-        F.col("hashes").alias("ha"),
-        F.when(F.size("hashes") < k, full)
-        .otherwise(F.element_at("hashes", F.size("hashes"))).alias("ta"),
-    )
-    b = sk.where(F.col(seg_col) == seg_b).select(
-        F.col("hashes").alias("hb"),
-        F.when(F.size("hashes") < k, full)
-        .otherwise(F.element_at("hashes", F.size("hashes"))).alias("tb"),
-    )
+
+    def side(seg: str, h: str, t: str) -> DataFrame:
+        # agg(first) always yields exactly one row, so an ABSENT segment
+        # degrades to an empty sketch (theta = full domain -> all
+        # estimates 0.0) instead of collapsing the crossJoin to 0 rows.
+        return (
+            sk.where(F.col(seg_col) == seg)
+            .agg(F.first("hashes").alias(h))
+            .select(F.coalesce(F.col(h),
+                               F.array().cast("array<long>")).alias(h))
+            .select(F.col(h),
+                    F.when(F.size(h) < k, full)
+                    .otherwise(F.element_at(h, F.size(h))).alias(t))
+        )
+
+    a = side(seg_a, "ha", "ta")
+    b = side(seg_b, "hb", "tb")
     j = a.crossJoin(F.broadcast(b))  # 1 row x 1 row
     theta = F.least("ta", "tb")
     under = lambda c: F.filter(c, lambda h: h < theta)  # noqa: E731

@@ -137,7 +137,8 @@ def read_excel(spark: SparkSession, path: str, sheet: str | int = 0, header: boo
 
 
 def _cell_ref(row: int, col: int) -> str:
-    """1-based (row, col) -> A1-style reference."""
+    """(row, col) -> A1-style reference; row is 1-based, col is
+    0-based (col=0 -> 'A')."""
     name = ""
     c = col
     while True:
@@ -159,8 +160,10 @@ def write_xlsx(path: str, columns: list[str], rows, sheet: str = "Sheet1") -> No
     rns = "http://schemas.openxmlformats.org/officeDocument/2006/relationships"
 
     def esc(s: str) -> str:
+        # quote-escaped too: esc() output also lands inside
+        # double-quoted XML attributes (the sheet name).
         return (str(s).replace("&", "&amp;").replace("<", "&lt;")
-                .replace(">", "&gt;"))
+                .replace(">", "&gt;").replace('"', "&quot;"))
 
     def cell(r: int, c: int, v) -> str:
         ref = _cell_ref(r, c)

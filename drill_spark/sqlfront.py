@@ -746,10 +746,14 @@ def _pipeline_table(session, op: str, opts: dict[str, str]) -> DataFrame:
     if name == "mixture_build":
         from drill_spark.ops.pipeline import build_mixture
 
-        weights = {
-            kv.split(":")[0]: float(kv.split(":")[1])
-            for kv in req("weights").split(",")
-        }
+        weights = {}
+        for kv in req("weights").split(","):
+            src_name, _, w = kv.rpartition(":")
+            if not src_name:
+                raise ValueError(
+                    "pipeline.mixture_build: weights entries are "
+                    f"'<source>:<weight>', got {kv!r}")
+            weights[src_name] = float(w)
         return build_mixture(inp(), o.get("source", "source"),
                              o.get("id", "doc_id"), o.get("text", "text"),
                              weights,

@@ -515,17 +515,20 @@ def stream_kmv_distinct(stream: DataFrame, seg_col: str, item_col: str,
     to the batch sketch no matter how the stream is batched or ordered
     — which lets the streaming query share the batch oracle verbatim.
 
-    Emits (segment, n_hashes, theta_hash, est_distinct, n_seen) every
-    update; the row with the highest n_seen per segment is the current
-    answer. State: <= k longs + a counter per segment.
+    Emits (segment, n_hashes, theta_hash, n_seen) every update; the
+    row with the highest n_seen per segment is the current sketch.
+    The ESTIMATE is deliberately not computed here: latest_kmv_sketches
+    derives it JVM-side with the same F.round expression the batch twin
+    uses (Python round() is half-to-even, SQL ROUND is half-away — a
+    kernel-side round would diverge at 4th-decimal midpoints).
+    State: <= k longs + a counter per segment.
     """
     import numpy as np
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-    denom = float(1 << 60)
     out_schema = (f"{seg_col} string, n_hashes bigint, theta_hash bigint, "
-                  "est_distinct double, n_seen bigint")
+                  "n_seen bigint")
     state_schema = "hashes array<bigint>, n bigint"
 
     def update(key, pdf_iter, state: GroupState):
@@ -541,18 +544,21 @@ def stream_kmv_distinct(stream: DataFrame, seg_col: str, item_col: str,
         state.update((hashes.tolist(), n))
         nh = len(hashes)
         theta = int(hashes[-1]) if nh else None
-        est = (float(nh) if nh < k
-               else round((k - 1) * denom / float(theta), 4))
         yield pd.DataFrame(
             {seg_col: [key[0]], "n_hashes": [nh], "theta_hash": [theta],
-             "est_distinct": [est], "n_seen": [n]})
+             "n_seen": [n]})
 
     # 60-bit hash computed JVM-side (same rendering as the batch twin
     # and the SQL oracle); the stateful kernel folds numpy k-minima.
+    # Null SEGMENTS are filtered like the batch twin does — without
+    # this the groupBy state would emit a null-segment sketch row the
+    # oracle never produces.
     hv = F.conv(
         F.substring(F.md5(F.col(item_col).cast("string")), 1, 15), 16, 10
     ).cast("long")
-    src = stream.where(F.col(item_col).isNotNull()).select(
+    src = stream.where(
+        F.col(seg_col).isNotNull() & F.col(item_col).isNotNull()
+    ).select(
         F.col(seg_col).cast("string").alias(seg_col),
         hv.alias("__hv"))
     return src.groupBy(seg_col).applyInPandasWithState(
@@ -560,15 +566,23 @@ def stream_kmv_distinct(stream: DataFrame, seg_col: str, item_col: str,
         GroupStateTimeout.NoTimeout)
 
 
-def latest_kmv_sketches(stream_table: DataFrame, seg_col: str) -> DataFrame:
+def latest_kmv_sketches(stream_table: DataFrame, seg_col: str,
+                        k: int = 64) -> DataFrame:
     """The current sketch per segment from a stream_kmv_distinct update
-    table (highest n_seen wins)."""
+    table (highest n_seen wins), with the KMV estimate computed in the
+    SAME Catalyst expression the batch kmv_distinct uses — so streamed
+    and batch results are bit-identical."""
     from pyspark.sql import Window
 
-    return (
+    latest = (
         stream_table.withColumn(
             "__rn", F.row_number().over(
                 Window.partitionBy(seg_col).orderBy(F.desc("n_seen"))))
         .where(F.col("__rn") == 1)
-        .select(seg_col, "n_hashes", "theta_hash", "est_distinct")
     )
+    n = F.col("n_hashes")
+    theta = F.col("theta_hash").cast("double")
+    est = F.when(n < k, n.cast("double")).otherwise(
+        F.round(F.lit(float(k - 1)) * F.lit(float(1 << 60)) / theta, 4))
+    return latest.select(seg_col, "n_hashes", "theta_hash",
+                         est.alias("est_distinct"))

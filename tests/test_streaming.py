@@ -456,7 +456,7 @@ def test_stream_kmv_distinct_equals_batch(spark):
     tbl = ev.run_to_completion(
         ev.stream_kmv_distinct(stream, "event_type", "user_id", k=8),
         "t_stream_kmv", "update")
-    got = ev.latest_kmv_sketches(tbl, "event_type")
+    got = ev.latest_kmv_sketches(tbl, "event_type", k=8)
     want = kmv_distinct(
         _batch_events(spark).select(
             F.col("event_type").cast("string").alias("event_type"),
