@@ -4937,6 +4937,62 @@ from sk
 """
 
 
+def q_rolling_quantiles(spark, sf_dir):
+    """Rolling 7-day p50/p95 from ADDITIVE per-day histograms
+    (ops/sketch.py::rolling_quantiles): each day's raw rows reduce to
+    <=256 bin counts once; rolling windows are vector adds.
+    Deterministic (bin-midpoint rule, no sampling) -> the oracle
+    replays the histogram build and the cumulative-rank read."""
+    from drill_spark.ops.sketch import rolling_quantiles
+
+    ev = load_fixture(spark, sf_dir, "events")
+    return rolling_quantiles(ev, "ts", "value", lo=0.0, hi=500.0,
+                             n_bins=256, n_days=7)
+
+
+ORACLE_ROLLING_QUANTILES = r"""
+with per as (
+  select cast(date_trunc('day', ts) as date) as day,
+         least(255, greatest(0,
+           cast(floor((value - 0.0) * 256 / 500.0) as int))) as bin,
+         count(*) as c
+  from events where value is not null
+  group by 1, 2
+),
+days as (select distinct day from per),
+bins as (select distinct bin from per),
+dense as (
+  select d.day, b.bin, coalesce(p.c, 0) as c
+  from days d cross join bins b
+  left join per p on p.day = d.day and p.bin = b.bin
+),
+rolled as (
+  select day, bin,
+         sum(c) over (partition by bin order by day
+                      range between interval 6 days preceding
+                      and current row) as rc
+  from dense
+),
+cum as (
+  select day, bin, rc,
+         sum(rc) over (partition by day order by bin
+                       rows between unbounded preceding
+                       and current row) as cum,
+         sum(rc) over (partition by day) as tot
+  from rolled
+)
+select day,
+       cast(max(tot) as bigint) as n_rolling,
+       round((min(case when cum >= 0.5 * tot then bin end) + 0.5)
+             * 500.0 / 256 + 0.0, 4) as q50,
+       round((min(case when cum >= 0.95 * tot then bin end) + 0.5)
+             * 500.0 / 256 + 0.0, 4) as q95
+from cum
+group by day
+having max(tot) > 0
+"""
+
+
 QUERIES = {
     "op_avro_scan": q_avro_scan,
     "op_delta_scan": q_delta_scan,
@@ -5019,6 +5075,7 @@ QUERIES = {
     "ext_rolling_distinct": q_rolling_distinct,
     "ext_snapshot_diff": q_snapshot_diff,
     "ext_stream_kmv_distinct": q_stream_kmv_distinct,
+    "ext_rolling_quantiles": q_rolling_quantiles,
     "ext_fuzzy_join": q_fuzzy_join,
     "ext_leakage_split": q_leakage_split,
     "ext_url_canon": q_url_canon,
@@ -5176,6 +5233,7 @@ ORACLES = {
     "ext_rolling_distinct": ORACLE_ROLLING_DISTINCT,
     "ext_snapshot_diff": ORACLE_SNAPSHOT_DIFF,
     "ext_stream_kmv_distinct": ORACLE_STREAM_KMV_DISTINCT,
+    "ext_rolling_quantiles": ORACLE_ROLLING_QUANTILES,
 }
 
 

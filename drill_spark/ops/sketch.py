@@ -293,3 +293,76 @@ def kmv_rolling_distinct(df: DataFrame, time_col: str, item_col: str,
             _est(F.col("__roll")).alias("est_rolling"),
         )
     )
+
+
+def rolling_quantiles(df: DataFrame, time_col: str, val_col: str,
+                      lo: float, hi: float, n_bins: int = 128,
+                      n_days: int = 7,
+                      quantiles: tuple[float, ...] = (0.5, 0.95)
+                      ) -> DataFrame:
+    """Rolling n-day quantile estimates from ADDITIVE per-day
+    histograms — the quantile companion to kmv_rolling_distinct.
+    Quantiles (like distincts) are not additive, but fixed-bin
+    histograms are: each day's raw rows reduce to <= n_bins counts
+    ONCE, every rolling window is a vector add of <= n_days tiny
+    histograms, and the estimate reads the cumulative distribution at
+    the target rank (bin-midpoint rule). Deterministic — no sampling,
+    no centroid drift (the reason this is oracle-backed while t-digest
+    style sketches are error-bounded only).
+
+    Values are clamped into [lo, hi); estimate error is bounded by the
+    bin width (hi-lo)/n_bins. Returns (day, n_rolling, q50, q95, ...)
+    one column per requested quantile, rounded to 4 decimals.
+
+    Scale shape: ONE map-combined (day, bin) count aggregation over the
+    raw rows; everything after operates on days x n_bins rows (a
+    decade of days x 128 bins = half a million tiny rows, not data).
+    """
+    from pyspark.sql import Window
+
+    span = float(hi) - float(lo)
+    bin_ = F.least(
+        F.lit(n_bins - 1),
+        F.greatest(F.lit(0), F.floor(
+            (F.col(val_col) - F.lit(float(lo))) * n_bins / F.lit(span)
+        ).cast("int")),
+    )
+    day = F.date_trunc("day", F.col(time_col))
+    per = (
+        df.where(F.col(val_col).isNotNull())
+        .groupBy(day.alias("__day"), bin_.alias("__bin"))
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    dnum = F.datediff(F.col("__day"), F.lit("1970-01-01")).cast("long")
+    roll_w = (Window.partitionBy("__bin").orderBy(dnum.asc())
+              .rangeBetween(-(n_days - 1), Window.currentRow))
+    # per (day, bin): rolling count. Days where a bin had no rows are
+    # absent — backfill by joining the day spine to the bin spine so
+    # every (day, bin) pair exists before the range window runs.
+    days = per.select("__day").distinct()
+    bins = per.select("__bin").distinct()
+    dense = (
+        days.crossJoin(F.broadcast(bins))
+        .join(per, ["__day", "__bin"], "left")
+        .withColumn("__c", F.coalesce("__c", F.lit(0)))
+    )
+    rolled = dense.withColumn("__rc", F.sum("__c").over(roll_w))
+    cum_w = (Window.partitionBy("__day").orderBy("__bin")
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cum = (
+        rolled.withColumn("__cum", F.sum("__rc").over(cum_w))
+        .withColumn("__tot", F.sum("__rc").over(Window.partitionBy("__day")))
+    )
+    aggs = [F.max("__tot").cast("long").alias("n_rolling")]
+    for q in quantiles:
+        qbin = F.min(
+            F.when(F.col("__cum") >= F.lit(q) * F.col("__tot"), F.col("__bin"))
+        )
+        name = f"q{int(round(q * 100)):02d}"
+        aggs.append(F.round(
+            (qbin + 0.5) * span / n_bins + float(lo), 4).alias(name))
+    return (
+        cum.groupBy(F.col("__day").cast("date").alias("day"))
+        .agg(*aggs)
+        .where(F.col("n_rolling") > 0)
+    )

@@ -693,3 +693,33 @@ def test_snapshot_diff_statuses(spark):
     got = {r["id"]: r["status"]
            for r in snapshot_diff(old, new, "id", "text").collect()}
     assert got == {1: "removed", 3: "changed", 4: "added"}  # 2 unchanged
+
+
+def test_rolling_quantiles_tracks_exact_within_bin_width(spark):
+    """Histogram quantiles track the exact re-scan answer within one
+    bin width (the operator's documented error bound)."""
+    from drill_spark.ops.sketch import rolling_quantiles
+
+    ev = spark.read.parquet(f"{SF_MED}/events.parquet")
+    lo, hi, nb = 0.0, 500.0, 256
+    got = {r["day"]: r for r in
+           rolling_quantiles(ev, "ts", "value", lo, hi, n_bins=nb,
+                             n_days=7).collect()}
+    exact = {r["day"]: (r["p50"], r["p95"]) for r in spark.sql(f"""
+        with e as (select cast(date_trunc('day', ts) as date) as day,
+                          value
+                   from parquet.`{SF_MED}/events.parquet`),
+        days as (select distinct day from e)
+        select d.day,
+               (select percentile(value, 0.5) from e
+                where e.day between d.day - interval 6 days and d.day)
+                 as p50,
+               (select percentile(value, 0.95) from e
+                where e.day between d.day - interval 6 days and d.day)
+                 as p95
+        from days d""").collect()}
+    width = (hi - lo) / nb
+    assert set(got) == set(exact)
+    for day, (p50, p95) in exact.items():
+        assert abs(got[day]["q50"] - p50) <= width + 1e-9
+        assert abs(got[day]["q95"] - p95) <= width + 1e-9
