@@ -786,6 +786,14 @@ def _pipeline_table(session, op: str, opts: dict[str, str]) -> DataFrame:
 
         return snapshot_diff(inp("old"), inp("new"),
                              o.get("id", "doc_id"), o.get("text", "text"))
+    if name == "rolling_quantiles":
+        from drill_spark.ops.sketch import rolling_quantiles
+
+        return rolling_quantiles(
+            inp(), o.get("ts", "ts"), req("val"),
+            lo=float(o.get("lo", "0")), hi=float(req("hi")),
+            n_bins=int(o.get("bins", "128")),
+            n_days=int(o.get("days", "7")))
     raise ValueError(
         f"unknown pipeline table function `{name}` — available: bm25, bm25_batch, "
         "tfidf_keywords, hybrid_search, fuzzy_join, dedup_exact, "
@@ -796,7 +804,8 @@ def _pipeline_table(session, op: str, opts: dict[str, str]) -> DataFrame:
         "temperature_sample, weighted_sample, luhn_scan, "
         "normalize_unicode, maxsim, mad_outliers, training_shards, "
         "crossmodal_topk, crossmodal_align, mixture_build, epoch_shuffle, "
-        "kmv_distinct, kmv_overlap, rolling_distinct, snapshot_diff")
+        "kmv_distinct, kmv_overlap, rolling_distinct, snapshot_diff, "
+        "rolling_quantiles")
 
 
 def _read_path(session, ws_name: str, rel_path: str, options: dict[str, str] | None = None) -> DataFrame:

@@ -1280,3 +1280,12 @@ def test_pipeline_table_functions_round9(dsession):
         "old => 'documents', new => 'documents')) group by 1"
     ).collect()
     assert diff == []  # identical snapshots -> empty diff
+
+
+def test_pipeline_table_function_rolling_quantiles(dsession):
+    dsession.register_fixture_tables("/root/testdata/sf0.001")
+    rq = dsession.sql(
+        "select * from table(pipeline.`rolling_quantiles`("
+        "input => 'events', val => 'value', hi => '500', days => '3'))"
+    ).collect()
+    assert rq and all(r.q50 <= r.q95 for r in rq)
