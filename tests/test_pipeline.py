@@ -723,3 +723,35 @@ def test_rolling_quantiles_tracks_exact_within_bin_width(spark):
     for day, (p50, p95) in exact.items():
         assert abs(got[day]["q50"] - p50) <= width + 1e-9
         assert abs(got[day]["q95"] - p95) <= width + 1e-9
+
+
+def test_kmv_sketch_single_shuffle_contract(spark):
+    """The sketch's only exchange is the tiny partial-merge groupBy —
+    the raw rows never shuffle (the whole point at 100 TB)."""
+    from drill_spark.ops.sketch import kmv_distinct
+
+    docs = spark.read.parquet(f"{SF_MED}/documents.parquet")
+    rep = explain_report(kmv_distinct(docs, "lang", "text", k=16))
+    assert rep["shuffles"] == 1
+    assert "CartesianProduct" not in rep["joins"]
+
+
+def test_kmv_property_partitioning_and_subset(spark):
+    """Property check over randomized-ish inputs: (a) the sketch is
+    partitioning-invariant, (b) every sketch hash belongs to the true
+    global hash set (k smallest distinct)."""
+    import hashlib
+
+    vals = [f"w{(i * 7919) % 613}" for i in range(3000)]
+    df = spark.createDataFrame([("s", v) for v in vals],
+                               "seg string, item string")
+    from drill_spark.ops.sketch import _kmv_sketches
+
+    for k in (4, 33, 100):
+        one = _kmv_sketches(df.coalesce(1), "seg", "item", k).first()
+        many = _kmv_sketches(df.repartition(17), "seg", "item", k).first()
+        assert one["hashes"] == many["hashes"]
+        truth = sorted({
+            int(hashlib.md5(v.encode()).hexdigest()[:15], 16)
+            for v in vals})[:k]
+        assert one["hashes"] == truth
