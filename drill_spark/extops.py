@@ -4993,6 +4993,48 @@ having max(tot) > 0
 """
 
 
+def q_cms_estimate(spark, sf_dir):
+    """Count-min sketch point queries (ops/sketch.py::cms_build /
+    cms_estimate): the events fixture is sketched into 4x1024 counters
+    (one map-combined agg, output bounded regardless of cardinality),
+    then ten user keys are estimated as the min over their 4 counters.
+    Deterministic -> the oracle replays the hashes and the min."""
+    from drill_spark.ops.sketch import cms_build, cms_estimate
+
+    ev = load_fixture(spark, sf_dir, "events")
+    sk = cms_build(ev, "user_id", width=1024, depth=4)
+    probes = ev.where(F.col("user_id") < 10).select("user_id").distinct()
+    return cms_estimate(sk, probes, "user_id", width=1024, depth=4)
+
+
+ORACLE_CMS_ESTIMATE = """
+with src as (
+  select cast(user_id as varchar) as key
+  from events where user_id is not null
+),
+js as (select unnest(range(0, 4)) as j),
+h as (
+  select j,
+         cast(cast('0x' || substring(md5(cast(j as varchar) || ':' || key),
+              1, 8) as bigint) % 1024 as bigint) as bucket
+  from src cross join js
+),
+sk as (select j, bucket, cast(count(*) as bigint) as c
+       from h group by 1, 2),
+probes as (select distinct cast(user_id as varchar) as key
+           from events where user_id < 10),
+spine as (
+  select key, j,
+         cast(cast('0x' || substring(md5(cast(j as varchar) || ':' || key),
+              1, 8) as bigint) % 1024 as bigint) as bucket
+  from probes cross join js
+)
+select key, min(coalesce(c, 0)) as est
+from spine left join sk using (j, bucket)
+group by key
+"""
+
+
 QUERIES = {
     "op_avro_scan": q_avro_scan,
     "op_delta_scan": q_delta_scan,
@@ -5076,6 +5118,7 @@ QUERIES = {
     "ext_snapshot_diff": q_snapshot_diff,
     "ext_stream_kmv_distinct": q_stream_kmv_distinct,
     "ext_rolling_quantiles": q_rolling_quantiles,
+    "ext_cms_estimate": q_cms_estimate,
     "ext_fuzzy_join": q_fuzzy_join,
     "ext_leakage_split": q_leakage_split,
     "ext_url_canon": q_url_canon,
@@ -5234,6 +5277,7 @@ ORACLES = {
     "ext_snapshot_diff": ORACLE_SNAPSHOT_DIFF,
     "ext_stream_kmv_distinct": ORACLE_STREAM_KMV_DISTINCT,
     "ext_rolling_quantiles": ORACLE_ROLLING_QUANTILES,
+    "ext_cms_estimate": ORACLE_CMS_ESTIMATE,
 }
 
 

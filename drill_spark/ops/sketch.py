@@ -366,3 +366,62 @@ def rolling_quantiles(df: DataFrame, time_col: str, val_col: str,
         .agg(*aggs)
         .where(F.col("n_rolling") > 0)
     )
+
+
+def cms_build(df: DataFrame, col: str, width: int = 1024,
+              depth: int = 4) -> DataFrame:
+    """Count-min sketch (Cormode & Muthukrishnan 2005) of ``col``:
+    ``depth`` md5-seeded hash rows x ``width`` counters. The build is
+    ONE map-combined aggregation whose output is <= depth*width rows
+    regardless of key cardinality — the additive frequency summary
+    (point-query companion to Misra-Gries top-k: MG answers "which
+    keys are heavy", CMS answers "how often is THIS key", both at
+    bounded state). Mergeable: sketches of two datasets add
+    counter-wise. Deterministic given the hash → oracle-backed.
+
+    Returns (j, bucket, c)."""
+    rows = F.array(*[
+        F.struct(
+            F.lit(j).alias("j"),
+            (F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(f"{j}:"),
+                                   F.col(col).cast("string"))), 1, 8),
+                16, 10).cast("long") % width).alias("bucket"),
+        )
+        for j in range(depth)
+    ])
+    return (
+        df.where(F.col(col).isNotNull())
+        .select(F.explode(rows).alias("h"))
+        .groupBy(F.col("h.j").alias("j"), F.col("h.bucket").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+def cms_estimate(sketch: DataFrame, probes: DataFrame, col: str,
+                 width: int = 1024, depth: int = 4) -> DataFrame:
+    """Point-frequency estimates for the ``probes`` keys from a
+    cms_build sketch: min over the depth counters the key hashes to
+    (never underestimates; overestimate bounded by collisions ~ N/width
+    per row, min over depth rows). Probes x depth is a tiny spine;
+    the sketch side joins on (j, bucket) — broadcast when the sketch
+    fits, which at depth*width rows it always does.
+
+    Returns (key, est)."""
+    spine = probes.select(
+        F.col(col).cast("string").alias("__key"),
+        F.explode(F.array(*[F.lit(j) for j in range(depth)])).alias("j"),
+    ).withColumn(
+        "bucket",
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("j").cast("string"), F.lit(":"),
+                               F.col("__key"))), 1, 8),
+            16, 10).cast("long") % width,
+    )
+    return (
+        spine.join(F.broadcast(sketch), ["j", "bucket"], "left")
+        .groupBy(F.col("__key").alias("key"))
+        .agg(F.min(F.coalesce(F.col("c"), F.lit(0))).alias("est"))
+    )

@@ -755,3 +755,30 @@ def test_kmv_property_partitioning_and_subset(spark):
             int(hashlib.md5(v.encode()).hexdigest()[:15], 16)
             for v in vals})[:k]
         assert one["hashes"] == truth
+
+
+def test_cms_never_underestimates_and_bounded(spark):
+    from drill_spark.ops.sketch import cms_build, cms_estimate
+
+    n, w, d = 5000, 512, 4
+    rows = [(f"k{i % 37}",) for i in range(n)]
+    df = spark.createDataFrame(rows, "key string")
+    sk = cms_build(df, "key", width=w, depth=d)
+    # sketch mass conservation: every hash row sums to n
+    per_row = {r["j"]: r["s"] for r in
+               sk.groupBy("j").agg(F.sum("c").alias("s")).collect()}
+    assert per_row == {j: n for j in range(d)}
+    probes = df.distinct()
+    got = {r["key"]: r["est"]
+           for r in cms_estimate(sk, probes, "key", width=w,
+                                 depth=d).collect()}
+    truth = {r["key"]: r["c"] for r in
+             df.groupBy("key").agg(F.count("*").alias("c")).collect()}
+    for kk, t in truth.items():
+        assert got[kk] >= t                      # CMS never underestimates
+        assert got[kk] <= t + 3 * (n // w) + 3   # collision bound
+    # absent key estimates only collision mass
+    miss = cms_estimate(
+        sk, spark.createDataFrame([("zzz",)], "key string"),
+        "key", width=w, depth=d).first()
+    assert 0 <= miss["est"] <= 3 * (n // w) + 3
