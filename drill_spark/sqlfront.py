@@ -786,6 +786,14 @@ def _pipeline_table(session, op: str, opts: dict[str, str]) -> DataFrame:
 
         return snapshot_diff(inp("old"), inp("new"),
                              o.get("id", "doc_id"), o.get("text", "text"))
+    if name == "cms_estimate":
+        from drill_spark.ops.sketch import cms_build, cms_estimate
+
+        w, d = int(o.get("width", "1024")), int(o.get("depth", "4"))
+        c = req("col")
+        sk = cms_build(inp(), c, width=w, depth=d)
+        return cms_estimate(sk, _resolve_input(session, req("probes")),
+                            c, width=w, depth=d)
     if name == "rolling_quantiles":
         from drill_spark.ops.sketch import rolling_quantiles
 
@@ -805,7 +813,7 @@ def _pipeline_table(session, op: str, opts: dict[str, str]) -> DataFrame:
         "normalize_unicode, maxsim, mad_outliers, training_shards, "
         "crossmodal_topk, crossmodal_align, mixture_build, epoch_shuffle, "
         "kmv_distinct, kmv_overlap, rolling_distinct, snapshot_diff, "
-        "rolling_quantiles")
+        "rolling_quantiles, cms_estimate")
 
 
 def _read_path(session, ws_name: str, rel_path: str, options: dict[str, str] | None = None) -> DataFrame:
