@@ -782,3 +782,17 @@ def test_cms_never_underestimates_and_bounded(spark):
         sk, spark.createDataFrame([("zzz",)], "key string"),
         "key", width=w, depth=d).first()
     assert 0 <= miss["est"] <= 3 * (n // w) + 3
+
+
+def test_build_mixture_partitioning_invariant(spark):
+    """Content-addressed gates make the mixture independent of physical
+    partitioning — the reproducibility contract."""
+    from drill_spark.ops.pipeline import build_mixture
+
+    rows = [(i, f"src{i % 3}", " ".join(f"w{j}" for j in range(i % 9 + 1)))
+            for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id bigint, source string, text string")
+    w = {"src0": 0.5, "src1": 0.3, "src2": 0.2}
+    a = build_mixture(df.coalesce(1), "source", "doc_id", "text", w, 9000)
+    b = build_mixture(df.repartition(19), "source", "doc_id", "text", w, 9000)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
