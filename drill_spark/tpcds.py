@@ -35,7 +35,7 @@ def _store_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
     `cnt between 1 and 5` filter needs."""
     li = load_fixture(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_linenumber", "l_suppkey", "l_partkey",
-        "l_extendedprice", "l_quantity", "l_discount")
+        "l_extendedprice", "l_quantity", "l_discount", "l_tax")
     orders = load_fixture(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey")
     return (
@@ -63,6 +63,14 @@ def _store_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("ss_cdemo_sk"),
             ((F.col("l_partkey") + F.col("l_suppkey")) % 30)
             .alias("ss_promo_sk"),
+            ((F.col("l_orderkey") * 3 + F.col("l_linenumber")) % 600)
+            .alias("ss_sold_time_sk"),
+            ((F.col("o_custkey") * 11 + F.col("l_orderkey")) % 400)
+            .alias("ss_addr_sk"),
+            (F.floor(F.col("l_extendedprice") / F.col("l_quantity") * 100)
+             / 100.0 * F.col("l_quantity")).alias("ss_ext_list_price"),
+            (F.floor(F.col("l_extendedprice") * F.col("l_tax") * 100)
+             / 100.0).alias("ss_ext_tax"),
         )
     )
 
@@ -118,8 +126,26 @@ def _store(spark: SparkSession) -> DataFrame:
     return spark.sql(
         f"select id as s_store_sk, "
         f"element_at(array({counties}), cast(id % 8 as int) + 1) as s_county, "
-        f"'S' || lpad(cast(id as string), 3, '0') as s_store_id "
+        f"'S' || lpad(cast(id as string), 3, '0') as s_store_id, "
+        f"case cast(id % 3 as int) when 0 then 'ese' when 1 then 'ought' "
+        f"     else 'able' end as s_store_name, "
+        f"'City#' || cast(cast(id % 6 as int) as string) as s_city "
         f"from (select explode(sequence(0, 9)) as id)")
+
+
+def _time_dim(spark: SparkSession) -> DataFrame:
+    return spark.sql(
+        "select id as t_time_sk, "
+        "cast(id % 24 as int) as t_hour, "
+        "cast((id * 7) % 60 as int) as t_minute "
+        "from (select explode(sequence(0, 599)) as id)")
+
+
+def _customer_address(spark: SparkSession) -> DataFrame:
+    return spark.sql(
+        "select id as ca_address_sk, "
+        "'City#' || cast(cast(id % 40 as int) as string) as ca_city "
+        "from (select explode(sequence(0, 399)) as id)")
 
 
 def _household_demographics(spark: SparkSession) -> DataFrame:
@@ -142,6 +168,7 @@ def _customer(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("c_salutation"),
         F.when(F.col("c_custkey") % 3 == 0, "Y").otherwise("N")
         .alias("c_preferred_cust_flag"),
+        (F.col("c_custkey") * 13 % 400).alias("c_current_addr_sk"),
     )
 
 
@@ -206,7 +233,12 @@ with store_sales as (
          floor(l.l_extendedprice * l.l_discount * 100) / 100.0
            as ss_coupon_amt,
          (l.l_orderkey * 7 + l.l_partkey) % 100 as ss_cdemo_sk,
-         (l.l_partkey + l.l_suppkey) % 30 as ss_promo_sk
+         (l.l_partkey + l.l_suppkey) % 30 as ss_promo_sk,
+         (l.l_orderkey * 3 + l.l_linenumber) % 600 as ss_sold_time_sk,
+         (o.o_custkey * 11 + l.l_orderkey) % 400 as ss_addr_sk,
+         floor(l.l_extendedprice / l.l_quantity * 100) / 100.0
+           * l.l_quantity as ss_ext_list_price,
+         floor(l.l_extendedprice * l.l_tax * 100) / 100.0 as ss_ext_tax
   from lineitem l join orders o on l.l_orderkey = o.o_orderkey
 ),
 date_dim as (
@@ -251,8 +283,22 @@ promotion as (
 store as (
   select id as s_store_sk,
          ([{_COUNTY_SQL}])[cast(id % 8 as int) + 1] as s_county,
-         'S' || lpad(cast(id as varchar), 3, '0') as s_store_id
+         'S' || lpad(cast(id as varchar), 3, '0') as s_store_id,
+         case cast(id % 3 as int) when 0 then 'ese' when 1 then 'ought'
+              else 'able' end as s_store_name,
+         'City#' || cast(cast(id % 6 as int) as varchar) as s_city
   from (select unnest(generate_series(0, 9)) as id)
+),
+time_dim as (
+  select id as t_time_sk,
+         cast(id % 24 as int) as t_hour,
+         cast((id * 7) % 60 as int) as t_minute
+  from (select unnest(generate_series(0, 599)) as id)
+),
+customer_address as (
+  select id as ca_address_sk,
+         'City#' || cast(cast(id % 40 as int) as varchar) as ca_city
+  from (select unnest(generate_series(0, 399)) as id)
 ),
 household_demographics as (
   select id as hd_demo_sk,
@@ -267,7 +313,8 @@ cust as (
          c_name as c_last_name,
          substring(c_name, 1, 9) as c_first_name,
          case when c_custkey % 2 = 0 then 'Mr.' else 'Ms.' end as c_salutation,
-         case when c_custkey % 3 = 0 then 'Y' else 'N' end as c_preferred_cust_flag
+         case when c_custkey % 3 = 0 then 'Y' else 'N' end as c_preferred_cust_flag,
+         c_custkey * 13 % 400 as c_current_addr_sk
   from customer
 )
 """
@@ -550,6 +597,116 @@ from ranked where rk <= 10
 """
 
 
+def q_tpcds_q96(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q96: a pure COUNT(*) star — how many sales in the 8:30+ hour at
+    'ese' stores to 5-dependent households. Three broadcast dims, one
+    global count."""
+    ss = _store_sales(spark, sf_dir)
+    t = _time_dim(spark)
+    hd = _household_demographics(spark)
+    s = _store(spark)
+    return (
+        ss.join(F.broadcast(t), ss.ss_sold_time_sk == t.t_time_sk)
+        .join(F.broadcast(hd), ss.ss_hdemo_sk == hd.hd_demo_sk)
+        .join(F.broadcast(s), ss.ss_store_sk == s.s_store_sk)
+        .where((F.col("t_hour") == 8) & (F.col("t_minute") >= 30)
+               & (F.col("hd_dep_count") == 5)
+               & (F.col("s_store_name") == "ese"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+ORACLE_TPCDS_Q96 = _DIMS_SQL + """
+select cast(count(*) as bigint) as cnt
+from store_sales, household_demographics, time_dim, store
+where ss_sold_time_sk = time_dim.t_time_sk
+  and ss_hdemo_sk = household_demographics.hd_demo_sk
+  and ss_store_sk = s_store_sk
+  and time_dim.t_hour = 8
+  and time_dim.t_minute >= 30
+  and household_demographics.hd_dep_count = 5
+  and store.s_store_name = 'ese'
+"""
+
+
+def q_tpcds_q68(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q68: per-ticket extended price / tax / list totals for
+    early-month city purchases, joined back to customers whose CURRENT
+    city differs from the bought city. Money sums in integer cents so
+    both engines agree exactly; top-100 is TakeOrdered."""
+    ss = _store_sales(spark, sf_dir)
+    d = _date_dim(spark)
+    s = _store(spark)
+    hd = _household_demographics(spark)
+    ca = _customer_address(spark)
+    c = _customer(spark, sf_dir)
+
+    def cents_sum(col):
+        return (F.sum(F.round(F.col(col) * 100, 0).cast("bigint"))
+                .cast("double") / 100.0)
+
+    dn = (
+        ss.join(F.broadcast(d), ss.ss_sold_date_sk == d.d_date_sk)
+        .join(F.broadcast(s), ss.ss_store_sk == s.s_store_sk)
+        .join(F.broadcast(hd), ss.ss_hdemo_sk == hd.hd_demo_sk)
+        .join(F.broadcast(ca), ss.ss_addr_sk == ca.ca_address_sk)
+        .where((F.col("d_year") == 1999)
+               & ((F.col("hd_dep_count") == 4)
+                  | (F.col("hd_vehicle_count") == 3))
+               & (F.col("s_city").isin("City#0", "City#1")))
+        .groupBy("ss_ticket_number", "ss_customer_sk",
+                 F.col("ca_city").alias("bought_city"))
+        .agg(cents_sum("ss_ext_sales_price").alias("extended_price"),
+             cents_sum("ss_ext_list_price").alias("list_price"),
+             cents_sum("ss_ext_tax").alias("extended_tax"))
+    )
+    cur = _customer_address(spark).select(
+        F.col("ca_address_sk").alias("cur_addr_sk"),
+        F.col("ca_city").alias("current_city"))
+    return (
+        dn.join(c, dn.ss_customer_sk == c.c_customer_sk)
+        .join(F.broadcast(cur),
+              F.col("c_current_addr_sk") == F.col("cur_addr_sk"))
+        .where(F.col("current_city") != F.col("bought_city"))
+        .select("c_last_name", "c_first_name", "current_city",
+                "bought_city", "ss_ticket_number", "extended_price",
+                "extended_tax", "list_price")
+        .orderBy("c_last_name", "ss_ticket_number")
+        .limit(100)
+    )
+
+
+ORACLE_TPCDS_Q68 = _DIMS_SQL + """,
+dn as (
+  select ss_ticket_number, ss_customer_sk, ca_city as bought_city,
+         cast(sum(cast(round(ss_ext_sales_price * 100, 0) as bigint))
+              as double) / 100.0 as extended_price,
+         cast(sum(cast(round(ss_ext_list_price * 100, 0) as bigint))
+              as double) / 100.0 as list_price,
+         cast(sum(cast(round(ss_ext_tax * 100, 0) as bigint))
+              as double) / 100.0 as extended_tax
+  from store_sales, date_dim, store, household_demographics,
+       customer_address
+  where ss_sold_date_sk = d_date_sk and ss_store_sk = s_store_sk
+    and ss_hdemo_sk = hd_demo_sk and ss_addr_sk = ca_address_sk
+    and d_year = 1999
+    and (hd_dep_count = 4 or hd_vehicle_count = 3)
+    and s_city in ('City#0', 'City#1')
+  group by ss_ticket_number, ss_customer_sk, ca_city
+)
+select c.c_last_name, c.c_first_name,
+       current_addr.ca_city as current_city, dn.bought_city,
+       dn.ss_ticket_number, dn.extended_price, dn.extended_tax,
+       dn.list_price
+from dn, cust c, customer_address current_addr
+where dn.ss_customer_sk = c.c_customer_sk
+  and c.c_current_addr_sk = current_addr.ca_address_sk
+  and current_addr.ca_city <> dn.bought_city
+order by c.c_last_name, dn.ss_ticket_number
+limit 100
+"""
+
+
 QUERIES = {
     "tpcds_q73": q_tpcds_q73,
     "tpcds_q03": q_tpcds_q3,
@@ -558,6 +715,8 @@ QUERIES = {
     "tpcds_q52": q_tpcds_q52,
     "tpcds_q55": q_tpcds_q55,
     "tpcds_q67": q_tpcds_q67,
+    "tpcds_q68": q_tpcds_q68,
+    "tpcds_q96": q_tpcds_q96,
 }
 ORACLES = {
     "tpcds_q73": ORACLE_TPCDS_Q73,
@@ -567,6 +726,8 @@ ORACLES = {
     "tpcds_q52": ORACLE_TPCDS_Q52,
     "tpcds_q55": ORACLE_TPCDS_Q55,
     "tpcds_q67": ORACLE_TPCDS_Q67,
+    "tpcds_q68": ORACLE_TPCDS_Q68,
+    "tpcds_q96": ORACLE_TPCDS_Q96,
 }
 
 

@@ -90,3 +90,14 @@ def test_q67_rollup_and_rank_shape(spark):
         top = max(x["sumsales"] for x in rs)
         assert all(x["sumsales"] <= top for x in rs)
         assert any(x["rk"] == 1 and x["sumsales"] == top for x in rs)
+
+
+def test_q96_count_and_q68_city_mismatch(spark):
+    cnt = tpcds.QUERIES["tpcds_q96"](spark, SF_DIR).first()["cnt"]
+    assert cnt >= 0
+    rows = tpcds.QUERIES["tpcds_q68"](spark, SF_DIR).collect()
+    assert rows and all(r["current_city"] != r["bought_city"]
+                        for r in rows)
+    phys = explain_str(tpcds.QUERIES["tpcds_q68"](spark, SF_DIR))
+    assert phys.count("BroadcastHashJoin") >= 4
+    assert "CartesianProduct" not in phys
