@@ -320,6 +320,10 @@ def rolling_quantiles(df: DataFrame, time_col: str, val_col: str,
     """
     from pyspark.sql import Window
 
+    if not hi > lo:
+        raise ValueError("rolling_quantiles: hi must be > lo")
+    if n_days < 1 or n_bins < 2:
+        raise ValueError("rolling_quantiles: need n_days >= 1, n_bins >= 2")
     span = float(hi) - float(lo)
     bin_ = F.least(
         F.lit(n_bins - 1),
@@ -328,8 +332,11 @@ def rolling_quantiles(df: DataFrame, time_col: str, val_col: str,
         ).cast("int")),
     )
     day = F.date_trunc("day", F.col(time_col))
+    v = F.col(val_col).cast("double")
     per = (
-        df.where(F.col(val_col).isNotNull())
+        # NaN excluded like null: a non-ANSI int cast would silently
+        # drop NaN into bin 0 and drag quantiles toward lo.
+        df.where(v.isNotNull() & ~F.isnan(v))
         .groupBy(day.alias("__day"), bin_.alias("__bin"))
         .agg(F.count(F.lit(1)).alias("__c"))
     )
@@ -368,6 +375,24 @@ def rolling_quantiles(df: DataFrame, time_col: str, val_col: str,
     )
 
 
+def _cms_check(width: int, depth: int) -> None:
+    if width < 1 or depth < 1:
+        raise ValueError("cms: need width >= 1 and depth >= 1")
+
+
+def _cms_bucket(j, key_col, width: int):
+    """The CMS hash, shared by build and estimate so the two can never
+    drift: bucket_j(key) = 32-bit md5('<j>:' || key) % width. ``j`` may
+    be a Python int or a Column."""
+    seed = (F.lit(f"{j}:") if isinstance(j, int)
+            else F.concat(j.cast("string"), F.lit(":")))
+    return (
+        F.conv(
+            F.substring(F.md5(F.concat(seed, key_col.cast("string"))), 1, 8),
+            16, 10).cast("long") % width
+    )
+
+
 def cms_build(df: DataFrame, col: str, width: int = 1024,
               depth: int = 4) -> DataFrame:
     """Count-min sketch (Cormode & Muthukrishnan 2005) of ``col``:
@@ -380,15 +405,10 @@ def cms_build(df: DataFrame, col: str, width: int = 1024,
     counter-wise. Deterministic given the hash → oracle-backed.
 
     Returns (j, bucket, c)."""
+    _cms_check(width, depth)
     rows = F.array(*[
-        F.struct(
-            F.lit(j).alias("j"),
-            (F.conv(
-                F.substring(
-                    F.md5(F.concat(F.lit(f"{j}:"),
-                                   F.col(col).cast("string"))), 1, 8),
-                16, 10).cast("long") % width).alias("bucket"),
-        )
+        F.struct(F.lit(j).alias("j"),
+                 _cms_bucket(j, F.col(col), width).alias("bucket"))
         for j in range(depth)
     ])
     return (
@@ -409,17 +429,11 @@ def cms_estimate(sketch: DataFrame, probes: DataFrame, col: str,
     fits, which at depth*width rows it always does.
 
     Returns (key, est)."""
-    spine = probes.select(
+    _cms_check(width, depth)
+    spine = probes.where(F.col(col).isNotNull()).select(
         F.col(col).cast("string").alias("__key"),
         F.explode(F.array(*[F.lit(j) for j in range(depth)])).alias("j"),
-    ).withColumn(
-        "bucket",
-        F.conv(
-            F.substring(
-                F.md5(F.concat(F.col("j").cast("string"), F.lit(":"),
-                               F.col("__key"))), 1, 8),
-            16, 10).cast("long") % width,
-    )
+    ).withColumn("bucket", _cms_bucket(F.col("j"), F.col("__key"), width))
     return (
         spine.join(F.broadcast(sketch), ["j", "bucket"], "left")
         .groupBy(F.col("__key").alias("key"))
