@@ -439,3 +439,29 @@ def cms_estimate(sketch: DataFrame, probes: DataFrame, col: str,
         .groupBy(F.col("__key").alias("key"))
         .agg(F.min(F.coalesce(F.col("c"), F.lit(0))).alias("est"))
     )
+
+
+def cms_merge(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Merge two cms_build sketches (same width/depth/hash): counters
+    add cell-wise, so the merged sketch equals the sketch of the
+    unioned data exactly — the property that lets per-partition /
+    per-day / per-snapshot sketches roll up without touching raw
+    rows."""
+    return (
+        a.unionByName(b).groupBy("j", "bucket")
+        .agg(F.sum("c").alias("c"))
+    )
+
+
+def kmv_merge(a: DataFrame, b: DataFrame, seg_col: str,
+              k: int) -> DataFrame:
+    """Merge two _kmv_sketches outputs: per segment, the k smallest of
+    the union of retained hashes — exactly the sketch of the unioned
+    data (associativity), so per-dataset sketches roll up losslessly."""
+    return (
+        a.unionByName(b).groupBy(seg_col)
+        .agg(F.slice(
+            F.array_sort(F.array_distinct(
+                F.flatten(F.collect_list("hashes")))), 1, k
+        ).alias("hashes"))
+    )

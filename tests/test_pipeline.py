@@ -796,3 +796,28 @@ def test_build_mixture_partitioning_invariant(spark):
     a = build_mixture(df.coalesce(1), "source", "doc_id", "text", w, 9000)
     b = build_mixture(df.repartition(19), "source", "doc_id", "text", w, 9000)
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_sketch_merges_equal_sketch_of_union(spark):
+    """Mergeability is exact: merging per-dataset sketches equals
+    sketching the unioned data — CMS counter-wise, KMV k-minima."""
+    from drill_spark.ops.sketch import (_kmv_sketches, cms_build,
+                                        cms_merge, kmv_merge)
+
+    a = spark.createDataFrame([(f"k{i % 11}",) for i in range(500)],
+                              "key string")
+    b = spark.createDataFrame([(f"k{i % 17}",) for i in range(700)],
+                              "key string")
+    u = a.unionByName(b)
+    merged = cms_merge(cms_build(a, "key", 64, 3),
+                       cms_build(b, "key", 64, 3))
+    assert sorted(map(tuple, merged.collect())) == \
+        sorted(map(tuple, cms_build(u, "key", 64, 3).collect()))
+
+    sa = a.selectExpr("'s' as seg", "key as item")
+    sb = b.selectExpr("'s' as seg", "key as item")
+    km = kmv_merge(_kmv_sketches(sa, "seg", "item", 8),
+                   _kmv_sketches(sb, "seg", "item", 8), "seg", 8)
+    ku = _kmv_sketches(sa.unionByName(sb), "seg", "item", 8)
+    assert sorted(map(tuple, km.collect())) == \
+        sorted(map(tuple, ku.collect()))
