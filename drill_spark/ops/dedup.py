@@ -684,15 +684,21 @@ def snapshot_diff(old: DataFrame, new: DataFrame, id_col: str,
     derived by the caller; emitting changed rows only keeps output
     proportional to the delta, which is the point of a snapshot diff.
     """
+    # Presence is tracked by explicit flags, not digest nullness: a
+    # null-text document hashes to a null digest, and classifying on
+    # old_h IS NULL would misreport an id present in both snapshots
+    # with null text as 'added' (and a null-text old-only id too).
     o = old.select(F.col(id_col),
-                   F.md5(normalize_text(F.col(text_col))).alias("old_h"))
+                   F.md5(normalize_text(F.col(text_col))).alias("old_h"),
+                   F.lit(True).alias("__in_old"))
     n = new.select(F.col(id_col),
-                   F.md5(normalize_text(F.col(text_col))).alias("new_h"))
+                   F.md5(normalize_text(F.col(text_col))).alias("new_h"),
+                   F.lit(True).alias("__in_new"))
     j = o.join(n, id_col, "full_outer")
     status = (
-        F.when(F.col("old_h").isNull(), "added")
-        .when(F.col("new_h").isNull(), "removed")
-        .when(F.col("old_h") != F.col("new_h"), "changed")
+        F.when(F.col("__in_old").isNull(), "added")
+        .when(F.col("__in_new").isNull(), "removed")
+        .when(~F.col("old_h").eqNullSafe(F.col("new_h")), "changed")
         .otherwise("unchanged")
     )
     return (

@@ -794,7 +794,12 @@ def build_mixture(
         F.sum(toks).cast("double").alias("__avail")
     )
     rates = (
-        avail.join(wdf, source_col)
+        # A weighted source whose documents all tokenize to zero tokens
+        # would make __rate = Infinity and the epoch fan-out explode;
+        # such a source cannot contribute tokens, so drop it here (the
+        # one-row-per-source table is bounded, so the filter is free).
+        avail.where(F.col("__avail") > 0)
+        .join(wdf, source_col)
         .select(
             source_col,
             (F.col("__w") * F.lit(float(token_budget)) / F.col("__avail")

@@ -235,8 +235,11 @@ def kmv_overlap(df: DataFrame, seg_col: str, item_col: str,
     inter = F.size(F.array_intersect(under(F.col("ha")), under(F.col("hb"))))
     union = F.size(F.array_distinct(F.concat(under(F.col("ha")),
                                              under(F.col("hb")))))
-    scale = F.lit(_KMV_DENOM) / theta.cast("double")
-    est = lambda c: F.round(c.cast("double") * scale, 4)  # noqa: E731
+    # Multiply BEFORE dividing so the IEEE association order matches the
+    # DuckDB oracle's left-associative (count * DENOM) / theta exactly —
+    # a 1-ulp difference could round differently at 4 decimals.
+    est = lambda c: F.round(  # noqa: E731
+        c.cast("double") * F.lit(_KMV_DENOM) / theta.cast("double"), 4)
     return j.select(
         F.lit(seg_a).alias("seg_a"),
         F.lit(seg_b).alias("seg_b"),
@@ -271,8 +274,25 @@ def kmv_rolling_distinct(df: DataFrame, time_col: str, item_col: str,
         df.select(F.date_trunc("day", F.col(time_col)).alias("__day"),
                   item_col),
         "__day", item_col, k)
+    # Distribute the rolling window instead of a global-order (single
+    # partition) sort: bucket days into coarse ranges of B >= n_days
+    # days, replicate each day's sketch into its own bucket AND the
+    # next one (so every window's <= n_days-1 lookback is locally
+    # present), run the window PARTITIONED by bucket, and keep only
+    # the home-bucket replica. Each day appears exactly once per
+    # partition, duplication is a flat 2x on the already-tiny per-day
+    # sketch table, and a century of days spreads over ~100 yearly
+    # partitions rather than one.
+    bucket_days = max(int(n_days), 365)
     dnum = F.datediff(F.col("__day"), F.lit("1970-01-01")).cast("long")
-    w = (Window.orderBy(dnum.asc())
+    rep = (
+        daily.withColumn("__dnum", dnum)
+        .withColumn("__off", F.explode(F.array(F.lit(0), F.lit(1))))
+        .withColumn(
+            "__bucket",
+            F.floor(F.col("__dnum") / F.lit(bucket_days)) + F.col("__off"))
+    )
+    w = (Window.partitionBy("__bucket").orderBy(F.col("__dnum").asc())
          .rangeBetween(-(n_days - 1), Window.currentRow))
     merged = F.slice(
         F.array_sort(F.array_distinct(
@@ -286,7 +306,8 @@ def kmv_rolling_distinct(df: DataFrame, time_col: str, item_col: str,
             F.round(F.lit(float(k - 1)) * F.lit(_KMV_DENOM) / theta, 4))
 
     return (
-        daily.withColumn("__roll", merged)
+        rep.withColumn("__roll", merged)
+        .where(F.col("__off") == 0)
         .select(
             F.col("__day").cast("date").alias("day"),
             _est(F.col("hashes")).alias("est_day"),

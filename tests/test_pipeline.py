@@ -695,6 +695,78 @@ def test_snapshot_diff_statuses(spark):
     assert got == {1: "removed", 3: "changed", 4: "added"}  # 2 unchanged
 
 
+def test_snapshot_diff_null_text(spark):
+    """Null text hashes to a null digest; presence must still be
+    classified by per-side flags, not digest nullness."""
+    from drill_spark.ops.dedup import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, None), (2, None), (3, "x"), (5, None)],
+        "id bigint, text string")
+    new = spark.createDataFrame(
+        [(1, None), (3, None), (4, None)], "id bigint, text string")
+    got = {r["id"]: r["status"]
+           for r in snapshot_diff(old, new, "id", "text").collect()}
+    # 1: null->null is unchanged (omitted); 2,5: removed even with null
+    # text; 3: text->null is changed; 4: added even with null text.
+    assert got == {2: "removed", 3: "changed", 4: "added",
+                   5: "removed"}
+
+
+def test_build_mixture_zero_token_source(spark):
+    """A weighted source whose documents all tokenize to zero tokens is
+    dropped instead of producing an Infinity rate / epoch explosion."""
+    from drill_spark.ops.pipeline import build_mixture
+
+    docs = spark.createDataFrame(
+        [("web", 1, "alpha beta gamma"), ("web", 2, "delta epsilon"),
+         ("empty", 3, ""), ("empty", 4, "   ")],
+        "source string, doc_id bigint, text string")
+    mix = build_mixture(docs, "source", "doc_id", "text",
+                        {"web": 0.5, "empty": 0.5}, 100)
+    rows = mix.collect()
+    assert rows and all(r["source"] == "web" for r in rows)
+    assert all(r["epoch"] >= 1 for r in rows)
+
+
+def test_kmv_rolling_distinct_across_bucket_boundary(spark):
+    """The distributed bucket-replicated window must produce windows
+    identical to a global-order window even when a rolling window
+    straddles a coarse-bucket boundary (day 365 looking back into the
+    previous yearly bucket)."""
+    import datetime
+
+    from drill_spark.ops.sketch import kmv_rolling_distinct
+
+    base = datetime.datetime(1970, 1, 1)
+    rows = []
+    # Days 360..370 of 1970 plus the first days of 1971: the yearly
+    # bucket boundary (dnum 365) falls inside every 7-day window here.
+    for d in list(range(359, 372)):
+        for u in range(1, 40):
+            rows.append((base + datetime.timedelta(days=d, hours=1),
+                         (d * 7 + u) % 61))
+    ev = spark.createDataFrame(rows, "ts timestamp, user_id bigint")
+    got = {r["day"]: r["est_rolling"] for r in
+           kmv_rolling_distinct(ev.repartition(13), "ts", "user_id",
+                                k=512, n_days=7).collect()}
+    ev.createOrReplaceTempView("__kmv_bucket_ev")
+    exact = {r["day"]: r["d7"] for r in spark.sql("""
+        with e as (select cast(date_trunc('day', ts) as date) as day,
+                          user_id from __kmv_bucket_ev),
+        days as (select distinct day from e)
+        select d.day, (select count(distinct user_id) from e
+                       where e.day between d.day - interval 6 days
+                             and d.day) as d7
+        from days d""").collect()}
+    assert set(got) == set(exact)
+    # k=512 >> 61 distinct users: every sketch is exact, so the rolling
+    # estimate must EQUAL the true windowed distinct on every day,
+    # including the ones whose lookback crosses the bucket boundary.
+    for day, d7 in exact.items():
+        assert got[day] == float(d7), (day, got[day], d7)
+
+
 def test_rolling_quantiles_tracks_exact_within_bin_width(spark):
     """Histogram quantiles track the exact re-scan answer within one
     bin width (the operator's documented error bound)."""
