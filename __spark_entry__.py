@@ -71,26 +71,31 @@ _PRIORITY = [
     "op_union_all",
     "op_agg_rollup", "op_agg_stats",
     "op_window_ranks",
-    "op_topn", "op_sort_nulls", "op_partition_limit",
-    "op_flatten_explode", "op_pivot", "op_convert_from_json", "op_array_fns",
-    "op_string_fns", "op_date_fns",
+    "op_topn",
+    "op_flatten_explode", "op_pivot", "op_convert_from_json",
+    "op_string_fns",
     "op_scalar_subquery", "op_correlated_subquery",
-    "op_null_safe_join", "op_agg_nulls",
+    "op_null_safe_join",
     "op_time_window_tumbling", "op_session_window",
     "op_csv_scan", "op_json_scan",
     "op_avro_scan", "op_delta_scan",
     "op_warc_scan", "op_iceberg_scan",
     "op_pdf_scan", "op_paimon_scan", "op_msaccess_scan",
     "op_dfdl_scan", "op_shp_scan", "op_image_scan",
-    "op_pcapng_scan", "op_spss_scan", "op_orc_scan", "op_hdf5_scan",
+    "op_pcapng_scan", "op_spss_scan", "op_hdf5_scan",
     "ext_dedup_exact", "ext_pii_redact",
     "ext_pagerank", "ext_line_dedup", "ext_stream_heavy_hitters",
     "ext_vector_index", "ext_html_extract",
+    # r9/r10 flagships rotated into the driver cap (r9 verdict item 6):
+    "ext_kmv_distinct", "ext_cms_estimate", "ext_mixture_build",
+    "ext_rolling_quantiles", "ext_snapshot_diff", "ext_skew_join",
     # ---- driver-cap boundary (~50): everything below is covered by the
     # judge's full sweep (scripts/check_correctness.py) every round.
+    "op_sort_nulls", "op_partition_limit", "op_array_fns", "op_date_fns",
+    "op_agg_nulls", "op_orc_scan",
     "op_join_full", "op_join_semi", "op_join_anti", "op_except",
-    "ext_heavy_hitters", "ext_kmv_distinct", "ext_kmv_overlap",
-    "ext_rolling_distinct", "ext_mixture_build", "ext_epoch_shuffle",
+    "ext_heavy_hitters", "ext_kmv_overlap",
+    "ext_rolling_distinct", "ext_epoch_shuffle",
     "tpcds_q07", "tpcds_q67",
     "op_agg_percentile", "op_window_frames",
     "op_delta_dv_scan", "op_iceberg_v2_scan", "op_iceberg_skip_scan",

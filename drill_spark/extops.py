@@ -4060,6 +4060,57 @@ having count(*) * 6 > n
 """
 
 
+def q_skew_join(spark, sf_dir):
+    """Skew-resilient join through the documented auto-path
+    (ops/scale.py::auto_skew_join = skew_profile → salted_join): a
+    derived fact key where ONE supplier receives ~2/3 of all lineitem
+    rows (every l_orderkey % 3 != 0 row maps to supplier 1 — far past
+    the 30% single-key share that melts a hash-distributed join), then
+    an inner join to supplier and a per-supplier revenue rollup.
+
+    The profile measures skew >> 4× mean, routes to salted_join
+    (salt=16 spreads the hot key over 16 reducers), and the oracle is
+    the PLAIN join — so this CORRECTNESS row proves result-set equality
+    of the skew path end-to-end. Revenue is aggregated in integer
+    cents (floor) so the hash matches across engines.
+
+    Reference anchor: Drill hash-distributes both sides by join key
+    (planner/physical/DrillDistributionTrait.java:144) with no skew
+    mitigation; AQE's runtime split plus this static salt path is the
+    Spark-first answer (tests/test_scale.py::test_aqe_skew_join_split
+    proves the runtime half)."""
+    from drill_spark.ops.scale import auto_skew_join
+
+    li = load_fixture(spark, sf_dir, "lineitem").select(
+        F.when(F.col("l_orderkey") % 3 != 0, F.lit(1).cast("long"))
+        .otherwise(F.col("l_suppkey")).alias("sk"),
+        F.floor(F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                * 100).alias("cents"),
+    )
+    supp = load_fixture(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("sk"), "s_name")
+    return (
+        auto_skew_join(li, supp, ["sk"], "inner", salt=16)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("n_items"),
+             F.sum("cents").alias("revenue_cents"))
+    )
+
+
+ORACLE_SKEW_JOIN = """
+with f as (
+  select case when l_orderkey % 3 <> 0 then 1 else l_suppkey end as sk,
+         cast(floor(l_extendedprice * (1 - l_discount) * 100) as bigint)
+           as cents
+  from lineitem
+)
+select s_name, cast(count(*) as bigint) as n_items,
+       cast(sum(cents) as bigint) as revenue_cents
+from f join supplier on s_suppkey = sk
+group by s_name
+"""
+
+
 def _crossmodal_images(docs):
     """Solid-color BMPs derived from doc_id through the repo's real
     codec — the shared image side of the crossmodal fixture queries."""
@@ -5145,6 +5196,7 @@ QUERIES = {
     "ext_stream_crawl": q_stream_crawl,
     "ext_crawl_pipeline": q_crawl_pipeline,
     "ext_heavy_hitters": q_heavy_hitters,
+    "ext_skew_join": q_skew_join,
     "ext_vector_index": q_vector_index,
     "ext_vector_index_probe": q_vector_index_probe,
     "ext_pagerank": q_pagerank,
@@ -5251,6 +5303,7 @@ ORACLES = {
     "ext_stream_crawl": ORACLE_STREAM_CRAWL,
     "ext_crawl_pipeline": ORACLE_CRAWL_PIPELINE,
     "ext_heavy_hitters": ORACLE_HEAVY_HITTERS,
+    "ext_skew_join": ORACLE_SKEW_JOIN,
     "ext_vector_index": ORACLE_VECTOR_INDEX,
     "ext_pagerank": ORACLE_PAGERANK,
     "ext_link_graph": ORACLE_LINK_GRAPH,

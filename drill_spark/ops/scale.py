@@ -61,6 +61,77 @@ def salted_join(
     return hot_salted.join(replicas, on + [salt_col], how).drop(salt_col)
 
 
+def choose_skew_strategy(
+    hot: DataFrame,
+    on: list[str],
+    how: str = "inner",
+    skew_threshold: float = 4.0,
+) -> dict:
+    """Measure-then-decide half of the documented skew auto-path
+    (``skew_profile`` → ``salted_join``): profile the join key on the
+    hot side and return the strategy a plain Spark join cannot always
+    pick for itself.
+
+    AQE's OptimizeSkewedJoin splits oversized sort-merge partitions at
+    runtime (proven in tests/test_scale.py::test_aqe_skew_join_split),
+    but it only applies to shuffle-join reads — it cannot help when the
+    downstream plan PINS the partitioning (a window or groupBy keyed on
+    the same hot column reuses the join's exchange, so splitting it
+    would break the required distribution), and it never fires for
+    broadcast-ineligible shapes it can't re-read. Those are the cases
+    where static salting is the right call, and the decision needs a
+    measurement, not a guess.
+
+    Cost: ONE map-side-combined count over the hot side's key with a
+    top-1 TakeOrdered — bounded output, the same pass skew_profile runs.
+    Returns {strategy, skew, share, key}: strategy is 'salted' when the
+    heaviest key's count exceeds ``skew_threshold``× the mean per-key
+    count AND ``how`` is salt-safe, else 'plain' (AQE's runtime split
+    covers the rest).
+
+    Reference anchor: Drill hash-distributes both join sides by key
+    (planner/physical/DrillDistributionTrait.java:144) with no skew
+    mitigation at all — a hot key lands on one minor fragment; this
+    auto-path is the scale story Drill lacks.
+    """
+    kcol = (
+        F.col(on[0]) if len(on) == 1
+        else F.concat_ws("\x1f", *[F.col(c).cast("string") for c in on])
+    )
+    prof = skew_profile(hot.select(kcol.alias("__k")), "__k", top=1).collect()
+    if not prof:
+        return {"strategy": "plain", "skew": 0.0, "share": 0.0, "key": None}
+    r = prof[0]
+    salt_ok = (how.lower().replace("_", "")
+               in {h.replace("_", "") for h in _SALT_SAFE_HOW})
+    strategy = ("salted" if (r["skew"] >= skew_threshold and salt_ok)
+                else "plain")
+    return {"strategy": strategy, "skew": float(r["skew"]),
+            "share": float(r["share"]), "key": r["key"]}
+
+
+def auto_skew_join(
+    hot: DataFrame,
+    small: DataFrame,
+    on: list[str],
+    how: str = "inner",
+    skew_threshold: float = 4.0,
+    salt: int = 16,
+) -> DataFrame:
+    """The documented skew auto-path: profile the hot side's join key
+    (one bounded aggregation), then route — ``salted_join`` when one
+    key exceeds ``skew_threshold``× the mean per-key count and the join
+    type is salt-safe, plain join otherwise (AQE's runtime skew split
+    handles moderate sort-merge skew on its own). Result-set equality
+    with the plain join holds on both routes. At 100 TB, size ``salt``
+    ≈ hot-key rows / target partition rows so the hottest key spreads
+    to that many reducers."""
+    decision = choose_skew_strategy(hot, on, how, skew_threshold)
+    if decision["strategy"] == "salted":
+        return salted_join(hot, small, on, how, salt)
+    return hot.join(small, on, how)
+
+
 def write_bucketed(
     spark: SparkSession,
     df: DataFrame,
