@@ -84,9 +84,14 @@ def _date_dim(spark: SparkSession) -> DataFrame:
         "from (select explode(sequence(2451000, 2451499)) as d_date_sk)")
 
 
+_STATES = ["TN", "GA", "SC", "MI", "OH", "TX", "CA",
+           "WA", "NY", "ME", "VA", "IL", "KY"]
+
+
 def _item(spark: SparkSession) -> DataFrame:
     return spark.sql(
         "select id as i_item_sk, "
+        "cast(id % 90 + 10 as double) as i_current_price, "
         "cast(id % 37 as int) + 1 as i_brand_id, "
         "'Brand#' || cast(cast(id % 37 as int) + 1 as string) as i_brand, "
         "cast(id % 50 as int) + 1 as i_manufact_id, "
@@ -142,10 +147,12 @@ def _time_dim(spark: SparkSession) -> DataFrame:
 
 
 def _customer_address(spark: SparkSession) -> DataFrame:
+    states = ", ".join(f"'{s}'" for s in _STATES)
     return spark.sql(
-        "select id as ca_address_sk, "
-        "'City#' || cast(cast(id % 40 as int) as string) as ca_city "
-        "from (select explode(sequence(0, 399)) as id)")
+        f"select id as ca_address_sk, "
+        f"'City#' || cast(cast(id % 40 as int) as string) as ca_city, "
+        f"element_at(array({states}), cast(id % 13 as int) + 1) as ca_state "
+        f"from (select explode(sequence(0, 399)) as id)")
 
 
 def _household_demographics(spark: SparkSession) -> DataFrame:
@@ -162,6 +169,9 @@ def _customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_fixture(spark, sf_dir, "customer")
     return c.select(
         F.col("c_custkey").alias("c_customer_sk"),
+        F.concat(F.lit("C"),
+                 F.lpad(F.col("c_custkey").cast("string"), 8, "0"))
+        .alias("c_customer_id"),
         F.col("c_name").alias("c_last_name"),
         F.substring("c_name", 1, 9).alias("c_first_name"),
         F.when(F.col("c_custkey") % 2 == 0, "Mr.").otherwise("Ms.")
@@ -213,6 +223,7 @@ def q_tpcds_q73(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _COUNTY_SQL = ", ".join(f"'{c}'" for c in _COUNTIES)
+_STATES_SQL = "', '".join(_STATES)
 
 # Shared DuckDB CTE block — must stay the exact twin of the DataFrame
 # derivations above.
@@ -250,6 +261,7 @@ date_dim as (
 ),
 item as (
   select id as i_item_sk,
+         cast(id % 90 + 10 as double) as i_current_price,
          cast(id % 37 as int) + 1 as i_brand_id,
          'Brand#' || cast(cast(id % 37 as int) + 1 as varchar) as i_brand,
          cast(id % 50 as int) + 1 as i_manufact_id,
@@ -297,7 +309,8 @@ time_dim as (
 ),
 customer_address as (
   select id as ca_address_sk,
-         'City#' || cast(cast(id % 40 as int) as varchar) as ca_city
+         'City#' || cast(cast(id % 40 as int) as varchar) as ca_city,
+         (['{_STATES_SQL}'])[cast(id % 13 as int) + 1] as ca_state
   from (select unnest(generate_series(0, 399)) as id)
 ),
 household_demographics as (
@@ -310,6 +323,7 @@ household_demographics as (
 ),
 cust as (
   select c_custkey as c_customer_sk,
+         'C' || lpad(cast(c_custkey as varchar), 8, '0') as c_customer_id,
          c_name as c_last_name,
          substring(c_name, 1, 9) as c_first_name,
          case when c_custkey % 2 = 0 then 'Mr.' else 'Ms.' end as c_salutation,
@@ -707,8 +721,232 @@ limit 100
 """
 
 
+# ---------------------------------------------------------------------------
+# Correlated-subquery decorrelation coverage (r10).
+#
+# TPC-DS q1/q6/q30/q81 share Drill's hardest planner shape: a scalar
+# subquery CORRELATED on a grouping key (`WHERE x > (SELECT avg(x)*1.2
+# ... WHERE same-key)`), the class PlannerPhase.java:134-141's SUB_QUERY
+# rules decorrelate into an aggregate + join. Spark-first answer: write
+# the query AS SQL and let Catalyst's RewriteCorrelatedScalarSubquery do
+# the decorrelation — tests/test_tpcds.py asserts the physical plans
+# contain no CartesianProduct/BroadcastNestedLoopJoin, i.e. the
+# correlation became an equi-join on the correlation key.
+#
+# The query BODIES below are engine-shared verbatim: Spark runs them over
+# tpcds_*-prefixed temp views of the derived frames; the DuckDB oracle
+# runs the IDENTICAL text with the same names bound as CTEs — so a hash
+# match is a true cross-engine check of the decorrelated semantics.
+# Return amounts are integer CENTS (floor) so every sum is exact and
+# avg = exact_sum/count is bit-deterministic in both engines.
+
+_RETURNS_SQL = """
+tpcds_store_returns as (
+  select o.o_custkey as sr_customer_sk,
+         l.l_suppkey % 10 as sr_store_sk,
+         2451180 + l.l_orderkey % 120 as sr_returned_date_sk,
+         cast(floor(l.l_extendedprice * (1 - l.l_discount) * 100) as bigint)
+           as sr_return_amt
+  from lineitem l join orders o on l.l_orderkey = o.o_orderkey
+  where l.l_returnflag = 'R'
+),
+tpcds_web_returns as (
+  select o.o_custkey as wr_returning_customer_sk,
+         o.o_custkey * 13 % 400 as wr_returning_addr_sk,
+         2451180 + l.l_orderkey % 120 as wr_returned_date_sk,
+         cast(floor(l.l_extendedprice * (1 - l.l_discount) * 100) as bigint)
+           as wr_return_amt
+  from lineitem l join orders o on l.l_orderkey = o.o_orderkey
+  where l.l_returnflag = 'N'
+),
+tpcds_catalog_returns as (
+  select o.o_custkey as cr_returning_customer_sk,
+         o.o_custkey * 13 % 400 as cr_returning_addr_sk,
+         2451180 + l.l_orderkey % 120 as cr_returned_date_sk,
+         cast(floor(l.l_extendedprice * (1 - l.l_discount) * 100) as bigint)
+           as cr_return_amount
+  from lineitem l join orders o on l.l_orderkey = o.o_orderkey
+  where l.l_returnflag = 'A'
+),
+tpcds_date_dim as (select * from date_dim),
+tpcds_store as (select * from store),
+tpcds_item as (select * from item),
+tpcds_customer_address as (select * from customer_address),
+tpcds_cust as (select * from cust),
+tpcds_store_sales as (select * from store_sales)
+"""
+
+
+def _returns_fact(spark: SparkSession, sf_dir: str, flag: str,
+                  cust: str, addr: str | None, date: str,
+                  amt: str) -> DataFrame:
+    """Python twin of one _RETURNS_SQL CTE (store/web/catalog returns
+    share the derivation; only the returnflag slice and column names
+    differ)."""
+    li = load_fixture(spark, sf_dir, "lineitem").where(
+        F.col("l_returnflag") == flag)
+    o = load_fixture(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey")
+    j = li.join(o, li.l_orderkey == o.o_orderkey)
+    cols = [
+        F.col("o_custkey").alias(cust),
+        (F.lit(2451180) + F.col("l_orderkey") % 120).alias(date),
+        F.floor(F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                * 100).alias(amt),
+    ]
+    if addr is not None:
+        cols.insert(1, (F.col("o_custkey") * 13 % 400).alias(addr))
+    if flag == "R":
+        cols.insert(1, (F.col("l_suppkey") % 10).alias("sr_store_sk"))
+    return j.select(*cols)
+
+
+def _register_decorrelation_views(spark: SparkSession, sf_dir: str) -> None:
+    _returns_fact(spark, sf_dir, "R", "sr_customer_sk", None,
+                  "sr_returned_date_sk", "sr_return_amt"
+                  ).createOrReplaceTempView("tpcds_store_returns")
+    _returns_fact(spark, sf_dir, "N", "wr_returning_customer_sk",
+                  "wr_returning_addr_sk", "wr_returned_date_sk",
+                  "wr_return_amt"
+                  ).createOrReplaceTempView("tpcds_web_returns")
+    _returns_fact(spark, sf_dir, "A", "cr_returning_customer_sk",
+                  "cr_returning_addr_sk", "cr_returned_date_sk",
+                  "cr_return_amount"
+                  ).createOrReplaceTempView("tpcds_catalog_returns")
+    _date_dim(spark).createOrReplaceTempView("tpcds_date_dim")
+    _store(spark).createOrReplaceTempView("tpcds_store")
+    _item(spark).createOrReplaceTempView("tpcds_item")
+    _customer_address(spark).createOrReplaceTempView("tpcds_customer_address")
+    _customer(spark, sf_dir).createOrReplaceTempView("tpcds_cust")
+    _store_sales(spark, sf_dir).createOrReplaceTempView("tpcds_store_sales")
+
+
+# q1: customers returning more than 1.2x their store's average total —
+# correlated scalar avg on the GROUP key of a derived aggregate.
+_Q01_BODY = """
+ctr as (
+  select sr_customer_sk as ctr_customer_sk, sr_store_sk as ctr_store_sk,
+         sum(sr_return_amt) as ctr_total_return
+  from tpcds_store_returns, tpcds_date_dim
+  where sr_returned_date_sk = d_date_sk and d_year = 2000
+  group by sr_customer_sk, sr_store_sk
+)
+select c_customer_id
+from ctr ctr1, tpcds_store s, tpcds_cust c
+where ctr1.ctr_total_return > (select avg(ctr2.ctr_total_return) * 1.2
+                               from ctr ctr2
+                               where ctr1.ctr_store_sk = ctr2.ctr_store_sk)
+  and s.s_store_sk = ctr1.ctr_store_sk
+  and s.s_county = 'Saginaw County'
+  and ctr1.ctr_customer_sk = c.c_customer_sk
+order by c_customer_id
+limit 100
+"""
+
+# q6: states where >= 10 customers bought items priced over 1.2x their
+# category's average — correlated scalar avg on a non-key attribute
+# plus an uncorrelated scalar subquery for the month.
+_Q06_BODY = """
+mo as (
+  select min(d_month_seq) as msq from tpcds_date_dim
+  where d_year = 2001 and d_moy = 1
+)
+select a.ca_state as state, cast(count(*) as bigint) as cnt
+from tpcds_customer_address a, tpcds_cust c, tpcds_store_sales s,
+     tpcds_date_dim d, tpcds_item i
+where a.ca_address_sk = c.c_current_addr_sk
+  and c.c_customer_sk = s.ss_customer_sk
+  and s.ss_sold_date_sk = d.d_date_sk
+  and s.ss_item_sk = i.i_item_sk
+  and d.d_month_seq = (select msq from mo)
+  and i.i_current_price > 1.2 * (select avg(j.i_current_price)
+                                 from tpcds_item j
+                                 where j.i_category = i.i_category)
+group by a.ca_state
+having count(*) >= 10
+order by cnt, state
+limit 100
+"""
+
+# q30: web returns, correlated on the return address STATE, with
+# customer detail output.
+_Q30_BODY = """
+ctr as (
+  select wr_returning_customer_sk as ctr_customer_sk,
+         ca_state as ctr_state,
+         sum(wr_return_amt) as ctr_total_return
+  from tpcds_web_returns, tpcds_date_dim, tpcds_customer_address
+  where wr_returned_date_sk = d_date_sk and d_year = 2002
+    and wr_returning_addr_sk = ca_address_sk
+  group by wr_returning_customer_sk, ca_state
+)
+select c_customer_id, c_salutation, c_first_name, c_last_name,
+       c_preferred_cust_flag,
+       cast(ctr1.ctr_total_return as bigint) as ctr_total_return
+from ctr ctr1, tpcds_customer_address ca, tpcds_cust c
+where ctr1.ctr_total_return > (select avg(ctr2.ctr_total_return) * 1.2
+                               from ctr ctr2
+                               where ctr1.ctr_state = ctr2.ctr_state)
+  and ca.ca_address_sk = c.c_current_addr_sk
+  and ca.ca_state = 'MI'
+  and ctr1.ctr_customer_sk = c.c_customer_sk
+order by c_customer_id, c_salutation, c_first_name, c_last_name,
+         c_preferred_cust_flag, ctr_total_return
+limit 100
+"""
+
+# q81: the catalog-returns twin of q30 (different fact slice, year,
+# state, and output columns — city instead of the preferred flag).
+_Q81_BODY = """
+ctr as (
+  select cr_returning_customer_sk as ctr_customer_sk,
+         ca_state as ctr_state,
+         sum(cr_return_amount) as ctr_total_return
+  from tpcds_catalog_returns, tpcds_date_dim, tpcds_customer_address
+  where cr_returned_date_sk = d_date_sk and d_year = 2000
+    and cr_returning_addr_sk = ca_address_sk
+  group by cr_returning_customer_sk, ca_state
+)
+select c_customer_id, c_salutation, c_first_name, c_last_name,
+       ca.ca_city,
+       cast(ctr1.ctr_total_return as bigint) as ctr_total_return
+from ctr ctr1, tpcds_customer_address ca, tpcds_cust c
+where ctr1.ctr_total_return > (select avg(ctr2.ctr_total_return) * 1.2
+                               from ctr ctr2
+                               where ctr1.ctr_state = ctr2.ctr_state)
+  and ca.ca_address_sk = c.c_current_addr_sk
+  and ca.ca_state = 'GA'
+  and ctr1.ctr_customer_sk = c.c_customer_sk
+order by c_customer_id, c_salutation, c_first_name, c_last_name,
+         ca.ca_city, ctr_total_return
+limit 100
+"""
+
+
+def _decorrelated(body: str):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        _register_decorrelation_views(spark, sf_dir)
+        return spark.sql("with " + body)
+    return run
+
+
+q_tpcds_q1 = _decorrelated(_Q01_BODY)
+q_tpcds_q6 = _decorrelated(_Q06_BODY)
+q_tpcds_q30 = _decorrelated(_Q30_BODY)
+q_tpcds_q81 = _decorrelated(_Q81_BODY)
+
+ORACLE_TPCDS_Q1 = _DIMS_SQL + ", " + _RETURNS_SQL + ", " + _Q01_BODY
+ORACLE_TPCDS_Q6 = _DIMS_SQL + ", " + _RETURNS_SQL + ", " + _Q06_BODY
+ORACLE_TPCDS_Q30 = _DIMS_SQL + ", " + _RETURNS_SQL + ", " + _Q30_BODY
+ORACLE_TPCDS_Q81 = _DIMS_SQL + ", " + _RETURNS_SQL + ", " + _Q81_BODY
+
+
 QUERIES = {
     "tpcds_q73": q_tpcds_q73,
+    "tpcds_q01": q_tpcds_q1,
+    "tpcds_q06": q_tpcds_q6,
+    "tpcds_q30": q_tpcds_q30,
+    "tpcds_q81": q_tpcds_q81,
     "tpcds_q03": q_tpcds_q3,
     "tpcds_q07": q_tpcds_q7,
     "tpcds_q42": q_tpcds_q42,
@@ -720,6 +958,10 @@ QUERIES = {
 }
 ORACLES = {
     "tpcds_q73": ORACLE_TPCDS_Q73,
+    "tpcds_q01": ORACLE_TPCDS_Q1,
+    "tpcds_q06": ORACLE_TPCDS_Q6,
+    "tpcds_q30": ORACLE_TPCDS_Q30,
+    "tpcds_q81": ORACLE_TPCDS_Q81,
     "tpcds_q03": ORACLE_TPCDS_Q3,
     "tpcds_q07": ORACLE_TPCDS_Q7,
     "tpcds_q42": ORACLE_TPCDS_Q42,

@@ -101,3 +101,44 @@ def test_q96_count_and_q68_city_mismatch(spark):
     phys = explain_str(tpcds.QUERIES["tpcds_q68"](spark, SF_DIR))
     assert phys.count("BroadcastHashJoin") >= 4
     assert "CartesianProduct" not in phys
+
+
+def test_decorrelated_queries_plan_no_nested_loop(spark):
+    """q1/q6/q30/q81's correlated scalar subqueries (`x > (select
+    avg(x)*1.2 ... where same-key)`) must decorrelate into equi-joins
+    on the correlation key — never a CartesianProduct or
+    BroadcastNestedLoopJoin (the shape Drill's SUB_QUERY planner rules
+    exist to avoid, PlannerPhase.java:134-141)."""
+    for name in ("tpcds_q01", "tpcds_q06", "tpcds_q30", "tpcds_q81"):
+        df = tpcds.QUERIES[name](spark, SF_DIR)
+        phys = explain_str(df)
+        assert "CartesianProduct" not in phys, (name, phys)
+        assert "BroadcastNestedLoopJoin" not in phys, (name, phys)
+        # the correlated avg survives as an Aggregate joined back in
+        assert "avg(" in phys or "Aggregate" in phys, name
+
+
+def test_decorrelated_q1_threshold_is_exact(spark):
+    """Replay q1's correlated threshold imperatively: every returned
+    customer id must have a (customer, store) return total strictly
+    above 1.2x that store's mean total, within the filtered county."""
+    from pyspark.sql import functions as F
+
+    tpcds._register_decorrelation_views(spark, SF_DIR)
+    ctr = spark.sql("""
+        select sr_customer_sk as cust, sr_store_sk as store,
+               sum(sr_return_amt) as total
+        from tpcds_store_returns, tpcds_date_dim
+        where sr_returned_date_sk = d_date_sk and d_year = 2000
+        group by 1, 2""")
+    means = {r["store"]: r["m"] for r in
+             ctr.groupBy("store").agg(F.avg("total").alias("m")).collect()}
+    stores = {r["s_store_sk"] for r in spark.sql(
+        "select s_store_sk from tpcds_store "
+        "where s_county = 'Saginaw County'").collect()}
+    qualifying = {f"C{r['cust']:08d}" for r in ctr.collect()
+                  if r["store"] in stores
+                  and r["total"] > 1.2 * means[r["store"]]}
+    got = {r["c_customer_id"] for r in
+           tpcds.QUERIES["tpcds_q01"](spark, SF_DIR).collect()}
+    assert got <= qualifying and got
