@@ -83,7 +83,7 @@ _PRIORITY = [
     "op_warc_scan", "op_iceberg_scan",
     "op_pdf_scan", "op_paimon_scan", "op_msaccess_scan",
     "op_dfdl_scan", "op_shp_scan", "op_image_scan",
-    "op_pcapng_scan", "op_spss_scan", "op_hdf5_scan",
+    "op_pcapng_scan", "op_union_type", "op_hdf5_scan",
     "ext_dedup_exact", "ext_pii_redact",
     "ext_pagerank", "ext_line_dedup", "ext_stream_heavy_hitters",
     "ext_vector_index", "ext_html_extract",
@@ -93,7 +93,7 @@ _PRIORITY = [
     # ---- driver-cap boundary (~50): everything below is covered by the
     # judge's full sweep (scripts/check_correctness.py) every round.
     "op_sort_nulls", "op_partition_limit", "op_array_fns", "op_date_fns",
-    "op_agg_nulls", "op_orc_scan", "op_pivot",
+    "op_agg_nulls", "op_orc_scan", "op_pivot", "op_spss_scan",
     "tpcds_q06", "tpcds_q30", "tpcds_q81",
     "op_join_full", "op_join_semi", "op_join_anti", "op_except",
     "ext_heavy_hitters", "ext_kmv_overlap",

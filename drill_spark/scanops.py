@@ -181,6 +181,58 @@ from nation
 # --------------------------------------------------------------- XML
 
 
+def q_union_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Union-type read (exec.enable_union_type, UnionVector.java:61 +
+    UnionFunctions typeOf): a JSON field whose TYPE varies per row
+    (bigint / varchar / double / boolean / list, keyed n_nationkey % 5)
+    read as one Spark VARIANT column, then per-VALUE type inspection via
+    union_typeof (Drill minor-type names) and canonical JSON rendering
+    of the heterogeneous value. The DuckDB oracle reconstructs both
+    closed-form, so the hash match proves per-value type preservation —
+    Drill's signature type-system feature — cross-engine."""
+    import json as _json
+
+    from drill_spark.functions import register_all
+    from drill_spark.readers.files import read_json
+
+    def build(d: str) -> None:
+        os.makedirs(d, exist_ok=True)
+        rows = sorted(
+            (int(r.n_nationkey), r.n_name)
+            for r in load_fixture(spark, sf_dir, "nation")
+            .select("n_nationkey", "n_name").collect())
+        with open(os.path.join(d, "union.json"), "w") as f:
+            for k, n in rows:
+                val = [k * 7, n, k + 0.25, k % 2 == 0, [k, k + 1]][k % 5]
+                f.write(_json.dumps({"k": k, "val": val}) + "\n")
+
+    out = _materialize_once(sf_dir, "unionjson", build)
+    register_all(spark)
+    read_json(spark, out, union_mode=True).createOrReplaceTempView(
+        "__union_type_v")
+    return spark.sql(
+        "select variant_get(v, '$.k', 'int') as k,"
+        "       union_typeof(variant_get(v, '$.val')) as vtype,"
+        "       to_json(variant_get(v, '$.val')) as sval "
+        "from __union_type_v")
+
+
+ORACLE_UNION_TYPE = """
+select cast(n_nationkey as int) as k,
+  case cast(n_nationkey % 5 as int)
+    when 0 then 'BIGINT' when 1 then 'VARCHAR' when 2 then 'FLOAT8'
+    when 3 then 'BIT' else 'LIST' end as vtype,
+  case cast(n_nationkey % 5 as int)
+    when 0 then cast(n_nationkey * 7 as varchar)
+    when 1 then '"' || n_name || '"'
+    when 2 then cast(n_nationkey + 0.25 as varchar)
+    when 3 then case when n_nationkey % 2 = 0 then 'true' else 'false' end
+    else '[' || cast(n_nationkey as varchar) || ','
+             || cast(n_nationkey + 1 as varchar) || ']' end as sval
+from nation
+"""
+
+
 def q_xml_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """XML scan (contrib/format-xml analog) through Spark's native
     distributed XML source: region serialized as <rows><row>…</row>
@@ -492,6 +544,7 @@ QUERIES = {
     "op_json_scan": q_json_scan,
     "op_json_text_mode": q_json_text_mode,
     "op_json_extended": q_json_extended,
+    "op_union_type": q_union_type,
     "op_xml_scan": q_xml_scan,
     "op_ltsv_scan": q_ltsv_scan,
     "op_log_scan": q_log_scan,
@@ -509,6 +562,7 @@ ORACLES = {
     "op_json_scan": ORACLE_JSON_SCAN,
     "op_json_text_mode": ORACLE_JSON_TEXT_MODE,
     "op_json_extended": ORACLE_JSON_EXTENDED,
+    "op_union_type": ORACLE_UNION_TYPE,
     "op_xml_scan": ORACLE_XML_SCAN,
     "op_ltsv_scan": ORACLE_LTSV_SCAN,
     "op_log_scan": ORACLE_LOG_SCAN,
