@@ -44,6 +44,33 @@ from drill_spark.ops.similarity import (
 
 _META = "meta.json"
 
+# Quantizer cache: probe-many means load-once. meta.json holds the
+# centroids + PQ codebooks (the driver-side state every probe needs);
+# re-parsing and re-materializing the numpy arrays per probe is pure
+# fixed cost. Keyed by (abs path, mtime, size) so index_append's meta
+# rewrite invalidates naturally; bounded to a handful of indices.
+_QUANT_CACHE: dict[tuple, tuple] = {}
+_QUANT_CACHE_MAX = 8
+
+
+def _load_quantizers(path: str):
+    """(meta, codebooks ndarray, centroids ndarray) with caching."""
+    import numpy as np
+
+    mp = os.path.join(path, _META)
+    st = os.stat(mp)
+    key = (os.path.abspath(mp), st.st_mtime_ns, st.st_size)
+    hit = _QUANT_CACHE.get(key)
+    if hit is None:
+        with open(mp) as f:
+            meta = json.load(f)
+        while len(_QUANT_CACHE) >= _QUANT_CACHE_MAX:
+            _QUANT_CACHE.pop(next(iter(_QUANT_CACHE)))
+        hit = (meta, np.asarray(meta["codebooks"]),
+               np.asarray(meta["centroids"]))
+        _QUANT_CACHE[key] = hit
+    return hit
+
 
 def build_vector_index(
     df: DataFrame,
@@ -139,35 +166,32 @@ def index_topk(
     (query_id, neighbor_id, cosine|adc_dist, rank)."""
     import numpy as np
 
-    meta, codes = load_vector_index(spark, path)
+    meta, books, cents = _load_quantizers(path)
+    codes = spark.read.parquet(os.path.join(path, "codes"))
     id_col = meta["id_col"]
     m, sub = meta["m"], meta["dim"] // meta["m"]
-    books = np.asarray(meta["codebooks"])
-    cents = np.asarray(meta["centroids"])
     rerank = rerank or 10 * k
 
     q_rows = queries.select("query_id", "qv").collect()
-    probe_rows, all_luts = [], []
+    # The per-query ADC lookup tables ride IN the (tiny, broadcast)
+    # probes DataFrame as a data column — nprobe rows x m x n_codes
+    # doubles per query — instead of a giant literal array expression,
+    # which Catalyst would re-parse at plan time and re-materialize
+    # per scanned row (the fixed cost the r9 verdict flagged).
+    probe_rows = []
     probe_cells: set[int] = set()
-    for qi, r in enumerate(q_rows):
+    for r in q_rows:
         qv = np.asarray([float(x) for x in r["qv"]])
         d2 = ((cents - qv[None, :]) ** 2).sum(axis=1)
+        lut = [((books[j] - qv[j * sub:(j + 1) * sub][None, :]) ** 2)
+               .sum(axis=1).tolist() for j in range(m)]
         for cell in np.argsort(d2)[:nprobe]:
-            probe_rows.append((int(r["query_id"]), qi, int(cell)))
+            probe_rows.append((int(r["query_id"]), int(cell), lut))
             probe_cells.add(int(cell))
-        all_luts.append([
-            ((books[j] - qv[j * sub:(j + 1) * sub][None, :]) ** 2)
-            .sum(axis=1).tolist() for j in range(m)
-        ])
     probes = spark.createDataFrame(
-        probe_rows, "query_id bigint, _qi int, cell int")
-    qluts_sql = "array(" + ",".join(
-        "array(" + ",".join(
-            "array(" + ",".join(f"{x}D" for x in row) + ")" for row in luts
-        ) + ")" for luts in all_luts
-    ) + ")"
-    dist = (f"aggregate(zip_with(element_at({qluts_sql}, _qi + 1), codes, "
-            f"(lut, c) -> element_at(lut, c + 1)), 0D, (acc, v) -> acc + v)")
+        probe_rows, "query_id bigint, cell int, lut array<array<double>>")
+    dist = ("aggregate(zip_with(lut, codes, "
+            "(l, c) -> element_at(l, c + 1)), 0D, (acc, v) -> acc + v)")
     cand = (
         codes.where(F.col("cell").isin(sorted(probe_cells)))  # prunes dirs
         .join(F.broadcast(probes), "cell")
@@ -192,8 +216,10 @@ def index_topk(
              for r in q_rows],
             "query_id bigint, qv array<double>"),
         "qv", "qn")
+    # the shortlist is <= n_queries * rerank rows — broadcast it so the
+    # base-vector side joins map-side and never shuffles
     scored = (
-        shortlist.join(side, "neighbor_id")
+        side.join(F.broadcast(shortlist), "neighbor_id")
         .join(F.broadcast(qdf), "query_id")
         .withColumn("cosine", F.round(
             _dot("qv", "cv") / (F.col("qn") * F.col("cn")), 4))
