@@ -3509,20 +3509,26 @@ def q_stream_incr_dedup(spark, sf_dir):
     from drill_spark.streaming.events import stream_incremental_dedup
 
     docs = _docs(spark, sf_dir)
+
+    def build(src):
+        docs.where(F.col("doc_id") % 2 == 0).coalesce(1).write.parquet(src)
+        docs.where(F.col("doc_id") % 2 == 1).coalesce(1).write.mode(
+            "append").parquet(src)
+        parts = sorted(
+            (os.path.join(src, f) for f in os.listdir(src)
+             if f.endswith(".parquet")),
+            key=lambda p: os.path.getmtime(p),
+        )
+        # pin modification times so the file source's batch order
+        # (mtime) is even-first regardless of fs timestamp granularity
+        for i, p in enumerate(parts):
+            os.utime(p, (1_600_000_000 + i * 60, 1_600_000_000 + i * 60))
+
+    # the two-batch source is content-stable per sf_dir — write it once;
+    # the digest store / output / checkpoint stay per-run (they ARE the
+    # operator's stateful surface)
+    src = _materialize_once(sf_dir, "sincdedup_src", build)
     base = tempfile.mkdtemp(prefix="sincdedup_")
-    src = os.path.join(base, "src")
-    docs.where(F.col("doc_id") % 2 == 0).coalesce(1).write.parquet(src)
-    docs.where(F.col("doc_id") % 2 == 1).coalesce(1).write.mode(
-        "append").parquet(src)
-    parts = sorted(
-        (os.path.join(src, f) for f in os.listdir(src)
-         if f.endswith(".parquet")),
-        key=lambda p: os.path.getmtime(p),
-    )
-    # pin modification times so the file source's batch order (mtime)
-    # is even-first regardless of filesystem timestamp granularity
-    for i, p in enumerate(parts):
-        os.utime(p, (1_600_000_000 + i * 60, 1_600_000_000 + i * 60))
     stream = (
         spark.readStream.schema(docs.schema)
         .option("maxFilesPerTrigger", 1).parquet(src)

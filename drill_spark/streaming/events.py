@@ -28,6 +28,10 @@ from pyspark.sql import functions as F
 
 _STREAM_EPOCH_BASE = 1_000_000_000  # streaming batch-id namespace
 
+# schema peek per events fixture file — the batch read exists only to
+# learn the ts physical type, so probe-many shares one peek
+_EVENT_SCHEMA_CACHE: dict[str, object] = {}
+
 
 def read_event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events.parquet as a stream (files source = replayable log).
@@ -40,7 +44,11 @@ def read_event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     from drill_spark.session import prepare_session
 
     prepare_session(spark)
-    raw_schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
+    fpath = os.path.join(sf_dir, "events.parquet")
+    raw_schema = _EVENT_SCHEMA_CACHE.get(fpath)
+    if raw_schema is None:
+        raw_schema = spark.read.parquet(fpath).schema
+        _EVENT_SCHEMA_CACHE[fpath] = raw_schema
     # the file stream source requires a directory; select the single
     # fixture file with a glob filter
     raw = (
@@ -130,23 +138,38 @@ def user_running_totals(events: DataFrame) -> DataFrame:
     )
 
 
-def run_to_completion(stream_df: DataFrame, name: str, output_mode: str = "append") -> DataFrame:
+def run_to_completion(stream_df: DataFrame, name: str,
+                      output_mode: str = "append",
+                      state_partitions: int = 8) -> DataFrame:
     """Drive a streaming query over the finite fixture with the
     availableNow trigger and return the result as a DataFrame.
 
     Use output_mode='complete' for windowed aggregations when the final
     (not-yet-watermark-closed) windows must be included — in append mode
     a finite source never closes its tail windows.
+
+    ``state_partitions`` bounds the shuffle-partition count for the
+    run: every state partition is a separate HDFS-backed state-store
+    instance writing delta/commit files per micro-batch, and at
+    finite-fixture scale 32 instances are pure per-file fixed cost
+    (measured ~2x the whole run). Results are partition-count
+    invariant; a real deployment sizes this to its state volume.
     """
-    q = (
-        stream_df.writeStream.outputMode(output_mode)
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
     spark = stream_df.sparkSession
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    if state_partitions and int(prev) > state_partitions:
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        q = (
+            stream_df.writeStream.outputMode(output_mode)
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(name)
 
 
