@@ -62,7 +62,24 @@ _KEY_OWNERS = {
 }
 
 
-def generate_sf1(spark, out_dir: str) -> None:
+# The ~20 flagship ops for the deeper sf10 soak (second decade of scale
+# evidence: quadratic tails — banded pair explosion, window state — can
+# hide inside one decade, so the flagships get 100x). Chosen to cover
+# every scale-critical family: curation, dedup (exact/near/line/
+# substring), retrieval (BM25/vector serve), graph, the mergeable
+# sketches, mixture/shuffle, skew, and two TPC-H anchors.
+FLAGSHIPS = [
+    "ext_curation_pipeline", "ext_dedup_exact", "ext_dedup_minhash",
+    "ext_line_dedup", "ext_substring_dedup", "ext_snapshot_diff",
+    "ext_bm25_batch", "ext_pagerank", "ext_vector_index_probe",
+    "ext_kmv_distinct", "ext_cms_estimate", "ext_rolling_distinct",
+    "ext_rolling_quantiles", "ext_heavy_hitters", "ext_mixture_build",
+    "ext_epoch_shuffle", "ext_skew_join", "ext_decontaminate",
+    "ext_sessionize", "tpch_q01", "tpch_q18",
+]
+
+
+def generate_scaled(spark, out_dir: str, copies: int) -> None:
     from pyspark.sql import functions as F
 
     os.makedirs(out_dir, exist_ok=True)
@@ -90,7 +107,7 @@ def generate_sf1(spark, out_dir: str) -> None:
             src.write.mode("overwrite").parquet(dst)
             continue
         parts = []
-        for i in range(COPIES):
+        for i in range(copies):
             out = src
             for col, owner in keys.items():
                 out = out.withColumn(
@@ -101,13 +118,15 @@ def generate_sf1(spark, out_dir: str) -> None:
         for p in parts[1:]:
             big = big.unionByName(p)
         big.write.mode("overwrite").parquet(dst)
-        print(f"[soak] wrote {table} x{COPIES}", file=sys.stderr)
+        print(f"[soak] wrote {table} x{copies}", file=sys.stderr)
 
 
-def _soak_queries():
+def _soak_queries(names: list[str] | None = None):
     import __spark_entry__ as entrymod
 
     qs = entrymod.queries()
+    if names is not None:
+        return {k: qs[k] for k in names if k in qs}
     return {
         k: v
         for k, v in qs.items()
@@ -143,20 +162,28 @@ def main() -> None:
     ap.add_argument("--sf1-dir", default=os.environ.get(
         "SPARK_GRAFT_SF1_DIR", "/tmp/spark_graft_scale/sf1"))
     ap.add_argument("--regen", action="store_true")
+    ap.add_argument("--sf10", action="store_true", help=(
+        "second-decade soak: 100x replication, flagship ops only, "
+        "writes soak_sf10.json (SCALE.md table untouched)"))
     args = ap.parse_args()
+
+    copies = 100 if args.sf10 else COPIES
+    sf_big_dir = (args.sf1_dir.rstrip("/").rsplit("/", 1)[0] + "/sf10"
+                  if args.sf10 else args.sf1_dir)
+    out_json = "soak_sf10.json" if args.sf10 else "soak_sf1.json"
 
     from drill_spark.session import get_spark
 
     spark = get_spark("drill_spark_soak", cores=int(
         os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8)))
 
-    if args.regen or not os.path.exists(f"{args.sf1_dir}/lineitem.parquet"):
+    if args.regen or not os.path.exists(f"{sf_big_dir}/lineitem.parquet"):
         t0 = time.time()
-        generate_sf1(spark, args.sf1_dir)
-        print(f"[soak] sf1 generated in {round(time.time() - t0, 1)}s",
-              file=sys.stderr)
+        generate_scaled(spark, sf_big_dir, copies)
+        print(f"[soak] x{copies} fixture generated in "
+              f"{round(time.time() - t0, 1)}s", file=sys.stderr)
 
-    qs = _soak_queries()
+    qs = _soak_queries(FLAGSHIPS if args.sf10 else None)
     # warm codegen / arrow pool / streaming on the small dir
     for name in ("tpch_q06", "ext_dedup_clusters", "ext_ann_ivf",
                  "ext_multimodal_features", "ext_stream_tumbling"):
@@ -167,7 +194,7 @@ def main() -> None:
                 print(f"[soak] warm {name}: {e}", file=sys.stderr)
 
     t01 = time_queries(spark, qs, SF01)
-    t1 = time_queries(spark, qs, args.sf1_dir)
+    t1 = time_queries(spark, qs, sf_big_dir)
 
     rows = []
     for name in sorted(qs):
@@ -178,24 +205,25 @@ def main() -> None:
                          "ok": False})
             continue
         wall = round(b / max(a, 0.2), 2)
-        per_row = round(b / (COPIES * max(a, 0.2)), 3)
+        per_row = round(b / (copies * max(a, 0.2)), 3)
         rows.append({"query": name, "sf0.1": a, "sf1": b,
                      "wall_ratio": wall, "per_row_ratio": per_row,
                      "ok": per_row <= 2.0})
     result = {
-        "sf1_dir": args.sf1_dir,
-        "copies": COPIES,
+        "sf1_dir": sf_big_dir,
+        "copies": copies,
         "n_queries": len(rows),
         "n_fail": sum(1 for r in rows if not r["ok"]),
         "total_sf0.1": round(sum(r["sf0.1"] for r in rows if r["sf0.1"] >= 0), 3),
         "total_sf1": round(sum(r["sf1"] for r in rows if r["sf1"] >= 0), 3),
         "queries": rows,
     }
-    with open(os.path.join(REPO, "soak_sf1.json"), "w") as f:
+    with open(os.path.join(REPO, out_json), "w") as f:
         json.dump(result, f, indent=1)
     print(json.dumps({k: v for k, v in result.items() if k != "queries"}))
 
-    _rewrite_scale_md(result)
+    if not args.sf10:
+        _rewrite_scale_md(result)
 
 
 def _rewrite_scale_md(result: dict) -> None:
