@@ -132,6 +132,51 @@ def auto_skew_join(
     return hot.join(small, on, how)
 
 
+def salted_topk(
+    df: DataFrame,
+    key_cols: list[str],
+    order_col: str,
+    k: int,
+    ascending: bool = False,
+    salt: int = 16,
+) -> DataFrame:
+    """Top-k rows per key under key skew — the WINDOW shape AQE cannot
+    split: `row_number() OVER (PARTITION BY key ORDER BY v)` requires
+    every row of a key in ONE task, so a key holding 30% of a 100 TB
+    table serializes 30 TB through one core and AQE's skew-join split
+    never applies (it only rewrites shuffle-read JOINS, and splitting a
+    window's exchange would violate the operator's required
+    distribution).
+
+    Two-stage salted rewrite with exact result equality: stage 1 ranks
+    within (key, salt) — the hot key spreads over `salt` tasks — and
+    keeps k rows per salt; stage 2 ranks the <= salt*k survivors per
+    key. The global top-k of a key is contained in the union of its
+    per-salt top-k's (any row beaten by >= k rows globally is beaten by
+    >= k rows within its own salt bucket... conversely every global
+    top-k row survives its bucket), so stage 2 sees every winner.
+
+    Ties broken by the remaining column values' hash is NOT done —
+    like Spark's own row_number, ties beyond (order_col) are
+    partition-order dependent; pass a unique tiebreak column inside
+    order_col upstream if exact tie determinism is needed (the tests
+    use unique order values).
+    """
+    from pyspark.sql import Window
+
+    order = F.asc(order_col) if ascending else F.desc(order_col)
+    salt_col = "_tk_salt"
+    salted = df.withColumn(
+        salt_col,
+        F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(salt)))
+    w1 = Window.partitionBy(*key_cols, salt_col).orderBy(order)
+    stage1 = (salted.withColumn("_r1", F.row_number().over(w1))
+              .where(F.col("_r1") <= k).drop("_r1", salt_col))
+    w2 = Window.partitionBy(*key_cols).orderBy(order)
+    return (stage1.withColumn("rank", F.row_number().over(w2))
+            .where(F.col("rank") <= k))
+
+
 def write_bucketed(
     spark: SparkSession,
     df: DataFrame,

@@ -205,3 +205,45 @@ def test_aqe_skew_join_split(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_salted_topk_equals_plain_topk(spark):
+    """The two-stage salted window must produce exactly the plain
+    per-key top-k (global top-k is contained in the union of per-salt
+    top-k's), including on a 60%-hot key; unique order values make the
+    comparison tie-free."""
+    from pyspark.sql import Window
+
+    from drill_spark.ops.scale import salted_topk
+
+    df = spark.range(0, 20_000).select(
+        F.when(F.col("id") % 3 != 0, F.lit(1).cast("long"))
+        .otherwise(F.pmod("id", 50)).alias("k"),
+        F.col("id").alias("v"))  # v unique -> deterministic ties
+    w = Window.partitionBy("k").orderBy(F.desc("v"))
+    plain = (df.withColumn("rank", F.row_number().over(w))
+             .where(F.col("rank") <= 7))
+    salted = salted_topk(df, ["k"], "v", k=7, salt=8)
+    assert sorted(map(tuple, plain.collect())) == \
+        sorted(map(tuple, salted.collect()))
+    # ascending variant too
+    plain_a = (df.withColumn(
+        "rank", F.row_number().over(
+            Window.partitionBy("k").orderBy(F.asc("v"))))
+        .where(F.col("rank") <= 3))
+    salted_a = salted_topk(df, ["k"], "v", k=3, ascending=True, salt=8)
+    assert sorted(map(tuple, plain_a.collect())) == \
+        sorted(map(tuple, salted_a.collect()))
+
+
+def test_salted_topk_stage1_spreads_hot_key(spark):
+    """Plan witness: stage 1's window partitions by (key, salt) — the
+    exchange hashes on both columns, so the hot key spreads instead of
+    serializing through one task."""
+    from drill_spark.ops.scale import salted_topk
+
+    df = spark.range(0, 1000).select(
+        F.lit(1).cast("long").alias("k"), F.col("id").alias("v"))
+    out = salted_topk(df, ["k"], "v", k=5, salt=8)
+    s = plans.explain_str(out)
+    assert "_tk_salt" in s, s
