@@ -802,6 +802,22 @@ def _pipeline_table(session, op: str, opts: dict[str, str]) -> DataFrame:
             lo=float(o.get("lo", "0")), hi=float(req("hi")),
             n_bins=int(o.get("bins", "128")),
             n_days=int(o.get("days", "7")))
+    if name == "skew_join":
+        from drill_spark.ops.scale import auto_skew_join
+
+        return auto_skew_join(
+            inp("hot"), inp("small"), req("on").split(","),
+            how=o.get("how", "inner"),
+            skew_threshold=float(o.get("threshold", "4.0")),
+            salt=int(o.get("salt", "16")))
+    if name == "topk_per_key":
+        from drill_spark.ops.scale import salted_topk
+
+        return salted_topk(
+            inp(), req("keys").split(","), req("order"),
+            k=int(o.get("k", "10")),
+            ascending=o.get("ascending", "false").lower() == "true",
+            salt=int(o.get("salt", "16")))
     raise ValueError(
         f"unknown pipeline table function `{name}` — available: bm25, bm25_batch, "
         "tfidf_keywords, hybrid_search, fuzzy_join, dedup_exact, "
@@ -813,7 +829,7 @@ def _pipeline_table(session, op: str, opts: dict[str, str]) -> DataFrame:
         "normalize_unicode, maxsim, mad_outliers, training_shards, "
         "crossmodal_topk, crossmodal_align, mixture_build, epoch_shuffle, "
         "kmv_distinct, kmv_overlap, rolling_distinct, snapshot_diff, "
-        "rolling_quantiles, cms_estimate")
+        "rolling_quantiles, cms_estimate, skew_join, topk_per_key")
 
 
 def _read_path(session, ws_name: str, rel_path: str, options: dict[str, str] | None = None) -> DataFrame:

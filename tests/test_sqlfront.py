@@ -1289,3 +1289,40 @@ def test_pipeline_table_function_rolling_quantiles(dsession):
         "input => 'events', val => 'value', hi => '500', days => '3'))"
     ).collect()
     assert rq and all(r.q50 <= r.q95 for r in rq)
+
+
+def test_pipeline_table_function_skew_ops(dsession):
+    """SQL faces for the r10 skew auto-path: skew_join routes through
+    auto_skew_join and equals the plain SQL join; topk_per_key's
+    per-key top-k VALUE multiset equals the plain window's (values at a
+    tie boundary are equal by definition, so the comparison is
+    tie-robust)."""
+    dsession.register_fixture_tables("/root/testdata/sf0.001")
+    # the face joins on same-name columns: align supplier's key first
+    dsession.sql(
+        "create or replace view supp_aligned as "
+        "select s_suppkey as l_suppkey, s_name from supplier")
+    got = dsession.sql(
+        "select s_name, count(*) n from table(pipeline.`skew_join`("
+        "hot => 'lineitem', small => 'supp_aligned', on => 'l_suppkey'))"
+        " group by 1"
+    ).collect()
+    plain = dsession.sql(
+        "select s_name, count(*) n from lineitem join supplier "
+        "on l_suppkey = s_suppkey group by 1"
+    ).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, plain))
+
+    tk = dsession.sql(
+        "select o_custkey, o_totalprice from table(pipeline.`topk_per_key`("
+        "input => 'orders', keys => 'o_custkey', order => 'o_totalprice',"
+        " k => '2'))"
+    ).collect()
+    plain_tk = dsession.sql(
+        "select o_custkey, o_totalprice from ("
+        "  select o_custkey, o_totalprice,"
+        "         row_number() over (partition by o_custkey"
+        "                            order by o_totalprice desc) as r"
+        "  from orders) where r <= 2"
+    ).collect()
+    assert sorted(map(tuple, tk)) == sorted(map(tuple, plain_tk))
