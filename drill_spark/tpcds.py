@@ -923,6 +923,73 @@ limit 100
 """
 
 
+# q32 ("excess discount amount" shape, on the store_sales fact): sum
+# sales priced above 1.3x the ITEM's own average — a correlated scalar
+# avg whose subquery spans a fact+date join, decorrelated by Catalyst
+# into a per-item aggregate joined back on the correlation key.
+_Q32_BODY = """
+x as (
+  select ss_item_sk,
+         cast(round(ss_sales_price * 100, 0) as bigint) as cents
+  from tpcds_store_sales, tpcds_date_dim
+  where ss_sold_date_sk = d_date_sk and d_year = 2000
+)
+select cast(sum(x.cents) as bigint) as excess_cents,
+       cast(count(*) as bigint) as n_excess
+from x, tpcds_item i
+where i.i_manufact_id = 25
+  and x.ss_item_sk = i.i_item_sk
+  and x.cents > 1.3 * (select avg(x2.cents) from x x2
+                       where x2.ss_item_sk = i.i_item_sk)
+"""
+
+# q47 (moving-average shape): monthly (category, brand, store) sales
+# vs the year's average, with prev/next month via rank self-joins —
+# windows OVER an aggregate plus two equi self-joins. avg of exact
+# integer-cent sums is bit-deterministic; the surfaced average is
+# floored so no cross-engine rounding is involved.
+_Q47_BODY = """
+v1 as (
+  select i.i_category, i.i_brand, s.s_store_name, d.d_year, d.d_moy,
+         sum(cast(round(ss.ss_sales_price * 100, 0) as bigint))
+           as sum_cents,
+         avg(sum(cast(round(ss.ss_sales_price * 100, 0) as bigint)))
+           over (partition by i.i_category, i.i_brand, s.s_store_name,
+                 d.d_year) as avg_monthly_cents,
+         rank() over (partition by i.i_category, i.i_brand,
+                      s.s_store_name
+                      order by d.d_year, d.d_moy) as rn
+  from tpcds_store_sales ss, tpcds_item i, tpcds_date_dim d,
+       tpcds_store s
+  where ss.ss_item_sk = i.i_item_sk
+    and ss.ss_sold_date_sk = d.d_date_sk
+    and ss.ss_store_sk = s.s_store_sk
+  group by i.i_category, i.i_brand, s.s_store_name, d.d_year, d.d_moy
+)
+select v1.i_category, v1.i_brand, v1.s_store_name, v1.d_year, v1.d_moy,
+       cast(v1.sum_cents as bigint) as sum_cents,
+       cast(floor(v1.avg_monthly_cents) as bigint) as avg_monthly_fl,
+       cast(v_lag.sum_cents as bigint) as psum_cents,
+       cast(v_lead.sum_cents as bigint) as nsum_cents
+from v1, v1 v_lag, v1 v_lead
+where v1.i_category = v_lag.i_category
+  and v1.i_brand = v_lag.i_brand
+  and v1.s_store_name = v_lag.s_store_name
+  and v1.rn = v_lag.rn + 1
+  and v1.i_category = v_lead.i_category
+  and v1.i_brand = v_lead.i_brand
+  and v1.s_store_name = v_lead.s_store_name
+  and v1.rn = v_lead.rn - 1
+  and v1.d_year = 2000
+  and v1.avg_monthly_cents > 0
+  and abs(v1.sum_cents - v1.avg_monthly_cents) / v1.avg_monthly_cents
+      > 0.1
+order by v1.sum_cents - v1.avg_monthly_cents, v1.i_category, v1.i_brand,
+         v1.s_store_name, v1.d_year, v1.d_moy
+limit 100
+"""
+
+
 def _decorrelated(body: str):
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         _register_decorrelation_views(spark, sf_dir)
@@ -934,11 +1001,15 @@ q_tpcds_q1 = _decorrelated(_Q01_BODY)
 q_tpcds_q6 = _decorrelated(_Q06_BODY)
 q_tpcds_q30 = _decorrelated(_Q30_BODY)
 q_tpcds_q81 = _decorrelated(_Q81_BODY)
+q_tpcds_q32 = _decorrelated(_Q32_BODY)
+q_tpcds_q47 = _decorrelated(_Q47_BODY)
 
 ORACLE_TPCDS_Q1 = _DIMS_SQL + ", " + _RETURNS_SQL + ", " + _Q01_BODY
 ORACLE_TPCDS_Q6 = _DIMS_SQL + ", " + _RETURNS_SQL + ", " + _Q06_BODY
 ORACLE_TPCDS_Q30 = _DIMS_SQL + ", " + _RETURNS_SQL + ", " + _Q30_BODY
 ORACLE_TPCDS_Q81 = _DIMS_SQL + ", " + _RETURNS_SQL + ", " + _Q81_BODY
+ORACLE_TPCDS_Q32 = _DIMS_SQL + ", " + _RETURNS_SQL + ", " + _Q32_BODY
+ORACLE_TPCDS_Q47 = _DIMS_SQL + ", " + _RETURNS_SQL + ", " + _Q47_BODY
 
 
 QUERIES = {
@@ -947,6 +1018,8 @@ QUERIES = {
     "tpcds_q06": q_tpcds_q6,
     "tpcds_q30": q_tpcds_q30,
     "tpcds_q81": q_tpcds_q81,
+    "tpcds_q32": q_tpcds_q32,
+    "tpcds_q47": q_tpcds_q47,
     "tpcds_q03": q_tpcds_q3,
     "tpcds_q07": q_tpcds_q7,
     "tpcds_q42": q_tpcds_q42,
@@ -962,6 +1035,8 @@ ORACLES = {
     "tpcds_q06": ORACLE_TPCDS_Q6,
     "tpcds_q30": ORACLE_TPCDS_Q30,
     "tpcds_q81": ORACLE_TPCDS_Q81,
+    "tpcds_q32": ORACLE_TPCDS_Q32,
+    "tpcds_q47": ORACLE_TPCDS_Q47,
     "tpcds_q03": ORACLE_TPCDS_Q3,
     "tpcds_q07": ORACLE_TPCDS_Q7,
     "tpcds_q42": ORACLE_TPCDS_Q42,

@@ -109,7 +109,8 @@ def test_decorrelated_queries_plan_no_nested_loop(spark):
     on the correlation key — never a CartesianProduct or
     BroadcastNestedLoopJoin (the shape Drill's SUB_QUERY planner rules
     exist to avoid, PlannerPhase.java:134-141)."""
-    for name in ("tpcds_q01", "tpcds_q06", "tpcds_q30", "tpcds_q81"):
+    for name in ("tpcds_q01", "tpcds_q06", "tpcds_q30", "tpcds_q81",
+                 "tpcds_q32", "tpcds_q47"):
         df = tpcds.QUERIES[name](spark, SF_DIR)
         phys = explain_str(df)
         assert "CartesianProduct" not in phys, (name, phys)
