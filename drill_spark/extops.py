@@ -650,6 +650,112 @@ having count(*) > 5
 """
 
 
+def q_stream_sliding(spark, sf_dir):
+    """Sliding-window rates (streaming/events.py::sliding_rates, 6h
+    width / 3h slide) run to completion — each event lands in exactly
+    two windows, so the oracle is the batch union of both aligned
+    bucket starts (backfill equivalence, like the tumbling row)."""
+    from drill_spark.streaming.events import (
+        read_event_stream, run_to_completion, sliding_rates)
+
+    _STREAM_RUN["n"] += 1
+    out = run_to_completion(
+        sliding_rates(read_event_stream(spark, sf_dir)),
+        f"drv_stream_sliding_{_STREAM_RUN['n']}", "complete")
+    return out.select(
+        F.col("ws").cast("timestamp_ntz").alias("ws"), "n")
+
+
+ORACLE_STREAM_SLIDING = """
+with w as (
+  select time_bucket(interval '3 hours', ts) as ws from events
+  union all
+  select time_bucket(interval '3 hours', ts) - interval '3 hours' as ws
+  from events
+)
+select ws, cast(count(*) as bigint) as n from w group by 1
+"""
+
+
+def q_stream_join(spark, sf_dir):
+    """Stream-stream interval join (streaming/events.py::
+    stream_stream_join): each view paired with the same user's
+    purchases within 12 hours, watermarks + time bounds on BOTH sides
+    so join state expires. Inner-join matches are emitted regardless of
+    the watermark, so the finite-source run equals the batch interval
+    join — the oracle."""
+    from drill_spark.streaming.events import (
+        read_event_stream, run_to_completion, stream_stream_join)
+
+    _STREAM_RUN["n"] += 1
+    out = run_to_completion(
+        stream_stream_join(read_event_stream(spark, sf_dir)),
+        f"drv_stream_join_{_STREAM_RUN['n']}")
+    return out.select(
+        "user_id", "a_id",
+        F.col("a_ts").cast("timestamp_ntz").alias("a_ts"),
+        "b_id",
+        F.col("b_ts").cast("timestamp_ntz").alias("b_ts"))
+
+
+ORACLE_STREAM_JOIN = """
+select a.user_id, a.event_id as a_id, a.ts as a_ts,
+       b.event_id as b_id, b.ts as b_ts
+from events a join events b on a.user_id = b.user_id
+where a.event_type = 'view' and b.event_type = 'purchase'
+  and b.ts >= a.ts and b.ts <= a.ts + interval 12 hours
+"""
+
+
+def q_stream_dedup(spark, sf_dir):
+    """Stateful streaming dedup (streaming/events.py::stream_dedup =
+    dropDuplicatesWithinWatermark): the event stream UNIONED with
+    itself — every event arrives twice — must dedup back to exactly
+    the original rows on the id key; state stays bounded by the
+    watermark horizon. Oracle = the batch table itself."""
+    from drill_spark.streaming.events import (
+        read_event_stream, run_to_completion, stream_dedup)
+
+    _STREAM_RUN["n"] += 1
+    ev = read_event_stream(spark, sf_dir)
+    doubled = ev.union(read_event_stream(spark, sf_dir))
+    out = run_to_completion(
+        stream_dedup(doubled),
+        f"drv_stream_dedup_{_STREAM_RUN['n']}")
+    return out.select("event_id", "user_id", "event_type")
+
+
+ORACLE_STREAM_DEDUP = """
+select event_id, user_id, event_type from events
+"""
+
+
+def q_stream_enrich(spark, sf_dir):
+    """Stream-static enrichment join (streaming/events.py::
+    stream_static_enrich): each event joined to a static customer
+    dimension (re-broadcast per micro-batch — zero state), left join
+    so unmatched users survive with nulls. Oracle = the batch left
+    join. Filtered to a bounded id slice so the row is compare-sized."""
+    from drill_spark.streaming.events import (
+        read_event_stream, run_to_completion, stream_static_enrich)
+
+    _STREAM_RUN["n"] += 1
+    dim = load_fixture(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_nationkey")
+    ev = read_event_stream(spark, sf_dir).where(F.col("event_id") < 500)
+    out = run_to_completion(
+        stream_static_enrich(ev, dim),
+        f"drv_stream_enrich_{_STREAM_RUN['n']}")
+    return out.select("event_id", "user_id", "c_nationkey")
+
+
+ORACLE_STREAM_ENRICH = """
+select e.event_id, e.user_id, c.c_nationkey
+from events e left join customer c on e.user_id = c.c_custkey
+where e.event_id < 500
+"""
+
+
 # ------------------------------------------------------- temporal joins
 
 
@@ -5143,6 +5249,10 @@ QUERIES = {
     "ext_asof_join": q_asof_join,
     "ext_range_join": q_range_join,
     "ext_stream_tumbling": q_stream_tumbling,
+    "ext_stream_sliding": q_stream_sliding,
+    "ext_stream_join": q_stream_join,
+    "ext_stream_dedup": q_stream_dedup,
+    "ext_stream_enrich": q_stream_enrich,
     "ext_pii_redact": q_pii_redact,
     "ext_decontaminate": q_decontaminate,
     "ext_bloom_decontaminate": q_bloom_decontaminate,
@@ -5270,6 +5380,10 @@ ORACLES = {
     "ext_asof_join": ORACLE_ASOF_JOIN,
     "ext_range_join": ORACLE_RANGE_JOIN,
     "ext_stream_tumbling": ORACLE_STREAM_TUMBLING,
+    "ext_stream_sliding": ORACLE_STREAM_SLIDING,
+    "ext_stream_join": ORACLE_STREAM_JOIN,
+    "ext_stream_dedup": ORACLE_STREAM_DEDUP,
+    "ext_stream_enrich": ORACLE_STREAM_ENRICH,
     "ext_pii_redact": ORACLE_PII_REDACT,
     "ext_decontaminate": ORACLE_DECONTAMINATE,
     "ext_bloom_decontaminate": ORACLE_DECONTAMINATE,
