@@ -773,6 +773,8 @@ tpcds_store as (select * from store),
 tpcds_item as (select * from item),
 tpcds_customer_address as (select * from customer_address),
 tpcds_cust as (select * from cust),
+tpcds_time_dim as (select * from time_dim),
+tpcds_household_demographics as (select * from household_demographics),
 tpcds_store_sales as (select * from store_sales)
 """
 
@@ -818,6 +820,9 @@ def _register_decorrelation_views(spark: SparkSession, sf_dir: str) -> None:
     _item(spark).createOrReplaceTempView("tpcds_item")
     _customer_address(spark).createOrReplaceTempView("tpcds_customer_address")
     _customer(spark, sf_dir).createOrReplaceTempView("tpcds_cust")
+    _time_dim(spark).createOrReplaceTempView("tpcds_time_dim")
+    _household_demographics(spark).createOrReplaceTempView(
+        "tpcds_household_demographics")
     _store_sales(spark, sf_dir).createOrReplaceTempView("tpcds_store_sales")
 
 
@@ -990,6 +995,108 @@ limit 100
 """
 
 
+# q16 shape (EXISTS + NOT EXISTS): county-filtered baskets having a
+# second distinct item on the same ticket (EXISTS → left-semi) and no
+# return by that customer at that store (NOT EXISTS → left-anti).
+_Q16_BODY = """
+b as (select 1 as one)
+select cast(count(distinct ss1.ss_ticket_number) as bigint)
+         as order_count,
+       cast(sum(cast(round(ss1.ss_sales_price * 100, 0) as bigint))
+         as bigint) as total_cents
+from tpcds_store_sales ss1, tpcds_date_dim d, tpcds_store s
+where ss1.ss_sold_date_sk = d.d_date_sk and d.d_year = 2000
+  and ss1.ss_store_sk = s.s_store_sk
+  and s.s_county = 'Saginaw County'
+  and exists (select 1 from tpcds_store_sales ss2
+              where ss1.ss_ticket_number = ss2.ss_ticket_number
+                and ss1.ss_item_sk <> ss2.ss_item_sk)
+  and not exists (select 1 from tpcds_store_returns sr
+                  where sr.sr_customer_sk = ss1.ss_customer_sk
+                    and sr.sr_store_sk = ss1.ss_store_sk)
+"""
+
+# q38 shape (multi-way INTERSECT): customers active in all three
+# activity channels within the year.
+_Q38_BODY = """
+hot as (
+  select ss_customer_sk as csk
+  from tpcds_store_sales, tpcds_date_dim
+  where ss_sold_date_sk = d_date_sk and d_year = 2000
+  intersect
+  select wr_returning_customer_sk
+  from tpcds_web_returns, tpcds_date_dim
+  where wr_returned_date_sk = d_date_sk and d_year = 2000
+  intersect
+  select cr_returning_customer_sk
+  from tpcds_catalog_returns, tpcds_date_dim
+  where cr_returned_date_sk = d_date_sk and d_year = 2000
+)
+select cast(count(*) as bigint) as cnt from hot
+"""
+
+# q71-style (union of activity channels → per-customer rollup):
+# heterogeneous money columns unify to one cents stream, one group-by.
+_Q71_BODY = """
+by_cust as (
+  select ss_customer_sk as csk,
+         cast(round(ss_sales_price * 100, 0) as bigint) as cents
+  from tpcds_store_sales, tpcds_date_dim
+  where ss_sold_date_sk = d_date_sk and d_year = 2000
+  union all
+  select sr_customer_sk, sr_return_amt
+  from tpcds_store_returns, tpcds_date_dim
+  where sr_returned_date_sk = d_date_sk and d_year = 2000
+  union all
+  select cr_returning_customer_sk, cr_return_amount
+  from tpcds_catalog_returns, tpcds_date_dim
+  where cr_returned_date_sk = d_date_sk and d_year = 2000
+)
+select c.c_customer_id, cast(sum(b.cents) as bigint) as total_cents
+from by_cust b, tpcds_cust c
+where b.csk = c.c_customer_sk
+group by c.c_customer_id
+order by total_cents desc, c_customer_id
+limit 100
+"""
+
+# q88 shape (the scalar-subquery pivot: independent time-bucket counts
+# cross-joined into ONE row — four uncorrelated scalar subqueries).
+_Q88_BODY = """
+b as (select 1 as one)
+select
+ (select cast(count(*) as bigint)
+  from tpcds_store_sales, tpcds_household_demographics hd,
+       tpcds_time_dim t, tpcds_store s
+  where ss_sold_time_sk = t.t_time_sk and ss_hdemo_sk = hd.hd_demo_sk
+    and ss_store_sk = s.s_store_sk and t.t_hour = 8
+    and t.t_minute >= 30 and hd.hd_dep_count = 5
+    and s.s_store_name = 'ese') as h8_30,
+ (select cast(count(*) as bigint)
+  from tpcds_store_sales, tpcds_household_demographics hd,
+       tpcds_time_dim t, tpcds_store s
+  where ss_sold_time_sk = t.t_time_sk and ss_hdemo_sk = hd.hd_demo_sk
+    and ss_store_sk = s.s_store_sk and t.t_hour = 9
+    and t.t_minute < 30 and hd.hd_dep_count = 5
+    and s.s_store_name = 'ese') as h9_00,
+ (select cast(count(*) as bigint)
+  from tpcds_store_sales, tpcds_household_demographics hd,
+       tpcds_time_dim t, tpcds_store s
+  where ss_sold_time_sk = t.t_time_sk and ss_hdemo_sk = hd.hd_demo_sk
+    and ss_store_sk = s.s_store_sk and t.t_hour = 9
+    and t.t_minute >= 30 and hd.hd_dep_count = 5
+    and s.s_store_name = 'ese') as h9_30,
+ (select cast(count(*) as bigint)
+  from tpcds_store_sales, tpcds_household_demographics hd,
+       tpcds_time_dim t, tpcds_store s
+  where ss_sold_time_sk = t.t_time_sk and ss_hdemo_sk = hd.hd_demo_sk
+    and ss_store_sk = s.s_store_sk and t.t_hour = 10
+    and t.t_minute < 30 and hd.hd_dep_count = 5
+    and s.s_store_name = 'ese') as h10_00
+from b
+"""
+
+
 def _decorrelated(body: str):
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         _register_decorrelation_views(spark, sf_dir)
@@ -1003,6 +1110,10 @@ q_tpcds_q30 = _decorrelated(_Q30_BODY)
 q_tpcds_q81 = _decorrelated(_Q81_BODY)
 q_tpcds_q32 = _decorrelated(_Q32_BODY)
 q_tpcds_q47 = _decorrelated(_Q47_BODY)
+q_tpcds_q16 = _decorrelated(_Q16_BODY)
+q_tpcds_q38 = _decorrelated(_Q38_BODY)
+q_tpcds_q71 = _decorrelated(_Q71_BODY)
+q_tpcds_q88 = _decorrelated(_Q88_BODY)
 
 ORACLE_TPCDS_Q1 = _DIMS_SQL + ", " + _RETURNS_SQL + ", " + _Q01_BODY
 ORACLE_TPCDS_Q6 = _DIMS_SQL + ", " + _RETURNS_SQL + ", " + _Q06_BODY
@@ -1010,6 +1121,10 @@ ORACLE_TPCDS_Q30 = _DIMS_SQL + ", " + _RETURNS_SQL + ", " + _Q30_BODY
 ORACLE_TPCDS_Q81 = _DIMS_SQL + ", " + _RETURNS_SQL + ", " + _Q81_BODY
 ORACLE_TPCDS_Q32 = _DIMS_SQL + ", " + _RETURNS_SQL + ", " + _Q32_BODY
 ORACLE_TPCDS_Q47 = _DIMS_SQL + ", " + _RETURNS_SQL + ", " + _Q47_BODY
+ORACLE_TPCDS_Q16 = _DIMS_SQL + ", " + _RETURNS_SQL + ", " + _Q16_BODY
+ORACLE_TPCDS_Q38 = _DIMS_SQL + ", " + _RETURNS_SQL + ", " + _Q38_BODY
+ORACLE_TPCDS_Q71 = _DIMS_SQL + ", " + _RETURNS_SQL + ", " + _Q71_BODY
+ORACLE_TPCDS_Q88 = _DIMS_SQL + ", " + _RETURNS_SQL + ", " + _Q88_BODY
 
 
 QUERIES = {
@@ -1020,6 +1135,10 @@ QUERIES = {
     "tpcds_q81": q_tpcds_q81,
     "tpcds_q32": q_tpcds_q32,
     "tpcds_q47": q_tpcds_q47,
+    "tpcds_q16": q_tpcds_q16,
+    "tpcds_q38": q_tpcds_q38,
+    "tpcds_q71": q_tpcds_q71,
+    "tpcds_q88": q_tpcds_q88,
     "tpcds_q03": q_tpcds_q3,
     "tpcds_q07": q_tpcds_q7,
     "tpcds_q42": q_tpcds_q42,
@@ -1037,6 +1156,10 @@ ORACLES = {
     "tpcds_q81": ORACLE_TPCDS_Q81,
     "tpcds_q32": ORACLE_TPCDS_Q32,
     "tpcds_q47": ORACLE_TPCDS_Q47,
+    "tpcds_q16": ORACLE_TPCDS_Q16,
+    "tpcds_q38": ORACLE_TPCDS_Q38,
+    "tpcds_q71": ORACLE_TPCDS_Q71,
+    "tpcds_q88": ORACLE_TPCDS_Q88,
     "tpcds_q03": ORACLE_TPCDS_Q3,
     "tpcds_q07": ORACLE_TPCDS_Q7,
     "tpcds_q42": ORACLE_TPCDS_Q42,

@@ -143,3 +143,17 @@ def test_decorrelated_q1_threshold_is_exact(spark):
     got = {r["c_customer_id"] for r in
            tpcds.QUERIES["tpcds_q01"](spark, SF_DIR).collect()}
     assert got <= qualifying and got
+
+
+def test_exists_shapes_plan_semi_anti(spark):
+    """q16's EXISTS/NOT EXISTS must decorrelate to left-semi and
+    left-anti joins (never NLJ over the fact); q38/q71/q88 shapes must
+    also stay free of cartesian products."""
+    df = tpcds.QUERIES["tpcds_q16"](spark, SF_DIR)
+    phys = explain_str(df)
+    assert "LeftSemi" in phys, phys
+    assert "LeftAnti" in phys, phys
+    assert "CartesianProduct" not in phys, phys
+    for name in ("tpcds_q38", "tpcds_q71", "tpcds_q88"):
+        p = explain_str(tpcds.QUERIES[name](spark, SF_DIR))
+        assert "CartesianProduct" not in p, (name, p)
