@@ -999,7 +999,7 @@ limit 100
 # second distinct item on the same ticket (EXISTS → left-semi) and no
 # return by that customer at that store (NOT EXISTS → left-anti).
 _Q16_BODY = """
-b as (select 1 as one)
+unused as (select 1 as one)
 select cast(count(distinct ss1.ss_ticket_number) as bigint)
          as order_count,
        cast(sum(cast(round(ss1.ss_sales_price * 100, 0) as bigint))
