@@ -440,6 +440,46 @@ where round(i * 1.0 / (sa.sz + sb.sz - i), 4) >= 0.6
 """
 
 
+def q_setsim_join(spark, sf_dir):
+    """EXACT word-set Jaccard self-join: AllPairs/PPJoin prefix
+    filtering under a rarest-first global token order, so only the
+    rare ~(1-t) fraction of each doc's tokens generates candidates and
+    hot tokens ('the') never reach the join. Candidate set is provably
+    complete (prefix theorem), verify is JVM-side array_intersect —
+    hence a hash oracle, where MinHash can only be rows-only. The doc
+    cap bounds the OUTPUT, not the algorithm: the synthetic corpus is
+    template-dense (7.7% of ALL pairs sit above J=0.9), so the true
+    result is quadratic in the fixture by construction — real corpora
+    are sparse and the prefix filter keeps candidates near the result
+    size (test_setsim_prefix_filter_prunes)."""
+    from drill_spark.ops.fuzzy import setsim_join
+
+    docs = _docs(spark, sf_dir).where(F.col("doc_id") < 400)
+    return setsim_join(docs, "doc_id", "text", threshold=0.7)
+
+
+ORACLE_SETSIM_JOIN = r"""
+with d as (select doc_id, trim(lower(text)) as t from documents
+           where doc_id < 400),
+tok as (
+  select distinct doc_id, tok
+  from (select doc_id, unnest(string_split_regex(t, '\s+')) as tok from d)
+  where tok <> ''
+),
+sz as (select doc_id, count(*) as sz from tok group by 1),
+inter as (
+  select a.doc_id as id_a, b.doc_id as id_b, count(*) as i
+  from tok a join tok b on a.tok = b.tok and a.doc_id < b.doc_id
+  group by 1, 2
+)
+select id_a, id_b, round(i * 1.0 / (sa.sz + sb.sz - i), 4) as jaccard
+from inter
+join sz sa on sa.doc_id = id_a
+join sz sb on sb.doc_id = id_b
+where round(i * 1.0 / (sa.sz + sb.sz - i), 4) >= 0.7
+"""
+
+
 ORACLE_TEXT_STATS = r"""
 with t as (
   select lang,
@@ -2031,7 +2071,11 @@ def q_semantic_dedup(spark, sf_dir):
     pytest-verified (test_semantic_dedup_matches_bruteforce)."""
     from drill_spark.ops.similarity import semantic_dedup
 
-    return semantic_dedup(_embs(spark, sf_dir), n_cells=8, threshold=0.9)
+    # n_cells=None auto-sizes the quantizer to ceil(count/250): 8 cells
+    # at sf0.1 (unchanged), 80 at the 10x soak, 800 at 100x — per-cell
+    # pair work stays ~constant instead of growing quadratically.
+    return semantic_dedup(_embs(spark, sf_dir), n_cells=None,
+                          target_cell_size=250, threshold=0.9)
 
 
 def q_trigram_lm(spark, sf_dir):
@@ -5234,6 +5278,7 @@ QUERIES = {
     "ext_text_stats": q_text_stats,
     "ext_text_tokens_bpe": q_text_tokens_bpe,
     "ext_dedup_ngram": q_dedup_ngram,
+    "ext_setsim_join": q_setsim_join,
     "ext_text_token_freq": q_text_token_freq,
     "ext_text_topk_approx": q_text_topk_approx,
     "ext_sample_hash": q_sample_hash,
@@ -5367,6 +5412,7 @@ ORACLES = {
     "op_gis_points": ORACLE_GIS_POINTS,
     "ext_text_tokens_bpe": ORACLE_TEXT_TOKENS_BPE,
     "ext_dedup_ngram": ORACLE_DEDUP_NGRAM,
+    "ext_setsim_join": ORACLE_SETSIM_JOIN,
     "ext_text_token_freq": ORACLE_TOKEN_FREQ,
     "ext_sample_hash": ORACLE_SAMPLE_HASH,
     "ext_text_histogram": ORACLE_TEXT_HISTOGRAM,

@@ -360,10 +360,12 @@ def semantic_dedup(
     df: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_cells: int = 8,
+    n_cells: int | None = 8,
     threshold: float = 0.95,
     n_salt: int = 8,
     seed: int = 42,
+    target_cell_size: int = 512,
+    max_cells: int = 4096,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (the published method:
     Abbas et al. 2023, "SemDeDup: Data-efficient learning at web-scale
@@ -382,11 +384,18 @@ def semantic_dedup(
     trade SemDeDup itself makes.
 
     Within-cluster cost is quadratic in cluster size, so n_cells must
-    grow with the corpus: size it as ~corpus_size / target_cluster_size
-    (the paper uses clusters of 10^4-10^5 embeddings at web scale) —
-    the k-means sample cap handles any n_cells the driver can hold."""
+    grow with the corpus. ``n_cells=None`` auto-sizes it as
+    ceil(count / target_cell_size) — the paper's own recipe (it uses
+    clusters of 10^4-10^5 embeddings at web scale) — so per-cell pair
+    work stays bounded and total cost stays ~linear as the corpus
+    grows; the one extra count() job is trivial next to the pair join.
+    The k-means sample cap handles any n_cells the driver can hold;
+    max_cells bounds the driver-side Lloyd cost."""
     from drill_spark.ops.dedup import connected_components
 
+    if n_cells is None:
+        n_rows = df.count()
+        n_cells = max(8, min(int(max_cells), -(-n_rows // max(int(target_cell_size), 1))))
     assigned, _cents = ivf_assign(df, id_col, vec_col, n_cells=n_cells, seed=seed)
     pairs = cosine_dedup_pairs(
         assigned, id_col, vec_col, bucket_col="cell",

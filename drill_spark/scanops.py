@@ -192,7 +192,7 @@ def q_union_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     Drill's signature type-system feature — cross-engine."""
     import json as _json
 
-    from drill_spark.functions import register_all
+    from drill_spark.functions import ensure_registered
     from drill_spark.readers.files import read_json
 
     def build(d: str) -> None:
@@ -207,7 +207,7 @@ def q_union_type(spark: SparkSession, sf_dir: str) -> DataFrame:
                 f.write(_json.dumps({"k": k, "val": val}) + "\n")
 
     out = _materialize_once(sf_dir, "unionjson", build)
-    register_all(spark)
+    ensure_registered(spark)
     read_json(spark, out, union_mode=True).createOrReplaceTempView(
         "__union_type_v")
     return spark.sql(

@@ -624,6 +624,33 @@ def test_semantic_dedup_matches_bruteforce(spark):
     assert got[902] == (900, False) and got[901][1]
 
 
+def test_semantic_dedup_auto_cells(spark):
+    """n_cells=None sizes the quantizer as ceil(count/target_cell_size)
+    (floored at 8, capped at max_cells) so per-cell quadratic pair work
+    stays bounded as the corpus grows; with the same seed the auto path
+    must be row-identical to the explicit k it resolves to."""
+    import numpy as np
+
+    from drill_spark.ops.similarity import semantic_dedup
+
+    rng = np.random.default_rng(11)
+    rows = [(i, (v / np.linalg.norm(v)).tolist())
+            for i, v in ((i, rng.normal(0, 1, 8)) for i in range(100))]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    auto = semantic_dedup(df, n_cells=None, target_cell_size=5, threshold=0.99)
+    explicit = semantic_dedup(df, n_cells=20, threshold=0.99)  # ceil(100/5)
+    key = lambda r: (r.vec_id, r.cell, r.group_id, r.keep)
+    assert sorted(map(key, auto.collect())) == sorted(map(key, explicit.collect()))
+    assert auto.select("cell").distinct().count() > 8  # actually scaled past the floor
+
+    floored = semantic_dedup(df, n_cells=None, target_cell_size=1000, threshold=0.99)
+    assert floored.select("cell").distinct().count() <= 8  # ceil(100/1000) floors to 8
+
+    capped = semantic_dedup(df, n_cells=None, target_cell_size=1, max_cells=10, threshold=0.99)
+    assert capped.select("cell").distinct().count() <= 10
+
+
 def test_png_palette_interlace_and_depths():
     """PNG beyond the 8-bit truecolor basics: palette color (PLTE),
     Adam7 interlacing (spec 8.2 pass layout, per-pass filtering),
