@@ -98,7 +98,7 @@ _PRIORITY = [
     "op_join_full", "op_join_semi", "op_join_anti", "op_except",
     "ext_heavy_hitters", "ext_kmv_overlap",
     "ext_rolling_distinct", "ext_epoch_shuffle",
-    "tpcds_q07", "tpcds_q67",
+    "tpcds_q07", "tpcds_q67", "tpcds_q44", "tpcds_q70",
     "op_agg_percentile", "op_window_frames",
     "op_delta_dv_scan", "op_iceberg_v2_scan", "op_iceberg_skip_scan",
     "op_csv_columns", "op_json_text_mode", "op_json_extended", "op_xml_scan", "op_ltsv_scan",
@@ -108,7 +108,7 @@ _PRIORITY = [
     "op_contrib_fns", "tpch_q04", "op_agg_having",
     "ext_embed_topk", "ext_multimodal_decode", "ext_text_stats",
     "ext_decontaminate", "ext_chunk_pack", "ext_repetition", "ext_stratified_sample",
-    "ext_dedup_minhash", "ext_ann_lsh", "ext_text_quality", "ext_multimodal_meta",
+    "ext_dedup_minhash", "ext_setsim_join", "ext_ann_lsh", "ext_text_quality", "ext_multimodal_meta",
     "ext_asof_join", "ext_range_join", "ext_sample_hash",
     "op_math_fns", "op_cast_fns", "op_decimal_agg", "op_values", "op_count_star",
 ]

@@ -1097,6 +1097,91 @@ from b
 """
 
 
+# q44 shape (two-sided rank join): per-item average sale at one store,
+# HAVING over an uncorrelated scalar subquery (the store's overall
+# average), then rank() ascending AND descending over the same derived
+# aggregate joined on rank — best/worst product names side by side.
+# avg of exact integer cents is one IEEE divide in both engines, so the
+# HAVING compare and the rank order are bit-deterministic; item_sk
+# tiebreaks make ranks unique.
+_Q44_BODY = """
+base as (
+  select ss_item_sk as item_sk,
+         avg(cast(round(ss_sales_price * 100, 0) as bigint)) as rank_col
+  from tpcds_store_sales
+  where ss_store_sk = 4
+  group by ss_item_sk
+  having avg(cast(round(ss_sales_price * 100, 0) as bigint)) >
+         0.9 * (select avg(cast(round(ss_sales_price * 100, 0) as bigint))
+                from tpcds_store_sales where ss_store_sk = 4)
+),
+lowrank as (
+  select item_sk, rank() over (order by rank_col asc, item_sk) as rnk
+  from base
+),
+highrank as (
+  select item_sk, rank() over (order by rank_col desc, item_sk) as rnk
+  from base
+)
+select cast(lowrank.rnk as bigint) as rnk,
+       i1.i_product_name as best_performing,
+       i2.i_product_name as worst_performing
+from lowrank, highrank, tpcds_item i1, tpcds_item i2
+where lowrank.rnk = highrank.rnk
+  and lowrank.rnk <= 10
+  and i1.i_item_sk = highrank.item_sk
+  and i2.i_item_sk = lowrank.item_sk
+order by rnk
+limit 100
+"""
+
+# q70 shape (grouping-sets rank within hierarchy level): revenue
+# ROLLUP over the (county, city) store hierarchy for a 12-month
+# window, restricted to the top-5 counties by a windowed IN-subquery,
+# with grouping()-derived hierarchy level both as an output column and
+# as the rank PARTITION — the decorrelation-adjacent shape where the
+# window runs over grouping-set output, not a base table. <=36 output
+# rows, so the LIMIT never truncates and the order-insensitive hash is
+# safe.
+_Q70_BODY = """
+tot as (
+  select cast(round(ss.ss_sales_price * 100, 0) as bigint) as cents,
+         s.s_county, s.s_city
+  from tpcds_store_sales ss, tpcds_store s, tpcds_date_dim d
+  where ss.ss_store_sk = s.s_store_sk
+    and ss.ss_sold_date_sk = d.d_date_sk
+    and d.d_month_seq between 60 and 71
+),
+top_counties as (
+  select s_county from (
+    select s_county,
+           rank() over (order by sum(cents) desc, s_county) as r
+    from tot group by s_county) t
+  where r <= 5
+),
+rolled as (
+  select cast(sum(cents) as bigint) as total_cents,
+         s_county, s_city,
+         cast(grouping(s_county) + grouping(s_city) as int)
+           as lochierarchy,
+         cast(rank() over (
+           partition by grouping(s_county) + grouping(s_city),
+                        case when grouping(s_city) = 0 then s_county end
+           order by sum(cents) desc, coalesce(s_city, s_county, ''))
+           as int) as rank_within_parent
+  from tot
+  where s_county in (select s_county from top_counties)
+  group by rollup(s_county, s_city)
+)
+select total_cents, s_county, s_city, lochierarchy, rank_within_parent
+from rolled
+order by lochierarchy desc,
+         case when lochierarchy = 1 then s_county end,
+         rank_within_parent
+limit 100
+"""
+
+
 def _decorrelated(body: str):
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         _register_decorrelation_views(spark, sf_dir)
@@ -1114,6 +1199,8 @@ q_tpcds_q16 = _decorrelated(_Q16_BODY)
 q_tpcds_q38 = _decorrelated(_Q38_BODY)
 q_tpcds_q71 = _decorrelated(_Q71_BODY)
 q_tpcds_q88 = _decorrelated(_Q88_BODY)
+q_tpcds_q44 = _decorrelated(_Q44_BODY)
+q_tpcds_q70 = _decorrelated(_Q70_BODY)
 
 ORACLE_TPCDS_Q1 = _DIMS_SQL + ", " + _RETURNS_SQL + ", " + _Q01_BODY
 ORACLE_TPCDS_Q6 = _DIMS_SQL + ", " + _RETURNS_SQL + ", " + _Q06_BODY
@@ -1125,6 +1212,8 @@ ORACLE_TPCDS_Q16 = _DIMS_SQL + ", " + _RETURNS_SQL + ", " + _Q16_BODY
 ORACLE_TPCDS_Q38 = _DIMS_SQL + ", " + _RETURNS_SQL + ", " + _Q38_BODY
 ORACLE_TPCDS_Q71 = _DIMS_SQL + ", " + _RETURNS_SQL + ", " + _Q71_BODY
 ORACLE_TPCDS_Q88 = _DIMS_SQL + ", " + _RETURNS_SQL + ", " + _Q88_BODY
+ORACLE_TPCDS_Q44 = _DIMS_SQL + ", " + _RETURNS_SQL + ", " + _Q44_BODY
+ORACLE_TPCDS_Q70 = _DIMS_SQL + ", " + _RETURNS_SQL + ", " + _Q70_BODY
 
 
 QUERIES = {
@@ -1139,6 +1228,8 @@ QUERIES = {
     "tpcds_q38": q_tpcds_q38,
     "tpcds_q71": q_tpcds_q71,
     "tpcds_q88": q_tpcds_q88,
+    "tpcds_q44": q_tpcds_q44,
+    "tpcds_q70": q_tpcds_q70,
     "tpcds_q03": q_tpcds_q3,
     "tpcds_q07": q_tpcds_q7,
     "tpcds_q42": q_tpcds_q42,
@@ -1160,6 +1251,8 @@ ORACLES = {
     "tpcds_q38": ORACLE_TPCDS_Q38,
     "tpcds_q71": ORACLE_TPCDS_Q71,
     "tpcds_q88": ORACLE_TPCDS_Q88,
+    "tpcds_q44": ORACLE_TPCDS_Q44,
+    "tpcds_q70": ORACLE_TPCDS_Q70,
     "tpcds_q03": ORACLE_TPCDS_Q3,
     "tpcds_q07": ORACLE_TPCDS_Q7,
     "tpcds_q42": ORACLE_TPCDS_Q42,

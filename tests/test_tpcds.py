@@ -157,3 +157,37 @@ def test_exists_shapes_plan_semi_anti(spark):
     for name in ("tpcds_q38", "tpcds_q71", "tpcds_q88"):
         p = explain_str(tpcds.QUERIES[name](spark, SF_DIR))
         assert "CartesianProduct" not in p, (name, p)
+
+
+def test_q44_two_sided_rank_join(spark):
+    """q44 shape: the ascending and descending rank CTEs over the same
+    HAVING-filtered aggregate join on rnk; ranks 1..10 each appear
+    exactly once, and the best/worst name columns are mirror images
+    (rank k ascending = rank n-k+1 descending over unique ranks)."""
+    df = tpcds.QUERIES["tpcds_q44"](spark, SF_DIR)
+    rows = df.collect()
+    assert [r.rnk for r in rows] == list(range(1, 11))
+    assert len({r.best_performing for r in rows}) == 10
+    phys = explain_str(df)
+    assert "CartesianProduct" not in phys, phys
+
+
+def test_q70_rollup_rank_within_parent(spark):
+    """q70 shape: grouping()-derived hierarchy level partitions the
+    rank. Level-2 is the single grand total; level-1 ranks the top-5
+    counties 1..n uniquely; each county's level-0 city ranks restart
+    at 1; and each level-1 total equals the sum of its level-0 rows."""
+    rows = tpcds.QUERIES["tpcds_q70"](spark, SF_DIR).collect()
+    by_level = {}
+    for r in rows:
+        by_level.setdefault(r.lochierarchy, []).append(r)
+    assert len(by_level[2]) == 1 and by_level[2][0].rank_within_parent == 1
+    counties = by_level[1]
+    assert 1 <= len(counties) <= 5
+    assert sorted(r.rank_within_parent for r in counties) == list(
+        range(1, len(counties) + 1))
+    for c in counties:
+        cities = [r for r in by_level[0] if r.s_county == c.s_county]
+        assert cities and min(r.rank_within_parent for r in cities) == 1
+        assert sum(r.total_cents for r in cities) == c.total_cents
+    assert by_level[2][0].total_cents == sum(r.total_cents for r in counties)
