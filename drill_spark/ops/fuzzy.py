@@ -82,3 +82,126 @@ def fuzzy_join(left: DataFrame, right: DataFrame, left_id: str,
         .where(F.col("dist") <= max_dist)
     )
     return out.select(left_id, right_id, left_col, right_col, "dist")
+
+
+def setsim_join(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.7,
+    ngram: int | None = None,
+) -> DataFrame:
+    """EXACT set-similarity self-join via prefix filtering: every pair
+    of documents whose token-set Jaccard >= threshold, with id_a <
+    id_b — no approximation, no missed pairs (the MinHash trade-off
+    removed).
+
+    The published AllPairs / PPJoin recipe (Bayardo et al. 2007,
+    "Scaling Up All Pairs Similarity Search"; Xiao et al. 2008,
+    "Efficient Similarity Joins for Near Duplicate Detection"): under
+    ONE global token order — rarest first, by (document frequency,
+    token) — a pair with Jaccard >= t MUST share a token inside both
+    sets' prefixes of length |s| - ceil(t*|s|) + 1. So only prefix
+    tokens (the rarest ~(1-t) fraction of each set) generate
+    candidates, and the equi-join never sees hot tokens: 'the' sorts
+    last and lands in no prefix. Candidates then length-filter
+    (t*max(|a|,|b|) <= min(|a|,|b|), necessary for J >= t) and verify
+    with an exact JVM-side array_intersect.
+
+    Scale shape: one token-df aggregate (map-combined), one join of the
+    token stream against the df table (linear in corpus tokens), one
+    per-doc sort_array (inside a single groupBy), a candidate equi-join
+    keyed ONLY on rare prefix tokens, and an id-keyed verify join. No
+    all-pairs product anywhere; shuffle volume tracks corpus tokens +
+    candidate pairs, and candidate pairs approach the true result size
+    as t grows. Set ``ngram=k`` for character-k-gram shingles instead
+    of word tokens (order-sensitive similarity).
+
+    Reference anchor: the same verbatim-duplicate surface Drill users
+    script around `contrib/` UDFs; here it is one Catalyst plan.
+    """
+    sets, cand = _setsim_sets_and_candidates(
+        df, id_col, text_col, threshold, ngram)
+    sa = sets.select(F.col("id").alias("id_a"), F.col("ts").alias("ta"), F.col("sz").alias("na"))
+    sb = sets.select(F.col("id").alias("id_b"), F.col("ts").alias("tb"), F.col("sz").alias("nb"))
+    return (
+        cand.join(sa, "id_a").join(sb, "id_b")
+        .withColumn("i", F.size(F.array_intersect("ta", "tb")))
+        .withColumn("jaccard",
+                    F.round(F.col("i") / (F.col("na") + F.col("nb") - F.col("i")), 4))
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def _setsim_sets_and_candidates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float,
+    ngram: int | None,
+) -> tuple[DataFrame, DataFrame]:
+    """(sets, candidates) for setsim_join: sets = (id, ordered token
+    array ts, size sz); candidates = distinct (id_a < id_b) pairs that
+    share a prefix token AND pass the length filter."""
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError(f"setsim_join: threshold in (0, 1], got {threshold}")
+    t = F.lit(float(threshold))
+    base = df.select(F.col(id_col).alias("id"),
+                     F.trim(F.lower(F.col(text_col))).alias("t"))
+    if ngram is not None:
+        k = int(ngram)
+        toks = base.select(
+            "id",
+            F.explode(F.array_distinct(F.transform(
+                F.sequence(F.lit(1), F.greatest(F.length("t") - (k - 1), F.lit(0))),
+                lambda i: F.col("t").substr(i, F.lit(k)),
+            ))).alias("tok"),
+        ).where(F.length("tok") == k)
+    else:
+        toks = (base.select("id", F.explode(tokens(F.col("t"))).alias("tok"))
+                .where(F.col("tok") != "").distinct())
+
+    dfreq = toks.groupBy("tok").agg(F.count("*").alias("df"))
+    # one ordered token array per doc; (df, tok) is the global order
+    sets = (
+        toks.join(dfreq, "tok")
+        .groupBy("id")
+        .agg(F.array_sort(F.collect_list(F.struct("df", "tok"))).alias("st"))
+        .select(
+            "id",
+            F.transform("st", lambda x: x["tok"]).alias("ts"),
+            F.size("st").alias("sz"),
+        )
+        .where(F.col("sz") > 0)
+    )
+    # prefix length |s| - ceil(t*|s|) + 1; prefixes carry only (id, sz)
+    pref = sets.select(
+        "id", "sz",
+        F.explode(F.slice(
+            "ts", 1,
+            (F.col("sz") - F.ceil(t * F.col("sz")) + 1).cast("int"),
+        )).alias("ptok"),
+    )
+    a = pref.select(F.col("ptok"), F.col("id").alias("id_a"), F.col("sz").alias("sza"))
+    b = pref.select(F.col("ptok"), F.col("id").alias("id_b"), F.col("sz").alias("szb"))
+    cand = (
+        a.join(b, "ptok")
+        .where((F.col("id_a") < F.col("id_b"))
+               & (t * F.greatest("sza", "szb") <= F.least("sza", "szb")))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    return sets, cand
+
+
+def _setsim_candidates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float,
+    ngram: int | None = None,
+) -> DataFrame:
+    """Candidate pairs only — exposed so tests can assert the prefix
+    filter prunes (candidates << n*(n-1)/2 on sparse corpora)."""
+    return _setsim_sets_and_candidates(df, id_col, text_col, threshold, ngram)[1]

@@ -810,6 +810,14 @@ def _pipeline_table(session, op: str, opts: dict[str, str]) -> DataFrame:
             how=o.get("how", "inner"),
             skew_threshold=float(o.get("threshold", "4.0")),
             salt=int(o.get("salt", "16")))
+    if name == "setsim_join":
+        from drill_spark.ops.fuzzy import setsim_join
+
+        ng = o.get("ngram")
+        return setsim_join(
+            inp(), o.get("id", "doc_id"), o.get("text", "text"),
+            threshold=float(o.get("threshold", "0.7")),
+            ngram=int(ng) if ng else None)
     if name == "topk_per_key":
         from drill_spark.ops.scale import salted_topk
 
@@ -829,7 +837,8 @@ def _pipeline_table(session, op: str, opts: dict[str, str]) -> DataFrame:
         "normalize_unicode, maxsim, mad_outliers, training_shards, "
         "crossmodal_topk, crossmodal_align, mixture_build, epoch_shuffle, "
         "kmv_distinct, kmv_overlap, rolling_distinct, snapshot_diff, "
-        "rolling_quantiles, cms_estimate, skew_join, topk_per_key")
+        "rolling_quantiles, cms_estimate, skew_join, topk_per_key, "
+        "setsim_join")
 
 
 def _read_path(session, ws_name: str, rel_path: str, options: dict[str, str] | None = None) -> DataFrame:

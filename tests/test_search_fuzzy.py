@@ -641,3 +641,84 @@ def test_mad_outliers_robust_to_the_outlier(spark):
     assert r["user_id"] == 1 and r["value"] == 100.0
     assert r["med"] == 10.0 and r["mad"] > 0
     assert r["score"] > 3.0
+
+
+# ------------------------------------------------------- setsim_join
+
+
+def _brute_jaccard_pairs(rows, threshold, ngram=None):
+    import itertools
+
+    def toks(s):
+        s = s.strip().lower()
+        if ngram:
+            return {s[i:i + ngram] for i in range(max(len(s) - ngram + 1, 0))}
+        return {t for t in s.split() if t}
+
+    out = {}
+    for (i, a), (j, b) in itertools.combinations(rows, 2):
+        ta, tb = toks(a), toks(b)
+        if not ta or not tb:
+            continue
+        jac = round(len(ta & tb) / len(ta | tb), 4)
+        if jac >= threshold:
+            out[(min(i, j), max(i, j))] = jac
+    return out
+
+
+def test_setsim_join_equals_brute_force(spark):
+    """Prefix filtering must be lossless: exact equality (pairs AND
+    scores) with all-pairs brute force on a randomized corpus, at
+    several thresholds, for word tokens and 3-gram shingles."""
+    import random
+
+    from drill_spark.ops.fuzzy import setsim_join
+
+    rng = random.Random(13)
+    vocab = [f"w{i}" for i in range(40)]
+    rows = [(i, " ".join(rng.choices(vocab, k=rng.randint(0, 12))))
+            for i in range(80)]
+    rows += [(100 + i, rows[i][1] + " extra") for i in range(10)]  # planted
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    for t in (0.3, 0.6, 0.9):
+        got = {(r.id_a, r.id_b): r.jaccard
+               for r in setsim_join(df, threshold=t).collect()}
+        assert got == _brute_jaccard_pairs(rows, t), t
+
+    got3 = {(r.id_a, r.id_b): r.jaccard
+            for r in setsim_join(df, threshold=0.6, ngram=3).collect()}
+    assert got3 == _brute_jaccard_pairs(rows, 0.6, ngram=3)
+
+
+def test_setsim_prefix_filter_prunes(spark):
+    """On a sparse corpus the candidate join must examine far fewer
+    pairs than all-pairs: docs sharing only the hot token 'the' (which
+    sorts LAST in the rarest-first order and lands in no prefix at
+    t=0.8) generate zero candidates, so the count of verified pairs
+    bounds the candidate count well below n*(n-1)/2."""
+    from drill_spark.ops.fuzzy import _setsim_candidates, setsim_join
+
+    # 50 docs, all sharing 'the'; only 0/1 are near-dups
+    # (9 shared of 10 tokens each -> J = 9/11 = 0.8182 >= 0.8)
+    rows = [(0, "the alpha beta gamma delta eta theta iota kappa lambda"),
+            (1, "the alpha beta gamma mu eta theta iota kappa lambda")]
+    rows += [(i, f"the u{i}a u{i}b u{i}c u{i}d") for i in range(2, 50)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    n_cand = _setsim_candidates(df, "doc_id", "text", 0.8, None).count()
+    assert n_cand <= 4          # vs 1225 all-pairs; 'the' never joins
+    got = {(r.id_a, r.id_b) for r in
+           setsim_join(df, threshold=0.8).collect()}
+    assert got == {(0, 1)}
+
+
+def test_setsim_join_validates_threshold(spark):
+    from drill_spark.ops.fuzzy import setsim_join
+
+    df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        setsim_join(df, threshold=0.0)
+    with _pytest.raises(ValueError):
+        setsim_join(df, threshold=1.5)

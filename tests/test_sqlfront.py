@@ -1326,3 +1326,21 @@ def test_pipeline_table_function_skew_ops(dsession):
         "  from orders) where r <= 2"
     ).collect()
     assert sorted(map(tuple, tk)) == sorted(map(tuple, plain_tk))
+
+
+def test_pipeline_table_function_setsim_join(dsession):
+    """SQL face for the exact set-similarity join: routes through
+    ops.fuzzy.setsim_join and equals the library call."""
+    from drill_spark.ops.fuzzy import setsim_join
+
+    dsession.register_fixture_tables("/root/testdata/sf0.001")
+    dsession.sql(
+        "create or replace view ss_docs as "
+        "select doc_id, text from documents where doc_id < 40")
+    got = dsession.sql(
+        "select * from table(pipeline.`setsim_join`("
+        "input => 'ss_docs', threshold => '0.2'))"
+    ).collect()
+    lib = setsim_join(
+        dsession.sql("select * from ss_docs"), threshold=0.2).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, lib))
