@@ -107,7 +107,7 @@ _PRIORITY = [
     "op_join_theta", "op_window_ignore_nulls", "op_delta_zorder_scan",
     "op_contrib_fns", "tpch_q04", "op_agg_having",
     "ext_embed_topk", "ext_multimodal_decode", "ext_text_stats",
-    "ext_decontaminate", "ext_chunk_pack", "ext_repetition", "ext_stratified_sample",
+    "ext_decontaminate", "ext_containment_join", "ext_chunk_pack", "ext_repetition", "ext_stratified_sample",
     "ext_dedup_minhash", "ext_setsim_join", "ext_ann_lsh", "ext_text_quality", "ext_multimodal_meta",
     "ext_asof_join", "ext_range_join", "ext_sample_hash",
     "op_math_fns", "op_cast_fns", "op_decimal_agg", "op_values", "op_count_star",

@@ -458,6 +458,61 @@ def q_setsim_join(spark, sf_dir):
     return setsim_join(docs, "doc_id", "text", threshold=0.7)
 
 
+def q_containment_join(spark, sf_dir):
+    """EXACT containment decontamination probe: which corpus docs
+    contain >= 60% of a benchmark snippet's token set (|q∩d|/|q|) —
+    the asymmetric primitive verbatim n-gram matching is too strict
+    for and symmetric Jaccard mis-scores. Probe side = first-8-word
+    snippets of docs 450..499 (a stand-in benchmark); corpus = docs
+    below 450. Exact, so hash-oracle-backed."""
+    from drill_spark.ops.fuzzy import containment_join
+
+    docs = _docs(spark, sf_dir)
+    probe = (docs.where(F.col("doc_id") >= 450)
+             .where(F.col("doc_id") < 500)
+             .select((F.col("doc_id") - 450).alias("qid"),
+                     F.array_join(
+                         F.slice(F.split(F.trim(F.lower("text")), r"\s+"), 1, 8),
+                         " ").alias("qtext")))
+    corpus = docs.where(F.col("doc_id") < 450)
+    return containment_join(probe, corpus, "qid", "qtext",
+                            "doc_id", "text", threshold=0.6)
+
+
+ORACLE_CONTAINMENT_JOIN = r"""
+with probe as (
+  select doc_id - 450 as qid,
+         array_to_string(string_split_regex(trim(lower(text)), '\s+')[1:8], ' ') as qtext
+  from documents where doc_id >= 450 and doc_id < 500
+),
+qtok as (
+  select distinct qid, tok
+  from (select qid, unnest(string_split_regex(trim(lower(qtext)), '\s+')) as tok from probe)
+  where tok <> ''
+),
+dtok as (
+  select distinct doc_id, tok
+  from (select doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) as tok
+        from documents where doc_id < 450)
+  where tok <> ''
+),
+qsz as (select qid, count(*) as nq from qtok group by 1),
+dsz as (select doc_id, count(*) as nd from dtok group by 1),
+inter as (
+  select q.qid, d.doc_id, count(*) as i
+  from qtok q join dtok d on q.tok = d.tok
+  group by 1, 2
+)
+select i.qid, i.doc_id,
+       round(i.i * 1.0 / qsz.nq, 4) as containment,
+       round(i.i * 1.0 / (qsz.nq + dsz.nd - i.i), 4) as jaccard
+from inter i
+join qsz on qsz.qid = i.qid
+join dsz on dsz.doc_id = i.doc_id
+where round(i.i * 1.0 / qsz.nq, 4) >= 0.6
+"""
+
+
 ORACLE_SETSIM_JOIN = r"""
 with d as (select doc_id, trim(lower(text)) as t from documents
            where doc_id < 400),
@@ -5279,6 +5334,7 @@ QUERIES = {
     "ext_text_tokens_bpe": q_text_tokens_bpe,
     "ext_dedup_ngram": q_dedup_ngram,
     "ext_setsim_join": q_setsim_join,
+    "ext_containment_join": q_containment_join,
     "ext_text_token_freq": q_text_token_freq,
     "ext_text_topk_approx": q_text_topk_approx,
     "ext_sample_hash": q_sample_hash,
@@ -5413,6 +5469,7 @@ ORACLES = {
     "ext_text_tokens_bpe": ORACLE_TEXT_TOKENS_BPE,
     "ext_dedup_ngram": ORACLE_DEDUP_NGRAM,
     "ext_setsim_join": ORACLE_SETSIM_JOIN,
+    "ext_containment_join": ORACLE_CONTAINMENT_JOIN,
     "ext_text_token_freq": ORACLE_TOKEN_FREQ,
     "ext_sample_hash": ORACLE_SAMPLE_HASH,
     "ext_text_histogram": ORACLE_TEXT_HISTOGRAM,

@@ -205,3 +205,109 @@ def _setsim_candidates(
     """Candidate pairs only — exposed so tests can assert the prefix
     filter prunes (candidates << n*(n-1)/2 on sparse corpora)."""
     return _setsim_sets_and_candidates(df, id_col, text_col, threshold, ngram)[1]
+
+
+def containment_join(
+    probe: DataFrame,
+    corpus: DataFrame,
+    probe_id: str = "qid",
+    probe_text: str = "qtext",
+    corpus_id: str = "doc_id",
+    corpus_text: str = "text",
+    threshold: float = 0.8,
+    ngram: int | None = None,
+) -> DataFrame:
+    """EXACT containment search: every (probe, corpus doc) pair where
+    >= threshold of the probe's token set appears in the doc —
+    |q ∩ d| / |q| >= t. The asymmetric sibling of setsim_join and the
+    decontamination primitive: "is this benchmark question contained
+    in some training document", where symmetric Jaccard is wrong for a
+    40-token question inside a 4000-token doc and verbatim n-gram
+    match is too strict for light edits.
+
+    Prefix filter, containment form: if overlap >= ceil(t*|q|), the
+    probe's first |q| - ceil(t*|q|) + 1 tokens (ANY total order) must
+    contain a shared token — fewer than ceil(t*|q|) tokens remain
+    outside the prefix. So only probe PREFIX tokens join the corpus
+    postings; ordering rarest-first (by corpus document frequency,
+    absent tokens rarest of all) just makes those postings short.
+
+    Scale shape: the corpus tokenizes once into a postings stream
+    (linear); probes explode only their rare prefix; the candidate
+    equi-join is bounded by the postings of rare tokens; verify is one
+    id-keyed join + array_intersect. Probe side is typically the small
+    one (benchmark sets) — at 100 TB the corpus stream never
+    all-pairs, and shuffle volume tracks corpus tokens + candidates.
+
+    Returns (probe_id, corpus_id, containment, jaccard).
+    """
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError(
+            f"containment_join: threshold in (0, 1], got {threshold}")
+    if probe_id == corpus_id:
+        raise ValueError("containment_join: probe_id and corpus_id must "
+                         "differ (alias one side)")
+    t = F.lit(float(threshold))
+
+    def _toks(df, idc, txt):
+        base = df.select(F.col(idc).alias("id"),
+                         F.trim(F.lower(F.col(txt))).alias("t"))
+        if ngram is not None:
+            k = int(ngram)
+            return base.select(
+                "id",
+                F.explode(F.array_distinct(F.transform(
+                    F.sequence(F.lit(1),
+                               F.greatest(F.length("t") - (k - 1), F.lit(0))),
+                    lambda i: F.col("t").substr(i, F.lit(k)),
+                ))).alias("tok"),
+            ).where(F.length("tok") == k)
+        return (base.select("id", F.explode(tokens(F.col("t"))).alias("tok"))
+                .where(F.col("tok") != "").distinct())
+
+    ptoks = _toks(probe, probe_id, probe_text)
+    dtoks = _toks(corpus, corpus_id, corpus_text)
+    dfreq = dtoks.groupBy("tok").agg(F.count("*").alias("df"))
+
+    def _sets(tk, with_df):
+        joined = tk.join(with_df, "tok", "left").na.fill({"df": 0})
+        return (
+            joined.groupBy("id")
+            .agg(F.array_sort(F.collect_list(F.struct("df", "tok"))).alias("st"))
+            .select("id",
+                    F.transform("st", lambda x: x["tok"]).alias("ts"),
+                    F.size("st").alias("sz"))
+            .where(F.col("sz") > 0)
+        )
+
+    qsets = _sets(ptoks, dfreq)
+    dsets = _sets(dtoks, dfreq)
+
+    # probe prefix length |q| - ceil(t*|q|) + 1; corpus side is FULL
+    # postings (containment puts no bound on the doc's extra tokens)
+    qpref = qsets.select(
+        F.col("id").alias("qid_"),
+        F.explode(F.slice(
+            "ts", 1,
+            (F.col("sz") - F.ceil(t * F.col("sz")) + 1).cast("int"),
+        )).alias("tok"),
+    )
+    cand = (
+        qpref.join(dtoks.select(F.col("id").alias("did_"), "tok"), "tok")
+        .select("qid_", "did_")
+        .distinct()
+    )
+    qa = qsets.select(F.col("id").alias("qid_"), F.col("ts").alias("tq"),
+                      F.col("sz").alias("nq"))
+    da = dsets.select(F.col("id").alias("did_"), F.col("ts").alias("td"),
+                      F.col("sz").alias("nd"))
+    return (
+        cand.join(qa, "qid_").join(da, "did_")
+        .withColumn("i", F.size(F.array_intersect("tq", "td")))
+        .withColumn("containment", F.round(F.col("i") / F.col("nq"), 4))
+        .where(F.col("containment") >= threshold)
+        .withColumn("jaccard",
+                    F.round(F.col("i") / (F.col("nq") + F.col("nd") - F.col("i")), 4))
+        .select(F.col("qid_").alias(probe_id), F.col("did_").alias(corpus_id),
+                "containment", "jaccard")
+    )

@@ -818,6 +818,16 @@ def _pipeline_table(session, op: str, opts: dict[str, str]) -> DataFrame:
             inp(), o.get("id", "doc_id"), o.get("text", "text"),
             threshold=float(o.get("threshold", "0.7")),
             ngram=int(ng) if ng else None)
+    if name == "containment_join":
+        from drill_spark.ops.fuzzy import containment_join
+
+        ng = o.get("ngram")
+        return containment_join(
+            inp("probe"), inp("corpus"),
+            o.get("probe_id", "qid"), o.get("probe_text", "qtext"),
+            o.get("id", "doc_id"), o.get("text", "text"),
+            threshold=float(o.get("threshold", "0.8")),
+            ngram=int(ng) if ng else None)
     if name == "topk_per_key":
         from drill_spark.ops.scale import salted_topk
 
@@ -838,7 +848,7 @@ def _pipeline_table(session, op: str, opts: dict[str, str]) -> DataFrame:
         "crossmodal_topk, crossmodal_align, mixture_build, epoch_shuffle, "
         "kmv_distinct, kmv_overlap, rolling_distinct, snapshot_diff, "
         "rolling_quantiles, cms_estimate, skew_join, topk_per_key, "
-        "setsim_join")
+        "setsim_join, containment_join")
 
 
 def _read_path(session, ws_name: str, rel_path: str, options: dict[str, str] | None = None) -> DataFrame:

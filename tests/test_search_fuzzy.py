@@ -722,3 +722,58 @@ def test_setsim_join_validates_threshold(spark):
         setsim_join(df, threshold=0.0)
     with _pytest.raises(ValueError):
         setsim_join(df, threshold=1.5)
+
+
+def test_containment_join_equals_brute_force(spark):
+    """The probe-prefix filter must be lossless for containment
+    (|q∩d|/|q| >= t): exact equality with all-pairs brute force on a
+    randomized probe/corpus split, including probe tokens absent from
+    the corpus (df=0 ordering) and a probe fully contained in a much
+    larger doc (the case symmetric Jaccard mis-scores)."""
+    import random
+
+    from drill_spark.ops.fuzzy import containment_join
+
+    rng = random.Random(29)
+    vocab = [f"w{i}" for i in range(30)]
+    corpus = [(i, " ".join(rng.choices(vocab, k=rng.randint(3, 25))))
+              for i in range(60)]
+    # doc 60: superset of probe 0's exact tokens plus 20 extras
+    corpus.append((60, "p0a p0b p0c " + " ".join(f"x{j}" for j in range(20))))
+    probes = [(0, "p0a p0b p0c"),
+              (1, "w1 w2 w3 zz_absent"),          # token with df=0
+              (2, " ".join(rng.choices(vocab, k=6))),
+              (3, "")]                            # empty probe drops out
+    pdf = spark.createDataFrame(probes, "qid long, qtext string")
+    cdf = spark.createDataFrame(corpus, "doc_id long, text string")
+
+    for t in (0.5, 0.8, 1.0):
+        got = {(r.qid, r.doc_id): (r.containment, r.jaccard)
+               for r in containment_join(pdf, cdf, threshold=t).collect()}
+        exp = {}
+        for qid, qt in probes:
+            q = {x for x in qt.lower().split() if x}
+            if not q:
+                continue
+            for did, dt in corpus:
+                d = {x for x in dt.lower().split() if x}
+                c = round(len(q & d) / len(q), 4)
+                if c >= t:
+                    exp[(qid, did)] = (c, round(len(q & d) / len(q | d), 4))
+        assert got == exp, t
+    # the planted superset pair survives at t=1.0 with low jaccard
+    full = {(r.qid, r.doc_id): r.jaccard
+            for r in containment_join(pdf, cdf, threshold=1.0).collect()}
+    assert (0, 60) in full and full[(0, 60)] < 0.2
+
+
+def test_containment_join_validates_args(spark):
+    import pytest as _pytest
+
+    from drill_spark.ops.fuzzy import containment_join
+
+    df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    with _pytest.raises(ValueError):
+        containment_join(df, df, threshold=0.0)
+    with _pytest.raises(ValueError):
+        containment_join(df, df, probe_id="doc_id", corpus_id="doc_id")

@@ -1344,3 +1344,27 @@ def test_pipeline_table_function_setsim_join(dsession):
     lib = setsim_join(
         dsession.sql("select * from ss_docs"), threshold=0.2).collect()
     assert sorted(map(tuple, got)) == sorted(map(tuple, lib))
+
+
+def test_pipeline_table_function_containment_join(dsession):
+    """SQL face for containment search: routes through
+    ops.fuzzy.containment_join and equals the library call."""
+    from drill_spark.ops.fuzzy import containment_join
+
+    dsession.register_fixture_tables("/root/testdata/sf0.001")
+    dsession.sql(
+        "create or replace view cj_probe as "
+        "select doc_id - 480 as qid, substring(text, 1, 60) as qtext "
+        "from documents where doc_id >= 480")
+    dsession.sql(
+        "create or replace view cj_corpus as "
+        "select doc_id, text from documents where doc_id < 480")
+    got = dsession.sql(
+        "select * from table(pipeline.`containment_join`("
+        "probe => 'cj_probe', corpus => 'cj_corpus', threshold => '0.7'))"
+    ).collect()
+    lib = containment_join(
+        dsession.sql("select * from cj_probe"),
+        dsession.sql("select * from cj_corpus"),
+        threshold=0.7).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, lib)) and got
