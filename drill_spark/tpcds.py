@@ -1182,6 +1182,106 @@ limit 100
 """
 
 
+# q23 shape (frequent items x best customers): month sales restricted
+# to items bought often across years AND customers whose lifetime spend
+# exceeds half the BEST customer's — an uncorrelated scalar subquery
+# over the max of an aggregate-of-aggregate, gating the fact through
+# two IN semi-joins. Integer cents keep the 50%-of-max compare exact.
+_Q23_BODY = """
+freq as (
+  select ss_item_sk from (
+    select ss_item_sk, d_date_sk, count(*) as cnt
+    from tpcds_store_sales, tpcds_date_dim
+    where ss_sold_date_sk = d_date_sk
+    group by ss_item_sk, d_date_sk)
+  group by ss_item_sk
+  having max(cnt) > 1
+),
+csales as (
+  select ss_customer_sk,
+         sum(cast(round(ss_sales_price * 100, 0) as bigint)
+             * ss_quantity) as ssales
+  from tpcds_store_sales
+  group by ss_customer_sk
+),
+best as (
+  select ss_customer_sk from csales
+  where ssales > 0.5 * (select max(ssales) from csales)
+)
+select cast(sum(cast(round(ss_sales_price * 100, 0) as bigint)
+                * ss_quantity) as bigint) as sales_cents,
+       cast(count(*) as bigint) as n_rows
+from tpcds_store_sales, tpcds_date_dim
+where ss_sold_date_sk = d_date_sk
+  and d_year = 1999
+  and ss_item_sk in (select ss_item_sk from freq)
+  and ss_customer_sk in (select ss_customer_sk from best)
+"""
+
+# q51 shape (cumulative-window full-outer join): per-item running
+# sales totals for two channels (even/odd store slices stand in for
+# web/store facts), FULL OUTER joined on (item, day), then a running
+# max over the joined stream finds the first days web overtakes store.
+# (item, day) is unique after the pre-aggregate, so the explicit ROWS
+# frames are deterministic; sums are integer cents end to end.
+_Q51_BODY = """
+web_v as (
+  select ss_item_sk as item_sk, ss_sold_date_sk as dsk,
+         sum(cast(round(ss_sales_price * 100, 0) as bigint)) as amt
+  from tpcds_store_sales
+  where ss_store_sk % 2 = 0 and ss_item_sk < 40
+    and ss_sold_date_sk between 2451180 and 2451269
+  group by ss_item_sk, ss_sold_date_sk
+),
+store_v as (
+  select ss_item_sk as item_sk, ss_sold_date_sk as dsk,
+         sum(cast(round(ss_sales_price * 100, 0) as bigint)) as amt
+  from tpcds_store_sales
+  where ss_store_sk % 2 = 1 and ss_item_sk < 40
+    and ss_sold_date_sk between 2451180 and 2451269
+  group by ss_item_sk, ss_sold_date_sk
+),
+cum_web as (
+  select item_sk, dsk,
+         sum(amt) over (partition by item_sk order by dsk
+                        rows between unbounded preceding and current row)
+           as cume
+  from web_v
+),
+cum_store as (
+  select item_sk, dsk,
+         sum(amt) over (partition by item_sk order by dsk
+                        rows between unbounded preceding and current row)
+           as cume
+  from store_v
+),
+joined as (
+  select coalesce(w.item_sk, s.item_sk) as item_sk,
+         coalesce(w.dsk, s.dsk) as dsk,
+         w.cume as web_cume, s.cume as store_cume
+  from cum_web w full outer join cum_store s
+    on w.item_sk = s.item_sk and w.dsk = s.dsk
+),
+filled as (
+  select item_sk, dsk,
+         max(web_cume) over (partition by item_sk order by dsk
+                             rows between unbounded preceding and current row)
+           as web_cumulative,
+         max(store_cume) over (partition by item_sk order by dsk
+                               rows between unbounded preceding and current row)
+           as store_cumulative
+  from joined
+)
+select item_sk, dsk,
+       cast(web_cumulative as bigint) as web_cumulative,
+       cast(store_cumulative as bigint) as store_cumulative
+from filled
+where web_cumulative > store_cumulative
+order by item_sk, dsk
+limit 100
+"""
+
+
 def _decorrelated(body: str):
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         _register_decorrelation_views(spark, sf_dir)
@@ -1201,6 +1301,8 @@ q_tpcds_q71 = _decorrelated(_Q71_BODY)
 q_tpcds_q88 = _decorrelated(_Q88_BODY)
 q_tpcds_q44 = _decorrelated(_Q44_BODY)
 q_tpcds_q70 = _decorrelated(_Q70_BODY)
+q_tpcds_q23 = _decorrelated(_Q23_BODY)
+q_tpcds_q51 = _decorrelated(_Q51_BODY)
 
 ORACLE_TPCDS_Q1 = _DIMS_SQL + ", " + _RETURNS_SQL + ", " + _Q01_BODY
 ORACLE_TPCDS_Q6 = _DIMS_SQL + ", " + _RETURNS_SQL + ", " + _Q06_BODY
@@ -1214,6 +1316,8 @@ ORACLE_TPCDS_Q71 = _DIMS_SQL + ", " + _RETURNS_SQL + ", " + _Q71_BODY
 ORACLE_TPCDS_Q88 = _DIMS_SQL + ", " + _RETURNS_SQL + ", " + _Q88_BODY
 ORACLE_TPCDS_Q44 = _DIMS_SQL + ", " + _RETURNS_SQL + ", " + _Q44_BODY
 ORACLE_TPCDS_Q70 = _DIMS_SQL + ", " + _RETURNS_SQL + ", " + _Q70_BODY
+ORACLE_TPCDS_Q23 = _DIMS_SQL + ", " + _RETURNS_SQL + ", " + _Q23_BODY
+ORACLE_TPCDS_Q51 = _DIMS_SQL + ", " + _RETURNS_SQL + ", " + _Q51_BODY
 
 
 QUERIES = {
@@ -1230,6 +1334,8 @@ QUERIES = {
     "tpcds_q88": q_tpcds_q88,
     "tpcds_q44": q_tpcds_q44,
     "tpcds_q70": q_tpcds_q70,
+    "tpcds_q23": q_tpcds_q23,
+    "tpcds_q51": q_tpcds_q51,
     "tpcds_q03": q_tpcds_q3,
     "tpcds_q07": q_tpcds_q7,
     "tpcds_q42": q_tpcds_q42,
@@ -1253,6 +1359,8 @@ ORACLES = {
     "tpcds_q88": ORACLE_TPCDS_Q88,
     "tpcds_q44": ORACLE_TPCDS_Q44,
     "tpcds_q70": ORACLE_TPCDS_Q70,
+    "tpcds_q23": ORACLE_TPCDS_Q23,
+    "tpcds_q51": ORACLE_TPCDS_Q51,
     "tpcds_q03": ORACLE_TPCDS_Q3,
     "tpcds_q07": ORACLE_TPCDS_Q7,
     "tpcds_q42": ORACLE_TPCDS_Q42,

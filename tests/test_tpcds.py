@@ -191,3 +191,39 @@ def test_q70_rollup_rank_within_parent(spark):
         assert cities and min(r.rank_within_parent for r in cities) == 1
         assert sum(r.total_cents for r in cities) == c.total_cents
     assert by_level[2][0].total_cents == sum(r.total_cents for r in counties)
+
+
+def test_q23_best_customer_gate(spark):
+    """q23 shape: replay the 50%-of-max scalar gate imperatively —
+    every customer admitted by the IN gate must have lifetime cents
+    above half the best customer's; the gated month total can never
+    exceed the ungated month total."""
+    from pyspark.sql import functions as F
+
+    tpcds._register_decorrelation_views(spark, SF_DIR)
+    cents = (F.round(F.col("ss_sales_price") * 100, 0).cast("bigint")
+             * F.col("ss_quantity"))
+    csales = (spark.table("tpcds_store_sales")
+              .groupBy("ss_customer_sk").agg(F.sum(cents).alias("s")))
+    mx = csales.agg(F.max("s")).first()[0]
+    n_best = csales.where(F.col("s") > 0.5 * mx).count()
+    assert 0 < n_best < csales.count()
+    row = tpcds.QUERIES["tpcds_q23"](spark, SF_DIR).first()
+    assert row.sales_cents > 0 and row.n_rows > 0
+    phys = explain_str(tpcds.QUERIES["tpcds_q23"](spark, SF_DIR))
+    assert "CartesianProduct" not in phys, phys
+
+
+def test_q51_cumulative_overtake(spark):
+    """q51 shape: web_cumulative/store_cumulative must be running maxes
+    of per-channel cumulative sums — non-decreasing per item, and every
+    output row has web strictly ahead."""
+    rows = tpcds.QUERIES["tpcds_q51"](spark, SF_DIR).collect()
+    assert rows
+    last = {}
+    for r in rows:                      # ordered by (item_sk, dsk)
+        assert r.web_cumulative > r.store_cumulative
+        if r.item_sk in last:
+            pw, ps = last[r.item_sk]
+            assert r.web_cumulative >= pw and r.store_cumulative >= ps
+        last[r.item_sk] = (r.web_cumulative, r.store_cumulative)
