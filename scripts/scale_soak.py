@@ -76,6 +76,10 @@ FLAGSHIPS = [
     "ext_rolling_quantiles", "ext_heavy_hitters", "ext_mixture_build",
     "ext_epoch_shuffle", "ext_skew_join", "ext_decontaminate",
     "ext_sessionize", "tpch_q01", "tpch_q18",
+    # r10b: auto-cell SemDeDup — the row whose fixed-k version was the
+    # worst per-row ratio in the r10 sf1 soak; prove the auto path
+    # holds a second decade too.
+    "ext_semantic_dedup",
 ]
 
 

@@ -157,6 +157,20 @@ def test_semantic_dedup_no_cartesian(spark):
     assert "BroadcastNestedLoopJoin" not in phys
 
 
+def test_setsim_containment_no_cartesian_no_python(spark):
+    """The exact similarity joins must stay prefix-keyed equi-joins:
+    no cartesian/NLJ across the corpus and no Python eval anywhere —
+    tokenize, order, prefix, candidate and verify are all Catalyst."""
+    from drill_spark import extops
+
+    for name in ("ext_setsim_join", "ext_containment_join"):
+        df = extops.QUERIES[name](spark, SF_DIR)
+        assert not plans.has_python_eval(df), name
+        phys = df._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in phys, name
+        assert "BroadcastNestedLoopJoin" not in phys, name
+
+
 def test_iceberg_scan_filter_pushdown(spark, tmp_path):
     """Filters on iceberg-read tables reach the parquet scan as
     PushedFilters — including on identity partition columns, whose
