@@ -513,6 +513,69 @@ where round(i.i * 1.0 / qsz.nq, 4) >= 0.6
 """
 
 
+def q_incremental_setsim(spark, sf_dir):
+    """Cross-run EXACT set-similarity dedup vs a persistent postings
+    store (ops/fuzzy.py::incremental_setsim): even-id docs commit as
+    batch 0, odd-id docs dedup against batch 0's SURVIVORS as batch 1
+    — returned rows are batch 1's survivors. Exact (no MinHash
+    estimation), so the whole two-batch protocol takes a closed-form
+    DuckDB oracle. Fresh store dir per invocation keeps the query a
+    pure function of the fixtures; the candidate cap is set above the
+    fixture's worst fan-out so the exactness contract is un-truncated."""
+    import tempfile
+
+    from drill_spark.ops.fuzzy import incremental_setsim
+
+    docs = _docs(spark, sf_dir).where(F.col("doc_id") < 240)
+    store = tempfile.mkdtemp(prefix="incsetsim_") + "/store"
+    incremental_setsim(
+        docs.where(F.col("doc_id") % 2 == 0), store, "doc_id", "text",
+        threshold=0.8, max_candidates_per_doc=1000,
+    ).count()  # materialize batch 0's store commit
+    return incremental_setsim(
+        docs.where(F.col("doc_id") % 2 == 1), store, "doc_id", "text",
+        threshold=0.8, max_candidates_per_doc=1000,
+    ).select("doc_id")
+
+
+ORACLE_INCREMENTAL_SETSIM = r"""
+with d as (select doc_id, trim(lower(text)) as t from documents
+           where doc_id < 240),
+tok as (
+  select distinct doc_id, tok
+  from (select doc_id, unnest(string_split_regex(t, '\s+')) as tok from d)
+  where tok <> ''
+),
+sz as (select doc_id, count(*) as sz from tok group by 1),
+jac as (
+  select a.doc_id as id_a, b.doc_id as id_b,
+         count(*) * 1.0 / (sa.sz + sb.sz - count(*)) as j
+  from tok a
+  join tok b on a.tok = b.tok and a.doc_id < b.doc_id
+  join sz sa on sa.doc_id = a.doc_id
+  join sz sb on sb.doc_id = b.doc_id
+  group by a.doc_id, b.doc_id, sa.sz, sb.sz
+),
+even_surv as (
+  select doc_id from sz where doc_id % 2 = 0
+    and doc_id not in (select id_b from jac
+                       where id_a % 2 = 0 and id_b % 2 = 0 and j >= 0.8)
+),
+odd_within as (
+  select doc_id from sz where doc_id % 2 = 1
+    and doc_id not in (select id_b from jac
+                       where id_a % 2 = 1 and id_b % 2 = 1 and j >= 0.8)
+)
+select o.doc_id
+from odd_within o
+where not exists (
+  select 1 from jac, even_surv e
+  where j >= 0.8
+    and ((id_a = o.doc_id and id_b = e.doc_id)
+         or (id_b = o.doc_id and id_a = e.doc_id)))
+"""
+
+
 ORACLE_SETSIM_JOIN = r"""
 with d as (select doc_id, trim(lower(text)) as t from documents
            where doc_id < 400),
@@ -5334,6 +5397,7 @@ QUERIES = {
     "ext_text_tokens_bpe": q_text_tokens_bpe,
     "ext_dedup_ngram": q_dedup_ngram,
     "ext_setsim_join": q_setsim_join,
+    "ext_incremental_setsim": q_incremental_setsim,
     "ext_containment_join": q_containment_join,
     "ext_text_token_freq": q_text_token_freq,
     "ext_text_topk_approx": q_text_topk_approx,
@@ -5469,6 +5533,7 @@ ORACLES = {
     "ext_text_tokens_bpe": ORACLE_TEXT_TOKENS_BPE,
     "ext_dedup_ngram": ORACLE_DEDUP_NGRAM,
     "ext_setsim_join": ORACLE_SETSIM_JOIN,
+    "ext_incremental_setsim": ORACLE_INCREMENTAL_SETSIM,
     "ext_containment_join": ORACLE_CONTAINMENT_JOIN,
     "ext_text_token_freq": ORACLE_TOKEN_FREQ,
     "ext_sample_hash": ORACLE_SAMPLE_HASH,

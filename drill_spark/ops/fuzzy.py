@@ -311,3 +311,139 @@ def containment_join(
         .select(F.col("qid_").alias(probe_id), F.col("did_").alias(corpus_id),
                 "containment", "jaccard")
     )
+
+
+_INCR_SETSIM_APP_ID = "drill_spark.incremental_setsim"
+
+
+def incremental_setsim(
+    df: DataFrame,
+    store_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.7,
+    ngram: int | None = None,
+    batch_id: int | None = None,
+    max_candidates_per_doc: int = 50,
+    txn_app_id: str = _INCR_SETSIM_APP_ID,
+) -> DataFrame:
+    """Cross-run EXACT set-similarity dedup against a persistent
+    postings store — the exact sibling of
+    ``ops/dedup.py::incremental_near_dedup``: batch N+1 drops
+    documents whose token-set Jaccard with any previously committed
+    survivor is >= threshold, with NO MinHash estimation error and
+    WITHOUT rescanning prior batches' text. What persists is the
+    postings stream of survivors — (tok, doc_id, sz, batch_id) in a
+    Delta table this repo's own writer commits — the honest linear
+    cost of exactness.
+
+    Why the cross-batch step stays exact with a prefix on the NEW side
+    only: J(q, d) >= t implies overlap >= ceil(t*|q|) (the size bound
+    t*|q| <= |d| makes t(|q|+|d|)/(1+t) >= t*|q|), so by the pigeonhole
+    argument q's first |q| - ceil(t*|q|) + 1 tokens under ANY total
+    order must contain a shared token — old batches' ordering never
+    matters, so the store needs no order maintenance as the corpus
+    grows. Verify is a counting join against the candidate docs'
+    postings (distinct-token streams on both sides), no arrays in the
+    store.
+
+    Within-batch dedup is ``setsim_join`` (drop the larger id of each
+    qualifying pair — the greedy chain-collapse convention shared with
+    the MinHash path). ``max_candidates_per_doc`` is the same
+    boilerplate guard as the near-dup store (a token bucket that grows
+    across batches cannot explode the verify; exactness then holds up
+    to the cap, which tests keep un-hit). Replay: the store commit
+    carries a Delta txn; re-running a committed batch_id returns its
+    original survivors without re-appending. Documents with zero
+    tokens have no set to compare and are excluded (never returned,
+    never stored).
+
+    Returns the surviving rows of ``df`` (original columns).
+    """
+    import os
+
+    from pyspark.sql import Window
+
+    from drill_spark.readers.delta import load_snapshot, read_delta, write_delta
+
+    spark = df.sparkSession
+    t = F.lit(float(threshold))
+    sets, cand_within = _setsim_sets_and_candidates(
+        df, id_col, text_col, threshold, ngram)
+    sets = sets.localCheckpoint(eager=False)
+    sa = sets.select(F.col("id").alias("id_a"), F.col("ts").alias("ta"),
+                     F.col("sz").alias("na"))
+    sb = sets.select(F.col("id").alias("id_b"), F.col("ts").alias("tb"),
+                     F.col("sz").alias("nb"))
+    within_pairs = (
+        cand_within.join(sa, "id_a").join(sb, "id_b")
+        .withColumn("i", F.size(F.array_intersect("ta", "tb")))
+        .where(F.col("i") / (F.col("na") + F.col("nb") - F.col("i"))
+               >= threshold)
+    )
+    dropped = within_pairs.select(F.col("id_b").alias("id")).distinct()
+    batch_kept = sets.select("id").join(dropped, "id", "left_anti")
+
+    exists = os.path.isdir(os.path.join(store_path, "_delta_log"))
+    last_txn = -1
+    store = None
+    if exists:
+        snap = load_snapshot(spark, store_path)
+        last_txn = snap.txns.get(txn_app_id, -1)
+        store = read_delta(spark, store_path)
+    if batch_id is None:
+        batch_id = last_txn + 1
+
+    if exists and batch_id <= last_txn:
+        mine = (store.where(F.col("batch_id") == int(batch_id))
+                .select(F.col("doc_id").alias(id_col)).distinct())
+        return df.join(mine, id_col, "left_semi")
+
+    survivors = batch_kept
+    if exists:
+        olds = store.select("tok", F.col("doc_id").alias("did"),
+                            F.col("sz").alias("nd"))
+        qpref = (
+            sets.join(batch_kept, "id", "left_semi")
+            .select(
+                F.col("id").alias("qid"), F.col("sz").alias("nq"),
+                F.explode(F.slice(
+                    "ts", 1,
+                    (F.col("sz") - F.ceil(t * F.col("sz")) + 1).cast("int"),
+                )).alias("tok"),
+            )
+        )
+        cand = (
+            qpref.join(olds, "tok")
+            .where(t * F.greatest("nq", "nd") <= F.least("nq", "nd"))
+            .select("qid", "nq", "did", "nd").distinct()
+            .withColumn("__rk", F.row_number().over(
+                Window.partitionBy("qid").orderBy("did")))
+            .where(F.col("__rk") <= max_candidates_per_doc).drop("__rk")
+        )
+        new_toks = sets.select(F.col("id").alias("qid"),
+                               F.explode("ts").alias("tok"))
+        inter = (
+            cand.join(olds.select("did", "tok"), "did")
+            .join(new_toks, ["qid", "tok"])
+            .groupBy("qid", "did", "nq", "nd")
+            .agg(F.count("*").alias("i"))
+        )
+        dup_ids = (
+            inter.where(F.col("i") / (F.col("nq") + F.col("nd") - F.col("i"))
+                        >= threshold)
+            .select(F.col("qid").alias("id")).distinct()
+        )
+        survivors = batch_kept.join(dup_ids, "id", "left_anti")
+    survivors = survivors.localCheckpoint(eager=False)
+
+    new_rows = (
+        sets.join(survivors, "id", "left_semi")
+        .select(F.explode("ts").alias("tok"), F.col("id").alias("doc_id"),
+                F.col("sz"), F.lit(int(batch_id)).alias("batch_id"))
+    )
+    write_delta(new_rows, store_path,
+                mode="append" if exists else "error",
+                txn=(txn_app_id, int(batch_id)))
+    return df.join(survivors.withColumnRenamed("id", id_col),
+                   id_col, "left_semi")

@@ -777,3 +777,63 @@ def test_containment_join_validates_args(spark):
         containment_join(df, df, threshold=0.0)
     with _pytest.raises(ValueError):
         containment_join(df, df, probe_id="doc_id", corpus_id="doc_id")
+
+
+def test_incremental_setsim_batches_and_replay(spark, tmp_path):
+    """Exact cross-run set-similarity dedup: batch-1 survivors must
+    equal the brute-force reference (within-batch chain collapse, then
+    drop vs batch-0 SURVIVORS only), replaying a committed batch_id
+    returns the same survivors without re-appending, and the store
+    holds postings — never text."""
+    import itertools
+
+    from drill_spark.ops.fuzzy import incremental_setsim
+    from drill_spark.readers.delta import read_delta
+
+    vocab = [f"w{i}" for i in range(12)]
+    import random
+
+    rng = random.Random(5)
+    rows = [(i, " ".join(rng.sample(vocab, rng.randint(3, 8))))
+            for i in range(40)]
+    rows += [(100 + i, rows[i][1]) for i in range(6)]   # cross-batch dups
+    evens = [(i, t) for i, t in rows if i % 2 == 0]
+    odds = [(i, t) for i, t in rows if i % 2 == 1]
+    store = str(tmp_path / "setsim_store")
+    T = 0.8
+
+    def toks(s):
+        return {x for x in s.lower().split() if x}
+
+    def within_survivors(batch):
+        drop = set()
+        for (i, a), (j, b) in itertools.combinations(sorted(batch), 2):
+            ta, tb = toks(a), toks(b)
+            if ta and tb and len(ta & tb) / len(ta | tb) >= T:
+                drop.add(max(i, j))
+        return [(i, t) for i, t in batch if i not in drop and toks(t)]
+
+    df0 = spark.createDataFrame(evens, "doc_id long, text string")
+    df1 = spark.createDataFrame(odds, "doc_id long, text string")
+    got0 = {r.doc_id for r in
+            incremental_setsim(df0, store, threshold=T).collect()}
+    surv0 = within_survivors(evens)
+    assert got0 == {i for i, _ in surv0}
+
+    got1 = {r.doc_id for r in
+            incremental_setsim(df1, store, threshold=T).collect()}
+    w1 = within_survivors(odds)
+    exp1 = {i for i, t in w1
+            if not any(len(toks(t) & toks(ot)) / len(toks(t) | toks(ot)) >= T
+                       for _, ot in surv0)}
+    assert got1 == exp1
+
+    n_store_rows = read_delta(spark, store).count()
+    replay = {r.doc_id for r in
+              incremental_setsim(df1, store, threshold=T,
+                                 batch_id=1).collect()}
+    assert replay == exp1
+    assert read_delta(spark, store).count() == n_store_rows  # no re-append
+    assert "text" not in read_delta(spark, store).columns
+    assert set(read_delta(spark, store).columns) == {
+        "tok", "doc_id", "sz", "batch_id"}
