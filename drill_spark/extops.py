@@ -3828,6 +3828,94 @@ select doc_id from b1k
 """
 
 
+def q_stream_setsim_dedup(spark, sf_dir):
+    """Streaming EXACT set-similarity ingest dedup (streaming/
+    events.py::stream_incremental_setsim): even-id docs arrive as
+    micro-batch 0, odd-id as micro-batch 1 (file source, pinned
+    mtimes); each batch dedups within itself (setsim_join chain
+    collapse) and against the persistent postings store, survivors
+    land in an output Delta exactly-once. Deterministic end to end —
+    no MinHash estimation — so the STREAMED protocol hash-checks
+    against the closed-form batch oracle (union of both batches'
+    survivors)."""
+    import os
+    import tempfile
+
+    from drill_spark.readers.delta import read_delta
+    from drill_spark.streaming.events import stream_incremental_setsim
+
+    docs = _docs(spark, sf_dir).where(F.col("doc_id") < 240)
+
+    def build(src):
+        docs.where(F.col("doc_id") % 2 == 0).coalesce(1).write.parquet(src)
+        docs.where(F.col("doc_id") % 2 == 1).coalesce(1).write.mode(
+            "append").parquet(src)
+        parts = sorted(
+            (os.path.join(src, f) for f in os.listdir(src)
+             if f.endswith(".parquet")),
+            key=lambda p: os.path.getmtime(p),
+        )
+        for i, p in enumerate(parts):
+            os.utime(p, (1_600_000_000 + i * 60, 1_600_000_000 + i * 60))
+
+    src = _materialize_once(sf_dir, "ssetsim_src", build)
+    base = tempfile.mkdtemp(prefix="ssetsim_")
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    q = stream_incremental_setsim(
+        stream, os.path.join(base, "store"), os.path.join(base, "out"),
+        os.path.join(base, "ckpt"),
+        threshold=0.8, max_candidates_per_doc=1000,
+    )
+    q.awaitTermination()
+    return read_delta(spark, os.path.join(base, "out")).select("doc_id")
+
+
+ORACLE_STREAM_SETSIM_DEDUP = r"""
+with d as (select doc_id, trim(lower(text)) as t from documents
+           where doc_id < 240),
+tok as (
+  select distinct doc_id, tok
+  from (select doc_id, unnest(string_split_regex(t, '\s+')) as tok from d)
+  where tok <> ''
+),
+sz as (select doc_id, count(*) as sz from tok group by 1),
+jac as (
+  select a.doc_id as id_a, b.doc_id as id_b,
+         count(*) * 1.0 / (sa.sz + sb.sz - count(*)) as j
+  from tok a
+  join tok b on a.tok = b.tok and a.doc_id < b.doc_id
+  join sz sa on sa.doc_id = a.doc_id
+  join sz sb on sb.doc_id = b.doc_id
+  group by a.doc_id, b.doc_id, sa.sz, sb.sz
+),
+even_surv as (
+  select doc_id from sz where doc_id % 2 = 0
+    and doc_id not in (select id_b from jac
+                       where id_a % 2 = 0 and id_b % 2 = 0 and j >= 0.8)
+),
+odd_within as (
+  select doc_id from sz where doc_id % 2 = 1
+    and doc_id not in (select id_b from jac
+                       where id_a % 2 = 1 and id_b % 2 = 1 and j >= 0.8)
+),
+odd_surv as (
+  select o.doc_id
+  from odd_within o
+  where not exists (
+    select 1 from jac, even_surv e
+    where j >= 0.8
+      and ((id_a = o.doc_id and id_b = e.doc_id)
+           or (id_b = o.doc_id and id_a = e.doc_id)))
+)
+select doc_id from even_surv
+union all
+select doc_id from odd_surv
+"""
+
+
 def q_stream_crawl(spark, sf_dir):
     """Streaming crawl ingest (streaming/crawl.py): two .warc.gz
     archives (even-id docs, then odd-id) arrive as separate
@@ -5474,6 +5562,7 @@ QUERIES = {
     "ext_bm25_batch": q_bm25_batch,
     "ext_novelty": q_novelty,
     "ext_stream_incr_dedup": q_stream_incr_dedup,
+    "ext_stream_setsim_dedup": q_stream_setsim_dedup,
     "ext_stream_crawl": q_stream_crawl,
     "ext_crawl_pipeline": q_crawl_pipeline,
     "ext_heavy_hitters": q_heavy_hitters,
@@ -5588,6 +5677,7 @@ ORACLES = {
     "ext_bm25_batch": ORACLE_BM25_BATCH,
     "ext_novelty": ORACLE_NOVELTY,
     "ext_stream_incr_dedup": ORACLE_STREAM_INCR_DEDUP,
+    "ext_stream_setsim_dedup": ORACLE_STREAM_SETSIM_DEDUP,
     "ext_stream_crawl": ORACLE_STREAM_CRAWL,
     "ext_crawl_pipeline": ORACLE_CRAWL_PIPELINE,
     "ext_heavy_hitters": ORACLE_HEAVY_HITTERS,

@@ -434,6 +434,52 @@ def stream_incremental_near_dedup(
     )
 
 
+def stream_incremental_setsim(
+    docs_stream: DataFrame,
+    store_path: str,
+    out_path: str,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.7,
+    max_candidates_per_doc: int = 50,
+    app_id: str = "drill_spark_stream_setsim",
+    trigger: dict | None = None,
+):
+    """Streaming EXACT set-similarity ingest dedup — the
+    continuously-arriving twin of ops/fuzzy.incremental_setsim, and
+    the exact sibling of stream_incremental_near_dedup: every
+    micro-batch drops documents whose token-set Jaccard with anything
+    previously ingested is >= threshold, via the persistent postings
+    store; prior batches' text is never rescanned, and there is no
+    MinHash estimation error, so the streamed protocol is
+    deterministic and shares the batch operator's closed-form oracle.
+    Survivors land in ``out_path`` exactly-once: the streaming epoch
+    stamps both the store commit (txn ``app_id``.store) and the output
+    append (txn ``app_id``) — the same two-log contract as the other
+    ingest-dedup twins, making backfill and ingest share ONE exact
+    near-dup semantics and one store.
+    """
+    from drill_spark.ops.fuzzy import incremental_setsim
+
+    def _commit(batch_df: DataFrame, epoch_id: int) -> None:
+        survivors = incremental_setsim(
+            batch_df, store_path, id_col=id_col, text_col=text_col,
+            threshold=threshold,
+            max_candidates_per_doc=max_candidates_per_doc,
+            batch_id=_STREAM_EPOCH_BASE + epoch_id,
+            txn_app_id=f"{app_id}.store",
+        )
+        commit_batch_idempotent(survivors, out_path, app_id, epoch_id)
+
+    return (
+        docs_stream.writeStream.foreachBatch(_commit)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(**(trigger if trigger is not None else {"availableNow": True}))
+        .start()
+    )
+
+
 def stream_heavy_hitters(events: DataFrame, col: str, k: int = 16,
                          n_buckets: int = 8) -> DataFrame:
     """Streaming Misra-Gries candidate tracking — the stateful twin of

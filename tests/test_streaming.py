@@ -464,3 +464,61 @@ def test_stream_kmv_distinct_equals_batch(spark):
         "event_type", "user_id", k=8)
     assert sorted(map(tuple, got.collect())) == \
         sorted(map(tuple, want.collect()))
+
+
+def test_stream_incremental_setsim_and_replay(spark, tmp_path):
+    """Streaming EXACT set-similarity ingest: batch 1's light edit of
+    a batch-0 document drops via the persistent postings store (exact
+    Jaccard, not a MinHash estimate), its novel doc survives; a full
+    replay with a fresh checkpoint neither grows the store nor
+    duplicates the output — and the store holds postings, never text."""
+    import os
+
+    from drill_spark.readers.delta import read_delta
+    from drill_spark.streaming.events import stream_incremental_setsim
+
+    base = ("the quick brown fox jumps over the lazy dog while seventy "
+            "bright students read long books about distributed systems "
+            "and query engines every single evening")
+    novel = ("a fresh unrelated essay on medieval architecture featuring "
+             "cathedrals buttresses stained glass and the masons who cut "
+             "stone for generations in small guild towns")
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        [(1, base)], "doc_id bigint, text string").coalesce(1) \
+        .write.parquet(src)
+    spark.createDataFrame(
+        [(10, base.replace("lazy", "sleepy")), (11, novel)],
+        "doc_id bigint, text string").coalesce(1) \
+        .write.mode("append").parquet(src)
+    parts = sorted(
+        (os.path.join(src, f) for f in os.listdir(src)
+         if f.endswith(".parquet")),
+        key=os.path.getmtime,
+    )
+    for i, p in enumerate(parts):
+        os.utime(p, (1_600_000_000 + i * 60,) * 2)
+
+    def run(ckpt):
+        stream = (
+            spark.readStream.schema("doc_id bigint, text string")
+            .option("maxFilesPerTrigger", 1).parquet(src)
+        )
+        q = stream_incremental_setsim(
+            stream, str(tmp_path / "store"), str(tmp_path / "out"), ckpt,
+            threshold=0.8)
+        q.awaitTermination()
+
+    run(str(tmp_path / "ckpt1"))
+    got = sorted(r.doc_id for r in
+                 read_delta(spark, str(tmp_path / "out")).collect())
+    # doc 10 differs from doc 1 by one word: J = 24/26 >= 0.8 -> drops
+    assert got == [1, 11]
+    store = read_delta(spark, str(tmp_path / "store"))
+    store_rows = store.count()
+    assert "text" not in store.columns
+    run(str(tmp_path / "ckpt2"))  # full replay, fresh checkpoint
+    again = sorted(r.doc_id for r in
+                   read_delta(spark, str(tmp_path / "out")).collect())
+    assert again == [1, 11]
+    assert read_delta(spark, str(tmp_path / "store")).count() == store_rows
