@@ -29,6 +29,14 @@ from pyspark.sql import functions as F
 
 from drill_spark.ops.dedup import tokens
 
+# Slack for float products of a threshold and an integer size: when t*sz
+# is exactly an integer k, the double product can land a few ulps HIGH
+# (e.g. 0.07*100 = 7.000000000000001), which would shorten a prefix by
+# one token or falsely reject a length-boundary pair — silent
+# incompleteness. ceil(t*sz - _EPS) and "<= min + _EPS" err toward MORE
+# candidates (the exact verify still decides), never fewer.
+_EPS = 1e-9
+
 
 def _block_keys(df: DataFrame, id_col: str, text_col: str,
                 max_df: int | None) -> DataFrame:
@@ -180,7 +188,7 @@ def _setsim_sets_and_candidates(
         "id", "sz",
         F.explode(F.slice(
             "ts", 1,
-            (F.col("sz") - F.ceil(t * F.col("sz")) + 1).cast("int"),
+            (F.col("sz") - F.ceil(t * F.col("sz") - _EPS) + 1).cast("int"),
         )).alias("ptok"),
     )
     a = pref.select(F.col("ptok"), F.col("id").alias("id_a"), F.col("sz").alias("sza"))
@@ -188,7 +196,7 @@ def _setsim_sets_and_candidates(
     cand = (
         a.join(b, "ptok")
         .where((F.col("id_a") < F.col("id_b"))
-               & (t * F.greatest("sza", "szb") <= F.least("sza", "szb")))
+               & (t * F.greatest("sza", "szb") <= F.least("sza", "szb") + _EPS))
         .select("id_a", "id_b")
         .distinct()
     )
@@ -289,7 +297,7 @@ def containment_join(
         F.col("id").alias("qid_"),
         F.explode(F.slice(
             "ts", 1,
-            (F.col("sz") - F.ceil(t * F.col("sz")) + 1).cast("int"),
+            (F.col("sz") - F.ceil(t * F.col("sz") - _EPS) + 1).cast("int"),
         )).alias("tok"),
     )
     cand = (
@@ -409,13 +417,13 @@ def incremental_setsim(
                 F.col("id").alias("qid"), F.col("sz").alias("nq"),
                 F.explode(F.slice(
                     "ts", 1,
-                    (F.col("sz") - F.ceil(t * F.col("sz")) + 1).cast("int"),
+                    (F.col("sz") - F.ceil(t * F.col("sz") - _EPS) + 1).cast("int"),
                 )).alias("tok"),
             )
         )
         cand = (
             qpref.join(olds, "tok")
-            .where(t * F.greatest("nq", "nd") <= F.least("nq", "nd"))
+            .where(t * F.greatest("nq", "nd") <= F.least("nq", "nd") + _EPS)
             .select("qid", "nq", "did", "nd").distinct()
             .withColumn("__rk", F.row_number().over(
                 Window.partitionBy("qid").orderBy("did")))

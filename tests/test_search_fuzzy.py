@@ -837,3 +837,29 @@ def test_incremental_setsim_batches_and_replay(spark, tmp_path):
     assert "text" not in read_delta(spark, store).columns
     assert set(read_delta(spark, store).columns) == {
         "tok", "doc_id", "sz", "batch_id"}
+
+
+def test_setsim_float_boundary_completeness(spark):
+    """Regression for float-product overshoot: 0.07*100 =
+    7.000000000000001 in doubles, which (unguarded) both shortens the
+    size-100 doc's prefix from 94 to 93 tokens AND falsely rejects the
+    (100, 7)-sized pair at the length filter — silently missing a TRUE
+    pair with J = 7/100 = 0.07 exactly. The _EPS slack must keep it."""
+    from drill_spark.ops.fuzzy import containment_join, setsim_join
+
+    shared = [f"s{i}" for i in range(7)]
+    big = " ".join([f"u{i}" for i in range(93)] + shared)
+    small = " ".join(shared)
+    df = spark.createDataFrame(
+        [(1, big), (2, small)], "doc_id long, text string")
+    got = {(r.id_a, r.id_b): r.jaccard
+           for r in setsim_join(df, threshold=0.07).collect()}
+    assert got == {(1, 2): 0.07}
+
+    # containment twin: 7 of the probe's 100 tokens (the ones whose
+    # global rarity puts them LAST in the prefix order) appear in the doc
+    probe = spark.createDataFrame([(0, big)], "qid long, qtext string")
+    corpus = spark.createDataFrame([(2, small)], "doc_id long, text string")
+    cg = {(r.qid, r.doc_id): r.containment
+          for r in containment_join(probe, corpus, threshold=0.07).collect()}
+    assert cg == {(0, 2): 0.07}
