@@ -863,3 +863,34 @@ def test_setsim_float_boundary_completeness(spark):
     cg = {(r.qid, r.doc_id): r.containment
           for r in containment_join(probe, corpus, threshold=0.07).collect()}
     assert cg == {(0, 2): 0.07}
+
+
+def test_setsim_join_property_random_corpora(spark):
+    """Property: setsim_join == brute force on randomized corpora —
+    hypothesis drives corpus shape (doc count, token draws, planted
+    near-dups, empty docs) and threshold, with shrinking on failure.
+    Spark jobs are slow, so examples are few but adversarial: tiny
+    vocabularies maximize tie density in the (df, tok) global order."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from drill_spark.ops.fuzzy import setsim_join
+
+    docs_strategy = st.lists(
+        st.lists(st.integers(min_value=0, max_value=11),
+                 min_size=0, max_size=9),
+        min_size=2, max_size=14,
+    )
+
+    @settings(max_examples=12, deadline=None)
+    @given(docs=docs_strategy,
+           t=st.sampled_from([0.07, 0.25, 0.5, 0.75, 1.0]))
+    def run(docs, t):
+        rows = [(i, " ".join(f"w{x}" for x in toks))
+                for i, toks in enumerate(docs)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {(r.id_a, r.id_b): r.jaccard
+               for r in setsim_join(df, threshold=t).collect()}
+        assert got == _brute_jaccard_pairs(rows, t)
+
+    run()
