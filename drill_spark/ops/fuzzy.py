@@ -355,9 +355,13 @@ def incremental_setsim(
     postings (distinct-token streams on both sides), no arrays in the
     store.
 
-    Within-batch dedup is ``setsim_join`` (drop the larger id of each
-    qualifying pair — the greedy chain-collapse convention shared with
-    the MinHash path). ``max_candidates_per_doc`` is the same
+    Within-batch dedup shares ``setsim_join``'s candidate generation
+    and exact verify, comparing the UNROUNDED ratio against the
+    threshold (setsim_join's reported jaccard column is rounded for
+    display; the membership decision here matches the closed-form
+    oracle bit for bit), and drops the larger id of each qualifying
+    pair — the greedy chain-collapse convention shared with the
+    MinHash path. ``max_candidates_per_doc`` is the same
     boilerplate guard as the near-dup store (a token bucket that grows
     across batches cannot explode the verify; exactness then holds up
     to the cap, which tests keep un-hit). Replay: the store commit
