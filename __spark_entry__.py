@@ -113,7 +113,7 @@ _PRIORITY = [
     "ext_embed_topk", "ext_multimodal_decode", "ext_text_stats",
     "ext_decontaminate", "ext_chunk_pack", "ext_repetition", "ext_stratified_sample",
     "ext_dedup_minhash", "ext_ann_lsh", "ext_text_quality", "ext_multimodal_meta",
-    "ext_asof_join", "ext_range_join", "ext_sample_hash", "ext_incremental_setsim", "ext_stream_setsim_dedup",
+    "ext_asof_join", "ext_range_join", "ext_sample_hash", "ext_incremental_setsim", "ext_stream_setsim_dedup", "ext_setsim_tables",
     "op_math_fns", "op_cast_fns", "op_decimal_agg", "op_values", "op_count_star",
 ]
 

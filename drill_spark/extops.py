@@ -576,6 +576,55 @@ where not exists (
 """
 
 
+def q_setsim_tables(spark, sf_dir):
+    """Cross-TABLE exact set-similarity (the fuzzy sibling of
+    snapshot_diff): which docs of the 200..399 slice are word-set
+    near-duplicates (J >= 0.8) of something in the 0..199 slice —
+    one shared rarest-first token order over the UNION of both
+    streams, cross-side prefix candidates only. Exact, so
+    hash-oracle-backed."""
+    from drill_spark.ops.fuzzy import setsim_join_tables
+
+    docs = _docs(spark, sf_dir)
+    old = docs.where(F.col("doc_id") < 200).select(
+        F.col("doc_id").alias("id_a"), F.col("text").alias("text_a"))
+    new = (docs.where((F.col("doc_id") >= 200) & (F.col("doc_id") < 400))
+           .select(F.col("doc_id").alias("id_b"),
+                   F.col("text").alias("text_b")))
+    return setsim_join_tables(old, new, threshold=0.8)
+
+
+ORACLE_SETSIM_TABLES = r"""
+with ta as (
+  select distinct doc_id, tok
+  from (select doc_id,
+               unnest(string_split_regex(trim(lower(text)), '\s+')) as tok
+        from documents where doc_id < 200)
+  where tok <> ''
+),
+tb as (
+  select distinct doc_id, tok
+  from (select doc_id,
+               unnest(string_split_regex(trim(lower(text)), '\s+')) as tok
+        from documents where doc_id >= 200 and doc_id < 400)
+  where tok <> ''
+),
+sza as (select doc_id, count(*) as sz from ta group by 1),
+szb as (select doc_id, count(*) as sz from tb group by 1),
+inter as (
+  select a.doc_id as id_a, b.doc_id as id_b, count(*) as i
+  from ta a join tb b on a.tok = b.tok
+  group by 1, 2
+)
+select id_a, id_b,
+       round(i * 1.0 / (sza.sz + szb.sz - i), 4) as jaccard
+from inter
+join sza on sza.doc_id = id_a
+join szb on szb.doc_id = id_b
+where round(i * 1.0 / (sza.sz + szb.sz - i), 4) >= 0.8
+"""
+
+
 ORACLE_SETSIM_JOIN = r"""
 with d as (select doc_id, trim(lower(text)) as t from documents
            where doc_id < 400),
@@ -5485,6 +5534,7 @@ QUERIES = {
     "ext_text_tokens_bpe": q_text_tokens_bpe,
     "ext_dedup_ngram": q_dedup_ngram,
     "ext_setsim_join": q_setsim_join,
+    "ext_setsim_tables": q_setsim_tables,
     "ext_incremental_setsim": q_incremental_setsim,
     "ext_containment_join": q_containment_join,
     "ext_text_token_freq": q_text_token_freq,
@@ -5622,6 +5672,7 @@ ORACLES = {
     "ext_text_tokens_bpe": ORACLE_TEXT_TOKENS_BPE,
     "ext_dedup_ngram": ORACLE_DEDUP_NGRAM,
     "ext_setsim_join": ORACLE_SETSIM_JOIN,
+    "ext_setsim_tables": ORACLE_SETSIM_TABLES,
     "ext_incremental_setsim": ORACLE_INCREMENTAL_SETSIM,
     "ext_containment_join": ORACLE_CONTAINMENT_JOIN,
     "ext_text_token_freq": ORACLE_TOKEN_FREQ,

@@ -459,3 +459,99 @@ def incremental_setsim(
                 txn=(txn_app_id, int(batch_id)))
     return df.join(survivors.withColumnRenamed("id", id_col),
                    id_col, "left_semi")
+
+
+def setsim_join_tables(
+    left: DataFrame,
+    right: DataFrame,
+    left_id: str = "id_a",
+    left_text: str = "text_a",
+    right_id: str = "id_b",
+    right_text: str = "text_b",
+    threshold: float = 0.7,
+    ngram: int | None = None,
+) -> DataFrame:
+    """EXACT set-similarity join BETWEEN two tables: every (left,
+    right) pair with token-set Jaccard >= threshold — the fuzzy
+    sibling of snapshot_diff (which only sees exact content digests),
+    e.g. "which documents of snapshot B are near-duplicates of
+    something in snapshot A", or release-vs-release near-dup auditing.
+
+    Same AllPairs/PPJoin machinery as the self-join, with ONE global
+    token order computed over the UNION of both tables' token streams
+    (the prefix theorem requires both sides' prefixes under the same
+    order); candidates are cross-side prefix matches only, so neither
+    table ever self-pairs. Exact, deterministic, hash-oracle-able.
+
+    Returns (left_id, right_id, jaccard).
+    """
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError(
+            f"setsim_join_tables: threshold in (0, 1], got {threshold}")
+    if left_id == right_id:
+        raise ValueError("setsim_join_tables: left_id and right_id must "
+                         "differ (alias one side)")
+    t = F.lit(float(threshold))
+
+    def _toks(df, idc, txt, side):
+        base = df.select(F.col(idc).alias("id"),
+                         F.trim(F.lower(F.col(txt))).alias("t"))
+        if ngram is not None:
+            k = int(ngram)
+            tk = base.select(
+                "id",
+                F.explode(F.array_distinct(F.transform(
+                    F.sequence(F.lit(1),
+                               F.greatest(F.length("t") - (k - 1), F.lit(0))),
+                    lambda i: F.col("t").substr(i, F.lit(k)),
+                ))).alias("tok"),
+            ).where(F.length("tok") == k)
+        else:
+            tk = (base.select("id", F.explode(tokens(F.col("t"))).alias("tok"))
+                  .where(F.col("tok") != "").distinct())
+        return tk.withColumn("side", F.lit(side))
+
+    toks = _toks(left, left_id, left_text, 0).unionByName(
+        _toks(right, right_id, right_text, 1))
+    dfreq = toks.groupBy("tok").agg(F.count("*").alias("df"))
+    sets = (
+        toks.join(dfreq, "tok")
+        .groupBy("side", "id")
+        .agg(F.array_sort(F.collect_list(F.struct("df", "tok"))).alias("st"))
+        .select("side", "id",
+                F.transform("st", lambda x: x["tok"]).alias("ts"),
+                F.size("st").alias("sz"))
+        .where(F.col("sz") > 0)
+    )
+    pref = sets.select(
+        "side", "id", "sz",
+        F.explode(F.slice(
+            "ts", 1,
+            (F.col("sz") - F.ceil(t * F.col("sz") - _EPS) + 1).cast("int"),
+        )).alias("ptok"),
+    )
+    a = (pref.where(F.col("side") == 0)
+         .select("ptok", F.col("id").alias("la"), F.col("sz").alias("sza")))
+    b = (pref.where(F.col("side") == 1)
+         .select("ptok", F.col("id").alias("rb"), F.col("sz").alias("szb")))
+    cand = (
+        a.join(b, "ptok")
+        .where(t * F.greatest("sza", "szb") <= F.least("sza", "szb") + _EPS)
+        .select("la", "rb")
+        .distinct()
+    )
+    sa = (sets.where(F.col("side") == 0)
+          .select(F.col("id").alias("la"), F.col("ts").alias("ta"),
+                  F.col("sz").alias("na")))
+    sb = (sets.where(F.col("side") == 1)
+          .select(F.col("id").alias("rb"), F.col("ts").alias("tb"),
+                  F.col("sz").alias("nb")))
+    return (
+        cand.join(sa, "la").join(sb, "rb")
+        .withColumn("i", F.size(F.array_intersect("ta", "tb")))
+        .withColumn("jaccard",
+                    F.round(F.col("i") / (F.col("na") + F.col("nb") - F.col("i")), 4))
+        .where(F.col("jaccard") >= threshold)
+        .select(F.col("la").alias(left_id), F.col("rb").alias(right_id),
+                "jaccard")
+    )

@@ -818,6 +818,16 @@ def _pipeline_table(session, op: str, opts: dict[str, str]) -> DataFrame:
             inp(), o.get("id", "doc_id"), o.get("text", "text"),
             threshold=float(o.get("threshold", "0.7")),
             ngram=int(ng) if ng else None)
+    if name == "setsim_tables":
+        from drill_spark.ops.fuzzy import setsim_join_tables
+
+        ng = o.get("ngram")
+        return setsim_join_tables(
+            inp("left"), inp("right"),
+            o.get("left_id", "id_a"), o.get("left_text", "text_a"),
+            o.get("right_id", "id_b"), o.get("right_text", "text_b"),
+            threshold=float(o.get("threshold", "0.7")),
+            ngram=int(ng) if ng else None)
     if name == "containment_join":
         from drill_spark.ops.fuzzy import containment_join
 
@@ -848,7 +858,7 @@ def _pipeline_table(session, op: str, opts: dict[str, str]) -> DataFrame:
         "crossmodal_topk, crossmodal_align, mixture_build, epoch_shuffle, "
         "kmv_distinct, kmv_overlap, rolling_distinct, snapshot_diff, "
         "rolling_quantiles, cms_estimate, skew_join, topk_per_key, "
-        "setsim_join, containment_join")
+        "setsim_join, containment_join, setsim_tables")
 
 
 def _read_path(session, ws_name: str, rel_path: str, options: dict[str, str] | None = None) -> DataFrame:

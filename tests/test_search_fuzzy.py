@@ -894,3 +894,57 @@ def test_setsim_join_property_random_corpora(spark):
         assert got == _brute_jaccard_pairs(rows, t)
 
     run()
+
+
+def test_setsim_join_tables_equals_brute_force(spark):
+    """Cross-table exact set-similarity: equality with brute force on
+    randomized two-table corpora (colliding ids across tables must NOT
+    merge — sides are distinct keys), no self-side pairs ever."""
+    import random
+
+    from drill_spark.ops.fuzzy import setsim_join_tables
+
+    rng = random.Random(41)
+    vocab = [f"w{i}" for i in range(25)]
+    lrows = [(i, " ".join(rng.choices(vocab, k=rng.randint(0, 10))))
+             for i in range(40)]
+    # right table re-uses ids 0..29 (collision on purpose) + planted dups
+    rrows = [(i, " ".join(rng.choices(vocab, k=rng.randint(0, 10))))
+             for i in range(30)]
+    rrows += [(900 + i, lrows[i][1]) for i in range(5)]
+
+    ldf = spark.createDataFrame(lrows, "id_a long, text_a string")
+    rdf = spark.createDataFrame(rrows, "id_b long, text_b string")
+
+    def toks(s):
+        return {x for x in s.lower().split() if x}
+
+    for t in (0.4, 0.8, 1.0):
+        got = {(r.id_a, r.id_b): r.jaccard
+               for r in setsim_join_tables(ldf, rdf, threshold=t).collect()}
+        exp = {}
+        for i, a in lrows:
+            for j, b in rrows:
+                ta, tb = toks(a), toks(b)
+                if not ta or not tb:
+                    continue
+                jac = round(len(ta & tb) / len(ta | tb), 4)
+                if jac >= t:
+                    exp[(i, j)] = jac
+        assert got == exp, t
+    # the 5 planted identical docs surface at t=1.0
+    full = setsim_join_tables(ldf, rdf, threshold=1.0).collect()
+    assert {(r.id_a, r.id_b) for r in full} >= {
+        (i, 900 + i) for i in range(5) if toks(lrows[i][1])}
+
+
+def test_setsim_join_tables_validates(spark):
+    import pytest as _pytest
+
+    from drill_spark.ops.fuzzy import setsim_join_tables
+
+    df = spark.createDataFrame([(1, "a")], "id_a long, text_a string")
+    with _pytest.raises(ValueError):
+        setsim_join_tables(df, df, threshold=2.0)
+    with _pytest.raises(ValueError):
+        setsim_join_tables(df, df, left_id="x", right_id="x")

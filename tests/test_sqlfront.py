@@ -1368,3 +1368,26 @@ def test_pipeline_table_function_containment_join(dsession):
         dsession.sql("select * from cj_corpus"),
         threshold=0.7).collect()
     assert sorted(map(tuple, got)) == sorted(map(tuple, lib)) and got
+
+
+def test_pipeline_table_function_setsim_tables(dsession):
+    """SQL face for the cross-table exact similarity join."""
+    from drill_spark.ops.fuzzy import setsim_join_tables
+
+    dsession.register_fixture_tables("/root/testdata/sf0.001")
+    dsession.sql(
+        "create or replace view st_old as "
+        "select doc_id as id_a, text as text_a from documents "
+        "where doc_id < 250")
+    dsession.sql(
+        "create or replace view st_new as "
+        "select doc_id as id_b, text as text_b from documents "
+        "where doc_id >= 250")
+    got = dsession.sql(
+        "select * from table(pipeline.`setsim_tables`("
+        "left => 'st_old', right => 'st_new', threshold => '0.8'))"
+    ).collect()
+    lib = setsim_join_tables(
+        dsession.sql("select * from st_old"),
+        dsession.sql("select * from st_new"), threshold=0.8).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, lib)) and got
