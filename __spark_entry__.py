@@ -102,7 +102,7 @@ _PRIORITY = [
     "op_join_full", "op_join_semi", "op_join_anti", "op_except",
     "ext_heavy_hitters", "ext_kmv_overlap",
     "ext_rolling_distinct", "ext_epoch_shuffle",
-    "tpcds_q07", "tpcds_q67", "tpcds_q44", "tpcds_q70", "tpcds_q23", "tpcds_q51",
+    "tpcds_q07", "tpcds_q67", "tpcds_q44", "tpcds_q70", "tpcds_q23", "tpcds_q51", "tpcds_q11",
     "op_agg_percentile", "op_window_frames",
     "op_delta_dv_scan", "op_iceberg_v2_scan", "op_iceberg_skip_scan",
     "op_csv_columns", "op_json_text_mode", "op_json_extended", "op_xml_scan", "op_ltsv_scan",

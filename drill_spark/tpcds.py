@@ -1282,6 +1282,36 @@ limit 100
 """
 
 
+# q11 shape (year-over-year growth ratio): per-(customer, channel,
+# year) totals self-joined four ways — customers whose "web" (odd
+# stores) growth ratio beats their "store" (even stores) growth ratio
+# between consecutive years. Positive-first-year guards stand in for
+# the spec's CASE/NULLIF; ratios divide exact integer-cent sums, so
+# the strict > compare is bit-identical across engines.
+_Q11_BODY = """
+totals as (
+  select ss_customer_sk as c, ss_store_sk % 2 as chan, d_year as yr,
+         sum(cast(round(ss_sales_price * 100, 0) as bigint)) as cents
+  from tpcds_store_sales, tpcds_date_dim
+  where ss_sold_date_sk = d_date_sk and d_year in (1999, 2000)
+  group by ss_customer_sk, ss_store_sk % 2, d_year
+)
+select s1.c as customer_sk,
+       cast(s1.cents as bigint) as store_first,
+       cast(s2.cents as bigint) as store_second,
+       cast(w1.cents as bigint) as web_first,
+       cast(w2.cents as bigint) as web_second
+from totals s1, totals s2, totals w1, totals w2
+where s1.c = s2.c and s1.c = w1.c and s1.c = w2.c
+  and s1.chan = 0 and s2.chan = 0 and w1.chan = 1 and w2.chan = 1
+  and s1.yr = 1999 and s2.yr = 2000 and w1.yr = 1999 and w2.yr = 2000
+  and s1.cents > 0 and w1.cents > 0
+  and w2.cents * 1.0 / w1.cents > s2.cents * 1.0 / s1.cents
+order by customer_sk
+limit 100
+"""
+
+
 def _decorrelated(body: str):
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         _register_decorrelation_views(spark, sf_dir)
@@ -1303,6 +1333,7 @@ q_tpcds_q44 = _decorrelated(_Q44_BODY)
 q_tpcds_q70 = _decorrelated(_Q70_BODY)
 q_tpcds_q23 = _decorrelated(_Q23_BODY)
 q_tpcds_q51 = _decorrelated(_Q51_BODY)
+q_tpcds_q11 = _decorrelated(_Q11_BODY)
 
 ORACLE_TPCDS_Q1 = _DIMS_SQL + ", " + _RETURNS_SQL + ", " + _Q01_BODY
 ORACLE_TPCDS_Q6 = _DIMS_SQL + ", " + _RETURNS_SQL + ", " + _Q06_BODY
@@ -1318,6 +1349,7 @@ ORACLE_TPCDS_Q44 = _DIMS_SQL + ", " + _RETURNS_SQL + ", " + _Q44_BODY
 ORACLE_TPCDS_Q70 = _DIMS_SQL + ", " + _RETURNS_SQL + ", " + _Q70_BODY
 ORACLE_TPCDS_Q23 = _DIMS_SQL + ", " + _RETURNS_SQL + ", " + _Q23_BODY
 ORACLE_TPCDS_Q51 = _DIMS_SQL + ", " + _RETURNS_SQL + ", " + _Q51_BODY
+ORACLE_TPCDS_Q11 = _DIMS_SQL + ", " + _RETURNS_SQL + ", " + _Q11_BODY
 
 
 QUERIES = {
@@ -1336,6 +1368,7 @@ QUERIES = {
     "tpcds_q70": q_tpcds_q70,
     "tpcds_q23": q_tpcds_q23,
     "tpcds_q51": q_tpcds_q51,
+    "tpcds_q11": q_tpcds_q11,
     "tpcds_q03": q_tpcds_q3,
     "tpcds_q07": q_tpcds_q7,
     "tpcds_q42": q_tpcds_q42,
@@ -1361,6 +1394,7 @@ ORACLES = {
     "tpcds_q70": ORACLE_TPCDS_Q70,
     "tpcds_q23": ORACLE_TPCDS_Q23,
     "tpcds_q51": ORACLE_TPCDS_Q51,
+    "tpcds_q11": ORACLE_TPCDS_Q11,
     "tpcds_q03": ORACLE_TPCDS_Q3,
     "tpcds_q07": ORACLE_TPCDS_Q7,
     "tpcds_q42": ORACLE_TPCDS_Q42,

@@ -227,3 +227,16 @@ def test_q51_cumulative_overtake(spark):
             pw, ps = last[r.item_sk]
             assert r.web_cumulative >= pw and r.store_cumulative >= ps
         last[r.item_sk] = (r.web_cumulative, r.store_cumulative)
+
+
+def test_q11_growth_ratio_shape(spark):
+    """q11 shape: every returned customer has positive first-year
+    totals in both channels and a strictly greater web growth ratio;
+    output is the first 100 customers by key (deterministic LIMIT)."""
+    rows = tpcds.QUERIES["tpcds_q11"](spark, SF_DIR).collect()
+    assert rows
+    assert [r.customer_sk for r in rows] == sorted(
+        r.customer_sk for r in rows)
+    for r in rows:
+        assert r.store_first > 0 and r.web_first > 0
+        assert r.web_second / r.web_first > r.store_second / r.store_first
