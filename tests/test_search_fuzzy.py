@@ -948,3 +948,46 @@ def test_setsim_join_tables_validates(spark):
         setsim_join_tables(df, df, threshold=2.0)
     with _pytest.raises(ValueError):
         setsim_join_tables(df, df, left_id="x", right_id="x")
+
+
+def test_containment_join_property_random_corpora(spark):
+    """Property: containment_join == brute force on randomized
+    probe/corpus splits — hypothesis drives shapes and thresholds,
+    with tiny vocabularies maximizing order-tie density and tokens
+    absent from the corpus (df=0) appearing in probe prefixes."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from drill_spark.ops.fuzzy import containment_join
+
+    docs_strategy = st.lists(
+        st.lists(st.integers(min_value=0, max_value=13),
+                 min_size=0, max_size=8),
+        min_size=1, max_size=10,
+    )
+
+    @settings(max_examples=10, deadline=None)
+    @given(probes=docs_strategy, corpus=docs_strategy,
+           t=st.sampled_from([0.07, 0.34, 0.5, 1.0]))
+    def run(probes, corpus, t):
+        prows = [(i, " ".join(f"w{x}" for x in toks))
+                 for i, toks in enumerate(probes)]
+        crows = [(i, " ".join(f"w{x}" for x in toks))
+                 for i, toks in enumerate(corpus)]
+        pdf = spark.createDataFrame(prows, "qid long, qtext string")
+        cdf = spark.createDataFrame(crows, "doc_id long, text string")
+        got = {(r.qid, r.doc_id): r.containment
+               for r in containment_join(pdf, cdf, threshold=t).collect()}
+        exp = {}
+        for qid, qt in prows:
+            q = {x for x in qt.split() if x}
+            if not q:
+                continue
+            for did, dt in crows:
+                d = {x for x in dt.split() if x}
+                c = round(len(q & d) / len(q), 4)
+                if d and c >= t:
+                    exp[(qid, did)] = c
+        assert got == exp
+
+    run()
