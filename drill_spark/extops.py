@@ -509,7 +509,7 @@ select i.qid, i.doc_id,
 from inter i
 join qsz on qsz.qid = i.qid
 join dsz on dsz.doc_id = i.doc_id
-where round(i.i * 1.0 / qsz.nq, 4) >= 0.6
+where i.i * 1.0 / qsz.nq >= 0.6
 """
 
 
@@ -520,8 +520,8 @@ def q_incremental_setsim(spark, sf_dir):
     — returned rows are batch 1's survivors. Exact (no MinHash
     estimation), so the whole two-batch protocol takes a closed-form
     DuckDB oracle. Fresh store dir per invocation keeps the query a
-    pure function of the fixtures; the candidate cap is set above the
-    fixture's worst fan-out so the exactness contract is un-truncated."""
+    pure function of the fixtures; the candidate caps stay at their
+    exact-by-default OFF setting (no truncation anywhere)."""
     import tempfile
 
     from drill_spark.ops.fuzzy import incremental_setsim
@@ -530,11 +530,11 @@ def q_incremental_setsim(spark, sf_dir):
     store = tempfile.mkdtemp(prefix="incsetsim_") + "/store"
     incremental_setsim(
         docs.where(F.col("doc_id") % 2 == 0), store, "doc_id", "text",
-        threshold=0.8, max_candidates_per_doc=1000,
+        threshold=0.8,
     ).count()  # materialize batch 0's store commit
     return incremental_setsim(
         docs.where(F.col("doc_id") % 2 == 1), store, "doc_id", "text",
-        threshold=0.8, max_candidates_per_doc=1000,
+        threshold=0.8,
     ).select("doc_id")
 
 
@@ -621,7 +621,7 @@ select id_a, id_b,
 from inter
 join sza on sza.doc_id = id_a
 join szb on szb.doc_id = id_b
-where round(i * 1.0 / (sza.sz + szb.sz - i), 4) >= 0.8
+where i * 1.0 / (sza.sz + szb.sz - i) >= 0.8
 """
 
 
@@ -643,7 +643,7 @@ select id_a, id_b, round(i * 1.0 / (sa.sz + sb.sz - i), 4) as jaccard
 from inter
 join sz sa on sa.doc_id = id_a
 join sz sb on sb.doc_id = id_b
-where round(i * 1.0 / (sa.sz + sb.sz - i), 4) >= 0.7
+where i * 1.0 / (sa.sz + sb.sz - i) >= 0.7
 """
 
 
@@ -1048,6 +1048,28 @@ def _materialize_once(sf_dir: str, kind: str, build) -> str:
             raise
         shutil.rmtree(staging, ignore_errors=True)
     return final
+
+
+def _write_two_batch_source(src: str, batch0: DataFrame,
+                            batch1: DataFrame) -> None:
+    """Write a two-micro-batch file-stream source: each batch lands as
+    ``src/batch-{i}.parquet`` with a batch-pinned mtime. Batches are
+    staged into their own directories and renamed by BATCH INDEX —
+    never ordered by observed mtime, which ties when both writes land
+    within the filesystem's timestamp resolution and would then fall
+    back to arbitrary directory order, swapping the batches."""
+    import shutil
+
+    os.makedirs(src, exist_ok=True)
+    for i, bdf in enumerate((batch0, batch1)):
+        stage = os.path.join(src, f"_stage-{i}")
+        bdf.coalesce(1).write.parquet(stage)
+        part = next(f for f in sorted(os.listdir(stage))
+                    if f.endswith(".parquet"))
+        dst = os.path.join(src, f"batch-{i}.parquet")
+        shutil.move(os.path.join(stage, part), dst)
+        shutil.rmtree(stage)
+        os.utime(dst, (1_600_000_000 + i * 60, 1_600_000_000 + i * 60))
 
 
 def q_avro_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3828,18 +3850,11 @@ def q_stream_incr_dedup(spark, sf_dir):
     docs = _docs(spark, sf_dir)
 
     def build(src):
-        docs.where(F.col("doc_id") % 2 == 0).coalesce(1).write.parquet(src)
-        docs.where(F.col("doc_id") % 2 == 1).coalesce(1).write.mode(
-            "append").parquet(src)
-        parts = sorted(
-            (os.path.join(src, f) for f in os.listdir(src)
-             if f.endswith(".parquet")),
-            key=lambda p: os.path.getmtime(p),
+        _write_two_batch_source(
+            src,
+            docs.where(F.col("doc_id") % 2 == 0),
+            docs.where(F.col("doc_id") % 2 == 1),
         )
-        # pin modification times so the file source's batch order
-        # (mtime) is even-first regardless of fs timestamp granularity
-        for i, p in enumerate(parts):
-            os.utime(p, (1_600_000_000 + i * 60, 1_600_000_000 + i * 60))
 
     # the two-batch source is content-stable per sf_dir — write it once;
     # the digest store / output / checkpoint stay per-run (they ARE the
@@ -3896,16 +3911,11 @@ def q_stream_setsim_dedup(spark, sf_dir):
     docs = _docs(spark, sf_dir).where(F.col("doc_id") < 240)
 
     def build(src):
-        docs.where(F.col("doc_id") % 2 == 0).coalesce(1).write.parquet(src)
-        docs.where(F.col("doc_id") % 2 == 1).coalesce(1).write.mode(
-            "append").parquet(src)
-        parts = sorted(
-            (os.path.join(src, f) for f in os.listdir(src)
-             if f.endswith(".parquet")),
-            key=lambda p: os.path.getmtime(p),
+        _write_two_batch_source(
+            src,
+            docs.where(F.col("doc_id") % 2 == 0),
+            docs.where(F.col("doc_id") % 2 == 1),
         )
-        for i, p in enumerate(parts):
-            os.utime(p, (1_600_000_000 + i * 60, 1_600_000_000 + i * 60))
 
     src = _materialize_once(sf_dir, "ssetsim_src", build)
     base = tempfile.mkdtemp(prefix="ssetsim_")
@@ -3916,7 +3926,7 @@ def q_stream_setsim_dedup(spark, sf_dir):
     q = stream_incremental_setsim(
         stream, os.path.join(base, "store"), os.path.join(base, "out"),
         os.path.join(base, "ckpt"),
-        threshold=0.8, max_candidates_per_doc=1000,
+        threshold=0.8,
     )
     q.awaitTermination()
     return read_delta(spark, os.path.join(base, "out")).select("doc_id")

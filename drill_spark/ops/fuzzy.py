@@ -135,10 +135,14 @@ def setsim_join(
     return (
         cand.join(sa, "id_a").join(sb, "id_b")
         .withColumn("i", F.size(F.array_intersect("ta", "tb")))
-        .withColumn("jaccard",
-                    F.round(F.col("i") / (F.col("na") + F.col("nb") - F.col("i")), 4))
-        .where(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
+        # membership is decided on the UNROUNDED ratio (the prefix
+        # filter is complete only for exact-score >= t; a pair just
+        # below t must not round UP into the result, because candidate
+        # generation may legitimately have pruned it) — rounding is
+        # display-only on the reported column
+        .withColumn("__j", F.col("i") / (F.col("na") + F.col("nb") - F.col("i")))
+        .where(F.col("__j") >= threshold)
+        .select("id_a", "id_b", F.round("__j", 4).alias("jaccard"))
     )
 
 
@@ -312,12 +316,14 @@ def containment_join(
     return (
         cand.join(qa, "qid_").join(da, "did_")
         .withColumn("i", F.size(F.array_intersect("tq", "td")))
-        .withColumn("containment", F.round(F.col("i") / F.col("nq"), 4))
-        .where(F.col("containment") >= threshold)
-        .withColumn("jaccard",
-                    F.round(F.col("i") / (F.col("nq") + F.col("nd") - F.col("i")), 4))
+        # unrounded membership decision (prefix completeness holds for
+        # exact containment >= t only); rounding is display-only
+        .withColumn("__c", F.col("i") / F.col("nq"))
+        .where(F.col("__c") >= threshold)
         .select(F.col("qid_").alias(probe_id), F.col("did_").alias(corpus_id),
-                "containment", "jaccard")
+                F.round("__c", 4).alias("containment"),
+                F.round(F.col("i") / (F.col("nq") + F.col("nd") - F.col("i")),
+                        4).alias("jaccard"))
     )
 
 
@@ -332,7 +338,8 @@ def incremental_setsim(
     threshold: float = 0.7,
     ngram: int | None = None,
     batch_id: int | None = None,
-    max_candidates_per_doc: int = 50,
+    max_candidates_per_doc: int | None = None,
+    max_postings_per_token: int | None = None,
     txn_app_id: str = _INCR_SETSIM_APP_ID,
 ) -> DataFrame:
     """Cross-run EXACT set-similarity dedup against a persistent
@@ -356,23 +363,34 @@ def incremental_setsim(
     store.
 
     Within-batch dedup shares ``setsim_join``'s candidate generation
-    and exact verify, comparing the UNROUNDED ratio against the
-    threshold (setsim_join's reported jaccard column is rounded for
-    display; the membership decision here matches the closed-form
-    oracle bit for bit), and drops the larger id of each qualifying
-    pair — the greedy chain-collapse convention shared with the
-    MinHash path. ``max_candidates_per_doc`` is the same
-    boilerplate guard as the near-dup store (a token bucket that grows
-    across batches cannot explode the verify; exactness then holds up
-    to the cap, which tests keep un-hit). Replay: the store commit
-    carries a Delta txn; re-running a committed batch_id returns its
-    original survivors without re-appending. Documents with zero
-    tokens have no set to compare and are excluded (never returned,
-    never stored).
+    and exact verify on the UNROUNDED ratio, and drops the larger id
+    of each qualifying pair — the greedy chain-collapse convention
+    shared with the MinHash path.
+
+    **Exactness caps (both default OFF — the default run is fully
+    exact):** ``max_candidates_per_doc`` bounds per-new-doc verify
+    fan-out (post-join, keeps the ``max_candidates_per_doc`` smallest
+    store ids); when it truncates, a warning reports how many docs
+    lost candidates — truncation is observable, never silent.
+    ``max_postings_per_token`` bounds the STORE side before the
+    candidate join (per-token postings cap), closing the
+    store-hot/batch-rare-token fan-out at corpus scale; both caps
+    trade recall beyond the cap for bounded work and are the
+    documented exactness boundary when set.
+
+    Replay/ordering: every commit stamps a per-batch Delta txn
+    (``{txn_app_id}#batch{N}``), so re-running a committed batch_id
+    returns its original survivors without re-appending — including
+    zero-survivor batches — while an UNKNOWN batch_id at or below the
+    high-water mark raises (a skipped-ahead numbering would otherwise
+    silently classify later legitimate batches as replays and drop
+    their data). Documents with zero tokens have no set to compare
+    and are excluded (never returned, never stored).
 
     Returns the surviving rows of ``df`` (original columns).
     """
     import os
+    import warnings
 
     from pyspark.sql import Window
 
@@ -398,23 +416,52 @@ def incremental_setsim(
 
     exists = os.path.isdir(os.path.join(store_path, "_delta_log"))
     last_txn = -1
+    committed: set[int] = set()
+    legacy_last = -1
     store = None
     if exists:
         snap = load_snapshot(spark, store_path)
-        last_txn = snap.txns.get(txn_app_id, -1)
+        prefix = f"{txn_app_id}#batch"
+        committed = {int(k[len(prefix):]) for k in snap.txns
+                     if k.startswith(prefix)}
+        # stores written before per-batch txn stamping carry only the
+        # single latest-version key
+        legacy_last = snap.txns.get(txn_app_id, -1)
+        last_txn = max(committed) if committed else legacy_last
         store = read_delta(spark, store_path)
     if batch_id is None:
         batch_id = last_txn + 1
 
-    if exists and batch_id <= last_txn:
+    is_replay = batch_id in committed or (
+        exists and not committed and batch_id <= legacy_last)
+    if is_replay:
         mine = (store.where(F.col("batch_id") == int(batch_id))
                 .select(F.col("doc_id").alias(id_col)).distinct())
         return df.join(mine, id_col, "left_semi")
+    if exists and batch_id <= last_txn:
+        raise ValueError(
+            f"incremental_setsim: batch_id {batch_id} is at or below the "
+            f"store's high-water mark ({last_txn}) but was never "
+            f"committed — a skipped-ahead numbering would silently drop "
+            f"this batch as a phantom replay; batch ids must be assigned "
+            f"monotonically (pass batch_id=None to auto-assign)")
 
     survivors = batch_kept
     if exists:
         olds = store.select("tok", F.col("doc_id").alias("did"),
                             F.col("sz").alias("nd"))
+        if max_postings_per_token is not None:
+            # pre-join per-token postings cap: bounds the fan-out of a
+            # store-hot token BEFORE it multiplies against the batch
+            # prefix (the post-join cap can't stop that blow-up);
+            # smallest store ids kept, recall beyond the cap is the
+            # documented trade
+            olds = (
+                olds.withColumn("__pk", F.row_number().over(
+                    Window.partitionBy("tok").orderBy("did")))
+                .where(F.col("__pk") <= int(max_postings_per_token))
+                .drop("__pk")
+            )
         qpref = (
             sets.join(batch_kept, "id", "left_semi")
             .select(
@@ -429,10 +476,30 @@ def incremental_setsim(
             qpref.join(olds, "tok")
             .where(t * F.greatest("nq", "nd") <= F.least("nq", "nd") + _EPS)
             .select("qid", "nq", "did", "nd").distinct()
-            .withColumn("__rk", F.row_number().over(
-                Window.partitionBy("qid").orderBy("did")))
-            .where(F.col("__rk") <= max_candidates_per_doc).drop("__rk")
         )
+        if max_candidates_per_doc is not None:
+            annotated = (
+                cand
+                .withColumn("__rk", F.row_number().over(
+                    Window.partitionBy("qid").orderBy("did")))
+                .withColumn("__n", F.count("*").over(
+                    Window.partitionBy("qid")))
+                .localCheckpoint(eager=False)
+            )
+            n_truncated = (annotated
+                           .where(F.col("__n") > int(max_candidates_per_doc))
+                           .select("qid").distinct().count())
+            if n_truncated:
+                warnings.warn(
+                    f"incremental_setsim: candidate cap "
+                    f"(max_candidates_per_doc={max_candidates_per_doc}) "
+                    f"truncated verification fan-out for {n_truncated} "
+                    f"document(s) in batch {batch_id}; results are exact "
+                    f"only up to the cap — raise it (or pass None) for a "
+                    f"fully exact run", stacklevel=2)
+            cand = (annotated
+                    .where(F.col("__rk") <= int(max_candidates_per_doc))
+                    .drop("__rk", "__n"))
         new_toks = sets.select(F.col("id").alias("qid"),
                                F.explode("ts").alias("tok"))
         inter = (
@@ -456,7 +523,7 @@ def incremental_setsim(
     )
     write_delta(new_rows, store_path,
                 mode="append" if exists else "error",
-                txn=(txn_app_id, int(batch_id)))
+                txn=(f"{txn_app_id}#batch{int(batch_id)}", int(batch_id)))
     return df.join(survivors.withColumnRenamed("id", id_col),
                    id_col, "left_semi")
 
@@ -549,9 +616,10 @@ def setsim_join_tables(
     return (
         cand.join(sa, "la").join(sb, "rb")
         .withColumn("i", F.size(F.array_intersect("ta", "tb")))
-        .withColumn("jaccard",
-                    F.round(F.col("i") / (F.col("na") + F.col("nb") - F.col("i")), 4))
-        .where(F.col("jaccard") >= threshold)
+        # unrounded membership decision, display-only rounding (see
+        # setsim_join)
+        .withColumn("__j", F.col("i") / (F.col("na") + F.col("nb") - F.col("i")))
+        .where(F.col("__j") >= threshold)
         .select(F.col("la").alias(left_id), F.col("rb").alias(right_id),
-                "jaccard")
+                F.round("__j", 4).alias("jaccard"))
     )

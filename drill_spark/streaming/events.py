@@ -442,7 +442,7 @@ def stream_incremental_setsim(
     id_col: str = "doc_id",
     text_col: str = "text",
     threshold: float = 0.7,
-    max_candidates_per_doc: int = 50,
+    max_candidates_per_doc: int | None = None,
     app_id: str = "drill_spark_stream_setsim",
     trigger: dict | None = None,
 ):

@@ -991,3 +991,135 @@ def test_containment_join_property_random_corpora(spark):
         assert got == exp
 
     run()
+
+
+def test_incremental_setsim_skipped_batch_raises(spark, tmp_path):
+    """A batch_id at or below the store's high-water mark that was
+    NEVER committed must raise, not silently return zero survivors as
+    a phantom replay (the skipped-ahead-numbering data-loss trap);
+    genuinely committed ids still replay."""
+    import pytest
+
+    from drill_spark.ops.fuzzy import incremental_setsim
+
+    df = spark.createDataFrame([(1, "alpha beta"), (2, "gamma delta")],
+                               "doc_id long, text string")
+    store = str(tmp_path / "store")
+    incremental_setsim(df, store, threshold=0.9, batch_id=5).collect()
+
+    with pytest.raises(ValueError, match="never.*committed|high-water"):
+        incremental_setsim(df, store, threshold=0.9, batch_id=3).collect()
+
+    # committed id replays fine
+    replay = incremental_setsim(df, store, threshold=0.9, batch_id=5)
+    assert {r.doc_id for r in replay.collect()} == {1, 2}
+
+
+def test_incremental_setsim_zero_survivor_batch_replays(spark, tmp_path):
+    """A batch whose documents ALL dedup away still commits its
+    per-batch txn, so replaying it returns empty (not an error) and
+    the next auto-assigned batch id advances past it."""
+    from drill_spark.ops.fuzzy import incremental_setsim
+    from drill_spark.readers.delta import read_delta
+
+    store = str(tmp_path / "store")
+    base = spark.createDataFrame([(0, "one two three")],
+                                 "doc_id long, text string")
+    incremental_setsim(base, store, threshold=0.9).collect()  # batch 0
+
+    dup = spark.createDataFrame([(11, "one two three")],
+                                "doc_id long, text string")
+    assert incremental_setsim(dup, store, threshold=0.9).count() == 0  # b1
+
+    # replaying the zero-survivor batch: empty, no raise, no re-append
+    n_rows = read_delta(spark, store).count()
+    assert incremental_setsim(dup, store, threshold=0.9,
+                              batch_id=1).count() == 0
+    assert read_delta(spark, store).count() == n_rows
+
+    # auto-assign continues at 2 (the empty batch advanced the mark)
+    nxt = spark.createDataFrame([(20, "four five six")],
+                                "doc_id long, text string")
+    assert incremental_setsim(nxt, store, threshold=0.9).count() == 1
+    batches = {r.batch_id for r in
+               read_delta(spark, store).select("batch_id")
+               .distinct().collect()}
+    assert batches == {0, 2}
+
+
+def test_incremental_setsim_cap_truncation_warns(spark, tmp_path):
+    """When max_candidates_per_doc actually truncates verification
+    fan-out, a warning reports it — exactness-up-to-cap is observable,
+    never silent; without a cap (the default) no warning fires."""
+    import warnings as w
+
+    from drill_spark.ops.fuzzy import incremental_setsim
+
+    # 8 mutually-dissimilar store docs (pairwise J = 1/7) that are all
+    # length-compatible candidates of the new doc via the shared token
+    store_rows = [(i, f"alpha x{i} y{i} z{i}") for i in range(8)]
+    df0 = spark.createDataFrame(store_rows, "doc_id long, text string")
+    store = str(tmp_path / "store")
+    incremental_setsim(df0, store, threshold=0.5).collect()
+
+    new = spark.createDataFrame([(100, "alpha beta gamma zz")],
+                                "doc_id long, text string")
+    with w.catch_warnings(record=True) as rec:
+        w.simplefilter("always")
+        incremental_setsim(new, store, threshold=0.5, batch_id=1,
+                           max_candidates_per_doc=3).collect()
+    assert any("truncated" in str(x.message) for x in rec)
+
+    # uncapped default: exact, silent
+    new2 = spark.createDataFrame([(101, "alpha q1 q2 q3")],
+                                 "doc_id long, text string")
+    with w.catch_warnings(record=True) as rec2:
+        w.simplefilter("always")
+        got = incremental_setsim(new2, store, threshold=0.5).collect()
+    assert not [x for x in rec2 if "truncated" in str(x.message)]
+    # doc 101 is J=1/7 vs every stored doc -> survives the exact path
+    assert [r.doc_id for r in got] == [101]
+
+
+def test_incremental_setsim_hot_token_postings_cap(spark, tmp_path):
+    """max_postings_per_token bounds the STORE side before the
+    candidate join: a store-hot token can't fan out a batch-rare
+    prefix token pre-cap. Semantics check: the cap keeps the smallest
+    store ids, so a true duplicate living beyond the cap is missed
+    (the documented recall trade) while the uncapped default finds
+    it."""
+    from drill_spark.ops.fuzzy import incremental_setsim
+
+    # 30 store docs share hot token 'h'; only doc 29 (the LARGEST id)
+    # duplicates the probe
+    rows = [(i, f"h filler{i} pad{i}") for i in range(29)]
+    rows.append((29, "h target token"))
+    df0 = spark.createDataFrame(rows, "doc_id long, text string")
+    store = str(tmp_path / "store")
+    incremental_setsim(df0, store, threshold=0.9).collect()
+
+    probe = spark.createDataFrame([(100, "h target token")],
+                                  "doc_id long, text string")
+    # uncapped: exact — the duplicate is found, probe dropped
+    assert incremental_setsim(probe, store, threshold=0.9,
+                              batch_id=1).count() == 0
+
+    # capped at 5 postings/token in a FRESH store replay: doc 29's 'h'
+    # posting is beyond the cap; its rare tokens still match, so build
+    # a store where ONLY the hot token links probe to the dup
+    store2 = str(tmp_path / "store2")
+    rows2 = [(i, f"h filler{i} pad{i}") for i in range(29)]
+    rows2.append((29, "h"))
+    df2 = spark.createDataFrame(rows2, "doc_id long, text string")
+    incremental_setsim(df2, store2, threshold=0.9).collect()
+    probe2 = spark.createDataFrame([(100, "h")],
+                                   "doc_id long, text string")
+    # uncapped finds the single-token duplicate
+    assert incremental_setsim(probe2, store2, threshold=0.9,
+                              batch_id=1).count() == 0
+    # replay the SAME batch id capped: replay path returns committed
+    # survivors, so use a new batch id — capped run misses doc 29
+    probe3 = spark.createDataFrame([(101, "h")],
+                                   "doc_id long, text string")
+    assert incremental_setsim(probe3, store2, threshold=0.9, batch_id=2,
+                              max_postings_per_token=5).count() == 1
