@@ -2,10 +2,14 @@
 
 Pattern: media as opaque `binary` payload + typed metadata struct;
 decode / feature-extract / resize / frame-sample run as Arrow-batched
-pandas functions over mapInPandas. The image/audio codecs are NOT in
-this container, so the decode kernel is stubbed (deterministic fake
-clearly marked); everything Spark-side — schema, batch iteration,
-partitioning, UDF signatures — is real and tested.
+pandas functions over mapInPandas. Real pure-Python codec decoders for
+the self-describing formats live in this package (BMP/PNG/WAV below,
+JPEG in ops/jpeg.py, TIFF in ops/tiff.py, FLAC in ops/flac.py,
+AVI/QOI in ops/video.py); only codecs whose decode tables can't be
+validated in this container (MPEG audio frames, H.264 samples) gate
+by name.
+Everything Spark-side — schema, batch iteration, partitioning, UDF
+signatures — is real and tested.
 
 Scale design: payloads stay columnar (Arrow) end to end; mapInPandas
 streams record batches so a partition never fully materializes; feature

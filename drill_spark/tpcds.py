@@ -1103,7 +1103,12 @@ from b
 # aggregate joined on rank — best/worst product names side by side.
 # avg of exact integer cents is one IEEE divide in both engines, so the
 # HAVING compare and the rank order are bit-deterministic; item_sk
-# tiebreaks make ranks unique.
+# tiebreaks make ranks unique. The unpartitioned rank() windows here
+# (and q70's below) run over PER-ITEM / PER-COUNTY aggregates — frames
+# bounded by dimension cardinality, not fact rows, which is the spec's
+# own shape; the single-partition WindowExec they plan to is fine at
+# any fact-table scale (that's also the source of Spark's "No
+# Partition Defined" warning in bench logs — expected, not a smell).
 _Q44_BODY = """
 base as (
   select ss_item_sk as item_sk,
