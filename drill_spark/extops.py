@@ -625,6 +625,103 @@ where i * 1.0 / (sza.sz + szb.sz - i) >= 0.8
 """
 
 
+def q_substr_dedup(spark, sf_dir):
+    """ExactSubstr dedup (ops/substr.py, Lee et al. 2022): remove every
+    token covered by an 8-token window whose span text also occurs
+    verbatim in a smaller doc_id, keeping the canonical copy intact —
+    the published-standard training-data dedup primitive (exact
+    substring removal, not doc-level scoring). Fully deterministic, so
+    the whole operator — tokenize, rolling windows, keep-lowest-doc
+    removal, text reconstruction — hash-checks against the closed-form
+    DuckDB replay."""
+    from drill_spark.ops.substr import substr_dedup
+
+    return substr_dedup(_docs(spark, sf_dir), min_tokens=8)
+
+
+ORACLE_SUBSTR_DEDUP = r"""
+with d2 as (
+  select doc_id, toks, len(toks) as n
+  from (select doc_id,
+               list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                           x -> x <> '') as toks
+        from documents)
+  where len(toks) > 0
+),
+w as (
+  select doc_id, unnest(list_transform(range(1, greatest(n - 8, -1) + 2),
+         i -> struct_pack(p := i,
+                          span := array_to_string(toks[i:i+7], ' ')))) as s
+  from d2
+),
+wf as (select doc_id, s.p as p, s.span as span from w),
+md as (select span, min(doc_id) as min_id from wf group by 1),
+rem as (select wf.doc_id, wf.p from wf join md using (span)
+        where wf.doc_id > md.min_id),
+cov as (select distinct doc_id, unnest(range(p, p + 8)) as p from rem),
+tokp as (select doc_id, unnest(toks) as tok,
+                unnest(range(1, n + 1)) as p from d2),
+keptagg as (
+  select t.doc_id,
+         array_to_string(list(t.tok order by t.p), ' ') as clean_text,
+         count(*) as n_kept
+  from tokp t
+  where not exists (select 1 from cov c
+                    where c.doc_id = t.doc_id and c.p = t.p)
+  group by 1
+)
+select d2.doc_id,
+       cast(d2.n as bigint) as n_tokens,
+       cast(d2.n - coalesce(k.n_kept, 0) as bigint) as n_removed,
+       coalesce(k.clean_text, '') as clean_text
+from d2 left join keptagg k using (doc_id)
+"""
+
+
+def q_substr_spans(spark, sf_dir):
+    """ExactSubstr audit face (ops/substr.py::substr_duplicate_spans):
+    maximal cross-document duplicated token regions per doc — the
+    report that tells a curator WHERE the verbatim overlap lives
+    before committing to removal. Gaps-and-islands over covered
+    positions; exact and hash-oracle-backed."""
+    from drill_spark.ops.substr import substr_duplicate_spans
+
+    return substr_duplicate_spans(_docs(spark, sf_dir), min_tokens=8)
+
+
+ORACLE_SUBSTR_SPANS = r"""
+with d2 as (
+  select doc_id, toks, len(toks) as n
+  from (select doc_id,
+               list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                           x -> x <> '') as toks
+        from documents)
+  where len(toks) > 0
+),
+w as (
+  select doc_id, unnest(list_transform(range(1, greatest(n - 8, -1) + 2),
+         i -> struct_pack(p := i,
+                          span := array_to_string(toks[i:i+7], ' ')))) as s
+  from d2
+),
+wf as (select doc_id, s.p as p, s.span as span from w),
+cross_dup as (select span from wf group by span
+              having count(distinct doc_id) >= 2),
+dupwin as (select wf.doc_id, wf.p from wf
+           where wf.span in (select span from cross_dup)),
+cov as (select distinct doc_id, unnest(range(p, p + 8)) as p from dupwin),
+isl as (
+  select doc_id, p,
+         p - row_number() over (partition by doc_id order by p) as grp
+  from cov
+)
+select doc_id, min(p) as start_tok, max(p) as end_tok,
+       cast(count(*) as bigint) as n_tokens
+from isl
+group by doc_id, grp
+"""
+
+
 ORACLE_SETSIM_JOIN = r"""
 with d as (select doc_id, trim(lower(text)) as t from documents
            where doc_id < 400),
@@ -5547,6 +5644,8 @@ QUERIES = {
     "ext_setsim_tables": q_setsim_tables,
     "ext_incremental_setsim": q_incremental_setsim,
     "ext_containment_join": q_containment_join,
+    "ext_substr_dedup": q_substr_dedup,
+    "ext_substr_spans": q_substr_spans,
     "ext_text_token_freq": q_text_token_freq,
     "ext_text_topk_approx": q_text_topk_approx,
     "ext_sample_hash": q_sample_hash,
@@ -5685,6 +5784,8 @@ ORACLES = {
     "ext_setsim_tables": ORACLE_SETSIM_TABLES,
     "ext_incremental_setsim": ORACLE_INCREMENTAL_SETSIM,
     "ext_containment_join": ORACLE_CONTAINMENT_JOIN,
+    "ext_substr_dedup": ORACLE_SUBSTR_DEDUP,
+    "ext_substr_spans": ORACLE_SUBSTR_SPANS,
     "ext_text_token_freq": ORACLE_TOKEN_FREQ,
     "ext_sample_hash": ORACLE_SAMPLE_HASH,
     "ext_text_histogram": ORACLE_TEXT_HISTOGRAM,

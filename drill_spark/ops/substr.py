@@ -1,0 +1,204 @@
+"""Exact substring deduplication (ExactSubstr) — the published
+standard for training-data dedup (Lee et al. 2022, "Deduplicating
+Training Data Makes Language Models Better"): find verbatim token
+spans of length >= L shared across documents and remove every
+occurrence except the canonical one, leaving the rest of each
+document intact. This is the exact-match primitive the doc-level
+operators can't express: winnowing fingerprints (ops/winnow.py)
+SAMPLE spans, MinHash/setsim (ops/dedup.py, ops/fuzzy.py) score WHOLE
+documents, and the fixed-n decontamination grams
+(ops/pipeline.py::decontaminate) only flag — none of them removes the
+duplicated text itself.
+
+Where the paper builds a corpus-wide suffix array (a single-machine
+data structure), the distributed re-expression is a rolling L-token
+window join — the same postings shape as ops/fuzzy.containment_join:
+
+- tokenize once; each document emits one row per token position
+  (linear in corpus tokens);
+- every L-token window becomes a span row via ONE ordered
+  ``collect_list`` window pass (rowsBetween(0, L-1) — no self-join,
+  no explode-by-L blow-up: row count stays = token count, only the
+  payload widens by the span text);
+- duplicate detection is TWO-PHASE so the wide span strings don't
+  dominate the shuffle at corpus scale: a map-combined count over the
+  8-byte ``xxhash64(span)`` first (only hashes shuffle), then a
+  semi-join keeps the surviving windows and an exact string groupBy
+  over that (tiny) stream decides TRUE duplicates — hash collisions
+  are a pre-filter concern only, never a correctness one;
+- removal is keep-lowest-doc: a span's occurrences are kept in the
+  smallest doc_id that contains it (ALL its occurrences there,
+  deterministic and order-free) and removed everywhere else; covered
+  token positions come from one bounded ``sequence`` explode over
+  removed windows only;
+- text reconstruction is one per-doc ordered aggregate.
+
+Every step is a Catalyst plan (no Python in the row path), shuffles
+are keyed on doc ids or span hashes, and the only corpus-scale
+exchanges are the token/window streams — the same budget as the
+set-similarity family. Deterministic end to end, so the whole
+operator hash-checks against a closed-form DuckDB oracle
+(__spark_entry__ ``ext_substr_dedup``).
+
+Whitespace canonicalization: tokens come from ``\\s+``-splitting the
+trimmed, lowercased text (the convention shared with ops/dedup and
+ops/fuzzy), so reconstruction joins with single spaces. Documents
+with zero tokens are excluded (no span to compare), mirroring the
+set-similarity operators.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _token_positions(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, p, tok): 1-based dense token positions per document.
+
+    ``\\s+`` on trimmed text never yields interior empties, so
+    posexplode indices are already dense; the empty-token filter only
+    drops the single '' a zero-token document produces.
+    """
+    return (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.posexplode(
+                F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+            ).alias("p0", "tok"),
+        )
+        .where(F.col("tok") != "")
+        .select("id", (F.col("p0") + 1).alias("p"), "tok")
+    )
+
+
+def _window_spans(toks: DataFrame, min_tokens: int) -> DataFrame:
+    """(id, p, span): every L-token window as a single space-joined
+    string — one ordered window pass, row count unchanged."""
+    w = (Window.partitionBy("id").orderBy("p")
+         .rowsBetween(0, min_tokens - 1))
+    return (
+        toks.withColumn("warr", F.collect_list("tok").over(w))
+        .where(F.size("warr") == min_tokens)
+        .select("id", "p", F.array_join("warr", " ").alias("span"))
+    )
+
+
+def _removed_windows(spans: DataFrame) -> DataFrame:
+    """(id, p) of windows to remove under keep-lowest-doc: the span
+    also occurs in some smaller doc_id. Hash pre-filter first (8-byte
+    shuffle keys), exact span-string groupBy on the survivors."""
+    hashed = spans.withColumn("h", F.xxhash64("span"))
+    multi = (hashed.groupBy("h").agg(F.count("*").alias("c"))
+             .where(F.col("c") >= 2).select("h"))
+    survivors = hashed.join(multi, "h", "left_semi")
+    min_doc = survivors.groupBy("span").agg(F.min("id").alias("min_id"))
+    return (
+        survivors.join(min_doc, "span")
+        .where(F.col("id") > F.col("min_id"))
+        .select("id", "p")
+    )
+
+
+def substr_duplicate_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_tokens: int = 8,
+) -> DataFrame:
+    """Report maximal CROSS-DOCUMENT duplicated regions: for every
+    document, the merged (islands) token ranges covered by some
+    L-token window that also appears verbatim in at least one OTHER
+    document. The audit face of :func:`substr_dedup` — same detection,
+    no removal.
+
+    Returns (id_col, start_tok, end_tok, n_tokens) with 1-based
+    inclusive token positions, one row per maximal region.
+    """
+    L = int(min_tokens)
+    if L < 1:
+        raise ValueError(f"substr_duplicate_spans: min_tokens >= 1, got {L}")
+    spans = _window_spans(_token_positions(df, id_col, text_col), L)
+    hashed = spans.withColumn("h", F.xxhash64("span"))
+    multi = (hashed.groupBy("h").agg(F.count("*").alias("c"))
+             .where(F.col("c") >= 2).select("h"))
+    survivors = hashed.join(multi, "h", "left_semi")
+    cross = survivors.groupBy("span").agg(
+        F.countDistinct("id").alias("ndocs"))
+    dup_wins = (
+        survivors.join(cross.where(F.col("ndocs") >= 2).select("span"),
+                       "span", "left_semi")
+        .select("id", "p")
+    )
+    covered = (
+        dup_wins.select(
+            "id", F.explode(F.sequence(F.col("p"),
+                                       F.col("p") + (L - 1))).alias("p"))
+        .distinct()
+    )
+    # gaps-and-islands: consecutive covered positions merge into one
+    # maximal region
+    isl = (
+        covered.withColumn(
+            "rn", F.row_number().over(Window.partitionBy("id").orderBy("p")))
+        .withColumn("grp", F.col("p") - F.col("rn"))
+    )
+    return (
+        isl.groupBy("id", "grp")
+        .agg(F.min("p").alias("start_tok"), F.max("p").alias("end_tok"),
+             F.count("*").alias("n_tokens"))
+        .select(F.col("id").alias(id_col), "start_tok", "end_tok",
+                "n_tokens")
+    )
+
+
+def substr_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_tokens: int = 8,
+) -> DataFrame:
+    """ExactSubstr removal: delete every token covered by an L-token
+    window whose span text also occurs in a smaller doc_id (the
+    canonical copy keeps ALL its occurrences), and reconstruct the
+    remaining text. Exact, deterministic, order-free.
+
+    Returns (id_col, n_tokens, n_removed, clean_text) — one row per
+    document with >= 1 token; a fully-duplicated document survives
+    with clean_text = '' and n_removed = n_tokens, so downstream
+    filters see the removal rather than a silently vanished row.
+    """
+    L = int(min_tokens)
+    if L < 1:
+        raise ValueError(f"substr_dedup: min_tokens >= 1, got {L}")
+    toks = _token_positions(df, id_col, text_col)
+    removed = _removed_windows(_window_spans(toks, L))
+    covered = (
+        removed.select(
+            "id", F.explode(F.sequence(F.col("p"),
+                                       F.col("p") + (L - 1))).alias("p"))
+        .distinct()
+    )
+    totals = toks.groupBy("id").agg(F.count("*").alias("n_tokens"))
+    kept = (
+        toks.join(covered, ["id", "p"], "left_anti")
+        .groupBy("id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("p", "tok"))),
+                    lambda s: s["tok"],
+                ), " ").alias("clean_text"),
+            F.count("*").alias("n_kept"),
+        )
+    )
+    return (
+        totals.join(kept, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            "n_tokens",
+            (F.col("n_tokens") - F.coalesce("n_kept", F.lit(0)))
+            .cast("long").alias("n_removed"),
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        )
+    )

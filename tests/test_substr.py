@@ -1,0 +1,171 @@
+"""ExactSubstr dedup (ops/substr.py): brute-force parity, property
+tests, edge cases, and plan-shape assertions. The reference has no
+substring dedup — this is the Lee et al. 2022 training-data primitive
+the LLM-pipeline family adds; its test model mirrors the setsim suite
+(exact operator == exhaustive Python replay, plans stay equi-joins).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from drill_spark.ops.substr import substr_dedup, substr_duplicate_spans
+
+
+def _toks(s: str) -> list[str]:
+    return [t for t in s.lower().strip().split() if t]
+
+
+def _brute_dedup(rows: list[tuple[int, str]], L: int) -> dict:
+    """Keep-lowest-doc ExactSubstr replay in plain Python."""
+    spans: dict[str, list[tuple[int, int]]] = {}
+    for i, t in rows:
+        tk = _toks(t)
+        for p in range(len(tk) - L + 1):
+            spans.setdefault(" ".join(tk[p:p + L]), []).append((i, p + 1))
+    removed: dict[int, set[int]] = {}
+    for occ in spans.values():
+        mi = min(i for i, _ in occ)
+        for i, p in occ:
+            if i > mi:
+                removed.setdefault(i, set()).update(range(p, p + L))
+    out = {}
+    for i, t in rows:
+        tk = _toks(t)
+        if not tk:
+            continue
+        cov = removed.get(i, set())
+        kept = [w for q, w in enumerate(tk, 1) if q not in cov]
+        out[i] = (len(tk), len(tk) - len(kept), " ".join(kept))
+    return out
+
+
+def _brute_spans(rows: list[tuple[int, str]], L: int) -> set:
+    spans: dict[str, list[tuple[int, int]]] = {}
+    for i, t in rows:
+        tk = _toks(t)
+        for p in range(len(tk) - L + 1):
+            spans.setdefault(" ".join(tk[p:p + L]), []).append((i, p + 1))
+    cov: dict[int, set[int]] = {}
+    for occ in spans.values():
+        if len({i for i, _ in occ}) >= 2:
+            for i, p in occ:
+                cov.setdefault(i, set()).update(range(p, p + L))
+    out = set()
+    for i, ps in cov.items():
+        ps = sorted(ps)
+        s = e = ps[0]
+        for x in ps[1:]:
+            if x == e + 1:
+                e = x
+            else:
+                out.add((i, s, e, e - s + 1))
+                s = e = x
+        out.add((i, s, e, e - s + 1))
+    return out
+
+
+def test_substr_dedup_planted_duplicates(spark):
+    """A verbatim 9-token span shared by three docs survives only in
+    the lowest doc_id; a full-document duplicate empties out but still
+    returns a row; unique docs pass through untouched."""
+    shared = "quick brown fox jumps over the lazy dog tonight"
+    rows = [
+        (0, f"the {shared}"),
+        (1, f"something else entirely here {shared} extra"),
+        (2, "totally unique words nothing shared at all whatsoever"),
+        (3, f"the {shared}"),        # full dup of doc 0
+        (4, ""),                      # zero tokens -> excluded
+        (5, f"prefix words then {shared} and a distinct tail section"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: (r.n_tokens, r.n_removed, r.clean_text)
+           for r in substr_dedup(df, min_tokens=4).collect()}
+    assert got == _brute_dedup(rows, 4)
+    assert got[3] == (10, 10, "")          # fully removed, row kept
+    assert got[0][1] == 0                  # canonical copy untouched
+    assert 4 not in got                    # empty doc excluded
+    # doc 5 keeps its unique head and tail around the removed middle
+    assert got[5][2].startswith("prefix words then")
+    assert got[5][2].endswith("distinct tail section")
+
+
+def test_substr_spans_equals_brute_force(spark):
+    rows = [
+        (0, "a b c d e f g h i j"),
+        (1, "x y a b c d e f q r"),      # shares a..f (6 tokens)
+        (2, "m n o p q r s t u v"),
+        (3, "p q r s t u extra words here now"),  # shares p..u with 2
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r.doc_id, r.start_tok, r.end_tok, r.n_tokens)
+           for r in substr_duplicate_spans(df, min_tokens=3).collect()}
+    assert got == _brute_spans(rows, 3)
+
+
+def test_substr_dedup_within_doc_repeat_kept(spark):
+    """A span repeated WITHIN one document only is never removed —
+    cross-document is the contract (and the canonical doc keeps all
+    its own occurrences even when the span also lives elsewhere)."""
+    rows = [
+        (0, "alpha beta gamma delta alpha beta gamma delta"),
+        (1, "unrelated content alpha beta gamma delta trailing bits"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: (r.n_removed, r.clean_text)
+           for r in substr_dedup(df, min_tokens=4).collect()}
+    # doc 0 is canonical for every shared span: both its repeats stay
+    assert got[0] == (0, rows[0][1])
+    # doc 1 loses exactly the shared 4-token span
+    assert got[1] == (4, "unrelated content trailing bits")
+
+
+def test_substr_dedup_validates_min_tokens(spark):
+    df = spark.createDataFrame([(0, "a b")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        substr_dedup(df, min_tokens=0)
+    with pytest.raises(ValueError):
+        substr_duplicate_spans(df, min_tokens=0)
+
+
+def test_substr_dedup_property_random_corpora(spark):
+    """Property: substr_dedup == exhaustive Python replay on random
+    corpora — tiny vocabularies maximize accidental span collisions,
+    and L sweeps through degenerate (1) and over-long (> doc) sizes."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    docs_strategy = st.lists(
+        st.lists(st.integers(min_value=0, max_value=6),
+                 min_size=0, max_size=12),
+        min_size=1, max_size=8,
+    )
+
+    @settings(max_examples=10, deadline=None)
+    @given(docs=docs_strategy, L=st.sampled_from([1, 2, 3, 5, 15]))
+    def run(docs, L):
+        rows = [(i, " ".join(f"w{x}" for x in tk))
+                for i, tk in enumerate(docs)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {r.doc_id: (r.n_tokens, r.n_removed, r.clean_text)
+               for r in substr_dedup(df, min_tokens=L).collect()}
+        assert got == _brute_dedup(rows, L)
+
+    run()
+
+
+def test_substr_dedup_plan_shape(spark):
+    """The whole operator is Catalyst: no cartesian/NLJ (span
+    detection is a hash-keyed groupBy + semi-join, not a self-join on
+    inequality), no Python eval, and exactly one window pass builds
+    the rolling spans."""
+    from drill_spark import extops, plans
+
+    from .conftest import SF_DIR
+
+    df = extops.QUERIES["ext_substr_dedup"](spark, SF_DIR)
+    assert not plans.has_python_eval(df)
+    phys = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in phys
+    assert "BroadcastNestedLoopJoin" not in phys
