@@ -79,13 +79,17 @@ _PRIORITY = [
     "op_null_safe_join",
     "op_time_window_tumbling", "op_session_window",
     "op_csv_scan", "op_json_scan",
-    "op_avro_scan", "op_delta_scan",
+    "op_delta_scan",
     "op_warc_scan", "op_iceberg_scan",
-    "op_pdf_scan", "op_paimon_scan", "op_msaccess_scan",
-    "op_dfdl_scan",
-    "op_pcapng_scan", "op_union_type", "op_hdf5_scan",
-    # r10b flagships rotated into the driver cap (shp/image scans moved
-    # below — still sweep-verified every round):
+    "op_pdf_scan",
+    # r11 flagships rotated into the driver cap (paimon/msaccess/dfdl/
+    # pcapng/hdf5 scans moved below — still sweep-verified every round):
+    "ext_substr_dedup",
+    "ext_incremental_setsim", "ext_setsim_tables",
+    "ext_stream_setsim_dedup",
+    "tpcds_q47", "tpcds_q51",
+    "op_union_type",
+    # r10b flagships rotated into the driver cap:
     "ext_setsim_join", "ext_containment_join",
     "ext_dedup_exact", "ext_pii_redact",
     "ext_pagerank", "ext_line_dedup", "ext_stream_heavy_hitters",
@@ -95,6 +99,8 @@ _PRIORITY = [
     "ext_rolling_quantiles", "ext_snapshot_diff", "ext_skew_join",
     # ---- driver-cap boundary (~50): everything below is covered by the
     # judge's full sweep (scripts/check_correctness.py) every round.
+    "op_avro_scan", "op_paimon_scan", "op_msaccess_scan", "op_dfdl_scan",
+    "op_pcapng_scan", "op_hdf5_scan",
     "op_sort_nulls", "op_partition_limit", "op_array_fns", "op_date_fns",
     "op_agg_nulls", "op_orc_scan", "op_pivot", "op_spss_scan",
     "op_shp_scan", "op_image_scan",
@@ -102,7 +108,7 @@ _PRIORITY = [
     "op_join_full", "op_join_semi", "op_join_anti", "op_except",
     "ext_heavy_hitters", "ext_kmv_overlap",
     "ext_rolling_distinct", "ext_epoch_shuffle",
-    "tpcds_q07", "tpcds_q67", "tpcds_q44", "tpcds_q70", "tpcds_q23", "tpcds_q51", "tpcds_q11",
+    "tpcds_q07", "tpcds_q67", "tpcds_q44", "tpcds_q70", "tpcds_q23", "tpcds_q11",
     "op_agg_percentile", "op_window_frames",
     "op_delta_dv_scan", "op_iceberg_v2_scan", "op_iceberg_skip_scan",
     "op_csv_columns", "op_json_text_mode", "op_json_extended", "op_xml_scan", "op_ltsv_scan",
@@ -113,7 +119,7 @@ _PRIORITY = [
     "ext_embed_topk", "ext_multimodal_decode", "ext_text_stats",
     "ext_decontaminate", "ext_chunk_pack", "ext_repetition", "ext_stratified_sample",
     "ext_dedup_minhash", "ext_ann_lsh", "ext_text_quality", "ext_multimodal_meta",
-    "ext_asof_join", "ext_range_join", "ext_sample_hash", "ext_incremental_setsim", "ext_stream_setsim_dedup", "ext_setsim_tables",
+    "ext_asof_join", "ext_range_join", "ext_sample_hash", "ext_substr_spans",
     "op_math_fns", "op_cast_fns", "op_decimal_agg", "op_values", "op_count_star",
 ]
 
