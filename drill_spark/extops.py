@@ -3552,7 +3552,18 @@ def q_dsir_sample(spark, sf_dir):
     rest are scored by hashed-ngram log-likelihood ratio and the top
     100 selected (TakeOrdered, rounded-weight + id tiebreak). The
     oracle replays the two bucket models, the smoothing and the
-    ranking in SQL."""
+    ranking in SQL.
+
+    Perf note (r11 investigation of the r10 bench jump 1.30→2.27s):
+    measured three designs at sf0.1 — the committed bounded-persist
+    (2.36s cold / 1.7s steady), per-(doc,bucket) pre-aggregation
+    before the scoring join (3.1/2.5s — the extra (doc,bucket)
+    shuffle costs more than avg()'s per-doc map-side combine saves),
+    and localCheckpoint instead of persist (3.6/2.9s — adds a
+    materialization job). The persist design wins; the r10 jump was
+    host contention + cold cache (host probe 1.35× slower), not a
+    plan regression. The persisted tables are ≤65,536 rows each —
+    bounded, not a pressure source."""
     from drill_spark.ops.pipeline import dsir_weights
 
     docs = _docs(spark, sf_dir)
