@@ -44,6 +44,30 @@ from drill_spark.ops.similarity import (
 
 _META = "meta.json"
 
+
+def _scan_bytes(df: DataFrame) -> int:
+    """Total leaf-file bytes behind ``df``'s scan (0 for in-memory or
+    non-local frames) — the census index_topk uses to decide whether
+    pushing shortlist ids into the base scan beats streaming it."""
+    from urllib.parse import unquote, urlparse
+
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return 0
+    total = 0
+    for f in files:
+        u = urlparse(f)
+        if u.scheme not in ("file", ""):
+            # remote store: size unknown driver-side; treat as big so
+            # the scan-avoiding strategy wins
+            return 1 << 62
+        try:
+            total += os.path.getsize(unquote(u.path))
+        except OSError:
+            pass
+    return total
+
 # Quantizer cache: probe-many means load-once. meta.json holds the
 # centroids + PQ codebooks (the driver-side state every probe needs);
 # re-parsing and re-materializing the numpy arrays per probe is pure
@@ -207,19 +231,43 @@ def index_topk(
     shortlist = (cand.withColumn("_r", F.row_number().over(wa))
                  .where(F.col("_r") <= rerank)
                  .select("query_id", "neighbor_id"))
-    side = with_norm(
-        base.select(F.col(meta["id_col"]).alias("neighbor_id"),
-                    F.col(meta["vec_col"]).alias("cv")), "cv", "cn")
+    side = base.select(F.col(meta["id_col"]).alias("neighbor_id"),
+                       F.col(meta["vec_col"]).alias("cv"))
+    # Rerank join strategy, chosen by what the BASE scan would cost.
+    # The shortlist is <= n_queries * rerank rows; joining it broadcast
+    # against the full base stream means the rerank READS THE WHOLE
+    # BASE TABLE — irrelevant for a small table, but at corpus scale
+    # that full scan IS the probe cost. So when the base side is big
+    # (file census, same rule as ops/pipeline._spread) and the
+    # shortlist is literal-sized, collect the shortlist (tiny, one
+    # bounded job) and push the neighbor ids INTO the base scan as an
+    # isin predicate — parquet row-group skipping then reads only the
+    # shortlisted vectors. For small/in-memory bases the extra driver
+    # round-trip costs more than the scan it saves (measured 1.6s →
+    # 3.0s at sf0.1), so they keep the single-plan broadcast shape.
+    _PUSHDOWN_MAX_IDS = 10_000
+    _PUSHDOWN_MIN_BYTES = 256 * 1024 * 1024
+    if (len(q_rows) * rerank <= _PUSHDOWN_MAX_IDS
+            and _scan_bytes(base) >= _PUSHDOWN_MIN_BYTES):
+        short_rows = shortlist.collect()
+        shortlist = F.broadcast(spark.createDataFrame(
+            [(int(r["query_id"]), int(r["neighbor_id"]))
+             for r in short_rows],
+            "query_id bigint, neighbor_id bigint"))
+        if short_rows:
+            ids = sorted({int(r["neighbor_id"]) for r in short_rows})
+            side = side.where(F.col("neighbor_id").isin(ids))
+    else:
+        shortlist = F.broadcast(shortlist)
+    side = with_norm(side, "cv", "cn")
     qdf = with_norm(
         spark.createDataFrame(
             [(int(r["query_id"]), [float(x) for x in r["qv"]])
              for r in q_rows],
             "query_id bigint, qv array<double>"),
         "qv", "qn")
-    # the shortlist is <= n_queries * rerank rows — broadcast it so the
-    # base-vector side joins map-side and never shuffles
     scored = (
-        side.join(F.broadcast(shortlist), "neighbor_id")
+        side.join(shortlist, "neighbor_id")
         .join(F.broadcast(qdf), "query_id")
         .withColumn("cosine", F.round(
             _dot("qv", "cv") / (F.col("qn") * F.col("cn")), 4))

@@ -138,3 +138,34 @@ def test_vector_index_sql_ddl(spark, session):
     assert not os.path.exists(path)
     assert session.sql(
         "drop vector index if exists vix").head()["ok"] is True
+
+
+def test_rerank_pushdown_matches_broadcast(index, spark, monkeypatch):
+    """The adaptive rerank strategy: when the base side reads as big
+    (file census), shortlist ids are collected and pushed INTO the
+    base scan (row-group skipping reads only shortlisted vectors);
+    results must be identical to the small-base broadcast-join shape,
+    and the pushed In(vec_id, ...) filter must reach the scan."""
+    import drill_spark.ops.vecindex as V
+
+    path, base, _ = index
+    # parquet-backed base so there is a scan to push into
+    pq = os.path.join(os.path.dirname(path), "base_pq")
+    base.write.mode("overwrite").parquet(pq)
+    fbase = spark.read.parquet(pq)
+    queries = base.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"))
+
+    small = {(r.query_id, r.neighbor_id, r.cosine, r.rank)
+             for r in index_topk(spark, path, queries, k=3, nprobe=5,
+                                 rerank=20, base=fbase).collect()}
+
+    monkeypatch.setattr(V, "_scan_bytes", lambda df: 1 << 62)
+    pushed_df = V.index_topk(spark, path, queries, k=3, nprobe=5,
+                             rerank=20, base=fbase)
+    pushed = {(r.query_id, r.neighbor_id, r.cosine, r.rank)
+              for r in pushed_df.collect()}
+    assert pushed == small and len(pushed) == 9
+
+    phys = pushed_df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [In(vec_id" in phys
