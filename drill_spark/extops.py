@@ -3610,14 +3610,65 @@ limit 100
 def q_pack_bins(spark, sf_dir):
     """Sequence packing (ops/pipeline.py::pack_bins): 32-token chunks
     from chunk_tokens packed FFD into 128-token bins across 8 hash
-    shards. Rows-only by design (bin packing is not SQL-expressible);
-    the invariants — exactly-once assignment, capacity, the FFD bound,
-    determinism — are pytest-proven in test_pipeline.py."""
+    shards. HASH-oracle-backed (upgraded from rows-only in r11): the
+    engine-portable md5 sharding plus FFD's determinism let a DuckDB
+    recursive CTE replay the per-shard first-fit fold bin for bin —
+    the fills list is the recursion state, list_position finds the
+    first fitting bin. The invariants (exactly-once assignment,
+    capacity, FFD bound, partitioning-independence) remain
+    pytest-proven in test_pipeline.py."""
     from drill_spark.ops.pipeline import chunk_tokens, pack_bins
 
     chunks = chunk_tokens(_docs(spark, sf_dir), "doc_id", "text",
                           max_tokens=32)
     return pack_bins(chunks, capacity=128, n_shards=8)
+
+
+ORACLE_PACK_BINS = r"""
+with recursive chunksrc as (
+  select doc_id, string_split_regex(trim(lower(text)), '\s+') as w
+  from documents
+),
+chunks as (
+  select doc_id, i as chunk_id,
+         cast(len(w[i*32+1 : i*32+32]) as bigint) as n_tokens,
+         md5(array_to_string(w[i*32+1 : i*32+32], ' ')) as chunk_hash,
+         cast(('0x' || substring(md5(doc_id::varchar || '|' || i::varchar),
+                                 1, 8))::bigint % 8 as int) as shard
+  from chunksrc, unnest(range(0, cast(ceil(len(w) / 32.0) as bigint))) as t(i)
+),
+ch as (
+  select *, row_number() over (partition by shard
+                               order by n_tokens desc, doc_id, chunk_id)
+              as step
+  from chunks
+),
+rec as (
+  select distinct shard, cast(0 as bigint) as step,
+         cast([] as bigint[]) as fills, cast([] as bigint[]) as assign
+  from ch
+  union all
+  select r.shard, r.step + 1,
+         case when l.idx is null then list_append(r.fills, c.n_tokens)
+              else r.fills[1:l.idx-1] || [r.fills[l.idx] + c.n_tokens]
+                   || r.fills[l.idx+1:] end,
+         list_append(r.assign, coalesce(l.idx - 1, len(r.fills)))
+  from rec r
+  join ch c on c.shard = r.shard and c.step = r.step + 1,
+  lateral (select nullif(list_position(
+      list_transform(r.fills, f -> f + c.n_tokens <= 128), true), 0) as idx) l
+),
+final as (
+  select r.shard, r.fills, r.assign
+  from rec r join (select shard, max(step) ms from rec group by 1) m
+    on r.shard = m.shard and r.step = m.ms
+)
+select c.doc_id, c.chunk_id, c.n_tokens, c.chunk_hash, c.shard,
+       cast(c.shard as bigint) * 4294967296 + f.assign[c.step] as bin_id,
+       f.fills[f.assign[c.step] + 1] as bin_fill,
+       c.n_tokens > 128 as oversize
+from ch c join final f using (shard)
+"""
 
 
 def q_skew_profile(spark, sf_dir):
@@ -5818,6 +5869,7 @@ ORACLES = {
     "ext_decontaminate": ORACLE_DECONTAMINATE,
     "ext_bloom_decontaminate": ORACLE_DECONTAMINATE,
     "ext_chunk_pack": ORACLE_CHUNK_PACK,
+    "ext_pack_bins": ORACLE_PACK_BINS,
     "ext_repetition": ORACLE_REPETITION,
     "ext_stratified_sample": ORACLE_STRATIFIED_SAMPLE,
     "ext_quality_mixture": ORACLE_QUALITY_MIXTURE,

@@ -442,12 +442,18 @@ def pack_bins(
 
     Global bin packing is inherently sequential, so the distributed
     shape is the standard one: chunks hash-shard into ``n_shards``
-    independent groups (deterministic xxhash64 — reproducible across
-    runs and partitionings) and FFD runs per shard in one Arrow batch;
-    ``bin_id = shard * 2^32 + local``. FFD's quality bound (≤ 11/9·OPT
-    + 1 bins) holds per shard, so the padding overhead stays bounded
-    while every shard packs in parallel; per-task state is one shard's
-    chunk list, bounded by n_shards sizing, never the corpus.
+    independent groups (deterministic AND engine-portable: the first 8
+    hex chars of md5 over the '|'-joined id columns — reproducible
+    across runs, partitionings, and engines, so a SQL oracle can
+    replay the exact sharding) and FFD runs per shard in one Arrow
+    batch; ``bin_id = shard * 2^32 + local``. FFD's quality bound
+    (≤ 11/9·OPT + 1 bins) holds per shard, so the padding overhead
+    stays bounded while every shard packs in parallel; per-task state
+    is one shard's chunk list, bounded by n_shards sizing, never the
+    corpus. The whole operator is a pure function of its input — the
+    per-shard FFD fold replays closed-form (a recursive CTE carrying
+    the bin-fill list), which is how ext_substr-style hash oracles
+    check it end to end.
 
     Chunks larger than ``capacity`` get a bin of their own and are
     flagged ``oversize`` (the caller's chunker normally prevents this).
@@ -455,7 +461,10 @@ def pack_bins(
     padding-efficiency signal), oversize.
     """
     shard = (
-        F.abs(F.xxhash64(*[F.col(c) for c in id_cols])) % n_shards
+        F.conv(F.substring(
+            F.md5(F.concat_ws("|", *[F.col(c).cast("string")
+                                     for c in id_cols])), 1, 8), 16, 10)
+        .cast("bigint") % n_shards
     ).cast("int")
     df = chunks.withColumn("shard", shard)
     out_schema = df.schema.simpleString()[7:-1].replace(":", " ") + \
