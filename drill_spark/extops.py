@@ -722,6 +722,143 @@ group by doc_id, grp
 """
 
 
+def q_substr_decontam(spark, sf_dir):
+    """Verbatim benchmark decontamination (ops/substr.py::
+    substr_decontaminate — the EXACT-match half of the
+    decontamination story, removal rather than flagging): first-12-
+    word snippets of docs 450..499 play the benchmark; every corpus
+    token (docs < 400) covered by a 6-token window that appears
+    verbatim in a snippet is removed and the text reconstructed.
+    Deterministic end to end → hash-oracle-backed."""
+    from drill_spark.ops.substr import substr_decontaminate
+
+    docs = _docs(spark, sf_dir)
+    bench = (docs.where((F.col("doc_id") >= 450) & (F.col("doc_id") < 500))
+             .select((F.col("doc_id") - 450).alias("bench_id"),
+                     F.array_join(
+                         F.slice(F.split(F.trim(F.lower("text")), r"\s+"),
+                                 1, 12), " ").alias("text")))
+    corpus = docs.where(F.col("doc_id") < 400)
+    return substr_decontaminate(corpus, bench, min_tokens=6)
+
+
+ORACLE_SUBSTR_DECONTAM = r"""
+with d2 as (
+  select doc_id, toks, len(toks) as n
+  from (select doc_id,
+               list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                           x -> x <> '') as toks
+        from documents where doc_id < 400)
+  where len(toks) > 0
+),
+bsnip as (
+  select list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                     x -> x <> '')[1:12] as toks
+  from documents where doc_id >= 450 and doc_id < 500
+),
+bspan as (
+  select distinct array_to_string(toks[i:i+5], ' ') as span
+  from (select toks, len(toks) as n from bsnip where len(toks) >= 6),
+       unnest(range(1, n - 6 + 2)) as t(i)
+),
+w as (
+  select doc_id, unnest(list_transform(range(1, greatest(n - 6, -1) + 2),
+         i -> struct_pack(p := i,
+                          span := array_to_string(toks[i:i+5], ' ')))) as s
+  from d2
+),
+wf as (select doc_id, s.p as p, s.span as span from w),
+rem as (select wf.doc_id, wf.p from wf
+        where wf.span in (select span from bspan)),
+cov as (select distinct doc_id, unnest(range(p, p + 6)) as p from rem),
+tokp as (select doc_id, unnest(toks) as tok,
+                unnest(range(1, n + 1)) as p from d2),
+keptagg as (
+  select t.doc_id,
+         array_to_string(list(t.tok order by t.p), ' ') as clean_text,
+         count(*) as n_kept
+  from tokp t
+  where not exists (select 1 from cov c
+                    where c.doc_id = t.doc_id and c.p = t.p)
+  group by 1
+)
+select d2.doc_id,
+       cast(d2.n as bigint) as n_tokens,
+       cast(d2.n - coalesce(k.n_kept, 0) as bigint) as n_removed,
+       coalesce(k.clean_text, '') as clean_text
+from d2 left join keptagg k using (doc_id)
+"""
+
+
+def q_incremental_substr(spark, sf_dir):
+    """Cross-run ExactSubstr dedup vs a persistent span-digest store
+    (ops/substr.py::incremental_substr_dedup): even-id docs (< 240)
+    commit as batch 0, odd-id docs clean as batch 1 — every odd-doc
+    token covered by an 8-token window seen in ANY even doc (the
+    store) or in a lower odd doc (within-batch keep-lowest) is
+    removed. Returns batch 1's cleaned rows; the whole two-batch
+    protocol replays closed-form in DuckDB. Fresh store per
+    invocation keeps the query a pure function of the fixtures."""
+    import tempfile
+
+    from drill_spark.ops.substr import incremental_substr_dedup
+
+    docs = _docs(spark, sf_dir).where(F.col("doc_id") < 240)
+    store = tempfile.mkdtemp(prefix="incsubstr_") + "/store"
+    incremental_substr_dedup(
+        docs.where(F.col("doc_id") % 2 == 0), store, min_tokens=8,
+    ).count()  # materialize batch 0's store commit
+    return incremental_substr_dedup(
+        docs.where(F.col("doc_id") % 2 == 1), store, min_tokens=8)
+
+
+ORACLE_INCREMENTAL_SUBSTR = r"""
+with d2 as (
+  select doc_id, toks, len(toks) as n
+  from (select doc_id,
+               list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                           x -> x <> '') as toks
+        from documents where doc_id < 240)
+  where len(toks) > 0
+),
+w as (
+  select doc_id, unnest(list_transform(range(1, greatest(n - 8, -1) + 2),
+         i -> struct_pack(p := i,
+                          span := array_to_string(toks[i:i+7], ' ')))) as s
+  from d2
+),
+wf as (select doc_id, s.p as p, s.span as span from w),
+evenspan as (select distinct span from wf where doc_id % 2 = 0),
+oddw as (select * from wf where doc_id % 2 = 1),
+md as (select span, min(doc_id) as min_id from oddw group by 1),
+rem as (
+  select o.doc_id, o.p from oddw o join md using (span)
+  where o.doc_id > md.min_id
+  union
+  select o.doc_id, o.p from oddw o
+  where o.span in (select span from evenspan)
+),
+cov as (select distinct doc_id, unnest(range(p, p + 8)) as p from rem),
+odd2 as (select * from d2 where doc_id % 2 = 1),
+tokp as (select doc_id, unnest(toks) as tok,
+                unnest(range(1, n + 1)) as p from odd2),
+keptagg as (
+  select t.doc_id,
+         array_to_string(list(t.tok order by t.p), ' ') as clean_text,
+         count(*) as n_kept
+  from tokp t
+  where not exists (select 1 from cov c
+                    where c.doc_id = t.doc_id and c.p = t.p)
+  group by 1
+)
+select odd2.doc_id,
+       cast(odd2.n as bigint) as n_tokens,
+       cast(odd2.n - coalesce(k.n_kept, 0) as bigint) as n_removed,
+       coalesce(k.clean_text, '') as clean_text
+from odd2 left join keptagg k using (doc_id)
+"""
+
+
 ORACLE_SETSIM_JOIN = r"""
 with d as (select doc_id, trim(lower(text)) as t from documents
            where doc_id < 400),
@@ -5708,6 +5845,8 @@ QUERIES = {
     "ext_containment_join": q_containment_join,
     "ext_substr_dedup": q_substr_dedup,
     "ext_substr_spans": q_substr_spans,
+    "ext_substr_decontam": q_substr_decontam,
+    "ext_incremental_substr": q_incremental_substr,
     "ext_text_token_freq": q_text_token_freq,
     "ext_text_topk_approx": q_text_topk_approx,
     "ext_sample_hash": q_sample_hash,
@@ -5848,6 +5987,8 @@ ORACLES = {
     "ext_containment_join": ORACLE_CONTAINMENT_JOIN,
     "ext_substr_dedup": ORACLE_SUBSTR_DEDUP,
     "ext_substr_spans": ORACLE_SUBSTR_SPANS,
+    "ext_substr_decontam": ORACLE_SUBSTR_DECONTAM,
+    "ext_incremental_substr": ORACLE_INCREMENTAL_SUBSTR,
     "ext_text_token_freq": ORACLE_TOKEN_FREQ,
     "ext_sample_hash": ORACLE_SAMPLE_HASH,
     "ext_text_histogram": ORACLE_TEXT_HISTOGRAM,

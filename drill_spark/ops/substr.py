@@ -179,6 +179,57 @@ def substr_dedup(
                                        F.col("p") + (L - 1))).alias("p"))
         .distinct()
     )
+    return _reconstruct(toks, covered, id_col)
+
+
+def substr_decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_id: str = "bench_id",
+    bench_text: str = "text",
+    min_tokens: int = 8,
+) -> DataFrame:
+    """Verbatim benchmark decontamination — the EXACT-MATCH half of the
+    decontamination story: remove from every corpus document each token
+    covered by an L-token window that appears verbatim anywhere in the
+    benchmark set (the published n-gram-overlap scrub, GPT-3 appendix C
+    / Lee et al. 2022 §6, applied as REMOVAL rather than the
+    flag-and-drop of ops/pipeline.decontaminate, and exact rather than
+    the threshold-Jaccard of ops/fuzzy.containment_join).
+
+    Scale shape: the benchmark side is small by nature — its distinct
+    span set broadcasts; the corpus stream keeps the linear one-window-
+    pass shape of substr_dedup and never shuffles for detection (the
+    only exchanges are the per-doc reconstruction aggregates).
+
+    Returns (id_col, n_tokens, n_removed, clean_text), one row per
+    corpus document with >= 1 token.
+    """
+    L = int(min_tokens)
+    if L < 1:
+        raise ValueError(f"substr_decontaminate: min_tokens >= 1, got {L}")
+    toks = _token_positions(corpus, id_col, text_col)
+    cspans = _window_spans(toks, L)
+    bspans = (
+        _window_spans(_token_positions(benchmark, bench_id, bench_text), L)
+        .select("span").distinct()
+    )
+    removed = cspans.join(F.broadcast(bspans), "span", "left_semi")
+    covered = (
+        removed.select(
+            "id", F.explode(F.sequence(F.col("p"),
+                                       F.col("p") + (L - 1))).alias("p"))
+        .distinct()
+    )
+    return _reconstruct(toks, covered, id_col)
+
+
+def _reconstruct(toks: DataFrame, covered: DataFrame,
+                 id_col: str) -> DataFrame:
+    """(id_col, n_tokens, n_removed, clean_text) from the token stream
+    minus covered positions — the shared tail of the removal ops."""
     totals = toks.groupBy("id").agg(F.count("*").alias("n_tokens"))
     kept = (
         toks.join(covered, ["id", "p"], "left_anti")
@@ -202,3 +253,98 @@ def substr_dedup(
             F.coalesce("clean_text", F.lit("")).alias("clean_text"),
         )
     )
+
+
+_INCR_SUBSTR_APP_ID = "drill_spark.incremental_substr_dedup"
+
+
+def incremental_substr_dedup(
+    df: DataFrame,
+    store_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_tokens: int = 8,
+    batch_id: int | None = None,
+    txn_app_id: str = _INCR_SUBSTR_APP_ID,
+) -> DataFrame:
+    """Cross-run ExactSubstr dedup against a persistent span-digest
+    store — the substring sibling of ops/fuzzy.incremental_setsim:
+    batch N removes every token covered by an L-window whose span was
+    seen in ANY earlier batch (earlier batches are canonical), plus
+    the keep-lowest-doc rule within the batch, WITHOUT rescanning
+    prior batches' text. What persists is the batch's distinct span
+    digests — md5, the same engine-portable content-digest convention
+    as the exact-dedup store, so 'exact up to digest collision' is the
+    identical contract (and a SQL oracle can replay the digests).
+
+    Store layout: Delta (h: md5 hex of the span text, batch_id), one
+    row per distinct span per batch; linear in corpus tokens, ~16
+    bytes per span — the honest cost of cross-run exactness. Digests
+    are computed over INPUT text (not the cleaned output), so removal
+    splice artifacts never become canonical spans. Replay/ordering
+    follow incremental_setsim's per-batch txn contract: committed
+    batch ids replay from the store without re-append; an unknown id
+    at or below the high-water mark raises.
+
+    Returns (id_col, n_tokens, n_removed, clean_text) for the batch.
+    A replay recomputes the same deterministic result from the
+    resubmitted batch text against the spans committed strictly
+    BEFORE this batch (the batch's own digests are excluded by
+    ``batch_id < N``), and appends nothing — idempotent end to end.
+    """
+    import os
+
+    from drill_spark.readers.delta import load_snapshot, read_delta, write_delta
+
+    L = int(min_tokens)
+    if L < 1:
+        raise ValueError(f"incremental_substr_dedup: min_tokens >= 1, got {L}")
+    spark = df.sparkSession
+
+    exists = os.path.isdir(os.path.join(store_path, "_delta_log"))
+    committed: set[int] = set()
+    last_txn = -1
+    store = None
+    if exists:
+        snap = load_snapshot(spark, store_path)
+        prefix = f"{txn_app_id}#batch"
+        committed = {int(k[len(prefix):]) for k in snap.txns
+                     if k.startswith(prefix)}
+        last_txn = max(committed, default=-1)
+        store = read_delta(spark, store_path)
+    if batch_id is None:
+        batch_id = last_txn + 1
+    is_replay = batch_id in committed
+    if exists and not is_replay and batch_id <= last_txn:
+        raise ValueError(
+            f"incremental_substr_dedup: batch_id {batch_id} is at or below "
+            f"the store's high-water mark ({last_txn}) but was never "
+            f"committed — batch ids must be assigned monotonically "
+            f"(pass batch_id=None to auto-assign)")
+
+    toks = _token_positions(df, id_col, text_col)
+    spans = _window_spans(toks, L).withColumn("h", F.md5("span"))
+
+    # within-batch keep-lowest-doc removal (substr_dedup semantics)
+    removed = _removed_windows(spans.drop("h"))
+    if exists:
+        olds = (store.where(F.col("batch_id") < int(batch_id))
+                .select("h").distinct())
+        hit = (spans.join(olds, "h", "left_semi")
+               .select("id", "p"))
+        removed = removed.unionByName(hit)
+    covered = (
+        removed.select(
+            "id", F.explode(F.sequence(F.col("p"),
+                                       F.col("p") + (L - 1))).alias("p"))
+        .distinct()
+    )
+    out = _reconstruct(toks, covered, id_col)
+
+    if not is_replay:
+        new_rows = (spans.select("h").distinct()
+                    .withColumn("batch_id", F.lit(int(batch_id))))
+        write_delta(new_rows, store_path,
+                    mode="append" if exists else "error",
+                    txn=(f"{txn_app_id}#batch{int(batch_id)}", int(batch_id)))
+    return out

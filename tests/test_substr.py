@@ -169,3 +169,73 @@ def test_substr_dedup_plan_shape(spark):
     phys = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in phys
     assert "BroadcastNestedLoopJoin" not in phys
+
+
+def test_substr_decontaminate_planted(spark):
+    """Benchmark spans are removed from every corpus occurrence (no
+    canonical copy — the benchmark is the canonical text); disjoint
+    docs pass through; corpus-internal duplication is NOT touched."""
+    from drill_spark.ops.substr import substr_decontaminate
+
+    corpus = spark.createDataFrame([
+        (0, "alpha beta gamma delta unique tail here"),
+        (1, "no overlap at all in this document"),
+        (2, "prefix stuff beta gamma delta suffix"),
+        (3, "shared corpus words shared corpus words"),  # internal dup only
+    ], "doc_id long, text string")
+    bench = spark.createDataFrame([
+        (0, "question about beta gamma delta maybe"),
+    ], "bench_id long, text string")
+    got = {r.doc_id: (r.n_tokens, r.n_removed, r.clean_text)
+           for r in substr_decontaminate(corpus, bench,
+                                         min_tokens=3).collect()}
+    assert got[0] == (7, 3, "alpha unique tail here")
+    assert got[1] == (7, 0, "no overlap at all in this document")
+    assert got[2] == (6, 3, "prefix stuff suffix")
+    assert got[3] == (6, 0, "shared corpus words shared corpus words")
+
+
+def test_incremental_substr_dedup_protocol(spark, tmp_path):
+    """Two-batch protocol: batch 1 loses spans seen in batch 0 (the
+    store) and within-batch keep-lowest; replaying a committed batch
+    recomputes identically without re-appending; a skipped-ahead
+    batch_id raises."""
+    import pytest
+
+    from drill_spark.ops.substr import incremental_substr_dedup
+    from drill_spark.readers.delta import read_delta
+
+    store = str(tmp_path / "store")
+    b0 = spark.createDataFrame([
+        (0, "one two three four five"),
+        (1, "completely different words here"),
+    ], "doc_id long, text string")
+    r0 = {r.doc_id: r.n_removed
+          for r in incremental_substr_dedup(b0, store,
+                                            min_tokens=3).collect()}
+    assert r0 == {0: 0, 1: 0}
+
+    b1 = spark.createDataFrame([
+        (10, "intro one two three four five outro"),
+        (11, "fresh content alpha beta gamma"),
+        (12, "fresh content alpha beta gamma"),
+    ], "doc_id long, text string")
+    r1 = {r.doc_id: (r.n_removed, r.clean_text)
+          for r in incremental_substr_dedup(b1, store,
+                                            min_tokens=3).collect()}
+    assert r1[10] == (5, "intro outro")        # store hit
+    assert r1[11] == (0, "fresh content alpha beta gamma")  # canonical
+    assert r1[12] == (5, "")                   # within-batch dup
+
+    n = read_delta(spark, store).count()
+    replay = {r.doc_id: (r.n_removed, r.clean_text)
+              for r in incremental_substr_dedup(b1, store, min_tokens=3,
+                                                batch_id=1).collect()}
+    assert replay == r1
+    assert read_delta(spark, store).count() == n  # no re-append
+    assert set(read_delta(spark, store).columns) == {"h", "batch_id"}
+
+    incremental_substr_dedup(b1, store, min_tokens=3, batch_id=5).count()
+    with pytest.raises(ValueError, match="never.*committed|high-water"):
+        incremental_substr_dedup(b1, store, min_tokens=3,
+                                 batch_id=3).count()
