@@ -4228,6 +4228,97 @@ def q_stream_setsim_dedup(spark, sf_dir):
     return read_delta(spark, os.path.join(base, "out")).select("doc_id")
 
 
+def q_stream_substr_dedup(spark, sf_dir):
+    """Streaming ExactSubstr ingest dedup (streaming/events.py::
+    stream_incremental_substr): even-id docs (< 240) arrive as
+    micro-batch 0, odd-id as micro-batch 1 (file source, batch-named
+    files); each batch is cleaned of spans seen in earlier batches via
+    the persistent span-digest store plus within-batch keep-lowest,
+    and the CLEANED rows land in an output Delta exactly-once.
+    Deterministic end to end, so the STREAMED protocol hash-checks
+    against the closed-form batch oracle (union of both batches'
+    cleaned rows)."""
+    import os
+    import tempfile
+
+    from drill_spark.readers.delta import read_delta
+    from drill_spark.streaming.events import stream_incremental_substr
+
+    docs = _docs(spark, sf_dir).where(F.col("doc_id") < 240)
+
+    def build(src):
+        _write_two_batch_source(
+            src,
+            docs.where(F.col("doc_id") % 2 == 0),
+            docs.where(F.col("doc_id") % 2 == 1),
+        )
+
+    src = _materialize_once(sf_dir, "ssubstr_src", build)
+    base = tempfile.mkdtemp(prefix="ssubstr_")
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    q = stream_incremental_substr(
+        stream, os.path.join(base, "store"), os.path.join(base, "out"),
+        os.path.join(base, "ckpt"), min_tokens=8,
+    )
+    q.awaitTermination()
+    return read_delta(spark, os.path.join(base, "out"))
+
+
+ORACLE_STREAM_SUBSTR_DEDUP = r"""
+with d2 as (
+  select doc_id, toks, len(toks) as n
+  from (select doc_id,
+               list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                           x -> x <> '') as toks
+        from documents where doc_id < 240)
+  where len(toks) > 0
+),
+w as (
+  select doc_id, unnest(list_transform(range(1, greatest(n - 8, -1) + 2),
+         i -> struct_pack(p := i,
+                          span := array_to_string(toks[i:i+7], ' ')))) as s
+  from d2
+),
+wf as (select doc_id, s.p as p, s.span as span from w),
+-- batch 0 (evens): within-batch keep-lowest only
+evw as (select * from wf where doc_id % 2 = 0),
+emd as (select span, min(doc_id) as min_id from evw group by 1),
+erem as (select e.doc_id, e.p from evw e join emd using (span)
+         where e.doc_id > emd.min_id),
+-- batch 1 (odds): within-batch keep-lowest + any even span (store)
+odw as (select * from wf where doc_id % 2 = 1),
+omd as (select span, min(doc_id) as min_id from odw group by 1),
+orem as (
+  select o.doc_id, o.p from odw o join omd using (span)
+  where o.doc_id > omd.min_id
+  union
+  select o.doc_id, o.p from odw o
+  where o.span in (select distinct span from evw)
+),
+rem as (select * from erem union all select * from orem),
+cov as (select distinct doc_id, unnest(range(p, p + 8)) as p from rem),
+tokp as (select doc_id, unnest(toks) as tok,
+                unnest(range(1, n + 1)) as p from d2),
+keptagg as (
+  select t.doc_id,
+         array_to_string(list(t.tok order by t.p), ' ') as clean_text,
+         count(*) as n_kept
+  from tokp t
+  where not exists (select 1 from cov c
+                    where c.doc_id = t.doc_id and c.p = t.p)
+  group by 1
+)
+select d2.doc_id,
+       cast(d2.n as bigint) as n_tokens,
+       cast(d2.n - coalesce(k.n_kept, 0) as bigint) as n_removed,
+       coalesce(k.clean_text, '') as clean_text
+from d2 left join keptagg k using (doc_id)
+"""
+
+
 ORACLE_STREAM_SETSIM_DEDUP = r"""
 with d as (select doc_id, trim(lower(text)) as t from documents
            where doc_id < 240),
@@ -5923,6 +6014,7 @@ QUERIES = {
     "ext_novelty": q_novelty,
     "ext_stream_incr_dedup": q_stream_incr_dedup,
     "ext_stream_setsim_dedup": q_stream_setsim_dedup,
+    "ext_stream_substr_dedup": q_stream_substr_dedup,
     "ext_stream_crawl": q_stream_crawl,
     "ext_crawl_pipeline": q_crawl_pipeline,
     "ext_heavy_hitters": q_heavy_hitters,
@@ -6044,6 +6136,7 @@ ORACLES = {
     "ext_novelty": ORACLE_NOVELTY,
     "ext_stream_incr_dedup": ORACLE_STREAM_INCR_DEDUP,
     "ext_stream_setsim_dedup": ORACLE_STREAM_SETSIM_DEDUP,
+    "ext_stream_substr_dedup": ORACLE_STREAM_SUBSTR_DEDUP,
     "ext_stream_crawl": ORACLE_STREAM_CRAWL,
     "ext_crawl_pipeline": ORACLE_CRAWL_PIPELINE,
     "ext_heavy_hitters": ORACLE_HEAVY_HITTERS,

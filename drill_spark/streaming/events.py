@@ -434,6 +434,48 @@ def stream_incremental_near_dedup(
     )
 
 
+def stream_incremental_substr(
+    docs_stream: DataFrame,
+    store_path: str,
+    out_path: str,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_tokens: int = 8,
+    app_id: str = "drill_spark_stream_substr",
+    trigger: dict | None = None,
+):
+    """Streaming ExactSubstr ingest dedup — the continuously-arriving
+    twin of ops/substr.incremental_substr_dedup: every micro-batch's
+    documents are cleaned of L-token spans seen in ANY earlier batch
+    (via the persistent span-digest store) plus within-batch
+    keep-lowest, and the CLEANED rows (id, n_tokens, n_removed,
+    clean_text) land in ``out_path`` exactly-once. Prior batches' text
+    is never rescanned; the streamed protocol is deterministic end to
+    end and shares the batch operator's closed-form oracle — the same
+    two-log (store txn + output txn) contract as the exact/near/setsim
+    ingest twins, so backfill and ingest share ONE substring-dedup
+    semantics and one store.
+    """
+    from drill_spark.ops.substr import incremental_substr_dedup
+
+    def _commit(batch_df: DataFrame, epoch_id: int) -> None:
+        cleaned = incremental_substr_dedup(
+            batch_df, store_path, id_col=id_col, text_col=text_col,
+            min_tokens=min_tokens,
+            batch_id=_STREAM_EPOCH_BASE + epoch_id,
+            txn_app_id=f"{app_id}.store",
+        )
+        commit_batch_idempotent(cleaned, out_path, app_id, epoch_id)
+
+    return (
+        docs_stream.writeStream.foreachBatch(_commit)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(**(trigger if trigger is not None else {"availableNow": True}))
+        .start()
+    )
+
+
 def stream_incremental_setsim(
     docs_stream: DataFrame,
     store_path: str,

@@ -522,3 +522,58 @@ def test_stream_incremental_setsim_and_replay(spark, tmp_path):
                    read_delta(spark, str(tmp_path / "out")).collect())
     assert again == [1, 11]
     assert read_delta(spark, str(tmp_path / "store")).count() == store_rows
+
+
+def test_stream_incremental_substr_and_replay(spark, tmp_path):
+    """Streaming ExactSubstr ingest: batch 1's document containing a
+    verbatim batch-0 span is cleaned via the persistent span-digest
+    store (the span's tokens removed, the novel framing kept); a full
+    replay with a fresh checkpoint neither grows the store nor
+    duplicates the output — and the store holds digests, never text."""
+    import os
+
+    from drill_spark.readers.delta import read_delta
+    from drill_spark.streaming.events import stream_incremental_substr
+
+    span = "the quick brown fox jumps over the lazy dog"
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        [(1, span)], "doc_id bigint, text string").coalesce(1) \
+        .write.parquet(src)
+    spark.createDataFrame(
+        [(10, f"intro words {span} outro words"),
+         (11, "a fresh unrelated essay on medieval architecture")],
+        "doc_id bigint, text string").coalesce(1) \
+        .write.mode("append").parquet(src)
+    parts = sorted(
+        (os.path.join(src, f) for f in os.listdir(src)
+         if f.endswith(".parquet")),
+        key=os.path.getmtime,
+    )
+    for i, p in enumerate(parts):
+        os.utime(p, (1_600_000_000 + i * 60,) * 2)
+
+    def run(ckpt):
+        stream = (
+            spark.readStream.schema("doc_id bigint, text string")
+            .option("maxFilesPerTrigger", 1).parquet(src)
+        )
+        q = stream_incremental_substr(
+            stream, str(tmp_path / "store"), str(tmp_path / "out"), ckpt,
+            min_tokens=4)
+        q.awaitTermination()
+
+    run(str(tmp_path / "ckpt1"))
+    got = {r.doc_id: (r.n_removed, r.clean_text) for r in
+           read_delta(spark, str(tmp_path / "out")).collect()}
+    assert got[1] == (0, span)                       # canonical batch
+    assert got[10] == (9, "intro words outro words")  # span scrubbed
+    assert got[11][0] == 0                            # novel untouched
+    store = read_delta(spark, str(tmp_path / "store"))
+    store_rows = store.count()
+    assert set(store.columns) == {"h", "batch_id"}
+    run(str(tmp_path / "ckpt2"))  # full replay, fresh checkpoint
+    again = {r.doc_id: (r.n_removed, r.clean_text) for r in
+             read_delta(spark, str(tmp_path / "out")).collect()}
+    assert again == got
+    assert read_delta(spark, str(tmp_path / "store")).count() == store_rows
