@@ -746,7 +746,11 @@ tpcds_store_returns as (
          l.l_suppkey % 10 as sr_store_sk,
          2451180 + l.l_orderkey % 120 as sr_returned_date_sk,
          cast(floor(l.l_extendedprice * (1 - l.l_discount) * 100) as bigint)
-           as sr_return_amt
+           as sr_return_amt,
+         l.l_orderkey as sr_ticket_number,
+         l.l_partkey % 200 as sr_item_sk,
+         cast((l.l_orderkey * 5 + l.l_partkey)
+              % cast(l.l_quantity as int) as int) + 1 as sr_return_quantity
   from lineitem l join orders o on l.l_orderkey = o.o_orderkey
   where l.l_returnflag = 'R'
 ),
@@ -800,6 +804,14 @@ def _returns_fact(spark: SparkSession, sf_dir: str, flag: str,
         cols.insert(1, (F.col("o_custkey") * 13 % 400).alias(addr))
     if flag == "R":
         cols.insert(1, (F.col("l_suppkey") % 10).alias("sr_store_sk"))
+        cols += [
+            F.col("l_orderkey").alias("sr_ticket_number"),
+            (F.col("l_partkey") % 200).alias("sr_item_sk"),
+            ((F.col("l_orderkey") * 5 + F.col("l_partkey"))
+             % F.col("l_quantity").cast("int")).cast("int").alias("__m"),
+        ]
+        return j.select(*cols).withColumn(
+            "sr_return_quantity", F.col("__m") + 1).drop("__m")
     return j.select(*cols)
 
 
@@ -1317,6 +1329,107 @@ limit 100
 """
 
 
+# q93 shape (left-join conditional-arithmetic aggregate): actual sales
+# per customer after netting out returns — store_sales LEFT JOIN
+# store_returns on (ticket, item); a matched row contributes
+# (quantity - returned) * price, an unmatched one quantity * price.
+# The CASE rides the join's null-production, so the whole adjustment
+# is one outer equi-join + one aggregate. Integer-cent prices keep the
+# sums exact; the (ticket, item) key fans out identically in both
+# engines when linenumbers collide on item_sk, so the hash still
+# matches.
+_Q93_BODY = """
+t as (
+  select ss.ss_customer_sk,
+         case when sr.sr_ticket_number is not null
+              then (ss.ss_quantity - sr.sr_return_quantity)
+                   * cast(round(ss.ss_sales_price * 100, 0) as bigint)
+              else ss.ss_quantity
+                   * cast(round(ss.ss_sales_price * 100, 0) as bigint)
+         end as act_cents
+  from tpcds_store_sales ss
+  left join tpcds_store_returns sr
+    on ss.ss_ticket_number = sr.sr_ticket_number
+   and ss.ss_item_sk = sr.sr_item_sk
+)
+select ss_customer_sk as customer_sk,
+       cast(sum(act_cents) as bigint) as sumsales
+from t
+group by ss_customer_sk
+order by sumsales, customer_sk
+limit 100
+"""
+
+
+# q97 shape (channel-overlap FULL OUTER JOIN): distinct
+# (customer, day) purchase sets of two channels (even/odd stores
+# standing in for store/catalog) full-outer joined, then one pass of
+# CASE counts — exclusive-left, exclusive-right, both. The classic
+# set-reconciliation plan: two distinct aggregates, one full-outer
+# equi-join, one global aggregate; no row ever leaves the join keyed
+# stream.
+_Q97_BODY = """
+ssci as (
+  select distinct ss_customer_sk as cs, ss_sold_date_sk as d
+  from tpcds_store_sales, tpcds_date_dim
+  where ss_sold_date_sk = d_date_sk and ss_store_sk % 2 = 0
+    and d_year = 1999
+),
+csci as (
+  select distinct ss_customer_sk as cs, ss_sold_date_sk as d
+  from tpcds_store_sales, tpcds_date_dim
+  where ss_sold_date_sk = d_date_sk and ss_store_sk % 2 = 1
+    and d_year = 1999
+)
+select cast(sum(case when ssci.cs is not null and csci.cs is null
+                     then 1 else 0 end) as bigint) as store_only,
+       cast(sum(case when ssci.cs is null and csci.cs is not null
+                     then 1 else 0 end) as bigint) as catalog_only,
+       cast(sum(case when ssci.cs is not null and csci.cs is not null
+                     then 1 else 0 end) as bigint) as store_and_catalog
+from ssci full outer join csci
+  on ssci.cs = csci.cs and ssci.d = csci.d
+"""
+
+
+# q39 shape (coefficient-of-variation self-join): per-(item, store,
+# month) quantity mean/stdev, months January/February self-joined
+# where January's CoV exceeds 0.5 (the spec's 1.0 bar, scaled to the
+# fixture's uniform quantities so the result set is non-trivial). The statistical moments are computed
+# from EXACT integer sums — var = (n*Σx² - (Σx)²) / (n(n-1)) stays a
+# bigint ratio until one double division — so sqrt/round are
+# bit-identical in both engines (stddev_samp() itself would be
+# accumulation-order dependent and hash-unstable).
+_Q39_BODY = """
+moments as (
+  select ss_item_sk as item, ss_store_sk as store, d_moy as moy,
+         count(*) as n,
+         sum(cast(ss_quantity as bigint)) as s1,
+         sum(cast(ss_quantity as bigint) * cast(ss_quantity as bigint))
+           as s2
+  from tpcds_store_sales, tpcds_date_dim
+  where ss_sold_date_sk = d_date_sk and d_year = 1999 and d_moy in (1, 2)
+  group by ss_item_sk, ss_store_sk, d_moy
+),
+cv as (
+  select item, store, moy,
+         case when n > 1 and s1 > 0
+              then round(sqrt(cast(n * s2 - s1 * s1 as double)
+                              / cast(n * (n - 1) as double))
+                         * cast(n as double) / cast(s1 as double), 4)
+         end as cov
+  from moments
+)
+select m1.item as item_sk, m1.store as store_sk,
+       m1.cov as cov_jan, m2.cov as cov_feb
+from cv m1
+join cv m2 on m1.item = m2.item and m1.store = m2.store
+where m1.moy = 1 and m2.moy = 2 and m1.cov > 0.5 and m2.cov is not null
+order by item_sk, store_sk
+limit 100
+"""
+
+
 def _decorrelated(body: str):
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         _register_decorrelation_views(spark, sf_dir)
@@ -1339,6 +1452,9 @@ q_tpcds_q70 = _decorrelated(_Q70_BODY)
 q_tpcds_q23 = _decorrelated(_Q23_BODY)
 q_tpcds_q51 = _decorrelated(_Q51_BODY)
 q_tpcds_q11 = _decorrelated(_Q11_BODY)
+q_tpcds_q93 = _decorrelated(_Q93_BODY)
+q_tpcds_q97 = _decorrelated(_Q97_BODY)
+q_tpcds_q39 = _decorrelated(_Q39_BODY)
 
 ORACLE_TPCDS_Q1 = _DIMS_SQL + ", " + _RETURNS_SQL + ", " + _Q01_BODY
 ORACLE_TPCDS_Q6 = _DIMS_SQL + ", " + _RETURNS_SQL + ", " + _Q06_BODY
@@ -1355,6 +1471,9 @@ ORACLE_TPCDS_Q70 = _DIMS_SQL + ", " + _RETURNS_SQL + ", " + _Q70_BODY
 ORACLE_TPCDS_Q23 = _DIMS_SQL + ", " + _RETURNS_SQL + ", " + _Q23_BODY
 ORACLE_TPCDS_Q51 = _DIMS_SQL + ", " + _RETURNS_SQL + ", " + _Q51_BODY
 ORACLE_TPCDS_Q11 = _DIMS_SQL + ", " + _RETURNS_SQL + ", " + _Q11_BODY
+ORACLE_TPCDS_Q93 = _DIMS_SQL + ", " + _RETURNS_SQL + ", " + _Q93_BODY
+ORACLE_TPCDS_Q97 = _DIMS_SQL + ", " + _RETURNS_SQL + ", " + _Q97_BODY
+ORACLE_TPCDS_Q39 = _DIMS_SQL + ", " + _RETURNS_SQL + ", " + _Q39_BODY
 
 
 QUERIES = {
@@ -1374,6 +1493,9 @@ QUERIES = {
     "tpcds_q23": q_tpcds_q23,
     "tpcds_q51": q_tpcds_q51,
     "tpcds_q11": q_tpcds_q11,
+    "tpcds_q93": q_tpcds_q93,
+    "tpcds_q97": q_tpcds_q97,
+    "tpcds_q39": q_tpcds_q39,
     "tpcds_q03": q_tpcds_q3,
     "tpcds_q07": q_tpcds_q7,
     "tpcds_q42": q_tpcds_q42,
@@ -1400,6 +1522,9 @@ ORACLES = {
     "tpcds_q23": ORACLE_TPCDS_Q23,
     "tpcds_q51": ORACLE_TPCDS_Q51,
     "tpcds_q11": ORACLE_TPCDS_Q11,
+    "tpcds_q93": ORACLE_TPCDS_Q93,
+    "tpcds_q97": ORACLE_TPCDS_Q97,
+    "tpcds_q39": ORACLE_TPCDS_Q39,
     "tpcds_q03": ORACLE_TPCDS_Q3,
     "tpcds_q07": ORACLE_TPCDS_Q7,
     "tpcds_q42": ORACLE_TPCDS_Q42,
