@@ -838,6 +838,26 @@ def _pipeline_table(session, op: str, opts: dict[str, str]) -> DataFrame:
             o.get("id", "doc_id"), o.get("text", "text"),
             threshold=float(o.get("threshold", "0.8")),
             ngram=int(ng) if ng else None)
+    if name == "substr_dedup":
+        from drill_spark.ops.substr import substr_dedup
+
+        return substr_dedup(
+            inp(), o.get("id", "doc_id"), o.get("text", "text"),
+            min_tokens=int(o.get("min_tokens", "8")))
+    if name == "substr_spans":
+        from drill_spark.ops.substr import substr_duplicate_spans
+
+        return substr_duplicate_spans(
+            inp(), o.get("id", "doc_id"), o.get("text", "text"),
+            min_tokens=int(o.get("min_tokens", "8")))
+    if name == "substr_decontaminate":
+        from drill_spark.ops.substr import substr_decontaminate
+
+        return substr_decontaminate(
+            inp("corpus"), inp("benchmark"),
+            o.get("id", "doc_id"), o.get("text", "text"),
+            o.get("bench_id", "bench_id"), o.get("bench_text", "text"),
+            min_tokens=int(o.get("min_tokens", "8")))
     if name == "topk_per_key":
         from drill_spark.ops.scale import salted_topk
 
@@ -858,7 +878,8 @@ def _pipeline_table(session, op: str, opts: dict[str, str]) -> DataFrame:
         "crossmodal_topk, crossmodal_align, mixture_build, epoch_shuffle, "
         "kmv_distinct, kmv_overlap, rolling_distinct, snapshot_diff, "
         "rolling_quantiles, cms_estimate, skew_join, topk_per_key, "
-        "setsim_join, containment_join, setsim_tables")
+        "setsim_join, containment_join, setsim_tables, substr_dedup, "
+        "substr_spans, substr_decontaminate")
 
 
 def _read_path(session, ws_name: str, rel_path: str, options: dict[str, str] | None = None) -> DataFrame:

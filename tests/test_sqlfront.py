@@ -1391,3 +1391,53 @@ def test_pipeline_table_function_setsim_tables(dsession):
         dsession.sql("select * from st_old"),
         dsession.sql("select * from st_new"), threshold=0.8).collect()
     assert sorted(map(tuple, got)) == sorted(map(tuple, lib)) and got
+
+
+def test_pipeline_table_function_substr_dedup(dsession):
+    """SQL face for ExactSubstr dedup + the spans report: both route
+    through ops.substr and equal the library calls."""
+    from drill_spark.ops.substr import substr_dedup, substr_duplicate_spans
+
+    dsession.register_fixture_tables("/root/testdata/sf0.001")
+    dsession.sql(
+        "create or replace view sd_docs as "
+        "select doc_id, text from documents where doc_id < 40")
+    got = dsession.sql(
+        "select * from table(pipeline.`substr_dedup`("
+        "input => 'sd_docs', min_tokens => '6'))"
+    ).collect()
+    lib = substr_dedup(
+        dsession.sql("select * from sd_docs"), min_tokens=6).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, lib)) and got
+
+    got_sp = dsession.sql(
+        "select * from table(pipeline.`substr_spans`("
+        "input => 'sd_docs', min_tokens => '6'))"
+    ).collect()
+    lib_sp = substr_duplicate_spans(
+        dsession.sql("select * from sd_docs"), min_tokens=6).collect()
+    assert sorted(map(tuple, got_sp)) == sorted(map(tuple, lib_sp))
+
+
+def test_pipeline_table_function_substr_decontaminate(dsession):
+    """SQL face for verbatim decontamination."""
+    from drill_spark.ops.substr import substr_decontaminate
+
+    dsession.register_fixture_tables("/root/testdata/sf0.001")
+    dsession.sql(
+        "create or replace view sdc_corpus as "
+        "select doc_id, text from documents where doc_id < 40")
+    dsession.sql(
+        "create or replace view sdc_bench as "
+        "select doc_id - 45 as bench_id, substring(text, 1, 80) as text "
+        "from documents where doc_id >= 45 and doc_id < 50")
+    got = dsession.sql(
+        "select * from table(pipeline.`substr_decontaminate`("
+        "corpus => 'sdc_corpus', benchmark => 'sdc_bench', "
+        "min_tokens => '4'))"
+    ).collect()
+    lib = substr_decontaminate(
+        dsession.sql("select * from sdc_corpus"),
+        dsession.sql("select * from sdc_bench"),
+        min_tokens=4).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, lib)) and got
