@@ -759,7 +759,11 @@ tpcds_web_returns as (
          o.o_custkey * 13 % 400 as wr_returning_addr_sk,
          2451180 + l.l_orderkey % 120 as wr_returned_date_sk,
          cast(floor(l.l_extendedprice * (1 - l.l_discount) * 100) as bigint)
-           as wr_return_amt
+           as wr_return_amt,
+         l.l_orderkey as wr_ticket_number,
+         l.l_partkey % 200 as wr_item_sk,
+         cast((l.l_orderkey * 5 + l.l_partkey)
+              % cast(l.l_quantity as int) as int) + 1 as wr_return_quantity
   from lineitem l join orders o on l.l_orderkey = o.o_orderkey
   where l.l_returnflag = 'N'
 ),
@@ -768,7 +772,11 @@ tpcds_catalog_returns as (
          o.o_custkey * 13 % 400 as cr_returning_addr_sk,
          2451180 + l.l_orderkey % 120 as cr_returned_date_sk,
          cast(floor(l.l_extendedprice * (1 - l.l_discount) * 100) as bigint)
-           as cr_return_amount
+           as cr_return_amount,
+         l.l_orderkey as cr_ticket_number,
+         l.l_partkey % 200 as cr_item_sk,
+         cast((l.l_orderkey * 5 + l.l_partkey)
+              % cast(l.l_quantity as int) as int) + 1 as cr_return_quantity
   from lineitem l join orders o on l.l_orderkey = o.o_orderkey
   where l.l_returnflag = 'A'
 ),
@@ -804,15 +812,17 @@ def _returns_fact(spark: SparkSession, sf_dir: str, flag: str,
         cols.insert(1, (F.col("o_custkey") * 13 % 400).alias(addr))
     if flag == "R":
         cols.insert(1, (F.col("l_suppkey") % 10).alias("sr_store_sk"))
-        cols += [
-            F.col("l_orderkey").alias("sr_ticket_number"),
-            (F.col("l_partkey") % 200).alias("sr_item_sk"),
-            ((F.col("l_orderkey") * 5 + F.col("l_partkey"))
-             % F.col("l_quantity").cast("int")).cast("int").alias("__m"),
-        ]
-        return j.select(*cols).withColumn(
-            "sr_return_quantity", F.col("__m") + 1).drop("__m")
-    return j.select(*cols)
+    # every channel carries the (ticket, item, quantity) return keys so
+    # the returns-vs-sales joins (q93/q49) work on all three slices
+    pre = {"R": "sr", "N": "wr", "A": "cr"}[flag]
+    cols += [
+        F.col("l_orderkey").alias(f"{pre}_ticket_number"),
+        (F.col("l_partkey") % 200).alias(f"{pre}_item_sk"),
+        ((F.col("l_orderkey") * 5 + F.col("l_partkey"))
+         % F.col("l_quantity").cast("int")).cast("int").alias("__m"),
+    ]
+    return j.select(*cols).withColumn(
+        f"{pre}_return_quantity", F.col("__m") + 1).drop("__m")
 
 
 def _register_decorrelation_views(spark: SparkSession, sf_dir: str) -> None:
@@ -1392,6 +1402,68 @@ from ssci full outer join csci
 """
 
 
+# q49 shape (per-channel ranked return ratios, union over channels):
+# each channel's returns join its sales on (ticket, item), aggregate
+# per item into quantity and currency return ratios, rank both within
+# the channel, keep anything in either top-10, union the channels.
+# Ratios are double divisions of exact bigint sums (bit-identical in
+# both engines); rank windows run over per-item aggregates — frames
+# bounded by the 200-item dimension, the q44/q70 argument. The item
+# tiebreak makes both rank orders total.
+_Q49_BODY = """
+chan as (
+  select 'store' as channel, ss.ss_item_sk as item,
+         sum(cast(sr.sr_return_quantity as bigint)) as rq,
+         sum(cast(ss.ss_quantity as bigint)) as sq,
+         sum(sr.sr_return_amt) as ra,
+         sum(cast(round(ss.ss_ext_sales_price * 100, 0) as bigint)) as sa
+  from tpcds_store_sales ss
+  join tpcds_store_returns sr
+    on ss.ss_ticket_number = sr.sr_ticket_number
+   and ss.ss_item_sk = sr.sr_item_sk
+  group by ss.ss_item_sk
+  union all
+  select 'web', ss.ss_item_sk,
+         sum(cast(wr.wr_return_quantity as bigint)),
+         sum(cast(ss.ss_quantity as bigint)),
+         sum(wr.wr_return_amt),
+         sum(cast(round(ss.ss_ext_sales_price * 100, 0) as bigint))
+  from tpcds_store_sales ss
+  join tpcds_web_returns wr
+    on ss.ss_ticket_number = wr.wr_ticket_number
+   and ss.ss_item_sk = wr.wr_item_sk
+  group by ss.ss_item_sk
+  union all
+  select 'catalog', ss.ss_item_sk,
+         sum(cast(cr.cr_return_quantity as bigint)),
+         sum(cast(ss.ss_quantity as bigint)),
+         sum(cr.cr_return_amount),
+         sum(cast(round(ss.ss_ext_sales_price * 100, 0) as bigint))
+  from tpcds_store_sales ss
+  join tpcds_catalog_returns cr
+    on ss.ss_ticket_number = cr.cr_ticket_number
+   and ss.ss_item_sk = cr.cr_item_sk
+  group by ss.ss_item_sk
+),
+ranked as (
+  select channel, item,
+         rank() over (partition by channel
+                      order by cast(rq as double) / cast(sq as double),
+                               item) as return_rank,
+         rank() over (partition by channel
+                      order by cast(ra as double) / cast(sa as double),
+                               item) as currency_rank
+  from chan
+)
+select channel, cast(item as bigint) as item_sk,
+       cast(return_rank as bigint) as return_rank,
+       cast(currency_rank as bigint) as currency_rank
+from ranked
+where return_rank <= 10 or currency_rank <= 10
+order by channel, return_rank, currency_rank, item_sk
+"""
+
+
 # q39 shape (coefficient-of-variation self-join): per-(item, store,
 # month) quantity mean/stdev, months January/February self-joined
 # where January's CoV exceeds 0.5 (the spec's 1.0 bar, scaled to the
@@ -1455,6 +1527,7 @@ q_tpcds_q11 = _decorrelated(_Q11_BODY)
 q_tpcds_q93 = _decorrelated(_Q93_BODY)
 q_tpcds_q97 = _decorrelated(_Q97_BODY)
 q_tpcds_q39 = _decorrelated(_Q39_BODY)
+q_tpcds_q49 = _decorrelated(_Q49_BODY)
 
 ORACLE_TPCDS_Q1 = _DIMS_SQL + ", " + _RETURNS_SQL + ", " + _Q01_BODY
 ORACLE_TPCDS_Q6 = _DIMS_SQL + ", " + _RETURNS_SQL + ", " + _Q06_BODY
@@ -1474,6 +1547,7 @@ ORACLE_TPCDS_Q11 = _DIMS_SQL + ", " + _RETURNS_SQL + ", " + _Q11_BODY
 ORACLE_TPCDS_Q93 = _DIMS_SQL + ", " + _RETURNS_SQL + ", " + _Q93_BODY
 ORACLE_TPCDS_Q97 = _DIMS_SQL + ", " + _RETURNS_SQL + ", " + _Q97_BODY
 ORACLE_TPCDS_Q39 = _DIMS_SQL + ", " + _RETURNS_SQL + ", " + _Q39_BODY
+ORACLE_TPCDS_Q49 = _DIMS_SQL + ", " + _RETURNS_SQL + ", " + _Q49_BODY
 
 
 QUERIES = {
@@ -1496,6 +1570,7 @@ QUERIES = {
     "tpcds_q93": q_tpcds_q93,
     "tpcds_q97": q_tpcds_q97,
     "tpcds_q39": q_tpcds_q39,
+    "tpcds_q49": q_tpcds_q49,
     "tpcds_q03": q_tpcds_q3,
     "tpcds_q07": q_tpcds_q7,
     "tpcds_q42": q_tpcds_q42,
@@ -1525,6 +1600,7 @@ ORACLES = {
     "tpcds_q93": ORACLE_TPCDS_Q93,
     "tpcds_q97": ORACLE_TPCDS_Q97,
     "tpcds_q39": ORACLE_TPCDS_Q39,
+    "tpcds_q49": ORACLE_TPCDS_Q49,
     "tpcds_q03": ORACLE_TPCDS_Q3,
     "tpcds_q07": ORACLE_TPCDS_Q7,
     "tpcds_q42": ORACLE_TPCDS_Q42,

@@ -70,7 +70,8 @@ _KEY_OWNERS = {
 # sketches, mixture/shuffle, skew, and two TPC-H anchors.
 FLAGSHIPS = [
     "ext_curation_pipeline", "ext_dedup_exact", "ext_dedup_minhash",
-    "ext_line_dedup", "ext_substring_dedup", "ext_snapshot_diff",
+    "ext_line_dedup", "ext_substr_dedup", "ext_incremental_substr",
+    "ext_snapshot_diff",
     "ext_bm25_batch", "ext_pagerank", "ext_vector_index_probe",
     "ext_kmv_distinct", "ext_cms_estimate", "ext_rolling_distinct",
     "ext_rolling_quantiles", "ext_heavy_hitters", "ext_mixture_build",
