@@ -2556,6 +2556,128 @@ def q_ann_pq(spark, sf_dir):
                    k=3, m=8, n_codes=16)
 
 
+def q_gopher_repetition(spark, sf_dir):
+    """FULL Gopher repetition table (Rae et al. 2021 Table A1 —
+    ops/pipeline.py::gopher_repetition): 13 signals per document —
+    duplicate line/paragraph occurrence+character fractions, top-2/3/4
+    word-gram character fractions, and coverage-union dup-5..10-gram
+    character fractions — plus the paper's composite flag. All nine
+    n-gram signals come off ONE window pass; exact integer character
+    sums make every fraction a single double division, so the whole
+    table hash-checks against the closed-form DuckDB replay."""
+    from drill_spark.ops.pipeline import gopher_repetition
+
+    return gopher_repetition(_docs(spark, sf_dir))
+
+
+ORACLE_GOPHER_REPETITION = r"""
+with d3 as (
+  select doc_id, lower(text) as lt, toks, len(toks) as ntok,
+         cast(list_sum(list_transform(toks, t -> length(t))) as bigint)
+           as total_chars
+  from (select doc_id, text,
+               list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                           x -> x <> '') as toks
+        from documents)
+  where len(toks) > 0
+),
+g as (
+  select doc_id, nn.n as n, pp.i as p,
+         array_to_string(toks[pp.i : pp.i + nn.n - 1], ' ') as g
+  from d3,
+       unnest(range(2, 11)) as nn(n),
+       unnest(range(1, greatest(ntok - nn.n, -1) + 2)) as pp(i)
+),
+gc as (select doc_id, n, g, count(*) as c from g group by all),
+top as (
+  select doc_id, n,
+         cast(c * (length(g) - (n - 1)) as bigint) as chars
+  from (select *, row_number() over (partition by doc_id, n
+                                     order by c desc, g asc) as rk
+        from gc where n <= 4)
+  where rk = 1
+),
+dup as (select doc_id, n, g from gc where n >= 5 and c >= 2),
+cov as (
+  select distinct g.doc_id, g.n, cq.q
+  from g join dup using (doc_id, n, g),
+       unnest(range(g.p, g.p + g.n)) as cq(q)
+),
+tokp as (select doc_id, unnest(toks) as tok,
+                unnest(range(1, ntok + 1)) as q from d3),
+covc as (
+  select cov.doc_id, cov.n, cast(sum(length(t.tok)) as bigint) as chars
+  from cov join tokp t on t.doc_id = cov.doc_id and t.q = cov.q
+  group by cov.doc_id, cov.n
+),
+fr as (
+  select doc_id,
+         max(case when n = 2 then chars end) as ch2,
+         max(case when n = 3 then chars end) as ch3,
+         max(case when n = 4 then chars end) as ch4,
+         max(case when n = 5 then chars end) as ch5,
+         max(case when n = 6 then chars end) as ch6,
+         max(case when n = 7 then chars end) as ch7,
+         max(case when n = 8 then chars end) as ch8,
+         max(case when n = 9 then chars end) as ch9,
+         max(case when n = 10 then chars end) as ch10
+  from (select * from top union all select * from covc)
+  group by doc_id
+),
+segsrc as (
+  select doc_id,
+         list_filter(list_transform(string_split_regex(lt, '\n'),
+                                    x -> trim(x)), x -> x <> '') as ls,
+         list_filter(list_transform(string_split_regex(lt, '\n\n'),
+                                    x -> trim(x)), x -> x <> '') as ps
+  from d3
+),
+segm as (
+  select doc_id,
+         case when len(ls) > 0 then round(
+           cast(len(list_filter(ls, x -> len(list_filter(ls, y -> y = x)) >= 2)) as double) / len(ls), 4)
+           else 0.0 end as dup_line_frac,
+         case when coalesce(list_sum(list_transform(ls, s -> length(s))), 0) > 0 then round(
+           cast(coalesce(list_sum(list_transform(list_filter(ls, x -> len(list_filter(ls, y -> y = x)) >= 2), s -> length(s))), 0) as double)
+           / list_sum(list_transform(ls, s -> length(s))), 4)
+           else 0.0 end as dup_line_char_frac,
+         case when len(ps) > 0 then round(
+           cast(len(list_filter(ps, x -> len(list_filter(ps, y -> y = x)) >= 2)) as double) / len(ps), 4)
+           else 0.0 end as dup_para_frac,
+         case when coalesce(list_sum(list_transform(ps, s -> length(s))), 0) > 0 then round(
+           cast(coalesce(list_sum(list_transform(list_filter(ps, x -> len(list_filter(ps, y -> y = x)) >= 2), s -> length(s))), 0) as double)
+           / list_sum(list_transform(ps, s -> length(s))), 4)
+           else 0.0 end as dup_para_char_frac
+  from segsrc
+)
+select d3.doc_id,
+       segm.dup_line_frac, segm.dup_line_char_frac,
+       segm.dup_para_frac, segm.dup_para_char_frac,
+       round(cast(coalesce(ch2, 0) as double) / total_chars, 4) as top_2gram_char_frac,
+       round(cast(coalesce(ch3, 0) as double) / total_chars, 4) as top_3gram_char_frac,
+       round(cast(coalesce(ch4, 0) as double) / total_chars, 4) as top_4gram_char_frac,
+       round(cast(coalesce(ch5, 0) as double) / total_chars, 4) as dup_5gram_char_frac,
+       round(cast(coalesce(ch6, 0) as double) / total_chars, 4) as dup_6gram_char_frac,
+       round(cast(coalesce(ch7, 0) as double) / total_chars, 4) as dup_7gram_char_frac,
+       round(cast(coalesce(ch8, 0) as double) / total_chars, 4) as dup_8gram_char_frac,
+       round(cast(coalesce(ch9, 0) as double) / total_chars, 4) as dup_9gram_char_frac,
+       round(cast(coalesce(ch10, 0) as double) / total_chars, 4) as dup_10gram_char_frac,
+       (segm.dup_line_frac > 0.30 or segm.dup_para_frac > 0.30
+        or segm.dup_line_char_frac > 0.20 or segm.dup_para_char_frac > 0.20
+        or round(cast(coalesce(ch2,0) as double)/total_chars,4) > 0.20
+        or round(cast(coalesce(ch3,0) as double)/total_chars,4) > 0.18
+        or round(cast(coalesce(ch4,0) as double)/total_chars,4) > 0.16
+        or round(cast(coalesce(ch5,0) as double)/total_chars,4) > 0.15
+        or round(cast(coalesce(ch6,0) as double)/total_chars,4) > 0.14
+        or round(cast(coalesce(ch7,0) as double)/total_chars,4) > 0.13
+        or round(cast(coalesce(ch8,0) as double)/total_chars,4) > 0.12
+        or round(cast(coalesce(ch9,0) as double)/total_chars,4) > 0.11
+        or round(cast(coalesce(ch10,0) as double)/total_chars,4) > 0.10)
+         as flagged
+from d3 join fr using (doc_id) join segm using (doc_id)
+"""
+
+
 def q_gis_points(spark, sf_dir):
     """GIS point fast path (Catalyst HOFs, no pandas UDF): st_point /
     st_x / st_y / st_distance / st_dwithin / st_within_box over
@@ -5962,6 +6084,7 @@ QUERIES = {
     "ext_bloom_decontaminate": q_bloom_decontaminate,
     "ext_chunk_pack": q_chunk_pack,
     "ext_repetition": q_repetition,
+    "ext_gopher_repetition": q_gopher_repetition,
     "ext_stratified_sample": q_stratified_sample,
     "ext_quality_mixture": q_quality_mixture,
     "ext_semantic_dedup": q_semantic_dedup,
@@ -6104,6 +6227,7 @@ ORACLES = {
     "ext_chunk_pack": ORACLE_CHUNK_PACK,
     "ext_pack_bins": ORACLE_PACK_BINS,
     "ext_repetition": ORACLE_REPETITION,
+    "ext_gopher_repetition": ORACLE_GOPHER_REPETITION,
     "ext_stratified_sample": ORACLE_STRATIFIED_SAMPLE,
     "ext_quality_mixture": ORACLE_QUALITY_MIXTURE,
     "ext_image_phash_dedup": ORACLE_IMAGE_PHASH_DEDUP,

@@ -211,6 +211,169 @@ def repetition_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def gopher_repetition(df: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text") -> DataFrame:
+    """The FULL Gopher repetition table (Rae et al. 2021, Table A1) —
+    the 13-signal published standard, extending
+    :func:`repetition_stats`'s two-signal summary:
+
+    - duplicate line / paragraph fraction: occurrences belonging to a
+      line (paragraph) that appears >= 2 times in the document, over
+      total lines (paragraphs); and the same as a character fraction
+      (characters of those occurrences over all line characters).
+      Lines split on ``\\n``, paragraphs on ``\\n\\n``, segments
+      trimmed, empties dropped; text is lowercased first (the module's
+      tokenization convention).
+    - top-{2,3,4}-gram character fraction: occurrences of the single
+      most frequent word n-gram (ties broken lexicographically) times
+      its character length, over total token characters — the paper's
+      count×len form, overlaps counted per occurrence.
+    - dup-{5..10}-gram character fraction: characters covered by ANY
+      word n-gram occurring >= 2 times, covered positions counted
+      ONCE (the paper's "taking care not to count characters more
+      than once") — the same coverage-union machinery as
+      ops/substr.py.
+
+    ``flagged`` applies the paper's thresholds (dup line/para > 0.30,
+    their char fractions > 0.20, top 2/3/4-gram > 0.20/0.18/0.16,
+    dup 5..10-gram > 0.15/0.14/0.13/0.12/0.11/0.10).
+
+    Scale shape: the line/paragraph signals are per-row HOFs (zero
+    shuffles); ALL NINE n-gram signals come off ONE ordered window
+    pass (collect_list of the next 10 tokens, each row emitting its
+    n∈2..10 grams) feeding one (id, n, gram) count — not nine separate
+    explodes — then a bounded top-1 window for n<=4 and a
+    coverage-union join for n>=5. Exact integer character sums, so
+    every fraction is one double division and the whole table
+    hash-checks against a closed-form oracle. Documents with zero
+    tokens are excluded (the family convention).
+    """
+    from pyspark.sql import Window
+
+    from drill_spark.ops.substr import _token_positions
+
+    toks = _token_positions(df, id_col, text_col)
+    base = toks.groupBy("id").agg(
+        F.sum(F.length("tok")).alias("total_chars"))
+
+    wspec = Window.partitionBy("id").orderBy("p").rowsBetween(0, 9)
+    grams = (
+        toks.withColumn("warr", F.collect_list("tok").over(wspec))
+        .select("id", "p", F.explode(F.filter(
+            F.transform(
+                F.sequence(F.lit(2), F.lit(10)),
+                lambda n: F.struct(
+                    n.alias("n"),
+                    F.when(F.size("warr") >= n,
+                           F.array_join(F.slice("warr", 1, n), " "))
+                    .alias("g"),
+                ),
+            ),
+            lambda s: s["g"].isNotNull(),
+        )).alias("s"))
+        .select("id", "p", F.col("s.n").alias("n"), F.col("s.g").alias("g"))
+    )
+    gc = grams.groupBy("id", "n", "g").agg(F.count("*").alias("c"))
+    # top-1 gram per (doc, n<=4): count desc, gram asc — a bounded
+    # window (one row per (doc, n) survives)
+    top = (
+        gc.where(F.col("n") <= 4)
+        .withColumn("rk", F.row_number().over(
+            Window.partitionBy("id", "n").orderBy(F.desc("c"), F.asc("g"))))
+        .where(F.col("rk") == 1)
+        .select("id", "n",
+                (F.col("c") * (F.length("g") - (F.col("n") - 1)))
+                .cast("long").alias("chars"))
+    )
+    # coverage union per (doc, n>=5): positions of duplicated grams,
+    # counted once
+    dups = gc.where((F.col("n") >= 5) & (F.col("c") >= 2)) \
+             .select("id", "n", "g")
+    cov = (
+        grams.join(dups, ["id", "n", "g"], "left_semi")
+        .select("id", "n",
+                F.explode(F.sequence(
+                    F.col("p"), F.col("p") + F.col("n") - 1)).alias("q"))
+        .distinct()
+    )
+    covc = (
+        cov.join(toks.select("id", F.col("p").alias("q"),
+                             F.length("tok").alias("cl")), ["id", "q"])
+        .groupBy("id", "n").agg(F.sum("cl").alias("chars"))
+    )
+    fr = (
+        top.unionByName(covc)
+        .groupBy("id")
+        .agg(*[F.max(F.when(F.col("n") == k, F.col("chars")))
+               .alias(f"__ch{k}") for k in range(2, 11)])
+    )
+
+    # line/paragraph signals: pure per-row HOFs over the same
+    # lowercased text
+    low = F.lower(F.col(text_col))
+
+    def _segments(sep: str):
+        return F.filter(
+            F.transform(F.split(low, sep), lambda x: F.trim(x)),
+            lambda x: x != "")
+
+    def _dup_metrics(arr, occ_name: str, chr_name: str):
+        dup_occ = F.filter(
+            arr, lambda x: F.size(F.filter(arr, lambda y: y == x)) >= 2)
+        total = F.size(arr)
+        tchars = F.aggregate(arr, F.lit(0).cast("long"),
+                             lambda a, x: a + F.length(x))
+        dchars = F.aggregate(dup_occ, F.lit(0).cast("long"),
+                             lambda a, x: a + F.length(x))
+        return [
+            F.round(F.when(total > 0, F.size(dup_occ) / total)
+                    .otherwise(F.lit(0.0)), 4).alias(occ_name),
+            F.round(F.when(tchars > 0, dchars / tchars)
+                    .otherwise(F.lit(0.0)), 4).alias(chr_name),
+        ]
+
+    segs = df.select(
+        F.col(id_col).alias("id"),
+        *_dup_metrics(_segments(r"\n"), "dup_line_frac",
+                      "dup_line_char_frac"),
+        *_dup_metrics(_segments(r"\n\n"), "dup_para_frac",
+                      "dup_para_char_frac"),
+    )
+
+    def _frac(k: int):
+        return F.round(
+            F.coalesce(F.col(f"__ch{k}"), F.lit(0)) / F.col("total_chars"),
+            4)
+
+    out = (
+        base.join(fr, "id", "left").join(segs, "id")
+        .select(
+            F.col("id").alias(id_col),
+            "dup_line_frac", "dup_line_char_frac",
+            "dup_para_frac", "dup_para_char_frac",
+            _frac(2).alias("top_2gram_char_frac"),
+            _frac(3).alias("top_3gram_char_frac"),
+            _frac(4).alias("top_4gram_char_frac"),
+            *[_frac(k).alias(f"dup_{k}gram_char_frac")
+              for k in range(5, 11)],
+        )
+    )
+    limits = {
+        "dup_line_frac": 0.30, "dup_para_frac": 0.30,
+        "dup_line_char_frac": 0.20, "dup_para_char_frac": 0.20,
+        "top_2gram_char_frac": 0.20, "top_3gram_char_frac": 0.18,
+        "top_4gram_char_frac": 0.16,
+        "dup_5gram_char_frac": 0.15, "dup_6gram_char_frac": 0.14,
+        "dup_7gram_char_frac": 0.13, "dup_8gram_char_frac": 0.12,
+        "dup_9gram_char_frac": 0.11, "dup_10gram_char_frac": 0.10,
+    }
+    cond = None
+    for c, t in limits.items():
+        e = F.col(c) > t
+        cond = e if cond is None else (cond | e)
+    return out.withColumn("flagged", cond)
+
+
 def quality_mixture_sample(
     df: DataFrame,
     id_col: str,

@@ -838,6 +838,11 @@ def _pipeline_table(session, op: str, opts: dict[str, str]) -> DataFrame:
             o.get("id", "doc_id"), o.get("text", "text"),
             threshold=float(o.get("threshold", "0.8")),
             ngram=int(ng) if ng else None)
+    if name == "gopher_repetition":
+        from drill_spark.ops.pipeline import gopher_repetition
+
+        return gopher_repetition(
+            inp(), o.get("id", "doc_id"), o.get("text", "text"))
     if name == "substr_dedup":
         from drill_spark.ops.substr import substr_dedup
 
@@ -879,7 +884,7 @@ def _pipeline_table(session, op: str, opts: dict[str, str]) -> DataFrame:
         "kmv_distinct, kmv_overlap, rolling_distinct, snapshot_diff, "
         "rolling_quantiles, cms_estimate, skew_join, topk_per_key, "
         "setsim_join, containment_join, setsim_tables, substr_dedup, "
-        "substr_spans, substr_decontaminate")
+        "substr_spans, substr_decontaminate, gopher_repetition")
 
 
 def _read_path(session, ws_name: str, rel_path: str, options: dict[str, str] | None = None) -> DataFrame:

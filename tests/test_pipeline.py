@@ -893,3 +893,65 @@ def test_sketch_merges_equal_sketch_of_union(spark):
     ku = _kmv_sketches(sa.unionByName(sb), "seg", "item", 8)
     assert sorted(map(tuple, km.collect())) == \
         sorted(map(tuple, ku.collect()))
+
+
+def test_gopher_repetition_full_table(spark):
+    """Full Gopher Table A1 signals equal an exhaustive Python replay
+    on planted fixtures: heavy n-gram repetition, duplicate lines,
+    duplicate paragraphs, and a clean doc."""
+    import collections
+    import re
+
+    from drill_spark.ops.pipeline import gopher_repetition
+
+    rows = [
+        (0, "the cat sat the cat sat the cat sat"),
+        (1, "completely unique words in this one longer sentence here"),
+        (2, "line one\nline one\nline two"),
+        (3, "para a\n\npara a\n\npara b"),
+        (4, "w1 w2 w3 w4 w5 w6 filler w1 w2 w3 w4 w5 w6"),  # dup 6-gram
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r.asDict() for r in gopher_repetition(df).collect()}
+
+    def toks(s):
+        return [t for t in s.lower().strip().split() if t]
+
+    for i, text in rows:
+        tk = toks(text)
+        total = sum(len(t) for t in tk)
+        exp = {}
+        for n in range(2, 11):
+            grams = [" ".join(tk[j:j + n]) for j in range(len(tk) - n + 1)]
+            cnt = collections.Counter(grams)
+            if n <= 4:
+                ch = 0
+                if grams:
+                    g, c = sorted(cnt.items(),
+                                  key=lambda kv: (-kv[1], kv[0]))[0]
+                    ch = c * (len(g) - (n - 1))
+                exp[f"top_{n}gram_char_frac"] = round(ch / total, 4)
+            else:
+                covered = set()
+                for j, g in enumerate(grams):
+                    if cnt[g] >= 2:
+                        covered.update(range(j + 1, j + n + 1))
+                exp[f"dup_{n}gram_char_frac"] = round(
+                    sum(len(tk[q - 1]) for q in covered) / total, 4)
+        for sep, occ, chrn in (
+                ("\n", "dup_line_frac", "dup_line_char_frac"),
+                ("\n\n", "dup_para_frac", "dup_para_char_frac")):
+            segs = [x.strip() for x in re.split(sep, text.lower())
+                    if x.strip()]
+            c = collections.Counter(segs)
+            dupsegs = [s for s in segs if c[s] >= 2]
+            exp[occ] = round(len(dupsegs) / len(segs), 4)
+            tc = sum(len(s) for s in segs)
+            exp[chrn] = round(sum(len(s) for s in dupsegs) / tc, 4)
+        for k, v in exp.items():
+            assert abs(got[i][k] - v) < 1e-9, (i, k, got[i][k], v)
+
+    assert got[0]["flagged"] is True          # "the cat sat" x3
+    assert got[2]["dup_line_frac"] > 0.3      # 2 of 3 lines duplicated
+    assert got[3]["dup_para_frac"] > 0.3
+    assert got[4]["dup_6gram_char_frac"] > 0.5
