@@ -1464,6 +1464,30 @@ order by channel, return_rank, currency_rank, item_sk
 """
 
 
+# q95 shape (multi-warehouse returned orders): tickets sold from MORE
+# THAN ONE store (a self-join on the ticket with a store inequality —
+# the spec's ws1/ws2 warehouse pattern), restricted by IN to that set
+# and by EXISTS to tickets with a return — the double-semijoin shape
+# on one fact. One summary row of exact-cent totals.
+_Q95_BODY = """
+multi_store as (
+  select distinct a.ss_ticket_number
+  from tpcds_store_sales a
+  join tpcds_store_sales b
+    on a.ss_ticket_number = b.ss_ticket_number
+   and a.ss_store_sk <> b.ss_store_sk
+)
+select cast(count(distinct ss.ss_ticket_number) as bigint) as order_count,
+       cast(sum(cast(round(ss.ss_ext_sales_price * 100, 0) as bigint))
+            as bigint) as total_cents
+from tpcds_store_sales ss, tpcds_date_dim d
+where ss.ss_sold_date_sk = d.d_date_sk and d.d_year = 1999
+  and ss.ss_ticket_number in (select ss_ticket_number from multi_store)
+  and exists (select 1 from tpcds_store_returns sr
+              where sr.sr_ticket_number = ss.ss_ticket_number)
+"""
+
+
 # q39 shape (coefficient-of-variation self-join): per-(item, store,
 # month) quantity mean/stdev, months January/February self-joined
 # where January's CoV exceeds 0.5 (the spec's 1.0 bar, scaled to the
@@ -1528,6 +1552,7 @@ q_tpcds_q93 = _decorrelated(_Q93_BODY)
 q_tpcds_q97 = _decorrelated(_Q97_BODY)
 q_tpcds_q39 = _decorrelated(_Q39_BODY)
 q_tpcds_q49 = _decorrelated(_Q49_BODY)
+q_tpcds_q95 = _decorrelated(_Q95_BODY)
 
 ORACLE_TPCDS_Q1 = _DIMS_SQL + ", " + _RETURNS_SQL + ", " + _Q01_BODY
 ORACLE_TPCDS_Q6 = _DIMS_SQL + ", " + _RETURNS_SQL + ", " + _Q06_BODY
@@ -1548,6 +1573,7 @@ ORACLE_TPCDS_Q93 = _DIMS_SQL + ", " + _RETURNS_SQL + ", " + _Q93_BODY
 ORACLE_TPCDS_Q97 = _DIMS_SQL + ", " + _RETURNS_SQL + ", " + _Q97_BODY
 ORACLE_TPCDS_Q39 = _DIMS_SQL + ", " + _RETURNS_SQL + ", " + _Q39_BODY
 ORACLE_TPCDS_Q49 = _DIMS_SQL + ", " + _RETURNS_SQL + ", " + _Q49_BODY
+ORACLE_TPCDS_Q95 = _DIMS_SQL + ", " + _RETURNS_SQL + ", " + _Q95_BODY
 
 
 QUERIES = {
@@ -1571,6 +1597,7 @@ QUERIES = {
     "tpcds_q97": q_tpcds_q97,
     "tpcds_q39": q_tpcds_q39,
     "tpcds_q49": q_tpcds_q49,
+    "tpcds_q95": q_tpcds_q95,
     "tpcds_q03": q_tpcds_q3,
     "tpcds_q07": q_tpcds_q7,
     "tpcds_q42": q_tpcds_q42,
@@ -1601,6 +1628,7 @@ ORACLES = {
     "tpcds_q97": ORACLE_TPCDS_Q97,
     "tpcds_q39": ORACLE_TPCDS_Q39,
     "tpcds_q49": ORACLE_TPCDS_Q49,
+    "tpcds_q95": ORACLE_TPCDS_Q95,
     "tpcds_q03": ORACLE_TPCDS_Q3,
     "tpcds_q07": ORACLE_TPCDS_Q7,
     "tpcds_q42": ORACLE_TPCDS_Q42,
