@@ -2627,9 +2627,11 @@ fr as (
 segsrc as (
   select doc_id,
          list_filter(list_transform(string_split_regex(lt, '\n'),
-                                    x -> trim(x)), x -> x <> '') as ls,
+             x -> regexp_replace(x, '^\s+|\s+$', '', 'g')),
+             x -> x <> '') as ls,
          list_filter(list_transform(string_split_regex(lt, '\n\n'),
-                                    x -> trim(x)), x -> x <> '') as ps
+             x -> regexp_replace(x, '^\s+|\s+$', '', 'g')),
+             x -> x <> '') as ps
   from d3
 ),
 segm as (

@@ -313,8 +313,12 @@ def gopher_repetition(df: DataFrame, id_col: str = "doc_id",
     low = F.lower(F.col(text_col))
 
     def _segments(sep: str):
+        # strip ALL whitespace, not just spaces (trim() is space-only
+        # in both Spark and DuckDB; a paragraph segment can carry an
+        # interior newline's residue at its edges)
         return F.filter(
-            F.transform(F.split(low, sep), lambda x: F.trim(x)),
+            F.transform(F.split(low, sep),
+                        lambda x: F.regexp_replace(x, r"^\s+|\s+$", "")),
             lambda x: x != "")
 
     def _dup_metrics(arr, occ_name: str, chr_name: str):

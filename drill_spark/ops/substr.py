@@ -84,18 +84,34 @@ def _window_spans(toks: DataFrame, min_tokens: int) -> DataFrame:
     )
 
 
-def _removed_windows(spans: DataFrame) -> DataFrame:
-    """(id, p) of windows to remove under keep-lowest-doc: the span
-    also occurs in some smaller doc_id. Hash pre-filter first (8-byte
-    shuffle keys), exact span-string groupBy on the survivors."""
+def _removed_windows(spans: DataFrame,
+                     scores: DataFrame | None = None) -> DataFrame:
+    """(id, p) of windows to remove under the canonical-copy rule.
+    Default: keep-lowest-doc (the span also occurs in some smaller
+    doc_id). With ``scores`` — (id, __score) — the canonical doc is
+    the HIGHEST-scored one holding the span (ties to the smaller id),
+    so duplicated text survives in its best copy. Hash pre-filter
+    first (8-byte shuffle keys), exact span-string groupBy on the
+    survivors."""
     hashed = spans.withColumn("h", F.xxhash64("span"))
     multi = (hashed.groupBy("h").agg(F.count("*").alias("c"))
              .where(F.col("c") >= 2).select("h"))
     survivors = hashed.join(multi, "h", "left_semi")
-    min_doc = survivors.groupBy("span").agg(F.min("id").alias("min_id"))
+    if scores is None:
+        canon = survivors.groupBy("span").agg(F.min("id").alias("keep_id"))
+    else:
+        # argmax(score) with min-id tiebreak: max over a (score, -id)
+        # struct — one aggregate, no window
+        canon = (
+            survivors.join(scores, "id")
+            .groupBy("span")
+            .agg(F.max(F.struct(F.col("__score"),
+                                (-F.col("id")).alias("__nid"))).alias("m"))
+            .select("span", (-F.col("m.__nid")).alias("keep_id"))
+        )
     return (
-        survivors.join(min_doc, "span")
-        .where(F.col("id") > F.col("min_id"))
+        survivors.join(canon, "span")
+        .where(F.col("id") != F.col("keep_id"))
         .select("id", "p")
     )
 
@@ -157,11 +173,17 @@ def substr_dedup(
     id_col: str = "doc_id",
     text_col: str = "text",
     min_tokens: int = 8,
+    score_col: str | None = None,
 ) -> DataFrame:
     """ExactSubstr removal: delete every token covered by an L-token
-    window whose span text also occurs in a smaller doc_id (the
-    canonical copy keeps ALL its occurrences), and reconstruct the
+    window whose span text also occurs in the canonical copy's
+    document (which keeps ALL its occurrences), and reconstruct the
     remaining text. Exact, deterministic, order-free.
+
+    Canonical-copy rule: lowest doc_id by default; pass ``score_col``
+    (a numeric quality column on ``df``) to keep each duplicated span
+    in its HIGHEST-scored document instead (ties to the smaller id) —
+    the curation-grade choice when copies differ in quality.
 
     Returns (id_col, n_tokens, n_removed, clean_text) — one row per
     document with >= 1 token; a fully-duplicated document survives
@@ -172,7 +194,11 @@ def substr_dedup(
     if L < 1:
         raise ValueError(f"substr_dedup: min_tokens >= 1, got {L}")
     toks = _token_positions(df, id_col, text_col)
-    removed = _removed_windows(_window_spans(toks, L))
+    scores = None
+    if score_col is not None:
+        scores = df.select(F.col(id_col).alias("id"),
+                           F.col(score_col).alias("__score"))
+    removed = _removed_windows(_window_spans(toks, L), scores)
     covered = (
         removed.select(
             "id", F.explode(F.sequence(F.col("p"),

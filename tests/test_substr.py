@@ -239,3 +239,105 @@ def test_incremental_substr_dedup_protocol(spark, tmp_path):
     with pytest.raises(ValueError, match="never.*committed|high-water"):
         incremental_substr_dedup(b1, store, min_tokens=3,
                                  batch_id=3).count()
+
+
+def test_substr_dedup_score_canonical(spark):
+    """score_col flips the canonical copy: the duplicated span
+    survives in the HIGHEST-scored document (ties to the smaller id),
+    while the default keeps the lowest id."""
+    shared = "alpha beta gamma delta epsilon"
+    rows = [
+        (0, f"head {shared} tail", 0.2),
+        (1, f"other {shared} words", 0.9),   # best copy
+        (2, f"{shared}", 0.9),               # ties doc 1 -> doc 1 wins
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, q double")
+
+    default = {r.doc_id: r.n_removed
+               for r in substr_dedup(df, min_tokens=5).collect()}
+    assert default == {0: 5, 1: 5, 2: 5} or default[0] == 0
+    assert default[0] == 0 and default[1] == 5 and default[2] == 5
+
+    scored = {r.doc_id: r.n_removed
+              for r in substr_dedup(df, min_tokens=5,
+                                    score_col="q").collect()}
+    assert scored == {0: 5, 1: 0, 2: 5}
+
+
+def test_gopher_repetition_property_random(spark):
+    """Property: gopher_repetition == exhaustive Python replay on
+    random corpora (tiny vocab + random newlines drive every signal
+    including segment duplication)."""
+    import collections
+    import re
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from drill_spark.ops.pipeline import gopher_repetition
+
+    token_strategy = st.lists(
+        st.one_of(st.integers(min_value=0, max_value=4),
+                  st.just(-1),      # newline
+                  st.just(-2)),     # blank line (paragraph break)
+        min_size=1, max_size=30,
+    )
+
+    def render(seq):
+        out = []
+        for x in seq:
+            out.append("\n" if x == -1 else "\n\n" if x == -2 else f"w{x} ")
+        return "".join(out)
+
+    @settings(max_examples=8, deadline=None)
+    @given(docs=st.lists(token_strategy, min_size=1, max_size=4))
+    def run(docs):
+        rows = [(i, render(s)) for i, s in enumerate(docs)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {r.doc_id: r.asDict()
+               for r in gopher_repetition(df).collect()}
+
+        def toks(s):
+            return [t for t in s.lower().strip().split() if t]
+
+        for i, text in rows:
+            tk = toks(text)
+            if not tk:
+                assert i not in got
+                continue
+            total = sum(len(t) for t in tk)
+            exp = {}
+            for n in range(2, 11):
+                grams = [" ".join(tk[j:j + n])
+                         for j in range(len(tk) - n + 1)]
+                cnt = collections.Counter(grams)
+                if n <= 4:
+                    ch = 0
+                    if grams:
+                        g, c = sorted(cnt.items(),
+                                      key=lambda kv: (-kv[1], kv[0]))[0]
+                        ch = c * (len(g) - (n - 1))
+                    exp[f"top_{n}gram_char_frac"] = round(ch / total, 4)
+                else:
+                    covered = set()
+                    for j, g in enumerate(grams):
+                        if cnt[g] >= 2:
+                            covered.update(range(j + 1, j + n + 1))
+                    exp[f"dup_{n}gram_char_frac"] = round(
+                        sum(len(tk[q - 1]) for q in covered) / total, 4)
+            for sep, occ, chrn in (
+                    ("\n", "dup_line_frac", "dup_line_char_frac"),
+                    ("\n\n", "dup_para_frac", "dup_para_char_frac")):
+                segs = [x.strip() for x in re.split(sep, text.lower())
+                        if x.strip()]
+                c = collections.Counter(segs)
+                dupsegs = [s for s in segs if c[s] >= 2]
+                exp[occ] = round(len(dupsegs) / len(segs), 4) if segs \
+                    else 0.0
+                tc = sum(len(s) for s in segs)
+                exp[chrn] = round(sum(len(s) for s in dupsegs) / tc, 4) \
+                    if tc else 0.0
+            for k, v in exp.items():
+                assert abs(got[i][k] - v) < 1e-9, (i, k, got[i][k], v)
+
+    run()
