@@ -85,6 +85,19 @@ _OPTION_MAP: dict[str, tuple[str, "callable"]] = {
     ),
 }
 
+# Drill parquet-writer knobs that live in parquet-mr's HADOOP conf, not
+# a Spark SQL conf (ExecConstants PARQUET_BLOCK_SIZE / PARQUET_PAGE_SIZE
+# / PARQUET_WRITER_ENABLE_DICTIONARY_ENCODING). Spark's parquet writer
+# reads these from the session hadoopConfiguration at write time, so
+# ALTER SESSION takes effect for subsequent CTAS without restarting.
+_HADOOP_OPTION_MAP: dict[str, tuple[str, "callable"]] = {
+    "store.parquet.block-size": ("parquet.block.size", str),
+    "store.parquet.page-size": ("parquet.page.size", str),
+    "store.parquet.enable_dictionary_encoding": (
+        "parquet.enable.dictionary", lambda v: str(_truthy(v)).lower(),
+    ),
+}
+
 
 def _default_parallelism() -> int:
     return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
@@ -533,9 +546,14 @@ class DrillSession:
         options are translated (name AND value) to their Spark conf."""
         self.options[name] = value
         mapped = _OPTION_MAP.get(name)
+        hmapped = _HADOOP_OPTION_MAP.get(name)
         if mapped is not None:
             spark_conf, convert = mapped
             self.spark.conf.set(spark_conf, convert(value))
+        elif hmapped is not None:
+            hconf, convert = hmapped
+            self.spark.sparkContext._jsc.hadoopConfiguration().set(
+                hconf, convert(value))
         elif name.startswith("spark."):
             self.spark.conf.set(name, value)
 

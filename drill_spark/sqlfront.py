@@ -50,11 +50,12 @@ from pyspark.sql import DataFrame, Row
 
 # ws.`/path` or ws.sub.`/path`  (workspace part without backticks)
 _PATH_TABLE = re.compile(r"(?<![\w`])((?:\w+\.)+)`([^`]+)`")
+# option names may carry hyphens (store.parquet.block-size et al.)
 _ALTER_SET = re.compile(
-    r"^\s*ALTER\s+(SESSION|SYSTEM)\s+SET\s+`?([\w.]+)`?\s*=\s*'?([^'\s;]+)'?\s*;?\s*$",
+    r"^\s*ALTER\s+(SESSION|SYSTEM)\s+SET\s+`?([\w.-]+)`?\s*=\s*'?([^'\s;]+)'?\s*;?\s*$",
     re.IGNORECASE,
 )
-_RESET = re.compile(r"^\s*(?:ALTER\s+SESSION\s+)?RESET\s+`?([\w.]+)`?\s*;?\s*$", re.IGNORECASE)
+_RESET = re.compile(r"^\s*(?:ALTER\s+SESSION\s+)?RESET\s+`?([\w.-]+)`?\s*;?\s*$", re.IGNORECASE)
 _SHOW_FILES = re.compile(r"^\s*SHOW\s+FILES(?:\s+(?:IN|FROM)\s+(\S+))?\s*;?\s*$", re.IGNORECASE)
 _SHOW_TABLES_WS = re.compile(
     r"^\s*SHOW\s+TABLES\s+(?:IN|FROM)\s+((?:dfs|s3|cp)(?:\.\w+)*)\s*;?\s*$",

@@ -1441,3 +1441,46 @@ def test_pipeline_table_function_substr_decontaminate(dsession):
         dsession.sql("select * from sdc_bench"),
         min_tokens=4).collect()
     assert sorted(map(tuple, got)) == sorted(map(tuple, lib)) and got
+
+
+def test_alter_session_parquet_writer_knobs(dsession, tmp_path):
+    """Drill's parquet writer session options (ExecConstants
+    PARQUET_BLOCK_SIZE / PARQUET_WRITER_ENABLE_DICTIONARY_ENCODING)
+    route into parquet-mr's hadoop conf and take effect on the next
+    CTAS: a tiny block size splits one write into multiple row
+    groups, and disabling dictionary encoding drops the dictionary
+    page from the column chunks."""
+    import pyarrow.parquet as pq
+
+    dsession.register_fixture_tables("/root/testdata/sf0.001")
+    dsession.sql("create or replace view pw_src as "
+                 "select l_orderkey, l_returnflag, "
+                 "cast(l_extendedprice as string) as s from lineitem")
+    ws = str(tmp_path)
+    dsession.register_workspace("pwtest", ws, "parquet", writable=True)
+
+    # default: one row group
+    dsession.sql("create table pwtest.`one` as select * from pw_src")
+    meta1 = pq.ParquetFile(
+        next(__import__("glob").iglob(f"{ws}/one/*.parquet"))).metadata
+    assert meta1.num_row_groups == 1
+
+    dsession.sql("alter session set `store.parquet.block-size` = 4096")
+    dsession.sql("create table pwtest.`many` as select * from pw_src")
+    meta2 = pq.ParquetFile(
+        next(__import__("glob").iglob(f"{ws}/many/*.parquet"))).metadata
+    assert meta2.num_row_groups > 1
+
+    dsession.sql("alter session set "
+                 "`store.parquet.enable_dictionary_encoding` = false")
+    dsession.sql("create table pwtest.`nodict` as select * from pw_src")
+    meta3 = pq.ParquetFile(
+        next(__import__("glob").iglob(f"{ws}/nodict/*.parquet"))).metadata
+    encs = {e for i in range(meta3.num_row_groups)
+            for c in range(meta3.num_columns)
+            for e in meta3.row_group(i).column(c).encodings}
+    assert "PLAIN_DICTIONARY" not in encs and "RLE_DICTIONARY" not in encs
+    # restore defaults for other tests sharing the session
+    dsession.sql("alter session set `store.parquet.block-size` = 134217728")
+    dsession.sql("alter session set "
+                 "`store.parquet.enable_dictionary_encoding` = true")
