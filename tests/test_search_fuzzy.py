@@ -1123,3 +1123,46 @@ def test_incremental_setsim_hot_token_postings_cap(spark, tmp_path):
                                    "doc_id long, text string")
     assert incremental_setsim(probe3, store2, threshold=0.9, batch_id=2,
                               max_postings_per_token=5).count() == 1
+
+
+def test_incremental_setsim_store_survives_optimize(spark, tmp_path):
+    """OPTIMIZE-compacting the postings store must preserve the
+    incremental contract: per-batch txns still replay, auto-assigned
+    ids continue past the high-water mark, and the next batch dedups
+    against the SAME postings — compaction is maintenance, not
+    semantics."""
+    from drill_spark.ops.fuzzy import incremental_setsim
+    from drill_spark.readers.delta import optimize, read_delta
+
+    store = str(tmp_path / "store")
+    b0 = spark.createDataFrame(
+        [(0, "alpha beta gamma"), (1, "delta epsilon zeta")],
+        "doc_id long, text string")
+    incremental_setsim(b0, store, threshold=0.9).collect()
+    b1 = spark.createDataFrame(
+        [(10, "eta theta iota"), (11, "alpha beta gamma")],
+        "doc_id long, text string")
+    surv1 = {r.doc_id for r in
+             incremental_setsim(b1, store, threshold=0.9).collect()}
+    assert surv1 == {10}  # 11 duplicates batch-0 doc 0
+
+    optimize(spark, store)
+    n_rows = read_delta(spark, store).count()
+
+    # replay of batch 1 unchanged after compaction
+    replay = {r.doc_id for r in
+              incremental_setsim(b1, store, threshold=0.9,
+                                 batch_id=1).collect()}
+    assert replay == {10}
+    assert read_delta(spark, store).count() == n_rows
+
+    # a new batch dedups against compacted postings and gets id 2
+    b2 = spark.createDataFrame(
+        [(20, "eta theta iota"), (21, "fresh new words")],
+        "doc_id long, text string")
+    surv2 = {r.doc_id for r in
+             incremental_setsim(b2, store, threshold=0.9).collect()}
+    assert surv2 == {21}
+    batches = {r.batch_id for r in read_delta(spark, store)
+               .select("batch_id").distinct().collect()}
+    assert batches == {0, 1, 2}
