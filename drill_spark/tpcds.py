@@ -1464,6 +1464,45 @@ order by channel, return_rank, currency_rank, item_sk
 """
 
 
+# q29 shape (chained fact-to-fact-to-fact join): items SOLD in the
+# first half of 1999, RETURNED (sales joined to returns on
+# ticket+item+customer), then RE-BOUGHT by the same customer the next
+# year (returns joined back to sales on item+customer) — the
+# three-fact chain whose quantities aggregate per item. Every hop is
+# an equi-join on fact keys; exact integer quantities keep the sums
+# hash-stable.
+_Q29_BODY = """
+sold as (
+  select ss_item_sk as item, ss_customer_sk as cust,
+         ss_ticket_number as tkt, ss_quantity as q
+  from tpcds_store_sales, tpcds_date_dim
+  where ss_sold_date_sk = d_date_sk and d_year = 1999 and d_moy <= 6
+),
+ret as (
+  select sr_item_sk as item, sr_customer_sk as cust,
+         sr_ticket_number as tkt, sr_return_quantity as rq
+  from tpcds_store_returns, tpcds_date_dim
+  where sr_returned_date_sk = d_date_sk and d_year = 1999
+),
+rebuy as (
+  select ss_item_sk as item, ss_customer_sk as cust, ss_quantity as q2
+  from tpcds_store_sales, tpcds_date_dim
+  where ss_sold_date_sk = d_date_sk and d_year = 2000
+)
+select i.i_item_id as item_id,
+       cast(sum(s.q) as bigint) as store_sales_quantity,
+       cast(sum(r.rq) as bigint) as store_returns_quantity,
+       cast(sum(b.q2) as bigint) as rebuy_quantity
+from sold s
+join ret r on s.tkt = r.tkt and s.item = r.item and s.cust = r.cust
+join rebuy b on r.item = b.item and r.cust = b.cust
+join tpcds_item i on s.item = i.i_item_sk
+group by i.i_item_id
+order by item_id
+limit 100
+"""
+
+
 # q95 shape (multi-warehouse returned orders): tickets sold from MORE
 # THAN ONE store (a self-join on the ticket with a store inequality —
 # the spec's ws1/ws2 warehouse pattern), restricted by IN to that set
@@ -1553,6 +1592,7 @@ q_tpcds_q97 = _decorrelated(_Q97_BODY)
 q_tpcds_q39 = _decorrelated(_Q39_BODY)
 q_tpcds_q49 = _decorrelated(_Q49_BODY)
 q_tpcds_q95 = _decorrelated(_Q95_BODY)
+q_tpcds_q29 = _decorrelated(_Q29_BODY)
 
 ORACLE_TPCDS_Q1 = _DIMS_SQL + ", " + _RETURNS_SQL + ", " + _Q01_BODY
 ORACLE_TPCDS_Q6 = _DIMS_SQL + ", " + _RETURNS_SQL + ", " + _Q06_BODY
@@ -1574,6 +1614,7 @@ ORACLE_TPCDS_Q97 = _DIMS_SQL + ", " + _RETURNS_SQL + ", " + _Q97_BODY
 ORACLE_TPCDS_Q39 = _DIMS_SQL + ", " + _RETURNS_SQL + ", " + _Q39_BODY
 ORACLE_TPCDS_Q49 = _DIMS_SQL + ", " + _RETURNS_SQL + ", " + _Q49_BODY
 ORACLE_TPCDS_Q95 = _DIMS_SQL + ", " + _RETURNS_SQL + ", " + _Q95_BODY
+ORACLE_TPCDS_Q29 = _DIMS_SQL + ", " + _RETURNS_SQL + ", " + _Q29_BODY
 
 
 QUERIES = {
@@ -1598,6 +1639,7 @@ QUERIES = {
     "tpcds_q39": q_tpcds_q39,
     "tpcds_q49": q_tpcds_q49,
     "tpcds_q95": q_tpcds_q95,
+    "tpcds_q29": q_tpcds_q29,
     "tpcds_q03": q_tpcds_q3,
     "tpcds_q07": q_tpcds_q7,
     "tpcds_q42": q_tpcds_q42,
@@ -1629,6 +1671,7 @@ ORACLES = {
     "tpcds_q39": ORACLE_TPCDS_Q39,
     "tpcds_q49": ORACLE_TPCDS_Q49,
     "tpcds_q95": ORACLE_TPCDS_Q95,
+    "tpcds_q29": ORACLE_TPCDS_Q29,
     "tpcds_q03": ORACLE_TPCDS_Q3,
     "tpcds_q07": ORACLE_TPCDS_Q7,
     "tpcds_q42": ORACLE_TPCDS_Q42,
