@@ -164,11 +164,13 @@ def test_substr_dedup_plan_shape(spark):
 
     from .conftest import SF_DIR
 
-    df = extops.QUERIES["ext_substr_dedup"](spark, SF_DIR)
-    assert not plans.has_python_eval(df)
-    phys = df._jdf.queryExecution().executedPlan().toString()
-    assert "CartesianProduct" not in phys
-    assert "BroadcastNestedLoopJoin" not in phys
+    for name in ("ext_substr_dedup", "ext_substr_spans",
+                 "ext_substr_decontam", "ext_gopher_repetition"):
+        df = extops.QUERIES[name](spark, SF_DIR)
+        assert not plans.has_python_eval(df), name
+        phys = df._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in phys, name
+        assert "BroadcastNestedLoopJoin" not in phys, name
 
 
 def test_substr_decontaminate_planted(spark):
