@@ -2532,6 +2532,38 @@ group by doc_id
 """
 
 
+def q_chunk_overlap(spark, sf_dir):
+    """Sliding-window chunking (chunk_tokens with stride < max):
+    24-token windows every 16 tokens, so consecutive chunks share 8
+    tokens — the RAG-index convention where no passage straddles a
+    boundary unseen. Same one-generator plan as the non-overlapping
+    inventory; hash-oracle-backed."""
+    from drill_spark.ops.pipeline import chunk_tokens
+
+    return chunk_tokens(_docs(spark, sf_dir), "doc_id", "text",
+                        max_tokens=24, stride=16)
+
+
+ORACLE_CHUNK_OVERLAP = r"""
+with w as (
+  select doc_id, string_split_regex(trim(lower(text)), '\s+') as w
+  from documents
+),
+c as (
+  select doc_id, unnest(list_transform(
+      generate_series(0, cast(floor(greatest(len(w) - 1, 0) / 16.0) as int)),
+      i -> struct_pack(
+        chunk_id := cast(i as bigint),
+        n_tokens := cast(len(w[i*16+1 : i*16+24]) as bigint),
+        chunk_hash := md5(array_to_string(w[i*16+1 : i*16+24], ' '))))) as c
+  from w
+)
+select doc_id, c.chunk_id as chunk_id, c.n_tokens as n_tokens,
+       c.chunk_hash as chunk_hash
+from c
+"""
+
+
 def q_bpe_tokens(spark, sf_dir):
     """REAL trained-BPE token accounting (Sennrich et al. merge loop,
     trained on the corpus word counts): per-doc subword token counts.
@@ -6085,6 +6117,7 @@ QUERIES = {
     "ext_decontaminate": q_decontaminate,
     "ext_bloom_decontaminate": q_bloom_decontaminate,
     "ext_chunk_pack": q_chunk_pack,
+    "ext_chunk_overlap": q_chunk_overlap,
     "ext_repetition": q_repetition,
     "ext_gopher_repetition": q_gopher_repetition,
     "ext_stratified_sample": q_stratified_sample,
@@ -6227,6 +6260,7 @@ ORACLES = {
     "ext_decontaminate": ORACLE_DECONTAMINATE,
     "ext_bloom_decontaminate": ORACLE_DECONTAMINATE,
     "ext_chunk_pack": ORACLE_CHUNK_PACK,
+    "ext_chunk_overlap": ORACLE_CHUNK_OVERLAP,
     "ext_pack_bins": ORACLE_PACK_BINS,
     "ext_repetition": ORACLE_REPETITION,
     "ext_gopher_repetition": ORACLE_GOPHER_REPETITION,

@@ -146,25 +146,40 @@ def decontaminate(
 
 
 def chunk_tokens(
-    df: DataFrame, id_col: str, text_col: str, max_tokens: int = 32
+    df: DataFrame, id_col: str, text_col: str, max_tokens: int = 32,
+    stride: int | None = None,
 ) -> DataFrame:
-    """Sequence packing: cut each document into consecutive windows of
-    at most ``max_tokens`` whitespace tokens. Emits (id, chunk_id,
-    n_tokens, chunk_hash) — the deterministic chunk inventory a
+    """Sequence chunking: cut each document into windows of at most
+    ``max_tokens`` whitespace tokens. Emits (id, chunk_id, n_tokens,
+    chunk_hash) — the deterministic chunk inventory a
     tokenize-and-pack trainer consumes.
+
+    ``stride`` (default = ``max_tokens``, i.e. non-overlapping)
+    selects the retrieval convention instead: window k starts at
+    token ``k*stride + 1``, so consecutive chunks share
+    ``max_tokens - stride`` tokens — the sliding-window chunking a
+    RAG index wants so no passage straddles a boundary unseen. Gaps
+    (stride > max_tokens) are rejected.
 
     The chunk loop is a per-row array transform (sequence → slice), so
     the plan is one scan + one generator — no shuffle, and output size
-    is input size, not input×chunks."""
+    is input size times the fixed overlap factor, never input×chunks."""
+    s = int(stride) if stride is not None else int(max_tokens)
+    if not 1 <= s <= int(max_tokens):
+        raise ValueError(
+            f"chunk_tokens: stride must be in [1, max_tokens], got {s}")
     w = _words(text_col)
+    # starts at 1, 1+s, ... while start <= n  ->  ids 0..floor((n-1)/s);
+    # for s == max_tokens this is exactly ceil(n/max) windows
     chunks = F.transform(
         F.sequence(
-            F.lit(0), F.ceil(F.size(w) / F.lit(max_tokens)).cast("int") - 1
+            F.lit(0),
+            F.floor(F.greatest(F.size(w) - 1, F.lit(0)) / F.lit(s)).cast("int"),
         ),
         lambda i: F.struct(
             i.cast("long").alias("chunk_id"),
-            F.size(F.slice(w, i * max_tokens + 1, max_tokens)).cast("long").alias("n_tokens"),
-            F.md5(F.concat_ws(" ", F.slice(w, i * max_tokens + 1, max_tokens))).alias(
+            F.size(F.slice(w, i * s + 1, max_tokens)).cast("long").alias("n_tokens"),
+            F.md5(F.concat_ws(" ", F.slice(w, i * s + 1, max_tokens))).alias(
                 "chunk_hash"
             ),
         ),

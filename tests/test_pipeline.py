@@ -955,3 +955,34 @@ def test_gopher_repetition_full_table(spark):
     assert got[2]["dup_line_frac"] > 0.3      # 2 of 3 lines duplicated
     assert got[3]["dup_para_frac"] > 0.3
     assert got[4]["dup_6gram_char_frac"] > 0.5
+
+
+def test_chunk_tokens_stride_overlap(spark):
+    """Sliding-window chunking: consecutive windows overlap by
+    max_tokens - stride, coverage is gap-free, default stride equals
+    the old non-overlapping behavior, and gaps are rejected."""
+    import pytest
+
+    from drill_spark.ops.pipeline import chunk_tokens
+
+    text = " ".join(f"t{i}" for i in range(10))
+    df = spark.createDataFrame([(0, text)], "doc_id long, text string")
+
+    over = sorted((r.chunk_id, r.n_tokens) for r in
+                  chunk_tokens(df, "doc_id", "text", max_tokens=4,
+                               stride=2).collect())
+    # starts 1,3,5,7,9 -> sizes 4,4,4,4,2
+    assert over == [(0, 4), (1, 4), (2, 4), (3, 4), (4, 2)]
+
+    plain = sorted((r.chunk_id, r.n_tokens) for r in
+                   chunk_tokens(df, "doc_id", "text",
+                                max_tokens=4).collect())
+    explicit = sorted((r.chunk_id, r.n_tokens) for r in
+                      chunk_tokens(df, "doc_id", "text", max_tokens=4,
+                                   stride=4).collect())
+    assert plain == explicit == [(0, 4), (1, 4), (2, 2)]
+
+    with pytest.raises(ValueError):
+        chunk_tokens(df, "doc_id", "text", max_tokens=4, stride=5)
+    with pytest.raises(ValueError):
+        chunk_tokens(df, "doc_id", "text", max_tokens=4, stride=0)
