@@ -790,6 +790,70 @@ from d2 left join keptagg k using (doc_id)
 """
 
 
+def q_substr_contam_report(spark, sf_dir):
+    """Contamination audit report (ops/substr.py::
+    substr_contamination_report): which benchmark snippet leaked
+    verbatim into which corpus document — one row per contaminated
+    (bench, doc) pair with shared-window and covered-token counts,
+    the run-before-you-scrub view of ext_substr_decontam. Exact and
+    hash-oracle-backed."""
+    from drill_spark.ops.substr import substr_contamination_report
+
+    docs = _docs(spark, sf_dir)
+    bench = (docs.where((F.col("doc_id") >= 450) & (F.col("doc_id") < 500))
+             .select((F.col("doc_id") - 450).alias("bench_id"),
+                     F.array_join(
+                         F.slice(F.split(F.trim(F.lower("text")), r"\s+"),
+                                 1, 12), " ").alias("text")))
+    corpus = docs.where(F.col("doc_id") < 400)
+    return substr_contamination_report(bench, corpus, min_tokens=4)
+
+
+ORACLE_SUBSTR_CONTAM_REPORT = r"""
+with d2 as (
+  select doc_id, toks, len(toks) as n
+  from (select doc_id,
+               list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                           x -> x <> '') as toks
+        from documents where doc_id < 400)
+  where len(toks) > 0
+),
+bsnip as (
+  select doc_id - 450 as bench_id,
+         list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                     x -> x <> '')[1:12] as toks
+  from documents where doc_id >= 450 and doc_id < 500
+),
+bspan as (
+  select distinct bench_id, array_to_string(toks[i:i+3], ' ') as span
+  from (select bench_id, toks, len(toks) as n from bsnip
+        where len(toks) >= 4),
+       unnest(range(1, n - 4 + 2)) as t(i)
+),
+w as (
+  select doc_id, unnest(list_transform(range(1, greatest(n - 4, -1) + 2),
+         i -> struct_pack(p := i,
+                          span := array_to_string(toks[i:i+3], ' ')))) as s
+  from d2
+),
+wf as (select doc_id, s.p as p, s.span as span from w),
+hits as (select b.bench_id, wf.doc_id, wf.p
+         from wf join bspan b using (span)),
+pairs as (select bench_id, doc_id, count(*) as n_shared_windows
+          from hits group by 1, 2),
+cov as (
+  select bench_id, doc_id, count(*) as n_covered_tokens
+  from (select distinct bench_id, doc_id, unnest(range(p, p + 4)) as q
+        from hits)
+  group by 1, 2
+)
+select p.bench_id, p.doc_id,
+       cast(p.n_shared_windows as bigint) as n_shared_windows,
+       cast(c.n_covered_tokens as bigint) as n_covered_tokens
+from pairs p join cov c using (bench_id, doc_id)
+"""
+
+
 def q_incremental_substr(spark, sf_dir):
     """Cross-run ExactSubstr dedup vs a persistent span-digest store
     (ops/substr.py::incremental_substr_dedup): even-id docs (< 240)
@@ -6093,6 +6157,7 @@ QUERIES = {
     "ext_substr_dedup": q_substr_dedup,
     "ext_substr_spans": q_substr_spans,
     "ext_substr_decontam": q_substr_decontam,
+    "ext_substr_contam_report": q_substr_contam_report,
     "ext_incremental_substr": q_incremental_substr,
     "ext_text_token_freq": q_text_token_freq,
     "ext_text_topk_approx": q_text_topk_approx,
@@ -6238,6 +6303,7 @@ ORACLES = {
     "ext_substr_dedup": ORACLE_SUBSTR_DEDUP,
     "ext_substr_spans": ORACLE_SUBSTR_SPANS,
     "ext_substr_decontam": ORACLE_SUBSTR_DECONTAM,
+    "ext_substr_contam_report": ORACLE_SUBSTR_CONTAM_REPORT,
     "ext_incremental_substr": ORACLE_INCREMENTAL_SUBSTR,
     "ext_text_token_freq": ORACLE_TOKEN_FREQ,
     "ext_sample_hash": ORACLE_SAMPLE_HASH,

@@ -374,3 +374,55 @@ def incremental_substr_dedup(
                     mode="append" if exists else "error",
                     txn=(f"{txn_app_id}#batch{int(batch_id)}", int(batch_id)))
     return out
+
+
+def substr_contamination_report(
+    probe: DataFrame,
+    corpus: DataFrame,
+    probe_id: str = "bench_id",
+    probe_text: str = "text",
+    corpus_id: str = "doc_id",
+    corpus_text: str = "text",
+    min_tokens: int = 8,
+) -> DataFrame:
+    """The audit face of :func:`substr_decontaminate`: which benchmark
+    item leaked verbatim into which corpus document, and how badly —
+    one row per (benchmark, corpus) pair sharing at least one L-token
+    window, with the count of shared windows and the count of corpus
+    token positions those windows cover (the removal footprint the
+    scrub would take). Run this BEFORE committing to removal.
+
+    Scale shape: the benchmark span set stays broadcast-sized; the
+    pair aggregation keys on (benchmark id, corpus id) — bounded by
+    true contamination, not corpus size.
+
+    Returns (probe_id, corpus_id, n_shared_windows, n_covered_tokens).
+    """
+    L = int(min_tokens)
+    if L < 1:
+        raise ValueError(
+            f"substr_contamination_report: min_tokens >= 1, got {L}")
+    if probe_id == corpus_id:
+        raise ValueError("substr_contamination_report: probe_id and "
+                         "corpus_id must differ (alias one side)")
+    cspans = _window_spans(_token_positions(corpus, corpus_id, corpus_text),
+                           L).withColumnRenamed("id", "cid")
+    bspans = (
+        _window_spans(_token_positions(probe, probe_id, probe_text), L)
+        .select(F.col("id").alias("bid"), "span").distinct()
+    )
+    hits = cspans.join(F.broadcast(bspans), "span")
+    pairs = hits.groupBy("bid", "cid").agg(
+        F.count("*").alias("n_shared_windows"))
+    covered = (
+        hits.select("bid", "cid",
+                    F.explode(F.sequence(F.col("p"),
+                                         F.col("p") + (L - 1))).alias("q"))
+        .distinct()
+        .groupBy("bid", "cid").agg(F.count("*").alias("n_covered_tokens"))
+    )
+    return (
+        pairs.join(covered, ["bid", "cid"])
+        .select(F.col("bid").alias(probe_id), F.col("cid").alias(corpus_id),
+                "n_shared_windows", "n_covered_tokens")
+    )

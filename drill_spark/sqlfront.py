@@ -864,6 +864,22 @@ def _pipeline_table(session, op: str, opts: dict[str, str]) -> DataFrame:
             o.get("id", "doc_id"), o.get("text", "text"),
             o.get("bench_id", "bench_id"), o.get("bench_text", "text"),
             min_tokens=int(o.get("min_tokens", "8")))
+    if name == "substr_contam_report":
+        from drill_spark.ops.substr import substr_contamination_report
+
+        return substr_contamination_report(
+            inp("benchmark"), inp("corpus"),
+            o.get("bench_id", "bench_id"), o.get("bench_text", "text"),
+            o.get("id", "doc_id"), o.get("text", "text"),
+            min_tokens=int(o.get("min_tokens", "8")))
+    if name == "chunk_tokens":
+        from drill_spark.ops.pipeline import chunk_tokens
+
+        st = o.get("stride")
+        return chunk_tokens(
+            inp(), o.get("id", "doc_id"), o.get("text", "text"),
+            max_tokens=int(o.get("max_tokens", "32")),
+            stride=int(st) if st else None)
     if name == "topk_per_key":
         from drill_spark.ops.scale import salted_topk
 
@@ -885,7 +901,8 @@ def _pipeline_table(session, op: str, opts: dict[str, str]) -> DataFrame:
         "kmv_distinct, kmv_overlap, rolling_distinct, snapshot_diff, "
         "rolling_quantiles, cms_estimate, skew_join, topk_per_key, "
         "setsim_join, containment_join, setsim_tables, substr_dedup, "
-        "substr_spans, substr_decontaminate, gopher_repetition")
+        "substr_spans, substr_decontaminate, substr_contam_report, "
+        "chunk_tokens, gopher_repetition")
 
 
 def _read_path(session, ws_name: str, rel_path: str, options: dict[str, str] | None = None) -> DataFrame:

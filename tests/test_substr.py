@@ -343,3 +343,25 @@ def test_gopher_repetition_property_random(spark):
                 assert abs(got[i][k] - v) < 1e-9, (i, k, got[i][k], v)
 
     run()
+
+
+def test_substr_contamination_report_planted(spark):
+    """The report names the exact (benchmark, corpus) leak pairs with
+    shared-window and covered-token counts; disjoint docs are absent."""
+    from drill_spark.ops.substr import substr_contamination_report
+
+    corpus = spark.createDataFrame([
+        (0, "alpha beta gamma delta unique tail here"),
+        (1, "no overlap at all in this document"),
+        (2, "prefix beta gamma delta suffix beta gamma delta end"),
+    ], "doc_id long, text string")
+    bench = spark.createDataFrame([
+        (0, "question about beta gamma delta maybe"),
+        (1, "zeta eta theta"),
+    ], "bench_id long, text string")
+    got = {(r.bench_id, r.doc_id): (r.n_shared_windows, r.n_covered_tokens)
+           for r in substr_contamination_report(
+               bench, corpus, min_tokens=3).collect()}
+    # bench 0's 3-windows include "beta gamma delta"; doc 0 has one
+    # occurrence (3 tokens), doc 2 has two (6 tokens)
+    assert got == {(0, 0): (1, 3), (0, 2): (2, 6)}
