@@ -5423,6 +5423,51 @@ group by user_id, session_idx
 """
 
 
+def q_event_paths(spark, sf_dir):
+    """Top user-journey paths (ops/temporal.py::event_paths):
+    60-min-gap sessions per user, each rendered as its first 5 events
+    in order ("view > click > ..."), counted per path — the classic
+    product-analytics paths report. One key-shuffle (session algebra
+    shares the exchange), a map-combined path count, TakeOrdered
+    top-50; deterministic sort keys make it hash-oracle-backed."""
+    from drill_spark.ops.temporal import event_paths
+
+    ev = load_fixture(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type")
+    return event_paths(ev, "ts", "user_id", "event_type",
+                       gap_seconds=3600.0, max_steps=5,
+                       order_col="event_id", top=50)
+
+
+ORACLE_EVENT_PATHS = """
+with flagged as (
+  select user_id, ts, event_id, event_type,
+         case when lag(epoch(ts)) over w is null
+                   or epoch(ts) - lag(epoch(ts)) over w > 3600.0
+              then 1 else 0 end as new_sess
+  from events
+  window w as (partition by user_id order by ts, event_id)
+),
+runs as (
+  select user_id, ts, event_id, event_type,
+         sum(new_sess) over (partition by user_id order by ts, event_id
+                             rows unbounded preceding) as sess
+  from flagged
+),
+paths as (
+  select user_id, sess,
+         array_to_string(
+           (list(event_type order by ts, event_id))[1:5], ' > ') as path
+  from runs
+  group by user_id, sess
+)
+select path, count(*) as n_sessions
+from paths
+group by path
+order by n_sessions desc, path
+limit 50
+"""
+
 def q_text_nfc(spark, sf_dir):
     """Unicode NFC normalization (ops/text.py::normalize_unicode):
     fixture text enriched with decomposed combining sequences (e +
@@ -6256,6 +6301,7 @@ QUERIES = {
     "ext_weighted_sample": q_weighted_sample,
     "ext_text_nfc": q_text_nfc,
     "ext_sessionize": q_sessionize,
+    "ext_event_paths": q_event_paths,
     "ext_maxsim_topk": q_maxsim_topk,
     "ext_funnel": q_funnel,
     "ext_retention": q_retention,
@@ -6378,6 +6424,7 @@ ORACLES = {
     "ext_weighted_sample": ORACLE_WEIGHTED_SAMPLE,
     "ext_text_nfc": ORACLE_TEXT_NFC,
     "ext_sessionize": ORACLE_SESSIONIZE,
+    "ext_event_paths": ORACLE_EVENT_PATHS,
     "ext_maxsim_topk": ORACLE_MAXSIM_TOPK,
     "ext_funnel": ORACLE_FUNNEL,
     "ext_retention": ORACLE_RETENTION,

@@ -312,3 +312,68 @@ def retention(
         .groupBy("cohort", "offset")
         .agg(F.count(F.lit(1)).alias("n_keys"))
     )
+
+
+def event_paths(
+    df: DataFrame,
+    ts_col: str,
+    key_col: str,
+    event_col: str,
+    gap_seconds: float = 1800.0,
+    max_steps: int = 8,
+    order_col: str | None = None,
+    top: int = 100,
+) -> DataFrame:
+    """Top user-journey paths: sessionize (same gap rule as
+    :func:`sessionize`), render each session's first ``max_steps``
+    events as an ordered ``a > b > c`` path string, and count sessions
+    per path — the classic product-analytics "paths" report (what do
+    sessions actually do, in order).
+
+    Scale shape: ONE shuffle on the key (session flag + running sum +
+    the per-session ordered aggregate all share the exchange/sort),
+    then a map-combined count keyed by path and a TakeOrdered top-N —
+    path cardinality is bounded by |event types|^max_steps in theory
+    and by real behavior in practice, never by event volume.
+    Deterministic given the (ts, order_col) sort, so the whole report
+    hash-checks against a SQL oracle.
+
+    Returns (path, n_sessions), ``top`` rows, ordered by count desc
+    then path.
+    """
+    order = [F.col(ts_col)] + ([F.col(order_col)] if order_col else [])
+    w = Window.partitionBy(key_col).orderBy(*order)
+    sec = F.col(ts_col).cast("timestamp").cast("double")
+    new_sess = F.when(
+        F.lag(sec).over(w).isNull()
+        | ((sec - F.lag(sec).over(w)) > gap_seconds),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    run = (
+        df.withColumn("__new", new_sess)
+        .withColumn(
+            "__sess",
+            F.sum("__new").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+    )
+    sort_key = [sec.alias("__t")] \
+        + ([F.col(order_col).alias("__o")] if order_col else []) \
+        + [F.col(event_col).alias("__e")]
+    paths = (
+        run.groupBy(key_col, "__sess")
+        .agg(F.array_join(
+            F.slice(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct(*sort_key))),
+                    lambda s: s["__e"],
+                ),
+                1, int(max_steps),
+            ), " > ").alias("path"))
+    )
+    return (
+        paths.groupBy("path").agg(F.count(F.lit(1)).alias("n_sessions"))
+        .orderBy(F.desc("n_sessions"), F.asc("path"))
+        .limit(int(top))
+    )

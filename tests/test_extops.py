@@ -1900,3 +1900,36 @@ def test_incremental_near_dedup_batches_and_replay(spark, tmp_path):
     assert read_delta(spark, store).count() == n_rows
     # store carries one row per band per surviving doc
     assert n_rows == 3 * 8
+
+
+def test_event_paths_semantics(spark):
+    """Paths respect session boundaries, event order, and the
+    max_steps truncation; counts aggregate identical journeys."""
+    import datetime as dt
+
+    from drill_spark.ops.temporal import event_paths
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ev(i, user, mins, typ):
+        return (i, t0 + dt.timedelta(minutes=mins), user, typ)
+
+    rows = [
+        ev(0, 1, 0, "view"), ev(1, 1, 1, "click"), ev(2, 1, 2, "buy"),
+        # same user, new session after a 2h gap
+        ev(3, 1, 130, "view"), ev(4, 1, 131, "click"), ev(5, 1, 132, "buy"),
+        # another user, same journey
+        ev(6, 2, 0, "view"), ev(7, 2, 1, "click"), ev(8, 2, 2, "buy"),
+        # short journey
+        ev(9, 3, 0, "view"),
+        # long journey truncated at max_steps=3
+        ev(10, 4, 0, "a"), ev(11, 4, 1, "b"), ev(12, 4, 2, "c"),
+        ev(13, 4, 3, "d"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string")
+    got = {r.path: r.n_sessions
+           for r in event_paths(df, "ts", "user_id", "event_type",
+                                gap_seconds=3600.0, max_steps=3,
+                                order_col="event_id").collect()}
+    assert got == {"view > click > buy": 3, "view": 1, "a > b > c": 1}
