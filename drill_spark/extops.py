@@ -5468,6 +5468,53 @@ order by n_sessions desc, path
 limit 50
 """
 
+def q_event_transitions(spark, sf_dir):
+    """First-order event transition matrix (ops/temporal.py::
+    event_transitions): within 60-min-gap sessions, consecutive
+    (from, to) step counts and outgoing shares — the Markov companion
+    of the paths report; output is |event types|^2 regardless of
+    event volume. Hash-oracle-backed."""
+    from drill_spark.ops.temporal import event_transitions
+
+    ev = load_fixture(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type")
+    return event_transitions(ev, "ts", "user_id", "event_type",
+                             gap_seconds=3600.0, order_col="event_id")
+
+
+ORACLE_EVENT_TRANSITIONS = """
+with flagged as (
+  select user_id, ts, event_id, event_type,
+         case when lag(epoch(ts)) over w is null
+                   or epoch(ts) - lag(epoch(ts)) over w > 3600.0
+              then 1 else 0 end as new_sess
+  from events
+  window w as (partition by user_id order by ts, event_id)
+),
+runs as (
+  select user_id, ts, event_id, event_type,
+         sum(new_sess) over (partition by user_id order by ts, event_id
+                             rows unbounded preceding) as sess
+  from flagged
+),
+steps as (
+  select event_type as from_event,
+         lead(event_type) over w as to_event,
+         sess, lead(sess) over w as next_sess
+  from runs
+  window w as (partition by user_id order by ts, event_id)
+),
+pairs as (
+  select from_event, to_event, count(*) as n
+  from steps
+  where to_event is not null and next_sess = sess
+  group by 1, 2
+)
+select from_event, to_event, n,
+       round(n * 1.0 / sum(n) over (partition by from_event), 4) as share
+from pairs
+"""
+
 def q_text_nfc(spark, sf_dir):
     """Unicode NFC normalization (ops/text.py::normalize_unicode):
     fixture text enriched with decomposed combining sequences (e +
@@ -6302,6 +6349,7 @@ QUERIES = {
     "ext_text_nfc": q_text_nfc,
     "ext_sessionize": q_sessionize,
     "ext_event_paths": q_event_paths,
+    "ext_event_transitions": q_event_transitions,
     "ext_maxsim_topk": q_maxsim_topk,
     "ext_funnel": q_funnel,
     "ext_retention": q_retention,
@@ -6425,6 +6473,7 @@ ORACLES = {
     "ext_text_nfc": ORACLE_TEXT_NFC,
     "ext_sessionize": ORACLE_SESSIONIZE,
     "ext_event_paths": ORACLE_EVENT_PATHS,
+    "ext_event_transitions": ORACLE_EVENT_TRANSITIONS,
     "ext_maxsim_topk": ORACLE_MAXSIM_TOPK,
     "ext_funnel": ORACLE_FUNNEL,
     "ext_retention": ORACLE_RETENTION,

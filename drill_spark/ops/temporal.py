@@ -377,3 +377,59 @@ def event_paths(
         .orderBy(F.desc("n_sessions"), F.asc("path"))
         .limit(int(top))
     )
+
+
+def event_transitions(
+    df: DataFrame,
+    ts_col: str,
+    key_col: str,
+    event_col: str,
+    gap_seconds: float = 1800.0,
+    order_col: str | None = None,
+) -> DataFrame:
+    """First-order event transition matrix — the Markov companion of
+    :func:`event_paths`/:func:`funnel`: within each gap session, count
+    consecutive (from_event, to_event) steps and each from-event's
+    outgoing share. Session boundaries break chains (the last event of
+    one session never transitions into the next), which is the whole
+    point of computing this post-sessionization.
+
+    Scale shape: the same ONE key-shuffle as sessionize (lag flag,
+    running session sum, and the next-event lead all share the
+    exchange/sort), then a map-combined count keyed by the event pair
+    — output is |event types|², independent of event volume.
+
+    Returns (from_event, to_event, n, share) with share = n over the
+    from-event's outgoing total, rounded 4dp for engine portability.
+    """
+    order = [F.col(ts_col)] + ([F.col(order_col)] if order_col else [])
+    w = Window.partitionBy(key_col).orderBy(*order)
+    sec = F.col(ts_col).cast("timestamp").cast("double")
+    new_sess = F.when(
+        F.lag(sec).over(w).isNull()
+        | ((sec - F.lag(sec).over(w)) > gap_seconds),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    run = (
+        df.withColumn("__new", new_sess)
+        .withColumn(
+            "__sess",
+            F.sum("__new").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .withColumn("__next", F.lead(F.col(event_col)).over(w))
+        .withColumn("__next_sess", F.lead(F.col("__sess")).over(w))
+    )
+    pairs = (
+        run.where(F.col("__next").isNotNull()
+                  & (F.col("__next_sess") == F.col("__sess")))
+        .groupBy(F.col(event_col).alias("from_event"),
+                 F.col("__next").alias("to_event"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = Window.partitionBy("from_event")
+    return pairs.select(
+        "from_event", "to_event", "n",
+        F.round(F.col("n") / F.sum("n").over(tot), 4).alias("share"),
+    )

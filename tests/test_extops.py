@@ -1933,3 +1933,35 @@ def test_event_paths_semantics(spark):
                                 gap_seconds=3600.0, max_steps=3,
                                 order_col="event_id").collect()}
     assert got == {"view > click > buy": 3, "view": 1, "a > b > c": 1}
+
+
+def test_event_transitions_semantics(spark):
+    """Transitions never cross session boundaries; shares normalize
+    per from-event."""
+    import datetime as dt
+
+    from drill_spark.ops.temporal import event_transitions
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ev(i, user, mins, typ):
+        return (i, t0 + dt.timedelta(minutes=mins), user, typ)
+
+    rows = [
+        ev(0, 1, 0, "view"), ev(1, 1, 1, "click"), ev(2, 1, 2, "buy"),
+        # 2h gap: "buy -> view" must NOT appear as a transition
+        ev(3, 1, 130, "view"), ev(4, 1, 131, "click"),
+        ev(5, 2, 0, "view"), ev(6, 2, 1, "view"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string")
+    got = {(r.from_event, r.to_event): (r.n, r.share)
+           for r in event_transitions(df, "ts", "user_id", "event_type",
+                                      gap_seconds=3600.0,
+                                      order_col="event_id").collect()}
+    assert got == {
+        ("view", "click"): (2, 0.6667),
+        ("view", "view"): (1, 0.3333),
+        ("click", "buy"): (1, 1.0),
+    }
+    assert ("buy", "view") not in got
