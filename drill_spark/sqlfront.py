@@ -849,7 +849,8 @@ def _pipeline_table(session, op: str, opts: dict[str, str]) -> DataFrame:
 
         return substr_dedup(
             inp(), o.get("id", "doc_id"), o.get("text", "text"),
-            min_tokens=int(o.get("min_tokens", "8")))
+            min_tokens=int(o.get("min_tokens", "8")),
+            score_col=o.get("score"))
     if name == "substr_spans":
         from drill_spark.ops.substr import substr_duplicate_spans
 

@@ -1464,6 +1464,47 @@ order by channel, return_rank, currency_rank, item_sk
 """
 
 
+# q31 shape (quarter-over-quarter share growth, six-way self-join):
+# per-(county, quarter) sales totals for two channels (even/odd
+# ITEMS standing in for store/web — stores map to counties mod 8, so
+# store parity would leave every county single-channel), three
+# consecutive quarters each,
+# self-joined six ways on the county; counties qualify when the web
+# channel's QoQ growth ratio beats the store channel's in BOTH
+# transitions. Ratios divide exact integer-cent sums; positive-
+# denominator guards stand in for the spec's CASE/NULLIF.
+_Q31_BODY = """
+qt as (
+  select s.s_county as county, ss_item_sk % 2 as chan, d_qoy as q,
+         sum(cast(round(ss_sales_price * 100, 0) as bigint)) as cents
+  from tpcds_store_sales, tpcds_date_dim, tpcds_store s
+  where ss_sold_date_sk = d_date_sk and ss_store_sk = s.s_store_sk
+    and d_year = 1999 and d_qoy in (1, 2, 3)
+  group by s.s_county, ss_item_sk % 2, d_qoy
+)
+select s1.county as county,
+       cast(w1.cents as bigint) as web_q1,
+       cast(w2.cents as bigint) as web_q2,
+       cast(w3.cents as bigint) as web_q3,
+       cast(s1.cents as bigint) as store_q1,
+       cast(s2.cents as bigint) as store_q2,
+       cast(s3.cents as bigint) as store_q3
+from qt s1, qt s2, qt s3, qt w1, qt w2, qt w3
+where s1.county = s2.county and s1.county = s3.county
+  and s1.county = w1.county and s1.county = w2.county
+  and s1.county = w3.county
+  and s1.chan = 0 and s2.chan = 0 and s3.chan = 0
+  and w1.chan = 1 and w2.chan = 1 and w3.chan = 1
+  and s1.q = 1 and s2.q = 2 and s3.q = 3
+  and w1.q = 1 and w2.q = 2 and w3.q = 3
+  and s1.cents > 0 and s2.cents > 0 and w1.cents > 0 and w2.cents > 0
+  and w2.cents * 1.0 / w1.cents > s2.cents * 1.0 / s1.cents
+  and w3.cents * 1.0 / w2.cents > s3.cents * 1.0 / s2.cents
+order by s1.county
+limit 100
+"""
+
+
 # q29 shape (chained fact-to-fact-to-fact join): items SOLD in the
 # first half of 1999, RETURNED (sales joined to returns on
 # ticket+item+customer), then RE-BOUGHT by the same customer the next
@@ -1593,6 +1634,7 @@ q_tpcds_q39 = _decorrelated(_Q39_BODY)
 q_tpcds_q49 = _decorrelated(_Q49_BODY)
 q_tpcds_q95 = _decorrelated(_Q95_BODY)
 q_tpcds_q29 = _decorrelated(_Q29_BODY)
+q_tpcds_q31 = _decorrelated(_Q31_BODY)
 
 ORACLE_TPCDS_Q1 = _DIMS_SQL + ", " + _RETURNS_SQL + ", " + _Q01_BODY
 ORACLE_TPCDS_Q6 = _DIMS_SQL + ", " + _RETURNS_SQL + ", " + _Q06_BODY
@@ -1615,6 +1657,7 @@ ORACLE_TPCDS_Q39 = _DIMS_SQL + ", " + _RETURNS_SQL + ", " + _Q39_BODY
 ORACLE_TPCDS_Q49 = _DIMS_SQL + ", " + _RETURNS_SQL + ", " + _Q49_BODY
 ORACLE_TPCDS_Q95 = _DIMS_SQL + ", " + _RETURNS_SQL + ", " + _Q95_BODY
 ORACLE_TPCDS_Q29 = _DIMS_SQL + ", " + _RETURNS_SQL + ", " + _Q29_BODY
+ORACLE_TPCDS_Q31 = _DIMS_SQL + ", " + _RETURNS_SQL + ", " + _Q31_BODY
 
 
 QUERIES = {
@@ -1640,6 +1683,7 @@ QUERIES = {
     "tpcds_q49": q_tpcds_q49,
     "tpcds_q95": q_tpcds_q95,
     "tpcds_q29": q_tpcds_q29,
+    "tpcds_q31": q_tpcds_q31,
     "tpcds_q03": q_tpcds_q3,
     "tpcds_q07": q_tpcds_q7,
     "tpcds_q42": q_tpcds_q42,
@@ -1672,6 +1716,7 @@ ORACLES = {
     "tpcds_q49": ORACLE_TPCDS_Q49,
     "tpcds_q95": ORACLE_TPCDS_Q95,
     "tpcds_q29": ORACLE_TPCDS_Q29,
+    "tpcds_q31": ORACLE_TPCDS_Q31,
     "tpcds_q03": ORACLE_TPCDS_Q3,
     "tpcds_q07": ORACLE_TPCDS_Q7,
     "tpcds_q42": ORACLE_TPCDS_Q42,
