@@ -75,9 +75,14 @@ _PRIORITY = [
     "op_flatten_explode", "op_convert_from_json",
     "tpcds_q01",
     "op_string_fns",
-    "op_scalar_subquery", "op_correlated_subquery",
+    "op_correlated_subquery",
     "op_null_safe_join",
-    "op_time_window_tumbling", "op_session_window",
+    "op_time_window_tumbling",
+    # r11b: the decontamination + Gopher flagships take two slots;
+    # op_scalar_subquery / op_session_window stay sweep-verified (their
+    # families keep op_correlated_subquery / op_time_window_tumbling +
+    # ext_stream_heavy_hitters up top)
+    "ext_substr_decontam", "ext_gopher_repetition",
     "op_csv_scan", "op_json_scan",
     "op_delta_scan",
     "op_warc_scan", "op_iceberg_scan",
@@ -99,6 +104,7 @@ _PRIORITY = [
     "ext_rolling_quantiles", "ext_snapshot_diff", "ext_skew_join",
     # ---- driver-cap boundary (~50): everything below is covered by the
     # judge's full sweep (scripts/check_correctness.py) every round.
+    "op_scalar_subquery", "op_session_window",
     "op_avro_scan", "op_paimon_scan", "op_msaccess_scan", "op_dfdl_scan",
     "op_pcapng_scan", "op_hdf5_scan",
     "op_sort_nulls", "op_partition_limit", "op_array_fns", "op_date_fns",
