@@ -427,13 +427,17 @@ def incremental_setsim(
         # stores written before per-batch txn stamping carry only the
         # single latest-version key
         legacy_last = snap.txns.get(txn_app_id, -1)
-        last_txn = max(committed) if committed else legacy_last
+        last_txn = max(max(committed, default=-1), legacy_last)
         store = read_delta(spark, store_path)
     if batch_id is None:
         batch_id = last_txn + 1
 
+    # a batch at or below the legacy single-txn high-water mark is a
+    # replay even in a MIXED store (legacy key + per-batch keys): such
+    # batches were committed before per-batch stamping existed, so the
+    # absence of their per-batch key is expected, not a numbering gap
     is_replay = batch_id in committed or (
-        exists and not committed and batch_id <= legacy_last)
+        exists and batch_id <= legacy_last)
     if is_replay:
         mine = (store.where(F.col("batch_id") == int(batch_id))
                 .select(F.col("doc_id").alias(id_col)).distinct())

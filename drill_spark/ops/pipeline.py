@@ -336,11 +336,22 @@ def gopher_repetition(df: DataFrame, id_col: str = "doc_id",
                         lambda x: F.regexp_replace(x, r"^\s+|\s+$", "")),
             lambda x: x != "")
 
-    def _dup_metrics(arr, occ_name: str, chr_name: str):
-        dup_occ = F.filter(
-            arr, lambda x: F.size(F.filter(arr, lambda y: y == x)) >= 2)
-        total = F.size(arr)
-        tchars = F.aggregate(arr, F.lit(0).cast("long"),
+    def _dup_metrics(srt, occ_name: str, chr_name: str):
+        # srt is SORTED: an occurrence belongs to a >=2-count value iff
+        # it equals an adjacent element — O(n) adjacency instead of the
+        # O(n^2) nested filter (a 10^4-line doc would otherwise cost
+        # 10^8 comparisons inside one projection). Occurrence counting
+        # is order-free, so the sorted multiset gives identical
+        # fractions. F.get is 0-based and NULL out of range.
+        def _is_dup(x, i):
+            return (
+                F.coalesce(F.get(srt, i - 1) == x, F.lit(False))
+                | F.coalesce(F.get(srt, i + 1) == x, F.lit(False))
+            )
+
+        dup_occ = F.filter(srt, _is_dup)
+        total = F.size(srt)
+        tchars = F.aggregate(srt, F.lit(0).cast("long"),
                              lambda a, x: a + F.length(x))
         dchars = F.aggregate(dup_occ, F.lit(0).cast("long"),
                              lambda a, x: a + F.length(x))
@@ -351,12 +362,23 @@ def gopher_repetition(df: DataFrame, id_col: str = "doc_id",
                     .otherwise(F.lit(0.0)), 4).alias(chr_name),
         ]
 
-    segs = df.select(
-        F.col(id_col).alias("id"),
-        *_dup_metrics(_segments(r"\n"), "dup_line_frac",
-                      "dup_line_char_frac"),
-        *_dup_metrics(_segments(r"\n\n"), "dup_para_frac",
-                      "dup_para_char_frac"),
+    # materialize the sorted arrays in their own projection so the
+    # per-element F.get lookups reference a computed column, not a
+    # re-evaluated array_sort (Catalyst keeps multi-referenced
+    # non-cheap aliases un-collapsed)
+    segs = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.array_sort(_segments(r"\n")).alias("__lines"),
+            F.array_sort(_segments(r"\n\n")).alias("__paras"),
+        )
+        .select(
+            "id",
+            *_dup_metrics(F.col("__lines"), "dup_line_frac",
+                          "dup_line_char_frac"),
+            *_dup_metrics(F.col("__paras"), "dup_para_frac",
+                          "dup_para_char_frac"),
+        )
     )
 
     def _frac(k: int):

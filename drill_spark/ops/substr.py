@@ -56,15 +56,21 @@ from pyspark.sql import functions as F
 def _token_positions(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """(id, p, tok): 1-based dense token positions per document.
 
-    ``\\s+`` on trimmed text never yields interior empties, so
-    posexplode indices are already dense; the empty-token filter only
-    drops the single '' a zero-token document produces.
+    Leading/trailing whitespace is stripped with a regexp (NOT F.trim,
+    which removes spaces only — a leading tab/newline would otherwise
+    leave a '' first element and shift every position by one), so
+    ``\\s+``-splitting never yields interior empties and posexplode
+    indices are already dense; the empty-token filter only drops the
+    single '' an all-whitespace document produces.
     """
     return (
         df.select(
             F.col(id_col).alias("id"),
             F.posexplode(
-                F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+                F.split(
+                    F.regexp_replace(F.lower(F.col(text_col)),
+                                     r"^\s+|\s+$", ""),
+                    r"\s+")
             ).alias("p0", "tok"),
         )
         .where(F.col("tok") != "")

@@ -273,6 +273,11 @@ class DrillSession:
     profiles: list[dict] = field(default_factory=list)
     temp_tables: list[str] = field(default_factory=list)
     _view_counter: int = 0
+    # hadoop-conf keys this SESSION mutated -> the value before the first
+    # mutation (None = key was unset). The hadoopConfiguration is
+    # SparkContext-global, so Drill's session-scoped option semantics
+    # require restoring these on RESET/close.
+    _hadoop_prior: dict = field(default_factory=dict)
 
     def __post_init__(self) -> None:
         from drill_spark import functions as _fns
@@ -552,10 +557,33 @@ class DrillSession:
             self.spark.conf.set(spark_conf, convert(value))
         elif hmapped is not None:
             hconf, convert = hmapped
-            self.spark.sparkContext._jsc.hadoopConfiguration().set(
-                hconf, convert(value))
+            hc = self.spark.sparkContext._jsc.hadoopConfiguration()
+            if hconf not in self._hadoop_prior:
+                self._hadoop_prior[hconf] = hc.get(hconf)
+            hc.set(hconf, convert(value))
         elif name.startswith("spark."):
             self.spark.conf.set(name, value)
+
+    def reset_option(self, name: str) -> None:
+        """ALTER SESSION RESET analog: drop the session value and, for
+        hadoop-conf-mapped writer knobs, restore the context value that
+        preceded this session's first SET (the hadoopConfiguration is
+        context-global; without the restore a RESET would leak the
+        session's value to every other DrillSession)."""
+        self.options.pop(name, None)
+        hmapped = _HADOOP_OPTION_MAP.get(name)
+        if hmapped is not None:
+            self._restore_hadoop(hmapped[0])
+
+    def _restore_hadoop(self, hconf: str) -> None:
+        if hconf not in self._hadoop_prior:
+            return
+        prior = self._hadoop_prior.pop(hconf)
+        hc = self.spark.sparkContext._jsc.hadoopConfiguration()
+        if prior is None:
+            hc.unset(hconf)
+        else:
+            hc.set(hconf, prior)
 
     def get_option(self, name: str, default: str | None = None) -> str | None:
         return self.options.get(name, default)
@@ -571,6 +599,8 @@ class DrillSession:
         stopped; it may serve other sessions."""
         import shutil
 
+        for hconf in list(self._hadoop_prior):
+            self._restore_hadoop(hconf)
         for path in self.temp_tables:
             shutil.rmtree(path, ignore_errors=True)
         self.temp_tables.clear()

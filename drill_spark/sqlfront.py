@@ -1728,7 +1728,7 @@ def execute(session, query: str) -> DataFrame:
 
     m = _RESET.match(query)
     if m:
-        session.options.pop(m.group(1), None)
+        session.reset_option(m.group(1))
         return spark.createDataFrame([Row(ok=True, summary=f"{m.group(1)} reset")])
 
     m = _SHOW_TABLES_WS.match(query)

@@ -957,6 +957,27 @@ def test_gopher_repetition_full_table(spark):
     assert got[4]["dup_6gram_char_frac"] > 0.5
 
 
+def test_gopher_repetition_many_line_doc(spark):
+    """The dup-line/paragraph metrics must stay linear-ish in the
+    segment count: a 10^4-line document is a normal web page dump, and
+    the pre-r12 nested-filter form cost O(lines^2) comparisons inside
+    one projection (ADVICE r11). Correctness on an exactly-known
+    mixture doubles as the regression anchor."""
+    from drill_spark.ops.pipeline import gopher_repetition
+
+    # 8000 duplicated lines (4000 values x2) + 2000 unique lines
+    lines = [f"dup line {i // 2} text" for i in range(8000)]
+    lines += [f"unique line {i} payload" for i in range(2000)]
+    df = spark.createDataFrame(
+        [(0, "\n".join(lines))], "doc_id long, text string")
+    r = gopher_repetition(df).select(
+        "dup_line_frac", "dup_line_char_frac").collect()[0]
+    assert r.dup_line_frac == 0.8
+    dchars = sum(len(x) for x in lines[:8000])
+    tchars = sum(len(x) for x in lines)
+    assert abs(r.dup_line_char_frac - round(dchars / tchars, 4)) < 1e-9
+
+
 def test_chunk_tokens_stride_overlap(spark):
     """Sliding-window chunking: consecutive windows overlap by
     max_tokens - stride, coverage is gap-free, default stride equals

@@ -839,6 +839,49 @@ def test_incremental_setsim_batches_and_replay(spark, tmp_path):
         "tok", "doc_id", "sz", "batch_id"}
 
 
+def test_incremental_setsim_mixed_store_legacy_replay(spark, tmp_path):
+    """A store carrying the LEGACY single-txn key plus at least one
+    newer per-batch key must still replay the legacy batch — its
+    per-batch key never existed, so the absence is expected, not a
+    skipped-ahead numbering error (ADVICE r11)."""
+    from drill_spark.ops.fuzzy import _INCR_SETSIM_APP_ID, incremental_setsim
+    from drill_spark.readers.delta import read_delta, write_delta
+
+    store = str(tmp_path / "mixed_store")
+    # fabricate a legacy batch 0: postings rows + the single app-id txn
+    # key (the pre-per-batch stamping layout)
+    legacy = spark.createDataFrame(
+        [("alpha", 10, 3, 0), ("beta", 10, 3, 0), ("gamma", 11, 2, 0)],
+        "tok string, doc_id long, sz int, batch_id int")
+    write_delta(legacy, store, mode="error", txn=(_INCR_SETSIM_APP_ID, 0))
+
+    # a modern batch 1 appends a per-batch key -> mixed store
+    df1 = spark.createDataFrame(
+        [(20, "totally new words here"), (21, "other fresh content")],
+        "doc_id long, text string")
+    got1 = {r.doc_id for r in
+            incremental_setsim(df1, store, threshold=0.8,
+                               batch_id=2).collect()}
+    assert got1 == {20, 21}
+
+    # replaying legacy batch 0 returns its STORED survivors (doc ids
+    # present in the store at batch_id 0), appends nothing, raises nothing
+    n_rows = read_delta(spark, store).count()
+    df0 = spark.createDataFrame(
+        [(10, "alpha beta gamma resubmitted"), (12, "never stored")],
+        "doc_id long, text string")
+    replay = {r.doc_id for r in
+              incremental_setsim(df0, store, threshold=0.8,
+                                 batch_id=0).collect()}
+    assert replay == {10}
+    assert read_delta(spark, store).count() == n_rows
+
+    # a genuinely-skipped id — above the legacy mark, below the
+    # per-batch high-water mark, never committed — still raises
+    with pytest.raises(ValueError, match="never committed"):
+        incremental_setsim(df0, store, threshold=0.8, batch_id=1)
+
+
 def test_setsim_float_boundary_completeness(spark):
     """Regression for float-product overshoot: 0.07*100 =
     7.000000000000001 in doubles, which (unguarded) both shortens the

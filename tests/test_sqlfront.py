@@ -1484,3 +1484,29 @@ def test_alter_session_parquet_writer_knobs(dsession, tmp_path):
     dsession.sql("alter session set `store.parquet.block-size` = 134217728")
     dsession.sql("alter session set "
                  "`store.parquet.enable_dictionary_encoding` = true")
+
+
+def test_alter_session_reset_restores_hadoop_conf(spark):
+    """The parquet writer knobs live in the SparkContext-GLOBAL hadoop
+    conf, so Drill's session-scoped semantics require RESET (and
+    session close) to restore the pre-SET value instead of leaking the
+    session's value to every other DrillSession (ADVICE r11)."""
+    from drill_spark.session import DrillSession
+
+    hc = spark.sparkContext._jsc.hadoopConfiguration()
+    prior = hc.get("parquet.block.size")
+
+    s1 = DrillSession(spark=spark)
+    s1.sql("alter session set `store.parquet.block-size` = 4096")
+    assert hc.get("parquet.block.size") == "4096"
+    assert s1.get_option("store.parquet.block-size") == "4096"
+    s1.sql("alter session reset `store.parquet.block-size`")
+    assert hc.get("parquet.block.size") == prior
+    assert s1.get_option("store.parquet.block-size") is None
+
+    # close() restores too, even without an explicit RESET
+    s2 = DrillSession(spark=spark)
+    s2.sql("alter session set `store.parquet.block-size` = 8192")
+    assert hc.get("parquet.block.size") == "8192"
+    s2.close()
+    assert hc.get("parquet.block.size") == prior

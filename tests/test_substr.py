@@ -121,6 +121,33 @@ def test_substr_dedup_within_doc_repeat_kept(spark):
     assert got[1] == (4, "unrelated content trailing bits")
 
 
+def test_substr_positions_leading_whitespace(spark):
+    """Token positions are 1-based AFTER whitespace stripping: a
+    leading tab/newline must not shift every reported position by one
+    (F.trim is space-only, so the split used to emit a '' first
+    element; the audit report's start_tok/end_tok are user-facing)."""
+    from drill_spark.ops.substr import _token_positions
+
+    toks = _token_positions(
+        spark.createDataFrame([(0, "\ta b c d e"), (1, "\n x y"),
+                               (2, " \t\n ")], "doc_id long, text string"),
+        "doc_id", "text").collect()
+    got = {(r.id, r.p): r.tok for r in toks}
+    assert got[(0, 1)] == "a" and got[(0, 5)] == "e"
+    assert got[(1, 1)] == "x"
+    assert not any(i == 2 for i, _ in got)  # all-whitespace -> no tokens
+
+    rows = [
+        (0, "\tshared run of five tokens plus a unique tail here"),
+        (1, "\n\nshared run of five tokens plus other distinct material"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got_spans = {(r.doc_id, r.start_tok, r.end_tok, r.n_tokens)
+                 for r in substr_duplicate_spans(df, min_tokens=5).collect()}
+    assert got_spans == _brute_spans(rows, 5)
+    assert all(s == 1 for _, s, _, _ in got_spans)  # both start at token 1
+
+
 def test_substr_dedup_validates_min_tokens(spark):
     df = spark.createDataFrame([(0, "a b")], "doc_id long, text string")
     with pytest.raises(ValueError):
