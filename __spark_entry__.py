@@ -83,27 +83,29 @@ _PRIORITY = [
     # families keep op_correlated_subquery / op_time_window_tumbling +
     # ext_stream_heavy_hitters up top)
     "ext_substr_decontam", "ext_gopher_repetition",
-    "op_csv_scan", "op_json_scan",
     "op_delta_scan",
-    "op_warc_scan", "op_iceberg_scan",
     "op_pdf_scan",
-    # r11 flagships rotated into the driver cap (paimon/msaccess/dfdl/
-    # pcapng/hdf5 scans moved below — still sweep-verified every round):
-    "ext_substr_dedup",
+    # r12: the full ExactSubstr family takes the driver cap first-class
+    # (csv/json/warc/iceberg scans moved below — still sweep-verified
+    # every round; delta+pdf stay as the §2.1 scan representatives):
+    "ext_substr_dedup", "ext_substr_spans", "ext_substr_contam_report",
+    "ext_incremental_substr", "ext_stream_substr_dedup",
+    "ext_pack_bins", "ext_event_paths",
     "ext_incremental_setsim", "ext_setsim_tables",
     "ext_stream_setsim_dedup",
-    "tpcds_q47", "tpcds_q51",
-    "op_union_type",
+    "tpcds_q47", "tpcds_q51", "tpcds_q95", "tpcds_q31",
     # r10b flagships rotated into the driver cap:
     "ext_setsim_join", "ext_containment_join",
     "ext_dedup_exact", "ext_pii_redact",
     "ext_pagerank", "ext_line_dedup", "ext_stream_heavy_hitters",
     "ext_vector_index", "ext_html_extract",
     # r9/r10 flagships rotated into the driver cap (r9 verdict item 6):
-    "ext_kmv_distinct", "ext_cms_estimate", "ext_mixture_build",
     "ext_rolling_quantiles", "ext_snapshot_diff", "ext_skew_join",
     # ---- driver-cap boundary (~50): everything below is covered by the
     # judge's full sweep (scripts/check_correctness.py) every round.
+    "op_csv_scan", "op_json_scan", "op_warc_scan", "op_iceberg_scan",
+    "op_union_type",
+    "ext_kmv_distinct", "ext_cms_estimate", "ext_mixture_build",
     "op_scalar_subquery", "op_session_window",
     "op_avro_scan", "op_paimon_scan", "op_msaccess_scan", "op_dfdl_scan",
     "op_pcapng_scan", "op_hdf5_scan",
@@ -125,7 +127,7 @@ _PRIORITY = [
     "ext_embed_topk", "ext_multimodal_decode", "ext_text_stats",
     "ext_decontaminate", "ext_chunk_pack", "ext_repetition", "ext_stratified_sample",
     "ext_dedup_minhash", "ext_ann_lsh", "ext_text_quality", "ext_multimodal_meta",
-    "ext_asof_join", "ext_range_join", "ext_sample_hash", "ext_substr_spans",
+    "ext_asof_join", "ext_range_join", "ext_sample_hash",
     "op_math_fns", "op_cast_fns", "op_decimal_agg", "op_values", "op_count_star",
 ]
 
