@@ -639,6 +639,20 @@ def q_substr_dedup(spark, sf_dir):
     return substr_dedup(_docs(spark, sf_dir), min_tokens=8)
 
 
+def q_substr_dedup_digest(spark, sf_dir):
+    """The 100 TB detection path of ExactSubstr (ops/substr.py,
+    detect='digest'): duplicate detection and canonicalization key on
+    the 128-bit span md5 so span STRINGS never cross an exchange —
+    only (id, p, digest) shuffles, with no broadcast precondition on
+    the duplicate-hash set. Output is identical to exact mode (md5
+    collisions are ~2^-64 at 10^13 spans), so it hash-checks against
+    the SAME closed-form oracle."""
+    from drill_spark.ops.substr import substr_dedup
+
+    return substr_dedup(_docs(spark, sf_dir), min_tokens=8,
+                        detect="digest")
+
+
 ORACLE_SUBSTR_DEDUP = r"""
 with d2 as (
   select doc_id, toks, len(toks) as n
@@ -6247,6 +6261,7 @@ QUERIES = {
     "ext_incremental_setsim": q_incremental_setsim,
     "ext_containment_join": q_containment_join,
     "ext_substr_dedup": q_substr_dedup,
+    "ext_substr_dedup_digest": q_substr_dedup_digest,
     "ext_substr_spans": q_substr_spans,
     "ext_substr_decontam": q_substr_decontam,
     "ext_substr_contam_report": q_substr_contam_report,
@@ -6395,6 +6410,7 @@ ORACLES = {
     "ext_incremental_setsim": ORACLE_INCREMENTAL_SETSIM,
     "ext_containment_join": ORACLE_CONTAINMENT_JOIN,
     "ext_substr_dedup": ORACLE_SUBSTR_DEDUP,
+    "ext_substr_dedup_digest": ORACLE_SUBSTR_DEDUP,
     "ext_substr_spans": ORACLE_SUBSTR_SPANS,
     "ext_substr_decontam": ORACLE_SUBSTR_DECONTAM,
     "ext_substr_contam_report": ORACLE_SUBSTR_CONTAM_REPORT,

@@ -91,14 +91,55 @@ def _window_spans(toks: DataFrame, min_tokens: int) -> DataFrame:
 
 
 def _removed_windows(spans: DataFrame,
-                     scores: DataFrame | None = None) -> DataFrame:
+                     scores: DataFrame | None = None,
+                     detect: str = "exact") -> DataFrame:
     """(id, p) of windows to remove under the canonical-copy rule.
     Default: keep-lowest-doc (the span also occurs in some smaller
     doc_id). With ``scores`` — (id, __score) — the canonical doc is
     the HIGHEST-scored one holding the span (ties to the smaller id),
-    so duplicated text survives in its best copy. Hash pre-filter
-    first (8-byte shuffle keys), exact span-string groupBy on the
-    survivors."""
+    so duplicated text survives in its best copy.
+
+    ``detect`` picks the duplicate-detection payload:
+
+    - ``"exact"``: hash pre-filter (8-byte xxhash64 shuffle keys) then
+      an exact span-string groupBy over the hash survivors — string
+      compares decide, collisions can't cost correctness. PRECONDITION
+      at scale: the duplicate-hash set must broadcast; on a heavily
+      duplicated corpus where it exceeds the broadcast threshold, the
+      semi-join falls back to shuffling full span strings.
+    - ``"digest"``: detection AND canonicalization key on the 128-bit
+      md5 of the span (the engine's content-digest contract, shared
+      with the incremental store) — span strings NEVER cross an
+      exchange; only (id, p, digest) shuffles. Exact up to md5
+      collision (~2^-64 at 10^13 spans) — the 100 TB path.
+    """
+    if detect == "digest":
+        hashed = spans.select("id", "p", F.md5("span").alias("h"))
+        if scores is None:
+            canon = (
+                hashed.groupBy("h")
+                .agg(F.count("*").alias("c"), F.min("id").alias("keep_id"))
+                .where(F.col("c") >= 2)
+                .select("h", "keep_id")
+            )
+        else:
+            canon = (
+                hashed.join(scores, "id")
+                .groupBy("h")
+                .agg(F.count("*").alias("c"),
+                     F.max(F.struct(F.col("__score"),
+                                    (-F.col("id")).alias("__nid"))).alias("m"))
+                .where(F.col("c") >= 2)
+                .select("h", (-F.col("m.__nid")).alias("keep_id"))
+            )
+        return (
+            hashed.join(canon, "h")
+            .where(F.col("id") != F.col("keep_id"))
+            .select("id", "p")
+        )
+    if detect != "exact":
+        raise ValueError(
+            f"detect must be 'exact' or 'digest', got {detect!r}")
     hashed = spans.withColumn("h", F.xxhash64("span"))
     multi = (hashed.groupBy("h").agg(F.count("*").alias("c"))
              .where(F.col("c") >= 2).select("h"))
@@ -127,12 +168,18 @@ def substr_duplicate_spans(
     id_col: str = "doc_id",
     text_col: str = "text",
     min_tokens: int = 8,
+    detect: str = "exact",
 ) -> DataFrame:
     """Report maximal CROSS-DOCUMENT duplicated regions: for every
     document, the merged (islands) token ranges covered by some
     L-token window that also appears verbatim in at least one OTHER
     document. The audit face of :func:`substr_dedup` — same detection,
     no removal.
+
+    ``detect="digest"`` keys detection on the 128-bit span md5 so span
+    strings never shuffle (see :func:`_removed_windows`) — the choice
+    for heavily duplicated corpora where the duplicate-hash set
+    outgrows the broadcast threshold.
 
     Returns (id_col, start_tok, end_tok, n_tokens) with 1-based
     inclusive token positions, one row per maximal region.
@@ -141,17 +188,27 @@ def substr_duplicate_spans(
     if L < 1:
         raise ValueError(f"substr_duplicate_spans: min_tokens >= 1, got {L}")
     spans = _window_spans(_token_positions(df, id_col, text_col), L)
-    hashed = spans.withColumn("h", F.xxhash64("span"))
-    multi = (hashed.groupBy("h").agg(F.count("*").alias("c"))
-             .where(F.col("c") >= 2).select("h"))
-    survivors = hashed.join(multi, "h", "left_semi")
-    cross = survivors.groupBy("span").agg(
-        F.countDistinct("id").alias("ndocs"))
-    dup_wins = (
-        survivors.join(cross.where(F.col("ndocs") >= 2).select("span"),
-                       "span", "left_semi")
-        .select("id", "p")
-    )
+    if detect == "digest":
+        hashed = spans.select("id", "p", F.md5("span").alias("h"))
+        cross = (hashed.groupBy("h")
+                 .agg(F.countDistinct("id").alias("ndocs"))
+                 .where(F.col("ndocs") >= 2).select("h"))
+        dup_wins = hashed.join(cross, "h", "left_semi").select("id", "p")
+    elif detect == "exact":
+        hashed = spans.withColumn("h", F.xxhash64("span"))
+        multi = (hashed.groupBy("h").agg(F.count("*").alias("c"))
+                 .where(F.col("c") >= 2).select("h"))
+        survivors = hashed.join(multi, "h", "left_semi")
+        cross = survivors.groupBy("span").agg(
+            F.countDistinct("id").alias("ndocs"))
+        dup_wins = (
+            survivors.join(cross.where(F.col("ndocs") >= 2).select("span"),
+                           "span", "left_semi")
+            .select("id", "p")
+        )
+    else:
+        raise ValueError(
+            f"detect must be 'exact' or 'digest', got {detect!r}")
     covered = (
         dup_wins.select(
             "id", F.explode(F.sequence(F.col("p"),
@@ -180,6 +237,7 @@ def substr_dedup(
     text_col: str = "text",
     min_tokens: int = 8,
     score_col: str | None = None,
+    detect: str = "exact",
 ) -> DataFrame:
     """ExactSubstr removal: delete every token covered by an L-token
     window whose span text also occurs in the canonical copy's
@@ -190,6 +248,11 @@ def substr_dedup(
     (a numeric quality column on ``df``) to keep each duplicated span
     in its HIGHEST-scored document instead (ties to the smaller id) —
     the curation-grade choice when copies differ in quality.
+
+    ``detect="digest"`` keys detection and canonicalization on the
+    128-bit span md5 so span strings never cross an exchange — use it
+    when the duplicate-hash set would outgrow the broadcast threshold
+    (see :func:`_removed_windows` for the exact trade).
 
     Returns (id_col, n_tokens, n_removed, clean_text) — one row per
     document with >= 1 token; a fully-duplicated document survives
@@ -204,7 +267,7 @@ def substr_dedup(
     if score_col is not None:
         scores = df.select(F.col(id_col).alias("id"),
                            F.col(score_col).alias("__score"))
-    removed = _removed_windows(_window_spans(toks, L), scores)
+    removed = _removed_windows(_window_spans(toks, L), scores, detect=detect)
     covered = (
         removed.select(
             "id", F.explode(F.sequence(F.col("p"),
@@ -298,6 +361,7 @@ def incremental_substr_dedup(
     min_tokens: int = 8,
     batch_id: int | None = None,
     txn_app_id: str = _INCR_SUBSTR_APP_ID,
+    detect: str = "exact",
 ) -> DataFrame:
     """Cross-run ExactSubstr dedup against a persistent span-digest
     store — the substring sibling of ops/fuzzy.incremental_setsim:
@@ -357,8 +421,10 @@ def incremental_substr_dedup(
     toks = _token_positions(df, id_col, text_col)
     spans = _window_spans(toks, L).withColumn("h", F.md5("span"))
 
-    # within-batch keep-lowest-doc removal (substr_dedup semantics)
-    removed = _removed_windows(spans.drop("h"))
+    # within-batch keep-lowest-doc removal (substr_dedup semantics;
+    # detect="digest" keeps span strings out of the exchanges here too
+    # — the store side already keys on md5 either way)
+    removed = _removed_windows(spans.drop("h"), detect=detect)
     if exists:
         olds = (store.where(F.col("batch_id") < int(batch_id))
                 .select("h").distinct())

@@ -1,4 +1,5 @@
 from drill_spark.plans.checks import (
+    exchange_payload_columns,
     explain_report,
     explain_str,
     has_broadcast_hash_join,
@@ -11,6 +12,7 @@ from drill_spark.plans.checks import (
 )
 
 __all__ = [
+    "exchange_payload_columns",
     "explain_report",
     "explain_str",
     "pushed_filters",

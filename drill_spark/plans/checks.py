@@ -85,6 +85,21 @@ def wholestage_codegen_spans(df: DataFrame) -> int:
     return len(set(re.findall(r"\*\((\d+)\)", final)))
 
 
+def exchange_payload_columns(df: DataFrame) -> list[list[str]]:
+    """Per-shuffle list of column names crossing each Exchange — the
+    witness for 'wide payload X never shuffles' claims (e.g. the
+    ExactSubstr digest mode must keep span STRINGS out of every
+    exchange; only fixed-width digests may cross)."""
+    out: list[list[str]] = []
+    for m in re.finditer(
+            r"\(\d+\) Exchange\s*\nInput \[\d+\]: \[([^\]]*)\]",
+            explain_str(df)):
+        cols = [re.sub(r"#\d+L?", "", c.strip())
+                for c in m.group(1).split(",") if c.strip()]
+        out.append(cols)
+    return out
+
+
 def explain_report(df: DataFrame) -> dict:
     """One-call plan diagnostic: the scale-relevant facts of a plan as
     a dict (the programmatic face of `.explain("formatted")` — what a

@@ -121,6 +121,52 @@ def test_substr_dedup_within_doc_repeat_kept(spark):
     assert got[1] == (4, "unrelated content trailing bits")
 
 
+def test_substr_digest_mode_equals_exact_and_never_shuffles_spans(spark):
+    """detect='digest' (128-bit md5 keys, the 100 TB path for corpora
+    whose duplicate-hash set outgrows the broadcast threshold) returns
+    the same rows as exact mode on real duplicates, honors score
+    canonicalization, and — the plan contract — NO exchange in the
+    whole job carries the span-string column; only (id, p, digest)
+    payloads cross shuffles."""
+    from drill_spark.plans import exchange_payload_columns
+
+    shared = "quick brown fox jumps over the lazy dog tonight"
+    rows = [
+        (0, f"the {shared}"),
+        (1, f"something else entirely here {shared} extra"),
+        (2, "totally unique words nothing shared at all whatsoever"),
+        (3, f"the {shared}"),
+        (5, f"prefix words then {shared} and a distinct tail section"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    exact = substr_dedup(df, min_tokens=4).collect()
+    digest = substr_dedup(df, min_tokens=4, detect="digest")
+    assert sorted(map(tuple, digest.collect())) == sorted(map(tuple, exact))
+
+    for col_list in exchange_payload_columns(digest):
+        assert "span" not in col_list, col_list
+
+    sp_exact = substr_duplicate_spans(df, min_tokens=4).collect()
+    sp_digest = substr_duplicate_spans(df, min_tokens=4, detect="digest")
+    assert (sorted(map(tuple, sp_digest.collect()))
+            == sorted(map(tuple, sp_exact)))
+    for col_list in exchange_payload_columns(sp_digest):
+        assert "span" not in col_list, col_list
+
+    # score canonicalization works under digest keys too
+    sdf = spark.createDataFrame(
+        [(i, t, float(i)) for i, t in rows],
+        "doc_id long, text string, q double")
+    se = substr_dedup(sdf, min_tokens=4, score_col="q").collect()
+    sd = substr_dedup(sdf, min_tokens=4, score_col="q",
+                      detect="digest").collect()
+    assert sorted(map(tuple, sd)) == sorted(map(tuple, se))
+
+    import pytest as _pt
+    with _pt.raises(ValueError, match="detect"):
+        substr_dedup(df, min_tokens=4, detect="nope")
+
+
 def test_substr_positions_leading_whitespace(spark):
     """Token positions are 1-based AFTER whitespace stripping: a
     leading tab/newline must not shift every reported position by one
