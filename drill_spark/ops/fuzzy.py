@@ -482,6 +482,19 @@ def incremental_setsim(
             .select("qid", "nq", "did", "nd").distinct()
         )
         if max_candidates_per_doc is not None:
+            # Truncation must be OBSERVABLE (r10 advice). r12 measured
+            # the zero-job alternative, df.observe(): under AQE the
+            # CollectMetrics row comes back EMPTY whenever an enclosing
+            # branch is empty-relation-pruned (zero duplicates found,
+            # or zero batch survivors — both routine) and SILENTLY ZERO
+            # when the observed subtree executes inside a
+            # broadcast-exchange stage (dup_ids is broadcast-sized by
+            # design, so that's the common plan). A missed warning is
+            # silent inexactness, so the explicit bounded count stays;
+            # the lazy checkpoint makes it the materializing pass the
+            # verify join below reuses, and counting rows at __rk==1
+            # (exactly one per qid) replaces the old distinct+count
+            # extra shuffle.
             annotated = (
                 cand
                 .withColumn("__rk", F.row_number().over(
@@ -491,8 +504,10 @@ def incremental_setsim(
                 .localCheckpoint(eager=False)
             )
             n_truncated = (annotated
-                           .where(F.col("__n") > int(max_candidates_per_doc))
-                           .select("qid").distinct().count())
+                           .where((F.col("__rk") == 1)
+                                  & (F.col("__n")
+                                     > int(max_candidates_per_doc)))
+                           .count())
             if n_truncated:
                 warnings.warn(
                     f"incremental_setsim: candidate cap "
@@ -518,8 +533,14 @@ def incremental_setsim(
             .select(F.col("qid").alias("id")).distinct()
         )
         survivors = batch_kept.join(dup_ids, "id", "left_anti")
-    survivors = survivors.localCheckpoint(eager=False)
 
+    # ONE verification pass: the store write below is the only action
+    # that executes it (no survivors localCheckpoint), and the returned
+    # survivors are read BACK from the just-written postings (every
+    # survivor has >= 1 token, hence >= 1 posting row) — the exact
+    # mechanism the replay path already uses, for the price of a tiny
+    # batch-pruned store scan instead of a recompute or pinned
+    # executor-cached partitions.
     new_rows = (
         sets.join(survivors, "id", "left_semi")
         .select(F.explode("ts").alias("tok"), F.col("id").alias("doc_id"),
@@ -528,8 +549,10 @@ def incremental_setsim(
     write_delta(new_rows, store_path,
                 mode="append" if exists else "error",
                 txn=(f"{txn_app_id}#batch{int(batch_id)}", int(batch_id)))
-    return df.join(survivors.withColumnRenamed("id", id_col),
-                   id_col, "left_semi")
+    mine = (read_delta(spark, store_path)
+            .where(F.col("batch_id") == int(batch_id))
+            .select(F.col("doc_id").alias(id_col)).distinct())
+    return df.join(mine, id_col, "left_semi")
 
 
 def setsim_join_tables(

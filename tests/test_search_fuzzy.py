@@ -1107,6 +1107,12 @@ def test_incremental_setsim_cap_truncation_warns(spark, tmp_path):
 
     new = spark.createDataFrame([(100, "alpha beta gamma zz")],
                                 "doc_id long, text string")
+    # The truncation count is an explicit bounded job BY DESIGN: r12
+    # measured df.observe() as the zero-job alternative and found AQE
+    # returns an EMPTY metrics row when an enclosing branch is
+    # empty-relation-pruned (zero dups / zero survivors) and a SILENT
+    # ZERO when the observed subtree runs inside a broadcast stage —
+    # either would suppress the warning, i.e. silent inexactness.
     with w.catch_warnings(record=True) as rec:
         w.simplefilter("always")
         incremental_setsim(new, store, threshold=0.5, batch_id=1,
