@@ -80,7 +80,8 @@ def _date_dim(spark: SparkSession) -> DataFrame:
         "select d_date_sk, 1998 + cast(d_date_sk % 5 as int) as d_year, "
         "1 + cast(d_date_sk % 12 as int) as d_moy, "
         "1 + cast(floor((d_date_sk % 12) / 3) as int) as d_qoy, "
-        "cast(d_date_sk % 200 as int) as d_month_seq "
+        "cast(d_date_sk % 200 as int) as d_month_seq, "
+        "cast(d_date_sk % 7 as int) as d_dow "
         "from (select explode(sequence(2451000, 2451499)) as d_date_sk)")
 
 
@@ -100,6 +101,7 @@ def _item(spark: SparkSession) -> DataFrame:
         "'Category#' || cast(cast(id % 10 as int) + 1 as string) as i_category, "
         "'Item#' || lpad(cast(id as string), 6, '0') as i_item_id, "
         "'Class#' || cast(cast(id % 5 as int) + 1 as string) as i_class, "
+        "cast(id % 5 as int) + 1 as i_class_id, "
         "'Prod#' || lpad(cast(id as string), 6, '0') as i_product_name "
         "from (select explode(sequence(0, 199)) as id)")
 
@@ -256,7 +258,8 @@ date_dim as (
   select d_date_sk, 1998 + cast(d_date_sk % 5 as int) as d_year,
          1 + cast(d_date_sk % 12 as int) as d_moy,
          1 + cast(floor((d_date_sk % 12) / 3) as int) as d_qoy,
-         cast(d_date_sk % 200 as int) as d_month_seq
+         cast(d_date_sk % 200 as int) as d_month_seq,
+         cast(d_date_sk % 7 as int) as d_dow
   from (select unnest(generate_series(2451000, 2451499)) as d_date_sk)
 ),
 item as (
@@ -271,6 +274,7 @@ item as (
            as i_category,
          'Item#' || lpad(cast(id as varchar), 6, '0') as i_item_id,
          'Class#' || cast(cast(id % 5 as int) + 1 as varchar) as i_class,
+         cast(id % 5 as int) + 1 as i_class_id,
          'Prod#' || lpad(cast(id as varchar), 6, '0') as i_product_name
   from (select unnest(generate_series(0, 199)) as id)
 ),
@@ -780,6 +784,39 @@ tpcds_catalog_returns as (
   from lineitem l join orders o on l.l_orderkey = o.o_orderkey
   where l.l_returnflag = 'A'
 ),
+tpcds_web_sales as (
+  select l.l_orderkey as ws_order_number,
+         l.l_partkey % 200 as ws_item_sk,
+         o.o_custkey as ws_bill_customer_sk,
+         2451180 + l.l_orderkey % 120 as ws_sold_date_sk,
+         (l.l_orderkey * 3 + l.l_linenumber) % 600 as ws_sold_time_sk,
+         l.l_partkey % 20 as ws_web_page_sk,
+         (l.l_orderkey + l.l_linenumber) % 50 as ws_ship_hdemo_sk,
+         cast(l.l_quantity as int) as ws_quantity,
+         cast(floor(l.l_extendedprice * (1 - l.l_discount) * 100) as bigint)
+           as ws_sales_cents,
+         cast(floor(l.l_extendedprice / l.l_quantity * 100) as bigint)
+           as ws_list_cents,
+         cast(floor(l.l_extendedprice * 0.6 * 100) as bigint)
+           as ws_wholesale_cents
+  from lineitem l join orders o on l.l_orderkey = o.o_orderkey
+  where l.l_linenumber % 3 = 1
+),
+tpcds_catalog_sales as (
+  select l.l_orderkey as cs_order_number,
+         l.l_partkey % 200 as cs_item_sk,
+         o.o_custkey as cs_bill_customer_sk,
+         2451180 + l.l_orderkey % 120 as cs_sold_date_sk,
+         cast(l.l_quantity as int) as cs_quantity,
+         cast(floor(l.l_extendedprice * (1 - l.l_discount) * 100) as bigint)
+           as cs_sales_cents,
+         cast(floor(l.l_extendedprice / l.l_quantity * 100) as bigint)
+           as cs_list_cents,
+         cast(floor(l.l_extendedprice * 0.6 * 100) as bigint)
+           as cs_wholesale_cents
+  from lineitem l join orders o on l.l_orderkey = o.o_orderkey
+  where l.l_linenumber % 3 = 2
+),
 tpcds_date_dim as (select * from date_dim),
 tpcds_store as (select * from store),
 tpcds_item as (select * from item),
@@ -825,6 +862,44 @@ def _returns_fact(spark: SparkSession, sf_dir: str, flag: str,
         f"{pre}_return_quantity", F.col("__m") + 1).drop("__m")
 
 
+def _channel_sales(spark: SparkSession, sf_dir: str, pre: str,
+                   mod_val: int) -> DataFrame:
+    """Python twin of the tpcds_web_sales / tpcds_catalog_sales CTEs:
+    the web (l_linenumber % 3 = 1) and catalog (% 3 = 2) channel facts
+    carved from lineitem — money pre-floored to integer cents so every
+    cross-channel aggregate is an exact bigint sum in both engines."""
+    li = load_fixture(spark, sf_dir, "lineitem").where(
+        F.col("l_linenumber") % 3 == mod_val)
+    o = load_fixture(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey")
+    j = li.join(o, li.l_orderkey == o.o_orderkey)
+    cols = [
+        F.col("l_orderkey").alias(f"{pre}_order_number"),
+        (F.col("l_partkey") % 200).alias(f"{pre}_item_sk"),
+        F.col("o_custkey").alias(f"{pre}_bill_customer_sk"),
+        (F.lit(2451180) + F.col("l_orderkey") % 120)
+        .alias(f"{pre}_sold_date_sk"),
+    ]
+    if pre == "ws":
+        cols += [
+            ((F.col("l_orderkey") * 3 + F.col("l_linenumber")) % 600)
+            .alias("ws_sold_time_sk"),
+            (F.col("l_partkey") % 20).alias("ws_web_page_sk"),
+            ((F.col("l_orderkey") + F.col("l_linenumber")) % 50)
+            .alias("ws_ship_hdemo_sk"),
+        ]
+    cols += [
+        F.col("l_quantity").cast("int").alias(f"{pre}_quantity"),
+        F.floor(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100)
+        .cast("bigint").alias(f"{pre}_sales_cents"),
+        F.floor(F.col("l_extendedprice") / F.col("l_quantity") * 100)
+        .cast("bigint").alias(f"{pre}_list_cents"),
+        F.floor(F.col("l_extendedprice") * 0.6 * 100)
+        .cast("bigint").alias(f"{pre}_wholesale_cents"),
+    ]
+    return j.select(*cols)
+
+
 def _register_decorrelation_views(spark: SparkSession, sf_dir: str) -> None:
     _returns_fact(spark, sf_dir, "R", "sr_customer_sk", None,
                   "sr_returned_date_sk", "sr_return_amt"
@@ -846,6 +921,10 @@ def _register_decorrelation_views(spark: SparkSession, sf_dir: str) -> None:
     _household_demographics(spark).createOrReplaceTempView(
         "tpcds_household_demographics")
     _store_sales(spark, sf_dir).createOrReplaceTempView("tpcds_store_sales")
+    _channel_sales(spark, sf_dir, "ws", 1).createOrReplaceTempView(
+        "tpcds_web_sales")
+    _channel_sales(spark, sf_dir, "cs", 2).createOrReplaceTempView(
+        "tpcds_catalog_sales")
 
 
 # q1: customers returning more than 1.2x their store's average total —
@@ -1606,6 +1685,410 @@ limit 100
 """
 
 
+# q14 shape (cross-channel INTERSECT iceberg): items sold through ALL
+# THREE channels in the year (an INTERSECT of (brand, class, category)
+# triples), per-channel November sales of those items, kept only where
+# the group's sales beat the all-channel average (a scalar subquery in
+# HAVING). Money is exact integer cents end to end; the average is one
+# double division of two exact bigints.
+_Q14_BODY = """
+cross_items as (
+  select i_item_sk as ci_item_sk
+  from tpcds_item,
+       (select i1.i_brand_id as brand_id, i1.i_class_id as class_id,
+               i1.i_category_id as category_id
+        from tpcds_store_sales, tpcds_item i1, tpcds_date_dim
+        where ss_item_sk = i1.i_item_sk and ss_sold_date_sk = d_date_sk
+          and d_year = 1999
+        intersect
+        select i2.i_brand_id, i2.i_class_id, i2.i_category_id
+        from tpcds_catalog_sales, tpcds_item i2, tpcds_date_dim
+        where cs_item_sk = i2.i_item_sk and cs_sold_date_sk = d_date_sk
+          and d_year = 1999
+        intersect
+        select i3.i_brand_id, i3.i_class_id, i3.i_category_id
+        from tpcds_web_sales, tpcds_item i3, tpcds_date_dim
+        where ws_item_sk = i3.i_item_sk and ws_sold_date_sk = d_date_sk
+          and d_year = 1999) x
+  where i_brand_id = brand_id and i_class_id = class_id
+    and i_category_id = category_id
+),
+avg_sales as (
+  select sum(c) * 1.0 / count(*) as average_cents
+  from (select cast(ss_quantity as bigint)
+               * cast(round(ss_list_price * 100, 0) as bigint) as c
+        from tpcds_store_sales, tpcds_date_dim
+        where ss_sold_date_sk = d_date_sk and d_year = 1999
+        union all
+        select cast(cs_quantity as bigint) * cs_list_cents
+        from tpcds_catalog_sales, tpcds_date_dim
+        where cs_sold_date_sk = d_date_sk and d_year = 1999
+        union all
+        select cast(ws_quantity as bigint) * ws_list_cents
+        from tpcds_web_sales, tpcds_date_dim
+        where ws_sold_date_sk = d_date_sk and d_year = 1999) t
+)
+select channel, i_brand_id, i_class_id, i_category_id,
+       cast(sum(sales_cents) as bigint) as sales_cents,
+       cast(count(*) as bigint) as num_sales
+from (
+  select 'store' as channel, i_brand_id, i_class_id, i_category_id,
+         cast(ss_quantity as bigint)
+         * cast(round(ss_list_price * 100, 0) as bigint) as sales_cents
+  from tpcds_store_sales, tpcds_item, tpcds_date_dim
+  where ss_item_sk = i_item_sk and ss_sold_date_sk = d_date_sk
+    and d_year = 1999 and d_moy = 11
+    and ss_item_sk in (select ci_item_sk from cross_items)
+  union all
+  select 'catalog', i_brand_id, i_class_id, i_category_id,
+         cast(cs_quantity as bigint) * cs_list_cents
+  from tpcds_catalog_sales, tpcds_item, tpcds_date_dim
+  where cs_item_sk = i_item_sk and cs_sold_date_sk = d_date_sk
+    and d_year = 1999 and d_moy = 11
+    and cs_item_sk in (select ci_item_sk from cross_items)
+  union all
+  select 'web', i_brand_id, i_class_id, i_category_id,
+         cast(ws_quantity as bigint) * ws_list_cents
+  from tpcds_web_sales, tpcds_item, tpcds_date_dim
+  where ws_item_sk = i_item_sk and ws_sold_date_sk = d_date_sk
+    and d_year = 1999 and d_moy = 11
+    and ws_item_sk in (select ci_item_sk from cross_items)
+) y
+group by channel, i_brand_id, i_class_id, i_category_id
+having sum(sales_cents) > (select average_cents from avg_sales)
+order by channel, i_brand_id, i_class_id, i_category_id
+limit 100
+"""
+
+
+# q64 shape (two-pass big join with year self-join): a six-way
+# sales⋈returns⋈item⋈store⋈date⋈customer join aggregated per
+# (product, item, store, year), then the aggregate self-joined
+# 1999-vs-2000 on (item, store) keeping pairs whose repeat count did
+# not grow — the classic "did the repeat business shrink" pass.
+_Q64_BODY = """
+cs1 as (
+  select i_product_name as product_name, i_item_sk as item_sk,
+         s_store_name as store_name, d_year as syear,
+         cast(count(*) as bigint) as cnt,
+         cast(sum(cast(round(ss_ext_sales_price * 100, 0) as bigint))
+              as bigint) as sales_cents,
+         cast(sum(sr_return_amt) as bigint) as returns_cents
+  from tpcds_store_sales
+  join tpcds_store_returns
+    on ss_ticket_number = sr_ticket_number and ss_item_sk = sr_item_sk
+  join tpcds_item on ss_item_sk = i_item_sk
+  join tpcds_store on ss_store_sk = s_store_sk
+  join tpcds_date_dim on ss_sold_date_sk = d_date_sk
+  join tpcds_cust on ss_customer_sk = c_customer_sk
+  group by i_product_name, i_item_sk, s_store_name, d_year
+)
+select a.product_name, a.store_name, a.item_sk,
+       a.syear as year1, b.syear as year2,
+       a.cnt as cnt1, b.cnt as cnt2,
+       a.sales_cents as sales1, b.sales_cents as sales2,
+       a.returns_cents as returns1, b.returns_cents as returns2
+from cs1 a
+join cs1 b on a.item_sk = b.item_sk and a.store_name = b.store_name
+where a.syear = 1999 and b.syear = 2000 and b.cnt <= a.cnt
+order by a.product_name, a.store_name, a.item_sk
+limit 100
+"""
+
+
+# q78 shape (three-channel netting with left-join null-guards): per
+# (year, item, customer) sums of store sales NOT returned (left join
+# returns on (ticket, item), keep null), likewise web and catalog,
+# then store vs other-channel ratio. floor-to-2-decimals, never
+# round(): a ratio like 1/8 sits exactly on the half-cent midpoint
+# where Spark HALF_UP and DuckDB diverge.
+_Q78_BODY = """
+sss as (
+  select d_year as sold_year, ss_item_sk as item, ss_customer_sk as cust,
+         cast(sum(cast(ss_quantity as bigint)) as bigint) as ss_qty,
+         cast(sum(cast(round(ss_ext_sales_price * 100, 0) as bigint))
+              as bigint) as ss_cents
+  from tpcds_store_sales
+  left join tpcds_store_returns
+    on sr_ticket_number = ss_ticket_number and ss_item_sk = sr_item_sk
+  join tpcds_date_dim on ss_sold_date_sk = d_date_sk
+  where sr_ticket_number is null
+  group by d_year, ss_item_sk, ss_customer_sk
+),
+wss as (
+  select d_year as sold_year, ws_item_sk as item,
+         ws_bill_customer_sk as cust,
+         cast(sum(cast(ws_quantity as bigint)) as bigint) as ws_qty,
+         cast(sum(ws_sales_cents) as bigint) as ws_cents
+  from tpcds_web_sales
+  left join tpcds_web_returns
+    on wr_ticket_number = ws_order_number and ws_item_sk = wr_item_sk
+  join tpcds_date_dim on ws_sold_date_sk = d_date_sk
+  where wr_ticket_number is null
+  group by d_year, ws_item_sk, ws_bill_customer_sk
+),
+css as (
+  select d_year as sold_year, cs_item_sk as item,
+         cs_bill_customer_sk as cust,
+         cast(sum(cast(cs_quantity as bigint)) as bigint) as cs_qty,
+         cast(sum(cs_sales_cents) as bigint) as cs_cents
+  from tpcds_catalog_sales
+  left join tpcds_catalog_returns
+    on cr_ticket_number = cs_order_number and cs_item_sk = cr_item_sk
+  join tpcds_date_dim on cs_sold_date_sk = d_date_sk
+  where cr_ticket_number is null
+  group by d_year, cs_item_sk, cs_bill_customer_sk
+)
+select sss.sold_year, sss.item as item_sk, sss.cust as customer_sk,
+       floor(cast(ss_qty as double)
+             / (coalesce(ws_qty, 0) + coalesce(cs_qty, 0)) * 100) / 100
+         as ratio,
+       ss_qty, ss_cents,
+       coalesce(ws_qty, 0) + coalesce(cs_qty, 0) as other_chan_qty,
+       coalesce(ws_cents, 0) + coalesce(cs_cents, 0) as other_chan_cents
+from sss
+left join wss on wss.sold_year = sss.sold_year and wss.item = sss.item
+             and wss.cust = sss.cust
+left join css on css.sold_year = sss.sold_year and css.item = sss.item
+             and css.cust = sss.cust
+where (coalesce(ws_qty, 0) > 0 or coalesce(cs_qty, 0) > 0)
+  and sss.sold_year = 1999
+order by item_sk, customer_sk
+limit 100
+"""
+
+
+# q9 shape (scalar CASE subqueries): five quantity buckets, each
+# picking one of two bucket statistics based on a scalar count — ten
+# uncorrelated scalar subqueries feeding one projected row. Averages
+# floor to whole cents (exact bigint sum / exact count: one double
+# division, then floor — bit-identical across engines).
+_Q9_BODY = """
+buckets as (
+  select cast(floor((ss_quantity - 1) / 10) as int) as b,
+         cast(count(*) as bigint) as n,
+         cast(floor(avg(cast(round(ss_ext_sales_price * 100, 0)
+                             as bigint))) as bigint) as avg_sales_cents,
+         cast(floor(avg(cast(round(ss_coupon_amt * 100, 0)
+                             as bigint))) as bigint) as avg_coupon_cents
+  from tpcds_store_sales
+  where ss_quantity between 1 and 50
+  group by cast(floor((ss_quantity - 1) / 10) as int)
+)
+select
+  case when (select n from buckets where b = 0) > 30000
+       then (select avg_sales_cents from buckets where b = 0)
+       else (select avg_coupon_cents from buckets where b = 0)
+  end as bucket1,
+  case when (select n from buckets where b = 1) > 30000
+       then (select avg_sales_cents from buckets where b = 1)
+       else (select avg_coupon_cents from buckets where b = 1)
+  end as bucket2,
+  case when (select n from buckets where b = 2) > 30000
+       then (select avg_sales_cents from buckets where b = 2)
+       else (select avg_coupon_cents from buckets where b = 2)
+  end as bucket3,
+  case when (select n from buckets where b = 3) > 30000
+       then (select avg_sales_cents from buckets where b = 3)
+       else (select avg_coupon_cents from buckets where b = 3)
+  end as bucket4,
+  case when (select n from buckets where b = 4) > 30000
+       then (select avg_sales_cents from buckets where b = 4)
+       else (select avg_coupon_cents from buckets where b = 4)
+  end as bucket5
+from (select 1 as one) t
+"""
+
+
+# q59 shape (week-over-week store comparison): per-(store, month)
+# sales pivoted over day-of-week slots, the 1999 vector joined to the
+# 2000 vector of the SAME (store, month), one ratio per slot.
+# floor-to-4-decimals on the double ratio (division of exact cents).
+_Q59_BODY = """
+wss as (
+  select d_year, ss_store_sk as store_sk, d_moy as moy,
+         cast(sum(case when d_dow = 0 then
+           cast(round(ss_ext_sales_price * 100, 0) as bigint)
+           else 0 end) as bigint) as sun_cents,
+         cast(sum(case when d_dow = 1 then
+           cast(round(ss_ext_sales_price * 100, 0) as bigint)
+           else 0 end) as bigint) as mon_cents,
+         cast(sum(case when d_dow = 2 then
+           cast(round(ss_ext_sales_price * 100, 0) as bigint)
+           else 0 end) as bigint) as tue_cents,
+         cast(sum(case when d_dow = 3 then
+           cast(round(ss_ext_sales_price * 100, 0) as bigint)
+           else 0 end) as bigint) as wed_cents,
+         cast(sum(case when d_dow = 4 then
+           cast(round(ss_ext_sales_price * 100, 0) as bigint)
+           else 0 end) as bigint) as thu_cents,
+         cast(sum(case when d_dow = 5 then
+           cast(round(ss_ext_sales_price * 100, 0) as bigint)
+           else 0 end) as bigint) as fri_cents,
+         cast(sum(case when d_dow = 6 then
+           cast(round(ss_ext_sales_price * 100, 0) as bigint)
+           else 0 end) as bigint) as sat_cents
+  from tpcds_store_sales, tpcds_date_dim
+  where ss_sold_date_sk = d_date_sk
+  group by d_year, ss_store_sk, d_moy
+)
+select s_store_name, y1.store_sk as store_sk, y1.moy as moy,
+       floor(cast(y1.sun_cents as double)
+             / nullif(y2.sun_cents, 0) * 10000) / 10000 as sun_ratio,
+       floor(cast(y1.mon_cents as double)
+             / nullif(y2.mon_cents, 0) * 10000) / 10000 as mon_ratio,
+       floor(cast(y1.tue_cents as double)
+             / nullif(y2.tue_cents, 0) * 10000) / 10000 as tue_ratio,
+       floor(cast(y1.wed_cents as double)
+             / nullif(y2.wed_cents, 0) * 10000) / 10000 as wed_ratio,
+       floor(cast(y1.thu_cents as double)
+             / nullif(y2.thu_cents, 0) * 10000) / 10000 as thu_ratio,
+       floor(cast(y1.fri_cents as double)
+             / nullif(y2.fri_cents, 0) * 10000) / 10000 as fri_ratio,
+       floor(cast(y1.sat_cents as double)
+             / nullif(y2.sat_cents, 0) * 10000) / 10000 as sat_ratio
+from wss y1
+join wss y2 on y1.store_sk = y2.store_sk and y1.moy = y2.moy
+join tpcds_store on y1.store_sk = s_store_sk
+where y1.d_year = 1999 and y2.d_year = 2000
+order by store_sk, moy
+limit 100
+"""
+
+
+# q65 shape (scalar-per-group threshold): (store, item) revenue vs 10%
+# of that store's average item revenue — a derived aggregate joined
+# against its own per-store re-aggregation.
+_Q65_BODY = """
+sa as (
+  select ss_store_sk as store_sk, ss_item_sk as item_sk,
+         cast(sum(cast(round(ss_sales_price * 100, 0) as bigint))
+              as bigint) as revenue_cents
+  from tpcds_store_sales, tpcds_date_dim
+  where ss_sold_date_sk = d_date_sk and d_month_seq between 100 and 150
+  group by ss_store_sk, ss_item_sk
+),
+sb as (
+  select store_sk, sum(revenue_cents) * 1.0 / count(*) as ave
+  from sa group by store_sk
+)
+select sa.store_sk, s_store_name, i_item_id, sa.revenue_cents
+from sa, sb, tpcds_store, tpcds_item
+where sa.store_sk = sb.store_sk
+  and cast(sa.revenue_cents as double) <= 0.1 * sb.ave
+  and sa.store_sk = s_store_sk and sa.item_sk = i_item_sk
+order by sa.store_sk, i_item_id
+limit 100
+"""
+
+
+# q75 shape (prior-year three-channel decline): all three channels
+# unioned into one (year, brand, class, category, manufact) aggregate,
+# self-joined current-vs-prior year, kept where the quantity ratio
+# fell below 0.9 — the classic "which product lines shrank" report.
+_Q75_BODY = """
+all_sales as (
+  select year_, i_brand_id, i_class_id, i_category_id, i_manufact_id,
+         cast(sum(qty) as bigint) as sales_cnt,
+         cast(sum(cents) as bigint) as sales_cents
+  from (
+    select d_year as year_, i_brand_id, i_class_id, i_category_id,
+           i_manufact_id, cast(ss_quantity as bigint) as qty,
+           cast(round(ss_ext_sales_price * 100, 0) as bigint) as cents
+    from tpcds_store_sales, tpcds_item, tpcds_date_dim
+    where ss_item_sk = i_item_sk and ss_sold_date_sk = d_date_sk
+    union all
+    select d_year, i_brand_id, i_class_id, i_category_id, i_manufact_id,
+           cast(cs_quantity as bigint), cs_sales_cents
+    from tpcds_catalog_sales, tpcds_item, tpcds_date_dim
+    where cs_item_sk = i_item_sk and cs_sold_date_sk = d_date_sk
+    union all
+    select d_year, i_brand_id, i_class_id, i_category_id, i_manufact_id,
+           cast(ws_quantity as bigint), ws_sales_cents
+    from tpcds_web_sales, tpcds_item, tpcds_date_dim
+    where ws_item_sk = i_item_sk and ws_sold_date_sk = d_date_sk
+  ) t
+  group by year_, i_brand_id, i_class_id, i_category_id, i_manufact_id
+)
+select prev.year_ as prev_year, curr.year_ as curr_year,
+       curr.i_brand_id, curr.i_class_id, curr.i_category_id,
+       curr.i_manufact_id,
+       prev.sales_cnt as prev_yr_cnt, curr.sales_cnt as curr_yr_cnt,
+       curr.sales_cnt - prev.sales_cnt as sales_cnt_diff,
+       curr.sales_cents - prev.sales_cents as sales_cents_diff
+from all_sales curr
+join all_sales prev
+  on curr.i_brand_id = prev.i_brand_id
+ and curr.i_class_id = prev.i_class_id
+ and curr.i_category_id = prev.i_category_id
+ and curr.i_manufact_id = prev.i_manufact_id
+where curr.year_ = 2000 and prev.year_ = 1999
+  and cast(curr.sales_cnt as double) / prev.sales_cnt < 0.9
+order by sales_cnt_diff, sales_cents_diff,
+         curr.i_brand_id, curr.i_class_id, curr.i_category_id,
+         curr.i_manufact_id
+limit 100
+"""
+
+
+# q76 shape (null-key channel union): rows whose channel-specific
+# foreign key is NULL (synthesized with nullif on the derived facts),
+# unioned across the three channels with channel/column literals,
+# grouped by (channel, col_name, year, quarter, category).
+_Q76_BODY = """
+nullkey_rows as (
+  select 'store' as channel, 'ss_hdemo_sk' as col_name, d_year, d_qoy,
+         i_category,
+         cast(round(ss_ext_sales_price * 100, 0) as bigint) as cents
+  from tpcds_store_sales, tpcds_item, tpcds_date_dim
+  where nullif(cast(ss_hdemo_sk % 7 as int), 0) is null
+    and ss_item_sk = i_item_sk and ss_sold_date_sk = d_date_sk
+  union all
+  select 'web', 'ws_ship_hdemo_sk', d_year, d_qoy, i_category,
+         ws_sales_cents
+  from tpcds_web_sales, tpcds_item, tpcds_date_dim
+  where nullif(cast(ws_ship_hdemo_sk % 5 as int), 0) is null
+    and ws_item_sk = i_item_sk and ws_sold_date_sk = d_date_sk
+  union all
+  select 'catalog', 'cs_bill_customer_sk', d_year, d_qoy, i_category,
+         cs_sales_cents
+  from tpcds_catalog_sales, tpcds_item, tpcds_date_dim
+  where nullif(cast(cs_bill_customer_sk % 3 as int), 0) is null
+    and cs_item_sk = i_item_sk and cs_sold_date_sk = d_date_sk
+)
+select channel, col_name, d_year, d_qoy, i_category,
+       cast(count(*) as bigint) as sales_cnt,
+       cast(sum(cents) as bigint) as sales_cents
+from nullkey_rows
+group by channel, col_name, d_year, d_qoy, i_category
+order by channel, col_name, d_year, d_qoy, i_category
+limit 100
+"""
+
+
+# q90 shape (am/pm ratio): the ratio of two independent scalar counts
+# (morning vs evening web sales for three-dependent households) — two
+# single-row aggregates cross-joined, one division.
+_Q90_BODY = """
+am as (
+  select cast(count(*) as bigint) as amc
+  from tpcds_web_sales, tpcds_household_demographics, tpcds_time_dim
+  where ws_ship_hdemo_sk = hd_demo_sk and ws_sold_time_sk = t_time_sk
+    and t_hour between 8 and 9 and hd_dep_count = 3
+),
+pm as (
+  select cast(count(*) as bigint) as pmc
+  from tpcds_web_sales, tpcds_household_demographics, tpcds_time_dim
+  where ws_ship_hdemo_sk = hd_demo_sk and ws_sold_time_sk = t_time_sk
+    and t_hour between 19 and 20 and hd_dep_count = 3
+)
+select amc, pmc,
+       floor(cast(amc as double) / nullif(pmc, 0) * 10000) / 10000
+         as am_pm_ratio
+from am, pm
+"""
+
+
 def _decorrelated(body: str):
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         _register_decorrelation_views(spark, sf_dir)
@@ -1635,6 +2118,15 @@ q_tpcds_q49 = _decorrelated(_Q49_BODY)
 q_tpcds_q95 = _decorrelated(_Q95_BODY)
 q_tpcds_q29 = _decorrelated(_Q29_BODY)
 q_tpcds_q31 = _decorrelated(_Q31_BODY)
+q_tpcds_q14 = _decorrelated(_Q14_BODY)
+q_tpcds_q64 = _decorrelated(_Q64_BODY)
+q_tpcds_q78 = _decorrelated(_Q78_BODY)
+q_tpcds_q9 = _decorrelated(_Q9_BODY)
+q_tpcds_q59 = _decorrelated(_Q59_BODY)
+q_tpcds_q65 = _decorrelated(_Q65_BODY)
+q_tpcds_q75 = _decorrelated(_Q75_BODY)
+q_tpcds_q76 = _decorrelated(_Q76_BODY)
+q_tpcds_q90 = _decorrelated(_Q90_BODY)
 
 ORACLE_TPCDS_Q1 = _DIMS_SQL + ", " + _RETURNS_SQL + ", " + _Q01_BODY
 ORACLE_TPCDS_Q6 = _DIMS_SQL + ", " + _RETURNS_SQL + ", " + _Q06_BODY
@@ -1658,6 +2150,15 @@ ORACLE_TPCDS_Q49 = _DIMS_SQL + ", " + _RETURNS_SQL + ", " + _Q49_BODY
 ORACLE_TPCDS_Q95 = _DIMS_SQL + ", " + _RETURNS_SQL + ", " + _Q95_BODY
 ORACLE_TPCDS_Q29 = _DIMS_SQL + ", " + _RETURNS_SQL + ", " + _Q29_BODY
 ORACLE_TPCDS_Q31 = _DIMS_SQL + ", " + _RETURNS_SQL + ", " + _Q31_BODY
+ORACLE_TPCDS_Q14 = _DIMS_SQL + ", " + _RETURNS_SQL + ", " + _Q14_BODY
+ORACLE_TPCDS_Q64 = _DIMS_SQL + ", " + _RETURNS_SQL + ", " + _Q64_BODY
+ORACLE_TPCDS_Q78 = _DIMS_SQL + ", " + _RETURNS_SQL + ", " + _Q78_BODY
+ORACLE_TPCDS_Q9 = _DIMS_SQL + ", " + _RETURNS_SQL + ", " + _Q9_BODY
+ORACLE_TPCDS_Q59 = _DIMS_SQL + ", " + _RETURNS_SQL + ", " + _Q59_BODY
+ORACLE_TPCDS_Q65 = _DIMS_SQL + ", " + _RETURNS_SQL + ", " + _Q65_BODY
+ORACLE_TPCDS_Q75 = _DIMS_SQL + ", " + _RETURNS_SQL + ", " + _Q75_BODY
+ORACLE_TPCDS_Q76 = _DIMS_SQL + ", " + _RETURNS_SQL + ", " + _Q76_BODY
+ORACLE_TPCDS_Q90 = _DIMS_SQL + ", " + _RETURNS_SQL + ", " + _Q90_BODY
 
 
 QUERIES = {
@@ -1684,6 +2185,15 @@ QUERIES = {
     "tpcds_q95": q_tpcds_q95,
     "tpcds_q29": q_tpcds_q29,
     "tpcds_q31": q_tpcds_q31,
+    "tpcds_q14": q_tpcds_q14,
+    "tpcds_q64": q_tpcds_q64,
+    "tpcds_q78": q_tpcds_q78,
+    "tpcds_q09": q_tpcds_q9,
+    "tpcds_q59": q_tpcds_q59,
+    "tpcds_q65": q_tpcds_q65,
+    "tpcds_q75": q_tpcds_q75,
+    "tpcds_q76": q_tpcds_q76,
+    "tpcds_q90": q_tpcds_q90,
     "tpcds_q03": q_tpcds_q3,
     "tpcds_q07": q_tpcds_q7,
     "tpcds_q42": q_tpcds_q42,
@@ -1717,6 +2227,15 @@ ORACLES = {
     "tpcds_q95": ORACLE_TPCDS_Q95,
     "tpcds_q29": ORACLE_TPCDS_Q29,
     "tpcds_q31": ORACLE_TPCDS_Q31,
+    "tpcds_q14": ORACLE_TPCDS_Q14,
+    "tpcds_q64": ORACLE_TPCDS_Q64,
+    "tpcds_q78": ORACLE_TPCDS_Q78,
+    "tpcds_q09": ORACLE_TPCDS_Q9,
+    "tpcds_q59": ORACLE_TPCDS_Q59,
+    "tpcds_q65": ORACLE_TPCDS_Q65,
+    "tpcds_q75": ORACLE_TPCDS_Q75,
+    "tpcds_q76": ORACLE_TPCDS_Q76,
+    "tpcds_q90": ORACLE_TPCDS_Q90,
     "tpcds_q03": ORACLE_TPCDS_Q3,
     "tpcds_q07": ORACLE_TPCDS_Q7,
     "tpcds_q42": ORACLE_TPCDS_Q42,

@@ -240,3 +240,110 @@ def test_q11_growth_ratio_shape(spark):
     for r in rows:
         assert r.store_first > 0 and r.web_first > 0
         assert r.web_second / r.web_first > r.store_second / r.store_first
+
+
+def test_r12_shapes_plan_no_cartesian(spark):
+    """The r12 shape classes (q14 INTERSECT iceberg, q64 two-pass
+    big-join self-join, q78 left-join null-guard netting, q59
+    week-over-week pivot, q65 per-store threshold, q75 prior-year
+    decline, q76 null-key union) must all plan as equi-joins — no
+    cartesian products, no nested-loop joins. q90 is excluded by
+    design: its two single-row scalar aggregates cross-join 1x1."""
+    for name in ("tpcds_q14", "tpcds_q64", "tpcds_q78", "tpcds_q59",
+                 "tpcds_q65", "tpcds_q75", "tpcds_q76"):
+        phys = explain_str(tpcds.QUERIES[name](spark, SF_DIR))
+        assert "CartesianProduct" not in phys, (name, phys)
+        assert "BroadcastNestedLoopJoin" not in phys, (name, phys)
+
+
+def test_q78_null_guard_excludes_returned(spark):
+    """q78's netting contract: a (ticket, item) that appears in
+    store_returns must contribute NOTHING to the store-side sums —
+    the left-join-null-guard is an anti-join, not a count trick."""
+    from pyspark.sql import functions as F
+
+    tpcds._register_decorrelation_views(spark, SF_DIR)
+    returned = spark.sql("""
+        select distinct ss_item_sk as item, ss_customer_sk as cust,
+               cast(ss_quantity as bigint) as q
+        from tpcds_store_sales
+        join tpcds_store_returns
+          on sr_ticket_number = ss_ticket_number
+         and ss_item_sk = sr_item_sk
+        join tpcds_date_dim on ss_sold_date_sk = d_date_sk
+        where d_year = 1999""")
+    kept = spark.sql("""
+        select ss_item_sk as item, ss_customer_sk as cust,
+               sum(cast(ss_quantity as bigint)) as q
+        from tpcds_store_sales
+        left join tpcds_store_returns
+          on sr_ticket_number = ss_ticket_number
+         and ss_item_sk = sr_item_sk
+        join tpcds_date_dim on ss_sold_date_sk = d_date_sk
+        where sr_ticket_number is null and d_year = 1999
+        group by 1, 2""")
+    # the netted totals never exceed the un-netted totals, and some
+    # (item, cust) groups shrink (returns exist in the fixture)
+    full = spark.sql("""
+        select ss_item_sk as item, ss_customer_sk as cust,
+               sum(cast(ss_quantity as bigint)) as q
+        from tpcds_store_sales
+        join tpcds_date_dim on ss_sold_date_sk = d_date_sk
+        where d_year = 1999 group by 1, 2""")
+    j = (full.alias("f")
+         .join(kept.alias("k"), ["item", "cust"], "left")
+         .select("item", "cust", F.col("f.q").alias("fq"),
+                 F.coalesce(F.col("k.q"), F.lit(0)).alias("kq")))
+    rows = j.collect()
+    assert rows and all(r.kq <= r.fq for r in rows)
+    assert any(r.kq < r.fq for r in rows)
+    assert returned.count() > 0
+
+
+def test_q9_scalar_buckets_and_q90_ratio(spark):
+    """q9 returns exactly one row of five bucket statistics (each a
+    scalar CASE over two scalar subqueries); q90's ratio equals the
+    two counts it reports, floored to 4 decimals."""
+    r9 = tpcds.QUERIES["tpcds_q09"](spark, SF_DIR).collect()
+    assert len(r9) == 1 and len(r9[0]) == 5
+    assert all(v is not None and v >= 0 for v in r9[0])
+
+    r90 = tpcds.QUERIES["tpcds_q90"](spark, SF_DIR).collect()
+    assert len(r90) == 1
+    amc, pmc, ratio = r90[0].amc, r90[0].pmc, r90[0].am_pm_ratio
+    import math
+    if pmc:
+        assert ratio == math.floor(amc / pmc * 10000) / 10000
+    else:
+        assert ratio is None
+
+
+def test_q14_cross_items_is_three_channel_intersection(spark):
+    """Every (brand, class, category) triple q14 reports must have
+    sold through ALL THREE channels in 1999 — the INTERSECT contract
+    replayed imperatively."""
+    tpcds._register_decorrelation_views(spark, SF_DIR)
+
+    def triples(sql):
+        return {(r.b, r.c, r.g) for r in spark.sql(sql).collect()}
+
+    store = triples("""
+        select distinct i_brand_id b, i_class_id c, i_category_id g
+        from tpcds_store_sales, tpcds_item, tpcds_date_dim
+        where ss_item_sk = i_item_sk and ss_sold_date_sk = d_date_sk
+          and d_year = 1999""")
+    cat = triples("""
+        select distinct i_brand_id b, i_class_id c, i_category_id g
+        from tpcds_catalog_sales, tpcds_item, tpcds_date_dim
+        where cs_item_sk = i_item_sk and cs_sold_date_sk = d_date_sk
+          and d_year = 1999""")
+    web = triples("""
+        select distinct i_brand_id b, i_class_id c, i_category_id g
+        from tpcds_web_sales, tpcds_item, tpcds_date_dim
+        where ws_item_sk = i_item_sk and ws_sold_date_sk = d_date_sk
+          and d_year = 1999""")
+    allowed = store & cat & web
+    got = tpcds.QUERIES["tpcds_q14"](spark, SF_DIR).collect()
+    assert got
+    assert {(r.i_brand_id, r.i_class_id, r.i_category_id)
+            for r in got} <= allowed
