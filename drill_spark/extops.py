@@ -5689,6 +5689,169 @@ from gated where total >= 1
 """
 
 
+def _bpe_wtok_sql() -> str:
+    """Shared oracle fragment: per-distinct-word token counts under
+    the FIXED BPE merge table (ops/bpe.py::FIXED_MERGES_V1), replayed
+    by a DuckDB recursive CTE running the same one-merge-per-iteration
+    loop as ops/bpe.py::encode_word (lowest rank wins, first occurrence
+    merges). The final count per word is min(len(syms)) — merging
+    strictly shrinks the symbol list, so the minimum IS the fixed
+    point. Yields CTEs: doc_words (doc_id, source, ws), wtok
+    (w, n_tok), doc_tok (doc_id, source, n_tokens)."""
+    from drill_spark.ops.bpe import FIXED_MERGES_V1
+
+    ranks = ", ".join(f"('{a}', '{b}', {i})"
+                      for i, (a, b) in enumerate(FIXED_MERGES_V1))
+    return r"""
+bpe_ranks(x, y, rk) as (values %s),
+rmap as (select map(list(x || chr(1) || y), list(rk)) as m from bpe_ranks),
+doc_words as (
+  select doc_id, source,
+         list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                     w -> w <> '') as ws
+  from documents
+),
+dwords as (select distinct unnest(ws) as w from doc_words),
+enc as (
+  select w, list_append(list_transform(range(1, length(w) + 1),
+                                       i -> w[i]), '</w>') as syms
+  from dwords
+  union all
+  select w, list_slice(syms, 1, bi - 1) || [syms[bi] || syms[bi + 1]]
+            || list_slice(syms, bi + 2, len(syms))
+  from (
+    select w, syms, list_position(prs, list_min(prs)) as bi,
+           list_min(prs) as br
+    from (
+      select w, syms,
+             list_transform(range(1, len(syms)), i ->
+               coalesce(map_extract(m, syms[i] || chr(1) || syms[i + 1])[1],
+                        1073741824)) as prs
+      from enc, rmap
+    ) p1
+  ) p2
+  where br < 1073741824
+),
+wtok as (select w, cast(min(len(syms)) as bigint) as n_tok
+         from enc group by w),
+doc_tok as (
+  select dw.doc_id, dw.source,
+         coalesce(s.n_tokens, cast(0 as bigint)) as n_tokens
+  from doc_words dw
+  left join (
+    select doc_id, cast(sum(n_tok) as bigint) as n_tokens
+    from (select doc_id, unnest(ws) as w from doc_words) u
+    join wtok using (w)
+    group by doc_id
+  ) s using (doc_id)
+)""" % ranks
+
+
+def q_mixture_build_bpe(spark, sf_dir):
+    """Tokenizer-TRUE mixture budgets (r11 verdict item 5): the same
+    Pile/LLaMA-style token-share targets as ext_mixture_build, but
+    counted under the fixed BPE merge table instead of whitespace
+    words — the vocabulary that would actually train decides the
+    per-source rates. The count column is one Arrow-batched pass
+    (ops/bpe.py::bpe_count_column, ranks broadcast in the closure);
+    everything downstream keeps build_mixture's zero-corpus-shuffle
+    shape. Deterministic, so the DuckDB oracle replays the merge loop
+    per distinct word (recursive CTE) and hash-matches."""
+    from drill_spark.ops.bpe import FIXED_MERGES_V1, bpe_count_column
+    from drill_spark.ops.pipeline import build_mixture
+
+    return build_mixture(
+        _docs(spark, sf_dir), "source", "doc_id", "text",
+        {"src0": 0.4, "src1": 0.3, "src2": 0.2, "src3": 0.1},
+        token_budget=200_000,
+        tokens=bpe_count_column("text", FIXED_MERGES_V1),
+    )
+
+
+def _oracle_mixture_build_bpe() -> str:
+    return "with recursive " + _bpe_wtok_sql() + r""",
+w(source, __w) as (values ('src0', 0.4), ('src1', 0.3),
+                          ('src2', 0.2), ('src3', 0.1)),
+avail as (select source, cast(sum(n_tokens) as double) as __avail
+          from doc_tok group by 1),
+rates as (
+  select a.source,
+         cast(floor(__w * 200000.0 / __avail) as bigint) as __epochs,
+         cast(floor(((__w * 200000.0 / __avail)
+                     - floor(__w * 200000.0 / __avail))
+              * 16777216.0) as bigint) as __gate
+  from avail a join w using (source)
+),
+gated as (
+  select t.doc_id, t.source, t.n_tokens,
+         r.__epochs + case when cast('0x' ||
+             substring(md5(cast(t.doc_id as varchar)), 1, 6) as bigint)
+             < r.__gate then 1 else 0 end as total
+  from doc_tok t join rates r using (source)
+)
+select doc_id, source,
+       cast(unnest(range(1, cast(total as int) + 1)) as int) as epoch,
+       n_tokens
+from gated where total >= 1
+"""
+
+
+def q_chunk_pack_bpe(spark, sf_dir):
+    """Tokenizer-TRUE chunk inventory: 32-WORD windows per document
+    (the same boundaries as ext_chunk_pack) with each chunk's REAL
+    token count under the fixed BPE merge table — what a
+    tokenize-and-pack trainer actually budgets per sequence. Window
+    construction stays a per-row Catalyst transform (no shuffle); only
+    the count column is an Arrow-batched pass over the chunk text."""
+    from drill_spark.ops.bpe import FIXED_MERGES_V1, bpe_count_column
+
+    docs = _docs(spark, sf_dir)
+    w = F.filter(F.split(F.trim(F.lower(F.col("text"))), r"\s+"),
+                 lambda x: x != "")
+    chunks = F.transform(
+        F.sequence(
+            F.lit(0),
+            F.floor(F.greatest(F.size(w) - 1, F.lit(0)) / F.lit(32))
+            .cast("int"),
+        ),
+        lambda i: F.struct(
+            i.cast("long").alias("chunk_id"),
+            F.concat_ws(" ", F.slice(w, i * 32 + 1, 32)).alias("ctext"),
+        ),
+    )
+    ex = (docs.select("doc_id", F.explode(chunks).alias("c"))
+          .select("doc_id", "c.chunk_id", "c.ctext"))
+    return ex.select(
+        "doc_id", "chunk_id",
+        F.size(F.split(F.col("ctext"), " ")).cast("long").alias("n_words"),
+        bpe_count_column("ctext", FIXED_MERGES_V1).alias("n_tokens"),
+        F.md5("ctext").alias("chunk_hash"),
+    )
+
+
+def _oracle_chunk_pack_bpe() -> str:
+    return "with recursive " + _bpe_wtok_sql() + r""",
+chunks as (
+  select doc_id, i as chunk_id, ws[i*32+1 : i*32+32] as cw
+  from doc_words,
+       unnest(range(0, greatest(cast(ceil(len(ws) / 32.0) as bigint), 1)))
+         as t(i)
+),
+ctok as (
+  select doc_id, chunk_id,
+         cast(coalesce(sum(n_tok), 0) as bigint) as n_tokens
+  from (select doc_id, chunk_id, unnest(cw) as w from chunks) u
+  left join wtok using (w)
+  group by doc_id, chunk_id
+)
+select c.doc_id, c.chunk_id,
+       cast(greatest(len(c.cw), 1) as bigint) as n_words,
+       coalesce(ct.n_tokens, cast(0 as bigint)) as n_tokens,
+       md5(array_to_string(c.cw, ' ')) as chunk_hash
+from chunks c left join ctok ct using (doc_id, chunk_id)
+"""
+
+
 def q_epoch_shuffle(spark, sf_dir):
     """Epoch-salted deterministic global shuffle (ops/pipeline.py::
     epoch_shuffle) over the mixture's repeated copies: each epoch's
@@ -6255,6 +6418,8 @@ QUERIES = {
     "ext_ann_ivf": q_ann_ivf,
     "ext_text_stats": q_text_stats,
     "ext_text_tokens_bpe": q_text_tokens_bpe,
+    "ext_mixture_build_bpe": q_mixture_build_bpe,
+    "ext_chunk_pack_bpe": q_chunk_pack_bpe,
     "ext_dedup_ngram": q_dedup_ngram,
     "ext_setsim_join": q_setsim_join,
     "ext_setsim_tables": q_setsim_tables,
@@ -6404,6 +6569,8 @@ ORACLES = {
     "ext_trigram_lm": ORACLE_TRIGRAM_LM,
     "op_gis_points": ORACLE_GIS_POINTS,
     "ext_text_tokens_bpe": ORACLE_TEXT_TOKENS_BPE,
+    "ext_mixture_build_bpe": _oracle_mixture_build_bpe(),
+    "ext_chunk_pack_bpe": _oracle_chunk_pack_bpe(),
     "ext_dedup_ngram": ORACLE_DEDUP_NGRAM,
     "ext_setsim_join": ORACLE_SETSIM_JOIN,
     "ext_setsim_tables": ORACLE_SETSIM_TABLES,

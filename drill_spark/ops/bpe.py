@@ -19,6 +19,7 @@ no shuffle.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -130,6 +131,60 @@ def bpe_token_stats(df: DataFrame, merges: list[tuple[str, str]],
 
     return df.select(id_col, text_col).mapInPandas(
         run, schema=f"{id_col} bigint, n_tokens bigint, n_words bigint")
+
+
+# A FIXED merge table — the "pretrained vocab" stand-in for
+# tokenizer-true token accounting (budgets counted under the tokenizer
+# that will actually train, not whitespace words). Deterministic by
+# construction and small enough that a SQL oracle can replay the merge
+# loop per distinct word (DuckDB recursive CTE); rank = list position.
+FIXED_MERGES_V1: list[tuple[str, str]] = [
+    ("t", "a"), ("ta", "b"), ("tab", "l"), ("tabl", "e"),
+    ("table", "</w>"),
+    ("t", "h"), ("th", "e"), ("the", "</w>"),
+    ("a", "</w>"), ("e", "</w>"), ("w", "</w>"), ("n", "</w>"),
+    ("r", "o"), ("ro", "w"), ("row", "</w>"),
+    ("d", "a"), ("da", "t"), ("dat", "a</w>"),
+    ("i", "n"), ("in", "d"), ("w", "in"), ("win", "d"),
+    ("s", "c"), ("sc", "a"), ("sca", "n</w>"),
+    ("e", "r"), ("er", "</w>"), ("o", "r"),
+    ("b", "a"), ("ba", "t"), ("bat", "c"), ("batc", "h"),
+    ("v", "a"), ("va", "l"), ("val", "u"),
+    ("q", "u"), ("qu", "e"),
+    ("s", "m"), ("sm", "a"), ("sma", "l"),
+    ("g", "r"), ("gr", "o"), ("gro", "u"),
+    ("s", "t"), ("st", "r"), ("str", "e"),
+    ("l", "i"), ("li", "n"),
+]
+
+
+def bpe_count_column(text_col: str, merges: list[tuple[str, str]]):
+    """Arrow-batched Column: tokenizer-true token count of ``text_col``
+    under ``merges`` — one pandas pass, ranks broadcast in the closure,
+    no shuffle. The word-internal end-marker convention means any
+    aggregate of these counts equals the sum of per-WORD counts, which
+    is what lets a SQL oracle replay them from a distinct-word map."""
+    from pyspark.sql.functions import pandas_udf
+
+    ranks = {pair: i for i, pair in enumerate(merges)}
+
+    @pandas_udf("long")
+    def n_tok(s: pd.Series) -> pd.Series:
+        cache: dict[str, int] = {}
+
+        def count(text):
+            total = 0
+            for w in (text or "").lower().split():
+                c = cache.get(w)
+                if c is None:
+                    c = len(encode_word(w, ranks))
+                    cache[w] = c
+                total += c
+            return total
+
+        return s.map(count).astype("int64")
+
+    return n_tok(text_col)
 
 
 def corpus_bpe_stats(spark: SparkSession, df: DataFrame,

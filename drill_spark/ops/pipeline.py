@@ -967,6 +967,7 @@ def build_mixture(
     text_col: str,
     weights: dict[str, float],
     token_budget: int,
+    tokens=None,
 ) -> DataFrame:
     """Token-budget mixture builder — compose the final training mix
     from heterogeneous sources with target weights measured in TOKENS,
@@ -991,13 +992,20 @@ def build_mixture(
     (``explode(sequence(...))`` — output size is the answer size) on
     the scan. The corpus itself never shuffles.
 
+    ``tokens`` (optional Column) overrides the whitespace word count
+    with a tokenizer-true one — pass
+    ``ops.bpe.bpe_count_column(text_col, merges)`` so budgets are
+    measured under the vocabulary that will actually train; the
+    difference is material for mixture weights at scale.
+
     Returns (id, source, epoch, n_tokens) — epoch is 1-based; feed
     (id, epoch) to :func:`epoch_shuffle` so each epoch's copies land
     in a different global order.
     """
     if not weights:
         raise ValueError("build_mixture: weights must be non-empty")
-    toks = F.size(F.filter(_words(text_col), lambda w: w != ""))
+    toks = (tokens if tokens is not None
+            else F.size(F.filter(_words(text_col), lambda w: w != "")))
     spark = df.sparkSession
     wdf = spark.createDataFrame(
         [(s, float(w)) for s, w in sorted(weights.items())],
