@@ -6037,6 +6037,110 @@ def q_curation_pipeline(spark, sf_dir):
     )
 
 
+def q_curation_audit(spark, sf_dir):
+    """Drop ledger for the curation flagship (ops/pipeline.py::
+    curation_audit): one row per INPUT document with its fate — the
+    gate that dropped it (quality/dedup/decontam/mixture), the
+    canonical id that displaced it, the contamination flag, and the
+    kept rows' epoch fan-out. Same stage arithmetic as
+    ext_curation_pipeline (ledger and pipeline cannot disagree);
+    output is one row per input doc, never epoch-inflated. The oracle
+    replays every verdict column."""
+    from drill_spark.ops.pipeline import curation_audit
+
+    docs = _docs(spark, sf_dir)
+    return curation_audit(
+        docs.where(F.col("doc_id") % 20 != 0),
+        docs.where(F.col("doc_id") % 20 == 0),
+        "doc_id", "text", "source",
+        {"src0": 0.4, "src1": 0.3, "src2": 0.2, "src3": 0.1},
+        token_budget=150_000,
+    )
+
+
+ORACLE_CURATION_AUDIT = r"""
+with base as (
+  select doc_id, source, text,
+         string_split_regex(trim(lower(text)), '\s+') as ws,
+         md5(regexp_replace(lower(text), '\s+', ' ', 'g')) as h
+  from documents
+),
+corpus as (select * from base where doc_id % 20 <> 0),
+bench as (select * from base where doc_id % 20 = 0),
+q as (
+  select *,
+         len(ws) >= 5
+         and length(text) * 1.0 / greatest(len(ws), 1) <= 20.0
+           as quality_pass
+  from corpus
+),
+canon as (
+  select h, min(doc_id) as canon_id from q where quality_pass group by h
+),
+grams as (
+  select doc_id, unnest(list_distinct(list_transform(
+      generate_series(1, greatest(len(ws) - 7, 0)),
+      i -> substring(md5(array_to_string(ws[i:i+7], ' ')), 1, 16)))) as ng
+  from q where quality_pass and len(ws) >= 8
+),
+bgrams as (
+  select distinct unnest(list_distinct(list_transform(
+      generate_series(1, greatest(len(ws) - 7, 0)),
+      i -> substring(md5(array_to_string(ws[i:i+7], ' ')), 1, 16)))) as ng
+  from bench where len(ws) >= 8
+),
+dirty as (select distinct g.doc_id from grams g join bgrams b using (ng)),
+led as (
+  select q.doc_id, q.source,
+         cast(len(q.ws) as bigint) as n_words,
+         q.quality_pass,
+         c.canon_id,
+         d.doc_id is not null as contaminated,
+         cast(len(list_filter(q.ws, x -> x <> '')) as bigint) as n_toks
+  from q
+  left join canon c using (h)
+  left join dirty d using (doc_id)
+),
+clean as (
+  select * from led
+  where quality_pass and doc_id = canon_id and not contaminated
+),
+w(source, __w) as (values ('src0', 0.4), ('src1', 0.3),
+                          ('src2', 0.2), ('src3', 0.1)),
+avail as (select source, cast(sum(n_toks) as double) as __avail
+          from clean group by 1),
+rates as (
+  select a.source,
+         cast(floor(__w * 150000.0 / __avail) as bigint) as __epochs,
+         cast(floor(((__w * 150000.0 / __avail)
+                     - floor(__w * 150000.0 / __avail))
+              * 16777216.0) as bigint) as __gate
+  from avail a join w using (source)
+),
+scored as (
+  select l.*,
+         case when l.quality_pass and l.doc_id = l.canon_id
+                   and not l.contaminated
+              then coalesce(r.__epochs + case when cast('0x' ||
+                     substring(md5(cast(l.doc_id as varchar)), 1, 6)
+                     as bigint) < r.__gate then 1 else 0 end, 0)
+              else 0 end as n_epochs
+  from led l left join rates r using (source)
+)
+select doc_id, source, n_words, quality_pass,
+       case when quality_pass and doc_id <> canon_id
+            then canon_id end as dup_of,
+       contaminated,
+       cast(n_epochs as bigint) as n_epochs,
+       case when not quality_pass then 'quality'
+            when doc_id <> canon_id then 'dedup'
+            when contaminated then 'decontam'
+            when n_epochs = 0 then 'mixture'
+       end as stage_dropped
+from scored
+"""
+
+
 ORACLE_CURATION_PIPELINE = r"""
 with base as (
   select doc_id, source, text,
@@ -6479,6 +6583,7 @@ QUERIES = {
     "ext_kmv_distinct": q_kmv_distinct,
     "ext_kmv_overlap": q_kmv_overlap,
     "ext_curation_pipeline": q_curation_pipeline,
+    "ext_curation_audit": q_curation_audit,
     "ext_stream_heavy_hitters": q_stream_heavy_hitters,
     "ext_rolling_distinct": q_rolling_distinct,
     "ext_snapshot_diff": q_snapshot_diff,
@@ -6667,6 +6772,7 @@ ORACLES = {
     "ext_kmv_distinct": ORACLE_KMV_DISTINCT,
     "ext_kmv_overlap": ORACLE_KMV_OVERLAP,
     "ext_curation_pipeline": ORACLE_CURATION_PIPELINE,
+    "ext_curation_audit": ORACLE_CURATION_AUDIT,
     "ext_stream_heavy_hitters": ORACLE_STREAM_HEAVY_HITTERS,
     "ext_rolling_distinct": ORACLE_ROLLING_DISTINCT,
     "ext_snapshot_diff": ORACLE_SNAPSHOT_DIFF,

@@ -709,6 +709,126 @@ def pack_bins(
     return df.groupBy("shard").applyInPandas(_ffd, out_schema)
 
 
+def curation_audit(
+    df: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str,
+    source_col: str,
+    weights: dict[str, float],
+    token_budget: int,
+    min_words: int = 5,
+    max_word_len: float = 20.0,
+) -> DataFrame:
+    """The drop ledger for :func:`curation_pipeline`: one row per INPUT
+    document recording its fate through every stage — which gate
+    dropped it (and why-shaped columns a curator can aggregate), or
+    how many epochs it contributes if kept. At 100 TB you never re-run
+    the pipeline to find out why a document vanished; the audit is the
+    pipeline's observability face, produced by the SAME stage
+    arithmetic (quality gate, min-id exact dedup, 8-gram benchmark
+    decontamination, token-budget mixture) so ledger and pipeline can
+    never disagree.
+
+    Returns (id_col, source_col, n_words, quality_pass, dup_of,
+    contaminated, n_epochs, stage_dropped) where ``dup_of`` is the
+    canonical doc id when dedup dropped the row (null otherwise),
+    ``n_epochs`` is the kept row's mixture fan-out (0 when dropped),
+    and ``stage_dropped`` ∈ {'quality','dedup','decontam','mixture',
+    null} — null means the document ships.
+
+    Scale shape: identical shuffle budget to the pipeline itself (the
+    digest aggregation, the gram partial agg, one broadcast rates
+    table) plus one digest-keyed join to attach the canonical id —
+    per-row verdict columns are codegen; output is one row per input
+    document, never inflated by epochs.
+    """
+    if not weights:
+        raise ValueError("curation_audit: weights must be non-empty")
+    words = _words(text_col)
+    n_words = F.size(words)
+    quality = (
+        (n_words >= min_words)
+        & (F.length(F.col(text_col)) / F.greatest(n_words, F.lit(1))
+           <= max_word_len)
+    )
+    digest = F.md5(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+    base = df.select(
+        F.col(id_col), F.col(source_col), F.col(text_col),
+        n_words.cast("long").alias("n_words"),
+        quality.alias("quality_pass"),
+        digest.alias("__h"),
+    )
+    canon = (base.where(F.col("quality_pass"))
+             .groupBy("__h").agg(F.min(id_col).alias("__canon")))
+    led = base.join(canon, "__h", "left")
+
+    bench_grams = benchmark.select(
+        F.explode(_ngram_keys(text_col, 8)).alias("__ng")).distinct()
+    dirty = (
+        base.where(F.col("quality_pass"))
+        .select(F.col(id_col), F.explode(_ngram_keys(text_col, 8))
+                .alias("__ng"))
+        .join(F.broadcast(bench_grams), "__ng")
+        .select(id_col).distinct()
+        .withColumn("__dirty", F.lit(True))
+    )
+    led = led.join(dirty, id_col, "left")
+
+    # mixture rates over the CLEAN set — the same availability the
+    # pipeline's build_mixture would see
+    toks = F.size(F.filter(words, lambda w: w != ""))
+    is_clean = (F.col("quality_pass")
+                & (F.col(id_col) == F.col("__canon"))
+                & F.col("__dirty").isNull())
+    spark = df.sparkSession
+    wdf = spark.createDataFrame(
+        [(s, float(w)) for s, w in sorted(weights.items())],
+        f"{source_col} string, __w double")
+    avail = (led.where(is_clean)
+             .groupBy(source_col)
+             .agg(F.sum(toks).cast("double").alias("__avail")))
+    rates = (
+        avail.where(F.col("__avail") > 0)
+        .join(wdf, source_col)
+        .select(
+            source_col,
+            F.floor(F.col("__w") * F.lit(float(token_budget))
+                    / F.col("__avail")).cast("long").alias("__epochs"),
+            F.floor(
+                (F.col("__w") * F.lit(float(token_budget)) / F.col("__avail")
+                 - F.floor(F.col("__w") * F.lit(float(token_budget))
+                           / F.col("__avail")))
+                * F.lit(float(1 << 24))).cast("long").alias("__gate"),
+        )
+    )
+    led = led.join(F.broadcast(rates), source_col, "left")
+    h24 = F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 6), 16, 10
+    ).cast("long")
+    total = (
+        F.col("__epochs")
+        + F.when(h24 < F.col("__gate"), F.lit(1)).otherwise(F.lit(0))
+    )
+    n_epochs = F.when(is_clean, F.coalesce(total, F.lit(0))).otherwise(0)
+    stage = (
+        F.when(~F.col("quality_pass"), F.lit("quality"))
+        .when(F.col(id_col) != F.col("__canon"), F.lit("dedup"))
+        .when(F.col("__dirty"), F.lit("decontam"))
+        .when(n_epochs == 0, F.lit("mixture"))
+        .otherwise(F.lit(None).cast("string"))
+    )
+    return led.select(
+        F.col(id_col), F.col(source_col), "n_words", "quality_pass",
+        F.when(F.col("quality_pass")
+               & (F.col(id_col) != F.col("__canon")), F.col("__canon"))
+        .alias("dup_of"),
+        F.coalesce(F.col("__dirty"), F.lit(False)).alias("contaminated"),
+        n_epochs.cast("long").alias("n_epochs"),
+        stage.alias("stage_dropped"),
+    )
+
+
 def fixed_k_sample(
     df: DataFrame, strata_col: str, id_col: str, k: int
 ) -> DataFrame:

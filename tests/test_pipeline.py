@@ -655,6 +655,44 @@ def test_curation_pipeline_plan_shape(spark):
     assert per and all(r["mx"] == r["n"] for r in per)
 
 
+def test_curation_audit_agrees_with_pipeline(spark):
+    """Ledger⇄pipeline consistency: the audit's kept set (stage_dropped
+    null) is exactly the pipeline's distinct output docs, per-doc
+    n_epochs equals the pipeline's epoch fan-out, every input doc
+    appears exactly once, and dropped stages carry their evidence
+    (dup_of points at a smaller kept-or-dropped canonical, quality
+    failers have no dup_of)."""
+    from drill_spark.ops.pipeline import curation_audit, curation_pipeline
+
+    docs = spark.read.parquet(f"{SF_MED}/documents.parquet")
+    corpus = docs.where(F.col("doc_id") % 20 != 0)
+    bench = docs.where(F.col("doc_id") % 20 == 0)
+    args = ("doc_id", "text", "source", {"src0": 0.5, "src1": 0.5})
+    pipe = curation_pipeline(corpus, bench, *args, token_budget=50_000,
+                             n_shards=8)
+    audit = curation_audit(corpus, bench, *args, token_budget=50_000)
+
+    arows = audit.collect()
+    assert len(arows) == corpus.count()
+    assert len({r.doc_id for r in arows}) == len(arows)
+
+    from collections import Counter
+    pipe_epochs = Counter(r.doc_id for r in pipe.collect())
+    kept = {r.doc_id: r.n_epochs for r in arows if r.stage_dropped is None}
+    assert kept == dict(pipe_epochs)
+    for r in arows:
+        if r.stage_dropped == "dedup":
+            assert r.dup_of is not None and r.dup_of < r.doc_id
+        if r.stage_dropped == "quality":
+            assert r.dup_of is None and r.n_epochs == 0
+        if r.stage_dropped is None:
+            assert r.n_epochs >= 1 and r.quality_pass
+    # all four verdicts are exercised by the fixture or at least three
+    stages = {r.stage_dropped for r in arows}
+    assert None in stages and "quality" not in (None,)  # kept rows exist
+    assert len(stages) >= 3, stages
+
+
 def test_kmv_rolling_distinct_tracks_exact(spark):
     """Sketch-merged rolling distinct tracks the exact re-scan answer
     within KMV error bounds, and the merge never exceeds k hashes."""
