@@ -6037,6 +6037,83 @@ def q_curation_pipeline(spark, sf_dir):
     )
 
 
+def _labeled_scores(spark, sf_dir):
+    """Deterministic labeled quality scores for evaluating a scorer:
+    label = doc_id % 3 == 0; score = md5-noise in [0, 0.7) shifted
+    +0.3 for positives — overlapping distributions so the AUC is
+    meaningfully between 0.5 and 1, reproducible in both engines."""
+    docs = _docs(spark, sf_dir)
+    label = (F.col("doc_id") % 3 == 0).cast("int")
+    h24 = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 6), 16, 10
+    ).cast("long")
+    score = (h24 % 700000) / F.lit(1000000.0) + label * F.lit(0.3)
+    return docs.select("doc_id", label.alias("y"), score.alias("score"))
+
+
+_LABELED_SCORES_SQL = """
+s as (
+  select doc_id,
+         case when doc_id % 3 = 0 then 1 else 0 end as y,
+         (cast('0x' || substring(md5(cast(doc_id as varchar)), 1, 6)
+               as bigint) % 700000) / 1000000.0
+           + case when doc_id % 3 = 0 then 0.3 else 0.0 end as score
+  from documents
+)
+"""
+
+
+def q_quality_auc(spark, sf_dir):
+    """ROC-AUC of a quality scorer against a labeled slice
+    (ops/mlmetrics.py::binary_auc) — exact Mann-Whitney midrank
+    arithmetic on micro-unit-binned scores: ONE map-combined groupBy
+    at corpus scale, every later step on the bounded distinct-bin
+    table, all-integer until one final division. The evaluation gate a
+    pipeline runs before trusting a learned quality filter."""
+    from drill_spark.ops.mlmetrics import binary_auc
+
+    return binary_auc(_labeled_scores(spark, sf_dir), "y", "score")
+
+
+ORACLE_QUALITY_AUC = "with " + _LABELED_SCORES_SQL + """,
+g as (select cast(floor(score * 1000000) as bigint) as b,
+             sum(y) as pos, count(*) - sum(y) as neg
+      from s group by 1),
+c as (select b, pos, neg,
+             coalesce(sum(neg) over (order by b rows between
+                 unbounded preceding and 1 preceding), 0) as neg_below
+      from g)
+select cast(sum(pos) as bigint) as n_pos,
+       cast(sum(neg) as bigint) as n_neg,
+       floor(sum(pos * (2 * neg_below + neg))
+             / (2.0 * sum(pos) * sum(neg)) * 1e6) / 1e6 as auc
+from c
+"""
+
+
+def q_calibration_bins(spark, sf_dir):
+    """Reliability table of the same scorer (ops/mlmetrics.py::
+    calibration_bins): ten equal-width score bins with count, positive
+    fraction, and exact mean score (integer micro-unit sums, one
+    division) — the data behind a reliability diagram."""
+    from drill_spark.ops.mlmetrics import calibration_bins
+
+    return calibration_bins(_labeled_scores(spark, sf_dir), "y", "score")
+
+
+ORACLE_CALIBRATION_BINS = "with " + _LABELED_SCORES_SQL + """
+select cast(least(floor(score * 10), 9) as int) as bin,
+       cast(count(*) as bigint) as n,
+       cast(sum(y) as bigint) as n_pos,
+       floor(sum(cast(floor(score * 1000000) as bigint))
+             / (count(*) * 1000000.0) * 1e6) / 1e6 as mean_score,
+       floor(sum(y) * 1.0 / count(*) * 1e6) / 1e6 as frac_pos
+from s
+group by 1
+order by 1
+"""
+
+
 def q_curation_audit(spark, sf_dir):
     """Drop ledger for the curation flagship (ops/pipeline.py::
     curation_audit): one row per INPUT document with its fate — the
@@ -6584,6 +6661,8 @@ QUERIES = {
     "ext_kmv_overlap": q_kmv_overlap,
     "ext_curation_pipeline": q_curation_pipeline,
     "ext_curation_audit": q_curation_audit,
+    "ext_quality_auc": q_quality_auc,
+    "ext_calibration_bins": q_calibration_bins,
     "ext_stream_heavy_hitters": q_stream_heavy_hitters,
     "ext_rolling_distinct": q_rolling_distinct,
     "ext_snapshot_diff": q_snapshot_diff,
@@ -6773,6 +6852,8 @@ ORACLES = {
     "ext_kmv_overlap": ORACLE_KMV_OVERLAP,
     "ext_curation_pipeline": ORACLE_CURATION_PIPELINE,
     "ext_curation_audit": ORACLE_CURATION_AUDIT,
+    "ext_quality_auc": ORACLE_QUALITY_AUC,
+    "ext_calibration_bins": ORACLE_CALIBRATION_BINS,
     "ext_stream_heavy_hitters": ORACLE_STREAM_HEAVY_HITTERS,
     "ext_rolling_distinct": ORACLE_ROLLING_DISTINCT,
     "ext_snapshot_diff": ORACLE_SNAPSHOT_DIFF,

@@ -1045,3 +1045,56 @@ def test_chunk_tokens_stride_overlap(spark):
         chunk_tokens(df, "doc_id", "text", max_tokens=4, stride=5)
     with pytest.raises(ValueError):
         chunk_tokens(df, "doc_id", "text", max_tokens=4, stride=0)
+
+
+def test_binary_auc_matches_pair_counting(spark):
+    """binary_auc equals the O(P*N) definition (fraction of
+    (pos, neg) pairs ranked correctly, ties at 0.5) on a labeled
+    fixture with planted overlap; calibration bins and Brier replay
+    exactly; the corpus-scale plan is one partial-agg groupBy (the
+    ordered window runs on the bounded distinct-bin table)."""
+    import itertools
+
+    from drill_spark.ops.mlmetrics import (
+        binary_auc,
+        brier_score,
+        calibration_bins,
+    )
+
+    rows = []
+    import hashlib
+    for i in range(400):
+        y = 1 if i % 3 == 0 else 0
+        h = int(hashlib.md5(str(i).encode()).hexdigest()[:6], 16)
+        rows.append((i, y, (h % 700000) / 1e6 + 0.3 * y))
+    df = spark.createDataFrame(rows, "doc_id long, y int, score double")
+
+    r = binary_auc(df, "y", "score").collect()[0]
+    pos = [s for _, y, s in rows if y == 1]
+    neg = [s for _, y, s in rows if y == 0]
+    u = sum(1.0 if p > n else 0.5 if p == n else 0.0
+            for p, n in itertools.product(pos, neg))
+    import math
+    exp_auc = math.floor(u / (len(pos) * len(neg)) * 1e6) / 1e6
+    assert (r.n_pos, r.n_neg) == (len(pos), len(neg))
+    assert abs(r.auc - exp_auc) < 1e-9, (r.auc, exp_auc)
+    assert 0.6 < r.auc < 1.0  # planted overlap: informative, not perfect
+
+    cb = calibration_bins(df, "y", "score").collect()
+    assert [c.bin for c in cb] == sorted({min(int(s * 10), 9)
+                                          for _, _, s in rows})
+    assert sum(c.n for c in cb) == 400
+    for c in cb:
+        members = [(y, s) for _, y, s in rows if min(int(s * 10), 9) == c.bin]
+        assert c.n == len(members)
+        assert c.n_pos == sum(y for y, _ in members)
+
+    b = brier_score(df, "y", "score").collect()[0]
+    exp_b = sum((math.floor(s * 1e6) - y * 1e6) ** 2
+                for _, y, s in rows) / (400 * 1e12)
+    assert abs(b.brier - math.floor(exp_b * 1e6) / 1e6) < 1e-9
+
+    # scale shape: the groupBy partial-aggregates before any exchange
+    from drill_spark.plans import explain_report
+    rep = explain_report(binary_auc(df, "y", "score"))
+    assert not rep["python_eval"]
