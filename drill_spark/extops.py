@@ -6063,6 +6063,50 @@ s as (
 """
 
 
+def q_stratified_weighted_sample(spark, sf_dir):
+    """Per-stratum weighted sampling without replacement
+    (ops/pipeline.py::stratified_weighted_sample, Sequential Poisson
+    Sampling, Ohlsson 1998): per language stratum, keep the 15
+    documents with the smallest u/w key where the weight is the
+    document's word count — longer docs proportionally likelier,
+    content-addressed u so the carve is reproducible across engines
+    and re-runs. No pow/ln in the key (one exact division), so the row
+    set AND the reported keys hash-match the oracle. Complements the
+    global A-ES ext_sample row."""
+    from drill_spark.ops.pipeline import stratified_weighted_sample
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", "lang",
+        F.size(F.filter(F.split(F.trim(F.lower(F.col("text"))), r"\s+"),
+                        lambda w: w != "")).cast("double").alias("w"),
+    )
+    return stratified_weighted_sample(docs, "doc_id", "w", k=15,
+                                      strata_col="lang")
+
+
+ORACLE_STRAT_WEIGHTED_SAMPLE = r"""
+with d as (
+  select doc_id, lang,
+         cast(len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                              w -> w <> '')) as double) as w
+  from documents
+),
+keyed as (
+  select doc_id, lang, w,
+         (cast('0x' || substring(md5(cast(doc_id as varchar)), 1, 6)
+               as bigint) + 1) / 16777216.0 / w as xi
+  from d where w > 0
+),
+rk as (
+  select *, row_number() over (partition by lang
+                               order by xi, doc_id) as r
+  from keyed
+)
+select doc_id, lang, w, floor(xi * 1e10) / 1e10 as xi
+from rk where r <= 15
+"""
+
+
 def q_quality_auc(spark, sf_dir):
     """ROC-AUC of a quality scorer against a labeled slice
     (ops/mlmetrics.py::binary_auc) — exact Mann-Whitney midrank
@@ -6661,6 +6705,7 @@ QUERIES = {
     "ext_kmv_overlap": q_kmv_overlap,
     "ext_curation_pipeline": q_curation_pipeline,
     "ext_curation_audit": q_curation_audit,
+    "ext_stratified_weighted_sample": q_stratified_weighted_sample,
     "ext_quality_auc": q_quality_auc,
     "ext_calibration_bins": q_calibration_bins,
     "ext_stream_heavy_hitters": q_stream_heavy_hitters,
@@ -6709,7 +6754,7 @@ QUERIES = {
     "ext_crossmodal_topk": q_crossmodal_topk,
     "ext_crossmodal_align": q_crossmodal_align,
     "ext_pii_luhn": q_pii_luhn,
-    "ext_weighted_sample": q_weighted_sample,
+    "ext_stratified_weighted_sample": q_stratified_weighted_sample,
     "ext_text_nfc": q_text_nfc,
     "ext_sessionize": q_sessionize,
     "ext_event_paths": q_event_paths,
@@ -6836,7 +6881,7 @@ ORACLES = {
     "ext_cdx_index": ORACLE_CDX_INDEX,
     "ext_temperature_sample": ORACLE_TEMPERATURE_SAMPLE,
     "ext_pii_luhn": ORACLE_PII_LUHN,
-    "ext_weighted_sample": ORACLE_WEIGHTED_SAMPLE,
+    "ext_stratified_weighted_sample": ORACLE_STRAT_WEIGHTED_SAMPLE,
     "ext_text_nfc": ORACLE_TEXT_NFC,
     "ext_sessionize": ORACLE_SESSIONIZE,
     "ext_event_paths": ORACLE_EVENT_PATHS,
@@ -6852,6 +6897,7 @@ ORACLES = {
     "ext_kmv_overlap": ORACLE_KMV_OVERLAP,
     "ext_curation_pipeline": ORACLE_CURATION_PIPELINE,
     "ext_curation_audit": ORACLE_CURATION_AUDIT,
+    "ext_stratified_weighted_sample": ORACLE_STRAT_WEIGHTED_SAMPLE,
     "ext_quality_auc": ORACLE_QUALITY_AUC,
     "ext_calibration_bins": ORACLE_CALIBRATION_BINS,
     "ext_stream_heavy_hitters": ORACLE_STREAM_HEAVY_HITTERS,

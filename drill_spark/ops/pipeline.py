@@ -853,6 +853,56 @@ def fixed_k_sample(
     )
 
 
+def stratified_weighted_sample(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    k: int,
+    strata_col: str,
+) -> DataFrame:
+    """Per-stratum weighted sampling WITHOUT replacement: keep the k
+    rows of each stratum with inclusion probability roughly
+    proportional to ``weight_col`` — Sequential Poisson Sampling
+    (Ohlsson 1998, the πps approximation national statistics offices
+    run): rank by ξ = u / w with u uniform and keep the k smallest.
+    The stratified complement of :func:`weighted_sample` (global A-ES
+    top-k): per-language / per-source carves in one pass.
+
+    Content-addressed and engine-exact: u = (h24(id) + 1) / 2^24 from
+    the first 6 hex digits of md5(id) — the module's sampling
+    convention — and ξ is ONE double division of exact values (no
+    pow/ln, whose last-ulp rounding could differ between engines), so
+    the same corpus yields the same sample in any engine, partitioning
+    or re-run. Ties break on id. Rows with weight <= 0 or null are
+    excluded (zero inclusion mass).
+
+    Scale shape: one window keyed by the stratum — per-task state is
+    one stratum's top-k heap, never the corpus.
+
+    Returns the input columns plus ``xi`` (the sampling key, floored
+    to 10 dp — floor, not round, so engines can't split a midpoint).
+    """
+    if k < 1:
+        raise ValueError(f"stratified_weighted_sample: k >= 1, got {k}")
+    from pyspark.sql import Window
+
+    h24 = F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 6), 16, 10
+    ).cast("long")
+    xi = (h24 + 1) / F.lit(float(1 << 24)) / F.col(weight_col)
+    base = (df.where(F.col(weight_col) > 0)
+            .withColumn("__xi", xi))
+    w = Window.partitionBy(strata_col).orderBy(F.asc("__xi"),
+                                               F.asc(id_col))
+    return (
+        base.withColumn("__rk", F.row_number().over(w))
+        .where(F.col("__rk") <= int(k))
+        .drop("__rk")
+        .withColumn("xi", F.floor(F.col("__xi") * 1e10) / 1e10)
+        .drop("__xi")
+    )
+
+
 def novelty_score(
     corpus: DataFrame,
     reference: DataFrame,

@@ -1098,3 +1098,39 @@ def test_binary_auc_matches_pair_counting(spark):
     from drill_spark.plans import explain_report
     rep = explain_report(binary_auc(df, "y", "score"))
     assert not rep["python_eval"]
+
+
+def test_stratified_weighted_sample_replay(spark):
+    """Per-stratum Sequential Poisson carve: exactly min(k, |stratum|)
+    rows per stratum, keys equal the manual u/w replay, zero/negative
+    weights excluded, and heavier rows win ties of u (for equal md5
+    draws a larger weight gives a smaller key)."""
+    import hashlib
+
+    from drill_spark.ops.pipeline import stratified_weighted_sample
+
+    rows = [(i, "s" + str(i % 3), float(1 + i % 7)) for i in range(120)]
+    rows += [(200, "s0", 0.0), (201, "s1", -2.0)]      # excluded
+    df = spark.createDataFrame(rows, "doc_id long, g string, w double")
+    got = stratified_weighted_sample(df, "doc_id", "w", k=10,
+                                     strata_col="g").collect()
+
+    def xi(i, w):
+        h = int(hashlib.md5(str(i).encode()).hexdigest()[:6], 16)
+        return (h + 1) / (1 << 24) / w
+
+    exp = {}
+    import math
+    for i, g, w in rows:
+        if w > 0:
+            exp.setdefault(g, []).append((xi(i, w), i))
+    expect = set()
+    for g, lst in exp.items():
+        for key, i in sorted(lst)[:10]:
+            expect.add((i, g, math.floor(key * 1e10) / 1e10))
+    assert {(r.doc_id, r.g, r.xi) for r in got} == expect
+    from collections import Counter
+    per = Counter(r.g for r in got)
+    assert all(v == 10 for v in per.values())
+    assert 200 not in {r.doc_id for r in got}
+    assert 201 not in {r.doc_id for r in got}
