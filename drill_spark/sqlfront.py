@@ -744,21 +744,63 @@ def _pipeline_table(session, op: str, opts: dict[str, str]) -> DataFrame:
             inp("images"), inp("captions"),
             id_col=o.get("id", "doc_id"),
             threshold=float(o.get("threshold", "0.28")))
-    if name == "mixture_build":
-        from drill_spark.ops.pipeline import build_mixture
-
+    def _weights(face: str):
         weights = {}
         for kv in req("weights").split(","):
             src_name, _, w = kv.rpartition(":")
             if not src_name:
                 raise ValueError(
-                    "pipeline.mixture_build: weights entries are "
+                    f"pipeline.{face}: weights entries are "
                     f"'<source>:<weight>', got {kv!r}")
             weights[src_name] = float(w)
+        return weights
+
+    if name == "mixture_build":
+        from drill_spark.ops.pipeline import build_mixture
+
+        tokens = None
+        if o.get("tokenizer", "").lower() in ("bpe", "fixed_bpe"):
+            from drill_spark.ops.bpe import FIXED_MERGES_V1, bpe_count_column
+
+            tokens = bpe_count_column(o.get("text", "text"),
+                                      FIXED_MERGES_V1)
         return build_mixture(inp(), o.get("source", "source"),
                              o.get("id", "doc_id"), o.get("text", "text"),
-                             weights,
-                             token_budget=int(o.get("budget", "1000000")))
+                             _weights("mixture_build"),
+                             token_budget=int(o.get("budget", "1000000")),
+                             tokens=tokens)
+    if name == "curation_audit":
+        from drill_spark.ops.pipeline import curation_audit
+
+        return curation_audit(
+            inp("corpus"), inp("benchmark"),
+            o.get("id", "doc_id"), o.get("text", "text"),
+            o.get("source", "source"), _weights("curation_audit"),
+            token_budget=int(o.get("budget", "1000000")),
+            min_words=int(o.get("min_words", "5")),
+            max_word_len=float(o.get("max_word_len", "20.0")))
+    if name == "quality_auc":
+        from drill_spark.ops.mlmetrics import binary_auc
+
+        return binary_auc(inp(), req("label"), req("score"),
+                          score_decimals=int(o.get("decimals", "6")))
+    if name == "calibration_bins":
+        from drill_spark.ops.mlmetrics import calibration_bins
+
+        return calibration_bins(inp(), req("label"), req("score"),
+                                n_bins=int(o.get("bins", "10")),
+                                score_decimals=int(o.get("decimals", "6")))
+    if name == "brier_score":
+        from drill_spark.ops.mlmetrics import brier_score
+
+        return brier_score(inp(), req("label"), req("score"),
+                           score_decimals=int(o.get("decimals", "6")))
+    if name == "stratified_weighted_sample":
+        from drill_spark.ops.pipeline import stratified_weighted_sample
+
+        return stratified_weighted_sample(
+            inp(), o.get("id", "doc_id"), req("weight"),
+            k=int(o.get("k", "10")), strata_col=req("strata"))
     if name == "epoch_shuffle":
         from drill_spark.ops.pipeline import epoch_shuffle
 
@@ -850,13 +892,15 @@ def _pipeline_table(session, op: str, opts: dict[str, str]) -> DataFrame:
         return substr_dedup(
             inp(), o.get("id", "doc_id"), o.get("text", "text"),
             min_tokens=int(o.get("min_tokens", "8")),
-            score_col=o.get("score"))
+            score_col=o.get("score"),
+            detect=o.get("detect", "exact"))
     if name == "substr_spans":
         from drill_spark.ops.substr import substr_duplicate_spans
 
         return substr_duplicate_spans(
             inp(), o.get("id", "doc_id"), o.get("text", "text"),
-            min_tokens=int(o.get("min_tokens", "8")))
+            min_tokens=int(o.get("min_tokens", "8")),
+            detect=o.get("detect", "exact"))
     if name == "substr_decontaminate":
         from drill_spark.ops.substr import substr_decontaminate
 
@@ -903,7 +947,8 @@ def _pipeline_table(session, op: str, opts: dict[str, str]) -> DataFrame:
         "rolling_quantiles, cms_estimate, skew_join, topk_per_key, "
         "setsim_join, containment_join, setsim_tables, substr_dedup, "
         "substr_spans, substr_decontaminate, substr_contam_report, "
-        "chunk_tokens, gopher_repetition")
+        "chunk_tokens, gopher_repetition, curation_audit, quality_auc, "
+        "calibration_bins, brier_score, stratified_weighted_sample")
 
 
 def _read_path(session, ws_name: str, rel_path: str, options: dict[str, str] | None = None) -> DataFrame:

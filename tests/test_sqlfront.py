@@ -1510,3 +1510,73 @@ def test_alter_session_reset_restores_hadoop_conf(spark):
     assert hc.get("parquet.block.size") == "8192"
     s2.close()
     assert hc.get("parquet.block.size") == prior
+
+
+def test_pipeline_table_function_r12_faces(dsession):
+    """SQL faces added in r12: digest-mode substr_dedup, the curation
+    drop ledger, classifier metrics, the stratified weighted sampler,
+    and the tokenizer-true mixture — each equals its library call."""
+    from drill_spark.ops.mlmetrics import binary_auc, calibration_bins
+    from drill_spark.ops.pipeline import (
+        curation_audit,
+        stratified_weighted_sample,
+    )
+    from drill_spark.ops.substr import substr_dedup
+
+    dsession.register_fixture_tables("/root/testdata/sf0.001")
+    dsession.sql("create or replace view r12_docs as "
+                 "select doc_id, text, source, lang from documents "
+                 "where doc_id < 60")
+    docs = dsession.sql("select * from r12_docs")
+
+    got = dsession.sql(
+        "select * from table(pipeline.`substr_dedup`("
+        "input => 'r12_docs', min_tokens => '6', detect => 'digest'))"
+    ).collect()
+    lib = substr_dedup(docs, min_tokens=6, detect="digest").collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, lib)) and got
+
+    dsession.sql("create or replace view r12_corpus as "
+                 "select * from r12_docs where doc_id % 10 <> 0")
+    dsession.sql("create or replace view r12_bench as "
+                 "select * from r12_docs where doc_id % 10 = 0")
+    got_a = dsession.sql(
+        "select * from table(pipeline.`curation_audit`("
+        "corpus => 'r12_corpus', benchmark => 'r12_bench', "
+        "weights => 'src0:0.5,src1:0.5', budget => '50000'))").collect()
+    lib_a = curation_audit(
+        dsession.sql("select * from r12_corpus"),
+        dsession.sql("select * from r12_bench"),
+        "doc_id", "text", "source", {"src0": 0.5, "src1": 0.5},
+        token_budget=50_000).collect()
+    assert sorted(map(tuple, got_a)) == sorted(map(tuple, lib_a)) and got_a
+
+    dsession.sql(
+        "create or replace view r12_scored as "
+        "select doc_id, cast(doc_id % 2 as int) as y, "
+        "(doc_id % 97) / 97.0 as score from r12_docs")
+    scored = dsession.sql("select * from r12_scored")
+    got_auc = dsession.sql(
+        "select * from table(pipeline.`quality_auc`("
+        "input => 'r12_scored', label => 'y', score => 'score'))"
+    ).collect()
+    assert got_auc == binary_auc(scored, "y", "score").collect()
+    got_cal = dsession.sql(
+        "select * from table(pipeline.`calibration_bins`("
+        "input => 'r12_scored', label => 'y', score => 'score'))"
+    ).collect()
+    assert sorted(map(tuple, got_cal)) == sorted(
+        map(tuple, calibration_bins(scored, "y", "score").collect()))
+
+    dsession.sql(
+        "create or replace view r12_weighted as "
+        "select doc_id, lang, cast(1 + doc_id % 5 as double) as w "
+        "from r12_docs")
+    got_s = dsession.sql(
+        "select * from table(pipeline.`stratified_weighted_sample`("
+        "input => 'r12_weighted', weight => 'w', strata => 'lang', "
+        "k => '5'))").collect()
+    lib_s = stratified_weighted_sample(
+        dsession.sql("select * from r12_weighted"),
+        "doc_id", "w", k=5, strata_col="lang").collect()
+    assert sorted(map(tuple, got_s)) == sorted(map(tuple, lib_s)) and got_s
