@@ -6158,6 +6158,65 @@ order by 1
 """
 
 
+def q_stream_quality_auc(spark, sf_dir):
+    """Streaming classifier monitoring (streaming/events.py::
+    stream_quality_auc): even-id scored docs arrive as micro-batch 0,
+    odd-id as micro-batch 1; each batch folds binned (pos, neg)
+    counts — AUC's sufficient statistic, exactly associative — into a
+    persistent store and emits the RUNNING (batch_id, n_pos, n_neg,
+    auc) exactly-once. Deterministic end to end: batch 0's row is the
+    evens-only AUC, batch 1's the full AUC, both replayed closed-form
+    by the oracle."""
+    import os
+    import tempfile
+
+    from drill_spark.readers.delta import read_delta
+    from drill_spark.streaming.events import stream_quality_auc
+
+    scored = _labeled_scores(spark, sf_dir)
+
+    def build(src):
+        _write_two_batch_source(
+            src,
+            scored.where(F.col("doc_id") % 2 == 0),
+            scored.where(F.col("doc_id") % 2 == 1),
+        )
+
+    src = _materialize_once(sf_dir, "sauc_src", build)
+    base = tempfile.mkdtemp(prefix="sauc_")
+    stream = (
+        spark.readStream.schema(scored.schema)
+        .option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    q = stream_quality_auc(
+        stream, os.path.join(base, "store"), os.path.join(base, "out"),
+        os.path.join(base, "ckpt"),
+    )
+    q.awaitTermination()
+    return read_delta(spark, os.path.join(base, "out"))
+
+
+def _oracle_stream_quality_auc() -> str:
+    def one(bid: int, pred: str) -> str:
+        return f"""
+select cast({bid} as int) as batch_id,
+       cast(sum(pos) as bigint) as n_pos,
+       cast(sum(neg) as bigint) as n_neg,
+       floor(sum(pos * (2 * neg_below + neg))
+             / (2.0 * sum(pos) * sum(neg)) * 1e6) / 1e6 as auc
+from (select b, pos, neg,
+             coalesce(sum(neg) over (order by b rows between
+                 unbounded preceding and 1 preceding), 0) as neg_below
+      from (select cast(floor(score * 1000000) as bigint) as b,
+                   sum(y) as pos, count(*) - sum(y) as neg
+            from s where {pred} group by 1) g{bid}) c{bid}
+"""
+
+    return ("with " + _LABELED_SCORES_SQL
+            + one(0, "doc_id % 2 = 0")
+            + "union all" + one(1, "1 = 1"))
+
+
 def q_curation_audit(spark, sf_dir):
     """Drop ledger for the curation flagship (ops/pipeline.py::
     curation_audit): one row per INPUT document with its fate — the
@@ -6707,6 +6766,7 @@ QUERIES = {
     "ext_curation_audit": q_curation_audit,
     "ext_stratified_weighted_sample": q_stratified_weighted_sample,
     "ext_quality_auc": q_quality_auc,
+    "ext_stream_quality_auc": q_stream_quality_auc,
     "ext_calibration_bins": q_calibration_bins,
     "ext_stream_heavy_hitters": q_stream_heavy_hitters,
     "ext_rolling_distinct": q_rolling_distinct,
@@ -6899,6 +6959,7 @@ ORACLES = {
     "ext_curation_audit": ORACLE_CURATION_AUDIT,
     "ext_stratified_weighted_sample": ORACLE_STRAT_WEIGHTED_SAMPLE,
     "ext_quality_auc": ORACLE_QUALITY_AUC,
+    "ext_stream_quality_auc": _oracle_stream_quality_auc(),
     "ext_calibration_bins": ORACLE_CALIBRATION_BINS,
     "ext_stream_heavy_hitters": ORACLE_STREAM_HEAVY_HITTERS,
     "ext_rolling_distinct": ORACLE_ROLLING_DISTINCT,

@@ -476,6 +476,94 @@ def stream_incremental_substr(
     )
 
 
+def stream_quality_auc(
+    scored_stream: DataFrame,
+    store_path: str,
+    out_path: str,
+    checkpoint_dir: str,
+    label_col: str = "y",
+    score_col: str = "score",
+    score_decimals: int = 6,
+    app_id: str = "drill_spark_stream_auc",
+    trigger: dict | None = None,
+):
+    """Streaming classifier monitoring — the continuously-arriving twin
+    of ops/mlmetrics.binary_auc: every micro-batch of labeled scores
+    folds its binned (pos, neg) counts into a persistent bin-count
+    store (AUC's sufficient statistic — the midrank Mann-Whitney sum
+    is a function of per-bin counts alone, so the fold is exactly
+    associative), and the RUNNING (batch_id, n_pos, n_neg, auc) lands
+    in ``out_path`` exactly-once per micro-batch. This is how a live
+    quality-gate watches its scorer drift without ever rescanning
+    history; the final row equals the batch operator on the union of
+    all batches, so the streamed protocol hash-checks against the
+    same closed-form oracle.
+
+    Store: (b, pos, neg, batch_id) — bounded by 10^score_decimals
+    bins regardless of stream volume. Two-log txn contract (store +
+    output) like every ingest twin here.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from drill_spark.readers.delta import load_snapshot, read_delta, write_delta
+
+    scale = 10 ** int(score_decimals)
+
+    def _commit(batch_df: DataFrame, epoch_id: int) -> None:
+        import os as _os
+
+        spark = batch_df.sparkSession
+        bid = _STREAM_EPOCH_BASE + epoch_id
+        g = (
+            batch_df.select(
+                F.floor(F.col(score_col) * scale).cast("long").alias("b"),
+                F.col(label_col).cast("long").alias("y"))
+            .groupBy("b")
+            .agg(F.sum("y").alias("pos"),
+                 (F.count("*") - F.sum("y")).alias("neg"))
+            .withColumn("batch_id", F.lit(int(bid)))
+        )
+        store_app = f"{app_id}.store"
+        exists = _os.path.isdir(_os.path.join(store_path, "_delta_log"))
+        replay = False
+        if exists:
+            last = load_snapshot(spark, store_path).txns.get(store_app, -1)
+            replay = bid <= last
+        if not replay:
+            write_delta(g, store_path,
+                        mode="append" if exists else "error",
+                        txn=(store_app, int(bid)))
+        merged = (read_delta(spark, store_path)
+                  .where(F.col("batch_id") <= int(bid))
+                  .groupBy("b")
+                  .agg(F.sum("pos").alias("pos"), F.sum("neg").alias("neg")))
+        w = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, -1)
+        row = (
+            merged.withColumn(
+                "neg_below", F.coalesce(F.sum("neg").over(w), F.lit(0)))
+            .agg(
+                F.sum("pos").cast("long").alias("n_pos"),
+                F.sum("neg").cast("long").alias("n_neg"),
+                (F.floor(
+                    F.sum(F.col("pos") * (2 * F.col("neg_below")
+                                          + F.col("neg")))
+                    / (2.0 * F.sum("pos") * F.sum("neg")) * 1e6) / 1e6
+                 ).alias("auc"),
+            )
+            .withColumn("batch_id", F.lit(int(epoch_id)))
+            .select("batch_id", "n_pos", "n_neg", "auc")
+        )
+        commit_batch_idempotent(row, out_path, app_id, epoch_id)
+
+    return (
+        scored_stream.writeStream.foreachBatch(_commit)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(**(trigger if trigger is not None else {"availableNow": True}))
+        .start()
+    )
+
+
 def stream_incremental_setsim(
     docs_stream: DataFrame,
     store_path: str,

@@ -577,3 +577,64 @@ def test_stream_incremental_substr_and_replay(spark, tmp_path):
              read_delta(spark, str(tmp_path / "out")).collect()}
     assert again == got
     assert read_delta(spark, str(tmp_path / "store")).count() == store_rows
+
+
+def test_stream_quality_auc_running_and_replay(spark, tmp_path):
+    """Streaming AUC monitor: the per-batch running rows equal the
+    batch operator on each prefix (bin-count folding is exactly
+    associative), and a full replay with a fresh checkpoint neither
+    grows the bin store nor duplicates output rows."""
+    import os
+
+    from drill_spark.ops.mlmetrics import binary_auc
+    from drill_spark.readers.delta import read_delta
+    from drill_spark.streaming.events import stream_quality_auc
+
+    rows0 = [(i, i % 2, 0.1 + 0.35 * (i % 2) + (i % 10) / 50.0)
+             for i in range(0, 60, 2)]
+    rows1 = [(i, i % 2, 0.1 + 0.35 * (i % 2) + (i % 10) / 50.0)
+             for i in range(1, 60, 2)]
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        rows0, "doc_id bigint, y int, score double").coalesce(1) \
+        .write.parquet(src)
+    spark.createDataFrame(
+        rows1, "doc_id bigint, y int, score double").coalesce(1) \
+        .write.mode("append").parquet(src)
+    parts = sorted(
+        (os.path.join(src, f) for f in os.listdir(src)
+         if f.endswith(".parquet")),
+        key=os.path.getmtime,
+    )
+    for i, p in enumerate(parts):
+        os.utime(p, (1_600_000_000 + i * 60,) * 2)
+
+    def run(ckpt):
+        stream = (
+            spark.readStream.schema("doc_id bigint, y int, score double")
+            .option("maxFilesPerTrigger", 1).parquet(src)
+        )
+        q = stream_quality_auc(
+            stream, str(tmp_path / "store"), str(tmp_path / "out"), ckpt)
+        q.awaitTermination()
+
+    run(str(tmp_path / "ckpt1"))
+    out = {r.batch_id: (r.n_pos, r.n_neg, r.auc) for r in
+           read_delta(spark, str(tmp_path / "out")).collect()}
+    assert set(out) == {0, 1}
+
+    df0 = spark.createDataFrame(rows0, "doc_id bigint, y int, score double")
+    dfall = spark.createDataFrame(rows0 + rows1,
+                                  "doc_id bigint, y int, score double")
+    exp0 = binary_auc(df0, "y", "score").collect()[0]
+    expall = binary_auc(dfall, "y", "score").collect()[0]
+    assert out[0] == (exp0.n_pos, exp0.n_neg, exp0.auc)
+    assert out[1] == (expall.n_pos, expall.n_neg, expall.auc)
+    assert 0.5 < out[1][2] <= 1.0
+
+    store_rows = read_delta(spark, str(tmp_path / "store")).count()
+    run(str(tmp_path / "ckpt2"))  # full replay, fresh checkpoint
+    again = {r.batch_id: (r.n_pos, r.n_neg, r.auc) for r in
+             read_delta(spark, str(tmp_path / "out")).collect()}
+    assert again == out
+    assert read_delta(spark, str(tmp_path / "store")).count() == store_rows
