@@ -2645,13 +2645,99 @@ from c
 def q_bpe_tokens(spark, sf_dir):
     """REAL trained-BPE token accounting (Sennrich et al. merge loop,
     trained on the corpus word counts): per-doc subword token counts.
-    The iterative merge training is not SQL-expressible -> rows-only
-    driver check; distributed-vs-reference exactness is pytest-verified
-    (test_bpe_stats_match_reference_impl)."""
+    Upgraded rows-only -> HASH-ORACLE in r12: the DuckDB replay runs
+    BOTH halves of the algorithm — the training loop as a recursive
+    CTE over the word-frequency table (global argmax pair per
+    iteration via a scalar subquery over the working table;
+    lexicographic tie-break; the non-overlapping left-to-right merge
+    application as a list_reduce fold — a+b can never equal a, so the
+    fold IS the paper's single pass) and the by-rank encode loop as a
+    second recursion per distinct word — so the whole train+apply
+    pipeline is engine-exact, not just pytest-pinned."""
     from drill_spark.ops.bpe import corpus_bpe_stats
 
     docs = _docs(spark, sf_dir).where("doc_id < 500")
     return corpus_bpe_stats(spark, docs, n_merges=100)
+
+
+ORACLE_BPE_TOKENS = r"""
+with recursive
+doc_words as (
+  select doc_id,
+         list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                     x -> x <> '') as ws
+  from documents where doc_id < 500
+),
+train(it, w, syms, n, mk) as (
+  select 0, w,
+         list_append(list_transform(range(1, length(w) + 1), i -> w[i]),
+                     '</w>'),
+         n, cast(null as varchar)
+  from (select w, cast(count(*) as bigint) as n
+        from (select unnest(ws) as w from doc_words)
+        group by w order by n desc, w limit 50000)
+  union all
+  select t.it + 1, t.w,
+         list_reduce(
+           list_transform(t.syms, s -> [s]),
+           (acc, x) -> case when acc[len(acc)] = best.a and x[1] = best.b
+                            then list_slice(acc, 1, len(acc) - 1)
+                                 || [best.a || best.b]
+                            else acc || x end),
+         t.n, best.k
+  from train t,
+       (select k, string_split(k, chr(1))[1] as a,
+               string_split(k, chr(1))[2] as b, s
+        from (select k, sum(n) as s from (
+                select unnest(list_transform(range(1, len(syms)),
+                       i -> syms[i] || chr(1) || syms[i+1])) as k, n
+                from train) z
+              group by k) zz
+        where s = (select max(s2) from (select sum(n) as s2 from (
+                     select unnest(list_transform(range(1, len(syms)),
+                            i -> syms[i] || chr(1) || syms[i+1])) as k2, n
+                     from train) y group by k2) yy)
+        order by k limit 1) best
+  where t.it < 100 and best.s >= 2
+),
+rmap as (
+  select map(list(mk), list(it - 1)) as m
+  from (select distinct it, mk from train where mk is not null)
+),
+dwords as (select distinct unnest(ws) as w from doc_words),
+enc(w, syms) as (
+  select w, list_append(list_transform(range(1, length(w) + 1),
+                                       i -> w[i]), '</w>')
+  from dwords
+  union all
+  select w, list_slice(syms, 1, bi - 1) || [syms[bi] || syms[bi + 1]]
+            || list_slice(syms, bi + 2, len(syms))
+  from (
+    select w, syms, list_position(prs, list_min(prs)) as bi,
+           list_min(prs) as br
+    from (
+      select w, syms,
+             list_transform(range(1, len(syms)), i ->
+               coalesce(map_extract(m, syms[i] || chr(1) || syms[i + 1])[1],
+                        1073741824)) as prs
+      from enc, rmap
+    ) p1
+  ) p2
+  where br < 1073741824
+),
+wtok as (select w, cast(min(len(syms)) as bigint) as n_tok
+         from enc group by w)
+select dw.doc_id,
+       coalesce(s.n_tokens, cast(0 as bigint)) as n_tokens,
+       cast(len(dw.ws) as bigint) as n_words
+from doc_words dw
+left join (
+  select doc_id, cast(sum(n_tok) as bigint) as n_tokens
+  from (select doc_id, unnest(ws) as w from doc_words) u
+  join wtok using (w)
+  group by doc_id
+) s using (doc_id)
+"""
 
 
 def q_ann_pq(spark, sf_dir):
@@ -6858,6 +6944,7 @@ ORACLES = {
     "ext_trigram_lm": ORACLE_TRIGRAM_LM,
     "op_gis_points": ORACLE_GIS_POINTS,
     "ext_text_tokens_bpe": ORACLE_TEXT_TOKENS_BPE,
+    "ext_bpe_tokens": ORACLE_BPE_TOKENS,
     "ext_mixture_build_bpe": _oracle_mixture_build_bpe(),
     "ext_chunk_pack_bpe": _oracle_chunk_pack_bpe(),
     "ext_dedup_ngram": ORACLE_DEDUP_NGRAM,
