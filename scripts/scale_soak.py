@@ -81,6 +81,13 @@ FLAGSHIPS = [
     # worst per-row ratio in the r10 sf1 soak; prove the auto path
     # holds a second decade too.
     "ext_semantic_dedup",
+    # r12 flagships: digest-mode substr (the no-broadcast-precondition
+    # path must scale like exact mode), the drop ledger (pipeline
+    # shuffle budget + one join), the binned-AUC metric (one groupBy at
+    # corpus scale), tokenizer-true mixture (Arrow pass + mixture), and
+    # the per-stratum sampler (top-k heap per stratum).
+    "ext_substr_dedup_digest", "ext_curation_audit", "ext_quality_auc",
+    "ext_mixture_build_bpe", "ext_stratified_weighted_sample",
 ]
 
 
