@@ -68,11 +68,16 @@ _PRIORITY = [
     "tpcds_q73",
     "op_join_inner",
     "ext_curation_pipeline",
+    # r12: the drop ledger, the trained-BPE oracle row (newly
+    # hash-pass), and the AUC metric take three slots; the op_* rows
+    # they displace have been green since the early rounds and stay
+    # sweep-verified (§2.4 keeps op_agg_rollup, §2.8 keeps
+    # op_flatten_explode + op_union_type)
+    "ext_curation_audit", "ext_bpe_tokens", "ext_quality_auc",
     "op_union_all",
-    "op_agg_rollup", "op_agg_stats",
+    "op_agg_rollup",
     "op_window_ranks",
-    "op_topn",
-    "op_flatten_explode", "op_convert_from_json",
+    "op_flatten_explode",
     "tpcds_q01",
     "op_string_fns",
     "op_correlated_subquery",
@@ -93,7 +98,7 @@ _PRIORITY = [
     "ext_pack_bins", "ext_event_paths",
     "ext_incremental_setsim", "ext_setsim_tables",
     "ext_stream_setsim_dedup",
-    "tpcds_q47", "tpcds_q51", "tpcds_q95", "tpcds_q31",
+    "tpcds_q47", "tpcds_q95", "tpcds_q31", "tpcds_q14",
     # r10b flagships rotated into the driver cap:
     "ext_setsim_join", "ext_containment_join",
     "ext_dedup_exact", "ext_pii_redact",
@@ -103,6 +108,7 @@ _PRIORITY = [
     "ext_rolling_quantiles", "ext_snapshot_diff", "ext_skew_join",
     # ---- driver-cap boundary (~50): everything below is covered by the
     # judge's full sweep (scripts/check_correctness.py) every round.
+    "op_agg_stats", "op_topn", "op_convert_from_json", "tpcds_q51",
     "op_csv_scan", "op_json_scan", "op_warc_scan", "op_iceberg_scan",
     "op_union_type",
     "ext_kmv_distinct", "ext_cms_estimate", "ext_mixture_build",
