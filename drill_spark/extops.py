@@ -6123,6 +6123,66 @@ def q_curation_pipeline(spark, sf_dir):
     )
 
 
+def q_phrase_search(spark, sf_dir):
+    """Exact phrase matching (ops/search.py::phrase_search) — the
+    positional complement of BM25: documents containing 'table hash'
+    consecutively, with occurrence count and first position. A pure
+    per-row HOF (one codegen scan, zero joins/shuffles — no positional
+    postings m-way self-join needed when the text is in hand)."""
+    from drill_spark.ops.search import phrase_search
+
+    return phrase_search(_docs(spark, sf_dir), "table hash")
+
+
+ORACLE_PHRASE_SEARCH = r"""
+with w as (
+  select doc_id,
+         list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                     x -> x <> '') as ws
+  from documents
+),
+hits as (
+  select doc_id,
+         list_filter(range(1, greatest(len(ws) - 1, 0) + 1),
+                     i -> ws[i] = 'table' and ws[i+1] = 'hash') as st
+  from w
+)
+select doc_id, cast(len(st) as bigint) as n_hits,
+       cast(st[1] as bigint) as first_pos
+from hits where len(st) > 0
+"""
+
+
+def q_window_cooccur(spark, sf_dir):
+    """Unordered proximity matching (ops/search.py::window_cooccur):
+    documents where 'vector' and 'small' fall inside one 8-token span,
+    with the qualifying-span count — between exact phrase match and
+    whole-document AND; per-row HOF, zero shuffles."""
+    from drill_spark.ops.search import window_cooccur
+
+    return window_cooccur(_docs(spark, sf_dir), ["vector", "small"],
+                          window=8)
+
+
+ORACLE_WINDOW_COOCCUR = r"""
+with w as (
+  select doc_id,
+         list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                     x -> x <> '') as ws
+  from documents
+),
+hits as (
+  select doc_id,
+         list_filter(range(1, greatest(len(ws) - 7, 1) + 1),
+                     i -> list_contains(ws[i:i+7], 'vector')
+                          and list_contains(ws[i:i+7], 'small')) as st
+  from w
+)
+select doc_id, cast(len(st) as bigint) as n_windows
+from hits where len(st) > 0
+"""
+
+
 def _labeled_scores(spark, sf_dir):
     """Deterministic labeled quality scores for evaluating a scorer:
     label = doc_id % 3 == 0; score = md5-noise in [0, 0.7) shifted
@@ -6851,6 +6911,8 @@ QUERIES = {
     "ext_curation_pipeline": q_curation_pipeline,
     "ext_curation_audit": q_curation_audit,
     "ext_stratified_weighted_sample": q_stratified_weighted_sample,
+    "ext_phrase_search": q_phrase_search,
+    "ext_window_cooccur": q_window_cooccur,
     "ext_quality_auc": q_quality_auc,
     "ext_stream_quality_auc": q_stream_quality_auc,
     "ext_calibration_bins": q_calibration_bins,
@@ -7045,6 +7107,8 @@ ORACLES = {
     "ext_curation_pipeline": ORACLE_CURATION_PIPELINE,
     "ext_curation_audit": ORACLE_CURATION_AUDIT,
     "ext_stratified_weighted_sample": ORACLE_STRAT_WEIGHTED_SAMPLE,
+    "ext_phrase_search": ORACLE_PHRASE_SEARCH,
+    "ext_window_cooccur": ORACLE_WINDOW_COOCCUR,
     "ext_quality_auc": ORACLE_QUALITY_AUC,
     "ext_stream_quality_auc": _oracle_stream_quality_auc(),
     "ext_calibration_bins": ORACLE_CALIBRATION_BINS,

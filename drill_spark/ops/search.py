@@ -117,6 +117,96 @@ def bm25_topk(df: DataFrame, query_terms: list[str], k: int = 10,
     return scored.orderBy(F.col("score").desc(), F.col(id_col)).limit(k)
 
 
+def phrase_search(df: DataFrame, phrase: str, id_col: str = "doc_id",
+                  text_col: str = "text") -> DataFrame:
+    """Exact PHRASE matching — the positional complement of the BM25
+    bag-of-words scorer (a search surface needs both): documents whose
+    token stream contains the query tokens CONSECUTIVELY, with the
+    occurrence count and the first match position.
+
+    Scale shape: a pure per-row HOF — each document checks its own
+    token array (filter over candidate start positions, bounded by
+    doc length × phrase length), so the plan is ONE codegen scan with
+    zero shuffles and zero joins; the classic positional-postings
+    m-way self-join is never needed when the text column is already
+    in hand. Tokenization is the module convention (lowercased,
+    whitespace-split).
+
+    Returns (id_col, n_hits, first_pos) for documents with >= 1 hit;
+    positions are 1-based token indices.
+    """
+    terms = [t for t in phrase.lower().split() if t]
+    if not terms:
+        raise ValueError("phrase_search: phrase must contain tokens")
+    m = len(terms)
+    w = F.filter(tokens(F.col(text_col)), lambda t: t != "")
+
+    def _match(i):
+        c = None
+        for k, term in enumerate(terms):
+            e = F.element_at(w, (i + F.lit(k)).cast("int")) == term
+            c = e if c is None else c & e
+        return c
+
+    # Spark's sequence(1, 0) is DESCENDING [1, 0], not empty — docs
+    # shorter than the phrase must short-circuit to no candidates
+    starts = F.when(
+        F.size(w) >= m,
+        F.filter(F.sequence(F.lit(1), F.size(w) - (m - 1)), _match),
+    ).otherwise(F.array().cast("array<int>"))
+    return (
+        df.select(
+            F.col(id_col),
+            F.size(starts).cast("long").alias("n_hits"),
+            F.element_at(starts, 1).cast("long").alias("first_pos"),
+        )
+        .where(F.col("n_hits") > 0)
+    )
+
+
+def window_cooccur(df: DataFrame, terms: list[str], window: int = 10,
+                   id_col: str = "doc_id",
+                   text_col: str = "text") -> DataFrame:
+    """Unordered proximity matching: documents where ALL query terms
+    occur together inside at least one ``window``-token span, with the
+    count of such spans — the "terms near each other" operator between
+    exact phrase match and whole-document AND.
+
+    Per-row HOF like :func:`phrase_search` (each candidate window
+    checks containment of every term — bounded by doc length × window
+    × |terms|, all codegen, zero shuffles).
+
+    Returns (id_col, n_windows) for documents with >= 1 qualifying
+    window.
+    """
+    qs = [t.lower() for t in terms if t]
+    if not qs:
+        raise ValueError("window_cooccur: terms must be non-empty")
+    if window < len(qs):
+        raise ValueError("window_cooccur: window must hold all terms")
+    w = F.filter(tokens(F.col(text_col)), lambda t: t != "")
+
+    def _win_ok(i):
+        sl = F.slice(w, i.cast("int"), window)
+        c = None
+        for term in qs:
+            e = F.array_contains(sl, term)
+            c = e if c is None else (c & e)
+        return c
+
+    spans = F.filter(
+        F.sequence(F.lit(1), F.greatest(F.size(w) - (window - 1), F.lit(1))),
+        _win_ok,
+    )
+    return (
+        df.select(
+            F.col(id_col),
+            F.size(spans).cast("long").alias("n_windows"),
+        )
+        .where(F.col("n_windows") > 0)
+    )
+
+
 def tfidf_keywords(df: DataFrame, top_n: int = 3, id_col: str = "doc_id",
                    text_col: str = "text") -> DataFrame:
     """Per-document top-n keywords by smooth tf-idf.

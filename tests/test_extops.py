@@ -2004,3 +2004,41 @@ def test_event_transitions_semantics(spark):
         ("click", "buy"): (1, 1.0),
     }
     assert ("buy", "view") not in got
+
+
+def test_phrase_and_window_search_shapes(spark):
+    """phrase_search/window_cooccur semantics on planted fixtures plus
+    the scale contract: both are single-scan per-row HOFs — zero
+    shuffles, zero joins, no Python."""
+    from drill_spark import plans
+    from drill_spark.ops.search import phrase_search, window_cooccur
+
+    df = spark.createDataFrame([
+        (1, "alpha beta gamma alpha beta delta"),
+        (2, "beta alpha nothing here"),
+        (3, "alpha beta"),
+        (4, "alpha"),                      # shorter than the phrase
+        (5, ""),
+    ], "doc_id long, text string")
+    got = {r.doc_id: (r.n_hits, r.first_pos)
+           for r in phrase_search(df, "alpha beta").collect()}
+    assert got == {1: (2, 1), 3: (1, 1)}
+
+    win = {r.doc_id: r.n_windows
+           for r in window_cooccur(df, ["alpha", "delta"],
+                                   window=4).collect()}
+    assert win == {1: 1}
+    # both terms must be present: doc 2 has alpha but no delta
+    assert 2 not in win
+
+    for q in (phrase_search(df, "alpha beta"),
+              window_cooccur(df, ["alpha", "delta"], window=4)):
+        rep = plans.explain_report(q)
+        assert rep["shuffles"] == 0 and not rep["python_eval"], rep
+        assert not rep["joins"], rep
+
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        phrase_search(df, "   ")
+    with _pt.raises(ValueError):
+        window_cooccur(df, ["a", "b", "c"], window=2)
