@@ -6123,6 +6123,46 @@ def q_curation_pipeline(spark, sf_dir):
     )
 
 
+def q_collocations(spark, sf_dir):
+    """Collocation mining by exact lift (ops/text.py::collocations):
+    the corpus's strongest adjacent word pairs — PMI without the log,
+    an exact rational of integer counts so both engines agree to the
+    bit. One bigram explode + map-combined counts, vocabulary-bounded
+    broadcast joins, TakeOrdered top-k."""
+    from drill_spark.ops.text import collocations
+
+    return collocations(_docs(spark, sf_dir), min_count=10, top_k=40)
+
+
+ORACLE_COLLOCATIONS = r"""
+with w as (
+  select list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                     x -> x <> '') as ws
+  from documents
+),
+pairs as (
+  select ws[i] as a, ws[i+1] as b
+  from w, unnest(range(1, len(ws))) as t(i)
+  where len(ws) >= 2
+),
+pc as (select a, b, count(*) as n_pair from pairs group by a, b),
+uni as (select unnest(ws) as t from w),
+uc as (select t, count(*) as n from uni group by t),
+tp as (select sum(n_pair) as tp from pc),
+tu as (select sum(n) as tu from uc)
+select a, b, cast(n_pair as bigint) as n_pair,
+       floor(cast(n_pair as double) * tu / ua.n / ub.n * tu / tp * 1e4)
+         / 1e4 as lift
+from pc
+join uc ua on ua.t = pc.a
+join uc ub on ub.t = pc.b
+cross join tp cross join tu
+where n_pair >= 10
+order by lift desc, n_pair desc, a, b
+limit 40
+"""
+
+
 def q_phrase_search(spark, sf_dir):
     """Exact phrase matching (ops/search.py::phrase_search) — the
     positional complement of BM25: documents containing 'table hash'
@@ -6911,6 +6951,7 @@ QUERIES = {
     "ext_curation_pipeline": q_curation_pipeline,
     "ext_curation_audit": q_curation_audit,
     "ext_stratified_weighted_sample": q_stratified_weighted_sample,
+    "ext_collocations": q_collocations,
     "ext_phrase_search": q_phrase_search,
     "ext_window_cooccur": q_window_cooccur,
     "ext_quality_auc": q_quality_auc,
@@ -7107,6 +7148,7 @@ ORACLES = {
     "ext_curation_pipeline": ORACLE_CURATION_PIPELINE,
     "ext_curation_audit": ORACLE_CURATION_AUDIT,
     "ext_stratified_weighted_sample": ORACLE_STRAT_WEIGHTED_SAMPLE,
+    "ext_collocations": ORACLE_COLLOCATIONS,
     "ext_phrase_search": ORACLE_PHRASE_SEARCH,
     "ext_window_cooccur": ORACLE_WINDOW_COOCCUR,
     "ext_quality_auc": ORACLE_QUALITY_AUC,

@@ -91,6 +91,73 @@ def fingerprint(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
     )
 
 
+def collocations(df: DataFrame, text_col: str = "text",
+                 min_count: int = 5, top_k: int = 50) -> DataFrame:
+    """Corpus collocation mining: the strongest adjacent word pairs by
+    LIFT = p(a,b) / (p(a)·p(b)) — pointwise mutual information without
+    the log (an exact rational of integer counts, so Spark and a SQL
+    oracle agree to the bit where ln()'s last-ulp rounding might not).
+    The classic phrase/terminology extraction pass over a corpus
+    (Manning & Schütze ch. 5).
+
+    Scale shape: ONE bigram explode into a map-combined (a, b) count,
+    one unigram count (bounded by vocabulary) broadcast back onto the
+    bigram table, scalar totals via a cross join of two single-row
+    aggregates, TakeOrdered top-k. The corpus shuffles once, keyed by
+    fixed-width gram text.
+
+    Returns (a, b, n_pair, lift) — lift floored to 4 decimals — the
+    ``top_k`` pairs with ``n_pair >= min_count`` ordered by
+    (lift desc, n_pair desc, a, b).
+    """
+    w = F.filter(tokens(F.col(text_col)), lambda t: t != "")
+    pairs = df.select(
+        F.explode(
+            F.when(
+                F.size(w) >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.size(w) - 1),
+                    lambda i: F.struct(
+                        F.element_at(w, i.cast("int")).alias("a"),
+                        F.element_at(w, (i + 1).cast("int")).alias("b"),
+                    ),
+                ),
+            ).otherwise(F.array().cast(
+                "array<struct<a:string,b:string>>"))
+        ).alias("p")
+    ).select("p.a", "p.b")
+    pc = pairs.groupBy("a", "b").agg(F.count("*").alias("n_pair"))
+    uni = df.select(F.explode(w).alias("t")).groupBy("t").agg(
+        F.count("*").alias("n"))
+    tot_pairs = pc.agg(F.sum("n_pair").alias("tp"))
+    tot_uni = uni.agg(F.sum("n").alias("tu"))
+    ua = uni.select(F.col("t").alias("a"), F.col("n").alias("na"))
+    ub = uni.select(F.col("t").alias("b"), F.col("n").alias("nb"))
+    scored = (
+        pc.where(F.col("n_pair") >= int(min_count))
+        .join(F.broadcast(ua), "a")
+        .join(F.broadcast(ub), "b")
+        .crossJoin(F.broadcast(tot_pairs))
+        .crossJoin(F.broadcast(tot_uni))
+        .withColumn(
+            # left-to-right double chain (never a bigint product — the
+            # count triple would overflow int64 at corpus scale); the
+            # oracle mirrors the exact op order so IEEE results match
+            "__lift",
+            F.col("n_pair").cast("double") * F.col("tu") / F.col("na")
+            / F.col("nb") * F.col("tu") / F.col("tp"),
+        )
+    )
+    return (
+        scored.select(
+            "a", "b", F.col("n_pair").cast("long").alias("n_pair"),
+            (F.floor(F.col("__lift") * 1e4) / 1e4).alias("lift"),
+        )
+        .orderBy(F.desc("lift"), F.desc("n_pair"), "a", "b")
+        .limit(int(top_k))
+    )
+
+
 def trigram_lm_score(df: DataFrame, id_col: str = "doc_id",
                      text_col: str = "text") -> DataFrame:
     """Corpus-trained character-trigram LM quality score — the

@@ -2042,3 +2042,33 @@ def test_phrase_and_window_search_shapes(spark):
         phrase_search(df, "   ")
     with _pt.raises(ValueError):
         window_cooccur(df, ["a", "b", "c"], window=2)
+
+
+def test_collocations_lift_replay(spark):
+    """Lift equals the exact-count definition on a planted corpus
+    where one pair is a true collocation and a frequent-but-random
+    pair is not; the plan keeps the corpus to one shuffle with
+    broadcast vocabulary joins."""
+    from drill_spark import plans
+    from drill_spark.ops.text import collocations
+
+    rows = []
+    # "new york" always adjacent (strong lift); "the" everywhere
+    for i in range(60):
+        rows.append((i, "the city of new york is the place the best"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = collocations(df, min_count=5, top_k=10).collect()
+    by_pair = {(r.a, r.b): (r.n_pair, r.lift) for r in got}
+    assert ("new", "york") in by_pair
+    # replay lift for (new, york): n_pair=60, na=nb=60, tu=600, tp=540
+    import math
+    exp = math.floor(60.0 * 600 / 60 / 60 * 600 / 540 * 1e4) / 1e4
+    assert by_pair[("new", "york")] == (60, exp)
+    # 'the best' (adjacent, frequent) must score far lower than
+    # 'new york' because 'the' is everywhere
+    if ("the", "best") in by_pair:
+        assert by_pair[("the", "best")][1] < by_pair[("new", "york")][1]
+
+    rep = plans.explain_report(collocations(df, min_count=5, top_k=10))
+    assert not rep["python_eval"]
+    assert rep["joins"].get("BroadcastHashJoin", 0) >= 2, rep
