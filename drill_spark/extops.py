@@ -6321,6 +6321,53 @@ from c
 """
 
 
+def q_quality_auc_by_group(spark, sf_dir):
+    """Per-language scorer drift (ops/mlmetrics.py::
+    binary_auc_by_group): the slice-level AUC view a quality gate
+    monitors — a scorer that holds overall but fails one language
+    silently skews the mixture. Group-keyed everywhere; per-task
+    state is one group's distinct-bin table."""
+    from drill_spark.ops.mlmetrics import binary_auc_by_group
+
+    docs = _docs(spark, sf_dir)
+    label = (F.col("doc_id") % 3 == 0).cast("int")
+    h24 = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 6), 16, 10
+    ).cast("long")
+    score = (h24 % 700000) / F.lit(1000000.0) + label * F.lit(0.3)
+    scored = docs.select("doc_id", "lang", label.alias("y"),
+                         score.alias("score"))
+    return binary_auc_by_group(scored, "lang", "y", "score")
+
+
+ORACLE_QUALITY_AUC_BY_GROUP = """
+with s as (
+  select doc_id, lang,
+         case when doc_id % 3 = 0 then 1 else 0 end as y,
+         (cast('0x' || substring(md5(cast(doc_id as varchar)), 1, 6)
+               as bigint) % 700000) / 1000000.0
+           + case when doc_id % 3 = 0 then 0.3 else 0.0 end as score
+  from documents
+),
+g as (select lang, cast(floor(score * 1000000) as bigint) as b,
+             sum(y) as pos, count(*) - sum(y) as neg
+      from s group by 1, 2),
+c as (select lang, b, pos, neg,
+             coalesce(sum(neg) over (partition by lang order by b
+                 rows between unbounded preceding and 1 preceding), 0)
+               as neg_below
+      from g)
+select lang,
+       cast(sum(pos) as bigint) as n_pos,
+       cast(sum(neg) as bigint) as n_neg,
+       case when sum(pos) > 0 and sum(neg) > 0 then
+         floor(sum(pos * (2 * neg_below + neg))
+               / (2.0 * sum(pos) * sum(neg)) * 1e6) / 1e6 end as auc
+from c
+group by lang
+"""
+
+
 def q_calibration_bins(spark, sf_dir):
     """Reliability table of the same scorer (ops/mlmetrics.py::
     calibration_bins): ten equal-width score bins with count, positive
@@ -6956,6 +7003,7 @@ QUERIES = {
     "ext_window_cooccur": q_window_cooccur,
     "ext_quality_auc": q_quality_auc,
     "ext_stream_quality_auc": q_stream_quality_auc,
+    "ext_quality_auc_by_group": q_quality_auc_by_group,
     "ext_calibration_bins": q_calibration_bins,
     "ext_stream_heavy_hitters": q_stream_heavy_hitters,
     "ext_rolling_distinct": q_rolling_distinct,
@@ -7153,6 +7201,7 @@ ORACLES = {
     "ext_window_cooccur": ORACLE_WINDOW_COOCCUR,
     "ext_quality_auc": ORACLE_QUALITY_AUC,
     "ext_stream_quality_auc": _oracle_stream_quality_auc(),
+    "ext_quality_auc_by_group": ORACLE_QUALITY_AUC_BY_GROUP,
     "ext_calibration_bins": ORACLE_CALIBRATION_BINS,
     "ext_stream_heavy_hitters": ORACLE_STREAM_HEAVY_HITTERS,
     "ext_rolling_distinct": ORACLE_ROLLING_DISTINCT,

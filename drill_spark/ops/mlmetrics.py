@@ -68,6 +68,51 @@ def binary_auc(df: DataFrame, label_col: str, score_col: str,
     )
 
 
+def binary_auc_by_group(df: DataFrame, group_col: str, label_col: str,
+                        score_col: str,
+                        score_decimals: int = 6) -> DataFrame:
+    """Per-group ROC-AUC — scorer drift by source/language/shard, the
+    slice-level view a quality gate monitors (a scorer that holds 0.9
+    overall and 0.6 on one language is a filter that silently skews
+    the mixture). Same exact midrank arithmetic as :func:`binary_auc`,
+    with every step keyed by the group: the rank window partitions on
+    (group), so per-task state is one group's distinct-bin table.
+
+    Returns (group_col, n_pos, n_neg, auc) — auc is NULL for a group
+    lacking both classes (undefined, surfaced rather than skipped).
+    """
+    scale = 10 ** int(score_decimals)
+    g = (
+        df.select(
+            F.col(group_col).alias("g"),
+            F.floor(F.col(score_col) * scale).cast("long").alias("b"),
+            F.col(label_col).cast("long").alias("y"),
+        )
+        .groupBy("g", "b")
+        .agg(F.sum("y").alias("pos"),
+             (F.count("*") - F.sum("y")).alias("neg"))
+    )
+    w = (Window.partitionBy("g").orderBy("b")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    return (
+        g.withColumn("neg_below",
+                     F.coalesce(F.sum("neg").over(w), F.lit(0)))
+        .groupBy("g")
+        .agg(
+            F.sum("pos").cast("long").alias("n_pos"),
+            F.sum("neg").cast("long").alias("n_neg"),
+            F.when(
+                (F.sum("pos") > 0) & (F.sum("neg") > 0),
+                F.floor(
+                    F.sum(F.col("pos") * (2 * F.col("neg_below")
+                                          + F.col("neg")))
+                    / (2.0 * F.sum("pos") * F.sum("neg")) * 1e6) / 1e6,
+            ).alias("auc"),
+        )
+        .select(F.col("g").alias(group_col), "n_pos", "n_neg", "auc")
+    )
+
+
 def calibration_bins(df: DataFrame, label_col: str, score_col: str,
                      n_bins: int = 10,
                      score_decimals: int = 6) -> DataFrame:

@@ -1134,3 +1134,26 @@ def test_stratified_weighted_sample_replay(spark):
     assert all(v == 10 for v in per.values())
     assert 200 not in {r.doc_id for r in got}
     assert 201 not in {r.doc_id for r in got}
+
+
+def test_binary_auc_by_group_matches_global_per_slice(spark):
+    """Per-group AUC equals binary_auc run on each slice; a group with
+    one class reports NULL (undefined, surfaced not skipped)."""
+    import hashlib
+
+    from drill_spark.ops.mlmetrics import binary_auc, binary_auc_by_group
+
+    rows = []
+    for i in range(300):
+        g = f"g{i % 3}"
+        y = 1 if i % 4 == 0 else 0
+        h = int(hashlib.md5(str(i).encode()).hexdigest()[:6], 16)
+        rows.append((i, g, y, (h % 600000) / 1e6 + 0.35 * y))
+    rows += [(900, "only_pos", 1, 0.9), (901, "only_pos", 1, 0.8)]
+    df = spark.createDataFrame(rows, "doc_id long, g string, y int, score double")
+    got = {r.g: (r.n_pos, r.n_neg, r.auc)
+           for r in binary_auc_by_group(df, "g", "y", "score").collect()}
+    for grp in ("g0", "g1", "g2"):
+        exp = binary_auc(df.where(df.g == grp), "y", "score").collect()[0]
+        assert got[grp] == (exp.n_pos, exp.n_neg, exp.auc), grp
+    assert got["only_pos"] == (2, 0, None)
