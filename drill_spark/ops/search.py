@@ -139,7 +139,20 @@ def phrase_search(df: DataFrame, phrase: str, id_col: str = "doc_id",
     if not terms:
         raise ValueError("phrase_search: phrase must contain tokens")
     m = len(terms)
-    w = F.filter(tokens(F.col(text_col)), lambda t: t != "")
+    import re as _re
+
+    # cheap codegen pre-filter: a java-regex superset test (terms in
+    # order, any whitespace between) runs native over the raw text, so
+    # the interpreted positional HOF below only touches candidate
+    # documents — on a selective phrase that is ~all of the win
+    pat = r"\s+".join(_re.escape(t) for t in terms)
+    cand = df.where(F.lower(F.col(text_col)).rlike(pat))
+    # token array materialized in its own projection: an inlined
+    # filter(split(...)) inside every element_at would re-tokenize the
+    # document per candidate position (O(len^2) per doc)
+    base = cand.select("*", F.filter(tokens(F.col(text_col)),
+                                     lambda t: t != "").alias("__w"))
+    w = F.col("__w")
 
     def _match(i):
         c = None
@@ -154,11 +167,15 @@ def phrase_search(df: DataFrame, phrase: str, id_col: str = "doc_id",
         F.size(w) >= m,
         F.filter(F.sequence(F.lit(1), F.size(w) - (m - 1)), _match),
     ).otherwise(F.array().cast("array<int>"))
+    # alias the scan once: HOFs run interpreted, so letting n_hits,
+    # first_pos and the filter each re-evaluate the candidate filter
+    # would triple the dominant per-row cost
+    st = base.select(F.col(id_col), starts.alias("__st"))
     return (
-        df.select(
+        st.select(
             F.col(id_col),
-            F.size(starts).cast("long").alias("n_hits"),
-            F.element_at(starts, 1).cast("long").alias("first_pos"),
+            F.size("__st").cast("long").alias("n_hits"),
+            F.element_at("__st", 1).cast("long").alias("first_pos"),
         )
         .where(F.col("n_hits") > 0)
     )
@@ -184,7 +201,15 @@ def window_cooccur(df: DataFrame, terms: list[str], window: int = 10,
         raise ValueError("window_cooccur: terms must be non-empty")
     if window < len(qs):
         raise ValueError("window_cooccur: window must hold all terms")
-    w = F.filter(tokens(F.col(text_col)), lambda t: t != "")
+    # codegen substring pre-filter (superset: a token present implies
+    # the substring is present) keeps the interpreted window HOF off
+    # documents that cannot qualify
+    cand = df
+    for term in qs:
+        cand = cand.where(F.lower(F.col(text_col)).contains(term))
+    base = cand.select("*", F.filter(tokens(F.col(text_col)),
+                                     lambda t: t != "").alias("__w"))
+    w = F.col("__w")
 
     def _win_ok(i):
         sl = F.slice(w, i.cast("int"), window)
@@ -198,13 +223,9 @@ def window_cooccur(df: DataFrame, terms: list[str], window: int = 10,
         F.sequence(F.lit(1), F.greatest(F.size(w) - (window - 1), F.lit(1))),
         _win_ok,
     )
-    return (
-        df.select(
-            F.col(id_col),
-            F.size(spans).cast("long").alias("n_windows"),
-        )
-        .where(F.col("n_windows") > 0)
-    )
+    st = base.select(F.col(id_col),
+                     F.size(spans).cast("long").alias("n_windows"))
+    return st.where(F.col("n_windows") > 0)
 
 
 def tfidf_keywords(df: DataFrame, top_n: int = 3, id_col: str = "doc_id",

@@ -110,8 +110,14 @@ def collocations(df: DataFrame, text_col: str = "text",
     ``top_k`` pairs with ``n_pair >= min_count`` ordered by
     (lift desc, n_pair desc, a, b).
     """
-    w = F.filter(tokens(F.col(text_col)), lambda t: t != "")
-    pairs = df.select(
+    # materialize the token array in its own projection so the
+    # per-element lookups index a computed column — an inlined
+    # filter(split(...)) inside every element_at would re-tokenize the
+    # document per position (O(len^2))
+    toks_df = df.select(
+        F.filter(tokens(F.col(text_col)), lambda t: t != "").alias("__w"))
+    w = F.col("__w")
+    pairs = toks_df.select(
         F.explode(
             F.when(
                 F.size(w) >= 2,
@@ -127,7 +133,7 @@ def collocations(df: DataFrame, text_col: str = "text",
         ).alias("p")
     ).select("p.a", "p.b")
     pc = pairs.groupBy("a", "b").agg(F.count("*").alias("n_pair"))
-    uni = df.select(F.explode(w).alias("t")).groupBy("t").agg(
+    uni = toks_df.select(F.explode(w).alias("t")).groupBy("t").agg(
         F.count("*").alias("n"))
     tot_pairs = pc.agg(F.sum("n_pair").alias("tp"))
     tot_uni = uni.agg(F.sum("n").alias("tu"))
