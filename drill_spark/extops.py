@@ -6123,6 +6123,100 @@ def q_curation_pipeline(spark, sf_dir):
     )
 
 
+def q_incremental_curation_audit(spark, sf_dir):
+    """Cross-run drop ledger (ops/pipeline.py::
+    incremental_curation_audit): even-id corpus docs commit as ingest
+    batch 0 (their kept digests land in the persistent store), odd-id
+    docs audit as batch 1 — each odd doc's fate records quality,
+    within-batch dedup (dup_of), PRIOR-batch dedup (dup_batch, from
+    the store without rescanning batch-0 text), and benchmark
+    contamination. Returns batch 1's ledger; the whole two-batch
+    protocol replays closed-form in DuckDB. Fresh store per
+    invocation keeps the query a pure function of the fixtures."""
+    import tempfile
+
+    from drill_spark.ops.pipeline import incremental_curation_audit
+
+    docs = _docs(spark, sf_dir)
+    corpus = docs.where(F.col("doc_id") % 20 != 0)
+    bench = docs.where(F.col("doc_id") % 20 == 0)
+    store = tempfile.mkdtemp(prefix="incaudit_") + "/store"
+    incremental_curation_audit(
+        corpus.where(F.col("doc_id") % 2 == 0), bench, store).count()
+    return incremental_curation_audit(
+        corpus.where(F.col("doc_id") % 2 == 1), bench, store)
+
+
+ORACLE_INCREMENTAL_CURATION_AUDIT = r"""
+with base as (
+  select doc_id, source, text,
+         list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                     x -> x <> '') as ws,
+         md5(regexp_replace(lower(text), '\s+', ' ', 'g')) as h,
+         len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                         x -> x <> '')) >= 5
+         and length(text) * 1.0
+             / greatest(len(string_split_regex(trim(lower(text)),
+                                               '\s+')), 1) <= 20.0
+           as qp
+  from documents where doc_id % 20 <> 0
+),
+bench as (
+  select doc_id, text,
+         list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                     x -> x <> '') as ws
+  from documents where doc_id % 20 = 0
+),
+b0 as (select * from base where doc_id % 2 = 0),
+b1 as (select * from base where doc_id % 2 = 1),
+bgrams as (
+  select distinct unnest(list_distinct(list_transform(
+      generate_series(1, greatest(len(ws) - 7, 0)),
+      i -> substring(md5(array_to_string(ws[i:i+7], ' ')), 1, 16)))) as ng
+  from bench where len(ws) >= 8
+),
+d0 as (
+  select distinct g.doc_id from (
+    select doc_id, unnest(list_distinct(list_transform(
+        generate_series(1, greatest(len(ws) - 7, 0)),
+        i -> substring(md5(array_to_string(ws[i:i+7], ' ')), 1, 16)))) as ng
+    from b0 where qp and len(ws) >= 8) g
+  join bgrams using (ng)
+),
+c0 as (select h, min(doc_id) as canon from b0 where qp group by h),
+store0 as (
+  -- batch 0's kept digests = quality passers, within-batch canonical,
+  -- not contaminated (no prior store exists for batch 0)
+  select distinct b0.h
+  from b0 join c0 on b0.h = c0.h and b0.doc_id = c0.canon
+  where b0.qp and b0.doc_id not in (select doc_id from d0)
+),
+c1 as (select h, min(doc_id) as canon from b1 where qp group by h),
+d1 as (
+  select distinct g.doc_id from (
+    select doc_id, unnest(list_distinct(list_transform(
+        generate_series(1, greatest(len(ws) - 7, 0)),
+        i -> substring(md5(array_to_string(ws[i:i+7], ' ')), 1, 16)))) as ng
+    from b1 where qp and len(ws) >= 8) g
+  join bgrams using (ng)
+)
+select b1.doc_id, b1.source,
+       cast(len(b1.ws) as bigint) as n_words,
+       b1.qp as quality_pass,
+       case when b1.qp and b1.doc_id <> c1.canon then c1.canon end
+         as dup_of,
+       case when b1.h in (select h from store0)
+            then cast(0 as bigint) end as dup_batch,
+       b1.doc_id in (select doc_id from d1) as contaminated,
+       case when not b1.qp then 'quality'
+            when b1.doc_id <> c1.canon then 'dedup'
+            when b1.h in (select h from store0) then 'dedup_prior'
+            when b1.doc_id in (select doc_id from d1) then 'decontam'
+       end as stage_dropped
+from b1 left join c1 on b1.h = c1.h
+"""
+
+
 def q_collocations(spark, sf_dir):
     """Collocation mining by exact lift (ops/text.py::collocations):
     the corpus's strongest adjacent word pairs — PMI without the log,
@@ -6998,6 +7092,7 @@ QUERIES = {
     "ext_curation_pipeline": q_curation_pipeline,
     "ext_curation_audit": q_curation_audit,
     "ext_stratified_weighted_sample": q_stratified_weighted_sample,
+    "ext_incremental_curation_audit": q_incremental_curation_audit,
     "ext_collocations": q_collocations,
     "ext_phrase_search": q_phrase_search,
     "ext_window_cooccur": q_window_cooccur,
@@ -7196,6 +7291,7 @@ ORACLES = {
     "ext_curation_pipeline": ORACLE_CURATION_PIPELINE,
     "ext_curation_audit": ORACLE_CURATION_AUDIT,
     "ext_stratified_weighted_sample": ORACLE_STRAT_WEIGHTED_SAMPLE,
+    "ext_incremental_curation_audit": ORACLE_INCREMENTAL_CURATION_AUDIT,
     "ext_collocations": ORACLE_COLLOCATIONS,
     "ext_phrase_search": ORACLE_PHRASE_SEARCH,
     "ext_window_cooccur": ORACLE_WINDOW_COOCCUR,

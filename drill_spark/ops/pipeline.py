@@ -829,6 +829,140 @@ def curation_audit(
     )
 
 
+_INCR_AUDIT_APP_ID = "drill_spark.incremental_curation_audit"
+
+
+def incremental_curation_audit(
+    df: DataFrame,
+    benchmark: DataFrame,
+    store_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+    min_words: int = 5,
+    max_word_len: float = 20.0,
+    batch_id: int | None = None,
+    txn_app_id: str = _INCR_AUDIT_APP_ID,
+) -> DataFrame:
+    """The drop ledger for a CONTINUOUSLY-INGESTING curation pipeline:
+    batch N's per-document fate where exact dedup also checks every
+    PRIOR batch via a persistent digest store (16 bytes/doc — prior
+    text is never rescanned), alongside the quality gate and benchmark
+    decontamination of :func:`curation_audit`. The mixture stage is
+    deliberately absent: token-budget rates are a whole-corpus
+    property, not a per-batch one — run :func:`build_mixture` over the
+    accumulated survivors instead.
+
+    Store/replay contract mirrors ops/dedup.incremental_dedup: kept
+    documents' digests append txn-stamped (h, batch_id) rows; a
+    committed batch_id recomputes its ledger deterministically against
+    digests committed strictly BEFORE it and appends nothing; an
+    unknown batch_id at or below the high-water mark raises.
+
+    Returns (id_col, source_col, n_words, quality_pass, dup_of,
+    dup_batch, contaminated, stage_dropped) with stage_dropped ∈
+    {'quality','dedup','dedup_prior','decontam', null}: ``dup_of`` is
+    the within-batch canonical id, ``dup_batch`` the prior batch that
+    already holds the digest (the store records which batch INTRODUCED
+    each digest, so the ledger can say which ingest run displaced the
+    document).
+    """
+    import os
+
+    from drill_spark.ops.dedup import normalize_text
+    from drill_spark.readers.delta import load_snapshot, read_delta, write_delta
+
+    spark = df.sparkSession
+    words = _words(text_col)
+    n_words = F.size(words)
+    quality = (
+        (n_words >= min_words)
+        & (F.length(F.col(text_col)) / F.greatest(n_words, F.lit(1))
+           <= max_word_len)
+    )
+    base = df.select(
+        F.col(id_col), F.col(source_col), F.col(text_col),
+        n_words.cast("long").alias("n_words"),
+        quality.alias("quality_pass"),
+        F.md5(normalize_text(F.col(text_col))).alias("__h"),
+    )
+
+    exists = os.path.isdir(os.path.join(store_path, "_delta_log"))
+    committed: set[int] = set()
+    last_txn = -1
+    store = None
+    if exists:
+        snap = load_snapshot(spark, store_path)
+        prefix = f"{txn_app_id}#batch"
+        committed = {int(k[len(prefix):]) for k in snap.txns
+                     if k.startswith(prefix)}
+        last_txn = max(committed, default=-1)
+        store = read_delta(spark, store_path)
+    if batch_id is None:
+        batch_id = last_txn + 1
+    is_replay = batch_id in committed
+    if exists and not is_replay and batch_id <= last_txn:
+        raise ValueError(
+            f"incremental_curation_audit: batch_id {batch_id} is at or "
+            f"below the store's high-water mark ({last_txn}) but was "
+            f"never committed — batch ids must be assigned monotonically "
+            f"(pass batch_id=None to auto-assign)")
+
+    canon = (base.where(F.col("quality_pass"))
+             .groupBy("__h").agg(F.min(id_col).alias("__canon")))
+    led = base.join(canon, "__h", "left")
+    if exists:
+        prior = (store.where(F.col("batch_id") < int(batch_id))
+                 .groupBy("h").agg(F.min("batch_id").alias("dup_batch"))
+                 .withColumnRenamed("h", "__h"))
+        led = led.join(prior, "__h", "left")
+    else:
+        led = led.withColumn("dup_batch", F.lit(None).cast("long"))
+
+    bench_grams = benchmark.select(
+        F.explode(_ngram_keys(text_col, 8)).alias("__ng")).distinct()
+    dirty = (
+        base.where(F.col("quality_pass"))
+        .select(F.col(id_col), F.explode(_ngram_keys(text_col, 8))
+                .alias("__ng"))
+        .join(F.broadcast(bench_grams), "__ng")
+        .select(id_col).distinct()
+        .withColumn("__dirty", F.lit(True))
+    )
+    led = led.join(dirty, id_col, "left")
+
+    stage = (
+        F.when(~F.col("quality_pass"), F.lit("quality"))
+        .when(F.col(id_col) != F.col("__canon"), F.lit("dedup"))
+        .when(F.col("dup_batch").isNotNull(), F.lit("dedup_prior"))
+        .when(F.col("__dirty"), F.lit("decontam"))
+        .otherwise(F.lit(None).cast("string"))
+    )
+    out = led.select(
+        F.col(id_col), F.col(source_col), "n_words", "quality_pass",
+        F.when(F.col("quality_pass")
+               & (F.col(id_col) != F.col("__canon")), F.col("__canon"))
+        .alias("dup_of"),
+        F.col("dup_batch").cast("long").alias("dup_batch"),
+        F.coalesce(F.col("__dirty"), F.lit(False)).alias("contaminated"),
+        stage.alias("stage_dropped"),
+    )
+
+    if not is_replay:
+        kept_h = (led.where(
+            F.col("quality_pass")
+            & (F.col(id_col) == F.col("__canon"))
+            & F.col("dup_batch").isNull()
+            & F.col("__dirty").isNull())
+            .select(F.col("__h").alias("h")).distinct()
+            .withColumn("batch_id", F.lit(int(batch_id))))
+        write_delta(kept_h, store_path,
+                    mode="append" if exists else "error",
+                    txn=(f"{txn_app_id}#batch{int(batch_id)}",
+                         int(batch_id)))
+    return out
+
+
 def fixed_k_sample(
     df: DataFrame, strata_col: str, id_col: str, k: int
 ) -> DataFrame:

@@ -1157,3 +1157,57 @@ def test_binary_auc_by_group_matches_global_per_slice(spark):
         exp = binary_auc(df.where(df.g == grp), "y", "score").collect()[0]
         assert got[grp] == (exp.n_pos, exp.n_neg, exp.auc), grp
     assert got["only_pos"] == (2, 0, None)
+
+
+def test_incremental_curation_audit_protocol(spark, tmp_path):
+    """Cross-run ledger protocol: batch 1 marks docs whose digest
+    batch 0 committed as dedup_prior (with the introducing batch id),
+    within-batch dups as dedup, benchmark leaks as decontam; a replay
+    of a committed batch recomputes the same ledger without growing
+    the store; a skipped-ahead batch_id raises."""
+    import pytest
+
+    from drill_spark.ops.pipeline import incremental_curation_audit
+    from drill_spark.readers.delta import read_delta
+
+    bench = spark.createDataFrame(
+        [(1000, "benchmark eight gram one two three four five six")],
+        "doc_id long, text string")
+    b0 = spark.createDataFrame([
+        (0, "the original canonical document body with enough words"),
+        (2, "another perfectly fine unique document here today ok"),
+        (4, "xx"),                                        # quality fail
+    ], "doc_id long, text string").withColumn("source", F.lit("s"))
+    b1 = spark.createDataFrame([
+        (1, "the original canonical document body with enough words"),
+        (3, "a brand new essay that nobody has ever written before"),
+        (5, "a brand new essay that nobody has ever written before"),
+        (7, "leak: benchmark eight gram one two three four five six !"),
+        (9, "yy"),                                        # quality fail
+    ], "doc_id long, text string").withColumn("source", F.lit("s"))
+    store = str(tmp_path / "store")
+    led0 = incremental_curation_audit(b0, bench, store).collect()
+    assert {r.doc_id: r.stage_dropped for r in led0} == {
+        0: None, 2: None, 4: "quality"}
+
+    led1 = {r.doc_id: r for r in
+            incremental_curation_audit(b1, bench, store).collect()}
+    assert led1[1].stage_dropped == "dedup_prior"
+    assert led1[1].dup_batch == 0 and led1[1].dup_of is None
+    assert led1[3].stage_dropped is None
+    assert led1[5].stage_dropped == "dedup" and led1[5].dup_of == 3
+    assert led1[7].stage_dropped == "decontam" and led1[7].contaminated
+    assert led1[9].stage_dropped == "quality"
+
+    n_store = read_delta(spark, store).count()
+    replay = {r.doc_id: r.stage_dropped for r in
+              incremental_curation_audit(b1, bench, store,
+                                         batch_id=1).collect()}
+    assert replay == {k: v.stage_dropped for k, v in led1.items()}
+    assert read_delta(spark, store).count() == n_store  # no re-append
+
+    # create a gap (batch 3 skips 2), then the uncommitted id below the
+    # high-water mark raises
+    incremental_curation_audit(b0, bench, store, batch_id=3).count()
+    with pytest.raises(ValueError, match="never committed"):
+        incremental_curation_audit(b1, bench, store, batch_id=2)
