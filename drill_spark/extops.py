@@ -4412,6 +4412,104 @@ where rank <= 5
 """
 
 
+def q_retrieval_eval(spark, sf_dir):
+    """Retrieval-quality scorecard (ops/mlmetrics.py::retrieval_eval):
+    the batch-BM25 retriever's top-20 per query evaluated against
+    boolean-AND relevance (documents containing ALL the query's terms)
+    — per-query recall@20 and reciprocal rank, every metric an exact
+    per-query rational (no cross-query double sums). The oracle
+    replays the BM25 ranking AND the evaluation arithmetic."""
+    from drill_spark.ops.mlmetrics import retrieval_eval
+    from drill_spark.ops.search import bm25_topk_batch
+
+    docs = _docs(spark, sf_dir)
+    queries = spark.createDataFrame(
+        [("q1", ["spark", "vector"]), ("q2", ["merge", "window"]),
+         ("q3", ["customer", "order", "join"])],
+        "query_id string, terms array<string>",
+    )
+    retrieved = bm25_topk_batch(docs, queries, k=20)
+    toks = docs.select(
+        "doc_id",
+        F.filter(F.split(F.trim(F.lower(F.col("text"))), r"\s+"),
+                 lambda t: t != "").alias("__w"))
+    rel = (queries.crossJoin(toks)
+           .where(F.forall("terms",
+                           lambda t: F.array_contains("__w", t)))
+           .select("query_id", "doc_id"))
+    return retrieval_eval(retrieved, rel, k=20)
+
+
+ORACLE_RETRIEVAL_EVAL = r"""
+with q as (
+  select * from (values ('q1', ['spark', 'vector']),
+                        ('q2', ['merge', 'window']),
+                        ('q3', ['customer', 'order', 'join']))
+    as t(query_id, terms)
+),
+qt as (select query_id, unnest(list_distinct(terms)) as term from q),
+tok as (
+  select doc_id, term from (
+    select doc_id,
+           unnest(regexp_split_to_array(trim(lower(text)), '\s+')) as term
+    from documents)
+  where term <> ''
+),
+dl as (select doc_id, count(*) as dl from tok group by 1),
+corpus as (select count(*) as n_docs, avg(dl) as avgdl from dl),
+post as (
+  select term, doc_id, count(*) as tf from tok
+  where term in (select term from qt) group by 1, 2
+),
+dfreq as (select term, count(*) as df from post group by 1),
+scored as (
+  select qt.query_id, p.doc_id,
+         round(sum(ln(1.0 + (c.n_docs - f.df + 0.5) / (f.df + 0.5))
+                   * (p.tf * 2.2
+                      / (p.tf + 1.2 * (1 - 0.75 + 0.75 * d.dl / c.avgdl)))),
+               6) as score
+  from post p
+  join dfreq f using (term)
+  join dl d using (doc_id)
+  cross join corpus c
+  join qt on qt.term = p.term
+  group by qt.query_id, p.doc_id
+),
+retrieved as (
+  select query_id, doc_id, rank from (
+    select query_id, doc_id,
+           cast(row_number() over (partition by query_id
+                                   order by score desc, doc_id) as int)
+             as rank
+    from scored)
+  where rank <= 20
+),
+dw as (
+  select doc_id,
+         list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                     x -> x <> '') as ws
+  from documents
+),
+rel as (
+  select q.query_id, dw.doc_id
+  from q, dw
+  where len(list_filter(q.terms, t -> not list_contains(dw.ws, t))) = 0
+),
+nrel as (select query_id, count(*) as n_rel from rel group by 1),
+hits as (
+  select r.query_id, count(*) as hits_at_k, min(r.rank) as first_rank
+  from retrieved r join rel using (query_id, doc_id)
+  group by r.query_id
+)
+select n.query_id, cast(n.n_rel as bigint) as n_rel,
+       cast(coalesce(h.hits_at_k, 0) as bigint) as hits_at_k,
+       floor(coalesce(h.hits_at_k, 0) * 1.0 / n.n_rel * 1e6) / 1e6
+         as recall_at_k,
+       cast(coalesce(floor(1e6 / h.first_rank), 0) as bigint) as rr_micro
+from nrel n left join hits h using (query_id)
+"""
+
+
 def q_novelty(spark, sf_dir):
     """N-gram novelty vs a reference corpus (ops/pipeline.py::
     novelty_score): every 4th doc plays the reference; the rest report
@@ -7098,6 +7196,7 @@ QUERIES = {
     "ext_window_cooccur": q_window_cooccur,
     "ext_quality_auc": q_quality_auc,
     "ext_stream_quality_auc": q_stream_quality_auc,
+    "ext_retrieval_eval": q_retrieval_eval,
     "ext_quality_auc_by_group": q_quality_auc_by_group,
     "ext_calibration_bins": q_calibration_bins,
     "ext_stream_heavy_hitters": q_stream_heavy_hitters,
@@ -7297,6 +7396,7 @@ ORACLES = {
     "ext_window_cooccur": ORACLE_WINDOW_COOCCUR,
     "ext_quality_auc": ORACLE_QUALITY_AUC,
     "ext_stream_quality_auc": _oracle_stream_quality_auc(),
+    "ext_retrieval_eval": ORACLE_RETRIEVAL_EVAL,
     "ext_quality_auc_by_group": ORACLE_QUALITY_AUC_BY_GROUP,
     "ext_calibration_bins": ORACLE_CALIBRATION_BINS,
     "ext_stream_heavy_hitters": ORACLE_STREAM_HEAVY_HITTERS,

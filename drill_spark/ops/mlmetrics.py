@@ -146,6 +146,57 @@ def calibration_bins(df: DataFrame, label_col: str, score_col: str,
     )
 
 
+def retrieval_eval(retrieved: DataFrame, relevant: DataFrame,
+                   query_col: str = "query_id", doc_col: str = "doc_id",
+                   rank_col: str = "rank", k: int = 10) -> DataFrame:
+    """Retrieval-quality evaluation: per-query recall@k and reciprocal
+    rank of a ranked result list against a relevance set — the numbers
+    a search/RAG stack is graded by (recall@k for candidate
+    generation, RR for ranking; Manning et al., IR evaluation).
+
+    Exactness discipline: every metric is a per-QUERY rational of
+    integer counts — no cross-query mean (a sum of doubles would be
+    accumulation-order dependent); the caller aggregates however it
+    wants. recall@k floors to 6 decimals; the reciprocal rank is
+    reported as integer micro-units (floor(1e6/first_hit_rank)) so it
+    hash-matches across engines.
+
+    Scale shape: the retrieved side filters to rank <= k FIRST
+    (bounded at queries x k rows), then one equi-join on (query, doc)
+    against the relevance set and one groupBy per side — nothing
+    scales with corpus size beyond the inputs themselves.
+
+    Returns (query_col, n_rel, hits_at_k, recall_at_k, rr_micro) for
+    every query present in ``relevant``; queries with no retrieved
+    hits report zeros.
+    """
+    if k < 1:
+        raise ValueError(f"retrieval_eval: k >= 1, got {k}")
+    r = retrieved.where(F.col(rank_col) <= int(k)).select(
+        F.col(query_col).alias("__q"), F.col(doc_col).alias("__d"),
+        F.col(rank_col).alias("__r"))
+    rel = relevant.select(F.col(query_col).alias("__q"),
+                          F.col(doc_col).alias("__d")).distinct()
+    nrel = rel.groupBy("__q").agg(F.count("*").alias("n_rel"))
+    per = (r.join(rel, ["__q", "__d"])
+           .groupBy("__q")
+           .agg(F.count("*").alias("hits_at_k"),
+                F.min("__r").alias("__first")))
+    return (
+        nrel.join(per, "__q", "left")
+        .select(
+            F.col("__q").alias(query_col),
+            F.col("n_rel").cast("long").alias("n_rel"),
+            F.coalesce("hits_at_k", F.lit(0)).cast("long")
+            .alias("hits_at_k"),
+            (F.floor(F.coalesce("hits_at_k", F.lit(0)) / F.col("n_rel")
+                     * 1e6) / 1e6).alias("recall_at_k"),
+            F.coalesce(F.floor(1e6 / F.col("__first")), F.lit(0))
+            .cast("long").alias("rr_micro"),
+        )
+    )
+
+
 def brier_score(df: DataFrame, label_col: str, score_col: str,
                 score_decimals: int = 6) -> DataFrame:
     """Mean squared error of the probabilistic score (Brier 1950),

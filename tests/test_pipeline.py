@@ -1211,3 +1211,29 @@ def test_incremental_curation_audit_protocol(spark, tmp_path):
     incremental_curation_audit(b0, bench, store, batch_id=3).count()
     with pytest.raises(ValueError, match="never committed"):
         incremental_curation_audit(b1, bench, store, batch_id=2)
+
+
+def test_retrieval_eval_replay(spark):
+    """recall@k / RR equal the by-hand definition on a planted ranking
+    with a known relevance set; zero-hit queries report zeros, queries
+    absent from the relevance set don't appear."""
+    from drill_spark.ops.mlmetrics import retrieval_eval
+
+    retrieved = spark.createDataFrame([
+        ("a", 10, 1), ("a", 11, 2), ("a", 12, 3),
+        ("b", 20, 1), ("b", 21, 2),
+        ("c", 30, 1),
+    ], "query_id string, doc_id long, rank int")
+    relevant = spark.createDataFrame([
+        ("a", 11), ("a", 12), ("a", 99),   # 2 of 3 hit, first at rank 2
+        ("b", 77),                          # nothing retrieved hits
+        ("d", 1),                           # query never retrieved
+    ], "query_id string, doc_id long")
+    got = {r.query_id: (r.n_rel, r.hits_at_k, r.recall_at_k, r.rr_micro)
+           for r in retrieval_eval(retrieved, relevant, k=2).collect()}
+    # k=2 cuts doc 12 (rank 3): only doc 11 counts for query a
+    import math
+    assert got["a"] == (3, 1, math.floor(1 / 3 * 1e6) / 1e6, 500000)
+    assert got["b"] == (1, 0, 0.0, 0)
+    assert got["d"] == (1, 0, 0.0, 0)
+    assert "c" not in got                      # no relevance judgments
