@@ -4429,13 +4429,24 @@ def q_retrieval_eval(spark, sf_dir):
         "query_id string, terms array<string>",
     )
     retrieved = bm25_topk_batch(docs, queries, k=20)
-    toks = docs.select(
+    # boolean-AND relevance WITHOUT a query x corpus cross join: the
+    # distinct doc-token stream equi-joins the query-term table and a
+    # doc is relevant when it matched ALL of the query's terms — the
+    # same postings shape BM25 itself uses, corpus-scale-safe
+    qt = queries.select(
+        "query_id", F.explode(F.array_distinct("terms")).alias("t"))
+    nq = queries.select(
+        "query_id", F.size(F.array_distinct("terms")).alias("__nt"))
+    dtok = (docs.select(
         "doc_id",
-        F.filter(F.split(F.trim(F.lower(F.col("text"))), r"\s+"),
-                 lambda t: t != "").alias("__w"))
-    rel = (queries.crossJoin(toks)
-           .where(F.forall("terms",
-                           lambda t: F.array_contains("__w", t)))
+        F.explode(F.array_distinct(
+            F.filter(F.split(F.trim(F.lower(F.col("text"))), r"\s+"),
+                     lambda t: t != ""))).alias("t")))
+    rel = (dtok.join(F.broadcast(qt), "t")
+           .groupBy("query_id", "doc_id")
+           .agg(F.count("*").alias("__c"))
+           .join(F.broadcast(nq), "query_id")
+           .where(F.col("__c") == F.col("__nt"))
            .select("query_id", "doc_id"))
     return retrieval_eval(retrieved, rel, k=20)
 
