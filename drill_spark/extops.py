@@ -6258,12 +6258,13 @@ def q_incremental_curation_audit(spark, sf_dir):
 
 ORACLE_INCREMENTAL_CURATION_AUDIT = r"""
 with base as (
+  -- unfiltered split, matching the Spark op's F.size(_words) and the
+  -- batch ORACLE_CURATION_AUDIT: an empty/whitespace-only document
+  -- counts 1 word in both engines
   select doc_id, source, text,
-         list_filter(string_split_regex(trim(lower(text)), '\s+'),
-                     x -> x <> '') as ws,
+         string_split_regex(trim(lower(text)), '\s+') as ws,
          md5(regexp_replace(lower(text), '\s+', ' ', 'g')) as h,
-         len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
-                         x -> x <> '')) >= 5
+         len(string_split_regex(trim(lower(text)), '\s+')) >= 5
          and length(text) * 1.0
              / greatest(len(string_split_regex(trim(lower(text)),
                                                '\s+')), 1) <= 20.0
@@ -6272,8 +6273,7 @@ with base as (
 ),
 bench as (
   select doc_id, text,
-         list_filter(string_split_regex(trim(lower(text)), '\s+'),
-                     x -> x <> '') as ws
+         string_split_regex(trim(lower(text)), '\s+') as ws
   from documents where doc_id % 20 = 0
 ),
 b0 as (select * from base where doc_id % 2 = 0),
@@ -7256,7 +7256,7 @@ QUERIES = {
     "ext_crossmodal_topk": q_crossmodal_topk,
     "ext_crossmodal_align": q_crossmodal_align,
     "ext_pii_luhn": q_pii_luhn,
-    "ext_stratified_weighted_sample": q_stratified_weighted_sample,
+    "ext_weighted_sample": q_weighted_sample,
     "ext_text_nfc": q_text_nfc,
     "ext_sessionize": q_sessionize,
     "ext_event_paths": q_event_paths,
@@ -7384,7 +7384,7 @@ ORACLES = {
     "ext_cdx_index": ORACLE_CDX_INDEX,
     "ext_temperature_sample": ORACLE_TEMPERATURE_SAMPLE,
     "ext_pii_luhn": ORACLE_PII_LUHN,
-    "ext_stratified_weighted_sample": ORACLE_STRAT_WEIGHTED_SAMPLE,
+    "ext_weighted_sample": ORACLE_WEIGHTED_SAMPLE,
     "ext_text_nfc": ORACLE_TEXT_NFC,
     "ext_sessionize": ORACLE_SESSIONIZE,
     "ext_event_paths": ORACLE_EVENT_PATHS,

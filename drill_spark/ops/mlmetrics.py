@@ -38,7 +38,10 @@ def binary_auc(df: DataFrame, label_col: str, score_col: str,
 
     Returns ONE row: (n_pos, n_neg, auc) with auc floored to 6
     decimals (one double division of exact bigints; floor, not
-    round, so engines can't disagree at a rounding midpoint).
+    round, so engines can't disagree at a rounding midpoint). A
+    single-class input (only positives or only negatives — plausible
+    for a first streaming micro-batch) surfaces auc = NULL, matching
+    :func:`binary_auc_by_group`, never NaN.
     """
     scale = 10 ** int(score_decimals)
     binned = df.select(
@@ -63,8 +66,11 @@ def binary_auc(df: DataFrame, label_col: str, score_col: str,
         F.sum("neg").cast("long").alias("n_neg"),
         # floor-to-6-decimals, not round(): a ratio can land exactly on
         # a rounding midpoint where Spark HALF_UP and DuckDB diverge
-        (F.floor(F.sum("u2") / (2.0 * F.sum("pos") * F.sum("neg"))
-                 * 1e6) / 1e6).alias("auc"),
+        F.when(
+            (F.sum("pos") > 0) & (F.sum("neg") > 0),
+            F.floor(F.sum("u2") / (2.0 * F.sum("pos") * F.sum("neg"))
+                    * 1e6) / 1e6,
+        ).alias("auc"),
     )
 
 
@@ -172,9 +178,15 @@ def retrieval_eval(retrieved: DataFrame, relevant: DataFrame,
     """
     if k < 1:
         raise ValueError(f"retrieval_eval: k >= 1, got {k}")
-    r = retrieved.where(F.col(rank_col) <= int(k)).select(
-        F.col(query_col).alias("__q"), F.col(doc_col).alias("__d"),
-        F.col(rank_col).alias("__r"))
+    # Distinct on (query, doc) AFTER the rank<=k filter, keeping the
+    # best rank: a doc retrieved at several ranks <= k must count once
+    # in hits_at_k (else recall_at_k can exceed 1.0 while the relevance
+    # side is distinct). The groupBy runs on the bounded queries x k
+    # table, not the corpus.
+    r = (retrieved.where(F.col(rank_col) <= int(k))
+         .groupBy(F.col(query_col).alias("__q"),
+                  F.col(doc_col).alias("__d"))
+         .agg(F.min(rank_col).alias("__r")))
     rel = relevant.select(F.col(query_col).alias("__q"),
                           F.col(doc_col).alias("__d")).distinct()
     nrel = rel.groupBy("__q").agg(F.count("*").alias("n_rel"))
@@ -202,12 +214,16 @@ def brier_score(df: DataFrame, label_col: str, score_col: str,
     """Mean squared error of the probabilistic score (Brier 1950),
     computed in integer micro-units so the sum is exact: per row
     (floor(score*10^d) - label*10^d)^2 as bigint, one division at the
-    end. Returns ONE row (n, brier)."""
+    end. Returns ONE row (n, brier); brier is NULL (not NaN) for an
+    empty input."""
     scale = 10 ** int(score_decimals)
     d = (F.floor(F.col(score_col) * scale).cast("long")
          - F.col(label_col).cast("long") * scale)
     return df.select((d * d).alias("e2")).agg(
         F.count("*").cast("long").alias("n"),
-        (F.floor(F.sum("e2") / (F.count("*") * float(scale) * scale) * 1e6)
-         / 1e6).alias("brier"),
+        F.when(
+            F.count("*") > 0,
+            F.floor(F.sum("e2") / (F.count("*") * float(scale) * scale)
+                    * 1e6) / 1e6,
+        ).alias("brier"),
     )

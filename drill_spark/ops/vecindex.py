@@ -80,21 +80,41 @@ _QUANT_CACHE_MAX = 8
 # Codes-scan handle cache: spark.read.parquet re-lists the partition
 # directories and re-reads footers on every call — pure fixed cost in
 # a probe-many serve loop. DataFrames are immutable plans, so caching
-# the handle is safe; keyed by the codes dir mtime so index_append's
-# new files invalidate naturally.
+# the handle is safe. The key is content-derived — (file count, total
+# bytes, max file mtime) over the leaf files, not just the directory
+# mtime — so an in-place rewrite that replaces file CONTENTS without
+# touching the directory entry (or an index swap at coarse mtime
+# granularity) still invalidates. Hits move to the end (LRU), so the
+# hottest index is evicted last, not first.
 _CODES_CACHE: dict[tuple, "DataFrame"] = {}
+
+
+def _codes_signature(codes_dir: str) -> tuple:
+    n, total, mt = 0, 0, 0
+    for root, _dirs, files in os.walk(codes_dir):
+        for f in files:
+            try:
+                st = os.stat(os.path.join(root, f))
+            except OSError:
+                continue
+            n += 1
+            total += st.st_size
+            mt = max(mt, st.st_mtime_ns)
+    return (n, total, mt)
 
 
 def _codes_df(spark: SparkSession, path: str) -> DataFrame:
     codes_dir = os.path.join(path, "codes")
     key = (id(spark), os.path.abspath(codes_dir),
-           os.stat(codes_dir).st_mtime_ns)
+           _codes_signature(codes_dir))
     df = _CODES_CACHE.get(key)
     if df is None:
         while len(_CODES_CACHE) >= _QUANT_CACHE_MAX:
             _CODES_CACHE.pop(next(iter(_CODES_CACHE)))
         df = spark.read.parquet(codes_dir)
-        _CODES_CACHE[key] = df
+    else:
+        del _CODES_CACHE[key]  # re-insert below → LRU move-to-end
+    _CODES_CACHE[key] = df
     return df
 
 
@@ -113,7 +133,9 @@ def _load_quantizers(path: str):
             _QUANT_CACHE.pop(next(iter(_QUANT_CACHE)))
         hit = (meta, np.asarray(meta["codebooks"]),
                np.asarray(meta["centroids"]))
-        _QUANT_CACHE[key] = hit
+    else:
+        del _QUANT_CACHE[key]  # LRU move-to-end
+    _QUANT_CACHE[key] = hit
     return hit
 
 

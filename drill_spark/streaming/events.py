@@ -545,11 +545,15 @@ def stream_quality_auc(
             .agg(
                 F.sum("pos").cast("long").alias("n_pos"),
                 F.sum("neg").cast("long").alias("n_neg"),
-                (F.floor(
-                    F.sum(F.col("pos") * (2 * F.col("neg_below")
-                                          + F.col("neg")))
-                    / (2.0 * F.sum("pos") * F.sum("neg")) * 1e6) / 1e6
-                 ).alias("auc"),
+                # single-class prefix (plausible for the first
+                # micro-batches) surfaces NULL, matching binary_auc
+                F.when(
+                    (F.sum("pos") > 0) & (F.sum("neg") > 0),
+                    F.floor(
+                        F.sum(F.col("pos") * (2 * F.col("neg_below")
+                                              + F.col("neg")))
+                        / (2.0 * F.sum("pos") * F.sum("neg")) * 1e6) / 1e6,
+                ).alias("auc"),
             )
             .withColumn("batch_id", F.lit(int(epoch_id)))
             .select("batch_id", "n_pos", "n_neg", "auc")

@@ -1213,6 +1213,43 @@ def test_incremental_curation_audit_protocol(spark, tmp_path):
         incremental_curation_audit(b1, bench, store, batch_id=2)
 
 
+def test_mlmetrics_degenerate_inputs_null_not_nan(spark):
+    """Single-class input (plausible first streaming micro-batch)
+    surfaces auc = NULL — matching binary_auc_by_group — never NaN;
+    empty input gives brier = NULL."""
+    from drill_spark.ops.mlmetrics import binary_auc, brier_score
+
+    only_pos = spark.createDataFrame(
+        [(0, 1, 0.9), (1, 1, 0.4)], "doc_id long, y int, score double")
+    r = binary_auc(only_pos, "y", "score").collect()[0]
+    assert (r.n_pos, r.n_neg, r.auc) == (2, 0, None)
+    r = binary_auc(only_pos.withColumn("y", F.lit(0)),
+                   "y", "score").collect()[0]
+    assert (r.n_pos, r.n_neg, r.auc) == (0, 2, None)
+
+    b = brier_score(only_pos.where(F.lit(False)),
+                    "y", "score").collect()[0]
+    assert (b.n, b.brier) == (0, None)
+
+
+def test_retrieval_eval_duplicate_ranks_count_once(spark):
+    """A doc retrieved at several ranks <= k counts ONCE in hits_at_k
+    (recall can never exceed 1.0) and RR uses its best rank."""
+    from drill_spark.ops.mlmetrics import retrieval_eval
+
+    retrieved = spark.createDataFrame([
+        ("a", 11, 1), ("a", 11, 2), ("a", 11, 3),   # same doc thrice
+        ("b", 20, 1), ("b", 21, 2), ("b", 20, 2),   # dup at rank 2
+    ], "query_id string, doc_id long, rank int")
+    relevant = spark.createDataFrame(
+        [("a", 11), ("b", 20), ("b", 21)],
+        "query_id string, doc_id long")
+    got = {r.query_id: (r.n_rel, r.hits_at_k, r.recall_at_k, r.rr_micro)
+           for r in retrieval_eval(retrieved, relevant, k=3).collect()}
+    assert got["a"] == (1, 1, 1.0, 1000000)   # once, at min rank 1
+    assert got["b"] == (2, 2, 1.0, 1000000)
+
+
 def test_retrieval_eval_replay(spark):
     """recall@k / RR equal the by-hand definition on a planted ranking
     with a known relevance set; zero-hit queries report zeros, queries

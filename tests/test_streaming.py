@@ -638,3 +638,42 @@ def test_stream_quality_auc_running_and_replay(spark, tmp_path):
              read_delta(spark, str(tmp_path / "out")).collect()}
     assert again == out
     assert read_delta(spark, str(tmp_path / "store")).count() == store_rows
+
+
+def test_stream_quality_auc_single_class_first_batch(spark, tmp_path):
+    """A single-class first micro-batch (all positives) reports
+    auc = NULL — not NaN — and the monitor recovers a real AUC once
+    the second batch brings negatives."""
+    import os
+
+    from drill_spark.readers.delta import read_delta
+    from drill_spark.streaming.events import stream_quality_auc
+
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        [(i, 1, 0.6 + i / 100.0) for i in range(10)],
+        "doc_id bigint, y int, score double").coalesce(1).write.parquet(src)
+    spark.createDataFrame(
+        [(100 + i, 0, 0.1 + i / 100.0) for i in range(10)],
+        "doc_id bigint, y int, score double").coalesce(1) \
+        .write.mode("append").parquet(src)
+    parts = sorted(
+        (os.path.join(src, f) for f in os.listdir(src)
+         if f.endswith(".parquet")),
+        key=os.path.getmtime,
+    )
+    for i, p in enumerate(parts):
+        os.utime(p, (1_600_000_000 + i * 60,) * 2)
+
+    stream = (
+        spark.readStream.schema("doc_id bigint, y int, score double")
+        .option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    q = stream_quality_auc(
+        stream, str(tmp_path / "store"), str(tmp_path / "out"),
+        str(tmp_path / "ckpt"))
+    q.awaitTermination()
+    out = {r.batch_id: (r.n_pos, r.n_neg, r.auc) for r in
+           read_delta(spark, str(tmp_path / "out")).collect()}
+    assert out[0] == (10, 0, None)         # undefined, surfaced as NULL
+    assert out[1] == (10, 10, 1.0)         # perfectly separated prefix

@@ -104,6 +104,53 @@ def test_index_append_and_probe_finds_new(index, spark):
     assert neigh <= {1001, 1002, 1003, 1004}  # its appended cluster
 
 
+def test_codes_cache_content_keyed_lru(index, spark, tmp_path):
+    """The codes-handle cache key is content-derived: an in-place
+    rewrite that changes file contents (even preserving the directory
+    mtime) yields a different key; re-hits move to the end so the
+    hottest entry is evicted last."""
+    from drill_spark.ops import vecindex as V
+
+    path, base, _ = index
+    codes_dir = os.path.join(path, "codes")
+    dir_st = os.stat(codes_dir)
+
+    V._CODES_CACHE.clear()
+    df1 = V._codes_df(spark, path)
+    assert V._codes_df(spark, path) is df1          # hit
+    (k1,) = list(V._CODES_CACHE)
+
+    # in-place rewrite: append bytes to one leaf file, then restore the
+    # DIRECTORY mtime so a dir-mtime key would serve the stale handle
+    leaf = next(
+        os.path.join(r, f) for r, _, fs in os.walk(codes_dir) for f in fs
+        if f.endswith(".parquet"))
+    with open(leaf, "ab") as fh:
+        fh.write(b"x")
+    os.utime(codes_dir, ns=(dir_st.st_atime_ns, dir_st.st_mtime_ns))
+    k2 = (id(spark), os.path.abspath(codes_dir),
+          V._codes_signature(codes_dir))
+    assert k2 != k1                                  # invalidated
+    with open(leaf, "r+b") as fh:                    # undo the append
+        fh.truncate(os.path.getsize(leaf) - 1)
+
+    # the undo itself bumps the leaf mtime, so the next call re-reads —
+    # content-touched always invalidates, even at identical size
+    df2 = V._codes_df(spark, path)
+    assert df2 is not df1 and df2.count() == df1.count()
+
+    # LRU: a re-hit moves its key to the end, so filler insertions
+    # evict the fillers first, never the hot handle
+    V._CODES_CACHE.clear()
+    df3 = V._codes_df(spark, path)
+    V._CODES_CACHE[("filler",)] = df3                # older? no — newer
+    assert V._codes_df(spark, path) is df3           # hit → move-to-end
+    assert list(V._CODES_CACHE)[-1][1] == os.path.abspath(codes_dir)
+    for i in range(V._QUANT_CACHE_MAX - 1):          # fill to capacity
+        V._CODES_CACHE[("filler", i)] = df3
+    assert V._codes_df(spark, path) is df3           # hot entry survived
+
+
 def test_vector_index_sql_ddl(spark, session):
     """CREATE/DROP VECTOR INDEX DDL + the vector_topk table function."""
     import os
