@@ -13,10 +13,20 @@ value = total wall-clock seconds over the headline query set (each
 query executed to completion via a count-collecting action; results
 not materialized on the driver).
 
-"probe" is the wall-clock of a fixed constant-work Spark job
-(sum over range(50M)) measured before and after the timed passes
-(min of the two): it is identical every round, so a round-over-round
-shift in probe is machine/JVM contention, not a plan change.
+"probe" is the MEDIAN wall-clock of a fixed constant-work Spark job
+(sum over range(50M)) sampled 7 times INTERLEAVED through the run
+(post-warmup, post-setup, mid-pass and end-of-pass for both timed
+passes, post; a pre-warmup "cold" sample is recorded separately as
+probe_cold since first-job spin-up is deterministic cost, not noise):
+it is identical every round, so a round-over-round shift in
+probe is machine/JVM contention, not a plan change. A single pre/post
+pair proved untrustworthy (r12: two same-day runs of identical code
+measured 0.212 vs 0.282 — 1.33x — which under host-adjustment would
+have manufactured ~145 phantom regressions); the summary therefore
+carries probe_min/probe_max too, and the full sample list is in
+bench_result.json as probe_samples. Host-adjust round-over-round
+deltas ONLY when the two runs' [min, max] spreads are tight and
+non-overlapping; otherwise compare raw walls.
 """
 
 from __future__ import annotations
@@ -43,14 +53,31 @@ def main() -> None:
     import __spark_entry__ as entrymod
 
     qs = entrymod.queries()
+    # Dev smoke knob (never set by the driver): comma-separated name
+    # substrings to subset the query list for harness testing.
+    flt = os.environ.get("SPARK_GRAFT_BENCH_FILTER")
+    if flt:
+        subs = [s for s in flt.split(",") if s]
+        qs = {k: v for k, v in qs.items() if any(s in k for s in subs)}
+        print(f"[bench] FILTERED to {len(qs)} queries via "
+              f"SPARK_GRAFT_BENCH_FILTER={flt}", file=sys.stderr)
 
-    def probe() -> float:
+    probe_samples: list[float] = []
+
+    def probe(tag: str, record: bool = True) -> float:
         t0 = time.time()
         spark.range(50_000_000).selectExpr("sum(id)").collect()
-        return round(time.time() - t0, 3)
+        dt = round(time.time() - t0, 3)
+        if record:
+            probe_samples.append(dt)
+        print(f"\n[bench] constant-work probe ({tag}): {dt}s", file=sys.stderr)
+        return dt
 
-    probe_before = probe()
-    print(f"\n[bench] constant-work probe (pre): {probe_before}s", file=sys.stderr)
+    # The very first Spark job pays one-time executor/codegen spin-up —
+    # that is a deterministic cold cost, not host contention, so it is
+    # recorded (probe_cold in bench_result.json) but excluded from the
+    # median/spread stats.
+    probe_cold = probe("cold", record=False)
 
     # Warm the JVM on the SMALLEST fixture dir (never the benched one):
     # whole-stage codegen, the Python/Arrow worker pool, and the
@@ -75,6 +102,7 @@ def main() -> None:
             except Exception as e:
                 print(f"warmup {wname}: {e}", file=sys.stderr)
     print(f"\n[bench] warmup: {round(time.time() - t_warm, 3)}s", file=sys.stderr)
+    probe("post-warmup")
 
     # Pre-build every on-first-touch format fixture at the BENCHED sf_dir
     # before any timed pass (constructing the DataFrame triggers
@@ -93,6 +121,7 @@ def main() -> None:
     setup_total = round(sum(setup.values()), 3)
     print(f"\n[bench] fixture/plan setup total: {setup_total}s "
           f"(per-query >=0.05s: {json.dumps(setup)})", file=sys.stderr)
+    probe("post-setup")
 
     # Two passes, best-of per query: single-shot timings on a shared
     # host swing 2-3x with neighbor load; the min of two runs is a far
@@ -101,7 +130,13 @@ def main() -> None:
     timings: dict[str, float] = {}
     for _pass in range(2):
         t_pass = time.time()
-        for name in sorted(qs):
+        ordered = sorted(qs)
+        mid = len(ordered) // 2
+        for i, name in enumerate(ordered):
+            if i == mid:
+                # interleaved sample at the pass midpoint: a host-load
+                # spike that lands mid-run must show in the spread
+                probe(f"mid-pass-{_pass + 1}")
             t0 = time.time()
             try:
                 df = qs[name](spark, sf_dir)
@@ -115,9 +150,10 @@ def main() -> None:
                 timings[name] = elapsed
         print(f"\n[bench] pass {_pass + 1} wall: {round(time.time() - t_pass, 3)}s",
               file=sys.stderr)
+        probe(f"end-pass-{_pass + 1}")
 
-    probe_after = probe()
-    print(f"\n[bench] constant-work probe (post): {probe_after}s", file=sys.stderr)
+    probe("post")
+    probe_median = sorted(probe_samples)[len(probe_samples) // 2]
 
     ok = {k: v for k, v in timings.items() if v >= 0}
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -152,13 +188,15 @@ def main() -> None:
         "n_queries": len(timings),
         "n_errored": len(timings) - len(ok),
         "cpus": cpus,
-        "probe": min(probe_before, probe_after),
+        "probe": probe_median,
+        "probe_min": min(probe_samples),
+        "probe_max": max(probe_samples),
     }
     detail = dict(summary)
     detail["queries"] = timings
     detail["setup"] = setup
-    detail["probe_pre"] = probe_before
-    detail["probe_post"] = probe_after
+    detail["probe_samples"] = probe_samples
+    detail["probe_cold"] = probe_cold
     # fold in the latest sf1 scale soak (scripts/scale_soak.py) so the
     # driver's bench record carries the measured-scaling evidence too
     soak_path = os.path.join(
