@@ -78,7 +78,6 @@ _PRIORITY = [
     "op_agg_rollup",
     "op_window_ranks",
     "op_flatten_explode",
-    "tpcds_q01",
     "op_string_fns",
     "op_correlated_subquery",
     "op_null_safe_join",
@@ -90,24 +89,38 @@ _PRIORITY = [
     "ext_substr_decontam", "ext_gopher_repetition",
     "op_delta_scan",
     "op_pdf_scan",
-    # r12: the full ExactSubstr family takes the driver cap first-class
-    # (csv/json/warc/iceberg scans moved below — still sweep-verified
-    # every round; delta+pdf stay as the §2.1 scan representatives):
-    "ext_substr_dedup", "ext_substr_spans", "ext_substr_contam_report",
+    # r13: digest mode joins the ExactSubstr representatives (spans +
+    # contam_report rotate below — stable since r12, still
+    # sweep-verified every round):
+    "ext_substr_dedup", "ext_substr_dedup_digest",
     "ext_incremental_substr", "ext_stream_substr_dedup",
     "ext_pack_bins", "ext_event_paths",
     "ext_incremental_setsim", "ext_setsim_tables",
     "ext_stream_setsim_dedup",
-    "tpcds_q47", "tpcds_q95", "tpcds_q31", "tpcds_q14",
+    "tpcds_q47", "tpcds_q95", "tpcds_q14",
+    # r13: the r12 evaluation/observability flagships take the cap
+    # first-class (per the r12 verdict rotation list); the rows they
+    # displace — tpcds_q01/q31, ext_substr_spans/_contam_report,
+    # ext_html_extract, ext_snapshot_diff, ext_rolling_quantiles,
+    # ext_line_dedup, ext_pagerank, ext_stream_heavy_hitters — have
+    # been green for 2+ rounds and stay in the full sweep:
+    "ext_retrieval_eval", "ext_quality_auc_by_group",
+    "ext_calibration_bins", "ext_stream_quality_auc",
+    "ext_stratified_weighted_sample", "ext_collocations",
+    "ext_incremental_curation_audit",
+    "tpcds_q64", "tpcds_q78",
     # r10b flagships rotated into the driver cap:
     "ext_setsim_join", "ext_containment_join",
     "ext_dedup_exact", "ext_pii_redact",
-    "ext_pagerank", "ext_line_dedup", "ext_stream_heavy_hitters",
-    "ext_vector_index", "ext_html_extract",
+    "ext_vector_index",
     # r9/r10 flagships rotated into the driver cap (r9 verdict item 6):
-    "ext_rolling_quantiles", "ext_snapshot_diff", "ext_skew_join",
+    "ext_skew_join",
     # ---- driver-cap boundary (~50): everything below is covered by the
     # judge's full sweep (scripts/check_correctness.py) every round.
+    "ext_substr_spans", "ext_substr_contam_report",
+    "ext_pagerank", "ext_line_dedup", "ext_stream_heavy_hitters",
+    "ext_html_extract", "ext_rolling_quantiles", "ext_snapshot_diff",
+    "tpcds_q01", "tpcds_q31",
     "op_agg_stats", "op_topn", "op_convert_from_json", "tpcds_q51",
     "op_csv_scan", "op_json_scan", "op_warc_scan", "op_iceberg_scan",
     "op_union_type",
