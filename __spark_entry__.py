@@ -87,8 +87,11 @@ _PRIORITY = [
     # families keep op_correlated_subquery / op_time_window_tumbling +
     # ext_stream_heavy_hitters up top)
     "ext_substr_decontam", "ext_gopher_repetition",
-    "op_delta_scan",
-    "op_pdf_scan",
+    # r13: per-document language ID + per-language mixture (the new
+    # capability this round) take two slots; op_delta_scan /
+    # op_pdf_scan rotate below the cap (green since r5/r8, their
+    # format family stays sweep-verified every round):
+    "ext_lang_id", "ext_lang_mixture",
     # r13: digest mode joins the ExactSubstr representatives (spans +
     # contam_report rotate below — stable since r12, still
     # sweep-verified every round):
@@ -117,6 +120,7 @@ _PRIORITY = [
     "ext_skew_join",
     # ---- driver-cap boundary (~50): everything below is covered by the
     # judge's full sweep (scripts/check_correctness.py) every round.
+    "op_delta_scan", "op_pdf_scan",
     "ext_substr_spans", "ext_substr_contam_report",
     "ext_pagerank", "ext_line_dedup", "ext_stream_heavy_hitters",
     "ext_html_extract", "ext_rolling_quantiles", "ext_snapshot_diff",

@@ -1065,6 +1065,139 @@ where doc_id < 50
 """
 
 
+def q_lang_id(spark, sf_dir):
+    """Cavnar-Trenkle n-gram-profile language identification
+    (ops/langid.py::classify_lang) as a confusion matrix against the
+    fixture's labeled lang column: per-row top-K char-gram profile vs
+    six fixed literal language profiles, out-of-place rank distance,
+    argmin. Zero corpus shuffles — the only exchange is the bounded
+    (pred_lang, lang) aggregate. The oracle replays the identical
+    integer rank arithmetic over the same literal profiles."""
+    from drill_spark.ops.langid import classify_lang
+
+    return (
+        classify_lang(_docs(spark, sf_dir))
+        .groupBy("pred_lang", "lang")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+def _lang_pred_sql() -> str:
+    """Shared oracle fragment: per-document Cavnar-Trenkle prediction.
+    Yields CTEs ending in ``lid_pred (doc_id, pred_lang)``; the fixed
+    profiles are injected as a VALUES table (pure function of the
+    embedded seed texts in ops/langid.py)."""
+    from drill_spark.ops.langid import LANGS, TOP_K, profile_values_sql
+
+    langs_vals = ", ".join(f"('{lang}')" for lang in LANGS)
+    return f"""
+lid_norm as (
+  select doc_id,
+         ' ' || trim(regexp_replace(lower(text), '[^a-z]+', ' ', 'g'))
+             || ' ' as t
+  from documents
+),
+lid_grams as (
+  select doc_id, substring(t, s.i, n.n) as g
+  from lid_norm
+  cross join (values (1), (2), (3)) as n(n)
+  cross join lateral (
+    select unnest(range(1, greatest(len(t) - n.n + 2, 1))) as i) as s
+  where trim(substring(t, s.i, n.n)) <> ''
+),
+lid_counts as (select doc_id, g, count(*) as c from lid_grams group by all),
+lid_ranked as (
+  select *, row_number() over (partition by doc_id
+                               order by c desc, g asc) - 1 as r
+  from lid_counts
+),
+lid_top as (select * from lid_ranked where r < {TOP_K}),
+lid_prof(plang, g, pr) as (values {profile_values_sql()}),
+lid_cand(plang) as (values {langs_vals}),
+lid_dist as (
+  select t.doc_id, c.plang,
+         sum(abs(coalesce(p.pr, {TOP_K}) - t.r)) as d
+  from lid_top t
+  cross join lid_cand c
+  left join lid_prof p on p.plang = c.plang and p.g = t.g
+  group by all
+),
+lid_best as (
+  select doc_id, plang,
+         row_number() over (partition by doc_id order by d, plang) as rn
+  from lid_dist
+),
+lid_pred as (
+  select d.doc_id, coalesce(b.plang, 'und') as pred_lang
+  from documents d
+  left join (select * from lid_best where rn = 1) b using (doc_id)
+)"""
+
+
+def _oracle_lang_id() -> str:
+    return f"""
+with {_lang_pred_sql()}
+select p.pred_lang, d.lang, count(*) as n_docs
+from lid_pred p join documents d using (doc_id)
+group by all
+"""
+
+
+def q_lang_mixture(spark, sf_dir):
+    """Per-LANGUAGE training mixture: classify every document with the
+    n-gram LID, then compose a token-budget mix with per-language
+    target shares (the way real pretraining mixes are specified —
+    language gates feed the mixture, not a trusted metadata column).
+    Classification is per-row; the mixture adds ONE map-combined
+    token-sum over the bounded language key space. Languages outside
+    the weight table are dropped (exactly build_mixture's contract)."""
+    from drill_spark.ops.langid import classify_lang
+    from drill_spark.ops.pipeline import build_mixture
+
+    docs = classify_lang(_docs(spark, sf_dir))
+    return build_mixture(
+        docs, "pred_lang", "doc_id", "text",
+        {"en": 0.45, "de": 0.25, "es": 0.15, "it": 0.15},
+        token_budget=100_000,
+    )
+
+
+def _oracle_lang_mixture() -> str:
+    return f"""
+with {_lang_pred_sql()},
+toks as (
+  select d.doc_id, p.pred_lang,
+         cast(len(list_filter(string_split_regex(trim(lower(d.text)),
+                                                 '\\s+'),
+                              w -> w <> '')) as bigint) as n_tokens
+  from documents d join lid_pred p using (doc_id)
+),
+w(pred_lang, __w) as (values ('en', 0.45), ('de', 0.25),
+                             ('es', 0.15), ('it', 0.15)),
+avail as (select pred_lang, cast(sum(n_tokens) as double) as __avail
+          from toks group by 1),
+rates as (
+  select a.pred_lang,
+         cast(floor(__w * 100000.0 / __avail) as bigint) as __epochs,
+         cast(floor(((__w * 100000.0 / __avail)
+                     - floor(__w * 100000.0 / __avail))
+              * 16777216.0) as bigint) as __gate
+  from avail a join w using (pred_lang)
+),
+gated as (
+  select t.doc_id, t.pred_lang, t.n_tokens,
+         r.__epochs + case when cast('0x' ||
+             substring(md5(cast(t.doc_id as varchar)), 1, 6) as bigint)
+             < r.__gate then 1 else 0 end as total
+  from toks t join rates r using (pred_lang)
+)
+select doc_id, pred_lang,
+       cast(unnest(range(1, cast(total as int) + 1)) as int) as epoch,
+       n_tokens
+from gated where total >= 1
+"""
+
+
 # ------------------------------------------------------------ multimodal
 
 
@@ -7157,6 +7290,8 @@ QUERIES = {
     "ext_text_histogram": q_text_histogram,
     "ext_text_quality": q_text_quality,
     "ext_text_langid": q_text_langid,
+    "ext_lang_id": q_lang_id,
+    "ext_lang_mixture": q_lang_mixture,
     "ext_text_fingerprint": q_text_fingerprint,
     "ext_multimodal_meta": q_multimodal_meta,
     "ext_multimodal_features": q_multimodal_features,
@@ -7319,6 +7454,8 @@ ORACLES = {
     "ext_text_histogram": ORACLE_TEXT_HISTOGRAM,
     "ext_text_quality": ORACLE_TEXT_QUALITY,
     "ext_text_langid": ORACLE_TEXT_LANGID,
+    "ext_lang_id": _oracle_lang_id(),
+    "ext_lang_mixture": _oracle_lang_mixture(),
     "ext_text_fingerprint": ORACLE_TEXT_FINGERPRINT,
     "ext_multimodal_meta": ORACLE_MULTIMODAL_META,
     "ext_multimodal_probe": ORACLE_MULTIMODAL_PROBE,

@@ -1,0 +1,344 @@
+"""N-gram-profile language identification (Cavnar & Trenkle 1994).
+
+Reference parity: Drill has no built-in LID, but every serious
+training-data curation pipeline gates and mixes BY LANGUAGE (the
+fixture `documents.lang` column fakes what this operator computes).
+The classic rank-order method — "N-Gram-Based Text Categorization",
+Cavnar & Trenkle, SDAIR 1994 — classifies a document by comparing its
+top-K character-n-gram frequency profile against fixed per-language
+profiles using the OUT-OF-PLACE measure: for each gram in the document
+profile, |rank_in_doc - rank_in_language|, with a maximum penalty of K
+when the gram is absent from the language profile; the language with
+the smallest distance wins.
+
+Design (Spark-first, 100 TB shape):
+
+- The per-language profiles are built ONCE, driver-side, in pure
+  Python from small embedded seed corpora (deterministic — no model
+  download, no RNG) and embedded into the plan as literal maps
+  (gram -> rank). L x K entries (~6 x 80) — far below any broadcast
+  threshold; they live inline in the expression tree.
+- Classification is a PER-ROW Catalyst expression: gram explode,
+  count, top-K rank and the L distance sums all happen inside one
+  projection via higher-order functions — the corpus NEVER shuffles.
+  A 100 TB documents table is one scan; the only exchange in a
+  typical "group by predicted language" query is over the bounded
+  (lang) key space.
+- All arithmetic is integer (counts, ranks, |rank - rank| sums), so a
+  SQL oracle replays it bit-exactly — no float tolerance anywhere.
+- Every intermediate is a HOF lambda VARIABLE, not a projection
+  column (see `_bind`): aliased-column staging is not a reliable
+  defense against Catalyst inlining an expensive expression into a
+  downstream lambda body (measured — `build_mixture` over this
+  operator inlined the normalization regexp into the per-gram
+  `transform`, O(len^2) per document), but a `NamedLambdaVariable`
+  is a bound value no rule can inline.
+
+Normalization: lowercase, every non-[a-z] run collapsed to a single
+space, trimmed, then padded with one leading and one trailing space
+(the CT word-boundary marker). Grams are all substrings of length
+1..3; pure-whitespace grams are dropped. A document with no grams
+(empty/whitespace/no letters) classifies as 'und'.
+"""
+
+from __future__ import annotations
+
+import re
+from functools import lru_cache
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+NGRAM_MAX = 3
+TOP_K = 80
+
+# Seed corpora: a short paragraph of ordinary prose per language,
+# written for this module (original text, not quoted from any corpus).
+# ~100 words is plenty — CT report >90% accuracy with 400-gram
+# profiles from small samples; what matters is that the CHARACTER
+# distributions are natural for each language.
+SEED_TEXTS: dict[str, str] = {
+    "en": (
+        "the quick brown fox jumps over the lazy dog while the rain "
+        "keeps falling on the quiet street and the children watch from "
+        "the window because they cannot go outside today. there is a "
+        "kettle on the stove and the smell of bread fills the kitchen. "
+        "when the storm finally passes the whole town comes out to see "
+        "the river which has risen almost to the edge of the old stone "
+        "bridge. nobody remembers a winter with this much water but the "
+        "farmers say it will be good for the fields in spring and that "
+        "the harvest should be better than last year."
+    ),
+    "de": (
+        "der schnelle braune fuchs springt ueber den faulen hund "
+        "waehrend der regen auf die stille strasse faellt und die "
+        "kinder vom fenster aus zusehen weil sie heute nicht nach "
+        "draussen gehen koennen. auf dem herd steht ein kessel und der "
+        "geruch von frischem brot erfuellt die kueche. als das gewitter "
+        "endlich voruebergezogen ist kommt die ganze stadt heraus um "
+        "den fluss zu sehen der fast bis zum rand der alten steinernen "
+        "bruecke gestiegen ist. niemand erinnert sich an einen winter "
+        "mit so viel wasser aber die bauern sagen dass es gut fuer die "
+        "felder im fruehjahr sein wird und die ernte besser als im "
+        "letzten jahr ausfallen sollte."
+    ),
+    "fr": (
+        "le rapide renard brun saute par dessus le chien paresseux "
+        "pendant que la pluie tombe sur la rue tranquille et que les "
+        "enfants regardent par la fenetre parce qu ils ne peuvent pas "
+        "sortir aujourd hui. il y a une bouilloire sur la cuisiniere et "
+        "l odeur du pain remplit la cuisine. quand l orage passe enfin "
+        "toute la ville sort pour voir la riviere qui est montee "
+        "presque jusqu au bord du vieux pont de pierre. personne ne se "
+        "souvient d un hiver avec autant d eau mais les paysans disent "
+        "que ce sera bon pour les champs au printemps et que la "
+        "recolte devrait etre meilleure que l annee derniere."
+    ),
+    "es": (
+        "el rapido zorro marron salta sobre el perro perezoso mientras "
+        "la lluvia cae sobre la calle tranquila y los ninos miran desde "
+        "la ventana porque hoy no pueden salir afuera. hay una tetera "
+        "en la estufa y el olor del pan llena la cocina. cuando la "
+        "tormenta por fin pasa todo el pueblo sale a ver el rio que ha "
+        "subido casi hasta el borde del viejo puente de piedra. nadie "
+        "recuerda un invierno con tanta agua pero los campesinos dicen "
+        "que sera bueno para los campos en primavera y que la cosecha "
+        "deberia ser mejor que la del ano pasado."
+    ),
+    "it": (
+        "la rapida volpe marrone salta sopra il cane pigro mentre la "
+        "pioggia cade sulla strada tranquilla e i bambini guardano "
+        "dalla finestra perche oggi non possono uscire fuori. c e un "
+        "bollitore sul fornello e l odore del pane riempie la cucina. "
+        "quando il temporale finalmente passa tutto il paese esce a "
+        "vedere il fiume che e salito quasi fino al bordo del vecchio "
+        "ponte di pietra. nessuno ricorda un inverno con cosi tanta "
+        "acqua ma i contadini dicono che sara un bene per i campi in "
+        "primavera e che il raccolto dovrebbe essere migliore di "
+        "quello dell anno scorso."
+    ),
+    "pt": (
+        "a rapida raposa marrom salta sobre o cachorro preguicoso "
+        "enquanto a chuva cai sobre a rua tranquila e as criancas olham "
+        "pela janela porque hoje nao podem sair para fora. ha uma "
+        "chaleira no fogao e o cheiro do pao enche a cozinha. quando a "
+        "tempestade finalmente passa toda a cidade sai para ver o rio "
+        "que subiu quase ate a beira da velha ponte de pedra. ninguem "
+        "se lembra de um inverno com tanta agua mas os lavradores dizem "
+        "que sera bom para os campos na primavera e que a colheita "
+        "deve ser melhor do que a do ano passado."
+    ),
+}
+
+LANGS = sorted(SEED_TEXTS)
+
+
+def _normalize(text: str) -> str:
+    return " " + re.sub(r"[^a-z]+", " ", text.lower()).strip() + " "
+
+
+def _doc_profile(text: str, k: int = TOP_K,
+                 n_max: int = NGRAM_MAX) -> list[str]:
+    """Top-k char n-grams of ``text`` by (count desc, gram asc) — the
+    pure-Python twin of the Catalyst expression (used for profile
+    construction and by tests for replay)."""
+    t = _normalize(text)
+    counts: dict[str, int] = {}
+    for n in range(1, n_max + 1):
+        for i in range(len(t) - n + 1):
+            g = t[i:i + n]
+            if g.strip():
+                counts[g] = counts.get(g, 0) + 1
+    return [g for g, _ in
+            sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:k]]
+
+
+@lru_cache(maxsize=1)
+def lang_profiles(k: int = TOP_K) -> dict[str, list[str]]:
+    """Fixed per-language rank-ordered gram profiles (deterministic:
+    pure function of the embedded seed texts)."""
+    return {lang: _doc_profile(txt, k) for lang, txt in SEED_TEXTS.items()}
+
+
+def _bind(value, fn):
+    """Evaluate ``value`` exactly once per row and hand it to ``fn``
+    as a higher-order-function lambda VARIABLE.
+
+    This is the load-bearing trick of this module. Staging expensive
+    intermediates as aliased projection columns is NOT a reliable
+    defense against re-evaluation: under some consumers (measured:
+    ``build_mixture`` on top of this operator) Catalyst collapses the
+    staged projects and inlines the alias into the body of a
+    downstream HOF lambda, turning one O(len) normalization into
+    O(len) evaluations of it — a jstack of the hung executor showed
+    ``RegExpReplace.nullSafeEval`` (with a fresh ``Matcher`` per call)
+    under ``ArrayTransform.eval``, i.e. the padded-text expression
+    re-ran per gram position: O(len^2) regex work per document. A
+    ``NamedLambdaVariable`` is a bound VALUE, which no optimizer rule
+    can inline, so ``transform(array(x), v -> body)[1]`` guarantees
+    single evaluation of ``x`` no matter how the plan is rewritten.
+    """
+    return F.element_at(F.transform(F.array(value), fn), 1)
+
+
+def _gram_expr(text_col):
+    """All (overlapping) char 1..3-grams of the normalized padded
+    text, each extracted by ONE native ``regexp_extract_all`` call
+    with a zero-width lookahead pattern ``(?=(.{n}))`` — the regex
+    engine walks the string once per n, so even if Catalyst inlines
+    the padded-text expression into the three calls the cost is a
+    constant factor, never per-element (see :func:`_bind`)."""
+    padded = F.concat(
+        F.lit(" "),
+        F.trim(F.regexp_replace(F.lower(F.col(text_col)), "[^a-z]+", " ")),
+        F.lit(" "),
+    )
+    return _bind(padded, lambda p: F.filter(
+        F.concat(*[
+            F.regexp_extract_all(p, F.lit(f"(?=(.{{{n}}}))"), 1)
+            for n in range(1, NGRAM_MAX + 1)
+        ]),
+        lambda g: F.trim(g) != F.lit(""),
+    ))
+
+
+_PAIR_T = "struct<gram:string,pos:int>"
+
+
+def _lid_struct(text_col: str, k: int, profiles: dict[str, list[str]]):
+    """The whole per-row Cavnar-Trenkle pipeline as ONE expression
+    returning ``struct<d: bigint, l: string>`` (winning distance +
+    language; d NULL and l 'und' when the document has no grams).
+    Every intermediate is a bound lambda variable (:func:`_bind`), so
+    each step runs exactly once per row regardless of how the
+    enclosing plan gets optimized."""
+
+    def _with_top(top):
+        # out-of-place distance per language against the literal rank
+        # maps (ANSI off: element_at on a missing map key is NULL ->
+        # penalty k); rank in doc = 0-based array position
+        def _oop(rank_map):
+            # closure factory: pyspark counts lambda params, so the
+            # map must be captured, not passed as a defaulted arg
+            return lambda x, i: F.abs(
+                F.coalesce(F.element_at(rank_map, x["gram"]), F.lit(k))
+                - i)
+
+        cands = []
+        for lang in LANGS:
+            pairs = []
+            for rank, gram in enumerate(profiles[lang]):
+                pairs.append(F.lit(gram))
+                pairs.append(F.lit(rank))
+            dist = F.aggregate(
+                F.transform(top, _oop(F.create_map(*pairs))),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            )
+            cands.append(F.struct(dist.alias("d"), F.lit(lang).alias("l")))
+        return F.array_min(F.array(*cands))
+
+    def _with_ends(ends):
+        # run length = this run's end position minus the previous
+        # run's end position (0 for the first run)
+        prev = F.concat(
+            F.array(F.lit(None).cast(_PAIR_T)),
+            F.slice(ends, 1, F.size(ends) - 1),
+        )
+        counts = F.zip_with(
+            ends, prev,
+            lambda e, p: F.struct(
+                (e["pos"] - F.coalesce(p["pos"], F.lit(0))).alias("cnt"),
+                e["gram"].alias("gram"),
+            ),
+        )
+        # top-K by (count desc, gram asc)
+        top = F.slice(
+            F.array_sort(
+                counts,
+                lambda l, r: F.when(l["cnt"] > r["cnt"], -1)
+                .when(l["cnt"] < r["cnt"], 1)
+                .when(l["gram"] < r["gram"], -1)
+                .when(l["gram"] > r["gram"], 1)
+                .otherwise(0),
+            ),
+            1,
+            k,
+        )
+        return _bind(top, _with_top)
+
+    def _with_pairs(pairs):
+        # a run ENDS where the successor differs (or is absent):
+        # sorted-adjacency run-length counting, O(G log G) total
+        nxt = F.concat(
+            F.slice(pairs, 2, F.size(pairs)),
+            F.array(F.lit(None).cast(_PAIR_T)),
+        )
+        ends = F.filter(
+            F.zip_with(
+                pairs, nxt,
+                lambda a, b: F.when(
+                    b.isNull() | (b["gram"] != a["gram"]), a),
+            ),
+            lambda x: x.isNotNull(),
+        )
+        return _bind(ends, _with_ends)
+
+    def _with_sorted(s):
+        pairs = F.zip_with(
+            s, F.sequence(F.lit(1), F.size(s)),
+            lambda e, i: F.struct(e.alias("gram"), i.alias("pos")),
+        )
+        return _bind(pairs, _with_pairs)
+
+    return _bind(_gram_expr(text_col), lambda g: F.when(
+        F.size(g) <= 0,  # size(NULL) = -1 with ANSI off: NULL text
+        F.struct(F.lit(None).cast("long").alias("d"),
+                 F.lit("und").alias("l")),
+    ).otherwise(_bind(F.array_sort(g), _with_sorted)))
+
+
+def classify_lang(df: DataFrame, text_col: str = "text",
+                  out_col: str = "pred_lang", k: int = TOP_K,
+                  keep_distance: bool = False) -> DataFrame:
+    """Append ``out_col`` with the Cavnar-Trenkle language prediction
+    ('und' for documents with no letter grams). ``keep_distance``
+    additionally appends ``lang_distance`` (the winning out-of-place
+    sum — useful as a confidence gate: large = far from every
+    profile; NULL for 'und'). Zero shuffles; one projection whose
+    intermediates are all lambda-bound (:func:`_bind`), so downstream
+    plans (aggregations, joins, mixture builders) can reference the
+    prediction column freely — the worst an optimizer rewrite can do
+    is re-run the whole per-row pipeline once per top-level reference,
+    never per array element."""
+    res = _lid_struct(text_col, k, lang_profiles(k))
+    out = df.withColumn(out_col, res["l"])
+    if keep_distance:
+        out = out.withColumn("lang_distance", res["d"])
+    return out
+
+
+def classify_lang_py(text: str, k: int = TOP_K) -> str:
+    """Pure-Python replay of :func:`classify_lang` for one document
+    (tests compare this against the Catalyst result row-by-row)."""
+    profiles = lang_profiles(k)
+    doc = _doc_profile(text, k)
+    if not doc:
+        return "und"
+    best = min(
+        (sum(abs((profiles[lang].index(g) if g in profiles[lang] else k)
+                 - i) for i, g in enumerate(doc)), lang)
+        for lang in LANGS
+    )
+    return best[1]
+
+
+def profile_values_sql(k: int = TOP_K) -> str:
+    """The fixed profiles as a SQL VALUES list ``(lang, g, pr)`` for
+    DuckDB oracles (grams contain only [a-z ], so plain quoting is
+    safe)."""
+    rows = []
+    for lang in LANGS:
+        for rank, gram in enumerate(lang_profiles(k)[lang]):
+            rows.append(f"('{lang}', '{gram}', {rank})")
+    return ", ".join(rows)
