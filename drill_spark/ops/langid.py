@@ -49,6 +49,8 @@ from functools import lru_cache
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from drill_spark.ops.hofutil import bind_once as _bind
+
 NGRAM_MAX = 3
 TOP_K = 80
 
@@ -158,27 +160,6 @@ def lang_profiles(k: int = TOP_K) -> dict[str, list[str]]:
     """Fixed per-language rank-ordered gram profiles (deterministic:
     pure function of the embedded seed texts)."""
     return {lang: _doc_profile(txt, k) for lang, txt in SEED_TEXTS.items()}
-
-
-def _bind(value, fn):
-    """Evaluate ``value`` exactly once per row and hand it to ``fn``
-    as a higher-order-function lambda VARIABLE.
-
-    This is the load-bearing trick of this module. Staging expensive
-    intermediates as aliased projection columns is NOT a reliable
-    defense against re-evaluation: under some consumers (measured:
-    ``build_mixture`` on top of this operator) Catalyst collapses the
-    staged projects and inlines the alias into the body of a
-    downstream HOF lambda, turning one O(len) normalization into
-    O(len) evaluations of it — a jstack of the hung executor showed
-    ``RegExpReplace.nullSafeEval`` (with a fresh ``Matcher`` per call)
-    under ``ArrayTransform.eval``, i.e. the padded-text expression
-    re-ran per gram position: O(len^2) regex work per document. A
-    ``NamedLambdaVariable`` is a bound VALUE, which no optimizer rule
-    can inline, so ``transform(array(x), v -> body)[1]`` guarantees
-    single evaluation of ``x`` no matter how the plan is rewritten.
-    """
-    return F.element_at(F.transform(F.array(value), fn), 1)
 
 
 def _gram_expr(text_col):

@@ -32,6 +32,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from drill_spark.ops.dedup import tokens
+from drill_spark.ops.hofutil import bind_once
 
 _K1 = 1.2
 _B = 0.75
@@ -201,30 +202,98 @@ def window_cooccur(df: DataFrame, terms: list[str], window: int = 10,
         raise ValueError("window_cooccur: terms must be non-empty")
     if window < len(qs):
         raise ValueError("window_cooccur: window must hold all terms")
+    T = len(qs)
     # codegen substring pre-filter (superset: a token present implies
-    # the substring is present) keeps the interpreted window HOF off
-    # documents that cannot qualify
+    # the substring is present) keeps everything below off documents
+    # that cannot qualify
     cand = df
     for term in qs:
         cand = cand.where(F.lower(F.col(text_col)).contains(term))
-    base = cand.select("*", F.filter(tokens(F.col(text_col)),
-                                     lambda t: t != "").alias("__w"))
-    w = F.col("__w")
 
-    def _win_ok(i):
-        sl = F.slice(w, i.cast("int"), window)
-        c = None
-        for term in qs:
-            e = F.array_contains(sl, term)
-            c = e if c is None else (c & e)
-        return c
+    # r13 positional pre-filter (this row was top-10 in the bench at
+    # 2.78 s: the contains() superset passes most docs for common
+    # terms, and the window scan then costs O(len x window x T) per
+    # candidate). One O(occ x T) fold over the merged term-position
+    # stream computes (a) the MINIMUM span covering one occurrence of
+    # every term — min_span <= window is EXACTLY "n_windows >= 1", so
+    # non-matching docs never reach the scan — and (b) per-term
+    # first/last occurrence bounds: a qualifying start i needs every
+    # term inside [i, i+window-1], hence i >= max(firsts)-window+1 and
+    # i <= min(lasts), so the scan walks only that narrow band instead
+    # of the whole document. Counts are provably identical to the full
+    # scan. All intermediates are lambda-BOUND (bind_once): a plain
+    # aliased token column is exposed to Catalyst inlining the
+    # tokenizer into the per-start slice lambda (the measured O(len^2)
+    # langid failure mode).
+    INF = (1 << 31) - 1
 
-    spans = F.filter(
-        F.sequence(F.lit(1), F.greatest(F.size(w) - (window - 1), F.lit(1))),
-        _win_ok,
+    def _n_windows(w):
+        def _win_ok(i):
+            sl = F.slice(w, i.cast("int"), window)
+            c = None
+            for term in qs:
+                e = F.array_contains(sl, term)
+                c = e if c is None else (c & e)
+            return c
+
+        merged = F.array_sort(F.concat(*[
+            F.filter(
+                F.zip_with(
+                    w, F.sequence(F.lit(1), F.greatest(F.size(w), F.lit(1))),
+                    (lambda t: lambda tok, i: F.when(
+                        tok == t[1],
+                        F.struct(i.alias("pos"), F.lit(t[0]).alias("tid"))
+                    ))((ti, term)),
+                ),
+                lambda x: x.isNotNull(),
+            )
+            for ti, term in enumerate(qs)
+        ]))
+
+        def _step(a, x):
+            nl = F.transform(
+                a["ls"],
+                (lambda tid: lambda v, j: F.when(j == tid, x["pos"])
+                 .otherwise(v))(x["tid"]),
+            )
+            nf = F.transform(
+                a["fs"],
+                (lambda tid: lambda v, j: F.when(
+                    (j == tid) & v.isNull(), x["pos"]).otherwise(v)
+                 )(x["tid"]),
+            )
+            seen_all = ~F.exists(nl, lambda e: e.isNull())
+            best = F.when(
+                seen_all,
+                F.least(a["best"], x["pos"] - F.array_min(nl) + 1),
+            ).otherwise(a["best"])
+            return F.struct(nl.alias("ls"), nf.alias("fs"),
+                            best.alias("best"))
+
+        def _finish(a):
+            s_max = F.greatest(F.size(w) - (window - 1), F.lit(1))
+            lo = F.greatest(F.lit(1),
+                            F.array_max(a["fs"]) - (window - 1))
+            hi = F.least(s_max, F.array_min(a["ls"]))
+            return F.when(
+                (a["best"] <= window) & (lo <= hi),
+                F.size(F.filter(F.sequence(lo, hi), _win_ok)),
+            ).otherwise(F.lit(0))
+
+        nulls = F.array_repeat(F.lit(None).cast("int"), T)
+        return F.aggregate(
+            merged,
+            F.struct(nulls.alias("ls"), nulls.alias("fs"),
+                     F.lit(INF).alias("best")),
+            _step,
+            _finish,
+        )
+
+    toks = F.filter(tokens(F.col(text_col)), lambda t: t != "")
+    st = cand.select(
+        F.col(id_col),
+        bind_once(toks, _n_windows).cast("long").alias("n_windows"),
     )
-    st = base.select(F.col(id_col),
-                     F.size(spans).cast("long").alias("n_windows"))
     return st.where(F.col("n_windows") > 0)
 
 
