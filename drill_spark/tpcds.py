@@ -81,7 +81,8 @@ def _date_dim(spark: SparkSession) -> DataFrame:
         "1 + cast(d_date_sk % 12 as int) as d_moy, "
         "1 + cast(floor((d_date_sk % 12) / 3) as int) as d_qoy, "
         "cast(d_date_sk % 200 as int) as d_month_seq, "
-        "cast(d_date_sk % 7 as int) as d_dow "
+        "cast(d_date_sk % 7 as int) as d_dow, "
+        "cast(floor(d_date_sk / 7) as int) as d_week_seq "
         "from (select explode(sequence(2451000, 2451499)) as d_date_sk)")
 
 
@@ -114,7 +115,8 @@ def _customer_demographics(spark: SparkSession) -> DataFrame:
         "     else 'D' end as cd_marital_status, "
         "case cast(id % 4 as int) when 0 then 'College' "
         "     when 1 then '4 yr Degree' when 2 then 'Primary' "
-        "     else 'Secondary' end as cd_education_status "
+        "     else 'Secondary' end as cd_education_status, "
+        "cast(id % 7 as int) as cd_dep_count "
         "from (select explode(sequence(0, 99)) as id)")
 
 
@@ -181,7 +183,30 @@ def _customer(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("c_custkey") % 3 == 0, "Y").otherwise("N")
         .alias("c_preferred_cust_flag"),
         (F.col("c_custkey") * 13 % 400).alias("c_current_addr_sk"),
+        (F.col("c_custkey") % 100).alias("c_current_cdemo_sk"),
     )
+
+
+def _warehouse(spark: SparkSession) -> DataFrame:
+    return spark.sql(
+        "select id as w_warehouse_sk, "
+        "'Warehouse#' || cast(id as string) as w_warehouse_name "
+        "from (select explode(sequence(0, 4)) as id)")
+
+
+def _inventory(spark: SparkSession) -> DataFrame:
+    """Weekly on-hand snapshots: one row per (week-grid date, item,
+    warehouse) with a closed-form quantity — the q72 fact. ~71k rows:
+    a constant-size derived table, identical arithmetic on the DuckDB
+    side."""
+    return spark.sql(
+        "select d as inv_date_sk, i as inv_item_sk, w as inv_warehouse_sk, "
+        "cast((d * 3 + i * 7 + w * 11) % 40 as int) "
+        "  as inv_quantity_on_hand "
+        "from (select 2451000 + 7 * cast(floor(id / 1000) as int) as d, "
+        "             cast(floor((id % 1000) / 5) as int) as i, "
+        "             cast(id % 5 as int) as w "
+        "      from (select explode(sequence(0, 71999)) as id))")
 
 
 def q_tpcds_q73(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -259,7 +284,8 @@ date_dim as (
          1 + cast(d_date_sk % 12 as int) as d_moy,
          1 + cast(floor((d_date_sk % 12) / 3) as int) as d_qoy,
          cast(d_date_sk % 200 as int) as d_month_seq,
-         cast(d_date_sk % 7 as int) as d_dow
+         cast(d_date_sk % 7 as int) as d_dow,
+         cast(floor(d_date_sk / 7) as int) as d_week_seq
   from (select unnest(generate_series(2451000, 2451499)) as d_date_sk)
 ),
 item as (
@@ -285,8 +311,23 @@ customer_demographics as (
               else 'D' end as cd_marital_status,
          case cast(id % 4 as int) when 0 then 'College'
               when 1 then '4 yr Degree' when 2 then 'Primary'
-              else 'Secondary' end as cd_education_status
+              else 'Secondary' end as cd_education_status,
+         cast(id % 7 as int) as cd_dep_count
   from (select unnest(generate_series(0, 99)) as id)
+),
+warehouse as (
+  select id as w_warehouse_sk,
+         'Warehouse#' || cast(id as varchar) as w_warehouse_name
+  from (select unnest(generate_series(0, 4)) as id)
+),
+inventory as (
+  select d as inv_date_sk, i as inv_item_sk, w as inv_warehouse_sk,
+         cast((d * 3 + i * 7 + w * 11) % 40 as int)
+           as inv_quantity_on_hand
+  from (select 2451000 + 7 * cast(floor(id / 1000) as int) as d,
+               cast(floor((id % 1000) / 5) as int) as i,
+               cast(id % 5 as int) as w
+        from (select unnest(generate_series(0, 71999)) as id))
 ),
 promotion as (
   select id as p_promo_sk,
@@ -332,7 +373,8 @@ cust as (
          substring(c_name, 1, 9) as c_first_name,
          case when c_custkey % 2 = 0 then 'Mr.' else 'Ms.' end as c_salutation,
          case when c_custkey % 3 = 0 then 'Y' else 'N' end as c_preferred_cust_flag,
-         c_custkey * 13 % 400 as c_current_addr_sk
+         c_custkey * 13 % 400 as c_current_addr_sk,
+         c_custkey % 100 as c_current_cdemo_sk
   from customer
 )
 """
@@ -807,6 +849,12 @@ tpcds_catalog_sales as (
          l.l_partkey % 200 as cs_item_sk,
          o.o_custkey as cs_bill_customer_sk,
          2451180 + l.l_orderkey % 120 as cs_sold_date_sk,
+         (l.l_orderkey * 7 + l.l_partkey) % 100 as cs_bill_cdemo_sk,
+         (l.l_orderkey + l.l_linenumber) % 50 as cs_bill_hdemo_sk,
+         (l.l_partkey + l.l_suppkey) % 30 as cs_promo_sk,
+         2451180 + l.l_orderkey % 120
+           + (l.l_linenumber * 5 + l.l_partkey) % 40 as cs_ship_date_sk,
+         l.l_suppkey % 5 as cs_warehouse_sk,
          cast(l.l_quantity as int) as cs_quantity,
          cast(floor(l.l_extendedprice * (1 - l.l_discount) * 100) as bigint)
            as cs_sales_cents,
@@ -824,6 +872,10 @@ tpcds_customer_address as (select * from customer_address),
 tpcds_cust as (select * from cust),
 tpcds_time_dim as (select * from time_dim),
 tpcds_household_demographics as (select * from household_demographics),
+tpcds_customer_demographics as (select * from customer_demographics),
+tpcds_promotion as (select * from promotion),
+tpcds_warehouse as (select * from warehouse),
+tpcds_inventory as (select * from inventory),
 tpcds_store_sales as (select * from store_sales)
 """
 
@@ -888,6 +940,21 @@ def _channel_sales(spark: SparkSession, sf_dir: str, pre: str,
             ((F.col("l_orderkey") + F.col("l_linenumber")) % 50)
             .alias("ws_ship_hdemo_sk"),
         ]
+    if pre == "cs":
+        # q72/q62/q35 keys: demographics, promotion, ship lag,
+        # warehouse — same closed-form family as the store_sales sks
+        cols += [
+            ((F.col("l_orderkey") * 7 + F.col("l_partkey")) % 100)
+            .alias("cs_bill_cdemo_sk"),
+            ((F.col("l_orderkey") + F.col("l_linenumber")) % 50)
+            .alias("cs_bill_hdemo_sk"),
+            ((F.col("l_partkey") + F.col("l_suppkey")) % 30)
+            .alias("cs_promo_sk"),
+            (F.lit(2451180) + F.col("l_orderkey") % 120
+             + (F.col("l_linenumber") * 5 + F.col("l_partkey")) % 40)
+            .alias("cs_ship_date_sk"),
+            (F.col("l_suppkey") % 5).alias("cs_warehouse_sk"),
+        ]
     cols += [
         F.col("l_quantity").cast("int").alias(f"{pre}_quantity"),
         F.floor(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100)
@@ -925,6 +992,11 @@ def _register_decorrelation_views(spark: SparkSession, sf_dir: str) -> None:
         "tpcds_web_sales")
     _channel_sales(spark, sf_dir, "cs", 2).createOrReplaceTempView(
         "tpcds_catalog_sales")
+    _customer_demographics(spark).createOrReplaceTempView(
+        "tpcds_customer_demographics")
+    _promotion(spark).createOrReplaceTempView("tpcds_promotion")
+    _warehouse(spark).createOrReplaceTempView("tpcds_warehouse")
+    _inventory(spark).createOrReplaceTempView("tpcds_inventory")
 
 
 # q1: customers returning more than 1.2x their store's average total —
@@ -2089,6 +2161,321 @@ from am, pm
 """
 
 
+
+# q4 shape (three-channel year-over-year growth): one UNION ALL
+# year_total CTE tagged by channel, self-joined six ways; customers
+# whose catalog growth beats BOTH store and web growth. Growth-ratio
+# comparisons are exact integer cross-multiplications (cents are
+# bigint), so no float boundary can flip a row between engines.
+_Q04_BODY = """
+yt as (
+  select ss_customer_sk as c, 's' as chan, d_year as yr,
+         sum(cast(round(ss_sales_price * 100, 0) as bigint)) as cents
+  from tpcds_store_sales, tpcds_date_dim
+  where ss_sold_date_sk = d_date_sk and d_year in (1999, 2000)
+  group by ss_customer_sk, d_year
+  union all
+  select ws_bill_customer_sk, 'w', d_year, sum(ws_sales_cents)
+  from tpcds_web_sales, tpcds_date_dim
+  where ws_sold_date_sk = d_date_sk and d_year in (1999, 2000)
+  group by ws_bill_customer_sk, d_year
+  union all
+  select cs_bill_customer_sk, 'c', d_year, sum(cs_sales_cents)
+  from tpcds_catalog_sales, tpcds_date_dim
+  where cs_sold_date_sk = d_date_sk and d_year in (1999, 2000)
+  group by cs_bill_customer_sk, d_year
+)
+select cu.c_customer_id, cu.c_first_name, cu.c_last_name
+from yt s1, yt s2, yt c1, yt c2, yt w1, yt w2, tpcds_cust cu
+where s1.c = s2.c and s1.c = c1.c and s1.c = c2.c
+  and s1.c = w1.c and s1.c = w2.c and s1.c = cu.c_customer_sk
+  and s1.chan = 's' and s2.chan = 's' and c1.chan = 'c' and c2.chan = 'c'
+  and w1.chan = 'w' and w2.chan = 'w'
+  and s1.yr = 1999 and s2.yr = 2000 and c1.yr = 1999 and c2.yr = 2000
+  and w1.yr = 1999 and w2.yr = 2000
+  and s1.cents > 0 and c1.cents > 0 and w1.cents > 0
+  and c2.cents * s1.cents > s2.cents * c1.cents
+  and c2.cents * w1.cents > w2.cents * c1.cents
+order by c_customer_id
+limit 100
+"""
+
+# q35 shape (multi-channel EXISTS gate + demographic rollup):
+# customers active in stores AND (web OR catalog) in the first three
+# quarters, grouped by address state and demographics with dependent
+# stats. The OR-of-EXISTS is the famous decorrelation stressor.
+_Q35_BODY = """
+active as (
+  select c.c_customer_sk, c.c_current_cdemo_sk, c.c_current_addr_sk
+  from tpcds_cust c
+  where exists (select 1 from tpcds_store_sales ss, tpcds_date_dim d
+                where c.c_customer_sk = ss.ss_customer_sk
+                  and ss.ss_sold_date_sk = d.d_date_sk
+                  and d.d_year = 1999 and d.d_qoy < 4)
+    and (exists (select 1 from tpcds_web_sales ws, tpcds_date_dim d
+                 where c.c_customer_sk = ws.ws_bill_customer_sk
+                   and ws.ws_sold_date_sk = d.d_date_sk
+                   and d.d_year = 1999 and d.d_qoy < 4)
+      or exists (select 1 from tpcds_catalog_sales cs, tpcds_date_dim d
+                 where c.c_customer_sk = cs.cs_bill_customer_sk
+                   and cs.cs_sold_date_sk = d.d_date_sk
+                   and d.d_year = 1999 and d.d_qoy < 4))
+)
+select ca.ca_state, cd.cd_gender, cd.cd_marital_status,
+       cast(count(*) as bigint) as cnt,
+       cast(min(cd.cd_dep_count) as int) as min_dep,
+       cast(max(cd.cd_dep_count) as int) as max_dep,
+       cast(sum(cd.cd_dep_count) as bigint) as sum_dep
+from active a, tpcds_customer_address ca, tpcds_customer_demographics cd
+where a.c_current_addr_sk = ca.ca_address_sk
+  and a.c_current_cdemo_sk = cd.cd_demo_sk
+group by ca.ca_state, cd.cd_gender, cd.cd_marital_status
+order by ca_state, cd_gender, cd_marital_status
+"""
+
+# q43 shape (day-of-week pivot): one star join, seven conditional
+# sums — the classic sum(case) pivot over a tiny dimension attribute.
+_Q43_BODY = """
+by_store as (
+  select s.s_store_name, s.s_store_id,
+       cast(sum(case when d.d_dow = 0 then
+         cast(round(ss.ss_sales_price * 100, 0) as bigint)
+         else 0 end) as bigint) as sun_cents,
+       cast(sum(case when d.d_dow = 1 then
+         cast(round(ss.ss_sales_price * 100, 0) as bigint)
+         else 0 end) as bigint) as mon_cents,
+       cast(sum(case when d.d_dow = 2 then
+         cast(round(ss.ss_sales_price * 100, 0) as bigint)
+         else 0 end) as bigint) as tue_cents,
+       cast(sum(case when d.d_dow = 3 then
+         cast(round(ss.ss_sales_price * 100, 0) as bigint)
+         else 0 end) as bigint) as wed_cents,
+       cast(sum(case when d.d_dow = 4 then
+         cast(round(ss.ss_sales_price * 100, 0) as bigint)
+         else 0 end) as bigint) as thu_cents,
+       cast(sum(case when d.d_dow = 5 then
+         cast(round(ss.ss_sales_price * 100, 0) as bigint)
+         else 0 end) as bigint) as fri_cents,
+       cast(sum(case when d.d_dow = 6 then
+         cast(round(ss.ss_sales_price * 100, 0) as bigint)
+         else 0 end) as bigint) as sat_cents
+  from tpcds_store_sales ss, tpcds_date_dim d, tpcds_store s
+  where ss.ss_sold_date_sk = d.d_date_sk and ss.ss_store_sk = s.s_store_sk
+    and d.d_year = 2000
+  group by s.s_store_name, s.s_store_id
+)
+select * from by_store
+order by s_store_name, s_store_id
+limit 100
+"""
+
+# q48 shape (OR-of-AND demographic bands): one quantity sum where the
+# predicate is a disjunction of (demographic x price band) and
+# (state x quantity band) conjunctions — the pushdown/CNF stressor.
+_Q48_BODY = """
+q as (
+  select cast(sum(ss.ss_quantity) as bigint) as qty
+  from tpcds_store_sales ss, tpcds_store s, tpcds_customer_demographics cd,
+     tpcds_customer_address ca, tpcds_date_dim d
+where s.s_store_sk = ss.ss_store_sk
+  and ss.ss_sold_date_sk = d.d_date_sk and d.d_year = 2000
+  and ss.ss_cdemo_sk = cd.cd_demo_sk
+  and ss.ss_addr_sk = ca.ca_address_sk
+  and ((cd.cd_marital_status = 'M'
+        and cd.cd_education_status = '4 yr Degree'
+        and ss.ss_sales_price between 2000.00 and 3000.00)
+    or (cd.cd_marital_status = 'D'
+        and cd.cd_education_status = 'Primary'
+        and ss.ss_sales_price between 500.00 and 2000.00)
+    or (cd.cd_marital_status = 'S'
+        and cd.cd_education_status = 'College'
+        and ss.ss_sales_price between 3000.00 and 5000.00))
+  and ((ca.ca_state in ('TN', 'GA', 'SC')
+        and ss.ss_quantity between 1 and 20)
+    or (ca.ca_state in ('MI', 'OH', 'TX')
+        and ss.ss_quantity between 21 and 35)
+    or (ca.ca_state in ('CA', 'WA', 'NY')
+        and ss.ss_quantity between 36 and 50))
+)
+select qty from q
+"""
+
+# q53 shape (quarterly manufacturer revenue vs its own average):
+# grouped sums, a partition-average window on the grouped result, and
+# a >10%-deviation filter — QUALIFY expressed as a nested select.
+_Q53_BODY = """
+mq as (
+  select i.i_manufact_id as mid, d.d_qoy as qoy,
+         sum(cast(round(ss.ss_sales_price * 100, 0) as bigint)) as cents
+  from tpcds_store_sales ss, tpcds_item i, tpcds_date_dim d
+  where ss.ss_item_sk = i.i_item_sk and ss.ss_sold_date_sk = d.d_date_sk
+    and d.d_year = 2000
+    and i.i_category in ('Category#1', 'Category#2', 'Category#3')
+  group by i.i_manufact_id, d.d_qoy
+),
+win as (
+  select mid, qoy, cents,
+         avg(cast(cents as double)) over (partition by mid) as avg_cents
+  from mq
+)
+select mid, qoy, cast(cents as bigint) as sum_cents,
+       cast(floor(avg_cents) as bigint) as avg_cents_floor
+from win
+where case when avg_cents > 0
+           then abs(cents - avg_cents) / avg_cents else null end > 0.1
+order by avg_cents_floor, sum_cents, mid, qoy
+limit 100
+"""
+
+# q61 shape (promotional-sales ratio): two scalar star aggregates —
+# promoted sales (promotion join + channel filter) over all sales on
+# the same slice — cross-joined into one ratio row.
+_Q61_BODY = """
+promo as (
+  select sum(cast(round(ss.ss_sales_price * 100, 0) as bigint)) as cents
+  from tpcds_store_sales ss, tpcds_promotion p, tpcds_date_dim d,
+       tpcds_item i, tpcds_cust c, tpcds_customer_address ca
+  where ss.ss_promo_sk = p.p_promo_sk
+    and ss.ss_sold_date_sk = d.d_date_sk
+    and ss.ss_item_sk = i.i_item_sk
+    and ss.ss_customer_sk = c.c_customer_sk
+    and c.c_current_addr_sk = ca.ca_address_sk
+    and (p.p_channel_email = 'Y' or p.p_channel_event = 'Y')
+    and d.d_year = 2000 and d.d_moy = 11
+    and i.i_category = 'Category#4'
+    and ca.ca_state in ('TN', 'GA', 'SC', 'MI', 'OH')
+),
+total as (
+  select sum(cast(round(ss.ss_sales_price * 100, 0) as bigint)) as cents
+  from tpcds_store_sales ss, tpcds_date_dim d,
+       tpcds_item i, tpcds_cust c, tpcds_customer_address ca
+  where ss.ss_sold_date_sk = d.d_date_sk
+    and ss.ss_item_sk = i.i_item_sk
+    and ss.ss_customer_sk = c.c_customer_sk
+    and c.c_current_addr_sk = ca.ca_address_sk
+    and d.d_year = 2000 and d.d_moy = 11
+    and i.i_category = 'Category#4'
+    and ca.ca_state in ('TN', 'GA', 'SC', 'MI', 'OH')
+)
+select cast(coalesce(p.cents, 0) as bigint) as promo_cents,
+       cast(t.cents as bigint) as total_cents,
+       case when t.cents > 0
+            then floor(cast(coalesce(p.cents, 0) as double)
+                       * 10000 / t.cents) / 100
+            else null end as promo_pct
+from promo p, total t
+"""
+
+# q62 shape (ship-lag buckets by warehouse): conditional-sum buckets
+# over the sold->ship day gap, grouped by warehouse.
+_Q62_BODY = """
+lag_buckets as (
+  select w.w_warehouse_name,
+       cast(sum(case when cs.cs_ship_date_sk - cs.cs_sold_date_sk <= 10
+                     then 1 else 0 end) as bigint) as d_10,
+       cast(sum(case when cs.cs_ship_date_sk - cs.cs_sold_date_sk > 10
+                      and cs.cs_ship_date_sk - cs.cs_sold_date_sk <= 20
+                     then 1 else 0 end) as bigint) as d_11_20,
+       cast(sum(case when cs.cs_ship_date_sk - cs.cs_sold_date_sk > 20
+                      and cs.cs_ship_date_sk - cs.cs_sold_date_sk <= 30
+                     then 1 else 0 end) as bigint) as d_21_30,
+       cast(sum(case when cs.cs_ship_date_sk - cs.cs_sold_date_sk > 30
+                     then 1 else 0 end) as bigint) as d_over_30
+  from tpcds_catalog_sales cs, tpcds_warehouse w, tpcds_date_dim d
+  where cs.cs_warehouse_sk = w.w_warehouse_sk
+    and cs.cs_ship_date_sk = d.d_date_sk and d.d_year in (1999, 2000)
+  group by w.w_warehouse_name
+)
+select * from lag_buckets
+order by w_warehouse_name
+"""
+
+# q72 shape (the notorious inventory mega-join): catalog sales joined
+# to weekly inventory snapshots through TWO date-dim aliases on
+# d_week_seq equality, a third date alias for the ship-lag filter,
+# demographics gates, and a filtered LEFT JOIN to promotion feeding
+# conditional counts. The item-keyed sales x inventory fan-out before
+# the week filter is the point of the shape.
+_Q72_BODY = """
+inv_sales as (
+  select i.i_product_name, w.w_warehouse_name, d1.d_week_seq,
+       cast(sum(case when p.p_promo_sk is null then 1 else 0 end)
+            as bigint) as no_promo,
+       cast(sum(case when p.p_promo_sk is not null then 1 else 0 end)
+            as bigint) as promo,
+       cast(count(*) as bigint) as total_cnt
+  from tpcds_catalog_sales cs
+  join tpcds_inventory inv on cs.cs_item_sk = inv.inv_item_sk
+  join tpcds_warehouse w on w.w_warehouse_sk = inv.inv_warehouse_sk
+  join tpcds_item i on i.i_item_sk = cs.cs_item_sk
+  join tpcds_household_demographics hd
+    on cs.cs_bill_hdemo_sk = hd.hd_demo_sk
+  join tpcds_customer_demographics cd
+    on cs.cs_bill_cdemo_sk = cd.cd_demo_sk
+  join tpcds_date_dim d1 on cs.cs_sold_date_sk = d1.d_date_sk
+  join tpcds_date_dim d2 on inv.inv_date_sk = d2.d_date_sk
+  join tpcds_date_dim d3 on cs.cs_ship_date_sk = d3.d_date_sk
+  left join tpcds_promotion p
+    on cs.cs_promo_sk = p.p_promo_sk and p.p_channel_email = 'Y'
+  where d1.d_week_seq = d2.d_week_seq
+    and inv.inv_quantity_on_hand < cs.cs_quantity
+    and d3.d_date_sk > d1.d_date_sk + 5
+    and hd.hd_buy_potential = '>10000'
+    and d1.d_year = 1999
+    and cd.cd_marital_status = 'D'
+  group by i.i_product_name, w.w_warehouse_name, d1.d_week_seq
+)
+select * from inv_sales
+order by total_cnt desc, i_product_name, w_warehouse_name, d_week_seq
+limit 100
+"""
+
+# q87 shape (three-channel EXCEPT): distinct store (customer, week)
+# visits minus web minus catalog, counted — the set-difference twin
+# of q38's INTERSECT.
+_Q87_BODY = """
+only_store as (
+  (select distinct c.c_customer_id as cid, d.d_week_seq as wk
+   from tpcds_store_sales ss, tpcds_date_dim d, tpcds_cust c
+   where ss.ss_sold_date_sk = d.d_date_sk
+     and ss.ss_customer_sk = c.c_customer_sk and d.d_year = 2000)
+  except
+  (select distinct c.c_customer_id, d.d_week_seq
+   from tpcds_web_sales ws, tpcds_date_dim d, tpcds_cust c
+   where ws.ws_sold_date_sk = d.d_date_sk
+     and ws.ws_bill_customer_sk = c.c_customer_sk and d.d_year = 2000)
+  except
+  (select distinct c.c_customer_id, d.d_week_seq
+   from tpcds_catalog_sales cs, tpcds_date_dim d, tpcds_cust c
+   where cs.cs_sold_date_sk = d.d_date_sk
+     and cs.cs_bill_customer_sk = c.c_customer_sk and d.d_year = 2000)
+)
+select cast(count(*) as bigint) as cnt from only_store
+"""
+
+# q98 shape (class revenue ratio): per-item revenue with its share of
+# the class total via a partition-sum window over the grouped result.
+_Q98_BODY = """
+per_item as (
+  select i.i_item_id, i.i_class, i.i_category,
+         sum(cast(round(ss.ss_sales_price * 100, 0) as bigint))
+           as itemrevenue
+  from tpcds_store_sales ss, tpcds_item i, tpcds_date_dim d
+  where ss.ss_item_sk = i.i_item_sk and ss.ss_sold_date_sk = d.d_date_sk
+    and i.i_category in ('Category#5', 'Category#6', 'Category#7')
+    and d.d_date_sk between 2451180 and 2451209
+  group by i.i_item_id, i.i_class, i.i_category
+)
+select i_item_id, i_class, i_category,
+       cast(itemrevenue as bigint) as itemrevenue,
+       floor(cast(itemrevenue as double) * 10000
+             / sum(itemrevenue) over (partition by i_class)) / 100
+         as revenueratio
+from per_item
+order by i_category, i_class, i_item_id, itemrevenue
+"""
+
+
 def _decorrelated(body: str):
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         _register_decorrelation_views(spark, sf_dir)
@@ -2127,6 +2514,16 @@ q_tpcds_q65 = _decorrelated(_Q65_BODY)
 q_tpcds_q75 = _decorrelated(_Q75_BODY)
 q_tpcds_q76 = _decorrelated(_Q76_BODY)
 q_tpcds_q90 = _decorrelated(_Q90_BODY)
+q_tpcds_q4 = _decorrelated(_Q04_BODY)
+q_tpcds_q35 = _decorrelated(_Q35_BODY)
+q_tpcds_q43 = _decorrelated(_Q43_BODY)
+q_tpcds_q48 = _decorrelated(_Q48_BODY)
+q_tpcds_q53 = _decorrelated(_Q53_BODY)
+q_tpcds_q61 = _decorrelated(_Q61_BODY)
+q_tpcds_q62 = _decorrelated(_Q62_BODY)
+q_tpcds_q72 = _decorrelated(_Q72_BODY)
+q_tpcds_q87 = _decorrelated(_Q87_BODY)
+q_tpcds_q98 = _decorrelated(_Q98_BODY)
 
 ORACLE_TPCDS_Q1 = _DIMS_SQL + ", " + _RETURNS_SQL + ", " + _Q01_BODY
 ORACLE_TPCDS_Q6 = _DIMS_SQL + ", " + _RETURNS_SQL + ", " + _Q06_BODY
@@ -2159,6 +2556,16 @@ ORACLE_TPCDS_Q65 = _DIMS_SQL + ", " + _RETURNS_SQL + ", " + _Q65_BODY
 ORACLE_TPCDS_Q75 = _DIMS_SQL + ", " + _RETURNS_SQL + ", " + _Q75_BODY
 ORACLE_TPCDS_Q76 = _DIMS_SQL + ", " + _RETURNS_SQL + ", " + _Q76_BODY
 ORACLE_TPCDS_Q90 = _DIMS_SQL + ", " + _RETURNS_SQL + ", " + _Q90_BODY
+ORACLE_TPCDS_Q4 = _DIMS_SQL + ", " + _RETURNS_SQL + ", " + _Q04_BODY
+ORACLE_TPCDS_Q35 = _DIMS_SQL + ", " + _RETURNS_SQL + ", " + _Q35_BODY
+ORACLE_TPCDS_Q43 = _DIMS_SQL + ", " + _RETURNS_SQL + ", " + _Q43_BODY
+ORACLE_TPCDS_Q48 = _DIMS_SQL + ", " + _RETURNS_SQL + ", " + _Q48_BODY
+ORACLE_TPCDS_Q53 = _DIMS_SQL + ", " + _RETURNS_SQL + ", " + _Q53_BODY
+ORACLE_TPCDS_Q61 = _DIMS_SQL + ", " + _RETURNS_SQL + ", " + _Q61_BODY
+ORACLE_TPCDS_Q62 = _DIMS_SQL + ", " + _RETURNS_SQL + ", " + _Q62_BODY
+ORACLE_TPCDS_Q72 = _DIMS_SQL + ", " + _RETURNS_SQL + ", " + _Q72_BODY
+ORACLE_TPCDS_Q87 = _DIMS_SQL + ", " + _RETURNS_SQL + ", " + _Q87_BODY
+ORACLE_TPCDS_Q98 = _DIMS_SQL + ", " + _RETURNS_SQL + ", " + _Q98_BODY
 
 
 QUERIES = {
@@ -2202,6 +2609,16 @@ QUERIES = {
     "tpcds_q67": q_tpcds_q67,
     "tpcds_q68": q_tpcds_q68,
     "tpcds_q96": q_tpcds_q96,
+    "tpcds_q04": q_tpcds_q4,
+    "tpcds_q35": q_tpcds_q35,
+    "tpcds_q43": q_tpcds_q43,
+    "tpcds_q48": q_tpcds_q48,
+    "tpcds_q53": q_tpcds_q53,
+    "tpcds_q61": q_tpcds_q61,
+    "tpcds_q62": q_tpcds_q62,
+    "tpcds_q72": q_tpcds_q72,
+    "tpcds_q87": q_tpcds_q87,
+    "tpcds_q98": q_tpcds_q98,
 }
 ORACLES = {
     "tpcds_q73": ORACLE_TPCDS_Q73,
@@ -2244,6 +2661,16 @@ ORACLES = {
     "tpcds_q67": ORACLE_TPCDS_Q67,
     "tpcds_q68": ORACLE_TPCDS_Q68,
     "tpcds_q96": ORACLE_TPCDS_Q96,
+    "tpcds_q04": ORACLE_TPCDS_Q4,
+    "tpcds_q35": ORACLE_TPCDS_Q35,
+    "tpcds_q43": ORACLE_TPCDS_Q43,
+    "tpcds_q48": ORACLE_TPCDS_Q48,
+    "tpcds_q53": ORACLE_TPCDS_Q53,
+    "tpcds_q61": ORACLE_TPCDS_Q61,
+    "tpcds_q62": ORACLE_TPCDS_Q62,
+    "tpcds_q72": ORACLE_TPCDS_Q72,
+    "tpcds_q87": ORACLE_TPCDS_Q87,
+    "tpcds_q98": ORACLE_TPCDS_Q98,
 }
 
 

