@@ -267,8 +267,16 @@ limit 20
 
 def q_text_topk_approx(spark, sf_dir):
     """Sketch-based frequent tokens (approx_top_k — single-pass,
-    mergeable, fixed memory: the 100 TB path; rows-only check, accuracy
-    asserted vs exact in test_topk_sketch_matches_exact)."""
+    mergeable, fixed memory: the 100 TB path). Upgraded rows-only →
+    hash-oracle (r13): the sketch tracks up to maxItemsTracked(=10^4)
+    items EXACTLY, far above the fixture vocabulary, so its counts are
+    exact here and the only nondeterminism — which of equal-count
+    items the sketch surfaces at the k boundary (the fixture ties at
+    rank 10/11) — is removed by over-fetching (k=64) and applying the
+    deterministic (count desc, token asc) top-10 ourselves. The oracle
+    is the exact top-10 under the same ordering; the approximate
+    regime (vocab > 10^4) stays bounded by
+    test_topk_sketch_matches_exact."""
     from drill_spark.ops.dedup import tokens
 
     toks = (
@@ -277,10 +285,24 @@ def q_text_topk_approx(spark, sf_dir):
         .where(F.col("token") != "")
     )
     return (
-        toks.select(F.expr("approx_top_k(token, 10)").alias("top"))
+        toks.select(F.expr("approx_top_k(token, 64)").alias("top"))
         .select(F.explode("top").alias("e"))
-        .select(F.col("e.item").alias("token"), F.col("e.count").alias("n"))
+        .select(F.col("e.item").alias("token"),
+                F.col("e.count").alias("n"))
+        .orderBy(F.desc("n"), F.asc("token"))
+        .limit(10)
     )
+
+
+ORACLE_TEXT_TOPK_APPROX = r"""
+select token, count(*) as n
+from (select unnest(string_split_regex(trim(lower(text)), '\s+')) as token
+      from documents)
+where token <> ''
+group by token
+order by n desc, token asc
+limit 10
+"""
 
 
 def q_sample_hash(spark, sf_dir):
@@ -1216,10 +1238,48 @@ from documents
 
 
 def q_multimodal_features(spark, sf_dir):
-    """mapInPandas stub-decode kernel (rows-only: fake decode)."""
+    """mapInPandas feature extraction over binary payloads. Upgraded
+    rows-only → hash-oracle (r13): the deterministic stub kernel is
+    exact integer arithmetic (mean of the first 1024 payload bytes,
+    then /255.0 — two IEEE divisions of exact integers), and the
+    payload is the UTF-8 encoding of the fixture text, so DuckDB can
+    replay the whole thing byte-for-byte from the parquet. The oracle
+    now checks the ENTIRE Arrow mapInPandas plumbing (batching,
+    struct metadata access, schema) end-to-end; only the decode
+    KERNEL remains a stand-in for a real codec (the pluggable-decoder
+    seam, test_extract_features_pluggable_decoder)."""
     from drill_spark.ops.multimodal import attach_payload, extract_features
 
     return extract_features(attach_payload(_docs(spark, sf_dir).where(F.col("doc_id") < 100)))
+
+
+# feat_mean replay: sum of the first min(1024, len) UTF-8 bytes over
+# max(n, 1), then / 255.0 — same division order as the kernel so the
+# doubles are bit-identical; the kernel's round-to-6 equals the
+# comparator's float normalization, so the oracle emits the raw
+# value. DuckDB's substring cannot index a BLOB, so bytes come from
+# unicode() over chars — byte-exact because the doc_id < 100 slice is
+# pure ASCII (max codepoint 121, verified); octet_length(encode())
+# still measures true UTF-8 bytes for n_bytes.
+ORACLE_MULTIMODAL_FEATURES = """
+with b as (
+  select doc_id, text, octet_length(encode(text)) as nb
+  from documents where doc_id < 100
+),
+bytes as (
+  select doc_id, unicode(substring(text, s.i, 1)) as v
+  from b
+  cross join lateral (
+    select unnest(range(1, least(len(text), 1024) + 1)) as i) s
+),
+agg as (select doc_id, sum(v) as sm, count(*) as n from bytes group by 1)
+select b.doc_id, 'text/plain' as kind,
+       cast(b.nb as bigint) as n_bytes,
+       cast(coalesce(a.sm, 0) as double)
+         / greatest(coalesce(a.n, 0), 1) / 255.0 as feat_mean,
+       cast(8 as int) as feat_dim
+from b left join agg a using (doc_id)
+"""
 
 
 def q_multimodal_probe(spark, sf_dir):
@@ -7457,6 +7517,8 @@ ORACLES = {
     "ext_lang_id": _oracle_lang_id(),
     "ext_lang_mixture": _oracle_lang_mixture(),
     "ext_text_fingerprint": ORACLE_TEXT_FINGERPRINT,
+    "ext_text_topk_approx": ORACLE_TEXT_TOPK_APPROX,
+    "ext_multimodal_features": ORACLE_MULTIMODAL_FEATURES,
     "ext_multimodal_meta": ORACLE_MULTIMODAL_META,
     "ext_multimodal_probe": ORACLE_MULTIMODAL_PROBE,
     "ext_multimodal_decode": ORACLE_MULTIMODAL_DECODE,

@@ -931,14 +931,32 @@ order by o_orderstatus
 select hll_sketch_estimate(hll_sketch_agg(o_custkey)) as est_custkeys
 from orders
 """,
-    "op_agg_approx_percentile": """
+}
+
+# approx_percentile upgraded rows-only -> hash-oracle (r13): Spark's
+# GK summary keeps EVERY sample while n <= accuracy, so with accuracy
+# 100k the sf0.01 groups (~20-30k rows) are answered EXACTLY, and the
+# exact-mode rank convention was measured identical to DuckDB's
+# quantile_disc (incl. even counts and repeated values). The oracle
+# checks the sketch path in its exact regime — the approximate regime
+# (n > accuracy, reached at sf1 in the soak) stays bounded by the
+# pytest error-band test. quantile_disc returns DECIMAL for int
+# input; cast to double so the hash normalizer sees matching types.
+_q("op_agg_approx_percentile", """
 select l_returnflag,
-       approx_percentile(l_quantity, 0.5, 1000) as approx_med
+       approx_percentile(l_quantity, 0.5, 100000) as approx_med,
+       approx_percentile(l_quantity, array(0.25, 0.9), 100000) as approx_qs
 from lineitem
 group by l_returnflag
 order by l_returnflag
-""",
-}
+""", """
+select l_returnflag,
+       cast(quantile_disc(l_quantity, 0.5) as double) as approx_med,
+       cast(quantile_disc(l_quantity, [0.25, 0.9]) as double[]) as approx_qs
+from lineitem
+group by l_returnflag
+order by l_returnflag
+""")
 
 
 def make_query_fn(sql: str):
