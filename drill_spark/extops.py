@@ -1220,6 +1220,135 @@ from gated where total >= 1
 """
 
 
+
+
+def q_source_diversity(spark, sf_dir):
+    """Across-document n-gram diversity per source (ops/text.py::
+    source_diversity): distinct/total/singleton trigram counts and
+    ratios — the mode-collapse / template-farm detector that
+    complements the WITHIN-doc Gopher repetition table. One
+    fixed-width (source, gram-hash) partial aggregate + a bounded
+    per-source rollup; the oracle reproduces the md5 gram keys and
+    the floor-6 ratios exactly."""
+    from drill_spark.ops.text import source_diversity
+
+    return source_diversity(_docs(spark, sf_dir), "source")
+
+
+ORACLE_SOURCE_DIVERSITY = r"""
+with docw as (
+  select source,
+         list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                     w -> w <> '') as ws
+  from documents
+),
+grams as (
+  select source,
+         substring(md5(array_to_string(list_slice(ws, s.i, s.i + 2),
+                                       ' ')), 1, 16) as g
+  from docw
+  cross join lateral (
+    select unnest(range(1, greatest(len(ws) - 2, 0) + 1)) as i) s
+),
+counts as (select source, g, count(*) as c from grams group by all)
+select source, cast(count(*) as bigint) as distinct_ngrams,
+       cast(sum(c) as bigint) as total_ngrams,
+       cast(sum(case when c = 1 then 1 else 0 end) as bigint)
+         as singleton_ngrams,
+       floor(cast(count(*) as double) * 1000000 / sum(c)) / 1000000
+         as distinct_ratio,
+       floor(cast(sum(case when c = 1 then 1 else 0 end) as double)
+             * 1000000 / sum(c)) / 1000000 as singleton_ratio
+from counts group by source
+"""
+
+
+def q_readability(spark, sf_dir):
+    """Flesch reading-ease + Flesch-Kincaid grade per document
+    (ops/text.py::readability) — exact integer word/sentence/syllable
+    counts, fixed-shape double score expressions floored to 4
+    decimals, NULL for wordless docs. Zero shuffles."""
+    from drill_spark.ops.text import readability
+
+    return readability(_docs(spark, sf_dir))
+
+
+ORACLE_READABILITY = r"""
+with w as (
+  select doc_id, text, lower(text) as lt,
+         list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                     x -> x <> '') as ws
+  from documents
+),
+c as (
+  select doc_id,
+         cast(len(ws) as bigint) as n_words,
+         cast(greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+              as bigint) as n_sentences,
+         cast(len(regexp_extract_all(lt, '[aeiouy]+'))
+              + len(list_filter(ws,
+                                x -> not regexp_matches(x, '[aeiouy]')))
+              as bigint) as n_syllables
+  from w
+)
+select doc_id, n_words, n_sentences, n_syllables,
+       case when n_words > 0 then
+         floor((cast(206.835 as double)
+                - cast(1.015 as double)
+                  * (cast(n_words as double) / n_sentences)
+                - cast(84.6 as double)
+                  * (cast(n_syllables as double) / n_words)) * 10000)
+           / 10000 end as reading_ease,
+       case when n_words > 0 then
+         floor((cast(0.39 as double)
+                  * (cast(n_words as double) / n_sentences)
+                + cast(11.8 as double)
+                  * (cast(n_syllables as double) / n_words)
+                - cast(15.59 as double)) * 10000) / 10000 end as fk_grade
+from c
+"""
+
+
+def q_token_fertility(spark, sf_dir):
+    """Tokenizer fertility by PREDICTED language (ops/bpe.py::
+    token_fertility over ops/langid.py::classify_lang): subwords per
+    word and bytes per token under the fixed BPE vocabulary, the
+    XLM-R-style tokenizer-fairness table. The BPE count is one
+    Arrow-batched pass; the LID is per-row bound-lambda Catalyst; the
+    aggregate is one map-combined groupBy over the bounded language
+    space. The oracle replays the BPE merge loop per distinct word
+    (recursive CTE), the rank-order LID, and the floor-6 ratios."""
+    from drill_spark.ops.bpe import token_fertility
+    from drill_spark.ops.langid import classify_lang
+
+    return token_fertility(classify_lang(_docs(spark, sf_dir)),
+                           "pred_lang")
+
+
+def _oracle_token_fertility() -> str:
+    return "with recursive " + _bpe_wtok_sql() + ", " + _lang_pred_sql() + r""",
+fert_base as (
+  select dw.doc_id, p.pred_lang, len(dw.ws) as n_words, dt.n_tokens,
+         octet_length(encode(d.text)) as n_bytes
+  from doc_words dw
+  join doc_tok dt using (doc_id)
+  join lid_pred p using (doc_id)
+  join documents d using (doc_id)
+)
+select pred_lang, cast(count(*) as bigint) as n_docs,
+       cast(sum(n_words) as bigint) as n_words,
+       cast(sum(n_tokens) as bigint) as n_tokens,
+       cast(sum(n_bytes) as bigint) as n_bytes,
+       case when sum(n_words) > 0 then
+         floor(cast(sum(n_tokens) as double) * 1000000 / sum(n_words))
+           / 1000000 end as fertility,
+       case when sum(n_tokens) > 0 then
+         floor(cast(sum(n_bytes) as double) * 1000000 / sum(n_tokens))
+           / 1000000 end as bytes_per_token
+from fert_base group by pred_lang
+"""
+
+
 # ------------------------------------------------------------ multimodal
 
 
@@ -7352,6 +7481,9 @@ QUERIES = {
     "ext_text_langid": q_text_langid,
     "ext_lang_id": q_lang_id,
     "ext_lang_mixture": q_lang_mixture,
+    "ext_source_diversity": q_source_diversity,
+    "ext_readability": q_readability,
+    "ext_token_fertility": q_token_fertility,
     "ext_text_fingerprint": q_text_fingerprint,
     "ext_multimodal_meta": q_multimodal_meta,
     "ext_multimodal_features": q_multimodal_features,
@@ -7516,6 +7648,9 @@ ORACLES = {
     "ext_text_langid": ORACLE_TEXT_LANGID,
     "ext_lang_id": _oracle_lang_id(),
     "ext_lang_mixture": _oracle_lang_mixture(),
+    "ext_source_diversity": ORACLE_SOURCE_DIVERSITY,
+    "ext_readability": ORACLE_READABILITY,
+    "ext_token_fertility": _oracle_token_fertility(),
     "ext_text_fingerprint": ORACLE_TEXT_FINGERPRINT,
     "ext_text_topk_approx": ORACLE_TEXT_TOPK_APPROX,
     "ext_multimodal_features": ORACLE_MULTIMODAL_FEATURES,

@@ -195,3 +195,53 @@ def corpus_bpe_stats(spark: SparkSession, df: DataFrame,
     merges (driver, bounded) -> per-doc token stats (distributed)."""
     merges = train_bpe(word_frequencies(df, text_col, max_words), n_merges)
     return bpe_token_stats(df, merges, id_col, text_col)
+
+
+def token_fertility(df: DataFrame, group_col: str,
+                    text_col: str = "text",
+                    merges: list[tuple[str, str]] | None = None
+                    ) -> DataFrame:
+    """Tokenizer fertility by group — the per-language tokenizer-
+    fairness table (XLM-R, Conneau et al. 2020 report fertility =
+    subwords per word; bytes per token is its byte-level twin): a
+    language whose words fragment into many subwords pays more
+    sequence length for the same content, which skews both training
+    mixes and serving cost. Feed ``group_col`` from
+    ops/langid.classify_lang so the table reflects PREDICTED language,
+    not trusted metadata.
+
+    Returns (group, n_docs, n_words, n_tokens, n_bytes, fertility
+    tokens/word, bytes_per_token), ratios floored to 6 decimals, NULL
+    on empty denominators.
+
+    Scale shape: the BPE count is the one Arrow-batched pass
+    (bpe_count_column, merge ranks broadcast in the closure); words
+    and bytes are codegen; the aggregate is ONE map-combined groupBy
+    over the bounded language key space. The whitespace word count
+    uses the same split convention as the BPE kernel, so
+    fertility >= 1 is a structural invariant."""
+    toks = bpe_count_column(text_col, merges or FIXED_MERGES_V1)
+    words = F.size(
+        F.filter(F.split(F.trim(F.lower(F.col(text_col))), r"\s+"),
+                 lambda w: w != "")
+    ).cast("long")
+    nbytes = F.octet_length(F.col(text_col)).cast("long")
+    agg = df.groupBy(group_col).agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(words).alias("n_words"),
+        F.sum(toks).alias("n_tokens"),
+        F.sum(nbytes).alias("n_bytes"),
+    )
+    return agg.select(
+        group_col, "n_docs", "n_words", "n_tokens", "n_bytes",
+        F.when(
+            F.col("n_words") > 0,
+            F.floor(F.col("n_tokens").cast("double") * 1000000
+                    / F.col("n_words")) / 1000000,
+        ).alias("fertility"),
+        F.when(
+            F.col("n_tokens") > 0,
+            F.floor(F.col("n_bytes").cast("double") * 1000000
+                    / F.col("n_tokens")) / 1000000,
+        ).alias("bytes_per_token"),
+    )

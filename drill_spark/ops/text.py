@@ -408,6 +408,114 @@ def corpus_report(df: DataFrame, id_col: str = "doc_id",
     )
 
 
+def source_diversity(df: DataFrame, group_col: str = "source",
+                     text_col: str = "text", n: int = 3) -> DataFrame:
+    """Corpus-level n-gram diversity per source — the distinct-n
+    signal (Li et al. 2016 "A Diversity-Promoting Objective") applied
+    at the SOURCE level: a source whose documents keep re-emitting the
+    same n-grams (mode-collapsed synthetic text, template farms,
+    boilerplate mirrors) shows a low distinct/total ratio and a low
+    singleton share even when every individual document passes the
+    per-doc repetition gates (Gopher's table is within-doc; this is
+    the across-doc complement).
+
+    Returns (group, distinct_ngrams, total_ngrams, singleton_ngrams,
+    distinct_ratio, singleton_ratio), ratios floored to 6 decimals.
+
+    Scale shape: explode word n-grams hashed to fixed-width 16-hex
+    keys (shuffle width independent of n), ONE (group, gram) partial
+    aggregate, then a bounded per-group rollup. Counting distinct
+    HASHES not strings is the documented contract (md5 collisions are
+    negligible and the oracle reproduces the exact same keys). The
+    gram array is lambda-bound (hofutil.bind_once), so no plan rewrite
+    can inline the tokenizer into the per-position slice."""
+    from drill_spark.ops.hofutil import bind_once
+
+    w = F.filter(tokens(F.col(text_col)), lambda t: t != "")
+    grams = bind_once(w, lambda wv: F.when(
+        F.size(wv) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(wv) - (n - 1)),
+            lambda i: F.substring(
+                F.md5(F.concat_ws(" ", F.slice(wv, i, n))), 1, 16),
+        ),
+    ).otherwise(F.array().cast("array<string>")))
+    counts = (
+        df.select(F.col(group_col), F.explode(grams).alias("__g"))
+        .groupBy(group_col, "__g")
+        .agg(F.count("*").alias("__c"))
+    )
+    return (
+        counts.groupBy(group_col)
+        .agg(
+            F.count("*").cast("long").alias("distinct_ngrams"),
+            F.sum("__c").cast("long").alias("total_ngrams"),
+            F.sum(F.when(F.col("__c") == 1, 1).otherwise(0))
+            .cast("long").alias("singleton_ngrams"),
+        )
+        .select(
+            group_col, "distinct_ngrams", "total_ngrams",
+            "singleton_ngrams",
+            (F.floor(F.col("distinct_ngrams").cast("double") * 1000000
+                     / F.col("total_ngrams")) / 1000000)
+            .alias("distinct_ratio"),
+            (F.floor(F.col("singleton_ngrams").cast("double") * 1000000
+                     / F.col("total_ngrams")) / 1000000)
+            .alias("singleton_ratio"),
+        )
+    )
+
+
+# Vowel-group runs stand in for syllables (the classic heuristic —
+# exact syllabification needs a dictionary); a word with no vowel
+# group still counts one syllable, per the standard implementation.
+_VOWEL_RUN_RE = "[aeiouy]+"
+_SENTENCE_RE = "[.!?]+"
+
+
+def readability(df: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """Flesch reading-ease + Flesch-Kincaid grade per document
+    (Kincaid et al. 1975) — the fluency gate education-quality filters
+    use alongside the stopword/punctuation heuristics.
+
+    Counting is exact and engine-portable: words = nonempty
+    whitespace tokens; sentences = max(1, terminal-punctuation runs);
+    syllables = vowel-group runs over the whole lowercased text (a
+    run never spans whitespace, so the text-level count equals the
+    per-word sum) plus one per vowel-less word (the max(1, .) clause
+    of the classic heuristic). The two scores are fixed-shape double
+    expressions of those integers — identical IEEE results in any
+    engine — floored to 4 decimals; NULL when a document has no
+    words. Zero shuffles; one codegen pass."""
+    lw = F.lower(F.col(text_col))
+    words = F.filter(F.split(F.trim(lw), r"\s+"), lambda t: t != "")
+    n_w = F.size(words).cast("long")
+    n_s = F.greatest(
+        F.size(F.regexp_extract_all(F.col(text_col),
+                                    F.lit(_SENTENCE_RE), 0)),
+        F.lit(1),
+    ).cast("long")
+    n_y = (
+        F.size(F.regexp_extract_all(lw, F.lit(_VOWEL_RUN_RE), 0))
+        + F.size(F.filter(words, lambda t: ~t.rlike(_VOWEL_RUN_RE)))
+    ).cast("long")
+    wps = n_w.cast("double") / n_s
+    ypw = n_y.cast("double") / n_w
+    ease = F.lit(206.835) - F.lit(1.015) * wps - F.lit(84.6) * ypw
+    grade = F.lit(0.39) * wps + F.lit(11.8) * ypw - F.lit(15.59)
+    return df.select(
+        F.col(id_col),
+        n_w.alias("n_words"),
+        n_s.alias("n_sentences"),
+        n_y.alias("n_syllables"),
+        F.when(n_w > 0, F.floor(ease * 10000) / 10000)
+        .alias("reading_ease"),
+        F.when(n_w > 0, F.floor(grade * 10000) / 10000)
+        .alias("fk_grade"),
+    )
+
+
 # Terminal punctuation accepted by the C4 line rule (Raffel et al. 2020
 # §2.2: period, exclamation mark, question mark, end quotation mark).
 _C4_TERMINAL_RE = r'[.!?"]$'

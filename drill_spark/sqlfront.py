@@ -933,6 +933,29 @@ def _pipeline_table(session, op: str, opts: dict[str, str]) -> DataFrame:
             k=int(o.get("k", "10")),
             ascending=o.get("ascending", "false").lower() == "true",
             salt=int(o.get("salt", "16")))
+    if name == "classify_lang":
+        from drill_spark.ops.langid import classify_lang
+
+        return classify_lang(
+            inp(), o.get("text", "text"),
+            out_col=o.get("out", "pred_lang"),
+            keep_distance=o.get("distance", "false").lower() == "true")
+    if name == "token_fertility":
+        from drill_spark.ops.bpe import token_fertility
+
+        return token_fertility(inp(), req("group"),
+                               text_col=o.get("text", "text"))
+    if name == "source_diversity":
+        from drill_spark.ops.text import source_diversity
+
+        return source_diversity(inp(), o.get("group", "source"),
+                                text_col=o.get("text", "text"),
+                                n=int(o.get("n", "3")))
+    if name == "readability":
+        from drill_spark.ops.text import readability
+
+        return readability(inp(), o.get("id", "doc_id"),
+                           o.get("text", "text"))
     raise ValueError(
         f"unknown pipeline table function `{name}` — available: bm25, bm25_batch, "
         "tfidf_keywords, hybrid_search, fuzzy_join, dedup_exact, "
@@ -948,7 +971,8 @@ def _pipeline_table(session, op: str, opts: dict[str, str]) -> DataFrame:
         "setsim_join, containment_join, setsim_tables, substr_dedup, "
         "substr_spans, substr_decontaminate, substr_contam_report, "
         "chunk_tokens, gopher_repetition, curation_audit, quality_auc, "
-        "calibration_bins, brier_score, stratified_weighted_sample")
+        "calibration_bins, brier_score, stratified_weighted_sample, "
+        "classify_lang, token_fertility, source_diversity, readability")
 
 
 def _read_path(session, ws_name: str, rel_path: str, options: dict[str, str] | None = None) -> DataFrame:

@@ -1580,3 +1580,47 @@ def test_pipeline_table_function_r12_faces(dsession):
         dsession.sql("select * from r12_weighted"),
         "doc_id", "w", k=5, strata_col="lang").collect()
     assert sorted(map(tuple, got_s)) == sorted(map(tuple, lib_s)) and got_s
+
+
+def test_pipeline_table_function_r13_faces(dsession):
+    """SQL faces for the r13 operators: classify_lang,
+    token_fertility, source_diversity, readability — each must equal
+    its library twin on the same input."""
+    from drill_spark.ops.bpe import token_fertility
+    from drill_spark.ops.langid import classify_lang
+    from drill_spark.ops.text import readability, source_diversity
+
+    dsession.register_fixture_tables("/root/testdata/sf0.001")
+    dsession.sql("create or replace view r13_docs as "
+                 "select doc_id, text, source from documents "
+                 "where doc_id < 60")
+    docs = dsession.sql("select * from r13_docs")
+
+    got = dsession.sql(
+        "select * from table(pipeline.`classify_lang`("
+        "input => 'r13_docs', distance => 'true'))").collect()
+    lib = classify_lang(docs, keep_distance=True).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, lib)) and got
+
+    got = dsession.sql(
+        "select * from table(pipeline.`source_diversity`("
+        "input => 'r13_docs', n => '2'))").collect()
+    lib = source_diversity(docs, "source", n=2).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, lib)) and got
+
+    got = dsession.sql(
+        "select * from table(pipeline.`readability`("
+        "input => 'r13_docs'))").collect()
+    lib = readability(docs).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, lib)) and got
+
+    dsession.sql("create or replace view r13_lang as "
+                 "select doc_id, text, "
+                 "case when doc_id % 2 = 0 then 'a' else 'b' end as grp "
+                 "from r13_docs")
+    got = dsession.sql(
+        "select * from table(pipeline.`token_fertility`("
+        "input => 'r13_lang', group => 'grp'))").collect()
+    lib = token_fertility(dsession.sql("select * from r13_lang"),
+                          "grp").collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, lib)) and got

@@ -338,3 +338,75 @@ def test_robots_filter_keeps_duplicate_urls(spark):
     assert sorted(r.capture for r in rows) == ["cap1", "cap2", "cap3"]
     by_cap = {r.capture: r.allowed for r in rows}
     assert by_cap == {"cap1": False, "cap2": False, "cap3": True}
+
+
+def test_readability_hand_computed(spark):
+    from drill_spark.ops.text import readability
+
+    # "the cat sat. a dry gym!" -> words 6, sentences 2,
+    # syllables: vowel runs the(1) cat(1) sat(1) a(1) dry(1: 'y')
+    # gym(1: 'y') = 6; no vowel-less words
+    df = spark.createDataFrame(
+        [(1, "the cat sat. a dry gym!"),
+         (2, ""),                      # wordless -> NULL scores
+         (3, "zzz shh."),              # two vowel-less words -> 2 syl
+         (4, "no terminal punctuation here")],
+        "doc_id int, text string")
+    rows = {r["doc_id"]: r for r in readability(df).collect()}
+    r1 = rows[1]
+    assert (r1["n_words"], r1["n_sentences"], r1["n_syllables"]) == (6, 2, 6)
+    import math
+    wps, ypw = 6 / 2, 6 / 6
+    assert r1["reading_ease"] == math.floor(
+        (206.835 - 1.015 * wps - 84.6 * ypw) * 10000) / 10000
+    assert r1["fk_grade"] == math.floor(
+        (0.39 * wps + 11.8 * ypw - 15.59) * 10000) / 10000
+    assert rows[2]["reading_ease"] is None and rows[2]["fk_grade"] is None
+    assert rows[3]["n_syllables"] == 2          # max(1,.) per word
+    assert rows[4]["n_sentences"] == 1          # clamped to 1
+
+
+def test_source_diversity_detects_collapse(spark):
+    from drill_spark.ops.text import source_diversity
+
+    # 'fresh' emits all-distinct trigrams; 'loop' repeats one document
+    # verbatim — its across-doc diversity collapses even though each
+    # individual doc is internally non-repetitive
+    fresh = [(i, "fresh", f"alpha{i} beta{i} gamma{i} delta{i} eps{i}")
+             for i in range(10)]
+    loop = [(100 + i, "loop", "alpha beta gamma delta epsilon")
+            for i in range(10)]
+    df = spark.createDataFrame(fresh + loop,
+                               "doc_id int, source string, text string")
+    got = {r["source"]: r for r in source_diversity(df, "source").collect()}
+    assert got["fresh"]["distinct_ratio"] == 1.0
+    assert got["fresh"]["singleton_ratio"] == 1.0
+    assert got["loop"]["distinct_ngrams"] == 3      # one doc's trigrams
+    assert got["loop"]["total_ngrams"] == 30
+    assert got["loop"]["distinct_ratio"] == 0.1
+    assert got["loop"]["singleton_ngrams"] == 0
+    # short docs (< n words) contribute nothing, not an error
+    tiny = spark.createDataFrame([(1, "s", "one two")],
+                                 "doc_id int, source string, text string")
+    assert source_diversity(tiny, "source").collect() == []
+
+
+def test_token_fertility_invariants(spark):
+    from drill_spark.ops.bpe import token_fertility
+
+    df = spark.createDataFrame(
+        [(1, "a", "the river rose over the old stone bridge"),
+         (2, "a", "water keeps falling on the quiet street"),
+         (3, "b", "zz qq xx"),
+         (4, "c", "")],
+        "doc_id int, grp string, text string")
+    got = {r["grp"]: r for r in token_fertility(df, "grp").collect()}
+    # fertility >= 1: every word is at least one token under any vocab
+    for g in ("a", "b"):
+        assert got[g]["fertility"] >= 1.0, g
+        assert got[g]["n_tokens"] >= got[g]["n_words"]
+        assert got[g]["bytes_per_token"] > 0
+    # empty-text group: zero denominators -> NULL ratios, zero sums
+    assert got["c"]["n_words"] == 0 and got["c"]["n_tokens"] == 0
+    assert got["c"]["fertility"] is None
+    assert got["c"]["bytes_per_token"] is None
