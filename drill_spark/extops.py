@@ -6975,6 +6975,86 @@ from (select b, pos, neg,
             + "union all" + one(1, "1 = 1"))
 
 
+
+
+def q_stream_lang_mix(spark, sf_dir):
+    """Streaming language-mix drift monitor (streaming/events.py::
+    stream_lang_mix): even-id docs arrive as micro-batch 0, odd-id as
+    micro-batch 1; each batch classifies with the rank-order LID,
+    folds per-language counts into a persistent store, and emits the
+    RUNNING per-language share + integer-ppm L1 drift from a target
+    baseline exactly-once. Batch 0's rows are the evens-only mix,
+    batch 1's the full mix — both replayed closed-form by the
+    oracle (including the unobserved-language drift contribution)."""
+    import os
+    import tempfile
+
+    from drill_spark.readers.delta import read_delta
+    from drill_spark.streaming.events import stream_lang_mix
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+
+    def build(src):
+        _write_two_batch_source(
+            src,
+            docs.where(F.col("doc_id") % 2 == 0),
+            docs.where(F.col("doc_id") % 2 == 1),
+        )
+
+    src = _materialize_once(sf_dir, "slmix_src", build)
+    base = tempfile.mkdtemp(prefix="slmix_")
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    q = stream_lang_mix(
+        stream, os.path.join(base, "store"), os.path.join(base, "out"),
+        os.path.join(base, "ckpt"),
+        baseline=_LANG_MIX_BASELINE,
+    )
+    q.awaitTermination()
+    return read_delta(spark, os.path.join(base, "out"))
+
+
+_LANG_MIX_BASELINE = {"en": 0.5, "de": 0.2, "es": 0.1, "fr": 0.05,
+                      "it": 0.1, "pt": 0.05}
+
+
+def _oracle_stream_lang_mix() -> str:
+    base_vals = ", ".join(
+        f"('{lang}', {int(round(w * 1_000_000))})"
+        for lang, w in sorted(_LANG_MIX_BASELINE.items()))
+
+    def one(bid: int, pred: str) -> str:
+        return f"""
+b{bid} as (select pred_lang, count(*) as n from lid_pred
+           where {pred} group by 1),
+m{bid} as (
+  select pred_lang,
+         cast(coalesce(b.n, 0) as bigint) as n_docs,
+         cast(floor(coalesce(b.n, 0) * 1000000 / t.t) as bigint)
+           as share_ppm,
+         coalesce(base.base_ppm, 0) as base_ppm
+  from b{bid} b
+  full outer join base using (pred_lang)
+  cross join (select sum(n) as t from b{bid}) t
+),
+r{bid} as (
+  select cast({bid} as int) as batch_id, pred_lang, n_docs,
+         share_ppm / cast(1000000 as double) as share,
+         (select sum(abs(share_ppm - base_ppm)) from m{bid})
+           / cast(1000000 as double) as l1_drift
+  from m{bid}
+)"""
+
+    return ("with " + _lang_pred_sql()
+            + ", base(pred_lang, base_ppm) as (values " + base_vals + ")"
+            + ","
+            + one(0, "doc_id % 2 = 0")
+            + "," + one(1, "1 = 1")
+            + "\nselect * from r0 union all select * from r1")
+
+
 def q_curation_audit(spark, sf_dir):
     """Drop ledger for the curation flagship (ops/pipeline.py::
     curation_audit): one row per INPUT document with its fate — the
@@ -7484,6 +7564,7 @@ QUERIES = {
     "ext_source_diversity": q_source_diversity,
     "ext_readability": q_readability,
     "ext_token_fertility": q_token_fertility,
+    "ext_stream_lang_mix": q_stream_lang_mix,
     "ext_text_fingerprint": q_text_fingerprint,
     "ext_multimodal_meta": q_multimodal_meta,
     "ext_multimodal_features": q_multimodal_features,
@@ -7651,6 +7732,7 @@ ORACLES = {
     "ext_source_diversity": ORACLE_SOURCE_DIVERSITY,
     "ext_readability": ORACLE_READABILITY,
     "ext_token_fertility": _oracle_token_fertility(),
+    "ext_stream_lang_mix": _oracle_stream_lang_mix(),
     "ext_text_fingerprint": ORACLE_TEXT_FINGERPRINT,
     "ext_text_topk_approx": ORACLE_TEXT_TOPK_APPROX,
     "ext_multimodal_features": ORACLE_MULTIMODAL_FEATURES,

@@ -568,6 +568,112 @@ def stream_quality_auc(
     )
 
 
+def stream_lang_mix(
+    docs_stream: DataFrame,
+    store_path: str,
+    out_path: str,
+    checkpoint_dir: str,
+    baseline: dict[str, float],
+    text_col: str = "text",
+    app_id: str = "drill_spark_stream_langmix",
+    trigger: dict | None = None,
+):
+    """Streaming language-mix drift monitoring — the
+    continuously-arriving twin of ops/langid.classify_lang feeding a
+    mixture dashboard: every micro-batch classifies its documents
+    with the rank-order n-gram LID and folds per-language document
+    counts (the mix's sufficient statistic — counts are exactly
+    associative) into a persistent store; the RUNNING per-language
+    share and the L1 distance of the running mix from a target
+    ``baseline`` land in ``out_path`` exactly-once per micro-batch.
+    This is how an ingest pipeline notices its language balance
+    drifting (a crawl source going dark, a spam flood in one
+    language) without ever rescanning history.
+
+    All drift arithmetic is integer ppm: share = floor(n * 10^6 /
+    total), baseline weights are frozen to ppm at wiring time, and
+    l1_drift sums |share_ppm - base_ppm| over the UNION of observed
+    and baseline languages (an unobserved baseline language
+    contributes its full target weight — silence is drift). Output
+    rows: (batch_id, pred_lang, n_docs, share, l1_drift), one per
+    union language, l1_drift repeated per batch.
+
+    Store: (pred_lang, n, batch_id) — bounded by the language space
+    regardless of stream volume. Two-log txn contract (store +
+    output) like every ingest twin here.
+    """
+    from pyspark.sql import functions as F
+
+    from drill_spark.ops.langid import classify_lang
+    from drill_spark.readers.delta import load_snapshot, read_delta, write_delta
+
+    base_ppm = [(lang, int(round(w * 1_000_000)))
+                for lang, w in sorted(baseline.items())]
+
+    def _commit(batch_df: DataFrame, epoch_id: int) -> None:
+        import os as _os
+
+        spark = batch_df.sparkSession
+        bid = _STREAM_EPOCH_BASE + epoch_id
+        g = (
+            classify_lang(batch_df, text_col)
+            .groupBy("pred_lang")
+            .agg(F.count("*").cast("long").alias("n"))
+            .withColumn("batch_id", F.lit(int(bid)))
+        )
+        store_app = f"{app_id}.store"
+        exists = _os.path.isdir(_os.path.join(store_path, "_delta_log"))
+        replay = False
+        if exists:
+            last = load_snapshot(spark, store_path).txns.get(store_app, -1)
+            replay = bid <= last
+        if not replay:
+            write_delta(g, store_path,
+                        mode="append" if exists else "error",
+                        txn=(store_app, int(bid)))
+        merged = (read_delta(spark, store_path)
+                  .where(F.col("batch_id") <= int(bid))
+                  .groupBy("pred_lang")
+                  .agg(F.sum("n").cast("long").alias("n_docs")))
+        base = spark.createDataFrame(base_ppm,
+                                     "pred_lang string, base_ppm long")
+        total = merged.agg(F.sum("n_docs").alias("__t"))
+        mix = (
+            merged.join(base, "pred_lang", "full_outer")
+            .crossJoin(F.broadcast(total))
+            .select(
+                "pred_lang",
+                F.coalesce(F.col("n_docs"), F.lit(0)).alias("n_docs"),
+                F.floor(
+                    F.coalesce(F.col("n_docs"), F.lit(0))
+                    * 1000000 / F.col("__t")
+                ).cast("long").alias("share_ppm"),
+                F.coalesce(F.col("base_ppm"), F.lit(0)).alias("base_ppm"),
+            )
+        )
+        drift = mix.agg(
+            F.sum(F.abs(F.col("share_ppm") - F.col("base_ppm")))
+            .alias("__d"))
+        row = (
+            mix.crossJoin(F.broadcast(drift))
+            .select(
+                F.lit(int(epoch_id)).alias("batch_id"),
+                "pred_lang",
+                "n_docs",
+                (F.col("share_ppm") / 1000000.0).alias("share"),
+                (F.col("__d") / 1000000.0).alias("l1_drift"),
+            )
+        )
+        commit_batch_idempotent(row, out_path, app_id, epoch_id)
+
+    return (
+        docs_stream.writeStream.foreachBatch(_commit)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(**(trigger if trigger is not None else {"availableNow": True}))
+        .start()
+    )
+
+
 def stream_incremental_setsim(
     docs_stream: DataFrame,
     store_path: str,

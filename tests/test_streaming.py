@@ -677,3 +677,68 @@ def test_stream_quality_auc_single_class_first_batch(spark, tmp_path):
            read_delta(spark, str(tmp_path / "out")).collect()}
     assert out[0] == (10, 0, None)         # undefined, surfaced as NULL
     assert out[1] == (10, 10, 1.0)         # perfectly separated prefix
+
+
+def test_stream_lang_mix_drift_and_replay(spark, tmp_path):
+    """Streaming language-mix monitor: batch 0 is English-heavy,
+    batch 1 adds German so the running mix moves toward the baseline
+    and the integer-ppm L1 drift DROPS; an unobserved baseline
+    language contributes its full target weight (silence is drift).
+    Full replay with a fresh checkpoint neither grows the store nor
+    duplicates the output."""
+    import os
+
+    from drill_spark.readers.delta import read_delta
+    from drill_spark.streaming.events import stream_lang_mix
+
+    en = ("the children watched the river rise over the old stone "
+          "bridge while their mother called them back inside")
+    de = ("die kinder sahen zu wie der fluss ueber die alte steinerne "
+          "bruecke stieg waehrend ihre mutter sie zurueck ins haus rief")
+    src = str(tmp_path / "src")
+    rows0 = [(i, en + f" tail {i}") for i in range(4)]
+    rows1 = [(10 + i, de + f" anhang {i}") for i in range(4)]
+    spark.createDataFrame(rows0, "doc_id bigint, text string").coalesce(
+        1).write.parquet(src)
+    spark.createDataFrame(rows1, "doc_id bigint, text string").coalesce(
+        1).write.mode("append").parquet(src)
+    parts = sorted(
+        (os.path.join(src, f) for f in os.listdir(src)
+         if f.endswith(".parquet")),
+        key=os.path.getmtime,
+    )
+    for i, p in enumerate(parts):
+        os.utime(p, (1_600_000_000 + i * 60,) * 2)
+
+    baseline = {"en": 0.5, "de": 0.5}
+
+    def run(ckpt):
+        stream = (
+            spark.readStream.schema("doc_id bigint, text string")
+            .option("maxFilesPerTrigger", 1).parquet(src)
+        )
+        q = stream_lang_mix(
+            stream, str(tmp_path / "store"), str(tmp_path / "out"),
+            ckpt, baseline=baseline)
+        q.awaitTermination()
+
+    run(str(tmp_path / "ckpt1"))
+    out = read_delta(spark, str(tmp_path / "out")).collect()
+    by_batch = {}
+    for r in out:
+        by_batch.setdefault(r.batch_id, {})[r.pred_lang] = r
+    # batch 0: all-en mix -> share en = 1.0, de row present with 0
+    b0 = by_batch[0]
+    assert b0["en"].share == 1.0 and b0["en"].n_docs == 4
+    assert b0["de"].share == 0.0 and b0["de"].n_docs == 0
+    # drift: |1.0-0.5| + |0-0.5| = 1.0
+    assert b0["en"].l1_drift == 1.0
+    # batch 1: 4 en + 4 de -> both 0.5, drift 0
+    b1 = by_batch[1]
+    assert b1["en"].share == 0.5 and b1["de"].share == 0.5
+    assert b1["en"].l1_drift == 0.0
+    assert b1["en"].l1_drift < b0["en"].l1_drift
+    store_rows = read_delta(spark, str(tmp_path / "store")).count()
+    run(str(tmp_path / "ckpt2"))  # full replay, fresh checkpoint
+    assert len(read_delta(spark, str(tmp_path / "out")).collect()) == len(out)
+    assert read_delta(spark, str(tmp_path / "store")).count() == store_rows
