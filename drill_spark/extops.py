@@ -1349,6 +1349,58 @@ from fert_base group by pred_lang
 """
 
 
+
+
+def q_encoding_qa(spark, sf_dir):
+    """Encoding QA + mojibake repair (ops/text.py::encoding_qa): odd
+    doc_ids get their text double-encoded in-plan (every 'a' becomes
+    the Latin-1 reading of UTF-8 'a-acute'), the operator must count
+    the mojibake pairs and round-trip them back through
+    Latin-1->UTF-8, leaving even docs byte-identical. The oracle
+    rebuilds both the planted input and the expected repaired text
+    closed-form, so the hash covers the full output strings."""
+    from drill_spark.ops.text import encoding_qa
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 2 == 1,
+            F.replace(F.col("text"), F.lit("a"), F.lit("\u00c3\u00a1")),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    return encoding_qa(docs)
+
+
+def _oracle_encoding_qa() -> str:
+    moj = chr(0xC3) + chr(0xA1)        # 'a-acute' read as Latin-1
+    fixed = chr(0xE1)                  # real 'a-acute'
+    return f"""
+with planted as (
+  select doc_id, text as orig,
+         case when doc_id % 2 = 1
+              then replace(text, 'a', '{moj}') else text end as t
+  from documents
+),
+counted as (
+  select doc_id, orig, t,
+         cast(len(regexp_extract_all(
+           t, '[\\x{{C2}}-\\x{{EF}}][\\x{{80}}-\\x{{BF}}]'))
+           as bigint) as n_mojibake
+  from planted
+)
+select doc_id, n_mojibake,
+       cast(len(regexp_extract_all(t, '{chr(0xFFFD)}')) as bigint)
+         as n_replacement,
+       cast(len(regexp_extract_all(
+         t, '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]')) as bigint)
+         as n_control,
+       n_mojibake > 0 as repaired,
+       case when n_mojibake > 0
+            then replace(orig, 'a', '{fixed}') else t end as fixed_text
+from counted
+"""
+
+
 # ------------------------------------------------------------ multimodal
 
 
@@ -7565,6 +7617,7 @@ QUERIES = {
     "ext_readability": q_readability,
     "ext_token_fertility": q_token_fertility,
     "ext_stream_lang_mix": q_stream_lang_mix,
+    "ext_encoding_qa": q_encoding_qa,
     "ext_text_fingerprint": q_text_fingerprint,
     "ext_multimodal_meta": q_multimodal_meta,
     "ext_multimodal_features": q_multimodal_features,
@@ -7733,6 +7786,7 @@ ORACLES = {
     "ext_readability": ORACLE_READABILITY,
     "ext_token_fertility": _oracle_token_fertility(),
     "ext_stream_lang_mix": _oracle_stream_lang_mix(),
+    "ext_encoding_qa": _oracle_encoding_qa(),
     "ext_text_fingerprint": ORACLE_TEXT_FINGERPRINT,
     "ext_text_topk_approx": ORACLE_TEXT_TOPK_APPROX,
     "ext_multimodal_features": ORACLE_MULTIMODAL_FEATURES,

@@ -466,6 +466,67 @@ def source_diversity(df: DataFrame, group_col: str = "source",
     )
 
 
+# Mojibake signature: a UTF-8 multi-byte sequence read as Latin-1
+# shows a lead char U+00C2-U+00EF followed by continuation-range
+# chars U+0080-U+00BF ('Ã¡' for 'a-acute', 'â‚¬'-style triples...).
+# Regexes are built from codepoints so no raw control characters live
+# in this source file.
+_MOJ_PAIR_RE = "[" + chr(0xC2) + "-" + chr(0xEF) + "][" \
+    + chr(0x80) + "-" + chr(0xBF) + "]"
+# The Latin-1 byte image of the text is ENTIRELY valid UTF-8 — the
+# precise repairability condition: every non-ASCII char participates
+# in a well-formed double-encoded sequence, so
+# decode(encode(t, latin1), utf8) cannot raise and cannot corrupt.
+_DOUBLE_UTF8_RE = (
+    "^(?:[" + chr(0x00) + "-" + chr(0x7F) + "]"
+    + "|[" + chr(0xC2) + "-" + chr(0xDF) + "][" + chr(0x80) + "-" + chr(0xBF) + "]"
+    + "|[" + chr(0xE0) + "-" + chr(0xEF) + "][" + chr(0x80) + "-" + chr(0xBF) + "]{2}"
+    + "|[" + chr(0xF0) + "-" + chr(0xF4) + "][" + chr(0x80) + "-" + chr(0xBF) + "]{3}"
+    + ")*$"
+)
+_CONTROL_RE = ("[" + chr(0x00) + "-" + chr(0x08) + chr(0x0B) + chr(0x0C)
+               + chr(0x0E) + "-" + chr(0x1F) + "]")
+_REPLACEMENT_CHAR = chr(0xFFFD)
+
+
+def encoding_qa(df: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """Encoding QA + mojibake repair — the ftfy-core operation every
+    web-scale corpus needs: count replacement characters (U+FFFD,
+    upstream decode already lost bytes), bare C0 control characters
+    (binary contamination), and double-encoded UTF-8 signatures
+    (UTF-8 bytes that were re-read as Latin-1: 'Ã¡', 'â€¦'...), and
+    REPAIR the last class when it is provably safe.
+
+    Repair = decode(encode(t, ISO-8859-1), UTF-8), applied ONLY when
+    the text full-matches the valid-double-encoding grammar (every
+    non-ASCII char part of a well-formed re-encoded sequence) — that
+    guard makes the round-trip total: Spark 4's strict codecs cannot
+    raise, genuine Latin-1/Unicode text (naïve, €) is never touched,
+    and MIXED rows (real € next to mojibake) are flagged but left
+    alone rather than half-corrupted. Scope is the ISO-8859-1
+    round-trip; the cp1252 variant (0x80-0x9F remapped to curly
+    quotes etc.) is a documented non-goal.
+
+    Zero shuffles; one codegen pass. Returns (id, n_mojibake,
+    n_replacement, n_control, repaired, fixed_text)."""
+    t = F.col(text_col)
+    n_moj = F.size(F.regexp_extract_all(t, F.lit(_MOJ_PAIR_RE), 0))
+    repairable = (n_moj > 0) & t.rlike(_DOUBLE_UTF8_RE)
+    return df.select(
+        F.col(id_col),
+        n_moj.cast("long").alias("n_mojibake"),
+        F.size(F.regexp_extract_all(t, F.lit(_REPLACEMENT_CHAR), 0))
+        .cast("long").alias("n_replacement"),
+        F.size(F.regexp_extract_all(t, F.lit(_CONTROL_RE), 0))
+        .cast("long").alias("n_control"),
+        repairable.alias("repaired"),
+        F.when(repairable,
+               F.decode(F.encode(t, "ISO-8859-1"), "UTF-8"))
+        .otherwise(t).alias("fixed_text"),
+    )
+
+
 # Vowel-group runs stand in for syllables (the classic heuristic —
 # exact syllabification needs a dictionary); a word with no vowel
 # group still counts one syllable, per the standard implementation.

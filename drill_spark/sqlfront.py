@@ -956,6 +956,11 @@ def _pipeline_table(session, op: str, opts: dict[str, str]) -> DataFrame:
 
         return readability(inp(), o.get("id", "doc_id"),
                            o.get("text", "text"))
+    if name == "encoding_qa":
+        from drill_spark.ops.text import encoding_qa
+
+        return encoding_qa(inp(), o.get("id", "doc_id"),
+                           o.get("text", "text"))
     raise ValueError(
         f"unknown pipeline table function `{name}` — available: bm25, bm25_batch, "
         "tfidf_keywords, hybrid_search, fuzzy_join, dedup_exact, "
@@ -972,7 +977,8 @@ def _pipeline_table(session, op: str, opts: dict[str, str]) -> DataFrame:
         "substr_spans, substr_decontaminate, substr_contam_report, "
         "chunk_tokens, gopher_repetition, curation_audit, quality_auc, "
         "calibration_bins, brier_score, stratified_weighted_sample, "
-        "classify_lang, token_fertility, source_diversity, readability")
+        "classify_lang, token_fertility, source_diversity, readability, "
+        "encoding_qa")
 
 
 def _read_path(session, ws_name: str, rel_path: str, options: dict[str, str] | None = None) -> DataFrame:

@@ -1624,3 +1624,10 @@ def test_pipeline_table_function_r13_faces(dsession):
     lib = token_fertility(dsession.sql("select * from r13_lang"),
                           "grp").collect()
     assert sorted(map(tuple, got)) == sorted(map(tuple, lib)) and got
+
+    from drill_spark.ops.text import encoding_qa
+    got = dsession.sql(
+        "select * from table(pipeline.`encoding_qa`("
+        "input => 'r13_docs'))").collect()
+    lib = encoding_qa(docs).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, lib)) and got

@@ -410,3 +410,35 @@ def test_token_fertility_invariants(spark):
     assert got["c"]["n_words"] == 0 and got["c"]["n_tokens"] == 0
     assert got["c"]["fertility"] is None
     assert got["c"]["bytes_per_token"] is None
+
+
+def test_encoding_qa_repair_and_guards(spark):
+    from drill_spark.ops.text import encoding_qa
+
+    euro_moj = chr(0xE2) + chr(0x82) + chr(0xAC)   # 3-byte euro as latin1
+    rows = [
+        (1, "th" + chr(0xC3) + chr(0xA1) + "t c" + chr(0xC3) + chr(0xA1) + "t"),
+        (2, "plain ascii"),
+        (3, "na" + chr(0xEF) + "ve already fine"),      # genuine latin1
+        (4, "price " + euro_moj + "5 total"),           # 3-byte mojibake
+        (5, "mixed " + chr(0xC3) + chr(0xA9) + " and real " + chr(0x20AC)),
+        (6, "lost " + chr(0xFFFD) + " bytes" + chr(0x07)),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {r["doc_id"]: r for r in encoding_qa(df).collect()}
+
+    assert got[1]["repaired"] and got[1]["fixed_text"] == \
+        "th" + chr(0xE1) + "t c" + chr(0xE1) + "t"
+    assert got[1]["n_mojibake"] == 2
+    assert not got[2]["repaired"] and got[2]["fixed_text"] == rows[1][1]
+    # genuine latin1 'naive': no continuation char after the i-trema
+    assert not got[3]["repaired"] and got[3]["fixed_text"] == rows[2][1]
+    # 3-byte sequence repairs to the euro sign
+    assert got[4]["repaired"]
+    assert got[4]["fixed_text"] == "price " + chr(0x20AC) + "5 total"
+    # mixed genuine unicode + mojibake: flagged, NOT half-corrupted
+    assert got[5]["n_mojibake"] == 1 and not got[5]["repaired"]
+    assert got[5]["fixed_text"] == rows[4][1]
+    # replacement + control counting
+    assert got[6]["n_replacement"] == 1 and got[6]["n_control"] == 1
+    assert not got[6]["repaired"]
