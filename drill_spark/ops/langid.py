@@ -165,22 +165,31 @@ def lang_profiles(k: int = TOP_K) -> dict[str, list[str]]:
 def _gram_expr(text_col):
     """All (overlapping) char 1..3-grams of the normalized padded
     text, each extracted by ONE native ``regexp_extract_all`` call
-    with a zero-width lookahead pattern ``(?=(.{n}))`` — the regex
-    engine walks the string once per n, so even if Catalyst inlines
-    the padded-text expression into the three calls the cost is a
-    constant factor, never per-element (see :func:`_bind`)."""
-    padded = F.concat(
-        F.lit(" "),
-        F.trim(F.regexp_replace(F.lower(F.col(text_col)), "[^a-z]+", " ")),
-        F.lit(" "),
+    with a zero-width lookahead pattern — the regex engine walks the
+    string once per n, so even if Catalyst inlines the padded-text
+    expression into the calls the cost is a constant factor, never
+    per-element (see :func:`_bind`).
+
+    Pure-whitespace grams must be dropped (the CT profile convention,
+    mirrored by ``_doc_profile`` and the SQL oracle). After
+    normalization the text has NO adjacent spaces (every non-letter
+    run collapsed to one space), so the only possible all-space gram
+    is the single-space 1-gram — excluded by using ``[a-z]`` in the
+    n=1 pattern instead of an interpreted per-gram trim filter."""
+    # normalize AFTER padding so non-letter runs collapse INTO the
+    # boundary spaces: the result never contains adjacent spaces (a
+    # letterless text collapses to the single space " ", which yields
+    # no grams under the patterns below) — for any text with a letter
+    # this equals pad(strip(normalize(text))) exactly.
+    padded = F.regexp_replace(
+        F.concat(F.lit(" "), F.lower(F.col(text_col)), F.lit(" ")),
+        "[^a-z]+", " ",
     )
-    return _bind(padded, lambda p: F.filter(
-        F.concat(*[
-            F.regexp_extract_all(p, F.lit(f"(?=(.{{{n}}}))"), 1)
-            for n in range(1, NGRAM_MAX + 1)
-        ]),
-        lambda g: F.trim(g) != F.lit(""),
-    ))
+    pats = ["(?=([a-z]))"] + [f"(?=(.{{{n}}}))"
+                              for n in range(2, NGRAM_MAX + 1)]
+    return _bind(padded, lambda p: F.concat(*[
+        F.regexp_extract_all(p, F.lit(pat), 1) for pat in pats
+    ]))
 
 
 _PAIR_T = "struct<gram:string,pos:int>"
@@ -202,8 +211,7 @@ def _lid_struct(text_col: str, k: int, profiles: dict[str, list[str]]):
             # closure factory: pyspark counts lambda params, so the
             # map must be captured, not passed as a defaulted arg
             return lambda x, i: F.abs(
-                F.coalesce(F.element_at(rank_map, x["gram"]), F.lit(k))
-                - i)
+                F.coalesce(F.element_at(rank_map, x), F.lit(k)) - i)
 
         cands = []
         for lang in LANGS:
@@ -221,30 +229,32 @@ def _lid_struct(text_col: str, k: int, profiles: dict[str, list[str]]):
 
     def _with_ends(ends):
         # run length = this run's end position minus the previous
-        # run's end position (0 for the first run)
+        # run's end position (0 for the first run); each run is packed
+        # into ONE sort-key string "zeropad(10^9 - cnt) || gram" so the
+        # top-K ordering (count desc, gram asc) is the array's NATIVE
+        # binary string order — no interpreted comparator lambda (the
+        # custom-lambda array_sort invoked ~D log D interpreted calls
+        # per document, the single hottest step of the v1 pipeline)
         prev = F.concat(
             F.array(F.lit(None).cast(_PAIR_T)),
             F.slice(ends, 1, F.size(ends) - 1),
         )
-        counts = F.zip_with(
+        keys = F.zip_with(
             ends, prev,
-            lambda e, p: F.struct(
-                (e["pos"] - F.coalesce(p["pos"], F.lit(0))).alias("cnt"),
-                e["gram"].alias("gram"),
+            lambda e, p: F.concat(
+                F.lpad(
+                    (F.lit(999999999)
+                     - (e["pos"] - F.coalesce(p["pos"], F.lit(0))))
+                    .cast("string"),
+                    10, "0"),
+                e["gram"],
             ),
         )
-        # top-K by (count desc, gram asc)
-        top = F.slice(
-            F.array_sort(
-                counts,
-                lambda l, r: F.when(l["cnt"] > r["cnt"], -1)
-                .when(l["cnt"] < r["cnt"], 1)
-                .when(l["gram"] < r["gram"], -1)
-                .when(l["gram"] > r["gram"], 1)
-                .otherwise(0),
-            ),
-            1,
-            k,
+        # top-K grams by (count desc, gram asc): native sort, slice,
+        # strip the 10-char count prefix in one O(K) pass
+        top = F.transform(
+            F.slice(F.array_sort(keys), 1, k),
+            lambda key: F.substring(key, 11, 1 << 30),
         )
         return _bind(top, _with_top)
 
