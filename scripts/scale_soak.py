@@ -88,6 +88,15 @@ FLAGSHIPS = [
     # the per-stratum sampler (top-k heap per stratum).
     "ext_substr_dedup_digest", "ext_curation_audit", "ext_quality_auc",
     "ext_mixture_build_bpe", "ext_stratified_weighted_sample",
+    # r13 flagships: the per-row LID (interpreted-HOF pipeline must
+    # stay linear), the LID-fed mixture (LID + rates + epoch fan-out),
+    # tokenizer fertility (Arrow BPE pass + LID + bounded groupBy),
+    # source diversity (the (source, gram-hash) shuffle), readability
+    # and encoding QA (pure codegen passes), and the positional
+    # pre-filtered window co-occurrence.
+    "ext_lang_id", "ext_lang_mixture", "ext_token_fertility",
+    "ext_source_diversity", "ext_readability", "ext_encoding_qa",
+    "ext_window_cooccur",
 ]
 
 
