@@ -1176,11 +1176,25 @@ def q_lang_mixture(spark, sf_dir):
     from drill_spark.ops.langid import classify_lang
     from drill_spark.ops.pipeline import build_mixture
 
-    docs = classify_lang(_docs(spark, sf_dir))
+    # build_mixture consumes the classification from TWO branches
+    # (availability aggregate + join-back probe); project the
+    # classified frame down to the narrow columns the mixture needs
+    # and put one repartition behind it so AQE reuses the exchange —
+    # the per-row LID runs exactly once, and the shuffled rows are
+    # (id, lang, n_tokens), never the text
+    toks = F.size(F.filter(
+        F.split(F.trim(F.lower(F.col("text"))), r"\s+"),
+        lambda w: w != ""))
+    narrow = (
+        classify_lang(_docs(spark, sf_dir))
+        .select("doc_id", "pred_lang", toks.alias("__ntok"))
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
     return build_mixture(
-        docs, "pred_lang", "doc_id", "text",
+        narrow, "pred_lang", "doc_id", "text",
         {"en": 0.45, "de": 0.25, "es": 0.15, "it": 0.15},
         token_budget=100_000,
+        tokens=F.col("__ntok"),
     )
 
 

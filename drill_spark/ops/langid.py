@@ -204,28 +204,56 @@ def _lid_struct(text_col: str, k: int, profiles: dict[str, list[str]]):
     enclosing plan gets optimized."""
 
     def _with_top(top):
-        # out-of-place distance per language against the literal rank
-        # maps (ANSI off: element_at on a missing map key is NULL ->
-        # penalty k); rank in doc = 0-based array position
-        def _oop(rank_map):
-            # closure factory: pyspark counts lambda params, so the
-            # map must be captured, not passed as a defaulted arg
-            return lambda x, i: F.abs(
-                F.coalesce(F.element_at(rank_map, x), F.lit(k)) - i)
-
-        cands = []
-        for lang in LANGS:
-            pairs = []
+        # out-of-place distances for ALL languages in one pass.
+        # Catalyst's literal-map element_at LINEAR-SCANS the entries
+        # (the same ArrayBasedMapData property as the r7 bloom
+        # finding; jstack showed GetMapValueUtil as the hot frame), so
+        # the six 80-entry per-language maps are merged into ONE
+        # union-keyed map gram -> array of 6 ranks: one scan of the
+        # (deduplicated) union per doc-gram instead of six scans, and
+        # the lookup result is lambda-bound so the six per-language
+        # reads are O(1) array accesses, not repeated scans.
+        # The union map is packed into ONE string literal and parsed
+        # by str_to_map, which CONSTANT-FOLDS into a single map
+        # Literal node: building it from ~2000 create_map/array
+        # literal expression nodes made driver-side analysis/
+        # optimization/codegen of the tree the dominant cost of every
+        # consuming query (jstack showed Expression.toString and
+        # CodeGenerator.doCompile hot on the driver). Ranks are
+        # fixed-width 3-digit fields, decoded with two O(1) substring
+        # + cast ops per language at lookup time.
+        union: dict[str, list[int]] = {}
+        for li, lang in enumerate(LANGS):
             for rank, gram in enumerate(profiles[lang]):
-                pairs.append(F.lit(gram))
-                pairs.append(F.lit(rank))
-            dist = F.aggregate(
-                F.transform(top, _oop(F.create_map(*pairs))),
-                F.lit(0).cast("long"),
-                lambda acc, x: acc + x,
-            )
-            cands.append(F.struct(dist.alias("d"), F.lit(lang).alias("l")))
-        return F.array_min(F.array(*cands))
+                union.setdefault(gram, [k] * len(LANGS))[li] = rank
+        packed = "|".join(
+            gram + ":" + "".join(f"{r:03d}" for r in union[gram])
+            for gram in sorted(union))
+        # str_to_map's delimiters are REGEXES — the pair delimiter
+        # must be escaped or it splits between every character
+        rank_map = F.str_to_map(F.lit(packed), F.lit(r"\|"), F.lit(":"))
+        absent = F.lit("".join([f"{k:03d}"] * len(LANGS)))
+
+        per = F.zip_with(
+            top, F.sequence(F.lit(0), F.size(top) - 1),
+            lambda x, i: _bind(
+                F.coalesce(F.element_at(rank_map, x), absent),
+                lambda el: F.array(*[
+                    F.abs(F.substring(el, 3 * j + 1, 3).cast("int") - i)
+                    for j in range(len(LANGS))
+                ]),
+            ),
+        )
+        zero = F.array(*[F.lit(0).cast("long")] * len(LANGS))
+        dists = F.aggregate(
+            per, zero,
+            lambda acc, x: F.zip_with(acc, x, lambda a, b: a + b),
+        )
+        return _bind(dists, lambda dv: F.array_min(F.array(*[
+            F.struct(F.element_at(dv, li + 1).alias("d"),
+                     F.lit(lang).alias("l"))
+            for li, lang in enumerate(LANGS)
+        ])))
 
     def _with_ends(ends):
         # run length = this run's end position minus the previous
@@ -291,7 +319,8 @@ def _lid_struct(text_col: str, k: int, profiles: dict[str, list[str]]):
 
 def classify_lang(df: DataFrame, text_col: str = "text",
                   out_col: str = "pred_lang", k: int = TOP_K,
-                  keep_distance: bool = False) -> DataFrame:
+                  keep_distance: bool = False,
+                  spread: bool = True) -> DataFrame:
     """Append ``out_col`` with the Cavnar-Trenkle language prediction
     ('und' for documents with no letter grams). ``keep_distance``
     additionally appends ``lang_distance`` (the winning out-of-place
@@ -301,7 +330,27 @@ def classify_lang(df: DataFrame, text_col: str = "text",
     plans (aggregations, joins, mixture builders) can reference the
     prediction column freely — the worst an optimizer rewrite can do
     is re-run the whole per-row pipeline once per top-level reference,
-    never per array element."""
+    never per array element.
+
+    ``spread`` fans a narrow single-file scan out across the
+    cluster's slots FIRST (ops/pipeline._spread — a no-op for
+    splittable big files and for in-memory/post-shuffle frames):
+    classification is the CPU-bound step, and a small unsplittable
+    input would otherwise serialize it onto one core.
+
+    A consumer that references the prediction from SEVERAL plan
+    branches (e.g. a mixture's availability aggregate plus its
+    join-back probe) re-runs this expression once per branch —
+    project columns are recomputed per consumer, only exchange
+    outputs are shared. For that shape, project the classified frame
+    down to the narrow columns the consumer needs and put one
+    repartition behind it (see q_lang_mixture): AQE reuses the
+    identical exchange subtree, so the classification runs exactly
+    once."""
+    if spread:
+        from drill_spark.ops.pipeline import _spread
+
+        df = _spread(df)
     res = _lid_struct(text_col, k, lang_profiles(k))
     out = df.withColumn(out_col, res["l"])
     if keep_distance:

@@ -1323,8 +1323,14 @@ def build_mixture(
         # would make __rate = Infinity and the epoch fan-out explode;
         # such a source cannot contribute tokens, so drop it here (the
         # one-row-per-source table is bounded, so the filter is free).
+        # LEFT join for the same plan reason as the probe join below:
+        # an inner join's isnotnull(source_col) constraint pushes
+        # below the aggregate into the scan and re-evaluates an
+        # expression-valued source column there; unweighted sources
+        # ride along with NULL __w -> NULL epochs/gate -> dropped by
+        # the probe-side explode, so the output is unchanged.
         avail.where(F.col("__avail") > 0)
-        .join(wdf, source_col)
+        .join(wdf, source_col, "left")
         .select(
             source_col,
             (F.col("__w") * F.lit(float(token_budget)) / F.col("__avail")
@@ -1350,8 +1356,19 @@ def build_mixture(
     epochs = F.when(
         total >= 1, F.sequence(F.lit(1), total.cast("int"))
     ).otherwise(F.array().cast("array<int>"))
+    # LEFT join, not inner: rows from sources outside the weight table
+    # get NULL __epochs, so `total` is NULL and the explode drops them
+    # — identical output to an inner join. The difference is the PLAN:
+    # an inner join infers isnotnull(source_col) and pushes it into
+    # the probe-side SCAN as a data filter, which re-evaluates the
+    # whole source expression below any spread/exchange (measured with
+    # the language-ID column: the full classifier ran a second time,
+    # single-threaded, inside the FileScan's DataFilters). A left
+    # join generates no such constraint, and the explode is a
+    # generator, not a null-rejecting Filter, so EliminateOuterJoin
+    # cannot convert it back.
     return (
-        df.join(F.broadcast(rates), source_col)
+        df.join(F.broadcast(rates), source_col, "left")
         .select(
             F.col(id_col),
             F.col(source_col),
