@@ -1176,19 +1176,17 @@ def q_lang_mixture(spark, sf_dir):
     from drill_spark.ops.langid import classify_lang
     from drill_spark.ops.pipeline import build_mixture
 
-    # build_mixture consumes the classification from TWO branches
-    # (availability aggregate + join-back probe); project the
-    # classified frame down to the narrow columns the mixture needs
-    # and put one repartition behind it so AQE reuses the exchange —
-    # the per-row LID runs exactly once, and the shuffled rows are
-    # (id, lang, n_tokens), never the text
+    # build_mixture stages its narrow (id, source, n_tokens) input
+    # behind one hash exchange internally (r13: shared by every
+    # mixture caller), so the per-row LID runs exactly once and the
+    # shuffled rows are (id, lang, n_tokens), never the text — no
+    # extra repartition needed here.
     toks = F.size(F.filter(
         F.split(F.trim(F.lower(F.col("text"))), r"\s+"),
         lambda w: w != ""))
     narrow = (
         classify_lang(_docs(spark, sf_dir))
         .select("doc_id", "pred_lang", toks.alias("__ntok"))
-        .repartition(spark.sparkContext.defaultParallelism)
     )
     return build_mixture(
         narrow, "pred_lang", "doc_id", "text",

@@ -65,18 +65,32 @@ def _ngram_keys(text_col: str, n: int) -> Column:
     """Distinct n-gram join keys per document: 16 hex chars of md5 over
     each whitespace n-gram. Hashing before the join keeps the shuffle
     key fixed-width regardless of n-gram text length (and md5 is
-    engine-portable, so oracles can reproduce the exact keys)."""
-    w = _words(text_col)
-    # Spark's sequence(1, 0) is DESCENDING [1, 0], not empty — documents
-    # shorter than n tokens must short-circuit to an empty gram list.
-    grams = F.when(
-        F.size(w) >= n,
-        F.transform(
-            F.sequence(F.lit(1), F.size(w) - (n - 1)),
-            lambda i: F.concat_ws(" ", F.slice(w, i, n)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    return F.array_distinct(F.transform(grams, lambda g: F.substring(F.md5(g), 1, 16)))
+    engine-portable, so oracles can reproduce the exact keys).
+
+    The word array is routed through :func:`~drill_spark.ops.hofutil.
+    bind_once`: referencing the raw ``split(...)`` expression inside
+    the per-position ``transform`` lambda lets Catalyst inline the
+    whole tokenization into the lambda body — every gram re-splits the
+    document, O(n_words²) per row (measured r13: the 8-gram explode
+    was ~6s of the 7s curation-audit wall at sf0.1; bound form ~1s).
+    """
+    from drill_spark.ops.hofutil import bind_once
+
+    def grams_of(w):
+        # Spark's sequence(1, 0) is DESCENDING [1, 0], not empty —
+        # documents shorter than n tokens must short-circuit to an
+        # empty gram list.
+        g = F.when(
+            F.size(w) >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size(w) - (n - 1)),
+                lambda i: F.concat_ws(" ", F.slice(w, i, n)),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        return F.array_distinct(
+            F.transform(g, lambda x: F.substring(F.md5(x), 1, 16)))
+
+    return bind_once(_words(text_col), grams_of)
 
 
 def _spread(df: DataFrame) -> DataFrame:
@@ -168,10 +182,15 @@ def chunk_tokens(
     if not 1 <= s <= int(max_tokens):
         raise ValueError(
             f"chunk_tokens: stride must be in [1, max_tokens], got {s}")
-    w = _words(text_col)
+    from drill_spark.ops.hofutil import bind_once
+
     # starts at 1, 1+s, ... while start <= n  ->  ids 0..floor((n-1)/s);
-    # for s == max_tokens this is exactly ceil(n/max) windows
-    chunks = F.transform(
+    # for s == max_tokens this is exactly ceil(n/max) windows. The word
+    # array is lambda-bound: referencing the raw split() inside the
+    # per-chunk lambda lets Catalyst inline the tokenizer there —
+    # every chunk would re-split the document (the measured O(len²)
+    # _ngram_keys failure mode; see hofutil).
+    chunks = bind_once(_words(text_col), lambda w: F.transform(
         F.sequence(
             F.lit(0),
             F.floor(F.greatest(F.size(w) - 1, F.lit(0)) / F.lit(s)).cast("int"),
@@ -183,7 +202,7 @@ def chunk_tokens(
                 "chunk_hash"
             ),
         ),
-    )
+    ))
     return df.select(F.col(id_col), F.explode(chunks).alias("c")).select(
         id_col, "c.chunk_id", "c.n_tokens", "c.chunk_hash"
     )
@@ -737,14 +756,23 @@ def curation_audit(
     and ``stage_dropped`` ∈ {'quality','dedup','decontam','mixture',
     null} — null means the document ships.
 
-    Scale shape: identical shuffle budget to the pipeline itself (the
-    digest aggregation, the gram partial agg, one broadcast rates
-    table) plus one digest-keyed join to attach the canonical id —
-    per-row verdict columns are codegen; output is one row per input
-    document, never inflated by epochs.
+    Scale shape (r13): the per-document verdict columns (packed word
+    counts, quality, digest) are parsed ONCE; the canonical id is
+    attached by a min-window over the digest partition — the window's
+    hashpartitioning(__h) exchange is the ledger's only exchange and
+    both its consumers (final output, mixture-rates aggregate) reuse
+    it, so the text is parsed exactly once for the ledger (the
+    pre-r13 plan executed 8 scans / 4 gram explodes; see
+    plans/r13/ext_curation_audit_*). Only narrow columns shuffle —
+    never the text. The gram explode for decontamination keeps its own
+    scan branch (grams would triple the staged row width), joined
+    against the broadcast benchmark gram set. Output is one row per
+    input document, never inflated by epochs.
     """
     if not weights:
         raise ValueError("curation_audit: weights must be non-empty")
+    from pyspark.sql import Window
+
     words = _words(text_col)
     n_words = F.size(words)
     quality = (
@@ -753,20 +781,34 @@ def curation_audit(
            <= max_word_len)
     )
     digest = F.md5(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+    toks = F.size(F.filter(words, lambda w: w != ""))
+    # Parse once: the canonical id is attached with a WINDOW over the
+    # digest partition instead of a groupBy+self-join — the window's
+    # required hashpartitioning(__h) exchange is the ONLY exchange the
+    # ledger needs, and there is no second branch re-parsing the text
+    # for the aggregate side (guide §2.4). The word counts are packed
+    # into one long (n_words << 32 | clean_tokens) so the final-output
+    # branch and the mixture-rates branch prune the staged projection
+    # to the IDENTICAL column set — otherwise Catalyst's per-branch
+    # column pruning makes the two exchange subtrees differ and AQE
+    # cannot reuse the shuffle (measured: two full scans+parses).
+    packed = (F.shiftleft(n_words.cast("long"), 32)
+              .bitwiseOR(toks.cast("long")))
     base = df.select(
-        F.col(id_col), F.col(source_col), F.col(text_col),
-        n_words.cast("long").alias("n_words"),
+        F.col(id_col), F.col(source_col),
+        packed.alias("__wc"),
         quality.alias("quality_pass"),
         digest.alias("__h"),
     )
-    canon = (base.where(F.col("quality_pass"))
-             .groupBy("__h").agg(F.min(id_col).alias("__canon")))
-    led = base.join(canon, "__h", "left")
+    wh = Window.partitionBy("__h")
+    led = base.withColumn(
+        "__canon",
+        F.min(F.when(F.col("quality_pass"), F.col(id_col))).over(wh))
 
     bench_grams = benchmark.select(
         F.explode(_ngram_keys(text_col, 8)).alias("__ng")).distinct()
     dirty = (
-        base.where(F.col("quality_pass"))
+        df.where(quality)
         .select(F.col(id_col), F.explode(_ngram_keys(text_col, 8))
                 .alias("__ng"))
         .join(F.broadcast(bench_grams), "__ng")
@@ -777,7 +819,6 @@ def curation_audit(
 
     # mixture rates over the CLEAN set — the same availability the
     # pipeline's build_mixture would see
-    toks = F.size(F.filter(words, lambda w: w != ""))
     is_clean = (F.col("quality_pass")
                 & (F.col(id_col) == F.col("__canon"))
                 & F.col("__dirty").isNull())
@@ -787,7 +828,8 @@ def curation_audit(
         f"{source_col} string, __w double")
     avail = (led.where(is_clean)
              .groupBy(source_col)
-             .agg(F.sum(toks).cast("double").alias("__avail")))
+             .agg(F.sum(F.col("__wc").bitwiseAND(F.lit(0xFFFFFFFF)))
+                  .cast("double").alias("__avail")))
     rates = (
         avail.where(F.col("__avail") > 0)
         .join(wdf, source_col)
@@ -819,7 +861,9 @@ def curation_audit(
         .otherwise(F.lit(None).cast("string"))
     )
     return led.select(
-        F.col(id_col), F.col(source_col), "n_words", "quality_pass",
+        F.col(id_col), F.col(source_col),
+        F.shiftright("__wc", 32).alias("n_words"),
+        F.col("quality_pass"),
         F.when(F.col("quality_pass")
                & (F.col(id_col) != F.col("__canon")), F.col("__canon"))
         .alias("dup_of"),
@@ -880,8 +924,12 @@ def incremental_curation_audit(
         & (F.length(F.col(text_col)) / F.greatest(n_words, F.lit(1))
            <= max_word_len)
     )
+    # parse once (r13, same design as curation_audit): the canon
+    # window below induces the ledger's single hashpartitioning(__h)
+    # exchange; the prior-store join is co-partitioned on it, and the
+    # gram explode for decontamination keeps its own scan branch.
     base = df.select(
-        F.col(id_col), F.col(source_col), F.col(text_col),
+        F.col(id_col), F.col(source_col),
         n_words.cast("long").alias("n_words"),
         quality.alias("quality_pass"),
         F.md5(normalize_text(F.col(text_col))).alias("__h"),
@@ -908,9 +956,16 @@ def incremental_curation_audit(
             f"never committed — batch ids must be assigned monotonically "
             f"(pass batch_id=None to auto-assign)")
 
-    canon = (base.where(F.col("quality_pass"))
-             .groupBy("__h").agg(F.min(id_col).alias("__canon")))
-    led = base.join(canon, "__h", "left")
+    # within-batch canonical id as a min-window over the digest
+    # partition (r13): the window's hashpartitioning(__h) exchange is
+    # the staging point above, so the canon attach adds no join and no
+    # second parse of the batch
+    from pyspark.sql import Window
+
+    led = base.withColumn(
+        "__canon",
+        F.min(F.when(F.col("quality_pass"), F.col(id_col)))
+        .over(Window.partitionBy("__h")))
     if exists:
         prior = (store.where(F.col("batch_id") < int(batch_id))
                  .groupBy("h").agg(F.min("batch_id").alias("dup_batch"))
@@ -922,7 +977,7 @@ def incremental_curation_audit(
     bench_grams = benchmark.select(
         F.explode(_ngram_keys(text_col, 8)).alias("__ng")).distinct()
     dirty = (
-        base.where(F.col("quality_pass"))
+        df.where(quality)
         .select(F.col(id_col), F.explode(_ngram_keys(text_col, 8))
                 .alias("__ng"))
         .join(F.broadcast(bench_grams), "__ng")
@@ -1290,11 +1345,15 @@ def build_mixture(
     engines, re-runs, and partitionings (the same gate every sampler
     in this module uses). Sources absent from ``weights`` are dropped.
 
-    Scale shape: ONE map-combined token-sum aggregation over sources
-    (output = one row per source), rates derived on that bounded table,
-    broadcast back, then a per-row epoch fan-out
-    (``explode(sequence(...))`` — output size is the answer size) on
-    the scan. The corpus itself never shuffles.
+    Scale shape: the input is projected to (id, source, n_tokens) and
+    staged behind ONE hash exchange so the availability aggregate and
+    the join-back probe share a single execution of the input subtree
+    (expensive token counters / source classifiers / upstream join
+    trees run once); the aggregate is map-combined into one row per
+    source, rates are derived on that bounded table and broadcast
+    back, then the per-row epoch fan-out (``explode(sequence(...))``
+    — output size is the answer size) runs on the staged rows. The
+    text itself never shuffles.
 
     ``tokens`` (optional Column) overrides the whitespace word count
     with a tokenizer-true one — pass
@@ -1315,8 +1374,26 @@ def build_mixture(
         [(s, float(w)) for s, w in sorted(weights.items())],
         f"{source_col} string, __w double",
     )
-    avail = df.groupBy(source_col).agg(
-        F.sum(toks).cast("double").alias("__avail")
+    # The mixture consumes its input from TWO branches (the per-source
+    # availability aggregate and the join-back probe). Without a
+    # materialization point between them, Catalyst executes the whole
+    # input subtree twice — and ``toks``/``source_col`` may be
+    # EXPENSIVE per-row work (the Arrow-batched BPE tokenizer, the
+    # language classifier, or an upstream dedup/decontam join tree).
+    # Stage the three narrow columns the mixture actually needs behind
+    # one hash exchange: AQE's exchange reuse executes the input once
+    # and both branches read the shuffle output. Shuffled rows are
+    # (id, source, n_tokens) — never the text (guide §2.3/§2.4); the
+    # partition count is the session's shuffle.partitions (AQE
+    # coalesces a repartition-by-column, so this stays scale-adaptive).
+    narrow = (
+        df.select(
+            F.col(id_col), F.col(source_col),
+            toks.cast("long").alias("__bm_tok"))
+        .repartition(F.col(id_col))
+    )
+    avail = narrow.groupBy(source_col).agg(
+        F.sum("__bm_tok").cast("double").alias("__avail")
     )
     rates = (
         # A weighted source whose documents all tokenize to zero tokens
@@ -1368,12 +1445,12 @@ def build_mixture(
     # generator, not a null-rejecting Filter, so EliminateOuterJoin
     # cannot convert it back.
     return (
-        df.join(F.broadcast(rates), source_col, "left")
+        narrow.join(F.broadcast(rates), source_col, "left")
         .select(
             F.col(id_col),
             F.col(source_col),
             F.explode(epochs).alias("epoch"),
-            toks.cast("long").alias("n_tokens"),
+            F.col("__bm_tok").alias("n_tokens"),
         )
     )
 
@@ -1444,12 +1521,21 @@ def curation_pipeline(
     5. shard addressing — the epoch-salted md5 permutation of
        :func:`epoch_shuffle`, windowed in-plan.
 
-    Shuffle budget for the corpus: the dedup digest aggregation, the
-    per-document gram counts' partial agg (both map-combined), and the
-    final (epoch, shard) window — everything else is broadcast gates
-    on tiny derived tables. Returns (id, source, epoch, n_tokens,
-    shard, pos), fully deterministic → DuckDB-oracle-backed.
+    Shuffle budget for the corpus (r13 restructure): the text is
+    parsed ONCE into narrow per-document columns (id, source, digest,
+    clean-token count); the dedup keep decision is a min-window over
+    the digest partition (one exchange, no groupBy+self-join branch),
+    the gram explode keeps its own scan branch against the broadcast
+    benchmark grams, the mixture stages (id, source, n_tokens) behind
+    one more narrow exchange inside :func:`build_mixture`, and the
+    final (epoch, shard) window is the one remaining shuffle. The
+    pre-r13 composition re-executed the quality+dedup+decontam
+    subtree for every consumer — 16 parquet scans; see
+    plans/r13/ext_curation_pipeline_*. Returns (id, source, epoch,
+    n_tokens, shard, pos), fully deterministic → DuckDB-oracle-backed.
     """
+    from pyspark.sql import Window
+
     words = _words(text_col)
     n_words = F.size(words)
     gate = (
@@ -1457,18 +1543,23 @@ def curation_pipeline(
         & (F.length(F.col(text_col)) / F.greatest(n_words, F.lit(1))
            <= max_word_len)
     )
-    passed = df.where(gate)
-
     digest = F.md5(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
-    keep = (
-        passed.select(F.col(id_col), digest.alias("__h"))
-        .groupBy("__h").agg(F.min(id_col).alias(id_col))
-        .select(id_col)
+    toks = F.size(F.filter(words, lambda w: w != ""))
+    # parse once (same design as curation_audit): the keep decision is
+    # a min-window over the digest partition — one exchange, no
+    # groupBy+self-join branch re-parsing the text
+    passed = df.where(gate).select(
+        F.col(id_col), F.col(source_col),
+        digest.alias("__h"), toks.alias("__ntok"),
     )
-    survivors = passed.join(keep, id_col)
+    wh = Window.partitionBy("__h")
+    survivors = (
+        passed.withColumn("__canon", F.min(id_col).over(wh))
+        .where(F.col(id_col) == F.col("__canon"))
+    )
 
-    grams = passed.select(F.col(id_col),
-                          F.explode(_ngram_keys(text_col, 8)).alias("__ng"))
+    grams = df.where(gate).select(
+        F.col(id_col), F.explode(_ngram_keys(text_col, 8)).alias("__ng"))
     bench_grams = benchmark.select(
         F.explode(_ngram_keys(text_col, 8)).alias("__ng")).distinct()
     dirty = (
@@ -1478,7 +1569,7 @@ def curation_pipeline(
     clean = survivors.join(dirty, id_col, "left_anti")
 
     mix = build_mixture(clean, source_col, id_col, text_col,
-                        weights, token_budget)
+                        weights, token_budget, tokens=F.col("__ntok"))
     return epoch_shuffle(
         mix, id_col, epoch=None, n_shards=n_shards, keep_columns=True
     ).select(id_col, source_col, "epoch", "n_tokens", "shard", "pos")
