@@ -1444,8 +1444,24 @@ def build_mixture(
     # join generates no such constraint, and the explode is a
     # generator, not a null-rejecting Filter, so EliminateOuterJoin
     # cannot convert it back.
+    #
+    # NULL-SAFE key (<=>), not plain equality (r13): a left join still
+    # infers isnotnull(key) for its RIGHT side — null keys never match
+    # — and that constraint propagates down the rates lineage through
+    # the availability aggregate into ITS copy of the staged subtree
+    # as Filter(isnotnull(<source expr>)). Measured with the LID
+    # column: the filter re-evaluated the classifier per row AND made
+    # the two staged subtrees differ, so AQE could not reuse the
+    # exchange — the classifier ran 3x per query. <=> generates no
+    # null constraint; output is identical because a null-keyed rates
+    # row (only possible from a null source group) joins wdf on plain
+    # equality, carries NULL __w -> NULL epochs, and the explode drops
+    # it exactly as the non-matching case did.
+    rt = rates.withColumnRenamed(source_col, "__bm_src")
     return (
-        narrow.join(F.broadcast(rates), source_col, "left")
+        narrow.join(F.broadcast(rt),
+                    F.col(source_col).eqNullSafe(F.col("__bm_src")),
+                    "left")
         .select(
             F.col(id_col),
             F.col(source_col),

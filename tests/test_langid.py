@@ -160,3 +160,26 @@ def test_seed_texts_self_classify(lang):
     from drill_spark.ops.langid import SEED_TEXTS
 
     assert classify_lang_py(SEED_TEXTS[lang]) == lang
+
+
+def test_arrow_engine_matches_catalyst_engine(spark):
+    """r13: the default engine moved to an Arrow-batched kernel (the
+    interpreted-HOF expression measured ~23x more CPU per document);
+    the two engines must stay bit-identical on predictions AND
+    distances, including every edge case."""
+    texts = [t for t, _ in SAMPLES] + EDGE_TEXTS + [None]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id int, text string"
+    )
+    arrow = {
+        r["doc_id"]: (r["pred_lang"], r["lang_distance"])
+        for r in classify_lang(df, keep_distance=True,
+                               engine="arrow").collect()
+    }
+    catalyst = {
+        r["doc_id"]: (r["pred_lang"], r["lang_distance"])
+        for r in classify_lang(df, keep_distance=True,
+                               engine="catalyst").collect()
+    }
+    assert arrow == catalyst
+    assert arrow[len(texts) - 1] == ("und", None)  # NULL text
