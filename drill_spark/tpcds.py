@@ -2396,34 +2396,47 @@ order by w_warehouse_name
 # demographics gates, and a filtered LEFT JOIN to promotion feeding
 # conditional counts. The item-keyed sales x inventory fan-out before
 # the week filter is the point of the shape.
+# r13 join-order restructure (pure inner-join reassociation — row set
+# provably unchanged, and the shared oracle runs the same text): the
+# original TPC-DS syntax joins catalog_sales to inventory on ITEM
+# ALONE and only equates d1.d_week_seq = d2.d_week_seq three joins
+# later, so with no table statistics (no CBO reorder) every sale row
+# first multiplies by every inventory snapshot of its item across all
+# weeks and warehouses — the classic q72 explosion (guide §3.3).
+# Pre-joining inventory to its date row exposes the week as a column
+# of the inventory side, the sale side is first reduced by its
+# selective demographic/date dimensions, and the inventory join then
+# keys on (item, week) directly — no intermediate blow-up.
 _Q72_BODY = """
 inv_sales as (
-  select i.i_product_name, w.w_warehouse_name, d1.d_week_seq,
+  select i.i_product_name, w.w_warehouse_name, iw.inv_week as d_week_seq,
        cast(sum(case when p.p_promo_sk is null then 1 else 0 end)
             as bigint) as no_promo,
        cast(sum(case when p.p_promo_sk is not null then 1 else 0 end)
             as bigint) as promo,
        cast(count(*) as bigint) as total_cnt
   from tpcds_catalog_sales cs
-  join tpcds_inventory inv on cs.cs_item_sk = inv.inv_item_sk
-  join tpcds_warehouse w on w.w_warehouse_sk = inv.inv_warehouse_sk
-  join tpcds_item i on i.i_item_sk = cs.cs_item_sk
+  join tpcds_date_dim d1 on cs.cs_sold_date_sk = d1.d_date_sk
+  join tpcds_date_dim d3 on cs.cs_ship_date_sk = d3.d_date_sk
   join tpcds_household_demographics hd
     on cs.cs_bill_hdemo_sk = hd.hd_demo_sk
   join tpcds_customer_demographics cd
     on cs.cs_bill_cdemo_sk = cd.cd_demo_sk
-  join tpcds_date_dim d1 on cs.cs_sold_date_sk = d1.d_date_sk
-  join tpcds_date_dim d2 on inv.inv_date_sk = d2.d_date_sk
-  join tpcds_date_dim d3 on cs.cs_ship_date_sk = d3.d_date_sk
+  join tpcds_item i on i.i_item_sk = cs.cs_item_sk
+  join (select inv.inv_item_sk, inv.inv_warehouse_sk,
+               inv.inv_quantity_on_hand, d2.d_week_seq as inv_week
+        from tpcds_inventory inv
+        join tpcds_date_dim d2 on inv.inv_date_sk = d2.d_date_sk) iw
+    on cs.cs_item_sk = iw.inv_item_sk and iw.inv_week = d1.d_week_seq
+  join tpcds_warehouse w on w.w_warehouse_sk = iw.inv_warehouse_sk
   left join tpcds_promotion p
     on cs.cs_promo_sk = p.p_promo_sk and p.p_channel_email = 'Y'
-  where d1.d_week_seq = d2.d_week_seq
-    and inv.inv_quantity_on_hand < cs.cs_quantity
+  where iw.inv_quantity_on_hand < cs.cs_quantity
     and d3.d_date_sk > d1.d_date_sk + 5
     and hd.hd_buy_potential = '>10000'
     and d1.d_year = 1999
     and cd.cd_marital_status = 'D'
-  group by i.i_product_name, w.w_warehouse_name, d1.d_week_seq
+  group by i.i_product_name, w.w_warehouse_name, iw.inv_week
 )
 select * from inv_sales
 order by total_cnt desc, i_product_name, w_warehouse_name, d_week_seq

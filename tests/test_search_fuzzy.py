@@ -572,6 +572,35 @@ def test_maxsim_prefers_docs_containing_query_tokens(spark):
     assert "TakeOrderedAndProject" in plan
 
 
+def test_maxsim_arrow_engine_matches_catalyst(spark):
+    """r13: maxsim scoring moved to an Arrow-batched kernel by default
+    (the interpreted HOF chain re-hashed every token occurrence); the
+    two engines must produce bit-equal scores and identical ranking,
+    including edge docs (empty, whitespace, longer than max_tokens)."""
+    from drill_spark.ops.search import maxsim_topk
+
+    rows = [
+        (1, "neural retrieval with late interaction"),
+        (2, "neural retrieval"),
+        (3, "cooking pasta with tomatoes and basil and oil"),
+        (4, ""),
+        (5, "   "),
+        (6, " ".join(f"w{i}" for i in range(50)) + " neural"),
+        (7, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    q = ["neural", "retrieval", "interaction"]
+    arrow = [tuple(r) for r in maxsim_topk(df, q, k=10).collect()]
+    cat = [tuple(r) for r in
+           maxsim_topk(df, q, k=10, engine="catalyst").collect()]
+    assert arrow == cat
+    # doc 6 is longer than max_tokens=32: "neural" sits past the cap,
+    # so it must NOT get an exact-match (=1.0) contribution for that
+    # term — an all-exact triple scores 3.0, truncated must be below
+    by_id = {t[0]: t[1] for t in arrow}
+    assert by_id[6] < 2.9999
+
+
 def test_funnel_order_and_window_semantics(spark):
     from drill_spark.ops.temporal import funnel
 
