@@ -29,28 +29,6 @@ def _dot(a: str, b: str):
     return F.expr(f"aggregate(zip_with({a}, {b}, (x, y) -> cast(x as double) * cast(y as double)), 0D, (acc, v) -> acc + v)")
 
 
-def _dot_fast(a: str, b: str, dim: int):
-    """Dot product with the HOF fold replaced by an UNROLLED
-    codegen-friendly sum when both arrays have the expected ``dim``
-    (r13): `aggregate(zip_with(...))` is evaluated by the expression
-    INTERPRETER per element — on a pair join that is pairs × dim
-    interpreter calls and two array allocations per pair, the dominant
-    cost of the cosine verify (guide §1.2 per-task work). The unrolled
-    `a[0]*b[0] + a[1]*b[1] + …` chain is flat whole-stage-codegen
-    arithmetic with the SAME left-to-right addition order, so scores
-    are bit-identical; rows with any other length (none in practice —
-    the guard exists so semantics never change) fall back to the fold,
-    whose zip_with truncates to the shorter array."""
-    terms = " + ".join(
-        f"cast({a}[{i}] as double) * cast({b}[{i}] as double)"
-        for i in range(int(dim)))
-    fold = (f"aggregate(zip_with({a}, {b}, (x, y) -> cast(x as double)"
-            f" * cast(y as double)), 0D, (acc, v) -> acc + v)")
-    return F.expr(
-        f"IF(size({a}) = {int(dim)} AND size({b}) = {int(dim)}, "
-        f"{terms}, {fold})")
-
-
 def _norm(a: str):
     return F.expr(f"sqrt(aggregate(transform({a}, x -> cast(x as double) * cast(x as double)), 0D, (acc, v) -> acc + v))")
 
@@ -113,13 +91,7 @@ def cosine_dedup_pairs(
     key (bk, i, j) spreads one bucket over n_salt*(n_salt+1)/2 tasks.
     Same total comparisons, ~n_salt/2 row replication, full cluster
     parallelism. n_salt=1 degrades to the single-block join.
-
-    The per-pair cosine uses the unrolled codegen dot (``_dot_fast``)
-    keyed to the corpus's vector width, probed from one row — the
-    interpreted fold measured as the dominant per-pair cost (r13).
     """
-    probe = df.select(F.size(F.col(vec_col))).first()
-    vdim = int(probe[0]) if probe and probe[0] is not None else None
     side = with_norm(
         df.select(F.col(bucket_col).alias("bk"), F.col(id_col).alias("id"), F.col(vec_col).alias("v")),
         "v",
@@ -146,9 +118,7 @@ def cosine_dedup_pairs(
         # i < j blocks hold cross-salt pairs once by construction; the
         # diagonal i == j needs the id order to not double-count
         .where((F.col("i") < F.col("j")) | (F.col("id_a") < F.col("id_b")))
-        .withColumn("cosine", F.round(
-            (_dot_fast("va", "vb", vdim) if vdim and vdim <= 256
-             else _dot("va", "vb")) / (F.col("na") * F.col("nb")), 4))
+        .withColumn("cosine", F.round(_dot("va", "vb") / (F.col("na") * F.col("nb")), 4))
         .where(F.col("cosine") >= threshold)
         .select(
             F.col("bk").alias(bucket_col),
