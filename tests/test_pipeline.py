@@ -648,7 +648,14 @@ def test_curation_pipeline_plan_shape(spark):
     assert rep["joins"].get("BroadcastHashJoin", 0) >= 2
     assert "CartesianProduct" not in rep["joins"]
     assert not rep["python_eval"]
-    assert rep["shuffles"] <= 10
+    # 11 static exchanges since r13: build_mixture stages its narrow
+    # (id, source, n_tokens) projection behind one repartition(id) so
+    # the availability aggregate and the join-back probe share a
+    # single execution of the upstream dedup/decontam subtree; the
+    # staged exchange appears twice in the pre-AQE plan (identical
+    # subtrees) and is reused at runtime, so the executed shuffle
+    # count is unchanged while the corpus parse count halves.
+    assert rep["shuffles"] <= 11
     # output invariants: pos contiguous per (epoch, shard)
     per = out.groupBy("epoch", "shard").agg(
         F.count("*").alias("n"), F.max("pos").alias("mx")).collect()
