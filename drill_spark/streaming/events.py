@@ -602,6 +602,7 @@ def stream_lang_mix(
     regardless of stream volume. Two-log txn contract (store +
     output) like every ingest twin here.
     """
+    from pyspark.sql import Window
     from pyspark.sql import functions as F
 
     from drill_spark.ops.langid import classify_lang
@@ -637,25 +638,33 @@ def stream_lang_mix(
                   .agg(F.sum("n").cast("long").alias("n_docs")))
         base = spark.createDataFrame(base_ppm,
                                      "pred_lang string, base_ppm long")
-        total = merged.agg(F.sum("n_docs").alias("__t"))
+        # total and l1-drift as UNPARTITIONED windows over the bounded
+        # (language-space) mix table: the previous two
+        # crossJoin(broadcast(agg)) branches each ran their own
+        # broadcast-build job that re-executed the merged subtree —
+        # 5 executions of the store scan+agg per micro-batch, each a
+        # scheduler-floor-bound jobling. One global window exchange on
+        # a <=|languages| row table replaces them; arithmetic is
+        # unchanged (sum of coalesced n_docs == sum over merged).
+        w = Window.partitionBy()
         mix = (
             merged.join(base, "pred_lang", "full_outer")
-            .crossJoin(F.broadcast(total))
             .select(
                 "pred_lang",
                 F.coalesce(F.col("n_docs"), F.lit(0)).alias("n_docs"),
-                F.floor(
-                    F.coalesce(F.col("n_docs"), F.lit(0))
-                    * 1000000 / F.col("__t")
-                ).cast("long").alias("share_ppm"),
                 F.coalesce(F.col("base_ppm"), F.lit(0)).alias("base_ppm"),
             )
+            .withColumn("__t", F.sum("n_docs").over(w))
+            .withColumn(
+                "share_ppm",
+                F.floor(F.col("n_docs") * 1000000 / F.col("__t"))
+                .cast("long"),
+            )
         )
-        drift = mix.agg(
-            F.sum(F.abs(F.col("share_ppm") - F.col("base_ppm")))
-            .alias("__d"))
         row = (
-            mix.crossJoin(F.broadcast(drift))
+            mix.withColumn(
+                "__d",
+                F.sum(F.abs(F.col("share_ppm") - F.col("base_ppm"))).over(w))
             .select(
                 F.lit(int(epoch_id)).alias("batch_id"),
                 "pred_lang",
