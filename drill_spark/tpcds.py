@@ -968,6 +968,15 @@ def _channel_sales(spark: SparkSession, sf_dir: str, pre: str,
 
 
 def _register_decorrelation_views(spark: SparkSession, sf_dir: str) -> None:
+    # Registration is pure plan-building (every view is a lazy DataFrame
+    # over the fixtures — no data is materialized), but constructing and
+    # analyzing ~18 derived plans costs ~0.7-1.0s of DRIVER time, and
+    # every tpcds_* query used to pay it again. Memoize per
+    # (session, sf_dir) exactly like load_fixture's DataFrame cache: the
+    # views are deterministic functions of sf_dir, so re-registration is
+    # byte-identical; each action still computes from the parquet inputs.
+    if getattr(spark, "_tpcds_views_sf", None) == sf_dir:
+        return
     _returns_fact(spark, sf_dir, "R", "sr_customer_sk", None,
                   "sr_returned_date_sk", "sr_return_amt"
                   ).createOrReplaceTempView("tpcds_store_returns")
@@ -997,6 +1006,7 @@ def _register_decorrelation_views(spark: SparkSession, sf_dir: str) -> None:
     _promotion(spark).createOrReplaceTempView("tpcds_promotion")
     _warehouse(spark).createOrReplaceTempView("tpcds_warehouse")
     _inventory(spark).createOrReplaceTempView("tpcds_inventory")
+    spark._tpcds_views_sf = sf_dir
 
 
 # q1: customers returning more than 1.2x their store's average total —
