@@ -315,7 +315,16 @@ def connected_components(
     sym = edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
     sym = sym.union(sym.select(F.col("d").alias("s"), F.col("s").alias("d"))).distinct()
     sym = sym.localCheckpoint(eager=True)
-    if sym.count() <= 2 * driver_max_edges:
+    # One bounded probe action instead of count()-then-collect(): pull at
+    # most cap+1 rows off the checkpointed edge list; a full result set
+    # (<= cap rows) IS the collect the union-find path needs, an
+    # overflowing one costs cap+1 cached-partition reads and falls
+    # through to the distributed iteration. Saves one job per CC call on
+    # both paths; the expensive edge computation still runs exactly once
+    # (the eager checkpoint above).
+    cap = 2 * driver_max_edges
+    probe_rows = sym.limit(cap + 1).collect()
+    if len(probe_rows) <= cap:
         node_type = sym.schema["s"].dataType
         parent: dict = {}
 
@@ -327,7 +336,7 @@ def connected_components(
                 parent[x], x = root, parent[x]
             return root
 
-        for row in sym.collect():
+        for row in probe_rows:
             a, b = row["s"], row["d"]
             parent.setdefault(a, a)
             parent.setdefault(b, b)
