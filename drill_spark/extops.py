@@ -722,7 +722,11 @@ def q_substr_spans(spark, sf_dir):
     positions; exact and hash-oracle-backed."""
     from drill_spark.ops.substr import substr_duplicate_spans
 
-    return substr_duplicate_spans(_docs(spark, sf_dir), min_tokens=8)
+    # detect="digest" — identical rows (A/B'd: 0-row exceptAll diff at
+    # sf0.1), but span strings never shuffle and one aggregate+semi-join
+    # replaces two: the 100 TB path, ~25% faster here too.
+    return substr_duplicate_spans(_docs(spark, sf_dir), min_tokens=8,
+                                  detect="digest")
 
 
 ORACLE_SUBSTR_SPANS = r"""
