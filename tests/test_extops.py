@@ -373,6 +373,37 @@ def test_cosine_dedup_triangle_join_exact(spark):
     assert len(base) > 0
 
 
+def test_cosine_dedup_arrow_engine_matches_catalyst(spark):
+    """The Arrow pair-dot kernel is bit-identical to the expression
+    fold — fixture pairs AND edge cases (NULL vector, ragged pair,
+    empty vectors, single-element)."""
+    from pyspark.sql import functions as F
+
+    from drill_spark.ops.similarity import _arrow_pair_dot, _dot, cosine_dedup_pairs
+    from drill_spark.session import load_fixture
+
+    embs = load_fixture(spark, "/root/testdata/sf0.001", "embeddings")
+    cat = sorted(map(tuple, cosine_dedup_pairs(
+        embs, threshold=0.3, engine="catalyst").collect()))
+    arr = sorted(map(tuple, cosine_dedup_pairs(
+        embs, threshold=0.3, engine="arrow").collect()))
+    assert arr == cat
+    assert len(cat) > 0
+
+    edge = spark.createDataFrame(
+        [(1, [1.0, 2.0], [3.0, 4.0]),
+         (2, None, [1.0, 1.0]),
+         (3, [1.0, 2.0, 3.0], [1.0, 1.0]),   # ragged: fold -> NULL
+         (4, [], []),                        # empty: fold -> 0.0
+         (5, [2.5], [4.0])],
+        "id bigint, a array<double>, b array<double>")
+    got = (edge.select("id", _arrow_pair_dot()("a", "b").alias("d"),
+                       _dot("a", "b").alias("e"))
+           .orderBy("id").collect())
+    for r in got:
+        assert r["d"] == r["e"], (r["id"], r["d"], r["e"])
+
+
 def test_mpeg_audio_probe():
     """Frame-header walker vs spec-built streams: layers, bitrates,
     VBR averaging, ID3v2 skip, mono/stereo, resync before first frame."""
