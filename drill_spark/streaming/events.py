@@ -28,6 +28,27 @@ from pyspark.sql import functions as F
 
 _STREAM_EPOCH_BASE = 1_000_000_000  # streaming batch-id namespace
 
+
+def _fan_batch(df: DataFrame) -> DataFrame:
+    """Decouple a micro-batch's parallelism from the source file layout.
+
+    A foreachBatch frame exposes no leaf files (``inputFiles()`` is
+    empty), so ops/pipeline._spread — which fans narrow single-file
+    scans across the cluster — cannot see that a one-file trigger
+    collapsed the whole batch onto a single task; every CPU-bound
+    per-row stage downstream (LID, tokenization, gram explode) then
+    runs serially no matter how many cores the cluster has. HERE we
+    know the frame is a source micro-batch, so one round-robin
+    exchange before that work is the standard ingest-decoupling move:
+    the batch's raw bytes move exactly once, and the per-row stage
+    that dominates these operators runs at cluster parallelism.
+    Apply it only in commits whose per-row work is heavy (measured) —
+    for cheap per-row stages the exchange floor costs more than it
+    saves. Results are partitioning-independent: every consumer below
+    aggregates or joins on content keys.
+    """
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
 # schema peek per events fixture file — the batch read exists only to
 # learn the ts physical type, so probe-many shares one peek
 _EVENT_SCHEMA_CACHE: dict[str, object] = {}
@@ -617,7 +638,7 @@ def stream_lang_mix(
         spark = batch_df.sparkSession
         bid = _STREAM_EPOCH_BASE + epoch_id
         g = (
-            classify_lang(batch_df, text_col)
+            classify_lang(_fan_batch(batch_df), text_col)
             .groupBy("pred_lang")
             .agg(F.count("*").cast("long").alias("n"))
             .withColumn("batch_id", F.lit(int(bid)))
