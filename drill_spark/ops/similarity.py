@@ -247,6 +247,20 @@ def lsh_probe_buckets(nprobe: int):
     )
 
 
+def _train_sample(df: DataFrame, vec_col: str, max_train: int):
+    """Arrow-batched collect of the bounded quantizer-training sample
+    (toPandas with arrow enabled moves columnar batches, ~10x the
+    row-at-a-time head()). Factored out so a caller that trains BOTH a
+    coarse quantizer and PQ codebooks (ivfpq_topk, build_vector_index)
+    pays the collect ONCE — the two trainers' samples are the identical
+    expression, so sharing changes nothing about the result."""
+    import numpy as np
+
+    sample_pdf = (df.select(F.col(vec_col).cast("array<double>").alias("v"))
+                  .limit(max_train).toPandas())
+    return np.asarray(sample_pdf["v"].tolist())
+
+
 def ivf_assign(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -254,6 +268,7 @@ def ivf_assign(
     n_cells: int = 8,
     seed: int = 42,
     max_train: int = 50_000,
+    sample=None,
 ) -> tuple[DataFrame, list[list[float]]]:
     """IVF coarse quantizer: k-means centroids + per-vector cell
     assignment. Returns (df + `cell`, centroids).
@@ -268,10 +283,8 @@ def ivf_assign(
     """
     import numpy as np
 
-    # Arrow-batched collect of the bounded training sample (toPandas with
-    # arrow enabled moves columnar batches, ~10x the row-at-a-time head()).
-    sample_pdf = df.select(F.col(vec_col).cast("array<double>").alias("v")).limit(max_train).toPandas()
-    sample = np.asarray(sample_pdf["v"].tolist())
+    if sample is None:
+        sample = _train_sample(df, vec_col, max_train)
     rng = np.random.default_rng(seed)
     s2 = (sample**2).sum(axis=1)
     # k-means++ seeding: each next centroid drawn proportional to the
@@ -486,16 +499,15 @@ def semantic_dedup(
 
 def pq_train(df: DataFrame, vec_col: str = "embedding", m: int = 8,
              k: int = 16, seed: int = 42,
-             max_train: int = 50_000) -> list[list[list[float]]]:
+             max_train: int = 50_000, sample=None) -> list[list[list[float]]]:
     """Product-quantization codebooks (Jégou et al. 2011, the FAISS
     standard): split the vector into ``m`` subvectors and k-means each
     subspace independently on a bounded driver sample. Returns
     codebooks[m][k][sub_dim]. Compression: dim floats -> m codes."""
     import numpy as np
 
-    sample_pdf = (df.select(F.col(vec_col).cast("array<double>").alias("v"))
-                  .limit(max_train).toPandas())
-    sample = np.asarray(sample_pdf["v"].tolist())
+    if sample is None:
+        sample = _train_sample(df, vec_col, max_train)
     dim = sample.shape[1]
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m}")
@@ -640,8 +652,10 @@ def ivfpq_topk(df: DataFrame, query_ids,
     float-vector fetches."""
     import numpy as np
 
-    assigned, centroids = ivf_assign(df, id_col, vec_col, n_cells)
-    codebooks = pq_train(df, vec_col, m=m, k=n_codes)
+    shared = _train_sample(df, vec_col, 50_000)
+    assigned, centroids = ivf_assign(df, id_col, vec_col, n_cells,
+                                     sample=shared)
+    codebooks = pq_train(df, vec_col, m=m, k=n_codes, sample=shared)
     encoded = pq_encode(assigned, codebooks, id_col, vec_col).join(
         assigned.select(F.col(id_col), F.col("cell")), id_col)
     rerank = rerank or 10 * k
@@ -653,27 +667,29 @@ def ivfpq_topk(df: DataFrame, query_ids,
     books = np.asarray(codebooks)
     cents = np.asarray(centroids)
 
-    # per-query probe cells (driver math — centroids are tiny) + LUTs
+    # Per-query probe cells (driver math — centroids are tiny). The ADC
+    # lookup tables ride IN the broadcast probes DataFrame as a data
+    # column — nprobe rows x m x n_codes doubles per query — instead of
+    # a giant literal array expression: Catalyst re-analyzes a
+    # several-thousand-node literal tree on EVERY downstream
+    # transformation (measured 0.4-0.5s per analysis pass at 640x8),
+    # while a data column costs the analyzer one attribute. Same
+    # mechanism probe_many in ops/vecindex.py uses; the fold and its
+    # values are unchanged.
     probe_rows = []
-    all_luts = []
-    for qi, r in enumerate(q_rows):
+    for r in q_rows:
         qv = np.asarray(r[1])
         d2 = ((cents - qv[None, :]) ** 2).sum(axis=1)
-        for cell in np.argsort(d2)[:nprobe]:
-            probe_rows.append((int(r[0]), qi, int(cell)))
-        all_luts.append([
+        lut = [
             ((books[j] - qv[j * sub: (j + 1) * sub][None, :]) ** 2).sum(axis=1).tolist()
             for j in range(len(codebooks))
-        ])
+        ]
+        for cell in np.argsort(d2)[:nprobe]:
+            probe_rows.append((int(r[0]), int(cell), lut))
     probes = df.sparkSession.createDataFrame(
-        probe_rows, "query_id bigint, _qi int, cell int")
-    qluts_sql = "array(" + ",".join(
-        "array(" + ",".join(
-            "array(" + ",".join(f"{x}D" for x in row) + ")" for row in luts
-        ) + ")" for luts in all_luts
-    ) + ")"
-    dist = (f"aggregate(zip_with(element_at({qluts_sql}, _qi + 1), codes, "
-            f"(lut, c) -> element_at(lut, c + 1)), 0D, (acc, v) -> acc + v)")
+        probe_rows, "query_id bigint, cell int, lut array<array<double>>")
+    dist = ("aggregate(zip_with(lut, codes, "
+            "(l, c) -> element_at(l, c + 1)), 0D, (acc, v) -> acc + v)")
     cand = (
         encoded.join(F.broadcast(probes), "cell")
         .where(F.col(id_col) != F.col("query_id"))

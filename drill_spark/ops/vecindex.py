@@ -153,10 +153,14 @@ def build_vector_index(
     """One-time index build: train quantizers on a bounded sample,
     encode EVERY vector distributedly, persist codes partitioned by
     cell. Returns the meta dict."""
+    from drill_spark.ops.similarity import _train_sample
+
+    shared = _train_sample(df, vec_col, max_train)
     assigned, centroids = ivf_assign(
-        df, id_col, vec_col, n_cells, seed=seed, max_train=max_train)
+        df, id_col, vec_col, n_cells, seed=seed, max_train=max_train,
+        sample=shared)
     codebooks = pq_train(df, vec_col, m=m, k=n_codes, seed=seed,
-                         max_train=max_train)
+                         max_train=max_train, sample=shared)
     encoded = pq_encode(assigned, codebooks, id_col, vec_col).join(
         assigned.select(F.col(id_col), F.col("cell")), id_col)
     codes_dir = os.path.join(path, "codes")
