@@ -6390,18 +6390,24 @@ def q_chunk_pack_bpe(spark, sf_dir):
     the count column is an Arrow-batched pass over the chunk text."""
     from drill_spark.ops.bpe import FIXED_MERGES_V1, bpe_count_column
 
+    from drill_spark.ops.hofutil import bind_once
+
     docs = _docs(spark, sf_dir)
-    w = F.filter(F.split(F.trim(F.lower(F.col("text"))), r"\s+"),
-                 lambda x: x != "")
-    chunks = F.transform(
-        F.sequence(
-            F.lit(0),
-            F.floor(F.greatest(F.size(w) - 1, F.lit(0)) / F.lit(32))
-            .cast("int"),
-        ),
-        lambda i: F.struct(
-            i.cast("long").alias("chunk_id"),
-            F.concat_ws(" ", F.slice(w, i * 32 + 1, 32)).alias("ctext"),
+    # bind the tokenization once per row — referenced bare inside the
+    # chunk lambda it would re-split+re-filter the document per chunk
+    chunks = bind_once(
+        F.filter(F.split(F.trim(F.lower(F.col("text"))), r"\s+"),
+                 lambda x: x != ""),
+        lambda w: F.transform(
+            F.sequence(
+                F.lit(0),
+                F.floor(F.greatest(F.size(w) - 1, F.lit(0)) / F.lit(32))
+                .cast("int"),
+            ),
+            lambda i: F.struct(
+                i.cast("long").alias("chunk_id"),
+                F.concat_ws(" ", F.slice(w, i * 32 + 1, 32)).alias("ctext"),
+            ),
         ),
     )
     ex = (docs.select("doc_id", F.explode(chunks).alias("c"))
@@ -6536,19 +6542,25 @@ def q_kmv_overlap(spark, sf_dir):
     k=128 KMV sketches (union ~2.7K trigrams at sf0.01, well past k,
     so this is the true estimation regime). The oracle replays the
     sketch build and the theta intersection/union estimators."""
+    from drill_spark.ops.hofutil import bind_once
     from drill_spark.ops.sketch import kmv_overlap
 
     docs = _docs(spark, sf_dir).where(F.col("source").isin("src0", "src1"))
-    w = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
-    grams = F.when(
-        F.size(w) >= 3,
-        F.transform(
-            F.sequence(F.lit(1), F.size(w) - 2),
-            lambda i: F.concat_ws(
-                " ", F.element_at(w, i), F.element_at(w, i + 1),
-                F.element_at(w, i + 2)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    # bind the tokenization once per row: referencing the split as `w`
+    # directly would inline it at every element_at inside the position
+    # lambda — three re-splits of the document PER GRAM, O(n_words^2)
+    grams = bind_once(
+        F.split(F.trim(F.lower(F.col("text"))), r"\s+"),
+        lambda w: F.when(
+            F.size(w) >= 3,
+            F.transform(
+                F.sequence(F.lit(1), F.size(w) - 2),
+                lambda i: F.concat_ws(
+                    " ", F.element_at(w, i), F.element_at(w, i + 1),
+                    F.element_at(w, i + 2)),
+            ),
+        ).otherwise(F.array().cast("array<string>")),
+    )
     tri = docs.select("source", F.explode(grams).alias("g"))
     return kmv_overlap(tri, "source", "g", "src0", "src1", k=128)
 
