@@ -3483,7 +3483,12 @@ def q_audio_dedup(spark, sf_dir):
                              "payload": encode_flac(pcm, rate, bits=16)})
             yield pd.DataFrame.from_records(rows, columns=["doc_id", "payload"])
 
-    docs = nat.mapInPandas(build, schema="doc_id bigint, payload binary")
+    from drill_spark.ops.pipeline import _spread
+
+    # fan the 25-row driver fixture across the cluster first: the codec
+    # synthesis below is the expensive per-row stage, and a single-file
+    # scan would run it in ONE task
+    docs = _spread(nat).mapInPandas(build, schema="doc_id bigint, payload binary")
     return (audio_near_dupes(docs, "doc_id", "payload", min_matches=6)
             .select("id_a", "id_b").orderBy("id_a", "id_b"))
 

@@ -278,8 +278,11 @@ def simhash_near_dupes(
             "id_b",
             F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b"))).alias("hamming"),
         )
-        .distinct()  # a pair may agree on several bands
+        # verify BEFORE the dedup shuffle: hamming is a function of the
+        # pair, so filter-then-distinct equals distinct-then-filter and
+        # only qualifying pairs cross the exchange
         .where(F.col("hamming") <= max_hamming)
+        .distinct()  # a pair may agree on several bands
     )
 
 
