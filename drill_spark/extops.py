@@ -3582,7 +3582,12 @@ def q_video_dedup(spark, sf_dir):
                 rows.append({"doc_id": k, "payload": payload})
             yield pd.DataFrame.from_records(rows, columns=["doc_id", "payload"])
 
-    docs = nat.mapInPandas(build, schema="doc_id bigint, payload binary")
+    from drill_spark.ops.pipeline import _spread
+
+    # fan the 25-row driver fixture across the cluster first: the MJPG
+    # re-encode below is the expensive per-row stage, and a single-file
+    # scan would run it in ONE task
+    docs = _spread(nat).mapInPandas(build, schema="doc_id bigint, payload binary")
     return (video_near_dupes(docs, "doc_id", "payload", min_matches=3)
             .select("id_a", "id_b").orderBy("id_a", "id_b"))
 
