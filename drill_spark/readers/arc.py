@@ -145,10 +145,16 @@ def read_arc(
     import pandas as pd
 
     files = _list_arc_files(path)
+    sizes = {f: os.path.getsize(f) for f in files}
+    # scale-adaptive split size, same contract as readers/warc.py:
+    # split_bytes caps task granularity; small inputs split finer so
+    # the decode fills the cluster.
+    par = max(1, spark.sparkContext.defaultParallelism)
+    eff = min(split_bytes, max(sum(sizes.values()) // par, 64 << 10))
     splits: list[tuple[str, int, int]] = []
     for f in files:
-        size = os.path.getsize(f)
-        n = max(1, size // split_bytes) if f.endswith(".gz") else 1
+        size = sizes[f]
+        n = max(1, size // eff) if f.endswith(".gz") else 1
         bounds = [size * i // n for i in range(n + 1)]
         splits.extend((f, bounds[i], bounds[i + 1]) for i in range(n))
 

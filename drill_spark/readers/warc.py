@@ -326,10 +326,20 @@ def read_warc(
     import pandas as pd
 
     files = _list_warc_files(path)
+    sizes = {f: os.path.getsize(f) for f in files}
+    # split_bytes is the CEILING (task granularity at corpus scale); a
+    # small input splits finer — one split per core when the bytes
+    # allow — so the Python decode stage fills the cluster instead of
+    # serializing on one task. 64 KiB floor keeps the per-split
+    # member-boundary scan negligible; the range contract is
+    # granularity-proof (a member larger than its split is decoded to
+    # completion by its owner).
+    par = max(1, spark.sparkContext.defaultParallelism)
+    eff = min(split_bytes, max(sum(sizes.values()) // par, 64 << 10))
     splits: list[tuple[str, int, int]] = []
     for f in files:
-        size = os.path.getsize(f)
-        n = max(1, size // split_bytes)
+        size = sizes[f]
+        n = max(1, size // eff)
         bounds = [size * i // n for i in range(n + 1)]
         splits.extend((f, bounds[i], bounds[i + 1]) for i in range(n))
 

@@ -74,6 +74,39 @@ def test_tiny_splits_decode_each_record_exactly_once(spark, warc_dir):
     assert len({r["record_id"] for r in ids}) == 123
 
 
+def test_default_split_size_adapts_to_small_inputs(spark, tmp_path):
+    # with the default 32 MB ceiling, a small multi-record input must
+    # still fan the decode across tasks (effective split size floors
+    # at 64 KiB instead of collapsing to one whole-file split) — and
+    # the row set must match the explicit tiny-split read exactly
+    import hashlib
+    import os
+
+    from drill_spark.readers.warc import _list_warc_files
+
+    def blob(i):  # incompressible-ish payload so the .gz stays > 128 KiB
+        h = hashlib.sha256(str(i).encode()).hexdigest()
+        return "".join(hashlib.sha256((h + str(j)).encode()).hexdigest()
+                       for j in range(128))
+
+    docs = spark.createDataFrame(
+        [(f"https://ex.org/{i}", blob(i)) for i in range(64)],
+        "target_uri string, text string",
+    )
+    d = str(tmp_path / "big")
+    write_warc(docs.coalesce(1), d)
+    total = sum(os.path.getsize(f) for f in _list_warc_files(d))
+    assert total > 2 * (64 << 10)  # fixture big enough to exercise the fan
+    df = read_warc(spark, d)
+    n_tasks = df.select(F.spark_partition_id().alias("p")).distinct().count()
+    assert n_tasks > 1
+    ids = {r["record_id"] for r in df.select("record_id").collect()}
+    tiny = {r["record_id"]
+            for r in read_warc(spark, d, split_bytes=1024)
+            .select("record_id").collect()}
+    assert ids == tiny and len(ids) == 65  # 64 responses + warcinfo
+
+
 def test_plain_uncompressed_splits(spark, docs, tmp_path):
     d = str(tmp_path / "plain")
     write_warc(docs.select("target_uri", "text").repartition(2), d,
