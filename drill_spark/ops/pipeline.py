@@ -217,27 +217,52 @@ def repetition_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     All per-row HOFs: the bigram mode is computed inside the row
     (distinct × filter), bounded by document length squared — for
     capped-length web documents this beats the explode→groupBy→join
-    alternative, which costs two corpus-wide shuffles."""
-    w = _words(text_col)
-    bg = F.transform(
-        F.sequence(F.lit(1), F.size(w) - 1),
-        lambda i: F.concat(F.element_at(w, i), F.lit(" "), F.element_at(w, i + 1)),
-    )
-    dup_frac = F.round(
-        1 - F.size(F.array_distinct(w)) / F.size(w), 4
+    alternative, which costs two corpus-wide shuffles.
+
+    The word array and the bigram array are routed through
+    :func:`~drill_spark.ops.hofutil.bind_once`: referenced bare inside
+    the positional lambdas, Catalyst inlines the full ``split(...)``
+    at every ``element_at`` (one re-split per bigram position) and
+    re-evaluates the bigram transform once per DISTINCT bigram in the
+    mode loop — O(n_words^3) split evaluations per row instead of
+    one."""
+    from drill_spark.ops.hofutil import bind_once
+
+    dup_frac = bind_once(
+        _words(text_col),
+        lambda w: F.round(1 - F.size(F.array_distinct(w)) / F.size(w), 4),
     ).alias("dup_word_frac")
-    top_bigram = F.when(F.size(w) < 2, F.lit(0.0)).otherwise(
-        F.round(
-            F.array_max(
-                F.transform(
-                    F.array_distinct(bg),
-                    lambda b: F.size(F.filter(bg, lambda x: x == b)),
+
+    def _top_bigram(w):
+        # the >=2 guard must wrap the transform itself: bind_once
+        # evaluates its value eagerly, and sequence(1, 0) is the
+        # DESCENDING [1, 0] whose element_at(w, 0) raises
+        bg_expr = F.when(
+            F.size(w) >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size(w) - 1),
+                lambda i: F.concat(
+                    F.element_at(w, i), F.lit(" "), F.element_at(w, i + 1)),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        return bind_once(
+            bg_expr,
+            lambda bg: F.when(F.size(w) < 2, F.lit(0.0)).otherwise(
+                F.round(
+                    F.array_max(
+                        F.transform(
+                            F.array_distinct(bg),
+                            lambda b: F.size(F.filter(bg, lambda x: x == b)),
+                        )
+                    )
+                    / F.size(bg),
+                    4,
                 )
-            )
-            / F.size(bg),
-            4,
+            ),
         )
-    ).alias("top_bigram_frac")
+
+    top_bigram = bind_once(_words(text_col), _top_bigram).alias(
+        "top_bigram_frac")
     out = df.select(F.col(id_col), dup_frac, top_bigram)
     return out.withColumn(
         "flagged",
@@ -574,20 +599,30 @@ def _hashed_gram_buckets(text_col: str) -> Column:
     OCCURRENCES (not distinct — the importance weight is a product over
     occurrences), each hashed to a 4-hex md5 prefix = 65,536 buckets.
     Fixed-width, engine-portable bucket ids keep the model tables
-    bounded regardless of vocabulary size."""
-    w = _words(text_col)
-    bi = F.when(
-        F.size(w) >= 2,
-        F.transform(
-            F.sequence(F.lit(1), F.size(w) - 1),
-            lambda i: F.concat(
-                F.element_at(w, i), F.lit(" "), F.element_at(w, i + 1)
+    bounded regardless of vocabulary size.
+
+    The word array is routed through :func:`~drill_spark.ops.hofutil.
+    bind_once`: referenced bare inside the bigram position lambda,
+    Catalyst inlines the full ``split(...)`` at every ``element_at``
+    — two re-splits of the document PER BIGRAM, O(n_words^2) per row
+    (the defect class fixed for ``_ngram_keys`` this round)."""
+    from drill_spark.ops.hofutil import bind_once
+
+    def _grams(w):
+        bi = F.when(
+            F.size(w) >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size(w) - 1),
+                lambda i: F.concat(
+                    F.element_at(w, i), F.lit(" "), F.element_at(w, i + 1)
+                ),
             ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    return F.transform(
-        F.concat(w, bi), lambda g: F.substring(F.md5(g), 1, 4)
-    )
+        ).otherwise(F.array().cast("array<string>"))
+        return F.transform(
+            F.concat(w, bi), lambda g: F.substring(F.md5(g), 1, 4)
+        )
+
+    return bind_once(_words(text_col), _grams)
 
 
 def dsir_weights(
