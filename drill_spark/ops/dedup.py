@@ -55,17 +55,22 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def shingles(col, k: int = 3):
-    """k-word shingles as an array column (JVM-side, no UDF)."""
-    t = tokens(col)
-    return F.expr(
-        f"transform(sequence(0, greatest(size({_sql(t)}) - {k}, 0)), "
-        f"i -> concat_ws(' ', slice({_sql(t)}, i + 1, {k})))"
+    """k-word shingles as an array column (JVM-side, no UDF).
+
+    The token array is routed through :func:`~drill_spark.ops.hofutil.
+    bind_once`: embedded bare inside the positional lambda (the old
+    ``F.expr`` form), Catalyst inlined the full ``split(...)`` at every
+    shingle position — one re-split of the document per shingle,
+    O(n_words^2) per row."""
+    from drill_spark.ops.hofutil import bind_once
+
+    return bind_once(
+        tokens(col),
+        lambda w: F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(w) - k, F.lit(0))),
+            lambda i: F.concat_ws(" ", F.slice(w, i + 1, k)),
+        ),
     )
-
-
-def _sql(c) -> str:
-    # Column -> SQL text for embedding inside F.expr lambdas.
-    return c._jc.toString()
 
 
 def minhash_signatures(

@@ -1259,7 +1259,14 @@ def luhn_scan(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     t = F.col(text_col)
 
     def luhn_ok(c):
-        s = F.regexp_replace(c, "[ -]", "")
+        # bind the separator-stripped digits once per candidate:
+        # referenced bare, the regexp_replace re-ran at every one of
+        # its three uses (split input + the length check)
+        from drill_spark.ops.hofutil import bind_once
+
+        return bind_once(F.regexp_replace(c, "[ -]", ""), _luhn_digits_ok)
+
+    def _luhn_digits_ok(s):
         rev = F.split(F.reverse(s), "")
         vals = F.transform(
             rev,

@@ -149,30 +149,36 @@ def phrase_search(df: DataFrame, phrase: str, id_col: str = "doc_id",
     # documents — on a selective phrase that is ~all of the win
     pat = r"\s+".join(_re.escape(t) for t in terms)
     cand = df.where(F.lower(F.col(text_col)).rlike(pat))
-    # token array materialized in its own projection: an inlined
-    # filter(split(...)) inside every element_at would re-tokenize the
-    # document per candidate position (O(len^2) per doc)
-    base = cand.select("*", F.filter(tokens(F.col(text_col)),
-                                     lambda t: t != "").alias("__w"))
-    w = F.col("__w")
 
-    def _match(i):
-        c = None
-        for k, term in enumerate(terms):
-            e = F.element_at(w, (i + F.lit(k)).cast("int")) == term
-            c = e if c is None else c & e
-        return c
+    # token array routed through bind_once: an aliased `__w` projection
+    # column is NOT a reliable defense — the pushed-down hit filter
+    # inlined it back into every element_at (verified in the r13
+    # optimized plan), re-tokenizing the document per candidate
+    # position per term. A bound lambda variable cannot be inlined, so
+    # each evaluation of the starts expression tokenizes exactly once.
+    def _starts(w):
+        def _match(i):
+            c = None
+            for k, term in enumerate(terms):
+                e = F.element_at(w, (i + F.lit(k)).cast("int")) == term
+                c = e if c is None else c & e
+            return c
 
-    # Spark's sequence(1, 0) is DESCENDING [1, 0], not empty — docs
-    # shorter than the phrase must short-circuit to no candidates
-    starts = F.when(
-        F.size(w) >= m,
-        F.filter(F.sequence(F.lit(1), F.size(w) - (m - 1)), _match),
-    ).otherwise(F.array().cast("array<int>"))
-    # alias the scan once: HOFs run interpreted, so letting n_hits,
-    # first_pos and the filter each re-evaluate the candidate filter
-    # would triple the dominant per-row cost
-    st = base.select(F.col(id_col), starts.alias("__st"))
+        # Spark's sequence(1, 0) is DESCENDING [1, 0], not empty — docs
+        # shorter than the phrase must short-circuit to no candidates
+        return F.when(
+            F.size(w) >= m,
+            F.filter(F.sequence(F.lit(1), F.size(w) - (m - 1)), _match),
+        ).otherwise(F.array().cast("array<int>"))
+
+    from drill_spark.ops.hofutil import bind_once
+
+    starts = bind_once(
+        F.filter(tokens(F.col(text_col)), lambda t: t != ""), _starts)
+    # the pushed-down `n_hits > 0` filter re-evaluates the aliased
+    # expression once below the projection — a 2x constant on the
+    # bound single-pass scan, not the old O(positions) blowup
+    st = cand.select(F.col(id_col), starts.alias("__st"))
     return (
         st.select(
             F.col(id_col),
