@@ -531,13 +531,20 @@ def pq_train(df: DataFrame, vec_col: str = "embedding", m: int = 8,
 
 
 def pq_encode(df: DataFrame, codebooks, id_col: str = "vec_id",
-              vec_col: str = "embedding") -> DataFrame:
-    """(id, codes array<int>) — per-subspace argmin against the literal
-    codebooks, pure Catalyst (one transform per subspace, constant-
-    folded). The codes column is what a 100 TB corpus persists: m bytes
-    per vector instead of dim floats."""
+              vec_col: str = "embedding",
+              passthrough: tuple = ()) -> DataFrame:
+    """(id, *passthrough, codes array<int>) — per-subspace argmin
+    against the literal codebooks, pure Catalyst (one transform per
+    subspace, constant-folded). The codes column is what a 100 TB
+    corpus persists: m bytes per vector instead of dim floats.
+
+    ``passthrough`` names input columns carried to the output in the
+    same projection: the IVF+PQ callers need ``cell`` next to the
+    codes, and carrying it here is free while re-attaching it with a
+    join is a full corpus-width shuffle on the id (guide §2.4)."""
     sub = len(codebooks[0][0])
-    out = df.select(F.col(id_col), F.col(vec_col))
+    keep = [F.col(c) for c in passthrough]
+    out = df.select(F.col(id_col), F.col(vec_col), *keep)
     code_cols = []
     for j, book in enumerate(codebooks):
         cents = _cents_sql(book)
@@ -548,9 +555,10 @@ def pq_encode(df: DataFrame, codebooks, id_col: str = "vec_id",
         code_cols.append(
             (F.expr(f"array_position({d}, array_min({d}))") - 1)
             .cast("int").alias(f"_c{j}"))
-    out = out.select(id_col, vec_col, *code_cols)
+    out = out.select(id_col, vec_col, *passthrough, *code_cols)
     return out.select(
         id_col,
+        *passthrough,
         F.array(*[F.col(f"_c{j}") for j in range(len(codebooks))]).alias("codes"),
     )
 
@@ -656,8 +664,8 @@ def ivfpq_topk(df: DataFrame, query_ids,
     assigned, centroids = ivf_assign(df, id_col, vec_col, n_cells,
                                      sample=shared)
     codebooks = pq_train(df, vec_col, m=m, k=n_codes, sample=shared)
-    encoded = pq_encode(assigned, codebooks, id_col, vec_col).join(
-        assigned.select(F.col(id_col), F.col("cell")), id_col)
+    encoded = pq_encode(assigned, codebooks, id_col, vec_col,
+                        passthrough=("cell",))
     rerank = rerank or 10 * k
 
     q_rows = (df.where(F.col(id_col).isin(list(query_ids)))

@@ -161,8 +161,8 @@ def build_vector_index(
         sample=shared)
     codebooks = pq_train(df, vec_col, m=m, k=n_codes, seed=seed,
                          max_train=max_train, sample=shared)
-    encoded = pq_encode(assigned, codebooks, id_col, vec_col).join(
-        assigned.select(F.col(id_col), F.col("cell")), id_col)
+    encoded = pq_encode(assigned, codebooks, id_col, vec_col,
+                        passthrough=("cell",))
     codes_dir = os.path.join(path, "codes")
     encoded.select(id_col, "codes", "cell").write.mode(
         "overwrite").partitionBy("cell").parquet(codes_dir)
@@ -206,8 +206,8 @@ def index_append(
     meta, _ = load_vector_index(spark, path)
     id_col, vec_col = meta["id_col"], meta["vec_col"]
     assigned = _assign_cells(new_df, vec_col, meta["centroids"])
-    encoded = pq_encode(assigned, meta["codebooks"], id_col, vec_col).join(
-        assigned.select(F.col(id_col), F.col("cell")), id_col)
+    encoded = pq_encode(assigned, meta["codebooks"], id_col, vec_col,
+                        passthrough=("cell",))
     n = encoded.count()
     encoded.select(id_col, "codes", "cell").write.mode(
         "append").partitionBy("cell").parquet(os.path.join(path, "codes"))
