@@ -152,9 +152,21 @@ def cosine_dedup_pairs(
     fold arithmetic, one ArrowEvalPython projection, no extra
     exchanges); ``"catalyst"`` keeps the pure-expression fold.
     Equality is pinned in test_similarity (both engines, edge cases).
+
+    The triangle join only spreads the pair work when the EXECUTED join
+    exchanges on (bk, i, j); below the broadcast threshold the planner
+    broadcasts side B and side A's partitioning — i.e. the input scan's
+    — carries straight through to the quadratic scoring stage, so a
+    single-file embedding table runs every comparison on one or two
+    tasks. _spread (guarded: no-op for multi-split scans and for
+    post-shuffle frames) fans the narrow (bk, id, v) projection first;
+    the round-robin exchange moves each vector once, nothing compared
+    to the pair volume it parallelizes.
     """
+    from drill_spark.ops.pipeline import _spread
+
     side = with_norm(
-        df.select(F.col(bucket_col).alias("bk"), F.col(id_col).alias("id"), F.col(vec_col).alias("v")),
+        _spread(df.select(F.col(bucket_col).alias("bk"), F.col(id_col).alias("id"), F.col(vec_col).alias("v"))),
         "v",
         "n",
     )
