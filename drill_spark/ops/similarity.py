@@ -129,7 +129,7 @@ def cosine_dedup_pairs(
     bucket_col: str = "label",
     threshold: float = 0.95,
     n_salt: int = 8,
-    engine: str = "arrow",
+    engine: str = "catalyst",
 ) -> DataFrame:
     """Embedding near-duplicate pairs: cosine >= threshold within a
     blocking bucket (here `label`; at scale an LSH bucket). EXACT
@@ -147,11 +147,18 @@ def cosine_dedup_pairs(
     Same total comparisons, ~n_salt/2 row replication, full cluster
     parallelism. n_salt=1 degrades to the single-block join.
 
-    ``engine`` (r13): ``"arrow"`` (default) scores pairs with the
-    Arrow-batched kernel (:func:`_arrow_pair_dot` — exact sequential-
-    fold arithmetic, one ArrowEvalPython projection, no extra
-    exchanges); ``"catalyst"`` keeps the pure-expression fold.
-    Equality is pinned in test_similarity (both engines, edge cases).
+    ``engine`` (r13): ``"catalyst"`` (default) scores pairs with the
+    pure-expression fold — all-JVM, no Python boundary; ``"arrow"``
+    scores them with the Arrow-batched kernel (:func:`_arrow_pair_dot`
+    — the same exact sequential-fold arithmetic, one ArrowEvalPython
+    projection). Equality is pinned in test_similarity (both engines,
+    edge cases). The default is catalyst because the pair stage's row
+    volume is quadratic in bucket size: the arrow path serializes BOTH
+    pair-expanded vectors through the Python boundary (O(pairs × dim)
+    bytes — ~20 GB at the 10x soak's 20M pairs), and an interleaved
+    fresh-session A/B at sf0.1 AND the 10x soak fixture measured
+    catalyst faster at both scales (0.49 vs 1.38s, 7.1 vs 8.7s;
+    semantic_dedup 1.9 vs 2.9s, 10.6 vs 15.2s).
 
     The triangle join only spreads the pair work when the EXECUTED join
     exchanges on (bk, i, j); below the broadcast threshold the planner
