@@ -151,7 +151,7 @@ def cosine_dedup_pairs(
     pure-expression fold — all-JVM, no Python boundary; ``"arrow"``
     scores them with the Arrow-batched kernel (:func:`_arrow_pair_dot`
     — the same exact sequential-fold arithmetic, one ArrowEvalPython
-    projection). Equality is pinned in test_similarity (both engines,
+    projection). Equality is pinned in test_extops (both engines,
     edge cases). The default is catalyst because the pair stage's row
     volume is quadratic in bucket size: the arrow path serializes BOTH
     pair-expanded vectors through the Python boundary (O(pairs × dim)
