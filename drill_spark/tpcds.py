@@ -1706,17 +1706,30 @@ limit 100
 
 
 # q95 shape (multi-warehouse returned orders): tickets sold from MORE
-# THAN ONE store (a self-join on the ticket with a store inequality —
-# the spec's ws1/ws2 warehouse pattern), restricted by IN to that set
-# and by EXISTS to tickets with a return — the double-semijoin shape
-# on one fact. One summary row of exact-cent totals.
+# THAN ONE store (the spec's ws1/ws2 warehouse pattern), restricted by
+# IN to that set and by EXISTS to tickets with a return — the
+# double-semijoin shape on one fact. One summary row of exact-cent
+# totals.
+# r13 restructure (results provably unchanged, shared oracle text): the
+# original `select distinct a.ticket from fact a join fact b on
+# a.ticket = b.ticket and a.store <> b.store` materializes O(k^2) pairs
+# per ticket and sort-merge-joins the fact with itself — and Spark's
+# constraint inference then applies the IN-semijoin to BOTH sides of
+# the l⋈o equi-join underneath the fact view, planning the whole
+# self-join subtree twice (guide §3.3). A ticket has two rows with
+# different non-NULL stores iff it has >1 distinct non-NULL store, so
+# the set is exactly `group by ticket having count(distinct store) > 1`
+# (count(distinct) ignores NULL stores, matching `<>`'s NULL
+# semantics); the explicit `is not null` keeps the NULL-ticket group
+# out, matching the equi-join. One partial-aggregated pass replaces
+# the pair explosion; both engines run this same text.
 _Q95_BODY = """
 multi_store as (
-  select distinct a.ss_ticket_number
-  from tpcds_store_sales a
-  join tpcds_store_sales b
-    on a.ss_ticket_number = b.ss_ticket_number
-   and a.ss_store_sk <> b.ss_store_sk
+  select ss_ticket_number
+  from tpcds_store_sales
+  where ss_ticket_number is not null
+  group by ss_ticket_number
+  having count(distinct ss_store_sk) > 1
 )
 select cast(count(distinct ss.ss_ticket_number) as bigint) as order_count,
        cast(sum(cast(round(ss.ss_ext_sales_price * 100, 0) as bigint))
