@@ -223,18 +223,21 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 48) -> DataFr
         F.col("w") != ""
     )
     h = tok.withColumn("th", F.xxhash64("w"))
-    aggs = [
-        F.sum(F.when(F.shiftright(F.col("th"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)).alias(
-            f"b{i}"
-        )
+    # The whole fingerprint is ONE parsed expression (48 aggregates
+    # inside one sum-of-terms projection) instead of `bits` separate
+    # F.sum(F.when(...)) columns plus a `bits`-term Python fold: the
+    # column-by-column form cost ~8k py4j gateway roundtrips (~4s of
+    # driver wall per call, measured via cProfile); the JVM-side plan
+    # — `bits` partial sums then one combining projection — and the
+    # integer arithmetic are identical, so fingerprints are
+    # bit-identical (same defense as minhash_signatures).
+    fp_sql = " + ".join(
+        f"(case when sum(case when (shiftright(th, {i}) & 1) = 1"
+        f" then 1 else -1 end) > 0"
+        f" then cast({1 << i} as bigint) else cast(0 as bigint) end)"
         for i in range(bits)
-    ]
-    agg = h.groupBy(id_col).agg(*aggs)
-    fp = None
-    for i in range(bits):
-        term = F.when(F.col(f"b{i}") > 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long"))
-        fp = term if fp is None else fp + term
-    return agg.select(F.col(id_col), fp.alias("fingerprint"))
+    )
+    return h.groupBy(id_col).agg(F.expr(fp_sql).alias("fingerprint"))
 
 
 def simhash_near_dupes(
