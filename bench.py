@@ -207,11 +207,18 @@ def main() -> None:
                 detail["sf1_soak"] = json.load(f)
         except (OSError, ValueError) as e:
             print(f"soak_sf1.json not embedded: {e}", file=sys.stderr)
-    try:
-        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_result.json"), "w") as f:
-            f.write(json.dumps(detail) + "\n")
-    except OSError as e:
-        print(f"bench_result.json not written: {e}", file=sys.stderr)
+    # The detail file is written twice: bench_result.json (the historical
+    # name every round's tooling reads) AND bench_result_c{cpus}.json, so
+    # a low-core scaling run no longer clobbers the high-core per-query
+    # map (r13 PERF could not compute per-query scaling ratios because
+    # the c8 run overwrote the c32 detail in the shared file).
+    here = os.path.dirname(os.path.abspath(__file__))
+    for fname in ("bench_result.json", f"bench_result_c{cpus}.json"):
+        try:
+            with open(os.path.join(here, fname), "w") as f:
+                f.write(json.dumps(detail) + "\n")
+        except OSError as e:
+            print(f"{fname} not written: {e}", file=sys.stderr)
     line = json.dumps(summary)
     assert len(line) < 1500, f"stdout bench line too long ({len(line)} bytes)"
     print(line, file=real_stdout)
