@@ -130,6 +130,7 @@ def cosine_dedup_pairs(
     threshold: float = 0.95,
     n_salt: int = 8,
     engine: str = "catalyst",
+    prefilter_dims: int | None = None,
 ) -> DataFrame:
     """Embedding near-duplicate pairs: cosine >= threshold within a
     blocking bucket (here `label`; at scale an LSH bucket). EXACT
@@ -169,6 +170,36 @@ def cosine_dedup_pairs(
     post-shuffle frames) fans the narrow (bk, id, v) projection first;
     the round-robin exchange moves each vector once, nothing compared
     to the pair volume it parallelizes.
+
+    ``prefilter_dims`` (r14, guide §3.2 "reduce before the join"): a
+    LOSSLESS Cauchy-Schwarz upper bound drops candidate pairs before
+    the full dot fold. Per row (linear, pre-explode) compute the
+    P-dim prefix array ``pv = v[:P]`` and the suffix norm ``sn =
+    |v[P:]|``; per pair the prefix dot plus ``sn_a*sn_b`` bounds the
+    full dot from above (dot_suffix <= |a_s||b_s| by Cauchy-Schwarz),
+    so ``(prefix_dot + sn_a*sn_b)/(na*nb) < threshold - 1e-4`` proves
+    the pair cannot reach the gate — the 1e-4 slack covers the gate's
+    round-to-4 half-up (5e-5) plus float noise, and a NULL or NaN
+    bound KEEPS its pair (``coalesce(bound >= cut, true)``; Spark
+    orders NaN above every double, so NaN passes the filter exactly
+    as a NaN cosine passes the gate). Survivors run the IDENTICAL
+    fold and round, so the emitted pair set is bit-equal for any P
+    (pinned by test).
+
+    Cost model (measured, r14): the bound must be CODEGEN arithmetic
+    to pay. Slicing per PAIR (slice(va,1,P) inside the predicate) or
+    folding the prefix with aggregate(zip_with(...)) both LOSE — the
+    per-pair array allocation + interpreted-lambda overhead exceeds
+    the full fold they save, at sf0.1 and sf1 alike. What wins is
+    pre-slicing the prefix per ROW and an UNROLLED
+    ``get(pa,0)*get(pb,0) + ...`` sum (plain codegen'd expressions,
+    no lambdas): semantic-dedup pair stage at the 10x soak fixture
+    2.93 -> 1.93s min (keep fraction 0.02% at P=16/t=0.95), sf0.1
+    0.556 -> 0.515s. ``None`` = auto: 16 dims when threshold >= 0.6,
+    off below (at low thresholds the suffix bound alone exceeds the
+    threshold for typical energy layouts, so every pair survives and
+    the prefix work is pure overhead — measured at embed_dedup's
+    0.35: best P keeps ~19%, a wash). ``0`` disables explicitly.
     """
     from drill_spark.ops.pipeline import _spread
 
@@ -177,12 +208,37 @@ def cosine_dedup_pairs(
         "v",
         "n",
     )
+    if prefilter_dims is None:
+        prefilter_dims = 16 if threshold >= 0.6 else 0
+    # cap: the unrolled bound is one parsed expression; past ~a hundred
+    # terms the parser rejects it, and a prefix that long has no
+    # pruning advantage anyway (the bound is monotone in P only in
+    # tightness, not in cost)
+    P = min(max(int(prefilter_dims), 0), 64)
+    if P:
+        # prefix slice + suffix norm once per ROW (linear), carried
+        # through the explode/join; per-pair slicing measured SLOWER
+        # than no filter at all (allocation per pair). slice() past
+        # the end is empty -> sn = 0 for short vectors, NaN elements
+        # poison sn to NaN. (suffix length = size(v): always covers
+        # the suffix, and start+length stays inside int32 — a MAX_INT
+        # literal overflows slice())
+        side = side.withColumn("pv", F.expr(f"slice(v, 1, {P})")).withColumn(
+            "sn",
+            F.expr(
+                f"sqrt(aggregate(transform(slice(v, {P + 1}, size(v)), "
+                f"x -> cast(x as double) * cast(x as double)), 0D, (acc, y) -> acc + y))"
+            ),
+        )
     S = max(int(n_salt), 1)
     salted = side.withColumn("s", F.pmod(F.xxhash64("id"), F.lit(S)).cast("int"))
+    sn_a = [F.col("pv").alias("pa"), F.col("sn").alias("sa")] if P else []
+    sn_b = [F.col("pv").alias("pb"), F.col("sn").alias("sb")] if P else []
     a = (
         salted.select(
             "bk", F.col("s").alias("i"),
             F.col("id").alias("id_a"), F.col("v").alias("va"), F.col("n").alias("na"),
+            *sn_a,
         )
         .withColumn("j", F.explode(F.expr(f"sequence(i, {S - 1})")))
     )
@@ -190,6 +246,7 @@ def cosine_dedup_pairs(
         salted.select(
             "bk", F.col("s").alias("j"),
             F.col("id").alias("id_b"), F.col("v").alias("vb"), F.col("n").alias("nb"),
+            *sn_b,
         )
         .withColumn("i", F.explode(F.expr("sequence(0, j)")))
     )
@@ -199,11 +256,34 @@ def cosine_dedup_pairs(
         dot = _dot("va", "vb")
     else:
         raise ValueError(f"cosine_dedup_pairs: unknown engine {engine!r}")
+    # i < j blocks hold cross-salt pairs once by construction; the
+    # diagonal i == j needs the id order to not double-count
+    keep = (F.col("i") < F.col("j")) | (F.col("id_a") < F.col("id_b"))
+    if P:
+        # ONE combined predicate, diagonal test FIRST (it kills ~half
+        # the diagonal block for free; separate .where calls made the
+        # optimizer order it after the bound). The prefix dot is an
+        # UNROLLED codegen sum over the pre-sliced prefix arrays — no
+        # lambdas, no per-pair allocation (the left-to-right + chain
+        # is the same accumulation order as the fold, so the value is
+        # bit-identical where both are defined). coalesce(_, true)
+        # keeps NULL-bound pairs — the gate drops them identically —
+        # and, being null-TOLERANT, stops InferFiltersFromConstraints
+        # from deriving isnotnull(sqrt(aggregate(...))) scan filters
+        # that re-evaluate both norms once more per row.
+        prefix_dot = F.expr(" + ".join(
+            f"cast(get(pa, {i}) as double) * cast(get(pb, {i}) as double)"
+            for i in range(P)
+        ))
+        bound_ok = F.coalesce(
+            (prefix_dot + F.col("sa") * F.col("sb")) / (F.col("na") * F.col("nb"))
+            >= F.lit(float(threshold) - 1e-4),
+            F.lit(True),
+        )
+        keep = keep & bound_ok
     return (
         a.join(b, ["bk", "i", "j"])
-        # i < j blocks hold cross-salt pairs once by construction; the
-        # diagonal i == j needs the id order to not double-count
-        .where((F.col("i") < F.col("j")) | (F.col("id_a") < F.col("id_b")))
+        .where(keep)
         .withColumn("cosine", F.round(dot / (F.col("na") * F.col("nb")), 4))
         .where(F.col("cosine") >= threshold)
         .select(

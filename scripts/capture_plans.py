@@ -1,7 +1,7 @@
-"""Capture .explain("formatted") for named queries into plans/r13/.
+"""Capture .explain("formatted") for named queries into plans/r14/.
 
 Usage: python scripts/capture_plans.py [--final] <suffix> <query> [query ...]
-Writes plans/r13/<query>_<suffix>.txt for each query (suffix is
+Writes plans/r14/<query>_<suffix>.txt for each query (suffix is
 "before" / "after"). Uses the same vanilla-ish session as the bench
 (get_spark) so plan shapes match what the driver measures.
 
@@ -40,7 +40,7 @@ def main() -> int:
 
     qs = entrymod.queries()
     outdir = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), "plans", "r13")
+        os.path.abspath(__file__))), "plans", "r14")
     os.makedirs(outdir, exist_ok=True)
     rc = 0
     for name in names:

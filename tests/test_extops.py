@@ -373,6 +373,55 @@ def test_cosine_dedup_triangle_join_exact(spark):
     assert len(base) > 0
 
 
+def test_cosine_dedup_prefilter_is_lossless(spark):
+    """The Cauchy-Schwarz prefix-bound pre-filter (r14) never changes
+    the emitted pair set — any prefilter_dims, fixture pairs AND edge
+    vectors (NULL, ragged, empty, zero-norm, NaN element in prefix and
+    in suffix, short vector, near-threshold rounding boundary)."""
+    import math
+
+    from drill_spark.ops.similarity import cosine_dedup_pairs
+    from drill_spark.session import load_fixture
+
+    def norm(t):
+        # NaN != NaN breaks tuple equality; compare a stable key
+        return sorted(
+            (r[0], r[1], r[2], "nan" if r[3] is not None and math.isnan(r[3]) else r[3])
+            for r in t
+        )
+
+    embs = load_fixture(spark, "/root/testdata/sf0.001", "embeddings")
+    for thr in (0.3, 0.95):
+        base = norm(cosine_dedup_pairs(embs, threshold=thr, prefilter_dims=0).collect())
+        for p in (3, 16, 64, 1000):  # 1000 exercises the 64 cap
+            got = norm(cosine_dedup_pairs(embs, threshold=thr, prefilter_dims=p).collect())
+            assert got == base, (thr, p)
+    # auto policy: on at 0.95, off at 0.35 — both must match the unfiltered set
+    for thr in (0.35, 0.95):
+        assert norm(cosine_dedup_pairs(embs, threshold=thr).collect()) == norm(
+            cosine_dedup_pairs(embs, threshold=thr, prefilter_dims=0).collect())
+
+    nan = float("nan")
+    edge = spark.createDataFrame(
+        [(1, 0, [1.0, 0.0, 0.0, 0.0]),       # cosine(1,2)=1.0 -> emitted
+         (2, 0, [1.0, 0.0, 0.0, 0.0]),
+         (3, 0, None),                        # NULL vector
+         (4, 0, [1.0, 2.0]),                  # short + ragged vs others
+         (5, 0, []),                          # empty: dot 0, norm 0 -> NaN cosine
+         (6, 0, [0.0, 0.0, 0.0, 0.0]),        # zero norm -> NaN cosine
+         (7, 0, [nan, 1.0, 1.0, 1.0]),        # NaN in prefix
+         (8, 0, [1.0, 1.0, 1.0, nan]),        # NaN in suffix
+         (9, 0, [0.9499, 0.3124, 0.0, 0.0]),  # near-threshold vs id 1
+         (10, 0, [0.95, 0.31224989991991996, 0.0, 0.0])],
+        "vec_id bigint, label int, embedding array<double>")
+    for thr in (0.3, 0.95):
+        base = norm(cosine_dedup_pairs(edge, threshold=thr, prefilter_dims=0).collect())
+        for p in (1, 2, 3, 16):
+            got = norm(cosine_dedup_pairs(edge, threshold=thr, prefilter_dims=p).collect())
+            assert got == base, (thr, p, got, base)
+    assert len(base) > 0
+
+
 def test_cosine_dedup_arrow_engine_matches_catalyst(spark):
     """The Arrow pair-dot kernel is bit-identical to the expression
     fold — fixture pairs AND edge cases (NULL vector, ragged pair,
