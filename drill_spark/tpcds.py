@@ -2541,7 +2541,33 @@ q_tpcds_q49 = _decorrelated(_Q49_BODY)
 q_tpcds_q95 = _decorrelated(_Q95_BODY)
 q_tpcds_q29 = _decorrelated(_Q29_BODY)
 q_tpcds_q31 = _decorrelated(_Q31_BODY)
-q_tpcds_q14 = _decorrelated(_Q14_BODY)
+def q_tpcds_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q14 with the ``cross_items`` CTE materialized ONCE per
+    invocation (r14, guide §3.3 "materialising an intermediate
+    truncates the plan"). The SQL text plans the three-channel
+    INTERSECT under EACH of the three ``IN (select ci_item_sk from
+    cross_items)`` consumers; AQE dedupes the duplicate exchanges at
+    runtime (verified r13 §20 — ReusedExchange counts identical with
+    and without hints), but the 4k-line plan is still analyzed,
+    optimized and adaptively re-planned with three copies of the
+    subtree, and that driver-side cost dominates the row's wall at
+    bench scale. Splitting the CTE out, localCheckpoint-ing its
+    (bounded: distinct item ids) result and pointing the consumers at
+    the materialized view computes the IDENTICAL set from the
+    IDENTICAL CTE text — the DuckDB oracle runs the unsplit
+    _Q14_BODY, and the hash must (and does) still match. Interleaved
+    A/B: 2.80/2.85/2.43s -> 2.34/2.63/2.14s. The checkpoint is
+    per-invocation (recomputed from parquet every call), not a cache.
+    """
+    _register_decorrelation_views(spark, sf_dir)
+    head, rest = _Q14_BODY.split("),\navg_sales", 1)
+    ci = spark.sql(
+        "with " + head + ") select ci_item_sk from cross_items"
+    ).localCheckpoint()
+    ci.createOrReplaceTempView("tpcds_q14_cross_items")
+    return spark.sql(("with avg_sales" + rest).replace(
+        "select ci_item_sk from cross_items",
+        "select ci_item_sk from tpcds_q14_cross_items"))
 q_tpcds_q64 = _decorrelated(_Q64_BODY)
 q_tpcds_q78 = _decorrelated(_Q78_BODY)
 q_tpcds_q9 = _decorrelated(_Q9_BODY)
