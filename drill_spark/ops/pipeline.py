@@ -271,7 +271,7 @@ def repetition_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def gopher_repetition(df: DataFrame, id_col: str = "doc_id",
-                      text_col: str = "text") -> DataFrame:
+                      text_col: str = "text", impl: str = "sql") -> DataFrame:
     """The FULL Gopher repetition table (Rae et al. 2021, Table A1) —
     the 13-signal published standard, extending
     :func:`repetition_stats`'s two-signal summary:
@@ -306,7 +306,132 @@ def gopher_repetition(df: DataFrame, id_col: str = "doc_id",
     every fraction is one double division and the whole table
     hash-checks against a closed-form oracle. Documents with zero
     tokens are excluded (the family convention).
+
+    ``impl`` (r14, guide §5 "the driver should do almost no data
+    work"): ``"sql"`` (default) builds the identical expressions as
+    parsed SQL text — the Column-API construction of this 13-signal
+    table cost ~3.5k py4j gateway roundtrips (~1.3s driver wall) per
+    invocation, the same defect class as the r13 minhash/simhash
+    one-expression rewrites; the SQL builder is a handful of parse
+    calls. ``"column"`` keeps the original Column-API construction;
+    ``test_gopher_repetition_sql_impl_matches_column`` pins the two
+    bit-equal (fixture + edge docs), and fractional literals carry
+    the ``D`` suffix so every comparison stays double-typed exactly
+    like the Column form.
     """
+    if impl == "column":
+        return _gopher_repetition_column(df, id_col, text_col)
+    if impl != "sql":
+        raise ValueError(f"gopher_repetition: unknown impl {impl!r}")
+    from drill_spark.ops.substr import _token_positions
+
+    toks = _token_positions(df, id_col, text_col)
+    base = toks.groupBy("id").agg(F.expr("sum(length(tok)) as total_chars"))
+    grams = (
+        toks.selectExpr(
+            "id", "p",
+            "collect_list(tok) OVER (PARTITION BY id ORDER BY p "
+            "ROWS BETWEEN CURRENT ROW AND 9 FOLLOWING) as warr")
+        .selectExpr(
+            "id", "p",
+            "explode(filter(transform(sequence(2, 10), "
+            "n -> struct(n as n, CASE WHEN size(warr) >= n "
+            "THEN array_join(slice(warr, 1, n), ' ') END as g)), "
+            "s -> s.g is not null)) as s")
+        .selectExpr("id", "p", "s.n as n", "s.g as g")
+    )
+    gc = grams.groupBy("id", "n", "g").agg(F.expr("count(*) as c"))
+    top = (
+        gc.where("n <= 4")
+        .selectExpr("id", "n", "c", "g",
+                    "row_number() OVER (PARTITION BY id, n "
+                    "ORDER BY c DESC, g ASC) as rk")
+        .where("rk = 1")
+        .selectExpr("id", "n",
+                    "cast(c * (length(g) - (n - 1)) as bigint) as chars")
+    )
+    dups = gc.where("n >= 5 and c >= 2").select("id", "n", "g")
+    cov = (
+        grams.join(dups, ["id", "n", "g"], "left_semi")
+        .selectExpr("id", "n", "explode(sequence(p, p + n - 1)) as q")
+        .distinct()
+    )
+    covc = (
+        cov.join(toks.selectExpr("id", "p as q", "length(tok) as cl"),
+                 ["id", "q"])
+        .groupBy("id", "n").agg(F.expr("sum(cl) as chars"))
+    )
+    fr = (
+        top.unionByName(covc)
+        .groupBy("id")
+        .agg(*[F.expr(f"max(CASE WHEN n = {k} THEN chars END) as __ch{k}")
+               for k in range(2, 11)])
+    )
+
+    def _seg(sep: str) -> str:
+        return (f"array_sort(filter(transform(split(lower({text_col}), "
+                f"'{sep}'), x -> regexp_replace(x, '^\\\\s+|\\\\s+$', '')), "
+                f"x -> x != ''))")
+
+    def _metrics(srt: str, occ_name: str, chr_name: str) -> list[str]:
+        dup_occ = (f"filter({srt}, (x, i) -> "
+                   f"coalesce(get({srt}, i - 1) = x, false) OR "
+                   f"coalesce(get({srt}, i + 1) = x, false))")
+        agg = "aggregate({a}, cast(0 as bigint), (a, x) -> a + length(x))"
+        tchars = agg.format(a=srt)
+        dchars = agg.format(a=dup_occ)
+        return [
+            (f"round(CASE WHEN size({srt}) > 0 "
+             f"THEN size({dup_occ}) / size({srt}) "
+             f"ELSE 0.0D END, 4) as {occ_name}"),
+            (f"round(CASE WHEN {tchars} > 0 THEN {dchars} / {tchars} "
+             f"ELSE 0.0D END, 4) as {chr_name}"),
+        ]
+
+    segs = (
+        df.selectExpr(f"{id_col} as id",
+                      _seg("\\\\n") + " as __lines",
+                      _seg("\\\\n\\\\n") + " as __paras")
+        .selectExpr(
+            "id",
+            *_metrics("__lines", "dup_line_frac", "dup_line_char_frac"),
+            *_metrics("__paras", "dup_para_frac", "dup_para_char_frac"),
+        )
+    )
+    out = (
+        base.join(fr, "id", "left").join(segs, "id")
+        .selectExpr(
+            f"id as {id_col}",
+            "dup_line_frac", "dup_line_char_frac",
+            "dup_para_frac", "dup_para_char_frac",
+            *[f"round(coalesce(__ch{k}, 0) / total_chars, 4) as {nm}"
+              for k, nm in [(2, "top_2gram_char_frac"),
+                            (3, "top_3gram_char_frac"),
+                            (4, "top_4gram_char_frac")]
+              + [(k, f"dup_{k}gram_char_frac") for k in range(5, 11)]],
+        )
+    )
+    flagged = " OR ".join(
+        f"({c} > {t}D)" for c, t in _GOPHER_REPETITION_LIMITS.items())
+    return out.withColumn("flagged", F.expr(flagged))
+
+
+_GOPHER_REPETITION_LIMITS = {
+    "dup_line_frac": 0.30, "dup_para_frac": 0.30,
+    "dup_line_char_frac": 0.20, "dup_para_char_frac": 0.20,
+    "top_2gram_char_frac": 0.20, "top_3gram_char_frac": 0.18,
+    "top_4gram_char_frac": 0.16,
+    "dup_5gram_char_frac": 0.15, "dup_6gram_char_frac": 0.14,
+    "dup_7gram_char_frac": 0.13, "dup_8gram_char_frac": 0.12,
+    "dup_9gram_char_frac": 0.11, "dup_10gram_char_frac": 0.10,
+}
+
+
+def _gopher_repetition_column(df: DataFrame, id_col: str = "doc_id",
+                              text_col: str = "text") -> DataFrame:
+    """Column-API construction of :func:`gopher_repetition` (the
+    pre-r14 form, kept as the equality reference for the SQL builder;
+    same expressions, ~3.5k py4j roundtrips to assemble)."""
     from pyspark.sql import Window
 
     from drill_spark.ops.substr import _token_positions

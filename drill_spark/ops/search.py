@@ -191,7 +191,7 @@ def phrase_search(df: DataFrame, phrase: str, id_col: str = "doc_id",
 
 def window_cooccur(df: DataFrame, terms: list[str], window: int = 10,
                    id_col: str = "doc_id",
-                   text_col: str = "text") -> DataFrame:
+                   text_col: str = "text", impl: str = "sql") -> DataFrame:
     """Unordered proximity matching: documents where ALL query terms
     occur together inside at least one ``window``-token span, with the
     count of such spans — the "terms near each other" operator between
@@ -203,12 +203,25 @@ def window_cooccur(df: DataFrame, terms: list[str], window: int = 10,
 
     Returns (id_col, n_windows) for documents with >= 1 qualifying
     window.
+
+    ``impl`` (r14, guide §5): ``"sql"`` (default) assembles the whole
+    per-row expression — pre-filter, merged position stream, fold and
+    narrow-band scan — as ONE parsed SQL string (~1.1k py4j gateway
+    roundtrips and ~0.4s driver wall per invocation collapse to a
+    handful of calls; same defect class as the r13 minhash/simhash
+    rewrites). ``"column"`` keeps the original Column-API builder;
+    ``test_window_cooccur_sql_impl_matches_column`` pins the two
+    bit-equal on fixtures and edge cases.
     """
     qs = [t.lower() for t in terms if t]
     if not qs:
         raise ValueError("window_cooccur: terms must be non-empty")
     if window < len(qs):
         raise ValueError("window_cooccur: window must hold all terms")
+    if impl == "sql":
+        return _window_cooccur_sql(df, qs, window, id_col, text_col)
+    if impl != "column":
+        raise ValueError(f"window_cooccur: unknown impl {impl!r}")
     T = len(qs)
     # codegen substring pre-filter (superset: a token present implies
     # the substring is present) keeps everything below off documents
@@ -302,6 +315,55 @@ def window_cooccur(df: DataFrame, terms: list[str], window: int = 10,
         bind_once(toks, _n_windows).cast("long").alias("n_windows"),
     )
     return st.where(F.col("n_windows") > 0)
+
+
+def _window_cooccur_sql(df: DataFrame, qs: list[str], window: int,
+                        id_col: str, text_col: str) -> DataFrame:
+    """SQL-text builder for :func:`window_cooccur` — term-for-term the
+    Column form's expressions (same CASE/struct/fold shapes, same
+    literal types), assembled as one parsed string. The bind_once
+    defense survives as the literal element_at(transform(array(...)))
+    wrapper, so the tokenizer still evaluates once per row."""
+    T = len(qs)
+    INF = (1 << 31) - 1
+
+    def lit(s: str) -> str:
+        return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+    low = f"lower({text_col})"
+    pre = " AND ".join(f"contains({low}, {lit(t)})" for t in qs)
+    streams = ", ".join(
+        f"filter(zip_with(w, sequence(1, greatest(size(w), 1)), "
+        f"(tok, i) -> CASE WHEN tok = {lit(t)} "
+        f"THEN struct(i as pos, {ti} as tid) END), x -> x is not null)"
+        for ti, t in enumerate(qs))
+    merged = f"array_sort(concat({streams}))"
+    nl = ("transform(a.ls, (v, j) -> "
+          "CASE WHEN j = x.tid THEN x.pos ELSE v END)")
+    nf = ("transform(a.fs, (v, j) -> "
+          "CASE WHEN (j = x.tid) AND (v IS NULL) THEN x.pos ELSE v END)")
+    seen_all = f"NOT exists({nl}, e -> e is null)"
+    best = (f"CASE WHEN {seen_all} "
+            f"THEN least(a.best, (x.pos - array_min({nl})) + 1) "
+            f"ELSE a.best END")
+    step = f"(a, x) -> struct({nl} as ls, {nf} as fs, {best} as best)"
+    win_ok = " AND ".join(
+        f"array_contains(slice(w, cast(i as int), {window}), {lit(t)})"
+        for t in qs)
+    lo = f"greatest(1, array_max(a.fs) - {window - 1})"
+    hi = f"least(greatest(size(w) - {window - 1}, 1), array_min(a.ls))"
+    finish = (f"a -> CASE WHEN (a.best <= {window}) AND ({lo} <= {hi}) "
+              f"THEN size(filter(sequence({lo}, {hi}), i -> {win_ok})) "
+              f"ELSE 0 END")
+    nulls = f"array_repeat(cast(null as int), {T})"
+    init = f"struct({nulls} as ls, {nulls} as fs, {INF} as best)"
+    toks = f"filter(split(trim({low}), '\\\\s+'), t -> t != '')"
+    nw = (f"cast(element_at(transform(array({toks}), "
+          f"w -> aggregate({merged}, {init}, {step}, {finish})), 1) "
+          f"as bigint)")
+    return (df.where(pre)
+            .selectExpr(id_col, f"{nw} as n_windows")
+            .where("n_windows > 0"))
 
 
 def tfidf_keywords(df: DataFrame, top_n: int = 3, id_col: str = "doc_id",

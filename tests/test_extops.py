@@ -2124,6 +2124,45 @@ def test_phrase_and_window_search_shapes(spark):
         window_cooccur(df, ["a", "b", "c"], window=2)
 
 
+def test_window_cooccur_sql_impl_matches_column(spark):
+    """The r14 SQL-text builder is bit-equal to the Column-API form:
+    fixture documents, planted edges (both-terms/one-term/empty/short
+    docs, windows at the exact boundary), multi-term queries, and a
+    term carrying a quote/backslash (literal escaping)."""
+    from drill_spark.ops.search import window_cooccur
+    from drill_spark.session import load_fixture
+
+    edge = spark.createDataFrame([
+        (1, "alpha beta gamma alpha beta delta"),
+        (2, "beta alpha nothing here"),
+        (3, "alpha beta"),
+        (4, "alpha"),
+        (5, ""),
+        (6, "alpha x x x x x x x x delta"),       # exactly window 10
+        (7, "alpha x x x x x x x x x delta"),     # one past it
+        (8, "delta alpha delta alpha delta"),     # many overlapping
+        (9, "it's a quote ' and a back\\slash alpha delta"),
+    ], "doc_id long, text string")
+    docs = load_fixture(spark, "/root/testdata/sf0.001", "documents")
+    cases = [
+        (edge, ["alpha", "delta"], 4),
+        (edge, ["alpha", "delta"], 10),
+        (edge, ["alpha", "beta", "delta"], 6),
+        (edge, ["'", "alpha"], 10),
+        (edge, ["back\\slash", "quote"], 10),
+        (docs, ["vector", "small"], 12),
+    ]
+    for df, terms, win in cases:
+        a = sorted(map(tuple, window_cooccur(df, terms, window=win,
+                                             impl="sql").collect()))
+        b = sorted(map(tuple, window_cooccur(df, terms, window=win,
+                                             impl="column").collect()))
+        assert a == b, (terms, win, a, b)
+    assert window_cooccur(edge, ["alpha", "delta"], window=10,
+                          impl="sql").schema == window_cooccur(
+        edge, ["alpha", "delta"], window=10, impl="column").schema
+
+
 def test_collocations_lift_replay(spark):
     """Lift equals the exact-count definition on a planted corpus
     where one pair is a true collocation and a frequent-but-random

@@ -1002,6 +1002,38 @@ def test_gopher_repetition_full_table(spark):
     assert got[4]["dup_6gram_char_frac"] > 0.5
 
 
+def test_gopher_repetition_sql_impl_matches_column(spark):
+    """The r14 SQL-text builder is bit-equal to the Column-API form —
+    planted fixtures, the sampled documents fixture, and edge docs
+    (empty text, whitespace-only, single word, interior-whitespace
+    paragraph residue, repeated everything)."""
+    from drill_spark.ops.pipeline import gopher_repetition
+    from drill_spark.session import load_fixture
+
+    rows = [
+        (0, "the cat sat the cat sat the cat sat"),
+        (1, "completely unique words in this one longer sentence here"),
+        (2, "line one\nline one\nline two"),
+        (3, "para a\n\npara a\n\npara b"),
+        (4, "w1 w2 w3 w4 w5 w6 filler w1 w2 w3 w4 w5 w6"),
+        (5, ""),                      # zero tokens: excluded entirely
+        (6, "   \n  \n   "),          # whitespace-only
+        (7, "word"),                  # single token
+        (8, "a b\n \t\nx  y\n\na b"),   # residue whitespace at edges
+        (9, "dup dup\n\ndup dup\n\ndup dup"),
+    ]
+    edge = spark.createDataFrame(rows, "doc_id long, text string")
+    docs = load_fixture(spark, "/root/testdata/sf0.001", "documents")
+    for df in (edge, docs):
+        a = sorted(map(tuple, gopher_repetition(df, impl="sql").collect()))
+        b = sorted(map(tuple, gopher_repetition(df, impl="column").collect()))
+        assert a == b
+        assert len(a) > 0
+    sql_df = gopher_repetition(edge, impl="sql")
+    col_df = gopher_repetition(edge, impl="column")
+    assert sql_df.schema == col_df.schema
+
+
 def test_gopher_repetition_many_line_doc(spark):
     """The dup-line/paragraph metrics must stay linear-ish in the
     segment count: a 10^4-line document is a normal web page dump, and
