@@ -101,7 +101,16 @@ def bm25_topk(df: DataFrame, query_terms: list[str], k: int = 10,
         F.count("*").alias("n_docs"),
         (F.sum("dl") / F.count("*")).alias("avgdl"),
     )
-    dfreq = post.groupBy("term").agg(F.count("*").alias("df"))
+    # The no-op tf reference keeps this branch's copy of the postings
+    # aggregate column-identical to the scorer's (r14, guide §2.4):
+    # without it, column pruning drops the count from the df branch, the
+    # two (term, id) exchanges stop being canonically equal, and the
+    # executed plan re-runs the whole corpus tokenize + shuffle a second
+    # time just to count document frequencies (ReusedExchange evidence in
+    # plans/r14/ext_bm25_batch_{before,after}.txt). tf = count(*) >= 1 by
+    # construction, so the filter removes nothing.
+    dfreq = (post.where(F.col("tf") > 0)
+             .groupBy("term").agg(F.count("*").alias("df")))
 
     idf = F.log(F.lit(1.0) + (F.col("n_docs") - F.col("df") + 0.5)
                 / (F.col("df") + 0.5))
@@ -378,7 +387,16 @@ def tfidf_keywords(df: DataFrame, top_n: int = 3, id_col: str = "doc_id",
     """
     post = build_postings(df, id_col, text_col)
     n_docs = df.agg(F.count("*").alias("n_docs"))
-    dfreq = post.groupBy("term").agg(F.count("*").alias("df"))
+    # The no-op tf reference keeps this branch's copy of the postings
+    # aggregate column-identical to the scorer's (r14, guide §2.4):
+    # without it, column pruning drops the count from the df branch, the
+    # two (term, id) exchanges stop being canonically equal, and the
+    # executed plan re-runs the whole corpus tokenize + shuffle a second
+    # time just to count document frequencies (ReusedExchange evidence in
+    # plans/r14/ext_bm25_batch_{before,after}.txt). tf = count(*) >= 1 by
+    # construction, so the filter removes nothing.
+    dfreq = (post.where(F.col("tf") > 0)
+             .groupBy("term").agg(F.count("*").alias("df")))
 
     idf = F.log((F.lit(1.0) + F.col("n_docs")) / (F.col("df") + 1.0)) + 1.0
     w = Window.partitionBy(id_col).orderBy(
@@ -487,7 +505,16 @@ def bm25_topk_batch(df: DataFrame, queries: DataFrame, k: int = 10,
         F.count("*").alias("n_docs"),
         (F.sum("dl") / F.count("*")).alias("avgdl"),
     )
-    dfreq = post.groupBy("term").agg(F.count("*").alias("df"))
+    # The no-op tf reference keeps this branch's copy of the postings
+    # aggregate column-identical to the scorer's (r14, guide §2.4):
+    # without it, column pruning drops the count from the df branch, the
+    # two (term, id) exchanges stop being canonically equal, and the
+    # executed plan re-runs the whole corpus tokenize + shuffle a second
+    # time just to count document frequencies (ReusedExchange evidence in
+    # plans/r14/ext_bm25_batch_{before,after}.txt). tf = count(*) >= 1 by
+    # construction, so the filter removes nothing.
+    dfreq = (post.where(F.col("tf") > 0)
+             .groupBy("term").agg(F.count("*").alias("df")))
 
     idf = F.log(F.lit(1.0) + (F.col("n_docs") - F.col("df") + 0.5)
                 / (F.col("df") + 0.5))
