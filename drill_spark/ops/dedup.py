@@ -17,8 +17,9 @@ Scale design (100 TB corpus, 1000 executors):
   per-token posting list, so at scale it is the *verify* stage applied
   to LSH candidates, not a standalone all-pairs scan. Provided
   standalone for oracle-checkable correctness at test scale.
-- simhash: one explode + 64 conditional-sum aggregates (single
-  shuffle); near-dup candidates pair within fingerprint prefix bands.
+- simhash: one explode + ``bits`` (default 48) conditional-sum
+  aggregates (single shuffle); near-dup candidates pair within
+  fingerprint prefix bands.
 """
 
 from __future__ import annotations

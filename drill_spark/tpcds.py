@@ -1706,7 +1706,10 @@ limit 100
 
 
 # q95 shape (multi-warehouse returned orders): tickets sold from MORE
-# THAN ONE store (the spec's ws1/ws2 warehouse pattern), restricted by
+# THAN ONE store — MODELING the spec's ws1/ws2 warehouse pattern (the
+# self-join-with-inequality SHAPE itself is no longer executed here
+# since the r13 rewrite below; q16's correlated EXISTS with <> keeps
+# that plan shape covered) — restricted by
 # IN to that set and by EXISTS to tickets with a return — the
 # double-semijoin shape on one fact. One summary row of exact-cent
 # totals.
