@@ -6,7 +6,9 @@ Prints EXACTLY ONE COMPACT line on stdout — a summary JSON:
 The per-query timing map is deliberately NOT on stdout (a 124-query map
 is ~6 KB and overflows the driver's 2 KB tail window); the full detail —
 including per-query timings and setup costs — is written to
-bench_result.json next to this file. Everything else (Spark/JVM chatter,
+bench_result.json next to this file AND to bench_result_c{cpus}.json,
+so a low-core scaling run never clobbers the high-core per-query map
+(r14; the r13 scaling comparison was empty for exactly that reason). Everything else (Spark/JVM chatter,
 progress, per-query errors, setup-vs-query breakdown) goes to stderr.
 
 value = total wall-clock seconds over the headline query set (each
